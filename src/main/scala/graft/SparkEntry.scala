@@ -1,13 +1,402 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Relational => R, Scalars => S, TimeSeries => T, TrainingData => D}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one declared operator from SURVEY.md §2
+  * (or a training-data-pipeline operator), expressed Spark-first over the
+  * driver testdata tables; [[oracleSql]] holds the DuckDB-equivalent SQL
+  * for the hash-compare correctness gate. Column names and rounding are
+  * aligned on both sides (driver sorts columns by name before hashing).
+  *
+  * Queries whose semantics hinge on Spark-side hash families (xxhash64
+  * minhash/simhash/SRP planes) have no DuckDB equivalent and are
+  * intentionally absent from [[oracleSql]] — the driver records a
+  * rows-only check; their exactness is covered by ScalaTest specs.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    R.q01LineitemAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1-2.7 relational
+    "q01_group_agg"        -> (R.q01LineitemAgg(_, _)),
+    "q02_filter_pushdown"  -> (R.q02FilterPushdown(_, _)),
+    "q03_broadcast_join"   -> (R.q03BroadcastJoin(_, _)),
+    "q04_semi_join"        -> (R.q04SemiJoin(_, _)),
+    "q05_anti_join"        -> (R.q05AntiJoin(_, _)),
+    "q06_enrichment_join"  -> (R.q06EnrichmentJoin(_, _)),
+    "q07_argmax"           -> (R.q07Argmax(_, _)),
+    "q08_conditional_agg"  -> (R.q08ConditionalAgg(_, _)),
+    "q09_window_total_pct" -> (R.q09WindowTotalPct(_, _)),
+    "q10_percentiles"      -> (R.q10Percentiles(_, _)),
+    "q11_dedup_rank"       -> (R.q11DedupRank(_, _)),
+    "q12_topn_per_group"   -> (R.q12TopNPerGroup(_, _)),
+    "q13_scalar_subquery"  -> (R.q13ScalarSubquery(_, _)),
+    "q14_union_cohorts"    -> (R.q14UnionCohorts(_, _)),
+    "q15_topk"             -> (R.q15TopK(_, _)),
+    "q16_histogram"        -> (R.q16Histogram(_, _)),
+    "q17_value_counts"     -> (R.q17ValueCounts(_, _)),
+    "q18_minmax_summary"   -> (R.q18MinMaxSummary(_, _)),
+    "q19_vote_tally"       -> (R.q19VoteTally(_, _)),
+    "q20_merge_upsert"     -> (R.q20MergeUpsert(_, _)),
+    "q21_replace_by_key"   -> (R.q21ReplaceByKey(_, _)),
+    "q22_max_streak"       -> (R.q22MaxStreak(_, _)),
+    "q23_max_drawdown"     -> (R.q23MaxDrawdown(_, _)),
+    "q24_ntile_split"      -> (R.q24NtileSplit(_, _)),
+    // §2.5 windows / time series
+    "q30_sma"              -> (T.q30Sma(_, _)),
+    "q31_running_sum"      -> (T.q31RunningSum(_, _)),
+    "q32_lag_diff"         -> (T.q32LagDiff(_, _)),
+    "q33_rolling_extrema"  -> (T.q33RollingExtrema(_, _)),
+    "q34_bollinger"        -> (T.q34Bollinger(_, _)),
+    "q35_asof_join"        -> (T.q35AsOfJoin(_, _)),
+    "q36_future_window"    -> (T.q36FutureWindow(_, _)),
+    "q37_session_count"    -> (T.q37SessionCount(_, _)),
+    "q38_ema"              -> (T.q38EmaLast(_, _)),
+    "q39_rsi"              -> (T.q39RsiLast(_, _)),
+    "q40_macd"             -> (T.q40MacdLast(_, _)),
+    // §2.8 scalar function families
+    "q50_string_funcs"     -> (S.q50StringFuncs(_, _)),
+    "q51_occ_key"          -> (S.q51OccKey(_, _)),
+    "q52_date_funcs"       -> (S.q52DateFuncs(_, _)),
+    "q53_math_funcs"       -> (S.q53MathFuncs(_, _)),
+    "q54_score_ladder"     -> (S.q54ScoreLadder(_, _)),
+    "q55_coalesce_chain"   -> (S.q55CoalesceChain(_, _)),
+    "q56_type_coercion"    -> (S.q56TypeCoercion(_, _)),
+    "q57_json_extract"     -> (S.q57JsonExtract(_, _)),
+    "q58_direction_cond"   -> (S.q58DirectionConditional(_, _)),
+    // training-data pipeline
+    "q70_exact_dedup"      -> (D.q70ExactDedup(_, _)),
+    "q71_dup_clusters"     -> (D.q71DupClusters(_, _)),
+    "q72_token_stats"      -> (D.q72TokenStats(_, _)),
+    "q73_quality_score"    -> (D.q73QualityScore(_, _)),
+    "q74_fingerprint"      -> (D.q74Fingerprint(_, _)),
+    "q75_ngram_jaccard"    -> (D.q75NgramJaccard(_, _)),
+    "q76_minhash_lsh"      -> (D.q76MinhashLsh(_, _)),
+    "q77_simhash"          -> (D.q77Simhash(_, _)),
+    "q78_lang_id"          -> (D.q78LangId(_, _)),
+    "q79_cosine_topk"      -> (D.q79CosineTopK(_, _)),
+    "q80_lsh_ann"          -> (D.q80LshAnn(_, _)),
+    "q81_embedding_stats"  -> (D.q81EmbeddingStats(_, _)),
+  )
+
+  /** DuckDB-equivalent SQL per query (same tables registered by name). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_group_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
+        |round(SUM(l_extendedprice),4) AS sum_base_price,
+        |round(SUM(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        |round(AVG(l_discount),4) AS avg_disc, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, round(l_extendedprice,4) AS price
+        |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R' AND l_discount IS NOT NULL""".stripMargin,
+    "q03_broadcast_join" ->
+      """SELECT r_name, COUNT(*) AS n_customers, round(AVG(c_acctbal),4) AS avg_acctbal
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey GROUP BY r_name""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, round(c_acctbal,4) AS acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)""".stripMargin,
+    "q06_enrichment_join" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS totalprice,
+        |COALESCE(c_name,'UNKNOWN') AS cust_name, COALESCE(n_name,'NONE') AS nation_name,
+        |COALESCE(round(c_acctbal,4), 0.0) AS acctbal
+        |FROM orders LEFT JOIN customer ON o_custkey=c_custkey
+        |LEFT JOIN nation ON c_nationkey=n_nationkey""".stripMargin,
+    "q07_argmax" ->
+      """SELECT n_name, c_custkey AS top_custkey, round(c_acctbal,4) AS top_acctbal FROM (
+        |SELECT n_name, c_custkey, c_acctbal,
+        |ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey) WHERE rn=1""".stripMargin,
+    "q08_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |round(SUM(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0.0 END),4) AS finished_value,
+        |CAST(SUM(CASE WHEN o_totalprice>100000 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders,
+        |COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q09_window_total_pct" ->
+      """WITH a AS (SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, cnt, round(cnt*100.0/SUM(cnt) OVER (), 1) AS pct_of_all FROM a""".stripMargin,
+    "q10_percentiles" ->
+      """SELECT c_mktsegment, round(quantile_cont(c_acctbal, 0.25),4) AS p25,
+        |round(quantile_cont(c_acctbal, 0.5),4) AS p50,
+        |round(quantile_cont(c_acctbal, 0.75),4) AS p75 FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q11_dedup_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS totalprice FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn=1""".stripMargin,
+    "q12_topn_per_group" ->
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey,
+        |round(o_totalprice,4) AS totalprice FROM (
+        |SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn<=3""".stripMargin,
+    "q13_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS orderdate
+        |FROM orders WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders)""".stripMargin,
+    "q14_union_cohorts" ->
+      """WITH tagged AS (
+        |SELECT 'HIGH_QTY' AS cohort, l_extendedprice, l_quantity FROM lineitem WHERE l_quantity>=40
+        |UNION ALL SELECT 'HIGH_DISC', l_extendedprice, l_quantity FROM lineitem WHERE l_discount>=0.08
+        |UNION ALL SELECT 'RETURNED', l_extendedprice, l_quantity FROM lineitem WHERE l_returnflag='R')
+        |SELECT cohort, COUNT(*) AS cnt, round(AVG(l_extendedprice),4) AS avg_price,
+        |round(SUM(l_quantity),4) AS sum_qty FROM tagged GROUP BY cohort""".stripMargin,
+    "q15_topk" ->
+      """SELECT o_orderkey, round(o_totalprice,4) AS totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q16_histogram" ->
+      """SELECT CASE WHEN o_totalprice<50000 THEN 'P0_SMALL' WHEN o_totalprice<150000 THEN 'P1_MID'
+        |WHEN o_totalprice<300000 THEN 'P2_LARGE' ELSE 'P3_JUMBO' END AS bucket,
+        |COUNT(*) AS cnt, round(AVG(o_totalprice),4) AS avg_price FROM orders GROUP BY 1""".stripMargin,
+    "q17_value_counts" ->
+      "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    "q18_minmax_summary" ->
+      """SELECT CAST(MIN(o_orderdate) AS DATE) AS min_date, CAST(MAX(o_orderdate) AS DATE) AS max_date,
+        |COUNT(*) AS cnt, round(MIN(o_totalprice),4) AS min_price,
+        |round(MAX(o_totalprice),4) AS max_price FROM orders""".stripMargin,
+    "q19_vote_tally" ->
+      """WITH a AS (SELECT event_type, COUNT(DISTINCT user_id) AS voters, COUNT(*) AS votes,
+        |round(AVG(value),4) AS avg_conviction FROM events GROUP BY event_type),
+        |t AS (SELECT CAST(SUM(voters) AS BIGINT) AS t FROM a)
+        |SELECT event_type, voters, votes, avg_conviction,
+        |CASE WHEN voters/t >= 0.8 THEN 'SUPERMAJORITY' WHEN voters/t >= 0.4 THEN 'MAJORITY'
+        |WHEN votes >= 2 THEN 'SPLIT' ELSE 'SOLO' END AS tier FROM a, t""".stripMargin,
+    "q20_merge_upsert" ->
+      """SELECT c.c_custkey, c.c_name, round(COALESCE(u.bal, round(c.c_acctbal,4)),4) AS acctbal
+        |FROM customer c LEFT JOIN (SELECT o_custkey, round(SUM(o_totalprice),4) AS bal
+        |FROM orders GROUP BY o_custkey) u ON c.c_custkey = u.o_custkey""".stripMargin,
+    "q21_replace_by_key" ->
+      """SELECT c_custkey, c_mktsegment, round(c_acctbal,4) AS acctbal FROM customer
+        |WHERE c_mktsegment <> 'BUILDING'
+        |UNION ALL SELECT c_custkey, c_mktsegment, round(c_acctbal*2,4) FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q22_max_streak" ->
+      """WITH t AS (SELECT user_id, value<50 AS losing,
+        |SUM(CASE WHEN value<50 THEN 0 ELSE 1 END) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island FROM events),
+        |r AS (SELECT user_id, island, COUNT(*) AS len FROM t WHERE losing GROUP BY user_id, island)
+        |SELECT user_id, MAX(len) AS max_streak FROM r GROUP BY user_id""".stripMargin,
+    "q23_max_drawdown" ->
+      """WITH p AS (SELECT user_id, ts, event_id, 1000.0 + SUM(value-50.0) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS capital FROM events),
+        |d AS (SELECT user_id, capital, MAX(capital) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS peak FROM p)
+        |SELECT user_id, round(MAX((peak-capital)/peak),6) AS max_drawdown FROM d GROUP BY user_id""".stripMargin,
+    "q24_ntile_split" ->
+      """WITH t AS (SELECT o_totalprice, NTILE(2) OVER (ORDER BY o_orderdate, o_orderkey) AS half
+        |FROM orders) SELECT CAST(half AS INT) AS half, COUNT(*) AS cnt,
+        |round(AVG(o_totalprice),4) AS avg_price FROM t GROUP BY half""".stripMargin,
+    "q30_sma" ->
+      """SELECT event_id, user_id,
+        |round(CASE WHEN COUNT(value) OVER w >= 20 THEN AVG(value) OVER w END, 4) AS sma20
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q31_running_sum" ->
+      """SELECT event_id, user_id, round(SUM(value) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),4) AS running_value FROM events""".stripMargin,
+    "q32_lag_diff" ->
+      """SELECT event_id, user_id, round(value - LAG(value, 1) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id), 4) AS delta FROM events""".stripMargin,
+    "q33_rolling_extrema" ->
+      """SELECT event_id, user_id, round(MAX(value) OVER w, 4) AS high10,
+        |round(MIN(value) OVER w, 4) AS low10 FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q34_bollinger" ->
+      """SELECT event_id, user_id, round(mid,4) AS bb_mid, round(mid + 2.0*sd,4) AS bb_up,
+        |round(mid - 2.0*sd,4) AS bb_lo FROM (
+        |SELECT event_id, user_id,
+        |CASE WHEN COUNT(value) OVER w >= 20 THEN AVG(value) OVER w END AS mid,
+        |CASE WHEN COUNT(value) OVER w >= 20 THEN STDDEV_SAMP(value) OVER w END AS sd
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))""".stripMargin,
+    "q35_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, round(p.value,4) AS purchase_value,
+        |round(v.value,4) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+        |ON p.user_id=v.user_id AND v.ts <= p.ts""".stripMargin,
+    "q36_future_window" ->
+      """WITH s AS (SELECT event_id AS signup_id, user_id, ts FROM events WHERE event_type='signup'),
+        |j AS (SELECT s.signup_id, s.user_id, e.event_id AS next_id, e.value,
+        |ROW_NUMBER() OVER (PARTITION BY s.signup_id ORDER BY e.ts) AS rnk
+        |FROM s JOIN events e ON e.user_id=s.user_id AND e.ts > s.ts)
+        |SELECT signup_id, user_id, CAST(rnk AS INT) AS "rank", next_id,
+        |round(value,4) AS next_value FROM j WHERE rnk <= 3""".stripMargin,
+    "q37_session_count" ->
+      """WITH t AS (SELECT user_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |IS NULL OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |> 3600000 THEN 1 ELSE 0 END AS ns FROM events)
+        |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM t GROUP BY user_id""".stripMargin,
+    "q38_ema" ->
+      """WITH h AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs FROM events GROUP BY user_id)
+        |SELECT user_id, round(list_reduce(vs, (acc, x) -> (2.0/22.0)*x + (20.0/22.0)*acc), 4) AS ema21
+        |FROM h""".stripMargin,
+    "q39_rsi" ->
+      """WITH h AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs FROM events GROUP BY user_id),
+        |d AS (SELECT user_id, list_transform(list_zip(list_slice(vs, 2, len(vs)),
+        |list_slice(vs, 1, len(vs)-1)), x -> x[1]-x[2]) AS diffs FROM h),
+        |g AS (SELECT user_id, diffs,
+        |list_transform(diffs, x -> CASE WHEN x>0 THEN x ELSE 0.0 END) AS gains,
+        |list_transform(diffs, x -> CASE WHEN x<0 THEN -x ELSE 0.0 END) AS losses FROM d),
+        |w AS (SELECT user_id, diffs,
+        |list_reduce(list_concat([list_aggregate(list_slice(gains,1,14),'sum')/14.0],
+        |list_slice(gains,15,len(gains))), (acc,x) -> (acc*13.0+x)/14.0) AS ag,
+        |list_reduce(list_concat([list_aggregate(list_slice(losses,1,14),'sum')/14.0],
+        |list_slice(losses,15,len(losses))), (acc,x) -> (acc*13.0+x)/14.0) AS al FROM g)
+        |SELECT user_id, round(CASE WHEN len(diffs)<14 THEN NULL WHEN al=0 THEN 100.0
+        |ELSE 100.0 - 100.0/(1.0+ag/al) END, 4) AS rsi14 FROM w""".stripMargin,
+    "q40_macd" ->
+      """WITH h AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, list_reduce(list_transform(vs, v -> struct_pack(sig:=CAST(0.0 AS DOUBLE), f:=v, s:=v)),
+        |(acc, x) -> struct_pack(
+        |sig := (2.0/10.0)*(((2.0/13.0)*x.f + (11.0/13.0)*acc.f) - ((2.0/27.0)*x.f + (25.0/27.0)*acc.s))
+        | + (8.0/10.0)*acc.sig,
+        |f := (2.0/13.0)*x.f + (11.0/13.0)*acc.f,
+        |s := (2.0/27.0)*x.f + (25.0/27.0)*acc.s)) AS m FROM h)
+        |SELECT user_id, round(m.f - m.s, 4) AS macd, round(m.sig, 4) AS macd_signal,
+        |round(m.f - m.s - m.sig, 4) AS macd_hist FROM r""".stripMargin,
+    "q50_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        |regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |substring(p_name, 1, 8) AS prefix8, lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+        |concat_ws('_', p_brand, p_type) AS brand_type, CAST(length(p_name) AS INT) AS name_len
+        |FROM part""".stripMargin,
+    "q51_occ_key" ->
+      """WITH o AS (SELECT o_orderkey, concat('O:', o_orderstatus, strftime(o_orderdate, '%y%m%d'),
+        |CASE WHEN o_totalprice>150000 THEN 'C' ELSE 'P' END,
+        |lpad(CAST(CAST(round(o_totalprice*1000, 0) AS BIGINT) AS VARCHAR), 12, '0')) AS occ
+        |FROM orders)
+        |SELECT occ, COUNT(*) AS n, MIN(o_orderkey) AS first_key FROM o GROUP BY occ""".stripMargin,
+    "q52_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+        |strftime(o_orderdate, '%Y-%m') AS ym, epoch_ms(o_orderdate) AS epoch_ms FROM orders""".stripMargin,
+    "q53_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price_r2,
+        |abs(l_extendedprice - 30000) AS abs_dev, CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+        |CAST(least(greatest(l_quantity, 10.0), 40.0) AS DOUBLE) AS qty_clamped,
+        |CAST(round(CAST(CAST(l_extendedprice / greatest(l_quantity, 1) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS unit_price,
+        |CAST(round(CAST(CAST(l_tax / NULLIF(l_discount, 0) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS tax_over_disc FROM lineitem""".stripMargin,
+    "q54_score_ladder" ->
+      """WITH s AS (SELECT o_orderkey, least(greatest(CAST((
+        |CASE WHEN o_totalprice>300000 THEN 2 ELSE 0 END + CASE WHEN o_totalprice>150000 THEN 1 ELSE 0 END +
+        |CASE WHEN o_orderpriority='1-URGENT' THEN 2 ELSE 0 END + CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END
+        |) AS DOUBLE), 0.0), 10.0) AS score_d,
+        |(CASE WHEN o_totalprice>200000 THEN 1 ELSE 0 END +
+        |CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END +
+        |CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS premium FROM orders)
+        |SELECT o_orderkey, CAST(score_d AS INT) AS score, CAST(premium AS INT) AS premium_score,
+        |CASE WHEN score_d>=5 THEN 'home_run' WHEN score_d>=3 THEN 'strong' WHEN score_d>=1 THEN 'solid'
+        |ELSE 'none' END AS tier, premium>=2 AS is_premium FROM s""".stripMargin,
+    "q55_coalesce_chain" ->
+      """SELECT l_orderkey, l_linenumber, round(COALESCE(
+        |CASE WHEN l_discount>0.05 THEN l_extendedprice END,
+        |CASE WHEN l_tax>0.04 THEN (l_extendedprice + l_quantity*1000)/2 END,
+        |l_quantity*1000), 4) AS effective_price FROM lineitem""".stripMargin,
+    "q56_type_coercion" ->
+      """SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_d, p_retailprice AS extracted_price,
+        |TRY_CAST(p_brand AS DOUBLE) AS brand_as_num FROM part""".stripMargin,
+    "q57_json_extract" ->
+      """WITH t AS (SELECT CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INT) AS k FROM events)
+        |SELECT CAST(k % 10 AS INT) AS k_mod, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM t GROUP BY 1""".stripMargin,
+    "q58_direction_cond" ->
+      """SELECT l_orderkey, l_linenumber, round(CASE WHEN l_returnflag='R' THEN -l_extendedprice
+        |ELSE l_extendedprice END, 4) AS signed_price FROM lineitem""".stripMargin,
+    "q70_exact_dedup" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |SELECT doc_id, lang, source, n_chars,
+        |ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |FROM documents) WHERE rn=1""".stripMargin,
+    "q71_dup_clusters" ->
+      """SELECT md5(lower(trim(text))) AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 HAVING COUNT(*)>1""".stripMargin,
+    "q72_token_stats" ->
+      """WITH t AS (SELECT lang,
+        |CASE WHEN length(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |CAST(ceil(length(text)/4.0) AS BIGINT) AS est_bpe,
+        |CASE WHEN length(text)=0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        | / CAST(length(text) AS DOUBLE) END AS punct,
+        |list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), x -> length(x)), 'sum')
+        | / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mwl
+        |FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |CAST(SUM(est_bpe) AS BIGINT) AS total_est_bpe, round(AVG(punct), 4) AS avg_punct,
+        |round(AVG(mwl), 4) AS avg_word_len FROM t GROUP BY lang""".stripMargin,
+    "q73_quality_score" ->
+      """WITH u AS (SELECT source,
+        |CASE WHEN len(string_split_regex(lower(trim(text)), '\s+'))=0 THEN 0.0 ELSE
+        | len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> list_contains(
+        | ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'], x)))
+        | / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END AS stop_ratio,
+        |CASE WHEN length(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |CASE WHEN length(text)=0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        | / CAST(length(text) AS DOUBLE) END AS punct
+        |FROM documents),
+        |q AS (SELECT source, stop_ratio, round(
+        |0.5*(CASE WHEN n_tok>=10 AND n_tok<=10000 THEN 1.0 WHEN n_tok>=3 THEN 0.5 ELSE 0.0 END) +
+        |0.25*(CASE WHEN stop_ratio>=0.05 THEN 1.0 ELSE 0.3 END) +
+        |0.25*(CASE WHEN punct<=0.2 THEN 1.0 ELSE 0.4 END), 4) AS q FROM u)
+        |SELECT source, COUNT(*) AS n_docs, round(AVG(q),4) AS avg_quality,
+        |round(AVG(stop_ratio),4) AS avg_stopword_ratio FROM q GROUP BY source""".stripMargin,
+    "q74_fingerprint" ->
+      """SELECT COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique,
+        |COUNT(*) AS n_docs FROM documents""".stripMargin,
+    "q75_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |FROM documents WHERE doc_id<40),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        |i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+        |FROM s a, s b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""".stripMargin,
+    "q78_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x)))/CAST(len(toks) AS DOUBLE) AS s_en,
+        |len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x)))/CAST(len(toks) AS DOUBLE) AS s_es,
+        |len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x)))/CAST(len(toks) AS DOUBLE) AS s_de,
+        |len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x)))/CAST(len(toks) AS DOUBLE) AS s_fr,
+        |len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x)))/CAST(len(toks) AS DOUBLE) AS s_zh
+        |FROM t),
+        |c AS (SELECT doc_id, lang, 'de' AS cl, s_de AS score FROM sc
+        |UNION ALL SELECT doc_id, lang, 'en', s_en FROM sc
+        |UNION ALL SELECT doc_id, lang, 'es', s_es FROM sc
+        |UNION ALL SELECT doc_id, lang, 'fr', s_fr FROM sc
+        |UNION ALL SELECT doc_id, lang, 'zh', s_zh FROM sc),
+        |b AS (SELECT doc_id, lang, cl, score,
+        |ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cl DESC) AS rn FROM c)
+        |SELECT lang, CASE WHEN score>0 THEN cl ELSE 'unknown' END AS pred, COUNT(*) AS cnt
+        |FROM b WHERE rn=1 GROUP BY 1, 2""".stripMargin,
+    "q79_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |j AS (SELECT p.probe_id, e.vec_id AS corpus_id,
+        |list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) *
+        | sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum'))) AS cos
+        |FROM e, p WHERE e.vec_id <> p.probe_id),
+        |r AS (SELECT probe_id, corpus_id, cos,
+        |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
+        |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id, round(cos, 4) AS cos
+        |FROM r WHERE rnk <= 5""".stripMargin,
+    "q81_embedding_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        |round(AVG(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),
+        |'sum'))), 4) AS avg_norm FROM embeddings GROUP BY label""".stripMargin,
+  )
 }

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd hashing kernels for the dedup operators.
+  *
+  * The declarative formulations in [[graft.operators.Dedup]] (higher-order
+  * `aggregate`/`transform` folds) are exact but interpreted — Catalyst
+  * higher-order functions are CodegenFallback, so a k=32 minhash over a
+  * 5k-doc corpus spent ~30s in per-element interpretation at sf0.1. These
+  * expressions compute the identical values (same xxhash64 family, same
+  * tokenization) in one tight JVM loop per document and participate in
+  * whole-stage codegen via a static call.
+  *
+  * Hash-compatibility contract (kept test-verified against the declarative
+  * versions):
+  *  - shingle base hash  = XXH64.hashUTF8String(shingle, seed=42)
+  *    == SQL xxhash64(shingle)
+  *  - family member i    = XXH64.hashInt(i, base)
+  *    == SQL xxhash64(shingle, i) for int literal i
+  *  - simhash token hash = XXH64.hashUTF8String(token, 42) == xxhash64(token)
+  */
+object FastHash {
+
+  private val Seed = 42L
+
+  /** Tokens of lower(trim(text)) split on \s+ (matches Dedup.shingles). */
+  private def tokens(text: UTF8String): Array[String] =
+    text.trim().toLowerCase().toString.split("\\s+")
+
+  /** k-wide MinHash signature over distinct word n-gram shingles; null when
+    * the text has fewer than n tokens (no shingles). */
+  def minhashSig(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val toks = tokens(text)
+    if (toks.length < n) return null
+    val seen = new java.util.HashSet[String]()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        val base = XXH64.hashUTF8String(UTF8String.fromString(sh), Seed)
+        var m = 0
+        while (m < k) {
+          val h = XXH64.hashInt(m, base)
+          if (h < mins(m)) mins(m) = h
+          m += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over word tokens (bit j set iff the count of tokens
+    * with bit j in xxhash64(token) exceeds those without). */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokens(text)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), Seed)
+      var j = 0
+      while (j < 64) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  /** Column API. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    GraftShim.column(MinHashSigExpr(GraftShim.expression(text), n, k))
+
+  def simhash(text: Column): Column =
+    GraftShim.column(SimHash64Expr(GraftShim.expression(text)))
+}
+
+/** text -> array<bigint> of k minhashes (null when < n tokens). */
+case class MinHashSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.minhashSig(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.FastHash.minhashSig($c, $n, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** text -> 64-bit simhash fingerprint. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}

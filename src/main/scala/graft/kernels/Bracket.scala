@@ -1,0 +1,87 @@
+package graft.kernels
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X1/X2 bracket-order execution scan (SURVEY.md §2.9).
+  *
+  * Reference semantics (forward-paper-trader/main.py:265-318):
+  * from the entry bar, iterate bars in timestamp order;
+  *   1. if ts >= timeout_ts -> exit `timeout` at that bar's close
+  *   2. else if low <= stop  -> exit `stop` at stop price  (checked FIRST:
+  *      the intrabar tie rule is stop-before-target)
+  *   3. else if high >= target -> exit `target` at target price
+  *   4. bars exhausted -> `timeout_eod` at the last bar's close.
+  * Entry = first bar with ts >= entry_ts (exact match or first later bar);
+  * entry price = entry bar close * slippage.
+  *
+  * Implemented as a typed state machine over `flatMapSortedGroups` — each
+  * group is one (trade) key, bars arrive sorted by ts, early-exit is a
+  * stateful scan. This is the one operator that is genuinely procedural;
+  * grouping shuffles once on the trade key and the kernel is O(bars) per
+  * trade with O(1) state.
+  */
+object Bracket {
+
+  case class BarIn(
+      trade_id: Long, t: Long, o: Double, h: Double, l: Double, c: Double,
+      entry_ts: Long, timeout_ts: Long,
+      slippage: Double, target_mult: Double, stop_mult: Double)
+
+  case class Fill(
+      trade_id: Long, entry_ts: Long, entry_price: Double,
+      exit_ts: Long, exit_price: Double, exit_reason: String,
+      bars_held: Int, return_pct: Double)
+
+  /** Run the kernel. `bars` must contain the BarIn columns; one output row
+    * per trade that has at least one bar at/after entry_ts.
+    */
+  def execute(spark: SparkSession, bars: DataFrame): Dataset[Fill] = {
+    import spark.implicits._
+    bars.as[BarIn]
+      .groupByKey(_.trade_id)
+      .flatMapSortedGroups($"t")(scanGroup)
+  }
+
+  private[graft] def scanGroup(tradeId: Long, bars: Iterator[BarIn]): Iterator[Fill] = {
+    var entryPrice = Double.NaN
+    var entryTs = 0L
+    var barsHeld = 0
+    var lastBar: BarIn = null
+    var fill: Option[Fill] = None
+    while (bars.hasNext && fill.isEmpty) {
+      val b = bars.next()
+      if (java.lang.Double.isNaN(entryPrice)) {
+        if (b.t >= b.entry_ts) { // first bar at/after entry (J5 fallback)
+          entryPrice = b.c * b.slippage
+          entryTs = b.t
+          lastBar = b
+          barsHeld = 1
+        }
+      } else {
+        barsHeld += 1
+        lastBar = b
+        val stop = entryPrice * b.stop_mult
+        val target = entryPrice * b.target_mult
+        if (b.t >= b.timeout_ts)
+          fill = Some(mk(tradeId, entryTs, entryPrice, b.t, b.c, "timeout", barsHeld))
+        else if (b.l <= stop) // stop-before-target intrabar tie rule
+          fill = Some(mk(tradeId, entryTs, entryPrice, b.t, stop, "stop", barsHeld))
+        else if (b.h >= target)
+          fill = Some(mk(tradeId, entryTs, entryPrice, b.t, target, "target", barsHeld))
+      }
+    }
+    fill match {
+      case Some(f) => Iterator.single(f)
+      case None if lastBar != null => // data exhausted -> timeout at last close
+        Iterator.single(mk(tradeId, entryTs, entryPrice, lastBar.t, lastBar.c,
+          "timeout_eod", barsHeld))
+      case None => Iterator.empty // no bar at/after entry
+    }
+  }
+
+  private def mk(id: Long, entryTs: Long, entry: Double, exitTs: Long,
+      exitPx: Double, reason: String, held: Int): Fill =
+    Fill(id, entryTs, entry, exitTs, exitPx, reason, held,
+      (exitPx - entry) / entry * 100.0)
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over embedding columns
+  * (`array<float>`), training-data pipeline surface.
+  *
+  * Scale design:
+  *  - brute-force cosine top-k is the CORRECTNESS baseline: a broadcast of
+  *    the (small) probe set against the full corpus — one pass, no shuffle
+  *    of the corpus, per-partition top-k via window rank only on the
+  *    filtered candidate rows.
+  *  - the scale path is LSH bucketing (random hyperplane signs): corpus and
+  *    probes hash to sign-pattern buckets; candidates = bucket collisions
+  *    on >= 1 of `tables` independent hash tables; exact cosine re-ranks
+  *    candidates only. Hyperplanes are seeded deterministically (reference
+  *    precedent: seed=42, monte_carlo_sniper.py:52).
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float|double> columns, pure
+    * higher-order functions (zip_with dot product) — codegen'd, no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot   = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
+    val normA = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, v) => s + v))
+    val normB = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, v) => s + v))
+    dot / (normA * normB)
+  }
+
+  /** Brute-force top-k neighbors of each probe row. Probe side is
+    * broadcast (small by contract); ties broken by corpus id for
+    * determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    val scored = c.crossJoin(broadcast(p))
+      .where(col("corpus_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("cvec"), col("pvec")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): a hash folded into [-1, 1). */
+  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(table), lit(plane), dim, lit(42)), lit(2000000L)).cast("double")
+      / lit(1000000.0d)) - lit(1.0d)
+
+  /** Sign-random-projection LSH bucket id of a vector for one hash table:
+    * `planes` sign bits packed into a long. */
+  def srpBucket(vec: Column, table: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { pl =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(table, pl, i)),
+        lit(0.0d), (s, v) => s + v)
+      when(dot >= 0, lit(1L << pl)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: candidates collide in >= 1 of `tables` SRP hash
+    * tables, then exact cosine re-rank to top-k per probe. Recall grows
+    * with `tables`, selectivity with `planes`.
+    */
+  def lshTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 4, planes: Int = 12): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .withColumn("bk", explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), srpBucket(col(vec), t, planes).as("b"))): _*)))
+        .select(col(id), col(vec), col("bk.t"), col("bk.b"))
+    val c = bucketed(corpus, "corpus_id", "cvec")
+    val p = bucketed(probes, "probe_id", "pvec")
+    val cand = c.join(p, Seq("t", "b"))
+      .where(col("corpus_id") =!= col("probe_id"))
+      .select("probe_id", "corpus_id", "cvec", "pvec")
+      .dropDuplicates("probe_id", "corpus_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    cand.withColumn("cos", cosine(col("cvec"), col("pvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.operators.{Joins, Streaks}
+
+/** Relational operator queries (SURVEY.md §2.1-2.7) declared over the
+  * driver testdata tables. Every query here has a DuckDB oracle in
+  * [[graft.Oracles]]; column names/rounding are aligned on both sides
+  * because the driver hash-compares values after sorting columns by name.
+  *
+  * Double outputs are rounded (4dp) on BOTH sides: Spark and DuckDB may
+  * sum floats in different orders; rounding absorbs last-ulp drift while
+  * keeping the check strict.
+  */
+object Relational {
+
+  /** q01 — TPC-H Q1 shape: grouped multi-aggregate with derived expression
+    * (A1/A8/F12; reference grouped aggs run_sweep.py:258-298). */
+  def q01LineitemAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+
+  /** q02 — filter + projection pushdown (P2/P7/P10): predicate and column
+    * set must reach the parquet scan. */
+  def q02FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where($"l_quantity" >= 45 && $"l_returnflag" === "R" && $"l_discount".isNotNull)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", round($"l_extendedprice", 4).as("price"))
+
+  /** q03 — broadcast dimension join chain (J1): customer x nation x region,
+    * dims broadcast explicitly. */
+  def q03BroadcastJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_customers"), round(avg($"c_acctbal"), 4).as("avg_acctbal"))
+
+  /** q04 — semi join (P1): customers that have at least one order. */
+  def q04SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+
+  /** q05 — anti join (T3/P12 negation semantics): customers without orders. */
+  def q05AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 4).as("acctbal"))
+
+  /** q06 — multi-source enrichment join (J2): orders left-joined to
+    * customer + nation, wide projection with null-filled missing side. */
+  def q06EnrichmentJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey", "left")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey", "left")
+      .select(
+        $"o_orderkey", $"o_custkey",
+        round($"o_totalprice", 4).as("totalprice"),
+        coalesce($"c_name", lit("UNKNOWN")).as("cust_name"),
+        coalesce($"n_name", lit("NONE")).as("nation_name"),
+        coalesce(round($"c_acctbal", 4), lit(0.0)).as("acctbal"))
+
+  /** q07 — argmax per group (A5/A6 min_by/max_by): top customer by
+    * (acctbal, custkey) per nation. */
+  def q07Argmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        max_by($"c_custkey", struct($"c_acctbal", $"c_custkey")).as("top_custkey"),
+        round(max($"c_acctbal"), 4).as("top_acctbal"))
+
+  /** q08 — conditional aggregation (A1-A4/A10): per order-priority
+    * conditional sums and count_if. */
+  def q08ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(sum(when($"o_orderstatus" === "F", $"o_totalprice").otherwise(lit(0.0))), 4)
+          .as("finished_value"),
+        sum(when($"o_totalprice" > 100000, 1).otherwise(0)).as("big_orders"),
+        count(lit(1)).as("cnt"))
+
+  /** q09 — window-total percentage (A11): share of all orders per status. */
+  def q09WindowTotalPct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pct_of_all",
+        round($"cnt" * 100.0 / sum($"cnt").over(Window.partitionBy()), 1))
+
+  /** q10 — exact percentiles (A17): median + quartiles of acctbal per
+    * market segment (exact, not approx — oracle parity; SURVEY §5). */
+  def q10Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.25)"), 4).as("p25"),
+        round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+        round(expr("percentile(c_acctbal, 0.75)"), 4).as("p75"))
+
+  /** q11 — dedup first-row-per-group (A14/O3): keep the highest-value order
+    * per customer, deterministic (desc totalprice, asc orderkey) tie-break. */
+  def q11DedupRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 4).as("totalprice"))
+  }
+
+  /** q12 — top-N per group (O6): top-3 orders per priority. */
+  def q12TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .select($"o_orderpriority", $"rn", $"o_orderkey",
+        round($"o_totalprice", 4).as("totalprice"))
+  }
+
+  /** q13 — scalar subquery for latest partition (A13): orders on the most
+    * recent order date. */
+  def q13ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("orders_q13")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS orderdate
+        |FROM orders_q13
+        |WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders_q13)""".stripMargin)
+  }
+
+  /** q14 — UNION ALL of per-cohort aggregates (T1/J10): overlapping cohort
+    * tagging via explode + single groupBy (the Spark-first formulation of
+    * the reference's five unioned blocks, premium_eda.py:23-48). */
+  def q14UnionCohorts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("cohort", explode(filter(array(
+        when($"l_quantity" >= 40, lit("HIGH_QTY")),
+        when($"l_discount" >= 0.08, lit("HIGH_DISC")),
+        when($"l_returnflag" === "R", lit("RETURNED"))), x => x.isNotNull)))
+      .groupBy($"cohort")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(sum($"l_quantity"), 4).as("sum_qty"))
+
+  /** q15 — top-k sort (O1/O2): top-10 orders by totalprice, deterministic. */
+  def q15TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", round($"o_totalprice", 4).as("totalprice"), $"o_orderpriority")
+
+  /** q16 — histogram bucketing (A18): CASE-ladder buckets of order value. */
+  def q16Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket",
+        when($"o_totalprice" < 50000, "P0_SMALL")
+          .when($"o_totalprice" < 150000, "P1_MID")
+          .when($"o_totalprice" < 300000, "P2_LARGE")
+          .otherwise("P3_JUMBO"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"), round(avg($"o_totalprice"), 4).as("avg_price"))
+
+  /** q17 — value_counts (A16): event type frequency. */
+  def q17ValueCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q18 — min/max/count summary (A12). */
+  def q18MinMaxSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        min($"o_orderdate").cast("date").as("min_date"),
+        max($"o_orderdate").cast("date").as("max_date"),
+        count(lit(1)).as("cnt"),
+        round(min($"o_totalprice"), 4).as("min_price"),
+        round(max($"o_totalprice"), 4).as("max_price"))
+
+  /** q19 — vote tally + tier classification (A19/A22): per event_type,
+    * distinct voters, avg conviction, tier ladder. */
+  def q19VoteTally(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("voters"),
+        count(lit(1)).as("votes"),
+        round(avg($"value"), 4).as("avg_conviction"))
+    val total = agg.select(sum($"voters").as("t"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("tier",
+        when($"voters" / $"t" >= 0.8, "SUPERMAJORITY")
+          .when($"voters" / $"t" >= 0.4, "MAJORITY")
+          .when($"votes" >= 2, "SPLIT")
+          .otherwise("SOLO"))
+      .select($"event_type", $"voters", $"votes", $"avg_conviction", $"tier")
+  }
+
+  /** q20 — merge-upsert as join+coalesce (J3): update customer balances
+    * from an order-derived staging side; unmatched rows pass through. */
+  def q20MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val updates = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 4).as("c_acctbal"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+    val target = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 4).as("c_acctbal"))
+    Joins.mergeUpdate(target, updates, Seq("c_custkey"), Seq("c_acctbal"))
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 4).as("acctbal"))
+  }
+
+  /** q21 — delete-then-insert partition rewrite (T3): replace one
+    * mktsegment's rows with a recomputed version. */
+  def q21ReplaceByKey(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", round($"c_acctbal", 4).as("acctbal"))
+    val replacement = Tables.customer(spark, dir)
+      .where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_mktsegment", round($"c_acctbal" * 2, 4).as("acctbal"))
+    Joins.replaceByKey(target, replacement, Seq("c_mktsegment"))
+  }
+
+  /** q22 — gaps-and-islands max losing streak (W12): per user, longest run
+    * of events with value < 50, ordered by (ts, event_id). */
+  def q22MaxStreak(spark: SparkSession, dir: String): DataFrame =
+    Streaks.maxStreak(Tables.events(spark, dir),
+      $"user_id", struct($"ts", $"event_id"), $"value" < 50)
+      .withColumnRenamed("_key", "user_id")
+
+  /** q23 — max drawdown (W13) over each user's cumulative value path. */
+  def q23MaxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val path = Tables.events(spark, dir)
+      .withColumn("capital", lit(1000.0) + sum($"value" - 50.0).over(w))
+    Streaks.maxDrawdown(path, $"user_id", struct($"ts", $"event_id"), $"capital")
+      .withColumnRenamed("_key", "user_id")
+  }
+
+  /** q24 — ntile chronological split (W14): first half vs second half of
+    * orders by date, compared on win-rate-style metrics. */
+  def q24NtileSplit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("half", ntile(2).over(w))
+      .groupBy($"half")
+      .agg(count(lit(1)).as("cnt"), round(avg($"o_totalprice"), 4).as("avg_price"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Joins
+import graft.ta.TA
+
+/** Ordered / time-series queries over `events` (SURVEY.md §2.5 windows,
+  * §2.3 as-of & range joins). Timestamps are emitted as epoch millis
+  * (unix_millis) on both sides — the parquet files carry nanosecond
+  * timestamps, which Spark truncates to micros; epoch-ms flooring makes the
+  * two engines agree bit-for-bit.
+  */
+object TimeSeries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+
+  /** q30 — trailing SMA (W1): 20-row rolling mean of value per user. */
+  def q30Sma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .select($"event_id", $"user_id",
+        round(TA.sma($"value", 20, w), 4).as("sma20"))
+  }
+
+  /** q31 — running cumulative sum (W5 OBV machinery). */
+  def q31RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(spark, dir)
+      .select($"event_id", $"user_id", round(sum($"value").over(w), 4).as("running_value"))
+  }
+
+  /** q32 — lag/diff (W3 gains-losses prep): value change vs previous event. */
+  def q32LagDiff(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .select($"event_id", $"user_id",
+        round($"value" - lag($"value", 1).over(w), 4).as("delta"))
+  }
+
+  /** q33 — rolling extrema (W8): trailing 10-row high/low per user. */
+  def q33RollingExtrema(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .select($"event_id", $"user_id",
+        round(TA.rollingMax($"value", 10, w), 4).as("high10"),
+        round(TA.rollingMin($"value", 10, w), 4).as("low10"))
+  }
+
+  /** q34 — Bollinger bands (W6): 20-row mean +- 2 sample stddev. */
+  def q34Bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val (mid, up, lo) = TA.bollinger($"value", 20, 2.0, w)
+    events(spark, dir)
+      .select($"event_id", $"user_id",
+        round(mid, 4).as("bb_mid"), round(up, 4).as("bb_up"), round(lo, 4).as("bb_lo"))
+  }
+
+  /** q35 — backward as-of join (J4): each purchase picks up the most recent
+    * prior-or-equal view's value for the same user. */
+  def q35AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", round($"value", 4).as("purchase_value"))
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), round($"value", 4).as("view_value"))
+    Joins.asOfBackward(purchases, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "view_ts", valueCols = Seq("view_value"))
+      .select($"event_id", $"user_id", unix_millis($"ts").as("ts_ms"),
+        $"purchase_value", $"view_value")
+  }
+
+  /** q36 — future-window range join (J6): for each signup, the next 3
+    * events of that user, ranked. */
+  def q36FutureWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val signups = e.where($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id", $"ts")
+    val after = e.select($"user_id", $"ts".as("ts2"), $"event_id".as("next_id"),
+      round($"value", 4).as("next_value"))
+    Joins.futureWindow(signups, after, Seq("user_id"), "ts", "ts2", 3)
+      .select($"signup_id", $"user_id", $"_rank".as("rank"), $"next_id", $"next_value")
+  }
+
+  /** q37 — sessionization-flavored gap flag (W15 machinery): events more
+    * than 1 hour after the user's previous event start a new session;
+    * emits per-user session counts. */
+  def q37SessionCount(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        ($"prev_ts".isNull ||
+          (unix_millis($"ts") - unix_millis($"prev_ts")) > 3600000L).cast("int"))
+      .groupBy($"user_id")
+      .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** q38 — EMA final value per user (W2): recursive smoothing as an ordered
+    * higher-order fold (no closed-form window). Oracle-checked via DuckDB
+    * recursive list fold is not expressible -> unit-tested instead; the
+    * driver records a rows-only check.
+    */
+  def q38EmaLast(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value"))).as("hist"))
+      .select($"user_id",
+        round(TA.emaOverList(expr("transform(hist, x -> x.value)"), 21), 4).as("ema21"))
+
+  /** q39 — RSI(14) final value per user (W3, Wilder smoothing). Rows-only
+    * driver check; exactness covered by unit tests.
+    */
+  def q39RsiLast(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value"))).as("hist"))
+      .select($"user_id",
+        round(TA.rsiLast(expr("transform(hist, x -> x.value)"), 14), 4).as("rsi14"))
+
+  /** q40 — MACD(12,26,9) final row per user (W4). Rows-only driver check. */
+  def q40MacdLast(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value"))).as("hist"))
+      .select($"user_id", TA.macdLast(expr("transform(hist, x -> x.value)")).as("m"))
+      .select($"user_id",
+        round($"m.macd", 4).as("macd"),
+        round($"m.macd_signal", 4).as("macd_signal"),
+        round($"m.macd_hist", 4).as("macd_hist"))
+}

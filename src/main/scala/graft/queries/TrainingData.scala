@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline queries over `documents` and `embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search, text analysis. Oracle-checked where DuckDB can express the
+  * semantics (md5-keyed exact dedup, token stats, brute-force cosine);
+  * hash-family operators (xxhash64-based) are rows-only + unit-tested.
+  */
+object TrainingData {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** q70 — exact dedup (hash-groupBy): keep lowest doc_id per distinct
+    * normalized text; md5 digest is the shuffle key on both engines. */
+  def q70ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(lower(trim($"text")))).orderBy($"doc_id")
+    docs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  /** q71 — duplicate-cluster census: texts with >1 occurrence. */
+  def q71DupClusters(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(lower(trim($"text"))).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("first_doc"))
+      .where($"n_copies" > 1)
+
+  /** q72 — token statistics (text analysis): whitespace tokens, token
+    * estimate, punct ratio, mean word length, aggregated per lang. */
+  def q72TokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select($"lang",
+        TextOps.tokenCount($"text").as("n_tokens"),
+        TextOps.tokenEstimate($"text").as("est_bpe"),
+        TextOps.punctRatio($"text").as("punct"),
+        TextOps.meanWordLen($"text").as("mwl"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"est_bpe").as("total_est_bpe"),
+        round(avg($"punct"), 4).as("avg_punct"),
+        round(avg($"mwl"), 4).as("avg_word_len"))
+
+  /** q73 — quality scoring per source (C4/Gopher-style rule blend). */
+  def q73QualityScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select($"source", TextOps.qualityScore($"text").as("q"),
+        TextOps.stopwordRatio($"text").as("stop_ratio"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"q"), 4).as("avg_quality"),
+        round(avg($"stop_ratio"), 4).as("avg_stopword_ratio"))
+
+  /** q74 — document fingerprinting: md5 over whitespace-normalized text
+    * (oracle-parity variant of TextOps.fingerprint), distinct census. */
+  def q74Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+      .agg(countDistinct($"fp").as("n_unique"), count(lit(1)).as("n_docs"))
+
+  /** q75 — n-gram Jaccard near-dup pairs (bounded): exact 3-gram Jaccard
+    * >= 0.5 between the first 40 docs (the verification kernel; LSH
+    * variants generate candidates at scale). */
+  def q75NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val subset = docs(spark, dir).where($"doc_id" < 40)
+    Dedup.ngramJaccardPairs(subset, "doc_id", "text", 3)
+      .where($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+  }
+
+  /** q76 — MinHash-LSH near-dups (scale path): banded minhash candidates,
+    * exact-Jaccard verified. Hash family is xxhash64 — rows-only driver
+    * check; recall/precision asserted in unit tests against q75 semantics. */
+  def q76MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+
+  /** q77 — SimHash near-dups: 64-bit fingerprints, 16-bit band blocking,
+    * Hamming-verified. Rows-only driver check. */
+  def q77Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text", maxHamming = 3)
+
+  /** q78 — language-ID heuristic + agreement with the labeled lang. */
+  def q78LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select($"lang", TextOps.langId($"text").as("pred"))
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q79 — brute-force cosine top-k (similarity baseline): 5 nearest
+    * corpus vectors for each of the first 5 probe vectors. */
+  def q79CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val probes = emb.where($"vec_id" < 5)
+    Similarity.bruteForceTopK(emb, probes, "vec_id", "v", 5)
+      .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
+  }
+
+  /** q80 — LSH-bucketed ANN (scale path): sign-random-projection buckets,
+    * exact re-rank. Rows-only driver check; recall vs q79 unit-tested. */
+  def q80LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val probes = emb.where($"vec_id" < 5)
+    Similarity.lshTopK(emb, probes, "vec_id", "v", k = 5, tables = 6, planes = 10)
+  }
+
+  /** q81 — embedding norm / stats per label (vector column plumbing). */
+  def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select($"label",
+        expr("aggregate(embedding, cast(0.0 as double), (s, x) -> s + cast(x as double) * cast(x as double))")
+          .as("sq_norm"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(sqrt($"sq_norm")), 4).as("avg_norm"))
+}

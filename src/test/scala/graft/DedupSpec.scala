@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  test("shingles builds distinct word n-grams (lowercased)") {
+    import spark.implicits._
+    val df = Seq("The quick brown fox the quick brown").toDF("t")
+    val sh = df.select(Dedup.shingles(col("t"), 3)).head().getSeq[String](0)
+    assert(sh.toSet == Set(
+      "the quick brown", "quick brown fox", "brown fox the", "fox the quick"))
+  }
+
+  test("exactByText keeps one row per normalized text (tie-break respected)") {
+    import spark.implicits._
+    val df = Seq((3, "Hello World"), (1, "hello world  "), (2, "other")).toDF("id", "t")
+    val out = Dedup.exactByText(df, "t", Seq(col("id"))).orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2)) // lowest id wins; trim+lower normalize
+  }
+
+  test("ngramJaccardPairs computes exact Jaccard (J=1 for identical texts)") {
+    import spark.implicits._
+    val df = Seq((1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")).toDF("id", "t")
+    val out = Dedup.ngramJaccardPairs(df, "id", "t", 3).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(out((1, 2)) == 1.0)
+    assert(out((1, 3)) == 0.0)
+  }
+
+  test("minhashNearDups surfaces exact duplicates with jaccard 1.0") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the cat sat on the mat and looked at the dog outside"),
+      (2L, "the cat sat on the mat and looked at the dog outside"), // dup of 1
+      (3L, "completely different words describing some other topic entirely here"),
+      (4L, "numbers one two three four five six seven eight nine ten"))
+    val out = Dedup.minhashNearDups(texts.toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.5).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == (1L, 2L))
+    assert(out(0).getDouble(2) == 1.0)
+  }
+
+  test("FastHash.minhashSignature matches the declarative xxhash64 fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "some other document with completely different words in it today")
+      .toDF("t")
+    val fast = df.select(graft.functions.FastHash.minhashSignature(col("t"), 3, 16))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val slow = df.select(Dedup.minhashSignature(Dedup.shingles(col("t"), 3), 16))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(fast.toSeq == slow.toSeq)
+  }
+
+  test("FastHash.simhash matches the declarative bit-count fold") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma delta epsilon zeta alpha beta").toDF("t")
+    val fast = df.select(graft.functions.FastHash.simhash(col("t"))).head().getLong(0)
+    val slow = df.select(Dedup.simhash64(col("t"))).head().getLong(0)
+    assert(fast == slow)
+  }
+
+  test("simhash64 identical for identical text; near for one-word change") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 16).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](2).longValue())).toMap
+    assert(out((1L, 2L)) == 0L) // identical fingerprint
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) > 0L) // near-dup, small hamming
+  }
+}

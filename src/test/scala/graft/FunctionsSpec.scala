@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions._
+
+class FunctionsSpec extends AnyFunSuite with SparkFixture {
+  import org.apache.spark.sql.Row
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).head().get(0)
+
+  test("safeDiv guards zero denominators (F13)") {
+    assert(one(safeDiv(lit(10.0), lit(0))) == 10.0)
+    assert(one(safeDiv(lit(10.0), lit(4))) == 2.5)
+  }
+
+  test("ratioOrNull yields null on zero denominator (F13)") {
+    assert(one(ratioOrNull(lit(10.0), lit(0.0))) == null)
+    assert(one(ratioOrNull(lit(10.0), lit(4.0))) == 2.5)
+  }
+
+  test("clamp bounds both sides (F14)") {
+    assert(one(clamp(lit(15.0), 0, 10)) == 10.0)
+    assert(one(clamp(lit(-3.0), 0, 10)) == 0.0)
+    assert(one(clamp(lit(7.0), 0, 10)) == 7.0)
+  }
+
+  test("safeFloat nulls NaN/Inf, rounds 4 (P16)") {
+    assert(one(safeFloat(lit(Double.NaN))) == null)
+    assert(one(safeFloat(lit(Double.PositiveInfinity))) == null)
+    assert(one(safeFloat(lit(1.23456789))) == 1.2346)
+  }
+
+  test("extractFloat parses last whitespace token (P17)") {
+    assert(one(extractFloat(lit("VIX 17.5"))) == 17.5)
+    assert(one(extractFloat(lit("garbage"))) == null)
+    assert(one(extractFloat(lit("a b 3.25  "))) == 3.25)
+  }
+
+  test("occTicker builds fixed-width OCC key (F2)") {
+    // reference shape: O:{SYM}{yyMMdd}{C|P}{strike*1000:08d}
+    // (forward-paper-trader/main.py:46-51)
+    val v = one(occTicker(lit("AAPL"), to_date(lit("2026-03-20")), lit(true), lit(187.5)))
+    assert(v == "O:AAPL260320C00187500")
+    val p = one(occTicker(lit("F"), to_date(lit("2026-01-02")), lit(false), lit(9.0)))
+    assert(p == "O:F260102P00009000")
+  }
+
+  test("tierLadder first-match-wins with >= boundaries (F16)") {
+    val ladder = Seq(5.0 -> "home_run", 3.0 -> "strong", 1.0 -> "solid")
+    assert(one(tierLadder(lit(5.0), ladder, "none")) == "home_run")
+    assert(one(tierLadder(lit(4.99), ladder, "none")) == "strong")
+    assert(one(tierLadder(lit(3.0), ladder, "none")) == "strong")
+    assert(one(tierLadder(lit(1.0), ladder, "none")) == "solid")
+    assert(one(tierLadder(lit(0.99), ladder, "none")) == "none")
+  }
+
+  test("flagScore sums boolean flags (F17)") {
+    assert(one(flagScore(lit(true), lit(false), lit(true), lit(true))) == 3)
+  }
+
+  test("ruleScore adds points and clamps (F18)") {
+    val r = Seq((lit(true), 2), (lit(true), 1), (lit(false), 2))
+    assert(one(ruleScore(r, 10)) == 3.0)
+    assert(one(ruleScore(Seq((lit(true), 7), (lit(true), 7)), 10)) == 10.0)
+  }
+
+  test("firedSignals keeps labels of fired rules only (F18)") {
+    val v = one(firedSignals(Seq(
+      (lit(true), "A"), (lit(false), "B"), (lit(true), "C"))))
+    assert(v.asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("A", "C"))
+  }
+
+  test("support/resistance pick nearest candidates across price (F20)") {
+    val cands = Seq(lit(95.0), lit(105.0), lit(98.0), lit(110.0))
+    assert(one(supportLevel(lit(100.0), cands)) == 98.0)
+    assert(one(resistanceLevel(lit(100.0), cands)) == 105.0)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  test("cosine of parallel vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(2.0, 0.0), Seq(0.0, 3.0))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns the k nearest by cosine, self excluded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.1, 0.0)),  // closest to 0
+      (2L, Seq(0.5, 0.5, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(-1.0, 0.0, 0.0))) // farthest
+    val corpus = vecs.toDF("vec_id", "v")
+    val probes = corpus.where(col("vec_id") === 0L)
+    val out = Similarity.bruteForceTopK(corpus, probes, "vec_id", "v", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("corpus_id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("lshTopK achieves high recall vs brute force on clustered data") {
+    import spark.implicits._
+    // deterministic synthetic corpus: two clusters around orthogonal axes
+    val rnd = new scala.util.Random(42)
+    val corpus = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.0, 0.0, 0.0) else Array(0.0, 1.0, 0.0, 0.0)
+      (i, base.map(_ + rnd.nextGaussian() * 0.05).toSeq)
+    }.toDF("vec_id", "v")
+    val probes = corpus.where(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(corpus, probes, "vec_id", "v", 5)
+      .select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(corpus, probes, "vec_id", "v", 5, tables = 8, planes = 6)
+      .select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+}
