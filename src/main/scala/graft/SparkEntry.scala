@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational => R, Scalars => S, TimeSeries => T, TrainingData => D}
+import graft.queries.{DomainOps => K, Relational => R, Scalars => S, TimeSeries => T, TrainingData => D}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,10 @@ object SparkEntry {
     "q38_ema"              -> (T.q38EmaLast(_, _)),
     "q39_rsi"              -> (T.q39RsiLast(_, _)),
     "q40_macd"             -> (T.q40MacdLast(_, _)),
+    // domain operators: calendar (W15), bracket kernel (X1), sweep (X2/X3)
+    "q59_calendar"         -> (K.q59Calendar(_, _)),
+    "q60_bracket"          -> (K.q60Bracket(_, _)),
+    "q61_sweep"            -> (K.q61Sweep(_, _)),
     // §2.8 scalar function families
     "q50_string_funcs"     -> (S.q50StringFuncs(_, _)),
     "q51_occ_key"          -> (S.q51OccKey(_, _)),
@@ -267,6 +271,68 @@ object SparkEntry {
         |s := (2.0/27.0)*x.f + (25.0/27.0)*acc.s)) AS m FROM h)
         |SELECT user_id, round(m.f - m.s, 4) AS macd, round(m.sig, 4) AS macd_signal,
         |round(m.f - m.s - m.sig, 4) AS macd_hist FROM r""".stripMargin,
+    "q59_calendar" ->
+      """WITH bounds AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS mn, CAST(MAX(o_orderdate) AS DATE) AS mx FROM orders),
+        |cal AS (SELECT CAST(mn + i * INTERVAL 1 DAY AS DATE) AS date,
+        |dayofweek(mn + i * INTERVAL 1 DAY) NOT IN (0, 6) AS is_session
+        |FROM bounds, range(0, 5000) t(i) WHERE mn + i * INTERVAL 1 DAY <= mx + INTERVAL 7 DAY),
+        |seqd AS (SELECT date, is_session,
+        |SUM(CASE WHEN is_session THEN 1 ELSE 0 END) OVER (ORDER BY date ROWS UNBOUNDED PRECEDING) AS session_seq
+        |FROM cal)
+        |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, s.is_session,
+        |CAST(s.session_seq AS BIGINT) AS session_seq, n.date AS next_session
+        |FROM orders o JOIN seqd s ON CAST(o.o_orderdate AS DATE) = s.date
+        |LEFT JOIN (SELECT session_seq, date FROM seqd WHERE is_session) n
+        |ON s.session_seq + 1 = n.session_seq""".stripMargin,
+    "q60_bracket" ->
+      """WITH bars AS (SELECT user_id, epoch_ms(ts) AS t, (value+1000)*1.01 AS h,
+        |(value+1000)*0.99 AS l, CAST(value+1000 AS DOUBLE) AS c FROM events),
+        |e AS (SELECT user_id, MIN(t) AS entry_t FROM bars GROUP BY user_id),
+        |en AS (SELECT b.user_id, b.t AS entry_ts, b.c*1.02 AS entry_price, e.entry_t + 7200000 AS timeout_ts
+        |FROM bars b JOIN e ON b.user_id = e.user_id AND b.t = e.entry_t),
+        |post AS (SELECT b.user_id, b.t, b.h, b.l, b.c, en.entry_ts, en.entry_price, en.timeout_ts
+        |FROM bars b JOIN en ON b.user_id = en.user_id AND b.t >= en.entry_ts),
+        |hits AS (SELECT user_id, entry_ts, entry_price, t, c,
+        |CASE WHEN t >= timeout_ts THEN 'timeout' WHEN l <= entry_price*0.97 THEN 'stop'
+        |WHEN h >= entry_price*1.03 THEN 'target' END AS reason FROM post WHERE t > entry_ts),
+        |fh AS (SELECT user_id, entry_ts, entry_price, t AS exit_ts,
+        |CASE reason WHEN 'timeout' THEN c WHEN 'stop' THEN entry_price*0.97 ELSE entry_price*1.03 END AS exit_price,
+        |reason, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) AS rn FROM hits WHERE reason IS NOT NULL),
+        |lastb AS (SELECT user_id, entry_ts, entry_price, t AS exit_ts, c AS exit_price,
+        |'timeout_eod' AS reason, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC) AS rn FROM post),
+        |fills AS (SELECT user_id, entry_ts, entry_price, exit_ts, exit_price, reason FROM fh WHERE rn = 1
+        |UNION ALL SELECT l.user_id, l.entry_ts, l.entry_price, l.exit_ts, l.exit_price, l.reason
+        |FROM lastb l WHERE l.rn = 1 AND NOT EXISTS (SELECT 1 FROM fh WHERE fh.user_id = l.user_id AND fh.rn = 1))
+        |SELECT user_id, entry_ts, round(entry_price, 4) AS entry_price, exit_ts,
+        |round(exit_price, 4) AS exit_price, reason AS exit_reason,
+        |round((exit_price - entry_price)/entry_price*100, 4) AS return_pct FROM fills""".stripMargin,
+    "q61_sweep" ->
+      """WITH cfgs (cfg, tm, sm) AS (VALUES (0, CAST(1.03 AS DOUBLE), CAST(0.97 AS DOUBLE)),
+        |(1, CAST(1.03 AS DOUBLE), CAST(0.95 AS DOUBLE)), (2, CAST(1.06 AS DOUBLE), CAST(0.97 AS DOUBLE)),
+        |(3, CAST(1.06 AS DOUBLE), CAST(0.95 AS DOUBLE))),
+        |bars AS (SELECT user_id, epoch_ms(ts) AS t, (value+1000)*1.01 AS h,
+        |(value+1000)*0.99 AS l, CAST(value+1000 AS DOUBLE) AS c FROM events),
+        |e AS (SELECT user_id, MIN(t) AS entry_t FROM bars GROUP BY user_id),
+        |en AS (SELECT b.user_id, b.t AS entry_ts, b.c*1.02 AS entry_price, e.entry_t + 7200000 AS timeout_ts
+        |FROM bars b JOIN e ON b.user_id = e.user_id AND b.t = e.entry_t),
+        |post AS (SELECT c2.cfg, c2.tm, c2.sm, b.user_id, b.t, b.h, b.l, b.c, en.entry_ts, en.entry_price, en.timeout_ts
+        |FROM bars b JOIN en ON b.user_id = en.user_id AND b.t >= en.entry_ts CROSS JOIN cfgs c2),
+        |hits AS (SELECT cfg, user_id, entry_price, t, c,
+        |CASE WHEN t >= timeout_ts THEN 'timeout' WHEN l <= entry_price*sm THEN 'stop'
+        |WHEN h >= entry_price*tm THEN 'target' END AS reason,
+        |CASE WHEN t >= timeout_ts THEN c WHEN l <= entry_price*sm THEN entry_price*sm
+        |WHEN h >= entry_price*tm THEN entry_price*tm END AS exit_price
+        |FROM post WHERE t > entry_ts),
+        |fh AS (SELECT cfg, user_id, entry_price, exit_price, reason,
+        |ROW_NUMBER() OVER (PARTITION BY cfg, user_id ORDER BY t) AS rn FROM hits WHERE reason IS NOT NULL),
+        |lastb AS (SELECT cfg, user_id, entry_price, c AS exit_price, 'timeout_eod' AS reason,
+        |ROW_NUMBER() OVER (PARTITION BY cfg, user_id ORDER BY t DESC) AS rn FROM post),
+        |fills AS (SELECT cfg, user_id, entry_price, exit_price, reason FROM fh WHERE rn = 1
+        |UNION ALL SELECT l.cfg, l.user_id, l.entry_price, l.exit_price, l.reason FROM lastb l
+        |WHERE l.rn = 1 AND NOT EXISTS (SELECT 1 FROM fh WHERE fh.cfg = l.cfg AND fh.user_id = l.user_id AND fh.rn = 1))
+        |SELECT CAST(cfg AS INT) AS cfg, reason AS exit_reason, COUNT(*) AS cnt,
+        |round(AVG((exit_price - entry_price)/entry_price*100), 4) AS avg_ret
+        |FROM fills GROUP BY cfg, reason""".stripMargin,
     "q50_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,
         |regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
