@@ -1,0 +1,91 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+/** Sinks & table-lifecycle helpers (SURVEY.md §2.1 S12-S18, §1.1 layouts).
+  *
+  * Layout doctrine for 100 TB (from the reference's partitioned+clustered
+  * tables, overnight_scanner.py:722-726): day-partition on the scan/event
+  * date, sort-within-partitions on the query keys so parquet row-group
+  * stats prune scans, and rewrite only affected partitions on update.
+  */
+object Writers {
+
+  /** S12 append-only ledger write (insert_rows_json semantics). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Daily snapshot table: delete-by-partition then insert (T3 /
+    * enrichment-trigger/main.py:744-746) via dynamic partition overwrite;
+    * clustered by `clusterCols` inside each partition. */
+  def partitionedOverwrite(df: DataFrame, path: String, partitionCol: String,
+      clusterCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val sorted =
+        if (clusterCols.nonEmpty)
+          df.repartition(col(partitionCol))
+            .sortWithinPartitions(clusterCols.map(col): _*)
+        else df
+      sorted.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** J3 MERGE-upsert on plain parquet: read target, key-join updates with
+    * update-only WHEN MATCHED semantics, rewrite (win-tracker/main.py:
+    * 577-634). At scale pair with partition pruning: pass `partitionCol`
+    * so only partitions containing update keys are rewritten. */
+  def mergeUpsert(spark: SparkSession, targetPath: String, updates: DataFrame,
+      keys: Seq[String], updateCols: Seq[String],
+      partitionCol: Option[String] = None): Unit = {
+    val target = spark.read.parquet(targetPath)
+    partitionCol match {
+      case Some(p) =>
+        val parts = updates.select(col(p)).distinct()
+        val touched = target.join(broadcast(parts), Seq(p), "left_semi")
+        val merged = Joins.mergeUpdate(touched, updates, keys, updateCols)
+        // rewrite only the touched partitions (dynamic overwrite)
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try merged.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(targetPath)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      case None =>
+        val merged = Joins.mergeUpdate(target, updates, keys, updateCols)
+          .localCheckpoint() // cut lineage before overwriting the source files
+        merged.write.mode(SaveMode.Overwrite).parquet(targetPath)
+    }
+  }
+
+  /** S15 keyed document sink: one JSON doc per row keyed `{date}_{ticker}`
+    * (Firestore batch.set semantics; last-writer-wins on the key). */
+  def keyedJson(df: DataFrame, path: String, keyCol: String): Unit =
+    df.withColumn("_doc_id", col(keyCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("_doc_id").json(path)
+
+  /** S16 single-file CSV report sink. */
+  def csvReport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** S17 ensure-exists DDL in the session catalog. */
+  def ensureTable(spark: SparkSession, name: String, schemaDdl: String,
+      partitionedBy: Option[String] = None): Unit = {
+    val part = partitionedBy.map(c => s" PARTITIONED BY ($c)").getOrElse("")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl) USING parquet$part")
+  }
+
+  /** S18 archive snapshot: CREATE OR REPLACE TABLE ... AS SELECT *. */
+  def archiveSnapshot(spark: SparkSession, source: String, archive: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TABLE $archive USING parquet AS SELECT * FROM $source")
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming parity-plus (SURVEY.md §7.4.8): the reference's
+  * cron-append cadence as incremental streams. Batch stays the source of
+  * truth; these operators make the same computations incremental:
+  *  - signal intake with late-arrival watermarking + dedup by key
+  *  - windowed flow aggregation (the A1-A4 shapes over an event stream)
+  *  - stateful sessionization via mapGroupsWithState (the W15/q37 gap
+  *    rule as managed state instead of a window function)
+  */
+object Streams {
+
+  /** Deduplicating intake: drop replayed (ticker, scan_date) pairs within
+    * the watermark horizon (idempotency guard P14, made streaming). */
+  def dedupedSignals(signals: DataFrame, eventTimeCol: String,
+      watermark: String = "1 day"): DataFrame =
+    signals
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("ticker", "scan_date")
+
+  /** Windowed per-type value aggregation with a watermark — the streaming
+    * form of the scanner's per-day conditional sums (A1/A2). */
+  def windowedTypeAgg(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  case class Evt(user_id: Long, ts_ms: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Int, sum_value: Double)
+
+  /** Gap-based sessionization (q37's 1-hour rule) as explicit managed
+    * state: a session closes when no event arrives within `gapMs` of the
+    * last one (processing-time timeout drives emission). */
+  def sessionize(events: Dataset[Evt], gapMs: Long = 3600000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Option[SessionOut]](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, evts: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Some(SessionOut(user, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = evts.toSeq.sortBy(_.ts_ms)
+            var cur = state.getOption
+            var closed: Option[SessionOut] = None
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ms - s.last <= gapMs =>
+                  cur = Some(s.copy(last = e.ts_ms, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed = Some(SessionOut(user, s.start, s.last, s.n, s.sum))
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed
+          }
+      }
+      .flatMap(_.iterator)
+  }
+
+  /** File-source incremental intake over a signals directory (the cron
+    * append as a stream; batch-compatible schema required). */
+  def signalsFileStream(spark: SparkSession, path: String,
+      schemaDdl: String): DataFrame =
+    spark.readStream.schema(schemaDdl).parquet(path)
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Writers
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-io").toFile.getAbsolutePath
+
+  test("partitionedOverwrite rewrites only the written partitions (T3)") {
+    import spark.implicits._
+    val path = tmp() + "/t"
+    Seq(("2026-01-01", "A", 1.0), ("2026-01-02", "B", 2.0))
+      .toDF("scan_date", "ticker", "v")
+      .write.partitionBy("scan_date").parquet(path)
+    // overwrite only 01-02 with new content; 01-01 must survive
+    Writers.partitionedOverwrite(
+      Seq(("2026-01-02", "B", 99.0)).toDF("scan_date", "ticker", "v"),
+      path, "scan_date", clusterCols = Seq("ticker"))
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Any]("scan_date").toString -> r.getAs[Double]("v")).toMap
+    assert(out == Map("2026-01-01" -> 1.0, "2026-01-02" -> 99.0))
+  }
+
+  test("mergeUpsert updates matched keys in place, partition-scoped (J3)") {
+    import spark.implicits._
+    val path = tmp() + "/m"
+    Seq(("2026-01-01", "A", 1.0), ("2026-01-01", "B", 2.0), ("2026-01-02", "C", 3.0))
+      .toDF("scan_date", "ticker", "v")
+      .write.partitionBy("scan_date").parquet(path)
+    Writers.mergeUpsert(spark, path,
+      Seq(("2026-01-01", "B", 42.0)).toDF("scan_date", "ticker", "v"),
+      keys = Seq("scan_date", "ticker"), updateCols = Seq("v"),
+      partitionCol = Some("scan_date"))
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getAs[String]("ticker") -> r.getAs[Double]("v")).toMap
+    assert(out == Map("A" -> 1.0, "B" -> 42.0, "C" -> 3.0))
+  }
+
+  test("windowed streaming aggregation with watermark (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedTypeAgg(df, window_ = "10 minutes", watermark = "20 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("update").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-03-18 10:$m%02d:00")
+      mem.addData((ts(1), "view", 1.0), (ts(2), "view", 2.0), (ts(11), "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+      val viewRow = rows.find(_.getAs[String]("event_type") == "view").get
+      assert(viewRow.getAs[Long]("cnt") == 2L)
+      assert(viewRow.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed signal keys (P14 incremental)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String, Int)]
+    val df = mem.toDF().toDF("event_time", "ticker", "scan_date", "score")
+    val q = Streams.dedupedSignals(df, "event_time").writeStream
+      .format("memory").queryName("sig_dedup").outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2026-03-18 09:00:00")
+      mem.addData((t, "AAPL", "2026-03-18", 7), (t, "AAPL", "2026-03-18", 7),
+        (t, "NVDA", "2026-03-18", 8))
+      q.processAllAvailable()
+      assert(spark.table("sig_dedup").count() == 2) // replay dropped
+    } finally q.stop()
+  }
+
+  test("multimodal: feature extraction plumbing is deterministic and null-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "image/png", "payload-one".getBytes("UTF-8")),
+      (2L, "image/png", "payload-one".getBytes("UTF-8")), // identical payload
+      (3L, "audio/wav", "different".getBytes("UTF-8")),
+      (4L, "video/mp4", null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "mime", "payload")
+    val out = Multimodal.extractFeatures(df, "payload")
+    val rows = out.orderBy("id").collect()
+    val f1 = rows(0).getAs[scala.collection.Seq[Float]]("features")
+    val f2 = rows(1).getAs[scala.collection.Seq[Float]]("features")
+    val f3 = rows(2).getAs[scala.collection.Seq[Float]]("features")
+    assert(f1.length == Multimodal.featureDim)
+    assert(f1 == f2)              // deterministic
+    assert(f1 != f3)              // payload-sensitive
+    assert(f1.forall(v => v >= -1.0f && v < 1.0f))
+    assert(rows(3).isNullAt(rows(3).fieldIndex("features"))) // null payload
+    assert(rows(3).getAs[Long]("n_bytes") == 0L)
+    val kinds = Multimodal.withMediaKind(df, "mime").select("id", "media_kind")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds == Map(1L -> "image", 2L -> "image", 3L -> "audio", 4L -> "video"))
+  }
+
+  test("multimodal: frame sampling explodes n rows per video") {
+    import spark.implicits._
+    val df = Seq((1L, "0123456789abcdef".getBytes("UTF-8"))).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, "payload", 4).collect()
+    assert(frames.length == 4)
+    val slices = frames.map(r => new String(r.getAs[Array[Byte]]("frame_payload"), "UTF-8"))
+    assert(slices.toSeq == Seq("0123", "4567", "89ab", "cdef"))
+  }
+}
