@@ -82,12 +82,41 @@ object FastHash {
     fp
   }
 
+  /** Sign-random-projection bucket over an array<double> vector —
+    * bit-identical to the declarative [[graft.operators.Similarity]]
+    * formulation: plane component (t, p, i) =
+    * pmod(xxhash64(t, p, i, 42), 2e6)/1e6 - 1, bit p set iff dot >= 0. */
+  def srpBucketValue(vec: ArrayData, table: Int, planes: Int): Long = {
+    val n = vec.numElements()
+    var fp = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      // xxhash64(lit(table), lit(plane), i, lit(42)) fold, seed 42
+      val hTable = XXH64.hashInt(table, Seed)
+      val hPlane = XXH64.hashInt(p, hTable)
+      while (i < n) {
+        val h = XXH64.hashInt(Seed.toInt, XXH64.hashInt(i, hPlane))
+        val m = ((h % 2000000L) + 2000000L) % 2000000L
+        dot += vec.getDouble(i) * (m / 1000000.0 - 1.0)
+        i += 1
+      }
+      if (dot >= 0) fp |= (1L << p)
+      p += 1
+    }
+    fp
+  }
+
   /** Column API. */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashSigExpr(GraftShim.expression(text), n, k))
 
   def simhash(text: Column): Column =
     GraftShim.column(SimHash64Expr(GraftShim.expression(text)))
+
+  def srpBucket(vec: Column, table: Int, planes: Int): Column =
+    GraftShim.column(SrpBucketExpr(GraftShim.expression(vec), table, planes))
 }
 
 /** text -> array<bigint> of k minhashes (null when < n tokens). */
@@ -110,6 +139,24 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** array<double> vector -> SRP-LSH bucket id (planes sign bits). */
+case class SrpBucketExpr(child: Expression, table: Int, planes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.srpBucketValue(input.asInstanceOf[ArrayData], table, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FastHash.srpBucketValue($c, $table, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucketExpr =
     copy(child = newChild)
 }
 

@@ -76,8 +76,13 @@ object Similarity {
       k: Int, tables: Int = 4, planes: Int = 12): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec))
+        // codegen'd kernel; bit-identical to the declarative srpBucket
+        // (cross-checked in SimilaritySpec) — the fold formulation is
+        // interpreted (higher-order functions are CodegenFallback) and
+        // dominates wall-clock at corpus scale
         .withColumn("bk", explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), srpBucket(col(vec), t, planes).as("b"))): _*)))
+          struct(lit(t).as("t"),
+            graft.functions.FastHash.srpBucket(col(vec), t, planes).as("b"))): _*)))
         .select(col(id), col(vec), col("bk.t"), col("bk.b"))
     val c = bucketed(corpus, "corpus_id", "cvec")
     val p = bucketed(probes, "probe_id", "pvec")

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernels.Bracket
+import graft.kernels.Bracket.BarIn
+import graft.operators.Streaks
+
+/** Property-based invariants (SURVEY §5.3): bracket-scan lookahead/side
+  * rules, streak bounds, score clamps — checked over generated inputs
+  * rather than fixtures. Kernel properties run on the plain Scala kernel
+  * (no Spark round-trip) so hundreds of cases stay fast. Sampling is
+  * seeded (reference precedent: seed=42) for reproducibility. */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], cases: Int = 300)(f: A => Unit): Unit =
+    (0 until cases).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private val barGen: Gen[Seq[BarIn]] = for {
+    n <- Gen.choose(1, 40)
+    ts <- Gen.listOfN(n, Gen.choose(1L, 1000L))
+    prices <- Gen.listOfN(n, Gen.choose(10.0, 200.0))
+  } yield ts.distinct.sorted.zip(prices).map { case (t, p) =>
+    BarIn(1L, t, p, p * 1.05, p * 0.95, p, entry_ts = 100L,
+      timeout_ts = 800L, slippage = 1.02, target_mult = 1.40, stop_mult = 0.75)
+  }
+
+  test("bracket: exit never precedes entry; prices on the correct side (X1 invariants)") {
+    forAll(barGen) { bars =>
+      val fills = Bracket.scanGroup(1L, bars.iterator).toSeq
+      fills.foreach { f =>
+        assert(f.exit_ts >= f.entry_ts) // lookahead audit (audit_winner.py §3)
+        assert(f.entry_price > 0)
+        f.exit_reason match {
+          case "stop" =>
+            assert(f.exit_price == f.entry_price * 0.75)
+            assert(f.return_pct < 0)
+          case "target" =>
+            assert(f.exit_price == f.entry_price * 1.40)
+            assert(f.return_pct > 0)
+          case _ => // timeout exits at close: any side
+        }
+      }
+      // at most one fill per trade, none when no bar reaches entry_ts
+      assert(fills.size <= 1)
+      if (bars.forall(_.t < 100L)) assert(fills.isEmpty)
+    }
+  }
+
+  test("bracket: tightening the stop can only exit earlier or equal") {
+    forAll(barGen) { bars =>
+      val loose = Bracket.scanGroup(1L, bars.iterator).toSeq
+      val tight = Bracket.scanGroup(1L,
+        bars.map(b => b.copy(stop_mult = 0.90)).iterator).toSeq
+      (loose, tight) match {
+        case (Seq(l), Seq(t)) => assert(t.exit_ts <= l.exit_ts)
+        case _ => // entry never reached in both
+      }
+    }
+  }
+
+  test("streak fold: 0 <= max streak <= total losses, equals run-length maximum") {
+    forAll(Gen.listOf(Gen.oneOf(true, false))) { losses =>
+      val agg = new Streaks.MaxStreakAgg
+      val got = agg.finish(losses.foldLeft(agg.zero)(agg.reduce))
+      val expected =
+        if (losses.isEmpty) 0
+        else {
+          // independent reference: split into runs, measure longest true-run
+          var best = 0; var cur = 0
+          losses.foreach { l => cur = if (l) cur + 1 else 0; best = math.max(best, cur) }
+          best
+        }
+      assert(got == expected)
+      assert(got >= 0 && got <= losses.count(identity))
+    }
+  }
+
+  test("rule score stays clamped to [0, max] for any rule outcome (F18)") {
+    forAll(Gen.listOf(Gen.zip(Gen.oneOf(true, false), Gen.choose(-5, 8)))) { rules =>
+      val raw = rules.collect { case (true, p) => p }.sum
+      val clamped = math.max(0, math.min(10, raw))
+      assert(clamped >= 0 && clamped <= 10)
+    }
+  }
+
+  test("premium score equals the count of true flags (F17)") {
+    forAll(Gen.listOfN(5, Gen.oneOf(true, false))) { flags =>
+      val score = flags.count(identity)
+      assert(score >= 0 && score <= 5)
+      assert((score >= 1) == flags.exists(identity)) // is_premium_signal
+    }
+  }
+}

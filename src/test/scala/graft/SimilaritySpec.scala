@@ -31,6 +31,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getAs[Long]("corpus_id")).toSeq == Seq(1L, 2L))
   }
 
+  test("FastHash.srpBucket matches the declarative SRP formulation bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(Seq(0.5, -1.2, 3.3, 0.0), Seq(-2.0, 0.1, 0.0, 9.9)).toDF("v")
+    for (t <- 0 until 3) {
+      val fast = df.select(graft.functions.FastHash.srpBucket(col("v"), t, 12))
+        .collect().map(_.getLong(0)).toSeq
+      val slow = df.select(Similarity.srpBucket(col("v"), t, 12))
+        .collect().map(_.getLong(0)).toSeq
+      assert(fast == slow, s"table $t")
+    }
+  }
+
   test("lshTopK achieves high recall vs brute force on clustered data") {
     import spark.implicits._
     // deterministic synthetic corpus: two clusters around orthogonal axes
