@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Round}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.functions.{MinHashSigExpr, SimHash64Expr, SrpBucketExpr}
+
+/** Catalyst integration (SURVEY §4 custom work item 2): the engine's
+  * codegen'd expressions registered as SQL functions, plus a small
+  * optimizer rule, both injected through `SparkSessionExtensions` so a
+  * plain `spark.sql` user gets them with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSigExpr(args.head,
+        intArg(args(1), "shingle n"), intArg(args(2), "k"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucketExpr].getName, "graft_srp_bucket"),
+      (args: Seq[Expression]) => SrpBucketExpr(args.head,
+        intArg(args(1), "table"), intArg(args(2), "planes"))))
+    ext.injectOptimizerRule(_ => CollapseRedundantRound)
+  }
+}
+
+/** round_s(round_s(x)) == round_s(x) for equal literal scales (HALF_UP on
+  * an already-quantized value is the identity). The oracle-parity style of
+  * this engine rounds defensively at operator boundaries, so nested equal-
+  * scale rounds occur naturally (e.g. merge-upsert over pre-rounded
+  * columns); this removes the inner pass. */
+object CollapseRedundantRound extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case outer @ Round(Round(inner, innerScale, _), outerScale, _)
+          if innerScale.semanticEquals(outerScale) &&
+            innerScale.isInstanceOf[Literal] =>
+        outer.withNewChildren(Seq(inner, outerScale))
+    }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Skew}
+
+class ExtensionsSkewSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val extSpark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-tests")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.newSession() // isolated session state picking up the extensions
+  }
+
+  test("extensions expose the codegen'd kernels as SQL functions") {
+    val spark2 = extSpark
+    val r = spark2.sql(
+      """SELECT graft_simhash('alpha beta gamma') AS sh,
+        |size(graft_minhash('one two three four five six', 3, 16)) AS k,
+        |graft_srp_bucket(array(1.0d, -2.0d, 0.5d), 0, 8) AS b""".stripMargin).head()
+    // cross-check against the library column APIs on the plain session
+    import spark.implicits._
+    val expectSh = Seq("alpha beta gamma").toDF("t")
+      .select(graft.functions.FastHash.simhash(col("t"))).head().getLong(0)
+    assert(r.getAs[Long]("sh") == expectSh)
+    assert(r.getAs[Int]("k") == 16)
+    val expectB = Seq(Seq(1.0, -2.0, 0.5)).toDF("v")
+      .select(graft.functions.FastHash.srpBucket(col("v"), 0, 8)).head().getLong(0)
+    assert(r.getAs[Long]("b") == expectB)
+  }
+
+  test("CollapseRedundantRound removes equal-scale nested rounds from the plan") {
+    val spark2 = extSpark
+    val df = spark2.range(5).selectExpr("round(round(id / double(3), 4), 4) AS v")
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert(!optimized.contains("round(round("), optimized)
+    // and different scales are left alone
+    val keep = spark2.range(5).selectExpr("round(round(id / double(3), 6), 4) AS v")
+    assert(keep.queryExecution.optimizedPlan.toString().contains("round(round("))
+    // value parity with the unoptimized computation
+    val plain = spark.range(5).selectExpr("round(round(id / double(3), 4), 4) AS v")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(df.collect().map(_.getDouble(0)).toSeq == plain)
+  }
+
+  test("saltedJoin matches the plain join result (skew mitigation)") {
+    import spark.implicits._
+    // hot key: 90% of rows share k=1
+    val big = ((1 to 900).map(i => (1, i)) ++ (1 to 100).map(i => (2, i)))
+      .toDF("k", "payload")
+    val small = Seq((1, "hot"), (2, "cold"), (3, "unmatched")).toDF("k", "label")
+    val plain = big.join(small, "k").groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(big, small, "k", saltBuckets = 8)
+      .groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted == Map("hot" -> 900L, "cold" -> 100L))
+  }
+
+  test("saltedAgg two-phase aggregation matches direct aggregation") {
+    import spark.implicits._
+    val df = ((1 to 500).map(i => ("hot", i.toDouble)) ++ Seq(("cold", 5.0)))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Skew.saltedAgg(df, "k", 8,
+      partialAggs = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+      finalAggs = Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
+
+  test("keySkewProfile surfaces the hot key share") {
+    import spark.implicits._
+    val df = ((1 to 900).map(_ => 1) ++ (1 to 100).map(_ => 2)).toDF("k")
+    val top = Skew.keySkewProfile(df, "k").head()
+    assert(top.getAs[Int]("k") == 1)
+    assert(top.getAs[Double]("share") == 0.9)
+  }
+}
