@@ -88,6 +88,7 @@ object SparkEntry {
     "q79_cosine_topk"      -> (D.q79CosineTopK(_, _)),
     "q80_lsh_ann"          -> (D.q80LshAnn(_, _)),
     "q81_embedding_stats"  -> (D.q81EmbeddingStats(_, _)),
+    "q82_ivf_ann"          -> (D.q82IvfAnn(_, _)),
   )
 
   /** DuckDB-equivalent SQL per query (same tables registered by name). */

@@ -67,6 +67,49 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-style ANN: corpus assigned to `nCells` deterministic centroids
+    * (sampled by stable hash order — k-means init without the iteration;
+    * seeded, reproducible), probes search their `nProbe` nearest cells,
+    * exact cosine re-rank on the pruned candidate set. The classic
+    * inverted-file trade: recall grows with nProbe, scan cost shrinks by
+    * ~nProbe/nCells. Centroid table is tiny and broadcast twice (assign +
+    * probe); the corpus shuffles once on cell id — the layout a 100 TB
+    * vector store would be bucketed by on disk.
+    */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    // deterministic "centroids": the nCells corpus vectors with the
+    // smallest xxhash64(id) — a seeded sample, stable across runs
+    val centroids = c
+      .withColumn("_h", xxhash64(col("corpus_id"), lit(42)))
+      .orderBy(col("_h"), col("corpus_id")).limit(nCells)
+      .withColumn("cell", row_number().over(Window.orderBy(col("_h"), col("corpus_id"))))
+      .select(col("cell"), col("cvec").as("centroid"))
+    def nearestCells(df: DataFrame, vec: String, n: Int, outPrefix: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("_sim", cosine(col(vec), col("centroid")))
+      val w = Window.partitionBy(col(s"${outPrefix}_id"))
+        .orderBy(col("_sim").desc, col("cell"))
+      scored.withColumn("_r", row_number().over(w)).where(col("_r") <= n)
+        .drop("centroid", "_sim", "_r")
+    }
+    val assigned = nearestCells(c, "cvec", 1, "corpus")
+    val probed = nearestCells(
+      probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")),
+      "pvec", nProbe, "probe")
+    val cand = assigned.join(probed, Seq("cell"))
+      .where(col("corpus_id") =!= col("probe_id"))
+      .dropDuplicates("probe_id", "corpus_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    cand.withColumn("cos", cosine(col("cvec"), col("pvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates collide in >= 1 of `tables` SRP hash
     * tables, then exact cosine re-rank to top-k per probe. Recall grows
     * with `tables`, selectivity with `planes`.

@@ -119,6 +119,17 @@ object TrainingData {
     Similarity.lshTopK(emb, probes, "vec_id", "v", k = 5, tables = 6, planes = 10)
   }
 
+  /** q82 — IVF-bucketed ANN (second scale path): deterministic centroid
+    * cells, nProbe-cell search, exact re-rank. Rows-only driver check;
+    * recall vs brute force unit-tested. */
+  def q82IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val probes = emb.where($"vec_id" < 5)
+    Similarity.ivfTopK(emb, probes, "vec_id", "v", k = 5, nCells = 16, nProbe = 4)
+      .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

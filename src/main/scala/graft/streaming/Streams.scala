@@ -77,6 +77,54 @@ object Streams {
       .flatMap(_.iterator)
   }
 
+  case class TradeBar(trade_id: Long, t: Long, h: Double, l: Double, c: Double,
+      entry_ts: Long, timeout_ts: Long, target_mult: Double, stop_mult: Double,
+      slippage: Double)
+  case class BracketState(entryTs: Long, entryPrice: Double, done: Boolean)
+  case class StreamFill(trade_id: Long, entry_ts: Long, entry_price: Double,
+      exit_ts: Long, exit_price: Double, exit_reason: String)
+
+  /** X1 bracket tracking as a live stream (SURVEY §7.4.8 "stateful bracket
+    * tracking"): per-trade managed state holds the entry fill; each
+    * arriving bar is checked timeout -> stop -> target (the batch kernel's
+    * precedence). Emits one fill per trade then marks the state done so
+    * replays after the fill are ignored. Assumes per-trade bars arrive in
+    * timestamp order (minute-bar feeds are ordered per contract; reorder
+    * upstream with a watermark if the source cannot guarantee it). */
+  def bracketStream(bars: Dataset[TradeBar]): Dataset[StreamFill] = {
+    import bars.sparkSession.implicits._
+    bars.groupByKey(_.trade_id)
+      .flatMapGroupsWithState[BracketState, StreamFill](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, chunk: Iterator[TradeBar], state: GroupState[BracketState]) =>
+          var st = state.getOption.getOrElse(BracketState(0L, Double.NaN, done = false))
+          val fills = scala.collection.mutable.ArrayBuffer.empty[StreamFill]
+          chunk.toSeq.sortBy(_.t).foreach { b =>
+            if (!st.done) {
+              if (java.lang.Double.isNaN(st.entryPrice)) {
+                if (b.t >= b.entry_ts)
+                  st = BracketState(b.t, b.c * b.slippage, done = false)
+              } else {
+                val stop = st.entryPrice * b.stop_mult
+                val target = st.entryPrice * b.target_mult
+                if (b.t >= b.timeout_ts) {
+                  fills += StreamFill(id, st.entryTs, st.entryPrice, b.t, b.c, "timeout")
+                  st = st.copy(done = true)
+                } else if (b.l <= stop) {
+                  fills += StreamFill(id, st.entryTs, st.entryPrice, b.t, stop, "stop")
+                  st = st.copy(done = true)
+                } else if (b.h >= target) {
+                  fills += StreamFill(id, st.entryTs, st.entryPrice, b.t, target, "target")
+                  st = st.copy(done = true)
+                }
+              }
+            }
+          }
+          state.update(st)
+          fills.iterator
+      }
+  }
+
   /** File-source incremental intake over a signals directory (the cron
     * append as a stream; batch-compatible schema required). */
   def signalsFileStream(spark: SparkSession, path: String,

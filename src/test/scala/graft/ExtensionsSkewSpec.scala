@@ -8,14 +8,25 @@ import graft.operators.{Dedup, Skew}
 class ExtensionsSkewSpec extends AnyFunSuite with SparkFixture {
 
   private lazy val extSpark: SparkSession = {
-    val s = SparkSession.builder()
+    // force a NEW session (same context): getOrCreate would silently hand
+    // back the fixture session, dropping the extensions config
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // spark.sql.extensions is a STATIC conf (only honored by a fresh
+    // SparkContext); withExtensions is the public per-session injection path
+    try SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-tests")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .withExtensions(ext => new graft.plans.GraftExtensions()(ext))
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.newSession() // isolated session state picking up the extensions
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 
   test("extensions expose the codegen'd kernels as SQL functions") {

@@ -79,6 +79,34 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming bracket tracker fills once per trade with kernel precedence (X1 live)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.TradeBar]
+    val fills = Streams.bracketStream(mem.toDS())
+    val q = fills.writeStream.format("memory").queryName("bracket_fills")
+      .outputMode("append").start()
+    try {
+      def bar(id: Long, t: Long, h: Double, l: Double, c: Double) =
+        Streams.TradeBar(id, t, h, l, c, entry_ts = 100L, timeout_ts = 10000L,
+          target_mult = 1.40, stop_mult = 0.75, slippage = 1.02)
+      // batch 1: entries for trades 1 & 2, no exits yet
+      mem.addData(bar(1L, 100L, 10.1, 9.9, 10.0), bar(2L, 100L, 10.1, 9.9, 10.0))
+      q.processAllAvailable()
+      assert(spark.table("bracket_fills").count() == 0)
+      // batch 2: trade 1 hits target across batches; trade 2 hits stop
+      mem.addData(bar(1L, 200L, 15.0, 10.0, 14.6), bar(2L, 200L, 10.2, 7.0, 7.1))
+      q.processAllAvailable()
+      val out = spark.table("bracket_fills").collect()
+        .map(r => r.getAs[Long]("trade_id") -> r.getAs[String]("exit_reason")).toMap
+      assert(out == Map(1L -> "target", 2L -> "stop"))
+      // batch 3: more bars after the fill are ignored (done state)
+      mem.addData(bar(1L, 300L, 20.0, 5.0, 12.0))
+      q.processAllAvailable()
+      assert(spark.table("bracket_fills").count() == 2)
+    } finally q.stop()
+  }
+
   test("multimodal: feature extraction plumbing is deterministic and null-safe") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the properties that matter at 100 TB are
+  * asserted, not eyeballed — predicate/column pushdown to the parquet
+  * scan, broadcast of dimension sides, partition pruning on the layout
+  * `io.Writers` produces, and whole-stage codegen on scalar paths. */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("q02: filters and column set reach the parquet scan") {
+    val p = physical("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"))
+    // pruned read schema: no l_tax/l_shipdate in the scan
+    assert(!p.contains("l_shipdate"))
+  }
+
+  test("q03: both dimension joins broadcast") {
+    val p = physical("q03_broadcast_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q04: semi join stays broadcast with single-column build side") {
+    val p = physical("q04_semi_join")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p.take(800))
+  }
+
+  test("scalar-function pipeline runs inside whole-stage codegen") {
+    val p = physical("q50_string_funcs")
+    assert(p.contains("*(1)"), p.take(500)) // the codegen-stage marker
+  }
+
+  test("partitioned layout prunes partitions on the date predicate") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-prune").toFile.getAbsolutePath + "/t"
+    (1 to 100).map(i => (f"2026-01-${i % 5 + 1}%02d", i.toLong, i * 1.0))
+      .toDF("scan_date", "id", "v")
+      .write.partitionBy("scan_date").parquet(path)
+    val q = spark.read.parquet(path).where(col("scan_date") === "2026-01-03")
+    val p = q.queryExecution.executedPlan.toString()
+    assert(p.contains("PartitionFilters: [isnotnull(scan_date"), p.take(800))
+    // only 1 of 5 partitions survives pruning
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.partitionCount
+    assert(scanned == 1)
+  }
+
+  test("as-of join plans one shuffle (union+window), not a range join") {
+    val p = physical("q35_asof_join")
+    // no nested-loop / cartesian from the inequality condition
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(800))
+    // exactly one exchange keyed by user_id feeds the window
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(1200))
+  }
+}

@@ -43,22 +43,45 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("lshTopK achieves high recall vs brute force on clustered data") {
+  private lazy val clustered = {
     import spark.implicits._
     // deterministic synthetic corpus: two clusters around orthogonal axes
     val rnd = new scala.util.Random(42)
-    val corpus = (0L until 60L).map { i =>
+    (0L until 60L).map { i =>
       val base = if (i % 2 == 0) Array(1.0, 0.0, 0.0, 0.0) else Array(0.0, 1.0, 0.0, 0.0)
       (i, base.map(_ + rnd.nextGaussian() * 0.05).toSeq)
     }.toDF("vec_id", "v")
-    val probes = corpus.where(col("vec_id") < 3)
-    val bf = Similarity.bruteForceTopK(corpus, probes, "vec_id", "v", 5)
+  }
+
+  private lazy val bfBaseline: Set[(Long, Long)] = {
+    val probes = clustered.where(col("vec_id") < 3)
+    Similarity.bruteForceTopK(clustered, probes, "vec_id", "v", 5)
       .select("probe_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(corpus, probes, "vec_id", "v", 5, tables = 8, planes = 6)
+  }
+
+  test("lshTopK achieves high recall vs brute force on clustered data") {
+    val probes = clustered.where(col("vec_id") < 3)
+    val lsh = Similarity.lshTopK(clustered, probes, "vec_id", "v", 5, tables = 8, planes = 6)
       .select("probe_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (bf intersect lsh).size.toDouble / bf.size
+    val recall = (bfBaseline intersect lsh).size.toDouble / bfBaseline.size
     assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("ivfTopK achieves high recall vs brute force on clustered data") {
+    val probes = clustered.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(clustered, probes, "vec_id", "v", 5,
+      nCells = 8, nProbe = 4)
+      .select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bfBaseline intersect ivf).size.toDouble / bfBaseline.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    // determinism: same cells, same result
+    val again = Similarity.ivfTopK(clustered, probes, "vec_id", "v", 5,
+      nCells = 8, nProbe = 4)
+      .select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == again)
   }
 }
