@@ -97,4 +97,19 @@ object GraftFunctions {
 
   /** F11 epoch-ms from timestamp (win-tracker/main.py:286). */
   def epochMs(ts: Column): Column = unix_millis(ts)
+
+  /** F21 regime-weighted score blend (src/enrichment/core/config.py:39-58):
+    * a weight map per regime, regime chosen by news-score thresholds
+    * (EVENT when newsScore > hi, QUIET when < lo, else baseline). The
+    * blend is a dot product of the regime's weights over score columns.
+    */
+  def regimeWeightedScore(newsScore: Column,
+      scores: Seq[(Column, Double, Double)], // (col, eventWeight, quietWeight)
+      lo: Double = 0.30, hi: Double = 0.70): Column = {
+    val eventBlend = scores.map { case (c, w, _) => c * lit(w) }.reduce(_ + _)
+    val quietBlend = scores.map { case (c, _, w) => c * lit(w) }.reduce(_ + _)
+    when(newsScore > hi, eventBlend)
+      .when(newsScore < lo, quietBlend)
+      .otherwise((eventBlend + quietBlend) / 2)
+  }
 }

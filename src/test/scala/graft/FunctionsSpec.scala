@@ -77,4 +77,12 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(one(supportLevel(lit(100.0), cands)) == 98.0)
     assert(one(resistanceLevel(lit(100.0), cands)) == 105.0)
   }
+
+  test("regimeWeightedScore switches weight maps on news thresholds (F21)") {
+    val scores = Seq((lit(10.0), 0.8, 0.2), (lit(5.0), 0.2, 0.8))
+    // EVENT regime: 10*0.8 + 5*0.2 = 9 | QUIET: 10*0.2 + 5*0.8 = 6
+    assert(one(regimeWeightedScore(lit(0.9), scores)) == 9.0)
+    assert(one(regimeWeightedScore(lit(0.1), scores)) == 6.0)
+    assert(one(regimeWeightedScore(lit(0.5), scores)) == 7.5) // midpoint
+  }
 }
