@@ -65,6 +65,8 @@ object SparkEntry {
     "q59_calendar"         -> (K.q59Calendar(_, _)),
     "q60_bracket"          -> (K.q60Bracket(_, _)),
     "q61_sweep"            -> (K.q61Sweep(_, _)),
+    "q62_flow_metrics"     -> (K.q62FlowMetrics(_, _)),
+    "q63_score_f18"        -> (K.q63ScoreF18(_, _)),
     // §2.8 scalar function families
     "q50_string_funcs"     -> (S.q50StringFuncs(_, _)),
     "q51_occ_key"          -> (S.q51OccKey(_, _)),
@@ -334,6 +336,58 @@ object SparkEntry {
         |SELECT CAST(cfg AS INT) AS cfg, reason AS exit_reason, COUNT(*) AS cnt,
         |round(AVG((exit_price - entry_price)/entry_price*100), 4) AS avg_ret
         |FROM fills GROUP BY cfg, reason""".stripMargin,
+    "q62_flow_metrics" ->
+      """WITH c AS (SELECT l_suppkey, l_linestatus = 'O' AS isCall, l_quantity AS vol,
+        |l_discount*1000 AS oi, l_extendedprice/100 AS mid, l_tax, l_extendedprice,
+        |l_orderkey, l_linenumber FROM lineitem),
+        |agg AS (SELECT l_suppkey,
+        |round(SUM(CASE WHEN isCall THEN vol*mid*100 ELSE 0.0 END), 4) AS call_dollar_vol,
+        |round(SUM(CASE WHEN NOT isCall THEN vol*mid*100 ELSE 0.0 END), 4) AS put_dollar_vol,
+        |round(SUM(CASE WHEN isCall THEN vol ELSE 0.0 END) /
+        | greatest(SUM(CASE WHEN isCall THEN oi ELSE 0.0 END), 1.0), 4) AS call_vol_oi,
+        |CAST(SUM(CASE WHEN isCall AND vol > greatest(oi*0.5, 10.0) THEN 1 ELSE 0 END) AS BIGINT) AS call_active,
+        |round(SUM(CASE WHEN isCall AND vol > oi THEN (vol-oi)*mid*100 ELSE 0.0 END), 4) AS call_uoa
+        |FROM c GROUP BY l_suppkey),
+        |atm AS (SELECT l_suppkey, round(l_tax, 4) AS atm_tax FROM (
+        |SELECT l_suppkey, l_tax, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |ORDER BY abs(l_extendedprice - 30000), l_orderkey, l_linenumber) AS rn
+        |FROM c WHERE isCall) WHERE rn = 1)
+        |SELECT agg.*, atm.atm_tax FROM agg LEFT JOIN atm USING (l_suppkey)""".stripMargin,
+    "q63_score_f18" ->
+      """WITH c AS (SELECT l_suppkey, l_linestatus = 'O' AS isCall, l_quantity AS vol,
+        |l_discount*1000 AS oi, l_extendedprice/100 AS mid FROM lineitem),
+        |m AS (SELECT l_suppkey,
+        |round(SUM(CASE WHEN isCall THEN vol*mid*100 ELSE 0.0 END), 4) AS call_dv,
+        |round(SUM(CASE WHEN NOT isCall THEN vol*mid*100 ELSE 0.0 END), 4) AS put_dv,
+        |round(SUM(CASE WHEN isCall THEN vol ELSE 0.0 END) /
+        | greatest(SUM(CASE WHEN isCall THEN oi ELSE 0.0 END), 1.0), 4) AS voloi,
+        |CAST(SUM(CASE WHEN isCall AND vol > greatest(oi*0.5, 10.0) THEN 1 ELSE 0 END) AS BIGINT) AS active,
+        |round(SUM(CASE WHEN isCall AND vol > oi THEN (vol-oi)*mid*100 ELSE 0.0 END), 4) AS uoa
+        |FROM c GROUP BY l_suppkey),
+        |mom AS (SELECT l_suppkey, AVG(l_discount)*100 - 5.0 AS chg FROM lineitem GROUP BY l_suppkey),
+        |j AS (SELECT m.*, mom.chg, chg > 0 AS bull,
+        |call_dv / greatest(put_dv, 1.0) AS skew_up, put_dv / greatest(call_dv, 1.0) AS skew_dn,
+        |(chg > 0 AND put_dv > call_dv*2 AND put_dv > 1000000) AS div_bear,
+        |(chg <= 0 AND call_dv > put_dv*2 AND call_dv > 1000000) AS div_bull
+        |FROM m JOIN mom ON m.l_suppkey = mom.l_suppkey),
+        |s AS (SELECT l_suppkey, bull, div_bear, div_bull, chg,
+        |CASE WHEN call_dv + put_dv > 100000 THEN
+        | CASE WHEN bull AND call_dv > 0 THEN (CASE WHEN skew_up > 3.0 THEN 2 WHEN skew_up > 1.5 THEN 1 ELSE 0 END)
+        | WHEN NOT bull AND put_dv > 0 THEN (CASE WHEN skew_dn > 3.0 THEN 2 WHEN skew_dn > 1.5 THEN 1 ELSE 0 END)
+        | ELSE 0 END ELSE 0 END AS s1,
+        |CASE WHEN voloi > 2.0 THEN 2 WHEN voloi > 0.8 THEN 1 ELSE 0 END AS s2,
+        |CASE WHEN active >= 5 THEN 2 WHEN active >= 3 THEN 1 ELSE 0 END AS s3,
+        |CASE WHEN uoa > 2000000 THEN 2 WHEN uoa > 500000 THEN 1 ELSE 0 END AS s4,
+        |CASE WHEN abs(chg) > 1.5 THEN 1 ELSE 0 END AS s5,
+        |CASE WHEN div_bear OR div_bull THEN 1 ELSE 0 END AS s6 FROM j)
+        |SELECT l_suppkey, CAST(s1+s2+s3+s4+s5+s6 AS INT) AS score,
+        |CASE WHEN div_bear THEN 'BEARISH' WHEN div_bull THEN 'BULLISH'
+        | WHEN bull THEN 'BULLISH' ELSE 'BEARISH' END AS direction,
+        |array_to_string(list_filter([
+        | CASE WHEN s1 > 0 THEN 'SKEW' END, CASE WHEN s2 > 0 THEN 'VOLOI' END,
+        | CASE WHEN s3 > 0 THEN 'STRIKES' END, CASE WHEN s4 > 0 THEN 'UOA' END,
+        | CASE WHEN s5 > 0 THEN 'MOMENTUM' END, CASE WHEN s6 > 0 THEN 'DIVERGENCE' END],
+        | x -> x IS NOT NULL), '|') AS signals FROM s""".stripMargin,
     "q50_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,
         |regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,

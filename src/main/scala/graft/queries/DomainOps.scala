@@ -60,6 +60,71 @@ object DomainOps {
         $"exit_reason", round($"return_pct", 4).as("return_pct"))
   }
 
+  /** q62 — the scanner's composite flow-metric aggregation (A1-A6) mapped
+    * onto lineitem: side = linestatus, vol = quantity, oi = discount*1000,
+    * mid = extendedprice/100. One groupBy produces per-side dollar volume,
+    * vol/OI ratio, active-strike counts, UOA depth, and the nearest-to-ATM
+    * argmin — the exact shape of Scanner.flowMetrics, oracle-checked. */
+  def q62FlowMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.lineitem(spark, dir)
+      .withColumn("isCall", $"l_linestatus" === "O")
+      .withColumn("vol", $"l_quantity")
+      .withColumn("oi", $"l_discount" * 1000)
+      .withColumn("mid", $"l_extendedprice" / 100)
+    def side(cond: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      sum(when(cond, v).otherwise(lit(0.0)))
+    c.groupBy($"l_suppkey")
+      .agg(
+        round(side($"isCall", $"vol" * $"mid" * 100), 4).as("call_dollar_vol"),
+        round(side(!$"isCall", $"vol" * $"mid" * 100), 4).as("put_dollar_vol"),
+        round(side($"isCall", $"vol") / greatest(side($"isCall", $"oi"), lit(1.0)), 4)
+          .as("call_vol_oi"),
+        sum(when($"isCall" && $"vol" > greatest($"oi" * 0.5, lit(10.0)), 1).otherwise(0))
+          .cast("long").as("call_active"),
+        round(side($"isCall" && $"vol" > $"oi", ($"vol" - $"oi") * $"mid" * 100), 4)
+          .as("call_uoa"),
+        round(min_by(when($"isCall", $"l_tax"),
+          when($"isCall", struct(abs($"l_extendedprice" - 30000),
+            $"l_orderkey", $"l_linenumber"))), 4).as("atm_tax"))
+  }
+
+  /** q63 — the six-signal additive score (F18) with label accumulation and
+    * the divergence direction flip, over q62's metrics joined back to a
+    * per-supplier "momentum" (avg discount sign proxy). Signals emitted as
+    * a joined string so the oracle hash-compares a scalar. */
+  def q63ScoreF18(spark: SparkSession, dir: String): DataFrame = {
+    val m = q62FlowMetrics(spark, dir)
+    val mom = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg((avg($"l_discount") * 100 - 5.0).as("chg")) // signed pseudo-change
+    val df = m.join(mom, "l_suppkey")
+    val bullish = $"chg" > 0
+    val callDv = $"call_dollar_vol"
+    val putDv = $"put_dollar_vol"
+    val skewUp = callDv / greatest(putDv, lit(1.0))
+    val skewDn = putDv / greatest(callDv, lit(1.0))
+    val s1 = when(callDv + putDv > 100000,
+      when(bullish && callDv > 0, when(skewUp > 3.0, 2).when(skewUp > 1.5, 1).otherwise(0))
+        .when(!bullish && putDv > 0, when(skewDn > 3.0, 2).when(skewDn > 1.5, 1).otherwise(0))
+        .otherwise(0)).otherwise(0)
+    val s2 = when($"call_vol_oi" > 2.0, 2).when($"call_vol_oi" > 0.8, 1).otherwise(0)
+    val s3 = when($"call_active" >= 5, 2).when($"call_active" >= 3, 1).otherwise(0)
+    val s4 = when($"call_uoa" > 2000000, 2).when($"call_uoa" > 500000, 1).otherwise(0)
+    val s5 = when(abs($"chg") > 1.5, 1).otherwise(0)
+    val divBear = bullish && putDv > callDv * 2 && putDv > 1000000
+    val divBull = !bullish && callDv > putDv * 2 && callDv > 1000000
+    val s6 = when(divBear || divBull, 1).otherwise(0)
+    df.select(
+      $"l_suppkey",
+      (s1 + s2 + s3 + s4 + s5 + s6).cast("int").as("score"),
+      when(divBear, "BEARISH").when(divBull, "BULLISH")
+        .when(bullish, "BULLISH").otherwise("BEARISH").as("direction"),
+      array_join(filter(array(
+        when(s1 > 0, "SKEW"), when(s2 > 0, "VOLOI"), when(s3 > 0, "STRIKES"),
+        when(s4 > 0, "UOA"), when(s5 > 0, "MOMENTUM"), when(s6 > 0, "DIVERGENCE")),
+        x => x.isNotNull), "|").as("signals"))
+  }
+
   /** q61 — scenario/config sweep over the kernel (X2/X3): 2x2 bracket
     * configs via crossJoin with a config dimension, one kernel pass keyed
     * by (trade, config), grouped exit-reason stats (A8 shape). */
