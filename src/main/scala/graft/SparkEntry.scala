@@ -49,6 +49,7 @@ object SparkEntry {
     "q22_max_streak"       -> (R.q22MaxStreak(_, _)),
     "q23_max_drawdown"     -> (R.q23MaxDrawdown(_, _)),
     "q24_ntile_split"      -> (R.q24NtileSplit(_, _)),
+    "q25_top_lists"        -> (R.q25TopLists(_, _)),
     // §2.5 windows / time series
     "q30_sma"              -> (T.q30Sma(_, _)),
     "q31_running_sum"      -> (T.q31RunningSum(_, _)),
@@ -203,6 +204,12 @@ object SparkEntry {
       """WITH t AS (SELECT o_totalprice, NTILE(2) OVER (ORDER BY o_orderdate, o_orderkey) AS half
         |FROM orders) SELECT CAST(half AS INT) AS half, COUNT(*) AS cnt,
         |round(AVG(o_totalprice),4) AS avg_price FROM t GROUP BY half""".stripMargin,
+    "q25_top_lists" ->
+      """SELECT o_orderpriority,
+        |(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3] AS top_orders,
+        |round(list_aggregate((list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3],
+        | 'sum'), 4) AS top_value
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q30_sma" ->
       """SELECT event_id, user_id,
         |round(CASE WHEN COUNT(value) OVER w >= 20 THEN AVG(value) OVER w END, 4) AS sma20

@@ -85,7 +85,11 @@ object Writers {
     spark.sql(s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl) USING parquet$part")
   }
 
-  /** S18 archive snapshot: CREATE OR REPLACE TABLE ... AS SELECT *. */
-  def archiveSnapshot(spark: SparkSession, source: String, archive: String): Unit =
-    spark.sql(s"CREATE OR REPLACE TABLE $archive USING parquet AS SELECT * FROM $source")
+  /** S18 archive snapshot (CREATE OR REPLACE ... AS SELECT semantics;
+    * spelled drop + CTAS because the built-in v1 parquet catalog does not
+    * support atomic REPLACE TABLE). */
+  def archiveSnapshot(spark: SparkSession, source: String, archive: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $archive")
+    spark.sql(s"CREATE TABLE $archive USING parquet AS SELECT * FROM $source")
+  }
 }

@@ -251,6 +251,19 @@ object Relational {
       .withColumnRenamed("_key", "user_id")
   }
 
+  /** q25 — top-N ordered list aggregation (A20): per priority, the top-3
+    * order keys by value as an array (collect_list has no ordering
+    * guarantee — sort_array over (value, key) structs makes it exact). */
+  def q25TopLists(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(slice(reverse(sort_array(collect_list(
+        struct($"o_totalprice", $"o_orderkey")))), 1, 3).as("top"))
+      .select($"o_orderpriority",
+        expr("transform(top, x -> x.o_orderkey)").as("top_orders"),
+        round(expr("aggregate(top, cast(0.0 as double), (a, x) -> a + x.o_totalprice)"), 4)
+          .as("top_value"))
+
   /** q24 — ntile chronological split (W14): first half vs second half of
     * orders by date, compared on win-rate-style metrics. */
   def q24NtileSplit(spark: SparkSession, dir: String): DataFrame = {

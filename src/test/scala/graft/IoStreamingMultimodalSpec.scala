@@ -44,6 +44,31 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map("A" -> 1.0, "B" -> 42.0, "C" -> 3.0))
   }
 
+  test("keyedJson writes one doc partition per key; csvReport single file (S15/S16)") {
+    import spark.implicits._
+    val base = tmp()
+    val df = Seq(("2026-03-18_AAPL", 7), ("2026-03-18_NVDA", 8)).toDF("doc_id", "score")
+    Writers.keyedJson(df, base + "/docs", "doc_id")
+    val dirs = new java.io.File(base + "/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("_doc_id=2026-03-18_AAPL", "_doc_id=2026-03-18_NVDA"))
+    Writers.csvReport(df, base + "/report")
+    val csvs = new java.io.File(base + "/report").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(csvs.length == 1)
+    assert(spark.read.option("header", "true").csv(base + "/report").count() == 2)
+  }
+
+  test("ensureTable + archiveSnapshot DDL round-trip (S17/S18)") {
+    Writers.ensureTable(spark, "graft_t17", "id BIGINT, v DOUBLE")
+    Writers.ensureTable(spark, "graft_t17", "id BIGINT, v DOUBLE") // idempotent
+    spark.sql("INSERT INTO graft_t17 VALUES (1, 2.5)")
+    Writers.archiveSnapshot(spark, "graft_t17", "graft_t17_archive")
+    assert(spark.table("graft_t17_archive").count() == 1)
+    spark.sql("DROP TABLE graft_t17")
+    spark.sql("DROP TABLE graft_t17_archive")
+  }
+
   test("windowed streaming aggregation with watermark (MemoryStream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
