@@ -60,6 +60,18 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("ensureTable + archiveSnapshot DDL round-trip (S17/S18)") {
+    // clean slate: a prior aborted run may have left catalog/warehouse state
+    for (t <- Seq("graft_t17", "graft_t17_archive")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Writers.ensureTable(spark, "graft_t17", "id BIGINT, v DOUBLE")
     Writers.ensureTable(spark, "graft_t17", "id BIGINT, v DOUBLE") // idempotent
     spark.sql("INSERT INTO graft_t17 VALUES (1, 2.5)")
