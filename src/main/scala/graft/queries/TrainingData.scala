@@ -36,32 +36,29 @@ object TrainingData {
       .where($"n_copies" > 1)
 
   /** q72 — token statistics (text analysis): whitespace tokens, token
-    * estimate, punct ratio, mean word length, aggregated per lang. */
+    * estimate, punct ratio, mean word length, aggregated per lang. One
+    * tokenization pass per doc via the codegen'd [[TextStats]] kernel
+    * (value-identical to the declarative TextOps, cross-check-tested). */
   def q72TokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select($"lang",
-        TextOps.tokenCount($"text").as("n_tokens"),
-        TextOps.tokenEstimate($"text").as("est_bpe"),
-        TextOps.punctRatio($"text").as("punct"),
-        TextOps.meanWordLen($"text").as("mwl"))
+      .select($"lang", graft.functions.TextStats.textStats($"text").as("s"))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum($"n_tokens").as("total_tokens"),
-        sum($"est_bpe").as("total_est_bpe"),
-        round(avg($"punct"), 4).as("avg_punct"),
-        round(avg($"mwl"), 4).as("avg_word_len"))
+        sum($"s.n_tokens").as("total_tokens"),
+        sum($"s.est_bpe").as("total_est_bpe"),
+        round(avg($"s.punct"), 4).as("avg_punct"),
+        round(avg($"s.mwl"), 4).as("avg_word_len"))
 
   /** q73 — quality scoring per source (C4/Gopher-style rule blend). */
   def q73QualityScore(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select($"source", TextOps.qualityScore($"text").as("q"),
-        TextOps.stopwordRatio($"text").as("stop_ratio"))
+      .select($"source", graft.functions.TextStats.textStats($"text").as("s"))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg($"q"), 4).as("avg_quality"),
-        round(avg($"stop_ratio"), 4).as("avg_stopword_ratio"))
+        round(avg($"s.quality"), 4).as("avg_quality"),
+        round(avg($"s.stop_ratio"), 4).as("avg_stopword_ratio"))
 
   /** q74 — document fingerprinting: md5 over whitespace-normalized text
     * (oracle-parity variant of TextOps.fingerprint), distinct census. */
@@ -96,7 +93,7 @@ object TrainingData {
   /** q78 — language-ID heuristic + agreement with the labeled lang. */
   def q78LangId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select($"lang", TextOps.langId($"text").as("pred"))
+      .select($"lang", graft.functions.TextStats.textStats($"text").getField("lang_pred").as("pred"))
       .groupBy($"lang", $"pred")
       .agg(count(lit(1)).as("cnt"))
 
