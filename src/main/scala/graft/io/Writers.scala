@@ -78,6 +78,19 @@ object Writers {
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
 
+  /** Bucketed catalog table for co-located joins: both sides of a
+    * recurring equi-join (e.g. signals x bars on ticker) written with the
+    * same bucket spec join WITHOUT an exchange — at 100 TB the shuffle is
+    * the cost, and bucketing amortizes it across every downstream join.
+    * Requires a catalog table (bucket metadata lives in the metastore). */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet").bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S17 ensure-exists DDL in the session catalog. */
   def ensureTable(spark: SparkSession, name: String, schemaDdl: String,
       partitionedBy: Option[String] = None): Unit = {

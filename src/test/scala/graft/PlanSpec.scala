@@ -57,6 +57,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(scanned == 1)
   }
 
+  test("bucketed tables join without an exchange (co-located layout)") {
+    import spark.implicits._
+    for (t <- Seq("graft_bkt_a", "graft_bkt_b")) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val a = (1 to 1000).map(i => (i % 50L, i)).toDF("k", "va")
+    val b = (1 to 500).map(i => (i % 50L, i * 2)).toDF("k", "vb")
+    graft.io.Writers.bucketedTable(a, "graft_bkt_a", "k", 8, sortCols = Seq("k"))
+    graft.io.Writers.bucketedTable(b, "graft_bkt_b", "k", 8, sortCols = Seq("k"))
+    val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+    // disable broadcast so the join would otherwise need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+      assert(p.contains("SortMergeJoin"), p.take(400))
+      assert(joined.count() == 10000) // 20 x 10 per key x 50 keys
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      for (t <- Seq("graft_bkt_a", "graft_bkt_b")) spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("as-of join plans one shuffle (union+window), not a range join") {
     val p = physical("q35_asof_join")
     // no nested-loop / cartesian from the inequality condition
