@@ -98,6 +98,25 @@ object GraftFunctions {
   /** F11 epoch-ms from timestamp (win-tracker/main.py:286). */
   def epochMs(ts: Column): Column = unix_millis(ts)
 
+  /** F5 regex repair: strip markdown code fences around an LLM JSON blob
+    * (enrichment-trigger/main.py:171-184). */
+  def stripJsonFences(c: Column): Column =
+    regexp_replace(regexp_replace(c, "(?s)^\\s*```(?:json)?\\s*", ""), "(?s)\\s*```\\s*$", "")
+
+  /** F6 substring JSON extraction: the text between the first '{' and the
+    * last '}' inclusive (null when no braces). */
+  def extractJsonObject(c: Column): Column = {
+    val start = instr(c, "{")
+    val end = length(c) - instr(reverse(c), "}") + 1
+    when(start > 0 && end >= start, substring(c, start, end - start + 1))
+  }
+
+  /** F5+F6+F7 composed: repair fences, carve the object, parse with an
+    * explicit schema (news_analysis contract shape). */
+  def parseRepairedJson(c: Column, schemaDdl: String): Column =
+    from_json(extractJsonObject(stripJsonFences(c)), schemaDdl,
+      java.util.Collections.emptyMap[String, String]())
+
   /** F21 regime-weighted score blend (src/enrichment/core/config.py:39-58):
     * a weight map per regime, regime chosen by news-score thresholds
     * (EVENT when newsScore > hi, QUIET when < lo, else baseline). The

@@ -85,4 +85,16 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(one(regimeWeightedScore(lit(0.1), scores)) == 6.0)
     assert(one(regimeWeightedScore(lit(0.5), scores)) == 7.5) // midpoint
   }
+
+  test("JSON repair pipeline: fences stripped, object carved, parsed (F5/F6/F7)") {
+    val raw = """```json
+{"catalyst_score": 0.8, "thesis": "beat"}
+``` trailing noise"""
+    // fences first, then brace carve survives the trailing noise
+    val parsed = one(parseRepairedJson(lit(raw),
+      "catalyst_score DOUBLE, thesis STRING")).asInstanceOf[org.apache.spark.sql.Row]
+    assert(parsed.getDouble(0) == 0.8)
+    assert(parsed.getString(1) == "beat")
+    assert(one(extractJsonObject(lit("no braces here"))) == null)
+  }
 }
