@@ -68,6 +68,7 @@ object SparkEntry {
     "q61_sweep"            -> (K.q61Sweep(_, _)),
     "q62_flow_metrics"     -> (K.q62FlowMetrics(_, _)),
     "q63_score_f18"        -> (K.q63ScoreF18(_, _)),
+    "q64_monte_carlo"      -> (K.q64MonteCarlo(_, _)),
     // §2.8 scalar function families
     "q50_string_funcs"     -> (S.q50StringFuncs(_, _)),
     "q51_occ_key"          -> (S.q51OccKey(_, _)),
@@ -92,6 +93,7 @@ object SparkEntry {
     "q80_lsh_ann"          -> (D.q80LshAnn(_, _)),
     "q81_embedding_stats"  -> (D.q81EmbeddingStats(_, _)),
     "q82_ivf_ann"          -> (D.q82IvfAnn(_, _)),
+    "q83_embedding_dedup"  -> (D.q83EmbeddingNearDups(_, _)),
   )
 
   /** DuckDB-equivalent SQL per query (same tables registered by name). */
@@ -522,6 +524,17 @@ object SparkEntry {
         |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
         |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id, round(cos, 4) AS cos
         |FROM r WHERE rnk <= 5""".stripMargin,
+    "q83_embedding_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE vec_id < 100)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |round(list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
+        | sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 4) AS cos
+        |FROM e a, e b WHERE a.vec_id < b.vec_id
+        |AND list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
+        | sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))) >= 0.9""".stripMargin,
     "q81_embedding_stats" ->
       """SELECT label, COUNT(*) AS n,
         |round(AVG(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),

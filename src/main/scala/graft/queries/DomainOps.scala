@@ -125,6 +125,16 @@ object DomainOps {
         x => x.isNotNull), "|").as("signals"))
   }
 
+  /** q64 — seeded Monte Carlo (X4): 2000 categorical-outcome paths with
+    * tiered bet sizing, summarized. Deterministic (seed 42, per-path RNG)
+    * but java.util.Random is not expressible in DuckDB — rows-only driver
+    * check; exact-determinism covered by MonteCarloSpec. */
+  def q64MonteCarlo(spark: SparkSession, dir: String): DataFrame =
+    graft.kernels.MonteCarlo.summarize(
+      graft.kernels.MonteCarlo.categorical(spark, nPaths = 2000, nTrades = 50,
+        pTarget = 0.45, pStop = 0.30, targetPct = 40.0, stopPct = -25.0,
+        timeoutPct = -5.0))
+
   /** q61 — scenario/config sweep over the kernel (X2/X3): 2x2 bracket
     * configs via crossJoin with a config dimension, one kernel pass keyed
     * by (trade, config), grouped exit-reason stats (A8 shape). */

@@ -127,6 +127,17 @@ object TrainingData {
       .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
   }
 
+  /** q83 — embedding-cosine near-dup pairs, exact kernel over a bounded
+    * range (oracle-checked); [[Dedup.embeddingNearDupsLsh]] is the scale
+    * path (recall unit-tested against this). */
+  def q83EmbeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .where($"vec_id" < 100)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    Dedup.embeddingNearDupsExact(emb, "vec_id", "v", threshold = 0.9)
+      .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

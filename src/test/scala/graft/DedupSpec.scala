@@ -77,4 +77,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out((1L, 2L)) == 0L) // identical fingerprint
     assert(out.contains((1L, 3L)) && out((1L, 3L)) > 0L) // near-dup, small hamming
   }
+
+  test("embedding near-dup: LSH candidates recover the exact pairs (scale path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 3 tight clusters of 4 vectors each + 8 scattered vectors
+    val vecs = (0 until 12).map { i =>
+      val base = Array.fill(8)(0.0); base(i / 4) = 1.0
+      (i.toLong, base.map(_ + rnd.nextGaussian() * 0.02).toSeq)
+    } ++ (12 until 20).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()).toSeq)
+    }
+    val df = vecs.toDF("id", "v")
+    val exact = Dedup.embeddingNearDupsExact(df, "id", "v", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(df, "id", "v", 0.95, tables = 8, planes = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)              // the clusters produce near-dups
+    assert(lsh.subsetOf(exact))         // verification keeps only true pairs
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
 }
