@@ -94,6 +94,7 @@ object SparkEntry {
     "q81_embedding_stats"  -> (D.q81EmbeddingStats(_, _)),
     "q82_ivf_ann"          -> (D.q82IvfAnn(_, _)),
     "q83_embedding_dedup"  -> (D.q83EmbeddingNearDups(_, _)),
+    "q84_bpe_tokens"       -> (D.q84BpeTokens(_, _)),
   )
 
   /** DuckDB-equivalent SQL per query (same tables registered by name). */
@@ -535,6 +536,13 @@ object SparkEntry {
         |AND list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), 'sum') /
         |(sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
         | sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))) >= 0.9""".stripMargin,
+    "q84_bpe_tokens" ->
+      """SELECT source,
+        |CAST(SUM(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT) AS total_bpe_tokens,
+        |CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        | ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_ws_tokens,
+        |CAST(SUM(CAST(ceil(length(text)/4.0) AS BIGINT)) AS BIGINT) AS total_len4_estimate
+        |FROM documents GROUP BY source""".stripMargin,
     "q81_embedding_stats" ->
       """SELECT label, COUNT(*) AS n,
         |round(AVG(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),

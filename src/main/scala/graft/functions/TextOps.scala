@@ -21,6 +21,16 @@ object TextOps {
   def tokenEstimate(text: Column): Column =
     ceil(length(text).cast("double") / lit(4.0d)).cast("long")
 
+  /** BPE-ish regex pre-tokenizer count (GPT-2-style pattern minus the
+    * lookahead pieces RE2 cannot run — letters / digits / punctuation
+    * runs with optional leading space, plus whitespace runs). A real
+    * subword vocab refines these pieces; this is the public
+    * pre-tokenization granularity. */
+  val bpePattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
   /** Punctuation ratio: punctuation chars / total chars. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0d)).otherwise(

@@ -127,6 +127,20 @@ object TrainingData {
       .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
   }
 
+  /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
+    * source, next to the whitespace count and the chars/4 estimate. */
+  def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select($"source",
+        TextOps.bpeTokenCount($"text").as("bpe"),
+        TextOps.tokenCount($"text").as("ws"),
+        TextOps.tokenEstimate($"text").as("est"))
+      .groupBy($"source")
+      .agg(
+        sum($"bpe").as("total_bpe_tokens"),
+        sum($"ws").as("total_ws_tokens"),
+        sum($"est").as("total_len4_estimate"))
+
   /** q83 — embedding-cosine near-dup pairs, exact kernel over a bounded
     * range (oracle-checked); [[Dedup.embeddingNearDupsLsh]] is the scale
     * path (recall unit-tested against this). */
