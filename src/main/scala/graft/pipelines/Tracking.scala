@@ -53,10 +53,15 @@ object Tracking {
   }
 
   /** signal_performance rows (win-tracker/main.py:140-193): peak favorable
-    * return over the tracked window + tier + is_win. */
-  def performance(signals: DataFrame, dailyBars: DataFrame, checkDate: Column): DataFrame = {
+    * return over the tracked window + tier + is_win. When a trading
+    * calendar is supplied, `trading_days_elapsed` counts SESSIONS between
+    * scan_date and check_date (the reference's NYSE-calendar day count,
+    * :58-88 / W15) and drives `is_final`; otherwise tracked-day count is
+    * used (equivalent once 3 sessions of bars exist). */
+  def performance(signals: DataFrame, dailyBars: DataFrame, checkDate: Column,
+      calendar: Option[DataFrame] = None): DataFrame = {
     val rets = futureReturns(signals, dailyBars)
-    rets.groupBy(col("ticker"), col("scan_date"), col("direction"))
+    val base = rets.groupBy(col("ticker"), col("scan_date"), col("direction"))
       .agg(
         round(when(first(col("direction")) === "BULLISH", max(col("high_pct")))
           .otherwise(min(col("low_pct"))), 2).as("peak_return"),
@@ -67,7 +72,21 @@ object Tracking {
       .withColumn("check_date", checkDate)
       .withColumn("tier", classifyWin(col("peak_return"), col("direction")))
       .withColumn("is_win", col("tier").isin("strong", "solid", "directional"))
-      .withColumn("is_final", col("trading_days_tracked") >= MaxTradingDays)
+    val withElapsed = calendar match {
+      case Some(cal) =>
+        val seqs = cal.select(col("date"), col("session_seq"))
+        base
+          .join(broadcast(seqs.withColumnRenamed("date", "scan_date")
+            .withColumnRenamed("session_seq", "_scan_seq")), Seq("scan_date"), "left")
+          .join(broadcast(seqs.withColumnRenamed("date", "check_date")
+            .withColumnRenamed("session_seq", "_check_seq")), Seq("check_date"), "left")
+          .withColumn("trading_days_elapsed",
+            (col("_check_seq") - col("_scan_seq")).cast("int"))
+          .drop("_scan_seq", "_check_seq")
+      case None =>
+        base.withColumn("trading_days_elapsed", col("trading_days_tracked"))
+    }
+    withElapsed.withColumn("is_final", col("trading_days_elapsed") >= MaxTradingDays)
   }
 
   /** Backfill performance columns (backfill_performance.py:70-120):

@@ -343,4 +343,24 @@ class PipelinesSpec extends AnyFunSuite with SparkFixture {
     assert(c.getAs[Double]("consensus_conviction") == 8.0)
     assert(c.getAs[Int]("n_solo") == 1)
   }
+
+  test("tracking: trading_days_elapsed via calendar sessions (W15)") {
+    import spark.implicits._
+    val sigs = Seq(("BULL", d("2026-03-06"), "BULLISH", 100.0)) // Friday
+      .toDF("ticker", "scan_date", "direction", "signal_price")
+    val bars = Seq(
+      ("BULL", d("2026-03-09"), 100.0, 103.0, 99.0, 102.0, 1.0),
+      ("BULL", d("2026-03-10"), 102.0, 106.0, 101.0, 104.0, 1.0))
+      .toDF("ticker", "date", "open", "high", "low", "close", "volume")
+    val cal = graft.calendar.TradingCalendar.build(spark,
+      java.time.LocalDate.of(2026, 3, 1), java.time.LocalDate.of(2026, 3, 31),
+      holidays = Set.empty)
+    // check Tuesday 03-10: Fri->Tue spans Mon+Tue = 2 sessions (weekend skipped)
+    val p = Tracking.performance(sigs, bars, lit("2026-03-10").cast("date"), Some(cal)).head()
+    assert(p.getAs[Int]("trading_days_elapsed") == 2)
+    assert(!p.getAs[Boolean]("is_final")) // < 3 sessions
+    val p2 = Tracking.performance(sigs, bars, lit("2026-03-11").cast("date"), Some(cal)).head()
+    assert(p2.getAs[Int]("trading_days_elapsed") == 3)
+    assert(p2.getAs[Boolean]("is_final"))
+  }
 }
