@@ -108,9 +108,32 @@ object FastHash {
     fp
   }
 
+  /** Distinct word n-gram shingles in first-occurrence order — the
+    * one-pass form of Dedup.shingles (set-equal, cross-check-tested). */
+  def shinglesValue(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(text)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val arr = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = it.next(); m += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Column API. */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashSigExpr(GraftShim.expression(text), n, k))
+
+  def shingles(text: Column, n: Int): Column =
+    GraftShim.column(ShinglesExpr(GraftShim.expression(text), n))
 
   def simhash(text: Column): Column =
     GraftShim.column(SimHash64Expr(GraftShim.expression(text)))
@@ -139,6 +162,23 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** text -> array<string> of distinct word n-gram shingles. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.shinglesValue(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.shinglesValue($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
 }
 

@@ -98,4 +98,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val recall = (exact intersect lsh).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall")
   }
+
+  test("FastHash.shingles set-equals the declarative shingles") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog the quick brown",
+      "a b", "", "one two three")
+      .toDF("t")
+    val rows = df.select(
+      graft.functions.FastHash.shingles(col("t"), 3).as("fast"),
+      Dedup.shingles(col("t"), 3).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0).toSet == r.getSeq[String](1).toSet)
+    }
+  }
 }
