@@ -535,7 +535,7 @@ object SparkEntry {
         |FROM e a, e b WHERE a.vec_id < b.vec_id
         |AND list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), 'sum') /
         |(sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
-        | sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))) >= 0.9""".stripMargin,
+        | sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))) >= 0.2""".stripMargin,
     "q84_bpe_tokens" ->
       """SELECT source,
         |CAST(SUM(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT) AS total_bpe_tokens,

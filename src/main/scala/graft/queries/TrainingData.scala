@@ -148,7 +148,7 @@ object TrainingData {
     val emb = Tables.embeddings(spark, dir)
       .where($"vec_id" < 100)
       .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-    Dedup.embeddingNearDupsExact(emb, "vec_id", "v", threshold = 0.9)
+    Dedup.embeddingNearDupsExact(emb, "vec_id", "v", threshold = 0.2)
       .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
   }
 
