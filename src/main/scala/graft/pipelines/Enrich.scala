@@ -80,6 +80,13 @@ object Enrich {
       .withColumn("resistance", coalesce(
         resistCands.map(c => when(c > col("close"), c)).reduce(least(_, _)),
         col("recent_high")))
+      // trend booleans carried on the enriched row (§1.3 technicals)
+      .withColumn("price_above_sma_50",
+        when(col("sma_50").isNotNull, col("close") > col("sma_50")))
+      .withColumn("price_above_sma_200",
+        when(col("sma_200").isNotNull, col("close") > col("sma_200")))
+      .withColumn("macd_bullish",
+        when(col("_macd.macd").isNotNull, col("_macd.macd") > col("_macd.macd_signal")))
       .drop("_macd")
   }
 
