@@ -66,6 +66,7 @@ object SparkEntry {
     "q59_calendar"         -> (K.q59Calendar(_, _)),
     "q60_bracket"          -> (K.q60Bracket(_, _)),
     "q61_sweep"            -> (K.q61Sweep(_, _)),
+    "q65_stress_sweep"     -> (K.q65StressSweep(_, _)),
     "q62_flow_metrics"     -> (K.q62FlowMetrics(_, _)),
     "q63_score_f18"        -> (K.q63ScoreF18(_, _)),
     "q64_monte_carlo"      -> (K.q64MonteCarlo(_, _)),
@@ -95,7 +96,24 @@ object SparkEntry {
     "q82_ivf_ann"          -> (D.q82IvfAnn(_, _)),
     "q83_embedding_dedup"  -> (D.q83EmbeddingNearDups(_, _)),
     "q84_bpe_tokens"       -> (D.q84BpeTokens(_, _)),
+    "q85_lsh_recall"       -> (D.q85LshRecall(_, _)),
   )
+
+  /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
+    * near-dup fixture (first 40 docs + appended-tail copies). The rounding
+    * mirrors Spark's BigDecimal.valueOf(double) repr semantics via the
+    * VARCHAR->DECIMAL round-trip (see q53 precedent). */
+  private val ngramJaccardOracle: String =
+    """WITH aug AS (SELECT doc_id, text FROM documents WHERE doc_id < 40
+      |UNION ALL SELECT doc_id + 1000, text || ' graft near dup tail' FROM documents WHERE doc_id < 40),
+      |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM aug),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+      |i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh FROM t),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+      |FROM s a, s b WHERE a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(round(CAST(CAST(j AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS jaccard
+      |FROM p WHERE j >= 0.5""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables registered by name). */
   def oracleSql: Map[String, String] = Map(
@@ -204,12 +222,14 @@ object SparkEntry {
         |ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS peak FROM p)
         |SELECT user_id, round(MAX((peak-capital)/peak),6) AS max_drawdown FROM d GROUP BY user_id""".stripMargin,
     "q24_ntile_split" ->
-      """WITH t AS (SELECT o_totalprice, NTILE(2) OVER (ORDER BY o_orderdate, o_orderkey) AS half
-        |FROM orders) SELECT CAST(half AS INT) AS half, COUNT(*) AS cnt,
-        |round(AVG(o_totalprice),4) AS avg_price FROM t GROUP BY half""".stripMargin,
+      """WITH m AS (SELECT quantile_cont(epoch_ms(o_orderdate), 0.5) AS med FROM orders)
+        |SELECT CAST(CASE WHEN epoch_ms(o_orderdate) <= med THEN 1 ELSE 2 END AS INT) AS half,
+        |COUNT(*) AS cnt, round(AVG(o_totalprice),4) AS avg_price
+        |FROM orders, m GROUP BY 1""".stripMargin,
     "q25_top_lists" ->
       """SELECT o_orderpriority,
-        |(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3] AS top_orders,
+        |array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3], '|')
+        | AS top_orders,
         |round(list_aggregate((list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3],
         | 'sum'), 4) AS top_value
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
@@ -346,6 +366,43 @@ object SparkEntry {
         |SELECT CAST(cfg AS INT) AS cfg, reason AS exit_reason, COUNT(*) AS cnt,
         |round(AVG((exit_price - entry_price)/entry_price*100), 4) AS avg_ret
         |FROM fills GROUP BY cfg, reason""".stripMargin,
+    // X2 Stress adverse fills: stop -> least(stop, close) when adv,
+    // timeout/timeout_eod -> close * tmm (0.95 under Stress) — the SQL
+    // replay of simulate_live_execution.py:205-302's scenario branches.
+    "q65_stress_sweep" ->
+      """WITH scens (scen, slip, adv, tmm) AS (VALUES
+        |('Optimistic', CAST(1.00 AS DOUBLE), false, CAST(1.00 AS DOUBLE)),
+        |('Base', CAST(1.02 AS DOUBLE), false, CAST(1.00 AS DOUBLE)),
+        |('Stress', CAST(1.05 AS DOUBLE), true, CAST(0.95 AS DOUBLE))),
+        |cfgs (cfg, tm, sm) AS (VALUES (0, CAST(1.03 AS DOUBLE), CAST(0.97 AS DOUBLE)),
+        |(1, CAST(1.06 AS DOUBLE), CAST(0.95 AS DOUBLE))),
+        |bars AS (SELECT user_id, epoch_ms(ts) AS t, (value+1000)*1.01 AS h,
+        |(value+1000)*0.99 AS l, CAST(value+1000 AS DOUBLE) AS c FROM events),
+        |e AS (SELECT user_id, MIN(t) AS entry_t FROM bars GROUP BY user_id),
+        |en AS (SELECT b.user_id, b.t AS entry_ts, b.c AS entry_close, e.entry_t + 7200000 AS timeout_ts
+        |FROM bars b JOIN e ON b.user_id = e.user_id AND b.t = e.entry_t),
+        |post AS (SELECT s.scen, s.adv, s.tmm, c2.cfg, c2.tm, c2.sm, b.user_id, b.t, b.h, b.l, b.c,
+        |en.entry_ts, en.entry_close * s.slip AS entry_price, en.timeout_ts
+        |FROM bars b JOIN en ON b.user_id = en.user_id AND b.t >= en.entry_ts
+        |CROSS JOIN cfgs c2 CROSS JOIN scens s),
+        |hits AS (SELECT scen, cfg, user_id, entry_price, t,
+        |CASE WHEN t >= timeout_ts THEN 'timeout' WHEN l <= entry_price*sm THEN 'stop'
+        |WHEN h >= entry_price*tm THEN 'target' END AS reason,
+        |CASE WHEN t >= timeout_ts THEN c*tmm
+        |WHEN l <= entry_price*sm THEN (CASE WHEN adv THEN least(entry_price*sm, c) ELSE entry_price*sm END)
+        |WHEN h >= entry_price*tm THEN entry_price*tm END AS exit_price
+        |FROM post WHERE t > entry_ts),
+        |fh AS (SELECT scen, cfg, user_id, entry_price, exit_price, reason,
+        |ROW_NUMBER() OVER (PARTITION BY scen, cfg, user_id ORDER BY t) AS rn FROM hits WHERE reason IS NOT NULL),
+        |lastb AS (SELECT scen, cfg, user_id, entry_price, c*tmm AS exit_price, 'timeout_eod' AS reason,
+        |ROW_NUMBER() OVER (PARTITION BY scen, cfg, user_id ORDER BY t DESC) AS rn FROM post),
+        |fills AS (SELECT scen, cfg, user_id, entry_price, exit_price, reason FROM fh WHERE rn = 1
+        |UNION ALL SELECT l.scen, l.cfg, l.user_id, l.entry_price, l.exit_price, l.reason FROM lastb l
+        |WHERE l.rn = 1 AND NOT EXISTS (SELECT 1 FROM fh
+        |WHERE fh.scen = l.scen AND fh.cfg = l.cfg AND fh.user_id = l.user_id AND fh.rn = 1))
+        |SELECT scen AS scenario, CAST(cfg AS INT) AS cfg, reason AS exit_reason, COUNT(*) AS cnt,
+        |round(AVG((exit_price - entry_price)/entry_price*100), 4) AS avg_ret
+        |FROM fills GROUP BY scen, cfg, reason""".stripMargin,
     "q62_flow_metrics" ->
       """WITH c AS (SELECT l_suppkey, l_linestatus = 'O' AS isCall, l_quantity AS vol,
         |l_discount*1000 AS oi, l_extendedprice/100 AS mid, l_tax, l_extendedprice,
@@ -453,8 +510,10 @@ object SparkEntry {
         |ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
         |FROM documents) WHERE rn=1""".stripMargin,
     "q71_dup_clusters" ->
-      """SELECT md5(lower(trim(text))) AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
-        |FROM documents GROUP BY 1 HAVING COUNT(*)>1""".stripMargin,
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(lower(trim(text))) AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+        |FROM aug GROUP BY 1 HAVING COUNT(*)>1""".stripMargin,
     "q72_token_stats" ->
       """WITH t AS (SELECT lang,
         |CASE WHEN length(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
@@ -486,15 +545,11 @@ object SparkEntry {
     "q74_fingerprint" ->
       """SELECT COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique,
         |COUNT(*) AS n_docs FROM documents""".stripMargin,
-    "q75_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |FROM documents WHERE doc_id<40),
-        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
-        |i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh FROM t),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
-        |FROM s a, s b WHERE a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""".stripMargin,
+    "q75_ngram_jaccard" -> ngramJaccardOracle,
+    // Same exhaustive exact-Jaccard oracle as q75: the Spark side is the
+    // LSH pipeline, so hash equality = recall 1 on the planted fixture
+    // (precision 1 by construction: candidates are exact-verified).
+    "q85_lsh_recall" -> ngramJaccardOracle,
     "q78_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |sc AS (SELECT doc_id, lang,

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * Entry = first bar with ts >= entry_ts (exact match or first later bar);
   * entry price = entry bar close * slippage.
   *
+  * Stress-scenario adverse fills (X2, simulate_live_execution.py:205-302):
+  * per-row fill-adjustment params model worse-than-modeled execution —
+  *   - `stop_adverse`: stop exits fill at min(stop price, bar close)
+  *     ("adverse fill realism: worse of stop price or minute close")
+  *   - `timeout_mult`: timeout / timeout_eod exits fill at close *
+  *     timeout_mult (reference Stress penalizes timeouts with 0.95).
+  * Optimistic/Base scenarios pass (false, 1.0) and reproduce the plain
+  * semantics exactly.
+  *
   * Implemented as a typed state machine over `flatMapSortedGroups` — each
   * group is one (trade) key, bars arrive sorted by ts, early-exit is a
   * stateful scan. This is the one operator that is genuinely procedural;
@@ -26,7 +35,8 @@ object Bracket {
   case class BarIn(
       trade_id: Long, t: Long, o: Double, h: Double, l: Double, c: Double,
       entry_ts: Long, timeout_ts: Long,
-      slippage: Double, target_mult: Double, stop_mult: Double)
+      slippage: Double, target_mult: Double, stop_mult: Double,
+      stop_adverse: Boolean, timeout_mult: Double)
 
   case class Fill(
       trade_id: Long, entry_ts: Long, entry_price: Double,
@@ -64,18 +74,20 @@ object Bracket {
         val stop = entryPrice * b.stop_mult
         val target = entryPrice * b.target_mult
         if (b.t >= b.timeout_ts)
-          fill = Some(mk(tradeId, entryTs, entryPrice, b.t, b.c, "timeout", barsHeld))
-        else if (b.l <= stop) // stop-before-target intrabar tie rule
-          fill = Some(mk(tradeId, entryTs, entryPrice, b.t, stop, "stop", barsHeld))
-        else if (b.h >= target)
+          fill = Some(mk(tradeId, entryTs, entryPrice, b.t, b.c * b.timeout_mult,
+            "timeout", barsHeld))
+        else if (b.l <= stop) { // stop-before-target intrabar tie rule
+          val px = if (b.stop_adverse) math.min(stop, b.c) else stop
+          fill = Some(mk(tradeId, entryTs, entryPrice, b.t, px, "stop", barsHeld))
+        } else if (b.h >= target)
           fill = Some(mk(tradeId, entryTs, entryPrice, b.t, target, "target", barsHeld))
       }
     }
     fill match {
       case Some(f) => Iterator.single(f)
       case None if lastBar != null => // data exhausted -> timeout at last close
-        Iterator.single(mk(tradeId, entryTs, entryPrice, lastBar.t, lastBar.c,
-          "timeout_eod", barsHeld))
+        Iterator.single(mk(tradeId, entryTs, entryPrice, lastBar.t,
+          lastBar.c * lastBar.timeout_mult, "timeout_eod", barsHeld))
       case None => Iterator.empty // no bar at/after entry
     }
   }

@@ -23,17 +23,27 @@ object MonteCarlo {
     * (globalSeed, pathId) — reproducible across partitionings. */
   private def rng(seed: Long, path: Long) = new java.util.Random(seed * 1000003L + path)
 
-  /** Categorical-outcome lifetime simulation (X4 shape): `nTrades` i.i.d.
-    * draws from (targetPct, stopPct, timeoutPct) with probabilities
-    * (pTarget, pStop, 1-pTarget-pStop); fixed fractional bet sizing with
-    * tier ladder; ruin when capital < ruinAt.
+  /** Categorical-outcome lifetime simulation (X4,
+    * monte_carlo_v2_regime.py:20-92): `months` x `tradesPerMonth` i.i.d.
+    * draws from (targetFrac, stopFrac, timeoutFrac) with probabilities
+    * (pTarget, pStop, 1-pTarget-pStop). Reference-exact structure:
+    *  - the bet-size tier (<1500 -> 500, <2500 -> 1000, <4000 -> 1500,
+    *    else 2000) is fixed at the START of each month (":41-49");
+    *  - per trade: bet clamps down to remaining capital (and STAYS clamped
+    *    for the rest of the month — the reference mutates bet_size), ruin
+    *    checked BEFORE the draw (capital < ruinAt -> stop, record 0);
+    *  - harvest rule (":68-70"): after month >= harvestFromMonth, capital
+    *    > harvestAbove withdraws harvestAmount.
+    * Ruined lifetimes report final_capital = 0 (reference
+    * `results.append(0)`), so the summary percentiles match.
     */
   def categorical(
-      spark: SparkSession, nPaths: Int, nTrades: Int,
+      spark: SparkSession, nPaths: Int, months: Int, tradesPerMonth: Int,
       pTarget: Double, pStop: Double,
-      targetPct: Double, stopPct: Double, timeoutPct: Double,
-      startCapital: Double = 1000.0, ruinAt: Double = 500.0,
-      seed: Long = 42L): DataFrame = {
+      targetFrac: Double, stopFrac: Double, timeoutFrac: Double,
+      startCapital: Double = 2500.0, ruinAt: Double = 500.0,
+      harvestFromMonth: Int = 4, harvestAbove: Double = 5000.0,
+      harvestAmount: Double = 2000.0, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     spark.range(nPaths).as[Long].map { path =>
       val r = rng(seed, path)
@@ -41,26 +51,35 @@ object MonteCarlo {
       var peak = cap
       var maxDd = 0.0
       var ruined = false
-      var i = 0
-      while (i < nTrades && !ruined) {
-        // tiered bet sizing ladder (monte_carlo_v2_regime.py:41-49 shape)
-        val bet =
-          if (cap < 1500) math.min(500.0, cap)
+      var month = 1
+      while (month <= months && !ruined) {
+        // tier decided once per month from month-start capital (":41-49")
+        var bet =
+          if (cap < 1500) 500.0
           else if (cap < 2500) 1000.0
           else if (cap < 4000) 1500.0
           else 2000.0
-        val u = r.nextDouble()
-        val ret =
-          if (u < pTarget) targetPct
-          else if (u < pTarget + pStop) stopPct
-          else timeoutPct
-        cap += bet * ret / 100.0
-        peak = math.max(peak, cap)
-        maxDd = math.max(maxDd, (peak - cap) / peak)
-        if (cap < ruinAt) ruined = true
-        i += 1
+        var i = 0
+        while (i < tradesPerMonth && !ruined) {
+          if (cap <= bet) bet = cap // can't bet more than we have (":55-56")
+          if (cap < ruinAt) ruined = true
+          else {
+            val u = r.nextDouble()
+            val ret =
+              if (u < pTarget) targetFrac
+              else if (u < pTarget + pStop) stopFrac
+              else timeoutFrac
+            cap += bet * ret
+            peak = math.max(peak, cap)
+            maxDd = math.max(maxDd, (peak - cap) / peak)
+          }
+          i += 1
+        }
+        if (!ruined && month >= harvestFromMonth && cap > harvestAbove)
+          cap -= harvestAmount // harvest withdrawal (":68-70")
+        month += 1
       }
-      PathResult(path, cap, ruined, maxDd)
+      PathResult(path, if (ruined) 0.0 else cap, ruined, maxDd)
     }.toDF()
   }
 

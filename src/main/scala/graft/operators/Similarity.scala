@@ -82,11 +82,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
     // deterministic "centroids": the nCells corpus vectors with the
     // smallest xxhash64(id) — a seeded sample, stable across runs
+    // the hash itself is the cell id (unique, deterministic) — consecutive
+    // numbering would need an unpartitioned window for no semantic gain
     val centroids = c
       .withColumn("_h", xxhash64(col("corpus_id"), lit(42)))
       .orderBy(col("_h"), col("corpus_id")).limit(nCells)
-      .withColumn("cell", row_number().over(Window.orderBy(col("_h"), col("corpus_id"))))
-      .select(col("cell"), col("cvec").as("centroid"))
+      .select(col("_h").as("cell"), col("cvec").as("centroid"))
     def nearestCells(df: DataFrame, vec: String, n: Int, outPrefix: String): DataFrame = {
       val scored = df.crossJoin(broadcast(centroids))
         .withColumn("_sim", cosine(col(vec), col("centroid")))

@@ -46,10 +46,11 @@ object Execution {
     val hist = macroSeries.where(col("date") <= entryDay)
     val vix = hist.where(col("symbol") === "^VIX")
       .agg(max_by(col("close"), col("date")).as("VIX_at_entry"))
-    val spyW = Window.orderBy(col("date").desc)
+    // last-10-sessions slice via distributed top-k (TakeOrderedAndProject),
+    // not an unpartitioned window — the macro series is bounded but the
+    // plan shape should still be the one you'd want at scale
     val spy = hist.where(col("symbol") === "SPY")
-      .withColumn("rn", row_number().over(spyW))
-      .where(col("rn") <= 10)
+      .orderBy(col("date").desc).limit(10)
       .agg(avg(col("close")).as("sma10"), max_by(col("close"), col("date")).as("last_close"),
         count(lit(1)).as("n"))
       .select(when(col("n") >= 10,

@@ -52,7 +52,8 @@ object DomainOps {
     val in = bars.join(entry, "user_id").select(
       $"user_id".as("trade_id"), $"t", $"c".as("o"), $"h", $"l", $"c",
       $"entry_ts", $"timeout_ts",
-      lit(1.02).as("slippage"), lit(1.03).as("target_mult"), lit(0.97).as("stop_mult"))
+      lit(1.02).as("slippage"), lit(1.03).as("target_mult"), lit(0.97).as("stop_mult"),
+      lit(false).as("stop_adverse"), lit(1.0).as("timeout_mult"))
     Bracket.execute(spark, in).toDF()
       .select($"trade_id".as("user_id"), $"entry_ts",
         round($"entry_price", 4).as("entry_price"),
@@ -125,15 +126,19 @@ object DomainOps {
         x => x.isNotNull), "|").as("signals"))
   }
 
-  /** q64 — seeded Monte Carlo (X4): 2000 categorical-outcome paths with
-    * tiered bet sizing, summarized. Deterministic (seed 42, per-path RNG)
-    * but java.util.Random is not expressible in DuckDB — rows-only driver
-    * check; exact-determinism covered by MonteCarloSpec. */
+  /** q64 — seeded Monte Carlo (X4): 10 000 lifetimes at the reference's
+    * published parameters (monte_carlo_v2_regime.py:8-18 — 12 months x 9
+    * trades/month, 55.6%/22.2%/22.2% outcome mix, +40%/-25%/0% returns,
+    * $2 500 start, ruin < $500, harvest $2 000 above $5 000 from month 4).
+    * Deterministic (seed 42, per-path RNG) but java.util.Random is not
+    * expressible in DuckDB — rows-only driver check; exact goldens in
+    * MonteCarloSpec. */
   def q64MonteCarlo(spark: SparkSession, dir: String): DataFrame =
     graft.kernels.MonteCarlo.summarize(
-      graft.kernels.MonteCarlo.categorical(spark, nPaths = 2000, nTrades = 50,
-        pTarget = 0.45, pStop = 0.30, targetPct = 40.0, stopPct = -25.0,
-        timeoutPct = -5.0))
+      graft.kernels.MonteCarlo.categorical(spark, nPaths = 10000,
+        months = 12, tradesPerMonth = 9,
+        pTarget = 0.556, pStop = 0.222, targetFrac = 0.40, stopFrac = -0.25,
+        timeoutFrac = 0.0))
 
   /** q61 — scenario/config sweep over the kernel (X2/X3): 2x2 bracket
     * configs via crossJoin with a config dimension, one kernel pass keyed
@@ -148,10 +153,30 @@ object DomainOps {
     val in = bars.join(entry, "user_id").crossJoin(broadcast(configs)).select(
       ($"user_id" * 10 + $"cfg").as("trade_id"), $"t", $"c".as("o"), $"h", $"l", $"c",
       $"entry_ts", $"timeout_ts",
-      lit(1.02).as("slippage"), $"tmult".as("target_mult"), $"smult".as("stop_mult"))
+      lit(1.02).as("slippage"), $"tmult".as("target_mult"), $"smult".as("stop_mult"),
+      lit(false).as("stop_adverse"), lit(1.0).as("timeout_mult"))
     Bracket.execute(spark, in).toDF()
       .withColumn("cfg", ($"trade_id" % 10).cast("int"))
       .groupBy($"cfg", $"exit_reason")
+      .agg(count(lit(1)).as("cnt"), round(avg($"return_pct"), 4).as("avg_ret"))
+  }
+
+  /** q65 — scenario-parameterized sweep (X2, the Stress adverse-fill
+    * semantics of simulate_live_execution.py:205-302): the full 2-config x
+    * 3-scenario grid through [[graft.research.Research.sweep]] in one
+    * kernel pass. Stress exits stops at min(stop, close) and penalizes
+    * timeouts close*0.95 — the oracle replays those branches in SQL, so
+    * the adverse-fill arithmetic is cross-engine-checked. */
+  def q65StressSweep(spark: SparkSession, dir: String): DataFrame = {
+    val bars = barsFromEvents(spark, dir)
+      .withColumnRenamed("user_id", "trade_id")
+      .withColumn("o", $"c")
+    val trades = bars.groupBy($"trade_id").agg(min($"t").as("entry_ts"))
+      .withColumn("timeout_ts", $"entry_ts" + lit(7200000L))
+    val configs = spark.createDataFrame(Seq((0, 1.03, 0.97), (1, 1.06, 0.95)))
+      .toDF("cfg", "target_mult", "stop_mult")
+    graft.research.Research.sweep(spark, trades, bars, configs)
+      .groupBy($"scenario", $"cfg", $"exit_reason")
       .agg(count(lit(1)).as("cnt"), round(avg($"return_pct"), 4).as("avg_ret"))
   }
 }

@@ -92,13 +92,17 @@ object Relational {
         sum(when($"o_totalprice" > 100000, 1).otherwise(0)).as("big_orders"),
         count(lit(1)).as("cnt"))
 
-  /** q09 — window-total percentage (A11): share of all orders per status. */
-  def q09WindowTotalPct(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+  /** q09 — share-of-total percentage (A11): share of all orders per status.
+    * The grand total is a broadcast one-row aggregate, not an unpartitioned
+    * window — same values, no single-partition WindowExec at scale. */
+  def q09WindowTotalPct(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(spark, dir)
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("pct_of_all",
-        round($"cnt" * 100.0 / sum($"cnt").over(Window.partitionBy()), 1))
+    agg.crossJoin(broadcast(agg.agg(sum($"cnt").as("_t"))))
+      .withColumn("pct_of_all", round($"cnt" * 100.0 / $"_t", 1))
+      .drop("_t")
+  }
 
   /** q10 — exact percentiles (A17): median + quartiles of acctbal per
     * market segment (exact, not approx — oracle parity; SURVEY §5). */
@@ -253,23 +257,34 @@ object Relational {
 
   /** q25 — top-N ordered list aggregation (A20): per priority, the top-3
     * order keys by value as an array (collect_list has no ordering
-    * guarantee — sort_array over (value, key) structs makes it exact). */
+    * guarantee — sort_array over (value, key) structs makes it exact).
+    * The list is emitted '|'-joined so both engines hash a scalar. */
   def q25TopLists(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy($"o_orderpriority")
       .agg(slice(reverse(sort_array(collect_list(
         struct($"o_totalprice", $"o_orderkey")))), 1, 3).as("top"))
       .select($"o_orderpriority",
-        expr("transform(top, x -> x.o_orderkey)").as("top_orders"),
+        array_join(expr("transform(top, x -> cast(x.o_orderkey as string))"), "|")
+          .as("top_orders"),
         round(expr("aggregate(top, cast(0.0 as double), (a, x) -> a + x.o_totalprice)"), 4)
           .as("top_value"))
 
-  /** q24 — ntile chronological split (W14): first half vs second half of
-    * orders by date, compared on win-rate-style metrics. */
+  /** q24 — chronological holdout split (W14): first half vs second half of
+    * orders by date, compared on win-rate-style metrics.
+    *
+    * Scale-safe plan: an unpartitioned ntile window moves the whole fact
+    * table to ONE task; instead the median order timestamp is computed as a
+    * single scalar aggregate (partial-agg'd, no global sort) and halves are
+    * tagged by plain comparison — the same holdout semantics with a
+    * broadcast join of one row.
+    */
   def q24NtileSplit(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy($"o_orderdate", $"o_orderkey")
-    Tables.orders(spark, dir)
-      .withColumn("half", ntile(2).over(w))
+    val o = Tables.orders(spark, dir)
+      .select($"o_totalprice", unix_millis($"o_orderdate".cast("timestamp")).as("ts_ms"))
+    val med = o.agg(expr("percentile(ts_ms, 0.5)").as("med"))
+    o.crossJoin(broadcast(med))
+      .withColumn("half", when($"ts_ms" <= $"med", 1).otherwise(2))
       .groupBy($"half")
       .agg(count(lit(1)).as("cnt"), round(avg($"o_totalprice"), 4).as("avg_price"))
   }

@@ -28,12 +28,20 @@ object TrainingData {
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
-  /** q71 — duplicate-cluster census: texts with >1 occurrence. */
-  def q71DupClusters(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  /** q71 — duplicate-cluster census: texts with >1 occurrence. The corpus
+    * carries no natural exact dups (500/500 distinct digests at sf0.01), so
+    * the fixture plants deterministic ones — every 10th doc re-appears
+    * under a shifted id — making the check discriminating (a broken
+    * operator can no longer pass with an empty result). */
+  def q71DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val planted = d.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    d.unionByName(planted)
       .groupBy(md5(lower(trim($"text"))).as("text_md5"))
       .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("first_doc"))
       .where($"n_copies" > 1)
+  }
 
   /** q72 — token statistics (text analysis): whitespace tokens, token
     * estimate, punct ratio, mean word length, aggregated per lang. One
@@ -67,15 +75,38 @@ object TrainingData {
       .select(md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
       .agg(countDistinct($"fp").as("n_unique"), count(lit(1)).as("n_docs"))
 
+  /** Near-dup fixture shared by q75/q85: the first 40 docs plus a mutated
+    * copy of each (four tokens appended, id shifted by 1000). The corpus
+    * has no natural near-dups (max pairwise 3-gram Jaccard 0.02 at
+    * sf0.01), so appended-tail copies provide 40 true pairs with
+    * doc-length-dependent Jaccard ~n/(n+5) — a discriminating, non-empty,
+    * cross-engine-expressible result set. */
+  private def nearDupFixture(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).where($"doc_id" < 40).select($"doc_id", $"text")
+    val mutated = base.select(($"doc_id" + 1000).as("doc_id"),
+      concat($"text", lit(" graft near dup tail")).as("text"))
+    base.unionByName(mutated)
+  }
+
   /** q75 — n-gram Jaccard near-dup pairs (bounded): exact 3-gram Jaccard
-    * >= 0.5 between the first 40 docs (the verification kernel; LSH
-    * variants generate candidates at scale). */
-  def q75NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val subset = docs(spark, dir).where($"doc_id" < 40)
-    Dedup.ngramJaccardPairs(subset, "doc_id", "text", 3)
+    * >= 0.5 over the planted near-dup fixture (the verification kernel;
+    * LSH variants generate candidates at scale). */
+  def q75NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(nearDupFixture(spark, dir), "doc_id", "text", 3)
       .where($"jaccard" >= 0.5)
       .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
-  }
+
+  /** q85 — MinHash-LSH cross-engine recall check: the LSH pipeline (banded
+    * xxhash64 minhash candidates + exact-Jaccard verification) over the
+    * same planted fixture as q75, checked against DuckDB's exhaustive
+    * exact-Jaccard pair set. Precision 1 holds by construction (candidates
+    * are exact-verified); hash equality with the oracle proves recall 1 on
+    * this fixture — the containment check VERDICT r1 asked for. 16 bands x
+    * 2 rows: P(candidate | j=0.7) = 1-(1-0.49)^16 ~ 0.99998. */
+  def q85LshRecall(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(nearDupFixture(spark, dir), "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
 
   /** q76 — MinHash-LSH near-dups (scale path): banded minhash candidates,
     * exact-Jaccard verified. Hash family is xxhash64 — rows-only driver

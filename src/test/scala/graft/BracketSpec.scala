@@ -10,8 +10,10 @@ import graft.kernels.Bracket.{BarIn, Fill}
 class BracketSpec extends AnyFunSuite with SparkFixture {
 
   private def bar(t: Long, h: Double, l: Double, c: Double,
-      entry: Long = 10L, timeout: Long = 1000L): BarIn =
-    BarIn(1L, t, c, h, l, c, entry, timeout, 1.02, 1.40, 0.75)
+      entry: Long = 10L, timeout: Long = 1000L,
+      stopAdverse: Boolean = false, timeoutMult: Double = 1.0): BarIn =
+    BarIn(1L, t, c, h, l, c, entry, timeout, 1.02, 1.40, 0.75,
+      stopAdverse, timeoutMult)
 
   private def run(bars: Seq[BarIn]): Option[Fill] = {
     val it = Bracket.scanGroup(1L, bars.iterator)
@@ -52,6 +54,30 @@ class BracketSpec extends AnyFunSuite with SparkFixture {
     val f = run(Seq(bar(10, 101, 99, 100), bar(20, 103, 99, 101))).get
     assert(f.exit_reason == "timeout_eod")
     assert(f.exit_price == 101)
+  }
+
+  test("Stress adverse stop fill = min(stop, close) (X2, simulate_live_execution.py:249-262)") {
+    // entry 102, stop 76.5; close 60 below stop -> adverse fill at close
+    val f = run(Seq(bar(10, 101, 99, 100, stopAdverse = true),
+      bar(20, 101, 50, 60, stopAdverse = true))).get
+    assert(f.exit_reason == "stop")
+    assert(f.exit_price == 60.0)
+    // close above the stop price -> plain stop fill even under Stress
+    val g = run(Seq(bar(10, 101, 99, 100, stopAdverse = true),
+      bar(20, 101, 50, 90, stopAdverse = true))).get
+    assert(g.exit_price == 102 * 0.75)
+  }
+
+  test("Stress timeout fills at close * 0.95; timeout_eod too (X2 :271-286)") {
+    val f = run(Seq(
+      bar(10, 101, 99, 100, timeout = 30, timeoutMult = 0.95),
+      bar(30, 103, 97, 99, timeout = 30, timeoutMult = 0.95))).get
+    assert(f.exit_reason == "timeout")
+    assert(f.exit_price == 99 * 0.95)
+    val g = run(Seq(bar(10, 101, 99, 100, timeoutMult = 0.95),
+      bar(20, 103, 99, 101, timeoutMult = 0.95))).get
+    assert(g.exit_reason == "timeout_eod")
+    assert(g.exit_price == 101 * 0.95)
   }
 
   test("no bar at/after entry -> no fill") {

@@ -25,7 +25,8 @@ class PropertySpec extends AnyFunSuite {
     prices <- Gen.listOfN(n, Gen.choose(10.0, 200.0))
   } yield ts.distinct.sorted.zip(prices).map { case (t, p) =>
     BarIn(1L, t, p, p * 1.05, p * 0.95, p, entry_ts = 100L,
-      timeout_ts = 800L, slippage = 1.02, target_mult = 1.40, stop_mult = 0.75)
+      timeout_ts = 800L, slippage = 1.02, target_mult = 1.40, stop_mult = 0.75,
+      stop_adverse = false, timeout_mult = 1.0)
   }
 
   test("bracket: exit never precedes entry; prices on the correct side (X1 invariants)") {
@@ -58,6 +59,21 @@ class PropertySpec extends AnyFunSuite {
       (loose, tight) match {
         case (Seq(l), Seq(t)) => assert(t.exit_ts <= l.exit_ts)
         case _ => // entry never reached in both
+      }
+    }
+  }
+
+  test("bracket: Stress adverse fills exit at the same bar, never at a better price (X2)") {
+    forAll(barGen) { bars =>
+      val base = Bracket.scanGroup(1L, bars.iterator).toSeq
+      val stress = Bracket.scanGroup(1L,
+        bars.map(b => b.copy(stop_adverse = true, timeout_mult = 0.95)).iterator).toSeq
+      (base, stress) match {
+        case (Seq(b), Seq(s)) =>
+          // fill adjustments change prices only, never the exit trigger
+          assert(s.exit_ts == b.exit_ts && s.exit_reason == b.exit_reason)
+          assert(s.exit_price <= b.exit_price)
+        case (l, t) => assert(l.size == t.size) // both empty: entry never reached
       }
     }
   }
