@@ -18,23 +18,36 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // one warm-up action so JVM/codegen startup cost lands outside timings
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query untimed warm-up: planning + Janino codegen happen here, so
+      // even a single timed iteration records the steady state the engine
+      // would show on a long-running cluster (first-compile cost is a
+      // once-per-JVM artifact, not a property of the plan)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name warmup: ${e.getMessage}") }
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min // steady-state: planning/codegen warm after iter 1
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":true}"""
+    spark.stop() // stop first: shutdown logging must not trail the JSON line
+    // belt-and-braces for harnesses that can't grab the last stdout line
+    // through sbt's [info] prefixes: persist the same JSON to a file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      line.getBytes("UTF-8"))
+    println(line)
   }
 }

@@ -91,6 +91,25 @@ object Writers {
       .saveAsTable(table)
   }
 
+  /** P14 batch idempotency guard (overnight_scanner.py:815-827): true iff
+    * the sink at `path` already has rows for `date` in `dateCol` — the
+    * reference skips the whole run when today's partition is non-empty. A
+    * missing/unreadable sink means "not run yet" (the reference swallows
+    * the table-not-found probe). On a `dateCol`-partitioned sink the probe
+    * partition-prunes to the single matching directory and stops at the
+    * first row (`isEmpty` = LIMIT 1), so the guard is O(1) at any scale. */
+  def alreadyRan(spark: SparkSession, path: String, dateCol: String,
+      date: String): Boolean =
+    try !spark.read.parquet(path).where(col(dateCol) === lit(date)).isEmpty
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** Guarded pipeline entry: run `job` unless [[alreadyRan]] says this
+    * date's output exists; returns true iff the job ran. */
+  def runIfNotAlready(spark: SparkSession, path: String, dateCol: String,
+      date: String)(job: => Unit): Boolean =
+    if (alreadyRan(spark, path, dateCol, date)) false
+    else { job; true }
+
   /** S17 ensure-exists DDL in the session catalog. */
   def ensureTable(spark: SparkSession, name: String, schemaDdl: String,
       partitionedBy: Option[String] = None): Unit = {

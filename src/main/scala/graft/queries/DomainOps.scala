@@ -23,6 +23,11 @@ object DomainOps {
   def q59Calendar(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_orderdate".cast("date").as("orderdate"))
+    // Deliberate two-scalar driver action: the calendar dimension needs
+    // its bounds to be generated, and generation is driver-side by design
+    // (a few KB, always the broadcast side). The min/max is a partial-agg'd
+    // scan — the lazy alternative (sequence() + running-sum session_seq)
+    // would reintroduce an unpartitioned window for no gain.
     val Array(mn, mx) = o.agg(min($"orderdate"), max($"orderdate"))
       .head().toSeq.map(_.asInstanceOf[java.sql.Date].toLocalDate).toArray
     val cal = TradingCalendar.build(spark, mn, mx.plusDays(7), holidays = Set.empty[LocalDate])

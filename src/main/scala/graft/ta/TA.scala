@@ -72,25 +72,12 @@ object TA {
       (acc, x) => when(isnan(acc), x).otherwise(lit(alpha) * x + lit(1 - alpha) * acc))
   }
 
-  /** EMA of the *last* element per key given the full ordered history —
-    * the reference consumes only the latest indicator row (W9,
-    * enrichment-trigger/main.py:351). For a full EMA series use
-    * [[emaSeries]].
-    */
-  def emaSeries(ordered: Column, n: Int): Column = {
-    val alpha = 2.0 / (n + 1)
-    // transform with running state is not available; build series via
-    // aggregate over indices, carrying (series, acc) in a struct.
-    val folded = aggregate(
-      ordered,
-      struct(array().cast("array<double>").as("series"), lit(Double.NaN).as("acc")),
-      (st, x) => {
-        val nextAcc = when(isnan(st.getField("acc")), x)
-          .otherwise(lit(alpha) * x + lit(1 - alpha) * st.getField("acc"))
-        struct(concat(st.getField("series"), array(nextAcc)).as("series"), nextAcc.as("acc"))
-      })
-    folded.getField("series")
-  }
+  // NOTE: recursive indicators here return only the LAST value per key —
+  // the reference consumes only the latest indicator row (W9,
+  // enrichment-trigger/main.py:351). A full EMA *series* has no linear
+  // Catalyst formulation (array-concat folds are O(n^2) per key); when a
+  // series is needed at minute-bar scale, write a typed
+  // flatMapSortedGroups kernel (Bracket.scala pattern) — O(n), one shuffle.
 
   /** W3 Wilder's RSI(n) over an ordered array of closes; returns the RSI of
     * the final bar. Wilder smoothing: first average = simple mean of the
@@ -140,13 +127,34 @@ object TA {
   }
 
   /** W4 MACD(fast, slow, signal) of the final bar from ordered closes:
-    * (macd, signal, histogram). */
+    * (macd, signal, histogram).
+    *
+    * One linear fold with a 3-field (signal, emaFast, emaSlow) accumulator
+    * — the signal EMA recurses over macd values as they are produced, so
+    * no intermediate EMA series is materialized (the previous formulation
+    * built two full series via array concat: O(n^2) per key, wasteful at
+    * minute-bar history lengths). Seeding matches pandas ewm(adjust=False):
+    * ema_0 = x_0 on both EMAs, hence macd_0 = 0 = signal_0.
+    */
   def macdLast(orderedCloses: Column, fast: Int = 12, slow: Int = 26, sig: Int = 9): Column = {
-    val emaFastSeries = emaSeries(orderedCloses, fast)
-    val emaSlowSeries = emaSeries(orderedCloses, slow)
-    val macdSeries = zip_with(emaFastSeries, emaSlowSeries, (f, s) => f - s)
-    val signalLast = emaOverList(macdSeries, sig)
-    val macdL = element_at(macdSeries, -1)
-    struct(macdL.as("macd"), signalLast.as("macd_signal"), (macdL - signalLast).as("macd_hist"))
+    val af = 2.0 / (fast + 1)
+    val as_ = 2.0 / (slow + 1)
+    val ag = 2.0 / (sig + 1)
+    val x0 = element_at(orderedCloses, 1)
+    val folded = aggregate(
+      slice(orderedCloses, 2, 1000000),
+      struct(lit(0.0).as("sig"), x0.cast("double").as("f"), x0.cast("double").as("s")),
+      (acc, x) => {
+        val f = lit(af) * x + lit(1 - af) * acc.getField("f")
+        val s = lit(as_) * x + lit(1 - as_) * acc.getField("s")
+        // dependent fields FIRST is a DuckDB list_reduce constraint only;
+        // here each field is built from the same `acc` snapshot
+        struct(
+          (lit(ag) * (f - s) + lit(1 - ag) * acc.getField("sig")).as("sig"),
+          f.as("f"), s.as("s"))
+      })
+    val macdL = folded.getField("f") - folded.getField("s")
+    struct(macdL.as("macd"), folded.getField("sig").as("macd_signal"),
+      (macdL - folded.getField("sig")).as("macd_hist"))
   }
 }

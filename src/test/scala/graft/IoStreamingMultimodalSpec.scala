@@ -44,6 +44,28 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map("A" -> 1.0, "B" -> 42.0, "C" -> 3.0))
   }
 
+  test("alreadyRan guards batch reruns: skip when the date has rows (P14)") {
+    import spark.implicits._
+    val path = tmp() + "/g"
+    // missing sink -> not run yet (reference swallows table-not-found)
+    assert(!Writers.alreadyRan(spark, path, "scan_date", "2026-01-01"))
+    var runs = 0
+    assert(Writers.runIfNotAlready(spark, path, "scan_date", "2026-01-01") {
+      runs += 1
+      Seq(("2026-01-01", "A", 1.0)).toDF("scan_date", "ticker", "v")
+        .write.partitionBy("scan_date").parquet(path)
+    })
+    assert(runs == 1)
+    // same date again -> guard trips, job body must not execute
+    assert(!Writers.runIfNotAlready(spark, path, "scan_date", "2026-01-01") {
+      runs += 1
+    })
+    assert(runs == 1)
+    // a different date is free to run
+    assert(Writers.alreadyRan(spark, path, "scan_date", "2026-01-01"))
+    assert(!Writers.alreadyRan(spark, path, "scan_date", "2026-01-02"))
+  }
+
   test("keyedJson writes one doc partition per key; csvReport single file (S15/S16)") {
     import spark.implicits._
     val base = tmp()
