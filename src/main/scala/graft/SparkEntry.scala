@@ -97,6 +97,10 @@ object SparkEntry {
     "q83_embedding_dedup"  -> (D.q83EmbeddingNearDups(_, _)),
     "q84_bpe_tokens"       -> (D.q84BpeTokens(_, _)),
     "q85_lsh_recall"       -> (D.q85LshRecall(_, _)),
+    "q86_pii_redact"       -> (D.q86PiiRedact(_, _)),
+    "q87_vocab"            -> (D.q87Vocab(_, _)),
+    "q88_ngram_contamination" -> (D.q88NgramContamination(_, _)),
+    "q89_decontaminate"    -> (D.q89Decontaminate(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -598,6 +602,47 @@ object SparkEntry {
         | ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_ws_tokens,
         |CAST(SUM(CAST(ceil(length(text)/4.0) AS BIGINT)) AS BIGINT) AS total_len4_estimate
         |FROM documents GROUP BY source""".stripMargin,
+    "q86_pii_redact" ->
+      """WITH planted AS (SELECT source, text ||
+        |(CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+        |(CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        | || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) AS text
+        |FROM documents),
+        |t AS (SELECT source, text,
+        |len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+        |len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS phones,
+        |regexp_replace(regexp_replace(text,
+        | '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        | '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
+        |FROM planted)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN emails + phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        |CAST(SUM(emails) AS BIGINT) AS emails_found,
+        |CAST(SUM(phones) AS BIGINT) AS phones_found,
+        |CAST(SUM(length(text) - length(clean)) AS BIGINT) AS chars_redacted
+        |FROM t GROUP BY source""".stripMargin,
+    "q87_vocab" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |FROM documents)
+        |SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+        |ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    "q88_ngram_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-3, 1)),
+        |i -> array_to_string(list_slice(toks, i, i+4), ' ')))) AS sh FROM t),
+        |d AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY sh)
+        |SELECT df, COUNT(*) AS n_shingles FROM d GROUP BY df""".stripMargin,
+    "q89_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |testsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, greatest(len(toks)-6, 1)),
+        |i -> array_to_string(list_slice(toks, i, i+7), ' ')))) AS sh FROM tok WHERE doc_id < 10),
+        |train AS (SELECT doc_id, toks FROM tok WHERE doc_id >= 10
+        |UNION ALL SELECT doc_id + 2000, toks FROM tok WHERE doc_id < 5),
+        |trainsh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-6, 1)),
+        |i -> array_to_string(list_slice(toks, i, i+7), ' ')))) AS sh FROM train)
+        |SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_shared_shingles
+        |FROM trainsh t WHERE EXISTS (SELECT 1 FROM testsh WHERE testsh.sh = t.sh)
+        |GROUP BY t.doc_id""".stripMargin,
     "q81_embedding_stats" ->
       """SELECT label, COUNT(*) AS n,
         |round(AVG(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),

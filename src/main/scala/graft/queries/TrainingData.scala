@@ -183,6 +183,92 @@ object TrainingData {
       .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
   }
 
+  /** q86 — PII detection + redaction (training-data scrubbing): count and
+    * strip emails / phone numbers per source, reporting how many chars the
+    * redaction removed. The corpus carries no natural PII (0 '@', 0
+    * digits), so deterministic PII is planted on a doc_id grid — every 5th
+    * doc gets an email, every 7th a phone number (planted-fixture pattern
+    * of q71/q75). Patterns are conservative so Java regex (Spark) and RE2
+    * (DuckDB) agree. */
+  def q86PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val planted = docs(spark, dir).select($"doc_id", $"source",
+      concat($"text",
+        when($"doc_id" % 5 === 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com"))).otherwise(lit("")),
+        when($"doc_id" % 7 === 0,
+          concat(lit(" call 555-"), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+        .as("text"))
+    planted
+      .withColumn("emails", regexp_count($"text", lit(emailRe)))
+      .withColumn("phones", regexp_count($"text", lit(phoneRe)))
+      .withColumn("clean",
+        regexp_replace(regexp_replace($"text", emailRe, "[EMAIL]"), phoneRe, "[PHONE]"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(($"emails" + $"phones" > 0).cast("long")).as("docs_with_pii"),
+        sum($"emails").as("emails_found"),
+        sum($"phones").as("phones_found"),
+        sum(length($"text") - length($"clean")).as("chars_redacted"))
+  }
+
+  /** q87 — corpus vocabulary head (the wordcount of training pipelines):
+    * explode the token stream, count, top-20 with deterministic
+    * (freq desc, token asc) tie-break. One explode + one shuffle on the
+    * token — the canonical map-side-combined aggregation at any scale. */
+  def q87Vocab(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token")
+      .limit(20)
+
+  /** q88 — duplicate n-gram contamination census: document frequency of
+    * every distinct 5-gram (how many docs share it), reduced to a
+    * (df -> n_shingles) histogram. The cross-doc-repeated-n-gram rate is
+    * the standard contamination / near-dup diagnostic run before training;
+    * shuffles only (shingle, doc_id) pairs, never text. */
+  def q88NgramContamination(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select($"doc_id",
+        explode(graft.functions.FastHash.shingles($"text", 5)).as("sh"))
+      // shuffle 8-byte hashes, not shingle strings (xxhash64 collision on
+      // ~10^6 distinct shingles: p ~ 3e-8 — the histogram is insensitive
+      // at any realistic corpus size); per-doc shingles are already
+      // distinct, so plain count(*) IS the document frequency — no
+      // count-distinct expansion pass
+      .groupBy(xxhash64($"sh").as("shh"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy($"df")
+      .agg(count(lit(1)).as("n_shingles"))
+
+  /** q89 — train/test decontamination (GPT-3/C4-style 8-gram overlap):
+    * flag train docs sharing any 8-gram shingle with the test split.
+    * Test split = first 10 docs; planted contamination = copies of the
+    * first 5 under shifted ids (the natural corpus shares no 8-grams, so
+    * the planted rows make the check discriminating). Plan shape: explode
+    * both sides to (shingle, id), left-semi join train on the broadcast
+    * test shingle set, distinct ids — no text ever joins. */
+  def q89Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val test = d.where($"doc_id" < 10)
+    val train = d.where($"doc_id" >= 10)
+      .unionByName(d.where($"doc_id" < 5)
+        .select(($"doc_id" + 2000).as("doc_id"), $"text"))
+    val testSh = test
+      .select(explode(graft.functions.FastHash.shingles($"text", 8)).as("sh"))
+      .distinct()
+    train
+      .select($"doc_id", explode(graft.functions.FastHash.shingles($"text", 8)).as("sh"))
+      .join(broadcast(testSh), Seq("sh"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_shared_shingles"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -78,6 +78,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q24: holdout split plans no window and broadcasts the median row") {
+    val p = physical("q24_ntile_split")
+    assert(!p.contains("Window"), p.take(800)) // the old ntile scale-killer
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800)) // 1-row median side
+  }
+
+  test("q85/q76: LSH candidate generation is an equi-join, never all-pairs") {
+    for (q <- Seq("q85_lsh_recall", "q76_minhash_lsh")) {
+      val p = physical(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(500)}")
+    }
+  }
+
+  test("q87: vocabulary count partial-aggregates before the token shuffle") {
+    val p = physical("q87_vocab")
+    assert(p.contains("partial_count"), p.take(800)) // map-side combine
+  }
+
+  test("q89: decontamination semi-joins train shingles against a broadcast test set") {
+    val p = physical("q89_decontaminate")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("as-of join plans one shuffle (union+window), not a range join") {
     val p = physical("q35_asof_join")
     // no nested-loop / cartesian from the inequality condition

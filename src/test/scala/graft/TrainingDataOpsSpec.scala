@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.TrainingData
+
+/** Targeted semantics for the corpus-hygiene operators (q86-q89) beyond
+  * the DuckDB oracle: the planted fixtures must actually trip each
+  * detector (a broken operator must not be able to pass with an empty or
+  * degenerate result — the q71/q75 lesson from round 1). */
+class TrainingDataOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q86: planted PII is found and redaction shrinks the text") {
+    val rows = TrainingData.q86PiiRedact(spark, dir).collect()
+    val emails = rows.map(_.getAs[Long]("emails_found")).sum
+    val phones = rows.map(_.getAs[Long]("phones_found")).sum
+    val redacted = rows.map(_.getAs[Long]("chars_redacted")).sum
+    assert(emails > 0 && phones > 0)
+    // every redaction replaces a match longer than its [EMAIL]/[PHONE] tag
+    assert(redacted > 0)
+    assert(rows.forall(r =>
+      r.getAs[Long]("docs_with_pii") <= r.getAs[Long]("n_docs")))
+  }
+
+  test("q87: vocabulary head is 20 rows of positive descending frequency") {
+    val rows = TrainingData.q87Vocab(spark, dir).collect()
+    assert(rows.length == 20)
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.forall(_ > 0))
+    assert(freqs.sameElements(freqs.sorted.reverse))
+  }
+
+  test("q88: contamination histogram accounts for every distinct 5-gram once") {
+    val rows = TrainingData.q88NgramContamination(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // df >= 1 always; shared shingles (df >= 2) exist in this corpus
+    assert(rows.forall(_.getAs[Long]("df") >= 1))
+    assert(rows.exists(_.getAs[Long]("df") >= 2))
+  }
+
+  test("q89: all five planted contaminated train docs are flagged") {
+    val flagged = TrainingData.q89Decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_shingles"))
+      .toMap
+    // planted ids 2000-2004 are verbatim copies of test docs 0-4: every
+    // 8-gram is shared, so each must be flagged with a positive count
+    (2000L to 2004L).foreach { id =>
+      assert(flagged.contains(id), s"planted doc $id not flagged")
+      assert(flagged(id) > 0)
+    }
+  }
+}
