@@ -4,7 +4,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 import graft.kernels.Bracket
-import graft.kernels.Bracket.BarIn
+import graft.kernels.Bracket.{BarIn, GridBarIn, GridCfg}
 import graft.operators.Streaks
 
 /** Property-based invariants (SURVEY §5.3): bracket-scan lookahead/side
@@ -74,6 +74,34 @@ class PropertySpec extends AnyFunSuite {
           assert(s.exit_ts == b.exit_ts && s.exit_reason == b.exit_reason)
           assert(s.exit_price <= b.exit_price)
         case (l, t) => assert(l.size == t.size) // both empty: entry never reached
+      }
+    }
+  }
+
+  test("grid sweep kernel == independent per-config scans, cell for cell (X3)") {
+    val grid = Array(
+      GridCfg(0, 1.02, 1.40, 0.75, stop_adverse = false, timeout_mult = 1.0),
+      GridCfg(1, 1.00, 1.10, 0.95, stop_adverse = false, timeout_mult = 1.0),
+      GridCfg(2, 1.05, 1.40, 0.75, stop_adverse = true, timeout_mult = 0.95))
+    forAll(barGen) { bars =>
+      val gridBars = bars.map(b => GridBarIn(b.trade_id, b.t, b.o, b.h, b.l,
+        b.c, b.entry_ts, b.timeout_ts))
+      val fromGrid = Bracket.scanGroupGrid(1L, gridBars.iterator, grid).toSeq
+        .map(f => f.gid -> f).toMap
+      grid.foreach { c =>
+        val single = Bracket.scanGroup(1L, bars.map(b => b.copy(
+          slippage = c.slippage, target_mult = c.target_mult,
+          stop_mult = c.stop_mult, stop_adverse = c.stop_adverse,
+          timeout_mult = c.timeout_mult)).iterator).toSeq
+        (single, fromGrid.get(c.gid)) match {
+          case (Seq(s), Some(g)) =>
+            assert(g.entry_ts == s.entry_ts && g.entry_price == s.entry_price)
+            assert(g.exit_ts == s.exit_ts && g.exit_price == s.exit_price)
+            assert(g.exit_reason == s.exit_reason && g.bars_held == s.bars_held)
+            assert(g.return_pct == s.return_pct)
+          case (Seq(), None) => // entry never reached in both
+          case (s, g) => fail(s"grid/single disagree: single=$s grid=$g")
+        }
       }
     }
   }
