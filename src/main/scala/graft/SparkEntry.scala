@@ -101,6 +101,7 @@ object SparkEntry {
     "q87_vocab"            -> (D.q87Vocab(_, _)),
     "q88_ngram_contamination" -> (D.q88NgramContamination(_, _)),
     "q89_decontaminate"    -> (D.q89Decontaminate(_, _)),
+    "q90_ivf_full_probe"   -> (D.q90IvfFullProbe(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -643,6 +644,20 @@ object SparkEntry {
         |SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_shared_shingles
         |FROM trainsh t WHERE EXISTS (SELECT 1 FROM testsh WHERE testsh.sh = t.sh)
         |GROUP BY t.doc_id""".stripMargin,
+    // q90 = q79's exact top-k oracle: IVF probing every cell must equal
+    // brute force (assignment/join/re-rank machinery checked cross-engine).
+    "q90_ivf_full_probe" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |j AS (SELECT p.probe_id, e.vec_id AS corpus_id,
+        |list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) *
+        | sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum'))) AS cos
+        |FROM e, p WHERE e.vec_id <> p.probe_id),
+        |r AS (SELECT probe_id, corpus_id, cos,
+        |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
+        |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id, round(cos, 4) AS cos
+        |FROM r WHERE rnk <= 5""".stripMargin,
     "q81_embedding_stats" ->
       """SELECT label, COUNT(*) AS n,
         |round(AVG(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),

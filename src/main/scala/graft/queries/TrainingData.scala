@@ -269,6 +269,20 @@ object TrainingData {
       .agg(countDistinct($"sh").as("n_shared_shingles"))
   }
 
+  /** q90 — IVF exhaustive-probe equivalence: [[Similarity.ivfTopK]] with
+    * nProbe = nCells must reproduce brute-force top-k EXACTLY (every cell
+    * searched => candidate set = full corpus => identical re-rank). This
+    * gives the IVF machinery — centroid assignment, cell join, re-rank —
+    * a real DuckDB oracle (q79's SQL), complementing q82's recall-only
+    * check at nProbe < nCells. */
+  def q90IvfFullProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val probes = emb.where($"vec_id" < 5)
+    Similarity.ivfTopK(emb, probes, "vec_id", "v", k = 5, nCells = 8, nProbe = 8)
+      .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -22,6 +22,18 @@ object Streams {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("ticker", "scan_date")
 
+  /** Streaming exact document dedup (q70 made incremental): drop documents
+    * whose normalized-text digest was already seen within the watermark.
+    * The 16-byte digest — never the text — is the dedup state key, so
+    * state stays bytes-bounded at any ingest rate. */
+  def dedupedDocs(docs: DataFrame, eventTimeCol: String,
+      textCol: String = "text", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_digest", md5(lower(trim(col(textCol)))))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("_digest")
+      .drop("_digest")
+
   /** Windowed per-type value aggregation with a watermark — the streaming
     * form of the scanner's per-day conditional sums (A1/A2). */
   def windowedTypeAgg(events: DataFrame, window_ : String = "1 hour",

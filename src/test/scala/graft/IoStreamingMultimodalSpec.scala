@@ -138,6 +138,25 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming document dedup drops digest replays, keeps text intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("event_time", "doc_id", "text")
+    val q = Streams.dedupedDocs(df, "event_time").writeStream
+      .format("memory").queryName("doc_dedup").outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2026-03-18 09:00:00")
+      // same normalized text under different ids/case -> one survivor
+      mem.addData((t, 1L, "Spark joins fast"), (t, 2L, "  spark JOINS fast "),
+        (t, 3L, "a different document"))
+      q.processAllAvailable()
+      val out = spark.table("doc_dedup")
+      assert(out.count() == 2)
+      assert(out.columns.toSeq == Seq("event_time", "doc_id", "text")) // digest dropped
+    } finally q.stop()
+  }
+
   test("streaming bracket tracker fills once per trade with kernel precedence (X1 live)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
