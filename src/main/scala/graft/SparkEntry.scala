@@ -102,6 +102,8 @@ object SparkEntry {
     "q88_ngram_contamination" -> (D.q88NgramContamination(_, _)),
     "q89_decontaminate"    -> (D.q89Decontaminate(_, _)),
     "q90_ivf_full_probe"   -> (D.q90IvfFullProbe(_, _)),
+    "q91_hash_sample"      -> (D.q91HashSample(_, _)),
+    "q92_packing_stats"    -> (D.q92PackingStats(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -658,6 +660,23 @@ object SparkEntry {
         |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
         |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id, round(cos, 4) AS cos
         |FROM r WHERE rnk <= 5""".stripMargin,
+    "q91_hash_sample" ->
+      """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        |CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |CAST(round(CAST(CAST(AVG(CASE WHEN sampled THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        | AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS sample_rate
+        |FROM t GROUP BY lang""".stripMargin,
+    "q92_packing_stats" ->
+      """WITH t AS (SELECT len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_tok
+        |FROM documents),
+        |b AS (SELECT n_tok, CASE WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+        |WHEN n_tok <= 256 THEN 256 ELSE 512 END AS ctx_bin FROM t)
+        |SELECT CAST(ctx_bin AS INT) AS ctx_bin, COUNT(*) AS n_docs,
+        |CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |CAST(round(CAST(CAST(AVG(CAST(1.0 AS DOUBLE) - n_tok / CAST(ctx_bin AS DOUBLE))
+        | AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS avg_pad_waste
+        |FROM b GROUP BY ctx_bin""".stripMargin,
     "q81_embedding_stats" ->
       """SELECT label, COUNT(*) AS n,
         |round(AVG(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),

@@ -283,6 +283,41 @@ object TrainingData {
       .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
   }
 
+  /** q91 — deterministic hash-threshold sampling (reproducible
+    * subsampling, the primitive every training-data pipeline needs): a doc
+    * is sampled iff the md5 hex of its id sorts below a threshold string
+    * — uniform, seedable (prefix the id), engine-portable (lexicographic
+    * compare on the hex digest), and stable under reruns/repartitioning
+    * unlike rand()-based sampling. '2' keeps the first-hex-char in {0,1}
+    * => a 1/8 sample. Reported per lang to show stratification. */
+  def q91HashSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("sampled", md5($"doc_id".cast("string")) < "2")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum($"sampled".cast("long")).as("n_sampled"),
+        round(avg($"sampled".cast("double")), 4).as("sample_rate"))
+
+  /** q92 — context-length packing stats (sequence-packing planning): BPE
+    * token counts bucketed into power-of-two context bins with the padding
+    * waste a naive one-doc-per-sequence batcher would pay at each bin —
+    * the sizing metric used to choose packing strategy before training. */
+  def q92PackingStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(TextOps.bpeTokenCount($"text").as("n_tok"))
+      .withColumn("ctx_bin",
+        when($"n_tok" <= 64, 64)
+          .when($"n_tok" <= 128, 128)
+          .when($"n_tok" <= 256, 256)
+          .otherwise(512))
+      .groupBy($"ctx_bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_tokens"),
+        round(avg(lit(1.0) - $"n_tok" / $"ctx_bin".cast("double")), 4)
+          .as("avg_pad_waste"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
