@@ -21,7 +21,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // one warm-up action so JVM/codegen startup cost lands outside timings
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query untimed warm-up: planning + Janino codegen happen here, so
       // even a single timed iteration records the steady state the engine
