@@ -128,6 +128,28 @@ object FastHash {
     new GenericArrayData(arr)
   }
 
+  /** Cosine similarity over two array<double> vectors in one tight loop —
+    * value-identical to the declarative zip_with/aggregate formulation in
+    * [[graft.operators.Similarity]] (same left-to-right accumulation
+    * order, so bit-identical doubles; cross-check-tested). Norms run over
+    * each full array, the dot product over the common prefix, mirroring
+    * the HOF semantics exactly. */
+  def cosineValue(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = if (na < nb) na else nb
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    var sa = 0.0
+    i = 0
+    while (i < na) { val x = a.getDouble(i); sa += x * x; i += 1 }
+    var sb = 0.0
+    i = 0
+    while (i < nb) { val y = b.getDouble(i); sb += y * y; i += 1 }
+    dot / (math.sqrt(sa) * math.sqrt(sb))
+  }
+
   /** Column API. */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashSigExpr(GraftShim.expression(text), n, k))
@@ -140,6 +162,9 @@ object FastHash {
 
   def srpBucket(vec: Column, table: Int, planes: Int): Column =
     GraftShim.column(SrpBucketExpr(GraftShim.expression(vec), table, planes))
+
+  def cosine(a: Column, b: Column): Column =
+    GraftShim.column(CosineExpr(GraftShim.expression(a), GraftShim.expression(b)))
 }
 
 /** text -> array<bigint> of k minhashes (null when < n tokens). */
@@ -198,6 +223,25 @@ case class SrpBucketExpr(child: Expression, table: Int, planes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucketExpr =
     copy(child = newChild)
+}
+
+/** (array<double>, array<double>) -> cosine similarity. */
+case class CosineExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FastHash.cosineValue(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.FastHash.cosineValue($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** text -> 64-bit simhash fingerprint. */

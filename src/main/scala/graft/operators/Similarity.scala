@@ -20,9 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<float|double> columns, pure
-    * higher-order functions (zip_with dot product) — codegen'd, no UDF. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two array<double> columns — the codegen'd
+    * [[graft.functions.FastHash.cosine]] kernel (one tight loop inside
+    * whole-stage codegen). Catalyst higher-order functions are
+    * CodegenFallback = interpreted, so the declarative form below is kept
+    * only as the cross-check reference for tests. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.FastHash.cosine(a, b)
+
+  /** Declarative HOF formulation (interpreted) — value-identical to
+    * [[cosine]]; exists for fast-vs-declarative cross-check tests. */
+  private[graft] def cosineDeclarative(a: Column, b: Column): Column = {
     val dot   = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
     val normA = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, v) => s + v))
     val normB = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, v) => s + v))

@@ -16,6 +16,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("codegen'd cosine matches the declarative HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 50).map(_ => Seq.fill(64)(rnd.nextGaussian()))
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+    val pairs = df.select(
+      Similarity.cosine(col("a"), col("b")).as("fast"),
+      Similarity.cosineDeclarative(col("a"), col("b")).as("slow")).collect()
+    // identical left-to-right accumulation order => bit-identical doubles
+    pairs.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
   test("bruteForceTopK returns the k nearest by cosine, self excluded") {
     import spark.implicits._
     val vecs = Seq(
