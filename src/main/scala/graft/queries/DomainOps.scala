@@ -145,23 +145,26 @@ object DomainOps {
         pTarget = 0.556, pStop = 0.222, targetFrac = 0.40, stopFrac = -0.25,
         timeoutFrac = 0.0))
 
-  /** q61 — scenario/config sweep over the kernel (X2/X3): 2x2 bracket
-    * configs via crossJoin with a config dimension, one kernel pass keyed
-    * by (trade, config), grouped exit-reason stats (A8 shape). */
+  /** q61 — config sweep over the kernel (X3): 2x2 bracket configs through
+    * [[Bracket.executeGrid]] — bars shuffle once and each sorted group is
+    * scanned with four concurrent bracket states (the crossJoin
+    * formulation shuffled every bar |configs| times). Grouped exit-reason
+    * stats (A8 shape); the per-row-param kernel entry stays oracle-covered
+    * by q60. */
   def q61Sweep(spark: SparkSession, dir: String): DataFrame = {
-    val configs = spark.createDataFrame(
-      Seq((0, 1.03, 0.97), (1, 1.03, 0.95), (2, 1.06, 0.97), (3, 1.06, 0.95)))
-      .toDF("cfg", "tmult", "smult")
+    val grid = Seq(
+      Bracket.GridCfg(0, 1.02, 1.03, 0.97, stop_adverse = false, timeout_mult = 1.0),
+      Bracket.GridCfg(1, 1.02, 1.03, 0.95, stop_adverse = false, timeout_mult = 1.0),
+      Bracket.GridCfg(2, 1.02, 1.06, 0.97, stop_adverse = false, timeout_mult = 1.0),
+      Bracket.GridCfg(3, 1.02, 1.06, 0.95, stop_adverse = false, timeout_mult = 1.0))
     val bars = barsFromEvents(spark, dir)
     val entry = bars.groupBy($"user_id").agg(min($"t").as("entry_ts"))
       .withColumn("timeout_ts", $"entry_ts" + lit(7200000L))
-    val in = bars.join(entry, "user_id").crossJoin(broadcast(configs)).select(
-      ($"user_id" * 10 + $"cfg").as("trade_id"), $"t", $"c".as("o"), $"h", $"l", $"c",
-      $"entry_ts", $"timeout_ts",
-      lit(1.02).as("slippage"), $"tmult".as("target_mult"), $"smult".as("stop_mult"),
-      lit(false).as("stop_adverse"), lit(1.0).as("timeout_mult"))
-    Bracket.execute(spark, in).toDF()
-      .withColumn("cfg", ($"trade_id" % 10).cast("int"))
+    val in = bars.join(entry, "user_id").select(
+      $"user_id".as("trade_id"), $"t", $"c".as("o"), $"h", $"l", $"c",
+      $"entry_ts", $"timeout_ts")
+    Bracket.executeGrid(spark, in, grid).toDF()
+      .withColumn("cfg", $"gid")
       .groupBy($"cfg", $"exit_reason")
       .agg(count(lit(1)).as("cnt"), round(avg($"return_pct"), 4).as("avg_ret"))
   }
