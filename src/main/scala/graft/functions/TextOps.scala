@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Null text -> null (this session's size()
+    * returns -1 on null input, which would silently corrupt token SUMs;
+    * null propagates through sums on both engines instead). */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
+    when(text.isNull, lit(null).cast("int"))
+      .when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword token estimate: word-boundary pieces plus residual
@@ -29,7 +32,8 @@ object TextOps {
   val bpePattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+    when(text.isNull, lit(null).cast("int")) // size(null) = -1, see tokenCount
+      .otherwise(size(regexp_extract_all(text, lit(bpePattern), lit(0))))
 
   /** Punctuation ratio: punctuation chars / total chars. */
   def punctRatio(text: Column): Column =

@@ -49,6 +49,10 @@ object Similarity {
     val scored = c.crossJoin(broadcast(p))
       .where(col("corpus_id") =!= col("probe_id"))
       .withColumn("cos", cosine(col("cvec"), col("pvec")))
+      // zero-norm vectors produce NaN cosines, and BOTH Spark and DuckDB
+      // order NaN above every number — an unguarded top-k would rank junk
+      // rows first. Drop them here; at corpus scale they always exist.
+      .where(!isnan(col("cos")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -114,6 +118,7 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     cand.withColumn("cos", cosine(col("cvec"), col("pvec")))
+      .where(!isnan(col("cos"))) // NaN sorts above 1.0 — see bruteForceTopK
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("corpus_id"), col("cos"), col("rank"))
@@ -145,6 +150,7 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     cand.withColumn("cos", cosine(col("cvec"), col("pvec")))
+      .where(!isnan(col("cos"))) // NaN sorts above 1.0 — see bruteForceTopK
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("corpus_id"), col("cos"), col("rank"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Round}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{MinHashSigExpr, SimHash64Expr, SrpBucketExpr}
+import graft.functions.{CosineExpr, MinHashSigExpr, SimHash64Expr, SrpBucketExpr}
 
 /** Catalyst integration (SURVEY §4 custom work item 2): the engine's
   * codegen'd expressions registered as SQL functions, plus a small
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SrpBucketExpr].getName, "graft_srp_bucket"),
       (args: Seq[Expression]) => SrpBucketExpr(args.head,
         intArg(args(1), "table"), intArg(args(2), "planes"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineExpr(args.head, args(1))))
     ext.injectOptimizerRule(_ => CollapseRedundantRound)
   }
 }

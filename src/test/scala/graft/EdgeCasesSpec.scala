@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{FastHash, TextOps}
+import graft.operators.{Dedup, Similarity}
+
+/** Degenerate-input hardening: null text, empty frames, single-token and
+  * empty-string documents, zero vectors. At 100 TB these inputs ALWAYS
+  * occur somewhere in the corpus; an operator that throws on one bad row
+  * kills a 1000-executor stage. */
+class EdgeCasesSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private val messyDocs = Seq(
+    (1L, "normal document with several words here"),
+    (2L, ""),                       // empty
+    (3L, "   "),                    // whitespace only
+    (4L, "single"),                 // below shingle width
+    (5L, null.asInstanceOf[String]) // null payload
+  ).toDF("doc_id", "text")
+
+  test("shingle/minhash/simhash kernels survive null, empty, short text") {
+    val out = messyDocs.select(
+      $"doc_id",
+      FastHash.shingles($"text", 3).as("sh"),
+      FastHash.minhashSignature($"text", 3, 8).as("sig"),
+      FastHash.simhash($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getSeq[String](1).nonEmpty)
+    assert(out(2).getSeq[String](1).isEmpty)          // no shingles
+    assert(out(4).getSeq[String](1).isEmpty)          // 1 token < n
+    assert(out(2).isNullAt(2) && out(4).isNullAt(2))  // sig null when < n tokens
+    assert(out(5).isNullAt(1) && out(5).isNullAt(2) && out(5).isNullAt(3))
+  }
+
+  test("near-dup pipelines emit no pairs (not errors) on a degenerate corpus") {
+    assert(Dedup.minhashNearDups(messyDocs, "doc_id", "text", 3, 16, 8, 0.5).count() == 0)
+    assert(Dedup.simhashNearDups(messyDocs.where($"text".isNotNull),
+      "doc_id", "text").columns.contains("hamming"))
+    val jp = Dedup.ngramJaccardPairs(
+      messyDocs.where($"text".isNotNull), "doc_id", "text", 3)
+    // pairs against empty shingle sets are NaN/0-union — filtered by any
+    // threshold predicate, never a crash
+    assert(jp.where($"jaccard" >= 0.5).count() == 0)
+  }
+
+  test("text stats kernels handle null/empty without throwing") {
+    val out = messyDocs.select(
+      $"doc_id",
+      TextOps.tokenCount($"text").as("ws"),
+      TextOps.bpeTokenCount($"text").as("bpe"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2).isNullAt(1) || out(2).getAs[Number]("ws").longValue() == 0L)
+    assert(out(5).isNullAt(1) || out(5).getAs[Number]("ws").longValue() == 0L)
+  }
+
+  test("zero-norm vectors (NaN cosine) are guarded out of every similarity path") {
+    // NaN compares GREATER than any number in both Spark and DuckDB, so an
+    // unguarded threshold/top-k would surface junk rows FIRST — the
+    // operators carry explicit !isnan guards.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.1, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0))) // zero-norm junk row
+    val corpus = vecs.toDF("vec_id", "v")
+    val probes = corpus.where($"vec_id" === 0L)
+    val top = Similarity.bruteForceTopK(corpus, probes, "vec_id", "v", 5)
+      .collect().map(_.getAs[Long]("corpus_id")).toSeq
+    assert(top == Seq(1L)) // junk row absent, not ranked first
+    val pairs = Dedup.embeddingNearDupsExact(corpus, "vec_id", "v", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // zero vector pairs with nothing
+  }
+
+  test("bracket kernels yield nothing on empty bars; grid kernel matches") {
+    assert(graft.kernels.Bracket.scanGroup(1L, Iterator.empty).isEmpty)
+    assert(graft.kernels.Bracket.scanGroupGrid(1L, Iterator.empty,
+      Array(graft.kernels.Bracket.GridCfg(0, 1.0, 1.4, 0.75, false, 1.0))).isEmpty)
+  }
+
+  test("empty orders frame flows through the holdout split (q24 shape)") {
+    val empty = Seq.empty[(Long, Double)].toDF("ts_ms", "o_totalprice")
+    val med = empty.agg(expr("percentile(ts_ms, 0.5)").as("med"))
+    val out = empty.crossJoin(broadcast(med))
+      .withColumn("half", when($"ts_ms" <= $"med", 1).otherwise(2))
+      .groupBy($"half").count()
+    assert(out.count() == 0) // empty result, no exception
+  }
+}
