@@ -64,7 +64,12 @@ object TA {
     * Input: a DataFrame-side expression producing `collect_list` ordered by
     * the window; use [[emaOverList]] on a pre-collected ordered array.
     */
-  def emaOverList(ordered: Column, n: Int): Column = {
+  def emaOverList(ordered: Column, n: Int): Column =
+    graft.functions.FastTA.emaLast(ordered, n) // codegen'd; HOF fold below is the cross-check
+
+  /** Declarative HOF formulation (interpreted) — value-identical to
+    * [[emaOverList]]; retained for fast-vs-declarative cross-checks. */
+  private[graft] def emaOverListDeclarative(ordered: Column, n: Int): Column = {
     val alpha = 2.0 / (n + 1)
     aggregate(
       ordered,
@@ -83,7 +88,12 @@ object TA {
     * the final bar. Wilder smoothing: first average = simple mean of the
     * first n gains/losses, then rma_t = (rma_{t-1}*(n-1) + x_t)/n.
     */
-  def rsiLast(orderedCloses: Column, n: Int): Column = {
+  def rsiLast(orderedCloses: Column, n: Int): Column =
+    graft.functions.FastTA.rsiLast(orderedCloses, n) // codegen'd; see cross-check below
+
+  /** Declarative HOF formulation (interpreted) — value-identical to
+    * [[rsiLast]]; retained for fast-vs-declarative cross-checks. */
+  private[graft] def rsiLastDeclarative(orderedCloses: Column, n: Int): Column = {
     val diffs = zip_with(
       slice(orderedCloses, 2, 1000000),
       slice(orderedCloses, lit(1), size(orderedCloses) - 1),

@@ -31,6 +31,24 @@ class TASpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(d(TA.rsiLast(col("vs"), 14)) - 45.499497238680405) < 1e-9)
   }
 
+  test("codegen'd EMA/RSI match the declarative HOF folds bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val series = (0 until 20).map(_ => Seq.fill(60)(40.0 + rnd.nextGaussian() * 3))
+    val df = series.toDF("vs")
+    df.select(
+      TA.emaOverList(col("vs"), 21).as("ef"),
+      TA.emaOverListDeclarative(col("vs"), 21).as("es"),
+      TA.rsiLast(col("vs"), 14).as("rf"),
+      TA.rsiLastDeclarative(col("vs"), 14).as("rs"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      }
+  }
+
   test("rsiLast is null below n diffs and 100 when no losses (W3 edges)") {
     import spark.implicits._
     val tiny = Seq(Seq(1.0, 2.0, 3.0)).toDF("vs")
