@@ -33,4 +33,9 @@ object Readers {
     * the append-with-field-addition tables. */
   def parquetMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** ORC source (second columnar format; predicate pushdown + column
+    * pruning work the same as parquet — plan-asserted in spec). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -73,6 +73,14 @@ object Writers {
     df.withColumn("_doc_id", col(keyCol))
       .write.mode(SaveMode.Overwrite).partitionBy("_doc_id").json(path)
 
+  /** ORC sink (partitioned like [[partitionedOverwrite]]'s layout but
+    * append-mode, for interchange with ORC-based warehouses). */
+  def orcAppend(df: DataFrame, path: String,
+      partitionCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    partitionCol.fold(w)(c => w.partitionBy(c)).orc(path)
+  }
+
   /** S16 single-file CSV report sink. */
   def csvReport(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)

@@ -44,6 +44,22 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map("A" -> 1.0, "B" -> 42.0, "C" -> 3.0))
   }
 
+  test("ORC sink/source round-trips with pushdown reaching the scan") {
+    import spark.implicits._
+    val path = tmp() + "/orc"
+    val df = (1 to 100).map(i => (f"2026-01-${i % 3 + 1}%02d", i.toLong, i * 1.5))
+      .toDF("scan_date", "id", "v")
+    Writers.orcAppend(df, path, partitionCol = Some("scan_date"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("scan_date", org.apache.spark.sql.types.StringType)))
+    val back = graft.io.Readers.orc(spark, path, schema).where(col("id") > 90)
+    assert(back.count() == 10)
+    val p = back.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)"), p.take(600))
+  }
+
   test("alreadyRan guards batch reruns: skip when the date has rows (P14)") {
     import spark.implicits._
     val path = tmp() + "/g"
