@@ -62,6 +62,9 @@ object SparkEntry {
     "q38_ema"              -> (T.q38EmaLast(_, _)),
     "q39_rsi"              -> (T.q39RsiLast(_, _)),
     "q40_macd"             -> (T.q40MacdLast(_, _)),
+    "q41_atr"              -> (T.q41AtrLast(_, _)),
+    "q42_support_resistance" -> (S.q42SupportResistance(_, _)),
+    "q43_directional_peak" -> (T.q43DirectionalPeak(_, _)),
     // domain operators: calendar (W15), bracket kernel (X1), sweep (X2/X3)
     "q59_calendar"         -> (K.q59Calendar(_, _)),
     "q60_bracket"          -> (K.q60Bracket(_, _)),
@@ -311,6 +314,50 @@ object SparkEntry {
         |s := (2.0/27.0)*x.f + (25.0/27.0)*acc.s)) AS m FROM h)
         |SELECT user_id, round(m.f - m.s, 4) AS macd, round(m.sig, 4) AS macd_signal,
         |round(m.f - m.s - m.sig, 4) AS macd_hist FROM r""".stripMargin,
+    // W7 Wilder ATR: TR list (first bar h-l, then max of range / |h-pc| /
+    // |l-pc|), seed = mean of first 14 TRs, then rma = (prev*13 + tr)/14.
+    "q41_atr" ->
+      """WITH bars AS (SELECT user_id, ts, event_id, (value+1000)*1.01 AS h,
+        |(value+1000)*0.99 AS l, CAST(value+1000 AS DOUBLE) AS c FROM events),
+        |g AS (SELECT user_id, list(h ORDER BY ts, event_id) AS hs,
+        |list(l ORDER BY ts, event_id) AS ls, list(c ORDER BY ts, event_id) AS cs
+        |FROM bars GROUP BY user_id),
+        |t AS (SELECT user_id, list_concat([hs[1]-ls[1]],
+        |list_transform(range(2, len(cs)+1), i -> greatest(hs[i]-ls[i],
+        |abs(hs[i]-cs[i-1]), abs(ls[i]-cs[i-1])))) AS trs FROM g),
+        |w AS (SELECT user_id, trs,
+        |list_reduce(list_concat([list_aggregate(list_slice(trs,1,14),'sum')/14.0],
+        |list_slice(trs,15,len(trs))), (acc,x) -> (acc*13.0+x)/14.0) AS atr FROM t)
+        |SELECT user_id, round(CASE WHEN len(trs) >= 15 THEN atr END, 4) AS atr14
+        |FROM w""".stripMargin,
+    // F20: support = greatest candidate strictly below price, resistance =
+    // least strictly above; null-skipping greatest/least match the
+    // when(cond, c) null pattern on the Spark side.
+    "q42_support_resistance" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round(greatest(
+        | CASE WHEN l_quantity*1000 < l_extendedprice THEN l_quantity*1000 END,
+        | CASE WHEN l_discount*500000 < l_extendedprice THEN l_discount*500000 END,
+        | CASE WHEN 30000.0 < l_extendedprice THEN 30000.0 END), 4) AS support,
+        |round(least(
+        | CASE WHEN l_quantity*1000 > l_extendedprice THEN l_quantity*1000 END,
+        | CASE WHEN l_discount*500000 > l_extendedprice THEN l_discount*500000 END,
+        | CASE WHEN 30000.0 > l_extendedprice THEN 30000.0 END), 4) AS resistance
+        |FROM lineitem""".stripMargin,
+    // W11: direction from the first bar close, BULLISH tracks max-high
+    // excursion, BEARISH min-low, percent of signal price.
+    "q43_directional_peak" ->
+      """WITH bars AS (SELECT user_id, ts, event_id, (value+1000)*1.01 AS h,
+        |(value+1000)*0.99 AS l, CAST(value+1000 AS DOUBLE) AS c FROM events),
+        |f AS (SELECT user_id, c AS sig_c,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM bars),
+        |s AS (SELECT user_id, sig_c FROM f WHERE rn = 1),
+        |a AS (SELECT user_id, MAX(h) AS ph, MIN(l) AS tl FROM bars GROUP BY user_id)
+        |SELECT a.user_id,
+        |CASE WHEN sig_c > 1050 THEN 'BULLISH' ELSE 'BEARISH' END AS direction,
+        |CAST(round(CAST(CAST(CASE WHEN sig_c > 1050 THEN (ph/sig_c - 1)*100
+        | ELSE (tl/sig_c - 1)*100 END AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE) AS peak_return
+        |FROM a JOIN s USING (user_id)""".stripMargin,
     "q59_calendar" ->
       """WITH bounds AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS mn, CAST(MAX(o_orderdate) AS DATE) AS mx FROM orders),
         |cal AS (SELECT CAST(mn + i * INTERVAL 1 DAY AS DATE) AS date,

@@ -118,4 +118,17 @@ object Scalars {
         .otherwise($"l_extendedprice").as("signed_price_raw"))
       .select($"l_orderkey", $"l_linenumber",
         safeFloat($"signed_price_raw").as("signed_price"))
+
+  /** q42 — support/resistance selection (F20): greatest candidate strictly
+    * below the price / least strictly above, from a fixed candidate ladder
+    * (enrichment-trigger/main.py:372-386 semantics; null when no candidate
+    * is on that side). */
+  def q42SupportResistance(spark: SparkSession, dir: String): DataFrame = {
+    val price = $"l_extendedprice"
+    val candidates = Seq($"l_quantity" * 1000, $"l_discount" * 500000, lit(30000.0))
+    Tables.lineitem(spark, dir).select(
+      $"l_orderkey", $"l_linenumber",
+      round(supportLevel(price, candidates), 4).as("support"),
+      round(resistanceLevel(price, candidates), 4).as("resistance"))
+  }
 }

@@ -132,4 +132,40 @@ object TimeSeries {
         round($"m.macd", 4).as("macd"),
         round($"m.macd_signal", 4).as("macd_signal"),
         round($"m.macd_hist", 4).as("macd_hist"))
+
+  /** q41 — Wilder ATR(14) final row per user (W7): synthetic OHLC bars
+    * from events (q60's bar shape), TR with prior close, Wilder smoothing;
+    * the oracle replays TR construction + the Wilder fold in DuckDB list
+    * form, upgrading W7 from spec-only to cross-engine-checked. */
+  def q41AtrLast(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("h", ($"value" + 1000) * 1.01)
+      .withColumn("l", ($"value" + 1000) * 0.99)
+      .withColumn("c", ($"value" + 1000).cast("double"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"h", $"l", $"c"))).as("hist"))
+      .select($"user_id",
+        round(TA.atrLast(
+          expr("transform(hist, x -> x.h)"),
+          expr("transform(hist, x -> x.l)"),
+          expr("transform(hist, x -> x.c)"), 14), 4).as("atr14"))
+
+  /** q43 — direction-conditional peak excursion (W11,
+    * win-tracker/main.py peak_return shape): signal price = first bar
+    * close per user; BULLISH tracks the max high excursion, BEARISH the
+    * min low, as a signed percent of the signal price. */
+  def q43DirectionalPeak(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("h", ($"value" + 1000) * 1.01)
+      .withColumn("l", ($"value" + 1000) * 0.99)
+      .withColumn("c", ($"value" + 1000).cast("double"))
+      .groupBy($"user_id")
+      .agg(
+        min_by($"c", struct($"ts", $"event_id")).as("sig_c"),
+        max($"h").as("ph"),
+        min($"l").as("tl"))
+      .select($"user_id",
+        when($"sig_c" > 1050, "BULLISH").otherwise("BEARISH").as("direction"),
+        round(when($"sig_c" > 1050, ($"ph" / $"sig_c" - 1) * 100)
+          .otherwise(($"tl" / $"sig_c" - 1) * 100), 2).as("peak_return"))
 }
