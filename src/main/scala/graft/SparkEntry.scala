@@ -65,6 +65,7 @@ object SparkEntry {
     "q41_atr"              -> (T.q41AtrLast(_, _)),
     "q42_support_resistance" -> (S.q42SupportResistance(_, _)),
     "q43_directional_peak" -> (T.q43DirectionalPeak(_, _)),
+    "q44_regime_trend"     -> (T.q44RegimeTrend(_, _)),
     // domain operators: calendar (W15), bracket kernel (X1), sweep (X2/X3)
     "q59_calendar"         -> (K.q59Calendar(_, _)),
     "q60_bracket"          -> (K.q60Bracket(_, _)),
@@ -358,6 +359,14 @@ object SparkEntry {
         |CAST(round(CAST(CAST(CASE WHEN sig_c > 1050 THEN (ph/sig_c - 1)*100
         | ELSE (tl/sig_c - 1)*100 END AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE) AS peak_return
         |FROM a JOIN s USING (user_id)""".stripMargin,
+    // W10: last close vs SMA-10; list-ordered summation on both engines.
+    "q44_regime_trend" ->
+      """WITH h AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        |FROM events GROUP BY user_id)
+        |SELECT user_id, CASE WHEN len(vs) >= 10 THEN
+        | CASE WHEN vs[len(vs)] > list_aggregate(list_slice(vs, greatest(len(vs)-9, 1), len(vs)), 'sum')
+        |  / least(len(vs), 10) THEN 'BULLISH' ELSE 'BEARISH' END
+        |END AS spy_trend_state FROM h""".stripMargin,
     "q59_calendar" ->
       """WITH bounds AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS mn, CAST(MAX(o_orderdate) AS DATE) AS mx FROM orders),
         |cal AS (SELECT CAST(mn + i * INTERVAL 1 DAY AS DATE) AS date,

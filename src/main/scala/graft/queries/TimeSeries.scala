@@ -168,4 +168,23 @@ object TimeSeries {
         when($"sig_c" > 1050, "BULLISH").otherwise("BEARISH").as("direction"),
         round(when($"sig_c" > 1050, ($"ph" / $"sig_c" - 1) * 100)
           .otherwise(($"tl" / $"sig_c" - 1) * 100), 2).as("peak_return"))
+
+  /** q44 — SMA-10 regime trend (W10, Execution.regimeContext shape): last
+    * close vs the 10-bar SMA per user; null trend below 10 bars. The SMA
+    * sums in list order on BOTH engines (a plain AVG's unordered summation
+    * could flip the comparison by an ulp on ties). */
+  def q44RegimeTrend(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value"))).as("hist"))
+      .select($"user_id", expr("transform(hist, x -> x.value)").as("vs"))
+      .select($"user_id",
+        element_at($"vs", -1).as("last_close"),
+        (aggregate(slice($"vs", greatest(size($"vs") - 9, lit(1)), lit(10)),
+          lit(0.0), (a, x) => a + x) / least(size($"vs"), lit(10))).as("sma10"),
+        size($"vs").as("n"))
+      .select($"user_id",
+        when($"n" >= 10,
+          when($"last_close" > $"sma10", "BULLISH").otherwise("BEARISH"))
+          .as("spy_trend_state"))
 }
