@@ -66,6 +66,7 @@ object SparkEntry {
     "q42_support_resistance" -> (S.q42SupportResistance(_, _)),
     "q43_directional_peak" -> (T.q43DirectionalPeak(_, _)),
     "q44_regime_trend"     -> (T.q44RegimeTrend(_, _)),
+    "q45_entry_fallback"   -> (K.q45EntryFallback(_, _)),
     // domain operators: calendar (W15), bracket kernel (X1), sweep (X2/X3)
     "q59_calendar"         -> (K.q59Calendar(_, _)),
     "q60_bracket"          -> (K.q60Bracket(_, _)),
@@ -400,6 +401,34 @@ object SparkEntry {
         |UNION ALL SELECT l.user_id, l.entry_ts, l.entry_price, l.exit_ts, l.exit_price, l.reason
         |FROM lastb l WHERE l.rn = 1 AND NOT EXISTS (SELECT 1 FROM fh WHERE fh.user_id = l.user_id AND fh.rn = 1))
         |SELECT user_id, entry_ts, round(entry_price, 4) AS entry_price, exit_ts,
+        |round(exit_price, 4) AS exit_price, reason AS exit_reason,
+        |round((exit_price - entry_price)/entry_price*100, 4) AS return_pct FROM fills""".stripMargin,
+    // J5 entry fallback: requested entry lands between bars; the entry bar
+    // is the FIRST bar at/after it (row_number selection), everything else
+    // replays q60's state machine.
+    "q45_entry_fallback" ->
+      """WITH bars AS (SELECT user_id, epoch_ms(ts) AS t, (value+1000)*1.01 AS h,
+        |(value+1000)*0.99 AS l, CAST(value+1000 AS DOUBLE) AS c FROM events),
+        |e AS (SELECT user_id, MIN(t)+1 AS req_ts FROM bars GROUP BY user_id),
+        |cand AS (SELECT b.user_id, b.t, b.c, e.req_ts + 7200000 AS timeout_ts,
+        |ROW_NUMBER() OVER (PARTITION BY b.user_id ORDER BY b.t) AS rn
+        |FROM bars b JOIN e ON b.user_id = e.user_id AND b.t >= e.req_ts),
+        |en AS (SELECT user_id, t AS entry_bar_t, c*1.02 AS entry_price, timeout_ts
+        |FROM cand WHERE rn = 1),
+        |post AS (SELECT b.user_id, b.t, b.h, b.l, b.c, en.entry_bar_t, en.entry_price, en.timeout_ts
+        |FROM bars b JOIN en ON b.user_id = en.user_id AND b.t >= en.entry_bar_t),
+        |hits AS (SELECT user_id, entry_bar_t, entry_price, t, c,
+        |CASE WHEN t >= timeout_ts THEN 'timeout' WHEN l <= entry_price*0.97 THEN 'stop'
+        |WHEN h >= entry_price*1.03 THEN 'target' END AS reason FROM post WHERE t > entry_bar_t),
+        |fh AS (SELECT user_id, entry_bar_t, entry_price, t AS exit_ts,
+        |CASE reason WHEN 'timeout' THEN c WHEN 'stop' THEN entry_price*0.97 ELSE entry_price*1.03 END AS exit_price,
+        |reason, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) AS rn FROM hits WHERE reason IS NOT NULL),
+        |lastb AS (SELECT user_id, entry_bar_t, entry_price, t AS exit_ts, c AS exit_price,
+        |'timeout_eod' AS reason, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC) AS rn FROM post),
+        |fills AS (SELECT user_id, entry_bar_t, entry_price, exit_ts, exit_price, reason FROM fh WHERE rn = 1
+        |UNION ALL SELECT l.user_id, l.entry_bar_t, l.entry_price, l.exit_ts, l.exit_price, l.reason
+        |FROM lastb l WHERE l.rn = 1 AND NOT EXISTS (SELECT 1 FROM fh WHERE fh.user_id = l.user_id AND fh.rn = 1))
+        |SELECT user_id, entry_bar_t AS entry_ts, round(entry_price, 4) AS entry_price, exit_ts,
         |round(exit_price, 4) AS exit_price, reason AS exit_reason,
         |round((exit_price - entry_price)/entry_price*100, 4) AS return_pct FROM fills""".stripMargin,
     "q61_sweep" ->

@@ -169,6 +169,28 @@ object DomainOps {
       .agg(count(lit(1)).as("cnt"), round(avg($"return_pct"), 4).as("avg_ret"))
   }
 
+  /** q45 — entry-bar fallback (J5): the requested entry timestamp falls
+    * BETWEEN bars (min(t)+1), so the kernel's "first bar at/after
+    * entry_ts" fallback branch picks the next bar — the branch q60's
+    * exact-match fixture never exercises. Oracle selects the entry bar
+    * with a row_number over t >= requested. */
+  def q45EntryFallback(spark: SparkSession, dir: String): DataFrame = {
+    val bars = barsFromEvents(spark, dir)
+    val entry = bars.groupBy($"user_id")
+      .agg((min($"t") + 1).as("entry_ts"))
+      .withColumn("timeout_ts", $"entry_ts" + lit(7200000L))
+    val in = bars.join(entry, "user_id").select(
+      $"user_id".as("trade_id"), $"t", $"c".as("o"), $"h", $"l", $"c",
+      $"entry_ts", $"timeout_ts",
+      lit(1.02).as("slippage"), lit(1.03).as("target_mult"), lit(0.97).as("stop_mult"),
+      lit(false).as("stop_adverse"), lit(1.0).as("timeout_mult"))
+    Bracket.execute(spark, in).toDF()
+      .select($"trade_id".as("user_id"), $"entry_ts",
+        round($"entry_price", 4).as("entry_price"),
+        $"exit_ts", round($"exit_price", 4).as("exit_price"),
+        $"exit_reason", round($"return_pct", 4).as("return_pct"))
+  }
+
   /** q65 — scenario-parameterized sweep (X2, the Stress adverse-fill
     * semantics of simulate_live_execution.py:205-302): the full 2-config x
     * 3-scenario grid through [[graft.research.Research.sweep]] in one
