@@ -67,6 +67,8 @@ object SparkEntry {
     "q43_directional_peak" -> (T.q43DirectionalPeak(_, _)),
     "q44_regime_trend"     -> (T.q44RegimeTrend(_, _)),
     "q45_entry_fallback"   -> (K.q45EntryFallback(_, _)),
+    "q46_latest_row"       -> (T.q46LatestRow(_, _)),
+    "q47_eligibility"      -> (S.q47Eligibility(_, _)),
     // domain operators: calendar (W15), bracket kernel (X1), sweep (X2/X3)
     "q59_calendar"         -> (K.q59Calendar(_, _)),
     "q60_bracket"          -> (K.q60Bracket(_, _)),
@@ -360,6 +362,23 @@ object SparkEntry {
         |CAST(round(CAST(CAST(CASE WHEN sig_c > 1050 THEN (ph/sig_c - 1)*100
         | ELSE (tl/sig_c - 1)*100 END AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE) AS peak_return
         |FROM a JOIN s USING (user_id)""".stripMargin,
+    // W9: per-key latest row via one max_by aggregation.
+    "q46_latest_row" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |round(value, 4) AS last_value, epoch_ms(ts) AS last_ts_ms FROM (
+        |SELECT user_id, event_id, event_type, value, ts,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) WHERE rn = 1""".stripMargin,
+    // P6: sequential eligibility gates, first failing gate recorded.
+    "q47_eligibility" ->
+      """WITH g AS (SELECT CASE
+        |WHEN NOT (l_quantity >= 7 AND l_quantity <= 45) THEN 'DTE'
+        |WHEN NOT (l_extendedprice > 0 AND l_tax >= 0) THEN 'QUOTE'
+        |WHEN NOT (l_discount <= 0.08) THEN 'SPREAD'
+        |WHEN NOT ((CASE WHEN l_linestatus = 'O' THEN l_extendedprice/30000.0
+        | ELSE 30000.0/l_extendedprice END) BETWEEN 0.9 AND 1.25) THEN 'MONEYNESS'
+        |ELSE 'ELIGIBLE' END AS gate FROM lineitem)
+        |SELECT gate, COUNT(*) AS cnt FROM g GROUP BY gate""".stripMargin,
     // W10: last close vs SMA-10; list-ordered summation on both engines.
     "q44_regime_trend" ->
       """WITH h AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs

@@ -119,6 +119,28 @@ object Scalars {
       .select($"l_orderkey", $"l_linenumber",
         safeFloat($"signed_price_raw").as("signed_price"))
 
+  /** q47 — contract-eligibility predicate (P6, overnight_scanner.py:
+    * 417-447 shape): range gates + positive-quote gates + a
+    * direction-dependent moneyness ratio band, with the pass/fail census
+    * per rejection reason (first failing gate wins, mirroring the
+    * reference's sequential checks). */
+  def q47Eligibility(spark: SparkSession, dir: String): DataFrame = {
+    val dte = $"l_quantity" // 1..50 range stands in for DTE
+    val quoteOk = $"l_extendedprice" > 0 && $"l_tax" >= 0
+    val spreadOk = $"l_discount" <= 0.08 // spread-ratio gate
+    val moneyness = when($"l_linestatus" === "O",
+      $"l_extendedprice" / 30000.0).otherwise(lit(30000.0) / $"l_extendedprice")
+    val reason = when(!(dte >= 7 && dte <= 45), "DTE")
+      .when(!quoteOk, "QUOTE")
+      .when(!spreadOk, "SPREAD")
+      .when(!(moneyness >= 0.9 && moneyness <= 1.25), "MONEYNESS")
+      .otherwise("ELIGIBLE")
+    Tables.lineitem(spark, dir)
+      .select(reason.as("gate"))
+      .groupBy($"gate")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** q42 — support/resistance selection (F20): greatest candidate strictly
     * below the price / least strictly above, from a fixed candidate ladder
     * (enrichment-trigger/main.py:372-386 semantics; null when no candidate

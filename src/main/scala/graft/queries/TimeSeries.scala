@@ -187,4 +187,19 @@ object TimeSeries {
         when($"n" >= 10,
           when($"last_close" > $"sma10", "BULLISH").otherwise("BEARISH"))
           .as("spy_trend_state"))
+
+  /** q46 — latest-row snapshot per key (W9, Enrich.technicals "latest
+    * indicator row" consumption): max_by over the (ts, event_id) order
+    * returns each user's final event row in one aggregation — no window,
+    * no second shuffle. */
+  def q46LatestRow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy($"user_id")
+      .agg(max_by(
+        struct($"event_id", $"event_type", $"value", $"ts"),
+        struct($"ts", $"event_id")).as("r"))
+      .select($"user_id", $"r.event_id".as("last_event_id"),
+        $"r.event_type".as("last_type"),
+        round($"r.value", 4).as("last_value"),
+        unix_millis($"r.ts".cast("timestamp")).as("last_ts_ms"))
 }
