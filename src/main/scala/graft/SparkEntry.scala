@@ -68,6 +68,7 @@ object SparkEntry {
     "q44_regime_trend"     -> (T.q44RegimeTrend(_, _)),
     "q45_entry_fallback"   -> (K.q45EntryFallback(_, _)),
     "q46_latest_row"       -> (T.q46LatestRow(_, _)),
+    "q48_risk_fields"      -> (K.q48RiskFields(_, _)),
     "q47_eligibility"      -> (S.q47Eligibility(_, _)),
     // domain operators: calendar (W15), bracket kernel (X1), sweep (X2/X3)
     "q59_calendar"         -> (K.q59Calendar(_, _)),
@@ -450,6 +451,58 @@ object SparkEntry {
         |SELECT user_id, entry_bar_t AS entry_ts, round(entry_price, 4) AS entry_price, exit_ts,
         |round(exit_price, 4) AS exit_price, reason AS exit_reason,
         |round((exit_price - entry_price)/entry_price*100, 4) AS return_pct FROM fills""".stripMargin,
+    // F19/F20 risk chain. mirrorRound = Spark's BigDecimal.valueOf round;
+    // every literal in arithmetic is CAST DOUBLE (bare decimals make
+    // DuckDB CASE arithmetic DECIMAL-typed and drift from Spark doubles).
+    "q48_risk_fields" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber,
+        |(l_discount - CAST(0.04 AS DOUBLE)) * 200 AS pct,
+        |l_quantity * 2 AS rsi, l_tax * 100 AS atr,
+        |l_extendedprice / 100 AS price, l_discount * 10 AS cat,
+        |l_tax * 10 AS rev, CAST(l_partkey % 11 AS INT) AS score,
+        |CASE WHEN l_linestatus = 'O' THEN 'BULLISH' ELSE 'BEARISH' END AS direction,
+        |l_extendedprice / 100 * CAST(0.95 AS DOUBLE) AS sup,
+        |l_extendedprice / 100 * CAST(1.08 AS DOUBLE) AS res
+        |FROM lineitem),
+        |d AS (SELECT *, CASE WHEN price > 0 AND atr > 0 THEN atr / price * 100
+        | ELSE CAST(3.0 AS DOUBLE) END AS atr_pct FROM base),
+        |m AS (SELECT *, CAST(round(CAST(CAST(abs(pct) / atr_pct AS VARCHAR)
+        | AS DECIMAL(38,20)), 2) AS DOUBLE) AS atr_move FROM d),
+        |r AS (SELECT *,
+        |(CASE WHEN (direction = 'BEARISH' AND pct < 0) OR (direction = 'BULLISH' AND pct > 0) THEN
+        |  CASE WHEN abs(pct) > 15 THEN CAST(0.45 AS DOUBLE) WHEN abs(pct) > 10 THEN CAST(0.30 AS DOUBLE)
+        |  WHEN abs(pct) > 5 THEN CAST(0.10 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        | ELSE CAST(0.0 AS DOUBLE) END
+        |+ CASE WHEN direction = 'BEARISH' AND rsi < 30 THEN CAST(0.25 AS DOUBLE)
+        |  WHEN direction = 'BEARISH' AND rsi < 35 THEN CAST(0.15 AS DOUBLE)
+        |  WHEN direction = 'BULLISH' AND rsi > 70 THEN CAST(0.25 AS DOUBLE)
+        |  WHEN direction = 'BULLISH' AND rsi > 65 THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |+ CASE WHEN atr_move > 2.5 THEN CAST(0.20 AS DOUBLE)
+        |  WHEN atr_move > 1.5 THEN CAST(0.10 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |+ CASE WHEN cat > 0.8 THEN CAST(-0.10 AS DOUBLE)
+        |  WHEN cat > 0.6 THEN CAST(-0.05 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS mr_raw FROM m),
+        |mr AS (SELECT *, CAST(round(CAST(CAST(
+        | least(greatest(mr_raw * CAST(0.6 AS DOUBLE) + rev * CAST(0.4 AS DOUBLE),
+        |  CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 3) AS DOUBLE)
+        | AS mrisk FROM r),
+        |t AS (SELECT *, CASE WHEN direction = 'BULLISH' THEN
+        | (CASE WHEN rsi > 40 AND rsi < 70 THEN CAST(0.7 AS DOUBLE)
+        |  WHEN rsi < 40 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END)
+        | ELSE (CASE WHEN rsi < 60 AND rsi > 30 THEN CAST(0.7 AS DOUBLE)
+        |  WHEN rsi > 60 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) END AS tech FROM mr),
+        |q AS (SELECT *, CAST(round(CAST(CAST(least(greatest(
+        | (score / CAST(10.0 AS DOUBLE) * CAST(0.4 AS DOUBLE) + cat * CAST(0.2 AS DOUBLE)
+        |  + (CAST(1.0 AS DOUBLE) - mrisk) * CAST(0.2 AS DOUBLE) + tech * CAST(0.2 AS DOUBLE)) * 10,
+        | CAST(0.0 AS DOUBLE)), CAST(10.0 AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 1) AS DOUBLE)
+        | AS quality FROM t),
+        |f AS (SELECT *,
+        |CASE WHEN direction = 'BULLISH' THEN res - price ELSE price - sup END AS reward,
+        |CASE WHEN direction = 'BULLISH' THEN price - sup ELSE res - price END AS risk FROM q)
+        |SELECT l_orderkey, l_linenumber, atr_move AS atr_normalized_move,
+        |mrisk AS mean_reversion_risk, quality AS enrichment_quality_score,
+        |CASE WHEN price > 0 AND sup > 0 AND res > 0 AND risk > 0 THEN
+        | CAST(round(CAST(CAST(reward / risk AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE)
+        |END AS risk_reward_ratio FROM f""".stripMargin,
     "q61_sweep" ->
       """WITH cfgs (cfg, tm, sm) AS (VALUES (0, CAST(1.03 AS DOUBLE), CAST(0.97 AS DOUBLE)),
         |(1, CAST(1.03 AS DOUBLE), CAST(0.95 AS DOUBLE)), (2, CAST(1.06 AS DOUBLE), CAST(0.97 AS DOUBLE)),

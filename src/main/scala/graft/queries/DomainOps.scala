@@ -191,6 +191,34 @@ object DomainOps {
         $"exit_reason", round($"return_pct", 4).as("return_pct"))
   }
 
+  /** q48 — the F19 risk-field chain (Enrich.withRiskFields,
+    * enrichment-trigger/main.py:458-576) over inputs synthesized
+    * deterministically from lineitem: ATR-normalized move, mean-reversion
+    * risk (flow-alignment + RSI-extreme + overextension + catalyst
+    * discount), enrichment quality blend, and the F20 risk/reward ratio.
+    * The oracle replays every CASE rung with all literals cast DOUBLE
+    * (DuckDB CASE over bare decimals yields DECIMAL arithmetic) and every
+    * intermediate round mirrored through the VARCHAR->DECIMAL path. */
+  def q48RiskFields(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir).select(
+      $"l_orderkey", $"l_linenumber",
+      (($"l_discount" - 0.04) * 200).as("price_change_pct"),
+      ($"l_quantity" * 2).as("rsi_14"),
+      ($"l_tax" * 100).as("atr_14"),
+      ($"l_extendedprice" / 100).as("underlying_price"),
+      ($"l_discount" * 10).as("catalyst_score"),
+      ($"l_tax" * 10).as("reversal_probability"),
+      ($"l_partkey" % 11).cast("int").as("overnight_score"),
+      when($"l_linestatus" === "O", "BULLISH").otherwise("BEARISH").as("direction"),
+      ($"l_extendedprice" / 100 * 0.95).as("support"),
+      ($"l_extendedprice" / 100 * 1.08).as("resistance"),
+      lit(false).as("move_overdone"))
+    graft.pipelines.Enrich.withRiskFields(base).select(
+      $"l_orderkey", $"l_linenumber",
+      $"atr_normalized_move", $"mean_reversion_risk",
+      $"enrichment_quality_score", $"risk_reward_ratio")
+  }
+
   /** q65 — scenario-parameterized sweep (X2, the Stress adverse-fill
     * semantics of simulate_live_execution.py:205-302): the full 2-config x
     * 3-scenario grid through [[graft.research.Research.sweep]] in one
