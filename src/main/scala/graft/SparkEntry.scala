@@ -69,6 +69,7 @@ object SparkEntry {
     "q45_entry_fallback"   -> (K.q45EntryFallback(_, _)),
     "q46_latest_row"       -> (T.q46LatestRow(_, _)),
     "q48_risk_fields"      -> (K.q48RiskFields(_, _)),
+    "q49_regime_blend"     -> (S.q49RegimeBlend(_, _)),
     "q47_eligibility"      -> (S.q47Eligibility(_, _)),
     // domain operators: calendar (W15), bracket kernel (X1), sweep (X2/X3)
     "q59_calendar"         -> (K.q59Calendar(_, _)),
@@ -380,6 +381,17 @@ object SparkEntry {
         | ELSE 30000.0/l_extendedprice END) BETWEEN 0.9 AND 1.25) THEN 'MONEYNESS'
         |ELSE 'ELIGIBLE' END AS gate FROM lineitem)
         |SELECT gate, COUNT(*) AS cnt FROM g GROUP BY gate""".stripMargin,
+    // F21: event-weighted blend above hi, quiet-weighted below lo,
+    // midpoint between; literals cast DOUBLE (see q48 note).
+    "q49_regime_blend" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_discount*10 AS news,
+        |l_quantity/50 AS sa, l_tax*10 AS sb FROM lineitem),
+        |e AS (SELECT *, sa * CAST(0.6 AS DOUBLE) + sb * CAST(0.4 AS DOUBLE) AS ev,
+        |sa * CAST(0.2 AS DOUBLE) + sb * CAST(0.8 AS DOUBLE) AS qu FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |CAST(round(CAST(CAST(CASE WHEN news > 0.7 THEN ev WHEN news < 0.3 THEN qu
+        | ELSE (ev + qu) / 2 END AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS blended
+        |FROM e""".stripMargin,
     // W10: last close vs SMA-10; list-ordered summation on both engines.
     "q44_regime_trend" ->
       """WITH h AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs

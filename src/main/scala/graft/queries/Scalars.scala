@@ -141,6 +141,20 @@ object Scalars {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** q49 — regime-weighted score blend (F21,
+    * GraftFunctions.regimeWeightedScore): event-regime weights when the
+    * news score is high, quiet-regime weights when low, the midpoint in
+    * between. */
+  def q49RegimeBlend(spark: SparkSession, dir: String): DataFrame = {
+    val news = $"l_discount" * 10
+    val sA = $"l_quantity" / 50
+    val sB = $"l_tax" * 10
+    Tables.lineitem(spark, dir).select(
+      $"l_orderkey", $"l_linenumber",
+      round(regimeWeightedScore(news,
+        Seq((sA, 0.6, 0.2), (sB, 0.4, 0.8))), 4).as("blended"))
+  }
+
   /** q42 — support/resistance selection (F20): greatest candidate strictly
     * below the price / least strictly above, from a fixed candidate ladder
     * (enrichment-trigger/main.py:372-386 semantics; null when no candidate
