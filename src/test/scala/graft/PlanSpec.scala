@@ -103,6 +103,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("q46: latest-row snapshot is one aggregation over one exchange, no window") {
+    val p = physical("q46_latest_row")
+    assert(!p.contains("Window"), p.take(600))
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(600)) // single shuffle on the key
+  }
+
+  test("q48: risk-field chain stays in one whole-stage codegen span over the scan") {
+    val p = physical("q48_risk_fields")
+    assert(p.contains("*(1)"), p.take(400)) // codegen stage marker
+    assert(!p.contains("Exchange"), p.take(600)) // pure per-row map, no shuffle
+  }
+
   test("as-of join plans one shuffle (union+window), not a range join") {
     val p = physical("q35_asof_join")
     // no nested-loop / cartesian from the inequality condition
