@@ -83,9 +83,13 @@ object MonteCarlo {
     }.toDF()
   }
 
-  /** Empirical-bootstrap simulation (X5 shape): per path, trade count ~
-    * Poisson(lambda) (inverse-CDF draw), returns resampled from the
-    * broadcast `returnsPool`; sizing min(betCap, capital).
+  /** Empirical-bootstrap simulation (X5, monte_carlo_sniper.py:40-108):
+    * per path, trade count ~ Poisson(lambda) (Knuth draw), returns
+    * resampled from the broadcast `returnsPool` (percent units); sizing
+    * min(betCap, capital). Reference-exact stopping: trading continues
+    * until capital <= 0 (":61-62"); `ruined` is the POST-HOC "severe
+    * depletion" census (ending capital <= ruinAt, ":105-106"), not a
+    * stop condition — a path can dip below and recover.
     */
   def bootstrap(
       spark: SparkSession, nPaths: Int, lambda: Double,
@@ -103,18 +107,16 @@ object MonteCarlo {
       var cap = startCapital
       var peak = cap
       var maxDd = 0.0
-      var ruined = false
       var i = 0
       val rp = pool.value
-      while (i < k && !ruined) {
+      while (i < k && cap > 0) {
         val bet = math.min(betCap, cap)
         cap += bet * rp(r.nextInt(rp.length)) / 100.0
         peak = math.max(peak, cap)
         maxDd = math.max(maxDd, (peak - cap) / peak)
-        if (cap <= ruinAt) ruined = true
         i += 1
       }
-      PathResult(path, cap, ruined, maxDd)
+      PathResult(path, cap, cap <= ruinAt, maxDd)
     }.toDF()
   }
 

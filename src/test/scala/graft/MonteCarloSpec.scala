@@ -50,6 +50,15 @@ class MonteCarloSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("bootstrap ruin is a post-hoc census, not a stop condition (X5 :61,:105)") {
+    // all-loss pool: capital decays but trading continues below the ruin
+    // line (min(bet, cap) keeps cap > 0), so every path ends ruined with a
+    // POSITIVE ending capital — the reference's 'severe depletion' rule
+    val paths = MonteCarlo.bootstrap(spark, 100, 20.0, Array(-50.0)).collect()
+    assert(paths.forall(_.getBoolean(2))) // all <= 250 at the end
+    assert(paths.forall(_.getDouble(1) > 0.0)) // but none stopped at 250
+  }
+
   test("summarize emits ruin pct / percentiles / worst drawdown") {
     val s = MonteCarlo.summarize(
       MonteCarlo.categorical(spark, 200, 12, 9, 0.5, 0.3, 0.40, -0.25, -0.05)).collect()(0)
