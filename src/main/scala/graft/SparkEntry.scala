@@ -839,8 +839,8 @@ object SparkEntry {
     "q92_packing_stats" ->
       """WITH t AS (SELECT len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_tok
         |FROM documents),
-        |b AS (SELECT n_tok, CASE WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
-        |WHEN n_tok <= 256 THEN 256 ELSE 512 END AS ctx_bin FROM t)
+        |b AS (SELECT n_tok, CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+        |WHEN n_tok <= 96 THEN 96 ELSE 128 END AS ctx_bin FROM t)
         |SELECT CAST(ctx_bin AS INT) AS ctx_bin, COUNT(*) AS n_docs,
         |CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
         |CAST(round(CAST(CAST(AVG(CAST(1.0 AS DOUBLE) - n_tok / CAST(ctx_bin AS DOUBLE))

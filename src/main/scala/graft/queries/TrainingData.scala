@@ -300,17 +300,17 @@ object TrainingData {
         round(avg($"sampled".cast("double")), 4).as("sample_rate"))
 
   /** q92 — context-length packing stats (sequence-packing planning): BPE
-    * token counts bucketed into power-of-two context bins with the padding
+    * token counts bucketed into context bins sized to split this corpus (4 non-degenerate rows) with the padding
     * waste a naive one-doc-per-sequence batcher would pay at each bin —
     * the sizing metric used to choose packing strategy before training. */
   def q92PackingStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(TextOps.bpeTokenCount($"text").as("n_tok"))
       .withColumn("ctx_bin",
-        when($"n_tok" <= 64, 64)
-          .when($"n_tok" <= 128, 128)
-          .when($"n_tok" <= 256, 256)
-          .otherwise(512))
+        when($"n_tok" <= 32, 32)
+          .when($"n_tok" <= 64, 64)
+          .when($"n_tok" <= 96, 96)
+          .otherwise(128))
       .groupBy($"ctx_bin")
       .agg(
         count(lit(1)).as("n_docs"),
