@@ -10,6 +10,14 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. Two sbt behaviors break that: the `[success] Total time: ...`
+// trailer printed after the program exits, and the `[info] ` prefix the
+// logger adds to forked-process output. Disable both so the bench's JSON
+// line reaches stdout raw and last.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // suites share one SparkSession fixture; run them sequentially so
 // session-global state (extensions session, memory-sink names) is stable
 Test / parallelExecution := false
