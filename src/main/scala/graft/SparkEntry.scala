@@ -131,8 +131,68 @@ object SparkEntry {
       |SELECT id_a, id_b, CAST(round(CAST(CAST(j AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS jaccard
       |FROM p WHERE j >= 0.5""".stripMargin
 
+  /** q64 oracle: bit-exact DuckDB replay of the CLCG-seeded Monte Carlo
+    * (kernels/MonteCarlo.categorical at q64's parameters). A recursive CTE
+    * carries one row per lifetime with the generator state (two 31-bit
+    * MCGs — all BIGINT arithmetic) plus the capital state machine; every
+    * double op mirrors the Scala loop's order exactly, so each path's
+    * final capital / ruin flag / max drawdown is bit-identical and the
+    * order-free summary statistics (count ratio, exact quantiles, max)
+    * hash-match. Built programmatically: the state-update expressions are
+    * shared between columns and DuckDB recursive-CTE columns see only the
+    * previous iteration's row (snapshot semantics — unlike list_reduce
+    * struct lambdas, whose field-visibility differs between its scalar and
+    * vectorized paths; measured on this VM's DuckDB 1.0, see q40 note). */
+  private val monteCarloOracle: String = {
+    def mr(e: String, n: Int) =
+      s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,20)), $n) AS DOUBLE)"
+    def d(v: Double) = s"CAST($v AS DOUBLE)"
+    // new CLCG state (from previous-iteration s1/s2) and its uniform
+    val s1n = "((40014 * s1) % 2147483563)"
+    val s2n = "((40692 * s2) % 2147483399)"
+    val z   = s"($s1n - $s2n)"
+    val u   = s"(CAST(CASE WHEN $z < 1 THEN $z + 2147483562 ELSE $z END AS DOUBLE) / 2147483563.0)"
+    // capital state machine, every field from previous-iteration columns
+    val tier  = s"CASE WHEN cap < ${d(1500)} THEN ${d(500)} WHEN cap < ${d(2500)} THEN ${d(1000)} " +
+      s"WHEN cap < ${d(4000)} THEN ${d(1500)} ELSE ${d(2000)} END"
+    val b0    = s"(CASE WHEN (t % 9) = 0 THEN $tier ELSE bet END)"
+    val bet1  = s"(CASE WHEN cap <= $b0 THEN cap ELSE $b0 END)"
+    val ruinN = s"(ruined OR cap < ${d(500)})"
+    val ret   = s"(CASE WHEN $u < ${d(0.556)} THEN ${d(0.40)} WHEN $u < ${d(0.778)} THEN ${d(-0.25)} ELSE ${d(0.0)} END)"
+    val capT  = s"(cap + $bet1 * $ret)"
+    val peakN = s"greatest(peak, $capT)"
+    val month = "((t // 9) + 1)"
+    s"""WITH RECURSIVE sim AS (
+       |  SELECT range AS path, CAST(0 AS BIGINT) AS t,
+       |    CAST(1 + (42 * 1000003 + range * 7919) % 2147483562 AS BIGINT) AS s1,
+       |    CAST(1 + (42 * 31 + range * 104729) % 2147483398 AS BIGINT) AS s2,
+       |    ${d(2500)} AS cap, ${d(2500)} AS peak, ${d(0)} AS maxdd,
+       |    false AS ruined, ${d(0)} AS bet
+       |  FROM range(0, 10000)
+       |  UNION ALL
+       |  SELECT path, t + 1, $s1n AS s1, $s2n AS s2,
+       |    CASE WHEN $ruinN THEN cap
+       |         WHEN (t % 9) = 8 AND $month >= 4 AND $capT > ${d(5000)} THEN $capT - ${d(2000)}
+       |         ELSE $capT END AS cap,
+       |    CASE WHEN $ruinN THEN peak ELSE $peakN END AS peak,
+       |    CASE WHEN $ruinN THEN maxdd ELSE greatest(maxdd, ($peakN - $capT) / $peakN) END AS maxdd,
+       |    $ruinN AS ruined,
+       |    CASE WHEN ruined THEN bet ELSE $bet1 END AS bet
+       |  FROM sim WHERE t < 108
+       |), fin AS (
+       |  SELECT CASE WHEN ruined THEN ${d(0)} ELSE cap END AS fc, ruined, maxdd
+       |  FROM sim WHERE t = 108
+       |)
+       |SELECT ${mr("avg(CASE WHEN ruined THEN 1.0 ELSE 0.0 END) * 100", 2)} AS ruin_pct,
+       |  ${mr("quantile_cont(fc, 0.5)", 2)} AS median_capital,
+       |  ${mr("quantile_cont(fc, 0.9)", 2)} AS p90_capital,
+       |  ${mr("max(maxdd) * 100", 2)} AS worst_drawdown_pct
+       |FROM fin""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL per query (same tables registered by name). */
   def oracleSql: Map[String, String] = Map(
+    "q64_monte_carlo" -> monteCarloOracle,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,

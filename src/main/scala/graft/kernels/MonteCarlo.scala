@@ -23,6 +23,39 @@ object MonteCarlo {
     * (globalSeed, pathId) — reproducible across partitionings. */
   private def rng(seed: Long, path: Long) = new java.util.Random(seed * 1000003L + path)
 
+  // --- Cross-engine replayable RNG (L'Ecuyer 1988 combined LCG) -----------
+  // Unlike java.util.Random / numpy MT19937, this stream is plain 31-bit
+  // modular arithmetic a SQL engine replays bit-exactly with BIGINT ops
+  // (the q64 oracle regenerates the identical uniforms in a DuckDB
+  // recursive CTE — no 64-bit wrap-around needed, every product fits a
+  // signed 64-bit integer). Two multiplicative generators mod the primes
+  // 2147483563 / 2147483399 with multipliers 40014 / 40692, combined by
+  // subtraction: period ~2.3e18, the classic "Efficient and Portable
+  // Combined Random Number Generators" construction. |s1 - s2| is always
+  // below 2147483562 so the canonical `mod` is a no-op; only the <1 wrap
+  // remains, and u = z / 2147483563 is a single correctly-rounded IEEE
+  // division on both engines.
+  private[graft] final val ClcgP1 = 2147483563L
+  private[graft] final val ClcgP2 = 2147483399L
+  private[graft] final val ClcgA1 = 40014L
+  private[graft] final val ClcgA2 = 40692L
+
+  /** Mutable CLCG stream state; per-path seeds are scattered affinely into
+    * the two component cycles (any distinct non-zero states give streams at
+    * unrelated cycle offsets). `seed` must be a small non-negative constant
+    * (the SQL replay uses the same plain `%`, which is sign-truncating). */
+  private[graft] final class Clcg(seed: Long, path: Long) {
+    private var s1 = 1L + (seed * 1000003L + path * 7919L) % (ClcgP1 - 1L)
+    private var s2 = 1L + (seed * 31L + path * 104729L) % (ClcgP2 - 1L)
+    def nextDouble(): Double = {
+      s1 = (ClcgA1 * s1) % ClcgP1
+      s2 = (ClcgA2 * s2) % ClcgP2
+      var z = s1 - s2
+      if (z < 1L) z += ClcgP1 - 1L
+      z.toDouble / ClcgP1.toDouble
+    }
+  }
+
   /** Categorical-outcome lifetime simulation (X4,
     * monte_carlo_v2_regime.py:20-92): `months` x `tradesPerMonth` i.i.d.
     * draws from (targetFrac, stopFrac, timeoutFrac) with probabilities
@@ -46,7 +79,7 @@ object MonteCarlo {
       harvestAmount: Double = 2000.0, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     spark.range(nPaths).as[Long].map { path =>
-      val r = rng(seed, path)
+      val r = new Clcg(seed, path)
       var cap = startCapital
       var peak = cap
       var maxDd = 0.0
@@ -64,6 +97,9 @@ object MonteCarlo {
           if (cap <= bet) bet = cap // can't bet more than we have (":55-56")
           if (cap < ruinAt) ruined = true
           else {
+            // one draw per executed trade; pre-ruin that is one per trade
+            // slot, which is what the SQL replay's per-step advance assumes
+            // (post-ruin the state is never read, so divergence is moot)
             val u = r.nextDouble()
             val ret =
               if (u < pTarget) targetFrac

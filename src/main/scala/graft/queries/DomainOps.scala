@@ -135,15 +135,19 @@ object DomainOps {
     * published parameters (monte_carlo_v2_regime.py:8-18 — 12 months x 9
     * trades/month, 55.6%/22.2%/22.2% outcome mix, +40%/-25%/0% returns,
     * $2 500 start, ruin < $500, harvest $2 000 above $5 000 from month 4).
-    * Deterministic (seed 42, per-path RNG) but java.util.Random is not
-    * expressible in DuckDB — rows-only driver check; exact goldens in
-    * MonteCarloSpec. */
+    * The draw stream is the cross-engine CLCG ([[graft.kernels.MonteCarlo]])
+    * so the DuckDB oracle replays every lifetime bit-exactly in a recursive
+    * CTE and the summary hash-matches. `mean_capital` is intentionally NOT
+    * part of the checked output: a 10k-term double sum is
+    * summation-order-sensitive and Spark's partial-agg order is
+    * nondeterministic; the quantile/max/count statistics are order-free. */
   def q64MonteCarlo(spark: SparkSession, dir: String): DataFrame =
     graft.kernels.MonteCarlo.summarize(
       graft.kernels.MonteCarlo.categorical(spark, nPaths = 10000,
         months = 12, tradesPerMonth = 9,
         pTarget = 0.556, pStop = 0.222, targetFrac = 0.40, stopFrac = -0.25,
         timeoutFrac = 0.0))
+      .select("ruin_pct", "median_capital", "p90_capital", "worst_drawdown_pct")
 
   /** q61 — config sweep over the kernel (X3): 2x2 bracket configs through
     * [[Bracket.executeGrid]] — bars shuffle once and each sorted group is

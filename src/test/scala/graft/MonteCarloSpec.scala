@@ -79,6 +79,28 @@ class MonteCarloSpec extends AnyFunSuite with SparkFixture {
     assert(s.getDouble(2) == GOLDEN_MEDIAN)
   }
 
-  private val GOLDEN_RUIN_PCT = 0.04
-  private val GOLDEN_MEDIAN = 19650.0
+  private val GOLDEN_RUIN_PCT = 0.02
+  private val GOLDEN_MEDIAN = 19450.0
+
+  test("CLCG stream matches the published L'Ecuyer construction (X4 oracle parity)") {
+    // First uniforms of stream (seed=42, path=0): s1_0 = 1 + 42000126 %
+    // 2147483562, s2_0 = 1 + 1302 % 2147483398; one step of each MCG and
+    // the combine. Hand-computed with exact integer arithmetic — these pin
+    // the exact stream the DuckDB recursive-CTE oracle replays; any drift
+    // in constants/seeding breaks q64's cross-engine hash.
+    var s1 = 1L + 42000126L % 2147483562L
+    var s2 = 1L + 1302L % 2147483398L
+    assert(s1 == 42000127L && s2 == 1303L)
+    s1 = 40014L * s1 % 2147483563L
+    s2 = 40692L * s2 % 2147483399L
+    var z = s1 - s2
+    if (z < 1) z += 2147483562L
+    val expected = z.toDouble / 2147483563.0
+    // the kernel draws the same first uniform: reproduce via a 1-trade run:
+    // cap' = 2500 + 1500*ret, ret in {0.40, -0.25, 0.0} by u's bucket
+    val cap = MonteCarlo.categorical(spark, 1, 1, 1, 0.556, 0.222, 0.40, -0.25, 0.0)
+      .collect()(0).getDouble(1)
+    val ret = if (expected < 0.556) 0.40 else if (expected < 0.778) -0.25 else 0.0
+    assert(cap == 2500.0 + 1500.0 * ret)
+  }
 }
