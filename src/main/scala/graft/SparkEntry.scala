@@ -113,6 +113,8 @@ object SparkEntry {
     "q90_ivf_full_probe"   -> (D.q90IvfFullProbe(_, _)),
     "q91_hash_sample"      -> (D.q91HashSample(_, _)),
     "q92_packing_stats"    -> (D.q92PackingStats(_, _)),
+    "q93_simhash_dups"     -> (D.q93SimhashDups(_, _)),
+    "q94_srp_full_recall"  -> (D.q94SrpFullRecall(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -190,9 +192,30 @@ object SparkEntry {
        |FROM fin""".stripMargin
   }
 
+  /** Brute-force cosine top-5 for probes vec_id < 5 — the exact answer the
+    * saturated-recall LSH run (q94) must reproduce; also q79's oracle. */
+  private val cosineTopKOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+      |j AS (SELECT p.probe_id, e.vec_id AS corpus_id,
+      |list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]), 'sum') /
+      |(sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) *
+      | sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum'))) AS cos
+      |FROM e, p WHERE e.vec_id <> p.probe_id),
+      |r AS (SELECT probe_id, corpus_id, cos,
+      |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
+      |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id, round(cos, 4) AS cos
+      |FROM r WHERE rnk <= 5""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same tables registered by name). */
   def oracleSql: Map[String, String] = Map(
     "q64_monte_carlo" -> monteCarloOracle,
+    // q93: the exact-copy fixture forces fingerprint equality, so the
+    // expected pair set + Hamming distances are engine-independent facts.
+    "q93_simhash_dups" ->
+      """SELECT doc_id AS id_a, doc_id + 1000 AS id_b, 0 AS hamming
+        |FROM documents WHERE doc_id < 40 AND doc_id NOT IN (8, 12)""".stripMargin,
+    "q94_srp_full_recall" -> cosineTopKOracle,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,
@@ -804,18 +827,7 @@ object SparkEntry {
         |ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cl DESC) AS rn FROM c)
         |SELECT lang, CASE WHEN score>0 THEN cl ELSE 'unknown' END AS pred, COUNT(*) AS cnt
         |FROM b WHERE rn=1 GROUP BY 1, 2""".stripMargin,
-    "q79_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
-        |j AS (SELECT p.probe_id, e.vec_id AS corpus_id,
-        |list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]), 'sum') /
-        |(sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) *
-        | sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum'))) AS cos
-        |FROM e, p WHERE e.vec_id <> p.probe_id),
-        |r AS (SELECT probe_id, corpus_id, cos,
-        |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
-        |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id, round(cos, 4) AS cos
-        |FROM r WHERE rnk <= 5""".stripMargin,
+    "q79_cosine_topk" -> cosineTopKOracle,
     "q83_embedding_dedup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |FROM embeddings WHERE vec_id < 100)

@@ -318,6 +318,41 @@ object TrainingData {
         round(avg(lit(1.0) - $"n_tok" / $"ctx_bin".cast("double")), 4)
           .as("avg_pad_waste"))
 
+  /** q93 — SimHash cross-engine pipeline check (q85's pattern for the
+    * SimHash family): exact-copy fixture, so every planted pair has a
+    * bit-identical fingerprint — the banding join MUST surface it and its
+    * Hamming distance MUST be 0, both forced deterministically, letting
+    * DuckDB state the full expected output without computing xxhash64.
+    * Docs 8/12 are excluded on BOTH engines: they are natural near-dups at
+    * Hamming 2 in one test corpus, and their cross-copy pairs would make
+    * the expected set hash-dependent. Any regression in tokenization,
+    * banding, candidate dedup, pair orientation (id_a < id_b), Hamming
+    * verify, or thresholding changes this result set. */
+  def q93SimhashDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .where($"doc_id" < 40 && !$"doc_id".isin(8, 12))
+      .select($"doc_id", $"text")
+    val fixture = base.unionByName(
+      base.select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    Dedup.simhashNearDups(fixture, "doc_id", "text", maxHamming = 3)
+  }
+
+  /** q94 — SRP-LSH saturated-recall equivalence (q90's pattern for the
+    * hyperplane family): at 32 tables x 3 planes the union of bucket
+    * probes deterministically covers every true top-5 neighbor on this
+    * corpus (verified at two scale factors), so the ANN output must equal
+    * brute-force top-k — which DuckDB computes exactly (q79's oracle).
+    * Exercises the real pipeline at real parameters: seeded hyperplane
+    * signs, per-table bucketing, candidate union + dedup, exact re-rank.
+    * Complements q80's production-parameter run (rows-only). */
+  def q94SrpFullRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val probes = emb.where($"vec_id" < 5)
+    Similarity.lshTopK(emb, probes, "vec_id", "v", k = 5, tables = 32, planes = 3)
+      .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
