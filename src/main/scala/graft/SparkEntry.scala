@@ -115,6 +115,8 @@ object SparkEntry {
     "q92_packing_stats"    -> (D.q92PackingStats(_, _)),
     "q93_simhash_dups"     -> (D.q93SimhashDups(_, _)),
     "q94_srp_full_recall"  -> (D.q94SrpFullRecall(_, _)),
+    "q95_pack_assign"      -> (D.q95PackAssign(_, _)),
+    "q96_dup_components"   -> (D.q96DupComponents(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -216,6 +218,38 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 1000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 40 AND doc_id NOT IN (8, 12)""".stripMargin,
     "q94_srp_full_recall" -> cosineTopKOracle,
+    // q95: per-stream concat-and-chunk packing layout; same BPE-ish token
+    // regex as q84, same partitioned running-sum window.
+    "q95_pack_assign" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |CAST(len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INTEGER) AS n_tok
+        |FROM documents),
+        |o AS (SELECT doc_id, lang, n_tok,
+        |COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY n_tok DESC, doc_id
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off FROM tok)
+        |SELECT doc_id, lang, n_tok, off // 128 AS seq_start,
+        |(off + greatest(n_tok, 1) - 1) // 128 AS seq_end FROM o""".stripMargin,
+    // q96: transitive closure of the q83 pair graph at cos >= 0.3 via
+    // recursive CTE — min reachable id = component label, exactly the
+    // fixed point the Spark min-label propagation converges to.
+    "q96_dup_components" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE vec_id < 100),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a, e b WHERE a.vec_id < b.vec_id
+        |AND list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
+        | sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))) >= 0.3),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT DISTINCT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT edges.d AS id, reach.r FROM reach JOIN edges ON edges.s = reach.id
+        |),
+        |f AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT CAST(f.id AS BIGINT) AS vec_id, CAST(f.component AS BIGINT) AS component, c.csize
+        |FROM f JOIN (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+        |             FROM f GROUP BY component) c USING (component)""".stripMargin,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,

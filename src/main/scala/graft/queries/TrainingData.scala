@@ -353,6 +353,32 @@ object TrainingData {
       .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
   }
 
+  /** q95 — sequence-packing assignment ([[Packing.concatChunkAssign]]):
+    * the packed concat-and-chunk layout q92's stats plan for, stratified
+    * per lang (per-stream window — no global sort). Every row's window
+    * range is a pure function of the per-stream token order, so DuckDB
+    * replays the assignment with the same partitioned window. */
+  def q95PackAssign(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select($"doc_id", $"lang",
+      TextOps.bpeTokenCount($"text").as("n_tok"))
+    graft.operators.Packing.concatChunkAssign(tok, "doc_id", "lang", "n_tok", 128)
+      .select($"doc_id", $"lang", $"n_tok", $"seq_start", $"seq_end")
+  }
+
+  /** q96 — near-dup cluster assignment ([[Components.connectedComponents]]):
+    * transitive closure of the q83 exact embedding pair graph at cos >=
+    * 0.3 (15 components, sizes up to 5, 29 member pairs that are NOT
+    * direct edges — so a broken closure cannot pass). DuckDB replays the
+    * closure with a recursive CTE over the identical pair set. */
+  def q96DupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .where($"vec_id" < 100)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val pairs = Dedup.embeddingNearDupsExact(emb, "vec_id", "v", threshold = 0.3)
+    graft.operators.Components.componentsWithSizes(pairs, "id_a", "id_b")
+      .select($"id".as("vec_id"), $"component", $"csize")
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

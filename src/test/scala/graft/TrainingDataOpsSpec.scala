@@ -39,6 +39,25 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.exists(_.getAs[Long]("df") >= 2))
   }
 
+  test("packing: concat-and-chunk assignment fills per-stream windows exactly") {
+    import spark.implicits._
+    // stream A sorted by (tok desc, id): 100, 60, 50, 20 -> offsets
+    // 0, 100, 160, 210 over ctx=64: windows [0,1], [1,2], [2,3], [3,3]
+    val df = Seq(
+      ("a1", "A", 100), ("a2", "A", 60), ("a3", "A", 50), ("a4", "A", 20),
+      ("b1", "B", 64), ("b2", "B", 1)).toDF("id", "stream", "tok")
+    val out = graft.operators.Packing.concatChunkAssign(df, "id", "stream", "tok", 64)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Long]("seq_start"), r.getAs[Long]("seq_end"))).toMap
+    assert(out("a1") == (0L, 1L)) // 100 tokens straddle the first boundary
+    assert(out("a2") == (1L, 2L))
+    assert(out("a3") == (2L, 3L))
+    assert(out("a4") == (3L, 3L)) // fits the remainder of window 3
+    // stream B packs independently from offset 0 (no cross-stream leakage)
+    assert(out("b1") == (0L, 0L)) // exactly one full window
+    assert(out("b2") == (1L, 1L)) // next window starts clean
+  }
+
   test("q89: all five planted contaminated train docs are flagged") {
     val flagged = TrainingData.q89Decontaminate(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_shingles"))
