@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph — the step
+  * between candidate-pair generation (MinHash-LSH / SimHash / embedding
+  * near-dup, [[Dedup]]) and actual corpus deduplication: a near-dup
+  * relation is not transitive, so "keep one doc per duplicate group"
+  * needs the transitive closure of the pair set, not the pairs.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts with
+  * itself as its component label; each round every node takes the min of
+  * its own label and its neighbors' labels. A fixed point is reached
+  * after at most `diameter` rounds — and near-dup graphs are unions of
+  * near-cliques (diameter 2-3), so in practice 3-5 rounds. Each round is
+  * one shuffle join on node id plus one groupBy — no driver-side graph,
+  * no all-pairs work; the state that shuffles is exactly one (id, label)
+  * long pair per node. Lineage is cut per round with localCheckpoint so
+  * the plan does not grow with the iteration count.
+  *
+  * Convergence is detected with a two-scalar checksum (sum of labels,
+  * widened to decimal so 100 TB-scale id sums cannot overflow): min-label
+  * updates are monotonically decreasing, so the sum is strictly smaller
+  * on every round that changed anything and equal exactly at the fixed
+  * point. For adversarially long path graphs (not a shape dedup produces)
+  * the bound `maxIter` aborts with an error rather than silently emitting
+  * a non-converged labeling.
+  */
+object Components {
+
+  /** Labels every node of the undirected pair graph with the smallest
+    * node id reachable from it. Output: (`id`, `component`) — one row per
+    * distinct node appearing in `pairs`; singleton docs (no pairs) are
+    * by definition their own component and never enter the graph.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val half = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("s")).head.getDecimal(0)
+
+    var prev = checksum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      val merged = labels.union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      val cur = checksum(merged)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = merged
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter — raise it for path-like graphs)")
+    labels
+  }
+
+  /** [[connectedComponents]] plus the member count of each component —
+    * the shape a dedup-keep-one pass consumes (component → representative
+    * = min id, csize → cluster census). One extra shuffle on component.
+    */
+  def componentsWithSizes(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxIter)
+    val sizes = comp.groupBy("component").agg(count("*").as("csize"))
+    comp.join(sizes, "component")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Components
+
+/** Connected-components semantics the q96 oracle fixture cannot probe:
+  * long chains (many propagation rounds), stars, isolated pairs mixed
+  * with big components, the non-convergence guard, and determinism. */
+class ComponentsSpec extends AnyFunSuite with SparkFixture {
+
+  private def comps(pairs: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(pairs.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+  }
+
+  test("path graph collapses to its min id (diameter-bound propagation)") {
+    // 0-1-2-...-12: diameter 12, worst case for min-label propagation
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val m = comps(chain)
+    assert(m.size == 13)
+    assert(m.values.toSet == Set(0L))
+  }
+
+  test("disjoint structures keep separate labels") {
+    //  star around 100; triangle 7-8-9; pair (3,4); chain 20-21-22
+    val pairs = Seq((100L, 101L), (100L, 102L), (100L, 103L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (3L, 4L), (20L, 21L), (21L, 22L))
+    val m = comps(pairs)
+    assert(m(101L) == 100L && m(102L) == 100L && m(103L) == 100L)
+    assert(m(7L) == 7L && m(8L) == 7L && m(9L) == 7L)
+    assert(m(3L) == 3L && m(4L) == 3L)
+    assert(Set(20L, 21L, 22L).map(m) == Set(20L))
+  }
+
+  test("duplicate and reversed edges do not change the labeling") {
+    val m = comps(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("maxIter smaller than the diameter fails loudly, not silently") {
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] { comps(chain, maxIter = 2) }
+  }
+
+  test("componentsWithSizes reports the census of each closure") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val rows = Components.componentsWithSizes(pairs, "a", "b")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("component"),
+        r.getAs[Long]("csize"))).toSet
+    assert(rows == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+}
