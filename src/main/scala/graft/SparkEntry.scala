@@ -117,6 +117,8 @@ object SparkEntry {
     "q94_srp_full_recall"  -> (D.q94SrpFullRecall(_, _)),
     "q95_pack_assign"      -> (D.q95PackAssign(_, _)),
     "q96_dup_components"   -> (D.q96DupComponents(_, _)),
+    "q97_bm25"             -> (D.q97Bm25(_, _)),
+    "q98_hash_split"       -> (D.q98HashSplit(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -250,6 +252,45 @@ object SparkEntry {
         |SELECT CAST(f.id AS BIGINT) AS vec_id, CAST(f.component AS BIGINT) AS component, c.csize
         |FROM f JOIN (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
         |             FROM f GROUP BY component) c USING (component)""".stripMargin,
+    // q97: BM25 replay — same integral tf/dl/df, same fixed-order double
+    // expression tree ((idf*(tf*2.2))/denom, left-to-right term sum); the
+    // ORDER BY ranks on the UNROUNDED score like the Spark plan.
+    "q97_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        | CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf0,
+        | CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf1,
+        | CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS tf2 FROM t),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl,
+        | SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        | SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        | SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM d),
+        |x AS (SELECT d.doc_id, d.dl, d.tf0, d.tf1, d.tf2,
+        | CAST(s.n AS DOUBLE) AS nd, CAST(s.sum_dl AS DOUBLE)/CAST(s.n AS DOUBLE) AS avgdl,
+        | CAST(s.df0 AS DOUBLE) AS dfd0, CAST(s.df1 AS DOUBLE) AS dfd1, CAST(s.df2 AS DOUBLE) AS dfd2 FROM d, s),
+        |r AS (SELECT doc_id, dl, tf0, tf1, tf2,
+        | ((ln(1.0 + (nd - dfd0 + 0.5)/(dfd0 + 0.5)) * (CAST(tf0 AS DOUBLE)*2.2))
+        |   / (CAST(tf0 AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl)))
+        | + ((ln(1.0 + (nd - dfd1 + 0.5)/(dfd1 + 0.5)) * (CAST(tf1 AS DOUBLE)*2.2))
+        |   / (CAST(tf1 AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl)))
+        | + ((ln(1.0 + (nd - dfd2 + 0.5)/(dfd2 + 0.5)) * (CAST(tf2 AS DOUBLE)*2.2))
+        |   / (CAST(tf2 AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl))) AS score_raw
+        |FROM x)
+        |SELECT doc_id, dl, tf0, tf1, tf2,
+        | CAST(round(CAST(CAST(score_raw AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS score
+        |FROM r ORDER BY score_raw DESC, doc_id LIMIT 25""".stripMargin,
+    // q98: md5-prefix split thresholds — cum 0.8 -> 0xcc, 0.9 -> 0xe6
+    // (floor(cum*256) as two hex digits), identical string compares.
+    "q98_hash_split" ->
+      """WITH a AS (SELECT lang,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |      ELSE 'test' END AS split FROM documents),
+        |c AS (SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY lang, split),
+        |t AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY lang)
+        |SELECT c.lang, c.split, c.n,
+        | CAST(round(CAST(CAST(CAST(c.n AS DOUBLE)/CAST(t.tot AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS rate
+        |FROM c JOIN t USING (lang)""".stripMargin,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,

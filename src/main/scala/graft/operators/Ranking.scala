@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance ranking for corpus curation: Okapi BM25 over a
+  * bag-of-terms query (the standard quality-filter / topic-mining
+  * primitive — score a 100 TB corpus against a topic word list, keep the
+  * head). Reference scope: the engine's text-analysis family (SURVEY
+  * "beyond-reference" training-data ops), alongside vocab census (q87)
+  * and quality scoring (q73).
+  *
+  * Scale + parity design:
+  *  - One pass over the corpus computes per-doc token length and one
+  *    integer term-frequency column PER QUERY TERM (conditional sums —
+  *    no explode shuffle, no (doc, term) intermediate).
+  *  - Corpus statistics (N, avgdl, per-term document frequency) reduce
+  *    to ONE row, attached by crossJoin — Spark broadcasts a 1-row side,
+  *    so no shuffle of the corpus.
+  *  - The final score adds per-term contributions as fixed-order column
+  *    arithmetic, never a `sum()` over shuffled doubles — float addition
+  *    is not associative, and a nondeterministic reduce order would break
+  *    both run-to-run determinism and the DuckDB oracle parity.
+  *  - All integer inputs (tf, dl, df, N) stay integral until the score
+  *    expression, so every double op has one fixed evaluation order.
+  */
+object Ranking {
+
+  /** BM25 top-k: (`idCol`, per-term tf columns, dl, score) for the `topK`
+    * highest-scoring docs, ties broken by ascending id. `terms` must be
+    * non-empty, lowercase, distinct. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 25): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct == terms, "query terms must be distinct")
+
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    def tfCol(i: Int): String = s"tf$i"
+
+    // one corpus pass: doc length + one integer tf per query term
+    val perDoc = docs.select(
+      col(idCol) +:
+        size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(tfCol(i))
+        }: _*)
+
+    // one-row corpus stats: N, sum(dl), per-term df — broadcast side
+    val statCols = count(lit(1)).as("n") +:
+      sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(tfCol(i)) > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val n      = col("n").cast("double")
+    val avgdl  = col("sum_dl").cast("double") / n
+    val score  = terms.indices.map { i =>
+      val tf  = col(tfCol(i)).cast("double")
+      val df  = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduceLeft[Column](_ + _) // fixed left-to-right addition order
+
+    scored
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol) +: col("dl") +:
+        terms.indices.map(i => col(tfCol(i))) :+
+        round(col("score"), 4).as("score"): _*)
+  }
+}

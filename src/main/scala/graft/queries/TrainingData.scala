@@ -379,6 +379,29 @@ object TrainingData {
       .select($"id".as("vec_id"), $"component", $"csize")
   }
 
+  /** q97 — BM25 relevance head ([[Ranking.bm25TopK]]): top-25 docs for a
+    * 3-term topic query. tf/dl/df stay integral until the score, and the
+    * per-term contributions add in fixed column order, so DuckDB replays
+    * the exact double arithmetic. */
+  def q97Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.bm25TopK(docs(spark, dir), "doc_id", "text",
+      Seq("vector", "hash", "merge"), topK = 25)
+
+  /** q98 — deterministic train/val/test census ([[Splits.hashSplit]]):
+    * 80/10/10 by md5 prefix, reported per lang (the stratification
+    * check: rates must hold inside every stratum). Pure projection —
+    * the split itself shuffles nothing. */
+  def q98HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.operators.Splits.hashSplit(
+      docs(spark, dir), "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val c = assigned.groupBy($"lang", $"split").agg(count(lit(1)).as("n"))
+    val t = c.groupBy($"lang").agg(sum($"n").as("tot"))
+    c.join(broadcast(t), "lang")
+      .select($"lang", $"split", $"n",
+        round($"n".cast("double") / $"tot".cast("double"), 4).as("rate"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
