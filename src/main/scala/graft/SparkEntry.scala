@@ -119,6 +119,7 @@ object SparkEntry {
     "q96_dup_components"   -> (D.q96DupComponents(_, _)),
     "q97_bm25"             -> (D.q97Bm25(_, _)),
     "q98_hash_split"       -> (D.q98HashSplit(_, _)),
+    "q99_mixture"          -> (D.q99Mixture(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -291,6 +292,16 @@ object SparkEntry {
         |SELECT c.lang, c.split, c.n,
         | CAST(round(CAST(CAST(CAST(c.n AS DOUBLE)/CAST(t.tot AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS rate
         |FROM c JOIN t USING (lang)""".stripMargin,
+    // q99: per-stratum md5-prefix downsampling — 0.25 -> '40', 0.5 -> '80'
+    "q99_mixture" ->
+      """WITH k AS (SELECT source, n_chars FROM documents
+        | WHERE CASE source
+        |   WHEN 'src0' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |   WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        |   ELSE TRUE END)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        | CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        |FROM k GROUP BY source""".stripMargin,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,

@@ -42,8 +42,11 @@ object Components {
       .distinct()
       .localCheckpoint()
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // round-0 shortcut: seed every node with min(self, neighbors) — one
+    // aggregation over the edge list; cliques (the common dedup shape)
+    // arrive converged and pay only the confirming round.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("component"))
       .localCheckpoint()
 
     def checksum(df: DataFrame): java.math.BigDecimal =

@@ -38,4 +38,26 @@ object Splits {
       }
     df.withColumn(splitCol, assigned)
   }
+
+  /** Deterministic per-stratum downsampling — the mixture-tuning move of
+    * a pre-training pipeline ("keep 25% of src3, 75% of src7, all the
+    * rest"): rows whose stratum has a rate keep only ids whose md5
+    * prefix falls under floor(rate*256) in two hex digits; strata not in
+    * `rates` keep everything. Same purity/stability contract as
+    * [[hashSplit]], and still a pure filter — no shuffle, fully
+    * pushdown-friendly. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0,1]")
+    val h = substring(md5(col(idCol).cast("string")), 1, 2)
+    def keepFor(r: Double): Column =
+      if (r >= 1.0) lit(true) // "100" would compare lexicographically, not numerically
+      else h < lit(f"${math.floor(r * 256).toInt}%02x")
+    val keep = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(true): Column) { case (acc, (stratum, rate)) =>
+        when(col(strataCol) === lit(stratum), keepFor(rate)).otherwise(acc)
+      }
+    df.where(keep)
+  }
 }

@@ -402,6 +402,18 @@ object TrainingData {
         round($"n".cast("double") / $"tot".cast("double"), 4).as("rate"))
   }
 
+  /** q99 — mixture re-weighting census ([[Splits.stratifiedSample]]):
+    * downsample src0 to 25% and src1 to 50%, keep everything else, and
+    * report the per-source census of the kept corpus. Pure filter —
+    * DuckDB replays the md5-prefix comparisons. */
+  def q99Mixture(spark: SparkSession, dir: String): DataFrame = {
+    val kept = graft.operators.Splits.stratifiedSample(
+      docs(spark, dir), "doc_id", "source",
+      Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 1.0))
+    kept.groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** The sketch operators are the declared 100 TB path for q10 (exact
+  * percentiles) and A15 (distinct): verify each against its exact
+  * counterpart within the sketch's error bound on real table data.
+  * (Not oracle queries: GK/HLL++ internals are not replayable in DuckDB
+  * — same status as the xxhash family.) */
+class SketchesSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approxQuantiles tracks exact percentiles within rank error") {
+    val li = graft.Tables.lineitem(spark, dir)
+    val approx = Sketches.approxQuantiles(li, "l_extendedprice",
+      Seq("l_returnflag"), Seq(0.5, 0.95), accuracy = 10000)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    exact.foreach { case (k, (e50, e95)) =>
+      val (a50, a95) = approx(k)
+      // GK at accuracy 1e4 on ~2k-row groups: near-exact; allow 1%
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$k p50 $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.01, s"$k p95 $a95 vs $e95")
+    }
+  }
+
+  test("approxDistinct tracks exact distinct within the declared rsd") {
+    val li  = graft.Tables.lineitem(spark, dir)
+    val rsd = 0.05
+    val approx = Sketches.approxDistinct(li, "l_partkey", Seq("l_returnflag"), rsd)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[Long]("approx_distinct")).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("d")).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 3 * rsd, s"$k: approx $a exact $e")
+    }
+  }
+}

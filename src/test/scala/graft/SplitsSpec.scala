@@ -39,6 +39,31 @@ class SplitsSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("stratifiedSample: listed strata thin out, unlisted pass through") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val out = Splits.stratifiedSample(df, "id", "src",
+      Map("src0" -> 0.25, "src1" -> 1.0))
+    val byS = out.groupBy("src").count().collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[Long]("count")).toMap
+    assert(byS("src1") == 1000L && byS("src2") == 1000L) // untouched
+    assert(math.abs(byS("src0") / 1000.0 - 0.25) < 0.05, byS)
+    // kept rows are a stable subset: same ids survive on a rerun
+    val again = Splits.stratifiedSample(df, "id", "src",
+      Map("src0" -> 0.25, "src1" -> 1.0))
+    assert(out.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("stratifiedSample: rate 0 drops a stratum entirely; no shuffle") {
+    import spark.implicits._
+    val df  = (0L until 100L).map(i => (i, if (i < 50) "a" else "b")).toDF("id", "src")
+    val out = Splits.stratifiedSample(df, "id", "src", Map("a" -> 0.0))
+    assert(out.where($"src" === "a").count() == 0L)
+    assert(out.where($"src" === "b").count() == 50L)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("degenerate weights are rejected") {
     import spark.implicits._
     val df = Seq(1L).toDF("id")
