@@ -120,6 +120,8 @@ object SparkEntry {
     "q97_bm25"             -> (D.q97Bm25(_, _)),
     "q98_hash_split"       -> (D.q98HashSplit(_, _)),
     "q99_mixture"          -> (D.q99Mixture(_, _)),
+    "q100_repetition"      -> (D.q100Repetition(_, _)),
+    "q101_chunking"        -> (D.q101Chunking(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -302,6 +304,33 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         | CAST(SUM(n_chars) AS BIGINT) AS chars_kept
         |FROM k GROUP BY source""".stripMargin,
+    // q100: same raw (non-distinct) 3-gram construction, same planted
+    // doubling of every 9th doc, same 0.3 flag threshold.
+    "q100_repetition" ->
+      """WITH p AS (SELECT lang,
+        | CASE WHEN doc_id % 9 = 0 THEN text || ' ' || text ELSE text END AS text
+        |FROM documents),
+        |t AS (SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM p),
+        |s AS (SELECT lang, list_transform(range(1, greatest(len(toks)-1, 1)),
+        | i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS sh FROM t),
+        |r AS (SELECT lang, CASE WHEN len(sh) = 0 THEN CAST(0.0 AS DOUBLE)
+        | ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)/CAST(len(sh) AS DOUBLE) END AS rep FROM s)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(round(CAST(CAST(AVG(rep) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS avg_rep,
+        | CAST(round(CAST(CAST(MAX(rep) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS max_rep,
+        | CAST(SUM(CASE WHEN rep > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM r GROUP BY lang""".stripMargin,
+    // q101: same window grid (starts = 0..n-1 step 48, 1-based inclusive
+    // slice of up to 64 tokens), md5 over the space-joined chunk.
+    "q101_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 50),
+        |u AS (SELECT doc_id, toks,
+        | UNNEST(range(0, greatest(len(toks), 1), 48)) AS s FROM t)
+        |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_ix, CAST(s AS BIGINT) AS start,
+        | CAST(len(list_slice(toks, s+1, s+64)) AS BIGINT) AS n_tok,
+        | md5(array_to_string(list_slice(toks, s+1, s+64), ' ')) AS chunk_md5
+        |FROM u""".stripMargin,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,

@@ -37,4 +37,32 @@ object Packing {
         expr(s"(_offset + greatest($tokCol, 1) - 1) div $ctx"))
       .drop("_offset")
   }
+
+  /** Sliding-window token chunking (the fine-tuning-side counterpart of
+    * concat-and-chunk): each document explodes into `size`-token chunks
+    * every `stride` tokens (stride < size ⇒ overlapping context). All
+    * array work happens inside one codegen'd projection (split /
+    * sequence / slice HOFs) followed by posexplode — no shuffle at all;
+    * at 100 TB this is a pure map stage that scales with input splits.
+    * Output: (id, chunk_ix, start, n_tok, chunk) — chunk as the joined
+    * token string so downstream fingerprinting (md5) is one call.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nToks = org.apache.spark.sql.functions.size(toks)
+    val starts = sequence(lit(0), greatest(nToks - 1, lit(0)), lit(stride))
+    val chunks = transform(starts, s => {
+      val piece = slice(toks, s + 1, lit(size))
+      struct(s.as("start"),
+        org.apache.spark.sql.functions.size(piece).as("n_tok"),
+        array_join(piece, " ").as("chunk"))
+    })
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_ix", "c")))
+      .select(col(idCol), col("chunk_ix"),
+        col("c.start").as("start"), col("c.n_tok").as("n_tok"),
+        col("c.chunk").as("chunk"))
+  }
 }

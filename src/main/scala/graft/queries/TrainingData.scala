@@ -414,6 +414,42 @@ object TrainingData {
       .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
   }
 
+  /** q100 — internal-repetition quality rule (the Gopher/MassiveText
+    * duplicate-n-gram signal): per-doc fraction of repeated 3-grams, per
+    * lang census with a 0.3 flag threshold. The corpus is naturally
+    * near-repetition-free (max 0.07), so every 9th doc is planted doubled
+    * (rep ~0.5) to keep the flag column discriminating. */
+  def q100Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).withColumn("text",
+      when($"doc_id" % 9 === 0, concat($"text", lit(" "), $"text"))
+        .otherwise($"text"))
+    val toks = split(lower(trim($"text")), "\\s+")
+    val sh = filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - 3, array_join(slice(toks, i + 1, lit(3)), " "))),
+      s => s.isNotNull)
+    val rep = when(size(sh) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+    planted.select($"lang", rep.as("rep"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"rep"), 4).as("avg_rep"),
+        round(max($"rep"), 4).as("max_rep"),
+        sum(when($"rep" > 0.3, 1L).otherwise(0L)).as("n_flagged"))
+  }
+
+  /** q101 — sliding-window chunking ([[Packing.chunkTokens]]): 64-token
+    * chunks every 48 tokens over the first 50 docs; the md5 of each
+    * chunk's joined tokens makes the oracle compare content, not just
+    * counts. */
+  def q101Chunking(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunkTokens(
+      docs(spark, dir).where($"doc_id" < 50), "doc_id", "text",
+      size = 64, stride = 48)
+      .select($"doc_id", $"chunk_ix".cast("long").as("chunk_ix"),
+        $"start".cast("long").as("start"), $"n_tok".cast("long").as("n_tok"),
+        md5($"chunk").as("chunk_md5"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

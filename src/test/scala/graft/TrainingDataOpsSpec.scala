@@ -58,6 +58,28 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out("b2") == (1L, 1L)) // next window starts clean
   }
 
+  test("chunking: stride windows tile the doc; the tail chunk is short") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.operators.Packing.chunkTokens(df, "doc_id", "text", size = 4, stride = 3)
+      .collect().map(r => (r.getAs[Int]("chunk_ix"), r.getAs[Int]("start"),
+        r.getAs[Int]("n_tok"), r.getAs[String]("chunk"))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0, 0, 4, "t1 t2 t3 t4"),
+      (1, 3, 4, "t4 t5 t6 t7"),   // 1-token overlap (size - stride)
+      (2, 6, 4, "t7 t8 t9 t10"),
+      (3, 9, 1, "t10")))          // ragged tail, never dropped
+  }
+
+  test("q100: planted doubled docs are the flagged ones") {
+    val rows = TrainingData.q100Repetition(spark, dir).collect()
+    val flagged = rows.map(_.getAs[Long]("n_flagged")).sum
+    val planted = graft.Tables.documents(spark, dir)
+      .where(org.apache.spark.sql.functions.col("doc_id") % 9 === 0).count()
+    assert(flagged == planted, rows.mkString(", "))
+    assert(rows.map(_.getAs[Double]("max_rep")).max > 0.4)
+  }
+
   test("q89: all five planted contaminated train docs are flagged") {
     val flagged = TrainingData.q89Decontaminate(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_shingles"))
