@@ -137,6 +137,55 @@ object Streams {
       }
   }
 
+  case class SigDoc(doc_id: Long, bucket: Int, sig: Long)
+  case class DupVerdict(doc_id: Long, dup_of: Long, hamming: Int)
+
+  /** Streaming NEAR-duplicate suppression (q77's SimHash dedup made
+    * incremental): each arriving doc's 64-bit SimHash is checked against
+    * the signatures already seen in its 16-bit band bucket; within
+    * `maxHamming` ⇒ emitted as a duplicate of the first-seen doc, else
+    * recorded. State per bucket is a bounded list of (id, sig) longs —
+    * never text — capped at `maxBucket` entries (oldest evicted), so
+    * state size is bounded at any ingest rate; the bucket key also keeps
+    * comparisons to the collision set, not the stream. Single-band
+    * blocking trades recall for a single stateful operator: exact
+    * replays always collide (identical sig ⇒ identical bucket), and a
+    * near-dup at Hamming h escapes only if a flipped bit lands in the
+    * top band (the batch q77 4-band path stays the full-recall
+    * reference). Docs within one batch
+    * are processed in doc_id order for determinism. */
+  def nearDupDocStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3,
+      maxBucket: Int = 4096): Dataset[DupVerdict] = {
+    import docs.sparkSession.implicits._
+    val sigs = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      graft.operators.Dedup.simhash64(col(textCol)).as("sig"))
+      .withColumn("bucket", shiftrightunsigned(col("sig"), 48).cast("int"))
+      .select($"doc_id", $"bucket", $"sig").as[SigDoc]
+    sigs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Long)], DupVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, chunk: Iterator[SigDoc], state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil) // newest-first
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupVerdict]
+          chunk.toSeq.sortBy(_.doc_id).foreach { d =>
+            val hit = seen.iterator
+              .map { case (id, s) => (id, java.lang.Long.bitCount(s ^ d.sig)) }
+              .filter(_._2 <= maxHamming)
+              .minOption(Ordering.by[(Long, Int), (Int, Long)](h => (h._2, h._1)))
+            hit match {
+              case Some((id, ham)) => out += DupVerdict(d.doc_id, id, ham)
+              case None =>
+                seen = ((d.doc_id, d.sig) :: seen).take(maxBucket)
+                out += DupVerdict(d.doc_id, -1L, 0)
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** File-source incremental intake over a signals directory (the cron
     * append as a stream; batch-compatible schema required). */
   def signalsFileStream(spark: SparkSession, path: String,

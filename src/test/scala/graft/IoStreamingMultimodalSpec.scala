@@ -173,6 +173,35 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming near-dup suppression: replays dup against first-seen, cross-batch state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = Streams.nearDupDocStream(df).writeStream
+      .format("memory").queryName("near_dup").outputMode("append").start()
+    try {
+      def doc(i: Long, seed: String) =
+        (i, (1 to 30).map(j => s"$seed${(i * 7 + j * 13) % 97}").mkString(" "))
+      // batch 1: 10 distinct docs
+      mem.addData((0L until 10L).map(doc(_, "alpha")): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("near_dup").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+      assert(b1.size == 10 && b1.values.forall(_ == -1L), b1)
+      // batch 2: exact replays of 0..4 under new ids + 5 fresh docs.
+      // Exact copies have identical sigs -> same bucket -> always caught.
+      val replays = (0L until 5L).map(i => (100L + i, doc(i, "alpha")._2))
+      mem.addData(replays ++ (10L until 15L).map(doc(_, "beta")): _*)
+      q.processAllAvailable()
+      val b2 = spark.table("near_dup").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("dup_of"), r.getAs[Int]("hamming")))).toMap
+      (0L until 5L).foreach(i => assert(b2(100L + i) == (i, 0), b2))
+      (10L until 15L).foreach(i => assert(b2(i)._1 == -1L, b2))
+    } finally q.stop()
+  }
+
   test("streaming bracket tracker fills once per trade with kernel precedence (X1 live)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
