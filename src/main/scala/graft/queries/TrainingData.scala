@@ -424,10 +424,7 @@ object TrainingData {
       when($"doc_id" % 9 === 0, concat($"text", lit(" "), $"text"))
         .otherwise($"text"))
     val toks = split(lower(trim($"text")), "\\s+")
-    val sh = filter(
-      transform(toks, (_, i) =>
-        when(i <= size(toks) - 3, array_join(slice(toks, i + 1, lit(3)), " "))),
-      s => s.isNotNull)
+    val sh = Dedup.rawShingles(toks, 3)
     val rep = when(size(sh) === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
     planted.select($"lang", rep.as("rep"))
