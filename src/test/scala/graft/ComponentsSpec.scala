@@ -43,6 +43,28 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assertThrows[IllegalStateException] { comps(chain, maxIter = 2) }
   }
 
+  test("random graphs agree with a local union-find reference") {
+    val rnd = new scala.util.Random(42)
+    (1 to 6).foreach { _ =>
+      val n = 2 + rnd.nextInt(25)
+      val edges = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = comps(edges)
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val present = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = present.groupBy(id => find(id.toInt))
+          .values.flatMap(grp => grp.map(_ -> grp.min)).toMap
+        assert(got == expected, s"n=$n edges=$edges")
+      }
+    }
+  }
+
   test("componentsWithSizes reports the census of each closure") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
