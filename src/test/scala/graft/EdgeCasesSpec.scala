@@ -88,4 +88,32 @@ class EdgeCasesSpec extends AnyFunSuite with SparkFixture {
       .groupBy($"half").count()
     assert(out.count() == 0) // empty result, no exception
   }
+
+  test("connected components of an empty pair set is empty, not a hang") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.Components.connectedComponents(empty, "a", "b")
+      .count() == 0)
+  }
+
+  test("chunking and packing survive messy documents") {
+    val chunks = graft.operators.Packing.chunkTokens(
+      messyDocs.na.drop(Seq("text")), "doc_id", "text", size = 4, stride = 4)
+    // every non-null doc yields at least one chunk (possibly of "" / 1 token)
+    assert(chunks.select("doc_id").distinct().count() == 4)
+    val packed = graft.operators.Packing.concatChunkAssign(
+      messyDocs.na.drop(Seq("text"))
+        .select($"doc_id", lit("s").as("stream"),
+          TextOps.tokenCount($"text").as("n_tok")),
+      "doc_id", "stream", "n_tok", 8)
+    // zero-token docs occupy no span but still get a window assignment
+    assert(packed.count() == 4)
+    assert(packed.where($"seq_end" < $"seq_start").count() == 0)
+  }
+
+  test("bm25 over a corpus missing every query term scores all zero") {
+    val docs = Seq((1L, "aa bb cc"), (2L, "dd ee")).toDF("doc_id", "text")
+    val out = graft.operators.Ranking.bm25TopK(docs, "doc_id", "text",
+      Seq("zz"), topK = 5).collect()
+    assert(out.length == 2 && out.forall(_.getAs[Double]("score") == 0.0))
+  }
 }
