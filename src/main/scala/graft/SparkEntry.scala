@@ -122,6 +122,7 @@ object SparkEntry {
     "q99_mixture"          -> (D.q99Mixture(_, _)),
     "q100_repetition"      -> (D.q100Repetition(_, _)),
     "q101_chunking"        -> (D.q101Chunking(_, _)),
+    "q102_topk_agg"        -> (R.q102TopKAgg(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -331,6 +332,17 @@ object SparkEntry {
         | CAST(len(list_slice(toks, s+1, s+64)) AS BIGINT) AS n_tok,
         | md5(array_to_string(list_slice(toks, s+1, s+64), ' ')) AS chunk_md5
         |FROM u""".stripMargin,
+    // q102: the bounded-heap top-k replayed as a window — rank by
+    // (value DESC, id ASC), k=3; values pass through untouched.
+    "q102_topk_agg" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | row_number() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |FROM orders)
+        |SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank,
+        | CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        | CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM r WHERE rank <= 3""".stripMargin,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,

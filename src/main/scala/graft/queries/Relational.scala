@@ -288,4 +288,14 @@ object Relational {
       .groupBy($"half")
       .agg(count(lit(1)).as("cnt"), round(avg($"o_totalprice"), 4).as("avg_price"))
   }
+
+  /** q102 — top-k per group via the bounded-heap aggregate
+    * ([[graft.operators.TopK]]): q12's O6 semantics on the scale path —
+    * only k-row summaries shuffle, never the group's raw rows. Values
+    * pass through unrounded (no arithmetic), so the oracle's window
+    * formulation must match exactly. */
+  def q102TopKAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.topKPerGroup(
+      Tables.orders(spark, dir), "o_orderpriority", "o_orderkey",
+      "o_totalprice", k = 3)
 }
