@@ -122,4 +122,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // exactly one exchange keyed by user_id feeds the window
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(1200))
   }
+
+  test("q102: bounded top-k plans a two-stage object aggregate, no window sort") {
+    val p = physical("q102_topk_agg")
+    // partial aggregation before the group-key exchange: only k-row
+    // summaries shuffle, never raw order rows
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("q97: BM25 corpus stats attach via a one-row broadcast, corpus never reshuffles") {
+    val p = physical("q97_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    // no hash-partitioned exchange of the document rows (only the final
+    // top-k TakeOrdered and the 1-row stats aggregation remain)
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
 }
