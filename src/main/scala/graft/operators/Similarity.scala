@@ -124,6 +124,69 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Lloyd refinement for IVF centroids: `iters` rounds of
+    * assign-to-nearest (cosine) + recompute-mean. Per round the corpus
+    * does ONE map-side pass — assignment against broadcast centroids and
+    * a mergeable (sum-vector, count) partial aggregate per cell — so
+    * only nCells×partitions fixed-size summaries shuffle, never vectors.
+    * Returns the refined centroid table (cell, centroid) for
+    * [[ivfTopK]]-style assignment; empty cells keep their previous
+    * centroid (the standard Lloyd degenerate-cell rule). Driver holds
+    * one nCells×dim array per round — centroid state, not data.
+    */
+  class VecSumAgg extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Array[Double]), (Array[Double], Long), Array[Double]] {
+    def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+    def reduce(b: (Array[Double], Long), x: (Long, Array[Double])): (Array[Double], Long) = {
+      val (acc, n) = b
+      if (acc.isEmpty) (x._2.clone(), n + 1)
+      else {
+        var i = 0; while (i < acc.length) { acc(i) += x._2(i); i += 1 }
+        (acc, n + 1)
+      }
+    }
+    def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) =
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        var i = 0; while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    def finish(r: (Array[Double], Long)): Array[Double] =
+      if (r._2 == 0) r._1 else r._1.map(_ / r._2)
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  def kmeansRefine(corpus: DataFrame, vecCol: String,
+      init: Array[(Long, Array[Double])], iters: Int): Array[(Long, Array[Double])] = {
+    require(iters >= 0 && init.nonEmpty)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = init
+    (0 until iters).foreach { _ =>
+      // assignment is a pure projection: score against every literal
+      // centroid, array_max picks the best (sim, cell) struct — no join,
+      // no shuffle of vectors for the assignment itself
+      val scored = array(cents.map { case (id, vec) =>
+        struct(cosine(col(vecCol), array(vec.map(lit): _*)).as("sim"),
+          lit(id).as("cell"))
+      }: _*)
+      val sums = corpus
+        .select(array_max(scored).as("b"), col(vecCol).as("v"))
+        .where(!isnan(col("b.sim"))) // zero-norm vectors join no cell
+        .select(col("b.cell").as("cell"), col("v"))
+        .as[(Long, Array[Double])]
+        .groupByKey(_._1)
+        .agg(new VecSumAgg().toColumn.name("mean"))
+        .collect().toMap
+      cents = cents.map { case (cell, old) => (cell, sums.getOrElse(cell, old)) }
+    }
+    cents
+  }
+
   /** LSH-bucketed ANN: candidates collide in >= 1 of `tables` SRP hash
     * tables, then exact cosine re-rank to top-k per probe. Recall grows
     * with `tables`, selectivity with `planes`.

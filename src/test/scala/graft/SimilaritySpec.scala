@@ -98,4 +98,36 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf == again)
   }
+
+  test("kmeansRefine recovers planted cluster directions from perturbed seeds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val anchors = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val data = (0 until 300).map { i =>
+      val a = anchors(i % 3)
+      (i.toLong, a.map(x => x + rnd.nextGaussian() * 0.05))
+    }.toDF("vec_id", "v")
+    // seeds: one noisy point from each cluster
+    val init = anchors.indices.map(c =>
+      (c.toLong, anchors(c).map(x => x + rnd.nextGaussian() * 0.3))).toArray
+    val refined = Similarity.kmeansRefine(data, "v", init, iters = 5)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // each refined centroid aligns with its anchor far better than the seed
+    refined.foreach { case (cell, c) =>
+      val anchor = anchors(cell.toInt)
+      assert(cos(c, anchor) > 0.99,
+        s"cell $cell cos ${cos(c, anchor)}")
+      assert(cos(c, anchor) >= cos(init(cell.toInt)._2, anchor) - 1e-9)
+    }
+    // stability: rerun agrees to float-merge-order tolerance (double
+    // addition is not associative; partial-agg merge order may vary)
+    val again = Similarity.kmeansRefine(data, "v", init, iters = 5)
+    refined.zip(again).foreach { case ((_, a), (_, b)) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
 }
