@@ -123,6 +123,7 @@ object SparkEntry {
     "q100_repetition"      -> (D.q100Repetition(_, _)),
     "q101_chunking"        -> (D.q101Chunking(_, _)),
     "q102_topk_agg"        -> (R.q102TopKAgg(_, _)),
+    "q103_pack_materialize" -> (D.q103PackMaterialize(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -343,6 +344,25 @@ object SparkEntry {
         | CAST(o_orderkey AS BIGINT) AS o_orderkey,
         | CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM r WHERE rank <= 3""".stripMargin,
+    // q103: identical running offsets (per-lang window over n DESC, id),
+    // identical slice bounds, ORDER BY off inside string_agg — window
+    // content md5 must match byte-for-byte.
+    "q103_pack_materialize" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 200),
+        |b AS (SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+        |o AS (SELECT *, COALESCE(CAST(SUM(n) OVER (PARTITION BY lang ORDER BY n DESC, doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off FROM b),
+        |u AS (SELECT lang, off, n, toks,
+        |  UNNEST(range(off // 128, (off + greatest(n, 1) - 1) // 128 + 1)) AS seq FROM o),
+        |p AS (SELECT lang, seq, off,
+        |  greatest(seq * 128, off) AS gs, least((seq + 1) * 128, off + n) AS ge, toks FROM u),
+        |s AS (SELECT lang, seq, off, ge - gs AS cnt,
+        |  array_to_string(list_slice(toks, gs - off + 1, ge - off), ' ') AS part FROM p)
+        |SELECT lang, CAST(seq AS BIGINT) AS seq, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        | CAST(SUM(cnt) AS BIGINT) AS win_tokens,
+        | md5(string_agg(part, ' ' ORDER BY off)) AS win_md5
+        |FROM s GROUP BY lang, seq""".stripMargin,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,

@@ -38,6 +38,48 @@ object Packing {
       .drop("_offset")
   }
 
+  /** Materializes the [[concatChunkAssign]] layout into actual ctx-token
+    * training sequences: every document contributes the slice of its
+    * tokens that falls in each context window it straddles; window
+    * assembly is ONE shuffle keyed by (stream, window) moving exactly
+    * the tokens that window contains (the minimal data movement any
+    * assembler can do), then an order-stable concat. Output one row per
+    * window: (stream, seq, n_parts, win_tokens, win_text).
+    *
+    * Whitespace tokens here (assignment cost model can stay BPE-ish via
+    * [[concatChunkAssign]]'s tokCol; materialization needs the literal
+    * tokens).
+    */
+  def concatChunkMaterialize(df: DataFrame, idCol: String, streamCol: String,
+      textCol: String, ctx: Int): DataFrame = {
+    require(ctx > 0, "ctx must be positive")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol).as("_id"), col(streamCol).as("stream"),
+      toks.as("toks"), org.apache.spark.sql.functions.size(toks).cast("long").as("n"))
+    // same running offset as concatChunkAssign (which drops it), kept
+    // here because the slice bounds need it
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("stream"))
+      .orderBy(col("n").desc, col("_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withOff = base.withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("seq_start", expr(s"off div $ctx"))
+      .withColumn("seq_end", expr(s"(off + greatest(n, 1) - 1) div $ctx"))
+    val parts = withOff
+      .select(col("stream"), col("off"), col("n"), col("toks"),
+        explode(sequence(col("seq_start"), col("seq_end"))).as("seq"))
+      .withColumn("gs", greatest(col("seq") * ctx, col("off")))
+      .withColumn("ge", least((col("seq") + 1) * ctx, col("off") + col("n")))
+      .withColumn("part", array_join(
+        slice(col("toks"), (col("gs") - col("off") + 1).cast("int"),
+          (col("ge") - col("gs")).cast("int")), " "))
+    parts.groupBy(col("stream"), col("seq"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("ge") - col("gs")).as("win_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("off"), col("part")))),
+          x => x.getField("part")), " ").as("win_text"))
+  }
+
   /** Sliding-window token chunking (the fine-tuning-side counterpart of
     * concat-and-chunk): each document explodes into `size`-token chunks
     * every `stride` tokens (stride < size ⇒ overlapping context). All

@@ -447,6 +447,17 @@ object TrainingData {
         $"start".cast("long").as("start"), $"n_tok".cast("long").as("n_tok"),
         md5($"chunk").as("chunk_md5"))
 
+  /** q103 — packed-sequence materialization
+    * ([[Packing.concatChunkMaterialize]]): the q95 layout assembled into
+    * actual 128-token windows per lang stream; the oracle hashes each
+    * window's text, so token order across document boundaries is
+    * content-checked cross-engine. */
+  def q103PackMaterialize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.concatChunkMaterialize(
+      docs(spark, dir).where($"doc_id" < 200), "doc_id", "lang", "text", ctx = 128)
+      .select($"stream".as("lang"), $"seq".cast("long").as("seq"),
+        $"n_parts", $"win_tokens", md5($"win_text").as("win_md5"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -80,6 +80,24 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getAs[Double]("max_rep")).max > 0.4)
   }
 
+  test("packing: materialized windows reassemble token order across doc boundaries") {
+    import spark.implicits._
+    // stream order (n desc, id): a1(5 toks) off 0, a2(2) off 5, a3(1) off 6
+    // ctx=4 -> window 0 = a1[1..4], window 1 = a1[5] ++ a2 ++ a3
+    val df = Seq(
+      ("a1", "A", "w1 w2 w3 w4 w5"), ("a2", "A", "x1 x2"), ("a3", "A", "y1"),
+      ("b1", "B", "z1 z2")).toDF("id", "stream", "text")
+    val out = graft.operators.Packing
+      .concatChunkMaterialize(df, "id", "stream", "text", ctx = 4)
+      .collect().map(r => (r.getAs[String]("stream"), r.getAs[Long]("seq")) ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("win_tokens"),
+          r.getAs[String]("win_text"))).toMap
+    assert(out(("A", 0L)) == (1L, 4L, "w1 w2 w3 w4"))
+    assert(out(("A", 1L)) == (3L, 4L, "w5 x1 x2 y1"))
+    assert(out(("B", 0L)) == (1L, 2L, "z1 z2"))
+    assert(out.size == 3)
+  }
+
   test("q89: all five planted contaminated train docs are flagged") {
     val flagged = TrainingData.q89Decontaminate(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_shingles"))
