@@ -37,7 +37,10 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Key each timing by the qNN prefix only: the harness that reads this
+    // keeps a bounded stdout tail, so the whole line must stay short. Full
+    // names are recoverable from SparkEntry.queries (prefixes are unique).
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =

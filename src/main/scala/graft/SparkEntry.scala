@@ -124,6 +124,12 @@ object SparkEntry {
     "q101_chunking"        -> (D.q101Chunking(_, _)),
     "q102_topk_agg"        -> (R.q102TopKAgg(_, _)),
     "q103_pack_materialize" -> (D.q103PackMaterialize(_, _)),
+    "q104_text_clean"      -> (D.q104TextClean(_, _)),
+    "q105_global_shuffle"  -> (D.q105GlobalShuffle(_, _)),
+    "q106_oov_rate"        -> (D.q106OovRate(_, _)),
+    "q107_dedup_apply"     -> (D.q107DedupApply(_, _)),
+    "q108_knn_join"        -> (D.q108KnnJoin(_, _)),
+    "q109_stop_strip"      -> (D.q109StopStrip(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -363,6 +369,94 @@ object SparkEntry {
         | CAST(SUM(cnt) AS BIGINT) AS win_tokens,
         | md5(string_agg(part, ' ' ORDER BY off)) AS win_md5
         |FROM s GROUP BY lang, seq""".stripMargin,
+    // q104: identical regexp_replace chain (tags -> entities in
+    // TextOps.htmlEntities order -> control chars -> whitespace collapse);
+    // DuckDB needs the 'g' flag for replace-all, Spark's default.
+    "q104_text_clean" -> {
+      var e = "raw"
+      e = s"regexp_replace($e, '<[^>]*>', ' ', 'g')"
+      for ((ent, rep) <- graft.functions.TextOps.htmlEntities) {
+        val r = rep.replace("'", "''")
+        e = s"regexp_replace($e, '$ent', '$r', 'g')"
+      }
+      e = s"regexp_replace($e, '[\\x00-\\x1F\\x7F]', ' ', 'g')"
+      e = s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0
+         |    THEN '<p class="x"> ' || text || ' </p>' || chr(10) || '<b>tail &amp; more&nbsp;here</b>' || chr(7)
+         |    ELSE text END AS raw FROM documents),
+         |c AS (SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw, $e AS clean FROM p)
+         |SELECT doc_id, n_raw, CAST(length(clean) AS BIGINT) AS n_clean, md5(clean) AS clean_md5
+         |FROM c""".stripMargin
+    },
+    // q105: the oracle IS the naive global sort the bucketed plan avoids —
+    // row_number over (md5(id), id), 0-based.
+    "q105_global_shuffle" ->
+      """SELECT doc_id,
+        |CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+    // q106: same top-50 vocabulary (freq desc, token asc) and per-lang
+    // OOV census; rate rounded via the VARCHAR->DECIMAL repr round-trip.
+    "q106_oov_rate" ->
+      """WITH t AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+        |v AS (SELECT token FROM (SELECT token, COUNT(*) AS freq FROM t
+        |      GROUP BY token ORDER BY freq DESC, token LIMIT 50)),
+        |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        | CAST(SUM(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        |FROM t GROUP BY lang)
+        |SELECT lang, n_tokens, n_oov,
+        | CAST(round(CAST(CAST(CAST(n_oov AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS oov_rate
+        |FROM a""".stripMargin,
+    // q107: q96's recursive closure, left-joined back onto the corpus —
+    // kept = (component = own id), singletons label themselves.
+    "q107_dedup_apply" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE vec_id < 100),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a, e b WHERE a.vec_id < b.vec_id
+        |AND list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
+        | sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))) >= 0.3),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT DISTINCT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT edges.d AS id, reach.r FROM reach JOIN edges ON edges.s = reach.id
+        |),
+        |f AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT e0.vec_id, CAST(COALESCE(f.component, e0.vec_id) AS BIGINT) AS component,
+        | (COALESCE(f.component, e0.vec_id) = e0.vec_id) AS kept
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 100) e0
+        |LEFT JOIN f ON f.id = e0.vec_id""".stripMargin,
+    // q108: brute-force k-NN self-join — what knnJoin at nProbe = nCells
+    // must reproduce exactly (the q90/q94 saturation identity).
+    "q108_knn_join" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE vec_id < 60),
+        |j AS (SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
+        |list_aggregate(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
+        | sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))) AS cos
+        |FROM e a, e b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT probe_id, corpus_id, cos,
+        |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
+        |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id, round(cos, 4) AS cos
+        |FROM r WHERE rnk <= 3""".stripMargin,
+    // q109: same df census (>60% of docs), same sorted stop list, same
+    // order-preserving list_filter reassembly + md5 content check.
+    "q109_stop_strip" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t),
+        |df AS (SELECT token, COUNT(*) AS df FROM d GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT COALESCE(list(token ORDER BY token), []) AS stop FROM df, n
+        |      WHERE CAST(df AS DOUBLE) > CAST(n_docs AS DOUBLE) * 0.6),
+        |f AS (SELECT doc_id, toks, list_filter(toks, x -> NOT list_contains(stop, x)) AS kept
+        |FROM t, s)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+        | CAST(len(kept) AS BIGINT) AS n_after,
+        | md5(COALESCE(array_to_string(kept, ' '), '')) AS stripped_md5
+        |FROM f""".stripMargin,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,

@@ -103,4 +103,29 @@ object TextOps {
     * (whitespace collapsed, lower-cased) — stable under reflow. */
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** HTML entities unescaped by [[cleanText]], applied in this order:
+    * named entities first, `&amp;` last, so a literal "&amp;lt;" decodes
+    * to "&lt;" (single-pass unescape, the standard behavior). */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Web-text cleaning (the C4-style markup strip that runs before any
+    * quality/dedup stage): drop HTML/XML tags, unescape the common
+    * entities, strip control characters, collapse whitespace runs to a
+    * single space, trim. Pure regexp_replace chain — codegen'd, no UDF,
+    * and replayable verbatim by any engine with POSIX regex replace. */
+  def cleanText(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val unescaped = htmlEntities.foldLeft(noTags) { case (c, (ent, rep)) =>
+      // entity strings are regex-safe literals except '&' which is literal
+      // in both Spark and DuckDB regex syntax
+      regexp_replace(c, ent, rep)
+    }
+    // explicit hex range, not \p{Cntrl}: Java regex and RE2 agree on
+    // [\x00-\x1F\x7F] but diverge on the named class's Unicode scope
+    val noCtl = regexp_replace(unescaped, "[\\x00-\\x1F\\x7F]", " ")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
 }

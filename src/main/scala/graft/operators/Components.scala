@@ -40,14 +40,16 @@ object Components {
       col(bCol).cast("long").as("dst"))
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // round-0 shortcut: seed every node with min(self, neighbors) — one
     // aggregation over the edge list; cliques (the common dedup shape)
-    // arrive converged and pay only the confirming round.
+    // arrive converged and pay only the confirming round. Checkpoints are
+    // lazy: the per-round checksum action below materializes them, so each
+    // round costs exactly one Spark job instead of two.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(least(col("src"), col("dst"))).as("component"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
@@ -62,7 +64,7 @@ object Components {
         .select(col("dst").as("id"), col("component"))
       val merged = labels.union(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val cur = checksum(merged)
       converged = cur.compareTo(prev) == 0
       prev = cur
@@ -74,6 +76,27 @@ object Components {
         s"connectedComponents did not converge in $maxIter rounds " +
           "(graph diameter exceeds maxIter — raise it for path-like graphs)")
     labels
+  }
+
+  /** The dedup-apply step: label `corpus` rows with their near-dup
+    * component and a `kept` flag — true exactly for the canonical doc
+    * (min id) of each component, and for singletons (docs in no pair).
+    * `corpus.filter($"kept")` IS the deduplicated corpus; the join is a
+    * left join against the (id, component) labeling, which is orders of
+    * magnitude smaller than the corpus (only docs that appear in pairs),
+    * so Spark broadcast-joins it in the common case.
+    */
+  def canonicalize(corpus: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxIter)
+      .withColumnRenamed("id", "__cc_id")
+    corpus
+      .join(comp, corpus(idCol).cast("long") === col("__cc_id"), "left")
+      .withColumn("component",
+        coalesce(col("component"), corpus(idCol).cast("long")))
+      .withColumn("kept", col("component") === corpus(idCol).cast("long"))
+      .drop("__cc_id")
   }
 
   /** [[connectedComponents]] plus the member count of each component —

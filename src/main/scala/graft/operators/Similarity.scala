@@ -124,6 +124,18 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** All-corpus k-NN self-join — the semantic-dedup / clustering shape
+    * where EVERY vector wants its k nearest neighbors, not just a probe
+    * set. Pure composition of [[ivfTopK]] with the corpus on both sides:
+    * vectors are assigned to their nearest cell once, probe nProbe cells,
+    * and candidate pairs meet inside cells — the corpus shuffles on cell
+    * id instead of the all-pairs O(n²) a naive self-join would do. At
+    * nProbe = nCells the result is exactly the brute-force k-NN graph
+    * (the q90-style saturation identity used by the oracle). */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopK(corpus, corpus, idCol, vecCol, k, nCells, nProbe)
+
   /** Lloyd refinement for IVF centroids: `iters` rounds of
     * assign-to-nearest (cosine) + recompute-mean. Per round the corpus
     * does ONE map-side pass — assignment against broadcast centroids and

@@ -458,6 +458,102 @@ object TrainingData {
       .select($"stream".as("lang"), $"seq".cast("long").as("seq"),
         $"n_parts", $"win_tokens", md5($"win_text").as("win_md5"))
 
+  /** q104 — web-text cleaning ([[TextOps.cleanText]]): the corpus carries
+    * no markup, so the fixture plants HTML tags, entities, and a control
+    * char on every 7th doc; the md5 of the cleaned text checks the whole
+    * strip/unescape/collapse chain cross-engine. */
+  def q104TextClean(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).withColumn("raw",
+      when($"doc_id" % 7 === 0,
+        concat(lit("<p class=\"x\"> "), $"text",
+          lit(" </p>\n<b>tail &amp; more&nbsp;here</b>\u0007")))
+        .otherwise($"text"))
+    planted.select($"doc_id", length($"raw").cast("long").as("n_raw"),
+      TextOps.cleanText($"raw").as("clean"))
+      .select($"doc_id", $"n_raw", length($"clean").cast("long").as("n_clean"),
+        md5($"clean").as("clean_md5"))
+  }
+
+  /** q105 — deterministic global shuffle index
+    * ([[graft.operators.GlobalOrder.shuffleIndex]]): every doc's position
+    * in the (md5(id), id) permutation, computed with 256 hash-range
+    * buckets + offset join — no single-partition global sort. The oracle
+    * IS that global sort (fine at oracle scale), so the bucketed plan is
+    * checked against the naive semantics row for row. */
+  def q105GlobalShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GlobalOrder.shuffleIndex(
+      docs(spark, dir).select($"doc_id"), "doc_id")
+      .select($"doc_id", $"pos")
+
+  /** q106 — OOV-rate census: tokenize, build the top-50 corpus vocabulary
+    * (freq desc, token asc — deterministic), and report per-lang token
+    * counts and out-of-vocabulary rates. The vocab side is tiny by
+    * construction and broadcast; only (lang, token) pairs shuffle. */
+  def q106OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select($"lang", explode(split(lower(trim($"text")), "\\s+")).as("token"))
+    val vocab = toks.groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token").limit(50)
+      .select($"token", lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round($"n_oov".cast("double") / $"n_tokens".cast("double"), 4))
+  }
+
+  /** q107 — dedup apply ([[graft.operators.Components.canonicalize]]):
+    * the q96 component labeling joined back onto the corpus — `kept` is
+    * true exactly for each component's min-id doc and for singletons.
+    * `filter(kept)` is the deduplicated corpus; the oracle replays the
+    * closure plus the left join. */
+  def q107DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .where($"vec_id" < 100)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val pairs = Dedup.embeddingNearDupsExact(emb, "vec_id", "v", threshold = 0.3)
+    graft.operators.Components.canonicalize(
+      emb.select($"vec_id"), "vec_id", pairs, "id_a", "id_b")
+      .select($"vec_id", $"component", $"kept")
+  }
+
+  /** q108 — k-NN self-join ([[Similarity.knnJoin]]): top-3 neighbors for
+    * EVERY vector (vec_id < 60) through the IVF cell machinery at
+    * saturation (nProbe = nCells), which must equal the brute-force k-NN
+    * graph — the q90 identity, here for the self-join shape. */
+  def q108KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .where($"vec_id" < 60)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    Similarity.knnJoin(emb, "vec_id", "v", k = 3, nCells = 8, nProbe = 8)
+      .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
+  }
+
+  /** q109 — document-frequency stopword strip: census each token's doc
+    * frequency, collect the tokens present in >60% of docs (small by
+    * construction — broadcast as one array), and strip them from every
+    * doc IN PLACE via a higher-order filter over the token array — token
+    * order survives, no explode/regroup shuffle of the corpus. The md5
+    * of the stripped text checks order-preserving reassembly. */
+  def q109StopStrip(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("toks"))
+    val dfreq = toks
+      .select($"doc_id", explode(array_distinct($"toks")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val stopArr = dfreq.crossJoin(nDocs)
+      .where($"df".cast("double") > $"n_docs".cast("double") * lit(0.6d))
+      .agg(sort_array(collect_list($"token")).as("stop"))
+    toks.crossJoin(broadcast(stopArr))
+      .withColumn("kept_toks", filter($"toks", t => !array_contains($"stop", t)))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_before"),
+        size($"kept_toks").cast("long").as("n_after"),
+        md5(concat_ws(" ", $"kept_toks")).as("stripped_md5"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

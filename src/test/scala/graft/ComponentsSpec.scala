@@ -74,4 +74,20 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(rows == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
+
+  test("canonicalize keeps exactly one doc per component plus singletons") {
+    import spark.implicits._
+    val corpus = (1L to 12L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Components.canonicalize(corpus, "doc_id", pairs, "a", "b")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Boolean]("kept")))).toMap
+    assert(out.size == 12)
+    // component members label to the min id; only the min survives
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)) && out(3L) == ((1L, false)))
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
+    // singletons (never in a pair) keep themselves
+    assert(Seq(4L, 5L, 12L).forall(id => out(id) == ((id, true))))
+    assert(out.values.count(_._2) == 9) // 12 docs - 3 dropped dups
+  }
 }

@@ -99,6 +99,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(ivf == again)
   }
 
+  test("knnJoin at saturation equals the brute-force k-NN graph") {
+    val knn = Similarity.knnJoin(clustered, "vec_id", "v", k = 3,
+      nCells = 6, nProbe = 6)
+      .select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(clustered, clustered, "vec_id", "v", 3)
+      .select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(knn == bf)
+    // every vector is a probe: one k-NN list per corpus vector
+    assert(knn.map(_._1).size == clustered.count())
+  }
+
   test("kmeansRefine recovers planted cluster directions from perturbed seeds") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

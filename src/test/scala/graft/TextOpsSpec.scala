@@ -52,4 +52,15 @@ class TextOpsSpec extends AnyFunSuite with SparkFixture {
     val b = one(TextOps.fingerprint(lit("hello world foo")))
     assert(a == b)
   }
+
+  test("cleanText strips tags, unescapes entities, collapses whitespace") {
+    val got = one(TextOps.cleanText(lit(
+      "<p class=\"x\">Tom &amp; Jerry</p>\n\n  say &quot;hi&quot; &amp;lt;ok&amp;gt;")))
+    assert(got == "Tom & Jerry say \"hi\" &lt;ok&gt;") // single-pass unescape
+  }
+
+  test("cleanText leaves plain text alone and handles empty") {
+    assert(one(TextOps.cleanText(lit("plain words here"))) == "plain words here")
+    assert(one(TextOps.cleanText(lit("   "))) == "")
+  }
 }
