@@ -130,6 +130,9 @@ object SparkEntry {
     "q107_dedup_apply"     -> (D.q107DedupApply(_, _)),
     "q108_knn_join"        -> (D.q108KnnJoin(_, _)),
     "q109_stop_strip"      -> (D.q109StopStrip(_, _)),
+    "q110_bloom_decontaminate" -> (D.q110BloomDecontaminate(_, _)),
+    "q111_incremental_dedup"   -> (D.q111IncrementalDedup(_, _)),
+    "q112_quality_gate"        -> (D.q112QualityGate(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -205,6 +208,33 @@ object SparkEntry {
        |  ${mr("quantile_cont(fc, 0.9)", 2)} AS p90_capital,
        |  ${mr("max(maxdd) * 100", 2)} AS worst_drawdown_pct
        |FROM fin""".stripMargin
+  }
+
+  /** q89/q110 oracle: exact 8-gram overlap census between the train split
+    * (planted contamination included) and the test split. */
+  private val decontaminationOracle: String =
+    """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |testsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, greatest(len(toks)-6, 1)),
+      |i -> array_to_string(list_slice(toks, i, i+7), ' ')))) AS sh FROM tok WHERE doc_id < 10),
+      |train AS (SELECT doc_id, toks FROM tok WHERE doc_id >= 10
+      |UNION ALL SELECT doc_id + 2000, toks FROM tok WHERE doc_id < 5),
+      |trainsh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-6, 1)),
+      |i -> array_to_string(list_slice(toks, i, i+7), ' ')))) AS sh FROM train)
+      |SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_shared_shingles
+      |FROM trainsh t WHERE EXISTS (SELECT 1 FROM testsh WHERE testsh.sh = t.sh)
+      |GROUP BY t.doc_id""".stripMargin
+
+  /** DuckDB expression replaying [[graft.functions.TextOps.cleanText]]
+    * over `src` — shared by the q104 and q112 oracles. */
+  private def duckCleanExpr(src: String): String = {
+    var e = src
+    e = s"regexp_replace($e, '<[^>]*>', ' ', 'g')"
+    for ((ent, rep) <- graft.functions.TextOps.htmlEntities) {
+      val r = rep.replace("'", "''")
+      e = s"regexp_replace($e, '$ent', '$r', 'g')"
+    }
+    e = s"regexp_replace($e, '[\\x00-\\x1F\\x7F]', ' ', 'g')"
+    s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
   }
 
   /** Brute-force cosine top-5 for probes vec_id < 5 — the exact answer the
@@ -372,23 +402,14 @@ object SparkEntry {
     // q104: identical regexp_replace chain (tags -> entities in
     // TextOps.htmlEntities order -> control chars -> whitespace collapse);
     // DuckDB needs the 'g' flag for replace-all, Spark's default.
-    "q104_text_clean" -> {
-      var e = "raw"
-      e = s"regexp_replace($e, '<[^>]*>', ' ', 'g')"
-      for ((ent, rep) <- graft.functions.TextOps.htmlEntities) {
-        val r = rep.replace("'", "''")
-        e = s"regexp_replace($e, '$ent', '$r', 'g')"
-      }
-      e = s"regexp_replace($e, '[\\x00-\\x1F\\x7F]', ' ', 'g')"
-      e = s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
+    "q104_text_clean" ->
       s"""WITH p AS (SELECT doc_id,
          |  CASE WHEN doc_id % 7 = 0
          |    THEN '<p class="x"> ' || text || ' </p>' || chr(10) || '<b>tail &amp; more&nbsp;here</b>' || chr(7)
          |    ELSE text END AS raw FROM documents),
-         |c AS (SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw, $e AS clean FROM p)
+         |c AS (SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw, ${duckCleanExpr("raw")} AS clean FROM p)
          |SELECT doc_id, n_raw, CAST(length(clean) AS BIGINT) AS n_clean, md5(clean) AS clean_md5
-         |FROM c""".stripMargin
-    },
+         |FROM c""".stripMargin,
     // q105: the oracle IS the naive global sort the bucketed plan avoids —
     // row_number over (md5(id), id), 0-based.
     "q105_global_shuffle" ->
@@ -457,6 +478,50 @@ object SparkEntry {
         | CAST(len(kept) AS BIGINT) AS n_after,
         | md5(COALESCE(array_to_string(kept, ' '), '')) AS stripped_md5
         |FROM f""".stripMargin,
+    // q111: exhaustive exact batch x corpus Jaccard — the LSH pipeline
+    // must reproduce it exactly (recall-1 identity, q85 precedent).
+    "q111_incremental_dedup" ->
+      """WITH corp AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |bat AS (SELECT doc_id + 5000 AS batch_id,
+        | string_split_regex(lower(trim(text || ' graft incremental batch tail')), '\s+') AS toks
+        |FROM documents WHERE doc_id < 20),
+        |cs AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        | i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh FROM corp),
+        |bs AS (SELECT batch_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        | i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh FROM bat),
+        |p AS (SELECT b.batch_id, c.doc_id AS corpus_id,
+        | len(list_intersect(b.sh, c.sh)) / CAST(len(list_distinct(list_concat(b.sh, c.sh))) AS DOUBLE) AS j
+        |FROM bs b, cs c)
+        |SELECT batch_id, corpus_id,
+        | CAST(round(CAST(CAST(j AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS jaccard
+        |FROM p WHERE j >= 0.5""".stripMargin,
+    // q112: clean chain (duckCleanExpr) -> q73's quality formula over the
+    // cleaned text -> gate census per source.
+    "q112_quality_gate" ->
+      s"""WITH pl AS (SELECT source,
+         |  CASE WHEN doc_id % 7 = 0
+         |    THEN '<p class="x"> ' || text || ' </p>' || chr(10) || '<b>tail &amp; more&nbsp;here</b>'
+         |    ELSE text END AS raw FROM documents),
+         |cl AS (SELECT source, ${duckCleanExpr("raw")} AS clean FROM pl),
+         |u AS (SELECT source,
+         |CASE WHEN len(string_split_regex(lower(trim(clean)), '\\s+'))=0 THEN 0.0 ELSE
+         | len(list_filter(string_split_regex(lower(trim(clean)), '\\s+'), x -> list_contains(
+         | ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'], x)))
+         | / CAST(len(string_split_regex(lower(trim(clean)), '\\s+')) AS DOUBLE) END AS stop_ratio,
+         |CASE WHEN length(trim(clean))=0 THEN 0 ELSE len(string_split_regex(trim(clean), '\\s+')) END AS n_tok,
+         |CASE WHEN length(clean)=0 THEN 0.0 ELSE (length(clean) - length(regexp_replace(clean, '[[:punct:]]', '', 'g')))
+         | / CAST(length(clean) AS DOUBLE) END AS punct
+         |FROM cl),
+         |q AS (SELECT source, n_tok, round(
+         |0.5*(CASE WHEN n_tok>=10 AND n_tok<=10000 THEN 1.0 WHEN n_tok>=3 THEN 0.5 ELSE 0.0 END) +
+         |0.25*(CASE WHEN stop_ratio>=0.05 THEN 1.0 ELSE 0.3 END) +
+         |0.25*(CASE WHEN punct<=0.2 THEN 1.0 ELSE 0.4 END), 4) AS q FROM u),
+         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN q >= 0.75 AND n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | round(AVG(q), 4) AS avg_quality FROM q GROUP BY source)
+         |SELECT source, n_docs, n_kept, avg_quality,
+         | CAST(round(CAST(CAST(CAST(n_kept AS DOUBLE)/CAST(n_docs AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS kept_rate
+         |FROM a""".stripMargin,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,
@@ -1117,17 +1182,10 @@ object SparkEntry {
         |i -> array_to_string(list_slice(toks, i, i+4), ' ')))) AS sh FROM t),
         |d AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY sh)
         |SELECT df, COUNT(*) AS n_shingles FROM d GROUP BY df""".stripMargin,
-    "q89_decontaminate" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-        |testsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, greatest(len(toks)-6, 1)),
-        |i -> array_to_string(list_slice(toks, i, i+7), ' ')))) AS sh FROM tok WHERE doc_id < 10),
-        |train AS (SELECT doc_id, toks FROM tok WHERE doc_id >= 10
-        |UNION ALL SELECT doc_id + 2000, toks FROM tok WHERE doc_id < 5),
-        |trainsh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-6, 1)),
-        |i -> array_to_string(list_slice(toks, i, i+7), ' ')))) AS sh FROM train)
-        |SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_shared_shingles
-        |FROM trainsh t WHERE EXISTS (SELECT 1 FROM testsh WHERE testsh.sh = t.sh)
-        |GROUP BY t.doc_id""".stripMargin,
+    "q89_decontaminate" -> decontaminationOracle,
+    // q110 computes q89 through the bloom-prefilter scale path; semantics
+    // (and therefore the oracle) are identical by construction.
+    "q110_bloom_decontaminate" -> decontaminationOracle,
     // q90 = q79's exact top-k oracle: IVF probing every cell must equal
     // brute force (assignment/join/re-rank machinery checked cross-engine).
     "q90_ivf_full_probe" ->

@@ -554,6 +554,74 @@ object TrainingData {
         md5(concat_ws(" ", $"kept_toks")).as("stripped_md5"))
   }
 
+  /** q110 — bloom-prefiltered decontamination
+    * ([[graft.operators.Bloom.semiJoinBloom]]): q89's 8-gram overlap
+    * flagging computed through the compact-filter scale path — bloom
+    * probe on the shingle hash map-side, exact string semi-join verify.
+    * Must equal q89 exactly (no false negatives + exact verify), so it
+    * shares q89's oracle. */
+  def q110BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val test = d.where($"doc_id" < 10)
+    val train = d.where($"doc_id" >= 10)
+      .unionByName(d.where($"doc_id" < 5)
+        .select(($"doc_id" + 2000).as("doc_id"), $"text"))
+    val testSh = test
+      .select(explode(graft.functions.FastHash.shingles($"text", 8)).as("sh"))
+      .distinct()
+    val trainSh = train
+      .select($"doc_id", explode(graft.functions.FastHash.shingles($"text", 8)).as("sh"))
+      .withColumn("k", xxhash64($"sh"))
+    graft.operators.Bloom
+      .semiJoinBloom(trainSh, testSh.select(xxhash64($"sh").as("k")), "k",
+        expectedKeys = 100000L, fpp = 0.01)
+      // bloom admits hash-level false positives; exact string verify
+      // restores plain-semi-join semantics
+      .join(testSh, Seq("sh"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_shared_shingles"))
+  }
+
+  /** q111 — incremental-batch dedup ([[Dedup.minhashNearDupsAgainst]]):
+    * 20 mutated re-submissions (5-token tail, shifted ids) arrive as a
+    * batch against the full corpus; LSH with 32 single-row bands
+    * (P(candidate | J=0.5) = 1 - 2^-32) finds their sources, exact
+    * Jaccard verifies. The oracle is the exhaustive exact batch x corpus
+    * pair set — hash equality proves recall 1 on the fixture. */
+  def q111IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val batch = d.where($"doc_id" < 20)
+      .select(($"doc_id" + 5000).as("doc_id"),
+        concat($"text", lit(" graft incremental batch tail")).as("text"))
+    Dedup.minhashNearDupsAgainst(d, batch, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 32, threshold = 0.5)
+      .select($"batch_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
+  }
+
+  /** q112 — end-to-end quality gate (the C4-style ingest pipeline in one
+    * plan): plant markup (q104 fixture) -> [[TextOps.cleanText]] ->
+    * quality score + token count on the CLEANED text -> keep docs with
+    * q >= 0.75 and >= 20 tokens -> per-source census. One scan, no
+    * shuffle before the final groupBy. */
+  def q112QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).withColumn("raw",
+      when($"doc_id" % 7 === 0,
+        concat(lit("<p class=\"x\"> "), $"text",
+          lit(" </p>\n<b>tail &amp; more&nbsp;here</b>")))
+        .otherwise($"text"))
+    val cleaned = planted.select($"source",
+      TextOps.cleanText($"raw").as("clean"))
+    cleaned
+      .select($"source", TextOps.qualityScore($"clean").as("q"),
+        TextOps.tokenCount($"clean").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"q" >= 0.75 && $"n_tok" >= 20, 1L).otherwise(0L)).as("n_kept"),
+        round(avg($"q"), 4).as("avg_quality"))
+      .withColumn("kept_rate",
+        round($"n_kept".cast("double") / $"n_docs".cast("double"), 4))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

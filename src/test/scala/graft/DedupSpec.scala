@@ -99,6 +99,40 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("minhashNearDupsAgainst finds batch-vs-corpus pairs only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and looked at the dog outside today"),
+      (2L, "the cat sat on the mat and looked at the dog outside today"), // corpus-internal dup
+      (3L, "completely different words describing some other topic entirely here now"),
+      (4L, "numbers one two three four five six seven eight nine ten eleven"))
+      .toDF("id", "t")
+    val batch = Seq(
+      (100L, "the cat sat on the mat and looked at the dog outside today"), // dup of 1 and 2
+      (101L, "nothing like anything in the corpus at all whatsoever truly"))
+      .toDF("id", "t")
+    val got = Dedup.minhashNearDupsAgainst(corpus, batch, "id", "t",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.8)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 100 matches corpus 1 and 2; the corpus-internal (1,2) pair is
+    // NOT emitted — incremental ingestion never re-dedups the corpus
+    assert(got == Set((100L, 1L), (100L, 2L)))
+  }
+
+  test("Bloom.semiJoinBloom equals the plain left-semi join") {
+    import spark.implicits._
+    val left = (0L until 2000L).map(i => (i, i % 7)).toDF("k", "tag")
+    val right = (0L until 2000L by 3).toDF("k")
+    val bloom = graft.operators.Bloom.semiJoinBloom(left, right, "k",
+      expectedKeys = 1000L, fpp = 0.05)
+      .select("k").as[Long].collect().sorted.toSeq
+    val plain = left.join(right, Seq("k"), "left_semi")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(bloom == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("FastHash.shingles set-equals the declarative shingles") {
     import spark.implicits._
     val df = Seq(
