@@ -150,6 +150,27 @@ object FastHash {
     dot / (math.sqrt(sa) * math.sqrt(sb))
   }
 
+  /** Duplicate-n-gram (repetition) ratio: 1 - distinct/total over raw
+    * word n-grams — the Gopher-style internal-repetition quality signal.
+    * Value-identical to the declarative rawShingles + array_distinct
+    * formulation (exact string distinctness, 0.0 when no n-grams), but
+    * one pass, no shingle-array materialization. */
+  def repetitionValue(text: UTF8String, n: Int): Double = {
+    val toks = tokens(text)
+    val total = toks.length - n + 1
+    if (total <= 0) return 0.0
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    1.0 - seen.size.toDouble / total.toDouble
+  }
+
   /** Column API. */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashSigExpr(GraftShim.expression(text), n, k))
@@ -165,6 +186,9 @@ object FastHash {
 
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(CosineExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def repetitionRatio(text: Column, n: Int): Column =
+    GraftShim.column(RepetitionExpr(GraftShim.expression(text), n))
 }
 
 /** text -> array<bigint> of k minhashes (null when < n tokens). */
@@ -257,5 +281,21 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** text -> duplicate-n-gram repetition ratio (double, 0.0 for short text). */
+case class RepetitionExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_repetition"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.repetitionValue(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.repetitionValue($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionExpr =
     copy(child = newChild)
 }

@@ -423,10 +423,9 @@ object TrainingData {
     val planted = docs(spark, dir).withColumn("text",
       when($"doc_id" % 9 === 0, concat($"text", lit(" "), $"text"))
         .otherwise($"text"))
-    val toks = split(lower(trim($"text")), "\\s+")
-    val sh = Dedup.rawShingles(toks, 3)
-    val rep = when(size(sh) === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+    // codegen'd one-pass kernel; value-identical to the declarative
+    // rawShingles + array_distinct ratio (cross-checked in DedupSpec)
+    val rep = graft.functions.FastHash.repetitionRatio($"text", 3)
     planted.select($"lang", rep.as("rep"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -133,6 +133,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(plain.nonEmpty)
   }
 
+  test("FastHash.repetitionRatio equals the declarative raw-shingle ratio") {
+    import spark.implicits._
+    val df = Seq(
+      "a b c a b c a b c",            // heavy repetition
+      "one two three four five six",  // none
+      "x y", "", "solo",              // short/degenerate -> 0.0
+      "t t t t t t t t")              // single repeated token
+      .toDF("t")
+    val toks = split(lower(trim(col("t"))), "\\s+")
+    val sh = Dedup.rawShingles(toks, 3)
+    val slow = when(size(sh) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+    val rows = df.select(
+      graft.functions.FastHash.repetitionRatio(col("t"), 3).as("fast"),
+      slow.as("slow")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   test("FastHash.shingles set-equals the declarative shingles") {
     import spark.implicits._
     val df = Seq(

@@ -141,4 +141,45 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p.take(1200))
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
   }
+
+  test("q110: bloom pre-filter probes map-side, exact verify is a broadcast semi-join") {
+    val p = physical("q110_bloom_decontaminate")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the bloom probe is a plain Filter over the scan — the big train
+    // side must not hash-shuffle before it is thinned
+    val verifyIdx = p.indexOf("LeftSemi")
+    val preVerify = p.substring(verifyIdx)
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(preVerify).hasNext,
+      preVerify.take(800))
+  }
+
+  test("q111: incremental dedup broadcasts the batch side, corpus never reshuffles") {
+    val p = physical("q111_incremental_dedup")
+    // band join: corpus bucket stream x broadcast batch buckets
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // corpus rows stream straight from the scan into the verify join:
+    // between the top BroadcastHashJoin on corpus_id and the corpus
+    // FileScan there must be no Exchange (thinning semi-join and verify
+    // both consume broadcasts; only tiny pair-id sets shuffle, inside
+    // BroadcastExchange subtrees)
+    val joinIdx = p.indexOf("BroadcastHashJoin [corpus_id")
+    assert(joinIdx >= 0, p.take(1200))
+    val scanIdx = p.indexOf("FileScan parquet", joinIdx)
+    assert(scanIdx > joinIdx, p.take(1200))
+    assert(!p.substring(joinIdx, scanIdx).contains("Exchange"),
+      p.substring(joinIdx, scanIdx).take(1200))
+    // and the band key never becomes a shuffle key
+    assert(!"Exchange hashpartitioning\\(band".r.findAllIn(p).hasNext,
+      p.take(1200))
+  }
+
+  test("q109: stop-strip corpus path is scan + broadcast array, no corpus shuffle") {
+    val p = physical("q109_stop_strip")
+    // the stop list crosses in as a one-row broadcast; the per-doc strip
+    // is a pure projection — no exchange keyed by doc_id anywhere
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p.take(1200))
+  }
 }
