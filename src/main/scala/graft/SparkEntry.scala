@@ -133,6 +133,9 @@ object SparkEntry {
     "q110_bloom_decontaminate" -> (D.q110BloomDecontaminate(_, _)),
     "q111_incremental_dedup"   -> (D.q111IncrementalDedup(_, _)),
     "q112_quality_gate"        -> (D.q112QualityGate(_, _)),
+    "q113_cube"            -> (R.q113Cube(_, _)),
+    "q114_pivot"           -> (R.q114Pivot(_, _)),
+    "q115_range_window"    -> (T.q115RangeWindow(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -522,6 +525,29 @@ object SparkEntry {
          |SELECT source, n_docs, n_kept, avg_quality,
          | CAST(round(CAST(CAST(CAST(n_kept AS DOUBLE)/CAST(n_docs AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS kept_rate
          |FROM a""".stripMargin,
+    "q113_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 4) AS sum_qty,
+        |COUNT(*) AS cnt FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    // q114: the conditional-aggregation expansion pivot desugars to —
+    // SUM over a typed CASE is NULL for users without that event type,
+    // matching Spark's pivot semantics.
+    "q114_pivot" ->
+      """SELECT user_id,
+        |round(SUM(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+        |round(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |round(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |round(SUM(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |round(SUM(CASE WHEN event_type = 'error' THEN value END), 4) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    // q115: same RANGE frame over epoch millis; DECIMAL summation makes
+    // the sliding aggregation order irrelevant (see q115 scaladoc).
+    "q115_range_window" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_7d,
+        |CAST(COUNT(*) OVER w AS BIGINT) AS n_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        | RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
         |round(SUM(l_extendedprice),4) AS sum_base_price,

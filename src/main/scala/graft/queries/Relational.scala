@@ -298,4 +298,25 @@ object Relational {
     graft.operators.TopK.topKPerGroup(
       Tables.orders(spark, dir), "o_orderpriority", "o_orderkey",
       "o_totalprice", k = 3)
+
+  /** q113 — CUBE grouping (the OLAP rollup surface): all 2^2 grouping
+    * sets of (returnflag, linestatus) in ONE pass — Spark expands the
+    * grouping sets before a single shuffle, the same plan DuckDB's
+    * GROUP BY CUBE produces. Subtotal rows carry NULL dims on both
+    * engines. */
+  def q113Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  /** q114 — pivot (long -> wide): per-user value totals spread across the
+    * five event types. A fixed pivot-value list keeps the schema static
+    * (no extra distinct-scan pass) — the form a production job uses. The
+    * oracle is the conditional-aggregation expansion pivot desugars to. */
+  def q114Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(round(sum($"value"), 4))
 }

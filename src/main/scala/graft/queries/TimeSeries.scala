@@ -202,4 +202,22 @@ object TimeSeries {
         $"r.event_type".as("last_type"),
         round($"r.value", 4).as("last_value"),
         unix_millis($"r.ts".cast("timestamp")).as("last_ts_ms"))
+
+  /** q115 — time-RANGE window frame: trailing-7-day per-user value sum
+    * and event count (RANGE over epoch millis, not ROWS — frame ends
+    * move with wall-clock gaps, and ts-tie peers aggregate together on
+    * both engines). Values sum as DECIMAL(12,2): sliding-window
+    * aggregation order differs between engines (segment trees vs linear
+    * scan), so exact decimal addition — associative, unlike doubles —
+    * is what makes the result engine-independent; the final cast back
+    * to double is then exact. */
+  def q115RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_millis($"ts"))
+      .rangeBetween(-604800000L, 0L) // 7 days of milliseconds, inclusive
+    events(spark, dir).select($"event_id", $"user_id",
+      unix_millis($"ts").as("ts_ms"),
+      sum($"value".cast("decimal(12,2)")).over(w).cast("double").as("sum_7d"),
+      count(lit(1)).over(w).cast("long").as("n_7d"))
+  }
 }
