@@ -39,8 +39,12 @@ object Bench {
     }
     // Key each timing by the qNN prefix only: the harness that reads this
     // keeps a bounded stdout tail, so the whole line must stay short. Full
-    // names are recoverable from SparkEntry.queries (prefixes are unique).
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f" }
+    // names are recoverable from SparkEntry.queries; the guard below keeps
+    // a future duplicate prefix from silently emitting duplicate JSON keys.
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == prefixes.size,
+      s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =

@@ -240,11 +240,12 @@ object SparkEntry {
     s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
   }
 
-  /** Brute-force cosine top-5 for probes vec_id < 5 — the exact answer the
-    * saturated-recall LSH run (q94) must reproduce; also q79's oracle. */
-  private val cosineTopKOracle: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+  /** Brute-force cosine top-`k` for probes matching `probePred` — the
+    * exact answer every saturated ANN run must reproduce (q79/q94 at
+    * probes 0..4; q80/q82 at probes 5..9). */
+  private def cosineTopKOracleFor(probePred: String, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE $probePred),
       |j AS (SELECT p.probe_id, e.vec_id AS corpus_id,
       |list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]), 'sum') /
       |(sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) *
@@ -253,7 +254,25 @@ object SparkEntry {
       |r AS (SELECT probe_id, corpus_id, cos,
       |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
       |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id, round(cos, 4) AS cos
-      |FROM r WHERE rnk <= 5""".stripMargin
+      |FROM r WHERE rnk <= $k""".stripMargin
+
+  private val cosineTopKOracle: String = cosineTopKOracleFor("vec_id < 5", 5)
+
+  /** q76 oracle: exhaustive exact 3-gram-Jaccard pair set over the FULL
+    * corpus (the q75/q85 check without the fixture restriction). The
+    * length prefilter is sound — j >= 0.5 forces |A|/|B| within [1/2, 2]
+    * for distinct shingle sets (|A∩B| <= min, |A∪B| >= max) — and spares
+    * DuckDB most of the quadratic list_intersect work. */
+  private val corpusJaccardOracle: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+      |i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh FROM t),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+      |FROM s a, s b WHERE a.doc_id < b.doc_id
+      |AND len(a.sh) <= 2*len(b.sh) AND len(b.sh) <= 2*len(a.sh))
+      |SELECT id_a, id_b, CAST(round(CAST(CAST(j AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS jaccard
+      |FROM p WHERE j >= 0.5""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables registered by name). */
   def oracleSql: Map[String, String] = Map(
@@ -521,7 +540,8 @@ object SparkEntry {
          |0.25*(CASE WHEN punct<=0.2 THEN 1.0 ELSE 0.4 END), 4) AS q FROM u),
          |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          | CAST(SUM(CASE WHEN q >= 0.75 AND n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         | round(AVG(q), 4) AS avg_quality FROM q GROUP BY source)
+         | CAST(round(CAST(CAST(AVG(q) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS avg_quality
+         | FROM q GROUP BY source)
          |SELECT source, n_docs, n_kept, avg_quality,
          | CAST(round(CAST(CAST(CAST(n_kept AS DOUBLE)/CAST(n_docs AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS kept_rate
          |FROM a""".stripMargin,
@@ -1141,6 +1161,21 @@ object SparkEntry {
     // LSH pipeline, so hash equality = recall 1 on the planted fixture
     // (precision 1 by construction: candidates are exact-verified).
     "q85_lsh_recall" -> ngramJaccardOracle,
+    // q76: full-corpus variant of the q85 identity — LSH pipeline output
+    // must equal the exhaustive exact-Jaccard pair set (recall 1 on this
+    // corpus; every natural pair sits at j >= 0.9, see q76's scaladoc).
+    "q76_minhash_lsh" -> corpusJaccardOracle,
+    // q77: text-identical pairs are a structural fact — equal normalized
+    // text => equal fingerprint => band collision => Hamming 0 — so the
+    // digest self-join states the full expected set without xxhash64.
+    "q77_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+    // q80/q82: saturated ANN == brute force over the second probe set
+    // (q80 empirically at 32x3 tables — seeded, fixed per corpus; q82
+    // structurally at nProbe = nCells).
+    "q80_lsh_ann" -> cosineTopKOracleFor("vec_id >= 5 AND vec_id < 10", 5),
+    "q82_ivf_ann" -> cosineTopKOracleFor("vec_id >= 5 AND vec_id < 10", 5),
     "q78_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |sc AS (SELECT doc_id, lang,

@@ -189,6 +189,10 @@ object FastHash {
 
   def repetitionRatio(text: Column, n: Int): Column =
     GraftShim.column(RepetitionExpr(GraftShim.expression(text), n))
+
+  def bloomProbe(key: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    GraftShim.column(BloomProbeExpr(GraftShim.expression(key), bloom))
 }
 
 /** text -> array<bigint> of k minhashes (null when < n tokens). */
@@ -281,6 +285,32 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** bigint key -> bloom-filter membership probe (boolean). The filter
+  * travels as a broadcast referenced from generated code, so the probe
+  * stays INSIDE whole-stage codegen — a Scala UDF here would break the
+  * codegen span on the big side's hot path, the dominant per-row cost of
+  * a 100 TB decontamination scan ([[graft.operators.Bloom]]). */
+case class BloomProbeExpr(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_probe"
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"((org.apache.spark.util.sketch.BloomFilter)$ref.value()).mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbeExpr =
     copy(child = newChild)
 }
 

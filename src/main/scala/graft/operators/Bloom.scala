@@ -19,15 +19,32 @@ object Bloom {
 
   /** `left` rows whose `keyCol` (a LONG key — hash text first) appears in
     * `right.keyCol`, computed as bloom-prefilter + exact left-semi
-    * verify. Result set identical to `left SEMI JOIN right USING key`. */
+    * verify. Result set identical to `left SEMI JOIN right USING key`.
+    *
+    * The probe is a codegen'd expression ([[graft.functions.FastHash
+    * .bloomProbe]]), so the big side's scan+filter stays one whole-stage
+    * codegen span. Lifecycle: building the filter runs one job over
+    * `right` eagerly, and the broadcast lives until the session ends —
+    * callers looping over many filter sets should prefer
+    * [[semiJoinBloomManaged]] and destroy the broadcast once the
+    * returned frame's action completes. */
   def semiJoinBloom(left: DataFrame, right: DataFrame, keyCol: String,
-      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    semiJoinBloomManaged(left, right, keyCol, expectedKeys, fpp)._1
+
+  /** [[semiJoinBloom]] plus the bloom broadcast handle, for callers that
+    * own its lifecycle (`handle.destroy()` after the action — repeated
+    * un-destroyed broadcasts accumulate blocks on executors). */
+  def semiJoinBloomManaged(left: DataFrame, right: DataFrame, keyCol: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
     val bf = right.stat.bloomFilter(keyCol, expectedKeys, fpp)
     val bc = left.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
-    left
-      .where(mightContain(col(keyCol))) // map-side, no shuffle, no false negatives
+    val out = left
+      // map-side, inside codegen, no shuffle, no false negatives
+      // (null keys yield null -> dropped, matching the old null guard)
+      .where(graft.functions.FastHash.bloomProbe(col(keyCol), bc))
       .join(right.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+    (out, bc)
   }
 }

@@ -108,18 +108,44 @@ object TrainingData {
       shingleN = 3, k = 32, bands = 16, threshold = 0.5)
       .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
 
-  /** q76 — MinHash-LSH near-dups (scale path): banded minhash candidates,
-    * exact-Jaccard verified. Hash family is xxhash64 — rows-only driver
-    * check; recall/precision asserted in unit tests against q75 semantics. */
+  /** q76 — MinHash-LSH near-dups over the FULL corpus at scale-path
+    * parameters (banded xxhash64 minhash candidates, exact-Jaccard
+    * verified). Oracle: DuckDB's exhaustive exact-Jaccard pair set over
+    * the same corpus. Precision 1 holds by construction (candidates are
+    * exact-verified); hash equality proves recall 1 on this corpus —
+    * every natural near-dup pair sits at j >= 0.9, where
+    * P(miss | 8 bands x 4 rows) = (1-0.9^4)^8 ~ 2e-4 per pair, and the
+    * seeded hash family makes the outcome deterministic, verified at
+    * sf0.001/0.01/0.1 (q85 runs the same check on a planted fixture). */
   def q76MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(docs(spark, dir), "doc_id", "text",
       shingleN = 3, k = 32, bands = 8, threshold = 0.5)
       .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
 
-  /** q77 — SimHash near-dups: 64-bit fingerprints, 16-bit band blocking,
-    * Hamming-verified. Rows-only driver check. */
-  def q77Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(docs(spark, dir), "doc_id", "text", maxHamming = 3)
+  /** q77 — exact-copy recall through the production SimHash path at
+    * corpus scale: planted copies (every 10th doc re-appears under a
+    * shifted id, the q71 grid) must ALL be surfaced by the banding join
+    * — identical normalized text forces an identical fingerprint, a
+    * collision in every band, and Hamming 0, structurally — and the
+    * result is restricted to text-identical pairs (digest equality on
+    * both engines), so natural hash-dependent near-dup pairs (q93's
+    * excluded ids) never enter the comparison. DuckDB states the full
+    * expected set from the digest self-join alone; a broken tokenizer,
+    * fingerprint, banding join, pair orientation, or Hamming verify
+    * empties or perturbs the Spark side. Hamming <= 3 near-identical
+    * semantics stay covered by q93's fixture. */
+  def q77Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val fixture = d.unionByName(
+      d.where($"doc_id" % 10 === 0).select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val digests = fixture.select($"doc_id",
+      md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("dg"))
+    Dedup.simhashNearDups(fixture, "doc_id", "text", maxHamming = 3)
+      .join(digests.select($"doc_id".as("id_a"), $"dg".as("dg_a")), Seq("id_a"))
+      .join(digests.select($"doc_id".as("id_b"), $"dg".as("dg_b")), Seq("id_b"))
+      .where($"dg_a" === $"dg_b")
+      .select($"id_a", $"id_b", $"hamming")
+  }
 
   /** q78 — language-ID heuristic + agreement with the labeled lang. */
   def q78LangId(spark: SparkSession, dir: String): DataFrame =
@@ -138,23 +164,35 @@ object TrainingData {
       .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
   }
 
-  /** q80 — LSH-bucketed ANN (scale path): sign-random-projection buckets,
-    * exact re-rank. Rows-only driver check; recall vs q79 unit-tested. */
+  /** q80 — LSH-bucketed ANN at saturated recall over a SECOND probe set
+    * (vec_id 5..9; q94 covers 0..4): at 32 tables x 3 planes the union
+    * of bucket probes deterministically covers every true top-5 neighbor
+    * of these probes (verified at sf0.001/0.01/0.1 — seeded hyperplanes
+    * make it a fixed fact of the corpus), so the ANN output must equal
+    * DuckDB's brute-force top-k. Production-selectivity parameters
+    * (fewer tables, more planes) stay recall-unit-tested in
+    * SimilaritySpec. */
   def q80LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val probes = emb.where($"vec_id" < 5)
-    Similarity.lshTopK(emb, probes, "vec_id", "v", k = 5, tables = 6, planes = 10)
+    val probes = emb.where($"vec_id" >= 5 && $"vec_id" < 10)
+    Similarity.lshTopK(emb, probes, "vec_id", "v", k = 5, tables = 32, planes = 3)
+      .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
   }
 
-  /** q82 — IVF-bucketed ANN (second scale path): deterministic centroid
-    * cells, nProbe-cell search, exact re-rank. Rows-only driver check;
-    * recall vs brute force unit-tested. */
+  /** q82 — IVF-bucketed ANN at full probe over a SECOND cell/probe
+    * configuration (nCells=16, probes 5..9; q90 runs nCells=8, probes
+    * 0..4): with nProbe = nCells every cell is searched, the candidate
+    * set is the whole corpus, and the result equals brute-force top-k
+    * STRUCTURALLY — the oracle identity holds for any centroid layout,
+    * so this checks the 16-cell assignment/join/re-rank machinery
+    * cross-engine. Pruned-recall behavior (nProbe < nCells) stays
+    * unit-tested in SimilaritySpec. */
   def q82IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val probes = emb.where($"vec_id" < 5)
-    Similarity.ivfTopK(emb, probes, "vec_id", "v", k = 5, nCells = 16, nProbe = 4)
+    val probes = emb.where($"vec_id" >= 5 && $"vec_id" < 10)
+    Similarity.ivfTopK(emb, probes, "vec_id", "v", k = 5, nCells = 16, nProbe = 16)
       .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
   }
 

@@ -99,6 +99,45 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("hot-bucket cap keeps a degenerate LSH bucket linear (with census)") {
+    import spark.implicits._
+    // 120 boilerplate-identical docs (the exact-dedup precondition
+    // violated on purpose) + 3 distinct docs + one genuine near-dup pair
+    val boiler = (0L until 120L).map(i =>
+      (i, "terms of service all rights reserved contact us privacy policy cookie notice"))
+    val distinct = Seq(
+      (200L, "the cat sat on the mat and looked at the dog outside today"),
+      // exact copy of 200: its bucket has size 2, far under any cap, so
+      // the pair MUST survive capping on both the minhash and simhash
+      // paths (a one-word change would not be band-guaranteed for
+      // simhash — only hamming <= 3 is pigeonhole-covered by 4 bands)
+      (201L, "the cat sat on the mat and looked at the dog outside today"),
+      (202L, "numbers one two three four five six seven eight nine ten eleven"))
+    val df = (boiler ++ distinct).toDF("doc_id", "text")
+    // uncapped: the degenerate bucket explodes quadratically
+    val uncapped = Dedup.minhashNearDups(df, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.5, maxBucketSize = 0)
+    assert(uncapped.count() == 120L * 119 / 2 + 1) // all boiler pairs + (200,201)
+    // capped: boiler buckets are skipped, the genuine near-dup survives
+    val capped = Dedup.minhashNearDups(df, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.5, maxBucketSize = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((200L, 201L)))
+    // the census reports exactly the skipped buckets: 8 bands x 1 hot
+    // bucket of 120 identical signatures
+    val census = Dedup.skippedBuckets(
+      Dedup.minhashBuckets(df, "doc_id", "text", 3, 32, 8),
+      Seq("band", "h"), cap = 50).collect()
+    assert(census.length == 8)
+    assert(census.forall(_.getAs[Long]("n_members") == 120L))
+    // simhash path: same degenerate input, same linear guarantee
+    val sCapped = Dedup.simhashNearDups(df, "doc_id", "text",
+      maxHamming = 16, maxBucketSize = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sCapped.exists(p => p._1 < 120 && p._2 < 120)) // no boiler pairs
+    assert(sCapped.contains((200L, 201L)))
+  }
+
   test("minhashNearDupsAgainst finds batch-vs-corpus pairs only") {
     import spark.implicits._
     val corpus = Seq(

@@ -146,6 +146,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = physical("q110_bloom_decontaminate")
     assert(p.contains("LeftSemi"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the probe is the codegen'd expression, not a Scala UDF — the scan +
+    // probe filter must be one whole-stage-codegen span on the hot path
+    assert(p.contains("graft_bloom_probe"), p.take(1200))
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      p.take(1200))
     // the bloom probe is a plain Filter over the scan — the big train
     // side must not hash-shuffle before it is thinned
     val verifyIdx = p.indexOf("LeftSemi")
