@@ -136,6 +136,7 @@ object SparkEntry {
     "q113_cube"            -> (R.q113Cube(_, _)),
     "q114_pivot"           -> (R.q114Pivot(_, _)),
     "q115_range_window"    -> (T.q115RangeWindow(_, _)),
+    "q116_ivf_refined"     -> (D.q116IvfRefined(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1252,6 +1253,21 @@ object SparkEntry {
     "q90_ivf_full_probe" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |j AS (SELECT p.probe_id, e.vec_id AS corpus_id,
+        |list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) *
+        | sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum'))) AS cos
+        |FROM e, p WHERE e.vec_id <> p.probe_id),
+        |r AS (SELECT probe_id, corpus_id, cos,
+        |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
+        |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id, round(cos, 4) AS cos
+        |FROM r WHERE rnk <= 5""".stripMargin,
+    // q116 = the same saturation identity through Lloyd-refined centroids:
+    // at nProbe=nCells the candidate set is the full corpus no matter where
+    // the centroids sit, so brute-force top-k is the exact oracle.
+    "q116_ivf_refined" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id >= 5 AND vec_id < 10),
         |j AS (SELECT p.probe_id, e.vec_id AS corpus_id,
         |list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]), 'sum') /
         |(sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) *

@@ -90,16 +90,31 @@ object Similarity {
     */
   def ivfTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-    // deterministic "centroids": the nCells corpus vectors with the
-    // smallest xxhash64(id) — a seeded sample, stable across runs
-    // the hash itself is the cell id (unique, deterministic) — consecutive
-    // numbering would need an unpartitioned window for no semantic gain
-    val centroids = c
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKWith(corpus, probes, idCol, vecCol,
+      seedCentroids(corpus, idCol, vecCol, nCells), k, nProbe)
+
+  /** Deterministic IVF seed centroids: the nCells corpus vectors with the
+    * smallest xxhash64(id) — a seeded sample, stable across runs. The hash
+    * itself is the cell id (unique, deterministic) — consecutive numbering
+    * would need an unpartitioned window for no semantic gain. Feed to
+    * [[kmeansRefine]] for Lloyd iterations, or straight to
+    * [[ivfTopKWith]] for the un-refined index. */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
       .withColumn("_h", xxhash64(col("corpus_id"), lit(42)))
       .orderBy(col("_h"), col("corpus_id")).limit(nCells)
       .select(col("_h").as("cell"), col("cvec").as("centroid"))
+
+  /** IVF search against a caller-supplied centroid table `(cell long,
+    * centroid array<double>)` — seeded ([[seedCentroids]]) or Lloyd-refined
+    * ([[kmeansRefine]]). The centroid table is tiny and broadcast twice
+    * (assign + probe); the corpus shuffles once on cell id. */
+  def ivfTopKWith(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
     def nearestCells(df: DataFrame, vec: String, n: Int, outPrefix: String): DataFrame = {
       val scored = df.crossJoin(broadcast(centroids))
         .withColumn("_sim", cosine(col(vec), col("centroid")))

@@ -659,6 +659,37 @@ object TrainingData {
         round($"n_kept".cast("double") / $"n_docs".cast("double"), 4))
   }
 
+  /** q116 — Lloyd-refined IVF end-to-end ([[Similarity.kmeansRefine]] +
+    * [[Similarity.ivfTopKWith]]): seed centroids, 2 Lloyd rounds (one
+    * map-side pass each — only fixed-size per-cell summaries shuffle),
+    * then search the refined index at saturation (nProbe = nCells), which
+    * must equal brute-force top-k for ANY centroid placement — the q90
+    * identity, here exercising the refinement path. Probe set (vec_id in
+    * [5, 10)) is disjoint from q90's so the two queries cover different
+    * re-rank groups. */
+  def q116IvfRefined(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val nCells = 8
+    // centroid state is nCells x dim — driver-held model state, not data
+    val init = Similarity.seedCentroids(emb, "vec_id", "v", nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val refined = Similarity.kmeansRefine(emb, "v", init, iters = 2)
+    val centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(refined.toSeq.map {
+        case (cell, vec) => org.apache.spark.sql.Row(cell, vec.toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val probes = emb.where($"vec_id" >= 5 && $"vec_id" < 10)
+    Similarity.ivfTopKWith(emb, probes, "vec_id", "v", centroids,
+      k = 5, nProbe = nCells)
+      .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

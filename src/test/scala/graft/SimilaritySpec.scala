@@ -112,6 +112,24 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(knn.map(_._1).size == clustered.count())
   }
 
+  test("ivfTopKWith refined centroids at saturation equals brute force") {
+    import spark.implicits._
+    val init = Similarity.seedCentroids(clustered, "vec_id", "v", 6)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val refined = Similarity.kmeansRefine(clustered, "v", init, iters = 2)
+    val centroids = refined.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+    val probes = clustered.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopKWith(clustered, probes, "vec_id", "v",
+      centroids, k = 5, nProbe = 6)
+      .select("probe_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(clustered, probes, "vec_id", "v", 5)
+      .select("probe_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == bf)
+  }
+
   test("kmeansRefine recovers planted cluster directions from perturbed seeds") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
