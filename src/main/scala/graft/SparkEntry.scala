@@ -137,6 +137,7 @@ object SparkEntry {
     "q114_pivot"           -> (R.q114Pivot(_, _)),
     "q115_range_window"    -> (T.q115RangeWindow(_, _)),
     "q116_ivf_refined"     -> (D.q116IvfRefined(_, _)),
+    "q117_image_decode"    -> (D.q117ImageDecode(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1277,6 +1278,25 @@ object SparkEntry {
         |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
         |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id, round(cos, 4) AS cos
         |FROM r WHERE rnk <= 5""".stripMargin,
+    // q117: the decode path (syntheticPng -> javax.imageio -> channel
+    // sums) is lossless, so DuckDB replays it as closed-form arithmetic
+    // over the 16x12 pixel grid; corrupt every-13th payloads -> null stats.
+    // Means are integer-sum / 192.0 — bit-identical division both sides.
+    "q117_image_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |px AS (SELECT doc_id, t1.x, t2.y FROM ids, range(16) t1(x), range(12) t2(y)),
+        |s AS (SELECT doc_id,
+        |CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sr,
+        |CAST(SUM((doc_id*31 + x*7 + y*13 + 101) % 256) AS BIGINT) AS sg,
+        |CAST(SUM((doc_id*31 + x*7 + y*13 + 202) % 256) AS BIGINT) AS sb
+        |FROM px GROUP BY doc_id)
+        |SELECT doc_id,
+        |CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(16 AS INT) END AS width,
+        |CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(12 AS INT) END AS height,
+        |CASE WHEN doc_id % 13 = 0 THEN NULL ELSE sr / CAST(192 AS DOUBLE) END AS mean_r,
+        |CASE WHEN doc_id % 13 = 0 THEN NULL ELSE sg / CAST(192 AS DOUBLE) END AS mean_g,
+        |CASE WHEN doc_id % 13 = 0 THEN NULL ELSE sb / CAST(192 AS DOUBLE) END AS mean_b
+        |FROM s""".stripMargin,
     "q91_hash_sample" ->
       """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
         |SELECT lang, COUNT(*) AS n_total,

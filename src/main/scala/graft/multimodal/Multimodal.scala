@@ -11,11 +11,15 @@ import org.apache.spark.sql.types._
   * execution (`mapPartitions` over row batches — the JVM analogue of the
   * arrow-batched UDF pattern).
   *
-  * The actual codec work is STUBBED (this container carries no image/
-  * audio libraries): `decodeStub` derives deterministic pseudo-features
-  * from the payload bytes via xxhash64 so the plumbing — schema,
-  * partitioning, batch shape, null-safety — is real and testable, and a
-  * production codec drops in by replacing one function.
+  * IMAGE decode/resize is REAL (`javax.imageio` + `java.awt` ship in the
+  * JDK): [[imageStats]] and [[resizeImages]] run actual PNG/JPEG/BMP
+  * codecs, null-safe against corrupt blobs, and are oracle-checked via
+  * lossless [[syntheticPng]] fixtures (q117). AUDIO/VIDEO codec work
+  * remains STUBBED (no codec libraries in this container): `decodeStub`
+  * derives deterministic pseudo-features from payload bytes via xxhash64
+  * so the plumbing — schema, partitioning, batch shape, null-safety — is
+  * real and testable, and a production codec drops in by replacing one
+  * function.
   */
 object Multimodal {
 
@@ -60,6 +64,116 @@ object Multimodal {
         val feats = decodeStub(payload, featureDim)
         val n = if (payload == null) 0L else payload.length.toLong
         Row.fromSeq(r.toSeq :+ (if (feats == null) null else feats.toSeq) :+ n)
+      }
+    }(enc)
+  }
+
+  /** REAL image decode — `javax.imageio` ships in the JDK (PNG/JPEG/BMP/
+    * GIF), no external libs. Per payload: width, height, per-channel pixel
+    * sums (exact integers — no float accumulation-order concerns) for
+    * downstream mean/feature columns. Undecodable or null payloads yield
+    * null stats with the row KEPT — a 100 TB media crawl always carries
+    * corrupt blobs, and dropping them silently would skew joins.
+    * Batched per partition like [[extractFeatures]]; decode cost is
+    * per-row Java work with zero shuffle — the scan parallelism is the
+    * operator parallelism. */
+  def imageStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("sum_r", LongType)
+      .add("sum_g", LongType)
+      .add("sum_b", LongType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val img =
+          if (payload == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null)
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        else {
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          // Seq[Any]: Scala would otherwise widen the mixed Int/Long
+          // elements to Seq[Long], breaking the IntegerType encoder fields
+          Row.fromSeq(r.toSeq ++ Seq[Any](img.getWidth, img.getHeight, sr, sg, sb))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic PNG payload for fixtures/tests: pixel (x, y) channel c
+    * (0=R, 1=G, 2=B) is `(seed*31 + x*7 + y*13 + c*101) mod 256`. PNG is
+    * lossless, so [[imageStats]] over these payloads is an exact
+    * closed-form function of (seed, w, h) — the property q117's
+    * cross-engine oracle replays without decoding anything. */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def ch(c: Int): Int =
+          java.lang.Math.floorMod(seed * 31 + x * 7 + y * 13 + c * 101, 256).toInt
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real resize through the same JDK surface (`java.awt.Graphics2D`
+    * bilinear): decode, scale to (w, h), re-encode PNG. Corrupt/null
+    * payloads pass through as null. The Spark shape matches
+    * [[imageStats]]: per-partition batch, no shuffle. */
+  def resizeImages(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
+    val schema = df.schema.add("resized", BinaryType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val img =
+          if (payload == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        val out =
+          if (img == null) null
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            bos.toByteArray
+          }
+        Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)
   }

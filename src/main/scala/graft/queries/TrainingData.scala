@@ -690,6 +690,39 @@ object TrainingData {
       .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
   }
 
+  /** q117 — REAL image decode ([[Multimodal.imageStats]], javax.imageio):
+    * deterministic 16x12 PNGs (pixel formula keyed on doc_id — see
+    * [[Multimodal.syntheticPng]]) decode back to exact per-channel sums
+    * because PNG is lossless, so DuckDB replays the whole decode path as
+    * closed-form arithmetic over a pixel grid — a REAL codec round-trip
+    * checked cross-engine. Every 13th payload is corrupt (raw text bytes)
+    * to pin the null-safety contract: stats null, row kept. Means are
+    * integer-sum / pixel-count — bit-identical double division on both
+    * engines, no rounding needed. */
+  def q117ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = docs(spark, dir).where($"doc_id" < 40).select($"doc_id", $"text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val withImg = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 13 == 0) r.getString(1).getBytes("UTF-8") // corrupt blob
+          else graft.multimodal.Multimodal.syntheticPng(id, 16, 12)
+        Row(id, payload)
+      }
+    }(enc)
+    val px = lit(16 * 12).cast("double")
+    graft.multimodal.Multimodal.imageStats(withImg, "payload")
+      .select($"doc_id", $"width", $"height",
+        ($"sum_r" / px).as("mean_r"),
+        ($"sum_g" / px).as("mean_g"),
+        ($"sum_b" / px).as("mean_b"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -254,6 +254,49 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(kinds == Map(1L -> "image", 2L -> "image", 3L -> "audio", 4L -> "video"))
   }
 
+  test("multimodal: real PNG decode recovers exact closed-form channel sums") {
+    import spark.implicits._
+    val (w, h) = (16, 12)
+    def expected(seed: Long, c: Int): Long =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield java.lang.Math.floorMod(seed * 31 + x * 7 + y * 13 + c * 101, 256)).sum
+    val df = Seq(
+      (7L, Multimodal.syntheticPng(7L, w, h)),
+      (9L, Multimodal.syntheticPng(9L, w, h)),
+      (13L, "not an image at all".getBytes("UTF-8")), // corrupt blob
+      (14L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val rows = Multimodal.imageStats(df, "payload").orderBy("id").collect()
+    Seq(0, 1).foreach { i =>
+      val seed = rows(i).getLong(0)
+      assert(rows(i).getAs[Int]("width") == w)
+      assert(rows(i).getAs[Int]("height") == h)
+      assert(rows(i).getAs[Long]("sum_r") == expected(seed, 0))
+      assert(rows(i).getAs[Long]("sum_g") == expected(seed, 1))
+      assert(rows(i).getAs[Long]("sum_b") == expected(seed, 2))
+    }
+    // corrupt + null payloads: stats null, rows kept
+    Seq(2, 3).foreach { i =>
+      assert(rows(i).isNullAt(rows(i).fieldIndex("width")))
+      assert(rows(i).isNullAt(rows(i).fieldIndex("sum_r")))
+    }
+    assert(rows.length == 4)
+  }
+
+  test("multimodal: real resize re-encodes decodable payloads at target dims") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticPng(1L, 16, 12)),
+      (2L, "corrupt".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.resizeImages(df, "payload", 8, 6)
+    val stats = Multimodal.imageStats(out.drop("payload"), "resized")
+      .orderBy("id").collect()
+    assert(stats(0).getAs[Int]("width") == 8)
+    assert(stats(0).getAs[Int]("height") == 6)
+    assert(stats(1).isNullAt(stats(1).fieldIndex("width"))) // corrupt -> null
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     import spark.implicits._
     val df = Seq((1L, "0123456789abcdef".getBytes("UTF-8"))).toDF("id", "payload")
