@@ -138,6 +138,8 @@ object SparkEntry {
     "q115_range_window"    -> (T.q115RangeWindow(_, _)),
     "q116_ivf_refined"     -> (D.q116IvfRefined(_, _)),
     "q117_image_decode"    -> (D.q117ImageDecode(_, _)),
+    "q118_dup_spans"       -> (D.q118DupSpans(_, _)),
+    "q119_span_mask"       -> (D.q119SpanMask(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1297,6 +1299,52 @@ object SparkEntry {
         |CASE WHEN doc_id % 13 = 0 THEN NULL ELSE sg / CAST(192 AS DOUBLE) END AS mean_g,
         |CASE WHEN doc_id % 13 = 0 THEN NULL ELSE sb / CAST(192 AS DOUBLE) END AS mean_b
         |FROM s""".stripMargin,
+    // q118: the oracle replays the whole span pipeline declaratively —
+    // positional 15-grams, >=2-distinct-doc census, gaps-and-islands.
+    "q118_dup_spans" ->
+      """WITH planted AS (SELECT doc_id,
+        |CASE WHEN doc_id % 20 = 5 THEN 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee ' || text
+        |WHEN doc_id % 10 = 3 THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee'
+        |WHEN doc_id % 10 = 7 THEN text || ' uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece catorce quince dieciseis diecisiete dieciocho'
+        |ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM planted),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 13, 1)),
+        |i -> struct_pack(pos := i, gram := array_to_string(list_slice(toks, i, i + 14), ' ')))) AS u
+        |FROM t WHERE len(toks) >= 15),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM p),
+        |d AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos) GROUP BY gram HAVING COUNT(*) >= 2),
+        |dup AS (SELECT pos.doc_id, pos.pos FROM pos JOIN d USING (gram)),
+        |i AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM dup)
+        |SELECT doc_id, MIN(pos) AS span_start, COUNT(*) + 14 AS span_tokens
+        |FROM i GROUP BY doc_id, island""".stripMargin,
+    // q119: q118's spans -> keep-first policy -> token-precise reassembly;
+    // md5 equality pins order, boundaries, and the all-masked empty case.
+    "q119_span_mask" ->
+      """WITH planted AS (SELECT doc_id,
+        |CASE WHEN doc_id % 20 = 5 THEN 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee ' || text
+        |WHEN doc_id % 10 = 3 THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee'
+        |WHEN doc_id % 10 = 7 THEN text || ' uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece catorce quince dieciseis diecisiete dieciocho'
+        |ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM planted),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 13, 1)),
+        |i -> struct_pack(pos := i, gram := array_to_string(list_slice(toks, i, i + 14), ' ')))) AS u
+        |FROM t WHERE len(toks) >= 15),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM p),
+        |d AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos) GROUP BY gram HAVING COUNT(*) >= 2),
+        |dup AS (SELECT pos.doc_id, pos.pos FROM pos JOIN d USING (gram)),
+        |i AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM dup),
+        |spans AS (SELECT doc_id, MIN(pos) AS span_start, COUNT(*) + 14 AS span_tokens FROM i GROUP BY doc_id, island),
+        |st AS (SELECT s.doc_id, s.span_start, s.span_tokens,
+        |array_to_string(list_slice(t.toks, s.span_start, s.span_start + s.span_tokens - 1), ' ') AS span_text
+        |FROM spans s JOIN t USING (doc_id)),
+        |occ AS (SELECT doc_id, span_start, span_tokens,
+        |ROW_NUMBER() OVER (PARTITION BY span_text ORDER BY doc_id, span_start) AS rn FROM st),
+        |cov AS (SELECT doc_id, unnest(range(span_start, span_start + span_tokens)) AS pos FROM occ WHERE rn > 1),
+        |tokpos AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), j -> struct_pack(pos := j, tk := toks[CAST(j AS INT)]))) AS u FROM t),
+        |tp AS (SELECT doc_id, u.pos AS pos, u.tk AS tk FROM tokpos),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.tk FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos WHERE cov.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS txt FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, md5(COALESCE(a.txt, '')) AS kept_md5 FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q91_hash_sample" ->
       """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
         |SELECT lang, COUNT(*) AS n_total,

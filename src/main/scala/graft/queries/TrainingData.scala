@@ -723,6 +723,45 @@ object TrainingData {
         ($"sum_b" / px).as("mean_b"))
   }
 
+  /** Planted cross-doc span fixture shared by q118/q119: a 25-token span
+    * appended to every %10==3 doc and PREPENDED to every %20==5 doc (span
+    * at token 1 exercises the island left edge), an 18-token span appended
+    * to every %10==7 doc. The corpus's own planted exact-dup clusters
+    * (q70's fixture) surface as full-document spans, and appended docs
+    * sharing a final text token extend spans by one position — all
+    * replayed identically by the oracle, so the result is discriminating
+    * far beyond the plants. */
+  private def spanFixture(spark: SparkSession, dir: String): DataFrame = {
+    val spanA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee"
+    val spanB = "uno dos tres cuatro cinco seis siete ocho nueve diez once " +
+      "doce trece catorce quince dieciseis diecisiete dieciocho"
+    docs(spark, dir).select($"doc_id",
+      when($"doc_id" % 20 === 5, concat(lit(spanA + " "), $"text"))
+        .when($"doc_id" % 10 === 3, concat($"text", lit(" " + spanA)))
+        .when($"doc_id" % 10 === 7, concat($"text", lit(" " + spanB)))
+        .otherwise($"text").as("text"))
+  }
+
+  /** q118 — substring-level exact dedup ([[graft.operators.Spans
+    * .duplicatedSpans]]): maximal >= 15-token spans appearing in >= 2
+    * docs — the dedup granularity between whole-doc exact (q70) and
+    * whole-doc near (q76). One row per maximal span. */
+  def q118DupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Spans.duplicatedSpans(
+      spanFixture(spark, dir), "doc_id", "text", k = 15)
+
+  /** q119 — substring dedup APPLY ([[graft.operators.Spans
+    * .maskDuplicatedSpans]]): q118's spans removed from every occurrence
+    * except the corpus-wide first; md5 of the re-assembled text checks
+    * token order, boundary precision, and the keep-first policy — the
+    * exact-dup cluster docs mask to empty, pinning the degenerate case. */
+  def q119SpanMask(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Spans.maskDuplicatedSpans(
+      spanFixture(spark, dir), "doc_id", "text", k = 15)
+      .select($"doc_id", md5($"kept_text").as("kept_md5"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Spans
+
+/** Substring-level exact dedup (Spans): span detection and masking over
+  * hand-built corpora with known duplicated token ranges. */
+class SpansSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("duplicatedSpans finds exact planted spans and nothing else") {
+    val shared = words("dup", 10) // 10-token shared span, k = 5
+    val corpus = Seq(
+      (1L, s"${words("a", 7)} $shared ${words("b", 6)}"),
+      (2L, s"${words("c", 3)} $shared ${words("d", 9)}"),
+      (3L, words("e", 30)), // no duplicated content
+      (4L, "tiny doc")      // shorter than k
+    ).toDF("doc_id", "text")
+    val spans = Spans.duplicatedSpans(corpus, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: span starts after 7 lead tokens -> pos 8; doc 2 -> pos 4
+    assert(spans == Set((1L, 8L, 10L), (2L, 4L, 10L)))
+  }
+
+  test("duplicatedSpans merges adjacent duplicated grams into one maximal span") {
+    // the whole 20-token doc duplicated => single maximal span, not many
+    val t = words("x", 20)
+    val corpus = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val spans = Spans.duplicatedSpans(corpus, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 1L, 20L), (2L, 1L, 20L)))
+  }
+
+  test("duplicatedSpans reports within-doc-disjoint spans separately") {
+    val s1 = words("p", 8)
+    val s2 = words("q", 8)
+    val corpus = Seq(
+      (1L, s"$s1 ${words("m", 10)} $s2"),
+      (2L, s"$s1 ${words("n", 12)} $s2")
+    ).toDF("doc_id", "text")
+    val spans = Spans.duplicatedSpans(corpus, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set(
+      (1L, 1L, 8L), (1L, 19L, 8L),
+      (2L, 1L, 8L), (2L, 21L, 8L)))
+  }
+
+  test("maskDuplicatedSpans keeps the first corpus-wide occurrence only") {
+    val shared = words("dup", 6)
+    val corpus = Seq(
+      (1L, s"${words("a", 4)} $shared"),
+      (2L, s"$shared ${words("b", 4)}"),
+      (3L, words("c", 8))
+    ).toDF("doc_id", "text")
+    val masked = Spans.maskDuplicatedSpans(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(masked(1L) == s"${words("a", 4)} $shared") // first occurrence kept
+    assert(masked(2L) == words("b", 4))               // span cut, tail kept
+    assert(masked(3L) == words("c", 8))               // untouched
+  }
+
+  test("maskDuplicatedSpans is a no-op on a span-free corpus") {
+    val corpus = Seq((1L, words("a", 12)), (2L, words("b", 12)))
+      .toDF("doc_id", "text")
+    val masked = Spans.maskDuplicatedSpans(corpus, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(masked == Map(1L -> words("a", 12), 2L -> words("b", 12)))
+  }
+}
