@@ -186,6 +186,64 @@ object Streams {
       }
   }
 
+  /** Streaming incremental MinHash near-dup detection —
+    * [[graft.operators.Dedup.minhashNearDupsAgainst]] (q111) as a
+    * continuous ingest. Arriving docs sign with the codegen'd MinHash
+    * kernel, band, and probe the STATIC corpus through stream-static
+    * joins, then verify exact Jaccard against corpus shingles.
+    *
+    * Entirely STATELESS: no state store, no watermark, so state never
+    * grows with ingest — the corpus side can be 100 TB of bucketed
+    * parquet while the stream side stays micro-batch-sized. The usual
+    * obstacle is pair dedup (a pair collides in several bands; streaming
+    * `distinct` would need unbounded state). Solved structurally: each
+    * stream row carries its full band-hash array, the corpus row joins
+    * its own back in, and a pair is emitted only from its FIRST
+    * colliding band — exactly-once per (batch, corpus) pair per arrival
+    * with zero state.
+    *
+    * Emits (batch_id, corpus_id, jaccard) in append mode; parity with
+    * the batch operator on the q111 fixture is spec-asserted. */
+  def minhashDedupStream(arrivals: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val rows = k / bands
+    require(bands * rows == k, s"bands=$bands must divide k=$k")
+    def signed(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), col(textCol).as("text"))
+        .withColumn("sig",
+          graft.functions.FastHash.minhashSignature(col("text"), shingleN, k))
+        .where(col("sig").isNotNull)
+        .withColumn("bh",
+          transform(Dedup.lshBands(col("sig"), bands, rows), bk => bk.getField("h")))
+    val corpusSigned = signed(corpus, "corpus_id")
+      .withColumn("sh_c",
+        graft.functions.FastHash.shingles(col("text"), shingleN))
+      .select(col("corpus_id"), col("bh").as("cbh"), col("sh_c"))
+    val corpusBands = corpusSigned
+      .select(col("corpus_id"),
+        posexplode(col("cbh")).as(Seq("band", "h")))
+    val streamBands = signed(arrivals, "batch_id")
+      .withColumn("sh_b",
+        graft.functions.FastHash.shingles(col("text"), shingleN))
+      .select(col("batch_id"), col("bh"), col("sh_b"),
+        posexplode(col("bh")).as(Seq("band", "h")))
+    streamBands
+      .join(corpusBands, Seq("band", "h")) // stream-static: stateless
+      .join(corpusSigned.select(col("corpus_id"), col("cbh"), col("sh_c")),
+        Seq("corpus_id"))
+      // emit only from the pair's first colliding band — structural
+      // exactly-once, no streaming distinct
+      .where(col("band") ===
+        array_position(zip_with(col("bh"), col("cbh"), (a, b) => a === b), lit(true)) - 1)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** File-source incremental intake over a signals directory (the cron
     * append as a stream; batch-compatible schema required). */
   def signalsFileStream(spark: SparkSession, path: String,

@@ -230,6 +230,41 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming MinHash dedup matches the batch operator across micro-batches (q111 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    // the q111 fixture: 20 mutated re-submissions under shifted ids
+    val batchRows = corpus.where($"doc_id" < 20)
+      .select(($"doc_id" + 5000).as("doc_id"),
+        concat($"text", lit(" graft incremental batch tail")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = graft.operators.Dedup
+      .minhashNearDupsAgainst(corpus, batchRows.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, k = 32, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val out = Streams.minhashDedupStream(
+      mem.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 32, threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("mh_dedup")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: incrementality, not just one-shot parity
+      val (first, second) = batchRows.splitAt(10)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("mh_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("multimodal: feature extraction plumbing is deterministic and null-safe") {
     import spark.implicits._
     val df = Seq(
