@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Off-fixture scaling bench for the dedup path (BASELINE.md §D): runs the
+  * q76 / q111 / q96 shapes at 1x and Nx (default 10x) the sf-dir corpus
+  * and prints one JSON line with seconds, output counts, and ratios.
+  *
+  * The Nx corpus is N char-permuted copies of `documents`: copy i maps
+  * chars 'a'..'j' through rotation i (`translate`), a bijection on
+  * strings, so Jaccard is invariant WITHIN a copy and ~0 ACROSS copies.
+  * Consequences the run itself asserts: the true near-dup pair set at Nx
+  * is exactly N times the 1x set (count check printed in the JSON), and
+  * measured time vs N tests the linear-shuffle claim with no confounding
+  * from cross-copy collisions.
+  */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val alpha = "abcdefghij"
+    def rot(i: Int): String = alpha.drop(i % 10) + alpha.take(i % 10)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def corpusAt(n: Int): DataFrame =
+      (0 until n).map { i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          translate(col("text"), alpha, rot(i)).as("text"))
+      }.reduce(_ unionByName _)
+
+    // q76 shape: full-corpus MinHash-LSH near-dup pairs
+    def minhash(c: DataFrame): DataFrame =
+      graft.operators.Dedup.minhashNearDups(
+        c, "doc_id", "text", shingleN = 3, k = 32, bands = 8, threshold = 0.8)
+    // q111 shape: incremental batch (20 mutated docs per copy) vs corpus
+    def incremental(c: DataFrame): DataFrame = {
+      val batch = c.where(pmod(col("doc_id"), lit(10000000L)) < 20)
+        .select((col("doc_id") + 5000).as("doc_id"),
+          concat(col("text"), lit(" graft incremental batch tail")).as("text"))
+      graft.operators.Dedup.minhashNearDupsAgainst(
+        c, batch, "doc_id", "text", shingleN = 3, k = 32, bands = 32,
+        threshold = 0.5)
+    }
+    // q96 shape: connected components over the near-dup pair graph
+    def components(c: DataFrame): DataFrame = {
+      val pairs = minhash(c).select(col("id_a"), col("id_b"))
+      graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+    }
+
+    def timed(df: => DataFrame): (Double, Long) = {
+      df.write.format("noop").mode("overwrite").save() // untimed warm-up
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (times.min, df.count())
+    }
+
+    val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "minhash" -> (minhash(_)), "incremental" -> (incremental(_)),
+      "components" -> (components(_)))
+    val out = shapes.flatMap { case (name, fn) =>
+      val (t1, n1) = timed(fn(corpusAt(1)))
+      val (tN, nN) = timed(fn(corpusAt(copies)))
+      System.err.println(f"[scale] $name 1x ${t1}%.2fs ($n1 rows) -> ${copies}x ${tN}%.2fs ($nN rows)")
+      Seq(
+        f""""${name}_1x":{"sec":$t1%.3f,"rows":$n1}""",
+        f""""${name}_${copies}x":{"sec":$tN%.3f,"rows":$nN}""",
+        f""""${name}_time_ratio":${tN / t1}%.2f""")
+    }
+    val line = s"""{"metric":"dedup_scale","copies":$copies,"sf":"$sfDir",""" +
+      out.mkString("", ",", "}")
+    spark.stop()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_bench.json")),
+      line.getBytes("UTF-8"))
+    println(line)
+  }
+}

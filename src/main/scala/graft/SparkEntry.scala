@@ -140,6 +140,7 @@ object SparkEntry {
     "q117_image_decode"    -> (D.q117ImageDecode(_, _)),
     "q118_dup_spans"       -> (D.q118DupSpans(_, _)),
     "q119_span_mask"       -> (D.q119SpanMask(_, _)),
+    "q120_audio_decode"    -> (D.q120AudioDecode(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1345,6 +1346,19 @@ object SparkEntry {
         |kept AS (SELECT tp.doc_id, tp.pos, tp.tk FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos WHERE cov.doc_id IS NULL),
         |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS txt FROM kept GROUP BY doc_id)
         |SELECT t.doc_id, md5(COALESCE(a.txt, '')) AS kept_md5 FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // q120: lossless PCM — the WAV codec round-trip replayed as
+    // closed-form sample arithmetic; corrupt every-11th payloads -> null.
+    "q120_audio_decode" ->
+      """WITH ids AS (SELECT doc_id, 256 + (doc_id % 7) * 64 AS n FROM documents WHERE doc_id < 40),
+        |vals AS (SELECT doc_id, unnest(list_transform(range(n), t -> (doc_id*31 + t*7) % 65536 - 32768)) AS v FROM ids),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_samples, SUM(v) AS sum_amp, SUM(abs(v)) AS sum_abs FROM vals GROUP BY doc_id)
+        |SELECT i.doc_id,
+        |CASE WHEN i.doc_id % 11 = 0 THEN NULL ELSE CAST(1 AS INT) END AS channels,
+        |CASE WHEN i.doc_id % 11 = 0 THEN NULL ELSE CAST(8000 AS INT) END AS sample_rate,
+        |CASE WHEN i.doc_id % 11 = 0 THEN NULL ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
+        |CASE WHEN i.doc_id % 11 = 0 THEN NULL ELSE CAST(a.sum_amp AS BIGINT) END AS sum_amp,
+        |CASE WHEN i.doc_id % 11 = 0 THEN NULL ELSE CAST(a.sum_abs AS BIGINT) END AS sum_abs_amp
+        |FROM ids i JOIN agg a USING (doc_id)""".stripMargin,
     "q91_hash_sample" ->
       """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
         |SELECT lang, COUNT(*) AS n_total,

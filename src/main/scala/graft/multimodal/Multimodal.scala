@@ -178,6 +178,83 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio decode — `javax.sound.sampled` ships a WAV/PCM codec in
+    * the JDK. Per payload: channel count, sample rate, frame count, and
+    * the exact integer sum / sum-of-absolute of the 16-bit samples
+    * (integer accumulation — no float order concerns). Undecodable or
+    * null payloads yield null stats with the row kept, like
+    * [[imageStats]]. PCM WAV is lossless, so [[syntheticWav]] fixtures
+    * decode to a closed form the q120 oracle replays. */
+  def audioStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add("channels", IntegerType)
+      .add("sample_rate", IntegerType)
+      .add("n_samples", LongType)
+      .add("sum_amp", LongType)
+      .add("sum_abs_amp", LongType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val decoded: Option[(Int, Int, Long, Long, Long)] =
+          if (payload == null) None
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val fmt = ais.getFormat
+              val bytes = ais.readAllBytes()
+              ais.close()
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+              else {
+                var sum = 0L; var sumAbs = 0L
+                var i = 0
+                while (i + 1 < bytes.length) {
+                  val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+                  sum += s; sumAbs += math.abs(s)
+                  i += 2
+                }
+                Some((fmt.getChannels, fmt.getSampleRate.toInt,
+                  bytes.length / 2L, sum, sumAbs))
+              }
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+        decoded match {
+          case Some((ch, sr, n, s, sa)) =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](ch, sr, n, s, sa))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic 16-bit mono PCM WAV for fixtures/tests: sample t is
+    * `((seed*31 + t*7) mod 65536) - 32768`. Lossless, so [[audioStats]]
+    * over these payloads is a closed form of (seed, nSamples). */
+  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var t = 0
+    while (t < nSamples) {
+      val s = (java.lang.Math.floorMod(seed * 31 + t * 7L, 65536L) - 32768L).toShort
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Resize stub: records the target dims in metadata and re-derives
     * features at the "resized" payload (deterministic truncation of the
     * byte stream stands in for the pixel op). */

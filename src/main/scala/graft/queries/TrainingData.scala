@@ -762,6 +762,34 @@ object TrainingData {
       spanFixture(spark, dir), "doc_id", "text", k = 15)
       .select($"doc_id", md5($"kept_text").as("kept_md5"))
 
+  /** q120 — REAL audio decode ([[Multimodal.audioStats]],
+    * javax.sound.sampled): deterministic 16-bit mono PCM WAVs (sample
+    * formula keyed on doc_id, per-doc varying length) decode back to
+    * exact integer amplitude sums because PCM is lossless — DuckDB
+    * replays the codec round-trip as closed-form arithmetic. Every 11th
+    * payload is corrupt raw text: stats null, row kept. */
+  def q120AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = docs(spark, dir).where($"doc_id" < 40).select($"doc_id", $"text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val withWav = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 11 == 0) r.getString(1).getBytes("UTF-8") // corrupt blob
+          else graft.multimodal.Multimodal.syntheticWav(
+            id, (256 + (id % 7) * 64).toInt)
+        Row(id, payload)
+      }
+    }(enc)
+    graft.multimodal.Multimodal.audioStats(withWav, "payload")
+      .select($"doc_id", $"channels", $"sample_rate", $"n_samples",
+        $"sum_amp", $"sum_abs_amp")
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

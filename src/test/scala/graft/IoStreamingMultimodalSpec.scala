@@ -332,6 +332,29 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(stats(1).isNullAt(stats(1).fieldIndex("width"))) // corrupt -> null
   }
 
+  test("multimodal: real WAV decode recovers exact closed-form sample sums") {
+    import spark.implicits._
+    val n = 320
+    def sample(seed: Long, t: Int): Long =
+      java.lang.Math.floorMod(seed * 31 + t * 7L, 65536L) - 32768L
+    val df = Seq(
+      (5L, Multimodal.syntheticWav(5L, n)),
+      (6L, "definitely not audio".getBytes("UTF-8")),
+      (7L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val rows = Multimodal.audioStats(df, "payload").orderBy("id").collect()
+    val exp = (0 until n).map(sample(5L, _))
+    assert(rows(0).getAs[Int]("channels") == 1)
+    assert(rows(0).getAs[Int]("sample_rate") == 8000)
+    assert(rows(0).getAs[Long]("n_samples") == n.toLong)
+    assert(rows(0).getAs[Long]("sum_amp") == exp.sum)
+    assert(rows(0).getAs[Long]("sum_abs_amp") == exp.map(math.abs).sum)
+    Seq(1, 2).foreach { i =>
+      assert(rows(i).isNullAt(rows(i).fieldIndex("channels")))
+      assert(rows(i).isNullAt(rows(i).fieldIndex("sum_amp")))
+    }
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     import spark.implicits._
     val df = Seq((1L, "0123456789abcdef".getBytes("UTF-8"))).toDF("id", "payload")

@@ -179,6 +179,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       p.take(1200))
   }
 
+  test("q118: span detection joins on keys, never all-pairs, window is per-doc") {
+    val p = physical("q118_dup_spans")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the gaps-and-islands window partitions by doc_id — a global
+    // (unpartitioned) window would single-thread the whole corpus
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("Window [") || !p.contains("partitionBy=[]"), p.take(800))
+    assert("Exchange SinglePartition".r.findAllIn(p).isEmpty, p.take(1200))
+  }
+
+  test("q119: span masking plans hash aggregates, no span-text window") {
+    val p = physical("q119_span_mask")
+    // keep-first = min(struct) aggregation; the only Window is q118's
+    // per-doc gaps-and-islands, so exactly one Window operator survives
+    assert("Window".r.findAllIn(p).size <= 2, p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("Exchange SinglePartition".r.findAllIn(p).isEmpty, p.take(1200))
+  }
+
   test("q109: stop-strip corpus path is scan + broadcast array, no corpus shuffle") {
     val p = physical("q109_stop_strip")
     // the stop list crosses in as a one-row broadcast; the per-doc strip
