@@ -192,9 +192,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
 
   test("q119: span masking plans hash aggregates, no span-text window") {
     val p = physical("q119_span_mask")
-    // keep-first = min(struct) aggregation; the only Window is q118's
-    // per-doc gaps-and-islands, so exactly one Window operator survives
-    assert("Window".r.findAllIn(p).size <= 2, p.take(1200))
+    // keep-first = min(struct) aggregation, NOT a window partitioned by
+    // the span text (which would single-thread hot boilerplate spans)
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(l => !l.contains("span_text")), windowLines.mkString("\n"))
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert("Exchange SinglePartition".r.findAllIn(p).isEmpty, p.take(1200))
   }
