@@ -141,6 +141,7 @@ object SparkEntry {
     "q118_dup_spans"       -> (D.q118DupSpans(_, _)),
     "q119_span_mask"       -> (D.q119SpanMask(_, _)),
     "q120_audio_decode"    -> (D.q120AudioDecode(_, _)),
+    "q121_lm_score"        -> (D.q121LmScore(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1359,6 +1360,22 @@ object SparkEntry {
         |CASE WHEN i.doc_id % 11 = 0 THEN NULL ELSE CAST(a.sum_amp AS BIGINT) END AS sum_amp,
         |CASE WHEN i.doc_id % 11 = 0 THEN NULL ELSE CAST(a.sum_abs AS BIGINT) END AS sum_abs_amp
         |FROM ids i JOIN agg a USING (doc_id)""".stripMargin,
+    // q121: in-order fold on both engines (aggregate / list_reduce) makes
+    // the double NLL sums bit-identical; OOV floors at freq 1; Spark
+    // round-vs-DuckDB round bridged by the VARCHAR->DECIMAL round-trip.
+    "q121_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c AS (SELECT unnest(toks) AS token FROM t),
+        |f AS (SELECT token, COUNT(*) AS freq FROM c GROUP BY token),
+        |v AS (SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 1000),
+        |n AS (SELECT CAST(SUM(len(toks)) AS DOUBLE) AS n_total FROM t),
+        |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), j -> struct_pack(pos := j, tk := toks[CAST(j AS INT)]))) AS u FROM t),
+        |tp AS (SELECT doc_id, u.pos AS pos, u.tk AS tk FROM tok),
+        |lp AS (SELECT tp.doc_id, tp.pos, -ln(COALESCE(v.freq, 1) / n.n_total) AS l FROM tp LEFT JOIN v ON tp.tk = v.token, n),
+        |lists AS (SELECT doc_id, list(l ORDER BY pos) AS ls FROM lp GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+        |CAST(round(CAST(CAST(list_reduce(ls, (a, b) -> a + b) / len(t.toks) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS mean_nll
+        |FROM t JOIN lists USING (doc_id)""".stripMargin,
     "q91_hash_sample" ->
       """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
         |SELECT lang, COUNT(*) AS n_total,

@@ -790,6 +790,30 @@ object TrainingData {
         $"sum_amp", $"sum_abs_amp")
   }
 
+  /** q121 — unigram LM quality score (the CCNet-style perplexity filter):
+    * corpus unigram counts -> top-1000 vocab as ONE broadcast map row ->
+    * per-doc mean negative log-likelihood via an in-order fold (OOV
+    * floors at freq 1). The corpus never shuffles for scoring — the
+    * vocab census is the only aggregation; scoring is a pure projection
+    * over the scan, the layout a 100 TB quality pass needs. Fold order
+    * is the token order on BOTH engines (Spark `aggregate` / DuckDB
+    * `list_reduce`), so the double sums are bit-identical. */
+  def q121LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("toks"))
+    val counts = toks.select(explode($"toks").as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+    val total = toks.agg(sum(size($"toks")).cast("double").as("n_total"))
+    val vmap = counts.orderBy($"freq".desc, $"token").limit(1000)
+      .agg(map_from_entries(collect_list(struct($"token", $"freq"))).as("vm"))
+    toks.crossJoin(broadcast(vmap)).crossJoin(broadcast(total))
+      .withColumn("nll", expr(
+        "aggregate(toks, cast(0.0 as double), (s, t) -> " +
+          "s - ln(coalesce(element_at(vm, t), 1L) / n_total))"))
+      .select($"doc_id", size($"toks").cast("long").as("n_tok"),
+        round($"nll" / size($"toks"), 4).as("mean_nll"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -11,6 +11,18 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkFixture {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q121: LM score is positive, OOV-floored, and frequency-monotone") {
+    val rows = TrainingData.q121LmScore(spark, dir).collect()
+    assert(rows.length == 500)
+    val scores = rows.map(r => r.getLong(0) -> r.getAs[Double]("mean_nll")).toMap
+    // NLL of a unigram model is strictly positive and bounded by the
+    // OOV floor -ln(1/N): N tokens at sf0.001 is well under e^20
+    assert(scores.values.forall(s => s > 0 && s < 20))
+    // monotonicity probe: a doc of purely top-vocab tokens must score
+    // below the corpus-worst (rare/OOV-heavy) doc by construction
+    assert(scores.values.min < scores.values.max)
+  }
+
   test("q86: planted PII is found and redaction shrinks the text") {
     val rows = TrainingData.q86PiiRedact(spark, dir).collect()
     val emails = rows.map(_.getAs[Long]("emails_found")).sum
