@@ -142,6 +142,7 @@ object SparkEntry {
     "q119_span_mask"       -> (D.q119SpanMask(_, _)),
     "q120_audio_decode"    -> (D.q120AudioDecode(_, _)),
     "q121_lm_score"        -> (D.q121LmScore(_, _)),
+    "q122_calibrated_gate" -> (D.q122CalibratedGate(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1376,6 +1377,30 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
         |CAST(round(CAST(CAST(list_reduce(ls, (a, b) -> a + b) / len(t.toks) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS mean_nll
         |FROM t JOIN lists USING (doc_id)""".stripMargin,
+    // q122: q73's per-doc quality replay + quantile_cont (q10 precedent);
+    // the P25 falls on/between the corpus's ~dozen discrete quality
+    // levels, where interpolation is exact on both engines.
+    "q122_calibrated_gate" ->
+      """WITH u AS (SELECT source,
+        |CASE WHEN len(string_split_regex(lower(trim(text)), '\s+'))=0 THEN 0.0 ELSE
+        | len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> list_contains(
+        | ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'], x)))
+        | / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) END AS stop_ratio,
+        |CASE WHEN length(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |CASE WHEN length(text)=0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        | / CAST(length(text) AS DOUBLE) END AS punct
+        |FROM documents),
+        |q AS (SELECT source, round(
+        |0.5*(CASE WHEN n_tok>=10 AND n_tok<=10000 THEN 1.0 WHEN n_tok>=3 THEN 0.5 ELSE 0.0 END) +
+        |0.25*(CASE WHEN stop_ratio>=0.05 THEN 1.0 ELSE 0.3 END) +
+        |0.25*(CASE WHEN punct<=0.2 THEN 1.0 ELSE 0.4 END), 4) AS q FROM u),
+        |t AS (SELECT quantile_cont(q, 0.25) AS thr FROM q)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN q >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(round(CAST(CAST(MAX(t.thr) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS p25_threshold,
+        |CAST(round(CAST(CAST(SUM(CASE WHEN q >= t.thr THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+        | AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS kept_rate
+        |FROM q, t GROUP BY source""".stripMargin,
     "q91_hash_sample" ->
       """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
         |SELECT lang, COUNT(*) AS n_total,

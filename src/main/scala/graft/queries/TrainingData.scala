@@ -814,6 +814,28 @@ object TrainingData {
         round($"nll" / size($"toks"), 4).as("mean_nll"))
   }
 
+  /** q122 — percentile-CALIBRATED quality gate: where q112 gates on a
+    * fixed 0.75, this drops the corpus-worst quartile — the threshold is
+    * the P25 of the quality distribution, computed as ONE scalar
+    * aggregation and broadcast back over the scan (q24's
+    * no-global-window pattern: a window-ntile formulation would
+    * single-partition the corpus). Ties at the quartile boundary resolve
+    * identically cross-engine because interpolation between equal order
+    * statistics is exact. */
+  def q122CalibratedGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select($"source", graft.functions.TextStats.textStats($"text").as("s"))
+      .select($"source", $"s.quality".as("q"))
+    val thr = scored.agg(expr("percentile(q, 0.25)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"q" >= $"thr", 1L).otherwise(0L)).as("n_kept"),
+        round(first($"thr"), 4).as("p25_threshold"))
+      .withColumn("kept_rate",
+        round($"n_kept".cast("double") / $"n_docs".cast("double"), 4))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -244,6 +244,33 @@ object Streams {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Streaming train/test decontamination (q89/q110 made incremental):
+    * arriving docs are checked for 8-gram overlap with a STATIC test-set
+    * shingle table. Stateless by construction — the test-set shingles
+    * cross in as ONE broadcast array row and the per-doc count is a pure
+    * `array_intersect` projection (shingle arrays are distinct on both
+    * sides), so no explode/regroup aggregation and therefore no state
+    * store. Emits (doc_id, n_shared_shingles) for contaminated docs
+    * only; parity with the batch q89 result is spec-asserted. For
+    * test sets too big to broadcast as an array, chain the codegen'd
+    * bloom probe (q110) in front and keep this as the exact verify. */
+  def decontaminateStream(arrivals: DataFrame, testDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 8): DataFrame = {
+    val testArr = testDocs
+      .select(explode(graft.functions.FastHash.shingles(col(textCol), shingleN)).as("sh"))
+      .distinct()
+      .agg(sort_array(collect_list(col("sh"))).as("test_sh"))
+    arrivals
+      .select(col(idCol).as("doc_id"),
+        graft.functions.FastHash.shingles(col(textCol), shingleN).as("sh"))
+      .crossJoin(broadcast(testArr))
+      .withColumn("n_shared_shingles",
+        size(array_intersect(col("sh"), col("test_sh"))).cast("long"))
+      .where(col("n_shared_shingles") > 0)
+      .select(col("doc_id"), col("n_shared_shingles"))
+  }
+
   /** File-source incremental intake over a signals directory (the cron
     * append as a stream; batch-compatible schema required). */
   def signalsFileStream(spark: SparkSession, path: String,

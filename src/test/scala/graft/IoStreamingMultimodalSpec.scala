@@ -265,6 +265,37 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming decontamination matches batch q89 across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"text")
+    val test = d.where($"doc_id" < 10)
+    // q89's fixture: natural train docs + planted copies of test docs
+    val trainRows = d.where($"doc_id" >= 10)
+      .unionByName(d.where($"doc_id" < 5)
+        .select(($"doc_id" + 2000).as("doc_id"), $"text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = graft.queries.TrainingData.q89Decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val out = Streams.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), test)
+    val q = out.writeStream.format("memory").queryName("deconta")
+      .outputMode("append").start()
+    try {
+      val (a, b) = trainRows.splitAt(trainRows.length / 2)
+      mem.addData(a.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("deconta").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("multimodal: feature extraction plumbing is deterministic and null-safe") {
     import spark.implicits._
     val df = Seq(
