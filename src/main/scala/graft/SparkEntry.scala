@@ -143,6 +143,7 @@ object SparkEntry {
     "q120_audio_decode"    -> (D.q120AudioDecode(_, _)),
     "q121_lm_score"        -> (D.q121LmScore(_, _)),
     "q122_calibrated_gate" -> (D.q122CalibratedGate(_, _)),
+    "q123_stratified_k"    -> (D.q123StratifiedK(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1401,6 +1402,13 @@ object SparkEntry {
         |CAST(round(CAST(CAST(SUM(CASE WHEN q >= t.thr THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
         | AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS kept_rate
         |FROM q, t GROUP BY source""".stripMargin,
+    // q123: k smallest 48-bit md5 prefixes per lang; the window replay is
+    // the oracle for the bounded-aggregate scale path (q102 precedent).
+    "q123_stratified_k" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS v FROM documents),
+        |w AS (SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rnk FROM r)
+        |SELECT lang, CAST(rnk AS BIGINT) AS "rank", doc_id FROM w WHERE rnk <= 4""".stripMargin,
     "q91_hash_sample" ->
       """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
         |SELECT lang, COUNT(*) AS n_total,

@@ -836,6 +836,21 @@ object TrainingData {
         round($"n_kept".cast("double") / $"n_docs".cast("double"), 4))
   }
 
+  /** q123 — deterministic exact-k-per-group sampling: the "exactly k
+    * eval docs per language" carve a mixture/eval builder needs. Rank
+    * key = first 48 bits of md5(doc_id) (exact in a double; negated so
+    * the max-k aggregate yields the k SMALLEST digests). Rides the
+    * bounded [[graft.operators.TopK]] aggregate — only k-row summaries
+    * shuffle, never raw rows (the O6 scale path) — and is rerun- and
+    * partition-stable like q91's threshold sampler. */
+  def q123StratifiedK(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = docs(spark, dir).select($"lang", $"doc_id",
+      negate(conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+        .cast("double")).as("nv"))
+    graft.operators.TopK.topKPerGroup(ranked, "lang", "doc_id", "nv", k = 4)
+      .select($"lang", $"rank", $"doc_id")
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
