@@ -144,6 +144,7 @@ object SparkEntry {
     "q121_lm_score"        -> (D.q121LmScore(_, _)),
     "q122_calibrated_gate" -> (D.q122CalibratedGate(_, _)),
     "q123_stratified_k"    -> (D.q123StratifiedK(_, _)),
+    "q124_tfidf_keywords"  -> (D.q124TfidfKeywords(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1409,6 +1410,20 @@ object SparkEntry {
         |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS v FROM documents),
         |w AS (SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rnk FROM r)
         |SELECT lang, CAST(rnk AS BIGINT) AS "rank", doc_id FROM w WHERE rnk <= 4""".stripMargin,
+    // q124: integer counts -> double in fixed expression order; ties by
+    // token make the top-3 total-ordered; rounding via the round-trip.
+    "q124_tfidf_keywords" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token),
+        |d AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token,
+        |CAST(tf.tf AS DOUBLE) * (ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) + 1.0) AS tfidf
+        |FROM tf JOIN d USING (token), n),
+        |w AS (SELECT doc_id, token, tfidf, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk FROM s)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", token,
+        |CAST(round(CAST(CAST(tfidf AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS tfidf
+        |FROM w WHERE rnk <= 3""".stripMargin,
     "q91_hash_sample" ->
       """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
         |SELECT lang, COUNT(*) AS n_total,

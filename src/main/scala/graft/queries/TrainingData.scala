@@ -851,6 +851,29 @@ object TrainingData {
       .select($"lang", $"rank", $"doc_id")
   }
 
+  /** q124 — TF-IDF keyword extraction: top-3 tokens per doc by
+    * tf * (ln((N+1)/(df+1)) + 1) (smooth idf), ties broken by token —
+    * the per-doc tagging pass a retrieval/labeling pipeline runs. The
+    * (token)-keyed df join and the per-doc window are both linear; all
+    * arithmetic is integer counts cast to double in a fixed expression
+    * order, so DuckDB reproduces the doubles bit-for-bit (q97's BM25
+    * precedent). */
+  def q124TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("token"))
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfr = toks.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfr, "token").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", $"tf".cast("double") *
+        (log(($"n_docs" + 1).cast("double") / ($"df" + 1).cast("double")) + lit(1.0d)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+    scored.withColumn("rank", row_number().over(w)).where($"rank" <= 3)
+      .select($"doc_id", $"rank".cast("long").as("rank"), $"token",
+        round($"tfidf", 4).as("tfidf"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
