@@ -145,6 +145,7 @@ object SparkEntry {
     "q122_calibrated_gate" -> (D.q122CalibratedGate(_, _)),
     "q123_stratified_k"    -> (D.q123StratifiedK(_, _)),
     "q124_tfidf_keywords"  -> (D.q124TfidfKeywords(_, _)),
+    "q125_salted_agg"      -> (R.q125SaltedAgg(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1424,6 +1425,12 @@ object SparkEntry {
         |SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", token,
         |CAST(round(CAST(CAST(tfidf AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS tfidf
         |FROM w WHERE rnk <= 3""".stripMargin,
+    // q125: salting is semantics-preserving by contract, so the plain
+    // GROUP BY IS the oracle; DECIMAL sums are order-independent.
+    "q125_salted_agg" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q91_hash_sample" ->
       """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
         |SELECT lang, COUNT(*) AS n_total,

@@ -319,4 +319,20 @@ object Relational {
       .groupBy($"user_id")
       .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
       .agg(round(sum($"value"), 4))
+
+  /** q125 — skew-safe two-phase aggregation ([[graft.operators.Skew
+    * .saltedAgg]]): lineitem grouped by return flag — 3 keys across 600k
+    * rows, a genuinely hot-key distribution — aggregated via (key, salt)
+    * partials then a key-level merge, capping any task at ~1/16 of a hot
+    * key. Salting MUST be semantics-preserving, so the oracle is the
+    * plain GROUP BY; DECIMAL summation makes the two-phase addition
+    * order irrelevant (q115 precedent). */
+  def q125SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAgg(
+      Tables.lineitem(spark, dir)
+        .select($"l_returnflag", $"l_quantity".cast("decimal(12,2)").as("q")),
+      "l_returnflag", saltBuckets = 16,
+      partialAggs = Seq(sum($"q").as("ps"), count(lit(1)).as("pc")),
+      finalAggs = Seq(sum($"ps").cast("double").as("sum_qty"),
+        sum($"pc").cast("long").as("n_rows")))
 }
