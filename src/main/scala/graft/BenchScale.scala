@@ -68,9 +68,15 @@ object BenchScale {
       (times.min, df.count())
     }
 
+    // q118 shape: substring-level duplicated-span detection. The char
+    // permutation preserves within-copy spans and creates none across
+    // copies, so span counts are exactly N x the 1x count too.
+    def spans(c: DataFrame): DataFrame =
+      graft.operators.Spans.duplicatedSpans(c, "doc_id", "text", k = 15)
+
     val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       "minhash" -> (minhash(_)), "incremental" -> (incremental(_)),
-      "components" -> (components(_)))
+      "components" -> (components(_)), "spans" -> (spans(_)))
     val out = shapes.flatMap { case (name, fn) =>
       val (t1, n1) = timed(fn(corpusAt(1)))
       val (tN, nN) = timed(fn(corpusAt(copies)))

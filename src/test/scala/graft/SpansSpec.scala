@@ -48,6 +48,50 @@ class SpansSpec extends AnyFunSuite with SparkFixture {
       (2L, 1L, 8L), (2L, 21L, 8L)))
   }
 
+  test("duplicatedSpans matches an in-memory brute force on random corpora") {
+    val k = 3
+    def brute(corpus: Seq[(Long, String)]): Set[(Long, Long, Long)] = {
+      val grams = corpus.map { case (id, t) =>
+        val ts = t.trim.toLowerCase.split("\\s+").toSeq
+        id -> (if (ts.length >= k)
+          (0 to ts.length - k).map(i => (i + 1L, ts.slice(i, i + k).mkString(" ")))
+        else Seq.empty)
+      }
+      val df = grams.flatMap { case (id, gs) => gs.map(g => (g._2, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      grams.flatMap { case (id, gs) =>
+        val ps = gs.filter(g => df(g._2) >= 2).map(_._1).sorted
+        // fold consecutive positions into maximal islands
+        val islands = ps.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        islands.map { case (s, e) => (id, s, e - s + k) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(42)
+    (0 until 12).foreach { trial =>
+      val vocabSize = 4 + rnd.nextInt(3)
+      val corpus = (0 until (6 + rnd.nextInt(4))).map { id =>
+        val n = 5 + rnd.nextInt(22)
+        (id.toLong, (0 until n).map(_ => s"w${rnd.nextInt(vocabSize)}").mkString(" "))
+      }
+      val got = Spans.duplicatedSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute(corpus), s"trial $trial corpus=$corpus")
+    }
+  }
+
+  test("duplicatedSpans handles empty and whitespace-only corpora") {
+    val corpus = Seq((1L, ""), (2L, "   "), (3L, "one two"))
+      .toDF("doc_id", "text")
+    assert(Spans.duplicatedSpans(corpus, "doc_id", "text", k = 5).count() == 0)
+    val masked = Spans.maskDuplicatedSpans(corpus, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(masked.keySet == Set(1L, 2L, 3L)) // every row survives
+  }
+
   test("maskDuplicatedSpans keeps the first corpus-wide occurrence only") {
     val shared = words("dup", 6)
     val corpus = Seq(
