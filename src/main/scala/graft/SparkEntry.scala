@@ -146,6 +146,8 @@ object SparkEntry {
     "q123_stratified_k"    -> (D.q123StratifiedK(_, _)),
     "q124_tfidf_keywords"  -> (D.q124TfidfKeywords(_, _)),
     "q125_salted_agg"      -> (R.q125SaltedAgg(_, _)),
+    "q126_mean_pool"       -> (D.q126MeanPool(_, _)),
+    "q127_centroid_eval"   -> (D.q127CentroidEval(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1431,6 +1433,32 @@ object SparkEntry {
       """SELECT l_returnflag,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q126: element-wise means; avg-of-doubles rounding bridged by the
+    // VARCHAR->DECIMAL round-trip (q112 precedent).
+    "q126_mean_pool" ->
+      """WITH e AS (SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |i -> struct_pack(pos := i, v := CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS u FROM embeddings)
+        |SELECT label, u.pos - 1 AS pos,
+        |CAST(round(CAST(CAST(AVG(u.v) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS mean_v,
+        |COUNT(*) AS n FROM e GROUP BY label, u.pos""".stripMargin,
+    // q127: full-precision centroids -> cosine argmax per vec (tie ->
+    // smallest pred on both engines) -> integer confusion census.
+    "q127_centroid_eval" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |px AS (SELECT label AS pred, unnest(list_transform(range(1, len(v) + 1),
+        |i -> struct_pack(pos := i, cv := v[CAST(i AS INT)]))) AS u FROM e),
+        |pooled AS (SELECT pred, u.pos AS pos, AVG(u.cv) AS mean_v FROM px GROUP BY pred, u.pos),
+        |cent AS (SELECT pred, list(mean_v ORDER BY pos) AS cvec FROM pooled GROUP BY pred),
+        |scored AS (SELECT e.vec_id, e.label, c.pred,
+        |list_aggregate(list_transform(list_zip(e.v, c.cvec), x -> x[1]*x[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) *
+        | sqrt(list_aggregate(list_transform(c.cvec, x -> x*x), 'sum'))) AS cos
+        |FROM e, cent c),
+        |pick AS (SELECT vec_id, label, pred,
+        |ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, pred) AS rn
+        |FROM scored WHERE NOT isnan(cos))
+        |SELECT label, pred AS pred_label, COUNT(*) AS n
+        |FROM pick WHERE rn = 1 GROUP BY label, pred""".stripMargin,
     "q91_hash_sample" ->
       """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
         |SELECT lang, COUNT(*) AS n_total,

@@ -874,6 +874,49 @@ object TrainingData {
         round($"tfidf", 4).as("tfidf"))
   }
 
+  /** q126 — embedding mean-pool (class centroids): per-(label, dim)
+    * means via posexplode + groupBy — the element-wise aggregation is a
+    * plain keyed agg (map-side combined), no per-array UDAF state, and
+    * the (label, dim) key space is tiny however large the corpus. The
+    * building block for q127's centroid classifier and any
+    * chunk-to-document pooling. */
+  def q126MeanPool(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select($"label",
+        posexplode(expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("pos", "v")))
+      .select($"label", $"pos".cast("long").as("pos"), $"v")
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"v"), 4).as("mean_v"), count(lit(1)).as("n"))
+
+  /** q127 — nearest-centroid classification eval: assign every embedding
+    * to its highest-cosine label centroid (q126's pooling at full
+    * precision) and report the confusion census — the label-quality /
+    * embedding-quality health check a training-data pipeline runs after
+    * relabeling. Centroid table is 10 rows broadcast; the corpus is one
+    * scan + per-vec argmax, no corpus shuffle before the final tiny
+    * groupBy. Ties break to the smallest predicted label on both
+    * engines. */
+  def q127CentroidEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val pooled = emb
+      .select($"label".as("pred"), posexplode($"v").as(Seq("pos", "cv")))
+      .groupBy($"pred", $"pos").agg(avg($"cv").as("mean_v"))
+    val cent = pooled.groupBy($"pred")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean_v))), s -> s.mean_v)")
+        .as("cvec"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("cos", graft.operators.Similarity.cosine($"v", $"cvec"))
+      .where(!isnan($"cos"))
+      .groupBy($"vec_id", $"label")
+      .agg(max(struct($"cos", (-$"pred").as("np"))).as("m"))
+      .select($"label", (-$"m.np").as("pred_label"))
+      .groupBy($"label", $"pred_label")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
