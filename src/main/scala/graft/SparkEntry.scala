@@ -148,6 +148,7 @@ object SparkEntry {
     "q125_salted_agg"      -> (R.q125SaltedAgg(_, _)),
     "q126_mean_pool"       -> (D.q126MeanPool(_, _)),
     "q127_centroid_eval"   -> (D.q127CentroidEval(_, _)),
+    "q128_boilerplate"     -> (D.q128Boilerplate(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1459,6 +1460,26 @@ object SparkEntry {
         |FROM scored WHERE NOT isnan(cos))
         |SELECT label, pred AS pred_label, COUNT(*) AS n
         |FROM pick WHERE rn = 1 GROUP BY label, pred""".stripMargin,
+    // q128: full declarative replay — re-line, plant, census by line
+    // document frequency, drop > 25% lines, reassemble in line order.
+    "q128_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, array_to_string(list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+        |i -> array_to_string(list_slice(toks, i * 12 + 1, i * 12 + 12), ' ')), chr(10)) AS body FROM t),
+        |p1 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN body || chr(10) || 'subscribe to our newsletter today' ELSE body END AS body FROM b),
+        |p2 AS (SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN 'cookie notice accept all cookies' || chr(10) || body ELSE body END AS text FROM p1),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM p2),
+        |tp AS (SELECT doc_id, u.pos AS pos, u.l AS l FROM (SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |j -> struct_pack(pos := j, l := arr[CAST(j AS INT)]))) AS u FROM ls)),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |hot AS (SELECT l FROM (SELECT l, COUNT(DISTINCT doc_id) AS ldf FROM tp GROUP BY l), n
+        |WHERE CAST(ldf AS DOUBLE) > CAST(n_docs AS DOUBLE) * 0.25),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.l FROM tp LEFT JOIN hot ON tp.l = hot.l WHERE hot.l IS NULL),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept, string_agg(l, chr(10) ORDER BY pos) AS txt FROM kept GROUP BY doc_id)
+        |SELECT ls.doc_id, CAST(len(ls.arr) AS BIGINT) AS n_lines,
+        |CAST(len(ls.arr) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+        |md5(COALESCE(a.txt, '')) AS kept_md5
+        |FROM ls LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q91_hash_sample" ->
       """WITH t AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '2' AS sampled FROM documents)
         |SELECT lang, COUNT(*) AS n_total,

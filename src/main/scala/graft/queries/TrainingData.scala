@@ -917,6 +917,33 @@ object TrainingData {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** q128 — boilerplate line removal ([[graft.operators.Boilerplate
+    * .removeFrequentLines]]): docs re-lined into 12-token rows, a
+    * "newsletter" line appended to every %3==0 doc and a "cookie" line
+    * prepended to every %4==1 doc — both cross the 25% document-
+    * frequency threshold and must vanish; natural lines (including the
+    * exact-dup clusters' shared lines, df << threshold) must survive.
+    * md5 of the reassembled text pins order and boundary precision. */
+  def q128Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val lined = docs(spark, dir).select($"doc_id",
+      split(lower(trim($"text")), "\\s+").as("toks"))
+      .select($"doc_id", expr(
+        """concat_ws('\n', transform(sequence(0, int(ceil(size(toks) / 12.0)) - 1),
+          |i -> concat_ws(' ', slice(toks, i * 12 + 1, 12))))""".stripMargin).as("body"))
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0,
+          concat($"body", lit("\nsubscribe to our newsletter today")))
+          .otherwise($"body").as("body"))
+      .select($"doc_id",
+        when($"doc_id" % 4 === 1,
+          concat(lit("cookie notice accept all cookies\n"), $"body"))
+          .otherwise($"body").as("text"))
+    graft.operators.Boilerplate.removeFrequentLines(lined, "doc_id", "text",
+      minDocFrac = 0.25)
+      .select($"doc_id", $"n_lines", $"n_dropped",
+        md5($"kept_text").as("kept_md5"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -106,6 +106,34 @@ class SpansSpec extends AnyFunSuite with SparkFixture {
     assert(masked(3L) == words("c", 8))               // untouched
   }
 
+  test("boilerplate: frequent lines drop, rare lines survive, order preserved") {
+    import graft.operators.Boilerplate
+    val footer = "subscribe now"
+    val corpus = (0 until 10).map { i =>
+      val body = s"unique line $i\nsecond unique $i"
+      (i.toLong, if (i % 2 == 0) s"$body\n$footer" else body)
+    }
+    val out = Boilerplate.removeFrequentLines(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", minDocFrac = 0.3)
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("kept_text")))).toMap
+    (0 until 10).foreach { i =>
+      val (n, dropped, kept) = out(i.toLong)
+      if (i % 2 == 0) { assert(n == 3 && dropped == 1) } else { assert(n == 2 && dropped == 0) }
+      assert(kept == s"unique line $i\nsecond unique $i") // order preserved
+    }
+  }
+
+  test("boilerplate: no line crosses the threshold => everything survives") {
+    import graft.operators.Boilerplate
+    val corpus = (0 until 8).map(i => (i.toLong, s"a$i\nb$i")).toDF("doc_id", "text")
+    val out = Boilerplate.removeFrequentLines(corpus, "doc_id", "text", 0.5)
+      .collect()
+    assert(out.forall(_.getAs[Long]("n_dropped") == 0L))
+    assert(out.length == 8)
+  }
+
   test("maskDuplicatedSpans is a no-op on a span-free corpus") {
     val corpus = Seq((1L, words("a", 12)), (2L, words("b", 12)))
       .toDF("doc_id", "text")
