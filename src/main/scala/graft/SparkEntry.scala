@@ -149,6 +149,7 @@ object SparkEntry {
     "q126_mean_pool"       -> (D.q126MeanPool(_, _)),
     "q127_centroid_eval"   -> (D.q127CentroidEval(_, _)),
     "q128_boilerplate"     -> (D.q128Boilerplate(_, _)),
+    "q129_ingest_e2e"      -> (D.q129IngestE2E(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -558,6 +559,36 @@ object SparkEntry {
          |SELECT source, n_docs, n_kept, avg_quality,
          | CAST(round(CAST(CAST(CAST(n_kept AS DOUBLE)/CAST(n_docs AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS kept_rate
          |FROM a""".stripMargin,
+    // q129: q112's clean+gate replay extended with the digest keep-first
+    // dedup stage and a staged per-source census.
+    "q129_ingest_e2e" ->
+      s"""WITH pl AS (SELECT doc_id, source,
+         |  CASE WHEN doc_id % 7 = 0
+         |    THEN '<p class="x"> ' || text || ' </p>' || chr(10) || '<b>tail &amp; more&nbsp;here</b>'
+         |    ELSE text END AS raw FROM documents),
+         |cl AS (SELECT doc_id, source, ${duckCleanExpr("raw")} AS clean FROM pl),
+         |u AS (SELECT doc_id, source, clean,
+         |CASE WHEN len(string_split_regex(lower(trim(clean)), '\\s+'))=0 THEN 0.0 ELSE
+         | len(list_filter(string_split_regex(lower(trim(clean)), '\\s+'), x -> list_contains(
+         | ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'], x)))
+         | / CAST(len(string_split_regex(lower(trim(clean)), '\\s+')) AS DOUBLE) END AS stop_ratio,
+         |CASE WHEN length(trim(clean))=0 THEN 0 ELSE len(string_split_regex(trim(clean), '\\s+')) END AS n_tok,
+         |CASE WHEN length(clean)=0 THEN 0.0 ELSE (length(clean) - length(regexp_replace(clean, '[[:punct:]]', '', 'g')))
+         | / CAST(length(clean) AS DOUBLE) END AS punct
+         |FROM cl),
+         |q2 AS (SELECT doc_id, source, clean, n_tok, round(
+         |0.5*(CASE WHEN n_tok>=10 AND n_tok<=10000 THEN 1.0 WHEN n_tok>=3 THEN 0.5 ELSE 0.0 END) +
+         |0.25*(CASE WHEN stop_ratio>=0.05 THEN 1.0 ELSE 0.3 END) +
+         |0.25*(CASE WHEN punct<=0.2 THEN 1.0 ELSE 0.4 END), 4) AS q FROM u),
+         |g AS (SELECT doc_id, source, n_tok, md5(lower(trim(clean))) AS digest,
+         |(q >= 0.75 AND n_tok >= 20) AS gated FROM q2),
+         |k AS (SELECT MIN(doc_id) AS doc_id FROM g WHERE gated GROUP BY digest),
+         |f AS (SELECT g2.doc_id FROM g g2 JOIN k USING (doc_id))
+         |SELECT g.source, COUNT(*) AS n_in,
+         |CAST(SUM(CASE WHEN g.gated THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+         |CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN g.n_tok ELSE 0 END) AS BIGINT) AS final_tokens
+         |FROM g LEFT JOIN f ON g.doc_id = f.doc_id GROUP BY g.source""".stripMargin,
     "q113_cube" ->
       """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 4) AS sum_qty,
         |COUNT(*) AS cnt FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,

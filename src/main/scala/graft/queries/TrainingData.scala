@@ -944,6 +944,40 @@ object TrainingData {
         md5($"kept_text").as("kept_md5"))
   }
 
+  /** q129 — full ingest pipeline in ONE plan (the capstone composition:
+    * q104 clean -> q112 gate -> q70 exact-dedup keep-first -> census):
+    * planted markup is stripped, quality + token gates applied to the
+    * CLEANED text, surviving docs exact-deduped by cleaned-text digest
+    * (keep-first = min doc_id — the corpus's planted dup clusters lose
+    * all but one member here), and the per-source census reports every
+    * stage's count plus the surviving token mass. One corpus scan feeds
+    * the whole chain; the only shuffles are the digest keep-first and
+    * the final tiny groupBy. */
+  def q129IngestE2E(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).withColumn("raw",
+      when($"doc_id" % 7 === 0,
+        concat(lit("<p class=\"x\"> "), $"text",
+          lit(" </p>\n<b>tail &amp; more&nbsp;here</b>")))
+        .otherwise($"text"))
+    val scored = planted
+      .select($"doc_id", $"source", TextOps.cleanText($"raw").as("clean"))
+      .select($"doc_id", $"source", $"clean",
+        TextOps.qualityScore($"clean").as("q"),
+        TextOps.tokenCount($"clean").as("n_tok"))
+      .withColumn("gated", $"q" >= 0.75 && $"n_tok" >= 20)
+      .withColumn("digest", md5(lower(trim($"clean"))))
+    val keepIds = scored.where($"gated")
+      .groupBy($"digest").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", lit(true).as("is_final"))
+    scored.join(keepIds, Seq("doc_id"), "left")
+      .withColumn("fin", coalesce($"is_final", lit(false)))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_in"),
+        sum(when($"gated", 1L).otherwise(0L)).as("n_gated"),
+        sum(when($"fin", 1L).otherwise(0L)).as("n_final"),
+        sum(when($"fin", $"n_tok").otherwise(0L)).as("final_tokens"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
