@@ -950,9 +950,11 @@ object TrainingData {
     * CLEANED text, surviving docs exact-deduped by cleaned-text digest
     * (keep-first = min doc_id — the corpus's planted dup clusters lose
     * all but one member here), and the per-source census reports every
-    * stage's count plus the surviving token mass. One corpus scan feeds
-    * the whole chain; the only shuffles are the digest keep-first and
-    * the final tiny groupBy. */
+    * stage's count plus the surviving token mass. The clean/score work
+    * is a pure projection (two scan passes — the keep-first branch
+    * re-reads the scan rather than caching a 100 TB intermediate); the
+    * only shuffles are the digest keep-first and the final tiny
+    * groupBy. */
   def q129IngestE2E(spark: SparkSession, dir: String): DataFrame = {
     val planted = docs(spark, dir).withColumn("raw",
       when($"doc_id" % 7 === 0,
