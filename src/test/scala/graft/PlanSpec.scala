@@ -200,6 +200,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("Exchange SinglePartition".r.findAllIn(p).isEmpty, p.take(1200))
   }
 
+  test("q121: LM scoring is a pure projection — vocab broadcasts, corpus never shuffles") {
+    val p = physical("q121_lm_score")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p.take(1200))
+  }
+
+  test("q128: boilerplate reassembly is scan + broadcast hot set, no corpus shuffle") {
+    val p = physical("q128_boilerplate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    // the (doc_id, line) census exchange is the op's one legitimate
+    // shuffle; what must NOT appear is a doc-keyed repartition of the
+    // corpus itself (single-key doc_id exchange)
+    assert(!"Exchange hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r.findAllIn(p).hasNext,
+      p.take(1200))
+  }
+
   test("q109: stop-strip corpus path is scan + broadcast array, no corpus shuffle") {
     val p = physical("q109_stop_strip")
     // the stop list crosses in as a one-row broadcast; the per-doc strip
