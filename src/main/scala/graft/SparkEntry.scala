@@ -1212,9 +1212,17 @@ object SparkEntry {
     // q77: text-identical pairs are a structural fact — equal normalized
     // text => equal fingerprint => band collision => Hamming 0 — so the
     // digest self-join states the full expected set without xxhash64.
+    // Digest self-join states EVERY text-identical pair — planted copies
+    // AND the corpus's own naturally identical docs (8 such pairs appear
+    // at sf0.1; a %10-only enumeration broke there). Identical text =>
+    // identical fingerprint => all-band collision => Hamming 0, so the
+    // SimHash path must surface exactly this set.
     "q77_simhash" ->
-      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
-        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      """WITH f AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dg FROM f)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+        |FROM d a JOIN d b ON a.dg = b.dg AND a.doc_id < b.doc_id""".stripMargin,
     // q80/q82: saturated ANN == brute force over the second probe set
     // (q80 empirically at 32x3 tables — seeded, fixed per corpus; q82
     // structurally at nProbe = nCells).
