@@ -92,8 +92,11 @@ object Multimodal {
         val img =
           if (payload == null) null
           else
+            // NonFatal, not just IOException: codec plugins throw runtime
+            // exceptions (IllegalArgumentException, CMMException, negative
+            // array sizes) on malformed-but-recognized payloads
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
         else {
@@ -157,7 +160,7 @@ object Multimodal {
           if (payload == null) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
         val out =
           if (img == null) null
           else {
@@ -179,7 +182,8 @@ object Multimodal {
   }
 
   /** REAL audio decode — `javax.sound.sampled` ships a WAV/PCM codec in
-    * the JDK. Per payload: channel count, sample rate, frame count, and
+    * the JDK. Per payload: channel count, sample rate, frame count
+    * (`n_samples` = frames, i.e. total 16-bit values / channels), and
     * the exact integer sum / sum-of-absolute of the 16-bit samples
     * (integer accumulation — no float order concerns). Undecodable or
     * null payloads yield null stats with the row kept, like
@@ -215,13 +219,12 @@ object Multimodal {
                   sum += s; sumAbs += math.abs(s)
                   i += 2
                 }
+                // frames, not raw 16-bit values: a stereo WAV has 2 values
+                // per frame, so divide by the channel count
                 Some((fmt.getChannels, fmt.getSampleRate.toInt,
-                  bytes.length / 2L, sum, sumAbs))
+                  bytes.length / 2L / fmt.getChannels, sum, sumAbs))
               }
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
-            }
+            } catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
           case Some((ch, sr, n, s, sa)) =>
             Row.fromSeq(r.toSeq ++ Seq[Any](ch, sr, n, s, sa))

@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * but that pipelines drop by line frequency, not pairwise duplication).
   *
   * Scale shape: the census shuffles (line, doc_id) once; the hot-line SET
-  * is small by definition (each member occurs in > minDocFrac of docs, so
-  * there are at most 1/minDocFrac of them) and crosses back as ONE
-  * broadcast array row — document reassembly is a pure higher-order
-  * projection over the scan, order-preserving, no corpus shuffle
-  * (the q109 stop-strip pattern at line granularity).
+  * is bounded by avgLinesPerDoc / minDocFrac (each member occupies a
+  * > minDocFrac share of the doc-line incidence, whose total is
+  * nDocs * avgLinesPerDoc) and crosses back as ONE broadcast array row —
+  * document reassembly is a pure higher-order projection over the scan,
+  * order-preserving, no corpus shuffle (the q109 stop-strip pattern at
+  * line granularity). The broadcast assumes that hot set stays small
+  * relative to driver/executor memory — true for boilerplate thresholds
+  * (25%+) over web corpora; a pathological corpus of long documents
+  * sharing most lines would need the threshold raised.
   */
 object Boilerplate {
 

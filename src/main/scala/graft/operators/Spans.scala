@@ -84,8 +84,12 @@ object Spans {
   /** Apply step: null out (mask) every duplicated span except its first
     * occurrence corpus-wide, returning (doc_id, kept_text) — the Lee et
     * al. policy "keep one copy of the span". First occurrence = smallest
-    * (doc_id, span_start). Token-precise: the masked doc re-assembles
-    * from its kept token ranges, preserving original token order. */
+    * (doc_id, span_start), grouped by MAXIMAL-SPAN CONTENT: if the same
+    * duplicated material has different maximal extents in different docs
+    * (one doc's island extends an extra token), those occurrences carry
+    * distinct span texts and each extent keeps its own first copy.
+    * Token-precise: the masked doc re-assembles from its kept token
+    * ranges, preserving original token order. */
   def maskDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val spans = duplicatedSpans(df, idCol, textCol, k)

@@ -386,6 +386,33 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("multimodal: stereo WAV reports FRAMES, not total 16-bit values") {
+    import spark.implicits._
+    val nFrames = 100
+    // interleaved stereo: L sample = t, R sample = -t
+    val pcm = new Array[Byte](nFrames * 4)
+    (0 until nFrames).foreach { t =>
+      def put(off: Int, s: Short): Unit = {
+        pcm(off) = (s & 0xff).toByte; pcm(off + 1) = ((s >> 8) & 0xff).toByte
+      }
+      put(4 * t, t.toShort); put(4 * t + 2, (-t).toShort)
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 2, 4, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    val r = Multimodal.audioStats(df, "payload").collect()(0)
+    assert(r.getAs[Int]("channels") == 2)
+    assert(r.getAs[Long]("n_samples") == nFrames.toLong) // frames, not 2x
+    assert(r.getAs[Long]("sum_amp") == 0L)               // L + R cancel
+    assert(r.getAs[Long]("sum_abs_amp") == 2L * (0 until nFrames).sum)
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     import spark.implicits._
     val df = Seq((1L, "0123456789abcdef".getBytes("UTF-8"))).toDF("id", "payload")
