@@ -150,6 +150,10 @@ object SparkEntry {
     "q127_centroid_eval"   -> (D.q127CentroidEval(_, _)),
     "q128_boilerplate"     -> (D.q128Boilerplate(_, _)),
     "q129_ingest_e2e"      -> (D.q129IngestE2E(_, _)),
+    "q130_semdedup"        -> (D.q130SemDedup(_, _)),
+    "q131_gopher"          -> (D.q131GopherCensus(_, _)),
+    "q132_para_dedup"      -> (D.q132ParaDedup(_, _)),
+    "q133_dsir"            -> (D.q133Dsir(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1540,5 +1544,116 @@ object SparkEntry {
       """SELECT label, COUNT(*) AS n,
         |round(AVG(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),
         |'sum'))), 4) AS avg_norm FROM embeddings GROUP BY label""".stripMargin,
+    // q130: full SemDeDup replay — same planted corpus, smallest-id seed
+    // centroids, argmax-cosine assignment (ties -> smallest cell, NaN
+    // filtered), within-cell earlier-id drop rule. Cosine is the q127
+    // list_aggregate formulation, fold-order-identical to the Spark HOF.
+    "q130_semdedup" ->
+      """WITH e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pl AS (SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * CAST(1.01 AS DOUBLE) + CAST(0.001 AS DOUBLE)) AS v FROM e0 WHERE vec_id % 15 = 0),
+        |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM pl),
+        |cent AS (SELECT vec_id AS cell, v AS centroid FROM e ORDER BY vec_id LIMIT 8),
+        |sims AS (SELECT e.vec_id, c.cell,
+        |list_aggregate(list_transform(list_zip(e.v, c.centroid), z -> z[1]*z[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(e.v, z -> z*z), 'sum')) * sqrt(list_aggregate(list_transform(c.centroid, z -> z*z), 'sum'))) AS cos
+        |FROM e, cent c),
+        |pick AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn FROM sims WHERE NOT isnan(cos)),
+        |a AS (SELECT e.vec_id, p.cell, e.v FROM e LEFT JOIN (SELECT vec_id, cell FROM pick WHERE rn = 1) p USING (vec_id)),
+        |pr AS (SELECT y.vec_id AS ib,
+        |list_aggregate(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(x.v, z -> z*z), 'sum')) * sqrt(list_aggregate(list_transform(y.v, z -> z*z), 'sum'))) AS cos
+        |FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |dr AS (SELECT DISTINCT ib FROM pr WHERE NOT isnan(cos) AND cos >= 0.9)
+        |SELECT a.vec_id, a.cell, (dr.ib IS NULL) AS kept
+        |FROM a LEFT JOIN dr ON a.vec_id = dr.ib""".stripMargin,
+    // q131: Gopher rule-suite replay over the planted corpus. All output
+    // columns are counts; the double ratios exist only inside the rule
+    // comparisons, computed in the same fixed expression order.
+    "q131_gopher" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks0 FROM documents),
+        |tr AS (SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 THEN list_slice(toks0, 1, 10) ELSE toks0 END AS toks FROM t),
+        |l0 AS (SELECT doc_id, source, list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+        |i -> array_to_string(list_slice(toks, i * 12 + 1, i * 12 + 12), ' ')) AS ls FROM tr),
+        |l1 AS (SELECT doc_id, source, CASE WHEN doc_id % 11 = 0 THEN list_transform(ls, l -> '- ' || l)
+        |WHEN doc_id % 7 = 0 THEN list_transform(ls, l -> l || ' ...') ELSE ls END AS ls FROM l0),
+        |d AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0 THEN array_to_string(ls, chr(10)) || ' # # # # # # # #'
+        |ELSE array_to_string(ls, chr(10)) END AS text FROM l1),
+        |m AS (SELECT doc_id, source, lower(trim(text)) AS t,
+        |string_split_regex(lower(trim(text)), '\s+') AS words,
+        |string_split(lower(trim(text)), chr(10)) AS lines FROM d),
+        |x AS (SELECT source,
+        |CAST(len(words) AS BIGINT) AS n_words,
+        |CAST(list_aggregate(list_transform(words, w -> len(w)), 'sum') AS DOUBLE) / CAST(len(words) AS DOUBLE) AS mwl,
+        |CAST(CAST((length(t) - length(replace(t, '#', ''))) AS BIGINT)
+        | + CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS symbol_ratio,
+        |CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+        |CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+        |CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS alpha_frac,
+        |CAST(len(list_filter(words, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS n_stop
+        |FROM m),
+        |f AS (SELECT source,
+        |(n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |(mwl >= 3.0 AND mwl <= 10.0) AS ok_mwl,
+        |(symbol_ratio <= 0.1) AS ok_symbol,
+        |(bullet_frac <= 0.9) AS ok_bullet,
+        |(ellipsis_frac <= 0.3) AS ok_ellipsis,
+        |(alpha_frac >= 0.8) AS ok_alpha,
+        |(n_stop >= 2) AS ok_stop FROM x)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN ok_words AND ok_mwl AND ok_symbol AND ok_bullet AND ok_ellipsis AND ok_alpha AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |CAST(SUM(CASE WHEN ok_words THEN 0 ELSE 1 END) AS BIGINT) AS fail_words,
+        |CAST(SUM(CASE WHEN ok_mwl THEN 0 ELSE 1 END) AS BIGINT) AS fail_mwl,
+        |CAST(SUM(CASE WHEN ok_symbol THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol,
+        |CAST(SUM(CASE WHEN ok_bullet THEN 0 ELSE 1 END) AS BIGINT) AS fail_bullet,
+        |CAST(SUM(CASE WHEN ok_ellipsis THEN 0 ELSE 1 END) AS BIGINT) AS fail_ellipsis,
+        |CAST(SUM(CASE WHEN ok_alpha THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha,
+        |CAST(SUM(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS BIGINT) AS fail_stop
+        |FROM f GROUP BY source""".stripMargin,
+    // q132: paragraph keep-first replay — ROW_NUMBER over (doc_id, pos)
+    // replays the min(struct) first-occurrence; reassembly via ordered
+    // string_agg (q128 idiom).
+    "q132_para_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |l0 AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+        |i -> array_to_string(list_slice(toks, i * 12 + 1, i * 12 + 12), ' ')) AS ls FROM t),
+        |l1 AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN list_concat(ls, list_slice(ls, 1, 1)) ELSE ls END AS ls FROM l0),
+        |d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN array_to_string(ls, chr(10)) || chr(10) || 'all rights reserved contact us for details'
+        |ELSE array_to_string(ls, chr(10)) END AS text FROM l1),
+        |ps AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+        |tp AS (SELECT doc_id, u.pos AS pos, u.p AS p FROM (SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |j -> struct_pack(pos := j - 1, p := arr[CAST(j AS INT)]))) AS u FROM ps)),
+        |occ AS (SELECT doc_id, pos, md5(p) AS digest FROM tp WHERE len(trim(p)) >= 1),
+        |fo AS (SELECT digest, doc_id AS fdoc, pos AS fpos FROM (SELECT digest, doc_id, pos,
+        |ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn FROM occ) WHERE rn = 1),
+        |dr AS (SELECT o.doc_id, o.pos FROM occ o JOIN fo ON o.digest = fo.digest
+        |WHERE NOT (o.doc_id = fo.fdoc AND o.pos = fo.fpos)),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.p FROM tp LEFT JOIN dr ON tp.doc_id = dr.doc_id AND tp.pos = dr.pos WHERE dr.pos IS NULL),
+        |agg AS (SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) AS txt FROM kept GROUP BY doc_id),
+        |nd AS (SELECT doc_id, COUNT(*) AS n_dropped FROM dr GROUP BY doc_id)
+        |SELECT ps.doc_id, CAST(len(ps.arr) AS BIGINT) AS n_paras,
+        |CAST(COALESCE(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |md5(COALESCE(agg.txt, '')) AS kept_md5
+        |FROM ps LEFT JOIN agg USING (doc_id) LEFT JOIN nd USING (doc_id)""".stripMargin,
+    // q133: DSIR replay — bucket censuses, Laplace-smoothed log-ratio
+    // table, per-doc in-order fold (the q121 list_reduce pattern; the
+    // leading 0.0 accumulator is IEEE-identical to reducing from the
+    // first element).
+    "q133_dsir" ->
+      """WITH t AS (SELECT doc_id, (lang = 'en') AS is_t, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |ex AS (SELECT is_t, unnest(toks) AS tok FROM t),
+        |bx AS (SELECT substr(md5(tok), 1, 2) AS b, is_t FROM ex),
+        |c AS (SELECT b, COUNT(*) AS n_raw, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_tgt FROM bx GROUP BY b),
+        |tot AS (SELECT SUM(n_raw) AS tr, SUM(n_tgt) AS tt FROM c),
+        |r AS (SELECT b, ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+        | - ln(CAST(n_raw + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)) AS lr FROM c, tot),
+        |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1), j -> struct_pack(pos := j, tk := toks[CAST(j AS INT)]))) AS u FROM t),
+        |tp AS (SELECT doc_id, u.pos AS pos, u.tk AS tk FROM tok),
+        |lp AS (SELECT tp.doc_id, tp.pos, COALESCE(r.lr,
+        | (SELECT ln(CAST(1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE)) - ln(CAST(1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)) FROM tot)) AS l
+        |FROM tp LEFT JOIN r ON substr(md5(tp.tk), 1, 2) = r.b),
+        |lists AS (SELECT doc_id, list(l ORDER BY pos) AS ls FROM lp GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+        |CAST(round(CAST(CAST(list_reduce(ls, (a, b) -> a + b) / len(t.toks) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS weight
+        |FROM t JOIN lists USING (doc_id)""".stripMargin,
   )
 }

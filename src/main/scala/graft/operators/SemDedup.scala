@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style SEMANTIC deduplication over an embedding column
+  * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication"): cluster the embedding space, then
+  * drop every vector that has an earlier (smaller-id) same-cluster
+  * neighbor with cosine >= threshold. Near-duplicate MEANING — not
+  * near-duplicate text — which catches paraphrases and templated rewrites
+  * that MinHash/SimHash ([[Dedup]]) cannot see.
+  *
+  * Scale design — the whole point of the clustering step:
+  *  - pairwise cosine is only computed WITHIN a cluster, so the quadratic
+  *    all-pairs cost becomes sum(c_i^2) over cluster sizes — with k
+  *    balanced cells that is n^2/k, and the shuffle key is the cell id,
+  *    never the vector.
+  *  - cluster ASSIGNMENT is a pure projection: the centroid table rides
+  *    as ONE broadcast array row and each vector folds over it for its
+  *    argmax cosine — the corpus is NOT shuffled to be assigned.
+  *  - degenerate cells (a mass of identical embeddings — the pathology
+  *    exact-dedup pre-passes exist for) are capped by `maxCellSize`, same
+  *    census-able guard semantics as the LSH bucket cap in [[Dedup]]:
+  *    over-cap cells skip pair generation (all members kept) and
+  *    [[oversizedCells]] reports what was skipped.
+  */
+object SemDedup {
+
+  /** Deterministic, cross-engine-replayable centroid seeds: the `nCells`
+    * corpus vectors with the SMALLEST ids, cell id = seed's vector id.
+    * (The production path feeds [[Similarity.kmeansRefine]] output — or
+    * any learned centroid table — to [[semDedupWith]]; smallest-id seeds
+    * exist so an independent engine can replay the exact clustering.) */
+  def smallestIdCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame =
+    corpus.select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
+      .orderBy(col("cell")).limit(nCells)
+
+  /** Assign each vector its argmax-cosine cell (tie -> smallest cell id;
+    * all-NaN cosines -> null cell, row kept). Pure projection: centroids
+    * collapse to one broadcast array row sorted by cell id, each vector
+    * folds over it — zero shuffle of the corpus. Output: input columns
+    * renamed (id, v) plus `cell`. */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid")))).as("cents"))
+    // argmax by (cos, -cell): max over the struct ordering = highest
+    // cosine, ties to the smallest cell (the q127 negate-for-tiebreak
+    // idiom). Zero-norm vectors produce an INVALID cosine — NaN under
+    // IEEE division, but NULL under Spark's non-ANSI divide-by-zero —
+    // so both shapes are filtered before the max (a null field would
+    // otherwise sort LOWEST inside the struct ordering and silently win
+    // single-element arrays).
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_scored", transform(col("cents"), c =>
+        struct(cosine(col("v"), c.getField("centroid")).as("cos"),
+          (-c.getField("cell")).as("nc"))))
+      .withColumn("_best", array_max(filter(col("_scored"),
+        s => s.getField("cos").isNotNull && !isnan(s.getField("cos")))))
+      .select(col("id"), col("v"), (-col("_best.nc")).as("cell"))
+  }
+
+  /** In-lambda cosine: the declarative HOF formulation (higher-order
+    * functions are CodegenFallback anyway, so nothing is lost vs the
+    * codegen'd kernel here) — value-identical to [[Similarity.cosine]],
+    * fold order dot/(sqrt*sqrt) matches the DuckDB list_aggregate replay. */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot   = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
+    val normA = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (s, v) => s + v))
+    val normB = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, v) => s + v))
+    dot / (normA * normB)
+  }
+
+  /** Census of cells [[semDedupWith]]'s `maxCellSize` would skip —
+    * the "what did the guard drop" log (cf. [[Dedup.skippedBuckets]]). */
+  def oversizedCells(assigned: DataFrame, maxCellSize: Int): DataFrame =
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxCellSize)
+
+  /** SemDeDup with a caller-supplied centroid table `(cell long,
+    * centroid array<double>)`. Returns (id, cell, kept): kept = false iff
+    * some same-cell vector with a smaller id has cosine >= threshold.
+    * Pairs meet by an equi-join on the cell id — one exchange of
+    * (id, v, cell), reused for both sides of the self-join. */
+  def semDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double,
+      maxCellSize: Int = 100000): DataFrame = {
+    val assigned = assignCells(corpus, idCol, vecCol, centroids)
+    val inCap =
+      if (maxCellSize <= 0) assigned
+      else {
+        val w = Window.partitionBy(col("cell"))
+        assigned.withColumn("_cn", count(lit(1)).over(w))
+          .where(col("_cn") <= maxCellSize).drop("_cn")
+      }
+    val drops = inCap.alias("a").join(inCap.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("_cos", cosine(col("a.v"), col("b.v")))
+      .where(!isnan(col("_cos")) && col("_cos") >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(drops.withColumn("_drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(!col("_drop"), lit(true)).as("kept"))
+  }
+
+  /** SemDeDup with the replayable smallest-id seed clustering. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double, maxCellSize: Int = 100000): DataFrame =
+    semDedupWith(corpus, idCol, vecCol,
+      smallestIdCentroids(corpus, idCol, vecCol, nCells), threshold, maxCellSize)
+}

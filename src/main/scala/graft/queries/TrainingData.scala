@@ -980,6 +980,92 @@ object TrainingData {
         sum(when($"fin", $"n_tok").otherwise(0L)).as("final_tokens"))
   }
 
+  /** q130 — SemDeDup semantic deduplication ([[graft.operators.SemDedup]]):
+    * embeddings clustered to 8 smallest-id seed centroids, within-cluster
+    * cosine >= 0.9 against an earlier id drops the later vector. The
+    * corpus has no natural semantic dups at 0.9 (random 64-dim vectors sit
+    * near orthogonal), so every 15th vector re-appears id-shifted with a
+    * small deterministic perturbation (x*1.01 + 0.001 — cosine ~0.9999,
+    * same argmax cell) and must be the set that drops. Assignment is a
+    * broadcast-fold pure projection; only the cell-keyed self-join
+    * shuffles (plan-gated). */
+  def q130SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val planted = base.where($"vec_id" % 15 === 0)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        expr("transform(v, x -> x * cast(1.01 as double) + cast(0.001 as double))").as("v"))
+    graft.operators.SemDedup.semDedup(base.unionByName(planted), "vec_id", "v",
+      nCells = 8, threshold = 0.9)
+      .select($"id".as("vec_id"), $"cell", $"kept")
+  }
+
+  /** q131 — full Gopher rule census ([[graft.operators.Gopher]]): docs
+    * re-lined into 12-token rows, then deterministic rule-breakers
+    * planted on disjoint-enough id grids — %13 truncated to 10 words
+    * (word-count fail), %11 all-bullet lines (bullet fail), %7 every line
+    * ellipsis-terminated (ellipsis fail), %5 eight '#' tokens appended
+    * (symbol fail) — and the per-source failure census must pin each
+    * planted population. Counts only (longs), so the cross-engine hash
+    * has no float surface. */
+  def q131GopherCensus(spark: SparkSession, dir: String): DataFrame = {
+    val lined = docs(spark, dir)
+      .select($"doc_id", $"source", split(lower(trim($"text")), "\\s+").as("toks"))
+      .select($"doc_id", $"source",
+        when($"doc_id" % 13 === 0, expr("slice(toks, 1, 10)")).otherwise($"toks").as("toks"))
+      .select($"doc_id", $"source", expr(
+        """transform(sequence(0, int(ceil(size(toks) / 12.0)) - 1),
+          |i -> concat_ws(' ', slice(toks, i * 12 + 1, 12)))""".stripMargin).as("ls"))
+      .select($"doc_id", $"source",
+        when($"doc_id" % 11 === 0, expr("transform(ls, l -> concat('- ', l))"))
+          .when($"doc_id" % 7 === 0, expr("transform(ls, l -> concat(l, ' ...'))"))
+          .otherwise($"ls").as("ls"))
+      .select($"doc_id", $"source",
+        when($"doc_id" % 5 === 0,
+          concat(concat_ws("\n", $"ls"), lit(" # # # # # # # #")))
+          .otherwise(concat_ws("\n", $"ls")).as("text"))
+    graft.operators.Gopher.census(lined, "text", "source")
+  }
+
+  /** q132 — paragraph-level corpus-wide exact dedup ([[graft.operators
+    * .Paragraphs.dedupParagraphs]]): docs re-lined into 12-token
+    * paragraphs; a shared boilerplate paragraph planted on every %4==0
+    * doc keeps exactly its first occurrence, and %6==0 docs repeat their
+    * OWN first paragraph at the end (the within-doc case). md5 of the
+    * reassembled text pins order and boundary precision. */
+  def q132ParaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lined = docs(spark, dir)
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("toks"))
+      .select($"doc_id", expr(
+        """transform(sequence(0, int(ceil(size(toks) / 12.0)) - 1),
+          |i -> concat_ws(' ', slice(toks, i * 12 + 1, 12)))""".stripMargin).as("ls"))
+      .select($"doc_id",
+        when($"doc_id" % 6 === 0, concat($"ls", slice($"ls", 1, 1)))
+          .otherwise($"ls").as("ls"))
+      .select($"doc_id",
+        when($"doc_id" % 4 === 0,
+          concat(concat_ws("\n", $"ls"),
+            lit("\nall rights reserved contact us for details")))
+          .otherwise(concat_ws("\n", $"ls")).as("text"))
+    graft.operators.Paragraphs.dedupParagraphs(lined, "doc_id", "text")
+      .select($"doc_id", $"n_paras", $"n_dropped", md5($"kept_text").as("kept_md5"))
+  }
+
+  /** q133 — DSIR importance weights ([[graft.operators.Dsir]]): target =
+    * English docs, features = 256 md5-prefix hash buckets, weight = mean
+    * per-token ln p_target - ln p_raw. In-order fold (q121 pattern) keeps
+    * the double sum bit-reproducible; the model is one broadcast map row,
+    * the corpus never shuffles (plan-gated). The langs share most of the
+    * synthetic vocabulary, so the SPREAD is small and smoothing biases
+    * all means slightly negative — but English ranks strictly highest
+    * (-0.0097 vs -0.0124..-0.0144 at sf0.01), which is the resampling
+    * property DSIR uses. */
+  def q133Dsir(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.importanceWeights(
+      docs(spark, dir), "doc_id", "text", $"lang" === "en")
+      .select($"doc_id", $"n_tok", round($"weight", 4).as("weight"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

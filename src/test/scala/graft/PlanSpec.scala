@@ -225,4 +225,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       p.take(1200))
     assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p.take(1200))
   }
+
+  test("q130: SemDeDup assigns via broadcast fold; pairs meet on the cell key only") {
+    val p = physical("q130_semdedup")
+    // centroid table is ONE broadcast array row — assignment must not be
+    // an all-pairs join or a corpus shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the within-cluster self-join is the op's one corpus exchange,
+    // keyed by the cell id
+    assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).hasNext, p.take(1500))
+  }
+
+  test("q133: DSIR scoring is a pure projection — model broadcasts, corpus never shuffles") {
+    val p = physical("q133_dsir")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    // bucket censuses shuffle <= 256 (b)-keyed rows; the corpus itself is
+    // never doc-keyed exchanged
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p.take(1200))
+  }
 }

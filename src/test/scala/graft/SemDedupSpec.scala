@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SemDedup
+
+/** SemDeDup semantics on closed-form fixtures: axis-aligned vectors make
+  * every cosine 0 or 1-ish by construction, so cluster membership and the
+  * drop rule are hand-checkable. */
+class SemDedupSpec extends AnyFunSuite with SparkFixture {
+
+  private def vec(xs: Double*): Seq[Double] = xs
+
+  // two well-separated directions + a near-copy of each member
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, vec(1.0, 0.0, 0.0, 0.0)),
+      (2L, vec(0.0, 1.0, 0.0, 0.0)),
+      (3L, vec(0.99, 0.01, 0.0, 0.0)),  // near-copy of 1 -> same cell, cos ~1
+      (4L, vec(0.01, 0.99, 0.0, 0.0)),  // near-copy of 2
+      (5L, vec(0.0, 0.0, 1.0, 0.0))     // isolated direction
+    ).toDF("vec_id", "v")
+  }
+
+  test("later near-copies drop; earliest copy and isolated vectors keep") {
+    val out = SemDedup.semDedup(fixture, "vec_id", "v", nCells = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && out(2L), "cluster seeds keep")
+    assert(!out(3L) && !out(4L), "near-copies of an earlier id drop")
+    assert(out(5L), "no same-cell earlier neighbor above threshold")
+  }
+
+  test("threshold bounds the drop: orthogonal members of one cell all keep") {
+    import spark.implicits._
+    // one cell (centroid = id 1); ids 2 and 3 orthogonal to each other
+    val df = Seq(
+      (1L, vec(1.0, 1.0, 0.0, 0.0)),
+      (2L, vec(1.0, 0.0, 0.0, 0.0)),
+      (3L, vec(0.0, 1.0, 0.0, 0.0))
+    ).toDF("vec_id", "v")
+    val out = SemDedup.semDedup(df, "vec_id", "v", nCells = 1, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.values.forall(identity), s"nothing >= 0.95 here: $out")
+  }
+
+  test("near-dups in DIFFERENT cells are not compared (the SemDeDup contract)") {
+    import spark.implicits._
+    // centroids = ids 1, 2; ids 3 and 4 have cos(3,4) = 0.96 but land in
+    // different cells (each 0.8 from its centroid, below the 0.85
+    // threshold) — cross-cell pairs are by design not generated.
+    val df = Seq(
+      (1L, vec(1.0, 0.0, 0.0, 0.0)),
+      (2L, vec(0.0, 1.0, 0.0, 0.0)),
+      (3L, vec(0.8, 0.6, 0.0, 0.0)),    // cell 1
+      (4L, vec(0.6, 0.8, 0.0, 0.0))     // cell 2
+    ).toDF("vec_id", "v")
+    val out = SemDedup.semDedup(df, "vec_id", "v", nCells = 2, threshold = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.values.forall(identity), s"cross-cell pair must not drop: $out")
+    // contrast: collapse to one cell and the (3, 4) pair IS seen
+    val oneCell = SemDedup.semDedup(df, "vec_id", "v", nCells = 1, threshold = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!oneCell(4L) && oneCell(3L), s"one cell: 4 drops against 3: $oneCell")
+  }
+
+  test("maxCellSize guard: oversized cell skips pair generation, census reports it") {
+    import spark.implicits._
+    // 30 identical vectors -> one degenerate cell
+    val df = (1L to 30L).map(i => (i, vec(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val guarded = SemDedup.semDedup(df, "vec_id", "v", nCells = 1,
+      threshold = 0.9, maxCellSize = 10)
+      .collect()
+    assert(guarded.forall(_.getBoolean(2)), "over-cap cell generates no drops")
+    val unguarded = SemDedup.semDedup(df, "vec_id", "v", nCells = 1, threshold = 0.9)
+      .where(!col("kept")).count()
+    assert(unguarded == 29, "without the cap, all but the first drop")
+    val census = SemDedup.oversizedCells(
+      SemDedup.assignCells(df, "vec_id", "v",
+        SemDedup.smallestIdCentroids(df, "vec_id", "v", 1)), 10).collect()
+    assert(census.length == 1 && census(0).getAs[Long]("n_members") == 30L)
+  }
+
+  test("zero-norm vectors get a null cell and are kept, never paired") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, vec(1.0, 0.0, 0.0, 0.0)),
+      (2L, vec(0.0, 0.0, 0.0, 0.0)), // NaN against every centroid
+      (3L, vec(1.0, 0.0, 0.0, 0.0))  // exact copy of 1 -> drops
+    ).toDF("vec_id", "v")
+    val rows = SemDedup.semDedup(df, "vec_id", "v", nCells = 1, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getBoolean(2))).toMap
+    assert(rows(2L) == ((true, true)), "zero vector: null cell, kept")
+    assert(rows(1L) == ((false, true)) && rows(3L) == ((false, false)))
+  }
+}
