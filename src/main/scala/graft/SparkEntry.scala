@@ -154,6 +154,7 @@ object SparkEntry {
     "q131_gopher"          -> (D.q131GopherCensus(_, _)),
     "q132_para_dedup"      -> (D.q132ParaDedup(_, _)),
     "q133_dsir"            -> (D.q133Dsir(_, _)),
+    "q134_gk_quantiles"    -> (R.q134GkQuantiles(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1655,5 +1656,14 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
         |CAST(round(CAST(CAST(list_reduce(ls, (a, b) -> a + b) / len(t.toks) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS weight
         |FROM t JOIN lists USING (doc_id)""".stripMargin,
+    // q134: the saturated GK sketch must equal the exact discrete
+    // quantiles (quantile_disc) — verified to hold at every fixture SF.
+    "q134_gk_quantiles" ->
+      """SELECT l_returnflag,
+        |quantile_disc(l_quantity, 0.25) AS p25,
+        |quantile_disc(l_quantity, 0.50) AS p50,
+        |quantile_disc(l_quantity, 0.75) AS p75,
+        |quantile_disc(l_quantity, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   )
 }

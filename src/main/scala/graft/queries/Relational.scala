@@ -335,4 +335,17 @@ object Relational {
       partialAggs = Seq(sum($"q").as("ps"), count(lit(1)).as("pc")),
       finalAggs = Seq(sum($"ps").cast("double").as("sum_qty"),
         sum($"pc").cast("long").as("n_rows")))
+
+  /** q134 — GK-sketch percentiles at SATURATING accuracy ([[graft
+    * .operators.Sketches.approxQuantiles]]): with rank error 1/accuracy
+    * far under one row (1e7 >> N), the mergeable sketch must reproduce
+    * the exact discrete quantiles — the q90/q94 saturation-identity
+    * trick applied to the sketch family, so the scale path (fixed-size
+    * map-side summaries, O(groups) shuffle — the 100 TB replacement for
+    * q10's exact per-group sort) gets a cross-engine oracle instead of
+    * only a tolerance spec. */
+  def q134GkQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.approxQuantiles(
+      Tables.lineitem(spark, dir), "l_quantity", Seq("l_returnflag"),
+      Seq(0.25, 0.5, 0.75, 0.95), accuracy = 10000000)
 }

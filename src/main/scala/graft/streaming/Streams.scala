@@ -271,6 +271,41 @@ object Streams {
       .select(col("doc_id"), col("n_shared_shingles"))
   }
 
+  /** Streaming paragraph-level dedup against a static corpus
+    * ([[graft.operators.Paragraphs]] made incremental): arriving docs
+    * drop every paragraph whose md5 digest already exists in the corpus
+    * paragraph set, keeping their own text otherwise intact. Stateless
+    * like [[decontaminateStream]] — the corpus digests cross in as ONE
+    * broadcast array row (sorted, so `array_contains` could binary-search
+    * if it ever mattered) and the per-doc rewrite is a pure
+    * order-preserving higher-order projection; no state store, no
+    * shuffle of the stream. Within-batch novelty (two arrivals sharing a
+    * NEW paragraph) is intentionally not deduped here — that is the
+    * batch operator's keep-first job when the batch lands in the corpus.
+    * Emits (doc_id, n_paras, n_dropped, kept_text); parity with the
+    * batch operator on corpus-known paragraphs is spec-asserted. */
+  def paraDedupStream(arrivals: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n", minChars: Int = 1): DataFrame = {
+    val corpusDigests = corpus
+      .select(explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("p"))
+      .where(length(trim(col("p"))) >= minChars)
+      .select(md5(col("p")).as("d")).distinct()
+      .agg(sort_array(collect_list(col("d"))).as("known"))
+    arrivals
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), java.util.regex.Pattern.quote(sep)).as("paras"))
+      .crossJoin(broadcast(corpusDigests))
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        size(filter(col("paras"), p =>
+          length(trim(p)) >= minChars && array_contains(col("known"), md5(p))))
+          .cast("long").as("n_dropped"),
+        concat_ws(sep, filter(col("paras"), p =>
+          length(trim(p)) < minChars || !array_contains(col("known"), md5(p))))
+          .as("kept_text"))
+  }
+
   /** File-source incremental intake over a signals directory (the cron
     * append as a stream; batch-compatible schema required). */
   def signalsFileStream(spark: SparkSession, path: String,

@@ -296,6 +296,38 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming paragraph dedup matches batch keep-first on corpus-known paragraphs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha unique\nshared boilerplate para\nbeta unique"),
+      (2L, "gamma unique\nanother known para")).toDF("doc_id", "text")
+    // arrivals repeat corpus paragraphs + bring novel ones
+    val arrivals = Seq(
+      (10L, "shared boilerplate para\nnovel ten"),
+      (11L, "novel eleven\nanother known para\nshared boilerplate para"),
+      (12L, "entirely novel\nall of it"))
+    // batch truth: append each arrival to the corpus — corpus occurrences
+    // are earlier (smaller ids), so every corpus-known paragraph drops
+    val expected = graft.operators.Paragraphs.dedupParagraphs(
+        corpus.unionByName(arrivals.toDF("doc_id", "text")), "doc_id", "text")
+      .where($"doc_id" >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val out = Streams.paraDedupStream(mem.toDF().toDF("doc_id", "text"), corpus)
+    val q = out.writeStream.format("memory").queryName("paradedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("paradedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("multimodal: feature extraction plumbing is deterministic and null-safe") {
     import spark.implicits._
     val df = Seq(
