@@ -155,6 +155,7 @@ object SparkEntry {
     "q132_para_dedup"      -> (D.q132ParaDedup(_, _)),
     "q133_dsir"            -> (D.q133Dsir(_, _)),
     "q134_gk_quantiles"    -> (R.q134GkQuantiles(_, _)),
+    "q135_quantize"        -> (D.q135Quantize(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1665,5 +1666,26 @@ object SparkEntry {
         |quantile_disc(l_quantity, 0.75) AS p75,
         |quantile_disc(l_quantity, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q135: int8 quantization replay — same global per-dim ranges,
+    // floor-coded bytes (floor keeps the double arithmetic IEEE-exact
+    // cross-engine), midpoint dequantization, order-free max error.
+    "q135_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dx AS (SELECT unnest(list_transform(range(1, len(v) + 1), i -> struct_pack(d := i, x := v[CAST(i AS INT)]))) AS u FROM e),
+        |dims AS (SELECT u.d AS d, MIN(u.x) AS lo, MAX(u.x) AS hi FROM dx GROUP BY u.d),
+        |rg AS (SELECT list(struct_pack(lo := lo, hi := hi) ORDER BY d) AS rng FROM dims),
+        |q AS (SELECT e.vec_id, e.v, list_transform(range(1, len(e.v) + 1), i ->
+        |CASE WHEN rng[CAST(i AS INT)].hi = rng[CAST(i AS INT)].lo THEN 0
+        |ELSE CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+        | floor((v[CAST(i AS INT)] - rng[CAST(i AS INT)].lo) / (rng[CAST(i AS INT)].hi - rng[CAST(i AS INT)].lo) * CAST(256 AS DOUBLE)))) AS INT) END) AS codes
+        |FROM e, rg),
+        |r AS (SELECT vec_id, v, codes, list_transform(range(1, len(codes) + 1), i ->
+        |CASE WHEN rng[CAST(i AS INT)].hi = rng[CAST(i AS INT)].lo THEN rng[CAST(i AS INT)].lo
+        |ELSE rng[CAST(i AS INT)].lo + (CAST(codes[CAST(i AS INT)] AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (rng[CAST(i AS INT)].hi - rng[CAST(i AS INT)].lo) / CAST(256 AS DOUBLE) END) AS recon
+        |FROM q, rg)
+        |SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_md5,
+        |CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_code,
+        |CAST(round(CAST(CAST(list_aggregate(list_transform(list_zip(v, recon), z -> abs(z[1] - z[2])), 'max') AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS max_abs_err
+        |FROM r""".stripMargin,
   )
 }

@@ -1066,6 +1066,22 @@ object TrainingData {
       docs(spark, dir), "doc_id", "text", $"lang" === "en")
       .select($"doc_id", $"n_tok", round($"weight", 4).as("weight"))
 
+  /** q135 — int8 scalar quantization of the embedding column
+    * ([[graft.operators.Similarity.quantizeInt8]]): global per-dim
+    * ranges, floor-coded bytes, midpoint dequantization, per-vector max
+    * reconstruction error. codes_md5 pins every code of every vector;
+    * the error column is exact double arithmetic in fixed order (floor,
+    * not round, so no rounding-mode surface). */
+  def q135Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    graft.operators.Similarity.quantizeInt8(emb, "vec_id", "v")
+      .select($"vec_id",
+        md5(concat_ws(",", expr("transform(codes, c -> cast(c as string))"))).as("codes_md5"),
+        expr("aggregate(codes, 0L, (s, c) -> s + cast(c as bigint))").as("sum_code"),
+        round($"max_abs_err", 6).as("max_abs_err"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -81,6 +81,38 @@ class SemDedupSpec extends AnyFunSuite with SparkFixture {
     assert(census.length == 1 && census(0).getAs[Long]("n_members") == 30L)
   }
 
+  test("random corpus: operator equals a plain-Scala brute-force simulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = IndexedSeq.fill(80)(Array.fill(8)(rnd.nextGaussian()))
+    // plant near-copies at every 9th position to make drops likely
+    val vecs = (0 until 80).map { i =>
+      val v = if (i % 9 == 0 && i > 0) base(i / 9 - 1).map(_ * 1.02 + 0.01) else base(i)
+      (i.toLong, v.toSeq)
+    }
+    val data = vecs.toDF("vec_id", "v")
+    val (nCells, t) = (4, 0.85)
+    // plain-Scala replay of the published algorithm
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0
+      a.indices.foreach { i => dot += a(i) * b(i); sa += a(i) * a(i); sb += b(i) * b(i) }
+      dot / (math.sqrt(sa) * math.sqrt(sb))
+    }
+    val arr = vecs.map { case (i, v) => (i, v.toArray) }
+    val cents = arr.sortBy(_._1).take(nCells)
+    val cell = arr.map { case (i, v) =>
+      i -> cents.map { case (c, cv) => (cos(v, cv), -c) }.max._2 * -1
+    }.toMap
+    val expectDropped = (for {
+      (i, vi) <- arr; (j, vj) <- arr
+      if i < j && cell(i) == cell(j) && cos(vi, vj) >= t
+    } yield j).toSet
+    val got = SemDedup.semDedup(data, "vec_id", "v", nCells, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.filterNot(_._3).map(_._1).toSet == expectDropped)
+    assert(got.forall { case (i, c, _) => c == cell(i) })
+  }
+
   test("zero-norm vectors get a null cell and are kept, never paired") {
     import spark.implicits._
     val df = Seq(

@@ -161,4 +161,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
     }
   }
+
+  test("int8 quantization: codes bounded, error under one bucket, degenerate dims stable") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0, 5.0, 7.0)),
+      (2L, Seq(1.0, 5.0, -3.0)),
+      (3L, Seq(0.5, 5.0, 2.0))).toDF("vec_id", "v")
+    val rows = Similarity.quantizeInt8(df, "vec_id", "v")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // dim ranges: [0,1], [5,5] (degenerate), [-3,7]
+    rows.values.foreach { r =>
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(codes.forall(c => c >= 0 && c <= 255), codes)
+      assert(codes(1) == 0, "degenerate dim codes to 0")
+      val v = r.getAs[scala.collection.Seq[Double]]("v")
+      val recon = r.getAs[scala.collection.Seq[Double]]("recon")
+      assert(recon(1) == 5.0, "degenerate dim reconstructs exactly")
+      // midpoint dequantization: error <= half a bucket per live dim
+      v.indices.filter(_ != 1).foreach { i =>
+        val width = if (i == 0) 1.0 / 256 else 10.0 / 256
+        assert(math.abs(v(i) - recon(i)) <= width / 2 + 1e-12,
+          s"dim $i ${v(i)} vs ${recon(i)}")
+      }
+      assert(r.getAs[Double]("max_abs_err") <= 10.0 / 512 + 1e-12)
+    }
+    // max values land in the top bucket, mins in the bottom
+    assert(rows(2L).getAs[scala.collection.Seq[Int]]("codes")(0) == 255)
+    assert(rows(1L).getAs[scala.collection.Seq[Int]]("codes")(0) == 0)
+    assert(rows(1L).getAs[scala.collection.Seq[Int]]("codes")(2) == 255)
+    assert(rows(2L).getAs[scala.collection.Seq[Int]]("codes")(2) == 0)
+  }
 }
