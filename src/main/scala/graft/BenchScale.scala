@@ -74,12 +74,49 @@ object BenchScale {
     def spans(c: DataFrame): DataFrame =
       graft.operators.Spans.duplicatedSpans(c, "doc_id", "text", k = 15)
 
-    val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "minhash" -> (minhash(_)), "incremental" -> (incremental(_)),
-      "components" -> (components(_)), "spans" -> (spans(_)))
+    // q130 shape: SemDeDup over an Nx embedding corpus. Copies are
+    // dimension-ROTATED (a norm-preserving bijection: within-copy cosines
+    // are invariant, cross-copy cosines stay far below the 0.9 threshold
+    // for this corpus), every 15th vector gets a perturbed twin, and the
+    // centroid table is the per-copy smallest-8 seeds — nCells grows
+    // with the corpus so cluster size stays constant, which is how
+    // SemDeDup holds its n^2/k pair bound at scale. A twin and its
+    // original nearly always co-assign (their centroid cosines are ~
+    // equal), so dropped-count at Nx tracks N x the 1x count to within
+    // the few pairs whose argmax flips on a near-tie cell (observed
+    // 1328 vs 1330 at 10x sf0.1).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    def embShift(i: Int): DataFrame = {
+      val r = i % 64
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        expr(s"concat(slice(v, ${r + 1}, ${64 - r}), slice(v, 1, $r))").as("v"))
+    }
+    def embCorpusAt(n: Int): DataFrame = {
+      val copies = (0 until n).map(embShift).reduce(_ unionByName _)
+      copies.unionByName(copies.where(pmod(col("vec_id"), lit(10000000L)) % 15 === 0)
+        .select((col("vec_id") + 5000000L).as("vec_id"),
+          expr("transform(v, x -> x * cast(1.01 as double) + cast(0.001 as double))").as("v")))
+    }
+    def semdedup(n: Int): DataFrame = {
+      val cents = (0 until n).map(embShift).reduce(_ unionByName _)
+        .where(pmod(col("vec_id"), lit(10000000L)) < 8)
+        .select(col("vec_id").as("cell"), col("v").as("centroid"))
+      graft.operators.SemDedup.semDedupWith(
+          embCorpusAt(n), "vec_id", "v", cents, threshold = 0.9)
+        .where(!col("kept"))
+    }
+
+    val shapes: Seq[(String, Int => DataFrame)] = Seq(
+      "minhash" -> (n => minhash(corpusAt(n))),
+      "incremental" -> (n => incremental(corpusAt(n))),
+      "components" -> (n => components(corpusAt(n))),
+      "spans" -> (n => spans(corpusAt(n))),
+      "semdedup" -> (semdedup(_)))
     val out = shapes.flatMap { case (name, fn) =>
-      val (t1, n1) = timed(fn(corpusAt(1)))
-      val (tN, nN) = timed(fn(corpusAt(copies)))
+      val (t1, n1) = timed(fn(1))
+      val (tN, nN) = timed(fn(copies))
       System.err.println(f"[scale] $name 1x ${t1}%.2fs ($n1 rows) -> ${copies}x ${tN}%.2fs ($nN rows)")
       Seq(
         f""""${name}_1x":{"sec":$t1%.3f,"rows":$n1}""",

@@ -156,6 +156,7 @@ object SparkEntry {
     "q133_dsir"            -> (D.q133Dsir(_, _)),
     "q134_gk_quantiles"    -> (R.q134GkQuantiles(_, _)),
     "q135_quantize"        -> (D.q135Quantize(_, _)),
+    "q136_hard_negatives"  -> (D.q136HardNegatives(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1687,5 +1688,25 @@ object SparkEntry {
         |CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_code,
         |CAST(round(CAST(CAST(list_aggregate(list_transform(list_zip(v, recon), z -> abs(z[1] - z[2])), 'max') AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS max_abs_err
         |FROM r""".stripMargin,
+    // q136: exhaustive k-NN + label mismatch replay — the q108 brute-force
+    // graph with the hard-negative selection on top.
+    "q136_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 300),
+        |p AS (SELECT a.vec_id AS pid, a.label AS plabel, b.vec_id AS cid, b.label AS clabel,
+        |list_aggregate(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(a.v, z -> z*z), 'sum')) * sqrt(list_aggregate(list_transform(b.v, z -> z*z), 'sum'))) AS cos
+        |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |ranked AS (SELECT pid, plabel, cid, clabel, cos,
+        |ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos DESC, cid) AS rnk
+        |FROM p WHERE NOT isnan(cos)),
+        |top AS (SELECT * FROM ranked WHERE rnk <= 5),
+        |mism AS (SELECT pid, cid, cos, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos DESC, cid) AS hr
+        |FROM top WHERE clabel <> plabel),
+        |agg AS (SELECT pid, COUNT(*) AS n_hard FROM mism GROUP BY pid)
+        |SELECT e.vec_id, e.label, CAST(COALESCE(a.n_hard, 0) AS BIGINT) AS n_hard,
+        |h.cid AS hard_id,
+        |CAST(round(CAST(CAST(h.cos AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS hard_cos
+        |FROM e LEFT JOIN agg a ON e.vec_id = a.pid
+        |LEFT JOIN (SELECT pid, cid, cos FROM mism WHERE hr = 1) h ON e.vec_id = h.pid""".stripMargin,
   )
 }

@@ -1082,6 +1082,39 @@ object TrainingData {
         round($"max_abs_err", 6).as("max_abs_err"))
   }
 
+  /** q136 — hard-negative mining for contrastive training: each vector's
+    * top-5 cosine neighbors (via [[graft.operators.Similarity.knnJoin]]
+    * at saturation — nProbe = nCells, so the ANN machinery must produce
+    * the exact k-NN graph, q108's identity) crossed with labels; a HARD
+    * NEGATIVE is a same-neighborhood vector with a different label — the
+    * pairs a contrastive loss learns most from. Per vector: mismatch
+    * count in the top-5 plus the highest-cosine mismatch (tie -> smallest
+    * id). Exhaustive self-join replay in DuckDB — quadratic by nature,
+    * so the check runs on a bounded id range (q108 precedent; the
+    * operator itself takes nCells/nProbe for the tiered scale path). */
+  def q136HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .where($"vec_id" < 300)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val lab = emb.select($"vec_id", $"label")
+    val knn = graft.operators.Similarity.knnJoin(
+        emb, "vec_id", "v", k = 5, nCells = 16, nProbe = 16)
+      .join(lab.select($"vec_id".as("probe_id"), $"label".as("p_label")), Seq("probe_id"))
+      .join(lab.select($"vec_id".as("corpus_id"), $"label".as("c_label")), Seq("corpus_id"))
+    val hard = knn.groupBy($"probe_id")
+      .agg(
+        sum(when($"c_label" =!= $"p_label", 1L).otherwise(0L)).as("n_hard"),
+        max(when($"c_label" =!= $"p_label",
+          struct($"cos", (-$"corpus_id").as("nid")))).as("best"))
+    emb.select($"vec_id", $"label")
+      .join(hard.select($"probe_id".as("vec_id"), $"n_hard", $"best"), Seq("vec_id"), "left")
+      .select($"vec_id", $"label",
+        coalesce($"n_hard", lit(0L)).as("n_hard"),
+        (-$"best.nid").as("hard_id"),
+        round($"best.cos", 4).as("hard_cos"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

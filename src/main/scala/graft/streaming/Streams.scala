@@ -306,6 +306,37 @@ object Streams {
           .as("kept_text"))
   }
 
+  /** Streaming SemDeDup against a static corpus ([[graft.operators
+    * .SemDedup]] made incremental): arriving vectors are assigned their
+    * argmax-cosine cell against the broadcast centroid table (the same
+    * pure-projection fold as the batch operator), then compared against
+    * ONLY their cell's corpus members — which cross in as one broadcast
+    * map row of cell -> vector array, the q111 "batch side broadcasts,
+    * corpus never reshuffles" shape inverted for streams. Stateless: no
+    * state store, no shuffle of the stream; arrival-vs-arrival pairs are
+    * intentionally not generated (that is the batch operator's job when
+    * the batch lands). Emits (vec_id, cell, kept); kept = no corpus
+    * member of the same cell has cosine >= threshold. */
+  def semDedupStream(arrivals: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    import graft.operators.SemDedup
+    val assignedCorpus = SemDedup.assignCells(corpus, idCol, vecCol, centroids)
+    val cellMap = assignedCorpus.where(col("cell").isNotNull)
+      .groupBy(col("cell")).agg(collect_list(col("v")).as("vs"))
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("vs")))).as("members"))
+    SemDedup.assignCells(arrivals, idCol, vecCol, centroids)
+      .crossJoin(broadcast(cellMap))
+      .select(col("id").as(idCol), col("cell"),
+        (col("cell").isNull ||
+          !coalesce(
+            exists(element_at(col("members"), col("cell")), m => {
+              val c = graft.functions.FastHash.cosine(col("v"), m)
+              c.isNotNull && !isnan(c) && c >= threshold
+            }),
+            lit(false))).as("kept"))
+  }
+
   /** File-source incremental intake over a signals directory (the cron
     * append as a stream; batch-compatible schema required). */
   def signalsFileStream(spark: SparkSession, path: String,

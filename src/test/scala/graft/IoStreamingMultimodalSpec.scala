@@ -328,6 +328,41 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming SemDeDup matches batch drops for corpus-known near-dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val corpusRows = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val corpus = corpusRows.toDF("vec_id", "v")
+    val cents = graft.operators.SemDedup.smallestIdCentroids(corpus, "vec_id", "v", 4)
+    // twins of corpus vectors 3 and 17 must drop; fresh vectors keep
+    val arrivals = Seq(
+      (100L, corpusRows(3)._2.map(_ * 1.01 + 0.001)),
+      (101L, Seq.fill(8)(rnd.nextGaussian())),
+      (102L, corpusRows(17)._2.map(_ * 1.01 + 0.001)),
+      (103L, Seq.fill(8)(rnd.nextGaussian())))
+    val expected = graft.operators.SemDedup.semDedupWith(
+        corpus.unionByName(arrivals.toDF("vec_id", "v")), "vec_id", "v",
+        cents, threshold = 0.95)
+      .where($"id" >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(expected.count(!_._3) == 2, expected.toString) // twins really drop
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = Streams.semDedupStream(
+      mem.toDF().toDF("vec_id", "v"), corpus, cents, threshold = 0.95)
+    val q = out.writeStream.format("memory").queryName("semdedupstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("semdedupstream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("multimodal: feature extraction plumbing is deterministic and null-safe") {
     import spark.implicits._
     val df = Seq(

@@ -18,10 +18,14 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
   private val dir = "/root/testdata/sf0.1" // 5,000 docs — big enough to see
 
   /** Executes `df` and sums the shuffle data size over every exchange in
-    * the final (adaptive) plan, including reused/staged subtrees once. */
+    * the final (adaptive) plan, including reused/staged subtrees once.
+    * The action MUST run through `df.queryExecution.toRdd` — a
+    * `write.save()` plans a separate QueryExecution for the command, so
+    * the instance walked here would stay unexecuted and read 0 bytes
+    * everywhere (the positive control below guards exactly this). */
   private def shuffledBytes(df: DataFrame): Long = {
-    df.write.format("noop").mode("overwrite").save()
     val qe = df.queryExecution
+    qe.toRdd.foreachPartition(_ => ())
     var total = 0L
     val seen = scala.collection.mutable.Set.empty[Int]
     def walk(p: SparkPlan): Unit = {
@@ -47,25 +51,30 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
   test("positive control: the global shuffle index really moves the corpus") {
     // q105 hash-range-buckets the whole documents table by design; if the
     // harness reads ~zero here it is broken, not the query
+    // 5,000 docs moved as narrow keyed rows (~75 B/row, no text) — the
+    // operator shuffles KEYS by design, so ~370 KiB is the whole corpus
     val moved = shuffledBytes(SparkEntry.queries("q105_global_shuffle")(spark, dir))
-    assert(moved > (1L << 20), s"expected > 1 MiB shuffled, saw $moved")
+    assert(moved > (200L << 10), s"expected > 200 KiB shuffled, saw $moved")
   }
 
   test("q111 incremental dedup shuffles only batch-bounded data") {
     // corpus (5,000 docs, ~4 MiB of text) streams scan->verify with zero
     // hash exchange; only batch bands / pair ids / tiny aggs shuffle
     val moved = shuffledBytes(SparkEntry.queries("q111_incremental_dedup")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
     assert(moved < (2L << 20), s"corpus leaked into a shuffle: $moved bytes")
   }
 
   test("q121 LM scoring shuffles only the vocab census, never the corpus") {
     val moved = shuffledBytes(SparkEntry.queries("q121_lm_score")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
     assert(moved < (4L << 20), s"corpus leaked into a shuffle: $moved bytes")
   }
 
   test("q128 boilerplate removal shuffles only the line census") {
     val moved = shuffledBytes(SparkEntry.queries("q128_boilerplate")(spark, dir))
     // census moves (line, doc) pairs once; reassembly must move nothing
+    assert(moved > 0, "harness read zero — measurement broken")
     val censusCeiling = 24L * 1024 * 1024
     assert(moved < censusCeiling, s"reassembly leaked into a shuffle: $moved bytes")
   }
