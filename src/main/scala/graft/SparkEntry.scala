@@ -157,6 +157,8 @@ object SparkEntry {
     "q134_gk_quantiles"    -> (R.q134GkQuantiles(_, _)),
     "q135_quantize"        -> (D.q135Quantize(_, _)),
     "q136_hard_negatives"  -> (D.q136HardNegatives(_, _)),
+    "q137_source_divergence" -> (D.q137SourceDivergence(_, _)),
+    "q138_winnow"          -> (D.q138Winnow(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1708,5 +1710,46 @@ object SparkEntry {
         |CAST(round(CAST(CAST(h.cos AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS hard_cos
         |FROM e LEFT JOIN agg a ON e.vec_id = a.pid
         |LEFT JOIN (SELECT pid, cid, cos FROM mism WHERE hr = 1) h ON e.vec_id = h.pid""".stripMargin,
+    // q137: KL drift replay — same planted drift, same smoothed bucket
+    // grid, bucket-ORDERED list_reduce folds (q121/q133 pattern).
+    "q137_source_divergence" ->
+      """WITH pl AS (SELECT source, CASE WHEN source = 'src0' THEN text || ' zzqx zzqx zzqx zzqx' ELSE text END AS text FROM documents),
+        |t AS (SELECT source AS grp, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM pl),
+        |bx AS (SELECT grp, substr(md5(tok), 1, 2) AS b FROM t),
+        |cell AS (SELECT grp, b, COUNT(*) AS n FROM bx GROUP BY grp, b),
+        |gt AS (SELECT grp, SUM(n) AS g_tot FROM cell GROUP BY grp),
+        |ca AS (SELECT b, SUM(n) AS c_n FROM cell GROUP BY b),
+        |ct AS (SELECT SUM(c_n) AS c_tot, COUNT(*) AS n_buckets FROM ca),
+        |grid AS (SELECT gt.grp, gt.g_tot, ca.b, ca.c_n, ct.c_tot, ct.n_buckets, COALESCE(cell.n, 0) AS n
+        |FROM gt CROSS JOIN ca CROSS JOIN ct LEFT JOIN cell ON cell.grp = gt.grp AND cell.b = ca.b),
+        |t2 AS (SELECT grp, g_tot, b,
+        |CAST(n + 1 AS DOUBLE) / CAST(g_tot + n_buckets AS DOUBLE) AS p_g,
+        |CAST(c_n + 1 AS DOUBLE) / CAST(c_tot + n_buckets AS DOUBLE) AS p_c FROM grid),
+        |t3 AS (SELECT grp, g_tot, b, p_g * ln(p_g / p_c) AS kl, p_c * ln(p_c / p_g) AS klr FROM t2),
+        |lists AS (SELECT grp, MAX(g_tot) AS n_tok, list(kl ORDER BY b) AS lk, list(klr ORDER BY b) AS lr FROM t3 GROUP BY grp)
+        |SELECT grp AS source, CAST(n_tok AS BIGINT) AS n_tok,
+        |CAST(round(CAST(CAST(list_reduce(lk, (a, x) -> a + x) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS kl,
+        |CAST(round(CAST(CAST(list_reduce(lr, (a, x) -> a + x) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS kl_rev
+        |FROM lists""".stripMargin,
+    // q138: winnowing replay — md5-string gram hashes, window-min
+    // selection, distinct, shared census. list_slice is inclusive-stop,
+    // Spark slice is (start, LENGTH) — both take exactly w elements.
+    "q138_winnow" ->
+      """WITH pl AS (SELECT doc_id, CASE WHEN doc_id % 8 = 0
+        |THEN text || ' wnnw shared passage alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho'
+        |ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM pl),
+        |g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+        |i -> md5(array_to_string(list_slice(toks, i, i + 3), ' '))) AS hs FROM t),
+        |f AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+        |CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[]) ELSE list_sort(list_distinct(
+        |list_transform(range(0, greatest(len(hs) - 8, 0) + 1),
+        |j -> list_aggregate(list_slice(hs, j + 1, j + 8), 'min')))) END AS fps FROM g),
+        |occ AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |sh AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM occ GROUP BY fp) WHERE d >= 2),
+        |pd AS (SELECT occ.doc_id, COUNT(*) AS n_shared FROM occ JOIN sh USING (fp) GROUP BY occ.doc_id)
+        |SELECT f.doc_id, f.n_grams, CAST(len(f.fps) AS BIGINT) AS n_fp,
+        |CAST(COALESCE(pd.n_shared, 0) AS BIGINT) AS n_shared_fp
+        |FROM f LEFT JOIN pd USING (doc_id)""".stripMargin,
   )
 }

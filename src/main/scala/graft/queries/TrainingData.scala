@@ -1115,6 +1115,37 @@ object TrainingData {
         round($"best.cos", 4).as("hard_cos"))
   }
 
+  /** q137 — per-source distribution drift ([[graft.operators.Divergence
+    * .sourceDivergence]]): KL / reverse-KL of each source's token
+    * distribution vs the corpus over the 256-bucket md5 feature space.
+    * A deterministic drift is planted — src0 docs get four junk tokens
+    * appended — and must surface as the max-KL source. Bucket-sorted
+    * in-order folds keep the 256-term double sums bit-reproducible. */
+  def q137SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select($"source",
+      when($"source" === "src0", concat($"text", lit(" zzqx zzqx zzqx zzqx")))
+        .otherwise($"text").as("text"))
+    graft.operators.Divergence.sourceDivergence(planted, "source", "text")
+      .select($"grp".as("source"), $"n_tok",
+        round($"kl", 6).as("kl"), round($"kl_rev", 6).as("kl_rev"))
+  }
+
+  /** q138 — winnowing fingerprints ([[graft.operators.Winnow]], the MOSS
+    * screen): k=4 gram md5s, window w=8 minima, cross-doc shared-
+    * fingerprint census. A 20-token passage planted on every %8==0 doc
+    * is a >= w+k-1 shared run, so every planted doc MUST report shared
+    * fingerprints (the winnowing guarantee); md5-string hashing keeps
+    * the whole selection DuckDB-replayable. */
+  def q138Winnow(spark: SparkSession, dir: String): DataFrame = {
+    val passage = "wnnw shared passage alpha beta gamma delta epsilon zeta eta " +
+      "theta iota kappa lambda mu nu xi omicron pi rho"
+    val planted = docs(spark, dir).select($"doc_id",
+      when($"doc_id" % 8 === 0, concat($"text", lit(" " + passage)))
+        .otherwise($"text").as("text"))
+    graft.operators.Winnow.sharedFingerprintCensus(planted, "doc_id", "text",
+      k = 4, w = 8)
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
