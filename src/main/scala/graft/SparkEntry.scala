@@ -159,6 +159,7 @@ object SparkEntry {
     "q136_hard_negatives"  -> (D.q136HardNegatives(_, _)),
     "q137_source_divergence" -> (D.q137SourceDivergence(_, _)),
     "q138_winnow"          -> (D.q138Winnow(_, _)),
+    "q139_bigram_lm"       -> (D.q139BigramLm(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1751,5 +1752,29 @@ object SparkEntry {
         |SELECT f.doc_id, f.n_grams, CAST(len(f.fps) AS BIGINT) AS n_fp,
         |CAST(COALESCE(pd.n_shared, 0) AS BIGINT) AS n_shared_fp
         |FROM f LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // q139: bigram-with-backoff replay — per-position joins against the
+    // bigram/unigram censuses, pos-ordered list_reduce fold (q121).
+    "q139_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |uc AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |ut AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM uc),
+        |bc AS (SELECT bg, COUNT(*) AS c FROM (SELECT unnest(list_transform(range(1, len(toks)),
+        |i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS bg FROM t WHERE len(toks) > 1) GROUP BY bg),
+        |tp0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |j -> struct_pack(pos := j, w1 := toks[CAST(j AS INT)], w2 := toks[CAST(j + 1 AS INT)]))) AS u
+        |FROM t WHERE len(toks) > 1),
+        |tp AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM tp0),
+        |lp AS (SELECT tp.doc_id, tp.pos,
+        |CASE WHEN bc.c IS NOT NULL THEN -ln(bc.c / CAST(COALESCE(u1.c, 1) AS DOUBLE))
+        |ELSE -ln(COALESCE(u2.c, 1) / ut.n_total) + ln(CAST(10 AS DOUBLE)) END AS l
+        |FROM tp LEFT JOIN bc ON (tp.w1 || ' ' || tp.w2) = bc.bg
+        |LEFT JOIN uc u1 ON tp.w1 = u1.w
+        |LEFT JOIN uc u2 ON tp.w2 = u2.w, ut),
+        |lists AS (SELECT doc_id, list(l ORDER BY pos) AS ls FROM lp GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+        |CASE WHEN len(t.toks) > 1 THEN
+        |CAST(round(CAST(CAST(list_reduce(ls, (a, b) -> a + b) / (len(t.toks) - 1) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE)
+        |ELSE NULL END AS mean_nll_bi
+        |FROM t LEFT JOIN lists USING (doc_id)""".stripMargin,
   )
 }

@@ -1146,6 +1146,40 @@ object TrainingData {
       k = 4, w = 8)
   }
 
+  /** q139 — bigram LM quality scoring with unigram backoff (the step
+    * from q121's unigram toward CCNet's KenLM: P(w2|w1) where the bigram
+    * is known, unigram probability + a ln(10) backoff penalty where
+    * not). Both count maps ride as single broadcast rows (the corpus
+    * vocabulary bounds them; a web-scale run caps to top-K exactly like
+    * q121's 1000-word vocab); scoring is an in-order fold over the
+    * bigram stream — a pure projection, the corpus never shuffles.
+    * Single-token docs have no bigrams -> null score, row kept. */
+  def q139BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("toks"))
+    val uni = toks.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val uniTotal = uni.agg(sum($"c").cast("double").as("n_total"))
+    val uniMap = uni.agg(map_from_entries(collect_list(struct($"w", $"c"))).as("um"))
+    val bi = toks
+      .select(explode(graft.operators.Dedup.rawShingles($"toks", 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c"))
+    val biMap = bi.agg(map_from_entries(collect_list(struct($"bg", $"c"))).as("bm"))
+    toks.crossJoin(broadcast(uniMap)).crossJoin(broadcast(biMap))
+      .crossJoin(broadcast(uniTotal))
+      .withColumn("pairs", expr(
+        """zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+          |  (a, b) -> named_struct('w1', a, 'bg', concat(a, ' ', b), 'w2', b))""".stripMargin))
+      .withColumn("nll", expr(
+        """aggregate(pairs, cast(0.0 as double), (s, p) -> s + CASE
+          |  WHEN element_at(bm, p.bg) IS NOT NULL
+          |    THEN -ln(element_at(bm, p.bg) / cast(coalesce(element_at(um, p.w1), 1L) as double))
+          |  ELSE -ln(coalesce(element_at(um, p.w2), 1L) / n_total) + ln(cast(10 as double)) END)""".stripMargin))
+      .select($"doc_id", size($"toks").cast("long").as("n_tok"),
+        when(size($"toks") > 1,
+          round($"nll" / (size($"toks") - 1), 4)).as("mean_nll_bi"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -23,6 +23,20 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkFixture {
     assert(scores.values.min < scores.values.max)
   }
 
+  test("q139: bigram NLL is positive, finite, null only for single-token docs") {
+    val rows = TrainingData.q139BigramLm(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tok")
+      if (n > 1) {
+        val s = r.getAs[Double]("mean_nll_bi")
+        // positive (a probability < 1 per step) and under the OOV+backoff
+        // ceiling -ln(1/N) + ln(10) ~ 13 for this corpus
+        assert(s > 0 && s < 15, s"doc ${r.getLong(0)}: $s")
+      } else assert(r.isNullAt(r.fieldIndex("mean_nll_bi")))
+    }
+  }
+
   test("q86: planted PII is found and redaction shrinks the text") {
     val rows = TrainingData.q86PiiRedact(spark, dir).collect()
     val emails = rows.map(_.getAs[Long]("emails_found")).sum
