@@ -160,6 +160,7 @@ object SparkEntry {
     "q137_source_divergence" -> (D.q137SourceDivergence(_, _)),
     "q138_winnow"          -> (D.q138Winnow(_, _)),
     "q139_bigram_lm"       -> (D.q139BigramLm(_, _)),
+    "q140_mg_saturation"   -> (D.q140MgSaturation(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1758,8 +1759,9 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |uc AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
         |ut AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM uc),
-        |bc AS (SELECT bg, COUNT(*) AS c FROM (SELECT unnest(list_transform(range(1, len(toks)),
+        |bc0 AS (SELECT bg, COUNT(*) AS c FROM (SELECT unnest(list_transform(range(1, len(toks)),
         |i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS bg FROM t WHERE len(toks) > 1) GROUP BY bg),
+        |bc AS (SELECT bg, c FROM bc0 ORDER BY c DESC, bg LIMIT 300),
         |tp0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
         |j -> struct_pack(pos := j, w1 := toks[CAST(j AS INT)], w2 := toks[CAST(j + 1 AS INT)]))) AS u
         |FROM t WHERE len(toks) > 1),
@@ -1776,5 +1778,11 @@ object SparkEntry {
         |CAST(round(CAST(CAST(list_reduce(ls, (a, b) -> a + b) / (len(t.toks) - 1) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE)
         |ELSE NULL END AS mean_nll_bi
         |FROM t LEFT JOIN lists USING (doc_id)""".stripMargin,
+    // q140: at saturating k the Misra-Gries summary must equal the exact
+    // token census.
+    "q140_mg_saturation" ->
+      """SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS mg_count
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents)
+        |GROUP BY w""".stripMargin,
   )
 }

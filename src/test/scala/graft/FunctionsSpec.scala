@@ -86,6 +86,26 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(one(regimeWeightedScore(lit(0.5), scores)) == 7.5) // midpoint
   }
 
+  test("sortedLookup binary search agrees with element_at on a map, hit and miss") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(3)
+    val entries = (0 until 200).map(i => (s"key_${rnd.nextInt(10000)}", rnd.nextGaussian()))
+      .distinctBy(_._1).sortBy(_._1)
+    val probes = entries.take(50).map(_._1) ++ (0 until 50).map(i => s"missing_$i")
+    val df = probes.toDF("k")
+      .withColumn("ks", typedLit(entries.map(_._1)))
+      .withColumn("vs", typedLit(entries.map(_._2)))
+      .withColumn("m", typedLit(entries.toMap))
+      .withColumn("fast", graft.functions.FastHash.sortedLookup(col("ks"), col("vs"), col("k")))
+      .withColumn("slow", element_at(col("m"), col("k")))
+    df.collect().foreach { r =>
+      val (fast, slow) = (r.get(r.fieldIndex("fast")), r.get(r.fieldIndex("slow")))
+      assert(fast == slow, s"${r.getString(0)}: $fast vs $slow")
+    }
+  }
+
   test("JSON repair pipeline: fences stripped, object carved, parsed (F5/F6/F7)") {
     val raw = """```json
 {"catalyst_score": 0.8, "thesis": "beat"}
