@@ -116,4 +116,37 @@ class EdgeCasesSpec extends AnyFunSuite with SparkFixture {
       Seq("zz"), topK = 5).collect()
     assert(out.length == 2 && out.forall(_.getAs[Double]("score") == 0.0))
   }
+
+  test("round-6 text operators survive the degenerate corpus without throwing") {
+    val clean = messyDocs.where($"text".isNotNull)
+    // Gopher metrics: nulls propagate, empties get 1-word "" token
+    val g = graft.operators.Gopher.metrics(clean, "text").collect()
+    assert(g.length == 4)
+    // paragraph dedup: empty/whitespace docs pass through
+    val p = graft.operators.Paragraphs.dedupParagraphs(clean, "doc_id", "text")
+    assert(p.count() == 4)
+    // DSIR: weights defined for every doc (empty docs have the "" token)
+    val d = graft.operators.Dsir.importanceWeights(clean, "doc_id", "text",
+      $"doc_id" === 1L).collect()
+    assert(d.length == 4 && d.forall(r => !r.getAs[Double]("weight").isNaN))
+    // winnowing census: short/empty docs report zero fingerprints
+    val wn = graft.operators.Winnow.sharedFingerprintCensus(clean, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_fp")).toMap
+    assert(wn(2L) == 0L && wn(4L) == 0L)
+    // divergence: a single-group corpus diverges ~0 from itself
+    val dv = graft.operators.Divergence.sourceDivergence(
+      clean.withColumn("src", lit("only")), "src", "text").collect()
+    assert(dv.length == 1 && dv(0).getAs[Double]("kl") >= 0)
+  }
+
+  test("SemDeDup on an empty and a single-vector corpus returns sane frames") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    assert(graft.operators.SemDedup.semDedup(empty, "vec_id", "v", 4, 0.9).count() == 0)
+    val single = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    val r = graft.operators.SemDedup.semDedup(single, "vec_id", "v", 4, 0.9).collect()
+    assert(r.length == 1 && r(0).getBoolean(2))
+    // quantization of a single vector: every dim degenerate, zero error
+    val q = graft.operators.Similarity.quantizeInt8(single, "vec_id", "v").collect()
+    assert(q(0).getAs[Double]("max_abs_err") == 0.0)
+  }
 }

@@ -246,4 +246,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // never doc-keyed exchanged
     assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p.take(1200))
   }
+
+  test("q132: paragraph keep-first plans hash aggregates, no digest window") {
+    val p = physical("q132_para_dedup")
+    // keep-first = min(struct) aggregation, NOT a window partitioned by
+    // the paragraph digest (a hot boilerplate paragraph would
+    // single-thread its partition) — the q119 pattern
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(l => !l.contains("digest")), windowLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("Exchange SinglePartition".r.findAllIn(p).isEmpty, p.take(1200))
+  }
+
+  test("q135: quantization encodes against a broadcast range row, corpus never shuffles") {
+    val p = physical("q135_quantize")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    // the posexplode range census is (d)-keyed and 64 rows out; the
+    // vectors themselves are never id-keyed exchanged
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findAllIn(p).hasNext, p.take(1500))
+  }
+
+  test("q139: bigram scoring is a pure projection — models broadcast, corpus never shuffles") {
+    val p = physical("q139_bigram_lm")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p.take(1200))
+    // the model lookup runs through the binary-search kernel, not a map scan
+    assert(p.contains("graft_sorted_lookup"), p.take(2000))
+  }
 }
