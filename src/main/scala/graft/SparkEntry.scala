@@ -161,6 +161,7 @@ object SparkEntry {
     "q138_winnow"          -> (D.q138Winnow(_, _)),
     "q139_bigram_lm"       -> (D.q139BigramLm(_, _)),
     "q140_mg_saturation"   -> (D.q140MgSaturation(_, _)),
+    "q141_tiered_dedup"    -> (D.q141TieredDedup(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1778,6 +1779,36 @@ object SparkEntry {
         |CAST(round(CAST(CAST(list_reduce(ls, (a, b) -> a + b) / (len(t.toks) - 1) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE)
         |ELSE NULL END AS mean_nll_bi
         |FROM t LEFT JOIN lists USING (doc_id)""".stripMargin,
+    // q141: the tiered dedup replay — the q138 winnow stage flags docs,
+    // the q118 span stage runs on the flagged subset, both replayed over
+    // the q118 planted fixture.
+    "q141_tiered_dedup" ->
+      """WITH planted AS (SELECT doc_id,
+        |CASE WHEN doc_id % 20 = 5 THEN 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee ' || text
+        |WHEN doc_id % 10 = 3 THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee'
+        |WHEN doc_id % 10 = 7 THEN text || ' uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece catorce quince dieciseis diecisiete dieciocho'
+        |ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM planted),
+        |g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+        |i -> md5(array_to_string(list_slice(toks, i, i + 3), ' '))) AS hs FROM t),
+        |f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[]) ELSE list_sort(list_distinct(
+        |list_transform(range(0, greatest(len(hs) - 8, 0) + 1),
+        |j -> list_aggregate(list_slice(hs, j + 1, j + 8), 'min')))) END AS fps FROM g),
+        |occ AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |sh AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM occ GROUP BY fp) WHERE d >= 2),
+        |flagged AS (SELECT DISTINCT occ.doc_id FROM occ JOIN sh USING (fp)),
+        |p AS (SELECT t.doc_id, unnest(list_transform(range(1, greatest(len(toks) - 13, 1)),
+        |i -> struct_pack(pos := i, gram := array_to_string(list_slice(toks, i, i + 14), ' ')))) AS u
+        |FROM t JOIN flagged USING (doc_id) WHERE len(toks) >= 15),
+        |pos AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM p),
+        |d AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pos) GROUP BY gram HAVING COUNT(*) >= 2),
+        |dup AS (SELECT pos.doc_id, pos.pos FROM pos JOIN d USING (gram)),
+        |i AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM dup),
+        |sp AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(cnt + 14) AS tot
+        |FROM (SELECT doc_id, island, COUNT(*) AS cnt FROM i GROUP BY doc_id, island) GROUP BY doc_id)
+        |SELECT flagged.doc_id, CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+        |CAST(COALESCE(sp.tot, 0) AS BIGINT) AS span_tokens_total
+        |FROM flagged LEFT JOIN sp USING (doc_id)""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -1209,6 +1209,31 @@ object TrainingData {
   def q140MgSaturation(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Heavy.heavyHitters(docs(spark, dir), "text", k = 64)
 
+  /** q141 — TIERED substring dedup (the production composition): the
+    * winnowing screen (q138's operator, k=4 w=8) flags candidate docs,
+    * and the exact span detector (q118's operator, k=15) runs ONLY on
+    * the flagged subset. The winnowing guarantee makes the tiering
+    * LOSSLESS for spans of >= w+k-1 = 11 tokens: both members of any
+    * shared 15-token run must share a fingerprint, so restricting the
+    * span detector to flagged docs loses nothing — spec-asserted equal
+    * to q118 on the full fixture, oracle-replayed as the same two-stage
+    * composition. Output: every flagged doc with its span census
+    * (flagged-but-clean rows = the screen's false positives, 0 spans). */
+  def q141TieredDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = spanFixture(spark, dir)
+    val flagged = graft.operators.Winnow
+      .sharedFingerprintCensus(fixture, "doc_id", "text", k = 4, w = 8)
+      .where($"n_shared_fp" > 0).select($"doc_id")
+    val sub = fixture.join(flagged, Seq("doc_id"), "left_semi")
+    val census = graft.operators.Spans.duplicatedSpans(sub, "doc_id", "text", k = 15)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"span_tokens").as("span_tokens_total"))
+    flagged.join(census, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"span_tokens_total", lit(0L)).as("span_tokens_total"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

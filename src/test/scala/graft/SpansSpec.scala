@@ -141,4 +141,21 @@ class SpansSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(masked == Map(1L -> words("a", 12), 2L -> words("b", 12)))
   }
+
+  test("tiered dedup (q141) is lossless: equals the untiered q118 census doc for doc") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // winnowing guarantee: every >= 15-token shared run survives the
+    // k=4/w=8 screen, so spans found on the flagged subset must equal
+    // spans found on the whole corpus
+    val full = graft.queries.TrainingData.q118DupSpans(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("span_tokens")).as("t"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val tiered = graft.queries.TrainingData.q141TieredDedup(spark, dir)
+      .where(col("n_spans") > 0)
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("span_tokens_total")))).toMap
+    assert(full.nonEmpty && tiered == full)
+  }
 }
