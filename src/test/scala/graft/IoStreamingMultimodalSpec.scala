@@ -363,6 +363,26 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("Gopher gate runs on a stream unchanged — the metrics are a pure projection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clean = (1 to 6).map(_ =>
+      "the quick brown fox jumps over and that lazy dog").mkString("\n")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.Gopher.metrics(
+      mem.toDF().toDF("id", "text"), "text")
+      .select($"id", $"gopher_pass")
+    val q = out.writeStream.format("memory").queryName("gopherstream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, clean), (2L, "too short"))
+      q.processAllAvailable()
+      val got = spark.table("gopherstream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == Map(1L -> true, 2L -> false))
+    } finally q.stop()
+  }
+
   test("multimodal: feature extraction plumbing is deterministic and null-safe") {
     import spark.implicits._
     val df = Seq(

@@ -78,4 +78,18 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
     val censusCeiling = 24L * 1024 * 1024
     assert(moved < censusCeiling, s"reassembly leaked into a shuffle: $moved bytes")
   }
+
+  test("q133 DSIR scoring shuffles only the 256-bucket censuses, never the corpus") {
+    val moved = shuffledBytes(SparkEntry.queries("q133_dsir")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    // the (bucket)-keyed counts are <= 256 rows per side; ~4 MiB of doc
+    // text must not appear in any exchange
+    assert(moved < (2L << 20), s"corpus leaked into a shuffle: $moved bytes")
+  }
+
+  test("q139 bigram scoring shuffles only the model censuses, never the corpus") {
+    val moved = shuffledBytes(SparkEntry.queries("q139_bigram_lm")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    assert(moved < (2L << 20), s"corpus leaked into a shuffle: $moved bytes")
+  }
 }
