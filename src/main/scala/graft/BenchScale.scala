@@ -108,12 +108,23 @@ object BenchScale {
         .where(!col("kept"))
     }
 
+    // q138 shape: winnowing shared-fingerprint census. The char
+    // permutation is a bijection on grams but NOT on their md5s, so the
+    // window-min SELECTION differs per copy: the guarantee-backed
+    // detections (runs >= w+k-1) replicate exactly, while chance
+    // sub-guarantee collisions vary slightly with the permuted hashes —
+    // observed 39,843 vs the naive 39,850 at 10x (within 0.02%).
+    def winnow(c: DataFrame): DataFrame =
+      graft.operators.Winnow.sharedFingerprintCensus(c, "doc_id", "text",
+        k = 4, w = 8).where(col("n_shared_fp") > 0)
+
     val shapes: Seq[(String, Int => DataFrame)] = Seq(
       "minhash" -> (n => minhash(corpusAt(n))),
       "incremental" -> (n => incremental(corpusAt(n))),
       "components" -> (n => components(corpusAt(n))),
       "spans" -> (n => spans(corpusAt(n))),
-      "semdedup" -> (semdedup(_)))
+      "semdedup" -> (semdedup(_)),
+      "winnow" -> (n => winnow(corpusAt(n))))
     val out = shapes.flatMap { case (name, fn) =>
       val (t1, n1) = timed(fn(1))
       val (tN, nN) = timed(fn(copies))

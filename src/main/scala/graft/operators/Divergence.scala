@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * aggregate of that census — the corpus is scanned once and never
   * shuffled at row grain. Divergence sums run over the SORTED bucket
   * list per group (an in-order fold), so the doubles are bit-reproducible
-  * cross-engine despite being a 256-term float sum.
+  * cross-engine despite being a multi-term float sum (up to 256 terms —
+  * one per OBSERVED corpus bucket).
   */
 object Divergence {
 
