@@ -162,6 +162,7 @@ object SparkEntry {
     "q139_bigram_lm"       -> (D.q139BigramLm(_, _)),
     "q140_mg_saturation"   -> (D.q140MgSaturation(_, _)),
     "q141_tiered_dedup"    -> (D.q141TieredDedup(_, _)),
+    "q142_decontam_mask"   -> (D.q142DecontamMask(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1809,6 +1810,34 @@ object SparkEntry {
         |SELECT flagged.doc_id, CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
         |CAST(COALESCE(sp.tot, 0) AS BIGINT) AS span_tokens_total
         |FROM flagged LEFT JOIN sp USING (doc_id)""".stripMargin,
+    // q142: targeted masking replay — q89's fixture, flagged k-gram
+    // start positions via join, k-wide shadows, order-preserving
+    // reassembly.
+    "q142_decontam_mask" ->
+      """WITH test AS (SELECT text FROM documents WHERE doc_id < 10),
+        |snip AS (SELECT array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 12), ' ') AS s
+        |FROM documents WHERE doc_id = 0),
+        |train AS (SELECT doc_id, CASE WHEN doc_id % 13 = 7 AND doc_id < 2000 THEN text || ' ' || snip.s ELSE text END AS text
+        |FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 10
+        |UNION ALL SELECT doc_id + 2000, text FROM documents WHERE doc_id < 5), snip),
+        |tsh AS (SELECT DISTINCT g FROM (SELECT unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+        |i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS g
+        |FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM test))),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM train),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+        |i -> struct_pack(pos := i, g := array_to_string(list_slice(toks, i, i + 7), ' ')))) AS u FROM t),
+        |px AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM p),
+        |fl AS (SELECT px.doc_id, px.pos FROM px JOIN tsh ON px.g = tsh.g),
+        |fg AS (SELECT doc_id, list(pos ORDER BY pos) AS fp FROM fl GROUP BY doc_id),
+        |kx AS (SELECT t.doc_id, t.toks, COALESCE(fg.fp, CAST([] AS BIGINT[])) AS fp
+        |FROM t LEFT JOIN fg USING (doc_id)),
+        |m AS (SELECT doc_id, len(toks) AS n_tok,
+        |list_filter(list_transform(range(1, len(toks) + 1), j ->
+        |CASE WHEN len(list_filter(fp, q -> j >= q AND j <= q + 7)) > 0 THEN NULL
+        |ELSE toks[CAST(j AS INT)] END), x -> x IS NOT NULL) AS kept FROM kx)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |CAST(n_tok - len(kept) AS BIGINT) AS n_masked,
+        |md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_md5 FROM m""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

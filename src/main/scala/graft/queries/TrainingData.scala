@@ -1234,6 +1234,36 @@ object TrainingData {
         coalesce($"span_tokens_total", lit(0L)).as("span_tokens_total"))
   }
 
+  /** q142 — targeted decontamination MASKING ([[graft.operators
+    * .Decontam.maskContaminated]]), the repair step after q89/q110's
+    * detection: q89's exact fixture (test = docs < 10, train = docs >=
+    * 10 plus id-shifted copies of docs < 5), but instead of flagging
+    * whole docs, only the overlapping 8-gram windows are nulled. The
+    * planted full copies must mask to (almost) nothing; every %13==7
+    * train doc carries a 12-token test-set snippet APPENDED — exactly
+    * those 12 tokens must vanish and the rest survive (the partial-mask
+    * case that is the operator's whole point); clean docs pass through
+    * byte-identical. Pure projection over a broadcast sorted shingle
+    * array — no corpus shuffle (plan-gated). */
+  def q142DecontamMask(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val test = d.where($"doc_id" < 10)
+    // 12 leading tokens of test doc 0 — a leaked benchmark sentence
+    val snippet = d.where($"doc_id" === 0)
+      .select(concat_ws(" ",
+        slice(split(lower(trim($"text")), "\\s+"), 1, 12)).as("snip"))
+    val train = d.where($"doc_id" >= 10)
+      .unionByName(d.where($"doc_id" < 5)
+        .select(($"doc_id" + 2000).as("doc_id"), $"text"))
+      .crossJoin(broadcast(snippet))
+      .select($"doc_id",
+        when($"doc_id" % 13 === 7 && $"doc_id" < 2000,
+          concat($"text", lit(" "), $"snip")).otherwise($"text").as("text"))
+    graft.operators.Decontam.maskContaminated(
+      train, "doc_id", "text", test, "text", k = 8)
+      .select($"doc_id", $"n_tok", $"n_masked", md5($"kept_text").as("kept_md5"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

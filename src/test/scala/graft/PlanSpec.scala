@@ -267,6 +267,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!"Exchange hashpartitioning\\(vec_id".r.findAllIn(p).hasNext, p.take(1500))
   }
 
+  test("q142: decontamination masking is a pure projection over a broadcast shingle set") {
+    val p = physical("q142_decontam_mask")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p.take(1200))
+    // membership probes run through the binary-search kernel
+    assert(p.contains("graft_sorted_lookup"), p.take(2000))
+  }
+
   test("q139: bigram scoring is a pure projection — models broadcast, corpus never shuffles") {
     val p = physical("q139_bigram_lm")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
