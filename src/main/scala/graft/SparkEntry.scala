@@ -163,6 +163,7 @@ object SparkEntry {
     "q140_mg_saturation"   -> (D.q140MgSaturation(_, _)),
     "q141_tiered_dedup"    -> (D.q141TieredDedup(_, _)),
     "q142_decontam_mask"   -> (D.q142DecontamMask(_, _)),
+    "q143_mojibake"        -> (D.q143MojibakeCensus(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1838,6 +1839,21 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
         |CAST(n_tok - len(kept) AS BIGINT) AS n_masked,
         |md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_md5 FROM m""".stripMargin,
+    // q143: mojibake census replay — same planted artifacts, same
+    // character-level length-delta counts.
+    "q143_mojibake" ->
+      """WITH pl AS (SELECT doc_id, source, text ||
+        |CASE WHEN doc_id % 6 = 2 THEN ' cafÃ© naÃ¯ve' ELSE '' END ||
+        |CASE WHEN doc_id % 17 = 3 THEN ' bad�token' ELSE '' END AS text FROM documents),
+        |x AS (SELECT source,
+        |length(text) - length(replace(text, 'Ã', '')) AS n_moji,
+        |length(text) - length(replace(text, '�', '')) AS n_repl FROM pl)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_mojibake,
+        |CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_replacement,
+        |CAST(SUM(n_moji) AS BIGINT) AS mojibake_chars,
+        |CAST(SUM(n_repl) AS BIGINT) AS replacement_chars
+        |FROM x GROUP BY source""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

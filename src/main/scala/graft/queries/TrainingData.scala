@@ -1264,6 +1264,34 @@ object TrainingData {
       .select($"doc_id", $"n_tok", $"n_masked", md5($"kept_text").as("kept_md5"))
   }
 
+  /** q143 — encoding-corruption census (the mojibake / replacement-char
+    * QA pass a multilingual crawl needs before any text op): per source,
+    * docs and occurrence counts of UTF-8 double-encoding artifacts
+    * ('Ã'-prefixed sequences — 'café' read as latin-1 then re-encoded)
+    * and U+FFFD replacement characters (decoder gave up). The corpus is
+    * clean ASCII, so both pathologies are planted on disjoint id grids.
+    * Counts only; char-exact occurrence arithmetic via the length-delta
+    * idiom (both engines count CHARACTERS, not bytes). */
+  def q143MojibakeCensus(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select($"doc_id", $"source",
+      concat($"text",
+        when($"doc_id" % 6 === 2, lit(" cafÃ© naÃ¯ve")).otherwise(lit("")),
+        when($"doc_id" % 17 === 3, lit(" bad�token")).otherwise(lit("")))
+        .as("text"))
+    def occ(needle: String): org.apache.spark.sql.Column =
+      length($"text") - length(replace($"text", lit(needle), lit("")))
+    planted
+      .select($"source",
+        occ("Ã").as("n_moji"),
+        occ("�").as("n_repl"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"n_moji" > 0).cast("long")).as("docs_mojibake"),
+        sum(($"n_repl" > 0).cast("long")).as("docs_replacement"),
+        sum($"n_moji").cast("long").as("mojibake_chars"),
+        sum($"n_repl").cast("long").as("replacement_chars"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
