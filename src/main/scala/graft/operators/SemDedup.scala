@@ -85,8 +85,10 @@ object SemDedup {
   /** SemDeDup with a caller-supplied centroid table `(cell long,
     * centroid array<double>)`. Returns (id, cell, kept): kept = false iff
     * some same-cell vector with a smaller id has cosine >= threshold.
-    * Pairs meet by an equi-join on the cell id — one exchange of
-    * (id, v, cell), reused for both sides of the self-join. */
+    * Pairs meet by an equi-join on the cell id — both self-join sides
+    * hash-partition the (id, v, cell) rows on `cell` (identical
+    * exchanges, so AQE can reuse the materialized stage at runtime; the
+    * static plan shows two). */
   def semDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double,
       maxCellSize: Int = 100000): DataFrame = {

@@ -46,4 +46,46 @@ class DecontamSpec extends AnyFunSuite with SparkFixture {
     val out = run(8, (1L, leak))
     assert(out(1L) == ((8L, 8L, "")))
   }
+
+  test("random corpora: operator equals a plain-Scala brute-force simulation") {
+    import spark.implicits._
+    val k = 5
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 12).map(i => s"w$i")
+    def doc(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val testTexts = (1 to 4).map(_ => doc(10))
+    // every 7th train doc embeds a >= k slice of a test doc (a real leak);
+    // the rest may or may not collide by chance
+    val trainRows = (1L to 40L).map { i =>
+      val base = doc(3 + rnd.nextInt(25))
+      val text =
+        if (i % 7 == 0) {
+          val t = testTexts(rnd.nextInt(testTexts.size)).split(" ")
+          val off = rnd.nextInt(t.length - k)
+          s"$base ${t.slice(off, off + k + 1).mkString(" ")} ${doc(4)}"
+        } else base
+      (i, text)
+    }
+    def sim(text: String): (Long, Long, String) = {
+      val toks = text.split("\\s+")
+      val testGrams = testTexts.flatMap(_.split("\\s+").sliding(k).map(_.mkString(" "))).toSet
+      val flagged = (0 to toks.length - k)
+        .filter(i => testGrams.contains(toks.slice(i, i + k).mkString(" ")))
+      val masked = flagged.flatMap(i => i until i + k).toSet
+      val kept = toks.indices.filterNot(masked).map(toks)
+      (toks.length.toLong, masked.size.toLong, kept.mkString(" "))
+    }
+    val got = Decontam.maskContaminated(
+      trainRows.toDF("id", "text"), "id", "text",
+      testTexts.map(Tuple1(_)).toDF("text"), "text", k)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_masked"),
+          r.getAs[String]("kept_text")))).toMap
+    trainRows.foreach { case (id, text) =>
+      assert(got(id) == sim(text), s"doc $id: '$text'")
+    }
+    // the 12-word vocab makes chance 5-gram collisions likely — require
+    // at least one real mask so the property is not vacuous
+    assert(got.values.exists(_._2 > 0), "fixture produced no masks")
+  }
 }
