@@ -164,6 +164,7 @@ object SparkEntry {
     "q141_tiered_dedup"    -> (D.q141TieredDedup(_, _)),
     "q142_decontam_mask"   -> (D.q142DecontamMask(_, _)),
     "q143_mojibake"        -> (D.q143MojibakeCensus(_, _)),
+    "q144_token_budget"    -> (D.q144TokenBudget(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1854,6 +1855,17 @@ object SparkEntry {
         |CAST(SUM(n_moji) AS BIGINT) AS mojibake_chars,
         |CAST(SUM(n_repl) AS BIGINT) AS replacement_chars
         |FROM x GROUP BY source""".stripMargin,
+    // q144: the naive global ordered cumulative sum IS the oracle for
+    // the two-phase bucketed prefix.
+    "q144_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |SUM(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 15000""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -1292,6 +1292,19 @@ object TrainingData {
         sum($"n_repl").cast("long").as("replacement_chars"))
   }
 
+  /** q144 — token-budget prefix subsample ([[graft.operators.GlobalOrder
+    * .budgetedPrefix]]): the first 15,000 tokens of the deterministic
+    * (md5(id), id) permutation — the "give me N tokens, reproducibly"
+    * selection. The two-phase bucketed running sum keeps the plan free
+    * of any global window (plan-gated); the oracle IS the naive global
+    * ordered cumulative sum. */
+  def q144TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GlobalOrder.budgetedPrefix(
+      docs(spark, dir).select($"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("n_tok")),
+      "doc_id", "n_tok", budget = 15000L)
+      .select($"doc_id", $"n_tok", $"cum_w".as("cum_tokens"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -41,4 +41,33 @@ class GlobalOrderSpec extends AnyFunSuite with SparkFixture {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1200))
   }
+
+  test("budgetedPrefix keeps exactly the permutation prefix within budget") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val df = (0L until 300L).map(i => (i, 1L + rnd.nextInt(40).toLong))
+      .toDF("id", "w")
+    val budget = 900L
+    val kept = GlobalOrder.budgetedPrefix(df, "id", "w", budget)
+      .select($"id", $"w", $"cum_w").as[(Long, Long, Long)].collect()
+    // brute-force truth: sort by (md5(id), id), take while cum <= budget
+    def key(i: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val weights = df.as[(Long, Long)].collect().toMap
+    val order = weights.keys.toSeq.sortBy(i => (key(i), i))
+    val truth = order.scanLeft((0L, 0L)) { case ((_, cum), i) => (i, cum + weights(i)) }
+      .drop(1).takeWhile(_._2 <= budget).toMap
+    assert(kept.map(r => r._1 -> r._3).toMap == truth)
+    assert(kept.map(_._2).sum <= budget)
+    // the NEXT doc in the permutation would overshoot (prefix maximality)
+    val next = order.drop(truth.size).headOption
+    next.foreach(n => assert(kept.map(_._2).sum + weights(n) > budget))
+    // no single-partition exchange anywhere
+    val plan = GlobalOrder.budgetedPrefix(df, "id", "w", budget)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1200))
+  }
 }
