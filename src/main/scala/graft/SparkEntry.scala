@@ -165,6 +165,7 @@ object SparkEntry {
     "q142_decontam_mask"   -> (D.q142DecontamMask(_, _)),
     "q143_mojibake"        -> (D.q143MojibakeCensus(_, _)),
     "q144_token_budget"    -> (D.q144TokenBudget(_, _)),
+    "q145_video_frames"    -> (D.q145VideoFrames(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1855,6 +1856,20 @@ object SparkEntry {
         |CAST(SUM(n_moji) AS BIGINT) AS mojibake_chars,
         |CAST(SUM(n_repl) AS BIGINT) AS replacement_chars
         |FROM x GROUP BY source""".stripMargin,
+    // q145: the GIF round trip is lossless on 8-level gray palettes, so
+    // the per-frame decode replays as pure arithmetic.
+    "q145_video_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |par AS (SELECT doc_id, CAST(6 + doc_id % 5 AS INT) AS w, CAST(5 + doc_id % 3 AS INT) AS h,
+        |CAST(2 + doc_id % 4 AS INT) AS nf FROM ids WHERE doc_id % 9 <> 0),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM par),
+        |sel AS (SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width, h AS height,
+        |CAST(list_aggregate(list_transform(range(0, CAST(w * h AS BIGINT)),
+        |i -> ((doc_id * 31 + f * 17 + (i % w) * 7 + (i // w) * 13) % 8) * 32), 'sum') AS BIGINT) AS sum_gray
+        |FROM fr),
+        |corr AS (SELECT doc_id, CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS width,
+        |CAST(NULL AS INT) AS height, CAST(NULL AS BIGINT) AS sum_gray FROM ids WHERE doc_id % 9 = 0)
+        |SELECT * FROM sel UNION ALL SELECT * FROM corr""".stripMargin,
     // q144: the naive global ordered cumulative sum IS the oracle for
     // the two-phase bucketed prefix.
     "q144_token_budget" ->

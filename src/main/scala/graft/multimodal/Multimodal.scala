@@ -14,11 +14,14 @@ import org.apache.spark.sql.types._
   * IMAGE decode/resize is REAL (`javax.imageio` + `java.awt` ship in the
   * JDK): [[imageStats]] and [[resizeImages]] run actual PNG/JPEG/BMP
   * codecs, null-safe against corrupt blobs, and are oracle-checked via
-  * lossless [[syntheticPng]] fixtures (q117). AUDIO/VIDEO codec work
-  * remains STUBBED (no codec libraries in this container): `decodeStub`
-  * derives deterministic pseudo-features from payload bytes via xxhash64
-  * so the plumbing — schema, partitioning, batch shape, null-safety — is
-  * real and testable, and a production codec drops in by replacing one
+  * lossless [[syntheticPng]] fixtures (q117). AUDIO decode is REAL
+  * (`javax.sound.sampled` PCM WAV, q120). MULTI-FRAME decode is REAL
+  * through the JDK's one multi-frame container — animated GIF
+  * ([[videoFrameStats]], q145). True video CODECS (H.264 etc.) remain
+  * STUBBED (no codec libraries in this container): `decodeStub` derives
+  * deterministic pseudo-features from payload bytes via xxhash64 so the
+  * plumbing — schema, partitioning, batch shape, null-safety — is real
+  * and testable, and a production codec drops in by replacing one
   * function.
   */
 object Multimodal {
@@ -255,6 +258,91 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame container decode — animated GIF through
+    * `javax.imageio`'s sequence reader (the JDK's one true multi-frame
+    * format; proper video codecs stay stubbed, no codec libs here). One
+    * output row PER FRAME — the frame-sample-then-featurize pipeline
+    * shape — with per-frame dimensions and gray-channel pixel sum.
+    * Undecodable or null payloads emit ONE row with null stats (row
+    * kept, like [[imageStats]]). GIF is palette-indexed, so frames
+    * drawn from a small gray set round-trip LOSSLESSLY and
+    * [[syntheticGif]] fixtures make the whole decode a closed form the
+    * oracle replays as arithmetic. */
+  def videoFrameStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add("frame_idx", IntegerType)
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("sum_gray", LongType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val frames: Seq[(Int, Int, Int, Long)] =
+          if (payload == null) Nil
+          else
+            try {
+              val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload)))
+              val n = reader.getNumImages(true)
+              (0 until n).map { i =>
+                val img = reader.read(i)
+                var s = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    s += img.getRGB(x, y) & 0xff // gray: all channels equal
+                    x += 1
+                  }
+                  y += 1
+                }
+                (i, img.getWidth, img.getHeight, s)
+              }
+            } catch { case scala.util.control.NonFatal(_) => Nil }
+        if (frames.isEmpty)
+          Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null)))
+        else frames.map { case (i, w, h, s) =>
+          Row.fromSeq(r.toSeq ++ Seq[Any](i, w, h, s))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic animated GIF for fixtures: frame f pixel (x, y) is
+    * gray level `((seed*31 + f*17 + x*7 + y*13) mod 8) * 32` — 8 gray
+    * levels fit the palette exactly, so the round trip is lossless and
+    * [[videoFrameStats]] over these payloads is a closed form of
+    * (seed, w, h, nFrames). */
+  def syntheticGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = (java.lang.Math.floorMod(seed * 31 + f * 17 + x * 7 + y * 13, 8) * 32).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
     bos.toByteArray
   }
 

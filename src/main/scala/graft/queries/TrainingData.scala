@@ -1305,6 +1305,34 @@ object TrainingData {
       "doc_id", "n_tok", budget = 15000L)
       .select($"doc_id", $"n_tok", $"cum_w".as("cum_tokens"))
 
+  /** q145 — REAL multi-frame decode ([[graft.multimodal.Multimodal
+    * .videoFrameStats]], javax.imageio animated GIF): per-doc synthetic
+    * GIFs with id-varying dims and frame counts decode to one row per
+    * frame with exact gray sums (8-level gray palettes round-trip
+    * losslessly, so the oracle replays the codec as closed-form
+    * arithmetic — the q117/q120 trick at multi-frame granularity).
+    * Every 9th payload is corrupt text: null stats, row kept. */
+  def q145VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = docs(spark, dir).where($"doc_id" < 30).select($"doc_id", $"text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val withGif = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 9 == 0) r.getString(1).getBytes("UTF-8") // corrupt blob
+          else graft.multimodal.Multimodal.syntheticGif(
+            id, (6 + id % 5).toInt, (5 + id % 3).toInt, (2 + id % 4).toInt)
+        Row(id, payload)
+      }
+    }(enc)
+    graft.multimodal.Multimodal.videoFrameStats(withGif, "payload")
+      .select($"doc_id", $"frame_idx", $"width", $"height", $"sum_gray")
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -500,6 +500,26 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("sum_abs_amp") == 2L * (0 until nFrames).sum)
   }
 
+  test("multimodal: real animated-GIF decode emits exact per-frame sums") {
+    import spark.implicits._
+    def expSum(seed: Long, f: Int, w: Int, h: Int): Long =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield java.lang.Math.floorMod(seed * 31 + f * 17 + x * 7 + y * 13, 8) * 32L).sum
+    val df = Seq(
+      (1L, Multimodal.syntheticGif(1L, 7, 5, 3)),
+      (2L, "not a gif".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val rows = Multimodal.videoFrameStats(df, "payload")
+      .orderBy("id", "frame_idx").collect()
+    assert(rows.length == 4) // 3 frames + 1 corrupt row
+    (0 until 3).foreach { f =>
+      assert(rows(f).getAs[Int]("frame_idx") == f)
+      assert(rows(f).getAs[Int]("width") == 7 && rows(f).getAs[Int]("height") == 5)
+      assert(rows(f).getAs[Long]("sum_gray") == expSum(1L, f, 7, 5))
+    }
+    assert(rows(3).isNullAt(rows(3).fieldIndex("frame_idx"))) // corrupt kept
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     import spark.implicits._
     val df = Seq((1L, "0123456789abcdef".getBytes("UTF-8"))).toDF("id", "payload")
