@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Round}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{CosineExpr, MinHashSigExpr, SimHash64Expr, SrpBucketExpr}
+import graft.functions.{CosineExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SortedLookupExpr, SrpBucketExpr}
 
 /** Catalyst integration (SURVEY §4 custom work item 2): the engine's
   * codegen'd expressions registered as SQL functions, plus a small
@@ -40,6 +40,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineExpr].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineExpr(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (args: Seq[Expression]) => ShinglesExpr(args.head, intArg(args(1), "shingle n"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionExpr].getName, "graft_repetition"),
+      (args: Seq[Expression]) => RepetitionExpr(args.head, intArg(args(1), "ngram n"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_lookup"),
+      new ExpressionInfo(classOf[SortedLookupExpr].getName, "graft_sorted_lookup"),
+      (args: Seq[Expression]) => SortedLookupExpr(args.head, args(1), args(2))))
     ext.injectOptimizerRule(_ => CollapseRedundantRound)
   }
 }

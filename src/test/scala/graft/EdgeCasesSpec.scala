@@ -139,6 +139,28 @@ class EdgeCasesSpec extends AnyFunSuite with SparkFixture {
     assert(dv.length == 1 && dv(0).getAs[Double]("kl") >= 0)
   }
 
+  test("null text flows through the round-6 text operators without throwing") {
+    // the degenerate row a 100 TB crawl always contains somewhere
+    val withNull = messyDocs // includes doc 5 with null text
+    val g = graft.operators.Gopher.metrics(withNull, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // null text must never PASS the gate (null comparisons are falsy)
+    assert(!g(5L).getAs[Boolean]("gopher_pass") ||
+      g(5L).isNullAt(g(5L).fieldIndex("gopher_pass")))
+    val p = graft.operators.Paragraphs.dedupParagraphs(withNull, "doc_id", "text")
+    assert(p.count() == 5) // all rows kept, none threw
+    val w = graft.operators.Winnow.sharedFingerprintCensus(withNull, "doc_id", "text")
+    assert(w.count() == 5)
+    val dm = graft.operators.Decontam.maskContaminated(
+      withNull, "doc_id", "text",
+      Seq(Tuple1("alpha beta gamma delta epsilon zeta eta theta")).toDF("text"),
+      "text", 8)
+    assert(dm.count() == 5)
+    val dv = graft.operators.Dsir.importanceWeights(withNull, "doc_id", "text",
+      $"doc_id" === 1L)
+    assert(dv.count() == 5)
+  }
+
   test("SemDeDup on an empty and a single-vector corpus returns sane frames") {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
     assert(graft.operators.SemDedup.semDedup(empty, "vec_id", "v", 4, 0.9).count() == 0)

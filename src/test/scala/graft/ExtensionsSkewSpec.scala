@@ -46,6 +46,16 @@ class ExtensionsSkewSpec extends AnyFunSuite with SparkFixture {
     val expectB = Seq(Seq(1.0, -2.0, 0.5)).toDF("v")
       .select(graft.functions.FastHash.srpBucket(col("v"), 0, 8)).head().getLong(0)
     assert(r.getAs[Long]("b") == expectB)
+    // the round-6 kernels register too
+    val r2 = spark2.sql(
+      """SELECT size(graft_shingles('a b c d', 2)) AS nsh,
+        |graft_repetition('x y x y x y', 2) AS rep,
+        |graft_sorted_lookup(array('a', 'c'), array(1.0d, 3.0d), 'c') AS hit,
+        |graft_sorted_lookup(array('a', 'c'), array(1.0d, 3.0d), 'b') AS miss""".stripMargin).head()
+    assert(r2.getAs[Int]("nsh") == 3)
+    assert(r2.getAs[Double]("rep") > 0.0)
+    assert(r2.getAs[Double]("hit") == 3.0)
+    assert(r2.isNullAt(r2.fieldIndex("miss")))
   }
 
   test("CollapseRedundantRound removes equal-scale nested rounds from the plan") {
