@@ -166,6 +166,7 @@ object SparkEntry {
     "q143_mojibake"        -> (D.q143MojibakeCensus(_, _)),
     "q144_token_budget"    -> (D.q144TokenBudget(_, _)),
     "q145_video_frames"    -> (D.q145VideoFrames(_, _)),
+    "q146_training_e2e"    -> (D.q146TrainingE2E(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1856,6 +1857,35 @@ object SparkEntry {
         |CAST(SUM(n_moji) AS BIGINT) AS mojibake_chars,
         |CAST(SUM(n_repl) AS BIGINT) AS replacement_chars
         |FROM x GROUP BY source""".stripMargin,
+    // q146: the C4-recipe capstone replay — q131's Gopher metric CTEs
+    // on RAW text (minWords = 10), q129's keep-first + census stages.
+    "q146_training_e2e" ->
+      """WITH corpus AS (SELECT doc_id, lang, text FROM documents
+        |UNION ALL SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 10 = 0),
+        |m AS (SELECT doc_id, lang, lower(trim(text)) AS t,
+        |string_split_regex(lower(trim(text)), '\s+') AS words,
+        |string_split(lower(trim(text)), chr(10)) AS lines,
+        |md5(lower(trim(text))) AS digest FROM corpus),
+        |x AS (SELECT doc_id, lang, digest,
+        |CAST(len(words) AS BIGINT) AS n_words,
+        |CAST(list_aggregate(list_transform(words, w -> len(w)), 'sum') AS DOUBLE) / CAST(len(words) AS DOUBLE) AS mwl,
+        |CAST(CAST((length(t) - length(replace(t, '#', ''))) AS BIGINT)
+        | + CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS symbol_ratio,
+        |CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+        |CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+        |CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS alpha_frac,
+        |CAST(len(list_filter(words, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS n_stop
+        |FROM m),
+        |f AS (SELECT doc_id, lang, digest, n_words,
+        |(n_words >= 10 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 AND symbol_ratio <= 0.1
+        | AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND n_stop >= 2) AS pass FROM x),
+        |k AS (SELECT MIN(doc_id) AS doc_id FROM f WHERE pass GROUP BY digest),
+        |fi AS (SELECT f2.doc_id FROM f f2 JOIN k USING (doc_id))
+        |SELECT f.lang, COUNT(*) AS n_in,
+        |CAST(SUM(CASE WHEN f.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+        |CAST(SUM(CASE WHEN fi.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        |CAST(SUM(CASE WHEN fi.doc_id IS NOT NULL THEN f.n_words ELSE 0 END) AS BIGINT) AS final_tokens
+        |FROM f LEFT JOIN fi ON f.doc_id = fi.doc_id GROUP BY f.lang""".stripMargin,
     // q145: the GIF round trip is lossless on 8-level gray palettes, so
     // the per-frame decode replays as pure arithmetic.
     "q145_video_frames" ->

@@ -1333,6 +1333,32 @@ object TrainingData {
       .select($"doc_id", $"frame_idx", $"width", $"height", $"sum_gray")
   }
 
+  /** q146 — training-data pipeline capstone (the C4-recipe sibling of
+    * q129's relational ingest): full Gopher rule gate (minWords = 10 for
+    * this corpus's short docs) -> exact dedup keep-first on the gated
+    * survivors -> per-lang census with surviving token mass. All three
+    * stages are proven operators composed in ONE plan; shuffles only at
+    * the digest keep-first and the tiny final groupBy (q129 shape).
+    * Every 10th doc re-appears id-shifted (q71's planted dup clusters),
+    * so the dedup stage measurably fires: n_final < n_gated. */
+  def q146TrainingE2E(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"lang", $"text")
+    val corpus = d.unionByName(d.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"lang", $"text"))
+    val m = graft.operators.Gopher.metrics(corpus, "text", minWords = 10)
+      .withColumn("digest", md5(lower(trim($"text"))))
+    val keep = m.where($"gopher_pass")
+      .groupBy($"digest").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", lit(true).as("is_final"))
+    m.join(keep, Seq("doc_id"), "left")
+      .withColumn("fin", coalesce($"is_final", lit(false)))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_in"),
+        sum(when($"gopher_pass", 1L).otherwise(0L)).as("n_gated"),
+        sum(when($"fin", 1L).otherwise(0L)).as("n_final"),
+        sum(when($"fin", $"n_words").otherwise(0L)).as("final_tokens"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
