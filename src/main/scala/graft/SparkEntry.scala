@@ -167,6 +167,10 @@ object SparkEntry {
     "q144_token_budget"    -> (D.q144TokenBudget(_, _)),
     "q145_video_frames"    -> (D.q145VideoFrames(_, _)),
     "q146_training_e2e"    -> (D.q146TrainingE2E(_, _)),
+    "q147_cdc_chunks"      -> (D.q147CdcChunks(_, _)),
+    "q148_temperature_mix" -> (D.q148TemperatureMix(_, _)),
+    "q149_quantized_gram"  -> (D.q149QuantizedGram(_, _)),
+    "q150_templatedness"   -> (D.q150Templatedness(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1900,6 +1904,75 @@ object SparkEntry {
         |corr AS (SELECT doc_id, CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS width,
         |CAST(NULL AS INT) AS height, CAST(NULL AS BIGINT) AS sum_gray FROM ids WHERE doc_id % 9 = 0)
         |SELECT * FROM sel UNION ALL SELECT * FROM corr""".stripMargin,
+    // q147: CDC boundary rule replayed as substr(md5(tok),1,1) <= '1'
+    // plus a windowed prefix-sum for chunk ids; chunk = ' '-joined run.
+    "q147_cdc_chunks" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM aug),
+        |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |i -> struct_pack(pos := i, w := toks[CAST(i AS INT)]))) AS u FROM t),
+        |f AS (SELECT doc_id, u.pos AS pos, u.w AS w,
+        |CASE WHEN substr(md5(u.w), 1, 1) <= '1' THEN 1 ELSE 0 END AS b FROM tok),
+        |c AS (SELECT doc_id, pos, w, COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid FROM f),
+        |ch AS (SELECT doc_id, cid, string_agg(w, ' ' ORDER BY pos) AS chunk FROM c GROUP BY doc_id, cid),
+        |g AS (SELECT md5(chunk) AS digest, CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_tokens,
+        |COUNT(*) AS occ FROM ch GROUP BY 1, 2)
+        |SELECT chunk_tokens, COUNT(*) AS n_distinct, CAST(SUM(occ) AS BIGINT) AS n_chunks,
+        |CAST(SUM(occ) - COUNT(*) AS BIGINT) AS dup_occurrences
+        |FROM g GROUP BY chunk_tokens""".stripMargin,
+    // q148: sqrt is IEEE-correctly-rounded and the normalizer is an
+    // in-order fold over langs, so every pre-round double is bit-equal.
+    "q148_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot FROM c),
+        |s AS (SELECT lang, n_rows, mass, CAST(mass AS DOUBLE) / CAST(tot AS DOUBLE) AS p,
+        |sqrt(CAST(mass AS DOUBLE) / CAST(tot AS DOUBLE)) AS w_raw FROM c, t),
+        |nr AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w_raw ORDER BY lang)),
+        |(a, x) -> a + x) AS norm FROM s)
+        |SELECT lang, n_rows, mass,
+        |CAST(round(CAST(CAST(p AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS p,
+        |CAST(round(CAST(CAST(w_raw / norm AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS weight,
+        |CAST(round(CAST(CAST(1000000.0 * (w_raw / norm) AS VARCHAR) AS DECIMAL(38,20)), 0) AS BIGINT) AS alloc,
+        |CAST(round(CAST(CAST((w_raw / norm) / p AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS boost
+        |FROM s, nr""".stripMargin,
+    // q149: quantization replay (q135's CTEs) then the 8x8 upper-triangle
+    // pair grid — all-integer sums, so no float-order caveats at all.
+    "q149_quantized_gram" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dx AS (SELECT unnest(list_transform(range(1, len(v) + 1), i -> struct_pack(d := i, x := v[CAST(i AS INT)]))) AS u FROM e),
+        |dims AS (SELECT u.d AS d, MIN(u.x) AS lo, MAX(u.x) AS hi FROM dx GROUP BY u.d),
+        |rg AS (SELECT list(struct_pack(lo := lo, hi := hi) ORDER BY d) AS rng FROM dims),
+        |q AS (SELECT e.vec_id, list_transform(range(1, len(e.v) + 1), i ->
+        |CASE WHEN rng[CAST(i AS INT)].hi = rng[CAST(i AS INT)].lo THEN 0
+        |ELSE CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+        | floor((v[CAST(i AS INT)] - rng[CAST(i AS INT)].lo) / (rng[CAST(i AS INT)].hi - rng[CAST(i AS INT)].lo) * CAST(256 AS DOUBLE)))) AS INT) END) AS codes
+        |FROM e, rg)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |CAST(SUM(codes[CAST(i + 1 AS INT)] * codes[CAST(j + 1 AS INT)]) AS BIGINT) AS gram,
+        |(SELECT COUNT(*) FROM q) AS n_vecs
+        |FROM q, range(0, 8) t1(i), range(0, 8) t2(j) WHERE i <= j GROUP BY i, j""".stripMargin,
+    // q150: raw (non-distinct) 3-gram counts per source; top-k replayed
+    // as row_number over (count DESC, gram ASC).
+    "q150_templatedness" ->
+      """WITH pl AS (SELECT source, CASE WHEN source = 'src1'
+        |THEN text || ' subscribe to our newsletter today' ELSE text END AS text FROM documents),
+        |t AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks FROM pl),
+        |g AS (SELECT source, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram FROM t),
+        |c AS (SELECT source, gram, COUNT(*) AS c FROM g GROUP BY source, gram),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS gram_occurrences,
+        |COUNT(*) AS grams_distinct FROM c GROUP BY source),
+        |r AS (SELECT source, gram, c, row_number() OVER (PARTITION BY source
+        |ORDER BY c DESC, gram) AS rk FROM c),
+        |t1 AS (SELECT source, gram AS top_gram, CAST(c AS BIGINT) AS top_c FROM r WHERE rk = 1),
+        |t10 AS (SELECT source, CAST(SUM(c) AS BIGINT) AS top10_c FROM r WHERE rk <= 10 GROUP BY source)
+        |SELECT tot.source, tot.grams_distinct, tot.gram_occurrences, t1.top_gram,
+        |CAST(round(CAST(CAST(CAST(t1.top_c AS DOUBLE) / CAST(tot.gram_occurrences AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS top1_share,
+        |CAST(round(CAST(CAST(CAST(t10.top10_c AS DOUBLE) / CAST(tot.gram_occurrences AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS top10_share
+        |FROM tot JOIN t1 USING (source) JOIN t10 USING (source)""".stripMargin,
     // q144: the naive global ordered cumulative sum IS the oracle for
     // the two-phase bucketed prefix.
     "q144_token_budget" ->

@@ -192,6 +192,114 @@ object FastHash {
     null
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Content-defined chunking (CDC — the FastCDC/rsync idea lifted to
+    * token granularity): the token stream splits AFTER every token whose
+    * own md5 opens with a hex digit below `boundaryNibbles`, so a chunk
+    * boundary depends only on local content, never on offsets. Insert or
+    * delete one token and every chunk outside the touched one keeps its
+    * digest — the property that makes chunk-level dedup storage
+    * incremental, which offset-based (fixed-width) chunking lacks.
+    * boundaryNibbles = b gives P(boundary) = b/16, mean chunk 16/b
+    * tokens. One pass, codegen-friendly; the md5-prefix rule is chosen so
+    * a SQL engine replays it verbatim (`substr(md5(tok), 1, 1) < hex(b)`).
+    * Returns the chunks as space-joined strings in stream order. */
+  def cdcChunksValue(text: UTF8String, boundaryNibbles: Int): ArrayData = {
+    val toks = tokens(text)
+    val md = md5Local.get()
+    val out = new java.util.ArrayList[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < toks.length) {
+      if (sb.length > 0) sb.append(' ')
+      sb.append(toks(i))
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((d(0) >> 4) & 0xf) < boundaryNibbles) {
+        out.add(UTF8String.fromString(sb.toString))
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length > 0) out.add(UTF8String.fromString(sb.toString))
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003) in one JVM
+    * pass: md5-hex every k-gram, slide a w-wide window, keep each
+    * window's lexicographic minimum; return the DISTINCT minima sorted —
+    * value-identical to the declarative formulation in
+    * [[graft.operators.Winnow.declarativeFingerprints]] (md5 hex is
+    * ASCII, so String ordering == UTF8String binary ordering;
+    * cross-checked in WinnowSpec). The declarative HOF path interprets
+    * an md5 call per gram per row; this computes the same hashes in a
+    * tight loop with an O(n) monotonic-deque sliding minimum and stays
+    * inside whole-stage codegen. Empty/short texts -> empty array. */
+  def winnowFpsValue(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = tokens(text)
+    val nGrams = toks.length - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val md = md5Local.get()
+    val hs = new Array[String](nGrams)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      hs(i) = md5Hex(md, sb.toString)
+      i += 1
+    }
+    val sel = new java.util.TreeSet[String]()
+    if (nGrams <= w) {
+      var min = hs(0)
+      i = 1
+      while (i < nGrams) { if (hs(i).compareTo(min) < 0) min = hs(i); i += 1 }
+      sel.add(min)
+    } else {
+      // monotonic deque of indices whose hashes increase left-to-right
+      val dq = new Array[Int](nGrams)
+      var head = 0
+      var tail = 0 // exclusive
+      i = 0
+      while (i < nGrams) {
+        while (tail > head && hs(dq(tail - 1)).compareTo(hs(i)) >= 0) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) sel.add(hs(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[AnyRef](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Column API. */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashSigExpr(GraftShim.expression(text), n, k))
@@ -214,6 +322,12 @@ object FastHash {
 
   def repetitionRatio(text: Column, n: Int): Column =
     GraftShim.column(RepetitionExpr(GraftShim.expression(text), n))
+
+  def cdcChunks(text: Column, boundaryNibbles: Int): Column =
+    GraftShim.column(CdcChunksExpr(GraftShim.expression(text), boundaryNibbles))
+
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    GraftShim.column(WinnowFpsExpr(GraftShim.expression(text), k, w))
 
   def bloomProbe(key: Column,
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
@@ -380,5 +494,45 @@ case class RepetitionExpr(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.repetitionValue($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionExpr =
+    copy(child = newChild)
+}
+
+/** text -> array<string> of content-defined chunks (space-joined tokens;
+  * boundary after tokens whose md5 starts below `boundaryNibbles`). */
+case class CdcChunksExpr(child: Expression, boundaryNibbles: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.cdcChunksValue(input.asInstanceOf[UTF8String], boundaryNibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FastHash.cdcChunksValue($c, $boundaryNibbles)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+}
+
+/** text -> array<string> of distinct sorted winnowing fingerprints
+  * (md5-hex window minima, k-gram / w-window). */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.winnowFpsValue(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FastHash.winnowFpsValue($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
     copy(child = newChild)
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temperature-scaled mixture weighting — the multilingual/multi-source
+  * rebalancing step of a pre-training data pipeline (the mT5/XLM-R
+  * "sample language l with probability proportional to p_l^alpha" rule):
+  * raw corpus shares p_l are flattened with an exponent alpha in (0, 1]
+  * so low-resource strata are upsampled without letting any stratum
+  * dominate. alpha = 1 keeps natural proportions; alpha -> 0 approaches
+  * uniform.
+  *
+  * Scale shape: one map-side-combined aggregation over the corpus
+  * produces the per-stratum census (rows = #strata, tiny); everything
+  * after is driver-sized arithmetic on that census, broadcast back if a
+  * caller wants to gate the corpus with it. Nothing re-shuffles the
+  * corpus itself.
+  *
+  * Determinism: the normalizer sums the stratum weights in stratum-name
+  * order via an in-order fold (not an unordered SQL SUM), so the double
+  * is reproducible across engines, partitionings, and reruns; with
+  * alpha = 0.5 the power is `sqrt`, which IEEE 754 requires to be
+  * correctly rounded — bit-identical everywhere (general alpha uses
+  * `pow`, whose last-ulp behavior is libm-specific; callers needing
+  * cross-engine hashes should stick to 0.5 or 1.0).
+  */
+object Mixture {
+
+  /** Per-stratum temperature weights over `sizeCol` mass: returns one row
+    * per stratum with its natural share `p`, flattened sampling `weight`,
+    * the token allocation out of `budget`, and the up/down-sampling
+    * `boost` = weight / p. */
+  def temperatureWeights(df: DataFrame, stratumCol: String, sizeCol: String,
+      alpha: Double = 0.5, budget: Long = 1000000L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val census = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col(sizeCol)).cast("long").as("mass"))
+    val tot = census.agg(sum(col("mass")).cast("long").as("tot"))
+    def weigh(p: Column): Column =
+      if (alpha == 1.0) p
+      else if (alpha == 0.5) sqrt(p)
+      else pow(p, alpha)
+    val shares = census.crossJoin(broadcast(tot))
+      .withColumn("p", col("mass").cast("double") / col("tot").cast("double"))
+      .withColumn("w_raw", weigh(col("p")))
+    // normalizer: in-order fold over strata sorted by name (reproducible
+    // double; an unordered SUM would be partitioning-dependent)
+    val norm = shares
+      .agg(expr(s"""aggregate(
+        |  transform(array_sort(collect_list(struct(`$stratumCol`, w_raw))), s -> s.w_raw),
+        |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin).as("norm"))
+    shares.crossJoin(broadcast(norm))
+      .withColumn("weight", col("w_raw") / col("norm"))
+      .select(col(stratumCol), col("n_rows"), col("mass"),
+        round(col("p"), 4).as("p"),
+        round(col("weight"), 4).as("weight"),
+        round(lit(budget.toDouble) * col("weight"), 0).cast("long").as("alloc"),
+        round(col("weight") / col("p"), 4).as("boost"))
+  }
+}

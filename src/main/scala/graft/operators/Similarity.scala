@@ -282,4 +282,32 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("corpus_id"), col("cos"), col("rank"))
   }
+
+  /** Exact Gram matrix over the leading `dims` components of an INTEGER
+    * code column (e.g. [[quantizeInt8]] output) — the one-pass distributed
+    * matrix primitive behind covariance estimation, PCA/whitening prep,
+    * and quantization-quality monitoring. Every upper-triangle entry
+    * G[i][j] = sum over vectors of codes[i] * codes[j] is an exact BIGINT
+    * (integer codes make the reduction associative — no floating-point
+    * order sensitivity at any cluster size, unlike a double Gram).
+    *
+    * Scale shape: ONE aggregation pass computing dims*(dims+1)/2 partial
+    * sums map-side (no explode — the pair grid unrolls into static agg
+    * expressions, so nothing shuffles but a single combiner row per
+    * partition); the unpivot to (i, j, gram) rows touches only the final
+    * single row. Output: one row per upper-triangle cell with `n_vecs`. */
+  def integerGram(df: DataFrame, codesCol: String, dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims must be in [1,64], got $dims")
+    val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+    val sums = pairs.map { case (i, j) =>
+      sum((element_at(col(codesCol), i + 1) *
+        element_at(col(codesCol), j + 1)).cast("long")).as(s"s_${i}_$j")
+    }
+    val aggd = df.agg(count(lit(1)).as("n_vecs"), sums: _*)
+    val stackArgs = pairs
+      .map { case (i, j) => s"$i, $j, s_${i}_$j" }.mkString(", ")
+    aggd.select(col("n_vecs"),
+        expr(s"stack(${pairs.size}, $stackArgs) as (i, j, gram)"))
+      .select(col("i"), col("j"), col("gram"), col("n_vecs"))
+  }
 }

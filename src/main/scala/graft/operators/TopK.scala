@@ -46,6 +46,57 @@ object TopK {
     def outputEncoder: Encoder[Seq[VI]] = ExpressionEncoder[Seq[VI]]()
   }
 
+  type VS = (Double, String)
+
+  /** [[TopKAgg]] with STRING ids (token / n-gram keys) — same bounded
+    * O(k) state, ties by ascending id string (Spark's UTF8 ordering ==
+    * DuckDB's binary collation, so ranks replay cross-engine). */
+  class TopKStrAgg(k: Int) extends Aggregator[VS, Seq[VS], Seq[VS]] {
+    require(k > 0, "k must be positive")
+    private val ord: Ordering[VS] = Ordering.by { case (v, id) => (-v, id) }
+
+    def zero: Seq[VS] = Vector.empty
+
+    def reduce(b: Seq[VS], x: VS): Seq[VS] =
+      if (b.size == k && ord.gteq(x, b.last)) b
+      else {
+        val (hi, lo) = b.span(ord.lt(_, x))
+        (hi :+ x) ++ lo.take(k - hi.size - 1)
+      }
+
+    def merge(a: Seq[VS], b: Seq[VS]): Seq[VS] = {
+      val out = Vector.newBuilder[VS]
+      var (i, j, n) = (0, 0, 0)
+      while (n < k && (i < a.size || j < b.size)) {
+        val takeA = j >= b.size || (i < a.size && ord.lteq(a(i), b(j)))
+        if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+
+    def finish(r: Seq[VS]): Seq[VS] = r
+    def bufferEncoder: Encoder[Seq[VS]] = ExpressionEncoder[Seq[VS]]()
+    def outputEncoder: Encoder[Seq[VS]] = ExpressionEncoder[Seq[VS]]()
+  }
+
+  /** [[topKPerGroup]] for string-keyed items (tokens, n-grams): top-k
+    * per group by value desc then key asc, k-bounded state end-to-end. */
+  def topKStrPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val typed = df.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).cast("double").as("v"), col(keyCol).cast("string").as("id"))
+      .as[(String, Double, String)]
+    typed.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new TopKStrAgg(k).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(col("g").as(groupCol), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col(groupCol), (col("r") + 1).cast("long").as("rank"),
+        col("e._2").as(keyCol), col("e._1").as(valueCol))
+  }
+
   /** Top-k rows per group: (`groupCol`, rank 1..k, id, value), ranked by
     * value descending then id ascending. One shuffle of k-bounded
     * partial aggregates — never the raw rows. */

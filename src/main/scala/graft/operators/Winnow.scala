@@ -27,17 +27,31 @@ object Winnow {
 
   /** Per-doc fingerprint selection. Output: input id column plus
     * `n_grams`, `fps array<string>` (DISTINCT selected md5 hashes,
-    * sorted). Docs with fewer than k tokens have no grams -> empty. */
+    * sorted). Docs with fewer than k tokens have no grams -> empty.
+    * Runs the codegen'd one-pass kernel ([[graft.functions.FastHash
+    * .winnowFpsValue]]); [[declarativeFingerprints]] is the HOF
+    * formulation it is cross-checked against. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k w=$w")
     val toks = split(lower(trim(col(textCol))), "\\s+")
+    df.select(col(idCol).as("doc_id"),
+      greatest(size(toks) - (k - 1), lit(0)).cast("long").as("n_grams"),
+      graft.functions.FastHash.winnowFps(col(textCol), k, w).as("fps"))
+  }
+
+  /** The declarative formulation of [[fingerprints]] — kept as the
+    * kernel's executable specification (WinnowSpec asserts value
+    * identity). The hash array is LET-BOUND through a one-element
+    * transform lambda: CollapseProject would otherwise inline the
+    * md5-of-every-gram expression into every window reference below —
+    * re-hashing the doc once per window, O(n^2) md5 work (measured 70s
+    * for the sf0.1 census; 1.5s with the binding). */
+  private[graft] def declarativeFingerprints(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
     val grams = Dedup.rawShingles(toks, k)
-    // the hash array is LET-BOUND through a one-element transform lambda:
-    // CollapseProject would otherwise inline the md5-of-every-gram
-    // expression into every window reference below — re-hashing the doc
-    // once per window, O(n^2) md5 work (measured 70s for the sf0.1
-    // census; 1.5s with the binding)
     def overHs(body: Column => Column): Column =
       element_at(transform(array(transform(grams, g => md5(g))), body), 1)
     df.select(col(idCol).as("doc_id"),

@@ -1359,6 +1359,80 @@ object TrainingData {
         sum(when($"fin", $"n_words").otherwise(0L)).as("final_tokens"))
   }
 
+  /** q147 — content-defined chunk dedup census ([[graft.operators
+    * .Chunker]]): the corpus (with every 10th doc re-ingested id-shifted,
+    * the q146 fixture) splits into CDC chunks — boundary after any token
+    * whose md5 opens with '0'/'1', so boundaries survive edits and the
+    * re-ingested copies chunk IDENTICALLY to their originals — and the
+    * census reports, per chunk width, how many instances dedup storage
+    * recognizes as already held (`dup_occurrences`). The chunker is a
+    * one-pass codegen'd kernel in the scan projection; the only shuffles
+    * key on the (uniform) chunk digest. DuckDB replays the boundary rule
+    * with substr(md5(tok),1,1) and a windowed prefix-sum. */
+  def q147CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val corpus = d.unionByName(d.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    graft.operators.Chunker.chunkDedupCensus(corpus, "doc_id", "text")
+  }
+
+  /** q148 — temperature-scaled language mixture ([[graft.operators
+    * .Mixture]], the mT5 p^alpha rebalancing at alpha = 0.5): per-lang
+    * character mass flattens to sampling weights, a 1M-token budget
+    * allocates by weight, and `boost` exposes the up/down-sampling each
+    * lang receives. One corpus aggregation; the normalizer folds the
+    * five weights in lang order so every double replays bit-identically
+    * (sqrt is IEEE-correctly-rounded — the reason alpha = 0.5). */
+  def q148TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.temperatureWeights(
+      docs(spark, dir), "lang", "n_chars", alpha = 0.5, budget = 1000000L)
+
+  /** q149 — exact integer Gram matrix over int8-quantized embeddings
+    * ([[Similarity.integerGram]] composed over [[Similarity
+    * .quantizeInt8]], first 8 dims): the covariance/whitening-prep
+    * primitive as one aggregation pass — 36 upper-triangle BIGINT sums
+    * combined map-side, never a vector shuffle, and integer codes make
+    * the reduction order-insensitive (the property a double Gram loses
+    * on a 1000-executor reduce tree). DuckDB replays quantization (q135
+    * oracle) then the pair grid. */
+  def q149QuantizedGram(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val codes = Similarity.quantizeInt8(emb, "vec_id", "v")
+      .select($"vec_id", $"codes")
+    Similarity.integerGram(codes, "codes", dims = 8)
+  }
+
+  /** q150 — source templatedness census (the boilerplate-source detector
+    * a crawl-mixing pipeline runs before weighting sources): per source,
+    * raw 3-gram occurrence mass vs distinct grams, and the concentration
+    * captured by the modal gram and the top-10 grams. A templated/spammy
+    * source concentrates its mass in few grams; src1 is planted with a
+    * fixed "subscribe ..." footer so the signal discriminates. The
+    * per-source top-k rides [[graft.operators.TopK.topKStrPerGroup]] —
+    * k-bounded aggregate state, so the (source, gram) count table never
+    * needs a per-source global sort (the window-function path dies on a
+    * billion-gram source; the bounded aggregate doesn't). */
+  def q150Templatedness(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select($"source",
+      when($"source" === "src1",
+        concat($"text", lit(" subscribe to our newsletter today")))
+        .otherwise($"text").as("text"))
+    val grams = planted.select($"source",
+      explode(Dedup.rawShingles(split(lower(trim($"text")), "\\s+"), 3)).as("gram"))
+    val counts = grams.groupBy($"source", $"gram").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy($"source")
+      .agg(sum($"c").as("gram_occurrences"), count(lit(1)).as("grams_distinct"))
+    val top = graft.operators.TopK.topKStrPerGroup(counts, "source", "gram", "c", k = 10)
+    val t1 = top.where($"rank" === 1)
+      .select($"source", $"gram".as("top_gram"), $"c".cast("long").as("top_c"))
+    val t10 = top.groupBy($"source").agg(sum($"c").cast("long").as("top10_c"))
+    totals.join(t1, Seq("source")).join(t10, Seq("source"))
+      .select($"source", $"grams_distinct", $"gram_occurrences", $"top_gram",
+        round($"top_c".cast("double") / $"gram_occurrences".cast("double"), 4).as("top1_share"),
+        round($"top10_c".cast("double") / $"gram_occurrences".cast("double"), 4).as("top10_share"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

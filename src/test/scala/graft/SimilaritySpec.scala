@@ -192,4 +192,24 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(rows(1L).getAs[scala.collection.Seq[Int]]("codes")(2) == 255)
     assert(rows(2L).getAs[scala.collection.Seq[Int]]("codes")(2) == 0)
   }
+
+  test("integerGram matches the naive driver-side Gram on every cell") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 50).map(i => (i.toLong, Seq.fill(8)(rng.nextInt(256))))
+    val df = vecs.toDF("vec_id", "codes")
+    val got = Similarity.integerGram(df, "codes", dims = 8)
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        r.getAs[Long]("gram")).toMap
+    assert(got.size == 36)
+    for (i <- 0 until 8; j <- i until 8) {
+      val want = vecs.map { case (_, v) => v(i).toLong * v(j) }.sum
+      assert(got((i, j)) == want, s"cell ($i,$j)")
+    }
+    // order-insensitivity: partitioning must not change any integer cell
+    val re = Similarity.integerGram(df.repartition(7), "codes", dims = 8)
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        r.getAs[Long]("gram")).toMap
+    assert(re == got)
+  }
 }

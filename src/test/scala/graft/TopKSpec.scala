@@ -42,4 +42,34 @@ class TopKSpec extends AnyFunSuite with SparkFixture {
       .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
     assert(got == Seq(3L, 7L))
   }
+
+  test("string-key variant matches the window row_number formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 3}", s"tok${rng.nextInt(40)}", rng.nextInt(50).toDouble)
+    }
+    val df = rows.toDF("grp", "key", "v")
+      .groupBy("grp", "key").agg(org.apache.spark.sql.functions.sum("v").as("v"))
+    val got = TopK.topKStrPerGroup(df, "grp", "key", "v", k = 5)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("rank"),
+        r.getAs[String]("key"), r.getAs[Double]("v"))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"v".desc, $"key")
+    val want = df.withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .where($"rank" <= 5)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("rank"),
+        r.getAs[String]("key"), r.getAs[Double]("v"))).toSet
+    assert(got == want)
+  }
+
+  test("string-key ties break by ascending key") {
+    import spark.implicits._
+    val df = Seq(("a", "zeta", 1.0), ("a", "beta", 1.0), ("a", "mu", 1.0))
+      .toDF("grp", "key", "v")
+    val got = TopK.topKStrPerGroup(df, "grp", "key", "v", k = 2)
+      .orderBy("rank").collect().map(_.getAs[String]("key")).toSeq
+    assert(got == Seq("beta", "mu"))
+  }
 }

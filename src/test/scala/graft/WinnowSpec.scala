@@ -51,4 +51,23 @@ class WinnowSpec extends AnyFunSuite with SparkFixture {
     assert(fp.getAs[Long]("n_grams") == 0L)
     assert(fp.getAs[scala.collection.Seq[String]]("fps").isEmpty)
   }
+
+  test("codegen'd kernel equals the declarative formulation on varied docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val docs = (0L until 60L).map { i =>
+      val len = rng.nextInt(40) // includes < k and k..w-sized docs
+      (i, (0 until len).map(_ => s"t${rng.nextInt(13)}").mkString(" "))
+    } :+ (999L, "")
+    val df = docs.toDF("id", "text")
+    for ((kk, ww) <- Seq((4, 8), (2, 3), (5, 1), (1, 4))) {
+      val fast = Winnow.fingerprints(df, "id", "text", kk, ww)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1),
+          r.getAs[scala.collection.Seq[String]]("fps").toSeq)).toMap
+      val slow = Winnow.declarativeFingerprints(df, "id", "text", kk, ww)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1),
+          r.getAs[scala.collection.Seq[String]]("fps").toSeq)).toMap
+      assert(fast == slow, s"k=$kk w=$ww")
+    }
+  }
 }
