@@ -171,6 +171,10 @@ object SparkEntry {
     "q148_temperature_mix" -> (D.q148TemperatureMix(_, _)),
     "q149_quantized_gram"  -> (D.q149QuantizedGram(_, _)),
     "q150_templatedness"   -> (D.q150Templatedness(_, _)),
+    "q151_novelty_curve"   -> (D.q151NoveltyCurve(_, _)),
+    "q152_context_fit"     -> (D.q152ContextFit(_, _)),
+    "q153_token_composition" -> (D.q153TokenComposition(_, _)),
+    "q154_poisson_bootstrap" -> (D.q154PoissonBootstrap(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1973,6 +1977,65 @@ object SparkEntry {
         |CAST(round(CAST(CAST(CAST(t1.top_c AS DOUBLE) / CAST(tot.gram_occurrences AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS top1_share,
         |CAST(round(CAST(CAST(CAST(t10.top10_c AS DOUBLE) / CAST(tot.gram_occurrences AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS top10_share
         |FROM tot JOIN t1 USING (source) JOIN t10 USING (source)""".stripMargin,
+    // q151: first occurrence = min(doc_id) per gram; slice = id // 100.
+    "q151_novelty_curve" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 1),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM aug),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram FROM t),
+        |fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+        |pr AS (SELECT DISTINCT doc_id // 100 AS slice, gram FROM g),
+        |j AS (SELECT pr.slice AS slice, COUNT(*) AS grams_seen,
+        |CAST(SUM(CASE WHEN fo.first_doc // 100 = pr.slice THEN 1 ELSE 0 END) AS BIGINT) AS grams_novel
+        |FROM pr JOIN fo USING (gram) GROUP BY pr.slice)
+        |SELECT slice, grams_seen, grams_novel,
+        |CAST(round(CAST(CAST(CAST(grams_novel AS DOUBLE) / CAST(grams_seen AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS novelty_rate
+        |FROM j""".stripMargin,
+    // q152: long (lang, limit) format; all counts integer, one division.
+    "q152_context_fit" ->
+      """WITH t AS (SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0
+        |ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok FROM documents),
+        |x AS (SELECT lang, unnest([16, 32, 64]) AS lim, n_tok FROM t),
+        |a AS (SELECT lang, CAST(lim AS BIGINT) AS "limit", COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN n_tok <= lim THEN 1 ELSE 0 END) AS BIGINT) AS docs_fit,
+        |CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+        |CAST(SUM(least(n_tok, lim)) AS BIGINT) AS tokens_kept
+        |FROM x GROUP BY lang, lim)
+        |SELECT lang, "limit", n_docs, docs_fit, tokens_total, tokens_kept,
+        |CAST(round(CAST(CAST(CAST(tokens_kept AS DOUBLE) / CAST(tokens_total AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS keep_rate
+        |FROM a""".stripMargin,
+    // q153: RAW (case-preserving) tokens; anchored RE2-compatible classes.
+    "q153_token_composition" ->
+      """WITH pl AS (SELECT source, text ||
+        |CASE WHEN doc_id % 5 = 2 THEN ' 1,234 42% 3.14' ELSE '' END ||
+        |CASE WHEN doc_id % 7 = 3 THEN ' get_user() parse_args(x)' ELSE '' END ||
+        |CASE WHEN doc_id % 11 = 5 THEN ' Berlin Tokyo NASA' ELSE '' END AS text FROM documents),
+        |tk AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM pl),
+        |a AS (SELECT source, COUNT(*) AS n_tokens,
+        |CAST(SUM(CASE WHEN regexp_matches(tok, '^[0-9][0-9.,%]*$') THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+        |CAST(SUM(CASE WHEN regexp_matches(tok, '[_(){}]') THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+        |CAST(SUM(CASE WHEN regexp_matches(tok, '^[A-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_capitalized
+        |FROM tk GROUP BY source)
+        |SELECT source, n_tokens, n_numeric, n_code, n_capitalized,
+        |CAST(round(CAST(CAST(CAST(n_numeric AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS numeric_share,
+        |CAST(round(CAST(CAST(CAST(n_code AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS code_share,
+        |CAST(round(CAST(CAST(CAST(n_capitalized AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS capitalized_share
+        |FROM a""".stripMargin,
+    // q154: md5-uniform (exact /2^48) against round-trip CDF literals —
+    // every weight integer, every comparison engine-portable.
+    "q154_poisson_bootstrap" ->
+      """WITH r AS (SELECT lang, n_chars, doc_id, unnest([0, 1, 2, 3, 4]) AS replicate FROM documents),
+        |u AS (SELECT lang, n_chars, replicate,
+        |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(replicate AS VARCHAR)), 1, 12)) AS BIGINT)
+        | / 281474976710656.0 AS uu FROM r),
+        |w AS (SELECT lang, replicate, n_chars,
+        |CASE WHEN uu < 0.36787944117144233 THEN 0 WHEN uu < 0.7357588823428847 THEN 1
+        |WHEN uu < 0.9196986029286058 THEN 2 WHEN uu < 0.9810118431238463 THEN 3 ELSE 4 END AS weight FROM u)
+        |SELECT lang, CAST(replicate AS INT) AS replicate,
+        |CAST(SUM(weight) AS BIGINT) AS n_eff,
+        |CAST(SUM(weight * n_chars) AS BIGINT) AS mass_eff
+        |FROM w GROUP BY lang, replicate""".stripMargin,
     // q144: the naive global ordered cumulative sum IS the oracle for
     // the two-phase bucketed prefix.
     "q144_token_budget" ->

@@ -1433,6 +1433,80 @@ object TrainingData {
         round($"top10_c".cast("double") / $"gram_occurrences".cast("double"), 4).as("top10_share"))
   }
 
+  /** q151 — ingestion-freshness curve ([[graft.operators.Freshness]]):
+    * per 100-doc ingestion slice, the share of its distinct 8-grams
+    * first seen in that slice. Docs with id % 4 == 1 are re-ingested
+    * id-shifted to the tail, so the trailing slices' novelty measurably
+    * collapses (a stale source re-serving held content) while untouched
+    * slices stay ~1.0. First occurrence is a gram-keyed min AGGREGATE —
+    * no global ordered scan — so the curve costs two uniform shuffles
+    * at any corpus size. */
+  def q151NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val corpus = d.unionByName(d.where($"doc_id" % 4 === 1)
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text"))
+    graft.operators.Freshness.noveltyBySlice(corpus, "doc_id", "text",
+      n = 8, sliceSize = 100L)
+  }
+
+  /** q152 — context-window fit census: for each candidate sequence
+    * length, how many docs fit whole and what token share survives
+    * truncation — the planning pass that sizes a training context
+    * window against a corpus. Long format (lang, limit) so one scan
+    * covers every candidate; all counts integer, one final division. */
+  def q152ContextFit(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select($"lang",
+      when(length(trim($"text")) === 0, 0L)
+        .otherwise(size(split(trim($"text"), "\\s+")).cast("long")).as("n_tok"))
+    t.withColumn("limit", explode(array(lit(16L), lit(32L), lit(64L))))
+      .groupBy($"lang", $"limit")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_tok" <= $"limit", 1L).otherwise(0L)).as("docs_fit"),
+        sum($"n_tok").as("tokens_total"),
+        sum(least($"n_tok", $"limit")).as("tokens_kept"))
+      .withColumn("keep_rate",
+        round($"tokens_kept".cast("double") / $"tokens_total".cast("double"), 4))
+  }
+
+  /** q153 — token composition census (corpus profiling before tokenizer
+    * training: how much of each source is numbers, code identifiers,
+    * capitalized words): per source, integer token-class counts over
+    * RAW (case-preserving) tokens and their shares. The fixture corpus
+    * is all lowercase prose, so numeric/code/capitalized tokens are
+    * planted on disjoint id grids. Shares divide two exact BIGINTs —
+    * no order-sensitive double aggregation anywhere. */
+  def q153TokenComposition(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select($"source",
+      concat($"text",
+        when($"doc_id" % 5 === 2, lit(" 1,234 42% 3.14")).otherwise(lit("")),
+        when($"doc_id" % 7 === 3, lit(" get_user() parse_args(x)")).otherwise(lit("")),
+        when($"doc_id" % 11 === 5, lit(" Berlin Tokyo NASA")).otherwise(lit("")))
+        .as("text"))
+    val toks = planted.select($"source",
+      explode(split(trim($"text"), "\\s+")).as("tok"))
+    toks.groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"tok".rlike("^[0-9][0-9.,%]*$"), 1L).otherwise(0L)).as("n_numeric"),
+        sum(when($"tok".rlike("[_(){}]"), 1L).otherwise(0L)).as("n_code"),
+        sum(when($"tok".rlike("^[A-Z]"), 1L).otherwise(0L)).as("n_capitalized"))
+      .select($"source", $"n_tokens", $"n_numeric", $"n_code", $"n_capitalized",
+        round($"n_numeric".cast("double") / $"n_tokens".cast("double"), 4).as("numeric_share"),
+        round($"n_code".cast("double") / $"n_tokens".cast("double"), 4).as("code_share"),
+        round($"n_capitalized".cast("double") / $"n_tokens".cast("double"), 4).as("capitalized_share"))
+  }
+
+  /** q154 — Poisson-bootstrap replicate census ([[graft.operators
+    * .Bootstrap]]): 5 deterministic hash-weighted replicates of the
+    * per-lang doc count and char mass. The spread across replicates IS
+    * the sampling noise of those corpus metrics — computed in one pass,
+    * no resampling, exact integer sums per replicate. */
+  def q154PoissonBootstrap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bootstrap
+      .poissonReplicates(docs(spark, dir), "doc_id", replicates = 5)
+      .groupBy($"lang", $"replicate")
+      .agg(sum($"weight").as("n_eff"),
+        sum($"weight" * $"n_chars").as("mass_eff"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
