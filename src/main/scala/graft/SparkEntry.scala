@@ -175,6 +175,8 @@ object SparkEntry {
     "q152_context_fit"     -> (D.q152ContextFit(_, _)),
     "q153_token_composition" -> (D.q153TokenComposition(_, _)),
     "q154_poisson_bootstrap" -> (D.q154PoissonBootstrap(_, _)),
+    "q155_quality_canonical" -> (D.q155QualityCanonical(_, _)),
+    "q156_bootstrap_ci"    -> (D.q156BootstrapCi(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2036,6 +2038,42 @@ object SparkEntry {
         |CAST(SUM(weight) AS BIGINT) AS n_eff,
         |CAST(SUM(weight * n_chars) AS BIGINT) AS mass_eff
         |FROM w GROUP BY lang, replicate""".stripMargin,
+    // q155: star pairs within a digest group are connected, so the
+    // transitive closure replays as per-digest windows.
+    "q155_quality_canonical" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 0),
+        |q AS (SELECT doc_id, md5(lower(trim(text))) AS digest,
+        |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS quality FROM corpus),
+        |g AS (SELECT doc_id, quality, MIN(doc_id) OVER (PARTITION BY digest) AS component FROM q),
+        |w AS (SELECT component, doc_id AS keep_id FROM (SELECT component, doc_id,
+        |row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rk FROM g) WHERE rk = 1)
+        |SELECT g.doc_id, g.component, g.quality, (g.doc_id = w.keep_id) AS kept
+        |FROM g JOIN w USING (component)""".stripMargin,
+    // q156: replicate-ordered in-order folds for the moments; greatest(,0)
+    // guards float cancellation on an all-equal replicate set.
+    "q156_bootstrap_ci" ->
+      """WITH r AS (SELECT lang, doc_id, unnest([0, 1, 2, 3, 4]) AS replicate FROM documents),
+        |u AS (SELECT lang, replicate,
+        |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(replicate AS VARCHAR)), 1, 12)) AS BIGINT)
+        | / 281474976710656.0 AS uu FROM r),
+        |w AS (SELECT lang, replicate,
+        |CASE WHEN uu < 0.36787944117144233 THEN 0 WHEN uu < 0.7357588823428847 THEN 1
+        |WHEN uu < 0.9196986029286058 THEN 2 WHEN uu < 0.9810118431238463 THEN 3 ELSE 4 END AS weight FROM u),
+        |a AS (SELECT lang, replicate, CAST(SUM(weight) AS BIGINT) AS n_eff FROM w GROUP BY lang, replicate),
+        |m AS (SELECT lang, COUNT(*) AS n_replicates,
+        |list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(n_eff AS DOUBLE) ORDER BY replicate)), (x, y) -> x + y) AS s1,
+        |list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(n_eff AS DOUBLE) * CAST(n_eff AS DOUBLE) ORDER BY replicate)), (x, y) -> x + y) AS s2
+        |FROM a GROUP BY lang),
+        |f AS (SELECT lang, n_replicates, s1 / CAST(n_replicates AS DOUBLE) AS mean_,
+        |sqrt(greatest((s2 - s1 * s1 / CAST(n_replicates AS DOUBLE)) / CAST(n_replicates - 1 AS DOUBLE), 0.0)) AS sd_ FROM m)
+        |SELECT lang, n_replicates,
+        |CAST(round(CAST(CAST(mean_ AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS mean_n_eff,
+        |CAST(round(CAST(CAST(sd_ AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS sd_n_eff,
+        |CAST(round(CAST(CAST(mean_ - 1.96 * sd_ AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS ci95_lo,
+        |CAST(round(CAST(CAST(mean_ + 1.96 * sd_ AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS ci95_hi
+        |FROM f""".stripMargin,
     // q144: the naive global ordered cumulative sum IS the oracle for
     // the two-phase bucketed prefix.
     "q144_token_budget" ->

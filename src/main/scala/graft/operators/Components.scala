@@ -99,6 +99,34 @@ object Components {
       .drop("__cc_id")
   }
 
+  /** [[canonicalize]] with a QUALITY policy: the kept doc per component
+    * is the argmax of `priorityCol` (ties -> smallest id) instead of the
+    * smallest id — production dedup keeps the BEST copy of duplicated
+    * content (highest quality score, longest extraction, newest crawl),
+    * not the incidentally-first one. The winner election is a
+    * partial-aggregatable max(struct(priority, -id)) per component, and
+    * the winner table (one row per component) crosses back as a
+    * broadcastable join — the corpus itself is never reshuffled beyond
+    * the same left join [[canonicalize]] already does. */
+  def canonicalizeBy(corpus: DataFrame, idCol: String, priorityCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxIter)
+      .withColumnRenamed("id", "__cc_id")
+    val labeled = corpus
+      .join(comp, corpus(idCol).cast("long") === col("__cc_id"), "left")
+      .withColumn("component",
+        coalesce(col("component"), corpus(idCol).cast("long")))
+      .drop("__cc_id")
+    val winners = labeled.groupBy(col("component"))
+      .agg(max(struct(col(priorityCol).as("p"),
+        (-col(idCol).cast("long")).as("nid"))).as("w"))
+      .select(col("component"), (-col("w.nid")).as("__keep_id"))
+    labeled.join(winners, "component")
+      .withColumn("kept", col(idCol).cast("long") === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
   /** [[connectedComponents]] plus the member count of each component —
     * the shape a dedup-keep-one pass consumes (component → representative
     * = min id, csize → cluster census). One extra shuffle on component.

@@ -1507,6 +1507,67 @@ object TrainingData {
       .agg(sum($"weight").as("n_eff"),
         sum($"weight" * $"n_chars").as("mass_eff"))
 
+  /** q155 — quality-aware dedup canonicalization ([[graft.operators
+    * .Components.canonicalizeBy]]): exact-dup clusters (planted 2- and
+    * 3-member copies) keep the member with the HIGHEST quality score
+    * (md5-derived stand-in for an upstream model score), ties by
+    * smallest id — the keep-best policy production dedup actually runs,
+    * vs the keep-first of q107/q129. Winner election is one
+    * max(struct) aggregate per component; the oracle replays the
+    * transitive closure as per-digest windows (star pairs within a
+    * digest group are connected, so component = min id of the group). */
+  def q155QualityCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val corpus = d
+      .unionByName(d.where($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      .unionByName(d.where($"doc_id" % 20 === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+    val withQ = corpus.select($"doc_id",
+      md5(lower(trim($"text"))).as("digest"),
+      conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+        .cast("long").as("quality"))
+    val dupGroups = withQ.groupBy($"digest")
+      .agg(min($"doc_id").as("id_a"), collect_list($"doc_id").as("ids"))
+      .where(size($"ids") > 1)
+    val pairs = dupGroups.select($"id_a", explode($"ids").as("id_b"))
+      .where($"id_a" =!= $"id_b")
+    graft.operators.Components.canonicalizeBy(
+        withQ, "doc_id", "quality", pairs, "id_a", "id_b")
+      .select($"doc_id", $"component", $"quality", $"kept")
+  }
+
+  /** q156 — bootstrap confidence intervals (the read-out of q154): per
+    * lang, mean and spread of the replicate doc counts, CI95 = mean +-
+    * 1.96 * sd (across-replicate sd IS the Poisson bootstrap's standard
+    * error). The moments fold replicate-ordered integer sums in a fixed
+    * order, so the doubles replay bit-identically cross-engine. */
+  def q156BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val reps = graft.operators.Bootstrap
+      .poissonReplicates(docs(spark, dir), "doc_id", replicates = 5)
+      .groupBy($"lang", $"replicate")
+      .agg(sum($"weight").as("n_eff"))
+    val m = reps.groupBy($"lang")
+      .agg(count(lit(1)).as("n_replicates"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(replicate, n_eff))),
+          |  s -> cast(s.n_eff as double)), cast(0.0 as double), (a, x) -> a + x)""".stripMargin)
+          .as("s1"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(replicate, n_eff))),
+          |  s -> cast(s.n_eff as double) * cast(s.n_eff as double)),
+          |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin).as("s2"))
+      .withColumn("mean_n_eff", $"s1" / $"n_replicates".cast("double"))
+      .withColumn("sd_n_eff",
+        // greatest(,0): float cancellation can leave an all-equal
+        // replicate set at -epsilon, and sqrt must not see it
+        sqrt(greatest(($"s2" - $"s1" * $"s1" / $"n_replicates".cast("double")) /
+          ($"n_replicates" - 1).cast("double"), lit(0.0d))))
+    m.select($"lang", $"n_replicates",
+      round($"mean_n_eff", 4).as("mean_n_eff"),
+      round($"sd_n_eff", 4).as("sd_n_eff"),
+      round($"mean_n_eff" - lit(1.96d) * $"sd_n_eff", 4).as("ci95_lo"),
+      round($"mean_n_eff" + lit(1.96d) * $"sd_n_eff", 4).as("ci95_hi"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

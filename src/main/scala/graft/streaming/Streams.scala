@@ -342,4 +342,19 @@ object Streams {
   def signalsFileStream(spark: SparkSession, path: String,
       schemaDdl: String): DataFrame =
     spark.readStream.schema(schemaDdl).parquet(path)
+
+  /** Streaming CDC chunk intake ([[graft.operators.Chunker]] made
+    * incremental): arriving docs explode into content-defined chunks —
+    * the chunker is a pure projection, so it runs on a stream unchanged —
+    * and `dropDuplicates` on the chunk digest keeps only chunks the
+    * stream has NOT stored yet, across micro-batches (state-store keyed
+    * by digest; CDC boundaries make re-crawled edits re-send only the
+    * edited chunk). Emits the store-this stream: (doc_id, chunk_idx,
+    * digest, chunk_tokens). */
+  def cdcChunkStream(arrivals: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", boundaryNibbles: Int = 2): DataFrame =
+    graft.operators.Chunker
+      .contentDefinedChunks(arrivals, idCol, textCol, boundaryNibbles)
+      .dropDuplicates("digest")
+      .select(col(idCol), col("chunk_idx"), col("digest"), col("chunk_tokens"))
 }

@@ -90,4 +90,21 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     assert(Seq(4L, 5L, 12L).forall(id => out(id) == ((id, true))))
     assert(out.values.count(_._2) == 9) // 12 docs - 3 dropped dups
   }
+
+  test("canonicalizeBy keeps the highest-priority member, ties by smallest id") {
+    import spark.implicits._
+    val corpus = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (10L, 1.0), (11L, 0.5),
+      (20L, 7.0)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Components.canonicalizeBy(corpus, "doc_id", "score", pairs, "a", "b")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Boolean]("kept")))).toMap
+    // cluster {1,2,3}: 2 and 3 tie on 9.0 -> 2 wins (smaller id), NOT min-id 1
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, true)) && out(3L) == ((1L, false)))
+    // cluster {10,11}: 10 wins on score
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
+    // singleton keeps itself regardless of score
+    assert(out(20L) == ((20L, true)))
+    assert(out.values.count(_._2) == 3)
+  }
 }

@@ -328,6 +328,36 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming CDC chunk intake stores each chunk digest once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = Streams.cdcChunkStream(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("cdcstream")
+      .outputMode("append").start()
+    try {
+      val base = (0 until 60).map(i => s"tok${i % 19} w${i % 11}").mkString(" ")
+      mem.addData((1L, base))
+      q.processAllAvailable()
+      val b1 = spark.table("cdcstream").collect()
+      val nChunks = graft.operators.Chunker
+        .contentDefinedChunks(Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text")
+        .count()
+      assert(b1.length.toLong == nChunks, "batch 1 stores every chunk once")
+      // batch 2: an exact re-crawl (nothing new) + a one-token edit
+      val edited = { val t = base.split(" ").toBuffer; t(60) = "EDITED"; t.mkString(" ") }
+      mem.addData((2L, base), (3L, edited))
+      q.processAllAvailable()
+      val b2 = spark.table("cdcstream").collect()
+      val newRows = b2.length - b1.length
+      // the re-crawl contributes 0; the edit re-sends only its own chunk(s)
+      assert(newRows >= 1 && newRows <= 3,
+        s"edit should re-store a bounded neighborhood, got $newRows new chunks")
+      assert(b2.map(_.getAs[String]("digest")).distinct.length == b2.length,
+        "no digest stored twice")
+    } finally q.stop()
+  }
+
   test("streaming SemDeDup matches batch drops for corpus-known near-dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
