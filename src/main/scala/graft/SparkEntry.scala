@@ -177,6 +177,10 @@ object SparkEntry {
     "q154_poisson_bootstrap" -> (D.q154PoissonBootstrap(_, _)),
     "q155_quality_canonical" -> (D.q155QualityCanonical(_, _)),
     "q156_bootstrap_ci"    -> (D.q156BootstrapCi(_, _)),
+    "q157_char_entropy"    -> (D.q157CharEntropy(_, _)),
+    "q158_sampling_plan"   -> (D.q158SamplingPlan(_, _)),
+    "q159_funnel"          -> (T.q159Funnel(_, _)),
+    "q160_retention"       -> (T.q160RetentionCohorts(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2074,6 +2078,66 @@ object SparkEntry {
         |CAST(round(CAST(CAST(mean_ - 1.96 * sd_ AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS ci95_lo,
         |CAST(round(CAST(CAST(mean_ + 1.96 * sd_ AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS ci95_hi
         |FROM f""".stripMargin,
+    // q157: entropy via ln(n) - (sum k ln k)/n, the sum folded in char
+    // order; the low flag compares the ROUNDED value on both engines.
+    "q157_char_entropy" ->
+      """WITH pl AS (SELECT doc_id, text ||
+        |CASE WHEN doc_id % 8 = 1 THEN ' ' || repeat('z', 400) ELSE '' END AS text FROM documents),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS k FROM
+        |(SELECT doc_id, unnest(string_split(text, '')) AS c FROM pl) GROUP BY doc_id, c),
+        |a AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n, COUNT(*) AS n_distinct_chars,
+        |list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)) ORDER BY c)), (x, y) -> x + y) AS s
+        |FROM cc GROUP BY doc_id),
+        |e AS (SELECT doc_id, n, n_distinct_chars,
+        |CAST(round(CAST(CAST((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) / ln(2.0) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS entropy_bits
+        |FROM a)
+        |SELECT doc_id, n, n_distinct_chars, entropy_bits, (entropy_bits < 3.0) AS low_entropy FROM e""".stripMargin,
+    // q158: q148's weight CTEs over sources; budget = (tot*3)//10 exact;
+    // keep-threshold replay via to_hex (uppercase in DuckDB -> lower()).
+    "q158_sampling_plan" ->
+      """WITH c AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot FROM c),
+        |s AS (SELECT source, mass, tot, sqrt(CAST(mass AS DOUBLE) / CAST(tot AS DOUBLE)) AS w_raw FROM c, t),
+        |nr AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w_raw ORDER BY source)), (a, x) -> a + x) AS norm FROM s),
+        |pl AS (SELECT source, mass,
+        |CAST(round(CAST(CAST(CAST((tot * 3) // 10 AS DOUBLE) * (w_raw / norm) AS VARCHAR) AS DECIMAL(38,20)), 0) AS BIGINT) AS alloc
+        |FROM s, nr),
+        |r AS (SELECT source, mass, alloc,
+        |least(CAST(1.0 AS DOUBLE), CAST(alloc AS DOUBLE) / CAST(mass AS DOUBLE)) AS rate FROM pl),
+        |th AS (SELECT source, rate, CAST(floor(rate * 256) AS INT) AS threshold FROM r),
+        |k AS (SELECT d.source AS source, COUNT(*) AS k_docs, CAST(SUM(d.n_chars) AS BIGINT) AS k_chars
+        |FROM documents d JOIN th ON d.source = th.source
+        |WHERE th.threshold >= 256 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < lower(right('00' || to_hex(th.threshold), 2))
+        |GROUP BY d.source),
+        |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT nd.source, nd.n_docs, COALESCE(k.k_docs, 0) AS n_kept, COALESCE(k.k_chars, 0) AS chars_kept,
+        |CAST(round(CAST(CAST(th.rate AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS target_rate,
+        |CAST(round(CAST(CAST(CAST(COALESCE(k.k_docs, 0) AS DOUBLE) / CAST(nd.n_docs AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS achieved_rate
+        |FROM nd JOIN th USING (source) LEFT JOIN k USING (source)""".stripMargin,
+    // q159: three chained first-after-previous-step min aggregates.
+    "q159_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN v ON e.user_id = v.user_id
+        |WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |AND epoch_ms(e.ts) - epoch_ms(v.t_view) <= 86400000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e JOIN c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |AND epoch_ms(e.ts) - epoch_ms(c.t_click) <= 86400000 GROUP BY e.user_id),
+        |n AS (SELECT (SELECT COUNT(*) FROM v) AS u_view,
+        |(SELECT COUNT(*) FROM c) AS u_click, (SELECT COUNT(*) FROM p) AS u_purchase)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS event_type, u_view AS users, CAST(NULL AS DOUBLE) AS conversion FROM n
+        |UNION ALL SELECT CAST(2 AS INT), 'click', u_click,
+        |CAST(round(CAST(CAST(CAST(u_click AS DOUBLE) / CAST(u_view AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) FROM n
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase', u_purchase,
+        |CAST(round(CAST(CAST(CAST(u_purchase AS DOUBLE) / CAST(u_click AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) FROM n""".stripMargin,
+    // q160: day-distinct activity joined to first-day cohorts.
+    "q160_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |ch AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT ch.cohort_day, CAST(date_diff('day', ch.cohort_day, ev.d) AS BIGINT) AS day_offset,
+        |COUNT(*) AS active_users
+        |FROM ev JOIN ch ON ev.user_id = ch.user_id
+        |GROUP BY ch.cohort_day, day_offset""".stripMargin,
     // q144: the naive global ordered cumulative sum IS the oracle for
     // the two-phase bucketed prefix.
     "q144_token_budget" ->

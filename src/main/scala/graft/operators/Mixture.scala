@@ -32,7 +32,22 @@ object Mixture {
     * the token allocation out of `budget`, and the up/down-sampling
     * `boost` = weight / p. */
   def temperatureWeights(df: DataFrame, stratumCol: String, sizeCol: String,
-      alpha: Double = 0.5, budget: Long = 1000000L): DataFrame = {
+      alpha: Double = 0.5, budget: Long = 1000000L): DataFrame =
+    weighted(df, stratumCol, sizeCol, alpha, lit(budget.toDouble))
+
+  /** [[temperatureWeights]] with the budget expressed as a RATIONAL
+    * fraction num/den of the corpus's own total mass (budget =
+    * (total * num) div den, exact integer arithmetic) — fully in-plan,
+    * so no driver-side pre-aggregation is needed to size the budget. */
+  def temperatureWeightsFraction(df: DataFrame, stratumCol: String,
+      sizeCol: String, alpha: Double, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0, s"fraction must be positive, got $num/$den")
+    weighted(df, stratumCol, sizeCol, alpha,
+      expr(s"(tot * $num) div $den").cast("double"))
+  }
+
+  private def weighted(df: DataFrame, stratumCol: String, sizeCol: String,
+      alpha: Double, budgetCol: Column): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     val census = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_rows"), sum(col(sizeCol)).cast("long").as("mass"))
@@ -55,7 +70,7 @@ object Mixture {
       .select(col(stratumCol), col("n_rows"), col("mass"),
         round(col("p"), 4).as("p"),
         round(col("weight"), 4).as("weight"),
-        round(lit(budget.toDouble) * col("weight"), 0).cast("long").as("alloc"),
+        round(budgetCol * col("weight"), 0).cast("long").as("alloc"),
         round(col("weight") / col("p"), 4).as("boost"))
   }
 }

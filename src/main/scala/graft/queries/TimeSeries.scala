@@ -220,4 +220,52 @@ object TimeSeries {
       sum($"value".cast("decimal(12,2)")).over(w).cast("double").as("sum_7d"),
       count(lit(1)).over(w).cast("long").as("n_7d"))
   }
+
+  /** q159 — windowed funnel (view -> click -> purchase, each step within
+    * ONE DAY of the previous — the attribution window that makes a
+    * funnel a funnel rather than "did the user ever..."): each step's
+    * timestamp is the user's FIRST qualifying event strictly inside the
+    * previous step's window — three (user)-keyed min-aggregates chained
+    * by equi-joins, no window function over the raw stream, so each
+    * stage shuffles only (user, ts) pairs. Output: one row per step with
+    * reach and conversion from the previous step. */
+  def q159Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val windowMs = 86400000L
+    def firstAfter(etype: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.where($"event_type" === etype)
+        .join(prev, "user_id")
+        .where($"ts" > col(prevTs) &&
+          unix_millis($"ts") - unix_millis(col(prevTs)) <= windowMs)
+        .groupBy($"user_id").agg(min($"ts").as(outTs))
+    val v = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = firstAfter("click", v, "t_view", "t_click")
+    val p = firstAfter("purchase", c.select($"user_id", $"t_click"), "t_click", "t_purchase")
+    val counts = v.agg(count(lit(1)).as("u_view"))
+      .crossJoin(c.agg(count(lit(1)).as("u_click")))
+      .crossJoin(p.agg(count(lit(1)).as("u_purchase")))
+    counts.select(expr(
+        """stack(3, 1, 'view', u_view, cast(null as bigint),
+          |         2, 'click', u_click, u_view,
+          |         3, 'purchase', u_purchase, u_click)
+          |as (step, event_type, users, prev_users)""".stripMargin))
+      .select($"step", $"event_type", $"users",
+        round($"users".cast("double") / $"prev_users".cast("double"), 4)
+          .as("conversion"))
+  }
+
+  /** q160 — retention cohort matrix: users grouped by their first active
+    * day; for every (cohort day, day offset) the number of cohort
+    * members active that day. Day-distinct activity first (one shuffle),
+    * then a (user)-keyed join against the cohort table — the offset
+    * census is bounded by days^2 however large the event stream. */
+  def q160RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select($"user_id", to_date($"ts").as("d"))
+    val cohort = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .groupBy($"cohort_day", datediff($"d", $"cohort_day").cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
 }

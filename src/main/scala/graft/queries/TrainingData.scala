@@ -1568,6 +1568,66 @@ object TrainingData {
       round($"mean_n_eff" + lit(1.96d) * $"sd_n_eff", 4).as("ci95_hi"))
   }
 
+  /** q157 — character-entropy quality signal (the compression-proxy
+    * filter: near-zero entropy = repetitive junk, ~max entropy = random
+    * noise; prose sits in between): per doc, Shannon entropy in bits of
+    * the character distribution. Every %8==1 doc gets a low-entropy run
+    * appended so the flag discriminates. The (doc, char)-keyed census is
+    * two uniform map-side-combined shuffles; the entropy itself uses the
+    * algebraic form ln(n) - (sum k*ln k)/n with the sum folded in char
+    * order — deterministic doubles, no per-row giant arrays. */
+  def q157CharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val pl = docs(spark, dir).select($"doc_id",
+      when($"doc_id" % 8 === 1,
+        concat($"text", lit(" "), expr("repeat('z', 400)")))
+        .otherwise($"text").as("text"))
+    val cc = pl.select($"doc_id", explode(split($"text", "")).as("c"))
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("k"))
+    cc.groupBy($"doc_id")
+      .agg(sum($"k").as("n"), count(lit(1)).as("n_distinct_chars"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(c, k))),
+          |  s -> cast(s.k as double) * ln(cast(s.k as double))),
+          |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin).as("s"))
+      .select($"doc_id", $"n", $"n_distinct_chars",
+        round((log($"n".cast("double")) - $"s" / $"n".cast("double")) /
+          log(lit(2.0d)), 4).as("entropy_bits"))
+      .withColumn("low_entropy", $"entropy_bits" < 3.0)
+  }
+
+  /** q158 — sampling-plan capstone: [[graft.operators.Mixture]] weights
+    * (alpha = 0.5) over SOURCES size a 30%-of-corpus budget (rational
+    * in-plan arithmetic — no driver pre-aggregation), each source's
+    * allocation becomes an md5-threshold keep-rate ([[graft.operators
+    * .Splits]] mechanics, capped at 1: upsampling is the boost factor's
+    * job, a filter cannot oversample), and the census reports target vs
+    * achieved rate per source. The plan table is 20 rows crossing back
+    * as a broadcast; the corpus is scanned once and never shuffled
+    * before the final census. */
+  def q158SamplingPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val w = graft.operators.Mixture.temperatureWeightsFraction(
+      d.select($"source", $"n_chars"), "source", "n_chars",
+      alpha = 0.5, num = 3, den = 10)
+    val plan = w.select($"source", $"mass", $"alloc",
+        least(lit(1.0d), $"alloc".cast("double") / $"mass".cast("double")).as("rate"))
+      .withColumn("threshold", floor($"rate" * 256).cast("int"))
+    val kept = d.join(broadcast(plan), "source")
+      .where($"threshold" >= 256 ||
+        substring(md5($"doc_id".cast("string")), 1, 2) <
+          lower(lpad(hex($"threshold"), 2, "0")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("k_docs"), sum($"n_chars").as("k_chars"))
+    d.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(plan.select($"source", $"rate"), "source")
+      .join(kept, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"k_docs", lit(0L)).as("n_kept"),
+        coalesce($"k_chars", lit(0L)).as("chars_kept"),
+        round($"rate", 4).as("target_rate"),
+        round(coalesce($"k_docs", lit(0L)).cast("double") /
+          $"n_docs".cast("double"), 4).as("achieved_rate"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

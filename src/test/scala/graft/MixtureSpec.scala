@@ -46,6 +46,17 @@ class MixtureSpec extends AnyFunSuite with SparkFixture {
     assert(out("hi") < 1.0, s"dominant stratum must shrink: $out")
   }
 
+  test("fraction budget equals the absolute budget it denotes") {
+    val total = 1000L // fixture mass
+    val abs = Mixture.temperatureWeights(fixture, "stratum", "sz",
+        alpha = 0.5, budget = total * 3 / 10)
+      .orderBy("stratum").collect().toSeq
+    val frac = Mixture.temperatureWeightsFraction(fixture, "stratum", "sz",
+        alpha = 0.5, num = 3, den = 10)
+      .orderBy("stratum").collect().toSeq
+    assert(abs == frac)
+  }
+
   test("result is independent of input partitioning (in-order normalizer fold)") {
     val a = Mixture.temperatureWeights(fixture.repartition(1), "stratum", "sz")
       .orderBy("stratum").collect().toSeq
