@@ -181,6 +181,7 @@ object SparkEntry {
     "q158_sampling_plan"   -> (D.q158SamplingPlan(_, _)),
     "q159_funnel"          -> (T.q159Funnel(_, _)),
     "q160_retention"       -> (T.q160RetentionCohorts(_, _)),
+    "q161_psi_drift"       -> (T.q161PsiDrift(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2130,6 +2131,24 @@ object SparkEntry {
         |CAST(round(CAST(CAST(CAST(u_click AS DOUBLE) / CAST(u_view AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) FROM n
         |UNION ALL SELECT CAST(3 AS INT), 'purchase', u_purchase,
         |CAST(round(CAST(CAST(CAST(u_purchase AS DOUBLE) / CAST(u_click AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) FROM n""".stripMargin,
+    // q161: equal-width global bins; month halves; smoothed PSI terms.
+    "q161_psi_drift" ->
+      """WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+        |bk AS (SELECT CASE WHEN day(ts) <= 15 THEN 'p1' ELSE 'p2' END AS period,
+        |least(9, CAST(floor((value - mn) / (mx - mn) * 10) AS BIGINT)) AS bucket FROM events, b),
+        |c AS (SELECT bucket,
+        |CAST(SUM(CASE WHEN period = 'p1' THEN 1 ELSE 0 END) AS BIGINT) AS n_p1,
+        |CAST(SUM(CASE WHEN period = 'p2' THEN 1 ELSE 0 END) AS BIGINT) AS n_p2
+        |FROM bk GROUP BY bucket),
+        |t AS (SELECT CAST(SUM(n_p1) AS BIGINT) AS t1, CAST(SUM(n_p2) AS BIGINT) AS t2 FROM c),
+        |x AS (SELECT bucket, n_p1, n_p2,
+        |CAST(n_p1 + 1 AS DOUBLE) / CAST(t1 + 10 AS DOUBLE) AS p,
+        |CAST(n_p2 + 1 AS DOUBLE) / CAST(t2 + 10 AS DOUBLE) AS q FROM c, t)
+        |SELECT bucket, n_p1, n_p2,
+        |CAST(round(CAST(CAST(p AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS p1_share,
+        |CAST(round(CAST(CAST(q AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS p2_share,
+        |CAST(round(CAST(CAST((p - q) * ln(p / q) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS psi_term
+        |FROM x""".stripMargin,
     // q160: day-distinct activity joined to first-day cohorts.
     "q160_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

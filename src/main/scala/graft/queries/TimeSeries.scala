@@ -255,6 +255,33 @@ object TimeSeries {
           .as("conversion"))
   }
 
+  /** q161 — population-stability drift monitor (PSI, the standard "did
+    * my feature distribution move between snapshots" score): event
+    * values bucket into 10 equal-width bins over the GLOBAL range, the
+    * month's two halves are compared, and each bin contributes
+    * (p - q) * ln(p / q) with +1/+10 Laplace smoothing (no empty-bin
+    * infinities). Everything after the one bucket-keyed census is
+    * 10-row arithmetic; the bounds cross as a broadcast scalar row.
+    * PSI > 0.2 on any feature is the classic retrain/investigate
+    * trigger; the fixture's uniform halves sit near 0. */
+  def q161PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select($"ts", $"value")
+    val bounds = ev.agg(min($"value").as("mn"), max($"value").as("mx"))
+    val bucketed = ev.crossJoin(broadcast(bounds))
+      .select(when(dayofmonth($"ts") <= 15, "p1").otherwise("p2").as("period"),
+        least(lit(9L), floor(($"value" - $"mn") / ($"mx" - $"mn") * 10)).as("bucket"))
+    val counts = bucketed.groupBy($"bucket")
+      .agg(sum(when($"period" === "p1", 1L).otherwise(0L)).as("n_p1"),
+        sum(when($"period" === "p2", 1L).otherwise(0L)).as("n_p2"))
+    val tot = counts.agg(sum($"n_p1").as("t1"), sum($"n_p2").as("t2"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", ($"n_p1" + 1).cast("double") / ($"t1" + 10).cast("double"))
+      .withColumn("q", ($"n_p2" + 1).cast("double") / ($"t2" + 10).cast("double"))
+      .select($"bucket", $"n_p1", $"n_p2",
+        round($"p", 6).as("p1_share"), round($"q", 6).as("p2_share"),
+        round(($"p" - $"q") * log($"p" / $"q"), 6).as("psi_term"))
+  }
+
   /** q160 — retention cohort matrix: users grouped by their first active
     * day; for every (cohort day, day offset) the number of cohort
     * members active that day. Day-distinct activity first (one shuffle),

@@ -284,4 +284,38 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // the model lookup runs through the binary-search kernel, not a map scan
     assert(p.contains("graft_sorted_lookup"), p.take(2000))
   }
+
+  test("q147: CDC census shuffles only digest-keyed aggregates — chunker in the scan projection") {
+    val p = physical("q147_cdc_chunks")
+    assert(p.contains("graft_cdc_chunks"), p.take(2000)) // one-pass kernel
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(1200))
+    // two keyed exchanges: (digest, width) census then width histogram
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(1500))
+  }
+
+  test("q151: novelty is ONE gram-keyed exchange plus the slice census — no ordered scan") {
+    val p = physical("q151_novelty_curve")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(1200))
+    assert("Exchange hashpartitioning\\(gram".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("q154: bootstrap weights are a pure projection — replicate census is the only shuffle") {
+    val p = physical("q154_poisson_bootstrap")
+    assert(!p.contains("Join"), p.take(1200)) // no RNG state, no join, no window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("q158: the 20-row sampling plan broadcasts; the corpus is filtered in place") {
+    val p = physical("q158_sampling_plan")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the corpus side is never hash-exchanged on doc_id
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p.take(1500))
+  }
+
+  test("q161: PSI bounds cross as a broadcast scalar; one bucket-keyed census") {
+    val p = physical("q161_psi_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(1200))
+  }
 }
