@@ -92,4 +92,20 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
     assert(moved > 0, "harness read zero — measurement broken")
     assert(moved < (2L << 20), s"corpus leaked into a shuffle: $moved bytes")
   }
+
+  test("q154 bootstrap replicates shuffle only the (lang, replicate) census") {
+    // weights are a pure projection (no RNG state, no join); the only
+    // exchange carries 25 partially-aggregated census rows per partition
+    val moved = shuffledBytes(SparkEntry.queries("q154_poisson_bootstrap")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    assert(moved < (1L << 20), s"replicate explosion leaked: $moved bytes")
+  }
+
+  test("q158 sampling plan shuffles only per-source censuses, never document text") {
+    // three (source)-keyed censuses of narrow rows; the 20-row plan
+    // broadcasts back and the text column never enters an exchange
+    val moved = shuffledBytes(SparkEntry.queries("q158_sampling_plan")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    assert(moved < (2L << 20), s"corpus leaked into a shuffle: $moved bytes")
+  }
 }
