@@ -118,13 +118,21 @@ object BenchScale {
       graft.operators.Winnow.sharedFingerprintCensus(c, "doc_id", "text",
         k = 4, w = 8).where(col("n_shared_fp") > 0)
 
+    // q147 shape: CDC chunk dedup census. The char permutation changes
+    // token md5s, so each copy draws fresh boundaries — the width-census
+    // output stays O(widths) rows while the chunker and the digest
+    // census do N x the work, which is exactly what the ratio measures.
+    def cdc(c: DataFrame): DataFrame =
+      graft.operators.Chunker.chunkDedupCensus(c, "doc_id", "text")
+
     val shapes: Seq[(String, Int => DataFrame)] = Seq(
       "minhash" -> (n => minhash(corpusAt(n))),
       "incremental" -> (n => incremental(corpusAt(n))),
       "components" -> (n => components(corpusAt(n))),
       "spans" -> (n => spans(corpusAt(n))),
       "semdedup" -> (semdedup(_)),
-      "winnow" -> (n => winnow(corpusAt(n))))
+      "winnow" -> (n => winnow(corpusAt(n))),
+      "cdc" -> (n => cdc(corpusAt(n))))
     val out = shapes.flatMap { case (name, fn) =>
       val (t1, n1) = timed(fn(1))
       val (tN, nN) = timed(fn(copies))
