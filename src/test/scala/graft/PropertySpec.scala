@@ -138,4 +138,72 @@ class PropertySpec extends AnyFunSuite {
       assert((score >= 1) == flags.exists(identity)) // is_premium_signal
     }
   }
+
+  private val tokenSeqGen: Gen[List[String]] = for {
+    n <- Gen.choose(1, 120)
+    toks <- Gen.listOfN(n, Gen.oneOf(
+      (0 until 23).map(i => s"tok$i") ++ Seq("a", "zz", "q9")))
+  } yield toks
+
+  private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  private def arrSeq(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+
+  test("cdc chunker: chunks reassemble exactly; an edit touches a bounded neighborhood") {
+    forAll(tokenSeqGen, cases = 200) { toks =>
+      val text = toks.mkString(" ")
+      val chunks = arrSeq(graft.functions.FastHash.cdcChunksValue(utf8(text), 2))
+      assert(chunks.mkString(" ") == text.toLowerCase, "lossless reassembly")
+      assert(chunks.forall(_.nonEmpty))
+      // locality: mutate one token -> all but <= 2 original chunks survive
+      if (toks.length > 1) {
+        val idx = toks.length / 2
+        val edited = toks.updated(idx, "MUTANT").mkString(" ")
+        val after = arrSeq(graft.functions.FastHash.cdcChunksValue(utf8(edited), 2))
+        val common = chunks.toSet intersect after.toSet
+        assert(common.size >= chunks.toSet.size - 2,
+          s"edit invalidated ${chunks.toSet.size - common.size} chunks")
+      }
+    }
+  }
+
+  test("winnowing: selection is sorted-distinct gram md5s, bounded by window count") {
+    val k = 4; val w = 8
+    forAll(tokenSeqGen, cases = 200) { toks =>
+      val text = toks.mkString(" ")
+      val fps = arrSeq(graft.functions.FastHash.winnowFpsValue(utf8(text), k, w))
+      val nGrams = math.max(toks.length - k + 1, 0)
+      if (nGrams == 0) assert(fps.isEmpty)
+      else {
+        assert(fps == fps.sorted && fps.distinct == fps)
+        assert(fps.nonEmpty && fps.size <= math.max(nGrams - w, 0) + 1)
+        // every fingerprint is the md5 of some gram of this doc
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val gramMd5s = (0 to toks.length - k).map { i =>
+          md.reset()
+          md.digest(toks.slice(i, i + k).mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }.toSet
+        assert(fps.forall(gramMd5s.contains))
+      }
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
+    val k = 4; val w = 8
+    val gen = for {
+      a <- tokenSeqGen
+      b <- tokenSeqGen
+      shared <- Gen.listOfN(w + k - 1, Gen.oneOf(
+        (0 until 11).map(i => s"sh$i")))
+    } yield (a, b, shared)
+    forAll(gen, cases = 150) { case (a, b, shared) =>
+      val d1 = (a ++ shared).mkString(" ")
+      val d2 = (shared ++ b).mkString(" ")
+      val f1 = arrSeq(graft.functions.FastHash.winnowFpsValue(utf8(d1), k, w)).toSet
+      val f2 = arrSeq(graft.functions.FastHash.winnowFpsValue(utf8(d2), k, w)).toSet
+      assert((f1 intersect f2).nonEmpty,
+        s"guarantee violated for shared run '${shared.mkString(" ")}'")
+    }
+  }
 }
