@@ -104,10 +104,12 @@ object Components {
     * smallest id — production dedup keeps the BEST copy of duplicated
     * content (highest quality score, longest extraction, newest crawl),
     * not the incidentally-first one. The winner election is a
-    * partial-aggregatable max(struct(priority, -id)) per component, and
-    * the winner table (one row per component) crosses back as a
-    * broadcastable join — the corpus itself is never reshuffled beyond
-    * the same left join [[canonicalize]] already does. */
+    * partial-aggregatable max(struct(priority, -id)) — run ONLY over
+    * docs that appear in a pair, so the winner table is one row per
+    * DUPLICATE component (sized like the pair graph, not the corpus)
+    * and crosses back as a broadcastable left join; singletons are kept
+    * by default and the corpus is never reshuffled beyond the same left
+    * join [[canonicalize]] already does. */
   def canonicalizeBy(corpus: DataFrame, idCol: String, priorityCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
@@ -117,14 +119,17 @@ object Components {
       .join(comp, corpus(idCol).cast("long") === col("__cc_id"), "left")
       .withColumn("component",
         coalesce(col("component"), corpus(idCol).cast("long")))
+      .withColumn("__in_graph", col("__cc_id").isNotNull)
       .drop("__cc_id")
-    val winners = labeled.groupBy(col("component"))
+    val winners = labeled.where(col("__in_graph"))
+      .groupBy(col("component"))
       .agg(max(struct(col(priorityCol).as("p"),
         (-col(idCol).cast("long")).as("nid"))).as("w"))
       .select(col("component"), (-col("w.nid")).as("__keep_id"))
-    labeled.join(winners, "component")
-      .withColumn("kept", col(idCol).cast("long") === col("__keep_id"))
-      .drop("__keep_id")
+    labeled.join(winners, Seq("component"), "left")
+      .withColumn("kept",
+        coalesce(col(idCol).cast("long") === col("__keep_id"), lit(true)))
+      .drop("__keep_id", "__in_graph")
   }
 
   /** [[connectedComponents]] plus the member count of each component —

@@ -349,8 +349,11 @@ object Streams {
     * and `dropDuplicates` on the chunk digest keeps only chunks the
     * stream has NOT stored yet, across micro-batches (state-store keyed
     * by digest; CDC boundaries make re-crawled edits re-send only the
-    * edited chunk). Emits the store-this stream: (doc_id, chunk_idx,
-    * digest, chunk_tokens). */
+    * edited chunk). The digest state grows with the distinct-chunk count
+    * — that is the contract of EXACT global dedup storage; bound it with
+    * `withWatermark` + `dropDuplicatesWithinWatermark` upstream when
+    * only a recency window must dedup. Emits the store-this stream:
+    * (doc_id, chunk_idx, digest, chunk_tokens). */
   def cdcChunkStream(arrivals: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", boundaryNibbles: Int = 2): DataFrame =
     graft.operators.Chunker
