@@ -36,14 +36,16 @@ object Freshness {
     require(n >= 1 && sliceSize >= 1, s"n=$n sliceSize=$sliceSize")
     val grams = df.select(col(idCol).cast("long").as("doc_id"),
       explode(graft.functions.FastHash.shingles(col(textCol), n)).as("gram"))
+    // integer `div`, not floor(double division): ids past 2^53 (synthetic
+    // id-shift spaces at full scale) would round in the double path
     val perGram = grams
       .groupBy(col("gram"))
       .agg(min(col("doc_id")).as("first_doc"),
-        collect_set(floor(col("doc_id") / sliceSize)).as("slices"))
+        collect_set(expr(s"doc_id div $sliceSize")).as("slices"))
     perGram.select(col("first_doc"), explode(col("slices")).as("slice"))
       .groupBy(col("slice"))
       .agg(count(lit(1)).as("grams_seen"),
-        sum(when(floor(col("first_doc") / sliceSize) === col("slice"), 1L)
+        sum(when(expr(s"first_doc div $sliceSize") === col("slice"), 1L)
           .otherwise(0L)).as("grams_novel"))
       .withColumn("novelty_rate",
         round(col("grams_novel").cast("double") /
