@@ -182,6 +182,7 @@ object SparkEntry {
     "q159_funnel"          -> (T.q159Funnel(_, _)),
     "q160_retention"       -> (T.q160RetentionCohorts(_, _)),
     "q161_psi_drift"       -> (T.q161PsiDrift(_, _)),
+    "q162_mask_repeated"   -> (D.q162MaskRepeated(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2149,6 +2150,23 @@ object SparkEntry {
         |CAST(round(CAST(CAST(q AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS p2_share,
         |CAST(round(CAST(CAST((p - q) * ln(p / q) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS psi_term
         |FROM x""".stripMargin,
+    // q162: the cover array replays with positional list ops — rep flag
+    // per gram (seen earlier in the doc), token kept iff no covering
+    // repeated gram occurrence.
+    "q162_mask_repeated" ->
+      """WITH pl AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN text || ' ' || text ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM pl),
+        |g AS (SELECT doc_id, toks, list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams FROM t),
+        |r AS (SELECT doc_id, toks, grams, list_transform(range(1, len(grams) + 1),
+        |i -> CASE WHEN list_contains(list_slice(grams, 1, CAST(i - 1 AS INT)), grams[CAST(i AS INT)]) THEN 1 ELSE 0 END) AS rep FROM g),
+        |k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |array_to_string(list_filter(toks, (x, j) ->
+        |list_aggregate(list_concat([0], list_slice(rep, greatest(j - 2, 1), least(j, len(rep)))), 'max') = 0), ' ') AS kept_text
+        |FROM r)
+        |SELECT doc_id, n_tok,
+        |n_tok - CAST(len(string_split(kept_text, ' ')) AS BIGINT) AS n_masked,
+        |md5(kept_text) AS kept_md5 FROM k""".stripMargin,
     // q160: day-distinct activity joined to first-day cohorts.
     "q160_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -300,6 +300,47 @@ object FastHash {
     new GenericArrayData(out)
   }
 
+  /** Within-doc repetition MASKING — the removal mate of
+    * [[repetitionValue]]'s ratio (the Gopher rule flags a doc; this
+    * repairs it): every n-gram occurrence whose gram already appeared
+    * EARLIER in the same doc marks its n covered tokens; covered tokens
+    * drop and the survivors re-join with single spaces. One pass, one
+    * boolean cover array; docs shorter than n tokens pass through
+    * normalized (lower/trim/ws-split, the pipeline convention). */
+  def maskRepeatedValue(text: UTF8String, n: Int): UTF8String = {
+    val toks = tokens(text)
+    if (toks.length < n)
+      return UTF8String.fromString(toks.mkString(" "))
+    val seen = new java.util.HashSet[String]()
+    val covered = new Array[Boolean](toks.length)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      if (!seen.add(sb.toString)) {
+        var c = i
+        while (c < i + n) { covered(c) = true; c += 1 }
+      }
+      i += 1
+    }
+    sb.setLength(0)
+    i = 0
+    while (i < toks.length) {
+      if (!covered(i)) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(toks(i))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Column API. */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashSigExpr(GraftShim.expression(text), n, k))
@@ -328,6 +369,9 @@ object FastHash {
 
   def winnowFps(text: Column, k: Int, w: Int): Column =
     GraftShim.column(WinnowFpsExpr(GraftShim.expression(text), k, w))
+
+  def maskRepeated(text: Column, n: Int): Column =
+    GraftShim.column(MaskRepeatedExpr(GraftShim.expression(text), n))
 
   def bloomProbe(key: Column,
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
@@ -534,5 +578,22 @@ case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
       c => s"graft.functions.FastHash.winnowFpsValue($c, $k, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
+/** text -> text with later occurrences of repeated within-doc n-grams
+  * masked out (normalized tokens, single-space joined). */
+case class MaskRepeatedExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_mask_repeated"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.maskRepeatedValue(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.maskRepeatedValue($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): MaskRepeatedExpr =
     copy(child = newChild)
 }

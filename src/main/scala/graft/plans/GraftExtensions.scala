@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Round}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{CdcChunksExpr, CosineExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SortedLookupExpr, SrpBucketExpr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CosineExpr, MaskRepeatedExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SortedLookupExpr, SrpBucketExpr, WinnowFpsExpr}
 
 /** Catalyst integration (SURVEY §4 custom work item 2): the engine's
   * codegen'd expressions registered as SQL functions, plus a small
@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFpsExpr].getName, "graft_winnow_fps"),
       (args: Seq[Expression]) => WinnowFpsExpr(args.head,
         intArg(args(1), "gram k"), intArg(args(2), "window w"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_mask_repeated"),
+      new ExpressionInfo(classOf[MaskRepeatedExpr].getName, "graft_mask_repeated"),
+      (args: Seq[Expression]) => MaskRepeatedExpr(args.head,
+        intArg(args(1), "ngram n"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_sorted_lookup"),
       new ExpressionInfo(classOf[SortedLookupExpr].getName, "graft_sorted_lookup"),

@@ -1628,6 +1628,30 @@ object TrainingData {
           $"n_docs".cast("double"), 4).as("achieved_rate"))
   }
 
+  /** q162 — within-doc repetition masking ([[graft.functions.FastHash
+    * .maskRepeatedValue]]), the REPAIR step for docs the q100 Gopher
+    * repetition rule flags: later occurrences of any repeated 3-gram
+    * drop (their covered tokens vanish), first occurrences survive —
+    * completing the mask family (within-doc here, cross-doc q119,
+    * test-set leaks q142). Every 9th doc is planted doubled, so the
+    * operator measurably fires; clean docs pass through normalized but
+    * token-identical. Pure projection — zero shuffles before the
+    * output. DuckDB replays the cover array with positional list ops. */
+  def q162MaskRepeated(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select($"doc_id",
+      when($"doc_id" % 9 === 0, concat($"text", lit(" "), $"text"))
+        .otherwise($"text").as("text"))
+    planted.select($"doc_id",
+        size(split(lower(trim($"text")), "\\s+")).cast("long").as("n_tok"),
+        graft.functions.FastHash.maskRepeated($"text", 3).as("kept_text"))
+      // token 1 can never be covered (position-1 grams have no earlier
+      // twin), so kept_text is empty only for empty input — the plain
+      // split-count difference is exact everywhere
+      .select($"doc_id", $"n_tok",
+        ($"n_tok" - size(split($"kept_text", " ")).cast("long")).as("n_masked"),
+        md5($"kept_text").as("kept_md5"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -189,6 +189,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mask-repeated: doubling inverts exactly; kept is a subsequence; fixed cases") {
+    def mask(s: String, n: Int) =
+      graft.functions.FastHash.maskRepeatedValue(utf8(s), n).toString
+    // a doubled doc with no internal repeats masks back to one copy
+    assert(mask("a b c d a b c d", 3) == "a b c d")
+    // overlapping self-repetition collapses to the first token
+    assert(mask("a a a a a", 3) == "a")
+    // no repeats -> identity (normalized)
+    assert(mask("The  quick Brown fox", 3) == "the quick brown fox")
+    // shorter than n -> normalized pass-through
+    assert(mask("just two", 3) == "just two")
+    forAll(tokenSeqGen, cases = 200) { toks =>
+      val kept = mask(toks.mkString(" "), 3).split(" ").toSeq
+      // kept tokens are a subsequence of the input tokens
+      var i = 0
+      kept.foreach { t =>
+        val j = toks.indexOf(t, i)
+        assert(j >= 0, s"'$t' out of order in $toks")
+        i = j + 1
+      }
+      // token 1 always survives
+      assert(kept.head == toks.head)
+      // a doc with all-distinct grams never masks
+      val grams = toks.sliding(3).map(_.mkString(" ")).toSeq
+      if (toks.length >= 3 && grams.distinct == grams)
+        assert(kept == toks)
+    }
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     val k = 4; val w = 8
     val gen = for {
