@@ -183,6 +183,7 @@ object SparkEntry {
     "q160_retention"       -> (T.q160RetentionCohorts(_, _)),
     "q161_psi_drift"       -> (T.q161PsiDrift(_, _)),
     "q162_mask_repeated"   -> (D.q162MaskRepeated(_, _)),
+    "q163_bpe_pairs"       -> (D.q163BpePairs(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2167,6 +2168,15 @@ object SparkEntry {
         |SELECT doc_id, n_tok,
         |n_tok - CAST(len(string_split(kept_text, ' ')) AS BIGINT) AS n_masked,
         |md5(kept_text) AS kept_md5 FROM k""".stripMargin,
+    // q163: adjacent within-word char pairs, top-20 by (count DESC, pair).
+    "q163_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |FROM w WHERE length(w) >= 2),
+        |c AS (SELECT pair, COUNT(*) AS c FROM p GROUP BY pair),
+        |r AS (SELECT pair, c, row_number() OVER (ORDER BY c DESC, pair) AS rk FROM c)
+        |SELECT CAST(rk AS BIGINT) AS rank, pair, CAST(c AS BIGINT) AS n_occurrences
+        |FROM r WHERE rk <= 20""".stripMargin,
     // q160: day-distinct activity joined to first-day cohorts.
     "q160_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -1652,6 +1652,27 @@ object TrainingData {
         md5($"kept_text").as("kept_md5"))
   }
 
+  /** q163 — BPE merge-pair census (the inner loop of tokenizer
+    * training, distributed): the top-20 adjacent within-word character
+    * pairs by corpus frequency — exactly the statistic a BPE trainer
+    * computes to pick its next merge. Pairs ride the q150 bounded
+    * [[graft.operators.TopK.topKStrPerGroup]] path (single group), so
+    * only k-row summaries survive the pair census shuffle; ranks replay
+    * as row_number over (count DESC, pair ASC). */
+  def q163BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("w"))
+    // single-char words first: sequence(1, 0) counts DOWN (the Spans
+    // guard), so they must never reach the transform
+    val pairs = words.where(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("c"))
+    graft.operators.TopK
+      .topKStrPerGroup(pairs.withColumn("g", lit("all")), "g", "pair", "c", k = 20)
+      .select($"rank", $"pair", $"c".cast("long").as("n_occurrences"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

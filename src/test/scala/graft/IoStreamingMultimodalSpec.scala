@@ -328,6 +328,26 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("corrupt files in a scan directory skip cleanly under ignoreCorruptFiles") {
+    import spark.implicits._
+    // the 100 TB ops reality: one truncated/garbage part file must not
+    // kill a million-file scan when the job opts into skipping it
+    val dir = Files.createTempDirectory("graft-corrupt").toFile.getAbsolutePath
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-garbage.parquet"),
+      "this is not parquet".getBytes("UTF-8"))
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      val rows = spark.read.schema("id BIGINT, v STRING").parquet(dir).collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
   test("streaming CDC chunk intake stores each chunk digest once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
