@@ -184,6 +184,8 @@ object SparkEntry {
     "q161_psi_drift"       -> (T.q161PsiDrift(_, _)),
     "q162_mask_repeated"   -> (D.q162MaskRepeated(_, _)),
     "q163_bpe_pairs"       -> (D.q163BpePairs(_, _)),
+    "q164_ppl_buckets"     -> (D.q164PerplexityBuckets(_, _)),
+    "q165_leakfree_split"  -> (D.q165LeakFreeSplit(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2168,6 +2170,50 @@ object SparkEntry {
         |SELECT doc_id, n_tok,
         |n_tok - CAST(len(string_split(kept_text, ' ')) AS BIGINT) AS n_masked,
         |md5(kept_text) AS kept_md5 FROM k""".stripMargin,
+    // q164: q139's score CTEs, then NTILE(3) over the rounded scores
+    // with doc_id tie-break; min/max are order-insensitive on doubles.
+    "q164_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |uc AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |ut AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM uc),
+        |bc0 AS (SELECT bg, COUNT(*) AS c FROM (SELECT unnest(list_transform(range(1, len(toks)),
+        |i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS bg FROM t WHERE len(toks) > 1) GROUP BY bg),
+        |bc AS (SELECT bg, c FROM bc0 ORDER BY c DESC, bg LIMIT 300),
+        |tp0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |j -> struct_pack(pos := j, w1 := toks[CAST(j AS INT)], w2 := toks[CAST(j + 1 AS INT)]))) AS u
+        |FROM t WHERE len(toks) > 1),
+        |tp AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM tp0),
+        |lp AS (SELECT tp.doc_id, tp.pos,
+        |CASE WHEN bc.c IS NOT NULL THEN -ln(bc.c / CAST(COALESCE(u1.c, 1) AS DOUBLE))
+        |ELSE -ln(COALESCE(u2.c, 1) / ut.n_total) + ln(CAST(10 AS DOUBLE)) END AS l
+        |FROM tp LEFT JOIN bc ON (tp.w1 || ' ' || tp.w2) = bc.bg
+        |LEFT JOIN uc u1 ON tp.w1 = u1.w
+        |LEFT JOIN uc u2 ON tp.w2 = u2.w, ut),
+        |lists AS (SELECT doc_id, list(l ORDER BY pos) AS ls FROM lp GROUP BY doc_id),
+        |sc AS (SELECT t.doc_id,
+        |CAST(round(CAST(CAST(list_reduce(ls, (a, b) -> a + b) / (len(t.toks) - 1) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS nll
+        |FROM t JOIN lists USING (doc_id) WHERE len(t.toks) > 1),
+        |bkt AS (SELECT d.lang AS lang, sc.nll, NTILE(3) OVER (ORDER BY sc.nll, sc.doc_id) AS bucket
+        |FROM sc JOIN documents d USING (doc_id))
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        |CAST(round(CAST(CAST(MIN(nll) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS nll_min,
+        |CAST(round(CAST(CAST(MAX(nll) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS nll_max
+        |FROM bkt GROUP BY lang, bucket""".stripMargin,
+    // q165: digest-window closure (q155 precedent) + md5-prefix split
+    // thresholds on the COMPONENT id (0.8 -> 'cc', 0.9 -> 'e6').
+    "q165_leakfree_split" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        |g AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS component FROM corpus),
+        |s AS (SELECT doc_id, component,
+        |CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |ELSE 'test' END AS split FROM g),
+        |lk AS (SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked
+        |FROM (SELECT component, COUNT(DISTINCT split) AS ns FROM s GROUP BY component))
+        |SELECT s.split, COUNT(*) AS n_docs,
+        |CAST(COUNT(DISTINCT s.component) AS BIGINT) AS n_components, lk.leaked
+        |FROM s, lk GROUP BY s.split, lk.leaked""".stripMargin,
     // q163: adjacent within-word char pairs, top-20 by (count DESC, pair).
     "q163_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),

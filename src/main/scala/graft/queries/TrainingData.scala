@@ -1673,6 +1673,60 @@ object TrainingData {
       .select($"rank", $"pair", $"c".cast("long").as("n_occurrences"))
   }
 
+  /** q164 — perplexity-bucketed corpus partition (the CCNet
+    * head/middle/tail move): q139's bigram-LM scores split the corpus
+    * into terciles by NTILE over the total (score, doc_id) order, and
+    * the census reports per (lang, bucket) doc counts with the exact
+    * score range (min/max are order-insensitive on doubles — no
+    * averaged-double hash risk). The global ntile sorts only the
+    * narrow score table (q24's precedent); at full scale the q105
+    * two-phase bucketed pattern replaces the single window. */
+  def q164PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = q139BigramLm(spark, dir).select($"doc_id", $"mean_nll_bi")
+    val lang = docs(spark, dir).select($"doc_id", $"lang")
+    val w = Window.orderBy($"mean_nll_bi", $"doc_id")
+    scored.where($"mean_nll_bi".isNotNull) // engines order NULLs differently
+      .join(lang, "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min($"mean_nll_bi"), 4).as("nll_min"),
+        round(max($"mean_nll_bi"), 4).as("nll_max"))
+  }
+
+  /** q165 — leakage-free train/val/test split (the near-dup-aware carve
+    * an eval pipeline MUST run: splitting doc-wise puts one copy of a
+    * duplicate in train and its twin in test — memorization leaks):
+    * dup components (q155's fixture and closure) are assigned WHOLE to
+    * splits by hashing the COMPONENT id through [[graft.operators
+    * .Splits.hashSplit]], so a cluster can never straddle; the census
+    * counts docs and components per split and replays the md5-prefix
+    * thresholds cross-engine. `leaked` (components seen in >1 split)
+    * is structurally 0 — the column is the audit a reviewer greps. */
+  def q165LeakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val corpus = d.unionByName(d.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    val withDigest = corpus.select($"doc_id", md5(lower(trim($"text"))).as("digest"))
+    val dupGroups = withDigest.groupBy($"digest")
+      .agg(min($"doc_id").as("id_a"), collect_list($"doc_id").as("ids"))
+      .where(size($"ids") > 1)
+    val pairs = dupGroups.select($"id_a", explode($"ids").as("id_b"))
+      .where($"id_a" =!= $"id_b")
+    val labeled = graft.operators.Components.canonicalize(
+        withDigest.select($"doc_id"), "doc_id", pairs, "id_a", "id_b")
+      .select($"doc_id", $"component")
+    val split = graft.operators.Splits.hashSplit(
+      labeled, "component", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val leaks = split.groupBy($"component")
+      .agg(countDistinct($"split").as("n_splits"))
+      .agg(sum(when($"n_splits" > 1, 1L).otherwise(0L)).as("leaked"))
+    split.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"component").as("n_components"))
+      .crossJoin(broadcast(leaks))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
