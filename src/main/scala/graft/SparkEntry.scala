@@ -186,6 +186,7 @@ object SparkEntry {
     "q163_bpe_pairs"       -> (D.q163BpePairs(_, _)),
     "q164_ppl_buckets"     -> (D.q164PerplexityBuckets(_, _)),
     "q165_leakfree_split"  -> (D.q165LeakFreeSplit(_, _)),
+    "q166_image_phash"     -> (D.q166ImagePhashDedup(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2201,6 +2202,31 @@ object SparkEntry {
         |FROM bkt GROUP BY lang, bucket""".stripMargin,
     // q165: digest-window closure (q155 precedent) + md5-prefix split
     // thresholds on the COMPONENT id (0.8 -> 'cc', 0.9 -> 'e6').
+    // q166: the oracle replays decode → 8x8 block-mean aHash → bands →
+    // EXHAUSTIVE Hamming pairs from the closed-form pixel grid; the
+    // fixture's band-0-confined, sum-preserving perturbation makes the
+    // banded operator equal the exhaustive set (see q166ImagePhashDedup).
+    "q166_image_phash" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120 AND doc_id % 29 <> 3),
+        |px AS (SELECT doc_id, x, y,
+        |(t*t + t) % 256 AS v FROM (SELECT doc_id, x, y,
+        |((doc_id % 40)*7919 + (CASE WHEN doc_id >= 80 AND y < 2 AND x < 4
+        |  THEN (CASE WHEN x < 2 THEN x + 2 ELSE x - 2 END) ELSE x END)*104729 + y*130363) % 9973 AS t
+        |FROM ids, range(16) t1(x), range(16) t2(y))),
+        |blk AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by, SUM(v) // 4 AS g
+        |FROM px GROUP BY doc_id, bx, by),
+        |tot AS (SELECT doc_id, SUM(g) AS s FROM blk GROUP BY doc_id),
+        |bits AS (SELECT blk.doc_id, by*8 + bx AS bit,
+        |CASE WHEN g*64 > tot.s THEN 1 ELSE 0 END AS b
+        |FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+        |bands AS (SELECT doc_id, bit // 16 AS band,
+        |CAST(SUM(b * (1 << (bit % 16))) AS BIGINT) AS h
+        |FROM bits GROUP BY doc_id, band),
+        |ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(SUM(bit_count(xor(a.h, b.h))) AS INT) AS hamming
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 10""".stripMargin,
     "q165_leakfree_split" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),

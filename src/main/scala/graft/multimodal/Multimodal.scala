@@ -148,6 +148,41 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic GRAY PNG for perceptual-hash fixtures (q166): pixel
+    * (x, y) has r = g = b = `(t*t + t) mod 256` where
+    * `t = (seed*7919 + x*104729 + y*130363) mod 9973` — the squaring
+    * makes the texture hash-like (a smooth gradient would leave different
+    * seeds only a few aHash bits apart; with this formula distinct seeds
+    * sit ~32/64 bits apart, far outside any sane threshold). With
+    * `swapCorner` the top-left 4×2 strip swaps its two 2-wide column
+    * halves — a perturbation that PRESERVES the total pixel sum (so the
+    * aHash mean is unchanged) and is confined to aHash blocks (0,0) and
+    * (1,0), i.e. bits 0 and 1 of band 0: the resulting near-duplicate
+    * differs from its original by Hamming 0 or 2, always colliding on
+    * bands 1–3, which makes banded-LSH recall on the fixture EXACT and
+    * the q166 oracle a true equality, not an approximation. */
+  def syntheticGrayPng(seed: Long, w: Int, h: Int, swapCorner: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val sx =
+          if (swapCorner && y < 2 && x < 4) { if (x < 2) x + 2 else x - 2 }
+          else x
+        val t = java.lang.Math.floorMod(seed * 7919 + sx * 104729L + y * 130363L, 9973)
+        val v = java.lang.Math.floorMod(t * t + t, 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Real resize through the same JDK surface (`java.awt.Graphics2D`
     * bilinear): decode, scale to (w, h), re-encode PNG. Corrupt/null
     * payloads pass through as null. The Spark shape matches

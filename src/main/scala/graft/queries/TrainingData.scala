@@ -1727,6 +1727,39 @@ object TrainingData {
       .crossJoin(broadcast(leaks))
   }
 
+  /** q166 — perceptual-hash image near-dup ([[graft.multimodal.ImageDedup]]):
+    * REAL PNG decode → 8×8 block-mean aHash → 4×16-bit bands → bucket
+    * self-join → exact Hamming verify. Fixture: 120 deterministic 16×16
+    * gray PNGs in 40 groups of 3 (original / exact copy / sum-preserving
+    * corner-swap near-dup — see [[graft.multimodal.Multimodal
+    * .syntheticGrayPng]]); every doc_id % 29 == 3 payload is corrupt raw
+    * text, pinning null-band drop inside the dedup path. The perturbation
+    * is confined to band 0 and preserves the hash mean, so every
+    * within-threshold pair collides on bands 1–3 and the banded pipeline
+    * EQUALS the exhaustive Hamming-pair set the oracle computes from the
+    * closed-form pixel grid (q117's lossless-PNG trick, extended from
+    * decode stats to the whole dedup pipeline). */
+  def q166ImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = docs(spark, dir).where($"doc_id" < 120).select($"doc_id", $"text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val withImg = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 29 == 3) r.getString(1).getBytes("UTF-8") // corrupt blob
+          else graft.multimodal.Multimodal.syntheticGrayPng(
+            id % 40, 16, 16, swapCorner = id >= 80)
+        Row(id, payload)
+      }
+    }(enc)
+    graft.multimodal.ImageDedup.nearDupPairs(
+      withImg, "doc_id", "payload", maxHamming = 10)
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
