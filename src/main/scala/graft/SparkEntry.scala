@@ -187,6 +187,7 @@ object SparkEntry {
     "q164_ppl_buckets"     -> (D.q164PerplexityBuckets(_, _)),
     "q165_leakfree_split"  -> (D.q165LeakFreeSplit(_, _)),
     "q166_image_phash"     -> (D.q166ImagePhashDedup(_, _)),
+    "q167_sessionize"      -> (T.q167Sessionize(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2202,6 +2203,21 @@ object SparkEntry {
         |FROM bkt GROUP BY lang, bucket""".stripMargin,
     // q165: digest-window closure (q155 precedent) + md5-prefix split
     // thresholds on the COMPONENT id (0.8 -> 'cc', 0.9 -> 'e6').
+    // q167: lag/cumsum gaps-and-islands replay; decimal session sums.
+    "q167_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |f AS (SELECT user_id, event_id, ms, value,
+        |CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |THEN 1 ELSE 0 END AS ns
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT user_id, ms, value,
+        |SUM(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        | ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+        |COUNT(*) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+        |MAX(ms) - MIN(ms) AS duration_ms,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // q166: the oracle replays decode → 8x8 block-mean aHash → bands →
     // EXHAUSTIVE Hamming pairs from the closed-form pixel grid; the
     // fixture's band-0-confined, sum-preserving perturbation makes the

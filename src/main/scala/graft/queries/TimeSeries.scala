@@ -282,6 +282,35 @@ object TimeSeries {
         round(($"p" - $"q") * log($"p" / $"q"), 6).as("psi_term"))
   }
 
+  /** q167 — gap-timeout sessionization (the clickstream islands every
+    * analytics engine ships as a primitive): a user's events split into
+    * sessions wherever the gap to the previous event exceeds 30 minutes.
+    * Classic gaps-and-islands — lag flags session starts, a running sum
+    * numbers them, one census per (user, session). Both windows partition
+    * by user_id (never global), so the shuffle is one hash exchange on
+    * user and scale is bounded by the hottest user, not the stream; a
+    * pathological single-user firehose would salt by day first. Sums of
+    * the double `value` column ride decimal(12,2) so the session total is
+    * addition-order-independent cross-engine (q115 precedent). Streaming
+    * twin: [[graft.streaming.Streams.sessionize]] (event-time state,
+    * parity-spec'd against this query). */
+  def q167Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val gapMs = 1800000L
+    events(spark, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"value")
+      .withColumn("new_s",
+        when(lag($"ms", 1).over(w).isNull ||
+          $"ms" - lag($"ms", 1).over(w) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum($"new_s").over(run))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ms").as("start_ms"), max($"ms").as("end_ms"),
+        (max($"ms") - min($"ms")).as("duration_ms"),
+        sum($"value".cast("decimal(12,2)")).cast("double").as("sum_value"))
+  }
+
   /** q160 — retention cohort matrix: users grouped by their first active
     * day; for every (cohort day, day offset) the number of cohort
     * members active that day. Day-distinct activity first (one shuffle),

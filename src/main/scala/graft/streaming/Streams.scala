@@ -50,43 +50,60 @@ object Streams {
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
       n_events: Int, sum_value: Double)
 
-  /** Gap-based sessionization (q37's 1-hour rule) as explicit managed
-    * state: a session closes when no event arrives within `gapMs` of the
-    * last one (processing-time timeout drives emission). */
-  def sessionize(events: Dataset[Evt], gapMs: Long = 3600000L): Dataset[SessionOut] = {
+  /** Gap-based sessionization (q167's 30-minute rule; q37's 1-hour rule
+    * is the same operator with a different gap) as explicit managed
+    * state, EVENT-time semantics: a session closes when a later event
+    * arrives past the gap, or when the WATERMARK passes (last + gap) —
+    * `EventTimeTimeout`, not processing time, so results are a pure
+    * function of the data (replayable, spec-checkable against the batch
+    * gaps-and-islands) and an idle engine never spins empty batches just
+    * to poll wall-clock timers. State is one (start, last, n, sum) tuple
+    * per ACTIVE user — bounded by concurrent users, not stream length.
+    *
+    * `events` needs columns (user_id long, ts timestamp, value double);
+    * `watermarkDelay` is the out-of-orderness bound. Emits in append
+    * mode. */
+  def sessionize(events: DataFrame, gapMs: Long = 1800000L,
+      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
-      .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, Option[SessionOut]](
-        GroupStateTimeout.ProcessingTimeTimeout) {
-        (user: Long, evts: Iterator[Evt], state: GroupState[SessionState]) =>
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evts: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Some(SessionOut(user, s.start, s.last, s.n, s.sum))
+            Iterator(SessionOut(user, s.start, s.last, s.n, s.sum))
           } else {
-            val sorted = evts.toSeq.sortBy(_.ts_ms)
+            val sorted = evts.map(e => (e._2.getTime, e._3)).toSeq.sortBy(_._1)
             var cur = state.getOption
-            var closed: Option[SessionOut] = None
-            sorted.foreach { e =>
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { case (ms, v) =>
               cur match {
-                case Some(s) if e.ts_ms - s.last <= gapMs =>
-                  cur = Some(s.copy(last = e.ts_ms, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) if ms - s.last <= gapMs =>
+                  cur = Some(s.copy(last = ms, n = s.n + 1, sum = s.sum + v))
                 case Some(s) =>
-                  closed = Some(SessionOut(user, s.start, s.last, s.n, s.sum))
-                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+                  closed += SessionOut(user, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(ms, ms, 1, v))
                 case None =>
-                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+                  cur = Some(SessionState(ms, ms, 1, v))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // timeout must sit at/after the current watermark — a
+              // session already older than the watermark fires next batch
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
             }
-            closed
+            closed.iterator
           }
       }
-      .flatMap(_.iterator)
   }
 
   case class TradeBar(trade_id: Long, t: Long, h: Double, l: Double, c: Double,

@@ -138,6 +138,54 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming sessionize matches batch gaps-and-islands (q167 twin, event-time)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 1800000L
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .where($"user_id" < 6)
+      .select($"user_id", (col("ts").cast("long") / 1000000L).cast("long").as("ms"),
+        $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e._2, e._1))
+    assert(ev.length > 20)
+    // the batch query IS the expected value: event-time close + a
+    // watermark flush makes the stream emit every session the islands
+    // query produces. Compare on (user, start, end, n) — double session
+    // sums fold in stream arrival order, which equal-ms ties make
+    // nondeterministic across shuffles.
+    val expected = graft.queries.TimeSeries
+      .q167Sessionize(spark, "/root/testdata/sf0.001")
+      .where($"user_id" < 6)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2)))
+      .toSet
+    assert(expected.size > 10)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = Streams.sessionize(
+      mem.toDF().toDF("user_id", "ts", "value"), gapMs)
+    val q = out.writeStream.format("memory").queryName("sess_q167")
+      .outputMode("append").start()
+    try {
+      // two micro-batches split by time: sessions spanning the split must
+      // continue from state, not restart
+      val cut = ev(ev.length / 2)._2
+      def toRow(e: (Long, Long, Double)) =
+        (e._1, new java.sql.Timestamp(e._2), e._3)
+      mem.addData(ev.filter(_._2 <= cut).map(toRow).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(ev.filter(_._2 > cut).map(toRow).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // watermark-advancing sentinel: flushes every open session through
+      // the EventTimeTimeout path (the sentinel's own session stays open)
+      mem.addData((9999L, new java.sql.Timestamp(ev.map(_._2).max + 10L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_q167").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong))
+        .filter(_._1 != 9999L).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed signal keys (P14 incremental)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

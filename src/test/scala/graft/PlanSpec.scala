@@ -189,6 +189,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("Exchange SinglePartition".r.findAllIn(p).isEmpty, p.take(1200))
   }
 
+  test("q166: image hash pairs join on band buckets, never all-pairs") {
+    val p = physical("q166_image_phash")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q167: sessionize windows partition by user — no global window, no single-partition exchange") {
+    val p = physical("q167_sessionize")
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("user_id")),
+      windowLines.mkString("\n"))
+    assert("Exchange SinglePartition".r.findAllIn(p).isEmpty, p.take(1200))
+  }
+
   test("q119: span masking plans hash aggregates, no span-text window") {
     val p = physical("q119_span_mask")
     // keep-first = min(struct) aggregation, NOT a window partitioned by
