@@ -188,6 +188,7 @@ object SparkEntry {
     "q165_leakfree_split"  -> (D.q165LeakFreeSplit(_, _)),
     "q166_image_phash"     -> (D.q166ImagePhashDedup(_, _)),
     "q167_sessionize"      -> (T.q167Sessionize(_, _)),
+    "q168_scd2_history"    -> (R.q168Scd2History(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2203,6 +2204,22 @@ object SparkEntry {
         |FROM bkt GROUP BY lang, bucket""".stripMargin,
     // q165: digest-window closure (q155 precedent) + md5-prefix split
     // thresholds on the COMPONENT id (0.8 -> 'cc', 0.9 -> 'e6').
+    // q168: double row_number islands + per-key lead close the ranges.
+    "q168_scd2_history" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus,
+        |CAST(o_orderdate AS DATE) AS obs_date, o_orderkey FROM orders),
+        |i AS (SELECT o_custkey, o_orderstatus, obs_date,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY obs_date, o_orderkey) AS rn,
+        |row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        | ORDER BY obs_date, o_orderkey) AS rng FROM o),
+        |r AS (SELECT o_custkey, o_orderstatus, rn - rng AS island,
+        |MIN(obs_date) AS valid_from, MAX(obs_date) AS last_seen,
+        |COUNT(*) AS n_rows, MIN(rn) AS ord
+        |FROM i GROUP BY o_custkey, o_orderstatus, island)
+        |SELECT o_custkey, o_orderstatus, valid_from, last_seen, n_rows,
+        |lead(valid_from) OVER w AS valid_to,
+        |(lead(valid_from) OVER w IS NULL) AS is_current
+        |FROM r WINDOW w AS (PARTITION BY o_custkey ORDER BY ord)""".stripMargin,
     // q167: lag/cumsum gaps-and-islands replay; decimal session sums.
     "q167_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),

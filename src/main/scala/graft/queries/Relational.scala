@@ -348,4 +348,20 @@ object Relational {
     graft.operators.Sketches.approxQuantiles(
       Tables.lineitem(spark, dir), "l_quantity", Seq("l_returnflag"),
       Seq(0.25, 0.5, 0.75, 0.95), accuracy = 10000000)
+
+  /** q168 — SCD type-2 history build ([[graft.operators.Scd
+    * .type2History]]): each customer's order-status observations
+    * collapse into validity ranges — the history-preserving upgrade of
+    * the reference's truncate-load snapshot cadence (S14). Ranges open
+    * at their first observation and close at the NEXT range's start
+    * (half-open [valid_from, valid_to)); the per-key lead leaves the
+    * current range open with `is_current` set. Dates, counts, and the
+    * (o_orderdate, o_orderkey) tie-break replay exactly in SQL. */
+  def q168Scd2History(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd.type2History(
+      Tables.orders(spark, dir).select(
+        $"o_custkey", $"o_orderstatus",
+        $"o_orderdate".cast("date").as("obs_date"), $"o_orderkey"),
+      keyCol = "o_custkey", attrCol = "o_orderstatus",
+      orderCol = "obs_date", tieBreakCol = "o_orderkey")
 }
