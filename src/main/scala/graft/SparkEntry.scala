@@ -189,6 +189,7 @@ object SparkEntry {
     "q166_image_phash"     -> (D.q166ImagePhashDedup(_, _)),
     "q167_sessionize"      -> (T.q167Sessionize(_, _)),
     "q168_scd2_history"    -> (R.q168Scd2History(_, _)),
+    "q169_pagerank"        -> (R.q169PageRank(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2204,6 +2205,35 @@ object SparkEntry {
         |FROM bkt GROUP BY lang, bucket""".stripMargin,
     // q165: digest-window closure (q155 precedent) + md5-prefix split
     // thresholds on the COMPONENT id (0.8 -> 'cc', 0.9 -> 'e6').
+    // q169: 8 unrolled PageRank rounds; list_reduce over src-ordered
+    // contribution lists replays the operator's ordered-fold contract
+    // bit-for-bit (no tolerance; see Graph.pageRank determinism note).
+    "q169_pagerank" -> {
+      val base =
+        """WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          |edges AS (SELECT c AS src, 1000000 + s AS dst FROM pairs
+          |UNION ALL SELECT 1000000 + s, c FROM pairs),
+          |outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |nn AS (SELECT COUNT(*) AS nn FROM nodes),
+          |p0 AS (SELECT node, 1.0 / nn.nn AS pr FROM nodes CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to 8).map { i =>
+        s"""s$i AS (SELECT e.dst AS node,
+           |list_reduce(list(p.pr / d.od ORDER BY e.src), (a, b) -> a + b) AS in_mass
+           |FROM edges e JOIN p${i - 1} p ON e.src = p.node
+           |JOIN outdeg d ON e.src = d.src GROUP BY e.dst),
+           |p$i AS (SELECT n.node,
+           |(1.0 - 0.85) / nn.nn + 0.85 * COALESCE(s$i.in_mass, 0.0) AS pr
+           |FROM nodes n CROSS JOIN nn LEFT JOIN s$i ON n.node = s$i.node)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        """
+          |SELECT node,
+          |CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
+          |round(CAST(CAST(pr AS VARCHAR) AS DECIMAL(38,20)), 10) AS pagerank
+          |FROM p8""".stripMargin
+    },
     // q168: double row_number islands + per-key lead close the ranges.
     "q168_scd2_history" ->
       """WITH o AS (SELECT o_custkey, o_orderstatus,

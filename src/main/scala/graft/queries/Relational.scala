@@ -364,4 +364,26 @@ object Relational {
         $"o_orderdate".cast("date").as("obs_date"), $"o_orderkey"),
       keyCol = "o_custkey", attrCol = "o_orderstatus",
       orderCol = "obs_date", tieBreakCol = "o_orderkey")
+
+  /** q169 — link-graph centrality ([[graft.operators.Graph.pageRank]]):
+    * customers and suppliers who traded (distinct pairs via
+    * orders⋈lineitem) form a bidirectional digraph (supplier nodes
+    * offset by 10^6 to disambiguate the key spaces); 8 damped rounds.
+    * Bidirectional edges mean no dangling nodes, so the simple
+    * no-redistribution rule is exact. The ordered-fold determinism
+    * contract makes all 8 rounds bit-identical to the oracle's unrolled
+    * CTE replay; output rounds to 10dp only to absorb nothing — it is a
+    * hash-stability belt (BigDecimal repr semantics mirrored in SQL). */
+  def q169PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s")).distinct()
+    val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
+      .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
+    graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 8)
+      .select($"node",
+        when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
+        round($"pr", 10).as("pagerank"))
+  }
 }
