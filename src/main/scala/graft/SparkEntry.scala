@@ -190,6 +190,8 @@ object SparkEntry {
     "q167_sessionize"      -> (T.q167Sessionize(_, _)),
     "q168_scd2_history"    -> (R.q168Scd2History(_, _)),
     "q169_pagerank"        -> (R.q169PageRank(_, _)),
+    "q170_cms_counts"      -> (D.q170CmsCounts(_, _)),
+    "q171_priority_sample" -> (D.q171PrioritySample(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2331,6 +2333,38 @@ object SparkEntry {
         |FROM t)
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(cum AS BIGINT) AS cum_tokens
         |FROM c WHERE cum <= 15000""".stripMargin,
+    // q170: the oracle rebuilds the WHOLE 4x512 Count-Min sketch from
+    // exact token counts — md5-derived cells, integer sums, integer min —
+    // so the estimates (including genuine collisions) replay bit-for-bit.
+    "q170_cms_counts" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+        |cells AS (SELECT tok, i,
+        |CAST(('0x' || substr(md5(tok || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS cell
+        |FROM toks, range(4) r(i)),
+        |sketch AS (SELECT i, cell, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY i, cell),
+        |probes AS (SELECT DISTINCT tok FROM toks WHERE doc_id < 3),
+        |pc AS (SELECT p.tok, r.i,
+        |CAST(('0x' || substr(md5(p.tok || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS cell
+        |FROM probes p, range(4) r(i)),
+        |est AS (SELECT pc.tok, MIN(COALESCE(s.c, 0)) AS cms_count
+        |FROM pc LEFT JOIN sketch s ON pc.i = s.i AND pc.cell = s.cell GROUP BY pc.tok),
+        |ex AS (SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS true_count
+        |FROM toks t JOIN probes USING (tok) GROUP BY t.tok)
+        |SELECT est.tok, est.cms_count, ex.true_count,
+        |est.cms_count - ex.true_count AS overcount
+        |FROM est JOIN ex ON est.tok = ex.tok""".stripMargin,
+    // q171: priority-sampling order replays as ROW_NUMBER over (u/w,
+    // doc_id) — u is a 48-bit md5 prefix (exact in a double), u/w one
+    // IEEE division, so both engines sort the identical key.
+    "q171_priority_sample" ->
+      """WITH r AS (SELECT doc_id, n_chars, source,
+        |CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS DOUBLE)
+        | / CAST(n_chars AS DOUBLE) AS key
+        |FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |w AS (SELECT doc_id, n_chars, source,
+        |ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM r)
+        |SELECT CAST(rnk AS BIGINT) AS "rank", doc_id, n_chars, source
+        |FROM w WHERE rnk <= 30""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

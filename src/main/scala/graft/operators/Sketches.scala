@@ -32,4 +32,48 @@ object Sketches {
       rsd: Double = 0.05): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(approx_count_distinct(col(keyCol), rsd).as("approx_distinct"))
+
+  /** Count-Min sketch build: `depth` independent hash rows of `width`
+    * cells each. One declarative pass — each item contributes `depth`
+    * (row, cell) increments, partial-aggregated map-side, so the only
+    * shuffle is the d*w cell census (fixed size, independent of corpus
+    * rows: the 100 TB frequency-estimation path when the key space is
+    * too large for an exact groupBy to be affordable).
+    *
+    * Unlike the GK/HLL sketches above, this one IS cross-engine
+    * replayable: cells are md5-derived (`row i` cell = first 8 hex chars
+    * of md5(key ":" i) mod width), every cell value is an exact integer
+    * sum, and the estimate is an integer min — no platform-dependent
+    * hashing, so a DuckDB oracle reproduces the sketch bit-for-bit. */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"depth=$depth width=$width")
+    val cells = (0 until depth).map { i =>
+      struct(lit(i).as("row"),
+        (conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$i"))), 1, 8), 16, 10)
+          .cast("long") % width).as("cell"))
+    }
+    df.select(explode(array(cells: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates from a [[cmsBuild]] sketch: for each probe key, the
+    * min over the sketch's `depth` rows of that key's cell value — the
+    * classic one-sided CMS bound (estimate >= true count, equality when
+    * some row has no colliding key). The sketch is d*w rows, so it
+    * broadcasts; probes never shuffle. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val cells = (0 until depth).map { i =>
+      struct(lit(i).as("row"),
+        (conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$i"))), 1, 8), 16, 10)
+          .cast("long") % width).as("cell"))
+    }
+    probes.select(col(keyCol), explode(array(cells: _*)).as("rc"))
+      .select(col(keyCol), col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy(col(keyCol))
+      // a missing cell means nothing hashed there: count 0
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_count"))
+  }
 }

@@ -60,4 +60,37 @@ object Splits {
       }
     df.where(keep)
   }
+
+  /** Deterministic weight-proportional sampling WITHOUT replacement —
+    * priority sampling (Duffield–Lund–Thorup): each row draws a uniform
+    * u from its id's 48-bit md5 prefix and gets priority weight/u; the
+    * k highest-priority rows are the sample. Heavier rows draw
+    * proportionally higher priorities, and once picked a row can't
+    * repeat — the "sample 30 docs by character mass" move a mixture
+    * builder runs. Same purity contract as [[hashSplit]]: rerun-,
+    * partition- and engine-stable (u is exact in a double, and
+    * u/weight is ONE correctly-rounded IEEE division, so another
+    * engine orders identically — no libm transcendentals involved).
+    *
+    * Rides the bounded [[TopK]] aggregate: only k-row partial summaries
+    * shuffle, never the corpus (the O6 scale path: a 100 TB corpus
+    * produces one k-row heap per partition).
+    * Output: (rank 1..k, id, weight). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    // smallest u/weight == largest priority; TopK ranks by value DESC,
+    // ties by id ASC, so negate the key
+    val ranked = df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(lit("all").as("g"), col(idCol), col(weightCol),
+        negate(conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+          .cast("double") / col(weightCol).cast("double")).as("nk"))
+    val top = TopK.topKPerGroup(ranked, "g", idCol, "nk", k)
+    // re-attach the weight by broadcasting the k winners against the
+    // corpus scan (the k-row side must never force a corpus shuffle)
+    df.select(col(idCol), col(weightCol))
+      .join(broadcast(top.select(col("rank"), col(idCol))), Seq(idCol))
+      .select(col("rank"), col(idCol), col(weightCol))
+  }
 }

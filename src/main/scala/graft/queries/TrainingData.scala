@@ -1760,6 +1760,48 @@ object TrainingData {
       withImg, "doc_id", "payload", maxHamming = 10)
   }
 
+  /** q170 — Count-Min sketch frequency estimation ([[graft.operators
+    * .Sketches.cmsBuild]]/`cmsEstimate`): token counts through a 4x512
+    * sketch, probed for every distinct token of the first three docs,
+    * with the exact count joined alongside (over-estimation is the
+    * sketch's one-sided contract: cms_count >= true count, and at
+    * width 512 on a ~4k-token vocabulary real collisions occur, so the
+    * `over` column is genuinely non-zero — the oracle replays the full
+    * sketch, not just the happy path). Scale shape: the corpus-side
+    * shuffle is the d*w cell census (fixed size, map-side combined);
+    * probes join the broadcast sketch. The exact count here is the
+    * evaluation harness, not part of the operator. */
+  def q170CmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+    val sketch = graft.operators.Sketches.cmsBuild(toks, "tok", depth = 4, width = 512)
+    val probes = toks.where($"doc_id" < 3).select($"tok").distinct()
+    val exact = toks.join(broadcast(probes), Seq("tok"), "left_semi")
+      .groupBy($"tok").agg(count(lit(1)).as("true_count"))
+    graft.operators.Sketches.cmsEstimate(sketch, probes, "tok", depth = 4, width = 512)
+      .join(exact, Seq("tok"))
+      .select($"tok", $"cms_count", $"true_count",
+        ($"cms_count" - $"true_count").as("overcount"))
+  }
+
+  /** q171 — weight-proportional sampling without replacement
+    * ([[graft.operators.Splits.prioritySample]], Duffield–Lund–Thorup
+    * priority sampling): 30 docs drawn with probability ~ character
+    * mass, deterministically (u = 48-bit md5 prefix, priority =
+    * n_chars/u, top-k by priority) — the "sample a few hundred docs by
+    * token mass for eval" carve. Joined back to source for a visible
+    * skew check: heavy sources should dominate the sample. Bounded
+    * TopK shuffle + broadcast re-attach; the oracle replays the
+    * ordering as ROW_NUMBER over (u/w, doc_id) — exact because u/w is
+    * a single IEEE division on both engines. */
+  def q171PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"n_chars", $"source")
+    val sample = graft.operators.Splits.prioritySample(d, "doc_id", "n_chars", k = 30)
+    d.select($"doc_id", $"source")
+      .join(broadcast(sample), Seq("doc_id")) // 30 winners broadcast, corpus scans
+      .select($"rank", $"doc_id", $"n_chars", $"source")
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

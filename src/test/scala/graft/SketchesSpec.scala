@@ -46,4 +46,33 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(a - e).toDouble / e < 3 * rsd, s"$k: approx $a exact $e")
     }
   }
+
+  test("CMS estimates are one-sided and exact at saturating width") {
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val probes = toks.where(col("doc_id") < 5).select("tok").distinct()
+    val exact = toks.join(broadcast(probes), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // narrow sketch: every estimate >= truth (one-sided error contract)
+    val narrow = Sketches.cmsBuild(toks, "tok", depth = 4, width = 64)
+    Sketches.cmsEstimate(narrow, probes, "tok", depth = 4, width = 64)
+      .collect().foreach { r =>
+        val (t, est) = (r.getString(0), r.getLong(1))
+        assert(est >= exact(t), s"$t: CMS $est < exact ${exact(t)}")
+      }
+
+    // sketch rows never exceed depth * width regardless of vocabulary
+    assert(narrow.count() <= 4L * 64, "sketch size must be d*w-bounded")
+
+    // saturating width (>> vocab^2 collision scale on this fixture per
+    // row via 4 independent rows): estimates collapse to exact counts
+    val wide = Sketches.cmsBuild(toks, "tok", depth = 4, width = 1 << 20)
+    Sketches.cmsEstimate(wide, probes, "tok", depth = 4, width = 1 << 20)
+      .collect().foreach { r =>
+        assert(r.getLong(1) == exact(r.getString(0)),
+          s"${r.getString(0)}: saturated CMS ${r.getLong(1)} != exact")
+      }
+  }
 }

@@ -74,4 +74,38 @@ class SplitsSpec extends AnyFunSuite with SparkFixture {
       Splits.hashSplit(df, "id", Seq(("a", 0.5), ("b", 0.6)))
     }
   }
+
+  test("prioritySample: equals the brute-force key order, biased to weight") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // weights 1 vs 100: the heavy half must dominate the sample
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) 1L else 100L))
+      .toDF("id", "w")
+    val out = Splits.prioritySample(df, "id", "w", k = 50)
+    val ids = out.select("id").collect().map(_.getLong(0))
+    assert(ids.length == 50 && ids.distinct.length == 50, "without replacement")
+
+    // exact agreement with the brute-force global-sort formulation
+    val key = org.apache.spark.sql.functions.conv(
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5($"id".cast("string")), 1, 12), 16, 10)
+      .cast("double") / $"w".cast("double")
+    val brute = df.withColumn("rnk",
+        org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy(key, $"id")))
+      .where($"rnk" <= 50)
+      .collect().map(r => r.getAs[Long]("rnk") -> r.getAs[Long]("id")).toMap
+    val got = out.collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("id")).toMap
+    assert(got == brute, "bounded TopK path must equal the window replay")
+
+    // weight-proportionality: heavy ids (odd) should be the large majority
+    val heavy = ids.count(_ % 2 == 1)
+    assert(heavy >= 45, s"expected heavy-weight dominance, got $heavy/50")
+
+    // rerun- and partition-stability
+    val again = Splits.prioritySample(df.repartition(7), "id", "w", k = 50)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(ids.sorted))
+  }
 }
