@@ -192,6 +192,8 @@ object SparkEntry {
     "q169_pagerank"        -> (R.q169PageRank(_, _)),
     "q170_cms_counts"      -> (D.q170CmsCounts(_, _)),
     "q171_priority_sample" -> (D.q171PrioritySample(_, _)),
+    "q172_dim_standardize" -> (D.q172DimStandardize(_, _)),
+    "q173_script_census"   -> (D.q173ScriptCensus(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2365,6 +2367,57 @@ object SparkEntry {
         |ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM r)
         |SELECT CAST(rnk AS BIGINT) AS "rank", doc_id, n_chars, source
         |FROM w WHERE rnk <= 30""".stripMargin,
+    // q172: q135's quantization CTEs feed integer moment sums; mean/sd
+    // replay in the same expression shape (correctly-rounded ops only),
+    // outlier threshold compares unrounded doubles on both engines.
+    "q172_dim_standardize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dx AS (SELECT unnest(list_transform(range(1, len(v) + 1), i -> struct_pack(d := i, x := v[CAST(i AS INT)]))) AS u FROM e),
+        |dims AS (SELECT u.d AS d, MIN(u.x) AS lo, MAX(u.x) AS hi FROM dx GROUP BY u.d),
+        |rg AS (SELECT list(struct_pack(lo := lo, hi := hi) ORDER BY d) AS rng FROM dims),
+        |q AS (SELECT e.vec_id, list_transform(range(1, len(e.v) + 1), i ->
+        |CASE WHEN rng[CAST(i AS INT)].hi = rng[CAST(i AS INT)].lo THEN 0
+        |ELSE CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+        | floor((v[CAST(i AS INT)] - rng[CAST(i AS INT)].lo) / (rng[CAST(i AS INT)].hi - rng[CAST(i AS INT)].lo) * CAST(256 AS DOUBLE)))) AS INT) END) AS codes
+        |FROM e, rg),
+        |cells AS (SELECT u.d AS d, u.c AS c FROM (SELECT unnest(list_transform(range(1, len(codes) + 1),
+        |i -> struct_pack(d := i - 1, c := codes[CAST(i AS INT)]))) AS u FROM q)),
+        |st AS (SELECT d, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+        |CAST(SUM(CAST(c AS BIGINT) * CAST(c AS BIGINT)) AS BIGINT) AS ss FROM cells GROUP BY d),
+        |m AS (SELECT d, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        | - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), CAST(0.0 AS DOUBLE))) AS sd
+        |FROM st),
+        |o AS (SELECT cells.d AS d, CAST(SUM(CASE WHEN abs(CAST(c AS DOUBLE) - mean) > CAST(3.0 AS DOUBLE) * sd THEN 1 ELSE 0 END) AS BIGINT) AS n_out3
+        |FROM cells JOIN m USING (d) GROUP BY cells.d)
+        |SELECT CAST(m.d AS BIGINT) AS d, CAST(m.n AS BIGINT) AS n,
+        |CAST(round(CAST(CAST(m.mean AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS code_mean,
+        |CAST(round(CAST(CAST(m.sd AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS code_sd,
+        |o.n_out3
+        |FROM m JOIN o USING (d)""".stripMargin,
+    // q173: RE2 spells the script classes \p{Latin}/... (Java: IsLatin);
+    // counts via strip-and-measure; same planted suffixes, precedence
+    // CASE, integer sums.
+    "q173_script_census" ->
+      """WITH p0 AS (SELECT doc_id, lang, CASE WHEN doc_id % 13 = 0 THEN repeat('机器学习模型训练数据 ', 5) ELSE text END AS text FROM documents),
+        |p1 AS (SELECT doc_id, lang, CASE WHEN doc_id % 5 = 0 THEN text || ' 机器学习模型训练数据' ELSE text END AS text FROM p0),
+        |p2 AS (SELECT doc_id, lang, CASE WHEN doc_id % 7 = 0 THEN text || ' обучение модель данные' ELSE text END AS text FROM p1),
+        |p3 AS (SELECT doc_id, lang, CASE WHEN doc_id % 11 = 0 THEN text || ' تدريب نموذج بيانات' ELSE text END AS text FROM p2),
+        |c AS (SELECT lang,
+        |CAST(length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS lat,
+        |CAST(length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT) AS cyr,
+        |CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS BIGINT) AS han,
+        |CAST(length(regexp_replace(text, '[^\p{Arabic}]', '', 'g')) AS BIGINT) AS ara,
+        |CAST(length(text) AS BIGINT) AS total FROM p3),
+        |d AS (SELECT *, CASE
+        |WHEN lat >= cyr AND lat >= han AND lat >= ara THEN 'latin'
+        |WHEN cyr >= han AND cyr >= ara THEN 'cyrillic'
+        |WHEN han >= ara THEN 'han' ELSE 'arabic' END AS dominant FROM c)
+        |SELECT lang, dominant, COUNT(*) AS n_docs,
+        |CAST(SUM(lat) AS BIGINT) AS latin_chars, CAST(SUM(cyr) AS BIGINT) AS cyrillic_chars,
+        |CAST(SUM(han) AS BIGINT) AS han_chars, CAST(SUM(ara) AS BIGINT) AS arabic_chars,
+        |CAST(SUM(total - lat - cyr - han - ara) AS BIGINT) AS other_chars
+        |FROM d GROUP BY lang, dominant""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -1802,6 +1802,83 @@ object TrainingData {
       .select($"rank", $"doc_id", $"n_chars", $"source")
   }
 
+  /** q172 — per-dimension feature standardization census (the whitening
+    * prep / feature-drift readout an embedding pipeline runs before
+    * indexing): [[graft.operators.Similarity.quantizeInt8]] codes make
+    * every per-dim sum an exact BIGINT (the q149 integer-Gram insight:
+    * associativity removes float order-sensitivity at any cluster
+    * size), then mean/sd come from the integer moments in one fixed
+    * expression shape, and each dim reports its 3-sigma outlier count
+    * (|code - mean| > 3sd on correctly-rounded doubles — comparison
+    * inputs are identical cross-engine, no transcendentals). Scale:
+    * posexploded (dim, code) pairs map-side-combine into 64-row
+    * partials twice; the stats table broadcasts. */
+  def q172DimStandardize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val codes = graft.operators.Similarity.quantizeInt8(emb, "vec_id", "v")
+      .select($"vec_id", $"codes")
+    val cells = codes.select(posexplode($"codes").as(Seq("d", "c")))
+    val stats = cells.groupBy($"d")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+        sum($"c".cast("long") * $"c".cast("long")).as("ss"))
+      .select($"d", $"n",
+        ($"s".cast("double") / $"n").as("mean"),
+        sqrt(greatest($"ss".cast("double") / $"n" -
+          ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n"), lit(0.0))).as("sd"))
+    val outs = cells.join(broadcast(stats), Seq("d"))
+      .groupBy($"d")
+      .agg(sum(when(abs($"c".cast("double") - $"mean") > lit(3.0) * $"sd", 1L)
+        .otherwise(0L)).as("n_out3"))
+    stats.join(outs, Seq("d"))
+      .select($"d".cast("long").as("d"), $"n",
+        round($"mean", 4).as("code_mean"), round($"sd", 4).as("code_sd"),
+        $"n_out3")
+  }
+
+  /** q173 — Unicode script census (the writing-system readout behind
+    * language-ID QA and tokenizer-coverage planning): per-doc counts of
+    * Latin / Cyrillic / Han / Arabic letters via script character
+    * classes, a fixed-precedence dominant script, and a census per
+    * (lang, dominant). The corpus is Latin-only, so the fixture plants
+    * deterministic Han/Cyrillic/Arabic suffixes on doc_id % 5/7/11
+    * (overlaps exercise the precedence tie-break). Counting is one
+    * regex pass per class over the scan — no shuffle before the
+    * census; all outputs are exact integers. Java spells the classes
+    * `\p{IsHan}`, RE2 `\p{Han}` — same char sets (the oracle's one
+    * dialect seam). */
+  def q173ScriptCensus(spark: SparkSession, dir: String): DataFrame = {
+    def plant(df: DataFrame, mod: Int, suffix: String): DataFrame =
+      df.select($"doc_id", $"lang",
+        when($"doc_id" % mod === 0, concat($"text", lit(suffix)))
+          .otherwise($"text").as("text"))
+    // doc_id % 13: text fully replaced by a Han passage, so the census
+    // carries non-latin-dominant rows (suffixes alone can't flip a doc)
+    val base = docs(spark, dir).select($"doc_id", $"lang",
+      when($"doc_id" % 13 === 0, repeat(lit("机器学习模型训练数据 "), 5))
+        .otherwise($"text").as("text"))
+    val planted = plant(plant(plant(base,
+      5, " 机器学习模型训练数据"), 7, " обучение модель данные"),
+      11, " تدريب نموذج بيانات")
+    val counted = planted.select($"lang",
+      regexp_count($"text", lit("\\p{IsLatin}")).cast("long").as("lat"),
+      regexp_count($"text", lit("\\p{IsCyrillic}")).cast("long").as("cyr"),
+      regexp_count($"text", lit("\\p{IsHan}")).cast("long").as("han"),
+      regexp_count($"text", lit("\\p{IsArabic}")).cast("long").as("ara"),
+      length($"text").cast("long").as("total"))
+    counted
+      .withColumn("dominant",
+        when($"lat" >= $"cyr" && $"lat" >= $"han" && $"lat" >= $"ara", lit("latin"))
+          .when($"cyr" >= $"han" && $"cyr" >= $"ara", lit("cyrillic"))
+          .when($"han" >= $"ara", lit("han"))
+          .otherwise(lit("arabic")))
+      .groupBy($"lang", $"dominant")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"lat").as("latin_chars"), sum($"cyr").as("cyrillic_chars"),
+        sum($"han").as("han_chars"), sum($"ara").as("arabic_chars"),
+        sum($"total" - $"lat" - $"cyr" - $"han" - $"ara").as("other_chars"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
