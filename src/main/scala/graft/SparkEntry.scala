@@ -194,6 +194,8 @@ object SparkEntry {
     "q171_priority_sample" -> (D.q171PrioritySample(_, _)),
     "q172_dim_standardize" -> (D.q172DimStandardize(_, _)),
     "q173_script_census"   -> (D.q173ScriptCensus(_, _)),
+    "q174_domain_cap"      -> (D.q174DomainCap(_, _)),
+    "q175_code_prose"      -> (D.q175CodeProse(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2418,6 +2420,35 @@ object SparkEntry {
         |CAST(SUM(han) AS BIGINT) AS han_chars, CAST(SUM(ara) AS BIGINT) AS arabic_chars,
         |CAST(SUM(total - lat - cyr - han - ara) AS BIGINT) AS other_chars
         |FROM d GROUP BY lang, dominant""".stripMargin,
+    // q174: per-source md5-rank row_number replay of the bounded-cap
+    // aggregate (q123's window-replays-TopK precedent).
+    "q174_domain_cap" ->
+      """WITH corpus AS (SELECT doc_id, source, n_chars FROM documents
+        |UNION ALL SELECT doc_id + 300000, 'src_farm', n_chars FROM documents WHERE lang = 'en'),
+        |r AS (SELECT doc_id, source, n_chars,
+        |ROW_NUMBER() OVER (PARTITION BY source
+        | ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT), doc_id) AS rnk
+        |FROM corpus),
+        |k AS (SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        |FROM r WHERE rnk <= 60 GROUP BY source),
+        |t AS (SELECT source, COUNT(*) AS n_docs FROM corpus GROUP BY source)
+        |SELECT t.source, t.n_docs, k.n_kept, k.chars_kept,
+        |(t.n_docs > k.n_kept) AS capped
+        |FROM t JOIN k USING (source)""".stripMargin,
+    // q175: same regex signals in RE2 spelling; ratio-of-sums density.
+    "q175_code_prose" ->
+      """WITH p AS (SELECT source,
+        |CASE WHEN doc_id % 17 = 0 THEN 'def f(x): { return x + 1; } import os; var y = f(2); ' || text ELSE text END AS text
+        |FROM documents),
+        |s AS (SELECT source,
+        |CAST(length(regexp_replace(text, '[^{};()=<>\[\]]', '', 'g')) AS BIGINT) AS sym,
+        |CAST(len(regexp_extract_all(lower(text), '\b(def|class|import|return|function|var|int|void)\b')) AS BIGINT) AS kw,
+        |CAST(length(text) AS BIGINT) AS total FROM p),
+        |f AS (SELECT *, (CAST(sym AS DOUBLE) / CAST(total AS DOUBLE) > CAST(0.03 AS DOUBLE) OR kw >= 5) AS is_code FROM s)
+        |SELECT source, is_code, COUNT(*) AS n_docs,
+        |CAST(SUM(sym) AS BIGINT) AS sym_chars, CAST(SUM(kw) AS BIGINT) AS kw_hits,
+        |CAST(round(CAST(CAST(CAST(SUM(sym) AS DOUBLE) / CAST(SUM(total) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS sym_density
+        |FROM f GROUP BY source, is_code""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -93,4 +93,24 @@ object Splits {
       .join(broadcast(top.select(col("rank"), col(idCol))), Seq(idCol))
       .select(col("rank"), col(idCol), col(weightCol))
   }
+
+  /** Deterministic per-key cap — "keep at most `cap` docs per domain",
+    * the de-biasing move a web-corpus pipeline runs so one boilerplate
+    * farm can't dominate training: within each key, rows rank by their
+    * id's 48-bit md5 prefix (uniform, engine-replayable) and only the
+    * first `cap` survive. Stability contract of [[hashSplit]]: a row's
+    * survival depends only on (its id, the ids sharing its key).
+    * Rides the bounded [[TopK]] aggregate — per-partition cap-row
+    * heaps, never a corpus-wide window sort; survivors broadcast back
+    * against the scan. Returns the input rows filtered. */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap=$cap")
+    val ranked = df.select(col(keyCol), col(idCol),
+      negate(conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+        .cast("double")).as("nk"))
+    val kept = TopK.topKPerGroup(ranked, keyCol, idCol, "nk", cap)
+      .select(col(idCol))
+    df.join(broadcast(kept), Seq(idCol), "left_semi")
+  }
 }

@@ -1879,6 +1879,57 @@ object TrainingData {
         sum($"total" - $"lat" - $"cyr" - $"han" - $"ara").as("other_chars"))
   }
 
+  /** q174 — per-domain cap ([[graft.operators.Splits.capPerKey]]): at
+    * most 60 docs survive per source, chosen by the deterministic md5
+    * rank (rerun/partition/engine-stable) — the de-biasing carve that
+    * stops one domain from dominating a web corpus. The fixture plants
+    * an oversized source (every en doc re-appears under source
+    * 'src_farm') so the cap genuinely binds asymmetrically. Census per
+    * source: total, kept, chars kept, whether the cap bound. */
+  def q174DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select($"doc_id", $"source", $"n_chars")
+    val corpus = d.unionByName(
+      docs(spark, dir).where($"lang" === "en")
+        .select(($"doc_id" + 300000L).as("doc_id"), lit("src_farm").as("source"),
+          $"n_chars"))
+    val kept = graft.operators.Splits.capPerKey(corpus, "doc_id", "source", cap = 60)
+    val keptC = kept.groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
+    corpus.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(keptC, Seq("source"))
+      .select($"source", $"n_docs", $"n_kept", $"chars_kept",
+        ($"n_docs" > $"n_kept").as("capped"))
+  }
+
+  /** q175 — code-vs-prose heuristic census (the source-typing gate a
+    * code/natural-language mixture needs before setting sampling
+    * rates): per doc, code-symbol count ({};()=<>[] chars), code-keyword
+    * hits (def/class/import/return/function/var/int/void as whole
+    * words), then is_code = symbol density > 3% or >= 5 keyword hits.
+    * Planted code docs (doc_id % 17: a code preamble prepended)
+    * make both trigger paths live. Census per (source, is_code) with
+    * ratio-of-integer-sums densities — single IEEE division, no
+    * order-sensitive double sums. */
+  def q175CodeProse(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select($"source",
+      when($"doc_id" % 17 === 0, concat(
+        lit("def f(x): { return x + 1; } import os; var y = f(2); "), $"text"))
+        .otherwise($"text").as("text"))
+    val sig = planted.select($"source",
+      regexp_count($"text", lit("[{};()=<>\\[\\]]")).cast("long").as("sym"),
+      regexp_count(lower($"text"),
+        lit("\\b(def|class|import|return|function|var|int|void)\\b"))
+        .cast("long").as("kw"),
+      length($"text").cast("long").as("total"))
+    sig.withColumn("is_code",
+        $"sym".cast("double") / $"total".cast("double") > lit(0.03) || $"kw" >= 5)
+      .groupBy($"source", $"is_code")
+      .agg(count(lit(1)).as("n_docs"), sum($"sym").as("sym_chars"),
+        sum($"kw").as("kw_hits"),
+        round(sum($"sym").cast("double") / sum($"total").cast("double"), 6)
+          .as("sym_density"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

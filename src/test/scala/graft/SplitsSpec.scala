@@ -108,4 +108,26 @@ class SplitsSpec extends AnyFunSuite with SparkFixture {
       .select("id").collect().map(_.getLong(0)).sorted
     assert(again.sameElements(ids.sorted))
   }
+
+  test("capPerKey: binds only over-cap keys, stable under repartition") {
+    import spark.implicits._
+    // key a: 100 rows (cap binds), key b: 5 rows (untouched)
+    val df = ((0L until 100L).map(i => (i, "a")) ++
+      (100L until 105L).map(i => (i, "b"))).toDF("id", "key")
+    val out = Splits.capPerKey(df, "id", "key", cap = 20)
+    val byKey = out.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("a" -> 20L, "b" -> 5L))
+
+    // survivors = the 20 smallest md5-rank ids of key a (window replay)
+    val expectA = (0L until 100L)
+      .sortBy(i => org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString).take(12))
+      .take(20).toSet
+    val gotA = out.where($"key" === "a").collect().map(_.getLong(0)).toSet
+    assert(gotA == expectA)
+
+    val again = Splits.capPerKey(df.repartition(5), "id", "key", cap = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == gotA ++ (100L until 105L))
+  }
 }
