@@ -196,6 +196,8 @@ object SparkEntry {
     "q173_script_census"   -> (D.q173ScriptCensus(_, _)),
     "q174_domain_cap"      -> (D.q174DomainCap(_, _)),
     "q175_code_prose"      -> (D.q175CodeProse(_, _)),
+    "q176_split_leakage"   -> (D.q176SplitLeakage(_, _)),
+    "q177_label_audit"     -> (D.q177LabelAudit(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2449,6 +2451,44 @@ object SparkEntry {
         |CAST(SUM(sym) AS BIGINT) AS sym_chars, CAST(SUM(kw) AS BIGINT) AS kw_hits,
         |CAST(round(CAST(CAST(CAST(SUM(sym) AS DOUBLE) / CAST(SUM(total) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS sym_density
         |FROM f GROUP BY source, is_code""".stripMargin,
+    // q176: q85's exhaustive exact-Jaccard pair CTEs + q165's md5 split
+    // thresholds ('cc'/'e6'), pairs classified by split agreement.
+    "q176_split_leakage" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents WHERE doc_id < 40
+        |UNION ALL SELECT doc_id + 1000, text || ' graft near dup tail' FROM documents WHERE doc_id < 40),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM aug),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        |i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+        |FROM s a, s b WHERE a.doc_id < b.doc_id),
+        |pr AS (SELECT id_a, id_b FROM p WHERE j >= 0.5),
+        |sp AS (SELECT doc_id,
+        |CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |ELSE 'test' END AS split FROM aug),
+        |cls AS (SELECT pr.id_a,
+        |CASE WHEN a.split = b.split THEN 'within_' || a.split ELSE 'straddling' END AS kind
+        |FROM pr JOIN sp a ON pr.id_a = a.doc_id JOIN sp b ON pr.id_b = b.doc_id)
+        |SELECT kind, COUNT(*) AS n_pairs, MIN(id_a) AS first_a
+        |FROM cls GROUP BY kind""".stripMargin,
+    // q177: exhaustive non-self top-5 (q136's CTEs), then majority by
+    // (votes DESC, label ASC).
+    "q177_label_audit" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 300),
+        |p AS (SELECT a.vec_id AS pid, b.vec_id AS cid, b.label AS clabel,
+        |list_aggregate(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(a.v, z -> z*z), 'sum')) * sqrt(list_aggregate(list_transform(b.v, z -> z*z), 'sum'))) AS cos
+        |FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |ranked AS (SELECT pid, cid, clabel, cos,
+        |ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos DESC, cid) AS rnk
+        |FROM p WHERE NOT isnan(cos)),
+        |v AS (SELECT pid, clabel, COUNT(*) AS votes FROM ranked WHERE rnk <= 5 GROUP BY pid, clabel),
+        |m AS (SELECT pid, clabel, votes,
+        |ROW_NUMBER() OVER (PARTITION BY pid ORDER BY votes DESC, clabel) AS r FROM v)
+        |SELECT e.vec_id, e.label, CAST(m.clabel AS INT) AS maj_label,
+        |CAST(m.votes AS BIGINT) AS maj_votes, (e.label = m.clabel) AS agree
+        |FROM e JOIN m ON e.vec_id = m.pid AND m.r = 1""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

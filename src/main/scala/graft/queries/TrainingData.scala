@@ -1930,6 +1930,61 @@ object TrainingData {
           .as("sym_density"))
   }
 
+  /** q176 — naive-split near-dup leakage AUDIT (the measurement q165's
+    * component-wise split prevents): split the q85 near-dup fixture
+    * doc-wise (the naive way), then classify every verified near-dup
+    * pair as within-split or straddling — straddling pairs are
+    * train/test leaks a memorization eval would hit. Pairs come from
+    * the production MinHash-LSH path (banded candidates, exact-Jaccard
+    * verified); the oracle recomputes the pair set exhaustively and
+    * replays the md5 split thresholds, so a missed pair or a split
+    * drift both break the hash. */
+  def q176SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = nearDupFixture(spark, dir)
+    val pairs = Dedup.minhashNearDups(fixture, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+      .select($"id_a", $"id_b")
+    val split = graft.operators.Splits.hashSplit(fixture.select($"doc_id"),
+      "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    pairs
+      .join(split.select($"doc_id".as("id_a"), $"split".as("split_a")), Seq("id_a"))
+      .join(split.select($"doc_id".as("id_b"), $"split".as("split_b")), Seq("id_b"))
+      .withColumn("kind",
+        when($"split_a" === $"split_b", concat(lit("within_"), $"split_a"))
+          .otherwise(lit("straddling")))
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n_pairs"), min($"id_a").as("first_a"))
+  }
+
+  /** q177 — k-NN label-noise audit (pseudo-labeling / mislabeled-sample
+    * detection for labeled training data): each vector's 5 nearest
+    * non-self neighbors (via [[graft.operators.Similarity.knnJoin]] at
+    * saturation, so the ANN machinery must produce the exact graph —
+    * q108/q136's identity) vote with their labels; majority by (votes
+    * DESC, label ASC), and `agree` flags vectors whose own label
+    * matches the neighborhood — the disagreeing ones are the review
+    * queue. Exhaustive replay in DuckDB on the bounded id range. */
+  def q177LabelAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .where($"vec_id" < 300)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val lab = emb.select($"vec_id", $"label")
+    val votes = graft.operators.Similarity.knnJoin(
+        emb, "vec_id", "v", k = 5, nCells = 16, nProbe = 16)
+      .join(lab.select($"vec_id".as("corpus_id"), $"label".as("c_label")),
+        Seq("corpus_id"))
+      .groupBy($"probe_id", $"c_label")
+      .agg(count(lit(1)).as("votes"))
+    val maj = votes.groupBy($"probe_id")
+      .agg(max(struct($"votes", negate($"c_label".cast("long")).as("nl"))).as("m"))
+      .select($"probe_id".as("vec_id"), $"m.votes".as("maj_votes"),
+        (-$"m.nl").cast("int").as("maj_label"))
+    lab.join(maj, Seq("vec_id"))
+      .select($"vec_id", $"label", $"maj_label", $"maj_votes",
+        ($"label" === $"maj_label").as("agree"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
