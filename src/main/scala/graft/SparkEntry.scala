@@ -198,6 +198,8 @@ object SparkEntry {
     "q175_code_prose"      -> (D.q175CodeProse(_, _)),
     "q176_split_leakage"   -> (D.q176SplitLeakage(_, _)),
     "q177_label_audit"     -> (D.q177LabelAudit(_, _)),
+    "q178_grouped_ols"     -> (R.q178GroupedOls(_, _)),
+    "q179_power_iteration" -> (D.q179PowerIteration(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2489,6 +2491,62 @@ object SparkEntry {
         |SELECT e.vec_id, e.label, CAST(m.clabel AS INT) AS maj_label,
         |CAST(m.votes AS BIGINT) AS maj_votes, (e.label = m.clabel) AS agree
         |FROM e JOIN m ON e.vec_id = m.pid AND m.r = 1""".stripMargin,
+    // q178: decimal-exact sufficient statistics, closed forms replayed
+    // in the identical fixed expression shape (correctly-rounded ops).
+    "q178_grouped_ols" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(34,4))) AS sx,
+        |SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(34,4))) AS sy,
+        |SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(34,4))) AS sxx,
+        |SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(34,4))) AS sxy,
+        |SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(34,4))) AS syy
+        |FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+        |CAST(syy AS DOUBLE) AS syyd FROM s),
+        |f AS (SELECT l_returnflag, n,
+        |(nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS slope,
+        |(syd - ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) * sxd) / nd AS intercept,
+        |((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd))
+        | / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)) AS r2
+        |FROM d)
+        |SELECT l_returnflag, n,
+        |CAST(round(CAST(CAST(slope AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS slope,
+        |CAST(round(CAST(CAST(intercept AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS intercept,
+        |CAST(round(CAST(CAST(r2 AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS r2
+        |FROM f""".stripMargin,
+    // q179: q135's quantization -> exhaustive integer Gram -> THREE
+    // unrolled power iterations; matvecs are in-order list_reduce folds
+    // (matches the driver's left fold), normalizer = max-|x| row via
+    // ROW_NUMBER (ties smallest index) — bit-exact doubles end to end.
+    "q179_power_iteration" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dx AS (SELECT unnest(list_transform(range(1, len(v) + 1), i -> struct_pack(d := i, x := v[CAST(i AS INT)]))) AS u FROM e),
+        |dims AS (SELECT u.d AS d, MIN(u.x) AS lo, MAX(u.x) AS hi FROM dx GROUP BY u.d),
+        |rg AS (SELECT list(struct_pack(lo := lo, hi := hi) ORDER BY d) AS rng FROM dims),
+        |q AS (SELECT e.vec_id, list_transform(range(1, len(e.v) + 1), i ->
+        |CASE WHEN rng[CAST(i AS INT)].hi = rng[CAST(i AS INT)].lo THEN 0
+        |ELSE CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+        | floor((v[CAST(i AS INT)] - rng[CAST(i AS INT)].lo) / (rng[CAST(i AS INT)].hi - rng[CAST(i AS INT)].lo) * CAST(256 AS DOUBLE)))) AS INT) END) AS codes
+        |FROM e, rg),
+        |cv AS (SELECT vec_id, u.d AS d, u.c AS c FROM (SELECT vec_id, unnest(list_transform(range(1, len(codes) + 1),
+        |i -> struct_pack(d := i - 1, c := codes[CAST(i AS INT)]))) AS u FROM q)),
+        |g AS (SELECT a.d AS i, b.d AS j, CAST(SUM(CAST(a.c AS BIGINT) * CAST(b.c AS BIGINT)) AS BIGINT) AS g
+        |FROM cv a JOIN cv b USING (vec_id) GROUP BY a.d, b.d),
+        |gl AS (SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS gr FROM g GROUP BY i),
+        |v0 AS (SELECT list_transform(range(1, 65), x -> CAST(1.0 AS DOUBLE)) AS vl),
+        |m1 AS (SELECT i, list_reduce(list_transform(range(1, 65), k -> gr[CAST(k AS INT)] * vl[CAST(k AS INT)]), (a, b) -> a + b) AS x FROM gl, v0),
+        |s1 AS (SELECT x AS sc FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY abs(x) DESC, i) AS rn FROM m1) WHERE rn = 1),
+        |v1 AS (SELECT list(x / sc ORDER BY i) AS vl FROM m1, s1),
+        |m2 AS (SELECT i, list_reduce(list_transform(range(1, 65), k -> gr[CAST(k AS INT)] * vl[CAST(k AS INT)]), (a, b) -> a + b) AS x FROM gl, v1),
+        |s2 AS (SELECT x AS sc FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY abs(x) DESC, i) AS rn FROM m2) WHERE rn = 1),
+        |v2 AS (SELECT list(x / sc ORDER BY i) AS vl FROM m2, s2),
+        |m3 AS (SELECT i, list_reduce(list_transform(range(1, 65), k -> gr[CAST(k AS INT)] * vl[CAST(k AS INT)]), (a, b) -> a + b) AS x FROM gl, v2),
+        |s3 AS (SELECT x AS sc FROM (SELECT x, ROW_NUMBER() OVER (ORDER BY abs(x) DESC, i) AS rn FROM m3) WHERE rn = 1)
+        |SELECT CAST(i AS BIGINT) AS d,
+        |CAST(round(CAST(CAST(x / sc AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE) AS loading
+        |FROM m3, s3""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

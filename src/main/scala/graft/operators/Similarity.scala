@@ -310,4 +310,49 @@ object Similarity {
         expr(s"stack(${pairs.size}, $stackArgs) as (i, j, gram)"))
       .select(col("i"), col("j"), col("gram"), col("n_vecs"))
   }
+
+  /** Dominant principal direction of an integer code matrix: the
+    * [[integerGram]] second-moment matrix (ONE distributed pass — the
+    * only corpus touch) power-iterated on the driver (`iters` rounds of
+    * matvec + max-|element| normalization over a dims×dims array —
+    * centroid-sized state, not data, the [[kmeansRefine]] precedent).
+    *
+    * Every arithmetic step is deterministic and engine-replayable: Gram
+    * entries are exact BIGINTs; each matvec component is a LEFT FOLD in
+    * index order of correctly-rounded products; the normalizer is the
+    * max-|value| component (ties to the smallest index), so the sign
+    * convention is pinned (that component becomes exactly 1.0). An
+    * unrolled SQL replay reproduces every double bit-for-bit.
+    * Output: (d, loading) — the direction after `iters` rounds. */
+  def powerIterationTop(df: DataFrame, codesCol: String, dims: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters=$iters")
+    val spark = df.sparkSession
+    val g = Array.ofDim[Double](dims, dims)
+    integerGram(df, codesCol, dims).collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = r.getLong(2).toDouble
+      g(i)(j) = v; g(j)(i) = v
+    }
+    var v = Array.fill(dims)(1.0)
+    for (_ <- 1 to iters) {
+      val nv = Array.tabulate(dims) { i =>
+        var s = g(i)(0) * v(0) // left fold in index order — replayable
+        var j = 1
+        while (j < dims) { s += g(i)(j) * v(j); j += 1 }
+        s
+      }
+      var idx = 0
+      var k = 1
+      while (k < dims) { // max |value|, ties keep the smallest index
+        if (math.abs(nv(k)) > math.abs(nv(idx))) idx = k
+        k += 1
+      }
+      val scale = nv(idx)
+      v = nv.map(_ / scale)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, d) => (d.toLong, x) }.toSeq
+      .toDF("d", "loading")
+  }
 }

@@ -386,4 +386,18 @@ object Relational {
         when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
         round($"pr", 10).as("pagerank"))
   }
+
+  /** q178 — grouped OLS trend fit ([[graft.operators.Regression
+    * .groupedOls]]): price-vs-quantity slope / intercept / r² per
+    * return flag in ONE aggregation pass over six mergeable sufficient
+    * statistics. The sums are DECIMAL-exact (order-insensitive at any
+    * parallelism — lineitem's doubles are 2-decimal money values, so
+    * scale 4 holds x², xy and y² exactly as cast), and the closed
+    * forms evaluate in a fixed expression shape over the exact sums —
+    * bit-replayable cross-engine, no tolerance. */
+  def q178GroupedOls(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.groupedOls(Tables.lineitem(spark, dir),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice", scale = 4)
+      .select($"l_returnflag", $"n", round($"slope", 6).as("slope"),
+        round($"intercept", 6).as("intercept"), round($"r2", 6).as("r2"))
 }

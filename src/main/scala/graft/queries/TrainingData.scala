@@ -1985,6 +1985,23 @@ object TrainingData {
         ($"label" === $"maj_label").as("agree"))
   }
 
+  /** q179 — dominant principal direction via distributed Gram + power
+    * iteration ([[graft.operators.Similarity.powerIterationTop]]): the
+    * PCA/whitening-prep primitive run before embedding indexing. The
+    * corpus is touched ONCE (the q149 integer-Gram pass — exact BIGINT
+    * second moments at any parallelism); three power-iteration rounds
+    * run on the driver over the 64×64 state with left-fold matvecs and
+    * max-|element| normalization, so every double replays bit-for-bit
+    * in the oracle's unrolled SQL (no eigensolver tolerance games). */
+  def q179PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val codes = graft.operators.Similarity.quantizeInt8(emb, "vec_id", "v")
+      .select($"codes")
+    graft.operators.Similarity.powerIterationTop(codes, "codes", dims = 64, iters = 3)
+      .select($"d", round($"loading", 8).as("loading"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -212,4 +212,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
         r.getAs[Long]("gram")).toMap
     assert(re == got)
   }
+
+  test("powerIterationTop finds a planted dominant direction") {
+    import spark.implicits._
+    // codes concentrated on dims 0/1 with 2:1 amplitude: the dominant
+    // eigenvector of the second-moment matrix points along dim 0
+    val vecs = (0 until 200).map { i =>
+      val a = 100 + (i % 7)
+      Tuple1(Array(2 * a, a, i % 3, (i * 7) % 5))
+    }
+    val df = vecs.toDF("codes")
+    val v = Similarity.powerIterationTop(df, "codes", dims = 4, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v(0L) == 1.0, "max-|x| component is normalized to exactly 1")
+    assert(math.abs(v(1L) - 0.5) < 0.01, s"dim1 loading ${v(1L)}")
+    assert(math.abs(v(2L)) < 0.1 && math.abs(v(3L)) < 0.1)
+
+    // partition-stability: Gram is integer-exact, driver fold is fixed
+    val re = Similarity.powerIterationTop(df.repartition(9), "codes", 4, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re == v)
+  }
 }
