@@ -200,6 +200,8 @@ object SparkEntry {
     "q177_label_audit"     -> (D.q177LabelAudit(_, _)),
     "q178_grouped_ols"     -> (R.q178GroupedOls(_, _)),
     "q179_power_iteration" -> (D.q179PowerIteration(_, _)),
+    "q180_welch_test"      -> (D.q180WelchTest(_, _)),
+    "q181_collocations"    -> (D.q181Collocations(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2547,6 +2549,40 @@ object SparkEntry {
         |SELECT CAST(i AS BIGINT) AS d,
         |CAST(round(CAST(CAST(x / sc AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE) AS loading
         |FROM m3, s3""".stripMargin,
+    // q180: integer sufficient statistics per lang; Welch t in the same
+    // fixed expression shape; 'en' baseline row as a scalar CTE.
+    "q180_welch_test" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s,
+        |CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss FROM documents GROUP BY lang),
+        |d AS (SELECT lang, n, CAST(n AS DOUBLE) AS nd,
+        |CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        | / (CAST(n AS DOUBLE) - 1.0) AS v FROM s),
+        |b AS (SELECT nd AS nd0, mean AS mean0, v AS v0 FROM d WHERE lang = 'en'),
+        |f AS (SELECT lang, n, mean, (mean - mean0) / sqrt(v / nd + v0 / nd0) AS t FROM d, b)
+        |SELECT lang, n,
+        |CAST(round(CAST(CAST(mean AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS mean_chars,
+        |CAST(round(CAST(CAST(t AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS t_vs_en,
+        |(abs(t) > 1.96) AS significant FROM f""".stripMargin,
+    // q181: lift = cxy*N/(cx*cy) — two correctly-rounded ops over exact
+    // counts; ranks replay as ROW_NUMBER over (lift DESC, bigram).
+    "q181_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |u AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM u),
+        |bp0 AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |i -> struct_pack(w1 := toks[CAST(i AS INT)], w2 := toks[CAST(i + 1 AS INT)]))) AS p
+        |FROM t WHERE len(toks) > 1),
+        |bp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bp0),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cxy FROM bp GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |l AS (SELECT bc.w1 || ' ' || bc.w2 AS bigram, bc.cxy,
+        |(CAST(bc.cxy AS DOUBLE) * CAST(nt.n_total AS DOUBLE))
+        | / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+        |FROM bc JOIN u u1 ON bc.w1 = u1.w JOIN u u2 ON bc.w2 = u2.w, nt),
+        |r AS (SELECT bigram, cxy, lift, ROW_NUMBER() OVER (ORDER BY lift DESC, bigram) AS rk FROM l)
+        |SELECT CAST(rk AS BIGINT) AS "rank", bigram, CAST(cxy AS BIGINT) AS cxy,
+        |CAST(round(CAST(CAST(lift AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS lift
+        |FROM r WHERE rk <= 20""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

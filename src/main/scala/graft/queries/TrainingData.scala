@@ -2002,6 +2002,63 @@ object TrainingData {
       .select($"d", round($"loading", 8).as("loading"))
   }
 
+  /** q180 — Welch two-sample t-test per language against the 'en'
+    * baseline (the A/B read-out for corpus composition shifts: "is this
+    * language's doc-length distribution different?"). Sufficient
+    * statistics only — n / Σx / Σx² per lang are exact integer sums
+    * (n_chars is integral), the baseline row broadcasts, and the t
+    * statistic evaluates in one fixed expression shape over exact
+    * inputs — deterministic cross-engine, q178's contract. */
+  def q180WelchTest(spark: SparkSession, dir: String): DataFrame = {
+    val stats = docs(spark, dir).groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("s"),
+        sum($"n_chars" * $"n_chars").as("ss"))
+      .select($"lang", $"n", $"n".cast("double").as("nd"),
+        ($"s".cast("double") / $"n").as("mean"),
+        (($"ss".cast("double") - $"s".cast("double") * $"s".cast("double") / $"n")
+          / ($"n".cast("double") - lit(1.0))).as("v"))
+    val base = stats.where($"lang" === "en")
+      .select($"nd".as("nd0"), $"mean".as("mean0"), $"v".as("v0"))
+    stats.crossJoin(broadcast(base))
+      .withColumn("t", ($"mean" - $"mean0") /
+        sqrt($"v" / $"nd" + $"v0" / $"nd0"))
+      .select($"lang", $"n", round($"mean", 4).as("mean_chars"),
+        round($"t", 4).as("t_vs_en"), (abs($"t") > lit(1.96)).as("significant"))
+  }
+
+  /** q181 — collocation mining by lift (the PMI top-k without the
+    * transcendental: lift = c_xy·N / (c_x·c_y) orders identically to
+    * PMI = ln(lift), and every factor is an exact integer count cast
+    * once — two correctly-rounded IEEE ops per pair, engine-identical).
+    * Adjacent-bigram collocations with support >= 5 ranked through the
+    * bounded string-keyed top-k (only k-row summaries shuffle, q163's
+    * path). The "multiword expression" extractor a tokenizer/phrase
+    * vocabulary builder runs. */
+  def q181Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("toks"))
+    val uni = toks.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum($"c").as("n_total"))
+    val bi = toks.where(size($"toks") > 1)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] as w1, toks[i] as w2))")).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cxy"))
+      .where($"cxy" >= 5)
+    val lifted = bi
+      .join(uni.select($"w".as("w1"), $"c".as("cx")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c".as("cy")), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .select(concat($"w1", lit(" "), $"w2").as("bigram"), $"cxy",
+        (($"cxy".cast("double") * $"n_total".cast("double")) /
+          ($"cx".cast("double") * $"cy".cast("double"))).as("lift"))
+    graft.operators.TopK
+      .topKStrPerGroup(lifted.withColumn("g", lit("all")), "g", "bigram", "lift", k = 20)
+      .join(lifted.select($"bigram", $"cxy"), Seq("bigram"))
+      .select($"rank", $"bigram", $"cxy", round($"lift", 6).as("lift"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
