@@ -202,6 +202,7 @@ object SparkEntry {
     "q179_power_iteration" -> (D.q179PowerIteration(_, _)),
     "q180_welch_test"      -> (D.q180WelchTest(_, _)),
     "q181_collocations"    -> (D.q181Collocations(_, _)),
+    "q182_weighted_median" -> (R.q182WeightedMedian(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2583,6 +2584,18 @@ object SparkEntry {
         |SELECT CAST(rk AS BIGINT) AS "rank", bigram, CAST(cxy AS BIGINT) AS cxy,
         |CAST(round(CAST(CAST(lift AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS lift
         |FROM r WHERE rk <= 20""".stripMargin,
+    // q182: identical cumulative-mass window; integral weights keep the
+    // crossing exact.
+    "q182_weighted_median" ->
+      """WITH c AS (SELECT l_returnflag, l_extendedprice, l_quantity,
+        |SUM(l_quantity) OVER (PARTITION BY l_returnflag
+        | ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cum,
+        |SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+        |FROM lineitem)
+        |SELECT l_returnflag,
+        |CAST(round(CAST(CAST(MIN(l_extendedprice) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS weighted_median,
+        |CAST(MAX(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -400,4 +400,17 @@ object Relational {
         Seq("l_returnflag"), "l_quantity", "l_extendedprice", scale = 4)
       .select($"l_returnflag", $"n", round($"slope", 6).as("slope"),
         round($"intercept", 6).as("intercept"), round($"r2", 6).as("r2"))
+
+  /** q182 — exact weighted median ([[graft.operators.WeightedStats]]):
+    * the price at which half the shipped QUANTITY sits below, per
+    * return flag — the unequal-row-mass summary a plain median gets
+    * wrong. Integral weights make the cumulative mass exact, the
+    * (value, orderkey, linenumber) order total, and the crossing row
+    * deterministic; the oracle replays the identical window. */
+  def q182WeightedMedian(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WeightedStats.weightedMedian(Tables.lineitem(spark, dir),
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        tieCols = Seq("l_orderkey", "l_linenumber"))
+      .select($"l_returnflag", round($"weighted_median", 4).as("weighted_median"),
+        $"total_weight".cast("long").as("total_weight"))
 }

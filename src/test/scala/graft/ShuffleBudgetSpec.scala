@@ -108,4 +108,29 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
     assert(moved > 0, "harness read zero — measurement broken")
     assert(moved < (2L << 20), s"corpus leaked into a shuffle: $moved bytes")
   }
+
+  test("q170 CMS shuffles only the fixed d*w cell census, never the tokens") {
+    // ~1.3 M token occurrences reduce map-side to <= 2048 cells per
+    // partition; the exchange carries cell partials plus the tiny
+    // probe-side aggs — nothing token-shaped
+    val moved = shuffledBytes(SparkEntry.queries("q170_cms_counts")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    assert(moved < (2L << 20), s"token stream leaked into a shuffle: $moved bytes")
+  }
+
+  test("q171/q174 bounded-k sampling shuffles k-row heaps, not the corpus") {
+    val s = shuffledBytes(SparkEntry.queries("q171_priority_sample")(spark, dir))
+    assert(s > 0, "harness read zero — measurement broken")
+    assert(s < (1L << 20), s"priority sample leaked the corpus: $s bytes")
+    val c = shuffledBytes(SparkEntry.queries("q174_domain_cap")(spark, dir))
+    assert(c > 0, "harness read zero — measurement broken")
+    assert(c < (2L << 20), s"domain cap leaked the corpus: $c bytes")
+  }
+
+  test("q179 power iteration shuffles one combiner row per partition") {
+    // the Gram pass aggregates 2,080 static sums map-side; only final
+    // combiner rows move, and the iteration itself is driver state
+    val moved = shuffledBytes(SparkEntry.queries("q179_power_iteration")(spark, dir))
+    assert(moved < (4L << 20), s"Gram pass leaked vectors: $moved bytes")
+  }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.WeightedStats
+
+class WeightedStatsSpec extends AnyFunSuite with SparkFixture {
+
+  test("weightedMedian crosses at half the mass, not half the rows") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,1,7: half of 10 is reached at value 4
+    // (plain median of the rows would be 2.5)
+    val df = Seq(("g", 1.0, 1L, 1L), ("g", 2.0, 1L, 2L),
+      ("g", 3.0, 1L, 3L), ("g", 4.0, 7L, 4L)).toDF("k", "v", "w", "id")
+    val r = WeightedStats.weightedMedian(df, "k", "v", "w", Seq("id")).collect().head
+    assert(r.getDouble(1) == 4.0 && r.getLong(2) == 10L)
+
+    // equal weights degenerate to the lower median of the values
+    val eq = Seq(("g", 1.0, 1L, 1L), ("g", 2.0, 1L, 2L), ("g", 3.0, 1L, 3L),
+      ("g", 9.0, 1L, 4L)).toDF("k", "v", "w", "id")
+    val m = WeightedStats.weightedMedian(eq, "k", "v", "w", Seq("id")).collect().head
+    assert(m.getDouble(1) == 2.0)
+
+    // partition-stability: integral weights keep the crossing exact
+    val big = (1L to 1000L).map(i => ("g", (i % 37).toDouble, 1L + i % 5, i))
+      .toDF("k", "v", "w", "id")
+    val a = WeightedStats.weightedMedian(big, "k", "v", "w", Seq("id")).collect().head
+    val b = WeightedStats.weightedMedian(big.repartition(11), "k", "v", "w", Seq("id"))
+      .collect().head
+    assert(a.getDouble(1) == b.getDouble(1) && a.getLong(2) == b.getLong(2))
+  }
+}
