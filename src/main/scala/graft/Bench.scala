@@ -22,7 +22,12 @@ object Bench {
     // one warm-up action so JVM/codegen startup cost lands outside timings
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional trailing args: time only the named queries (local iteration;
+    // the driver always runs with no args = the full suite)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // per-query untimed warm-up: planning + Janino codegen happen here, so
       // even a single timed iteration records the steady state the engine
       // would show on a long-running cluster (first-compile cost is a
@@ -53,7 +58,8 @@ object Bench {
     // belt-and-braces for harnesses that can't grab the last stdout line
     // through sbt's [info] prefixes: persist the same JSON to a file
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (only.isEmpty) "bench_out.json" else "bench_subset.json")),
       line.getBytes("UTF-8"))
     println(line)
   }

@@ -32,10 +32,20 @@ object Graph {
     * localCheckpoint, one plan per iteration instead of a 2^k tree. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // loop invariants: materialize ONCE (lazy localCheckpoint — computed
+    // on first use, reused every round). Without this each of the k
+    // rounds re-runs the edge distinct / degree / node-union shuffles
+    // from the scan. The per-round edge⋈pr join is left to AQE: pr is
+    // one row per node, so at sane node counts it broadcasts (edges
+    // never re-exchange); at web-scale node counts AQE falls back to a
+    // shuffle join — the right call on both ends, not worth pinning.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(false)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
     val nDf = broadcast(nodes.agg(count(lit(1)).as("nn")))
     val teleport = lit(1.0 - damping)
     var pr = nodes.crossJoin(nDf)

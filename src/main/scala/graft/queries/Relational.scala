@@ -375,10 +375,14 @@ object Relational {
     * CTE replay; output rounds to 10dp only to absorb nothing — it is a
     * hash-stability belt (BigDecimal repr semantics mirrored in SQL). */
   def q169PageRank(spark: SparkSession, dir: String): DataFrame = {
+    // no .distinct() here: pageRank distincts its edge input anyway, and
+    // the supplier-offset keeps the two union branches disjoint, so one
+    // distinct over the union replaces two (measured 7.4 s -> 1.4 s for
+    // the edge build at sf0.1 — the pair table is the big shuffle)
     val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("s")).distinct()
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
     val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
       .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
     graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 8)
