@@ -203,6 +203,7 @@ object SparkEntry {
     "q180_welch_test"      -> (D.q180WelchTest(_, _)),
     "q181_collocations"    -> (D.q181Collocations(_, _)),
     "q182_weighted_median" -> (R.q182WeightedMedian(_, _)),
+    "q183_hll_distinct"    -> (R.q183HllDistinct(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2596,6 +2597,36 @@ object SparkEntry {
         |CAST(round(CAST(CAST(MIN(l_extendedprice) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS weighted_median,
         |CAST(MAX(tot) AS BIGINT) AS total_weight
         |FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag""".stripMargin,
+    // q183: the register build, the ALL-merge, and the estimator all
+    // replay as string/integer ops plus exact power-of-two double sums;
+    // every literal is CAST to DOUBLE so DuckDB does not slip into
+    // DECIMAL arithmetic.
+    "q183_hll_distinct" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y') AS year, o_custkey FROM orders),
+        |r AS (SELECT year,
+        |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':r'), 1, 4)) AS BIGINT) % 256 AS reg,
+        |  LEAST(4 * length(regexp_extract(substr(md5(CAST(o_custkey AS VARCHAR) || ':q'), 1, 12), '^0*')) +
+        |    CASE substr(substr(md5(CAST(o_custkey AS VARCHAR) || ':q'), 1, 12),
+        |           length(regexp_extract(substr(md5(CAST(o_custkey AS VARCHAR) || ':q'), 1, 12), '^0*')) + 1, 1)
+        |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |      ELSE 0 END + 1, 40) AS rank
+        |FROM o),
+        |mx AS (SELECT year, reg, MAX(rank) AS max_rank FROM r GROUP BY 1, 2),
+        |u AS (SELECT * FROM mx
+        |  UNION ALL SELECT 'ALL' AS year, reg, MAX(max_rank) AS max_rank FROM mx GROUP BY 2),
+        |est AS (SELECT year, COUNT(*) AS nonempty,
+        |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+        |    * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE) /
+        |    ((CAST(256.0 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) +
+        |     SUM(CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << CAST(max_rank AS INT)) AS DOUBLE))) AS e
+        |FROM u GROUP BY 1),
+        |tru AS (SELECT year, COUNT(DISTINCT o_custkey) AS true_distinct FROM o GROUP BY 1
+        |  UNION ALL SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM o)
+        |SELECT est.year AS year, CAST(nonempty AS BIGINT) AS nonempty,
+        |  CAST(round(CAST(CAST(e AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS hll_estimate,
+        |  CAST(true_distinct AS BIGINT) AS true_distinct
+        |FROM est JOIN tru ON est.year = tru.year""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -76,4 +76,66 @@ object Sketches {
       // a missing cell means nothing hashed there: count 0
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_count"))
   }
+
+  /** Replayable HyperLogLog register table: per group, one row per
+    * NON-EMPTY register `(groupCols..., reg, max_rank)` — the mergeable
+    * distinct-count sketch (the 100 TB COUNT DISTINCT: raw keys never
+    * cross group boundaries; re-aggregating registers with `max` under
+    * any coarser grouping IS the union of the sketches, which
+    * [[hllEstimate]] then scores without touching data again).
+    *
+    * Like [[cmsBuild]] (and unlike `approx_count_distinct`), fully
+    * md5-derived, so a SQL oracle rebuilds it bit-for-bit: the register
+    * is the first 4 hex chars of md5(key ":r") mod 2^b, and the rank is
+    * 1 + the leading-zero-bit count of the 48-bit value spelled by the
+    * first 12 hex chars of md5(key ":q") — hex-string leading zeros
+    * count 4 bits each, the first non-zero nibble adds 0–3 via a fixed
+    * CASE, both replayable as string ops in any engine. Ranks cap at 40
+    * so every 2^-rank term of the estimator's harmonic sum is a power
+    * of two >= 2^-40; with at most 2^b <= 2^14 terms the sum spans < 53
+    * significand bits and is EXACT in IEEE double — order-insensitive
+    * at any parallelism, no fold ordering needed. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      b: Int): DataFrame = {
+    require(b >= 4 && b <= 14, s"b must be in [4,14], got $b")
+    val m = 1 << b
+    val key = col(keyCol).cast("string")
+    val reg = (conv(substring(md5(concat(key, lit(":r"))), 1, 4), 16, 10)
+      .cast("long") % m).as("reg")
+    val qhex = substring(md5(concat(key, lit(":q"))), 1, 12)
+    val zeros = length(regexp_extract(qhex, "^0*", 0))
+    val nib = substring(qhex, (zeros + 1).cast("int"), lit(1))
+    val nibLz = when(nib === "1", 3)
+      .when(nib.isin("2", "3"), 2)
+      .when(nib.isin("4", "5", "6", "7"), 1)
+      .otherwise(0) // 8–f, or empty when all 12 chars are zero
+    val rank = least(zeros * lit(4) + nibLz + lit(1), lit(40)).cast("long")
+    df.select(groupCols.map(col) :+ reg :+ rank.as("rank"): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Score a [[hllRegisters]] table (per whatever grouping it now
+    * carries — merge first by re-grouping with `max(max_rank)`): the
+    * raw HLL estimate alpha_m * m^2 / S with
+    * S = (m - nonempty) + sum(2^-max_rank). Every arithmetic step is a
+    * correctly-rounded IEEE op over exact inputs (2^-r built as
+    * 1.0 / shiftleft long — exact), so the estimate replays
+    * bit-identically cross-engine. No log-based small-range correction
+    * on purpose: ln() is not correctly rounded and would break replay;
+    * callers read `nonempty` to judge the regime. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], b: Int): DataFrame = {
+    val m = (1 << b).toDouble
+    // fixed literal shape: both engines evaluate the same three ops
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
+    val term = lit(1.0) /
+      expr("shiftleft(cast(1 as bigint), cast(max_rank as int))").cast("double")
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("nonempty"), sum(term).as("sum_pow"))
+      .select(groupCols.map(col) ++ Seq(
+        col("nonempty"),
+        (alpha * lit(m) * lit(m) /
+          ((lit(m) - col("nonempty").cast("double")) + col("sum_pow")))
+          .as("hll_estimate")): _*)
+  }
 }

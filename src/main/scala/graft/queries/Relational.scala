@@ -417,4 +417,33 @@ object Relational {
         tieCols = Seq("l_orderkey", "l_linenumber"))
       .select($"l_returnflag", round($"weighted_median", 4).as("weighted_median"),
         $"total_weight".cast("long").as("total_weight"))
+
+  /** q183 — mergeable distinct-count sketch ([[graft.operators.Sketches
+    * .hllRegisters]]/[[graft.operators.Sketches.hllEstimate]]): per-year
+    * distinct customers via md5-derived HLL registers, PLUS a global
+    * 'ALL' row computed by MERGING the per-year register tables
+    * (re-group, `max`) — never re-reading orders. That merge step is the
+    * operator's point at 100 TB: per-partition/per-day sketches union
+    * into any rollup at O(m) cost each. All register math is md5-derived
+    * string/integer work and the harmonic sum is an exact power-of-two
+    * sum (see operator scaladoc), so DuckDB rebuilds every estimate
+    * bit-for-bit; `true_distinct` rides along to show the error. */
+  def q183HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val b = 8
+    val o = Tables.orders(spark, dir)
+      .select(date_format($"o_orderdate", "yyyy").as("year"), $"o_custkey")
+    val regs = graft.operators.Sketches.hllRegisters(o, Seq("year"), "o_custkey", b)
+    val merged = regs.groupBy($"reg")
+      .agg(max($"max_rank").as("max_rank"))
+      .select(lit("ALL").as("year"), $"reg", $"max_rank")
+    val est = graft.operators.Sketches.hllEstimate(
+      regs.unionByName(merged), Seq("year"), b)
+    val truth = o.groupBy($"year")
+      .agg(countDistinct($"o_custkey").as("true_distinct"))
+      .unionByName(o.agg(countDistinct($"o_custkey").as("true_distinct"))
+        .select(lit("ALL").as("year"), $"true_distinct"))
+    est.join(truth, "year")
+      .select($"year", $"nonempty",
+        round($"hll_estimate", 4).as("hll_estimate"), $"true_distinct")
+  }
 }

@@ -75,4 +75,38 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
           s"${r.getString(0)}: saturated CMS ${r.getLong(1)} != exact")
       }
   }
+
+  test("HLL registers merge exactly: union of sketches == sketch of union") {
+    val o = graft.Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy").as("year"), col("o_custkey"))
+    val perYear = Sketches.hllRegisters(o, Seq("year"), "o_custkey", b = 8)
+    // merge the per-year tables by re-grouping with max ...
+    val merged = perYear.groupBy("reg").agg(max(col("max_rank")).as("max_rank"))
+    // ... which must equal the sketch built from the raw union
+    val direct = Sketches.hllRegisters(
+      o.select(lit("ALL").as("g"), col("o_custkey")), Seq("g"), "o_custkey", b = 8)
+      .select("reg", "max_rank")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "register merge must be lossless")
+  }
+
+  test("HLL estimate is partitioning-invariant and within ~3/sqrt(m) of exact") {
+    // l_orderkey: ~1.5k distinct at sf0.001 >> 2.5*m — the raw-HLL
+    // regime (the estimator skips the log-based small-range correction
+    // for cross-engine replay; below 2.5*m the test would read its bias)
+    val o = graft.Tables.lineitem(spark, dir).select(lit("g").as("g"), col("l_orderkey"))
+    val b = 8
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      Sketches.hllEstimate(Sketches.hllRegisters(df, Seq("g"), "l_orderkey", b),
+        Seq("g"), b).collect().head.getAs[Double]("hll_estimate")
+    val e1 = est(o.repartition(1))
+    val e32 = est(o.repartition(32, col("l_orderkey")))
+    // the harmonic sum is an exact double (power-of-two terms), so the
+    // estimate is bit-identical at any parallelism — no tolerance
+    assert(e1 == e32, s"partitioning changed the estimate: $e1 vs $e32")
+    val exact = o.select("l_orderkey").distinct().count().toDouble
+    val rel = math.abs(e1 - exact) / exact
+    assert(rel < 3.0 / math.sqrt((1 << b).toDouble),
+      s"HLL estimate $e1 vs exact $exact: rel error $rel out of bound")
+  }
 }
