@@ -204,6 +204,7 @@ object SparkEntry {
     "q181_collocations"    -> (D.q181Collocations(_, _)),
     "q182_weighted_median" -> (R.q182WeightedMedian(_, _)),
     "q183_hll_distinct"    -> (R.q183HllDistinct(_, _)),
+    "q184_url_canon"       -> (D.q184UrlCanon(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2627,6 +2628,47 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(e AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS hll_estimate,
         |  CAST(true_distinct AS BIGINT) AS true_distinct
         |FROM est JOIN tru ON est.year = tru.year""".stripMargin,
+    // q184: rebuild the same messy URLs from doc_id and replay every
+    // canonicalization rule (RE2-safe regexes, binary-sorted params).
+    "q184_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'News.Example.com'
+        |        WHEN doc_id % 4 = 1 THEN 'www.news.example.com'
+        |        WHEN doc_id % 4 = 2 THEN 'news.example.com:443'
+        |        ELSE 'Blog.Other.org' END) ||
+        |  '/art/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=rss&id=' || CAST(doc_id % 40 AS VARCHAR)
+        |        WHEN doc_id % 5 = 1 THEN '?id=' || CAST(doc_id % 40 AS VARCHAR) || '&utm_medium=email'
+        |        WHEN doc_id % 5 = 2 THEN '?b=2&a=1'
+        |        WHEN doc_id % 5 = 3 THEN '?fbclid=xyz'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
+        | FROM documents),
+        |c AS (SELECT url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |d AS (SELECT url,
+        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)),
+        |    ':(80|443)$', ''), '^www\.', '') AS host,
+        |  regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1),
+        |    '/+$', '') AS pathn,
+        |  regexp_extract(nf, '\?(.*)$', 1) AS qs
+        | FROM c),
+        |k AS (SELECT scheme, host, pathn,
+        |  list_sort(list_filter(string_split(qs, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))) AS kept,
+        |  len(list_filter(string_split(qs, '&'),
+        |    p -> regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))) > 0 AS had_tracking,
+        |  regexp_matches(url, '#') AS had_fragment
+        | FROM d)
+        |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT scheme || '://' || host || pathn ||
+        |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)) AS BIGINT) AS n_canonical,
+        |  CAST(SUM(CASE WHEN had_tracking THEN 1 ELSE 0 END) AS BIGINT) AS n_tracked,
+        |  CAST(SUM(CASE WHEN had_fragment THEN 1 ELSE 0 END) AS BIGINT) AS n_fragment
+        |FROM k GROUP BY host""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

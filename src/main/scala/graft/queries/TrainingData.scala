@@ -2059,6 +2059,41 @@ object TrainingData {
       .select($"rank", $"bigram", $"cxy", round($"lift", 6).as("lift"))
   }
 
+  /** q184 — URL canonicalization census ([[graft.operators.Urls
+    * .canonicalize]]): the pre-dedup normalizer over a deterministic
+    * messy-URL fixture derived from doc_id — case-varied schemes and
+    * hosts, `www.` prefixes, a `:443` default port, trailing slashes,
+    * tracking parameters (utm_* and fbclid), permuted real params, and
+    * fragments all planted so every rule fires. Per canonical host: raw
+    * URLs, distinct canonical URLs (the dedup win), tracked/fragment
+    * counts. Pure regex/array projection — no shuffle before the
+    * host-keyed census; the oracle rebuilds the same strings and
+    * replays every rule with RE2-safe patterns. */
+  def q184UrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val id = $"doc_id"
+    val url = concat(
+      when(id % 2 === 0, "https").otherwise("HTTPS"), lit("://"),
+      when(id % 4 === 0, "News.Example.com")
+        .when(id % 4 === 1, "www.news.example.com")
+        .when(id % 4 === 2, "news.example.com:443")
+        .otherwise("Blog.Other.org"),
+      lit("/art/"), (id % 40).cast("string"),
+      when(id % 3 === 0, "/").otherwise(""),
+      when(id % 5 === 0, concat(lit("?utm_source=rss&id="), (id % 40).cast("string")))
+        .when(id % 5 === 1, concat(lit("?id="), (id % 40).cast("string"), lit("&utm_medium=email")))
+        .when(id % 5 === 2, "?b=2&a=1")
+        .when(id % 5 === 3, "?fbclid=xyz")
+        .otherwise(""),
+      when(id % 7 === 0, "#top").otherwise(""))
+    val canon = graft.operators.Urls.canonicalize(
+      docs(spark, dir).select(id, url.as("url")), "url")
+    canon.groupBy($"host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct($"canonical_url").as("n_canonical"),
+        sum(when($"had_tracking", 1L).otherwise(0L)).as("n_tracked"),
+        sum(when($"had_fragment", 1L).otherwise(0L)).as("n_fragment"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
