@@ -205,6 +205,7 @@ object SparkEntry {
     "q182_weighted_median" -> (R.q182WeightedMedian(_, _)),
     "q183_hll_distinct"    -> (R.q183HllDistinct(_, _)),
     "q184_url_canon"       -> (D.q184UrlCanon(_, _)),
+    "q185_dataset_digest"  -> (D.q185DatasetDigest(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2669,6 +2670,18 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN had_tracking THEN 1 ELSE 0 END) AS BIGINT) AS n_tracked,
         |  CAST(SUM(CASE WHEN had_fragment THEN 1 ELSE 0 END) AS BIGINT) AS n_fragment
         |FROM k GROUP BY host""".stripMargin,
+    // q185: list_reduce has no init value, so prepend '' — the first
+    // step md5(''||d0) then equals Spark's fold from the '' accumulator.
+    "q185_dataset_digest" ->
+      """WITH r AS (SELECT md5(CAST(doc_id AS VARCHAR) || chr(1) || text) AS d FROM documents),
+        |b AS (SELECT substr(d, 1, 2) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  list_reduce(list_prepend('', list(d ORDER BY d)), (a, x) -> md5(a || x)) AS digest
+        | FROM r GROUP BY 1)
+        |SELECT bucket, n_rows, digest FROM b
+        |UNION ALL
+        |SELECT 'ROOT' AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |  list_reduce(list_prepend('', list(digest ORDER BY bucket)), (a, x) -> md5(a || x)) AS digest
+        |FROM b""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -2094,6 +2094,17 @@ object TrainingData {
         sum(when($"had_fragment", 1L).otherwise(0L)).as("n_fragment"))
   }
 
+  /** q185 — dataset Merkle fingerprint ([[graft.operators.Fingerprint
+    * .datasetDigest]]): content-addressed bucket digests + root over the
+    * documents table — the audit two replicas of a 100 TB dataset
+    * exchange instead of rows. Bucket assignment comes from each row
+    * digest's own hex prefix, so the result is independent of layout,
+    * partitioning, and row order (spec-pinned); the per-bucket chain is
+    * an ordered md5 fold the oracle replays with list_reduce. */
+  def q185DatasetDigest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Fingerprint.datasetDigest(
+      docs(spark, dir), Seq("doc_id", "text"), bucketHexChars = 2)
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
