@@ -206,6 +206,7 @@ object SparkEntry {
     "q183_hll_distinct"    -> (R.q183HllDistinct(_, _)),
     "q184_url_canon"       -> (D.q184UrlCanon(_, _)),
     "q185_dataset_digest"  -> (D.q185DatasetDigest(_, _)),
+    "q186_mad_outliers"    -> (R.q186MadOutliers(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2682,6 +2683,26 @@ object SparkEntry {
         |SELECT 'ROOT' AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
         |  list_reduce(list_prepend('', list(digest ORDER BY bucket)), (a, x) -> md5(a || x)) AS digest
         |FROM b""".stripMargin,
+    // q186: lower medians via the q182 crossing rule at weight 1; the
+    // fence multiplies in the same literal order as the Spark side.
+    "q186_mad_outliers" ->
+      """WITH n AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |  l_orderkey, l_linenumber FROM lineitem),
+        |c1 AS (SELECT g, v,
+        |  SUM(1) OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS cum,
+        |  SUM(1) OVER (PARTITION BY g) AS tot FROM n),
+        |med AS (SELECT g, MIN(v) AS median FROM c1 WHERE cum * 2 >= tot GROUP BY g),
+        |d AS (SELECT n.g, n.v, abs(n.v - med.median) AS dev,
+        |  n.l_orderkey, n.l_linenumber, med.median FROM n JOIN med ON n.g = med.g),
+        |c2 AS (SELECT g, dev,
+        |  SUM(1) OVER (PARTITION BY g ORDER BY dev, l_orderkey, l_linenumber) AS cum,
+        |  SUM(1) OVER (PARTITION BY g) AS tot FROM d),
+        |mad AS (SELECT g, MIN(dev) AS mad FROM c2 WHERE cum * 2 >= tot GROUP BY g)
+        |SELECT d.g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(d.median) AS median, MIN(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad ON d.g = mad.g GROUP BY d.g""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

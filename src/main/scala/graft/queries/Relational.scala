@@ -446,4 +446,16 @@ object Relational {
       .select($"year", $"nonempty",
         round($"hll_estimate", 4).as("hll_estimate"), $"true_distinct")
   }
+
+  /** q186 — MAD robust outlier census ([[graft.operators.Robust
+    * .madOutliers]]): per return flag, the exact lower-median of
+    * extended price, the median absolute deviation, and the count of
+    * rows beyond the 3-sigma-equivalent fence (3 * 1.4826 * MAD). Lower
+    * medians are picked by integer crossing arithmetic — no
+    * interpolation seam — and the deviations are single exact
+    * subtractions, so every column replays bit-for-bit. */
+  def q186MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.madOutliers(Tables.lineitem(spark, dir),
+      "l_returnflag", "l_extendedprice",
+      tieCols = Seq("l_orderkey", "l_linenumber"), k = 3.0)
 }

@@ -28,4 +28,26 @@ class WeightedStatsSpec extends AnyFunSuite with SparkFixture {
       .collect().head
     assert(a.getDouble(1) == b.getDouble(1) && a.getLong(2) == b.getLong(2))
   }
+
+  test("madOutliers: fence flags the planted spike, resists contamination") {
+    import spark.implicits._
+    // 9 values near 10 plus one spike: mean/stddev fencing would let the
+    // spike drag the threshold; MAD must not
+    val rows = (1 to 9).map(i => ("g", 10.0 + (i % 3) * 0.5, i.toLong)) :+
+      (("g", 500.0, 10L))
+    val df = rows.toDF("k", "v", "id")
+    val r = graft.operators.Robust.madOutliers(df, "k", "v", Seq("id")).collect().head
+    // sorted values: 10,10,10,10.5,10.5,10.5,11,11,11,500 -> lower median 10.5
+    assert(r.getAs[Double]("median") == 10.5)
+    // devs: 0.5,0.5,0.5,0,0,0,0.5,0.5,0.5,489.5 -> lower median 0.5
+    assert(r.getAs[Double]("mad") == 0.5)
+    assert(r.getAs[Long]("n_outliers") == 1L, "only the spike crosses the fence")
+
+    // zero-MAD group (over half the rows identical): every deviating row
+    // is an outlier — the convention a constant-column group needs
+    val const = (Seq.fill(5)(("c", 7.0)) ++ Seq(("c", 7.1), ("c", 6.9)))
+      .zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }.toDF("k", "v", "id")
+    val c = graft.operators.Robust.madOutliers(const, "k", "v", Seq("id")).collect().head
+    assert(c.getAs[Double]("mad") == 0.0 && c.getAs[Long]("n_outliers") == 2L)
+  }
 }
