@@ -207,6 +207,7 @@ object SparkEntry {
     "q184_url_canon"       -> (D.q184UrlCanon(_, _)),
     "q185_dataset_digest"  -> (D.q185DatasetDigest(_, _)),
     "q186_mad_outliers"    -> (R.q186MadOutliers(_, _)),
+    "q187_inverted_index"  -> (D.q187InvertedIndex(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2703,6 +2704,24 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN d.dev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad.mad
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN mad ON d.g = mad.g GROUP BY d.g""".stripMargin,
+    // q187: string_agg(... ORDER BY doc_id) skips the first posting's
+    // null lag gap, matching the Spark side's null-skipping collect_list.
+    "q187_inverted_index" ->
+      """WITH p AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        | FROM documents),
+        |p2 AS (SELECT DISTINCT doc_id, token FROM p WHERE token <> ''),
+        |kept AS (SELECT token, COUNT(*) AS df FROM p2 GROUP BY token
+        |  HAVING COUNT(*) BETWEEN 2 AND 400),
+        |g AS (SELECT p2.token, p2.doc_id, kept.df,
+        |  p2.doc_id - lag(p2.doc_id) OVER (PARTITION BY p2.token ORDER BY p2.doc_id) AS gap
+        | FROM p2 JOIN kept ON p2.token = kept.token)
+        |SELECT token, CAST(MAX(df) AS BIGINT) AS df,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  md5(CAST(MIN(doc_id) AS VARCHAR) || ':' ||
+        |    COALESCE(string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id), '')) AS postings_md5,
+        |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap
+        |FROM g GROUP BY token""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

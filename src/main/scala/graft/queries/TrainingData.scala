@@ -2105,6 +2105,16 @@ object TrainingData {
     graft.operators.Fingerprint.datasetDigest(
       docs(spark, dir), Seq("doc_id", "text"), bucketHexChars = 2)
 
+  /** q187 — inverted-index build ([[graft.operators.InvertedIndex]]):
+    * per term in the DF band [2, 400], document frequency, first
+    * posting, max delta gap, and the md5 fingerprint of the full
+    * delta-encoded posting list. The DF filter runs before the per-term
+    * sort, so stopword-hot partitions never exist; the oracle rebuilds
+    * the same fingerprints via string_agg over lag gaps. */
+  def q187InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.InvertedIndex.build(docs(spark, dir), "doc_id", "text",
+      minDf = 2L, maxDf = 400L)
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
