@@ -208,6 +208,7 @@ object SparkEntry {
     "q185_dataset_digest"  -> (D.q185DatasetDigest(_, _)),
     "q186_mad_outliers"    -> (R.q186MadOutliers(_, _)),
     "q187_inverted_index"  -> (D.q187InvertedIndex(_, _)),
+    "q188_hard_negatives"  -> (D.q188HardNegatives(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2722,6 +2723,22 @@ object SparkEntry {
         |    COALESCE(string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id), '')) AS postings_md5,
         |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap
         |FROM g GROUP BY token""".stripMargin,
+    // q188: the q79 exhaustive cosine oracle with the wrong-label filter
+    // applied before ranking, exactly as the operator does.
+    "q188_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, label AS probe_label, v AS pv FROM e WHERE vec_id < 8),
+        |j AS (SELECT p.probe_id, p.probe_label, e.vec_id AS corpus_id, e.label AS neg_label,
+        |  list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]), 'sum') /
+        |  (sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) *
+        |   sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum'))) AS cos
+        |FROM e, p WHERE e.label <> p.probe_label),
+        |r AS (SELECT probe_id, probe_label, corpus_id, neg_label, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS rnk FROM j)
+        |SELECT probe_id, probe_label, CAST(rnk AS INT) AS "rank", corpus_id, neg_label,
+        |  round(cos, 4) AS cos
+        |FROM r WHERE rnk <= 3""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -60,6 +60,36 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per probe, the k
+    * nearest corpus vectors whose LABEL DIFFERS from the probe's — the
+    * near-miss examples a retrieval/embedding trainer wants (an
+    * easy-negative random sample teaches nothing; the nearest wrong-label
+    * row defines the decision boundary). The label filter runs BEFORE
+    * ranking, so k stays k regardless of how label-pure the probe's
+    * neighborhood is.
+    *
+    * Same scale shape as [[bruteForceTopK]]: probes broadcast, corpus
+    * never shuffles, per-probe bounded rank. This is the exact baseline;
+    * [[lshTopK]]/[[ivfTopK]] with a post-filter are the approximate
+    * 100 TB path when probes stop fitting in a broadcast. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      col(labelCol).as("neg_label"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
+      col(labelCol).as("probe_label"))
+    val scored = c.crossJoin(broadcast(p))
+      .where(col("neg_label") =!= col("probe_label"))
+      .withColumn("cos", cosine(col("cvec"), col("pvec")))
+      .where(!isnan(col("cos")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("probe_label"), col("rank"),
+        col("corpus_id"), col("neg_label"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, plane,
     * dim): a hash folded into [-1, 1). */
   private def planeComponent(table: Int, plane: Int, dim: Column): Column =

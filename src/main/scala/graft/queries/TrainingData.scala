@@ -2115,6 +2115,21 @@ object TrainingData {
     graft.operators.InvertedIndex.build(docs(spark, dir), "doc_id", "text",
       minDf = 2L, maxDf = 400L)
 
+  /** q188 — hard-negative mining ([[Similarity.hardNegatives]]): for
+    * each of 8 probe vectors, the 3 nearest corpus vectors with a
+    * DIFFERENT label — the contrastive-training negatives that define
+    * the decision boundary. Label filter before rank keeps k exact;
+    * DuckDB replays the exhaustive scored join. */
+  def q188HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val probes = emb.where($"vec_id" < 8)
+    Similarity.hardNegatives(emb, probes, "vec_id", "v", "label", k = 3)
+      .select($"probe_id", $"probe_label", $"rank", $"corpus_id",
+        $"neg_label", round($"cos", 4).as("cos"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

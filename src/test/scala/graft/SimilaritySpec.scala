@@ -233,4 +233,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(re == v)
   }
+
+  test("hardNegatives skips same-label neighbors however close they are") {
+    import spark.implicits._
+    // probe 0 (label 1): vec 1 is nearly identical but SAME label —
+    // must be skipped; vec 2 (label 2) is the true hard negative even
+    // though vec 3 (label 2) is more distant
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0), 1),
+      (1L, Seq(0.999, 0.01), 1),
+      (2L, Seq(0.9, 0.1), 2),
+      (3L, Seq(0.0, 1.0), 2)).toDF("vec_id", "v", "label")
+    val out = Similarity.hardNegatives(rows, rows.where($"vec_id" === 0),
+      "vec_id", "v", "label", k = 2).collect()
+    assert(out.map(_.getAs[Long]("corpus_id")).toSeq == Seq(2L, 3L))
+    assert(out.forall(_.getAs[Int]("neg_label") == 2))
+  }
 }
