@@ -209,6 +209,7 @@ object SparkEntry {
     "q186_mad_outliers"    -> (R.q186MadOutliers(_, _)),
     "q187_inverted_index"  -> (D.q187InvertedIndex(_, _)),
     "q188_hard_negatives"  -> (D.q188HardNegatives(_, _)),
+    "q189_gopher_rules"    -> (D.q189GopherRules(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2739,6 +2740,56 @@ object SparkEntry {
         |SELECT probe_id, probe_label, CAST(rnk AS INT) AS "rank", corpus_id, neg_label,
         |  round(cos, 4) AS cos
         |FROM r WHERE rnk <= 3""".stripMargin,
+    // q189: every rule is an integer cross-multiplication; chr(10)
+    // stands in for the Scala-side '\n' literal.
+    "q189_gopher_rules" ->
+      """WITH planted AS (SELECT source,
+        |  CASE WHEN doc_id % 11 = 1 THEN text || ' # # # # # # # # # # # #'
+        |       WHEN doc_id % 11 = 2 THEN repeat('- item point' || chr(10), 8) || 'tail'
+        |       WHEN doc_id % 11 = 3 THEN repeat('watch this...' || chr(10), 5) || 'end'
+        |       WHEN doc_id % 11 = 4 THEN repeat('123 456 ', 20)
+        |       WHEN doc_id % 11 = 5 THEN repeat('lorem ipsum dolor sit amet ', 10)
+        |       WHEN doc_id % 11 = 6 THEN 'too short'
+        |       WHEN doc_id % 11 = 7 THEN repeat('extraordinarily incomprehensible ', 15)
+        |       ELSE text END AS t
+        | FROM documents),
+        |m AS (SELECT source,
+        |  len(list_filter(string_split_regex(lower(t), '\s+'), w -> w <> '')) AS n_w,
+        |  COALESCE(list_aggregate(list_transform(
+        |    list_filter(string_split_regex(lower(t), '\s+'), w -> w <> ''),
+        |    w -> strlen(w)), 'sum'), 0) AS sum_len,
+        |  (strlen(t) - strlen(replace(t, '#', ''))) +
+        |    (strlen(t) - strlen(replace(t, '…', ''))) AS n_sym,
+        |  len(string_split(t, chr(10))) AS n_lines,
+        |  len(list_filter(string_split(t, chr(10)),
+        |    l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet,
+        |  len(list_filter(string_split(t, chr(10)),
+        |    l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ell,
+        |  len(list_filter(list_filter(string_split_regex(lower(t), '\s+'), w -> w <> ''),
+        |    w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+        |  len(list_intersect(list_distinct(list_filter(string_split_regex(lower(t), '\s+'),
+        |    w -> w <> '')), ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'])) AS n_stop
+        | FROM planted),
+        |f AS (SELECT source,
+        |  (n_w < 20 OR n_w > 100000) AS f_wc,
+        |  (sum_len < 3 * n_w OR sum_len > 10 * n_w) AS f_ml,
+        |  (n_sym * 10 > n_w) AS f_sym,
+        |  (n_bullet * 10 > n_lines * 9) AS f_bul,
+        |  (n_ell * 10 > n_lines * 3) AS f_ell,
+        |  (n_alpha * 5 < n_w * 4) AS f_al,
+        |  (n_stop < 2) AS f_st
+        | FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS f_wordcount,
+        |  CAST(SUM(CASE WHEN f_ml THEN 1 ELSE 0 END) AS BIGINT) AS f_meanlen,
+        |  CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol,
+        |  CAST(SUM(CASE WHEN f_bul THEN 1 ELSE 0 END) AS BIGINT) AS f_bullet,
+        |  CAST(SUM(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS f_ellipsis,
+        |  CAST(SUM(CASE WHEN f_al THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+        |  CAST(SUM(CASE WHEN f_st THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword,
+        |  CAST(SUM(CASE WHEN NOT f_wc AND NOT f_ml AND NOT f_sym AND NOT f_bul
+        |    AND NOT f_ell AND NOT f_al AND NOT f_st THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM f GROUP BY source""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -2130,6 +2130,55 @@ object TrainingData {
         $"neg_label", round($"cos", 4).as("cos"))
   }
 
+  /** q189 — Gopher rule-bundle audit (Rae et al. 2021 §A1.1, the
+    * per-rule attrition table a pipeline tunes before blending scores —
+    * q73/q112 gate on a scalar blend; this names WHICH rule kills which
+    * doc). Seven rules, each planted via doc_id % 11 so every rule
+    * fires: word-count band, mean word length, symbol ratio, bullet
+    * lines, ellipsis line endings, alphabetic-word share, required
+    * stopwords. Every test is an integer cross-multiplication
+    * (10*n_sym > n_words, not a double ratio), so the census has no
+    * float seam at all and replays exactly. */
+  def q189GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select($"source",
+      when($"doc_id" % 11 === 1, concat($"text", lit(" # # # # # # # # # # # #")))
+        .when($"doc_id" % 11 === 2, concat(repeat(lit("- item point\n"), 8), lit("tail")))
+        .when($"doc_id" % 11 === 3, concat(repeat(lit("watch this...\n"), 5), lit("end")))
+        .when($"doc_id" % 11 === 4, repeat(lit("123 456 "), 20))
+        .when($"doc_id" % 11 === 5, repeat(lit("lorem ipsum dolor sit amet "), 10))
+        .when($"doc_id" % 11 === 6, lit("too short"))
+        .when($"doc_id" % 11 === 7, repeat(lit("extraordinarily incomprehensible "), 15))
+        .otherwise($"text").as("t"))
+    val words = filter(split(lower($"t"), "\\s+"), w => w =!= "")
+    val lines = split($"t", "\n")
+    val stopSet = array(Seq("the", "a", "of", "and", "to", "in", "is", "that").map(lit): _*)
+    val m = planted.select($"source",
+      size(words).as("n_w"),
+      aggregate(words, lit(0L), (a, x) => a + length(x)).as("sum_len"),
+      (length($"t") - length(regexp_replace($"t", "#", "")) +
+        length($"t") - length(regexp_replace($"t", "…", ""))).as("n_sym"),
+      size(lines).as("n_lines"),
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).as("n_bullet"),
+      size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).as("n_ell"),
+      size(filter(words, w => w.rlike("[a-z]"))).as("n_alpha"),
+      size(array_intersect(array_distinct(words), stopSet)).as("n_stop"))
+    val fWc = $"n_w" < 20 || $"n_w" > 100000
+    val fMl = $"sum_len" < $"n_w" * 3 || $"sum_len" > $"n_w" * 10
+    val fSym = $"n_sym" * 10 > $"n_w"
+    val fBul = $"n_bullet" * 10 > $"n_lines" * 9
+    val fEll = $"n_ell" * 10 > $"n_lines" * 3
+    val fAl = $"n_alpha" * 5 < $"n_w" * 4
+    val fSt = $"n_stop" < 2
+    def cnt(c: org.apache.spark.sql.Column, name: String) =
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    m.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      cnt(fWc, "f_wordcount"), cnt(fMl, "f_meanlen"), cnt(fSym, "f_symbol"),
+      cnt(fBul, "f_bullet"), cnt(fEll, "f_ellipsis"), cnt(fAl, "f_alpha"),
+      cnt(fSt, "f_stopword"),
+      cnt(!fWc && !fMl && !fSym && !fBul && !fEll && !fAl && !fSt, "n_pass"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
