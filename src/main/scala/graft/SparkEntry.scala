@@ -210,6 +210,7 @@ object SparkEntry {
     "q187_inverted_index"  -> (D.q187InvertedIndex(_, _)),
     "q188_hard_negatives"  -> (D.q188HardNegatives(_, _)),
     "q189_gopher_rules"    -> (D.q189GopherRules(_, _)),
+    "q190_nfc_census"      -> (D.q190NfcCensus(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2790,6 +2791,20 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN NOT f_wc AND NOT f_ml AND NOT f_sym AND NOT f_bul
         |    AND NOT f_ell AND NOT f_al AND NOT f_st THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM f GROUP BY source""".stripMargin,
+    // q190: chr() codepoints rebuild the same decomposed/precomposed
+    // fixtures; both engines' length() counts codepoints.
+    "q190_nfc_census" ->
+      """WITH planted AS (SELECT source,
+        |  CASE WHEN doc_id % 5 = 1 THEN text || ' cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769)
+        |       WHEN doc_id % 5 = 2 THEN text || ' caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224)
+        |       WHEN doc_id % 5 = 3 THEN text || ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |       ELSE text END AS t
+        | FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(length(t)) AS BIGINT) AS sum_before,
+        |  CAST(SUM(length(nfc_normalize(t))) AS BIGINT) AS sum_after
+        |FROM planted GROUP BY source""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

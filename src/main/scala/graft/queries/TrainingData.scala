@@ -2179,6 +2179,32 @@ object TrainingData {
       cnt(!fWc && !fMl && !fSym && !fBul && !fEll && !fAl && !fSt, "n_pass"))
   }
 
+  /** q190 — NFC normalization census ([[graft.functions.UnicodeOps
+    * .nfcNormalize]], a codegen'd Catalyst expression over the JDK
+    * normalizer): combining-sequence fixtures (e+U+0301, A+U+030A,
+    * o+U+0308) planted next to their precomposed twins; per source, how
+    * many docs change under NFC and the codepoint mass before/after —
+    * the dedup-prerequisite audit (un-normalized text makes visually
+    * identical docs hash differently). DuckDB replays with its
+    * Unicode-conformant nfc_normalize; lengths are codepoint counts on
+    * both engines. */
+  def q190NfcCensus(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select($"source",
+      // %5==1 and %5==3: DECOMPOSED combining sequences (NFC changes
+      // them); %5==2: precomposed twins (NFC must leave them alone)
+      when($"doc_id" % 5 === 1, concat($"text", lit(" cafe\u0301 re\u0301sume\u0301")))
+        .when($"doc_id" % 5 === 2, concat($"text", lit(" caf\u00e9 d\u00e9j\u00e0")))
+        .when($"doc_id" % 5 === 3, concat($"text", lit(" A\u030angstro\u0308m")))
+        .otherwise($"text").as("t"))
+    val n = graft.functions.UnicodeOps.nfcNormalize($"t")
+    planted.select($"source", $"t", n.as("nfc"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"nfc" =!= $"t", 1L).otherwise(0L)).as("n_changed"),
+        sum(length($"t")).as("sum_before"),
+        sum(length($"nfc")).as("sum_after"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -117,4 +117,21 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(parsed.getString(1) == "beat")
     assert(one(extractJsonObject(lit("no braces here"))) == null)
   }
+
+  test("NFC normalization: composes combining sequences, idempotent, null-safe") {
+    import graft.functions.UnicodeOps.nfcNormalize
+    // decomposed e+U+0301 composes to precomposed U+00E9
+    assert(one(nfcNormalize(lit("cafe\u0301"))) == "caf\u00e9")
+    // already-NFC text is untouched (and the fast path returns it as-is)
+    assert(one(nfcNormalize(lit("caf\u00e9"))) == "caf\u00e9")
+    assert(one(nfcNormalize(lit("plain ascii"))) == "plain ascii")
+    // idempotence
+    assert(one(nfcNormalize(nfcNormalize(lit("A\u030a")))) == "\u00c5")
+    assert(one(nfcNormalize(lit(null).cast("string"))) == null)
+    // the expression lives inside codegen over a real scan
+    import spark.implicits._
+    val df = Seq("e\u0301", "x").toDF("s")
+      .select(nfcNormalize(org.apache.spark.sql.functions.col("s")).as("n"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("\u00e9", "x"))
+  }
 }
