@@ -211,6 +211,7 @@ object SparkEntry {
     "q188_hard_negatives"  -> (D.q188HardNegatives(_, _)),
     "q189_gopher_rules"    -> (D.q189GopherRules(_, _)),
     "q190_nfc_census"      -> (D.q190NfcCensus(_, _)),
+    "q191_auc"             -> (D.q191Auc(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2805,6 +2806,32 @@ object SparkEntry {
         |  CAST(SUM(length(t)) AS BIGINT) AS sum_before,
         |  CAST(SUM(length(nfc_normalize(t))) AS BIGINT) AS sum_after
         |FROM planted GROUP BY source""".stripMargin,
+    // q191: score discretization mirrors Spark's BigDecimal round via
+    // the VARCHAR->DECIMAL trick; both U terms are integer sums.
+    "q191_auc" ->
+      """WITH p AS (SELECT
+        |  CASE WHEN vec_id % 2 = 0 THEN 'even_ids' ELSE 'odd_ids' END AS grp,
+        |  (label % 2) AS y,
+        |  CAST(round(CAST(CAST(CAST(embedding[1] AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE) AS s
+        | FROM embeddings),
+        |c AS (SELECT grp, s,
+        |  SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+        |  SUM(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS nn
+        | FROM p GROUP BY grp, s),
+        |w AS (SELECT grp, s, np, nn,
+        |  COALESCE(SUM(nn) OVER (PARTITION BY grp ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+        | FROM c),
+        |a AS (SELECT grp, SUM(np) AS n_pos, SUM(nn) AS n_neg,
+        |  SUM(np * cum_nn) AS u_strict, SUM(np * nn) AS u_ties
+        | FROM w GROUP BY grp)
+        |SELECT grp, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(u_strict AS BIGINT) AS u_strict, CAST(u_ties AS BIGINT) AS u_ties,
+        |  CAST(round(CAST(CAST(
+        |    (CAST(u_strict AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(u_ties AS DOUBLE)) /
+        |    (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS auc
+        |FROM a""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -2205,6 +2205,23 @@ object TrainingData {
         sum(length($"nfc")).as("sum_after"))
   }
 
+  /** q191 — exact tie-aware AUC ([[graft.operators.Eval.auc]]): does
+    * the first embedding dimension separate even from odd labels? The
+    * Mann-Whitney census form — per-(group, score) integer counts, one
+    * window over DISTINCT 2-decimal scores, never a row-scale sort.
+    * Scores discretize via the engine's round (BigDecimal.valueOf
+    * semantics, mirrored in the oracle by the VARCHAR->DECIMAL trick);
+    * two groups split by vec_id parity keep the window partitioned. */
+  def q191Auc(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.auc(
+      Tables.embeddings(spark, dir).select(
+        when($"vec_id" % 2 === 0, "even_ids").otherwise("odd_ids").as("grp"),
+        ($"label" % 2).as("y"),
+        round(element_at($"embedding", 1).cast("double"), 2).as("score")),
+      "grp", "y", "score")
+      .select($"grp", $"n_pos", $"n_neg", $"u_strict", $"u_ties",
+        round($"auc", 6).as("auc"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
