@@ -212,6 +212,7 @@ object SparkEntry {
     "q189_gopher_rules"    -> (D.q189GopherRules(_, _)),
     "q190_nfc_census"      -> (D.q190NfcCensus(_, _)),
     "q191_auc"             -> (D.q191Auc(_, _)),
+    "q192_chi_square"      -> (D.q192ChiSquare(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2832,6 +2833,32 @@ object SparkEntry {
         |    (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
         |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS auc
         |FROM a""".stripMargin,
+    // q192: contingency stays BIGINT to the final division; the row_
+    // number replay of the k-bounded heap uses the same (chi2 DESC,
+    // token) order.
+    "q192_chi_square" ->
+      """WITH d0 AS (SELECT (source = 'src1') AS cls,
+        |  CASE WHEN source = 'src1' THEN text || ' galleon' ELSE text END AS t
+        | FROM documents),
+        |tk0 AS (SELECT cls, unnest(list_distinct(list_filter(
+        |  string_split_regex(lower(trim(t)), '\s+'), w -> w <> ''))) AS token FROM d0),
+        |tot AS (SELECT SUM(CASE WHEN cls THEN 1 ELSE 0 END) AS n1, COUNT(*) AS n FROM d0),
+        |cont AS (SELECT token,
+        |  SUM(CASE WHEN cls THEN 1 ELSE 0 END) AS a,
+        |  SUM(CASE WHEN cls THEN 0 ELSE 1 END) AS b
+        | FROM tk0 GROUP BY token),
+        |s AS (SELECT token, a, b, tot.n1 - a AS c, tot.n - tot.n1 - b AS d, tot.n AS n
+        | FROM cont, tot),
+        |x AS (SELECT token, a, b,
+        |  CAST(n * (a*d - b*c) * (a*d - b*c) AS DOUBLE) /
+        |  CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE) AS chi2
+        | FROM s WHERE (a+b) * (c+d) * (a+c) * (b+d) > 0),
+        |r AS (SELECT token, a, b, chi2,
+        |  ROW_NUMBER() OVER (ORDER BY chi2 DESC, token) AS rk FROM x)
+        |SELECT CAST(rk AS BIGINT) AS "rank", token, CAST(a AS BIGINT) AS a,
+        |  CAST(b AS BIGINT) AS b,
+        |  CAST(round(CAST(CAST(chi2 AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS chi2
+        |FROM r WHERE rk <= 15""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

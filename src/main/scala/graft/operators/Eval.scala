@@ -47,4 +47,44 @@ object Eval {
       .select(col("g").as(groupCol), col("n_pos"), col("n_neg"),
         col("u_strict"), col("u_ties"), col("auc"))
   }
+
+  /** Chi-square token-class association — the feature-selection /
+    * contamination audit ("which tokens give the class away"): per
+    * token, the 2x2 presence contingency (a = class docs containing it,
+    * b = other docs containing it, c/d their complements) scored by
+    * chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)), top k returned.
+    *
+    * Scale shape: per-doc DISTINCT tokens shuffle once into the
+    * contingency census (map-side combined); doc totals cross as one
+    * broadcast row; the ranking rides [[TopK.topKStrPerGroup]]'s
+    * k-bounded heaps — no global sort of the vocabulary. Numerator and
+    * denominator stay in exact BIGINT arithmetic (safe to ~55M docs
+    * before N*(ad-bc)^2 can overflow; beyond that, sample or shard),
+    * and long->double casts round identically everywhere, so ranking
+    * and scores replay bit-for-bit. Tokens present in every doc or in
+    * no doc of a class can zero a margin: guarded to null chi2 and
+    * dropped from the ranking. */
+  def chiSquareTokens(df: DataFrame, textCol: String, classCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(when(col(classCol), 1L).otherwise(0L).as("y"),
+        explode(array_distinct(filter(
+          split(lower(trim(col(textCol))), "\\s+"), w => w =!= ""))).as("token"))
+    val tot = broadcast(df.agg(
+      sum(when(col(classCol), 1L).otherwise(0L)).as("n1"),
+      count(lit(1)).as("n")))
+    val cont = toks.groupBy(col("token"))
+      .agg(sum(col("y")).as("a"), sum(lit(1L) - col("y")).as("b"))
+      .crossJoin(tot)
+      .withColumn("c", col("n1") - col("a"))
+      .withColumn("d", col("n") - col("n1") - col("b"))
+    val denom = (col("a") + col("b")) * (col("c") + col("d")) *
+      (col("a") + col("c")) * (col("b") + col("d"))
+    val diff = col("a") * col("d") - col("b") * col("c")
+    val scored = cont.withColumn("chi2",
+      when(denom > 0, (col("n") * diff * diff).cast("double") / denom.cast("double")))
+      .where(col("chi2").isNotNull)
+    TopK.topKStrPerGroup(scored.withColumn("g", lit("all")), "g", "token", "chi2", k)
+      .join(scored.select(col("token"), col("a"), col("b")), Seq("token"))
+      .select(col("rank"), col("token"), col("a"), col("b"), col("chi2"))
+  }
 }

@@ -2222,6 +2222,19 @@ object TrainingData {
       .select($"grp", $"n_pos", $"n_neg", $"u_strict", $"u_ties",
         round($"auc", 6).as("auc"))
 
+  /** q192 — chi-square giveaway-token audit ([[graft.operators.Eval
+    * .chiSquareTokens]]): which tokens are statistically tied to the
+    * src1 class? A marker token planted on src1 docs must surface at
+    * rank 1 with the maximal statistic; all arithmetic is exact BIGINT
+    * up to the final division, so the ranking replays bit-for-bit. */
+  def q192ChiSquare(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.chiSquareTokens(
+      docs(spark, dir).select(($"source" === "src1").as("cls"),
+        when($"source" === "src1", concat($"text", lit(" galleon")))
+          .otherwise($"text").as("t")),
+      "t", "cls", k = 15)
+      .select($"rank", $"token", $"a", $"b", round($"chi2", 6).as("chi2"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

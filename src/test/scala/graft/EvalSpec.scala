@@ -39,4 +39,24 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(a.getAs[Double]("auc") == b.getAs[Double]("auc"))
     assert(a.getAs[Long]("u_strict") == b.getAs[Long]("u_strict"))
   }
+
+  test("chiSquareTokens: perfect marker maxes at N; uniform token drops out") {
+    import spark.implicits._
+    val docs = Seq(
+      (true, "zebra common filler"),
+      (true, "zebra common other"),
+      (false, "common filler stuff"),
+      (false, "common other stuff")).toDF("cls", "t")
+    val top = Eval.chiSquareTokens(docs, "t", "cls", k = 10).collect()
+    val byTok = top.map(r => r.getAs[String]("token") -> r).toMap
+    // perfect association: chi2 = N exactly (integer arithmetic
+    // end-to-end); 'stuff' scores 4.0 too and wins the alphabetical
+    // tie-break, so zebra sits at rank 2
+    assert(byTok("zebra").getAs[Long]("rank") == 2L)
+    assert(byTok("zebra").getAs[Double]("chi2") == 4.0)
+    // 'common' appears in every doc -> a margin is zero -> dropped
+    assert(!byTok.contains("common"))
+    // hand-check an asymmetric cell: 'stuff' a=0 b=2 c=2 d=0 -> chi2 = 4
+    assert(byTok("stuff").getAs[Double]("chi2") == 4.0)
+  }
 }
