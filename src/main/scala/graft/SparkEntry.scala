@@ -213,6 +213,9 @@ object SparkEntry {
     "q190_nfc_census"      -> (D.q190NfcCensus(_, _)),
     "q191_auc"             -> (D.q191Auc(_, _)),
     "q192_chi_square"      -> (D.q192ChiSquare(_, _)),
+    "q193_rolling_hll"     -> (R.q193RollingHll(_, _)),
+    "q194_pii_scrub"       -> (D.q194PiiScrub(_, _)),
+    "q195_length_powerlaw" -> (D.q195LengthPowerlaw(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2859,6 +2862,74 @@ object SparkEntry {
         |  CAST(b AS BIGINT) AS b,
         |  CAST(round(CAST(CAST(chi2 AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS chi2
         |FROM r WHERE rk <= 15""".stripMargin,
+    // q193: q183's register build + a per-register 3-month range-window
+    // max over a densified (month, reg) grid — sketch-union semantics.
+    "q193_rolling_hll" ->
+      """WITH o AS (SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mnum,
+        |  o_custkey FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1996),
+        |r AS (SELECT mnum,
+        |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':r'), 1, 4)) AS BIGINT) % 256 AS reg,
+        |  LEAST(4 * length(regexp_extract(substr(md5(CAST(o_custkey AS VARCHAR) || ':q'), 1, 12), '^0*')) +
+        |    CASE substr(substr(md5(CAST(o_custkey AS VARCHAR) || ':q'), 1, 12),
+        |           length(regexp_extract(substr(md5(CAST(o_custkey AS VARCHAR) || ':q'), 1, 12), '^0*')) + 1, 1)
+        |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |      ELSE 0 END + 1, 40) AS rank
+        |FROM o),
+        |mx AS (SELECT mnum, reg, MAX(rank) AS max_rank FROM r GROUP BY 1, 2),
+        |months AS (SELECT DISTINCT mnum FROM mx),
+        |regsd AS (SELECT DISTINCT reg FROM mx),
+        |dense AS (SELECT m.mnum, g.reg, mx.max_rank
+        |  FROM months m CROSS JOIN regsd g
+        |  LEFT JOIN mx ON mx.mnum = m.mnum AND mx.reg = g.reg),
+        |roll AS (SELECT mnum, reg, MAX(max_rank) OVER (PARTITION BY reg ORDER BY mnum
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS mr FROM dense),
+        |u AS (SELECT mnum, reg, mr AS max_rank FROM roll WHERE mr IS NOT NULL),
+        |est AS (SELECT mnum, COUNT(*) AS nonempty,
+        |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+        |    * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE) /
+        |    ((CAST(256.0 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) +
+        |     SUM(CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << CAST(max_rank AS INT)) AS DOUBLE))) AS e
+        |FROM u GROUP BY 1),
+        |tru AS (SELECT m.mnum, COUNT(DISTINCT o.o_custkey) AS true_distinct
+        |  FROM months m JOIN o ON o.mnum BETWEEN m.mnum - 2 AND m.mnum GROUP BY 1)
+        |SELECT est.mnum AS mnum, CAST(nonempty AS BIGINT) AS nonempty,
+        |  CAST(round(CAST(CAST(e AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS hll_estimate,
+        |  CAST(true_distinct AS BIGINT) AS true_distinct
+        |FROM est JOIN tru ON est.mnum = tru.mnum""".stripMargin,
+    // q194: DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default; counts via regexp_extract_all length.
+    "q194_pii_scrub" ->
+      """WITH planted AS (SELECT source,
+        |  CASE WHEN doc_id % 6 = 1 THEN text || ' contact bob.smith+x@ex-ample.org today'
+        |       WHEN doc_id % 6 = 2 THEN text || ' call 415-555-1234 now'
+        |       WHEN doc_id % 6 = 3 THEN text || ' node at 192.168.0.17 port'
+        |       WHEN doc_id % 6 = 4 THEN text || ' mail a@b.io or 10.0.0.1'
+        |       ELSE text END AS t
+        | FROM documents),
+        |m AS (SELECT source, t,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        | FROM planted)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+        |  CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+        |  CAST(SUM(length(t) - length(scrubbed)) AS BIGINT) AS chars_delta
+        |FROM m GROUP BY source""".stripMargin,
+    // q195: floor(log2) as a binary-string length — exact on both
+    // engines, no transcendental.
+    "q195_length_powerlaw" ->
+      """SELECT source, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents WHERE n_chars >= 1
+        |GROUP BY source, length(bin(n_chars)) - 1""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

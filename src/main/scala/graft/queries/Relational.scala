@@ -458,4 +458,47 @@ object Relational {
     graft.operators.Robust.madOutliers(Tables.lineitem(spark, dir),
       "l_returnflag", "l_extendedprice",
       tieCols = Seq("l_orderkey", "l_linenumber"), k = 3.0)
+
+  /** q193 — rolling-window distinct via HLL register rollup (q183's
+    * sketch put to its real use): trailing-3-month distinct customers
+    * per month of 1995-1996, computed ENTIRELY from the per-month
+    * register tables — per register, a 3-month range-window max; orders
+    * is read once to build 24 monthly sketches and never again. The
+    * exact rolling distinct (which at 100 TB would re-scan every
+    * 3-month window) rides along as truth. Register math replays in
+    * SQL; the range window maxes over whatever months a register
+    * appears in, absent months contributing nothing — exactly the
+    * sketch-union semantics. */
+  def q193RollingHll(spark: SparkSession, dir: String): DataFrame = {
+    val b = 8
+    val o = Tables.orders(spark, dir)
+      .where(year($"o_orderdate").between(1995, 1996))
+      .select(((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+        .as("mnum"), $"o_custkey")
+    val regs = graft.operators.Sketches.hllRegisters(o, Seq("mnum"), "o_custkey", b)
+    val wRoll = Window.partitionBy($"reg")
+      .orderBy($"mnum").rangeBetween(-2, 0)
+    // per (reg, present-month): the merged register over [m-2, m]; a
+    // register absent in the whole window simply yields no row, which
+    // the estimator counts as empty — sketch-union semantics for free.
+    // distinct months per reg: a reg present in months {1,3} must still
+    // produce a window row for month 2? No — month 2's rollup only needs
+    // regs present SOMEWHERE in [0,2]; densify by crossing months with
+    // the distinct regs so absent (reg, month) pairs exist as nulls.
+    val months = regs.select($"mnum").distinct()
+    val dense = months.crossJoin(regs.select($"reg").distinct())
+      .join(regs, Seq("mnum", "reg"), "left")
+    val rolled = dense
+      .withColumn("roll_rank", max($"max_rank").over(wRoll))
+      .where($"roll_rank".isNotNull)
+      .select($"mnum", $"reg", $"roll_rank".as("max_rank"))
+    val est = graft.operators.Sketches.hllEstimate(rolled, Seq("mnum"), b)
+    val truth = months.as("m").join(o.as("o"),
+        $"o.mnum".between($"m.mnum" - 2, $"m.mnum"))
+      .groupBy($"m.mnum".as("mnum"))
+      .agg(countDistinct($"o_custkey").as("true_distinct"))
+    est.join(truth, "mnum")
+      .select($"mnum", $"nonempty",
+        round($"hll_estimate", 4).as("hll_estimate"), $"true_distinct")
+  }
 }

@@ -2235,6 +2235,43 @@ object TrainingData {
       "t", "cls", k = 15)
       .select($"rank", $"token", $"a", $"b", round($"chi2", 6).as("chi2"))
 
+  /** q194 — PII scrubbing census ([[graft.operators.Pii.scrub]]):
+    * emails, NANP phones, and IPv4s planted via doc_id % 6 (including a
+    * doc carrying both an email and an IP), masked in contract order
+    * (email, phone, ip), censused per source with the exact character
+    * delta the masking produced. Every regex is RE2-safe and the
+    * oracle replays count + replace (with DuckDB's 'g' flag matching
+    * Spark's replace-all default). */
+  def q194PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select($"source",
+      when($"doc_id" % 6 === 1, concat($"text", lit(" contact bob.smith+x@ex-ample.org today")))
+        .when($"doc_id" % 6 === 2, concat($"text", lit(" call 415-555-1234 now")))
+        .when($"doc_id" % 6 === 3, concat($"text", lit(" node at 192.168.0.17 port")))
+        .when($"doc_id" % 6 === 4, concat($"text", lit(" mail a@b.io or 10.0.0.1")))
+        .otherwise($"text").as("t"))
+    graft.operators.Pii.scrub(planted, "t")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_emails".cast("long")).as("n_emails"),
+        sum($"n_phones".cast("long")).as("n_phones"),
+        sum($"n_ips".cast("long")).as("n_ips"),
+        sum((length($"t") - length($"scrubbed")).cast("long")).as("chars_delta"))
+  }
+
+  /** q195 — document-length power-law census: docs bucketed by
+    * floor(log2(n_chars)) — the tail audit that decides chunking and
+    * packing budgets (a power-law corpus has the mass where the naive
+    * mean says it doesn't). The log is computed EXACTLY as
+    * length(bin(n)) - 1 — a string op on the binary representation, no
+    * transcendental, no cross-engine ulp seam. One aggregation pass. */
+  def q195LengthPowerlaw(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .where($"n_chars" >= 1)
+      .withColumn("log2_bucket", (length(bin($"n_chars")) - 1).cast("long"))
+      .groupBy($"source", $"log2_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
