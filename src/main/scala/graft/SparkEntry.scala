@@ -216,6 +216,9 @@ object SparkEntry {
     "q193_rolling_hll"     -> (R.q193RollingHll(_, _)),
     "q194_pii_scrub"       -> (D.q194PiiScrub(_, _)),
     "q195_length_powerlaw" -> (D.q195LengthPowerlaw(_, _)),
+    "q196_triangles"       -> (R.q196Triangles(_, _)),
+    "q197_interval_overlap" -> (T.q197IntervalOverlap(_, _)),
+    "q201_peak_concurrency" -> (T.q201PeakConcurrency(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2930,6 +2933,58 @@ object SparkEntry {
         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars
         |FROM documents WHERE n_chars >= 1
         |GROUP BY source, length(bin(n_chars)) - 1""".stripMargin,
+    // q196: pure integer joins; orientation and the wedge close replay
+    // with the same (degree, id) tuple comparisons as the operator.
+    "q196_triangles" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.s AS u, b.s AS v
+        |  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),
+        |ed AS (SELECT e0.u, e0.v, du.deg AS du, dv.deg AS dv
+        |  FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node),
+        |o AS (SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+        |  CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+        |  CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS ddeg FROM ed),
+        |w AS (SELECT a.src, a.dst AS b, c.dst AS c
+        |  FROM o a JOIN o c ON a.src = c.src
+        |  WHERE (a.ddeg, a.dst) < (c.ddeg, c.dst)),
+        |tri AS (SELECT w.src AS x, w.b AS y, w.c AS z
+        |  FROM w JOIN o ON o.src = w.b AND o.dst = w.c),
+        |pc AS (SELECT node, COUNT(*) AS t FROM
+        |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT deg.node AS s_suppkey, CAST(COALESCE(pc.t, 0) AS BIGINT) AS triangles
+        |FROM deg LEFT JOIN pc ON deg.node = pc.node""".stripMargin,
+    // q197: the oracle runs the NAIVE inequality self-join; Spark's
+    // bucketed equi-join form yields the identical pair set. epoch_ms
+    // floors the micro timestamps the same way unix_millis does.
+    "q197_interval_overlap" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_ms(ts) AS s,
+        |  epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e FROM events),
+        |p AS (SELECT a.user_id,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS ov
+        |  FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id AND a.s < b.e AND b.s < a.e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(ov) AS BIGINT) AS overlap_ms,
+        |  CAST(MAX(ov) AS BIGINT) AS max_overlap_ms
+        |FROM p GROUP BY user_id""".stripMargin,
+    // q201: the oracle sweeps each type in ONE global window; the
+    // two-phase slice decomposition is equal by prefix-sum associativity.
+    // Ends sort before starts at equal t (d=-1 < d=1) = half-open.
+    "q201_peak_concurrency" ->
+      """WITH iv AS (SELECT event_type, epoch_ms(ts) AS s,
+        |  epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e FROM events),
+        |b AS (SELECT event_type, s AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT event_type, e AS t, -1 AS d FROM iv),
+        |r AS (SELECT event_type, SUM(d) OVER (PARTITION BY event_type
+        |  ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS run FROM b)
+        |SELECT iv.event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(pk.peak AS BIGINT) AS peak_concurrency
+        |FROM iv JOIN (SELECT event_type, MAX(run) AS peak FROM r
+        |  GROUP BY event_type) pk USING (event_type)
+        |GROUP BY iv.event_type, pk.peak""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

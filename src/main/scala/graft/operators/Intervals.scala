@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval analytics without inequality joins: bucketed overlap
+  * self-join and two-phase sweep-line concurrency. Spark's only native
+  * executions of `a.s < b.e AND b.s < a.e` are BroadcastNestedLoopJoin
+  * or a cartesian product — both all-pairs, both scale killers. The
+  * standard fix is binning: explode each interval to the fixed-width
+  * time buckets it touches, hash-join on (key, bucket), and keep a
+  * pair only in the bucket containing the later start, so pairs
+  * spanning several shared buckets count exactly once.
+  *
+  * All arithmetic is integer (epoch units and +1/-1 deltas), so every
+  * result is bit-stable at any parallelism and replays exactly in a
+  * reference engine as a plain inequality join.
+  */
+object Intervals {
+
+  /** Overlapping pairs of half-open intervals [s, e) sharing `keyCol`.
+    * Input columns: `keyCol`, `idCol` (unique within key), `startCol`,
+    * `endCol` (integral epoch units, e > s). `bucketWidth` should be
+    * >= the typical interval length so most intervals touch 1-2
+    * buckets (an interval spanning B buckets is replicated B times).
+    * Output: (key, id_a, id_b, overlap) with id_a < id_b, overlap > 0
+    * in the same units. */
+  def overlapPairs(df: DataFrame, keyCol: String, idCol: String,
+      startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+    // `div` (integer division), not floor(double /): epoch values sit
+    // near 2^50 and a double quotient can round up across the boundary
+    val iv = df.select(col(keyCol).as("k"), col(idCol).as("id"),
+      col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+    val buck = iv.select(col("k"), col("id"), col("s"), col("e"),
+      explode(sequence(expr(s"s div $bucketWidth"), expr(s"e div $bucketWidth"))).as("bkt"))
+    val a = buck.select(col("k"), col("bkt"), col("id").as("id_a"),
+      col("s").as("sa"), col("e").as("ea"))
+    val b = buck.select(col("k"), col("bkt"), col("id").as("id_b"),
+      col("s").as("sb"), col("e").as("eb"))
+    a.join(b, Seq("k", "bkt"))
+      .where(col("id_a") < col("id_b") &&
+        col("sa") < col("eb") && col("sb") < col("ea") &&
+        col("bkt") === expr(s"greatest(sa, sb) div $bucketWidth"))
+      .select(col("k").as(keyCol), col("id_a"), col("id_b"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("overlap"))
+  }
+
+  /** Peak number of simultaneously-open intervals per `keyCol`, by a
+    * TWO-PHASE sweep: phase 1 runs the +1/-1 prefix sum inside
+    * (key, slice) windows (slice = start `div` sliceWidth — bounded
+    * partitions, parallel at any data size); phase 2 rolls slice
+    * totals into per-slice carry-ins with a window over the tiny
+    * (key, slice) table. A single per-key window would serialize each
+    * key's whole history through one task — the classic sweep-line
+    * scale trap. Ends sort before starts at equal timestamps
+    * (half-open semantics); equal deltas commute, so the prefix-sum
+    * MAX is order-independent beyond (t, delta) — no tiebreak column
+    * needed for bit-stability. Output: (key, n_intervals, peak). */
+  def sweepPeak(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, sliceWidth: Long): DataFrame = {
+    val iv = df.select(col(keyCol).as("k"),
+      col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+    val bounds = iv.select(col("k"), col("s").as("t"), lit(1).as("d"))
+      .unionByName(iv.select(col("k"), col("e").as("t"), lit(-1).as("d")))
+      .withColumn("slice", expr(s"t div $sliceWidth"))
+    val wLocal = Window.partitionBy(col("k"), col("slice"))
+      .orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bounds.withColumn("run", sum(col("d")).over(wLocal))
+      .groupBy(col("k"), col("slice"))
+      .agg(max(col("run")).as("local_peak"), sum(col("d")).as("slice_total"))
+    val wCarry = Window.partitionBy(col("k")).orderBy(col("slice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val carried = local.withColumn("carry",
+      coalesce(sum(col("slice_total")).over(wCarry), lit(0L)))
+    val peaks = carried.groupBy(col("k"))
+      .agg(max(col("carry") + col("local_peak")).as("peak"))
+    val counts = iv.groupBy(col("k")).agg(count(lit(1)).as("n_intervals"))
+    counts.join(peaks, "k")
+      .select(col("k").as(keyCol), col("n_intervals"), col("peak"))
+  }
+}

@@ -501,4 +501,24 @@ object Relational {
       .select($"mnum", $"nonempty",
         round($"hll_estimate", 4).as("hll_estimate"), $"true_distinct")
   }
+
+  /** q196 — exact per-node triangle counts ([[graft.operators.Triangles
+    * .perNode]]) over the supplier co-occurrence graph (two suppliers
+    * are adjacent iff some order sources lineitems from both) — the
+    * clustering-structure signal that, with q169's PageRank, ranks how
+    * tightly a node's neighborhood interlinks. Degree-ordered
+    * orientation caps every wedge pivot at O(√m) out-degree, so no
+    * hub explosion at web scale; all counts are integers — bit-stable
+    * at any parallelism. The oracle replays orientation and the wedge
+    * close with the same (degree, id) tuple comparisons. */
+  def q196Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val os = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("s")).distinct()
+    val edges = os.select($"ok", $"s".as("u"))
+      .join(os.select($"ok", $"s".as("v")), "ok")
+      .where($"u" < $"v")
+      .select($"u", $"v")
+    graft.operators.Triangles.perNode(edges, "u", "v")
+      .select($"node".as("s_suppkey"), $"triangles")
+  }
 }

@@ -324,4 +324,41 @@ object TimeSeries {
       .groupBy($"cohort_day", datediff($"d", $"cohort_day").cast("long").as("day_offset"))
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** q197 — interval-overlap self-join ([[graft.operators.Intervals
+    * .overlapPairs]]): events become half-open intervals
+    * [ts, ts + value seconds); per user, how many pairs overlap and
+    * for how long. Spark runs the scalable bucketed form (equi-join on
+    * (user, 10-minute bucket), pair counted only in the later start's
+    * bucket); the oracle replays the naive inequality join — identical
+    * pair set by construction. Millis + round(value*1000) keep every
+    * quantity integral; value's 2-decimal money-style doubles make
+    * round(value*1000) exact on both engines. */
+  def q197IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val iv = events(spark, dir).select($"user_id", $"event_id",
+      unix_millis($"ts").as("s"),
+      (unix_millis($"ts") + round($"value" * 1000).cast("long")).as("e"))
+    graft.operators.Intervals
+      .overlapPairs(iv, "user_id", "event_id", "s", "e", 600000L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"overlap").as("overlap_ms"),
+        max($"overlap").as("max_overlap_ms"))
+  }
+
+  /** q201 — peak concurrency per event type ([[graft.operators
+    * .Intervals.sweepPeak]]): the maximum number of simultaneously
+    * open [ts, ts + value s) intervals, swept in two phases (per-slice
+    * prefix sums + a carry roll-up over slice totals) so no single
+    * task ever orders a whole key's history. Pure +1/-1 integer
+    * arithmetic; the oracle replays a single global sweep per type —
+    * equal by the prefix-sum decomposition. */
+  def q201PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = events(spark, dir).select($"event_type", $"event_id",
+      unix_millis($"ts").as("s"),
+      (unix_millis($"ts") + round($"value" * 1000).cast("long")).as("e"))
+    graft.operators.Intervals
+      .sweepPeak(iv, "event_type", "s", "e", 86400000L)
+      .select($"event_type", $"n_intervals", $"peak".cast("long").as("peak_concurrency"))
+  }
 }

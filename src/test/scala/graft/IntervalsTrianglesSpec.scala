@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Intervals, Triangles}
+
+/** Triangle counting (q196) and interval operators (q197/q201),
+  * off-fixture: closed-form graphs and hand-built interval sets whose
+  * answers are known exactly. */
+class IntervalsTrianglesSpec extends AnyFunSuite with SparkFixture {
+
+  test("K4: every node sits in C(3,2)=3 triangles; duplicates/direction collapse") {
+    import spark.implicits._
+    val k4 = for { u <- 1L to 4L; v <- 1L to 4L if u != v } yield (u, v)
+    // all ordered pairs twice over = heavy dup input; operator dedups
+    val tri = Triangles.perNode((k4 ++ k4).toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("path graph has zero triangles but keeps zero-filled rows") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val tri = Triangles.perNode(path, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("two triangles sharing an edge: shared nodes count both") {
+    import spark.implicits._
+    // {1,2,3} and {2,3,4} share edge (2,3); self-loop (5,5) is dropped
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L), (5L, 5L))
+      .toDF("u", "v")
+    val tri = Triangles.perNode(g, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("overlapPairs: multi-bucket overlaps count once; touching endpoints don't overlap") {
+    import spark.implicits._
+    val iv = Seq(
+      // key A: [0,250) and [100,400) overlap 150, span buckets {0,1,2,3,4} at width 100
+      ("A", 1L, 0L, 250L), ("A", 2L, 100L, 400L),
+      // [400,500) touches id 2's end exactly: half-open, NO overlap
+      ("A", 3L, 400L, 500L),
+      // key B: same timestamps as A but isolated key
+      ("B", 1L, 0L, 50L), ("B", 2L, 50L, 100L)
+    ).toDF("k", "id", "s", "e")
+    val pairs = Intervals.overlapPairs(iv, "k", "id", "s", "e", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.toSet == Set(("A", 1L, 2L, 150L)))
+  }
+
+  test("overlapPairs matches the naive inequality join on a random-ish set") {
+    import spark.implicits._
+    // deterministic pseudo-random intervals via a small LCG
+    var x = 12345L
+    def nxt(): Long = { x = (x * 1103515245L + 12345L) % 100000L; x }
+    val rows = (1L to 200L).map { id =>
+      val s = nxt(); val d = 1L + nxt() % 900L
+      (("K" + (id % 3)), id, s, s + d)
+    }
+    val df = rows.toDF("k", "id", "s", "e")
+    val got = Intervals.overlapPairs(df, "k", "id", "s", "e", 300L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = (for {
+      (k1, i1, s1, e1) <- rows; (k2, i2, s2, e2) <- rows
+      if k1 == k2 && i1 < i2 && s1 < e2 && s2 < e1
+    } yield (k1, i1, i2)).toSet
+    assert(got == naive && naive.nonEmpty)
+  }
+
+  test("sweepPeak: slice-crossing intervals carry into later slices") {
+    import spark.implicits._
+    val iv = Seq(
+      // one interval spans slices 0-2 entirely (width 100): carry=1 there
+      ("t", 0L, 300L),
+      // two more stacked inside slice 1 -> peak 3
+      ("t", 110L, 190L), ("t", 120L, 150L),
+      // separate key: two disjoint intervals -> peak 1
+      ("u", 0L, 10L), ("u", 10L, 20L)
+    ).toDF("k", "s", "e")
+    val got = Intervals.sweepPeak(iv, "k", "s", "e", 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("t" -> ((3L, 3L)), "u" -> ((2L, 1L))))
+  }
+}

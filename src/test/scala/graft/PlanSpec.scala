@@ -332,4 +332,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       p.take(1200))
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(1200))
   }
+
+  test("q196: wedge and closing joins are hash equi-joins, never all-pairs") {
+    val p = physical("q196_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("q197: interval overlap runs as a (key, bucket) equi-join, never all-pairs") {
+    val p = physical("q197_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the range predicates ride on the equi-join, not a nested loop
+    assert(p.contains("Join") && p.contains("bkt"), p.take(1200))
+  }
+
+  test("q201: sweep is two-phase — both windows partitioned, no single-partition exchange") {
+    val p = physical("q201_peak_concurrency")
+    // a global (unpartitioned) sweep would surface as Exchange SinglePartition
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+    assert("Window ".r.findAllIn(p).size == 2, p.take(1500))
+  }
 }
