@@ -218,6 +218,9 @@ object SparkEntry {
     "q195_length_powerlaw" -> (D.q195LengthPowerlaw(_, _)),
     "q196_triangles"       -> (R.q196Triangles(_, _)),
     "q197_interval_overlap" -> (T.q197IntervalOverlap(_, _)),
+    "q198_edit_distance"    -> (D.q198EditDistance(_, _)),
+    "q199_kmv_jaccard"      -> (D.q199KmvJaccard(_, _)),
+    "q200_transitions"      -> (T.q200EventTransitions(_, _)),
     "q201_peak_concurrency" -> (T.q201PeakConcurrency(_, _)),
   )
 
@@ -2985,6 +2988,75 @@ object SparkEntry {
         |FROM iv JOIN (SELECT event_type, MAX(run) AS peak FROM r
         |  GROUP BY event_type) pk USING (event_type)
         |GROUP BY iv.event_type, pk.peak""".stripMargin,
+    // q198: identical 1-based substring mutations rebuild the variants;
+    // unit-cost levenshtein agrees across engines; the oracle runs the
+    // unthresholded DP and filters, equal to the thresholded verify.
+    "q198_edit_distance" ->
+      """WITH base AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |  WHERE doc_id < 80 AND length(trim(text)) >= 40),
+        |var AS (SELECT doc_id + 100000 AS doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN substr(t, 1, 11) || '~' || substr(t, 13)
+        |       WHEN doc_id % 3 = 1 THEN substr(t, 1, 14) || substr(t, 17)
+        |       ELSE substr(t, 1, 19) || 'zz' || substr(t, 20) END AS t FROM base),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+        |t2 AS (SELECT doc_id AS id, t, substr(t, 1, 10) AS blk,
+        |  length(t) AS len FROM c),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.t, b.t) AS dist
+        |  FROM t2 a JOIN t2 b ON a.blk = b.blk AND a.id < b.id
+        |  AND abs(a.len - b.len) <= 3)
+        |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM p
+        |WHERE dist <= 3""".stripMargin,
+    // q199: 48-bit md5-prefix hashes via the '0x'||substr cast; both
+    // jaccard divisions are single correctly-rounded ops over integers.
+    "q199_kmv_jaccard" ->
+      """WITH toks AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0),
+        |h AS (SELECT DISTINCT source,
+        |  CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h FROM tk),
+        |sk AS (SELECT source, h FROM
+        |  (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |   FROM h) WHERE r <= 64),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |m AS (SELECT src_a, src_b, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+        |  SELECT p.src_a, p.src_b, s.h, 1 AS ia, 0 AS ib
+        |    FROM pairs p JOIN sk s ON s.source = p.src_a
+        |  UNION ALL
+        |  SELECT p.src_a, p.src_b, s.h, 0 AS ia, 1 AS ib
+        |    FROM pairs p JOIN sk s ON s.source = p.src_b)
+        |  GROUP BY src_a, src_b, h),
+        |est AS (SELECT src_a, src_b, COUNT(*) AS k_used,
+        |  SUM(ia * ib) AS n_common FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r
+        |  FROM m) WHERE r <= 64 GROUP BY src_a, src_b),
+        |nv AS (SELECT source, COUNT(*) AS nv FROM tk GROUP BY source),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS ni
+        |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT e.src_a, e.src_b, CAST(e.k_used AS BIGINT) AS k_used,
+        |  CAST(e.n_common AS BIGINT) AS n_common,
+        |  CAST(e.n_common AS DOUBLE) / CAST(e.k_used AS DOUBLE) AS jaccard_est,
+        |  CAST(COALESCE(i.ni, 0) AS DOUBLE) /
+        |    CAST(na.nv + nb.nv - COALESCE(i.ni, 0) AS DOUBLE) AS true_jaccard
+        |FROM est e
+        |LEFT JOIN inter i ON e.src_a = i.src_a AND e.src_b = i.src_b
+        |JOIN nv na ON na.source = e.src_a
+        |JOIN nv nb ON nb.source = e.src_b""".stripMargin,
+    // q200: lag over (epoch-ms, event_id) order; counts integer, prob is
+    // one division.
+    "q200_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type
+        |  FROM events),
+        |s AS (SELECT event_type AS curr, lag(event_type) OVER
+        |  (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |c AS (SELECT prev, curr, COUNT(*) AS n FROM s
+        |  WHERE prev IS NOT NULL GROUP BY prev, curr),
+        |t AS (SELECT prev, SUM(n) AS tot FROM c GROUP BY prev)
+        |SELECT c.prev, c.curr, CAST(c.n AS BIGINT) AS n_transitions,
+        |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+        |FROM c JOIN t USING (prev)""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -138,4 +138,40 @@ object Sketches {
           ((lit(m) - col("nonempty").cast("double")) + col("sum_pow")))
           .as("hll_estimate")): _*)
   }
+
+  /** KMV (k-minimum-values) distinct sketch: per group, the k smallest
+    * distinct 48-bit md5-prefix hashes of `keyCol`. Unlike HLL it
+    * supports SET operations — two groups' sketches merge (union =
+    * k smallest of the concatenation) and their overlap on the merged
+    * sketch estimates Jaccard, the cheap cross-dataset similarity
+    * probe at 100 TB. Built on [[TopK.topKPerGroup]], so per-partition
+    * state is k-bounded from the map side on (value = -hash is exact:
+    * 48-bit magnitudes fit a double); hashes are md5-derived —
+    * deterministic, engine-replayable ([[hllRegisters]] precedent).
+    * Output: (group, rank 1..k ascending by hash, h). */
+  def kmvSketch(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    val hashed = df.select(col(groupCol),
+      conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+    TopK.topKPerGroup(
+        hashed.select(col(groupCol), col("h"),
+          negate(col("h").cast("double")).as("nh")),
+        groupCol, "h", "nh", k)
+      .select(col(groupCol), col("rank"), col("h"))
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]: n exact while the
+    * sketch is unsaturated (n < k rows), else (k-1) * 2^48 / h_k. The
+    * numerator literal and the single division are correctly-rounded
+    * IEEE ops over exact integers — bit-replayable. */
+  def kmvEstimate(sk: DataFrame, groupCol: String, k: Int): DataFrame =
+    sk.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rank") === k, col("h"))).as("hk"))
+      .select(col(groupCol),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 281474976710656.0) /
+            col("hk").cast("double")).as("kmv_estimate"))
 }

@@ -346,6 +346,17 @@ object TimeSeries {
         max($"overlap").as("max_overlap_ms"))
   }
 
+  /** q200 — order-1 Markov transition census ([[graft.operators
+    * .Sequences.transitionCensus]]): per-user event streams ordered by
+    * (epoch-ms, event_id) yield (prev_type, type) counts and the
+    * row-conditional transition probabilities — integer counts plus
+    * ONE division, so the matrix replays bit-identically. Epoch-ms
+    * ordering (not raw ts) keeps tie order engine-agnostic. */
+  def q200EventTransitions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.transitionCensus(
+      events(spark, dir).withColumn("ms", unix_millis($"ts")),
+      "user_id", Seq($"ms", $"event_id"), "event_type")
+
   /** q201 — peak concurrency per event type ([[graft.operators
     * .Intervals.sweepPeak]]): the maximum number of simultaneously
     * open [ts, ts + value s) intervals, swept in two phases (per-slice

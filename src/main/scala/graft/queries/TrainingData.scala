@@ -2272,6 +2272,79 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
         min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
 
+  /** q198 — character-level near-dup pairs ([[graft.operators
+    * .EditDistance.blockedPairs]]): planted single-edit variants
+    * (substitution / 2-char deletion / 2-char insertion past the
+    * blocking prefix, cycled by doc_id) of the first 80 long-enough
+    * docs join back to their originals through a prefix-10 block +
+    * length band, verified by exact thresholded Levenshtein. Both
+    * engines build identical variants with 1-based substring ops and
+    * agree on unit-cost Levenshtein, so the pair set and distances
+    * hash-match with no tolerance. */
+  def q198EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .where($"doc_id" < 80 && length(trim($"text")) >= 40)
+      .select($"doc_id", lower(trim($"text")).as("t"))
+    val variants = base.select(($"doc_id" + 100000L).as("doc_id"),
+      when($"doc_id" % 3 === 0,
+          concat(expr("substring(t, 1, 11)"), lit("~"), expr("substring(t, 13)")))
+        .when($"doc_id" % 3 === 1,
+          concat(expr("substring(t, 1, 14)"), expr("substring(t, 17)")))
+        .otherwise(
+          concat(expr("substring(t, 1, 19)"), lit("zz"), expr("substring(t, 20)")))
+        .as("t"))
+    graft.operators.EditDistance.blockedPairs(
+      base.unionByName(variants), "doc_id", "t", prefixLen = 10, maxDist = 3)
+  }
+
+  /** q199 — KMV distinct sketches and cross-source vocabulary overlap
+    * ([[graft.operators.Sketches.kmvSketch]]): per source the k=64
+    * minimum token hashes; per source PAIR the Jaccard estimate from
+    * the merged sketch (overlap within the k smallest of the union) —
+    * the set-operation capability HLL lacks, and the cheap way to ask
+    * "how much do two 100 TB datasets share" without a full join.
+    * `true_jaccard` rides along from the exact vocab sets to show the
+    * error. Hashes are md5-derived integers; each estimate is one
+    * correctly-rounded division — bit-replayable. */
+  def q199KmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val toks = docs(spark, dir)
+      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .where(length($"tok") > 0)
+    val sk = graft.operators.Sketches.kmvSketch(toks, "source", "tok", k)
+    val srcs = sk.select($"source").distinct()
+    val pairs = srcs.select($"source".as("src_a"))
+      .crossJoin(srcs.select($"source".as("src_b")))
+      .where($"src_a" < $"src_b")
+    val ua = pairs.join(sk.select($"source".as("src_a"), $"h"), "src_a")
+      .select($"src_a", $"src_b", $"h", lit(1).as("ia"), lit(0).as("ib"))
+    val ub = pairs.join(sk.select($"source".as("src_b"), $"h"), "src_b")
+      .select($"src_a", $"src_b", $"h", lit(0).as("ia"), lit(1).as("ib"))
+    val merged = ua.unionByName(ub)
+      .groupBy($"src_a", $"src_b", $"h")
+      .agg(max($"ia").as("ia"), max($"ib").as("ib"))
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src_a", $"src_b").orderBy($"h")
+    val est = merged
+      .withColumn("r", row_number().over(wU)).where($"r" <= k)
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("k_used"),
+        sum(($"ia" * $"ib").cast("long")).as("n_common"))
+    val vocab = toks.distinct()
+    val nv = vocab.groupBy($"source").agg(count(lit(1)).as("nv"))
+    val inter = vocab.select($"source".as("src_a"), $"tok")
+      .join(vocab.select($"source".as("src_b"), $"tok"), "tok")
+      .where($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("ni"))
+    est.join(inter, Seq("src_a", "src_b"), "left")
+      .join(nv.select($"source".as("src_a"), $"nv".as("na")), "src_a")
+      .join(nv.select($"source".as("src_b"), $"nv".as("nb")), "src_b")
+      .select($"src_a", $"src_b", $"k_used", $"n_common",
+        ($"n_common".cast("double") / $"k_used".cast("double")).as("jaccard_est"),
+        (coalesce($"ni", lit(0L)).cast("double") /
+          ($"na" + $"nb" - coalesce($"ni", lit(0L))).cast("double")).as("true_jaccard"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
