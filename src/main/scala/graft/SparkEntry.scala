@@ -222,6 +222,9 @@ object SparkEntry {
     "q199_kmv_jaccard"      -> (D.q199KmvJaccard(_, _)),
     "q200_transitions"      -> (T.q200EventTransitions(_, _)),
     "q201_peak_concurrency" -> (T.q201PeakConcurrency(_, _)),
+    "q202_benford"          -> (R.q202Benford(_, _)),
+    "q203_k_anonymity"      -> (R.q203KAnonymity(_, _)),
+    "q204_rrf_fusion"       -> (D.q204RrfFusion(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3057,6 +3060,70 @@ object SparkEntry {
         |SELECT c.prev, c.curr, CAST(c.n AS BIGINT) AS n_transitions,
         |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
         |FROM c JOIN t USING (prev)""".stripMargin,
+    // q202: digit from the cents integer's string; expected counts from
+    // the same full-precision literals the operator hard-codes.
+    "q202_benford" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |o AS (SELECT digit, COUNT(*) AS n_obs FROM
+        |  (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c)
+        |  WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+        |t AS (SELECT SUM(n_obs) AS n_total FROM o),
+        |pr(digit, p) AS (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124),
+        |  (3, 0.12493873660829992), (4, 0.09691001300805642),
+        |  (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |  (9, 0.04575749056067514)),
+        |x AS (SELECT o.digit, o.n_obs,
+        |  CAST(t.n_total AS DOUBLE) * pr.p AS expected
+        |  FROM o JOIN pr ON o.digit = pr.digit CROSS JOIN t)
+        |SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  expected,
+        |  (CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+        |    / expected AS chi2_term
+        |FROM x""".stripMargin,
+    // q203: cents shift keeps the band dividend positive, so truncating
+    // div == floor // on both engines.
+    "q203_k_anonymity" ->
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_band
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment, bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS class_size
+        |FROM q GROUP BY c_nationkey, c_mktsegment, bal_band
+        |HAVING COUNT(*) < 5""".stripMargin,
+    // q204: both rankers replay with the q79/q83 list arithmetic; the
+    // fused score is two divisions + one add in fixed order.
+    "q204_rrf_fusion" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |cos AS (SELECT p.probe_id, e.vec_id AS corpus_id,
+        |  list_aggregate(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]), 'sum') /
+        |  (sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum')) *
+        |   sqrt(list_aggregate(list_transform(p.pv, x -> x*x), 'sum'))) AS cs
+        |  FROM e JOIN p ON e.vec_id <> p.probe_id),
+        |r1 AS (SELECT probe_id, corpus_id, row_number() OVER
+        |  (PARTITION BY probe_id ORDER BY cs DESC, corpus_id) AS ra
+        |  FROM cos WHERE NOT isnan(cs)),
+        |r1k AS (SELECT * FROM r1 WHERE ra <= 20),
+        |d AS (SELECT p.probe_id, e.vec_id AS corpus_id,
+        |  list_aggregate(list_transform(list_zip(e.v, p.pv),
+        |    x -> (x[1]-x[2])*(x[1]-x[2])), 'sum') AS d2
+        |  FROM e JOIN p ON e.vec_id <> p.probe_id),
+        |r2 AS (SELECT probe_id, corpus_id, row_number() OVER
+        |  (PARTITION BY probe_id ORDER BY d2, corpus_id) AS rb FROM d),
+        |r2k AS (SELECT * FROM r2 WHERE rb <= 20),
+        |f AS (SELECT COALESCE(a.probe_id, b.probe_id) AS probe_id,
+        |  COALESCE(a.corpus_id, b.corpus_id) AS corpus_id,
+        |  COALESCE(1.0 / (60.0 + CAST(a.ra AS DOUBLE)), 0.0) +
+        |  COALESCE(1.0 / (60.0 + CAST(b.rb AS DOUBLE)), 0.0) AS rrf
+        |  FROM r1k a FULL OUTER JOIN r2k b
+        |  ON a.probe_id = b.probe_id AND a.corpus_id = b.corpus_id)
+        |SELECT probe_id, corpus_id, rrf, CAST(fr AS BIGINT) AS fused_rank
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY probe_id ORDER BY rrf DESC, corpus_id) AS fr FROM f)
+        |WHERE fr <= 10""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -72,4 +72,35 @@ object Ranking {
         terms.indices.map(i => col(tfCol(i))) :+
         round(col("score"), 4).as("score"): _*)
   }
+
+  /** Reciprocal-rank fusion of two per-query rankings — the standard
+    * way to combine heterogeneous retrievers (lexical BM25 + dense
+    * cosine) without score calibration: rrf = Σ 1/(c + rank_i), rank
+    * positions only, so scales never need aligning. Inputs: (qCol,
+    * itemCol, rankCol) tables with rank 1..k per query. FULL outer
+    * merge on (query, item): an item one ranker missed still scores
+    * through its other term (its missing term contributes 0 — the
+    * fixed two-term add keeps the double bit-replayable). Output:
+    * (query, item, rrf, fused_rank) top `topK` per query, ties broken
+    * by item id. Joins are (query, item) equi-joins on rankings that
+    * are already k-bounded per query — the fuse costs nothing at any
+    * corpus scale. */
+  def rrfFuse(r1: DataFrame, r2: DataFrame, qCol: String, itemCol: String,
+      rankCol: String, c: Int, topK: Int): DataFrame = {
+    val a = r1.select(col(qCol).as("q"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as("ra"))
+    val b = r2.select(col(qCol).as("q"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as("rb"))
+    val fused = a.join(b, Seq("q", "item"), "full_outer")
+      .select(col("q"), col("item"),
+        (coalesce(lit(1.0) / (lit(c.toDouble) + col("ra").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rb").cast("double")), lit(0.0)))
+          .as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("rrf").desc, col("item"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .where(col("fused_rank") <= topK)
+      .select(col("q").as(qCol), col("item").as(itemCol),
+        col("rrf"), col("fused_rank").cast("long").as("fused_rank"))
+  }
 }

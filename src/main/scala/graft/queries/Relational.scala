@@ -521,4 +521,30 @@ object Relational {
     graft.operators.Triangles.perNode(edges, "u", "v")
       .select($"node".as("s_suppkey"), $"triangles")
   }
+
+  /** q202 — Benford first-digit audit ([[graft.operators.Benford]])
+    * over extended prices: digits come from the CENTS integer (exact
+    * for 2-decimal money doubles), expected counts from hard-coded
+    * full-precision log10(1+1/d) literals — no transcendental runs at
+    * query time, so observed, expected and per-digit chi-square terms
+    * all replay bit-identically. */
+  def q202Benford(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Benford.audit(
+      Tables.lineitem(spark, dir).where($"l_extendedprice" > 0),
+      round($"l_extendedprice" * 100).cast("long"))
+
+  /** q203 — k-anonymity audit ([[graft.operators.Anonymity]]): customer
+    * quasi-identifier classes (nation, segment, 1000-unit balance band)
+    * with fewer than k=5 members — the re-identification census run
+    * before any user-derived table ships. The balance band shifts cents
+    * positive before integer division so truncation == floor on both
+    * engines. One hash aggregation; integer counts only. */
+  def q203KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.customer(spark, dir)
+      .withColumn("cents", round($"c_acctbal" * 100).cast("long"))
+      .select($"c_nationkey", $"c_mktsegment",
+        expr("(cents + 100000) div 100000").as("bal_band"))
+    graft.operators.Anonymity.atRiskClasses(
+      q, Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
+  }
 }

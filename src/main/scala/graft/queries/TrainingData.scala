@@ -2345,6 +2345,32 @@ object TrainingData {
           ($"na" + $"nb" - coalesce($"ni", lit(0L))).cast("double")).as("true_jaccard"))
   }
 
+  /** q204 — reciprocal-rank fusion ([[graft.operators.Ranking
+    * .rrfFuse]]) of two dense retrievers over the embedding corpus:
+    * cosine top-20 and squared-L2 top-20 per probe, fused at c=60 —
+    * the calibration-free way to combine heterogeneous rankers. Ranks
+    * are integers; each rrf score is two correctly-rounded divisions
+    * and one add in fixed order — bit-replayable, no rounding. */
+  def q204RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val probes = emb.where($"vec_id" < 5)
+    val r1 = Similarity.bruteForceTopK(emb, probes, "vec_id", "v", 20)
+      .select($"probe_id", $"corpus_id", $"rank")
+    val c = emb.select($"vec_id".as("corpus_id"), $"v".as("cvec"))
+    val p = probes.select($"vec_id".as("probe_id"), $"v".as("pvec"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"d2", $"corpus_id")
+    val r2 = c.crossJoin(broadcast(p))
+      .where($"corpus_id" =!= $"probe_id")
+      .withColumn("d2",
+        expr("aggregate(zip_with(cvec, pvec, (x, y) -> (x - y) * (x - y)), 0.0d, (s, t) -> s + t)"))
+      .withColumn("rank", row_number().over(wD)).where($"rank" <= 20)
+      .select($"probe_id", $"corpus_id", $"rank")
+    graft.operators.Ranking.rrfFuse(
+      r1, r2, "probe_id", "corpus_id", "rank", c = 60, topK = 10)
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
