@@ -225,6 +225,9 @@ object SparkEntry {
     "q202_benford"          -> (R.q202Benford(_, _)),
     "q203_k_anonymity"      -> (R.q203KAnonymity(_, _)),
     "q204_rrf_fusion"       -> (D.q204RrfFusion(_, _)),
+    "q205_profile_census"   -> (R.q205ProfileCensus(_, _)),
+    "q206_integrity_audit"  -> (R.q206IntegrityAudit(_, _)),
+    "q207_corr_matrix"      -> (R.q207CorrMatrix(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3124,6 +3127,124 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER
         |  (PARTITION BY probe_id ORDER BY rrf DESC, corpus_id) AS fr FROM f)
         |WHERE fr <= 10""".stripMargin,
+    // q205: per-column census replay; mode = ORDER BY cnt DESC, v LIMIT 1
+    // == min(struct(-cnt, v)).
+    "q205_profile_census" ->
+      """WITH
+        |g1 AS (SELECT CAST(l_returnflag AS VARCHAR) AS v, COUNT(*) AS cnt
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1),
+        |m1 AS (SELECT v, cnt FROM g1 ORDER BY cnt DESC, v LIMIT 1),
+        |g2 AS (SELECT CAST(l_linestatus AS VARCHAR) AS v, COUNT(*) AS cnt
+        |  FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 1),
+        |m2 AS (SELECT v, cnt FROM g2 ORDER BY cnt DESC, v LIMIT 1),
+        |g3 AS (SELECT CAST(l_suppkey AS VARCHAR) AS v, COUNT(*) AS cnt
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        |m3 AS (SELECT v, cnt FROM g3 ORDER BY cnt DESC, v LIMIT 1),
+        |g4 AS (SELECT CAST(o_orderstatus AS VARCHAR) AS v, COUNT(*) AS cnt
+        |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1),
+        |m4 AS (SELECT v, cnt FROM g4 ORDER BY cnt DESC, v LIMIT 1),
+        |g5 AS (SELECT CAST(o_orderpriority AS VARCHAR) AS v, COUNT(*) AS cnt
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+        |m5 AS (SELECT v, cnt FROM g5 ORDER BY cnt DESC, v LIMIT 1)
+        |SELECT 'l_returnflag' AS col_name,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_rows,
+        |  (SELECT COUNT(*) - COUNT(l_returnflag) FROM lineitem) AS n_null,
+        |  (SELECT COUNT(*) FROM g1) AS n_distinct,
+        |  (SELECT v FROM m1) AS mode_value, (SELECT cnt FROM m1) AS mode_freq
+        |UNION ALL SELECT 'l_linestatus',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) - COUNT(l_linestatus) FROM lineitem),
+        |  (SELECT COUNT(*) FROM g2), (SELECT v FROM m2), (SELECT cnt FROM m2)
+        |UNION ALL SELECT 'l_suppkey',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) - COUNT(l_suppkey) FROM lineitem),
+        |  (SELECT COUNT(*) FROM g3), (SELECT v FROM m3), (SELECT cnt FROM m3)
+        |UNION ALL SELECT 'o_orderstatus',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) - COUNT(o_orderstatus) FROM orders),
+        |  (SELECT COUNT(*) FROM g4), (SELECT v FROM m4), (SELECT cnt FROM m4)
+        |UNION ALL SELECT 'o_orderpriority',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) - COUNT(o_orderpriority) FROM orders),
+        |  (SELECT COUNT(*) FROM g5), (SELECT v FROM m5), (SELECT cnt FROM m5)""".stripMargin,
+    // q206: NOT-IN blocks mirror the anti-join pair; the IS NULL arm on
+    // the parent side mirrors anti-join null semantics.
+    "q206_integrity_audit" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_child,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND
+        |    l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) AS n_orphans,
+        |  (SELECT COUNT(*) FROM orders) AS n_parents,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR
+        |    o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL)) AS n_unused_parents
+        |UNION ALL SELECT 'lineitem->part',
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL AND
+        |    l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)),
+        |  (SELECT COUNT(*) FROM part),
+        |  (SELECT COUNT(*) FROM part WHERE p_partkey IS NULL OR
+        |    p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL))
+        |UNION ALL SELECT 'lineitem->supplier',
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL),
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL AND
+        |    l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)),
+        |  (SELECT COUNT(*) FROM supplier),
+        |  (SELECT COUNT(*) FROM supplier WHERE s_suppkey IS NULL OR
+        |    s_suppkey NOT IN (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey IS NOT NULL))
+        |UNION ALL SELECT 'orders->customer',
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL),
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL AND
+        |    o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)),
+        |  (SELECT COUNT(*) FROM customer),
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL OR
+        |    c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL))
+        |UNION ALL SELECT 'customer->nation',
+        |  (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL),
+        |  (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL AND
+        |    c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)),
+        |  (SELECT COUNT(*) FROM nation),
+        |  (SELECT COUNT(*) FROM nation WHERE n_nationkey IS NULL OR
+        |    n_nationkey NOT IN (SELECT DISTINCT c_nationkey FROM customer WHERE c_nationkey IS NOT NULL))""".stripMargin,
+    // q207: decimal(34,4) sufficient stats, the q178 exactness contract;
+    // each corr is (n*sp - sa*sb) / (sqrt(n*ssa - sa*sa)*sqrt(n*ssb - sb*sb)).
+    "q207_corr_matrix" ->
+      """WITH s AS (SELECT COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(34,4))) AS s_q,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(34,4))) AS s_p,
+        |  SUM(CAST(l_discount AS DECIMAL(34,4))) AS s_d,
+        |  SUM(CAST(l_tax AS DECIMAL(34,4))) AS s_t,
+        |  SUM(CAST(l_quantity * l_quantity AS DECIMAL(34,4))) AS ss_q,
+        |  SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(34,4))) AS ss_p,
+        |  SUM(CAST(l_discount * l_discount AS DECIMAL(34,4))) AS ss_d,
+        |  SUM(CAST(l_tax * l_tax AS DECIMAL(34,4))) AS ss_t,
+        |  SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(34,4))) AS sp_qp,
+        |  SUM(CAST(l_quantity * l_discount AS DECIMAL(34,4))) AS sp_qd,
+        |  SUM(CAST(l_quantity * l_tax AS DECIMAL(34,4))) AS sp_qt,
+        |  SUM(CAST(l_extendedprice * l_discount AS DECIMAL(34,4))) AS sp_pd,
+        |  SUM(CAST(l_extendedprice * l_tax AS DECIMAL(34,4))) AS sp_pt,
+        |  SUM(CAST(l_discount * l_tax AS DECIMAL(34,4))) AS sp_dt
+        |  FROM lineitem),
+        |x AS (SELECT CAST(n AS DOUBLE) AS nd, CAST(n AS BIGINT) AS n,
+        |  CAST(s_q AS DOUBLE) AS sq, CAST(s_p AS DOUBLE) AS sp2,
+        |  CAST(s_d AS DOUBLE) AS sd, CAST(s_t AS DOUBLE) AS st,
+        |  CAST(ss_q AS DOUBLE) AS ssq, CAST(ss_p AS DOUBLE) AS ssp,
+        |  CAST(ss_d AS DOUBLE) AS ssd, CAST(ss_t AS DOUBLE) AS sst,
+        |  CAST(sp_qp AS DOUBLE) AS xqp, CAST(sp_qd AS DOUBLE) AS xqd,
+        |  CAST(sp_qt AS DOUBLE) AS xqt, CAST(sp_pd AS DOUBLE) AS xpd,
+        |  CAST(sp_pt AS DOUBLE) AS xpt, CAST(sp_dt AS DOUBLE) AS xdt
+        |  FROM s)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+        |  (nd * xqp - sq * sp2) / (sqrt(nd * ssq - sq * sq) * sqrt(nd * ssp - sp2 * sp2)) AS corr FROM x
+        |UNION ALL SELECT 'l_quantity', 'l_discount', n,
+        |  (nd * xqd - sq * sd) / (sqrt(nd * ssq - sq * sq) * sqrt(nd * ssd - sd * sd)) FROM x
+        |UNION ALL SELECT 'l_quantity', 'l_tax', n,
+        |  (nd * xqt - sq * st) / (sqrt(nd * ssq - sq * sq) * sqrt(nd * sst - st * st)) FROM x
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+        |  (nd * xpd - sp2 * sd) / (sqrt(nd * ssp - sp2 * sp2) * sqrt(nd * ssd - sd * sd)) FROM x
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+        |  (nd * xpt - sp2 * st) / (sqrt(nd * ssp - sp2 * sp2) * sqrt(nd * sst - st * st)) FROM x
+        |UNION ALL SELECT 'l_discount', 'l_tax', n,
+        |  (nd * xdt - sd * st) / (sqrt(nd * ssd - sd * sd) * sqrt(nd * sst - st * st)) FROM x""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

@@ -49,4 +49,35 @@ object Regression {
       ((syD - (covN / varXN) * sxD) / nD).as("intercept"),
       ((covN * covN) / (varXN * varYN)).as("r2")): _*)
   }
+
+  /** Pairwise Pearson correlation matrix over `cols` in ONE aggregation
+    * pass — k sums + k square-sums + k·(k-1)/2 cross-sums, all
+    * DECIMAL-exact (same contract as [[groupedOls]]: pick `scale` so
+    * every value and pairwise product is exactly representable), then
+    * each correlation is a fixed chain of correctly-rounded double ops
+    * over the exact sums. The shuffle carries O(k²) numbers total —
+    * row count never matters — and the result replays bit-identically
+    * in any engine. Output: (col_a, col_b, n, corr) for a < b. */
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = s"decimal(34,$scale)"
+    def d(c: Column): Column = c.cast(dec)
+    def v(name: String): Column = col(name).cast("double")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(d(v(c))).as(s"s_$c")) ++
+      cols.map(c => sum(d(v(c) * v(c))).as(s"ss_$c")) ++
+      pairs.map { case (a, b) => sum(d(v(a) * v(b))).as(s"sp_${a}_$b") }
+    val t = df.agg(count(lit(1)).as("n"), aggs: _*)
+    pairs.map { case (a, b) =>
+      val nD = col("n").cast("double")
+      val sa = col(s"s_$a").cast("double"); val sb = col(s"s_$b").cast("double")
+      val da = nD * col(s"ss_$a").cast("double") - sa * sa
+      val db = nD * col(s"ss_$b").cast("double") - sb * sb
+      t.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        ((nD * col(s"sp_${a}_$b").cast("double") - sa * sb) /
+          (sqrt(da) * sqrt(db))).as("corr"))
+    }.reduce(_ unionByName _)
+  }
 }

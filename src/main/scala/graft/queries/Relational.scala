@@ -547,4 +547,45 @@ object Relational {
     graft.operators.Anonymity.atRiskClasses(
       q, Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
   }
+
+  /** q205 — column-profiling census ([[graft.operators.Profile]]) over
+    * string/integer columns of lineitem and orders: row/null/distinct
+    * counts plus the deterministic mode (smallest value among the most
+    * frequent — min(struct(-cnt, v)), no window). Doubles are
+    * deliberately out of scope (string repr is engine-sensitive);
+    * integer keys cast identically everywhere. */
+  def q205ProfileCensus(spark: SparkSession, dir: String): DataFrame = {
+    val p1 = graft.operators.Profile.profile(
+      Tables.lineitem(spark, dir), Seq("l_returnflag", "l_linestatus", "l_suppkey"))
+    val p2 = graft.operators.Profile.profile(
+      Tables.orders(spark, dir), Seq("o_orderstatus", "o_orderpriority"))
+    p1.unionByName(p2)
+  }
+
+  /** q206 — referential-integrity audit ([[graft.operators.Integrity]])
+    * across the star schema: orphan FKs (rows inner joins would drop)
+    * and unused parent keys (dead dimension rows) per declared
+    * relation — two anti-joins each, integer counts. */
+  def q206IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Integrity.Relation
+    val li = Tables.lineitem(spark, dir); val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir); val s = Tables.supplier(spark, dir)
+    val p = Tables.part(spark, dir); val n = Tables.nation(spark, dir)
+    graft.operators.Integrity.orphanAudit(Seq(
+      Relation("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+      Relation("lineitem->part", li, "l_partkey", p, "p_partkey"),
+      Relation("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+      Relation("orders->customer", o, "o_custkey", c, "c_custkey"),
+      Relation("customer->nation", c, "c_nationkey", n, "n_nationkey")))
+  }
+
+  /** q207 — Pearson correlation matrix ([[graft.operators.Regression
+    * .corrMatrix]]) over the four lineitem measures in one aggregation
+    * pass: DECIMAL-exact sufficient statistics (scale 4 holds every
+    * pairwise product of 2-decimal money values exactly), closed-form
+    * correlations as fixed chains of correctly-rounded ops —
+    * bit-replayable, O(k²) shuffle bytes at any row count. */
+  def q207CorrMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.corrMatrix(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = 4)
 }

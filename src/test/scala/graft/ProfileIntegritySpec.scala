@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Integrity, Profile, Regression}
+
+/** Profiling census (q205), referential audit (q206), correlation
+  * matrix (q207), off-fixture. */
+class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
+
+  test("profile: null/distinct counts and deterministic tie-broken mode") {
+    import spark.implicits._
+    val df = Seq(Some("b"), Some("b"), Some("a"), Some("a"), Some("c"), None)
+      .toDF("x")
+    val r = Profile.profile(df, Seq("x")).collect().head
+    assert(r.getString(0) == "x" && r.getLong(1) == 6L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 3L)
+    // 'a' and 'b' tie at 2: smallest value wins
+    assert(r.getString(4) == "a" && r.getLong(5) == 2L)
+  }
+
+  test("orphanAudit: orphans and unused parents counted; null FKs excluded") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Integrity.orphanAudit(Seq(
+      Integrity.Relation("c->p", child, "fk", parent, "pk"))).collect().head
+    assert(r.getString(0) == "c->p")
+    assert(r.getLong(1) == 4L) // null FK not audited
+    assert(r.getLong(2) == 1L) // 99 is an orphan
+    assert(r.getLong(3) == 3L)
+    assert(r.getLong(4) == 1L) // 3 is never referenced
+  }
+
+  test("corrMatrix: perfectly linear columns give corr == 1, anti-linear -1") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 3.0, -1.0 * i))
+      .toDF("a", "b", "c")
+    val m = Regression.corrMatrix(df, Seq("a", "b", "c"), scale = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(m(("a", "b")) - 1.0) < 1e-12)
+    assert(math.abs(m(("a", "c")) + 1.0) < 1e-12)
+    assert(math.abs(m(("b", "c")) + 1.0) < 1e-12)
+    assert(m.size == 3)
+  }
+
+  test("corrMatrix: independent-ish alternating column has |corr| << 1") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("a", "b")
+    val c = Regression.corrMatrix(df, Seq("a", "b"), scale = 4)
+      .collect().head.getDouble(3)
+    assert(math.abs(c) < 0.1, s"corr=$c")
+  }
+}
