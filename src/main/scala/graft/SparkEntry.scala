@@ -228,6 +228,7 @@ object SparkEntry {
     "q205_profile_census"   -> (R.q205ProfileCensus(_, _)),
     "q206_integrity_audit"  -> (R.q206IntegrityAudit(_, _)),
     "q207_corr_matrix"      -> (R.q207CorrMatrix(_, _)),
+    "q208_asof_nearest"     -> (T.q208AsofNearest(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3245,6 +3246,28 @@ object SparkEntry {
         |  (nd * xpt - sp2 * st) / (sqrt(nd * ssp - sp2 * sp2) * sqrt(nd * sst - st * st)) FROM x
         |UNION ALL SELECT 'l_discount', 'l_tax', n,
         |  (nd * xdt - sd * st) / (sqrt(nd * ssd - sd * sd) * sqrt(nd * sst - st * st)) FROM x""".stripMargin,
+    // q208: correlated min/max find the bracketing clicks; the pick rule
+    // (forward null OR backward within distance, ties backward) mirrors
+    // the operator's when() exactly, including the both-null arm.
+    "q208_asof_nearest" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+        |  event_type FROM events),
+        |l AS (SELECT user_id, event_id, ms AS err_ms, value AS err_value
+        |  FROM ev WHERE event_type = 'error'),
+        |r AS (SELECT user_id, ms, MAX(value) AS click_value FROM ev
+        |  WHERE event_type = 'click' GROUP BY user_id, ms),
+        |b AS (SELECT l.*,
+        |  (SELECT MAX(ms) FROM r WHERE r.user_id = l.user_id AND r.ms <= l.err_ms) AS bts,
+        |  (SELECT MIN(ms) FROM r WHERE r.user_id = l.user_id AND r.ms >= l.err_ms) AS fts
+        |  FROM l),
+        |p AS (SELECT *, (fts IS NULL OR (bts IS NOT NULL AND
+        |  err_ms - bts <= fts - err_ms)) AS pick_b FROM b)
+        |SELECT p.user_id, p.event_id, p.err_ms, p.err_value,
+        |  rr.click_value,
+        |  CASE WHEN pick_b THEN bts ELSE fts END AS asof_ts,
+        |  CASE WHEN pick_b THEN 'backward' ELSE 'forward' END AS asof_dir
+        |FROM p LEFT JOIN r rr ON rr.user_id = p.user_id
+        |  AND rr.ms = (CASE WHEN pick_b THEN bts ELSE fts END)""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

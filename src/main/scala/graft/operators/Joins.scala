@@ -56,6 +56,63 @@ object Joins {
     filled.select(lCols.map(c => col("_row").getField(c).as(c)) ++ valueCols.map(col): _*)
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * rightTs >= leftTs on the same `keys` (pandas merge_asof
+    * direction='forward'). Same single-shuffle union trick as
+    * [[asOfBackward]], mirrored: left rows sort before right rows at
+    * equal ts, so ties are inclusive, and the fill runs backward from
+    * the partition end. Duplicate right rows at one (key, ts) must be
+    * reduced by the caller first — whichever survives the window
+    * otherwise is partition-order-dependent. */
+  def asOfForward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(0))
+      .select((keys.map(col) :+ col("_ts") :+ col("_side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+        struct(lCols.map(col): _*).as("_row"): _*)
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(1))
+      .select((keys.map(col) :+ col("_ts") :+ col("_side")) ++
+        valueCols.map(col) :+ lit(null).cast(l.schema("_row").dataType).as("_row"): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = l.unionByName(r)
+      .select(col("_side") +: col("_row") +:
+        valueCols.map(c => first(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("_side") === 0)
+    filled.select(lCols.map(c => col("_row").getField(c).as(c)) ++ valueCols.map(col): _*)
+  }
+
+  /** Nearest as-of join (pandas merge_asof direction='nearest', ties to
+    * the PRIOR row): runs [[asOfBackward]] and [[asOfForward]] — still
+    * two shuffles total, both keyed the same — and picks per row by
+    * distance. Requires a NUMERIC ts (distances subtract). Output:
+    * left columns ++ valueCols ++ (asof_ts, asof_dir). */
+  def asOfNearest(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val rb = right.select((keys.map(col) :+ col(rightTs)) ++
+      valueCols.map(c => col(c).as(s"${c}__b")) :+ col(rightTs).as("__bts"): _*)
+    val rf = right.select((keys.map(col) :+ col(rightTs)) ++
+      valueCols.map(c => col(c).as(s"${c}__f")) :+ col(rightTs).as("__fts"): _*)
+    val withB = asOfBackward(left, rb, keys, leftTs, rightTs,
+      valueCols.map(_ + "__b") :+ "__bts")
+    val withBF = asOfForward(withB, rf, keys, leftTs, rightTs,
+      valueCols.map(_ + "__f") :+ "__fts")
+    val lts = col(leftTs)
+    val pickB = col("__fts").isNull ||
+      (col("__bts").isNotNull && (lts - col("__bts") <= col("__fts") - lts))
+    withBF.select(left.columns.map(col) ++
+      valueCols.map(c => when(pickB, col(s"${c}__b")).otherwise(col(s"${c}__f")).as(c)) ++
+      Seq(when(pickB, col("__bts")).otherwise(col("__fts")).as("asof_ts"),
+        when(pickB, "backward").otherwise("forward").as("asof_dir")): _*)
+  }
+
   /** J6 future-window join: for each left row, the first `n` right rows with
     * rightTs strictly after leftTs (same keys), rank attached as `_rank`.
     * The range condition is left unbounded above only when `horizon` is

@@ -357,6 +357,24 @@ object TimeSeries {
       events(spark, dir).withColumn("ms", unix_millis($"ts")),
       "user_id", Seq($"ms", $"event_id"), "event_type")
 
+  /** q208 — nearest as-of join ([[graft.operators.Joins.asOfNearest]]):
+    * every error event picks the closest click (either direction, ties
+    * to the prior one) of the same user — merge_asof
+    * direction='nearest', the diagnosis join backward-only as-of can't
+    * express. Clicks are pre-reduced to one row per (user, ms) so the
+    * window fill is deterministic; all ts math is integer epoch-ms.
+    * The oracle replays with correlated min/max + the same pick rule. */
+  def q208AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select($"user_id", $"event_id",
+      unix_millis($"ts").as("ms"), $"value", $"event_type")
+    val l = ev.where($"event_type" === "error")
+      .select($"user_id", $"event_id", $"ms".as("err_ms"), $"value".as("err_value"))
+    val r = ev.where($"event_type" === "click")
+      .groupBy($"user_id", $"ms").agg(max($"value").as("click_value"))
+    graft.operators.Joins.asOfNearest(l, r, Seq("user_id"),
+      "err_ms", "ms", Seq("click_value"))
+  }
+
   /** q201 — peak concurrency per event type ([[graft.operators
     * .Intervals.sweepPeak]]): the maximum number of simultaneously
     * open [ts, ts + value s) intervals, swept in two phases (per-slice

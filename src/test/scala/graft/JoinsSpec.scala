@@ -29,6 +29,38 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
     assert(Joins.asOfBackward(left, right, Seq("k"), "t", "rt", Seq("rv")).count() == 3)
   }
 
+  test("asOfForward picks earliest right row at-or-after left ts; ties inclusive") {
+    val out = Joins.asOfForward(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("rv") == 2.0) // tie at t=10 is inclusive
+    assert(out(1).isNullAt(out(1).fieldIndex("rv"))) // nothing after t=20
+    assert(out(2).isNullAt(out(2).fieldIndex("rv"))) // B has no right rows
+  }
+
+  test("asOfNearest picks by distance, ties to the prior row, one-sided falls through") {
+    import spark.implicits._
+    val l2 = Seq(("A", 12L, 1), ("A", 13L, 2), ("A", 100L, 3), ("B", 1L, 4))
+      .toDF("k", "t", "id")
+    val out = Joins.asOfNearest(l2, right, Seq("k"), "t", "rt", Seq("rv"))
+      .orderBy("id").collect()
+    // t=12: back 10 (d2), fwd 15 (d3) -> backward
+    assert(out(0).getAs[Double]("rv") == 2.0 && out(0).getAs[String]("asof_dir") == "backward")
+    // t=13: back 10 (d3), fwd 15 (d2) -> forward
+    assert(out(1).getAs[Double]("rv") == 3.0 && out(1).getAs[String]("asof_dir") == "forward")
+    // t=100: forward missing -> backward 15
+    assert(out(2).getAs[Long]("asof_ts") == 15L && out(2).getAs[String]("asof_dir") == "backward")
+    // B: no right rows at all -> null value
+    assert(out(3).isNullAt(out(3).fieldIndex("rv")))
+  }
+
+  test("asOfNearest equidistant tie goes backward") {
+    import spark.implicits._
+    val l2 = Seq(("A", 12L, 1)).toDF("k", "t", "id") // back 10 d2, fwd 14 d2
+    val r2 = Seq(("A", 10L, 1.0), ("A", 14L, 2.0)).toDF("k", "rt", "rv")
+    val out = Joins.asOfNearest(l2, r2, Seq("k"), "t", "rt", Seq("rv")).collect().head
+    assert(out.getAs[Double]("rv") == 1.0 && out.getAs[String]("asof_dir") == "backward")
+  }
+
   test("futureWindow ranks first n strictly-after rows per left row (J6)") {
     import spark.implicits._
     val l = Seq(("A", 5L, 100)).toDF("k", "t", "sid")
