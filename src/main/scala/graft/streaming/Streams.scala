@@ -377,4 +377,40 @@ object Streams {
       .contentDefinedChunks(arrivals, idCol, textCol, boundaryNibbles)
       .dropDuplicates("digest")
       .select(col(idCol), col("chunk_idx"), col("digest"), col("chunk_tokens"))
+
+  case class TransState(ms: Long, eid: Long, tpe: String)
+  case class TransitionOut(user_id: Long, prev: String, curr: String, ms: Long)
+
+  /** Streaming order-1 transition extraction (q200's census made
+    * incremental — [[graft.operators.Sequences.transitionCensus]] is
+    * the batch twin): per user the state store keeps ONLY the last
+    * event (ms, event_id, type) — bounded by the user population, not
+    * stream length — and each arriving event emits its (prev, curr)
+    * pair. Within a micro-batch events sort by (ms, event_id), the
+    * batch census ordering; cross-batch order is the arrival contract
+    * (bound out-of-orderness upstream with a watermark + sorted
+    * replay). Downstream aggregation of the emitted pairs IS the
+    * census. Input columns: (user_id, ms, event_id, event_type). */
+  def transitionStream(events: DataFrame): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ms").cast("long"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransitionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evts: Iterator[(Long, Long, Long, String)],
+            state: GroupState[TransState]) =>
+          val sorted = evts.toSeq.sortBy(e => (e._2, e._3))
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
+          sorted.foreach { case (_, ms, eid, tpe) =>
+            prev.foreach(p => out += TransitionOut(user, p.tpe, tpe, ms))
+            prev = Some(TransState(ms, eid, tpe))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
 }

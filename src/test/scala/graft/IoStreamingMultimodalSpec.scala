@@ -626,4 +626,39 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     val slices = frames.map(r => new String(r.getAs[Array[Byte]]("frame_payload"), "UTF-8"))
     assert(slices.toSeq == Seq("0123", "4567", "89ab", "cdef"))
   }
+
+  test("streaming transition extraction matches the batch census (q200 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .where($"user_id" < 8)
+      .select($"user_id", (col("ts").cast("long") / 1000000L).cast("long").as("ms"),
+        $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e._2, e._3))
+    assert(ev.length > 50)
+    val expected = graft.operators.Sequences.transitionCensus(
+        ev.toSeq.toDF("user_id", "ms", "event_id", "event_type"),
+        "user_id", Seq(col("ms"), col("event_id")), "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(expected.values.sum == ev.length - ev.map(_._1).distinct.length)
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val out = Streams.transitionStream(
+      mem.toDF().toDF("user_id", "ms", "event_id", "event_type"))
+    val q = out.writeStream.format("memory").queryName("trans_q200")
+      .outputMode("append").start()
+    try {
+      // two micro-batches split mid-stream: the (prev -> curr) pair that
+      // SPANS the split must come from state, not restart
+      val cut = ev(ev.length / 2)._2
+      mem.addData(ev.filter(_._2 <= cut).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(ev.filter(_._2 > cut).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("trans_q200").collect()
+        .groupBy(r => (r.getString(1), r.getString(2)))
+        .map { case (k, rs) => k -> rs.length.toLong }
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
