@@ -229,6 +229,9 @@ object SparkEntry {
     "q206_integrity_audit"  -> (R.q206IntegrityAudit(_, _)),
     "q207_corr_matrix"      -> (R.q207CorrMatrix(_, _)),
     "q208_asof_nearest"     -> (T.q208AsofNearest(_, _)),
+    "q209_deletion_impact"  -> (R.q209DeletionImpact(_, _)),
+    "q210_novelty_curve"    -> (R.q210NoveltyCurve(_, _)),
+    "q211_set_join"         -> (D.q211SetJoin(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3268,6 +3271,61 @@ object SparkEntry {
         |  CASE WHEN pick_b THEN 'backward' ELSE 'forward' END AS asof_dir
         |FROM p LEFT JOIN r rr ON rr.user_id = p.user_id
         |  AND rr.ms = (CASE WHEN pick_b THEN bts ELSE fts END)""".stripMargin,
+    // q209: the cascade replays as IN-subquery chains; fraction is one
+    // division over exact counts.
+    "q209_deletion_impact" ->
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 20 = 0),
+        |dord AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM del)),
+        |dli AS (SELECT 1 AS x FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM dord))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT COUNT(*) FROM customer) AS n_total,
+        |  (SELECT COUNT(*) FROM del) AS n_deleted,
+        |  CAST((SELECT COUNT(*) FROM del) AS DOUBLE) /
+        |    CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS deleted_frac
+        |UNION ALL SELECT 'orders',
+        |  (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM dord),
+        |  CAST((SELECT COUNT(*) FROM dord) AS DOUBLE) /
+        |    CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+        |UNION ALL SELECT 'lineitem',
+        |  (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM dli),
+        |  CAST((SELECT COUNT(*) FROM dli) AS DOUBLE) /
+        |    CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)""".stripMargin,
+    // q210: strftime day grain matches date_format; integer windows.
+    "q210_novelty_curve" ->
+      """WITH ev AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  event_type FROM events),
+        |f AS (SELECT user_id, event_type, MIN(day) AS first_day FROM ev
+        |  GROUP BY user_id, event_type),
+        |d AS (SELECT ev.user_id, ev.day, COUNT(*) AS n_types_active,
+        |  SUM(CASE WHEN f.first_day = ev.day THEN 1 ELSE 0 END) AS n_new_types
+        |  FROM ev JOIN f ON ev.user_id = f.user_id AND ev.event_type = f.event_type
+        |  GROUP BY ev.user_id, ev.day)
+        |SELECT user_id, day, CAST(n_types_active AS BIGINT) AS n_types_active,
+        |  CAST(n_new_types AS BIGINT) AS n_new_types,
+        |  CAST(SUM(n_new_types) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_types
+        |FROM d""".stripMargin,
+    // q211: the oracle is EXHAUSTIVE exact Jaccard with the integer
+    // cross-multiplied threshold — hash equality proves the prefix
+    // filter's recall is 1 on this corpus.
+    "q211_set_join" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents WHERE doc_id < 40
+        |UNION ALL SELECT doc_id + 1000, text || ' graft near dup tail'
+        |  FROM documents WHERE doc_id < 40),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM aug),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        |  i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh FROM t),
+        |d AS (SELECT doc_id AS id, unnest(sh) AS tok FROM s),
+        |n AS (SELECT id, COUNT(*) AS n FROM d GROUP BY id),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        |  FROM d a JOIN d b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(na.n + nb.n - inter AS BIGINT) AS union_size,
+        |  CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+        |FROM p JOIN n na ON na.id = p.id_a JOIN n nb ON nb.id = p.id_b
+        |WHERE 2 * inter >= na.n + nb.n - inter""".stripMargin,
     // q140: at saturating k the Misra-Gries summary must equal the exact
     // token census.
     "q140_mg_saturation" ->

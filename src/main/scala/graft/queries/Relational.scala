@@ -588,4 +588,50 @@ object Relational {
   def q207CorrMatrix(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Regression.corrMatrix(Tables.lineitem(spark, dir),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = 4)
+
+  /** q209 — deletion-propagation sweep (right-to-be-forgotten impact):
+    * a deterministic 5% customer deletion list cascades through
+    * orders -> lineitem by semi-joins; per table the audit reports how
+    * many rows the erasure removes. The ratio is one division over
+    * exact integers. Semi-joins broadcast the shrinking key set — the
+    * fact tables never shuffle. */
+  def q209DeletionImpact(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val del = cust.where($"c_custkey" % 20 === 0).select($"c_custkey")
+    val delOrders = ord.join(broadcast(del),
+      ord("o_custkey") === del("c_custkey"), "left_semi")
+    val delKeys = delOrders.select($"o_orderkey")
+    val delLi = li.join(broadcast(delKeys),
+      li("l_orderkey") === delKeys("o_orderkey"), "left_semi")
+    def row(name: String, total: DataFrame, deleted: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(name).as("table_name"), $"n_total", $"n_deleted",
+          ($"n_deleted".cast("double") / $"n_total".cast("double")).as("deleted_frac"))
+    row("customer", cust, del)
+      .unionByName(row("orders", ord, delOrders))
+      .unionByName(row("lineitem", li, delLi))
+  }
+
+  /** q210 — novelty telemetry: per (user, day), event types active that
+    * day, types never seen before (first-occurrence day), and the
+    * running distinct-type count — the exact running-distinct window
+    * q193's rolling HLL approximates. All windows partition by user
+    * over day-grain rows; integer counts only. */
+  def q210NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type")
+      .distinct()
+    val first = ev.groupBy($"user_id", $"event_type")
+      .agg(min($"day").as("first_day"))
+    val daily = ev.join(first, Seq("user_id", "event_type"))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_types_active"),
+        sum(when($"first_day" === $"day", 1L).otherwise(0L)).as("n_new_types"))
+    val wCum = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_distinct_types", sum($"n_new_types").over(wCum))
+  }
 }

@@ -2371,6 +2371,20 @@ object TrainingData {
       r1, r2, "probe_id", "corpus_id", "rank", c = 60, topK = 10)
   }
 
+  /** q211 — EXACT set-similarity join ([[graft.operators.SetJoin
+    * .prefixFilterJoin]]) at Jaccard >= 1/2 over the q75 planted
+    * fixture's 3-gram sets: prefix filtering (rare-first order, length
+    * filter, integer cross-multiplied threshold) generates candidates,
+    * exact verification trims — recall 1 by theorem, not by hash-family
+    * luck. The oracle computes the EXHAUSTIVE pair set; hash equality
+    * proves the filter lost nothing. */
+  def q211SetJoin(spark: SparkSession, dir: String): DataFrame = {
+    val withSets = nearDupFixture(spark, dir).select($"doc_id",
+      graft.functions.FastHash.shingles($"text", 3).as("sh"))
+    graft.operators.SetJoin.prefixFilterJoin(withSets, "doc_id", "sh",
+      num = 1, den = 2)
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
