@@ -30,6 +30,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive parquet timestamps (isAdjustedToUTC=false) read as session-TZ
+      // TimestampType, not TIMESTAMP_NTZ — the engine's time-series surface
+      // (unix_millis, range windows, watermarks) is defined on instants
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

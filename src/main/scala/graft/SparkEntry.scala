@@ -2247,9 +2247,11 @@ object SparkEntry {
         |FROM bkt GROUP BY lang, bucket""".stripMargin,
     // q165: digest-window closure (q155 precedent) + md5-prefix split
     // thresholds on the COMPONENT id (0.8 -> 'cc', 0.9 -> 'e6').
-    // q169: 8 unrolled PageRank rounds; list_reduce over src-ordered
-    // contribution lists replays the operator's ordered-fold contract
-    // bit-for-bit (no tolerance; see Graph.pageRank determinism note).
+    // q169: 8 unrolled PageRank rounds in FIXED-POINT (scale 10^15)
+    // integer arithmetic — `//` floor-division replays Spark's `div` on
+    // the all-positive ranks exactly, and integer SUM is associative, so
+    // the replay is bit-for-bit at any parallelism (no tolerance; see
+    // Graph.pageRank determinism note).
     "q169_pagerank" -> {
       val base =
         """WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
@@ -2259,21 +2261,22 @@ object SparkEntry {
           |outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
           |nodes AS (SELECT DISTINCT src AS node FROM edges),
           |nn AS (SELECT COUNT(*) AS nn FROM nodes),
-          |p0 AS (SELECT node, 1.0 / nn.nn AS pr FROM nodes CROSS JOIN nn)""".stripMargin
+          |p0 AS (SELECT node, 1000000000000000 // nn.nn AS prf
+          |FROM nodes CROSS JOIN nn)""".stripMargin
       val rounds = (1 to 8).map { i =>
-        s"""s$i AS (SELECT e.dst AS node,
-           |list_reduce(list(p.pr / d.od ORDER BY e.src), (a, b) -> a + b) AS in_mass
+        s"""s$i AS (SELECT e.dst AS node, SUM(p.prf // d.od) AS in_mass
            |FROM edges e JOIN p${i - 1} p ON e.src = p.node
            |JOIN outdeg d ON e.src = d.src GROUP BY e.dst),
            |p$i AS (SELECT n.node,
-           |(1.0 - 0.85) / nn.nn + 0.85 * COALESCE(s$i.in_mass, 0.0) AS pr
+           |CAST(150000000000000 // nn.nn
+           | + (85 * COALESCE(s$i.in_mass, 0)) // 100 AS BIGINT) AS prf
            |FROM nodes n CROSS JOIN nn LEFT JOIN s$i ON n.node = s$i.node)""".stripMargin
       }.mkString(",\n", ",\n", "")
       base + rounds +
         """
           |SELECT node,
           |CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
-          |round(CAST(CAST(pr AS VARCHAR) AS DECIMAL(38,20)), 10) AS pagerank
+          |round(CAST(CAST(prf / 1000000000000000.0 AS VARCHAR) AS DECIMAL(38,20)), 10) AS pagerank
           |FROM p8""".stripMargin
     },
     // q168: double row_number islands + per-key lead close the ranges.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -16,23 +16,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Timestamp columns written as parquet TIMESTAMP(NANOS), which Spark 4
-    * only reads via the nanosAsLong legacy flag (as LongType nanos). */
-  private val nanoTsCols: Map[String, Seq[String]] = Map(
+  /** Timestamp columns whose parquet physical encoding has varied across
+    * testdata generations: TIMESTAMP(NANOS) (readable only via the
+    * nanosAsLong legacy flag, as LongType nanos) or TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (read as TIMESTAMP_NTZ by Spark 4 unless
+    * inferTimestampNTZ is disabled). Either way the engine's contract is
+    * a session-TZ (UTC) TimestampType column. */
+  private val tsCols: Map[String, Seq[String]] = Map(
     "orders" -> Seq("o_orderdate"),
     "lineitem" -> Seq("l_shipdate"),
     "events" -> Seq("ts"))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // runtime-settable legacy conf; set defensively for driver-owned sessions
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => }
+    // runtime-settable confs; set defensively for sessions not built by
+    // GraftSession (a foreign session would otherwise surface NTZ columns
+    // that break every unix_millis/window-by-time call site)
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    } catch { case _: Throwable => }
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanoTsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == LongType)
-        // nanos -> micros truncation (matches DuckDB's TIMESTAMP_NS read)
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else d
+    tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType =>
+          // nanos -> micros truncation (matches DuckDB's TIMESTAMP_NS read)
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case TimestampNTZType =>
+          // naive wall time == UTC instant under the engine's UTC session
+          // TZ (matches DuckDB's naive TIMESTAMP read of the same file)
+          d.withColumn(c, col(c).cast(TimestampType))
+        case _ => d
+      }
     }
   }
 

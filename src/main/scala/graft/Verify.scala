@@ -16,17 +16,25 @@ object Verify {
       // legacy (non-ANSI) semantics: failed casts -> null, matching the
       // reference's pandas `errors='coerce'` and DuckDB TRY_CAST oracles
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must stay VISIBLE in the artifacts: collect every
+    // failure and dump it to verify_errors.json (the round-6 NTZ regression
+    // silently shrank the correctness denominator from 203 to 190 because
+    // thrown queries simply wrote no output dir).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +52,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // loud but zero-exit: the driver must still run the DuckDB compare on
+    // the queries that DID succeed
+    if (errors.nonEmpty) System.err.println(
+      s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -47,15 +47,35 @@ object Sketches {
     * hashing, so a DuckDB oracle reproduces the sketch bit-for-bit. */
   def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"depth=$depth width=$width")
-    val cells = (0 until depth).map { i =>
+    df.select(explode(array(cmsCells(keyCol, depth, width): _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** [[cmsBuild]] from a PRE-AGGREGATED `(key, count)` relation: each
+    * key contributes `countCol` to its `depth` cells. Identical sketch
+    * to `cmsBuild` over the raw rows, but the explode runs over the
+    * vocabulary instead of the corpus — the right build when an exact
+    * per-key census already exists (or the key space is small enough to
+    * aggregate first), since a corpus-scale pass collapses to a
+    * vocabulary-scale one. */
+  def cmsBuildWeighted(counts: DataFrame, keyCol: String, countCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"depth=$depth width=$width")
+    counts.select(col(countCol).as("w"),
+        explode(array(cmsCells(keyCol, depth, width): _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(sum(col("w")).as("c"))
+  }
+
+  /** The md5 cell map shared by build/estimate: row i cell = first 8 hex
+    * chars of md5(key ":" i) mod width. */
+  private def cmsCells(keyCol: String, depth: Int, width: Int): Seq[Column] =
+    (0 until depth).map { i =>
       struct(lit(i).as("row"),
         (conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$i"))), 1, 8), 16, 10)
           .cast("long") % width).as("cell"))
     }
-    df.select(explode(array(cells: _*)).as("rc"))
-      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
-      .agg(count(lit(1)).as("c"))
-  }
 
   /** Point estimates from a [[cmsBuild]] sketch: for each probe key, the
     * min over the sketch's `depth` rows of that key's cell value — the
@@ -64,12 +84,7 @@ object Sketches {
     * broadcasts; probes never shuffle. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
-    val cells = (0 until depth).map { i =>
-      struct(lit(i).as("row"),
-        (conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$i"))), 1, 8), 16, 10)
-          .cast("long") % width).as("cell"))
-    }
-    probes.select(col(keyCol), explode(array(cells: _*)).as("rc"))
+    probes.select(col(keyCol), explode(array(cmsCells(keyCol, depth, width): _*)).as("rc"))
       .select(col(keyCol), col("rc.row").as("row"), col("rc.cell").as("cell"))
       .join(broadcast(sketch), Seq("row", "cell"), "left")
       .groupBy(col(keyCol))

@@ -370,10 +370,11 @@ object Relational {
     * orders⋈lineitem) form a bidirectional digraph (supplier nodes
     * offset by 10^6 to disambiguate the key spaces); 8 damped rounds.
     * Bidirectional edges mean no dangling nodes, so the simple
-    * no-redistribution rule is exact. The ordered-fold determinism
-    * contract makes all 8 rounds bit-identical to the oracle's unrolled
-    * CTE replay; output rounds to 10dp only to absorb nothing — it is a
-    * hash-stability belt (BigDecimal repr semantics mirrored in SQL). */
+    * no-redistribution rule is exact. Ranks are fixed-point longs
+    * (scale 10^15), so all 8 rounds are exact integer sums —
+    * bit-identical to the oracle's unrolled CTE replay at any
+    * parallelism; output rounds to 10dp only to absorb nothing — it is
+    * a hash-stability belt (BigDecimal repr semantics mirrored in SQL). */
   def q169PageRank(spark: SparkSession, dir: String): DataFrame = {
     // no .distinct() here: pageRank distincts its edge input anyway, and
     // the supplier-offset keeps the two union branches disjoint, so one

@@ -1767,19 +1767,24 @@ object TrainingData {
     * sketch's one-sided contract: cms_count >= true count, and at
     * width 512 on a ~4k-token vocabulary real collisions occur, so the
     * `over` column is genuinely non-zero — the oracle replays the full
-    * sketch, not just the happy path). Scale shape: the corpus-side
-    * shuffle is the d*w cell census (fixed size, map-side combined);
-    * probes join the broadcast sketch. The exact count here is the
-    * evaluation harness, not part of the operator. */
+    * sketch, not just the happy path). Scale shape: ONE corpus-scale
+    * pass — the per-token exact census (map-side combined, then
+    * materialized once) — feeds BOTH the sketch cells
+    * ([[graft.operators.Sketches.cmsBuildWeighted]] explodes the
+    * vocabulary, not the corpus) and the probe-side exact counts; the
+    * probe scan itself prunes to doc_id < 3 at the parquet level. The
+    * exact count here is the evaluation harness, not part of the
+    * operator. */
   def q170CmsCounts(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
-    val sketch = graft.operators.Sketches.cmsBuild(toks, "tok", depth = 4, width = 512)
+    val tokCounts = toks.groupBy($"tok").agg(count(lit(1)).as("true_count"))
+      .localCheckpoint(false) // vocabulary-sized; reused by sketch + exact
+    val sketch = graft.operators.Sketches.cmsBuildWeighted(
+      tokCounts, "tok", "true_count", depth = 4, width = 512)
     val probes = toks.where($"doc_id" < 3).select($"tok").distinct()
-    val exact = toks.join(broadcast(probes), Seq("tok"), "left_semi")
-      .groupBy($"tok").agg(count(lit(1)).as("true_count"))
     graft.operators.Sketches.cmsEstimate(sketch, probes, "tok", depth = 4, width = 512)
-      .join(exact, Seq("tok"))
+      .join(tokCounts, Seq("tok"))
       .select($"tok", $"cms_count", $"true_count",
         ($"cms_count" - $"true_count").as("overcount"))
   }

@@ -391,6 +391,90 @@ object Streams {
     * (bound out-of-orderness upstream with a watermark + sorted
     * replay). Downstream aggregation of the emitted pairs IS the
     * census. Input columns: (user_id, ms, event_id, event_type). */
+  case class AsofEvent(user_id: Long, ms: Long, event_id: Long,
+      value: Double, event_type: String, ets: java.sql.Timestamp)
+  case class AsofState(clicks: List[(Long, Double)],
+      pending: List[(Long, Long, Double)])
+  case class AsofMatch(user_id: Long, event_id: Long, err_ms: Long,
+      err_value: Double, click_value: Option[Double], asof_ts: Option[Long],
+      asof_dir: String)
+
+  /** Streaming nearest as-of join (q208's [[graft.operators.Joins
+    * .asOfNearest]] made incremental): every `error` event matches its
+    * closest `click` (either direction, ties backward — the batch pick
+    * rule) of the same user. Streaming forces ONE semantic delta from
+    * batch: nearest needs future knowledge, so the forward search is
+    * bounded by `horizonMs` — an error emits only once the event-time
+    * watermark passes err_ms + horizonMs (no closer future click can
+    * still arrive), making the stream's answer equal to batch whenever
+    * batch's forward pick is within the horizon. State per user is
+    * bounded: clicks reduce to max-value per ms (the batch pre-reduce),
+    * prune to the horizon window behind the oldest pending error plus
+    * ONE latest-before candidate; unmatched errors emit with nulls.
+    * The watermark (event time = ms, lateness = `delay`) is declared
+    * here — the EventTimeTimeout contract needs the watermark column in
+    * the grouped input — and emission wakes on event-time timeout, so
+    * quiet users still drain. Input columns:
+    * (user_id, ms, event_id, value, event_type). */
+  def asOfNearestStream(events: DataFrame, horizonMs: Long,
+      delay: String = "0 seconds"): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ms").cast("long"),
+        col("event_id").cast("long"), col("value").cast("double"),
+        col("event_type"), timestamp_millis(col("ms")).as("ets"))
+      .withWatermark("ets", delay)
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evts: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val arrived = evts.toSeq
+          // clicks: max value per ms (batch's groupBy(user, ms).max)
+          val clicks = (st.clicks ++ arrived.filter(_.event_type == "click")
+              .map(e => e.ms -> e.value))
+            .groupBy(_._1).map { case (ms, vs) => ms -> vs.map(_._2).max }
+            .toList.sortBy(_._1)
+          val pending = (st.pending ++ arrived.filter(_.event_type == "error")
+            .map(e => (e.ms, e.event_id, e.value))).sortBy(p => (p._1, p._2))
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, still) = pending.partition(_._1 + horizonMs < wm)
+          val out = ripe.map { case (ems, eid, ev) =>
+            val back = clicks.filter(_._1 <= ems).lastOption
+            val fwd = clicks.find(c => c._1 > ems && c._1 - ems <= horizonMs)
+            (back, fwd) match {
+              case (Some((bts, bv)), Some((fts, fv))) =>
+                if (ems - bts <= fts - ems)
+                  AsofMatch(user, eid, ems, ev, Some(bv), Some(bts), "backward")
+                else AsofMatch(user, eid, ems, ev, Some(fv), Some(fts), "forward")
+              case (Some((bts, bv)), None) =>
+                AsofMatch(user, eid, ems, ev, Some(bv), Some(bts), "backward")
+              case (None, Some((fts, fv))) =>
+                AsofMatch(user, eid, ems, ev, Some(fv), Some(fts), "forward")
+              case (None, None) =>
+                AsofMatch(user, eid, ems, ev, None, None, "backward")
+            }
+          }
+          // prune clicks: anything at/after the retention floor survives;
+          // keep ONE click before it as the backward candidate. Floor =
+          // oldest unresolved error, or the oldest error a late arrival
+          // could still carry (wm - horizonMs).
+          val floor = still.headOption.map(_._1)
+            .getOrElse(if (wm > horizonMs) wm - horizonMs else 0L)
+          val (before, after) = clicks.partition(_._1 < floor)
+          val kept = before.lastOption.toList ++ after
+          if (still.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsofState(kept, still))
+            // wake when the oldest pending error ripens
+            still.headOption.foreach(p =>
+              state.setTimeoutTimestamp(p._1 + horizonMs + 1))
+          }
+          out.iterator
+      }
+  }
+
   def transitionStream(events: DataFrame): Dataset[TransitionOut] = {
     import events.sparkSession.implicits._
     events

@@ -144,7 +144,7 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     val gapMs = 1800000L
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .where($"user_id" < 6)
-      .select($"user_id", (col("ts").cast("long") / 1000000L).cast("long").as("ms"),
+      .select($"user_id", unix_millis(col("ts").cast("timestamp")).as("ms"),
         $"value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(e => (e._2, e._1))
@@ -632,7 +632,7 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     implicit val sqlCtx = spark.sqlContext
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .where($"user_id" < 8)
-      .select($"user_id", (col("ts").cast("long") / 1000000L).cast("long").as("ms"),
+      .select($"user_id", unix_millis(col("ts").cast("timestamp")).as("ms"),
         $"event_id", $"event_type")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(e => (e._2, e._3))
@@ -658,6 +658,59 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
       val got = spark.table("trans_q200").collect()
         .groupBy(r => (r.getString(1), r.getString(2)))
         .map { case (k, rs) => k -> rs.length.toLong }
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("streaming nearest as-of matches the batch operator (q208 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // horizon > the fixture's whole 30-day span, so the stream's bounded
+    // forward search equals batch's unbounded one and parity is exact
+    val horizonMs = 40L * 86400000L
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .where($"user_id" < 8 && $"event_type".isin("error", "click"))
+      .select($"user_id", unix_millis(col("ts").cast("timestamp")).as("ms"),
+        $"event_id", $"value", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .sortBy(e => (e._2, e._3))
+    assert(ev.count(_._5 == "error") > 50)
+    val expected = graft.queries.TimeSeries
+      .q208AsofNearest(spark, "/root/testdata/sf0.001")
+      .where($"user_id" < 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(4), r.getLong(5), r.getString(6)))
+      .toMap
+    assert(expected.size == ev.count(_._5 == "error"))
+    val mem = MemoryStream[(Long, Long, Long, Double, String)]
+    val src = mem.toDF().toDF("user_id", "ms", "event_id", "value", "event_type")
+    val out = Streams.asOfNearestStream(src, horizonMs)
+    val q = out.writeStream.format("memory").queryName("asof_q208")
+      .outputMode("append").start()
+    try {
+      // two micro-batches split mid-stream: errors whose nearest click is
+      // on the other side of the split must resolve from state
+      val cut = ev(ev.length / 2)._2
+      mem.addData(ev.filter(_._2 <= cut).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(ev.filter(_._2 > cut).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // watermark sentinels past max(ms) + horizon ripen every error;
+      // second sentinel triggers the timeout batch after the watermark
+      // from the first has been committed
+      val far = ev.map(_._2).max + horizonMs + 1000L
+      mem.addData((999L, far, 0L, 0.0, "click"))
+      q.processAllAvailable()
+      mem.addData((999L, far + 1000L, 1L, 0.0, "click"))
+      q.processAllAvailable()
+      val got = spark.table("asof_q208").collect()
+        .filter(_.getLong(0) != 999L)
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(4), r.getLong(5), r.getString(6)))
+        .toMap
+      assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
       assert(got == expected)
     } finally q.stop()
   }
