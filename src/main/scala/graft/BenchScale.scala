@@ -54,15 +54,29 @@ object BenchScale {
         c, batch, "doc_id", "text", shingleN = 3, k = 32, bands = 32,
         threshold = 0.5)
     }
-    // q96 shape: connected components over the near-dup pair graph
-    def components(c: DataFrame): DataFrame = {
-      val pairs = minhash(c).select(col("id_a"), col("id_b"))
+    // q96 shape: connected components over the near-dup pair graph.
+    // Pairs are materialized ONCE per scale (eager checkpoint) so the
+    // ratio isolates the closure computation — the candidate-pair
+    // stage's own scaling is the `minhash` shape; re-deriving it lazily
+    // inside every timed evaluation re-measured minhash 4x per timing
+    // and drowned CC (whose real 10x cost is ~2 s) in recompute noise.
+    val ccPairs = scala.collection.mutable.Map[Int, DataFrame]()
+    def components(n: Int): DataFrame = {
+      val pairs = ccPairs.getOrElseUpdate(n,
+        minhash(corpusAt(n)).select(col("id_a"), col("id_b"))
+          .localCheckpoint(true))
       graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
     }
 
     def timed(df: => DataFrame): (Double, Long) = {
+      // settle the JVM first: one JVM runs every shape, and a GC /
+      // ContextCleaner storm triggered by the PREVIOUS shape's dropped
+      // RDDs otherwise lands on whoever runs next (observed 10-20 s
+      // penalties hopping between shapes across runs). min-of-3 guards
+      // against the residual spikes.
+      System.gc(); Thread.sleep(200)
       df.write.format("noop").mode("overwrite").save() // untimed warm-up
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -130,7 +144,7 @@ object BenchScale {
     val shapes: Seq[(String, Int => DataFrame)] = Seq(
       "minhash" -> (n => minhash(corpusAt(n))),
       "incremental" -> (n => incremental(corpusAt(n))),
-      "components" -> (n => components(corpusAt(n))),
+      "components" -> (components(_)),
       "spans" -> (n => spans(corpusAt(n))),
       "semdedup" -> (semdedup(_)),
       "winnow" -> (n => winnow(corpusAt(n))),
