@@ -134,4 +134,22 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
       .select(nfcNormalize(org.apache.spark.sql.functions.col("s")).as("n"))
     assert(df.collect().map(_.getString(0)).toSeq == Seq("\u00e9", "x"))
   }
+
+  test("sortedIntersect equals array_intersect on sorted distinct longs (incl. empty)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_intersect, col, sort_array}
+    import graft.functions.FastHash
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (i.toLong, arr(), arr())
+    } :+ (999L, Seq.empty[Long], Seq(1L, 2L))
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        FastHash.sortedIntersect(col("a"), col("b")).as("fast"),
+        sort_array(array_intersect(col("a"), col("b"))).as("ref"))
+    val bad = df.where(!(col("fast") === col("ref"))).count()
+    assert(bad == 0)
+  }
 }
