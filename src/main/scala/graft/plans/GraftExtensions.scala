@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Round}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{CdcChunksExpr, CosineExpr, MaskRepeatedExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SortedLookupExpr, SrpBucketExpr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CosineExpr, MaskRepeatedExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SortedIntersectExpr, SortedLookupExpr, SrpBucketExpr, WinnowFpsExpr}
 
 /** Catalyst integration (SURVEY §4 custom work item 2): the engine's
   * codegen'd expressions registered as SQL functions, plus a small
@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_sorted_lookup"),
       new ExpressionInfo(classOf[SortedLookupExpr].getName, "graft_sorted_lookup"),
       (args: Seq[Expression]) => SortedLookupExpr(args.head, args(1), args(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectExpr].getName, "graft_sorted_intersect"),
+      (args: Seq[Expression]) => SortedIntersectExpr(args.head, args(1))))
     ext.injectOptimizerRule(_ => CollapseRedundantRound)
   }
 }

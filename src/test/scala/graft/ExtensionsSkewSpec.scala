@@ -56,6 +56,11 @@ class ExtensionsSkewSpec extends AnyFunSuite with SparkFixture {
     assert(r2.getAs[Double]("rep") > 0.0)
     assert(r2.getAs[Double]("hit") == 3.0)
     assert(r2.isNullAt(r2.fieldIndex("miss")))
+    // round-7: the sorted-merge intersection kernel (q196's close)
+    val r3 = spark2.sql(
+      """SELECT graft_sorted_intersect(array(1L, 3L, 5L, 7L),
+        |array(3L, 4L, 7L, 9L)) AS ws""".stripMargin).head()
+    assert(r3.getSeq[Long](r3.fieldIndex("ws")).toList == List(3L, 7L))
   }
 
   test("CollapseRedundantRound removes equal-scale nested rounds from the plan") {
