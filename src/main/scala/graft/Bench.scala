@@ -35,6 +35,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .flatMap { case (name, fn) =>
+      // settle the shared JVM first: garbage left by a heavy neighbor
+      // otherwise lands in this query's window (observed 2-3x inflation
+      // vs isolated subset runs — the BenchScale lesson applied here)
+      System.gc()
       // per-query untimed warm-up: planning + Janino codegen happen here, so
       // even a single timed iteration records the steady state the engine
       // would show on a long-running cluster (first-compile cost is a
