@@ -662,6 +662,35 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("asOfNearestStream: clickless users emit null matches; backward tie wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double, String)]
+    val out = Streams.asOfNearestStream(
+      mem.toDF().toDF("user_id", "ms", "event_id", "value", "event_type"), 1000L)
+    val q = out.writeStream.format("memory").queryName("asof_edge")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 100L, 10L, 1.0, "error"),            // user 1: no clicks at all
+        (2L, 190L, 20L, 9.0, "click"),
+        (2L, 200L, 21L, 2.0, "error"),            // equidistant clicks:
+        (2L, 210L, 22L, 8.0, "click"))            // backward must win the tie
+      q.processAllAvailable()
+      mem.addData((99L, 99999L, 0L, 0.0, "click")) // watermark sentinel
+      q.processAllAvailable()
+      mem.addData((99L, 111111L, 1L, 0.0, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("asof_edge").collect()
+        .filter(_.getLong(0) != 99L)
+        .map(r => r.getLong(0) -> (r.isNullAt(4), r.getString(6))).toMap
+      assert(rows(1L) == ((true, "backward")))    // null fill, batch's default dir
+      assert(rows(2L) == ((false, "backward")))   // tie to the prior click
+      val tie = spark.table("asof_edge").collect().find(_.getLong(0) == 2L).get
+      assert(tie.getDouble(4) == 9.0 && tie.getLong(5) == 190L)
+    } finally q.stop()
+  }
+
   test("streaming nearest as-of matches the batch operator (q208 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
