@@ -232,6 +232,7 @@ object SparkEntry {
     "q209_deletion_impact"  -> (R.q209DeletionImpact(_, _)),
     "q210_novelty_curve"    -> (R.q210NoveltyCurve(_, _)),
     "q211_set_join"         -> (D.q211SetJoin(_, _)),
+    "q212_zorder_layout"    -> (R.q212ZorderLayout(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3335,5 +3336,29 @@ object SparkEntry {
       """SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS mg_count
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents)
         |GROUP BY w""".stripMargin,
+    // q212: the oracle replays quantization (integer scale + floor div —
+    // all values non-negative, so // == Spark's div) and the 4-step
+    // shift-and-mask Morton spread, then the same z >> 26 bucketing.
+    "q212_zorder_layout" ->
+      """WITH dom AS (SELECT min(l_orderkey) AS a_lo, max(l_orderkey) AS a_hi,
+        |  min(l_suppkey) AS b_lo, max(l_suppkey) AS b_hi FROM lineitem),
+        |q AS (SELECT l_orderkey AS a, l_suppkey AS b,
+        |  CASE WHEN a_hi = a_lo THEN 0
+        |    ELSE ((l_orderkey - a_lo) * 65535) // (a_hi - a_lo) END AS qa,
+        |  CASE WHEN b_hi = b_lo THEN 0
+        |    ELSE ((l_suppkey - b_lo) * 65535) // (b_hi - b_lo) END AS qb
+        |  FROM lineitem CROSS JOIN dom),
+        |s1 AS (SELECT a, b, ((qa | (qa << 8)) & 16711935) AS xa,
+        |  ((qb | (qb << 8)) & 16711935) AS xb FROM q),
+        |s2 AS (SELECT a, b, ((xa | (xa << 4)) & 252645135) AS xa,
+        |  ((xb | (xb << 4)) & 252645135) AS xb FROM s1),
+        |s3 AS (SELECT a, b, ((xa | (xa << 2)) & 858993459) AS xa,
+        |  ((xb | (xb << 2)) & 858993459) AS xb FROM s2),
+        |s4 AS (SELECT a, b, ((xa | (xa << 1)) & 1431655765) AS xa,
+        |  ((xb | (xb << 1)) & 1431655765) AS xb FROM s3),
+        |z AS (SELECT a, b, (xa | (xb << 1)) >> 26 AS bucket FROM s4)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
+        |FROM z GROUP BY bucket""".stripMargin,
   )
 }

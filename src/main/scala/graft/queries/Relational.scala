@@ -640,4 +640,17 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily.withColumn("cum_distinct_types", sum($"n_new_types").over(wCum))
   }
+
+  /** q212 — Z-order layout audit ([[graft.operators.ZOrder]]): lineitem
+    * clustered on the interleaved (l_orderkey, l_suppkey) Morton code,
+    * reported as 64 z-range buckets with their (a, b) bounding boxes —
+    * the multi-dimensional-locality readout behind `OPTIMIZE ZORDER`
+    * layouts: small boxes mean min/max file statistics prune on EITHER
+    * key. Pure integer quantization + shift-and-mask interleave, so the
+    * oracle replays the layout bit-for-bit; one shuffle (the bucket
+    * census), domain row broadcast. */
+  def q212ZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ZOrder.layoutAudit(
+      Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+      "l_orderkey", "l_suppkey", log2Buckets = 6)
 }
