@@ -353,4 +353,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Exchange SinglePartition"), p.take(1500))
     assert("Window ".r.findAllIn(p).size == 2, p.take(1500))
   }
+
+  test("q212: z-layout shuffles once (bucket census); the domain row broadcasts") {
+    val p = physical("q212_zorder_layout")
+    // the data pays exactly ONE hash exchange — the per-bucket census;
+    // the 1-row domain aggregate broadcasts back onto the scan
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
 }
