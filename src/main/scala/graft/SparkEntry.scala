@@ -233,6 +233,7 @@ object SparkEntry {
     "q210_novelty_curve"    -> (R.q210NoveltyCurve(_, _)),
     "q211_set_join"         -> (D.q211SetJoin(_, _)),
     "q212_zorder_layout"    -> (R.q212ZorderLayout(_, _)),
+    "q213_altstar_cc"       -> (D.q213AltstarCc(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3360,5 +3361,12 @@ object SparkEntry {
         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
         |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
         |FROM z GROUP BY bucket""".stripMargin,
+    // q213: the chain+weld fixture's transitive closure is closed-form —
+    // runs of 50 welded in even/odd pairs, so component = 100*floor(id/100)
+    // and every component has exactly 100 members. No recursive CTE needed;
+    // a single mis-hooked node breaks its row AND the csize column.
+    "q213_altstar_cc" ->
+      """SELECT doc_id, (doc_id // 100) * 100 AS component,
+        |CAST(100 AS BIGINT) AS csize FROM documents""".stripMargin,
   )
 }

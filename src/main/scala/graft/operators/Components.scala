@@ -78,6 +78,104 @@ object Components {
     labels
   }
 
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond") — the
+    * O(log n)-round alternative to [[connectedComponents]]'s label
+    * propagation. Label propagation needs one round per unit of graph
+    * DIAMETER; near-dup graphs are near-cliques so that is fine, but a
+    * general 100 TB edge set (web link graphs, long chains of pairwise
+    * matches) can have diameter in the thousands. Star contraction
+    * converges in O(log² n) rounds on ANY graph (O(log n) in practice)
+    * because each round halves the height of every tree in the hooking
+    * forest rather than walking it:
+    *
+    *  - large-star: every node u connects each STRICTLY LARGER neighbor
+    *    to m(u) = min(Γ(u) ∪ u);
+    *  - small-star: every node u connects each not-larger neighbor and
+    *    itself to m(u), on the edge set oriented hi→lo.
+    *
+    * Both steps preserve connectivity (edges only move within a
+    * component — they re-attach a neighbor to another node of the same
+    * component) and never create cross-component edges, so the fixed
+    * point — a forest of stars each rooted at its component's minimum —
+    * labels every node with exactly the min reachable id, the same
+    * output contract as [[connectedComponents]] (spec-asserted
+    * equivalent on clique / path / star / random graphs).
+    *
+    * Scale shape per round: two aggregations + two joins, all keyed by
+    * node id; the per-node state is ONE (id, min) pair — hub nodes never
+    * materialize a neighbor list (the min is a partial aggregate, the
+    * re-attachment a join), so a 10^7-degree hub costs its edge rows and
+    * nothing more. Lineage is cut per round with localCheckpoint.
+    *
+    * Convergence is checked EXACTLY, not by checksum: the current edge
+    * set is a min-rooted star forest iff re-deriving every node's min
+    * incident label refutes no edge (each leaf already points at its
+    * root and each root at itself) — one aggregation + one join, and a
+    * non-converged labeling can never be emitted silently; `maxIter`
+    * aborts loudly like the label-prop path. */
+  def connectedComponentsAltStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(false)
+
+    def minIncident(e: DataFrame): DataFrame =
+      e.select(col("hi").as("id"), col("lo").as("m"))
+        .union(e.select(col("lo").as("id"), col("lo").as("m")))
+        .groupBy("id").agg(min("m").as("m"))
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // exact fixed-point test on the CURRENT edge set: star forest
+      // rooted at minima <=> every hi-side node's min incident is its lo
+      // partner and every lo-side node's min incident is itself.
+      val labels = minIncident(edges)
+      val bad = edges
+        .join(labels.withColumnRenamed("id", "hi").withColumnRenamed("m", "m_hi"), "hi")
+        .join(labels.withColumnRenamed("id", "lo").withColumnRenamed("m", "m_lo"), "lo")
+        .where(col("m_hi") =!= col("lo") || col("m_lo") =!= col("lo"))
+      if (bad.isEmpty) { converged = true }
+      else {
+        // large-star: center u over BOTH orientations, m = min(Γ(u) ∪ u);
+        // each neighbor v > u re-attaches as (v, m).
+        val und = edges.select(col("hi").as("u"), col("lo").as("v"))
+          .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+        val mins = und.groupBy("u")
+          .agg(least(col("u"), min(col("v"))).as("m"))
+        val large = und.where(col("v") > col("u"))
+          .join(mins, "u")
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .where(col("hi") =!= col("lo"))
+          .distinct()
+        // small-star on the hi→lo orientation: center hi, m = min of its
+        // smaller neighbors; every smaller neighbor AND the center hook
+        // onto m.
+        val sMins = large.groupBy("hi").agg(min("lo").as("m"))
+        val small = large.join(sMins, "hi")
+          .select(col("lo").as("n"), col("m"))
+          .union(sMins.select(col("hi").as("n"), col("m")))
+          .where(col("n") =!= col("m"))
+          .select(col("n").as("hi"), col("m").as("lo"))
+          .distinct()
+          .localCheckpoint(false)
+        edges = small
+        iter += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAltStar did not converge in $maxIter rounds")
+    // star forest: leaves (hi → root=lo), roots label themselves.
+    edges.select(col("hi").as("id"), col("lo").as("component"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("component")))
+      .distinct()
+  }
+
   /** The dedup-apply step: label `corpus` rows with their near-dup
     * component and a `kept` flag — true exactly for the canonical doc
     * (min id) of each component, and for singletons (docs in no pair).

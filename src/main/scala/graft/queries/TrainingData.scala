@@ -417,6 +417,30 @@ object TrainingData {
       .select($"id".as("vec_id"), $"component", $"csize")
   }
 
+  /** q213 — star-contraction components on a DIAMETER-stress graph
+    * ([[Components.connectedComponentsAltStar]]): doc_ids chained in runs
+    * of 50 (edges i→i+1 within a run) with one shortcut edge welding each
+    * even/odd run pair — components of exactly 100 nodes with graph
+    * diameter ~90, where one-hop-per-round label propagation would need
+    * ~90 rounds but alternating large-star/small-star lands in O(log n)
+    * (~6 observed). The closure is closed-form — component = the run
+    * pair's first id, 100·⌊id/100⌋ — so the oracle needs no recursive
+    * CTE, and a single mis-hooked node breaks both its own row and the
+    * csize census. */
+  def q213AltstarCc(spark: SparkSession, dir: String): DataFrame = {
+    val ids = docs(spark, dir).select($"doc_id")
+    val chain = ids.where($"doc_id" % 50 =!= 49)
+      .select($"doc_id".as("a"), ($"doc_id" + 1).as("b"))
+    val weld = ids.where($"doc_id" % 100 === 7)
+      .select($"doc_id".as("a"), ($"doc_id" + 56).as("b"))
+    val pairs = chain.unionByName(weld)
+    val comp = graft.operators.Components
+      .connectedComponentsAltStar(pairs, "a", "b")
+    val sizes = comp.groupBy($"component").agg(count(lit(1)).as("csize"))
+    comp.join(sizes, "component")
+      .select($"id".as("doc_id"), $"component", $"csize")
+  }
+
   /** q97 — BM25 relevance head ([[Ranking.bm25TopK]]): top-25 docs for a
     * 3-term topic query. tf/dl/df stay integral until the score, and the
     * per-term contributions add in fixed column order, so DuckDB replays

@@ -65,6 +65,47 @@ class ComponentsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  private def altComps(pairs: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponentsAltStar(pairs.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+  }
+
+  test("altStar: agrees with label propagation on path/star/clique/pair shapes") {
+    val shapes = Seq(
+      (0L until 12L).map(i => (i, i + 1)),                       // path
+      Seq((100L, 101L), (100L, 102L), (100L, 103L)),             // star
+      Seq((7L, 8L), (8L, 9L), (7L, 9L), (3L, 4L)),               // clique + pair
+      Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))               // dups/reversed
+    shapes.foreach { edges => assert(altComps(edges) == comps(edges), edges) }
+  }
+
+  test("altStar: random graphs agree with label propagation") {
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { _ =>
+      val n = 2 + rnd.nextInt(25)
+      val edges = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) assert(altComps(edges) == comps(edges), edges)
+    }
+  }
+
+  test("altStar: converges in O(log n) rounds where label-prop needs diameter") {
+    // a 120-node path: label propagation walks one hop per round (needs
+    // ~120 rounds — asserted to blow a 30-round budget), star contraction
+    // collapses it within a log-scale budget of 12.
+    val longPath = (0L until 119L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] { comps(longPath, maxIter = 30) }
+    val m = altComps(longPath, maxIter = 12)
+    assert(m.size == 120 && m.values.toSet == Set(0L))
+  }
+
+  test("altStar: empty pair set yields empty labeling, converged") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponentsAltStar(empty, "a", "b").isEmpty)
+  }
+
   test("componentsWithSizes reports the census of each closure") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
