@@ -234,6 +234,7 @@ object SparkEntry {
     "q211_set_join"         -> (D.q211SetJoin(_, _)),
     "q212_zorder_layout"    -> (R.q212ZorderLayout(_, _)),
     "q213_altstar_cc"       -> (D.q213AltstarCc(_, _)),
+    "q214_exact_heavy"      -> (D.q214ExactHeavy(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3368,5 +3369,15 @@ object SparkEntry {
     "q213_altstar_cc" ->
       """SELECT doc_id, (doc_id // 100) * 100 AS component,
         |CAST(100 AS BIGINT) AS csize FROM documents""".stripMargin,
+    // q214: the oracle is the FULL unbounded token census's top-4 — the
+    // two-phase MG screen + exact recount must land on exactly it (that
+    // is the certificate's claim).
+    "q214_exact_heavy" ->
+      """WITH aug AS (SELECT text || CASE WHEN doc_id % 3 = 0
+        |  THEN repeat(' hot' || CAST(doc_id % 4 AS VARCHAR), 100) ELSE '' END AS text
+        |FROM documents),
+        |t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM aug)
+        |SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS freq FROM t
+        |GROUP BY w ORDER BY freq DESC, token LIMIT 4""".stripMargin,
   )
 }

@@ -75,4 +75,45 @@ object Heavy {
       .sortBy { case (t, c) => (-c, t) }
       .toDF("token", "mg_count")
   }
+
+  /** The two-phase EXACT top-N — the production pattern that makes a
+    * sketch's answer trustworthy: phase 1 screens with Misra–Gries
+    * (O(mgK) state per partial, one corpus pass that also takes the
+    * total token count N), phase 2 recounts ONLY the <= mgK-1 surviving
+    * candidates exactly (one more corpus pass whose aggregation keys
+    * number at most mgK-1, not |vocab| — at 100 TB the unbounded-vocab
+    * census this replaces is exactly the shuffle that blows up).
+    *
+    * The result is PROVABLY the exact global top-N, not an estimate,
+    * whenever the N-th recounted frequency exceeds N_total/mgK: MG
+    * guarantees every token with true count > N_total/mgK survives
+    * phase 1, so no non-candidate can out-rank the N-th candidate. The
+    * method CHECKS that certificate at runtime and aborts loudly when
+    * the data is too flat for the chosen mgK (raise mgK) — it never
+    * silently returns a maybe-top-N. Ties rank (freq desc, token asc),
+    * both phases codegen-friendly; the driver holds only the O(mgK)
+    * summary. */
+  def exactTopK(df: DataFrame, textCol: String, mgK: Int, topN: Int): DataFrame = {
+    require(topN >= 1 && topN < mgK, s"need 1 <= topN < mgK, got $topN/$mgK")
+    import df.sparkSession.implicits._
+    val toks = df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+    val (summary, total) = toks.as[String]
+      .select(new MisraGriesAgg(mgK).toColumn.as[Map[String, Long]],
+        count(col("tok")).as[Long])
+      .head()
+    val cands = summary.keys.toSeq.sorted
+    val exact = toks.where(col("tok").isin(cands: _*))
+      .groupBy(col("tok").as("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topN)
+      .localCheckpoint(true)
+    val counts = exact.collect().map(_.getAs[Long]("freq"))
+    if (counts.length < topN || counts.last * mgK <= total)
+      throw new IllegalStateException(
+        s"exactTopK certificate failed: ${topN}th candidate count " +
+          s"${counts.lastOption.getOrElse(0L)} <= N/k = ${total / mgK} — " +
+          s"the distribution is too flat for mgK=$mgK to certify top-$topN; raise mgK")
+    exact
+  }
 }

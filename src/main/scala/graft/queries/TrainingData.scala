@@ -441,6 +441,24 @@ object TrainingData {
       .select($"id".as("doc_id"), $"component", $"csize")
   }
 
+  /** q214 — two-phase exact heavy hitters ([[Heavy.exactTopK]]): the
+    * corpus's 31-token vocabulary is near-uniform (~N/31 each), so 4 hot
+    * tokens are planted — every 3rd doc appends 100 copies of
+    * `hot{doc_id%4}` — making them ~4x any base token. Phase 1's
+    * Misra–Gries screen (k=16 counters) certifies a superset of the
+    * (N/16)-heavy tokens in one bounded-state pass; phase 2 recounts just
+    * those candidates exactly, and the runtime certificate (4th count >
+    * N/16) proves the output IS the exact global top-4, which the oracle
+    * confirms against the full unbounded census. */
+  def q214ExactHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(
+      concat($"text",
+        when($"doc_id" % 3 === 0,
+          repeat(concat(lit(" hot"), ($"doc_id" % 4).cast("string")), 100))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.Heavy.exactTopK(planted, "text", mgK = 16, topN = 4)
+  }
+
   /** q97 — BM25 relevance head ([[Ranking.bm25TopK]]): top-25 docs for a
     * 3-term topic query. tf/dl/df stay integral until the score, and the
     * per-term contributions add in fixed column order, so DuckDB replays

@@ -28,6 +28,29 @@ class HeavySpec extends AnyFunSuite with SparkFixture {
     assert(out.size <= k - 1)
   }
 
+  test("exactTopK equals the exact unbounded census top-N when certified") {
+    import spark.implicits._
+    // hot tokens far above N/k; long singleton tail that MG must prune
+    val words = Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(200)("gamma") ++ (0 until 500).map(i => s"tail$i")
+    val df = new scala.util.Random(11).shuffle(words)
+      .grouped(10).map(_.mkString(" ")).toSeq.toDF("text").repartition(8)
+    val got = Heavy.exactTopK(df, "text", mgK = 8, topN = 3).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("freq"))).toSeq
+    // EXACT counts (not MG lower bounds), exact ranking
+    assert(got == Seq(("alpha", 400L), ("beta", 300L), ("gamma", 200L)), got)
+  }
+
+  test("exactTopK aborts loudly when the distribution defeats the certificate") {
+    import spark.implicits._
+    // uniform: no token exceeds N/k, the top-N certificate cannot hold
+    val df = (0 until 300).map(i => s"u${i % 30}").grouped(10)
+      .map(_.mkString(" ")).toSeq.toDF("text").repartition(4)
+    assertThrows[IllegalStateException] {
+      Heavy.exactTopK(df, "text", mgK = 8, topN = 3)
+    }
+  }
+
   test("uniform stream yields no certified heavy hitters above the bound") {
     import spark.implicits._
     val df = (0 until 300).map(i => s"u$i").grouped(10)
