@@ -235,6 +235,7 @@ object SparkEntry {
     "q212_zorder_layout"    -> (R.q212ZorderLayout(_, _)),
     "q213_altstar_cc"       -> (D.q213AltstarCc(_, _)),
     "q214_exact_heavy"      -> (D.q214ExactHeavy(_, _)),
+    "q215_quantile_bisect"  -> (R.q215QuantileBisect(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3379,5 +3380,18 @@ object SparkEntry {
         |t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM aug)
         |SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS freq FROM t
         |GROUP BY w ORDER BY freq DESC, token LIMIT 4""".stripMargin,
+    // q215: quantile_disc IS the spec — the bisection must return the
+    // identical element (ceil(p*n)-th smallest), bit-for-bit.
+    "q215_quantile_bisect" ->
+      """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |n AS (SELECT COUNT(*) AS cnt FROM s)
+        |SELECT CAST(0.25 AS DOUBLE) AS p, CAST(ceil(0.25 * cnt) AS BIGINT) AS k,
+        |  (SELECT quantile_disc(v, 0.25) FROM s) AS value FROM n
+        |UNION ALL SELECT 0.5, CAST(ceil(0.5 * cnt) AS BIGINT),
+        |  (SELECT quantile_disc(v, 0.5) FROM s) FROM n
+        |UNION ALL SELECT 0.9, CAST(ceil(0.9 * cnt) AS BIGINT),
+        |  (SELECT quantile_disc(v, 0.9) FROM s) FROM n
+        |UNION ALL SELECT 0.99, CAST(ceil(0.99 * cnt) AS BIGINT),
+        |  (SELECT quantile_disc(v, 0.99) FROM s) FROM n""".stripMargin,
   )
 }

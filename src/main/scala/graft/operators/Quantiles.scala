@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT order statistics without a global sort — the 100 TB quantile
+  * path. `percentile()` / `ORDER BY ... OFFSET k` sort (or at least
+  * range-exchange) the full column: at 10^12 rows that is the job's
+  * dominant shuffle, and sketches (GK, [[Sketches.approxQuantiles]])
+  * only bound the rank error. Histogram bisection gets the exact k-th
+  * smallest in O(log_bins(range)) SCANS with O(bins) shuffle bytes per
+  * scan and nothing else:
+  *
+  *  1. one aggregation pass histograms the candidate bracket into
+  *     `bins` equal-width bins (per-bin count + min + max — ~bins rows
+  *     to the driver, never row data);
+  *  2. the running rank locates the bin holding the k-th value; that
+  *     bin's OBSERVED [min, max] becomes the next bracket (observed
+  *     bounds, so every pass strictly shrinks even with outliers);
+  *  3. when the bracket's candidate count falls under `exactThreshold`
+  *     (or collapses to a single value), a final sort of just that
+  *     sliver — filter-pruned at the scan, thousands of rows, one
+  *     partition — yields the element.
+  *
+  * Bin membership is decided by ONE fixed floor expression evaluated in
+  * the plan, and the next round filters on that same expression — the
+  * float boundary can never disagree with itself, so no row is lost or
+  * double-counted at bin edges. Convergence: each pass either shrinks
+  * the bracket's count or its [min, max]; `maxPasses` aborts loudly on
+  * the theoretical worst case (pathological value clustering below
+  * bin resolution) rather than looping.
+  */
+object Quantiles {
+
+  /** The exact `rank`-th smallest value (1-indexed) of `valueCol`.
+    * Values must be non-null doubles; rank in [1, n]. */
+  def exactKth(df: DataFrame, valueCol: String, rank: Long,
+      bins: Int = 1024, exactThreshold: Long = 65536,
+      maxPasses: Int = 40): Double = {
+    require(rank >= 1, s"rank=$rank")
+    val v = col(valueCol).cast("double")
+    val base = df.select(v.as("v")).where(col("v").isNotNull)
+
+    // bracket state: predicate + residual rank inside it
+    var pred: Column = lit(true)
+    var residual = rank
+    var passes = 0
+    while (passes < maxPasses) {
+      passes += 1
+      val inB = base.where(pred)
+      val stats = inB.agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi")).head()
+      val n = stats.getAs[Long]("n")
+      require(n >= residual, s"rank $rank exceeds bracket population $n")
+      val (lo, hi) = (stats.getAs[Double]("lo"), stats.getAs[Double]("hi"))
+      if (lo == hi) return lo // bracket collapsed to one value
+      if (n <= exactThreshold) {
+        // final exact step: sort only the sliver (filter pruned at scan)
+        return inB.orderBy(col("v"))
+          .limit(residual.toInt)
+          .orderBy(col("v").desc).limit(1)
+          .head().getAs[Double]("v")
+      }
+      // one histogram pass: the SAME floor expression both assigns bins
+      // here and filters the next round, so edges cannot disagree
+      val width = (hi - lo) / bins
+      val binExpr = least(greatest(
+        floor((col("v") - lit(lo)) / lit(width)), lit(0L)), lit(bins - 1L))
+      val hist = inB.groupBy(binExpr.as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("c"))
+        .sortBy(_._1)
+      var acc = 0L
+      var chosen = -1L
+      hist.takeWhile { case (b, c) =>
+        if (residual <= acc + c && chosen < 0) { chosen = b; false }
+        else { acc += c; true }
+      }
+      require(chosen >= 0, "histogram lost the rank — impossible by construction")
+      residual -= acc
+      pred = pred && (least(greatest(
+        floor((col("v") - lit(lo)) / lit(width)), lit(0L)), lit(bins - 1L)) === lit(chosen))
+    }
+    throw new IllegalStateException(
+      s"exactKth did not isolate rank $rank in $maxPasses passes " +
+        "(values cluster below bin resolution — raise bins or exactThreshold)")
+  }
+
+  /** DuckDB `quantile_disc` semantics over a set of probabilities: the
+    * ceil(p·n)-th smallest per p. One count pass + a bisection per p. */
+  def quantilesDisc(df: DataFrame, valueCol: String, ps: Seq[Double],
+      bins: Int = 1024, exactThreshold: Long = 65536): DataFrame = {
+    import df.sparkSession.implicits._
+    val base = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val n = base.count()
+    require(n > 0, "empty input")
+    ps.map { p =>
+      val k = math.ceil(p * n).toLong.max(1L).min(n)
+      (p, k, exactKth(base, "v", k, bins, exactThreshold))
+    }.toDF("p", "k", "value")
+  }
+}

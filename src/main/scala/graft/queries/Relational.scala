@@ -653,4 +653,21 @@ object Relational {
     graft.operators.ZOrder.layoutAudit(
       Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
       "l_orderkey", "l_suppkey", log2Buckets = 6)
+
+  /** q215 — exact quantiles with NO global sort
+    * ([[graft.operators.Quantiles.quantilesDisc]]): the ceil(p·n)-th
+    * smallest l_extendedprice for four probabilities via histogram
+    * bisection — O(log) aggregation scans shuffling O(bins) rows each,
+    * then one sliver sort, where `percentile`/`ORDER BY OFFSET` would
+    * range-exchange the full column. The oracle is DuckDB's
+    * `quantile_disc`, whose rank rule (ceil(p·n)) the operator
+    * implements exactly — an off-by-one anywhere in the bin walk picks a
+    * neighboring element and hash-mismatches. */
+  def q215QuantileBisect(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.quantilesDisc(
+      Tables.lineitem(spark, dir), "l_extendedprice",
+      Seq(0.25, 0.5, 0.9, 0.99),
+      // sliver threshold well under the sf0.01 row count so the bisection
+      // path actually runs at verify scale (not just the final sort)
+      exactThreshold = 4096)
 }
