@@ -236,6 +236,7 @@ object SparkEntry {
     "q213_altstar_cc"       -> (D.q213AltstarCc(_, _)),
     "q214_exact_heavy"      -> (D.q214ExactHeavy(_, _)),
     "q215_quantile_bisect"  -> (R.q215QuantileBisect(_, _)),
+    "q216_luhn_pii"         -> (D.q216LuhnPii(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3393,5 +3394,42 @@ object SparkEntry {
         |  (SELECT quantile_disc(v, 0.9) FROM s) FROM n
         |UNION ALL SELECT 0.99, CAST(ceil(0.99 * cnt) AS BIGINT),
         |  (SELECT quantile_disc(v, 0.99) FROM s) FROM n""".stripMargin,
+    // q216: the Luhn fold replays as nested list lambdas over the digit
+    // string (RE2 and Java agree on both candidate alternations); sums
+    // cast to BIGINT to match Spark's long aggregates.
+    "q216_luhn_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ' pay card ' ||
+        |      (['4111111111111111','5500005555555559','6011000000000004','4111-1111-1111-1111'])[CAST((doc_id // 6) % 4 AS INT) + 1] ELSE '' END ||
+        |    CASE WHEN doc_id % 10 = 0 THEN ' ref ' ||
+        |      (['4111111111111112','5500005555555551','1234567812345678'])[CAST((doc_id // 10) % 3 AS INT) + 1] ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(text, '\b(?:\d{4}[ -]){3}\d{4}\b|\b\d{13,19}\b', 0) AS cands
+        |  FROM aug),
+        |v AS (
+        |  SELECT doc_id, source, text, cands,
+        |    list_filter(cands, s ->
+        |      list_aggregate(list_transform(range(len(regexp_replace(s, '[^0-9]', '', 'g'))), i ->
+        |        CASE WHEN (len(regexp_replace(s, '[^0-9]', '', 'g')) - 1 - i) % 2 = 1
+        |          THEN CASE WHEN CAST(regexp_replace(s, '[^0-9]', '', 'g')[i + 1] AS INT) * 2 > 9
+        |                    THEN CAST(regexp_replace(s, '[^0-9]', '', 'g')[i + 1] AS INT) * 2 - 9
+        |                    ELSE CAST(regexp_replace(s, '[^0-9]', '', 'g')[i + 1] AS INT) * 2 END
+        |          ELSE CAST(regexp_replace(s, '[^0-9]', '', 'g')[i + 1] AS INT) END
+        |      ), 'sum') % 10 = 0) AS valid
+        |  FROM c),
+        |m AS (
+        |  SELECT source, cands, valid, text,
+        |    list_reduce(list_prepend(text, valid), (acc, x) -> replace(acc, x, '<CC>')) AS masked
+        |  FROM v)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN len(cands) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_cand,
+        |  CAST(SUM(len(cands)) AS BIGINT) AS n_cands,
+        |  CAST(SUM(len(valid)) AS BIGINT) AS n_valid,
+        |  CAST(SUM(len(cands) - len(valid)) AS BIGINT) AS n_invalid,
+        |  CAST(SUM(len(text) - len(masked)) AS BIGINT) AS chars_redacted
+        |FROM m GROUP BY source""".stripMargin,
   )
 }

@@ -459,6 +459,38 @@ object TrainingData {
     graft.operators.Heavy.exactTopK(planted, "text", mgK = 16, topN = 4)
   }
 
+  /** q216 — checksum-validated card scrubbing ([[Pii.luhnScrub]] — the
+    * precision layer over q86's pattern-only pass): valid card numbers
+    * (4 Luhn-passing literals, one dashed) are planted on the %6 grid and
+    * Luhn-FAILING 16-digit decoys on the %10 grid; the census proves the
+    * mod-10 filter separates them — decoys are counted as candidates but
+    * never masked. Validation is a codegen'd transform-with-index +
+    * aggregate fold (integral arithmetic, engine-replayable); masking
+    * folds plain replaces over the valid list only. */
+  def q216LuhnPii(spark: SparkSession, dir: String): DataFrame = {
+    val validCards = array(lit("4111111111111111"), lit("5500005555555559"),
+      lit("6011000000000004"), lit("4111-1111-1111-1111"))
+    val invalidCards = array(lit("4111111111111112"), lit("5500005555555551"),
+      lit("1234567812345678"))
+    val planted = docs(spark, dir).select($"doc_id", $"source",
+      concat($"text",
+        when($"doc_id" % 6 === 0, concat(lit(" pay card "),
+          element_at(validCards,
+            ((($"doc_id" / 6).cast("long") % 4) + 1).cast("int")))).otherwise(lit("")),
+        when($"doc_id" % 10 === 0, concat(lit(" ref "),
+          element_at(invalidCards,
+            ((($"doc_id" / 10).cast("long") % 3) + 1).cast("int")))).otherwise(lit("")))
+        .as("text"))
+    graft.operators.Pii.luhnScrub(planted, "text")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"n_cc_cands" > 0).cast("long")).as("docs_with_cand"),
+        sum($"n_cc_cands".cast("long")).as("n_cands"),
+        sum($"n_cc_valid".cast("long")).as("n_valid"),
+        sum($"n_cc_invalid".cast("long")).as("n_invalid"),
+        sum((length($"text") - length($"cc_scrubbed")).cast("long")).as("chars_redacted"))
+  }
+
   /** q97 — BM25 relevance head ([[Ranking.bm25TopK]]): top-25 docs for a
     * 3-term topic query. tf/dl/df stay integral until the score, and the
     * per-term contributions add in fixed column order, so DuckDB replays
