@@ -237,6 +237,7 @@ object SparkEntry {
     "q214_exact_heavy"      -> (D.q214ExactHeavy(_, _)),
     "q215_quantile_bisect"  -> (R.q215QuantileBisect(_, _)),
     "q216_luhn_pii"         -> (D.q216LuhnPii(_, _)),
+    "q217_winsor_census"    -> (D.q217WinsorCensus(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3431,5 +3432,25 @@ object SparkEntry {
         |  CAST(SUM(len(cands) - len(valid)) AS BIGINT) AS n_invalid,
         |  CAST(SUM(len(text) - len(masked)) AS BIGINT) AS chars_redacted
         |FROM m GROUP BY source""".stripMargin,
+    // q217: the same distinct-value census walk with the same INTEGER
+    // ceil(p*n) thresholds — bounds, clip counts, and the BIGINT clipped
+    // sum replay exactly; the mean is one double division on both sides.
+    "q217_winsor_census" ->
+      """WITH cen AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, v, c,
+        |  SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |  SUM(c) OVER (PARTITION BY lang) AS tot FROM cen),
+        |b AS (SELECT lang,
+        |  MIN(CASE WHEN cum >= (tot * 5 + 99) // 100 THEN v END) AS p_lo,
+        |  MIN(CASE WHEN cum >= (tot * 95 + 99) // 100 THEN v END) AS p_hi
+        |  FROM r GROUP BY lang)
+        |SELECT r.lang, CAST(SUM(c) AS BIGINT) AS n_rows, p_lo, p_hi,
+        |  CAST(SUM(CASE WHEN v < p_lo THEN c ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN v > p_hi THEN c ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(SUM(least(greatest(v, p_lo), p_hi) * c) AS BIGINT) AS clip_sum,
+        |  CAST(CAST(SUM(least(greatest(v, p_lo), p_hi) * c) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS clip_mean
+        |FROM r JOIN b USING (lang) GROUP BY r.lang, p_lo, p_hi""".stripMargin,
   )
 }

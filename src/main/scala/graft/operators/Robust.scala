@@ -50,4 +50,56 @@ object Robust {
         min(col("mad")).as("mad"),
         sum(when(col("dev") > col("fence"), 1L).otherwise(0L)).as("n_outliers"))
   }
+
+  /** Winsorized per-group census — the robust-scaling cousin of
+    * [[madOutliers]]: clip an integral column to the group's exact
+    * [pLo, pHi] discrete-quantile bounds and report the clipped moments.
+    * The outlier treatment length-normalization pipelines apply before
+    * averaging (a mean doc length is meaningless under a power-law tail;
+    * the 5/95-winsorized mean is stable).
+    *
+    * Everything derives from ONE corpus aggregation — the (group,
+    * DISTINCT value) census: quantile ranks come from a window over
+    * distinct VALUES (a billion rows with 50k distinct lengths windows
+    * 50k rows per group, never the corpus — the q191 discretized-score
+    * move), and the clipped sums re-weight census rows (clamp(v)·c), so
+    * the corpus is scanned once and never joined back.
+    *
+    * The rank rule is quantile_disc's ceil(p·n)-th smallest with the
+    * threshold computed in INTEGER arithmetic — (n·pNum + pDen−1) div
+    * pDen — because `ceil(0.05 · n)` in doubles rounds differently than
+    * an engine computing it in decimal exactly when p·n lands on an
+    * integer; the rational form has no such seam. Clipped sums stay in
+    * BIGINT (v·c fits comfortably for char-scale values); the single
+    * division producing the mean is the only double. */
+  def winsorizedCensus(df: DataFrame, groupCol: String, valueCol: String,
+      pLoNum: Int, pHiNum: Int, pDen: Int = 100): DataFrame = {
+    require(0 <= pLoNum && pLoNum <= pHiNum && pHiNum <= pDen,
+      s"need 0 <= $pLoNum <= $pHiNum <= $pDen")
+    val g = col(groupCol)
+    val census = df.groupBy(g, col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(g).orderBy(col("v"))
+    val wAll = Window.partitionBy(g)
+    val ranked = census
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    val bounds = ranked.groupBy(g)
+      .agg(
+        min(when(col("cum") >= expr(s"(tot * $pLoNum + ${pDen - 1}) div $pDen"),
+          col("v"))).as("p_lo"),
+        min(when(col("cum") >= expr(s"(tot * $pHiNum + ${pDen - 1}) div $pDen"),
+          col("v"))).as("p_hi"))
+    val cv = least(greatest(col("v"), col("p_lo")), col("p_hi"))
+    ranked.join(broadcast(bounds), groupCol)
+      .groupBy(g)
+      .agg(sum(col("c")).as("n_rows"),
+        min(col("p_lo")).as("p_lo"),
+        min(col("p_hi")).as("p_hi"),
+        sum(when(col("v") < col("p_lo"), col("c")).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("p_hi"), col("c")).otherwise(0L)).as("n_clip_hi"),
+        sum(cv * col("c")).as("clip_sum"))
+      .withColumn("clip_mean",
+        col("clip_sum").cast("double") / col("n_rows").cast("double"))
+  }
 }

@@ -491,6 +491,17 @@ object TrainingData {
         sum((length($"text") - length($"cc_scrubbed")).cast("long")).as("chars_redacted"))
   }
 
+  /** q217 — winsorized length census per language
+    * ([[graft.operators.Robust.winsorizedCensus]]): n_chars clipped to
+    * the exact per-lang [P05, P95] discrete quantiles, with clip counts
+    * and the winsorized mean. One corpus aggregation; quantile ranks walk
+    * the distinct-VALUE census under an integer ceil(p·n) threshold, so
+    * the oracle replays every bound and sum exactly (the mean's single
+    * division is the only double). */
+  def q217WinsorCensus(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.winsorizedCensus(
+      docs(spark, dir), "lang", "n_chars", pLoNum = 5, pHiNum = 95)
+
   /** q97 — BM25 relevance head ([[Ranking.bm25TopK]]): top-25 docs for a
     * 3-term topic query. tf/dl/df stay integral until the score, and the
     * per-term contributions add in fixed column order, so DuckDB replays

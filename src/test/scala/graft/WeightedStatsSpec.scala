@@ -50,4 +50,36 @@ class WeightedStatsSpec extends AnyFunSuite with SparkFixture {
     val c = graft.operators.Robust.madOutliers(const, "k", "v", Seq("id")).collect().head
     assert(c.getAs[Double]("mad") == 0.0 && c.getAs[Long]("n_outliers") == 2L)
   }
+
+  test("winsorizedCensus: exact discrete bounds, clip counts, clipped mean") {
+    import spark.implicits._
+    // group a: 1..20 -> P10 = ceil(0.10*20)=2nd = 2, P90 = 18th = 18
+    // group b: constant -> bounds equal the value, nothing clips
+    val rows = (1 to 20).map(v => ("a", v.toLong)) ++ Seq.fill(5)(("b", 9L))
+    val out = graft.operators.Robust
+      .winsorizedCensus(rows.toDF("k", "v"), "k", "v", pLoNum = 10, pHiNum = 90)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("p_lo") == 2L && a.getAs[Long]("p_hi") == 18L)
+    assert(a.getAs[Long]("n_clip_lo") == 1L && a.getAs[Long]("n_clip_hi") == 2L)
+    // clipped sum: 2 + (2..18 as-is) + 18 + 18 = 2 + 170 + 36 = 208
+    assert(a.getAs[Long]("clip_sum") == (2 + (2 to 18).sum + 18 + 18))
+    assert(a.getAs[Double]("clip_mean") == a.getAs[Long]("clip_sum").toDouble / 20)
+    val b = out("b")
+    assert(b.getAs[Long]("p_lo") == 9L && b.getAs[Long]("p_hi") == 9L)
+    assert(b.getAs[Long]("n_clip_lo") == 0L && b.getAs[Long]("n_clip_hi") == 0L)
+    assert(b.getAs[Long]("clip_sum") == 45L)
+  }
+
+  test("winsorizedCensus: duplicate-heavy ranks follow ceil(p*n) over the census") {
+    import spark.implicits._
+    // 10x value 1, 80x value 5, 10x value 9: P05 rank = ceil(5) = 5 -> 1;
+    // P95 rank = 95 -> 9 (cum: 1->10, 5->90, 9->100)
+    val rows = Seq.fill(10)(1L) ++ Seq.fill(80)(5L) ++ Seq.fill(10)(9L)
+    val out = graft.operators.Robust
+      .winsorizedCensus(rows.map(("g", _)).toDF("k", "v"), "k", "v", 5, 95)
+      .collect().head
+    assert(out.getAs[Long]("p_lo") == 1L && out.getAs[Long]("p_hi") == 9L)
+    assert(out.getAs[Long]("n_clip_lo") == 0L && out.getAs[Long]("n_clip_hi") == 0L)
+  }
 }
