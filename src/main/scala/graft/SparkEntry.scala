@@ -238,6 +238,7 @@ object SparkEntry {
     "q215_quantile_bisect"  -> (R.q215QuantileBisect(_, _)),
     "q216_luhn_pii"         -> (D.q216LuhnPii(_, _)),
     "q217_winsor_census"    -> (D.q217WinsorCensus(_, _)),
+    "q218_skew_census"      -> (R.q218SkewCensus(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3452,5 +3453,25 @@ object SparkEntry {
         |  CAST(CAST(SUM(least(greatest(v, p_lo), p_hi) * c) AS BIGINT) AS DOUBLE) /
         |    CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS clip_mean
         |FROM r JOIN b USING (lang) GROUP BY r.lang, p_lo, p_hi""".stripMargin,
+    // q218: same planted-hot-key census; Σc² exact to the final DOUBLE
+    // cast, top-10 sum is count-ordered so ties cannot change it.
+    "q218_skew_census" ->
+      """WITH skewed AS (SELECT l_suppkey FROM lineitem
+        |  UNION ALL SELECT l_suppkey FROM lineitem WHERE l_suppkey < 3
+        |  UNION ALL SELECT l_suppkey FROM lineitem WHERE l_suppkey < 3
+        |  UNION ALL SELECT l_suppkey FROM lineitem WHERE l_suppkey < 3
+        |  UNION ALL SELECT l_suppkey FROM lineitem WHERE l_suppkey < 3),
+        |cen AS (SELECT l_suppkey, COUNT(*) AS c FROM skewed GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MAX(c) AS BIGINT) AS top1_cnt,
+        |  CAST(SUM(c * c) AS DOUBLE) AS sq_sum FROM cen),
+        |tn AS (SELECT CAST(SUM(c) AS BIGINT) AS topn_cnt FROM
+        |  (SELECT c FROM cen ORDER BY c DESC LIMIT 10))
+        |SELECT n_rows, n_keys, top1_cnt, topn_cnt, sq_sum,
+        |  CAST(top1_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+        |  CAST(topn_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS topn_share,
+        |  CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) / sq_sum AS eff_keys
+        |FROM t, tn""".stripMargin,
   )
 }

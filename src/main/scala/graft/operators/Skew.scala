@@ -52,4 +52,36 @@ object Skew {
       .limit(topN)
       .drop("_total")
   }
+
+  /** One-row skew summary — the numbers that decide a join/agg strategy
+    * BEFORE running it: `top1_share` (can one task absorb the hottest
+    * key?), `topn_share` (is the heat concentrated or spread?), and
+    * `eff_keys` = n²/Σc² (inverse Simpson — the number of equally-loaded
+    * keys this distribution behaves like; eff_keys ≪ n_keys means salt
+    * or broadcast, eff_keys ≈ shuffle partitions means the plan is
+    * already balanced). Entropy is deliberately NOT used: it needs a
+    * transcendental per key (an engine-replay seam), while Σc² is an
+    * exact integer with the same decision power.
+    *
+    * Cost: one key census, one O(n_keys) moment pass, one bounded top-N
+    * (TakeOrdered, never a full sort). Σc² accumulates in decimal so
+    * 10^12-row hot keys cannot overflow; the three shares are the only
+    * doubles and divide at the very end. */
+  def skewSummary(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("top1_cnt"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("sq"))
+    val topCnt = counts.orderBy(col("c").desc).limit(topN)
+      .agg(sum(col("c")).as("topn_cnt"))
+    totals.crossJoin(broadcast(topCnt))
+      .select(col("n_rows"), col("n_keys"), col("top1_cnt"), col("topn_cnt"),
+        col("sq").cast("double").as("sq_sum"),
+        (col("top1_cnt").cast("double") / col("n_rows").cast("double")).as("top1_share"),
+        (col("topn_cnt").cast("double") / col("n_rows").cast("double")).as("topn_share"),
+        (col("n_rows").cast("double") * col("n_rows").cast("double") /
+          col("sq").cast("double")).as("eff_keys"))
+  }
 }

@@ -654,6 +654,22 @@ object Relational {
       Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
       "l_orderkey", "l_suppkey", log2Buckets = 6)
 
+  /** q218 — key-skew diagnosis ([[graft.operators.Skew.skewSummary]]):
+    * the pre-flight numbers for a join/agg over (orders ⋈ lineitem)-style
+    * keys — hottest-key share, top-10 concentration, and the inverse-
+    * Simpson effective key count, over l_suppkey. All counts integral to
+    * the final three divisions; Σc² runs in decimal so the moment can
+    * never overflow. Skew is planted by UNIONing the rows of suppkey < 3
+    * four extra times — a real hot-key profile on otherwise-uniform
+    * synthetic data. */
+  def q218SkewCensus(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select($"l_suppkey")
+    val hot = li.where($"l_suppkey" < 3)
+    val skewed = li.unionByName(hot).unionByName(hot)
+      .unionByName(hot).unionByName(hot)
+    graft.operators.Skew.skewSummary(skewed, "l_suppkey", topN = 10)
+  }
+
   /** q215 — exact quantiles with NO global sort
     * ([[graft.operators.Quantiles.quantilesDisc]]): the ceil(p·n)-th
     * smallest l_extendedprice for four probabilities via histogram

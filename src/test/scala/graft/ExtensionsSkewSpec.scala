@@ -112,4 +112,18 @@ class ExtensionsSkewSpec extends AnyFunSuite with SparkFixture {
     assert(top.getAs[Int]("k") == 1)
     assert(top.getAs[Double]("share") == 0.9)
   }
+
+  test("skewSummary: shares and effective key count against hand arithmetic") {
+    import spark.implicits._
+    // counts: a=60, b=30, c=10 -> n=100, sq=60^2+30^2+10^2=4600
+    val df = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c")).toDF("k")
+    val r = Skew.skewSummary(df, "k", topN = 2).head()
+    assert(r.getAs[Long]("n_rows") == 100L && r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("top1_cnt") == 60L && r.getAs[Long]("topn_cnt") == 90L)
+    assert(r.getAs[Double]("top1_share") == 0.6 && r.getAs[Double]("topn_share") == 0.9)
+    assert(r.getAs[Double]("eff_keys") == 10000.0 / 4600.0)
+    // uniform distribution: eff_keys equals the true key count
+    val uni = (1 to 50).flatMap(k => Seq.fill(4)(k)).toDF("k")
+    assert(Skew.skewSummary(uni, "k").head().getAs[Double]("eff_keys") == 50.0)
+  }
 }
