@@ -239,6 +239,7 @@ object SparkEntry {
     "q216_luhn_pii"         -> (D.q216LuhnPii(_, _)),
     "q217_winsor_census"    -> (D.q217WinsorCensus(_, _)),
     "q218_skew_census"      -> (R.q218SkewCensus(_, _)),
+    "q219_dataset_diff"     -> (D.q219DatasetDiff(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3473,5 +3474,38 @@ object SparkEntry {
         |  CAST(topn_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS topn_share,
         |  CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) / sq_sum AS eff_keys
         |FROM t, tn""".stripMargin,
+    // q219: naive full diff + the bucket census via the identity
+    // "bucket digests equal <=> the bucket holds no differing row", so
+    // the oracle never needs the md5 chain itself.
+    "q219_dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |h AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hh, text
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, CASE WHEN hh >= '0d' AND hh < '1a'
+        |    THEN text || ' v2 edit' ELSE text END AS text
+        |  FROM h WHERE NOT (hh < '0d')
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' brand new' FROM h
+        |  WHERE hh >= '1a' AND hh < '27'),
+        |d1 AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b FROM v1),
+        |d2 AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b FROM v2),
+        |j AS (SELECT COALESCE(d1.b, d2.b) AS b,
+        |  CASE WHEN d1.text IS NULL THEN 'added'
+        |       WHEN d2.text IS NULL THEN 'removed'
+        |       WHEN d1.text <> d2.text THEN 'changed' ELSE 'same' END AS status
+        |  FROM d1 FULL OUTER JOIN d2 ON d1.doc_id = d2.doc_id),
+        |bk AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_buckets
+        |  FROM (SELECT b FROM d1 UNION ALL SELECT b FROM d2)),
+        |dirty AS (SELECT DISTINCT b FROM j WHERE status <> 'same'),
+        |db AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dirty_buckets FROM dirty),
+        |rc AS (SELECT
+        |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same_in_dirty
+        |  FROM j WHERE b IN (SELECT b FROM dirty))
+        |SELECT n_buckets, n_dirty_buckets, n_added, n_removed, n_changed,
+        |  n_same_in_dirty FROM bk, db, rc""".stripMargin,
   )
 }

@@ -502,6 +502,29 @@ object TrainingData {
     graft.operators.Robust.winsorizedCensus(
       docs(spark, dir), "lang", "n_chars", pLoNum = 5, pHiNum = 95)
 
+  /** q219 — Merkle-narrowed snapshot diff
+    * ([[graft.operators.Fingerprint.diffSummary]]): v2 is derived from
+    * documents by md5-grid rules — ~5% deleted, ~5% edited, ~5% new
+    * rows — and the diff compares 256 key-hash bucket digests first,
+    * then row-joins ONLY the dirty buckets. The oracle replays the
+    * mutation rules and the naive full diff, plus the bucket census via
+    * the digest-equality ⟺ no-differing-row identity, so a wrong
+    * narrowing decision (a dirty bucket skipped, a clean one joined)
+    * shifts `n_dirty_buckets` or `n_same_in_dirty` and fails the hash. */
+  def q219DatasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(spark, dir).select($"doc_id", $"text")
+    def h = substring(md5($"doc_id".cast("string")), 1, 2)
+    val v2 = v1.where(!(h < "0d"))
+      .select($"doc_id",
+        when(h >= "0d" && h < "1a", concat($"text", lit(" v2 edit")))
+          .otherwise($"text").as("text"))
+      .unionByName(v1.where(h >= "1a" && h < "27")
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text", lit(" brand new")).as("text")))
+    graft.operators.Fingerprint.diffSummary(
+      v1, v2, "doc_id", Seq("doc_id", "text"), bucketHexChars = 2)
+  }
+
   /** q97 — BM25 relevance head ([[Ranking.bm25TopK]]): top-25 docs for a
     * 3-term topic query. tf/dl/df stay integral until the score, and the
     * per-term contributions add in fixed column order, so DuckDB replays
