@@ -68,9 +68,9 @@ object Sketches {
       .agg(sum(col("w")).as("c"))
   }
 
-  /** The md5 cell map shared by build/estimate: row i cell = first 8 hex
-    * chars of md5(key ":" i) mod width. */
-  private def cmsCells(keyCol: String, depth: Int, width: Int): Seq[Column] =
+  /** The md5 cell map shared by build/estimate (and the streaming twin):
+    * row i cell = first 8 hex chars of md5(key ":" i) mod width. */
+  private[graft] def cmsCells(keyCol: String, depth: Int, width: Int): Seq[Column] =
     (0 until depth).map { i =>
       struct(lit(i).as("row"),
         (conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$i"))), 1, 8), 16, 10)
@@ -110,13 +110,18 @@ object Sketches {
     * of two >= 2^-40; with at most 2^b <= 2^14 terms the sum spans < 53
     * significand bits and is EXACT in IEEE double — order-insensitive
     * at any parallelism, no fold ordering needed. */
-  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
-      b: Int): DataFrame = {
-    require(b >= 4 && b <= 14, s"b must be in [4,14], got $b")
-    val m = 1 << b
-    val key = col(keyCol).cast("string")
-    val reg = (conv(substring(md5(concat(key, lit(":r"))), 1, 4), 16, 10)
-      .cast("long") % m).as("reg")
+  /** Register index column ([[hllRegisters]]'s derivation, shared with
+    * the streaming twin). */
+  private[graft] def hllRegCol(key0: Column, b: Int): Column = {
+    val key = key0.cast("string")
+    conv(substring(md5(concat(key, lit(":r"))), 1, 4), 16, 10)
+      .cast("long") % (1 << b)
+  }
+
+  /** Leading-zero rank column ([[hllRegisters]]'s derivation, shared
+    * with the streaming twin). */
+  private[graft] def hllRankCol(key0: Column): Column = {
+    val key = key0.cast("string")
     val qhex = substring(md5(concat(key, lit(":q"))), 1, 12)
     val zeros = length(regexp_extract(qhex, "^0*", 0))
     val nib = substring(qhex, (zeros + 1).cast("int"), lit(1))
@@ -124,8 +129,14 @@ object Sketches {
       .when(nib.isin("2", "3"), 2)
       .when(nib.isin("4", "5", "6", "7"), 1)
       .otherwise(0) // 8–f, or empty when all 12 chars are zero
-    val rank = least(zeros * lit(4) + nibLz + lit(1), lit(40)).cast("long")
-    df.select(groupCols.map(col) :+ reg :+ rank.as("rank"): _*)
+    least(zeros * lit(4) + nibLz + lit(1), lit(40)).cast("long")
+  }
+
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      b: Int): DataFrame = {
+    require(b >= 4 && b <= 14, s"b must be in [4,14], got $b")
+    df.select(groupCols.map(col) :+ hllRegCol(col(keyCol), b).as("reg") :+
+        hllRankCol(col(keyCol)).as("rank"): _*)
       .groupBy((groupCols :+ "reg").map(col): _*)
       .agg(max(col("rank")).as("max_rank"))
   }

@@ -743,4 +743,62 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("streaming HLL registers match the batch sketch at every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b = 6
+    val keys = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id").collect().map(_.getLong(0))
+    val mem = MemoryStream[Long]
+    val src = mem.toDF().toDF("event_id")
+    val out = Streams.hllRegisterStream(src, "event_id", b)
+    val q = out.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      val chunks = keys.grouped(math.max(1, keys.length / 3)).toSeq
+      var seen = Seq.empty[Long]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("hll_stream").collect()
+          .map(r => r.getAs[Long]("reg") -> r.getAs[Long]("max_rank")).toMap
+        val batch = graft.operators.Sketches
+          .hllRegisters(seen.toDF("event_id"), Nil, "event_id", b)
+          .collect().map(r => r.getAs[Long]("reg") -> r.getAs[Long]("max_rank")).toMap
+        assert(streamed == batch, s"prefix of ${seen.length}")
+        // the state bound the design claims: never more than 2^b registers
+        assert(streamed.size <= (1 << b))
+      }
+    } finally q.stop()
+  }
+
+  test("streaming CMS cells match the batch sketch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (depth, width) = (3, 64)
+    val keys = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_type").collect().map(_.getString(0))
+    val mem = MemoryStream[String]
+    val src = mem.toDF().toDF("k")
+    val out = Streams.cmsStream(src, "k", depth, width)
+    val q = out.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      val half = keys.length / 2
+      mem.addData(keys.take(half).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(keys.drop(half).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getAs[Int]("row"), r.getAs[Long]("cell")) -> r.getAs[Long]("c")).toMap
+      val batch = graft.operators.Sketches
+        .cmsBuild(keys.toSeq.toDF("k"), "k", depth, width)
+        .collect()
+        .map(r => (r.getAs[Int]("row"), r.getAs[Long]("cell")) -> r.getAs[Long]("c")).toMap
+      assert(streamed == batch)
+      assert(streamed.size <= depth * width)
+    } finally q.stop()
+  }
 }
