@@ -240,6 +240,7 @@ object SparkEntry {
     "q217_winsor_census"    -> (D.q217WinsorCensus(_, _)),
     "q218_skew_census"      -> (R.q218SkewCensus(_, _)),
     "q219_dataset_diff"     -> (D.q219DatasetDiff(_, _)),
+    "q220_cms_join_size"    -> (R.q220CmsJoinSize(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3507,5 +3508,20 @@ object SparkEntry {
         |  FROM j WHERE b IN (SELECT b FROM dirty))
         |SELECT n_buckets, n_dirty_buckets, n_added, n_removed, n_changed,
         |  n_same_in_dirty FROM bk, db, rc""".stripMargin,
+    // q220: the oracle rebuilds the 4x512 sketch (q170's md5 cell map),
+    // takes the min row-wise self inner product, and compares to the
+    // exact census Σc² — collisions and all, integer to the last step.
+    "q220_cms_join_size" ->
+      """WITH cells AS (SELECT l_suppkey AS key, i,
+        |  CAST(('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS cell
+        |  FROM lineitem, range(4) r(i)),
+        |sketch AS (SELECT i, cell, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM cells GROUP BY i, cell),
+        |dots AS (SELECT i, SUM(c * c) AS dot FROM sketch GROUP BY i),
+        |est AS (SELECT CAST(MIN(dot) AS BIGINT) AS join_size_est FROM dots),
+        |tr AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS true_size FROM
+        |  (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey))
+        |SELECT join_size_est, true_size,
+        |  join_size_est - true_size AS overcount FROM est, tr""".stripMargin,
   )
 }

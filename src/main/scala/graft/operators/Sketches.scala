@@ -92,6 +92,32 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_count"))
   }
 
+  /** AMS-style join-size estimation from two CMS sketches built with
+    * the SAME (depth, width, md5 cell map): |A ⋈ B| on the sketched key
+    * is Σ_k cA(k)·cB(k), and each sketch row's cell-wise inner product
+    * overcounts it by exactly the collision cross-terms — so the min
+    * over rows is a one-sided estimate (≥ true, expected error ≤
+    * |A|·|B|·e/width). The optimizer's pre-flight: two d×w sketches (a
+    * few KB, built in one pass each, mergeable across partitions)
+    * answer "how big is this join" without touching either table again
+    * — at 100 TB that is the difference between choosing a broadcast
+    * and discovering a 10^14-row blow-up at runtime. All integer
+    * arithmetic on decimal accumulators; replays cross-engine. */
+  def cmsJoinSize(sketchA: DataFrame, sketchB: DataFrame, depth: Int): DataFrame = {
+    val rows = sketchA.sparkSession.range(depth)
+      .select(col("id").cast("int").as("row"))
+    val dots = sketchA.select(col("row"), col("cell"), col("c").as("ca"))
+      .join(sketchB.select(col("row"), col("cell"), col("c").as("cb")),
+        Seq("row", "cell"))
+      .groupBy("row")
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("dot"))
+    // a sketch row with no overlapping cells has inner product 0 and
+    // must still vote (true size 0) — reindex over all depth rows
+    rows.join(dots, Seq("row"), "left")
+      .agg(min(coalesce(col("dot"), lit(0).cast("decimal(38,0)")))
+        .as("join_size_est"))
+  }
+
   /** Replayable HyperLogLog register table: per group, one row per
     * NON-EMPTY register `(groupCols..., reg, max_rank)` — the mergeable
     * distinct-count sketch (the 100 TB COUNT DISTINCT: raw keys never

@@ -654,6 +654,24 @@ object Relational {
       Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
       "l_orderkey", "l_suppkey", log2Buckets = 6)
 
+  /** q220 — sketch-estimated join size
+    * ([[graft.operators.Sketches.cmsJoinSize]]): the self-join size of
+    * lineitem on l_suppkey (Σ c²) estimated from the 4×512 Count-Min
+    * sketch's row-wise inner products, next to the exact census answer.
+    * The estimate is provably ≥ true with any overcount being real
+    * md5-cell collisions — which the oracle reproduces bit-for-bit by
+    * rebuilding the sketch, so even the error replays. */
+  def q220CmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select($"l_suppkey")
+    val sk = graft.operators.Sketches.cmsBuild(li, "l_suppkey", depth = 4, width = 512)
+    val est = graft.operators.Sketches.cmsJoinSize(sk, sk, depth = 4)
+      .select($"join_size_est".cast("long").as("join_size_est"))
+    val truth = li.groupBy($"l_suppkey").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c").as("true_size"))
+    est.crossJoin(broadcast(truth))
+      .withColumn("overcount", $"join_size_est" - $"true_size")
+  }
+
   /** q218 — key-skew diagnosis ([[graft.operators.Skew.skewSummary]]):
     * the pre-flight numbers for a join/agg over (orders ⋈ lineitem)-style
     * keys — hottest-key share, top-10 concentration, and the inverse-

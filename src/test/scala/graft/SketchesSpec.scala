@@ -109,4 +109,30 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(rel < 3.0 / math.sqrt((1 << b).toDouble),
       s"HLL estimate $e1 vs exact $exact: rel error $rel out of bound")
   }
+
+  test("cmsJoinSize: one-sided estimate, exact at collision-free width") {
+    import spark.implicits._
+    def trueJoin(a: Seq[Long], bb: Seq[Long]): Long = {
+      val cb = bb.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      a.groupBy(identity).map { case (k, v) => v.size.toLong * cb.getOrElse(k, 0L) }.sum
+    }
+    def est(a: Seq[Long], bb: Seq[Long], width: Int): Long = {
+      val sa = Sketches.cmsBuild(a.toDF("k"), "k", 4, width)
+      val sb = Sketches.cmsBuild(bb.toDF("k"), "k", 4, width)
+      Sketches.cmsJoinSize(sa, sb, 4).head()
+        .getAs[java.math.BigDecimal]("join_size_est").longValueExact()
+    }
+    val rnd = new scala.util.Random(23)
+    val a = Seq.fill(400)(rnd.nextInt(40).toLong)
+    val b = Seq.fill(300)(rnd.nextInt(60).toLong)
+    val exact = trueJoin(a, b)
+    // wide sketch: 100 keys over 4x4096 cells — collision-free with
+    // overwhelming odds, the estimate must be EXACT
+    assert(est(a, b, 4096) == exact)
+    // narrow sketch: collisions can only ADD (one-sided bound)
+    assert(est(a, b, 8) >= exact)
+    // disjoint key spaces: true join 0 and the estimate agrees at width
+    // where no cross-collision lands
+    assert(est(Seq(1L, 2L, 3L), Seq(1000L, 2000L), 4096) == 0L)
+  }
 }
