@@ -241,6 +241,7 @@ object SparkEntry {
     "q218_skew_census"      -> (R.q218SkewCensus(_, _)),
     "q219_dataset_diff"     -> (D.q219DatasetDiff(_, _)),
     "q220_cms_join_size"    -> (R.q220CmsJoinSize(_, _)),
+    "q221_containment"      -> (D.q221Containment(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3523,5 +3524,31 @@ object SparkEntry {
         |  (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey))
         |SELECT join_size_est, true_size,
         |  join_size_est - true_size AS overcount FROM est, tr""".stripMargin,
+    // q221: same planting, same md5 shingle sets, same df cap and
+    // rational threshold — the directional pair census replays exactly;
+    // containment is one double division of two exact BIGINTs.
+    "q221_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |qd AS (SELECT doc_id + 2000 AS doc_id,
+        |  'quoted intro segment ' ||
+        |  array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 40), ' ') ||
+        |  ' closing remarks follow' AS text
+        |  FROM base WHERE doc_id % 9 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM qd),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM corpus),
+        |sh0 AS (SELECT doc_id AS id,
+        |  unnest(list_transform(range(len(toks) - 4),
+        |    i -> md5(array_to_string(list_slice(toks, i + 1, i + 5), ' ')))) AS s
+        |  FROM t WHERE len(toks) >= 5),
+        |sh AS (SELECT DISTINCT id, s FROM sh0),
+        |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY id),
+        |rare AS (SELECT sh.id, sh.s FROM sh
+        |  JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50) d USING (s)),
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM rare a JOIN rare b USING (s) WHERE a.id <> b.id GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, inter, sizes.n AS n_a,
+        |  CAST(inter AS DOUBLE) / CAST(sizes.n AS DOUBLE) AS containment
+        |FROM inter JOIN sizes ON sizes.id = inter.id_a
+        |WHERE inter * 5 >= 4 * sizes.n""".stripMargin,
   )
 }

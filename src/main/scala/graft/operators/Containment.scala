@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Asymmetric containment detection — the near-dup class symmetric
+  * Jaccard is BLIND to: a 40-token passage quoted inside a 500-token
+  * page has Jaccard ≈ 0.08 (MinHash-LSH never fires) but containment
+  * |S(A) ∩ S(B)| / |S(A)| ≈ 0.9, where S is the distinct k-token
+  * shingle set. The quotation/excerpt/wrapper detector a training
+  * corpus needs alongside [[Dedup]]'s symmetric family.
+  *
+  * Shape: distinct (doc, shingle) pairs → a shingle-keyed self-join →
+  * per-pair intersection counts → the rational threshold
+  * `inter·den ≥ num·|S(A)|` (integer cross-multiplication, no float
+  * compare). Two skew/scale controls, both part of the SEMANTICS and
+  * replayed by the oracle:
+  *  - shingles with document frequency > `dfCap` are excluded from
+  *    matching — a ubiquitous boilerplate shingle is not quotation
+  *    evidence, and capping df bounds the join's blow-up at cap² rows
+  *    per shingle (the [[InvertedIndex]] band-filter move);
+  *  - |S(A)| counts ALL of A's shingles (df-1 shingles cannot match
+  *    but still belong to the denominator — dropping them would
+  *    inflate containment of unique-heavy docs).
+  * Shingles travel as md5 hex (engine-replayable, uniform join keys);
+  * pairs are directional — (A in B) and (B in A) score separately. */
+object Containment {
+
+  private def shingleCol(textCol: Column, k: Int): Column = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    transform(sequence(lit(0), size(toks) - k),
+      i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+  }
+
+  /** Directional pairs with containment ≥ tauNum/tauDen. Docs with
+    * fewer than k tokens carry no shingles and never pair. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, tauNum: Int = 4, tauDen: Int = 5,
+      dfCap: Int = 50): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"tau=$tauNum/$tauDen")
+    val sh = df
+      .where(size(split(lower(trim(col(textCol))), "\\s+")) >= k)
+      .select(col(idCol).cast("long").as("id"),
+        explode(shingleCol(col(textCol), k)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val rare = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= dfCap),
+      Seq("s"), "left_semi")
+    val inter = rare.select(col("id").as("id_a"), col("s"))
+      .join(rare.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .where(col("inter") * tauDen >= lit(tauNum) * col("n_a"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a").cast("double"))
+  }
+}

@@ -525,6 +525,26 @@ object TrainingData {
       v1, v2, "doc_id", Seq("doc_id", "text"), bucketHexChars = 2)
   }
 
+  /** q221 — asymmetric containment detection
+    * ([[graft.operators.Containment.containmentPairs]]): every 9th doc
+    * gets a planted QUOTING twin — 3 filler tokens, its first 40 tokens,
+    * 3 more filler — whose Jaccard to the original is far below any LSH
+    * threshold but whose shingle containment is ≥ 0.8. The pair census
+    * (directional: contained → container) must reproduce exactly,
+    * including short-doc cases where the original is fully contained in
+    * its own quote and both directions fire. */
+  def q221Containment(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select($"doc_id", $"text")
+    val snippet = concat_ws(" ", slice(split(trim($"text"), "\\s+"), 1, 40))
+    val quotes = base.where($"doc_id" % 9 === 0)
+      .select(($"doc_id" + 2000).as("doc_id"),
+        concat(lit("quoted intro segment "), snippet,
+          lit(" closing remarks follow")).as("text"))
+    graft.operators.Containment.containmentPairs(
+      base.unionByName(quotes), "doc_id", "text",
+      k = 5, tauNum = 4, tauDen = 5, dfCap = 50)
+  }
+
   /** q97 — BM25 relevance head ([[Ranking.bm25TopK]]): top-25 docs for a
     * 3-term topic query. tf/dl/df stay integral until the score, and the
     * per-term contributions add in fixed column order, so DuckDB replays

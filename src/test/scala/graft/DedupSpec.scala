@@ -203,4 +203,36 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(r.getSeq[String](0).toSet == r.getSeq[String](1).toSet)
     }
   }
+
+  test("containment: finds the quoted passage Jaccard misses, directionally") {
+    import spark.implicits._
+    val passage = (1 to 40).map(i => s"w$i").mkString(" ")
+    val page = "intro filler words " + passage + " trailing body " +
+      (100 to 160).map(i => s"z$i").mkString(" ")
+    val unrelated = (200 to 260).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, passage), (2L, page), (3L, unrelated)).toDF("id", "t")
+    val got = graft.operators.Containment
+      .containmentPairs(df, "id", "t", k = 5, tauNum = 4, tauDen = 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the passage is contained in the page; the page is NOT contained in
+    // the passage (its own body dilutes it); unrelated pairs with nothing
+    assert(got == Set((1L, 2L)), got)
+    // symmetric Jaccard on the same pair sits far below any dedup
+    // threshold — this operator exists precisely for that gap
+    val sA = passage.split(" ").sliding(5).map(_.mkString(" ")).toSet
+    val sB = page.split(" ").sliding(5).map(_.mkString(" ")).toSet
+    val jac = sA.intersect(sB).size.toDouble / sA.union(sB).size
+    assert(jac < 0.45, s"fixture too similar: $jac")
+  }
+
+  test("containment: dfCap excludes boilerplate shingles from evidence") {
+    import spark.implicits._
+    // one shared boilerplate line across many docs; with dfCap below the
+    // boilerplate df, no pair can form on it
+    val boiler = "subscribe to our newsletter for updates and offers now"
+    val df = (1L to 8L).map(i => (i, boiler + s" unique tail $i a b c d e")).toDF("id", "t")
+    val none = graft.operators.Containment
+      .containmentPairs(df, "id", "t", k = 5, tauNum = 1, tauDen = 2, dfCap = 4)
+    assert(none.isEmpty)
+  }
 }
