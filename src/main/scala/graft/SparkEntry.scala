@@ -242,6 +242,9 @@ object SparkEntry {
     "q219_dataset_diff"     -> (D.q219DatasetDiff(_, _)),
     "q220_cms_join_size"    -> (R.q220CmsJoinSize(_, _)),
     "q221_containment"      -> (D.q221Containment(_, _)),
+    "q222_link_pred"        -> (R.q222LinkPred(_, _)),
+    "q223_rank_normalize"   -> (D.q223RankNormalize(_, _)),
+    "q224_silence_segments" -> (D.q224SilenceSegments(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3550,5 +3553,55 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(sizes.n AS DOUBLE) AS containment
         |FROM inter JOIN sizes ON sizes.id = inter.id_a
         |WHERE inter * 5 >= 4 * sizes.n""".stripMargin,
+    // q222: the wedge census, non-adjacency anti-join and the integer
+    // ranking replay verbatim; jaccard is one exact-int division on
+    // both engines, rounded as a hash belt.
+    "q222_link_pred" ->
+      """WITH pts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+        |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |ed AS (SELECT u AS p, v AS x FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT p AS n, COUNT(*) AS d FROM ed GROUP BY p),
+        |w AS (SELECT a.x AS u, b.x AS v, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM ed a JOIN ed b ON a.p = b.p AND a.x < b.x GROUP BY a.x, b.x),
+        |cand AS (SELECT w.* FROM w LEFT JOIN e ON w.u = e.u AND w.v = e.v
+        |  WHERE e.u IS NULL),
+        |sc AS (SELECT c.u, c.v, c.cn, du.d + dv.d AS degsum,
+        |    CAST(c.cn AS DOUBLE) / CAST(du.d + dv.d - c.cn AS DOUBLE) AS jacc
+        |  FROM cand c JOIN deg du ON c.u = du.n JOIN deg dv ON c.v = dv.n),
+        |top AS (SELECT *, row_number() OVER
+        |    (ORDER BY cn DESC, degsum ASC, u, v) AS rk
+        |  FROM sc ORDER BY cn DESC, degsum ASC, u, v LIMIT 20)
+        |SELECT CAST(rk AS BIGINT) AS rank, u AS part_u, v AS part_v, cn,
+        |  round(jacc, 6) AS jaccard FROM top""".stripMargin,
+    // q223: census + cumulative-over-distinct-values replay; the doubled
+    // mid-rank is integer-exact so the one division matches bit-for-bit.
+    "q223_rank_normalize" ->
+      """WITH c AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n_eq
+        |  FROM documents GROUP BY source, n_chars),
+        |r AS (SELECT source, v, n_eq,
+        |    2 * COALESCE(SUM(n_eq) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + n_eq + 1 AS mid2,
+        |    SUM(n_eq) OVER (PARTITION BY source) AS n
+        |  FROM c)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  round(CAST(r.mid2 AS DOUBLE) / CAST(2 * r.n AS DOUBLE), 6) AS norm_rank
+        |FROM documents d JOIN r ON d.source = r.source AND d.n_chars = r.v""".stripMargin,
+    // q224: lossless PCM round-trip -> the planted silence rule
+    // (frame + doc_id) % 5 < 2 replays as arithmetic; islands via the
+    // same frame - row_number move.
+    "q224_silence_segments" ->
+      """WITH ids AS (SELECT doc_id, 256 + (doc_id % 7) * 64 AS n
+        |  FROM documents WHERE doc_id < 40),
+        |f AS (SELECT doc_id, unnest(range(n // 64)) AS fr FROM ids),
+        |s AS (SELECT doc_id, fr FROM f WHERE (fr + doc_id) % 5 < 2),
+        |g AS (SELECT doc_id, fr, fr - row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY fr) AS grp FROM s)
+        |SELECT doc_id, CAST(MIN(fr) AS BIGINT) AS seg_start,
+        |  CAST(COUNT(*) AS BIGINT) AS seg_frames
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
   )
 }

@@ -273,6 +273,117 @@ object Multimodal {
     }(enc)
   }
 
+  /** Silence segmentation over 16-bit mono PCM WAV payloads — the audio
+    * analogue of text boilerplate spans: long-form recordings are cut at
+    * silences before feature extraction, and the segment table (not the
+    * waveform) is what flows downstream. Decodes each payload, frames it
+    * into `frameLen`-sample windows, marks a frame silent when its exact
+    * integer sum of absolute amplitudes is <= `maxSumAbs`, and merges
+    * consecutive silent frames into maximal segments with the
+    * gaps-and-islands move (frame − row_number per doc — the [[Spans]]
+    * pattern on audio frames).
+    *
+    * Scale shape: decode is map-side (`mapPartitions`, one pass per
+    * payload, per-frame Long sums — no float order anywhere); the
+    * islands window partitions by document (bounded by the longest
+    * single recording, never corpus-scale). Output one row per silent
+    * segment: (idCol, seg_start, seg_frames) with frame indices
+    * 0-based; a trailing partial frame is dropped (its energy is not
+    * comparable at a different length). Undecodable / non-mono /
+    * non-16-bit payloads yield ONE (idCol, null, null) row — visible,
+    * never silently dropped ([[audioStats]] precedent). */
+  def silenceSegments(df: DataFrame, idCol: String, payloadCol: String,
+      frameLen: Int, maxSumAbs: Long = 0L): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive: $frameLen")
+    val schema = StructType(Seq(df.schema(df.schema.fieldIndex(idCol)),
+      StructField("__frame_abs", ArrayType(LongType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val decoded = df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val frames: Array[Long] =
+          if (payload == null) null
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val fmt = ais.getFormat
+              val bytes = ais.readAllBytes()
+              ais.close()
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                fmt.getChannels != 1) null
+              else {
+                val n = bytes.length / 2 / frameLen // full frames only
+                val out = new Array[Long](n)
+                var f = 0
+                while (f < n) {
+                  var sumAbs = 0L
+                  var t = 0
+                  while (t < frameLen) {
+                    val i = (f * frameLen + t) * 2
+                    val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+                    sumAbs += math.abs(s.toLong)
+                    t += 1
+                  }
+                  out(f) = sumAbs
+                  f += 1
+                }
+                out
+              }
+            } catch { case scala.util.control.NonFatal(_) => null }
+        Row(r.get(idIdx), frames)
+      }
+    }(enc)
+    val frames = decoded.where(col("__frame_abs").isNotNull)
+      .select(col(idCol),
+        posexplode(col("__frame_abs")).as(Seq("frame", "sum_abs")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame"))
+    val segs = frames.where(col("sum_abs") <= maxSumAbs)
+      .withColumn("__grp", col("frame") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("frame")).cast("long").as("seg_start"),
+        count(lit(1)).as("seg_frames"))
+      .drop("__grp")
+    segs.unionByName(decoded.where(col("__frame_abs").isNull)
+      .select(col(idCol), lit(null).cast("long").as("seg_start"),
+        lit(null).cast("long").as("seg_frames")))
+  }
+
+  /** [[syntheticWav]] with planted block-aligned silences for fixtures:
+    * frame b (of `frameLen` samples) is all-zero when (b + seed) mod 5
+    * < 2 — runs of exactly two silent frames, phase-shifted per seed —
+    * and the [[syntheticWav]] ramp otherwise (consecutive ramp samples
+    * are distinct mod 65536, so at most one per frame is zero and every
+    * loud frame has sum_abs > 0). Closed form
+    * of (seed, nSamples, frameLen), so silence segments are
+    * oracle-replayable arithmetic (q224). */
+  def syntheticWavGaps(seed: Long, nSamples: Int, frameLen: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var t = 0
+    while (t < nSamples) {
+      val silent = java.lang.Math.floorMod(t / frameLen + seed, 5L) < 2
+      val s =
+        if (silent) 0.toShort
+        else (java.lang.Math.floorMod(seed * 31 + t * 7L, 65536L) - 32768L).toShort
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic 16-bit mono PCM WAV for fixtures/tests: sample t is
     * `((seed*31 + t*7) mod 65536) - 32768`. Lossless, so [[audioStats]]
     * over these payloads is a closed form of (seed, nSamples). */

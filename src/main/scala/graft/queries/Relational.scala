@@ -701,7 +701,39 @@ object Relational {
     graft.operators.Quantiles.quantilesDisc(
       Tables.lineitem(spark, dir), "l_extendedprice",
       Seq(0.25, 0.5, 0.9, 0.99),
-      // sliver threshold well under the sf0.01 row count so the bisection
+      // sliver threshold well under the sf0.01 row count so the sliver
       // path actually runs at verify scale (not just the final sort)
       exactThreshold = 4096)
+
+  /** q222 — common-neighbor link prediction
+    * ([[graft.operators.LinkPred]]) over the Brand#11 co-purchase
+    * graph: parts of one brand are nodes, "appeared in the same order"
+    * is an edge, and the top 20 NON-adjacent pairs by shared-neighbor
+    * count are the predicted next links. The brand scope keeps the
+    * graph sparse (max degree ~16 at sf0.1) so the uncapped wedge
+    * census is exact — the operator's `maxPivotDegree` is the 100 TB
+    * defense, spec-covered off-fixture. Ranking compares only
+    * integers (cn DESC, degree-sum ASC, u, v — Jaccard DESC equals
+    * degree-sum ASC within a cn tie), so the order is total and
+    * engine-stable; the one double (Jaccard) is a single division of
+    * exact integers, rounded 6dp as a hash belt. */
+  def q222LinkPred(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
+      .select($"p_partkey")
+    val op = Tables.lineitem(spark, dir)
+      .join(pts, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = op.select($"ok", $"pk".as("u"))
+      .join(op.select($"ok", $"pk".as("v")), "ok")
+      .where($"u" < $"v")
+      .select($"u", $"v")
+    val scored = graft.operators.LinkPred.commonNeighbors(edges, "u", "v")
+    // TakeOrderedAndProject bounds the sort at 20 rows; the rank window
+    // then orders those 20 only (single partition of a constant size)
+    scored.orderBy($"cn".desc, $"degsum".asc, $"u", $"v").limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"cn".desc, $"degsum".asc, $"u", $"v")).cast("long"))
+      .select($"rank", $"u".as("part_u"), $"v".as("part_v"), $"cn",
+        round($"jaccard", 6).as("jaccard"))
+  }
 }

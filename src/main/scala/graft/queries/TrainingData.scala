@@ -2518,6 +2518,48 @@ object TrainingData {
       num = 1, den = 2)
   }
 
+  /** q223 — rank-transform score normalization
+    * ([[graft.operators.Normalize.rankNormalize]]): per-source mid-rank
+    * quantile of document length, the cross-corpus calibration that
+    * makes "top 30% by quality" mean the same thing in every source
+    * before mixture sampling. Census-windowed — the cumulative runs
+    * over distinct (source, n_chars) values, never rows — and the
+    * normalized score is one exact-integer division, so the oracle
+    * replays it bit-for-bit. */
+  def q223RankNormalize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Normalize.rankNormalize(
+        Tables.documents(spark, dir).select($"doc_id", $"source", $"n_chars"),
+        Seq("source"), "n_chars")
+      .select($"doc_id", $"source", $"n_chars",
+        round($"norm_rank", 6).as("norm_rank"))
+
+  /** q224 — audio silence segmentation
+    * ([[graft.multimodal.Multimodal.silenceSegments]]): REAL WAV decode
+    * (q120's codec path) framed at 64 samples, exact integer frame
+    * energies, and gaps-and-islands merging of consecutive silent
+    * frames — the cut-at-silence step before audio feature extraction.
+    * Payloads are [[graft.multimodal.Multimodal.syntheticWavGaps]]
+    * fixtures (block-aligned planted silences), so the lossless PCM
+    * round-trip makes every segment a closed form of doc_id that the
+    * oracle replays without touching a codec. */
+  def q224SilenceSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = docs(spark, dir).where($"doc_id" < 40).select($"doc_id")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val withWav = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, graft.multimodal.Multimodal.syntheticWavGaps(
+          id, (256 + (id % 7) * 64).toInt, frameLen = 64))
+      }
+    }(enc)
+    graft.multimodal.Multimodal.silenceSegments(
+      withWav, "doc_id", "payload", frameLen = 64)
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
