@@ -245,6 +245,8 @@ object SparkEntry {
     "q222_link_pred"        -> (R.q222LinkPred(_, _)),
     "q223_rank_normalize"   -> (D.q223RankNormalize(_, _)),
     "q224_silence_segments" -> (D.q224SilenceSegments(_, _)),
+    "q225_matryoshka"       -> (D.q225Matryoshka(_, _)),
+    "q226_compaction_plan"  -> (D.q226CompactionPlan(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3603,5 +3605,36 @@ object SparkEntry {
         |SELECT doc_id, CAST(MIN(fr) AS BIGINT) AS seg_start,
         |  CAST(COUNT(*) AS BIGINT) AS seg_frames
         |FROM g GROUP BY doc_id, grp""".stripMargin,
+    // q225: in-order list_reduce folds mirror Spark's aggregate HOF per
+    // row; min is bit-identical, the mean's cross-row sum rounds 4dp.
+    "q225_matryoshka" ->
+      """WITH ks AS (SELECT unnest([8, 16, 32, 64]) AS k),
+        |r AS (SELECT e.label, ks.k,
+        |    sqrt(list_reduce(list_transform(list_slice(e.embedding, 1, ks.k),
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)
+        |      / list_reduce(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS ret
+        |  FROM embeddings e, ks)
+        |SELECT CAST(k AS INT) AS k, label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(avg(ret), 4) AS avg_retained,
+        |  round(min(ret), 6) AS min_retained
+        |FROM r GROUP BY k, label""".stripMargin,
+    // q226: integer masses, ROWS-window cumulative, `//` == Spark `div`;
+    // the whole plan replays bit-for-bit.
+    "q226_compaction_plan" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(SUM(COALESCE(length(props), 0) + 32) AS BIGINT) AS day_bytes
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT day, day_bytes, substr(day, 1, 7) AS month FROM d),
+        |p AS (SELECT month, day, day_bytes,
+        |    COALESCE(SUM(day_bytes) OVER (PARTITION BY month ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 100000 AS bin
+        |  FROM m)
+        |SELECT month, CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(day_bytes) AS BIGINT) AS total_bytes,
+        |  MIN(day) AS first_day, MAX(day) AS last_day
+        |FROM p GROUP BY month, bin""".stripMargin,
   )
 }

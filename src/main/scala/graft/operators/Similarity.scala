@@ -427,4 +427,34 @@ object Similarity {
     v.zipWithIndex.map { case (x, d) => (d.toLong, x) }.toSeq
       .toDF("d", "loading")
   }
+
+  /** Matryoshka truncation audit: how much cosine similarity survives
+    * keeping only the first k dimensions of each embedding — the
+    * measurement behind "store 16 of 64 dims and re-rank with the
+    * full vector" (MRL-style nested embeddings). For a vector x and
+    * its zero-padded k-prefix, cos(x, x[:k]) = sqrt(Σ_{i<k} x_i² /
+    * Σ x_i²) — a closed form, no pairwise search needed. Emits per
+    * (k, groupCol) the count, mean and worst retained cosine.
+    *
+    * Scale shape: one corpus pass per nothing — all k prefixes fold
+    * inside the same projection (higher-order `aggregate` over the
+    * array slice, in-index-order → deterministic per row), then one
+    * bounded (k × groups) aggregation. The only cross-row floats are
+    * the mean's sum (round at the call site; min is order-free). */
+  def truncationAudit(df: DataFrame, vecCol: String, groupCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    def sqNorm(c: String): Column = expr(
+      s"aggregate($c, cast(0.0 as double), (s, x) -> s + cast(x as double) * cast(x as double))")
+    val withFull = df.select(col(groupCol), col(vecCol),
+      sqNorm(vecCol).as("__full_sq")) // folded once, shared by every k
+    val pref = ks.map(k => struct(lit(k).as("k"),
+      sqrt(expr(s"aggregate(slice($vecCol, 1, $k), cast(0.0 as double), " +
+        "(s, x) -> s + cast(x as double) * cast(x as double))") /
+        col("__full_sq")).as("r")))
+    withFull.select(col(groupCol), explode(array(pref: _*)).as("kr"))
+      .groupBy(col("kr.k").as("k"), col(groupCol))
+      .agg(count(lit(1)).as("n"), avg(col("kr.r")).as("avg_retained"),
+        min(col("kr.r")).as("min_retained"))
+  }
 }

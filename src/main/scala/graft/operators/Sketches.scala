@@ -201,11 +201,40 @@ object Sketches {
     * 48-bit magnitudes fit a double); hashes are md5-derived —
     * deterministic, engine-replayable ([[hllRegisters]] precedent).
     * Output: (group, rank 1..k ascending by hash, h). */
+  /** The KMV hash derivation, shared with the streaming twin
+    * ([[graft.streaming.Streams.kmvStream]]): 48-bit md5-prefix of the
+    * key's string form — deterministic, engine-replayable. */
+  private[graft] def kmvHashCol(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** k smallest DISTINCT values with a k-bounded buffer at every stage —
+    * the KMV state as a typed Aggregator, usable as a STREAMING
+    * aggregation buffer (fixed state: <= k longs per group however long
+    * the stream runs). Insert-if-absent-keep-k-smallest is exact for
+    * the k-min distinct set: a true member is never evicted (eviction
+    * requires k distinct smaller values), and order of arrival/merge
+    * cannot change a set minimum — deterministic at any parallelism. */
+  class KMinDistinct(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k > 0, s"k must be positive: $k")
+    def zero: Seq[Long] = Vector.empty
+    def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(b, h)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
+    private def insert(b: Seq[Long], h: Long): Seq[Long] =
+      if (b.contains(h)) b
+      else if (b.length < k) (b :+ h).sorted
+      else if (h >= b.last) b
+      else (b.init :+ h).sorted
+    def finish(r: Seq[Long]): Seq[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   def kmvSketch(df: DataFrame, groupCol: String, keyCol: String,
       k: Int): DataFrame = {
-    val hashed = df.select(col(groupCol),
-      conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
-        .cast("long").as("h"))
+    val hashed = df.select(col(groupCol), kmvHashCol(col(keyCol)).as("h"))
       .distinct()
     TopK.topKPerGroup(
         hashed.select(col(groupCol), col("h"),

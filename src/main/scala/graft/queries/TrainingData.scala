@@ -2560,6 +2560,45 @@ object TrainingData {
       withWav, "doc_id", "payload", frameLen = 64)
   }
 
+  /** q225 — matryoshka truncation audit
+    * ([[graft.operators.Similarity.truncationAudit]]): retained cosine
+    * sqrt(prefix²/full²) per (k, label) for k in 8/16/32/64 — the
+    * store-short-rerank-long decision table for nested embeddings. The
+    * per-row folds run in index order on both engines (Spark
+    * `aggregate` HOF ≡ DuckDB `list_reduce`), so min is bit-identical
+    * (6dp belt); the mean's cross-row sum rounds at 4dp (q81
+    * precedent). k=64 is the full vector — retained 1.0 — kept as an
+    * in-band sanity row. */
+  def q225Matryoshka(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.truncationAudit(
+        Tables.embeddings(spark, dir), "embedding", "label",
+        ks = Seq(8, 16, 32, 64))
+      .select($"k", $"label", $"n",
+        round($"avg_retained", 4).as("avg_retained"),
+        round($"min_retained", 6).as("min_retained"))
+
+  /** q226 — small-files compaction plan
+    * ([[graft.operators.Compaction]]): per-day byte census of the
+    * events stream (payload length + fixed row overhead — the stats a
+    * catalog would serve), sequential-fill binning toward ~100 KB
+    * rewrites partitioned by month (each month plans independently —
+    * the distributed-OPTIMIZE sharding), and the per-bin rewrite
+    * manifest. All masses, cumulative sums and the `div` bin id are
+    * exact integers — the oracle replays the window verbatim. */
+  def q226CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"),
+        (coalesce(length($"props"), lit(0)) + lit(32)).cast("long").as("b"))
+      .groupBy($"day").agg(sum($"b").as("day_bytes"))
+      .withColumn("month", substring($"day", 1, 7))
+    val planned = graft.operators.Compaction.planBins(
+      days, Seq("month"), "day_bytes", Seq($"day"), targetMass = 100000L)
+    graft.operators.Compaction.binSummary(planned, Seq("month"), "day_bytes", "day")
+      .select($"month", $"bin", $"n_units".as("n_days"),
+        $"total_mass".as("total_bytes"),
+        $"first_unit".as("first_day"), $"last_unit".as("last_day"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

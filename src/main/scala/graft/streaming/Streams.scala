@@ -408,6 +408,24 @@ object Streams {
       .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming KMV — the third sketch twin ([[hllRegisterStream]],
+    * [[cmsStream]] precedents): [[graft.operators.Sketches.kmvSketch]]
+    * as a live aggregation whose state is the k-min distinct hash set
+    * itself (<= k longs, FIXED however long the stream runs — the
+    * [[graft.operators.Sketches.KMinDistinct]] buffer is k-bounded at
+    * every reduce/merge). Set minima are arrival-order-insensitive and
+    * the hash derivation is shared with batch, so the streamed sketch
+    * equals the batch sketch over every prefix — and supports the same
+    * union/Jaccard set algebra downstream. Output: (rank 1..n ascending,
+    * h), n <= k. */
+  def kmvStream(keys: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val kmin = udaf(new graft.operators.Sketches.KMinDistinct(k))
+    keys.select(graft.operators.Sketches.kmvHashCol(col(keyCol)).as("h"))
+      .agg(kmin(col("h")).as("hs"))
+      .select(posexplode(col("hs")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("h"))
+  }
+
   case class TransState(ms: Long, eid: Long, tpe: String)
   case class TransitionOut(user_id: Long, prev: String, curr: String, ms: Long)
 

@@ -801,4 +801,35 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(streamed.size <= depth * width)
     } finally q.stop()
   }
+
+  test("streaming KMV equals the batch sketch at every prefix, k-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 32
+    // event types repeat heavily: distinct-insert semantics get exercised
+    val keys = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(concat($"event_type", lit(":"), ($"user_id" % 20).cast("string")))
+      .collect().map(_.getString(0))
+    val mem = MemoryStream[String]
+    val src = mem.toDF().toDF("k")
+    val out = Streams.kmvStream(src, "k", k)
+    val q = out.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      val chunks = keys.grouped(math.max(1, keys.length / 3)).toSeq
+      var seen = Seq.empty[String]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("kmv_stream").collect()
+          .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("h")).toMap
+        val batch = graft.operators.Sketches
+          .kmvSketch(seen.toDF("k").withColumn("g", lit("all")), "g", "k", k)
+          .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("h")).toMap
+        assert(streamed == batch, s"prefix of ${seen.length}")
+        assert(streamed.size <= k) // the fixed-state claim
+      }
+    } finally q.stop()
+  }
 }
