@@ -115,14 +115,29 @@ object BenchScale {
         .select((col("vec_id") + 5000000L).as("vec_id"),
           expr("transform(v, x -> x * cast(1.01 as double) + cast(0.001 as double))").as("v")))
     }
-    def semdedup(n: Int): DataFrame = {
-      val cents = (0 until n).map(embShift).reduce(_ unionByName _)
-        .where(pmod(col("vec_id"), lit(10000000L)) < 8)
+    def semCents(n: Int, perCopy: Int): DataFrame =
+      (0 until n).map(embShift).reduce(_ unionByName _)
+        .where(pmod(col("vec_id"), lit(10000000L)) < perCopy)
         .select(col("vec_id").as("cell"), col("v").as("centroid"))
+    def semdedup(n: Int): DataFrame =
       graft.operators.SemDedup.semDedupWith(
-          embCorpusAt(n), "vec_id", "v", cents, threshold = 0.9)
+          embCorpusAt(n), "vec_id", "v", semCents(n, 8), threshold = 0.9)
         .where(!col("kept"))
-    }
+    // the flat-vs-hierarchical ASSIGNMENT comparison needs cell counts
+    // that grow with the corpus (the SemDeDup recipe) and large enough
+    // for the rows × cells product to dominate: 64 cells per copy.
+    // kflat's ratio exposes the n·k quadratic; khier (branch ≈ √cells,
+    // per-row cost branch + cells/branch) is the fix's receipt.
+    def semdedupKflat(n: Int): DataFrame =
+      graft.operators.SemDedup.semDedupWith(
+          embCorpusAt(n), "vec_id", "v", semCents(n, 64), threshold = 0.9)
+        .where(!col("kept"))
+    def semdedupKhier(n: Int): DataFrame =
+      graft.operators.SemDedup.semDedupHierarchical(
+          embCorpusAt(n), "vec_id", "v", semCents(n, 64),
+          branch = math.max(4, math.sqrt(64.0 * n).round.toInt),
+          threshold = 0.9)
+        .where(!col("kept"))
 
     // q138 shape: winnowing shared-fingerprint census. The char
     // permutation is a bijection on grams but NOT on their md5s, so the
@@ -147,6 +162,8 @@ object BenchScale {
       "components" -> (components(_)),
       "spans" -> (n => spans(corpusAt(n))),
       "semdedup" -> (semdedup(_)),
+      "semdedup_kflat" -> (semdedupKflat(_)),
+      "semdedup_khier" -> (semdedupKhier(_)),
       "winnow" -> (n => winnow(corpusAt(n))),
       "cdc" -> (n => cdc(corpusAt(n))))
     val out = shapes.flatMap { case (name, fn) =>

@@ -247,6 +247,9 @@ object SparkEntry {
     "q224_silence_segments" -> (D.q224SilenceSegments(_, _)),
     "q225_matryoshka"       -> (D.q225Matryoshka(_, _)),
     "q226_compaction_plan"  -> (D.q226CompactionPlan(_, _)),
+    "q227_kcore"            -> (R.q227KCore(_, _)),
+    "q228_seq_surprise"     -> (T.q228SequenceSurprise(_, _)),
+    "q229_l_diversity"      -> (R.q229LDiversity(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3636,5 +3639,63 @@ object SparkEntry {
         |  CAST(SUM(day_bytes) AS BIGINT) AS total_bytes,
         |  MIN(day) AS first_day, MAX(day) AS last_day
         |FROM p GROUP BY month, bin""".stripMargin,
+    // q227: peeling unrolled 10 rounds (fixpoint after 5 at sf0.01 —
+    // extra rounds are identity); each round = degree census + survivor
+    // filter, integer-only.
+    "q227_kcore" -> {
+      // every CTE MATERIALIZED: each round references its predecessor
+      // three times (FROM + two NOT INs) — inlined expansion would be
+      // 3^10 base scans and exhausts file handles
+      val base =
+        """WITH pts AS MATERIALIZED (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+          |op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+          |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+          |r0 AS MATERIALIZED (SELECT u AS p, v AS x FROM e0 UNION ALL SELECT v, u FROM e0)""".stripMargin
+      val rounds = (1 to 10).map { i =>
+        s""",
+           |d$i AS MATERIALIZED (SELECT p, COUNT(*) AS d FROM r${i - 1} GROUP BY p),
+           |low$i AS MATERIALIZED (SELECT p FROM d$i WHERE d < 3),
+           |r$i AS MATERIALIZED (SELECT r.p, r.x FROM r${i - 1} r
+           |  WHERE r.p NOT IN (SELECT p FROM low$i)
+           |    AND r.x NOT IN (SELECT p FROM low$i))""".stripMargin
+      }.mkString
+      base + rounds +
+        "\nSELECT p AS part_key, CAST(COUNT(*) AS BIGINT) AS core_deg FROM r10 GROUP BY p"
+    },
+    // q228: identical lag windows build transitions, the model join is
+    // exact-integer division under ln (libm parity, q121/q139
+    // precedent), terms fold in (ms, event_id) order on both engines,
+    // and the VARCHAR->DECIMAL bridge mirrors Spark's round.
+    "q228_seq_surprise" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+        |tr AS (SELECT user_id, ms, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev,
+        |    event_type AS curr FROM ev),
+        |t2 AS (SELECT * FROM tr WHERE prev IS NOT NULL),
+        |c AS (SELECT prev, curr, CAST(COUNT(*) AS BIGINT) AS cxy FROM t2 GROUP BY prev, curr),
+        |tot AS (SELECT prev, SUM(cxy) AS cx FROM c GROUP BY prev),
+        |p AS (SELECT c.prev, c.curr,
+        |    -ln(CAST(cxy AS DOUBLE) / CAST(cx AS DOUBLE)) AS s
+        |  FROM c JOIN tot USING (prev)),
+        |terms AS (SELECT t2.user_id, t2.ms, t2.event_id, p.s
+        |  FROM t2 JOIN p ON t2.prev = p.prev AND t2.curr = p.curr),
+        |lists AS (SELECT user_id, list(s ORDER BY ms, event_id) AS ls
+        |  FROM terms GROUP BY user_id)
+        |SELECT user_id, CAST(len(ls) AS BIGINT) AS n_trans,
+        |  CAST(round(CAST(CAST(list_reduce(ls, (a, b) -> a + b) / len(ls)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS mean_surprise
+        |FROM lists""".stripMargin,
+    // q229: q203's integer band replay + exact distinct census.
+    "q229_l_diversity" ->
+      """WITH q AS (SELECT c_nationkey,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_band,
+        |  c_mktsegment FROM customer)
+        |SELECT c_nationkey, bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS class_size,
+        |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+        |FROM q GROUP BY c_nationkey, bal_band
+        |HAVING COUNT(DISTINCT c_mktsegment) < 5""".stripMargin,
   )
 }

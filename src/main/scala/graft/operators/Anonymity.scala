@@ -24,6 +24,20 @@ object Anonymity {
       .agg(count(lit(1)).as("class_size"))
       .where(col("class_size") < k)
 
+  /** l-diversity audit — k-anonymity's complement: a class can be large
+    * (k-safe) yet expose its members anyway when everyone in it shares
+    * the same sensitive value (homogeneity attack). Classes whose
+    * sensitive attribute takes fewer than l DISTINCT values are
+    * reported with their size and diversity. Exact `countDistinct`
+    * per class — one aggregation keyed by (qid, sensitive) collapsed
+    * to the class, bounded by class count. */
+  def lowDiversityClasses(df: DataFrame, qidCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame =
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .where(col("n_sensitive") < l)
+
   /** One-row summary next to [[atRiskClasses]]: total classes, at-risk
     * classes, rows inside at-risk classes (the re-identifiable
     * population), and the minimum class size (the dataset's k). */

@@ -91,8 +91,70 @@ object SemDedup {
     * static plan shows two). */
   def semDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double,
+      maxCellSize: Int = 100000): DataFrame =
+    semDedupAssigned(assignCells(corpus, idCol, vecCol, centroids),
+      threshold, maxCellSize)
+
+  /** Two-level cell assignment for centroid tables too large to fold
+    * per row. [[assignCells]] is rows × cells work — with cell count
+    * growing alongside the corpus (the SemDeDup recipe: cells ∝ n to
+    * keep within-cell pair work n²/k linear), flat assignment is the
+    * hidden QUADRATIC term — the scale-bench's 10×-data run measured
+    * ~5× time on the flat path, the n·k product surfacing. Here: the
+    * `branch` smallest-id centroids act
+    * as a coarse level; every centroid routes to its argmax coarse
+    * (exact, branch-wide fold), rows fold over the coarse row then only
+    * over that group's members — rows × (branch + cells/branch) at
+    * branch ≈ √cells, the IVF/hierarchical-k-means move.
+    *
+    * Semantics: an APPROXIMATION of flat argmax (a row may land in a
+    * neighboring cell when its best centroid routed to a different
+    * coarse group than the row picks) — same within-cell dedup
+    * guarantees, slightly different cell boundaries; exact duplicates
+    * still co-assign (identical vectors take identical folds, and both
+    * levels break cosine ties toward the smaller id consistently, so
+    * duplicate coarse seeds collapse the same way on both paths).
+    * Zero-norm rows keep the null-cell contract. */
+  def assignCellsHierarchical(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, branch: Int): DataFrame = {
+    require(branch > 0, s"branch must be positive: $branch")
+    val coarse = centroids.orderBy(col("cell")).limit(branch)
+      .select(col("cell").as("coarse"), col("centroid").as("cvec"))
+    val routed = assignCells(
+        centroids.select(col("cell").as("id"), col("centroid").as("v")),
+        "id", "v",
+        coarse.select(col("coarse").as("cell"), col("cvec").as("centroid")))
+      .select(col("cell").as("coarse"), col("id").as("cell"),
+        col("v").as("centroid"))
+    val groups = routed.groupBy(col("coarse"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
+        .as("cents"))
+    assignCells(corpus, idCol, vecCol,
+        coarse.select(col("coarse").as("cell"), col("cvec").as("centroid")))
+      .select(col("id"), col("v"), col("cell").as("coarse"))
+      .join(broadcast(groups), Seq("coarse"), "left")
+      .withColumn("_scored", transform(col("cents"), c =>
+        struct(cosine(col("v"), c.getField("centroid")).as("cos"),
+          (-c.getField("cell")).as("nc"))))
+      .withColumn("_best", array_max(filter(col("_scored"),
+        s => s.getField("cos").isNotNull && !isnan(s.getField("cos")))))
+      .select(col("id"), col("v"), (-col("_best.nc")).as("cell"))
+  }
+
+  /** [[semDedupWith]] on the two-level assignment — the large-cell-count
+    * scale path. */
+  def semDedupHierarchical(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, branch: Int, threshold: Double,
+      maxCellSize: Int = 100000): DataFrame =
+    semDedupAssigned(
+      assignCellsHierarchical(corpus, idCol, vecCol, centroids, branch),
+      threshold, maxCellSize)
+
+  /** The pair stage of [[semDedupWith]] over a pre-assigned
+    * (id, v, cell) table — shared by the flat and hierarchical
+    * assignment paths. */
+  def semDedupAssigned(assigned: DataFrame, threshold: Double,
       maxCellSize: Int = 100000): DataFrame = {
-    val assigned = assignCells(corpus, idCol, vecCol, centroids)
     val inCap =
       if (maxCellSize <= 0) assigned
       else {

@@ -705,6 +705,44 @@ object Relational {
       // path actually runs at verify scale (not just the final sort)
       exactThreshold = 4096)
 
+  /** q229 — l-diversity audit ([[graft.operators.Anonymity
+    * .lowDiversityClasses]]), k-anonymity's (q203) complement: customer
+    * classes keyed by (nation, balance band) whose market segment takes
+    * fewer than 5 distinct values — large-but-homogeneous classes leak
+    * the shared value even when k-safe. Same cents-shifted integer band
+    * as q203 so truncation == floor on both engines; exact distinct
+    * counts, class-bounded output. */
+  def q229LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.customer(spark, dir)
+      .withColumn("cents", round($"c_acctbal" * 100).cast("long"))
+      .select($"c_nationkey", expr("(cents + 100000) div 100000").as("bal_band"),
+        $"c_mktsegment")
+    graft.operators.Anonymity.lowDiversityClasses(
+      q, Seq("c_nationkey", "bal_band"), "c_mktsegment", l = 5)
+  }
+
+  /** q227 — k-core extraction ([[graft.operators.KCore]]) of the
+    * Brand#11 co-purchase graph at k=3: the parts that stay after
+    * iterative peeling all keep >= 3 surviving co-purchase partners —
+    * the density cut that separates the catalog's connected scaffold
+    * from drive-by pairings. Peeling converges in 5 rounds at sf0.01
+    * (4 at sf0.1); the oracle unrolls 10 — extra rounds are no-ops at
+    * the fixpoint, so generous slack costs nothing. All counts are
+    * integers; membership is order-free by the k-core's uniqueness. */
+  def q227KCore(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
+      .select($"p_partkey")
+    val op = Tables.lineitem(spark, dir)
+      .join(pts, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = op.select($"ok", $"pk".as("u"))
+      .join(op.select($"ok", $"pk".as("v")), "ok")
+      .where($"u" < $"v")
+      .select($"u", $"v")
+    graft.operators.KCore.kCore(edges, "u", "v", k = 3)
+      .select($"node".as("part_key"), $"core_deg")
+  }
+
   /** q222 — common-neighbor link prediction
     * ([[graft.operators.LinkPred]]) over the Brand#11 co-purchase
     * graph: parts of one brand are nodes, "appeared in the same order"

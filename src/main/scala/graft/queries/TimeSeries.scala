@@ -357,6 +357,22 @@ object TimeSeries {
       events(spark, dir).withColumn("ms", unix_millis($"ts")),
       "user_id", Seq($"ms", $"event_id"), "event_type")
 
+  /** q228 — behavioral anomaly scoring
+    * ([[graft.operators.Sequences.sequenceSurprise]]): each user's mean
+    * −ln p(curr|prev) under the corpus transition MLE (q200's census as
+    * a model) — high scores are flows the population rarely takes. The
+    * per-user term fold runs in (ms, event_id) order on both engines
+    * (q121's in-order-fold precedent), the mean is one division, and
+    * the VARCHAR→DECIMAL round bridge mirrors Spark's BigDecimal
+    * rounding in the oracle. */
+  def q228SequenceSurprise(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.sequenceSurprise(
+        events(spark, dir).select($"user_id", unix_millis($"ts").as("ms"),
+          $"event_id", $"event_type"),
+        "user_id", Seq("ms", "event_id"), "event_type")
+      .select($"user_id", $"n_trans",
+        round($"mean_surprise", 4).as("mean_surprise"))
+
   /** q208 — nearest as-of join ([[graft.operators.Joins.asOfNearest]]):
     * every error event picks the closest click (either direction, ties
     * to the prior one) of the same user — merge_asof

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KCore
+
+/** k-core peeling (q227's operator, off-fixture). */
+class KCoreSpec extends AnyFunSuite with SparkFixture {
+
+  private def core(edges: Seq[(Long, Long)], k: Int, maxIter: Int = 50) = {
+    import spark.implicits._
+    KCore.kCore(edges.toDF("a", "b"), "a", "b", k, maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+    for { a <- ids; b <- ids if a < b } yield (a, b)
+
+  test("a 5-clique is its own 4-core; its 5-core is empty") {
+    val e = clique(1L to 5L)
+    assert(core(e, 4) === (1L to 5L).map(_ -> 4L).toMap)
+    assert(core(e, 5) === Map.empty)
+  }
+
+  test("cycle survives k=2 whole; path peels away from both ends") {
+    val cycle = (1L to 6L).map(i => (i, i % 6 + 1))
+    assert(core(cycle, 2) === (1L to 6L).map(_ -> 2L).toMap)
+    val path = (1L to 5L).map(i => (i, i + 1))
+    assert(core(path, 2) === Map.empty)
+  }
+
+  test("pendant chain cascades off; the clique core is untouched") {
+    // 4-clique 1..4 plus chain 4-10-11-12 hanging off it
+    val e = clique(1L to 4L) ++ Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val got = core(e, 3)
+    assert(got === (1L to 4L).map(_ -> 3L).toMap)
+    // the chain's removal is CASCADING: 12 first, then 11, then 10 —
+    // three peel rounds, each re-deriving degrees on survivors
+  }
+
+  test("core degrees are subgraph degrees, not input degrees") {
+    // two 4-cliques sharing node 1: node 1 has input degree 6, but each
+    // clique's internal degree contribution stays — 3-core keeps all,
+    // node 1's core_deg is its FULL surviving degree 6
+    val e = clique(1L to 4L) ++ clique(Seq(1L, 5L, 6L, 7L))
+    val got = core(e, 3)
+    assert(got(1L) === 6L)
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L).forall(got(_) === 3L))
+  }
+
+  test("maxIter overrun fails loudly instead of returning a half-peel") {
+    val path = (1L to 30L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException](core(path, 2, maxIter = 3))
+    assert(ex.getMessage.contains("did not converge"))
+  }
+}

@@ -125,4 +125,49 @@ class SemDedupSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2L) == ((true, true)), "zero vector: null cell, kept")
     assert(rows(1L) == ((false, true)) && rows(3L) == ((false, false)))
   }
+
+  test("hierarchical assignment equals flat when branch covers all cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val data = IndexedSeq.tabulate(60)(i => (i.toLong,
+      Array.fill(6)(rnd.nextGaussian()).toSeq)).toDF("vec_id", "v")
+    val cents = SemDedup.smallestIdCentroids(data, "vec_id", "v", 8)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val flat = asMap(SemDedup.assignCells(data, "vec_id", "v", cents))
+    val hier = asMap(SemDedup.assignCellsHierarchical(
+      data, "vec_id", "v", cents, branch = 8))
+    assert(hier === flat)
+  }
+
+  test("hierarchical path still drops exact duplicates (co-assignment)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = IndexedSeq.tabulate(50)(i => (i.toLong,
+      Array.fill(6)(rnd.nextGaussian()).toSeq))
+    // exact copies of every 5th vector appended with later ids
+    val copies = base.collect { case (i, v) if i % 5 == 0 => (i + 1000L, v) }
+    val data = (base ++ copies).toDF("vec_id", "v")
+    val cents = SemDedup.smallestIdCentroids(data, "vec_id", "v", 16)
+    val out = SemDedup.semDedupHierarchical(data, "vec_id", "v", cents,
+        branch = 4, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    copies.foreach { case (id, _) =>
+      assert(!out(id), s"exact copy $id must co-assign with its original and drop")
+    }
+    assert(base.forall { case (id, _) => out(id) }, "originals all keep")
+  }
+
+  test("hierarchical cells are real centroid ids and every row lands somewhere") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val data = IndexedSeq.tabulate(90)(i => (i.toLong,
+      Array.fill(6)(rnd.nextGaussian()).toSeq)).toDF("vec_id", "v")
+    val cents = SemDedup.smallestIdCentroids(data, "vec_id", "v", 12)
+    val centIds = cents.collect().map(_.getLong(0)).toSet
+    val hier = SemDedup.assignCellsHierarchical(
+      data, "vec_id", "v", cents, branch = 3).collect()
+    assert(hier.length === 90)
+    hier.foreach(r => assert(centIds.contains(r.getLong(2))))
+  }
 }
