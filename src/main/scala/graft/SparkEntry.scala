@@ -250,6 +250,9 @@ object SparkEntry {
     "q227_kcore"            -> (R.q227KCore(_, _)),
     "q228_seq_surprise"     -> (T.q228SequenceSurprise(_, _)),
     "q229_l_diversity"      -> (R.q229LDiversity(_, _)),
+    "q230_skyline"          -> (R.q230Skyline(_, _)),
+    "q231_retention"        -> (T.q231Retention(_, _)),
+    "q232_rollup_revenue"   -> (R.q232RollupRevenue(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3697,5 +3700,44 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
         |FROM q GROUP BY c_nationkey, bal_band
         |HAVING COUNT(DISTINCT c_mktsegment) < 5""".stripMargin,
+    // q230: the O(n log n) 2D-skyline census replay — per-quantity min
+    // price + prefix-min over strictly higher quantities; raw double
+    // equality against parquet values, no arithmetic.
+    "q230_skyline" ->
+      """WITH t AS (SELECT l_orderkey * 8 + l_linenumber AS item_id,
+        |    CAST(l_quantity AS DOUBLE) AS q,
+        |    CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem),
+        |g AS (SELECT q, MIN(p) AS minp FROM t GROUP BY q),
+        |w AS (SELECT q, minp, MIN(minp) OVER (ORDER BY q DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+        |  FROM g)
+        |SELECT t.item_id, t.q AS l_quantity, t.p AS l_extendedprice
+        |FROM t JOIN w ON t.q = w.q AND t.p = w.minp
+        |WHERE w.best_prev IS NULL OR w.best_prev > t.p""".stripMargin,
+    // q231: day truncation, min-cohort, datediff and distinct counts
+    // replay as integers; the rate is one exact division.
+    "q231_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT u, MIN(d) AS cohort_day FROM days GROUP BY u),
+        |tri AS (SELECT cohort_day, d - cohort_day AS day_offset,
+        |    CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+        |  FROM days JOIN coh USING (u) GROUP BY cohort_day, d - cohort_day),
+        |base AS (SELECT cohort_day, n_users AS cohort_size FROM tri
+        |  WHERE day_offset = 0)
+        |SELECT strftime(t.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(t.day_offset AS INT) AS day_offset, t.n_users, b.cohort_size,
+        |  round(CAST(t.n_users AS DOUBLE) / CAST(b.cohort_size AS DOUBLE), 6)
+        |    AS retention
+        |FROM tri t JOIN base b USING (cohort_day)""".stripMargin,
+    // q232: ROLLUP replays natively; GROUPING() bits concatenate in the
+    // same (returnflag, linestatus) order as Spark's grouping_id; sums
+    // are decimal-exact at scale 2.
+    "q232_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
   )
 }

@@ -705,6 +705,41 @@ object Relational {
       // path actually runs at verify scale (not just the final sort)
       exactThreshold = 4096)
 
+  /** q232 — ROLLUP hierarchy totals: revenue and row counts at
+    * (returnflag, linestatus), per-flag subtotal, and grand total in
+    * ONE pass — Spark's `rollup` compiles to a single Expand +
+    * aggregate (each input row fans to its 3 grouping sets before the
+    * one exchange), the cube/drill-down shape a dashboard engine must
+    * serve without three scans. Sums are DECIMAL-exact (2-decimal
+    * money at scale 2 — order-free at any parallelism); NULL group
+    * labels are the subtotal markers on both engines, disambiguated
+    * from data NULLs by grouping_id. */
+  def q232RollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("rev", $"l_extendedprice".cast("decimal(18,2)"))
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"rev").cast("decimal(18,2)").as("revenue"),
+        grouping_id().cast("long").as("gid"))
+
+  /** q230 — skyline / Pareto frontier ([[graft.operators.Skyline]]):
+    * line items no other item beats on (quantity ↑, price ↓) at once —
+    * the two-criteria selection a curation pass keeps when neither
+    * score deserves the tiebreak. Two-phase distributed scan
+    * (partition-local frontiers, then the skyline-sized candidate
+    * union); the oracle avoids the O(n²) dominance check with the 2D
+    * census form: per quantity the min price, then a prefix-min over
+    * strictly-higher quantities — survivors are rows at their
+    * quantity's min price that strictly beat it. Raw double
+    * comparisons only, no arithmetic. */
+  def q230Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(($"l_orderkey" * 8 + $"l_linenumber").as("item_id"),
+        $"l_quantity", $"l_extendedprice")
+    graft.operators.Skyline.skyline(li, "item_id",
+      Seq(("l_quantity", true), ("l_extendedprice", false)))
+  }
+
   /** q229 — l-diversity audit ([[graft.operators.Anonymity
     * .lowDiversityClasses]]), k-anonymity's (q203) complement: customer
     * classes keyed by (nation, balance band) whose market segment takes

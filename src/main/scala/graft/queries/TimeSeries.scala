@@ -357,6 +357,19 @@ object TimeSeries {
       events(spark, dir).withColumn("ms", unix_millis($"ts")),
       "user_id", Seq($"ms", $"event_id"), "event_type")
 
+  /** q231 — cohort retention triangle
+    * ([[graft.operators.Cohorts.retentionRates]]): users bucketed by
+    * first-seen day, distinct returners per day offset, rates as one
+    * exact integer division per cell. Two integer censuses, output
+    * bounded by days² — the population-level engagement complement to
+    * q159's funnel and q37's sessions. */
+  def q231Retention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.retentionRates(
+        events(spark, dir), "user_id", to_date($"ts"))
+      .select(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"),
+        $"day_offset", $"n_users", $"cohort_size",
+        round($"retention", 6).as("retention"))
+
   /** q228 — behavioral anomaly scoring
     * ([[graft.operators.Sequences.sequenceSurprise]]): each user's mean
     * −ln p(curr|prev) under the corpus transition MLE (q200's census as
