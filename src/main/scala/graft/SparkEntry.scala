@@ -253,6 +253,8 @@ object SparkEntry {
     "q230_skyline"          -> (R.q230Skyline(_, _)),
     "q231_retention"        -> (T.q231Retention(_, _)),
     "q232_rollup_revenue"   -> (R.q232RollupRevenue(_, _)),
+    "q233_fd_discovery"     -> (R.q233FdDiscovery(_, _)),
+    "q234_sortedness"       -> (R.q234Sortedness(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3739,5 +3741,29 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // q233: per-pair census replay; string casts align numeric reprs,
+    // NULL folds to a sentinel inside the distinct.
+    "q233_fd_discovery" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
+      (for { a <- cols; b <- cols if a != b } yield
+        s"""SELECT '$a' AS determinant, '$b' AS dependent,
+           |  CAST(COUNT(*) AS BIGINT) AS n_det,
+           |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           |  SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT CAST($a AS VARCHAR) AS a,
+           |    COUNT(DISTINCT COALESCE(CAST($b AS VARCHAR), ' NULL')) AS nb
+           |  FROM orders GROUP BY 1) t""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    },
+    // q234: identical lag window in ingestion order; integer census.
+    "q234_sortedness" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT event_type, ms,
+        |    lag(ms) OVER (PARTITION BY event_type ORDER BY event_id) AS prev
+        |  FROM ev)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN prev > ms THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS inversions
+        |FROM l GROUP BY event_type""".stripMargin,
   )
 }

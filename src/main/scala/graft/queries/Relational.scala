@@ -705,6 +705,31 @@ object Relational {
       // path actually runs at verify scale (not just the final sort)
       exactThreshold = 4096)
 
+  /** q233 — functional-dependency discovery
+    * ([[graft.operators.Profile.functionalDependencies]]) over four
+    * orders columns: which columns determine which — the profiling
+    * step that finds accidental keys (o_orderkey → everything) and
+    * non-dependencies (o_custkey determines nothing) before anyone
+    * joins on a non-key. One census aggregation per ordered pair;
+    * `violations` counts determinant values with >1 dependent value,
+    * so near-FDs in dirty data stay visible. */
+  def q233FdDiscovery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.functionalDependencies(
+      Tables.orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"))
+
+  /** q234 — sortedness audit ([[graft.operators.Profile
+    * .sortednessCensus]]): per event type, walk events in event_id
+    * (ingestion) order and count adjacent timestamp inversions — the
+    * "is this stream still clustered by time" check run before
+    * trusting range pruning or an as-of merge path. Integer census,
+    * one bounded lag window per type. */
+  def q234Sortedness(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.sortednessCensus(
+      Tables.events(spark, dir)
+        .select($"event_type", $"event_id", unix_millis($"ts").as("ms")),
+      "event_type", Seq("event_id"), "ms")
+
   /** q232 — ROLLUP hierarchy totals: revenue and row counts at
     * (returnflag, linestatus), per-flag subtotal, and grand total in
     * ONE pass — Spark's `rollup` compiles to a single Expand +

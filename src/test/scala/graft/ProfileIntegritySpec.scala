@@ -52,4 +52,47 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
       .collect().head.getDouble(3)
     assert(math.abs(c) < 0.1, s"corr=$c")
   }
+
+  test("functionalDependencies: keys determine all, violations counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "b", "z"))
+      .toDF("id", "g", "s")
+    val got = graft.operators.Profile
+      .functionalDependencies(df, Seq("id", "g", "s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(("id", "g")) === ((4L, 0L, true)))  // id is a key
+    assert(got(("id", "s")) === ((4L, 0L, true)))
+    assert(got(("g", "s")) === ((2L, 1L, false)))  // b -> {y, z}
+    assert(got(("s", "g")) === ((3L, 0L, true)))   // each s has one g
+    assert(got(("g", "id")) === ((2L, 2L, false))) // both groups multi-id
+  }
+
+  test("functionalDependencies: nulls are values, not wildcards") {
+    import spark.implicits._
+    val df = Seq((1, Some("x")), (1, None), (2, None), (3, Some("y")))
+      .toDF("k", "v")
+    val got = graft.operators.Profile.functionalDependencies(df, Seq("k", "v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    // k=1 maps to {x, NULL}: a violation — null is a distinct value
+    assert(got(("k", "v")) === ((1L, false)))
+  }
+
+  test("sortednessCensus: inversions count adjacent backward steps only") {
+    import spark.implicits._
+    // slice p: seq order 1..5 with values 10,20,15,30,25 -> 2 inversions
+    // slice q: sorted -> 0
+    val df = Seq(
+      ("p", 1L, 10L), ("p", 2L, 20L), ("p", 3L, 15L), ("p", 4L, 30L),
+      ("p", 5L, 25L),
+      ("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
+      .toDF("part", "seq", "v")
+    val got = graft.operators.Profile
+      .sortednessCensus(df, "part", Seq("seq"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map("p" -> ((5L, 2L)), "q" -> ((3L, 0L))))
+  }
 }
