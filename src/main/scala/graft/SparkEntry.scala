@@ -255,6 +255,7 @@ object SparkEntry {
     "q232_rollup_revenue"   -> (R.q232RollupRevenue(_, _)),
     "q233_fd_discovery"     -> (R.q233FdDiscovery(_, _)),
     "q234_sortedness"       -> (R.q234Sortedness(_, _)),
+    "q235_grouped_quantiles" -> (T.q235GroupedQuantiles(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3765,5 +3766,15 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN prev > ms THEN 1 ELSE 0 END) AS BIGINT)
         |    AS inversions
         |FROM l GROUP BY event_type""".stripMargin,
+    // q235: quantile_disc IS the ceil(p·n)-th-smallest rule the operator
+    // implements; integer cents, exact match.
+    "q235_grouped_quantiles" ->
+      """WITH ev AS (SELECT event_type, hour(ts) AS hod,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, hod,
+        |  CAST(unnest([0.5, 0.95]) AS DOUBLE) AS p,
+        |  unnest(quantile_disc(cents, [0.5, 0.95])) AS cents
+        |FROM ev GROUP BY event_type, hod""".stripMargin,
   )
 }

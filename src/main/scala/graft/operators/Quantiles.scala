@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT order statistics without a global sort — the 100 TB quantile
@@ -99,5 +100,39 @@ object Quantiles {
       val k = math.ceil(p * n).toLong.max(1L).min(n)
       (p, k, exactKth(base, "v", k, bins, exactThreshold))
     }.toDF("p", "k", "value")
+  }
+
+  /** Per-GROUP exact discrete quantiles (`quantile_disc` rule: the
+    * ceil(p·n)-th smallest) from a (group, value) census — the
+    * latency-dashboard aggregation (p50/p95 per endpoint per hour)
+    * with no per-group sort and no value buffering: the cumulative
+    * window walks DISTINCT values per group, every probability rides
+    * the same pass via an explode, and the answer per (group, p) is
+    * min(value | cum ≥ k) — one census shuffle + one window + one
+    * aggregation regardless of |ps|.
+    *
+    * The census is bounded by value CARDINALITY per group — quantize
+    * continuous measures first (cents, ms buckets; the [[Eval]]
+    * discretize-your-scores rule). k = clamp(ceil(p·n), 1, n) in IEEE
+    * double, the exact arithmetic DuckDB's quantile_disc replays. */
+  def groupedQuantilesDisc(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    val g = groupCols.map(col)
+    val census = df.where(col(valueCol).isNotNull)
+      .groupBy((g :+ col(valueCol)): _*).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy(g: _*)
+    census
+      .select((g :+ col(valueCol) :+ sum(col("cnt")).over(w).as("cum") :+
+        sum(col("cnt")).over(wn).as("n")): _*)
+      .withColumn("p", explode(array(ps.map(lit(_)): _*)))
+      .withColumn("k",
+        greatest(least(ceil(col("p") * col("n")), col("n")), lit(1L))
+          .cast("long"))
+      .where(col("cum") >= col("k"))
+      .groupBy((g :+ col("p")): _*)
+      .agg(min(col(valueCol)).as("value"))
   }
 }

@@ -357,6 +357,20 @@ object TimeSeries {
       events(spark, dir).withColumn("ms", unix_millis($"ts")),
       "user_id", Seq($"ms", $"event_id"), "event_type")
 
+  /** q235 — grouped exact quantiles
+    * ([[graft.operators.Quantiles.groupedQuantilesDisc]]): p50/p95 of
+    * event value (quantized to cents — the census-boundedness rule)
+    * per (event_type, hour-of-day) — the latency-dashboard shape with
+    * no per-group sort and no value buffering, every probability in
+    * ONE census pass. quantile_disc rank arithmetic replays exactly;
+    * all values are integers. */
+  def q235GroupedQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.groupedQuantilesDisc(
+        events(spark, dir).select($"event_type", hour($"ts").as("hod"),
+          round($"value" * 100).cast("long").as("cents")),
+        Seq("event_type", "hod"), "cents", ps = Seq(0.5, 0.95))
+      .select($"event_type", $"hod", $"p", $"value".as("cents"))
+
   /** q231 — cohort retention triangle
     * ([[graft.operators.Cohorts.retentionRates]]): users bucketed by
     * first-seen day, distinct returners per day offset, rates as one

@@ -362,4 +362,43 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastExchange"), p.take(1500))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q222: wedge census and degree joins are hash equi-joins, never all-pairs") {
+    val p = physical("q222_link_pred")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the top-20 cut is a bounded TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("q223: rank windows run on the value census, partitioned by source") {
+    val p = physical("q223_rank_normalize")
+    // both cumulative windows partition by source — no single-partition
+    // row-scale window anywhere
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("q226: the compaction plan windows by month, never one partition") {
+    val p = physical("q226_compaction_plan")
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+  }
+
+  test("q230: skyline never sorts globally; candidates collapse bounded") {
+    val p = physical("q230_skyline")
+    // no global Sort before the local scans — phase 1 runs on raw
+    // partitions; the only single-partition hop is the skyline-sized
+    // candidate repartition(1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p.take(1500))
+  }
+
+  test("q235: grouped quantiles shuffle the census, not the rows, once") {
+    val p = physical("q235_grouped_quantiles")
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+    // one hash exchange for the (group, value) census; the windows and
+    // the final min() reuse its partitioning (group ⊂ (group, value))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(1500))
+  }
 }

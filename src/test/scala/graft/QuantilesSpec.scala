@@ -52,4 +52,32 @@ class QuantilesSpec extends AnyFunSuite with SparkFixture {
       Quantiles.exactKth(df, "v", 3L)
     }
   }
+
+  test("groupedQuantilesDisc matches a per-group sorted pick, ties included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = for {
+      g <- Seq("a", "b", "c"); _ <- 1 to 40
+    } yield (g, rnd.nextInt(12).toLong) // heavy ties
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.1, 0.5, 0.9, 1.0)
+    val got = Quantiles.groupedQuantilesDisc(df, Seq("g"), "v", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    for (g <- Seq("a", "b", "c"); p <- ps) {
+      val sorted = rows.filter(_._1 == g).map(_._2).sorted
+      val k = math.ceil(p * sorted.length).toLong.max(1L).min(sorted.length)
+      assert(got((g, p)) === sorted((k - 1).toInt),
+        s"group $g p=$p expected rank $k")
+    }
+  }
+
+  test("groupedQuantilesDisc: null values are excluded, groups independent") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      ("b", Some(10L))).toDF("g", "v")
+    val got = Quantiles.groupedQuantilesDisc(df, Seq("g"), "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("a" -> 1L, "b" -> 10L)) // ceil(0.5*2)=1 -> 1st
+  }
 }
