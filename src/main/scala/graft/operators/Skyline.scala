@@ -80,8 +80,46 @@ object Skyline {
     kept.iterator
   }
 
+  /** The frontier as a typed Aggregator — the streaming twin's state
+    * ([[graft.streaming.Streams.skylineStream]]): the buffer IS the
+    * running skyline, so state is frontier-sized however long the
+    * stream runs, and a discard is final: if row x was dominated by
+    * frontier row d, any later evictor of d dominates d and — by
+    * transitivity — x too, so x stays dominated forever. The streamed
+    * state after any prefix therefore equals the batch skyline OF that
+    * prefix exactly. Merge folds one frontier into the other — associative
+    * and order-free because the skyline set is unique. `maxFrontier`
+    * fails loudly when anti-correlated dims inflate the state. */
+  class FrontierAgg(maxFrontier: Int = 100000)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Seq[Double]), Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]] {
+    def zero: Seq[(Long, Seq[Double])] = Vector.empty
+    def reduce(b: Seq[(Long, Seq[Double])],
+        x: (Long, Seq[Double])): Seq[(Long, Seq[Double])] = insert(b, x)
+    def merge(a: Seq[(Long, Seq[Double])],
+        b: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
+      b.foldLeft(a)(insert)
+    private def insert(b: Seq[(Long, Seq[Double])],
+        x: (Long, Seq[Double])): Seq[(Long, Seq[Double])] = {
+      if (b.exists(k => dominates(k._2, x._2))) b
+      else {
+        val kept = b.filterNot(k => dominates(x._2, k._2)) :+ x
+        if (kept.length > maxFrontier)
+          throw new IllegalStateException(
+            s"skyline frontier exceeds maxFrontier $maxFrontier")
+        kept
+      }
+    }
+    def finish(r: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
+      r.sortBy(_._1) // canonical output order; the set itself is unique
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Seq[Double])]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Seq[Double])]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** a dominates b: >= everywhere, > somewhere (all dims maximized). */
-  private def dominates(a: Seq[Double], b: Seq[Double]): Boolean = {
+  private[operators] def dominates(a: Seq[Double], b: Seq[Double]): Boolean = {
     var strict = false
     var i = 0
     while (i < a.length) {

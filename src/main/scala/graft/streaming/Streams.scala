@@ -426,6 +426,31 @@ object Streams {
       .select((col("pos") + 1).cast("long").as("rank"), col("h"))
   }
 
+  /** Streaming skyline ([[graft.operators.Skyline]]'s twin): the
+    * aggregation buffer IS the running Pareto frontier
+    * ([[graft.operators.Skyline.FrontierAgg]]) — frontier-sized state
+    * however long the stream runs, and since a skyline discard is
+    * final, the streamed frontier after any prefix EQUALS the batch
+    * skyline of that prefix (parity spec-asserted, the sketch-twin
+    * contract). Input rows (idCol, one column per dim); dims follow
+    * the batch operator's (column, maximize?) convention. Output per
+    * trigger: the current frontier as (idCol, dims...) rows. */
+  def skylineStream(rows: DataFrame, idCol: String,
+      dims: Seq[(String, Boolean)]): DataFrame = {
+    val fr = udaf(new graft.operators.Skyline.FrontierAgg())
+    rows.select(col(idCol).cast("long").as("id"),
+        array(dims.map { case (c, maximize) =>
+          (if (maximize) col(c) else negate(col(c))).cast("double")
+        }: _*).as("v"))
+      .agg(fr(col("id"), col("v")).as("front"))
+      .select(explode(col("front")).as("e"))
+      .select((col("e._1").as(idCol) +: dims.zipWithIndex.map {
+        case ((c, maximize), i) =>
+          val o = col("e._2").getItem(i)
+          (if (maximize) o else negate(o)).as(c)
+      }): _*)
+  }
+
   case class TransState(ms: Long, eid: Long, tpe: String)
   case class TransitionOut(user_id: Long, prev: String, curr: String, ms: Long)
 

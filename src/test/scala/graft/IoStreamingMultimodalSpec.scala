@@ -832,4 +832,33 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
       }
     } finally q.stop()
   }
+
+  test("streaming skyline equals the batch frontier at every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val rows = IndexedSeq.tabulate(120)(i =>
+      (i.toLong, rnd.nextInt(40).toDouble, rnd.nextInt(40).toDouble))
+    val mem = MemoryStream[(Long, Double, Double)]
+    val src = mem.toDF().toDF("id", "x", "y")
+    val dims = Seq(("x", true), ("y", false))
+    val out = Streams.skylineStream(src, "id", dims)
+    val q = out.writeStream.format("memory").queryName("sky_stream")
+      .outputMode("complete").start()
+    try {
+      val chunks = rows.grouped(40).toSeq
+      var seen = IndexedSeq.empty[(Long, Double, Double)]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("sky_stream").collect()
+          .map(_.getLong(0)).toSet
+        val batch = graft.operators.Skyline
+          .skyline(seen.toDF("id", "x", "y"), "id", dims)
+          .collect().map(_.getLong(0)).toSet
+        assert(streamed === batch, s"prefix of ${seen.length}")
+      }
+    } finally q.stop()
+  }
 }
