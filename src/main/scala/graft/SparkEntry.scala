@@ -256,6 +256,8 @@ object SparkEntry {
     "q233_fd_discovery"     -> (R.q233FdDiscovery(_, _)),
     "q234_sortedness"       -> (R.q234Sortedness(_, _)),
     "q235_grouped_quantiles" -> (T.q235GroupedQuantiles(_, _)),
+    "q236_neyman_alloc"     -> (D.q236NeymanAlloc(_, _)),
+    "q237_mutual_info"      -> (R.q237MutualInfo(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3776,5 +3778,59 @@ object SparkEntry {
         |  CAST(unnest([0.5, 0.95]) AS DOUBLE) AS p,
         |  unnest(quantile_disc(cents, [0.5, 0.95])) AS cents
         |FROM ev GROUP BY event_type, hod""".stripMargin,
+    // q236: HUGEINT sufficient statistics == Spark's decimal(38,0) sums;
+    // sigma and the allocation fractions are fixed-shape double ops over
+    // exact integers; largest-remainder ranks replay on (rem DESC, stratum).
+    "q236_neyman_alloc" ->
+      """WITH s AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |st AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(c AS HUGEINT)) AS s1,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+        |  FROM s GROUP BY o_orderpriority),
+        |sd AS (SELECT o_orderpriority, n,
+        |    sqrt(greatest(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE), 0.0)) AS sdev
+        |  FROM st),
+        |w AS (SELECT *, n * sdev AS wt FROM sd),
+        |t AS (SELECT CASE WHEN SUM(wt) > 0 THEN SUM(wt) ELSE 1.0 END AS tw FROM w),
+        |f AS (SELECT w.*, 1000 * wt / t.tw AS exact,
+        |    CAST(floor(1000 * wt / t.tw) AS BIGINT) AS base FROM w, t),
+        |r AS (SELECT *, exact - base AS rem,
+        |    row_number() OVER (ORDER BY exact - base DESC, o_orderpriority) AS rk,
+        |    1000 - SUM(base) OVER () AS leftover FROM f)
+        |SELECT o_orderpriority, n, round(sdev, 6) AS sd,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r""".stripMargin,
+    // q237: cell census + in-order folds over (a, b)-sorted terms; the
+    // VARCHAR->DECIMAL bridge mirrors Spark's round on each output.
+    "q237_mutual_info" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS cab FROM orders GROUP BY a, b),
+        |ma AS (SELECT a, SUM(cab) AS ca FROM cells GROUP BY a),
+        |mb AS (SELECT b, SUM(cab) AS cb FROM cells GROUP BY b),
+        |nn AS (SELECT SUM(cab) AS n FROM cells),
+        |terms AS (SELECT c.a, c.b,
+        |    (CAST(cab AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln((CAST(cab AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |       (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) AS term
+        |  FROM cells c JOIN ma USING (a) JOIN mb USING (b), nn),
+        |mil AS (SELECT list(term ORDER BY a, b) AS ls,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cells FROM terms),
+        |hal AS (SELECT list(-(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY a) AS ls
+        |  FROM ma, nn),
+        |hbl AS (SELECT list(-(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY b) AS ls
+        |  FROM mb, nn)
+        |SELECT CAST(nn.n AS BIGINT) AS n, mil.n_cells,
+        |  CAST(round(CAST(CAST(list_reduce(hal.ls, (x, y) -> x + y) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS h_a,
+        |  CAST(round(CAST(CAST(list_reduce(hbl.ls, (x, y) -> x + y) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS h_b,
+        |  CAST(round(CAST(CAST(list_reduce(mil.ls, (x, y) -> x + y) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS mi
+        |FROM mil, hal, hbl, nn""".stripMargin,
   )
 }

@@ -65,4 +65,56 @@ object Divergence {
     * double summation (the q121/q133 pattern). */
   private def foldSum(terms: Column, field: String): Column =
     aggregate(terms, lit(0.0d), (acc, t) => acc + t.getField(field))
+
+  /** Mutual information between two categorical columns, in nats —
+    * the dependence profiler: does the metadata column leak the label
+    * (I > 0 says how hard), are two quasi-identifiers redundant, which
+    * feature splits a mixture. I(A;B) = Σ_ab (c_ab/N)·ln(c_ab·N /
+    * (c_a·c_b)), with the marginal entropies alongside so callers can
+    * normalize (I <= min(H_A, H_B)).
+    *
+    * Scale shape: one (a, b)-keyed census — the only row-scale
+    * aggregation — then everything runs on the cells (|A|·|B|-bounded):
+    * marginals re-aggregate the census, and the MI/entropy sums fold
+    * over the (a, b)-SORTED cell list in order, bit-reproducible
+    * cross-engine ([[sourceDivergence]]'s contract). Integer counts
+    * enter one fixed-shape double expression per term; no smoothing —
+    * empty cells contribute 0 by the p·ln p convention, exactly as the
+    * sum over observed cells computes. Output one row:
+    * (n, n_cells, h_a, h_b, mi). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("cab"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    val n = cells.agg(sum(col("cab")).as("n"))
+    def plogp(c: Column, tot: Column): Column =
+      (c.cast("double") / tot.cast("double")) *
+        log(c.cast("double") / tot.cast("double"))
+    val joined = cells.join(ma, "a").join(mb, "b").crossJoin(broadcast(n))
+      .select(col("a"), col("b"),
+        ((col("cab").cast("double") / col("n").cast("double")) *
+          log((col("cab").cast("double") * col("n").cast("double")) /
+            (col("ca").cast("double") * col("cb").cast("double"))))
+          .as("term"), col("n"))
+    val mi = joined
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        sort_array(collect_list(struct(col("a"), col("b"), col("term"))))
+          .as("terms"))
+      .select(col("n"), col("n_cells"),
+        aggregate(col("terms"), lit(0.0d), (acc, t) => acc + t.getField("term"))
+          .as("mi"))
+    val ha = ma.crossJoin(broadcast(n))
+      .agg(sort_array(collect_list(struct(col("a"),
+        negate(plogp(col("ca"), col("n"))).as("t")))).as("ts"))
+      .select(aggregate(col("ts"), lit(0.0d), (acc, t) => acc + t.getField("t"))
+        .as("h_a"))
+    val hb = mb.crossJoin(broadcast(n))
+      .agg(sort_array(collect_list(struct(col("b"),
+        negate(plogp(col("cb"), col("n"))).as("t")))).as("ts"))
+      .select(aggregate(col("ts"), lit(0.0d), (acc, t) => acc + t.getField("t"))
+        .as("h_b"))
+    mi.crossJoin(ha).crossJoin(hb)
+      .select(col("n"), col("n_cells"), col("h_a"), col("h_b"), col("mi"))
+  }
 }

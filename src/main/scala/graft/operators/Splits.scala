@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines: assign every
@@ -103,6 +104,50 @@ object Splits {
     * Rides the bounded [[TopK]] aggregate — per-partition cap-row
     * heaps, never a corpus-wide window sort; survivors broadcast back
     * against the scan. Returns the input rows filtered. */
+  /** Neyman sample-size allocation: given a total `budget` of rows to
+    * sample, split it across strata proportionally to N_h·σ_h — the
+    * variance-minimizing allocation for estimating a mean (the
+    * survey-sampling classic; uniform rates over-sample homogeneous
+    * strata and starve volatile ones). The pipeline use: deciding how
+    * many human-review/eval rows each source deserves.
+    *
+    * Determinism end-to-end: per-stratum (n, Σv, Σv²) are DECIMAL-exact
+    * sufficient statistics (one aggregation; `scale` must hold the
+    * values' decimals, the q178 OLS contract), σ_h is one sqrt of an
+    * exact rational, and the integerization is LARGEST-REMAINDER with a
+    * total (remainder DESC, stratum) order — allocations are integers
+    * that sum EXACTLY to `budget`, bit-replayable. Strata with σ_h = 0
+    * (constant or single-row) get weight 0 and rely on the remainder
+    * rule for any leftover seats. Window work is strata-bounded. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      budget: Long, scale: Int = 4): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val dec = s"decimal(38,$scale)"
+    val v = col(valueCol).cast(dec)
+    val stats = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"))
+      // population σ via the exact rational (n·Σv² − (Σv)²) / n²
+      .withColumn("sd", sqrt(greatest(
+        (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double"), lit(0.0))))
+      .withColumn("w", col("n").cast("double") * col("sd"))
+    val tot = stats.agg(sum(col("w")).as("tw")).select(
+      when(col("tw") > 0, col("tw")).otherwise(lit(1.0)).as("tw"))
+    val frac = stats.crossJoin(broadcast(tot))
+      .withColumn("exact", lit(budget) * col("w") / col("tw"))
+      .withColumn("base", floor(col("exact")).cast("long"))
+      .withColumn("rem", col("exact") - col("base"))
+    val wAll = Window.orderBy(col("rem").desc, col(stratumCol))
+    val wTot = Window.partitionBy()
+    frac
+      .withColumn("rk", row_number().over(wAll))
+      .withColumn("leftover", (lit(budget) - sum(col("base")).over(wTot))
+        .cast("long"))
+      .select(col(stratumCol), col("n"), round(col("sd"), 6).as("sd"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   def capPerKey(df: DataFrame, idCol: String, keyCol: String,
       cap: Int): DataFrame = {
     require(cap >= 1, s"cap=$cap")

@@ -663,7 +663,12 @@ object Relational {
     * rebuilding the sketch, so even the error replays. */
   def q220CmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select($"l_suppkey")
-    val sk = graft.operators.Sketches.cmsBuild(li, "l_suppkey", depth = 4, width = 512)
+    // self-estimate: the SAME sketch feeds both sides of the cell join —
+    // materialize once (lazy localCheckpoint; the sketch is O(cells),
+    // the build is the row-scale explode+census worth sharing)
+    val sk = graft.operators.Sketches
+      .cmsBuild(li, "l_suppkey", depth = 4, width = 512)
+      .localCheckpoint(false)
     val est = graft.operators.Sketches.cmsJoinSize(sk, sk, depth = 4)
       .select($"join_size_est".cast("long").as("join_size_est"))
     val truth = li.groupBy($"l_suppkey").agg(count(lit(1)).as("c"))
@@ -704,6 +709,20 @@ object Relational {
       // sliver threshold well under the sf0.01 row count so the sliver
       // path actually runs at verify scale (not just the final sort)
       exactThreshold = 4096)
+
+  /** q237 — mutual information profile
+    * ([[graft.operators.Divergence.mutualInformation]]): how much the
+    * order status tells you about the priority (and the marginal
+    * entropies to normalize by) — the dependence check run on metadata
+    * columns before trusting them as independent features or
+    * quasi-identifiers. One row-scale census; every float sum folds
+    * over the (a, b)-sorted cell list in order, so the nats replay
+    * bit-for-bit (ln parity, q121 precedent). */
+  def q237MutualInfo(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.mutualInformation(
+        Tables.orders(spark, dir), "o_orderpriority", "o_orderstatus")
+      .select($"n", $"n_cells", round($"h_a", 6).as("h_a"),
+        round($"h_b", 6).as("h_b"), round($"mi", 6).as("mi"))
 
   /** q233 — functional-dependency discovery
     * ([[graft.operators.Profile.functionalDependencies]]) over four

@@ -2599,6 +2599,21 @@ object TrainingData {
         $"first_unit".as("first_day"), $"last_unit".as("last_day"))
   }
 
+  /** q236 — Neyman sampling allocation
+    * ([[graft.operators.Splits.neymanAllocation]]): split a 1000-row
+    * review budget across order priorities proportionally to N_h·σ_h
+    * of the total price — the variance-minimizing sampling plan, with
+    * LARGEST-REMAINDER integerization so allocations sum to the budget
+    * exactly. Prices enter as integer cents (scale 0), making the
+    * sufficient statistics exact integers; σ is one sqrt of an exact
+    * rational, replayed identically by the oracle's HUGEINT sums. */
+  def q236NeymanAlloc(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.neymanAllocation(
+      Tables.orders(spark, dir)
+        .select($"o_orderpriority",
+          round($"o_totalprice" * 100).cast("long").as("cents")),
+      "o_orderpriority", "cents", budget = 1000L, scale = 0)
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -80,6 +80,25 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
     assert(got(("k", "v")) === ((1L, false)))
   }
 
+  test("mutualInformation: independent columns score 0, copies score H") {
+    import spark.implicits._
+    // independent: every (a, b) combination equally likely
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val mi0 = graft.operators.Divergence.mutualInformation(indep, "a", "b")
+      .head()
+    assert(math.abs(mi0.getDouble(4)) < 1e-12)
+    assert(math.abs(mi0.getDouble(2) - math.log(2)) < 1e-12) // H_a = ln 2
+    // b is a copy of a: I(A;B) = H(A) = H(B)
+    val dep = (Seq.fill(6)(("x", "x")) ++ Seq.fill(2)(("y", "y")))
+      .toDF("a", "b")
+    val r = graft.operators.Divergence.mutualInformation(dep, "a", "b").head()
+    val h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(r.getDouble(2) - h) < 1e-12)
+    assert(math.abs(r.getDouble(4) - h) < 1e-12)
+    assert(r.getLong(0) === 8L && r.getLong(1) === 2L)
+  }
+
   test("sortednessCensus: inversions count adjacent backward steps only") {
     import spark.implicits._
     // slice p: seq order 1..5 with values 10,20,15,30,25 -> 2 inversions

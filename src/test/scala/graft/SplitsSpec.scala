@@ -130,4 +130,35 @@ class SplitsSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(0)).toSet
     assert(again == gotA ++ (100L until 105L))
   }
+
+  test("neymanAllocation: volatile strata win seats; totals hit the budget") {
+    import spark.implicits._
+    // stratum a: constant (sd 0); b: spread 0/20 (sd 10); c: spread 0/40
+    // (sd 20) with the same N -> weights 0 : 10N : 20N
+    val df = (Seq.fill(10)(("a", 5L)) ++
+      (0 until 10).map(i => ("b", if (i % 2 == 0) 0L else 20L)) ++
+      (0 until 10).map(i => ("c", if (i % 2 == 0) 0L else 40L)))
+      .toDF("s", "v")
+    val got = graft.operators.Splits
+      .neymanAllocation(df, "s", "v", budget = 90L, scale = 0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    assert(got("a") === ((10L, 0.0, 0L)))
+    assert(got("b") === ((10L, 10.0, 30L))) // 90 * 100/300
+    assert(got("c") === ((10L, 20.0, 60L)))
+    assert(got.values.map(_._3).sum === 90L)
+  }
+
+  test("neymanAllocation: largest-remainder closes the gap deterministically") {
+    import spark.implicits._
+    // three equal-weight strata, budget 10 -> exact 3.33.. each; the two
+    // remainder seats go to the (rem DESC, stratum) order = a then b
+    val df = (for { s <- Seq("a", "b", "c"); i <- 0 until 4 }
+      yield (s, if (i % 2 == 0) 0L else 10L)).toDF("s", "v")
+    val got = graft.operators.Splits
+      .neymanAllocation(df, "s", "v", budget = 10L, scale = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.values.sum === 10L)
+    assert(got === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
 }
