@@ -258,6 +258,7 @@ object SparkEntry {
     "q235_grouped_quantiles" -> (T.q235GroupedQuantiles(_, _)),
     "q236_neyman_alloc"     -> (D.q236NeymanAlloc(_, _)),
     "q237_mutual_info"      -> (R.q237MutualInfo(_, _)),
+    "q238_cusum_drift"      -> (T.q238CusumDrift(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3832,5 +3833,35 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(list_reduce(mil.ls, (x, y) -> x + y) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS mi
         |FROM mil, hal, hbl, nn""".stripMargin,
+    // q238: element-1 mapped to op(zero, e1) (0.0 + x == x in IEEE), then
+    // the same four-field step; fields ordered so every acc.s reader
+    // precedes the s overwrite (the q40 list_reduce aliasing defense);
+    // VARCHAR->DECIMAL bridges mirror Spark's round.
+    "q238_cusum_drift" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    SUM(x) AS sx, list(struct_pack(o := day, x := x) ORDER BY day) AS series
+        |  FROM d GROUP BY event_type),
+        |m AS (SELECT *, sx / n_obs AS mean FROM g),
+        |r AS (SELECT event_type, n_obs, mean,
+        |  list_reduce(list_transform(series, e -> struct_pack(
+        |    na := CAST(CASE WHEN greatest(0.0, e.x - mean - 2.0) >= 50.0 THEN 1 ELSE 0 END AS BIGINT),
+        |    fa := CASE WHEN greatest(0.0, e.x - mean - 2.0) >= 50.0 THEN e.o END,
+        |    mx := greatest(0.0, e.x - mean - 2.0),
+        |    s := greatest(0.0, e.x - mean - 2.0),
+        |    o := e.o, xv := e.x)),
+        |  (acc, x) -> struct_pack(
+        |    na := acc.na + CASE WHEN greatest(0.0, acc.s + x.xv - mean - 2.0) >= 50.0 THEN 1 ELSE 0 END,
+        |    fa := coalesce(acc.fa, CASE WHEN greatest(0.0, acc.s + x.xv - mean - 2.0) >= 50.0 THEN x.o END),
+        |    mx := greatest(acc.mx, greatest(0.0, acc.s + x.xv - mean - 2.0)),
+        |    s := greatest(0.0, acc.s + x.xv - mean - 2.0),
+        |    o := x.o, xv := x.xv)) AS f
+        |  FROM m)
+        |SELECT event_type, n_obs,
+        |  CAST(round(CAST(CAST(mean AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean,
+        |  CAST(f.na AS BIGINT) AS n_alarms, f.fa AS first_alarm,
+        |  CAST(round(CAST(CAST(f.mx AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS max_stat
+        |FROM r""".stripMargin,
   )
 }

@@ -371,6 +371,23 @@ object TimeSeries {
         Seq("event_type", "hod"), "cents", ps = Seq(0.5, 0.95))
       .select($"event_type", $"hod", $"p", $"value".as("cents"))
 
+  /** q238 — CUSUM drift alarms
+    * ([[graft.operators.ChangePoint.cusumSummary]]): per event type,
+    * the one-sided CUSUM over its daily-count series against its own
+    * mean (slack 2, alarm at 50) — sustained volume shifts surface as
+    * (n_alarms, first_alarm, max_stat) long before any single day
+    * crosses a fixed threshold. The day census is the only row-scale
+    * aggregation; the fold replays field-for-field in DuckDB. */
+  def q238CusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.ChangePoint.cusumSummary(
+        daily, "event_type", "day", "x", slack = 2.0, threshold = 50.0)
+      .select($"event_type", $"n_obs", round($"mean", 6).as("mean"),
+        $"n_alarms", $"first_alarm", round($"max_stat", 6).as("max_stat"))
+  }
+
   /** q231 — cohort retention triangle
     * ([[graft.operators.Cohorts.retentionRates]]): users bucketed by
     * first-seen day, distinct returners per day offset, rates as one
