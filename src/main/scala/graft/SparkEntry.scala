@@ -259,6 +259,12 @@ object SparkEntry {
     "q236_neyman_alloc"     -> (D.q236NeymanAlloc(_, _)),
     "q237_mutual_info"      -> (R.q237MutualInfo(_, _)),
     "q238_cusum_drift"      -> (T.q238CusumDrift(_, _)),
+    "q239_ks_drift"         -> (T.q239KsDrift(_, _)),
+    "q240_acf"              -> (T.q240Acf(_, _)),
+    "q241_gini"             -> (D.q241Gini(_, _)),
+    "q242_seasonality"      -> (T.q242Seasonality(_, _)),
+    "q243_holt_forecast"    -> (T.q243HoltForecast(_, _)),
+    "q244_rare_terms"       -> (D.q244RareTerms(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3863,5 +3869,124 @@ object SparkEntry {
         |  CAST(f.na AS BIGINT) AS n_alarms, f.fa AS first_alarm,
         |  CAST(round(CAST(CAST(f.mx AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS max_stat
         |FROM r""".stripMargin,
+    // q239: the bucketed prefix-sum decomposition equals one global
+    // cumulative over distinct values; the max runs on exact integers
+    "q239_ks_drift" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS r
+        |  FROM events),
+        |cen AS (SELECT v, CAST(SUM(1 - r) AS BIGINT) AS ca,
+        |    CAST(SUM(r) AS BIGINT) AS cb FROM c GROUP BY v),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS nv FROM cen),
+        |cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS a,
+        |    SUM(cb) OVER (ORDER BY v) AS b FROM cen)
+        |SELECT tot.na AS n_a, tot.nb AS n_b, tot.nv AS n_values,
+        |  CAST(MAX(ABS(a * tot.nb - b * tot.na)) AS BIGINT) AS d_num,
+        |  CAST(round(CAST(CAST(CAST(MAX(ABS(a * tot.nb - b * tot.na)) AS DOUBLE) /
+        |    CAST(tot.na * tot.nb AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS d
+        |FROM cum, tot GROUP BY tot.na, tot.nb, tot.nv""".stripMargin,
+    // q240: r_k = [n²·Σx·x' − n·S·(H+T) + (n−k)·S²] / [n²·Σx² − n·S²] —
+    // exact integer numerator/denominator, one terminal division
+    "q240_acf" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM d),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
+        |p AS (SELECT a.event_type, g.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(a.x * b.x) AS BIGINT) AS sxy, CAST(SUM(a.x) AS BIGINT) AS sh,
+        |    CAST(SUM(b.x) AS BIGINT) AS st
+        |  FROM r a JOIN g ON true
+        |  JOIN r b ON b.event_type = a.event_type AND b.rn = a.rn + g.lag
+        |  GROUP BY 1, 2)
+        |SELECT p.event_type, p.lag, t.n AS n_obs, p.n_pairs,
+        |  CASE WHEN t.n * t.n * t.sxx - t.n * t.s * t.s <> 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(t.n * t.n * p.sxy - t.n * t.s * (p.sh + p.st)
+        |        + (t.n - p.lag) * t.s * t.s AS DOUBLE) /
+        |      CAST(t.n * t.n * t.sxx - t.n * t.s * t.s AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS r
+        |FROM p JOIN t USING (event_type)""".stripMargin,
+    // q241: tie-run rank contribution v·(c·r0 + c·(c−1)/2) — exact ints
+    "q241_gini" ->
+      """WITH cen AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, v, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum FROM cen),
+        |x AS (SELECT source, v, c, cum - c + 1 AS r0 FROM r),
+        |g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(v * c) AS BIGINT) AS total,
+        |    CAST(SUM(v * (c * r0 + c * (c - 1) // 2)) AS BIGINT) AS six
+        |  FROM x GROUP BY 1)
+        |SELECT source, n, total,
+        |  CASE WHEN n > 1 AND total <> 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(2 * six - (n + 1) * total AS DOUBLE) /
+        |      CAST(n * total AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS gini
+        |FROM g""".stripMargin,
+    // q242: Spark dayofweek is 1=Sunday..7; DuckDB's is 0-based
+    "q242_seasonality" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |cell AS (SELECT event_type, CAST(dayofweek(day) + 1 AS INT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(x) AS BIGINT) AS total
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n_days) AS BIGINT) AS n_all,
+        |    CAST(SUM(total) AS BIGINT) AS t_all FROM cell GROUP BY 1)
+        |SELECT cell.event_type, cell.dow, cell.n_days, cell.total,
+        |  CAST(round(CAST(CAST(CAST(cell.total AS DOUBLE) / CAST(cell.n_days AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean,
+        |  CASE WHEN t.t_all <> 0 THEN
+        |    CAST(round(CAST(CAST(CAST(cell.total * t.n_all AS DOUBLE) /
+        |      CAST(cell.n_days * t.t_all AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS lift
+        |FROM cell JOIN t USING (event_type)""".stripMargin,
+    // q243: the Holt state couples BOTH fields (b reads the step's new l
+    // AND the old l), so no struct field order survives list_reduce's
+    // in-place field aliasing (observed: acc.l inside the b expression
+    // reads the just-overwritten value — the q40/q238 defense only
+    // covers single-overwritten-field states). The replay is a
+    // recursive CTE instead: each iteration reads the PREVIOUS row's
+    // (l, b) — immutable by SQL semantics on any engine.
+    "q243_holt_forecast" ->
+      """WITH RECURSIVE d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    list(x ORDER BY day) AS xs FROM d GROUP BY 1),
+        |it AS (
+        |  SELECT event_type, n_obs, xs, 1 AS i, xs[1] AS l,
+        |    CAST(0.0 AS DOUBLE) AS b FROM g
+        |  UNION ALL
+        |  SELECT event_type, n_obs, xs, i + 1,
+        |    0.5 * xs[i + 1] + 0.5 * (l + b),
+        |    0.25 * ((0.5 * xs[i + 1] + 0.5 * (l + b)) - l) + 0.75 * b
+        |  FROM it WHERE i < n_obs)
+        |SELECT event_type, n_obs,
+        |  CAST(round(CAST(CAST(l AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS level,
+        |  CAST(round(CAST(CAST(b AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS trend,
+        |  CAST(round(CAST(CAST(l + 7.0 * b AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS forecast
+        |FROM it WHERE i = n_obs""".stripMargin,
+    // q244: all-integer ranking (tf desc, df asc, term asc) — no float score
+    "q244_rare_terms" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, term FROM t WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t2 GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        |dfv AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf, n
+        |  GROUP BY term, n.nd HAVING COUNT(*) * 4 <= n.nd * 3),
+        |j AS (SELECT tf.doc_id, tf.term, tf.tf, dfv.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfv.df ASC, tf.term ASC) AS rnk
+        |  FROM tf JOIN dfv USING (term))
+        |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
+        |FROM j WHERE rnk <= 3""".stripMargin,
   )
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Serial-structure profiling of per-key period series: the
+  * autocorrelation function (is yesterday's volume predictive of
+  * today's — does the series carry momentum a seasonal-naive baseline
+  * must model?) and the day-of-week seasonality profile (which weekday
+  * lifts, and by how much). Both are the calibration inputs for the
+  * drift monitors ([[ChangePoint]] assumes exchangeable residuals; a
+  * strongly autocorrelated or seasonal series needs its baseline
+  * removed first or every Monday alarms).
+  *
+  * Scale shape: inputs are (key, period, value) censuses — the
+  * row-scale aggregation happens upstream — so all work here is
+  * bounded by keys × periods. The ACF needs lagged pairs; those come
+  * from ONE per-key window pass (`lag(x, k)` for every k shares the
+  * same window frame) and an unpivot, never a self-join. All moment
+  * sums are integer (the census values are longs), so the estimator
+  * r_k = [n²·Σx_t·x_{t−k} − n·S·(H_k+T_k) + (n−k)·S²] / [n²·Σx² − n·S²]
+  * is one exact-integer numerator and denominator per (key, lag) with
+  * a single terminal division — no float folds to keep in order.
+  */
+object Autocorr {
+
+  /** Per-key ACF at lags 1..maxLag over the series ordered by `ordCol`
+    * (missing periods are skipped, not zero-filled: the series is the
+    * OBSERVED census in period order — document the cadence upstream).
+    * Values must be longs small enough that n²·Σx·x' fits a long
+    * (n = periods per key; daily counts for years of data are fine).
+    * Output: (key, lag, n_obs, n_pairs, r) with r the lag-k serial
+    * correlation (denominator 0 → null r). */
+  def acf(df: DataFrame, keyCol: String, ordCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val x = col(valueCol).cast("long")
+    val lagged = (1 to maxLag).foldLeft(df.select(col(keyCol), col(ordCol),
+      x.as("__x"))) { case (d, k) => d.withColumn(s"__l$k", lag(col("__x"), k).over(w)) }
+    // unpivot the lag columns: one (key, lag, x_t, x_{t-k}) row per pair
+    val stackArgs = (1 to maxLag)
+      .map(k => s"CAST($k AS INT), __l$k").mkString(", ")
+    val pairs = lagged
+      .select(col(keyCol), col("__x"),
+        expr(s"stack($maxLag, $stackArgs)").as(Seq("lag", "__xl")))
+      .where(col("__xl").isNotNull)
+    val perLag = pairs.groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x") * col("__xl")).as("__sxy"),
+        sum(col("__xl")).as("__sh"),  // head of each pair (earlier period)
+        sum(col("__x")).as("__st"))   // tail (later period)
+    val totals = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"), sum(x).as("__s"),
+        sum(x * x).as("__sxx"))
+    val n = col("n_obs")
+    val num = n * n * col("__sxy") - n * col("__s") * (col("__sh") + col("__st")) +
+      (n - col("lag")) * col("__s") * col("__s")
+    val den = n * n * col("__sxx") - n * col("__s") * col("__s")
+    perLag.join(totals, keyCol)
+      .select(col(keyCol), col("lag"), col("n_obs"), col("n_pairs"),
+        when(den =!= 0L, num.cast("double") / den.cast("double")).as("r"))
+  }
+
+  /** Day-of-week profile per key over a daily census: for each (key,
+    * dow) the day count, total volume, mean volume, and the lift of
+    * that weekday's mean over the key's all-days mean — computed as
+    * the exact rational (total·n_days_all) / (n_days·total_all), one
+    * division per cell. `dowCol` is any small categorical period label
+    * (1..7 from `dayofweek`; hours work the same way). Output: (key,
+    * dow, n_days, total, mean, lift). */
+  def seasonalityProfile(df: DataFrame, keyCol: String, dowCol: Column,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val cell = df.groupBy(col(keyCol), dowCol.as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(x).as("total"))
+    val tot = cell.groupBy(col(keyCol))
+      .agg(sum(col("n_days")).as("__n_all"), sum(col("total")).as("__t_all"))
+    cell.join(tot, keyCol)
+      .select(col(keyCol), col("dow"), col("n_days"), col("total"),
+        (col("total").cast("double") / col("n_days").cast("double")).as("mean"),
+        when(col("__t_all") =!= 0L,
+          (col("total") * col("__n_all")).cast("double") /
+            (col("n_days") * col("__t_all")).cast("double")).as("lift"))
+  }
+}

@@ -66,6 +66,71 @@ object Divergence {
   private def foldSum(terms: Column, field: String): Column =
     aggregate(terms, lit(0.0d), (acc, t) => acc + t.getField(field))
 
+  /** Two-sample Kolmogorov–Smirnov statistic over an integer-quantized
+    * value column: D = max over v of |ECDF_a(v) − ECDF_b(v)| — the
+    * nonparametric "did this numeric distribution move" test between
+    * two slices (before/after a pipeline change, this crawl vs last).
+    * The bucket-histogram drift monitors (PSI, [[sourceDivergence]])
+    * depend on a bucketing choice; KS is bucket-free and sensitive to
+    * any location/shape shift.
+    *
+    * Exactness: with counts n_a, n_b and cumulative counts A(v), B(v),
+    * D = max |A(v)·n_b − B(v)·n_a| / (n_a·n_b) — the max runs over
+    * INTEGER cross-products, so the argmax is exact and the single
+    * terminal division is the only float op.
+    *
+    * Scale shape: one (value, side) census is the only row-scale
+    * aggregation. The cumulative walk over distinct values does NOT
+    * use a global one-partition window: values split into ~256 RANGE
+    * buckets by integer offset-division (bucket order = value order),
+    * per-bucket running sums are a partitioned window, and bucket
+    * offsets come from a triangular join over the bounded bucket count
+    * table, broadcast back — the [[GlobalOrder]] prefix-sum shape.
+    * Output one row: (n_a, n_b, n_values, d_num, d). */
+  def ksTwoSample(df: DataFrame, valueCol: String, isRight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // materialize the census ONCE (lazy localCheckpoint, the q170/q221
+    // lesson): it feeds the bounds row, the running sums AND the bucket
+    // totals — without the checkpoint each consumer re-scans the corpus
+    val census = df
+      .select(col(valueCol).cast("long").as("__v"),
+        when(isRight, 1L).otherwise(0L).as("__r"))
+      .groupBy(col("__v"))
+      .agg(sum(lit(1L) - col("__r")).as("__ca"), sum(col("__r")).as("__cb"))
+      .localCheckpoint(false)
+    val bounds = census.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+      sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+      count(lit(1)).as("n_values"))
+    // INTEGER division throughout: `/` on longs is double division in
+    // Spark, which would give every distinct value its own "bucket" and
+    // turn the bounded triangular offsets join quadratic
+    val bucketed = census.crossJoin(broadcast(bounds))
+      .withColumn("__w", greatest(lit(1L), expr("(__hi - __lo) div 256") + 1L))
+      .withColumn("__b", expr("(__v - __lo) div __w"))
+    val wOrd = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val run = bucketed
+      .withColumn("__ra", sum(col("__ca")).over(wOrd))
+      .withColumn("__rb", sum(col("__cb")).over(wOrd))
+    val btot = bucketed.groupBy(col("__b"))
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+    val offs = btot.as("a")
+      .join(btot.select(col("__b").as("__b2"), col("__ta").as("__ta2"),
+        col("__tb").as("__tb2")), col("__b2") < col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"))
+      .agg(coalesce(sum(col("__ta2")), lit(0L)).as("__oa"),
+        coalesce(sum(col("__tb2")), lit(0L)).as("__ob"))
+    run.join(broadcast(offs), "__b")
+      .select(col("__na"), col("__nb"), col("n_values"),
+        abs((col("__oa") + col("__ra")) * col("__nb") -
+          (col("__ob") + col("__rb")) * col("__na")).as("__gap"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_values"))
+      .agg(max(col("__gap")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("n_values"), col("d_num"),
+        when(col("n_a") =!= 0L && col("n_b") =!= 0L,
+          col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+          .as("d"))
+  }
+
   /** Mutual information between two categorical columns, in nats —
     * the dependence profiler: does the metadata column leak the label
     * (I > 0 says how hard), are two quasi-identifiers redundant, which

@@ -103,4 +103,44 @@ object Ranking {
       .select(col("q").as(qCol), col("item").as(itemCol),
         col("rrf"), col("fused_rank").cast("long").as("fused_rank"))
   }
+
+  /** Distinctive-term extraction: for each document, its top-k RARE
+    * terms — terms whose corpus document frequency is at most
+    * (dfNum/dfDen)·N of the N documents — ranked by (tf desc, df asc,
+    * term asc). The keyword/tag primitive for corpus browsing and
+    * topic routing: common words never surface (the df cap plays the
+    * idf role), and the ordering is ALL-INTEGER — no log-weighted
+    * float score whose cross-engine tie behavior would be a coin flip
+    * at 1e-17. The cap is a corpus FRACTION (compared exactly as
+    * df·dfDen ≤ dfNum·N) so the same query means the same thing at
+    * every scale factor.
+    *
+    * Scale shape: (doc, term) tf census and term df census in one
+    * explode pass each (map-side combined); the df side aggregates to
+    * vocabulary size and joins back on term (a term-keyed shuffle of
+    * the vocab, not the corpus); N is a broadcast 1-row scalar; the
+    * df cap filters BEFORE the per-doc top-k window, so the window
+    * input is only rare-term hits. Output: (id, term, tf, df, rnk),
+    * rnk = 1..k. */
+  def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
+      dfNum: Long, dfDen: Long, topK: Int): DataFrame = {
+    require(dfDen > 0 && dfNum >= 0, s"bad df cap fraction $dfNum/$dfDen")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * dfDen <= col("__n") * dfNum)
+      .select(col("term"), col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfT, "term")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        col("rnk").cast("long").as("rnk"))
+  }
 }

@@ -34,4 +34,39 @@ object WeightedStats {
       .agg(min(col(valueCol)).as("weighted_median"),
         max(col("tot")).as("total_weight"))
   }
+
+  /** Per-group Gini concentration of a non-negative integer value —
+    * the inequality audit (is 90% of the corpus volume coming from 2%
+    * of its sources? is one customer most of a nation's revenue?). A
+    * Gini near 0 is uniform mass; near 1, concentrated — the number a
+    * mixture-rebalancing step ([[Mixture]]) reads before reweighting.
+    *
+    * Exact sorted-rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * (x ascending, i = 1..n), computed from the (group, value) CENSUS:
+    * a tie-run of value v with count c starting at rank r₀ contributes
+    * v·(c·r₀ + c·(c−1)/2) to Σ i·xᵢ — independent of within-run order,
+    * so the statistic is deterministic without any tiebreak. All sums
+    * are integer; ONE terminal division per group. Scale shape: the
+    * census is the only row-scale aggregation; the cumulative walk is
+    * a per-group window over DISTINCT values (bounded by the value
+    * domain, not rows). Output: (group, n, total, gini); n ≤ 1 or
+    * total = 0 → null gini. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val census = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val ranked = census
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      // rank of the first row of this tie-run (1-based)
+      .withColumn("__r0", col("__cum") - col("__c") + 1L)
+      .withColumn("__ix", col("__v") *
+        (col("__c") * col("__r0") + col("__c") * (col("__c") - 1L) / 2L))
+    ranked.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"), sum(col("__v") * col("__c")).as("total"),
+        sum(col("__ix")).as("__six"))
+      .select(col(groupCol), col("n"), col("total"),
+        when(col("n") > 1L && col("total") =!= 0L,
+          (lit(2L) * col("__six") - (col("n") + 1L) * col("total")).cast("double") /
+            (col("n") * col("total")).cast("double")).as("gini"))
+  }
 }

@@ -450,4 +450,68 @@ object TimeSeries {
       .sweepPeak(iv, "event_type", "s", "e", 86400000L)
       .select($"event_type", $"n_intervals", $"peak".cast("long").as("peak_concurrency"))
   }
+
+  /** q239 — two-sample KS drift ([[graft.operators.Divergence
+    * .ksTwoSample]]): did the event-value distribution move between
+    * the first and second half of the month? Values quantize to cents
+    * (the census-boundedness rule), the max-gap scan runs over integer
+    * cross-products |A(v)·n_b − B(v)·n_a| — exact argmax, one terminal
+    * division — and the cumulative walk is range-bucketed (never a
+    * one-partition window). The oracle replays the plain global
+    * cumulative, equal by the prefix-sum decomposition. */
+  def q239KsDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.ksTwoSample(
+        events(spark, dir).select(
+          round($"value" * 100).cast("long").as("cents"), $"ts"),
+        "cents", $"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"))
+      .select($"n_a", $"n_b", $"n_values", $"d_num", round($"d", 6).as("d"))
+
+  /** q240 — autocorrelation function ([[graft.operators.Autocorr
+    * .acf]]): per event type, lag-1..7 serial correlation of the daily
+    * event-count series — does volume carry momentum the drift
+    * monitors must baseline out? Lagged pairs come from ONE per-key
+    * window pass (no self-join); every moment is an integer sum and
+    * r_k is one exact-integer ratio, so the oracle replay needs no
+    * float-fold ordering at all. */
+  def q240Acf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Autocorr.acf(daily, "event_type", "day", "x", maxLag = 7)
+      .select($"event_type", $"lag", $"n_obs", $"n_pairs",
+        round($"r", 6).as("r"))
+  }
+
+  /** q242 — day-of-week seasonality profile ([[graft.operators
+    * .Autocorr.seasonalityProfile]]): per (event type, weekday) the
+    * day count, volume, mean, and lift over the type's all-days mean —
+    * the exact rational (total·n_days_all)/(n_days·total_all), one
+    * division per cell. Spark's dayofweek is 1=Sunday..7; the oracle
+    * shifts DuckDB's 0-based dayofweek by one. */
+  def q242Seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Autocorr.seasonalityProfile(
+        daily, "event_type", dayofweek($"day"), "x")
+      .select($"event_type", $"dow", $"n_days", $"total",
+        round($"mean", 6).as("mean"), round($"lift", 6).as("lift"))
+  }
+
+  /** q243 — Holt level+trend forecast ([[graft.operators.Forecast
+    * .holtSummary]]): per event type, double-exponential smoothing of
+    * the daily count series (α=0.5, β=0.25 — exact binary doubles) and
+    * the 7-days-out volume projection. The recurrence folds in period
+    * order with a two-field state replayed field-for-field by
+    * list_reduce; the NaN seed sentinel maps element 1 to (l=x₁, b=0)
+    * on both engines. */
+  def q243HoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Forecast.holtSummary(
+        daily, "event_type", "day", "x", alpha = 0.5, beta = 0.25, horizon = 7)
+      .select($"event_type", $"n_obs", round($"level", 6).as("level"),
+        round($"trend", 6).as("trend"), round($"forecast", 6).as("forecast"))
+  }
 }

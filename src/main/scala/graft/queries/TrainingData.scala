@@ -2614,6 +2614,28 @@ object TrainingData {
           round($"o_totalprice" * 100).cast("long").as("cents")),
       "o_orderpriority", "cents", budget = 1000L, scale = 0)
 
+  /** q241 — Gini concentration of document length per source
+    * ([[graft.operators.WeightedStats.gini]]): is a source's volume
+    * spread evenly across its documents or carried by a few giants —
+    * the inequality number a mixture-rebalancing step reads before
+    * reweighting. Exact sorted-rank formula from the (source, length)
+    * census; tie-runs contribute v·(c·r₀ + c·(c−1)/2) so no tiebreak
+    * order exists; one terminal division per source. */
+  def q241Gini(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WeightedStats.gini(docs(spark, dir), "source", "n_chars")
+      .select($"source", $"n", $"total", round($"gini", 6).as("gini"))
+
+  /** q244 — distinctive-term extraction ([[graft.operators.Ranking
+    * .distinctiveTerms]]): each document's top-3 rare terms (corpus
+    * df ≤ ¾·N — exact integer compare, scale-factor-stable), ranked
+    * (tf desc, df asc, term asc) — ALL-INTEGER ordering, so no float
+    * score whose cross-engine tie behavior is a coin flip. The df cap
+    * plays the idf role and filters before the per-doc top-k
+    * window. */
+  def q244RareTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.distinctiveTerms(
+      docs(spark, dir), "doc_id", "text", dfNum = 3L, dfDen = 4L, topK = 3)
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -401,4 +401,40 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // the final min() reuse its partitioning (group ⊂ (group, value))
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(1500))
   }
+
+  test("q239: KS cumulative walk is bucket-partitioned; only the bounds row is single-partition") {
+    val p = physical("q239_ks_drift")
+    // the prefix sums run as __b-partitioned windows over INTEGER
+    // buckets (a double-division bucket id would give every distinct
+    // value its own bucket and blow up the triangular offsets join)
+    assert(p.contains("windowspecdefinition(__b"), p.take(2000))
+    assert(!p.contains("knownfloatingpointnormalized"), p.take(2000))
+    // single-partition hops exist only as 1-row scalar aggregates over
+    // the checkpointed census (bounds rows) — never a Sort or Window
+    assert(!p.contains("Sort [__v#") ||
+      !"Exchange SinglePartition[\\s\\S]{0,200}Sort \\[__v".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 3, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q240: ACF lags come from ONE window pass — no self-join of the series") {
+    val p = physical("q240_acf")
+    // a lag-join formulation would plan 7 joins; the window-unpivot
+    // shape plans exactly one Window (7 lag frames share it) + stack
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("stack(7"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q244: rare-term top-k pushes the group limit below the doc shuffle") {
+    val p = physical("q244_rare_terms")
+    // WindowGroupLimit Partial/Final: only ≤3 candidate rows per doc
+    // cross the exchange, not every rare-term hit
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2, p.take(2000))
+    // the df cap compares against a broadcast 1-row corpus count
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Autocorr, Divergence, Forecast, Ranking, WeightedStats}
+
+/** Round-7 series/statistics operators: ACF, seasonality profile, Holt
+  * forecast, Gini concentration, KS two-sample, distinctive terms
+  * (q239–q244's operators, off-fixture). */
+class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
+
+  import org.apache.spark.sql.functions._
+
+  test("acf of a perfectly alternating series is -1 at lag 1, +1 at lag 2") {
+    import spark.implicits._
+    val xs = Seq.tabulate(10)(i => (f"d$i%02d", if (i % 2 == 0) 10L else 20L))
+    val df = xs.map { case (d, v) => ("k", d, v) }.toDF("k", "day", "x")
+    val r = Autocorr.acf(df, "k", "day", "x", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(r.length === 2)
+    // alternating +-5 around the mean: lag-1 products are all -25, and
+    // the estimator divides by the FULL n-term variance (n=10, pairs=9)
+    assert(math.abs(r(0).getDouble(4) - (-9.0 / 10.0)) < 1e-12)
+    assert(math.abs(r(1).getDouble(4) - (8.0 / 10.0)) < 1e-12)
+    assert(r(0).getLong(2) === 10L && r(0).getLong(3) === 9L)
+  }
+
+  test("acf matches the direct definition on an irregular series") {
+    import spark.implicits._
+    val vals = Seq(3L, 7L, 1L, 9L, 4L, 6L, 2L, 8L)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("k", f"d$i%02d", v) }.toDF("k", "day", "x")
+    val n = vals.length
+    val m = vals.sum.toDouble / n
+    def direct(k: Int): Double = {
+      val num = (0 until n - k).map(i => (vals(i) - m) * (vals(i + k) - m)).sum
+      val den = vals.map(v => (v - m) * (v - m)).sum
+      num / den
+    }
+    val r = Autocorr.acf(df, "k", "day", "x", maxLag = 3)
+      .orderBy("lag").collect()
+    (1 to 3).foreach { k =>
+      assert(math.abs(r(k - 1).getDouble(4) - direct(k)) < 1e-12, s"lag $k")
+    }
+  }
+
+  test("seasonality lift is the exact rational cell-mean over overall-mean") {
+    import spark.implicits._
+    // dow 1 days average 30, dow 2 days average 10; overall mean 20
+    val df = Seq(("k", 1, 30L), ("k", 1, 30L), ("k", 2, 10L), ("k", 2, 10L))
+      .toDF("k", "dw", "x")
+    val r = Autocorr.seasonalityProfile(df, "k", col("dw"), "x")
+      .orderBy("dow").collect()
+    assert(r(0).getDouble(4) === 30.0 && math.abs(r(0).getDouble(5) - 1.5) < 1e-15)
+    assert(r(1).getDouble(4) === 10.0 && math.abs(r(1).getDouble(5) - 0.5) < 1e-15)
+  }
+
+  test("holt summary replays the hand recurrence and projects linearly") {
+    import spark.implicits._
+    val vals = Seq(10.0, 20.0, 14.0, 18.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("k", f"d$i%02d", v) }.toDF("k", "day", "x")
+    var l = vals.head; var b = 0.0
+    vals.tail.foreach { x =>
+      val ln = 0.5 * x + 0.5 * (l + b)
+      b = 0.25 * (ln - l) + 0.75 * b
+      l = ln
+    }
+    val r = Forecast.holtSummary(df, "k", "day", "x",
+      alpha = 0.5, beta = 0.25, horizon = 3).head()
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === l)                  // bit-identical fold
+    assert(r.getDouble(3) === b)
+    assert(r.getDouble(4) === l + 3.0 * b)
+  }
+
+  test("gini: uniform mass is 0, fully concentrated approaches (n-1)/n") {
+    import spark.implicits._
+    val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
+      ("c", 0L), ("c", 0L), ("c", 0L), ("c", 4L)).toDF("g", "v")
+    val r = WeightedStats.gini(df, "g", "v").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("u").getDouble(3) === 0.0)
+    // one holder of all mass among 4: G = (2*16 - 5*4)/(4*4) = 0.75
+    assert(r("c").getDouble(3) === 0.75)
+  }
+
+  test("gini is tie-order independent (census contribution formula)") {
+    import spark.implicits._
+    // values with heavy ties; compare against the sorted-rank formula
+    val vals = Seq(1L, 1L, 2L, 2L, 2L, 7L)
+    val df = vals.map(("k", _)).toDF("g", "v")
+    val sorted = vals.sorted
+    val n = vals.length
+    val six = sorted.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum
+    val tot = vals.sum
+    val expect = (2.0 * six - (n + 1).toLong * tot) / (n.toLong * tot).toDouble
+    val r = WeightedStats.gini(df, "g", "v").head()
+    assert(r.getDouble(3) === expect)
+  }
+
+  test("ks two-sample: identical samples give 0, disjoint give 1") {
+    import spark.implicits._
+    val same = (1 to 20).flatMap(i => Seq((i.toLong, false), (i.toLong, true)))
+      .toDF("v", "r")
+    val s = Divergence.ksTwoSample(same, "v", col("r")).head()
+    assert(s.getLong(3) === 0L && s.getDouble(4) === 0.0)
+    val disj = ((1 to 10).map(i => (i.toLong, false)) ++
+      (11 to 20).map(i => (i.toLong, true))).toDF("v", "r")
+    val d = Divergence.ksTwoSample(disj, "v", col("r")).head()
+    assert(d.getDouble(4) === 1.0)
+  }
+
+  test("ks statistic equals the brute-force ECDF max gap") {
+    import spark.implicits._
+    val a = Seq(1L, 3L, 3L, 7L, 9L, 12L)
+    val b = Seq(2L, 3L, 8L, 8L, 10L)
+    val df = (a.map((_, false)) ++ b.map((_, true))).toDF("v", "r")
+    val vs = (a ++ b).distinct.sorted
+    val brute = vs.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)
+    }.max
+    val r = Divergence.ksTwoSample(df, "v", col("r")).head()
+    assert(r.getLong(0) === a.size.toLong && r.getLong(1) === b.size.toLong)
+    assert(math.abs(r.getDouble(4) - brute) < 1e-12)
+  }
+
+  test("distinctive terms: common terms never surface, rank order is integer") {
+    import spark.implicits._
+    // 'the' appears in all 4 docs (df cap 1/2 excludes it);
+    // doc 1's top term is its tf-2 rare word
+    val df = Seq(
+      (1L, "the zebra zebra quark"),
+      (2L, "the apple"),
+      (3L, "the apple"),
+      (4L, "the moon")).toDF("doc_id", "text")
+    val r = Ranking.distinctiveTerms(df, "doc_id", "text",
+      dfNum = 1L, dfDen = 2L, topK = 2).orderBy("doc_id", "rnk").collect()
+    assert(!r.exists(_.getString(1) == "the"))
+    val d1 = r.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getString(1)).toSeq === Seq("zebra", "quark"))
+    assert(d1.head.getLong(2) === 2L) // tf of zebra
+    // apple has df 2 = cap boundary (2*2 <= 4*1): included exactly
+    assert(r.filter(_.getLong(0) == 2L).map(_.getString(1)).toSeq === Seq("apple"))
+  }
+}
