@@ -265,6 +265,9 @@ object SparkEntry {
     "q242_seasonality"      -> (T.q242Seasonality(_, _)),
     "q243_holt_forecast"    -> (T.q243HoltForecast(_, _)),
     "q244_rare_terms"       -> (D.q244RareTerms(_, _)),
+    "q245_hits"             -> (R.q245Hits(_, _)),
+    "q246_zipf"             -> (D.q246Zipf(_, _)),
+    "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -3988,5 +3991,87 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q245: 4 unrolled HITS rounds; every mass is an exact integer sum
+    // and every normalization the identical `//` floor (q169 pattern)
+    "q245_hits" -> {
+      val base =
+        """WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          |edges AS (SELECT c AS src, 1000000 + s AS dst FROM pairs),
+          |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+          |nn AS (SELECT COUNT(*) AS nn FROM nodes),
+          |h0 AS (SELECT node, 1000000000 // nn.nn AS hf
+          |FROM nodes CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s"""ar$i AS (SELECT e.dst AS node, SUM(h.hf) AS ar
+           |FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+           |at$i AS (SELECT SUM(ar) AS t FROM ar$i),
+           |a$i AS (SELECT n.node,
+           |CAST((COALESCE(r.ar, 0) * 1000000000) // at$i.t AS BIGINT) AS af
+           |FROM nodes n CROSS JOIN at$i LEFT JOIN ar$i r ON n.node = r.node),
+           |hr$i AS (SELECT e.src AS node, SUM(a.af) AS hr
+           |FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+           |ht$i AS (SELECT SUM(hr) AS t FROM hr$i),
+           |h$i AS (SELECT n.node,
+           |CAST((COALESCE(r.hr, 0) * 1000000000) // ht$i.t AS BIGINT) AS hf
+           |FROM nodes n CROSS JOIN ht$i LEFT JOIN hr$i r ON n.node = r.node)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        """
+          |SELECT h4.node,
+          |CASE WHEN h4.node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
+          |CAST(round(CAST(CAST(h4.hf / 1000000000.0 AS VARCHAR) AS DECIMAL(38,20)), 9) AS DOUBLE) AS hub,
+          |CAST(round(CAST(CAST(a4.af / 1000000000.0 AS VARCHAR) AS DECIMAL(38,20)), 9) AS DOUBLE) AS auth
+          |FROM h4 JOIN a4 ON h4.node = a4.node""".stripMargin
+    },
+    // q246: rank via bounded top-R window; pure-additive list_reduce
+    // (each field reads only itself — safe under in-place aliasing);
+    // the slope re-derives textually inside the intercept
+    "q246_zipf" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM t
+        |  WHERE length(tok) > 0 GROUP BY tok),
+        |top AS (SELECT tok, freq FROM c ORDER BY freq DESC, tok LIMIT 30),
+        |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+        |  FROM top),
+        |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    list(struct_pack(x := ln(CAST(rnk AS DOUBLE)),
+        |      y := ln(CAST(freq AS DOUBLE))) ORDER BY rnk) AS ls FROM rk),
+        |f AS (SELECT n, list_reduce(list_transform(ls, e -> struct_pack(
+        |    sx := e.x, sy := e.y, sxy := e.x * e.y, sxx := e.x * e.x)),
+        |  (acc, e) -> struct_pack(
+        |    sx := acc.sx + e.sx, sy := acc.sy + e.sy,
+        |    sxy := acc.sxy + e.sxy, sxx := acc.sxx + e.sxx)) AS f
+        |  FROM l)
+        |SELECT n AS n_terms,
+        |  CAST(round(CAST(CAST(
+        |    (n * f.sxy - f.sx * f.sy) / (n * f.sxx - f.sx * f.sx)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS slope,
+        |  CAST(round(CAST(CAST(
+        |    (f.sy - ((n * f.sxy - f.sx * f.sy) / (n * f.sxx - f.sx * f.sx)) * f.sx)
+        |      / CAST(n AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS intercept
+        |FROM f""".stripMargin,
+    // q247: the oracle can afford the (key × shard) unnest grid the
+    // Spark HOF avoids; argmax = (digest DESC, shard ASC) row 1
+    "q247_reshard" ->
+      """WITH k AS (SELECT CAST(doc_id AS VARCHAR) AS ks FROM documents),
+        |s16 AS (SELECT unnest(range(0, 16)) AS s), s17 AS (SELECT unnest(range(0, 17)) AS s),
+        |b16 AS (SELECT ks, s FROM (SELECT k.ks, s16.s,
+        |    row_number() OVER (PARTITION BY k.ks
+        |      ORDER BY md5(k.ks || ':' || CAST(s16.s AS VARCHAR)) DESC, s16.s) AS rn
+        |  FROM k, s16) WHERE rn = 1),
+        |b17 AS (SELECT ks, s FROM (SELECT k.ks, s17.s,
+        |    row_number() OVER (PARTITION BY k.ks
+        |      ORDER BY md5(k.ks || ':' || CAST(s17.s AS VARCHAR)) DESC, s17.s) AS rn
+        |  FROM k, s17) WHERE rn = 1),
+        |m AS (SELECT ks, CAST(('0x' || substring(md5(ks), 1, 15)) AS BIGINT) AS mk
+        |  FROM k)
+        |SELECT CAST(b16.s AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN b16.s <> b17.s THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |  CAST(SUM(CASE WHEN m.mk % 16 <> m.mk % 17 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_mod
+        |FROM b16 JOIN b17 ON b16.ks = b17.ks JOIN m ON b16.ks = m.ks
+        |GROUP BY b16.s""".stripMargin,
   )
 }

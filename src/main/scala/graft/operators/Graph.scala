@@ -86,4 +86,64 @@ object Graph {
     pr.select(col("node"),
       (col("prf").cast("double") / lit(RankScale.toDouble)).as("pr"))
   }
+
+  /** HITS scale: 9 decimal digits of fixed point. Tighter than
+    * [[RankScale]] on purpose — the normalize step multiplies a raw
+    * in-mass (≤ Scale after normalization of the previous vector) by
+    * Scale before the integer division, so Scale² · slack must stay
+    * inside Long: 10^9 · 10^9 = 10^18 < 2^63. */
+  val HitsScale: Long = 1000000000L
+
+  /** Kleinberg HITS hubs/authorities over distinct directed edges,
+    * with L1 normalization (the sum-to-Scale variant — L2's sqrt would
+    * leave integer arithmetic): per round
+    *   a(v) = Σ_{u→v} h(u), then a ← a·Scale div Σa;
+    *   h(u) = Σ_{u→v} a(v), then h ← h·Scale div Σh.
+    * The "good buyers point at good suppliers" dual ranking — on a
+    * bipartite trade/link graph PageRank conflates the two roles,
+    * HITS separates them.
+    *
+    * Scale shape mirrors [[pageRank]]: per round TWO hash exchanges
+    * (in-mass keyed dst, out-mass keyed src), each an exact associative
+    * INTEGER sum — map-side combined, no per-node state beyond one
+    * long, bit-identical to the oracle's unrolled-CTE replay at any
+    * parallelism. Normalization totals are 1-row broadcast scalars.
+    * Loop invariants (edges, nodes) checkpoint once; each round's
+    * vectors checkpoint to cut lineage. Output: (node, hub, auth)
+    * doubles at scale 1e-9. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val nDf = broadcast(nodes.agg(count(lit(1)).as("nn")))
+    var h = nodes.crossJoin(nDf)
+      .select(col("node"), expr(s"$HitsScale div nn").as("hf"))
+      .localCheckpoint(false)
+    var a = h.select(col("node"), col("hf").as("af"))
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(h, e("src") === h("node"))
+        .groupBy(col("dst")).agg(sum(col("hf")).as("ar"))
+      val at = broadcast(aRaw.agg(sum(col("ar")).as("t")))
+      a = nodes.join(aRaw, nodes("node") === aRaw("dst"), "left")
+        .crossJoin(at)
+        .select(col("node"),
+          expr(s"(coalesce(ar, 0) * $HitsScale) div t").as("af"))
+        .localCheckpoint(false)
+      val hRaw = e.join(a, e("dst") === a("node"))
+        .groupBy(col("src")).agg(sum(col("af")).as("hr"))
+      val ht = broadcast(hRaw.agg(sum(col("hr")).as("t")))
+      h = nodes.join(hRaw, nodes("node") === hRaw("src"), "left")
+        .crossJoin(ht)
+        .select(col("node"),
+          expr(s"(coalesce(hr, 0) * $HitsScale) div t").as("hf"))
+        .localCheckpoint(false)
+    }
+    h.join(a, "node")
+      .select(col("node"),
+        (col("hf").cast("double") / lit(HitsScale.toDouble)).as("hub"),
+        (col("af").cast("double") / lit(HitsScale.toDouble)).as("auth"))
+  }
 }

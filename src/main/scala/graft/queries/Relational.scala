@@ -392,6 +392,24 @@ object Relational {
         round($"pr", 10).as("pagerank"))
   }
 
+  /** q245 — HITS hubs/authorities ([[graft.operators.Graph.hits]]):
+    * the DIRECTED customer→supplier trade graph, 4 rounds of the
+    * mutual-reinforcement recurrence with L1 normalization — hub
+    * customers buy from authoritative suppliers, two roles q169's
+    * PageRank conflates. Fixed-point longs (scale 10^9) keep every
+    * in/out-mass an exact integer sum; the oracle unrolls the rounds
+    * as CTEs with the identical `//` floors. */
+  def q245Hits(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+    graft.operators.Graph.hits(pairs, "src", "dst", iterations = 4)
+      .select($"node",
+        when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
+        round($"hub", 9).as("hub"), round($"auth", 9).as("auth"))
+  }
+
   /** q178 — grouped OLS trend fit ([[graft.operators.Regression
     * .groupedOls]]): price-vs-quantity slope / intercept / r² per
     * return flag in ONE aggregation pass over six mergeable sufficient

@@ -2636,6 +2636,30 @@ object TrainingData {
     graft.operators.Ranking.distinctiveTerms(
       docs(spark, dir), "doc_id", "text", dfNum = 3L, dfDen = 4L, topK = 3)
 
+  /** q246 — Zipf-law fit ([[graft.operators.Profile.zipfSlope]]): OLS
+    * slope/intercept of ln(freq) on ln(rank) over the top-30 terms —
+    * the corpus-health number (natural language slopes near −1;
+    * template spam bends it). Bounded TakeOrdered cut, all four float
+    * sums fold in rank order (the q237 contract), pure-additive
+    * accumulator fields so the replay is safe under either
+    * list_reduce field semantics. */
+  def q246Zipf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.zipfSlope(docs(spark, dir), "text", topR = 30)
+      .select($"n_terms", round($"slope", 6).as("slope"),
+        round($"intercept", 6).as("intercept"))
+
+  /** q247 — rendezvous resharding census ([[graft.operators.Sharding
+    * .reshardCensus]]): per current shard (16), how many documents it
+    * holds and how many move growing to 17 — next to the same count
+    * under naive mod-hash placement (~1/17 vs ~16/17 of the corpus).
+    * Assignment is an md5-argmax HOF projection, no joins, no
+    * (key × shard) grid; the census aggregates on the 16-value shard
+    * key. */
+  def q247Reshard(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sharding.reshardCensus(
+        docs(spark, dir), "doc_id", nFrom = 16, nTo = 17)
+      .select($"shard", $"n_keys", $"n_moved", $"n_moved_mod")
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -428,6 +428,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q246: zipf top-R is a bounded TakeOrdered cut, never a global sort") {
+    val p = physical("q246_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(1500))
+  }
+
+  test("q247: rendezvous assignment is a pure projection — no join, no key-grid explode") {
+    val p = physical("q247_reshard")
+    // the md5-argmax HOF runs inside the scan projection; the only
+    // aggregation is the 16-key shard census
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Generate explode"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
   test("q244: rare-term top-k pushes the group limit below the doc shuffle") {
     val p = physical("q244_rare_terms")
     // WindowGroupLimit Partial/Final: only ≤3 candidate rows per doc
