@@ -266,6 +266,8 @@ object SparkEntry {
     "q243_holt_forecast"    -> (T.q243HoltForecast(_, _)),
     "q244_rare_terms"       -> (D.q244RareTerms(_, _)),
     "q245_hits"             -> (R.q245Hits(_, _)),
+    "q248_seasonal_anomaly" -> (T.q248SeasonalAnomaly(_, _)),
+    "q249_calibration"      -> (T.q249Calibration(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -3991,6 +3993,49 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q248: expected is ONE exact-int division, resid ONE subtraction —
+    // the |resid| rank order is a float total order both engines share
+    "q248_seasonal_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dd,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, strftime(dd, '%Y-%m-%d') AS day,
+        |    dayofweek(dd) + 1 AS dw, x FROM d),
+        |c AS (SELECT event_type, dw, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS t FROM b GROUP BY 1, 2),
+        |j AS (SELECT b.event_type, b.day, b.x,
+        |    CAST(c.t AS DOUBLE) / CAST(c.n AS DOUBLE) AS expected
+        |  FROM b JOIN c ON b.event_type = c.event_type AND b.dw = c.dw),
+        |r AS (SELECT event_type, day, x, expected,
+        |    CAST(x AS DOUBLE) - expected AS resid,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(CAST(x AS DOUBLE) - expected) DESC, day) AS rnk
+        |  FROM j)
+        |SELECT event_type, day, x AS value,
+        |  CAST(round(CAST(CAST(expected AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS expected,
+        |  CAST(round(CAST(CAST(resid AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS resid,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
+    // q249: equal-frequency buckets from the census cumulative —
+    // a tie-run's bucket is rows_before·B div N, never a split
+    "q249_calibration" ->
+      """WITH s AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS s,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS p
+        |  FROM events),
+        |c AS (SELECT g, s, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS np FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, s, n, np,
+        |    COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+        |    SUM(n) OVER (PARTITION BY g) AS tot FROM c),
+        |a AS (SELECT g, LEAST(9, (bef * 10) // tot) AS bucket,
+        |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(s * n) AS BIGINT) AS ss FROM w GROUP BY 1, 2)
+        |SELECT g AS event_type, CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+        |  CAST(round(CAST(CAST(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_score,
+        |  CAST(round(CAST(CAST(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS pos_rate
+        |FROM a""".stripMargin,
     // q245: 4 unrolled HITS rounds; every mass is an exact integer sum
     // and every normalization the identical `//` floor (q169 pattern)
     "q245_hits" -> {

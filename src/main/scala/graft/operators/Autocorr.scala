@@ -63,6 +63,39 @@ object Autocorr {
         when(den =!= 0L, num.cast("double") / den.cast("double")).as("r"))
   }
 
+  /** Seasonally-adjusted anomaly extraction over a daily census: each
+    * day's residual against ITS OWN weekday's mean (the
+    * [[seasonalityProfile]] baseline applied), ranked per key by
+    * |residual| — the "which days were genuinely unusual once Monday
+    * is allowed to look like Monday" readout that a raw-threshold
+    * monitor (or an unadjusted CUSUM) gets wrong on weekly-patterned
+    * volume.
+    *
+    * Determinism: expected = total_dow/n_dow is ONE double division of
+    * exact integers and residual ONE subtraction — bit-identical
+    * cross-engine, so ranking on (|residual| desc, day asc) is a total
+    * order both engines agree on without rounding tricks. Scale shape:
+    * cell means are a dow-keyed aggregate of the census; the rank
+    * window partitions by key over census rows. Output: (key, day,
+    * value, expected, resid, rnk), rnk = 1..topK. */
+  def seasonalAnomalies(df: DataFrame, keyCol: String, dayCol: String,
+      dowCol: Column, valueCol: String, topK: Int): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val base = df.select(col(keyCol), col(dayCol).as("day"),
+      dowCol.as("__dw"), x.as("__x"))
+    val cell = base.groupBy(col(keyCol), col("__dw"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__t"))
+    val joined = base.join(cell, Seq(keyCol, "__dw"))
+      .withColumn("expected", col("__t").cast("double") / col("__n").cast("double"))
+      .withColumn("resid", col("__x").cast("double") - col("expected"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("resid")).desc, col("day").asc)
+    joined.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col(keyCol), col("day"), col("__x").as("value"),
+        col("expected"), col("resid"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Day-of-week profile per key over a daily census: for each (key,
     * dow) the day count, total volume, mean volume, and the lift of
     * that weekday's mean over the key's all-days mean — computed as

@@ -87,4 +87,44 @@ object Eval {
       .join(scored.select(col("token"), col("a"), col("b")), Seq("token"))
       .select(col("rank"), col("token"), col("a"), col("b"), col("chi2"))
   }
+
+  /** Calibration curve (reliability diagram) per group: equal-frequency
+    * score buckets with per-bucket observed positive rate next to the
+    * mean score — "when the classifier says 0.8, is it right 80% of
+    * the time" — the companion readout to [[auc]] (AUC measures
+    * ordering, calibration measures the scores themselves; a corpus
+    * gate that thresholds a miscalibrated score filters the wrong
+    * mass).
+    *
+    * Exactness ([[auc]]'s census discipline): scores must be integers
+    * (quantize upstream); the (group, score) census is the only
+    * row-scale aggregation. Bucketing is EQUAL-FREQUENCY from the
+    * census cumulative — a tie-run's bucket is
+    * min(B−1, rows_before·B div N) — so every equal score lands in ONE
+    * bucket deterministically (no quantile interpolation, no float
+    * thresholds, no row sort). Per-bucket mean score and positive rate
+    * are single exact-integer divisions. Output: (group, bucket,
+    * n, n_pos, mean_score, pos_rate). */
+  def calibrationCurve(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val census = df.select(col(groupCol).as("g"), col(scoreCol).cast("long").as("s"),
+        when(col(labelCol) === 1, 1L).otherwise(0L).as("p"))
+      .groupBy("g", "s")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("np"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("g"))
+    census
+      .withColumn("__before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .withColumn("bucket",
+        least(lit(buckets - 1L), expr(s"(__before * $buckets) div __tot")))
+      .groupBy(col("g"), col("bucket"))
+      .agg(sum(col("n")).as("n"), sum(col("np")).as("n_pos"),
+        sum(col("s") * col("n")).as("__ssum"))
+      .select(col("g").as(groupCol), col("bucket"), col("n"), col("n_pos"),
+        (col("__ssum").cast("double") / col("n").cast("double")).as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+  }
 }

@@ -498,6 +498,43 @@ object TimeSeries {
         round($"mean", 6).as("mean"), round($"lift", 6).as("lift"))
   }
 
+  /** q248 — seasonally-adjusted anomalies ([[graft.operators.Autocorr
+    * .seasonalAnomalies]]): per event type, the top-3 days by
+    * |residual| against that WEEKDAY's own mean — Monday is allowed to
+    * look like Monday before a day counts as unusual. Expected/resid
+    * are one exact-integer division and one subtraction, so the
+    * |residual| rank order is a float total order both engines agree
+    * on bit-for-bit. */
+  def q248SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
+        dayofweek($"d").as("dw"), $"x")
+    graft.operators.Autocorr.seasonalAnomalies(
+        daily, "event_type", "day", $"dw", "x", topK = 3)
+      .select($"event_type", $"day", $"value",
+        round($"expected", 6).as("expected"), round($"resid", 6).as("resid"),
+        $"rnk")
+  }
+
+  /** q249 — calibration curve ([[graft.operators.Eval
+    * .calibrationCurve]]): per event type, 10 equal-frequency score
+    * buckets of the cent-quantized value with observed weekend rate
+    * next to mean score — the reliability diagram beside q191's AUC.
+    * Buckets come from the census cumulative (tie-runs never split);
+    * mean/rate are single exact-integer divisions. */
+  def q249Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = events(spark, dir).select($"event_type",
+      round($"value" * 100).cast("long").as("cents"),
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1).otherwise(0).as("wkend"))
+    graft.operators.Eval.calibrationCurve(
+        scored, "event_type", "wkend", "cents", buckets = 10)
+      .select($"event_type", $"bucket", $"n", $"n_pos",
+        round($"mean_score", 6).as("mean_score"),
+        round($"pos_rate", 6).as("pos_rate"))
+  }
+
   /** q243 — Holt level+trend forecast ([[graft.operators.Forecast
     * .holtSummary]]): per event type, double-exponential smoothing of
     * the daily count series (α=0.5, β=0.25 — exact binary doubles) and

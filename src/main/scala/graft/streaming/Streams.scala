@@ -451,6 +451,32 @@ object Streams {
       }): _*)
   }
 
+  /** Streaming two-sample KS census ([[graft.operators.Divergence
+    * .ksTwoSample]]'s twin, fourth of the sketch-twin family): state
+    * is a FIXED `buckets`-row (bucket, count_a, count_b) census over a
+    * declared [lo, hi] value domain — streaming cannot discover bounds
+    * after the fact, so the domain is a parameter and out-of-range
+    * values clamp to the edge buckets. Counts are additive and
+    * monotone (no watermark exists to get wrong); the bucket id is the
+    * same integer offset-division the batch operator uses, so the
+    * streamed census after any prefix EQUALS the batch census of that
+    * prefix, and the D derived from it equals the batch KS on
+    * bucket-quantized values (parity spec-asserted). The live
+    * "did the distribution move" monitor: a dashboard reads ≤ buckets
+    * rows however long the stream runs. */
+  def ksCensusStream(rows: DataFrame, valueCol: String,
+      isRight: org.apache.spark.sql.Column, lo: Long, hi: Long,
+      buckets: Int): DataFrame = {
+    require(hi >= lo && buckets > 0, s"bad KS domain [$lo,$hi] x $buckets")
+    val w = (hi - lo) / buckets + 1
+    rows.select(
+        least(lit(buckets - 1L), greatest(lit(0L),
+          expr(s"(CAST($valueCol AS BIGINT) - $lo) div $w"))).as("b"),
+        when(isRight, 1L).otherwise(0L).as("__r"))
+      .groupBy(col("b"))
+      .agg(sum(lit(1L) - col("__r")).as("ca"), sum(col("__r")).as("cb"))
+  }
+
   case class TransState(ms: Long, eid: Long, tpe: String)
   case class TransitionOut(user_id: Long, prev: String, curr: String, ms: Long)
 

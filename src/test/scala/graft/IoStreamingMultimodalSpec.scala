@@ -861,4 +861,53 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
       }
     } finally q.stop()
   }
+
+  test("streaming KS census matches batch census and statistic at every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (lo, hi, buckets) = (0L, 49000L, 64)
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select((round($"value" * 100)).cast("long").as("v"),
+        (dayofmonth($"ts") > 15).as("r"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val w = (hi - lo) / buckets + 1
+    def bucket(v: Long): Long = math.min(buckets - 1L, math.max(0L, (v - lo) / w))
+    val mem = MemoryStream[(Long, Boolean)]
+    val src = mem.toDF().toDF("v", "r")
+    val out = Streams.ksCensusStream(src, "v", col("r"), lo, hi, buckets)
+    val q = out.writeStream.format("memory").queryName("ks_stream")
+      .outputMode("complete").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      var seen = IndexedSeq.empty[(Long, Boolean)]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("ks_stream").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        // census parity: same buckets, same (a, b) counts
+        val batchCensus = seen.groupBy(t => bucket(t._1))
+          .map { case (b, ts) =>
+            b -> (ts.count(!_._2).toLong, ts.count(_._2).toLong) }
+        assert(streamed === batchCensus, s"prefix of ${seen.length}")
+        // statistic parity: D from the streamed census equals the batch
+        // operator run on bucket-quantized values
+        val (na, nb) = (seen.count(!_._2).toLong, seen.count(_._2).toLong)
+        if (na > 0 && nb > 0) {
+          val sortedB = streamed.keys.toSeq.sorted
+          var (ca, cb, best) = (0L, 0L, 0L)
+          sortedB.foreach { b =>
+            ca += streamed(b)._1; cb += streamed(b)._2
+            best = math.max(best, math.abs(ca * nb - cb * na))
+          }
+          val batchD = graft.operators.Divergence.ksTwoSample(
+              seen.map(t => (bucket(t._1), t._2)).toDF("v", "r"), "v", col("r"))
+            .head()
+          assert(batchD.getLong(3) === best, s"prefix of ${seen.length}")
+        }
+        assert(streamed.size <= buckets)
+      }
+    } finally q.stop()
+  }
 }

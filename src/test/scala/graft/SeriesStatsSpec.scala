@@ -125,6 +125,43 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(4) - brute) < 1e-12)
   }
 
+  test("seasonal anomalies rank residuals against the weekday's own mean") {
+    import spark.implicits._
+    // dow 1 runs at 100 except one 130 day; dow 2 runs at 10 except 25.
+    // raw |dev| says the 130 day (30 > 15); its weekday mean absorbs
+    // part of it: expected(dw1) = 107.5, expected(dw2) = 13.75
+    val rows = Seq(
+      ("k", "d01", 1, 100L), ("k", "d02", 2, 10L),
+      ("k", "d03", 1, 100L), ("k", "d04", 2, 10L),
+      ("k", "d05", 1, 130L), ("k", "d06", 2, 25L),
+      ("k", "d07", 1, 100L), ("k", "d08", 2, 10L))
+      .toDF("k", "day", "dw", "x")
+    val r = graft.operators.Autocorr.seasonalAnomalies(
+      rows, "k", "day", col("dw"), "x", topK = 2).orderBy("rnk").collect()
+    assert(r(0).getString(1) === "d05" && r(0).getDouble(4) === 130.0 - 107.5)
+    assert(r(1).getString(1) === "d06" && r(1).getDouble(4) === 25.0 - 13.75)
+  }
+
+  test("calibration curve: equal-frequency buckets, tie-runs never split") {
+    import spark.implicits._
+    // 100 rows, scores 1..100, label = score > 50: perfectly separable
+    val df = (1 to 100).map(s => ("g", s.toLong, if (s > 50) 1 else 0))
+      .toDF("g", "s", "p")
+    val r = graft.operators.Eval.calibrationCurve(df, "g", "p", "s", buckets = 10)
+      .orderBy("bucket").collect()
+    assert(r.length === 10)
+    assert(r.map(_.getLong(2)).forall(_ == 10L))            // 10 per decile
+    assert(r.take(5).map(_.getDouble(5)).forall(_ == 0.0))  // low deciles: 0
+    assert(r.drop(5).map(_.getDouble(5)).forall(_ == 1.0))  // high deciles: 1
+    assert(r(0).getDouble(4) === 5.5)                       // mean of 1..10
+    // tie-run: all 100 rows share one score -> ONE bucket holds them all
+    val ties = (1 to 100).map(i => ("g", 7L, i % 2)).toDF("g", "s", "p")
+    val t = graft.operators.Eval.calibrationCurve(ties, "g", "p", "s", buckets = 10)
+      .collect()
+    assert(t.length === 1 && t(0).getLong(1) === 0L && t(0).getLong(2) === 100L)
+    assert(t(0).getDouble(5) === 0.5)
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
