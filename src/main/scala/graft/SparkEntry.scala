@@ -268,6 +268,9 @@ object SparkEntry {
     "q245_hits"             -> (R.q245Hits(_, _)),
     "q248_seasonal_anomaly" -> (T.q248SeasonalAnomaly(_, _)),
     "q249_calibration"      -> (T.q249Calibration(_, _)),
+    "q250_stratified_sample" -> (D.q250StratifiedSample(_, _)),
+    "q251_profile_diff"     -> (T.q251ProfileDiff(_, _)),
+    "q252_twap"             -> (T.q252Twap(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -3993,6 +3996,79 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q250: q236's allocation chain + the deterministic (md5, key) draw
+    "q250_stratified_sample" ->
+      """WITH s AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |st AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(c AS HUGEINT)) AS s1,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+        |  FROM s GROUP BY o_orderpriority),
+        |sd AS (SELECT o_orderpriority, n,
+        |    sqrt(greatest(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE), 0.0)) AS sdev
+        |  FROM st),
+        |w AS (SELECT *, n * sdev AS wt FROM sd),
+        |t AS (SELECT CASE WHEN SUM(wt) > 0 THEN SUM(wt) ELSE 1.0 END AS tw FROM w),
+        |f AS (SELECT w.*, 1000 * wt / t.tw AS exact,
+        |    CAST(floor(1000 * wt / t.tw) AS BIGINT) AS base FROM w, t),
+        |r AS (SELECT *, exact - base AS rem,
+        |    row_number() OVER (ORDER BY exact - base DESC, o_orderpriority) AS rk,
+        |    1000 - SUM(base) OVER () AS leftover FROM f),
+        |al AS (SELECT o_orderpriority,
+        |    base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc FROM r),
+        |smp AS (SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS drk
+        |  FROM orders)
+        |SELECT smp.o_orderpriority, smp.o_orderkey
+        |FROM smp JOIN al ON smp.o_orderpriority = al.o_orderpriority
+        |WHERE smp.drk <= al.alloc""".stripMargin,
+    // q251: per-side per-column profile via scalar subqueries; mode tie
+    // resolves to lowest value on both engines
+    "q251_profile_diff" -> {
+      def side(name: String, pred: String): String = {
+        val cols = Seq("event_type", "user_id", "props")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE $pred) AS n,
+             |  (SELECT CAST(COUNT(*) - COUNT($c) AS BIGINT) FROM events WHERE $pred) AS nnull,
+             |  (SELECT CAST(COUNT(DISTINCT CAST($c AS VARCHAR)) AS BIGINT)
+             |     FROM events WHERE $pred) AS nd,
+             |  (SELECT CAST($c AS VARCHAR) FROM events WHERE $pred AND $c IS NOT NULL
+             |     GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1) AS mode""".stripMargin
+        }.mkString(s"$name AS (", " UNION ALL ", ")")
+      }
+      s"""WITH ${side("pa", "ts < TIMESTAMP '2024-01-16 00:00:00'")},
+         |${side("pb", "ts >= TIMESTAMP '2024-01-16 00:00:00'")}
+         |SELECT pa.col_name, pa.n AS n_a, pb.n AS n_b,
+         |  pa.nnull AS null_a, pb.nnull AS null_b,
+         |  CAST(round(CAST(CAST(
+         |    CAST(pb.nnull AS DOUBLE) / CAST(pb.n AS DOUBLE)
+         |      - CAST(pa.nnull AS DOUBLE) / CAST(pa.n AS DOUBLE)
+         |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS null_rate_delta,
+         |  pa.nd AS distinct_a, pb.nd AS distinct_b,
+         |  pa.mode AS mode_a, pb.mode AS mode_b,
+         |  pa.mode <> pb.mode AS mode_changed
+         |FROM pa JOIN pb ON pa.col_name = pb.col_name""".stripMargin
+    },
+    // q252: lead-window integer durations; one terminal division
+    "q252_twap" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT event_type, cents,
+        |    lead(ms) OVER (PARTITION BY event_type ORDER BY ms, event_id) - ms AS w
+        |  FROM e),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(w) AS BIGINT) AS total_ms,
+        |    CAST(SUM(cents * w) AS BIGINT) AS vw
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n_obs, total_ms,
+        |  CASE WHEN total_ms > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(vw AS DOUBLE) / CAST(total_ms AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS twap
+        |FROM g""".stripMargin,
     // q248: expected is ONE exact-int division, resid ONE subtraction —
     // the |resid| rank order is a float total order both engines share
     "q248_seasonal_anomaly" ->

@@ -148,6 +148,31 @@ object Splits {
           .as("alloc"))
   }
 
+  /** Execute a per-stratum sampling plan: keep EXACTLY `allocCol` rows
+    * of each stratum, chosen by the deterministic (md5(id), id) order —
+    * the step that turns [[neymanAllocation]]'s seat counts into an
+    * actual sample. The pick is a pure function of the id (the
+    * [[GlobalOrder]]/hash-split contract): reruns, engine changes and
+    * stratum-internal reorderings all select the same rows.
+    *
+    * Scale shape: the allocation table is strata-bounded (broadcast);
+    * the per-stratum rank is a partitioned window over the narrow
+    * (stratum, id, key) projection — the q11 dedup-rank shape. For
+    * strata far larger than their allocation, the budget-bounded
+    * [[TopK]] heap pass is the cheaper path; this exact-window form is
+    * the reference semantics both share. Output: the sampled rows
+    * (stratum, id). */
+  def executeAllocation(df: DataFrame, stratumCol: String, idCol: String,
+      alloc: DataFrame, allocCol: String = "alloc"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(stratumCol), col(idCol))
+      .join(broadcast(alloc.select(col(stratumCol), col(allocCol))), Seq(stratumCol))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= col(allocCol))
+      .select(col(stratumCol), col(idCol))
+  }
+
   def capPerKey(df: DataFrame, idCol: String, keyCol: String,
       cap: Int): DataFrame = {
     require(cap >= 1, s"cap=$cap")

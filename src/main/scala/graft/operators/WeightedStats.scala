@@ -35,6 +35,37 @@ object WeightedStats {
         max(col("tot")).as("total_weight"))
   }
 
+  /** Per-key time-weighted mean (TWAP): each observation's value holds
+    * until the NEXT observation, so the mean weights each value by its
+    * holding duration — the summary a last-value-carried-forward
+    * series needs (a plain AVG over-weights busy periods; sparse
+    * regimes where a value held for hours count the same as a burst
+    * of ticks). The final observation has no successor and carries no
+    * weight (the [lo, last) integral — document the horizon upstream
+    * if the tail matters).
+    *
+    * Exactness: timestamps and values must be integers (epoch-ms,
+    * cents); every weight is one integer subtraction from a per-key
+    * lead window, Σv·w and Σw are exact integer sums, and the TWAP is
+    * ONE terminal division. Output: (key, n_obs, total_ms, twap);
+    * keys with a single observation yield null twap. */
+  def timeWeightedMean(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.select((Seq(keyCol, tsCol, valueCol) ++ tieCols).distinct.map(col): _*)
+      .withColumn("__next", lead(col(tsCol), 1).over(w))
+      .withColumn("__w", col("__next") - col(tsCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__w")).as("total_ms"),
+        sum(col(valueCol) * col("__w")).as("__vw"))
+      .select(col(keyCol), col("n_obs"), col("total_ms"),
+        when(col("total_ms") > 0L,
+          col("__vw").cast("double") / col("total_ms").cast("double"))
+          .as("twap"))
+  }
+
   /** Per-group Gini concentration of a non-negative integer value —
     * the inequality audit (is 90% of the corpus volume coming from 2%
     * of its sources? is one customer most of a nation's revenue?). A

@@ -498,6 +498,38 @@ object TimeSeries {
         round($"mean", 6).as("mean"), round($"lift", 6).as("lift"))
   }
 
+  /** q251 — snapshot profile drift ([[graft.operators.Profile
+    * .profileDiff]]): the first vs second half of the event stream as
+    * two table versions — per column (event_type, user_id, props) the
+    * null-rate delta, distinct-count shift, and mode churn. The
+    * schema-shape drift report that runs before any row diff is
+    * affordable; mode ties resolve to the lowest value (the profile
+    * contract), so every cell is deterministic. */
+  def q251ProfileDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    graft.operators.Profile.profileDiff(
+        ev.where($"ts" < cut), ev.where($"ts" >= cut),
+        Seq("event_type", "user_id", "props"))
+      .select($"col_name", $"n_a", $"n_b", $"null_a", $"null_b",
+        round($"null_rate_delta", 6).as("null_rate_delta"),
+        $"distinct_a", $"distinct_b", $"mode_a", $"mode_b", $"mode_changed")
+  }
+
+  /** q252 — time-weighted mean ([[graft.operators.WeightedStats
+    * .timeWeightedMean]]): per event type, the TWAP of the
+    * cent-quantized value where each observation holds until the next
+    * (ms, event_id) tick — sparse regimes weigh by duration, not tick
+    * count. Integer weights from one lead window; one terminal
+    * division. */
+  def q252Twap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WeightedStats.timeWeightedMean(
+        events(spark, dir).select($"event_type", unix_millis($"ts").as("ms"),
+          round($"value" * 100).cast("long").as("cents"), $"event_id"),
+        "event_type", "ms", "cents", tieCols = Seq("event_id"))
+      .select($"event_type", $"n_obs", $"total_ms",
+        round($"twap", 6).as("twap"))
+
   /** q248 — seasonally-adjusted anomalies ([[graft.operators.Autocorr
     * .seasonalAnomalies]]): per event type, the top-3 days by
     * |residual| against that WEEKDAY's own mean — Monday is allowed to

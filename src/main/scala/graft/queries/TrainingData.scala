@@ -2660,6 +2660,22 @@ object TrainingData {
         docs(spark, dir), "doc_id", nFrom = 16, nTo = 17)
       .select($"shard", $"n_keys", $"n_moved", $"n_moved_mod")
 
+  /** q250 — stratified sample execution ([[graft.operators.Splits
+    * .executeAllocation]]): q236's Neyman seat counts turned into an
+    * actual 1000-row sample — per stratum, EXACTLY alloc_h orders
+    * chosen by the deterministic (md5(key), key) order, so the drawn
+    * sample is a pure function of the data (rerun/engine/reorder
+    * stable). The oracle replays allocation AND draw end-to-end. */
+  def q250StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select($"o_orderpriority",
+      $"o_orderkey", round($"o_totalprice" * 100).cast("long").as("cents"))
+    val alloc = graft.operators.Splits.neymanAllocation(
+      base.select($"o_orderpriority", $"cents"),
+      "o_orderpriority", "cents", budget = 1000L, scale = 0)
+    graft.operators.Splits.executeAllocation(
+      base, "o_orderpriority", "o_orderkey", alloc)
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

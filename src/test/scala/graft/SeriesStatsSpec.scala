@@ -162,6 +162,50 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(t(0).getDouble(5) === 0.5)
   }
 
+  test("executeAllocation draws exactly alloc_h per stratum, stable under unrelated rows") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (if (i <= 20) "a" else "b", i)).toDF("st", "id")
+    val alloc = Seq(("a", 3L), ("b", 5L)).toDF("st", "alloc")
+    val got = graft.operators.Splits.executeAllocation(rows, "st", "id", alloc)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.count(_._1 == "a") === 3 && got.count(_._1 == "b") === 5)
+    // the draw is a pure function of the ids: doubling stratum b's
+    // population must not change stratum a's picks
+    val more = rows.union((100L to 140L).map(("b", _)).toDF("st", "id"))
+    val got2 = graft.operators.Splits.executeAllocation(more, "st", "id", alloc)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.filter(_._1 == "a").toSet === got2.filter(_._1 == "a").toSet)
+  }
+
+  test("profileDiff reports null-rate delta and mode churn per column") {
+    import spark.implicits._
+    val a = Seq(("x", Option("m")), ("x", Option("m")), ("y", None),
+      ("x", Option("k"))).toDF("c1", "c2")
+    val b = Seq(("y", Option("k")), ("y", None), ("y", None),
+      ("x", Option("k"))).toDF("c1", "c2")
+    val r = graft.operators.Profile.profileDiff(a, b, Seq("c1", "c2"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    // c1: modes x -> y, no nulls either side
+    assert(r("c1").getBoolean(10) === true)
+    assert(r("c1").getDouble(5) === 0.0)
+    // c2: nulls 1/4 -> 2/4, mode m -> k
+    assert(r("c2").getLong(3) === 1L && r("c2").getLong(4) === 2L)
+    assert(math.abs(r("c2").getDouble(5) - 0.25) < 1e-15)
+    assert(r("c2").getString(8) === "m" && r("c2").getString(9) === "k")
+  }
+
+  test("timeWeightedMean weighs values by holding duration") {
+    import spark.implicits._
+    // value 10 held 0..100ms, 40 held 100..120ms: twap = (10*100+40*20)/120
+    val df = Seq(("k", 0L, 10L), ("k", 100L, 40L), ("k", 120L, 99L),
+      ("solo", 5L, 7L)).toDF("g", "ms", "v")
+    val r = graft.operators.WeightedStats.timeWeightedMean(df, "g", "ms", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("k").getLong(1) === 3L && r("k").getLong(2) === 120L)
+    assert(r("k").getDouble(3) === (10.0 * 100 + 40.0 * 20) / 120.0)
+    assert(r("solo").isNullAt(3) && r("solo").isNullAt(2))
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
