@@ -271,6 +271,7 @@ object SparkEntry {
     "q250_stratified_sample" -> (D.q250StratifiedSample(_, _)),
     "q251_profile_diff"     -> (T.q251ProfileDiff(_, _)),
     "q252_twap"             -> (T.q252Twap(_, _)),
+    "q253_centroid_drift"   -> (D.q253CentroidDrift(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -3996,6 +3997,34 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q253: quantized integer dim sums; HUGEINT Gram products mirror
+    // Spark's exact DECIMAL; one double conversion per term at the end
+    "q253_centroid_drift" ->
+      """WITH e AS (SELECT label AS lbl,
+        |    CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END AS b,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |c AS (SELECT lbl, dim,
+        |    CAST(SUM(CASE WHEN b = 0 THEN q ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN b = 1 THEN q ELSE 0 END) AS BIGINT) AS sb
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT lbl,
+        |    SUM(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)) AS ab,
+        |    SUM(CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT)) AS aa,
+        |    SUM(CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT)) AS bb
+        |  FROM c GROUP BY 1),
+        |n AS (SELECT label AS lbl,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM embeddings GROUP BY 1)
+        |SELECT n.lbl AS label, n.n_a, n.n_b,
+        |  CASE WHEN g.aa > 0 AND g.bb > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(g.ab AS DOUBLE) / (sqrt(CAST(g.aa AS DOUBLE)) * sqrt(CAST(g.bb AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS cosine
+        |FROM n JOIN g ON n.lbl = g.lbl""".stripMargin,
     // q250: q236's allocation chain + the deterministic (md5, key) draw
     "q250_stratified_sample" ->
       """WITH s AS (SELECT o_orderpriority,

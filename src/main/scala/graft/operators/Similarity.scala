@@ -457,4 +457,49 @@ object Similarity {
       .agg(count(lit(1)).as("n"), avg(col("kr.r")).as("avg_retained"),
         min(col("kr.r")).as("min_retained"))
   }
+
+  /** Per-label embedding-centroid drift between two slices: the cosine
+    * between each label's mean vector in slice A and slice B — the
+    * "did this class's representation move between snapshots /
+    * encoder versions" check an embedding-dependent pipeline (SemDeDup
+    * thresholds, ANN recall targets, classifier heads) runs before
+    * trusting cached vectors. Cosine(mean_a, mean_b) computed on the
+    * UN-normalized dim sums (the 1/n factors cancel).
+    *
+    * Exactness (the q149/q172 integer-quantization move): components
+    * quantize to round(x·10^scale) longs, per-(label, side, dim) sums
+    * are exact integer aggregates of the posexploded components — the
+    * only row×dim-scale shuffle, map-side combined, census bounded by
+    * labels × dims — and the three Gram terms accumulate as DECIMAL
+    * products (order-insensitive, exact). One double conversion per
+    * term at the end feeds sqrt/divide in a fixed shape. Output:
+    * (label, n_a, n_b, cosine); a slice with no rows or a zero
+    * centroid yields null cosine. */
+  def centroidDrift(df: DataFrame, labelCol: String, vecCol: String,
+      isB: Column, scale: Int = 6): DataFrame = {
+    val census = df
+      .select(col(labelCol).as("lbl"), when(isB, 1L).otherwise(0L).as("__b"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("lbl"), col("__b"), col("dim"),
+        round(col("__x").cast("double") * math.pow(10, scale)).cast("long").as("__q"))
+      .groupBy(col("lbl"), col("dim"))
+      .agg(sum(when(col("__b") === 0L, col("__q")).otherwise(0L)).as("sa"),
+        sum(when(col("__b") === 1L, col("__q")).otherwise(0L)).as("sb"))
+    val gram = census.select(col("lbl"),
+        (col("sa").cast("decimal(20,0)") * col("sb").cast("decimal(20,0)")).as("__ab"),
+        (col("sa").cast("decimal(20,0)") * col("sa").cast("decimal(20,0)")).as("__aa"),
+        (col("sb").cast("decimal(20,0)") * col("sb").cast("decimal(20,0)")).as("__bb"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("__ab")).as("__ab"), sum(col("__aa")).as("__aa"),
+        sum(col("__bb")).as("__bb"))
+    val counts = df.groupBy(col(labelCol).as("lbl"))
+      .agg(sum(when(isB, 0L).otherwise(1L)).as("n_a"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_b"))
+    counts.join(gram, "lbl")
+      .select(col("lbl").as(labelCol), col("n_a"), col("n_b"),
+        when(col("__aa") > 0 && col("__bb") > 0,
+          col("__ab").cast("double") /
+            (sqrt(col("__aa").cast("double")) * sqrt(col("__bb").cast("double"))))
+          .as("cosine"))
+  }
 }

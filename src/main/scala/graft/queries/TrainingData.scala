@@ -2676,6 +2676,19 @@ object TrainingData {
       base, "o_orderpriority", "o_orderkey", alloc)
   }
 
+  /** q253 — embedding-centroid drift ([[graft.operators.Similarity
+    * .centroidDrift]]): per label, the cosine between the even-id and
+    * odd-id slices' mean vectors — the did-the-representation-move
+    * check before trusting cached vectors across snapshots.
+    * Components quantize to round(x·10⁶) longs (q149/q172), dim sums
+    * are exact integer aggregates, Gram terms exact DECIMAL products;
+    * one double conversion per term feeds sqrt/divide. */
+  def q253CentroidDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.centroidDrift(
+        Tables.embeddings(spark, dir), "label", "embedding",
+        isB = $"vec_id" % 2 === 1, scale = 6)
+      .select($"label", $"n_a", $"n_b", round($"cosine", 6).as("cosine"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -206,6 +206,24 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r("solo").isNullAt(3) && r("solo").isNullAt(2))
   }
 
+  test("centroid drift: parallel centroids cos 1, opposed -1, orthogonal 0") {
+    import spark.implicits._
+    val rows = Seq(
+      ("same", 0L, Seq(1.0f, 0.0f)), ("same", 1L, Seq(2.0f, 0.0f)),
+      ("same", 2L, Seq(3.0f, 0.0f)),
+      ("flip", 0L, Seq(1.0f, 0.0f)), ("flip", 1L, Seq(-1.0f, 0.0f)),
+      ("orth", 0L, Seq(1.0f, 0.0f)), ("orth", 1L, Seq(0.0f, 2.0f)),
+      ("aonly", 0L, Seq(1.0f, 1.0f))).toDF("lbl", "id", "vec")
+    val r = graft.operators.Similarity.centroidDrift(
+        rows, "lbl", "vec", isB = col("id") % 2 === 1)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("same").getDouble(3) === 1.0)   // (2,0) vs (2,0) direction
+    assert(r("flip").getDouble(3) === -1.0)
+    assert(r("orth").getDouble(3) === 0.0)
+    assert(r("aonly").isNullAt(3))           // empty B slice: no cosine
+    assert(r("same").getLong(1) === 2L && r("same").getLong(2) === 1L)
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
