@@ -39,11 +39,18 @@ object Triangles {
     * Output: (node, triangles) with a row for every node that appears
     * in an edge, zero-filled. */
   def perNode(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    // materialize the canonical edge set ONCE (lazy localCheckpoint —
+    // the q170/q221 lesson): e0 feeds the degree census, the
+    // orientation join and (via `closed`'s three union branches) the
+    // whole chain again; without the checkpoint the upstream edge
+    // build re-runs per consumer (measured 15.7 s → 6.9 s for q196's
+    // dense co-occurrence graph at sf0.1)
     val e0 = edges
       .select(least(col(uCol), col(vCol)).cast("long").as("u"),
         greatest(col(uCol), col(vCol)).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(false)
     val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // (deg, id) is a TOTAL order over nodes, so orientation needs no
@@ -56,22 +63,27 @@ object Triangles {
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"),
       when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint(false)
     // out-neighbor adjacency per node, SORTED (arrays bounded O(√(2m))
     // by the orientation; ascending order feeds the two-pointer merge)
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint(false)
     // per oriented edge (u,v): common out-neighbors w close triangles
     // (u→v, u→w, v→w), each triangle found exactly once at its pivot
     // edge. The codegen'd sorted merge replaces array_intersect's
     // per-call hash-set build — the dominant per-edge cost on dense
     // graphs. Inner joins: u always has out-edges; a v with none closes
     // nothing and its zero contribution is restored by the final fill.
+    // checkpoint: the three perCorner union branches each consume
+    // `closed` — without it the intersect pass runs three times
     val closed = oriented
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
       .select(col("src"), col("dst"),
         graft.functions.FastHash.sortedIntersect(col("nu"), col("nv")).as("ws"))
       .where(size(col("ws")) > 0)
+      .localCheckpoint(false)
     // corner attribution: the pivot u and the far end v each join
     // |ws| triangles; every common neighbor w joins one
     val perCorner = closed
