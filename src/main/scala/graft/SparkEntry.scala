@@ -272,6 +272,7 @@ object SparkEntry {
     "q251_profile_diff"     -> (T.q251ProfileDiff(_, _)),
     "q252_twap"             -> (T.q252Twap(_, _)),
     "q253_centroid_drift"   -> (D.q253CentroidDrift(_, _)),
+    "q254_water_fill"       -> (D.q254WaterFill(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -3997,6 +3998,33 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
+    // pick the same cut row; every +1 seat provably lands on a source
+    // with avail >= level+1 (else the base would have included it)
+    "q254_water_fill" ->
+      """WITH av AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, avail,
+        |    CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS i,
+        |    SUM(avail) OVER (ORDER BY avail, source ROWS UNBOUNDED PRECEDING) AS pfx,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n, SUM(avail) OVER () AS tot
+        |  FROM av),
+        |c AS (SELECT COALESCE(MAX(i) FILTER (WHERE pfx + avail * (n - i) <= 100000), 0) AS base,
+        |    COALESCE(MAX(pfx) FILTER (WHERE pfx + avail * (n - i) <= 100000), 0) AS pbase
+        |  FROM r),
+        |s AS (SELECT r.*, c.base, c.pbase, r.n - c.base AS m FROM r, c)
+        |SELECT source, avail,
+        |  CAST(CASE WHEN tot <= 100000 THEN avail
+        |    WHEN i <= base THEN avail
+        |    ELSE LEAST(avail, (100000 - pbase) // m
+        |      + CASE WHEN i - base <= (100000 - pbase) % m THEN 1 ELSE 0 END)
+        |  END AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN tot <= 100000 THEN avail
+        |    WHEN i <= base THEN avail
+        |    ELSE LEAST(avail, (100000 - pbase) // m
+        |      + CASE WHEN i - base <= (100000 - pbase) % m THEN 1 ELSE 0 END)
+        |  END AS BIGINT) = avail AS at_capacity
+        |FROM s""".stripMargin,
     // q253: quantized integer dim sums; HUGEINT Gram products mirror
     // Spark's exact DECIMAL; one double conversion per term at the end
     "q253_centroid_drift" ->

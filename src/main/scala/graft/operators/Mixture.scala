@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temperature-scaled mixture weighting — the multilingual/multi-source
@@ -72,5 +73,59 @@ object Mixture {
         round(col("weight"), 4).as("weight"),
         round(budgetCol * col("weight"), 0).cast("long").as("alloc"),
         round(col("weight") / col("p"), 4).as("boost"))
+  }
+
+  /** Water-filling budget allocation with per-source caps — "give every
+    * source an equal share of the token budget, but never more than it
+    * HAS": the max-min fair split (level L with Σ min(avail_h, L) = B)
+    * a mixture plan needs when [[temperatureWeights]]' proportional
+    * allocations exceed small sources' inventory. Small sources take
+    * everything they have; the budget left over levels across the rest.
+    *
+    * Exact integer closed form, no iteration: over sources sorted by
+    * (avail, source) with prefix sums P_i, the BASE is the largest
+    * prefix whose members fit below the level (P_i + avail_i·(n−i) ≤
+    * B); the level L = (B − P_base) div (n − base) tops up everyone
+    * above it, and the remainder distributes +1 seats in (avail,
+    * source) order — every +1 lands on a source with avail ≥ L+1, so
+    * caps are never violated and Σ alloc = min(B, Σ avail) EXACTLY.
+    * All window work is strata-bounded (the [[graft.operators.Splits
+    * .neymanAllocation]] contract). Output: (source, avail, alloc,
+    * at_capacity). */
+  def waterFill(df: DataFrame, sourceCol: String, availCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val a = col(availCol).cast("long")
+    val wOrd = Window.orderBy(a, col(sourceCol))
+    val wAll = Window.partitionBy()
+    val ranked = df.select(col(sourceCol), a.as("avail"))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("pfx", sum(col("avail")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("avail")).over(wAll))
+    // fits(i): everyone at or below i takes full avail, the n−i above
+    // level at avail_i or higher — feasible iff pfx_i + avail_i·(n−i) ≤ B
+    val fits = col("pfx") + col("avail") * (col("n") - col("i")) <= budget
+    val cut = ranked
+      .agg(max(when(fits, struct(col("i"), col("pfx")))).as("c"))
+      .select(coalesce(col("c.i"), lit(0L)).as("base"),
+        coalesce(col("c.pfx"), lit(0L)).as("pbase"))
+    // level + remainder over the n−base sources above the base; if the
+    // whole corpus fits the budget, everyone is at capacity
+    val level = ranked.crossJoin(broadcast(cut))
+      .withColumn("m", col("n") - col("base"))
+      .withColumn("lvl", when(col("m") > 0,
+        expr(s"(CAST($budget AS BIGINT) - pbase) div m")))
+      .withColumn("rem", when(col("m") > 0,
+        expr(s"(CAST($budget AS BIGINT) - pbase) % m")))
+    level.select(col(sourceCol), col("avail"),
+        when(col("tot") <= budget, col("avail"))
+          .when(col("i") <= col("base"), col("avail"))
+          .otherwise(least(col("avail"),
+            col("lvl") + when(col("i") - col("base") <= col("rem"), 1L)
+              .otherwise(0L)))
+          .as("alloc"))
+      .withColumn("at_capacity", col("alloc") === col("avail"))
   }
 }

@@ -2689,6 +2689,20 @@ object TrainingData {
         isB = $"vec_id" % 2 === 1, scale = 6)
       .select($"label", $"n_a", $"n_b", round($"cosine", 6).as("cosine"))
 
+  /** q254 — water-filling token budget ([[graft.operators.Mixture
+    * .waterFill]]): split a 100k-char budget across sources max-min
+    * fairly — small sources take all they have, the leftover levels
+    * across the rest via the exact integer closed form (base prefix +
+    * div level + remainder seats in (avail, source) order). Caps are
+    * never violated and Σ alloc = min(budget, Σ avail) exactly. */
+  def q254WaterFill(spark: SparkSession, dir: String): DataFrame = {
+    val avail = docs(spark, dir).groupBy($"source")
+      .agg(sum($"n_chars").as("avail"))
+    graft.operators.Mixture.waterFill(avail, "source", "avail",
+        budget = 100000L)
+      .select($"source", $"avail", $"alloc", $"at_capacity")
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -224,6 +224,27 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r("same").getLong(1) === 2L && r("same").getLong(2) === 1L)
   }
 
+  test("waterFill: caps respected, budget spent exactly, max-min fair") {
+    import spark.implicits._
+    def run(av: Seq[(String, Long)], b: Long) =
+      graft.operators.Mixture.waterFill(av.toDF("s", "avail"), "s", "avail", b)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toMap
+    // mixed: tiny source takes all 5; remaining 95 levels 47/48 over two
+    val m = run(Seq(("tiny", 5L), ("mid", 60L), ("big", 500L)), 100L)
+    assert(m("tiny") === ((5L, 5L, true)))
+    assert(m.values.map(_._2).sum === 100L)
+    assert(m("mid")._2 === 48L && m("big")._2 === 47L) // +1 seat: (avail,src) order
+    assert(m.values.forall { case (av, al, _) => al <= av })
+    // budget >= total: everyone at capacity
+    val c = run(Seq(("a", 10L), ("b", 20L)), 100L)
+    assert(c.values.forall(_._3) && c.values.map(_._2).sum === 30L)
+    // budget below min: pure equal split with remainder seats
+    val e = run(Seq(("a", 50L), ("b", 50L), ("c", 50L)), 10L)
+    assert(e.values.map(_._2).sum === 10L)
+    assert(e.values.map(_._2).toSeq.sorted === Seq(3L, 3L, 4L))
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
