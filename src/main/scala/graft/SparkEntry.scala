@@ -273,6 +273,7 @@ object SparkEntry {
     "q252_twap"             -> (T.q252Twap(_, _)),
     "q253_centroid_drift"   -> (D.q253CentroidDrift(_, _)),
     "q254_water_fill"       -> (D.q254WaterFill(_, _)),
+    "q255_kaplan_meier"     -> (T.q255KaplanMeier(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -3998,6 +3999,35 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q255: survival folds per census row over the prefix of
+    // (1 − d/n) factors — list_reduce's seed-is-first-element equals
+    // Spark's 1.0·t₁ bit-for-bit; factors are exact-int divisions
+    "q255_kaplan_meier" ->
+      """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+        |    MAX(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+        |h AS (SELECT MAX(ld) AS wend FROM u),
+        |s AS (SELECT date_diff('day', fd, ld) AS dur,
+        |    CASE WHEN date_diff('day', ld, wend) >= 7 THEN 1 ELSE 0 END AS ev
+        |  FROM u, h),
+        |c AS (SELECT dur AS d, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(ev) AS BIGINT) AS deaths FROM s GROUP BY 1),
+        |r AS (SELECT d, n_obs, deaths,
+        |    SUM(n_obs) OVER () - COALESCE(SUM(n_obs) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM c),
+        |l AS (SELECT list(struct_pack(d := d, n_obs := n_obs,
+        |    deaths := deaths, n_risk := n_risk) ORDER BY d) AS arr FROM r),
+        |x AS (SELECT unnest(range(1, len(arr) + 1)) AS i, arr FROM l),
+        |f AS (SELECT arr[i].d AS d, arr[i].n_obs AS n_obs,
+        |    arr[i].deaths AS n_events, arr[i].n_risk AS n_risk,
+        |    list_reduce(list_transform(list_slice(arr, 1, i),
+        |      e -> 1.0 - CAST(e.deaths AS DOUBLE) / CAST(e.n_risk AS DOUBLE)),
+        |      (a, b) -> a * b) AS surv
+        |  FROM x)
+        |SELECT CAST(d AS BIGINT) AS dur, n_obs, n_events, n_risk,
+        |  CAST(round(CAST(CAST(surv AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |    AS survival
+        |FROM f""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier survival estimation — the censoring-aware retention
+  * curve (Kaplan & Meier 1958): S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over
+  * observed event times, where a subject still active at the end of
+  * the observation window is CENSORED (it contributes to the at-risk
+  * denominators up to its horizon but never to the event counts).
+  * The cohort-retention triangle (q231) ignores censoring — every
+  * user who joined late looks churned; KM is the estimator that
+  * reads right-truncated activity windows honestly.
+  *
+  * Scale shape: one (duration)-keyed census of the per-subject rows
+  * is the only subject-scale aggregation; everything after runs on
+  * the duration-sorted census (bounded by DISTINCT durations — days
+  * of a window, not subjects). At-risk counts are suffix sums of
+  * exact integers (total − prefix-before). The survival product
+  * folds IN DURATION ORDER per census row over the prefix of
+  * (1 − dᵢ/nᵢ) factors — each factor one double division of exact
+  * integers, the product a fixed-order HOF fold (the q237/q243
+  * contract), O(k²) on the k-row census, bit-replayable. Output:
+  * (duration, n_obs, n_events, n_risk, survival). */
+object Survival {
+
+  /** `df`: one row per subject with an integral `durCol` (periods
+    * survived) and `eventCol` = 1 when the endpoint was OBSERVED
+    * (churn/failure), anything else = censored at that duration. */
+  def kaplanMeier(df: DataFrame, durCol: String, eventCol: String): DataFrame = {
+    val census = df
+      .select(col(durCol).cast("long").as("d"),
+        when(col(eventCol) === 1, 1L).otherwise(0L).as("e"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("e")).as("deaths"))
+    val wOrd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    // census-bounded global windows (distinct durations, never
+    // subjects — a year-long daily window is ≤ 366 rows)
+    val risked = census
+      .withColumn("n_risk",
+        sum(col("n_obs")).over(wAll) - coalesce(sum(col("n_obs")).over(wOrd), lit(0L)))
+    val folded = risked
+      .agg(sort_array(collect_list(struct(col("d"), col("n_obs"),
+        col("deaths"), col("n_risk")))).as("__arr"))
+      .select(expr(
+        """explode(transform(__arr, (e, i) -> struct(
+          |  e.d AS d, e.n_obs AS n_obs, e.deaths AS n_events,
+          |  e.n_risk AS n_risk,
+          |  aggregate(slice(__arr, 1, i + 1), CAST(1.0 AS DOUBLE),
+          |    (acc, x) -> acc * (CAST(1.0 AS DOUBLE)
+          |      - CAST(x.deaths AS DOUBLE) / CAST(x.n_risk AS DOUBLE)))
+          |    AS survival)))""".stripMargin).as("r"))
+    folded.select(col("r.d").as(durCol), col("r.n_obs"), col("r.n_events"),
+      col("r.n_risk"), col("r.survival"))
+  }
+}

@@ -498,6 +498,26 @@ object TimeSeries {
         round($"mean", 6).as("mean"), round($"lift", 6).as("lift"))
   }
 
+  /** q255 — Kaplan–Meier retention ([[graft.operators.Survival
+    * .kaplanMeier]]): per-user activity span in days (first→last
+    * event), an endpoint OBSERVED when the user went quiet ≥ 7 days
+    * before the window's end, censored otherwise — the estimator that
+    * reads right-truncated windows honestly where q231's triangle
+    * calls every late joiner churned. Survival folds in duration
+    * order over exact (1 − dᵢ/nᵢ) factors. */
+  def q255KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val spans = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("first_d"), max(to_date($"ts")).as("last_d"))
+    val horizon = spans.agg(max($"last_d").as("wend"))
+    val subjects = spans.crossJoin(broadcast(horizon))
+      .select(datediff($"last_d", $"first_d").as("dur"),
+        when(datediff($"wend", $"last_d") >= 7, 1).otherwise(0).as("ev"))
+    graft.operators.Survival.kaplanMeier(subjects, "dur", "ev")
+      .select($"dur", $"n_obs", $"n_events", $"n_risk",
+        round($"survival", 6).as("survival"))
+  }
+
   /** q251 — snapshot profile drift ([[graft.operators.Profile
     * .profileDiff]]): the first vs second half of the event stream as
     * two table versions — per column (event_type, user_id, props) the

@@ -245,6 +245,21 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(e.values.map(_._2).toSeq.sorted === Seq(3L, 3L, 4L))
   }
 
+  test("kaplan-meier: censored subjects hold the at-risk set but never the product") {
+    import spark.implicits._
+    val subjects = Seq((2L, 1), (3L, 0), (5L, 1), (5L, 1), (7L, 0))
+      .toDF("dur", "ev")
+    val r = graft.operators.Survival.kaplanMeier(subjects, "dur", "ev")
+      .orderBy("dur").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(2L, 3L, 5L, 7L))
+    assert(r.map(_.getLong(3)).toSeq === Seq(5L, 4L, 3L, 1L))   // at-risk
+    assert(r(0).getDouble(4) === 1.0 - 1.0 / 5.0)               // S(2) = 0.8
+    assert(r(1).getDouble(4) === r(0).getDouble(4))             // censoring: flat
+    assert(r(2).getDouble(4) === (1.0 - 1.0 / 5.0) * (1.0 - 2.0 / 3.0))
+    assert(r(3).getDouble(4) === r(2).getDouble(4))
+    assert(r(2).getLong(2) === 2L)                              // two deaths at 5
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
