@@ -274,6 +274,10 @@ object SparkEntry {
     "q253_centroid_drift"   -> (D.q253CentroidDrift(_, _)),
     "q254_water_fill"       -> (D.q254WaterFill(_, _)),
     "q255_kaplan_meier"     -> (T.q255KaplanMeier(_, _)),
+    "q256_power_law"        -> (T.q256PowerLaw(_, _)),
+    "q257_session_paths"    -> (T.q257SessionPaths(_, _)),
+    "q258_rolling_burst"    -> (T.q258RollingBurst(_, _)),
+    "q259_stationary"       -> (T.q259Stationary(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -3999,6 +4003,92 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q256: Σ c·ln(v/0.5) folds in (v, c) order; reduce's first-element
+    // seed equals Spark's 0.0 + t₁
+    "q256_power_law" ->
+      """WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS v FROM events
+        |  GROUP BY 1),
+        |c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY 1),
+        |t AS (SELECT v, c FROM c WHERE v >= 1),
+        |l AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    list(struct_pack(v := v, c := c) ORDER BY v, c) AS ls FROM t),
+        |f AS (SELECT n, list_reduce(list_transform(ls,
+        |    e -> CAST(e.c AS DOUBLE) * ln(CAST(e.v AS DOUBLE) / 0.5)),
+        |    (a, b) -> a + b) AS s FROM l)
+        |SELECT n, CAST(1 AS BIGINT) AS vmin,
+        |  CASE WHEN s > 0 THEN
+        |    CAST(round(CAST(CAST(1.0 + CAST(n AS DOUBLE) / s AS VARCHAR)
+        |      AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS alpha
+        |FROM f""".stripMargin,
+    // q257: q167's gaps-and-islands session ids; in-session order is
+    // (ms, event_id) on both engines
+    "q257_session_paths" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+        |      OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT user_id, ms, event_id, event_type,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |p AS (SELECT array_to_string(list_slice(
+        |    list(event_type ORDER BY ms, event_id), 1, 8), '>') AS path
+        |  FROM s GROUP BY user_id, sid),
+        |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p
+        |  GROUP BY 1),
+        |r AS (SELECT path, n_sessions,
+        |    row_number() OVER (ORDER BY n_sessions DESC, path) AS rank FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, path, n_sessions FROM r
+        |WHERE rank <= 20""".stripMargin,
+    // q258: RANGE frame on integer event time — same-ms ties all see
+    // the same trailing count on both engines
+    "q258_rolling_burst" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |w AS (SELECT user_id, COUNT(*) OVER (PARTITION BY user_id ORDER BY ms
+        |    RANGE BETWEEN 59999 PRECEDING AND CURRENT ROW) AS r FROM e),
+        |p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MAX(r) AS BIGINT) AS peak_rate FROM w GROUP BY 1),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY peak_rate DESC, user_id)
+        |    AS rank FROM p)
+        |SELECT CAST(rank AS BIGINT) AS rank, user_id, n_events, peak_rate
+        |FROM r2 WHERE rank <= 100""".stripMargin,
+    // q259: 12 unrolled power-iteration rounds, `//` floors identical to
+    // Spark's div; per-round L1 renormalization absorbs dangling
+    // leakage. Every CTE is MATERIALIZED — DuckDB otherwise INLINES
+    // each reference, and the p₁₂→p₁₁→… chain with 3 refs per round
+    // expands to ~3¹² copies of the events scan (observed as a
+    // too-many-open-files failure, not just slowness)
+    "q259_stationary" -> {
+      val base =
+        """WITH ev AS MATERIALIZED (SELECT user_id, epoch_ms(ts) AS ms,
+          |    event_id, event_type FROM events),
+          |lg AS MATERIALIZED (SELECT event_type AS curr, lag(event_type) OVER (
+          |    PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM ev),
+          |tr AS MATERIALIZED (SELECT prev, curr, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2),
+          |rr AS MATERIALIZED (SELECT prev, CAST(SUM(c) AS BIGINT) AS r FROM tr
+          |  GROUP BY 1),
+          |st AS MATERIALIZED (SELECT prev AS state FROM tr
+          |  UNION SELECT curr FROM tr),
+          |ns AS MATERIALIZED (SELECT COUNT(*) AS ns FROM st),
+          |p0 AS MATERIALIZED (SELECT state, 1000000000 // ns.ns AS pf
+          |  FROM st CROSS JOIN ns)""".stripMargin
+      val rounds = (1 to 12).map { i =>
+        s"""fl$i AS MATERIALIZED (SELECT t.curr, SUM((p.pf * t.c) // rr.r) AS mass
+           |FROM tr t JOIN p${i - 1} p ON t.prev = p.state
+           |JOIN rr ON t.prev = rr.prev GROUP BY t.curr),
+           |tt$i AS MATERIALIZED (SELECT SUM(mass) AS t FROM fl$i),
+           |p$i AS MATERIALIZED (SELECT s.state,
+           |CAST((COALESCE(f.mass, 0) * 1000000000) // tt$i.t AS BIGINT) AS pf
+           |FROM st s CROSS JOIN tt$i LEFT JOIN fl$i f ON s.state = f.curr)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        """
+          |SELECT state,
+          |CAST(round(CAST(CAST(pf / 1000000000.0 AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS pi
+          |FROM p12""".stripMargin
+    },
     // q255: survival folds per census row over the prefix of
     // (1 − d/n) factors — list_reduce's seed-is-first-element equals
     // Spark's 1.0·t₁ bit-for-bit; factors are exact-int divisions

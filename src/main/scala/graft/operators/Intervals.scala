@@ -80,4 +80,31 @@ object Intervals {
     counts.join(peaks, "k")
       .select(col("k").as(keyCol), col("n_intervals"), col("peak"))
   }
+
+  /** Rolling burst rate: per key, the MAXIMUM number of events inside
+    * any trailing `windowMs` window — the rate-limit / abuse audit
+    * ("did any user ever exceed N requests per minute", answered
+    * exactly, not per fixed bucket — a fixed-bucket census misses
+    * bursts straddling a boundary). Top `topK` keys returned by
+    * (peak desc, key asc) — all-integer ordering.
+    *
+    * Scale shape: one key-partitioned RANGE-frame window pass (each
+    * row counts its trailing window — frame bounds are event-time
+    * integers, so ties at the same ms all see the same count) and a
+    * per-key max; the cut is a bounded TakeOrdered. Output: (rank,
+    * key, n_events, peak_rate). */
+  def rollingBurst(df: DataFrame, keyCol: String, msCol: String,
+      windowMs: Long, topK: Int): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(msCol).cast("long"))
+      .rangeBetween(-(windowMs - 1), 0)
+    val peaks = df
+      .withColumn("__r", count(lit(1)).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), max(col("__r")).as("peak_rate"))
+    peaks.orderBy(col("peak_rate").desc, col(keyCol)).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("peak_rate").desc, col(keyCol))).cast("long"))
+      .select(col("rank"), col(keyCol), col("n_events"), col("peak_rate"))
+  }
 }

@@ -74,4 +74,79 @@ object Sequences {
         (expr("aggregate(transform(__terms, t -> t.s), cast(0.0 as double), " +
           "(acc, x) -> acc + x)") / size(col("__terms"))).as("mean_surprise"))
   }
+
+  /** Top-k session paths — the flow-mining readout ("what do users
+    * actually DO"): gap-timeout sessionization (q167's rule), each
+    * session reduced to its first `maxLen` states in event order,
+    * joined with '>' into a path string, and the path census ranked.
+    * Truncation is explicit (`maxLen`) so the path vocabulary — and
+    * therefore the census — stays bounded no matter how long sessions
+    * run.
+    *
+    * Scale shape: one key-partitioned window pass assigns session ids
+    * (gaps-and-islands); per-session paths collect at most `maxLen`
+    * states each; the census aggregates path strings (map-side
+    * combined) and the cut is a bounded TakeOrdered, never a global
+    * sort. Ordering is ALL-INTEGER/string: (count desc, path asc).
+    * Output: (rank, path, n_sessions). */
+  def sessionPaths(df: DataFrame, keyCol: String, msCol: String,
+      tieCol: String, stateCol: String, gapMs: Long, maxLen: Int,
+      topK: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(msCol), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = df
+      .withColumn("__new", when(lag(col(msCol), 1).over(w).isNull ||
+        col(msCol) - lag(col(msCol), 1).over(w) > gapMs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(run))
+    val paths = sess.groupBy(col(keyCol), col("__sid"))
+      .agg(collect_list(struct(col(msCol).as("m"), col(tieCol).as("t"),
+        col(stateCol).as("s"))).as("__evs"))
+      .select(array_join(slice(expr("transform(array_sort(__evs), e -> e.s)"),
+        1, maxLen), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+      .select(col("rank"), col("path"), col("n_sessions"))
+  }
+
+  /** Stationary distribution of the order-1 state chain by fixed-point
+    * power iteration — "where does the flow settle": π' ∝ Σᵢ πᵢ·P(i→j)
+    * over [[transitionCensus]]'s counts, iterated with the
+    * [[Graph.hits]] integer discipline (scale 10⁹ longs, every mass an
+    * exact associative sum, per-round L1 renormalization absorbing
+    * dangling-state leakage). The state space is tiny by construction
+    * (distinct event types), so every join side is broadcastable; the
+    * oracle unrolls rounds as CTEs with identical `//` floors.
+    * Output: (state, pi). */
+  def stationaryDistribution(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], stateCol: String, iterations: Int): DataFrame = {
+    val scale = 1000000000L
+    val trans = transitionCensus(df, keyCol, orderCols, stateCol)
+      .select(col("prev"), col("curr"), col("n_transitions").as("c"))
+      .localCheckpoint(false)
+    val outTot = trans.groupBy(col("prev")).agg(sum(col("c")).as("r"))
+      .localCheckpoint(false)
+    val states = trans.select(col("prev").as("state"))
+      .union(trans.select(col("curr").as("state"))).distinct()
+      .localCheckpoint(false)
+    val nDf = broadcast(states.agg(count(lit(1)).as("ns")))
+    var pi = states.crossJoin(nDf)
+      .select(col("state"), expr(s"$scale div ns").as("pf"))
+    for (_ <- 1 to iterations) {
+      val flowed = trans
+        .join(pi, trans("prev") === pi("state"))
+        .join(outTot, "prev")
+        .select(col("curr"), expr("(pf * c) div r").as("m"))
+        .groupBy(col("curr")).agg(sum(col("m")).as("mass"))
+      val tot = broadcast(flowed.agg(sum(col("mass")).as("t")))
+      pi = states.join(flowed, states("state") === flowed("curr"), "left")
+        .crossJoin(tot)
+        .select(col("state"),
+          expr(s"(coalesce(mass, 0) * $scale) div t").as("pf"))
+        .localCheckpoint(false)
+    }
+    pi.select(col("state"),
+      (col("pf").cast("double") / lit(scale.toDouble)).as("pi"))
+  }
 }

@@ -518,6 +518,53 @@ object TimeSeries {
         round($"survival", 6).as("survival"))
   }
 
+  /** q256 — activity power-law fit ([[graft.operators.Profile
+    * .powerLawAlpha]]): the Clauset MLE exponent of the
+    * events-per-user distribution — how heavy is the user-activity
+    * tail. One user census feeds the (activity, count) census; the
+    * only float work is the in-order Σ c·ln(v/½) fold. */
+  def q256PowerLaw(spark: SparkSession, dir: String): DataFrame = {
+    val activity = events(spark, dir).groupBy($"user_id")
+      .agg(count(lit(1)).as("a"))
+      .groupBy($"a").agg(count(lit(1)).as("c"))
+    graft.operators.Profile.powerLawAlpha(activity, "a", "c", vmin = 1L)
+      .select($"n", $"vmin", round($"alpha", 6).as("alpha"))
+  }
+
+  /** q257 — session path mining ([[graft.operators.Sequences
+    * .sessionPaths]]): the 20 most common event-type flows over
+    * 30-minute gap sessions, each session truncated to its first 8
+    * states so the path vocabulary stays bounded. (count desc, path)
+    * integer/string ordering; one window pass for session ids. */
+  def q257SessionPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.sessionPaths(
+      events(spark, dir).select($"user_id", unix_millis($"ts").as("ms"),
+        $"event_id", $"event_type"),
+      "user_id", "ms", "event_id", "event_type",
+      gapMs = 1800000L, maxLen = 8, topK = 20)
+
+  /** q258 — rolling burst audit ([[graft.operators.Intervals
+    * .rollingBurst]]): the 100 users with the highest event count in
+    * ANY trailing 60 s window — the exact rate-limit answer a
+    * fixed-minute census gets wrong on boundary-straddling bursts.
+    * One RANGE-frame window pass per key; all-integer ranking. */
+  def q258RollingBurst(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Intervals.rollingBurst(
+      events(spark, dir).select($"user_id", unix_millis($"ts").as("ms")),
+      "user_id", "ms", windowMs = 60000L, topK = 100)
+
+  /** q259 — chain stationary distribution ([[graft.operators.Sequences
+    * .stationaryDistribution]]): where the event-type flow settles —
+    * 12 fixed-point power-iteration rounds over q200's transition
+    * census with per-round L1 renormalization, every mass an exact
+    * integer sum (the q245 HITS discipline on a 5-state chain). */
+  def q259Stationary(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.stationaryDistribution(
+        events(spark, dir).select($"user_id", unix_millis($"ts").as("ms"),
+          $"event_id", $"event_type"),
+        "user_id", Seq($"ms", $"event_id"), "event_type", iterations = 12)
+      .select($"state", round($"pi", 6).as("pi"))
+
   /** q251 — snapshot profile drift ([[graft.operators.Profile
     * .profileDiff]]): the first vs second half of the event stream as
     * two table versions — per column (event_type, user_id, props) the

@@ -260,6 +260,69 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r(2).getLong(2) === 2L)                              // two deaths at 5
   }
 
+  test("power-law alpha matches the direct Clauset MLE") {
+    import spark.implicits._
+    val census = Seq((1L, 100L), (2L, 25L), (4L, 6L), (8L, 1L)).toDF("v", "c")
+    val n = 132L
+    val s = Seq((1L, 100L), (2L, 25L), (4L, 6L), (8L, 1L))
+      .map { case (v, c) => c * math.log(v / 0.5) }.sum
+    val r = graft.operators.Profile.powerLawAlpha(census, "v", "c", vmin = 1L)
+      .head()
+    assert(r.getLong(0) === n)
+    assert(math.abs(r.getDouble(2) - (1.0 + n / s)) < 1e-12)
+  }
+
+  test("session paths: gap splits sessions, truncation caps the vocabulary") {
+    import spark.implicits._
+    // user 1: a>b then (after gap) c ; user 2: a>b
+    val rows = Seq((1L, 0L, 1L, "a"), (1L, 1000L, 2L, "b"),
+      (1L, 10000000L, 3L, "c"), (2L, 0L, 4L, "a"), (2L, 500L, 5L, "b"))
+      .toDF("u", "ms", "eid", "tp")
+    val r = graft.operators.Sequences.sessionPaths(rows, "u", "ms", "eid", "tp",
+      gapMs = 1800000L, maxLen = 8, topK = 10)
+      .collect().map(x => x.getString(1) -> (x.getLong(0), x.getLong(2))).toMap
+    assert(r("a>b") === ((1L, 2L)))   // rank 1, two sessions
+    assert(r("c") === ((2L, 1L)))
+    // truncation: 10 events, maxLen 3 -> path has 3 states
+    val long = (1 to 10).map(i => (9L, i * 10L, i.toLong, s"e$i"))
+      .toDF("u", "ms", "eid", "tp")
+    val t = graft.operators.Sequences.sessionPaths(long, "u", "ms", "eid", "tp",
+      gapMs = 1800000L, maxLen = 3, topK = 1).head()
+    assert(t.getString(1) === "e1>e2>e3")
+  }
+
+  test("rolling burst finds the boundary-straddling peak a fixed bucket misses") {
+    import spark.implicits._
+    // 3 events in 50ms straddling the 60s boundary at ms=60000
+    val rows = Seq((7L, 59980L), (7L, 59990L), (7L, 60020L),
+      (7L, 200000L), (8L, 0L)).toDF("u", "ms")
+    val r = graft.operators.Intervals.rollingBurst(rows, "u", "ms",
+      windowMs = 60000L, topK = 10)
+      .collect().map(x => x.getLong(1) -> x.getLong(3)).toMap
+    assert(r(7L) === 3L)  // a per-minute bucket census would report 2
+    assert(r(8L) === 1L)
+  }
+
+  test("stationary distribution converges to the chain's fixed point") {
+    import spark.implicits._
+    // deterministic 2-cycle a->b->a: stationary = (0.5, 0.5)
+    val rows = (0 until 20).map(i =>
+      (1L, i.toLong, i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("u", "ms", "eid", "tp")
+    val r = graft.operators.Sequences.stationaryDistribution(
+        rows, "u", Seq(col("ms"), col("eid")), "tp", iterations = 8)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.5) < 1e-6 && math.abs(r("b") - 0.5) < 1e-6)
+    // biased chain: a stays a 3/4, b always jumps to a -> pi(a)=0.8
+    val seq2 = "aaabaaabaaabaaabaaabaaabaaab".zipWithIndex.map {
+      case (ch, i) => (2L, i.toLong, i.toLong, ch.toString) }
+    val r2 = graft.operators.Sequences.stationaryDistribution(
+        seq2.toDF("u", "ms", "eid", "tp"), "u", Seq(col("ms"), col("eid")),
+        "tp", iterations = 20)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r2("a") - 0.75) < 0.02) // empirical MLE of this string
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
