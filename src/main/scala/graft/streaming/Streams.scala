@@ -477,6 +477,46 @@ object Streams {
       .agg(sum(lit(1L) - col("__r")).as("ca"), sum(col("__r")).as("cb"))
   }
 
+  case class BurstState(times: List[Long], peak: Long, n: Long)
+  case class BurstOut(user_id: Long, n_events: Long, peak_rate: Long)
+
+  /** Streaming rolling-burst audit ([[graft.operators.Intervals
+    * .rollingBurst]]'s twin): per key the state store keeps ONLY the
+    * event times inside the current trailing window plus the running
+    * (peak, count) — state is bounded by the key's true burst size,
+    * never stream length, and `maxState` makes a pathological key loud
+    * instead of silent. Each arriving event counts the window
+    * (t − windowMs, t] over the pruned buffer — the batch RANGE-frame
+    * rule exactly — so after any in-order prefix the streamed (n,
+    * peak) per key EQUALS the batch operator on that prefix (parity
+    * spec-asserted). Ordered arrival per key is the contract
+    * ([[transitionStream]]); bound out-of-orderness upstream. Output
+    * per trigger: the key's current totals (Update semantics). */
+  def rollingBurstStream(events: DataFrame, windowMs: Long,
+      maxState: Int = 100000): Dataset[BurstOut] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("ms").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[BurstState, BurstOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, evts: Iterator[(Long, Long)], state: GroupState[BurstState]) =>
+          val st = state.getOption.getOrElse(BurstState(Nil, 0L, 0L))
+          val buf = scala.collection.mutable.ArrayDeque.from(st.times)
+          var peak = st.peak
+          var n = st.n
+          evts.map(_._2).toSeq.sorted.foreach { t =>
+            buf.append(t)
+            while (buf.nonEmpty && buf.head <= t - windowMs) buf.removeHead()
+            require(buf.size <= maxState,
+              s"burst state for key $user exceeds $maxState events per window")
+            peak = math.max(peak, buf.size.toLong)
+            n += 1
+          }
+          state.update(BurstState(buf.toList, peak, n))
+          BurstOut(user, n, peak)
+      }
+  }
+
   case class TransState(ms: Long, eid: Long, tpe: String)
   case class TransitionOut(user_id: Long, prev: String, curr: String, ms: Long)
 

@@ -862,6 +862,37 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming rolling burst matches the batch RANGE-frame peak at every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", (unix_millis($"ts")).as("ms"))
+      .orderBy("ms").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val src = mem.toDF().toDF("user_id", "ms")
+    val out = Streams.rollingBurstStream(src, windowMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("burst_stream")
+      .outputMode("update").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      var seen = IndexedSeq.empty[(Long, Long)]
+      val latest = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+        spark.table("burst_stream").collect().foreach { r =>
+          latest(r.getLong(0)) = (r.getLong(1), r.getLong(2))
+        }
+        val batch = graft.operators.Intervals.rollingBurst(
+            seen.toDF("user_id", "ms"), "user_id", "ms",
+            windowMs = 60000L, topK = Int.MaxValue)
+          .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+        assert(latest.toMap === batch, s"prefix of ${seen.length}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming KS census matches batch census and statistic at every prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
