@@ -278,6 +278,7 @@ object SparkEntry {
     "q257_session_paths"    -> (T.q257SessionPaths(_, _)),
     "q258_rolling_burst"    -> (T.q258RollingBurst(_, _)),
     "q259_stationary"       -> (T.q259Stationary(_, _)),
+    "q260_spearman"         -> (T.q260Spearman(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -4003,6 +4004,36 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q260: doubled mid-ranks are integers (2·mid = span endpoints'
+    // sum); HUGEINT moments mirror Spark's DECIMAL; the 2× cancels
+    "q260_spearman" ->
+      """WITH e AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x,
+        |    CAST(hour(ts) AS BIGINT) AS y FROM events),
+        |cx AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |rx AS (SELECT g, x, 2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+        |  FROM cx),
+        |cy AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |ry AS (SELECT g, y, 2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+        |  FROM cy),
+        |j AS (SELECT e.g, rx.r2 AS a, ry.r2 AS b FROM e
+        |  JOIN rx ON e.g = rx.g AND e.x = rx.x
+        |  JOIN ry ON e.g = ry.g AND e.y = ry.y),
+        |s AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(a AS HUGEINT)) AS sx, SUM(CAST(b AS HUGEINT)) AS sy,
+        |    SUM(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sxy,
+        |    SUM(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS sxx,
+        |    SUM(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS rho
+        |FROM s""".stripMargin,
     // q256: Σ c·ln(v/0.5) folds in (v, c) order; reduce's first-element
     // seed equals Spark's 0.0 + t₁
     "q256_power_law" ->

@@ -80,4 +80,57 @@ object Regression {
           (sqrt(da) * sqrt(db))).as("corr"))
     }.reduce(_ unionByName _)
   }
+
+  /** Per-group Spearman rank correlation — [[corrMatrix]]'s robust
+    * sibling: Pearson on mid-ranks, so monotone-but-nonlinear
+    * dependence registers and outliers lose their leverage (the
+    * metadata-vs-quality screen where a single giant value would
+    * swamp a Pearson moment).
+    *
+    * Exactness: mid-ranks enter DOUBLED (a tie-run spanning ranks
+    * a..b has mid-rank (a+b)/2; 2·mid = a+b is an integer — ties
+    * never produce a .5 float), the doubling cancels in ρ, and every
+    * moment (Σr, Σr², Σrxry) is an exact integer sum carried as
+    * DECIMAL(38,0) through the n·Σ − Σ·Σ combination; the only float
+    * ops are two correctly-rounded sqrts and one division. Rank
+    * censuses are (group, value)-bounded windows (the [[Normalize]]
+    * machinery); rows join rank tables on (group, value) — two
+    * value-keyed shuffles, one group aggregate. Output: (group..., n,
+    * rho); a group with zero variance on either side yields null. */
+  def spearman(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    def rank2(vCol: String, out: String): DataFrame = {
+      val census = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+        .groupBy((g :+ col(vCol)): _*)
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(g: _*).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      census.select((g :+ col(vCol) :+
+        (lit(2L) * coalesce(sum(col("__c")).over(w), lit(0L)) +
+          col("__c") + lit(1L)).as(out)): _*)
+    }
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .join(rank2(xCol, "__rx"), groupCols :+ xCol)
+      .join(rank2(yCol, "__ry"), groupCols :+ yCol)
+    val dec = "decimal(38,0)"
+    // products go DECIMAL before the multiply: doubled ranks reach 2n,
+    // and (2n)² at n ≥ 2^31 rows per group would overflow a long term
+    val sums = rows.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).cast(dec).as("__sx"),
+        sum(col("__ry")).cast(dec).as("__sy"),
+        sum(col("__rx").cast(dec) * col("__ry").cast(dec)).cast(dec).as("__sxy"),
+        sum(col("__rx").cast(dec) * col("__rx").cast(dec)).cast(dec).as("__sxx"),
+        sum(col("__ry").cast(dec) * col("__ry").cast(dec)).cast(dec).as("__syy"))
+    val nD = col("n").cast(dec)
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val dx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val dy = nD * col("__syy") - col("__sy") * col("__sy")
+    sums.select((g :+ col("n") :+
+      when(dx > 0 && dy > 0,
+        num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+        .as("rho")): _*)
+  }
 }

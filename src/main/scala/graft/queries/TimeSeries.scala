@@ -565,6 +565,19 @@ object TimeSeries {
         "user_id", Seq($"ms", $"event_id"), "event_type", iterations = 12)
       .select($"state", round($"pi", 6).as("pi"))
 
+  /** q260 — Spearman rank correlation ([[graft.operators.Regression
+    * .spearman]]): per event type, the monotone dependence between
+    * event value (cents) and hour-of-day — Pearson on DOUBLED integer
+    * mid-ranks (ties never float, the 2× cancels in ρ), moments exact
+    * through DECIMAL, two sqrts and one division at the end. */
+  def q260Spearman(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.spearman(
+        events(spark, dir).select($"event_type",
+          round($"value" * 100).cast("long").as("cents"),
+          hour($"ts").cast("long").as("hod")),
+        Seq("event_type"), "cents", "hod")
+      .select($"event_type", $"n", round($"rho", 6).as("rho"))
+
   /** q251 — snapshot profile drift ([[graft.operators.Profile
     * .profileDiff]]): the first vs second half of the event stream as
     * two table versions — per column (event_type, user_id, props) the

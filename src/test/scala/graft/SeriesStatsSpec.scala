@@ -323,6 +323,36 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r2("a") - 0.75) < 0.02) // empirical MLE of this string
   }
 
+  test("spearman: monotone nonlinear is 1, reversal -1, ties handled by mid-ranks") {
+    import spark.implicits._
+    // y = x^3 (monotone, nonlinear): Pearson < 1 but Spearman = 1
+    val mono = (1L to 10L).map(x => ("m", x, x * x * x)).toDF("g", "x", "y")
+    val r1 = graft.operators.Regression.spearman(mono, Seq("g"), "x", "y").head()
+    assert(r1.getDouble(2) === 1.0)
+    // strict reversal: -1
+    val rev = (1L to 10L).map(x => ("r", x, 100L - x)).toDF("g", "x", "y")
+    val r2 = graft.operators.Regression.spearman(rev, Seq("g"), "x", "y").head()
+    assert(r2.getDouble(2) === -1.0)
+    // textbook tie case cross-checked against the direct mid-rank Pearson
+    val xs = Seq(1L, 2L, 2L, 3L)
+    val ys = Seq(5L, 5L, 7L, 9L)
+    def midRanks(v: Seq[Long]): Seq[Double] =
+      v.map(x => (v.count(_ < x) + 1 + v.count(_ <= x)).toDouble / 2)
+    val (rx, ry) = (midRanks(xs), midRanks(ys))
+    val n = xs.size
+    def s(a: Seq[Double]) = a.sum
+    val num = n * rx.zip(ry).map { case (a, b) => a * b }.sum - s(rx) * s(ry)
+    val den = math.sqrt(n * rx.map(a => a * a).sum - s(rx) * s(rx)) *
+      math.sqrt(n * ry.map(b => b * b).sum - s(ry) * s(ry))
+    val tied = xs.zip(ys).map { case (x, y) => ("t", x, y) }.toDF("g", "x", "y")
+    val r3 = graft.operators.Regression.spearman(tied, Seq("g"), "x", "y").head()
+    assert(math.abs(r3.getDouble(2) - num / den) < 1e-12)
+    // constant side: null rho
+    val const = (1L to 5L).map(x => ("c", x, 7L)).toDF("g", "x", "y")
+    assert(graft.operators.Regression.spearman(const, Seq("g"), "x", "y")
+      .head().isNullAt(2))
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
