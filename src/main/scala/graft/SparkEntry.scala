@@ -279,6 +279,8 @@ object SparkEntry {
     "q258_rolling_burst"    -> (T.q258RollingBurst(_, _)),
     "q259_stationary"       -> (T.q259Stationary(_, _)),
     "q260_spearman"         -> (T.q260Spearman(_, _)),
+    "q261_gumbel_extremes"  -> (T.q261GumbelExtremes(_, _)),
+    "q262_rfm"              -> (T.q262Rfm(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -4004,6 +4006,63 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q261: method-of-moments Gumbel on exact integer maxima sums; the
+    // float tail mirrors Spark's evaluation shape term for term
+    "q261_gumbel_extremes" ->
+      """WITH mc AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    epoch_ms(ts) // 60000 AS minute, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |dp AS (SELECT event_type, day, CAST(MAX(c) AS BIGINT) AS x FROM mc
+        |  GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS ss
+        |  FROM dp GROUP BY 1),
+        |f AS (SELECT event_type, n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(CAST(n * ss - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE))
+        |      * sqrt(6.0) / pi() AS beta
+        |  FROM s),
+        |g AS (SELECT *, mean - 0.5772156649015329 * beta AS mu FROM f)
+        |SELECT event_type, n,
+        |  CAST(round(CAST(CAST(mean AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean,
+        |  CAST(round(CAST(CAST(beta AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS beta,
+        |  CAST(round(CAST(CAST(mu AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mu,
+        |  CAST(round(CAST(CAST(mu - beta * ln(-ln(1.0 - 1.0 / 10.0))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS rl_10,
+        |  CAST(round(CAST(CAST(mu - beta * ln(-ln(1.0 - 1.0 / 100.0))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS rl_100
+        |FROM g""".stripMargin,
+    // q262: three census-bucketed scores (the q249 tie-run rule),
+    // recency inverted; joins on metric VALUE
+    "q262_rfm" ->
+      """WITH b AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT MAX(last_d) AS wend FROM b),
+        |m AS (SELECT user_id, date_diff('day', last_d, wend) AS recency_days,
+        |    frequency, monetary FROM b, h),
+        |cr AS (SELECT recency_days AS v, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY 1),
+        |br AS (SELECT v, LEAST(4, (COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |    // (SELECT SUM(c) FROM cr)) AS bk FROM cr),
+        |cf AS (SELECT frequency AS v, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY 1),
+        |bf AS (SELECT v, LEAST(4, (COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |    // (SELECT SUM(c) FROM cf)) AS bk FROM cf),
+        |cm AS (SELECT monetary AS v, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY 1),
+        |bm AS (SELECT v, LEAST(4, (COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |    // (SELECT SUM(c) FROM cm)) AS bk FROM cm)
+        |SELECT m.user_id, CAST(m.recency_days AS BIGINT) AS recency_days,
+        |  m.frequency, m.monetary,
+        |  CAST(5 - br.bk AS BIGINT) AS r_score,
+        |  CAST(bf.bk + 1 AS BIGINT) AS f_score,
+        |  CAST(bm.bk + 1 AS BIGINT) AS m_score,
+        |  CAST((5 - br.bk) * 100 + (bf.bk + 1) * 10 + (bm.bk + 1) AS BIGINT) AS rfm
+        |FROM m JOIN br ON m.recency_days = br.v
+        |JOIN bf ON m.frequency = bf.v
+        |JOIN bm ON m.monetary = bm.v""".stripMargin,
     // q260: doubled mid-ranks are integers (2·mid = span endpoints'
     // sum); HUGEINT moments mirror Spark's DECIMAL; the 2× cancels
     "q260_spearman" ->

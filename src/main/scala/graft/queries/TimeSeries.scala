@@ -578,6 +578,37 @@ object TimeSeries {
         Seq("event_type"), "cents", "hod")
       .select($"event_type", $"n", round($"rho", 6).as("rho"))
 
+  /** q261 — Gumbel return levels ([[graft.operators.Extremes
+    * .gumbelFit]]): per event type, fit the daily PEAK-minute counts
+    * and read the once-per-10 / once-per-100-day burst levels — the
+    * provisioning number a mean+3σ rule under-calls. Closed-form
+    * method of moments on exact integer maxima sums; the float tail
+    * is a fixed shape of correctly-rounded ops. */
+  def q261GumbelExtremes(spark: SparkSession, dir: String): DataFrame = {
+    val minuteCounts = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"),
+        (unix_millis($"ts") / 60000L).cast("long").as("minute"))
+      .agg(count(lit(1)).as("c"))
+    val dailyPeak = minuteCounts.groupBy($"event_type", $"day")
+      .agg(max($"c").as("peak"))
+    graft.operators.Extremes.gumbelFit(dailyPeak, "event_type", "peak",
+        returnPeriods = Seq(10, 100))
+      .select($"event_type", $"n", round($"mean", 6).as("mean"),
+        round($"beta", 6).as("beta"), round($"mu", 6).as("mu"),
+        round($"rl_10", 6).as("rl_10"), round($"rl_100", 6).as("rl_100"))
+  }
+
+  /** q262 — RFM segmentation ([[graft.operators.Cohorts.rfmScores]]):
+    * per user the recency/frequency/monetary features with 1..5
+    * equal-frequency scores (census-bucketed, tie-runs atomic — the
+    * q249 rule) and the composite segment code. The feature table
+    * behind churn models and audience cuts. */
+  def q262Rfm(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.rfmScores(
+      events(spark, dir).select($"user_id", to_date($"ts").as("d"),
+        round($"value" * 100).cast("long").as("cents")),
+      "user_id", $"d", "cents", buckets = 5)
+
   /** q251 — snapshot profile drift ([[graft.operators.Profile
     * .profileDiff]]): the first vs second half of the event stream as
     * two table versions — per column (event_type, user_id, props) the

@@ -353,6 +353,41 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
       .head().isNullAt(2))
   }
 
+  test("gumbel fit matches the direct method-of-moments computation") {
+    import spark.implicits._
+    val maxima = Seq(10L, 14L, 12L, 20L, 11L, 13L)
+    val df = maxima.map(("k", _)).toDF("k", "x")
+    val n = maxima.size
+    val mean = maxima.sum.toDouble / n
+    val varPop = (n.toLong * maxima.map(x => x * x).sum -
+      maxima.sum * maxima.sum).toDouble / (n.toLong * n)
+    val beta = math.sqrt(varPop) * math.sqrt(6.0) / math.Pi
+    val mu = mean - graft.operators.Extremes.EulerGamma * beta
+    val r = graft.operators.Extremes.gumbelFit(df, "k", "x", Seq(10)).head()
+    assert(r.getDouble(2) === mean && r.getDouble(3) === beta)
+    assert(r.getDouble(4) === mu)
+    assert(r.getDouble(5) === mu - beta * math.log(-math.log(1.0 - 0.1)))
+    // return level exceeds the mean: rare bursts sit above typical peaks
+    assert(r.getDouble(5) > mean)
+  }
+
+  test("rfm: equal-frequency scores, recency inverted, ties atomic") {
+    import spark.implicits._
+    import java.sql.Date
+    // 10 users, one event each on distinct days with distinct values:
+    // most recent user gets r=5; highest spender gets m=5
+    val rows = (1 to 10).map(i =>
+      (i.toLong, Date.valueOf(f"2024-01-$i%02d"), i * 100L))
+      .toDF("u", "d", "cents")
+    val r = graft.operators.Cohorts.rfmScores(rows, "u", col("d"), "cents")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(10L).getLong(4) === 5L && r(1L).getLong(4) === 1L)  // recency
+    assert(r(10L).getLong(6) === 5L && r(1L).getLong(6) === 1L)  // monetary
+    // all frequencies tie at 1: the whole tie-run lands in ONE bucket
+    assert(r.values.map(_.getLong(5)).toSet === Set(1L))
+    assert(r(10L).getLong(7) === 515L)
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
