@@ -281,6 +281,8 @@ object SparkEntry {
     "q260_spearman"         -> (T.q260Spearman(_, _)),
     "q261_gumbel_extremes"  -> (T.q261GumbelExtremes(_, _)),
     "q262_rfm"              -> (T.q262Rfm(_, _)),
+    "q263_binary_segment"   -> (T.q263BinarySegment(_, _)),
+    "q264_label_separation" -> (D.q264LabelSeparation(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -4006,6 +4008,52 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q263: exact integer prefix sums; gap squares in DOUBLE (fixed
+    // shape both engines); earliest-split tiebreak on the float stat
+    "q263_binary_segment" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+        |    SUM(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS s1,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    SUM(x) OVER (PARTITION BY event_type) AS s
+        |  FROM d),
+        |c AS (SELECT *, CAST(s1 * (n - i) - (s - s1) * i AS DOUBLE) AS gap
+        |  FROM p WHERE i < n),
+        |st AS (SELECT *, (gap * gap) / CAST(n * i * (n - i) AS DOUBLE) AS stat
+        |  FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY stat DESC, day) AS rk FROM st)
+        |SELECT event_type, n AS n_obs, day AS split_ord, i AS n_before,
+        |  CAST(round(CAST(CAST(CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_before,
+        |  CAST(round(CAST(CAST(CAST(s - s1 AS DOUBLE) / CAST(n - i AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_after,
+        |  CAST(round(CAST(CAST(stat AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS stat
+        |FROM r WHERE rk = 1""".stripMargin,
+    // q264: q253's quantized dim sums; labels² pair join; HUGEINT Gram
+    "q264_label_separation" ->
+      """WITH e AS (SELECT label AS lbl,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |c AS (SELECT lbl, dim, CAST(SUM(q) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+        |nr AS (SELECT lbl, SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS nn
+        |  FROM c GROUP BY 1),
+        |pr AS (SELECT a.lbl AS label_a, b.lbl AS label_b,
+        |    SUM(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS ab
+        |  FROM c a JOIN c b ON a.dim = b.dim AND a.lbl < b.lbl
+        |  GROUP BY 1, 2)
+        |SELECT pr.label_a, pr.label_b,
+        |  CASE WHEN na.nn > 0 AND nb.nn > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(pr.ab AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS cosine
+        |FROM pr JOIN nr na ON pr.label_a = na.lbl
+        |JOIN nr nb ON pr.label_b = nb.lbl""".stripMargin,
     // q261: method-of-moments Gumbel on exact integer maxima sums; the
     // float tail mirrors Spark's evaluation shape term for term
     "q261_gumbel_extremes" ->

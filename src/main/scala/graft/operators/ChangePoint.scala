@@ -53,4 +53,55 @@ object ChangePoint {
         col("__f.na").as("n_alarms"), col("__f.fa").as("first_alarm"),
         col("__f.mx").as("max_stat"))
   }
+
+  /** Single change-point LOCALIZATION by binary segmentation —
+    * [[cusumSummary]] says a series shifted; this says WHERE: the
+    * split t maximizing the between-segment statistic
+    * f(t) = (S₁n₂ − S₂n₁)² / (n·n₁·n₂) (the squared two-sample mean
+    * gap, weighted) over all prefix/suffix splits of the per-key
+    * ordered series.
+    *
+    * Determinism: prefix sums are exact integers, f(t) is ONE double
+    * expression per candidate in fixed shape (identical cross-engine),
+    * and the argmax resolves ties by earliest split — a float total
+    * order both engines share (the q248 contract). Scale shape: the
+    * series is a period census; candidates enumerate census rows via
+    * one per-key window pass, so work is keys × periods. Output:
+    * (key, n_obs, split_ord, n_before, mean_before, mean_after,
+    * stat) — the split is the LAST period of the left segment; keys
+    * with fewer than 2 periods are absent. */
+  def binarySegment(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(ordCol).cast("string"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy(col(keyCol))
+    val x = col(valueCol).cast("long")
+    val pre = df
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__s1", sum(x).over(run))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__s", sum(x).over(all))
+      .where(col("__i") < col("__n")) // a split needs a non-empty right side
+    val n1 = col("__i")
+    val n2 = col("__n") - col("__i")
+    val s2 = col("__s") - col("__s1")
+    // gap squares in DOUBLE: the long gap is exact (< 2^53 for any
+    // sane census) but its square would overflow at period-scale sums
+    val gap = (col("__s1") * n2 - s2 * n1).cast("double")
+    val stat = (gap * gap) /
+      (col("__n") * n1 * n2).cast("double")
+    pre
+      .withColumn("__stat", stat)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("__stat").desc, col(ordCol).cast("string"))))
+      .where(col("__rk") === 1)
+      .select(col(keyCol), col("__n").as("n_obs"),
+        col(ordCol).cast("string").as("split_ord"), n1.as("n_before"),
+        (col("__s1").cast("double") / n1.cast("double")).as("mean_before"),
+        (s2.cast("double") / n2.cast("double")).as("mean_after"),
+        col("__stat").as("stat"))
+  }
 }

@@ -475,6 +475,43 @@ object Similarity {
     * term at the end feeds sqrt/divide in a fixed shape. Output:
     * (label, n_a, n_b, cosine); a slice with no rows or a zero
     * centroid yields null cosine. */
+  /** Pairwise label-centroid cosine matrix — the class-coherence audit
+    * ("which labels are semantically confusable"): every label pair's
+    * centroid cosine from the SAME quantized integer dim-sum census as
+    * [[centroidDrift]]. High off-diagonal cosines are label pairs a
+    * classifier (or a SemDeDup threshold) will blur. Census is
+    * labels × dims; the pair join is labels²-bounded — never touches
+    * row scale twice. Output: (label_a, label_b, cosine), a < b. */
+  def centroidSeparation(df: DataFrame, labelCol: String, vecCol: String,
+      scale: Int = 6): DataFrame = {
+    val census = df
+      .select(col(labelCol).as("lbl"), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("lbl"), col("dim"),
+        round(col("__x").cast("double") * math.pow(10, scale)).cast("long").as("__q"))
+      .groupBy(col("lbl"), col("dim"))
+      .agg(sum(col("__q")).as("s"))
+      .localCheckpoint(false)
+    val norms = census.select(col("lbl"),
+        (col("s").cast("decimal(20,0)") * col("s").cast("decimal(20,0)")).as("__sq"))
+      .groupBy(col("lbl")).agg(sum(col("__sq")).as("__nn"))
+    val pairs = census.select(col("lbl").as("label_a"), col("dim"), col("s").as("__sa"))
+      .join(census.select(col("lbl").as("label_b"), col("dim"), col("s").as("__sb")),
+        "dim")
+      .where(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (col("__sa").cast("decimal(20,0)") * col("__sb").cast("decimal(20,0)")).as("__p"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("__p")).as("__ab"))
+    pairs
+      .join(norms.select(col("lbl").as("label_a"), col("__nn").as("__na")), "label_a")
+      .join(norms.select(col("lbl").as("label_b"), col("__nn").as("__nb")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          col("__ab").cast("double") /
+            (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+          .as("cosine"))
+  }
+
   def centroidDrift(df: DataFrame, labelCol: String, vecCol: String,
       isB: Column, scale: Int = 6): DataFrame = {
     val census = df

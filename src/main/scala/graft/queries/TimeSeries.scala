@@ -609,6 +609,22 @@ object TimeSeries {
         round($"value" * 100).cast("long").as("cents")),
       "user_id", $"d", "cents", buckets = 5)
 
+  /** q263 — change-point localization ([[graft.operators.ChangePoint
+    * .binarySegment]]): where each event type's daily volume broke —
+    * the split maximizing (S₁n₂ − S₂n₁)²/(n·n₁·n₂) over all
+    * prefix/suffix cuts. CUSUM (q238) detects; this locates. Exact
+    * integer prefix sums, one fixed-shape double per candidate,
+    * earliest-split tiebreak. */
+  def q263BinarySegment(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.ChangePoint.binarySegment(daily, "event_type", "day", "x")
+      .select($"event_type", $"n_obs", $"split_ord", $"n_before",
+        round($"mean_before", 6).as("mean_before"),
+        round($"mean_after", 6).as("mean_after"), round($"stat", 6).as("stat"))
+  }
+
   /** q251 — snapshot profile drift ([[graft.operators.Profile
     * .profileDiff]]): the first vs second half of the event stream as
     * two table versions — per column (event_type, user_id, props) the

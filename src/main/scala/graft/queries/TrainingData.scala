@@ -2703,6 +2703,16 @@ object TrainingData {
       .select($"source", $"avail", $"alloc", $"at_capacity")
   }
 
+  /** q264 — label separation matrix ([[graft.operators.Similarity
+    * .centroidSeparation]]): pairwise label-centroid cosines from the
+    * q253 quantized integer dim-sum census — which classes are
+    * semantically confusable. labels²-bounded pair join; exact
+    * DECIMAL Gram, HUGEINT oracle mirror. */
+  def q264LabelSeparation(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.centroidSeparation(
+        Tables.embeddings(spark, dir), "label", "embedding", scale = 6)
+      .select($"label_a", $"label_b", round($"cosine", 6).as("cosine"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -388,6 +388,33 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r(10L).getLong(7) === 515L)
   }
 
+  test("binary segmentation locates a planted level shift exactly") {
+    import spark.implicits._
+    // 10 @ level 100, then 5 @ level 200: split after index 10
+    val vals = Seq.fill(10)(100L) ++ Seq.fill(5)(200L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", f"d${i + 1}%02d", v) }
+      .toDF("k", "day", "x")
+    val r = graft.operators.ChangePoint.binarySegment(df, "k", "day", "x").head()
+    assert(r.getString(2) === "d10" && r.getLong(3) === 10L)
+    assert(r.getDouble(4) === 100.0 && r.getDouble(5) === 200.0)
+    // a constant series has stat 0 everywhere: earliest split wins
+    val flat = (1 to 6).map(i => ("f", f"d$i%02d", 50L)).toDF("k", "day", "x")
+    val rf = graft.operators.ChangePoint.binarySegment(flat, "k", "day", "x").head()
+    assert(rf.getString(2) === "d01" && rf.getDouble(6) === 0.0)
+  }
+
+  test("centroid separation: parallel labels cos 1, orthogonal 0, a < b pairs only") {
+    import spark.implicits._
+    val rows = Seq(
+      (1, Seq(1.0f, 0.0f)), (1, Seq(3.0f, 0.0f)),
+      (2, Seq(2.0f, 0.0f)),
+      (3, Seq(0.0f, 5.0f))).toDF("label", "vec")
+    val r = graft.operators.Similarity.centroidSeparation(rows, "label", "vec")
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(r.keySet === Set((1, 2), (1, 3), (2, 3)))
+    assert(r((1, 2)) === 1.0 && r((1, 3)) === 0.0 && r((2, 3)) === 0.0)
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
