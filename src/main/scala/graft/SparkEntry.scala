@@ -283,6 +283,8 @@ object SparkEntry {
     "q262_rfm"              -> (T.q262Rfm(_, _)),
     "q263_binary_segment"   -> (T.q263BinarySegment(_, _)),
     "q264_label_separation" -> (D.q264LabelSeparation(_, _)),
+    "q265_theil_sen"        -> (T.q265TheilSen(_, _)),
+    "q266_seasonal_decompose" -> (T.q266SeasonalDecompose(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -4008,6 +4010,55 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q265: pairwise slopes are one exact-int division each; both
+    // medians are LOWER medians under total (slope, i, j) / (value, i)
+    "q265_theil_sen" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |ix AS (SELECT event_type, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+        |  FROM d),
+        |pr AS (SELECT a.event_type, a.i AS i, b.i AS j,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS m
+        |  FROM ix a JOIN ix b ON a.event_type = b.event_type AND a.i < b.i),
+        |sl AS (SELECT event_type, m AS slope, np AS n_pairs FROM (
+        |  SELECT event_type, m,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY m, i, j) AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+        |  FROM pr) WHERE r = (np + 1) // 2),
+        |rs AS (SELECT ix.event_type, sl.n_pairs, sl.slope, ix.i,
+        |    CAST(ix.x AS DOUBLE) - sl.slope * CAST(ix.i AS DOUBLE) AS b
+        |  FROM ix JOIN sl ON ix.event_type = sl.event_type),
+        |ic AS (SELECT event_type, n_pairs, slope, b, n FROM (
+        |  SELECT event_type, n_pairs, slope, b,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY b, i) AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM rs) WHERE r = (n + 1) // 2)
+        |SELECT event_type, n AS n_obs, n_pairs,
+        |  CAST(round(CAST(CAST(slope AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS slope,
+        |  CAST(round(CAST(CAST(b AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS intercept
+        |FROM ic""".stripMargin,
+    // q266: exact-int trend sums over a ROWS frame; seasonal means fold
+    // detrended doubles in day order (the q237 contract)
+    "q266_seasonal_decompose" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS dd,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, strftime(dd, '%Y-%m-%d') AS day,
+        |    dayofweek(dd) + 1 AS dw, x FROM d),
+        |t AS (SELECT event_type, day, dw, x,
+        |    CAST(SUM(x) OVER w7 AS DOUBLE) / CAST(COUNT(*) OVER w7 AS DOUBLE) AS trend
+        |  FROM b WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT *, CAST(x AS DOUBLE) - trend AS det FROM t),
+        |se AS (SELECT event_type, dw,
+        |    list_reduce(list(det ORDER BY day), (a, b) -> a + b)
+        |      / CAST(COUNT(*) AS DOUBLE) AS seasonal
+        |  FROM dt GROUP BY 1, 2)
+        |SELECT dt.event_type, dt.day, dt.x AS value,
+        |  CAST(round(CAST(CAST(dt.trend AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS trend,
+        |  CAST(round(CAST(CAST(se.seasonal AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS seasonal,
+        |  CAST(round(CAST(CAST(dt.det - se.seasonal AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS resid
+        |FROM dt JOIN se ON dt.event_type = se.event_type AND dt.dw = se.dw""".stripMargin,
     // q263: exact integer prefix sums; gap squares in DOUBLE (fixed
     // shape both engines); earliest-split tiebreak on the float stat
     "q263_binary_segment" ->

@@ -96,6 +96,45 @@ object Autocorr {
         col("expected"), col("resid"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Additive seasonal decomposition (STL-lite) over a daily census:
+    * trend = centered 7-day moving mean (partial at the edges),
+    * seasonal = per-weekday mean of the DETRENDED series, residual =
+    * the rest — the decomposition that turns "volume moved" into
+    * "trend moved / the weekly shape moved / a one-off happened",
+    * which is what the anomaly operators ([[seasonalAnomalies]],
+    * [[ChangePoint]]) should each consume.
+    *
+    * Determinism: the trend is Σx/count over a ROWS frame (exact
+    * integer sum, one division); detrended values are one subtraction
+    * each; the per-(key, dow) seasonal mean is a float sum of those
+    * doubles, folded IN DAY ORDER (the q237 contract) then divided.
+    * Scale shape: everything is keys × periods censuses. Output:
+    * (key, ord, value, trend, seasonal, resid). */
+  def seasonalDecompose(df: DataFrame, keyCol: String, ordCol: String,
+      dowCol: Column, valueCol: String): DataFrame = {
+    val w7 = Window.partitionBy(col(keyCol)).orderBy(col("__o"))
+      .rowsBetween(-3, 3)
+    val x = col(valueCol).cast("long")
+    val trended = df
+      .select(col(keyCol), col(ordCol).cast("string").as("__o"),
+        dowCol.as("__dw"), x.as("__x"))
+      .withColumn("trend",
+        sum(col("__x")).over(w7).cast("double") /
+          count(lit(1)).over(w7).cast("double"))
+      .withColumn("__det", col("__x").cast("double") - col("trend"))
+    val seasonal = trended
+      .groupBy(col(keyCol), col("__dw"))
+      .agg(count(lit(1)).as("__c"),
+        sort_array(collect_list(struct(col("__o"), col("__det")))).as("__l"))
+      .select(col(keyCol), col("__dw"),
+        (expr("aggregate(__l, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.__det)") /
+          col("__c").cast("double")).as("seasonal"))
+    trended.join(seasonal, Seq(keyCol, "__dw"))
+      .select(col(keyCol), col("__o").as(ordCol), col("__x").as("value"),
+        col("trend"), col("seasonal"),
+        (col("__det") - col("seasonal")).as("resid"))
+  }
+
   /** Day-of-week profile per key over a daily census: for each (key,
     * dow) the day count, total volume, mean volume, and the lift of
     * that weekday's mean over the key's all-days mean — computed as

@@ -81,6 +81,56 @@ object Regression {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-group Theil–Sen robust trend — the median of all pairwise
+    * slopes over the key's ordered period series, with intercept
+    * median(xᵢ − m·i): a single wild day moves an OLS slope
+    * ([[groupedOls]]) arbitrarily but shifts a median slope by one
+    * rank — the trend number to put on noisy volume series.
+    *
+    * Scale shape: the input is a period census, so the pairwise slope
+    * table is periods²-bounded PER KEY (435 pairs for a month of
+    * days) — never row scale; both medians are rank-picks over
+    * key-partitioned windows on that bounded table. Determinism:
+    * each slope is ONE double division of exact integers (identical
+    * cross-engine), medians are the LOWER median under the total
+    * order (slope, i, j) / (value, i). Output: (key, n_obs, n_pairs,
+    * slope, intercept); keys with < 2 periods are absent. */
+  def theilSen(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__o"))
+    val idx = df.select(col(keyCol), col(ordCol).cast("string").as("__o"),
+        col(valueCol).cast("long").as("__x"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .drop("__o")
+      .localCheckpoint(false)
+    val pairs = idx.select(col(keyCol), col("__i").as("i"), col("__x").as("xi"))
+      .join(idx.select(col(keyCol), col("__i").as("j"), col("__x").as("xj")), keyCol)
+      .where(col("i") < col("j"))
+      .select(col(keyCol), col("i"), col("j"),
+        ((col("xj") - col("xi")).cast("double") /
+          (col("j") - col("i")).cast("double")).as("__m"))
+    val wS = Window.partitionBy(col(keyCol))
+      .orderBy(col("__m"), col("i"), col("j"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val slope = pairs
+      .withColumn("__r", row_number().over(wS).cast("long"))
+      .withColumn("__np", count(lit(1)).over(wAll))
+      .where(col("__r") === expr("(__np + 1) div 2"))
+      .select(col(keyCol), col("__np").as("n_pairs"), col("__m").as("slope"))
+    val resid = idx.join(slope, keyCol)
+      .select(col(keyCol), col("n_pairs"), col("slope"), col("__i"),
+        (col("__x").cast("double") - col("slope") * col("__i").cast("double"))
+          .as("__b"))
+    val wB = Window.partitionBy(col(keyCol)).orderBy(col("__b"), col("__i"))
+    resid
+      .withColumn("__r", row_number().over(wB).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__r") === expr("(__n + 1) div 2"))
+      .select(col(keyCol), col("__n").as("n_obs"), col("n_pairs"),
+        col("slope"), col("__b").as("intercept"))
+  }
+
   /** Per-group Spearman rank correlation — [[corrMatrix]]'s robust
     * sibling: Pearson on mid-ranks, so monotone-but-nonlinear
     * dependence registers and outliers lose their leverage (the

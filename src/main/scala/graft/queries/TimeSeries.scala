@@ -625,6 +625,38 @@ object TimeSeries {
         round($"mean_after", 6).as("mean_after"), round($"stat", 6).as("stat"))
   }
 
+  /** q265 — Theil–Sen robust trend ([[graft.operators.Regression
+    * .theilSen]]): median pairwise slope of each event type's daily
+    * series — a wild day shifts it one rank where OLS would follow it
+    * anywhere. Pairs are periods²-bounded; lower medians under total
+    * (slope, i, j) order. */
+  def q265TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Regression.theilSen(daily, "event_type", "day", "x")
+      .select($"event_type", $"n_obs", $"n_pairs",
+        round($"slope", 6).as("slope"), round($"intercept", 6).as("intercept"))
+  }
+
+  /** q266 — seasonal decomposition ([[graft.operators.Autocorr
+    * .seasonalDecompose]]): each event type's daily volume split into
+    * centered-7-day trend, weekly shape, and residual — the
+    * trend-vs-season-vs-one-off attribution the drift monitors
+    * consume. Exact integer trend sums; seasonal means fold in day
+    * order. */
+  def q266SeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
+        dayofweek($"d").as("dw"), $"x")
+    graft.operators.Autocorr.seasonalDecompose(
+        daily, "event_type", "day", $"dw", "x")
+      .select($"event_type", $"day", $"value", round($"trend", 6).as("trend"),
+        round($"seasonal", 6).as("seasonal"), round($"resid", 6).as("resid"))
+  }
+
   /** q251 — snapshot profile drift ([[graft.operators.Profile
     * .profileDiff]]): the first vs second half of the event stream as
     * two table versions — per column (event_type, user_id, props) the

@@ -415,6 +415,38 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r((1, 2)) === 1.0 && r((1, 3)) === 0.0 && r((2, 3)) === 0.0)
   }
 
+  test("theil-sen shrugs off the outlier that owns the OLS slope") {
+    import spark.implicits._
+    // clean slope 2 with one wild day
+    val vals = Seq(2L, 4L, 6L, 8L, 500L, 12L, 14L, 16L, 18L, 20L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", f"d${i + 1}%02d", v) }
+      .toDF("k", "day", "x")
+    val r = graft.operators.Regression.theilSen(df, "k", "day", "x").head()
+    assert(r.getDouble(3) === 2.0, s"slope ${r.getDouble(3)}")
+    assert(r.getLong(2) === 45L)   // 10 choose 2 pairs
+    assert(r.getDouble(4) === 0.0) // x_i = 2*i exactly off the outlier
+  }
+
+  test("seasonal decomposition: components reassemble and attribute the weekly shape") {
+    import spark.implicits._
+    // period-2 pattern over a constant trend: value alternates 10, 20
+    val rows = (1 to 14).map(i =>
+      ("k", f"d$i%02d", 1 + (i % 2), if (i % 2 == 0) 20L else 10L))
+      .toDF("k", "day", "dw", "x")
+    val r = graft.operators.Autocorr.seasonalDecompose(rows, "k", "day",
+      col("dw"), "x").collect()
+    // exact reassembly: trend + seasonal + resid == value
+    r.foreach { x =>
+      assert(math.abs(x.getDouble(3) + x.getDouble(4) + x.getDouble(5) -
+        x.getLong(2).toDouble) < 1e-9, x.toString)
+    }
+    // the seasonal component carries the alternation with opposite
+    // signs per phase
+    val s1 = r.filter(x => x.getLong(2) == 10L).map(_.getDouble(4))
+    val s2 = r.filter(x => x.getLong(2) == 20L).map(_.getDouble(4))
+    assert(s1.forall(_ < 0) && s2.forall(_ > 0))
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
