@@ -285,6 +285,8 @@ object SparkEntry {
     "q264_label_separation" -> (D.q264LabelSeparation(_, _)),
     "q265_theil_sen"        -> (T.q265TheilSen(_, _)),
     "q266_seasonal_decompose" -> (T.q266SeasonalDecompose(_, _)),
+    "q267_basket_lift"      -> (T.q267BasketLift(_, _)),
+    "q268_pareto_coverage"  -> (T.q268ParetoCoverage(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -4010,6 +4012,49 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q267: session-DISTINCT items (the basket convention); ratios are
+    // exact integer divisions
+    "q267_basket_lift" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+        |      OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT user_id, event_type,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |it AS (SELECT DISTINCT user_id, sid, event_type AS st FROM s),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+        |  (SELECT DISTINCT user_id, sid FROM it)),
+        |sg AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS n FROM it GROUP BY 1),
+        |pr AS (SELECT a.st AS a, b.st AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM it a JOIN it b ON a.user_id = b.user_id AND a.sid = b.sid
+        |  WHERE a.st <> b.st GROUP BY 1, 2)
+        |SELECT pr.a, pr.b, sa.n AS n_a, sb.n AS n_b, pr.n_ab,
+        |  CAST(round(CAST(CAST(CAST(pr.n_ab AS DOUBLE) / CAST(ns.n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS support,
+        |  CAST(round(CAST(CAST(CAST(pr.n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS confidence,
+        |  CAST(round(CAST(CAST(CAST(pr.n_ab * ns.n AS DOUBLE) /
+        |    CAST(sa.n * sb.n AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS lift
+        |FROM pr JOIN sg sa ON pr.a = sa.st JOIN sg sb ON pr.b = sb.st
+        |CROSS JOIN ns""".stripMargin,
+    // q268: exact integer prefix cuts cum·den >= num·total over the
+    // (weight desc, unit) order
+    "q268_pareto_coverage" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS w FROM events
+        |  GROUP BY 1),
+        |r AS (SELECT user_id, w,
+        |    SUM(w) OVER (ORDER BY w DESC, user_id ROWS UNBOUNDED PRECEDING) AS cum,
+        |    CAST(row_number() OVER (ORDER BY w DESC, user_id) AS BIGINT) AS rk,
+        |    SUM(w) OVER () AS tot
+        |  FROM u)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |  CAST(MAX(tot) AS BIGINT) AS total,
+        |  CAST(MIN(CASE WHEN cum * 2 >= tot * 1 THEN rk END) AS BIGINT) AS n_50,
+        |  CAST(MIN(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS BIGINT) AS n_80,
+        |  CAST(MIN(CASE WHEN cum * 20 >= tot * 19 THEN rk END) AS BIGINT) AS n_95
+        |FROM r""".stripMargin,
     // q265: pairwise slopes are one exact-int division each; both
     // medians are LOWER medians under total (slope, i, j) / (value, i)
     "q265_theil_sen" ->

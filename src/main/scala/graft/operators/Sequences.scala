@@ -110,6 +110,53 @@ object Sequences {
       .select(col("rank"), col("path"), col("n_sessions"))
   }
 
+  /** Session basket association — support/confidence/lift for every
+    * ordered state pair co-occurring in a session: the market-basket
+    * classic ("users who hit `error` in a session also hit `retry` —
+    * lift 3.2") over gap-timeout sessions. Lift > 1 is genuine
+    * association; the matrix is the input to funnel design and
+    * incident correlation.
+    *
+    * Exactness: counts are session-DISTINCT (a type appearing twice in
+    * one session counts once — the basket convention), so support,
+    * confidence = n_ab/n_a and lift = n_ab·N/(n_a·n_b) are exact
+    * integer ratios with one or two divisions each. Scale shape: the
+    * session census (key-windowed id assignment) reduces to (session,
+    * distinct type) rows; the pair table self-joins THAT census on the
+    * session id — bounded by sessions × types², with types a small
+    * vocabulary by contract. Output: (a, b, n_a, n_b, n_ab, support,
+    * confidence, lift) for a ≠ b over sessions ≥ 2 types. */
+  def basketLift(df: DataFrame, keyCol: String, msCol: String,
+      tieCol: String, stateCol: String, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(msCol), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val items = df
+      .withColumn("__new", when(lag(col(msCol), 1).over(w).isNull ||
+        col(msCol) - lag(col(msCol), 1).over(w) > gapMs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(run))
+      .select(col(keyCol), col("__sid"), col(stateCol).as("__st"))
+      .distinct()
+      .localCheckpoint(false)
+    // session total rides as a broadcast 1-row scalar — no driver action
+    val nSessions = broadcast(items.select(col(keyCol), col("__sid"))
+      .distinct().agg(count(lit(1)).as("__ns")))
+    val singles = items.groupBy(col("__st")).agg(count(lit(1)).as("n"))
+    val pairs = items.select(col(keyCol), col("__sid"), col("__st").as("a"))
+      .join(items.select(col(keyCol), col("__sid"), col("__st").as("b")),
+        Seq(keyCol, "__sid"))
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(singles.select(col("__st").as("a"), col("n").as("n_a")), "a")
+      .join(singles.select(col("__st").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(nSessions)
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("__ns").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_ab") * col("__ns")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Stationary distribution of the order-1 state chain by fixed-point
     * power iteration — "where does the flow settle": π' ∝ Σᵢ πᵢ·P(i→j)
     * over [[transitionCensus]]'s counts, iterated with the

@@ -66,6 +66,43 @@ object WeightedStats {
           .as("twap"))
   }
 
+  /** Pareto coverage — "how many units carry p% of the mass": the
+    * minimum number of units (sources, customers, shards) whose
+    * descending-weight prefix reaches each requested fraction of the
+    * total. The operational face of [[gini]]'s abstract coefficient:
+    * `n_80 = 3 of 20 sources` is a sentence a capacity plan can act
+    * on.
+    *
+    * Exactness: per-unit totals are integer sums; the prefix walk runs
+    * over the (weight desc, unit asc) total order and each cut is the
+    * exact integer comparison cum·den ≥ num·total — no float anywhere.
+    * Scale note: the ranked walk is a window over the UNIT census —
+    * fine for source/label/shard-grain units; for user-grain units at
+    * 10⁹ rows, pre-bucket by weight (the [[GlobalOrder]] prefix-sum
+    * shape) before this exact path. Output one row: (n_units, total,
+    * one `n_<name>` per cut). */
+  def paretoCoverage(df: DataFrame, unitCol: String, weightCol: String,
+      cuts: Seq[(String, Long, Long)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall { case (_, n, d) => n >= 0 && n <= d && d > 0 },
+      s"cuts must be fractions in [0,1]: $cuts")
+    val units = df.groupBy(col(unitCol))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val wOrd = Window.orderBy(col("__w").desc, col(unitCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val ranked = units
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__w").desc, col(unitCol))).cast("long"))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+    val aggs = count(lit(1)).as("n_units") +: max(col("__tot")).as("total") +:
+      cuts.map { case (name, num, den) =>
+        min(when(col("__cum") * den >= col("__tot") * num, col("__rk")))
+          .as(s"n_$name")
+      }
+    ranked.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-group Gini concentration of a non-negative integer value —
     * the inequality audit (is 90% of the corpus volume coming from 2%
     * of its sources? is one customer most of a nation's revenue?). A

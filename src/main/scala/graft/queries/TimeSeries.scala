@@ -657,6 +657,30 @@ object TimeSeries {
         round($"seasonal", 6).as("seasonal"), round($"resid", 6).as("resid"))
   }
 
+  /** q267 — session basket lift ([[graft.operators.Sequences
+    * .basketLift]]): which event types co-occur in 30-minute sessions
+    * beyond chance — session-distinct counts, exact integer
+    * support/confidence/lift ratios, pair table bounded by sessions ×
+    * types². */
+  def q267BasketLift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.basketLift(
+        events(spark, dir).select($"user_id", unix_millis($"ts").as("ms"),
+          $"event_id", $"event_type"),
+        "user_id", "ms", "event_id", "event_type", gapMs = 1800000L)
+      .select($"a", $"b", $"n_a", $"n_b", $"n_ab",
+        round($"support", 6).as("support"),
+        round($"confidence", 6).as("confidence"), round($"lift", 6).as("lift"))
+
+  /** q268 — Pareto coverage ([[graft.operators.WeightedStats
+    * .paretoCoverage]]): how many users carry 50/80/95% of all events —
+    * the concentration readout a capacity plan acts on. Exact integer
+    * prefix cuts over the (weight desc, user) order. */
+  def q268ParetoCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WeightedStats.paretoCoverage(
+      events(spark, dir).select($"user_id", lit(1L).as("one")),
+      "user_id", "one",
+      cuts = Seq(("50", 1L, 2L), ("80", 4L, 5L), ("95", 19L, 20L)))
+
   /** q251 — snapshot profile drift ([[graft.operators.Profile
     * .profileDiff]]): the first vs second half of the event stream as
     * two table versions — per column (event_type, user_id, props) the

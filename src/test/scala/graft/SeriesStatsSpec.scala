@@ -447,6 +447,36 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(s1.forall(_ < 0) && s2.forall(_ > 0))
   }
 
+  test("basket lift: session-distinct counts, independence lands at lift 1") {
+    import spark.implicits._
+    // 4 sessions: {a,b}, {a,b}, {a}, {b} -> n_a=3, n_b=3, n_ab=2, N=4
+    // lift = 2*4/(3*3) = 8/9; 'a' twice in one session counts once
+    val rows = Seq(
+      (1L, 0L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 20L, 3L, "a"),
+      (2L, 0L, 4L, "a"), (2L, 10L, 5L, "b"),
+      (3L, 0L, 6L, "a"), (4L, 0L, 7L, "b")).toDF("u", "ms", "eid", "tp")
+    val r = graft.operators.Sequences.basketLift(rows, "u", "ms", "eid", "tp",
+      gapMs = 1800000L).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val ab = r(("a", "b"))
+    assert(ab.getLong(2) === 3L && ab.getLong(3) === 3L && ab.getLong(4) === 2L)
+    assert(ab.getDouble(5) === 0.5)             // support 2/4
+    assert(math.abs(ab.getDouble(7) - 8.0 / 9.0) < 1e-15)
+    assert(r(("b", "a")).getLong(4) === 2L)     // symmetric pair present
+  }
+
+  test("pareto coverage picks the exact minimal prefix per cut") {
+    import spark.implicits._
+    // weights 50, 30, 15, 5: 50% needs 1, 80% needs 2, 95% needs 3
+    val rows = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L))
+      .flatMap { case (u, w) => Seq.fill(w.toInt)((u, 1L)) }
+      .toDF("u", "one")
+    val r = graft.operators.WeightedStats.paretoCoverage(rows, "u", "one",
+      Seq(("50", 1L, 2L), ("80", 4L, 5L), ("95", 19L, 20L))).head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 100L)
+    assert(r.getLong(2) === 1L && r.getLong(3) === 2L && r.getLong(4) === 3L)
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
