@@ -35,6 +35,60 @@ class EdgeCasesSpec extends AnyFunSuite with SparkFixture {
     assert(out(5).isNullAt(1) && out(5).isNullAt(2) && out(5).isNullAt(3))
   }
 
+  test("round-7 series operators survive empty and single-row inputs") {
+    import graft.operators.{Autocorr, ChangePoint, Forecast, Regression,
+      Sequences, Survival, WeightedStats}
+    val empty = Seq.empty[(String, String, Long)].toDF("k", "o", "x")
+    val one = Seq(("k", "d1", 5L)).toDF("k", "o", "x")
+    // ACF: no pairs on a single row; empty in, empty out
+    assert(Autocorr.acf(empty, "k", "o", "x", 3).count() === 0)
+    assert(Autocorr.acf(one, "k", "o", "x", 3).count() === 0)
+    // Holt: single element is its own level, zero trend
+    val h = Forecast.holtSummary(one, "k", "o", "x", 0.5, 0.25, 7).head()
+    assert(h.getDouble(2) === 5.0 && h.getDouble(3) === 0.0)
+    assert(Forecast.holtSummary(empty, "k", "o", "x", 0.5, 0.25, 7).count() === 0)
+    // CUSUM / binary segment / Theil-Sen degrade, never throw
+    assert(ChangePoint.cusumSummary(empty, "k", "o", "x", 1.0, 5.0).count() === 0)
+    assert(ChangePoint.binarySegment(one, "k", "o", "x").count() === 0)
+    assert(Regression.theilSen(one, "k", "o", "x").count() === 0)
+    // Kaplan-Meier: all-censored cohort keeps survival at 1
+    val cens = Seq((3L, 0), (5L, 0)).toDF("dur", "ev")
+    val km = Survival.kaplanMeier(cens, "dur", "ev").collect()
+    assert(km.forall(_.getDouble(4) === 1.0))
+    assert(Survival.kaplanMeier(Seq.empty[(Long, Int)].toDF("dur", "ev"),
+      "dur", "ev").count() === 0)
+    // gini: single row yields null; empty yields nothing
+    assert(WeightedStats.gini(one.select($"k".as("g"), $"x".as("v")), "g", "v")
+      .head().isNullAt(3))
+    // basket lift: single-type sessions produce no pairs
+    val solo = Seq((1L, 0L, 1L, "a"), (2L, 0L, 2L, "a")).toDF("u", "ms", "eid", "tp")
+    assert(Sequences.basketLift(solo, "u", "ms", "eid", "tp", 1000L).count() === 0)
+  }
+
+  test("round-7 distribution operators survive one-sided and constant inputs") {
+    import graft.operators.{Divergence, Eval, Extremes, Mixture, Profile}
+    // KS with an empty right side: d_num 0-gap impossible -> null d guard
+    val oneSided = Seq((1L, false), (2L, false)).toDF("v", "r")
+    val ks = Divergence.ksTwoSample(oneSided, "v", col("r")).head()
+    assert(ks.getLong(1) === 0L && ks.isNullAt(4))
+    // calibration on constant scores: one bucket, exact rate
+    val const = Seq(("g", 5L, 1), ("g", 5L, 0)).toDF("g", "s", "p")
+    val cal = Eval.calibrationCurve(const, "g", "p", "s", 10).collect()
+    assert(cal.length === 1 && cal(0).getDouble(5) === 0.5)
+    // gumbel on a constant series: beta 0, return level = the constant
+    val flat = Seq(("k", 7L), ("k", 7L), ("k", 7L)).toDF("k", "x")
+    val g = Extremes.gumbelFit(flat, "k", "x", Seq(10)).head()
+    assert(g.getDouble(3) === 0.0 && g.getDouble(5) === 7.0)
+    // water-fill with zero budget: all zeros, nothing at capacity
+    val wf = Mixture.waterFill(Seq(("a", 5L), ("b", 3L)).toDF("s", "avail"),
+      "s", "avail", 0L).collect()
+    assert(wf.forall(_.getLong(2) === 0L))
+    // power law over an empty tail: null alpha, zero n
+    val pl = Profile.powerLawAlpha(
+      Seq((1L, 10L)).toDF("v", "c").where(col("v") > 100), "v", "c", 1L).head()
+    assert(pl.isNullAt(0) && pl.isNullAt(2)) // empty tail: null n, null alpha
+  }
+
   test("near-dup pipelines emit no pairs (not errors) on a degenerate corpus") {
     assert(Dedup.minhashNearDups(messyDocs, "doc_id", "text", 3, 16, 8, 0.5).count() == 0)
     assert(Dedup.simhashNearDups(messyDocs.where($"text".isNotNull),

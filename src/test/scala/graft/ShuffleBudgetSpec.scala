@@ -133,4 +133,32 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
     val moved = shuffledBytes(SparkEntry.queries("q179_power_iteration")(spark, dir))
     assert(moved < (4L << 20), s"Gram pass leaked vectors: $moved bytes")
   }
+
+  test("q239 KS moves the value census, never the event rows") {
+    // 100k events collapse to <= ~49k distinct cents; census rows +
+    // the bucket-offset table are all that exchange
+    val moved = shuffledBytes(SparkEntry.queries("q239_ks_drift")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    assert(moved < (4L << 20), s"event rows leaked into a shuffle: $moved bytes")
+  }
+
+  test("q253/q264 centroid censuses shuffle labels x dims, never vectors") {
+    val d = shuffledBytes(SparkEntry.queries("q253_centroid_drift")(spark, dir))
+    assert(d > 0, "harness read zero — measurement broken")
+    assert(d < (1L << 20), s"vectors leaked into a shuffle: $d bytes")
+    val s = shuffledBytes(SparkEntry.queries("q264_label_separation")(spark, dir))
+    assert(s < (1L << 20), s"vectors leaked into a shuffle: $s bytes")
+  }
+
+  test("q247 rendezvous resharding shuffles only the 16-key census") {
+    val moved = shuffledBytes(SparkEntry.queries("q247_reshard")(spark, dir))
+    assert(moved < (1L << 20), s"assignment leaked the corpus: $moved bytes")
+  }
+
+  test("q256/q261 tail fits shuffle censuses, not events") {
+    val p = shuffledBytes(SparkEntry.queries("q256_power_law")(spark, dir))
+    assert(p < (4L << 20), s"power-law fit leaked events: $p bytes")
+    val g = shuffledBytes(SparkEntry.queries("q261_gumbel_extremes")(spark, dir))
+    assert(g < (8L << 20), s"gumbel fit leaked events: $g bytes")
+  }
 }
