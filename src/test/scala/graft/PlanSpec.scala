@@ -443,6 +443,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
   }
 
+  test("q250: the sampling draw broadcasts the seat table; ranks partition by stratum") {
+    val p = physical("q250_stratified_sample")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(p.contains("windowspecdefinition(o_orderpriority"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q258: burst audit is one RANGE-frame window pass per user") {
+    val p = physical("q258_rolling_burst")
+    assert("Window \\[".r.findAllIn(p).size <= 2, p.take(1500)) // count + bounded rank
+    assert(p.contains("windowspecdefinition(user_id"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q260: spearman joins rank censuses on value keys — no all-pairs anywhere") {
+    val p = physical("q260_spearman")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q265/q267: pair builds are key-equi self-joins, never cross products") {
+    val t = physical("q265_theil_sen")
+    assert(!t.contains("CartesianProduct"), t.take(1500))
+    val b = physical("q267_basket_lift")
+    assert(!b.contains("CartesianProduct"), b.take(1500))
+    assert(!b.contains("SortMergeJoin") || b.contains("BroadcastHashJoin"), b.take(1500))
+  }
+
   test("q244: rare-term top-k pushes the group limit below the doc shuffle") {
     val p = physical("q244_rare_terms")
     // WindowGroupLimit Partial/Final: only ≤3 candidate rows per doc
