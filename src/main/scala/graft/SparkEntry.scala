@@ -287,6 +287,8 @@ object SparkEntry {
     "q266_seasonal_decompose" -> (T.q266SeasonalDecompose(_, _)),
     "q267_basket_lift"      -> (T.q267BasketLift(_, _)),
     "q268_pareto_coverage"  -> (T.q268ParetoCoverage(_, _)),
+    "q269_ccf"              -> (T.q269Ccf(_, _)),
+    "q270_entropy_rate"     -> (T.q270EntropyRate(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -4012,6 +4014,81 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q269: ACF's integer expansion with two series; full-series
+    // variances in the denominator (the standard CCF estimator)
+    "q269_ccf" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT x, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+        |  FROM d),
+        |g AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS k),
+        |p AS (SELECT g.k, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(a.x * b.y) AS BIGINT) AS sxy,
+        |    CAST(SUM(a.x) AS BIGINT) AS sxh, CAST(SUM(b.y) AS BIGINT) AS syt
+        |  FROM r a JOIN g ON true JOIN r b ON b.rn = a.rn + g.k GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy FROM d)
+        |SELECT CAST(p.k AS INT) AS lag, t.n AS n_obs, p.np AS n_pairs,
+        |  CASE WHEN CAST(t.n * t.n * t.sxx - t.n * t.sx * t.sx AS DOUBLE) > 0
+        |    AND CAST(t.n * t.n * t.syy - t.n * t.sy * t.sy AS DOUBLE) > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(t.n * t.n * p.sxy - t.n * t.sy * p.sxh - t.n * t.sx * p.syt
+        |        + (t.n - abs(p.k)) * t.sx * t.sy AS DOUBLE) /
+        |      (sqrt(CAST(t.n * t.n * t.sxx - t.n * t.sx * t.sx AS DOUBLE)) *
+        |       sqrt(CAST(t.n * t.n * t.syy - t.n * t.sy * t.sy AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS r
+        |FROM p, t""".stripMargin,
+    // q270: q259's MATERIALIZED chain + per-prev and π-weighted entropy
+    // folds, both in sorted order
+    "q270_entropy_rate" -> {
+      val base =
+        """WITH ev AS MATERIALIZED (SELECT user_id, epoch_ms(ts) AS ms,
+          |    event_id, event_type FROM events),
+          |lg AS MATERIALIZED (SELECT event_type AS curr, lag(event_type) OVER (
+          |    PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM ev),
+          |tr AS MATERIALIZED (SELECT prev, curr, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2),
+          |rr AS MATERIALIZED (SELECT prev, CAST(SUM(c) AS BIGINT) AS r FROM tr
+          |  GROUP BY 1),
+          |st AS MATERIALIZED (SELECT prev AS state FROM tr
+          |  UNION SELECT curr FROM tr),
+          |ns AS MATERIALIZED (SELECT COUNT(*) AS ns FROM st),
+          |p0 AS MATERIALIZED (SELECT state, 1000000000 // ns.ns AS pf
+          |  FROM st CROSS JOIN ns)""".stripMargin
+      val rounds = (1 to 12).map { i =>
+        s"""fl$i AS MATERIALIZED (SELECT t.curr, SUM((p.pf * t.c) // rr.r) AS mass
+           |FROM tr t JOIN p${i - 1} p ON t.prev = p.state
+           |JOIN rr ON t.prev = rr.prev GROUP BY t.curr),
+           |tt$i AS MATERIALIZED (SELECT SUM(mass) AS t FROM fl$i),
+           |p$i AS MATERIALIZED (SELECT s.state,
+           |CAST((COALESCE(f.mass, 0) * 1000000000) // tt$i.t AS BIGINT) AS pf
+           |FROM st s CROSS JOIN tt$i LEFT JOIN fl$i f ON s.state = f.curr)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        """,
+          |hp AS MATERIALIZED (SELECT t.prev AS state,
+          |  list_reduce(list_transform(list(struct_pack(c := t.curr,
+          |    t := -((CAST(t.c AS DOUBLE) / CAST(rr.r AS DOUBLE))
+          |      * ln(CAST(t.c AS DOUBLE) / CAST(rr.r AS DOUBLE)))) ORDER BY t.curr),
+          |    e -> e.t), (a, b) -> a + b) AS h
+          |  FROM tr t JOIN rr ON t.prev = rr.prev GROUP BY t.prev),
+          |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_transitions FROM tr),
+          |wgt AS (SELECT s.state,
+          |    (CAST(p12.pf AS DOUBLE) / 1000000000.0) * COALESCE(hp.h, 0.0) AS t
+          |  FROM st s JOIN p12 ON s.state = p12.state
+          |  LEFT JOIN hp ON s.state = hp.state),
+          |fin AS (SELECT list(struct_pack(s := state, t := t) ORDER BY state) AS l
+          |  FROM wgt)
+          |SELECT CAST(ns.ns AS BIGINT) AS n_states, nt.n_transitions,
+          |  CAST(round(CAST(CAST(
+          |    list_reduce(list_transform(fin.l, e -> e.t), (a, b) -> a + b)
+          |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS entropy_rate
+          |FROM fin, ns, nt""".stripMargin
+    },
     // q267: session-DISTINCT items (the basket convention); ratios are
     // exact integer divisions
     "q267_basket_lift" ->

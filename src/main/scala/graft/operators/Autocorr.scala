@@ -63,6 +63,58 @@ object Autocorr {
         when(den =!= 0L, num.cast("double") / den.cast("double")).as("r"))
   }
 
+  /** Cross-correlation function between two aligned period series —
+    * the lead/lag detector ("errors rise two days before purchases
+    * fall"): r_k correlates x_t with y_{t+k} for k in −maxLag..maxLag,
+    * so a peak at positive k says x LEADS y by k periods. [[acf]]'s
+    * machinery with two series: one window pass produces every lag of
+    * y (negative lags read x against y's past — computed as lags of
+    * y against x's future via the same frames), and every moment is
+    * an exact integer sum; r_k is one fixed-shape double expression
+    * (numerator exact-int, denominator two sqrts).
+    *
+    * Input: one row per period with BOTH values (align and zero-fill
+    * upstream — missing periods are a data decision, not this
+    * operator's). Output: (lag, n_obs, n_pairs, r). */
+  def ccf(df: DataFrame, ordCol: String, xCol: String, yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.orderBy(col(ordCol))
+    val base = df.select(col(ordCol), col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"))
+    // census-bounded global window: one series, periods rows
+    def lcol(k: Int): String = if (k < 0) s"__lm${-k}" else s"__lp$k"
+    val lagged = (-maxLag to maxLag).filter(_ != 0).foldLeft(base) {
+      case (d, k) => d.withColumn(lcol(k), lag(col("__y"), -k).over(w))
+    }
+    val stackArgs = ((-maxLag to maxLag).filter(_ != 0)
+      .map(k => s"CAST($k AS INT), ${lcol(k)}") :+ s"CAST(0 AS INT), __y")
+      .mkString(", ")
+    val nLags = 2 * maxLag + 1
+    val pairs = lagged
+      .select(col("__x"), col("__y"),
+        expr(s"stack($nLags, $stackArgs)").as(Seq("lag", "__yl")))
+      .where(col("__yl").isNotNull)
+    val perLag = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x") * col("__yl")).as("__sxy"),
+        sum(col("__x")).as("__sxh"), sum(col("__yl")).as("__syt"))
+    val totals = base.agg(count(lit(1)).as("n_obs"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("n_obs")
+    val num = (n * n * col("__sxy") - n * col("__sy") * col("__sxh") -
+      n * col("__sx") * col("__syt") +
+      (n - abs(col("lag")).cast("long")) * col("__sx") * col("__sy"))
+      .cast("double")
+    val dx = (n * n * col("__sxx") - n * col("__sx") * col("__sx")).cast("double")
+    val dy = (n * n * col("__syy") - n * col("__sy") * col("__sy")).cast("double")
+    perLag.crossJoin(broadcast(totals))
+      .select(col("lag"), col("n_obs"), col("n_pairs"),
+        when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy))).as("r"))
+  }
+
   /** Seasonally-adjusted anomaly extraction over a daily census: each
     * day's residual against ITS OWN weekday's mean (the
     * [[seasonalityProfile]] baseline applied), ranked per key by

@@ -157,6 +157,42 @@ object Sequences {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Entropy rate of the order-1 state chain — H = Σᵢ πᵢ·Hᵢ with
+    * Hᵢ = Σⱼ −p(j|i)·ln p(j|i): bits-per-event of genuine novelty in
+    * the flow. The single-number complement to [[sequenceSurprise]]
+    * (that scores KEYS against the chain; this scores the CHAIN) — a
+    * collapsing entropy rate means behavior is templating, a rising
+    * one means the flow model is going stale.
+    *
+    * Floats: conditional probabilities are exact-integer divisions,
+    * both entropy sums fold in sorted order (curr within prev; state
+    * for the outer π-weighted sum — the q237 contract), and π comes
+    * from [[stationaryDistribution]]'s integer fixed point. Output one
+    * row: (n_states, n_transitions, entropy_rate). */
+  def entropyRate(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      stateCol: String, iterations: Int): DataFrame = {
+    val trans = transitionCensus(df, keyCol, orderCols, stateCol)
+      .localCheckpoint(false)
+    val hPerState = trans
+      .groupBy(col("prev"))
+      .agg(sort_array(collect_list(struct(col("curr"),
+        negate(col("prob") * log(col("prob"))).as("t")))).as("__l"))
+      .select(col("prev").as("state"),
+        expr("aggregate(__l, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)")
+          .as("__h"))
+    val pi = stationaryDistribution(df, keyCol, orderCols, stateCol, iterations)
+    val nTrans = trans.agg(sum(col("n_transitions")).as("n_transitions"))
+    pi.join(hPerState, Seq("state"), "left")
+      .select(col("state"), col("pi"), coalesce(col("__h"), lit(0.0)).as("__h"))
+      .agg(count(lit(1)).as("n_states"),
+        sort_array(collect_list(struct(col("state"),
+          (col("pi") * col("__h")).as("t")))).as("__l"))
+      .crossJoin(broadcast(nTrans))
+      .select(col("n_states"), col("n_transitions"),
+        expr("aggregate(__l, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)")
+          .as("entropy_rate"))
+  }
+
   /** Stationary distribution of the order-1 state chain by fixed-point
     * power iteration — "where does the flow settle": π' ∝ Σᵢ πᵢ·P(i→j)
     * over [[transitionCensus]]'s counts, iterated with the

@@ -681,6 +681,33 @@ object TimeSeries {
       "user_id", "one",
       cuts = Seq(("50", 1L, 2L), ("80", 4L, 5L), ("95", 19L, 20L)))
 
+  /** q269 — cross-correlation lead/lag ([[graft.operators.Autocorr
+    * .ccf]]): does error volume lead click volume? r_k over lags
+    * −7..7 between the two daily series (union of days, zero-filled) —
+    * a peak at positive k says errors lead by k days. Exact integer
+    * moments; one fixed-shape double per lag. */
+  def q269Ccf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(sum(when($"event_type" === "error", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("y"))
+    graft.operators.Autocorr.ccf(daily, "day", "x", "y", maxLag = 7)
+      .select($"lag", $"n_obs", $"n_pairs", round($"r", 6).as("r"))
+  }
+
+  /** q270 — chain entropy rate ([[graft.operators.Sequences
+    * .entropyRate]]): bits-per-event of genuine novelty in the
+    * event-type flow — Σ πᵢ·Hᵢ over q259's stationary fixed point and
+    * q200's conditional census; both entropy sums fold in sorted
+    * order. */
+  def q270EntropyRate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.entropyRate(
+        events(spark, dir).select($"user_id", unix_millis($"ts").as("ms"),
+          $"event_id", $"event_type"),
+        "user_id", Seq($"ms", $"event_id"), "event_type", iterations = 12)
+      .select($"n_states", $"n_transitions",
+        round($"entropy_rate", 6).as("entropy_rate"))
+
   /** q251 — snapshot profile drift ([[graft.operators.Profile
     * .profileDiff]]): the first vs second half of the event stream as
     * two table versions — per column (event_type, user_id, props) the

@@ -477,6 +477,45 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) === 1L && r.getLong(3) === 2L && r.getLong(4) === 3L)
   }
 
+  test("ccf peaks at the planted lead and matches the direct definition") {
+    import spark.implicits._
+    // y follows x shifted by +2: r peaks at lag +2
+    val xs = Seq(5L, 9L, 2L, 8L, 1L, 7L, 3L, 9L, 4L, 6L)
+    val ys = Seq(0L, 0L) ++ xs.dropRight(2) // y_t = x_{t-2}
+    val df = xs.zip(ys).zipWithIndex
+      .map { case ((x, y), i) => (f"d$i%02d", x, y) }.toDF("o", "x", "y")
+    val r = graft.operators.Autocorr.ccf(df, "o", "x", "y", maxLag = 3)
+      .collect().map(x => x.getInt(0) -> x.getDouble(3)).toMap
+    assert(r(2) === r.values.max)
+    // direct check at lag 1
+    val n = xs.size
+    val (mx, my) = (xs.sum.toDouble / n, ys.sum.toDouble / n)
+    val num = (0 until n - 1).map(i => (xs(i) - mx) * (ys(i + 1) - my)).sum
+    val den = math.sqrt(xs.map(v => (v - mx) * (v - mx)).sum) *
+      math.sqrt(ys.map(v => (v - my) * (v - my)).sum)
+    assert(math.abs(r(1) - num / den) < 1e-12)
+  }
+
+  test("entropy rate: deterministic chain 0, uniform chain ln(k)") {
+    import spark.implicits._
+    // a->b->a->... deterministic: every conditional is certain
+    val det = (0 until 20).map(i =>
+      (1L, i.toLong, i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("u", "ms", "eid", "tp")
+    val r0 = graft.operators.Sequences.entropyRate(det, "u",
+      Seq(col("ms"), col("eid")), "tp", 8).head()
+    assert(r0.getDouble(2) === 0.0)
+    // two users, each alternating between both orders: transitions
+    // a->a, a->b, b->a, b->b all equally likely -> H = ln 2
+    val uni = Seq("aabb".*(5), "bbaa".*(5)).zipWithIndex.flatMap {
+      case (s, u) => s.zipWithIndex.map { case (c, i) =>
+        ((u + 1).toLong, i.toLong, i.toLong, c.toString) } }
+      .toDF("u", "ms", "eid", "tp")
+    val r1 = graft.operators.Sequences.entropyRate(uni, "u",
+      Seq(col("ms"), col("eid")), "tp", 20).head()
+    assert(math.abs(r1.getDouble(2) - math.log(2.0)) < 0.05)
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
