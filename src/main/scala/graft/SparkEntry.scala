@@ -289,6 +289,7 @@ object SparkEntry {
     "q268_pareto_coverage"  -> (T.q268ParetoCoverage(_, _)),
     "q269_ccf"              -> (T.q269Ccf(_, _)),
     "q270_entropy_rate"     -> (T.q270EntropyRate(_, _)),
+    "q271_heaps"            -> (D.q271Heaps(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -4014,6 +4015,36 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q271: per-source (tokens, distinct) points; OLS folds in source
+    // order (q246's pure-additive shape)
+    "q271_heaps" ->
+      """WITH t AS (SELECT source AS g,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |p AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |  FROM t WHERE length(tok) > 0 GROUP BY 1),
+        |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    list(struct_pack(x := ln(CAST(n_tok AS DOUBLE)),
+        |      y := ln(CAST(v AS DOUBLE))) ORDER BY g, n_tok, v) AS ls
+        |  FROM p WHERE n_tok > 0 AND v > 0),
+        |f AS (SELECT n, list_reduce(list_transform(ls, e -> struct_pack(
+        |    sx := e.x, sy := e.y, sxy := e.x * e.y, sxx := e.x * e.x)),
+        |  (acc, e) -> struct_pack(
+        |    sx := acc.sx + e.sx, sy := acc.sy + e.sy,
+        |    sxy := acc.sxy + e.sxy, sxx := acc.sxx + e.sxx)) AS f
+        |  FROM l)
+        |SELECT n AS n_groups,
+        |  CASE WHEN n * f.sxx - f.sx * f.sx <> 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      (n * f.sxy - f.sx * f.sy) / (n * f.sxx - f.sx * f.sx)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS beta,
+        |  CAST(round(CAST(CAST(
+        |    (f.sy - ((n * f.sxy - f.sx * f.sy) / (n * f.sxx - f.sx * f.sx)) * f.sx)
+        |      / CAST(n AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS ln_k
+        |FROM f""".stripMargin,
     // q269: ACF's integer expansion with two series; full-series
     // variances in the denominator (the standard CCF estimator)
     "q269_ccf" ->

@@ -2713,6 +2713,15 @@ object TrainingData {
         Tables.embeddings(spark, dir), "label", "embedding", scale = 6)
       .select($"label_a", $"label_b", round($"cosine", 6).as("cosine"))
 
+  /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
+    * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
+    * the next shard brings, q246's Zipf companion. Exact per-source
+    * censuses; OLS sums fold in source order. */
+  def q271Heaps(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.heapsFit(docs(spark, dir), "source", "text")
+      .select($"n_groups", round($"beta", 6).as("beta"),
+        round($"ln_k", 6).as("ln_k"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

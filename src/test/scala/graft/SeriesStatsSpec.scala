@@ -516,6 +516,20 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r1.getDouble(2) - math.log(2.0)) < 0.05)
   }
 
+  test("heaps fit recovers a planted V = K*n^beta relationship") {
+    import spark.implicits._
+    // construct groups whose (n_tok, distinct) follow V = n^0.5 exactly:
+    // (4,2), (16,4), (64,8) -> beta = 0.5, lnK = 0
+    def doc(n: Int, v: Int): String =
+      (0 until n).map(i => s"w${i % v}").mkString(" ")
+    val df = Seq(("a", doc(4, 2)), ("b", doc(16, 4)), ("c", doc(64, 8)))
+      .toDF("g", "text")
+    val r = graft.operators.Profile.heapsFit(df, "g", "text").head()
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(2)) < 1e-12)
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
