@@ -290,6 +290,8 @@ object SparkEntry {
     "q269_ccf"              -> (T.q269Ccf(_, _)),
     "q270_entropy_rate"     -> (T.q270EntropyRate(_, _)),
     "q271_heaps"            -> (D.q271Heaps(_, _)),
+    "q272_wilson_bounds"    -> (T.q272WilsonBounds(_, _)),
+    "q273_two_proportion"   -> (T.q273TwoProportion(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
   )
@@ -4015,6 +4017,52 @@ object SparkEntry {
         |  FROM tf JOIN dfv USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM j WHERE rnk <= 3""".stripMargin,
+    // q272: z² enters as the expression 1.96*1.96 (same double both
+    // engines); bound expressions mirror Spark's shape term for term
+    "q272_wilson_bounds" ->
+      """WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT event_type, n, n_pos,
+        |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd FROM c)
+        |SELECT event_type, n, n_pos,
+        |  CAST(round(CAST(CAST(p AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS rate,
+        |  CAST(round(CAST(CAST(
+        |    (p + (1.96 * 1.96) / (2.0 * nd)) / (1.0 + (1.96 * 1.96) / nd)
+        |      - (1.96 * sqrt(p * (1.0 - p) / nd + (1.96 * 1.96) / (4.0 * nd * nd)))
+        |        / (1.0 + (1.96 * 1.96) / nd)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS lo,
+        |  CAST(round(CAST(CAST(
+        |    (p + (1.96 * 1.96) / (2.0 * nd)) / (1.0 + (1.96 * 1.96) / nd)
+        |      + (1.96 * sqrt(p * (1.0 - p) / nd + (1.96 * 1.96) / (4.0 * nd * nd)))
+        |        / (1.0 + (1.96 * 1.96) / nd)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS hi
+        |FROM x""".stripMargin,
+    // q273: pooled-variance z over exact slice counts
+    "q273_two_proportion" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' AND value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos_a,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' AND value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos_b
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |    CAST(pos_a + pos_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        |  FROM c)
+        |SELECT event_type, n_a, pos_a, n_b, pos_b,
+        |  CAST(round(CAST(CAST(pa AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS rate_a,
+        |  CAST(round(CAST(CAST(pb AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS rate_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    AND pp * (1.0 - pp) * (1.0 / na + 1.0 / nb) > 0.0 THEN
+        |    CAST(round(CAST(CAST(
+        |      (pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS z
+        |FROM x""".stripMargin,
     // q271: per-source (tokens, distinct) points; OLS folds in source
     // order (q246's pure-additive shape)
     "q271_heaps" ->

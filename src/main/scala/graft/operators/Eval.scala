@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,61 @@ object Eval {
     TopK.topKStrPerGroup(scored.withColumn("g", lit("all")), "g", "token", "chi2", k)
       .join(scored.select(col("token"), col("a"), col("b")), Seq("token"))
       .select(col("rank"), col("token"), col("a"), col("b"), col("chi2"))
+  }
+
+  /** Wilson score interval per group — the small-n-honest confidence
+    * bounds for a proportion: a 2/3 error rate and a 2000/3000 error
+    * rate both "equal 0.67", but their Wilson intervals differ by an
+    * order of magnitude, which is exactly what an alert threshold
+    * needs to know (the naive Wald interval collapses to zero width at
+    * p ∈ {0,1} — the failure mode that pages on one bad event).
+    *
+    * center = (p̂ + z²/2n) / (1 + z²/n),
+    * halfwidth = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n).
+    * Counts are exact integers; the bound expressions are one fixed
+    * double shape with a z literal — replayable term for term.
+    * Output: (group, n, n_pos, rate, lo, hi). */
+  def wilsonBounds(df: DataFrame, groupCol: String, labelCol: String,
+      z: Double = 1.96): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_pos"))
+    val nD = col("n").cast("double")
+    val p = col("n_pos").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    counts.select(col(groupCol), col("n"), col("n_pos"),
+      p.as("rate"), (center - half).as("lo"), (center + half).as("hi"))
+  }
+
+  /** Two-proportion z-test per group — "did the rate MOVE between
+    * slice A and slice B, beyond what their sizes explain": the
+    * pooled-variance statistic z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)).
+    * The A/B companion to q180's Welch t (that compares means; this
+    * compares rates). Counts are exact integers; the statistic is one
+    * fixed double shape. Output: (group, n_a, pos_a, n_b, pos_b,
+    * rate_a, rate_b, z); groups where the pooled variance is 0 yield
+    * null z. */
+  def twoProportionZ(df: DataFrame, groupCol: String, labelCol: String,
+      isB: Column): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(when(isB, 0L).otherwise(1L)).as("n_a"),
+        sum(when(!isB && col(labelCol) === 1, 1L).otherwise(0L)).as("pos_a"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isB && col(labelCol) === 1, 1L).otherwise(0L)).as("pos_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("pos_a").cast("double") / na
+    val pb = col("pos_b").cast("double") / nb
+    val pPool = (col("pos_a") + col("pos_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val varPool = pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb)
+    counts.select(col(groupCol), col("n_a"), col("pos_a"), col("n_b"),
+      col("pos_b"), pa.as("rate_a"), pb.as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && varPool > 0.0,
+        (pa - pb) / sqrt(varPool)).as("z"))
   }
 
   /** Calibration curve (reliability diagram) per group: equal-frequency

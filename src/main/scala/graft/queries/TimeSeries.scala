@@ -708,6 +708,33 @@ object TimeSeries {
       .select($"n_states", $"n_transitions",
         round($"entropy_rate", 6).as("entropy_rate"))
 
+  /** q272 — Wilson rate bounds ([[graft.operators.Eval
+    * .wilsonBounds]]): per event type, the 95% Wilson interval of the
+    * weekend share — the small-n-honest bounds an alert threshold
+    * needs (Wald collapses at p ∈ {0,1}). Exact counts; one fixed
+    * double shape per bound. */
+  def q272WilsonBounds(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.wilsonBounds(
+        events(spark, dir).select($"event_type",
+          when(dayofweek(to_date($"ts")).isin(1, 7), 1).otherwise(0).as("wkend")),
+        "event_type", "wkend", z = 1.96)
+      .select($"event_type", $"n", $"n_pos", round($"rate", 6).as("rate"),
+        round($"lo", 6).as("lo"), round($"hi", 6).as("hi"))
+
+  /** q273 — two-proportion z-test ([[graft.operators.Eval
+    * .twoProportionZ]]): did each event type's error-ish share of
+    * high-value events move between the month's halves — the A/B
+    * rate companion to q180's Welch means test. */
+  def q273TwoProportion(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.twoProportionZ(
+        events(spark, dir).select($"event_type",
+          when($"value" >= 100.0, 1).otherwise(0).as("hi_val"),
+          ($"ts" >= lit("2024-01-16 00:00:00").cast("timestamp")).as("half")),
+        "event_type", "hi_val", isB = $"half")
+      .select($"event_type", $"n_a", $"pos_a", $"n_b", $"pos_b",
+        round($"rate_a", 6).as("rate_a"), round($"rate_b", 6).as("rate_b"),
+        round($"z", 6).as("z"))
+
   /** q251 — snapshot profile drift ([[graft.operators.Profile
     * .profileDiff]]): the first vs second half of the event stream as
     * two table versions — per column (event_type, user_id, props) the

@@ -530,6 +530,37 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(2)) < 1e-12)
   }
 
+  test("wilson bounds stay honest at p=0 where Wald collapses") {
+    import spark.implicits._
+    val df = ((1 to 20).map(_ => ("zero", 0)) ++
+      (1 to 20).map(i => ("half", i % 2))).toDF("g", "y")
+    val r = graft.operators.Eval.wilsonBounds(df, "g", "y")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // p = 0: the Wilson lower bound is exactly 0, the upper is NOT
+    // (center == halfwidth algebraically) — Wald would report [0, 0]
+    assert(math.abs(r("zero").getDouble(4)) < 1e-15)
+    assert(r("zero").getDouble(5) > 0.1)
+    // p = 0.5, n = 20: interval brackets the rate symmetrically
+    val h = r("half")
+    assert(h.getDouble(4) < 0.5 && h.getDouble(5) > 0.5)
+    assert(math.abs((0.5 - h.getDouble(4)) - (h.getDouble(5) - 0.5)) < 1e-12)
+  }
+
+  test("two-proportion z: zero for equal rates, matches the pooled formula") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => ("same", i % 2, i <= 20)) ++
+      (1 to 30).map(i => ("diff", if (i <= 10) (if (i <= 5) 1 else 0) else 1, i <= 10)))
+      .toDF("g", "y", "b")
+    val r = graft.operators.Eval.twoProportionZ(df, "g", "y", col("b"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("same").getDouble(7) === 0.0)
+    // diff: A side (b=false) 20 rows all y=1; B side 10 rows 5 pos
+    val (na, pa, nb, pb) = (20.0, 1.0, 10.0, 0.5)
+    val pp = (20.0 + 5.0) / 30.0
+    val z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    assert(math.abs(r("diff").getDouble(7) - z) < 1e-12)
+  }
+
   test("distinctive terms: common terms never surface, rank order is integer") {
     import spark.implicits._
     // 'the' appears in all 4 docs (df cap 1/2 excludes it);
