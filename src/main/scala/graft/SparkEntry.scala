@@ -2338,7 +2338,7 @@ object SparkEntry {
         """
           |SELECT node,
           |CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
-          |round(CAST(CAST(prf / 1000000000000000.0 AS VARCHAR) AS DECIMAL(38,20)), 10) AS pagerank
+          |CAST(round(CAST(CAST(prf / 1000000000000000.0 AS VARCHAR) AS DECIMAL(38,20)), 10) AS DOUBLE) AS pagerank
           |FROM p8""".stripMargin
     },
     // q168: double row_number islands + per-key lead close the ranges.
@@ -2974,7 +2974,7 @@ object SparkEntry {
         |FROM u GROUP BY 1),
         |tru AS (SELECT m.mnum, COUNT(DISTINCT o.o_custkey) AS true_distinct
         |  FROM months m JOIN o ON o.mnum BETWEEN m.mnum - 2 AND m.mnum GROUP BY 1)
-        |SELECT est.mnum AS mnum, CAST(nonempty AS BIGINT) AS nonempty,
+        |SELECT CAST(est.mnum AS INTEGER) AS mnum, CAST(nonempty AS BIGINT) AS nonempty,
         |  CAST(round(CAST(CAST(e AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS hll_estimate,
         |  CAST(true_distinct AS BIGINT) AS true_distinct
         |FROM est JOIN tru ON est.mnum = tru.mnum""".stripMargin,
@@ -3810,7 +3810,7 @@ object SparkEntry {
       """WITH ev AS (SELECT event_type, hour(ts) AS hod,
         |    CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL)
-        |SELECT event_type, hod,
+        |SELECT event_type, CAST(hod AS INTEGER) AS hod,
         |  CAST(unnest([0.5, 0.95]) AS DOUBLE) AS p,
         |  unnest(quantile_disc(cents, [0.5, 0.95])) AS cents
         |FROM ev GROUP BY event_type, hod""".stripMargin,
@@ -4492,8 +4492,9 @@ object SparkEntry {
         |c AS (SELECT dur AS d, CAST(COUNT(*) AS BIGINT) AS n_obs,
         |    CAST(SUM(ev) AS BIGINT) AS deaths FROM s GROUP BY 1),
         |r AS (SELECT d, n_obs, deaths,
-        |    SUM(n_obs) OVER () - COALESCE(SUM(n_obs) OVER (ORDER BY d
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |    CAST(SUM(n_obs) OVER () - COALESCE(SUM(n_obs) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
         |  FROM c),
         |l AS (SELECT list(struct_pack(d := d, n_obs := n_obs,
         |    deaths := deaths, n_risk := n_risk) ORDER BY d) AS arr FROM r),

@@ -43,6 +43,14 @@ def eq(a, b):
     return a == b
 
 
+def types_of(con, query):
+    """Column-name -> DuckDB type-name map via DESCRIBE (catches the
+    HUGEINT-vs-BIGINT / DECIMAL-width seams the driver's type-sensitive
+    hash flags but value comparison cannot)."""
+    rows = con.execute(f"DESCRIBE {query}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -61,12 +69,20 @@ def main():
             duck_rel = con.execute(sql)
             d_cols = [d[0] for d in duck_rel.description]
             d_rows = duck_rel.fetchall()
+            s_types = types_of(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            d_types = types_of(con, f"({sql})")
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            n_fail += 1
+            continue
+        type_bad = [(c, s_types.get(c), d_types.get(c)) for c in sorted(s_cols)
+                    if s_types.get(c) != d_types.get(c)]
+        if type_bad:
+            print(f"FAIL {name}: type seam {type_bad}")
             n_fail += 1
             continue
         if len(s_rows) != len(d_rows):
