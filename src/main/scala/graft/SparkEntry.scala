@@ -3781,7 +3781,8 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     // q233: per-pair census replay; string casts align numeric reprs,
-    // NULL folds to a sentinel inside the distinct.
+    // null counts as its own dependent value via a separate indicator
+    // (no sentinel string — mirrors the engine).
     "q233_fd_discovery" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
       (for { a <- cols; b <- cols if a != b } yield
@@ -3790,7 +3791,8 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
            |  SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
            |FROM (SELECT CAST($a AS VARCHAR) AS a,
-           |    COUNT(DISTINCT COALESCE(CAST($b AS VARCHAR), ' NULL')) AS nb
+           |    COUNT(DISTINCT CAST($b AS VARCHAR))
+           |      + MAX(CASE WHEN $b IS NULL THEN 1 ELSE 0 END) AS nb
            |  FROM orders GROUP BY 1) t""".stripMargin)
         .mkString("\nUNION ALL\n")
     },

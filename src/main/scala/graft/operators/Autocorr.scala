@@ -161,7 +161,12 @@ object Autocorr {
     * each; the per-(key, dow) seasonal mean is a float sum of those
     * doubles, folded IN DAY ORDER (the q237 contract) then divided.
     * Scale shape: everything is keys × periods censuses. Output:
-    * (key, ord, value, trend, seasonal, resid). */
+    * (key, ord, value, trend, seasonal, resid).
+    *
+    * Ordering contract: `ordCol` values compare AS STRINGS — pass
+    * zero-padded period labels (ISO dates); a numeric ord mis-orders
+    * lexically (same contract as [[Forecast.holtSummary]]; [[acf]]
+    * orders by the native type instead). */
   def seasonalDecompose(df: DataFrame, keyCol: String, ordCol: String,
       dowCol: Column, valueCol: String): DataFrame = {
     val w7 = Window.partitionBy(col(keyCol)).orderBy(col("__o"))

@@ -69,7 +69,12 @@ object ChangePoint {
     * one per-key window pass, so work is keys × periods. Output:
     * (key, n_obs, split_ord, n_before, mean_before, mean_after,
     * stat) — the split is the LAST period of the left segment; keys
-    * with fewer than 2 periods are absent. */
+    * with fewer than 2 periods are absent.
+    *
+    * Ordering contract: `ordCol` values compare AS STRINGS — pass
+    * zero-padded period labels (ISO dates). A numeric ord (epoch day,
+    * week number) mis-orders lexically ("10" < "2"); format it first
+    * (same contract as [[Forecast.holtSummary]]). */
   def binarySegment(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -158,8 +158,12 @@ object Profile {
     val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
     pairs.map { case (det, dep) =>
       df.select(col(det).cast("string").as("a"), col(dep).cast("string").as("b"))
-        .groupBy(col("a")).agg(countDistinct(coalesce(col("b"), lit(" NULL")))
-          .as("nb"))
+        .groupBy(col("a"))
+        // count null as its own dependent value WITHOUT a sentinel
+        // string (a sentinel can collide with real data and a raw
+        // escape byte makes the file binary to git)
+        .agg((countDistinct(col("b")) +
+          max(when(col("b").isNull, 1L).otherwise(0L))).as("nb"))
         .agg(count(lit(1)).as("n_det"),
           sum(when(col("nb") > 1, 1L).otherwise(0L)).as("violations"))
         .select(lit(det).as("determinant"), lit(dep).as("dependent"),

@@ -94,7 +94,11 @@ object Regression {
     * each slope is ONE double division of exact integers (identical
     * cross-engine), medians are the LOWER median under the total
     * order (slope, i, j) / (value, i). Output: (key, n_obs, n_pairs,
-    * slope, intercept); keys with < 2 periods are absent. */
+    * slope, intercept); keys with < 2 periods are absent.
+    *
+    * Ordering contract: `ordCol` values compare AS STRINGS — pass
+    * zero-padded period labels (ISO dates); a numeric ord mis-orders
+    * lexically (same contract as [[Forecast.holtSummary]]). */
   def theilSen(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -46,9 +46,12 @@ object WeightedStats {
     *
     * Exactness: timestamps and values must be integers (epoch-ms,
     * cents); every weight is one integer subtraction from a per-key
-    * lead window, Σv·w and Σw are exact integer sums, and the TWAP is
-    * ONE terminal division. Output: (key, n_obs, total_ms, twap);
-    * keys with a single observation yield null twap. */
+    * lead window, Σw is an exact long sum, Σv·w accumulates in
+    * decimal(38,0) — cent-scale values held across long ms gaps
+    * overflow a long's 2^63 headroom, and the decimal sum matches the
+    * HUGEINT path a SQL oracle takes — and the TWAP is ONE terminal
+    * division. Output: (key, n_obs, total_ms, twap); keys with a
+    * single observation yield null twap. */
   def timeWeightedMean(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
     val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
@@ -59,7 +62,7 @@ object WeightedStats {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_obs"),
         sum(col("__w")).as("total_ms"),
-        sum(col(valueCol) * col("__w")).as("__vw"))
+        sum(col(valueCol).cast("decimal(38,0)") * col("__w")).as("__vw"))
       .select(col(keyCol), col("n_obs"), col("total_ms"),
         when(col("total_ms") > 0L,
           col("__vw").cast("double") / col("total_ms").cast("double"))
@@ -127,8 +130,11 @@ object WeightedStats {
       .withColumn("__cum", sum(col("__c")).over(wOrd))
       // rank of the first row of this tie-run (1-based)
       .withColumn("__r0", col("__cum") - col("__c") + 1L)
+      // `div` (integer division) keeps the term LongType — Spark's `/`
+      // would cast to double and break the exact-integer contract once a
+      // group's rank-weighted sum passes 2^53. c·(c−1) is even, so exact.
       .withColumn("__ix", col("__v") *
-        (col("__c") * col("__r0") + col("__c") * (col("__c") - 1L) / 2L))
+        (col("__c") * col("__r0") + expr("__c * (__c - 1L) div 2L")))
     ranked.groupBy(col(groupCol))
       .agg(sum(col("__c")).as("n"), sum(col("__v") * col("__c")).as("total"),
         sum(col("__ix")).as("__six"))
