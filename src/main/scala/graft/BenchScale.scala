@@ -126,9 +126,17 @@ object BenchScale {
     // the flat-vs-hierarchical ASSIGNMENT comparison needs cell counts
     // that grow with the corpus (the SemDeDup recipe) and large enough
     // for the rows × cells product to dominate: 64 cells per copy.
-    // kflat's ratio exposes the n·k quadratic; khier (branch ≈ √cells,
-    // per-row cost branch + cells/branch) is the fix's receipt.
+    // kflat's ratio exposes the n·k quadratic (flat path PINNED via
+    // flatCellCap, since semDedupWith now auto-routes above 256 cells);
+    // khier (branch ≈ √cells, per-row cost branch + cells/branch) is
+    // the fix's receipt; kdefault is the unpinned call proving the
+    // auto-dispatch takes the hierarchical path at this k.
     def semdedupKflat(n: Int): DataFrame =
+      graft.operators.SemDedup.semDedupWith(
+          embCorpusAt(n), "vec_id", "v", semCents(n, 64), threshold = 0.9,
+          flatCellCap = Int.MaxValue)
+        .where(!col("kept"))
+    def semdedupKdefault(n: Int): DataFrame =
       graft.operators.SemDedup.semDedupWith(
           embCorpusAt(n), "vec_id", "v", semCents(n, 64), threshold = 0.9)
         .where(!col("kept"))
@@ -164,6 +172,7 @@ object BenchScale {
       "semdedup" -> (semdedup(_)),
       "semdedup_kflat" -> (semdedupKflat(_)),
       "semdedup_khier" -> (semdedupKhier(_)),
+      "semdedup_kdefault" -> (semdedupKdefault(_)),
       "winnow" -> (n => winnow(corpusAt(n))),
       "cdc" -> (n => cdc(corpusAt(n))))
     val out = shapes.flatMap { case (name, fn) =>

@@ -294,6 +294,8 @@ object SparkEntry {
     "q273_two_proportion"   -> (T.q273TwoProportion(_, _)),
     "q246_zipf"             -> (D.q246Zipf(_, _)),
     "q247_reshard"          -> (D.q247Reshard(_, _)),
+    "q274_eligibility_census" -> (K.q274EligibilityCensus(_, _)),
+    "q275_bootstrap"        -> (K.q275Bootstrap(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -371,6 +373,74 @@ object SparkEntry {
        |FROM fin""".stripMargin
   }
 
+  /** q275 oracle: bit-exact DuckDB replay of the CLCG-seeded empirical
+    * bootstrap (kernels/MonteCarlo.bootstrapClcg at q275's parameters).
+    * Same construction as [[monteCarloOracle]], with two twists:
+    *  - the per-path loop has TWO variable-length phases (Poisson-Knuth
+    *    draw, then k resampled trades) — the CTE runs a fixed 160 steps
+    *    with a phase column (0 = poisson, 1 = trade, 2 = done) and each
+    *    active step consumes exactly one uniform, mirroring the Scala
+    *    loop's draw order; frozen rows carry state unchanged. 160 covers
+    *    poisson draws + trades for every seeded path (BootstrapSpec
+    *    asserts the actual max with margin; P(k > 79) under
+    *    Poisson(6) ~ 1e-60).
+    *  - exp(-lambda) is NOT computed in SQL: Math.exp isn't correctly
+    *    rounded, so the JVM value rides in as a shortest-repr literal
+    *    that DuckDB's strtod re-materializes bit-exactly. */
+  private val bootstrapOracle: String = {
+    def mr(e: String, n: Int) =
+      s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,20)), $n) AS DOUBLE)"
+    val limit = s"CAST('${math.exp(-6.0)}' AS DOUBLE)"
+    val s1n = "((40014 * s1) % 2147483563)"
+    val s2n = "((40692 * s2) % 2147483399)"
+    val z   = s"($s1n - $s2n)"
+    val u   = s"(CAST(CASE WHEN $z < 1 THEN $z + 2147483562 ELSE $z END AS DOUBLE) / 2147483563.0)"
+    val pn   = s"(p * $u)"
+    val bet  = "least(CAST(750.0 AS DOUBLE), cap)"
+    val ret  = s"list_extract(rp, CAST(floor($u * 32.0) AS BIGINT) + 1)"
+    val capN = s"(cap + ($bet * $ret) / 100.0)"
+    val peakN = s"greatest(peak, $capN)"
+    s"""WITH RECURSIVE pool AS (
+       |  SELECT list((least(value, 100.0) - 50.0) / 5.0 ORDER BY event_id) AS rp
+       |  FROM (SELECT event_id, value FROM events ORDER BY event_id LIMIT 32)
+       |), sim AS (
+       |  SELECT range AS path, CAST(0 AS BIGINT) AS t,
+       |    CAST(1 + (42 * 1000003 + range * 7919) % 2147483562 AS BIGINT) AS s1,
+       |    CAST(1 + (42 * 31 + range * 104729) % 2147483398 AS BIGINT) AS s2,
+       |    CAST(0 AS INT) AS ph, CAST(1.0 AS DOUBLE) AS p,
+       |    CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS tr,
+       |    CAST(1000.0 AS DOUBLE) AS cap, CAST(1000.0 AS DOUBLE) AS peak,
+       |    CAST(0.0 AS DOUBLE) AS maxdd, (SELECT rp FROM pool) AS rp
+       |  FROM range(0, 10000)
+       |  UNION ALL
+       |  SELECT path, t + 1,
+       |    CAST($s1n AS BIGINT) AS s1, CAST($s2n AS BIGINT) AS s2,
+       |    CASE WHEN ph = 0 THEN
+       |           CASE WHEN $pn > $limit THEN 0
+       |                WHEN k = 0 THEN 2 ELSE 1 END
+       |         WHEN ph = 1 THEN
+       |           CASE WHEN tr + 1 >= k OR $capN <= 0.0 THEN 2 ELSE 1 END
+       |         ELSE 2 END AS ph,
+       |    CASE WHEN ph = 0 THEN $pn ELSE p END AS p,
+       |    CASE WHEN ph = 0 AND $pn > $limit THEN k + 1 ELSE k END AS k,
+       |    CASE WHEN ph = 1 THEN tr + 1 ELSE tr END AS tr,
+       |    CASE WHEN ph = 1 THEN $capN ELSE cap END AS cap,
+       |    CASE WHEN ph = 1 THEN $peakN ELSE peak END AS peak,
+       |    CASE WHEN ph = 1 THEN greatest(maxdd, ($peakN - $capN) / $peakN)
+       |         ELSE maxdd END AS maxdd,
+       |    rp
+       |  FROM sim WHERE t < 160
+       |), fin AS (
+       |  SELECT cap AS fc, cap <= CAST(250.0 AS DOUBLE) AS ruined, maxdd
+       |  FROM sim WHERE t = 160
+       |)
+       |SELECT ${mr("avg(CASE WHEN ruined THEN 1.0 ELSE 0.0 END) * 100", 2)} AS ruin_pct,
+       |  ${mr("quantile_cont(fc, 0.5)", 2)} AS median_capital,
+       |  ${mr("quantile_cont(fc, 0.9)", 2)} AS p90_capital,
+       |  ${mr("max(maxdd) * 100", 2)} AS worst_drawdown_pct
+       |FROM fin""".stripMargin
+  }
+
   /** q89/q110 oracle: exact 8-gram overlap census between the train split
     * (planted contamination included) and the test split. */
   private val decontaminationOracle: String =
@@ -435,6 +505,29 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same tables registered by name). */
   def oracleSql: Map[String, String] = Map(
     "q64_monte_carlo" -> monteCarloOracle,
+    "q275_bootstrap" -> bootstrapOracle,
+    // q274: P8 eligibility gates over the enriched-scan mapping; every
+    // aggregate CAST to BIGINT (DuckDB SUM widens to HUGEINT — the q255
+    // type seam)
+    "q274_eligibility_census" ->
+      """WITH enr AS (SELECT l_returnflag,
+        |    CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS scan_date,
+        |    CAST(l_linenumber % 5 AS INT) AS premium_score,
+        |    CAST(l_quantity * 100 AS BIGINT) AS recommended_volume,
+        |    CAST(floor(l_extendedprice / 10) AS BIGINT) AS recommended_oi,
+        |    CASE WHEN l_discount >= 0.01 THEN l_discount END AS recommended_strike,
+        |    CASE WHEN l_tax <= 0.06 THEN CAST(l_shipdate AS DATE) + 30 END AS recommended_expiration
+        |  FROM lineitem),
+        |t AS (SELECT max(scan_date) AS tgt FROM enr)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_eligible,
+        |  CAST(sum(premium_score) AS BIGINT) AS score_sum,
+        |  CAST(sum(recommended_volume) AS BIGINT) AS volume_sum
+        |FROM enr, t
+        |WHERE scan_date = tgt AND premium_score >= 2
+        |  AND (recommended_volume > 250 OR recommended_oi > 500)
+        |  AND recommended_strike IS NOT NULL
+        |  AND recommended_expiration IS NOT NULL
+        |GROUP BY l_returnflag""".stripMargin,
     // q93: the exact-copy fixture forces fingerprint equality, so the
     // expected pair set + Hamming distances are engine-independent facts.
     "q93_simhash_dups" ->

@@ -156,6 +156,46 @@ object MonteCarlo {
     }.toDF()
   }
 
+  /** [[bootstrap]] on the cross-engine-replayable CLCG stream (the q64
+    * X4 precedent): identical Poisson-Knuth / resample / min(betCap, cap)
+    * sizing / cap>0 stopping / post-hoc ruin semantics, but every draw is
+    * 31-bit modular arithmetic a SQL engine replays bit-exactly —
+    * `nextInt(n)` becomes `floor(u * n)` (exact for these n << 2^26).
+    * One uniform per Poisson step and one per trade step, so the replay
+    * is a flat per-step recursive CTE with no draw-count bookkeeping.
+    * `limitOverride` exists for the oracle seam: Math.exp is not
+    * correctly-rounded, so the replay embeds the JVM-computed
+    * exp(-lambda) as a shortest-repr literal instead of calling the
+    * other engine's exp. */
+  def bootstrapClcg(
+      spark: SparkSession, nPaths: Int, lambda: Double,
+      returnsPool: Array[Double], betCap: Double = 750.0,
+      startCapital: Double = 1000.0, ruinAt: Double = 250.0,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val pool = spark.sparkContext.broadcast(returnsPool)
+    val limit = math.exp(-lambda)
+    spark.range(nPaths).as[Long].map { path =>
+      val r = new Clcg(seed, path)
+      var k = 0; var p = 1.0
+      while ({ p *= r.nextDouble(); p > limit }) k += 1
+      var cap = startCapital
+      var peak = cap
+      var maxDd = 0.0
+      var i = 0
+      val rp = pool.value
+      while (i < k && cap > 0) {
+        val bet = math.min(betCap, cap)
+        val idx = (r.nextDouble() * rp.length).toInt
+        cap += bet * rp(idx) / 100.0
+        peak = math.max(peak, cap)
+        maxDd = math.max(maxDd, (peak - cap) / peak)
+        i += 1
+      }
+      PathResult(path, cap, cap <= ruinAt, maxDd)
+    }.toDF()
+  }
+
   /** Summary aggregate: ruin %, mean/median final capital, P90, max DD. */
   def summarize(paths: DataFrame): DataFrame =
     paths.agg(

@@ -108,9 +108,14 @@ object Graph {
     * INTEGER sum — map-side combined, no per-node state beyond one
     * long, bit-identical to the oracle's unrolled-CTE replay at any
     * parallelism. Normalization totals are 1-row broadcast scalars.
-    * Loop invariants (edges, nodes) checkpoint once; each round's
-    * vectors checkpoint to cut lineage. Output: (node, hub, auth)
-    * doubles at scale 1e-9. */
+    * Loop invariants (edges, nodes) checkpoint once; each round
+    * checkpoints the RAW per-node sums (aRaw/hRaw) — the join+agg is
+    * the only row-scale work, and both the normalization total and the
+    * normalized vector then read that checkpoint, so neither half-step
+    * is ever evaluated twice (the r7 shape checkpointed the normalized
+    * vectors instead, leaving each broadcast-total subtree to re-run
+    * the whole join+agg — 2x the join work per round).
+    * Output: (node, hub, auth) doubles at scale 1e-9. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -124,22 +129,25 @@ object Graph {
       .localCheckpoint(false)
     var a = h.select(col("node"), col("hf").as("af"))
     for (_ <- 1 to iterations) {
+      // checkpoint the raw in-mass sums: the only row-scale job of the
+      // half-step. The total and the normalized vector both read the
+      // checkpoint, so the join+agg runs exactly once per half-step.
       val aRaw = e.join(h, e("src") === h("node"))
         .groupBy(col("dst")).agg(sum(col("hf")).as("ar"))
+        .localCheckpoint(false)
       val at = broadcast(aRaw.agg(sum(col("ar")).as("t")))
       a = nodes.join(aRaw, nodes("node") === aRaw("dst"), "left")
         .crossJoin(at)
         .select(col("node"),
           expr(s"(coalesce(ar, 0) * $HitsScale) div t").as("af"))
-        .localCheckpoint(false)
       val hRaw = e.join(a, e("dst") === a("node"))
         .groupBy(col("src")).agg(sum(col("af")).as("hr"))
+        .localCheckpoint(false)
       val ht = broadcast(hRaw.agg(sum(col("hr")).as("t")))
       h = nodes.join(hRaw, nodes("node") === hRaw("src"), "left")
         .crossJoin(ht)
         .select(col("node"),
           expr(s"(coalesce(hr, 0) * $HitsScale) div t").as("hf"))
-        .localCheckpoint(false)
     }
     h.join(a, "node")
       .select(col("node"),

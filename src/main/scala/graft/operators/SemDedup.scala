@@ -82,18 +82,46 @@ object SemDedup {
     assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > maxCellSize)
 
+  /** Cell count above which [[semDedupWith]] routes assignment through
+    * the two-level [[assignCellsHierarchical]] path by default. The
+    * SemDeDup recipe grows cells ∝ corpus (to keep within-cell pair
+    * work n²/k linear), so the flat rows × cells fold is the hidden
+    * quadratic — at 256+ cells the two-level fold (branch + cells/branch
+    * per row, branch ≈ √cells) is already ~8× fewer cosine evaluations
+    * per row and the gap widens with k. Below the cap the flat path is
+    * both exact-argmax and cheaper (no routing pre-pass). */
+  val FlatCellCap: Int = 256
+
   /** SemDeDup with a caller-supplied centroid table `(cell long,
     * centroid array<double>)`. Returns (id, cell, kept): kept = false iff
     * some same-cell vector with a smaller id has cosine >= threshold.
     * Pairs meet by an equi-join on the cell id — both self-join sides
     * hash-partition the (id, v, cell) rows on `cell` (identical
     * exchanges, so AQE can reuse the materialized stage at runtime; the
-    * static plan shows two). */
+    * static plan shows two).
+    *
+    * Assignment auto-dispatches on the centroid count: ≤ `flatCellCap`
+    * cells take the exact flat argmax fold; above it the two-level
+    * [[assignCellsHierarchical]] routing (branch ≈ √cells) caps the
+    * per-row fold cost — the scale default, with the documented
+    * boundary approximation. Pass `flatCellCap = Int.MaxValue` to pin
+    * the flat path (exact argmax at any k). The dispatch count is one
+    * tiny bounded job on the centroid table (≤ cap+1 rows scanned). */
   def semDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double,
-      maxCellSize: Int = 100000): DataFrame =
-    semDedupAssigned(assignCells(corpus, idCol, vecCol, centroids),
-      threshold, maxCellSize)
+      maxCellSize: Int = 100000, flatCellCap: Int = FlatCellCap): DataFrame = {
+    val big = flatCellCap != Int.MaxValue &&
+      centroids.limit(flatCellCap + 1).count() > flatCellCap
+    if (!big)
+      semDedupAssigned(assignCells(corpus, idCol, vecCol, centroids),
+        threshold, maxCellSize)
+    else {
+      val k = centroids.count()
+      val branch = math.max(4, math.sqrt(k.toDouble).round.toInt)
+      semDedupHierarchical(corpus, idCol, vecCol, centroids, branch,
+        threshold, maxCellSize)
+    }
+  }
 
   /** Two-level cell assignment for centroid tables too large to fold
     * per row. [[assignCells]] is rows × cells work — with cell count

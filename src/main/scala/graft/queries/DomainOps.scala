@@ -241,4 +241,60 @@ object DomainOps {
       .groupBy($"scenario", $"cfg", $"exit_reason")
       .agg(count(lit(1)).as("cnt"), round(avg($"return_pct"), 4).as("avg_ret"))
   }
+
+  /** q274 — P8 eligibility gate census ([[graft.pipelines.Execution
+    * .eligible]], forward-paper-trader/main.py:150-161): lineitem mapped
+    * to the enriched-scan shape (ship date as scan_date, linenumber mod 5
+    * as premium_score, quantity/price as volume/OI, discount/tax gating
+    * the nullable strike/expiration), target date = the max scan_date as
+    * a 1-row broadcast scalar (no driver action, no global window), then
+    * the production predicate filters and a returnflag census counts what
+    * passed. All output columns integral, so the cross-engine hash has no
+    * float surface. */
+  def q274EligibilityCensus(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = Tables.lineitem(spark, dir).select(
+      $"l_returnflag",
+      // ship MONTH as the scan_date so the target-date equality gate
+      // keeps a full month of rows (the raw max ship-date has ~30 rows
+      // at sf0.01 — too thin to exercise the other gates)
+      trunc($"l_shipdate".cast("date"), "month").as("scan_date"),
+      ($"l_linenumber" % 5).cast("int").as("premium_score"),
+      ($"l_quantity" * 100).cast("bigint").as("recommended_volume"),
+      // floor before the cast: Spark's double->long cast truncates while
+      // DuckDB's rounds — floor() is the arithmetic both agree on
+      floor($"l_extendedprice" / 10).cast("bigint").as("recommended_oi"),
+      when($"l_discount" >= 0.01, $"l_discount").as("recommended_strike"),
+      when($"l_tax" <= 0.06, date_add($"l_shipdate".cast("date"), 30))
+        .as("recommended_expiration"))
+    val target = broadcast(enriched.agg(max($"scan_date").as("__target")))
+    graft.pipelines.Execution.eligible(enriched.crossJoin(target), $"__target")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_eligible"),
+        sum($"premium_score").cast("bigint").as("score_sum"),
+        sum($"recommended_volume").as("volume_sum"))
+  }
+
+  /** q275 — seeded empirical-bootstrap Monte Carlo (X5,
+    * [[graft.kernels.MonteCarlo.bootstrapClcg]],
+    * monte_carlo_sniper.py:40-108): 10 000 paths, Poisson(6) trade
+    * counts, returns resampled from a 32-slot pool derived from the
+    * events table (smallest event_ids, clamped-and-centred values in
+    * percent units), min(750, cap) sizing, trading stops at cap <= 0,
+    * ruin = post-hoc cap <= 250 census. Summary drops the mean (a
+    * 10k-double sum is summation-order dependent); ruin %, exact
+    * median/P90 and max drawdown are order-free and hash bit-exact
+    * against the recursive-CTE replay. */
+  def q275Bootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val pool = Tables.events(spark, dir).select($"event_id", $"value")
+      .orderBy($"event_id").limit(32).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      .map { case (_, v) => (math.min(100.0, v) - 50.0) / 5.0 }
+    val paths = graft.kernels.MonteCarlo.bootstrapClcg(
+      spark, nPaths = 10000, lambda = 6.0, returnsPool = pool)
+    paths.agg(
+      round(avg($"ruined".cast("double")) * 100, 2).as("ruin_pct"),
+      round(expr("percentile(final_capital, 0.5)"), 2).as("median_capital"),
+      round(expr("percentile(final_capital, 0.9)"), 2).as("p90_capital"),
+      round(max($"max_drawdown") * 100, 2).as("worst_drawdown_pct"))
+  }
 }

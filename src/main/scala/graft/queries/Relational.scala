@@ -198,12 +198,17 @@ object Relational {
   /** q19 — vote tally + tier classification (A19/A22): per event_type,
     * distinct voters, avg conviction, tier ladder. */
   def q19VoteTally(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint the (tiny, one-row-per-type) aggregate so the
+    // broadcast total below reuses it — without it Spark re-plans the
+    // whole scan + two-level distinct aggregation a second time for
+    // the scalar subtree (observed 2x work in the formatted plan).
     val agg = Tables.events(spark, dir)
       .groupBy($"event_type")
       .agg(
         countDistinct($"user_id").as("voters"),
         count(lit(1)).as("votes"),
         round(avg($"value"), 4).as("avg_conviction"))
+      .localCheckpoint(true)
     val total = agg.select(sum($"voters").as("t"))
     agg.crossJoin(broadcast(total))
       .withColumn("tier",

@@ -50,6 +50,37 @@ class MonteCarloSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("bootstrapClcg is deterministic and keeps the X5 semantics") {
+    val pool = Array(40.0, -25.0, -5.0, 12.0)
+    val a = MonteCarlo.bootstrapClcg(spark, 300, 6.0, pool).collect()
+      .map(_.getDouble(1)).sorted.toSeq
+    val b = MonteCarlo.bootstrapClcg(spark, 300, 6.0, pool).collect()
+      .map(_.getDouble(1)).sorted.toSeq
+    assert(a == b)
+    // post-hoc ruin census, same as the java.util.Random variant
+    val lossy = MonteCarlo.bootstrapClcg(spark, 100, 20.0, Array(-50.0)).collect()
+    assert(lossy.forall(_.getBoolean(2)))
+    assert(lossy.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("q275 oracle step bound: every seeded path fits 160 CTE steps") {
+    // the recursive-CTE replay runs a FIXED 160 steps; a path consumes
+    // (k+1) poisson uniforms + at most k trade uniforms, so the bound is
+    // max(2k+1) over the exact seeded draws — replayed here with the
+    // same CLCG streams as bootstrapClcg(seed=42, lambda=6, 10000 paths)
+    val limit = math.exp(-6.0)
+    var worst = 0
+    var path = 0L
+    while (path < 10000L) {
+      val r = new MonteCarlo.Clcg(42L, path)
+      var k = 0; var p = 1.0
+      while ({ p *= r.nextDouble(); p > limit }) k += 1
+      worst = math.max(worst, 2 * k + 1)
+      path += 1
+    }
+    assert(worst <= 160, s"max steps $worst exceeds the oracle's 160")
+  }
+
   test("bootstrap ruin is a post-hoc census, not a stop condition (X5 :61,:105)") {
     // all-loss pool: capital decays but trading continues below the ruin
     // line (min(bet, cap) keeps cap > 0), so every path ends ruined with a

@@ -158,6 +158,30 @@ class SemDedupSpec extends AnyFunSuite with SparkFixture {
     assert(base.forall { case (id, _) => out(id) }, "originals all keep")
   }
 
+  test("semDedupWith auto-dispatch: flat under the cap, hierarchical above it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val data = IndexedSeq.tabulate(80)(i => (i.toLong,
+      Array.fill(6)(rnd.nextGaussian()).toSeq)).toDF("vec_id", "v")
+    val cents = SemDedup.smallestIdCentroids(data, "vec_id", "v", 9)
+    def asRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // cap below k: the default call must equal the explicit hierarchical
+    // path with branch = round(sqrt(k)) = 3
+    val auto = asRows(SemDedup.semDedupWith(data, "vec_id", "v", cents,
+      threshold = 0.95, flatCellCap = 4))
+    val hier = asRows(SemDedup.semDedupHierarchical(data, "vec_id", "v",
+      cents, branch = 4, threshold = 0.95))
+    assert(auto === hier)
+    // cap at/above k (and the Int.MaxValue pin): exact flat path
+    val flat = asRows(SemDedup.semDedupAssigned(
+      SemDedup.assignCells(data, "vec_id", "v", cents), threshold = 0.95))
+    assert(asRows(SemDedup.semDedupWith(data, "vec_id", "v", cents,
+      threshold = 0.95)) === flat)
+    assert(asRows(SemDedup.semDedupWith(data, "vec_id", "v", cents,
+      threshold = 0.95, flatCellCap = Int.MaxValue)) === flat)
+  }
+
   test("hierarchical cells are real centroid ids and every row lands somewhere") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
