@@ -296,6 +296,7 @@ object SparkEntry {
     "q247_reshard"          -> (D.q247Reshard(_, _)),
     "q274_eligibility_census" -> (K.q274EligibilityCensus(_, _)),
     "q275_bootstrap"        -> (K.q275Bootstrap(_, _)),
+    "q276_benford"          -> (T.q276Benford(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -441,6 +442,35 @@ object SparkEntry {
        |FROM fin""".stripMargin
   }
 
+  /** q276 oracle: Benford first-digit census. The nine probabilities
+    * ride in as the JVM's shortest-repr literals (Math.log10 is not
+    * correctly-rounded — the q275 seam discipline); the chi² fold runs
+    * in digit order via list_reduce, whose first-element seed equals the
+    * Spark fold's 0.0 + t₁. Every aggregate output CAST to BIGINT. */
+  private val benfordOracle: String = {
+    def mr(e: String, n: Int) =
+      s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,20)), $n) AS DOUBLE)"
+    val parr = graft.operators.Profile.BenfordP
+      .map(p => s"CAST('$p' AS DOUBLE)").mkString("[", ", ", "]")
+    val e = s"(list_extract($parr, x.digit) * CAST(n_group AS DOUBLE))"
+    val term = s"((CAST(x.n_obs AS DOUBLE) - $e) * (CAST(x.n_obs AS DOUBLE) - $e) / $e - $e)"
+    s"""WITH c AS (SELECT l_returnflag AS g,
+       |    CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM lineitem WHERE floor(l_extendedprice) > 0 GROUP BY 1, 2),
+       |gg AS (SELECT g, CAST(sum(n_obs) AS BIGINT) AS n_group,
+       |    list(struct_pack(digit := digit, n_obs := n_obs) ORDER BY digit) AS dl
+       |  FROM c GROUP BY 1),
+       |f AS (SELECT g, n_group,
+       |    list_reduce(list_transform(dl, x -> $term), (a, b) -> a + b)
+       |      + CAST(n_group AS DOUBLE) AS chi2
+       |  FROM gg)
+       |SELECT c.g AS l_returnflag, c.digit, c.n_obs, f.n_group,
+       |  ${mr(s"list_extract(${parr}, c.digit)", 6)} AS p_benford,
+       |  ${mr("f.chi2", 4)} AS chi2
+       |FROM c JOIN f ON c.g = f.g""".stripMargin
+  }
+
   /** q89/q110 oracle: exact 8-gram overlap census between the train split
     * (planted contamination included) and the test split. */
   private val decontaminationOracle: String =
@@ -506,6 +536,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q64_monte_carlo" -> monteCarloOracle,
     "q275_bootstrap" -> bootstrapOracle,
+    "q276_benford" -> benfordOracle,
     // q274: P8 eligibility gates over the enriched-scan mapping; every
     // aggregate CAST to BIGINT (DuckDB SUM widens to HUGEINT — the q255
     // type seam)

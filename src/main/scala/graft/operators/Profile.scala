@@ -246,4 +246,73 @@ object Profile {
         (col("__sy") - col("slope") * col("__sx")) / col("n_terms").cast("double"))
       .select(col("n_terms"), col("slope"), col("intercept"))
   }
+
+  /** Benford's-law first-digit probabilities, computed ONCE on the
+    * driver's JVM. Math.log10 is not correctly-rounded, so a SQL
+    * replay must embed THESE doubles as shortest-repr literals rather
+    * than re-deriving them with the other engine's log10 (the q275
+    * exp(-lambda) seam discipline). */
+  val BenfordP: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law first-digit census per group — the classic
+    * fabricated-numbers / unit-mix screen for numeric feeds (Benford
+    * 1938; Nigrini's audit usage). `valueCol` must be an INTEGRAL
+    * column (LongType): doubles don't first-digit deterministically
+    * across engines (string repr differs), so callers floor upstream.
+    * Non-positive values are excluded (the law is defined on positive
+    * magnitudes); the exclusion is visible as n_group vs the caller's
+    * row count.
+    *
+    * Output, one row per (group, digit) present: digit frequency
+    * n_obs, group total n_group, the expected Benford probability
+    * p_benford, and the group's chi-square statistic repeated on each
+    * of its rows (sum over the group's 9 possible digits of
+    * (obs - exp)²/exp, with ABSENT digits contributing their full
+    * expected mass).
+    *
+    * Scale shape: first digit is string-prefix arithmetic on the long
+    * (no log10 in the row path), one (group, digit) hash census with
+    * map-side combine, then a ≤9-row-per-group window on the AGGREGATED
+    * table for the group total and chi² — bounded rows, no global
+    * window, nothing driver-side. */
+  def benfordCensus(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"benfordCensus needs an integral (long) column, got " +
+        df.schema(valueCol).dataType)
+    val pExpr = BenfordP.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (p, i)) => when(col("digit") === (i + 1), lit(p)).otherwise(acc)
+    }
+    val pArr = BenfordP.map(p => s"CAST('$p' AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val census = df
+      .where(col(valueCol) > 0L)
+      .select(col(groupCol).as("g"),
+        substring(col(valueCol).cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("g"), col("digit")).agg(count(lit(1)).as("n_obs"))
+      .withColumn("p_benford", pExpr)
+    // chi² over ALL nine digits: present digits contribute (n - e)²/e,
+    // absent ones their full expected mass e — equivalently the sum
+    // over PRESENT digits of ((n-e)²/e - e) plus n_group (Σe = n_group).
+    // The float sum folds the ≤9-element digit-sorted list IN ORDER
+    // (the q237 contract — a window SUM's order is partition-dependent);
+    // n_group is an exact integer sum.
+    val byG = census.groupBy(col("g")).agg(
+        sum(col("n_obs")).as("n_group"),
+        array_sort(collect_list(struct(col("digit"), col("n_obs")))).as("__dl"))
+      .withColumn("chi2", expr(
+        s"""aggregate(__dl, CAST(0.0 AS DOUBLE), (acc, e) ->
+           |  acc + (CAST(e.n_obs AS DOUBLE) -
+           |         element_at($pArr, e.digit) * CAST(n_group AS DOUBLE))
+           |      * (CAST(e.n_obs AS DOUBLE) -
+           |         element_at($pArr, e.digit) * CAST(n_group AS DOUBLE))
+           |      / (element_at($pArr, e.digit) * CAST(n_group AS DOUBLE))
+           |      - element_at($pArr, e.digit) * CAST(n_group AS DOUBLE))
+           |""".stripMargin) + col("n_group").cast("double"))
+      .select(col("g"), col("n_group"), col("chi2"))
+    census.join(byG, "g")
+      .select(col("g"), col("digit"), col("n_obs"), col("n_group"),
+        col("p_benford"), col("chi2"))
+  }
 }

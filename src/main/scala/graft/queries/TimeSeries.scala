@@ -820,4 +820,18 @@ object TimeSeries {
       .select($"event_type", $"n_obs", round($"level", 6).as("level"),
         round($"trend", 6).as("trend"), round($"forecast", 6).as("forecast"))
   }
+
+  /** q276 — Benford first-digit screen ([[graft.operators.Profile
+    * .benfordCensus]]): per return flag, the first-digit census of
+    * floor(extendedprice) with each digit's Benford probability and the
+    * group chi² (absent digits contribute their expected mass). The
+    * digit is string-prefix arithmetic on an exact long — no log10 in
+    * the row path — and chi² folds the ≤9-digit list in digit order. */
+  def q276Benford(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", floor($"l_extendedprice").cast("long").as("v"))
+    graft.operators.Profile.benfordCensus(li, "l_returnflag", "v")
+      .select($"g".as("l_returnflag"), $"digit", $"n_obs", $"n_group",
+        round($"p_benford", 6).as("p_benford"), round($"chi2", 4).as("chi2"))
+  }
 }

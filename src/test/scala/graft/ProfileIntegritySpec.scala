@@ -114,4 +114,35 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
       .toMap
     assert(got === Map("p" -> ((5L, 2L)), "q" -> ((3L, 0L))))
   }
+
+  test("benfordCensus: digit census, positives only, hand-checked chi2") {
+    import spark.implicits._
+    // group a: values 1, 19, 100, 2 -> digits 1,1,1,2; zero/negative dropped
+    val df = Seq(("a", 1L), ("a", 19L), ("a", 100L), ("a", 2L),
+      ("a", 0L), ("a", -5L), ("b", 9L))
+      .toDF("g", "v")
+    val rows = Profile.benfordCensus(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(rows.keySet === Set(("a", 1), ("a", 2), ("b", 9)))
+    val (n1, ng, chi2a) = rows(("a", 1))
+    assert(n1 == 3L && ng == 4L)
+    // hand chi2 for group a: obs = (d1:3, d2:1, rest 0), N = 4
+    val p = Profile.BenfordP
+    val expChi = (1 to 9).map { d =>
+      val e = p(d - 1) * 4.0
+      val o = if (d == 1) 3.0 else if (d == 2) 1.0 else 0.0
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(chi2a - expChi) < 1e-9, s"$chi2a vs $expChi")
+    // group b: single digit-9 value; its chi2 is the full miss mass
+    val (_, ngB, chi2b) = rows(("b", 9))
+    assert(ngB == 1L)
+    val expB = (1 to 9).map { d =>
+      val e = p(d - 1)
+      val o = if (d == 9) 1.0 else 0.0
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(chi2b - expB) < 1e-9)
+  }
 }
