@@ -297,6 +297,8 @@ object SparkEntry {
     "q274_eligibility_census" -> (K.q274EligibilityCensus(_, _)),
     "q275_bootstrap"        -> (K.q275Bootstrap(_, _)),
     "q276_benford"          -> (T.q276Benford(_, _)),
+    "q277_record_linkage"   -> (R.q277RecordLinkage(_, _)),
+    "q278_funnel"           -> (T.q278Funnel(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -442,6 +444,44 @@ object SparkEntry {
        |FROM fin""".stripMargin
   }
 
+  /** q277 oracle: Fellegi–Sunter linkage replay. The four log2
+    * likelihood-ratio weights are computed once on the JVM (same
+    * [[graft.operators.Linkage.Comparison]] arithmetic the engine uses)
+    * and ride in as shortest-repr literals; the score is the same
+    * left-associated 0.0 + w₁ + w₂ + w₃ fold. Spark's thresholded
+    * levenshtein(a, b, 2) >= 0 becomes DuckDB's full levenshtein <= 2. */
+  private val linkageOracle: String = {
+    def mr(e: String, n: Int) =
+      s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,20)), $n) AS DOUBLE)"
+    def w(c: graft.operators.Linkage.Comparison, agreeCol: String) =
+      s"CASE WHEN $agreeCol THEN CAST('${c.agreeWeight}' AS DOUBLE) " +
+        s"ELSE CAST('${c.disagreeWeight}' AS DOUBLE) END"
+    val name = graft.operators.Linkage.Comparison("name_agr", 0.95, 0.3)
+    val bal = graft.operators.Linkage.Comparison("bal_agr", 0.9, 0.001)
+    val seg = graft.operators.Linkage.Comparison("seg_agr", 0.7, 0.2)
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000, substr(c_name, 1, 17) || 'Q', c_nationkey,
+       |    c_acctbal + CAST(0.01 AS DOUBLE), c_mktsegment
+       |  FROM customer WHERE c_custkey % 10 = 0),
+       |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       |    (levenshtein(a.c_name, b.c_name) <= 2) AS name_agr,
+       |    (abs(a.c_acctbal - b.c_acctbal) <= CAST(0.02 AS DOUBLE)) AS bal_agr,
+       |    (a.c_mktsegment = b.c_mktsegment) AS seg_agr
+       |  FROM c a JOIN c b
+       |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+       |s AS (SELECT id_a, id_b,
+       |    CAST(0.0 AS DOUBLE) + ${w(name, "name_agr")}
+       |      + ${w(bal, "bal_agr")} + ${w(seg, "seg_agr")} AS score
+       |  FROM p)
+       |SELECT id_a, id_b, ${mr("score", 4)} AS score,
+       |  CASE WHEN score >= CAST(8.0 AS DOUBLE) THEN 'match'
+       |       WHEN score <= CAST(0.5 AS DOUBLE) THEN 'nonmatch'
+       |       ELSE 'possible' END AS decision
+       |FROM s WHERE score > CAST(0.5 AS DOUBLE)""".stripMargin
+  }
+
   /** q276 oracle: Benford first-digit census. The nine probabilities
     * ride in as the JVM's shortest-repr literals (Math.log10 is not
     * correctly-rounded — the q275 seam discipline); the chi² fold runs
@@ -537,6 +577,45 @@ object SparkEntry {
     "q64_monte_carlo" -> monteCarloOracle,
     "q275_bootstrap" -> bootstrapOracle,
     "q276_benford" -> benfordOracle,
+    "q277_record_linkage" -> linkageOracle,
+    // q278: funnel depth fold — the Holt sentinel idiom (list_reduce's
+    // acc starts as the FIRST element, so each element is transformed to
+    // a state-struct with st = -1 marking "not yet folded"; resolve()
+    // maps the marker to step(0, t) when read)
+    "q278_funnel" ->
+      """WITH l AS (SELECT user_id,
+        |    list(struct_pack(st := CAST(-1 AS INT), t := event_type)
+        |         ORDER BY ts, event_type) AS evs
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id, list_reduce(evs, (a, x) -> struct_pack(
+        |    st := CASE WHEN (CASE WHEN a.st = -1 THEN
+        |             (CASE WHEN a.t = 'view' THEN 1 ELSE 0 END)
+        |           ELSE a.st END) < 3
+        |           AND x.t = list_extract(['view', 'click', 'purchase'],
+        |             (CASE WHEN a.st = -1 THEN
+        |               (CASE WHEN a.t = 'view' THEN 1 ELSE 0 END)
+        |              ELSE a.st END) + 1)
+        |        THEN (CASE WHEN a.st = -1 THEN
+        |               (CASE WHEN a.t = 'view' THEN 1 ELSE 0 END)
+        |              ELSE a.st END) + 1
+        |        ELSE (CASE WHEN a.st = -1 THEN
+        |               (CASE WHEN a.t = 'view' THEN 1 ELSE 0 END)
+        |              ELSE a.st END) END,
+        |    t := x.t)) AS f
+        |  FROM l),
+        |d AS (SELECT user_id,
+        |    CASE WHEN f.st = -1 THEN
+        |      (CASE WHEN f.t = 'view' THEN 1 ELSE 0 END)
+        |    ELSE f.st END AS st
+        |  FROM r)
+        |SELECT CAST(0 AS INT) AS stage, 'entered' AS step_name,
+        |  CAST(count(*) AS BIGINT) AS n_reached FROM d
+        |UNION ALL SELECT CAST(1 AS INT), 'view',
+        |  CAST(sum(CASE WHEN st >= 1 THEN 1 ELSE 0 END) AS BIGINT) FROM d
+        |UNION ALL SELECT CAST(2 AS INT), 'click',
+        |  CAST(sum(CASE WHEN st >= 2 THEN 1 ELSE 0 END) AS BIGINT) FROM d
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase',
+        |  CAST(sum(CASE WHEN st >= 3 THEN 1 ELSE 0 END) AS BIGINT) FROM d""".stripMargin,
     // q274: P8 eligibility gates over the enriched-scan mapping; every
     // aggregate CAST to BIGINT (DuckDB SUM widens to HUGEINT — the q255
     // type seam)

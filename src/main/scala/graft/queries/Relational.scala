@@ -876,4 +876,38 @@ object Relational {
       .select($"rank", $"u".as("part_u"), $"v".as("part_v"), $"cn",
         round($"jaccard", 6).as("jaccard"))
   }
+
+  /** q277 — Fellegi–Sunter record linkage ([[graft.operators.Linkage]]):
+    * every 10th customer re-appears id-shifted with a one-char name tweak
+    * and a +0.01 balance drift; candidates block on nationkey, three
+    * binary comparisons (name within edit distance 2, balance within
+    * 0.02, same segment) score through the log2 likelihood-ratio weights.
+    * Planted twins agree on all three (score ~13.3 -> match); chance
+    * name-neighbors (sequential ids differ by one digit) disagree on
+    * balance and sink below the lower bound — the output keeps only
+    * match/possible pairs so the result stays bounded by the planted
+    * population plus rare balance collisions. */
+  def q277RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      $"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+    val planted = c.where($"c_custkey" % 10 === 0).select(
+      ($"c_custkey" + 1000000L).as("c_custkey"),
+      concat(substring($"c_name", 1, 17), lit("Q")).as("c_name"),
+      $"c_nationkey",
+      ($"c_acctbal" + 0.01).as("c_acctbal"),
+      $"c_mktsegment")
+    val cand = graft.operators.Linkage.blockedCandidates(
+      c.unionByName(planted), "c_custkey", "c_nationkey")
+    val pairs = cand
+      .withColumn("name_agr", levenshtein($"c_name_a", $"c_name_b", 2) >= 0)
+      .withColumn("bal_agr", abs($"c_acctbal_a" - $"c_acctbal_b") <= 0.02)
+      .withColumn("seg_agr", $"c_mktsegment_a" === $"c_mktsegment_b")
+    graft.operators.Linkage.fellegiSunter(pairs, Seq(
+        graft.operators.Linkage.Comparison("name_agr", m = 0.95, u = 0.3),
+        graft.operators.Linkage.Comparison("bal_agr", m = 0.9, u = 0.001),
+        graft.operators.Linkage.Comparison("seg_agr", m = 0.7, u = 0.2)),
+      upper = 8.0, lower = 0.5)
+      .where($"decision" =!= "nonmatch")
+      .select($"id_a", $"id_b", round($"score", 4).as("score"), $"decision")
+  }
 }

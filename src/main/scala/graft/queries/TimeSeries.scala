@@ -821,6 +821,14 @@ object TimeSeries {
         round($"trend", 6).as("trend"), round($"forecast", 6).as("forecast"))
   }
 
+  /** q278 — ordered funnel census ([[graft.operators.Funnel]]): how many
+    * users progressed view → click → purchase, each step strictly after
+    * the event satisfying the previous one in (ts, type) order. One
+    * entity-keyed exchange + an in-order fold per user; 4 output rows. */
+  def q278Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.census(events(spark, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+
   /** q276 — Benford first-digit screen ([[graft.operators.Profile
     * .benfordCensus]]): per return flag, the first-digit census of
     * floor(extendedprice) with each digit's Benford probability and the

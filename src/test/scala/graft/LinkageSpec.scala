@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Linkage
+import graft.operators.Linkage.Comparison
+
+/** Fellegi–Sunter record linkage: blocked candidate generation with the
+  * oversized-block guard, weight arithmetic, and the three-way decision
+  * rule. */
+class LinkageSpec extends AnyFunSuite with SparkFixture {
+
+  test("blockedCandidates: within-block pairs only, id_a < id_b, suffixed fields") {
+    import spark.implicits._
+    val df = Seq((1L, "x", "n1"), (2L, "x", "n2"), (3L, "y", "n3"),
+      (4L, "x", "n4")).toDF("id", "blk", "name")
+    val got = Linkage.blockedCandidates(df, "id", "blk")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // block x = {1,2,4} -> 3 pairs; block y is a singleton
+    assert(got === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    val cols = Linkage.blockedCandidates(df, "id", "blk").columns.toSet
+    assert(cols === Set("blk", "id_a", "name_a", "id_b", "name_b"))
+  }
+
+  test("oversized blocks are excluded and censused") {
+    import spark.implicits._
+    val df = (1L to 6L).map(i => (i, if (i <= 4) "big" else "ok"))
+      .toDF("id", "blk")
+    val pairs = Linkage.blockedCandidates(df, "id", "blk", maxBlockSize = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((5L, 6L)), "only the small block pairs")
+    val skipped = Linkage.skippedBlocks(df, "blk", maxBlockSize = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(skipped === Map("big" -> 4L))
+  }
+
+  test("fellegiSunter: weights, field-order fold, three-way rule, null = disagree") {
+    import spark.implicits._
+    val c1 = Comparison("f1", m = 0.9, u = 0.1)   // wa = log2(9), wd = log2(1/9)
+    val c2 = Comparison("f2", m = 0.8, u = 0.2)   // wa = 2, wd = log2(0.25) = -2
+    assert(math.abs(c2.agreeWeight - 2.0) < 1e-12)
+    assert(math.abs(c2.disagreeWeight + 2.0) < 1e-12)
+    val pairs = Seq(
+      (1L, 2L, Some(true), Some(true)),    // log2(9) + 2  ~ 5.17 -> match
+      (1L, 3L, Some(true), Some(false)),   // log2(9) - 2  ~ 1.17 -> possible
+      (1L, 4L, Some(false), Some(false)),  // -log2(9) - 2 ~ -5.17 -> nonmatch
+      (1L, 5L, None, Some(true)))          // null agr counts as disagree
+      .toDF("id_a", "id_b", "f1", "f2")
+    val got = Linkage.fellegiSunter(pairs, Seq(c1, c2), upper = 5.0, lower = 0.0)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(4), r.getString(5))).toMap
+    assert(got(2L)._2 == "match" && got(3L)._2 == "possible" &&
+      got(4L)._2 == "nonmatch")
+    assert(math.abs(got(2L)._1 - (math.log(9) / math.log(2) + 2.0)) < 1e-12)
+    // null f1 -> disagreement weight applies
+    assert(math.abs(got(5L)._1 - (-math.log(9) / math.log(2) + 2.0)) < 1e-12)
+  }
+}
