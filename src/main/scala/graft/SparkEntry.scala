@@ -299,6 +299,8 @@ object SparkEntry {
     "q276_benford"          -> (T.q276Benford(_, _)),
     "q277_record_linkage"   -> (R.q277RecordLinkage(_, _)),
     "q278_funnel"           -> (T.q278Funnel(_, _)),
+    "q279_ndcg"             -> (T.q279Ndcg(_, _)),
+    "q280_pq_adc"           -> (D.q280PqAdc(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -482,6 +484,77 @@ object SparkEntry {
        |FROM s WHERE score > CAST(0.5 AS DOUBLE)""".stripMargin
   }
 
+  /** q280 oracle: full product-quantization replay — smallest-id
+    * codebook, per-subspace argmin encode (list_reduce keep-first ==
+    * Spark's array_min struct ordering on ties), probe distance tables,
+    * and the subspace-ordered ADC sum. Every float fold is in-order on
+    * both sides (list_reduce's first-element seed == Spark's 0.0 + t₁). */
+  private val pqAdcOracle: String = {
+    def mr(e: String, n: Int) =
+      s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,20)), $n) AS DOUBLE)"
+    def l2sq(a: String, b: String) =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |      p2 -> (p2[1] - p2[2]) * (p2[1] - p2[2])), (a, b) -> a + b)""".stripMargin
+    val dTbl = l2sq("list_slice(e.v, s*8 + 1, s*8 + 8)",
+      "list_slice(cb.cbl[j + 1].v, s*8 + 1, s*8 + 8)")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cb AS (SELECT list(struct_pack(code := code, v := v) ORDER BY code) AS cbl
+       |  FROM (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16))),
+       |enc AS (SELECT e.vec_id, list_transform(range(0, 8), s ->
+       |    list_reduce(list_transform(range(0, 16), j -> struct_pack(
+       |        d := $dTbl,
+       |        j := j)),
+       |      (a, b) -> CASE WHEN b.d < a.d THEN b ELSE a END).j) AS codes
+       |  FROM e, cb),
+       |p AS (SELECT e.vec_id AS probe_id, list_transform(range(0, 8), s ->
+       |    list_transform(range(0, 16), j -> $dTbl)) AS dt
+       |  FROM e, cb WHERE e.vec_id < 5),
+       |sc AS (SELECT p.probe_id, enc.vec_id AS corpus_id,
+       |    list_reduce(list_transform(range(0, 8),
+       |      s -> p.dt[s + 1][enc.codes[s + 1] + 1]), (a, b) -> a + b) AS adist
+       |  FROM enc, p WHERE enc.vec_id <> p.probe_id),
+       |r AS (SELECT probe_id, corpus_id, adist,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, corpus_id) AS rnk
+       |  FROM sc)
+       |SELECT probe_id, CAST(rnk AS INT) AS "rank", corpus_id,
+       |  ${mr("adist", 6)} AS adist
+       |FROM r WHERE rnk <= 5""".stripMargin
+  }
+
+  /** q279 oracle: NDCG@10 replay. The ten position discounts are the
+    * SAME JVM 1/log2(i+1) doubles the engine folds with (shortest-repr
+    * literals); both folds run over rank-ordered ≤10-element lists with
+    * list_reduce's first-element seed equal to Spark's 0.0 + t₁. */
+  private val ndcgOracle: String = {
+    def mr(e: String, n: Int) =
+      s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,20)), $n) AS DOUBLE)"
+    val disc = (1 to 10)
+      .map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
+    def fold(rankExpr: String, out: String) =
+      s"""SELECT q, CAST(count(*) AS BIGINT) AS n_$out,
+         |  list_reduce(list_transform(
+         |    list(struct_pack(rk := rk, rel := rel) ORDER BY rk),
+         |    e -> CAST((CAST(1 AS BIGINT) << CAST(e.rel AS INT)) - 1 AS DOUBLE)
+         |         * list_extract($disc, e.rk)), (a, b) -> a + b) AS $out
+         |FROM (SELECT q, rel,
+         |        row_number() OVER (PARTITION BY q ORDER BY $rankExpr) AS rk
+         |      FROM r) t WHERE rk <= 10 GROUP BY q""".stripMargin
+    s"""WITH b AS (SELECT event_type AS q, user_id AS doc, max(value) AS s
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT q, doc, s, CAST(doc % 4 AS BIGINT) AS rel FROM b),
+       |n AS (SELECT q, CAST(count(*) AS BIGINT) AS n_docs FROM r GROUP BY 1),
+       |d AS (${fold("s DESC, doc", "dcg")}),
+       |i AS (${fold("rel DESC, doc", "idcg")})
+       |SELECT n.q AS event_type, n.n_docs,
+       |  ${mr("d.dcg", 6)} AS dcg, ${mr("i.idcg", 6)} AS idcg,
+       |  CASE WHEN i.idcg > 0.0 THEN ${mr("d.dcg / i.idcg", 6)} END AS ndcg
+       |FROM n JOIN d ON n.q = d.q JOIN i ON n.q = i.q""".stripMargin
+  }
+
   /** q276 oracle: Benford first-digit census. The nine probabilities
     * ride in as the JVM's shortest-repr literals (Math.log10 is not
     * correctly-rounded — the q275 seam discipline); the chi² fold runs
@@ -578,6 +651,8 @@ object SparkEntry {
     "q275_bootstrap" -> bootstrapOracle,
     "q276_benford" -> benfordOracle,
     "q277_record_linkage" -> linkageOracle,
+    "q279_ndcg" -> ndcgOracle,
+    "q280_pq_adc" -> pqAdcOracle,
     // q278: funnel depth fold — the Holt sentinel idiom (list_reduce's
     // acc starts as the FIRST element, so each element is transformed to
     // a state-struct with st = -1 marking "not yet folded"; resolve()

@@ -182,4 +182,56 @@ object Eval {
         (col("__ssum").cast("double") / col("n").cast("double")).as("mean_score"),
         (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
   }
+
+  /** NDCG@k per query group (Järvelin & Kekäläinen 2002): exponential
+    * gain (2^rel − 1) with the standard 1/log2(rank+1) discount, rel an
+    * INTEGER label (gain stays exact under the shift). The position
+    * discounts are JVM literals — log2 is not correctly-rounded, so a
+    * replaying engine embeds the SAME doubles rather than re-deriving
+    * them (the q275/q276 seam discipline). Ranking ties break by doc id;
+    * the ideal ordering ties break (rel desc, doc asc) — same gain per
+    * position either way, pinned for bit-stable float folds.
+    *
+    * Scale shape: two partitioned windows over one query-keyed exchange
+    * (model ranking, ideal ranking), each cut to its top-k rows, then a
+    * ≤k-element in-order fold per query — per-query memory is O(k), no
+    * global window, no full-list collects. Output: (query, n_docs,
+    * dcg, idcg, ndcg), ndcg null when the group has no positive gain. */
+  def ndcgAtK(df: DataFrame, queryCol: String, docCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(df.schema(relCol).dataType ==
+      org.apache.spark.sql.types.IntegerType ||
+      df.schema(relCol).dataType == org.apache.spark.sql.types.LongType,
+      s"relevance must be integral, got ${df.schema(relCol).dataType}")
+    val disc = (1 to k)
+      .map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val discArr = disc.map(d => s"CAST('$d' AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val base = df.select(col(queryCol).as("q"), col(docCol).as("doc"),
+      col(scoreCol).as("s"), col(relCol).cast("long").as("rel"))
+    def foldTop(ordered: org.apache.spark.sql.expressions.WindowSpec,
+        outCol: String): DataFrame =
+      base.withColumn("__rk", row_number().over(ordered))
+        .where(col("__rk") <= k)
+        .groupBy(col("q"))
+        .agg(count(lit(1)).as(s"__n_$outCol"),
+          array_sort(collect_list(struct(col("__rk"), col("rel")))).as("__l"))
+        .withColumn(outCol, expr(
+          s"""aggregate(__l, CAST(0.0 AS DOUBLE), (acc, e) ->
+             |  acc + CAST(shiftleft(1L, CAST(e.rel AS INT)) - 1L AS DOUBLE)
+             |      * element_at($discArr, e.__rk))
+             |""".stripMargin))
+        .select(col("q"), col(s"__n_$outCol"), col(outCol))
+    val byScore = Window.partitionBy(col("q"))
+      .orderBy(col("s").desc, col("doc"))
+    val byRel = Window.partitionBy(col("q"))
+      .orderBy(col("rel").desc, col("doc"))
+    val nDocs = base.groupBy(col("q")).agg(count(lit(1)).as("n_docs"))
+    nDocs
+      .join(foldTop(byScore, "dcg"), "q")
+      .join(foldTop(byRel, "idcg"), "q")
+      .select(col("q"), col("n_docs"), col("dcg"), col("idcg"),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
+  }
 }

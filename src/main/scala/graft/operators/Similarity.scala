@@ -539,4 +539,96 @@ object Similarity {
             (sqrt(col("__aa").cast("double")) * sqrt(col("__bb").cast("double"))))
           .as("cosine"))
   }
+
+  // --- Product quantization (Jégou, Douze & Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search") --------------------------
+  // The vector is split into `m` subvectors; each subspace gets its own
+  // ksub-entry codebook, so a d-dim float vector compresses to m small
+  // codes (here m bytes at ksub <= 256) and query distance becomes m
+  // table lookups (ADC — asymmetric distance computation) instead of d
+  // multiplies. The compression side of a 100 TB vector store: the codes
+  // table is ~d*4/m times smaller than the float corpus, the codebook
+  // rides as one broadcast row, and the ADC scan is a pure projection
+  // over the codes — the natural partner of [[ivfTopKWith]]'s cell
+  // pruning (IVF-PQ) and [[quantizeInt8]]'s scalar path.
+
+  /** Deterministic PQ codebook row: the `ksub` corpus vectors with the
+    * SMALLEST ids, code j = rank in that order (the SemDeDup
+    * smallest-id-seed discipline — an independent engine replays the
+    * exact codebook; swap in learned centroids per subspace for the
+    * production path). Output: ONE row `(cb array<struct<code,v>>)`
+    * sorted by code; subspace c is sliced out of the full seed vector at
+    * lookup time, so the same row serves every subspace. */
+  def pqCodebookRow(corpus: DataFrame, idCol: String, vecCol: String,
+      ksub: Int): DataFrame = {
+    require(ksub > 0, s"ksub must be positive: $ksub")
+    val seeds = corpus
+      .select(col(idCol).cast("long").as("sid"), col(vecCol).as("v"))
+      .orderBy(col("sid")).limit(ksub)
+    // bounded single-partition window: <= ksub rows after the limit
+    seeds
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("sid"))) - 1)
+      .agg(array_sort(collect_list(struct(col("code"), col("v")))).as("cb"))
+  }
+
+  /** PQ-encode the corpus: per vector, `codes[s]` = the codebook entry
+    * whose subspace-s slice is L2-nearest (squared; ties to the smallest
+    * code — argmin over the (dist, code) struct ordering). Dimension
+    * must divide evenly by `m`. Pure projection against the ONE
+    * broadcast codebook row — the corpus is never shuffled. Output:
+    * (id, v, codes array<int>). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, ksub: Int): DataFrame = {
+    require(m > 0, s"m must be positive: $m")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, $m - 1), s ->
+           |  array_min(transform(sequence(0, $ksub - 1), j -> struct(
+           |    aggregate(zip_with(
+           |        slice(v, s * (size(v) div $m) + 1, size(v) div $m),
+           |        slice(cb[j].v, s * (size(v) div $m) + 1, size(v) div $m),
+           |        (x, y) -> (x - y) * (x - y)),
+           |      CAST(0.0 AS DOUBLE), (acc, e) -> acc + e) AS d,
+           |    j AS j))).j)
+           |""".stripMargin))
+      .drop("cb")
+  }
+
+  /** ADC top-k: probes compute their m x ksub distance table against the
+    * broadcast codebook once, then every corpus code word scores as m
+    * table lookups summed in subspace order (exact in-order float fold).
+    * The scan is exhaustive over the CODES (that is PQ's point — compose
+    * with IVF cell pruning for the candidate cut); per-probe top-k via a
+    * partitioned window. Output: (probe_id, corpus_id, adist, rank),
+    * adist = approximate squared L2, self-pairs excluded. */
+  def pqAdcTopK(encoded: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, codebook: DataFrame, m: Int, ksub: Int,
+      k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("dt", expr(
+        s"""transform(sequence(0, $m - 1), s ->
+           |  transform(sequence(0, $ksub - 1), j ->
+           |    aggregate(zip_with(
+           |        slice(pv, s * (size(pv) div $m) + 1, size(pv) div $m),
+           |        slice(cb[j].v, s * (size(pv) div $m) + 1, size(pv) div $m),
+           |        (x, y) -> (x - y) * (x - y)),
+           |      CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)))
+           |""".stripMargin))
+      .select(col("probe_id"), col("dt"))
+    val scored = encoded.select(col("id").as("corpus_id"), col("codes"))
+      .crossJoin(broadcast(p))
+      .where(col("corpus_id") =!= col("probe_id"))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(0, $m - 1), CAST(0.0 AS DOUBLE),
+           |  (acc, s) -> acc + dt[s][codes[s]])
+           |""".stripMargin))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("adist"), col("rank"))
+  }
 }

@@ -829,6 +829,22 @@ object TimeSeries {
     graft.operators.Funnel.census(events(spark, dir),
       "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
 
+  /** q279 — NDCG@10 ranking quality ([[graft.operators.Eval.ndcgAtK]]):
+    * per event type, users ranked by their peak value against a
+    * deterministic id-derived relevance label. Two partitioned top-10
+    * windows + ≤10-element in-order folds; 5 output rows. */
+  def q279Ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val scored = events(spark, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(max($"value").as("score"))
+      .withColumn("rel", ($"user_id" % 4).cast("int"))
+    graft.operators.Eval.ndcgAtK(scored,
+        "event_type", "user_id", "score", "rel", k = 10)
+      .select($"q".as("event_type"), $"n_docs",
+        round($"dcg", 6).as("dcg"), round($"idcg", 6).as("idcg"),
+        round($"ndcg", 6).as("ndcg"))
+  }
+
   /** q276 — Benford first-digit screen ([[graft.operators.Profile
     * .benfordCensus]]): per return flag, the first-digit census of
     * floor(extendedprice) with each digit's Benford probability and the

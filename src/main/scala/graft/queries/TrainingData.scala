@@ -196,6 +196,23 @@ object TrainingData {
       .select($"probe_id", $"rank", $"corpus_id", round($"cos", 4).as("cos"))
   }
 
+  /** q280 — product-quantization ADC top-k ([[Similarity.pqEncode]] /
+    * [[Similarity.pqAdcTopK]]): 64-dim embeddings compressed to 8 codes
+    * against the smallest-id 16-entry codebook, probes 0..4 ranked by
+    * asymmetric distance. The EXACT PQ pipeline replays cross-engine
+    * (codebook, argmin encode, table-lookup sums are all deterministic);
+    * recall-vs-exact stays unit-tested in SimilaritySpec. */
+  def q280PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cb = Similarity.pqCodebookRow(emb, "vec_id", "v", ksub = 16)
+    val enc = Similarity.pqEncode(emb, "vec_id", "v", cb, m = 8, ksub = 16)
+    val probes = emb.where($"vec_id" < 5)
+    Similarity.pqAdcTopK(enc, probes, "vec_id", "v", cb, m = 8, ksub = 16, k = 5)
+      .select($"probe_id", $"rank", $"corpus_id",
+        round($"adist", 6).as("adist"))
+  }
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

@@ -59,4 +59,29 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     // hand-check an asymmetric cell: 'stuff' a=0 b=2 c=2 d=0 -> chi2 = 4
     assert(byTok("stuff").getAs[Double]("chi2") == 4.0)
   }
+
+  test("ndcgAtK: perfect ranking scores 1, inverted ranking less, zero-rel null") {
+    import spark.implicits._
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // query p: scores rank docs exactly by relevance -> ndcg = 1
+    // query q: scores INVERT relevance -> dcg < idcg
+    // query z: all rel 0 -> idcg 0 -> ndcg null
+    val df = Seq(
+      ("p", 1L, 30.0, 3), ("p", 2L, 20.0, 2), ("p", 3L, 10.0, 0),
+      ("q", 1L, 10.0, 3), ("q", 2L, 20.0, 2), ("q", 3L, 30.0, 0),
+      ("z", 1L, 5.0, 0), ("z", 2L, 4.0, 0))
+      .toDF("q", "doc", "s", "rel")
+    val got = Eval.ndcgAtK(df, "q", "doc", "s", "rel", k = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    val idealTop2 = 7.0 / log2(2.0) + 3.0 / log2(3.0)
+    assert(got("p")._1 == 3L)
+    assert(math.abs(got("p")._2 - idealTop2) < 1e-12)
+    assert(got("p")._4 == 1.0)
+    // q's model order is (doc 3 rel 0, doc 2 rel 2): dcg = 3/log2(3)
+    assert(math.abs(got("q")._2 - 3.0 / log2(3.0)) < 1e-12)
+    assert(got("q")._4 < 1.0)
+    assert(got("z")._4.isNaN, "all-zero relevance yields null ndcg")
+  }
 }

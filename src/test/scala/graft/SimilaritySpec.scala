@@ -249,4 +249,51 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getAs[Long]("corpus_id")).toSeq == Seq(2L, 3L))
     assert(out.forall(_.getAs[Int]("neg_label") == 2))
   }
+
+  test("pq: codes are valid, identical vectors share codes, adist self-consistent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = IndexedSeq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian())))
+    // vector 100 is an exact copy of vector 0
+    val data = (base :+ (100L, base(0)._2)).toDF("vec_id", "v")
+    val cb = Similarity.pqCodebookRow(data, "vec_id", "v", ksub = 4)
+    val enc = Similarity.pqEncode(data, "vec_id", "v", cb, m = 4, ksub = 4)
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(codes.values.forall(c => c.length == 4 && c.forall(j => j >= 0 && j < 4)))
+    assert(codes(100L) === codes(0L), "identical vectors must share codes")
+    // ADC: the exact copy of probe 0 shares its codes, so its adist is
+    // exactly 0 and it sits in the leading zero-distance tie group
+    // (other vectors may legitimately collide into the same PQ cell —
+    // 4 subspaces x 4 codes is only 256 cells)
+    val top = Similarity.pqAdcTopK(enc, data.where($"vec_id" === 0L),
+        "vec_id", "v", cb, m = 4, ksub = 4, k = 3)
+      .orderBy($"rank").collect()
+    assert(top.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    val copyRow = top.find(_.getLong(1) == 100L)
+    assert(copyRow.isDefined && copyRow.get.getDouble(2) == 0.0,
+      s"copy must surface with adist 0, got ${top.toSeq}")
+    assert(top.map(_.getDouble(2)).toSeq.sorted == top.map(_.getDouble(2)).toSeq)
+  }
+
+  test("pq recall: ADC top-1 finds near neighbors planted in a clustered corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 4 well-separated cluster centers; members jitter tightly around
+    // them, so PQ codes cluster and ADC keeps same-cluster vectors close
+    val centers = IndexedSeq.fill(4)(Seq.fill(8)(rnd.nextGaussian() * 10))
+    val data = IndexedSeq.tabulate(80)(i => (i.toLong,
+      centers(i % 4).map(_ + rnd.nextGaussian() * 0.01))).toDF("vec_id", "v")
+    val cb = Similarity.pqCodebookRow(data, "vec_id", "v", ksub = 8)
+    val enc = Similarity.pqEncode(data, "vec_id", "v", cb, m = 4, ksub = 8)
+    val probes = data.where($"vec_id" < 4)
+    val top1 = Similarity.pqAdcTopK(enc, probes, "vec_id", "v", cb,
+        m = 4, ksub = 8, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every probe's nearest-by-ADC neighbor is from its own cluster
+    top1.foreach { case (p, c) =>
+      assert(c % 4 == p % 4, s"probe $p matched cross-cluster $c")
+    }
+  }
 }
