@@ -301,6 +301,7 @@ object SparkEntry {
     "q278_funnel"           -> (T.q278Funnel(_, _)),
     "q279_ndcg"             -> (T.q279Ndcg(_, _)),
     "q280_pq_adc"           -> (D.q280PqAdc(_, _)),
+    "q281_dtw"              -> (T.q281Dtw(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -484,6 +485,45 @@ object SparkEntry {
        |FROM s WHERE score > CAST(0.5 AS DOUBLE)""".stripMargin
   }
 
+  /** q281 oracle: banded-DTW recursive CTE. One iteration per series-a
+    * index; the DP row rides as a BIGINT list rebuilt left-to-right by
+    * list_reduce with a BARE-LIST accumulator (DuckDB 1.0's struct-
+    * accumulator lambdas drop accumulated list state — the q40 family —
+    * but plain lists fold correctly; the prepended [INF] seed is the
+    * dp[i][0] boundary and each element [j] carries its own index). All
+    * arithmetic is BIGINT, so cells match the Scala kernel bit-exactly;
+    * the INF sentinel marks out-of-band/unreachable cells and a final
+    * cell >= INF reports NULL. */
+  private val dtwOracle: String = {
+    val inf = graft.operators.Dtw.Inf
+    s"""WITH RECURSIVE d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+       |s AS (SELECT event_type AS k, list(x ORDER BY day) AS v FROM d GROUP BY 1),
+       |pr AS (SELECT a.k AS ka, b.k AS kb, a.v AS va, b.v AS vb
+       |  FROM s a JOIN s b ON a.k < b.k),
+       |dp AS (
+       |  SELECT ka, kb, va, vb, 0 AS i,
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len(vb) + 1), j -> CAST($inf AS BIGINT))) AS row
+       |  FROM pr
+       |  UNION ALL
+       |  SELECT ka, kb, va, vb, i + 1,
+       |    list_reduce(
+       |      list_prepend([CAST($inf AS BIGINT)],
+       |        list_transform(range(1, len(vb) + 1), j -> [CAST(j AS BIGINT)])),
+       |      (acc, x) -> list_append(acc,
+       |        CASE WHEN abs((i + 1) - x[1]) <= 30 THEN
+       |          least(row[x[1] + 1], row[x[1]], acc[len(acc)])
+       |            + abs(va[i + 1] - vb[x[1]])
+       |        ELSE CAST($inf AS BIGINT) END)) AS row
+       |  FROM dp WHERE i < len(va))
+       |SELECT ka AS key_a, kb AS key_b,
+       |  CAST(len(va) AS INT) AS n_a, CAST(len(vb) AS INT) AS n_b,
+       |  CASE WHEN row[len(vb) + 1] >= $inf THEN NULL
+       |       ELSE row[len(vb) + 1] END AS dtw
+       |FROM dp WHERE i = len(va)""".stripMargin
+  }
+
   /** q280 oracle: full product-quantization replay — smallest-id
     * codebook, per-subspace argmin encode (list_reduce keep-first ==
     * Spark's array_min struct ordering on ties), probe distance tables,
@@ -653,6 +693,7 @@ object SparkEntry {
     "q277_record_linkage" -> linkageOracle,
     "q279_ndcg" -> ndcgOracle,
     "q280_pq_adc" -> pqAdcOracle,
+    "q281_dtw" -> dtwOracle,
     // q278: funnel depth fold — the Holt sentinel idiom (list_reduce's
     // acc starts as the FIRST element, so each element is transformed to
     // a state-struct with st = -1 marking "not yet folded"; resolve()

@@ -829,6 +829,17 @@ object TimeSeries {
     graft.operators.Funnel.census(events(spark, dir),
       "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
 
+  /** q281 — banded DTW distance matrix ([[graft.operators.Dtw]]): the
+    * shape similarity of the five event types' daily-count series under
+    * a Sakoe–Chiba band of 30 days. All-integer DP — no float surface —
+    * replayed cell-for-cell by a recursive-CTE oracle. */
+  def q281Dtw(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Dtw.pairwiseDtw(daily, "event_type", "day", "x", band = 30)
+  }
+
   /** q279 — NDCG@10 ranking quality ([[graft.operators.Eval.ndcgAtK]]):
     * per event type, users ranked by their peak value against a
     * deterministic id-derived relevance label. Two partitioned top-10
