@@ -636,4 +636,43 @@ object Streams {
           out.iterator
       }
   }
+
+  case class FunnelAdvance(user_id: Long, stage: Int, step_name: String,
+      ms: Long)
+
+  /** Streaming funnel progression ([[graft.operators.Funnel]] made
+    * incremental): per-user stage as ONE INT of managed state, advanced
+    * as qualifying events arrive; each advance emits (user, stage,
+    * step_name, event ms). Within a micro-batch events fold in
+    * (ms, type) order — the batch tie-break — and cross-batch the state
+    * carries the depth, so an in-event-time-order stream lands exactly
+    * where [[graft.operators.Funnel.depthPerEntity]] does (asserted by
+    * the twin spec); out-of-order arrivals across batch boundaries are
+    * the documented divergence, bound it upstream with a watermark
+    * buffer. State is bounded by the ACTIVE user vocabulary, not the
+    * stream length. */
+  def funnelStream(events: DataFrame, steps: Seq[String]): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "at least one funnel step")
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ms").cast("long"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evts: Iterator[(Long, Long, String)],
+            state: GroupState[Int]) =>
+          var st = state.getOption.getOrElse(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          evts.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ms, tpe) =>
+            if (st < steps.length && tpe == steps(st)) {
+              st += 1
+              out += FunnelAdvance(user, st, steps(st - 1), ms)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

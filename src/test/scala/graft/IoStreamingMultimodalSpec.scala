@@ -941,4 +941,50 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
       }
     } finally q.stop()
   }
+
+  test("streaming funnel matches batch depth across micro-batches (q278 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .where($"user_id" < 8)
+      .select($"user_id", unix_millis($"ts".cast("timestamp")).as("ms"),
+        $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(e => (e._2, e._3))
+    assert(ev.length > 20)
+    // the batch operator IS the expected value (same events, same
+    // (ts, type) fold order — the stream feeds in event-time order)
+    val expected = graft.operators.Funnel.depthPerEntity(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .where($"user_id" < 8),
+        "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = graft.streaming.Streams.funnelStream(
+      mem.toDF().toDF("user_id", "ms", "event_type"), steps)
+    val q = out.writeStream.format("memory").queryName("funnel_twin")
+      .outputMode("append").start()
+    try {
+      // split mid-stream: stages crossing the cut must continue from
+      // state, not restart at 0
+      val cut = ev(ev.length / 2)._2
+      mem.addData(ev.filter(_._2 <= cut).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(ev.filter(_._2 > cut).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val advances = spark.table("funnel_twin").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      // final stage per user = max advance (0 when none emitted)
+      val got = expected.keys.map(u =>
+        u -> advances.filter(_._1 == u).map(_._2).maxOption.getOrElse(0)).toMap
+      assert(got === expected)
+      // each advance's step name matches its stage, stages emit in order
+      advances.groupBy(_._1).values.foreach { as =>
+        val ordered = as.sortBy(_._4).map(_._2)
+        assert(ordered.toSeq == (1 to ordered.length).toSeq, as.toSeq.toString)
+      }
+      advances.foreach { case (_, st, nm, _) => assert(nm == steps(st - 1)) }
+    } finally q.stop()
+  }
 }

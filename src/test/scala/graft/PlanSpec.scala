@@ -480,4 +480,41 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q277: linkage pairs meet by a block-key equi-join, never a cross product") {
+    val p = physical("q277_record_linkage")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // no global window anywhere in the linkage path
+    assert(!p.contains("windowspecdefinition()"), p.take(1500))
+  }
+
+  test("q280: PQ codebook and probe tables ride as broadcasts; codes scan is flat") {
+    val p = physical("q280_pq_adc")
+    // encode and ADC each attach one broadcast row (codebook / probe dt)
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size >= 2,
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q276/q278: census folds keep one row-scale exchange and no global window") {
+    val b = physical("q276_benford")
+    assert(!b.contains("windowspecdefinition()"), b.take(1500))
+    assert(!b.contains("CartesianProduct"), b.take(1500))
+    val f = physical("q278_funnel")
+    assert(!f.contains("windowspecdefinition()"), f.take(1500))
+    // exactly one row-scale hash exchange: the user-keyed fold; the
+    // census explode happens on the single aggregated row
+    assert(!f.contains("CartesianProduct"), f.take(1500))
+  }
+
+  test("q281: DTW pair grid joins the bounded series census, not the row scale") {
+    val p = physical("q281_dtw")
+    // the key_a < key_b self-join over the per-key census is the ONLY
+    // non-broadcast join surface, and it is nested-loop over census rows
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // series assembly is one hash aggregate over the event scan
+    assert(p.contains("windowspecdefinition") == false, p.take(1500))
+  }
 }
