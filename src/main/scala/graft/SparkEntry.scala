@@ -302,6 +302,8 @@ object SparkEntry {
     "q279_ndcg"             -> (T.q279Ndcg(_, _)),
     "q280_pq_adc"           -> (D.q280PqAdc(_, _)),
     "q281_dtw"              -> (T.q281Dtw(_, _)),
+    "q282_cohen_kappa"      -> (T.q282CohenKappa(_, _)),
+    "q283_mann_whitney"     -> (T.q283MannWhitney(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -694,6 +696,60 @@ object SparkEntry {
     "q279_ndcg" -> ndcgOracle,
     "q280_pq_adc" -> pqAdcOracle,
     "q281_dtw" -> dtwOracle,
+    // q282: kappa = (n·agree − Σ row_k·col_k) / (n² − Σ row_k·col_k) —
+    // exact integer censuses, HUGEINT products, one double division
+    "q282_cohen_kappa" ->
+      """WITH l AS (SELECT event_type AS g,
+        |    CAST(CAST(floor(value) AS BIGINT) % 3 AS VARCHAR) AS a,
+        |    CAST((CAST(floor(value) AS BIGINT) + (event_id % 2)) % 3 AS VARCHAR) AS b
+        |  FROM events),
+        |c AS (SELECT g, a, b, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1, 2, 3),
+        |t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_items,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM c GROUP BY 1),
+        |rm AS (SELECT g, a AS lbl, CAST(sum(c) AS BIGINT) AS ra FROM c GROUP BY 1, 2),
+        |cm AS (SELECT g, b AS lbl, CAST(sum(c) AS BIGINT) AS cb FROM c GROUP BY 1, 2),
+        |pe AS (SELECT g, sum(CAST(ra AS HUGEINT) * CAST(cb AS HUGEINT)) AS pe
+        |  FROM rm JOIN cm USING (g, lbl) GROUP BY 1)
+        |SELECT t.g AS event_type, t.n_items, t.n_agree,
+        |  CASE WHEN CAST(n_items AS HUGEINT) * n_items - pe > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(CAST(n_items AS HUGEINT) * n_agree - pe AS DOUBLE) /
+        |      CAST(CAST(n_items AS HUGEINT) * n_items - pe AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS kappa
+        |FROM t JOIN pe ON t.g = pe.g""".stripMargin,
+    // q283: doubled mid-ranks (spearman q260 discipline) keep R2a / 2U /
+    // the tie term exact; z's float work is one sqrt + divisions
+    "q283_mann_whitney" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS isa,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(isa) AS BIGINT) AS ta FROM s GROUP BY 1, 2),
+        |r AS (SELECT g, v, t, ta,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM c),
+        |a AS (SELECT g, CAST(sum(t) AS BIGINT) AS n, CAST(sum(ta) AS BIGINT) AS n_a,
+        |    sum(CAST(ta AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r2a,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie
+        |  FROM r GROUP BY 1)
+        |SELECT g AS event_type, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+        |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2,
+        |  CASE WHEN n > 1 AND CAST(n_a AS HUGEINT) * (n - n_a) *
+        |      (CAST(n AS HUGEINT) * n * n - n - tie) > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1)
+        |           - CAST(n_a AS HUGEINT) * (n - n_a) AS DOUBLE) /
+        |      (2.0 * sqrt(
+        |        CAST(CAST(n_a AS HUGEINT) * (n - n_a) *
+        |          (CAST(n AS HUGEINT) * n * n - n - tie) AS DOUBLE) /
+        |        CAST(12 * CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS z
+        |FROM a""".stripMargin,
     // q278: funnel depth fold — the Holt sentinel idiom (list_reduce's
     // acc starts as the FIRST element, so each element is transformed to
     // a state-struct with st = -1 marking "not yet folded"; resolve()

@@ -183,6 +183,106 @@ object Eval {
         (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
   }
 
+  /** Per-group Cohen's kappa (Cohen 1960) — inter-annotator agreement
+    * corrected for chance, THE label-quality gate on human-annotated
+    * training data (two raters labeling the same items; kappa ~0 means
+    * the expensive labels carry no signal beyond the marginals).
+    *
+    * Exactness: kappa = (po − pe)/(1 − pe) algebraically rearranged to
+    * ONE double division of exact integers — (n·Σdiag − Σ row_k·col_k)
+    * / (n² − Σ row_k·col_k) — products carried as DECIMAL(38,0), so
+    * the statistic is bit-stable at any parallelism. Null when the
+    * chance denominator is 0 (both raters constant on the same label).
+    *
+    * Scale shape: one (group, a, b) pair census (map-side combined),
+    * label margins re-aggregated from the census (not the rows), and a
+    * label-keyed margin join bounded by the label vocabulary. Output:
+    * (group, n_items, n_agree, kappa). */
+  def cohenKappa(df: DataFrame, groupCol: String, raterACol: String,
+      raterBCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df
+      .where(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        col(raterACol).cast("string").as("a"),
+        col(raterBCol).cast("string").as("b"))
+      .groupBy(col("g"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val totals = census.groupBy(col("g")).agg(
+      sum(col("c")).as("n_items"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("n_agree"))
+    val rowM = census.groupBy(col("g"), col("a").as("lbl"))
+      .agg(sum(col("c")).as("ra"))
+    val colM = census.groupBy(col("g"), col("b").as("lbl"))
+      .agg(sum(col("c")).as("cb"))
+    val pe = rowM.join(colM, Seq("g", "lbl"))
+      .groupBy(col("g"))
+      .agg(sum(col("ra").cast(dec) * col("cb").cast(dec)).cast(dec).as("__pe"))
+    val nD = col("n_items").cast(dec)
+    totals.join(pe, "g")
+      .select(col("g"), col("n_items"), col("n_agree"),
+        when(nD * nD - col("__pe") > 0,
+          (nD * col("n_agree").cast(dec) - col("__pe")).cast("double") /
+            (nD * nD - col("__pe")).cast("double"))
+          .as("kappa"))
+  }
+
+  /** Per-group Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
+    * two-sample location test ([[twoProportionZ]]'s companion for
+    * continuous outcomes; [[Divergence]]'s KS tests shape, this tests
+    * shift). Sample membership is `labelCol` = 1 (A) vs otherwise (B).
+    *
+    * Exactness: the [[Regression.spearman]] doubled-mid-rank
+    * discipline — tie mid-ranks enter doubled (always integers), so
+    * the doubled rank sum R2a, the doubled statistic 2U = R2a −
+    * n_a(n_a+1), and the tie term T = Σ(t³ − t) are all exact
+    * integers (DECIMAL(38,0) products); the normal approximation
+    *   z = (2U − n_a·n_b) / (2·sqrt(var)),
+    *   var = n_a·n_b·(N³ − N − T) / (12·N·(N−1))
+    * does float work only in the final sqrt/divisions. Null z when
+    * the variance is 0 (all values tied). Continuity correction
+    * omitted (documented; large-N pipelines don't want it).
+    *
+    * Scale shape: one (group, value) rank census with a census-sized
+    * cumulative window, rows never re-shuffle — the census carries
+    * per-sample counts so U folds from census rows alone. Output:
+    * (group, n_a, n_b, u2, z) with u2 = the exact doubled U of
+    * sample A. */
+  def mannWhitneyU(df: DataFrame, groupCol: String, labelCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"),
+        when(col(labelCol) === 1, 1L).otherwise(0L).as("isA"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("t"), sum(col("isA")).as("ta"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = census
+      .withColumn("__r2",
+        lit(2L) * coalesce(sum(col("t")).over(w), lit(0L)) + col("t") + 1L)
+    val sums = ranked.groupBy(col("g")).agg(
+      sum(col("t")).as("n"),
+      sum(col("ta")).as("n_a"),
+      sum(col("ta").cast(dec) * col("__r2").cast(dec)).cast(dec).as("__r2a"),
+      sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+        col("t").cast(dec)).cast(dec).as("__tie"))
+    val nD = col("n").cast(dec)
+    val naD = col("n_a").cast(dec)
+    val nbD = (col("n") - col("n_a")).cast(dec)
+    val u2 = col("__r2a") - naD * (naD + 1)
+    val varNum = naD * nbD * (nD * nD * nD - nD - col("__tie"))
+    val varDen = lit(12).cast(dec) * nD * (nD - 1)
+    sums
+      .withColumn("__u2", u2)
+      .select(col("g"), col("n_a"), (col("n") - col("n_a")).as("n_b"),
+        col("__u2").cast("long").as("u2"),
+        when(col("n") > 1 && varNum > 0,
+          (col("__u2") - naD * nbD).cast("double") /
+            (lit(2.0) * sqrt(varNum.cast("double") / varDen.cast("double"))))
+          .as("z"))
+  }
+
   /** NDCG@k per query group (Järvelin & Kekäläinen 2002): exponential
     * gain (2^rel − 1) with the standard 1/log2(rank+1) discount, rel an
     * INTEGER label (gain stays exact under the shift). The position

@@ -829,6 +829,32 @@ object TimeSeries {
     graft.operators.Funnel.census(events(spark, dir),
       "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
 
+  /** q282 — Cohen's kappa ([[graft.operators.Eval.cohenKappa]]): two
+    * deterministic synthetic raters over each event (value-bucket label
+    * vs the same label parity-shifted on odd event ids) per event type.
+    * One exact double division of integer censuses. */
+  def q282CohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = events(spark, dir).select($"event_type",
+      (floor($"value").cast("long") % 3).as("rater_a"),
+      ((floor($"value").cast("long") + ($"event_id" % 2)) % 3).as("rater_b"))
+    graft.operators.Eval.cohenKappa(labeled, "event_type", "rater_a", "rater_b")
+      .select($"g".as("event_type"), $"n_items", $"n_agree",
+        round($"kappa", 6).as("kappa"))
+  }
+
+  /** q283 — Mann–Whitney U ([[graft.operators.Eval.mannWhitneyU]]):
+    * weekend-vs-weekday value shift per event type on exact cent
+    * values — the nonparametric companion to q180's Welch t. Doubled
+    * mid-ranks keep every moment integral. */
+  def q283MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1).otherwise(0).as("wkend"),
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Eval.mannWhitneyU(s, "event_type", "wkend", "cents")
+      .select($"g".as("event_type"), $"n_a", $"n_b", $"u2",
+        round($"z", 6).as("z"))
+  }
+
   /** q281 — banded DTW distance matrix ([[graft.operators.Dtw]]): the
     * shape similarity of the five event types' daily-count series under
     * a Sakoe–Chiba band of 30 days. All-integer DP — no float surface —

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Eval
 
@@ -58,6 +59,55 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(!byTok.contains("common"))
     // hand-check an asymmetric cell: 'stuff' a=0 b=2 c=2 d=0 -> chi2 = 4
     assert(byTok("stuff").getAs[Double]("chi2") == 4.0)
+  }
+
+  test("cohenKappa: perfect, chance-level, and constant-rater cases") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: perfect agreement over 2 labels -> kappa 1
+      ("g1", "x", "x"), ("g1", "y", "y"), ("g1", "x", "x"), ("g1", "y", "y"),
+      // g2: hand case — 2x2 table a=(A,A):2 (A,B):1 (B,A):1 (B,B):0
+      // po = 2/4, pe = (3*3 + 1*1)/16 = 10/16 -> kappa = (8-10)/(16-10)
+      ("g2", "A", "A"), ("g2", "A", "A"), ("g2", "A", "B"), ("g2", "B", "A"),
+      // g3: both raters constant on one label -> pe = 1 -> null
+      ("g3", "k", "k"), ("g3", "k", "k"))
+      .toDF("g", "a", "b")
+    val got = Eval.cohenKappa(df, "g", "a", "b")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got("g1") === ((4L, 4L, 1.0)))
+    assert(got("g2")._1 == 4L && got("g2")._2 == 2L)
+    assert(math.abs(got("g2")._3 - (-2.0 / 6.0)) < 1e-12)
+    assert(got("g3")._3.isNaN, "constant raters have no chance-corrected signal")
+  }
+
+  test("mannWhitneyU: hand-computed U with ties, all-tied null z, symmetry") {
+    import spark.implicits._
+    // g1: A = {1, 2}, B = {2, 3}: ranks 1, 2.5, 2.5, 4 (doubled: 2,5,5,8)
+    // R_a = 1 + 2.5 = 3.5 -> R2a = 7; 2U = 7 - 2*3 = 1 (U = 0.5)
+    val df = Seq(
+      ("g1", 1, 1L), ("g1", 1, 2L), ("g1", 0, 2L), ("g1", 0, 3L),
+      // g2: every value identical -> variance 0 -> z null
+      ("g2", 1, 5L), ("g2", 0, 5L), ("g2", 1, 5L))
+      .toDF("g", "lab", "v")
+    val got = Eval.mannWhitneyU(df, "g", "lab", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    assert(got("g1")._1 == 2L && got("g1")._2 == 2L)
+    assert(got("g1")._3 == 1L, s"doubled U: ${got("g1")}")
+    // z for g1: 2U - na*nb = 1 - 4 = -3; tie term T = 2^3-2 = 6
+    // var = 4 * (64 - 4 - 6) / (12*4*3) = 4*54/144 = 1.5
+    val expZ = -3.0 / (2.0 * math.sqrt(1.5))
+    assert(math.abs(got("g1")._4 - expZ) < 1e-12)
+    assert(got("g2")._4.isNaN, "all-tied group has zero variance")
+    // label swap negates z (within float noise)
+    val sw = Eval.mannWhitneyU(
+        df.withColumn("lab", lit(1) - col("lab")), "g", "lab", "v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    assert(math.abs(sw("g1") + got("g1")._4) < 1e-12)
   }
 
   test("ndcgAtK: perfect ranking scores 1, inverted ranking less, zero-rel null") {
