@@ -304,6 +304,8 @@ object SparkEntry {
     "q281_dtw"              -> (T.q281Dtw(_, _)),
     "q282_cohen_kappa"      -> (T.q282CohenKappa(_, _)),
     "q283_mann_whitney"     -> (T.q283MannWhitney(_, _)),
+    "q284_flesch"           -> (D.q284Flesch(_, _)),
+    "q285_woe"              -> (T.q285Woe(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -696,6 +698,53 @@ object SparkEntry {
     "q279_ndcg" -> ndcgOracle,
     "q280_pq_adc" -> pqAdcOracle,
     "q281_dtw" -> dtwOracle,
+    // q284: word/sentence/vowel-group counts are regex-identical on both
+    // engines (the q271 tokenization pairing); the score is one fixed-
+    // order expression over exact integer sums
+    "q284_flesch" ->
+      """WITH c AS (SELECT source AS g,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS w,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        |  FROM documents),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS words,
+        |    CAST(sum(s) AS BIGINT) AS sentences,
+        |    CAST(sum(y) AS BIGINT) AS syllables
+        |  FROM c GROUP BY 1)
+        |SELECT g AS source, n_docs, words, sentences, syllables,
+        |  CASE WHEN words > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST('206.835' AS DOUBLE)
+        |        - CAST('1.015' AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |        - CAST('84.6' AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS flesch
+        |FROM a""".stripMargin,
+    // q285: WOE per category is one ln of exact-integer-derived ratios;
+    // IV folds category-ordered terms (list_reduce seed == 0.0 + t1)
+    "q285_woe" ->
+      """WITH l AS (SELECT event_type AS category,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS p
+        |  FROM events),
+        |c AS (SELECT category, CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(p) AS BIGINT) AS n_neg FROM l GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pos,
+        |    CAST(sum(n_neg) AS BIGINT) AS neg,
+        |    CAST(count(*) AS BIGINT) AS k FROM c),
+        |w AS (SELECT category, n_pos, n_neg,
+        |    ln(((CAST(n_pos AS DOUBLE) + 0.5) / (CAST(pos AS DOUBLE) + 0.5 * k))
+        |      / ((CAST(n_neg AS DOUBLE) + 0.5) / (CAST(neg AS DOUBLE) + 0.5 * k))) AS woe,
+        |    (CAST(n_pos AS DOUBLE) / CAST(pos AS DOUBLE)
+        |      - CAST(n_neg AS DOUBLE) / CAST(neg AS DOUBLE)) AS pq
+        |  FROM c, t),
+        |iv AS (SELECT list_reduce(list(pq * woe ORDER BY category),
+        |    (a, b) -> a + b) AS iv FROM w)
+        |SELECT category, n_pos, n_neg,
+        |  CAST(round(CAST(CAST(woe AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS woe,
+        |  CAST(round(CAST(CAST(iv.iv AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS iv
+        |FROM w, iv""".stripMargin,
     // q282: kappa = (n·agree − Σ row_k·col_k) / (n² − Σ row_k·col_k) —
     // exact integer censuses, HUGEINT products, one double division
     "q282_cohen_kappa" ->

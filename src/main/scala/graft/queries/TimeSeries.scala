@@ -855,6 +855,18 @@ object TimeSeries {
         round($"z", 6).as("z"))
   }
 
+  /** q285 — weight-of-evidence table ([[graft.operators.Encoding
+    * .woeTable]]): event type encoded against the weekend label with
+    * Laplace 0.5 smoothing; IV folds per-category terms in category
+    * order. */
+  def q285Woe(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1).otherwise(0).as("wkend"))
+    graft.operators.Encoding.woeTable(s, "event_type", "wkend")
+      .select($"category", $"n_pos", $"n_neg",
+        round($"woe", 6).as("woe"), round($"iv", 6).as("iv"))
+  }
+
   /** q281 — banded DTW distance matrix ([[graft.operators.Dtw]]): the
     * shape similarity of the five event types' daily-count series under
     * a Sakoe–Chiba band of 30 days. All-integer DP — no float surface —

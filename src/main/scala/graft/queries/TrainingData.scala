@@ -213,6 +213,15 @@ object TrainingData {
         round($"adist", 6).as("adist"))
   }
 
+  /** q284 — Flesch reading-ease summary ([[graft.operators
+    * .Readability]]): corpus-level readability per source from exact
+    * word/sentence/vowel-group counts — one projection pass + one
+    * census, score computed once per group (no per-doc float average). */
+  def q284Flesch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Readability.fleschSummary(docs(spark, dir), "source", "text")
+      .select($"g".as("source"), $"n_docs", $"words", $"sentences",
+        $"syllables", round($"flesch", 6).as("flesch"))
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =
