@@ -477,7 +477,8 @@ object SparkEntry {
        |    (abs(a.c_acctbal - b.c_acctbal) <= CAST(0.02 AS DOUBLE)) AS bal_agr,
        |    (a.c_mktsegment = b.c_mktsegment) AS seg_agr
        |  FROM c a JOIN c b
-       |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+       |    ON substr(a.c_name, 1, 17) = substr(b.c_name, 1, 17)
+       |    AND a.c_custkey < b.c_custkey),
        |s AS (SELECT id_a, id_b,
        |    CAST(0.0 AS DOUBLE) + ${w(name, "name_agr")}
        |      + ${w(bal, "bal_agr")} + ${w(seg, "seg_agr")} AS score

@@ -879,14 +879,18 @@ object Relational {
 
   /** q277 — Fellegi–Sunter record linkage ([[graft.operators.Linkage]]):
     * every 10th customer re-appears id-shifted with a one-char name tweak
-    * and a +0.01 balance drift; candidates block on nationkey, three
-    * binary comparisons (name within edit distance 2, balance within
-    * 0.02, same segment) score through the log2 likelihood-ratio weights.
-    * Planted twins agree on all three (score ~13.3 -> match); chance
-    * name-neighbors (sequential ids differ by one digit) disagree on
-    * balance and sink below the lower bound — the output keeps only
-    * match/possible pairs so the result stays bounded by the planted
-    * population plus rare balance collisions. */
+    * and a +0.01 balance drift; candidates block on the 17-char name
+    * prefix (sorted-neighborhood blocking — block cardinality grows
+    * with the corpus, unlike a country-code block whose ~n/25-row
+    * blocks go quadratic; the planted twin differs only at char 18, so
+    * it always shares its original's block), three binary comparisons
+    * (name within edit distance 2, balance within 0.02, same segment)
+    * score through the log2 likelihood-ratio weights. Planted twins
+    * agree on all three (score ~13.3 -> match); chance name-neighbors
+    * (sequential ids differ by one digit) disagree on balance and sink
+    * below the lower bound — the output keeps only match/possible
+    * pairs so the result stays bounded by the planted population plus
+    * rare balance collisions. */
   def q277RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(
       $"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
@@ -897,7 +901,9 @@ object Relational {
       ($"c_acctbal" + 0.01).as("c_acctbal"),
       $"c_mktsegment")
     val cand = graft.operators.Linkage.blockedCandidates(
-      c.unionByName(planted), "c_custkey", "c_nationkey")
+      c.unionByName(planted)
+        .withColumn("blk", substring($"c_name", 1, 17)),
+      "c_custkey", "blk")
     val pairs = cand
       .withColumn("name_agr", levenshtein($"c_name_a", $"c_name_b", 2) >= 0)
       .withColumn("bal_agr", abs($"c_acctbal_a" - $"c_acctbal_b") <= 0.02)
