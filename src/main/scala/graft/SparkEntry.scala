@@ -306,6 +306,7 @@ object SparkEntry {
     "q283_mann_whitney"     -> (T.q283MannWhitney(_, _)),
     "q284_flesch"           -> (D.q284Flesch(_, _)),
     "q285_woe"              -> (T.q285Woe(_, _)),
+    "q286_bpe_merges"       -> (D.q286BpeMerges(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -529,6 +530,39 @@ object SparkEntry {
        |FROM dp WHERE i = len(va)""".stripMargin
   }
 
+  /** q286 oracle: BPE merge learning, the 8 rounds UNROLLED as generated
+    * CTE triples (pair census → deterministic argmax → greedy re-merge).
+    * The merge fold uses the bare-list accumulator whose last element is
+    * the pending carry (the q281 DuckDB discipline: struct accumulators
+    * drop list state); initial symbols come from substr, since
+    * split-on-empty-string semantics differ across engines. */
+  private val bpeOracle: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""p$r AS (SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS c
+         |  FROM (SELECT f, unnest(list_transform(range(1, len(syms)),
+         |      i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p
+         |    FROM w${r - 1}) GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS (SELECT f, list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE
+         |      WHEN acc[len(acc)] = b.l AND x[1] = b.r THEN
+         |        list_append(list_slice(acc, 1, len(acc) - 1), b.l || b.r)
+         |      ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM w${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 8).map(r =>
+      s"""SELECT CAST($r AS INT) AS merge_rank, l AS "left", r AS "right",
+         |  c AS pair_count FROM b$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS f,
+       |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   /** q280 oracle: full product-quantization replay — smallest-id
     * codebook, per-subspace argmin encode (list_reduce keep-first ==
     * Spark's array_min struct ordering on ties), probe distance tables,
@@ -725,6 +759,7 @@ object SparkEntry {
         |FROM a""".stripMargin,
     // q285: WOE per category is one ln of exact-integer-derived ratios;
     // IV folds category-ordered terms (list_reduce seed == 0.0 + t1)
+    "q286_bpe_merges" -> bpeOracle,
     "q285_woe" ->
       """WITH l AS (SELECT event_type AS category,
         |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS p

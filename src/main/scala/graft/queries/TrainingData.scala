@@ -222,6 +222,14 @@ object TrainingData {
       .select($"g".as("source"), $"n_docs", $"words", $"sentences",
         $"syllables", round($"flesch", 6).as("flesch"))
 
+  /** q286 — BPE merge learning ([[graft.operators.Bpe.learnMerges]]):
+    * the top-8 byte-pair merges of the document corpus, learned over the
+    * word-type census with the deterministic (count, pair) tie-break —
+    * tokenizer training as a first-class corpus operator (q84 counts
+    * tokens with a FIXED tokenizer; this LEARNS one from the data). */
+  def q286BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learnMerges(docs(spark, dir), "text", nMerges = 8)
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

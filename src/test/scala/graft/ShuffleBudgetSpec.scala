@@ -161,4 +161,21 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
     val g = shuffledBytes(SparkEntry.queries("q261_gumbel_extremes")(spark, dir))
     assert(g < (8L << 20), s"gumbel fit leaked events: $g bytes")
   }
+
+  test("q276/q285 profile censuses shuffle digit/category rows, never the scan") {
+    val b = shuffledBytes(SparkEntry.queries("q276_benford")(spark, dir))
+    assert(b > 0, "harness read zero — measurement broken")
+    // 3 flags x 9 digits census + margins: far under the 600k-row scan
+    assert(b < (256L << 10), s"benford leaked the lineitem scan: $b bytes")
+    val w = shuffledBytes(SparkEntry.queries("q285_woe")(spark, dir))
+    assert(w < (256L << 10), s"woe leaked the event rows: $w bytes")
+  }
+
+  test("q280 PQ moves scored code rows, never the float vectors") {
+    val moved = shuffledBytes(SparkEntry.queries("q280_pq_adc")(spark, dir))
+    // top-k window over (probe, corpus, adist) triples; the 64-dim
+    // double vectors (~5x the code rows) must stay in place
+    assert(moved > 0, "harness read zero — measurement broken")
+    assert(moved < (8L << 20), s"vectors leaked into a shuffle: $moved bytes")
+  }
 }
