@@ -307,6 +307,7 @@ object SparkEntry {
     "q284_flesch"           -> (D.q284Flesch(_, _)),
     "q285_woe"              -> (T.q285Woe(_, _)),
     "q286_bpe_merges"       -> (D.q286BpeMerges(_, _)),
+    "q287_bpe_fertility"    -> (D.q287BpeFertility(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -536,7 +537,10 @@ object SparkEntry {
     * the pending carry (the q281 DuckDB discipline: struct accumulators
     * drop list state); initial symbols come from substr, since
     * split-on-empty-string semantics differ across engines. */
-  private val bpeOracle: String = {
+  /** Shared q286/q287 learning rounds: w0 (global word-type census as
+    * symbol lists) plus 8 unrolled (pair census → argmax → re-merge)
+    * CTE triples. */
+  private val bpeLearnCtes: String = {
     val rounds = (1 to 8).map { r =>
       s"""p$r AS (SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS c
          |  FROM (SELECT f, unnest(list_transform(range(1, len(syms)),
@@ -550,17 +554,55 @@ object SparkEntry {
          |      ELSE list_append(acc, x[1]) END) AS syms
          |  FROM w${r - 1}, b$r b)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to 8).map(r =>
-      s"""SELECT CAST($r AS INT) AS merge_rank, l AS "left", r AS "right",
-         |  c AS pair_count FROM b$r""".stripMargin).mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT CAST(count(*) AS BIGINT) AS f,
        |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
        |        FROM documents)
        |  WHERE length(w) > 0 GROUP BY w),
-       |$rounds
-       |$out""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  private val bpeOracle: String = {
+    val out = (1 to 8).map(r =>
+      s"""SELECT CAST($r AS INT) AS merge_rank, l AS "left", r AS "right",
+         |  c AS pair_count FROM b$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"WITH $bpeLearnCtes\n$out"
+  }
+
+  /** q287 oracle: the q286 learning rounds, then the 8 merges re-applied
+    * in rank order to the PER-SOURCE word census (same bare-list greedy
+    * fold), then the fertility census. */
+  private val bpeFertilityOracle: String = {
+    def mr(e: String, n: Int) =
+      s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,20)), $n) AS DOUBLE)"
+    val applies = (1 to 8).map { r =>
+      s"""a$r AS (SELECT g, w, f, list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE
+         |      WHEN acc[len(acc)] = b.l AND x[1] = b.r THEN
+         |        list_append(list_slice(acc, 1, len(acc) - 1), b.l || b.r)
+         |      ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM a${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeLearnCtes,
+       |sc AS (SELECT g, w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT source AS g,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |a0 AS (SELECT g, w, f,
+       |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+       |  FROM sc),
+       |$applies
+       |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(f) AS BIGINT) AS n_words,
+       |  CAST(sum(f * length(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(f * len(syms)) AS BIGINT) AS n_tokens,
+       |  ${mr("CAST(sum(f * len(syms)) AS DOUBLE) / CAST(sum(f) AS DOUBLE)", 6)}
+       |    AS tokens_per_word,
+       |  ${mr("CAST(sum(f * length(w)) AS DOUBLE) / CAST(sum(f * len(syms)) AS DOUBLE)", 6)}
+       |    AS chars_per_token
+       |FROM a8 GROUP BY g""".stripMargin
   }
 
   /** q280 oracle: full product-quantization replay — smallest-id
@@ -760,6 +802,7 @@ object SparkEntry {
     // q285: WOE per category is one ln of exact-integer-derived ratios;
     // IV folds category-ordered terms (list_reduce seed == 0.0 + t1)
     "q286_bpe_merges" -> bpeOracle,
+    "q287_bpe_fertility" -> bpeFertilityOracle,
     "q285_woe" ->
       """WITH l AS (SELECT event_type AS category,
         |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS p

@@ -85,4 +85,49 @@ object Bpe {
     }
     merges.result().reduce(_ unionByName _)
   }
+
+  /** Apply an ordered merge list to a per-group word census and report
+    * tokenizer fertility — the decision metric a learned vocabulary is
+    * FOR (tokens/word and chars/token drive context-window budgets and
+    * cost-per-document): each merge chains one shuffle-free projection
+    * (the same greedy bare-list fold [[learnMerges]] uses), so encoding
+    * is a single codegen-friendly stage over the census regardless of
+    * merge count; the census is the only exchange.
+    *
+    * `merges` is the driver-side merge list in rank order — bounded by
+    * construction (it IS the learned vocabulary delta, collected like
+    * any broadcast model table). Output per group: (group, n_types,
+    * n_words, n_chars, n_tokens, tokens_per_word, chars_per_token). */
+  def fertility(df: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val census = df
+      .select(col(groupCol).as("g"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("f"))
+    var syms = census.withColumn("syms",
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    merges.foreach { case (l, r) =>
+      val lq = l.replace("'", "''")
+      val rq = r.replace("'", "''")
+      syms = syms.withColumn("syms", expr(
+        s"""aggregate(slice(syms, 2, size(syms) - 1),
+           |  slice(syms, 1, 1),
+           |  (acc, s) -> CASE
+           |    WHEN element_at(acc, -1) = '$lq' AND s = '$rq' THEN
+           |      concat(slice(acc, 1, size(acc) - 1), array('$lq$rq'))
+           |    ELSE concat(acc, array(s)) END)""".stripMargin))
+    }
+    syms.groupBy(col("g")).agg(
+        count(lit(1)).as("n_types"),
+        sum(col("f")).as("n_words"),
+        sum(col("f") * length(col("w"))).as("n_chars"),
+        sum(col("f") * size(col("syms"))).as("n_tokens"))
+      .select(col("g"), col("n_types"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
 }

@@ -230,6 +230,23 @@ object TrainingData {
   def q286BpeMerges(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.learnMerges(docs(spark, dir), "text", nMerges = 8)
 
+  /** q287 — tokenizer fertility under the learned merges
+    * ([[graft.operators.Bpe.fertility]]): the q286 vocabulary applied
+    * back to the per-source word census — tokens/word and chars/token
+    * are what the learned vocab is FOR. The 8-row merge table collects
+    * driver-side (it is the model, bounded by construction); encoding
+    * is one shuffle-free projection chain. */
+  def q287BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = graft.operators.Bpe
+      .learnMerges(docs(spark, dir), "text", nMerges = 8)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.fertility(docs(spark, dir), "source", "text", merges)
+      .select($"g".as("source"), $"n_types", $"n_words", $"n_chars",
+        $"n_tokens", round($"tokens_per_word", 6).as("tokens_per_word"),
+        round($"chars_per_token", 6).as("chars_per_token"))
+  }
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

@@ -36,6 +36,20 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert((got.getString(1), got.getString(2)) === (("a", "b")))
   }
 
+  test("fertility: merges shrink tokens, counts hand-check") {
+    import spark.implicits._
+    // source s1: "abab" x2 -> chars 8; merges ((a,b),(ab,ab)) tokenize
+    // "abab" to ONE token; s2: "cd" stays 2 tokens (no merge applies)
+    val df = Seq(("s1", "abab abab"), ("s2", "cd")).toDF("src", "text")
+    val got = Bpe.fertility(df, "src", "text",
+        Seq(("a", "b"), ("ab", "ab")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got("s1") === ((1L, 2L, 8L, 2L, 1.0, 4.0)))
+    assert(got("s2")._4 == 2L && got("s2")._5 == 2.0 && got("s2")._6 == 1.0)
+  }
+
   test("exhaustion: once no pairs remain, later ranks emit no rows") {
     import spark.implicits._
     val df = Seq("ab ab").toDF("text")
