@@ -308,6 +308,7 @@ object SparkEntry {
     "q285_woe"              -> (T.q285Woe(_, _)),
     "q286_bpe_merges"       -> (D.q286BpeMerges(_, _)),
     "q287_bpe_fertility"    -> (D.q287BpeFertility(_, _)),
+    "q288_span_corruption"  -> (D.q288SpanCorruption(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -803,6 +804,53 @@ object SparkEntry {
     // IV folds category-ordered terms (list_reduce seed == 0.0 + t1)
     "q286_bpe_merges" -> bpeOracle,
     "q287_bpe_fertility" -> bpeFertilityOracle,
+    // q288: md5 block masks are per-row arithmetic (prev token's mask =
+    // the hash of its block); string_agg ORDER BY pos skips NULLs just
+    // like the filtered array_join; input/target char sums pin the
+    // sentinel numbering
+    "q288_span_corruption" ->
+      """WITH tk AS (SELECT doc_id, source, u.pos AS pos, u.tok AS tok
+        |  FROM (SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(ts) + 1),
+        |        i -> struct_pack(pos := i - 1, tok := ts[i]))) AS u
+        |    FROM (SELECT doc_id, source,
+        |        string_split_regex(trim(text), '\s+') AS ts FROM documents))
+        |  WHERE length(u.tok) > 0),
+        |mk AS (SELECT doc_id, source, pos, tok,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(pos // 3 AS VARCHAR)), 1, 2) < '28' AS m,
+        |    (substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |       CAST(pos // 3 AS VARCHAR)), 1, 2) < '28')
+        |      AND (pos = 0 OR NOT (substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |       CAST((pos - 1) // 3 AS VARCHAR)), 1, 2) < '28')) AS rise
+        |  FROM tk),
+        |pc AS (SELECT doc_id, source, pos, tok, m, rise,
+        |    SUM(CASE WHEN rise THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS UNBOUNDED PRECEDING) - 1 AS k
+        |  FROM mk),
+        |pp AS (SELECT doc_id, source, pos, m, rise,
+        |    CASE WHEN rise THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+        |         WHEN m THEN NULL ELSE tok END AS piece_in,
+        |    CASE WHEN rise THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+        |         WHEN m THEN tok ELSE NULL END AS piece_tgt
+        |  FROM pc),
+        |d AS (SELECT doc_id, source,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |    CAST(sum(CASE WHEN rise THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |    COALESCE(string_agg(piece_in, ' ' ORDER BY pos), '') AS input,
+        |    COALESCE(string_agg(piece_tgt, ' ' ORDER BY pos), '') AS target
+        |  FROM pp GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_masked) AS BIGINT) AS n_masked,
+        |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        |  CAST(sum(length(input)) AS BIGINT) AS input_chars,
+        |  CAST(sum(length(target)) AS BIGINT) AS target_chars,
+        |  CAST(round(CAST(CAST(
+        |    CAST(sum(n_masked) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mask_rate
+        |FROM d GROUP BY source""".stripMargin,
     "q285_woe" ->
       """WITH l AS (SELECT event_type AS category,
         |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS p

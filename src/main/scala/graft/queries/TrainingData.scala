@@ -247,6 +247,26 @@ object TrainingData {
         round($"chars_per_token", 6).as("chars_per_token"))
   }
 
+  /** q288 — T5 span-corruption census ([[graft.operators
+    * .SpanCorruption]]): denoising pairs built with md5-seeded 3-token
+    * block masks; the per-source census sums token/mask/span counts AND
+    * the built input/target string lengths — the latter pin the
+    * sentinel numbering itself cross-engine. */
+  def q288SpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.SpanCorruption.corrupt(
+      docs(spark, dir), "doc_id", "text")
+    pairs.join(docs(spark, dir).select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        sum($"n_masked").as("n_masked"),
+        sum($"n_spans").as("n_spans"),
+        sum(length($"input")).as("input_chars"),
+        sum(length($"target")).as("target_chars"),
+        round(sum($"n_masked").cast("double") /
+          sum($"n_tokens").cast("double"), 6).as("mask_rate"))
+  }
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =
