@@ -150,6 +150,59 @@ object FastHash {
     dot / (math.sqrt(sa) * math.sqrt(sb))
   }
 
+  /** PQ encode: argmin-L2² codebook entry per subspace, first-win ties
+    * (== the declarative array_min over (dist, j) structs — strict `<`
+    * keeps the smallest j among equal distances). `cb` is the FLAT
+    * concatenation of the ksub full seed vectors (each `d` doubles), so
+    * subspace s of entry j starts at j*d + s*(d/m); the inner
+    * accumulation is the same left-to-right (x-y)² sum as the
+    * zip_with/aggregate HOF, so codes are bit-identical to
+    * [[graft.operators.Similarity.pqEncode]]'s declarative cross-check
+    * — but in ONE codegen-resident loop instead of m·ksub interpreted
+    * lambda frames per row, the per-row cost that dominates a corpus-
+    * scale encode. */
+  def pqCodesValue(v: ArrayData, cb: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val d = v.numElements()
+    val sd = d / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.PositiveInfinity
+      var bj = 0
+      var j = 0
+      while (j < ksub) {
+        var dist = 0.0
+        val vo = s * sd
+        val co = j * d + s * sd
+        var t = 0
+        while (t < sd) {
+          val diff = v.getDouble(vo + t) - cb.getDouble(co + t)
+          dist += diff * diff
+          t += 1
+        }
+        if (dist < best) { best = dist; bj = j }
+        j += 1
+      }
+      out(s) = bj
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** ADC distance: m table lookups summed in subspace order over the
+    * FLAT m×ksub distance table (row s starts at s*ksub). Same 0.0-seed
+    * left-to-right accumulation as the declarative aggregate fold. */
+  def pqAdcValue(codes: ArrayData, dt: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += dt.getDouble(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** Duplicate-n-gram (repetition) ratio: 1 - distinct/total over raw
     * word n-grams — the Gopher-style internal-repetition quality signal.
     * Value-identical to the declarative rawShingles + array_distinct
@@ -401,6 +454,14 @@ object FastHash {
 
   def sortedIntersect(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def pqCodes(v: Column, cbFlat: Column, m: Int, ksub: Int): Column =
+    GraftShim.column(PqCodesExpr(GraftShim.expression(v),
+      GraftShim.expression(cbFlat), m, ksub))
+
+  def pqAdc(codes: Column, dtFlat: Column, ksub: Int): Column =
+    GraftShim.column(PqAdcExpr(GraftShim.expression(codes),
+      GraftShim.expression(dtFlat), ksub))
 }
 
 /** (sorted array<bigint>, sorted array<bigint>) -> sorted array<bigint>
@@ -624,6 +685,49 @@ case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
     copy(child = newChild)
+}
+
+/** (vector, flat codebook) -> PQ codes array<int>
+  * ([[FastHash.pqCodesValue]]). */
+case class PqCodesExpr(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  override protected def nullSafeEval(v: Any, cb: Any): Any =
+    FastHash.pqCodesValue(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      m, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.FastHash.pqCodesValue($a, $b, $m, $ksub)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCodesExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (codes, flat distance table) -> ADC distance
+  * ([[FastHash.pqAdcValue]]). */
+case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(codes: Any, dt: Any): Any =
+    FastHash.pqAdcValue(codes.asInstanceOf[ArrayData],
+      dt.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.FastHash.pqAdcValue($a, $b, $ksub)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** text -> text with later occurrences of repeated within-doc n-grams

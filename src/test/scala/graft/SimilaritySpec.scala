@@ -277,6 +277,41 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.map(_.getDouble(2)).toSeq.sorted == top.map(_.getDouble(2)).toSeq)
   }
 
+  test("pq codegen kernel is bit-identical to the declarative HOF encode") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val data = IndexedSeq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(12)(rnd.nextGaussian()))).toDF("vec_id", "v")
+    val cb = Similarity.pqCodebookRow(data, "vec_id", "v", ksub = 5)
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2).toSeq).toMap
+    val kernel = codesOf(Similarity.pqEncode(data, "vec_id", "v", cb, m = 4, ksub = 5))
+    val decl = codesOf(Similarity.pqEncodeDeclarative(
+      data, "vec_id", "v", cb, m = 4, ksub = 5))
+    assert(kernel === decl)
+    // the ADC kernel agrees with a driver-side replay of the fold
+    val enc = Similarity.pqEncode(data, "vec_id", "v", cb, m = 4, ksub = 5)
+    val out = Similarity.pqAdcTopK(enc, data.where($"vec_id" === 3L),
+        "vec_id", "v", cb, m = 4, ksub = 5, k = 60)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val cbv = cb.collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getSeq[Double](1).toArray).toArray
+    val probe = data.where($"vec_id" === 3L).collect().head.getSeq[Double](1).toArray
+    def l2(a: Array[Double], b: Array[Double], off: Int, len: Int) = {
+      var d = 0.0; var t = 0
+      while (t < len) { val x = a(off + t) - b(off + t); d += x * x; t += 1 }
+      d
+    }
+    val dt = Array.tabulate(4, 5)((s, j) => l2(probe, cbv(j), s * 3, 3))
+    kernel.foreach { case (id, codes) =>
+      if (id != 3L) {
+        var exp = 0.0
+        codes.zipWithIndex.foreach { case (c, s) => exp += dt(s)(c) }
+        assert(out(id) == exp, s"adist mismatch for $id")
+      }
+    }
+  }
+
   test("pq recall: ADC top-1 finds near neighbors planted in a clustered corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
