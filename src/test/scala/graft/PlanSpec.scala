@@ -517,4 +517,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // series assembly is one hash aggregate over the event scan
     assert(p.contains("windowspecdefinition") == false, p.take(1500))
   }
+
+  test("q286: each BPE round's argmax is a bounded TakeOrdered broadcast") {
+    val p = physical("q286_bpe_merges")
+    // 8 rounds x 1-row argmax: TakeOrderedAndProject, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("windowspecdefinition()"), p.take(1500))
+  }
+
+  test("q288: span corruption windows are doc-partitioned; mask math needs no lag") {
+    val p = physical("q288_span_corruption")
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(2000))
+    assert(!p.contains("windowspecdefinition()"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
