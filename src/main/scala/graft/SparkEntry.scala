@@ -309,6 +309,7 @@ object SparkEntry {
     "q286_bpe_merges"       -> (D.q286BpeMerges(_, _)),
     "q287_bpe_fertility"    -> (D.q287BpeFertility(_, _)),
     "q288_span_corruption"  -> (D.q288SpanCorruption(_, _)),
+    "q289_greedy_coverage"  -> (D.q289GreedyCoverage(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -646,6 +647,40 @@ object SparkEntry {
        |FROM r WHERE rnk <= 5""".stripMargin
   }
 
+  /** q289 oracle: greedy max-coverage, 6 rounds unrolled — each a
+    * marginal-gain census (anti-join vs the covered set), a 1-row
+    * deterministic argmax, and the grown covered/remaining sets;
+    * covered_total is the literal sum of the winners' gains. */
+  private val greedyCoverageOracle: String = {
+    val k = 6
+    val rounds = (1 to k).map { r =>
+      val prevCov = if (r == 1) "" else s" ANTI JOIN c${r - 1} USING (tok)"
+      val docsSrc = if (r == 1) "docs" else s"r${r - 1}"
+      val cPrev = if (r == 1) "" else s"SELECT tok FROM c${r - 1} UNION "
+      s"""g$r AS (SELECT d.doc, COALESCE(x.g, CAST(0 AS BIGINT)) AS g
+         |  FROM $docsSrc d LEFT JOIN (
+         |    SELECT doc, CAST(count(*) AS BIGINT) AS g
+         |    FROM dt$prevCov GROUP BY doc) x ON d.doc = x.doc),
+         |s$r AS (SELECT doc, g FROM g$r ORDER BY g DESC, doc LIMIT 1),
+         |c$r AS (SELECT DISTINCT tok FROM (
+         |  ${cPrev}SELECT dt.tok FROM dt, s$r WHERE dt.doc = s$r.doc)),
+         |r$r AS (SELECT d.doc FROM $docsSrc d, s$r WHERE d.doc <> s$r.doc)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { r =>
+      val tot = (1 to r).map(i => s"(SELECT g FROM s$i)").mkString(" + ")
+      s"""SELECT CAST($r AS INT) AS select_rank, doc AS doc_id, g AS gain,
+         |  CAST($tot AS BIGINT) AS covered_total FROM s$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH dt AS (SELECT DISTINCT doc, tok FROM (
+       |    SELECT doc_id AS doc,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) WHERE length(tok) > 0),
+       |docs AS (SELECT DISTINCT doc FROM dt
+       |  UNION SELECT DISTINCT doc_id FROM documents),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   /** q279 oracle: NDCG@10 replay. The ten position discounts are the
     * SAME JVM 1/log2(i+1) doubles the engine folds with (shortest-repr
     * literals); both folds run over rank-ordered ≤10-element lists with
@@ -804,6 +839,7 @@ object SparkEntry {
     // IV folds category-ordered terms (list_reduce seed == 0.0 + t1)
     "q286_bpe_merges" -> bpeOracle,
     "q287_bpe_fertility" -> bpeFertilityOracle,
+    "q289_greedy_coverage" -> greedyCoverageOracle,
     // q288: md5 block masks are per-row arithmetic (prev token's mask =
     // the hash of its block); string_agg ORDER BY pos skips NULLs just
     // like the filtered array_join; input/target char sums pin the

@@ -267,6 +267,14 @@ object TrainingData {
           sum($"n_tokens").cast("double"), 6).as("mask_rate"))
   }
 
+  /** q289 — greedy maximum-coverage selection ([[graft.operators
+    * .Selection.greedyCoverage]]): the 6 documents that together cover
+    * the most vocabulary, with per-pick marginal gains and the running
+    * covered total — the coreset/diversity primitive of fine-tuning-set
+    * curation. */
+  def q289GreedyCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection.greedyCoverage(docs(spark, dir), "doc_id", "text", k = 6)
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Selection
+
+/** Greedy max-coverage selection: hand-traced picks, beats-uniform
+  * witness, zero-gain fill, determinism. */
+class SelectionSpec extends AnyFunSuite with SparkFixture {
+
+  test("greedy picks by marginal gain with id tie-break; totals accumulate") {
+    import spark.implicits._
+    // doc 1 covers {a,b,c}; doc 2 {a,b}; doc 3 {d,e}; doc 4 {c}
+    val df = Seq((1L, "a b c"), (2L, "a b"), (3L, "d e"), (4L, "c"))
+      .toDF("doc_id", "text")
+    val got = Selection.greedyCoverage(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // pick 1: doc 1 (gain 3); pick 2: doc 3 (gain 2, beats doc 2's 0
+    // new); pick 3: docs 2 and 4 both gain 0 -> smallest id 2
+    assert(got.toSeq === Seq((1, 1L, 3L, 3L), (2, 3L, 2L, 5L), (3, 2L, 0L, 5L)))
+  }
+
+  test("greedy strictly beats every same-size uniform draw on a planted case") {
+    import spark.implicits._
+    // 4 redundant popular docs sharing one big set; 2 rare docs with
+    // disjoint vocab. k=2 greedy covers big + one rare = 6 tokens;
+    // most 2-subsets cover less
+    val df = Seq(
+      (1L, "p q r s t"), (2L, "p q r s t"), (3L, "p q r s t"), (4L, "p q r s t"),
+      (5L, "u"), (6L, "v"))
+      .toDF("doc_id", "text")
+    val got = Selection.greedyCoverage(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.last._2 == 6L, s"greedy covered ${got.last._2}")
+    // uniform baseline: expected coverage over all C(6,2)=15 pairs is
+    // well under 6 (e.g. two popular docs -> 5; two rares -> 2)
+    val docSets = Map(1L -> Set("p","q","r","s","t"), 2L -> Set("p","q","r","s","t"),
+      3L -> Set("p","q","r","s","t"), 4L -> Set("p","q","r","s","t"),
+      5L -> Set("u"), 6L -> Set("v"))
+    val pairs = docSets.keys.toSeq.combinations(2).toSeq
+    val avg = pairs.map(p => p.flatMap(docSets).toSet.size).sum.toDouble / pairs.size
+    assert(avg < 6.0)
+  }
+
+  test("deterministic across partitionings; k capped by doc count") {
+    import spark.implicits._
+    val df = Seq((10L, "x y"), (11L, "y z"), (12L, "")).toDF("doc_id", "text")
+    val a = Selection.greedyCoverage(df, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Selection.greedyCoverage(df.repartition(5), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+    // 3 docs (one tokenless) -> exactly 3 rows, tokenless fills at 0
+    assert(a.length == 3)
+    assert(a.map(_._2).toSet == Set(10L, 11L, 12L))
+    assert(a.last._3 == 0L)
+  }
+}
