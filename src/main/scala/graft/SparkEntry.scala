@@ -310,6 +310,7 @@ object SparkEntry {
     "q287_bpe_fertility"    -> (D.q287BpeFertility(_, _)),
     "q288_span_corruption"  -> (D.q288SpanCorruption(_, _)),
     "q289_greedy_coverage"  -> (D.q289GreedyCoverage(_, _)),
+    "q290_kruskal_wallis"   -> (T.q290KruskalWallis(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -962,6 +963,45 @@ object SparkEntry {
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS z
         |FROM a""".stripMargin,
+    // q290: k-sample extension of q283 — exact doubled mid-ranks and tie
+    // term; the ONE order-sensitive float sum (Σ R2i²/ni) folds
+    // left-to-right in group order on both sides (list_reduce's init is
+    // the first element; Spark's 0.0+t1 == t1 exactly)
+    "q290_kruskal_wallis" ->
+      """WITH s AS (SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS s,
+        |    event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |cgv AS (SELECT s, g, v, CAST(count(*) AS BIGINT) AS tgv
+        |  FROM s GROUP BY 1, 2, 3),
+        |cv AS (SELECT s, v, CAST(sum(tgv) AS BIGINT) AS t FROM cgv GROUP BY 1, 2),
+        |r AS (SELECT s, v, t,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY s ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM cv),
+        |pg AS (SELECT cgv.s, cgv.g, CAST(sum(tgv) AS BIGINT) AS ni,
+        |    sum(CAST(tgv AS HUGEINT) * r.r2) AS r2i
+        |  FROM cgv JOIN r ON cgv.s = r.s AND cgv.v = r.v GROUP BY 1, 2),
+        |sc AS (SELECT s, CAST(sum(t) AS BIGINT) AS n,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie FROM r GROUP BY 1),
+        |f AS (SELECT s, CAST(count(*) AS BIGINT) AS k,
+        |    list(CAST(r2i * r2i AS DOUBLE) / CAST(ni AS DOUBLE) ORDER BY g) AS terms
+        |  FROM pg GROUP BY 1),
+        |f2 AS (SELECT s, k, list_reduce(terms, (a, x) -> a + x) AS sterm FROM f),
+        |j AS (SELECT f2.s, k, n,
+        |    CASE WHEN n > 1 AND k > 1 THEN
+        |      (3.0 * sterm) / CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
+        |      - 3.0 * CAST(n + 1 AS DOUBLE) END AS h,
+        |    CAST(tie AS DOUBLE) AS tied,
+        |    CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS n3nd,
+        |    (CAST(n AS HUGEINT) * n * n - n) AS n3n, tie
+        |  FROM f2 JOIN sc ON f2.s = sc.s)
+        |SELECT s AS dow, k, n,
+        |  CAST(round(CAST(CAST(h AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS h,
+        |  CASE WHEN n > 1 AND k > 1 AND tie < n3n THEN
+        |    CAST(round(CAST(CAST(h / (1.0 - tied / n3nd) AS VARCHAR)
+        |      AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS h_adj
+        |FROM j""".stripMargin,
     // q278: funnel depth fold — the Holt sentinel idiom (list_reduce's
     // acc starts as the FIRST element, so each element is transformed to
     // a state-struct with st = -1 marking "not yet folded"; resolve()

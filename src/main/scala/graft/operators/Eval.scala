@@ -334,4 +334,74 @@ object Eval {
       .select(col("q"), col("n_docs"), col("dcg"), col("idcg"),
         when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
   }
+
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952) per scope: the k-sample
+    * extension of [[mannWhitneyU]] — do the `groupCol` samples inside
+    * each scope share one value distribution? Same doubled-mid-rank
+    * discipline: within a scope, every moment up to the per-group
+    * doubled rank sums R2_i and the tie term Σ(t³−t) is an EXACT
+    * integer (decimal(38,0)); with R_i = R2_i/2,
+    *   H = 3·Σ_i R2_i²/n_i / (N(N+1)) − 3(N+1),
+    * and the tie-corrected H' = H / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Float determinism: Σ_i R2_i²/n_i is a sum of per-group doubles
+    * (R2_i² stays exact in decimal — ≤10^31 for N ≤ 10^7·k — and the
+    * cast + one IEEE division are correctly rounded in any engine), so
+    * the ONLY order-sensitive op is that k-term sum. It is folded
+    * left-to-right in group order over a sorted collect (k = distinct
+    * groups per scope, bounded by construction — the q285 IV
+    * discipline), so a replaying engine reproduces every double
+    * bit-identically. H is a small difference of two ~N-sized terms;
+    * the exact-integer moments are what keep the cancellation benign.
+    *
+    * Scale shape: one (scope, group, value) census (map-side partial),
+    * one scope-partitioned cumulative window over the DISTINCT-value
+    * census (never row-scale), one co-partitioned join back, then
+    * k-bounded per-scope folds. No global window, no row shuffle after
+    * the census. Output: (scope, k, n, h, h_adj); h null when n < 2 or
+    * k < 2, h_adj additionally null when all values tie (correction 0).
+    */
+  def kruskalWallis(df: DataFrame, scopeCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cgv = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("s"), col(groupCol).as("g"),
+        col(valueCol).as("v"))
+      .groupBy(col("s"), col("g"), col("v"))
+      .agg(count(lit(1)).as("tgv"))
+    val cv = cgv.groupBy(col("s"), col("v")).agg(sum(col("tgv")).as("t"))
+    val w = Window.partitionBy(col("s")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cv.withColumn("__r2",
+      lit(2L) * coalesce(sum(col("t")).over(w), lit(0L)) + col("t") + 1L)
+    val perGroup = cgv
+      .join(ranked.select(col("s"), col("v"), col("__r2")), Seq("s", "v"))
+      .groupBy(col("s"), col("g"))
+      .agg(sum(col("tgv")).as("ni"),
+        sum(col("tgv").cast(dec) * col("__r2").cast(dec)).cast(dec)
+          .as("r2i"))
+    val scope = ranked.groupBy(col("s")).agg(
+      sum(col("t")).as("n"),
+      sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+        col("t").cast(dec)).cast(dec).as("tie"))
+    val folded = perGroup
+      .select(col("s"), struct(col("g"),
+        (col("r2i") * col("r2i")).cast(dec).as("r2sq"), col("ni")).as("e"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("k"), sort_array(collect_list(col("e"))).as("es"))
+      .withColumn("__sterm", expr(
+        """aggregate(es, CAST(0.0 AS DOUBLE), (a, x) ->
+          |  a + CAST(x.r2sq AS DOUBLE) / CAST(x.ni AS DOUBLE))""".stripMargin))
+    val nD = col("n").cast(dec)
+    val nn1 = (nD * (nD + 1)).cast("double")
+    val h = lit(3.0) * col("__sterm") / nn1 -
+      lit(3.0) * (nD + 1).cast("double")
+    val n3n = (nD * nD * nD - nD).cast(dec)
+    val corr = lit(1.0) - col("tie").cast("double") / n3n.cast("double")
+    folded.join(scope, Seq("s"))
+      .select(col("s"), col("k"), col("n"),
+        when(col("n") > 1 && col("k") > 1, h).as("h"),
+        when(col("n") > 1 && col("k") > 1 && col("tie") < n3n, h / corr)
+          .as("h_adj"))
+  }
 }

@@ -855,6 +855,21 @@ object TimeSeries {
         round($"z", 6).as("z"))
   }
 
+  /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
+    * per day-of-week, do the five event types share one value
+    * distribution? The k-sample companion to q283's two-sample U —
+    * exact cent values, doubled mid-ranks, k-bounded ordered fold for
+    * the one float sum. Spark's dayofweek is 1=Sunday..7; the oracle
+    * shifts DuckDB's 0=Sunday..6 by one. */
+  def q290KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select(
+      dayofweek(to_date($"ts")).cast("int").as("dow"), $"event_type",
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Eval.kruskalWallis(s, "dow", "event_type", "cents")
+      .select($"s".as("dow"), $"k", $"n",
+        round($"h", 6).as("h"), round($"h_adj", 6).as("h_adj"))
+  }
+
   /** q285 — weight-of-evidence table ([[graft.operators.Encoding
     * .woeTable]]): event type encoded against the weekend label with
     * Laplace 0.5 smoothing; IV folds per-category terms in category

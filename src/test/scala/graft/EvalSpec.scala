@@ -134,4 +134,50 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(got("q")._4 < 1.0)
     assert(got("z")._4.isNaN, "all-zero relevance yields null ndcg")
   }
+
+  test("kruskalWallis: hand-computed H, tie correction, degenerate nulls") {
+    import spark.implicits._
+    // textbook no-tie case: A={1,2,3} B={4,5,6} C={7,8,9}
+    // rank sums 6/15/24 -> H = 12/90*(12+75+192) - 30 = 7.2; no ties
+    val clean = Seq(("s", "a", 1L), ("s", "a", 2L), ("s", "a", 3L),
+      ("s", "b", 4L), ("s", "b", 5L), ("s", "b", 6L),
+      ("s", "c", 7L), ("s", "c", 8L), ("s", "c", 9L))
+      .toDF("sc", "g", "v")
+    val r = Eval.kruskalWallis(clean, "sc", "g", "v").collect().head
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n") == 9)
+    assert(math.abs(r.getAs[Double]("h") - 7.2) < 1e-12)
+    assert(r.getAs[Double]("h_adj") == r.getAs[Double]("h"),
+      "no ties -> correction is exactly 1")
+
+    // tied case: A={1,1} B={1,2}: mid-rank(1)=2, rank(2)=4
+    // H = 12/20*(16/2+36/2) - 15 = 0.6; C = 1 - 24/60 = 0.6; H' = 1.0
+    val tied = Seq(("s", "a", 1L), ("s", "a", 1L),
+      ("s", "b", 1L), ("s", "b", 2L)).toDF("sc", "g", "v")
+    val t = Eval.kruskalWallis(tied, "sc", "g", "v").collect().head
+    assert(math.abs(t.getAs[Double]("h") - 0.6) < 1e-12)
+    assert(math.abs(t.getAs[Double]("h_adj") - 1.0) < 1e-12)
+
+    // k = 1 -> h null; all-tied two groups -> h = 0, h_adj null
+    val one = Seq(("s", "a", 1L), ("s", "a", 2L)).toDF("sc", "g", "v")
+    assert(Eval.kruskalWallis(one, "sc", "g", "v").collect().head
+      .isNullAt(3))
+    val allTied = Seq(("s", "a", 5L), ("s", "b", 5L), ("s", "b", 5L))
+      .toDF("sc", "g", "v")
+    val at = Eval.kruskalWallis(allTied, "sc", "g", "v").collect().head
+    assert(at.getAs[Double]("h") == 0.0 && at.isNullAt(4))
+  }
+
+  test("kruskalWallis: partitioning-invariant (exact integer moments)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4000).map(i =>
+      ("s" + (i % 3), "g" + rnd.nextInt(5), rnd.nextInt(200).toLong))
+    val df = rows.toDF("sc", "g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Eval.kruskalWallis(d, "sc", "g", "v")
+        .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+        .sortBy(_._1).toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(32, col("v"))),
+      "doubled-rank censuses + ordered fold make H bit-stable")
+  }
 }
