@@ -311,6 +311,7 @@ object SparkEntry {
     "q288_span_corruption"  -> (D.q288SpanCorruption(_, _)),
     "q289_greedy_coverage"  -> (D.q289GreedyCoverage(_, _)),
     "q290_kruskal_wallis"   -> (T.q290KruskalWallis(_, _)),
+    "q291_kendall_tau"      -> (T.q291KendallTau(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1002,6 +1003,33 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q291: concordance counts are exact integer pair censuses; the tie
+    // products widen to HUGEINT before the multiply (n^4/4 overflow)
+    "q291_kendall_tau" ->
+      """WITH d AS (SELECT event_type AS g,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS o,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.g,
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS cx,
+        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS cy
+        |  FROM d a JOIN d b ON a.g = b.g AND a.o < b.o),
+        |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |    CAST(sum(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+        |    CAST(sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
+        |  FROM p GROUP BY 1),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+        |SELECT n.g AS event_type, n.n, n_pairs, concordant, discordant,
+        |  tie_x, tie_y,
+        |  CASE WHEN CAST(n_pairs - tie_x AS HUGEINT) * (n_pairs - tie_y) > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(concordant - discordant AS DOUBLE) /
+        |      sqrt(CAST(CAST(n_pairs - tie_x AS HUGEINT) * (n_pairs - tie_y) AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS tau_b
+        |FROM n JOIN c USING (g)""".stripMargin,
     // q278: funnel depth fold — the Holt sentinel idiom (list_reduce's
     // acc starts as the FIRST element, so each element is transformed to
     // a state-struct with st = -1 marking "not yet folded"; resolve()

@@ -187,4 +187,55 @@ object Regression {
         num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
         .as("rho")): _*)
   }
+
+  /** Per-group Kendall tau-b — the concordance-based third member of
+    * the correlation family ([[corrMatrix]] Pearson, [[spearman]]
+    * mid-rank): of all observation pairs, how many order the same way
+    * on x and on y? Tie-adjusted:
+    *   tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)),
+    * n0 = all pairs, n1/n2 = pairs tied on x / on y. Every count is an
+    * exact integer (pair signs are {−1,0,1} comparisons, never float
+    * differences); the tie products go DECIMAL(38,0) before the
+    * multiply (n⁴/4 overflows a long past ~55k observations); the only
+    * float ops are one sqrt and one division.
+    *
+    * Scale shape: a per-group self-join materializes n(n−1)/2 pairs —
+    * this is for PERIOD-BOUNDED series (daily/weekly censuses, the
+    * [[theilSen]] contract), not row-scale data; a billion-row group
+    * belongs in [[spearman]], whose censuses never pair rows. `ordCol`
+    * must be unique per group (pairs dedupe on ord inequality).
+    * Output: (group, n, n_pairs, concordant, discordant, tie_x, tie_y,
+    * tau_b); groups with < 2 periods are absent; tau_b null when either
+    * side is all-tied. */
+  def kendallTauB(df: DataFrame, groupCol: String, ordCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("g"), col(ordCol).as("o"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val a = base.select(col("g"), col("o").as("oa"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = base.select(col("g"), col("o").as("ob"), col("x").as("xb"),
+      col("y").as("yb"))
+    def sign(hi: Column, lo: Column): Column =
+      when(hi > lo, 1).when(hi < lo, -1).otherwise(0)
+    val pairs = a.join(b, Seq("g")).where(col("oa") < col("ob"))
+      .select(col("g"), sign(col("xb"), col("xa")).as("cx"),
+        sign(col("yb"), col("ya")).as("cy"))
+    val counts = pairs.groupBy(col("g")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("cx") * col("cy") > 0, 1L).otherwise(0L)).as("concordant"),
+      sum(when(col("cx") * col("cy") < 0, 1L).otherwise(0L)).as("discordant"),
+      sum(when(col("cx") === 0, 1L).otherwise(0L)).as("tie_x"),
+      sum(when(col("cy") === 0, 1L).otherwise(0L)).as("tie_y"))
+    val ns = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val den = ((col("n_pairs") - col("tie_x")).cast(dec) *
+      (col("n_pairs") - col("tie_y")).cast(dec)).cast(dec)
+    ns.join(counts, Seq("g"))
+      .select(col("g"), col("n"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("tie_x"), col("tie_y"),
+        when(den > 0,
+          (col("concordant") - col("discordant")).cast("double") /
+            sqrt(den.cast("double"))).as("tau_b"))
+  }
 }

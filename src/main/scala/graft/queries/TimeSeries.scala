@@ -870,6 +870,22 @@ object TimeSeries {
         round($"h", 6).as("h"), round($"h_adj", 6).as("h_adj"))
   }
 
+  /** q291 — Kendall tau-b ([[graft.operators.Regression.kendallTauB]]):
+    * per event type, does a busier day move more money? Concordance of
+    * the daily (event count, cent volume) series — 30 calendar-bounded
+    * periods per group, so the pair join stays ≤435 rows per group.
+    * Integer pair counts; one sqrt + division, rounded to 6. */
+  def q291KendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round($"value" * 100).cast("long")).as("y"))
+    graft.operators.Regression
+      .kendallTauB(daily, "event_type", "day", "x", "y")
+      .select($"g".as("event_type"), $"n", $"n_pairs", $"concordant",
+        $"discordant", $"tie_x", $"tie_y", round($"tau_b", 6).as("tau_b"))
+  }
+
   /** q285 — weight-of-evidence table ([[graft.operators.Encoding
     * .woeTable]]): event type encoded against the weekend label with
     * Laplace 0.5 smoothing; IV folds per-category terms in category

@@ -38,4 +38,41 @@ class RegressionSpec extends AnyFunSuite with SparkFixture {
     assert(slope > 2.5 && slope < 3.5, s"slope $slope")
     assert(r2 > 0.9 && r2 < 1.0, s"r2 $r2")
   }
+
+  test("kendallTauB: perfect, inverted, hand-tied, and degenerate cases") {
+    import spark.implicits._
+    def tau(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row = {
+      val df = rows.zipWithIndex
+        .map { case ((x, y), i) => ("g", f"$i%03d", x, y) }
+        .toDF("g", "o", "x", "y")
+      Regression.kendallTauB(df, "g", "o", "x", "y").collect().head
+    }
+    assert(tau(Seq((1L, 1L), (2L, 2L), (3L, 3L))).getAs[Double]("tau_b") == 1.0)
+    assert(tau(Seq((1L, 3L), (2L, 2L), (3L, 1L))).getAs[Double]("tau_b") == -1.0)
+    // x=(1,2,2,3) y=(1,2,3,3): C=4 D=0 tie_x=1 tie_y=1 over 6 pairs
+    // tau_b = 4 / sqrt(5*5) = 0.8
+    val t = tau(Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 3L)))
+    assert(t.getAs[Long]("concordant") == 4 && t.getAs[Long]("discordant") == 0)
+    assert(t.getAs[Long]("tie_x") == 1 && t.getAs[Long]("tie_y") == 1)
+    assert(t.getAs[Double]("tau_b") == 0.8)
+    // constant x: every pair x-tied -> null tau
+    assert(tau(Seq((5L, 1L), (5L, 2L), (5L, 3L))).isNullAt(7))
+    // single-row groups are absent
+    val single = Seq(("g", "000", 1L, 1L)).toDF("g", "o", "x", "y")
+    assert(Regression.kendallTauB(single, "g", "o", "x", "y").count() == 0)
+  }
+
+  test("kendallTauB: partitioning-invariant integer censuses") {
+    import spark.implicits._
+    val rows = (1 to 120).map { i =>
+      ("g" + (i % 3), f"$i%04d", ((i * 2654435761L) % 50),
+        ((i * 40503L) % 60))
+    }
+    val df = rows.toDF("g", "o", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Regression.kendallTauB(d, "g", "o", "x", "y")
+        .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+          r.getDouble(7))).sortBy(_._1).toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(32, col("o"))))
+  }
 }
