@@ -312,6 +312,7 @@ object SparkEntry {
     "q289_greedy_coverage"  -> (D.q289GreedyCoverage(_, _)),
     "q290_kruskal_wallis"   -> (T.q290KruskalWallis(_, _)),
     "q291_kendall_tau"      -> (T.q291KendallTau(_, _)),
+    "q292_silhouette"       -> (D.q292Silhouette(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1030,6 +1031,40 @@ object SparkEntry {
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS tau_b
         |FROM n JOIN c USING (g)""".stripMargin,
+    // q292: scaled integer squared distances (BIGINT diff, HUGEINT
+    // square) make every per-point s bit-replayable; the label mean sums
+    // 12-decimal roundings as exact decimal (order-insensitive)
+    "q292_silhouette" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |cd AS (SELECT label, t.dim, CAST(sum(xq[t.dim]) AS BIGINT) AS s
+        |  FROM e, generate_series(1, 64) t(dim) GROUP BY 1, 2),
+        |cent AS (SELECT label AS cand, list(s ORDER BY dim) AS cs FROM cd GROUP BY 1),
+        |nn AS (SELECT label AS cand, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |cj AS (SELECT p.vec_id, p.label AS lab, c.cand,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(n.n * p.xq[i] - c.cs[i] AS HUGEINT)
+        |      * CAST(n.n * p.xq[i] - c.cs[i] AS HUGEINT))) AS DOUBLE)
+        |    / CAST(CAST(n.n AS HUGEINT) * n.n AS DOUBLE) AS dd
+        |  FROM e p, cent c, nn n WHERE c.cand = n.cand),
+        |ab AS (SELECT vec_id, lab,
+        |    min(CASE WHEN cand = lab THEN dd END) AS a,
+        |    min(CASE WHEN cand <> lab THEN dd END) AS b
+        |  FROM cj GROUP BY 1, 2),
+        |sp AS (SELECT lab,
+        |    CASE WHEN b IS NOT NULL AND greatest(a, b) > 0
+        |           THEN (b - a) / greatest(a, b)
+        |         WHEN b IS NOT NULL THEN 0.0 END AS s
+        |  FROM ab)
+        |SELECT lab AS label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closer_home,
+        |  CAST(round(CAST(CAST(
+        |    CAST(sum(round(CAST(CAST(s AS VARCHAR) AS DECIMAL(38,20)), 12)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_silhouette
+        |FROM sp GROUP BY 1""".stripMargin,
     // q278: funnel depth fold — the Holt sentinel idiom (list_reduce's
     // acc starts as the FIRST element, so each element is transformed to
     // a state-struct with st = -1 marking "not yet folded"; resolve()

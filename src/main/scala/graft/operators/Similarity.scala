@@ -652,4 +652,67 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("corpus_id"), col("adist"), col("rank"))
   }
+
+  /** Simplified silhouette per cluster label (Hruschka et al. 2004's
+    * centroid variant of Rousseeuw 1987) — the clustering-quality gate a
+    * pipeline runs after k-means/SemDedup partitioning: per point,
+    * a = squared distance to OWN centroid, b = min squared distance to
+    * any OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; per label the
+    * mean s, and the count with s > 0 (points closer to home than to
+    * any rival).
+    *
+    * Exactness: vectors quantize to integers (scale 10^6); with S_jd
+    * the per-label per-dim integer sums and n_j the label count, the
+    * squared distance to centroid j scales to the EXACT integer
+    * Σ_d (n_j·x_d − S_jd)² (decimal(38,0) — the square overflows a long
+    * past ~3k·10^6-scale coordinates). The double divisions by n_j² and
+    * the (b − a)/max ratio are correctly rounded from exact integers, so
+    * every per-point s replays bit-identically; the per-label mean sums
+    * s ROUNDED TO 12 DECIMALS as exact decimal (order-insensitive — the
+    * one sum a float fold would make partition-order dependent).
+    * Precondition (documented, like [[graft.operators.Autocorr]]'s):
+    * n_j·|x_d|·scale must fit a long — n_j ≤ ~9·10^12/scale per label.
+    *
+    * Scale shape: one posexplode census for centroids (map-side partials
+    * bound the exchange at k·dims rows per partition), centroids cross
+    * back as a k-row BROADCAST, assignment is a pure projection — the
+    * corpus is never shuffled row-scale; the final label aggregate is
+    * k-bounded. Requires ≥ 2 labels (b is null otherwise and the label's
+    * mean goes null, loudly). Output: (label, n, n_closer_home,
+    * mean_silhouette). */
+  def silhouetteByLabel(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, scale: Long = 1000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.select(col(idCol).as("id"), col(labelCol).as("lab"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+        .as("xq"))
+    val cent = pts.select(col("lab"), posexplode(col("xq")).as(Seq("dim", "v")))
+      .groupBy(col("lab"), col("dim")).agg(sum(col("v")).as("s"))
+      .groupBy(col("lab"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, s))), p -> p.s)")
+        .as("cs"))
+      .join(pts.groupBy(col("lab")).agg(count(lit(1)).as("n")), "lab")
+      .select(col("lab").as("cand"), col("cs"), col("n"))
+    val num = expr(
+      s"""aggregate(zip_with(xq, cs, (xi, si) -> CAST(n * xi - si AS $dec)),
+         |  CAST(0 AS $dec), (a, d) -> a + d * d)""".stripMargin)
+    val dd = num.cast("double") /
+      (col("n").cast(dec) * col("n").cast(dec)).cast("double")
+    val ab = pts.crossJoin(broadcast(cent))
+      .withColumn("__dd", dd)
+      .groupBy(col("id"), col("lab"))
+      .agg(min(when(col("cand") === col("lab"), col("__dd"))).as("a"),
+        min(when(col("cand") =!= col("lab"), col("__dd"))).as("b"))
+    val sil = when(col("b").isNotNull && greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b")))
+      .when(col("b").isNotNull, lit(0.0))
+    ab.withColumn("__s", sil)
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__s") > 0, 1L).otherwise(0L)).as("n_closer_home"),
+        sum(round(col("__s"), 12).cast("decimal(30,12)")).as("__ssum"))
+      .select(col("lab").as("label"), col("n"), col("n_closer_home"),
+        (col("__ssum").cast("double") / col("n").cast("double"))
+          .as("mean_silhouette"))
+  }
 }

@@ -275,6 +275,18 @@ object TrainingData {
   def q289GreedyCoverage(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Selection.greedyCoverage(docs(spark, dir), "doc_id", "text", k = 6)
 
+  /** q292 — simplified silhouette per embedding label ([[graft.operators
+    * .Similarity.silhouetteByLabel]]): the clustering-quality census over
+    * the labeled vectors — per label, how many points sit closer to their
+    * own centroid than to any rival, and the mean (b−a)/max(a,b) score.
+    * Exact integer scaled distances; the one mean sums 12-decimal
+    * rounded terms as decimal, so it is partition-order insensitive. */
+  def q292Silhouette(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.silhouetteByLabel(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", "label")
+      .select($"label", $"n", $"n_closer_home",
+        round($"mean_silhouette", 6).as("mean_silhouette"))
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

@@ -331,4 +331,45 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(c % 4 == p % 4, s"probe $p matched cross-cluster $c")
     }
   }
+
+  test("silhouetteByLabel: tight clusters score ~1, straddlers negative") {
+    import spark.implicits._
+    // a and b: tight, far apart; c: its two points sit ON a and b
+    val rows = Seq(
+      (1L, "a", Seq(0.0f, 0.0f)), (2L, "a", Seq(0.0f, 0.000002f)),
+      (3L, "b", Seq(1.0f, 0.0f)), (4L, "b", Seq(1.0f, 0.000002f)),
+      (5L, "c", Seq(0.0f, 0.0f)), (6L, "c", Seq(1.0f, 0.0f)))
+    val df = rows.toDF("id", "lab", "v")
+    val got = Similarity.silhouetteByLabel(df, "id", "v", "lab")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("a")._3 > 0.9 && got("b")._3 > 0.9)
+    assert(got("a")._2 == 2 && got("b")._2 == 2, "all home points closer home")
+    assert(got("c")._3 < -0.9, "straddler cluster scores deeply negative")
+    assert(got("c")._2 == 0)
+  }
+
+  test("silhouetteByLabel: single label yields null mean, loudly") {
+    import spark.implicits._
+    val df = Seq((1L, "a", Seq(0.0f, 0.0f)), (2L, "a", Seq(1.0f, 1.0f)))
+      .toDF("id", "lab", "v")
+    val r = Similarity.silhouetteByLabel(df, "id", "v", "lab").collect().head
+    assert(r.isNullAt(3), "no rival centroid -> null mean, not a fake 0")
+  }
+
+  test("silhouetteByLabel: partitioning-invariant (decimal mean)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map { i =>
+      val lab = i % 4
+      (i.toLong, lab, Seq.tabulate(8)(d =>
+        (lab * 2.0 + rnd.nextDouble() * 0.5 + d * 0.01).toFloat))
+    }
+    val df = rows.toDF("id", "lab", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.silhouetteByLabel(d, "id", "v", "lab")
+        .collect().map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(32, $"id")))
+  }
 }
