@@ -313,6 +313,7 @@ object SparkEntry {
     "q290_kruskal_wallis"   -> (T.q290KruskalWallis(_, _)),
     "q291_kendall_tau"      -> (T.q291KendallTau(_, _)),
     "q292_silhouette"       -> (D.q292Silhouette(_, _)),
+    "q293_inclusion_deps"   -> (R.q293InclusionDeps(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -4485,6 +4486,29 @@ object SparkEntry {
            |      + MAX(CASE WHEN $b IS NULL THEN 1 ELSE 0 END) AS nb
            |  FROM orders GROUP BY 1) t""".stripMargin)
         .mkString("\nUNION ALL\n")
+    },
+    // q293: per candidate, distinct-census left join; violation count =
+    // dependent values with no referenced match (exact, null-excluded)
+    "q293_inclusion_deps" -> {
+      val cands = Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("part", "p_partkey", "lineitem", "l_partkey"),
+        ("events", "user_id", "customer", "c_custkey"))
+      cands.map { case (dt, dc, rt, rc) =>
+        s"""SELECT '$dt.$dc' AS dependent, '$rt.$rc' AS referenced,
+           |  CAST(COUNT(*) AS BIGINT) AS n_dep_distinct,
+           |  CAST(SUM(CASE WHEN r.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  SUM(CASE WHEN r.v IS NULL THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT DISTINCT CAST($dc AS VARCHAR) AS v FROM $dt
+           |      WHERE $dc IS NOT NULL) d
+           |LEFT JOIN (SELECT DISTINCT CAST($rc AS VARCHAR) AS v FROM $rt
+           |      WHERE $rc IS NOT NULL) r ON d.v = r.v""".stripMargin
+      }.mkString("\nUNION ALL\n")
     },
     // q234: identical lag window in ingestion order; integer census.
     "q234_sortedness" ->

@@ -172,6 +172,43 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Inclusion-dependency census — [[functionalDependencies]]'s
+    * cross-table sibling: for each candidate (dependent column ⊆
+    * referenced column), how many DISTINCT dependent values have no
+    * match on the referenced side? 0 ⟺ the IND (foreign-key shape)
+    * holds; a nonzero count measures how dirty a near-FK is instead of
+    * collapsing to a binary verdict. Values compare as canonical
+    * strings (the FD discipline) — candidates should pair same-typed
+    * key columns; nulls are excluded on both sides (SQL FK semantics).
+    *
+    * Each candidate is `(depName, depDf, depCol, refName, refDf,
+    * refCol)`; names label the output rows. Scale shape: per candidate,
+    * two DISTINCT censuses (map-side combined) and one value-keyed left
+    * join — both sides shuffle only their distinct values, never raw
+    * rows; a true-FK referenced side is the small one and AQE
+    * broadcast-flips it. Candidates union into one pairs-sized result.
+    * Output: (dependent, referenced, n_dep_distinct, n_violating,
+    * holds). */
+  def inclusionDependencies(
+      candidates: Seq[(String, DataFrame, String, String, DataFrame, String)])
+      : DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate pair")
+    candidates.map { case (depName, depDf, depCol, refName, refDf, refCol) =>
+      val dep = depDf.where(col(depCol).isNotNull)
+        .select(col(depCol).cast("string").as("v")).distinct()
+      val ref = refDf.where(col(refCol).isNotNull)
+        .select(col(refCol).cast("string").as("v")).distinct()
+        .withColumn("__hit", lit(1))
+      dep.join(ref, Seq("v"), "left")
+        .agg(count(lit(1)).as("n_dep_distinct"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(s"$depName.$depCol").as("dependent"),
+          lit(s"$refName.$refCol").as("referenced"),
+          col("n_dep_distinct"), col("n_violating"),
+          (col("n_violating") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Sortedness audit: per `partCol` slice, walk rows in their STORAGE
     * order (`seqCols` — an ingestion sequence, a file offset, a
     * monotonically-assigned id) and count adjacent pairs where the

@@ -760,6 +760,28 @@ object Relational {
       Tables.orders(spark, dir),
       Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"))
 
+  /** q293 — inclusion-dependency discovery ([[graft.operators.Profile
+    * .inclusionDependencies]]): which key columns are real foreign keys?
+    * The four TPC-H FK edges (lineitem→orders, orders→customer,
+    * customer→nation, nation→region) should hold; the reverse
+    * orders→lineitem edge and part→lineitem probe whether every order
+    * has lines / every part was ever ordered; events.user_id→customer
+    * asks whether the event stream's users are all known customers. */
+  def q293InclusionDeps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir); val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir); val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir); val p = Tables.part(spark, dir)
+    val ev = Tables.events(spark, dir)
+    graft.operators.Profile.inclusionDependencies(Seq(
+      ("lineitem", li, "l_orderkey", "orders", o, "o_orderkey"),
+      ("orders", o, "o_custkey", "customer", c, "c_custkey"),
+      ("customer", c, "c_nationkey", "nation", n, "n_nationkey"),
+      ("nation", n, "n_regionkey", "region", r, "r_regionkey"),
+      ("orders", o, "o_orderkey", "lineitem", li, "l_orderkey"),
+      ("part", p, "p_partkey", "lineitem", li, "l_partkey"),
+      ("events", ev, "user_id", "customer", c, "c_custkey")))
+  }
+
   /** q234 — sortedness audit ([[graft.operators.Profile
     * .sortednessCensus]]): per event type, walk events in event_id
     * (ingestion) order and count adjacent timestamp inversions — the

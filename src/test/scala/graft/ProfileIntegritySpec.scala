@@ -145,4 +145,21 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
     }.sum
     assert(math.abs(chi2b - expB) < 1e-9)
   }
+
+  test("inclusionDependencies: FK holds, dirty FK counts distinct orphans") {
+    import spark.implicits._
+    val ref = Seq(1L, 2L, 3L).toDF("k")
+    // values 1,2 resolve; 9 and 8 are orphans (9 twice -> ONE distinct)
+    val dep = Seq(1L, 2L, 2L, 9L, 9L, 8L).toDF("fk")
+    val depNull = Seq(Some(1L), None, Some(3L)).toDF("fk")
+    val out = Profile.inclusionDependencies(Seq(
+        ("dep", dep, "fk", "ref", ref, "k"),
+        ("depnull", depNull, "fk", "ref", ref, "k"),
+        ("ref", ref, "k", "dep", dep, "fk")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out("dep.fk") == ((4L, 2L, false)), "distinct orphans, not rows")
+    assert(out("depnull.fk") == ((2L, 0L, true)), "nulls excluded, FK holds")
+    assert(out("ref.k") == ((3L, 1L, false)), "reverse direction: 3 missing")
+  }
 }
