@@ -314,6 +314,7 @@ object SparkEntry {
     "q291_kendall_tau"      -> (T.q291KendallTau(_, _)),
     "q292_silhouette"       -> (D.q292Silhouette(_, _)),
     "q293_inclusion_deps"   -> (R.q293InclusionDeps(_, _)),
+    "q294_brown_forsythe"   -> (T.q294BrownForsythe(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1005,6 +1006,46 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q294: doubled-order-statistic medians make z = |2x - med2| exact;
+    // the one order-sensitive float sum folds in group order (q290
+    // discipline); F's remaining float ops are pinned-shape divisions
+    "q294_brown_forsythe" ->
+      """WITH s AS (SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS s,
+        |    event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |c AS (SELECT s, g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM s GROUP BY 1, 2, 3),
+        |cum AS (SELECT s, g, v, c,
+        |    SUM(c) OVER (PARTITION BY s, g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY s, g) AS ni
+        |  FROM c),
+        |med AS (SELECT s, g,
+        |    min(CASE WHEN cum >= (ni + 1) // 2 THEN v END)
+        |      + min(CASE WHEN cum >= ni // 2 + 1 THEN v END) AS med2
+        |  FROM cum GROUP BY 1, 2),
+        |z AS (SELECT c.s, c.g, c.c, abs(2 * c.v - med.med2) AS z
+        |  FROM c JOIN med ON c.s = med.s AND c.g = med.g),
+        |pg AS (SELECT s, g, CAST(sum(c) AS BIGINT) AS ni,
+        |    sum(CAST(c AS HUGEINT) * z) AS si,
+        |    sum(CAST(c AS HUGEINT) * z * z) AS qi
+        |  FROM z GROUP BY 1, 2),
+        |f AS (SELECT s, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ni) AS BIGINT) AS n, sum(si) AS ss, sum(qi) AS qq,
+        |    list(CAST(si * si AS DOUBLE) / CAST(ni AS DOUBLE) ORDER BY g) AS terms
+        |  FROM pg GROUP BY 1),
+        |f2 AS (SELECT s, k, n,
+        |    list_reduce(terms, (a, x) -> a + x) AS sterm,
+        |    CAST(ss * ss AS DOUBLE) AS ss2, CAST(qq AS DOUBLE) AS qqd
+        |  FROM f)
+        |SELECT s AS dow, k, n,
+        |  CASE WHEN k > 1 AND qqd - sterm > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(n - k AS DOUBLE) * (sterm - ss2 / CAST(n AS DOUBLE))
+        |      / (CAST(k - 1 AS DOUBLE) * (qqd - sterm))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS f
+        |FROM f2""".stripMargin,
     // q291: concordance counts are exact integer pair censuses; the tie
     // products widen to HUGEINT before the multiply (n^4/4 overflow)
     "q291_kendall_tau" ->

@@ -102,4 +102,73 @@ object Robust {
       .withColumn("clip_mean",
         col("clip_sum").cast("double") / col("n_rows").cast("double"))
   }
+
+  /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe 1974)
+    * per scope: do the `groupCol` samples have the same SPREAD? The
+    * robust Levene variant — one-way ANOVA F on the absolute deviations
+    * from each group's MEDIAN, so a heavy tail doesn't masquerade as
+    * unequal variance. The A/B-infrastructure guard that belongs next
+    * to the mean test (q180 Welch) and the distribution tests (q283 U,
+    * q290 H): equal means with exploding spread is a real regression.
+    *
+    * Exactness: group medians use the doubled order-statistic rule
+    * (med2 = x_⌈n/2⌉ + x_⌊n/2⌋₊₁, an INTEGER — no (a+b)/2 float seam),
+    * so z = |2x − med2| is an exact integer and every moment (n_i, S_i
+    * = Σz, Q_i = Σz², and their scope totals) is an exact decimal.
+    * With F = [(N−k)/(k−1)] · [Σ S_i²/n_i − S²/N] / [ΣQ − Σ S_i²/n_i],
+    * the ONE order-sensitive float sum (Σ S_i²/n_i) folds left-to-right
+    * in group order over a k-bounded sorted collect (the q290
+    * discipline); every other float op is correctly rounded from exact
+    * integers in a pinned shape, so F replays bit-identically.
+    *
+    * Scale shape: one (scope, group, value) census, one cumulative
+    * window over the DISTINCT-value census for medians, one
+    * co-partitioned join back, k-bounded folds. No row-scale shuffle
+    * after the census. Output: (scope, k, n, f); f null when k < 2 or
+    * the within-groups sum is 0 (all deviations identical). */
+  def brownForsythe(df: DataFrame, scopeCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("s"), col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("s"), col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("s"), col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy(col("s"), col("g"))
+    val cum = census
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("ni", sum(col("c")).over(wn))
+    val med = cum.groupBy(col("s"), col("g")).agg(
+      (min(when(col("cum") >= expr("(ni + 1) div 2"), col("v"))) +
+        min(when(col("cum") >= expr("ni div 2 + 1"), col("v")))).as("med2"))
+    val z = census.join(med, Seq("s", "g"))
+      .withColumn("z", abs(lit(2L) * col("v") - col("med2")))
+    val perGroup = z.groupBy(col("s"), col("g")).agg(
+      sum(col("c")).as("ni"),
+      sum(col("c").cast(dec) * col("z").cast(dec)).cast(dec).as("si"),
+      sum(col("c").cast(dec) * col("z").cast(dec) * col("z").cast(dec))
+        .cast(dec).as("qi"))
+    val folded = perGroup
+      .select(col("s"), struct(col("g"),
+        (col("si") * col("si")).cast(dec).as("s2"), col("ni"), col("si"),
+        col("qi")).as("e"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("k"), sum(col("e.ni")).as("n"),
+        sum(col("e.si")).cast(dec).as("ss"),
+        sum(col("e.qi")).cast(dec).as("qq"),
+        sort_array(collect_list(col("e"))).as("es"))
+      .withColumn("__sterm", expr(
+        """aggregate(es, CAST(0.0 AS DOUBLE), (a, x) ->
+          |  a + CAST(x.s2 AS DOUBLE) / CAST(x.ni AS DOUBLE))""".stripMargin))
+    val between = col("__sterm") -
+      (col("ss") * col("ss")).cast(dec).cast("double") /
+        col("n").cast("double")
+    val within = col("qq").cast("double") - col("__sterm")
+    folded.select(col("s"), col("k"), col("n"),
+      when(col("k") > 1 && within > 0,
+        (col("n") - col("k")).cast("double") * between /
+          ((col("k") - 1).cast("double") * within)).as("f"))
+  }
 }

@@ -886,6 +886,19 @@ object TimeSeries {
         $"discordant", $"tie_x", $"tie_y", round($"tau_b", 6).as("tau_b"))
   }
 
+  /** q294 — Brown–Forsythe spread test ([[graft.operators.Robust
+    * .brownForsythe]]): per day-of-week, do the five event types have
+    * the same value SPREAD? Completes the per-scope battery: q180
+    * means, q283/q290 distributions, q294 variances — all on exact
+    * cents. */
+  def q294BrownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select(
+      dayofweek(to_date($"ts")).cast("int").as("dow"), $"event_type",
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Robust.brownForsythe(s, "dow", "event_type", "cents")
+      .select($"s".as("dow"), $"k", $"n", round($"f", 6).as("f"))
+  }
+
   /** q285 — weight-of-evidence table ([[graft.operators.Encoding
     * .woeTable]]): event type encoded against the weekend label with
     * Laplace 0.5 smoothing; IV folds per-category terms in category

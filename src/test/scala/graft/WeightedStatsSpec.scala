@@ -82,4 +82,54 @@ class WeightedStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.getAs[Long]("p_lo") == 1L && out.getAs[Long]("p_hi") == 9L)
     assert(out.getAs[Long]("n_clip_lo") == 0L && out.getAs[Long]("n_clip_hi") == 0L)
   }
+
+  test("brownForsythe: hand-computed F, equal spread 0, degenerate nulls") {
+    import spark.implicits._
+    import graft.operators.Robust
+    // a={1,2,9}: med 2, z=|2x-4|={2,0,14}, S=16 Q=200
+    // b={4,5,6}: med 5, z={2,0,2}, S=4 Q=8
+    val df = Seq(("s", "a", 1L), ("s", "a", 2L), ("s", "a", 9L),
+      ("s", "b", 4L), ("s", "b", 5L), ("s", "b", 6L)).toDF("sc", "g", "v")
+    val r = Robust.brownForsythe(df, "sc", "g", "v").collect().head
+    val sterm = 0.0 + 256.0 / 3.0 + 16.0 / 3.0
+    val expF = (4.0 * (sterm - 400.0 / 6.0)) / (1.0 * (208.0 - sterm))
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Double]("f") == expF, "bit-identical pinned-shape F")
+
+    // identical spreads, shifted locations -> between = 0 -> F = 0
+    val eq = Seq(("s", "a", 1L), ("s", "a", 2L), ("s", "a", 3L),
+      ("s", "b", 11L), ("s", "b", 12L), ("s", "b", 13L)).toDF("sc", "g", "v")
+    assert(Robust.brownForsythe(eq, "sc", "g", "v").collect().head
+      .getAs[Double]("f") == 0.0)
+
+    // single group -> null; all-constant groups -> within 0 -> null
+    val one = Seq(("s", "a", 1L), ("s", "a", 5L)).toDF("sc", "g", "v")
+    assert(Robust.brownForsythe(one, "sc", "g", "v").collect().head.isNullAt(3))
+    val const = Seq(("s", "a", 3L), ("s", "a", 3L),
+      ("s", "b", 7L), ("s", "b", 7L)).toDF("sc", "g", "v")
+    assert(Robust.brownForsythe(const, "sc", "g", "v").collect().head.isNullAt(3))
+  }
+
+  test("brownForsythe: even-n doubled median, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Robust
+    // even n: a={1,2,3,10} -> med2 = 2+3 = 5, z={3,1,1,15}: exact, no
+    // float midpoint (two-point groups would have within = 0 trivially)
+    val even = Seq(("s", "a", 1L), ("s", "a", 2L), ("s", "a", 3L),
+      ("s", "a", 10L), ("s", "b", 1L), ("s", "b", 2L), ("s", "b", 3L),
+      ("s", "b", 4L)).toDF("sc", "g", "v")
+    val r = Robust.brownForsythe(even, "sc", "g", "v").collect().head
+    assert(!r.isNullAt(3), "even-sized groups still produce F")
+
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map(i =>
+      ("s" + (i % 2), "g" + rnd.nextInt(4), rnd.nextInt(500).toLong))
+    val df = rows.toDF("sc", "g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Robust.brownForsythe(d, "sc", "g", "v")
+        .collect().map(r => (r.getString(0), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    assert(run(df.repartition(1)) ==
+      run(df.repartition(32, org.apache.spark.sql.functions.col("v"))))
+  }
 }
