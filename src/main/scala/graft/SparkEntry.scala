@@ -315,6 +315,7 @@ object SparkEntry {
     "q292_silhouette"       -> (D.q292Silhouette(_, _)),
     "q293_inclusion_deps"   -> (R.q293InclusionDeps(_, _)),
     "q294_brown_forsythe"   -> (T.q294BrownForsythe(_, _)),
+    "q295_cramers_v"        -> (R.q295CramersV(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1006,6 +1007,34 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q295: o²/e identity — empty cells contribute 0, so the fold runs
+    // over observed cells only, in (a,b) order (the q237 MI discipline)
+    "q295_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    CAST(count(*) AS BIGINT) AS cab FROM orders GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |t AS (SELECT cells.a, cells.b,
+        |    CAST(CAST(cab AS HUGEINT) * cab AS DOUBLE)
+        |    / CAST(CAST(ca AS HUGEINT) * cb AS DOUBLE) AS term
+        |  FROM cells JOIN ma USING (a) JOIN mb USING (b)),
+        |f AS (SELECT list(term ORDER BY a, b) AS terms,
+        |    (SELECT CAST(sum(cab) AS BIGINT) FROM cells) AS n,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ma) AS r,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mb) AS c
+        |  FROM t),
+        |g AS (SELECT n, r, c,
+        |    CAST(n AS DOUBLE) * (list_reduce(terms, (x, y) -> x + y) - 1.0) AS chi2
+        |  FROM f)
+        |SELECT n, r, c,
+        |  CAST(round(CAST(CAST(chi2 AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |    AS chi2,
+        |  CASE WHEN least(r, c) > 1 THEN
+        |    CAST(round(CAST(CAST(sqrt(greatest(chi2, 0.0) /
+        |      (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))) AS VARCHAR)
+        |      AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS v
+        |FROM g""".stripMargin,
     // q294: doubled-order-statistic medians make z = |2x - med2| exact;
     // the one order-sensitive float sum folds in group order (q290
     // discipline); F's remaining float ops are pinned-shape divisions

@@ -182,4 +182,55 @@ object Divergence {
     mi.crossJoin(ha).crossJoin(hb)
       .select(col("n"), col("n_cells"), col("h_a"), col("h_b"), col("mi"))
   }
+
+  /** Cramér's V — [[mutualInformation]]'s effect-size companion: the
+    * chi-square association between two categorical columns normalized
+    * to [0, 1] (0 = independent, 1 = one column determines the other),
+    * comparable ACROSS tables and cardinalities where raw chi² and MI
+    * are not. Uses the o²/e identity
+    *   chi² = N·(Σ_cells o²/(rowtot·coltot) − 1),
+    * where EMPTY cells contribute exactly 0 — so the fold runs over the
+    * observed-cell census only, never the full r×c grid (which at
+    * 100 TB cardinalities may be mostly holes).
+    *
+    * Exactness: o², rowtot·coltot are exact decimals; each cell term is
+    * one correctly-rounded division; the only order-sensitive float sum
+    * folds left-to-right in (a, b) cell order over the cell-bounded
+    * sorted collect (the [[mutualInformation]] discipline). chi² is
+    * clamped at 0 before the sqrt (independence lands a hair under the
+    * identity's 1.0 in floats). V = sqrt(chi² / (N·(min(r,c) − 1))).
+    *
+    * Scale shape: one (a, b) census (map-side combined), two
+    * marginal re-aggregations of the census, one broadcast scalar; no
+    * row-scale shuffle after the census. Output one row: (n, r, c,
+    * chi2, v); v null when either side has a single category. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("cab"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    val n = cells.agg(sum(col("cab")).as("n"))
+    val r = ma.agg(count(lit(1)).as("r"))
+    val c = mb.agg(count(lit(1)).as("c"))
+    val terms = cells.join(ma, "a").join(mb, "b")
+      .select(col("a"), col("b"),
+        ((col("cab").cast(dec) * col("cab").cast(dec)).cast(dec)
+          .cast("double") /
+          (col("ca").cast(dec) * col("cb").cast(dec)).cast(dec)
+            .cast("double")).as("term"))
+    val folded = terms
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("term"))))
+        .as("ts"))
+      .select(aggregate(col("ts"), lit(0.0d),
+        (acc, t) => acc + t.getField("term")).as("sterm"))
+    val minrc1 = (least(col("r"), col("c")) - 1).cast("double")
+    val chi2 = col("n").cast("double") * (col("sterm") - lit(1.0))
+    folded.crossJoin(broadcast(n)).crossJoin(broadcast(r))
+      .crossJoin(broadcast(c))
+      .select(col("n"), col("r"), col("c"), chi2.as("chi2"),
+        when(least(col("r"), col("c")) > 1,
+          sqrt(greatest(chi2, lit(0.0)) /
+            (col("n").cast("double") * minrc1))).as("v"))
+  }
 }

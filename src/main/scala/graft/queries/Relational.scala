@@ -747,6 +747,17 @@ object Relational {
       .select($"n", $"n_cells", round($"h_a", 6).as("h_a"),
         round($"h_b", 6).as("h_b"), round($"mi", 6).as("mi"))
 
+  /** q295 — Cramér's V ([[graft.operators.Divergence.cramersV]]):
+    * q237's effect-size companion on the same priority×status pair —
+    * the normalized [0,1] association that is comparable across tables
+    * and cardinalities. Empty-cell-free o²/e identity; the one float
+    * sum folds in cell order. */
+  def q295CramersV(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.cramersV(
+        Tables.orders(spark, dir), "o_orderpriority", "o_orderstatus")
+      .select($"n", $"r", $"c", round($"chi2", 6).as("chi2"),
+        round($"v", 6).as("v"))
+
   /** q233 — functional-dependency discovery
     * ([[graft.operators.Profile.functionalDependencies]]) over four
     * orders columns: which columns determine which — the profiling
