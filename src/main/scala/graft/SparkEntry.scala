@@ -316,6 +316,7 @@ object SparkEntry {
     "q293_inclusion_deps"   -> (R.q293InclusionDeps(_, _)),
     "q294_brown_forsythe"   -> (T.q294BrownForsythe(_, _)),
     "q295_cramers_v"        -> (R.q295CramersV(_, _)),
+    "q296_rouge_l"          -> (D.q296RougeL(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1007,6 +1008,48 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q296: token-LCS via the q281 recursive-CTE row-DP discipline (the
+    // bare-list accumulator; struct accumulators drop list state). Both
+    // token lists cap at 64 — the cap is the operator's semantics.
+    "q296_rouge_l" ->
+      """WITH RECURSIVE base AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS rt
+        |  FROM documents WHERE doc_id < 40),
+        |pair AS (SELECT doc_id, list_slice(rt, 1, 64) AS va,
+        |    list_slice(list_concat(list_slice(rt, 1, 12),
+        |      ['candidate', 'summary', 'tail', 'words']), 1, 64) AS vb
+        |  FROM base),
+        |dp AS (
+        |  SELECT doc_id, va, vb, 0 AS i,
+        |    list_transform(range(0, len(vb) + 1), j -> CAST(0 AS BIGINT)) AS row
+        |  FROM pair
+        |  UNION ALL
+        |  SELECT doc_id, va, vb, i + 1,
+        |    list_reduce(
+        |      list_prepend([CAST(0 AS BIGINT)],
+        |        list_transform(range(1, len(vb) + 1), j -> [CAST(j AS BIGINT)])),
+        |      (acc, x) -> list_append(acc,
+        |        CASE WHEN va[i + 1] = vb[x[1]] THEN row[x[1]] + 1
+        |             ELSE greatest(row[x[1] + 1], acc[len(acc)]) END)) AS row
+        |  FROM dp WHERE i < len(va))
+        |SELECT doc_id, CAST(len(va) AS BIGINT) AS n_ref,
+        |  CAST(len(vb) AS BIGINT) AS n_cand,
+        |  row[len(vb) + 1] AS lcs,
+        |  CAST(round(CAST(CAST(CAST(row[len(vb) + 1] AS DOUBLE)
+        |    / CAST(len(vb) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS rouge_p,
+        |  CAST(round(CAST(CAST(CAST(row[len(vb) + 1] AS DOUBLE)
+        |    / CAST(len(va) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS rouge_r,
+        |  CASE WHEN row[len(vb) + 1] > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      2.0 * (CAST(row[len(vb) + 1] AS DOUBLE) / CAST(len(vb) AS DOUBLE))
+        |          * (CAST(row[len(vb) + 1] AS DOUBLE) / CAST(len(va) AS DOUBLE))
+        |      / ((CAST(row[len(vb) + 1] AS DOUBLE) / CAST(len(vb) AS DOUBLE))
+        |         + (CAST(row[len(vb) + 1] AS DOUBLE) / CAST(len(va) AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  ELSE 0.0 END AS rouge_f1
+        |FROM dp WHERE i = len(va)""".stripMargin,
     // q295: o²/e identity — empty cells contribute 0, so the fold runs
     // over observed cells only, in (a,b) order (the q237 MI discipline)
     "q295_cramers_v" ->

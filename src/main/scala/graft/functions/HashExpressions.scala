@@ -399,6 +399,36 @@ object FastHash {
     * dense-graph triangle close ([[graft.operators.Triangles]]) calls
     * this once per oriented edge, where `array_intersect`'s per-call
     * hash build was the dominant cost. */
+  /** Token-level longest-common-subsequence length between two texts,
+    * both token lists truncated to `cap` tokens first (the DP is
+    * O(cap²) per pair — the cap IS the semantics, replayed by the
+    * oracle, not a silent truncation). Tokens = whitespace split of
+    * lower(trim(text)), the [[tokens]] convention shared with the
+    * shingle/minhash family. Two-row DP, exact integers. */
+  def lcsLenValue(a: UTF8String, b: UTF8String, cap: Int): Long = {
+    def capped(t: UTF8String): Array[String] = {
+      val ts = tokens(t)
+      if (ts.length > cap) java.util.Arrays.copyOf(ts, cap) else ts
+    }
+    val ta = capped(a)
+    val tb = capped(b)
+    val prev = new Array[Int](tb.length + 1)
+    val cur = new Array[Int](tb.length + 1)
+    var i = 0
+    while (i < ta.length) {
+      var j = 0
+      while (j < tb.length) {
+        cur(j + 1) =
+          if (ta(i) == tb(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(tb.length).toLong
+  }
+
   def sortedIntersectLongs(a: ArrayData, b: ArrayData): ArrayData = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -462,6 +492,31 @@ object FastHash {
   def pqAdc(codes: Column, dtFlat: Column, ksub: Int): Column =
     GraftShim.column(PqAdcExpr(GraftShim.expression(codes),
       GraftShim.expression(dtFlat), ksub))
+
+  def tokenLcs(a: Column, b: Column, cap: Int): Column =
+    GraftShim.column(TokenLcsExpr(GraftShim.expression(a),
+      GraftShim.expression(b), cap))
+}
+
+/** (text, text) -> token-LCS length, both sides capped at `cap` tokens
+  * ([[FastHash.lcsLenValue]]; the ROUGE-L kernel). */
+case class TokenLcsExpr(left: Expression, right: Expression, cap: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_token_lcs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FastHash.lcsLenValue(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.FastHash.lcsLenValue($a, $b, $cap)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenLcsExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** (sorted array<bigint>, sorted array<bigint>) -> sorted array<bigint>

@@ -287,6 +287,28 @@ object TrainingData {
       .select($"label", $"n", $"n_closer_home",
         round($"mean_silhouette", 6).as("mean_silhouette"))
 
+  /** q296 — ROUGE-L summary fidelity ([[graft.operators.Rouge.rougeL]]):
+    * each of the first 40 documents scored against a deterministic
+    * "summary" (its first 12 tokens plus a planted novel tail) — recall
+    * measures how much of the reference the summary preserves, precision
+    * how much of the summary is grounded; the planted tail keeps
+    * precision < 1 so the score discriminates. Codegen'd token-LCS DP,
+    * capped at 64 tokens per side (the cap is the semantics, replayed
+    * by the oracle). */
+  def q296RougeL(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim($"text")), "\\s+")
+    val cand = concat_ws(" ",
+      concat(slice(toks, 1, 12),
+        array(lit("candidate"), lit("summary"), lit("tail"), lit("words"))))
+    val paired = docs(spark, dir).where($"doc_id" < 40)
+      .select($"doc_id", $"text", cand.as("cand"))
+    graft.operators.Rouge.rougeL(paired, "doc_id", "text", "cand", cap = 64)
+      .select($"doc_id", $"n_ref", $"n_cand", $"lcs",
+        round($"rouge_p", 6).as("rouge_p"),
+        round($"rouge_r", 6).as("rouge_r"),
+        round($"rouge_f1", 6).as("rouge_f1"))
+  }
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

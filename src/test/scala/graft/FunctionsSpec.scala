@@ -152,4 +152,55 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     val bad = df.where(!(col("fast") === col("ref"))).count()
     assert(bad == 0)
   }
+
+  test("tokenLcs: hand cases, order sensitivity, cap, normalization") {
+    import spark.implicits._
+    import graft.functions.FastHash
+    def lcs(a: String, b: String, cap: Int = 64): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(FastHash.tokenLcs(col("a"), col("b"), cap)).head().getLong(0)
+    assert(lcs("a b c", "a b c") == 3)
+    assert(lcs("a b c d", "b d") == 2)
+    assert(lcs("a b", "b a") == 1, "order matters, unlike Jaccard")
+    assert(lcs("a b c", "x y z") == 0)
+    assert(lcs("a b c", "a b c", cap = 2) == 2, "cap truncates both sides")
+    assert(lcs("A  B", "a b") == 2, "lower(trim) tokenization")
+  }
+
+  test("tokenLcs agrees with a reference DP on random token strings") {
+    import spark.implicits._
+    import graft.functions.FastHash
+    def refLcs(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 200).map { i =>
+      def s() = Array.fill(1 + rnd.nextInt(20))(("tok" + rnd.nextInt(6)))
+      val (a, b) = (s(), s())
+      (i, a.mkString(" "), b.mkString(" "), refLcs(a, b).toLong)
+    }
+    val df = rows.toDF("id", "a", "b", "ref")
+      .withColumn("fast", FastHash.tokenLcs(col("a"), col("b"), 64))
+    assert(df.where(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("rougeL: hand-computed precision/recall/F1 and edge semantics") {
+    import spark.implicits._
+    import graft.operators.Rouge
+    val df = Seq(
+      (1L, "w x y z", "w x"),      // lcs 2: p=1, r=.5, f1=2/3
+      (2L, "w x y z", "w x y z"),  // identical: all 1
+      (3L, "w x", "q r")           // disjoint: f1 = 0 exactly
+    ).toDF("id", "ref", "cand")
+    val got = Rouge.rougeL(df, "id", "ref", "cand")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got(1L) == ((1.0, 0.5, 2.0 * 1.0 * 0.5 / 1.5)))
+    assert(got(2L) == ((1.0, 1.0, 1.0)))
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
+  }
 }
