@@ -317,6 +317,7 @@ object SparkEntry {
     "q294_brown_forsythe"   -> (T.q294BrownForsythe(_, _)),
     "q295_cramers_v"        -> (R.q295CramersV(_, _)),
     "q296_rouge_l"          -> (D.q296RougeL(_, _)),
+    "q297_wasserstein"      -> (T.q297Wasserstein(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1008,6 +1009,34 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q297: W1's numerator is an exact integer sum (cross-products x
+    // value gaps) — order-insensitive, no fold discipline needed; the
+    // terminal division is the only float op
+    "q297_wasserstein" ->
+      """WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS r
+        |  FROM events),
+        |c AS (SELECT v, CAST(sum(1 - r) AS BIGINT) AS ca,
+        |    CAST(sum(r) AS BIGINT) AS cb FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS nv FROM c),
+        |w AS (SELECT v,
+        |    SUM(ca) OVER (ORDER BY v) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v) AS cumb,
+        |    lead(v) OVER (ORDER BY v) AS vn
+        |  FROM c),
+        |g AS (SELECT COALESCE(sum(
+        |      abs(CAST(cuma AS HUGEINT) * t.nb - CAST(cumb AS HUGEINT) * t.na)
+        |      * (vn - v)), 0) AS num
+        |  FROM w, t WHERE vn IS NOT NULL)
+        |SELECT t.na AS n_a, t.nb AS n_b, t.nv AS n_values,
+        |  CASE WHEN t.na <> 0 AND t.nb <> 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(g.num AS DOUBLE) / CAST(CAST(t.na AS HUGEINT) * t.nb AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS w1
+        |FROM t, g""".stripMargin,
     // q296: token-LCS via the q281 recursive-CTE row-DP discipline (the
     // bare-list accumulator; struct accumulators drop list state). Both
     // token lists cap at 64 — the cap is the operator's semantics.

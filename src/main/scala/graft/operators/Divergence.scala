@@ -131,6 +131,81 @@ object Divergence {
           .as("d"))
   }
 
+  /** Two-sample Wasserstein-1 (earth mover) distance over an
+    * integer-quantized value column — [[ksTwoSample]]'s integral
+    * companion: KS reports the worst POINT of ECDF disagreement, W1 the
+    * total AREA between the ECDFs, in value units:
+    *   W1 = Σ_v |A(v)·n_b − B(v)·n_a| · (next(v) − v) / (n_a·n_b).
+    * The drift monitor that distinguishes "one quantile moved a lot"
+    * from "everything moved a little" — PSI/KL need a bucketing choice
+    * and miss mass that moves WITHIN a bucket; W1 is bucket-free.
+    *
+    * Exactness: every term is an exact integer (cumulative-count
+    * cross-products × value gaps, decimal(38,0)), so the sum is
+    * order-insensitive — NO float fold anywhere; the single terminal
+    * division is the only float op. Strictly stronger determinism than
+    * the sorted-fold operators.
+    *
+    * Scale shape: the same census discipline as [[ksTwoSample]] — one
+    * (value)-keyed row-scale aggregation, then ~256 range buckets with
+    * partitioned running sums and a bounded triangular offsets join (no
+    * global one-partition window). The next-distinct-value gap is a
+    * bucket-local lead, patched across bucket boundaries by a bounded
+    * join on the per-bucket minima. Output one row: (n_a, n_b,
+    * n_values, w1); w1 null when either side is empty. */
+  def wasserstein1(df: DataFrame, valueCol: String, isRight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val census = df
+      .select(col(valueCol).cast("long").as("__v"),
+        when(isRight, 1L).otherwise(0L).as("__r"))
+      .groupBy(col("__v"))
+      .agg(sum(lit(1L) - col("__r")).as("__ca"), sum(col("__r")).as("__cb"))
+      .localCheckpoint(false)
+    val bounds = census.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"), sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"), count(lit(1)).as("n_values"))
+    val bucketed = census.crossJoin(broadcast(bounds))
+      .withColumn("__w", greatest(lit(1L), expr("(__hi - __lo) div 256") + 1L))
+      .withColumn("__b", expr("(__v - __lo) div __w"))
+    val wOrd = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val run = bucketed
+      .withColumn("__ra", sum(col("__ca")).over(wOrd))
+      .withColumn("__rb", sum(col("__cb")).over(wOrd))
+      .withColumn("__vn", lead(col("__v"), 1).over(wOrd))
+    val btot = bucketed.groupBy(col("__b"))
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"),
+        min(col("__v")).as("__bv"))
+    // ONE bounded non-equi join serves both directions: prior buckets
+    // feed the count offsets, later buckets feed the next-value patch
+    val offs2 = btot.as("a")
+      .join(btot.select(col("__b").as("__b2"), col("__ta").as("__ta2"),
+        col("__tb").as("__tb2"), col("__bv").as("__bv2")),
+        col("__b2") =!= col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"))
+      .agg(
+        coalesce(sum(when(col("__b2") < col("a.__b"), col("__ta2"))), lit(0L))
+          .as("__oa"),
+        coalesce(sum(when(col("__b2") < col("a.__b"), col("__tb2"))), lit(0L))
+          .as("__ob"),
+        min(when(col("__b2") > col("a.__b"), col("__bv2"))).as("__nv"))
+    val gap = abs(
+      ((col("__oa") + col("__ra")).cast(dec) * col("__nb").cast(dec)).cast(dec) -
+        ((col("__ob") + col("__rb")).cast(dec) * col("__na").cast(dec)).cast(dec))
+    val delta = coalesce(col("__vn"), col("__nv")) - col("__v")
+    run.join(broadcast(offs2), "__b")
+      .select(col("__na"), col("__nb"), col("n_values"),
+        when(delta.isNotNull, (gap.cast(dec) * delta.cast(dec)).cast(dec))
+          .otherwise(lit(0L).cast(dec)).as("__term"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_values"))
+      .agg(sum(col("__term")).cast(dec).as("__w1num"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        when(col("n_a") =!= 0L && col("n_b") =!= 0L,
+          col("__w1num").cast("double") /
+            (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"))
+          .as("w1"))
+  }
+
   /** Mutual information between two categorical columns, in nats —
     * the dependence profiler: does the metadata column leak the label
     * (I > 0 says how hard), are two quasi-identifiers redundant, which

@@ -899,6 +899,19 @@ object TimeSeries {
       .select($"s".as("dow"), $"k", $"n", round($"f", 6).as("f"))
   }
 
+  /** q297 — Wasserstein-1 drift ([[graft.operators.Divergence
+    * .wasserstein1]]): total ECDF area between weekend and weekday
+    * value distributions in cents — the integral companion to the KS
+    * point statistic, with an ALL-integer numerator (no float fold
+    * anywhere). */
+  def q297Wasserstein(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select(
+      round($"value" * 100).cast("long").as("cents"),
+      dayofweek(to_date($"ts")).isin(1, 7).as("wkend"))
+    graft.operators.Divergence.wasserstein1(s, "cents", $"wkend")
+      .select($"n_a", $"n_b", $"n_values", round($"w1", 6).as("w1"))
+  }
+
   /** q285 — weight-of-evidence table ([[graft.operators.Encoding
     * .woeTable]]): event type encoded against the weekend label with
     * Laplace 0.5 smoothing; IV folds per-category terms in category

@@ -55,6 +55,51 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(v(Seq(("x", "1"), ("x", "2"), ("x", "2"))).isNullAt(4))
   }
 
+  test("wasserstein1: pure shift distance, zero on identical, null on empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // B = A + 5 exactly -> W1 = 5
+    val shift = Seq((0L, false), (10L, false), (5L, true), (15L, true))
+      .toDF("v", "r")
+    val rs = Divergence.wasserstein1(shift, "v", col("r")).collect().head
+    assert(rs.getAs[Double]("w1") == 5.0)
+    // identical samples -> 0
+    val same = Seq((1L, false), (9L, false), (1L, true), (9L, true)).toDF("v", "r")
+    assert(Divergence.wasserstein1(same, "v", col("r")).collect().head
+      .getAs[Double]("w1") == 0.0)
+    // one side empty -> null, loudly
+    val empty = Seq((1L, false), (2L, false)).toDF("v", "r")
+    assert(Divergence.wasserstein1(empty, "v", col("r")).collect().head
+      .isNullAt(3))
+  }
+
+  test("wasserstein1 agrees with a single-pass reference across buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(17)
+    // value range >> 256 so the bucket decomposition and the cross-bucket
+    // next-value patch genuinely engage
+    val rows = (1 to 4000).map(_ =>
+      (rnd.nextInt(100000).toLong + (if (rnd.nextBoolean()) 40000 else 0),
+        rnd.nextBoolean()))
+    def ref(xs: Seq[(Long, Boolean)]): Double = {
+      val census = xs.groupBy(_._1).map { case (v, g) =>
+        (v, g.count(!_._2).toLong, g.count(_._2).toLong)
+      }.toSeq.sortBy(_._1)
+      val na = census.map(_._2).sum; val nb = census.map(_._3).sum
+      var (ca, cb, num) = (0L, 0L, BigInt(0))
+      census.zip(census.drop(1)).foreach { case ((v, a, b), (vn, _, _)) =>
+        ca += a; cb += b
+        num += (BigInt(ca) * nb - BigInt(cb) * na).abs * (vn - v)
+      }
+      num.toDouble / (BigInt(na) * nb).toDouble
+    }
+    val got = Divergence.wasserstein1(
+      rows.toDF("v", "r").repartition(32, col("v")), "v", col("r"))
+      .collect().head.getAs[Double]("w1")
+    assert(got == ref(rows), "bucketed plan == single-pass reference")
+  }
+
   test("cramersV: partitioning-invariant (ordered cell fold)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
