@@ -318,6 +318,7 @@ object SparkEntry {
     "q295_cramers_v"        -> (R.q295CramersV(_, _)),
     "q296_rouge_l"          -> (D.q296RougeL(_, _)),
     "q297_wasserstein"      -> (T.q297Wasserstein(_, _)),
+    "q298_split_leakage"    -> (T.q298SplitLeakage(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1009,6 +1010,33 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q298: q98's md5 thresholds ('cc'/'e6'), then the straddle census —
+    // all-integer counts, one terminal division per variant
+    "q298_split_leakage" -> {
+      def variant(keyCol: String, tag: String) =
+        s"""SELECT '$tag' AS variant, CAST(sum(nr) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_straddling,
+           |  CAST(sum(CASE WHEN ns > 1 THEN nr ELSE 0 END) AS BIGINT)
+           |    AS n_rows_straddling,
+           |  CAST(round(CAST(CAST(
+           |    CAST(sum(CASE WHEN ns > 1 THEN nr ELSE 0 END) AS DOUBLE)
+           |    / CAST(sum(nr) AS DOUBLE)
+           |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS leak_rate
+           |FROM (SELECT user_id, CAST(sum(c) AS BIGINT) AS nr,
+           |    CAST(count(*) AS BIGINT) AS ns
+           |  FROM (SELECT user_id, split, CAST(count(*) AS BIGINT) AS c
+           |    FROM (SELECT user_id,
+           |        CASE WHEN substr(md5(CAST($keyCol AS VARCHAR)), 1, 2) < 'cc'
+           |               THEN 'train'
+           |             WHEN substr(md5(CAST($keyCol AS VARCHAR)), 1, 2) < 'e6'
+           |               THEN 'val'
+           |             ELSE 'test' END AS split
+           |      FROM events) s GROUP BY 1, 2) cs GROUP BY 1) g""".stripMargin
+      variant("event_id", "row_keyed") + "\nUNION ALL\n" +
+        variant("user_id", "group_keyed")
+    },
     // q297: W1's numerator is an exact integer sum (cross-products x
     // value gaps) — order-insensitive, no fold discipline needed; the
     // terminal division is the only float op

@@ -40,6 +40,35 @@ object Splits {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Split-leakage audit — the GroupKFold check a training pipeline runs
+    * BEFORE trusting a row-level split: does any entity (`groupCol` —
+    * a user, a document family, a near-dup cluster id) straddle two
+    * splits? Straddling groups leak: the model sees the entity in train
+    * and is scored on it in test. A [[hashSplit]] keyed on the ROW id
+    * leaks whenever groups span rows; keyed on the GROUP id it cannot —
+    * this census quantifies the difference instead of asserting it.
+    *
+    * Scale shape: one (group, split) census (map-side combined), one
+    * group-level re-aggregation; no row-scale shuffle after the census.
+    * All-integer counts; the leak rate is one terminal division.
+    * Output one row: (n_rows, n_groups, n_straddling, n_rows_straddling,
+    * leak_rate = straddling rows / all rows). */
+  def splitLeakage(df: DataFrame, groupCol: String,
+      splitCol: String): DataFrame = {
+    val census = df.groupBy(col(groupCol).as("g"), col(splitCol).as("s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("nr"), count(lit(1)).as("ns"))
+    census.agg(
+        sum(col("nr")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_straddling"),
+        sum(when(col("ns") > 1, col("nr")).otherwise(0L))
+          .as("n_rows_straddling"))
+      .withColumn("leak_rate",
+        col("n_rows_straddling").cast("double") / col("n_rows").cast("double"))
+  }
+
   /** Deterministic per-stratum downsampling — the mixture-tuning move of
     * a pre-training pipeline ("keep 25% of src3, 75% of src7, all the
     * rest"): rows whose stratum has a rate keep only ids whose md5

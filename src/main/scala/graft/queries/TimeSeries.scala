@@ -912,6 +912,23 @@ object TimeSeries {
       .select($"n_a", $"n_b", $"n_values", round($"w1", 6).as("w1"))
   }
 
+  /** q298 — split-leakage audit ([[graft.operators.Splits
+    * .splitLeakage]]): the same 80/10/10 hash split keyed on the ROW id
+    * (event_id — leaks users across splits) vs keyed on the GROUP id
+    * (user_id — cannot leak), audited side by side. The GroupKFold
+    * check a training pipeline runs before trusting a split. */
+  def q298SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def audit(keyCol: String, tag: String) =
+      graft.operators.Splits.splitLeakage(
+          graft.operators.Splits.hashSplit(ev, keyCol, w), "user_id", "split")
+        .select(lit(tag).as("variant"), $"n_rows", $"n_groups",
+          $"n_straddling", $"n_rows_straddling",
+          round($"leak_rate", 6).as("leak_rate"))
+    audit("event_id", "row_keyed").unionByName(audit("user_id", "group_keyed"))
+  }
+
   /** q285 — weight-of-evidence table ([[graft.operators.Encoding
     * .woeTable]]): event type encoded against the weekend label with
     * Laplace 0.5 smoothing; IV folds per-category terms in category

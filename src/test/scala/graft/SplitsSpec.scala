@@ -161,4 +161,30 @@ class SplitsSpec extends AnyFunSuite with SparkFixture {
     assert(got.values.sum === 10L)
     assert(got === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
   }
+
+  test("splitLeakage: straddling groups counted by groups AND rows") {
+    import spark.implicits._
+    // g1 straddles (2 splits, 3 rows); g2 and g3 are pure
+    val df = Seq(("g1", "train"), ("g1", "train"), ("g1", "test"),
+      ("g2", "train"), ("g3", "test")).toDF("g", "split")
+    val r = Splits.splitLeakage(df, "g", "split").collect().head
+    assert(r.getAs[Long]("n_rows") == 5 && r.getAs[Long]("n_groups") == 3)
+    assert(r.getAs[Long]("n_straddling") == 1)
+    assert(r.getAs[Long]("n_rows_straddling") == 3)
+    assert(r.getAs[Double]("leak_rate") == 0.6)
+  }
+
+  test("splitLeakage: group-keyed hashSplit cannot straddle") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => (i.toLong, (i % 97).toString))
+    val df = rows.toDF("row_id", "grp")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val grouped = Splits.hashSplit(df, "grp", w)
+    val r = Splits.splitLeakage(grouped, "grp", "split").collect().head
+    assert(r.getAs[Long]("n_straddling") == 0)
+    // row-keyed split on the same data DOES straddle (the leak exists)
+    val rowKeyed = Splits.hashSplit(df, "row_id", w)
+    assert(Splits.splitLeakage(rowKeyed, "grp", "split").collect().head
+      .getAs[Long]("n_straddling") > 0)
+  }
 }
