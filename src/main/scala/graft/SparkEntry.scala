@@ -319,6 +319,7 @@ object SparkEntry {
     "q296_rouge_l"          -> (D.q296RougeL(_, _)),
     "q297_wasserstein"      -> (T.q297Wasserstein(_, _)),
     "q298_split_leakage"    -> (T.q298SplitLeakage(_, _)),
+    "q299_theil_between"    -> (D.q299TheilBetween(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1010,6 +1011,26 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q299: exact integer group census; each Theil term is one
+    // pinned-shape double (ln parity, q237); fold in lang order
+    "q299_theil_between" ->
+      """WITH c AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(n_chars) AS BIGINT) AS sg
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS k FROM c),
+        |f AS (SELECT t.k, t.n, t.s,
+        |    list((CAST(sg AS DOUBLE) / CAST(t.s AS DOUBLE)) *
+        |      ln((CAST(sg AS DOUBLE) * CAST(t.n AS DOUBLE)) /
+        |         (CAST(t.s AS DOUBLE) * CAST(ng AS DOUBLE)))
+        |      ORDER BY g) AS terms
+        |  FROM c, t GROUP BY 1, 2, 3)
+        |SELECT k, n, s AS total,
+        |  CASE WHEN s > 0 THEN
+        |    CAST(round(CAST(CAST(list_reduce(terms, (a, x) -> a + x)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS theil_between
+        |FROM f""".stripMargin,
     // q298: q98's md5 thresholds ('cc'/'e6'), then the straddle census —
     // all-integer counts, one terminal division per variant
     "q298_split_leakage" -> {

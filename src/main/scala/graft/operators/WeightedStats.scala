@@ -143,4 +143,45 @@ object WeightedStats {
           (lit(2L) * col("__six") - (col("n") + 1L) * col("total")).cast("double") /
             (col("n") * col("total")).cast("double")).as("gini"))
   }
+
+  /** Between-group Theil index (Theil 1967) — [[gini]]'s DECOMPOSABLE
+    * sibling: how unequally is total `valueCol` mass distributed across
+    * `groupCol` slices, relative to their populations?
+    *   T_B = Σ_g s_g · ln(s_g / p_g),
+    * s_g = value share, p_g = row share. 0 ⟺ every group's mass share
+    * equals its population share; ln(k) at maximal concentration. The
+    * corpus-budget fairness metric ("is 90% of the token mass in 2 of
+    * 30 languages?") where Gini ranks individual rows.
+    *
+    * Rows with non-positive values are excluded (log domain),
+    * documented. All moments (n_g, S_g, N, S) are exact integer sums;
+    * each group term is one pinned-shape double expression (ln parity,
+    * q237 precedent), and the ONE order-sensitive sum folds
+    * left-to-right in group order over the k-bounded sorted collect.
+    * Output one row: (k, n, total, theil_between); null when total = 0.
+    *
+    * Scale shape: one group census (map-side combined), then k-bounded
+    * work only. */
+  def theilBetween(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df
+      .where(col(valueCol).isNotNull && col(valueCol) > 0)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col(valueCol).cast("long")).cast(dec).as("sg"))
+    val totals = census.agg(sum(col("ng")).as("n"),
+      sum(col("sg")).cast(dec).as("s"), count(lit(1)).as("k"))
+    val term = (col("sg").cast("double") / col("s").cast("double")) *
+      log((col("sg").cast("double") * col("n").cast("double")) /
+        (col("s").cast("double") * col("ng").cast("double")))
+    census.crossJoin(broadcast(totals))
+      .select(col("g"), col("n"), col("s"), col("k"), term.as("t"))
+      .groupBy(col("k"), col("n"), col("s"))
+      .agg(sort_array(collect_list(struct(col("g"), col("t")))).as("ts"))
+      .select(col("k"), col("n"), col("s").cast("long").as("total"),
+        when(col("s") > 0,
+          aggregate(col("ts"), lit(0.0d), (acc, e) => acc + e.getField("t")))
+          .as("theil_between"))
+  }
 }

@@ -309,6 +309,17 @@ object TrainingData {
         round($"rouge_f1", 6).as("rouge_f1"))
   }
 
+  /** q299 — between-group Theil index ([[graft.operators.WeightedStats
+    * .theilBetween]]): how unequally is character mass distributed
+    * across languages relative to document counts — the decomposable
+    * corpus-budget fairness number a mixture pipeline tracks release to
+    * release (0 = proportional, ln(k) = all mass in one language). */
+  def q299TheilBetween(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WeightedStats.theilBetween(
+        docs(spark, dir), "lang", "n_chars")
+      .select($"k", $"n", $"total",
+        round($"theil_between", 6).as("theil_between"))
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

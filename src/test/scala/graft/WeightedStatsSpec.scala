@@ -83,6 +83,32 @@ class WeightedStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.getAs[Long]("n_clip_lo") == 0L && out.getAs[Long]("n_clip_hi") == 0L)
   }
 
+  test("theilBetween: proportional is 0, concentration is ln share ratio") {
+    import spark.implicits._
+    // two groups, mass share == population share -> T = 0 exactly
+    val prop = Seq(("a", 10L), ("a", 10L), ("b", 10L), ("b", 10L))
+      .toDF("g", "v")
+    val rp = WeightedStats.theilBetween(prop, "g", "v").collect().head
+    assert(rp.getAs[Double]("theil_between") == 0.0)
+    assert(rp.getAs[Long]("total") == 40L && rp.getAs[Long]("k") == 2)
+
+    // all mass in one of two equal-population groups: s={1,0} is out of
+    // the log domain for the empty side, so give b one epsilon-free row:
+    // a has 99 of 100 mass across half the rows ->
+    // T = 0.99*ln(1.98) + 0.01*ln(0.02)
+    val conc = Seq(("a", 99L), ("b", 1L)).toDF("g", "v")
+    val rc = WeightedStats.theilBetween(conc, "g", "v").collect().head
+    val exp = 0.0 + (99.0 / 100.0) * math.log((99.0 * 2.0) / 100.0) +
+      (1.0 / 100.0) * math.log((1.0 * 2.0) / 100.0)
+    assert(rc.getAs[Double]("theil_between") == exp, "pinned fold replays")
+
+    // non-positive rows are excluded from the census, loudly documented
+    val withZero = Seq(("a", 5L), ("a", 0L), ("b", 5L), ("b", -3L))
+      .toDF("g", "v")
+    val rz = WeightedStats.theilBetween(withZero, "g", "v").collect().head
+    assert(rz.getAs[Long]("n") == 2 && rz.getAs[Double]("theil_between") == 0.0)
+  }
+
   test("brownForsythe: hand-computed F, equal spread 0, degenerate nulls") {
     import spark.implicits._
     import graft.operators.Robust
