@@ -320,6 +320,8 @@ object SparkEntry {
     "q297_wasserstein"      -> (T.q297Wasserstein(_, _)),
     "q298_split_leakage"    -> (T.q298SplitLeakage(_, _)),
     "q299_theil_between"    -> (D.q299TheilBetween(_, _)),
+    "q300_mcnemar"          -> (T.q300McNemar(_, _)),
+    "q301_simpson"          -> (D.q301SimpsonDiversity(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1011,6 +1013,55 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q300: discordant-pair census; Edwards-corrected chi2 is one
+    // division of exact integers (the square widened to HUGEINT)
+    "q300_mcnemar" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    max(CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |        THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |        THEN 0 ELSE 1 END) AS b
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n, n01, n10,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(CAST(abs(n01 - n10) - 1 AS HUGEINT)
+        |           * (abs(n01 - n10) - 1) AS DOUBLE)
+        |      / CAST(n01 + n10 AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS chi2
+        |FROM c""".stripMargin,
+    // q301: unbiased collision probability — an exact rational of
+    // integer counts, no log parity contract at all
+    "q301_simpson" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(
+        |      lower(trim(text)), '\s+')) AS tok FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM t WHERE len(tok) > 0 GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_categories,
+        |    sum(CAST(c AS HUGEINT) * c) AS c2,
+        |    sum(CAST(c AS HUGEINT) * (c - 1)) AS cc1
+        |  FROM c GROUP BY 1)
+        |SELECT source, n, n_categories,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(round(CAST(CAST(CAST(cc1 AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS simpson_lambda,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(round(CAST(CAST(1.0 - CAST(cc1 AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS diversity,
+        |  CAST(round(CAST(CAST(
+        |    CAST(CAST(n AS HUGEINT) * n AS DOUBLE) / CAST(c2 AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS effective
+        |FROM s""".stripMargin,
     // q299: exact integer group census; each Theil term is one
     // pinned-shape double (ln parity, q237); fold in lang order
     "q299_theil_between" ->

@@ -206,6 +206,53 @@ object Divergence {
           .as("w1"))
   }
 
+  /** Wasserstein-1 derived from a (bucket, count_a, count_b) census —
+    * the consumer side of [[graft.streaming.Streams.ksCensusStream]]:
+    * the SAME bounded streaming state that yields the KS point
+    * statistic yields the W1 area, so one census monitors both "worst
+    * quantile" and "total mass moved" live. Values here are bucket
+    * LEFT EDGES: W1 is computed in bucket-index units then scaled by
+    * `width` to value units — identical to [[wasserstein1]] run on
+    * bucket-quantized values times width (parity spec-asserted).
+    *
+    * The census is ≤ buckets rows BY CONSTRUCTION (the stream's fixed
+    * state bound), so the single unpartitioned window here walks a
+    * bounded list, not data — the cell-bounded exemption to the
+    * no-global-window rule. All terms integer; one terminal division. */
+  def wassersteinFromCensus(census: DataFrame, bucketCol: String,
+      caCol: String, cbCol: String, width: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width > 0, s"width must be positive, got $width")
+    val dec = "decimal(38,0)"
+    // NOTE: cumulative columns must not be named __A/__B — Spark's
+    // default case-INsensitive resolution would silently replace __b
+    val c = census.select(col(bucketCol).cast("long").as("__b"),
+      col(caCol).cast("long").as("__ca"), col(cbCol).cast("long").as("__cb"))
+    val w = Window.orderBy(col("__b"))
+    val run = c
+      .withColumn("__cuma", sum(col("__ca"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__cumb", sum(col("__cb"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__bn", lead(col("__b"), 1).over(w))
+    val totals = c.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+      count(lit(1)).as("n_buckets"))
+    run.crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"), col("n_buckets"),
+        when(col("__bn").isNotNull,
+          (abs(col("__cuma").cast(dec) * col("__nb").cast(dec) -
+            col("__cumb").cast(dec) * col("__na").cast(dec)).cast(dec) *
+            (col("__bn") - col("__b")).cast(dec)).cast(dec))
+          .otherwise(lit(0L).cast(dec)).as("__term"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_buckets"))
+      .agg(sum(col("__term")).cast(dec).as("__num"))
+      .select(col("n_a"), col("n_b"), col("n_buckets"),
+        when(col("n_a") =!= 0L && col("n_b") =!= 0L,
+          (col("__num") * lit(width).cast(dec)).cast(dec).cast("double") /
+            (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"))
+          .as("w1"))
+  }
+
   /** Mutual information between two categorical columns, in nats —
     * the dependence profiler: does the metadata column leak the label
     * (I > 0 says how hard), are two quasi-identifiers redundant, which

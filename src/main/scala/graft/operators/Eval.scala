@@ -335,6 +335,39 @@ object Eval {
         when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
   }
 
+  /** McNemar's test (McNemar 1947, continuity-corrected) per scope —
+    * the PAIRED companion to [[twoProportionZ]]: each row is one unit
+    * observed under both conditions (binary `aCol`, `bCol`); only the
+    * DISCORDANT counts matter (n01 = a=0,b=1; n10 = a=1,b=0), and
+    *   chi² = (|n01 − n10| − 1)² / (n01 + n10).
+    * The A/B guard for paired designs (same user before/after, same doc
+    * under two classifiers), where the unpaired z-test wastes the
+    * pairing and overstates variance.
+    *
+    * All counts exact integers; chi²'s square stays in decimal (the
+    * discordant gap can reach group size) and the single division is
+    * the only float op. Output: (scope, n, n01, n10, chi2); chi2 null
+    * when there are no discordant pairs (the test is undefined, loudly
+    * — not a fake 0). One scope-keyed census aggregation, map-side
+    * combined; no other shuffle. */
+  def mcnemar(df: DataFrame, scopeCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val a = when(col(aCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val b = when(col(bCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val counts = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(scopeCol).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(a === 0L && b === 1L, 1L).otherwise(0L)).as("n01"),
+        sum(when(a === 1L && b === 0L, 1L).otherwise(0L)).as("n10"))
+    val gap = abs(col("n01") - col("n10")) - 1L
+    val num = (gap.cast(dec) * gap.cast(dec)).cast(dec)
+    counts.select(col("s"), col("n"), col("n01"), col("n10"),
+      when(col("n01") + col("n10") > 0L,
+        num.cast("double") / (col("n01") + col("n10")).cast("double"))
+        .as("chi2"))
+  }
+
   /** Kruskal–Wallis H (Kruskal & Wallis 1952) per scope: the k-sample
     * extension of [[mannWhitneyU]] — do the `groupCol` samples inside
     * each scope share one value distribution? Same doubled-mid-rank

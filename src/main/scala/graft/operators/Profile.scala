@@ -172,6 +172,43 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Simpson diversity per group — the concentration profile of a
+    * categorical census (vocabulary, sources, labels) with NO logs:
+    * unbiased collision probability
+    *   λ = Σ c_i(c_i − 1) / (N(N − 1))
+    * (the chance two draws WITHOUT replacement match), its complement
+    * 1 − λ (Gini–Simpson diversity), and the effective number of
+    * categories N²/Σc_i² (inverse Simpson — "this source behaves like
+    * k equally-common tokens"). The diversity gate that, unlike
+    * Shannon entropy, is an exact RATIONAL of integer counts — no ln
+    * parity contract needed, partition-order free by construction.
+    *
+    * Scale shape: one (group, category) census (map-side combined),
+    * one group re-aggregation; squares widen to decimal(38,0) (c² at
+    * billion-count categories overflows a long). Output: (group, n,
+    * n_categories, simpson_lambda, diversity, effective); lambda null
+    * when n < 2. */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+      categoryCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df.where(col(categoryCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val sums = census.groupBy(col("g")).agg(
+      sum(col("c")).as("n"), count(lit(1)).as("n_categories"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).cast(dec).as("__c2"),
+      sum(col("c").cast(dec) * (col("c") - 1L).cast(dec)).cast(dec)
+        .as("__cc1"))
+    val nD = col("n").cast(dec)
+    val lam = col("__cc1").cast("double") /
+      (nD * (nD - 1)).cast(dec).cast("double")
+    sums.select(col("g"), col("n"), col("n_categories"),
+      when(col("n") > 1L, lam).as("simpson_lambda"),
+      when(col("n") > 1L, lit(1.0) - lam).as("diversity"),
+      ((nD * nD).cast(dec).cast("double") / col("__c2").cast("double"))
+        .as("effective"))
+  }
+
   /** Inclusion-dependency census — [[functionalDependencies]]'s
     * cross-table sibling: for each candidate (dependent column ⊆
     * referenced column), how many DISTINCT dependent values have no

@@ -929,6 +929,22 @@ object TimeSeries {
     audit("event_id", "row_keyed").unionByName(audit("user_id", "group_keyed"))
   }
 
+  /** q300 — McNemar paired test ([[graft.operators.Eval.mcnemar]]):
+    * per event type, each USER is one paired unit — active on weekends
+    * vs active on weekdays; only the discordant users drive the
+    * statistic. The paired member of the A/B battery (q180 unpaired
+    * means, q273 unpaired proportions). */
+  def q300McNemar(spark: SparkSession, dir: String): DataFrame = {
+    val wkend = dayofweek(to_date($"ts")).isin(1, 7)
+    val units = events(spark, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(max(when(wkend, 1L).otherwise(0L)).as("a"),
+        max(when(!wkend, 1L).otherwise(0L)).as("b"))
+    graft.operators.Eval.mcnemar(units, "event_type", "a", "b")
+      .select($"s".as("event_type"), $"n", $"n01", $"n10",
+        round($"chi2", 6).as("chi2"))
+  }
+
   /** q285 — weight-of-evidence table ([[graft.operators.Encoding
     * .woeTable]]): event type encoded against the weekend label with
     * Laplace 0.5 smoothing; IV folds per-category terms in category

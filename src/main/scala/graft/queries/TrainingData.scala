@@ -320,6 +320,23 @@ object TrainingData {
       .select($"k", $"n", $"total",
         round($"theil_between", 6).as("theil_between"))
 
+  /** q301 — Simpson token diversity ([[graft.operators.Profile
+    * .simpsonDiversity]]): per source, the collision probability of its
+    * token stream and the effective vocabulary size — the no-logs
+    * concentration gate (a templated source "behaves like" far fewer
+    * distinct tokens than it has). Exact rational of integer counts. */
+  def q301SimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select($"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .where(length($"tok") > 0)
+    graft.operators.Profile.simpsonDiversity(toks, "source", "tok")
+      .select($"g".as("source"), $"n", $"n_categories",
+        round($"simpson_lambda", 6).as("simpson_lambda"),
+        round($"diversity", 6).as("diversity"),
+        round($"effective", 6).as("effective"))
+  }
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

@@ -463,7 +463,9 @@ object Streams {
     * prefix, and the D derived from it equals the batch KS on
     * bucket-quantized values (parity spec-asserted). The live
     * "did the distribution move" monitor: a dashboard reads ≤ buckets
-    * rows however long the stream runs. */
+    * rows however long the stream runs. The same census also yields
+    * the Wasserstein-1 area via [[graft.operators.Divergence
+    * .wassersteinFromCensus]] — one state, two drift statistics. */
   def ksCensusStream(rows: DataFrame, valueCol: String,
       isRight: org.apache.spark.sql.Column, lo: Long, hi: Long,
       buckets: Int): DataFrame = {

@@ -135,6 +135,26 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(got("z")._4.isNaN, "all-zero relevance yields null ndcg")
   }
 
+  test("mcnemar: discordant pairs only, corrected chi2, degenerate null") {
+    import spark.implicits._
+    // 5 units flip 0->1, 1 flips 1->0, concordants don't matter:
+    // chi2 = (|5-1|-1)^2 / 6 = 1.5
+    val rows = Seq.fill(5)(("s", 0L, 1L)) ++ Seq(("s", 1L, 0L)) ++
+      Seq.fill(10)(("s", 1L, 1L)) ++ Seq.fill(7)(("s", 0L, 0L))
+    val r = Eval.mcnemar(rows.toDF("sc", "a", "b"), "sc", "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n") == 23)
+    assert(r.getAs[Long]("n01") == 5 && r.getAs[Long]("n10") == 1)
+    assert(r.getAs[Double]("chi2") == 1.5)
+    // no discordant pairs -> null, loudly
+    val conc = Seq(("s", 1L, 1L), ("s", 0L, 0L)).toDF("sc", "a", "b")
+    assert(Eval.mcnemar(conc, "sc", "a", "b").collect().head.isNullAt(4))
+    // balanced discordance keeps the Edwards correction: (0-1)^2/2 = 0.5
+    val bal = Seq(("s", 0L, 1L), ("s", 1L, 0L)).toDF("sc", "a", "b")
+    assert(Eval.mcnemar(bal, "sc", "a", "b").collect().head
+      .getAs[Double]("chi2") == 0.5)
+  }
+
   test("kruskalWallis: hand-computed H, tie correction, degenerate nulls") {
     import spark.implicits._
     // textbook no-tie case: A={1,2,3} B={4,5,6} C={7,8,9}

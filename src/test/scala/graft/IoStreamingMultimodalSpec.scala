@@ -942,6 +942,44 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streamed KS census also yields W1: parity with batch wasserstein1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (lo, hi, buckets) = (0L, 49000L, 64)
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select((round($"value" * 100)).cast("long").as("v"),
+        (dayofmonth($"ts") > 15).as("r"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val w = (hi - lo) / buckets + 1
+    def bucket(v: Long): Long = math.min(buckets - 1L, math.max(0L, (v - lo) / w))
+    val mem = MemoryStream[(Long, Boolean)]
+    val out = Streams.ksCensusStream(mem.toDF().toDF("v", "r"), "v", col("r"),
+      lo, hi, buckets)
+    val q = out.writeStream.format("memory").queryName("w1_stream")
+      .outputMode("complete").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      var seen = IndexedSeq.empty[(Long, Boolean)]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        // W1 derived from the streamed census == batch operator on
+        // bucket-quantized values, scaled back to value units by width
+        val derived = graft.operators.Divergence.wassersteinFromCensus(
+            spark.table("w1_stream"), "b", "ca", "cb", width = w)
+          .head().getAs[Double]("w1")
+        val batch = graft.operators.Divergence.wasserstein1(
+            seen.map(t => (bucket(t._1), t._2)).toDF("v", "r"), "v", col("r"))
+          .head().getAs[Double]("w1")
+        // op-order differs by one rounding (num*width then divide vs
+        // divide then *w), so compare within a few ulps, not bit-equal
+        assert(math.abs(derived - batch * w) <= 8 * math.ulp(derived),
+          s"prefix of ${seen.length}: derived $derived vs batch*${w} ${batch * w}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel matches batch depth across micro-batches (q278 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

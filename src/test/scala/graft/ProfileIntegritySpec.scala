@@ -146,6 +146,27 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(chi2b - expB) < 1e-9)
   }
 
+  test("simpsonDiversity: exact rational lambda, effective categories") {
+    import spark.implicits._
+    // counts {2,2}: lambda = (2+2)/(4*3) = 1/3, effective = 16/8 = 2
+    val even = Seq(("g", "a"), ("g", "a"), ("g", "b"), ("g", "b"))
+      .toDF("g", "cat")
+    val r = Profile.simpsonDiversity(even, "g", "cat").collect().head
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("n_categories") == 2)
+    assert(r.getAs[Double]("simpson_lambda") == 1.0 / 3.0)
+    assert(r.getAs[Double]("diversity") == 1.0 - 1.0 / 3.0)
+    assert(r.getAs[Double]("effective") == 2.0)
+    // one category: lambda = 1 (certain collision), effective = 1
+    val mono = Seq(("g", "a"), ("g", "a"), ("g", "a")).toDF("g", "cat")
+    val m = Profile.simpsonDiversity(mono, "g", "cat").collect().head
+    assert(m.getAs[Double]("simpson_lambda") == 1.0 &&
+      m.getAs[Double]("effective") == 1.0)
+    // n = 1: lambda undefined (null), effective still 1
+    val one = Seq(("g", "a")).toDF("g", "cat")
+    val o = Profile.simpsonDiversity(one, "g", "cat").collect().head
+    assert(o.isNullAt(3) && o.getAs[Double]("effective") == 1.0)
+  }
+
   test("inclusionDependencies: FK holds, dirty FK counts distinct orphans") {
     import spark.implicits._
     val ref = Seq(1L, 2L, 3L).toDF("k")

@@ -178,4 +178,34 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
     assert(moved > 0, "harness read zero — measurement broken")
     assert(moved < (8L << 20), s"vectors leaked into a shuffle: $moved bytes")
   }
+
+  test("q290/q294 rank/spread tests shuffle value censuses, never events") {
+    val kw = shuffledBytes(SparkEntry.queries("q290_kruskal_wallis")(spark, dir))
+    assert(kw > 0, "harness read zero — measurement broken")
+    assert(kw < (8L << 20), s"kruskal-wallis leaked event rows: $kw bytes")
+    val bf = shuffledBytes(SparkEntry.queries("q294_brown_forsythe")(spark, dir))
+    assert(bf < (8L << 20), s"brown-forsythe leaked event rows: $bf bytes")
+  }
+
+  test("q292 silhouette shuffles k*dims centroid partials, never vectors") {
+    val moved = shuffledBytes(SparkEntry.queries("q292_silhouette")(spark, dir))
+    // 10 labels x 64 dims partial sums + the k-bounded label aggregate;
+    // the float vectors cross only the broadcast, never an exchange
+    assert(moved < (1L << 20), s"vectors leaked into a shuffle: $moved bytes")
+  }
+
+  test("q296 ROUGE-L is a pure projection: zero exchanges") {
+    val moved = shuffledBytes(SparkEntry.queries("q296_rouge_l")(spark, dir))
+    assert(moved == 0, s"per-row LCS scoring must not shuffle: $moved bytes")
+  }
+
+  test("q297/q298/q299 drift/audit censuses stay census-sized") {
+    val w1 = shuffledBytes(SparkEntry.queries("q297_wasserstein")(spark, dir))
+    assert(w1 > 0, "harness read zero — measurement broken")
+    assert(w1 < (4L << 20), s"wasserstein leaked event rows: $w1 bytes")
+    val lk = shuffledBytes(SparkEntry.queries("q298_split_leakage")(spark, dir))
+    assert(lk < (2L << 20), s"leakage audit leaked event rows: $lk bytes")
+    val th = shuffledBytes(SparkEntry.queries("q299_theil_between")(spark, dir))
+    assert(th < (256L << 10), s"theil leaked the doc scan: $th bytes")
+  }
 }
