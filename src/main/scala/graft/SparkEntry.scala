@@ -322,6 +322,7 @@ object SparkEntry {
     "q299_theil_between"    -> (D.q299TheilBetween(_, _)),
     "q300_mcnemar"          -> (T.q300McNemar(_, _)),
     "q301_simpson"          -> (D.q301SimpsonDiversity(_, _)),
+    "q302_rbo"              -> (T.q302Rbo(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1013,6 +1014,37 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q302: the geometric weights are the SAME JVM doubles the operator
+    // embeds (q279 discount discipline); overlaps are exact integers and
+    // the <=k-term fold runs in depth order
+    "q302_rbo" -> {
+      val wts = (1 to 10).map(d => (1.0 - 0.9) * math.pow(0.9, d - 1))
+      val wtsArr = wts.map(w => s"CAST('$w' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"""WITH per AS (SELECT event_type AS g, user_id AS u,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |ra AS (SELECT g, u, row_number() OVER (PARTITION BY g
+         |    ORDER BY cents DESC, u) AS rk FROM per),
+         |la AS (SELECT g, list(u ORDER BY rk) AS l FROM ra WHERE rk <= 10
+         |  GROUP BY g),
+         |rb AS (SELECT g, u, row_number() OVER (PARTITION BY g
+         |    ORDER BY n DESC, u) AS rk FROM per),
+         |lb AS (SELECT g, list(u ORDER BY rk) AS l FROM rb WHERE rk <= 10
+         |  GROUP BY g),
+         |j AS (SELECT la.g, la.l AS a, lb.l AS b,
+         |    least(10, least(len(la.l), len(lb.l))) AS keff
+         |  FROM la JOIN lb ON la.g = lb.g)
+         |SELECT g AS event_type, CAST(keff AS BIGINT) AS k_eff,
+         |  CAST(round(CAST(CAST(
+         |    list_reduce(list_transform(range(1, keff + 1), d ->
+         |      CAST(len(list_intersect(list_slice(a, 1, d),
+         |                              list_slice(b, 1, d))) AS DOUBLE)
+         |      / CAST(d AS DOUBLE) * ($wtsArr)[d]), (x, y) -> x + y)
+         |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS rbo
+         |FROM j""".stripMargin
+    },
     // q300: discordant-pair census; Edwards-corrected chi2 is one
     // division of exact integers (the square widened to HUGEINT)
     "q300_mcnemar" ->

@@ -143,4 +143,53 @@ object Ranking {
       .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
         col("rnk").cast("long").as("rnk"))
   }
+
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel 2010,
+    * prefix-truncated form): how similar are two rankings of the same
+    * items, weighting agreement at the TOP far more than the tail?
+    *   RBO@k = Σ_{d=1..k'} (|top_d(A) ∩ top_d(B)| / d) · (1 − p)·p^(d−1),
+    * k' = min(k, |A|, |B|). The ranking-drift monitor [[rrfFuse]]'s
+    * evaluation dual: "did this release reorder what users actually
+    * see" — top-k Jaccard ignores order inside the cut; RBO does not.
+    *
+    * Determinism: overlap counts are exact integers over both top-k
+    * lists (ties broken by item id on BOTH rankings, pinned); the
+    * per-depth weights (1−p)·p^(d−1) are JVM double literals embedded
+    * in the plan — a replaying engine uses the SAME doubles rather than
+    * re-deriving powers (the q279 NDCG discount discipline) — and the
+    * ≤k-term sum folds in depth order. Scale shape: two partitioned
+    * top-k windows over one group-keyed exchange, then a ≤k-element
+    * in-order fold per group; per-group memory O(k). Output: (group,
+    * k_eff, rbo). */
+  def rboAtK(df: DataFrame, groupCol: String, itemCol: String,
+      scoreACol: String, scoreBCol: String, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    import org.apache.spark.sql.expressions.Window
+    val wts = (1 to k).map(d => (1.0 - p) * math.pow(p, d - 1))
+    val wtsArr = wts.map(w => s"CAST('$w' AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    def topList(scoreCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("__g"))
+        .orderBy(col(scoreCol).desc, col("__i"))
+      df.select(col(groupCol).as("__g"), col(itemCol).as("__i"),
+          col(scoreACol), col(scoreBCol))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= k)
+        .groupBy(col("__g"))
+        .agg(expr("transform(array_sort(collect_list(struct(__rk, __i))), s -> s.__i)")
+          .as(out))
+    }
+    topList(scoreACol, "__la").join(topList(scoreBCol, "__lb"), "__g")
+      .withColumn("__keff",
+        least(lit(k), least(size(col("__la")), size(col("__lb")))))
+      .select(col("__g").as(groupCol), col("__keff").cast("long").as("k_eff"),
+        expr(
+          s"""aggregate(sequence(1, __keff), CAST(0.0 AS DOUBLE), (acc, d) ->
+             |  acc + CAST(size(array_intersect(slice(__la, 1, d),
+             |                                  slice(__lb, 1, d))) AS DOUBLE)
+             |        / CAST(d AS DOUBLE) * element_at($wtsArr, d))
+             |""".stripMargin).as("rbo"))
+  }
 }

@@ -945,6 +945,21 @@ object TimeSeries {
         round($"chi2", 6).as("chi2"))
   }
 
+  /** q302 — rank-biased overlap ([[graft.operators.Ranking.rboAtK]]):
+    * per event type, do "rank users by money" and "rank users by
+    * activity" agree at the top? RBO@10 with p = 0.9 — the top-heavy
+    * ranking-drift statistic; exact integer overlaps, literal-embedded
+    * geometric weights. */
+  def q302Rbo(spark: SparkSession, dir: String): DataFrame = {
+    val per = events(spark, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n"))
+    graft.operators.Ranking.rboAtK(per, "event_type", "user_id",
+        "cents", "n", k = 10)
+      .select($"event_type", $"k_eff", round($"rbo", 6).as("rbo"))
+  }
+
   /** q285 — weight-of-evidence table ([[graft.operators.Encoding
     * .woeTable]]): event type encoded against the weekend label with
     * Laplace 0.5 smoothing; IV folds per-category terms in category

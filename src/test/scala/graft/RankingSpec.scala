@@ -64,4 +64,32 @@ class RankingSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(ids == Seq(10L, 11L))
   }
+
+  test("rboAtK: identical, reversed, disjoint, and truncated rankings") {
+    import spark.implicits._
+    def rbo(rows: Seq[(String, Long, Long)], k: Int = 10): (Long, Double) = {
+      val df = rows.map { case (i, a, b) => ("g", i, a, b) }
+        .toDF("g", "item", "sa", "sb")
+      val r = Ranking.rboAtK(df, "g", "item", "sa", "sb", k).collect().head
+      (r.getLong(1), r.getDouble(2))
+    }
+    // identical rankings of 3 items: rbo = 0.1*(1 + 0.9 + 0.81)
+    val same = Seq(("x", 30L, 3L), ("y", 20L, 2L), ("z", 10L, 1L))
+    val (k3, r3) = rbo(same)
+    assert(k3 == 3)
+    val expSame = 0.0 + 0.1 * 1.0 + (0.1 * 0.9) * 1.0 + (0.1 * 0.9 * 0.9) * 1.0
+    assert(math.abs(r3 - expSame) < 1e-15)
+    // two items fully reversed: d=1 overlap 0, d=2 overlap 1 -> w2 only
+    val rev = Seq(("x", 2L, 1L), ("y", 1L, 2L))
+    assert(math.abs(rbo(rev)._2 - 0.1 * 0.9) < 1e-15)
+    // k caps the depth even when more items exist
+    val many = (1 to 30).map(i => (s"i$i", (100 - i).toLong, (100 - i).toLong))
+    assert(rbo(many, k = 5)._1 == 5)
+    // rankings that disagree everywhere in the top window score 0:
+    // sa picks x1..x3, sb picks y1..y3 (two groups of items)
+    val disj = Seq(("x1", 30L, 1L), ("x2", 29L, 2L), ("x3", 28L, 3L),
+      ("y1", 3L, 30L), ("y2", 2L, 29L), ("y3", 1L, 28L))
+    val rd = rbo(disj, k = 3)
+    assert(rd._2 == 0.0, "no overlap anywhere in the cut")
+  }
 }
