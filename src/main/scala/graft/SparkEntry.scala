@@ -323,6 +323,7 @@ object SparkEntry {
     "q300_mcnemar"          -> (T.q300McNemar(_, _)),
     "q301_simpson"          -> (D.q301SimpsonDiversity(_, _)),
     "q302_rbo"              -> (T.q302Rbo(_, _)),
+    "q303_odds_ratio"       -> (T.q303OddsRatio(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1014,6 +1015,49 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q303: exact 2x2 cells; OR/RR and the Wald bounds are pinned-shape
+    // doubles (1.96 literal; exp/ln parity per the q237 precedent)
+    "q303_odds_ratio" ->
+      """WITH s AS (SELECT event_type,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000 THEN 1 ELSE 0 END AS o
+        |  FROM events),
+        |c AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM s GROUP BY 1),
+        |f AS (SELECT event_type, a, b, c, d,
+        |    CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS orv,
+        |    sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |       + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS orse,
+        |    (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+        |      / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)) AS rrv,
+        |    sqrt(1.0 / CAST(a AS DOUBLE) - 1.0 / CAST(a + b AS DOUBLE)
+        |       + 1.0 / CAST(c AS DOUBLE) - 1.0 / CAST(c + d AS DOUBLE)) AS rrse,
+        |    (a > 0 AND b > 0 AND c > 0 AND d > 0) AS orok,
+        |    (a > 0 AND c > 0 AND a + b > 0 AND c + d > 0) AS rrok
+        |  FROM c)
+        |SELECT event_type, a, b, c, d,
+        |  CASE WHEN orok THEN CAST(round(CAST(CAST(orv AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS odds_ratio,
+        |  CASE WHEN orok THEN CAST(round(CAST(CAST(
+        |    exp(ln(orv) - 1.96 * orse) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS or_lo,
+        |  CASE WHEN orok THEN CAST(round(CAST(CAST(
+        |    exp(ln(orv) + 1.96 * orse) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS or_hi,
+        |  CASE WHEN rrok THEN CAST(round(CAST(CAST(rrv AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS risk_ratio,
+        |  CASE WHEN rrok THEN CAST(round(CAST(CAST(
+        |    exp(ln(rrv) - 1.96 * rrse) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS rr_lo,
+        |  CASE WHEN rrok THEN CAST(round(CAST(CAST(
+        |    exp(ln(rrv) + 1.96 * rrse) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS rr_hi
+        |FROM f""".stripMargin,
     // q302: the geometric weights are the SAME JVM doubles the operator
     // embeds (q279 discount discipline); overlaps are exact integers and
     // the <=k-term fold runs in depth order

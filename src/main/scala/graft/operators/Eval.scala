@@ -335,6 +335,52 @@ object Eval {
         when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
   }
 
+  /** 2×2 odds ratio and risk ratio with Wald 95% log-intervals per
+    * scope — the effect-size pair for a binary exposure × binary
+    * outcome ([[twoProportionZ]] says "different", this says "by how
+    * much"): with cells a = exposed·outcome, b = exposed·no-outcome,
+    * c = unexposed·outcome, d = unexposed·no-outcome,
+    *   OR = ad/bc,  se_log = sqrt(1/a + 1/b + 1/c + 1/d),
+    *   RR = [a/(a+b)] / [c/(c+d)],
+    *   se_log = sqrt(1/a − 1/(a+b) + 1/c − 1/(c+d)).
+    * All cells are exact integer censuses; the ratios, logs, and the
+    * fixed ±1.96 interval bounds are pinned-shape doubles (1.96 is a
+    * literal, exp/ln parity per q237). No smoothing: any empty cell
+    * yields null OR fields (b or c zero kills OR; a or c zero kills
+    * RR) — loud, not a Haldane-corrected guess. Output: (scope, a, b,
+    * c, d, odds_ratio, or_lo, or_hi, risk_ratio, rr_lo, rr_hi).
+    * One scope-keyed census; no other shuffle. */
+  def oddsRiskRatio(df: DataFrame, scopeCol: String, exposedCol: String,
+      outcomeCol: String): DataFrame = {
+    val e = when(col(exposedCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val o = when(col(outcomeCol).cast("long") =!= 0L, 1L).otherwise(0L)
+    val cells = df
+      .where(col(exposedCol).isNotNull && col(outcomeCol).isNotNull)
+      .groupBy(col(scopeCol).as("s"))
+      .agg(sum(when(e === 1L && o === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(e === 1L && o === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(e === 0L && o === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(e === 0L && o === 0L, 1L).otherwise(0L)).as("d"))
+    def dd(c: Column): Column = c.cast("double")
+    val orOk = col("a") > 0L && col("b") > 0L && col("c") > 0L && col("d") > 0L
+    val orv = dd(col("a")) * dd(col("d")) / (dd(col("b")) * dd(col("c")))
+    val orSe = sqrt(lit(1.0) / dd(col("a")) + lit(1.0) / dd(col("b")) +
+      lit(1.0) / dd(col("c")) + lit(1.0) / dd(col("d")))
+    val rrOk = col("a") > 0L && col("c") > 0L &&
+      col("a") + col("b") > 0L && col("c") + col("d") > 0L
+    val rrv = (dd(col("a")) / dd(col("a") + col("b"))) /
+      (dd(col("c")) / dd(col("c") + col("d")))
+    val rrSe = sqrt(lit(1.0) / dd(col("a")) - lit(1.0) / dd(col("a") + col("b")) +
+      lit(1.0) / dd(col("c")) - lit(1.0) / dd(col("c") + col("d")))
+    cells.select(col("s"), col("a"), col("b"), col("c"), col("d"),
+      when(orOk, orv).as("odds_ratio"),
+      when(orOk, exp(log(orv) - lit(1.96) * orSe)).as("or_lo"),
+      when(orOk, exp(log(orv) + lit(1.96) * orSe)).as("or_hi"),
+      when(rrOk, rrv).as("risk_ratio"),
+      when(rrOk, exp(log(rrv) - lit(1.96) * rrSe)).as("rr_lo"),
+      when(rrOk, exp(log(rrv) + lit(1.96) * rrSe)).as("rr_hi"))
+  }
+
   /** McNemar's test (McNemar 1947, continuity-corrected) per scope —
     * the PAIRED companion to [[twoProportionZ]]: each row is one unit
     * observed under both conditions (binary `aCol`, `bCol`); only the

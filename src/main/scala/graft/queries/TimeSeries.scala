@@ -960,6 +960,23 @@ object TimeSeries {
       .select($"event_type", $"k_eff", round($"rbo", 6).as("rbo"))
   }
 
+  /** q303 — odds/risk ratio with Wald intervals ([[graft.operators.Eval
+    * .oddsRiskRatio]]): per event type, does the weekend raise the odds
+    * of a high-value event (≥ $50)? The effect-size companion to q273's
+    * two-proportion z — exact 2×2 censuses, pinned-shape ratio/log/exp
+    * work. */
+  def q303OddsRatio(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      dayofweek(to_date($"ts")).isin(1, 7).cast("long").as("wkend"),
+      (round($"value" * 100).cast("long") >= 5000L).cast("long").as("high"))
+    graft.operators.Eval.oddsRiskRatio(s, "event_type", "wkend", "high")
+      .select($"s".as("event_type"), $"a", $"b", $"c", $"d",
+        round($"odds_ratio", 6).as("odds_ratio"),
+        round($"or_lo", 6).as("or_lo"), round($"or_hi", 6).as("or_hi"),
+        round($"risk_ratio", 6).as("risk_ratio"),
+        round($"rr_lo", 6).as("rr_lo"), round($"rr_hi", 6).as("rr_hi"))
+  }
+
   /** q285 — weight-of-evidence table ([[graft.operators.Encoding
     * .woeTable]]): event type encoded against the weekend label with
     * Laplace 0.5 smoothing; IV folds per-category terms in category

@@ -135,6 +135,29 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(got("z")._4.isNaN, "all-zero relevance yields null ndcg")
   }
 
+  test("oddsRiskRatio: hand 2x2, null-OR intervals, empty-cell nulls") {
+    import spark.implicits._
+    // a=20 b=10 c=5 d=15: OR = 300/50 = 6, RR = (2/3)/(1/4) = 8/3
+    val rows = Seq.fill(20)(("s", 1L, 1L)) ++ Seq.fill(10)(("s", 1L, 0L)) ++
+      Seq.fill(5)(("s", 0L, 1L)) ++ Seq.fill(15)(("s", 0L, 0L))
+    val r = Eval.oddsRiskRatio(rows.toDF("sc", "e", "o"), "sc", "e", "o")
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((20L, 10L, 5L, 15L)))
+    assert(r.getAs[Double]("odds_ratio") == 6.0)
+    assert(r.getAs[Double]("risk_ratio") == (20.0 / 30.0) / (5.0 / 20.0))
+    // interval brackets the point estimate
+    assert(r.getAs[Double]("or_lo") < 6.0 && r.getAs[Double]("or_hi") > 6.0)
+    assert(r.getAs[Double]("rr_lo") < r.getAs[Double]("risk_ratio"))
+    // an empty cell nulls OR (log domain) instead of smoothing it
+    val zero = Seq.fill(3)(("s", 1L, 1L)) ++ Seq.fill(2)(("s", 0L, 1L)) ++
+      Seq.fill(4)(("s", 0L, 0L)) // b = 0
+    val rz = Eval.oddsRiskRatio(zero.toDF("sc", "e", "o"), "sc", "e", "o")
+      .collect().head
+    assert(rz.isNullAt(5) && rz.isNullAt(6) && rz.isNullAt(7))
+    assert(!rz.isNullAt(8), "RR survives b = 0 (only needs a,c > 0)")
+  }
+
   test("mcnemar: discordant pairs only, corrected chi2, degenerate null") {
     import spark.implicits._
     // 5 units flip 0->1, 1 flips 1->0, concordants don't matter:
