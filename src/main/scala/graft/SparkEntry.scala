@@ -324,6 +324,7 @@ object SparkEntry {
     "q301_simpson"          -> (D.q301SimpsonDiversity(_, _)),
     "q302_rbo"              -> (T.q302Rbo(_, _)),
     "q303_odds_ratio"       -> (T.q303OddsRatio(_, _)),
+    "q304_mutual_nn"        -> (D.q304MutualNn(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1015,6 +1016,25 @@ object SparkEntry {
         |      AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS h_adj
         |FROM j""".stripMargin,
+    // q304: integer dot products -> both argmaxes exact, id tiebreaks;
+    // no float surface at all
+    "q304_mutual_nn" ->
+      """WITH qa AS (SELECT vec_id AS id_a, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS va
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |qb AS (SELECT vec_id AS id_b, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vb
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |s AS (SELECT id_a, id_b, list_sum(list_transform(range(1, 65),
+        |      i -> CAST(va[i] AS HUGEINT) * vb[i])) AS dot
+        |  FROM qa, qb),
+        |ba AS (SELECT id_a, id_b, dot, row_number() OVER (PARTITION BY id_a
+        |    ORDER BY dot DESC, id_b) AS r FROM s),
+        |bb AS (SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b
+        |    ORDER BY dot DESC, id_a) AS r FROM s)
+        |SELECT ba.id_a, ba.id_b, CAST(ba.dot AS BIGINT) AS dot
+        |FROM ba JOIN bb ON ba.id_a = bb.id_a AND ba.id_b = bb.id_b
+        |WHERE ba.r = 1 AND bb.r = 1""".stripMargin,
     // q303: exact 2x2 cells; OR/RR and the Wald bounds are pinned-shape
     // doubles (1.96 literal; exp/ln parity per the q237 precedent)
     "q303_odds_ratio" ->

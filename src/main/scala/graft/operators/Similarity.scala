@@ -653,6 +653,51 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("adist"), col("rank"))
   }
 
+  /** Mutual nearest neighbors between two embedding sets — the
+    * alignment primitive (bilingual lexicon induction, cross-modal
+    * pairing, synthetic-to-real matching): a pair (a, b) survives only
+    * if b is a's top-1 AND a is b's top-1. One-sided top-1 matching
+    * produces hubs (one popular b absorbs many a's); the mutuality
+    * filter is the standard hub suppressor.
+    *
+    * Exactness: similarity is the INTEGER dot product of scale-quantized
+    * vectors (decimal-summed in dim order — exact at any parallelism),
+    * so both argmaxes are exact with id tiebreaks; there is NO float
+    * anywhere. This is the correctness baseline at bounded set sizes —
+    * the scale path routes each side through [[ivfTopKWith]] cells
+    * first, exactly like [[bruteForceTopK]] vs [[lshTopK]].
+    *
+    * Scale shape: the smaller side broadcasts (bounded-probe contract,
+    * caller-enforced); scoring is a map-side projection over the larger
+    * side; two k=1 window reductions on (id, best) pairs; one equi-join
+    * on the mutual claim. Output: (id_a, id_b, dot) for mutual pairs
+    * only. */
+  def mutualNearestNeighbors(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, scale: Long = 1000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    def q(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id),
+        expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+          .as(vec))
+    val qa = q(a, "id_a", "va")
+    val qb = q(b, "id_b", "vb")
+    val dot = expr(
+      s"""aggregate(zip_with(va, vb, (x, y) -> CAST(x AS $dec) * CAST(y AS $dec)),
+         |  CAST(0 AS $dec), (acc, t) -> acc + t)""".stripMargin)
+    val scored = qa.crossJoin(broadcast(qb)).withColumn("__dot", dot)
+      .select(col("id_a"), col("id_b"), col("__dot"))
+    val wA = Window.partitionBy(col("id_a"))
+      .orderBy(col("__dot").desc, col("id_b"))
+    val wB = Window.partitionBy(col("id_b"))
+      .orderBy(col("__dot").desc, col("id_a"))
+    val bestA = scored.withColumn("__r", row_number().over(wA))
+      .where(col("__r") === 1).select(col("id_a"), col("id_b"), col("__dot"))
+    val bestB = scored.withColumn("__r", row_number().over(wB))
+      .where(col("__r") === 1).select(col("id_a"), col("id_b"))
+    bestA.join(bestB, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("__dot").cast("long").as("dot"))
+  }
+
   /** Simplified silhouette per cluster label (Hruschka et al. 2004's
     * centroid variant of Rousseeuw 1987) — the clustering-quality gate a
     * pipeline runs after k-means/SemDedup partitioning: per point,

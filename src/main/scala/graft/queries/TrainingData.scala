@@ -337,6 +337,17 @@ object TrainingData {
         round($"effective", 6).as("effective"))
   }
 
+  /** q304 — mutual nearest neighbors ([[graft.operators.Similarity
+    * .mutualNearestNeighbors]]): even-id vs odd-id embedding halves
+    * paired by mutual integer-dot-product top-1 — the hub-suppressed
+    * alignment primitive; no float anywhere, both argmaxes exact. */
+  def q304MutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Similarity.mutualNearestNeighbors(
+      emb.where($"vec_id" % 2 === 0), emb.where($"vec_id" % 2 === 1),
+      "vec_id", "embedding")
+  }
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

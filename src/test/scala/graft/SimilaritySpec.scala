@@ -332,6 +332,34 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("mutualNearestNeighbors: mutual pairs only, hubs suppressed") {
+    import spark.implicits._
+    // a1<->b1 and a2<->b2 are mutual; a3 is a satellite whose best is b1,
+    // but b1's best is a1 -> a3 must NOT pair (the hub suppression)
+    val a = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("id", "v")
+    val b = Seq((10L, Seq(1.0f, 0.05f)), (20L, Seq(0.05f, 1.0f)))
+      .toDF("id", "v")
+    val got = Similarity.mutualNearestNeighbors(a, b, "id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("mutualNearestNeighbors: integer dots are partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    def mk(n: Int, off: Int) = (1 to n).map(i =>
+      ((i + off).toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("id", "v")
+    val (a, b) = (mk(60, 0), mk(60, 1000))
+    def run(x: org.apache.spark.sql.DataFrame) =
+      Similarity.mutualNearestNeighbors(x, b, "id", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    assert(run(a.repartition(1)) == run(a.repartition(32, $"id")))
+  }
+
   test("silhouetteByLabel: tight clusters score ~1, straddlers negative") {
     import spark.implicits._
     // a and b: tight, far apart; c: its two points sit ON a and b
