@@ -325,6 +325,9 @@ object SparkEntry {
     "q302_rbo"              -> (T.q302Rbo(_, _)),
     "q303_odds_ratio"       -> (T.q303OddsRatio(_, _)),
     "q304_mutual_nn"        -> (D.q304MutualNn(_, _)),
+    "q305_total_variation"  -> (D.q305TotalVariation(_, _)),
+    "q306_good_turing"      -> (D.q306GoodTuring(_, _)),
+    "q307_assortativity"    -> (R.q307Assortativity(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1035,6 +1038,85 @@ object SparkEntry {
         |SELECT ba.id_a, ba.id_b, CAST(ba.dot AS BIGINT) AS dot
         |FROM ba JOIN bb ON ba.id_a = bb.id_a AND ba.id_b = bb.id_b
         |WHERE ba.r = 1 AND bb.r = 1""".stripMargin,
+    // q305: all-integer TV numerator (absent-token mass folded in
+    // closed form: N*ng - sum(ct*ng) over present tokens); one division
+    "q305_total_variation" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(
+        |      lower(trim(text)), '\s+')) AS tok FROM documents),
+        |cell AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cgt
+        |  FROM t WHERE len(tok) > 0 GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(cgt) AS BIGINT) AS ng,
+        |    CAST(count(*) AS BIGINT) AS vocab FROM cell GROUP BY 1),
+        |ct AS (SELECT tok, CAST(sum(cgt) AS BIGINT) AS ctok
+        |  FROM cell GROUP BY 1),
+        |n AS (SELECT CAST(sum(ctok) AS HUGEINT) AS n FROM ct),
+        |s AS (SELECT c.source,
+        |    sum(abs(CAST(c.cgt AS HUGEINT) * n.n
+        |          - CAST(ct.ctok AS HUGEINT) * g.ng)
+        |      - CAST(ct.ctok AS HUGEINT) * g.ng) AS snum
+        |  FROM cell c JOIN ct USING (tok)
+        |    JOIN g ON g.source = c.source CROSS JOIN n
+        |  GROUP BY 1)
+        |SELECT g.source, g.ng AS n_tok, g.vocab,
+        |  CAST(round(CAST(CAST(
+        |    CAST(s.snum + n.n * g.ng AS DOUBLE) /
+        |    CAST(2 * CAST(g.ng AS HUGEINT) * n.n AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS tv
+        |FROM g JOIN s ON g.source = s.source CROSS JOIN n""".stripMargin,
+    // q306: exact N_r census; r* and p0 are single divisions of exact
+    // integers (HUGEINT product for (r+1)*N_{r+1})
+    "q306_good_turing" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(
+        |      lower(trim(text)), '\s+')) AS tok FROM documents),
+        |cell AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM t WHERE len(tok) > 0 GROUP BY 1, 2),
+        |fof AS (SELECT source, c AS r, CAST(count(*) AS BIGINT) AS n_r
+        |  FROM cell GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    CAST(count(*) AS BIGINT) AS vocab FROM cell GROUP BY 1),
+        |n1 AS (SELECT source, n_r AS nn1 FROM fof WHERE r = 1)
+        |SELECT f.source, tot.n_tok, tot.vocab, f.r, f.n_r,
+        |  CASE WHEN nx.n_r IS NOT NULL THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST((f.r + 1) * CAST(nx.n_r AS HUGEINT) AS DOUBLE) /
+        |      CAST(f.n_r AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS r_star,
+        |  CAST(round(CAST(CAST(
+        |    CAST(coalesce(n1.nn1, 0) AS DOUBLE) / CAST(tot.n_tok AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS p0
+        |FROM fof f
+        |LEFT JOIN fof nx ON nx.source = f.source AND nx.r = f.r + 1
+        |JOIN tot ON tot.source = f.source
+        |LEFT JOIN n1 ON n1.source = f.source
+        |WHERE f.r <= 5""".stripMargin,
+    // q307: symmetrized Newman estimator — five exact HUGEINT moments,
+    // one terminal division
+    "q307_assortativity" ->
+      """WITH pts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+        |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    sum(CAST(du.d AS HUGEINT) + dv.d) AS sx,
+        |    sum(2 * CAST(du.d AS HUGEINT) * dv.d) AS sxy,
+        |    sum(CAST(du.d AS HUGEINT) * du.d
+        |      + CAST(dv.d AS HUGEINT) * dv.d) AS sxx
+        |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT nn.n_nodes, m.n_edges,
+        |  CASE WHEN 2 * CAST(m.n_edges AS HUGEINT) * m.sxx - m.sx * m.sx
+        |      <> 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(2 * CAST(m.n_edges AS HUGEINT) * m.sxy - m.sx * m.sx
+        |        AS DOUBLE) /
+        |      CAST(2 * CAST(m.n_edges AS HUGEINT) * m.sxx - m.sx * m.sx
+        |        AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS r_assort
+        |FROM m CROSS JOIN nn""".stripMargin,
     // q303: exact 2x2 cells; OR/RR and the Wald bounds are pinned-shape
     // doubles (1.96 literal; exp/ln parity per the q237 precedent)
     "q303_odds_ratio" ->

@@ -355,4 +355,88 @@ object Divergence {
           sqrt(greatest(chi2, lit(0.0)) /
             (col("n").cast("double") * minrc1))).as("v"))
   }
+
+  /** Per-group total variation distance from the corpus token
+    * distribution — the L1 member of the drift battery ([[ksTwoSample]]
+    * is the sup-norm point, [[wasserstein1]] the transport area, PSI/KL
+    * the log-weighted views): TV(g, corpus) = ½·Σ_t |p_g(t) − p_c(t)|,
+    * the maximum probability a single event's mass can differ — the
+    * bound used when arguing "source g's sampling error vs the corpus
+    * is at most TV". Unlike KL it is finite for disjoint supports and
+    * needs no smoothing choice.
+    *
+    * Exactness: with group census c_gt, group total n_g, corpus census
+    * c_t, corpus total N, the numerator over the common denominator
+    * n_g·N is Σ_t |c_gt·N − c_t·n_g|. Tokens ABSENT from group g
+    * contribute c_t·n_g each; summing those directly would enumerate
+    * the full vocab × groups grid, so the absent mass folds in closed
+    * form: Σ_{t∉g} c_t·n_g = N·n_g − Σ_{t∈g} c_t·n_g, giving
+    *   num = Σ_{t∈g} (|c_gt·N − c_t·n_g| − c_t·n_g) + N·n_g,
+    * every term an exact decimal(38,0) integer — NO float fold; the
+    * one terminal division num/(2·n_g·N) is the only float op (the
+    * decimal→double casts on both sides are correctly rounded).
+    *
+    * Scale shape: one (group, token) census — the only row-scale
+    * aggregation — a token-marginal re-aggregation of that census, one
+    * token-co-partitioned join census⋈marginal (never row grain), then
+    * a per-group sum. The vocab×groups grid is never materialized.
+    * Output: (g, n_tok, vocab, tv) — tv ∈ [0, 1], 0 iff the group
+    * matches the corpus exactly. */
+  def totalVariation(df: DataFrame, groupCol: String,
+      tokenCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cell = df.select(col(groupCol).as("g"), col(tokenCol).as("t"))
+      .groupBy(col("g"), col("t")).agg(count(lit(1)).as("cgt"))
+      .localCheckpoint(false)
+    val gTot = cell.groupBy(col("g"))
+      .agg(sum(col("cgt")).as("ng"), count(lit(1)).as("vocab"))
+    val cTok = cell.groupBy(col("t")).agg(sum(col("cgt")).as("ct"))
+    val n = cTok.agg(sum(col("ct")).as("__n"))
+    val joined = cell.join(cTok, "t")
+      .join(gTot.select(col("g"), col("ng")), "g")
+      .crossJoin(broadcast(n))
+      .select(col("g"),
+        (abs((col("cgt").cast(dec) * col("__n").cast(dec)).cast(dec) -
+          (col("ct").cast(dec) * col("ng").cast(dec)).cast(dec)).cast(dec) -
+          (col("ct").cast(dec) * col("ng").cast(dec)).cast(dec)).cast(dec)
+          .as("__term"))
+    joined.groupBy(col("g")).agg(sum(col("__term")).cast(dec).as("__s"))
+      .join(gTot, "g").crossJoin(broadcast(n))
+      .select(col("g"), col("ng").as("n_tok"), col("vocab"),
+        ((col("__s") + (col("__n").cast(dec) * col("ng").cast(dec)).cast(dec))
+          .cast(dec).cast("double") /
+          (lit(2L).cast(dec) * col("ng").cast(dec) * col("__n").cast(dec))
+            .cast(dec).cast("double")).as("tv"))
+  }
+
+  /** Total variation derived from a (bucket, count_a, count_b) census —
+    * the third statistic off [[graft.streaming.Streams.ksCensusStream]]'s
+    * bounded state (KS = worst point, [[wassersteinFromCensus]] = area,
+    * TV = half the L1 mass): TV = ½·Σ_b |c_a(b)·n_b − c_b(b)·n_a| /
+    * (n_a·n_b). Needs no bucket ORDER at all — unlike KS/W1 it is a
+    * pure per-bucket sum, so there is no window here, just one
+    * bounded aggregate. All terms integer; one terminal division.
+    * Output one row: (n_a, n_b, n_buckets, tv); null when a side is
+    * empty. */
+  def tvFromCensus(census: DataFrame, bucketCol: String,
+      caCol: String, cbCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = census.select(col(bucketCol).cast("long").as("__b"),
+      col(caCol).cast("long").as("__ca"), col(cbCol).cast("long").as("__cb"))
+    val totals = c.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+      count(lit(1)).as("n_buckets"))
+    c.crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"), col("n_buckets"),
+        abs(col("__ca").cast(dec) * col("__nb").cast(dec) -
+          col("__cb").cast(dec) * col("__na").cast(dec)).cast(dec)
+          .as("__term"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("n_buckets"))
+      .agg(sum(col("__term")).cast(dec).as("__num"))
+      .select(col("n_a"), col("n_b"), col("n_buckets"),
+        when(col("n_a") =!= 0L && col("n_b") =!= 0L,
+          col("__num").cast("double") /
+            (lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec))
+              .cast(dec).cast("double")).as("tv"))
+  }
 }

@@ -154,4 +154,67 @@ object Graph {
         (col("hf").cast("double") / lit(HitsScale.toDouble)).as("hub"),
         (col("af").cast("double") / lit(HitsScale.toDouble)).as("auth"))
   }
+
+  /** Degree assortativity (Newman 2002) over an undirected edge list —
+    * the one-number mixing profile of a graph: the Pearson correlation
+    * of the degrees at the two ends of a uniformly random edge.
+    * Positive = hubs link hubs (social-network shape), negative = hubs
+    * link leaves (web/biology shape). The crawl-graph triage number
+    * read next to [[pageRank]]: a link farm shows up as an
+    * assortativity spike before any rank does.
+    *
+    * Input edges are canonicalized (undirected: each {u,v} counted
+    * once, self-loops dropped, duplicates collapsed); the correlation
+    * runs over BOTH orientations of every edge (the standard
+    * symmetrized estimator), so Σx = Σy by construction and
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²),  M = 2·|E|.
+    *
+    * Exactness: degrees and all five moments are exact integer sums
+    * (decimal(38,0) products — degree² × edges overflows a long on a
+    * hub-heavy web graph); r is computed from the exact moments with
+    * one subtraction each side and one division, all correctly rounded
+    * — no float fold. Null when the degree is constant (denominator
+    * 0: a regular graph has no mixing to correlate).
+    *
+    * Scale shape: one distinct over the edge list, a degree census
+    * (map-side combined), two src/dst-keyed joins of the edge list
+    * with the census (co-partitioned on node), and one global moment
+    * aggregation — no window, no iteration. Output one row:
+    * (n_nodes, n_edges, r_assort). */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("node").as("u"), col("d").as("du"))
+    val dv = deg.select(col("node").as("v"), col("d").as("dv"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // both orientations: Σx = Σ(du+dv), Σxy doubles, Σx² = Σ(du²+dv²)
+    val m = e.join(du, "u").join(dv, "v")
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("du") + col("dv")).cast(dec)).cast(dec).as("__sx"),
+        sum((lit(2L).cast(dec) * col("du").cast(dec) * col("dv").cast(dec))
+          .cast(dec)).cast(dec).as("__sxy"),
+        sum((col("du").cast(dec) * col("du").cast(dec) +
+          col("dv").cast(dec) * col("dv").cast(dec)).cast(dec)).cast(dec)
+          .as("__sxx"))
+    m.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("n_edges"),
+        when((lit(2L).cast(dec) * col("n_edges").cast(dec)).cast(dec) *
+            col("__sxx") - col("__sx") * col("__sx") =!= lit(0).cast(dec),
+          ((lit(2L).cast(dec) * col("n_edges").cast(dec)).cast(dec) *
+            col("__sxy") - (col("__sx") * col("__sx")).cast(dec))
+            .cast("decimal(38,0)").cast("double") /
+          ((lit(2L).cast(dec) * col("n_edges").cast(dec)).cast(dec) *
+            col("__sxx") - (col("__sx") * col("__sx")).cast(dec))
+            .cast("decimal(38,0)").cast("double")).as("r_assort"))
+  }
 }

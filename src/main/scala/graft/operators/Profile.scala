@@ -389,4 +389,53 @@ object Profile {
       .select(col("g"), col("digit"), col("n_obs"), col("n_group"),
         col("p_benford"), col("chi2"))
   }
+
+  /** Good–Turing frequency re-estimation (Good 1953) per group over a
+    * token column — the language-model smoothing census: from the
+    * frequency-of-frequencies N_r (how many distinct tokens occur
+    * exactly r times), the adjusted count r* = (r+1)·N_{r+1}/N_r and
+    * the unseen-mass estimate p0 = N_1/N. The corpus-coverage number a
+    * training pipeline reads before claiming a vocabulary is saturated
+    * ([[heapsFit]] extrapolates vocabulary GROWTH; this prices the
+    * probability mass of tokens never seen at all).
+    *
+    * Exactness: every N_r and N is an exact count; r* and p0 are one
+    * correctly-rounded division of exact integers each (decimal(38,0)
+    * products) — no float fold anywhere. r* is null for the largest
+    * emitted r when N_{r+1} = 0 (the classic N_{r+1} gap; smoothing
+    * the tail is a modeling choice this census does not make).
+    *
+    * Scale shape: one (group, token) census — the only row-scale
+    * aggregation — then a (group, r) re-aggregation of the census
+    * (≤ maxR rows per group emitted), a self-join on (g, r+1) over
+    * that bounded table, and a broadcast of per-group totals. Output:
+    * (g, r, n_r, r_star, p0) for r ≤ maxR, plus each group's totals
+    * (n_tok, vocab) repeated per row. */
+  def goodTuring(df: DataFrame, groupCol: String, tokenCol: String,
+      maxR: Int = 5): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    val dec = "decimal(38,0)"
+    val census = df.where(col(tokenCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(tokenCol).as("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val fof = census.groupBy(col("g"), col("c").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = census.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("vocab"))
+    val n1 = fof.where(col("r") === 1L)
+      .select(col("g"), col("n_r").as("__n1"))
+    val nxt = fof.select(col("g"), (col("r") - 1L).as("r"),
+      col("n_r").as("__nr1"))
+    fof.where(col("r") <= maxR.toLong)
+      .join(nxt, Seq("g", "r"), "left")
+      .join(tot, "g")
+      .join(n1, Seq("g"), "left")
+      .select(col("g"), col("n_tok"), col("vocab"), col("r"), col("n_r"),
+        when(col("__nr1").isNotNull,
+          ((col("r") + 1L).cast(dec) * col("__nr1").cast(dec)).cast(dec)
+            .cast("double") / col("n_r").cast("double")).as("r_star"),
+        (coalesce(col("__n1"), lit(0L)).cast("double") /
+          col("n_tok").cast("double")).as("p0"))
+  }
 }

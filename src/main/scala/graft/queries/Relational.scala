@@ -910,6 +910,24 @@ object Relational {
         round($"jaccard", 6).as("jaccard"))
   }
 
+  /** q307 — degree assortativity ([[graft.operators.Graph
+    * .assortativity]]) of the Brand#11 co-purchase graph (the
+    * q222/q227 edge build): do high-degree parts co-occur with other
+    * high-degree parts? One number from five exact integer moments. */
+  def q307Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
+      .select($"p_partkey")
+    val op = Tables.lineitem(spark, dir)
+      .join(pts, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = op.select($"ok", $"pk".as("u"))
+      .join(op.select($"ok", $"pk".as("v")), "ok")
+      .where($"u" < $"v")
+      .select($"u", $"v")
+    graft.operators.Graph.assortativity(edges, "u", "v")
+      .select($"n_nodes", $"n_edges", round($"r_assort", 6).as("r_assort"))
+  }
+
   /** q277 — Fellegi–Sunter record linkage ([[graft.operators.Linkage]]):
     * every 10th customer re-appears id-shifted with a one-char name tweak
     * and a +0.01 balance drift; candidates block on the 17-char name

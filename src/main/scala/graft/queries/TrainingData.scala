@@ -348,6 +348,35 @@ object TrainingData {
       "vec_id", "embedding")
   }
 
+  /** q305 — total variation drift ([[graft.operators.Divergence
+    * .totalVariation]]): each source's token distribution vs the whole
+    * corpus, ½·L1 over the union support — the smoothing-free member
+    * of the q238/q239/q297 drift battery; all-integer numerator, one
+    * terminal division. */
+  def q305TotalVariation(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select($"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .where(length($"tok") > 0)
+    graft.operators.Divergence.totalVariation(toks, "source", "tok")
+      .select($"g".as("source"), $"n_tok", $"vocab",
+        round($"tv", 6).as("tv"))
+  }
+
+  /** q306 — Good–Turing re-estimation ([[graft.operators.Profile
+    * .goodTuring]]): per-source frequency-of-frequencies with adjusted
+    * counts r* and unseen-mass p0 — the vocabulary-saturation census;
+    * exact integer N_r, two correctly-rounded divisions per row. */
+  def q306GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select($"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .where(length($"tok") > 0)
+    graft.operators.Profile.goodTuring(toks, "source", "tok", maxR = 5)
+      .select($"g".as("source"), $"n_tok", $"vocab", $"r", $"n_r",
+        round($"r_star", 6).as("r_star"), round($"p0", 6).as("p0"))
+  }
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

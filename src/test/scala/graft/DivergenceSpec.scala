@@ -100,6 +100,54 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(got == ref(rows), "bucketed plan == single-pass reference")
   }
 
+  test("totalVariation: 0 for corpus-identical groups, exact 1/2 on a " +
+      "half-disjoint split, partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, String)], parts: Int = 1) = {
+      val df = rows.toDF("g", "t")
+      val d = if (parts == 1) df.repartition(1) else df.repartition(parts, col("t"))
+      Divergence.totalVariation(d, "g", "t")
+        .collect().map(r => r.getAs[String]("g") ->
+          ((r.getAs[Long]("n_tok"), r.getAs[Long]("vocab"),
+            r.getAs[Double]("tv")))).toMap
+    }
+    // two identically-distributed groups: each == corpus -> tv exactly 0
+    val same = Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(5)(("b", "y"))
+    run(same).values.foreach { case (n, v, tv) =>
+      assert(n == 10L && v == 2L && tv == 0.0)
+    }
+    // disjoint equal halves: corpus is 1/2 x + 1/2 y, each group is a
+    // point mass -> TV = 1/2 exactly (absent-mass closed form exercised)
+    val disj = Seq.fill(8)(("a", "x")) ++ Seq.fill(8)(("b", "y"))
+    val d1 = run(disj)
+    assert(d1("a") == ((8L, 1L, 0.5)) && d1("b") == ((8L, 1L, 0.5)))
+    // all-integer numerator: invariant under partitioning
+    assert(run(disj) == run(disj, 32))
+  }
+
+  test("tvFromCensus: pure per-bucket L1, no order dependence, null on " +
+      "an empty side") {
+    import spark.implicits._
+    // census: bucket a-counts (4,0,4) vs b-counts (0,8,0)
+    // TV = 1/2 * (|4*8-0| + |0-8*8| + |4*8-0|) / 64 = 1/2 * 128/64 = 1.0
+    val c = Seq((0L, 4L, 0L), (1L, 0L, 8L), (2L, 4L, 0L))
+      .toDF("b", "ca", "cb")
+    val r = Divergence.tvFromCensus(c, "b", "ca", "cb").collect().head
+    assert(r.getAs[Long]("n_a") == 8L && r.getAs[Long]("n_b") == 8L)
+    assert(r.getAs[Double]("tv") == 1.0)
+    // shuffled bucket order: identical (sum is order-free)
+    val shuf = Seq((2L, 4L, 0L), (0L, 4L, 0L), (1L, 0L, 8L))
+      .toDF("b", "ca", "cb")
+    assert(Divergence.tvFromCensus(shuf, "b", "ca", "cb")
+      .collect().head.getAs[Double]("tv") == 1.0)
+    // empty b side -> null tv, loudly
+    val onesided = Seq((0L, 4L, 0L)).toDF("b", "ca", "cb")
+    assert(Divergence.tvFromCensus(onesided, "b", "ca", "cb")
+      .collect().head.isNullAt(3))
+  }
+
   test("cramersV: partitioning-invariant (ordered cell fold)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

@@ -36,4 +36,28 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(pr(3L) > 0.15 / 3 - 1e-12) // at least teleport share
     assert(pr.values.sum < 1.0)       // sink leaks mass, documented rule
   }
+
+  test("assortativity: star is exactly -1, regular graph is null, " +
+      "input canonicalized") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]) = {
+      val r = Graph.assortativity(edges.toDF("src", "dst"), "src", "dst")
+        .collect().head
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+        Option(r.getAs[java.lang.Double]("r_assort")).map(_.toDouble))
+    }
+    // K_{1,3}: every edge joins degree 3 to degree 1 -> r = -1 exactly
+    assert(run(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == ((4L, 3L, Some(-1.0))))
+    // 4-cycle: constant degree 2 -> zero variance -> null, loudly
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) ==
+      ((4L, 4L, None)))
+    // duplicates, reversed orientations, and self-loops collapse away:
+    // same star as above plus noise
+    assert(run(Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 0L), (0L, 3L),
+      (2L, 2L))) == ((4L, 3L, Some(-1.0))))
+    // path of 3: ends deg 1, middle deg 2; both edges are (1,2) pairs
+    // -> x and y are each {1,2,2,1}: Σx=6 Σxy=8 Σxx=10, M=4
+    // r = (32-36)/(40-36) = -1
+    assert(run(Seq((5L, 6L), (6L, 7L))) == ((3L, 2L, Some(-1.0))))
+  }
 }

@@ -183,4 +183,31 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
     assert(out("depnull.fk") == ((2L, 0L, true)), "nulls excluded, FK holds")
     assert(out("ref.k") == ((3L, 1L, false)), "reverse direction: 3 missing")
   }
+
+  test("goodTuring: textbook N_r census, exact r*, N_{r+1} gap is null") {
+    import spark.implicits._
+    // counts: a=3, b=1, c=1, d=2 -> N=7 V=4; N_1=2 N_2=1 N_3=1
+    val toks = Seq.fill(3)("a") ++ Seq("b", "c") ++ Seq.fill(2)("d")
+    val df = toks.map(("g", _)).toDF("g", "t")
+    val out = Profile.goodTuring(df, "g", "t", maxR = 5)
+      .collect().map(r => r.getAs[Long]("r") ->
+        ((r.getAs[Long]("n_r"),
+          Option(r.getAs[java.lang.Double]("r_star")).map(_.toDouble),
+          r.getAs[Double]("p0"), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("vocab")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // r* = (r+1)*N_{r+1}/N_r: 2*1/2 = 1.0, 3*1/3 = 3.0; N_4 = 0 -> null
+    assert(out(1L) == ((2L, Some(1.0), 2.0 / 7, 7L, 4L)))
+    assert(out(2L) == ((1L, Some(3.0), 2.0 / 7, 7L, 4L)))
+    assert(out(3L) == ((1L, None, 2.0 / 7, 7L, 4L)))
+    // maxR caps the emitted rows; a no-hapax group has p0 = 0
+    val dense = Seq.fill(4)("x") ++ Seq.fill(9)("y")
+    val d = Profile.goodTuring(dense.map(("h", _)).toDF("g", "t"), "g", "t",
+      maxR = 3).collect()
+    assert(d.isEmpty, "all counts above maxR -> no rows, never a fake 0")
+    val p0s = Profile.goodTuring(
+      (Seq.fill(2)("x") ++ Seq.fill(3)("y")).map(("h", _)).toDF("g", "t"),
+      "g", "t").collect().map(_.getAs[Double]("p0")).distinct
+    assert(p0s.sameElements(Array(0.0)), "no hapax -> unseen mass 0")
+  }
 }
