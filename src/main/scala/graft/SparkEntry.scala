@@ -328,6 +328,9 @@ object SparkEntry {
     "q305_total_variation"  -> (D.q305TotalVariation(_, _)),
     "q306_good_turing"      -> (D.q306GoodTuring(_, _)),
     "q307_assortativity"    -> (R.q307Assortativity(_, _)),
+    "q308_cliffs_delta"     -> (T.q308CliffsDelta(_, _)),
+    "q309_cochran_q"        -> (T.q309CochranQ(_, _)),
+    "q310_friedman"         -> (T.q310Friedman(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1117,6 +1120,92 @@ object SparkEntry {
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS r_assort
         |FROM m CROSS JOIN nn""".stripMargin,
+    // q308: q283's doubled-U census; delta numerator and the Romano
+    // band are exact integers (cross-multiplied HUGEINT compares)
+    "q308_cliffs_delta" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS isa,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(isa) AS BIGINT) AS ta FROM s GROUP BY 1, 2),
+        |r AS (SELECT g, v, t, ta,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM c),
+        |a AS (SELECT g, CAST(sum(t) AS BIGINT) AS n, CAST(sum(ta) AS BIGINT) AS n_a,
+        |    sum(CAST(ta AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r2a
+        |  FROM r GROUP BY 1),
+        |d AS (SELECT g, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+        |    r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2h,
+        |    CAST(n_a AS HUGEINT) * (n - n_a) AS den
+        |  FROM a)
+        |SELECT g AS event_type, n_a, n_b, CAST(u2h AS BIGINT) AS u2,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(u2h - den AS DOUBLE) / CAST(den AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS delta,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CASE WHEN abs(u2h - den) * 1000 < 147 * den THEN 'negligible'
+        |      WHEN abs(u2h - den) * 1000 < 330 * den THEN 'small'
+        |      WHEN abs(u2h - den) * 1000 < 474 * den THEN 'medium'
+        |      ELSE 'large' END END AS magnitude
+        |FROM d""".stripMargin,
+    // q309: (block, treatment) max-cell census; Q is one division of
+    // exact HUGEINT moments
+    "q309_cochran_q" ->
+      """WITH cells AS (SELECT user_id AS b, event_type AS tr,
+        |    max(CASE WHEN value > 75.0 THEN 1 ELSE 0 END) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ct AS (SELECT tr, CAST(sum(x) AS BIGINT) AS cj FROM cells GROUP BY 1),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(cj) AS HUGEINT) AS sc,
+        |    sum(CAST(cj AS HUGEINT) * cj) AS sc2 FROM ct),
+        |rt AS (SELECT b, CAST(sum(x) AS BIGINT) AS ri FROM cells GROUP BY 1),
+        |rr AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(ri) AS HUGEINT) AS sr,
+        |    sum(CAST(ri AS HUGEINT) * ri) AS sr2 FROM rt)
+        |SELECT kk.k, rr.n_blocks,
+        |  CASE WHEN kk.k * rr.sr - rr.sr2 <> 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST((kk.k - 1) * (kk.k * kk.sc2 - kk.sc * kk.sc) AS DOUBLE) /
+        |      CAST(kk.k * rr.sr - rr.sr2 AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS q
+        |FROM rr CROSS JOIN kk""".stripMargin,
+    // q310: complete-block filter, doubled within-block mid-ranks, and
+    // the tie-corrected chi2 as a ratio of exact HUGEINTs
+    "q310_friedman" ->
+      """WITH cell AS (SELECT user_id AS b, event_type AS tr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k FROM cell),
+        |comp AS (SELECT b FROM cell GROUP BY b
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |inb AS (SELECT cell.* FROM cell JOIN comp USING (b)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM comp),
+        |tied AS (SELECT b, v, CAST(count(*) AS BIGINT) AS t
+        |  FROM inb GROUP BY 1, 2),
+        |r AS (SELECT b, v, 2 * COALESCE(SUM(t) OVER (PARTITION BY b
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) + t + 1 AS r2
+        |  FROM tied),
+        |rk AS (SELECT inb.tr, r.r2 FROM inb JOIN r
+        |  ON inb.b = r.b AND inb.v = r.v),
+        |pt AS (SELECT tr, CAST(sum(r2) AS HUGEINT) AS r2j
+        |  FROM rk GROUP BY 1),
+        |a2 AS (SELECT sum(CAST(r2 AS HUGEINT) * r2) AS a2 FROM rk),
+        |sn AS (SELECT sum((r2j - nn.n_blocks * (kk.k + 1))
+        |    * (r2j - nn.n_blocks * (kk.k + 1))) AS snum
+        |  FROM pt CROSS JOIN kk CROSS JOIN nn)
+        |SELECT kk.k, nn.n_blocks,
+        |  CASE WHEN a2.a2 <> CAST(nn.n_blocks AS HUGEINT) * kk.k
+        |      * (kk.k + 1) * (kk.k + 1) THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST((kk.k - 1) * sn.snum AS DOUBLE) /
+        |      CAST(a2.a2 - CAST(nn.n_blocks AS HUGEINT) * kk.k
+        |        * (kk.k + 1) * (kk.k + 1) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS chi2
+        |FROM kk CROSS JOIN nn CROSS JOIN a2 CROSS JOIN sn""".stripMargin,
     // q303: exact 2x2 cells; OR/RR and the Wald bounds are pinned-shape
     // doubles (1.96 literal; exp/ln parity per the q237 precedent)
     "q303_odds_ratio" ->

@@ -414,6 +414,41 @@ object Eval {
         .as("chi2"))
   }
 
+  /** Cliff's delta (Cliff 1993) per group — [[mannWhitneyU]]'s effect
+    * size: the probability a random A-value exceeds a random B-value
+    * minus the reverse, δ = (#(a>b) − #(a<b)) / (n_a·n_b) ∈ [−1, 1].
+    * The number a gating decision reads AFTER the U test says
+    * "significant": at corpus scale everything is significant, δ says
+    * whether the shift is worth acting on. Banded with the standard
+    * Romano et al. (2006) thresholds (|δ| < .147 negligible, < .33
+    * small, < .474 medium, else large).
+    *
+    * Exactness: derives entirely from the SAME doubled-U census as
+    * [[mannWhitneyU]] via 2U = 2·#(a>b) + #(a=b), so
+    * δ = (u2 − n_a·n_b)/(n_a·n_b) with an all-integer numerator; the
+    * band compares |num|·1000 against threshold·den in exact decimal
+    * (no float boundary can misband), and the single division is the
+    * only float op. Scale shape: identical to [[mannWhitneyU]] (one
+    * value census, no row-scale re-shuffle). Output: (g, n_a, n_b, u2,
+    * delta, magnitude); delta/magnitude null when a side is empty. */
+  def cliffsDelta(df: DataFrame, groupCol: String, labelCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val den = (col("n_a").cast(dec) * col("n_b").cast(dec)).cast(dec)
+    val num = (col("u2").cast(dec) - den).cast(dec)
+    val absNum1000 = (abs(num) * lit(1000L).cast(dec)).cast(dec)
+    def thr(t: Long) = (lit(t).cast(dec) * den).cast(dec)
+    val nonEmpty = col("n_a") > 0L && col("n_b") > 0L
+    mannWhitneyU(df, groupCol, labelCol, valueCol)
+      .select(col("g"), col("n_a"), col("n_b"), col("u2"),
+        when(nonEmpty, num.cast("double") / den.cast("double")).as("delta"),
+        when(nonEmpty,
+          when(absNum1000 < thr(147L), "negligible")
+            .when(absNum1000 < thr(330L), "small")
+            .when(absNum1000 < thr(474L), "medium")
+            .otherwise("large")).as("magnitude"))
+  }
+
   /** Kruskal–Wallis H (Kruskal & Wallis 1952) per scope: the k-sample
     * extension of [[mannWhitneyU]] — do the `groupCol` samples inside
     * each scope share one value distribution? Same doubled-mid-rank
@@ -482,5 +517,117 @@ object Eval {
         when(col("n") > 1 && col("k") > 1, h).as("h"),
         when(col("n") > 1 && col("k") > 1 && col("tie") < n3n, h / corr)
           .as("h_adj"))
+  }
+
+  /** Cochran's Q (Cochran 1950) — [[mcnemar]]'s k-treatment extension:
+    * did the k binary treatments (pipeline variants, filter versions,
+    * prompt templates) succeed at the same rate across blocks
+    * (documents, users), honoring the pairing? The A/B/C/… gate on
+    * matched binary outcomes. Cells are max-aggregated per (block,
+    * treatment) — duplicate observations collapse — and absent cells
+    * read as 0 (the census defines a complete design over observed
+    * blocks × observed treatments).
+    *
+    * Exactness: with column totals C_j, row totals R_i, k treatments,
+    *   Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²),
+    * every moment an exact integer (decimal(38,0) squares); the one
+    * terminal division is the only float op. Q is null when the
+    * denominator is 0 (every block all-0 or all-1 — no discordance to
+    * test, the [[mcnemar]] convention). χ²_{k−1} under H0.
+    *
+    * Scale shape: one (block, treatment) cell census (map-side max),
+    * a block-keyed and a k-bounded treatment-keyed re-aggregation of
+    * the census, one broadcast of the k-bounded column-total row — no
+    * window, no join at row scale. Output one row: (k, n_blocks, q). */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+      successCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .select(col(blockCol).as("b"), col(treatmentCol).as("tr"),
+        when(col(successCol).cast("long") =!= 0L, 1L).otherwise(0L)
+          .as("x"))
+      .groupBy(col("b"), col("tr")).agg(max(col("x")).as("x"))
+      .localCheckpoint(false)
+    val colTot = cells.groupBy(col("tr")).agg(sum(col("x")).as("cj"))
+    val kRow = broadcast(colTot.agg(count(lit(1)).as("k"),
+      sum(col("cj").cast(dec)).cast(dec).as("__sc"),
+      sum(col("cj").cast(dec) * col("cj").cast(dec)).cast(dec)
+        .as("__sc2")))
+    val rowTot = cells.groupBy(col("b")).agg(sum(col("x")).as("ri"))
+    val rows = rowTot.agg(count(lit(1)).as("n_blocks"),
+      sum(col("ri").cast(dec)).cast(dec).as("__sr"),
+      sum(col("ri").cast(dec) * col("ri").cast(dec)).cast(dec)
+        .as("__sr2"))
+    val kD = col("k").cast(dec)
+    val num = ((kD - 1) * (kD * col("__sc2") - col("__sc") * col("__sc")))
+      .cast(dec)
+    val den = (kD * col("__sr") - col("__sr2")).cast(dec)
+    rows.crossJoin(kRow)
+      .select(col("k"), col("n_blocks"),
+        when(den =!= lit(0).cast(dec),
+          num.cast("double") / den.cast("double")).as("q"))
+  }
+
+  /** Friedman test (Friedman 1937) — [[kruskalWallis]]'s blocked
+    * sibling: rank the k treatments WITHIN each block, then ask whether
+    * the per-treatment rank sums could be exchangeable. The matched
+    * k-sample gate for continuous outcomes (Cochran's Q is its binary
+    * special case). Only COMPLETE blocks participate — a block missing
+    * a treatment has no k-way ranking; the census filters them out and
+    * reports how many survive.
+    *
+    * Exactness: within-block mid-ranks enter DOUBLED (the
+    * [[mannWhitneyU]] discipline — always integers), so with
+    * R2_j = Σ_i r2_ij, A2 = Σ_ij r2_ij², C2 = n·k·(k+1)², the
+    * tie-corrected statistic
+    *   χ² = (k−1)·Σ_j (R2_j − n(k+1))² / (A2 − C2)
+    * has an ALL-integer numerator and denominator (the doubling scales
+    * both by exactly 4); the single terminal division is the only
+    * float op. Null when A2 = C2 (every block fully tied). Reduces to
+    * the classic 12·ΣR_j²/(nk(k+1)) − 3n(k+1) when ties are absent.
+    *
+    * Scale shape: one (block, treatment, value) cell aggregation at
+    * row scale, a block-completeness semi-join, per-block rank windows
+    * over k-bounded partitions (k = treatments, never data-sized), a
+    * k-bounded treatment re-aggregation, one broadcast scalar. Output
+    * one row: (k, n_blocks, chi2). */
+  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cell = df.where(col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("b"), col(treatmentCol).as("tr"))
+      .agg(sum(col(valueCol).cast("long")).as("v"))
+      .localCheckpoint(false)
+    val k = broadcast(cell.select(col("tr")).distinct()
+      .agg(count(lit(1)).as("k")))
+    val complete = cell.groupBy(col("b")).agg(count(lit(1)).as("__ct"))
+      .crossJoin(k).where(col("__ct") === col("k"))
+      .select(col("b"))
+    val inb = cell.join(complete, "b")
+    // doubled mid-rank within the k-bounded block: 2*(#smaller) + t + 1
+    val wLt = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tied = inb.groupBy(col("b"), col("v")).agg(count(lit(1)).as("t"))
+    val r2 = tied
+      .withColumn("__r2",
+        lit(2L) * coalesce(sum(col("t")).over(wLt), lit(0L)) + col("t") + 1L)
+    val ranked = inb.join(r2.select(col("b"), col("v"), col("__r2"), col("t")),
+      Seq("b", "v"))
+    val n = broadcast(complete.agg(count(lit(1)).as("n_blocks")))
+    val perTr = ranked.groupBy(col("tr"))
+      .agg(sum(col("__r2").cast(dec)).cast(dec).as("__r2j"))
+    val a2 = ranked.agg(sum(col("__r2").cast(dec) * col("__r2").cast(dec))
+      .cast(dec).as("__a2"))
+    val kD = col("k").cast(dec)
+    val nD = col("n_blocks").cast(dec)
+    val dev = (col("__r2j") - nD * (kD + 1)).cast(dec)
+    val snum = perTr.crossJoin(k).crossJoin(n)
+      .agg(sum((dev * dev).cast(dec)).cast(dec).as("__snum"))
+    val c2 = (nD * kD * (kD + 1) * (kD + 1)).cast(dec)
+    snum.crossJoin(broadcast(a2)).crossJoin(k).crossJoin(n)
+      .select(col("k"), col("n_blocks"),
+        when(col("__a2") =!= c2,
+          ((kD - 1) * col("__snum")).cast(dec).cast("double") /
+            (col("__a2") - c2).cast(dec).cast("double")).as("chi2"))
   }
 }

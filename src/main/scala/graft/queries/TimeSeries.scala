@@ -855,6 +855,42 @@ object TimeSeries {
         round($"z", 6).as("z"))
   }
 
+  /** q308 — Cliff's delta ([[graft.operators.Eval.cliffsDelta]]): the
+    * effect size on q283's weekend-vs-weekday value split — same
+    * doubled-U census, δ and its Romano magnitude band derived in
+    * exact integer arithmetic (the band compares cross-multiplied
+    * decimals, never floats). */
+  def q308CliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1).otherwise(0).as("wkend"),
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Eval.cliffsDelta(s, "event_type", "wkend", "cents")
+      .select($"g".as("event_type"), $"n_a", $"n_b", $"u2",
+        round($"delta", 6).as("delta"), $"magnitude")
+  }
+
+  /** q309 — Cochran's Q ([[graft.operators.Eval.cochranQ]]): did the
+    * five event types "succeed" (any value above 75) at the same rate
+    * per user, honoring the user pairing — the k-treatment member of
+    * the q300 McNemar family; all-integer moments, one division. */
+  def q309CochranQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.cochranQ(
+      events(spark, dir).select($"user_id", $"event_type",
+        ($"value" > 75.0).cast("long").as("hit")),
+      "user_id", "event_type", "hit")
+      .select($"k", $"n_blocks", round($"q", 6).as("q"))
+
+  /** q310 — Friedman test ([[graft.operators.Eval.friedman]]): rank
+    * the five event types' cent totals within each complete user block
+    * — the matched k-sample location test; doubled mid-ranks keep the
+    * tie-corrected χ² an exact integer ratio. */
+  def q310Friedman(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.friedman(
+      events(spark, dir).select($"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents")),
+      "user_id", "event_type", "cents")
+      .select($"k", $"n_blocks", round($"chi2", 6).as("chi2"))
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

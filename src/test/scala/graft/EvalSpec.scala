@@ -223,4 +223,80 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(run(df.repartition(1)) == run(df.repartition(32, col("v"))),
       "doubled-rank censuses + ordered fold make H bit-stable")
   }
+
+  test("cliffsDelta: dominance extremes, tie midpoint, Romano bands") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Int, Long)]) =
+      Eval.cliffsDelta(rows.toDF("g", "lab", "v"), "g", "lab", "v")
+        .collect().map(r => r.getAs[String]("g") ->
+          ((Option(r.getAs[java.lang.Double]("delta")).map(_.toDouble),
+            r.getAs[String]("magnitude")))).toMap
+    // complete dominance: every a > every b -> delta 1, "large"
+    val dom = Seq(("d", 1, 10L), ("d", 1, 11L), ("d", 0, 1L), ("d", 0, 2L))
+    assert(run(dom)("d") == ((Some(1.0), "large")))
+    // identical singletons -> all pairs tied -> delta 0, "negligible"
+    val tie = Seq(("t", 1, 5L), ("t", 0, 5L))
+    assert(run(tie)("t") == ((Some(0.0), "negligible")))
+    // one side empty -> null delta and band, loudly
+    val empt = Seq(("e", 1, 3L), ("e", 1, 4L))
+    assert(run(empt)("e") == ((None, null)))
+    // band boundary is an EXACT integer compare: 3 of 4 pairs win, 1
+    // loses -> delta = 1/2 ("large" needs |d| >= .474; 0.5 qualifies)
+    val half = Seq(("h", 1, 10L), ("h", 1, 2L), ("h", 0, 1L), ("h", 0, 3L))
+    assert(run(half)("h") == ((Some(0.5), "large")))
+  }
+
+  test("cochranQ: textbook 2-treatment case equals McNemar without " +
+      "correction; degenerate blocks null") {
+    import spark.implicits._
+    // blocks 1..4: t1 = (1,1,0,0), t2 = (1,0,0,1); discordant 2, both
+    // ways 1/1 -> Q = (2-1)(2*(4+4)-16)/(2*4-8+...) compute directly:
+    // C = (2,2) -> sc=4 sc2=8; R = (2,1,0,1) -> sr=4 sr2=6
+    // Q = 1*(2*8-16)/(2*4-6) = 0/2 = 0 (symmetric discordance)
+    val rows = Seq((1, "t1", 1L), (2, "t1", 1L), (3, "t1", 0L), (4, "t1", 0L),
+      (1, "t2", 1L), (2, "t2", 0L), (3, "t2", 0L), (4, "t2", 1L))
+    val r = Eval.cochranQ(rows.toDF("b", "tr", "x"), "b", "tr", "x")
+      .collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n_blocks") == 4L)
+    assert(r.getAs[Double]("q") == 0.0)
+    // one-sided discordance: t1 always 1, t2 always 0 over 3 blocks
+    // C=(3,0) sc=3 sc2=9; R=(1,1,1) sr=3 sr2=3; Q = (2*9-9)/(6-3) = 3
+    val oneway = Seq((1, "t1", 1L), (2, "t1", 1L), (3, "t1", 1L),
+      (1, "t2", 0L), (2, "t2", 0L), (3, "t2", 0L))
+    assert(Eval.cochranQ(oneway.toDF("b", "tr", "x"), "b", "tr", "x")
+      .collect().head.getAs[Double]("q") == 3.0)
+    // all blocks all-1 -> denominator 0 -> null
+    val flat = Seq((1, "t1", 1L), (1, "t2", 1L), (2, "t1", 1L), (2, "t2", 1L))
+    assert(Eval.cochranQ(flat.toDF("b", "tr", "x"), "b", "tr", "x")
+      .collect().head.isNullAt(2))
+    // duplicate observations max-collapse; absent cell reads 0
+    val dup = Seq((1, "t1", 1L), (1, "t1", 0L), (1, "t2", 0L),
+      (2, "t1", 1L), (2, "t2", 0L), (3, "t2", 0L), (3, "t1", 1L))
+    assert(Eval.cochranQ(dup.toDF("b", "tr", "x"), "b", "tr", "x")
+      .collect().head.getAs[Double]("q") == 3.0)
+  }
+
+  test("friedman: classic no-tie ranks, complete-block filter, all-tied " +
+      "null") {
+    import spark.implicits._
+    // 3 blocks, 3 treatments, consistent ordering a<b<c everywhere ->
+    // ranks (1,2,3) in every block: chi2 = 12*sum(Rj^2)/(nk(k+1)) -
+    // 3n(k+1) with R=(3,6,9): 12*(9+36+81)/36 - 36 = 42 - 36 = 6
+    val rows = for { b <- 1 to 3; (t, v) <- Seq(("a", 1L), ("b", 2L), ("c", 3L)) }
+      yield (b, t, v + b * 10L)
+    val r = Eval.friedman(rows.toDF("b", "tr", "v"), "b", "tr", "v")
+      .collect().head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n_blocks") == 3L)
+    assert(math.abs(r.getAs[Double]("chi2") - 6.0) < 1e-12)
+    // an incomplete block (missing treatment c) is dropped, not zeroed
+    val extra = rows ++ Seq((9, "a", 1L), (9, "b", 2L))
+    val e = Eval.friedman(extra.toDF("b", "tr", "v"), "b", "tr", "v")
+      .collect().head
+    assert(e.getAs[Long]("n_blocks") == 3L &&
+      math.abs(e.getAs[Double]("chi2") - 6.0) < 1e-12)
+    // every block fully tied -> A2 = C2 -> null, loudly
+    val flat = for { b <- 1 to 3; t <- Seq("a", "b", "c") } yield (b, t, 7L)
+    assert(Eval.friedman(flat.toDF("b", "tr", "v"), "b", "tr", "v")
+      .collect().head.isNullAt(2))
+  }
 }
