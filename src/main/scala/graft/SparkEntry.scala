@@ -331,6 +331,8 @@ object SparkEntry {
     "q308_cliffs_delta"     -> (T.q308CliffsDelta(_, _)),
     "q309_cochran_q"        -> (T.q309CochranQ(_, _)),
     "q310_friedman"         -> (T.q310Friedman(_, _)),
+    "q311_fleiss_kappa"     -> (T.q311FleissKappa(_, _)),
+    "q312_collocations"     -> (D.q312Collocations(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1206,6 +1208,74 @@ object SparkEntry {
         |        * (kk.k + 1) * (kk.k + 1) AS DOUBLE)
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS chi2
         |FROM kk CROSS JOIN nn CROSS JOIN a2 CROSS JOIN sn""".stripMargin,
+    // q311: exact integer rationals throughout; kappa cross-multiplies
+    // (A*F - E*B)/(B*(F - E)) in HUGEINT
+    "q311_fleiss_kappa" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn FROM events),
+        |f AS (SELECT user_id, event_type FROM r WHERE rn <= 4),
+        |cells AS (SELECT user_id AS s, event_type AS cat,
+        |    CAST(count(*) AS BIGINT) AS nij FROM f GROUP BY 1, 2),
+        |bys AS (SELECT s, CAST(sum(nij) AS BIGINT) AS tot,
+        |    sum(CAST(nij AS HUGEINT) * nij) AS sq FROM cells GROUP BY 1),
+        |kept AS (SELECT s, sq FROM bys WHERE tot = 4),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+        |  FROM bys WHERE tot <> 4),
+        |ctot AS (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj
+        |  FROM cells JOIN kept USING (s) GROUP BY 1),
+        |cats AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        |    sum(CAST(cj AS HUGEINT) * cj) AS e FROM ctot),
+        |subj AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+        |    CAST(coalesce(sum(sq), 0) AS HUGEINT) AS ssq FROM kept),
+        |m AS (SELECT subj.n_subjects, drp.n_dropped, cats.n_categories,
+        |    ssq - CAST(n_subjects AS HUGEINT) * 4 AS a,
+        |    CAST(n_subjects AS HUGEINT) * 4 * 3 AS b,
+        |    cats.e AS e,
+        |    CAST(n_subjects AS HUGEINT) * 4
+        |      * CAST(n_subjects AS HUGEINT) * 4 AS f
+        |  FROM subj CROSS JOIN drp CROSS JOIN cats)
+        |SELECT CAST(4 AS BIGINT) AS n_raters, n_subjects, n_dropped,
+        |  n_categories,
+        |  CASE WHEN n_subjects > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS p_bar,
+        |  CASE WHEN n_subjects > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(e AS DOUBLE) / CAST(f AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS p_e,
+        |  CASE WHEN n_subjects > 0 AND f <> e THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(a * f - e * b AS DOUBLE) / CAST(b * (f - e) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS kappa
+        |FROM m""".stripMargin,
+    // q312: zipped-unnest bigrams; lift orders by the identical
+    // correctly-rounded division on both engines, ties break on (x, y)
+    "q312_collocations" ->
+      """WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+')
+        |    AS ts FROM documents),
+        |big0 AS (SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS x,
+        |    unnest(list_slice(ts, 2, len(ts))) AS y
+        |  FROM toks WHERE len(ts) >= 2),
+        |big AS (SELECT x, y FROM big0 WHERE len(x) > 0 AND len(y) > 0),
+        |census AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM big GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x
+        |  FROM census GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y
+        |  FROM census GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_xy) AS HUGEINT) AS n FROM census),
+        |top AS (SELECT census.x, census.y, c_xy, c_x, c_y,
+        |    CAST(CAST(c_xy AS HUGEINT) * n.n AS DOUBLE) /
+        |      CAST(CAST(c_x AS HUGEINT) * c_y AS DOUBLE) AS lift
+        |  FROM census JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+        |  WHERE c_xy >= 5
+        |  ORDER BY lift DESC, census.x, census.y LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY lift DESC, x, y)
+        |    AS BIGINT) AS rank,
+        |  x, y, c_xy, c_x, c_y,
+        |  CAST(round(CAST(CAST(lift AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS lift
+        |FROM top""".stripMargin,
     // q303: exact 2x2 cells; OR/RR and the Wald bounds are pinned-shape
     // doubles (1.96 literal; exp/ln parity per the q237 precedent)
     "q303_odds_ratio" ->

@@ -414,6 +414,70 @@ object Eval {
         .as("chi2"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — [[cohenKappa]]'s many-rater
+    * generalization: chance-corrected agreement when each subject
+    * (document, example) carries exactly `n` categorical ratings
+    * (annotators, model votes, redundant labelers) and raters need not
+    * be identified or consistent across subjects. THE inter-annotator
+    * number on a crowd-labeled training set. Subjects with a rating
+    * count ≠ n are EXCLUDED and counted (`n_dropped`) — padding or
+    * truncating would silently change the statistic.
+    *
+    * Exactness: with per-(subject, category) counts n_ij, column
+    * totals C_j, N subjects: P̄ = A/B (A = Σn_ij² − N·n,
+    * B = N·n·(n−1)) and P̄e = E/F (E = ΣC_j², F = (N·n)²) are exact
+    * integer rationals, and κ = (P̄ − P̄e)/(1 − P̄e) cross-multiplies
+    * to (A·F − E·B)/(B·(F − E)) — decimal(38,0) throughout (A·F at
+    * 10^7 subjects × n=10 stays under 10^34); each output is one
+    * correctly-rounded division. κ null when P̄e = 1 (every rating in
+    * one category — no chance correction possible).
+    *
+    * Scale shape: one (subject, category) census at row scale, a
+    * subject-keyed completeness re-aggregation, a category-keyed
+    * (k-bounded) re-aggregation, two broadcast scalars. No window, no
+    * row-scale join. Output one row: (n_raters, n_subjects, n_dropped,
+    * n_categories, p_bar, p_e, kappa). */
+  def fleissKappa(df: DataFrame, subjectCol: String, categoryCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"n (ratings per subject) must be >= 2, got $n")
+    val dec = "decimal(38,0)"
+    val cells = df.where(col(categoryCol).isNotNull)
+      .groupBy(col(subjectCol).as("s"), col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint(false)
+    val bySubj = cells.groupBy(col("s"))
+      .agg(sum(col("nij")).as("__tot"),
+        sum(col("nij").cast(dec) * col("nij").cast(dec)).cast(dec)
+          .as("__sq"))
+    val kept = bySubj.where(col("__tot") === n.toLong).localCheckpoint(false)
+    val dropped = broadcast(bySubj.where(col("__tot") =!= n.toLong)
+      .agg(count(lit(1)).as("n_dropped")))
+    val keptSubj = kept.select(col("s"))
+    val colTot = cells.join(keptSubj, "s")
+      .groupBy(col("cat")).agg(sum(col("nij")).as("cj"))
+    val cats = broadcast(colTot.agg(count(lit(1)).as("n_categories"),
+      sum(col("cj").cast(dec) * col("cj").cast(dec)).cast(dec).as("__e")))
+    val subj = kept.agg(count(lit(1)).as("n_subjects"),
+      sum(col("__sq")).cast(dec).as("__ssq"))
+    val nD = lit(n.toLong).cast(dec)
+    val nsD = col("n_subjects").cast(dec)
+    val a = (col("__ssq") - nsD * nD).cast(dec)
+    val b = (nsD * nD * (nD - 1)).cast(dec)
+    val f = (nsD * nD * nsD * nD).cast(dec)
+    val e = col("__e")
+    subj.crossJoin(dropped).crossJoin(cats)
+      .select(lit(n.toLong).as("n_raters"), col("n_subjects"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        col("n_categories"),
+        when(col("n_subjects") > 0L,
+          a.cast("double") / b.cast("double")).as("p_bar"),
+        when(col("n_subjects") > 0L,
+          e.cast("double") / f.cast("double")).as("p_e"),
+        when(col("n_subjects") > 0L && f =!= e,
+          (a * f - e * b).cast(dec).cast("double") /
+            (b * (f - e)).cast(dec).cast("double")).as("kappa"))
+  }
+
   /** Cliff's delta (Cliff 1993) per group — [[mannWhitneyU]]'s effect
     * size: the probability a random A-value exceeds a random B-value
     * minus the reverse, δ = (#(a>b) − #(a<b)) / (n_a·n_b) ∈ [−1, 1].

@@ -192,4 +192,59 @@ object Ranking {
              |        / CAST(d AS DOUBLE) * element_at($wtsArr, d))
              |""".stripMargin).as("rbo"))
   }
+
+  /** Collocation mining by lift — the PMI top-k without the log:
+    * for adjacent token pairs (x, y), lift = P(x,y)/(P(x)·P(y)) =
+    * c_xy·N/(c_x·c_y) with marginals taken over the bigram table
+    * itself (c_x = left occurrences, c_y = right occurrences, N =
+    * total bigrams — self-consistent and exactly replayable; PMI =
+    * log₂ lift is monotone in it, so ranking by lift IS ranking by
+    * PMI). The phrase detector a tokenizer pipeline runs before
+    * merging multiword units, and [[distinctiveTerms]]'s pairwise
+    * sibling. A `minCount` floor kills the hapax-pair noise that
+    * dominates raw PMI.
+    *
+    * Exactness: counts are exact; lift is ONE correctly-rounded
+    * division of exact decimal products (c_xy·N ≤ 10^9·10^12 fits
+    * decimal(38,0) with room), so the (lift desc, x, y) order is
+    * bit-deterministic cross-engine — ties at full double precision
+    * break on the token pair.
+    *
+    * Scale shape: bigrams explode map-side (zip of the token array
+    * with its tail — no self-join on position), one (x, y) census at
+    * row scale, two census re-aggregations for the marginals, joins
+    * back on x then y (census grain), and a TakeOrdered bounds the
+    * sort at k rows. Output: (rank, x, y, c_xy, c_x, c_y, lift). */
+  def collocationLift(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val toks = df.select(split(lower(trim(col(textCol))), "\\s+").as("__ts"))
+      .where(size(col("__ts")) >= 2)
+    val big = toks.select(explode(arrays_zip(
+        expr("slice(__ts, 1, size(__ts) - 1)").as("x"),
+        expr("slice(__ts, 2, size(__ts) - 1)").as("y"))).as("__p"))
+      .select(col("__p.x").as("x"), col("__p.y").as("y"))
+      .where(length(col("x")) > 0 && length(col("y")) > 0)
+    val census = big.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(false)
+    val mx = census.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
+    val my = census.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
+    val n = broadcast(census.agg(sum(col("c_xy")).as("__n")))
+    val lift = (col("c_xy").cast(dec) * col("__n").cast(dec)).cast(dec)
+      .cast("double") /
+      (col("c_x").cast(dec) * col("c_y").cast(dec)).cast(dec).cast("double")
+    val top = census.where(col("c_xy") >= minCount)
+      .join(mx, "x").join(my, "y")
+      .crossJoin(n)
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        lift.as("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(k)
+    // the rank window orders the k-bounded result only
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("x"), col("y"))).cast("long"))
+      .select(col("rank"), col("x"), col("y"), col("c_xy"), col("c_x"),
+        col("c_y"), col("lift"))
+  }
 }

@@ -891,6 +891,22 @@ object TimeSeries {
       "user_id", "event_type", "cents")
       .select($"k", $"n_blocks", round($"chi2", 6).as("chi2"))
 
+  /** q311 — Fleiss' kappa ([[graft.operators.Eval.fleissKappa]]): treat
+    * each user's first four events (by ts, event_id) as four
+    * categorical "ratings" of the user — do users concentrate in one
+    * event type more than chance? Users with under four events are
+    * dropped and counted; all moments exact integer rationals. */
+  def q311FleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val first4 = events(spark, dir)
+      .withColumn("__rn", row_number().over(w))
+      .where($"__rn" <= 4)
+    graft.operators.Eval.fleissKappa(first4, "user_id", "event_type", n = 4)
+      .select($"n_raters", $"n_subjects", $"n_dropped", $"n_categories",
+        round($"p_bar", 6).as("p_bar"), round($"p_e", 6).as("p_e"),
+        round($"kappa", 6).as("kappa"))
+  }
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

@@ -377,6 +377,16 @@ object TrainingData {
         round($"r_star", 6).as("r_star"), round($"p0", 6).as("p0"))
   }
 
+  /** q312 — collocation mining ([[graft.operators.Ranking
+    * .collocationLift]]): top-20 adjacent token pairs by lift (monotone
+    * PMI) with a count-5 floor — the multiword-unit detector; exact
+    * counts, one division, deterministic (lift, x, y) order. */
+  def q312Collocations(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.collocationLift(
+      docs(spark, dir).select($"text"), "text", minCount = 5L, k = 20)
+      .select($"rank", $"x", $"y", $"c_xy", $"c_x", $"c_y",
+        round($"lift", 6).as("lift"))
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

@@ -276,6 +276,41 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getAs[Double]("q") == 3.0)
   }
 
+  test("fleissKappa: textbook perfect agreement, chance-level, and " +
+      "subject-count discipline") {
+    import spark.implicits._
+    def run(rows: Seq[(Int, String)], n: Int) =
+      Eval.fleissKappa(rows.toDF("s", "cat"), "s", "cat", n).collect().head
+    // every subject unanimous, two categories evenly split across
+    // subjects: P_bar = 1, kappa = 1 exactly
+    val unanimous = (1 to 4).flatMap(s =>
+      Seq.fill(3)((s, if (s % 2 == 0) "a" else "b")))
+    val u = run(unanimous, 3)
+    assert(u.getAs[Double]("p_bar") == 1.0 &&
+      u.getAs[Double]("kappa") == 1.0)
+    assert(u.getAs[Long]("n_subjects") == 4L &&
+      u.getAs[Long]("n_dropped") == 0L)
+    // all ratings one category -> P_e = 1 -> kappa null, loudly
+    val mono = (1 to 3).flatMap(s => Seq.fill(2)((s, "only")))
+    assert(run(mono, 2).isNullAt(6))
+    // subjects with wrong rating counts are dropped and counted
+    val ragged = unanimous ++ Seq((9, "a")) ++ Seq.fill(5)((10, "b")).zipWithIndex
+      .map { case (p, _) => p }
+    val g = run(ragged, 3)
+    assert(g.getAs[Long]("n_subjects") == 4L &&
+      g.getAs[Long]("n_dropped") == 2L)
+    assert(g.getAs[Double]("kappa") == 1.0, "dropped subjects don't leak")
+    // worked textbook shape: 2 subjects, n=2, one split one unanimous
+    // cells: s1 = (a,b) -> P_1 = 0; s2 = (a,a) -> P_2 = 1; P_bar = 1/2
+    // C = (3a, 1b): P_e = (9+1)/16; kappa = (1/2 - 10/16)/(1 - 10/16)
+    //   = (-1/8)/(3/8) = -1/3
+    val mixed = Seq((1, "a"), (1, "b"), (2, "a"), (2, "a"))
+    val m = run(mixed, 2)
+    assert(m.getAs[Double]("p_bar") == 0.5)
+    assert(m.getAs[Double]("p_e") == 0.625)
+    assert(math.abs(m.getAs[Double]("kappa") - (-1.0 / 3)) < 1e-15)
+  }
+
   test("friedman: classic no-tie ranks, complete-block filter, all-tied " +
       "null") {
     import spark.implicits._

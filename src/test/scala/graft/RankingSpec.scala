@@ -92,4 +92,31 @@ class RankingSpec extends AnyFunSuite with SparkFixture {
     val rd = rbo(disj, k = 3)
     assert(rd._2 == 0.0, "no overlap anywhere in the cut")
   }
+
+  test("collocationLift: exact lift on a hand-counted corpus, minCount " +
+      "floor, deterministic order") {
+    import spark.implicits._
+    // corpus: "new york" x3, "new day" x1, "old york" x1, "a b" x5
+    val docs = Seq.fill(3)("new york") ++ Seq("new day", "old york") ++
+      Seq.fill(5)("a b")
+    val out = Ranking.collocationLift(docs.toDF("text"), "text",
+      minCount = 2L, k = 10).collect()
+    // N = 10 bigrams; survivors: (new,york) c=3 c_x=4 c_y=4 ->
+    // lift = 30/16 = 1.875; (a,b) c=5 c_x=5 c_y=5 -> lift = 50/25 = 2
+    assert(out.length == 2)
+    val first = out(0); val second = out(1)
+    assert(first.getAs[String]("x") == "a" &&
+      first.getAs[String]("y") == "b" &&
+      first.getAs[Double]("lift") == 2.0 &&
+      first.getAs[Long]("rank") == 1L)
+    assert(second.getAs[String]("x") == "new" &&
+      second.getAs[String]("y") == "york" &&
+      second.getAs[Double]("lift") == 1.875 &&
+      second.getAs[Long]("c_xy") == 3L &&
+      second.getAs[Long]("c_x") == 4L && second.getAs[Long]("c_y") == 4L)
+    // single-token and empty docs contribute nothing; k caps rows
+    val edge = Ranking.collocationLift(
+      (docs ++ Seq("solo", "", "  ")).toDF("text"), "text", 2L, 1).collect()
+    assert(edge.length == 1 && edge(0).getAs[String]("x") == "a")
+  }
 }
