@@ -980,6 +980,49 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streamed KS census also yields TV: parity with batch totalVariation " +
+      "semantics on the bucketed values") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (lo, hi, buckets) = (0L, 49000L, 64)
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select((round($"value" * 100)).cast("long").as("v"),
+        (dayofmonth($"ts") > 15).as("r"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val w = (hi - lo) / buckets + 1
+    def bucket(v: Long): Long = math.min(buckets - 1L, math.max(0L, (v - lo) / w))
+    val mem = MemoryStream[(Long, Boolean)]
+    val out = Streams.ksCensusStream(mem.toDF().toDF("v", "r"), "v", col("r"),
+      lo, hi, buckets)
+    val q = out.writeStream.format("memory").queryName("tv_stream")
+      .outputMode("complete").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      var seen = IndexedSeq.empty[(Long, Boolean)]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        val row = graft.operators.Divergence.tvFromCensus(
+            spark.table("tv_stream"), "b", "ca", "cb").head()
+        // reference: exact rational TV over the same bucketed census
+        val (na, nb) = (seen.count(!_._2).toLong, seen.count(_._2).toLong)
+        if (na == 0L || nb == 0L) {
+          assert(row.isNullAt(3), s"empty side -> null tv (${seen.length})")
+        } else {
+          val byB = seen.groupBy(t => bucket(t._1))
+          val num = byB.values.map { ts =>
+            val ca = ts.count(!_._2).toLong; val cb = ts.count(_._2).toLong
+            math.abs(ca * nb - cb * na)
+          }.sum
+          val expected = num.toDouble / (2.0 * na * nb)
+          assert(row.getAs[Double]("tv") == expected,
+            s"prefix of ${seen.length}")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel matches batch depth across micro-batches (q278 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
