@@ -333,6 +333,8 @@ object SparkEntry {
     "q310_friedman"         -> (T.q310Friedman(_, _)),
     "q311_fleiss_kappa"     -> (T.q311FleissKappa(_, _)),
     "q312_collocations"     -> (D.q312Collocations(_, _)),
+    "q313_modularity"       -> (R.q313Modularity(_, _)),
+    "q314_transitivity"     -> (R.q314Transitivity(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1276,6 +1278,61 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(lift AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS lift
         |FROM top""".stripMargin,
+    // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
+    // node so n_edges_unassigned must be 0
+    "q313_modularity" ->
+      """WITH pairs AS (SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |  FROM pairs WHERE u <> v),
+        |a AS (SELECT c_custkey AS nd, c_nationkey AS c FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000, s_nationkey FROM supplier),
+        |tag AS (SELECT au.c AS cu, av.c AS cv FROM e
+        |  JOIN a au ON e.u = au.nd JOIN a av ON e.v = av.nd),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM tag),
+        |sec AS (SELECT CAST(coalesce(sum(ec), 0) AS HUGEINT) AS sec FROM
+        |  (SELECT CAST(count(*) AS BIGINT) AS ec FROM tag
+        |    WHERE cu = cv GROUP BY cu)),
+        |dc AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        |    sum(CAST(dcv AS HUGEINT) * dcv) AS sdc2 FROM
+        |  (SELECT c, CAST(count(*) AS BIGINT) AS dcv FROM
+        |    (SELECT cu AS c FROM tag UNION ALL SELECT cv FROM tag)
+        |   GROUP BY c))
+        |SELECT dc.n_communities, m.n_edges,
+        |  CAST(0 AS BIGINT) AS n_edges_unassigned,
+        |  CASE WHEN m.n_edges > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(4 * CAST(m.n_edges AS HUGEINT) * sec.sec - dc.sdc2
+        |        AS DOUBLE) /
+        |      CAST(4 * CAST(m.n_edges AS HUGEINT) * m.n_edges AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS modularity
+        |FROM dc CROSS JOIN m CROSS JOIN sec""".stripMargin,
+    // q314: exact triangle count via the ordered three-way self-join;
+    // wedges = Σ d(d-1)/2; C = 3T/W one division
+    "q314_transitivity" ->
+      """WITH pts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+        |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |dstat AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM e ab JOIN e bc ON ab.v = bc.u
+        |    JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
+        |SELECT dstat.n_nodes, m.n_edges, dstat.n_wedges, tri.n_triangles,
+        |  CASE WHEN dstat.n_wedges > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(3 * CAST(tri.n_triangles AS HUGEINT) AS DOUBLE) /
+        |      CAST(dstat.n_wedges AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |  END AS transitivity
+        |FROM dstat CROSS JOIN m CROSS JOIN tri""".stripMargin,
     // q303: exact 2x2 cells; OR/RR and the Wald bounds are pinned-shape
     // doubles (1.96 literal; exp/ln parity per the q237 precedent)
     "q303_odds_ratio" ->

@@ -155,6 +155,74 @@ object Graph {
         (col("af").cast("double") / lit(HitsScale.toDouble)).as("auth"))
   }
 
+  /** Newman modularity (Newman & Girvan 2004) of a GIVEN node
+    * partition over an undirected edge list — the community-quality
+    * number: Q = Σ_c [e_c/m − (d_c/2m)²], how much denser the
+    * communities are than a degree-preserving random rewiring
+    * (Q ∈ [−½, 1), ~0 for no structure). The evaluation half of
+    * community detection: pair it with [[Components]] labels, a
+    * metadata partition (host, nation, source), or any clustering, and
+    * Q says whether the partition explains the link structure —
+    * before/after a crawl policy change, this is the "did the link
+    * farms consolidate" gate.
+    *
+    * Assignment discipline: `assign` maps node → community; edges with
+    * an UNASSIGNED endpoint are excluded and counted loudly
+    * (`n_edges_unassigned`) rather than silently forming a null
+    * community — m and the degree sums run over the assigned subgraph
+    * so Q stays internally consistent.
+    *
+    * Exactness: with intra-community edge counts e_c, community degree
+    * sums d_c, and m assigned edges, Q = (Σ_c 4m·e_c − Σ_c d_c²) /
+    * (4m²) — an ALL-integer numerator and denominator (decimal(38,0)
+    * products), ONE correctly-rounded terminal division, no float
+    * fold. Scale shape: one distinct over edges, two node-keyed joins
+    * of the edge list with the (node, community) table, a
+    * community-keyed census each for e_c and d_c, two scalar
+    * aggregations. Output one row: (n_communities, n_edges,
+    * n_edges_unassigned, modularity); null when m = 0. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      assign: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val a = assign.select(col(nodeCol).as("__nd"), col(commCol).as("__c"))
+      .where(col("__nd").isNotNull && col("__c").isNotNull)
+      .distinct()
+    val tagged = e0
+      .join(a.select(col("__nd").as("u"), col("__c").as("cu")), Seq("u"), "left")
+      .join(a.select(col("__nd").as("v"), col("__c").as("cv")), Seq("v"), "left")
+      .localCheckpoint(false)
+    val dropped = broadcast(tagged
+      .where(col("cu").isNull || col("cv").isNull)
+      .agg(count(lit(1)).as("n_edges_unassigned")))
+    val kept = tagged.where(col("cu").isNotNull && col("cv").isNotNull)
+    val m = broadcast(kept.agg(count(lit(1)).as("n_edges")))
+    val ecSum = kept.where(col("cu") === col("cv"))
+      .groupBy(col("cu")).agg(count(lit(1)).as("ec"))
+      .agg(sum(col("ec").cast(dec)).cast(dec).as("__sec"))
+    val dcSum = kept
+      .select(explode(array(col("cu"), col("cv"))).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("dc").cast(dec) * col("dc").cast(dec)).cast(dec)
+          .as("__sdc2"))
+    val mD = col("n_edges").cast(dec)
+    dcSum.crossJoin(broadcast(ecSum)).crossJoin(m).crossJoin(dropped)
+      .select(col("n_communities"), col("n_edges"),
+        col("n_edges_unassigned"),
+        when(col("n_edges") > 0L,
+          (lit(4L).cast(dec) * mD * coalesce(col("__sec"), lit(0).cast(dec))
+            - col("__sdc2")).cast(dec).cast("double") /
+            (lit(4L).cast(dec) * mD * mD).cast(dec).cast("double"))
+          .as("modularity"))
+  }
+
   /** Degree assortativity (Newman 2002) over an undirected edge list —
     * the one-number mixing profile of a graph: the Pearson correlation
     * of the degrees at the two ends of a uniformly random edge.

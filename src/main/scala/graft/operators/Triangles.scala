@@ -95,4 +95,44 @@ object Triangles {
       .join(perCorner, Seq("node"), "left")
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** Global transitivity (clustering coefficient of the whole graph):
+    * C = 3·triangles / wedges, the fraction of open two-paths that
+    * close — [[perNode]]'s one-number summary and the density-shape
+    * companion to [[Graph.assortativity]] (assortativity says WHO
+    * links, transitivity says whether neighborhoods close; a link farm
+    * is high-transitivity low-assortativity). Wedges = Σ_v d_v(d_v−1)/2
+    * and 3·triangles = Σ_v tri_v are both exact integers (d(d−1) is
+    * always even, so the `div 2` is exact), making C ONE
+    * correctly-rounded division — no float fold.
+    *
+    * Scale shape: one canonical distinct, the [[perNode]] pipeline
+    * (O(√2m)-capped adjacency, codegen'd sorted intersection), a
+    * degree census, two scalar aggregations. Output one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles, transitivity); null
+    * when the graph has no wedge (no node of degree ≥ 2). */
+  def transitivity(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e0 = edges
+      .select(least(col(uCol), col(vCol)).cast("long").as("u"),
+        greatest(col(uCol), col(vCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val m = broadcast(e0.agg(count(lit(1)).as("n_edges")))
+    // corner-sum = 3T exactly; integer `div` keeps it exact at any scale
+    val tri = perNode(e0, "u", "v")
+      .agg(expr("sum(triangles) div 3").as("n_triangles"))
+    wedges.crossJoin(m).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0L,
+          (lit(3L).cast(dec) * col("n_triangles").cast(dec)).cast(dec)
+            .cast("double") / col("n_wedges").cast("double"))
+          .as("transitivity"))
+  }
 }

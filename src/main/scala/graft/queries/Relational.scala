@@ -928,6 +928,44 @@ object Relational {
       .select($"n_nodes", $"n_edges", round($"r_assort", 6).as("r_assort"))
   }
 
+  /** q313 — modularity ([[graft.operators.Graph.modularity]]) of the
+    * nation partition over the q169 customer–supplier trade graph: do
+    * trade links stay inside nations more than a degree-preserving
+    * rewiring would? All-integer Q numerator, one division. */
+  def q313Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val assign = Tables.customer(spark, dir)
+      .select($"c_custkey".as("node"), $"c_nationkey".as("comm"))
+      .unionByName(Tables.supplier(spark, dir)
+        .select(($"s_suppkey" + 1000000L).as("node"),
+          $"s_nationkey".as("comm")))
+    graft.operators.Graph.modularity(pairs, "u", "v", assign, "node", "comm")
+      .select($"n_communities", $"n_edges", $"n_edges_unassigned",
+        round($"modularity", 6).as("modularity"))
+  }
+
+  /** q314 — global transitivity ([[graft.operators.Triangles
+    * .transitivity]]) of the Brand#11 co-purchase graph: the fraction
+    * of open part-pair wedges that close into triangles — 3T/W as one
+    * exact division. */
+  def q314Transitivity(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
+      .select($"p_partkey")
+    val op = Tables.lineitem(spark, dir)
+      .join(pts, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = op.select($"ok", $"pk".as("u"))
+      .join(op.select($"ok", $"pk".as("v")), "ok")
+      .where($"u" < $"v")
+      .select($"u", $"v")
+    graft.operators.Triangles.transitivity(edges, "u", "v")
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        round($"transitivity", 6).as("transitivity"))
+  }
+
   /** q277 — Fellegi–Sunter record linkage ([[graft.operators.Linkage]]):
     * every 10th customer re-appears id-shifted with a one-char name tweak
     * and a +0.01 balance drift; candidates block on the 17-char name

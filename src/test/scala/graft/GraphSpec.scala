@@ -60,4 +60,35 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     // r = (32-36)/(40-36) = -1
     assert(run(Seq((5L, 6L), (6L, 7L))) == ((3L, 2L, Some(-1.0))))
   }
+
+  test("modularity: two cliques exactly 1/2, random-graph partition 0 " +
+      "shape, unassigned edges counted not nulled") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], assign: Seq[(Long, String)]) = {
+      val r = Graph.modularity(edges.toDF("src", "dst"), "src", "dst",
+        assign.toDF("node", "comm"), "node", "comm").collect().head
+      (r.getAs[Long]("n_communities"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("n_edges_unassigned"),
+        Option(r.getAs[java.lang.Double]("modularity")).map(_.toDouble))
+    }
+    // two disjoint triangles, each its own community: m=6, e_c=3 each,
+    // d_c=6 each -> Q = (4*6*6 - 72)/144 = 72/144 = 1/2
+    val twoTri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val byTri = Seq(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b", 5L -> "b",
+      6L -> "b")
+    assert(run(twoTri, byTri) == ((2L, 6L, 0L, Some(0.5))))
+    // everything in ONE community: e_c = m, d_c = 2m -> Q = 0 exactly
+    val allOne = twoTri.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> "x")
+    assert(run(twoTri, allOne)._4 == Some(0.0))
+    // node 6 unassigned: its two edges drop and are counted; the rest
+    // recomputes on the 4-edge subgraph
+    val partial = byTri.filterNot(_._1 == 6L)
+    val p = run(twoTri, partial)
+    assert(p._2 == 4L && p._3 == 2L)
+    // anti-community split (each triangle half in a, half in b) goes
+    // NEGATIVE: cross edges dominate
+    val bad = Seq(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b", 5L -> "a",
+      6L -> "b")
+    assert(run(twoTri, bad)._4.get < 0.0)
+  }
 }

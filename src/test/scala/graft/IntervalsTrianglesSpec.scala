@@ -36,6 +36,29 @@ class IntervalsTrianglesSpec extends AnyFunSuite with SparkFixture {
     assert(tri == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("transitivity: complete graph 1, star 0, two-triangle bridge " +
+      "hand-counted") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]) = {
+      val r = Triangles.transitivity(edges.toDF("u", "v"), "u", "v")
+        .collect().head
+      (r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"),
+        Option(r.getAs[java.lang.Double]("transitivity")).map(_.toDouble))
+    }
+    // K4: T = 4, W = 4*C(3,2) = 12 -> C = 12/12 = 1
+    val k4 = for { u <- 1L to 4L; v <- u + 1 to 4L } yield (u, v)
+    assert(run(k4) == ((12L, 4L, Some(1.0))))
+    // star K_{1,3}: W = 3, T = 0 -> C = 0
+    assert(run(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == ((3L, 0L, Some(0.0))))
+    // single edge: no wedge -> null, loudly
+    assert(run(Seq((1L, 2L))) == ((0L, 0L, None)))
+    // two triangles sharing an edge: degrees (2,3,3,2) -> W = Σ d(d-1)/2
+    // = 1+3+3+1 = 8; T = 2 -> C = 6/8 = 0.75 (the open wedges are the
+    // two through the bridge ends)
+    val bow = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+    assert(run(bow) == ((8L, 2L, Some(0.75))))
+  }
+
   test("overlapPairs: multi-bucket overlaps count once; touching endpoints don't overlap") {
     import spark.implicits._
     val iv = Seq(
