@@ -335,6 +335,8 @@ object SparkEntry {
     "q312_collocations"     -> (D.q312Collocations(_, _)),
     "q313_modularity"       -> (R.q313Modularity(_, _)),
     "q314_transitivity"     -> (R.q314Transitivity(_, _)),
+    "q315_brier_decomp"     -> (T.q315BrierDecomp(_, _)),
+    "q316_assoc_rules"      -> (R.q316AssociationRules(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1333,6 +1335,96 @@ object SparkEntry {
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
         |  END AS transitivity
         |FROM dstat CROSS JOIN m CROSS JOIN tri""".stripMargin,
+    // q315: brier/ece/unc all-integer numerators; rel/res fold per-bin
+    // exact divisions in bin order via the ordered-list reduce
+    "q315_brier_decomp" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS y,
+        |    CAST(round(value * 100) AS BIGINT) % 101 AS sv
+        |  FROM events),
+        |c AS (SELECT g, sv, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS np FROM s GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(np) AS BIGINT) AS npos,
+        |    sum(CAST(np AS HUGEINT) * (100 - sv) * (100 - sv)
+        |      + CAST(n - np AS HUGEINT) * sv * sv) AS bnum
+        |  FROM c GROUP BY 1),
+        |bins AS (SELECT g, (sv * 10) // 101 AS b,
+        |    CAST(sum(n) AS BIGINT) AS nb, CAST(sum(np) AS BIGINT) AS npb,
+        |    CAST(sum(CAST(sv AS HUGEINT) * n) AS HUGEINT) AS ssb
+        |  FROM c GROUP BY 1, 2),
+        |bt AS (SELECT bins.g, b, nb,
+        |    abs(ssb - CAST(npb AS HUGEINT) * 100) AS en,
+        |    CAST((ssb - CAST(npb AS HUGEINT) * 100)
+        |       * (ssb - CAST(npb AS HUGEINT) * 100) AS DOUBLE)
+        |      / CAST(nb AS DOUBLE) AS rt,
+        |    CAST((CAST(npb AS HUGEINT) * nn - CAST(npos AS HUGEINT) * nb)
+        |       * (CAST(npb AS HUGEINT) * nn - CAST(npos AS HUGEINT) * nb)
+        |      AS DOUBLE) / CAST(nb AS DOUBLE) AS st
+        |  FROM bins JOIN tot ON bins.g = tot.g),
+        |f AS (SELECT g, sum(en) AS esum,
+        |    list_reduce(list_transform(
+        |      list(struct_pack(rt := rt, st := st) ORDER BY b), x -> x.rt),
+        |      (a, b) -> a + b) AS rsum,
+        |    list_reduce(list_transform(
+        |      list(struct_pack(rt := rt, st := st) ORDER BY b), x -> x.st),
+        |      (a, b) -> a + b) AS ssum
+        |  FROM bt GROUP BY 1)
+        |SELECT tot.g AS event_type, tot.nn AS n, tot.npos AS n_pos,
+        |  CAST(round(CAST(CAST(CAST(tot.bnum AS DOUBLE) /
+        |    CAST(CAST(tot.nn AS HUGEINT) * 10000 AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS brier,
+        |  CAST(round(CAST(CAST(CAST(f.esum AS DOUBLE) /
+        |    CAST(CAST(tot.nn AS HUGEINT) * 100 AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS ece,
+        |  CAST(round(CAST(CAST(f.rsum /
+        |    CAST(CAST(tot.nn AS HUGEINT) * 10000 AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS reliability,
+        |  CAST(round(CAST(CAST(f.ssum /
+        |    CAST(CAST(tot.nn AS HUGEINT) * tot.nn * tot.nn AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS resolution,
+        |  CAST(round(CAST(CAST(
+        |    CAST(CAST(tot.npos AS HUGEINT) * (tot.nn - tot.npos) AS DOUBLE) /
+        |    CAST(CAST(tot.nn AS HUGEINT) * tot.nn AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS uncertainty
+        |FROM tot JOIN f ON tot.g = f.g""".stripMargin,
+    // q316: basket-capped pair census; every ratio one exact division;
+    // (lift desc, a, b) order identical on both engines
+    "q316_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ok AS (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 1000),
+        |kept AS (SELECT bi.* FROM bi JOIN ok USING (bk)),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets
+        |  FROM kept),
+        |items AS (SELECT it, CAST(count(*) AS BIGINT) AS c
+        |  FROM kept GROUP BY 1),
+        |pairs AS (SELECT a.it AS ia, b.it AS ib,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        |top AS (SELECT ia, ib, nb.n_baskets, ca.c AS c_a, cb.c AS c_b,
+        |    c_ab,
+        |    CAST(c_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+        |    CAST(c_ab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS conf_ab,
+        |    CAST(c_ab AS DOUBLE) / CAST(cb.c AS DOUBLE) AS conf_ba,
+        |    CAST(CAST(c_ab AS HUGEINT) * nb.n_baskets AS DOUBLE) /
+        |      CAST(CAST(ca.c AS HUGEINT) * cb.c AS DOUBLE) AS lift
+        |  FROM pairs JOIN items ca ON ia = ca.it
+        |    JOIN items cb ON ib = cb.it CROSS JOIN nb
+        |  ORDER BY lift DESC, ia, ib LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY lift DESC, ia, ib)
+        |    AS BIGINT) AS rank,
+        |  ia AS item_a, ib AS item_b, n_baskets, c_a, c_b, c_ab,
+        |  CAST(round(CAST(CAST(support AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS support,
+        |  CAST(round(CAST(CAST(conf_ab AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS conf_ab,
+        |  CAST(round(CAST(CAST(conf_ba AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS conf_ba,
+        |  CAST(round(CAST(CAST(lift AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS lift
+        |FROM top""".stripMargin,
     // q303: exact 2x2 cells; OR/RR and the Wald bounds are pinned-shape
     // doubles (1.96 literal; exp/ln parity per the q237 precedent)
     "q303_odds_ratio" ->

@@ -414,6 +414,96 @@ object Eval {
         .as("chi2"))
   }
 
+  /** Brier score with the Murphy (1973) decomposition and ECE — the
+    * probabilistic-forecast audit behind [[calibrationCurve]]: the
+    * curve SHOWS where confidence and accuracy diverge, these numbers
+    * GATE it. Scores are integer probabilities in [0, `scale`]
+    * (clamped; e.g. cents with scale=100):
+    *   brier = (1/N)·Σ (s_i/scale − y_i)²    (unbinned, exact)
+    *   ece   = Σ_b (n_b/N)·|conf_b − acc_b|  (equal-width bins)
+    *   rel   = (1/N)·Σ_b n_b(conf_b − acc_b)²
+    *   res   = (1/N)·Σ_b n_b(acc_b − ȳ)²
+    *   unc   = ȳ(1 − ȳ)
+    * with brier ≈ rel − res + unc (exact when every score in a bin is
+    * equal; the within-bin score variance is the residual — documented,
+    * not hidden).
+    *
+    * Exactness: brier's and ece's numerators and unc are ALL-integer
+    * (decimal(38,0)) with one terminal division each. rel/res need a
+    * per-bin division (denominators n_b differ), so each bin term is
+    * one exact-integer division and the ≤`buckets` terms fold in bin
+    * order (the q237 contract) — bit-reproducible cross-engine.
+    *
+    * Scale shape: one (group, score) census at row scale (score
+    * cardinality ≤ scale+1 caps it), a bucket re-aggregation, one
+    * group-total join at census grain, and bucket-bounded folds. Output:
+    * (g, n, n_pos, brier, ece, reliability, resolution, uncertainty);
+    * all null when the group is empty of labeled rows. */
+  def brierDecomposition(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, scale: Long, buckets: Int): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val dec = "decimal(38,0)"
+    val sc = lit(scale).cast(dec)
+    val census = df.where(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        greatest(lit(0L), least(lit(scale), col(scoreCol).cast("long")))
+          .as("s"),
+        when(col(labelCol) === 1, 1L).otherwise(0L).as("y"))
+      .groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+      .localCheckpoint(false)
+    val sD = col("s").cast(dec)
+    val tot = census.groupBy(col("g")).agg(
+      sum(col("n")).as("nn"), sum(col("np")).as("npos"),
+      sum((col("np").cast(dec) *
+          ((lit(scale) - col("s")).cast(dec) *
+            (lit(scale) - col("s")).cast(dec)).cast(dec)).cast(dec) +
+        ((col("n") - col("np")).cast(dec) * (sD * sD).cast(dec)).cast(dec))
+        .cast(dec).as("__bnum"))
+    val bins = census
+      .withColumn("b", expr(s"(s * $buckets) div ${scale + 1}"))
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("n")).as("nb"), sum(col("np")).as("npb"),
+        sum(sD * col("n").cast(dec)).cast(dec).as("ssb"))
+    val d1 = (col("ssb") - col("npb").cast(dec) * sc).cast(dec)
+    val d2 = (col("npb").cast(dec) * col("nn").cast(dec) -
+      col("npos").cast(dec) * col("nb").cast(dec)).cast(dec)
+    val binsT = bins.join(tot.select(col("g"), col("nn"), col("npos")), "g")
+      .select(col("g"), col("b"),
+        abs(d1).as("__en"),
+        ((d1 * d1).cast(dec).cast("double") / col("nb").cast("double"))
+          .as("__rt"),
+        ((d2 * d2).cast(dec).cast("double") / col("nb").cast("double"))
+          .as("__st"))
+    val folded = binsT
+      .groupBy(col("g"))
+      .agg(sum(col("__en")).cast(dec).as("__esum"),
+        sort_array(collect_list(struct(col("b"), col("__rt"), col("__st"))))
+          .as("__ts"))
+      .select(col("g"), col("__esum"),
+        aggregate(col("__ts"), lit(0.0d),
+          (a, t) => a + t.getField("__rt")).as("__rsum"),
+        aggregate(col("__ts"), lit(0.0d),
+          (a, t) => a + t.getField("__st")).as("__ssum"))
+    val nnD = col("nn").cast(dec)
+    val nonEmpty = col("nn") > 0L
+    tot.join(folded, "g")
+      .select(col("g"), col("nn").as("n"), col("npos").as("n_pos"),
+        when(nonEmpty, col("__bnum").cast("double") /
+          (nnD * sc * sc).cast(dec).cast("double")).as("brier"),
+        when(nonEmpty, col("__esum").cast("double") /
+          (nnD * sc).cast(dec).cast("double")).as("ece"),
+        when(nonEmpty, col("__rsum") /
+          (nnD * sc * sc).cast(dec).cast("double")).as("reliability"),
+        when(nonEmpty, col("__ssum") /
+          (nnD * nnD * nnD).cast(dec).cast("double")).as("resolution"),
+        when(nonEmpty,
+          (col("npos").cast(dec) * (col("nn") - col("npos")).cast(dec))
+            .cast(dec).cast("double") / (nnD * nnD).cast(dec).cast("double"))
+          .as("uncertainty"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — [[cohenKappa]]'s many-rater
     * generalization: chance-corrected agreement when each subject
     * (document, example) carries exactly `n` categorical ratings

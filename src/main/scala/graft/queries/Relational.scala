@@ -966,6 +966,24 @@ object Relational {
         round($"transitivity", 6).as("transitivity"))
   }
 
+  /** q316 — association rules ([[graft.operators.Association
+    * .pairRules]]): top-20 brand pairs by lift over order baskets,
+    * with directional confidences — the market-basket census; exact
+    * counts, one division per ratio. */
+  def q316AssociationRules(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey")
+      .join(Tables.part(spark, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("basket"), $"p_brand".as("item"))
+    graft.operators.Association.pairRules(bi, "basket", "item",
+        minSupport = 10L, k = 20)
+      .select($"rank", $"item_a", $"item_b", $"n_baskets", $"c_a",
+        $"c_b", $"c_ab", round($"support", 6).as("support"),
+        round($"conf_ab", 6).as("conf_ab"),
+        round($"conf_ba", 6).as("conf_ba"), round($"lift", 6).as("lift"))
+  }
+
   /** q277 — Fellegi–Sunter record linkage ([[graft.operators.Linkage]]):
     * every 10th customer re-appears id-shifted with a one-char name tweak
     * and a +0.01 balance drift; candidates block on the 17-char name

@@ -907,6 +907,24 @@ object TimeSeries {
         round($"kappa", 6).as("kappa"))
   }
 
+  /** q315 — Brier decomposition + ECE ([[graft.operators.Eval
+    * .brierDecomposition]]): treat each event's cents-mod-101 as an
+    * integer probability forecast of "weekend event" and audit it —
+    * exact-integer brier/ece/uncertainty, bin-ordered folds for
+    * reliability/resolution. */
+  def q315BrierDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1).otherwise(0).as("wkend"),
+      (round($"value" * 100).cast("long") % 101L).as("prob"))
+    graft.operators.Eval.brierDecomposition(s, "event_type", "wkend",
+        "prob", scale = 100L, buckets = 10)
+      .select($"g".as("event_type"), $"n", $"n_pos",
+        round($"brier", 6).as("brier"), round($"ece", 6).as("ece"),
+        round($"reliability", 6).as("reliability"),
+        round($"resolution", 6).as("resolution"),
+        round($"uncertainty", 6).as("uncertainty"))
+  }
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

@@ -276,6 +276,43 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getAs[Double]("q") == 3.0)
   }
 
+  test("brierDecomposition: perfect forecaster, constant forecaster, and " +
+      "the Murphy identity on bin-constant scores") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Int, Long)], buckets: Int = 10) =
+      Eval.brierDecomposition(rows.toDF("g", "y", "s"), "g", "y", "s",
+        scale = 100L, buckets = buckets).collect()
+        .map(r => r.getAs[String]("g") -> r).toMap
+    // oracle forecaster: s = 100 iff y = 1 -> brier 0, ece 0, rel 0,
+    // res = unc (perfect resolution)
+    val perfect = Seq(("p", 1, 100L), ("p", 1, 100L), ("p", 0, 0L),
+      ("p", 0, 0L))
+    val p = run(perfect)("p")
+    assert(p.getAs[Double]("brier") == 0.0 && p.getAs[Double]("ece") == 0.0)
+    assert(p.getAs[Double]("reliability") == 0.0)
+    assert(p.getAs[Double]("resolution") == p.getAs[Double]("uncertainty"))
+    assert(p.getAs[Double]("uncertainty") == 0.25)
+    // climatology forecaster: always 50 on a 50/50 outcome -> brier
+    // 0.25, ece 0, rel 0, res 0, unc 0.25
+    val clim = Seq(("c", 1, 50L), ("c", 0, 50L), ("c", 1, 50L), ("c", 0, 50L))
+    val c = run(clim)("c")
+    assert(c.getAs[Double]("brier") == 0.25 && c.getAs[Double]("ece") == 0.0)
+    assert(c.getAs[Double]("resolution") == 0.0 &&
+      c.getAs[Double]("uncertainty") == 0.25)
+    // bin-constant scores: Murphy identity brier = rel - res + unc holds
+    // to float exactness (s=20 on 1-of-4 positive, s=80 on 3-of-4)
+    val mixed = Seq.tabulate(4)(i => ("m", if (i == 0) 1 else 0, 20L)) ++
+      Seq.tabulate(4)(i => ("m", if (i < 3) 1 else 0, 80L))
+    val m = run(mixed)("m")
+    val lhs = m.getAs[Double]("brier")
+    val rhs = m.getAs[Double]("reliability") - m.getAs[Double]("resolution") +
+      m.getAs[Double]("uncertainty")
+    assert(math.abs(lhs - rhs) < 1e-12, s"$lhs vs $rhs")
+    // scores clamp into [0, scale] rather than corrupting bins
+    val wild = Seq(("w", 1, 250L), ("w", 0, -50L))
+    assert(run(wild)("w").getAs[Double]("brier") == 0.0)
+  }
+
   test("fleissKappa: textbook perfect agreement, chance-level, and " +
       "subject-count discipline") {
     import spark.implicits._
