@@ -337,6 +337,8 @@ object SparkEntry {
     "q314_transitivity"     -> (R.q314Transitivity(_, _)),
     "q315_brier_decomp"     -> (T.q315BrierDecomp(_, _)),
     "q316_assoc_rules"      -> (R.q316AssociationRules(_, _)),
+    "q317_cramer_von_mises" -> (T.q317CramerVonMises(_, _)),
+    "q318_jensen_shannon"   -> (T.q318JensenShannon(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1280,6 +1282,60 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(lift AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS lift
         |FROM top""".stripMargin,
+    // q317: q239's census; every term t*(A*nb - B*na)^2 exact HUGEINT,
+    // one terminal division by N^2*na*nb
+    "q317_cramer_von_mises" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS r
+        |  FROM events),
+        |cen AS (SELECT v, CAST(SUM(1 - r) AS BIGINT) AS ca,
+        |    CAST(SUM(r) AS BIGINT) AS cb FROM c GROUP BY v),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS nv FROM cen),
+        |cum AS (SELECT v, ca, cb, SUM(ca) OVER (ORDER BY v) AS a,
+        |    SUM(cb) OVER (ORDER BY v) AS b FROM cen),
+        |s AS (SELECT tot.na, tot.nb, tot.nv,
+        |    sum(CAST(ca + cb AS HUGEINT)
+        |      * (CAST(a AS HUGEINT) * tot.nb - CAST(b AS HUGEINT) * tot.na)
+        |      * (CAST(a AS HUGEINT) * tot.nb - CAST(b AS HUGEINT) * tot.na))
+        |      AS num
+        |  FROM cum, tot GROUP BY tot.na, tot.nb, tot.nv)
+        |SELECT na AS n_a, nb AS n_b, nv AS n_values,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(num AS DOUBLE) /
+        |      CAST(CAST(na + nb AS HUGEINT) * (na + nb) * na * nb AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS t
+        |FROM s""".stripMargin,
+    // q318: q137's bucket grid unsmoothed; p=0 terms contribute exactly
+    // the q-side limit; identical left-assoc float op order both engines
+    "q318_jensen_shannon" ->
+      """WITH t AS (SELECT source AS grp, unnest(string_split_regex(
+        |      lower(trim(text)), '\s+')) AS tok FROM documents),
+        |bx AS (SELECT grp, substr(md5(tok), 1, 2) AS b FROM t),
+        |cell AS (SELECT grp, b, COUNT(*) AS n FROM bx GROUP BY grp, b),
+        |gt AS (SELECT grp, SUM(n) AS g_tot FROM cell GROUP BY grp),
+        |ca AS (SELECT b, SUM(n) AS c_n FROM cell GROUP BY b),
+        |ct AS (SELECT SUM(c_n) AS c_tot FROM ca),
+        |grid AS (SELECT gt.grp, gt.g_tot, ca.b, ca.c_n, ct.c_tot,
+        |    COALESCE(cell.n, 0) AS n
+        |  FROM gt CROSS JOIN ca CROSS JOIN ct
+        |  LEFT JOIN cell ON cell.grp = gt.grp AND cell.b = ca.b),
+        |t2 AS (SELECT grp, g_tot, b, n,
+        |    CAST(n AS DOUBLE) / CAST(g_tot AS DOUBLE) AS p,
+        |    CAST(c_n AS DOUBLE) / CAST(c_tot AS DOUBLE) AS q FROM grid),
+        |t3 AS (SELECT grp, g_tot, b,
+        |    CASE WHEN n > 0 THEN 0.5 * p * ln(2.0 * p / (p + q))
+        |         ELSE CAST(0.0 AS DOUBLE) END
+        |      + 0.5 * q * ln(2.0 * q / (p + q)) AS js FROM t2),
+        |lists AS (SELECT grp, MAX(g_tot) AS n_tok,
+        |    list(js ORDER BY b) AS lj FROM t3 GROUP BY grp)
+        |SELECT grp AS source, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(round(CAST(CAST(list_reduce(lj, (a, x) -> a + x)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS js,
+        |  CAST(round(CAST(CAST(list_reduce(lj, (a, x) -> a + x) / ln(2.0)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS js_norm
+        |FROM lists""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

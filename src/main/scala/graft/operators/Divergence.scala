@@ -66,6 +66,52 @@ object Divergence {
   private def foldSum(terms: Column, field: String): Column =
     aggregate(terms, lit(0.0d), (acc, t) => acc + t.getField(field))
 
+  /** Jensen–Shannon divergence per group vs the corpus —
+    * [[sourceDivergence]]'s bounded symmetric sibling: JS(P‖Q) =
+    * ½KL(P‖M) + ½KL(Q‖M) with M = (P+Q)/2, finite for DISJOINT
+    * supports (≤ ln 2) with NO smoothing choice at all — the drift
+    * number you can put on a dashboard with a fixed [0, 1] scale
+    * (js_norm = js/ln 2; √js is a metric). Same fixed 256-bucket
+    * md5-hashed space as [[Dsir]]/[[sourceDivergence]].
+    *
+    * Determinism: p, q are exact-integer ratios (one correctly-rounded
+    * division each); terms with p = 0 contribute exactly ½q·ln 2 (the
+    * q-side limit — no smoothing constant pollutes it); the ≤256 terms
+    * fold in bucket order (the q237 contract). Corpus marginals
+    * INCLUDE the group itself (the [[sourceDivergence]] convention).
+    *
+    * Scale shape: identical to [[sourceDivergence]] — one (group,
+    * bucket) census, corpus marginals re-aggregate the census, bounded
+    * per-group folds. Output: (grp, n_tok, js, js_norm). */
+  def jensenShannon(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("grp"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .select(col("grp"), Dsir.bucket(col("tok")).as("b"))
+    val cell = toks.groupBy(col("grp"), col("b")).agg(count(lit(1)).as("n"))
+    val gTot = cell.groupBy(col("grp")).agg(sum(col("n")).as("g_tot"))
+    val cAgg = cell.groupBy(col("b")).agg(sum(col("n")).as("c_n"))
+    val cTot = cAgg.agg(sum(col("c_n")).as("c_tot"))
+    val grid = gTot.crossJoin(cAgg).crossJoin(broadcast(cTot))
+      .join(cell, Seq("grp", "b"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("p", col("n").cast("double") / col("g_tot").cast("double"))
+      .withColumn("q", col("c_n").cast("double") / col("c_tot").cast("double"))
+      .withColumn("term", struct(col("b"),
+        (when(col("n") > 0L,
+          lit(0.5) * col("p") *
+            log(lit(2.0) * col("p") / (col("p") + col("q"))))
+          .otherwise(lit(0.0)) +
+          lit(0.5) * col("q") *
+            log(lit(2.0) * col("q") / (col("p") + col("q")))).as("js")))
+    grid.groupBy(col("grp"))
+      .agg(first(col("g_tot")).as("n_tok"),
+        array_sort(collect_list(col("term"))).as("terms"))
+      .select(col("grp"), col("n_tok"),
+        foldSum(col("terms"), "js").as("js"),
+        (foldSum(col("terms"), "js") / lit(math.log(2.0))).as("js_norm"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic over an integer-quantized
     * value column: D = max over v of |ECDF_a(v) − ECDF_b(v)| — the
     * nonparametric "did this numeric distribution move" test between
@@ -204,6 +250,76 @@ object Divergence {
           col("__w1num").cast("double") /
             (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"))
           .as("w1"))
+  }
+
+  /** Two-sample Cramér–von Mises criterion (Anderson 1962) — the
+    * third member of the ECDF drift battery: [[ksTwoSample]] reports
+    * the WORST point of disagreement, [[wasserstein1]] the transport
+    * area, CvM the MEAN-SQUARE disagreement weighted by where the data
+    * actually sits:
+    *   T = Σ_v t_v·(A(v)·n_b − B(v)·n_a)² / (N²·n_a·n_b),
+    * (A, B cumulative counts at pooled value v, t_v the pooled count,
+    * N = n_a + n_b). More sensitive than KS to many small ECDF gaps —
+    * the "everything moved a little" signature KS underweights — while
+    * staying location-free, unlike W1.
+    *
+    * Exactness: every term t·(A·n_b − B·n_a)² is an exact
+    * decimal(38,0) integer, so the sum is order-insensitive and the
+    * single terminal division is the only float op. CAPACITY
+    * precondition (the [[Autocorr.acf]] discipline): the numerator is
+    * bounded by N⁵/4, so exactness holds for N ≲ 5·10⁷ pooled
+    * samples per call — far beyond any sane two-sample test, but a
+    * 100 TB pipeline must subsample or slice before asking for CvM,
+    * and this contract says so rather than silently overflowing to
+    * null.
+    *
+    * Scale shape: identical to [[ksTwoSample]] — one (value)-keyed
+    * census, ~256 range buckets with partitioned running sums, a
+    * bounded triangular offsets join, no global window. Output one
+    * row: (n_a, n_b, n_values, t); t null when either side is empty. */
+  def cramerVonMises(df: DataFrame, valueCol: String,
+      isRight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val census = df
+      .select(col(valueCol).cast("long").as("__v"),
+        when(isRight, 1L).otherwise(0L).as("__r"))
+      .groupBy(col("__v"))
+      .agg(sum(lit(1L) - col("__r")).as("__ca"), sum(col("__r")).as("__cb"))
+      .localCheckpoint(false)
+    val bounds = census.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"), sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"), count(lit(1)).as("n_values"))
+    val bucketed = census.crossJoin(broadcast(bounds))
+      .withColumn("__w", greatest(lit(1L), expr("(__hi - __lo) div 256") + 1L))
+      .withColumn("__b", expr("(__v - __lo) div __w"))
+    val wOrd = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val run = bucketed
+      .withColumn("__ra", sum(col("__ca")).over(wOrd))
+      .withColumn("__rb", sum(col("__cb")).over(wOrd))
+    val btot = bucketed.groupBy(col("__b"))
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+    val offs = btot.as("a")
+      .join(btot.select(col("__b").as("__b2"), col("__ta").as("__ta2"),
+        col("__tb").as("__tb2")), col("__b2") < col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"))
+      .agg(coalesce(sum(col("__ta2")), lit(0L)).as("__oa"),
+        coalesce(sum(col("__tb2")), lit(0L)).as("__ob"))
+    val gap = ((col("__oa") + col("__ra")).cast(dec) * col("__nb").cast(dec) -
+      (col("__ob") + col("__rb")).cast(dec) * col("__na").cast(dec)).cast(dec)
+    run.join(broadcast(offs), "__b")
+      .select(col("__na"), col("__nb"), col("n_values"),
+        ((col("__ca") + col("__cb")).cast(dec) * (gap * gap).cast(dec))
+          .cast(dec).as("__term"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_values"))
+      .agg(sum(col("__term")).cast(dec).as("__num"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        when(col("n_a") =!= 0L && col("n_b") =!= 0L,
+          col("__num").cast("double") /
+            ((col("n_a") + col("n_b")).cast(dec) *
+              (col("n_a") + col("n_b")).cast(dec) *
+              col("n_a").cast(dec) * col("n_b").cast(dec)).cast(dec)
+              .cast("double")).as("t"))
   }
 
   /** Wasserstein-1 derived from a (bucket, count_a, count_b) census —

@@ -925,6 +925,28 @@ object TimeSeries {
         round($"uncertainty", 6).as("uncertainty"))
   }
 
+  /** q317 — Cramér–von Mises drift ([[graft.operators.Divergence
+    * .cramerVonMises]]): the mean-square ECDF gap on q239's
+    * month-half split — the battery member sensitive to "everything
+    * moved a little"; all-integer numerator, one division. */
+  def q317CramerVonMises(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.cramerVonMises(
+        events(spark, dir).select(
+          round($"value" * 100).cast("long").as("cents"), $"ts"),
+        "cents", $"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"))
+      .select($"n_a", $"n_b", $"n_values", round($"t", 6).as("t"))
+
+  /** q318 — Jensen–Shannon drift ([[graft.operators.Divergence
+    * .jensenShannon]]): per-source bounded symmetric divergence from
+    * the corpus over the 256-bucket hashed token space — the
+    * smoothing-free dashboard number next to q305's TV. */
+  def q318JensenShannon(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    graft.operators.Divergence.jensenShannon(docs, "source", "text")
+      .select($"grp".as("source"), $"n_tok", round($"js", 6).as("js"),
+        round($"js_norm", 6).as("js_norm"))
+  }
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

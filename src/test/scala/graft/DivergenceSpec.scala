@@ -148,6 +148,61 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
       .collect().head.isNullAt(3))
   }
 
+  test("cramerVonMises: identical samples 0, separated samples near the " +
+      "asymptotic max, bucketed plan == single-pass reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(Long, Boolean)]) =
+      Divergence.cramerVonMises(
+        rows.toDF("v", "r").repartition(32, col("v")), "v", col("r"))
+        .collect().head
+    // identical distributions -> every gap 0 -> T = 0 exactly
+    val same = (1L to 50L).flatMap(v => Seq((v, false), (v, true)))
+    assert(run(same).getAs[Double]("t") == 0.0)
+    // fully separated: T approaches (but stays near) its max ~ N/(3...):
+    // hand-check the 2+2 case: values a={1,2} b={3,4}
+    // cum at v=1: (1,0) gap=|1*2-0|=2 t=1; v=2: (2,0) gap 4 t=1;
+    // v=3: (2,1) gap |4-2|=2 t=1; v=4: (2,2) gap 0
+    // num = 4 + 16 + 4 + 0 = 24; T = 24/(16*2*2) = 0.375
+    val sep = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+    assert(run(sep).getAs[Double]("t") == 0.375)
+    // empty side -> null, loudly
+    val one = Seq((1L, false), (2L, false))
+    assert(run(one).isNullAt(3))
+    // reference cross-check on a random-ish mixture: single-partition
+    // run equals the 32-partition bucketed plan (exact integers)
+    val rnd = new scala.util.Random(11)
+    val mix = (1 to 3000).map(_ =>
+      (rnd.nextInt(300).toLong, rnd.nextBoolean()))
+    val a = Divergence.cramerVonMises(mix.toDF("v", "r").repartition(1),
+      "v", col("r")).collect().head
+    val b = run(mix)
+    assert(a.getAs[Double]("t") == b.getAs[Double]("t"))
+  }
+
+  test("jensenShannon: bounded by ln 2, zero for corpus-identical groups," +
+      " symmetric-ish ranking on drift") {
+    import spark.implicits._
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows =
+      (1 to 30).map(_ => ("steady_a", common)) ++
+      (1 to 30).map(_ => ("steady_b", common)) ++
+      (1 to 30).map(_ => ("drifted", "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8"))
+    val out = Divergence.jensenShannon(rows.toDF("src", "text"), "src", "text")
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Double]("js"), r.getAs[Double]("js_norm")))).toMap
+    out.values.foreach { case (js, jsn) =>
+      assert(js >= 0 && js <= math.log(2.0) + 1e-12, out.toString)
+      assert(jsn >= 0 && jsn <= 1.0 + 1e-12)
+    }
+    assert(out("drifted")._1 > out("steady_a")._1 * 2, out.toString)
+    assert(math.abs(out("steady_a")._1 - out("steady_b")._1) < 1e-12)
+    // a group that IS the whole corpus diverges 0 from it exactly
+    val solo = Divergence.jensenShannon(
+      Seq(("only", "x y z")).toDF("s", "t"), "s", "t").collect().head
+    assert(solo.getAs[Double]("js") == 0.0)
+  }
+
   test("cramersV: partitioning-invariant (ordered cell fold)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
