@@ -339,6 +339,8 @@ object SparkEntry {
     "q316_assoc_rules"      -> (R.q316AssociationRules(_, _)),
     "q317_cramer_von_mises" -> (T.q317CramerVonMises(_, _)),
     "q318_jensen_shannon"   -> (T.q318JensenShannon(_, _)),
+    "q319_youden"           -> (T.q319Youden(_, _)),
+    "q320_retrieval_eval"   -> (D.q320RetrievalEval(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1336,6 +1338,67 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(list_reduce(lj, (a, x) -> a + x) / ln(2.0)
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS js_norm
         |FROM lists""".stripMargin,
+    // q319: descending cumulative census; argmax on cross-multiplied
+    // HUGEINT J numerators, smallest-threshold tiebreak
+    "q319_youden" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS y,
+        |    CAST(round(value * 100) AS BIGINT) % 101 AS sv
+        |  FROM events),
+        |c AS (SELECT g, sv, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS np FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, sv,
+        |    CAST(sum(np) OVER (PARTITION BY g ORDER BY sv DESC) AS BIGINT) AS tp,
+        |    CAST(sum(n - np) OVER (PARTITION BY g ORDER BY sv DESC) AS BIGINT) AS fp,
+        |    CAST(sum(np) OVER (PARTITION BY g) AS BIGINT) AS npos,
+        |    CAST(sum(n - np) OVER (PARTITION BY g) AS BIGINT) AS nneg
+        |  FROM c),
+        |j AS (SELECT g, sv, tp, fp, npos, nneg,
+        |    CAST(tp AS HUGEINT) * nneg - CAST(fp AS HUGEINT) * npos AS jn
+        |  FROM w),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY g
+        |    ORDER BY jn DESC, sv ASC) AS rk FROM j)
+        |SELECT g AS event_type, npos AS n_pos, nneg AS n_neg,
+        |  sv AS threshold, tp, fp,
+        |  CASE WHEN npos > 0 AND nneg > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(jn AS DOUBLE) /
+        |      CAST(CAST(npos AS HUGEINT) * nneg AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS j
+        |FROM best WHERE rk = 1""".stripMargin,
+    // q320: q304's integer-dot ranking; rr and each precision term are
+    // exact divisions; ap folds rank-ordered with a 0.0 seed both sides
+    "q320_retrieval_eval" ->
+      """WITH qa AS (SELECT vec_id AS qid, label AS ql, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS va
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |qb AS (SELECT vec_id AS did, label AS dl, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vb
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |sc AS (SELECT qid, did, CASE WHEN ql = dl THEN 1 ELSE 0 END AS rel,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(va[i] AS HUGEINT) * vb[i])) AS dot
+        |  FROM qa, qb),
+        |r AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot DESC, did) AS r FROM sc),
+        |t AS (SELECT qid, r, rel,
+        |    CAST(sum(rel) OVER (PARTITION BY qid ORDER BY r) AS BIGINT)
+        |      AS cum
+        |  FROM r WHERE r <= 10),
+        |g AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_ranked,
+        |    CAST(sum(rel) AS BIGINT) AS n_rel,
+        |    min(CASE WHEN rel = 1 THEN r END) AS frst,
+        |    list(CAST(cum AS DOUBLE) / CAST(r AS DOUBLE) ORDER BY r)
+        |      FILTER (WHERE rel = 1) AS lp
+        |  FROM t GROUP BY 1)
+        |SELECT qid, n_ranked, n_rel,
+        |  CASE WHEN n_rel > 0 THEN
+        |    CAST(round(CAST(CAST(1.0 / CAST(frst AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS rr,
+        |  CASE WHEN n_rel > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      list_reduce(lp, (a, x) -> a + x) / CAST(n_rel AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS ap
+        |FROM g""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

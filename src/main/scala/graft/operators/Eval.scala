@@ -568,6 +568,59 @@ object Eval {
             (b * (f - e)).cast(dec).cast("double")).as("kappa"))
   }
 
+  /** Youden's J optimal threshold (Youden 1950) per group — the
+    * operating-point picker behind [[auc]]: AUC says whether the score
+    * ranks at all, J = max_t (TPR(t) − FPR(t)) says WHERE to cut it
+    * when positives and negatives cost the same — the number a quality
+    * gate actually deploys. Prediction rule: positive iff score ≥ t,
+    * candidates are the observed score values.
+    *
+    * Exactness: TP/FP come from a descending cumulative walk over the
+    * (group, score) census; the argmax compares J numerators
+    * cross-multiplied to the common denominator n_pos·n_neg — exact
+    * integers, so the winning threshold (ties → SMALLEST t, preferring
+    * the more sensitive cut) is bit-deterministic; the output J is one
+    * correctly-rounded division.
+    *
+    * Scale shape: one (group, score) census at row scale, a
+    * score-cardinality-bounded cumulative window per group, and an
+    * exact integer max_by — no row-scale re-shuffle. Output: (g,
+    * n_pos, n_neg, threshold, tp, fp, j); null J when a class is
+    * missing (no trade-off to optimize). */
+  def youdenThreshold(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df.where(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("g"), col(scoreCol).cast("long").as("s"),
+        when(col(labelCol) === 1, 1L).otherwise(0L).as("y"))
+      .groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val wDesc = Window.partitionBy(col("g")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("g"))
+    val walked = census
+      .withColumn("__tp", sum(col("np")).over(wDesc))
+      .withColumn("__fp", sum(col("n") - col("np")).over(wDesc))
+      .withColumn("__npos", sum(col("np")).over(wAll))
+      .withColumn("__nneg", sum(col("n") - col("np")).over(wAll))
+    val jnum = (col("__tp").cast(dec) * col("__nneg").cast(dec) -
+      col("__fp").cast(dec) * col("__npos").cast(dec)).cast(dec)
+    walked
+      .select(col("g"), col("__npos"), col("__nneg"),
+        struct(jnum.as("jn"), negate(col("s")).as("negt"),
+          col("s"), col("__tp"), col("__fp")).as("__cand"))
+      .groupBy(col("g"))
+      .agg(first(col("__npos")).as("n_pos"), first(col("__nneg")).as("n_neg"),
+        max(col("__cand")).as("__best"))
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        col("__best.s").as("threshold"),
+        col("__best.__tp").as("tp"), col("__best.__fp").as("fp"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("__best.jn").cast("double") /
+            (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast(dec)
+              .cast("double")).as("j"))
+  }
+
   /** Cliff's delta (Cliff 1993) per group — [[mannWhitneyU]]'s effect
     * size: the probability a random A-value exceeds a random B-value
     * minus the reverse, δ = (#(a>b) − #(a<b)) / (n_a·n_b) ∈ [−1, 1].
@@ -601,6 +654,56 @@ object Eval {
             .when(absNum1000 < thr(330L), "small")
             .when(absNum1000 < thr(474L), "medium")
             .otherwise("large")).as("magnitude"))
+  }
+
+  /** Reciprocal rank + average precision at k per query — the
+    * retrieval-eval pair [[ndcgAtK]] doesn't cover: NDCG grades GRADED
+    * relevance, RR grades "how fast do I hit the first relevant", AP
+    * the whole precision–recall trade of a BINARY relevance cut. The
+    * ANN-quality harness: run it over a k-NN join's output with
+    * "relevant = same label" and it scores the index. Input is any
+    * (query, rank, relevant) table with ranks 1..k per query (ranks
+    * above `k` are ignored); per query:
+    *   rr    = 1/rank of the first relevant hit,
+    *   ap    = (Σ_{rel i ≤ k} cum_rel(i)/i) / R_k,  R_k = relevant in
+    *           top k (the retrieved-relevant convention, documented —
+    *           corpus-wide recall is unknowable from a top-k table).
+    * Both null when the top k has no relevant hit.
+    *
+    * Exactness: rr and each precision term cum_rel(i)/i are single
+    * exact-integer divisions; the ≤k ap terms fold in rank order (the
+    * q237 contract). No global mean is emitted — averaging per-query
+    * doubles would be an unbounded order-sensitive float sum; callers
+    * aggregate the exact per-query table however they need.
+    *
+    * Scale shape: one rank-bounded filter, a per-query window over ≤k
+    * rows, a k-bounded ordered fold — the query column partitions
+    * everything, no global shuffle beyond the groupBy. Output:
+    * (q, n_ranked, n_rel, rr, ap). */
+  def rankEval(df: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val wOrd = Window.partitionBy(col("q")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rows = df
+      .select(col(queryCol).as("q"), col(rankCol).cast("long").as("r"),
+        when(col(relCol).cast("long") =!= 0L, 1L).otherwise(0L).as("rel"))
+      .where(col("r") >= 1L && col("r") <= k.toLong)
+      .withColumn("__cum", sum(col("rel")).over(wOrd))
+    rows
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("n_ranked"), sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1L, col("r"))).as("__first"),
+        sort_array(collect_list(when(col("rel") === 1L,
+          struct(col("r"), (col("__cum").cast("double") /
+            col("r").cast("double")).as("p"))))).as("__terms"))
+      .select(col("q"), col("n_ranked"), col("n_rel"),
+        when(col("n_rel") > 0L,
+          lit(1.0) / col("__first").cast("double")).as("rr"),
+        when(col("n_rel") > 0L,
+          aggregate(col("__terms"), lit(0.0d),
+            (a, t) => a + t.getField("p")) / col("n_rel").cast("double"))
+          .as("ap"))
   }
 
   /** Kruskal–Wallis H (Kruskal & Wallis 1952) per scope: the k-sample

@@ -947,6 +947,19 @@ object TimeSeries {
         round($"js_norm", 6).as("js_norm"))
   }
 
+  /** q319 — Youden's J threshold ([[graft.operators.Eval
+    * .youdenThreshold]]): the deployable cut on q315's cents-mod-101
+    * forecast — argmax decided on cross-multiplied exact integers,
+    * smallest-threshold tiebreak. */
+  def q319Youden(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1).otherwise(0).as("wkend"),
+      (round($"value" * 100).cast("long") % 101L).as("prob"))
+    graft.operators.Eval.youdenThreshold(s, "event_type", "wkend", "prob")
+      .select($"g".as("event_type"), $"n_pos", $"n_neg", $"threshold",
+        $"tp", $"fp", round($"j", 6).as("j"))
+  }
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

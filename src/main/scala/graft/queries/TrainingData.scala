@@ -387,6 +387,34 @@ object TrainingData {
       .select($"rank", $"x", $"y", $"c_xy", $"c_x", $"c_y",
         round($"lift", 6).as("lift"))
 
+  /** q320 — retrieval eval ([[graft.operators.Eval.rankEval]]): MRR
+    * and AP@10 per query over the even-vs-odd embedding split (q304's
+    * integer-dot ranking), relevant = same label — the ANN-index
+    * quality harness; exact per-query rationals, rank-ordered folds. */
+  def q320RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val emb = Tables.embeddings(spark, dir)
+    def q(df: org.apache.spark.sql.DataFrame, id: String, vec: String,
+        lab: String) =
+      df.select($"vec_id".as(id),
+        expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as(vec), $"label".as(lab))
+    val qs = q(emb.where($"vec_id" % 2 === 0), "qid", "qv", "ql")
+    val ds = q(emb.where($"vec_id" % 2 === 1), "did", "dv", "dl")
+    val dot = expr(
+      s"""aggregate(zip_with(qv, dv, (x, y) -> CAST(x AS $dec) * CAST(y AS $dec)),
+         |  CAST(0 AS $dec), (acc, t) -> acc + t)""".stripMargin)
+    val ranked = qs.crossJoin(broadcast(ds))
+      .withColumn("__dot", dot)
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"qid").orderBy($"__dot".desc, $"did")))
+      .where($"r" <= 10)
+      .select($"qid", $"r", ($"ql" === $"dl").cast("long").as("rel"))
+    graft.operators.Eval.rankEval(ranked, "qid", "r", "rel", k = 10)
+      .select($"q".as("qid"), $"n_ranked", $"n_rel",
+        round($"rr", 6).as("rr"), round($"ap", 6).as("ap"))
+  }
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

@@ -276,6 +276,52 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getAs[Double]("q") == 3.0)
   }
 
+  test("youdenThreshold: perfect separator, useless score, and the " +
+      "smallest-threshold tiebreak") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Int, Long)]) =
+      Eval.youdenThreshold(rows.toDF("g", "y", "s"), "g", "y", "s")
+        .collect().map(r => r.getAs[String]("g") ->
+          ((r.getAs[Long]("threshold"),
+            Option(r.getAs[java.lang.Double]("j")).map(_.toDouble),
+            r.getAs[Long]("tp"), r.getAs[Long]("fp")))).toMap
+    // separable: pos scores {8,9}, neg {1,2} -> t=8, J=1, tp=2 fp=0
+    val sep = Seq(("a", 1, 9L), ("a", 1, 8L), ("a", 0, 2L), ("a", 0, 1L))
+    assert(run(sep)("a") == ((8L, Some(1.0), 2L, 0L)))
+    // identical distributions: J = 0 everywhere; tiebreak picks the
+    // SMALLEST candidate threshold
+    val flat = Seq(("b", 1, 5L), ("b", 0, 5L), ("b", 1, 7L), ("b", 0, 7L))
+    assert(run(flat)("b") == ((5L, Some(0.0), 2L, 2L)))
+    // one class only -> null J, loudly
+    val mono = Seq(("c", 1, 3L), ("c", 1, 4L))
+    assert(run(mono)("c")._2.isEmpty)
+    // asymmetric: pos {3,9}, neg {1,5}: t=9 J=1/2-0; t=5 J=1/2-1/2=0;
+    // t=3 J=1-1/2=1/2; t=1 J=0 -> tie between 9 and 3 -> pick 3
+    val mix = Seq(("d", 1, 3L), ("d", 1, 9L), ("d", 0, 1L), ("d", 0, 5L))
+    assert(run(mix)("d") == ((3L, Some(0.5), 2L, 1L)))
+  }
+
+  test("rankEval: textbook RR/AP, k cutoff, no-hit null") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Int)], k: Int = 10) =
+      Eval.rankEval(rows.toDF("q", "r", "rel"), "q", "r", "rel", k)
+        .collect().map(r => r.getAs[String]("q") ->
+          ((r.getAs[Long]("n_rel"),
+            Option(r.getAs[java.lang.Double]("rr")).map(_.toDouble),
+            Option(r.getAs[java.lang.Double]("ap")).map(_.toDouble)))).toMap
+    // relevant at ranks 1 and 3 of 3: rr = 1, ap = (1/1 + 2/3)/2 = 5/6
+    val a = Seq(("a", 1L, 1), ("a", 2L, 0), ("a", 3L, 1))
+    assert(run(a)("a") == ((2L, Some(1.0), Some((1.0 + 2.0 / 3) / 2))))
+    // first hit at rank 4: rr = 0.25, ap = (1/4)/1
+    val b = Seq(("b", 1L, 0), ("b", 2L, 0), ("b", 3L, 0), ("b", 4L, 1))
+    assert(run(b)("b") == ((1L, Some(0.25), Some(0.25))))
+    // hit beyond k is invisible: with k=3 the rank-4 hit vanishes
+    assert(run(b, k = 3)("b") == ((0L, None, None)))
+    // all-irrelevant -> nulls, loudly
+    val c = Seq(("c", 1L, 0), ("c", 2L, 0))
+    assert(run(c)("c") == ((0L, None, None)))
+  }
+
   test("brierDecomposition: perfect forecaster, constant forecaster, and " +
       "the Murphy identity on bin-constant scores") {
     import spark.implicits._
