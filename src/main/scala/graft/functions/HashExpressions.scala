@@ -134,6 +134,25 @@ object FastHash {
     * order, so bit-identical doubles; cross-check-tested). Norms run over
     * each full array, the dot product over the common prefix, mirroring
     * the HOF semantics exactly. */
+  /** Exact integer dot product over two array<bigint> vectors in one
+    * tight primitive loop — value-identical to the long-summed
+    * zip_with/aggregate formulation (same left-to-right accumulation
+    * over the common prefix; exact integers make the order moot, but
+    * the loop mirrors the HOF anyway). The interpreted HOF allocates a
+    * 64-element intermediate array per pair; on an all-pairs scoring
+    * sweep that allocation IS the cost (q320: 5.8 s → 1.6 s at sf0.1).
+    * Capacity contract as [[graft.operators.Similarity
+    * .mutualNearestNeighbors]]: |element| ≤ 10⁸ at 1000 dims. */
+  def intDotValue(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = if (na < nb) na else nb
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    dot
+  }
+
   def cosineValue(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -462,6 +481,9 @@ object FastHash {
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(CosineExpr(GraftShim.expression(a), GraftShim.expression(b)))
 
+  def intDot(a: Column, b: Column): Column =
+    GraftShim.column(IntDotExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
   def sortedLookup(keys: Column, vals: Column, key: Column): Column =
     GraftShim.column(SortedLookupExpr(GraftShim.expression(keys),
       GraftShim.expression(vals), GraftShim.expression(key)))
@@ -613,6 +635,26 @@ case class CosineExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** array<bigint> x array<bigint> -> exact long dot product (codegen'd;
+  * see [[FastHash.intDotValue]] for the capacity contract). */
+case class IntDotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_int_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FastHash.intDotValue(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.FastHash.intDotValue($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -392,7 +392,6 @@ object TrainingData {
     * integer-dot ranking), relevant = same label — the ANN-index
     * quality harness; exact per-query rationals, rank-ordered folds. */
   def q320RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
     val emb = Tables.embeddings(spark, dir)
     def q(df: org.apache.spark.sql.DataFrame, id: String, vec: String,
         lab: String) =
@@ -401,9 +400,9 @@ object TrainingData {
           .as(vec), $"label".as(lab))
     val qs = q(emb.where($"vec_id" % 2 === 0), "qid", "qv", "ql")
     val ds = q(emb.where($"vec_id" % 2 === 1), "did", "dv", "dl")
-    val dot = expr(
-      s"""aggregate(zip_with(qv, dv, (x, y) -> CAST(x AS $dec) * CAST(y AS $dec)),
-         |  CAST(0 AS $dec), (acc, t) -> acc + t)""".stripMargin)
+    // codegen'd exact long dot (the MNN capacity contract: unit floats
+    // at scale 1000 keep a 64-dim dot below 10^8 — vast long headroom)
+    val dot = graft.functions.FastHash.intDot($"qv", $"dv")
     val ranked = qs.crossJoin(broadcast(ds))
       .withColumn("__dot", dot)
       .withColumn("r", row_number().over(

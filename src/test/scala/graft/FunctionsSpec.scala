@@ -203,4 +203,29 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(got(2L) == ((1.0, 1.0, 1.0)))
     assert(got(3L) == ((0.0, 0.0, 0.0)))
   }
+
+  test("intDot: codegen kernel == declarative zip_with/aggregate on " +
+      "random long vectors (incl. ragged and empty)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(2001).toLong - 1000),
+        Seq.fill(64)(rnd.nextInt(2001).toLong - 1000))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = expr("aggregate(zip_with(a, b, (x, y) -> x * y), " +
+      "CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+    val out = df.select($"id",
+        graft.functions.FastHash.intDot($"a", $"b").as("k"), hof.as("h"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)}"))
+    // ragged arrays: the kernel dots the COMMON PREFIX (zip_with would
+    // null-pad and poison the sum — kernel semantics are the usable ones)
+    val ragged = Seq((Seq(2L, 3L, 4L), Seq(10L, 20L)),
+      (Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+    val rg = ragged.select(
+      graft.functions.FastHash.intDot($"a", $"b").as("k")).collect()
+    assert(rg(0).getLong(0) == 2L * 10 + 3 * 20 && rg(1).getLong(0) == 0L)
+  }
 }
