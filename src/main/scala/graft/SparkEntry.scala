@@ -341,6 +341,9 @@ object SparkEntry {
     "q318_jensen_shannon"   -> (T.q318JensenShannon(_, _)),
     "q319_youden"           -> (T.q319Youden(_, _)),
     "q320_retrieval_eval"   -> (D.q320RetrievalEval(_, _)),
+    "q321_dispersion"       -> (T.q321Dispersion(_, _)),
+    "q322_rate_ratio"       -> (T.q322RateRatio(_, _)),
+    "q323_cum_gains"        -> (T.q323CumulativeGains(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1399,6 +1402,93 @@ object SparkEntry {
         |      list_reduce(lp, (a, x) -> a + x) / CAST(n_rel AS DOUBLE)
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS ap
         |FROM g""".stripMargin,
+    // q321: global day census supplies n (zero-days count); D is one
+    // division of exact HUGEINT moments
+    "q321_dispersion" ->
+      """WITH cell AS (SELECT event_type AS g, CAST(ts AS DATE) AS p,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(DISTINCT p) AS BIGINT) AS n_periods
+        |  FROM cell),
+        |s AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_events,
+        |    sum(CAST(c AS HUGEINT) * c) AS s2 FROM cell GROUP BY 1)
+        |SELECT g AS event_type, nn.n_periods, s.n_events,
+        |  CAST(round(CAST(CAST(
+        |    CAST(s.n_events AS DOUBLE) / CAST(nn.n_periods AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean,
+        |  CASE WHEN s.n_events > 0 AND nn.n_periods > 1 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(nn.n_periods * s.s2
+        |        - CAST(s.n_events AS HUGEINT) * s.n_events AS DOUBLE) /
+        |      CAST((CAST(nn.n_periods AS HUGEINT) - 1) * s.n_events AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS dispersion
+        |FROM s CROSS JOIN nn""".stripMargin,
+    // q322: census-derived active-day exposures; RR one exact division,
+    // Wald interval pinned-shape (1.96 literal, exp/ln parity)
+    "q322_rate_ratio" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS arm,
+        |    CAST(ts AS DATE) AS ex FROM events),
+        |c AS (SELECT g, CAST(sum(arm) AS BIGINT) AS n1,
+        |    CAST(sum(1 - arm) AS BIGINT) AS n2,
+        |    CAST(count(DISTINCT CASE WHEN arm = 1 THEN ex END) AS BIGINT) AS e1,
+        |    CAST(count(DISTINCT CASE WHEN arm = 0 THEN ex END) AS BIGINT) AS e2
+        |  FROM s GROUP BY 1)
+        |SELECT g AS event_type, n1, e1, n2, e2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND e1 > 0 AND e2 > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(CAST(n1 AS HUGEINT) * e2 AS DOUBLE) /
+        |      CAST(CAST(n2 AS HUGEINT) * e1 AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS rate_ratio,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND e1 > 0 AND e2 > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      exp(ln(CAST(CAST(n1 AS HUGEINT) * e2 AS DOUBLE) /
+        |             CAST(CAST(n2 AS HUGEINT) * e1 AS DOUBLE))
+        |        - 1.96 * sqrt(1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS lo,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND e1 > 0 AND e2 > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      exp(ln(CAST(CAST(n1 AS HUGEINT) * e2 AS DOUBLE) /
+        |             CAST(CAST(n2 AS HUGEINT) * e1 AS DOUBLE))
+        |        + 1.96 * sqrt(1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS hi
+        |FROM c""".stripMargin,
+    // q323: descending rank-census deciles; gains/lift exact integer
+    // walks with cross-multiplied lift
+    "q323_cum_gains" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS y,
+        |    CAST(round(value * 100) AS BIGINT) % 101 AS sv
+        |  FROM events),
+        |c AS (SELECT g, sv, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS np FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, sv, n, np,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY g ORDER BY sv DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS bef,
+        |    CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS tot,
+        |    CAST(sum(np) OVER (PARTITION BY g) AS BIGINT) AS pos
+        |  FROM c),
+        |b AS (SELECT g, least(9, (bef * 10) // tot) AS bucket,
+        |    CAST(sum(n) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS n_pos,
+        |    max(tot) AS tot, max(pos) AS pos
+        |  FROM w GROUP BY 1, 2),
+        |cum AS (SELECT g, bucket, n, n_pos, tot, pos,
+        |    CAST(sum(n) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT)
+        |      AS cum_n,
+        |    CAST(sum(n_pos) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT)
+        |      AS cum_pos
+        |  FROM b)
+        |SELECT g AS event_type, bucket, n, n_pos, cum_n, cum_pos,
+        |  CASE WHEN pos > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(cum_pos AS DOUBLE) / CAST(pos AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS gain,
+        |  CASE WHEN pos > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(CAST(cum_pos AS HUGEINT) * tot AS DOUBLE) /
+        |      CAST(CAST(cum_n AS HUGEINT) * pos AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS lift
+        |FROM cum""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -381,6 +381,51 @@ object Eval {
       when(rrOk, exp(log(rrv) + lit(1.96) * rrSe)).as("rr_hi"))
   }
 
+  /** Poisson rate ratio with a Wald log-interval per scope —
+    * [[oddsRiskRatio]]'s EXPOSURE-normalized sibling: when the two
+    * arms observe different amounts of time/volume (n₁ events over e₁
+    * exposure units vs n₂ over e₂), comparing raw counts lies;
+    *   RR = (n₁/e₁)/(n₂/e₂) = n₁·e₂/(n₂·e₁),
+    *   CI = exp(ln RR ± 1.96·√(1/n₁ + 1/n₂))
+    * (counts Poisson, exposures fixed — the incidence-rate-ratio
+    * setup). The throughput-regression gate: error rates per
+    * machine-hour, events per crawl-day, defects per million tokens.
+    *
+    * Exactness: counts and exposures are exact integers; RR is ONE
+    * correctly-rounded division of exact decimal cross-products; the
+    * interval is pinned-shape doubles (1.96 literal, exp/ln parity
+    * per q237). Null RR when either count or exposure is 0 — loud,
+    * no continuity fudge. Output: (scope, n1, e1, n2, e2,
+    * rate_ratio, lo, hi). One scope-keyed census; no other shuffle.
+    *
+    * Input: `isArm1` splits rows into the two arms; exposure is the
+    * count of DISTINCT `exposureCol` values per arm (e.g. distinct
+    * days — so exposure derives from the same census, not a side
+    * table). */
+  def rateRatio(df: DataFrame, scopeCol: String, isArm1: Column,
+      exposureCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .select(col(scopeCol).as("s"),
+        when(isArm1, 1L).otherwise(0L).as("arm"), col(exposureCol).as("ex"))
+      .groupBy(col("s"))
+      .agg(sum(col("arm")).as("n1"),
+        sum(lit(1L) - col("arm")).as("n2"),
+        countDistinct(when(col("arm") === 1L, col("ex"))).as("e1"),
+        countDistinct(when(col("arm") === 0L, col("ex"))).as("e2"))
+    def dd(c: Column): Column = c.cast("double")
+    val ok = col("n1") > 0L && col("n2") > 0L &&
+      col("e1") > 0L && col("e2") > 0L
+    val rr = (col("n1").cast(dec) * col("e2").cast(dec)).cast(dec)
+      .cast("double") /
+      (col("n2").cast(dec) * col("e1").cast(dec)).cast(dec).cast("double")
+    val se = sqrt(lit(1.0) / dd(col("n1")) + lit(1.0) / dd(col("n2")))
+    cells.select(col("s"), col("n1"), col("e1"), col("n2"), col("e2"),
+      when(ok, rr).as("rate_ratio"),
+      when(ok, exp(log(rr) - lit(1.96) * se)).as("lo"),
+      when(ok, exp(log(rr) + lit(1.96) * se)).as("hi"))
+  }
+
   /** McNemar's test (McNemar 1947, continuity-corrected) per scope —
     * the PAIRED companion to [[twoProportionZ]]: each row is one unit
     * observed under both conditions (binary `aCol`, `bCol`); only the
@@ -566,6 +611,65 @@ object Eval {
         when(col("n_subjects") > 0L && f =!= e,
           (a * f - e * b).cast(dec).cast("double") /
             (b * (f - e)).cast(dec).cast("double")).as("kappa"))
+  }
+
+  /** Cumulative gains / lift table per group — [[calibrationCurve]]'s
+    * TARGETING twin: sort by score DESCENDING, cut into `buckets`
+    * rank-deciles, and report what fraction of all positives the top
+    * k deciles capture (gain) and how much better than random that is
+    * (lift = gain / depth). THE "how deep do I have to dredge"
+    * read-out for a quality-score gate: "the top 20% of docs by score
+    * hold 55% of the known-good" is this table's second row.
+    *
+    * Deciles come from the same deterministic rank-census cut as
+    * [[calibrationCurve]] (rows_before·B div N on the DESCENDING score
+    * census — every equal score lands in one bucket, no quantile
+    * interpolation), so bucket membership is exact; cum_n, cum_pos
+    * are exact integer walks over the ≤B bucket rows, and gain/lift
+    * are one correctly-rounded division each (lift cross-multiplied:
+    * cum_pos·N / (cum_n·P)). Null lift when the group has no
+    * positives.
+    *
+    * Scale shape: one (group, score) census, a per-group census-sized
+    * cumulative window, a bucket re-aggregation, then a ≤B-row
+    * cumulative walk — rows never reshuffle after the census. Output:
+    * (g, bucket, n, n_pos, cum_n, cum_pos, gain, lift). */
+  def cumulativeGains(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val dec = "decimal(38,0)"
+    val census = df.where(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("g"), col(scoreCol).cast("long").as("s"),
+        when(col(labelCol) === 1, 1L).otherwise(0L).as("y"))
+      .groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val wDesc = Window.partitionBy(col("g")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("g"))
+    val bucketed = census
+      .withColumn("__before", coalesce(sum(col("n")).over(wDesc), lit(0L)))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .withColumn("__pos", sum(col("np")).over(wAll))
+      .withColumn("bucket",
+        least(lit(buckets - 1L), expr(s"(__before * $buckets) div __tot")))
+      .groupBy(col("g"), col("bucket"))
+      .agg(sum(col("n")).as("n"), sum(col("np")).as("n_pos"),
+        first(col("__tot")).as("__tot"), first(col("__pos")).as("__p"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("g"), col("bucket"), col("n"), col("n_pos"),
+        col("cum_n"), col("cum_pos"),
+        when(col("__p") > 0L,
+          col("cum_pos").cast("double") / col("__p").cast("double"))
+          .as("gain"),
+        when(col("__p") > 0L,
+          (col("cum_pos").cast(dec) * col("__tot").cast(dec)).cast(dec)
+            .cast("double") /
+            (col("cum_n").cast(dec) * col("__p").cast(dec)).cast(dec)
+              .cast("double")).as("lift"))
   }
 
   /** Youden's J optimal threshold (Youden 1950) per group — the

@@ -390,6 +390,53 @@ object Profile {
         col("p_benford"), col("chi2"))
   }
 
+  /** Fano dispersion index per group over a period column — the
+    * burstiness profiler: D = var(count per period)/mean(count per
+    * period), where a Poisson arrival process gives D ≈ 1, D ≫ 1 is
+    * bursty (crawl storms, bot traffic, replay floods), D < 1 is
+    * over-regular (rate-limited or synthetic). The traffic-shape
+    * number a pipeline reads per source/event-type BEFORE alerting on
+    * volume, next to the rolling-burst detector (q258) which finds
+    * WHEN — this says WHETHER the process is bursty at all.
+    *
+    * Zero-period discipline: periods where a group logged nothing
+    * still count — n is the number of distinct periods observed in
+    * the WHOLE input (the shared observation window), so a group
+    * active in 3 of 30 days is scored over 30. Missing cells change
+    * only n; the sums Σc, Σc² come from observed cells.
+    *
+    * Exactness: with n periods, S1 = Σc, S2 = Σc², sample-variance
+    * dispersion D = (n·S2 − S1²) / ((n−1)·S1) — all-integer
+    * numerator/denominator (decimal(38,0)), ONE correctly-rounded
+    * division; mean = S1/n likewise. Null D when S1 = 0 (silent
+    * group) or n < 2.
+    *
+    * Scale shape: one (group, period) census at row scale, a group
+    * re-aggregation, one broadcast scalar (global period count). No
+    * window, no join at row grain. Output: (g, n_periods, n_events,
+    * mean, dispersion). */
+  def dispersionIndex(df: DataFrame, groupCol: String,
+      periodCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cell = df.where(col(periodCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(periodCol).as("p"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val n = broadcast(cell.select(col("p")).distinct()
+      .agg(count(lit(1)).as("n_periods")))
+    val sums = cell.groupBy(col("g")).agg(
+      sum(col("c")).as("n_events"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).cast(dec).as("__s2"))
+    val nD = col("n_periods").cast(dec)
+    val s1 = col("n_events").cast(dec)
+    sums.crossJoin(n)
+      .select(col("g"), col("n_periods"), col("n_events"),
+        (s1.cast("double") / col("n_periods").cast("double")).as("mean"),
+        when(col("n_events") > 0L && col("n_periods") > 1L,
+          (nD * col("__s2") - s1 * s1).cast(dec).cast("double") /
+            ((nD - 1) * s1).cast(dec).cast("double")).as("dispersion"))
+  }
+
   /** Good–Turing frequency re-estimation (Good 1953) per group over a
     * token column — the language-model smoothing census: from the
     * frequency-of-frequencies N_r (how many distinct tokens occur

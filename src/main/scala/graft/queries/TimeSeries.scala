@@ -960,6 +960,46 @@ object TimeSeries {
         $"tp", $"fp", round($"j", 6).as("j"))
   }
 
+  /** q321 — Fano dispersion ([[graft.operators.Profile
+    * .dispersionIndex]]): per event type, is the daily arrival process
+    * Poisson-like (D≈1) or bursty (D≫1)? Zero-days counted via the
+    * global day census; all-integer D numerator. */
+  def q321Dispersion(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.dispersionIndex(
+      events(spark, dir).select($"event_type", to_date($"ts").as("day")),
+      "event_type", "day")
+      .select($"g".as("event_type"), $"n_periods", $"n_events",
+        round($"mean", 6).as("mean"),
+        round($"dispersion", 6).as("dispersion"))
+
+  /** q322 — Poisson rate ratio ([[graft.operators.Eval.rateRatio]]):
+    * per event type, weekend vs weekday events per ACTIVE day (the
+    * operator's census-derived exposure convention) with the Wald
+    * log-interval — the exposure-honest volume comparison. */
+  def q322RateRatio(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.rateRatio(
+      events(spark, dir).select($"event_type", $"ts",
+        to_date($"ts").as("day")),
+      "event_type", dayofweek(to_date($"ts")).isin(1, 7), "day")
+      .select($"s".as("event_type"), $"n1", $"e1", $"n2", $"e2",
+        round($"rate_ratio", 6).as("rate_ratio"),
+        round($"lo", 6).as("lo"), round($"hi", 6).as("hi"))
+
+  /** q323 — cumulative gains ([[graft.operators.Eval
+    * .cumulativeGains]]): score-descending rank deciles of the
+    * cents-mod-101 forecast vs the weekend label — capture rate and
+    * lift per depth, exact integer walks. */
+  def q323CumulativeGains(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1).otherwise(0).as("wkend"),
+      (round($"value" * 100).cast("long") % 101L).as("prob"))
+    graft.operators.Eval.cumulativeGains(s, "event_type", "wkend",
+        "prob", buckets = 10)
+      .select($"g".as("event_type"), $"bucket", $"n", $"n_pos",
+        $"cum_n", $"cum_pos", round($"gain", 6).as("gain"),
+        round($"lift", 6).as("lift"))
+  }
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

@@ -276,6 +276,54 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getAs[Double]("q") == 3.0)
   }
 
+  test("rateRatio: exposure normalization flips the raw-count verdict; " +
+      "zero arms null loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // arm1: 6 events over 1 day; arm2: 8 events over 4 days ->
+    // raw counts say arm2 wins, rates say RR = 6*4/(8*1) = 3.0
+    val rows = Seq.fill(6)(("s", 1, 10)) ++
+      (1 to 8).map(i => ("s", 0, 20 + (i % 4)))
+    val r = Eval.rateRatio(rows.toDF("s", "a", "d"), "s", col("a") === 1, "d")
+      .collect().head
+    assert(r.getAs[Long]("n1") == 6L && r.getAs[Long]("e1") == 1L)
+    assert(r.getAs[Long]("n2") == 8L && r.getAs[Long]("e2") == 4L)
+    assert(r.getAs[Double]("rate_ratio") == 3.0)
+    // interval brackets the point estimate
+    assert(r.getAs[Double]("lo") < 3.0 && r.getAs[Double]("hi") > 3.0)
+    // an empty arm -> all null, loudly
+    val one = Seq(("t", 1, 1), ("t", 1, 2))
+    val o = Eval.rateRatio(one.toDF("s", "a", "d"), "s", col("a") === 1, "d")
+      .collect().head
+    assert(o.isNullAt(5) && o.isNullAt(6) && o.isNullAt(7))
+  }
+
+  test("cumulativeGains: perfect score captures everything in the top " +
+      "decile; random score has lift 1 shape") {
+    import spark.implicits._
+    // 100 rows, 10 positives all at the single highest score
+    val rows = (1 to 100).map(i =>
+      ("g", if (i <= 10) 1 else 0, if (i <= 10) 99L else (i % 9).toLong))
+    val out = Eval.cumulativeGains(rows.toDF("g", "y", "s"), "g", "y", "s",
+        buckets = 10)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("cum_n"), r.getAs[Long]("cum_pos"),
+          r.getAs[Double]("gain"), r.getAs[Double]("lift")))).toMap
+    // top decile: 10 rows, all 10 positives -> gain 1.0, lift 10.0
+    assert(out(0L) == ((10L, 10L, 1.0, 10.0)))
+    // gains stay 1.0 after capture; lift decays toward 1
+    assert(out(9L)._3 == 1.0 && out(9L)._4 == 1.0)
+    // constant score: one bucket holds everything, gain 1 lift 1
+    val const = (1 to 40).map(i => ("c", i % 2, 7L))
+    val c = Eval.cumulativeGains(const.toDF("g", "y", "s"), "g", "y", "s", 10)
+      .collect()
+    assert(c.length == 1 && c.head.getAs[Double]("lift") == 1.0)
+    // no positives -> null gain/lift, loudly
+    val neg = (1 to 20).map(i => ("n", 0, i.toLong))
+    assert(Eval.cumulativeGains(neg.toDF("g", "y", "s"), "g", "y", "s", 10)
+      .collect().forall(r => r.isNullAt(6) && r.isNullAt(7)))
+  }
+
   test("youdenThreshold: perfect separator, useless score, and the " +
       "smallest-threshold tiebreak") {
     import spark.implicits._

@@ -184,6 +184,34 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
     assert(out("ref.k") == ((3L, 1L, false)), "reverse direction: 3 missing")
   }
 
+  test("dispersionIndex: constant series ~0, bursty spikes above 1, " +
+      "zero-days count via the global window") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Int)]) =
+      Profile.dispersionIndex(rows.toDF("g", "p"), "g", "p")
+        .collect().map(r => r.getAs[String]("g") ->
+          ((r.getAs[Long]("n_periods"), r.getAs[Long]("n_events"),
+            Option(r.getAs[java.lang.Double]("dispersion"))
+              .map(_.toDouble)))).toMap
+    // constant 5/period over 4 periods: var 0 -> D = 0 exactly
+    val flat = for { p <- 1 to 4; _ <- 1 to 5 } yield ("flat", p)
+    assert(run(flat)("flat") == ((4L, 20L, Some(0.0))))
+    // all 20 events in one of 4 periods: S2 = 400, D = (4*400-400)/(3*20)
+    // = 1200/60 = 20 — maximal burst
+    val burst = Seq.fill(20)(("burst", 1)) ++
+      Seq(("pad", 2), ("pad", 3), ("pad", 4))
+    val b = run(burst)
+    assert(b("burst") == ((4L, 20L, Some(20.0))))
+    // the pad group: 1 event in each of 3 of the 4 GLOBAL periods ->
+    // S1 = 3, S2 = 3, D = (4*3-9)/(3*3) = 1/3 (zero-period counted)
+    assert(b("pad") == ((4L, 3L, Some(1.0 / 3))))
+    // Poisson-ish sanity: D near 1 for iid uniform arrivals
+    val rnd = new scala.util.Random(5)
+    val pois = (1 to 4000).map(_ => ("p", rnd.nextInt(100)))
+    val d = run(pois)("p")._3.get
+    assert(d > 0.5 && d < 1.7, s"D=$d should hover near 1")
+  }
+
   test("goodTuring: textbook N_r census, exact r*, N_{r+1} gap is null") {
     import spark.implicits._
     // counts: a=3, b=1, c=1, d=2 -> N=7 V=4; N_1=2 N_2=1 N_3=1
