@@ -344,6 +344,8 @@ object SparkEntry {
     "q321_dispersion"       -> (T.q321Dispersion(_, _)),
     "q322_rate_ratio"       -> (T.q322RateRatio(_, _)),
     "q323_cum_gains"        -> (T.q323CumulativeGains(_, _)),
+    "q324_krippendorff"     -> (T.q324Krippendorff(_, _)),
+    "q325_hll_intersect"    -> (R.q325HllIntersect(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1489,6 +1491,85 @@ object SparkEntry {
         |      CAST(CAST(cum_n AS HUGEINT) * pos AS DOUBLE)
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS lift
         |FROM cum""".stripMargin,
+    // q324: n-class-grouped p_a terms (one exact division per distinct
+    // rating count, folded in n order); p_e one exact division
+    "q324_krippendorff" ->
+      """WITH cells AS (SELECT user_id AS u, event_type AS cat,
+        |    CAST(count(*) AS BIGINT) AS nuc FROM events GROUP BY 1, 2),
+        |byu AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS nu,
+        |    sum(CAST(nuc AS HUGEINT) * nuc) AS s2 FROM cells GROUP BY 1),
+        |kept AS (SELECT * FROM byu WHERE nu >= 2),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+        |  FROM byu WHERE nu < 2),
+        |cls AS (SELECT nu, sum(s2 - nu) AS an FROM kept GROUP BY 1),
+        |pa AS (SELECT list_reduce(
+        |    list(CAST(an AS DOUBLE) / CAST(nu - 1 AS DOUBLE) ORDER BY nu),
+        |    (a, x) -> a + x) AS pa_num FROM cls),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(coalesce(sum(nu), 0) AS BIGINT) AS n_ratings FROM kept),
+        |mar AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        |    sum(CAST(nc AS HUGEINT) * (nc - 1)) AS pe_num FROM
+        |  (SELECT cat, CAST(sum(nuc) AS BIGINT) AS nc
+        |   FROM cells JOIN kept USING (u) GROUP BY 1)),
+        |f AS (SELECT tot.n_units, drp.n_dropped, mar.n_categories,
+        |    tot.n_ratings,
+        |    pa.pa_num / CAST(tot.n_ratings AS DOUBLE) AS pav,
+        |    CAST(mar.pe_num AS DOUBLE) /
+        |      CAST(CAST(tot.n_ratings AS HUGEINT) * (tot.n_ratings - 1)
+        |        AS DOUBLE) AS pev
+        |  FROM tot CROSS JOIN drp CROSS JOIN mar CROSS JOIN pa)
+        |SELECT n_units, n_dropped, n_categories, n_ratings,
+        |  CASE WHEN n_ratings >= 2 THEN
+        |    CAST(round(CAST(CAST(pav AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS p_a,
+        |  CASE WHEN n_ratings >= 2 THEN
+        |    CAST(round(CAST(CAST(pev AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS p_e,
+        |  CASE WHEN n_ratings >= 2 AND pev < 1.0 THEN
+        |    CAST(round(CAST(CAST((pav - pev) / (1.0 - pev)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS alpha
+        |FROM f""".stripMargin,
+    // q325: q183's md5-replayable registers per arm + register-max
+    // union; inclusion-exclusion combination is pinned-shape
+    "q325_hll_intersect" ->
+      """WITH e AS (SELECT CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |      THEN 'wkend' ELSE 'wkday' END AS arm, user_id FROM events),
+        |r AS (SELECT arm,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':r'), 1, 4)) AS BIGINT) % 256 AS reg,
+        |  LEAST(4 * length(regexp_extract(substr(md5(CAST(user_id AS VARCHAR) || ':q'), 1, 12), '^0*')) +
+        |    CASE substr(substr(md5(CAST(user_id AS VARCHAR) || ':q'), 1, 12),
+        |           length(regexp_extract(substr(md5(CAST(user_id AS VARCHAR) || ':q'), 1, 12), '^0*')) + 1, 1)
+        |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |      ELSE 0 END + 1, 40) AS rank
+        |FROM e),
+        |mx AS (SELECT arm, reg, MAX(rank) AS max_rank FROM r GROUP BY 1, 2),
+        |u AS (SELECT * FROM mx
+        |  UNION ALL SELECT 'union' AS arm, reg, MAX(max_rank) FROM mx GROUP BY 2),
+        |est AS (SELECT arm,
+        |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+        |    * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE) /
+        |    ((CAST(256.0 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) +
+        |     SUM(CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << CAST(max_rank AS INT)) AS DOUBLE))) AS ev
+        |FROM u GROUP BY 1),
+        |piv AS (SELECT max(CASE WHEN arm = 'wkend' THEN ev END) AS ea,
+        |    max(CASE WHEN arm = 'wkday' THEN ev END) AS eb,
+        |    max(CASE WHEN arm = 'union' THEN ev END) AS eu FROM est),
+        |fl AS (SELECT user_id,
+        |    max(CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END) AS wk,
+        |    max(CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 0 ELSE 1 END) AS wd
+        |  FROM events GROUP BY 1),
+        |tr AS (SELECT CAST(sum(wk) AS BIGINT) AS true_a,
+        |    CAST(sum(wd) AS BIGINT) AS true_b,
+        |    CAST(sum(CASE WHEN wk = 1 AND wd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS true_intersect FROM fl)
+        |SELECT
+        |  CAST(round(CAST(CAST(ea AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS est_a,
+        |  CAST(round(CAST(CAST(eb AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS est_b,
+        |  CAST(round(CAST(CAST(eu AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS est_union,
+        |  CAST(round(CAST(CAST(ea + eb - eu AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS est_intersect,
+        |  tr.true_a, tr.true_b, tr.true_intersect
+        |FROM piv CROSS JOIN tr""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

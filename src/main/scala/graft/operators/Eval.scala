@@ -725,6 +725,81 @@ object Eval {
               .cast("double")).as("j"))
   }
 
+  /** Krippendorff's alpha, nominal data (Krippendorff 1970) — the
+    * agreement coefficient that survives MISSING ratings:
+    * [[cohenKappa]] needs exactly two fixed raters, [[fleissKappa]] a
+    * constant n per subject; real crowd-label tables have neither.
+    * Any number of ratings ≥ 2 per unit participates; single-rating
+    * units are excluded and counted (no pairable information — the
+    * Fleiss drop discipline).
+    *
+    * Computation (coincidence-matrix form): with per-(unit, category)
+    * counts n_uc, unit totals n_u, S2_u = Σ_c n_uc²,
+    *   p_a = [Σ_u (S2_u − n_u)/(n_u − 1)] / N,   N = Σ_u n_u,
+    *   p_e = Σ_c n_c(n_c − 1) / (N(N − 1)),
+    *   α   = (p_a − p_e)/(1 − p_e).
+    * Exactness: the p_a sum GROUPS UNITS BY n_u — all units with the
+    * same rating count share a denominator, so each class term
+    * A_n/(n−1) is one exact-integer division and the per-class terms
+    * fold in n order over the BOUNDED distinct-rating-count list (the
+    * q285 IV discipline; distinct n_u values ≤ max raters, never
+    * data-scale). p_e is one exact division; α is pinned-shape. Null
+    * α when p_e = 1 (single category) or no pairable unit exists.
+    *
+    * Scale shape: one (unit, category) census at row scale, a
+    * unit-keyed and a category-keyed re-aggregation, an
+    * n-class-bounded fold, broadcast scalars. Output one row:
+    * (n_units, n_dropped, n_categories, n_ratings, p_a, p_e,
+    * alpha). */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      categoryCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.where(col(categoryCol).isNotNull)
+      .groupBy(col(unitCol).as("u"), col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("nuc"))
+      .localCheckpoint(false)
+    val byU = cells.groupBy(col("u"))
+      .agg(sum(col("nuc")).as("nu"),
+        sum(col("nuc").cast(dec) * col("nuc").cast(dec)).cast(dec)
+          .as("__s2"))
+    val kept = byU.where(col("nu") >= 2L).localCheckpoint(false)
+    val dropped = broadcast(byU.where(col("nu") < 2L)
+      .agg(count(lit(1)).as("n_dropped")))
+    // per n-class: A_n = Σ (S2_u − n_u), one exact division by (n−1)
+    val classes = kept.groupBy(col("nu"))
+      .agg(sum((col("__s2") - col("nu").cast(dec)).cast(dec)).cast(dec)
+        .as("__an"))
+      .select(col("nu"),
+        (col("__an").cast("double") / (col("nu") - 1L).cast("double"))
+          .as("__term"))
+    val paNum = classes
+      .agg(sort_array(collect_list(struct(col("nu"), col("__term"))))
+        .as("__ts"))
+      .select(aggregate(col("__ts"), lit(0.0d),
+        (a, t) => a + t.getField("__term")).as("__pa_num"))
+    val totals = kept.agg(count(lit(1)).as("n_units"),
+      sum(col("nu")).as("n_ratings"))
+    val margins = cells.join(kept.select(col("u")), "u")
+      .groupBy(col("cat")).agg(sum(col("nuc")).as("nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("nc").cast(dec) * (col("nc") - 1L).cast(dec)).cast(dec)
+          .as("__pe_num"))
+    val nD = col("n_ratings").cast(dec)
+    val pa = col("__pa_num") / col("n_ratings").cast("double")
+    val pe = col("__pe_num").cast("double") /
+      (nD * (nD - 1)).cast(dec).cast("double")
+    totals.crossJoin(broadcast(paNum)).crossJoin(broadcast(margins))
+      .crossJoin(dropped)
+      .select(col("n_units"), coalesce(col("n_dropped"), lit(0L))
+          .as("n_dropped"),
+        col("n_categories"), coalesce(col("n_ratings"), lit(0L))
+          .as("n_ratings"),
+        when(col("n_ratings") >= 2L, pa).as("p_a"),
+        when(col("n_ratings") >= 2L, pe).as("p_e"),
+        when(col("n_ratings") >= 2L && pe < 1.0,
+          (pa - pe) / (lit(1.0) - pe)).as("alpha"))
+  }
+
   /** Cliff's delta (Cliff 1993) per group — [[mannWhitneyU]]'s effect
     * size: the probability a random A-value exceeds a random B-value
     * minus the reverse, δ = (#(a>b) − #(a<b)) / (n_a·n_b) ∈ [−1, 1].

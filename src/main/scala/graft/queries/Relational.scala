@@ -966,6 +966,45 @@ object Relational {
         round($"transitivity", 6).as("transitivity"))
   }
 
+  /** q325 — HLL set algebra ([[graft.operators.Sketches]]): weekend
+    * vs weekday distinct users, their register-max union, and the
+    * inclusion–exclusion intersection estimate |A∩B| ≈ |A|+|B|−|A∪B|
+    * next to the exact truth — the mergeable-sketch answer to "how
+    * much do two slices overlap" without a distinct-join. Register
+    * terms are exact powers of two, so every sum replays bit-for-bit
+    * (the q183 contract); the combination is pinned-shape. */
+  def q325HllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val b = 8
+    val e = Tables.events(spark, dir).select(
+      when(dayofweek(to_date($"ts")).isin(1, 7), "wkend")
+        .otherwise("wkday").as("arm"), $"user_id")
+    val regs = graft.operators.Sketches.hllRegisters(e, Seq("arm"),
+      "user_id", b)
+    val union = regs.groupBy($"reg").agg(max($"max_rank").as("max_rank"))
+      .select(lit("union").as("arm"), $"reg", $"max_rank")
+    val est = graft.operators.Sketches.hllEstimate(
+      regs.unionByName(union), Seq("arm"), b)
+    val ests = est.agg(
+      max(when($"arm" === "wkend", $"hll_estimate")).as("est_a"),
+      max(when($"arm" === "wkday", $"hll_estimate")).as("est_b"),
+      max(when($"arm" === "union", $"hll_estimate")).as("est_union"))
+    val flags = Tables.events(spark, dir).groupBy($"user_id").agg(
+      max(when(dayofweek(to_date($"ts")).isin(1, 7), 1L).otherwise(0L))
+        .as("wk"),
+      max(when(dayofweek(to_date($"ts")).isin(1, 7), 0L).otherwise(1L))
+        .as("wd"))
+    val truth = flags.agg(
+      sum($"wk").as("true_a"), sum($"wd").as("true_b"),
+      sum(when($"wk" === 1L && $"wd" === 1L, 1L).otherwise(0L))
+        .as("true_intersect"))
+    ests.crossJoin(broadcast(truth))
+      .select(round($"est_a", 4).as("est_a"),
+        round($"est_b", 4).as("est_b"),
+        round($"est_union", 4).as("est_union"),
+        round($"est_a" + $"est_b" - $"est_union", 4).as("est_intersect"),
+        $"true_a", $"true_b", $"true_intersect")
+  }
+
   /** q316 — association rules ([[graft.operators.Association
     * .pairRules]]): top-20 brand pairs by lift over order baskets,
     * with directional confidences — the market-basket census; exact

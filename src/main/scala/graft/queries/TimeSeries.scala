@@ -1000,6 +1000,18 @@ object TimeSeries {
         round($"lift", 6).as("lift"))
   }
 
+  /** q324 — Krippendorff's alpha ([[graft.operators.Eval
+    * .krippendorffAlpha]]): every user's full event list as a
+    * variable-length rating set — the missing-tolerant member of the
+    * q282/q311 agreement family; n-class-bounded exact folds. */
+  def q324Krippendorff(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.krippendorffAlpha(
+      events(spark, dir).select($"user_id", $"event_type"),
+      "user_id", "event_type")
+      .select($"n_units", $"n_dropped", $"n_categories", $"n_ratings",
+        round($"p_a", 6).as("p_a"), round($"p_e", 6).as("p_e"),
+        round($"alpha", 6).as("alpha"))
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

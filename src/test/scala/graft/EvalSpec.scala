@@ -276,6 +276,37 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getAs[Double]("q") == 3.0)
   }
 
+  test("krippendorffAlpha: perfect agreement 1, single-category null, " +
+      "ragged units grouped by rating count") {
+    import spark.implicits._
+    def run(rows: Seq[(Int, String)]) =
+      Eval.krippendorffAlpha(rows.toDF("u", "c"), "u", "c").collect().head
+    // unanimous units over two categories -> p_a = 1, alpha = 1
+    val unan = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b"), (3, "a"),
+      (3, "a"), (3, "a"))
+    val r = run(unan)
+    assert(r.getAs[Double]("p_a") == 1.0 && r.getAs[Double]("alpha") == 1.0)
+    assert(r.getAs[Long]("n_units") == 3L &&
+      r.getAs[Long]("n_ratings") == 7L)
+    // all ratings one category -> p_e = 1 -> alpha null, loudly
+    val mono = Seq((1, "x"), (1, "x"), (2, "x"), (2, "x"))
+    assert(run(mono).isNullAt(6))
+    // single-rating units are dropped and counted, not zero-padded
+    val ragged = unan ++ Seq((9, "a"), (10, "b"))
+    val g = run(ragged)
+    assert(g.getAs[Long]("n_dropped") == 2L &&
+      g.getAs[Long]("n_units") == 3L)
+    assert(g.getAs[Double]("alpha") == 1.0)
+    // hand-computed mixed case: u1 = {a,b} (n=2, S2=2), u2 = {a,a}
+    // (n=2, S2=4): p_a = [(2-2)/1 + (4-2)/1]/4 = 0.5
+    // margins: a=3, b=1 -> p_e = (3*2 + 0)/(4*3) = 0.5
+    // alpha = (0.5 - 0.5)/(1 - 0.5) = 0
+    val mixed = Seq((1, "a"), (1, "b"), (2, "a"), (2, "a"))
+    val m = run(mixed)
+    assert(m.getAs[Double]("p_a") == 0.5 && m.getAs[Double]("p_e") == 0.5)
+    assert(m.getAs[Double]("alpha") == 0.0)
+  }
+
   test("rateRatio: exposure normalization flips the raw-count verdict; " +
       "zero arms null loudly") {
     import spark.implicits._
