@@ -208,4 +208,48 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
     val th = shuffledBytes(SparkEntry.queries("q299_theil_between")(spark, dir))
     assert(th < (256L << 10), s"theil leaked the doc scan: $th bytes")
   }
+
+  test("q305/q318 corpus-drift operators shuffle token censuses, never " +
+      "document text") {
+    // the (source, token) census and its marginals exchange; the 5,000
+    // raw documents (~15 MB of text) must not
+    val tv = shuffledBytes(SparkEntry.queries("q305_total_variation")(spark, dir))
+    assert(tv > 0, "harness read zero — measurement broken")
+    assert(tv < (24L << 20), s"document text leaked into a shuffle: $tv bytes")
+    val js = shuffledBytes(SparkEntry.queries("q318_jensen_shannon")(spark, dir))
+    // 256-bucket grid: orders of magnitude below even the token census
+    assert(js < (2L << 20), s"token rows leaked past the bucket census: $js bytes")
+  }
+
+  test("q315/q319/q323 forecast audits shuffle score censuses, never " +
+      "events") {
+    val br = shuffledBytes(SparkEntry.queries("q315_brier_decomp")(spark, dir))
+    assert(br > 0, "harness read zero — measurement broken")
+    assert(br < (2L << 20), s"brier leaked event rows: $br bytes")
+    val yo = shuffledBytes(SparkEntry.queries("q319_youden")(spark, dir))
+    assert(yo < (2L << 20), s"youden leaked event rows: $yo bytes")
+    val cg = shuffledBytes(SparkEntry.queries("q323_cum_gains")(spark, dir))
+    assert(cg < (2L << 20), s"gains leaked event rows: $cg bytes")
+  }
+
+  test("q316 association rules shuffle basket items and pair censuses, " +
+      "bounded by basket width") {
+    // 150k (order, brand) pairs exchange for the self-join; the
+    // lineitem scan itself (600k wide rows) must not
+    val moved = shuffledBytes(SparkEntry.queries("q316_assoc_rules")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    assert(moved < (24L << 20), s"lineitem rows leaked into a shuffle: $moved bytes")
+  }
+
+  test("q324 krippendorff shuffles unit censuses, never events") {
+    val moved = shuffledBytes(SparkEntry.queries("q324_krippendorff")(spark, dir))
+    assert(moved < (2L << 20), s"event rows leaked into a shuffle: $moved bytes")
+  }
+
+  test("q325 HLL set algebra shuffles fixed-size registers, never users") {
+    // <= 256 registers x 3 arms (plus the exact-truth flag census,
+    // user-bounded); nothing event-scale crosses an exchange
+    val moved = shuffledBytes(SparkEntry.queries("q325_hll_intersect")(spark, dir))
+    assert(moved < (2L << 20), s"event rows leaked into a shuffle: $moved bytes")
+  }
 }
