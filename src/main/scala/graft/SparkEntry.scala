@@ -346,6 +346,8 @@ object SparkEntry {
     "q323_cum_gains"        -> (T.q323CumulativeGains(_, _)),
     "q324_krippendorff"     -> (T.q324Krippendorff(_, _)),
     "q325_hll_intersect"    -> (R.q325HllIntersect(_, _)),
+    "q326_t_closeness"      -> (R.q326TCloseness(_, _)),
+    "q327_laplace_counts"   -> (R.q327LaplaceCounts(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1570,6 +1572,52 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(ea + eb - eu AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS est_intersect,
         |  tr.true_a, tr.true_b, tr.true_intersect
         |FROM piv CROSS JOIN tr""".stripMargin,
+    // q326: the q305 TV closed form per quasi-class; the violates flag
+    // cross-multiplies num*1e6 > tmax*2*n*N in exact HUGEINT
+    "q326_t_closeness" ->
+      """WITH k AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS v FROM customer),
+        |census AS (SELECT c_mktsegment, c_nationkey, v,
+        |    CAST(count(*) AS BIGINT) AS cgt FROM k GROUP BY 1, 2, 3),
+        |g AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(sum(cgt) AS BIGINT) AS ng FROM census GROUP BY 1, 2),
+        |vt AS (SELECT v, CAST(sum(cgt) AS BIGINT) AS ct
+        |  FROM census GROUP BY 1),
+        |n AS (SELECT CAST(sum(ct) AS HUGEINT) AS n FROM vt),
+        |s AS (SELECT c.c_mktsegment, c.c_nationkey,
+        |    sum(abs(CAST(c.cgt AS HUGEINT) * n.n
+        |          - CAST(vt.ct AS HUGEINT) * g.ng)
+        |      - CAST(vt.ct AS HUGEINT) * g.ng) AS snum
+        |  FROM census c JOIN vt USING (v)
+        |    JOIN g ON g.c_mktsegment = c.c_mktsegment
+        |      AND g.c_nationkey = c.c_nationkey
+        |    CROSS JOIN n
+        |  GROUP BY 1, 2)
+        |SELECT g.c_mktsegment, g.c_nationkey, g.ng AS n,
+        |  CAST(round(CAST(CAST(
+        |    CAST(s.snum + n.n * g.ng AS DOUBLE) /
+        |    CAST(2 * CAST(g.ng AS HUGEINT) * n.n AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS t,
+        |  (s.snum + n.n * g.ng) * 1000000
+        |    > 200000 * 2 * CAST(g.ng AS HUGEINT) * n.n AS violates
+        |FROM g JOIN s ON g.c_mktsegment = s.c_mktsegment
+        |  AND g.c_nationkey = s.c_nationkey CROSS JOIN n""".stripMargin,
+    // q327: md5-48-bit uniform -> inverse-CDF Laplace; ln parity per
+    // q121, pinned-shape combination
+    "q327_laplace_counts" ->
+      """WITH c AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT g, n,
+        |    (CAST(CAST(('0x' || substr(md5(g || 'graft8'), 1, 12)) AS BIGINT)
+        |      AS DOUBLE) + 0.5) / CAST(281474976710656 AS DOUBLE) AS uu
+        |  FROM c)
+        |SELECT g AS event_type,
+        |  CAST(round(CAST(CAST(
+        |    CAST(n AS DOUBLE) + (-2.0) * sign(uu - 0.5)
+        |      * ln(1.0 - 2.0 * abs(uu - 0.5))
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS noisy_count,
+        |  CAST(2.0 AS DOUBLE) AS scale
+        |FROM u""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -1005,6 +1005,30 @@ object Relational {
         $"true_a", $"true_b", $"true_intersect")
   }
 
+  /** q326 — t-closeness ([[graft.operators.Anonymity.tCloseness]]):
+    * per (segment, nation) quasi-class, how far the account-balance
+    * band distribution sits from the table's — the attacker-learning
+    * bound above q203's k and q229's l; exact-integer violation flag
+    * at t = 0.2. */
+  def q326TCloseness(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anonymity.tCloseness(
+      Tables.customer(spark, dir).select($"c_mktsegment", $"c_nationkey",
+        floor($"c_acctbal" / 1000).cast("long").as("bal_band")),
+      Seq("c_mktsegment", "c_nationkey"), "bal_band", tMaxMicros = 200000L)
+      .select($"c_mktsegment", $"c_nationkey", $"n",
+        round($"t", 6).as("t"), $"violates")
+
+  /** q327 — Laplace count release ([[graft.operators.Anonymity
+    * .laplaceCounts]]): the ε=0.5 DP histogram of event types with the
+    * md5-seeded deterministic draw — replayable mechanism plumbing,
+    * the q64 seeded-kernel discipline applied to privacy. */
+  def q327LaplaceCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anonymity.laplaceCounts(
+      Tables.events(spark, dir).select($"event_type"),
+      "event_type", epsilonMilli = 500L, seed = "graft8")
+      .select($"g".as("event_type"),
+        round($"noisy_count", 6).as("noisy_count"), $"scale")
+
   /** q316 — association rules ([[graft.operators.Association
     * .pairRules]]): top-20 brand pairs by lift over order baskets,
     * with directional confidences — the market-basket census; exact

@@ -60,4 +60,51 @@ class AuditFusionSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(out(13L)._1 - 1.0 / 61) < 1e-15)
     assert(out.size == 4)
   }
+
+  test("tCloseness: table-identical classes t=0, point-mass class hits " +
+      "the disjoint bound, exact threshold flag") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long)], tMaxMicros: Long) =
+      Anonymity.tCloseness(rows.toDF("q", "v"), Seq("q"), "v", tMaxMicros)
+        .collect().map(r => r.getAs[String]("q") ->
+          ((r.getAs[Double]("t"), r.getAs[Boolean]("violates")))).toMap
+    // both classes mirror the table's 50/50 split -> t = 0, no flags
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+    assert(run(same, 200000L) == Map("a" -> ((0.0, false)),
+      "b" -> ((0.0, false))))
+    // class a holds only value 1, b only value 2 (equal sizes):
+    // t = 1/2 for both; flagged at tmax 0.2, not at 0.5
+    val disj = Seq.fill(4)(("a", 1L)) ++ Seq.fill(4)(("b", 2L))
+    assert(run(disj, 200000L) == Map("a" -> ((0.5, true)),
+      "b" -> ((0.5, true))))
+    // boundary is EXACT: t = 1/2 does NOT violate tmax = 1/2 (strict >)
+    assert(run(disj, 500000L) == Map("a" -> ((0.5, false)),
+      "b" -> ((0.5, false))))
+  }
+
+  test("laplaceCounts: md5-deterministic, epsilon scales the noise, " +
+      "count absent from the release") {
+    import spark.implicits._
+    val rows = (Seq.fill(100)("x") ++ Seq.fill(50)("y")).toDF("g")
+    def run(epsMilli: Long) =
+      Anonymity.laplaceCounts(rows, "g", epsMilli, "seedA")
+        .collect().map(r => r.getAs[String]("g") ->
+          ((r.getAs[Double]("noisy_count"), r.getAs[Double]("scale")))).toMap
+    val a = run(1000L)
+    // deterministic: identical on re-run
+    assert(a == run(1000L))
+    assert(a("x")._2 == 1.0 && a.keySet == Set("x", "y"))
+    // noise is bounded plausibly for eps=1 (|noise| < 40 with prob ~1;
+    // deterministic draw so this is a fixed fact, not a flake)
+    assert(math.abs(a("x")._1 - 100.0) < 40.0)
+    // smaller epsilon -> strictly larger deviation for the same draw
+    val tight = run(1000L)("y")._1 - 50.0
+    val loose = run(100L)("y")._1 - 50.0
+    assert(math.abs(loose) > math.abs(tight))
+    assert(run(100L)("y")._2 == 10.0)
+    // different seed -> different draw (u differs)
+    val b = Anonymity.laplaceCounts(rows, "g", 1000L, "seedB")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(b("x") != a("x")._1)
+  }
 }
