@@ -348,6 +348,8 @@ object SparkEntry {
     "q325_hll_intersect"    -> (R.q325HllIntersect(_, _)),
     "q326_t_closeness"      -> (R.q326TCloseness(_, _)),
     "q327_laplace_counts"   -> (R.q327LaplaceCounts(_, _)),
+    "q328_conformal"        -> (T.q328Conformal(_, _)),
+    "q329_mase"             -> (T.q329Mase(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1618,6 +1620,62 @@ object SparkEntry {
         |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS noisy_count,
         |  CAST(2.0 AS DOUBLE) AS scale
         |FROM u""".stripMargin,
+    // q328: exact ceil-div k, order-statistic crossing for qhat, one
+    // division for coverage — the q10/q215 quantile discipline
+    "q328_conformal" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < 'cc'
+        |      THEN 1 ELSE 0 END AS cal,
+        |    abs(CAST(round(value * 100) AS BIGINT) - 5000) AS r
+        |  FROM events),
+        |c AS (SELECT g, r, CAST(sum(cal) AS BIGINT) AS nc,
+        |    CAST(sum(1 - cal) AS BIGINT) AS nt FROM e GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(nc) AS BIGINT) AS n_calib,
+        |    CAST(sum(nt) AS BIGINT) AS n_test,
+        |    CAST(((sum(nc) + 1) * 900 + 999) // 1000 AS BIGINT) AS k
+        |  FROM c GROUP BY 1),
+        |cum AS (SELECT g, r, nt,
+        |    CAST(sum(nc) OVER (PARTITION BY g ORDER BY r) AS BIGINT) AS cm
+        |  FROM c),
+        |qh AS (SELECT cum.g, min(r) AS qhat
+        |  FROM cum JOIN tot ON cum.g = tot.g WHERE cm >= tot.k GROUP BY 1),
+        |cov AS (SELECT c.g,
+        |    CAST(sum(CASE WHEN c.r <= qh.qhat THEN c.nt ELSE 0 END)
+        |      AS BIGINT) AS cv
+        |  FROM c LEFT JOIN qh ON c.g = qh.g GROUP BY 1)
+        |SELECT tot.g AS event_type, tot.n_calib, tot.n_test, tot.k,
+        |  qh.qhat,
+        |  CASE WHEN qh.qhat IS NOT NULL AND tot.n_test > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(cov.cv AS DOUBLE) / CAST(tot.n_test AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS coverage
+        |FROM tot LEFT JOIN qh ON tot.g = qh.g
+        |  JOIN cov ON tot.g = cov.g""".stripMargin,
+    // q329: lag-7 forecast rows, lag-1 naive denominator over the same
+    // window; MASE = (num*(n-1))/(den*n) one exact division
+    "q329_mase" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |wf AS (SELECT k, day, y,
+        |    lag(y, 7) OVER (PARTITION BY k ORDER BY day) AS f
+        |  FROM daily),
+        |ev AS (SELECT k, day, y, f,
+        |    lag(y, 1) OVER (PARTITION BY k ORDER BY day) AS prev
+        |  FROM (SELECT * FROM wf WHERE f IS NOT NULL)),
+        |s AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(abs(y - f)) AS BIGINT) AS mae_num,
+        |    CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+        |      THEN abs(y - prev) END), 0) AS BIGINT) AS naive_num
+        |  FROM ev GROUP BY 1)
+        |SELECT k AS event_type, n, CAST(0 AS BIGINT) AS n_skipped,
+        |  mae_num, naive_num,
+        |  CASE WHEN n >= 2 AND naive_num > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(CAST(mae_num AS HUGEINT) * (n - 1) AS DOUBLE) /
+        |      CAST(CAST(naive_num AS HUGEINT) * n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS mase
+        |FROM s""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -672,6 +672,64 @@ object Eval {
               .cast("double")).as("lift"))
   }
 
+  /** Split-conformal interval calibration (Vovk et al. 2005; Lei et
+    * al. 2018) per group — the distribution-free coverage guarantee a
+    * model-serving gate actually checks: from a CALIBRATION slice's
+    * nonconformity scores (|residual|), take the k-th smallest with
+    * k = ⌈(n+1)(1−α)⌉; predicting ±q̂ around the model then covers a
+    * fresh point with probability ≥ 1−α, NO distributional assumption.
+    * The operator reports q̂ and the TEST slice's empirical coverage —
+    * the pair that says whether the guarantee survived deployment
+    * drift.
+    *
+    * Exactness: k is exact integer ceiling arithmetic
+    * ((n+1)·(1000−αmilli) ceil-div 1000); q̂ is an exact order
+    * statistic picked by cumulative-count crossing over the residual
+    * census (the q10/q215 discipline — no interpolation); coverage is
+    * one exact-integer division. q̂ null (and coverage 1 by
+    * convention, reported as the exact test fraction ≤ ∞ → 1.0) when
+    * k > n_calib — α too strict for the calibration size; the
+    * operator returns a NULL q̂ and NULL coverage loudly instead of
+    * inventing an infinite interval.
+    *
+    * Scale shape: one (group, side, residual) census, a per-group
+    * census-ordered cumulative window, a broadcast-size q̂ table
+    * joined back at census grain. Output: (g, n_calib, n_test, k,
+    * qhat, coverage). */
+  def splitConformal(df: DataFrame, groupCol: String, isCalib: Column,
+      residCol: String, alphaMilli: Long): DataFrame = {
+    require(alphaMilli > 0 && alphaMilli < 1000,
+      s"alphaMilli must be in (0, 1000), got $alphaMilli")
+    val census = df.where(col(residCol).isNotNull)
+      .select(col(groupCol).as("g"), col(residCol).cast("long").as("r"),
+        when(isCalib, 1L).otherwise(0L).as("cal"))
+      .groupBy(col("g"), col("r"))
+      .agg(sum(col("cal")).as("nc"), sum(lit(1L) - col("cal")).as("nt"))
+      .localCheckpoint(false)
+    val tot = census.groupBy(col("g"))
+      .agg(sum(col("nc")).as("n_calib"), sum(col("nt")).as("n_test"))
+      .withColumn("k",
+        expr(s"((n_calib + 1) * ${1000 - alphaMilli} + 999) div 1000"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val crossed = census
+      .withColumn("__cum", sum(col("nc")).over(wCum))
+      .join(tot.select(col("g"), col("k")), "g")
+      .where(col("__cum") >= col("k"))
+      .groupBy(col("g")).agg(min(col("r")).as("qhat"))
+    val covered = census
+      .join(crossed, Seq("g"), "left")
+      .groupBy(col("g"))
+      .agg(sum(when(col("r") <= col("qhat"), col("nt")).otherwise(0L))
+        .as("__cov"))
+    tot.join(crossed, Seq("g"), "left").join(covered, "g")
+      .select(col("g"), col("n_calib"), col("n_test"), col("k"),
+        col("qhat"),
+        when(col("qhat").isNotNull && col("n_test") > 0L,
+          col("__cov").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
+
   /** Youden's J optimal threshold (Youden 1950) per group — the
     * operating-point picker behind [[auc]]: AUC says whether the score
     * ranks at all, J = max_t (TPR(t) − FPR(t)) says WHERE to cut it

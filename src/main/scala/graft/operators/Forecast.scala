@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Holt double exponential smoothing — the level+trend forecaster
@@ -59,5 +60,58 @@ object Forecast {
       .select(col(keyCol), col("n_obs"),
         col("__f.l").as("level"), col("__f.b").as("trend"),
         (col("__f.l") + lit(horizon.toDouble) * col("__f.b")).as("forecast"))
+  }
+
+  /** MASE — mean absolute scaled error (Hyndman & Koehler 2006): the
+    * forecast-accuracy number that is comparable ACROSS series of
+    * different scales, where MAPE explodes at zeros and raw MAE can't
+    * rank. MASE = MAE(forecast) / MAE(naive one-step), so < 1 means
+    * "beats carrying yesterday forward" — THE bar any deployed
+    * forecast ([[holtSummary]], a seasonal-naive, a model) must clear.
+    * Convention (documented): the naive denominator runs over the SAME
+    * evaluated window's successive actuals — the comparison both
+    * series can always furnish — not a separate training window.
+    *
+    * Exactness: with integer actuals/forecasts, num = Σ|y−ŷ| (n
+    * terms) and den = Σ|y_t − y_{t−1}| (n−1 terms) are exact integer
+    * sums, and MASE = (num·(n−1)) / (den·n) is ONE correctly-rounded
+    * division of exact decimals. Null when n < 2 or the naive
+    * denominator is 0 (a constant series makes every nonzero error
+    * infinitely bad — loud, not ∞). Rows where either side is null
+    * are excluded and counted.
+    *
+    * Ordering contract: rows order by `ordCol`'s NATIVE type within
+    * each key (the [[graft.operators.Autocorr.acf]] convention — no
+    * string-cast ordering hazard). Scale shape: one per-key window
+    * pass at row scale, then a key census. Output: (key, n,
+    * n_skipped, mae_num, naive_num, mase). */
+  def mase(df: DataFrame, keyCol: String, ordCol: String,
+      actualCol: String, forecastCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      col(actualCol).cast("long").as("y"),
+      col(forecastCol).cast("long").as("f"))
+    val skipped = base
+      .groupBy(col("k"))
+      .agg(sum(when(col("y").isNull || col("f").isNull, 1L).otherwise(0L))
+        .as("n_skipped"))
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val lagged = base.where(col("y").isNotNull && col("f").isNotNull)
+      .withColumn("__prev", lag(col("y"), 1).over(w))
+    val sums = lagged.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(abs(col("y") - col("f")).cast(dec)).cast(dec).as("mae_num"),
+      sum(when(col("__prev").isNotNull,
+        abs(col("y") - col("__prev")).cast(dec)).otherwise(lit(0).cast(dec)))
+        .cast(dec).as("naive_num"))
+    sums.join(skipped, "k")
+      .select(col("k"), col("n"), col("n_skipped"),
+        col("mae_num").cast("long").as("mae_num"),
+        col("naive_num").cast("long").as("naive_num"),
+        when(col("n") >= 2L && col("naive_num") > lit(0).cast(dec),
+          (col("mae_num") * (col("n") - 1L).cast(dec)).cast(dec)
+            .cast("double") /
+            (col("naive_num") * col("n").cast(dec)).cast(dec)
+              .cast("double")).as("mase"))
   }
 }

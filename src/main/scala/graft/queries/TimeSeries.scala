@@ -1012,6 +1012,36 @@ object TimeSeries {
         round($"p_a", 6).as("p_a"), round($"p_e", 6).as("p_e"),
         round($"alpha", 6).as("alpha"))
 
+  /** q328 — split conformal ([[graft.operators.Eval.splitConformal]]):
+    * per event type, the 90% conformal radius from an 80% md5
+    * calibration split of |cents − 5000| residuals, plus the held-out
+    * coverage — exact order-statistic q̂, exact coverage fraction. */
+  def q328Conformal(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select($"event_type",
+      substring(md5($"event_id".cast("string")), 1, 2).as("h"),
+      abs(round($"value" * 100).cast("long") - 5000L).as("resid"))
+    graft.operators.Eval.splitConformal(e, "event_type", $"h" < "cc",
+        "resid", alphaMilli = 100L)
+      .select($"g".as("event_type"), $"n_calib", $"n_test", $"k", $"qhat",
+        round($"coverage", 6).as("coverage"))
+  }
+
+  /** q329 — MASE ([[graft.operators.Forecast.mase]]): score the lag-7
+    * seasonal-naive forecast of daily cent totals against the lag-1
+    * naive bar, per event type — the scale-free "does the forecast
+    * beat yesterday" number; all-integer sums, one division. */
+  def q329Mase(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val withF = daily.withColumn("f", lag($"cents", 7).over(w))
+      .where($"f".isNotNull)
+    graft.operators.Forecast.mase(withF, "event_type", "day", "cents", "f")
+      .select($"k".as("event_type"), $"n", $"n_skipped", $"mae_num",
+        $"naive_num", round($"mase", 6).as("mase"))
+  }
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

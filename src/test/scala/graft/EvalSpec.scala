@@ -276,6 +276,37 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getAs[Double]("q") == 3.0)
   }
 
+  test("splitConformal: textbook order statistic, guaranteed coverage on " +
+      "iid data, too-strict alpha nulls loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, Boolean, Long)], alphaMilli: Long) =
+      Eval.splitConformal(rows.toDF("g", "cal", "r"), "g", col("cal"),
+        "r", alphaMilli).collect()
+        .map(r => r.getAs[String]("g") ->
+          ((r.getAs[Long]("k"), Option(r.getAs[java.lang.Long]("qhat"))
+            .map(_.toLong),
+            Option(r.getAs[java.lang.Double]("coverage"))
+              .map(_.toDouble)))).toMap
+    // 9 calib residuals 1..9, alpha=0.1: k = ceil(10*0.9) = 9 -> qhat 9;
+    // test residuals {5, 12}: coverage 1/2
+    val rows = (1L to 9L).map(r => ("a", true, r)) ++
+      Seq(("a", false, 5L), ("a", false, 12L))
+    assert(run(rows, 100L)("a") == ((9L, Some(9L), Some(0.5))))
+    // alpha=0.5: k = ceil(10*0.5) = 5 -> qhat 5, coverage 1/2 still
+    assert(run(rows, 500L)("a") == ((5L, Some(5L), Some(0.5))))
+    // alpha so strict k > n_calib -> null qhat and coverage
+    val tiny = Seq(("t", true, 3L), ("t", false, 1L))
+    assert(run(tiny, 100L)("t") == ((2L, None, None)))
+    // the finite-sample guarantee: iid calib/test from one distribution
+    // covers >= 1 - alpha (deterministic fixture, fixed fact)
+    val rnd = new scala.util.Random(17)
+    val iid = (1 to 2000).map(i =>
+      ("g", i % 5 != 0, math.abs(rnd.nextInt(1000)).toLong))
+    val g = run(iid, 100L)("g")
+    assert(g._3.get >= 0.88, s"coverage ${g._3} below the 0.9 guarantee band")
+  }
+
   test("krippendorffAlpha: perfect agreement 1, single-category null, " +
       "ragged units grouped by rating count") {
     import spark.implicits._

@@ -579,4 +579,32 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     // apple has df 2 = cap boundary (2*2 <= 4*1): included exactly
     assert(r.filter(_.getLong(0) == 2L).map(_.getString(1)).toSeq === Seq("apple"))
   }
+
+  test("mase: perfect forecast 0, naive-equivalent 1, constant series " +
+      "null, null rows counted") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, java.lang.Long, java.lang.Long)]) =
+      Forecast.mase(rows.toDF("k", "o", "y", "f"), "k", "o", "y", "f")
+        .collect().map(r => r.getAs[String]("k") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("n_skipped"),
+            Option(r.getAs[java.lang.Double]("mase")).map(_.toDouble)))).toMap
+    def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    // forecast == actual everywhere -> MASE = 0 exactly
+    val perf = Seq(("p", 1L, L(10), L(10)), ("p", 2L, L(14), L(14)),
+      ("p", 3L, L(11), L(11)))
+    assert(run(perf)("p") == ((3L, 0L, Some(0.0))))
+    // forecast = previous actual (the naive itself): |e| sums equal the
+    // naive diffs except the first row has no error contribution issue:
+    // y = (10, 14, 11), f = (10, 10, 14): num = 0+4+3 = 7,
+    // den = 4+3 = 7 -> mase = 7*2/(7*3) = 2/3
+    val naive = Seq(("n", 1L, L(10), L(10)), ("n", 2L, L(14), L(10)),
+      ("n", 3L, L(11), L(14)))
+    assert(run(naive)("n") == ((3L, 0L, Some(2.0 / 3))))
+    // constant actuals -> naive denominator 0 -> null, loudly
+    val const = Seq(("c", 1L, L(5), L(6)), ("c", 2L, L(5), L(6)))
+    assert(run(const)("c") == ((2L, 0L, None)))
+    // null forecast rows are excluded and counted
+    val holey = perf ++ Seq(("p", 4L, L(9), null))
+    assert(run(holey)("p") == ((3L, 1L, Some(0.0))))
+  }
 }
