@@ -350,6 +350,8 @@ object SparkEntry {
     "q327_laplace_counts"   -> (R.q327LaplaceCounts(_, _)),
     "q328_conformal"        -> (T.q328Conformal(_, _)),
     "q329_mase"             -> (T.q329Mase(_, _)),
+    // no oracle: deflate has no DuckDB replay (rows-only check by design)
+    "q330_compress_bands"   -> (D.q330CompressBands(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted

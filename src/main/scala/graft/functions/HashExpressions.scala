@@ -134,6 +134,31 @@ object FastHash {
     * order, so bit-identical doubles; cross-check-tested). Norms run over
     * each full array, the dot product over the common prefix, mirroring
     * the HOF semantics exactly. */
+  /** Deflate compression ratio of a UTF-8 text: compressed_bytes /
+    * raw_bytes at zlib level 6 — the CCNet/Gopher-era "compressibility"
+    * quality signal: template spam and boilerplate compress far below
+    * natural prose (ratio ≲ 0.3), random bytes sit near 1. Runs the
+    * JDK Deflater on the row's bytes in one call — a per-row CPU
+    * kernel with zero state, so it belongs INSIDE whole-stage codegen
+    * (a Scala UDF here would break the span on the corpus scan's hot
+    * path). Determinism: zlib output is stable for a fixed level
+    * within a JVM/zlib build; the SIGNAL (ratio band) is what
+    * pipelines threshold on, and specs pin semantic bands, not bytes.
+    * Empty input → ratio 1.0 (nothing to compress, nothing learned). */
+  def deflateRatio(text: UTF8String): Double = {
+    val raw = text.getBytes
+    if (raw.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](1024)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length.toDouble
+    } finally d.end()
+  }
+
   /** Exact integer dot product over two array<bigint> vectors in one
     * tight primitive loop — value-identical to the long-summed
     * zip_with/aggregate formulation (same left-to-right accumulation
@@ -484,6 +509,9 @@ object FastHash {
   def intDot(a: Column, b: Column): Column =
     GraftShim.column(IntDotExpr(GraftShim.expression(a), GraftShim.expression(b)))
 
+  def compressRatio(text: Column): Column =
+    GraftShim.column(DeflateRatioExpr(GraftShim.expression(text)))
+
   def sortedLookup(keys: Column, vals: Column, key: Column): Column =
     GraftShim.column(SortedLookupExpr(GraftShim.expression(keys),
       GraftShim.expression(vals), GraftShim.expression(key)))
@@ -636,6 +664,23 @@ case class CosineExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** text -> deflate compression ratio (codegen'd; see
+  * [[FastHash.deflateRatio]]). */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_compress_ratio"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.deflateRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.deflateRatio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
+    copy(child = newChild)
 }
 
 /** array<bigint> x array<bigint> -> exact long dot product (codegen'd;

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Round}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{CdcChunksExpr, CosineExpr, IntDotExpr, MaskRepeatedExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SortedIntersectExpr, SortedLookupExpr, SrpBucketExpr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CosineExpr, DeflateRatioExpr, IntDotExpr, MaskRepeatedExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SortedIntersectExpr, SortedLookupExpr, SrpBucketExpr, WinnowFpsExpr}
 
 /** Catalyst integration (SURVEY §4 custom work item 2): the engine's
   * codegen'd expressions registered as SQL functions, plus a small
@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_int_dot"),
       new ExpressionInfo(classOf[IntDotExpr].getName, "graft_int_dot"),
       (args: Seq[Expression]) => IntDotExpr(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_compress_ratio"),
+      new ExpressionInfo(classOf[DeflateRatioExpr].getName,
+        "graft_compress_ratio"),
+      (args: Seq[Expression]) => DeflateRatioExpr(args.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),

@@ -414,6 +414,21 @@ object TrainingData {
         round($"rr", 6).as("rr"), round($"ap", 6).as("ap"))
   }
 
+  /** q330 — compressibility bands ([[graft.functions.FastHash
+    * .compressRatio]]): per source, how many documents fall in each
+    * deflate-ratio decile band — the CCNet/Gopher compressibility
+    * quality signal as a deterministic integer census (banding, not a
+    * float mean, keeps it partition-invariant). No DuckDB zlib → no
+    * oracle SQL by design; the driver records the rows-only check and
+    * the kernel's semantics are spec-pinned. */
+  def q330CompressBands(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select($"source",
+        least(lit(9L), floor(
+          graft.functions.FastHash.compressRatio($"text") * 10)
+          .cast("long")).as("band"))
+      .groupBy($"source", $"band").agg(count(lit(1)).as("n_docs"))
+
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */
   def q84BpeTokens(spark: SparkSession, dir: String): DataFrame =

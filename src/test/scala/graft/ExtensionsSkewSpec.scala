@@ -36,9 +36,11 @@ class ExtensionsSkewSpec extends AnyFunSuite with SparkFixture {
         |size(graft_minhash('one two three four five six', 3, 16)) AS k,
         |graft_srp_bucket(array(1.0d, -2.0d, 0.5d), 0, 8) AS b,
         |graft_cosine(array(1.0d, 0.0d), array(2.0d, 0.0d)) AS cos,
-        |graft_int_dot(array(2L, 3L), array(10L, 20L)) AS idot""".stripMargin).head()
+        |graft_int_dot(array(2L, 3L), array(10L, 20L)) AS idot,
+        |graft_compress_ratio(repeat('spam ', 50)) AS cr""".stripMargin).head()
     assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
     assert(r.getAs[Long]("idot") == 80L)
+    assert(r.getAs[Double]("cr") < 0.2, "repeated text must crush")
     // cross-check against the library column APIs on the plain session
     import spark.implicits._
     val expectSh = Seq("alpha beta gamma").toDF("t")

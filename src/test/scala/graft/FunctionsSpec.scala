@@ -204,6 +204,28 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(got(3L) == ((0.0, 0.0, 0.0)))
   }
 
+  test("compressRatio: boilerplate compresses far below prose, random " +
+      "hex sits high, empty is 1.0, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders into a meadow full of unexpected vocabulary choices " +
+      "each clause introducing genuinely novel words without repetition"
+    val template = ("click here to subscribe now " * 40).trim
+    val hexy = Seq.fill(120)(rnd.nextInt(16).toHexString).mkString
+    val rows = Seq(("prose", prose), ("tmpl", template), ("hex", hexy),
+      ("empty", "")).toDF("k", "t")
+    def run() = rows.select($"k",
+        graft.functions.FastHash.compressRatio($"t").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = run()
+    assert(got("tmpl") < 0.15, s"template should crush: ${got("tmpl")}")
+    assert(got("prose") > got("tmpl") * 2, got.toString)
+    assert(got("hex") > 0.4, s"high-entropy text stays high: ${got("hex")}")
+    assert(got("empty") == 1.0)
+    assert(got == run(), "deflate at fixed level is deterministic in-JVM")
+  }
+
   test("intDot: codegen kernel == declarative zip_with/aggregate on " +
       "random long vectors (incl. ragged and empty)") {
     import spark.implicits._
