@@ -352,6 +352,8 @@ object SparkEntry {
     "q329_mase"             -> (T.q329Mase(_, _)),
     // no oracle: deflate has no DuckDB replay (rows-only check by design)
     "q330_compress_bands"   -> (D.q330CompressBands(_, _)),
+    "q331_sprt"             -> (T.q331Sprt(_, _)),
+    "q332_cuped"            -> (T.q332Cuped(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1678,6 +1680,92 @@ object SparkEntry {
         |      CAST(CAST(naive_num AS HUGEINT) * n AS DOUBLE)
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS mase
         |FROM s""".stripMargin,
+    // q331: exact count walks; LLR = cum_s*ln(1.25) + cum_f*ln(500/600)
+    // pinned-shape (ln parity per q121); verdict latches via window max
+    "q331_sprt" ->
+      """WITH e AS (SELECT event_type AS sc, CAST(ts AS DATE) AS p,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y FROM events),
+        |c AS (SELECT sc, p, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+        |w AS (SELECT sc, p, n, s,
+        |    CAST(sum(n) OVER (PARTITION BY sc ORDER BY p) AS BIGINT) AS cum_n,
+        |    CAST(sum(s) OVER (PARTITION BY sc ORDER BY p) AS BIGINT) AS cum_s
+        |  FROM c),
+        |l AS (SELECT *, CAST(cum_s AS DOUBLE) * ln(500.0 / 400.0)
+        |    + CAST(cum_n - cum_s AS DOUBLE) * ln(500.0 / 600.0) AS llr
+        |  FROM w),
+        |x AS (SELECT *,
+        |    max(CASE WHEN llr >= ln(950.0 / 50.0) THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY sc ORDER BY p) AS chi,
+        |    max(CASE WHEN llr <= ln(50.0 / 950.0) THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY sc ORDER BY p) AS clo
+        |  FROM l)
+        |SELECT sc AS event_type, p AS day, n, s AS successes, cum_n, cum_s,
+        |  CAST(round(CAST(CAST(llr AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS llr,
+        |  CASE WHEN chi = 1 THEN 'accept_h1'
+        |       WHEN clo = 1 THEN 'accept_h0'
+        |       ELSE 'continue' END AS state
+        |FROM x""".stripMargin,
+    // q332: five exact HUGEINT moments; theta/means/reduction are
+    // fixed-shape combinations of single divisions
+    "q332_cuped" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS a,
+        |    CAST(floor(value) AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events
+        |  WHERE value IS NOT NULL),
+        |g AS (SELECT sc, CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - a) AS BIGINT) AS n_b,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    CAST(sum(CASE WHEN a = 1 THEN x ELSE 0 END) AS HUGEINT) AS sxa,
+        |    CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END) AS HUGEINT) AS sya,
+        |    CAST(sum(CASE WHEN a = 0 THEN x ELSE 0 END) AS HUGEINT) AS sxb,
+        |    CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END) AS HUGEINT) AS syb
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT sc, n_a, n_b,
+        |    CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |    CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |    CAST((n_a + n_b) * sxy - sx * sy AS DOUBLE) /
+        |      CAST((n_a + n_b) * sxx - sx * sx AS DOUBLE) AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(CAST(n_a + n_b AS HUGEINT) AS DOUBLE)
+        |      AS xbar,
+        |    CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) AS xa,
+        |    CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS xb,
+        |    (CAST((n_a + n_b) * sxy - sx * sy AS DOUBLE) /
+        |     CAST((n_a + n_b) * sxx - sx * sx AS DOUBLE)) *
+        |    (CAST((n_a + n_b) * sxy - sx * sy AS DOUBLE) /
+        |     CAST((n_a + n_b) * syy - sy * sy AS DOUBLE)) AS rho2,
+        |    (n_a + n_b) * sxx - sx * sx AS vxn,
+        |    (n_a + n_b) * syy - sy * sy AS vyn
+        |  FROM g)
+        |SELECT sc AS event_type, n_a, n_b,
+        |  CAST(round(CAST(CAST(mean_a AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS mean_a,
+        |  CAST(round(CAST(CAST(mean_b AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS mean_b,
+        |  CASE WHEN vxn <> 0 AND vyn <> 0 AND n_a > 0 AND n_b > 0 THEN
+        |    CAST(round(CAST(CAST(theta AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS theta,
+        |  CASE WHEN vxn <> 0 AND vyn <> 0 AND n_a > 0 AND n_b > 0 THEN
+        |    CAST(round(CAST(CAST(mean_a - theta * (xa - xbar)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS adj_mean_a,
+        |  CASE WHEN vxn <> 0 AND vyn <> 0 AND n_a > 0 AND n_b > 0 THEN
+        |    CAST(round(CAST(CAST(mean_b - theta * (xb - xbar)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS adj_mean_b,
+        |  CAST(round(CAST(CAST(mean_a - mean_b AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS diff,
+        |  CASE WHEN vxn <> 0 AND vyn <> 0 AND n_a > 0 AND n_b > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      (mean_a - theta * (xa - xbar)) - (mean_b - theta * (xb - xbar))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS adj_diff,
+        |  CASE WHEN vxn <> 0 AND vyn <> 0 AND n_a > 0 AND n_b > 0 THEN
+        |    CAST(round(CAST(CAST(1.0 - rho2 AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS var_reduction
+        |FROM f""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -426,6 +426,132 @@ object Eval {
       when(ok, exp(log(rr) + lit(1.96) * se)).as("hi"))
   }
 
+  /** Sequential probability ratio test (Wald 1945) per scope — the
+    * monitoring view the fixed-horizon battery ([[twoProportionZ]],
+    * [[mcnemar]]) cannot give: watch a binary success stream period by
+    * period and STOP the moment the evidence crosses a bound, instead
+    * of peeking (which inflates α). Simple hypotheses p₀ vs p₁; after
+    * s successes / f failures the log-likelihood ratio is
+    *   LLR = s·ln(p₁/p₀) + f·ln((1−p₁)/(1−p₀)),
+    * accepted H₁ at LLR ≥ ln((1−β)/α), H₀ at LLR ≤ ln(β/(1−α)); the
+    * first crossing is the verdict and later data cannot un-ring it.
+    *
+    * Determinism: per-period success/failure counts are exact
+    * integers; the two ln factors are computed ONCE from literal
+    * rationals (milli-unit params — ln parity per q121) and LLR is
+    * count·factor + count·factor, a pinned-shape double per row; the
+    * cumulative walk is an integer window, so the crossing period is
+    * decided on bit-stable values. Output one row per period: (scope,
+    * period, n, successes, cum_n, cum_s, llr, state) with state ∈
+    * {continue, accept_h1, accept_h0} — the FIRST crossing latches via
+    * a cumulative max/min over the bounded period walk.
+    *
+    * Scale shape: one (scope, period) census at row scale, then
+    * period-bounded windows per scope. */
+  def sprt(df: DataFrame, scopeCol: String, periodCol: String,
+      successCol: String, p0Milli: Long, p1Milli: Long,
+      alphaMilli: Long, betaMilli: Long): DataFrame = {
+    require(p0Milli > 0 && p0Milli < 1000 && p1Milli > 0 && p1Milli < 1000
+      && p0Milli != p1Milli, s"p0/p1 must be distinct in (0,1000) milli")
+    require(alphaMilli > 0 && alphaMilli < 1000 &&
+      betaMilli > 0 && betaMilli < 1000, "alpha/beta must be in (0,1000)")
+    val lS = math.log(p1Milli.toDouble / p0Milli.toDouble)
+    val lF = math.log((1000.0 - p1Milli) / (1000.0 - p0Milli))
+    val hi = math.log((1000.0 - betaMilli) / alphaMilli)
+    val lo = math.log(betaMilli / (1000.0 - alphaMilli))
+    val census = df
+      .select(col(scopeCol).as("sc"), col(periodCol).as("p"),
+        when(col(successCol).cast("long") =!= 0L, 1L).otherwise(0L)
+          .as("y"))
+      .groupBy(col("sc"), col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val wCum = Window.partitionBy(col("sc")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val walked = census
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_s", sum(col("s")).over(wCum))
+      .withColumn("llr",
+        col("cum_s").cast("double") * lit(lS) +
+          (col("cum_n") - col("cum_s")).cast("double") * lit(lF))
+    // latch: once ANY prior period crossed, the verdict stands
+    val crossedHi = max(when(col("llr") >= lit(hi), 1L).otherwise(0L))
+      .over(wCum)
+    val crossedLo = max(when(col("llr") <= lit(lo), 1L).otherwise(0L))
+      .over(wCum)
+    walked
+      .withColumn("state",
+        when(crossedHi === 1L && crossedLo === 0L, "accept_h1")
+          .when(crossedLo === 1L && crossedHi === 0L, "accept_h0")
+          .when(crossedHi === 1L && crossedLo === 1L, "accept_h1")
+          .otherwise("continue"))
+      .select(col("sc"), col("p"), col("n"), col("s").as("successes"),
+        col("cum_n"), col("cum_s"), col("llr"), col("state"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) per scope — the
+    * experimentation workhorse: shrink an A/B metric's variance using
+    * a PRE-experiment covariate x (last month's activity), via
+    * ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled across arms.
+    * Same treatment-effect estimate, tighter CI — often 30–50% less
+    * variance for free. Reports the adjusted per-arm means and the
+    * variance-reduction ratio (1 − ρ²) so the caller sees what the
+    * covariate bought.
+    *
+    * Exactness: all five moments (Σx, Σy, Σxy, Σx², Σy², per arm and
+    * pooled) are exact integer sums (decimal(38,0) products of
+    * integer-unit inputs); θ, the adjusted means, and the reduction
+    * ratio are fixed-shape combinations of single correctly-rounded
+    * divisions. Null θ (and pass-through means) when var(x) = 0.
+    *
+    * Scale shape: one scope×arm census aggregation — map-side
+    * combined, nothing else shuffles. Output: (scope, n_a, n_b,
+    * mean_a, mean_b, theta, adj_mean_a, adj_mean_b, diff, adj_diff,
+    * var_reduction). */
+  def cuped(df: DataFrame, scopeCol: String, isArmA: Column,
+      covariateCol: String, metricCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(covariateCol).isNotNull &&
+        col(metricCol).isNotNull)
+      .select(col(scopeCol).as("sc"),
+        when(isArmA, 1L).otherwise(0L).as("a"),
+        col(covariateCol).cast("long").as("x"),
+        col(metricCol).cast("long").as("y"))
+    def m(c: Column): Column = sum(c.cast(dec)).cast(dec)
+    val agg = base.groupBy(col("sc")).agg(
+      sum(col("a")).as("n_a"), sum(lit(1L) - col("a")).as("n_b"),
+      m(col("x")).as("sx"), m(col("y")).as("sy"),
+      m((col("x").cast(dec) * col("y").cast(dec)).cast(dec)).as("sxy"),
+      m((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).as("sxx"),
+      m((col("y").cast(dec) * col("y").cast(dec)).cast(dec)).as("syy"),
+      sum(when(col("a") === 1L, col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("a") === 1L, col("y")).otherwise(0L)).as("sya"),
+      sum(when(col("a") === 0L, col("x")).otherwise(0L)).as("sxb"),
+      sum(when(col("a") === 0L, col("y")).otherwise(0L)).as("syb"))
+    val n = (col("n_a") + col("n_b")).cast(dec)
+    def dd(c: Column): Column = c.cast("double")
+    val covNum = (n * col("sxy") - col("sx") * col("sy")).cast(dec)
+    val varXNum = (n * col("sxx") - col("sx") * col("sx")).cast(dec)
+    val varYNum = (n * col("syy") - col("sy") * col("sy")).cast(dec)
+    val theta = dd(covNum) / dd(varXNum)
+    val xbar = dd(col("sx")) / dd(n)
+    val meanA = dd(col("sya")) / dd(col("n_a"))
+    val meanB = dd(col("syb")) / dd(col("n_b"))
+    val adjA = meanA - theta * (dd(col("sxa")) / dd(col("n_a")) - xbar)
+    val adjB = meanB - theta * (dd(col("sxb")) / dd(col("n_b")) - xbar)
+    val rho2 = (dd(covNum) / dd(varXNum)) * (dd(covNum) / dd(varYNum))
+    val ok = varXNum =!= lit(0).cast(dec) && varYNum =!= lit(0).cast(dec) &&
+      col("n_a") > 0L && col("n_b") > 0L
+    agg.select(col("sc"), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L, meanA).as("mean_a"),
+      when(col("n_b") > 0L, meanB).as("mean_b"),
+      when(ok, theta).as("theta"),
+      when(ok, adjA).as("adj_mean_a"),
+      when(ok, adjB).as("adj_mean_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L, meanA - meanB).as("diff"),
+      when(ok, adjA - adjB).as("adj_diff"),
+      when(ok, lit(1.0) - rho2).as("var_reduction"))
+  }
+
   /** McNemar's test (McNemar 1947, continuity-corrected) per scope —
     * the PAIRED companion to [[twoProportionZ]]: each row is one unit
     * observed under both conditions (binary `aCol`, `bCol`); only the

@@ -1042,6 +1042,38 @@ object TimeSeries {
         $"naive_num", round($"mase", 6).as("mase"))
   }
 
+  /** q331 — Wald SPRT ([[graft.operators.Eval.sprt]]): monitor
+    * "value > 50" success rates day by day per event type against
+    * H₀ p=0.4 vs H₁ p=0.5 at α=β=0.05 — the anytime-valid stopping
+    * walk; exact count walks, pinned-shape LLR, latched verdict. */
+  def q331Sprt(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.sprt(
+      events(spark, dir).select($"event_type", to_date($"ts").as("day"),
+        ($"value" > 50.0).cast("long").as("hit")),
+      "event_type", "day", "hit",
+      p0Milli = 400L, p1Milli = 500L, alphaMilli = 50L, betaMilli = 50L)
+      .select($"sc".as("event_type"), $"p".as("day"), $"n", $"successes",
+        $"cum_n", $"cum_s", round($"llr", 6).as("llr"), $"state")
+
+  /** q332 — CUPED adjustment ([[graft.operators.Eval.cuped]]): the
+    * weekend-vs-weekday cents comparison re-estimated with the
+    * coarse-dollar covariate — same diff, tighter variance; exact
+    * pooled moments, fixed-shape combination. */
+  def q332Cuped(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.cuped(
+      events(spark, dir).select($"event_type",
+        dayofweek(to_date($"ts")).isin(1, 7).as("wk"),
+        floor($"value").cast("long").as("x"),
+        round($"value" * 100).cast("long").as("y")),
+      "event_type", $"wk", "x", "y")
+      .select($"sc".as("event_type"), $"n_a", $"n_b",
+        round($"mean_a", 6).as("mean_a"), round($"mean_b", 6).as("mean_b"),
+        round($"theta", 6).as("theta"),
+        round($"adj_mean_a", 6).as("adj_mean_a"),
+        round($"adj_mean_b", 6).as("adj_mean_b"),
+        round($"diff", 6).as("diff"), round($"adj_diff", 6).as("adj_diff"),
+        round($"var_reduction", 6).as("var_reduction"))
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

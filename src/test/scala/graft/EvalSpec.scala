@@ -276,6 +276,61 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getAs[Double]("q") == 3.0)
   }
 
+  test("sprt: strong evidence accepts H1 and latches; weak evidence " +
+      "accepts H0; borderline continues") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      Eval.sprt(rows.toDF("sc", "p", "y"), "sc", "p", "y",
+        p0Milli = 400L, p1Milli = 600L, alphaMilli = 50L, betaMilli = 50L)
+        .collect().map(r => (r.getAs[String]("sc"), r.getAs[Long]("p")) ->
+          ((r.getAs[Long]("cum_s"), r.getAs[String]("state")))).toMap
+    // all successes: LLR grows by ln(1.5) per hit; ln(19)/ln(1.5)≈7.3
+    // -> crosses at the 8th success. Periods of 4: cross in period 2,
+    // and the verdict LATCHES for period 3 even after failures
+    val hot = (1L to 8L).map(i => ("h", (i - 1) / 4 + 1, 1L)) ++
+      Seq(("h", 3L, 0L), ("h", 3L, 0L), ("h", 3L, 0L))
+    val h = run(hot)
+    assert(h(("h", 1L))._2 == "continue")
+    assert(h(("h", 2L))._2 == "accept_h1")
+    assert(h(("h", 3L))._2 == "accept_h1", "verdict must latch")
+    // all failures: LLR falls by ln(400/600) per miss; crosses lo fast
+    val cold = (1L to 10L).map(i => ("c", (i - 1) / 5 + 1, 0L))
+    assert(run(cold)(("c", 2L))._2 == "accept_h0")
+    // a 50/50 stream stays between the bounds
+    val mid = (1L to 10L).map(i => ("m", i, i % 2))
+    assert(run(mid)(("m", 10L))._2 == "continue")
+  }
+
+  test("cuped: perfectly-correlated covariate removes all variance; " +
+      "constant covariate nulls theta; adjustment preserves balanced diff") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, Boolean, Long, Long)]) =
+      Eval.cuped(rows.toDF("sc", "a", "x", "y"), "sc", col("a"), "x", "y")
+        .collect().map(r => r.getAs[String]("sc") -> r).toMap
+    // y = 2x exactly, arms differ only through x -> theta = 2,
+    // var_reduction = 1 - rho^2 = 0, and adj means collapse to equal
+    val prop = Seq(("p", true, 10L, 20L), ("p", true, 12L, 24L),
+      ("p", false, 20L, 40L), ("p", false, 22L, 44L))
+    val p = run(prop)("p")
+    assert(p.getAs[Double]("theta") == 2.0)
+    assert(math.abs(p.getAs[Double]("var_reduction")) < 1e-12)
+    assert(math.abs(p.getAs[Double]("adj_diff")) < 1e-9,
+      "x explained the whole arm gap")
+    assert(p.getAs[Double]("diff") == -20.0)
+    // constant covariate -> var(x) = 0 -> theta/adj null, raw diff kept
+    val const = Seq(("c", true, 5L, 10L), ("c", false, 5L, 30L))
+    val c = run(const)("c")
+    assert(c.isNullAt(5) && c.getAs[Double]("diff") == -20.0)
+    // balanced covariate across arms: adjustment leaves diff intact
+    // (xa = xb = xbar -> adj_diff == diff), noisy y notwithstanding
+    val bal = Seq(("b", true, 1L, 7L), ("b", true, 3L, 13L),
+      ("b", false, 1L, 9L), ("b", false, 3L, 19L))
+    val b = run(bal)("b")
+    assert(math.abs(b.getAs[Double]("adj_diff") -
+      b.getAs[Double]("diff")) < 1e-12)
+  }
+
   test("splitConformal: textbook order statistic, guaranteed coverage on " +
       "iid data, too-strict alpha nulls loudly") {
     import spark.implicits._
