@@ -354,6 +354,8 @@ object SparkEntry {
     "q330_compress_bands"   -> (D.q330CompressBands(_, _)),
     "q331_sprt"             -> (T.q331Sprt(_, _)),
     "q332_cuped"            -> (T.q332Cuped(_, _)),
+    "q333_diff_in_diff"     -> (T.q333DiffInDiff(_, _)),
+    "q334_meta_analysis"    -> (T.q334MetaAnalysis(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1766,6 +1768,111 @@ object SparkEntry {
         |    CAST(round(CAST(CAST(1.0 - rho2 AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS var_reduction
         |FROM f""".stripMargin,
+    // q333: four exact (n, Σy, Σy²) cells; DiD and the Wald bounds are
+    // pinned-shape combinations of single divisions
+    "q333_diff_in_diff" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS q,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT sc,
+        |    CAST(sum(CASE WHEN t=1 AND q=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tpre,
+        |    CAST(sum(CASE WHEN t=1 AND q=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tpost,
+        |    CAST(sum(CASE WHEN t=0 AND q=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cpre,
+        |    CAST(sum(CASE WHEN t=0 AND q=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cpost,
+        |    CAST(sum(CASE WHEN t=1 AND q=0 THEN y ELSE 0 END) AS HUGEINT) AS s_tpre,
+        |    CAST(sum(CASE WHEN t=1 AND q=1 THEN y ELSE 0 END) AS HUGEINT) AS s_tpost,
+        |    CAST(sum(CASE WHEN t=0 AND q=0 THEN y ELSE 0 END) AS HUGEINT) AS s_cpre,
+        |    CAST(sum(CASE WHEN t=0 AND q=1 THEN y ELSE 0 END) AS HUGEINT) AS s_cpost,
+        |    sum(CASE WHEN t=1 AND q=0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS q_tpre,
+        |    sum(CASE WHEN t=1 AND q=1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS q_tpost,
+        |    sum(CASE WHEN t=0 AND q=0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS q_cpre,
+        |    sum(CASE WHEN t=0 AND q=1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS q_cpost
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT sc, n_tpre, n_tpost, n_cpre, n_cpost,
+        |    (CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)
+        |     - CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE))
+        |    - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)
+        |       - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)) AS did,
+        |    sqrt(
+        |      CAST(n_tpre * q_tpre - s_tpre * s_tpre AS DOUBLE)
+        |        / CAST(CAST(n_tpre AS HUGEINT) * (n_tpre - 1) AS DOUBLE)
+        |        / CAST(n_tpre AS DOUBLE)
+        |      + CAST(n_tpost * q_tpost - s_tpost * s_tpost AS DOUBLE)
+        |        / CAST(CAST(n_tpost AS HUGEINT) * (n_tpost - 1) AS DOUBLE)
+        |        / CAST(n_tpost AS DOUBLE)
+        |      + CAST(n_cpre * q_cpre - s_cpre * s_cpre AS DOUBLE)
+        |        / CAST(CAST(n_cpre AS HUGEINT) * (n_cpre - 1) AS DOUBLE)
+        |        / CAST(n_cpre AS DOUBLE)
+        |      + CAST(n_cpost * q_cpost - s_cpost * s_cpost AS DOUBLE)
+        |        / CAST(CAST(n_cpost AS HUGEINT) * (n_cpost - 1) AS DOUBLE)
+        |        / CAST(n_cpost AS DOUBLE)) AS se
+        |  FROM g)
+        |SELECT sc AS event_type, n_tpre, n_tpost, n_cpre, n_cpost,
+        |  CASE WHEN n_tpre > 0 AND n_tpost > 0 AND n_cpre > 0
+        |      AND n_cpost > 0 THEN
+        |    CAST(round(CAST(CAST(did AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS did,
+        |  CASE WHEN n_tpre > 1 AND n_tpost > 1 AND n_cpre > 1
+        |      AND n_cpost > 1 THEN
+        |    CAST(round(CAST(CAST(did - 1.96 * se AS VARCHAR)
+        |      AS DECIMAL(38,20)), 6) AS DOUBLE) END AS lo,
+        |  CASE WHEN n_tpre > 1 AND n_tpost > 1 AND n_cpre > 1
+        |      AND n_cpost > 1 THEN
+        |    CAST(round(CAST(CAST(did + 1.96 * se AS VARCHAR)
+        |      AS DECIMAL(38,20)), 6) AS DOUBLE) END AS hi
+        |FROM f""".stripMargin,
+    // q334: per-stratum effects/variances from exact moments; pooled,
+    // Q and I² fold in stratum order via the list_reduce 0.0-seed parity
+    "q334_meta_analysis" ->
+      """WITH e AS (SELECT event_type AS st,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS a,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |g AS (SELECT st, CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(1 - a) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END) AS HUGEINT) AS sa,
+        |    CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END) AS HUGEINT) AS sb,
+        |    sum(CASE WHEN a = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qa,
+        |    sum(CASE WHEN a = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qb
+        |  FROM e GROUP BY 1),
+        |eff AS (SELECT st,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS e,
+        |    CAST(na * qa - sa * sa AS DOUBLE)
+        |      / CAST(CAST(na AS HUGEINT) * (na - 1) AS DOUBLE)
+        |      / CAST(na AS DOUBLE)
+        |    + CAST(nb * qb - sb * sb AS DOUBLE)
+        |      / CAST(CAST(nb AS HUGEINT) * (nb - 1) AS DOUBLE)
+        |      / CAST(nb AS DOUBLE) AS v
+        |  FROM g WHERE na > 1 AND nb > 1),
+        |lists AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    list(struct_pack(e := e, v := v) ORDER BY st) AS xs
+        |  FROM eff WHERE v > 0),
+        |s AS (SELECT k, xs,
+        |    list_reduce(list_transform(xs, x -> 1.0 / x.v),
+        |      (a, b) -> a + b) AS sw,
+        |    list_reduce(list_transform(xs, x -> x.e / x.v),
+        |      (a, b) -> a + b) AS swe
+        |  FROM lists),
+        |p AS (SELECT k, xs, sw, swe / sw AS pooled FROM s),
+        |qq AS (SELECT k, sw, pooled,
+        |    list_reduce(list_transform(xs,
+        |      x -> (x.e - pooled) * (x.e - pooled) / x.v),
+        |      (a, b) -> a + b) AS q
+        |  FROM p)
+        |SELECT k,
+        |  CAST(round(CAST(CAST(pooled AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS pooled,
+        |  CAST(round(CAST(CAST(sqrt(1.0 / sw) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS se_pooled,
+        |  CAST(round(CAST(CAST(q AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS q,
+        |  CASE WHEN k >= 2 AND q > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      greatest(0.0, (q - CAST(k - 1 AS DOUBLE)) / q)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS i_squared
+        |FROM qq""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -552,6 +552,110 @@ object Eval {
       when(ok, lit(1.0) - rho2).as("var_reduction"))
   }
 
+  /** Difference-in-differences per scope — the panel-data causal
+    * estimate that survives a level confound [[cuped]] cannot touch:
+    * with a treated and a control series observed pre and post,
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    * cancels both the group level and the common time trend (parallel
+    * trends assumed — state it, don't hide it). The "did the rollout
+    * cause the shift" number for staged launches. Wald interval from
+    * the four cells' pooled variances: SE² = Σ s²_c/n_c, CI ±1.96·SE.
+    *
+    * Exactness: all four cells' (n, Σy, Σy²) are exact integer sums
+    * (decimal(38,0)); means, the per-cell sample variances
+    * (n·Σy²−(Σy)²)/(n(n−1)), and the fixed ±1.96 combination are
+    * pinned-shape doubles of single correctly-rounded divisions. Null
+    * interval when any cell has n < 2 (no within-cell variance);
+    * null DiD when any cell is empty — loud, not an extrapolation.
+    *
+    * Scale shape: ONE scope-keyed census aggregation, map-side
+    * combined; nothing else shuffles. Output: (scope, n_tpre, n_tpost,
+    * n_cpre, n_cpost, did, lo, hi). */
+  def diffInDiff(df: DataFrame, scopeCol: String, isTreated: Column,
+      isPost: Column, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"),
+        when(isTreated, 1L).otherwise(0L).as("t"),
+        when(isPost, 1L).otherwise(0L).as("q"),
+        col(valueCol).cast("long").as("y"))
+    def cell(t: Long, q: Long, suff: String) = Seq(
+      sum(when(col("t") === t && col("q") === q, 1L).otherwise(0L))
+        .as(s"n_$suff"),
+      sum(when(col("t") === t && col("q") === q, col("y").cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as(s"s_$suff"),
+      sum(when(col("t") === t && col("q") === q,
+        (col("y").cast(dec) * col("y").cast(dec)).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as(s"q_$suff"))
+    val cellCols = cell(1L, 0L, "tpre") ++ cell(1L, 1L, "tpost") ++
+      cell(0L, 0L, "cpre") ++ cell(0L, 1L, "cpost")
+    val agg = base.groupBy(col("sc")).agg(cellCols.head, cellCols.tail: _*)
+    def dd(c: Column): Column = c.cast("double")
+    def mean(s: String) = dd(col(s"s_$s")) / dd(col(s"n_$s"))
+    def v(s: String) = {
+      val nD = col(s"n_$s").cast(dec)
+      (nD * col(s"q_$s") - col(s"s_$s") * col(s"s_$s")).cast(dec)
+        .cast("double") / (nD * (nD - 1)).cast(dec).cast("double")
+    }
+    val cells = Seq("tpre", "tpost", "cpre", "cpost")
+    val allPresent = cells.map(s => col(s"n_$s") > 0L).reduce(_ && _)
+    val allVar = cells.map(s => col(s"n_$s") > 1L).reduce(_ && _)
+    val did = (mean("tpost") - mean("tpre")) -
+      (mean("cpost") - mean("cpre"))
+    val se = sqrt(cells.map(s => v(s) / dd(col(s"n_$s"))).reduce(_ + _))
+    agg.select(col("sc"), col("n_tpre"), col("n_tpost"), col("n_cpre"),
+      col("n_cpost"),
+      when(allPresent, did).as("did"),
+      when(allVar, did - lit(1.96) * se).as("lo"),
+      when(allVar, did + lit(1.96) * se).as("hi"))
+  }
+
+  /** Fixed-effect inverse-variance meta-analysis with Cochran's Q and
+    * I² (Higgins & Thompson 2002) — pool one effect measured across k
+    * strata (sites, sources, weeks) into a single estimate AND say
+    * whether the strata even agree: pooled = Σwᵢeᵢ/Σwᵢ with
+    * wᵢ = 1/var(eᵢ), Q = Σwᵢ(eᵢ − pooled)², I² = max(0, (Q−(k−1))/Q).
+    * High I² means the per-stratum effects disagree beyond sampling
+    * noise — pooling hides structure and the per-stratum table is the
+    * real answer. Input: one row per stratum with the effect and its
+    * variance (any upstream estimator: mean diffs, [[rateRatio]] logs,
+    * [[diffInDiff]]s).
+    *
+    * Determinism: weights and per-stratum terms are single divisions;
+    * the k-bounded sums fold in stratum order (the q285 discipline —
+    * strata are a bounded dimension, never data-scale). Null I² when
+    * Q = 0 or k < 2. Output one row: (k, pooled, se_pooled, q,
+    * i_squared). */
+  def metaFixedEffect(df: DataFrame, stratumCol: String, effectCol: String,
+      varianceCol: String): DataFrame = {
+    val rows = df.where(col(varianceCol).isNotNull &&
+        col(varianceCol) > 0.0 && col(effectCol).isNotNull)
+      .select(col(stratumCol).as("st"), col(effectCol).cast("double").as("e"),
+        col(varianceCol).cast("double").as("v"))
+    val folded = rows
+      .agg(sort_array(collect_list(struct(col("st"), col("e"), col("v"))))
+        .as("__xs"))
+      .select(size(col("__xs")).cast("long").as("k"),
+        aggregate(col("__xs"), lit(0.0d),
+          (a, x) => a + lit(1.0) / x.getField("v")).as("__sw"),
+        aggregate(col("__xs"), lit(0.0d),
+          (a, x) => a + x.getField("e") / x.getField("v")).as("__swe"),
+        col("__xs"))
+    val pooled = col("__swe") / col("__sw")
+    folded
+      .withColumn("pooled", pooled)
+      .withColumn("__q", aggregate(col("__xs"), lit(0.0d),
+        (a, x) => a + (x.getField("e") - col("pooled")) *
+          (x.getField("e") - col("pooled")) / x.getField("v")))
+      .select(col("k"), col("pooled"),
+        sqrt(lit(1.0) / col("__sw")).as("se_pooled"),
+        col("__q").as("q"),
+        when(col("k") >= 2L && col("__q") > 0.0,
+          greatest(lit(0.0),
+            (col("__q") - (col("k") - 1L).cast("double")) / col("__q")))
+          .as("i_squared"))
+  }
+
   /** McNemar's test (McNemar 1947, continuity-corrected) per scope —
     * the PAIRED companion to [[twoProportionZ]]: each row is one unit
     * observed under both conditions (binary `aCol`, `bCol`); only the

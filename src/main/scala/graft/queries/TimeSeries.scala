@@ -1074,6 +1074,56 @@ object TimeSeries {
         round($"diff", 6).as("diff"), round($"adj_diff", 6).as("adj_diff"),
         round($"var_reduction", 6).as("var_reduction"))
 
+  /** q333 — difference-in-differences ([[graft.operators.Eval
+    * .diffInDiff]]): even-user "rollout" vs odd-user control, first
+    * half-month pre vs second half post, on cent values per event
+    * type — the level-and-trend-robust causal read; four exact cells,
+    * pinned-shape Wald interval. */
+  def q333DiffInDiff(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.diffInDiff(
+      events(spark, dir).select($"event_type", $"user_id", $"ts",
+        round($"value" * 100).cast("long").as("cents")),
+      "event_type", $"user_id" % 2 === 0,
+      $"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"), "cents")
+      .select($"sc".as("event_type"), $"n_tpre", $"n_tpost", $"n_cpre",
+        $"n_cpost", round($"did", 6).as("did"), round($"lo", 6).as("lo"),
+        round($"hi", 6).as("hi"))
+
+  /** q334 — fixed-effect meta-analysis ([[graft.operators.Eval
+    * .metaFixedEffect]]): pool the five event types' weekend-minus-
+    * weekday cent effects with inverse-variance weights; Cochran's Q
+    * and I² say whether pooling is even honest. Effects/variances from
+    * exact per-stratum moments; stratum-ordered bounded folds. */
+  def q334MetaAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s = events(spark, dir).select($"event_type",
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1L).otherwise(0L).as("a"),
+      round($"value" * 100).cast("long").as("y"))
+    val g = s.groupBy($"event_type").agg(
+      sum($"a").as("na"), sum(lit(1L) - $"a").as("nb"),
+      sum(when($"a" === 1L, $"y").otherwise(0L)).cast(dec).as("sa"),
+      sum(when($"a" === 0L, $"y").otherwise(0L)).cast(dec).as("sb"),
+      sum(when($"a" === 1L, ($"y".cast(dec) * $"y".cast(dec)).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("qa"),
+      sum(when($"a" === 0L, ($"y".cast(dec) * $"y".cast(dec)).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("qb"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val naD = $"na".cast(dec); val nbD = $"nb".cast(dec)
+    val va = (naD * $"qa" - $"sa" * $"sa").cast(dec).cast("double") /
+      (naD * (naD - 1)).cast(dec).cast("double")
+    val vb = (nbD * $"qb" - $"sb" * $"sb").cast(dec).cast("double") /
+      (nbD * (nbD - 1)).cast(dec).cast("double")
+    val eff = g.where($"na" > 1L && $"nb" > 1L)
+      .select($"event_type",
+        (dd($"sa") / dd($"na") - dd($"sb") / dd($"nb")).as("effect"),
+        (va / dd($"na") + vb / dd($"nb")).as("variance"))
+    graft.operators.Eval.metaFixedEffect(eff, "event_type", "effect",
+        "variance")
+      .select($"k", round($"pooled", 6).as("pooled"),
+        round($"se_pooled", 6).as("se_pooled"), round($"q", 6).as("q"),
+        round($"i_squared", 6).as("i_squared"))
+  }
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

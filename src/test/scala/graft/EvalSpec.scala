@@ -276,6 +276,59 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getAs[Double]("q") == 3.0)
   }
 
+  test("diffInDiff: cancels level and common trend exactly; empty cell " +
+      "nulls loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, Boolean, Boolean, Long)]) =
+      Eval.diffInDiff(rows.toDF("sc", "t", "q", "y"), "sc",
+        col("t"), col("q"), "y").collect().head
+    // control: 10 pre -> 20 post (+10 trend). treated: 50 pre -> 75
+    // post (+25): DiD = 25 - 10 = 15 regardless of the level gap
+    val rows = Seq(
+      ("s", true, false, 49L), ("s", true, false, 51L),
+      ("s", true, true, 74L), ("s", true, true, 76L),
+      ("s", false, false, 9L), ("s", false, false, 11L),
+      ("s", false, true, 19L), ("s", false, true, 21L))
+    val r = run(rows)
+    assert(r.getAs[Double]("did") == 15.0)
+    assert(r.getAs[Double]("lo") < 15.0 && r.getAs[Double]("hi") > 15.0)
+    // interval is symmetric around the point estimate
+    assert(math.abs((r.getAs[Double]("hi") + r.getAs[Double]("lo")) / 2
+      - 15.0) < 1e-9)
+    // missing control-post cell -> null DiD, loudly
+    val holey = rows.filterNot(x => !x._2 && x._3)
+    assert(run(holey).isNullAt(5))
+    // single-row cells: DiD computes, interval nulls (no variance)
+    val singles = Seq(("x", true, false, 5L), ("x", true, true, 9L),
+      ("x", false, false, 1L), ("x", false, true, 2L))
+    val s = run(singles)
+    assert(s.getAs[Double]("did") == 3.0 && s.isNullAt(6) && s.isNullAt(7))
+  }
+
+  test("metaFixedEffect: agreeing strata pool with I2 = 0 shape; " +
+      "disagreeing strata flag heterogeneity; weights favor precision") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Double, Double)]) =
+      Eval.metaFixedEffect(rows.toDF("st", "e", "v"), "st", "e", "v")
+        .collect().head
+    // identical effects: pooled = effect, Q = 0, I2 null (0/0 guarded)
+    val same = Seq(("a", 2.0, 1.0), ("b", 2.0, 0.5), ("c", 2.0, 2.0))
+    val r = run(same)
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Double]("pooled") == 2.0)
+    assert(r.getAs[Double]("q") == 0.0 && r.isNullAt(4))
+    // precision-weighted: var 0.1 stratum dominates the var 10 one
+    val skew = Seq(("a", 1.0, 0.1), ("b", 9.0, 10.0))
+    val p = run(skew).getAs[Double]("pooled")
+    assert(p > 1.0 && p < 1.2, s"pooled $p should hug the precise stratum")
+    // gross disagreement at tight variances -> I2 near 1
+    val het = Seq(("a", 0.0, 0.01), ("b", 10.0, 0.01), ("c", -10.0, 0.01))
+    assert(run(het).getAs[Double]("i_squared") > 0.99)
+    // non-positive variance rows are excluded, not poison
+    val dirty = same ++ Seq(("z", 99.0, 0.0))
+    assert(run(dirty).getAs[Long]("k") == 3L)
+  }
+
   test("sprt: strong evidence accepts H1 and latches; weak evidence " +
       "accepts H0; borderline continues") {
     import spark.implicits._
