@@ -465,9 +465,34 @@ object Eval {
           .as("y"))
       .groupBy(col("sc"), col("p"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    sprtFromCensus(census, "sc", "p", "n", "s",
+      p0Milli, p1Milli, alphaMilli, betaMilli)
+  }
+
+  /** [[sprt]] derived from an existing (scope, period, n, successes)
+    * census — the consumer side of
+    * [[graft.streaming.Streams.sprtCensusStream]]: the stream
+    * maintains ONLY the bounded period census (scopes × periods, never
+    * event-scale state), and this walk turns any census prefix into
+    * the identical verdict sequence the batch operator produces on the
+    * same rows (parity spec-asserted). Same pinned-shape LLR and
+    * latched-crossing semantics as [[sprt]]. */
+  def sprtFromCensus(census: DataFrame, scopeCol: String, periodCol: String,
+      nCol: String, sCol: String, p0Milli: Long, p1Milli: Long,
+      alphaMilli: Long, betaMilli: Long): DataFrame = {
+    require(p0Milli > 0 && p0Milli < 1000 && p1Milli > 0 && p1Milli < 1000
+      && p0Milli != p1Milli, s"p0/p1 must be distinct in (0,1000) milli")
+    require(alphaMilli > 0 && alphaMilli < 1000 &&
+      betaMilli > 0 && betaMilli < 1000, "alpha/beta must be in (0,1000)")
+    val lS = math.log(p1Milli.toDouble / p0Milli.toDouble)
+    val lF = math.log((1000.0 - p1Milli) / (1000.0 - p0Milli))
+    val hi = math.log((1000.0 - betaMilli) / alphaMilli)
+    val lo = math.log(betaMilli / (1000.0 - alphaMilli))
+    val c = census.select(col(scopeCol).as("sc"), col(periodCol).as("p"),
+      col(nCol).cast("long").as("n"), col(sCol).cast("long").as("s"))
     val wCum = Window.partitionBy(col("sc")).orderBy(col("p"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val walked = census
+    val walked = c
       .withColumn("cum_n", sum(col("n")).over(wCum))
       .withColumn("cum_s", sum(col("s")).over(wCum))
       .withColumn("llr",

@@ -479,6 +479,23 @@ object Streams {
       .agg(sum(lit(1L) - col("__r")).as("ca"), sum(col("__r")).as("cb"))
   }
 
+  /** Streaming SPRT census ([[graft.operators.Eval.sprt]]'s twin):
+    * sequential testing is streaming-native — the whole point of Wald's
+    * procedure is to stop the moment evidence suffices — and its
+    * sufficient statistic per (scope, period) is just (n, successes).
+    * The state store holds ONLY that census (scopes × periods, a
+    * bounded calendar dimension — never event-scale), in complete
+    * mode; [[graft.operators.Eval.sprtFromCensus]] turns any prefix of
+    * it into the identical LLR walk and latched verdicts the batch
+    * operator yields on the same rows (parity spec-asserted). */
+  def sprtCensusStream(rows: DataFrame, scopeCol: String,
+      periodCol: String, successCol: String): DataFrame =
+    rows.select(col(scopeCol).as("sc"), col(periodCol).as("p"),
+        when(col(successCol).cast("long") =!= 0L, 1L).otherwise(0L)
+          .as("__y"))
+      .groupBy(col("sc"), col("p"))
+      .agg(sum(lit(1L)).as("n"), sum(col("__y")).as("s"))
+
   case class BurstState(times: List[Long], peak: Long, n: Long)
   case class BurstOut(user_id: Long, n_events: Long, peak_rate: Long)
 

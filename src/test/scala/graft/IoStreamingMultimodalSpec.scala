@@ -1023,6 +1023,43 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming SPRT census feeds the identical verdict walk as batch " +
+      "sprt on every prefix (q331 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_type", dayofmonth($"ts").cast("long").as("day"),
+        ($"value" > 50.0).cast("long").as("hit"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = Streams.sprtCensusStream(
+      mem.toDF().toDF("event_type", "day", "hit"), "event_type", "day", "hit")
+    val q = out.writeStream.format("memory").queryName("sprt_stream")
+      .outputMode("complete").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      var seen = IndexedSeq.empty[(String, Long, Long)]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getString(0), r.getLong(1)) ->
+            ((r.getAs[Long]("cum_n"), r.getAs[Long]("cum_s"),
+              r.getAs[Double]("llr"), r.getAs[String]("state")))
+        val streamed = graft.operators.Eval.sprtFromCensus(
+            spark.table("sprt_stream"), "sc", "p", "n", "s",
+            400L, 500L, 50L, 50L)
+          .collect().map(key).toMap
+        val batch = graft.operators.Eval.sprt(
+            seen.toDF("event_type", "day", "hit"),
+            "event_type", "day", "hit", 400L, 500L, 50L, 50L)
+          .collect().map(key).toMap
+        assert(streamed == batch, s"prefix of ${seen.length}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel matches batch depth across micro-batches (q278 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
