@@ -164,6 +164,58 @@ object BenchScale {
     def cdc(c: DataFrame): DataFrame =
       graft.operators.Chunker.chunkDedupCensus(c, "doc_id", "text")
 
+    // q316 shape: brand-basket association rules at Nx baskets. Copies
+    // share the 25-brand item space with offset basket ids, so counts
+    // scale exactly N x and minSupport scales with them — the pair
+    // census stays items²-bounded while the basket self-join does N x
+    // the work (the claimed linear dimension). Base table checkpointed
+    // eagerly so the lineitem⋈part build is not what the ratio times.
+    val bi0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(spark.read.parquet(s"$sfDir/part.parquet")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("bk"), col("p_brand").as("it"))
+      .localCheckpoint(true)
+    def assoc(n: Int): DataFrame = {
+      val bi = (0 until n).map(i => bi0.select(
+        (col("bk") + lit(i * 100000000L)).as("bk"), col("it")))
+        .reduce(_ unionByName _)
+      graft.operators.Association.pairRules(bi, "bk", "it",
+        minSupport = 10L * n, k = 20)
+    }
+
+    // q313 shape: nation-partition modularity at Nx trade graphs.
+    // Copies offset BOTH node ids and the assignment table; nations
+    // are shared labels, so communities span copies and every census
+    // (e_c, d_c) scales exactly N x — the operator's work is the two
+    // node-keyed joins plus community censuses, all linear.
+    val pairs0 = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"),
+        (col("l_suppkey") + 1000000L).as("v"))
+      .localCheckpoint(true)
+    val assign0 = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("node"), col("c_nationkey").as("comm"))
+      .unionByName(spark.read.parquet(s"$sfDir/supplier.parquet")
+        .select((col("s_suppkey") + 1000000L).as("node"),
+          col("s_nationkey").as("comm")))
+      .localCheckpoint(true)
+    def modularityAt(n: Int): DataFrame = {
+      val off = 100000000L
+      val pairs = (0 until n).map(i => pairs0.select(
+        (col("u") + lit(i * off)).as("u"), (col("v") + lit(i * off)).as("v")))
+        .reduce(_ unionByName _)
+      val assign = (0 until n).map(i => assign0.select(
+        (col("node") + lit(i * off)).as("node"), col("comm")))
+        .reduce(_ unionByName _)
+      graft.operators.Graph.modularity(pairs, "u", "v", assign,
+        "node", "comm")
+    }
+
     val shapes: Seq[(String, Int => DataFrame)] = Seq(
       "minhash" -> (n => minhash(corpusAt(n))),
       "incremental" -> (n => incremental(corpusAt(n))),
@@ -174,7 +226,9 @@ object BenchScale {
       "semdedup_khier" -> (semdedupKhier(_)),
       "semdedup_kdefault" -> (semdedupKdefault(_)),
       "winnow" -> (n => winnow(corpusAt(n))),
-      "cdc" -> (n => cdc(corpusAt(n))))
+      "cdc" -> (n => cdc(corpusAt(n))),
+      "assoc" -> (assoc(_)),
+      "modularity" -> (modularityAt(_)))
     val out = shapes.flatMap { case (name, fn) =>
       val (t1, n1) = timed(fn(1))
       val (tN, nN) = timed(fn(copies))
