@@ -356,6 +356,8 @@ object SparkEntry {
     "q332_cuped"            -> (T.q332Cuped(_, _)),
     "q333_diff_in_diff"     -> (T.q333DiffInDiff(_, _)),
     "q334_meta_analysis"    -> (T.q334MetaAnalysis(_, _)),
+    "q335_welch_t"          -> (T.q335WelchT(_, _)),
+    "q336_anova_f"          -> (T.q336AnovaF(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1873,6 +1875,92 @@ object SparkEntry {
         |      greatest(0.0, (q - CAST(k - 1 AS DOUBLE)) / q)
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS i_squared
         |FROM qq""".stripMargin,
+    // q335: exact per-arm (n, Σy, Σy²); t / Welch-Satterthwaite df /
+    // Cohen's d are pinned-shape combinations of single divisions
+    "q335_welch_t" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS a,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT sc, CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(1 - a) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END) AS HUGEINT) AS sa,
+        |    CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END) AS HUGEINT) AS sb,
+        |    sum(CASE WHEN a = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qa,
+        |    sum(CASE WHEN a = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qb
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT sc, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    CAST(na * qa - sa * sa AS DOUBLE)
+        |      / CAST(CAST(na AS HUGEINT) * (na - 1) AS DOUBLE) AS va,
+        |    CAST(nb * qb - sb * sb AS DOUBLE)
+        |      / CAST(CAST(nb AS HUGEINT) * (nb - 1) AS DOUBLE) AS vb
+        |  FROM g),
+        |h AS (SELECT sc, na, nb, ma, mb, va, vb,
+        |    va / CAST(na AS DOUBLE) AS vna,
+        |    vb / CAST(nb AS DOUBLE) AS vnb FROM f),
+        |w AS (SELECT sc, na, nb, ma, mb, va, vb, vna, vnb,
+        |    vna + vnb AS se2,
+        |    (CAST(na - 1 AS DOUBLE) * va + CAST(nb - 1 AS DOUBLE) * vb)
+        |      / CAST(na + nb - 2 AS DOUBLE) AS sp2 FROM h)
+        |SELECT sc AS event_type, na AS n_a, nb AS n_b,
+        |  CASE WHEN na > 0 THEN CAST(round(CAST(CAST(ma AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS mean_a,
+        |  CASE WHEN nb > 0 THEN CAST(round(CAST(CAST(mb AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS mean_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(round(CAST(CAST(ma - mb AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS diff,
+        |  CASE WHEN na > 1 AND nb > 1 AND se2 <> 0 THEN
+        |    CAST(round(CAST(CAST((ma - mb) / sqrt(se2) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS t,
+        |  CASE WHEN na > 1 AND nb > 1 AND se2 <> 0 THEN
+        |    CAST(round(CAST(CAST((se2 * se2) /
+        |      (vna * vna / CAST(na - 1 AS DOUBLE)
+        |       + vnb * vnb / CAST(nb - 1 AS DOUBLE)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS df,
+        |  CASE WHEN na > 1 AND nb > 1 AND se2 <> 0 AND sp2 <> 0 THEN
+        |    CAST(round(CAST(CAST((ma - mb) / sqrt(sp2) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS cohen_d
+        |FROM w""".stripMargin,
+    // q336: exact (n, Σy, Σy²) cells; the one float fold Σ(Σy_g)²/n_g
+    // runs in group-key order via the list_reduce 0.0-seed parity
+    "q336_anova_f" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS VARCHAR) AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT sc, g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(y) AS HUGEINT) AS sg,
+        |    sum(CAST(y AS HUGEINT) * y) AS qg FROM e GROUP BY 1, 2),
+        |p AS (SELECT sc, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS HUGEINT) AS s, CAST(sum(qg) AS HUGEINT) AS q,
+        |    list(struct_pack(sgd := CAST(sg AS DOUBLE),
+        |      ngd := CAST(ng AS DOUBLE)) ORDER BY g) AS cells
+        |  FROM c GROUP BY 1),
+        |b AS (SELECT sc, k, n, s, q,
+        |    list_reduce(list_transform(cells, x -> x.sgd * x.sgd / x.ngd),
+        |      (acc, t) -> acc + t) AS between
+        |  FROM p),
+        |f AS (SELECT sc, k, n,
+        |    between - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(q AS DOUBLE) - between AS ssw FROM b)
+        |SELECT sc AS event_type, k, n,
+        |  CAST(round(CAST(CAST(ssb AS VARCHAR) AS DECIMAL(38,20)), 4)
+        |    AS DOUBLE) AS ssb,
+        |  CAST(round(CAST(CAST(ssw AS VARCHAR) AS DECIMAL(38,20)), 4)
+        |    AS DOUBLE) AS ssw,
+        |  CASE WHEN k > 1 AND n > k AND ssw <> 0 THEN
+        |    CAST(round(CAST(CAST((ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(n - k AS DOUBLE)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS f,
+        |  CASE WHEN ssb + ssw <> 0 THEN
+        |    CAST(round(CAST(CAST(ssb / (ssb + ssw) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS eta_sq
+        |FROM f""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -1379,4 +1379,123 @@ object Eval {
           ((kD - 1) * col("__snum")).cast(dec).cast("double") /
             (col("__a2") - c2).cast(dec).cast("double")).as("chi2"))
   }
+
+  /** Welch's unequal-variance t-test per scope — the two-sample
+    * comparison that does NOT assume the arms share a variance (the
+    * assumption Student's t silently makes and A/B traffic silently
+    * violates). Per scope with arms A/B on `valueCol` (integer-scaled
+    * by the caller, the cents convention):
+    *   t  = (ȳ_A − ȳ_B) / √(s²_A/n_A + s²_B/n_B)
+    *   df = (s²_A/n_A + s²_B/n_B)² /
+    *        [(s²_A/n_A)²/(n_A−1) + (s²_B/n_B)²/(n_B−1)]
+    * (Welch–Satterthwaite), plus Cohen's d = diff/s_p with the pooled
+    * s_p² = ((n_A−1)s²_A + (n_B−1)s²_B)/(n_A+n_B−2) — the effect size
+    * that survives when n makes any difference "significant".
+    *
+    * Exactness: per-arm (n, Σy, Σy²) are exact integer sums
+    * (decimal(38,0)); each variance is ONE division of exact decimals
+    * ((n·Σy²−(Σy)²)/(n·(n−1))), and t/df/d are pinned-shape double
+    * combinations — bit-replayable cross-engine. Nulls are loud: means
+    * null on empty arms; t/df/d null when either arm has n < 2 or the
+    * standard error is zero.
+    *
+    * Scale shape: ONE scope-keyed census aggregation, map-side
+    * combined; nothing else shuffles. Output: (sc, n_a, n_b, mean_a,
+    * mean_b, diff, t, df, cohen_d). */
+  def welchT(df: DataFrame, scopeCol: String, isArmA: Column,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"),
+        when(isArmA, 1L).otherwise(0L).as("a"),
+        col(valueCol).cast("long").as("y"))
+    val yD = col("y").cast(dec)
+    val g = base.groupBy(col("sc")).agg(
+      sum(col("a")).as("n_a"), sum(lit(1L) - col("a")).as("n_b"),
+      sum(when(col("a") === 1L, yD).otherwise(lit(0).cast(dec)))
+        .cast(dec).as("sa"),
+      sum(when(col("a") === 0L, yD).otherwise(lit(0).cast(dec)))
+        .cast(dec).as("sb"),
+      sum(when(col("a") === 1L, (yD * yD).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("qa"),
+      sum(when(col("a") === 0L, (yD * yD).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("qb"))
+    def dd(c: Column): Column = c.cast("double")
+    val naD = col("n_a").cast(dec); val nbD = col("n_b").cast(dec)
+    val ma = dd(col("sa")) / dd(col("n_a"))
+    val mb = dd(col("sb")) / dd(col("n_b"))
+    val va = (naD * col("qa") - col("sa") * col("sa")).cast(dec)
+      .cast("double") / (naD * (naD - 1)).cast(dec).cast("double")
+    val vb = (nbD * col("qb") - col("sb") * col("sb")).cast(dec)
+      .cast("double") / (nbD * (nbD - 1)).cast(dec).cast("double")
+    val vna = va / dd(col("n_a")); val vnb = vb / dd(col("n_b"))
+    val se2 = vna + vnb
+    val t = (ma - mb) / sqrt(se2)
+    val dfw = (se2 * se2) /
+      (vna * vna / dd(col("n_a") - 1L) + vnb * vnb / dd(col("n_b") - 1L))
+    val sp2 = (dd(col("n_a") - 1L) * va + dd(col("n_b") - 1L) * vb) /
+      dd(col("n_a") + col("n_b") - 2L)
+    val both = col("n_a") > 0L && col("n_b") > 0L
+    val ok = col("n_a") > 1L && col("n_b") > 1L && se2 =!= lit(0.0)
+    g.select(col("sc"), col("n_a"), col("n_b"),
+      when(col("n_a") > 0L, ma).as("mean_a"),
+      when(col("n_b") > 0L, mb).as("mean_b"),
+      when(both, ma - mb).as("diff"),
+      when(ok, t).as("t"),
+      when(ok, dfw).as("df"),
+      when(ok && sp2 =!= lit(0.0), (ma - mb) / sqrt(sp2)).as("cohen_d"))
+  }
+
+  /** One-way ANOVA F per scope — does ANY of k group means differ?
+    * The k-sample generalization Welch/[[mannWhitneyU]] can't ask:
+    *   SSB = Σ_g (Σy_g)²/n_g − (Σy)²/N,  SSW = Σy² − Σ_g (Σy_g)²/n_g,
+    *   F   = (SSB/(k−1)) / (SSW/(N−k)),  η² = SSB/(SSB+SSW)
+    * (η² — the variance share the grouping explains — is the effect
+    * size the F number hides). [[kruskalWallis]] is the rank twin for
+    * non-normal data; this is the classical moments version.
+    *
+    * Exactness: per-(scope, group) (n, Σy, Σy²) are exact decimal
+    * sums; Σy² and the grand (N, Σy) stay exact through the scope
+    * re-aggregation. The one float fold — Σ_g (Σy_g)²/n_g, a sum of
+    * per-group doubles — runs in GROUP-KEY ORDER over a bounded
+    * sorted array (the [[metaFixedEffect]] stratum-ordered-fold
+    * discipline), so results are partition-invariant. Groups per
+    * scope must be census-scale (they bound the collected array).
+    *
+    * Scale shape: two key-census aggregations ((scope, group), then
+    * scope), both map-side combined; no row-scale sort or window.
+    * Output: (sc, k, n, ssb, ssw, f, eta_sq); f null when k < 2,
+    * N ≤ k, or SSW = 0. */
+  def anovaF(df: DataFrame, scopeCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"),
+        col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("y"))
+    val yD = col("y").cast(dec)
+    val cell = base.groupBy(col("sc"), col("g")).agg(
+      count(lit(1L)).as("ng"), sum(yD).cast(dec).as("sg"),
+      sum((yD * yD).cast(dec)).cast(dec).as("qg"))
+    val per = cell.groupBy(col("sc")).agg(
+      count(lit(1L)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).cast(dec).as("s"), sum(col("qg")).cast(dec).as("q"),
+      sort_array(collect_list(struct(col("g"),
+        col("sg").cast("double").as("sgd"),
+        col("ng").cast("double").as("ngd")))).as("cells"))
+    def dd(c: Column): Column = c.cast("double")
+    // Σ_g (Σy_g)²/n_g folded in group order; 0.0-seed parity with the
+    // oracle's list_reduce (0.0 + x == x exactly for finite doubles)
+    val between = aggregate(col("cells"), lit(0.0),
+      (acc, x) => acc + x.getField("sgd") * x.getField("sgd") /
+        x.getField("ngd"))
+    val ssb = between - dd(col("s")) * dd(col("s")) / dd(col("n"))
+    val ssw = dd(col("q")) - between
+    val ok = col("k") > 1L && col("n") > col("k") && ssw =!= lit(0.0)
+    per.select(col("sc"), col("k"), col("n"),
+      ssb.as("ssb"), ssw.as("ssw"),
+      when(ok, (ssb / dd(col("k") - 1L)) / (ssw / dd(col("n") - col("k"))))
+        .as("f"),
+      when(ssb + ssw =!= lit(0.0), ssb / (ssb + ssw)).as("eta_sq"))
+  }
 }

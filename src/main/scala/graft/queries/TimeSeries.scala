@@ -1124,6 +1124,37 @@ object TimeSeries {
         round($"i_squared", 6).as("i_squared"))
   }
 
+  /** q335 — Welch's t ([[graft.operators.Eval.welchT]]): the
+    * weekend-vs-weekday cent comparison with the unequal-variance t,
+    * Welch–Satterthwaite df, and Cohen's d — the parametric companion
+    * to q283's rank U and the per-stratum input q334 pools. Exact
+    * per-arm moments; pinned-shape doubles. */
+  def q335WelchT(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.welchT(
+      events(spark, dir).select($"event_type",
+        dayofweek(to_date($"ts")).isin(1, 7).as("wk"),
+        round($"value" * 100).cast("long").as("cents")),
+      "event_type", $"wk", "cents")
+      .select($"sc".as("event_type"), $"n_a", $"n_b",
+        round($"mean_a", 6).as("mean_a"), round($"mean_b", 6).as("mean_b"),
+        round($"diff", 6).as("diff"), round($"t", 6).as("t"),
+        round($"df", 6).as("df"), round($"cohen_d", 6).as("cohen_d"))
+
+  /** q336 — one-way ANOVA F ([[graft.operators.Eval.anovaF]]): per
+    * event type, does day-of-week explain cent values at all? k=7
+    * calendar groups; exact cell moments, group-ordered float fold,
+    * η² says how much of the variance the calendar buys. The moments
+    * twin of q290's rank-based Kruskal–Wallis. */
+  def q336AnovaF(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.anovaF(
+      events(spark, dir).select($"event_type",
+        dayofweek(to_date($"ts")).cast("int").as("dow"),
+        round($"value" * 100).cast("long").as("cents")),
+      "event_type", "dow", "cents")
+      .select($"sc".as("event_type"), $"k", $"n",
+        round($"ssb", 4).as("ssb"), round($"ssw", 4).as("ssw"),
+        round($"f", 6).as("f"), round($"eta_sq", 6).as("eta_sq"))
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

@@ -329,6 +329,63 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(run(dirty).getAs[Long]("k") == 3L)
   }
 
+  test("welchT: textbook moments; singleton arm nulls t but keeps the " +
+      "mean; zero variance nulls loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, Boolean, Long)]) =
+      Eval.welchT(rows.toDF("sc", "a", "y"), "sc", col("a"), "y")
+        .collect().head
+    // A = [1,2,3] (mean 2, var 1), B = [5,6,7,8] (mean 6.5, var 5/3):
+    // se2 = 1/3 + 5/12 = 0.75, t = -4.5/sqrt(0.75), sp2 = 1.4
+    val rows = Seq(("s", true, 1L), ("s", true, 2L), ("s", true, 3L),
+      ("s", false, 5L), ("s", false, 6L), ("s", false, 7L),
+      ("s", false, 8L))
+    val r = run(rows)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(r.getAs[Double]("diff") == -4.5)
+    assert(math.abs(r.getAs[Double]("t") - (-4.5 / math.sqrt(0.75))) < 1e-9)
+    val vna = 1.0 / 3; val vnb = (5.0 / 3) / 4
+    val dfw = 0.75 * 0.75 / (vna * vna / 2 + vnb * vnb / 3)
+    assert(math.abs(r.getAs[Double]("df") - dfw) < 1e-6)
+    assert(math.abs(r.getAs[Double]("cohen_d") -
+      (-4.5 / math.sqrt(1.4))) < 1e-9)
+    // singleton arm: means and diff survive, t/df/d null
+    val one = run(Seq(("x", true, 7L), ("x", false, 1L), ("x", false, 3L)))
+    assert(one.getAs[Double]("mean_a") == 7.0 &&
+      one.getAs[Double]("diff") == 5.0 && one.isNullAt(6) && one.isNullAt(7))
+    // both arms constant: se = 0 -> t null, not Inf
+    val flat = run(Seq(("z", true, 4L), ("z", true, 4L),
+      ("z", false, 4L), ("z", false, 4L)))
+    assert(flat.isNullAt(6) && flat.isNullAt(8))
+  }
+
+  test("anovaF: equal means give F = 0; separated groups explain all " +
+      "variance; degenerate shapes null") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String, Long)]) =
+      Eval.anovaF(rows.toDF("sc", "g", "y"), "sc", "g", "y")
+        .collect().head
+    // [1,2,3] vs [4,5,6]: SSB 13.5, SSW 4, F 13.5, eta2 = 13.5/17.5
+    val r = run(Seq(("s", "a", 1L), ("s", "a", 2L), ("s", "a", 3L),
+      ("s", "b", 4L), ("s", "b", 5L), ("s", "b", 6L)))
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("ssb") == 13.5 && r.getAs[Double]("ssw") == 4.0)
+    assert(r.getAs[Double]("f") == 13.5)
+    assert(math.abs(r.getAs[Double]("eta_sq") - 13.5 / 17.5) < 1e-9)
+    // identical group means: no between variance at all
+    val eq = run(Seq(("s", "a", 1L), ("s", "a", 3L),
+      ("s", "b", 2L), ("s", "b", 2L)))
+    assert(eq.getAs[Double]("ssb") == 0.0 && eq.getAs[Double]("f") == 0.0)
+    // perfectly separated constants: SSW = 0 -> F null, eta2 = 1
+    val sep = run(Seq(("s", "a", 0L), ("s", "a", 0L),
+      ("s", "b", 10L), ("s", "b", 10L)))
+    assert(sep.isNullAt(5) && sep.getAs[Double]("eta_sq") == 1.0)
+    // one group: k < 2 -> F null
+    assert(run(Seq(("s", "a", 1L), ("s", "a", 2L))).isNullAt(5))
+  }
+
   test("sprt: strong evidence accepts H1 and latches; weak evidence " +
       "accepts H0; borderline continues") {
     import spark.implicits._
