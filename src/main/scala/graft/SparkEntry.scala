@@ -358,6 +358,8 @@ object SparkEntry {
     "q334_meta_analysis"    -> (T.q334MetaAnalysis(_, _)),
     "q335_welch_t"          -> (T.q335WelchT(_, _)),
     "q336_anova_f"          -> (T.q336AnovaF(_, _)),
+    "q337_sequence_rules"   -> (T.q337SequenceRules(_, _)),
+    "q338_stratified_ate"   -> (T.q338StratifiedAte(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -1960,6 +1962,112 @@ object SparkEntry {
         |  CASE WHEN ssb + ssw <> 0 THEN
         |    CAST(round(CAST(CAST(ssb / (ssb + ssw) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS eta_sq
+        |FROM f""".stripMargin,
+    // q337: actor-capped time self-join; distinct-actor counts; every
+    // ratio one exact division; (lift desc, a, b) order identical
+    "q337_sequence_rules" ->
+      """WITH ev AS (SELECT DISTINCT user_id AS u, event_type AS it,
+        |    epoch_ms(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |ok AS (SELECT u FROM ev GROUP BY u HAVING count(*) <= 1000),
+        |kept AS (SELECT ev.* FROM ev JOIN ok USING (u)),
+        |nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_actors
+        |  FROM kept),
+        |items AS (SELECT it, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT DISTINCT u, it FROM kept) GROUP BY 1),
+        |fol AS (SELECT ia, ib, CAST(count(*) AS BIGINT) AS c_ab FROM
+        |    (SELECT DISTINCT a.u AS u, a.it AS ia, b.it AS ib
+        |     FROM kept a JOIN kept b ON a.u = b.u AND a.it <> b.it
+        |       AND b.t > a.t AND b.t - a.t <= 3600000)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |top AS (SELECT ia, ib, nu.n_actors, ca.c AS c_a, cb.c AS c_b,
+        |    c_ab,
+        |    CAST(c_ab AS DOUBLE) / CAST(nu.n_actors AS DOUBLE) AS support,
+        |    CAST(c_ab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS conf,
+        |    CAST(CAST(c_ab AS HUGEINT) * nu.n_actors AS DOUBLE) /
+        |      CAST(CAST(ca.c AS HUGEINT) * cb.c AS DOUBLE) AS lift
+        |  FROM fol JOIN items ca ON ia = ca.it
+        |    JOIN items cb ON ib = cb.it CROSS JOIN nu
+        |  ORDER BY lift DESC, ia, ib LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY lift DESC, ia, ib)
+        |    AS BIGINT) AS rank,
+        |  ia AS item_a, ib AS item_b, n_actors, c_a, c_b, c_ab,
+        |  CAST(round(CAST(CAST(support AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS support,
+        |  CAST(round(CAST(CAST(conf AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS conf,
+        |  CAST(round(CAST(CAST(lift AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS lift
+        |FROM top""".stripMargin,
+    // q338: exact (scope, stratum, arm) moments; the two cross-stratum
+    // folds run in stratum order via the list_reduce 0.0-seed parity
+    "q338_stratified_ate" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS VARCHAR) AS st,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT sc, st,
+        |    CAST(sum(a) AS BIGINT) AS nt, CAST(sum(1 - a) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END) AS HUGEINT) AS st_s,
+        |    CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END) AS HUGEINT) AS sc_s,
+        |    sum(CASE WHEN a = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qt,
+        |    sum(CASE WHEN a = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qc
+        |  FROM e GROUP BY 1, 2),
+        |en AS (SELECT sc, st, nt, nc, st_s, sc_s,
+        |    (nt > 0 AND nc > 0) AS kept,
+        |    CAST(st_s AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      - CAST(sc_s AS DOUBLE) / CAST(nc AS DOUBLE) AS dif,
+        |    CAST(nt * qt - st_s * st_s AS DOUBLE)
+        |      / CAST(CAST(nt AS HUGEINT) * (nt - 1) AS DOUBLE)
+        |      / CAST(nt AS DOUBLE)
+        |    + CAST(nc * qc - sc_s * sc_s AS DOUBLE)
+        |      / CAST(CAST(nc AS HUGEINT) * (nc - 1) AS DOUBLE)
+        |      / CAST(nc AS DOUBLE) AS vs,
+        |    CAST(nt + nc AS DOUBLE) AS nn
+        |  FROM c),
+        |p AS (SELECT sc,
+        |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k_used,
+        |    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS k_dropped,
+        |    CAST(sum(CASE WHEN kept THEN nt + nc ELSE 0 END) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS nt_all,
+        |    CAST(sum(CASE WHEN kept THEN nc ELSE 0 END) AS BIGINT) AS nc_all,
+        |    CAST(sum(CASE WHEN kept THEN st_s ELSE 0 END) AS HUGEINT)
+        |      AS st_all,
+        |    CAST(sum(CASE WHEN kept THEN sc_s ELSE 0 END) AS HUGEINT)
+        |      AS sc_all,
+        |    min(CASE WHEN kept THEN
+        |      CASE WHEN nt > 1 AND nc > 1 THEN 1 ELSE 0 END END) AS varok,
+        |    list(struct_pack(nn := nn, dif := dif, vs := vs) ORDER BY st)
+        |      FILTER (WHERE kept) AS cells
+        |  FROM en GROUP BY 1),
+        |f AS (SELECT sc, k_used, k_dropped, n, nt_all, nc_all, st_all,
+        |    sc_all, varok,
+        |    list_reduce(list_transform(cells,
+        |      x -> x.nn / CAST(n AS DOUBLE) * x.dif),
+        |      (acc, t) -> acc + t) AS ate,
+        |    list_reduce(list_transform(cells,
+        |      x -> x.nn / CAST(n AS DOUBLE) * (x.nn / CAST(n AS DOUBLE))
+        |        * x.vs),
+        |      (acc, t) -> acc + t) AS se2
+        |  FROM p)
+        |SELECT sc AS event_type, k_used, k_dropped, n,
+        |  CASE WHEN k_used > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(st_all AS DOUBLE)
+        |      / CAST(nt_all AS DOUBLE) - CAST(sc_all AS DOUBLE)
+        |      / CAST(nc_all AS DOUBLE) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS naive_diff,
+        |  CASE WHEN k_used > 0 THEN
+        |    CAST(round(CAST(CAST(ate AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) END AS ate,
+        |  CASE WHEN k_used > 0 AND varok = 1 THEN
+        |    CAST(round(CAST(CAST(ate - 1.96 * sqrt(se2) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS lo,
+        |  CASE WHEN k_used > 0 AND varok = 1 THEN
+        |    CAST(round(CAST(CAST(ate + 1.96 * sqrt(se2) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS hi
         |FROM f""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0

@@ -86,4 +86,94 @@ object Association {
         col("c_a"), col("c_b"), col("c_ab"), col("support"),
         col("conf_ab"), col("conf_ba"), col("lift"))
   }
+
+  /** Sequential rules A→B (the length-2 cut of sequential-pattern
+    * mining, Agrawal & Srikant 1995/GSP) — DIRECTED in time where
+    * [[pairRules]] is symmetric in a basket: over (actor, item, time)
+    * rows, count actors that do A and then B within `window` time
+    * units, against the actors that did A at all. The "what does a
+    * user do next" census a funnel or curriculum decision reads;
+    * [[graft.operators.Funnel]] fixes one ordered path, this mines
+    * every pair.
+    *
+    * Semantics: events dedup to distinct (actor, item, t) first;
+    * A→B counts an actor once iff SOME A occurrence precedes SOME B
+    * occurrence with 0 < t_B − t_A ≤ window (strict: simultaneous
+    * events are not "then"); A→A repeats are excluded (self-rules
+    * measure retention, not sequence — [[graft.operators.Freshness]]
+    * territory). c_a / c_b are actors with ≥1 occurrence; support =
+    * c_ab/n_actors, conf = c_ab/c_a, and lift = c_ab·n/(c_a·c_b)
+    * reads "seeing A multiplies the odds of B-soon by ×L".
+    *
+    * Cost contract: the within-actor pair join is Σ_u |events_u|² —
+    * quadratic in ACTOR HISTORY, not corpus size. Actors with more
+    * than `maxActorEvents` distinct events are dropped BEFORE pairing
+    * (the [[pairRules]] maxBasketSize discipline: they vanish from
+    * n_actors too, keeping support consistent; a bot account would
+    * otherwise go corpus-quadratic).
+    *
+    * Exactness: all counts are exact distinct-actor counts; the three
+    * ratios are single correctly-rounded divisions of exact decimal
+    * products; top-k order (lift desc, item_a, item_b) is
+    * bit-deterministic and TakeOrdered-bounded.
+    *
+    * Scale shape: one distinct, an actor-size census + semi-join for
+    * the cap, the actor-keyed time self-join (co-partitioned on
+    * actor), a distinct to (actor, a, b) before the pair census (an
+    * actor pairs once however many times it repeats), item censuses
+    * on distinct (actor, item), one broadcast scalar, k-bounded sort.
+    * Output: (rank, item_a, item_b, n_actors, c_a, c_b, c_ab,
+    * support, conf, lift). */
+  def sequenceRules(df: DataFrame, actorCol: String, itemCol: String,
+      timeCol: String, window: Long, minSupport: Long, k: Int,
+      maxActorEvents: Long = 1000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(window > 0L, s"window must be positive, got $window")
+    require(maxActorEvents >= 2L,
+      s"maxActorEvents must be >= 2, got $maxActorEvents")
+    val dec = "decimal(38,0)"
+    val ev = df.select(col(actorCol).as("u"), col(itemCol).as("it"),
+        col(timeCol).cast("long").as("t"))
+      .where(col("u").isNotNull && col("it").isNotNull && col("t").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val okActors = ev.groupBy(col("u")).agg(count(lit(1)).as("__sz"))
+      .where(col("__sz") <= maxActorEvents)
+      .select(col("u"))
+    val kept = ev.join(okActors, "u").localCheckpoint(false)
+    val nU = broadcast(kept.select(col("u")).distinct()
+      .agg(count(lit(1)).as("n_actors")))
+    val items = kept.select(col("u"), col("it")).distinct()
+      .groupBy(col("it")).agg(count(lit(1)).as("c"))
+    val follows = kept.select(col("u"), col("it").as("a"), col("t").as("ta"))
+      .join(kept.select(col("u"), col("it").as("b"), col("t").as("tb")), "u")
+      .where(col("a") =!= col("b") && col("tb") > col("ta") &&
+        col("tb") - col("ta") <= window)
+      .select(col("u"), col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minSupport)
+    val scored = follows
+      .join(items.select(col("it").as("a"), col("c").as("c_a")), "a")
+      .join(items.select(col("it").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(nU)
+    val nD = col("n_actors").cast(dec)
+    val lift = (col("c_ab").cast(dec) * nD).cast(dec).cast("double") /
+      (col("c_a").cast(dec) * col("c_b").cast(dec)).cast(dec).cast("double")
+    val top = scored
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("n_actors"), col("c_a"), col("c_b"), col("c_ab"),
+        (col("c_ab").cast("double") / col("n_actors").cast("double"))
+          .as("support"),
+        (col("c_ab").cast("double") / col("c_a").cast("double"))
+          .as("conf"),
+        lift.as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("item_a"), col("item_b")))
+        .cast("long"))
+      .select(col("rank"), col("item_a"), col("item_b"), col("n_actors"),
+        col("c_a"), col("c_b"), col("c_ab"), col("support"),
+        col("conf"), col("lift"))
+  }
 }

@@ -1498,4 +1498,96 @@ object Eval {
         .as("f"),
       when(ssb + ssw =!= lit(0.0), ssb / (ssb + ssw)).as("eta_sq"))
   }
+
+  /** Stratified ATE per scope — post-stratification / subclassification
+    * (Cochran 1968): when treatment assignment is confounded with an
+    * observable stratum, the naive treated-minus-control difference
+    * mixes the treatment effect with the stratum mix; weighting each
+    * stratum's within-stratum difference by its population share
+    *   ATE = Σ_s (n_s/N) · (ȳ_T,s − ȳ_C,s)
+    * removes the confound the stratum captures. Reported NEXT TO the
+    * naive difference so the confounding is visible, with
+    *   SE² = Σ_s (n_s/N)² · (s²_T,s/n_T,s + s²_C,s/n_C,s)
+    * and a ±1.96 Wald interval. Completes the causal family: [[cuped]]
+    * (covariate), [[diffInDiff]] (panel), this (subclassification).
+    *
+    * Strata missing an arm are DROPPED loudly (k_dropped; no
+    * within-stratum contrast exists) and leave N too — weights stay
+    * internally consistent. SE/interval null unless every kept stratum
+    * has n ≥ 2 in both arms.
+    *
+    * Exactness: per-(scope, stratum, arm) (n, Σy, Σy²) are exact
+    * decimal sums; each stratum's difference and variance terms are
+    * pinned-shape doubles of single divisions, and the two cross-
+    * stratum float folds run in STRATUM-KEY ORDER over a bounded
+    * sorted array (the [[metaFixedEffect]] discipline) — partition-
+    * invariant, bit-replayable cross-engine.
+    *
+    * Scale shape: one (scope, stratum) census aggregation, one scope
+    * re-aggregation; strata per scope must be census-scale (they bound
+    * the collected array). Output: (sc, k_used, k_dropped, n,
+    * naive_diff, ate, lo, hi). */
+  def stratifiedAte(df: DataFrame, scopeCol: String, strataCol: String,
+      isTreated: Column, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"), col(strataCol).cast("string").as("st"),
+        when(isTreated, 1L).otherwise(0L).as("a"),
+        col(valueCol).cast("long").as("y"))
+    val yD = col("y").cast(dec)
+    val cell = base.groupBy(col("sc"), col("st")).agg(
+      sum(col("a")).as("nt"), sum(lit(1L) - col("a")).as("nc"),
+      sum(when(col("a") === 1L, yD).otherwise(lit(0).cast(dec)))
+        .cast(dec).as("st_s"),
+      sum(when(col("a") === 0L, yD).otherwise(lit(0).cast(dec)))
+        .cast(dec).as("sc_s"),
+      sum(when(col("a") === 1L, (yD * yD).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("qt"),
+      sum(when(col("a") === 0L, (yD * yD).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("qc"))
+    def dd(c: Column): Column = c.cast("double")
+    val ntD = col("nt").cast(dec); val ncD = col("nc").cast(dec)
+    val vt = (ntD * col("qt") - col("st_s") * col("st_s")).cast(dec)
+      .cast("double") / (ntD * (ntD - 1)).cast(dec).cast("double")
+    val vc = (ncD * col("qc") - col("sc_s") * col("sc_s")).cast(dec)
+      .cast("double") / (ncD * (ncD - 1)).cast(dec).cast("double")
+    val kept = col("nt") > 0L && col("nc") > 0L
+    val enriched = cell.select(col("sc"), col("st"), col("nt"), col("nc"),
+      col("st_s"), col("sc_s"), kept.as("kept"),
+      (dd(col("st_s")) / dd(col("nt")) - dd(col("sc_s")) / dd(col("nc")))
+        .as("dif"),
+      (vt / dd(col("nt")) + vc / dd(col("nc"))).as("vs"),
+      (col("nt") + col("nc")).cast("double").as("nn"))
+    val zero = lit(0).cast(dec)
+    val per = enriched.groupBy(col("sc")).agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("k_used"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("k_dropped"),
+      sum(when(col("kept"), col("nt") + col("nc")).otherwise(0L)).as("n"),
+      sum(when(col("kept"), col("nt")).otherwise(0L)).as("nt_all"),
+      sum(when(col("kept"), col("nc")).otherwise(0L)).as("nc_all"),
+      sum(when(col("kept"), col("st_s")).otherwise(zero)).cast(dec)
+        .as("st_all"),
+      sum(when(col("kept"), col("sc_s")).otherwise(zero)).cast(dec)
+        .as("sc_all"),
+      min(when(col("kept"),
+        when(col("nt") > 1L && col("nc") > 1L, 1L).otherwise(0L)))
+        .as("varok"),
+      sort_array(collect_list(when(col("kept"),
+        struct(col("st"), col("nn"), col("dif"), col("vs"))))).as("cells"))
+    val nD = dd(col("n"))
+    val ate = aggregate(col("cells"), lit(0.0),
+      (acc, x) => acc + x.getField("nn") / nD * x.getField("dif"))
+    val se2 = aggregate(col("cells"), lit(0.0),
+      (acc, x) => acc + x.getField("nn") / nD * (x.getField("nn") / nD) *
+        x.getField("vs"))
+    val naive = dd(col("st_all")) / dd(col("nt_all")) -
+      dd(col("sc_all")) / dd(col("nc_all"))
+    val okAte = col("k_used") > 0L
+    val okSe = okAte && col("varok") === 1L
+    per.select(col("sc"), col("k_used"), col("k_dropped"), col("n"),
+      when(okAte, naive).as("naive_diff"),
+      when(okAte, ate).as("ate"),
+      when(okSe, ate - lit(1.96) * sqrt(se2)).as("lo"),
+      when(okSe, ate + lit(1.96) * sqrt(se2)).as("hi"))
+  }
 }

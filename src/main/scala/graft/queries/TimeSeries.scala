@@ -1155,6 +1155,37 @@ object TimeSeries {
         round($"ssb", 4).as("ssb"), round($"ssw", 4).as("ssw"),
         round($"f", 6).as("f"), round($"eta_sq", 6).as("eta_sq"))
 
+  /** q337 — sequential rules ([[graft.operators.Association
+    * .sequenceRules]]): which event type follows which within an hour,
+    * per user — the directed, time-windowed sibling of q316's basket
+    * rules; distinct-actor counts, single-division ratios, lift-ranked
+    * top-k. Epoch-ms on both sides (unix_millis ↔ epoch_ms). */
+  def q337SequenceRules(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Association.sequenceRules(
+      events(spark, dir).select($"user_id", $"event_type",
+        unix_millis($"ts").as("ms")),
+      "user_id", "event_type", "ms",
+      window = 3600L * 1000L, minSupport = 2L, k = 20)
+      .select($"rank", $"item_a", $"item_b", $"n_actors", $"c_a", $"c_b",
+        $"c_ab", round($"support", 6).as("support"),
+        round($"conf", 6).as("conf"), round($"lift", 6).as("lift"))
+
+  /** q338 — stratified ATE ([[graft.operators.Eval.stratifiedAte]]):
+    * the even-vs-odd-user cent difference per event type,
+    * subclassified on day-of-week — the naive difference and the
+    * mix-adjusted one side by side, Wald interval from the stratum
+    * folds. Completes the q332/q333 causal family. */
+  def q338StratifiedAte(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.stratifiedAte(
+      events(spark, dir).select($"event_type",
+        dayofweek(to_date($"ts")).cast("int").as("dow"), $"user_id",
+        round($"value" * 100).cast("long").as("cents")),
+      "event_type", "dow", $"user_id" % 2 === 0, "cents")
+      .select($"sc".as("event_type"), $"k_used", $"k_dropped", $"n",
+        round($"naive_diff", 6).as("naive_diff"),
+        round($"ate", 6).as("ate"), round($"lo", 6).as("lo"),
+        round($"hi", 6).as("hi"))
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

@@ -55,4 +55,39 @@ class AssociationSpec extends AnyFunSuite with SparkFixture {
     assert(Association.pairRules(small.toDF("bk", "it"), "bk", "it",
       minSupport = 3L, k = 10).collect().isEmpty)
   }
+
+  test("sequenceRules: direction and window respected; repeats count " +
+      "an actor once; self-rules excluded") {
+    import spark.implicits._
+    // u1: a@0 b@10 a@20 b@30 (a->b twice, b->a once within w=15)
+    // u2: a@0 b@100 (outside w)  u3: b@0 a@5 (b->a only)
+    val rows = Seq(
+      (1L, "a", 0L), (1L, "b", 10L), (1L, "a", 20L), (1L, "b", 30L),
+      (2L, "a", 0L), (2L, "b", 100L),
+      (3L, "b", 0L), (3L, "a", 5L))
+    val out = Association.sequenceRules(rows.toDF("u", "it", "t"),
+        "u", "it", "t", window = 15L, minSupport = 1L, k = 10)
+      .collect().map(r => (r.getAs[String]("item_a"),
+        r.getAs[String]("item_b")) -> r).toMap
+    // a->b: only u1 (u2's gap is 100 > 15) -> c_ab = 1 despite 2 hits
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("c_ab") == 1L && ab.getAs[Long]("n_actors") == 3L)
+    // c_a = actors with a = 3, c_b = 3: conf = 1/3, lift = 1*3/(3*3)
+    assert(ab.getAs[Long]("c_a") == 3L && ab.getAs[Long]("c_b") == 3L)
+    assert(ab.getAs[Double]("conf") == 1.0 / 3)
+    assert(ab.getAs[Double]("lift") == 3.0 / 9)
+    // b->a: u1 (b@10 -> a@20) and u3 -> c_ab = 2; direction matters
+    assert(out(("b", "a")).getAs[Long]("c_ab") == 2L)
+    // no (a,a)/(b,b) self-rules; simultaneous events are not "then"
+    assert(!out.contains(("a", "a")) && !out.contains(("b", "b")))
+    val sim = Association.sequenceRules(
+      Seq((1L, "x", 5L), (1L, "y", 5L)).toDF("u", "it", "t"),
+      "u", "it", "t", 15L, 1L, 10).collect()
+    assert(sim.isEmpty)
+    // actor cap drops the busy actor from every census including n_actors
+    val busy = rows ++ (1 to 10).map(i => (9L, s"e$i", i.toLong))
+    val capped = Association.sequenceRules(busy.toDF("u", "it", "t"),
+      "u", "it", "t", 15L, 1L, 100, maxActorEvents = 5L)
+    assert(capped.collect().forall(_.getAs[Long]("n_actors") == 3L))
+  }
 }

@@ -386,6 +386,41 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(run(Seq(("s", "a", 1L), ("s", "a", 2L))).isNullAt(5))
   }
 
+  test("stratifiedAte: recovers the true effect under stratum " +
+      "confounding the naive diff misses; one-armed strata drop loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, String, Boolean, Long)]) =
+      Eval.stratifiedAte(rows.toDF("sc", "st", "tr", "y"), "sc", "st",
+        col("tr"), "y").collect().head
+    // stratum A base 0, stratum B base 100; treatment adds exactly 10.
+    // Treated rows live mostly in B, control mostly in A -> naive diff
+    // is inflated by the mix, stratified ATE is exactly 10.
+    val rows = Seq(
+      ("s", "A", true, 10L), ("s", "A", true, 12L),
+      ("s", "A", false, 0L), ("s", "A", false, 2L),
+      ("s", "A", false, 1L), ("s", "A", false, 1L),
+      ("s", "B", true, 110L), ("s", "B", true, 112L),
+      ("s", "B", true, 111L), ("s", "B", true, 111L),
+      ("s", "B", false, 100L), ("s", "B", false, 102L))
+    val r = run(rows)
+    // within-stratum diffs are both exactly 10
+    assert(r.getAs[Double]("ate") == 10.0)
+    assert(r.getAs[Double]("naive_diff") > 40.0,
+      s"naive ${r.getAs[Double]("naive_diff")} should be mix-inflated")
+    assert(r.getAs[Long]("k_used") == 2L && r.getAs[Long]("n") == 12L)
+    assert(r.getAs[Double]("lo") < 10.0 && r.getAs[Double]("hi") > 10.0)
+    // a stratum with no control arm drops (and leaves N)
+    val holey = rows ++ Seq(("s", "C", true, 999L), ("s", "C", true, 998L))
+    val h = run(holey)
+    assert(h.getAs[Long]("k_dropped") == 1L && h.getAs[Long]("n") == 12L &&
+      h.getAs[Double]("ate") == 10.0)
+    // a kept stratum with a singleton arm keeps the ATE, nulls the CI
+    val thin = rows ++ Seq(("s", "D", true, 50L), ("s", "D", false, 40L))
+    val t = run(thin)
+    assert(!t.isNullAt(5) && t.isNullAt(6) && t.isNullAt(7))
+  }
+
   test("sprt: strong evidence accepts H1 and latches; weak evidence " +
       "accepts H0; borderline continues") {
     import spark.implicits._
