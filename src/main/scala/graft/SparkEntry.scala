@@ -360,6 +360,7 @@ object SparkEntry {
     "q336_anova_f"          -> (T.q336AnovaF(_, _)),
     "q337_sequence_rules"   -> (T.q337SequenceRules(_, _)),
     "q338_stratified_ate"   -> (T.q338StratifiedAte(_, _)),
+    "q339_isotonic"         -> (T.q339Isotonic(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2069,6 +2070,33 @@ object SparkEntry {
         |    CAST(round(CAST(CAST(ate + 1.96 * sqrt(se2) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS hi
         |FROM f""".stripMargin,
+    // q339: min-max isotonic identity — exact prefix sums, one division
+    // per (k,l) block, order-free min/max; windows partition at bin scale
+    "q339_isotonic" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CAST(floor(value / 5) AS BIGINT) AS bin,
+        |    CASE WHEN (user_id + CAST(floor(value) AS BIGINT)) % 5 < 2
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT sc, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+        |r AS (SELECT sc, bin, n, s,
+        |    sum(n) OVER (PARTITION BY sc ORDER BY bin) AS cn,
+        |    sum(s) OVER (PARTITION BY sc ORDER BY bin) AS cs FROM c),
+        |p AS (SELECT a.sc, a.bin AS k, b.bin AS l,
+        |    CAST(b.cs - (a.cs - a.s) AS DOUBLE)
+        |      / CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS avg
+        |  FROM r a JOIN r b ON a.sc = b.sc AND a.bin <= b.bin),
+        |sm AS (SELECT sc, k, l AS bin,
+        |    min(avg) OVER (PARTITION BY sc, k ORDER BY l DESC) AS sufmin
+        |  FROM p),
+        |i AS (SELECT sc, bin, max(sufmin) AS iso FROM sm GROUP BY 1, 2)
+        |SELECT r.sc AS event_type, r.bin, r.n, r.s,
+        |  CAST(round(CAST(CAST(CAST(r.s AS DOUBLE) / CAST(r.n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS rate,
+        |  CAST(round(CAST(CAST(iso AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS iso
+        |FROM r JOIN i ON r.sc = i.sc AND r.bin = i.bin""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

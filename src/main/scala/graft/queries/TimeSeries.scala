@@ -1186,6 +1186,21 @@ object TimeSeries {
         round($"ate", 6).as("ate"), round($"lo", 6).as("lo"),
         round($"hi", 6).as("hi"))
 
+  /** q339 — isotonic calibration ([[graft.operators.Calibrate
+    * .isotonic]]): recalibrate a synthetic per-bin hit rate per event
+    * type via the min-max identity — exact prefix sums, one division
+    * per candidate block, order-free min/max. The monotone repair of
+    * the curve q315's Brier decomposition prices. */
+  def q339Isotonic(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Calibrate.isotonic(
+      events(spark, dir).select($"event_type",
+        floor($"value" / 5).cast("long").as("bin"),
+        (($"user_id" + floor($"value").cast("long")) % 5 < 2)
+          .cast("long").as("y")),
+      "event_type", "bin", "y")
+      .select($"sc".as("event_type"), $"bin", $"n", $"s",
+        round($"rate", 6).as("rate"), round($"iso", 6).as("iso"))
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —
