@@ -361,6 +361,7 @@ object SparkEntry {
     "q337_sequence_rules"   -> (T.q337SequenceRules(_, _)),
     "q338_stratified_ate"   -> (T.q338StratifiedAte(_, _)),
     "q339_isotonic"         -> (T.q339Isotonic(_, _)),
+    "q340_bayesian_ab"      -> (T.q340BayesianAB(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2097,6 +2098,114 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(iso AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS iso
         |FROM r JOIN i ON r.sc = i.sc AND r.bin = i.bin""".stripMargin,
+    // q340: exact Beta-posterior P(B>A) — the NR gammln formula is
+    // inlined ONCE (unpivot -> lgamma -> pivot) with the same literal
+    // coefficients and operation order as FastMath.lgammaValue, so both
+    // engines produce bit-identical doubles; i-ordered term fold; the
+    // normal fallback mirrors FastMath.erfcValue (unexercised at these
+    // SFs but replayed for shape parity)
+    "q340_bayesian_ab" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 0 ELSE 1 END AS a,
+        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT sc, CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - a) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END) AS BIGINT) AS s_b
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT sc, n_a, n_b, s_a, s_b,
+        |    1 + s_a AS aa, 1 + n_a - s_a AS ba,
+        |    1 + s_b AS ab, 1 + n_b - s_b AS bb FROM g),
+        |t AS (SELECT sc, aa, ba, ab, bb, unnest(range(0, ab)) AS i
+        |  FROM c WHERE ab <= 4096),
+        |ar AS (
+        |  SELECT sc, i, 1 AS role, CAST(aa + i AS DOUBLE) AS x FROM t
+        |  UNION ALL SELECT sc, i, 2, CAST(ba + bb AS DOUBLE) FROM t
+        |  UNION ALL SELECT sc, i, 3, CAST(aa + i + ba + bb AS DOUBLE) FROM t
+        |  UNION ALL SELECT sc, i, 4, CAST(1 + i AS DOUBLE) FROM t
+        |  UNION ALL SELECT sc, i, 5, CAST(bb AS DOUBLE) FROM t
+        |  UNION ALL SELECT sc, i, 6, CAST(1 + i + bb AS DOUBLE) FROM t
+        |  UNION ALL SELECT sc, i, 7, CAST(aa AS DOUBLE) FROM t
+        |  UNION ALL SELECT sc, i, 8, CAST(ba AS DOUBLE) FROM t
+        |  UNION ALL SELECT sc, i, 9, CAST(aa + ba AS DOUBLE) FROM t),
+        |lgv AS (SELECT sc, i, role,
+        |    -(x + 5.5 - (x + 0.5) * ln(x + 5.5))
+        |    + ln(2.5066282746310005 * (1.000000000190015
+        |      + 76.18009172947146 / (x + 1.0)
+        |      - 86.50532032941677 / (x + 2.0)
+        |      + 24.01409824083091 / (x + 3.0)
+        |      - 1.231739572450155 / (x + 4.0)
+        |      + 0.001208650973866179 / (x + 5.0)
+        |      - 0.000005395239384953 / (x + 6.0)) / x) AS v
+        |  FROM ar),
+        |pv AS (SELECT sc, i,
+        |    max(CASE WHEN role = 1 THEN v END) AS v1,
+        |    max(CASE WHEN role = 2 THEN v END) AS v2,
+        |    max(CASE WHEN role = 3 THEN v END) AS v3,
+        |    max(CASE WHEN role = 4 THEN v END) AS v4,
+        |    max(CASE WHEN role = 5 THEN v END) AS v5,
+        |    max(CASE WHEN role = 6 THEN v END) AS v6,
+        |    max(CASE WHEN role = 7 THEN v END) AS v7,
+        |    max(CASE WHEN role = 8 THEN v END) AS v8,
+        |    max(CASE WHEN role = 9 THEN v END) AS v9
+        |  FROM lgv GROUP BY 1, 2),
+        |tt AS (SELECT pv.sc, pv.i,
+        |    exp((v1 + v2 - v3) - ln(CAST(c.bb + pv.i AS DOUBLE))
+        |      - (v4 + v5 - v6) - (v7 + v8 - v9)) AS term
+        |  FROM pv JOIN c ON pv.sc = c.sc),
+        |sx AS (SELECT sc, list_reduce(list(term ORDER BY i),
+        |    (acc, u) -> acc + u) AS p_exact FROM tt GROUP BY 1),
+        |nrm AS (SELECT sc,
+        |    (CAST(ab AS DOUBLE) / CAST(ab + bb AS DOUBLE)
+        |     - CAST(aa AS DOUBLE) / CAST(aa + ba AS DOUBLE))
+        |    / sqrt(CAST(CAST(aa AS HUGEINT) * ba AS DOUBLE)
+        |        / CAST(CAST(aa + ba AS HUGEINT) * (aa + ba)
+        |          * (aa + ba + 1) AS DOUBLE)
+        |      + CAST(CAST(ab AS HUGEINT) * bb AS DOUBLE)
+        |        / CAST(CAST(ab + bb AS HUGEINT) * (ab + bb)
+        |          * (ab + bb + 1) AS DOUBLE)) AS z
+        |  FROM c),
+        |nr AS (SELECT sc, z, -z / 1.4142135623730951 AS za FROM nrm),
+        |np AS (SELECT sc,
+        |    0.5 * (CASE WHEN za >= 0 THEN
+        |      (1.0 / (1.0 + 0.5 * abs(za))) * exp(-za * za - 1.26551223
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (1.00002368
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (0.37409196
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (0.09678418
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (-0.18628806
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (0.27886807
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (-1.13520398
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (1.48851587
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (-0.82215223
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * 0.17087277)))))))))
+        |    ELSE 2.0 -
+        |      ((1.0 / (1.0 + 0.5 * abs(za))) * exp(-za * za - 1.26551223
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (1.00002368
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (0.37409196
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (0.09678418
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (-0.18628806
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (0.27886807
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (-1.13520398
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (1.48851587
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * (-0.82215223
+        |      + (1.0 / (1.0 + 0.5 * abs(za))) * 0.17087277))))))))))
+        |    END) AS pn
+        |  FROM nr)
+        |SELECT c.sc AS event_type, n_a, s_a, n_b, s_b,
+        |  CAST(round(CAST(CAST(CAST(aa AS DOUBLE) / CAST(aa + ba AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_a,
+        |  CAST(round(CAST(CAST(CAST(ab AS DOUBLE) / CAST(ab + bb AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_b,
+        |  CASE WHEN ab <= 4096 THEN
+        |    CAST(round(CAST(CAST(p_exact AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE)
+        |  ELSE
+        |    CAST(round(CAST(CAST(pn AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS p_b_gt_a,
+        |  CASE WHEN ab <= 4096 THEN 'exact' ELSE 'normal' END AS method
+        |FROM c LEFT JOIN sx ON c.sc = sx.sc
+        |  LEFT JOIN np ON c.sc = np.sc""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

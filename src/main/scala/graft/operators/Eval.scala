@@ -1590,4 +1590,91 @@ object Eval {
       when(okSe, ate - lit(1.96) * sqrt(se2)).as("lo"),
       when(okSe, ate + lit(1.96) * sqrt(se2)).as("hi"))
   }
+
+  /** Bayesian A/B per scope — the EXACT posterior P(p_B > p_A) for
+    * binary outcomes under Beta(α₀, β₀) priors, the anytime-readable
+    * companion to [[sprt]] (frequentist stopping) and [[twoProportionZ]]
+    * (fixed-horizon test): with integer posteriors A ~ Beta(a,b),
+    * B ~ Beta(c,d),
+    *   P(B > A) = Σ_{i=0}^{c−1} B(a+i, b+d) / [(d+i)·B(1+i, d)·B(a, b)]
+    * (Cook 2005) — a finite sum of Beta-function ratios, evaluated in
+    * log space via the pinned-formula [[graft.functions.FastMath
+    * .lgammaValue]] kernel so both engines run bit-identical doubles.
+    *
+    * Scale contract: the sum has c = α₀ + successes_B terms — data-
+    * scale, not census-scale — so scopes with c > `maxTerms` switch to
+    * the normal approximation (posterior means/variances are exact
+    * single divisions; Φ via the pinned [[graft.functions.FastMath
+    * .erfcValue]]), reported in `method`. At the counts where the
+    * switch happens the Beta posteriors are already
+    * indistinguishable from Gaussians far below the 6-decimal
+    * rounding, so the answer does not jump at the seam (spec-asserted
+    * near the boundary). The exact branch's term fold runs in
+    * i-order over a maxTerms-bounded array — partition-invariant.
+    *
+    * Scale shape: ONE scope census; the exact branch explodes ≤
+    * maxTerms rows per scope and folds them back; no row-scale joins.
+    * Output: (sc, n_a, s_a, n_b, s_b, mean_a, mean_b, p_b_gt_a,
+    * method). */
+  def bayesianAB(df: DataFrame, scopeCol: String, isArmA: Column,
+      labelCol: String, priorAlpha: Long = 1L, priorBeta: Long = 1L,
+      maxTerms: Long = 4096L): DataFrame = {
+    require(priorAlpha >= 1L && priorBeta >= 1L,
+      s"integer priors must be >= 1, got ($priorAlpha, $priorBeta)")
+    require(maxTerms >= 1L, s"maxTerms must be >= 1, got $maxTerms")
+    val dec = "decimal(38,0)"
+    val base = df.where(col(labelCol).isNotNull)
+      .select(col(scopeCol).as("sc"),
+        when(isArmA, 1L).otherwise(0L).as("a"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("y"))
+    val g = base.groupBy(col("sc")).agg(
+        sum(col("a")).as("n_a"), sum(lit(1L) - col("a")).as("n_b"),
+        sum(when(col("a") === 1L, col("y")).otherwise(0L)).as("s_a"),
+        sum(when(col("a") === 0L, col("y")).otherwise(0L)).as("s_b"))
+      .select(col("sc"), col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+        (lit(priorAlpha) + col("s_a")).as("aa"),
+        (lit(priorBeta) + col("n_a") - col("s_a")).as("ba"),
+        (lit(priorAlpha) + col("s_b")).as("ab"),
+        (lit(priorBeta) + col("n_b") - col("s_b")).as("bb"))
+      .localCheckpoint(false)
+    def lg(c: Column): Column =
+      graft.functions.FastMath.lgamma(c.cast("double"))
+    // exact branch: the c-term log-space sum, folded in i order
+    val ex = g.where(col("ab") <= maxTerms)
+      .select(col("sc"), col("aa"), col("ba"), col("ab"), col("bb"),
+        explode(sequence(lit(0L), col("ab") - 1L)).as("i"))
+    val bab = col("ba") + col("bb")
+    val lb1 = lg(col("aa") + col("i")) + lg(bab) -
+      lg(col("aa") + col("i") + bab)
+    val lb2 = lg(lit(1L) + col("i")) + lg(col("bb")) -
+      lg(lit(1L) + col("i") + col("bb"))
+    val lb3 = lg(col("aa")) + lg(col("ba")) - lg(col("aa") + col("ba"))
+    val lt = lb1 - log((col("bb") + col("i")).cast("double")) - lb2 - lb3
+    val pex = ex.select(col("sc"), col("i"), exp(lt).as("term"))
+      .groupBy(col("sc"))
+      .agg(sort_array(collect_list(struct(col("i"), col("term"))))
+        .as("ts"))
+      .select(col("sc"), aggregate(col("ts"), lit(0.0),
+        (acc, x) => acc + x.getField("term")).as("p_exact"))
+    // normal branch: exact posterior moments, pinned-formula Phi
+    def dd(c: Column): Column = c.cast("double")
+    val sA = (col("aa") + col("ba")).cast(dec)
+    val sB = (col("ab") + col("bb")).cast(dec)
+    val vA = (col("aa").cast(dec) * col("ba").cast(dec)).cast(dec)
+      .cast("double") / (sA * sA * (sA + 1)).cast(dec).cast("double")
+    val vB = (col("ab").cast(dec) * col("bb").cast(dec)).cast(dec)
+      .cast("double") / (sB * sB * (sB + 1)).cast(dec).cast("double")
+    val mA = dd(col("aa")) / dd(col("aa") + col("ba"))
+    val mB = dd(col("ab")) / dd(col("ab") + col("bb"))
+    val z = (mB - mA) / sqrt(vA + vB)
+    val pn = lit(0.5) *
+      graft.functions.FastMath.erfc(-z / lit(1.4142135623730951))
+    g.join(pex, Seq("sc"), "left")
+      .select(col("sc"), col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        mA.as("mean_a"), mB.as("mean_b"),
+        when(col("ab") <= maxTerms, col("p_exact")).otherwise(pn)
+          .as("p_b_gt_a"),
+        when(col("ab") <= maxTerms, lit("exact")).otherwise(lit("normal"))
+          .as("method"))
+  }
 }

@@ -1201,6 +1201,21 @@ object TimeSeries {
       .select($"sc".as("event_type"), $"bin", $"n", $"s",
         round($"rate", 6).as("rate"), round($"iso", 6).as("iso"))
 
+  /** q340 — Bayesian A/B ([[graft.operators.Eval.bayesianAB]]): the
+    * exact posterior P(weekend hit rate > weekday hit rate) per event
+    * type under uniform priors — the log-space Beta-ratio sum on the
+    * pinned-coefficient lgamma kernel, i-ordered fold, normal fallback
+    * above the term cap (unexercised here: s_B + 1 ≤ 4096 at sf0.1). */
+  def q340BayesianAB(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.bayesianAB(
+      events(spark, dir).select($"event_type",
+        !dayofweek(to_date($"ts")).isin(1, 7) as "wd",
+        ($"value" > 50.0).cast("long").as("hit")),
+      "event_type", $"wd", "hit")
+      .select($"sc".as("event_type"), $"n_a", $"s_a", $"n_b", $"s_b",
+        round($"mean_a", 6).as("mean_a"), round($"mean_b", 6).as("mean_b"),
+        round($"p_b_gt_a", 6).as("p_b_gt_a"), $"method")
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

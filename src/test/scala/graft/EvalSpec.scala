@@ -421,6 +421,41 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(!t.isNullAt(5) && t.isNullAt(6) && t.isNullAt(7))
   }
 
+  test("bayesianAB: exact Beta-ratio sum matches the hand-computed " +
+      "closed form; arm swap complements; normal fallback agrees at " +
+      "the seam") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, Boolean, Long)], cap: Long = 4096L) =
+      Eval.bayesianAB(rows.toDF("sc", "a", "y"), "sc", col("a"), "y",
+        maxTerms = cap).collect().head
+    // A: 1/2 hits -> Beta(2,2); B: 2/2 -> Beta(3,1); P(B>A) = 0.8
+    // (i-terms 0.5 + 0.2 + 0.1, worked from B(a,b) ratios)
+    val rows = Seq(("s", true, 1L), ("s", true, 0L),
+      ("s", false, 1L), ("s", false, 1L))
+    val r = run(rows)
+    assert(r.getAs[String]("method") == "exact")
+    assert(math.abs(r.getAs[Double]("p_b_gt_a") - 0.8) < 1e-8)
+    assert(r.getAs[Double]("mean_a") == 0.5 &&
+      r.getAs[Double]("mean_b") == 0.75)
+    // swapping the arms complements the probability exactly
+    val sw = run(rows.map { case (s, a, y) => (s, !a, y) })
+    assert(math.abs(r.getAs[Double]("p_b_gt_a") +
+      sw.getAs[Double]("p_b_gt_a") - 1.0) < 1e-9)
+    // seam: same 480/1000-vs-520/1000 data, exact vs forced-normal
+    // agree to ~1e-3 (the documented no-jump contract)
+    val big = (1 to 1000).map(i => ("s", true, if (i <= 480) 1L else 0L)) ++
+      (1 to 1000).map(i => ("s", false, if (i <= 520) 1L else 0L))
+    val exact = run(big)
+    val normal = run(big, cap = 10L)
+    assert(exact.getAs[String]("method") == "exact" &&
+      normal.getAs[String]("method") == "normal")
+    val pe = exact.getAs[Double]("p_b_gt_a")
+    val pnn = normal.getAs[Double]("p_b_gt_a")
+    assert(pe > 0.9 && math.abs(pe - pnn) < 2e-3,
+      s"exact $pe vs normal $pnn")
+  }
+
   test("sprt: strong evidence accepts H1 and latches; weak evidence " +
       "accepts H0; borderline continues") {
     import spark.implicits._

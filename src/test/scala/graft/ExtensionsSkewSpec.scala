@@ -37,10 +37,15 @@ class ExtensionsSkewSpec extends AnyFunSuite with SparkFixture {
         |graft_srp_bucket(array(1.0d, -2.0d, 0.5d), 0, 8) AS b,
         |graft_cosine(array(1.0d, 0.0d), array(2.0d, 0.0d)) AS cos,
         |graft_int_dot(array(2L, 3L), array(10L, 20L)) AS idot,
-        |graft_compress_ratio(repeat('spam ', 50)) AS cr""".stripMargin).head()
+        |graft_compress_ratio(repeat('spam ', 50)) AS cr,
+        |graft_lgamma(5.0d) AS lg,
+        |graft_erfc(0.0d) AS ef""".stripMargin).head()
     assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
     assert(r.getAs[Long]("idot") == 80L)
     assert(r.getAs[Double]("cr") < 0.2, "repeated text must crush")
+    // lnGamma(5) = ln(4!) = ln 24; erfc(0) = 1 (NR approximations)
+    assert(math.abs(r.getAs[Double]("lg") - math.log(24.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ef") - 1.0) < 1e-6)
     // cross-check against the library column APIs on the plain session
     import spark.implicits._
     val expectSh = Seq("alpha beta gamma").toDF("t")
