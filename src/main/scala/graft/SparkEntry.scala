@@ -362,6 +362,7 @@ object SparkEntry {
     "q338_stratified_ate"   -> (T.q338StratifiedAte(_, _)),
     "q339_isotonic"         -> (T.q339Isotonic(_, _)),
     "q340_bayesian_ab"      -> (T.q340BayesianAB(_, _)),
+    "q341_fuzzy_best_match" -> (R.q341FuzzyBestMatch(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2206,6 +2207,30 @@ object SparkEntry {
         |  CASE WHEN ab <= 4096 THEN 'exact' ELSE 'normal' END AS method
         |FROM c LEFT JOIN sx ON c.sc = sx.sc
         |  LEFT JOIN np ON c.sc = np.sc""".stripMargin,
+    // q341: DuckDB's jaro_winkler_similarity IS the pinned rapidfuzz
+    // formulation FastStringSim mirrors (probe-verified bit parity);
+    // blocked pairs, top-1 per left id by (jw desc, id_b)
+    "q341_fuzzy_best_match" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |pl AS (SELECT c_custkey + 1000000 AS id,
+        |    substring(c_name, 1, 17) || 'Q' AS name
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |r AS (SELECT id, name, substring(name, 1, 17) AS blk
+        |  FROM (SELECT * FROM c UNION ALL SELECT * FROM pl)),
+        |ok AS (SELECT blk FROM r GROUP BY blk HAVING count(*) <= 100000),
+        |k AS (SELECT r.* FROM r JOIN ok USING (blk)),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    a.name AS name_a, b.name AS name_b,
+        |    jaro_winkler_similarity(a.name, b.name) AS jw
+        |  FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id),
+        |f AS (SELECT id_a, id_b, name_a, name_b, jw,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY jw DESC, id_b)
+        |      AS rk
+        |  FROM p WHERE jw >= 0.95)
+        |SELECT id_a, id_b, name_a, name_b,
+        |  CAST(round(CAST(CAST(jw AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS jw
+        |FROM f WHERE rk = 1""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -92,4 +92,35 @@ object Linkage {
           .when(col("score") <= lower, "nonmatch")
           .otherwise("possible"))
   }
+
+  /** Graded-agreement linkage: the classic Winkler (1990) upgrade of
+    * [[fellegiSunter]]'s binary name comparison — per left record, the
+    * single best candidate by the codegen'd Jaro–Winkler kernel
+    * ([[graft.functions.FastStringSim]], DuckDB-bit-parity pinned),
+    * thresholded at `minSim`. The "which record is this a retyping of"
+    * primitive a survivorship/golden-record step consumes.
+    *
+    * Scale shape: candidates come from [[blockedCandidates]] (block
+    * exchange, per-block self-join, oversized blocks excluded loudly);
+    * the top-1 window partitions by the left id — bounded by that
+    * record's block, never global. Ties break (sim desc, id_b asc) —
+    * bit-deterministic because the kernel is. Output: (id_a, id_b,
+    * name_a, name_b, jw). */
+  def fuzzyBestMatch(records: DataFrame, idCol: String, blockCol: String,
+      nameCol: String, minSim: Double,
+      maxBlockSize: Int = 100000): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0,
+      s"minSim must be in [0,1], got $minSim")
+    val cand = blockedCandidates(records, idCol, blockCol, maxBlockSize)
+    val scored = cand.select(col("id_a"), col("id_b"),
+        col(s"${nameCol}_a").as("name_a"),
+        col(s"${nameCol}_b").as("name_b"),
+        graft.functions.FastStringSim.jaroWinkler(
+          col(s"${nameCol}_a"), col(s"${nameCol}_b")).as("jw"))
+      .where(col("jw") >= minSim)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("jw").desc, col("id_b"))
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1).drop("__rk")
+  }
 }

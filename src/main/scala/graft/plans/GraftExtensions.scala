@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Round}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{CdcChunksExpr, CosineExpr, DeflateRatioExpr, ErfcExpr, IntDotExpr, LgammaExpr, MaskRepeatedExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SortedIntersectExpr, SortedLookupExpr, SrpBucketExpr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CosineExpr, DeflateRatioExpr, ErfcExpr, IntDotExpr, JaroWinklerExpr, LgammaExpr, MaskRepeatedExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SortedIntersectExpr, SortedLookupExpr, SrpBucketExpr, WinnowFpsExpr}
 
 /** Catalyst integration (SURVEY §4 custom work item 2): the engine's
   * codegen'd expressions registered as SQL functions, plus a small
@@ -84,6 +84,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_lgamma"),
       new ExpressionInfo(classOf[LgammaExpr].getName, "graft_lgamma"),
       (args: Seq[Expression]) => LgammaExpr(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName,
+        "graft_jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinklerExpr(args.head, args(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_erfc"),
       new ExpressionInfo(classOf[ErfcExpr].getName, "graft_erfc"),

@@ -1086,4 +1086,24 @@ object Relational {
       .where($"decision" =!= "nonmatch")
       .select($"id_a", $"id_b", round($"score", 4).as("score"), $"decision")
   }
+
+  /** q341 — Jaro–Winkler best match ([[graft.operators.Linkage
+    * .fuzzyBestMatch]]): the q277 planted-twin population rescored with
+    * GRADED name agreement on the codegen'd [[graft.functions
+    * .FastStringSim]] kernel (DuckDB bit-parity pinned) — per record,
+    * the top candidate in its 17-char-prefix block at ≥ 0.95, ties
+    * broken (sim desc, id asc). */
+  def q341FuzzyBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey".as("id"), $"c_name".as("name"))
+    val planted = Tables.customer(spark, dir)
+      .where($"c_custkey" % 10 === 0)
+      .select(($"c_custkey" + 1000000L).as("id"),
+        concat(substring($"c_name", 1, 17), lit("Q")).as("name"))
+    val rec = c.unionByName(planted)
+      .withColumn("blk", substring($"name", 1, 17))
+    graft.operators.Linkage.fuzzyBestMatch(rec, "id", "blk", "name", 0.95)
+      .select($"id_a", $"id_b", $"name_a", $"name_b",
+        round($"jw", 6).as("jw"))
+  }
 }

@@ -53,4 +53,54 @@ class LinkageSpec extends AnyFunSuite with SparkFixture {
     // null f1 -> disagreement weight applies
     assert(math.abs(got(5L)._1 - (-math.log(9) / math.log(2) + 2.0)) < 1e-12)
   }
+
+  test("jaroWinkler kernel: DuckDB-probed goldens bit-match") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // values captured from duckdb jaro_winkler_similarity (repr) — the
+    // oracle-parity contract is BIT equality, not approximate
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("abc", "abc", 1.0), ("abc", "xyz", 0.0),
+      ("", "abc", 0.0), ("", "", 0.0), ("ab", "ba", 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("DwAyNE", "DuANE", 0.8400000000000001),
+      ("arnab", "aranb", 0.9466666666666665),
+      ("prefixmatch", "prefixmxtch", 0.9636363636363636),
+      ("aaaaaaaaaa", "aaaaaaaaab", 0.96),
+      // boost suppressed at jaro <= 0.7 despite the common prefix
+      ("aaxxxxxx", "aayyyyyy", 0.5), ("abcdef", "abzzzz", 0.5555555555555555))
+    cases.foreach { case (a, b, v) =>
+      val got = graft.functions.FastStringSim.jaroWinklerValue(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(v), s"'$a'/'$b': $got != $v")
+    }
+  }
+
+  test("fuzzyBestMatch: picks the closest name per record; threshold " +
+      "filters; equal scores break by id") {
+    import spark.implicits._
+    val rec = Seq(
+      (1L, "b", "jonathan smith"), (2L, "b", "jonathan smith"),
+      (3L, "b", "jonathan smyth"), (4L, "b", "zzzz qqqq vvvv"))
+      .toDF("id", "blk", "name")
+    val got = Linkage.fuzzyBestMatch(rec, "id", "blk", "name", 0.9)
+      .collect().map(r => r.getAs[Long]("id_a") ->
+        ((r.getAs[Long]("id_b"), r.getAs[Double]("jw")))).toMap
+    // 1's best is the identical 2 (jw 1.0), not the one-char-off 3
+    assert(got(1L) == ((2L, 1.0)))
+    // 2's best remaining candidate is 3 (identical 1 is id_a side only)
+    assert(got(2L)._1 == 3L && got(2L)._2 < 1.0 && got(2L)._2 > 0.9)
+    // the unrelated name never crosses 0.9 in either role
+    assert(!got.contains(4L) && got.values.forall(_._1 != 4L))
+    // tie: two identical candidates -> smaller id wins
+    val tie = Seq((1L, "b", "abc"), (2L, "b", "abc"), (3L, "b", "abc"))
+      .toDF("id", "blk", "name")
+    val t = Linkage.fuzzyBestMatch(tie, "id", "blk", "name", 0.5)
+      .collect().map(r => r.getAs[Long]("id_a") -> r.getAs[Long]("id_b"))
+      .toMap
+    assert(t(1L) == 2L && t(2L) == 3L)
+  }
 }
