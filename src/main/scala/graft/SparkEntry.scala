@@ -363,6 +363,7 @@ object SparkEntry {
     "q339_isotonic"         -> (T.q339Isotonic(_, _)),
     "q340_bayesian_ab"      -> (T.q340BayesianAB(_, _)),
     "q341_fuzzy_best_match" -> (R.q341FuzzyBestMatch(_, _)),
+    "q342_random_walks"     -> (R.q342RandomWalks(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2231,6 +2232,37 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(jw AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS jw
         |FROM f WHERE rk = 1""".stripMargin,
+    // q342: md5-indexed hops over neighbor-sorted adjacency, unrolled;
+    // hop t of walk w picks idx = int(md5('graft8:'||w||':'||t)) % deg
+    "q342_random_walks" ->
+      """WITH pairs AS (SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ed AS (SELECT DISTINCT u, v FROM
+        |  (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)
+        |  WHERE u IS NOT NULL AND v IS NOT NULL),
+        |adj AS (SELECT u, v,
+        |    CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1
+        |      AS BIGINT) AS idx,
+        |    CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS deg
+        |  FROM ed),
+        |f0 AS (SELECT CAST(u AS VARCHAR) || '#0' AS walk, u AS cur
+        |  FROM (SELECT DISTINCT u FROM adj)),
+        |f1 AS (SELECT f0.walk, adj.v AS cur FROM f0 JOIN adj
+        |  ON f0.cur = adj.u AND adj.idx =
+        |    CAST(('0x' || substr(md5('graft8:' || f0.walk || ':1'), 1, 12))
+        |      AS BIGINT) % adj.deg),
+        |f2 AS (SELECT f1.walk, adj.v AS cur FROM f1 JOIN adj
+        |  ON f1.cur = adj.u AND adj.idx =
+        |    CAST(('0x' || substr(md5('graft8:' || f1.walk || ':2'), 1, 12))
+        |      AS BIGINT) % adj.deg),
+        |f3 AS (SELECT f2.walk, adj.v AS cur FROM f2 JOIN adj
+        |  ON f2.cur = adj.u AND adj.idx =
+        |    CAST(('0x' || substr(md5('graft8:' || f2.walk || ':3'), 1, 12))
+        |      AS BIGINT) % adj.deg)
+        |SELECT walk, CAST(0 AS BIGINT) AS step, cur AS node FROM f0
+        |UNION ALL SELECT walk, CAST(1 AS BIGINT), cur FROM f1
+        |UNION ALL SELECT walk, CAST(2 AS BIGINT), cur FROM f2
+        |UNION ALL SELECT walk, CAST(3 AS BIGINT), cur FROM f3""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -285,4 +285,61 @@ object Graph {
             col("__sxx") - (col("__sx") * col("__sx")).cast(dec))
             .cast("decimal(38,0)").cast("double")).as("r_assort"))
   }
+
+  /** Seeded random-walk corpus — the node2vec/DeepWalk sampling step
+    * (Perozzi 2014): `walksPerNode` walks of `steps` hops from every
+    * node with out-edges, emitting (walk, step, node) rows an embedding
+    * trainer consumes as sentences. NOT pseudo-random at the engine's
+    * whim: hop t of walk w picks neighbor index
+    * `md5(seed:w:t) % degree` over the NEIGHBOR-SORTED adjacency — the
+    * [[graft.operators.Splits]] md5 determinism, so the same corpus
+    * falls out on any cluster, any partitioning, any engine (the
+    * oracle replays the hops verbatim). A walk that reaches a sink
+    * node (no out-edges) simply ends — prefixes stay in the output.
+    *
+    * Scale shape: adjacency is indexed ONCE ((u, v, idx, deg) via a
+    * per-node window — partitions bounded by degree) and checkpointed;
+    * each hop is ONE equi-join of the frontier against it (the
+    * [[pageRank]] one-exchange-per-round discipline), with per-round
+    * lineage cuts. Walk count = nodes × walksPerNode rows per round —
+    * linear, never quadratic. steps is bounded (≤ 16) because each hop
+    * is a full frontier exchange: long walks belong to repeated short
+    * walks, not deep ones (the DeepWalk configuration itself). */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int, seed: String, walksPerNode: Int = 1): DataFrame = {
+    require(steps >= 1 && steps <= 16,
+      s"steps must be in [1,16], got $steps")
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode must be in [1,64], got $walksPerNode")
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("v"))
+    val wDeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u"))
+    val adj = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull).distinct()
+      .select(col("u"), col("v"),
+        (row_number().over(wIdx) - 1).cast("long").as("idx"),
+        count(lit(1)).over(wDeg).as("deg"))
+      .localCheckpoint(false)
+    val frontier0 = adj.select(col("u")).distinct()
+      .select(col("u").as("cur"),
+        explode(array((0 until walksPerNode).map(lit(_)): _*)).as("w"))
+      .select(concat(col("cur").cast("string"), lit("#"),
+        col("w").cast("string")).as("walk"), col("cur"))
+    var out = frontier0.select(col("walk"), lit(0L).as("step"),
+      col("cur").as("node"))
+    var frontier = frontier0
+    for (t <- 1 to steps) {
+      val h = conv(substring(md5(concat(lit(seed), lit(":"), col("walk"),
+        lit(":"), lit(t.toString))), 1, 12), 16, 10).cast("long")
+      val hop = frontier.join(adj, frontier("cur") === adj("u"))
+        .where(col("idx") === h % col("deg"))
+        .select(col("walk"), col("v").as("cur"))
+        .localCheckpoint(false)
+      out = out.unionByName(hop.select(col("walk"),
+        lit(t.toLong).as("step"), col("cur").as("node")))
+      frontier = hop
+    }
+    out
+  }
 }

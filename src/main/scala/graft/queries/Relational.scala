@@ -947,6 +947,22 @@ object Relational {
         round($"modularity", 6).as("modularity"))
   }
 
+  /** q342 — seeded random walks ([[graft.operators.Graph.randomWalks]]):
+    * a 3-hop DeepWalk corpus over the symmetrized customer–supplier
+    * trade graph — md5-indexed hops over neighbor-sorted adjacency, so
+    * the sampled "sentences" are identical on any cluster and the
+    * oracle replays every hop. */
+  def q342RandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val both = pairs.unionByName(pairs.select($"v".as("u"), $"u".as("v")))
+    graft.operators.Graph.randomWalks(both, "u", "v",
+        steps = 3, seed = "graft8")
+      .select($"walk", $"step", $"node")
+  }
+
   /** q314 — global transitivity ([[graft.operators.Triangles
     * .transitivity]]) of the Brand#11 co-purchase graph: the fraction
     * of open part-pair wedges that close into triangles — 3T/W as one

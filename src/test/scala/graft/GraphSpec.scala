@@ -91,4 +91,40 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       6L -> "b")
     assert(run(twoTri, bad)._4.get < 0.0)
   }
+
+  test("randomWalks: hops follow real edges, sinks end walks with the " +
+      "prefix kept, and the corpus is partition-invariant") {
+    import spark.implicits._
+    // 3 has no out-edges: any walk reaching it stops there
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L), (4L, 1L), (1L, 4L))
+    val df = edges.toDF("s", "d")
+    val out = Graph.randomWalks(df, "s", "d", steps = 3, seed = "t")
+      .collect().map(r => (r.getAs[String]("walk"), r.getAs[Long]("step"),
+        r.getAs[Long]("node")))
+    // every node with out-edges starts exactly one walk at step 0
+    val starts = out.filter(_._2 == 0L).map(_._3).sorted
+    assert(starts.toSeq == Seq(1L, 2L, 4L))
+    // consecutive steps of a walk traverse actual edges
+    val byWalk = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    val es = edges.toSet
+    byWalk.values.foreach { path =>
+      path.zip(path.tail).foreach(p => assert(es.contains(p),
+        s"hop $p not an edge in path ${path.toSeq}"))
+    }
+    // walks hitting the sink are shorter; no walk continues past 3
+    byWalk.values.foreach { path =>
+      val i = path.indexOf(3L)
+      if (i >= 0) assert(i == path.length - 1, s"walked past sink: $path")
+    }
+    // determinism under different partitioning
+    val out2 = Graph.randomWalks(df.repartition(7), "s", "d", 3, "t")
+      .collect().map(r => (r.getAs[String]("walk"), r.getAs[Long]("step"),
+        r.getAs[Long]("node"))).sorted
+    assert(out.sorted.toSeq == out2.toSeq)
+    // walksPerNode fans out with distinct #w suffixes (and they may
+    // take different routes because the hash keys differ)
+    val multi = Graph.randomWalks(df, "s", "d", 2, "t", walksPerNode = 2)
+      .collect().map(_.getAs[String]("walk")).distinct
+    assert(multi.count(_.startsWith("1#")) == 2)
+  }
 }
