@@ -252,4 +252,28 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
     val moved = shuffledBytes(SparkEntry.queries("q325_hll_intersect")(spark, dir))
     assert(moved < (2L << 20), s"event rows leaked into a shuffle: $moved bytes")
   }
+
+  test("q335/q336/q338 experiment censuses shuffle scope cells, never " +
+      "events") {
+    for (q <- Seq("q335_welch_t", "q336_anova_f", "q338_stratified_ate")) {
+      val moved = shuffledBytes(SparkEntry.queries(q)(spark, dir))
+      assert(moved > 0, s"$q: harness read zero — measurement broken")
+      assert(moved < (1L << 20), s"$q: events leaked into a shuffle: " +
+        s"$moved bytes")
+    }
+  }
+
+  test("q339 isotonic shuffles bin censuses and the bins-squared grid, " +
+      "never rows") {
+    val moved = shuffledBytes(SparkEntry.queries("q339_isotonic")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    assert(moved < (2L << 20), s"rows leaked into a shuffle: $moved bytes")
+  }
+
+  test("q340 bayesian A/B shuffles the maxTerms-bounded term table, " +
+      "never events") {
+    val moved = shuffledBytes(SparkEntry.queries("q340_bayesian_ab")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    assert(moved < (4L << 20), s"events leaked into a shuffle: $moved bytes")
+  }
 }
