@@ -364,6 +364,8 @@ object SparkEntry {
     "q340_bayesian_ab"      -> (T.q340BayesianAB(_, _)),
     "q341_fuzzy_best_match" -> (R.q341FuzzyBestMatch(_, _)),
     "q342_random_walks"     -> (R.q342RandomWalks(_, _)),
+    "q343_quantile_norm"    -> (T.q343QuantileNorm(_, _)),
+    "q344_leave_one_out"    -> (T.q344LeaveOneOut(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2263,6 +2265,71 @@ object SparkEntry {
         |UNION ALL SELECT walk, CAST(1 AS BIGINT), cur FROM f1
         |UNION ALL SELECT walk, CAST(2 AS BIGINT), cur FROM f2
         |UNION ALL SELECT walk, CAST(3 AS BIGINT), cur FROM f3""".stripMargin,
+    // q343: merged integer censuses; target rank k = ceil(cum*N/ng) in
+    // exact integer arithmetic; first pooled value at rank >= k via
+    // min-over-forward-frame (query rows order before pooled on ties)
+    "q343_quantile_norm" ->
+      """WITH e AS (SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT)
+        |    AS sc, event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |q AS (SELECT sc, g, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2, 3),
+        |qc AS (SELECT sc, g, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY sc, g ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY sc, g) AS BIGINT) AS ng
+        |  FROM q),
+        |p AS (SELECT sc, v AS pv, CAST(count(*) AS BIGINT) AS pcnt
+        |  FROM e GROUP BY 1, 2),
+        |pc AS (SELECT sc, pv,
+        |    CAST(sum(pcnt) OVER (PARTITION BY sc ORDER BY pv) AS BIGINT)
+        |      AS pcum,
+        |    CAST(sum(pcnt) OVER (PARTITION BY sc) AS BIGINT) AS nn
+        |  FROM p),
+        |qk AS (SELECT qc.sc, g, v, cnt, (cum * t.nn + ng - 1) // ng AS key
+        |  FROM qc JOIN (SELECT DISTINCT sc, nn FROM pc) t ON qc.sc = t.sc),
+        |m AS (SELECT sc, key, 0 AS tag, g, v, cnt,
+        |    CAST(NULL AS BIGINT) AS pv FROM qk
+        |  UNION ALL SELECT sc, pcum, 1, NULL, NULL, NULL, pv FROM pc),
+        |w AS (SELECT sc, g, v, cnt, tag,
+        |    min(pv) OVER (PARTITION BY sc ORDER BY key, tag
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_norm
+        |  FROM m)
+        |SELECT sc AS dow, g AS event_type, v, cnt AS n, v_norm
+        |FROM w WHERE tag = 0""".stripMargin,
+    // q344: closed-form moment subtraction; every statistic a pinned
+    // combination of single divisions over exact sums
+    "q344_leave_one_out" ->
+      """WITH e AS (SELECT event_type AS sc, user_id % 10 AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT sc, g, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(y) AS HUGEINT) AS s_g,
+        |    sum(CAST(y AS HUGEINT) * y) AS q_g
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT sc, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS HUGEINT) AS s,
+        |    CAST(sum(q_g) AS HUGEINT) AS q FROM c GROUP BY 1),
+        |j AS (SELECT c.sc, g, n_g, s_g, q_g, n, s, q,
+        |    n - n_g AS rn, s - s_g AS rs, q - q_g AS rq
+        |  FROM c JOIN t ON c.sc = t.sc)
+        |SELECT sc AS event_type, g AS cohort, n_g,
+        |  CAST(round(CAST(CAST(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_g,
+        |  CAST(round(CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_all,
+        |  CASE WHEN rn > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(rs AS DOUBLE) / CAST(rn AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS loo_mean,
+        |  CASE WHEN rn > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(rs AS DOUBLE) / CAST(rn AS DOUBLE)
+        |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS delta_mean,
+        |  CASE WHEN rn > 1 THEN
+        |    CAST(round(CAST(CAST(CAST(rn * rq - rs * rs AS DOUBLE)
+        |      / CAST(CAST(rn AS HUGEINT) * (rn - 1) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) END AS loo_var
+        |FROM j""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -71,4 +71,70 @@ object Normalize {
         col("n_eq") + lit(1)).cast("double") /
         (sum(col("n_eq")).over(wn) * 2).cast("double")).as("quantile")): _*)
   }
+
+  /** Full quantile normalization onto the POOLED distribution — the
+    * cross-source harmonization [[rankNormalize]] stops short of:
+    * rank-normalize puts every group on [0, 1]; this maps each group's
+    * values onto the pooled value SCALE (microarray-style quantile
+    * normalization), so "a 90th-percentile document from source g"
+    * becomes the pooled 90th-percentile VALUE, and downstream absolute
+    * thresholds mean the same thing for every source.
+    *
+    * Entirely integer: per-(scope, group, value) and pooled censuses
+    * with cumulative counts; a group value at upper rank `cum` of
+    * `n_g` maps to the pooled value at rank k = ⌈cum·N/n_g⌉ (exact
+    * integer ceil-division), found by MERGING the two censuses and
+    * taking min-over-following-pooled-rows in one window — no per-row
+    * sort, no non-equi join, no floats anywhere (the
+    * [[graft.operators.Divergence.wassersteinFromCensus]] merged-census
+    * discipline). Bit-deterministic at any parallelism.
+    *
+    * Bounds: values are the caller's discretization (cents, bins), so
+    * every window partitions at census scale; cum·N must fit a long —
+    * per-scope rows ≤ ~3·10⁹, beyond which discretize coarser (the
+    * contract is loud in the arithmetic, not silently lossy).
+    *
+    * Output: one row per (sc, g, v) with its count and the pooled
+    * target value `v_norm`. */
+  def quantileNormalize(df: DataFrame, scopeCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"), col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+    val wg = Window.partitionBy(col("sc"), col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wgn = Window.partitionBy(col("sc"), col("g"))
+    val q = base.groupBy(col("sc"), col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("sc"), col("g"), col("v"), col("cnt"),
+        sum(col("cnt")).over(wg).as("cum"),
+        sum(col("cnt")).over(wgn).as("ng"))
+    val wp = Window.partitionBy(col("sc")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wpn = Window.partitionBy(col("sc"))
+    val p = base.groupBy(col("sc"), col("v")).agg(count(lit(1)).as("pcnt"))
+      .select(col("sc"), col("v").as("pv"),
+        sum(col("pcnt")).over(wp).as("pcum"),
+        sum(col("pcnt")).over(wpn).as("nn"))
+    val qk = q.join(p.select(col("sc"), col("nn")).distinct(), "sc")
+      .select(col("sc"), col("g"), col("v"), col("cnt"),
+        expr("(cum * nn + ng - 1) div ng").as("key"))
+    val merged = qk.select(col("sc"), col("key"), lit(0).as("tag"),
+        col("g"), col("v"), col("cnt"), lit(null).cast("long").as("pv"))
+      .unionByName(p.select(col("sc"), col("pcum").as("key"),
+        lit(1).as("tag"), lit(null).cast(qk.schema("g").dataType).as("g"),
+        lit(null).cast("long").as("v"), lit(null).cast("long").as("cnt"),
+        col("pv")))
+    // pooled values rise with pcum, so the first pooled row at or after
+    // the target rank is min(pv) over the forward frame (query rows
+    // order BEFORE pooled at the same key: ties are inclusive)
+    val wm = Window.partitionBy(col("sc"))
+      .orderBy(col("key"), col("tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged.select(col("sc"), col("g"), col("v"), col("cnt"),
+        col("tag"), min(col("pv")).over(wm).as("v_norm"))
+      .where(col("tag") === 0)
+      .select(col("sc"), col("g"), col("v"), col("cnt").as("n"),
+        col("v_norm"))
+  }
 }

@@ -485,4 +485,55 @@ object Profile {
         (coalesce(col("__n1"), lit(0L)).cast("double") /
           col("n_tok").cast("double")).as("p0"))
   }
+
+  /** Leave-one-group-out influence — the cheapest honest answer to
+    * "which source is dragging the metric": because mean and variance
+    * are closed forms of (n, Σy, Σy²), the corpus-without-group-g
+    * statistics need NO recomputation pass — subtract g's exact
+    * moments from the scope totals. delta_mean > 0 reads "removing g
+    * RAISES the mean" (g pulls it down). The group-level face of
+    * data-valuation scans (leave-one-out over sources, not rows —
+    * row-level influence at 100 TB is a training-loop concern, not an
+    * engine one).
+    *
+    * Exactness: all moments are exact decimal sums; every reported
+    * statistic is a pinned-shape combination of single divisions.
+    * loo_mean null when g is the whole scope; loo_var null when fewer
+    * than 2 rows remain.
+    *
+    * Scale shape: one (scope, group) census aggregation, one scope
+    * rollup of that census, one census-grain join back — map-side
+    * combined, nothing row-scale after the first pass. Output:
+    * (sc, g, n_g, mean_g, mean_all, loo_mean, delta_mean, loo_var). */
+  def leaveOneOut(df: DataFrame, scopeCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"), col(groupCol).as("g"),
+        col(valueCol).cast("long").as("y"))
+    val yD = col("y").cast(dec)
+    val cell = base.groupBy(col("sc"), col("g")).agg(
+        count(lit(1L)).as("n_g"), sum(yD).cast(dec).as("s_g"),
+        sum((yD * yD).cast(dec)).cast(dec).as("q_g"))
+      .localCheckpoint(false)
+    val tot = cell.groupBy(col("sc")).agg(
+      sum(col("n_g")).as("n"), sum(col("s_g")).cast(dec).as("s"),
+      sum(col("q_g")).cast(dec).as("q"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val j = cell.join(tot, "sc")
+    val rn = (col("n") - col("n_g"))
+    val rs = (col("s") - col("s_g")).cast(dec)
+    val rq = (col("q") - col("q_g")).cast(dec)
+    val rnD = rn.cast(dec)
+    val meanAll = dd(col("s")) / dd(col("n"))
+    val looMean = dd(rs) / dd(rn)
+    val looVar = (rnD * rq - rs * rs).cast(dec).cast("double") /
+      (rnD * (rnD - 1)).cast(dec).cast("double")
+    j.select(col("sc"), col("g"), col("n_g"),
+      (dd(col("s_g")) / dd(col("n_g"))).as("mean_g"),
+      meanAll.as("mean_all"),
+      when(rn > 0L, looMean).as("loo_mean"),
+      when(rn > 0L, looMean - meanAll).as("delta_mean"),
+      when(rn > 1L, looVar).as("loo_var"))
+  }
 }

@@ -1216,6 +1216,36 @@ object TimeSeries {
         round($"mean_a", 6).as("mean_a"), round($"mean_b", 6).as("mean_b"),
         round($"p_b_gt_a", 6).as("p_b_gt_a"), $"method")
 
+  /** q343 — pooled quantile normalization ([[graft.operators.Normalize
+    * .quantileNormalize]]): per day-of-week, map every event type's
+    * cent distribution onto the pooled cent scale — merged integer
+    * censuses, exact ceil-rank arithmetic, zero floats. */
+  def q343QuantileNorm(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Normalize.quantileNormalize(
+      events(spark, dir).select(
+        dayofweek(to_date($"ts")).cast("int").as("dow"), $"event_type",
+        round($"value" * 100).cast("long").as("cents")),
+      "dow", "event_type", "cents")
+      .select($"sc".as("dow"), $"g".as("event_type"), $"v", $"n",
+        $"v_norm")
+
+  /** q344 — leave-one-group-out influence ([[graft.operators.Profile
+    * .leaveOneOut]]): per event type, which user cohort (user_id mod
+    * 10) drags the cent mean — closed-form moment subtraction, no
+    * second pass. */
+  def q344LeaveOneOut(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.leaveOneOut(
+      events(spark, dir).select($"event_type",
+        ($"user_id" % 10).as("cohort"),
+        round($"value" * 100).cast("long").as("cents")),
+      "event_type", "cohort", "cents")
+      .select($"sc".as("event_type"), $"g".as("cohort"), $"n_g",
+        round($"mean_g", 6).as("mean_g"),
+        round($"mean_all", 6).as("mean_all"),
+        round($"loo_mean", 6).as("loo_mean"),
+        round($"delta_mean", 6).as("delta_mean"),
+        round($"loo_var", 4).as("loo_var"))
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

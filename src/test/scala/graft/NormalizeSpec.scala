@@ -55,4 +55,35 @@ class NormalizeSpec extends AnyFunSuite with SparkFixture {
     got.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a < b)
       case _ => () }
   }
+
+  test("quantileNormalize: shifted groups land on the same pooled " +
+      "ladder; ties map to the pooled rank; partition-invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String, Long)]) =
+      Normalize.quantileNormalize(rows.toDF("sc", "g", "v"),
+        "sc", "g", "v").collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("v")) ->
+          r.getAs[Long]("v_norm")).toMap
+    // g1 = [1,2,3,4], g2 = [11,12,13,14]: pooled ladder at ranks
+    // 2,4,6,8 is [2,4,12,14] — BOTH groups map onto it identically
+    val rows = Seq(1L, 2L, 3L, 4L).map(("s", "g1", _)) ++
+      Seq(11L, 12L, 13L, 14L).map(("s", "g2", _))
+    val f = run(rows)
+    assert(Seq(1L, 2L, 3L, 4L).map(v => f(("g1", v))) ==
+      Seq(2L, 4L, 12L, 14L))
+    assert(Seq(11L, 12L, 13L, 14L).map(v => f(("g2", v))) ==
+      Seq(2L, 4L, 12L, 14L))
+    // ties: g1 = [5,5] (cum 2 of 2 -> pooled rank 3), g2 = [7]
+    val t = run(Seq(("s", "g1", 5L), ("s", "g1", 5L), ("s", "g2", 7L)))
+    assert(t(("g1", 5L)) == 7L && t(("g2", 7L)) == 7L)
+    // determinism under different partitioning
+    import org.apache.spark.sql.functions.col
+    val big = Seq.tabulate(200)(i => ("s", "g" + (i % 3), (i * 17 % 41).toLong))
+    val a = Normalize.quantileNormalize(big.toDF("sc", "g", "v"),
+      "sc", "g", "v").orderBy(col("g"), col("v")).collect().toSeq
+    val b = Normalize.quantileNormalize(
+      big.toDF("sc", "g", "v").repartition(13), "sc", "g", "v")
+      .orderBy(col("g"), col("v")).collect().toSeq
+    assert(a == b)
+  }
 }

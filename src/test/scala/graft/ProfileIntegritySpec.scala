@@ -238,4 +238,27 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
       "g", "t").collect().map(_.getAs[Double]("p0")).distinct
     assert(p0s.sameElements(Array(0.0)), "no hapax -> unseen mass 0")
   }
+
+  test("leaveOneOut: moment subtraction matches hand recomputation; " +
+      "removing the whole scope nulls loudly") {
+    import spark.implicits._
+    val rows = Seq(("s", "a", 0L), ("s", "a", 0L), ("s", "b", 10L),
+      ("s", "b", 10L), ("s", "c", 2L))
+    val got = graft.operators.Profile.leaveOneOut(
+        rows.toDF("sc", "g", "y"), "sc", "g", "y")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("a").getAs[Double]("mean_all") == 4.4)
+    // without a: [10,10,2] -> mean 22/3, sample var 128/6
+    assert(math.abs(got("a").getAs[Double]("loo_mean") - 22.0 / 3) < 1e-9)
+    assert(math.abs(got("a").getAs[Double]("delta_mean") -
+      (22.0 / 3 - 4.4)) < 1e-9)
+    assert(math.abs(got("a").getAs[Double]("loo_var") - 128.0 / 6) < 1e-9)
+    // removing b LOWERS the mean: delta negative
+    assert(got("b").getAs[Double]("delta_mean") < 0)
+    // a group that IS the scope: nothing remains, nulls
+    val solo = graft.operators.Profile.leaveOneOut(
+        Seq(("t", "only", 5L)).toDF("sc", "g", "y"), "sc", "g", "y")
+      .collect().head
+    assert(solo.isNullAt(5) && solo.isNullAt(6) && solo.isNullAt(7))
+  }
 }
