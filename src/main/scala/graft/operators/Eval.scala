@@ -1420,6 +1420,23 @@ object Eval {
         .otherwise(lit(0).cast(dec))).cast(dec).as("qa"),
       sum(when(col("a") === 0L, (yD * yD).cast(dec))
         .otherwise(lit(0).cast(dec))).cast(dec).as("qb"))
+    welchTFromCensus(g, "sc", "n_a", "n_b", "sa", "sb", "qa", "qb")
+  }
+
+  /** [[welchT]] on a pre-aggregated per-scope moment census — the seam
+    * a streaming twin plugs into ([[graft.streaming.Streams
+    * .experimentCensusStream]] maintains exactly these six exact sums
+    * as its only state; the [[sprtFromCensus]] pattern). Moments are
+    * exact integers/decimals, so streamed and batch censuses are
+    * IDENTICAL after any prefix and the statistics follow. */
+  def welchTFromCensus(census: DataFrame, scopeCol: String,
+      nACol: String, nBCol: String, sACol: String, sBCol: String,
+      qACol: String, qBCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = census.select(col(scopeCol).as("sc"),
+      col(nACol).cast("long").as("n_a"), col(nBCol).cast("long").as("n_b"),
+      col(sACol).cast(dec).as("sa"), col(sBCol).cast(dec).as("sb"),
+      col(qACol).cast(dec).as("qa"), col(qBCol).cast(dec).as("qb"))
     def dd(c: Column): Column = c.cast("double")
     val naD = col("n_a").cast(dec); val nbD = col("n_b").cast(dec)
     val ma = dd(col("sa")) / dd(col("n_a"))

@@ -496,6 +496,34 @@ object Streams {
       .groupBy(col("sc"), col("p"))
       .agg(sum(lit(1L)).as("n"), sum(col("__y")).as("s"))
 
+  /** Streaming experiment-moment census ([[graft.operators.Eval.welchT]]
+    * twin): per scope, ONLY the six exact sums (n, Σy, Σy²) per arm as
+    * state — fixed-size however long the experiment runs, the
+    * anytime-readable companion to [[sprtCensusStream]]. Feed the
+    * output to [[graft.operators.Eval.welchTFromCensus]]: because the
+    * census is exact integer/decimal arithmetic, the streamed moments
+    * EQUAL the batch moments after any prefix, and so do t/df/d
+    * (parity spec-asserted). armCol: nonzero = arm A. */
+  def experimentCensusStream(rows: DataFrame, scopeCol: String,
+      armCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val yD = col("__y").cast(dec)
+    rows.select(col(scopeCol).as("sc"),
+        when(col(armCol).cast("long") =!= 0L, 1L).otherwise(0L).as("__a"),
+        col(valueCol).cast("long").as("__y"))
+      .where(col("__y").isNotNull)
+      .groupBy(col("sc"))
+      .agg(sum(col("__a")).as("n_a"), sum(lit(1L) - col("__a")).as("n_b"),
+        sum(when(col("__a") === 1L, yD).otherwise(lit(0).cast(dec)))
+          .cast(dec).as("sa"),
+        sum(when(col("__a") === 0L, yD).otherwise(lit(0).cast(dec)))
+          .cast(dec).as("sb"),
+        sum(when(col("__a") === 1L, (yD * yD).cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(dec).as("qa"),
+        sum(when(col("__a") === 0L, (yD * yD).cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(dec).as("qb"))
+  }
+
   case class BurstState(times: List[Long], peak: Long, n: Long)
   case class BurstOut(user_id: Long, n_events: Long, peak_rate: Long)
 

@@ -1060,6 +1060,46 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming experiment census feeds identical Welch statistics " +
+      "as batch welchT on every prefix (q335 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_type",
+        dayofweek(to_date($"ts")).isin(1, 7).cast("long").as("wk"),
+        round($"value" * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = Streams.experimentCensusStream(
+      mem.toDF().toDF("event_type", "wk", "cents"),
+      "event_type", "wk", "cents")
+    val q = out.writeStream.format("memory").queryName("welch_stream")
+      .outputMode("complete").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      var seen = IndexedSeq.empty[(String, Long, Long)]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+          ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+            Option(r.getAs[Double]("t")), Option(r.getAs[Double]("df")),
+            Option(r.getAs[Double]("cohen_d"))))
+        val streamed = graft.operators.Eval.welchTFromCensus(
+            spark.table("welch_stream"), "sc", "n_a", "n_b",
+            "sa", "sb", "qa", "qb")
+          .collect().map(key).toMap
+        val batch = graft.operators.Eval.welchT(
+            seen.toDF("event_type", "wk", "cents"),
+            "event_type", org.apache.spark.sql.functions.col("wk") === 1L,
+            "cents")
+          .collect().map(key).toMap
+        assert(streamed == batch, s"prefix of ${seen.length}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel matches batch depth across micro-batches (q278 twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
