@@ -366,6 +366,7 @@ object SparkEntry {
     "q342_random_walks"     -> (R.q342RandomWalks(_, _)),
     "q343_quantile_norm"    -> (T.q343QuantileNorm(_, _)),
     "q344_leave_one_out"    -> (T.q344LeaveOneOut(_, _)),
+    "q345_negative_samples" -> (D.q345NegativeSamples(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2330,6 +2331,30 @@ object SparkEntry {
         |      / CAST(CAST(rn AS HUGEINT) * (rn - 1) AS DOUBLE)
         |    AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) END AS loo_var
         |FROM j""".stripMargin,
+    // q345: integer sqrt-smoothed weights (IEEE sqrt exact), md5 draw
+    // targets, merged-window ownership — all integer, zero floats
+    "q345_negative_samples" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM t
+        |  WHERE tok IS NOT NULL AND length(tok) > 0 GROUP BY 1),
+        |w AS (SELECT tok, CAST(floor(sqrt(CAST(f AS DOUBLE))) AS BIGINT)
+        |    AS w FROM c),
+        |wc AS (SELECT tok, CAST(sum(w) OVER (ORDER BY tok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM w),
+        |tt AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM w),
+        |d AS (SELECT g.i AS j,
+        |    CAST(('0x' || substr(md5('graft8:' || CAST(g.i AS VARCHAR)),
+        |      1, 12)) AS BIGINT) % tt.t + 1 AS r
+        |  FROM range(0, 1000) AS g(i), tt),
+        |m AS (SELECT r AS key, 0 AS tag, j, CAST(NULL AS VARCHAR) AS tok
+        |    FROM d
+        |  UNION ALL SELECT cum, 1, NULL, tok FROM wc),
+        |s AS (SELECT j, tag, min(tok) OVER (ORDER BY key, tag
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tok
+        |  FROM m)
+        |SELECT j AS draw, tok FROM s WHERE tag = 0""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -128,4 +128,56 @@ object Mixture {
           .as("alloc"))
       .withColumn("at_capacity", col("alloc") === col("avail"))
   }
+
+  /** Seeded negative-sampling table — the word2vec/node2vec noise draw
+    * (Mikolov 2013): k tokens sampled ∝ a SMOOTHED unigram frequency,
+    * so head tokens stop dominating the contrastive loss. Smoothing is
+    * √f rather than word2vec's f^0.75: ⌊√f⌋ is an exact integer on
+    * every engine (IEEE sqrt is correctly rounded), so the cumulative
+    * weights, the total, and every draw are integer arithmetic —
+    * bit-replayable — where a pow(f, 0.75) weight would leak
+    * engine-ulp differences into draw boundaries. (The exponent is a
+    * damping convention, not a law; 0.5 damps slightly harder.)
+    *
+    * Draw j targets rank r_j = md5(seed:j) % T + 1 over the cumulative
+    * weight axis in TOKEN ORDER, and the owning token is found by
+    * MERGING draws into the cumulative census and taking the forward
+    * min (the [[Normalize.quantileNormalize]] merged-window move — no
+    * non-equi join, no per-draw scan).
+    *
+    * Scale shape: one token census, one vocab-scale cumulative window,
+    * k draw rows, one merged vocab+k window. The cumulative window is
+    * a single ordered pass over the VOCAB (not the corpus) — the
+    * [[graft.operators.Profile.zipfSlope]] census-scale discipline.
+    * Output: (draw, tok), k rows. */
+  def negativeSampleTable(df: DataFrame, tokenCol: String, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    val census = df.where(col(tokenCol).isNotNull)
+      .groupBy(col(tokenCol).as("tok")).agg(count(lit(1)).as("f"))
+    val w = census.select(col("tok"),
+      floor(sqrt(col("f").cast("double"))).cast("long").as("w"))
+    val wCum = Window.orderBy(col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wc = w.select(col("tok"), sum(col("w")).over(wCum).as("cum"))
+    val tot = w.agg(sum(col("w")).as("t"))
+    val spark = df.sparkSession
+    val draws = spark.range(k.toLong).select(col("id").as("j"))
+      .crossJoin(broadcast(tot))
+      .select(col("j"),
+        (conv(substring(md5(concat(lit(seed), lit(":"),
+          col("j").cast("string"))), 1, 12), 16, 10).cast("long")
+          % col("t") + 1L).as("r"))
+    val merged = draws.select(col("r").as("key"), lit(0).as("tag"),
+        col("j"), lit(null).cast("string").as("tok"))
+      .unionByName(wc.select(col("cum").as("key"), lit(1).as("tag"),
+        lit(null).cast("long").as("j"), col("tok")))
+    // cum rises with tok (the ordering), so the owning token is the
+    // forward min; draws order before census rows on tied keys
+    val wm = Window.orderBy(col("key"), col("tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged.select(col("j"), col("tag"), min(col("tok")).over(wm).as("tok"))
+      .where(col("tag") === 0)
+      .select(col("j").as("draw"), col("tok"))
+  }
 }

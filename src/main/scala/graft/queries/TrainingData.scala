@@ -2955,6 +2955,19 @@ object TrainingData {
       .select($"n_groups", round($"beta", 6).as("beta"),
         round($"ln_k", 6).as("ln_k"))
 
+  /** q345 — negative-sampling table ([[graft.operators.Mixture
+    * .negativeSampleTable]]): 1,000 seeded noise draws from the
+    * √f-smoothed unigram distribution of the document corpus — all
+    * integer arithmetic, md5 targets, merged-window selection; the
+    * same table on any cluster or engine. */
+  def q345NegativeSamples(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixture.negativeSampleTable(
+      docs(spark, dir).select(
+        explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+        .where(length($"tok") > 0),
+      "tok", k = 1000, seed = "graft8")
+      .select($"draw", $"tok")
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

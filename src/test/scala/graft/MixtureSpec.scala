@@ -64,4 +64,29 @@ class MixtureSpec extends AnyFunSuite with SparkFixture {
       .orderBy("stratum").collect().toSeq
     assert(a == b)
   }
+
+  test("negativeSampleTable: every draw lands where the replicated md5 " +
+      "walk says; partition-invariant") {
+    import spark.implicits._
+    // f = [a->9, b->4, c->1] -> w = [3, 2, 1], cum ladder [3, 5, 6]
+    val toks = Seq.fill(9)("a") ++ Seq.fill(4)("b") ++ Seq.fill(1)("c")
+    val df = toks.toDF("tok")
+    val got = Mixture.negativeSampleTable(df, "tok", 50, "sp")
+      .collect().map(r => r.getAs[Long]("draw") -> r.getAs[String]("tok"))
+      .toMap
+    assert(got.size == 50)
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0L until 50L).foreach { j =>
+      val r = (BigInt(md5hex(s"sp:$j").substring(0, 12), 16) % 6).toLong + 1
+      val exp = if (r <= 3) "a" else if (r <= 5) "b" else "c"
+      assert(got(j) == exp, s"draw $j: r=$r got ${got(j)} want $exp")
+    }
+    val again = Mixture.negativeSampleTable(df.repartition(5), "tok",
+        50, "sp")
+      .collect().map(r => r.getAs[Long]("draw") -> r.getAs[String]("tok"))
+      .toMap
+    assert(again == got)
+  }
 }
