@@ -367,6 +367,7 @@ object SparkEntry {
     "q343_quantile_norm"    -> (T.q343QuantileNorm(_, _)),
     "q344_leave_one_out"    -> (T.q344LeaveOneOut(_, _)),
     "q345_negative_samples" -> (D.q345NegativeSamples(_, _)),
+    "q346_louvain_pass"     -> (R.q346LouvainPass(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2355,6 +2356,47 @@ object SparkEntry {
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tok
         |  FROM m)
         |SELECT j AS draw, tok FROM s WHERE tag = 0""".stripMargin,
+    // q346: synchronous Louvain local move — 4m²-scaled integer gains,
+    // ties stay put then smaller community id; round-start censuses
+    "q346_louvain_pass" ->
+      """WITH pairs AS (SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |  FROM pairs WHERE u <> v),
+        |a AS (SELECT c_custkey AS nd, c_nationkey AS c FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000, s_nationkey FROM supplier),
+        |kept AS (SELECT e.u, e.v, au.c AS cu, av.c AS cv FROM e
+        |  JOIN a au ON e.u = au.nd JOIN a av ON e.v = av.nd),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM kept),
+        |b AS (SELECT u AS x, v AS y, cv AS cy FROM kept
+        |  UNION ALL SELECT v, u, cu FROM kept),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS kx FROM b GROUP BY 1),
+        |tot AS (SELECT a.c, CAST(sum(kx) AS HUGEINT) AS tot
+        |  FROM deg JOIN a ON deg.x = a.nd GROUP BY 1),
+        |kuc AS (SELECT x, cy AS c, CAST(count(*) AS BIGINT) AS kuc
+        |  FROM b GROUP BY 1, 2),
+        |cand0 AS (SELECT x, c, kuc FROM kuc
+        |  UNION ALL SELECT nd, c, 0 FROM a),
+        |cand AS (SELECT x, c, CAST(max(kuc) AS BIGINT) AS kuc
+        |  FROM cand0 GROUP BY 1, 2),
+        |sc AS (SELECT cand.x, cand.c, ao.c AS own,
+        |    2 * m.m * CAST(cand.kuc AS HUGEINT)
+        |      - CAST(deg.kx AS HUGEINT) * (tot.tot -
+        |        CASE WHEN cand.c = ao.c THEN deg.kx ELSE 0 END) AS s,
+        |    CASE WHEN cand.c = ao.c THEN 1 ELSE 0 END AS stay
+        |  FROM cand JOIN a ao ON cand.x = ao.nd
+        |    JOIN deg ON cand.x = deg.x
+        |    JOIN tot ON cand.c = tot.c CROSS JOIN m),
+        |w AS (SELECT x, c, own, s,
+        |    row_number() OVER (PARTITION BY x
+        |      ORDER BY s DESC, stay DESC, c) AS rk,
+        |    max(CASE WHEN stay = 1 THEN s END) OVER (PARTITION BY x)
+        |      AS sown
+        |  FROM sc)
+        |SELECT x AS node, own AS old_comm, c AS new_comm,
+        |  c <> own AS moved, CAST(s - sown AS BIGINT) AS gain_num
+        |FROM w WHERE rk = 1""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

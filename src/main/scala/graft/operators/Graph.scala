@@ -223,6 +223,87 @@ object Graph {
           .as("modularity"))
   }
 
+  /** One synchronous Louvain relabel pass (Blondel 2008, the local-move
+    * step): every node simultaneously picks the neighbor community (or
+    * its own) with the best modularity gain. The classic sequential
+    * Louvain is order-dependent — useless under a parallelism contract
+    * — so this is the SYNCHRONOUS variant: each decision reads the
+    * round-start censuses, ties resolve (gain desc, stay-put first,
+    * community id asc), and the caller iterates passes to a fixed
+    * point ([[graft.operators.Components]] discipline), re-deriving
+    * the assignment between rounds. [[modularity]] prices the result.
+    *
+    * Gain comparison is EXACT: moving u into C scores
+    *   s(C) = 2m·k_{u,C} − k_u·(Σtot_C − [C = own]·k_u)
+    * — the standard ΔQ numerator with u removed from its community
+    * first, multiplied through by 4m² so every comparison is integer
+    * (decimal(38,0); no 1/(2m²) floats to disagree in ulps). gain_num
+    * = s(best) − s(own) ≥ 0, reported as a long (fits while
+    * m·max-degree < 2⁶³ — beyond that, report-only precision is the
+    * caller's cast).
+    *
+    * Scale shape: canonical edge dedup, a degree census, a community
+    * total census, one (node, neighbor-community) census from the
+    * oriented edges, and a per-node argmax window bounded by the
+    * node's distinct neighbor communities — every shuffle keyed on
+    * node or community, nothing quadratic. Nodes/edges with missing
+    * assignments are excluded. Output: (node, old_comm, new_comm,
+    * moved, gain_num). */
+  def modularityGainPass(edges: DataFrame, srcCol: String, dstCol: String,
+      assign: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+    val a = assign.select(col(nodeCol).as("__nd"), col(commCol).as("__c"))
+      .where(col("__nd").isNotNull && col("__c").isNotNull)
+      .distinct()
+    val kept = e0
+      .join(a.select(col("__nd").as("u"), col("__c").as("cu")), Seq("u"))
+      .join(a.select(col("__nd").as("v"), col("__c").as("cv")), Seq("v"))
+      .localCheckpoint(false)
+    val m = broadcast(kept.agg(count(lit(1)).as("m")))
+    val b = kept.select(col("u").as("x"), col("cu").as("cx"),
+        col("v").as("y"), col("cv").as("cy"))
+      .unionByName(kept.select(col("v").as("x"), col("cv").as("cx"),
+        col("u").as("y"), col("cu").as("cy")))
+    val deg = b.groupBy(col("x")).agg(count(lit(1)).as("kx"))
+    val tot = deg.join(a.select(col("__nd").as("x"), col("__c").as("c")),
+        "x")
+      .groupBy(col("c")).agg(sum(col("kx").cast(dec)).cast(dec).as("tot"))
+    val kuc = b.groupBy(col("x"), col("cy").as("c"))
+      .agg(count(lit(1)).as("kuc"))
+    val cand = kuc
+      .unionByName(a.select(col("__nd").as("x"), col("__c").as("c"),
+        lit(0L).as("kuc")))
+      .groupBy(col("x"), col("c")).agg(max(col("kuc")).as("kuc"))
+      .join(a.select(col("__nd").as("x"), col("__c").as("own")), "x")
+      .join(deg, "x")
+      .join(tot, "c")
+    val mD = col("m").cast(dec); val kxD = col("kx").cast(dec)
+    val score = (lit(2L).cast(dec) * mD * col("kuc").cast(dec)).cast(dec) -
+      (kxD * (col("tot") - when(col("c") === col("own"), kxD)
+        .otherwise(lit(0).cast(dec))).cast(dec)).cast(dec)
+    val scored = cand.crossJoin(m)
+      .select(col("x"), col("c"), col("own"), col("kuc"),
+        score.cast(dec).as("s"),
+        when(col("c") === col("own"), 1).otherwise(0).as("stay"))
+    val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
+    val wPick = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
+      .orderBy(col("s").desc, col("stay").desc, col("c"))
+    scored
+      .select(col("x"), col("c"), col("own"), col("s"),
+        row_number().over(wPick).as("__rk"),
+        max(when(col("stay") === 1, col("s"))).over(wx).as("__sown"))
+      .where(col("__rk") === 1)
+      .select(col("x").as("node"), col("own").as("old_comm"),
+        col("c").as("new_comm"), (col("c") =!= col("own")).as("moved"),
+        (col("s") - col("__sown")).cast("long").as("gain_num"))
+  }
+
   /** Degree assortativity (Newman 2002) over an undirected edge list —
     * the one-number mixing profile of a graph: the Pearson correlation
     * of the degrees at the two ends of a uniformly random edge.

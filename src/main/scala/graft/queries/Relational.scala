@@ -963,6 +963,27 @@ object Relational {
       .select($"walk", $"step", $"node")
   }
 
+  /** q346 — Louvain local-move pass ([[graft.operators.Graph
+    * .modularityGainPass]]): one synchronous modularity-gain sweep of
+    * the nation assignment over the trade graph — exact 4m²-scaled
+    * integer gains, stay-put-on-ties, per-node argmax bounded by
+    * neighbor communities. The refinement step whose result q313
+    * prices. */
+  def q346LouvainPass(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val assign = Tables.customer(spark, dir)
+      .select($"c_custkey".as("node"), $"c_nationkey".as("comm"))
+      .unionByName(Tables.supplier(spark, dir)
+        .select(($"s_suppkey" + 1000000L).as("node"),
+          $"s_nationkey".as("comm")))
+    graft.operators.Graph.modularityGainPass(pairs, "u", "v", assign,
+        "node", "comm")
+      .select($"node", $"old_comm", $"new_comm", $"moved", $"gain_num")
+  }
+
   /** q314 — global transitivity ([[graft.operators.Triangles
     * .transitivity]]) of the Brand#11 co-purchase graph: the fraction
     * of open part-pair wedges that close into triangles — 3T/W as one

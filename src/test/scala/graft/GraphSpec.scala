@@ -92,6 +92,35 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(run(twoTri, bad)._4.get < 0.0)
   }
 
+  test("modularityGainPass: misassigned node crosses to its triangle; " +
+      "a good partition is a fixed point; ties stay put") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], asg: Seq[(Long, String)]) =
+      Graph.modularityGainPass(edges.toDF("s", "d"), "s", "d",
+        asg.toDF("n", "c"), "n", "c")
+        .collect().map(r => r.getAs[Long]("node") ->
+          ((r.getAs[String]("new_comm"), r.getAs[Boolean]("moved"),
+            r.getAs[Long]("gain_num")))).toMap
+    // two triangles + bridge; node 6 mislabeled into community a
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val wrong = Seq(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b",
+      5L -> "b", 6L -> "a")
+    val r = run(tri, wrong)
+    assert(r(6L)._1 == "b" && r(6L)._2 && r(6L)._3 > 0L,
+      s"node 6 should cross: ${r(6L)}")
+    // nodes deep in their triangles stay
+    assert(!r(1L)._2 && !r(5L)._2)
+    // the correct split is a fixed point: nobody moves, all gains 0
+    val right = wrong.map { case (n, _) => n -> (if (n <= 3) "a" else "b") }
+    val fp = run(tri, right)
+    assert(fp.values.forall(v => !v._2 && v._3 == 0L), s"not fixed: $fp")
+    // symmetric middle of a path: equal gains -> stays in its own
+    val path = Seq((1L, 2L), (2L, 3L))
+    val mid = run(path, Seq(1L -> "p", 2L -> "p", 3L -> "q"))
+    assert(mid(2L)._1 == "p" && !mid(2L)._2 && mid(2L)._3 == 0L)
+  }
+
   test("randomWalks: hops follow real edges, sinks end walks with the " +
       "prefix kept, and the corpus is partition-invariant") {
     import spark.implicits._
