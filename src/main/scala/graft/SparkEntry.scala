@@ -368,6 +368,8 @@ object SparkEntry {
     "q344_leave_one_out"    -> (T.q344LeaveOneOut(_, _)),
     "q345_negative_samples" -> (D.q345NegativeSamples(_, _)),
     "q346_louvain_pass"     -> (R.q346LouvainPass(_, _)),
+    "q347_info_gain_split"  -> (T.q347InfoGainSplit(_, _)),
+    "q348_fdr_bh"           -> (T.q348FdrBh(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2397,6 +2399,113 @@ object SparkEntry {
         |SELECT x AS node, own AS old_comm, c AS new_comm,
         |  c <> own AS moved, CAST(s - sown AS BIGINT) AS gain_num
         |FROM w WHERE rk = 1""".stripMargin,
+    // q347: exact cumulative counts; pinned plogp entropies (same
+    // operation order as the Spark side -> bit-identical gains);
+    // argmax (gain desc, v asc)
+    "q347_info_gain_split" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CAST(floor(value / 5) AS BIGINT) AS v,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1
+        |      ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT sc, v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(y) AS BIGINT) AS pos FROM e GROUP BY 1, 2),
+        |r AS (SELECT sc, v,
+        |    CAST(sum(cnt) OVER (PARTITION BY sc ORDER BY v) AS BIGINT)
+        |      AS cn,
+        |    CAST(sum(pos) OVER (PARTITION BY sc ORDER BY v) AS BIGINT)
+        |      AS cp,
+        |    CAST(sum(cnt) OVER (PARTITION BY sc) AS BIGINT) AS n,
+        |    CAST(sum(pos) OVER (PARTITION BY sc) AS BIGINT) AS p
+        |  FROM c),
+        |g AS (SELECT sc, v, cn, cp, n, p,
+        |    (CASE WHEN p > 0 THEN -(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * ln(CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END
+        |     + CASE WHEN n - p > 0 THEN
+        |       -(CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * ln(CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+        |       ELSE 0.0 END)
+        |    - CAST(cn AS DOUBLE) / CAST(n AS DOUBLE) *
+        |      (CASE WHEN cp > 0 THEN
+        |         -(CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |         * ln(CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |         ELSE 0.0 END
+        |       + CASE WHEN cn - cp > 0 THEN
+        |         -(CAST(cn - cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |         * ln(CAST(cn - cp AS DOUBLE) / CAST(cn AS DOUBLE))
+        |         ELSE 0.0 END)
+        |    - CAST(n - cn AS DOUBLE) / CAST(n AS DOUBLE) *
+        |      (CASE WHEN p - cp > 0 THEN
+        |         -(CAST(p - cp AS DOUBLE) / CAST(n - cn AS DOUBLE))
+        |         * ln(CAST(p - cp AS DOUBLE) / CAST(n - cn AS DOUBLE))
+        |         ELSE 0.0 END
+        |       + CASE WHEN (n - cn) - (p - cp) > 0 THEN
+        |         -(CAST((n - cn) - (p - cp) AS DOUBLE)
+        |           / CAST(n - cn AS DOUBLE))
+        |         * ln(CAST((n - cn) - (p - cp) AS DOUBLE)
+        |           / CAST(n - cn AS DOUBLE))
+        |         ELSE 0.0 END) AS gain
+        |  FROM r WHERE cn < n),
+        |w AS (SELECT sc, v, cn, cp, n, p, gain,
+        |    row_number() OVER (PARTITION BY sc ORDER BY gain DESC, v)
+        |      AS rk FROM g)
+        |SELECT sc AS event_type, n, p AS pos, v AS threshold,
+        |  cn AS n_left, cp AS pos_left,
+        |  CAST(round(CAST(CAST(gain AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS gain
+        |FROM w WHERE rk = 1""".stripMargin,
+    // q348: z from exact counts, two-sided p via the same pinned erfc
+    // polynomial as FastMath.erfcValue (argument >= 0: THEN branch
+    // only), BH step-up with (p, test) rank ties
+    "q348_fdr_bh" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1
+        |      ELSE 0 END AS a,
+        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type AS test, CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(1 - a) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END) AS BIGINT) AS sb
+        |  FROM e GROUP BY 1),
+        |zz AS (SELECT test,
+        |    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |     - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / sqrt(CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+        |      * (1.0 - CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+        |      AS z
+        |  FROM g),
+        |za AS (SELECT test, abs(z) / 1.4142135623730951 AS x FROM zz),
+        |pv AS (SELECT test,
+        |    (1.0 / (1.0 + 0.5 * abs(x))) * exp(-x * x - 1.26551223
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (1.00002368
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (0.37409196
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (0.09678418
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (-0.18628806
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (0.27886807
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (-1.13520398
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (1.48851587
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (-0.82215223
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * 0.17087277))))))))) AS p
+        |  FROM za),
+        |rk AS (SELECT test, p,
+        |    CAST(row_number() OVER (ORDER BY p, test) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS k FROM pv),
+        |q AS (SELECT test, p, rank, k,
+        |    least(min(p * CAST(k AS DOUBLE) / CAST(rank AS DOUBLE))
+        |      OVER (ORDER BY rank DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      1.0) AS q_value
+        |  FROM rk)
+        |SELECT test AS event_type,
+        |  CAST(round(CAST(CAST(p AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p,
+        |  rank, k,
+        |  CAST(round(CAST(CAST(q_value AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS q_value,
+        |  q_value <= 0.05 AS reject
+        |FROM q""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

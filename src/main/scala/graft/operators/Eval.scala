@@ -1694,4 +1694,95 @@ object Eval {
         when(col("ab") <= maxTerms, lit("exact")).otherwise(lit("normal"))
           .as("method"))
   }
+
+  /** Best single-threshold split by information gain per scope — the
+    * decision-stump / MDLP discretization primitive: over (value,
+    * binary label) rows, the cut v* maximizing
+    *   gain(v) = H(parent) − (n_L/N)·H(left ≤ v) − (n_R/N)·H(right)
+    * — "does this feature separate the label, and where". The
+    * supervised sibling of [[graft.operators.Calibrate.isotonic]]
+    * (which repairs a score; this scores a feature), and the per-split
+    * unit of any tree learner.
+    *
+    * Determinism: candidate entropies are pinned-shape doubles over
+    * exact cumulative counts (the [[graft.operators.Divergence
+    * .mutualInformation]] plogp discipline — identical operation order
+    * cross-engine gives bit-identical gains), and the argmax breaks
+    * ties (gain desc, v asc). Scopes with a single distinct value
+    * have no candidate cut and drop from the output — absence is the
+    * loud signal.
+    *
+    * Scale shape: one (scope, value) census, cumulative windows at
+    * census scale (values are the caller's discretization, the
+    * [[auc]] contract), one argmax window. Output: (sc, n, pos,
+    * threshold, n_left, pos_left, gain). */
+  def infoGainSplit(df: DataFrame, scopeCol: String, valueCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scopeCol).as("sc"), col(valueCol).cast("long").as("v"),
+        when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L).as("y"))
+    val cells = base.groupBy(col("sc"), col("v"))
+      .agg(count(lit(1L)).as("cnt"), sum(col("y")).as("pos"))
+    val wCum = Window.partitionBy(col("sc")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("sc"))
+    val r = cells.select(col("sc"), col("v"),
+      sum(col("cnt")).over(wCum).as("cn"),
+      sum(col("pos")).over(wCum).as("cp"),
+      sum(col("cnt")).over(wAll).as("n"),
+      sum(col("pos")).over(wAll).as("p"))
+    def dd(c: Column): Column = c.cast("double")
+    def ent(pos: Column, tot: Column): Column = {
+      def t(c: Column): Column =
+        when(c > 0L, -(dd(c) / dd(tot)) * log(dd(c) / dd(tot)))
+          .otherwise(lit(0.0))
+      t(pos) + t(tot - pos)
+    }
+    val gain = ent(col("p"), col("n")) -
+      dd(col("cn")) / dd(col("n")) * ent(col("cp"), col("cn")) -
+      dd(col("n") - col("cn")) / dd(col("n")) *
+        ent(col("p") - col("cp"), col("n") - col("cn"))
+    val scored = r.where(col("cn") < col("n"))
+      .select(col("sc"), col("v"), col("cn"), col("cp"), col("n"),
+        col("p"), gain.as("gain"))
+    val wPick = Window.partitionBy(col("sc"))
+      .orderBy(col("gain").desc, col("v"))
+    scored.withColumn("__rk", row_number().over(wPick))
+      .where(col("__rk") === 1)
+      .select(col("sc"), col("n"), col("p").as("pos"),
+        col("v").as("threshold"), col("cn").as("n_left"),
+        col("cp").as("pos_left"), col("gain"))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment (1995) over a family of tests —
+    * what turns "we ran 500 A/B tests and 30 hit p < 0.05" into an
+    * honest discovery list: rank p ascending, raw_i = p_(i)·k/i,
+    * q_i = min_{j≥i} raw_j (the monotone step-up), reject where
+    * q ≤ alpha. The family-wise closer of the [[welchT]]/
+    * [[twoProportionZ]]/[[bayesianAB]] suite.
+    *
+    * Determinism: ranks break p-ties by test id; raw and the suffix
+    * min are pinned-shape doubles (min is order-free) — bit-replayable.
+    * Scale shape: the input IS the test family (census-scale by
+    * construction); two windows over k rows, nothing else. Output:
+    * (test, p, rank, k, q_value, reject), p-ascending ranks. */
+  def benjaminiHochberg(df: DataFrame, testCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val base = df.where(col(pCol).isNotNull)
+      .select(col(testCol).as("test"), col(pCol).cast("double").as("p"))
+    val wRank = Window.orderBy(col("p"), col("test"))
+    val wAll = Window.partitionBy()
+    val ranked = base.select(col("test"), col("p"),
+      row_number().over(wRank).cast("long").as("rank"),
+      count(lit(1L)).over(wAll).as("k"))
+    def dd(c: Column): Column = c.cast("double")
+    val raw = col("p") * dd(col("k")) / dd(col("rank"))
+    val wSuf = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.withColumn("__raw", raw)
+      .withColumn("q_value", least(min(col("__raw")).over(wSuf), lit(1.0)))
+      .select(col("test"), col("p"), col("rank"), col("k"),
+        col("q_value"), (col("q_value") <= lit(alpha)).as("reject"))
+  }
 }

@@ -1246,6 +1246,45 @@ object TimeSeries {
         round($"delta_mean", 6).as("delta_mean"),
         round($"loo_var", 4).as("loo_var"))
 
+  /** q347 — information-gain split ([[graft.operators.Eval
+    * .infoGainSplit]]): per event type, the 5-cent bin that best
+    * separates weekend from weekday events — exact cumulative counts,
+    * pinned plogp entropies, (gain desc, v asc) argmax. */
+  def q347InfoGainSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.infoGainSplit(
+      events(spark, dir).select($"event_type",
+        floor($"value" / 5).cast("long").as("bin"),
+        dayofweek(to_date($"ts")).isin(1, 7).cast("long").as("wk")),
+      "event_type", "bin", "wk")
+      .select($"sc".as("event_type"), $"n", $"pos", $"threshold",
+        $"n_left", $"pos_left", round($"gain", 6).as("gain"))
+
+  /** q348 — Benjamini–Hochberg FDR ([[graft.operators.Eval
+    * .benjaminiHochberg]]): the five event types' weekend-vs-weekday
+    * two-proportion tests as a FAMILY — z from exact counts, two-sided
+    * p via the pinned erfc kernel, step-up q-values, honest rejections
+    * at α = 0.05. */
+  def q348FdrBh(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      dayofweek(to_date($"ts")).isin(1, 7).cast("long").as("a"),
+      ($"value" > 50.0).cast("long").as("y"))
+    val g = s.where($"y".isNotNull).groupBy($"event_type").agg(
+      sum($"a").as("na"), sum(lit(1L) - $"a").as("nb"),
+      sum(when($"a" === 1L, $"y").otherwise(0L)).as("sa"),
+      sum(when($"a" === 0L, $"y").otherwise(0L)).as("sb"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pa = dd($"sa") / dd($"na"); val pb = dd($"sb") / dd($"nb")
+    val pp = dd($"sa" + $"sb") / dd($"na" + $"nb")
+    val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / dd($"na") + lit(1.0) / dd($"nb")))
+    val tests = g.select($"event_type".as("test"),
+      graft.functions.FastMath.erfc(abs(z) / lit(1.4142135623730951))
+        .as("p"))
+    graft.operators.Eval.benjaminiHochberg(tests, "test", "p", 0.05)
+      .select($"test".as("event_type"), round($"p", 6).as("p"),
+        $"rank", $"k", round($"q_value", 6).as("q_value"), $"reject")
+  }
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

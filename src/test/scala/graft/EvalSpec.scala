@@ -456,6 +456,56 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       s"exact $pe vs normal $pnn")
   }
 
+  test("infoGainSplit: perfect separation earns ln 2; interior cut " +
+      "beats edge cuts; constant scope vanishes") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      Eval.infoGainSplit(rows.toDF("sc", "v", "y"), "sc", "v", "y")
+        .collect().map(r => r.getAs[String]("sc") ->
+          ((r.getAs[Long]("threshold"), r.getAs[Double]("gain")))).toMap
+    // v=1 all negative, v=2 all positive: cut at 1, gain = H(1/2) = ln 2
+    val perfect = Seq(("s", 1L, 0L), ("s", 1L, 0L), ("s", 2L, 1L),
+      ("s", 2L, 1L))
+    val p = run(perfect)("s")
+    assert(p._1 == 1L && math.abs(p._2 - math.log(2.0)) < 1e-12)
+    // labels 0,0,1,0 over v=1..4: the v<=2 cut isolates the clean left
+    val mid = run(Seq(("s", 1L, 0L), ("s", 2L, 0L), ("s", 3L, 1L),
+      ("s", 4L, 0L)))("s")
+    assert(mid._1 == 2L)
+    // constant label: zero gain everywhere, argmax takes the lowest v
+    val flat = run(Seq(("s", 1L, 1L), ("s", 2L, 1L), ("s", 3L, 1L)))("s")
+    assert(flat._1 == 1L && flat._2 == 0.0)
+    // single distinct value: no candidate cut -> scope absent (loud)
+    assert(!run(Seq(("t", 7L, 1L), ("t", 7L, 0L))).contains("t"))
+  }
+
+  test("benjaminiHochberg: step-up q-values match hand computation; " +
+      "the monotone min rescues and rejects correctly") {
+    import spark.implicits._
+    def run(ps: Seq[(String, Double)]) =
+      Eval.benjaminiHochberg(ps.toDF("t", "p"), "t", "p")
+        .collect().map(r => r.getAs[String]("test") ->
+          ((r.getAs[Double]("q_value"), r.getAs[Boolean]("reject"),
+            r.getAs[Long]("rank")))).toMap
+    // k=3: raw = [.015, .0735, .0495] -> suffix-min q = [.015, .0495,
+    // .0495]: the later cheap test RESCUES t2's .0735
+    val r = run(Seq(("t1", 0.005), ("t2", 0.049), ("t3", 0.0495)))
+    assert(math.abs(r("t1")._1 - 0.015) < 1e-12)
+    assert(math.abs(r("t2")._1 - 0.0495) < 1e-12 && r("t2")._2,
+      s"t2 ${r("t2")} should be rescued by the step-up")
+    assert(r.values.forall(_._2))
+    // add a big p: k=4 raws [.02, .098, .066, .9] -> only t1 rejects
+    val r4 = run(Seq(("t1", 0.005), ("t2", 0.049), ("t3", 0.0495),
+      ("t4", 0.9)))
+    assert(r4("t1")._2 && !r4("t2")._2 && !r4("t3")._2 && !r4("t4")._2)
+    assert(math.abs(r4("t2")._1 - 0.0495 * 4 / 3) < 1e-12,
+      s"t2 q should be min(raw2, raw3) = ${r4("t2")._1}")
+    // q caps at 1
+    assert(run(Seq(("a", 0.9), ("b", 0.99))).values.forall(_._1 <= 1.0))
+    // ranks are 1..k with ties split by test id
+    assert(r4.values.map(_._3).toSeq.sorted == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("sprt: strong evidence accepts H1 and latches; weak evidence " +
       "accepts H0; borderline continues") {
     import spark.implicits._
