@@ -370,6 +370,8 @@ object SparkEntry {
     "q346_louvain_pass"     -> (R.q346LouvainPass(_, _)),
     "q347_info_gain_split"  -> (T.q347InfoGainSplit(_, _)),
     "q348_fdr_bh"           -> (T.q348FdrBh(_, _)),
+    "q349_rake"             -> (D.q349Rake(_, _)),
+    "q350_centroid_drift"   -> (D.q350CentroidDrift(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -2506,6 +2508,73 @@ object SparkEntry {
         |    AS DOUBLE) AS q_value,
         |  q_value <= 0.05 AS reject
         |FROM q""".stripMargin,
+    // q349: RAKE — exact word censuses, position-ordered phrase folds,
+    // identical [^a-z0-9]+ tokenization in both regex dialects
+    "q349_rake" ->
+      """WITH t AS (SELECT doc_id AS doc,
+        |    string_split_regex(regexp_replace(lower(trim(text)),
+        |      '[^a-z0-9\s]+', ' $ ', 'g'), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc, unnest(list_transform(range(1, len(toks) + 1),
+        |    i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+        |      w := toks[CAST(i AS INT)])), recursive := true)
+        |  FROM t),
+        |mk AS (SELECT doc, pos, w,
+        |    (w IN ('the','a','an','and','or','of','to','in','on','for',
+        |      'with','is','are','was','were','be','as','at','by','it',
+        |      'this','that','from','but','not') OR w = '' OR w = '$')
+        |      AS stop
+        |  FROM tok),
+        |pp AS (SELECT doc, pos, w, stop,
+        |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+        |  FROM mk),
+        |mem AS (SELECT doc, pid, pos, w,
+        |    CAST(count(*) OVER (PARTITION BY doc, pid) AS BIGINT) AS len
+        |  FROM pp WHERE NOT stop),
+        |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(len) AS BIGINT) AS deg FROM mem GROUP BY 1),
+        |wsc AS (SELECT w, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS s
+        |  FROM ws),
+        |occ AS (SELECT doc, pid,
+        |    string_agg(mem.w, ' ' ORDER BY pos) AS phrase,
+        |    list_reduce(list(s ORDER BY pos), (a, b) -> a + b) AS score
+        |  FROM mem JOIN wsc USING (w) GROUP BY 1, 2),
+        |agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |    max(score) AS score FROM occ GROUP BY 1),
+        |top AS (SELECT * FROM agg ORDER BY score DESC, phrase LIMIT 25)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase)
+        |    AS BIGINT) AS rank,
+        |  phrase, n_occurrences,
+        |  CAST(round(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS score
+        |FROM top""".stripMargin,
+    // q350: centroid cosine from quantized-integer component sums —
+    // floor(x*2^20 + 0.5) avoids the round() HALF_UP seam; scale and
+    // 1/n cancel in the cosine
+    "q350_centroid_drift" ->
+      """WITH c AS (SELECT label AS lab,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> struct_pack(dim := CAST(i - 1 AS INT),
+        |        qx := CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |          * 1048576.0 + 0.5) AS BIGINT))), recursive := true)
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT lab, dim, CAST(sum(qx) AS HUGEINT) AS s
+        |  FROM c GROUP BY 1, 2),
+        |ns AS (SELECT label AS lab, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1),
+        |nr AS (SELECT lab, sum(s * s) AS ss FROM s GROUP BY 1),
+        |p AS (SELECT a.lab AS la, b.lab AS lb, sum(a.s * b.s) AS dot
+        |  FROM s a JOIN s b ON a.dim = b.dim AND a.lab < b.lab
+        |  GROUP BY 1, 2)
+        |SELECT la AS label_a, lb AS label_b, na.n AS n_a, nb.n AS n_b,
+        |  CASE WHEN ra.ss <> 0 AND rb.ss <> 0 THEN
+        |    CAST(round(CAST(CAST(CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(ra.ss AS DOUBLE)) * sqrt(CAST(rb.ss AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS cosine
+        |FROM p JOIN nr ra ON la = ra.lab JOIN nr rb ON lb = rb.lab
+        |  JOIN ns na ON la = na.lab JOIN ns nb ON lb = nb.lab""".stripMargin,
     // q313: all-integer Q = (4m*Σec - Σdc²)/(4m²); nations cover every
     // node so n_edges_unassigned must be 0
     "q313_modularity" ->

@@ -247,4 +247,73 @@ object Ranking {
       .select(col("rank"), col("x"), col("y"), col("c_xy"), col("c_x"),
         col("c_y"), col("lift"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010) — corpus keyphrases
+    * with zero models: candidate phrases are maximal stopword-free
+    * token runs; a word scores deg(w)/freq(w) (deg = Σ length of the
+    * phrases it appears in — favors words that travel in long
+    * phrases); a phrase scores the sum of its words. The unsupervised
+    * sibling of [[distinctiveTerms]] (which needs a contrast corpus;
+    * RAKE needs only stopwords) — the "what is this corpus about"
+    * first look.
+    *
+    * Determinism: punctuation runs (`[^a-z0-9\\s]+`) are rewritten to
+    * an explicit `$` boundary token BEFORE the whitespace split — RAKE
+    * cuts candidates at punctuation as well as stopwords, and `$`
+    * cannot collide with a `[a-z0-9]+` word (both regexes behave
+    * identically in Java regex and RE2); word scores are ONE division
+    * of exact counts; each phrase occurrence folds its word scores in
+    * POSITION order (bounded by phrase length), and identical phrase
+    * text ⇒ identical token sequence ⇒ bit-identical score, so the
+    * text-level dedup is safe. Top-k breaks ties (score desc, phrase
+    * asc).
+    *
+    * Scale shape: one posexplode, a per-doc cumulative window (bounded
+    * by document length), phrase and word censuses, one word-keyed
+    * join at phrase-member grain, a k-bounded sort. Output: (rank,
+    * phrase, n_occurrences, score). */
+  def rake(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val toks = docs.select(col(idCol).as("doc"),
+        posexplode(split(regexp_replace(lower(trim(col(textCol))),
+          "[^a-z0-9\\s]+", " \\$ "), "\\s+"))
+          .as(Seq("pos", "w")))
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("w"),
+        (col("w").isin(stopwords: _*) || col("w") === "" ||
+          col("w") === "$").as("stop"))
+    val wCut = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = toks.select(col("doc"), col("pos"), col("w"),
+        col("stop"),
+        sum(when(col("stop"), 1L).otherwise(0L)).over(wCut).as("pid"))
+      .where(!col("stop"))
+      .localCheckpoint(false)
+    val wPhrase = Window.partitionBy(col("doc"), col("pid"))
+    val members = marked.select(col("doc"), col("pid"), col("pos"),
+      col("w"), count(lit(1L)).over(wPhrase).as("len"))
+    val wstats = members.groupBy(col("w"))
+      .agg(count(lit(1L)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("w"),
+        (col("deg").cast("double") / col("freq").cast("double")).as("s"))
+    val occ = members.join(wstats, "w")
+      .groupBy(col("doc"), col("pid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w"), col("s"))))
+        .as("ms"))
+      .select(
+        concat_ws(" ", transform(col("ms"), m => m.getField("w")))
+          .as("phrase"),
+        aggregate(col("ms"), lit(0.0), (acc, m) => acc + m.getField("s"))
+          .as("score"))
+    val top = occ.groupBy(col("phrase"))
+      .agg(count(lit(1L)).as("n_occurrences"), max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("phrase"))).cast("long"))
+      .select(col("rank"), col("phrase"), col("n_occurrences"),
+        col("score"))
+  }
 }

@@ -763,4 +763,61 @@ object Similarity {
         (col("__ssum").cast("double") / col("n").cast("double"))
           .as("mean_silhouette"))
   }
+
+  /** Pairwise cosine between group CENTROIDS — the embedding-drift
+    * census: when two sources/labels/snapshots drift together or
+    * apart, their mean vectors say so in labels² numbers instead of
+    * rows² ("did the corpus move" next to [[meanSilhouette]]'s "are
+    * the clusters tight"). Cosine of means needs no 1/n: the scale
+    * cancels, so only SUM vectors matter.
+    *
+    * Determinism: components quantize to integers
+    * (⌊x·scale + 0.5⌋ — floor is exact on every IEEE engine, no
+    * round() HALF_UP seam) so per-(label, dim) sums are exact decimal
+    * arithmetic at any parallelism; dot products and norms are exact
+    * integer sums and the cosine is one pinned division. Quantization
+    * error is bounded by dims/scale — reporting precision, not an
+    * ordering hazard.
+    *
+    * Scale shape: one posexplode to (label, dim) censuses (map-side
+    * combined), a dim-keyed join of the labels' sum vectors (labels² ×
+    * dims rows — census scale), one pair aggregation. Output:
+    * (label_a, label_b, n_a, n_b, cosine). */
+  def centroidCosines(df: DataFrame, labelCol: String, vecCol: String,
+      scale: Long = 1L << 20): DataFrame = {
+    require(scale > 0L, s"scale must be positive, got $scale")
+    val dec = "decimal(38,0)"
+    val comp = df.where(col(vecCol).isNotNull)
+      .select(col(labelCol).as("lab"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("lab"), col("dim"),
+        floor(col("x").cast("double") * lit(scale.toDouble) + lit(0.5))
+          .cast("long").as("qx"))
+    val sums = comp.groupBy(col("lab"), col("dim"))
+      .agg(sum(col("qx").cast(dec)).cast(dec).as("s"))
+      .localCheckpoint(false)
+    val ns = df.where(col(vecCol).isNotNull)
+      .groupBy(col(labelCol).as("lab")).agg(count(lit(1L)).as("n"))
+    val norms = sums.groupBy(col("lab"))
+      .agg(sum((col("s") * col("s")).cast(dec)).cast(dec).as("ss"))
+    val pairs = sums.select(col("lab").as("la"), col("dim"),
+        col("s").as("sa"))
+      .join(sums.select(col("lab").as("lb"), col("dim"),
+        col("s").as("sb")), Seq("dim"))
+      .where(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum((col("sa") * col("sb")).cast(dec)).cast(dec).as("dot"))
+    def dd(c: Column): Column = c.cast("double")
+    pairs
+      .join(norms.select(col("lab").as("la"), col("ss").as("ssa")), "la")
+      .join(norms.select(col("lab").as("lb"), col("ss").as("ssb")), "lb")
+      .join(ns.select(col("lab").as("la"), col("n").as("n_a")), "la")
+      .join(ns.select(col("lab").as("lb"), col("n").as("n_b")), "lb")
+      .select(col("la").as("label_a"), col("lb").as("label_b"),
+        col("n_a"), col("n_b"),
+        when(col("ssa") =!= lit(0).cast(dec) &&
+            col("ssb") =!= lit(0).cast(dec),
+          dd(col("dot")) / (sqrt(dd(col("ssa"))) * sqrt(dd(col("ssb")))))
+          .as("cosine"))
+  }
 }

@@ -2968,6 +2968,29 @@ object TrainingData {
       "tok", k = 1000, seed = "graft8")
       .select($"draw", $"tok")
 
+  /** q349 — RAKE keyphrases ([[graft.operators.Ranking.rake]]): the
+    * corpus's top-25 stopword-free phrases by deg/freq word scores —
+    * exact censuses, position-ordered folds, [^a-z0-9]+ tokenization
+    * identical in Java regex and RE2. */
+  def q349Rake(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.rake(docs(spark, dir), "doc_id", "text",
+      Seq("the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+        "with", "is", "are", "was", "were", "be", "as", "at", "by", "it",
+        "this", "that", "from", "but", "not"), k = 25)
+      .select($"rank", $"phrase", $"n_occurrences",
+        round($"score", 6).as("score"))
+
+  /** q350 — embedding centroid drift ([[graft.operators.Similarity
+    * .centroidCosines]]): pairwise cosine between the label centroids
+    * of the embeddings table — quantized-integer component sums, one
+    * division per pair; labels² numbers for a corpus-level drift
+    * read. */
+  def q350CentroidDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.centroidCosines(
+      Tables.embeddings(spark, dir), "label", "embedding")
+      .select($"label_a", $"label_b", $"n_a", $"n_b",
+        round($"cosine", 6).as("cosine"))
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -119,4 +119,29 @@ class RankingSpec extends AnyFunSuite with SparkFixture {
       (docs ++ Seq("solo", "", "  ")).toDF("text"), "text", 2L, 1).collect()
     assert(edge.length == 1 && edge(0).getAs[String]("x") == "a")
   }
+
+  test("rake: hand-scored phrases, repeat occurrences collapse, " +
+      "punctuation and stopwords both cut phrases") {
+    import spark.implicits._
+    val stops = Seq("the", "and", "a", "of")
+    def run(docs: Seq[(Long, String)]) =
+      Ranking.rake(docs.toDF("id", "text"), "id", "text", stops, 10)
+        .collect().map(r => r.getAs[String]("phrase") ->
+          ((r.getAs[Long]("rank"), r.getAs[Long]("n_occurrences"),
+            r.getAs[Double]("score")))).toMap
+    // "quick brown fox" words score deg/freq = 3 each -> phrase 9;
+    // "lazy dog" words score 2 -> phrase 4
+    val r = run(Seq((1L, "the quick brown fox and the lazy dog")))
+    assert(r("quick brown fox") == ((1L, 1L, 9.0)))
+    assert(r("lazy dog") == ((2L, 1L, 4.0)))
+    // a second "lazy dog" doc: freq and deg double, scores unchanged,
+    // occurrences collapse to one ranked row with count 2
+    val r2 = run(Seq((1L, "the quick brown fox and the lazy dog"),
+      (2L, "lazy dog!")))
+    assert(r2("lazy dog")._2 == 2L && r2("lazy dog")._3 == 4.0)
+    // punctuation cuts phrases exactly like a stopword does
+    val r3 = run(Seq((1L, "red wine. white wine")))
+    assert(r3.contains("red wine") && r3.contains("white wine") &&
+      !r3.contains("red wine white wine"))
+  }
 }

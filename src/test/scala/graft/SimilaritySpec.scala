@@ -400,4 +400,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
         .sortBy(_._1).toSeq
     assert(run(df.repartition(1)) == run(df.repartition(32, $"id")))
   }
+
+  test("centroidCosines: orthogonal/diagonal centroids score 0 and " +
+      "1/sqrt(2); scale cancels; zero centroid nulls") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", Seq(1.0f, 0.0f)), ("A", Seq(1.0f, 0.0f)),
+      ("B", Seq(0.0f, 1.0f)),
+      ("C", Seq(1.0f, 1.0f)),
+      ("D", Seq(5.0f, 0.0f)), // A scaled by 5: same direction
+      ("Z", Seq(0.0f, 0.0f)))
+    val got = Similarity.centroidCosines(rows.toDF("label", "embedding"),
+        "label", "embedding")
+      .collect().map(r => (r.getAs[String]("label_a"),
+        r.getAs[String]("label_b")) -> Option(r.getAs[Double]("cosine")))
+      .toMap
+    assert(got(("A", "B")).get == 0.0)
+    assert(math.abs(got(("A", "C")).get - 1.0 / math.sqrt(2.0)) < 1e-6)
+    assert(got(("A", "D")).get == 1.0, "scale must cancel")
+    assert(got(("A", "Z")).isEmpty, "zero centroid -> null, not NaN")
+    // n counts ride along
+    val na = Similarity.centroidCosines(rows.toDF("label", "embedding"),
+        "label", "embedding")
+      .where($"label_a" === "A" && $"label_b" === "B")
+      .head().getAs[Long]("n_a")
+    assert(na == 2L)
+  }
 }
