@@ -172,10 +172,13 @@ object Mixture {
         col("j"), lit(null).cast("string").as("tok"))
       .unionByName(wc.select(col("cum").as("key"), lit(1).as("tag"),
         lit(null).cast("long").as("j"), col("tok")))
-    // cum rises with tok (the ordering), so the owning token is the
-    // forward min; draws order before census rows on tied keys
-    val wm = Window.orderBy(col("key"), col("tag"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // cum rises with tok (the ordering), so the owning token is the min
+    // tok among cum >= r — computed as a RUNNING min over the
+    // key-DESCENDING traversal (census rows sort before draws on tied
+    // keys via tag desc, keeping ties inclusive; a forward-unbounded
+    // frame would be O(rows²) in Spark's WindowExec)
+    val wm = Window.orderBy(col("key").desc, col("tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     merged.select(col("j"), col("tag"), min(col("tok")).over(wm).as("tok"))
       .where(col("tag") === 0)
       .select(col("j").as("draw"), col("tok"))

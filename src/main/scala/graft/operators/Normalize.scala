@@ -126,11 +126,14 @@ object Normalize {
         lit(null).cast("long").as("v"), lit(null).cast("long").as("cnt"),
         col("pv")))
     // pooled values rise with pcum, so the first pooled row at or after
-    // the target rank is min(pv) over the forward frame (query rows
-    // order BEFORE pooled at the same key: ties are inclusive)
+    // the target rank is the min pv among keys >= the target. Computed
+    // as a RUNNING min over the key-DESCENDING traversal (tag desc puts
+    // the equal-key pooled row before the query row, keeping ties
+    // inclusive): an unbounded-FOLLOWING frame would be O(rows²) per
+    // scope in Spark's WindowExec — the reversed running frame is O(rows)
     val wm = Window.partitionBy(col("sc"))
-      .orderBy(col("key"), col("tag"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("key").desc, col("tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     merged.select(col("sc"), col("g"), col("v"), col("cnt"),
         col("tag"), min(col("pv")).over(wm).as("v_norm"))
       .where(col("tag") === 0)
