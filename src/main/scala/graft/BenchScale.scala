@@ -216,6 +216,38 @@ object BenchScale {
         "node", "comm")
     }
 
+    // q337 shape: sequential rules at Nx actors. Copies offset user ids,
+    // so actor count scales N x while per-actor history stays fixed —
+    // the within-actor time self-join (the quadratic-in-history term) is
+    // constant per actor and total work is linear in actors. minSupport
+    // scales with N so the output rule set is stable.
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .localCheckpoint(true)
+    def seqrules(n: Int): DataFrame = {
+      val ev = (0 until n).map(i => ev0.select(
+        (col("user_id") + lit(i * 100000000L)).as("user_id"),
+        col("event_type"), col("ms")))
+        .reduce(_ unionByName _)
+      graft.operators.Association.sequenceRules(ev, "user_id",
+        "event_type", "ms", window = 3600000L, minSupport = 2L * n, k = 20)
+    }
+
+    // q343 shape: pooled quantile normalization at Nx rows. Copies are
+    // EXACT duplicates: every (scope, group, value) census cell count
+    // scales N x but the CELL SET is unchanged, so the merged-window
+    // stage sees identical row counts at any N — only the first scan
+    // and census aggregation grow. The flattest ratio on the board is
+    // the design claim ("windows at census scale, never row scale").
+    def qnorm(n: Int): DataFrame = {
+      val e = (0 until n).map(_ => ev0).reduce(_ unionByName _)
+        .select(((col("ms") / 86400000L) % 7).cast("int").as("dow"),
+          col("event_type"),
+          (col("user_id") % 100).as("cents"))
+      graft.operators.Normalize.quantileNormalize(
+        e, "dow", "event_type", "cents")
+    }
+
     val shapes: Seq[(String, Int => DataFrame)] = Seq(
       "minhash" -> (n => minhash(corpusAt(n))),
       "incremental" -> (n => incremental(corpusAt(n))),
@@ -228,7 +260,9 @@ object BenchScale {
       "winnow" -> (n => winnow(corpusAt(n))),
       "cdc" -> (n => cdc(corpusAt(n))),
       "assoc" -> (assoc(_)),
-      "modularity" -> (modularityAt(_)))
+      "modularity" -> (modularityAt(_)),
+      "seqrules" -> (seqrules(_)),
+      "qnorm" -> (qnorm(_)))
     val out = shapes.flatMap { case (name, fn) =>
       val (t1, n1) = timed(fn(1))
       val (tN, nN) = timed(fn(copies))

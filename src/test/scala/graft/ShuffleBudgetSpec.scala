@@ -276,4 +276,33 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
     assert(moved > 0, "harness read zero — measurement broken")
     assert(moved < (4L << 20), s"events leaked into a shuffle: $moved bytes")
   }
+
+  test("q344/q347 census operators shuffle cells, never rows") {
+    for (q <- Seq("q344_leave_one_out", "q347_info_gain_split")) {
+      val moved = shuffledBytes(SparkEntry.queries(q)(spark, dir))
+      assert(moved > 0, s"$q: harness read zero — measurement broken")
+      assert(moved < (4L << 20), s"$q: rows leaked into a shuffle: " +
+        s"$moved bytes")
+    }
+  }
+
+  test("q343 quantile norm shuffles (scope, group, value) cells only") {
+    // q343 discretizes at raw cents (~10k distinct), so at sf0.1 the
+    // census is ~70% of row count BY THE CALLER'S CHOICE — the gate
+    // bounds it at narrow-cell size (~16 MB observed); the scale_bench
+    // `qnorm` shape is the real claim: exact-duplicate copies leave the
+    // cell set IDENTICAL at 10x rows, so window input doesn't grow
+    val moved = shuffledBytes(SparkEntry.queries("q343_quantile_norm")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    assert(moved < (24L << 20), s"cells outgrew the census bound: $moved")
+  }
+
+  test("q345 negative sampling shuffles the vocab census and k draws, " +
+      "never tokens") {
+    val moved = shuffledBytes(SparkEntry.queries("q345_negative_samples")(spark, dir))
+    assert(moved > 0, "harness read zero — measurement broken")
+    // ~47k-token vocab census + 1000 draws; the exploded token stream
+    // itself must never cross an exchange
+    assert(moved < (8L << 20), s"tokens leaked into a shuffle: $moved bytes")
+  }
 }
