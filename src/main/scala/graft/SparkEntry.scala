@@ -372,6 +372,9 @@ object SparkEntry {
     "q348_fdr_bh"           -> (T.q348FdrBh(_, _)),
     "q349_rake"             -> (D.q349Rake(_, _)),
     "q350_centroid_drift"   -> (D.q350CentroidDrift(_, _)),
+    "q351_nelson_aalen"     -> (T.q351NelsonAalen(_, _)),
+    "q352_ucb_allocation"   -> (T.q352UcbAllocation(_, _)),
+    "q353_capture_recapture" -> (D.q353CaptureRecapture(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7248,6 +7251,93 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(surv AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
         |    AS survival
         |FROM f""".stripMargin,
+    // q351: the additive twin of q255 — cumulative Σ d/n in duration
+    // order via the same list_reduce 0.0-seed parity; exp parity per
+    // the q237 precedent
+    "q351_nelson_aalen" ->
+      """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+        |    MAX(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+        |h AS (SELECT MAX(ld) AS wend FROM u),
+        |s AS (SELECT date_diff('day', fd, ld) AS dur,
+        |    CASE WHEN date_diff('day', ld, wend) >= 7 THEN 1 ELSE 0 END AS ev
+        |  FROM u, h),
+        |c AS (SELECT dur AS d, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(ev) AS BIGINT) AS deaths FROM s GROUP BY 1),
+        |r AS (SELECT d, n_obs, deaths,
+        |    CAST(SUM(n_obs) OVER () - COALESCE(SUM(n_obs) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM c),
+        |l AS (SELECT list(struct_pack(d := d, n_obs := n_obs,
+        |    deaths := deaths, n_risk := n_risk) ORDER BY d) AS arr FROM r),
+        |x AS (SELECT unnest(range(1, len(arr) + 1)) AS i, arr FROM l),
+        |f AS (SELECT arr[i].d AS d, arr[i].n_obs AS n_obs,
+        |    arr[i].deaths AS n_events, arr[i].n_risk AS n_risk,
+        |    list_reduce(list_transform(list_slice(arr, 1, i),
+        |      e -> CAST(e.deaths AS DOUBLE) / CAST(e.n_risk AS DOUBLE)),
+        |      (a, b) -> a + b) AS ch
+        |  FROM x)
+        |SELECT CAST(d AS BIGINT) AS dur, n_obs, n_events, n_risk,
+        |  CAST(round(CAST(CAST(ch AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS cum_hazard,
+        |  CAST(round(CAST(CAST(exp(-ch) AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS fh_survival
+        |FROM f""".stripMargin,
+    // q352: exact (n, Σr) census; the UCB bonus is a pinned √/ln shape;
+    // argmax ties (ucb desc, arm asc)
+    "q352_ucb_allocation" ->
+      """WITH e AS (SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT)
+        |    AS sc, event_type AS arm,
+        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS r
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT sc, arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS HUGEINT) AS s FROM e GROUP BY 1, 2),
+        |t AS (SELECT sc, arm, n, s,
+        |    CAST(sum(n) OVER (PARTITION BY sc) AS BIGINT) AS nt FROM g),
+        |u AS (SELECT sc, arm, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(2.0 * ln(CAST(nt AS DOUBLE)) / CAST(n AS DOUBLE)) AS bonus
+        |  FROM t),
+        |w AS (SELECT sc, arm, n, mean, bonus, mean + bonus AS ucb,
+        |    row_number() OVER (PARTITION BY sc
+        |      ORDER BY mean + bonus DESC, arm) AS rk FROM u)
+        |SELECT sc AS dow, arm AS event_type, n,
+        |  CAST(round(CAST(CAST(mean AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS mean,
+        |  CAST(round(CAST(CAST(bonus AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS bonus,
+        |  CAST(round(CAST(CAST(ucb AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS ucb,
+        |  rk = 1 AS chosen
+        |FROM w""".stripMargin,
+    // q353: exact distinct catch counts; Chapman N-hat and SE are
+    // pinned-shape doubles of exact integer products
+    "q353_capture_recapture" ->
+      """WITH keys AS (SELECT 'p' || CAST(doc_id AS VARCHAR) AS k
+        |  FROM documents WHERE doc_id < 200),
+        |a AS (SELECT DISTINCT k FROM keys
+        |  WHERE CAST(('0x' || substr(md5(k || ':a'), 1, 2)) AS BIGINT)
+        |    % 10 < 7),
+        |b AS (SELECT DISTINCT k FROM keys
+        |  WHERE CAST(('0x' || substr(md5(k || ':b'), 1, 2)) AS BIGINT)
+        |    % 10 < 5),
+        |c AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (k))
+        |      AS n_both)
+        |SELECT n_a, n_b, n_both,
+        |  CAST(round(CAST(CAST(
+        |    CAST(CAST(n_a + 1 AS HUGEINT) * (n_b + 1) AS DOUBLE)
+        |      / CAST(n_both + 1 AS DOUBLE) - 1.0
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS n_hat,
+        |  CAST(round(CAST(CAST(
+        |    sqrt(CAST(CAST(n_a + 1 AS HUGEINT) * (n_b + 1) * (n_a - n_both)
+        |        * (n_b - n_both) AS DOUBLE)
+        |      / CAST(CAST(n_both + 1 AS HUGEINT) * (n_both + 1)
+        |        * (n_both + 2) AS DOUBLE))
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS se
+        |FROM c""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

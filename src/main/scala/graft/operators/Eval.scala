@@ -1785,4 +1785,43 @@ object Eval {
       .select(col("test"), col("p"), col("rank"), col("k"),
         col("q_value"), (col("q_value") <= lit(alpha)).as("reject"))
   }
+
+  /** UCB1 arm selection (Auer 2002) per scope — the deterministic
+    * bandit read over logged rewards: arm a scores
+    *   ucb(a) = mean(a) + √(2·ln N / n_a)
+    * and the argmax is what an optimism-under-uncertainty allocator
+    * pulls next. The EXPLORATION companion to [[bayesianAB]]'s
+    * posterior read: same logged data, "what should we try next"
+    * instead of "which arm won". Deterministic by construction — UCB
+    * needs no random draws, which is why it is the bandit this engine
+    * ships (Thompson sampling would need per-decision Beta draws).
+    *
+    * Exactness: per-arm (n, Σr) are exact sums; mean is one division;
+    * the bonus is a pinned √/ln shape (cross-engine ln parity, the
+    * [[sprt]] contract). Ties break (ucb desc, arm asc). Unpulled
+    * arms don't exist in logged data — cold-start is the caller's
+    * seeding policy, not a hidden default.
+    *
+    * Scale shape: ONE (scope, arm) census aggregation plus a
+    * scope-bounded argmax window. Output: (sc, arm, n, mean, bonus,
+    * ucb, chosen). */
+  def ucbAllocation(df: DataFrame, scopeCol: String, armCol: String,
+      rewardCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(rewardCol).isNotNull)
+      .select(col(scopeCol).as("sc"), col(armCol).as("arm"),
+        col(rewardCol).cast("long").as("r"))
+    val g = base.groupBy(col("sc"), col("arm"))
+      .agg(count(lit(1L)).as("n"), sum(col("r").cast(dec)).cast(dec).as("s"))
+    val wAll = Window.partitionBy(col("sc"))
+    def dd(c: Column): Column = c.cast("double")
+    val withTot = g.withColumn("__nt", sum(col("n")).over(wAll))
+    val mean = dd(col("s")) / dd(col("n"))
+    val bonus = sqrt(lit(2.0) * log(dd(col("__nt"))) / dd(col("n")))
+    val scored = withTot.select(col("sc"), col("arm"), col("n"),
+      mean.as("mean"), bonus.as("bonus"), (mean + bonus).as("ucb"))
+    val wPick = Window.partitionBy(col("sc"))
+      .orderBy(col("ucb").desc, col("arm"))
+    scored.withColumn("chosen", row_number().over(wPick) === 1)
+  }
 }

@@ -56,4 +56,46 @@ object Survival {
     folded.select(col("r.d").as(durCol), col("r.n_obs"), col("r.n_events"),
       col("r.n_risk"), col("r.survival"))
   }
+
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive twin:
+    * H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ. Where KM multiplies survival away,
+    * Nelson–Aalen ACCUMULATES instantaneous risk, which is the right
+    * axis for "when does churn accelerate" (slope changes) and is
+    * better-behaved at small risk sets. Also emits the
+    * Fleming–Harrington survival exp(−H) — at large nᵢ it hugs KM,
+    * and the gap between them is itself a small-sample warning.
+    *
+    * Same scale/exactness contract as [[kaplanMeier]]: duration-keyed
+    * census, suffix-sum at-risk counts, hazard terms as single double
+    * divisions of exact integers, the cumulative sum a fixed-order
+    * fold over the duration-sorted census (O(k²) on k distinct
+    * durations). Output: (duration, n_obs, n_events, n_risk,
+    * cum_hazard, fh_survival). */
+  def nelsonAalen(df: DataFrame, durCol: String, eventCol: String): DataFrame = {
+    val census = df
+      .select(col(durCol).cast("long").as("d"),
+        when(col(eventCol) === 1, 1L).otherwise(0L).as("e"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("e")).as("deaths"))
+    val wOrd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val risked = census
+      .withColumn("n_risk",
+        sum(col("n_obs")).over(wAll) - coalesce(sum(col("n_obs")).over(wOrd), lit(0L)))
+    val folded = risked
+      .agg(sort_array(collect_list(struct(col("d"), col("n_obs"),
+        col("deaths"), col("n_risk")))).as("__arr"))
+      .select(expr(
+        """explode(transform(__arr, (e, i) -> struct(
+          |  e.d AS d, e.n_obs AS n_obs, e.deaths AS n_events,
+          |  e.n_risk AS n_risk,
+          |  aggregate(slice(__arr, 1, i + 1), CAST(0.0 AS DOUBLE),
+          |    (acc, x) -> acc
+          |      + CAST(x.deaths AS DOUBLE) / CAST(x.n_risk AS DOUBLE))
+          |    AS cum_hazard)))""".stripMargin).as("r"))
+    folded.select(col("r.d").as(durCol), col("r.n_obs"), col("r.n_events"),
+      col("r.n_risk"), col("r.cum_hazard"),
+      exp(-col("r.cum_hazard")).as("fh_survival"))
+  }
 }

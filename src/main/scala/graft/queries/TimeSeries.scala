@@ -518,6 +518,38 @@ object TimeSeries {
         round($"survival", 6).as("survival"))
   }
 
+  /** q351 — Nelson–Aalen hazard ([[graft.operators.Survival
+    * .nelsonAalen]]): the q255 retention cohort read as CUMULATIVE
+    * RISK — Σ dᵢ/nᵢ in duration order, plus the Fleming–Harrington
+    * exp(−H) whose gap to KM flags thin risk sets. */
+  def q351NelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val spans = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("first_d"), max(to_date($"ts")).as("last_d"))
+    val horizon = spans.agg(max($"last_d").as("wend"))
+    val subjects = spans.crossJoin(broadcast(horizon))
+      .select(datediff($"last_d", $"first_d").as("dur"),
+        when(datediff($"wend", $"last_d") >= 7, 1).otherwise(0).as("ev"))
+    graft.operators.Survival.nelsonAalen(subjects, "dur", "ev")
+      .select($"dur", $"n_obs", $"n_events", $"n_risk",
+        round($"cum_hazard", 6).as("cum_hazard"),
+        round($"fh_survival", 6).as("fh_survival"))
+  }
+
+  /** q352 — UCB1 allocation ([[graft.operators.Eval.ucbAllocation]]):
+    * treating the five event types as arms with hit = value > 50 per
+    * day-of-week scope — which arm an optimism-under-uncertainty
+    * allocator pulls next; exact counts, pinned √/ln bonus. */
+  def q352UcbAllocation(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.ucbAllocation(
+      events(spark, dir).select(
+        dayofweek(to_date($"ts")).cast("int").as("dow"), $"event_type",
+        ($"value" > 50.0).cast("long").as("hit")),
+      "dow", "event_type", "hit")
+      .select($"sc".as("dow"), $"arm".as("event_type"), $"n",
+        round($"mean", 6).as("mean"), round($"bonus", 6).as("bonus"),
+        round($"ucb", 6).as("ucb"), $"chosen")
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

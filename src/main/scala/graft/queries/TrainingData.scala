@@ -2991,6 +2991,24 @@ object TrainingData {
       .select($"label_a", $"label_b", $"n_a", $"n_b",
         round($"cosine", 6).as("cosine"))
 
+  /** q353 — capture–recapture recall audit ([[graft.operators.Dedup
+    * .captureRecapture]]): two md5-deterministic detector passes over a
+    * planted 200-pair duplicate population (≈70% and ≈50% recall, the
+    * q64 seeded-kernel precedent) — Chapman's N̂ recovers the
+    * population size no single pass sees; exact distinct counts,
+    * pinned-shape estimate and SE. */
+  def q353CaptureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val keys = docs(spark, dir).where($"doc_id" < 200)
+      .select(concat(lit("p"), $"doc_id".cast("string")).as("k"))
+    def caught(tag: String, thresh: Int) = keys.where(
+      conv(substring(md5(concat($"k", lit(":" + tag))), 1, 2), 16, 10)
+        .cast("long") % 10 < thresh)
+    graft.operators.Dedup.captureRecapture(
+        caught("a", 7), caught("b", 5), "k")
+      .select($"n_a", $"n_b", $"n_both", round($"n_hat", 6).as("n_hat"),
+        round($"se", 6).as("se"))
+  }
+
   /** q81 — embedding norm / stats per label (vector column plumbing). */
   def q81EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -260,6 +260,73 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r(2).getLong(2) === 2L)                              // two deaths at 5
   }
 
+  test("nelson-aalen: cumulative d/n sums match hand computation and " +
+      "exp(-H) tracks KM from above") {
+    import spark.implicits._
+    val subjects = Seq((2L, 1), (3L, 0), (5L, 1), (5L, 1), (7L, 0))
+      .toDF("dur", "ev")
+    val r = graft.operators.Survival.nelsonAalen(subjects, "dur", "ev")
+      .orderBy("dur").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(2L, 3L, 5L, 7L))
+    assert(r(0).getDouble(4) === 1.0 / 5.0)               // H(2) = 1/5
+    assert(r(1).getDouble(4) === r(0).getDouble(4))       // censoring: flat
+    assert(r(2).getDouble(4) === 1.0 / 5.0 + 2.0 / 3.0)   // +2/3 at t=5
+    assert(r(3).getDouble(4) === r(2).getDouble(4))
+    // Fleming–Harrington dominates KM pointwise (exp(-x) >= 1 - x)
+    val km = graft.operators.Survival.kaplanMeier(subjects, "dur", "ev")
+      .orderBy("dur").collect().map(_.getDouble(4))
+    r.map(_.getDouble(5)).zip(km).foreach { case (fh, s) =>
+      assert(fh >= s - 1e-12, s"FH $fh below KM $s") }
+  }
+
+  test("ucbAllocation: under-explored arm wins despite a lower mean; " +
+      "ties break by arm id") {
+    import spark.implicits._
+    // arm a: 50 pulls, mean 0.6; arm b: 2 pulls, mean 0.5 -> b's bonus
+    // sqrt(2 ln 52 / 2) ~ 1.99 dwarfs a's ~0.40: UCB pulls b
+    val rows = (1 to 50).map(i => ("s", "a", if (i <= 30) 1L else 0L)) ++
+      Seq(("s", "b", 1L), ("s", "b", 0L))
+    val got = graft.operators.Eval.ucbAllocation(rows.toDF("sc", "arm", "r"),
+        "sc", "arm", "r")
+      .collect().map(r => r.getAs[String]("arm") ->
+        ((r.getAs[Double]("mean"), r.getAs[Double]("ucb"),
+          r.getAs[Boolean]("chosen")))).toMap
+    assert(got("a")._1 == 0.6 && got("b")._1 == 0.5)
+    assert(got("b")._3 && !got("a")._3, s"UCB must explore: $got")
+    val n = 52.0
+    assert(math.abs(got("b")._2 -
+      (0.5 + math.sqrt(2 * math.log(n) / 2))) < 1e-12)
+    // exact tie (same counts, same rewards): smaller arm id chosen
+    val tie = Seq(("t", "x", 1L), ("t", "y", 1L))
+    val t = graft.operators.Eval.ucbAllocation(tie.toDF("sc", "arm", "r"),
+        "sc", "arm", "r")
+      .collect().map(r => r.getAs[String]("arm") -> r.getAs[Boolean]("chosen"))
+      .toMap
+    assert(t("x") && !t("y"))
+  }
+
+  test("captureRecapture: Chapman estimate on hand-counted catches; " +
+      "full overlap collapses to the union") {
+    import spark.implicits._
+    // A = {1..70}, B = {51..100}: m = 20 -> N-hat = 71*51/21 - 1
+    val a = (1 to 70).map(i => s"k$i").toDF("k")
+    val b = (51 to 100).map(i => s"k$i").toDF("k")
+    val r = graft.operators.Dedup.captureRecapture(a, b, "k").head()
+    assert(r.getAs[Long]("n_a") == 70L && r.getAs[Long]("n_b") == 50L &&
+      r.getAs[Long]("n_both") == 20L)
+    assert(math.abs(r.getAs[Double]("n_hat") -
+      (71.0 * 51.0 / 21.0 - 1.0)) < 1e-9)
+    assert(r.getAs[Double]("se") > 0.0)
+    // identical catches: estimate = the catch itself, SE = 0
+    val same = graft.operators.Dedup.captureRecapture(a, a, "k").head()
+    assert(math.abs(same.getAs[Double]("n_hat") - 70.0) < 1e-9)
+    assert(same.getAs[Double]("se") == 0.0)
+    // duplicates in a capture collapse (distinct keys)
+    val dup = graft.operators.Dedup.captureRecapture(
+      a.union(a), b, "k").head()
+    assert(dup.getAs[Long]("n_a") == 70L)
+  }
+
   test("power-law alpha matches the direct Clauset MLE") {
     import spark.implicits._
     val census = Seq((1L, 100L), (2L, 25L), (4L, 6L), (8L, 1L)).toDF("v", "c")
