@@ -375,6 +375,9 @@ object SparkEntry {
     "q351_nelson_aalen"     -> (T.q351NelsonAalen(_, _)),
     "q352_ucb_allocation"   -> (T.q352UcbAllocation(_, _)),
     "q353_capture_recapture" -> (D.q353CaptureRecapture(_, _)),
+    "q354_jarque_bera"      -> (T.q354JarqueBera(_, _)),
+    "q355_durbin_watson"    -> (T.q355DurbinWatson(_, _)),
+    "q356_chi_square"       -> (T.q356ChiSquare(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7338,6 +7341,108 @@ object SparkEntry {
         |        * (n_both + 2) AS DOUBLE))
         |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS se
         |FROM c""".stripMargin,
+    // q354: exact HUGEINT power sums; the A_k scalings make the shape
+    // stats pure ratios (A3/(A2*sqrt(A2)), A4/A2^2 — never pow); the
+    // chi2(2) survival is closed-form exp(-JB/2)
+    "q354_jarque_bera" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s1,
+        |    sum(CAST(y AS HUGEINT) * y) AS s2,
+        |    sum(CAST(y AS HUGEINT) * y * y) AS s3,
+        |    sum(CAST(y AS HUGEINT) * y * y * y) AS s4
+        |  FROM e GROUP BY 1),
+        |a AS (SELECT event_type, n, n * s2 - s1 * s1 AS a2,
+        |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
+        |    n * n * n * s4 - 4 * n * n * s1 * s3
+        |      + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS a4
+        |  FROM g),
+        |s AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    CASE WHEN n > 1 AND a2 > 0 THEN CAST(a3 AS DOUBLE)
+        |      / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE))) END AS sk,
+        |    CASE WHEN n > 1 AND a2 > 0 THEN CAST(a4 AS DOUBLE)
+        |      / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) END AS ku
+        |  FROM a),
+        |j AS (SELECT event_type, n, sk, ku,
+        |    CAST(n AS DOUBLE) / 6.0
+        |      * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0) AS jb
+        |  FROM s)
+        |SELECT event_type, n,
+        |  CAST(round(CAST(CAST(sk AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS skewness,
+        |  CAST(round(CAST(CAST(ku AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS kurtosis,
+        |  CAST(round(CAST(CAST(jb AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS jb,
+        |  CAST(round(CAST(CAST(exp(-jb / 2.0) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS p_value
+        |FROM j""".stripMargin,
+    // q355: differences cancel the mean, so the numerator is an exact
+    // integer sum; DW = n*num/(n*s2 - s1^2) is one double division
+    "q355_durbin_watson" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |d AS (SELECT event_type, y, y - lag(y) OVER (
+        |    PARTITION BY event_type ORDER BY ts, event_id) AS dy FROM e),
+        |g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s1,
+        |    sum(CAST(y AS HUGEINT) * y) AS s2,
+        |    sum(CAST(dy AS HUGEINT) * dy) AS num
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    n * s2 - s1 * s1 AS den, n * num AS nnum FROM g)
+        |SELECT event_type, n,
+        |  CASE WHEN n > 1 AND den > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(nnum AS DOUBLE) / CAST(den AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS dw,
+        |  CASE WHEN n > 1 AND den > 0 THEN
+        |    CAST(round(CAST(CAST(1.0 - (CAST(nnum AS DOUBLE)
+        |      / CAST(den AS DOUBLE)) / 2.0
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS rho
+        |FROM f""".stripMargin,
+    // q356: the q295 census/fold plus the even-df Poisson-sum survival
+    // — the seed rides as a prepended element (list_reduce has no
+    // seed), per-step factors h/k live in the element list, and the
+    // recurrence fields are ordered sum-first (the q40 contract)
+    "q356_chi_square" ->
+      """WITH cells AS (SELECT event_type AS a,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS cab FROM events GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |t AS (SELECT cells.a, cells.b,
+        |    CAST(CAST(cab AS HUGEINT) * cab AS DOUBLE)
+        |    / CAST(CAST(ca AS HUGEINT) * cb AS DOUBLE) AS term
+        |  FROM cells JOIN ma USING (a) JOIN mb USING (b)),
+        |f AS (SELECT list(term ORDER BY a, b) AS terms,
+        |    (SELECT CAST(sum(cab) AS BIGINT) FROM cells) AS n,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ma) AS r,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mb) AS c
+        |  FROM t),
+        |g AS (SELECT n, r, c, CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+        |    CAST(n AS DOUBLE) * (list_reduce(terms, (x, y) -> x + y) - 1.0)
+        |      AS chi2
+        |  FROM f),
+        |h AS (SELECT n, r, c, df, chi2,
+        |    greatest(chi2, 0.0) / 2.0 AS hh, df // 2 AS m FROM g),
+        |p AS (SELECT n, r, c, df, chi2,
+        |    CASE WHEN df % 2 = 0 AND df > 0 THEN
+        |      exp(-hh) * list_reduce(list_prepend(
+        |        struct_pack(s := CAST(1.0 AS DOUBLE), t := CAST(1.0 AS DOUBLE)),
+        |        list_transform(range(1, m), k -> struct_pack(
+        |          s := hh / CAST(k AS DOUBLE), t := hh / CAST(k AS DOUBLE)))),
+        |        (acc, x) -> struct_pack(
+        |          s := acc.s + acc.t * x.t, t := acc.t * x.t)).s
+        |    END AS pv
+        |  FROM h)
+        |SELECT n, r, c, df,
+        |  CAST(round(CAST(CAST(chi2 AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS chi2,
+        |  CAST(round(CAST(CAST(pv AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p_value
+        |FROM p""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

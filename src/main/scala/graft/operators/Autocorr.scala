@@ -213,4 +213,49 @@ object Autocorr {
           (col("total") * col("__n_all")).cast("double") /
             (col("n_days") * col("__t_all")).cast("double")).as("lift"))
   }
+
+  /** Durbin–Watson statistic per key — the classic first-order serial-
+    * correlation alarm on a mean-centered series:
+    *   DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ e_t²,  e_t = y_t − ȳ.
+    * DW ≈ 2 means no lag-1 structure; → 0 positive, → 4 negative
+    * autocorrelation, with ρ̂ ≈ 1 − DW/2 as the companion readout.
+    * The cheap scalar twin of [[acf]]'s full profile — one number per
+    * key, no lag unpivot — and the standard residual gate after any
+    * trend fit.
+    *
+    * Exactness: successive differences don't see the mean (Δe = Δy),
+    * so the numerator Σ(Δy)² is an exact integer sum; the denominator
+    * Σe² = (n·Σy² − (Σy)²)/n, so DW = n·Σ(Δy)² / (n·Σy² − (Σy)²) is a
+    * ratio of exact decimals with ONE terminal double division —
+    * nothing order-sensitive. Ordering contract: `ordCol` must be a
+    * unique total order per key (pass a tiebreaker-composite upstream
+    * if timestamps can collide).
+    *
+    * Scale shape: one per-key window pass for the lag, one key-keyed
+    * census aggregation; nothing else shuffles. Output: (key, n, dw,
+    * rho); null when n < 2 or the series is constant. */
+  def durbinWatson(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val y = col(valueCol).cast("long")
+    val lagged = df.select(col(keyCol), col(ordCol), y.as("__y"))
+      .withColumn("__d", col("__y") - lag(col("__y"), 1).over(w))
+    val yD = col("__y").cast(dec)
+    val g = lagged.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(yD).cast(dec).as("__s1"),
+      sum((yD * yD).cast(dec)).cast(dec).as("__s2"),
+      sum((col("__d").cast(dec) * col("__d").cast(dec)).cast(dec))
+        .cast(dec).as("__num"))
+    val nD = col("n").cast(dec)
+    val den = (nD * col("__s2") - col("__s1") * col("__s1")).cast(dec)
+    val dw = (nD * col("__num")).cast(dec).cast("double") /
+      den.cast("double")
+    g.withColumn("__den", den)
+      .select(col(keyCol), col("n"),
+        when(col("n") > 1L && col("__den") > lit(0).cast(dec), dw).as("dw"),
+        when(col("n") > 1L && col("__den") > lit(0).cast(dec),
+          lit(1.0) - dw / lit(2.0)).as("rho"))
+  }
 }

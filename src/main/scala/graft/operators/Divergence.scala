@@ -555,4 +555,105 @@ object Divergence {
             (lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec))
               .cast(dec).cast("double")).as("tv"))
   }
+
+  /** Jarque–Bera normality census per group — are the values even
+    * PLAUSIBLY Gaussian? The cheapest gate before any method that
+    * assumes normality (z-intervals, control limits, Welch small-n):
+    *   g₁ = m₃/m₂^{3/2},  κ = m₄/m₂²,  JB = n/6·(g₁² + (κ−3)²/4),
+    * and because JB is asymptotically χ²(df=2), the p-value has the
+    * CLOSED form p = exp(−JB/2) — no incomplete-gamma machinery.
+    *
+    * Exactness: per-group raw power sums S₁..S₄ of the integer-cast
+    * values are exact decimal(38,0); the scaled central sums
+    *   A₂ = n·S₂ − S₁²                      (= n·Σ(y−ȳ)²)
+    *   A₃ = n²·S₃ − 3n·S₁S₂ + 2S₁³          (= n²·Σ(y−ȳ)³)
+    *   A₄ = n³·S₄ − 4n²·S₁S₃ + 6n·S₁²S₂ − 3S₁⁴ (= n³·Σ(y−ȳ)⁴)
+    * are exact decimals with the n-powers chosen so the statistics
+    * collapse to pinned-shape ratios: g₁ = A₃/(A₂·√A₂), κ = A₄/A₂²
+    * (√ is IEEE-correctly-rounded in both engines; pow(x,1.5) is NOT,
+    * so it never appears). Headroom precondition (the acf contract):
+    * n³·Σy⁴ must fit 38 digits — at cent scale that holds to ~10⁶ rows
+    * per group with |y| ≤ 10⁵; downscale units beyond that.
+    *
+    * Scale shape: ONE group-keyed census aggregation, map-side
+    * combined; nothing else shuffles. Output: (g, n, skewness,
+    * kurtosis, jb, p_value); shape stats null on constant groups
+    * (A₂ = 0) or n < 2. */
+  def jarqueBera(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val y = col(valueCol).cast("long").cast(dec)
+    val g = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(y).cast(dec).as("s1"),
+        sum((y * y).cast(dec)).cast(dec).as("s2"),
+        sum((y * y * y).cast(dec)).cast(dec).as("s3"),
+        sum((y * y * y * y).cast(dec)).cast(dec).as("s4"))
+    val nD = col("n").cast(dec)
+    val a2 = (nD * col("s2") - col("s1") * col("s1")).cast(dec)
+    val a3 = (nD * nD * col("s3") - lit(3).cast(dec) * nD * col("s1") * col("s2") +
+      lit(2).cast(dec) * col("s1") * col("s1") * col("s1")).cast(dec)
+    val a4 = (nD * nD * nD * col("s4") -
+      lit(4).cast(dec) * nD * nD * col("s1") * col("s3") +
+      lit(6).cast(dec) * nD * col("s1") * col("s1") * col("s2") -
+      lit(3).cast(dec) * col("s1") * col("s1") * col("s1") * col("s1")).cast(dec)
+    def dd(c: Column): Column = c.cast("double")
+    val withA = g.withColumn("__a2", a2).withColumn("__a3", a3)
+      .withColumn("__a4", a4)
+    val skew = dd(col("__a3")) / (dd(col("__a2")) * sqrt(dd(col("__a2"))))
+    val kurt = dd(col("__a4")) / (dd(col("__a2")) * dd(col("__a2")))
+    val ok = col("n") > 1L && col("__a2") > lit(0).cast(dec)
+    val jb = dd(col("n")) / lit(6.0) *
+      (col("__skew") * col("__skew") +
+        (col("__kurt") - lit(3.0)) * (col("__kurt") - lit(3.0)) / lit(4.0))
+    withA
+      .withColumn("__skew", when(ok, skew))
+      .withColumn("__kurt", when(ok, kurt))
+      .withColumn("__jb", jb)
+      .select(col("g"), col("n"), col("__skew").as("skewness"),
+        col("__kurt").as("kurtosis"), col("__jb").as("jb"),
+        exp(-col("__jb") / lit(2.0)).as("p_value"))
+  }
+
+  /** Chi-square test of independence with an EXACT p-value for even
+    * degrees of freedom — the significance readout [[cramersV]] (an
+    * effect size) deliberately does not carry. Same observed-cell
+    * census and o²/e fold as Cramér's V; then for df = (r−1)(c−1)
+    * EVEN (df = 2m) the χ² survival function is the finite Poisson
+    * sum — no incomplete gamma:
+    *   P(χ²_{2m} > x) = e^{−x/2} · Σ_{k=0}^{m−1} (x/2)^k / k!
+    * The sum is evaluated as a seeded fold with term recurrence
+    * t_k = t_{k−1}·(x/2)/k — repeated IEEE multiply/divide, replayable
+    * cross-engine where pow() is not. Odd df yields a null p (and a
+    * loud df column so the caller sees why); most designed contingency
+    * reads (day-of-week × category) have even df.
+    *
+    * Scale shape: the [[cramersV]] shape — one (a, b) census, marginal
+    * re-aggregations, broadcast scalars; the p-fold runs on ONE row.
+    * Output one row: (n, r, c, df, chi2, p_value). */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = cramersV(df, aCol, bCol)
+      .withColumn("df", (col("r") - 1L) * (col("c") - 1L))
+    val half = greatest(col("chi2"), lit(0.0)) / lit(2.0)
+    val m = (col("df") / lit(2L)).cast("long")
+    // Σ_{k=0}^{m−1} t_k with t_0 = 1 seed; the per-step factors h/k are
+    // precomputed into the element list so the fold lambda is purely
+    // element-local (the DuckDB twin's list_reduce replays it with a
+    // prepended seed element), and fields are ordered sum-first so the
+    // twin never reads a recomputed field
+    val series = when(col("df") % 2L === 0L && col("df") > 0L,
+      when(m > 1L,
+        expr("""aggregate(
+          |transform(sequence(1L, __m - 1L), k -> __h / CAST(k AS DOUBLE)),
+          |named_struct('s', CAST(1.0 AS DOUBLE), 't', CAST(1.0 AS DOUBLE)),
+          |(acc, hk) -> named_struct(
+          |  's', acc.s + acc.t * hk,
+          |  't', acc.t * hk),
+          |acc -> acc.s)""".stripMargin))
+        .otherwise(lit(1.0)))
+    base.withColumn("__h", half).withColumn("__m", m)
+      .withColumn("__series", series)
+      .select(col("n"), col("r"), col("c"), col("df"), col("chi2"),
+        (exp(-col("__h")) * col("__series")).as("p_value"))
+  }
 }

@@ -550,6 +550,46 @@ object TimeSeries {
         round($"mean", 6).as("mean"), round($"bonus", 6).as("bonus"),
         round($"ucb", 6).as("ucb"), $"chosen")
 
+  /** q354 — Jarque–Bera normality census ([[graft.operators.Divergence
+    * .jarqueBera]]): per event type on cent values — the gate before
+    * any normal-theory readout; exact S₁..S₄ power sums, closed-form
+    * χ²(2) p = exp(−JB/2). */
+  def q354JarqueBera(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.jarqueBera(
+      events(spark, dir).select($"event_type",
+        round($"value" * 100).cast("long").as("cents")),
+      "event_type", "cents")
+      .select($"g".as("event_type"), $"n",
+        round($"skewness", 6).as("skewness"),
+        round($"kurtosis", 6).as("kurtosis"),
+        round($"jb", 6).as("jb"), round($"p_value", 6).as("p_value"))
+
+  /** q355 — Durbin–Watson serial correlation ([[graft.operators
+    * .Autocorr.durbinWatson]]): per event type over the (ts, event_id)-
+    * ordered cent series — is there lag-1 structure the drift monitors
+    * must model? Exact Σ(Δy)² numerator, one terminal division. */
+  def q355DurbinWatson(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Autocorr.durbinWatson(
+      events(spark, dir).select($"event_type",
+        struct($"ts", $"event_id").as("ord"),
+        round($"value" * 100).cast("long").as("cents")),
+      "event_type", "ord", "cents")
+      .select($"event_type", $"n", round($"dw", 6).as("dw"),
+        round($"rho", 6).as("rho"))
+
+  /** q356 — chi-square independence with exact even-df p
+    * ([[graft.operators.Divergence.chiSquareIndependence]]): is event
+    * type independent of day-of-week? df = 4·6 = 24 even, so the
+    * Poisson-sum survival function is exact — the significance
+    * companion to the q295 Cramér's V effect size. */
+  def q356ChiSquare(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.chiSquareIndependence(
+      events(spark, dir).select($"event_type",
+        dayofweek(to_date($"ts")).cast("int").as("dow")),
+      "event_type", "dow")
+      .select($"n", $"r", $"c", $"df", round($"chi2", 6).as("chi2"),
+        round($"p_value", 6).as("p_value"))
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

@@ -216,4 +216,61 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(run(df.repartition(1)) ==
       run(df.repartition(32, org.apache.spark.sql.functions.col("a"))))
   }
+
+  test("jarqueBera: hand moments on a tiny group, symmetric data has " +
+      "zero skew, constant groups go null") {
+    import spark.implicits._
+    // y = {1, 2, 3, 6}: n=4, S1=12, S2=50, S3=252, S4=1394
+    // A2 = 4*50-144 = 56 (= 4*Σ(y-3)² = 4*14)
+    // A3 = 16*252-3*4*12*50+2*1728 = 288 (= 16*Σ(y-3)³ = 16*18)
+    // A4 = 64*1394-4*16*12*252+6*4*144*50-3*20736 = 6272 (= 64*98)
+    val df = (Seq((1L, "g")) ++ Seq((2L, "g")) ++ Seq((3L, "g")) ++
+      Seq((6L, "g")) ++ Seq((5L, "flat")) ++ Seq((5L, "flat")) ++
+      (-3 to 3).map(i => (i.toLong, "sym"))).toDF("y", "g")
+    val out = Divergence.jarqueBera(df, "g", "y").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    val g = out("g")
+    val skew = 288.0 / (56.0 * math.sqrt(56.0))
+    val kurt = 6272.0 / (56.0 * 56.0)
+    assert(math.abs(g.getAs[Double]("skewness") - skew) < 1e-12)
+    assert(math.abs(g.getAs[Double]("kurtosis") - kurt) < 1e-12)
+    val jb = 4.0 / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4.0)
+    assert(math.abs(g.getAs[Double]("jb") - jb) < 1e-12)
+    assert(math.abs(g.getAs[Double]("p_value") - math.exp(-jb / 2)) < 1e-12)
+    assert(out("sym").getAs[Double]("skewness") == 0.0)
+    assert(out("flat").isNullAt(out("flat").fieldIndex("jb")))
+  }
+
+  test("chiSquareIndependence: even-df Poisson-sum p matches the " +
+      "direct series; independent table lands p ~ 1") {
+    import spark.implicits._
+    // 3x5 design (df=8, even), deliberately associated
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4000).map { _ =>
+      val a = rnd.nextInt(3)
+      val b = if (rnd.nextDouble() < 0.3) a else rnd.nextInt(5)
+      ("a" + a, "b" + b)
+    }
+    val r = Divergence.chiSquareIndependence(rows.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(r.getAs[Long]("df") == 8L)
+    val x = r.getAs[Double]("chi2")
+    // direct survival: exp(-h) * sum_{k<4} h^k/k!
+    val h = x / 2
+    val direct = math.exp(-h) * (1 + h + h * h / 2 + h * h * h / 6)
+    assert(math.abs(r.getAs[Double]("p_value") - direct) < 1e-9,
+      s"p=${r.getAs[Double]("p_value")} direct=$direct")
+    assert(r.getAs[Double]("p_value") < 1e-6) // strong association
+    // independent-by-construction: a and b from separate draws
+    val ind = (1 to 4000).map(_ => ("a" + rnd.nextInt(3), "b" + rnd.nextInt(5)))
+    val ri = Divergence.chiSquareIndependence(ind.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(ri.getAs[Double]("p_value") > 0.001)
+    // odd df (2x2 -> df 1): null p, loud df
+    val odd = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+    val ro = Divergence.chiSquareIndependence(odd.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(ro.getAs[Long]("df") == 1L)
+    assert(ro.isNullAt(ro.fieldIndex("p_value")))
+  }
 }

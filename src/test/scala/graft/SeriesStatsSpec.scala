@@ -327,6 +327,30 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(dup.getAs[Long]("n_a") == 70L)
   }
 
+  test("durbinWatson: hand computation, alternating series -> 4-ish, " +
+      "trending series -> small, constant -> null") {
+    import spark.implicits._
+    // y = {1, 2, 4}: diffs {1, 2}, num = 5; e = {-4/3, -1/3, 5/3},
+    // den*n = n*S2 - S1^2 = 3*21 - 49 = 14; DW = 3*5/14
+    val base = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 4L))
+      .toDF("k", "t", "y")
+    val r = graft.operators.Autocorr.durbinWatson(base, "k", "t", "y").head()
+    assert(math.abs(r.getAs[Double]("dw") - 15.0 / 14.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rho") - (1.0 - 15.0 / 28.0)) < 1e-12)
+    // alternating +-1 pushes DW toward 4; a monotone ramp stays low
+    val alt = (1 to 40).map(i => ("alt", i.toLong, if (i % 2 == 0) 1L else -1L))
+    val ramp = (1 to 40).map(i => ("ramp", i.toLong, i.toLong))
+    val both = graft.operators.Autocorr
+      .durbinWatson((alt ++ ramp).toDF("k", "t", "y"), "k", "t", "y")
+      .collect().map(x => x.getAs[String]("k") -> x.getAs[Double]("dw")).toMap
+    assert(both("alt") > 3.5, both.toString)
+    assert(both("ramp") < 0.5, both.toString)
+    // constant series: zero variance -> null
+    val flat = Seq(("f", 1L, 7L), ("f", 2L, 7L)).toDF("k", "t", "y")
+    val rf = graft.operators.Autocorr.durbinWatson(flat, "k", "t", "y").head()
+    assert(rf.isNullAt(rf.fieldIndex("dw")))
+  }
+
   test("power-law alpha matches the direct Clauset MLE") {
     import spark.implicits._
     val census = Seq((1L, 100L), (2L, 25L), (4L, 6L), (8L, 1L)).toDF("v", "c")
