@@ -378,6 +378,9 @@ object SparkEntry {
     "q354_jarque_bera"      -> (T.q354JarqueBera(_, _)),
     "q355_durbin_watson"    -> (T.q355DurbinWatson(_, _)),
     "q356_chi_square"       -> (T.q356ChiSquare(_, _)),
+    "q357_distinct_n"       -> (D.q357DistinctN(_, _)),
+    "q358_ewma_chart"       -> (T.q358EwmaChart(_, _)),
+    "q359_page_hinkley"     -> (T.q359PageHinkley(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7443,6 +7446,116 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(pv AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS p_value
         |FROM p""".stripMargin,
+    // q357: UNION ALL per n (no nested-lambda capture); range() is
+    // empty-on-inverted so short docs need no guards; the q271/q345
+    // split-regex tokenization parity
+    "q357_distinct_n" ->
+      """WITH t AS (SELECT lang, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |b AS (SELECT lang, toks FROM t WHERE len(toks) > 0),
+        |g1 AS (SELECT lang, 1 AS n, unnest(toks) AS gram FROM b),
+        |g2 AS (SELECT lang, 2 AS n, unnest(list_transform(
+        |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+        |    AS gram FROM b),
+        |g3 AS (SELECT lang, 3 AS n, unnest(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |    AS gram FROM b),
+        |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        |  UNION ALL SELECT * FROM g3),
+        |c AS (SELECT lang, n, gram, CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY 1, 2, 3)
+        |SELECT lang, CAST(n AS INT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(round(CAST(CAST(CAST(count(*) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS distinct_ratio
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // q358: z and (1-l)^(2t) are prefix folds replayed per row (the
+    // q255 slice shape, seed riding as a prepended element); hw uses
+    // sqrt-only shapes, never pow
+    "q358_ewma_chart" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+        |    sum(CAST(x AS HUGEINT) * x) AS s2,
+        |    list(struct_pack(o := day, y := x) ORDER BY day) AS arr
+        |  FROM d GROUP BY 1),
+        |m AS (SELECT event_type, n, arr,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CASE WHEN n > 1 THEN (3.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE))) * sqrt(0.2 / 1.8) END AS hw
+        |  FROM g),
+        |x AS (SELECT event_type, mu, hw,
+        |    unnest(range(1, len(arr) + 1)) AS i, arr FROM m),
+        |f AS (SELECT event_type, arr[i].o AS day, arr[i].y AS x, mu,
+        |    list_reduce(list_prepend(mu, list_transform(
+        |      list_slice(arr, 1, i), e -> CAST(e.y AS DOUBLE))),
+        |      (a, b) -> 0.2 * b + 0.8 * a) AS z,
+        |    hw * sqrt(1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |      list_transform(list_slice(arr, 1, i), e -> CAST(0.0 AS DOUBLE))),
+        |      (a, b) -> a * (0.8 * 0.8))) AS hwv
+        |  FROM x)
+        |SELECT event_type, day, x,
+        |  CAST(round(CAST(CAST(z AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS z,
+        |  CAST(round(CAST(CAST(mu + hwv AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS ucl,
+        |  CAST(round(CAST(CAST(mu - hwv AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS lcl,
+        |  CASE WHEN hwv IS NOT NULL THEN z > mu + hwv OR z < mu - hwv END
+        |    AS breach
+        |FROM f""".stripMargin,
+    // q359: the q238 fold contract with a running-mean target; every
+    // field re-derives m_t from acc-only reads, first-step values come
+    // from the element transform
+    "q359_page_hinkley" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    list(struct_pack(o := day, x := x) ORDER BY day) AS series
+        |  FROM d GROUP BY event_type),
+        |r AS (SELECT event_type, n_obs,
+        |  list_reduce(list_transform(series, e -> struct_pack(
+        |    na := CAST(CASE WHEN (0.0 + e.x - (0.0 + e.x) / CAST(1 AS DOUBLE) - 1.0)
+        |      - least(0.0, 0.0 + e.x - (0.0 + e.x) / CAST(1 AS DOUBLE) - 1.0) > 25.0
+        |      THEN 1 ELSE 0 END AS BIGINT),
+        |    fa := CASE WHEN (0.0 + e.x - (0.0 + e.x) / CAST(1 AS DOUBLE) - 1.0)
+        |      - least(0.0, 0.0 + e.x - (0.0 + e.x) / CAST(1 AS DOUBLE) - 1.0) > 25.0
+        |      THEN e.o END,
+        |    mx := greatest(0.0, (0.0 + e.x - (0.0 + e.x) / CAST(1 AS DOUBLE) - 1.0)
+        |      - least(0.0, 0.0 + e.x - (0.0 + e.x) / CAST(1 AS DOUBLE) - 1.0)),
+        |    mn := least(0.0, 0.0 + e.x - (0.0 + e.x) / CAST(1 AS DOUBLE) - 1.0),
+        |    m := 0.0 + e.x - (0.0 + e.x) / CAST(1 AS DOUBLE) - 1.0,
+        |    sx := 0.0 + e.x, t := CAST(1 AS BIGINT), o := e.o, xv := e.x)),
+        |  (acc, x) -> struct_pack(
+        |    na := acc.na + CASE WHEN (acc.m + x.xv - (acc.sx + x.xv)
+        |        / CAST(acc.t + 1 AS DOUBLE) - 1.0)
+        |      - least(acc.mn, acc.m + x.xv - (acc.sx + x.xv)
+        |        / CAST(acc.t + 1 AS DOUBLE) - 1.0) > 25.0 THEN 1 ELSE 0 END,
+        |    fa := coalesce(acc.fa, CASE WHEN (acc.m + x.xv - (acc.sx + x.xv)
+        |        / CAST(acc.t + 1 AS DOUBLE) - 1.0)
+        |      - least(acc.mn, acc.m + x.xv - (acc.sx + x.xv)
+        |        / CAST(acc.t + 1 AS DOUBLE) - 1.0) > 25.0 THEN x.o END),
+        |    mx := greatest(acc.mx, (acc.m + x.xv - (acc.sx + x.xv)
+        |        / CAST(acc.t + 1 AS DOUBLE) - 1.0)
+        |      - least(acc.mn, acc.m + x.xv - (acc.sx + x.xv)
+        |        / CAST(acc.t + 1 AS DOUBLE) - 1.0)),
+        |    mn := least(acc.mn, acc.m + x.xv - (acc.sx + x.xv)
+        |        / CAST(acc.t + 1 AS DOUBLE) - 1.0),
+        |    m := acc.m + x.xv - (acc.sx + x.xv) / CAST(acc.t + 1 AS DOUBLE) - 1.0,
+        |    sx := acc.sx + x.xv, t := acc.t + 1, o := x.o, xv := x.xv)) AS f
+        |  FROM g)
+        |SELECT event_type, n_obs, CAST(f.na AS BIGINT) AS n_alarms,
+        |  f.fa AS first_alarm,
+        |  CAST(round(CAST(CAST(f.mx AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS max_stat,
+        |  CAST(round(CAST(CAST(f.m - f.mn AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS ph_end
+        |FROM r""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -109,4 +109,122 @@ object ChangePoint {
         (s2.cast("double") / n2.cast("double")).as("mean_after"),
         col("__stat").as("stat"))
   }
+
+  /** Page–Hinkley drift monitor — [[cusumSummary]]'s SELF-TUNING
+    * sibling (Page 1954; the streaming-ML standard, e.g. MOA/river):
+    * where CUSUM needs a target mean up front, PH tracks departures
+    * from the RUNNING mean,
+    *   m_t = m_{t−1} + (x_t − x̄_t − δ),  x̄_t = (Σ_{i≤t} x_i)/t,
+    *   PH_t = m_t − min_{i≤t} m_i,  alarm when PH_t > h,
+    * so a level shift anywhere raises PH even when the pre-shift mean
+    * was never known — the right monitor for feeds with no stable
+    * calibration window.
+    *
+    * Determinism: the fold runs in period order with a fixed-shape
+    * state; every field re-derives m_t from acc-only reads (the
+    * [[cusumSummary]] list_reduce aliasing defense), the per-step
+    * running-mean division is one correctly-rounded double op in
+    * identical shape cross-engine. Ord values compare as strings —
+    * zero-padded period labels (ISO dates) are the contract.
+    *
+    * Scale shape: input is a (key, period, value) census; one sorted
+    * per-key collect bounded by periods. Output: (key, n_obs,
+    * n_alarms, first_alarm, max_stat, ph_end). */
+  def pageHinkley(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, delta: Double, threshold: Double): DataFrame = {
+    val g = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sort_array(collect_list(struct(col(ordCol).cast("string").as("o"),
+          col(valueCol).cast("double").as("x")))).as("__series"))
+    // every occurrence of the new m is this acc-only expression; the
+    // alarm fields and the new minimum read it via substitution, never
+    // via a sibling struct field
+    val mNext =
+      s"(acc.m + e.x - (acc.sx + e.x) / CAST(acc.t + 1 AS DOUBLE) - $delta)"
+    val stat = s"($mNext - least(acc.mn, $mNext))"
+    val fold =
+      s"""aggregate(__series,
+         |  struct(CAST(0 AS BIGINT) AS na, CAST(NULL AS STRING) AS fa,
+         |         CAST(0.0 AS DOUBLE) AS mx, CAST(0.0 AS DOUBLE) AS mn,
+         |         CAST(0.0 AS DOUBLE) AS m, CAST(0.0 AS DOUBLE) AS sx,
+         |         CAST(0 AS BIGINT) AS t),
+         |  (acc, e) -> struct(
+         |    acc.na + IF($stat > $threshold, CAST(1 AS BIGINT), CAST(0 AS BIGINT)) AS na,
+         |    coalesce(acc.fa, IF($stat > $threshold, e.o, CAST(NULL AS STRING))) AS fa,
+         |    greatest(acc.mx, $stat) AS mx,
+         |    least(acc.mn, $mNext) AS mn,
+         |    $mNext AS m,
+         |    acc.sx + e.x AS sx,
+         |    acc.t + 1 AS t))""".stripMargin
+    g.withColumn("__f", expr(fold))
+      .select(col(keyCol), col("n_obs"),
+        col("__f.na").as("n_alarms"), col("__f.fa").as("first_alarm"),
+        col("__f.mx").as("max_stat"),
+        (col("__f.m") - col("__f.mn")).as("ph_end"))
+  }
+
+  /** EWMA control chart (Roberts 1959) per key — the small-shift
+    * monitor between a raw Shewhart chart (misses drifts) and
+    * [[cusumSummary]] (no per-period trace): z_t = λx_t + (1−λ)z_{t−1}
+    * seeded at the series' own mean, with time-varying limits
+    *   μ ± L·σ·√(λ/(2−λ))·√(1 − (1−λ)^{2t})
+    * that widen to steady state — early periods get TIGHTER limits,
+    * which is exactly when a feed usually breaks. Emits the full
+    * per-period trace (z, limits, breach), the audit artifact the
+    * summary-only monitors can't produce.
+    *
+    * Exactness: μ and σ come from exact decimal (n, Σx, Σx²); z_t and
+    * (1−λ)^{2t} are fixed-order prefix folds (the q255 slice-fold
+    * shape — O(periods²) on the period census, never row grain), so
+    * every per-period double replays bit-identical cross-engine; pow()
+    * never appears. Ord values compare as strings — zero-padded period
+    * labels are the contract.
+    *
+    * Scale shape: one per-key census collect bounded by periods.
+    * Output: (key, o, x, z, ucl, lcl, breach); limits null when n < 2
+    * (no σ). */
+  def ewmaChart(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, lambda: Double = 0.2, limit: Double = 3.0): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda in (0,1), got $lambda")
+    val dec = "decimal(38,0)"
+    val y = col(valueCol).cast("long")
+    val g = df
+      .select(col(keyCol), col(ordCol).cast("string").as("o"), y.as("y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast(dec)).cast(dec).as("__s1"),
+        sum((col("y").cast(dec) * col("y").cast(dec)).cast(dec))
+          .cast(dec).as("__s2"),
+        sort_array(collect_list(struct(col("o"), col("y")))).as("__arr"))
+    val nD = col("n").cast(dec)
+    val mu = col("__s1").cast("double") / col("n").cast("double")
+    val sig2 = (nD * col("__s2") - col("__s1") * col("__s1")).cast(dec)
+      .cast("double") / (nD * (nD - 1)).cast(dec).cast("double")
+    val steady = math.sqrt(lambda / (2.0 - lambda))
+    val oneML = 1.0 - lambda
+    val withM = g
+      .withColumn("__mu", mu)
+      .withColumn("__hw", when(col("n") > 1L,
+        lit(limit) * sqrt(sig2) * lit(steady)))
+    // the (1−λ)² step factor is written as a PRODUCT of the 1−λ
+    // literal so the oracle can spell the identical expression instead
+    // of a pre-rounded constant
+    val foldExpr =
+      s"""explode(transform(__arr, (e, i) -> named_struct(
+         |  'o', e.o, 'y', e.y,
+         |  'z', aggregate(slice(__arr, 1, i + 1), __mu,
+         |    (acc, x) -> CAST($lambda AS DOUBLE) * CAST(x.y AS DOUBLE)
+         |      + CAST($oneML AS DOUBLE) * acc),
+         |  'mu0', __mu,
+         |  'hwv', __hw * sqrt(CAST(1.0 AS DOUBLE)
+         |    - aggregate(slice(__arr, 1, i + 1), CAST(1.0 AS DOUBLE),
+         |        (acc, x) -> acc * (CAST($oneML AS DOUBLE) * CAST($oneML AS DOUBLE)))))))""".stripMargin
+    val trace = withM.select(col(keyCol), expr(foldExpr).as("__f"))
+      .select(col(keyCol), col("__f.o").as("o"), col("__f.y").as("x"),
+        col("__f.z").as("z"),
+        (col("__f.mu0") + col("__f.hwv")).as("ucl"),
+        (col("__f.mu0") - col("__f.hwv")).as("lcl"))
+    trace.withColumn("breach",
+      when(col("ucl").isNotNull, col("z") > col("ucl") || col("z") < col("lcl")))
+  }
 }

@@ -536,4 +536,51 @@ object Profile {
       when(rn > 0L, looMean - meanAll).as("delta_mean"),
       when(rn > 1L, looVar).as("loo_var"))
   }
+
+  /** Distinct-n diversity per group — the standard lexical-diversity
+    * readout for generated/filtered corpora (Li et al. 2016):
+    * distinct-n = |unique word n-grams| / |word n-gram instances|,
+    * n = 1..maxN. A collapsed corpus (mode-collapse, template spam,
+    * over-aggressive dedup survivors) shows distinct-2/3 cratering
+    * while token counts look healthy — this is the cheap canary the
+    * [[heapsFit]] growth curve reads at corpus grain and repetition
+    * quality flags read at document grain.
+    *
+    * Exactness: pure integer censuses (token splits, n-gram concats,
+    * distinct counts) and one terminal division. Distincts use the
+    * two-stage (group, n, gram) census → count pattern, never a
+    * countDistinct expand.
+    *
+    * Scale shape: one explode to (group, n, gram) grain (rows ×
+    * maxN × tokens — the corpus retokenized maxN times, same cost
+    * class as any shingle pass), one census shuffle keyed by the
+    * high-cardinality gram, one group-keyed rollup. Output: (g, n,
+    * n_grams, n_types, distinct_ratio). */
+  def distinctN(df: DataFrame, groupCol: String, textCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN in 1..8, got $maxN")
+    val toks = df.select(col(groupCol).as("g"),
+      split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .select(col("g"), filter(col("__t"), t => length(t) > 0).as("__t"))
+      .where(size(col("__t")) > 0)
+    // windows that would run past the end yield null grams, dropped
+    // below — sequence(1, size) is never descending on non-empty arrays
+    val gramArrays = (1 to maxN).map { n =>
+      expr(s"""transform(sequence(1, size(__t)),
+        |i -> named_struct('n', $n,
+        |  'gram', IF(i + ${n - 1} <= size(__t),
+        |    array_join(slice(__t, i, $n), ' '), NULL)))""".stripMargin)
+    }
+    val exploded = toks
+      .select(col("g"), explode(concat(gramArrays: _*)).as("e"))
+      .select(col("g"), col("e.n").as("n"), col("e.gram").as("gram"))
+      .where(col("gram").isNotNull)
+    val cells = exploded.groupBy(col("g"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(col("g"), col("n"))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_types"))
+      .select(col("g"), col("n"), col("n_grams"), col("n_types"),
+        (col("n_types").cast("double") / col("n_grams").cast("double"))
+          .as("distinct_ratio"))
+  }
 }

@@ -590,6 +590,35 @@ object TimeSeries {
       .select($"n", $"r", $"c", $"df", round($"chi2", 6).as("chi2"),
         round($"p_value", 6).as("p_value"))
 
+  /** q358 — EWMA control chart ([[graft.operators.ChangePoint
+    * .ewmaChart]]): per event type over the daily count census —
+    * λ=0.2, L=3 with time-varying early limits; the per-period breach
+    * trace the summary monitors (q238/q359) can't produce. */
+  def q358EwmaChart(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.ChangePoint.ewmaChart(
+        daily, "event_type", "day", "x", lambda = 0.2, limit = 3.0)
+      .select($"event_type", $"o".as("day"), $"x",
+        round($"z", 6).as("z"), round($"ucl", 6).as("ucl"),
+        round($"lcl", 6).as("lcl"), $"breach")
+  }
+
+  /** q359 — Page–Hinkley drift monitor ([[graft.operators.ChangePoint
+    * .pageHinkley]]): the self-tuning companion to the q238 CUSUM on
+    * the same daily census — departures from the RUNNING mean, no
+    * calibration target needed. */
+  def q359PageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.ChangePoint.pageHinkley(
+        daily, "event_type", "day", "x", delta = 1.0, threshold = 25.0)
+      .select($"event_type", $"n_obs", $"n_alarms", $"first_alarm",
+        round($"max_stat", 6).as("max_stat"), round($"ph_end", 6).as("ph_end"))
+  }
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

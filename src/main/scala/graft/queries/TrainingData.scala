@@ -2946,6 +2946,15 @@ object TrainingData {
         Tables.embeddings(spark, dir), "label", "embedding", scale = 6)
       .select($"label_a", $"label_b", round($"cosine", 6).as("cosine"))
 
+  /** q357 — distinct-n lexical diversity ([[graft.operators.Profile
+    * .distinctN]]): unique/total word n-gram ratios (n = 1..3) per
+    * language — the mode-collapse canary for generated or over-deduped
+    * corpora; pure integer censuses, one terminal division. */
+  def q357DistinctN(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.distinctN(docs(spark, dir), "lang", "text")
+      .select($"g".as("lang"), $"n", $"n_grams", $"n_types",
+        round($"distinct_ratio", 6).as("distinct_ratio"))
+
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
     * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
     * the next shard brings, q246's Zipf companion. Exact per-source

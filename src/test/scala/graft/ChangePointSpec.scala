@@ -43,4 +43,63 @@ class ChangePointSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(3) === 0L)
     assert(math.abs(r.getDouble(5) - (2 * (40 - 150.0 / 9))) < 1e-9)
   }
+
+  test("pageHinkley: hand fold on a 3-point series, a level shift " +
+      "alarms with no calibration target, flat series stays at zero") {
+    import spark.implicits._
+    def ph(vals: Seq[Long], delta: Double, h: Double) =
+      ChangePoint.pageHinkley(
+        vals.zipWithIndex.map { case (v, i) => ("k", f"d${i + 1}%02d", v) }
+          .toDF("k", "d", "x"), "k", "d", "x", delta, h).head()
+    // x = {10, 13, 10}, delta=0: m1=0, m2=3-11.5=1.5, m3=1.5-1=0.5
+    // mins: 0 -> stats 0, 1.5, 0.5; max_stat 1.5, end 0.5
+    val r = ph(Seq(10L, 13L, 10L), 0.0, 100.0)
+    assert(math.abs(r.getAs[Double]("max_stat") - 1.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ph_end") - 0.5) < 1e-12)
+    assert(r.getAs[Long]("n_alarms") == 0L)
+    // a sustained shift: 10x20 then 30x20 with delta=1 alarms, and the
+    // first alarm lands inside the shifted regime
+    val shift = Seq.fill(20)(10L) ++ Seq.fill(20)(30L)
+    val rs = ph(shift, 1.0, 25.0)
+    assert(rs.getAs[Long]("n_alarms") > 0L, rs.toString)
+    assert(rs.getAs[String]("first_alarm") > "d20", rs.toString)
+    // flat series: m_t = -t*delta, min tracks m exactly -> stat 0
+    val rf = ph(Seq.fill(10)(7L), 1.0, 0.5)
+    assert(rf.getAs[Long]("n_alarms") == 0L)
+    assert(rf.getAs[Double]("max_stat") == 0.0)
+  }
+
+  test("ewmaChart: z recurrence matches a direct fold, limits widen " +
+      "to steady state, planted outlier breaches") {
+    import spark.implicits._
+    // 30 quiet alternating points, then a sustained +2.5sigma-ish shift:
+    // EWMA converges into the shift and crosses the steady-state UCL
+    // (a single spike would NOT breach here — the self-calibrated sigma
+    // absorbs it, which is the correct chart behavior)
+    val vals = (1 to 30).map(i => if (i % 2 == 0) 11L else 10L) ++
+      Seq.fill(10)(13L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", f"d${i + 1}%02d", v) }
+      .toDF("k", "d", "x")
+    val rows = ChangePoint.ewmaChart(df, "k", "d", "x", 0.2, 3.0)
+      .orderBy("o").collect()
+    assert(rows.length == 40)
+    // direct recurrence from the series mean
+    val mu = vals.sum.toDouble / vals.length
+    var z = mu
+    val zs = vals.map { v => z = 0.2 * v + 0.8 * z; z }
+    rows.map(_.getAs[Double]("z")).zip(zs).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-12, s"$got vs $want") }
+    // limits strictly widen toward steady state
+    val widths = rows.map(r => r.getAs[Double]("ucl") - r.getAs[Double]("lcl"))
+    widths.sliding(2).foreach { w => assert(w(1) > w(0) - 1e-12) }
+    // the shifted tail breaches; the quiet head does not
+    assert(rows.last.getAs[Boolean]("breach"), rows.mkString("\n"))
+    assert(rows.take(30).forall(!_.getAs[Boolean]("breach")),
+      rows.mkString("\n"))
+    // single-point key: no sigma -> null limits, null breach
+    val one = ChangePoint.ewmaChart(
+      Seq(("s", "d1", 5L)).toDF("k", "d", "x"), "k", "d", "x").head()
+    assert(one.isNullAt(one.fieldIndex("ucl")))
+    assert(one.isNullAt(one.fieldIndex("breach")))
+  }
 }

@@ -261,4 +261,31 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
       .collect().head
     assert(solo.isNullAt(5) && solo.isNullAt(6) && solo.isNullAt(7))
   }
+
+  test("distinctN: hand counts on a tiny corpus; a fully repeated " +
+      "corpus craters distinct-2 while distinct-1 stays blind") {
+    import spark.implicits._
+    // "a b a b" + "a b": unigrams 6 tokens/2 types; bigrams
+    // {a b, b a, a b} + {a b} = 4 tokens, 2 types; trigrams 2+0 -> 2/2
+    val df = Seq(("g", "a b a b"), ("g", "a b")).toDF("s", "t")
+    val got = graft.operators.Profile.distinctN(df, "s", "t")
+      .collect().map(r => r.getAs[Int]("n") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_types")))).toMap
+    assert(got(1) == ((6L, 2L)), got.toString)
+    assert(got(2) == ((4L, 2L)), got.toString)
+    assert(got(3) == ((2L, 2L)), got.toString)
+    // template spam: same sentence 50x. distinct-1 of the one-doc
+    // corpus equals distinct-1 of the spam corpus, but distinct-2
+    // ratio collapses by ~50x
+    val spam = (1 to 50).map(_ => ("spam", "the quick brown fox jumps"))
+    val rs = graft.operators.Profile.distinctN(spam.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getAs[Int]("n") -> r.getAs[Double]("distinct_ratio"))
+      .toMap
+    assert(math.abs(rs(2) - 4.0 / 200.0) < 1e-12, rs.toString)
+    // docs shorter than n contribute nothing at that n (no nulls leak)
+    val short = Seq(("x", "solo")).toDF("s", "t")
+    val sh = graft.operators.Profile.distinctN(short, "s", "t")
+      .collect().map(r => r.getAs[Int]("n")).toSet
+    assert(sh == Set(1))
+  }
 }
