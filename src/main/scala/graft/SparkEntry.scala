@@ -381,6 +381,7 @@ object SparkEntry {
     "q357_distinct_n"       -> (D.q357DistinctN(_, _)),
     "q358_ewma_chart"       -> (T.q358EwmaChart(_, _)),
     "q359_page_hinkley"     -> (T.q359PageHinkley(_, _)),
+    "q360_textrank"         -> (D.q360TextRank(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7556,6 +7557,47 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(f.m - f.mn AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS ph_end
         |FROM r""".stripMargin,
+    // q360: the q169 unrolled-round contract over the co-occurrence
+    // graph — HUGEINT carries the prf*w product exactly as the Spark
+    // side's decimal(38,0); floors replay bit-for-bit
+    "q360_textrank" -> {
+      val base =
+        """WITH t AS (SELECT list_filter(
+          |    string_split_regex(lower(trim(text)), '\s+'),
+          |    x -> length(x) > 0) AS toks FROM documents),
+          |b AS (SELECT toks FROM t WHERE len(toks) > 1),
+          |ix AS (SELECT unnest(range(1, len(toks))) AS i, toks FROM b),
+          |q AS (SELECT least(toks[i], toks[i + 1]) AS a,
+          |    greatest(toks[i], toks[i + 1]) AS b
+          |  FROM ix WHERE toks[i] <> toks[i + 1]),
+          |sym AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w
+          |  FROM q GROUP BY 1, 2 HAVING count(*) >= 2),
+          |edges AS (SELECT a AS src, b AS dst, w FROM sym
+          |  UNION ALL SELECT b, a, w FROM sym),
+          |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
+          |  FROM edges GROUP BY 1),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |nn AS (SELECT COUNT(*) AS nn FROM nodes),
+          |p0 AS (SELECT node, 1000000000000000 // nn.nn AS prf
+          |  FROM nodes CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to 6).map { i =>
+        s"""s$i AS (SELECT e.dst AS node,
+           |  SUM((CAST(p.prf AS HUGEINT) * e.w) // d.wdeg) AS in_mass
+           |FROM edges e JOIN p${i - 1} p ON e.src = p.node
+           |JOIN outw d ON e.src = d.src GROUP BY e.dst),
+           |p$i AS (SELECT n.node,
+           |CAST(150000000000000 // nn.nn
+           | + (85 * COALESCE(s$i.in_mass, 0)) // 100 AS BIGINT) AS prf
+           |FROM nodes n CROSS JOIN nn LEFT JOIN s$i ON n.node = s$i.node)"""
+          .stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        """
+          |SELECT node AS word,
+          |CAST(round(CAST(CAST(prf / 1000000000000000.0 AS VARCHAR)
+          |  AS DECIMAL(38,20)), 10) AS DOUBLE) AS pr
+          |FROM p6 ORDER BY prf DESC, node LIMIT 25""".stripMargin
+    },
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -87,6 +87,49 @@ object Graph {
       (col("prf").cast("double") / lit(RankScale.toDouble)).as("pr"))
   }
 
+  /** Weighted PageRank over (src, dst, weight) edges — same fixed-point
+    * integer discipline as [[pageRank]], with per-edge contributions
+    * (prf · w) div wdeg(u), wdeg(u) = Σ_v w(u, v). The prf·w product is
+    * carried as decimal(38,0) before the integral divide, so edge
+    * weights are unbounded-safe (a long·long product would overflow at
+    * w > ~9·10⁶ against the 10¹⁵ scale); each floored quotient is back
+    * under the long in-mass bound. Duplicate (src, dst) rows are
+    * pre-summed, never dropped (the weighted analogue of distinct).
+    * Output: (node, pr: double). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, damping: Double = 0.85): DataFrame = {
+    val d100 = math.round(damping * 100).toInt
+    require(d100 > 0 && d100 < 100 && math.abs(d100 / 100.0 - damping) < 1e-9,
+      s"damping must be a whole percentage in (0,1), got $damping")
+    val e = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .localCheckpoint(false)
+    val outw = e.groupBy("src").agg(sum(col("w")).as("wdeg"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val nDf = broadcast(nodes.agg(count(lit(1)).as("nn")))
+    var pr = nodes.crossJoin(nDf)
+      .select(col("node"), expr(s"$RankScale div nn").as("prf"))
+    for (_ <- 1 to iterations) {
+      val summed = e.join(pr, e("src") === pr("node"))
+        .join(outw, "src")
+        .select(col("dst"),
+          expr("(CAST(prf AS DECIMAL(38,0)) * w) div wdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_mass"))
+      pr = nodes.join(summed, nodes("node") === summed("dst"), "left")
+        .crossJoin(nDf)
+        .select(col("node"), expr(
+          s"(${100 - d100} * $RankScale div 100) div nn" +
+            s" + ($d100 * coalesce(in_mass, 0)) div 100").as("prf"))
+        .localCheckpoint(false)
+    }
+    pr.select(col("node"),
+      (col("prf").cast("double") / lit(RankScale.toDouble)).as("pr"))
+  }
+
   /** HITS scale: 9 decimal digits of fixed point. Tighter than
     * [[RankScale]] on purpose — the normalize step multiplies a raw
     * in-mass (≤ Scale after normalization of the previous vector) by

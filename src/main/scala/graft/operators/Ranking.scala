@@ -316,4 +316,45 @@ object Ranking {
       .select(col("rank"), col("phrase"), col("n_occurrences"),
         col("score"))
   }
+
+  /** TextRank keywords (Mihalcea & Tarau 2004) — the GRAPH-centrality
+    * complement to [[rake]]'s frequency heuristics: words are nodes,
+    * adjacent-token co-occurrence counts are edge weights, and
+    * [[Graph.pageRankWeighted]]'s damped fixed point ranks a word by
+    * the rank of its neighborhood, so a mid-frequency term wired into
+    * the corpus core outranks a frequent-but-peripheral one.
+    *
+    * Pinned semantics (the oracle replays every step): whitespace
+    * tokenization of lower(trim(text)); edges are ADJACENT token pairs
+    * (window 2), self-pairs dropped; weights symmetrized on the
+    * unordered pair and emitted in both directions; pairs below
+    * `minPairCount` pruned (hapax adjacency is noise and the prune
+    * bounds the graph); `iterations` rounds of integer fixed-point
+    * weighted PageRank; top `k` by (rank desc, word asc).
+    *
+    * Scale shape: one pair census (map-side combined, corpus-grain
+    * shuffle keyed on the pair), then all iteration work is bounded by
+    * the pruned vocabulary graph; the top-k is a sort-limit, never a
+    * global window. Output: (word, pr). */
+  def textRank(docs: DataFrame, textCol: String, k: Int,
+      minPairCount: Long = 2L, iterations: Int = 6): DataFrame = {
+    val toks = docs
+      .select(split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .select(filter(col("__t"), t => length(t) > 0).as("__t"))
+      .where(size(col("__t")) > 1)
+    val pairs = toks.select(explode(expr(
+      """transform(sequence(1, size(__t) - 1), i -> named_struct(
+        |'a', least(__t[i - 1], __t[i]), 'b', greatest(__t[i - 1], __t[i])))"""
+        .stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+    val sym = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= minPairCount)
+    val edges = sym.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(sym.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    Graph.pageRankWeighted(edges, "src", "dst", "w", iterations)
+      .orderBy(col("pr").desc, col("node").asc)
+      .limit(k)
+      .select(col("node").as("word"), col("pr"))
+  }
 }

@@ -2955,6 +2955,14 @@ object TrainingData {
       .select($"g".as("lang"), $"n", $"n_grams", $"n_types",
         round($"distinct_ratio", 6).as("distinct_ratio"))
 
+  /** q360 — TextRank keywords ([[graft.operators.Ranking.textRank]]):
+    * graph-centrality keywords over the corpus co-occurrence graph —
+    * q349 RAKE's complement; integer fixed-point weighted PageRank,
+    * top 25 by (rank, word). */
+  def q360TextRank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.textRank(docs(spark, dir), "text", k = 25)
+      .select($"word", round($"pr", 10).as("pr"))
+
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
     * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
     * the next shard brings, q246's Zipf companion. Exact per-source

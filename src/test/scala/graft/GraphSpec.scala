@@ -156,4 +156,45 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getAs[String]("walk")).distinct
     assert(multi.count(_.startsWith("1#")) == 2)
   }
+
+  test("pageRankWeighted: unit weights reproduce unweighted pageRank " +
+      "bit-for-bit; heavier edges pull rank toward their target") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L)).toDF("s", "d")
+    val unw = Graph.pageRank(edges, "s", "d", 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w1 = Graph.pageRankWeighted(edges.withColumn("w",
+        org.apache.spark.sql.functions.lit(1L)), "s", "d", "w", 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(unw == w1, s"$unw vs $w1")
+    // same topology, but every edge INTO node 3 is 10x: 3 must out-rank
+    val wd = Seq((1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 10L), (3L, 1L, 1L),
+      (2L, 3L, 10L), (3L, 2L, 1L)).toDF("s", "d", "w")
+    val wr = Graph.pageRankWeighted(wd, "s", "d", "w", 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wr(3L) > wr(1L) && wr(3L) > wr(2L), wr.toString)
+    // duplicate edge rows pre-sum, never drop
+    val dup = Graph.pageRankWeighted(
+      wd.unionAll(Seq((1L, 3L, 5L)).toDF("s", "d", "w")), "s", "d", "w", 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dup(3L) > wr(3L), s"$dup vs $wr")
+  }
+
+  test("textRank: the hub word of a star-shaped corpus ranks first; " +
+      "hapax adjacency is pruned") {
+    import spark.implicits._
+    // "core" is adjacent to every satellite repeatedly; satellites
+    // never touch each other; "once onlyword" appears a single time
+    val docs = (1 to 10).flatMap(i => Seq(
+      s"core sat$i core sat$i core sat$i",
+      s"sat$i core sat$i core")) ++ Seq("once onlyword")
+    val out = graft.operators.Ranking.textRank(
+        docs.map(Tuple1(_)).toDF("text"), "text", k = 5)
+      .collect()
+    assert(out.head.getAs[String]("word") == "core", out.mkString(", "))
+    assert(!out.map(_.getAs[String]("word")).contains("once"))
+    // ranks are a probability-ish vector: positive, hub dominates
+    assert(out.head.getAs[Double]("pr") > out.last.getAs[Double]("pr"))
+  }
 }
