@@ -382,6 +382,7 @@ object SparkEntry {
     "q358_ewma_chart"       -> (T.q358EwmaChart(_, _)),
     "q359_page_hinkley"     -> (T.q359PageHinkley(_, _)),
     "q360_textrank"         -> (D.q360TextRank(_, _)),
+    "q361_kcenter_seeds"    -> (D.q361KCenterSeeds(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7597,6 +7598,33 @@ object SparkEntry {
           |CAST(round(CAST(CAST(prf / 1000000000000000.0 AS VARCHAR)
           |  AS DECIMAL(38,20)), 10) AS DOUBLE) AS pr
           |FROM p6 ORDER BY prf DESC, node LIMIT 25""".stripMargin
+    },
+    // q361: k unrolled farthest-point rounds; exact integer squared
+    // distances on the floor(x*2^20+0.5) grid, (dist DESC, id) argmax
+    "q361_kcenter_seeds" -> {
+      val dist = (p: String, c: String) =>
+        s"""list_reduce(list_transform(range(1, len($p.qv) + 1),
+           |i -> ($p.qv[i] - $c.qv[i]) * ($p.qv[i] - $c.qv[i])),
+           |(a, b) -> a + b)""".stripMargin
+      val base =
+        """WITH pts AS (SELECT vec_id AS id, list_transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+          |  AS qv FROM embeddings WHERE embedding IS NOT NULL),
+          |c1 AS (SELECT id, qv FROM pts ORDER BY id LIMIT 1),
+          |m1 AS (SELECT p.id, p.qv, """.stripMargin +
+          dist("p", "c") + " AS mind FROM pts p, c1 c)"
+      val rounds = (2 to 5).map { j =>
+        s"""c$j AS (SELECT id, qv, mind FROM m${j - 1}
+           |  ORDER BY mind DESC, id LIMIT 1),
+           |m$j AS (SELECT p.id, p.qv, least(p.mind, ${dist("p", "c")})
+           |  AS mind FROM m${j - 1} p, c$j c)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val sel = (2 to 5).map { j =>
+        s"UNION ALL SELECT $j AS seed_rank, id AS vec_id, mind AS dist2 FROM c$j"
+      }.mkString("\n")
+      base + rounds +
+        "\nSELECT 1 AS seed_rank, id AS vec_id, CAST(NULL AS BIGINT) AS dist2 FROM c1\n" +
+        sel
     },
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source

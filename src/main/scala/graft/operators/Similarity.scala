@@ -820,4 +820,54 @@ object Similarity {
           dd(col("dot")) / (sqrt(dd(col("ssa"))) * sqrt(dd(col("ssb")))))
           .as("cosine"))
   }
+
+  /** Gonzalez farthest-point k-center seeding (Gonzalez 1985) — the
+    * 2-approximation coreset/diversity seeder: start from a pinned
+    * anchor (min id), then k−1 times pick the point FARTHEST from
+    * everything chosen so far. The deterministic alternative to
+    * k-means++'s random D² draws, and the right seed set when the goal
+    * is COVERAGE (every point within r of a center, r ≤ 2·OPT) —
+    * diverse eval panels, cluster initialization, prototype selection.
+    *
+    * Exactness: components quantize to ⌊x·scale + 0.5⌋ longs (the
+    * centroid-cosine convention), distances are exact integer squared
+    * L2, argmax ties break (dist desc, id asc) — a total order both
+    * engines share. The selection distances are the k-center radius
+    * certificate: dist2 of seed j is the covering radius after j−1
+    * centers.
+    *
+    * Scale shape: each of the k rounds is ONE broadcast of the freshly
+    * chosen center row, a map-side least() update of the running
+    * min-distance column, and a sort-limit argmax — never a points ×
+    * centers join, never a global window; the running state
+    * localCheckpoints per round (k plans, not a 2^k tree). Output: k
+    * rows (seed_rank, id, dist2), dist2 null on the anchor. */
+  def kCenterSeeds(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pts = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), expr(
+        s"""transform($vecCol, x ->
+           |CAST(floor(CAST(x AS DOUBLE) * $scale.0D + 0.5D) AS BIGINT))"""
+          .stripMargin).as("qv"))
+    val dist = expr(
+      "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    val c1 = pts.orderBy(col("id").asc).limit(1)
+    var chosen = c1.select(lit(1).as("seed_rank"), col("id"),
+      lit(null).cast("long").as("dist2"))
+    var state = pts.crossJoin(broadcast(c1.select(col("qv").as("cv"))))
+      .select(col("id"), col("qv"), dist.as("mind"))
+      .localCheckpoint(false)
+    for (j <- 2 to k) {
+      val cj = state.orderBy(col("mind").desc, col("id").asc).limit(1)
+        .localCheckpoint(false)
+      chosen = chosen.unionAll(cj.select(lit(j).as("seed_rank"), col("id"),
+        col("mind").as("dist2")))
+      state = state.crossJoin(broadcast(cj.select(col("qv").as("cv"))))
+        .select(col("id"), col("qv"),
+          least(col("mind"), dist).as("mind"))
+        .localCheckpoint(false)
+    }
+    chosen
+  }
 }

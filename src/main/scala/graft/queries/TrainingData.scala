@@ -2963,6 +2963,16 @@ object TrainingData {
     graft.operators.Ranking.textRank(docs(spark, dir), "text", k = 25)
       .select($"word", round($"pr", 10).as("pr"))
 
+  /** q361 — Gonzalez k-center seeds ([[graft.operators.Similarity
+    * .kCenterSeeds]]): 5 deterministic farthest-point prototypes over
+    * the embedding table — exact integer squared distances on the
+    * quantized grid; each selection distance is a covering-radius
+    * certificate. */
+  def q361KCenterSeeds(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.kCenterSeeds(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
+      .select($"seed_rank", $"id".as("vec_id"), $"dist2")
+
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
     * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
     * the next shard brings, q246's Zipf companion. Exact per-source

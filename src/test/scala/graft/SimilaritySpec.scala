@@ -426,4 +426,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .head().getAs[Long]("n_a")
     assert(na == 2L)
   }
+
+  test("kCenterSeeds: farthest-point order on a planted line; ties " +
+      "break by id; selection distances are the radius certificate") {
+    import spark.implicits._
+    // points on a line at 0, 1, 10, 21 (ids 1..4): anchor id 1 (min
+    // id), then 21 (dist 21), then 10 (min-dist 10 vs 11 -> 10... )
+    val pts = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(10.0f)),
+      (4L, Seq(21.0f))).toDF("id", "v")
+    val out = graft.operators.Similarity
+      .kCenterSeeds(pts, "id", "v", k = 3, scale = 1L)
+      .orderBy("seed_rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 4L, 3L),
+      out.mkString(", "))
+    assert(out(0).isNullAt(out(0).fieldIndex("dist2")))
+    assert(out(1).getAs[Long]("dist2") == 21L * 21L)
+    // at selection 3: min-dists were {0, 1, 100, 0} -> picks id 3 at 100
+    assert(out(2).getAs[Long]("dist2") == 100L)
+    // exact ties: equidistant duplicates resolve to the smaller id
+    val tie = Seq((1L, Seq(0.0f)), (2L, Seq(5.0f)), (3L, Seq(5.0f)))
+      .toDF("id", "v")
+    val t = graft.operators.Similarity
+      .kCenterSeeds(tie, "id", "v", k = 2, scale = 1L)
+      .orderBy("seed_rank").collect()
+    assert(t(1).getAs[Long]("id") == 2L)
+  }
 }
