@@ -383,6 +383,7 @@ object SparkEntry {
     "q359_page_hinkley"     -> (T.q359PageHinkley(_, _)),
     "q360_textrank"         -> (D.q360TextRank(_, _)),
     "q361_kcenter_seeds"    -> (D.q361KCenterSeeds(_, _)),
+    "q362_holt_winters"     -> (T.q362HoltWinters(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7626,6 +7627,47 @@ object SparkEntry {
         "\nSELECT 1 AS seed_rank, id AS vec_id, CAST(NULL AS BIGINT) AS dist2 FROM c1\n" +
         sel
     },
+    // q362: the q243 recursive-CTE contract with a 7-slot seasonal
+    // list; l_t is re-derived textually in b_t/s_t (no lateral alias),
+    // the slot update is a slice-concat splice
+    "q362_holt_winters" ->
+      """WITH RECURSIVE d AS (SELECT event_type,
+        |    strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    list(x ORDER BY day) AS xs FROM d GROUP BY 1),
+        |i0 AS (SELECT event_type, n_obs, xs,
+        |    list_reduce(list_slice(xs, 1, 7), (a, v) -> a + v) / 7.0 AS l0,
+        |    (list_reduce(list_slice(xs, 8, 14), (a, v) -> a + v)
+        |      - list_reduce(list_slice(xs, 1, 7), (a, v) -> a + v)) / 49.0
+        |      AS b0
+        |  FROM g WHERE n_obs >= 14),
+        |it AS (
+        |  SELECT event_type, n_obs, xs, 7 AS t, l0 AS l, b0 AS b,
+        |    list_transform(list_slice(xs, 1, 7), v -> v - l0) AS s
+        |  FROM i0
+        |  UNION ALL
+        |  SELECT event_type, n_obs, xs, t + 1,
+        |    0.5 * (xs[t + 1] - s[(t % 7) + 1]) + 0.5 * (l + b),
+        |    0.25 * ((0.5 * (xs[t + 1] - s[(t % 7) + 1]) + 0.5 * (l + b)) - l)
+        |      + 0.75 * b,
+        |    list_slice(s, 1, t % 7)
+        |      || [0.25 * (xs[t + 1] - (0.5 * (xs[t + 1] - s[(t % 7) + 1])
+        |            + 0.5 * (l + b))) + 0.75 * s[(t % 7) + 1]]
+        |      || list_slice(s, (t % 7) + 2, 7)
+        |  FROM it WHERE t < n_obs)
+        |SELECT g.event_type, g.n_obs,
+        |  CAST(round(CAST(CAST(f.l AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS level,
+        |  CAST(round(CAST(CAST(f.b AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS trend,
+        |  CAST(round(CAST(CAST(f.s[CAST((g.n_obs + 6) % 7 AS INT) + 1]
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS seasonal,
+        |  CAST(round(CAST(CAST(f.l + 7.0 * f.b
+        |      + f.s[CAST((g.n_obs + 6) % 7 AS INT) + 1]
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS forecast
+        |FROM g LEFT JOIN (SELECT * FROM it WHERE t = n_obs) f
+        |  ON g.event_type = f.event_type""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -114,4 +114,68 @@ object Forecast {
             (col("naive_num") * col("n").cast(dec)).cast(dec)
               .cast("double")).as("mase"))
   }
+
+  /** Holt–Winters ADDITIVE seasonal smoothing (Winters 1960) —
+    * [[holtSummary]] plus a length-`period` seasonal state, the
+    * forecaster for the strongly day-of-week-shaped volumes Holt's
+    * straight line systematically laps:
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+    * Pinned initialization (two-season classic, the oracle replays
+    * it): l₀ = mean of season 1; b₀ = (Σ season 2 − Σ season 1)/m²;
+    * s⁰_j = x_j − l₀; the recurrence starts at t = m+1. Keys with
+    * n < 2m emit null state (loud, not silently unseasonal).
+    * Forecast: x̂_{n+h} = l_n + h·b_n + s_n[(n+h−1) mod m + 1].
+    *
+    * Replay note: the three states are mutually coupled (the
+    * [[holtSummary]] hazard, squared), so the DuckDB oracle is a
+    * recursive CTE; Spark's aggregate() lambda reads only the
+    * immutable acc, so the struct fold here is safe, with l_t
+    * re-derived textually wherever b_t/s_t need it. The seasonal
+    * vector updates ONE slot per step via an index-matched transform.
+    *
+    * Scale shape: one per-key census collect bounded by periods; the
+    * fold is O(n·m) per key on period-grain data. Output: (key, n_obs,
+    * level, trend, seasonal, forecast). */
+  def holtWintersSummary(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, period: Int, alpha: Double, beta: Double,
+      gamma: Double, horizon: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+      gamma >= 0 && gamma <= 1,
+      s"smoothing parameters out of range: alpha=$alpha beta=$beta gamma=$gamma")
+    val m = period
+    val g = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sort_array(collect_list(struct(col(ordCol).cast("string").as("o"),
+          col(valueCol).cast("double").as("x")))).as("__series"))
+      .withColumn("__xs", expr("transform(__series, e -> e.x)"))
+    val sum1 = s"aggregate(slice(__xs, 1, $m), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    val sum2 = s"aggregate(slice(__xs, ${m + 1}, $m), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    val withInit = g
+      .withColumn("__l0", expr(s"$sum1 / $m.0D"))
+      .withColumn("__b0", expr(s"($sum2 - $sum1) / ${m * m}.0D"))
+      .withColumn("__s0", expr(s"transform(slice(__xs, 1, $m), v -> v - __l0)"))
+    val lNext = s"($alpha * (x - element_at(acc.s, (acc.t % $m) + 1))" +
+      s" + ${1 - alpha} * (acc.l + acc.b))"
+    val fold =
+      s"""aggregate(slice(__xs, ${m + 1}, CAST(n_obs - $m AS INT)),
+         |  named_struct('l', __l0, 'b', __b0, 's', __s0,
+         |               't', CAST($m AS INT)),
+         |  (acc, x) -> named_struct(
+         |    'l', $lNext,
+         |    'b', $beta * (($lNext) - acc.l) + ${1 - beta} * acc.b,
+         |    's', transform(acc.s, (v, j) -> IF(j = (acc.t % $m),
+         |      $gamma * (x - ($lNext)) + ${1 - gamma} * v, v)),
+         |    't', acc.t + 1))""".stripMargin
+    val fPos = s"CAST((n_obs + $horizon - 1) % $m AS INT) + 1"
+    withInit
+      .withColumn("__f", when(col("n_obs") >= 2L * m, expr(fold)))
+      .select(col(keyCol), col("n_obs"),
+        col("__f.l").as("level"), col("__f.b").as("trend"),
+        expr(s"element_at(__f.s, $fPos)").as("seasonal"),
+        (col("__f.l") + lit(horizon.toDouble) * col("__f.b") +
+          expr(s"element_at(__f.s, $fPos)")).as("forecast"))
+  }
 }

@@ -619,6 +619,22 @@ object TimeSeries {
         round($"max_stat", 6).as("max_stat"), round($"ph_end", 6).as("ph_end"))
   }
 
+  /** q362 — Holt–Winters additive forecast ([[graft.operators.Forecast
+    * .holtWintersSummary]]): q243's Holt plus a 7-slot day-of-week
+    * seasonal state over the daily count census — two-season pinned
+    * init, recursive-CTE oracle replay. */
+  def q362HoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Forecast.holtWintersSummary(
+        daily, "event_type", "day", "x", period = 7,
+        alpha = 0.5, beta = 0.25, gamma = 0.25, horizon = 7)
+      .select($"event_type", $"n_obs", round($"level", 6).as("level"),
+        round($"trend", 6).as("trend"), round($"seasonal", 6).as("seasonal"),
+        round($"forecast", 6).as("forecast"))
+  }
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

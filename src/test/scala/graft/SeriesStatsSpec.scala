@@ -74,6 +74,44 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(4) === l + 3.0 * b)
   }
 
+  test("holt-winters replays the hand recurrence bit-for-bit and " +
+      "out-forecasts plain Holt on a pure weekly shape") {
+    import spark.implicits._
+    // period 3 for the hand check: 10 seasons of a trending + seasonal
+    // series x_t = 10 + t + {0, 5, -5}[(t-1) % 3]
+    val m = 3
+    val vals = (1 to 30).map(t => 10.0 + t + Seq(0.0, 5.0, -5.0)((t - 1) % m))
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("k", f"d$i%02d", v) }.toDF("k", "day", "x")
+    var l = vals.take(m).sum / m
+    var b = (vals.slice(m, 2 * m).sum - vals.take(m).sum) / (m * m)
+    val s = vals.take(m).map(_ - l).toArray
+    (m until vals.length).foreach { i =>
+      val pos = i % m
+      val ln = 0.5 * (vals(i) - s(pos)) + 0.5 * (l + b)
+      val bn = 0.25 * (ln - l) + 0.75 * b
+      s(pos) = 0.25 * (vals(i) - ln) + 0.75 * s(pos)
+      l = ln; b = bn
+    }
+    val r = Forecast.holtWintersSummary(df, "k", "day", "x", period = m,
+      alpha = 0.5, beta = 0.25, gamma = 0.25, horizon = m).head()
+    assert(r.getAs[Double]("level") === l)
+    assert(r.getAs[Double]("trend") === b)
+    val fpos = (vals.length + m - 1) % m
+    assert(r.getAs[Double]("seasonal") === s(fpos))
+    assert(r.getAs[Double]("forecast") === l + m * b + s(fpos))
+    // the true x_33 = 10 + 33 - 5 = 38; HW must land far closer than
+    // Holt, which cannot carry the -5 seasonal trough
+    val hw = r.getAs[Double]("forecast")
+    val holt = Forecast.holtSummary(df, "k", "day", "x",
+      alpha = 0.5, beta = 0.25, horizon = m).head().getAs[Double]("forecast")
+    assert(math.abs(hw - 38.0) < math.abs(holt - 38.0), s"hw=$hw holt=$holt")
+    // too-short series: loud nulls
+    val short = Forecast.holtWintersSummary(
+      df.limit(5), "k", "day", "x", m, 0.5, 0.25, 0.25, m).head()
+    assert(short.isNullAt(short.fieldIndex("level")))
+  }
+
   test("gini: uniform mass is 0, fully concentrated approaches (n-1)/n") {
     import spark.implicits._
     val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
