@@ -384,6 +384,7 @@ object SparkEntry {
     "q360_textrank"         -> (D.q360TextRank(_, _)),
     "q361_kcenter_seeds"    -> (D.q361KCenterSeeds(_, _)),
     "q362_holt_winters"     -> (T.q362HoltWinters(_, _)),
+    "q363_kneser_ney"       -> (D.q363KneserNey(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7668,6 +7669,42 @@ object SparkEntry {
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS forecast
         |FROM g LEFT JOIN (SELECT * FROM it WHERE t = n_obs) f
         |  ON g.event_type = f.event_type""".stripMargin,
+    // q363: all KN quantities are integer censuses; the per-pair
+    // probability is one pinned double shape and per-doc NLL folds in
+    // position order (0-seed parity)
+    "q363_kneser_ney" ->
+      """WITH t AS (SELECT doc_id AS id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS toks FROM documents),
+        |ix AS (SELECT id, toks, unnest(range(1, len(toks))) AS i
+        |  FROM t WHERE len(toks) > 1),
+        |p AS (SELECT id, i AS pos, toks[i] AS a, toks[i + 1] AS b FROM ix),
+        |uni AS (SELECT a AS w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM p GROUP BY 1),
+        |bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c12
+        |  FROM p GROUP BY 1, 2),
+        |nf AS (SELECT a, CAST(count(*) AS BIGINT) AS nf FROM bi GROUP BY 1),
+        |np AS (SELECT b, CAST(count(*) AS BIGINT) AS np FROM bi GROUP BY 1),
+        |sc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bi) AS ntypes,
+        |    (SELECT CAST(count(DISTINCT w) AS BIGINT)
+        |      FROM (SELECT unnest(toks) AS w FROM t)) AS vtot),
+        |s AS (SELECT p.id, p.pos, -ln(
+        |    (greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+        |      + 0.75 * CAST(nf AS DOUBLE)
+        |        * (CAST(np + 1 AS DOUBLE) / CAST(ntypes + vtot + 1 AS DOUBLE)))
+        |    / CAST(c1 AS DOUBLE)) AS nll
+        |  FROM p JOIN bi USING (a, b) JOIN uni ON p.a = uni.w
+        |    JOIN nf USING (a) JOIN np USING (b), sc),
+        |d AS (SELECT id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    list(nll ORDER BY pos) AS ls FROM s GROUP BY 1),
+        |m AS (SELECT id, n_pairs,
+        |    list_reduce(ls, (x, y) -> x + y) / CAST(n_pairs AS DOUBLE)
+        |      AS mean_nll FROM d)
+        |SELECT t.id AS doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+        |  COALESCE(m.n_pairs, 0) AS n_pairs,
+        |  CAST(round(CAST(CAST(m.mean_nll AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS mean_nll
+        |FROM t LEFT JOIN m ON t.id = m.id""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

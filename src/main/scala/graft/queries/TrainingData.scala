@@ -2973,6 +2973,15 @@ object TrainingData {
         Tables.embeddings(spark, dir), "vec_id", "embedding", k = 5)
       .select($"seed_rank", $"id".as("vec_id"), $"dist2")
 
+  /** q363 — Kneser–Ney bigram NLL ([[graft.operators.KneserNey
+    * .bigramNll]]): per-document surprise under the corpus-trained
+    * interpolated-KN bigram LM — q139's backoff score with principled
+    * smoothing; census joins at pair grain, no broadcast model. */
+  def q363KneserNey(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KneserNey.bigramNll(docs(spark, dir), "doc_id", "text")
+      .select($"id".as("doc_id"), $"n_tok", $"n_pairs",
+        round($"mean_nll", 6).as("mean_nll"))
+
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
     * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
     * the next shard brings, q246's Zipf companion. Exact per-source

@@ -135,4 +135,35 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkFixture {
       assert(flagged(id) > 0)
     }
   }
+
+  test("kneser-ney bigram NLL: hand-computed probabilities on a tiny " +
+      "corpus; template docs score less surprising than novel ones") {
+    import spark.implicits._
+    // corpus: "a b a c" + "a b" + "x". contexts: c(a)=3, c(b)=1;
+    // bigrams (a,b):2 (b,a):1 (a,c):1 -> ntypes=3; vocab {a,b,c,x} ->
+    // vtot=4; Pc(w) = (np+1)/(3+4+1) = 2/8 for a, b, c
+    val df = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x")).toDF("id", "t")
+    val out = graft.operators.KneserNey.bigramNll(df, "id", "t")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val pc = 2.0 / 8.0
+    val pBgA = (math.max(2.0 - 0.75, 0.0) + 0.75 * 2.0 * pc) / 3.0
+    val pAgB = (math.max(1.0 - 0.75, 0.0) + 0.75 * 1.0 * pc) / 1.0
+    val pCgA = (math.max(1.0 - 0.75, 0.0) + 0.75 * 2.0 * pc) / 3.0
+    val d1 = (-math.log(pBgA) + -math.log(pAgB) + -math.log(pCgA)) / 3.0
+    assert(out(1L).getAs[Long]("n_pairs") == 3L)
+    assert(math.abs(out(1L).getAs[Double]("mean_nll") - d1) < 1e-12,
+      s"${out(1L)} vs $d1")
+    assert(math.abs(out(2L).getAs[Double]("mean_nll") + math.log(pBgA)) < 1e-12)
+    // single-token doc: no pairs, loud null
+    assert(out(3L).getAs[Long]("n_pairs") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("mean_nll")))
+    // a corpus of one repeated template + one novel doc: the template
+    // copies are the less surprising ones
+    val spam = (1 to 20).map(i => (i.toLong, "the quick brown fox")) :+
+      (99L, "zebra quantum lattice the")
+    val s = graft.operators.KneserNey.bigramNll(spam.toDF("id", "t"), "id", "t")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("mean_nll"))
+      .toMap
+    assert(s(1L) < s(99L), s.toString)
+  }
 }
