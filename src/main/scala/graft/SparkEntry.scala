@@ -7669,34 +7669,35 @@ object SparkEntry {
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS forecast
         |FROM g LEFT JOIN (SELECT * FROM it WHERE t = n_obs) f
         |  ON g.event_type = f.event_type""".stripMargin,
-    // q363: all KN quantities are integer censuses; the per-pair
-    // probability is one pinned double shape and per-doc NLL folds in
-    // position order (0-seed parity)
+    // q363: all KN quantities are integer censuses; per-bigram NLL is
+    // assembled at TYPE grain and the per-doc sum is a count-weighted
+    // fold in (a, b) order (0-seed parity)
     "q363_kneser_ney" ->
       """WITH t AS (SELECT doc_id AS id, list_filter(
         |    string_split_regex(lower(trim(text)), '\s+'),
         |    x -> length(x) > 0) AS toks FROM documents),
         |ix AS (SELECT id, toks, unnest(range(1, len(toks))) AS i
         |  FROM t WHERE len(toks) > 1),
-        |p AS (SELECT id, i AS pos, toks[i] AS a, toks[i + 1] AS b FROM ix),
-        |uni AS (SELECT a AS w, CAST(count(*) AS BIGINT) AS c1
-        |  FROM p GROUP BY 1),
-        |bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c12
-        |  FROM p GROUP BY 1, 2),
-        |nf AS (SELECT a, CAST(count(*) AS BIGINT) AS nf FROM bi GROUP BY 1),
+        |p AS (SELECT id, toks[i] AS a, toks[i + 1] AS b FROM ix),
+        |dp AS (SELECT id, a, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM p GROUP BY 1, 2, 3),
+        |bi AS (SELECT a, b, CAST(sum(c) AS BIGINT) AS c12
+        |  FROM dp GROUP BY 1, 2),
+        |uni AS (SELECT a AS w, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS nf FROM bi GROUP BY 1),
         |np AS (SELECT b, CAST(count(*) AS BIGINT) AS np FROM bi GROUP BY 1),
         |sc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bi) AS ntypes,
         |    (SELECT CAST(count(DISTINCT w) AS BIGINT)
         |      FROM (SELECT unnest(toks) AS w FROM t)) AS vtot),
-        |s AS (SELECT p.id, p.pos, -ln(
+        |bgm AS (SELECT bi.a, bi.b, -ln(
         |    (greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
         |      + 0.75 * CAST(nf AS DOUBLE)
         |        * (CAST(np + 1 AS DOUBLE) / CAST(ntypes + vtot + 1 AS DOUBLE)))
         |    / CAST(c1 AS DOUBLE)) AS nll
-        |  FROM p JOIN bi USING (a, b) JOIN uni ON p.a = uni.w
-        |    JOIN nf USING (a) JOIN np USING (b), sc),
-        |d AS (SELECT id, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    list(nll ORDER BY pos) AS ls FROM s GROUP BY 1),
+        |  FROM bi JOIN uni ON bi.a = uni.w JOIN np USING (b), sc),
+        |d AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_pairs,
+        |    list(CAST(c AS DOUBLE) * nll ORDER BY a, b) AS ls
+        |  FROM dp JOIN bgm USING (a, b) GROUP BY 1),
         |m AS (SELECT id, n_pairs,
         |    list_reduce(ls, (x, y) -> x + y) / CAST(n_pairs AS DOUBLE)
         |      AS mean_nll FROM d)

@@ -27,12 +27,14 @@ import org.apache.spark.sql.functions._
   * NLL folds ln-terms in position order over the doc-bounded pair
   * list (cross-engine ln parity, the established contract).
   *
-  * Scale shape: model and scoring are census JOINS at pair grain —
-  * nothing broadcasts a vocabulary-sized model, so the formulation
-  * survives web-scale vocabularies where a q139-style broadcast model
-  * must cap; the only per-key state is the doc-bounded ordered term
-  * list. Output: (id, n_pairs, mean_nll); single-token docs keep a
-  * null score. */
+  * Scale shape: the per-bigram NLL is assembled at bigram-TYPE grain
+  * (censuses joining censuses — nothing broadcasts a vocabulary-sized
+  * model, so web-scale vocabularies survive where a q139-style
+  * broadcast model must cap), and the corpus-grain work is ONE
+  * (doc, bigram)-census join against that type table; the per-doc sum
+  * is a count-weighted fold in (a, b) order over the doc-bounded
+  * distinct-bigram list. Output: (id, n_pairs, mean_nll);
+  * single-token docs keep a null score. */
 object KneserNey {
 
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
@@ -41,38 +43,43 @@ object KneserNey {
     val toks = docs.select(col(idCol).as("id"),
       split(lower(trim(col(textCol))), "\\s+").as("toks"))
       .select(col("id"), filter(col("toks"), t => length(t) > 0).as("toks"))
-    val pairs = toks.where(size(col("toks")) > 1)
-      .select(col("id"), posexplode(expr(
+    val docPairs = toks.where(size(col("toks")) > 1)
+      .select(col("id"), explode(expr(
         """zip_with(slice(toks, 1, size(toks) - 1),
           |          slice(toks, 2, size(toks) - 1),
-          |  (a, b) -> named_struct('a', a, 'b', b))""".stripMargin)))
-      .select(col("id"), col("pos"), col("col.a").as("a"), col("col.b").as("b"))
-    val uni = pairs.select(col("a").as("w")) // c(a) counts CONTEXT uses
-      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c12"))
-    val nfollow = bi.groupBy(col("a")).agg(count(lit(1)).as("nf"))
+          |  (a, b) -> named_struct('a', a, 'b', b))""".stripMargin)).as("p"))
+      .groupBy(col("id"), col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val bi = docPairs.groupBy(col("a"), col("b"))
+      .agg(sum(col("c")).as("c12")).localCheckpoint(false)
+    val uni = bi.groupBy(col("a").as("w"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
     val nprec = bi.groupBy(col("b")).agg(count(lit(1)).as("np"))
     val scalars = broadcast(
       bi.agg(count(lit(1)).as("ntypes"))
         .crossJoin(toks.select(explode(col("toks")).as("w")).distinct()
           .agg(count(lit(1)).as("vtot"))))
-    val scored = pairs
-      .join(bi, Seq("a", "b"))
+    // the whole model collapses to ONE row per bigram type
+    val bgm = bi
       .join(uni.withColumnRenamed("w", "a"), Seq("a"))
-      .join(nfollow, Seq("a"))
-      .join(nprec, Seq("b"), "left")
+      .join(nprec, Seq("b"))
       .crossJoin(scalars)
-      .select(col("id"), col("pos"), (-log(
+      .select(col("a"), col("b"), (-log(
         (greatest(col("c12").cast("double") - lit(discount), lit(0.0)) +
           lit(discount) * col("nf").cast("double") *
-            ((coalesce(col("np"), lit(0L)) + 1L).cast("double") /
+            ((col("np") + 1L).cast("double") /
               (col("ntypes") + col("vtot") + 1L).cast("double"))) /
           col("c1").cast("double"))).as("nll"))
-    val perDoc = scored.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sort_array(collect_list(struct(col("pos"), col("nll")))).as("__ts"))
+    val perDoc = docPairs.join(bgm, Seq("a", "b"))
+      .select(col("id"), col("a"), col("b"),
+        (col("c").cast("double") * col("nll")).as("t"), col("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_pairs"),
+        sort_array(collect_list(struct(col("a"), col("b"), col("t"))))
+          .as("__ts"))
       .select(col("id"), col("n_pairs"),
-        (aggregate(col("__ts"), lit(0.0d), (s, t) => s + t.getField("nll")) /
+        (aggregate(col("__ts"), lit(0.0d), (s, t) => s + t.getField("t")) /
           col("n_pairs").cast("double")).as("mean_nll"))
     toks.select(col("id"), size(col("toks")).cast("long").as("n_tok"))
       .join(perDoc, Seq("id"), "left")
