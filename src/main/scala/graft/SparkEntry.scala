@@ -385,6 +385,7 @@ object SparkEntry {
     "q361_kcenter_seeds"    -> (D.q361KCenterSeeds(_, _)),
     "q362_holt_winters"     -> (T.q362HoltWinters(_, _)),
     "q363_kneser_ney"       -> (D.q363KneserNey(_, _)),
+    "q364_hyperanf"         -> (R.q364HyperAnf(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7706,6 +7707,55 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(m.mean_nll AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS mean_nll
         |FROM t LEFT JOIN m ON t.id = m.id""".stripMargin,
+    // q364: the q183 register/estimator replay lifted to per-node
+    // sketches; each hop is a join + group-max union, registers are
+    // bit-identical so the IEEE-exact estimator matches to the digit
+    "q364_hyperanf" -> {
+      val est = (src: String, hop: Int) =>
+        s"""e$hop AS (SELECT node, CAST($hop AS INT) AS hop,
+           |  CAST(COUNT(*) AS BIGINT) AS nonempty,
+           |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+           |     + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+           |   * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE) /
+           |   ((CAST(64.0 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) +
+           |    SUM(CAST(1.0 AS DOUBLE)
+           |      / CAST((CAST(1 AS BIGINT) << CAST(mr AS INT)) AS DOUBLE)))
+           |   AS est
+           |FROM $src GROUP BY 1)""".stripMargin
+      val base =
+        """WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          |edges AS (SELECT c AS src, 1000000 + s AS dst FROM pairs
+          |UNION ALL SELECT 1000000 + s, c FROM pairs),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |h0 AS (SELECT node,
+          |  CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || ':r'), 1, 4))
+          |    AS BIGINT) % 64 AS reg,
+          |  LEAST(4 * length(regexp_extract(
+          |      substr(md5(CAST(node AS VARCHAR) || ':q'), 1, 12), '^0*')) +
+          |    CASE substr(substr(md5(CAST(node AS VARCHAR) || ':q'), 1, 12),
+          |        length(regexp_extract(
+          |          substr(md5(CAST(node AS VARCHAR) || ':q'), 1, 12), '^0*'))
+          |          + 1, 1)
+          |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+          |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+          |      ELSE 0 END + 1, 40) AS mr
+          |FROM nodes)""".stripMargin
+      val hops = (1 to 4).map { h =>
+        s"""h$h AS (SELECT node, reg, MAX(mr) AS mr FROM (
+           |  SELECT e.src AS node, r.reg, r.mr
+           |    FROM edges e JOIN h${h - 1} r ON e.dst = r.node
+           |  UNION ALL SELECT node, reg, mr FROM h${h - 1}) GROUP BY 1, 2),
+           |""".stripMargin + est(s"h$h", h)
+      }.mkString(",\n", ",\n", "")
+      base + hops +
+        """
+          |SELECT node, hop, nonempty,
+          |  CAST(round(CAST(CAST(est AS VARCHAR) AS DECIMAL(38,20)), 4)
+          |    AS DOUBLE) AS est
+          |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+          |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)""".stripMargin
+    },
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -466,4 +466,49 @@ object Graph {
     }
     out
   }
+
+  /** HyperANF (Boldi, Rosa & Vigna 2011) — the approximate
+    * neighborhood function: per node and hop h, an HLL estimate of
+    * |ball(v, h)| (self included), the primitive behind effective-
+    * diameter and centrality readouts that exact BFS cannot touch at
+    * web scale (N² reachability state collapses to m registers per
+    * node). The fixed point of
+    *   sketch_h(v) = sketch_{h−1}(v) ∪ ⋃_{v→u} sketch_{h−1}(u)
+    * runs entirely on [[Sketches.hllRegisters]]'s register-as-rows
+    * representation, so the union is a plain (node, reg) group-max —
+    * associative, exact, map-side combined — and
+    * [[Sketches.hllEstimate]]'s IEEE-exact estimator scores each hop
+    * with no fold-order hazard. Fully md5-derived, replayable
+    * cross-engine register-for-register.
+    *
+    * Scale shape: per hop ONE edge⋈registers join (each node carries
+    * ≤ 2^b register rows) and one group-max; loop state checkpoints
+    * per hop. Directed reachability along src→dst; symmetrize edges
+    * upstream for the undirected ball. Output: (node, hop, nonempty,
+    * est) for h = 1..maxHops. */
+  def hyperAnf(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int, b: Int = 6): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    var regs = Sketches.hllRegisters(nodes, Seq("node"), "node", b)
+      .localCheckpoint(false)
+    var out: DataFrame = null
+    for (h <- 1 to maxHops) {
+      val viaNbrs = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("reg"), col("max_rank"))
+      regs = regs.unionAll(viaNbrs)
+        .groupBy(col("node"), col("reg"))
+        .agg(max(col("max_rank")).as("max_rank"))
+        .localCheckpoint(false)
+      val est = Sketches.hllEstimate(regs, Seq("node"), b)
+        .select(col("node"), lit(h).as("hop"), col("nonempty"),
+          col("hll_estimate").as("est"))
+      out = if (out == null) est else out.unionAll(est)
+    }
+    out
+  }
 }

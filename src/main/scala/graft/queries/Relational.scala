@@ -397,6 +397,21 @@ object Relational {
         round($"pr", 10).as("pagerank"))
   }
 
+  /** q364 — HyperANF neighborhood function ([[graft.operators.Graph
+    * .hyperAnf]]): per-node HLL ball sizes over 4 hops of the q169
+    * customer–supplier graph — the effective-diameter primitive;
+    * md5-replayable registers, IEEE-exact estimator. */
+  def q364HyperAnf(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+    val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
+      .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
+    graft.operators.Graph.hyperAnf(edges, "src", "dst", maxHops = 4, b = 6)
+      .select($"node", $"hop", $"nonempty", round($"est", 4).as("est"))
+  }
+
   /** q245 — HITS hubs/authorities ([[graft.operators.Graph.hits]]):
     * the DIRECTED customer→supplier trade graph, 4 rounds of the
     * mutual-reinforcement recurrence with L1 normalization — hub

@@ -181,6 +181,31 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(dup(3L) > wr(3L), s"$dup vs $wr")
   }
 
+  test("hyperAnf: sketches equal a direct HLL of the exact ball, " +
+      "converge on cycles, and sinks never grow") {
+    import spark.implicits._
+    // 1 <-> 2 cycle plus 2 -> 3 (3 is a sink)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("s", "d")
+    val out = Graph.hyperAnf(edges, "s", "d", maxHops = 3, b = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Int]("hop")) ->
+        ((r.getAs[Long]("nonempty"), r.getAs[Double]("est")))).toMap
+    // sink 3: ball stays {3} at every hop
+    assert(out((3L, 1)) == out((3L, 3)))
+    // ball(1): {1,2,3} from hop 2 on (1 -> 2 -> 3); converged by 3
+    assert(out((1L, 2)) == out((1L, 3)))
+    assert(out((1L, 2))._1 >= out((1L, 1))._1)
+    // the hop-2 sketch of node 1 must EQUAL a direct HLL of the exact
+    // ball {1, 2, 3} — same registers, same estimator
+    val direct = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(
+        Seq(1L, 2L, 3L).toDF("k").withColumn("g",
+          org.apache.spark.sql.functions.lit("b")),
+        Seq("g"), "k", 6), Seq("g"), 6).head()
+    assert(out((1L, 2))._1 == direct.getAs[Long]("nonempty"))
+    assert(out((1L, 2))._2 == direct.getAs[Double]("hll_estimate"))
+  }
+
   test("textRank: the hub word of a star-shaped corpus ranks first; " +
       "hapax adjacency is pruned") {
     import spark.implicits._
