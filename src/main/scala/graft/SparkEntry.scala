@@ -386,6 +386,8 @@ object SparkEntry {
     "q362_holt_winters"     -> (T.q362HoltWinters(_, _)),
     "q363_kneser_ney"       -> (D.q363KneserNey(_, _)),
     "q364_hyperanf"         -> (R.q364HyperAnf(_, _)),
+    "q365_chao1"            -> (D.q365Chao1(_, _)),
+    "q366_mann_kendall"     -> (T.q366MannKendall(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7756,6 +7758,59 @@ object SparkEntry {
           |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
           |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)""".stripMargin
     },
+    // q365: exact F1/F2 censuses; the bias-corrected correction term is
+    // one pinned ratio of exact integer products
+    "q365_chao1" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM t
+        |  WHERE length(tok) > 0 GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_obs,
+        |    CAST(count(*) AS BIGINT) AS d_obs,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_obs, d_obs, f1, f2,
+        |  CAST(round(CAST(CAST(
+        |    CAST(d_obs AS DOUBLE)
+        |      + CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS DOUBLE)
+        |        / CAST(CAST(2 AS HUGEINT) * (f2 + 1) AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS chao1
+        |FROM g""".stripMargin,
+    // q366: exact pair-sign S over the day census (periods^2 pairs per
+    // key), tie-corrected variance, continuity-corrected z
+    "q366_mann_kendall" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM d a JOIN d b ON a.event_type = b.event_type
+        |    AND a.day < b.day GROUP BY 1),
+        |ties AS (SELECT event_type,
+        |    CAST(sum(CAST(m AS HUGEINT) * (m - 1) * (2 * m + 5)) AS HUGEINT)
+        |      AS tie
+        |  FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS m
+        |    FROM d GROUP BY 1, 2) GROUP BY 1),
+        |ns AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1),
+        |v AS (SELECT ns.event_type, n, s,
+        |    CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * CAST(n AS HUGEINT) + 5)
+        |      - tie AS DOUBLE) / 18.0 AS var_s
+        |  FROM ns JOIN p USING (event_type) JOIN ties USING (event_type))
+        |SELECT event_type, n, s,
+        |  CAST(round(CAST(CAST(var_s AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS var_s,
+        |  CASE WHEN n < 2 OR var_s <= 0.0 THEN NULL
+        |    WHEN s > 0 THEN CAST(round(CAST(CAST(
+        |      CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |    WHEN s < 0 THEN CAST(round(CAST(CAST(
+        |      CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |    ELSE 0.0 END AS z
+        |FROM v""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -583,4 +583,37 @@ object Profile {
         (col("n_types").cast("double") / col("n_grams").cast("double"))
           .as("distinct_ratio"))
   }
+
+  /** Chao1 species-richness estimate (Chao 1984, bias-corrected form)
+    * per group — "how many distinct values exist that this sample has
+    * NOT yet seen": from the frequency-of-frequencies census,
+    *   Chao1 = D + F₁(F₁−1) / (2(F₂+1)),
+    * the lower-bound estimator ecology uses for unseen species and a
+    * data pipeline uses for vocabulary/entity coverage — [[goodTuring]]
+    * prices the unseen MASS, Chao1 counts the unseen TYPES, and
+    * [[heapsFit]] extrapolates the growth curve; together they answer
+    * "is another crawl worth it". The bias-corrected denominator
+    * (F₂+1) keeps the estimate finite when no doubletons exist.
+    *
+    * Exactness: D, F₁, F₂ are exact integer censuses; the correction
+    * term is one pinned double ratio of exact products. Scale shape:
+    * one (group, value) census, one frequency rollup — map-side
+    * combined, never a distinct expand. Output: (g, n_obs, d_obs, f1,
+    * f2, chao1). */
+  def chao1(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    census.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_obs"), count(lit(1)).as("d_obs"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("g"), col("n_obs"), col("d_obs"), col("f1"), col("f2"),
+        (col("d_obs").cast("double") +
+          (col("f1").cast(dec) * (col("f1") - 1L).cast(dec)).cast(dec)
+            .cast("double") /
+          (lit(2L).cast(dec) * (col("f2") + 1L).cast(dec)).cast(dec)
+            .cast("double")).as("chao1"))
+  }
 }

@@ -238,4 +238,54 @@ object Regression {
           (col("concordant") - col("discordant")).cast("double") /
             sqrt(den.cast("double"))).as("tau_b"))
   }
+
+  /** Mann–Kendall trend test per key — the nonparametric "is there a
+    * monotone trend at all" significance that [[theilSen]]'s slope
+    * (magnitude) and [[kendallTauB]] (association between two value
+    * columns) don't state: against TIME order,
+    *   S = Σ_{i<j} sign(y_j − y_i),
+    *   Var(S) = [n(n−1)(2n+5) − Σ_ties m(m−1)(2m+5)] / 18,
+    *   z = (S ∓ 1)/√Var  (continuity-corrected, 0 at S = 0).
+    * Robust to outliers and any monotone transform — the standard
+    * trend gate on volume/quality series before a Theil–Sen slope is
+    * quoted.
+    *
+    * Exactness: S and the tie term are exact integer sums (the
+    * [[kendallTauB]] pair-join shape, bounded by periods² per key);
+    * Var and z are pinned double shapes. Requires a unique `ordCol`
+    * per key (time ties would need the full tie-corrected x-side —
+    * loud require, not a silent wrong answer). Output: (g, n, s,
+    * var_s, z). */
+  def mannKendall(df: DataFrame, groupCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(ordCol).as("o"),
+        col(valueCol).cast("long").as("y"))
+    val a = base.select(col("g"), col("o").as("oa"), col("y").as("ya"))
+    val b = base.select(col("g"), col("o").as("ob"), col("y").as("yb"))
+    val s = a.join(b, Seq("g")).where(col("oa") < col("ob"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("yb") > col("ya"), 1L)
+        .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("s"))
+    val ties = base.groupBy(col("g"), col("y")).agg(count(lit(1)).as("m"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum((col("m").cast(dec) * (col("m") - 1L).cast(dec) *
+          (lit(2L).cast(dec) * col("m").cast(dec) + 5L)).cast(dec))
+          .cast(dec).as("__tie"))
+    val ns = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val nD = col("n").cast(dec)
+    val varS = ((nD * (nD - 1) * (lit(2L).cast(dec) * nD + 5L)).cast(dec) -
+      col("__tie")).cast(dec).cast("double") / lit(18.0)
+    ns.join(s, Seq("g")).join(ties, Seq("g"))
+      .withColumn("var_s", varS)
+      .select(col("g"), col("n"), col("s"), col("var_s"),
+        when(col("n") < 2L || col("var_s") <= 0.0, null)
+          .when(col("s") > 0L,
+            (col("s") - 1L).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0L,
+            (col("s") + 1L).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)).as("z"))
+  }
 }

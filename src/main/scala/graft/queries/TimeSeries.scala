@@ -635,6 +635,20 @@ object TimeSeries {
         round($"forecast", 6).as("forecast"))
   }
 
+  /** q366 — Mann–Kendall trend test ([[graft.operators.Regression
+    * .mannKendall]]): is the daily volume of each event type
+    * monotonically trending — the significance gate before quoting the
+    * q265 Theil–Sen slope; exact pair-sign sums, tie-corrected
+    * variance. */
+  def q366MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Regression.mannKendall(daily, "event_type", "day", "x")
+      .select($"g".as("event_type"), $"n", $"s",
+        round($"var_s", 6).as("var_s"), round($"z", 6).as("z"))
+  }
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

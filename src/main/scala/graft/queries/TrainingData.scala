@@ -2982,6 +2982,19 @@ object TrainingData {
       .select($"id".as("doc_id"), $"n_tok", $"n_pairs",
         round($"mean_nll", 6).as("mean_nll"))
 
+  /** q365 — Chao1 unseen-vocabulary estimate ([[graft.operators
+    * .Profile.chao1]]): per-source richness lower bound from the
+    * singleton/doubleton census — q306 Good–Turing prices the unseen
+    * mass, this counts the unseen types. */
+  def q365Chao1(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.chao1(
+      docs(spark, dir).select($"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+        .where(length($"tok") > 0),
+      "source", "tok")
+      .select($"g".as("source"), $"n_obs", $"d_obs", $"f1", $"f2",
+        round($"chao1", 6).as("chao1"))
+
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
     * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
     * the next shard brings, q246's Zipf companion. Exact per-source

@@ -288,4 +288,27 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getAs[Int]("n")).toSet
     assert(sh == Set(1))
   }
+
+  test("chao1: textbook singleton/doubleton estimate; a fully-saturated " +
+      "sample adds nothing; all-singletons explodes the bound") {
+    import spark.implicits._
+    // counts: a:1 b:1 c:1 d:2 e:2 f:5 -> D=6, F1=3, F2=2
+    // chao1 = 6 + 3*2/(2*3) = 7
+    val vals = Seq("a", "b", "c", "d", "d", "e", "e") ++ Seq.fill(5)("f")
+    val r = graft.operators.Profile.chao1(
+      vals.map(("g", _)).toDF("g", "v"), "g", "v").head()
+    assert(r.getAs[Long]("d_obs") == 6L && r.getAs[Long]("f1") == 3L &&
+      r.getAs[Long]("f2") == 2L)
+    assert(r.getAs[Double]("chao1") === 7.0)
+    // every type seen >= 3 times: F1 = F2 = 0 -> chao1 == D exactly
+    val sat = Seq.fill(3)("x") ++ Seq.fill(4)("y")
+    val rs = graft.operators.Profile.chao1(
+      sat.map(("g", _)).toDF("g", "v"), "g", "v").head()
+    assert(rs.getAs[Double]("chao1") === 2.0)
+    // all singletons: chao1 = D + D(D-1)/2 (huge unseen mass, loud)
+    val sing = (1 to 6).map(i => ("g", s"u$i"))
+    val ri = graft.operators.Profile.chao1(sing.toDF("g", "v"), "g", "v")
+      .head()
+    assert(ri.getAs[Double]("chao1") === 6.0 + 30.0 / 2.0)
+  }
 }

@@ -75,4 +75,31 @@ class RegressionSpec extends AnyFunSuite with SparkFixture {
           r.getDouble(7))).sortBy(_._1).toSeq
     assert(run(df.repartition(1)) == run(df.repartition(32, col("o"))))
   }
+
+  test("mannKendall: hand S and tie-corrected variance; monotone ramp " +
+      "maxes S; flat series z = 0") {
+    import spark.implicits._
+    // y = {3, 1, 3, 2}: pairs (3,1)- (3,3)0 (3,2)- (1,3)+ (1,2)+ (3,2)-
+    // S = -1; ties: value 3 has m=2 -> tie term 2*1*9 = 18
+    // Var = [4*3*13 - 18]/18 = 138/18
+    val df = Seq(("g", "d1", 3L), ("g", "d2", 1L), ("g", "d3", 3L),
+      ("g", "d4", 2L)).toDF("g", "d", "y")
+    val r = graft.operators.Regression.mannKendall(df, "g", "d", "y").head()
+    assert(r.getAs[Long]("s") == -1L)
+    assert(math.abs(r.getAs[Double]("var_s") - 138.0 / 18) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") -
+      (-1.0 + 1.0) / math.sqrt(138.0 / 18)) < 1e-12) // continuity: (S+1)
+    // strict ramp: S = n(n-1)/2, strongly positive z
+    val ramp = (1 to 20).map(i => ("r", f"d$i%02d", i.toLong))
+    val rr = graft.operators.Regression.mannKendall(
+      ramp.toDF("g", "d", "y"), "g", "d", "y").head()
+    assert(rr.getAs[Long]("s") == 190L)
+    assert(rr.getAs[Double]("z") > 4.0)
+    // constant series: S = 0 and variance collapses to 0 -> null z
+    val flat = (1 to 6).map(i => ("f", f"d$i", 5L))
+    val rf = graft.operators.Regression.mannKendall(
+      flat.toDF("g", "d", "y"), "g", "d", "y").head()
+    assert(rf.getAs[Long]("s") == 0L)
+    assert(rf.isNullAt(rf.fieldIndex("z")))
+  }
 }
