@@ -388,6 +388,7 @@ object SparkEntry {
     "q364_hyperanf"         -> (R.q364HyperAnf(_, _)),
     "q365_chao1"            -> (D.q365Chao1(_, _)),
     "q366_mann_kendall"     -> (T.q366MannKendall(_, _)),
+    "q367_anderson_darling" -> (T.q367AndersonDarling(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7811,6 +7812,53 @@ object SparkEntry {
         |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
         |    ELSE 0.0 END AS z
         |FROM v""".stripMargin,
+    // q367: value-sorted census fold; first-step values ride the
+    // element transform (q359 contract), per-term division of exact
+    // HUGEINT numerator/denominator, B=N terms excluded
+    "q367_anderson_darling" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS r
+        |  FROM events),
+        |c AS (SELECT v, CAST(sum(1 - r) AS BIGINT) AS ca,
+        |    CAST(sum(r) AS BIGINT) AS cb FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS n_values,
+        |    CAST(sum(ca) + sum(cb) AS BIGINT) AS nn,
+        |    list(struct_pack(v := v, ca := ca, cb := cb) ORDER BY v) AS ls
+        |  FROM c),
+        |f AS (SELECT na, nb, n_values,
+        |  list_reduce(list_transform(ls, e -> struct_pack(
+        |    s := CASE WHEN e.ca + e.cb < nn THEN
+        |      CAST(CAST(e.ca + e.cb AS HUGEINT)
+        |        * (CAST(nn AS HUGEINT) * e.ca - CAST(na AS HUGEINT) * (e.ca + e.cb))
+        |        * (CAST(nn AS HUGEINT) * e.ca - CAST(na AS HUGEINT) * (e.ca + e.cb))
+        |        AS DOUBLE)
+        |      / CAST(CAST(e.ca + e.cb AS HUGEINT)
+        |        * (CAST(nn AS HUGEINT) - CAST(e.ca + e.cb AS HUGEINT)) AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END,
+        |    m := e.ca, b := e.ca + e.cb, ca := e.ca, cb := e.cb)),
+        |  (acc, x) -> struct_pack(
+        |    s := acc.s + CASE WHEN acc.b + x.ca + x.cb < nn THEN
+        |      CAST(CAST(x.ca + x.cb AS HUGEINT)
+        |        * (CAST(nn AS HUGEINT) * (acc.m + x.ca)
+        |           - CAST(na AS HUGEINT) * (acc.b + x.ca + x.cb))
+        |        * (CAST(nn AS HUGEINT) * (acc.m + x.ca)
+        |           - CAST(na AS HUGEINT) * (acc.b + x.ca + x.cb))
+        |        AS DOUBLE)
+        |      / CAST(CAST(acc.b + x.ca + x.cb AS HUGEINT)
+        |        * (CAST(nn AS HUGEINT) - CAST(acc.b + x.ca + x.cb AS HUGEINT))
+        |        AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END,
+        |    m := acc.m + x.ca, b := acc.b + x.ca + x.cb,
+        |    ca := x.ca, cb := x.cb)) AS f
+        |  FROM t)
+        |SELECT na AS n_a, nb AS n_b, n_values,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(round(CAST(CAST(f.s / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS a2
+        |FROM f""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

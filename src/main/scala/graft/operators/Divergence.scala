@@ -556,6 +556,64 @@ object Divergence {
               .cast(dec).cast("double")).as("tv"))
   }
 
+  /** Anderson–Darling two-sample statistic — the TAIL-weighted member
+    * of the drift family ([[ksTwoSample]] = worst point,
+    * [[cramerVonMises]] = mean square, W1 = area, TV = L1): the
+    * 1/(B(N−B)) weight diverges at the distribution edges, so a feed
+    * whose extremes drifted while the bulk held (the failure mode that
+    * poisons outlier-sensitive downstream stats) alarms here first.
+    * Tie-adjusted discrete form (Pettitt 1976; reduces to the classic
+    * rank statistic on untied data; pinned convention, oracle-replayed):
+    *   A² = (1/(n_a·n_b)) Σ_{distinct v, B<N} ℓ·(N·M − n_a·B)² / (B(N−B))
+    * with ℓ the pooled multiplicity at v, M the cumulative sample-A
+    * count, B the cumulative pooled count.
+    *
+    * Exactness: every per-value numerator/denominator is an exact
+    * decimal of exact integers; each term is ONE double division and
+    * the only order-sensitive float sum folds over the value-sorted
+    * census (the [[mutualInformation]] discipline). Scale shape: one
+    * value census (map-side combined), one broadcast total, one
+    * census-bounded sorted fold — distinct VALUES, never rows; at
+    * unbounded-cardinality domains bucket upstream (the
+    * [[wassersteinFromCensus]] convention). Output one row: (n_a, n_b,
+    * n_values, a2). */
+  def andersonDarling(df: DataFrame, valueCol: String,
+      isRight: Column): DataFrame = {
+    val census = df
+      .select(col(valueCol).cast("long").as("v"),
+        when(isRight, 1L).otherwise(0L).as("__r"))
+      .groupBy(col("v"))
+      .agg(sum(lit(1L) - col("__r")).as("ca"), sum(col("__r")).as("cb"))
+    val totals = census.agg(sum(col("ca")).as("__na"),
+      sum(col("cb")).as("__nb"), count(lit(1)).as("n_values"))
+    val dec38 = "DECIMAL(38,0)"
+    val bN = "(acc.b + e.ca + e.cb)"
+    val gap = s"(CAST(__N AS $dec38) * (acc.m + e.ca)" +
+      s" - CAST(__na AS $dec38) * $bN)"
+    val term = s"CAST(CAST(e.ca + e.cb AS $dec38) * $gap * $gap AS DOUBLE)" +
+      s" / CAST(CAST($bN AS $dec38)" +
+      s" * (CAST(__N AS $dec38) - CAST($bN AS $dec38)) AS DOUBLE)"
+    val fold =
+      s"""aggregate(__cells,
+         |  struct(CAST(0.0 AS DOUBLE) AS s, CAST(0 AS BIGINT) AS m,
+         |         CAST(0 AS BIGINT) AS b),
+         |  (acc, e) -> struct(
+         |    acc.s + IF($bN < __N, $term, CAST(0.0 AS DOUBLE)) AS s,
+         |    acc.m + e.ca AS m,
+         |    $bN AS b))""".stripMargin
+    census
+      .agg(sort_array(collect_list(struct(col("v"), col("ca"), col("cb"))))
+        .as("__cells"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__N", col("__na") + col("__nb"))
+      .withColumn("__f", expr(fold))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_values"),
+        when(col("__na") > 0L && col("__nb") > 0L,
+          col("__f.s") / (col("__na").cast("decimal(38,0)") *
+            col("__nb").cast("decimal(38,0)")).cast("decimal(38,0)")
+            .cast("double")).as("a2"))
+  }
+
   /** Jarque–Bera normality census per group — are the values even
     * PLAUSIBLY Gaussian? The cheapest gate before any method that
     * assumes normality (z-intervals, control limits, Welch small-n):

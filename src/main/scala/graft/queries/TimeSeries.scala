@@ -1067,6 +1067,17 @@ object TimeSeries {
         "cents", $"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"))
       .select($"n_a", $"n_b", $"n_values", round($"t", 6).as("t"))
 
+  /** q367 — Anderson–Darling drift ([[graft.operators.Divergence
+    * .andersonDarling]]): the tail-weighted statistic on the same
+    * before/after split as q239 KS and q317 CvM — edge drift alarms
+    * here first; census-sorted fold, exact integer terms. */
+  def q367AndersonDarling(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.andersonDarling(
+        events(spark, dir).select(
+          round($"value" * 100).cast("long").as("cents"), $"ts"),
+        "cents", $"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"))
+      .select($"n_a", $"n_b", $"n_values", round($"a2", 6).as("a2"))
+
   /** q318 — Jensen–Shannon drift ([[graft.operators.Divergence
     * .jensenShannon]]): per-source bounded symmetric divergence from
     * the corpus over the 256-bucket hashed token space — the

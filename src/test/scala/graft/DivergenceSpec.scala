@@ -217,6 +217,25 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
       run(df.repartition(32, org.apache.spark.sql.functions.col("a"))))
   }
 
+  test("andersonDarling: hand-computed terms, exact zero on mirrored " +
+      "samples, separation dominates a bulk-only shift") {
+    import spark.implicits._
+    def ad(a: Seq[Long], b: Seq[Long]): Double = {
+      val df = (a.map((_, false)) ++ b.map((_, true))).toDF("v", "r")
+      Divergence.andersonDarling(df, "v", org.apache.spark.sql.functions
+        .col("r")).head().getAs[Double]("a2")
+    }
+    // A={1,2}, B={3}: terms 0.5 (v=1) + 2.0 (v=2), B=N excluded
+    // A2 = 2.5/(2*1) = 1.25
+    assert(math.abs(ad(Seq(1L, 2L), Seq(3L)) - 1.25) < 1e-12)
+    // identical samples: every gap N*M - na*B is exactly 0
+    assert(ad(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 0.0)
+    // disjoint ranges score far above an interleaved pair
+    val sep = ad((1L to 5L), (11L to 15L))
+    val mix = ad(Seq(1L, 3L, 5L, 7L, 9L), Seq(2L, 4L, 6L, 8L, 10L))
+    assert(sep > 10 * mix, s"sep=$sep mix=$mix")
+  }
+
   test("jarqueBera: hand moments on a tiny group, symmetric data has " +
       "zero skew, constant groups go null") {
     import spark.implicits._
