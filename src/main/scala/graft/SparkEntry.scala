@@ -389,6 +389,7 @@ object SparkEntry {
     "q365_chao1"            -> (D.q365Chao1(_, _)),
     "q366_mann_kendall"     -> (T.q366MannKendall(_, _)),
     "q367_anderson_darling" -> (T.q367AndersonDarling(_, _)),
+    "q368_hurst"            -> (T.q368Hurst(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7859,6 +7860,54 @@ object SparkEntry {
         |    CAST(round(CAST(CAST(f.s / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)
         |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS a2
         |FROM f""".stripMargin,
+    // q368: relational block cumsums keep R and S exact integers; the
+    // only float folds are the block-ordered R/S mean and the q271
+    // OLS shape
+    "q368_hurst" ->
+      """WITH d AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d %H') AS o,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT k, o, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY o) AS rn FROM d),
+        |wd AS (SELECT 8 AS w UNION ALL SELECT 16
+        |  UNION ALL SELECT 32 UNION ALL SELECT 64),
+        |e AS (SELECT k, w, (rn - 1) // w AS b, ((rn - 1) % w) + 1 AS i,
+        |    x, rn FROM r, wd),
+        |c AS (SELECT k, w, b, i, x,
+        |    sum(x) OVER (PARTITION BY k, w, b ORDER BY rn
+        |      ROWS UNBOUNDED PRECEDING) AS ps,
+        |    sum(x) OVER (PARTITION BY k, w, b) AS tot FROM e),
+        |g AS (SELECT k, w, b, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+        |    CAST(max(w * ps - i * tot) AS BIGINT) AS mx,
+        |    CAST(min(w * ps - i * tot) AS BIGINT) AS mn
+        |  FROM c GROUP BY 1, 2, 3),
+        |blk AS (SELECT k, w, b,
+        |    (CAST(mx - mn AS DOUBLE) / CAST(w AS DOUBLE))
+        |    / sqrt(CAST(w * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |        / CAST(w * w AS DOUBLE)) AS rs
+        |  FROM g WHERE cnt = w AND w * s2 - CAST(s1 AS HUGEINT) * s1 > 0),
+        |aw AS (SELECT k, w, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    list_reduce(list(rs ORDER BY b), (a, v) -> a + v)
+        |      / CAST(count(*) AS DOUBLE) AS avg_rs FROM blk GROUP BY 1, 2),
+        |pt AS (SELECT k, CAST(count(*) AS BIGINT) AS kk,
+        |    list(struct_pack(lx := ln(CAST(w AS DOUBLE)), ly := ln(avg_rs))
+        |      ORDER BY w) AS ls FROM aw GROUP BY 1),
+        |f AS (SELECT k, kk, list_reduce(list_transform(ls,
+        |    p -> struct_pack(sx := p.lx, sy := p.ly, sxy := p.lx * p.ly,
+        |      sxx := p.lx * p.lx)),
+        |  (acc, p) -> struct_pack(sx := acc.sx + p.sx, sy := acc.sy + p.sy,
+        |    sxy := acc.sxy + p.sxy, sxx := acc.sxx + p.sxx)) AS s FROM pt),
+        |ols AS (SELECT k, CASE WHEN kk > 1 THEN
+        |    (CAST(kk AS DOUBLE) * s.sxy - s.sx * s.sy)
+        |    / (CAST(kk AS DOUBLE) * s.sxx - s.sx * s.sx) END AS hurst
+        |  FROM f)
+        |SELECT aw.k AS event_type, CAST(aw.w AS INT) AS w, n_blocks,
+        |  CAST(round(CAST(CAST(avg_rs AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS avg_rs,
+        |  CAST(round(CAST(CAST(hurst AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS hurst
+        |FROM aw JOIN ols USING (k)""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

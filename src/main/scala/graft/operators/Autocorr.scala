@@ -258,4 +258,95 @@ object Autocorr {
         when(col("n") > 1L && col("__den") > lit(0).cast(dec),
           lit(1.0) - dw / lit(2.0)).as("rho"))
   }
+
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    * & Wallis 1969) per key — LONG-memory detection: H ≈ 0.5 is a
+    * random walk, H > 0.5 persistent (trends feed trends — [[acf]]'s
+    * lag-k view integrated across ALL horizons), H < 0.5
+    * anti-persistent. For each dyadic window size w, the series splits
+    * into ⌊n/w⌋ consecutive blocks; per block R/S = (range of
+    * cumulative mean-deviations) / (population std); H is the OLS
+    * slope of ln(mean R/S) on ln(w).
+    *
+    * Exactness: with integer values both R and S are EXACT per block —
+    * w·(cumdev at i) = w·Σ_{j≤i}x_j − i·Σx is an integer fold, so
+    * R = (max − min)/w is one division, and S² = (wΣx² − (Σx)²)/w² is
+    * a ratio of exact longs; the only float folds (block-mean of R/S,
+    * the 4-point OLS) run in fixed block/window order. Headroom:
+    * w·Σx² must fit a long (w ≤ 64, cents-scale daily censuses are
+    * fine to ~10¹⁴ per block).
+    *
+    * Scale shape: one per-key census collect bounded by periods; all
+    * window work is array folds on that census. Output: one row per
+    * (key, w) — (key, w, n_blocks, avg_rs) — plus the fitted `hurst`
+    * repeated on each row (blocks with S = 0 are skipped; w rows with
+    * no surviving block are absent and the fit uses the rest). */
+  def hurstRs(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, windows: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 2), s"bad windows: $windows")
+    val base = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      col(valueCol).cast("long").as("x"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("o"))))
+      .localCheckpoint(false)
+    // per window size: block = (rn-1) div w; the cumulative deviation
+    // is the exact long  w\u00b7prefix_i \u2212 i\u00b7total  (a relational window
+    // cumsum, no float anywhere); only FULL blocks with positive
+    // variance survive
+    val perW = windows.map { w =>
+      val wBlk = Window.partitionBy(col("k"), col("__b"))
+      val wIn = wBlk.orderBy(col("__rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = base
+        .withColumn("__b", expr(s"(__rn - 1) div $w"))
+        .withColumn("__i", ((col("__rn") - 1L) % w) + 1L)
+        .withColumn("__ps", sum(col("x")).over(wIn))
+        .withColumn("__tot", sum(col("x")).over(wBlk))
+        .withColumn("__dev",
+          lit(w.toLong) * col("__ps") - col("__i") * col("__tot"))
+        .groupBy(col("k"), col("__b"))
+        .agg(count(lit(1)).as("__cnt"),
+          sum(col("x")).as("__s1"),
+          sum(col("x") * col("x")).as("__s2"),
+          max(col("__dev")).as("__mx"), min(col("__dev")).as("__mn"))
+        .where(col("__cnt") === w.toLong)
+        .withColumn("__den", lit(w.toLong) * col("__s2") -
+          col("__s1") * col("__s1"))
+        .where(col("__den") > 0L)
+        .select(col("k"), col("__b"),
+          (((col("__mx") - col("__mn")).cast("double") / lit(w.toDouble)) /
+            sqrt(col("__den").cast("double") / lit((w.toLong * w).toDouble)))
+            .as("__rs"))
+      blocks.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sort_array(collect_list(struct(col("__b"), col("__rs"))))
+            .as("__rss"))
+        .select(col("k"), lit(w).as("w"), col("n_blocks"),
+          (expr("aggregate(__rss, CAST(0.0 AS DOUBLE), (a, e) -> a + e.__rs)") /
+            col("n_blocks").cast("double")).as("avg_rs"))
+    }.reduce(_ unionAll _)
+    // OLS of ln(avg_rs) on ln(w), folded in w order per key
+    val pts = perW
+      .groupBy(col("k"))
+      .agg(collect_list(struct(col("w"), col("n_blocks"), col("avg_rs")))
+        .as("__p0"))
+      .withColumn("__pts", expr(
+        "transform(array_sort(__p0), p -> named_struct(" +
+          "'lx', ln(CAST(p.w AS DOUBLE)), 'ly', ln(p.avg_rs)))"))
+      .withColumn("__kk", expr("CAST(size(__pts) AS DOUBLE)"))
+      .withColumn("__f", expr(
+        """aggregate(__pts,
+          |  struct(CAST(0.0 AS DOUBLE) AS sx, CAST(0.0 AS DOUBLE) AS sy,
+          |         CAST(0.0 AS DOUBLE) AS sxy, CAST(0.0 AS DOUBLE) AS sxx),
+          |  (acc, p) -> struct(acc.sx + p.lx AS sx, acc.sy + p.ly AS sy,
+          |    acc.sxy + p.lx * p.ly AS sxy, acc.sxx + p.lx * p.lx AS sxx))"""
+          .stripMargin))
+      .select(col("k"), when(col("__kk") > 1.0,
+        (col("__kk") * col("__f.sxy") - col("__f.sx") * col("__f.sy")) /
+          (col("__kk") * col("__f.sxx") - col("__f.sx") * col("__f.sx")))
+        .as("hurst"))
+    perW.join(pts, Seq("k"))
+      .select(col("k").as(keyCol), col("w"), col("n_blocks"), col("avg_rs"),
+        col("hurst"))
+  }
 }

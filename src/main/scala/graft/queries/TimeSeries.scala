@@ -649,6 +649,19 @@ object TimeSeries {
         round($"var_s", 6).as("var_s"), round($"z", 6).as("z"))
   }
 
+  /** q368 — Hurst exponent by R/S ([[graft.operators.Autocorr
+    * .hurstRs]]): long-memory profile of the hourly volume series per
+    * event type — exact integer ranges and variances per block, dyadic
+    * windows 8..64, OLS slope on the log-log curve. */
+  def q368Hurst(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Autocorr.hurstRs(hourly, "event_type", "hour", "x")
+      .select($"event_type", $"w", $"n_blocks",
+        round($"avg_rs", 6).as("avg_rs"), round($"hurst", 6).as("hurst"))
+  }
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

@@ -112,6 +112,33 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(short.isNullAt(short.fieldIndex("level")))
   }
 
+  test("hurstRs: hand R/S on a tiny block, ramp is persistent, " +
+      "alternation is anti-persistent") {
+    import spark.implicits._
+    def mk(vals: Seq[Long], key: String = "k") =
+      vals.zipWithIndex.map { case (v, i) => (key, f"t${i + 1}%04d", v) }
+        .toDF("k", "t", "x")
+    // block (1,2,3,4): devs 4p-10i = {-6,-8,-6,0} -> R = 8/4 = 2
+    // var = (4*30-100)/16 = 1.25; shifted block (5..8) is identical
+    val r = graft.operators.Autocorr.hurstRs(
+      mk((1L to 8L)), "k", "t", "x", windows = Seq(4)).head()
+    assert(r.getAs[Long]("n_blocks") == 2L)
+    assert(math.abs(r.getAs[Double]("avg_rs") - 2.0 / math.sqrt(1.25)) < 1e-12)
+    assert(r.isNullAt(r.fieldIndex("hurst"))) // one point fits no slope
+    // a noisy ramp is persistent (H near 1); +-1 alternation is
+    // anti-persistent (H near 0)
+    val lcg = Iterator.iterate(7L)(s => (s * 1103515245L + 12345L) % 1048576L)
+    val noise = lcg.take(256).map(_ % 5).toSeq
+    val ramp = (1 to 256).map(i => 10L * i + noise(i - 1))
+    val alt = (1 to 256).map(i => if (i % 2 == 0) 10L else 0L)
+    val h = graft.operators.Autocorr.hurstRs(
+      mk(ramp, "ramp").unionAll(mk(alt, "alt")), "k", "t", "x")
+      .collect().map(x => (x.getAs[String]("k"), x.getAs[Int]("w")) ->
+        x.getAs[Double]("hurst")).toMap
+    assert(h(("ramp", 8)) > 0.85, h.toString)
+    assert(h(("alt", 8)) < 0.15, h.toString)
+  }
+
   test("gini: uniform mass is 0, fully concentrated approaches (n-1)/n") {
     import spark.implicits._
     val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
