@@ -390,6 +390,8 @@ object SparkEntry {
     "q366_mann_kendall"     -> (T.q366MannKendall(_, _)),
     "q367_anderson_darling" -> (T.q367AndersonDarling(_, _)),
     "q368_hurst"            -> (T.q368Hurst(_, _)),
+    "q369_sax_motifs"       -> (T.q369SaxMotifs(_, _)),
+    "q370_croston"          -> (T.q370Croston(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7908,6 +7910,65 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(hurst AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS hurst
         |FROM aw JOIN ols USING (k)""".stripMargin,
+    // q369: exact integer mean/std and PAA ratios; symbols from pinned
+    // breakpoint literals; trailing partial segments dropped
+    "q369_sax_motifs" ->
+      """WITH d AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d %H') AS o,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT k, o, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY o) AS rn FROM d),
+        |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+        |    sum(CAST(x AS HUGEINT) * x) AS s2 FROM d GROUP BY 1),
+        |mu AS (SELECT k, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS sd
+        |  FROM st),
+        |paa AS (SELECT k, (rn - 1) // 6 AS b, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(x) AS BIGINT) AS bs FROM r GROUP BY 1, 2),
+        |sym AS (SELECT paa.k, b,
+        |    CASE WHEN (CAST(bs AS DOUBLE) / 6.0 - mu) / sd < -0.6745 THEN 'a'
+        |      WHEN (CAST(bs AS DOUBLE) / 6.0 - mu) / sd < 0.0 THEN 'b'
+        |      WHEN (CAST(bs AS DOUBLE) / 6.0 - mu) / sd < 0.6745 THEN 'c'
+        |      ELSE 'd' END AS s
+        |  FROM paa JOIN mu ON paa.k = mu.k
+        |  WHERE cnt = 6 AND sd > 0.0),
+        |wrd AS (SELECT k, s || lead(s, 1) OVER w || lead(s, 2) OVER w AS word
+        |  FROM sym WINDOW w AS (PARTITION BY k ORDER BY b))
+        |SELECT k AS event_type, word, CAST(count(*) AS BIGINT) AS n
+        |FROM wrd WHERE word IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // q370: uncoupled (z, p) states, so list_reduce replays the fold
+    // field-for-field; first-step values ride the element transform
+    "q370_croston" ->
+      """WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, day, x,
+        |    CAST(date_diff('day', lag(day) OVER (PARTITION BY user_id
+        |      ORDER BY day), day) AS DOUBLE) AS q FROM a),
+        |f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_demands,
+        |  list_reduce(list_transform(list(struct_pack(x := x, q := q)
+        |      ORDER BY day),
+        |    e -> struct_pack(z := e.x, p := CAST('NaN' AS DOUBLE),
+        |      x := e.x, q := e.q)),
+        |  (acc, e) -> struct_pack(
+        |    z := CASE WHEN isnan(acc.z) THEN e.x
+        |      ELSE 0.2 * e.x + 0.8 * acc.z END,
+        |    p := CASE WHEN e.q IS NULL THEN acc.p
+        |      WHEN isnan(acc.p) THEN e.q
+        |      ELSE 0.2 * e.q + 0.8 * acc.p END,
+        |    x := e.x, q := e.q)) AS f
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_demands,
+        |  CASE WHEN NOT isnan(f.z) THEN
+        |    CAST(round(CAST(CAST(f.z AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS z,
+        |  CASE WHEN NOT isnan(f.p) THEN
+        |    CAST(round(CAST(CAST(f.p AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS p,
+        |  CASE WHEN NOT isnan(f.p) AND f.p <> 0.0 THEN
+        |    CAST(round(CAST(CAST(f.z / f.p AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS rate
+        |FROM f""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -178,4 +178,52 @@ object Forecast {
         (col("__f.l") + lit(horizon.toDouble) * col("__f.b") +
           expr(s"element_at(__f.s, $fPos)")).as("forecast"))
   }
+
+  /** Croston's method (Croston 1972) per key — the forecaster for
+    * INTERMITTENT demand, where [[holtSummary]] fed mostly-zero series
+    * smears everything toward zero: smooth the nonzero demand sizes
+    * z and the inter-demand intervals p SEPARATELY (updates happen
+    * only on demand days), and forecast the demand RATE z/p. The
+    * per-entity activity/consumption planner for sparse keys (a user
+    * active 9 days out of 90, a part ordered twice a quarter).
+    *
+    * Pinned conventions (oracle-replayed): input is the ACTIVE-day
+    * census (key, day, size); intervals are day gaps between
+    * consecutive active days; z seeds at the first demand's size, p at
+    * the FIRST interval (so both are defined from the second demand),
+    * and both then update with the same α. Keys with fewer than 2
+    * demands emit null p/rate — loud, not a fabricated rate. The two
+    * states never read each other, so the fold is list_reduce-safe
+    * field-for-field (unlike the coupled Holt pair).
+    *
+    * Scale shape: one per-key window pass for the gap, one sorted
+    * census collect bounded by active days. Output: (key, n_demands,
+    * z, p, rate). */
+  def croston(df: DataFrame, keyCol: String, dayCol: String,
+      sizeCol: String, alpha: Double = 0.2): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d"))
+    val gapped = df.select(col(keyCol), col(dayCol).cast("date").as("__d"),
+      col(sizeCol).cast("double").as("__x"))
+      .withColumn("__q",
+        datediff(col("__d"), lag(col("__d"), 1).over(w)).cast("double"))
+    val g = gapped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_demands"),
+        sort_array(collect_list(struct(col("__d").cast("string").as("o"),
+          col("__x").as("x"), col("__q").as("q")))).as("__series"))
+    val fold =
+      s"""aggregate(__series,
+         |  struct(CAST('NaN' AS DOUBLE) AS z, CAST('NaN' AS DOUBLE) AS p),
+         |  (acc, e) -> struct(
+         |    IF(isnan(acc.z), e.x, $alpha * e.x + ${1 - alpha} * acc.z) AS z,
+         |    IF(e.q IS NULL, acc.p,
+         |       IF(isnan(acc.p), e.q, $alpha * e.q + ${1 - alpha} * acc.p))
+         |      AS p))""".stripMargin
+    g.withColumn("__f", expr(fold))
+      .select(col(keyCol), col("n_demands"),
+        when(!isnan(col("__f.z")), col("__f.z")).as("z"),
+        when(!isnan(col("__f.p")), col("__f.p")).as("p"),
+        when(!isnan(col("__f.p")) && col("__f.p") =!= 0.0,
+          col("__f.z") / col("__f.p")).as("rate"))
+  }
 }

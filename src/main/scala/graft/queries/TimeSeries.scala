@@ -662,6 +662,32 @@ object TimeSeries {
         round($"avg_rs", 6).as("avg_rs"), round($"hurst", 6).as("hurst"))
   }
 
+  /** q369 — SAX motif census ([[graft.operators.Sax.motifCensus]]):
+    * the hourly volume series symbolized (z-norm → 6-hour PAA →
+    * quartile alphabet) and mined for 3-symbol motifs — recurring
+    * intra-day shapes as a plain census. */
+  def q369SaxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Sax.motifCensus(hourly, "event_type", "hour", "x",
+        seg = 6, word = 3)
+      .select($"event_type", $"word", $"n")
+  }
+
+  /** q370 — Croston intermittent-demand forecast ([[graft.operators
+    * .Forecast.croston]]): per-user activity rate from the sparse
+    * active-day census — sizes and intervals smoothed separately,
+    * the right forecaster where Holt smears zeros. */
+  def q370Croston(spark: SparkSession, dir: String): DataFrame = {
+    val active = events(spark, dir)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("d"))
+    graft.operators.Forecast.croston(active, "user_id", "day", "d")
+      .select($"user_id", $"n_demands", round($"z", 6).as("z"),
+        round($"p", 6).as("p"), round($"rate", 6).as("rate"))
+  }
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

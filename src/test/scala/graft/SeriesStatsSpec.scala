@@ -139,6 +139,51 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(h(("alt", 8)) < 0.15, h.toString)
   }
 
+  test("sax motifs: a pure square wave collapses to two alternating " +
+      "motifs; constant series emit nothing; partial segments drop") {
+    import spark.implicits._
+    // 8 segments of 4: values alternate low,low,high,high per segment
+    // pair -> symbols alternate (a-ish, d-ish); words over 3 segments
+    val vals = (0 until 32).map { i =>
+      if ((i / 4) % 2 == 0) 0L else 100L
+    } ++ Seq(50L) // trailing partial segment must drop
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", f"t${i}%03d", v) }
+      .toDF("k", "t", "x")
+    val rows = graft.operators.Sax.motifCensus(df, "k", "t", "x",
+      seg = 4, word = 3).collect()
+    val words = rows.map(r => r.getAs[String]("word") -> r.getAs[Long]("n"))
+      .toMap
+    // 8 symbols alternating a d a d a d a d -> words "ada" x3, "dad" x3
+    assert(words == Map("ada" -> 3L, "dad" -> 3L), words.toString)
+    // constant series: zero variance -> no output rows
+    val flat = (0 until 16).map(i => ("f", f"t$i%03d", 7L)).toDF("k", "t", "x")
+    assert(graft.operators.Sax.motifCensus(flat, "k", "t", "x", 4, 2)
+      .count() == 0L)
+  }
+
+  test("croston: hand fold over a sparse demand series; single-demand " +
+      "keys stay loudly null") {
+    import spark.implicits._
+    // demands on days 1, 4, 6 (gaps 3, 2) with sizes 10, 20, 30
+    val df = Seq(("u", "2024-01-01", 10L), ("u", "2024-01-04", 20L),
+      ("u", "2024-01-06", 30L), ("solo", "2024-01-02", 5L))
+      .toDF("k", "day", "d")
+    val out = graft.operators.Forecast.croston(df, "k", "day", "d")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val z = 0.2 * 30 + 0.8 * (0.2 * 20 + 0.8 * 10.0)
+    val p = 0.2 * 2 + 0.8 * 3.0
+    val u = out("u")
+    assert(u.getAs[Long]("n_demands") == 3L)
+    assert(math.abs(u.getAs[Double]("z") - z) < 1e-12)
+    assert(math.abs(u.getAs[Double]("p") - p) < 1e-12)
+    assert(math.abs(u.getAs[Double]("rate") - z / p) < 1e-12)
+    val s = out("solo")
+    assert(s.getAs[Long]("n_demands") == 1L)
+    assert(!s.isNullAt(s.fieldIndex("z")))      // size seeds immediately
+    assert(s.isNullAt(s.fieldIndex("p")))       // no interval yet
+    assert(s.isNullAt(s.fieldIndex("rate")))
+  }
+
   test("gini: uniform mass is 0, fully concentrated approaches (n-1)/n") {
     import spark.implicits._
     val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
