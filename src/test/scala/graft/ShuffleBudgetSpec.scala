@@ -305,4 +305,17 @@ class ShuffleBudgetSpec extends AnyFunSuite with SparkFixture {
     // itself must never cross an exchange
     assert(moved < (8L << 20), s"tokens leaked into a shuffle: $moved bytes")
   }
+
+  test("round-8 census statistics shuffle cells/censuses, never rows") {
+    // JB/DW/chi2: one moment census per key; MK: day census + periods^2
+    // pair signs; hurst/sax: period censuses; croston: user-day census
+    for (q <- Seq("q354_jarque_bera", "q355_durbin_watson",
+        "q356_chi_square", "q365_chao1", "q366_mann_kendall",
+        "q368_hurst", "q369_sax_motifs", "q370_croston")) {
+      val moved = shuffledBytes(SparkEntry.queries(q)(spark, dir))
+      assert(moved > 0, s"$q: harness read zero — measurement broken")
+      assert(moved < (8L << 20), s"$q: rows leaked into a shuffle: " +
+        s"$moved bytes")
+    }
+  }
 }
