@@ -392,6 +392,9 @@ object SparkEntry {
     "q368_hurst"            -> (T.q368Hurst(_, _)),
     "q369_sax_motifs"       -> (T.q369SaxMotifs(_, _)),
     "q370_croston"          -> (T.q370Croston(_, _)),
+    "q371_tail_loops"       -> (D.q371TailLoops(_, _)),
+    "q372_burstiness"       -> (T.q372Burstiness(_, _)),
+    "q373_dirichlet_ql"     -> (D.q373DirichletQL(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7969,6 +7972,82 @@ object SparkEntry {
         |    CAST(round(CAST(CAST(f.z / f.p AS VARCHAR) AS DECIMAL(38,20)), 6)
         |      AS DOUBLE) END AS rate
         |FROM f""".stripMargin,
+    // q371: pure token-slice equality, max-matching k via an integer
+    // fold; the census survives a zero artifact rate
+    "q371_tail_loops" ->
+      """WITH t AS (SELECT source, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS tk FROM documents),
+        |s AS (SELECT source, list_reduce(
+        |    list_prepend(0, range(1, 17)),
+        |    (acc, k) -> CASE WHEN 2 * k <= len(tk)
+        |      AND list_slice(tk, len(tk) - 2 * k + 1, len(tk) - k)
+        |        = list_slice(tk, len(tk) - k + 1, len(tk))
+        |      THEN k ELSE acc END) AS loop_k
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN loop_k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_looping,
+        |  CAST(round(CAST(CAST(
+        |    CAST(sum(CASE WHEN loop_k > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS looping_share,
+        |  CAST(max(loop_k) AS INT) AS max_loop_k
+        |FROM s GROUP BY 1""".stripMargin,
+    // q372: exact integer gap moments; B is one pinned expression
+    "q372_burstiness" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (SELECT user_id, ms - lag(ms) OVER (PARTITION BY user_id
+        |    ORDER BY ms) AS gp FROM e),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(CAST(gp AS HUGEINT)) AS HUGEINT) AS s1,
+        |    sum(CAST(gp AS HUGEINT) * gp) AS s2
+        |  FROM g WHERE gp IS NOT NULL GROUP BY 1),
+        |f AS (SELECT user_id, n_gaps,
+        |    CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |    CASE WHEN n_gaps > 1 THEN
+        |      sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+        |        / CAST(CAST(n_gaps AS HUGEINT) * (n_gaps - 1) AS DOUBLE))
+        |    END AS sd
+        |  FROM m)
+        |SELECT user_id, n_gaps,
+        |  CAST(round(CAST(CAST(mu AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS mean_gap_ms,
+        |  CASE WHEN sd IS NOT NULL AND sd + mu <> 0.0 THEN
+        |    CAST(round(CAST(CAST((sd - mu) / (sd + mu) AS VARCHAR)
+        |      AS DECIMAL(38,20)), 6) AS DOUBLE) END AS b
+        |FROM f""".stripMargin,
+    // q373: exact tf/len/corpus censuses; per-doc sum folds in query-
+    // term order (0-seed parity); zero-smoothing terms drop loudly
+    "q373_dirichlet_ql" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT id, w FROM t WHERE length(w) > 0),
+        |q AS (SELECT unnest(['spark', 'join', 'filter']) AS w),
+        |lens AS (SELECT id, CAST(count(*) AS BIGINT) AS len
+        |  FROM tk GROUP BY 1),
+        |corpus AS (SELECT tk.w, CAST(count(*) AS BIGINT) AS cf,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tk) AS ctot
+        |  FROM tk JOIN q ON tk.w = q.w GROUP BY 1),
+        |tf AS (SELECT id, tk.w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk JOIN q ON tk.w = q.w GROUP BY 1, 2),
+        |grid AS (SELECT lens.id, corpus.w, lens.len,
+        |    CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+        |      + 2000.0 * (CAST(cf AS DOUBLE) / CAST(ctot AS DOUBLE)) AS num
+        |  FROM lens CROSS JOIN corpus
+        |  LEFT JOIN tf ON tf.id = lens.id AND tf.w = corpus.w),
+        |terms AS (SELECT id, w,
+        |    ln(num / (CAST(len AS DOUBLE) + 2000.0)) AS term
+        |  FROM grid WHERE num > 0.0),
+        |d AS (SELECT id, CAST(count(*) AS BIGINT) AS n_terms,
+        |    list_reduce(list(term ORDER BY w, term), (a, b) -> a + b)
+        |      AS score
+        |  FROM terms GROUP BY 1)
+        |SELECT id AS doc_id, n_terms,
+        |  CAST(round(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS score
+        |FROM d ORDER BY score DESC, id LIMIT 20""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -94,4 +94,38 @@ object Gopher {
         fails("ok_bullet"), fails("ok_ellipsis"), fails("ok_alpha"),
         fails("ok_stop"))
   }
+
+  /** Decoding-loop tail detector — the DEGENERATE-GENERATION artifact
+    * census: a model stuck in a loop ends its output with a period-k
+    * block repeated verbatim ("...the cat sat. the cat sat."), which
+    * the whole-document repetition ratios in [[metrics]] dilute away
+    * on long docs. Per doc, loop_k = the largest k ≤ maxK whose final
+    * k tokens EQUAL the preceding k tokens (tail period doubling);
+    * rolled up per group so the readout survives an artifact rate of
+    * zero (the healthy-corpus case prints loudly as n_looping = 0,
+    * not an empty result).
+    *
+    * Exactness: pure token-slice equality — integer/boolean all the
+    * way. Scale shape: per-doc array ops (maxK slice compares), one
+    * group census; nothing but the census shuffles. Output: (g,
+    * n_docs, n_looping, looping_share, max_loop_k). */
+  def tailLoopCensus(docs: DataFrame, groupCol: String, textCol: String,
+      maxK: Int = 16): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val toks = docs.select(col(groupCol).as("g"),
+      split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .select(col("g"), filter(col("__t"), t => length(t) > 0).as("__t"))
+    val scored = toks.withColumn("__loop_k", expr(
+      s"""aggregate(sequence(1, $maxK), 0, (acc, k) ->
+         |  IF(2 * k <= size(__t) AND
+         |     slice(__t, size(__t) - 2 * k + 1, k) =
+         |     slice(__t, size(__t) - k + 1, k), k, acc))""".stripMargin))
+    scored.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__loop_k") > 0, 1L).otherwise(0L)).as("n_looping"),
+        max(col("__loop_k")).as("max_loop_k"))
+      .select(col("g"), col("n_docs"), col("n_looping"),
+        (col("n_looping").cast("double") / col("n_docs").cast("double"))
+          .as("looping_share"), col("max_loop_k"))
+  }
 }

@@ -107,4 +107,39 @@ object Intervals {
         Window.orderBy(col("peak_rate").desc, col(keyCol))).cast("long"))
       .select(col("rank"), col(keyCol), col("n_events"), col("peak_rate"))
   }
+
+  /** Burstiness coefficient (Goh & Barabási 2008) per key over the
+    * inter-event gap distribution: B = (σ − μ)/(σ + μ) ∈ (−1, 1) —
+    * B → −1 metronome-regular, B ≈ 0 Poisson, B → 1 extreme bursts.
+    * The one-number temporal fingerprint of a user/feed that
+    * [[rollingBurst]]'s windowed peaks can't give: is this key's WHOLE
+    * cadence bursty, or just one window? Bot/scraper cadences sit near
+    * −1; organic humans are positive — a cheap behavioral filter
+    * before rate data enters training.
+    *
+    * Exactness: gaps are exact integer ms; μ and σ² are pinned ratios
+    * of exact decimal sums (sample variance, the Welch shape); B is
+    * one pinned double expression. Keys with < 3 events (< 2 gaps)
+    * emit null B — loud. Scale shape: one per-key ordered window pass
+    * for the gap, one moment census. Output: (key, n_gaps,
+    * mean_gap_ms, b). */
+  def burstiness(df: DataFrame, keyCol: String, msCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ms"))
+    val gaps = df.select(col(keyCol), col(msCol).cast("long").as("__ms"))
+      .withColumn("__g", col("__ms") - lag(col("__ms"), 1).over(w))
+      .where(col("__g").isNotNull)
+    val g = gaps.groupBy(col(keyCol)).agg(count(lit(1)).as("n_gaps"),
+      sum(col("__g").cast(dec)).cast(dec).as("__s1"),
+      sum((col("__g").cast(dec) * col("__g").cast(dec)).cast(dec))
+        .cast(dec).as("__s2"))
+    val nD = col("n_gaps").cast(dec)
+    val mu = col("__s1").cast("double") / col("n_gaps").cast("double")
+    val sd = sqrt((nD * col("__s2") - col("__s1") * col("__s1")).cast(dec)
+      .cast("double") / (nD * (nD - 1)).cast(dec).cast("double"))
+    g.withColumn("__mu", mu).withColumn("__sd", when(col("n_gaps") > 1L, sd))
+      .select(col(keyCol), col("n_gaps"), col("__mu").as("mean_gap_ms"),
+        when(col("__sd").isNotNull && col("__sd") + col("__mu") =!= 0.0,
+          (col("__sd") - col("__mu")) / (col("__sd") + col("__mu"))).as("b"))
+  }
 }

@@ -357,4 +357,58 @@ object Ranking {
       .limit(k)
       .select(col("node").as("word"), col("pr"))
   }
+
+  /** Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
+    * language-modeling retrieval scorer beside [[bm25TopK]]'s
+    * probabilistic-IR one; the two disagree most on short docs, where
+    * Dirichlet's length-aware smoothing is the textbook fix:
+    *   score(d, q) = Σ_{w ∈ q} ln( (tf_{w,d} + μ·P(w|C)) / (|d| + μ) )
+    * with P(w|C) the exact corpus unigram ratio. Query terms missing
+    * from the corpus contribute their pure-smoothing term (P = 0 would
+    * −∞ every doc; the exact corpus ratio handles it: P(w|C) = 0 ⇒
+    * term ln(tf/(|d|+μ)), still −∞ only if tf = 0 too — such terms are
+    * DROPPED loudly via the n_terms column).
+    *
+    * Exactness: tf, |d|, corpus counts are exact integers; each term
+    * is a pinned double shape and the per-doc sum folds in query-term
+    * order (≤ |q| terms). Scale shape: one (doc, term) census join
+    * against the broadcast |q|-row query model; the corpus never
+    * shuffles wider than its tf census. Output: top-k (doc_id, n_terms,
+    * score) by (score desc, doc_id). */
+  def dirichletQL(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], mu: Double = 2000.0, k: Int = 20): DataFrame = {
+    require(query.nonEmpty && mu > 0, s"bad query=$query mu=$mu")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .localCheckpoint(false)
+    val lens = toks.groupBy(col("id")).agg(count(lit(1)).as("len"))
+    val qdf = query.toDF("w")
+    val corpus = broadcast(toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+      .join(qdf, Seq("w"))
+      .crossJoin(toks.agg(count(lit(1)).as("ctot"))))
+    val tf = toks.join(qdf, Seq("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    // every query term scores every doc (smoothing term when tf = 0):
+    // docs × |q| grid via the broadcast query model
+    val grid = lens.crossJoin(corpus)
+      .join(tf, Seq("id", "w"), "left")
+      .select(col("id"), col("w"), col("len"),
+        (coalesce(col("tf"), lit(0L)).cast("double") +
+          lit(mu) * (col("cf").cast("double") / col("ctot").cast("double")))
+          .as("__num"))
+      .where(col("__num") > 0.0)
+      .withColumn("__term",
+        log(col("__num") / (col("len").cast("double") + lit(mu))))
+    grid.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("w"), col("__term")))).as("__ts"))
+      .select(col("id"), col("n_terms"),
+        expr("aggregate(__ts, CAST(0.0 AS DOUBLE), (a, t) -> a + t.__term)")
+          .as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
 }

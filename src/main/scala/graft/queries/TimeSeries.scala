@@ -688,6 +688,17 @@ object TimeSeries {
         round($"p", 6).as("p"), round($"rate", 6).as("rate"))
   }
 
+  /** q372 — burstiness coefficient ([[graft.operators.Intervals
+    * .burstiness]]): per-user (σ−μ)/(σ+μ) of inter-event gaps — the
+    * one-number cadence fingerprint (metronome −1, Poisson 0, bursts
+    * +1); exact gap moments. */
+  def q372Burstiness(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Intervals.burstiness(
+      events(spark, dir).select($"user_id", unix_millis($"ts").as("ms")),
+      "user_id", "ms")
+      .select($"user_id", $"n_gaps",
+        round($"mean_gap_ms", 6).as("mean_gap_ms"), round($"b", 6).as("b"))
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

@@ -2995,6 +2995,24 @@ object TrainingData {
       .select($"g".as("source"), $"n_obs", $"d_obs", $"f1", $"f2",
         round($"chao1", 6).as("chao1"))
 
+  /** q371 — decoding-loop tail census ([[graft.operators.Gopher
+    * .tailLoopCensus]]): per-source rate of documents ending in a
+    * verbatim period-k repeat — the degenerate-generation artifact
+    * whole-doc repetition ratios dilute away. */
+  def q371TailLoops(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Gopher.tailLoopCensus(docs(spark, dir), "source", "text")
+      .select($"g".as("source"), $"n_docs", $"n_looping",
+        round($"looping_share", 6).as("looping_share"), $"max_loop_k")
+
+  /** q373 — Dirichlet query likelihood ([[graft.operators.Ranking
+    * .dirichletQL]]): the language-modeling retrieval scorer beside
+    * q97 BM25 — exact censuses, broadcast 3-term query model,
+    * term-ordered fold. */
+  def q373DirichletQL(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.dirichletQL(docs(spark, dir), "doc_id", "text",
+        query = Seq("spark", "join", "filter"), mu = 2000.0, k = 20)
+      .select($"id".as("doc_id"), $"n_terms", round($"score", 6).as("score"))
+
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
     * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
     * the next shard brings, q246's Zipf companion. Exact per-source

@@ -60,4 +60,31 @@ class GopherSpec extends AnyFunSuite with SparkFixture {
     assert(c("a").getAs[Long]("fail_words") == 1)
     assert(c("b").getAs[Long]("n_pass") == 1 && c("b").getAs[Long]("fail_words") == 0)
   }
+
+  test("tailLoopCensus: detects the largest doubled tail period, " +
+      "clean docs report a loud zero census") {
+    import spark.implicits._
+    val docs = Seq(
+      ("g", "alpha beta gamma delta gamma delta"),        // k=2 loop
+      ("g", "one two three the cat sat the cat sat"),     // k=3 loop
+      ("g", "all distinct tokens here now"),              // clean
+      ("clean", "nothing repeats in this doc at all")
+    ).toDF("s", "t")
+    val out = graft.operators.Gopher.tailLoopCensus(docs, "s", "t")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n_docs") == 3L)
+    assert(g.getAs[Long]("n_looping") == 2L)
+    assert(g.getAs[Int]("max_loop_k") == 3)
+    assert(math.abs(g.getAs[Double]("looping_share") - 2.0 / 3) < 1e-12)
+    val cl = out("clean")
+    assert(cl.getAs[Long]("n_looping") == 0L)   // loud zero, row present
+    assert(cl.getAs[Int]("max_loop_k") == 0)
+    // "the the" is a k=1 loop; a doc of ONE token is not
+    val tiny = graft.operators.Gopher.tailLoopCensus(
+      Seq(("x", "stop stop"), ("y", "solo")).toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Int]("max_loop_k"))
+      .toMap
+    assert(tiny("x") == 1 && tiny("y") == 0)
+  }
 }

@@ -107,4 +107,23 @@ class IntervalsTrianglesSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == Map("t" -> ((3L, 3L)), "u" -> ((2L, 1L))))
   }
+
+  test("burstiness: metronome lands at -1, a planted burst pattern is " +
+      "positive, two-event keys are loudly null") {
+    import spark.implicits._
+    val metro = (1 to 20).map(i => ("metro", i * 1000L))
+    // bursts: 9 tight 1ms gaps then a 10-minute silence, repeated
+    val bursty = (0 until 40).map { i =>
+      ("burst", (i / 10).toLong * 600000L + (i % 10).toLong)
+    }
+    val two = Seq(("two", 0L), ("two", 500L))
+    val out = Intervals.burstiness(
+      (metro ++ bursty ++ two).toDF("k", "ms"), "k", "ms")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("metro").getAs[Double]("b") == -1.0) // sd exactly 0
+    assert(out("burst").getAs[Double]("b") > 0.5, out("burst").toString)
+    assert(out("two").getAs[Long]("n_gaps") == 1L)
+    assert(out("two").isNullAt(out("two").fieldIndex("b")))
+    assert(out("metro").getAs[Double]("mean_gap_ms") == 1000.0)
+  }
 }

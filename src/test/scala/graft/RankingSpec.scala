@@ -144,4 +144,29 @@ class RankingSpec extends AnyFunSuite with SparkFixture {
     assert(r3.contains("red wine") && r3.contains("white wine") &&
       !r3.contains("red wine white wine"))
   }
+
+  test("dirichletQL: hand-computed scores, short relevant doc beats " +
+      "long padded doc, missing-everywhere query terms drop loudly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark join"),                            // dense hit
+      (2L, "spark pad pad pad pad pad pad pad pad pad"),   // diluted
+      (3L, "pad pad pad")                                  // smoothing only
+    ).toDF("id", "t")
+    val out = graft.operators.Ranking.dirichletQL(docs, "id", "t",
+      query = Seq("spark", "join", "zzz_missing"), mu = 10.0, k = 10)
+      .collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    // corpus: 16 tokens; cf(spark)=3, cf(join)=1, zzz absent -> dropped
+    assert(byId.values.forall(_.getAs[Long]("n_terms") == 2L))
+    def term(tf: Double, cf: Double, len: Double) =
+      math.log((tf + 10.0 * (cf / 16.0)) / (len + 10.0))
+    val want1 = term(2, 3, 3) + term(1, 1, 3)
+    assert(math.abs(byId(1L).getAs[Double]("score") - want1) < 1e-12)
+    // ranking: dense doc 1 on top; the LONG padded doc 2 falls below
+    // even the pure-smoothing short doc 3 — Dirichlet's length-aware
+    // denominator at work (this is exactly where it diverges from BM25)
+    assert(out.head.getAs[Long]("id") == 1L)
+    assert(out.last.getAs[Long]("id") == 2L)
+  }
 }
