@@ -133,6 +133,20 @@ object Intervals {
       sum(col("__g").cast(dec)).cast(dec).as("__s1"),
       sum((col("__g").cast(dec) * col("__g").cast(dec)).cast(dec))
         .cast(dec).as("__s2"))
+    burstinessFromCensus(g, keyCol, "n_gaps", "__s1", "__s2")
+  }
+
+  /** [[burstiness]] on a pre-aggregated per-key gap-moment census —
+    * the seam the streaming twin plugs into ([[graft.streaming.Streams
+    * .gapCensusStream]] maintains exactly (last_ms, n, Σg, Σg²) as its
+    * whole per-key state; the welchTFromCensus pattern). Moments are
+    * exact decimals, so streamed and batch censuses are IDENTICAL
+    * after any prefix and B follows. */
+  def burstinessFromCensus(census: DataFrame, keyCol: String,
+      nCol: String, s1Col: String, s2Col: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = census.select(col(keyCol), col(nCol).cast("long").as("n_gaps"),
+      col(s1Col).cast(dec).as("__s1"), col(s2Col).cast(dec).as("__s2"))
     val nD = col("n_gaps").cast(dec)
     val mu = col("__s1").cast("double") / col("n_gaps").cast("double")
     val sd = sqrt((nD * col("__s2") - col("__s1") * col("__s1")).cast(dec)

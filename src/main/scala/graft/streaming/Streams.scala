@@ -684,6 +684,44 @@ object Streams {
       }
   }
 
+  case class GapState(lastMs: Long, n: Long, s1: String, s2: String)
+  case class GapCensusOut(user_id: Long, n_gaps: Long, s1: String, s2: String)
+
+  /** Streaming inter-event gap-moment census — the q372 burstiness
+    * twin ([[graft.operators.Intervals.burstinessFromCensus]] is the
+    * consumer): per user the WHOLE state is (last_ms, n, Σg, Σg²),
+    * with the sums carried as decimal STRINGS so a year of
+    * millisecond-scale gap squares can't overflow an encoder decimal
+    * (BigInt-exact, the engine's integer discipline). Within a
+    * micro-batch events fold in ms order (the batch lag() order);
+    * cross-batch order is the arrival contract ([[transitionStream]]'s
+    * convention — bound out-of-orderness upstream). Emits the updated
+    * census per user per batch; feed it to burstinessFromCensus and
+    * the streamed B equals batch after any prefix (spec-asserted). */
+  def gapCensusStream(events: DataFrame): Dataset[GapCensusOut] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("ms").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[GapState, GapCensusOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, evts: Iterator[(Long, Long)], state: GroupState[GapState]) =>
+          val sorted = evts.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L, "0", "0"))
+          var s1 = BigInt(st.s1); var s2 = BigInt(st.s2)
+          var last = st.lastMs; var n = st.n
+          sorted.foreach { ms =>
+            if (last != Long.MinValue) {
+              val g = BigInt(ms - last)
+              s1 += g; s2 += g * g; n += 1
+            }
+            last = ms
+          }
+          st = GapState(last, n, s1.toString, s2.toString)
+          state.update(st)
+          GapCensusOut(user, n, s1.toString, s2.toString)
+      }
+  }
+
   case class FunnelAdvance(user_id: Long, stage: Int, step_name: String,
       ms: Long)
 

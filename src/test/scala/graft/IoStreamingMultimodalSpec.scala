@@ -893,6 +893,42 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming gap census matches batch burstiness at every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", unix_millis($"ts").as("ms"))
+      .orderBy("ms").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val src = mem.toDF().toDF("user_id", "ms")
+    val q = Streams.gapCensusStream(src).writeStream.format("memory")
+      .queryName("gap_stream").outputMode("update").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      var seen = IndexedSeq.empty[(Long, Long)]
+      val latest = scala.collection.mutable.Map.empty[Long, org.apache.spark.sql.Row]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+        spark.table("gap_stream").collect().foreach(r => latest(r.getLong(0)) = r)
+        val streamed = graft.operators.Intervals.burstinessFromCensus(
+            latest.values.toSeq.map(r => (r.getLong(0), r.getLong(1),
+              BigDecimal(r.getString(2)), BigDecimal(r.getString(3))))
+              .toDF("user_id", "n", "s1", "s2"),
+            "user_id", "n", "s1", "s2")
+          .where($"n_gaps" > 0)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getDouble(2), Option(r.get(3))))).toMap
+        val batch = graft.operators.Intervals.burstiness(
+            seen.toDF("user_id", "ms"), "user_id", "ms")
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getDouble(2), Option(r.get(3))))).toMap
+        assert(streamed === batch, s"prefix of ${seen.length}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming KS census matches batch census and statistic at every prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
