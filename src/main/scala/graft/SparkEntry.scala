@@ -395,6 +395,8 @@ object SparkEntry {
     "q371_tail_loops"       -> (D.q371TailLoops(_, _)),
     "q372_burstiness"       -> (T.q372Burstiness(_, _)),
     "q373_dirichlet_ql"     -> (D.q373DirichletQL(_, _)),
+    "q374_ljung_box"        -> (T.q374LjungBox(_, _)),
+    "q375_runs_test"        -> (T.q375RunsTest(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8048,6 +8050,91 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS score
         |FROM d ORDER BY score DESC, id LIMIT 20""".stripMargin,
+    // q374: the q240 exact-r replay, Q folded in lag order, p via the
+    // q356 Poisson-sum survival (K = 6 even -> m = 3 terms)
+    "q374_ljung_box" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM d),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT CAST(unnest(range(1, 7)) AS INT) AS lag),
+        |p AS (SELECT a.event_type, g.lag,
+        |    CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+        |    CAST(SUM(a.x) AS BIGINT) AS sh, CAST(SUM(b.x) AS BIGINT) AS st
+        |  FROM r a JOIN g ON true
+        |  JOIN r b ON b.event_type = a.event_type AND b.rn = a.rn + g.lag
+        |  GROUP BY 1, 2),
+        |rr AS (SELECT p.event_type, p.lag, t.n,
+        |    CASE WHEN t.n * t.n * t.sxx - t.n * t.s * t.s <> 0 THEN
+        |      CAST(t.n * t.n * p.sxy - t.n * t.s * (p.sh + p.st)
+        |        + (t.n - p.lag) * t.s * t.s AS DOUBLE) /
+        |      CAST(t.n * t.n * t.sxx - t.n * t.s * t.s AS DOUBLE) END AS rv
+        |  FROM p JOIN t USING (event_type)),
+        |f AS (SELECT event_type, max(n) AS n_obs,
+        |    CAST(sum(CASE WHEN rv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k_lags,
+        |    list(struct_pack(lag := lag, rv := rv) ORDER BY lag) AS ls
+        |  FROM rr GROUP BY 1),
+        |q AS (SELECT event_type, n_obs, k_lags,
+        |    CASE WHEN k_lags = 6 THEN
+        |      CAST(n_obs AS DOUBLE) * CAST(n_obs + 2 AS DOUBLE)
+        |      * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(ls, e -> e.rv * e.rv
+        |            / CAST(n_obs - e.lag AS DOUBLE))),
+        |          (a, b) -> a + b)
+        |    END AS qs
+        |  FROM f)
+        |SELECT event_type, n_obs, k_lags,
+        |  CAST(round(CAST(CAST(qs AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS q_stat,
+        |  CASE WHEN qs IS NOT NULL THEN
+        |    CAST(round(CAST(CAST(exp(-qs / 2.0) * list_reduce(list_prepend(
+        |      struct_pack(s := CAST(1.0 AS DOUBLE), t := CAST(1.0 AS DOUBLE)),
+        |      list_transform(range(1, 3), k -> struct_pack(
+        |        s := (qs / 2.0) / CAST(k AS DOUBLE),
+        |        t := (qs / 2.0) / CAST(k AS DOUBLE)))),
+        |      (acc, x) -> struct_pack(s := acc.s + acc.t * x.t,
+        |        t := acc.t * x.t)).s
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS p_value
+        |FROM q""".stripMargin,
+    // q375: integer run/side counts; E and Var are pinned ratios of
+    // exact HUGEINT products
+    "q375_runs_test" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+        |  FROM d GROUP BY 1),
+        |s AS (SELECT d.event_type, day,
+        |    CASE WHEN CAST(x AS DOUBLE) > mu THEN 1 ELSE 0 END AS a, n
+        |  FROM d JOIN m USING (event_type)),
+        |c AS (SELECT event_type, n, a,
+        |    CASE WHEN lag(a) OVER w IS NULL THEN 1
+        |      WHEN lag(a) OVER w <> a THEN 1 ELSE 0 END AS chg
+        |  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (SELECT event_type, max(n) AS n,
+        |    CAST(sum(a) AS BIGINT) AS n_above,
+        |    CAST(sum(1 - a) AS BIGINT) AS n_below,
+        |    CAST(sum(chg) AS BIGINT) AS runs FROM c GROUP BY 1),
+        |f AS (SELECT event_type, n, n_above, n_below, runs,
+        |    CAST(CAST(2 AS HUGEINT) * n_above * n_below AS DOUBLE)
+        |      / CAST(n AS DOUBLE) + 1.0 AS e,
+        |    CASE WHEN n > 1 AND n_above > 0 AND n_below > 0 THEN
+        |      CAST(CAST(2 AS HUGEINT) * n_above * n_below
+        |        * (CAST(2 AS HUGEINT) * n_above * n_below - n) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE) END AS v
+        |  FROM g)
+        |SELECT event_type, n, n_above, n_below, runs,
+        |  CAST(round(CAST(CAST(e AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS expected_runs,
+        |  CASE WHEN v IS NOT NULL AND v > 0.0 THEN
+        |    CAST(round(CAST(CAST((CAST(runs AS DOUBLE) - e) / sqrt(v)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS z
+        |FROM f""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -259,6 +259,98 @@ object Autocorr {
           lit(1.0) - dw / lit(2.0)).as("rho"))
   }
 
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) per key — is there
+    * ANY serial correlation in the first K lags, jointly:
+    *   Q = n(n+2) Σ_{k=1..K} r_k²/(n−k),  Q ~ χ²(K) under whiteness.
+    * The one-number gate over the whole [[acf]] profile (a single r_k
+    * readout invites multiplicity errors at K lags), and the standard
+    * residual-whiteness check after any [[graft.operators.Forecast]]
+    * fit. With K EVEN the p-value is exact via the Poisson-sum χ²
+    * survival (the q356 contract) — no incomplete gamma.
+    *
+    * Exactness: each r_k is one double from exact-integer [[acf]]
+    * sums; the Q sum folds in lag order (≤ K terms); the p series
+    * folds the t·h/k recurrence with precomputed factors. Keys missing
+    * any of the K lags (series shorter than K+1) emit null Q — loud.
+    * Output: (key, n_obs, k_lags, q_stat, p_value). */
+  def ljungBox(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val r = acf(df, keyCol, ordCol, valueCol, maxLag)
+    val folded = r.groupBy(col(keyCol))
+      .agg(max(col("n_obs")).as("n_obs"),
+        sum(when(col("r").isNotNull, 1L).otherwise(0L)).as("k_lags"),
+        sort_array(collect_list(struct(col("lag"), col("r")))).as("__rs"))
+      .withColumn("__q", when(col("k_lags") === maxLag.toLong,
+        col("n_obs").cast("double") * (col("n_obs") + 2L).cast("double") *
+          expr(s"""aggregate(__rs, CAST(0.0 AS DOUBLE),
+            |(acc, e) -> acc + e.r * e.r
+            |  / CAST(n_obs - e.lag AS DOUBLE))""".stripMargin)))
+    val m = maxLag / 2
+    val series =
+      if (maxLag % 2 != 0 || m < 1) lit(null).cast("double")
+      else if (m == 1) lit(1.0)
+      else expr(s"""aggregate(
+        |transform(sequence(1L, ${m - 1}L), k -> (__q / 2.0) / CAST(k AS DOUBLE)),
+        |named_struct('s', CAST(1.0 AS DOUBLE), 't', CAST(1.0 AS DOUBLE)),
+        |(acc, hk) -> named_struct('s', acc.s + acc.t * hk, 't', acc.t * hk),
+        |acc -> acc.s)""".stripMargin)
+    folded.select(col(keyCol), col("n_obs"), col("k_lags"),
+      col("__q").as("q_stat"),
+      when(col("__q").isNotNull,
+        exp(-col("__q") / lit(2.0)) * series).as("p_value"))
+  }
+
+  /** Wald–Wolfowitz runs test per key — is the series RANDOM about its
+    * own mean, the assumption every control chart here quietly makes:
+    * too few runs = sticky regimes (positive dependence), too many =
+    * oscillation. R = number of maximal same-sign runs of the
+    * above-mean indicator (ties-to-below, pinned);
+    *   E[R] = 2·n₁n₀/n + 1,
+    *   Var  = 2n₁n₀(2n₁n₀ − n) / (n²(n−1)),  z = (R − E)/√Var.
+    * The distribution-free cousin of [[durbinWatson]] (no linearity or
+    * scale assumptions at all).
+    *
+    * Exactness: the mean compare is integer-vs-one-division-double
+    * (deterministic); R, n₁, n₀ are exact window counts; E and Var are
+    * pinned ratios of exact decimals. Output: (key, n, n_above,
+    * n_below, runs, expected_runs, z); z null on one-sided series or
+    * n < 2. */
+  def runsTest(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      col(valueCol).cast("long").as("x"))
+    val means = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).cast(dec).as("__s1"))
+      .withColumn("__mu", col("__s1").cast("double") / col("n").cast("double"))
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val signed = base.join(means.select(col("k"), col("n"), col("__mu")), Seq("k"))
+      .withColumn("__a", (col("x").cast("double") > col("__mu")).cast("int"))
+      .withColumn("__chg",
+        when(lag(col("__a"), 1).over(w).isNull, 1)
+          .when(lag(col("__a"), 1).over(w) =!= col("__a"), 1).otherwise(0))
+    val agg = signed.groupBy(col("k"))
+      .agg(max(col("n")).as("n"), sum(col("__a").cast("long")).as("n_above"),
+        sum(lit(1L) - col("__a")).as("n_below"),
+        sum(col("__chg").cast("long")).as("runs"))
+    val n1 = col("n_above").cast(dec); val n0 = col("n_below").cast(dec)
+    val nD = col("n").cast(dec)
+    val e = (lit(2L).cast(dec) * n1 * n0).cast(dec).cast("double") /
+      col("n").cast("double") + lit(1.0)
+    val varNum = (lit(2L).cast(dec) * n1 * n0 *
+      (lit(2L).cast(dec) * n1 * n0 - nD)).cast(dec)
+    val varDen = (nD * nD * (nD - 1)).cast(dec)
+    val vr = varNum.cast("double") / varDen.cast("double")
+    agg.withColumn("__e", e).withColumn("__v",
+        when(col("n") > 1L && col("n_above") > 0L && col("n_below") > 0L, vr))
+      .select(col("k").as(keyCol), col("n"), col("n_above"), col("n_below"),
+        col("runs"), col("__e").as("expected_runs"),
+        when(col("__v").isNotNull && col("__v") > 0.0,
+          (col("runs").cast("double") - col("__e")) / sqrt(col("__v")))
+          .as("z"))
+  }
+
   /** Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
     * & Wallis 1969) per key — LONG-memory detection: H ≈ 0.5 is a
     * random walk, H > 0.5 persistent (trends feed trends — [[acf]]'s

@@ -699,6 +699,34 @@ object TimeSeries {
       .select($"user_id", $"n_gaps",
         round($"mean_gap_ms", 6).as("mean_gap_ms"), round($"b", 6).as("b"))
 
+  /** q374 — Ljung–Box whiteness test ([[graft.operators.Autocorr
+    * .ljungBox]]): joint serial-correlation gate over the first 6 lags
+    * of the daily series — the one-number readout of the q240 ACF
+    * profile, with the exact even-df χ² p. */
+  def q374LjungBox(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Autocorr.ljungBox(daily, "event_type", "day", "x",
+        maxLag = 6)
+      .select($"event_type", $"n_obs", $"k_lags",
+        round($"q_stat", 6).as("q_stat"), round($"p_value", 6).as("p_value"))
+  }
+
+  /** q375 — Wald–Wolfowitz runs test ([[graft.operators.Autocorr
+    * .runsTest]]): is daily volume random about its own mean — the
+    * distribution-free regime detector; exact run counts, pinned
+    * moments. */
+  def q375RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Autocorr.runsTest(daily, "event_type", "day", "x")
+      .select($"event_type", $"n", $"n_above", $"n_below", $"runs",
+        round($"expected_runs", 6).as("expected_runs"),
+        round($"z", 6).as("z"))
+  }
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

@@ -184,6 +184,57 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(s.isNullAt(s.fieldIndex("rate")))
   }
 
+  test("ljungBox: Q recombines the acf exactly, p matches the direct " +
+      "chi2(6) survival, trending series reject whiteness") {
+    import spark.implicits._
+    val lcg = Iterator.iterate(11L)(s => (s * 1103515245L + 12345L) % 1048576L)
+    val noise = lcg.take(60).map(_ % 100).toSeq
+    val df = (noise.zipWithIndex.map { case (v, i) => ("w", f"d$i%02d", v) } ++
+      (1 to 60).map(i => ("trend", f"d$i%02d", 10L * i)))
+      .toDF("k", "d", "x")
+    val out = graft.operators.Autocorr.ljungBox(df, "k", "d", "x", maxLag = 6)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    // recombine from the acf rows directly
+    val rs = graft.operators.Autocorr.acf(df, "k", "d", "x", 6)
+      .where($"k" === "w").orderBy("lag")
+      .collect().map(r => (r.getAs[Int]("lag"), r.getAs[Double]("r")))
+    val n = 60.0
+    val q = n * (n + 2) * rs.map { case (lag, r) => r * r / (n - lag) }.sum
+    assert(math.abs(out("w").getAs[Double]("q_stat") - q) < 1e-9)
+    val h = q / 2
+    val direct = math.exp(-h) * (1 + h + h * h / 2)
+    assert(math.abs(out("w").getAs[Double]("p_value") - direct) < 1e-9)
+    // a deterministic trend has r_k ~ 1 at all lags: overwhelming Q
+    assert(out("trend").getAs[Double]("p_value") < 1e-9)
+    assert(out("trend").getAs[Double]("q_stat") >
+      out("w").getAs[Double]("q_stat") * 3)
+  }
+
+  test("runsTest: hand moments on an alternating series, sticky " +
+      "regimes z < 0, one-sided series loudly null") {
+    import spark.implicits._
+    // (1,5,1,5): mean 3 -> signs 0101 -> runs 4, n1 = n0 = 2
+    // E = 3, Var = 8*(8-4)/(16*3) = 2/3
+    val alt = Seq(1L, 5L, 1L, 5L).zipWithIndex
+      .map { case (v, i) => ("alt", f"d$i", v) }
+    val sticky = (Seq.fill(10)(1L) ++ Seq.fill(10)(5L)).zipWithIndex
+      .map { case (v, i) => ("sticky", f"d$i%02d", v) }
+    val flat = (1 to 5).map(i => ("flat", f"d$i", 7L))
+    val out = graft.operators.Autocorr.runsTest(
+      (alt ++ sticky ++ flat).toDF("k", "d", "x"), "k", "d", "x")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val a = out("alt")
+    assert(a.getAs[Long]("runs") == 4L && a.getAs[Long]("n_above") == 2L)
+    assert(a.getAs[Double]("expected_runs") == 3.0)
+    assert(math.abs(a.getAs[Double]("z") - 1.0 / math.sqrt(2.0 / 3)) < 1e-12)
+    // two long regimes: 2 runs vs E = 11 -> strongly negative z
+    assert(out("sticky").getAs[Long]("runs") == 2L)
+    assert(out("sticky").getAs[Double]("z") < -3.0)
+    // constant series: everything "below" the mean -> null z
+    assert(out("flat").getAs[Long]("n_above") == 0L)
+    assert(out("flat").isNullAt(out("flat").fieldIndex("z")))
+  }
+
   test("gini: uniform mass is 0, fully concentrated approaches (n-1)/n") {
     import spark.implicits._
     val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
