@@ -397,6 +397,9 @@ object SparkEntry {
     "q373_dirichlet_ql"     -> (D.q373DirichletQL(_, _)),
     "q374_ljung_box"        -> (T.q374LjungBox(_, _)),
     "q375_runs_test"        -> (T.q375RunsTest(_, _)),
+    "q376_km_greenwood"     -> (T.q376KaplanMeierCI(_, _)),
+    "q377_german_tank"      -> (D.q377GermanTank(_, _)),
+    "q378_lsh_planner"      -> (D.q378LshPlanner(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8135,6 +8138,93 @@ object SparkEntry {
         |    CAST(round(CAST(CAST((CAST(runs AS DOUBLE) - e) / sqrt(v)
         |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS z
         |FROM f""".stripMargin,
+    // q376: the q255 fold plus an UNCOUPLED Greenwood fold (0.0-seed
+    // parity); n=d rows NaN-poison the sum and null from there
+    "q376_km_greenwood" ->
+      """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+        |    MAX(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+        |h AS (SELECT MAX(ld) AS wend FROM u),
+        |s AS (SELECT date_diff('day', fd, ld) AS dur,
+        |    CASE WHEN date_diff('day', ld, wend) >= 7 THEN 1 ELSE 0 END AS ev
+        |  FROM u, h),
+        |c AS (SELECT dur AS d, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(ev) AS BIGINT) AS deaths FROM s GROUP BY 1),
+        |r AS (SELECT d, n_obs, deaths,
+        |    CAST(SUM(n_obs) OVER () - COALESCE(SUM(n_obs) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM c),
+        |l AS (SELECT list(struct_pack(d := d, n_obs := n_obs,
+        |    deaths := deaths, n_risk := n_risk) ORDER BY d) AS arr FROM r),
+        |x AS (SELECT unnest(range(1, len(arr) + 1)) AS i, arr FROM l),
+        |f AS (SELECT arr[i].d AS d, arr[i].n_obs AS n_obs,
+        |    arr[i].deaths AS n_events, arr[i].n_risk AS n_risk,
+        |    list_reduce(list_transform(list_slice(arr, 1, i),
+        |      e -> 1.0 - CAST(e.deaths AS DOUBLE) / CAST(e.n_risk AS DOUBLE)),
+        |      (a, b) -> a * b) AS surv,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_slice(arr, 1, i),
+        |      e -> CASE WHEN e.n_risk > e.deaths THEN
+        |          CAST(e.deaths AS DOUBLE) / (CAST(e.n_risk AS DOUBLE)
+        |            * CAST(e.n_risk - e.deaths AS DOUBLE))
+        |        ELSE CAST('NaN' AS DOUBLE) END)),
+        |      (a, b) -> a + b) AS gsum
+        |  FROM x),
+        |g AS (SELECT d, n_obs, n_events, n_risk, surv,
+        |    CASE WHEN NOT isnan(gsum) THEN surv * sqrt(gsum) END AS se
+        |  FROM f)
+        |SELECT CAST(d AS BIGINT) AS dur, n_obs, n_events, n_risk,
+        |  CAST(round(CAST(CAST(surv AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS survival,
+        |  CAST(round(CAST(CAST(se AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS se,
+        |  CASE WHEN se IS NOT NULL THEN
+        |    CAST(round(CAST(CAST(greatest(surv - 1.96 * se, 0.0) AS VARCHAR)
+        |      AS DECIMAL(38,20)), 6) AS DOUBLE) END AS lo,
+        |  CASE WHEN se IS NOT NULL THEN
+        |    CAST(round(CAST(CAST(least(surv + 1.96 * se, 1.0) AS VARCHAR)
+        |      AS DECIMAL(38,20)), 6) AS DOUBLE) END AS hi
+        |FROM g""".stripMargin,
+    // q377: exact (k, m) order statistics over the md5 sample; the
+    // estimator is one pinned shape
+    "q377_german_tank" ->
+      """WITH ids AS (SELECT DISTINCT user_id FROM events),
+        |smp AS (SELECT user_id + 1 AS serial FROM ids
+        |  WHERE CAST(('0x' || substr(md5('gt:' || CAST(user_id AS VARCHAR)),
+        |    1, 2)) AS BIGINT) % 10 < 3),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(max(serial) AS BIGINT) AS m FROM smp),
+        |f AS (SELECT k, m,
+        |    CAST(m AS DOUBLE) + CAST(m AS DOUBLE) / CAST(k AS DOUBLE) - 1.0
+        |      AS n_hat FROM g)
+        |SELECT k, m,
+        |  CAST(round(CAST(CAST(n_hat AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS n_hat,
+        |  CAST(round(CAST(CAST(sqrt((n_hat - CAST(m AS DOUBLE))
+        |      * (n_hat + 1.0) / CAST(k AS DOUBLE)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS se,
+        |  CAST(round(CAST(CAST(CAST(k AS DOUBLE) / n_hat AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS coverage
+        |FROM f""".stripMargin,
+    // q378: a generated table; both powers are repeated-multiply folds
+    // with 1.0 seeds riding as prepended elements
+    "q378_lsh_planner" ->
+      """WITH bs AS (SELECT unnest([8, 16, 32, 64]) AS b),
+        |ss AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS s),
+        |g AS (SELECT CAST(b AS INT) AS b, CAST(128 / b AS INT) AS r,
+        |    CAST(s AS DOUBLE) AS s FROM bs, ss),
+        |p AS (SELECT b, r, s,
+        |    1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |      list_transform(range(1, b + 1), i ->
+        |        1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |          list_transform(range(1, r + 1), j -> s)),
+        |          (a2, y) -> a2 * y))),
+        |      (a, x) -> a * x) AS pc
+        |  FROM g)
+        |SELECT b, r, s,
+        |  CAST(round(CAST(CAST(pc AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p_collide
+        |FROM p""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

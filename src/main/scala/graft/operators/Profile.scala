@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-profiling census — the Deequ/TFDV-style data-quality summary
@@ -600,6 +600,36 @@ object Profile {
     * one (group, value) census, one frequency rollup — map-side
     * combined, never a distinct expand. Output: (g, n_obs, d_obs, f1,
     * f2, chao1). */
+  /** German-tank population estimate — serial-number inference: from a
+    * uniform sample of a SERIAL id space, the UMVU estimator of the
+    * population size is N̂ = m(1 + 1/k) − 1 with m the sample maximum
+    * and k the sample size, SE ≈ (N̂ − m)·√(k/(k+2))-free classic form
+    * √((N̂−k)(N̂+1)/ ... ) — here the standard frequentist
+    * SE = √( (1/k)·(N̂−m)·(N̂+1) ) pinned. The data-ops read: estimate
+    * a partner table's true row count from the ids that LEAKED into
+    * your sample (partial feed audits, "how much of the id space have
+    * we ingested"). [[chao1]] estimates unseen TYPES from frequency;
+    * this estimates the id-space CEILING from order statistics —
+    * different evidence, same "what's missing" question.
+    *
+    * Exactness: k and m are exact; N̂ and SE are pinned double shapes.
+    * Assumes ids are serial from a fixed base and the sample is
+    * uniform — both are the caller's contract. Output one row: (k, m,
+    * n_hat, se, coverage = k/N̂). */
+  def germanTank(sample: DataFrame, idCol: String): DataFrame = {
+    val g = sample.where(col(idCol).isNotNull)
+      .agg(count(lit(1)).as("k"), max(col(idCol).cast("long")).as("m"))
+    def dd(c: Column): Column = c.cast("double")
+    val nHat = dd(col("m")) + dd(col("m")) / dd(col("k")) - lit(1.0)
+    g.withColumn("n_hat", when(col("k") > 0L, nHat))
+      .select(col("k"), col("m"), col("n_hat"),
+        when(col("k") > 0L,
+          sqrt((col("n_hat") - dd(col("m"))) * (col("n_hat") + 1.0) /
+            dd(col("k")))).as("se"),
+        when(col("k") > 0L && col("n_hat") > 0.0,
+          dd(col("k")) / col("n_hat")).as("coverage"))
+  }
+
   def chao1(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val census = df.where(col(valueCol).isNotNull)

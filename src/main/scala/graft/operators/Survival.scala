@@ -98,4 +98,60 @@ object Survival {
       col("r.n_risk"), col("r.cum_hazard"),
       exp(-col("r.cum_hazard")).as("fh_survival"))
   }
+
+  /** Kaplan–Meier with Greenwood confidence bands (Greenwood 1926) —
+    * the uncertainty [[kaplanMeier]]'s point curve hides: Var(S(t)) =
+    * S(t)² · Σ_{tᵢ ≤ t} dᵢ/(nᵢ(nᵢ−dᵢ)), with the plain linear 95%
+    * band S ± 1.96·SE clamped to [0, 1] (pinned convention; the
+    * log-log transform would drag non-replayable ln/exp chains through
+    * every row for little gain at census grain). A duration where
+    * EVERYONE at risk dies (nᵢ = dᵢ) makes the Greenwood sum infinite
+    * — from that row on se/lo/hi are null (NaN-poisoned in the fold,
+    * nulled at the edge), which is the honest readout.
+    *
+    * Same shape/exactness contract as [[kaplanMeier]]: census-bounded
+    * windows, per-row prefix folds (the survival product and the
+    * Greenwood sum are UNCOUPLED accumulations, each its own fold).
+    * Output: (duration, n_obs, n_events, n_risk, survival, se, lo,
+    * hi). */
+  def kaplanMeierCI(df: DataFrame, durCol: String, eventCol: String): DataFrame = {
+    val census = df
+      .select(col(durCol).cast("long").as("d"),
+        when(col(eventCol) === 1, 1L).otherwise(0L).as("e"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("e")).as("deaths"))
+    val wOrd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val risked = census
+      .withColumn("n_risk",
+        sum(col("n_obs")).over(wAll) - coalesce(sum(col("n_obs")).over(wOrd), lit(0L)))
+    val folded = risked
+      .agg(sort_array(collect_list(struct(col("d"), col("n_obs"),
+        col("deaths"), col("n_risk")))).as("__arr"))
+      .select(expr(
+        """explode(transform(__arr, (e, i) -> struct(
+          |  e.d AS d, e.n_obs AS n_obs, e.deaths AS n_events,
+          |  e.n_risk AS n_risk,
+          |  aggregate(slice(__arr, 1, i + 1), CAST(1.0 AS DOUBLE),
+          |    (acc, x) -> acc * (CAST(1.0 AS DOUBLE)
+          |      - CAST(x.deaths AS DOUBLE) / CAST(x.n_risk AS DOUBLE)))
+          |    AS survival,
+          |  aggregate(slice(__arr, 1, i + 1), CAST(0.0 AS DOUBLE),
+          |    (acc, x) -> acc + IF(x.n_risk > x.deaths,
+          |      CAST(x.deaths AS DOUBLE)
+          |        / (CAST(x.n_risk AS DOUBLE)
+          |           * CAST(x.n_risk - x.deaths AS DOUBLE)),
+          |      CAST('NaN' AS DOUBLE)))
+          |    AS gsum)))""".stripMargin).as("r"))
+    val se = when(!isnan(col("r.gsum")),
+      col("r.survival") * sqrt(col("r.gsum")))
+    folded.select(col("r.d").as(durCol), col("r.n_obs"), col("r.n_events"),
+      col("r.n_risk"), col("r.survival").as("survival"),
+      se.as("se"),
+      when(se.isNotNull, greatest(col("r.survival") - lit(1.96) * se, lit(0.0)))
+        .as("lo"),
+      when(se.isNotNull, least(col("r.survival") + lit(1.96) * se, lit(1.0)))
+        .as("hi"))
+  }
 }

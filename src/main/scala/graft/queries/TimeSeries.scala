@@ -727,6 +727,24 @@ object TimeSeries {
         round($"z", 6).as("z"))
   }
 
+  /** q376 — Kaplan–Meier with Greenwood bands ([[graft.operators
+    * .Survival.kaplanMeierCI]]): the q255 retention curve with its
+    * honest uncertainty — Greenwood variance folded beside the
+    * survival product, linear 95% band clamped to [0,1]. */
+  def q376KaplanMeierCI(spark: SparkSession, dir: String): DataFrame = {
+    val spans = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("first_d"), max(to_date($"ts")).as("last_d"))
+    val horizon = spans.agg(max($"last_d").as("wend"))
+    val subjects = spans.crossJoin(broadcast(horizon))
+      .select(datediff($"last_d", $"first_d").as("dur"),
+        when(datediff($"wend", $"last_d") >= 7, 1).otherwise(0).as("ev"))
+    graft.operators.Survival.kaplanMeierCI(subjects, "dur", "ev")
+      .select($"dur", $"n_obs", $"n_events", $"n_risk",
+        round($"survival", 6).as("survival"), round($"se", 6).as("se"),
+        round($"lo", 6).as("lo"), round($"hi", 6).as("hi"))
+  }
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

@@ -3013,6 +3013,31 @@ object TrainingData {
         query = Seq("spark", "join", "filter"), mu = 2000.0, k = 20)
       .select($"id".as("doc_id"), $"n_terms", round($"score", 6).as("score"))
 
+  /** q377 — German-tank id-space estimate ([[graft.operators.Profile
+    * .germanTank]]): recover the user-population ceiling from an
+    * md5-deterministic ~30% sample of serial ids (shifted 1-based) —
+    * the order-statistics complement to q365's frequency-based
+    * unseen-type count. */
+  def q377GermanTank(spark: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.events(spark, dir).select($"user_id").distinct()
+      .where(conv(substring(md5(concat(lit("gt:"),
+        $"user_id".cast("string"))), 1, 2), 16, 10).cast("long") % 10 < 3)
+      .select(($"user_id" + 1L).as("serial"))
+    graft.operators.Profile.germanTank(sample, "serial")
+      .select($"k", $"m", round($"n_hat", 6).as("n_hat"),
+        round($"se", 6).as("se"), round($"coverage", 6).as("coverage"))
+  }
+
+  /** q378 — MinHash-LSH S-curve planner ([[graft.operators.Dedup
+    * .lshPlanner]]): the (bands, rows) tuning table for a 128-long
+    * signature — collision probability at each candidate Jaccard,
+    * every power a repeated-multiply fold. */
+  def q378LshPlanner(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.lshPlanner(spark, sigLen = 128,
+        bandsChoices = Seq(8, 16, 32, 64),
+        simGrid = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      .select($"b", $"r", $"s", round($"p_collide", 6).as("p_collide"))
+
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
     * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
     * the next shard brings, q246's Zipf companion. Exact per-source

@@ -311,4 +311,37 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
       .head()
     assert(ri.getAs[Double]("chao1") === 6.0 + 30.0 / 2.0)
   }
+
+  test("germanTank: textbook estimate, exact recovery when the sample " +
+      "IS the population max-heavy case") {
+    import spark.implicits._
+    // sample {19, 40, 42, 60}: k=4, m=60 -> N-hat = 60 + 15 - 1 = 74
+    val s = Seq(19L, 40L, 42L, 60L).toDF("id")
+    val r = graft.operators.Profile.germanTank(s, "id").head()
+    assert(r.getAs[Long]("k") == 4L && r.getAs[Long]("m") == 60L)
+    assert(r.getAs[Double]("n_hat") === 74.0)
+    assert(math.abs(r.getAs[Double]("se") -
+      math.sqrt(14.0 * 75.0 / 4.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("coverage") - 4.0 / 74.0) < 1e-12)
+    // the full population 1..N: N-hat = N + 1 - 1 = N exactly
+    val full = (1L to 50L).toDF("id")
+    assert(graft.operators.Profile.germanTank(full, "id").head()
+      .getAs[Double]("n_hat") === 50.0)
+  }
+
+  test("lshPlanner: probabilities match direct powers, more bands " +
+      "catch lower similarity, thresholds order correctly") {
+    val p = graft.operators.Dedup.lshPlanner(spark, 128,
+      Seq(8, 16, 32, 64), Seq(0.5, 0.8)).collect()
+      .map(r => (r.getAs[Int]("b"), r.getAs[Double]("s")) ->
+        r.getAs[Double]("p_collide")).toMap
+    def direct(b: Int, r: Int, s: Double) =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    // repeated-multiply folds agree with pow to double precision here
+    assert(math.abs(p((16, 0.8)) - direct(16, 8, 0.8)) < 1e-12)
+    // at s = 0.5, 64 narrow bands fire far more than 8 wide ones
+    assert(p((64, 0.5)) > 100 * p((8, 0.5)), p.toString)
+    // at high similarity everything fires
+    assert(p((16, 0.8)) > 0.5 && p((64, 0.8)) > 0.99)
+  }
 }

@@ -235,6 +235,31 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("flat").isNullAt(out("flat").fieldIndex("z")))
   }
 
+  test("kaplanMeierCI: greenwood bands verify by hand, exhausted risk " +
+      "sets null the band from there on") {
+    import spark.implicits._
+    // durations (2,ev) (3,cens) (5,ev) (5,ev) (7,cens):
+    // t=2: S=4/5, g=1/(5*4); t=5: S=(4/5)(1/3), g+=2/(3*1)
+    val subjects = Seq((2L, 1), (3L, 0), (5L, 1), (5L, 1), (7L, 0))
+      .toDF("dur", "ev")
+    val r = graft.operators.Survival.kaplanMeierCI(subjects, "dur", "ev")
+      .orderBy("dur").collect()
+    val s2 = 4.0 / 5; val g2 = 1.0 / 20
+    assert(math.abs(r(0).getAs[Double]("se") - s2 * math.sqrt(g2)) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("lo") -
+      math.max(s2 - 1.96 * s2 * math.sqrt(g2), 0.0)) < 1e-12)
+    val s5 = 4.0 / 5 * (1.0 / 3); val g5 = g2 + 2.0 / 3
+    assert(math.abs(r(2).getAs[Double]("se") - s5 * math.sqrt(g5)) < 1e-12)
+    // every at-risk subject dies at the last duration: greenwood
+    // explodes -> null band, survival itself stays
+    val total = Seq((1L, 1), (2L, 1), (2L, 1)).toDF("dur", "ev")
+    val rt = graft.operators.Survival.kaplanMeierCI(total, "dur", "ev")
+      .orderBy("dur").collect()
+    assert(rt(1).getAs[Double]("survival") == 0.0)
+    assert(rt(1).isNullAt(rt(1).fieldIndex("se")))
+    assert(!rt(0).isNullAt(rt(0).fieldIndex("se")))
+  }
+
   test("gini: uniform mass is 0, fully concentrated approaches (n-1)/n") {
     import spark.implicits._
     val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
