@@ -400,6 +400,7 @@ object SparkEntry {
     "q376_km_greenwood"     -> (T.q376KaplanMeierCI(_, _)),
     "q377_german_tank"      -> (D.q377GermanTank(_, _)),
     "q378_lsh_planner"      -> (D.q378LshPlanner(_, _)),
+    "q379_pacf"             -> (T.q379Pacf(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8225,6 +8226,57 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(pc AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS p_collide
         |FROM p""".stripMargin,
+    // q379: the q240 exact-r replay feeding a recursive-CTE
+    // Durbin-Levinson (array state, coupled fields — the q243/q362
+    // contract); pkk computed once per level in a subquery
+    "q379_pacf" ->
+      """WITH RECURSIVE d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |rw AS (SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM d),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT CAST(unnest(range(1, 7)) AS INT) AS lag),
+        |p AS (SELECT a.event_type, g.lag,
+        |    CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+        |    CAST(SUM(a.x) AS BIGINT) AS sh, CAST(SUM(b.x) AS BIGINT) AS st
+        |  FROM rw a JOIN g ON true
+        |  JOIN rw b ON b.event_type = a.event_type AND b.rn = a.rn + g.lag
+        |  GROUP BY 1, 2),
+        |rr AS (SELECT p.event_type, p.lag,
+        |    CASE WHEN t.n * t.n * t.sxx - t.n * t.s * t.s <> 0 THEN
+        |      CAST(t.n * t.n * p.sxy - t.n * t.s * (p.sh + p.st)
+        |        + (t.n - p.lag) * t.s * t.s AS DOUBLE) /
+        |      CAST(t.n * t.n * t.sxx - t.n * t.s * t.s AS DOUBLE) END AS rv
+        |  FROM p JOIN t USING (event_type)),
+        |base AS (SELECT event_type, list(rv ORDER BY lag) AS r
+        |  FROM rr GROUP BY 1
+        |  HAVING sum(CASE WHEN rv IS NOT NULL THEN 1 ELSE 0 END) = 6),
+        |it AS (
+        |  SELECT event_type, 1 AS kk, [r[1]] AS phi, [r[1]] AS outv, r
+        |  FROM base
+        |  UNION ALL
+        |  SELECT event_type, kk + 1,
+        |    list_transform(range(1, kk + 1),
+        |      j -> phi[j] - pkk * phi[kk + 1 - j]) || [pkk],
+        |    outv || [pkk], r
+        |  FROM (SELECT event_type, kk, phi, outv, r,
+        |      (r[kk + 1] - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, kk + 1), j -> phi[j] * r[kk + 1 - j])),
+        |        (a, b) -> a + b))
+        |      / (1.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, kk + 1), j -> phi[j] * r[j])),
+        |        (a, b) -> a + b)) AS pkk
+        |    FROM it WHERE kk < 6)),
+        |fin AS (SELECT event_type, outv FROM it WHERE kk = 6),
+        |ex AS (SELECT event_type, unnest(range(1, len(outv) + 1)) AS i,
+        |    outv FROM fin)
+        |SELECT event_type, CAST(i AS INT) AS lag,
+        |  CAST(round(CAST(CAST(outv[i] AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS pacf
+        |FROM ex""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

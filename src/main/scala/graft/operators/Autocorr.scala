@@ -301,6 +301,56 @@ object Autocorr {
         exp(-col("__q") / lit(2.0)) * series).as("p_value"))
   }
 
+  /** Partial autocorrelation function per key via Durbin–Levinson —
+    * the Box–Jenkins companion [[acf]] can't replace: pacf(k) is the
+    * lag-k correlation with lags 1..k−1 PARTIALLED OUT, the readout
+    * that separates "AR(1) echoing through every lag" from genuine
+    * higher-order structure (AR order = where the PACF cuts off).
+    * The recursion over the ACF values r₁..r_K:
+    *   φ₁₁ = r₁;  φ_kk = (r_k − Σⱼ φ_{k−1,j} r_{k−j}) /
+    *                     (1 − Σⱼ φ_{k−1,j} r_j);
+    *   φ_kj = φ_{k−1,j} − φ_kk φ_{k−1,k−j}.
+    *
+    * Determinism: each r_k is one double from exact-integer [[acf]]
+    * sums; the recursion folds k = 2..K with ascending-j inner sums —
+    * every step a pinned shape, replayed by a recursive-CTE oracle
+    * (the state is array-valued and coupled, the Holt–Winters
+    * contract). Keys missing any of the K lags are absent (loud).
+    * Output: (key, lag, pacf), lag = 1..K. */
+  def pacf(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val r = acf(df, keyCol, ordCol, valueCol, maxLag)
+    val base = r.groupBy(col(keyCol))
+      .agg(sum(when(col("r").isNotNull, 1L).otherwise(0L)).as("__k"),
+        sort_array(collect_list(struct(col("lag"), col("r")))).as("__rs"))
+      .where(col("__k") === maxLag.toLong)
+      .withColumn("__r", expr("transform(__rs, e -> e.r)"))
+    if (maxLag == 1)
+      return base.select(col(keyCol), lit(1).as("lag"),
+        expr("element_at(__r, 1)").as("pacf"))
+    val num = "(element_at(__r, k) - aggregate(sequence(1, k - 1), " +
+      "CAST(0.0 AS DOUBLE), (a, j) -> a + element_at(acc.phi, j) " +
+      "* element_at(__r, k - j)))"
+    val den = "(CAST(1.0 AS DOUBLE) - aggregate(sequence(1, k - 1), " +
+      "CAST(0.0 AS DOUBLE), (a, j) -> a + element_at(acc.phi, j) " +
+      "* element_at(__r, j)))"
+    val pkk = s"($num / $den)"
+    val fold =
+      s"""aggregate(sequence(2, $maxLag),
+         |  named_struct('phi', array(element_at(__r, 1)),
+         |               'out', array(element_at(__r, 1))),
+         |  (acc, k) -> named_struct(
+         |    'phi', concat(transform(acc.phi,
+         |      (v, ix) -> v - $pkk * element_at(acc.phi, k - 1 - ix)),
+         |      array($pkk)),
+         |    'out', concat(acc.out, array($pkk))),
+         |  acc -> acc.out)""".stripMargin
+    base.withColumn("__out", expr(fold))
+      .select(col(keyCol), posexplode(col("__out")).as(Seq("__p", "pacf")))
+      .select(col(keyCol), (col("__p") + 1).as("lag"), col("pacf"))
+  }
+
   /** Wald–Wolfowitz runs test per key — is the series RANDOM about its
     * own mean, the assumption every control chart here quietly makes:
     * too few runs = sticky regimes (positive dependence), too many =

@@ -745,6 +745,17 @@ object TimeSeries {
         round($"lo", 6).as("lo"), round($"hi", 6).as("hi"))
   }
 
+  /** q379 — partial autocorrelation ([[graft.operators.Autocorr
+    * .pacf]]): Durbin–Levinson over the q240 ACF — does the daily
+    * series carry structure beyond lag 1? The AR-order readout. */
+  def q379Pacf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Autocorr.pacf(daily, "event_type", "day", "x", maxLag = 6)
+      .select($"event_type", $"lag", round($"pacf", 6).as("pacf"))
+  }
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

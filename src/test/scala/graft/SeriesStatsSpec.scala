@@ -260,6 +260,36 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(!rt(0).isNullAt(rt(0).fieldIndex("se")))
   }
 
+  test("pacf: Durbin-Levinson replays a direct Scala recursion over " +
+      "the acf; lag-1 equals r1 exactly") {
+    import spark.implicits._
+    val lcg = Iterator.iterate(3L)(s => (s * 1103515245L + 12345L) % 1048576L)
+    val noise = lcg.take(80).map(_ % 50).toSeq
+    // mild AR flavor: x_t = noise_t + noise_{t-1}
+    val vals = noise.zip(0L +: noise).map { case (a, b) => a + b / 2 }
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", f"d$i%02d", v) }
+      .toDF("k", "d", "x")
+    val K = 6
+    val rs = graft.operators.Autocorr.acf(df, "k", "d", "x", K)
+      .orderBy("lag").collect().map(_.getAs[Double]("r"))
+    // direct recursion
+    var phi = Array(rs(0)); val out = scala.collection.mutable.Buffer(rs(0))
+    (2 to K).foreach { k =>
+      val num = rs(k - 1) -
+        (1 until k).map(j => phi(j - 1) * rs(k - j - 1)).sum
+      val den = 1.0 - (1 until k).map(j => phi(j - 1) * rs(j - 1)).sum
+      val pkk = num / den
+      phi = (1 until k).map(j => phi(j - 1) - pkk * phi(k - j - 1)).toArray :+ pkk
+      out += pkk
+    }
+    val got = graft.operators.Autocorr.pacf(df, "k", "d", "x", K)
+      .orderBy("lag").collect().map(_.getAs[Double]("pacf"))
+    assert(got.length == K)
+    got.zip(out).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) < 1e-12, s"lag ${i + 1}: $g vs $w") }
+    assert(got(0) == rs(0))
+  }
+
   test("gini: uniform mass is 0, fully concentrated approaches (n-1)/n") {
     import spark.implicits._
     val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
