@@ -248,6 +248,24 @@ object BenchScale {
         e, "dow", "event_type", "cents")
     }
 
+    // q363 shape: Kneser-Ney at Nx docs via char-permuted copies. Each
+    // copy has a DISJOINT vocabulary (the rotation bijection), so the
+    // bigram-type table grows N x and the pair-grain scan grows N x —
+    // both honest linear claims; per-doc NLLs within copy 0 are
+    // invariant (each copy is a closed sub-corpus).
+    def kneserney(n: Int): DataFrame =
+      graft.operators.KneserNey.bigramNll(corpusAt(n), "doc_id", "text")
+
+    // q357 shape: distinct-n at Nx with EXACT duplicate copies (no
+    // rotation): the gram TYPE set is identical at any N, only counts
+    // scale — the census-vs-corpus separation measured (type-grain
+    // rollup must not grow with N).
+    def distinctn(n: Int): DataFrame = {
+      val c = (0 until n).map(_ => docs).reduce(_ unionByName _)
+        .withColumn("src", lit("all"))
+      graft.operators.Profile.distinctN(c, "src", "text")
+    }
+
     val shapes: Seq[(String, Int => DataFrame)] = Seq(
       "minhash" -> (n => minhash(corpusAt(n))),
       "incremental" -> (n => incremental(corpusAt(n))),
@@ -262,7 +280,9 @@ object BenchScale {
       "assoc" -> (assoc(_)),
       "modularity" -> (modularityAt(_)),
       "seqrules" -> (seqrules(_)),
-      "qnorm" -> (qnorm(_)))
+      "qnorm" -> (qnorm(_)),
+      "kneserney" -> (kneserney(_)),
+      "distinctn" -> (distinctn(_)))
     val out = shapes.flatMap { case (name, fn) =>
       val (t1, n1) = timed(fn(1))
       val (tN, nN) = timed(fn(copies))

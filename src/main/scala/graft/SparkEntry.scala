@@ -401,6 +401,9 @@ object SparkEntry {
     "q377_german_tank"      -> (D.q377GermanTank(_, _)),
     "q378_lsh_planner"      -> (D.q378LshPlanner(_, _)),
     "q379_pacf"             -> (T.q379Pacf(_, _)),
+    "q380_personalized_pr"  -> (R.q380PersonalizedPr(_, _)),
+    "q381_pinball"          -> (T.q381Pinball(_, _)),
+    "q382_trimmed_mean"     -> (T.q382TrimmedMean(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8277,6 +8280,101 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(outv[i] AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS pacf
         |FROM ex""".stripMargin,
+    // q380: the q169 unrolled contract with seed-only teleport; seeds
+    // are unioned into the node set
+    "q380_personalized_pr" -> {
+      val base =
+        """WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          |edges AS (SELECT c AS src, 1000000 + s AS dst FROM pairs
+          |UNION ALL SELECT 1000000 + s, c FROM pairs),
+          |outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+          |seeds AS (SELECT DISTINCT c_custkey AS node FROM customer
+          |  WHERE c_custkey % 100 = 0),
+          |ns AS (SELECT COUNT(*) AS ns FROM seeds),
+          |nodes AS (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM edges
+          |  UNION ALL SELECT dst FROM edges
+          |  UNION ALL SELECT node FROM seeds)),
+          |p0 AS (SELECT n.node,
+          |  CASE WHEN s.node IS NOT NULL
+          |    THEN (1000000000000000 // ns.ns) ELSE CAST(0 AS BIGINT) END AS prf
+          |FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.node = s.node)"""
+          .stripMargin
+      val rounds = (1 to 8).map { i =>
+        s"""s$i AS (SELECT e.dst AS node, SUM(p.prf // d.od) AS in_mass
+           |FROM edges e JOIN p${i - 1} p ON e.src = p.node
+           |JOIN outdeg d ON e.src = d.src GROUP BY e.dst),
+           |p$i AS (SELECT n.node,
+           |CAST(CASE WHEN sd.node IS NOT NULL
+           |  THEN (150000000000000 // ns.ns) ELSE CAST(0 AS BIGINT) END
+           | + (85 * COALESCE(s$i.in_mass, 0)) // 100 AS BIGINT) AS prf
+           |FROM nodes n CROSS JOIN ns LEFT JOIN s$i ON n.node = s$i.node
+           |LEFT JOIN seeds sd ON n.node = sd.node)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        """
+          |SELECT node,
+          |CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
+          |CAST(round(CAST(CAST(prf / 1000000000000000.0 AS VARCHAR)
+          |  AS DECIMAL(38,20)), 10) AS DOUBLE) AS ppr
+          |FROM p8""".stripMargin
+    },
+    // q381: quantile_disc replayed explicitly (ceil(p*n) rank on the
+    // train census), then all-integer pinball sums
+    "q381_pinball" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, ts FROM events),
+        |tr AS (SELECT event_type, cents FROM e
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |cen AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tr GROUP BY 1, 2),
+        |cum AS (SELECT event_type, cents,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM cen),
+        |q AS (SELECT event_type, min(cents) AS qhat
+        |  FROM (SELECT event_type, cents, cum,
+        |      greatest(least(CAST(ceil(0.9 * n) AS BIGINT), n), 1) AS k
+        |    FROM cum) WHERE cum >= k GROUP BY 1),
+        |te AS (SELECT e.event_type, cents, qhat FROM e
+        |  JOIN q ON e.event_type = q.event_type
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(qhat) AS BIGINT) AS qhat,
+        |    CAST(sum(greatest(cents - qhat, 0)) AS BIGINT) AS over_sum,
+        |    CAST(sum(greatest(qhat - cents, 0)) AS BIGINT) AS under_sum
+        |  FROM te GROUP BY 1)
+        |SELECT event_type, n, qhat, over_sum, under_sum,
+        |  CAST(round(CAST(CAST(
+        |    CAST(CAST(9 AS HUGEINT) * over_sum + 1 * under_sum AS DOUBLE)
+        |      / CAST(CAST(10 AS HUGEINT) * n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS pinball_mean
+        |FROM g""".stripMargin,
+    // q382: rank trimming as exact interval overlaps on the value
+    // census; kept sum in HUGEINT, one terminal division
+    "q382_trimmed_mean" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |cen AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM cen),
+        |k AS (SELECT event_type, v, cnt, cum, n, (n * 5) // 100 AS t FROM r),
+        |ov AS (SELECT event_type, n, t,
+        |    greatest(least(cum, n - t)
+        |      - greatest(cum - cnt + 1, t + 1) + 1, 0) AS keep, v
+        |  FROM k)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(2 * max(t) AS BIGINT) AS n_trimmed,
+        |  CASE WHEN sum(keep) > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(sum(CAST(v AS HUGEINT) * keep) AS DOUBLE)
+        |        / CAST(sum(keep) AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS trimmed_mean
+        |FROM ov GROUP BY 1""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -1824,4 +1824,45 @@ object Eval {
       .orderBy(col("ucb").desc, col("arm"))
     scored.withColumn("chosen", row_number().over(wPick) === 1)
   }
+
+  /** Pinball (quantile) loss per group — THE proper scoring rule for a
+    * quantile forecast (a τ-quantile claim is only auditable under the
+    * asymmetric loss that τ minimizes):
+    *   L_τ(y, ŷ) = τ·(y−ŷ)⁺ + (1−τ)·(ŷ−y)⁺.
+    * Feed it a P90 capacity forecast and last week's actuals and the
+    * number says whether the quantile was HONEST — the evaluation leg
+    * the [[graft.operators.Quantiles]] estimators need to close the
+    * loop. τ is passed as a RATIONAL (tauNum/tauDen) so the whole
+    * census stays integer: tauDen·Σloss = tauNum·Σ(y−ŷ)⁺ +
+    * (tauDen−tauNum)·Σ(ŷ−y)⁺ exactly, and the mean is ONE terminal
+    * division by (tauDen·n).
+    *
+    * Scale shape: one broadcast-able forecast join, one group census.
+    * Output: (g, n, qhat, over_sum, under_sum, pinball_mean). */
+  def pinballLoss(actuals: DataFrame, forecasts: DataFrame,
+      groupCol: String, valueCol: String, qhatCol: String,
+      tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauDen > 0 && tauNum > 0 && tauNum < tauDen,
+      s"tau must be a proper fraction, got $tauNum/$tauDen")
+    val dec = "decimal(38,0)"
+    val f = forecasts.select(col(groupCol).as("g"),
+      col(qhatCol).cast("long").as("qhat"))
+    val a = actuals.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("y"))
+    a.join(broadcast(f), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("qhat")).as("qhat"),
+        sum(greatest(col("y") - col("qhat"), lit(0L)).cast(dec))
+          .cast(dec).as("over_sum"),
+        sum(greatest(col("qhat") - col("y"), lit(0L)).cast(dec))
+          .cast(dec).as("under_sum"))
+      .select(col("g"), col("n"), col("qhat"),
+        col("over_sum").cast("long").as("over_sum"),
+        col("under_sum").cast("long").as("under_sum"),
+        ((lit(tauNum).cast(dec) * col("over_sum") +
+          lit(tauDen - tauNum).cast(dec) * col("under_sum")).cast(dec)
+          .cast("double") /
+          (lit(tauDen).cast(dec) * col("n").cast(dec)).cast(dec)
+            .cast("double")).as("pinball_mean"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality by iterative joins — the PageRank-style quality
@@ -128,6 +128,61 @@ object Graph {
     }
     pr.select(col("node"),
       (col("prf").cast("double") / lit(RankScale.toDouble)).as("pr"))
+  }
+
+  /** Personalized PageRank (topic-sensitive; Haveliwala 2002) —
+    * [[pageRank]] with the teleport mass restricted to a SEED set:
+    * rank becomes "relevance to the seeds", the crawl-frontier /
+    * related-entity scorer a uniform teleport can't express. Same
+    * fixed-point integer discipline: per round the damped in-mass sums
+    * are exact associative longs, and the teleport term
+    * (1−d)·Scale div |S| lands only on seed nodes, so the oracle
+    * replays round-for-round. Seeds absent from the edge set still
+    * receive teleport (they are unioned into the node table — a seed
+    * with no links is a valid personalization anchor). Output:
+    * (node, ppr: double). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    val d100 = math.round(damping * 100).toInt
+    require(d100 > 0 && d100 < 100 && math.abs(d100 / 100.0 - damping) < 1e-9,
+      s"damping must be a whole percentage in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(false)
+    val s = seeds.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint(false)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).union(s.select(col("node")))
+      .distinct().localCheckpoint(false)
+    val nS = broadcast(s.agg(count(lit(1)).as("ns")))
+    val seeded = broadcast(s.withColumn("__isSeed", lit(1)))
+    def teleport(df: DataFrame): Column =
+      expr(s"IF(__isSeed IS NULL, CAST(0 AS BIGINT), " +
+        s"(${100 - d100} * $RankScale div 100) div ns)")
+    // p0 = the RESTART distribution itself (all mass on seeds): with a
+    // uniform all-node seed set this is exactly pageRank's 1/N init,
+    // so uniform PPR == plain PR round-for-round (spec-asserted)
+    var pr = nodes.join(seeded, Seq("node"), "left").crossJoin(nS)
+      .select(col("node"), expr(
+        s"IF(__isSeed IS NULL, CAST(0 AS BIGINT), $RankScale div ns)")
+        .as("prf"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val summed = e.join(pr, e("src") === pr("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("prf div od").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_mass"))
+      pr = nodes.join(summed, nodes("node") === summed("dst"), "left")
+        .join(seeded, Seq("node"), "left").crossJoin(nS)
+        .select(col("node"), (teleport(null) +
+          expr(s"($d100 * coalesce(in_mass, 0)) div 100")).as("prf"))
+        .localCheckpoint(false)
+    }
+    pr.select(col("node"),
+      (col("prf").cast("double") / lit(RankScale.toDouble)).as("ppr"))
   }
 
   /** HITS scale: 9 decimal digits of fixed point. Tighter than

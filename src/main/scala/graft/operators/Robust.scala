@@ -171,4 +171,49 @@ object Robust {
         (col("n") - col("k")).cast("double") * between /
           ((col("k") - 1).cast("double") * within)).as("f"))
   }
+
+  /** Trimmed mean per group at census grain — the robust location
+    * estimate between the mean (outlier-hostage) and the median
+    * (throws away 98% of the data): drop the lowest and highest
+    * ⌊n·αnum/αden⌋ observations BY RANK and average the rest. The
+    * trim happens on the (group, value) census with cumulative
+    * windows: each distinct value's surviving multiplicity is the
+    * exact integer overlap of its rank interval [cum−cnt+1, cum] with
+    * the kept band [t+1, n−t] — no per-row sort, no value buffering
+    * (the [[graft.operators.Quantiles.groupedQuantilesDisc]] shape).
+    *
+    * Exactness: α rides as a rational so t = ⌊n·αnum/αden⌋ is an
+    * exact integer; the kept sum is Σ value·overlap in exact decimals;
+    * the mean is one division. Groups where the trim swallows
+    * everything (n ≤ 2t) emit null — loud. Output: (g, n, n_trimmed,
+    * trimmed_mean). */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      alphaNum: Long = 5L, alphaDen: Long = 100L): DataFrame = {
+    require(alphaDen > 0 && alphaNum >= 0 && 2 * alphaNum < alphaDen,
+      s"alpha must be in [0, 1/2), got $alphaNum/$alphaDen")
+    val dec = "decimal(38,0)"
+    val census = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy(col("g"))
+    val ranked = census
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wn))
+      .withColumn("t", expr(s"(n * $alphaNum) div $alphaDen"))
+      .withColumn("keep",
+        greatest(least(col("cum"), col("n") - col("t")) -
+          greatest(col("cum") - col("cnt") + 1L, col("t") + 1L) + 1L,
+          lit(0L)))
+    ranked.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("t")).as("__t"),
+        sum(col("keep")).as("n_kept"),
+        sum((col("v").cast(dec) * col("keep").cast(dec)).cast(dec))
+          .cast(dec).as("__s"))
+      .select(col("g"), col("n"), (lit(2L) * col("__t")).as("n_trimmed"),
+        when(col("n_kept") > 0L,
+          col("__s").cast("double") / col("n_kept").cast("double"))
+          .as("trimmed_mean"))
+  }
 }

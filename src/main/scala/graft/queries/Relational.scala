@@ -397,6 +397,26 @@ object Relational {
         round($"pr", 10).as("pagerank"))
   }
 
+  /** q380 — personalized PageRank ([[graft.operators.Graph
+    * .personalizedPageRank]]): relevance to a pinned 1%-customer seed
+    * set over the q169 trade graph — teleport lands only on seeds;
+    * same unrolled integer fixed point. */
+  def q380PersonalizedPr(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+    val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
+      .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
+    val seeds = Tables.customer(spark, dir)
+      .where($"c_custkey" % 100 === 0).select($"c_custkey".as("seed"))
+    graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds, "seed", iterations = 8)
+      .select($"node",
+        when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
+        round($"ppr", 10).as("ppr"))
+  }
+
   /** q364 — HyperANF neighborhood function ([[graft.operators.Graph
     * .hyperAnf]]): per-node HLL ball sizes over 4 hops of the q169
     * customer–supplier graph — the effective-diameter primitive;

@@ -756,6 +756,37 @@ object TimeSeries {
       .select($"event_type", $"lag", round($"pacf", 6).as("pacf"))
   }
 
+  /** q381 — pinball loss of a P90 forecast ([[graft.operators.Eval
+    * .pinballLoss]]): train-window exact P90 cents per event type
+    * scored against the test window under τ = 9/10 — the proper
+    * scoring rule that makes a quantile claim auditable; all-integer
+    * census, one terminal division. */
+  def q381Pinball(spark: SparkSession, dir: String): DataFrame = {
+    val cents = events(spark, dir).select($"event_type",
+      round($"value" * 100).cast("long").as("cents"), $"ts")
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val qhat = graft.operators.Quantiles.groupedQuantilesDisc(
+        cents.where($"ts" < split), Seq("event_type"), "cents", Seq(0.9))
+      .select($"event_type", $"value".as("qhat"))
+    graft.operators.Eval.pinballLoss(
+        cents.where($"ts" >= split), qhat, "event_type", "cents", "qhat",
+        tauNum = 9L, tauDen = 10L)
+      .select($"g".as("event_type"), $"n", $"qhat", $"over_sum",
+        $"under_sum", round($"pinball_mean", 6).as("pinball_mean"))
+  }
+
+  /** q382 — trimmed mean at census grain ([[graft.operators.Robust
+    * .trimmedMean]]): 5%-trimmed cent mean per event type — rank
+    * trimming as exact integer interval overlaps on the value census,
+    * no row sort. */
+  def q382TrimmedMean(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.trimmedMean(
+      events(spark, dir).select($"event_type",
+        round($"value" * 100).cast("long").as("cents")),
+      "event_type", "cents", alphaNum = 5L, alphaDen = 100L)
+      .select($"g".as("event_type"), $"n", $"n_trimmed",
+        round($"trimmed_mean", 6).as("trimmed_mean"))
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

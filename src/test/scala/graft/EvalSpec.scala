@@ -812,4 +812,25 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(Eval.friedman(flat.toDF("b", "tr", "v"), "b", "tr", "v")
       .collect().head.isNullAt(2))
   }
+
+  test("pinballLoss: hand asymmetric sums; the true quantile minimizes " +
+      "the loss among candidate forecasts") {
+    import spark.implicits._
+    val ys = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+    def loss(qhat: Long): Double = {
+      val a = ys.map(("g", _)).toDF("g", "y")
+      val f = Seq(("g", qhat)).toDF("g", "q")
+      Eval.pinballLoss(a, f, "g", "y", "q", 9L, 10L)
+        .head().getAs[Double]("pinball_mean")
+    }
+    // qhat = 9 on 1..10: over = (10-9) = 1; under = sum(9-y)+ = 36
+    // mean = (9*1 + 1*36)/(10*10) = 45/100
+    assert(loss(9L) === 0.45)
+    // the empirical P90 (=9) beats lowball and highball claims (the
+    // loss is piecewise linear, so 9 and 10 tie exactly on 1..10 —
+    // both are valid tau=0.9 quantiles of the discrete sample)
+    assert(loss(9L) < loss(5L) && loss(9L) == loss(10L) &&
+      loss(9L) < loss(11L),
+      s"${loss(5L)} ${loss(9L)} ${loss(10L)} ${loss(11L)}")
+  }
 }

@@ -206,6 +206,34 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(out((1L, 2))._2 == direct.getAs[Double]("hll_estimate"))
   }
 
+  test("personalizedPageRank: mass stays near the seeds, uniform " +
+      "seeding over all nodes reproduces plain pageRank, linkless " +
+      "seeds still anchor") {
+    import spark.implicits._
+    // two disconnected triangles {1,2,3} and {4,5,6}; seed = {1}
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (5L, 4L), (6L, 5L), (4L, 6L))
+      .toDF("s", "d")
+    val ppr = Graph.personalizedPageRank(tri, "s", "d",
+        Seq(1L).toDF("seed"), "seed", 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the unseeded component receives NO mass at all
+    assert(ppr(4L) == 0.0 && ppr(5L) == 0.0 && ppr(6L) == 0.0, ppr.toString)
+    assert(ppr(1L) > ppr(2L) && ppr(2L) > 0.0, ppr.toString)
+    // seeding EVERY node uniformly = plain pagerank, bit for bit
+    val all = (1L to 6L).toDF("seed")
+    val uni = Graph.personalizedPageRank(tri, "s", "d", all, "seed", 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = Graph.pageRank(tri, "s", "d", 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni == plain, s"$uni vs $plain")
+    // a seed with no edges keeps its teleport share
+    val lone = Graph.personalizedPageRank(tri, "s", "d",
+        Seq(99L).toDF("seed"), "seed", 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lone(99L) > 0.0 && lone(1L) == 0.0)
+  }
+
   test("textRank: the hub word of a star-shaped corpus ranks first; " +
       "hapax adjacency is pruned") {
     import spark.implicits._

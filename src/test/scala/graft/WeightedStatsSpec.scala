@@ -158,4 +158,29 @@ class WeightedStatsSpec extends AnyFunSuite with SparkFixture {
     assert(run(df.repartition(1)) ==
       run(df.repartition(32, org.apache.spark.sql.functions.col("v"))))
   }
+
+  test("trimmedMean: rank-interval overlaps trim exactly; outliers " +
+      "vanish at 10%; over-trim goes loudly null") {
+    import spark.implicits._
+    import graft.operators.Robust
+    // 1..10 with 10% trim: t=1 -> drop {1} and {10}, mean of 2..9 = 5.5
+    val base = (1L to 10L).map(("g", _)).toDF("g", "v")
+    val r = Robust.trimmedMean(base, "g", "v", 10L, 100L).head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_trimmed") == 2L)
+    assert(r.getAs[Double]("trimmed_mean") === 5.5)
+    // a massive outlier does not move the trimmed mean (it IS the trim)
+    val dirty = ((1L to 9L).map(("d", _)) :+ (("d", 1000000L))).toDF("g", "v")
+    val rd = Robust.trimmedMean(dirty, "g", "v", 10L, 100L).head()
+    assert(rd.getAs[Double]("trimmed_mean") === 5.5)
+    // ties spanning the trim boundary split by multiplicity overlap:
+    // {1,1,1,9}: t=1 drops one 1 and the 9 -> mean of {1,1} = 1
+    val ties = Seq(1L, 1L, 1L, 9L).map(("t", _)).toDF("g", "v")
+    assert(Robust.trimmedMean(ties, "g", "v", 25L, 100L).head()
+      .getAs[Double]("trimmed_mean") === 1.0)
+    // alpha < 1/2 guarantees t < n/2, so something ALWAYS survives:
+    // a singleton at the maximum trim is its own trimmed mean
+    val rz = Robust.trimmedMean(
+      Seq(("z", 5L)).toDF("g", "v"), "g", "v", 49L, 100L).head()
+    assert(rz.getAs[Double]("trimmed_mean") === 5.0) // t=0 at n=1
+  }
 }
