@@ -684,6 +684,47 @@ object Streams {
       }
   }
 
+  case class PhState(t: Long, sx: Double, m: Double, mn: Double,
+      na: Long, fa: Option[String], mx: Double)
+  case class PhOut(key: String, n_obs: Long, n_alarms: Long,
+      first_alarm: Option[String], max_stat: Double, ph_end: Double)
+
+  /** Streaming Page–Hinkley drift monitor — the q359 twin
+    * ([[graft.operators.ChangePoint.pageHinkley]] is the batch side):
+    * per key the WHOLE state is (t, Σx, m, min m, alarm tallies) —
+    * seven scalars however long the stream runs, which is the point of
+    * PH as an online detector. The per-step arithmetic is the batch
+    * fold verbatim (same division shapes, same strict `>` alarm), so a
+    * chronologically-fed stream equals batch at every prefix
+    * (spec-asserted); within a micro-batch rows sort by `ord` (the
+    * batch census order), cross-batch order is the arrival contract.
+    * Input columns: (key, ord, x). */
+  def pageHinkleyStream(rows: DataFrame, delta: Double,
+      threshold: Double): Dataset[PhOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("key").cast("string"), col("ord").cast("string"),
+      col("x").cast("double"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[PhState, PhOut](GroupStateTimeout.NoTimeout) {
+        (key: String, evts: Iterator[(String, String, Double)],
+            state: GroupState[PhState]) =>
+          var st = state.getOption
+            .getOrElse(PhState(0L, 0.0, 0.0, 0.0, 0L, None, 0.0))
+          evts.toSeq.sortBy(_._2).foreach { case (_, o, x) =>
+            val mNext = st.m + x - (st.sx + x) / (st.t + 1).toDouble - delta
+            val stat = mNext - math.min(st.mn, mNext)
+            st = PhState(st.t + 1, st.sx + x, mNext,
+              math.min(st.mn, mNext),
+              st.na + (if (stat > threshold) 1L else 0L),
+              st.fa.orElse(if (stat > threshold) Some(o) else None),
+              math.max(st.mx, stat))
+          }
+          state.update(st)
+          PhOut(key, st.t, st.na, st.fa, st.mx, st.m - st.mn)
+      }
+  }
+
   case class GapState(lastMs: Long, n: Long, s1: String, s2: String)
   case class GapCensusOut(user_id: Long, n_gaps: Long, s1: String, s2: String)
 

@@ -929,6 +929,42 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming page-hinkley matches the batch fold at every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .orderBy("day", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val mem = MemoryStream[(String, String, Double)]
+    val src = mem.toDF().toDF("key", "ord", "x")
+    val q = Streams.pageHinkleyStream(src, delta = 1.0, threshold = 25.0)
+      .writeStream.format("memory").queryName("ph_stream")
+      .outputMode("update").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      var seen = IndexedSeq.empty[(String, String, Double)]
+      val latest = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Row]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+        spark.table("ph_stream").collect().foreach(r => latest(r.getString(0)) = r)
+        val streamed = latest.map { case (k, r) =>
+          k -> ((r.getLong(1), r.getLong(2), Option(r.get(3)),
+            r.getDouble(4), r.getDouble(5)))
+        }.toMap
+        val batch = graft.operators.ChangePoint.pageHinkley(
+            seen.toDF("k", "d", "x"), "k", "d", "x", 1.0, 25.0)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), Option(r.get(3)),
+              r.getDouble(4), r.getDouble(5)))).toMap
+        assert(streamed === batch, s"prefix of ${seen.length}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming KS census matches batch census and statistic at every prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
