@@ -404,6 +404,7 @@ object SparkEntry {
     "q380_personalized_pr"  -> (R.q380PersonalizedPr(_, _)),
     "q381_pinball"          -> (T.q381Pinball(_, _)),
     "q382_trimmed_mean"     -> (T.q382TrimmedMean(_, _)),
+    "q383_energy_distance"  -> (T.q383EnergyDistance(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8375,6 +8376,51 @@ object SparkEntry {
         |        / CAST(sum(keep) AS DOUBLE)
         |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS trimmed_mean
         |FROM ov GROUP BY 1""".stripMargin,
+    // q383: pair sums via the sorted-prefix identity — exact HUGEINT
+    // from two cumulative windows; three pinned terminal divisions
+    "q383_energy_distance" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS r
+        |  FROM events),
+        |c AS (SELECT v, CAST(sum(1 - r) AS BIGINT) AS ca,
+        |    CAST(sum(r) AS BIGINT) AS cb FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(v AS HUGEINT) * ca) AS HUGEINT) AS ta,
+        |    CAST(sum(CAST(v AS HUGEINT) * cb) AS HUGEINT) AS tb,
+        |    CAST(count(*) AS BIGINT) AS n_values FROM c),
+        |w AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,
+        |    sum(CAST(v AS HUGEINT) * ca) OVER (ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS sa,
+        |    sum(CAST(v AS HUGEINT) * cb) OVER (ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS sb
+        |  FROM c),
+        |s AS (SELECT na, nb, n_values,
+        |    sum(CAST(cb AS HUGEINT) * (CAST(v AS HUGEINT)
+        |      * (2 * CAST(fa AS HUGEINT) - na)
+        |      - (2 * CAST(sa AS HUGEINT) - ta))) AS sxy,
+        |    sum(CAST(ca AS HUGEINT) * (CAST(v AS HUGEINT)
+        |      * (2 * CAST(fa AS HUGEINT) - na)
+        |      - (2 * CAST(sa AS HUGEINT) - ta))) AS sxx,
+        |    sum(CAST(cb AS HUGEINT) * (CAST(v AS HUGEINT)
+        |      * (2 * CAST(fb AS HUGEINT) - nb)
+        |      - (2 * CAST(sb AS HUGEINT) - tb))) AS syy
+        |  FROM w, t GROUP BY 1, 2, 3),
+        |f AS (SELECT na, nb, n_values,
+        |    2.0 * CAST(sxy AS DOUBLE) / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)
+        |    - CAST(sxx AS DOUBLE) / CAST(CAST(na AS HUGEINT) * na AS DOUBLE)
+        |    - CAST(syy AS DOUBLE) / CAST(CAST(nb AS HUGEINT) * nb AS DOUBLE)
+        |      AS e2
+        |  FROM s)
+        |SELECT na AS n_a, nb AS n_b, n_values,
+        |  CAST(round(CAST(CAST(e2 AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS e2,
+        |  CAST(round(CAST(CAST(sqrt(greatest(e2, 0.0)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS e
+        |FROM f""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -1216,6 +1216,18 @@ object TimeSeries {
         "cents", $"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"))
       .select($"n_a", $"n_b", $"n_values", round($"a2", 6).as("a2"))
 
+  /** q383 — energy distance drift ([[graft.operators.Divergence
+    * .energyDistance]]): the metric-valued statistic on the q239
+    * before/after split — cents of distributional displacement; exact
+    * pair sums from sorted-prefix identities, never an O(n²) join. */
+  def q383EnergyDistance(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.energyDistance(
+        events(spark, dir).select(
+          round($"value" * 100).cast("long").as("cents"), $"ts"),
+        "cents", $"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"))
+      .select($"n_a", $"n_b", $"n_values", round($"e2", 6).as("e2"),
+        round($"e", 6).as("e"))
+
   /** q318 — Jensen–Shannon drift ([[graft.operators.Divergence
     * .jensenShannon]]): per-source bounded symmetric divergence from
     * the corpus over the 256-bucket hashed token space — the

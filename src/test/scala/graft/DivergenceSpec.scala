@@ -236,6 +236,27 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(sep > 10 * mix, s"sep=$sep mix=$mix")
   }
 
+  test("energyDistance: hand pair sums, exact zero on identical " +
+      "samples, metric scales with the planted shift") {
+    import spark.implicits._
+    def ed(a: Seq[Long], b: Seq[Long]) = {
+      val df = (a.map((_, false)) ++ b.map((_, true))).toDF("v", "r")
+      Divergence.energyDistance(df, "v",
+        org.apache.spark.sql.functions.col("r")).head()
+    }
+    // X={0,2}, Y={1}: E|X-Y|=1, E|X-X'|=1, E|Y-Y'|=0 -> e2 = 1
+    val r = ed(Seq(0L, 2L), Seq(1L))
+    assert(r.getAs[Double]("e2") === 1.0 && r.getAs[Double]("e") === 1.0)
+    // identical samples: terms cancel to an exact float zero
+    assert(ed(Seq(1L, 5L, 9L), Seq(1L, 5L, 9L)).getAs[Double]("e2") == 0.0)
+    // a location shift of d moves e2 like ~d (metric units): 10x shift
+    // must dominate 1x shift
+    val base = (1L to 100L)
+    val e1 = ed(base, base.map(_ + 10L)).getAs[Double]("e")
+    val e10 = ed(base, base.map(_ + 100L)).getAs[Double]("e")
+    assert(e10 > 5 * e1, s"$e1 vs $e10")
+  }
+
   test("jarqueBera: hand moments on a tiny group, symmetric data has " +
       "zero skew, constant groups go null") {
     import spark.implicits._
