@@ -405,6 +405,7 @@ object SparkEntry {
     "q381_pinball"          -> (T.q381Pinball(_, _)),
     "q382_trimmed_mean"     -> (T.q382TrimmedMean(_, _)),
     "q383_energy_distance"  -> (T.q383EnergyDistance(_, _)),
+    "q384_gaussian_kl"      -> (T.q384GaussianKl(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8420,6 +8421,37 @@ object SparkEntry {
         |    AS DOUBLE) AS e2,
         |  CAST(round(CAST(CAST(sqrt(greatest(e2, 0.0)) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS e
+        |FROM f""".stripMargin,
+    // q384: exact moment censuses, population variances as single
+    // divisions, one ln on a pinned ratio
+    "q384_gaussian_kl" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events
+        |  WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s1,
+        |    sum(CAST(y AS HUGEINT) * y) AS s2 FROM e GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS c1,
+        |    sum(CAST(y AS HUGEINT) * y) AS c2 FROM e),
+        |f AS (SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mug,
+        |    CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS vg,
+        |    CAST(c1 AS DOUBLE) / CAST(nc AS DOUBLE) AS muc,
+        |    CAST(nc * c2 - c1 * c1 AS DOUBLE)
+        |      / CAST(CAST(nc AS HUGEINT) * nc AS DOUBLE) AS vc
+        |  FROM g, t)
+        |SELECT event_type, n,
+        |  CAST(round(CAST(CAST(mug AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS mean,
+        |  CAST(round(CAST(CAST(vg AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS variance,
+        |  CASE WHEN vg > 0.0 AND vc > 0.0 THEN
+        |    CAST(round(CAST(CAST(
+        |      0.5 * ln(vc / vg) + (vg + (mug - muc) * (mug - muc))
+        |        / (2.0 * vc) - 0.5
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS kl
         |FROM f""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source

@@ -556,6 +556,46 @@ object Divergence {
               .cast(dec).cast("double")).as("tv"))
   }
 
+  /** Gaussian-moment KL divergence per group vs the pooled corpus —
+    * the two-moment drift summary for dashboards that can't afford a
+    * census: fit N(μ, σ²) to each group and to the corpus from EXACT
+    * moment sums and read
+    *   KL(g‖corpus) = ½·ln(σ_c²/σ_g²) + (σ_g² + (μ_g−μ_c)²)/(2σ_c²) − ½.
+    * A deliberate approximation (document it as such): it sees
+    * location/scale drift only — shape drift needs the census family
+    * ([[ksTwoSample]]/[[energyDistance]]); its virtue is ONE moment
+    * census and closed form at any scale.
+    *
+    * Exactness: per-group and corpus (n, Σy, Σy²) are exact decimals;
+    * variances are single divisions (population σ², pinned); the ln is
+    * one call on a pinned ratio (the established ln-parity contract).
+    * Groups with zero variance emit null (loud). Output: (g, n, mean,
+    * variance, kl). */
+  def gaussianKl(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val y = col(valueCol).cast("long").cast(dec)
+    val base = df.where(col(valueCol).isNotNull)
+    val g = base.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(y).cast(dec).as("s1"),
+        sum((y * y).cast(dec)).cast(dec).as("s2"))
+    val tot = broadcast(base.agg(count(lit(1)).as("nc"),
+      sum(y).cast(dec).as("c1"), sum((y * y).cast(dec)).cast(dec).as("c2")))
+    def dd(c: Column): Column = c.cast("double")
+    def mu(s: Column, n: Column): Column = dd(s) / dd(n)
+    def va(n: Column, s1: Column, s2: Column): Column =
+      (n.cast(dec) * s2 - s1 * s1).cast(dec).cast("double") /
+        (n.cast(dec) * n.cast(dec)).cast(dec).cast("double")
+    val vg = va(col("n"), col("s1"), col("s2"))
+    val vc = va(col("nc"), col("c1"), col("c2"))
+    val dmu = mu(col("s1"), col("n")) - mu(col("c1"), col("nc"))
+    val kl = lit(0.5) * log(vc / vg) +
+      (vg + dmu * dmu) / (lit(2.0) * vc) - lit(0.5)
+    g.crossJoin(tot)
+      .select(col("g"), col("n"), mu(col("s1"), col("n")).as("mean"),
+        vg.as("variance"),
+        when(vg > 0.0 && vc > 0.0, kl).as("kl"))
+  }
+
   /** Two-sample energy distance (Székely & Rizzo 2004) — the drift
     * statistic with a METRIC interpretation the CDF family lacks:
     *   E² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| ≥ 0, = 0 iff same

@@ -1228,6 +1228,18 @@ object TimeSeries {
       .select($"n_a", $"n_b", $"n_values", round($"e2", 6).as("e2"),
         round($"e", 6).as("e"))
 
+  /** q384 — Gaussian-moment KL ([[graft.operators.Divergence
+    * .gaussianKl]]): per-type two-moment drift vs the pooled corpus —
+    * the closed-form dashboard number beside the census family;
+    * deliberately location/scale-only. */
+  def q384GaussianKl(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.gaussianKl(
+      events(spark, dir).select($"event_type",
+        round($"value" * 100).cast("long").as("cents")),
+      "event_type", "cents")
+      .select($"g".as("event_type"), $"n", round($"mean", 6).as("mean"),
+        round($"variance", 6).as("variance"), round($"kl", 6).as("kl"))
+
   /** q318 — Jensen–Shannon drift ([[graft.operators.Divergence
     * .jensenShannon]]): per-source bounded symmetric divergence from
     * the corpus over the 256-bucket hashed token space — the

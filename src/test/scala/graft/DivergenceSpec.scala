@@ -257,6 +257,30 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(e10 > 5 * e1, s"$e1 vs $e10")
   }
 
+  test("gaussianKl: a group that IS the corpus lands exactly 0; " +
+      "shifted and rescaled groups both register; zero variance null") {
+    import spark.implicits._
+    // one group == corpus: mu_g = mu_c, v_g = v_c -> kl = 0 exactly
+    val solo = Seq(("g", 1L), ("g", 5L), ("g", 9L)).toDF("k", "v")
+    assert(Divergence.gaussianKl(solo, "k", "v").head()
+      .getAs[Double]("kl") == 0.0)
+    // two groups, one shifted: both nonzero, shifted one carries the
+    // location term
+    val two = (Seq.fill(50)(("a", 10L)) ++ Seq.fill(50)(("a", 12L)) ++
+      Seq.fill(50)(("b", 30L)) ++ Seq.fill(50)(("b", 32L))).toDF("k", "v")
+    val m = Divergence.gaussianKl(two, "k", "v").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("kl")).toMap
+    // symmetric construction: both groups diverge equally from pooled
+    assert(m("a") == m("b") && m("a") > 1.0, m.toString)
+    // constant group: zero variance -> null kl, loud
+    val flat = (Seq.fill(5)(("f", 7L)) ++ Seq(("o", 1L), ("o", 9L)))
+      .toDF("k", "v")
+    val rf = Divergence.gaussianKl(flat, "k", "v").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(rf("f").isNullAt(rf("f").fieldIndex("kl")))
+    assert(!rf("o").isNullAt(rf("o").fieldIndex("kl")))
+  }
+
   test("jarqueBera: hand moments on a tiny group, symmetric data has " +
       "zero skew, constant groups go null") {
     import spark.implicits._
