@@ -406,6 +406,7 @@ object SparkEntry {
     "q382_trimmed_mean"     -> (T.q382TrimmedMean(_, _)),
     "q383_energy_distance"  -> (T.q383EnergyDistance(_, _)),
     "q384_gaussian_kl"      -> (T.q384GaussianKl(_, _)),
+    "q385_mmr_select"       -> (D.q385MmrSelect(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8453,6 +8454,48 @@ object SparkEntry {
         |        / (2.0 * vc) - 0.5
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS kl
         |FROM f""".stripMargin,
+    // q385: 10 unrolled greedy rounds on the integer grid; cosines are
+    // pinned doubles of exact long dots; picks excluded by id per round
+    "q385_mmr_select" -> {
+      val dot = (a: String, b: String) =>
+        s"""list_reduce(list_transform(range(1, len($a) + 1),
+           |i -> $a[i] * $b[i]), (x, y) -> x + y)""".stripMargin
+      val base =
+        s"""WITH pts AS (SELECT vec_id AS id, list_transform(embedding,
+           |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+           |  AS v FROM embeddings WHERE embedding IS NOT NULL),
+           |pn AS (SELECT id, v, ${dot("v", "v")} AS ssv FROM pts),
+           |q0 AS (SELECT list_transform(embedding,
+           |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+           |  AS qv FROM embeddings WHERE label = 0),
+           |qd AS (SELECT i, CAST(sum(qv[i]) AS BIGINT) AS s
+           |  FROM (SELECT unnest(range(1, len(qv) + 1)) AS i, qv FROM q0)
+           |  GROUP BY 1),
+           |qv AS (SELECT list(s ORDER BY i) AS qv FROM qd),
+           |qn AS (SELECT qv, ${dot("qv", "qv")} AS ssq FROM qv),
+           |m0 AS (SELECT id, v, ssv,
+           |  CAST(${dot("v", "qv")} AS DOUBLE)
+           |    / (sqrt(CAST(ssv AS DOUBLE)) * sqrt(CAST(ssq AS DOUBLE)))
+           |    AS rel, CAST(0.0 AS DOUBLE) AS ms
+           |  FROM pn, qn WHERE ssv > 0 AND ssq > 0)""".stripMargin
+      val rounds = (1 to 10).map { j =>
+        s"""c$j AS (SELECT id, v, ssv, rel, ms,
+           |  0.7 * rel - ${1.0 - 0.7} * ms AS score
+           |  FROM m${j - 1} ORDER BY score DESC, id LIMIT 1),
+           |m$j AS (SELECT a.id, a.v, a.ssv, a.rel,
+           |  greatest(a.ms, CAST(${dot("a.v", "c.v")} AS DOUBLE)
+           |    / (sqrt(CAST(a.ssv AS DOUBLE)) * sqrt(CAST(c.ssv AS DOUBLE))))
+           |    AS ms
+           |  FROM m${j - 1} a, c$j c WHERE a.id <> c.id)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val sel = (1 to 10).map { j =>
+        s"SELECT $j AS rank, id AS vec_id, " +
+          "CAST(round(CAST(CAST(rel AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS rel, " +
+          "CAST(round(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS score " +
+          s"FROM c$j"
+      }.mkString("\nUNION ALL ")
+      base + rounds + "\n" + sel
+    },
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -842,6 +842,75 @@ object Similarity {
     * centers join, never a global window; the running state
     * localCheckpoints per round (k plans, not a 2^k tree). Output: k
     * rows (seed_rank, id, dist2), dist2 null on the anchor. */
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998)
+    * — relevance-AND-diversity top-k, the curation move a plain
+    * cosine top-k can't make (it returns k near-duplicates of the
+    * best hit): greedily pick
+    *   argmax λ·cos(q, v) − (1−λ)·max_{c ∈ chosen} cos(c, v),
+    * ties (score desc, id asc). The retrieval-side sibling of
+    * [[kCenterSeeds]] (pure diversity) and the eval-panel builder for
+    * dedup-aware few-shot selection.
+    *
+    * Exactness: vectors and the query ride the ⌊x·scale+0.5⌋ integer
+    * grid; every dot/norm is an exact long; each cosine and score is a
+    * pinned double shape; λ multiplications replay. Zero-norm
+    * candidates are dropped loudly upfront (cosine undefined).
+    *
+    * Scale shape: per round ONE broadcast of the picked row, a
+    * map-side greatest() update of the running max-similarity, and a
+    * sort-limit argmax — never candidates × chosen; state
+    * localCheckpoints per round ([[kCenterSeeds]]'s loop). Output: k
+    * rows (rank, id, rel, score). */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      lambda: Double = 0.7, scale: Long = 1L << 20): DataFrame = {
+    require(k >= 1 && lambda > 0 && lambda < 1, s"bad k=$k lambda=$lambda")
+    val q = broadcast(query.select(col(queryVecCol).as("qv"))
+      .withColumn("ssq", expr(
+        "aggregate(zip_with(qv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .limit(1))
+    val quant = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), expr(
+        s"""transform($vecCol, x ->
+           |CAST(floor(CAST(x AS DOUBLE) * $scale.0D + 0.5D) AS BIGINT))"""
+          .stripMargin).as("v"))
+      .withColumn("ssv", expr(
+        "aggregate(zip_with(v, v, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .where(col("ssv") > 0L)
+    val dotQ = expr(
+      "aggregate(zip_with(v, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    var state = quant.crossJoin(q).where(col("ssq") > 0L)
+      .select(col("id"), col("v"), col("ssv"),
+        (dotQ.cast("double") /
+          (sqrt(col("ssv").cast("double")) * sqrt(col("ssq").cast("double"))))
+          .as("rel"))
+      .withColumn("ms", lit(0.0))
+      .localCheckpoint(false)
+    val score = (lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms"))
+    var chosen: DataFrame = null
+    for (rank <- 1 to k) {
+      val cj = state
+        .withColumn("__score", score)
+        .orderBy(col("__score").desc, col("id").asc).limit(1)
+        .localCheckpoint(false)
+      val pick = cj.select(lit(rank).as("rank"), col("id"), col("rel"),
+        col("__score").as("score"))
+      chosen = if (chosen == null) pick else chosen.unionAll(pick)
+      val dotP = expr(
+        "aggregate(zip_with(v, pv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+      state = state
+        .crossJoin(broadcast(cj.select(col("id").as("pid"),
+          col("v").as("pv"), col("ssv").as("pss"))))
+        .where(col("id") =!= col("pid"))
+        .select(col("id"), col("v"), col("ssv"), col("rel"),
+          greatest(col("ms"), dotP.cast("double") /
+            (sqrt(col("ssv").cast("double")) * sqrt(col("pss").cast("double"))))
+            .as("ms"))
+        .localCheckpoint(false)
+    }
+    chosen
+  }
+
   def kCenterSeeds(df: DataFrame, idCol: String, vecCol: String, k: Int,
       scale: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

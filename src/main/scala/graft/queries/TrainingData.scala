@@ -3038,6 +3038,26 @@ object TrainingData {
         simGrid = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
       .select($"b", $"r", $"s", round($"p_collide", 6).as("p_collide"))
 
+  /** q385 — MMR diverse selection ([[graft.operators.Similarity
+    * .mmrSelect]]): 10 relevance-and-diversity picks against the
+    * label-0 centroid query (integer sum vector — the 1/n cancels in
+    * the cosine) — the dedup-aware retrieval a plain top-k can't do. */
+  def q385MmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.where($"label" === 0)
+      .select(posexplode(expr(
+        """transform(embedding, x ->
+          |CAST(floor(CAST(x AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT))"""
+          .stripMargin)).as(Seq("dim", "qx")))
+      .groupBy($"dim").agg(sum($"qx").as("s"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, s))), e -> e.s)")
+        .as("qv"))
+    graft.operators.Similarity.mmrSelect(emb, "vec_id", "embedding",
+        qv, "qv", k = 10, lambda = 0.7)
+      .select($"rank", $"id".as("vec_id"), round($"rel", 6).as("rel"),
+        round($"score", 6).as("score"))
+  }
+
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
     * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
     * the next shard brings, q246's Zipf companion. Exact per-source

@@ -427,6 +427,28 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(na == 2L)
   }
 
+  test("mmrSelect: top pick is pure relevance, an exact duplicate of " +
+      "it is deferred behind a diverse moderately-relevant vector") {
+    import spark.implicits._
+    // query (3,1); a=(1,0) rel ~.949 (id 1), b = dup of a (id 2),
+    // c=(0,1) rel ~.316 orthogonal to a. lambda=0.5: round 2 scores
+    // b at .5(.949-1) < 0 and c at .5(.316-0) > 0 -> c before b
+    val cands = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("id", "v")
+    val q = Seq(Tuple1(Seq(3L, 1L))).toDF("qv")
+    val out = graft.operators.Similarity.mmrSelect(cands, "id", "v",
+      q, "qv", k = 3, lambda = 0.5, scale = 1L)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L, 2L),
+      out.mkString(", "))
+    assert(math.abs(out(0).getAs[Double]("rel") - 3.0 / math.sqrt(10)) < 1e-12)
+    // the duplicate's selection score carries the full redundancy hit
+    assert(out(2).getAs[Double]("score") < 0.0)
+    // rank-1 score = lambda * rel (ms starts at 0)
+    assert(out(0).getAs[Double]("score") ===
+      0.5 * out(0).getAs[Double]("rel"))
+  }
+
   test("kCenterSeeds: farthest-point order on a planted line; ties " +
       "break by id; selection distances are the radius certificate") {
     import spark.implicits._
