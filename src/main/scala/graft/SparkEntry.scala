@@ -407,6 +407,7 @@ object SparkEntry {
     "q383_energy_distance"  -> (T.q383EnergyDistance(_, _)),
     "q384_gaussian_kl"      -> (T.q384GaussianKl(_, _)),
     "q385_mmr_select"       -> (D.q385MmrSelect(_, _)),
+    "q386_jl_distortion"    -> (D.q386JlDistortion(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8496,6 +8497,50 @@ object SparkEntry {
       }.mkString("\nUNION ALL ")
       base + rounds + "\n" + sel
     },
+    // q386: md5 sign matrix and projections replayed on the integer
+    // grid; ratio bins and the quantile_disc rank rule as in q381
+    "q386_jl_distortion" ->
+      """WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+        |    AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |dn AS (SELECT len(v) AS din FROM q LIMIT 1),
+        |sm AS (SELECT list(s ORDER BY ix) AS sm FROM (
+        |  SELECT j * din + i AS ix,
+        |    CASE WHEN CAST(('0x' || substr(md5('jl:' || CAST(j AS VARCHAR)
+        |      || ':' || CAST(i AS VARCHAR)), 1, 2)) AS BIGINT) % 2 = 0
+        |    THEN 1 ELSE -1 END AS s
+        |  FROM dn, range(0, 16) t1(j), range(0, 64) t2(i)
+        |  WHERE i < din)),
+        |p AS (SELECT id, v, list_transform(range(0, 16), j ->
+        |    list_reduce(list_transform(range(1, din + 1),
+        |      i -> sm[j * din + i] * v[i]), (a, b) -> a + b)) AS pv
+        |  FROM q, sm, dn),
+        |pr AS (SELECT a.id,
+        |    list_reduce(list_transform(range(1, din + 1),
+        |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+        |      (x, y) -> x + y) AS dv,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i])),
+        |      (x, y) -> x + y) AS dp
+        |  FROM p a JOIN p b ON a.id + 1000 = b.id, dn),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(CASE WHEN dv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deg
+        |  FROM pr),
+        |rb AS (SELECT CAST(floor((CAST(dp AS DOUBLE) / 16.0)
+        |    / CAST(dv AS DOUBLE) * 1000.0) AS BIGINT) AS bin
+        |  FROM pr WHERE dv > 0),
+        |cen AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM rb GROUP BY 1),
+        |cum AS (SELECT bin,
+        |    sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER () AS n FROM cen),
+        |qq AS (SELECT pp.p, min(bin) AS ratio_bin
+        |  FROM cum, (SELECT CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS p) pp
+        |  WHERE cum >= greatest(least(CAST(ceil(pp.p * n) AS BIGINT), n), 1)
+        |  GROUP BY 1)
+        |SELECT qq.p, ct.n_all - ct.n_deg AS n_pairs,
+        |  ct.n_deg AS n_degenerate, ratio_bin
+        |FROM qq, ct""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -861,6 +861,77 @@ object Similarity {
     * sort-limit argmax — never candidates × chosen; state
     * localCheckpoints per round ([[kCenterSeeds]]'s loop). Output: k
     * rows (rank, id, rel, score). */
+  /** Johnson–Lindenstrauss ±1 projection with a distortion AUDIT —
+    * the dimensionality-reduction leg of the ANN scale path (project
+    * 64-d to k-d before LSH/IVF and the index shrinks 4×), shipped
+    * WITH the evidence that distances survived: for a pinned pair
+    * sample, ratio = (‖Pa−Pb‖²/k) / ‖a−b‖² (Achlioptas 2003: E = 1),
+    * reported as exact-rank deciles of the millibin census.
+    *
+    * Determinism: the ±1 sign matrix is md5-derived (engine-
+    * replayable, the [[graft.operators.Sketches]] convention) and
+    * broadcast as ONE flat array row; components ride the integer
+    * grid, so every projection coordinate and squared distance is an
+    * EXACT integer; the only doubles are the per-pair ratio (one
+    * division) and its ⌊ratio·1000⌋ bin. Pairs with identical inputs
+    * (zero denominator) are dropped and counted.
+    *
+    * Scale shape: projection is a map-side transform against the
+    * broadcast sign row; pairing is one self-join on id+offset;
+    * deciles come from [[graft.operators.Quantiles
+    * .groupedQuantilesDisc]] on the bin census. Output: (p, n_pairs,
+    * n_degenerate, ratio_bin). */
+  def jlDistortion(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, pairOffset: Long, scale: Long = 1L << 20,
+      ps: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame = {
+    require(outDims >= 1 && pairOffset > 0, s"bad k=$outDims off=$pairOffset")
+    val spark = df.sparkSession
+    val quant = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), expr(
+        s"""transform($vecCol, x ->
+           |CAST(floor(CAST(x AS DOUBLE) * $scale.0D + 0.5D) AS BIGINT))"""
+          .stripMargin).as("v"))
+    val dIn = quant.select(size(col("v"))).limit(1)
+    // md5 sign matrix, flat row-major [j * dIn + i], one broadcast row
+    val signs = broadcast(spark.range(0, outDims.toLong * 4096)
+      .crossJoin(broadcast(dIn.toDF("din")))
+      .where(col("id") < lit(outDims) * col("din"))
+      .select(col("id").as("ix"), col("din"),
+        when(conv(substring(md5(concat(lit("jl:"),
+          (col("id") / col("din")).cast("long").cast("string"), lit(":"),
+          (col("id") % col("din")).cast("string"))), 1, 2), 16, 10)
+          .cast("long") % 2 === 0L, 1L).otherwise(-1L).as("s"))
+      .groupBy(col("din"))
+      .agg(expr("transform(array_sort(collect_list(struct(ix, s))), e -> e.s)")
+        .as("sm")))
+    val projected = quant.crossJoin(signs)
+      .select(col("id"), col("v"), expr(
+        s"""transform(sequence(0, ${outDims - 1}), j ->
+           |aggregate(sequence(1, CAST(din AS INT)), 0L,
+           |  (a, i) -> a + element_at(sm, j * CAST(din AS INT) + i)
+           |    * element_at(v, i)))""".stripMargin).as("p"))
+      .localCheckpoint(false)
+    val b = projected.select(col("id").as("idb"), col("v").as("vb"),
+      col("p").as("pb"))
+    val pairs = projected
+      .join(b, projected("id") + pairOffset === b("idb"))
+      .select(col("id"),
+        expr("aggregate(zip_with(v, vb, (x, y) -> (x - y) * (x - y)), 0L, (a, t) -> a + t)")
+          .as("dv"),
+        expr("aggregate(zip_with(p, pb, (x, y) -> (x - y) * (x - y)), 0L, (a, t) -> a + t)")
+          .as("dp"))
+    val counted = pairs.agg(count(lit(1)).as("n_all"),
+      sum(when(col("dv") === 0L, 1L).otherwise(0L)).as("n_degenerate"))
+    val ratios = pairs.where(col("dv") > 0L)
+      .select(floor((col("dp").cast("double") / lit(outDims.toDouble)) /
+        col("dv").cast("double") * lit(1000.0)).cast("long").as("bin"))
+      .withColumn("g", lit("all"))
+    Quantiles.groupedQuantilesDisc(ratios, Seq("g"), "bin", ps)
+      .crossJoin(broadcast(counted))
+      .select(col("p"), (col("n_all") - col("n_degenerate")).as("n_pairs"),
+        col("n_degenerate"), col("value").as("ratio_bin"))
+  }
+
   def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, queryVecCol: String, k: Int,
       lambda: Double = 0.7, scale: Long = 1L << 20): DataFrame = {

@@ -3058,6 +3058,16 @@ object TrainingData {
         round($"score", 6).as("score"))
   }
 
+  /** q386 — JL projection distortion audit ([[graft.operators
+    * .Similarity.jlDistortion]]): 64-d → 16-d ±1 md5 projection with
+    * the distance-preservation deciles over 1,000 pinned pairs — the
+    * ANN index-shrinking leg shipped with its evidence. */
+  def q386JlDistortion(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.jlDistortion(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        outDims = 16, pairOffset = 1000L)
+      .select($"p", $"n_pairs", $"n_degenerate", $"ratio_bin")
+
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
     * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
     * the next shard brings, q246's Zipf companion. Exact per-source

@@ -449,6 +449,28 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       0.5 * out(0).getAs[Double]("rel"))
   }
 
+  test("jlDistortion: ratios concentrate near 1 on the real embedding " +
+      "table; identical pairs are counted degenerate, not divided") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Similarity.jlDistortion(
+        emb, "vec_id", "embedding", outDims = 16, pairOffset = 100L)
+      .collect().map(r => r.getAs[Double]("p") -> r.getAs[Long]("ratio_bin"))
+      .toMap
+    // E[ratio] = 1 (bin 1000); with k=16 the deciles stay well inside
+    // a generous band and must straddle the median sensibly
+    assert(out(0.5) > 300 && out(0.5) < 2500, out.toString)
+    assert(out(0.1) <= out(0.5) && out(0.5) <= out(0.9))
+    // a planted duplicate pair: dv = 0 -> degenerate, never divided
+    val dup = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 0.0f)),
+      (101L, Seq(1.0f, 2.0f)), (102L, Seq(4.0f, 1.0f))).toDF("id", "v")
+    val d = graft.operators.Similarity.jlDistortion(
+        dup, "id", "v", outDims = 4, pairOffset = 100L)
+      .collect()
+    assert(d.forall(_.getAs[Long]("n_degenerate") == 1L), d.mkString(", "))
+    assert(d.forall(_.getAs[Long]("n_pairs") == 1L))
+  }
+
   test("kCenterSeeds: farthest-point order on a planted line; ties " +
       "break by id; selection distances are the radius certificate") {
     import spark.implicits._
