@@ -8522,7 +8522,7 @@ object SparkEntry {
         |    list_reduce(list_transform(range(1, 17),
         |      i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i])),
         |      (x, y) -> x + y) AS dp
-        |  FROM p a JOIN p b ON a.id + 1000 = b.id, dn),
+        |  FROM p a JOIN p b ON a.id + 100 = b.id, dn),
         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
         |    CAST(sum(CASE WHEN dv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deg
         |  FROM pr),

@@ -3060,12 +3060,12 @@ object TrainingData {
 
   /** q386 — JL projection distortion audit ([[graft.operators
     * .Similarity.jlDistortion]]): 64-d → 16-d ±1 md5 projection with
-    * the distance-preservation deciles over 1,000 pinned pairs — the
+    * the distance-preservation deciles over the id+100 pinned pairs — the
     * ANN index-shrinking leg shipped with its evidence. */
   def q386JlDistortion(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.jlDistortion(
         Tables.embeddings(spark, dir), "vec_id", "embedding",
-        outDims = 16, pairOffset = 1000L)
+        outDims = 16, pairOffset = 100L)
       .select($"p", $"n_pairs", $"n_degenerate", $"ratio_bin")
 
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
