@@ -408,6 +408,7 @@ object SparkEntry {
     "q384_gaussian_kl"      -> (T.q384GaussianKl(_, _)),
     "q385_mmr_select"       -> (D.q385MmrSelect(_, _)),
     "q386_jl_distortion"    -> (D.q386JlDistortion(_, _)),
+    "q387_source_containment" -> (D.q387SourceContainment(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8541,6 +8542,26 @@ object SparkEntry {
         |SELECT qq.p, ct.n_all - ct.n_deg AS n_pairs,
         |  ct.n_deg AS n_degenerate, ratio_bin
         |FROM qq, ct""".stripMargin,
+    // q387: distinct (source, gram) census self-join keyed on the
+    // gram; cells are exact distinct-type counts
+    "q387_source_containment" ->
+      """WITH tk AS (SELECT source AS s,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT s, unnest(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+        |  FROM tk WHERE len(toks) >= 3),
+        |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM g GROUP BY 1),
+        |pr AS (SELECT a.s AS src_a, b.s AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b ON a.g = b.g AND a.s <> b.s GROUP BY 1, 2)
+        |SELECT src_a, src_b, sz.n_types AS n_a, n_shared,
+        |  CAST(round(CAST(CAST(
+        |    CAST(n_shared AS DOUBLE) / CAST(sz.n_types AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS containment
+        |FROM pr JOIN sz ON pr.src_a = sz.s""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -25,6 +25,39 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
+  /** Cross-source containment matrix — the governance readout behind
+    * every per-document decontamination pass: for each ordered source
+    * pair (a, b), the share of a's DISTINCT n-gram types that also
+    * occur in b. A row of high off-diagonal containment means source
+    * a is largely redistributed b content (mirror sites, scraped
+    * re-posts) — the duplication structure BETWEEN feeds that
+    * doc-level dedup statistics can't show.
+    *
+    * Exactness: pure distinct-type censuses and one integer ratio per
+    * cell. Scale shape: one (gram → distinct sources) census; pairs
+    * explode per gram bounded by (sources present)² — sources are a
+    * catalog dimension (tens), so the worst gram contributes
+    * |sources|² rows, never corpus². Output: (src_a, src_b, n_a,
+    * n_shared, containment), all ordered pairs a ≠ b. */
+  def sourceContainmentMatrix(docs: DataFrame, sourceCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val grams = docs.select(col(sourceCol).as("s"),
+      explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .distinct()
+      .localCheckpoint(false)
+    val sizes = grams.groupBy(col("s")).agg(count(lit(1)).as("n_types"))
+    val pairs = grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") &&
+        col("a.s") =!= col("b.s"))
+      .groupBy(col("a.s").as("src_a"), col("b.s").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    sizes.select(col("s").as("src_a"), col("n_types").as("n_a"))
+      .join(pairs, Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+  }
+
   /** Evaluate `bound` once and feed it to `body` (lambda variables are
     * materialized per row, immune to projection collapse). */
   private def let(bound: Column)(body: Column => Column): Column =

@@ -3068,6 +3068,16 @@ object TrainingData {
         outDims = 16, pairOffset = 100L)
       .select($"p", $"n_pairs", $"n_degenerate", $"ratio_bin")
 
+  /** q387 — cross-source containment matrix ([[graft.operators
+    * .Decontam.sourceContainmentMatrix]]): per ordered source pair,
+    * the share of a's distinct trigram types present in b — the
+    * between-feed duplication structure doc-level dedup stats hide. */
+  def q387SourceContainment(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Decontam.sourceContainmentMatrix(
+        docs(spark, dir), "source", "text", n = 3)
+      .select($"src_a", $"src_b", $"n_a", $"n_shared",
+        round($"containment", 6).as("containment"))
+
   /** q271 — Heaps'-law vocabulary growth ([[graft.operators.Profile
     * .heapsFit]]): V ≈ K·nᵝ across sources — how much new vocabulary
     * the next shard brings, q246's Zipf companion. Exact per-source

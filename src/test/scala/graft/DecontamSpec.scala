@@ -88,4 +88,26 @@ class DecontamSpec extends AnyFunSuite with SparkFixture {
     // at least one real mask so the property is not vacuous
     assert(got.values.exists(_._2 > 0), "fixture produced no masks")
   }
+
+  test("sourceContainmentMatrix: hand counts on a planted mirror; " +
+      "asymmetry reads the right direction") {
+    import spark.implicits._
+    // src b mirrors one of a's two docs; c is disjoint
+    val docs = Seq(
+      ("a", "one two three four"),       // trigrams: {123, 234}
+      ("a", "five six seven"),           // {567}
+      ("b", "one two three four"),       // {123, 234} — a mirror
+      ("c", "eight nine ten")).toDF("s", "t")
+    val m = graft.operators.Decontam.sourceContainmentMatrix(
+        docs, "s", "t", n = 3)
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+        -> ((r.getAs[Long]("n_a"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("containment")))).toMap
+    // b's types are ALL inside a (containment 1), a only 2/3 inside b
+    assert(m(("b", "a")) == ((2L, 2L, 1.0)), m.toString)
+    assert(m(("a", "b"))._1 == 3L && m(("a", "b"))._2 == 2L)
+    assert(math.abs(m(("a", "b"))._3 - 2.0 / 3) < 1e-12)
+    // disjoint source: no row at all (sparse matrix, absent not zero)
+    assert(!m.contains(("c", "a")) && !m.contains(("a", "c")))
+  }
 }
