@@ -532,4 +532,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("windowspecdefinition()"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q385/q386/q361: greedy/audit vector plans never materialize a " +
+      "cartesian product (per-round joins are checkpointed broadcasts)") {
+    // the per-round broadcast joins live behind localCheckpoint
+    // boundaries (their ShuffleBudget evidence is runtime volume);
+    // what the FINAL plan must prove is the absence of any
+    // candidates x candidates blow-up
+    for (q <- Seq("q385_mmr_select", "q386_jl_distortion",
+        "q361_kcenter_seeds")) {
+      val p = physical(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
+    }
+  }
 }
