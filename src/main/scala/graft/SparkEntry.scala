@@ -409,6 +409,7 @@ object SparkEntry {
     "q385_mmr_select"       -> (D.q385MmrSelect(_, _)),
     "q386_jl_distortion"    -> (D.q386JlDistortion(_, _)),
     "q387_source_containment" -> (D.q387SourceContainment(_, _)),
+    "q388_log_rank"         -> (T.q388LogRank(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8562,6 +8563,73 @@ object SparkEntry {
         |    CAST(n_shared AS DOUBLE) / CAST(sz.n_types AS DOUBLE)
         |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS containment
         |FROM pr JOIN sz ON pr.src_a = sz.s""".stripMargin,
+    // q388: exact per-duration censuses with per-group suffix at-risk;
+    // E/V terms fold in duration order; p via the q348 erfc polynomial
+    "q388_log_rank" ->
+      """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+        |    MAX(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+        |h AS (SELECT MAX(ld) AS wend FROM u),
+        |s AS (SELECT date_diff('day', fd, ld) AS dur,
+        |    CASE WHEN date_diff('day', ld, wend) >= 7 THEN 1 ELSE 0 END AS ev,
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b
+        |  FROM u, h),
+        |c AS (SELECT dur AS d, CAST(SUM(1 - b) AS BIGINT) AS oa,
+        |    CAST(SUM(b) AS BIGINT) AS ob,
+        |    CAST(SUM(CASE WHEN b = 0 THEN ev ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(SUM(CASE WHEN b = 1 THEN ev ELSE 0 END) AS BIGINT) AS db
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT d, oa, ob, da, db,
+        |    CAST(SUM(oa) OVER () - COALESCE(SUM(oa) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS na,
+        |    CAST(SUM(ob) OVER () - COALESCE(SUM(ob) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS nb
+        |  FROM c),
+        |t AS (SELECT d,
+        |    CASE WHEN da + db > 0 THEN
+        |      CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+        |        / CAST(na + nb AS DOUBLE) ELSE 0.0 END AS et,
+        |    CASE WHEN da + db > 0 AND na + nb > 1 THEN
+        |      (CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+        |        * CAST(nb AS DOUBLE) * CAST(na + nb - da - db AS DOUBLE))
+        |      / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+        |        * CAST(na + nb - 1 AS DOUBLE)) ELSE 0.0 END AS vt
+        |  FROM r),
+        |f AS (SELECT
+        |    (SELECT CAST(SUM(oa) AS BIGINT) FROM c) AS n_a,
+        |    (SELECT CAST(SUM(ob) AS BIGINT) FROM c) AS n_b,
+        |    (SELECT CAST(SUM(da) AS BIGINT) FROM c) AS o_a,
+        |    (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(et ORDER BY d)), (a, v) -> a + v) FROM t) AS e_a,
+        |    (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(vt ORDER BY d)), (a, v) -> a + v) FROM t) AS var_lr),
+        |g AS (SELECT n_a, n_b, o_a, e_a, var_lr,
+        |    CASE WHEN var_lr > 0.0 THEN
+        |      (CAST(o_a AS DOUBLE) - e_a) * (CAST(o_a AS DOUBLE) - e_a)
+        |        / var_lr END AS chi2 FROM f),
+        |z AS (SELECT *, sqrt(chi2) / 1.4142135623730951 AS x FROM g)
+        |SELECT n_a, n_b, o_a,
+        |  CAST(round(CAST(CAST(e_a AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS e_a,
+        |  CAST(round(CAST(CAST(var_lr AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS var_lr,
+        |  CAST(round(CAST(CAST(chi2 AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS chi2,
+        |  CASE WHEN chi2 IS NOT NULL THEN
+        |    CAST(round(CAST(CAST(
+        |      (1.0 / (1.0 + 0.5 * abs(x))) * exp(-x * x - 1.26551223
+        |      + (1.0 / (1.0 + 0.5 * abs(x))) * (1.00002368
+        |      + (1.0 / (1.0 + 0.5 * abs(x))) * (0.37409196
+        |      + (1.0 / (1.0 + 0.5 * abs(x))) * (0.09678418
+        |      + (1.0 / (1.0 + 0.5 * abs(x))) * (-0.18628806
+        |      + (1.0 / (1.0 + 0.5 * abs(x))) * (0.27886807
+        |      + (1.0 / (1.0 + 0.5 * abs(x))) * (-1.13520398
+        |      + (1.0 / (1.0 + 0.5 * abs(x))) * (1.48851587
+        |      + (1.0 / (1.0 + 0.5 * abs(x))) * (-0.82215223
+        |      + (1.0 / (1.0 + 0.5 * abs(x))) * 0.17087277)))))))))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS p
+        |FROM z""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,71 @@ object Survival {
     folded.select(col("r.d").as(durCol), col("r.n_obs"), col("r.n_events"),
       col("r.n_risk"), col("r.cum_hazard"),
       exp(-col("r.cum_hazard")).as("fh_survival"))
+  }
+
+  /** Log-rank test (Mantel 1966) — the A/B comparison for SURVIVAL
+    * curves, the question two [[kaplanMeier]] runs can't answer
+    * jointly ("is cohort B churning faster, accounting for
+    * censoring"): at each event time, the observed deaths in A vs the
+    * hypergeometric expectation under "same hazard",
+    *   O_A = Σ d_At,  E_A = Σ d_t·n_At/n_t,
+    *   V   = Σ d_t·(n_At/n_t)(n_Bt/n_t)(n_t−d_t)/(n_t−1),
+    *   χ²(1) = (O_A − E_A)²/V,  p = erfc(√(χ²/2)).
+    *
+    * Exactness: all counts are exact integer censuses with suffix-sum
+    * at-risk windows (the [[kaplanMeier]] shape per group); each E/V
+    * term is ONE pinned double shape and both sums fold in duration
+    * order; the p rides the pinned [[graft.functions.FastMath
+    * .erfc]] kernel (bit-replayable polynomial, the q348 contract).
+    * Durations with n_t ≤ 1 contribute no variance (pinned). Output
+    * one row: (n_a, n_b, o_a, e_a, var_lr, chi2, p); chi2/p null when
+    * V = 0. */
+  def logRank(df: DataFrame, durCol: String, eventCol: String,
+      isB: Column): DataFrame = {
+    val census = df
+      .select(col(durCol).cast("long").as("d"),
+        when(col(eventCol) === 1, 1L).otherwise(0L).as("e"),
+        when(isB, 1L).otherwise(0L).as("b"))
+      .groupBy(col("d"))
+      .agg(sum(lit(1L) - col("b")).as("oa"), sum(col("b")).as("ob"),
+        sum(when(col("b") === 0L, col("e")).otherwise(0L)).as("da"),
+        sum(when(col("b") === 1L, col("e")).otherwise(0L)).as("db"))
+    val wOrd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val risked = census
+      .withColumn("na",
+        sum(col("oa")).over(wAll) - coalesce(sum(col("oa")).over(wOrd), lit(0L)))
+      .withColumn("nb",
+        sum(col("ob")).over(wAll) - coalesce(sum(col("ob")).over(wOrd), lit(0L)))
+    def dd(c: Column): Column = c.cast("double")
+    val dTot = col("da") + col("db")
+    val nTot = col("na") + col("nb")
+    val eTerm = when(dTot > 0L, dd(dTot) * dd(col("na")) / dd(nTot))
+      .otherwise(lit(0.0))
+    val vTerm = when(dTot > 0L && nTot > 1L,
+      (dd(dTot) * dd(col("na")) * dd(col("nb")) * dd(nTot - dTot)) /
+        (dd(nTot) * dd(nTot) * dd(nTot - 1L))).otherwise(lit(0.0))
+    // the float sums fold in duration order (collect bounded by
+    // distinct durations)
+    val sums = risked
+      .withColumn("__et", eTerm).withColumn("__vt", vTerm)
+      .agg(sum(col("oa")).as("n_a"), sum(col("ob")).as("n_b"),
+        sum(col("da")).as("o_a"),
+        sort_array(collect_list(struct(col("d"), col("__et"), col("__vt"))))
+          .as("__ts"))
+      .select(col("n_a"), col("n_b"), col("o_a"),
+        expr("aggregate(__ts, CAST(0.0 AS DOUBLE), (a, t) -> a + t.__et)")
+          .as("e_a"),
+        expr("aggregate(__ts, CAST(0.0 AS DOUBLE), (a, t) -> a + t.__vt)")
+          .as("var_lr"))
+    val chi2 = (col("o_a").cast("double") - col("e_a")) *
+      (col("o_a").cast("double") - col("e_a")) / col("var_lr")
+    sums.select(col("n_a"), col("n_b"), col("o_a"), col("e_a"),
+      col("var_lr"),
+      when(col("var_lr") > 0.0, chi2).as("chi2"),
+      when(col("var_lr") > 0.0, graft.functions.FastMath.erfc(
+        sqrt(chi2) / lit(1.4142135623730951))).as("p"))
   }
 
   /** Kaplan–Meier with Greenwood confidence bands (Greenwood 1926) —

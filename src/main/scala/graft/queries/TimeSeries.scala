@@ -787,6 +787,25 @@ object TimeSeries {
       .select($"g".as("event_type"), $"n", $"n_trimmed",
         round($"trimmed_mean", 6).as("trimmed_mean"))
 
+  /** q388 — log-rank survival comparison ([[graft.operators.Survival
+    * .logRank]]): does the odd-user cohort churn at a different hazard
+    * than the even cohort, censoring-aware — the A/B the q255 curves
+    * can't answer jointly; exact censuses, pinned erfc p. */
+  def q388LogRank(spark: SparkSession, dir: String): DataFrame = {
+    val spans = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("first_d"), max(to_date($"ts")).as("last_d"))
+    val horizon = spans.agg(max($"last_d").as("wend"))
+    val subjects = spans.crossJoin(broadcast(horizon))
+      .select(datediff($"last_d", $"first_d").as("dur"),
+        when(datediff($"wend", $"last_d") >= 7, 1).otherwise(0).as("ev"),
+        ($"user_id" % 2 === 1).as("odd"))
+    graft.operators.Survival.logRank(subjects, "dur", "ev", $"odd")
+      .select($"n_a", $"n_b", $"o_a", round($"e_a", 6).as("e_a"),
+        round($"var_lr", 6).as("var_lr"), round($"chi2", 6).as("chi2"),
+        round($"p", 6).as("p"))
+  }
+
   /** q256 — activity power-law fit ([[graft.operators.Profile
     * .powerLawAlpha]]): the Clauset MLE exponent of the
     * events-per-user distribution — how heavy is the user-activity

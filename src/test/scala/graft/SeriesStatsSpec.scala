@@ -290,6 +290,31 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(got(0) == rs(0))
   }
 
+  test("logRank: symmetric cohorts score exactly zero; a cohort that " +
+      "always churns against one that never does rejects") {
+    import spark.implicits._
+    // mirrored design: chi2 must be an exact 0, p = erfc(0) = 1
+    val sym = Seq((1L, 1, false), (2L, 0, false), (1L, 0, true),
+      (2L, 1, true)).toDF("dur", "ev", "b")
+    val rs = graft.operators.Survival.logRank(sym, "dur", "ev", $"b").head()
+    assert(rs.getAs[Double]("e_a") == 1.0 && rs.getAs[Long]("o_a") == 1L)
+    assert(rs.getAs[Double]("chi2") == 0.0)
+    // the pinned erfc polynomial evaluates erfc(0) to ~1 + 3e-8 — the
+    // kernel's documented approximation error, identical cross-engine
+    assert(math.abs(rs.getAs[Double]("p") - 1.0) < 1e-6)
+    // B churns on days 1..3, A survives censored: hand E/V sums
+    // E = 1/2 + 3/5 + 3/4 = 1.85; V = 1/4 + 6/25 + 3/16
+    val split = Seq((5L, 0, false), (5L, 0, false), (5L, 0, false),
+      (1L, 1, true), (2L, 1, true), (3L, 1, true)).toDF("dur", "ev", "b")
+    val r = graft.operators.Survival.logRank(split, "dur", "ev", $"b").head()
+    assert(r.getAs[Long]("o_a") == 0L)
+    assert(math.abs(r.getAs[Double]("e_a") - 1.85) < 1e-12)
+    val v = 0.25 + 6.0 / 25 + 3.0 / 16
+    assert(math.abs(r.getAs[Double]("var_lr") - v) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chi2") - 1.85 * 1.85 / v) < 1e-9)
+    assert(r.getAs[Double]("p") < 0.05, r.toString)
+  }
+
   test("gini: uniform mass is 0, fully concentrated approaches (n-1)/n") {
     import spark.implicits._
     val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
