@@ -902,8 +902,31 @@ object SparkEntry {
       |SELECT id_a, id_b, CAST(round(CAST(CAST(j AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS jaccard
       |FROM p WHERE j >= 0.5""".stripMargin
 
-  /** DuckDB-equivalent SQL per query (same tables registered by name). */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB-equivalent SQL per query (same tables registered by name).
+    *
+    * Every CTE is force-MATERIALIZED on the way out ([[materializeCtes]]):
+    * DuckDB inlines CTEs by default, so an unrolled iterative oracle
+    * (HITS/PageRank/HyperANF round chains, where round N references
+    * round N−1 from two or three places) re-evaluates the whole prefix
+    * per reference — exponential in rounds. q245's 4-round HITS oracle
+    * measured 494 s at sf0.01 inlined vs 0.09 s materialized; that one
+    * query alone could blow the driver's correctness budget (the r8
+    * CORRECTNESS file came back empty). Statements with RECURSIVE CTEs
+    * are left untouched (a recursive CTE cannot be materialized; the
+    * non-recursive members of those few statements are already cheap). */
+  def oracleSql: Map[String, String] =
+    oracleSqlRaw.map { case (k, v) => k -> materializeCtes(v) }
+
+  /** Rewrites `name AS (SELECT` to `name AS MATERIALIZED (SELECT` —
+    * top-level CTE definitions only: the lookahead for SELECT excludes
+    * window definitions (`WINDOW w AS (PARTITION`), and derived-table
+    * aliases are postfix (`(...) AS name`) so they can never match. */
+  private[graft] def materializeCtes(sql: String): String =
+    if (sql.contains("RECURSIVE")) sql
+    else sql.replaceAll("(?i)\\b(\\w+)\\s+AS\\s*\\(\\s*(?=SELECT|VALUES)",
+      "$1 AS MATERIALIZED (")
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     "q64_monte_carlo" -> monteCarloOracle,
     "q275_bootstrap" -> bootstrapOracle,
     "q276_benford" -> benfordOracle,
@@ -1737,7 +1760,8 @@ object SparkEntry {
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS mase
         |FROM s""".stripMargin,
     // q331: exact count walks; LLR = cum_s*ln(1.25) + cum_f*ln(500/600)
-    // pinned-shape (ln parity per q121); verdict latches via window max
+    // pinned-shape (ln parity per q121); verdict latches on the EARLIEST
+    // crossing period (first-crossing min over the cumulative frame)
     "q331_sprt" ->
       """WITH e AS (SELECT event_type AS sc, CAST(ts AS DATE) AS p,
         |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y FROM events),
@@ -1751,16 +1775,17 @@ object SparkEntry {
         |    + CAST(cum_n - cum_s AS DOUBLE) * ln(500.0 / 600.0) AS llr
         |  FROM w),
         |x AS (SELECT *,
-        |    max(CASE WHEN llr >= ln(950.0 / 50.0) THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY sc ORDER BY p) AS chi,
-        |    max(CASE WHEN llr <= ln(50.0 / 950.0) THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY sc ORDER BY p) AS clo
+        |    min(CASE WHEN llr >= ln(950.0 / 50.0) THEN p END)
+        |      OVER (PARTITION BY sc ORDER BY p) AS fhi,
+        |    min(CASE WHEN llr <= ln(50.0 / 950.0) THEN p END)
+        |      OVER (PARTITION BY sc ORDER BY p) AS flo
         |  FROM l)
         |SELECT sc AS event_type, p AS day, n, s AS successes, cum_n, cum_s,
         |  CAST(round(CAST(CAST(llr AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS llr,
-        |  CASE WHEN chi = 1 THEN 'accept_h1'
-        |       WHEN clo = 1 THEN 'accept_h0'
+        |  CASE WHEN fhi IS NOT NULL AND (flo IS NULL OR fhi <= flo)
+        |         THEN 'accept_h1'
+        |       WHEN flo IS NOT NULL THEN 'accept_h0'
         |       ELSE 'continue' END AS state
         |FROM x""".stripMargin,
     // q332: five exact HUGEINT moments; theta/means/reduction are
@@ -2961,7 +2986,8 @@ object SparkEntry {
     // token lists cap at 64 — the cap is the operator's semantics.
     "q296_rouge_l" ->
       """WITH RECURSIVE base AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS rt
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS rt
         |  FROM documents WHERE doc_id < 40),
         |pair AS (SELECT doc_id, list_slice(rt, 1, 64) AS va,
         |    list_slice(list_concat(list_slice(rt, 1, 12),

@@ -451,7 +451,12 @@ object FastHash {
     * shingle/minhash family. Two-row DP, exact integers. */
   def lcsLenValue(a: UTF8String, b: UTF8String, cap: Int): Long = {
     def capped(t: UTF8String): Array[String] = {
-      val ts = tokens(t)
+      // drop the [""] artifact split("\s+") leaves on empty/whitespace
+      // input: an empty side has ZERO tokens, so empty-vs-empty LCS is
+      // 0, not 1 (mirrors Rouge.rougeL's n_tok filter)
+      val raw = tokens(t)
+      val ts = if (raw.length == 1 && raw(0).isEmpty) Array.empty[String]
+        else raw
       if (ts.length > cap) java.util.Arrays.copyOf(ts, cap) else ts
     }
     val ta = capped(a)

@@ -76,9 +76,20 @@ object Anonymity {
       tMaxMicros: Long): DataFrame = {
     require(tMaxMicros >= 0, s"tMaxMicros must be >= 0, got $tMaxMicros")
     val dec = "decimal(38,0)"
+    // Class key is LENGTH-PREFIXED per component: a bare concat would
+    // merge distinct qid tuples (("ab","c") vs ("a","bc")) and -- because
+    // concat_ws skips nulls -- (null,"x") with ("x",null), silently fusing
+    // their TV numerators. "len:value" with null -> "-1:" is injective on
+    // tuples of strings-or-null, so every quasi-identifier class keeps
+    // its own numerator and the gTot join(terms) stays one-to-one.
+    val clsKey = concat_ws("|", qidCols.map { c =>
+      val s = col(c).cast("string")
+      concat(coalesce(length(s), lit(-1)).cast("string"), lit(":"),
+        coalesce(s, lit("")))
+    }: _*)
     val keyed = df.select(
-      concat_ws("", qidCols.map(c => col(c).cast("string")): _*)
-        .as("__cls") +: (qidCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
+      clsKey.as("__cls") +:
+        (qidCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
     val census = keyed
       .groupBy(col("__cls") +: qidCols.map(col) :+ col("__v"): _*)
       .agg(count(lit(1)).as("cgt"))

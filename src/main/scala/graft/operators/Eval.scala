@@ -443,8 +443,10 @@ object Eval {
     * cumulative walk is an integer window, so the crossing period is
     * decided on bit-stable values. Output one row per period: (scope,
     * period, n, successes, cum_n, cum_s, llr, state) with state ∈
-    * {continue, accept_h1, accept_h0} — the FIRST crossing latches via
-    * a cumulative max/min over the bounded period walk.
+    * {continue, accept_h1, accept_h0} — the FIRST crossing latches: the
+    * verdict is the bound crossed at the earliest period (first-crossing
+    * min over the cumulative frame), so a later opposite crossing never
+    * reverses it.
     *
     * Scale shape: one (scope, period) census at row scale, then
     * period-bounded windows per scope. */
@@ -498,16 +500,21 @@ object Eval {
       .withColumn("llr",
         col("cum_s").cast("double") * lit(lS) +
           (col("cum_n") - col("cum_s")).cast("double") * lit(lF))
-    // latch: once ANY prior period crossed, the verdict stands
-    val crossedHi = max(when(col("llr") >= lit(hi), 1L).otherwise(0L))
-      .over(wCum)
-    val crossedLo = max(when(col("llr") <= lit(lo), 1L).otherwise(0L))
-      .over(wCum)
+    // latch on crossing ORDER, not on two independent flags: the verdict
+    // is the one whose bound was crossed at the EARLIEST period, so a
+    // later opposite crossing can never un-ring an already-latched
+    // verdict (a two-flag max() latch would flip accept_h0 -> accept_h1
+    // whenever the LLR later rose past hi). min(when(...)) over the
+    // cumulative frame is the first-crossing period; a same-period tie
+    // (possible only when alpha+beta >= 1 makes hi <= lo) keeps the
+    // documented accept_h1 preference.
+    val firstHi = min(when(col("llr") >= lit(hi), col("p"))).over(wCum)
+    val firstLo = min(when(col("llr") <= lit(lo), col("p"))).over(wCum)
     walked
       .withColumn("state",
-        when(crossedHi === 1L && crossedLo === 0L, "accept_h1")
-          .when(crossedLo === 1L && crossedHi === 0L, "accept_h0")
-          .when(crossedHi === 1L && crossedLo === 1L, "accept_h1")
+        when(firstHi.isNotNull && (firstLo.isNull || firstHi <= firstLo),
+          "accept_h1")
+          .when(firstLo.isNotNull, "accept_h0")
           .otherwise("continue"))
       .select(col("sc"), col("p"), col("n"), col("s").as("successes"),
         col("cum_n"), col("cum_s"), col("llr"), col("state"))

@@ -213,7 +213,17 @@ object Graph {
     * is ever evaluated twice (the r7 shape checkpointed the normalized
     * vectors instead, leaving each broadcast-total subtree to re-run
     * the whole join+agg — 2x the join work per round).
-    * Output: (node, hub, auth) doubles at scale 1e-9. */
+    *
+    * The r8 fold: INTERMEDIATE vectors skip the node-completion join —
+    * a node with zero in-mass normalizes to exactly 0 and contributes
+    * exactly 0 to the next half-step, so materializing its zero row
+    * was a full nodes⋈raw exchange per half-step buying nothing.
+    * Mid-round vectors are therefore SPARSE (mass-carrying nodes
+    * only, bit-identical sums); node completeness is restored once, in
+    * the final output join. Halves the row-scale exchanges per round:
+    * 4 -> 2 (the agg keyed dst and the agg keyed src — the floor the
+    * recurrence itself demands). Output: (node, hub, auth) doubles at
+    * scale 1e-9, one row per node including zero-mass nodes. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -234,23 +244,25 @@ object Graph {
         .groupBy(col("dst")).agg(sum(col("hf")).as("ar"))
         .localCheckpoint(false)
       val at = broadcast(aRaw.agg(sum(col("ar")).as("t")))
-      a = nodes.join(aRaw, nodes("node") === aRaw("dst"), "left")
-        .crossJoin(at)
-        .select(col("node"),
-          expr(s"(coalesce(ar, 0) * $HitsScale) div t").as("af"))
+      a = aRaw.crossJoin(at)
+        .select(col("dst").as("node"),
+          expr(s"(ar * $HitsScale) div t").as("af"))
       val hRaw = e.join(a, e("dst") === a("node"))
         .groupBy(col("src")).agg(sum(col("af")).as("hr"))
         .localCheckpoint(false)
       val ht = broadcast(hRaw.agg(sum(col("hr")).as("t")))
-      h = nodes.join(hRaw, nodes("node") === hRaw("src"), "left")
-        .crossJoin(ht)
-        .select(col("node"),
-          expr(s"(coalesce(hr, 0) * $HitsScale) div t").as("hf"))
+      h = hRaw.crossJoin(ht)
+        .select(col("src").as("node"),
+          expr(s"(hr * $HitsScale) div t").as("hf"))
     }
-    h.join(a, "node")
+    nodes
+      .join(h.select(col("node"), col("hf")), Seq("node"), "left")
+      .join(a.select(col("node"), col("af")), Seq("node"), "left")
       .select(col("node"),
-        (col("hf").cast("double") / lit(HitsScale.toDouble)).as("hub"),
-        (col("af").cast("double") / lit(HitsScale.toDouble)).as("auth"))
+        (coalesce(col("hf"), lit(0L)).cast("double") /
+          lit(HitsScale.toDouble)).as("hub"),
+        (coalesce(col("af"), lit(0L)).cast("double") /
+          lit(HitsScale.toDouble)).as("auth"))
   }
 
   /** Newman modularity (Newman & Girvan 2004) of a GIVEN node

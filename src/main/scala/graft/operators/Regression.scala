@@ -253,8 +253,11 @@ object Regression {
     * Exactness: S and the tie term are exact integer sums (the
     * [[kendallTauB]] pair-join shape, bounded by periods² per key);
     * Var and z are pinned double shapes. Requires a unique `ordCol`
-    * per key (time ties would need the full tie-corrected x-side —
-    * loud require, not a silent wrong answer). Output: (g, n, s,
+    * per key (time ties would need the full tie-corrected x-side):
+    * enforced IN the plan — a key whose ord census shows duplicates
+    * raises at execution (raise_error at group grain), because
+    * equal-ord pairs would otherwise silently vanish from S (the
+    * oa < ob pair filter drops both orientations). Output: (g, n, s,
     * var_s, z). */
   def mannKendall(df: DataFrame, groupCol: String, ordCol: String,
       valueCol: String): DataFrame = {
@@ -274,13 +277,25 @@ object Regression {
         sum((col("m").cast(dec) * (col("m") - 1L).cast(dec) *
           (lit(2L).cast(dec) * col("m").cast(dec) + 5L)).cast(dec))
           .cast(dec).as("__tie"))
-    val ns = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    // the promised loud guard: distinct-ord count must equal row count
+    // per key — checked at GROUP grain inside the plan (no extra scan
+    // materializes; the census is one more map-side agg), so a
+    // duplicate ordCol fails the job instead of biasing S
+    val ns = base.groupBy(col("g")).agg(count(lit(1)).as("n"),
+      countDistinct(col("o")).as("__n_ord"))
     val nD = col("n").cast(dec)
     val varS = ((nD * (nD - 1) * (lit(2L).cast(dec) * nD + 5L)).cast(dec) -
       col("__tie")).cast(dec).cast("double") / lit(18.0)
     ns.join(s, Seq("g")).join(ties, Seq("g"))
       .withColumn("var_s", varS)
-      .select(col("g"), col("n"), col("s"), col("var_s"),
+      .select(col("g"),
+        when(col("n") === col("__n_ord"), col("n"))
+          .otherwise(raise_error(concat(
+            lit("mannKendall: duplicate ordCol values for key "),
+            col("g").cast("string"),
+            lit(" - equal-ord pairs silently vanish from S")))
+            .cast("long")).as("n"),
+        col("s"), col("var_s"),
         when(col("n") < 2L || col("var_s") <= 0.0, null)
           .when(col("s") > 0L,
             (col("s") - 1L).cast("double") / sqrt(col("var_s")))

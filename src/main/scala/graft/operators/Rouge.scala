@@ -29,8 +29,13 @@ object Rouge {
   def rougeL(df: DataFrame, idCol: String, refCol: String,
       candCol: String, cap: Int = 64): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
+    // split("\s+") on an empty/whitespace string yields [""] — ONE empty
+    // token — so zero-length tokens are filtered before counting: an
+    // empty side must report n_tok = 0 and take the null branch (two
+    // empty texts are "no evidence", not a perfect F1 = 1.0 match)
     def nTok(c: String) =
-      least(size(split(lower(trim(col(c))), "\\s+")), lit(cap)).cast("long")
+      least(size(filter(split(lower(trim(col(c))), "\\s+"),
+        t => length(t) > 0)), lit(cap)).cast("long")
     val base = df.select(col(idCol),
       nTok(refCol).as("n_ref"), nTok(candCol).as("n_cand"),
       graft.functions.FastHash.tokenLcs(col(refCol), col(candCol), cap)

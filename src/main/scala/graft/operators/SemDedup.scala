@@ -104,24 +104,38 @@ object SemDedup {
     * cells take the exact flat argmax fold; above it the two-level
     * [[assignCellsHierarchical]] routing (branch ≈ √cells) caps the
     * per-row fold cost — the scale default, with the documented
-    * boundary approximation. Pass `flatCellCap = Int.MaxValue` to pin
-    * the flat path (exact argmax at any k). The dispatch count is one
-    * tiny bounded job on the centroid table (≤ cap+1 rows scanned). */
+    * boundary approximation. Because the two paths can assign boundary
+    * rows to different cells (different kept/dropped sets), the
+    * dispatch is NEVER silent: the chosen path, centroid count, and
+    * branch factor are logged at WARN on every call, and callers who
+    * need the exact flat argmax at any k pin it with
+    * `flatCellCap = Int.MaxValue` (which also skips the dispatch
+    * count). The dispatch cost is ONE bounded job on the centroid
+    * table (a count at cell grain — centroid tables are k rows by
+    * construction), run once and reused for the branch factor. */
   def semDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double,
       maxCellSize: Int = 100000, flatCellCap: Int = FlatCellCap): DataFrame = {
-    val big = flatCellCap != Int.MaxValue &&
-      centroids.limit(flatCellCap + 1).count() > flatCellCap
-    if (!big)
+    val k = if (flatCellCap == Int.MaxValue) -1L else centroids.count()
+    if (k <= flatCellCap) {
+      if (flatCellCap != Int.MaxValue) log.warn(
+        s"semDedupWith: FLAT exact-argmax assignment (k=$k cells <= " +
+          s"flatCellCap=$flatCellCap)")
       semDedupAssigned(assignCells(corpus, idCol, vecCol, centroids),
         threshold, maxCellSize)
-    else {
-      val k = centroids.count()
+    } else {
       val branch = math.max(4, math.sqrt(k.toDouble).round.toInt)
+      log.warn(s"semDedupWith: HIERARCHICAL two-level assignment " +
+        s"(k=$k cells > flatCellCap=$flatCellCap, branch=$branch) — " +
+        "approximate cell boundaries; pass flatCellCap=Int.MaxValue " +
+        "for the exact flat argmax")
       semDedupHierarchical(corpus, idCol, vecCol, centroids, branch,
         threshold, maxCellSize)
     }
   }
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.SemDedup")
 
   /** Two-level cell assignment for centroid tables too large to fold
     * per row. [[assignCells]] is rows × cells work — with cell count

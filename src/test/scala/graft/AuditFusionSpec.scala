@@ -80,6 +80,26 @@ class AuditFusionSpec extends AnyFunSuite with SparkFixture {
     // boundary is EXACT: t = 1/2 does NOT violate tmax = 1/2 (strict >)
     assert(run(disj, 500000L) == Map("a" -> ((0.5, false)),
       "b" -> ((0.5, false))))
+    // concat-collision regression (r8 ADVICE): qid tuples ("ab","c") and
+    // ("a","bc") are DISTINCT classes; a bare string concat fuses them.
+    // Class (ab,c) holds only value 1, (a,bc) only value 2 — each is a
+    // point mass vs the table's 50/50, so both must report t = 1/2
+    // (a fused class would mirror the table exactly and report t = 0).
+    import org.apache.spark.sql.functions.col
+    val coll = (Seq.fill(4)(("ab", "c", 1L)) ++ Seq.fill(4)(("a", "bc", 2L)))
+      .toDF("q1", "q2", "v")
+    val c2 = Anonymity.tCloseness(coll, Seq("q1", "q2"), "v", 200000L)
+      .collect().map(r => (r.getAs[String]("q1"), r.getAs[String]("q2")) ->
+        r.getAs[Double]("t")).toMap
+    assert(c2 == Map(("ab", "c") -> 0.5, ("a", "bc") -> 0.5))
+    // null-vs-skip regression: (null,"x") and ("x",null) are distinct
+    // classes too (concat_ws silently drops nulls)
+    val nul = (Seq.fill(2)((null: String, "x", 1L)) ++
+      Seq.fill(2)(("x", null: String, 2L))).toDF("q1", "q2", "v")
+    val n2 = Anonymity.tCloseness(nul, Seq("q1", "q2"), "v", 200000L)
+      .collect().map(r => (Option(r.getAs[String]("q1")),
+        Option(r.getAs[String]("q2"))) -> r.getAs[Double]("t")).toMap
+    assert(n2 == Map((None, Some("x")) -> 0.5, (Some("x"), None) -> 0.5))
   }
 
   test("laplaceCounts: md5-deterministic, epsilon scales the noise, " +

@@ -529,6 +529,22 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     // a 50/50 stream stays between the bounds
     val mid = (1L to 10L).map(i => ("m", i, i % 2))
     assert(run(mid)(("m", 10L))._2 == "continue")
+    // crossing ORDER latches (the r8 ADVICE bug): a series that crosses
+    // the LOWER bound first (10 straight misses -> accept_h0 by p2) and
+    // then rallies hard past the upper bound must STAY accept_h0 — the
+    // earlier crossing wins, not the h1-preferring both-flags branch.
+    // ln(19)/ln(1.5) ~ 7.3 and each hit also cancels a miss's ln(2/3),
+    // so 40 straight hits push LLR well above hi by period 6.
+    val flip = (1L to 10L).map(i => ("f", (i - 1) / 5 + 1, 0L)) ++
+      (1L to 40L).map(i => ("f", (i - 1) / 10 + 3, 1L))
+    val f = run(flip)
+    assert(f(("f", 2L))._2 == "accept_h0")
+    val llrHi = math.log(950.0 / 50.0)
+    // sanity: the rally really does cross hi (the test would be vacuous
+    // if LLR never re-crossed) — 40*ln(1.5) + 10*ln(2/3) > ln(19)
+    assert(40 * math.log(1.5) + 10 * math.log(400.0 / 600.0) > llrHi)
+    assert(f(("f", 6L))._2 == "accept_h0",
+      "earlier lo-crossing must not be un-rung by a later hi-crossing")
   }
 
   test("cuped: perfectly-correlated covariate removes all variance; " +

@@ -202,6 +202,18 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(got(1L) == ((1.0, 0.5, 2.0 * 1.0 * 0.5 / 1.5)))
     assert(got(2L) == ((1.0, 1.0, 1.0)))
     assert(got(3L) == ((0.0, 0.0, 0.0)))
+    // empty/whitespace sides have ZERO tokens (split's [""] artifact is
+    // filtered): n_tok = 0, lcs = 0, and the null branch fires — two
+    // empty texts must NOT score F1 = 1.0 (the r8 ADVICE regression)
+    val edges = Seq((10L, "", ""), (11L, "  \t ", "w x"), (12L, "w x", ""))
+      .toDF("id", "ref", "cand")
+    val e = Rouge.rougeL(edges, "id", "ref", "cand")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.isNullAt(6)))).toMap
+    assert(e(10L) == ((0L, 0L, 0L, true)), s"empty-vs-empty: ${e(10L)}")
+    assert(e(11L) == ((0L, 2L, 0L, true)), s"whitespace ref: ${e(11L)}")
+    assert(e(12L) == ((2L, 0L, 0L, true)), s"empty cand: ${e(12L)}")
   }
 
   test("compressRatio: boilerplate compresses far below prose, random " +

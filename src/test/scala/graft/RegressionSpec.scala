@@ -101,5 +101,17 @@ class RegressionSpec extends AnyFunSuite with SparkFixture {
       flat.toDF("g", "d", "y"), "g", "d", "y").head()
     assert(rf.getAs[Long]("s") == 0L)
     assert(rf.isNullAt(rf.fieldIndex("z")))
+    // duplicate ordCol must fail LOUDLY at execution (the oa < ob pair
+    // filter drops equal-ord pairs in both orientations, so a silent
+    // run would bias S) — the in-plan raise_error guard
+    val dup = Seq(("g", "d1", 1L), ("g", "d1", 2L), ("g", "d2", 3L))
+    val ex = intercept[Exception] {
+      graft.operators.Regression.mannKendall(
+        dup.toDF("g", "d", "y"), "g", "d", "y").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +:
+        msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("duplicate ordCol")), msgs(ex))
   }
 }
