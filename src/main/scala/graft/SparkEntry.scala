@@ -410,6 +410,7 @@ object SparkEntry {
     "q386_jl_distortion"    -> (D.q386JlDistortion(_, _)),
     "q387_source_containment" -> (D.q387SourceContainment(_, _)),
     "q388_log_rank"         -> (T.q388LogRank(_, _)),
+    "q389_deflate_roundtrip" -> (D.q389DeflateRoundtrip(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8656,6 +8657,15 @@ object SparkEntry {
         |      + (1.0 / (1.0 + 0.5 * abs(x))) * 0.17087277)))))))))
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS p
         |FROM z""".stripMargin,
+    // q389: DuckDB can't replay zlib, but it can predict what a CORRECT
+    // codec must produce — every doc roundtrips (n_ok = n_docs) and the
+    // roundtripped byte sum equals the plain strlen sum; a corrupt
+    // deflate OR inflate shows up as a value mismatch in either column
+    "q389_deflate_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_ok,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY source""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -159,6 +159,46 @@ object FastHash {
     } finally d.end()
   }
 
+  /** Deflate→inflate roundtrip check: compresses the text's UTF-8
+    * bytes at zlib level 6, decompresses the result, and returns the
+    * decompressed byte length IF it reproduces the original bytes
+    * exactly, else −1. This is the oracle seam for the zlib kernel
+    * pair: DuckDB cannot replay deflate output, but it CAN compute
+    * `strlen(text)` — so a query summing this roundtrip length per
+    * group is hash-comparable against a plain byte-length sum, and any
+    * corruption in either direction of the codec surfaces as a value
+    * mismatch (q389; the banding signal itself stays spec-pinned in
+    * q330). Empty input roundtrips to 0 trivially. */
+  def deflateRoundtripLen(text: UTF8String): Long = {
+    val raw = text.getBytes
+    if (raw.length == 0) return 0L
+    val d = new java.util.zip.Deflater(6)
+    val compressed = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        compressed.write(buf, 0, n)
+      }
+    } finally d.end()
+    val inf = new java.util.zip.Inflater()
+    val back = new java.io.ByteArrayOutputStream(raw.length + 32)
+    try {
+      inf.setInput(compressed.toByteArray)
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return -1L
+        back.write(buf, 0, n)
+      }
+    } catch { case _: java.util.zip.DataFormatException => return -1L
+    } finally inf.end()
+    val b = back.toByteArray
+    if (java.util.Arrays.equals(raw, b)) b.length.toLong else -1L
+  }
+
   /** Exact integer dot product over two array<bigint> vectors in one
     * tight primitive loop — value-identical to the long-summed
     * zip_with/aggregate formulation (same left-to-right accumulation
@@ -517,6 +557,9 @@ object FastHash {
   def compressRatio(text: Column): Column =
     GraftShim.column(DeflateRatioExpr(GraftShim.expression(text)))
 
+  def deflateRoundtrip(text: Column): Column =
+    GraftShim.column(DeflateRoundtripExpr(GraftShim.expression(text)))
+
   def sortedLookup(keys: Column, vals: Column, key: Column): Column =
     GraftShim.column(SortedLookupExpr(GraftShim.expression(keys),
       GraftShim.expression(vals), GraftShim.expression(key)))
@@ -685,6 +728,25 @@ case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.deflateRatio($c)")
 
   override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
+    copy(child = newChild)
+}
+
+/** text -> deflate→inflate roundtrip byte length, −1 on any mismatch
+  * (codegen'd; see [[FastHash.deflateRoundtripLen]]). */
+case class DeflateRoundtripExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_deflate_roundtrip"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.deflateRoundtripLen(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FastHash.deflateRoundtripLen($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DeflateRoundtripExpr =
     copy(child = newChild)
 }
 

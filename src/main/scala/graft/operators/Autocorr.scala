@@ -165,10 +165,15 @@ object Autocorr {
     *
     * Ordering contract: `ordCol` values compare AS STRINGS — pass
     * zero-padded period labels (ISO dates); a numeric ord mis-orders
-    * lexically (same contract as [[Forecast.holtSummary]]; [[acf]]
-    * orders by the native type instead). */
+    * lexically, so NumericType ord columns are REFUSED at plan build
+    * ([[acf]] orders by the native type instead). */
   def seasonalDecompose(df: DataFrame, keyCol: String, ordCol: String,
       dowCol: Column, valueCol: String): DataFrame = {
+    require(!df.schema(ordCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"seasonalDecompose: ordCol '$ordCol' is ${df.schema(ordCol).dataType}" +
+        " — ord values compare AS STRINGS (\"10\" < \"2\"); zero-pad or " +
+        "format to ISO period labels first")
     val w7 = Window.partitionBy(col(keyCol)).orderBy(col("__o"))
       .rowsBetween(-3, 3)
     val x = col(valueCol).cast("long")

@@ -73,11 +73,16 @@ object ChangePoint {
     *
     * Ordering contract: `ordCol` values compare AS STRINGS — pass
     * zero-padded period labels (ISO dates). A numeric ord (epoch day,
-    * week number) mis-orders lexically ("10" < "2"); format it first
-    * (same contract as [[Forecast.holtSummary]]). */
+    * week number) mis-orders lexically ("10" < "2"), so NumericType
+    * ord columns are REFUSED at plan build; format them first. */
   def binarySegment(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.schema(ordCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"binarySegment: ordCol '$ordCol' is ${df.schema(ordCol).dataType} — " +
+        "ord values compare AS STRINGS (\"10\" < \"2\"); zero-pad or " +
+        "format to ISO period labels first")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(ordCol).cast("string"))
     val run = w.rowsBetween(Window.unboundedPreceding, 0)

@@ -342,8 +342,11 @@ object Divergence {
     val dec = "decimal(38,0)"
     // NOTE: cumulative columns must not be named __A/__B — Spark's
     // default case-INsensitive resolution would silently replace __b
-    val c = census.select(col(bucketCol).cast("long").as("__b"),
-      col(caCol).cast("long").as("__ca"), col(cbCol).cast("long").as("__cb"))
+    val c = Guards.boundedCensus(
+      census.select(col(bucketCol).cast("long").as("__b"),
+        col(caCol).cast("long").as("__ca"),
+        col(cbCol).cast("long").as("__cb")),
+      "__b", "Divergence (bucket census)")
     val w = Window.orderBy(col("__b"))
     val run = c
       .withColumn("__cuma", sum(col("__ca"))
@@ -629,7 +632,10 @@ object Divergence {
       count(lit(1)).as("n_values")))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val run = census
+    // a VALUE-keyed census over an integral column grows with the value
+    // domain, not the rows — the canonical "bounded by argument" case,
+    // so the bound is gated at runtime (bucket upstream if it trips)
+    val run = Guards.boundedCensus(census, "v", "Divergence.energyDistance")
       .withColumn("fa", sum(col("ca")).over(w))
       .withColumn("fb", sum(col("cb")).over(w))
       .withColumn("sa", sum(col("v").cast(dec) * col("ca").cast(dec)).over(w)

@@ -1776,8 +1776,10 @@ object Eval {
   def benjaminiHochberg(df: DataFrame, testCol: String, pCol: String,
       alpha: Double = 0.05): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
-    val base = df.where(col(pCol).isNotNull)
-      .select(col(testCol).as("test"), col(pCol).cast("double").as("p"))
+    val base = Guards.boundedCensus(
+      df.where(col(pCol).isNotNull)
+        .select(col(testCol).as("test"), col(pCol).cast("double").as("p")),
+      "p", "Eval.benjaminiHochberg")
     val wRank = Window.orderBy(col("p"), col("test"))
     val wAll = Window.partitionBy()
     val ranked = base.select(col("test"), col("p"),

@@ -98,10 +98,16 @@ object Regression {
     *
     * Ordering contract: `ordCol` values compare AS STRINGS — pass
     * zero-padded period labels (ISO dates); a numeric ord mis-orders
-    * lexically (same contract as [[Forecast.holtSummary]]). */
+    * lexically, so NumericType ord columns are REFUSED at plan build
+    * (format them first — the contract is executable, not prose). */
   def theilSen(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.schema(ordCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"theilSen: ordCol '$ordCol' is ${df.schema(ordCol).dataType} — " +
+        "ord values compare AS STRINGS (\"10\" < \"2\"); zero-pad or " +
+        "format to ISO period labels first")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__o"))
     val idx = df.select(col(keyCol), col(ordCol).cast("string").as("__o"),
         col(valueCol).cast("long").as("__x"))

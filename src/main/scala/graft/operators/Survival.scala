@@ -38,8 +38,9 @@ object Survival {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
     // census-bounded global windows (distinct durations, never
-    // subjects — a year-long daily window is ≤ 366 rows)
-    val risked = census
+    // subjects — a year-long daily window is ≤ 366 rows), and the
+    // bound is GATED at runtime, not just argued (Guards.boundedCensus)
+    val risked = Guards.boundedCensus(census, "d", "Survival.kaplanMeier")
       .withColumn("n_risk",
         sum(col("n_obs")).over(wAll) - coalesce(sum(col("n_obs")).over(wOrd), lit(0L)))
     val folded = risked
@@ -80,7 +81,7 @@ object Survival {
     val wOrd = Window.orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
-    val risked = census
+    val risked = Guards.boundedCensus(census, "d", "Survival.nelsonAalen")
       .withColumn("n_risk",
         sum(col("n_obs")).over(wAll) - coalesce(sum(col("n_obs")).over(wOrd), lit(0L)))
     val folded = risked
@@ -129,7 +130,7 @@ object Survival {
     val wOrd = Window.orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
-    val risked = census
+    val risked = Guards.boundedCensus(census, "d", "Survival.logRank")
       .withColumn("na",
         sum(col("oa")).over(wAll) - coalesce(sum(col("oa")).over(wOrd), lit(0L)))
       .withColumn("nb",
@@ -188,7 +189,7 @@ object Survival {
     val wOrd = Window.orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
-    val risked = census
+    val risked = Guards.boundedCensus(census, "d", "Survival.kaplanMeierCI")
       .withColumn("n_risk",
         sum(col("n_obs")).over(wAll) - coalesce(sum(col("n_obs")).over(wOrd), lit(0L)))
     val folded = risked

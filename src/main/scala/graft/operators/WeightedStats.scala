@@ -88,8 +88,12 @@ object WeightedStats {
       cuts: Seq[(String, Long, Long)]): DataFrame = {
     require(cuts.nonEmpty && cuts.forall { case (_, n, d) => n >= 0 && n <= d && d > 0 },
       s"cuts must be fractions in [0,1]: $cuts")
-    val units = df.groupBy(col(unitCol))
+    val units0 = df.groupBy(col(unitCol))
       .agg(sum(col(weightCol).cast("long")).as("__w"))
+    // the global rank window runs over the UNIT census (sources,
+    // suppliers — domain-bounded, never rows); gated at runtime
+    val units = Guards.boundedCensus(units0, "__w",
+      "WeightedStats.paretoCoverage")
     val wOrd = Window.orderBy(col("__w").desc, col(unitCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy()

@@ -419,8 +419,9 @@ object TrainingData {
     * deflate-ratio decile band — the CCNet/Gopher compressibility
     * quality signal as a deterministic integer census (banding, not a
     * float mean, keeps it partition-invariant). No DuckDB zlib → no
-    * oracle SQL by design; the driver records the rows-only check and
-    * the kernel's semantics are spec-pinned. */
+    * oracle SQL by design; the driver records the rows-only check, the
+    * kernel's semantics are spec-pinned, and the zlib codec pair is
+    * hash-oracle-gated end-to-end by [[q389DeflateRoundtrip]]. */
   def q330CompressBands(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select($"source",
@@ -428,6 +429,25 @@ object TrainingData {
           graft.functions.FastHash.compressRatio($"text") * 10)
           .cast("long")).as("band"))
       .groupBy($"source", $"band").agg(count(lit(1)).as("n_docs"))
+
+  /** q389 — deflate→inflate roundtrip audit ([[graft.functions.FastHash
+    * .deflateRoundtripLen]]): per source, document count, how many
+    * documents survive compress-then-decompress bit-exactly, and the
+    * total roundtripped byte length. DuckDB cannot replay zlib, but it
+    * CAN predict what a CORRECT codec must produce — n_ok = n_docs and
+    * sum_len = Σ strlen(text) — so this is a full hash-parity oracle
+    * over the codec pair (q330's banding signal stays spec-pinned;
+    * this is its oracle-bearing twin). Pure per-row projection + one
+    * census aggregation — no shuffle beyond the group-by. */
+  def q389DeflateRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select($"source",
+        graft.functions.FastHash.deflateRoundtrip($"text").as("rt"),
+        octet_length($"text").cast("long").as("blen"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"rt" === $"blen").cast("long")).as("n_ok"),
+        sum($"rt").as("sum_len"))
 
   /** q84 — BPE-ish regex token counts (pre-tokenizer granularity) per
     * source, next to the whitespace count and the chars/4 estimate. */

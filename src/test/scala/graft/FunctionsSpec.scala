@@ -238,6 +238,29 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(got == run(), "deflate at fixed level is deterministic in-JVM")
   }
 
+  test("deflateRoundtrip: every text reproduces its own byte length, " +
+      "multi-byte UTF-8 counted in bytes, empty is 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val texts = Seq("", "a", "the quick brown fox " * 50,
+      "naïve café — ünïcödé ✓", Seq.fill(500)(rnd.nextPrintableChar()).mkString)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = rows.select($"id",
+        graft.functions.FastHash.deflateRoundtrip($"t").as("rt"),
+        org.apache.spark.sql.functions.octet_length($"t").cast("long")
+          .as("bl"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    texts.indices.foreach { i =>
+      val (rt, bl) = got(i.toLong)
+      assert(rt == bl, s"text $i: roundtrip $rt != byte length $bl")
+    }
+    assert(got(0L)._1 == 0L)
+    // the UTF-8 case really is multi-byte (bytes > chars)
+    assert(got(3L)._2 > texts(3).length)
+  }
+
   test("intDot: codegen kernel == declarative zip_with/aggregate on " +
       "random long vectors (incl. ragged and empty)") {
     import spark.implicits._

@@ -779,6 +779,31 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(s1.forall(_ < 0) && s2.forall(_ > 0))
   }
 
+  test("string-ordCol contract is executable: a numeric ordCol is " +
+      "refused loudly by theilSen / binarySegment / seasonalDecompose") {
+    import spark.implicits._
+    // 11 periods: lexical order would put "10" before "2" and silently
+    // bend every slope/split — the guard must fire at plan build
+    val numeric = (1 to 11).map(i => ("k", i.toLong, i.toLong * 2))
+      .toDF("k", "day", "x")
+    def refused(f: => Any, who: String): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("compare AS STRINGS"),
+        s"$who: ${e.getMessage}")
+    }
+    refused(graft.operators.Regression.theilSen(numeric, "k", "day", "x"),
+      "theilSen")
+    refused(graft.operators.ChangePoint.binarySegment(
+      numeric, "k", "day", "x"), "binarySegment")
+    refused(graft.operators.Autocorr.seasonalDecompose(
+      numeric, "k", "day", col("x"), "x"), "seasonalDecompose")
+    // the same data zero-padded is accepted (the documented fix)
+    val padded = (1 to 11).map(i => ("k", f"d$i%02d", i.toLong * 2))
+      .toDF("k", "day", "x")
+    assert(graft.operators.Regression.theilSen(padded, "k", "day", "x")
+      .count() == 1L)
+  }
+
   test("basket lift: session-distinct counts, independence lands at lift 1") {
     import spark.implicits._
     // 4 sessions: {a,b}, {a,b}, {a}, {b} -> n_a=3, n_b=3, n_ab=2, N=4
