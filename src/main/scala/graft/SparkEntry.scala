@@ -411,6 +411,7 @@ object SparkEntry {
     "q387_source_containment" -> (D.q387SourceContainment(_, _)),
     "q388_log_rank"         -> (T.q388LogRank(_, _)),
     "q389_deflate_roundtrip" -> (D.q389DeflateRoundtrip(_, _)),
+    "q390_lifecycle_e2e"    -> (K.q390LifecycleE2E(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8666,6 +8667,215 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_ok,
         |  CAST(sum(strlen(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY source""".stripMargin,
+    // q390: the §3.1+§3.2+§3.3 lifecycle replayed stage-for-stage. Only
+    // ledger-visible paths are re-derived: scanner metrics/score/boost/
+    // best-call argmax, the bollinger+ATR folds feeding rr/atr_move and
+    // the premium flags, the P8 gate, the minute-bar bracket walk, and
+    // the VIX/SPY regime. Double parity: every conditional sum is
+    // 2-term (commutative-exact), list folds replay Spark's aggregate()
+    // seed-0 left fold via seedless list_reduce (0+x1 = x1), rounds via
+    // the VARCHAR->DECIMAL path; sf() rounding points mirrored exactly
+    // (candidates rounded BEFORE support/resistance comparison).
+    "q390_lifecycle_e2e" -> {
+      def r(x: String, n: Int) =
+        s"CAST(round(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,20)), $n) AS DOUBLE)"
+      s"""WITH t AS (SELECT trim(n_name) AS ticker,
+         |    CAST(n_nationkey AS BIGINT) AS key FROM nation),
+         |m AS (SELECT ticker, key, CAST(key % 7 - 3 AS DOUBLE) * 1.1 AS pct,
+         |    CAST(key AS DOUBLE) + 100.0 AS upx
+         |  FROM t WHERE abs(CAST(key % 7 - 3 AS DOUBLE) * 1.1) >= 1.0
+         |    AND key <> 24),
+         |ch AS (SELECT ticker, key, upx, pct, j, j < 2 AS is_call,
+         |    upx + CASE j WHEN 0 THEN 0.0 WHEN 1 THEN 20.0
+         |      WHEN 2 THEN -5.0 ELSE 10.0 END AS strike,
+         |    CASE j WHEN 0 THEN 4.8 WHEN 1 THEN 2.4 WHEN 2 THEN 1.9
+         |      ELSE 0.9 END AS bid,
+         |    CASE j WHEN 0 THEN 5.2 WHEN 1 THEN 2.6 WHEN 2 THEN 2.1
+         |      ELSE 1.1 END AS ask,
+         |    CAST(CASE WHEN j < 2 THEN (key % 7) * 400 + 200
+         |      ELSE 40 + j * 10 END AS BIGINT) AS vol,
+         |    CAST(100 + j * 50 AS BIGINT) AS oi,
+         |    CASE j WHEN 0 THEN 0.4 WHEN 1 THEN 0.3 WHEN 2 THEN -0.35
+         |      ELSE -0.3 END AS delta,
+         |    CASE WHEN j < 2 THEN 0.05 ELSE 0.04 END AS gamma
+         |  FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         |fl AS (SELECT ticker, any_value(key) AS key, any_value(pct) AS pct,
+         |    any_value(upx) AS upx,
+         |    sum(CASE WHEN is_call THEN CAST(vol AS DOUBLE) * ((bid+ask)/2) * 100
+         |      ELSE 0.0 END) AS call_dv,
+         |    sum(CASE WHEN NOT is_call THEN CAST(vol AS DOUBLE) * ((bid+ask)/2) * 100
+         |      ELSE 0.0 END) AS put_dv,
+         |    sum(CASE WHEN is_call THEN CAST(vol AS DOUBLE) ELSE 0.0 END)
+         |      / greatest(sum(CASE WHEN is_call THEN CAST(oi AS DOUBLE)
+         |        ELSE 0.0 END), 1.0) AS call_voloi,
+         |    sum(CASE WHEN NOT is_call THEN CAST(vol AS DOUBLE) ELSE 0.0 END)
+         |      / greatest(sum(CASE WHEN NOT is_call THEN CAST(oi AS DOUBLE)
+         |        ELSE 0.0 END), 1.0) AS put_voloi,
+         |    sum(CASE WHEN is_call AND CAST(vol AS DOUBLE) >
+         |      greatest(CAST(oi AS DOUBLE) * 0.5, 100.0) THEN 1 ELSE 0 END)
+         |      AS call_strikes,
+         |    sum(CASE WHEN NOT is_call AND CAST(vol AS DOUBLE) >
+         |      greatest(CAST(oi AS DOUBLE) * 0.5, 100.0) THEN 1 ELSE 0 END)
+         |      AS put_strikes,
+         |    sum(CASE WHEN is_call AND vol > oi THEN
+         |      (CAST(vol AS DOUBLE) - oi) * ((bid+ask)/2) * 100 ELSE 0.0 END)
+         |      AS call_uoa,
+         |    sum(CASE WHEN NOT is_call AND vol > oi THEN
+         |      (CAST(vol AS DOUBLE) - oi) * ((bid+ask)/2) * 100 ELSE 0.0 END)
+         |      AS put_uoa
+         |  FROM ch GROUP BY ticker),
+         |sc AS (SELECT *,
+         |    (CASE WHEN call_dv + put_dv > 500000 THEN
+         |      CASE WHEN pct > 0 AND call_dv > 0 THEN
+         |        CASE WHEN call_dv / greatest(put_dv, 1.0) > 3.0 THEN 2
+         |          WHEN call_dv / greatest(put_dv, 1.0) > 1.5 THEN 1 ELSE 0 END
+         |      WHEN pct <= 0 AND put_dv > 0 THEN
+         |        CASE WHEN put_dv / greatest(call_dv, 1.0) > 3.0 THEN 2
+         |          WHEN put_dv / greatest(call_dv, 1.0) > 1.5 THEN 1 ELSE 0 END
+         |      ELSE 0 END ELSE 0 END)
+         |    + (CASE WHEN (CASE WHEN pct > 0 THEN call_voloi ELSE put_voloi END)
+         |        > 2.0 THEN 2
+         |      WHEN (CASE WHEN pct > 0 THEN call_voloi ELSE put_voloi END)
+         |        > 0.8 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN (CASE WHEN pct > 0 THEN call_strikes
+         |        ELSE put_strikes END) >= 5 THEN 2
+         |      WHEN (CASE WHEN pct > 0 THEN call_strikes ELSE put_strikes END)
+         |        >= 3 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN (CASE WHEN pct > 0 THEN call_uoa ELSE put_uoa END)
+         |        > 2000000 THEN 2
+         |      WHEN (CASE WHEN pct > 0 THEN call_uoa ELSE put_uoa END)
+         |        > 500000 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN abs(pct) > 1.5 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN (pct > 0 AND put_dv > call_dv * 2 AND put_dv > 1000000)
+         |        OR (pct <= 0 AND call_dv > put_dv * 2 AND call_dv > 1000000)
+         |      THEN 1 ELSE 0 END) AS score0,
+         |    CASE WHEN pct > 0 AND put_dv > call_dv * 2 AND put_dv > 1000000
+         |        THEN 'BEARISH'
+         |      WHEN pct <= 0 AND call_dv > put_dv * 2 AND call_dv > 1000000
+         |        THEN 'BULLISH'
+         |      WHEN pct > 0 THEN 'BULLISH' ELSE 'BEARISH' END AS direction,
+         |    'IND' || CAST(key % 2 AS VARCHAR) AS industry
+         |  FROM fl),
+         |cl AS (SELECT industry, direction, CAST(count(*) AS INT) AS csize
+         |  FROM sc WHERE score0 >= 3 GROUP BY industry, direction),
+         |bo AS (SELECT sc.*,
+         |    least(score0 + CASE WHEN score0 < 6 AND coalesce(csize, 0) >= 4
+         |      THEN CASE WHEN coalesce(csize, 0) >= 8 THEN 3
+         |        WHEN coalesce(csize, 0) >= 5 THEN 2 ELSE 1 END
+         |      ELSE 0 END, 10) AS score
+         |  FROM sc LEFT JOIN cl USING (industry, direction)),
+         |en AS (SELECT * FROM bo WHERE score >= 6),
+         |bars AS (SELECT ticker, key, i,
+         |    CAST(key AS DOUBLE) + 100.0 + i * 0.5 - (i % 4) * 0.6 AS c
+         |  FROM en CROSS JOIN (SELECT unnest(range(1, 31)) AS i)),
+         |hl AS (SELECT ticker, list(c ORDER BY i) AS cs,
+         |    list(c + 1.0 ORDER BY i) AS hs, list(c - 1.0 ORDER BY i) AS ls
+         |  FROM bars GROUP BY ticker),
+         |bb0 AS (SELECT ticker, cs, hs, ls,
+         |    list_reduce(list_slice(cs, 11, 30), (a, x) -> a + x) / 20 AS bbm
+         |  FROM hl),
+         |tq AS (SELECT ticker,
+         |    ${r("cs[30]", 4)} AS close_r,
+         |    ${r("list_aggregate(list_slice(hs, 11, 30), 'max')", 4)} AS rh,
+         |    ${r("list_aggregate(list_slice(ls, 11, 30), 'min')", 4)} AS rl,
+         |    ${r("bbm + sqrt(list_reduce(list_transform(list_slice(cs, 11, 30), " +
+              "x -> (x - bbm) * (x - bbm)), (a, x) -> a + x) / 19) * 2.0", 4)} AS bbu,
+         |    ${r("bbm - sqrt(list_reduce(list_transform(list_slice(cs, 11, 30), " +
+              "x -> (x - bbm) * (x - bbm)), (a, x) -> a + x) / 19) * 2.0", 4)} AS bbl,
+         |    ${r("list_reduce(list_concat([list_aggregate(list_slice(" +
+              "list_concat([hs[1] - ls[1]], list_transform(range(2, 31), " +
+              "i -> greatest(hs[i] - ls[i], abs(hs[i] - cs[i-1]), " +
+              "abs(ls[i] - cs[i-1])))), 1, 14), 'sum') / 14.0], " +
+              "list_slice(list_concat([hs[1] - ls[1]], " +
+              "list_transform(range(2, 31), i -> greatest(hs[i] - ls[i], " +
+              "abs(hs[i] - cs[i-1]), abs(ls[i] - cs[i-1])))), 15, 30)), " +
+              "(acc, x) -> (acc * 13.0 + x) / 14.0)", 4)} AS atr
+         |  FROM bb0),
+         |rsk AS (SELECT en.ticker, en.key, en.direction, en.pct, en.upx,
+         |    en.call_voloi, en.put_voloi,
+         |    coalesce(greatest(CASE WHEN rl < close_r THEN rl END,
+         |      CASE WHEN bbl < close_r THEN bbl END), rl) AS support,
+         |    coalesce(least(CASE WHEN rh > close_r THEN rh END,
+         |      CASE WHEN bbu > close_r THEN bbu END), rh) AS resistance,
+         |    atr FROM en JOIN tq USING (ticker)),
+         |pr AS (SELECT *,
+         |    CASE WHEN upx > 0 AND support > 0 AND resistance > 0 AND
+         |      (CASE WHEN direction = 'BULLISH' THEN upx - support
+         |        ELSE resistance - upx END) > 0 THEN
+         |      ${r("(CASE WHEN direction = 'BULLISH' THEN resistance - upx " +
+              "ELSE upx - support END) / (CASE WHEN direction = 'BULLISH' " +
+              "THEN upx - support ELSE resistance - upx END)", 2)} END AS rr,
+         |    ${r("abs(pct) / (CASE WHEN upx > 0 AND atr > 0 " +
+              "THEN atr / upx * 100 ELSE 3.0 END)", 2)} AS atr_move
+         |  FROM rsk),
+         |pm AS (SELECT *,
+         |    CAST(key % 2 = 0 AS INT)
+         |    + CAST(coalesce(rr, 0.0) > 2.0 AS INT)
+         |    + CAST(call_voloi > 1.5 AND direction = 'BULLISH' AS INT)
+         |    + CAST(coalesce(atr_move, 0.0) > 2.0 AS INT)
+         |    + CAST(put_voloi > 2.0 AND direction = 'BEARISH' AS INT)
+         |      AS premium_score
+         |  FROM pr),
+         |bc AS (SELECT ticker, ticker || '_' || CAST(j AS VARCHAR) AS best_sym,
+         |    vol AS best_vol, oi AS best_oi
+         |  FROM (SELECT ch.*,
+         |      least(CAST(vol AS DOUBLE) / 500.0, 5.0) * 2.0
+         |      + (1.0 - least((ask - bid) / ((bid+ask)/2), 1.0)) * 3.0
+         |      + least(CAST(vol AS DOUBLE) / greatest(CAST(oi AS DOUBLE), 1.0),
+         |        3.0) * 1.5
+         |      + gamma * 20.0
+         |      + CASE WHEN abs(delta) BETWEEN 0.25 AND 0.50 THEN 2.0
+         |        ELSE 0.0 END
+         |      - abs(-0.05) / greatest((bid+ask)/2, 0.01) * 1.0 AS cscore
+         |    FROM ch WHERE is_call)
+         |  QUALIFY row_number() OVER (PARTITION BY ticker
+         |    ORDER BY cscore DESC,
+         |      ticker || '_' || CAST(j AS VARCHAR) DESC) = 1),
+         |el AS (SELECT pm.*, bc.best_sym FROM pm JOIN bc USING (ticker)
+         |  WHERE premium_score >= 2 AND (best_vol > 250 OR best_oi > 500)),
+         |mb AS (SELECT el.ticker, el.key, m2.m,
+         |    1000000000 + m2.m * 60000 AS tms,
+         |    5.0 + m2.m * 0.01 AS c,
+         |    (5.0 + m2.m * 0.01) + CASE WHEN el.key % 3 = 0 AND m2.m = 10
+         |      THEN 3.0 ELSE 0.2 END AS h,
+         |    (5.0 + m2.m * 0.01) - CASE WHEN el.key % 3 = 1 AND m2.m = 12
+         |      THEN 2.5 ELSE 0.2 END AS l
+         |  FROM el CROSS JOIN (SELECT unnest(range(0, 40)) AS m) m2),
+         |walk AS (SELECT ticker,
+         |    5.0 * 1.02 AS entry,
+         |    min(CASE WHEN m >= 1 AND (tms >= 1000000000 + 7200000
+         |      OR l <= (5.0 * 1.02) * 0.75 OR h >= (5.0 * 1.02) * 1.40)
+         |      THEN m END) AS exit_m
+         |  FROM mb GROUP BY ticker),
+         |fill AS (SELECT walk.ticker, entry,
+         |    CASE WHEN exit_m IS NULL THEN 'TIMEOUT'
+         |      WHEN mb.tms >= 1000000000 + 7200000 THEN 'TIMEOUT'
+         |      WHEN mb.l <= entry * 0.75 THEN 'STOP'
+         |      ELSE 'TARGET' END AS exit_reason,
+         |    CASE WHEN exit_m IS NULL THEN 5.0 + 39 * 0.01
+         |      WHEN mb.tms >= 1000000000 + 7200000 THEN mb.c
+         |      WHEN mb.l <= entry * 0.75 THEN entry * 0.75
+         |      ELSE entry * 1.40 END AS exit_price
+         |  FROM walk LEFT JOIN mb ON mb.ticker = walk.ticker
+         |    AND mb.m = walk.exit_m),
+         |spy AS (SELECT avg(close) AS sma10,
+         |    max_by(close, d) AS last_close, count(*) AS n FROM (
+         |    SELECT 500.0 + CAST(key AS DOUBLE) + 1.0 AS close,
+         |      CAST('2026-03-01' AS DATE) + CAST(key + 1 AS INT) AS d
+         |    FROM t WHERE key < 12 ORDER BY d DESC LIMIT 10))
+         |SELECT el.ticker, el.direction,
+         |  CAST(el.premium_score AS INT) AS premium_score,
+         |  false AS is_skipped, CAST(NULL AS VARCHAR) AS skip_reason,
+         |  el.best_sym AS recommended_contract, fill.exit_reason,
+         |  ${r("fill.entry", 6)} AS entry_price,
+         |  ${r("(fill.exit_price - fill.entry) / fill.entry", 6)}
+         |    AS realized_return_pct,
+         |  CAST(18.5 AS DOUBLE) AS VIX_at_entry,
+         |  (SELECT CASE WHEN n >= 10 THEN CASE WHEN last_close > sma10
+         |    THEN 'BULLISH' ELSE 'BEARISH' END END FROM spy)
+         |    AS SPY_trend_state
+         |FROM el JOIN fill USING (ticker)""".stripMargin
+    },
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -159,6 +159,35 @@ object FastHash {
     } finally d.end()
   }
 
+  /** All POSITIONAL word n-grams of a text (duplicates kept, in
+    * order) — the instance-grain companion to [[ShinglesExpr]]'s
+    * distinct shingles: lexical-diversity censuses (distinct-n) need
+    * every occurrence, not the set. Same [[tokens]] convention
+    * (lower/trim, \s+ split) with the [""] empty-input artifact
+    * filtered; fewer than n tokens → empty array. One tight loop +
+    * StringBuilder per row in whole-stage codegen — the interpreted
+    * transform(sequence)+slice+array_join formulation it replaces was
+    * the dominant cost of the corpus-grain diversity pass. */
+  def ngramsValue(text: UTF8String, n: Int): ArrayData = {
+    val raw = tokens(text)
+    val ts = if (raw.length == 1 && raw(0).isEmpty) Array.empty[String]
+      else raw
+    if (ts.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](ts.length - n + 1)
+    var i = 0
+    while (i <= ts.length - n) {
+      if (n == 1) out(i) = UTF8String.fromString(ts(i))
+      else {
+        val sb = new java.lang.StringBuilder(ts(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(ts(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Deflate→inflate roundtrip check: compresses the text's UTF-8
     * bytes at zlib level 6, decompresses the result, and returns the
     * decompressed byte length IF it reproduces the original bytes
@@ -560,6 +589,9 @@ object FastHash {
   def deflateRoundtrip(text: Column): Column =
     GraftShim.column(DeflateRoundtripExpr(GraftShim.expression(text)))
 
+  def ngrams(text: Column, n: Int): Column =
+    GraftShim.column(NgramsExpr(GraftShim.expression(text), n))
+
   def sortedLookup(keys: Column, vals: Column, key: Column): Column =
     GraftShim.column(SortedLookupExpr(GraftShim.expression(keys),
       GraftShim.expression(vals), GraftShim.expression(key)))
@@ -674,6 +706,25 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.shinglesValue($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** text -> all positional word n-grams, duplicates kept (codegen'd;
+  * see [[FastHash.ngramsValue]]). */
+case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1: $n")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.ngramsValue(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastHash.ngramsValue($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramsExpr =
     copy(child = newChild)
 }
 

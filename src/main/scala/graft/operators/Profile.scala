@@ -551,30 +551,22 @@ object Profile {
     * two-stage (group, n, gram) census → count pattern, never a
     * countDistinct expand.
     *
-    * Scale shape: one explode to (group, n, gram) grain (rows ×
+    * Scale shape: one explode to (group, n, gram) grain per n (rows ×
     * maxN × tokens — the corpus retokenized maxN times, same cost
-    * class as any shingle pass), one census shuffle keyed by the
-    * high-cardinality gram, one group-keyed rollup. Output: (g, n,
+    * class as any shingle pass, but each pass is ONE codegen'd kernel
+    * call per row — [[graft.functions.FastHash.ngramsValue]] — not an
+    * interpreted transform/slice/array_join chain, which was the
+    * dominant CPU cost of this census), one census shuffle keyed by
+    * the high-cardinality gram, one group-keyed rollup. Output: (g, n,
     * n_grams, n_types, distinct_ratio). */
   def distinctN(df: DataFrame, groupCol: String, textCol: String,
       maxN: Int = 3): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN in 1..8, got $maxN")
-    val toks = df.select(col(groupCol).as("g"),
-      split(lower(trim(col(textCol))), "\\s+").as("__t"))
-      .select(col("g"), filter(col("__t"), t => length(t) > 0).as("__t"))
-      .where(size(col("__t")) > 0)
-    // windows that would run past the end yield null grams, dropped
-    // below — sequence(1, size) is never descending on non-empty arrays
-    val gramArrays = (1 to maxN).map { n =>
-      expr(s"""transform(sequence(1, size(__t)),
-        |i -> named_struct('n', $n,
-        |  'gram', IF(i + ${n - 1} <= size(__t),
-        |    array_join(slice(__t, i, $n), ' '), NULL)))""".stripMargin)
-    }
-    val exploded = toks
-      .select(col("g"), explode(concat(gramArrays: _*)).as("e"))
-      .select(col("g"), col("e.n").as("n"), col("e.gram").as("gram"))
-      .where(col("gram").isNotNull)
+    val exploded = (1 to maxN).map { n =>
+      df.select(col(groupCol).as("g"), lit(n).as("n"),
+        explode(graft.functions.FastHash.ngrams(col(textCol), n))
+          .as("gram"))
+    }.reduce(_ unionAll _)
     val cells = exploded.groupBy(col("g"), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
     cells.groupBy(col("g"), col("n"))

@@ -297,4 +297,124 @@ object DomainOps {
       round(expr("percentile(final_capital, 0.9)"), 2).as("p90_capital"),
       round(max($"max_drawdown") * 100, 2).as("worst_drawdown_pct"))
   }
+
+  /** q390 — reference-lifecycle capstone: SURVEY §3.1 + §3.2 + §3.3 as
+    * ONE composed plan — [[graft.pipelines.Scanner.run]] (movers filter,
+    * universe semi-join, flow metrics, six-rung scoring ladder with the
+    * divergence flip, cluster boost, best-contract argmax) feeding
+    * [[graft.pipelines.Enrich.run]] (score≥6 gate, full technicals pass:
+    * Wilder RSI/ATR, ewm MACD/EMA, Bollinger, OBV, support/resistance,
+    * then the F19 risk ladder and F17 premium flags) feeding
+    * [[graft.pipelines.Execution.run]] (P8 eligibility, dedup flag, OCC
+    * key reconstruction, bracket scan over minute bars, VIX/SPY regime
+    * as-of) — with the LEDGER oracle-checked value-for-value in DuckDB
+    * (every stage's fold replayed: the q38/q39/q40/q41 technical-fold
+    * shapes, the q48 risk CASE ladder, the q51 OCC concat, the q60
+    * bracket walk, the q44 regime rule).
+    *
+    * Fixtures are deterministic arithmetic over the 25-row nation table
+    * (ticker = n_name): pct = (key%7−3)·1.1 exercises the mover gate
+    * (key%7=3 drops) and both directions; put flow is kept thin so
+    * bullish keys score 6 (k%7∈{5,6}) while k%7=4 lands at 5 and is
+    * rescued by the cluster boost (industry = key parity ⇒ the bullish
+    * even-key cluster has 5 members ≥ ClusterMinSize); bearish keys
+    * score ≤2 and are dropped by the enrichment gate. Minute bars give
+    * each eligible contract a TARGET / STOP / exhausted-TIMEOUT path by
+    * key%3. Composition — not data scale — is what this query checks;
+    * every stage's scale shape is pinned by its piecewise query. */
+  def q390LifecycleE2E(spark: SparkSession, dir: String): DataFrame = {
+    val scanDate = lit("2026-03-18").cast("date")
+    val t = Tables.nation(spark, dir).select(
+      trim($"n_name").as("ticker"), $"n_nationkey".cast("long").as("key"))
+    val snapshots = t.select($"ticker",
+      (($"key" % 7 - 3).cast("double") * 1.1).as("todaysChangePerc"),
+      struct(($"key".cast("double") + 100.0).as("c"),
+        (($"key" + 1L) * 100000L).as("v")).as("day"),
+      struct(lit(50.0).as("p")).as("lastTrade"),
+      struct(lit(60.0).as("c")).as("prevDay"))
+    val chain = t.select($"ticker", $"key",
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .select(
+        $"ticker".as("underlying"),
+        concat($"ticker", lit("_"), $"j").as("contract_symbol"),
+        when($"j" < 2, "call").otherwise("put").as("option_type"),
+        lit("2026-04-17").cast("date").as("expiration_date"),
+        ($"key".cast("double") + 100.0 +
+          element_at(array(lit(0.0), lit(20.0), lit(-5.0), lit(10.0)),
+            ($"j" + 1).cast("int"))).as("strike"),
+        lit(null).cast("double").as("last_price"),
+        element_at(array(lit(4.8), lit(2.4), lit(1.9), lit(0.9)),
+          ($"j" + 1).cast("int")).as("bid"),
+        element_at(array(lit(5.2), lit(2.6), lit(2.1), lit(1.1)),
+          ($"j" + 1).cast("int")).as("ask"),
+        when($"j" < 2, ($"key" % 7) * 400L + 200L)
+          .otherwise(lit(40L) + $"j" * 10L).as("volume"),
+        (lit(100L) + $"j" * 50L).as("open_interest"),
+        (lit(0.3) + $"j".cast("double") * 0.05).as("implied_volatility"),
+        element_at(array(lit(0.4), lit(0.3), lit(-0.35), lit(-0.3)),
+          ($"j" + 1).cast("int")).as("delta"),
+        when($"j" < 2, 0.05).otherwise(0.04).as("gamma"),
+        lit(-0.05).as("theta"), lit(0.1).as("vega"))
+    val universe = t.where($"key" =!= 24L).select($"ticker".as("value"))
+    val metadata = t.select($"ticker",
+      concat(lit("SEC"), ($"key" % 3).cast("string")).as("sector"),
+      concat(lit("IND"), ($"key" % 2).cast("string")).as("industry"))
+    val signals = graft.pipelines.Scanner.run(
+      snapshots, chain, universe, metadata,
+      asOf = scanDate, scanDate = scanDate)
+    val dailyBars = t.select($"ticker", $"key",
+        explode(sequence(lit(1), lit(30))).as("i"))
+      .select($"ticker",
+        date_add(lit("2026-01-01").cast("date"), $"i").as("date"),
+        ($"key".cast("double") + 100.0 + $"i" * 0.5 - ($"i" % 4) * 0.6)
+          .as("close"))
+      .select($"ticker", $"date", $"close".as("open"),
+        ($"close" + 1.0).as("high"), ($"close" - 1.0).as("low"),
+        $"close", lit(1000.0).as("volume"))
+    val news = t.select($"ticker", scanDate.as("scan_date"),
+      (lit(0.5) + ($"key" % 5).cast("double") * 0.1).as("catalyst_score"),
+      lit("Catalyst").as("catalyst_type"), lit(true).as("news_found"),
+      ($"key" % 4).as("sources_count"),
+      when($"key" % 2 === 0, "HEDGING").otherwise("DIRECTIONAL")
+        .as("flow_intent"),
+      lit("reasoning").as("flow_intent_reasoning"),
+      lit(false).as("move_overdone"),
+      (lit(0.2) + ($"key" % 3).cast("double") * 0.1)
+        .as("reversal_probability"),
+      lit("thesis").as("thesis"), lit("summary").as("summary"))
+    val enriched = graft.pipelines.Enrich.run(signals, dailyBars, news)
+    val entryTs = 1000000000L
+    val minuteBars = t.select($"ticker", $"key",
+        explode(sequence(lit(0), lit(39))).as("m"))
+      .select(
+        graft.functions.GraftFunctions.occTicker($"ticker",
+          lit("2026-04-17").cast("date"), lit(true),
+          $"key".cast("double") + 100.0).as("opt_ticker"),
+        (lit(entryTs) + $"m" * 60000L).as("t"),
+        (lit(5.0) + $"m" * 0.01).as("c"), $"key", $"m")
+      .select($"opt_ticker", $"t", $"c".as("o"),
+        ($"c" + when($"key" % 3 === 0 && $"m" === 10, 3.0).otherwise(0.2))
+          .as("h"),
+        ($"c" - when($"key" % 3 === 1 && $"m" === 12, 2.5).otherwise(0.2))
+          .as("l"),
+        $"c", lit(10L).as("v"))
+    val macroSeries = t.where($"key" < 12).select(
+        lit("SPY").as("symbol"),
+        date_add(lit("2026-03-01").cast("date"), $"key".cast("int") + 1)
+          .as("date"),
+        (lit(500.0) + $"key".cast("double") + 1.0).as("close"))
+      .unionByName(t.where($"key" === 0).select(lit("^VIX").as("symbol"),
+        lit("2026-03-17").cast("date").as("date"), lit(18.5).as("close")))
+    val ledger = graft.pipelines.Execution.run(spark, enriched, minuteBars,
+      macroSeries, targetDate = scanDate,
+      entryDay = lit("2026-03-19").cast("date"),
+      entryTs = entryTs, timeoutTs = entryTs + 7200000L,
+      entryDayEnd = entryTs + 21600000L)
+    ledger.select($"ticker", $"direction",
+      $"premium_score", $"is_skipped", $"skip_reason",
+      $"recommended_contract", $"exit_reason",
+      round($"entry_price", 6).as("entry_price"),
+      round($"realized_return_pct", 6).as("realized_return_pct"),
+      $"VIX_at_entry", $"SPY_trend_state")
+  }
 }

@@ -127,4 +127,30 @@ class LifecycleE2ESpec extends AnyFunSuite with SparkFixture {
     assert(merged.getAs[Double]("peak_return_3d") == 7.0)
     assert(merged.getAs[String]("outcome_tier") == "strong")
   }
+
+  test("q390 lifecycle capstone: the table-derived fixture exercises " +
+      "every stage path (boost rescue, gate drops, all three exits)") {
+    val out = graft.queries.DomainOps
+      .q390LifecycleE2E(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("ticker") -> r).toMap
+    // eligible cohort: bullish even keys (HEDGING + bull-flow = premium 2);
+    // keys 4 and 18 only reach score 6 through the cluster boost
+    assert(out.keySet == Set("NATION_4", "NATION_6", "NATION_12",
+      "NATION_18", "NATION_20"), out.keySet.toString)
+    def reason(t: String) = out(t).getAs[String]("exit_reason")
+    // key%3 routes the bracket: 0 -> TARGET, 1 -> STOP, 2 -> exhausted
+    assert(Seq("NATION_6", "NATION_12", "NATION_18").forall(
+      reason(_) == "TARGET"))
+    assert(reason("NATION_4") == "STOP")
+    assert(reason("NATION_20") == "TIMEOUT")
+    out.values.foreach { r =>
+      assert(r.getAs[String]("direction") == "BULLISH")
+      assert(r.getAs[Int]("premium_score") == 2)
+      assert(!r.getAs[Boolean]("is_skipped"))
+      assert(r.getAs[Double]("VIX_at_entry") == 18.5)
+      assert(r.getAs[String]("SPY_trend_state") == "BULLISH")
+    }
+    assert(out("NATION_4").getAs[Double]("realized_return_pct") == -0.25)
+    assert(out("NATION_6").getAs[Double]("realized_return_pct") == 0.4)
+  }
 }
