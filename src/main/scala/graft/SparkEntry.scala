@@ -412,6 +412,11 @@ object SparkEntry {
     "q388_log_rank"         -> (T.q388LogRank(_, _)),
     "q389_deflate_roundtrip" -> (D.q389DeflateRoundtrip(_, _)),
     "q390_lifecycle_e2e"    -> (K.q390LifecycleE2E(_, _)),
+    "q391_threshold_curve"  -> (D.q391ThresholdCurve(_, _)),
+    "q392_weighted_reservoir" -> (D.q392WeightedReservoir(_, _)),
+    "q393_bleu"             -> (D.q393Bleu(_, _)),
+    "q394_kalman_level"     -> (T.q394KalmanLevel(_, _)),
+    "q395_zorder_locality"  -> (D.q395ZorderLocality(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8875,6 +8880,187 @@ object SparkEntry {
          |    THEN 'BULLISH' ELSE 'BEARISH' END END FROM spy)
          |    AS SPY_trend_state
          |FROM el JOIN fill USING (ticker)""".stripMargin
+    },
+    // q391: same shingle SQL as q75, NO band prefilter (the curve needs
+    // every pair down to tau=0.3); comparison j*1000 >= tau_milli is one
+    // pinned double product vs integer; zero-pair thresholds kept by the
+    // left join so the curve has no silent holes
+    "q391_threshold_curve" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents WHERE doc_id < 40
+        |UNION ALL SELECT doc_id + 1000, text || ' graft near dup tail'
+        |  FROM documents WHERE doc_id < 40),
+        |t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM aug),
+        |s AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        |    i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+        |  FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))
+        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id),
+        |th AS (SELECT CAST(unnest([300, 400, 500, 600, 700, 800, 900])
+        |    AS BIGINT) AS tau_milli),
+        |c AS (SELECT tau_milli, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(count(DISTINCT id_b) AS BIGINT) AS n_dropped
+        |  FROM th JOIN p ON p.j * 1000 >= th.tau_milli GROUP BY 1)
+        |SELECT th.tau_milli, coalesce(c.n_pairs, 0) AS n_pairs,
+        |  coalesce(c.n_dropped, 0) AS n_dropped,
+        |  80 - coalesce(c.n_dropped, 0) AS n_kept
+        |FROM th LEFT JOIN c USING (tau_milli)""".stripMargin,
+    // q392: A-ES key ln(u)/w replayed term-for-term — u from the same
+    // 48-bit md5 slice (q327 hash-to-uniform shape), ln parity per the
+    // q121 libm contract, stratum top-k via QUALIFY row_number
+    "q392_weighted_reservoir" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tok FROM documents),
+        |k AS (SELECT source, doc_id, n_tok,
+        |    ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || 'graft9'), 1, 12)) AS BIGINT) AS DOUBLE) + 0.5)
+        |      / CAST(281474976710656 AS DOUBLE))
+        |      / CAST(n_tok AS DOUBLE) AS key
+        |  FROM d WHERE n_tok IS NOT NULL AND n_tok > 0)
+        |SELECT source, doc_id, n_tok,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+        |FROM k
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY key DESC, doc_id) <= 5""".stripMargin,
+    // q393: clipped counts are exact integer censuses; p_n one division;
+    // BLEU = bp * exp((ln p1 + ln p2 + ln p3 + ln p4)/4) replayed in the
+    // identical association order; unsmoothed zeros stay loud zeros
+    "q393_bleu" ->
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS rt
+        |  FROM documents WHERE doc_id < 40),
+        |pair AS (SELECT doc_id, rt, list_concat(list_slice(rt, 1, 12),
+        |    ['candidate', 'summary', 'tail', 'words']) AS ct FROM base),
+        |cc AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c_cand
+        |  FROM (SELECT doc_id, nn.n,
+        |      unnest(list_transform(range(1, len(ct) - nn.n + 2),
+        |        i -> array_to_string(list_slice(ct, i, i + nn.n - 1), ' ')))
+        |        AS gram
+        |    FROM pair, (SELECT unnest([1, 2, 3, 4]) AS n) nn)
+        |  GROUP BY 1, 2, 3),
+        |cr AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c_ref
+        |  FROM (SELECT doc_id, nn.n,
+        |      unnest(list_transform(range(1, len(rt) - nn.n + 2),
+        |        i -> array_to_string(list_slice(rt, i, i + nn.n - 1), ' ')))
+        |        AS gram
+        |    FROM pair, (SELECT unnest([1, 2, 3, 4]) AS n) nn)
+        |  GROUP BY 1, 2, 3),
+        |j AS (SELECT cc.doc_id, cc.n, sum(cc.c_cand) AS tot,
+        |    sum(least(cc.c_cand, coalesce(cr.c_ref, 0))) AS clip
+        |  FROM cc LEFT JOIN cr USING (doc_id, n, gram) GROUP BY 1, 2),
+        |p AS (SELECT doc_id,
+        |    max(CASE WHEN n = 1 THEN CAST(clip AS DOUBLE) / tot END) AS p1,
+        |    max(CASE WHEN n = 2 THEN CAST(clip AS DOUBLE) / tot END) AS p2,
+        |    max(CASE WHEN n = 3 THEN CAST(clip AS DOUBLE) / tot END) AS p3,
+        |    max(CASE WHEN n = 4 THEN CAST(clip AS DOUBLE) / tot END) AS p4,
+        |    count(*) AS orders
+        |  FROM j GROUP BY 1),
+        |l AS (SELECT doc_id, CAST(len(rt) AS BIGINT) AS r_len,
+        |    CAST(len(ct) AS BIGINT) AS c_len FROM pair)
+        |SELECT l.doc_id, l.r_len, l.c_len,
+        |  CAST(round(CAST(CAST(p1 AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p1,
+        |  CAST(round(CAST(CAST(p2 AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p2,
+        |  CAST(round(CAST(CAST(p3 AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p3,
+        |  CAST(round(CAST(CAST(p4 AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p4,
+        |  CASE WHEN orders = 4 AND p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0
+        |    THEN CAST(round(CAST(CAST(
+        |      (CASE WHEN c_len >= r_len THEN 1.0
+        |        ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))
+        |        END)
+        |      * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4.0)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |    WHEN orders = 4 THEN 0.0 END AS bleu
+        |FROM l LEFT JOIN p USING (doc_id)""".stripMargin,
+    // q394: coupled (k, x, p) state replayed via list_reduce with the
+    // q40 field-order discipline (no field reads an acc.* field
+    // recomputed EARLIER in the same struct); seed = first element via
+    // the transform-to-struct trick, so the fold starts at (x=z1, p=p0)
+    "q394_kalman_level" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |      AS z
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+        |    list(z ORDER BY day) AS zs FROM d GROUP BY 1),
+        |f AS (SELECT event_type, n_obs,
+        |    list_reduce(list_transform(zs, v -> struct_pack(
+        |      k := CAST(0.0 AS DOUBLE), x := v, p := CAST(1.0 AS DOUBLE))),
+        |    (acc, e) -> struct_pack(
+        |      k := (acc.p + 0.05) / (acc.p + 0.05 + 1.0),
+        |      x := acc.x + ((acc.p + 0.05) / (acc.p + 0.05 + 1.0))
+        |        * (e.x - acc.x),
+        |      p := (1.0 - (acc.p + 0.05) / (acc.p + 0.05 + 1.0))
+        |        * (acc.p + 0.05))) AS s
+        |  FROM h)
+        |SELECT event_type, n_obs,
+        |  CAST(round(CAST(CAST(s.x AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS level,
+        |  CAST(round(CAST(CAST(s.p AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p_var,
+        |  CAST(round(CAST(CAST(s.k AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS gain
+        |FROM f""".stripMargin,
+    // q395: quantized cells replay as one pinned floor shape off the
+    // same broadcast min/max; Morton interleave is pure integer bit
+    // algebra; cosine via the q127 list_zip replay; NaN>=tau agrees
+    // cross-engine (both order NaN above any threshold)
+    "q395_zorder_locality" -> {
+      def cellSql(d: Int) =
+        s"CASE WHEN mx$d = mn$d THEN 0 ELSE CAST(least(greatest(" +
+          s"floor((v[$d] - mn$d) / (mx$d - mn$d) * 15), 0.0), 15.0) " +
+          s"AS BIGINT) END"
+      val morton = (1 to 2).flatMap { d =>
+        (0 until 4).map(b => s"((((${cellSql(d)}) >> $b) & 1) << " +
+          s"${b * 2 + (d - 1)})")
+      }.mkString(" | ")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |b AS (SELECT min(v[1]) AS mn1, max(v[1]) AS mx1,
+         |    min(v[2]) AS mn2, max(v[2]) AS mx2 FROM e),
+         |tg AS (SELECT id, v,
+         |    ($morton) >> 3 AS zorder,
+         |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 12))
+         |      AS BIGINT) % 32 AS hash
+         |  FROM e, b),
+         |pz AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN
+         |      list_aggregate(list_transform(list_zip(a.v, b2.v),
+         |        x -> x[1] * x[2]), 'sum') /
+         |      (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+         |        * sqrt(list_aggregate(list_transform(b2.v, x -> x * x),
+         |          'sum'))) * 1000 >= 700 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_close_pairs
+         |  FROM tg a JOIN tg b2 ON a.zorder = b2.zorder AND a.id < b2.id),
+         |ph AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN
+         |      list_aggregate(list_transform(list_zip(a.v, b2.v),
+         |        x -> x[1] * x[2]), 'sum') /
+         |      (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+         |        * sqrt(list_aggregate(list_transform(b2.v, x -> x * x),
+         |          'sum'))) * 1000 >= 700 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_close_pairs
+         |  FROM tg a JOIN tg b2 ON a.hash = b2.hash AND a.id < b2.id),
+         |nz AS (SELECT CAST(count(DISTINCT zorder) AS BIGINT) AS n_shards
+         |  FROM tg),
+         |nh AS (SELECT CAST(count(DISTINCT hash) AS BIGINT) AS n_shards
+         |  FROM tg)
+         |SELECT 'zorder' AS layout, nz.n_shards, pz.n_pairs,
+         |  pz.n_close_pairs FROM pz, nz
+         |UNION ALL
+         |SELECT 'hash', nh.n_shards, ph.n_pairs, ph.n_close_pairs
+         |FROM ph, nh""".stripMargin
     },
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source

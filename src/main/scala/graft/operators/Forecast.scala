@@ -226,4 +226,52 @@ object Forecast {
         when(!isnan(col("__f.p")) && col("__f.p") =!= 0.0,
           col("__f.z") / col("__f.p")).as("rate"))
   }
+
+  /** Local-level Kalman filter per key (Harvey 1989's structural
+    * "level + noise" model — the optimal exponential smoother whose
+    * gain ADAPTS instead of being hand-picked like [[holtSummary]]'s
+    * alpha): per observation z,
+    *   P⁻ = P + Q,  K = P⁻/(P⁻ + R),  x ← x + K(z − x),  P ← (1−K)P⁻,
+    * seeded at x = z₁, P = p0. The steady-state K it converges to IS
+    * the "right alpha" for the series' signal-to-noise ratio — the
+    * principled answer to the smoothing-parameter folklore question.
+    * Emits the final state per key: the filtered level, its variance,
+    * and the converged gain.
+    *
+    * Determinism: the recursion is a fixed-shape double fold over the
+    * (ord, value)-sorted series (the q237/q40 in-order contract); Q, R
+    * and p0 are caller literals. The struct-field order (k, x, p) is
+    * chosen so no field reads an accumulator field recomputed earlier
+    * in the same step — the DuckDB list_reduce aliasing rule (q40
+    * note). Ordering contract: `ordCol` compares AS STRINGS —
+    * zero-padded labels (the [[holtSummary]] contract).
+    *
+    * Scale shape: one key-partitioned collect of the series census
+    * (periods per key, never row scale) + an O(n) per-key fold.
+    * Output: (key, n_obs, level, p_var, gain); single-observation
+    * keys report the seed. */
+  def kalmanLevel(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, q: Double, r: Double, p0: Double): DataFrame = {
+    require(q >= 0 && r > 0 && p0 >= 0,
+      s"variances out of range: q=$q r=$r p0=$p0")
+    val g = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sort_array(collect_list(struct(col(ordCol).cast("string").as("o"),
+          col(valueCol).cast("double").as("x")))).as("__series"))
+    val fold =
+      s"""aggregate(slice(__series, 2, size(__series) - 1),
+         |  struct(CAST(0.0 AS DOUBLE) AS k,
+         |    CAST(element_at(__series, 1).x AS DOUBLE) AS x,
+         |    CAST($p0 AS DOUBLE) AS p),
+         |  (acc, e) -> struct(
+         |    (acc.p + $q) / (acc.p + $q + $r) AS k,
+         |    acc.x + ((acc.p + $q) / (acc.p + $q + $r)) * (e.x - acc.x)
+         |      AS x,
+         |    (1.0 - (acc.p + $q) / (acc.p + $q + $r)) * (acc.p + $q)
+         |      AS p))""".stripMargin
+    g.withColumn("__f", expr(fold))
+      .select(col(keyCol), col("n_obs"),
+        col("__f.x").as("level"), col("__f.p").as("p_var"),
+        col("__f.k").as("gain"))
+  }
 }

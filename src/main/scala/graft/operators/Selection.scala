@@ -79,4 +79,40 @@ object Selection {
     }
     out.result().reduce(_ unionByName _)
   }
+
+  /** Deterministic weighted reservoir sampling WITHOUT replacement per
+    * stratum (Efraimidis & Spirakis 2006, A-ES): each row draws a
+    * seeded uniform u from a 48-bit md5 slice (the q327 hash-to-uniform
+    * shape — a seeded draw is a DESIGN choice for replayable pipelines;
+    * production swaps the seed source, nothing else changes) and keeps
+    * the top-k rows per stratum by ln(u)/w — the same ordering as the
+    * paper's u^(1/w) key (ln is monotone; the division keeps the exact
+    * pinned-shape parity the pow() ban protects). Inclusion probability
+    * is ∝ weight, exactly the "sample documents ∝ token count within
+    * each source" draw a mixture pipeline wants, reproducible across
+    * engines AND across runs at any parallelism.
+    *
+    * Exactness: u is exact integer arithmetic (+0.5, /2⁴⁸); the key is
+    * one ln and one division of pinned doubles (q121 libm contract);
+    * ranks break (impossible) key ties by id. Rows with weight ≤ 0 or
+    * null are excluded loudly in the output contract, not sampled.
+    * Scale shape: one stratum-partitioned top-k window — no global
+    * window, no shuffle beyond the stratum key. Output: (stratum, id,
+    * weight, rank), rank 1..k by descending key. */
+  def weightedReservoir(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (expr(s"CAST(CONV(SUBSTRING(md5(CONCAT(CAST($idCol AS STRING)," +
+      s" '$seed')), 1, 12), 16, 10) AS BIGINT)").cast("double") +
+      lit(0.5)) / lit(281474976710656.0)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__key").desc, col(idCol))
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__key", log(u) / col(weightCol).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(strataCol).as("stratum"), col(idCol).as("id"),
+        col(weightCol).cast("long").as("weight"), col("rank"))
+  }
 }

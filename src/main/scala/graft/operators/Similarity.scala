@@ -1010,4 +1010,82 @@ object Similarity {
     }
     chosen
   }
+
+  /** Z-order (Morton) shard assignment + locality audit — the DATA
+    * LAYOUT half of the ANN story: bit-interleave the first `dims`
+    * quantized embedding coordinates into a Morton code and take its
+    * high bits as the shard id, so vectors close in space land in the
+    * same shard far more often than a hash layout — fewer shards
+    * probed per query at 100 TB, same storage. The audit makes the
+    * claim measurable: within-shard pairs with cosine >= tau (exact
+    * integer census) under the Z-layout vs a same-shard-count md5 hash
+    * layout of the same rows. Quantization bounds are per-dimension
+    * min/max from ONE census aggregation (broadcast scalars — no
+    * driver action, no second scan shape).
+    *
+    * Exactness: quantized cells are exact integers (floor of one
+    * pinned double shape, clamped); the Morton interleave is integer
+    * bit algebra; the audit counts are integer censuses over the
+    * codegen'd cosine kernel with one pinned threshold compare.
+    * Scale shape: one bounds aggregation, one projection, and a
+    * per-shard self-join whose fan-out is shard-bounded (the LSH
+    * bucket-join shape) — never all-pairs. Output: one row per
+    * layout — (layout, n_shards, n_pairs, n_close_pairs). */
+  def zOrderLocalityAudit(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, bitsPerDim: Int, shardBits: Int,
+      tauMilli: Long): DataFrame = {
+    require(dims >= 1 && bitsPerDim >= 1 && dims * bitsPerDim <= 60,
+      s"dims*bitsPerDim must fit a long: $dims x $bitsPerDim")
+    require(shardBits >= 1 && shardBits <= dims * bitsPerDim,
+      s"shardBits out of range: $shardBits")
+    val levels = (1 << bitsPerDim) - 1
+    val base = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    val boundAggs = (1 to dims).flatMap { d =>
+      Seq(min(expr(s"element_at(v, $d)")).as(s"mn$d"),
+        max(expr(s"element_at(v, $d)")).as(s"mx$d"))
+    }
+    val bounds = broadcast(base.agg(boundAggs.head, boundAggs.tail: _*))
+    // per-dim quantized cell: floor((x - mn) / (mx - mn) * levels),
+    // clamped into [0, levels]; degenerate dims (mx = mn) pin to 0
+    def cell(d: Int): Column = {
+      val x = expr(s"element_at(v, $d)")
+      val mn = col(s"mn$d")
+      val mx = col(s"mx$d")
+      when(mx === mn, lit(0L)).otherwise(
+        least(greatest(floor((x - mn) / (mx - mn) * levels), lit(0.0)),
+          lit(levels.toDouble)).cast("long"))
+    }
+    // Morton interleave: bit b of dim d lands at position b*dims+(d-1)
+    val morton = (1 to dims).map { d =>
+      (0 until bitsPerDim).map { b =>
+        shiftleft(shiftright(cell(d), b).bitwiseAND(lit(1L)),
+          b * dims + (d - 1))
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+    val zShard = shiftright(morton, dims * bitsPerDim - shardBits)
+    val hashShard = expr(
+      s"CAST(CONV(SUBSTRING(md5(CAST(id AS STRING)), 1, 12), 16, 10) " +
+        s"AS BIGINT) % ${1L << shardBits}")
+    val tagged = base.crossJoin(bounds)
+      .select(col("id"), col("v"), zShard.as("zorder"),
+        hashShard.as("hash"))
+      .localCheckpoint(false)
+    def audit(layout: String): DataFrame = {
+      val s = tagged.select(col(layout).as("shard"), col("id"), col("v"))
+      s.alias("a").join(s.alias("b"),
+          col("a.shard") === col("b.shard") && col("a.id") < col("b.id"))
+        .select((graft.functions.FastHash.cosine(col("a.v"), col("b.v"))
+          * 1000 >= tauMilli).cast("long").as("close"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("close"))
+          .as("n_close_pairs"))
+        .crossJoin(broadcast(
+          s.select(col("shard")).distinct().agg(count(lit(1))
+            .as("n_shards"))))
+        .select(lit(layout).as("layout"), col("n_shards"), col("n_pairs"),
+          col("n_close_pairs"))
+    }
+    audit("zorder").unionByName(audit("hash"))
+  }
 }

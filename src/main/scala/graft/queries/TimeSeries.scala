@@ -1608,6 +1608,24 @@ object TimeSeries {
         $"rank", $"k", round($"q_value", 6).as("q_value"), $"reject")
   }
 
+  /** q394 — local-level Kalman filter ([[graft.operators.Forecast
+    * .kalmanLevel]]): each event type's daily cents total filtered
+    * through the adaptive-gain level model (Q=0.05, R=1, P₀=1) — the
+    * converged gain is the data's own answer to "what alpha should the
+    * smoother use"; fixed-shape double fold over the day-sorted census,
+    * replayed field-for-field in list_reduce. */
+  def q394KalmanLevel(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"day")
+      .agg((sum($"cents").cast("double") / 100.0).as("z"))
+    graft.operators.Forecast.kalmanLevel(daily, "event_type", "day", "z",
+      q = 0.05, r = 1.0, p0 = 1.0)
+      .select($"event_type", $"n_obs", round($"level", 6).as("level"),
+        round($"p_var", 6).as("p_var"), round($"gain", 6).as("gain"))
+  }
+
   /** q290 — Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]):
     * per day-of-week, do the five event types share one value
     * distribution? The k-sample companion to q283's two-sample U —

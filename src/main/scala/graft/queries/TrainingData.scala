@@ -430,6 +430,65 @@ object TrainingData {
           .cast("long")).as("band"))
       .groupBy($"source", $"band").agg(count(lit(1)).as("n_docs"))
 
+  /** q391 — dedup threshold operating curve ([[graft.operators.Dedup
+    * .thresholdCurve]]): the exact 3-gram-Jaccard pair table of the
+    * planted near-dup fixture swept across τ ∈ 300..900 milli in ONE
+    * pass — per operating point, surviving pairs, greedy higher-id
+    * drops, and kept docs; the "pick the dedup threshold from data,
+    * not folklore" report a 100 TB run wants BEFORE it commits. */
+  def q391ThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      nearDupFixture(spark, dir), "doc_id", "text", 3)
+    graft.operators.Dedup.thresholdCurve(pairs, "jaccard", "id_b",
+      nDocs = 80L, thresholdsMilli = Seq(300L, 400L, 500L, 600L, 700L,
+        800L, 900L))
+  }
+
+  /** q392 — weighted reservoir sample ([[graft.operators.Selection
+    * .weightedReservoir]]): 5 documents per source drawn ∝ whitespace
+    * token count with the seeded A-ES key — the deterministic
+    * "sample big docs more often, reproducibly, per stratum" draw a
+    * mixture build wants; exact md5-uniform + pinned ln/ratio key,
+    * stratum-partitioned top-k window. */
+  def q392WeightedReservoir(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection.weightedReservoir(
+      docs(spark, dir).select($"source", $"doc_id",
+        TextOps.tokenCount($"text").as("n_tok")),
+      "source", "doc_id", "n_tok", k = 5, seed = "graft9")
+      .select($"stratum".as("source"), $"id".as("doc_id"),
+        $"weight".as("n_tok"), $"rank")
+
+  /** q393 — sentence-BLEU ([[graft.operators.Rouge.bleu]]): the q296
+    * pairing (each of the first 40 docs vs its first-12-tokens-plus-
+    * planted-tail candidate) scored with clipped 1..4-gram precision,
+    * geometric mean, and brevity penalty — the hallucination-sensitive
+    * complement to q296's ROUGE-L recall; the planted tail keeps every
+    * p_n < 1 so the score discriminates. */
+  def q393Bleu(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim($"text")), "\\s+")
+    val cand = concat_ws(" ",
+      concat(slice(toks, 1, 12),
+        array(lit("candidate"), lit("summary"), lit("tail"), lit("words"))))
+    val paired = docs(spark, dir).where($"doc_id" < 40)
+      .select($"doc_id", $"text", cand.as("cand"))
+    graft.operators.Rouge.bleu(paired, "doc_id", "text", "cand")
+      .select($"id".as("doc_id"), $"r_len", $"c_len",
+        round($"p1", 6).as("p1"), round($"p2", 6).as("p2"),
+        round($"p3", 6).as("p3"), round($"p4", 6).as("p4"),
+        round($"bleu", 6).as("bleu"))
+  }
+
+  /** q395 — Z-order shard locality audit ([[graft.operators.Similarity
+    * .zOrderLocalityAudit]]): Morton-interleave the first two quantized
+    * embedding coordinates into 32 shards and count co-sharded
+    * cosine≥0.7 pairs against an md5 hash layout of the same rows —
+    * the measurable "space-filling layout keeps neighbors together"
+    * claim an ANN shard plan rests on. */
+  def q395ZorderLocality(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.zOrderLocalityAudit(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dims = 2, bitsPerDim = 4, shardBits = 5, tauMilli = 700L)
+
   /** q389 — deflate→inflate roundtrip audit ([[graft.functions.FastHash
     * .deflateRoundtripLen]]): per source, document count, how many
     * documents survive compress-then-decompress bit-exactly, and the

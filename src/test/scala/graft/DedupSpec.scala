@@ -225,6 +225,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(jac < 0.45, s"fixture too similar: $jac")
   }
 
+  test("thresholdCurve: per-tau pair/drop/keep censuses are monotone, " +
+      "boundaries exact, zero-pair thresholds still reported") {
+    import spark.implicits._
+    // hand pair table: sims 0.9, 0.7, 0.7 (shared drop id), 0.4
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.7), (5L, 4L, 0.7),
+      (6L, 7L, 0.4)).toDF("id_a", "id_b", "sim")
+    val got = graft.operators.Dedup.thresholdCurve(pairs, "sim", "id_b",
+      nDocs = 10L, thresholdsMilli = Seq(300L, 700L, 900L, 950L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(300L) == ((4L, 3L, 7L)))  // all pairs; drops {2,4,7}
+    // tau = 0.7 keeps the 0.7 pairs (>= boundary is INCLUSIVE)
+    assert(got(700L) == ((3L, 2L, 8L)))  // drops {2,4}; 4 counted once
+    assert(got(900L) == ((1L, 1L, 9L)))
+    // above every sim: zero row present, all docs kept
+    assert(got(950L) == ((0L, 0L, 10L)))
+  }
+
   test("containment: dfCap excludes boilerplate shingles from evidence") {
     import spark.implicits._
     // one shared boilerplate line across many docs; with dfCap below the

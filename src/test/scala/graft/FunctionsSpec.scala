@@ -216,6 +216,32 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(e(12L) == ((2L, 0L, 0L, true)), s"empty cand: ${e(12L)}")
   }
 
+  test("bleu: identical = 1, substitution decays each order, clipping " +
+      "caps repeats, missing 4-grams -> null, zero clip -> loud 0") {
+    import spark.implicits._
+    import graft.operators.Rouge
+    val df = Seq(
+      (1L, "a b c d e f", "a b c d e f"),  // identical
+      (2L, "a b c d e f", "a b c d x f"),  // one substitution
+      (3L, "a b", "a a a b"),              // repeat: clip p1 = 2/4, p4 = 0
+      (4L, "a b c d e f", "a b c")         // no cand 4-gram -> null
+    ).toDF("id", "ref", "cand")
+    val got = Rouge.bleu(df, "id", "ref", "cand")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("bleu") == 1.0)
+    val g2 = got(2L)
+    assert(g2.getAs[Double]("p1") == 5.0 / 6 &&
+      g2.getAs[Double]("p2") == 3.0 / 5 &&
+      g2.getAs[Double]("p3") == 2.0 / 4 && g2.getAs[Double]("p4") == 1.0 / 3)
+    val exp2 = math.exp((math.log(5.0 / 6) + math.log(3.0 / 5) +
+      math.log(2.0 / 4) + math.log(1.0 / 3)) / 4.0)
+    assert(math.abs(g2.getAs[Double]("bleu") - exp2) < 1e-15)
+    assert(got(3L).getAs[Double]("p1") == 0.5, "clipped repeat")
+    assert(got(3L).getAs[Double]("bleu") == 0.0, "zero 4-gram clip -> 0")
+    assert(got(4L).isNullAt(got(4L).fieldIndex("bleu")),
+      "candidate without 4-grams must be null, not 0")
+  }
+
   test("compressRatio: boilerplate compresses far below prose, random " +
       "hex sits high, empty is 1.0, deterministic") {
     import spark.implicits._

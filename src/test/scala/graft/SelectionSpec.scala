@@ -54,4 +54,30 @@ class SelectionSpec extends AnyFunSuite with SparkFixture {
     assert(a.map(_._2).toSet == Set(10L, 11L, 12L))
     assert(a.last._3 == 0L)
   }
+
+  test("weightedReservoir: deterministic across runs and partitionings, " +
+      "k per stratum, weight<=0 excluded, heavier rows sampled more") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 200L).map { i =>
+      (if (i <= 100) "a" else "b", i,
+        if (i % 50 == 0) 0L else if (i % 2 == 0) 100L else 1L)
+    }.toDF("s", "id", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Selection.weightedReservoir(df, "s", "id", "w", k = 10, seed = "sd")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    val got = run(rows)
+    assert(got == run(rows.repartition(32, col("id"))),
+      "partitioning must not change the sample")
+    assert(got.count(_._1 == "a") == 10 && got.count(_._2 > 100) == 10)
+    // zero-weight ids never sampled
+    assert(!got.exists(x => x._2 % 50 == 0))
+    // weight-100 rows are 100x likelier: with 98 heavy vs 98 light per
+    // stratum, a 10-draw A-ES sample being mostly heavy is overwhelming
+    assert(got.count(x => x._2 % 2 == 0) >= 16,
+      s"heavy rows should dominate: $got")
+    // ranks are 1..10 per stratum
+    assert(got.filter(_._1 == "a").map(_._3).sorted == (1L to 10L))
+  }
 }

@@ -779,6 +779,40 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(s1.forall(_ < 0) && s2.forall(_ > 0))
   }
 
+  test("kalmanLevel: hand-stepped recursion, gain converges to the " +
+      "steady state, constant series keeps its level, seed on n=1") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String, Double)], q: Double, r: Double) =
+      graft.operators.Forecast.kalmanLevel(
+        rows.toDF("k", "d", "z"), "k", "d", "z", q, r, p0 = 1.0)
+        .collect().map(x => x.getString(0) ->
+          ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))))
+        .toMap
+    // hand-step q=0.05 r=1 p0=1, z = 10, 12:
+    // P-=1.05, K=1.05/2.05, x = 10 + K*2, P = (1-K)*1.05
+    val k1 = 1.05 / 2.05
+    val h = run(Seq(("h", "d1", 10.0), ("h", "d2", 12.0)), 0.05, 1.0)("h")
+    assert(h._1 == 2L && h._2 == 10.0 + k1 * 2.0 &&
+      h._3 == (1.0 - k1) * 1.05 && h._4 == k1, h.toString)
+    // 60 constant observations: level pinned at the constant, gain at
+    // the steady state K* solving K = (P+q)/(P+q+r) with P = (1-K)(P+q)
+    val const = (1 to 60).map(i => ("c", f"d$i%02d", 7.0))
+    val c = run(const, 0.05, 1.0)("c")
+    assert(math.abs(c._2 - 7.0) < 1e-12)
+    val kStar = { // fixed point by iteration
+      var p = 1.0
+      (1 to 500).foreach(_ => p = (1.0 - (p + 0.05) / (p + 0.05 + 1.0)) *
+        (p + 0.05))
+      (p + 0.05) / (p + 0.05 + 1.0)
+    }
+    assert(math.abs(c._4 - kStar) < 1e-9, s"gain ${c._4} vs $kStar")
+    // single observation: the seed state, gain 0
+    val s = run(Seq(("s", "d1", 3.0)), 0.05, 1.0)("s")
+    assert(s == ((1L, 3.0, 1.0, 0.0)))
+    // higher measurement noise -> smaller gain (trusts the level more)
+    assert(run(const, 0.05, 10.0)("c")._4 < c._4)
+  }
+
   test("string-ordCol contract is executable: a numeric ordCol is " +
       "refused loudly by theilSen / binarySegment / seasonalDecompose") {
     import spark.implicits._

@@ -1,55 +1,73 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions._
 
-import graft.operators.ZOrder
+import graft.operators.Similarity
 
-/** Z-order layout operator (q212), off-fixture: closed-form interleave
-  * values and the locality guarantee on a uniform grid. */
+/** Z-order shard layout audit: the distributed operator must agree with
+  * a from-scratch single-threaded reference (quantize -> Morton ->
+  * shard -> pair census), and the layout must actually deliver locality
+  * on a clustered fixture. */
 class ZOrderSpec extends AnyFunSuite with SparkFixture {
 
-  private def one(c: org.apache.spark.sql.Column): Long = {
+  private def md5Hash48(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("zOrderLocalityAudit matches a from-scratch reference and beats " +
+      "the hash layout on a clustered fixture") {
     import spark.implicits._
-    Seq(1).toDF("x").select(c.cast("long")).head().getLong(0)
-  }
-
-  test("spread16 and zValue match closed-form Morton codes") {
-    assert(one(ZOrder.spread16(lit(0L))) == 0L)
-    assert(one(ZOrder.spread16(lit(1L))) == 1L)
-    assert(one(ZOrder.spread16(lit(2L))) == 4L)
-    assert(one(ZOrder.spread16(lit(0xFFFFL))) == 0x55555555L)
-    // a fills even bits, b odd bits
-    assert(one(ZOrder.zValue(lit(0xFFFFL), lit(0L))) == 0x55555555L)
-    assert(one(ZOrder.zValue(lit(0L), lit(0xFFFFL))) == 0xAAAAAAAAL)
-    assert(one(ZOrder.zValue(lit(0xFFFFL), lit(0xFFFFL))) == 0xFFFFFFFFL)
-    // (a=3, b=1): bits a0a1 at 0,2; b0 at 1 -> 1 + 2 + 4 = 7
-    assert(one(ZOrder.zValue(lit(3L), lit(1L))) == 7L)
-  }
-
-  test("quantize16 scales any domain onto 0..65535 inclusive") {
-    assert(one(ZOrder.quantize16(lit(0L), lit(0L), lit(127L))) == 0L)
-    assert(one(ZOrder.quantize16(lit(127L), lit(0L), lit(127L))) == 65535L)
-    assert(one(ZOrder.quantize16(lit(5L), lit(5L), lit(5L))) == 0L) // constant col
-    // huge domain: no overflow, endpoints exact
-    val hi = 140737488355327L // 2^47 - 1, inside the documented bound
-    assert(one(ZOrder.quantize16(lit(hi), lit(0L), lit(hi))) == 65535L)
-  }
-
-  test("uniform grid: every bucket's bounding box spans <= 1/8 of each dimension") {
-    import spark.implicits._
-    val grid = (for { a <- 0 until 128; b <- 0 until 128 } yield (a.toLong, b.toLong))
-      .toDF("a", "b")
-    val audit = ZOrder.layoutAudit(grid, "a", "b", log2Buckets = 6).collect()
-    assert(audit.length == 64)
-    assert(audit.map(_.getAs[Long]("n_rows")).sum == 128L * 128L)
-    audit.foreach { r =>
-      // 64 buckets = 3 top bits per dimension -> each box covers ~1/8th
-      // (16 cells) of either axis; +1 slack for the quantization floor
-      assert(r.getAs[Long]("a_max") - r.getAs[Long]("a_min") <= 17,
-        s"bucket ${r.getAs[Long]("bucket")} a-span too wide: $r")
-      assert(r.getAs[Long]("b_max") - r.getAs[Long]("b_min") <= 17,
-        s"bucket ${r.getAs[Long]("bucket")} b-span too wide: $r")
+    // two tight clusters in 2-D: ids 0..19 near (10, 0), 20..39 near
+    // (0, 10); within-cluster cosine ~1, across ~0
+    val pts = (0L until 40L).map { i =>
+      val j = (i % 20).toDouble
+      if (i < 20) (i, Seq(10.0 + j * 0.05, 0.5 + j * 0.01))
+      else (i, Seq(0.5 + j * 0.01, 10.0 + j * 0.05))
     }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Similarity.zOrderLocalityAudit(df, "vec_id", "embedding",
+      dims = 2, bitsPerDim = 4, shardBits = 5, tauMilli = 700L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // ---- reference computation -------------------------------------
+    val xs = pts.map(_._2.head)
+    val ys = pts.map(_._2(1))
+    def cells(vals: Seq[Double]): Seq[Long] = {
+      val (mn, mx) = (vals.min, vals.max)
+      vals.map(v => if (mx == mn) 0L
+        else math.min(math.max(math.floor((v - mn) / (mx - mn) * 15), 0.0),
+          15.0).toLong)
+    }
+    val (cx, cy) = (cells(xs), cells(ys))
+    def morton(a: Long, b: Long): Long =
+      (0 until 4).map(bit => (((a >> bit) & 1L) << (bit * 2)) |
+        (((b >> bit) & 1L) << (bit * 2 + 1))).reduce(_ | _)
+    val zShard = pts.indices.map(i => morton(cx(i), cy(i)) >> 3)
+    val hShard = pts.map(p => md5Hash48(p._1) % 32)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    def audit(shard: Seq[Long]): (Long, Long, Long) = {
+      val pairs = for {
+        i <- pts.indices; k <- pts.indices
+        if i < k && shard(i) == shard(k)
+      } yield cos(pts(i)._2, pts(k)._2)
+      (shard.distinct.size.toLong, pairs.size.toLong,
+        pairs.count(_ * 1000 >= 700).toLong)
+    }
+    assert(got("zorder") == audit(zShard), s"zorder: ${got("zorder")}")
+    assert(got("hash") == audit(hShard), s"hash: ${got("hash")}")
+    // locality: every co-sharded z-order pair is same-cluster (clusters
+    // sit in opposite Morton corners), so close-pair PURITY is total,
+    // while the hash layout co-shards cross-cluster pairs too
+    val (_, zp, zc) = audit(zShard)
+    assert(zp == zc, "z-order co-shards only same-cluster points here")
+    val (_, hp, hc) = audit(hShard)
+    assert(hc < hp, "hash layout co-shards cross-cluster pairs")
   }
 }
