@@ -417,6 +417,7 @@ object SparkEntry {
     "q393_bleu"             -> (D.q393Bleu(_, _)),
     "q394_kalman_level"     -> (T.q394KalmanLevel(_, _)),
     "q395_zorder_locality"  -> (D.q395ZorderLocality(_, _)),
+    "q396_label_prop"       -> (R.q396LabelProp(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -9062,6 +9063,30 @@ object SparkEntry {
          |SELECT 'hash', nh.n_shards, ph.n_pairs, ph.n_close_pairs
          |FROM ph, nh""".stripMargin
     },
+    // q396: two synchronized LPA rounds unrolled; per-round argmax via
+    // QUALIFY with the pinned (cnt desc, label asc) total order —
+    // all-integer, so the census hash has no float surface
+    "q396_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey AS u,
+        |    1000000 + l.l_suppkey AS v
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |und AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v
+        |  FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node FROM und),
+        |r1 AS (SELECT node, label FROM (
+        |    SELECT und.u AS node, l0.node AS label,
+        |      CAST(count(*) AS BIGINT) AS cnt
+        |    FROM und JOIN l0 ON und.v = l0.node GROUP BY 1, 2)
+        |  QUALIFY row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, label) = 1),
+        |r2 AS (SELECT node, label FROM (
+        |    SELECT und.u AS node, r1.label,
+        |      CAST(count(*) AS BIGINT) AS cnt
+        |    FROM und JOIN r1 ON und.v = r1.node GROUP BY 1, 2)
+        |  QUALIFY row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, label) = 1)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_members
+        |FROM r2 GROUP BY label""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -630,4 +630,53 @@ object Graph {
     }
     out
   }
+
+  /** Synchronized label propagation (Raghavan et al. 2007), `rounds`
+    * unrolled iterations — the cheap community detector between
+    * [[graft.operators.Components]] (pure connectivity) and the q346
+    * Louvain pass (modularity-greedy): every node starts as its own
+    * label and, each round, adopts the label the MAJORITY of its
+    * neighbors carry, ties to the smallest label — synchronized
+    * updates, so the result is a deterministic function of the edge
+    * set (asynchronous LPA is order-dependent; this variant is the
+    * replayable one, and the tie rule pins the rest).
+    *
+    * Exactness: labels are node ids and every step is an integer
+    * census + argmax with a total (count desc, label asc) order — no
+    * float surface at all. Scale shape per round: one (node, neighbor
+    * label) exchange at edge grain with map-side combine into the
+    * (node, label, cnt) census, then a node-keyed argmax window over
+    * the per-node label census (bounded by distinct neighbor labels,
+    * never edges); the doubled edge list checkpoints once. Output:
+    * (node, label) after `rounds` rounds — isolated nodes never arise
+    * (nodes are defined BY the edge list).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    var labels = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
 }

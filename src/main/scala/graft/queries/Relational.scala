@@ -1004,6 +1004,23 @@ object Relational {
     * integer gains, stay-put-on-ties, per-node argmax bounded by
     * neighbor communities. The refinement step whose result q313
     * prices. */
+  /** q396 — synchronized label propagation ([[graft.operators.Graph
+    * .labelPropagation]]): two deterministic LPA rounds over the
+    * customer↔supplier trade graph (round 1 collapses every node onto
+    * its smallest neighbor, round 2 is the first true majority vote),
+    * reported as the final community-size census — the cheap
+    * connectivity-to-community step between q96's components and
+    * q346's modularity pass; all-integer censuses + argmax, no float
+    * surface. */
+  def q396LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    graft.operators.Graph.labelPropagation(pairs, "u", "v", rounds = 2)
+      .groupBy($"label").agg(count(lit(1)).as("n_members"))
+  }
+
   def q346LouvainPass(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),

@@ -90,4 +90,27 @@ class GraphShardingSpec extends AnyFunSuite with SparkFixture {
     // mod rehash moves ~16/17 ~ 94%
     assert(movedMod > n * 8 / 10, s"mod moved $movedMod")
   }
+
+  test("labelPropagation: hand-stepped two rounds on bridged triangles, " +
+      "synchronized semantics, partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("s", "d")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Graph.labelPropagation(df, "s", "d", rounds = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(edges)
+    // hand-stepped: r1 = min neighbor (all counts 1); r2 majority with
+    // min tie-break: 1->1, 2->1, 3->1, 4->4, 5->3, 6->3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 3L, 6L -> 3L), got.toString)
+    assert(got == run(edges.repartition(16, col("d"))))
+    // one round: everyone takes the smallest neighbor id
+    val r1 = graft.operators.Graph.labelPropagation(edges, "s", "d", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L), r1.toString)
+  }
 }
