@@ -418,6 +418,8 @@ object SparkEntry {
     "q394_kalman_level"     -> (T.q394KalmanLevel(_, _)),
     "q395_zorder_locality"  -> (D.q395ZorderLocality(_, _)),
     "q396_label_prop"       -> (R.q396LabelProp(_, _)),
+    "q397_vocab_coverage"   -> (D.q397VocabCoverage(_, _)),
+    "q398_snapshot_diff"    -> (D.q398SnapshotDiff(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -9087,6 +9089,53 @@ object SparkEntry {
         |    ORDER BY cnt DESC, label) = 1)
         |SELECT label, CAST(count(*) AS BIGINT) AS n_members
         |FROM r2 GROUP BY label""".stripMargin,
+    // q397: distributed top-k (QUALIFY) then per-K sums; coverage is
+    // one division of exact integers — no rounding seam at all
+    "q397_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM c),
+        |top AS (SELECT tok, freq, CAST(row_number() OVER (
+        |    ORDER BY freq DESC, tok) AS BIGINT) AS rk FROM c
+        |  QUALIFY row_number() OVER (ORDER BY freq DESC, tok) <= 10000),
+        |ks AS (SELECT CAST(unnest([100, 300, 1000, 3000, 10000])
+        |    AS BIGINT) AS k),
+        |agg AS (SELECT ks.k, CAST(count(top.rk) AS BIGINT) AS n_types,
+        |    CAST(coalesce(sum(top.freq), 0) AS BIGINT) AS covered
+        |  FROM ks LEFT JOIN top ON top.rk <= ks.k GROUP BY ks.k)
+        |SELECT k, n_types, covered, tot.total,
+        |  CAST(covered AS DOUBLE) / CAST(tot.total AS DOUBLE) AS coverage
+        |FROM agg, tot""".stripMargin,
+    // q398: digest equality reduces to text equality (md5 injective in
+    // practice on both engines); full-outer census per stratum
+    "q398_snapshot_diff" ->
+      """WITH oldd AS (SELECT doc_id, source, text FROM documents),
+        |newd AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL SELECT doc_id + 100000, source, text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (SELECT coalesce(n.source, o.source) AS stratum,
+        |    o.text AS t_old, n.text AS t_new
+        |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+        |SELECT stratum,
+        |  CAST(sum(CASE WHEN t_old IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_old,
+        |  CAST(sum(CASE WHEN t_new IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN t_old IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN t_new IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN t_old IS NOT NULL AND t_new IS NOT NULL
+        |    AND t_old <> t_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN t_old IS NOT NULL AND t_old = t_new
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY stratum""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

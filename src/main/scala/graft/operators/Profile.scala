@@ -638,4 +638,44 @@ object Profile {
           (lit(2L).cast(dec) * (col("f2") + 1L).cast(dec)).cast(dec)
             .cast("double")).as("chao1"))
   }
+
+  /** Vocabulary coverage curve — "how big must the token vocabulary be"
+    * answered from data: for each candidate size K, the share of token
+    * INSTANCES covered by the top-K types (freq desc, token asc). The
+    * tokenizer-sizing report ([[heapsFit]] extrapolates type GROWTH;
+    * this prices truncation at each size — the two ends of the same
+    * decision). All operating points come from one token census.
+    *
+    * Scale shape: one corpus tokenization into a (token, freq) census
+    * (map-side combined), then a DISTRIBUTED top-max(K) —
+    * TakeOrderedAndProject, never a global window over the unbounded
+    * vocabulary — so the only global sort is over the max(K)-bounded
+    * slice. Exactness: all counts exact integers; coverage one terminal
+    * division. Output per K: (k, n_types, covered, total, coverage). */
+  def vocabCoverageCurve(df: DataFrame, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
+    val kMax = ks.max
+    val census = df
+      .select(explode(graft.functions.FastHash.ngrams(col(textCol), 1))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val total = broadcast(census.agg(sum(col("freq")).as("total")))
+    import org.apache.spark.sql.expressions.Window
+    // bounded: the limit() feeds TakeOrdered; the rank window below
+    // runs over <= kMax rows by construction
+    val top = census.orderBy(col("freq").desc, col("tok")).limit(kMax)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
+    val kDf = broadcast(df.sparkSession
+      .createDataFrame(ks.map(k => Tuple1(k.toLong))).toDF("k"))
+    kDf.join(top, col("rk") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(count(col("rk")).as("n_types"), sum(col("freq")).as("covered"))
+      .crossJoin(total)
+      .select(col("k"), col("n_types"),
+        coalesce(col("covered"), lit(0L)).as("covered"), col("total"),
+        (coalesce(col("covered"), lit(0L)).cast("double") /
+          col("total").cast("double")).as("coverage"))
+  }
 }

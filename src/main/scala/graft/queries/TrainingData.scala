@@ -489,6 +489,31 @@ object TrainingData {
       Tables.embeddings(spark, dir), "vec_id", "embedding",
       dims = 2, bitsPerDim = 4, shardBits = 5, tauMilli = 700L)
 
+  /** q397 — vocabulary coverage curve ([[graft.operators.Profile
+    * .vocabCoverageCurve]]): instance coverage of the top-K token types
+    * for K ∈ {100..10000} from one census — the tokenizer-sizing
+    * report next to q163's merge census and the q259 Heaps growth fit;
+    * distributed top-k, never a global vocab window. */
+  def q397VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.vocabCoverageCurve(docs(spark, dir), "text",
+      ks = Seq(100, 300, 1000, 3000, 10000))
+
+  /** q398 — corpus snapshot diff ([[graft.operators.Scd.snapshotDiff]]):
+    * the release-versioning census between the corpus and a planted v2
+    * (every 11th doc removed, every 7th edited, every 13th re-keyed as
+    * new) — added/removed/changed/unchanged per source at digest grain,
+    * keys-and-hashes exchange only. */
+  def q398SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = docs(spark, dir).select($"doc_id", $"source", $"text")
+    val newer = docs(spark, dir).where($"doc_id" % 11 =!= 0)
+      .select($"doc_id", $"source",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text").as("text"))
+      .unionByName(docs(spark, dir).where($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"source", $"text"))
+    graft.operators.Scd.snapshotDiff(old, newer, "doc_id", "text", "source")
+  }
+
   /** q389 — deflate→inflate roundtrip audit ([[graft.functions.FastHash
     * .deflateRoundtripLen]]): per source, document count, how many
     * documents survive compress-then-decompress bit-exactly, and the

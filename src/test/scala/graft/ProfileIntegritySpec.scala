@@ -344,4 +344,21 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
     // at high similarity everything fires
     assert(p((16, 0.8)) > 0.5 && p((64, 0.8)) > 0.99)
   }
+
+  test("vocabCoverageCurve: hand counts, K beyond vocab saturates at " +
+      "1.0, ties broken by token") {
+    import spark.implicits._
+    // freqs: a:4, b:3, c:2, d:1 -> total 10
+    val df = Seq("a a b c", "a b d", "a b c").toDF("text")
+    val got = graft.operators.Profile
+      .vocabCoverageCurve(df, "text", ks = Seq(1, 2, 3, 9))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((1L, 4L, 10L, 0.4)))
+    assert(got(2L) == ((2L, 7L, 10L, 0.7)))
+    assert(got(3L) == ((3L, 9L, 10L, 0.9)))
+    // K past the vocabulary: all 4 types, full coverage
+    assert(got(9L) == ((4L, 10L, 10L, 1.0)))
+  }
 }
