@@ -250,6 +250,20 @@ object Forecast {
     * (periods per key, never row scale) + an O(n) per-key fold.
     * Output: (key, n_obs, level, p_var, gain); single-observation
     * keys report the seed. */
+  /** [[kalmanLevel]] from an existing (key, period, cents) census — the
+    * consumer side of [[graft.streaming.Streams.kalmanCensusStream]]:
+    * the stream maintains only the bounded integer census, and this
+    * turns any prefix of it into the identical filtered state the
+    * batch operator produces on the same rows (z = cents/100, one
+    * pinned division per period). */
+  def kalmanLevelFromCensus(census: DataFrame, keyCol: String,
+      ordCol: String, centsCol: String, q: Double, r: Double,
+      p0: Double): DataFrame =
+    kalmanLevel(
+      census.withColumn("__z",
+        col(centsCol).cast("double") / 100.0),
+      keyCol, ordCol, "__z", q, r, p0)
+
   def kalmanLevel(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String, q: Double, r: Double, p0: Double): DataFrame = {
     require(q >= 0 && r > 0 && p0 >= 0,

@@ -524,6 +524,21 @@ object Streams {
           .otherwise(lit(0).cast(dec))).cast(dec).as("qb"))
   }
 
+  /** Streaming Kalman-input census ([[graft.operators.Forecast
+    * .kalmanLevel]]'s twin, the [[sprtCensusStream]] pattern): per
+    * (key, period) only the exact integer cents total — state bounded
+    * by keys × periods, never events. Feed any prefix to
+    * [[graft.operators.Forecast.kalmanLevelFromCensus]] and the
+    * filtered level/variance/gain EQUAL the batch operator on the same
+    * rows (exact census in, pinned fold out — parity spec-asserted). */
+  def kalmanCensusStream(rows: DataFrame, keyCol: String,
+      periodCol: String, centsCol: String): DataFrame =
+    rows.select(col(keyCol).as("k"), col(periodCol).as("p"),
+        col(centsCol).cast("long").as("__c"))
+      .where(col("__c").isNotNull)
+      .groupBy(col("k"), col("p"))
+      .agg(sum(col("__c")).as("cents"))
+
   case class BurstState(times: List[Long], peak: Long, n: Long)
   case class BurstOut(user_id: Long, n_events: Long, peak_rate: Long)
 

@@ -1132,6 +1132,45 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming Kalman census feeds the identical filtered state as " +
+      "the batch operator on every prefix (q394 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val mem = MemoryStream[(String, String, Long)]
+    val out = Streams.kalmanCensusStream(
+      mem.toDF().toDF("event_type", "day", "cents"),
+      "event_type", "day", "cents")
+    val q = out.writeStream.format("memory").queryName("kalman_stream")
+      .outputMode("complete").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+      var seen = IndexedSeq.empty[(String, String, Long)]
+      chunks.foreach { chunk =>
+        seen = seen ++ chunk
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        val streamed = graft.operators.Forecast.kalmanLevelFromCensus(
+            spark.table("kalman_stream"), "k", "p", "cents",
+            q = 0.05, r = 1.0, p0 = 1.0)
+          .collect().map(key).toMap
+        val batchCensus = seen.toDF("event_type", "day", "cents")
+          .groupBy($"event_type", $"day")
+          .agg(org.apache.spark.sql.functions.sum($"cents").as("cents"))
+        val batch = graft.operators.Forecast.kalmanLevelFromCensus(
+            batchCensus, "event_type", "day", "cents",
+            q = 0.05, r = 1.0, p0 = 1.0)
+          .collect().map(key).toMap
+        assert(streamed == batch, s"prefix of ${seen.length}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming experiment census feeds identical Welch statistics " +
       "as batch welchT on every prefix (q335 twin)") {
     import spark.implicits._
