@@ -420,6 +420,7 @@ object SparkEntry {
     "q396_label_prop"       -> (R.q396LabelProp(_, _)),
     "q397_vocab_coverage"   -> (D.q397VocabCoverage(_, _)),
     "q398_snapshot_diff"    -> (D.q398SnapshotDiff(_, _)),
+    "q399_fdr_by"           -> (T.q399FdrBy(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -9136,6 +9137,63 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN t_old IS NOT NULL AND t_old = t_new
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j GROUP BY stratum""".stripMargin,
+    // q399: q348's walk with the harmonic factor; c(k) folds 1/i in
+    // ascending i order via list_reduce over range (never a window sum
+    // of doubles); the 0+x1=x1 seedless-fold identity applies
+    "q399_fdr_by" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1
+        |      ELSE 0 END AS a,
+        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type AS test, CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(1 - a) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END) AS BIGINT) AS sb
+        |  FROM e GROUP BY 1),
+        |zz AS (SELECT test,
+        |    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |     - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / sqrt(CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+        |      * (1.0 - CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+        |      AS z
+        |  FROM g),
+        |za AS (SELECT test, abs(z) / 1.4142135623730951 AS x FROM zz),
+        |pv AS (SELECT test,
+        |    (1.0 / (1.0 + 0.5 * abs(x))) * exp(-x * x - 1.26551223
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (1.00002368
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (0.37409196
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (0.09678418
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (-0.18628806
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (0.27886807
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (-1.13520398
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (1.48851587
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * (-0.82215223
+        |    + (1.0 / (1.0 + 0.5 * abs(x))) * 0.17087277))))))))) AS p
+        |  FROM za),
+        |rk AS (SELECT test, p,
+        |    CAST(row_number() OVER (ORDER BY p, test) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS k FROM pv),
+        |ck AS (SELECT *, list_reduce(list_transform(range(1, k + 1),
+        |    i -> 1.0 / CAST(i AS DOUBLE)), (acc, x) -> acc + x) AS c_k
+        |  FROM rk),
+        |q AS (SELECT test, p, rank, k, c_k,
+        |    least(min(p * CAST(k AS DOUBLE) * c_k / CAST(rank AS DOUBLE))
+        |      OVER (ORDER BY rank DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      1.0) AS q_value
+        |  FROM ck)
+        |SELECT test AS event_type,
+        |  CAST(round(CAST(CAST(p AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p,
+        |  rank, k,
+        |  CAST(round(CAST(CAST(c_k AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS c_k,
+        |  CAST(round(CAST(CAST(q_value AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS q_value,
+        |  q_value <= 0.05 AS reject
+        |FROM q""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

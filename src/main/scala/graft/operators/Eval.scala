@@ -1795,6 +1795,44 @@ object Eval {
         col("q_value"), (col("q_value") <= lit(alpha)).as("reject"))
   }
 
+  /** Benjamini–Yekutieli (2001) — [[benjaminiHochberg]] under ARBITRARY
+    * dependence: the same step-up walk with the raw values inflated by
+    * the harmonic factor c(k) = Σ_{i≤k} 1/i, the price of not assuming
+    * the tests are independent or PRDS (correlated metrics over the
+    * same traffic usually aren't). Strictly more conservative than BH:
+    * every BY rejection is a BH rejection.
+    *
+    * Determinism: c(k) folds 1/i in ASCENDING i order (a fixed-shape
+    * sequence fold, replayed by list_reduce over range — never a
+    * window sum of doubles, whose partial-aggregation order is
+    * engine-dependent); everything else inherits the BH contract,
+    * including the census-cardinality gate. Output: (test, p, rank, k,
+    * c_k, q_value, reject). */
+  def benjaminiYekutieli(df: DataFrame, testCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val base = Guards.boundedCensus(
+      df.where(col(pCol).isNotNull)
+        .select(col(testCol).as("test"), col(pCol).cast("double").as("p")),
+      "p", "Eval.benjaminiYekutieli")
+    val wRank = Window.orderBy(col("p"), col("test"))
+    val wAll = Window.partitionBy()
+    val ranked = base.select(col("test"), col("p"),
+      row_number().over(wRank).cast("long").as("rank"),
+      count(lit(1L)).over(wAll).as("k"))
+      .withColumn("c_k", expr(
+        """aggregate(sequence(1L, k), CAST(0.0 AS DOUBLE),
+          |  (acc, i) -> acc + 1.0 / CAST(i AS DOUBLE))""".stripMargin))
+    def dd(c: Column): Column = c.cast("double")
+    val raw = col("p") * dd(col("k")) * col("c_k") / dd(col("rank"))
+    val wSuf = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.withColumn("__raw", raw)
+      .withColumn("q_value", least(min(col("__raw")).over(wSuf), lit(1.0)))
+      .select(col("test"), col("p"), col("rank"), col("k"), col("c_k"),
+        col("q_value"), (col("q_value") <= lit(alpha)).as("reject"))
+  }
+
   /** UCB1 arm selection (Auer 2002) per scope — the deterministic
     * bandit read over logged rewards: arm a scores
     *   ucb(a) = mean(a) + √(2·ln N / n_a)

@@ -1608,6 +1608,33 @@ object TimeSeries {
         $"rank", $"k", round($"q_value", 6).as("q_value"), $"reject")
   }
 
+  /** q399 — Benjamini–Yekutieli FDR ([[graft.operators.Eval
+    * .benjaminiYekutieli]]): q348's weekend-vs-weekday test family
+    * under arbitrary dependence — the harmonic-inflated step-up walk;
+    * every BY rejection is a BH rejection (the spec pins the strict
+    * conservativeness). */
+  def q399FdrBy(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      dayofweek(to_date($"ts")).isin(1, 7).cast("long").as("a"),
+      ($"value" > 50.0).cast("long").as("y"))
+    val g = s.where($"y".isNotNull).groupBy($"event_type").agg(
+      sum($"a").as("na"), sum(lit(1L) - $"a").as("nb"),
+      sum(when($"a" === 1L, $"y").otherwise(0L)).as("sa"),
+      sum(when($"a" === 0L, $"y").otherwise(0L)).as("sb"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pa = dd($"sa") / dd($"na"); val pb = dd($"sb") / dd($"nb")
+    val pp = dd($"sa" + $"sb") / dd($"na" + $"nb")
+    val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / dd($"na") + lit(1.0) / dd($"nb")))
+    val tests = g.select($"event_type".as("test"),
+      graft.functions.FastMath.erfc(abs(z) / lit(1.4142135623730951))
+        .as("p"))
+    graft.operators.Eval.benjaminiYekutieli(tests, "test", "p", 0.05)
+      .select($"test".as("event_type"), round($"p", 6).as("p"),
+        $"rank", $"k", round($"c_k", 6).as("c_k"),
+        round($"q_value", 6).as("q_value"), $"reject")
+  }
+
   /** q394 — local-level Kalman filter ([[graft.operators.Forecast
     * .kalmanLevel]]): each event type's daily cents total filtered
     * through the adaptive-gain level model (Q=0.05, R=1, P₀=1) — the

@@ -506,6 +506,31 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(r4.values.map(_._3).toSeq.sorted == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("benjaminiYekutieli: harmonic-inflated q-values, strictly more " +
+      "conservative than BH, c(k) exact") {
+    import spark.implicits._
+    val ps = Seq(("t1", 0.005), ("t2", 0.049), ("t3", 0.0495))
+    val by = Eval.benjaminiYekutieli(ps.toDF("t", "p"), "t", "p")
+      .collect().map(r => r.getAs[String]("test") ->
+        ((r.getAs[Double]("q_value"), r.getAs[Boolean]("reject"),
+          r.getAs[Double]("c_k")))).toMap
+    val c3 = 1.0 + 1.0 / 2 + 1.0 / 3
+    assert(by.values.forall(_._3 == c3))
+    // hand: raws = BH raws * c3 -> [.015c, .0735c, .0495c], suffix-min
+    assert(math.abs(by("t1")._1 - 0.015 * c3) < 1e-12)
+    assert(math.abs(by("t2")._1 - 0.0495 * c3) < 1e-12)
+    // BY never rejects what BH doesn't: q_BY >= q_BH everywhere
+    val bh = Eval.benjaminiHochberg(ps.toDF("t", "p"), "t", "p")
+      .collect().map(r => r.getAs[String]("test") ->
+        r.getAs[Double]("q_value")).toMap
+    by.foreach { case (t, (q, rej, _)) =>
+      assert(q >= bh(t) - 1e-15)
+      if (rej) assert(bh(t) <= 0.05)
+    }
+    // at alpha .05 the inflated t2/t3 (q ~.0908) no longer reject
+    assert(by("t1")._2 && !by("t2")._2 && !by("t3")._2)
+  }
+
   test("sprt: strong evidence accepts H1 and latches; weak evidence " +
       "accepts H0; borderline continues") {
     import spark.implicits._
