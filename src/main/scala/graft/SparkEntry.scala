@@ -421,6 +421,7 @@ object SparkEntry {
     "q397_vocab_coverage"   -> (D.q397VocabCoverage(_, _)),
     "q398_snapshot_diff"    -> (D.q398SnapshotDiff(_, _)),
     "q399_fdr_by"           -> (T.q399FdrBy(_, _)),
+    "q400_jonckheere"       -> (T.q400Jonckheere(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -9194,6 +9195,55 @@ object SparkEntry {
         |    AS DOUBLE) AS q_value,
         |  q_value <= 0.05 AS reject
         |FROM q""".stripMargin,
+    // q400: 2J via the DENSE (group x value) double-cumulative (a
+    // sparse census would drop C_g(<v) terms at values g never hit);
+    // dow parity per q290 (DuckDB dayofweek+1 = Spark dayofweek)
+    "q400_jonckheere" ->
+      """WITH s AS (SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT)
+        |    AS g, CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n FROM s
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT gg.g, vv.v, coalesce(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT g FROM c) gg
+        |  CROSS JOIN (SELECT DISTINCT v FROM c) vv
+        |  LEFT JOIN c USING (g, v)),
+        |w AS (SELECT g, v, n,
+        |    coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM grid),
+        |x AS (SELECT g, v, n,
+        |    coalesce(sum(cb) OVER (PARTITION BY v ORDER BY g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a,
+        |    coalesce(sum(n) OVER (PARTITION BY v ORDER BY g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+        |  FROM w),
+        |j AS (SELECT sum(CAST(n AS HUGEINT) *
+        |    (2 * CAST(a AS HUGEINT) + b)) AS j2 FROM x),
+        |sz AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    sum(CAST(ng AS HUGEINT) * ng) AS sq2,
+        |    sum(CAST(ng AS HUGEINT) * ng * (2 * CAST(ng AS HUGEINT) + 3))
+        |      AS sq3
+        |  FROM (SELECT g, CAST(sum(n) AS BIGINT) AS ng FROM c GROUP BY g))
+        |SELECT sz.n, sz.k_groups, CAST(j.j2 AS BIGINT) AS j2,
+        |  CAST((CAST(sz.n AS HUGEINT) * sz.n - sz.sq2) / 2 AS BIGINT)
+        |    AS e2,
+        |  CAST(round(CAST(CAST(
+        |    CAST(CAST(sz.n AS HUGEINT) * sz.n * (2 * CAST(sz.n AS HUGEINT)
+        |      + 3) - sz.sq3 AS DOUBLE) / 72.0
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS var_j,
+        |  CASE WHEN CAST(CAST(sz.n AS HUGEINT) * sz.n *
+        |      (2 * CAST(sz.n AS HUGEINT) + 3) - sz.sq3 AS DOUBLE) / 72.0
+        |      > 0.0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(j.j2 - (CAST(sz.n AS HUGEINT) * sz.n - sz.sq2) / 2
+        |        AS DOUBLE)
+        |      / (2.0 * sqrt(CAST(CAST(sz.n AS HUGEINT) * sz.n *
+        |        (2 * CAST(sz.n AS HUGEINT) + 3) - sz.sq3 AS DOUBLE)
+        |        / 72.0))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS z
+        |FROM j, sz""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -1833,6 +1833,81 @@ object Eval {
         col("q_value"), (col("q_value") <= lit(alpha)).as("reject"))
   }
 
+  /** Jonckheere–Terpstra trend test (Jonckheere 1954) — the k-sample
+    * rank test AGAINST AN ORDERED ALTERNATIVE: where Kruskal–Wallis
+    * asks "do the groups differ at all", JT asks "do they INCREASE
+    * with the group order" (dose-response, day-of-week drift, version
+    * ladders) and is far more powerful when that is the question.
+    * J = Σ_{g<h} [#(x_g < x_h) + ½·#(x_g = x_h)], carried as the exact
+    * integer 2J; under H₀, E[2J] = (N² − Σn_g²)/2 (always even ⇒
+    * integer) and Var[J] = [N²(2N+3) − Σn_g²(2n_g+3)]/72 (the
+    * standard untied form — ties enter J through the ½ convention and
+    * the variance stays the documented approximation),
+    * z = (2J − E[2J]) / (2·√Var).
+    *
+    * Exactness: 2J comes from an all-integer double-cumulative over
+    * the (group, value) census — C_g(<v) via a group-partitioned value
+    * window, then the lower-group prefix via a value-partitioned group
+    * window — never a pair join; E and the Var numerator are exact
+    * decimal products; z is one pinned √/division shape.
+    *
+    * Scale shape: one (group, value) census (map-side combined), two
+    * windows over census grain — partitions bounded by k groups and by
+    * the value domain respectively (integral `valueCol`; bucket
+    * upstream for unbounded domains, the energy-distance note).
+    * Output one row: (n, k_groups, j2, e2, var_j, z); z null when
+    * Var = 0. `groupCol` must be integral — its natural order IS the
+    * tested trend. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df
+      .select(col(groupCol).cast("long").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n"))
+    val wBelow = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLowerG = Window.partitionBy(col("v")).orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // DENSE (group x value) grid: C_g(<v) must exist at EVERY value for
+    // every lower group, including values group g never hit — a sparse
+    // census would silently drop those C terms from the prefix. The
+    // grid is k x |values| (census-bounded both ways).
+    val grid = census.select(col("v")).distinct()
+      .crossJoin(census.select(col("g")).distinct())
+      .join(census, Seq("g", "v"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val contrib = grid
+      .withColumn("cb", coalesce(sum(col("n")).over(wBelow), lit(0L)))
+      .withColumn("a", coalesce(sum(col("cb")).over(wLowerG), lit(0L)))
+      .withColumn("b", coalesce(sum(col("n")).over(wLowerG), lit(0L)))
+      .select((col("n").cast(dec) *
+        (lit(2L).cast(dec) * col("a").cast(dec) + col("b").cast(dec)))
+        .cast(dec).as("__c"))
+      .agg(sum(col("__c")).cast(dec).as("j2"))
+    val sizes = census.groupBy(col("g")).agg(sum(col("n")).as("ng"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("ng")).as("n"),
+        sum((col("ng").cast(dec) * col("ng").cast(dec)).cast(dec))
+          .cast(dec).as("sq2"),
+        sum((col("ng").cast(dec) * col("ng").cast(dec) *
+          (lit(2L).cast(dec) * col("ng").cast(dec) + lit(3L).cast(dec)))
+          .cast(dec)).cast(dec).as("sq3"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = col("n").cast(dec)
+    val e2 = ((nD * nD - col("sq2")).cast(dec) / lit(2).cast(dec)).cast(dec)
+    val varJ = (nD * nD * (lit(2L).cast(dec) * nD + lit(3L).cast(dec)) -
+      col("sq3")).cast(dec).cast("double") / 72.0
+    contrib.crossJoin(broadcast(sizes))
+      .withColumn("e2", e2)
+      .withColumn("var_j", varJ)
+      .select(col("n"), col("k_groups"), col("j2").cast("long").as("j2"),
+        col("e2").cast("long").as("e2"), col("var_j"),
+        when(col("var_j") > 0.0,
+          (col("j2") - col("e2")).cast("double") /
+            (lit(2.0) * sqrt(col("var_j")))).as("z"))
+  }
+
   /** UCB1 arm selection (Auer 2002) per scope — the deterministic
     * bandit read over logged rewards: arm a scores
     *   ucb(a) = mean(a) + √(2·ln N / n_a)

@@ -1635,6 +1635,20 @@ object TimeSeries {
         round($"q_value", 6).as("q_value"), $"reject")
   }
 
+  /** q400 — Jonckheere–Terpstra ordered-trend test ([[graft.operators
+    * .Eval.jonckheereTerpstra]]): do event values INCREASE across the
+    * day-of-week order — the ordered-alternative power upgrade over
+    * q290's Kruskal–Wallis; exact-integer 2J via the dense
+    * double-cumulative census, pinned z. */
+  def q400Jonckheere(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select(
+      dayofweek(to_date($"ts")).cast("long").as("dow"),
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Eval.jonckheereTerpstra(s, "dow", "cents")
+      .select($"n", $"k_groups", $"j2", $"e2",
+        round($"var_j", 6).as("var_j"), round($"z", 6).as("z"))
+  }
+
   /** q394 — local-level Kalman filter ([[graft.operators.Forecast
     * .kalmanLevel]]): each event type's daily cents total filtered
     * through the adaptive-gain level model (Q=0.05, R=1, P₀=1) — the

@@ -531,6 +531,30 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(by("t1")._2 && !by("t2")._2 && !by("t3")._2)
   }
 
+  test("jonckheereTerpstra: hand-computed 2J/E/Var with ties across " +
+      "sparse value grids; monotone ramp maxes J; reversed order flips z") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]) =
+      Eval.jonckheereTerpstra(rows.toDF("g", "v"), "g", "v").head()
+    // g1: {1,2}, g2: {2,3}, g3: {4} — hand: 2J = 15 (3 strict + 1 tie
+    // in (1,2); 2 strict each in (1,3),(2,3)); E2J = (25-9)/2 = 8;
+    // Var = [25*13 - (28+28+5)]/72 = 264/72
+    val r = run(Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 4L)))
+    assert(r.getAs[Long]("j2") == 15L && r.getAs[Long]("e2") == 8L)
+    assert(math.abs(r.getAs[Double]("var_j") - 264.0 / 72) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") -
+      7.0 / (2.0 * math.sqrt(264.0 / 72))) < 1e-12)
+    // strictly increasing groups: every cross-group pair concordant,
+    // 2J = 2 * (n^2 - sum n_g^2)/2 = its own maximum
+    val ramp = (1L to 4L).flatMap(g => Seq((g, g * 10L), (g, g * 10L + 1)))
+    val rr = run(ramp)
+    assert(rr.getAs[Long]("j2") == 2L * rr.getAs[Long]("e2"))
+    assert(rr.getAs[Double]("z") > 2.5)
+    // reversing the group order flips the sign exactly
+    val rev = run(ramp.map { case (g, v) => (5L - g, v) })
+    assert(rev.getAs[Double]("z") == -rr.getAs[Double]("z"))
+  }
+
   test("sprt: strong evidence accepts H1 and latches; weak evidence " +
       "accepts H0; borderline continues") {
     import spark.implicits._
