@@ -247,6 +247,13 @@ object Graph {
       // checkpoint the raw in-mass sums: the only row-scale job of the
       // half-step. The total and the normalized vector both read the
       // checkpoint, so the join+agg runs exactly once per half-step.
+      // Two checkpoints per round is the measured floor: the
+      // one-checkpoint fold (a-half left as a plan inside the h-half's
+      // job) re-evaluates the a-half join under the at-subquery AND the
+      // main tree and measured 5.8 s vs 3.1 s at sf0.1; static
+      // broadcast hints and dual pre-partitioned edge copies also lost
+      // to this shape (4.3 / 5.2 s) — AQE's per-round adaptive choice
+      // plus one materialization per half-step wins.
       val aRaw = e.join(h, e("src") === h("node"))
         .groupBy(col("dst")).agg(sum(col("hf")).as("ar"))
         .localCheckpoint(false)
