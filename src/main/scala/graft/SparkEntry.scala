@@ -422,6 +422,7 @@ object SparkEntry {
     "q398_snapshot_diff"    -> (D.q398SnapshotDiff(_, _)),
     "q399_fdr_by"           -> (T.q399FdrBy(_, _)),
     "q400_jonckheere"       -> (T.q400Jonckheere(_, _)),
+    "q401_semantic_decontam" -> (D.q401SemanticDecontam(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -9244,6 +9245,28 @@ object SparkEntry {
         |        / 72.0))
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS z
         |FROM j, sz""".stripMargin,
+    // q401: saturation identity (nProbe = nCells) makes the IVF path
+    // exactly the brute-force argmax this oracle computes; the q127
+    // cosine replay, ties to the smaller corpus id
+    "q401_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |j AS (SELECT a.vec_id AS eval_id, b.vec_id AS corpus_id,
+        |    list_aggregate(list_transform(list_zip(a.v, b.v),
+        |      x -> x[1] * x[2]), 'sum') /
+        |    (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(b.v, x -> x * x),
+        |       'sum'))) AS cos
+        |  FROM e a, e b WHERE a.vec_id < 20 AND b.vec_id >= 20),
+        |r AS (SELECT eval_id, corpus_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY eval_id
+        |      ORDER BY cos DESC, corpus_id) AS rnk FROM j)
+        |SELECT eval_id, corpus_id AS nearest_train_id,
+        |  CAST(round(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS max_cos,
+        |  cos >= 0.8 AS contaminated
+        |FROM r WHERE rnk = 1""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -514,6 +514,28 @@ object TrainingData {
     graft.operators.Scd.snapshotDiff(old, newer, "doc_id", "text", "source")
   }
 
+  /** q401 — semantic decontamination ([[graft.operators.Similarity
+    * .ivfTopK]] at saturation): each held-out eval vector's nearest
+    * TRAINING vector by cosine, flagged at ≥ 0.8 — the embedding-space
+    * leakage check n-gram decontamination (q89/q110/q142) cannot see
+    * (a paraphrased eval item shares no shingles but sits next to its
+    * source in embedding space). nProbe = nCells makes the IVF path
+    * EXACT (the q90 saturation identity), so the oracle is the
+    * brute-force argmax; at scale the same call with nProbe < nCells
+    * is the documented approximate path. */
+  def q401SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    graft.operators.Similarity.ivfTopK(
+        emb.where($"vec_id" >= 20), emb.where($"vec_id" < 20),
+        "vec_id", "v", k = 1, nCells = 16, nProbe = 16)
+      .select($"probe_id".as("eval_id"),
+        $"corpus_id".as("nearest_train_id"),
+        round($"cos", 6).as("max_cos"),
+        ($"cos" >= 0.8).as("contaminated"))
+  }
+
   /** q389 — deflate→inflate roundtrip audit ([[graft.functions.FastHash
     * .deflateRoundtripLen]]): per source, document count, how many
     * documents survive compress-then-decompress bit-exactly, and the
