@@ -423,6 +423,8 @@ object SparkEntry {
     "q399_fdr_by"           -> (T.q399FdrBy(_, _)),
     "q400_jonckheere"       -> (T.q400Jonckheere(_, _)),
     "q401_semantic_decontam" -> (D.q401SemanticDecontam(_, _)),
+    "q402_cochran_armitage" -> (T.q402CochranArmitage(_, _)),
+    "q403_page_trend"       -> (T.q403PageTrend(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -9267,6 +9269,82 @@ object SparkEntry {
         |    AS DOUBLE) AS max_cos,
         |  cos >= 0.8 AS contaminated
         |FROM r WHERE rnk = 1""".stripMargin,
+    // q402: T and Var from exact HUGEINT moments, each a fixed shape of
+    // single divisions (the q332 discipline); dow parity per q290
+    "q402_cochran_armitage" ->
+      """WITH s AS (SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT)
+        |    AS g, CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |c AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(y) AS BIGINT) AS rg FROM s GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |    CAST(sum(ng) AS BIGINT) AS n, CAST(sum(rg) AS BIGINT) AS r,
+        |    sum(CAST(g AS HUGEINT) * rg) AS sr,
+        |    sum(CAST(g AS HUGEINT) * ng) AS sn,
+        |    sum(CAST(g AS HUGEINT) * g * ng) AS sn2
+        |  FROM c)
+        |SELECT n, k_groups, r AS n_success,
+        |  CAST(round(CAST(CAST(
+        |    CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(r AS DOUBLE)
+        |      / CAST(n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS t,
+        |  CAST(round(CAST(CAST(
+        |    (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS var_t,
+        |  CASE WHEN (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE)
+        |        * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0 THEN
+        |    CAST(round(CAST(CAST(
+        |      (CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(r AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      / sqrt((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE)
+        |          * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS z
+        |FROM a""".stripMargin,
+    // q403: within-block ranks over the mean census with the pinned
+    // (mean, treatment) tie order; E/Var closed forms in one shape
+    "q403_page_trend" ->
+      """WITH s AS (SELECT event_type AS b,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS j,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events
+        |  WHERE value IS NOT NULL),
+        |c AS (SELECT b, j,
+        |    CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+        |  FROM s GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT j) AS BIGINT) AS k FROM c),
+        |bl AS (SELECT b, CAST(count(*) AS BIGINT) AS nj FROM c GROUP BY 1),
+        |comp AS (SELECT b, nj = kk.k AS ok FROM bl, kk),
+        |dr AS (SELECT CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_blocks_dropped FROM comp),
+        |r AS (SELECT c.b, c.j,
+        |    CAST(row_number() OVER (PARTITION BY c.b ORDER BY c.m, c.j)
+        |      AS BIGINT) AS r
+        |  FROM c JOIN comp ON c.b = comp.b AND comp.ok),
+        |la AS (SELECT CAST(sum(j * r) AS BIGINT) AS l,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS n_blocks FROM r)
+        |SELECT la.n_blocks, dr.n_blocks_dropped, kk.k, la.l,
+        |  CAST(round(CAST(CAST(
+        |    CAST(la.n_blocks AS DOUBLE) * kk.k * (kk.k + 1.0) * (kk.k + 1.0)
+        |      / 4.0 AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS e_l,
+        |  CAST(round(CAST(CAST(
+        |    CAST(la.n_blocks AS DOUBLE) * kk.k * kk.k * (kk.k + 1.0)
+        |      * (kk.k * kk.k - 1.0) / 144.0
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS var_l,
+        |  CASE WHEN CAST(la.n_blocks AS DOUBLE) * kk.k * kk.k * (kk.k + 1.0)
+        |      * (kk.k * kk.k - 1.0) / 144.0 > 0.0 THEN
+        |    CAST(round(CAST(CAST(
+        |      (CAST(la.l AS DOUBLE) - CAST(la.n_blocks AS DOUBLE) * kk.k
+        |        * (kk.k + 1.0) * (kk.k + 1.0) / 4.0)
+        |      / sqrt(CAST(la.n_blocks AS DOUBLE) * kk.k * kk.k
+        |        * (kk.k + 1.0) * (kk.k * kk.k - 1.0) / 144.0)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS z
+        |FROM la, dr, kk""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

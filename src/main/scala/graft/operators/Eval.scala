@@ -1908,6 +1908,112 @@ object Eval {
             (lit(2.0) * sqrt(col("var_j")))).as("z"))
   }
 
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955) — the
+    * BINARY-outcome member of the ordered-trend family: does a success
+    * PROPORTION rise with the ordered group score (dose, version,
+    * day index)? [[jonckheereTerpstra]] ranks a continuous outcome;
+    * this weighs success counts by the group scores directly:
+    *   T = Σ_g s_g·(r_g − n_g·p̄),
+    *   Var(T) = p̄(1−p̄)·[Σ n_g s_g² − (Σ n_g s_g)²/N],
+    *   z = T/√Var,
+    * with s_g the group's own integral value as its score (the
+    * standard equally-spaced choice when groups are indices).
+    *
+    * Exactness: r_g/n_g are exact integer censuses; T's terms are
+    * exact decimal products divided once by N (T = Σs_g·r_g −
+    * (Σs_g·n_g)·R/N folded as one pinned shape); Var likewise; z one
+    * division + √. Output one row: (n, k_groups, n_success, t, var_t,
+    * z); z null when Var = 0. */
+  def cochranArmitage(df: DataFrame, groupCol: String,
+      successCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df
+      .select(col(groupCol).cast("long").as("g"),
+        when(col(successCol).cast("long") =!= 0L, 1L).otherwise(0L)
+          .as("y"))
+      .where(col("g").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("y")).as("rg"))
+    val agg = census.agg(
+      count(lit(1)).as("k_groups"),
+      sum(col("ng")).as("n"), sum(col("rg")).as("r"),
+      sum((col("g").cast(dec) * col("rg").cast(dec)).cast(dec)).cast(dec)
+        .as("sr"),
+      sum((col("g").cast(dec) * col("ng").cast(dec)).cast(dec)).cast(dec)
+        .as("sn"),
+      sum((col("g").cast(dec) * col("g").cast(dec) * col("ng").cast(dec))
+        .cast(dec)).cast(dec).as("sn2"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = dd(col("n"))
+    val pbar = dd(col("r")) / nD
+    val t = dd(col("sr")) - dd(col("sn")) * dd(col("r")) / nD
+    val varT = pbar * (lit(1.0) - pbar) *
+      (dd(col("sn2")) - dd(col("sn")) * dd(col("sn")) / nD)
+    agg.select(col("n"), col("k_groups"), col("r").as("n_success"),
+      t.as("t"), varT.as("var_t"),
+      when(varT > 0.0, t / sqrt(varT)).as("z"))
+  }
+
+  /** Page's L trend test (Page 1963) — the ordered-alternative upgrade
+    * of the Friedman test, completing the trend family:
+    * [[jonckheereTerpstra]] orders INDEPENDENT groups,
+    * [[cochranArmitage]] orders proportions, Page orders REPEATED
+    * MEASURES: within each block, rank the k ordered treatments'
+    * values; L = Σ_j j·R_j with R_j the rank sum of treatment j;
+    * under H₀, E[L] = b·k(k+1)²/4 and Var[L] = b·k²(k+1)(k²−1)/144,
+    * z = (L − E)/√Var. The "does the metric rise across versions,
+    * within every cohort" readout.
+    *
+    * Design contract: Page's test needs COMPLETE blocks. Blocks
+    * missing any treatment are EXCLUDED and counted loudly
+    * (`n_blocks_dropped`) — the q313 unassigned-edge discipline. Cell
+    * values are per-(block, treatment) means of exact integer sums
+    * (one division — identical cross-engine); within-block ranks break
+    * value ties by treatment index (a pinned total order; the
+    * mid-rank tie convention is not replayed — ties in a mean census
+    * are measure-zero and the pinned order keeps the statistic
+    * deterministic rather than silently approximate).
+    *
+    * Scale shape: one (block, treatment) census, a block-partitioned
+    * rank window over k rows, integer rollups. Output one row:
+    * (n_blocks, n_blocks_dropped, k, l, e_l, var_l, z). */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val census = df
+      .select(col(blockCol).as("b"), col(treatCol).cast("long").as("j"),
+        col(valueCol).cast("long").as("x"))
+      .where(col("b").isNotNull && col("j").isNotNull &&
+        col("x").isNotNull)
+      .groupBy(col("b"), col("j"))
+      .agg((sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .as("m"))
+    val kDf = broadcast(census.select(col("j")).distinct()
+      .agg(count(lit(1)).as("k")))
+    val blocks = census.groupBy(col("b"))
+      .agg(count(lit(1)).as("__nj"))
+    val complete = blocks.crossJoin(kDf)
+      .select(col("b"), (col("__nj") === col("k")).as("__ok"))
+    val dropped = broadcast(complete
+      .agg(sum(when(col("__ok"), 0L).otherwise(1L))
+        .as("n_blocks_dropped")))
+    val wRank = Window.partitionBy(col("b")).orderBy(col("m"), col("j"))
+    val ranked = census
+      .join(complete.where(col("__ok")).select(col("b")), Seq("b"))
+      .withColumn("r", row_number().over(wRank).cast("long"))
+    val lAgg = ranked.agg(
+      sum(col("j") * col("r")).as("l"),
+      countDistinct(col("b")).as("n_blocks"))
+    def dd(c: Column): Column = c.cast("double")
+    val bD = dd(col("n_blocks"))
+    val kD = dd(col("k"))
+    val eL = bD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    val varL = bD * kD * kD * (kD + 1.0) * (kD * kD - 1.0) / 144.0
+    lAgg.crossJoin(kDf).crossJoin(dropped)
+      .select(col("n_blocks"), col("n_blocks_dropped"), col("k"),
+        col("l"), eL.as("e_l"), varL.as("var_l"),
+        when(varL > 0.0, (dd(col("l")) - eL) / sqrt(varL)).as("z"))
+  }
+
   /** UCB1 arm selection (Auer 2002) per scope — the deterministic
     * bandit read over logged rewards: arm a scores
     *   ucb(a) = mean(a) + √(2·ln N / n_a)

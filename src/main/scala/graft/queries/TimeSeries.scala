@@ -1649,6 +1649,35 @@ object TimeSeries {
         round($"var_j", 6).as("var_j"), round($"z", 6).as("z"))
   }
 
+  /** q402 — Cochran–Armitage trend test ([[graft.operators.Eval
+    * .cochranArmitage]]): does the high-value-event PROPORTION rise
+    * across the day-of-week order — the binary-outcome member of the
+    * ordered-trend family next to q400's rank form; exact censuses,
+    * one pinned z. */
+  def q402CochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select(
+      dayofweek(to_date($"ts")).cast("long").as("dow"),
+      ($"value" > 50.0).cast("long").as("y"))
+    graft.operators.Eval.cochranArmitage(s, "dow", "y")
+      .select($"n", $"k_groups", $"n_success", round($"t", 6).as("t"),
+        round($"var_t", 6).as("var_t"), round($"z", 6).as("z"))
+  }
+
+  /** q403 — Page's L trend test ([[graft.operators.Eval.pageTrend]]):
+    * within every event type (block), do mean values rise across the
+    * day-of-week order — the repeated-measures member of the
+    * q400/q402 trend family (Friedman's ordered-alternative upgrade);
+    * complete-block contract with dropped blocks counted loudly. */
+  def q403PageTrend(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      dayofweek(to_date($"ts")).cast("long").as("dow"),
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Eval.pageTrend(s, "event_type", "dow", "cents")
+      .select($"n_blocks", $"n_blocks_dropped", $"k", $"l",
+        round($"e_l", 6).as("e_l"), round($"var_l", 6).as("var_l"),
+        round($"z", 6).as("z"))
+  }
+
   /** q394 — local-level Kalman filter ([[graft.operators.Forecast
     * .kalmanLevel]]): each event type's daily cents total filtered
     * through the adaptive-gain level model (Q=0.05, R=1, P₀=1) — the

@@ -555,6 +555,52 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(rev.getAs[Double]("z") == -rr.getAs[Double]("z"))
   }
 
+  test("cochranArmitage: hand T/Var/z on a rising ladder, exact zero " +
+      "on flat proportions, degenerate variance nulls z") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]) =
+      Eval.cochranArmitage(rows.toDF("g", "y"), "g", "y").head()
+    // groups 1,2,3 with 4 trials each and 1,2,3 successes:
+    // pbar = .5, T = 14 - 24*.5 = 2, Var = .25*(56 - 48) = 2
+    val rising = (1L to 3L).flatMap(g =>
+      (1L to 4L).map(i => (g, if (i <= g) 1L else 0L)))
+    val r = run(rising)
+    assert(r.getAs[Long]("n") == 12L && r.getAs[Long]("n_success") == 6L)
+    assert(r.getAs[Double]("t") == 2.0 && r.getAs[Double]("var_t") == 2.0)
+    assert(math.abs(r.getAs[Double]("z") - 2.0 / math.sqrt(2.0)) < 1e-15)
+    // identical proportions in every group: T exactly 0
+    val flat = (1L to 3L).flatMap(g => Seq((g, 1L), (g, 0L)))
+    assert(run(flat).getAs[Double]("t") == 0.0)
+    // single group: score variance 0 -> z null
+    val one = Seq((5L, 1L), (5L, 0L), (5L, 1L))
+    assert(run(one).isNullAt(run(one).fieldIndex("z")))
+  }
+
+  test("pageTrend: perfectly-ordered blocks hit the hand L/E/Var, " +
+      "reversed blocks mirror around E, incomplete blocks dropped loudly") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      Eval.pageTrend(rows.toDF("b", "j", "x"), "b", "j", "x").head()
+    // two blocks, k = 3, values rise with treatment in both:
+    // within-block ranks = treatment index -> L = 2*(1+4+9) = 28,
+    // E = 2*3*16/4 = 24, Var = 2*288/144 = 4, z = 2
+    val asc = for (b <- Seq("a", "b"); j <- 1L to 3L) yield (b, j, j * 10)
+    val r = run(asc)
+    assert(r.getAs[Long]("l") == 28L && r.getAs[Double]("e_l") == 24.0)
+    assert(r.getAs[Double]("var_l") == 4.0 && r.getAs[Double]("z") == 2.0)
+    assert(r.getAs[Long]("n_blocks_dropped") == 0L)
+    // reversed values: L mirrors to 2E - 28 = 20, z = -2
+    val desc = asc.map { case (b, j, x) => (b, j, 40L - x) }
+    val rd = run(desc)
+    assert(rd.getAs[Long]("l") == 20L && rd.getAs[Double]("z") == -2.0)
+    // a block missing treatment 3 is excluded and counted
+    val withIncomplete = asc ++ Seq(("c", 1L, 5L), ("c", 2L, 6L))
+    val ri = run(withIncomplete)
+    assert(ri.getAs[Long]("n_blocks") == 2L &&
+      ri.getAs[Long]("n_blocks_dropped") == 1L)
+    assert(ri.getAs[Long]("l") == 28L)
+  }
+
   test("sprt: strong evidence accepts H1 and latches; weak evidence " +
       "accepts H0; borderline continues") {
     import spark.implicits._
