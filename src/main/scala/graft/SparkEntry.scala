@@ -425,6 +425,8 @@ object SparkEntry {
     "q401_semantic_decontam" -> (D.q401SemanticDecontam(_, _)),
     "q402_cochran_armitage" -> (T.q402CochranArmitage(_, _)),
     "q403_page_trend"       -> (T.q403PageTrend(_, _)),
+    "q404_mantel_haenszel"  -> (T.q404MantelHaenszel(_, _)),
+    "q405_lin_ccc"          -> (D.q405LinCcc(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -9345,6 +9347,98 @@ object SparkEntry {
         |        * (kk.k + 1.0) * (kk.k * kk.k - 1.0) / 144.0)
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS z
         |FROM la, dr, kk""".stripMargin,
+    // q404: per-stratum ratio terms fold in stratum order (q237
+    // contract) via seedless list_reduce (0+t1 = t1); the chi2 p rides
+    // the q348 erfc polynomial with x = sqrt(chi2/2)
+    "q404_mantel_haenszel" -> {
+      def erfcSql(x: String) = {
+        val t = s"(1.0 / (1.0 + 0.5 * abs($x)))"
+        s"$t * exp(-($x) * ($x) - 1.26551223 + $t * (1.00002368 + " +
+          s"$t * (0.37409196 + $t * (0.09678418 + $t * (-0.18628806 + " +
+          s"$t * (0.27886807 + $t * (-1.13520398 + $t * (1.48851587 + " +
+          s"$t * (-0.82215223 + $t * 0.17087277)))))))))"
+      }
+      val nI = "CAST(e.a + e.b + e.cc + e.d AS DOUBLE)"
+      def fold(term: String) =
+        s"list_reduce(list_transform(l, e -> $term), (x, y) -> x + y)"
+      val numT = s"CASE WHEN e.a + e.b + e.cc + e.d > 0 THEN " +
+        s"CAST(e.a AS DOUBLE) * CAST(e.d AS DOUBLE) / ($nI) ELSE 0.0 END"
+      val denT = s"CASE WHEN e.a + e.b + e.cc + e.d > 0 THEN " +
+        s"CAST(e.b AS DOUBLE) * CAST(e.cc AS DOUBLE) / ($nI) ELSE 0.0 END"
+      val eT = s"CASE WHEN e.a + e.b + e.cc + e.d > 0 THEN " +
+        s"CAST(e.a + e.b AS DOUBLE) * CAST(e.a + e.cc AS DOUBLE) / ($nI)" +
+        s" ELSE 0.0 END"
+      val vT = s"CASE WHEN e.a + e.b + e.cc + e.d > 1 THEN " +
+        s"CAST(e.a + e.b AS DOUBLE) * CAST(e.cc + e.d AS DOUBLE) * " +
+        s"CAST(e.a + e.cc AS DOUBLE) * CAST(e.b + e.d AS DOUBLE) / " +
+        s"(($nI) * ($nI) * CAST(e.a + e.b + e.cc + e.d - 1 AS DOUBLE)) " +
+        s"ELSE 0.0 END"
+      val chi2 = "(abs(CAST(sum_a AS DOUBLE) - ev) - 0.5) * " +
+        "(abs(CAST(sum_a AS DOUBLE) - ev) - 0.5) / vv"
+      s"""WITH s AS (SELECT event_type AS st,
+         |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1
+         |      ELSE 0 END AS e,
+         |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y FROM events),
+         |c AS (SELECT st,
+         |    CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cc,
+         |    CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d
+         |  FROM s GROUP BY 1),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         |    CAST(sum(a + b + cc + d) AS BIGINT) AS n,
+         |    CAST(sum(a) AS BIGINT) AS sum_a,
+         |    list(struct_pack(a := a, b := b, cc := cc, d := d)
+         |      ORDER BY st) AS l
+         |  FROM c),
+         |g AS (SELECT n_strata, n, sum_a,
+         |    ${fold(numT)} AS num, ${fold(denT)} AS den,
+         |    ${fold(eT)} AS ev, ${fold(vT)} AS vv
+         |  FROM f)
+         |SELECT n_strata, n,
+         |  CASE WHEN den > 0.0 THEN CAST(round(CAST(CAST(num / den
+         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS or_mh,
+         |  CASE WHEN vv > 0.0 THEN CAST(round(CAST(CAST($chi2
+         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS chi2,
+         |  CASE WHEN vv > 0.0 THEN CAST(round(CAST(CAST(
+         |    ${erfcSql(s"sqrt(($chi2) / 2.0)")}
+         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS p
+         |FROM g""".stripMargin
+    },
+    // q405: five exact HUGEINT moments, CCC one fixed shape (the n²
+    // scaling of cov/var/gap cancels); token count per the q84 pairing
+    "q405_lin_ccc" ->
+      """WITH d AS (SELECT source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS x,
+        |    CAST(floor(strlen(text) / 5) AS BIGINT) AS y
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM d GROUP BY 1)
+        |SELECT source, n,
+        |  CAST(round(CAST(CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_a,
+        |  CAST(round(CAST(CAST(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_b,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+        |      + CAST(n * syy - sy * sy AS DOUBLE)
+        |      + CAST((sx - sy) * (sx - sy) AS DOUBLE) > 0.0 THEN
+        |    CAST(round(CAST(CAST(
+        |      2.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |        + CAST(n * syy - sy * sy AS DOUBLE)
+        |        + CAST((sx - sy) * (sx - sy) AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS ccc
+        |FROM g""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -2014,6 +2014,116 @@ object Eval {
         when(varL > 0.0, (dd(col("l")) - eL) / sqrt(varL)).as("z"))
   }
 
+  /** Mantel–Haenszel common odds ratio + test (Mantel & Haenszel 1959)
+    * — the stratified 2×2 summary that [[cochranArmitage]]'s trend and
+    * the q338 stratified ATE don't give: one pooled odds ratio across
+    * strata, immune to the confounding a collapsed table bakes in
+    * (Simpson's reversal is exactly the failure mode this exists for):
+    *   OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ),
+    *   χ²_MH = (|Σaᵢ − ΣEᵢ| − ½)² / ΣVᵢ  (continuity-corrected),
+    *   Eᵢ = (aᵢ+bᵢ)(aᵢ+cᵢ)/nᵢ,
+    *   Vᵢ = (aᵢ+bᵢ)(cᵢ+dᵢ)(aᵢ+cᵢ)(bᵢ+dᵢ)/(nᵢ²(nᵢ−1)),
+    * p = erfc(√(χ²/2)) — χ²(1), the pinned q348 kernel.
+    *
+    * Exactness: cell counts are exact integer censuses; each
+    * stratum's ratio terms are single divisions of exact decimal
+    * products, and the cross-stratum float sums fold IN STRATUM ORDER
+    * over the bounded stratum list (the q237 contract). Strata with
+    * nᵢ ≤ 1 contribute no variance (pinned). Output one row:
+    * (n_strata, n, or_mh, chi2, p); or_mh null when the denominator
+    * is 0, chi2/p null when ΣV = 0. */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, exposedCol: Column,
+      successCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df
+      .select(col(stratumCol).cast("string").as("s"),
+        when(exposedCol, 1L).otherwise(0L).as("e"),
+        when(successCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("e") === 1L && col("y") === 1L, 1L).otherwise(0L))
+        .as("a"),
+        sum(when(col("e") === 1L && col("y") === 0L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("e") === 0L && col("y") === 1L, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("e") === 0L && col("y") === 0L, 1L).otherwise(0L))
+          .as("d"))
+    val folded = census
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("a") + col("b") + col("c") + col("d")).as("n"),
+        sum(col("a")).as("sum_a"),
+        sort_array(collect_list(struct(col("s"), col("a"), col("b"),
+          col("c"), col("d")))).as("__l"))
+    def fold(term: String) =
+      s"""aggregate(__l, CAST(0.0 AS DOUBLE), (acc, e) -> acc + ($term))"""
+    val nI = "CAST(e.a + e.b + e.c + e.d AS DOUBLE)"
+    val folds = folded.select(col("n_strata"), col("n"), col("sum_a"),
+      expr(fold(s"IF(e.a + e.b + e.c + e.d > 0, " +
+        s"CAST(e.a AS DOUBLE) * CAST(e.d AS DOUBLE) / ($nI), 0.0)"))
+        .as("__num"),
+      expr(fold(s"IF(e.a + e.b + e.c + e.d > 0, " +
+        s"CAST(e.b AS DOUBLE) * CAST(e.c AS DOUBLE) / ($nI), 0.0)"))
+        .as("__den"),
+      expr(fold(s"IF(e.a + e.b + e.c + e.d > 0, " +
+        s"CAST(e.a + e.b AS DOUBLE) * CAST(e.a + e.c AS DOUBLE) / ($nI)," +
+        s" 0.0)")).as("__e"),
+      expr(fold(s"IF(e.a + e.b + e.c + e.d > 1, " +
+        s"CAST(e.a + e.b AS DOUBLE) * CAST(e.c + e.d AS DOUBLE) * " +
+        s"CAST(e.a + e.c AS DOUBLE) * CAST(e.b + e.d AS DOUBLE) / " +
+        s"(($nI) * ($nI) * CAST(e.a + e.b + e.c + e.d - 1 AS DOUBLE)), " +
+        s"0.0)")).as("__v"))
+    val chi2 = (abs(col("sum_a").cast("double") - col("__e")) - lit(0.5)) *
+      (abs(col("sum_a").cast("double") - col("__e")) - lit(0.5)) /
+      col("__v")
+    folds.select(col("n_strata"), col("n"),
+      when(col("__den") > 0.0, col("__num") / col("__den")).as("or_mh"),
+      when(col("__v") > 0.0, chi2).as("chi2"),
+      when(col("__v") > 0.0,
+        graft.functions.FastMath.erfc(
+          sqrt(chi2 / lit(2.0)))).as("p"))
+  }
+
+  /** Lin's concordance correlation coefficient (Lin 1989) per scope —
+    * the CONTINUOUS agreement number next to [[cohenKappa]]'s
+    * categorical one: how well two scorers' values agree with the
+    * 45° line (not just correlate — a scorer that doubles every value
+    * correlates perfectly and concords badly):
+    *   CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²),
+    * population (1/n) moment convention, stated not hidden. The
+    * "can the cheap quality model replace the expensive one" readout.
+    *
+    * Exactness: the five moments are exact decimal sums of integer
+    * inputs; CCC is one fixed shape of single divisions (the q332
+    * discipline). Output: (scope, n, mean_a, mean_b, ccc); null when
+    * both variances and the mean gap are 0. */
+  def linCcc(df: DataFrame, scopeCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .select(col(scopeCol).as("sc"), col(aCol).cast("long").as("x"),
+        col(bCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    def m(c: Column): Column = sum(c.cast(dec)).cast(dec)
+    val agg = base.groupBy(col("sc")).agg(
+      count(lit(1)).as("n"), m(col("x")).as("sx"), m(col("y")).as("sy"),
+      m((col("x").cast(dec) * col("y").cast(dec)).cast(dec)).as("sxy"),
+      m((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).as("sxx"),
+      m((col("y").cast(dec) * col("y").cast(dec)).cast(dec)).as("syy"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = col("n").cast(dec)
+    val covN = (nD * col("sxy") - col("sx") * col("sy")).cast(dec)
+    val vxN = (nD * col("sxx") - col("sx") * col("sx")).cast(dec)
+    val vyN = (nD * col("syy") - col("sy") * col("sy")).cast(dec)
+    val gapN = ((col("sx") - col("sy")).cast(dec) *
+      (col("sx") - col("sy")).cast(dec)).cast(dec)
+    // CCC = 2covN / (vxN + vyN + gapN): the n² scaling cancels
+    val den = dd(vxN) + dd(vyN) + dd(gapN)
+    agg.select(col("sc"), col("n"),
+      (dd(col("sx")) / dd(col("n"))).as("mean_a"),
+      (dd(col("sy")) / dd(col("n"))).as("mean_b"),
+      when(den > 0.0, lit(2.0) * dd(covN) / den).as("ccc"))
+  }
+
   /** UCB1 arm selection (Auer 2002) per scope — the deterministic
     * bandit read over logged rewards: arm a scores
     *   ucb(a) = mean(a) + √(2·ln N / n_a)

@@ -1678,6 +1678,20 @@ object TimeSeries {
         round($"z", 6).as("z"))
   }
 
+  /** q404 — Mantel–Haenszel common odds ratio ([[graft.operators.Eval
+    * .mantelHaenszel]]): the weekend→high-value odds ratio pooled
+    * ACROSS event types — the confounding-immune stratified 2×2
+    * summary (Simpson-safe where the collapsed table is not), with
+    * the continuity-corrected MH χ² and its pinned-erfc p. */
+  def q404MantelHaenszel(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      dayofweek(to_date($"ts")).isin(1, 7).as("wknd"),
+      ($"value" > 50.0).as("hi"))
+    graft.operators.Eval.mantelHaenszel(s, "event_type", $"wknd", $"hi")
+      .select($"n_strata", $"n", round($"or_mh", 6).as("or_mh"),
+        round($"chi2", 6).as("chi2"), round($"p", 6).as("p"))
+  }
+
   /** q394 — local-level Kalman filter ([[graft.operators.Forecast
     * .kalmanLevel]]): each event type's daily cents total filtered
     * through the adaptive-gain level model (Q=0.05, R=1, P₀=1) — the

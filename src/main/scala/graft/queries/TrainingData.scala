@@ -536,6 +536,22 @@ object TrainingData {
         ($"cos" >= 0.8).as("contaminated"))
   }
 
+  /** q405 — Lin's concordance correlation ([[graft.operators.Eval
+    * .linCcc]]): per source, how well the chars/5 token ESTIMATE
+    * agrees with the true whitespace token count on the 45° line —
+    * the continuous agreement number (correlation alone would forgive
+    * a calibration bias; CCC doesn't), deciding whether the cheap
+    * estimator can stand in for tokenization. */
+  def q405LinCcc(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.linCcc(
+      docs(spark, dir).select($"source",
+        TextOps.tokenCount($"text").as("x"),
+        floor(octet_length($"text") / 5).cast("long").as("y")),
+      "source", "x", "y")
+      .select($"sc".as("source"), $"n",
+        round($"mean_a", 6).as("mean_a"), round($"mean_b", 6).as("mean_b"),
+        round($"ccc", 6).as("ccc"))
+
   /** q389 — deflate→inflate roundtrip audit ([[graft.functions.FastHash
     * .deflateRoundtripLen]]): per source, document count, how many
     * documents survive compress-then-decompress bit-exactly, and the

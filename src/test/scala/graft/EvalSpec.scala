@@ -601,6 +601,49 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(ri.getAs[Long]("l") == 28L)
   }
 
+  test("mantelHaenszel: hand OR/chi2 across two strata, null-effect " +
+      "stratum dilutes, OR null when the denominator vanishes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, Boolean, Boolean)]) =
+      Eval.mantelHaenszel(rows.toDF("s", "e", "y"), "s",
+        col("e"), col("y")).head()
+    def cells(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    // s1: (3,1,1,3) -> ad/n = 9/8, bc/n = 1/8, E = 2, V = 256/448
+    // s2: (2,2,2,2) -> 4/8, 4/8, E = 2, V = 256/448
+    // OR = (13/8)/(5/8) = 2.6; chi2 = (|5-4|-.5)^2/(8/7) = 0.21875
+    val r = run(cells("s1", 3, 1, 1, 3) ++ cells("s2", 2, 2, 2, 2))
+    assert(r.getAs[Long]("n_strata") == 2L && r.getAs[Long]("n") == 16L)
+    assert(math.abs(r.getAs[Double]("or_mh") - 2.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chi2") - 0.21875) < 1e-12)
+    // a lone stratum with bc = 0 in EVERY stratum: denominator 0 -> null
+    val inf = run(cells("s1", 2, 1, 0, 3))
+    assert(inf.isNullAt(inf.fieldIndex("or_mh")))
+  }
+
+  test("linCcc: identity agreement = 1, a constant shift or a scale " +
+      "bias drops concordance below correlation") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      Eval.linCcc(rows.toDF("s", "x", "y"), "s", "x", "y")
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Double]("ccc"), r.getLong(1)))).toMap
+    val xs = Seq(1L, 2L, 3L, 4L, 5L)
+    val ident = xs.map(x => ("i", x, x))
+    val shift = xs.map(x => ("sh", x, x + 3))
+    val scale = xs.map(x => ("sc", x, x * 2))
+    val got = run(ident ++ shift ++ scale)
+    assert(got("i")._1 == 1.0)
+    // shift: cov = var = 2, gap = 9 -> ccc = 4/(4+9)
+    assert(math.abs(got("sh")._1 - 4.0 / 13.0) < 1e-12)
+    // scale x2: cov = 2var, varY = 4var, gap = 9 -> 2*4/(2+8+9)
+    assert(math.abs(got("sc")._1 - 8.0 / 19.0) < 1e-12)
+    // both perfectly correlated, only identity concords
+    assert(got("sh")._1 < 1.0 && got("sc")._1 < 1.0)
+  }
+
   test("sprt: strong evidence accepts H1 and latches; weak evidence " +
       "accepts H0; borderline continues") {
     import spark.implicits._
