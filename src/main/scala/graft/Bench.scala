@@ -28,6 +28,11 @@ object Bench {
     * fresh single-query JVMs (covers the 2x-gate band with margin). */
   private val IsolateK = 12
 
+  /** Any query whose batched time exceeds this factor times its prior
+    * recorded value (bench_out.json) is also isolated — mid-pack
+    * regressions must carry an isolation receipt, not batched noise. */
+  private val RegressFactor = 1.5
+
   def main(args: Array[String]): Unit = {
     val only = args.toSet
     if (only.nonEmpty || sys.env.contains("GRAFT_BENCH_CHILD"))
@@ -127,28 +132,48 @@ object Bench {
         errs ++= missing
       }
     }
-    // second pass: the slowest K re-measured alone in fresh JVMs. The
-    // pass exists to DETECT adjacency inflation: when the batch number
-    // far exceeds the isolated one, the neighbor's garbage was in the
-    // window and the isolated number is the honest one. The recorded
-    // value is min(batched, isolated) — the best steady state the SAME
-    // plan achieved — because a fresh single-query JVM pays a ~1 s
+    // second pass: re-measure alone in fresh JVMs. The pass exists to
+    // DETECT adjacency inflation: when the batch number far exceeds the
+    // isolated one, the neighbor's garbage was in the window and the
+    // isolated number is the honest one. The recorded value is
+    // min(batched, isolated) — the best steady state the SAME plan
+    // achieved — because a fresh single-query JVM pays a ~1 s
     // under-warmed-JIT penalty (measured: isolated ran ABOVE batch for
     // every heavy query once batches shrank to 64), and recording that
     // environment cost as the query's would manufacture regressions.
-    val heavy = times.toSeq.sortBy(-_._2).take(IsolateK)
-    heavy.foreach { case (prefix, batched) =>
+    // Two triggers (r10, VERDICT ask #3 — the r9 CC-family cluster rode
+    // batched noise because only the slowest K were isolated):
+    //   (a) the slowest IsolateK queries, and
+    //   (b) ANY query whose batched time exceeds RegressFactor x its
+    //       previously recorded value (prior bench_out.json), so a
+    //       mid-pack regression always gets an isolation receipt.
+    // Queries whose recorded number came from the isolated JVM are
+    // tagged in the emitted "isolated" list; everything else is batched.
+    val prior: Map[String, Double] =
+      try parseQueries(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_out.json")), "UTF-8"))
+      catch { case _: Throwable => Map.empty }
+    val movers = times.filter { case (p, t) =>
+      prior.get(p).exists(old => t > old * RegressFactor) }.keySet
+    val heavy = times.toSeq.sortBy(-_._2).take(IsolateK).map(_._1).toSet
+    if (movers.diff(heavy).nonEmpty)
+      System.err.println(s"[bench] regression-triggered isolation: " +
+        movers.diff(heavy).toSeq.sorted.mkString(","))
+    var isolatedTag = Set.empty[String]
+    (heavy ++ movers).toSeq.sorted.foreach { prefix =>
+      val batched = times(prefix)
       byPrefix.get(prefix).foreach { full =>
         System.err.println(s"[bench] isolating $prefix (batched ${batched}s)")
         val (t, _) = runChild(Seq(full), s"iso_$prefix")
         t.get(prefix).foreach { iso =>
           System.err.println(f"[bench] $prefix batched $batched%.2f / " +
             f"isolated $iso%.2f -> recording ${math.min(batched, iso)}%.2f")
-          times += prefix -> math.min(batched, iso)
+          if (iso < batched) { times += prefix -> iso; isolatedTag += prefix }
         }
       }
     }
-    emit(times.toSeq.sortBy(_._1), errs.distinct, sfDir, iters)
+    emit(times.toSeq.sortBy(_._1), errs.distinct, sfDir, iters,
+      isolated = isolatedTag)
   }
 
   // ---------------------------------------------------------------- child
@@ -212,8 +237,8 @@ object Bench {
     * Keys are qNN prefixes only; full names recoverable from
     * SparkEntry.queries. */
   private def emit(results: Seq[(String, Double)], errPrefixes: Seq[String],
-      sfDir: String, iters: Int, defaultOut: String = "bench_out.json")
-      : Unit = {
+      sfDir: String, iters: Int, defaultOut: String = "bench_out.json",
+      isolated: Set[String] = Set.empty): Unit = {
     val prefixes = results.map(_._1)
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
@@ -222,11 +247,15 @@ object Bench {
     val total = results.map(_._2).sum
     val errJson = errPrefixes.map(k => "\"" + k + "\"")
       .mkString("[", ",", "]")
+    // which recorded values came from the single-query isolation JVM
+    // (everything else is batched) — the per-value source tag
+    val isoJson = isolated.toSeq.sorted.map(k => "\"" + k + "\"")
+      .mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":true,"errs":$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":true,"errs":$errJson,"isolated":$isoJson}"""
     val sorted = results.sortBy(-_._2)
     val head =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","iters":$iters,"warmup":true,"errs":$errJson,"full":"bench_out.json","""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","iters":$iters,"warmup":true,"errs":$errJson,"isolated":$isoJson,"full":"bench_out.json","""
     val budget = 1800 - head.length - 60
     val (kept, _) = sorted.foldLeft((List.empty[String], 0)) {
       case ((acc, len), (k, v)) =>

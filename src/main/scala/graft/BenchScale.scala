@@ -266,6 +266,21 @@ object BenchScale {
       graft.operators.Profile.distinctN(c, "src", "text")
     }
 
+    // q395 shape: z-order shard locality audit at Nx vectors. The shard
+    // count is FIXED (2^shardBits = 32), so per-shard membership grows
+    // linearly and UNCAPPED pair counts would grow quadratically (~N²
+    // time) — the r9 VERDICT scale-killer. capPerShard=256 is sized so
+    // 1x (2000 vectors, ~62/shard) audits exhaustively while Nx
+    // overflows most shards: those are EXCLUDED and counted loudly in
+    // n_shards_skipped, bounding pair work at cap²·shards regardless of
+    // corpus size. The receipt is the time ratio staying far below N²/
+    // even N — the cap, not luck, is the bound.
+    def zorderAudit(n: Int): DataFrame =
+      graft.operators.Similarity.zOrderLocalityAudit(
+        (0 until n).map(embShift).reduce(_ unionByName _),
+        "vec_id", "v", dims = 2, bitsPerDim = 4, shardBits = 5,
+        tauMilli = 700L, capPerShard = 256)
+
     val shapes: Seq[(String, Int => DataFrame)] = Seq(
       "minhash" -> (n => minhash(corpusAt(n))),
       "incremental" -> (n => incremental(corpusAt(n))),
@@ -282,7 +297,8 @@ object BenchScale {
       "seqrules" -> (seqrules(_)),
       "qnorm" -> (qnorm(_)),
       "kneserney" -> (kneserney(_)),
-      "distinctn" -> (distinctn(_)))
+      "distinctn" -> (distinctn(_)),
+      "zorder_audit" -> (zorderAudit(_)))
     val out = shapes.flatMap { case (name, fn) =>
       val (t1, n1) = timed(fn(1))
       val (tN, nN) = timed(fn(copies))

@@ -350,8 +350,11 @@ object SparkEntry {
     "q327_laplace_counts"   -> (R.q327LaplaceCounts(_, _)),
     "q328_conformal"        -> (T.q328Conformal(_, _)),
     "q329_mase"             -> (T.q329Mase(_, _)),
-    // no oracle: deflate has no DuckDB replay (rows-only check by design)
-    "q330_compress_bands"   -> (D.q330CompressBands(_, _)),
+    // q330 compress_bands is retired from the oracle board (deflate has
+    // no DuckDB replay, so it could never be more than a rows-only cell):
+    // the wrapper stays a library entry point, its banding is spec-pinned
+    // (TrainingDataSpec), and the zlib codec pair is hash-oracle-gated
+    // end-to-end by q389_deflate_roundtrip.
     "q331_sprt"             -> (T.q331Sprt(_, _)),
     "q332_cuped"            -> (T.q332Cuped(_, _)),
     "q333_diff_in_diff"     -> (T.q333DiffInDiff(_, _)),
@@ -427,6 +430,9 @@ object SparkEntry {
     "q403_page_trend"       -> (T.q403PageTrend(_, _)),
     "q404_mantel_haenszel"  -> (T.q404MantelHaenszel(_, _)),
     "q405_lin_ccc"          -> (D.q405LinCcc(_, _)),
+    "q406_breslow_day"      -> (T.q406BreslowDay(_, _)),
+    "q407_kendall_w"        -> (T.q407KendallW(_, _)),
+    "q408_ktruss"           -> (R.q408KTruss(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -9024,7 +9030,8 @@ object SparkEntry {
     // q395: quantized cells replay as one pinned floor shape off the
     // same broadcast min/max; Morton interleave is pure integer bit
     // algebra; cosine via the q127 list_zip replay; NaN>=tau agrees
-    // cross-engine (both order NaN above any threshold)
+    // cross-engine (both order NaN above any threshold); the 1024-row
+    // per-shard cap replays as a count window + HAVING skip census
     "q395_zorder_locality" -> {
       def cellSql(d: Int) =
         s"CASE WHEN mx$d = mn$d THEN 0 ELSE CAST(least(greatest(" +
@@ -9044,33 +9051,43 @@ object SparkEntry {
          |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 12))
          |      AS BIGINT) % 32 AS hash
          |  FROM e, b),
+         |kz AS (SELECT * FROM (SELECT id, v, zorder,
+         |    count(*) OVER (PARTITION BY zorder) AS bn FROM tg)
+         |  WHERE bn <= 1024),
+         |kh AS (SELECT * FROM (SELECT id, v, hash,
+         |    count(*) OVER (PARTITION BY hash) AS bn FROM tg)
+         |  WHERE bn <= 1024),
+         |sz AS (SELECT CAST(count(*) AS BIGINT) AS n_shards_skipped FROM
+         |  (SELECT zorder FROM tg GROUP BY 1 HAVING count(*) > 1024)),
+         |sh AS (SELECT CAST(count(*) AS BIGINT) AS n_shards_skipped FROM
+         |  (SELECT hash FROM tg GROUP BY 1 HAVING count(*) > 1024)),
          |pz AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-         |    CAST(sum(CASE WHEN
+         |    CAST(coalesce(sum(CASE WHEN
          |      list_aggregate(list_transform(list_zip(a.v, b2.v),
          |        x -> x[1] * x[2]), 'sum') /
          |      (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
          |        * sqrt(list_aggregate(list_transform(b2.v, x -> x * x),
-         |          'sum'))) * 1000 >= 700 THEN 1 ELSE 0 END) AS BIGINT)
+         |          'sum'))) * 1000 >= 700 THEN 1 ELSE 0 END), 0) AS BIGINT)
          |      AS n_close_pairs
-         |  FROM tg a JOIN tg b2 ON a.zorder = b2.zorder AND a.id < b2.id),
+         |  FROM kz a JOIN kz b2 ON a.zorder = b2.zorder AND a.id < b2.id),
          |ph AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-         |    CAST(sum(CASE WHEN
+         |    CAST(coalesce(sum(CASE WHEN
          |      list_aggregate(list_transform(list_zip(a.v, b2.v),
          |        x -> x[1] * x[2]), 'sum') /
          |      (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
          |        * sqrt(list_aggregate(list_transform(b2.v, x -> x * x),
-         |          'sum'))) * 1000 >= 700 THEN 1 ELSE 0 END) AS BIGINT)
+         |          'sum'))) * 1000 >= 700 THEN 1 ELSE 0 END), 0) AS BIGINT)
          |      AS n_close_pairs
-         |  FROM tg a JOIN tg b2 ON a.hash = b2.hash AND a.id < b2.id),
+         |  FROM kh a JOIN kh b2 ON a.hash = b2.hash AND a.id < b2.id),
          |nz AS (SELECT CAST(count(DISTINCT zorder) AS BIGINT) AS n_shards
          |  FROM tg),
          |nh AS (SELECT CAST(count(DISTINCT hash) AS BIGINT) AS n_shards
          |  FROM tg)
-         |SELECT 'zorder' AS layout, nz.n_shards, pz.n_pairs,
-         |  pz.n_close_pairs FROM pz, nz
+         |SELECT 'zorder' AS layout, nz.n_shards, sz.n_shards_skipped,
+         |  pz.n_pairs, pz.n_close_pairs FROM pz, nz, sz
          |UNION ALL
-         |SELECT 'hash', nh.n_shards, ph.n_pairs, ph.n_close_pairs
-         |FROM ph, nh""".stripMargin
+         |SELECT 'hash', nh.n_shards, sh.n_shards_skipped, ph.n_pairs,
+         |  ph.n_close_pairs FROM ph, nh, sh""".stripMargin
     },
     // q396: two synchronized LPA rounds unrolled; per-round argmax via
     // QUALIFY with the pinned (cnt desc, label asc) total order —
@@ -9310,7 +9327,9 @@ object SparkEntry {
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS z
         |FROM a""".stripMargin,
     // q403: within-block ranks over the mean census with the pinned
-    // (mean, treatment) tie order; E/Var closed forms in one shape
+    // (mean, treatment) tie order; coefficients are the DENSE RANK of
+    // the treatment label (the E/Var closed forms hold for 1..k only);
+    // E/Var closed forms in one shape
     "q403_page_trend" ->
       """WITH s AS (SELECT event_type AS b,
         |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS j,
@@ -9324,12 +9343,15 @@ object SparkEntry {
         |comp AS (SELECT b, nj = kk.k AS ok FROM bl, kk),
         |dr AS (SELECT CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
         |    AS n_blocks_dropped FROM comp),
+        |jr AS (SELECT j, CAST(row_number() OVER (ORDER BY j) AS BIGINT)
+        |    AS jrk FROM (SELECT DISTINCT j FROM c)),
         |r AS (SELECT c.b, c.j,
         |    CAST(row_number() OVER (PARTITION BY c.b ORDER BY c.m, c.j)
         |      AS BIGINT) AS r
         |  FROM c JOIN comp ON c.b = comp.b AND comp.ok),
-        |la AS (SELECT CAST(sum(j * r) AS BIGINT) AS l,
-        |    CAST(count(DISTINCT b) AS BIGINT) AS n_blocks FROM r)
+        |la AS (SELECT CAST(sum(jr.jrk * r.r) AS BIGINT) AS l,
+        |    CAST(count(DISTINCT r.b) AS BIGINT) AS n_blocks
+        |  FROM r JOIN jr ON r.j = jr.j)
         |SELECT la.n_blocks, dr.n_blocks_dropped, kk.k, la.l,
         |  CAST(round(CAST(CAST(
         |    CAST(la.n_blocks AS DOUBLE) * kk.k * (kk.k + 1.0) * (kk.k + 1.0)
@@ -9373,8 +9395,8 @@ object SparkEntry {
         s"CAST(e.a + e.cc AS DOUBLE) * CAST(e.b + e.d AS DOUBLE) / " +
         s"(($nI) * ($nI) * CAST(e.a + e.b + e.cc + e.d - 1 AS DOUBLE)) " +
         s"ELSE 0.0 END"
-      val chi2 = "(abs(CAST(sum_a AS DOUBLE) - ev) - 0.5) * " +
-        "(abs(CAST(sum_a AS DOUBLE) - ev) - 0.5) / vv"
+      val chi2 = "greatest(abs(CAST(sum_a AS DOUBLE) - ev) - 0.5, 0.0) * " +
+        "greatest(abs(CAST(sum_a AS DOUBLE) - ev) - 0.5, 0.0) / vv"
       s"""WITH s AS (SELECT event_type AS st,
          |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1
          |      ELSE 0 END AS e,
@@ -9439,6 +9461,174 @@ object SparkEntry {
         |        + CAST((sx - sy) * (sx - sy) AS DOUBLE))
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS ccc
         |FROM g""".stripMargin,
+    // q406: q404's census + stratum-ordered psi folds; per-stratum
+    // expected cell is one pinned quadratic (libm sqrt parity); the
+    // three cross-stratum sums fold in stratum order via seedless
+    // list_reduce (0 + t1 = t1)
+    "q406_breslow_day" -> {
+      val nI = "CAST(e.a + e.b + e.cc + e.d AS DOUBLE)"
+      def fold(term: String) =
+        s"list_reduce(list_transform(l, e -> $term), (x, y) -> x + y)"
+      val numT = s"CASE WHEN e.a + e.b + e.cc + e.d > 0 THEN " +
+        s"CAST(e.a AS DOUBLE) * CAST(e.d AS DOUBLE) / ($nI) ELSE 0.0 END"
+      val denT = s"CASE WHEN e.a + e.b + e.cc + e.d > 0 THEN " +
+        s"CAST(e.b AS DOUBLE) * CAST(e.cc AS DOUBLE) / ($nI) ELSE 0.0 END"
+      def tfold(term: String) =
+        s"list_reduce(list_transform(tl, e -> e.$term), (x, y) -> x + y)"
+      s"""WITH s AS (SELECT event_type AS st,
+         |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1
+         |      ELSE 0 END AS e,
+         |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y FROM events),
+         |c AS (SELECT st,
+         |    CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cc,
+         |    CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d
+         |  FROM s GROUP BY 1),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         |    list(struct_pack(a := a, b := b, cc := cc, d := d)
+         |      ORDER BY st) AS l
+         |  FROM c),
+         |p AS (SELECT n_strata,
+         |    CASE WHEN ${fold(denT)} > 0.0
+         |      THEN ${fold(numT)} / ${fold(denT)} END AS psi FROM f),
+         |t0 AS (SELECT c.st, p.n_strata, p.psi,
+         |    CAST(c.a + c.b AS DOUBLE) AS n1, CAST(c.cc + c.d AS DOUBLE) AS n2,
+         |    CAST(c.a + c.cc AS DOUBLE) AS m1, CAST(c.b + c.d AS DOUBLE) AS m2,
+         |    CAST(c.a AS DOUBLE) AS ad
+         |  FROM c, p),
+         |t1 AS (SELECT *, psi - 1.0 AS qa,
+         |    -(psi * (n1 + m1) + (n2 - m1)) AS qb,
+         |    psi * n1 * m1 AS qc,
+         |    greatest(0.0, m1 - n2) AS lo, least(n1, m1) AS hi,
+         |    (n1 > 0.0 AND n2 > 0.0 AND m1 > 0.0 AND m2 > 0.0) AS inf
+         |  FROM t0),
+         |t2 AS (SELECT *,
+         |    sqrt(greatest(qb * qb - 4.0 * qa * qc, 0.0)) AS disc
+         |  FROM t1),
+         |t3 AS (SELECT *, (-qb + disc) / (2.0 * qa) AS r1,
+         |    (-qb - disc) / (2.0 * qa) AS r2 FROM t2),
+         |t4 AS (SELECT *, CASE WHEN abs(psi - 1.0) < 1e-12
+         |      THEN n1 * m1 / (n1 + n2)
+         |      ELSE CASE WHEN r2 >= lo - 1e-9 AND r2 <= hi + 1e-9
+         |        THEN r2 ELSE r1 END END AS att
+         |  FROM t3),
+         |t5 AS (SELECT *, 1.0 / (1.0 / att + 1.0 / (n1 - att)
+         |    + 1.0 / (m1 - att) + 1.0 / (n2 - m1 + att)) AS vaa FROM t4),
+         |terms AS (SELECT st, n_strata, psi,
+         |    CASE WHEN inf THEN 1 ELSE 0 END AS infn,
+         |    CASE WHEN inf AND psi IS NOT NULL
+         |      THEN (ad - att) * (ad - att) / vaa ELSE 0.0 END AS t_chi,
+         |    CASE WHEN inf AND psi IS NOT NULL
+         |      THEN ad - att ELSE 0.0 END AS t_dev,
+         |    CASE WHEN inf AND psi IS NOT NULL
+         |      THEN vaa ELSE 0.0 END AS t_var
+         |  FROM t5),
+         |fin AS (SELECT n_strata, psi,
+         |    CAST(sum(infn) AS BIGINT) AS n_informative,
+         |    list(struct_pack(t_chi := t_chi, t_dev := t_dev,
+         |      t_var := t_var) ORDER BY st) AS tl
+         |  FROM terms GROUP BY 1, 2),
+         |g AS (SELECT n_strata, psi, n_informative,
+         |    ${tfold("t_chi")} AS chi, ${tfold("t_dev")} AS dev,
+         |    ${tfold("t_var")} AS vv FROM fin)
+         |SELECT n_strata, n_informative,
+         |  CAST(round(CAST(CAST(psi AS VARCHAR) AS DECIMAL(38,20)), 6)
+         |    AS DOUBLE) AS psi,
+         |  CASE WHEN psi IS NOT NULL AND n_informative >= 2 THEN
+         |    CAST(round(CAST(CAST(chi AS VARCHAR) AS DECIMAL(38,20)), 6)
+         |      AS DOUBLE) END AS chi2_bd,
+         |  CASE WHEN psi IS NOT NULL AND n_informative >= 2
+         |      AND vv > 0.0 THEN
+         |    CAST(round(CAST(CAST(chi - dev * dev / vv AS VARCHAR)
+         |      AS DECIMAL(38,20)), 6) AS DOUBLE) END AS chi2_tarone,
+         |  CASE WHEN psi IS NOT NULL AND n_informative >= 2
+         |    THEN CAST(n_informative - 1 AS BIGINT) END AS df
+         |FROM g""".stripMargin
+    },
+    // q407: the q310 Friedman replay + two pinned divisions (W, rho_bar)
+    // off the RAW chi2 (rounding only at the output edge)
+    "q407_kendall_w" ->
+      """WITH cell AS (SELECT user_id AS b, event_type AS tr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k FROM cell),
+        |comp AS (SELECT b FROM cell GROUP BY b
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |inb AS (SELECT cell.* FROM cell JOIN comp USING (b)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM comp),
+        |tied AS (SELECT b, v, CAST(count(*) AS BIGINT) AS t
+        |  FROM inb GROUP BY 1, 2),
+        |r AS (SELECT b, v, 2 * COALESCE(SUM(t) OVER (PARTITION BY b
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) + t + 1 AS r2
+        |  FROM tied),
+        |rk AS (SELECT inb.tr, r.r2 FROM inb JOIN r
+        |  ON inb.b = r.b AND inb.v = r.v),
+        |pt AS (SELECT tr, CAST(sum(r2) AS HUGEINT) AS r2j
+        |  FROM rk GROUP BY 1),
+        |a2 AS (SELECT sum(CAST(r2 AS HUGEINT) * r2) AS a2 FROM rk),
+        |sn AS (SELECT sum((r2j - nn.n_blocks * (kk.k + 1))
+        |    * (r2j - nn.n_blocks * (kk.k + 1))) AS snum
+        |  FROM pt CROSS JOIN kk CROSS JOIN nn),
+        |x AS (SELECT kk.k, nn.n_blocks,
+        |    CASE WHEN a2.a2 <> CAST(nn.n_blocks AS HUGEINT) * kk.k
+        |        * (kk.k + 1) * (kk.k + 1) THEN
+        |      CAST((kk.k - 1) * sn.snum AS DOUBLE) /
+        |      CAST(a2.a2 - CAST(nn.n_blocks AS HUGEINT) * kk.k
+        |        * (kk.k + 1) * (kk.k + 1) AS DOUBLE) END AS chi2
+        |  FROM kk CROSS JOIN nn CROSS JOIN a2 CROSS JOIN sn),
+        |y AS (SELECT k, n_blocks, chi2,
+        |    chi2 / (CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))
+        |      AS w FROM x)
+        |SELECT k, n_blocks,
+        |  CAST(round(CAST(CAST(chi2 AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS chi2,
+        |  CAST(round(CAST(CAST(w AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS w,
+        |  CASE WHEN n_blocks > 1 THEN
+        |    CAST(round(CAST(CAST(
+        |      (CAST(n_blocks AS DOUBLE) * w - 1.0)
+        |        / (CAST(n_blocks AS DOUBLE) - 1.0)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS rho_bar
+        |FROM y""".stripMargin,
+    // q408: the q227 base graph; each round's per-edge support is the
+    // undirected wedge join (common-neighbor count — values equal the
+    // Spark orientation-intersection by construction); 12 unrolled
+    // rounds, extra rounds no-ops at the fixpoint; all-integer output
+    "q408_ktruss" -> {
+      val base =
+        """WITH pts AS MATERIALIZED (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+          |op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+          |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+          |r0 AS MATERIALIZED (SELECT u AS p, v AS x FROM e0 UNION ALL SELECT v, u FROM e0)""".stripMargin
+      val rounds = (1 to 12).map { i =>
+        s""",
+           |s$i AS MATERIALIZED (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+           |  FROM e${i - 1} e JOIN r${i - 1} a1 ON a1.p = e.u
+           |    JOIN r${i - 1} a2 ON a2.p = e.v AND a2.x = a1.x
+           |  GROUP BY e.u, e.v),
+           |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+           |  LEFT JOIN s$i s ON s.u = e.u AND s.v = e.v
+           |  WHERE COALESCE(s.sup, 0) >= 1),
+           |r$i AS MATERIALIZED (SELECT u AS p, v AS x FROM e$i
+           |  UNION ALL SELECT v, u FROM e$i)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |,sf AS MATERIALIZED (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+          |  FROM e12 e JOIN r12 a1 ON a1.p = e.u
+          |    JOIN r12 a2 ON a2.p = e.v AND a2.x = a1.x
+          |  GROUP BY e.u, e.v)
+          |SELECT e.u, e.v, CAST(COALESCE(s.sup, 0) AS BIGINT) AS sup
+          |FROM e12 e LEFT JOIN sf s ON s.u = e.u AND s.v = e.v""".stripMargin
+    },
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

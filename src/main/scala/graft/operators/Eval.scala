@@ -1962,7 +1962,12 @@ object Eval {
     * values; L = Σ_j j·R_j with R_j the rank sum of treatment j;
     * under H₀, E[L] = b·k(k+1)²/4 and Var[L] = b·k²(k+1)(k²−1)/144,
     * z = (L − E)/√Var. The "does the metric rise across versions,
-    * within every cohort" readout.
+    * within every cohort" readout. The closed forms assume
+    * coefficients exactly 1..k, so the raw treatment labels are
+    * DENSE-RANKED over the distinct treatment set before forming L —
+    * 0-based or non-consecutive labels ({0..6}, {2,4,6}) keep only
+    * their ORDER, never their magnitude (round-10 ADVICE fix: raw
+    * labels silently biased z whenever they weren't exactly 1..k).
     *
     * Design contract: Page's test needs COMPLETE blocks. Blocks
     * missing any treatment are EXCLUDED and counted loudly
@@ -1997,11 +2002,18 @@ object Eval {
       .agg(sum(when(col("__ok"), 0L).otherwise(1L))
         .as("n_blocks_dropped")))
     val wRank = Window.partitionBy(col("b")).orderBy(col("m"), col("j"))
+    // coefficient = dense rank of the treatment label over the distinct
+    // treatment set (k rows, Guards-gated): E[L]/Var[L] hold for 1..k only
+    val jRank = broadcast(Guards.boundedCensus(
+        census.select(col("j")).distinct(), "j", "Eval.pageTrend")
+      .withColumn("jr",
+        row_number().over(Window.orderBy(col("j"))).cast("long")))
     val ranked = census
       .join(complete.where(col("__ok")).select(col("b")), Seq("b"))
+      .join(jRank, Seq("j"))
       .withColumn("r", row_number().over(wRank).cast("long"))
     val lAgg = ranked.agg(
-      sum(col("j") * col("r")).as("l"),
+      sum(col("jr") * col("r")).as("l"),
       countDistinct(col("b")).as("n_blocks"))
     def dd(c: Column): Column = c.cast("double")
     val bD = dd(col("n_blocks"))
@@ -2020,7 +2032,9 @@ object Eval {
     * strata, immune to the confounding a collapsed table bakes in
     * (Simpson's reversal is exactly the failure mode this exists for):
     *   OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ),
-    *   χ²_MH = (|Σaᵢ − ΣEᵢ| − ½)² / ΣVᵢ  (continuity-corrected),
+    *   χ²_MH = max(|Σaᵢ − ΣEᵢ| − ½, 0)² / ΣVᵢ  (continuity-corrected;
+    *   the clamp keeps the correction from INFLATING χ² when
+    *   |Σa − ΣE| < ½ — round-10 ADVICE fix),
     *   Eᵢ = (aᵢ+bᵢ)(aᵢ+cᵢ)/nᵢ,
     *   Vᵢ = (aᵢ+bᵢ)(cᵢ+dᵢ)(aᵢ+cᵢ)(bᵢ+dᵢ)/(nᵢ²(nᵢ−1)),
     * p = erfc(√(χ²/2)) — χ²(1), the pinned q348 kernel.
@@ -2072,9 +2086,9 @@ object Eval {
         s"CAST(e.a + e.c AS DOUBLE) * CAST(e.b + e.d AS DOUBLE) / " +
         s"(($nI) * ($nI) * CAST(e.a + e.b + e.c + e.d - 1 AS DOUBLE)), " +
         s"0.0)")).as("__v"))
-    val chi2 = (abs(col("sum_a").cast("double") - col("__e")) - lit(0.5)) *
-      (abs(col("sum_a").cast("double") - col("__e")) - lit(0.5)) /
-      col("__v")
+    val corr = greatest(
+      abs(col("sum_a").cast("double") - col("__e")) - lit(0.5), lit(0.0))
+    val chi2 = corr * corr / col("__v")
     folds.select(col("n_strata"), col("n"),
       when(col("__den") > 0.0, col("__num") / col("__den")).as("or_mh"),
       when(col("__v") > 0.0, chi2).as("chi2"),
@@ -2122,6 +2136,143 @@ object Eval {
       (dd(col("sx")) / dd(col("n"))).as("mean_a"),
       (dd(col("sy")) / dd(col("n"))).as("mean_b"),
       when(den > 0.0, lit(2.0) * dd(covN) / den).as("ccc"))
+  }
+
+  /** Breslow–Day homogeneity test with Tarone's correction (Breslow &
+    * Day 1980; Tarone 1985) — the companion [[mantelHaenszel]] is
+    * incomplete without: MH pools one common odds ratio ACROSS strata,
+    * BD asks whether that pooling was legitimate (is the odds ratio
+    * actually the same in every stratum, or does the "common" OR
+    * average away a real interaction). Per stratum, the expected a-cell
+    * ã under the pooled ψ = OR_MH solves the quadratic
+    *   ã²(ψ−1) − ã[ψ(n1+m1) + (n2−m1)] + ψ·n1·m1 = 0
+    * (root inside [max(0,m1−n2), min(n1,m1)]; ψ=1 degenerates to the
+    * linear ã = n1·m1/n), with Var(ã) = 1/(1/ã + 1/(n1−ã) + 1/(m1−ã)
+    * + 1/(n2−m1+ã)); χ²_BD = Σ(aᵢ−ãᵢ)²/Varᵢ on S−1 df, and Tarone's
+    * χ²_T = χ²_BD − (Σ(aᵢ−ãᵢ))²/ΣVarᵢ corrects the non-efficient-score
+    * inflation. Statistic + df are emitted, not p (χ² tails beyond 1 df
+    * have no pinned cross-engine kernel here — callers compare to their
+    * critical value).
+    *
+    * Exactness: cell counts and margins are exact integer censuses; ψ
+    * rides [[mantelHaenszel]]'s stratum-ordered ratio folds; ã/Var are
+    * one pinned quadratic shape of doubles per stratum (libm sqrt
+    * parity, the q121 contract); the three cross-stratum sums fold IN
+    * STRATUM ORDER over the bounded stratum list (the q237 contract).
+    * Strata with any zero margin carry no information about OR
+    * homogeneity and are excluded from the sums (counted in
+    * `n_informative`); df = n_informative − 1.
+    *
+    * Scale shape: one stratum census, elementwise quadratic, one
+    * bounded fold — identical to [[mantelHaenszel]]. Output one row:
+    * (n_strata, n_informative, psi, chi2_bd, chi2_tarone, df); nulls
+    * when ψ is undefined (denominator 0) or n_informative < 2. */
+  def breslowDay(df: DataFrame, stratumCol: String, exposedCol: Column,
+      successCol: Column): DataFrame = {
+    val census = df
+      .select(col(stratumCol).cast("string").as("s"),
+        when(exposedCol, 1L).otherwise(0L).as("e"),
+        when(successCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("e") === 1L && col("y") === 1L, 1L).otherwise(0L))
+        .as("a"),
+        sum(when(col("e") === 1L && col("y") === 0L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("e") === 0L && col("y") === 1L, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("e") === 0L && col("y") === 0L, 1L).otherwise(0L))
+          .as("d"))
+    // pooled psi: the mantelHaenszel ratio folds, stratum-ordered
+    val nI = "CAST(e.a + e.b + e.cc + e.d AS DOUBLE)"
+    def fold(term: String) =
+      s"""aggregate(__l, CAST(0.0 AS DOUBLE), (acc, e) -> acc + ($term))"""
+    val psiDf = census
+      .agg(count(lit(1)).as("n_strata"),
+        sort_array(collect_list(struct(col("s"), col("a"), col("b"),
+          col("c").as("cc"), col("d")))).as("__l"))
+      .select(col("n_strata"),
+        expr(fold(s"IF(e.a + e.b + e.cc + e.d > 0, " +
+          s"CAST(e.a AS DOUBLE) * CAST(e.d AS DOUBLE) / ($nI), 0.0)"))
+          .as("__num"),
+        expr(fold(s"IF(e.a + e.b + e.cc + e.d > 0, " +
+          s"CAST(e.b AS DOUBLE) * CAST(e.cc AS DOUBLE) / ($nI), 0.0)"))
+          .as("__den"))
+      .select(col("n_strata"),
+        when(col("__den") > 0.0, col("__num") / col("__den")).as("psi"))
+    def dd(c: Column): Column = c.cast("double")
+    val n1 = dd(col("a") + col("b"))
+    val n2 = dd(col("c") + col("d"))
+    val m1 = dd(col("a") + col("c"))
+    val m2 = dd(col("b") + col("d"))
+    val nn = n1 + n2
+    val informative = n1 > 0.0 && n2 > 0.0 && m1 > 0.0 && m2 > 0.0
+    val psi = col("psi")
+    // quadratic root for the expected a-cell under the pooled psi
+    val qa = psi - lit(1.0)
+    val qb = -(psi * (n1 + m1) + (n2 - m1))
+    val qc = psi * n1 * m1
+    val disc = sqrt(greatest(qb * qb - lit(4.0) * qa * qc, lit(0.0)))
+    val r1 = (-qb + disc) / (lit(2.0) * qa)
+    val r2 = (-qb - disc) / (lit(2.0) * qa)
+    val lo = greatest(lit(0.0), m1 - n2)
+    val hi = least(n1, m1)
+    val aTilde = when(abs(psi - 1.0) < 1e-12, n1 * m1 / nn)
+      .otherwise(when(r2 >= lo - 1e-9 && r2 <= hi + 1e-9, r2).otherwise(r1))
+    val varA = lit(1.0) / (lit(1.0) / aTilde + lit(1.0) / (n1 - aTilde) +
+      lit(1.0) / (m1 - aTilde) + lit(1.0) / (n2 - m1 + aTilde))
+    val terms = census.crossJoin(broadcast(psiDf))
+      .select(col("s"), col("n_strata"), col("psi"),
+        when(informative, lit(1L)).otherwise(0L).as("inf"),
+        when(informative && psi.isNotNull,
+          (dd(col("a")) - aTilde) * (dd(col("a")) - aTilde) / varA)
+          .otherwise(lit(0.0)).as("t_chi"),
+        when(informative && psi.isNotNull, dd(col("a")) - aTilde)
+          .otherwise(lit(0.0)).as("t_dev"),
+        when(informative && psi.isNotNull, varA).otherwise(lit(0.0))
+          .as("t_var"))
+    val folded = terms
+      .groupBy(col("n_strata"), col("psi"))
+      .agg(sum(col("inf")).as("n_informative"),
+        sort_array(collect_list(struct(col("s"), col("t_chi"),
+          col("t_dev"), col("t_var")))).as("__t"))
+      .select(col("n_strata"), col("psi"), col("n_informative"),
+        expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t_chi)")
+          .as("__chi"),
+        expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t_dev)")
+          .as("__dev"),
+        expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t_var)")
+          .as("__var"))
+    val ok = col("psi").isNotNull && col("n_informative") >= 2L
+    folded.select(col("n_strata"), col("n_informative"), col("psi"),
+      when(ok, col("__chi")).as("chi2_bd"),
+      when(ok && col("__var") > 0.0,
+        col("__chi") - col("__dev") * col("__dev") / col("__var"))
+        .as("chi2_tarone"),
+      when(ok, (col("n_informative") - 1L).cast("long")).as("df"))
+  }
+
+  /** Kendall's coefficient of concordance W (Kendall & Babington Smith
+    * 1939) — [[friedman]]'s effect size: friedman answers "do the m
+    * raters (blocks) rank the k items differently from chance", W says
+    * HOW MUCH they agree on [0, 1] (1 = every rater ranks every item
+    * identically), with the mean pairwise Spearman ρ̄ = (mW−1)/(m−1)
+    * as the two-rater read. Tie-corrected via the friedman statistic
+    * identity W = χ²_F / (m(k−1)) — one extra pinned division each, so
+    * the cross-engine story is exactly friedman's.
+    *
+    * Output one row: (k, n_blocks, chi2, w, rho_bar); w null when χ²
+    * is undefined (all values tied), rho_bar null when m = 1. */
+  def kendallW(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val f = friedman(df, blockCol, treatmentCol, valueCol)
+    def dd(c: Column): Column = c.cast("double")
+    val mD = dd(col("n_blocks"))
+    val kD = dd(col("k"))
+    val w = col("chi2") / (mD * (kD - 1.0))
+    f.select(col("k"), col("n_blocks"), col("chi2"),
+      w.as("w"),
+      when(col("n_blocks") > 1L, (mD * w - 1.0) / (mD - 1.0))
+        .as("rho_bar"))
   }
 
   /** UCB1 arm selection (Auer 2002) per scope — the deterministic

@@ -103,8 +103,11 @@ object Selection {
       weightCol: String, k: Int, seed: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     import org.apache.spark.sql.expressions.Window
-    val u = (expr(s"CAST(CONV(SUBSTRING(md5(CONCAT(CAST($idCol AS STRING)," +
-      s" '$seed')), 1, 12), 16, 10) AS BIGINT)").cast("double") +
+    // Column API, never string-interpolated: a seed with a quote (or an
+    // idCol needing backticks) must not change the hashed key or break
+    // parsing (round-10 ADVICE fix). Same bytes hashed as before.
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(seed))), 1, 12), 16, 10).cast("long").cast("double") +
       lit(0.5)) / lit(281474976710656.0)
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("__key").desc, col(idCol))

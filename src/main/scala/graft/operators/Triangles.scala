@@ -32,25 +32,24 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Per-node triangle participation over the undirected graph given by
-    * (`uCol`, `vCol`) pairs (self-loops dropped, duplicates and
-    * direction collapsed). Node ids must be integral (widened to long —
-    * the sorted-intersection kernel runs on primitive long arrays).
-    * Output: (node, triangles) with a row for every node that appears
-    * in an edge, zero-filled. */
-  def perNode(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
-    // materialize the canonical edge set ONCE (lazy localCheckpoint —
-    // the q170/q221 lesson): e0 feeds the degree census, the
-    // orientation join and (via `closed`'s three union branches) the
-    // whole chain again; without the checkpoint the upstream edge
-    // build re-runs per consumer (measured 15.7 s → 6.9 s for q196's
-    // dense co-occurrence graph at sf0.1)
-    val e0 = edges
+  /** Canonical undirected edge set: u < v, self-loops dropped,
+    * duplicates and direction collapsed, ids widened to long. */
+  private def canonical(edges: DataFrame, uCol: String,
+      vCol: String): DataFrame =
+    edges
       .select(least(col(uCol), col(vCol)).cast("long").as("u"),
         greatest(col(uCol), col(vCol)).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(false)
+
+  /** Degree-ordered orientation + sorted-adjacency intersection over a
+    * canonical (u, v) edge set: one row per triangle-closing pivot edge
+    * (src, dst, ws) where ws are the common out-neighbors — each
+    * triangle generated exactly once, every out-degree O(√(2m))-capped.
+    * Shared by [[perNode]] and [[kTruss]] (which re-runs it per peel
+    * round). The input must already be checkpointed — this pipeline
+    * consumes it several times. */
+  private def closedTriangles(e0: DataFrame): DataFrame = {
     val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // (deg, id) is a TOTAL order over nodes, so orientation needs no
@@ -75,15 +74,34 @@ object Triangles {
     // per-call hash-set build — the dominant per-edge cost on dense
     // graphs. Inner joins: u always has out-edges; a v with none closes
     // nothing and its zero contribution is restored by the final fill.
-    // checkpoint: the three perCorner union branches each consume
+    // checkpoint: the three consumer union branches each re-read
     // `closed` — without it the intersect pass runs three times
-    val closed = oriented
+    oriented
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
       .select(col("src"), col("dst"),
         graft.functions.FastHash.sortedIntersect(col("nu"), col("nv")).as("ws"))
       .where(size(col("ws")) > 0)
       .localCheckpoint(false)
+  }
+
+  /** Per-node triangle participation over the undirected graph given by
+    * (`uCol`, `vCol`) pairs (self-loops dropped, duplicates and
+    * direction collapsed). Node ids must be integral (widened to long —
+    * the sorted-intersection kernel runs on primitive long arrays).
+    * Output: (node, triangles) with a row for every node that appears
+    * in an edge, zero-filled. */
+  def perNode(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    // materialize the canonical edge set ONCE (lazy localCheckpoint —
+    // the q170/q221 lesson): e0 feeds the degree census, the
+    // orientation join and (via `closed`'s three union branches) the
+    // whole chain again; without the checkpoint the upstream edge
+    // build re-runs per consumer (measured 15.7 s → 6.9 s for q196's
+    // dense co-occurrence graph at sf0.1)
+    val e0 = canonical(edges, uCol, vCol).localCheckpoint(false)
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val closed = closedTriangles(e0)
     // corner attribution: the pivot u and the far end v each join
     // |ws| triangles; every common neighbor w joins one
     val perCorner = closed
@@ -134,5 +152,67 @@ object Triangles {
           (lit(3L).cast(dec) * col("n_triangles").cast(dec)).cast(dec)
             .cast("double") / col("n_wedges").cast("double"))
           .as("transitivity"))
+  }
+
+  /** Per-edge triangle support over a canonical checkpointed edge set:
+    * each [[closedTriangles]] pivot row (src, dst, ws) certifies |ws|
+    * triangles on edge (src,dst) and one each on (src,w) and (dst,w) —
+    * re-canonicalized, summed, zero-filled over the full edge set. */
+  private def support(e0: DataFrame): DataFrame = {
+    val closed = closedTriangles(e0)
+    val pivot = closed.select(col("src").as("a"), col("dst").as("b"),
+      size(col("ws")).cast("long").as("n"))
+    def side(endCol: String) = closed
+      .select(col(endCol).as("x"), explode(col("ws")).as("w"))
+      .select(least(col("x"), col("w")).as("a"),
+        greatest(col("x"), col("w")).as("b"), lit(1L).as("n"))
+    val contrib = pivot.unionByName(side("src")).unionByName(side("dst"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"), col("n"))
+      .groupBy(col("u"), col("v")).agg(sum(col("n")).as("sup"))
+    e0.join(contrib, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"))
+  }
+
+  /** k-truss of the undirected graph (Cohen 2008) — the EDGE-cohesion
+    * cut next to [[KCore.kCore]]'s node cut: the maximal subgraph whose
+    * every edge sits in ≥ k−2 triangles OF THAT SUBGRAPH. A k-core
+    * keeps a node for having k neighbors anywhere; a k-truss demands
+    * the neighbors interlock — the standard community-scaffold filter
+    * one notch stricter than the core (every k-truss is inside the
+    * (k−1)-core). Each round computes per-edge support on the survivor
+    * subgraph via [[closedTriangles]] (degree-ordered orientation —
+    * the O(√2m) wedge cap holds every round) and batch-peels every
+    * edge under k−2; removal order cannot change the fixpoint, so the
+    * batch peel is exact.
+    *
+    * Scale shape: per round, one orientation + sorted-adjacency
+    * intersection (never a wedge-row materialization) and one
+    * anti-join; round count is the truss peeling depth — `maxIter`
+    * overrun fails LOUDLY ([[KCore.kCore]] contract). All counts
+    * integer — bit-stable at any parallelism. Output: the surviving
+    * canonical edges with their within-truss support (u, v, sup);
+    * empty output = the graph has no k-truss. */
+  def kTruss(edges: DataFrame, uCol: String, vCol: String, k: Int,
+      maxIter: Int = 30): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for a non-trivial truss: $k")
+    var e = canonical(edges, uCol, vCol).localCheckpoint(false)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val sup = support(e)
+      val kept = sup.where(col("sup") >= k - 2L)
+        .select(col("u"), col("v")).localCheckpoint(false)
+      val (nKept, nPrev) = (kept.count(), e.count())
+      if (nKept == nPrev) converged = true
+      else { e = kept; iter += 1 }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kTruss(k=$k) did not converge in $maxIter peel rounds " +
+          "(peeling depth exceeds maxIter — raise it)")
+    // at the fixpoint every surviving edge already satisfies the bound;
+    // one final support pass attaches the within-truss count
+    support(e)
   }
 }

@@ -1195,4 +1195,29 @@ object Relational {
       .select($"id_a", $"id_b", $"name_a", $"name_b",
         round($"jw", 6).as("jw"))
   }
+
+  /** q408 — k-truss edges ([[graft.operators.Triangles.kTruss]]) of the
+    * q227 Brand#11 co-purchase graph at k=3: the surviving edges each
+    * sit in ≥ 1 triangle of the survivor subgraph — the edge-cohesion
+    * cut stricter than q227's node k-core (every k-truss edge lives
+    * inside the (k−1)-core). k=3 keeps the truss non-empty at every
+    * test SF (9/24/386 edges at sf0.001/0.01/0.1, fixpoint in 2 peel
+    * rounds) — k=4 is empty below sf0.1 on this sparse co-purchase
+    * graph. Per round the support census rides the q196 degree-ordered
+    * intersection (O(√2m) wedge cap); peeling is a batch fixpoint, so
+    * membership is order-free. The oracle unrolls 12 rounds of the
+    * wedge-join replay — extra rounds are no-ops at the fixpoint.
+    * All-integer output: (u, v, sup). */
+  def q408KTruss(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
+      .select($"p_partkey")
+    val op = Tables.lineitem(spark, dir)
+      .join(pts, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = op.select($"ok", $"pk".as("u"))
+      .join(op.select($"ok", $"pk".as("v")), "ok")
+      .where($"u" < $"v")
+      .select($"u", $"v")
+    graft.operators.Triangles.kTruss(edges, "u", "v", k = 3)
+  }
 }

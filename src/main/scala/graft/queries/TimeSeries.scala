@@ -1884,4 +1884,34 @@ object TimeSeries {
       .select($"g".as("l_returnflag"), $"digit", $"n_obs", $"n_group",
         round($"p_benford", 6).as("p_benford"), round($"chi2", 4).as("chi2"))
   }
+
+  /** q406 — Breslow–Day + Tarone homogeneity ([[graft.operators.Eval
+    * .breslowDay]]): is q404's pooled weekend→high-value odds ratio
+    * actually COMMON across the event-type strata, or does the MH
+    * summary average away a real per-type interaction — the legitimacy
+    * check that must ride next to any pooled OR. Same stratum census
+    * as q404; per-stratum expected cells are one pinned quadratic of
+    * the pooled ψ; sums fold in stratum order. */
+  def q406BreslowDay(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.breslowDay(
+      events(spark, dir).select($"event_type",
+        dayofweek(to_date($"ts")).isin(1, 7).as("wk"),
+        ($"value" > 50.0).as("hi")),
+      "event_type", $"wk", $"hi")
+      .select($"n_strata", $"n_informative", round($"psi", 6).as("psi"),
+        round($"chi2_bd", 6).as("chi2_bd"),
+        round($"chi2_tarone", 6).as("chi2_tarone"), $"df")
+
+  /** q407 — Kendall's W concordance ([[graft.operators.Eval.kendallW]]):
+    * q310's Friedman χ² turned into its effect size — how strongly the
+    * user blocks AGREE on the event-type ranking (W ∈ [0,1]) and the
+    * equivalent mean pairwise Spearman ρ̄. Two extra pinned divisions
+    * on the tie-corrected Friedman statistic. */
+  def q407KendallW(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.kendallW(
+      events(spark, dir).select($"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents")),
+      "user_id", "event_type", "cents")
+      .select($"k", $"n_blocks", round($"chi2", 6).as("chi2"),
+        round($"w", 6).as("w"), round($"rho_bar", 6).as("rho_bar"))
 }

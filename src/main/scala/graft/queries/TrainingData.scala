@@ -419,9 +419,11 @@ object TrainingData {
     * deflate-ratio decile band — the CCNet/Gopher compressibility
     * quality signal as a deterministic integer census (banding, not a
     * float mean, keeps it partition-invariant). No DuckDB zlib → no
-    * oracle SQL by design; the driver records the rows-only check, the
-    * kernel's semantics are spec-pinned, and the zlib codec pair is
-    * hash-oracle-gated end-to-end by [[q389DeflateRoundtrip]]. */
+    * oracle SQL is possible, so this wrapper is RETIRED from the
+    * driver's oracle board (a perpetual rows-only cell reads as red):
+    * it remains a library entry point, its banding is spec-pinned
+    * (TrainingDataSpec), and the zlib codec pair is hash-oracle-gated
+    * end-to-end by [[q389DeflateRoundtrip]]. */
   def q330CompressBands(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select($"source",
@@ -483,11 +485,16 @@ object TrainingData {
     * embedding coordinates into 32 shards and count co-sharded
     * cosine≥0.7 pairs against an md5 hash layout of the same rows —
     * the measurable "space-filling layout keeps neighbors together"
-    * claim an ANN shard plan rests on. */
+    * claim an ANN shard plan rests on. The 1024-row per-shard cap
+    * bounds the pair join at any corpus size (shards over the cap are
+    * excluded and counted in `n_shards_skipped` — the capBuckets
+    * discipline); at sf0.1 (2000 vectors / 32 shards) nothing skips,
+    * so the audit is exhaustive AND scale-safe. */
   def q395ZorderLocality(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.zOrderLocalityAudit(
       Tables.embeddings(spark, dir), "vec_id", "embedding",
-      dims = 2, bitsPerDim = 4, shardBits = 5, tauMilli = 700L)
+      dims = 2, bitsPerDim = 4, shardBits = 5, tauMilli = 700L,
+      capPerShard = 1024)
 
   /** q397 — vocabulary coverage curve ([[graft.operators.Profile
     * .vocabCoverageCurve]]): instance coverage of the top-K token types

@@ -601,6 +601,28 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(ri.getAs[Long]("l") == 28L)
   }
 
+  test("pageTrend: treatment labels keep only their ORDER — 0-based and " +
+      "non-consecutive labels match the canonical 1..k statistic") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      Eval.pageTrend(rows.toDF("b", "j", "x"), "b", "j", "x").head()
+    val canon = run(for (b <- Seq("a", "b"); j <- 1L to 3L)
+      yield (b, j, j * 10))
+    // 0-based {0,1,2}: raw labels would shift L by -sum(r) and bias z;
+    // dense-ranked coefficients reproduce the 1..k statistic exactly
+    val zeroBased = run(for (b <- Seq("a", "b"); j <- 1L to 3L)
+      yield (b, j - 1L, j * 10))
+    // non-consecutive {2,4,6}: raw labels would DOUBLE L
+    val spread = run(for (b <- Seq("a", "b"); j <- 1L to 3L)
+      yield (b, j * 2L, j * 10))
+    for (r <- Seq(zeroBased, spread)) {
+      assert(r.getAs[Long]("l") == canon.getAs[Long]("l"), r.toString)
+      assert(r.getAs[Double]("e_l") == canon.getAs[Double]("e_l"))
+      assert(r.getAs[Double]("var_l") == canon.getAs[Double]("var_l"))
+      assert(r.getAs[Double]("z") == canon.getAs[Double]("z"))
+    }
+  }
+
   test("mantelHaenszel: hand OR/chi2 across two strata, null-effect " +
       "stratum dilutes, OR null when the denominator vanishes") {
     import spark.implicits._
@@ -621,6 +643,74 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     // a lone stratum with bc = 0 in EVERY stratum: denominator 0 -> null
     val inf = run(cells("s1", 2, 1, 0, 3))
     assert(inf.isNullAt(inf.fieldIndex("or_mh")))
+    // |sum_a - E| < 0.5: the continuity correction clamps to 0 instead
+    // of INFLATING chi2 (the (0 - 0.5)^2 anti-conservative regime);
+    // balanced (2,2,2,2) gives sum_a = E = 2 exactly
+    val bal = run(cells("s1", 2, 2, 2, 2))
+    assert(bal.getAs[Double]("chi2") == 0.0, bal.toString)
+    assert(math.abs(bal.getAs[Double]("p") - 1.0) < 1e-6, bal.toString)
+  }
+
+  test("breslowDay: identical strata are perfectly homogeneous, " +
+      "opposite strata hit the hand chi2, zero-margin strata excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, Boolean, Boolean)]) =
+      Eval.breslowDay(rows.toDF("s", "e", "y"), "s", col("e"), col("y"))
+        .head()
+    def cells(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    // two identical (3,1,1,3) strata: psi = 9; the quadratic root in
+    // range is exactly the observed a = 3 -> chi2 = 0 on 1 df
+    val homo = run(cells("s1", 3, 1, 1, 3) ++ cells("s2", 3, 1, 1, 3))
+    assert(homo.getAs[Long]("n_strata") == 2L &&
+      homo.getAs[Long]("n_informative") == 2L)
+    assert(math.abs(homo.getAs[Double]("psi") - 9.0) < 1e-12)
+    assert(math.abs(homo.getAs[Double]("chi2_bd")) < 1e-9, homo.toString)
+    assert(homo.getAs[Long]("df") == 1L)
+    // opposite strata (OR 9 vs OR 1/9): psi = 1 (linear branch),
+    // a-tilde = 2, Var = 1/2 each -> chi2_bd = 1/0.5 + 1/0.5 = 4;
+    // deviations cancel so Tarone = chi2_bd exactly
+    val het = run(cells("s1", 3, 1, 1, 3) ++ cells("s2", 1, 3, 3, 1))
+    assert(math.abs(het.getAs[Double]("psi") - 1.0) < 1e-12)
+    assert(math.abs(het.getAs[Double]("chi2_bd") - 4.0) < 1e-9)
+    assert(math.abs(het.getAs[Double]("chi2_tarone") - 4.0) < 1e-9)
+    // a zero-margin stratum (everyone succeeds) is uninformative: it
+    // contributes nothing to psi's folds or the chi2 sums
+    val extra = run(cells("s1", 3, 1, 1, 3) ++ cells("s2", 3, 1, 1, 3) ++
+      cells("s3", 2, 0, 2, 0))
+    assert(extra.getAs[Long]("n_strata") == 3L &&
+      extra.getAs[Long]("n_informative") == 2L)
+    assert(math.abs(extra.getAs[Double]("psi") - 9.0) < 1e-12)
+    assert(math.abs(extra.getAs[Double]("chi2_bd")) < 1e-9)
+    assert(extra.getAs[Long]("df") == 1L)
+    // psi undefined (bc = 0 in every stratum) -> all nulls
+    val undef = run(cells("s1", 2, 1, 0, 3))
+    assert(undef.isNullAt(undef.fieldIndex("psi")))
+    assert(undef.isNullAt(undef.fieldIndex("chi2_bd")))
+  }
+
+  test("kendallW: perfect agreement gives W = 1 and rho_bar = 1; two " +
+      "opposite raters give W = 0 and rho_bar = -1") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      Eval.kendallW(rows.toDF("b", "tr", "v"), "b", "tr", "v").head()
+    // three raters, identical 1<2<3 ordering: chi2_F = m(k-1) = 6
+    val agree = for (b <- Seq("a", "b", "c"); j <- 1L to 3L)
+      yield (b, j, j * 10)
+    val ra = run(agree)
+    assert(ra.getAs[Long]("k") == 3L && ra.getAs[Long]("n_blocks") == 3L)
+    assert(math.abs(ra.getAs[Double]("chi2") - 6.0) < 1e-12)
+    assert(math.abs(ra.getAs[Double]("w") - 1.0) < 1e-12)
+    assert(math.abs(ra.getAs[Double]("rho_bar") - 1.0) < 1e-12)
+    // two raters in exact opposition: rank sums equalize -> W = 0,
+    // mean pairwise Spearman = -1
+    val oppose = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 1L, 30L), ("b", 2L, 20L), ("b", 3L, 10L))
+    val ro = run(oppose)
+    assert(ro.getAs[Double]("w") == 0.0)
+    assert(math.abs(ro.getAs[Double]("rho_bar") + 1.0) < 1e-12)
   }
 
   test("linCcc: identity agreement = 1, a constant shift or a scale " +

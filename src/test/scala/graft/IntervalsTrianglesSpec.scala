@@ -36,6 +36,40 @@ class IntervalsTrianglesSpec extends AnyFunSuite with SparkFixture {
     assert(tri == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("kTruss: K4 + hanging triangle + pendant — the 4-truss is " +
+      "exactly K4; the 3-truss keeps both triangle blocks") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}; triangle {4,5,6} hangs off node 4; (6,7) pendant
+    val k4 = for { u <- 1L to 4L; v <- 1L to 4L if u < v } yield (u, v)
+    val g = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+      .toDF("u", "v")
+    def run(k: Int) = Triangles.kTruss(g, "u", "v", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // k=4 (support >= 2): triangle edges have support 1 -> peeled;
+    // K4 edges each close 2 triangles within K4 -> stable
+    val t4 = run(4)
+    assert(t4.keySet == k4.toSet, t4.toString)
+    assert(t4.values.forall(_ == 2L), t4.toString)
+    // k=3 (support >= 1): only the pendant falls out
+    val t3 = run(3)
+    assert(t3.keySet == (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toSet)
+    assert(t3((4L, 5L)) == 1L && t3((1L, 2L)) == 2L)
+  }
+
+  test("kTruss: peeling cascades (removing weak edges strips survivors' " +
+      "support) and an empty truss returns an empty frame") {
+    import spark.implicits._
+    // two triangles sharing edge (2,3): (2,3) has support 2, all other
+    // edges 1. k=4 peels the weak edges round 1, which leaves (2,3)
+    // with support 0 -> peeled round 2 -> empty fixpoint
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val t = Triangles.kTruss(g, "u", "v", k = 4)
+    assert(t.count() == 0L)
+    assert(t.columns.toSeq == Seq("u", "v", "sup"))
+  }
+
   test("transitivity: complete graph 1, star 0, two-triangle bridge " +
       "hand-counted") {
     import spark.implicits._

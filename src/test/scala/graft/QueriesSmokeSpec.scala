@@ -18,6 +18,12 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
 
+  test("every declared query has an oracle (zero-err board invariant: " +
+      "a query DuckDB can't replay belongs in specs, not on the board)") {
+    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
       val df = fn(spark, dir)

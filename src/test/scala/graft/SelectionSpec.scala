@@ -80,4 +80,21 @@ class SelectionSpec extends AnyFunSuite with SparkFixture {
     // ranks are 1..10 per stratum
     assert(got.filter(_._1 == "a").map(_._3).sorted == (1L to 10L))
   }
+
+  test("weightedReservoir: seed is a value, not SQL text — quotes and " +
+      "backslashes in the seed neither break parsing nor leak syntax") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => ("a", i, 1L)).toDF("s", "id", "w")
+    // would throw a ParseException under the old string-interpolated expr
+    val q = Selection.weightedReservoir(rows, "s", "id", "w", k = 5,
+      seed = "it's a 'seed' \\ with syntax")
+      .collect()
+    assert(q.length == 5 && q.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to 5L))
+    // distinct seeds give distinct draws (the seed value is actually used)
+    def ids(seed: String) = Selection
+      .weightedReservoir(rows, "s", "id", "w", k = 5, seed = seed)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(ids("s1") != ids("s2"))
+  }
 }

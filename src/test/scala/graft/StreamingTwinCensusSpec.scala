@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** The batch/streaming twin CENSUS, structurally gated (round-10 VERDICT
+  * ask #8): the twin inventory grew piecemeal across rounds, so this one
+  * suite (a) runs every complete-mode census twin through ONE shared
+  * prefix-parity harness (stream the fixture in 3 micro-batches; after
+  * each, the streamed census and its downstream statistic must equal the
+  * batch operator over the seen prefix), and (b) enumerates EVERY public
+  * stream operator on [[Streams]] by reflection and fails if any is
+  * neither a census twin here nor exercised by some spec — a new census
+  * operator without a twin, or a twin whose test got deleted, breaks the
+  * build instead of drifting silently. */
+class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
+
+  import SparkFixture.spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val censusTwins = scala.collection.mutable.Set[String]()
+
+  /** Shared harness: `census` is a pure aggregation shape, so the SAME
+    * function runs on the MemoryStream (accumulating state across
+    * micro-batches, complete mode) and on the seen batch prefix; `stat`
+    * is the downstream FromCensus statistic both sides feed. Equality is
+    * row-multiset exact at every prefix — the twin contract. */
+  private def twin[T <: Product : Encoder](method: String, title: String,
+      mkRows: => Seq[T], cols: Seq[String],
+      census: DataFrame => DataFrame,
+      stat: DataFrame => DataFrame): Unit = {
+    censusTwins += method
+    test(s"census twin $method: $title") {
+      implicit val sqlCtx = spark.sqlContext
+      val data = mkRows
+      assert(data.length > 30, s"$method fixture too small to chunk")
+      val mem = MemoryStream[T]
+      val qn = s"twin_${method.toLowerCase}"
+      val q = census(mem.toDF().toDF(cols: _*)).writeStream
+        .format("memory").queryName(qn).outputMode("complete").start()
+      try {
+        val chunks = data.grouped(math.max(1, data.length / 3)).toSeq
+        var seen = IndexedSeq.empty[T]
+        chunks.foreach { chunk =>
+          seen = seen ++ chunk
+          mem.addData(chunk: _*)
+          q.processAllAvailable()
+          val streamed = stat(spark.table(qn))
+            .collect().map(_.toString).sorted.toSeq
+          val batch = stat(census(
+              spark.createDataset(seen).toDF(cols: _*)))
+            .collect().map(_.toString).sorted.toSeq
+          assert(streamed == batch,
+            s"$method diverges at prefix ${seen.length}")
+        }
+      } finally q.stop()
+    }
+  }
+
+  private def eventRows[T](sel: DataFrame => Seq[T]): Seq[T] =
+    sel(spark.read.parquet(s"$dir/events.parquet"))
+
+  // ---- the complete-mode census twins, all through the one harness ---
+
+  twin[(String, Long, Long)]("sprtCensusStream",
+    "LLR walk + latched verdicts equal batch sprt at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type", dayofmonth($"ts").cast("long"),
+          ($"value" > 50.0).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    },
+    Seq("event_type", "day", "hit"),
+    Streams.sprtCensusStream(_, "event_type", "day", "hit"),
+    graft.operators.Eval.sprtFromCensus(_, "sc", "p", "n", "s",
+      400L, 500L, 50L, 50L))
+
+  twin[(String, String, Long)]("kalmanCensusStream",
+    "filtered level/variance/gain equal batch Kalman at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type", date_format($"ts", "yyyy-MM-dd"),
+          round($"value" * 100).cast("long"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    },
+    Seq("event_type", "day", "cents"),
+    Streams.kalmanCensusStream(_, "event_type", "day", "cents"),
+    graft.operators.Forecast.kalmanLevelFromCensus(_, "k", "p", "cents",
+      q = 0.05, r = 1.0, p0 = 1.0))
+
+  twin[(String, Long, Long)]("experimentCensusStream",
+    "Welch t/df/d equal batch welchT at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type",
+          dayofweek(to_date($"ts")).isin(1, 7).cast("long"),
+          round($"value" * 100).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    },
+    Seq("event_type", "wk", "cents"),
+    Streams.experimentCensusStream(_, "event_type", "wk", "cents"),
+    graft.operators.Eval.welchTFromCensus(_, "sc", "n_a", "n_b",
+      "sa", "sb", "qa", "qb"))
+
+  twin[(Long, Boolean)]("ksCensusStream",
+    "bucket census + derived W1 equal the batch census at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select(round($"value" * 100).cast("long"),
+          (dayofmonth($"ts") > 15))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    },
+    Seq("v", "r"),
+    Streams.ksCensusStream(_, "v", col("r"), 0L, 49000L, 64),
+    graft.operators.Divergence.wassersteinFromCensus(_, "b", "ca", "cb",
+      width = (49000L - 0L) / 64 + 1))
+
+  // ---- io source: exercised here so the enumeration has no exemptions
+
+  test("signalsFileStream reads a parquet directory incrementally") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sig_stream").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("value")).limit(50)
+      .write.mode("overwrite").parquet(tmp)
+    val q = Streams.signalsFileStream(spark, tmp,
+        "event_type STRING, value DOUBLE")
+      .writeStream.format("memory").queryName("sig_file_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sig_file_stream").count() == 50L)
+    } finally q.stop()
+  }
+
+  // ---- structural gates --------------------------------------------
+
+  /** Every public stream operator, by reflection — the registry no one
+    * has to remember to update. */
+  private def allStreamOps: Set[String] =
+    Streams.getClass.getDeclaredMethods
+      .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
+      .map(_.getName)
+      .filter(n => n.matches("[a-z][A-Za-z0-9]*"))
+      .filter(n => n.endsWith("Stream") ||
+        Set("dedupedSignals", "dedupedDocs", "windowedTypeAgg",
+          "sessionize").contains(n))
+      .toSet
+
+  /** Census twins that are stateful update/append streams (not
+    * complete-mode aggregations, so the shared same-function-on-batch
+    * harness cannot express them): each maps to the spec file that owns
+    * its prefix-parity test — verified to still name the method. */
+  private val statefulCensusTwins = Map(
+    "gapCensusStream" -> "IoStreamingMultimodalSpec.scala")
+
+  test("twin inventory: every census-shaped stream operator is a " +
+      "harness case here or a named stateful twin with its parity " +
+      "test verified present (a new *CensusStream without either fails)") {
+    val censusShaped = allStreamOps.filter(_.endsWith("CensusStream"))
+    val missing = censusShaped.diff(censusTwins)
+      .diff(statefulCensusTwins.keySet)
+    assert(missing.isEmpty,
+      s"census stream ops without a prefix-parity harness case: $missing")
+    statefulCensusTwins.foreach { case (m, specFile) =>
+      val f = new java.io.File(s"src/test/scala/graft/$specFile")
+      val src = { val s = scala.io.Source.fromFile(f, "UTF-8")
+        try s.mkString finally s.close() }
+      assert(src.contains(s"$m("),
+        s"$specFile no longer exercises $m — its parity test moved or died")
+    }
+    // the known inventory can only grow — a rename/removal is loud
+    val inventory = Set("sprtCensusStream", "kalmanCensusStream",
+      "experimentCensusStream", "ksCensusStream", "gapCensusStream")
+    assert(inventory.subsetOf(censusShaped), censusShaped.toString)
+  }
+
+  test("coverage census: every public Streams operator is exercised by " +
+      "some spec (twin here, or named in another test source)") {
+    val testDir = new java.io.File("src/test/scala/graft")
+    assert(testDir.isDirectory, s"run from the sbt base dir: $testDir")
+    val sources = testDir.listFiles()
+      .filter(_.getName.endsWith(".scala"))
+      .map { f =>
+        val s = scala.io.Source.fromFile(f, "UTF-8")
+        try s.mkString finally s.close()
+      }.mkString("\n")
+    val uncovered = allStreamOps
+      .filterNot(m => sources.contains(s"$m("))
+    assert(uncovered.isEmpty,
+      s"stream operators no spec exercises: $uncovered — add a twin " +
+        "case or a behavior test before shipping a new stream op")
+  }
+}

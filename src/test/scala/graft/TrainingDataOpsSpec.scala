@@ -166,4 +166,22 @@ class TrainingDataOpsSpec extends AnyFunSuite with SparkFixture {
       .toMap
     assert(s(1L) < s(99L), s.toString)
   }
+
+  test("q330 compress bands (retired from the oracle board — deflate has " +
+      "no DuckDB replay): banding census is total, bounded, and typed") {
+    // the wrapper stays a library entry point; this pin replaces the
+    // driver's former rows-only cell (the codec pair itself is
+    // hash-oracle-gated end-to-end by q389_deflate_roundtrip)
+    val dir = "/root/testdata/sf0.001"
+    val out = TrainingData.q330CompressBands(spark, dir)
+    assert(out.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("source", "string"), ("band", "bigint"), ("n_docs", "bigint")))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("band"); b >= 0L && b <= 9L })
+    // census is total: every document lands in exactly one band
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+  }
 }

@@ -1,14 +1,61 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, ZOrder}
 
-/** Z-order shard layout audit: the distributed operator must agree with
-  * a from-scratch single-threaded reference (quantize -> Morton ->
-  * shard -> pair census), and the layout must actually deliver locality
-  * on a clustered fixture. */
+/** Z-order coverage, both operators: the q212 layout primitive
+  * (closed-form Morton codes, quantization endpoints, bucket span
+  * bound) AND the q395 shard locality audit (from-scratch pair-census
+  * reference, locality on a clustered fixture, per-shard cap). */
 class ZOrderSpec extends AnyFunSuite with SparkFixture {
+
+  private def one(c: org.apache.spark.sql.Column): Long = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.cast("long")).head().getLong(0)
+  }
+
+  test("spread16 and zValue match closed-form Morton codes") {
+    assert(one(ZOrder.spread16(lit(0L))) == 0L)
+    assert(one(ZOrder.spread16(lit(1L))) == 1L)
+    assert(one(ZOrder.spread16(lit(2L))) == 4L)
+    assert(one(ZOrder.spread16(lit(0xFFFFL))) == 0x55555555L)
+    // a fills even bits, b odd bits
+    assert(one(ZOrder.zValue(lit(0xFFFFL), lit(0L))) == 0x55555555L)
+    assert(one(ZOrder.zValue(lit(0L), lit(0xFFFFL))) == 0xAAAAAAAAL)
+    assert(one(ZOrder.zValue(lit(0xFFFFL), lit(0xFFFFL))) == 0xFFFFFFFFL)
+    // (a=3, b=1): bits a0a1 at 0,2; b0 at 1 -> 1 + 2 + 4 = 7
+    assert(one(ZOrder.zValue(lit(3L), lit(1L))) == 7L)
+  }
+
+  test("quantize16 scales any domain onto 0..65535 inclusive") {
+    assert(one(ZOrder.quantize16(lit(0L), lit(0L), lit(127L))) == 0L)
+    assert(one(ZOrder.quantize16(lit(127L), lit(0L), lit(127L))) == 65535L)
+    assert(one(ZOrder.quantize16(lit(5L), lit(5L), lit(5L))) == 0L) // constant col
+    // huge domain: no overflow, endpoints exact
+    val hi = 140737488355327L // 2^47 - 1, inside the documented bound
+    assert(one(ZOrder.quantize16(lit(hi), lit(0L), lit(hi))) == 65535L)
+  }
+
+  test("uniform grid: every bucket's bounding box spans <= 1/8 of each dimension") {
+    import spark.implicits._
+    val grid = (for { a <- 0 until 128; b <- 0 until 128 } yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val audit = ZOrder.layoutAudit(grid, "a", "b", log2Buckets = 6).collect()
+    assert(audit.length == 64)
+    assert(audit.map(_.getAs[Long]("n_rows")).sum == 128L * 128L)
+    audit.foreach { r =>
+      // 64 buckets = 3 top bits per dimension -> each box covers ~1/8th
+      // (16 cells) of either axis; +1 slack for the quantization floor
+      assert(r.getAs[Long]("a_max") - r.getAs[Long]("a_min") <= 17,
+        s"bucket ${r.getAs[Long]("bucket")} a-span too wide: $r")
+      assert(r.getAs[Long]("b_max") - r.getAs[Long]("b_min") <= 17,
+        s"bucket ${r.getAs[Long]("bucket")} b-span too wide: $r")
+    }
+  }
+
+  // ---- q395 shard locality audit -----------------------------------
 
   private def md5Hash48(id: Long): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -16,23 +63,15 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
   }
 
-  test("zOrderLocalityAudit matches a from-scratch reference and beats " +
-      "the hash layout on a clustered fixture") {
-    import spark.implicits._
-    // two tight clusters in 2-D: ids 0..19 near (10, 0), 20..39 near
-    // (0, 10); within-cluster cosine ~1, across ~0
-    val pts = (0L until 40L).map { i =>
-      val j = (i % 20).toDouble
-      if (i < 20) (i, Seq(10.0 + j * 0.05, 0.5 + j * 0.01))
-      else (i, Seq(0.5 + j * 0.01, 10.0 + j * 0.05))
-    }
-    val df = pts.toDF("vec_id", "embedding")
-    val got = Similarity.zOrderLocalityAudit(df, "vec_id", "embedding",
-      dims = 2, bitsPerDim = 4, shardBits = 5, tauMilli = 700L)
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+  // two tight clusters in 2-D: ids 0..19 near (10, 0), 20..39 near
+  // (0, 10); within-cluster cosine ~1, across ~0
+  private val pts = (0L until 40L).map { i =>
+    val j = (i % 20).toDouble
+    if (i < 20) (i, Seq(10.0 + j * 0.05, 0.5 + j * 0.01))
+    else (i, Seq(0.5 + j * 0.01, 10.0 + j * 0.05))
+  }
 
-    // ---- reference computation -------------------------------------
+  private def reference(): (Seq[Long], Seq[Long], Seq[Long] => (Long, Long, Long)) = {
     val xs = pts.map(_._2.head)
     val ys = pts.map(_._2(1))
     def cells(vals: Seq[Double]): Seq[Long] = {
@@ -60,14 +99,67 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
       (shard.distinct.size.toLong, pairs.size.toLong,
         pairs.count(_ * 1000 >= 700).toLong)
     }
-    assert(got("zorder") == audit(zShard), s"zorder: ${got("zorder")}")
-    assert(got("hash") == audit(hShard), s"hash: ${got("hash")}")
+    (zShard, hShard, audit)
+  }
+
+  test("zOrderLocalityAudit matches a from-scratch reference and beats " +
+      "the hash layout on a clustered fixture") {
+    import spark.implicits._
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Similarity.zOrderLocalityAudit(df, "vec_id", "embedding",
+      dims = 2, bitsPerDim = 4, shardBits = 5, tauMilli = 700L,
+      capPerShard = 1024)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val (zShard, hShard, audit) = reference()
+    // cap 1024 >> 40 rows: nothing skips, census exhaustive
+    val (zn, zp, zc) = audit(zShard)
+    val (hn, hp, hc) = audit(hShard)
+    assert(got("zorder") == ((zn, 0L, zp, zc)), s"zorder: ${got("zorder")}")
+    assert(got("hash") == ((hn, 0L, hp, hc)), s"hash: ${got("hash")}")
     // locality: every co-sharded z-order pair is same-cluster (clusters
     // sit in opposite Morton corners), so close-pair PURITY is total,
     // while the hash layout co-shards cross-cluster pairs too
-    val (_, zp, zc) = audit(zShard)
     assert(zp == zc, "z-order co-shards only same-cluster points here")
-    val (_, hp, hc) = audit(hShard)
     assert(hc < hp, "hash layout co-shards cross-cluster pairs")
+  }
+
+  test("zOrderLocalityAudit cap: over-cap shards are excluded from the " +
+      "pair census and counted loudly, never silently joined") {
+    import spark.implicits._
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Similarity.zOrderLocalityAudit(df, "vec_id", "embedding",
+      dims = 2, bitsPerDim = 4, shardBits = 5, tauMilli = 700L,
+      capPerShard = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val (zShard, hShard, _) = reference()
+    def capped(shard: Seq[Long], cap: Int): (Long, Long, Long) = {
+      val sizes = shard.groupBy(identity).view.mapValues(_.size).toMap
+      val skipped = sizes.count(_._2 > cap).toLong
+      val kept = pts.indices.filter(i => sizes(shard(i)) <= cap)
+      val pairs = for {
+        i <- kept; k <- kept
+        if i < k && shard(i) == shard(k)
+      } yield {
+        val (a, b) = (pts(i)._2, pts(k)._2)
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      }
+      (skipped, pairs.size.toLong, pairs.count(_ * 1000 >= 700).toLong)
+    }
+    for ((layout, shard) <- Seq("zorder" -> zShard, "hash" -> hShard)) {
+      val (skipped, np, nc) = capped(shard, 5)
+      val (gn, gs, gp, gc) = got(layout)
+      assert(gn == shard.distinct.size.toLong, s"$layout n_shards")
+      assert(gs == skipped, s"$layout skipped: got $gs want $skipped")
+      assert(gp == np && gc == nc, s"$layout pairs: $gp/$gc vs $np/$nc")
+    }
+    // the fixture's 20-point clusters overflow a cap of 5 somewhere:
+    // the test is vacuous if nothing skips
+    assert(got.values.exists(_._2 > 0L), "cap fixture must skip a shard")
   }
 }
