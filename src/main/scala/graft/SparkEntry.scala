@@ -433,6 +433,8 @@ object SparkEntry {
     "q406_breslow_day"      -> (T.q406BreslowDay(_, _)),
     "q407_kendall_w"        -> (T.q407KendallW(_, _)),
     "q408_ktruss"           -> (R.q408KTruss(_, _)),
+    "q409_trade_stats"      -> (T.q409TradeStats(_, _)),
+    "q410_purged_folds"     -> (T.q410PurgedFolds(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -9629,6 +9631,83 @@ object SparkEntry {
           |SELECT e.u, e.v, CAST(COALESCE(s.sup, 0) AS BIGINT) AS sup
           |FROM e12 e LEFT JOIN sf s ON s.u = e.u AND s.v = e.v""".stripMargin
     },
+    // q409: HUGEINT moments; each ratio one pinned division; Sharpe/
+    // Sortino cancel the 1/n's so each is one division + one sqrt of
+    // exact integers cast to double
+    "q409_trade_stats" ->
+      """WITH t AS (SELECT event_type AS scope,
+        |    CAST(round(value * 100) AS BIGINT) - 5000 AS p FROM events
+        |  WHERE value IS NOT NULL),
+        |g AS (SELECT scope, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_wins,
+        |    CAST(sum(CASE WHEN p < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_losses,
+        |    CAST(sum(p) AS HUGEINT) AS s,
+        |    sum(CAST(p AS HUGEINT) * p) AS q,
+        |    CAST(sum(CASE WHEN p > 0 THEN p ELSE 0 END) AS HUGEINT) AS gw,
+        |    CAST(sum(CASE WHEN p < 0 THEN -p ELSE 0 END) AS HUGEINT) AS gl,
+        |    sum(CASE WHEN p < 0 THEN CAST(p AS HUGEINT) * p
+        |      ELSE CAST(0 AS HUGEINT) END) AS dq
+        |  FROM t GROUP BY 1),
+        |x AS (SELECT *,
+        |    CAST(n_wins AS DOUBLE) / CAST(n AS DOUBLE) AS wr,
+        |    (CAST(gw AS DOUBLE) / CAST(n_wins AS DOUBLE))
+        |      / (CAST(gl AS DOUBLE) / CAST(n_losses AS DOUBLE)) AS po
+        |  FROM g)
+        |SELECT scope AS event_type, n, n_wins, n_losses,
+        |  CAST(round(CAST(CAST(wr AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS win_rate,
+        |  CAST(round(CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |    AS expectancy_cents,
+        |  CASE WHEN gl > 0 THEN CAST(round(CAST(CAST(
+        |    CAST(gw AS DOUBLE) / CAST(gl AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END
+        |    AS profit_factor,
+        |  CASE WHEN n_wins > 0 AND n_losses > 0 AND gl > 0 THEN
+        |    CAST(round(CAST(CAST(po AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS payoff,
+        |  CASE WHEN n_wins > 0 AND n_losses > 0 AND gl > 0 THEN
+        |    CAST(round(CAST(CAST(wr - (1.0 - wr) / po
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS kelly,
+        |  CASE WHEN CAST(n * q - s * s AS DOUBLE) > 0.0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(s AS DOUBLE) / sqrt(CAST(n * q - s * s AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS sharpe,
+        |  CASE WHEN n_losses > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(s AS DOUBLE) / sqrt(CAST(n * dq AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS sortino
+        |FROM x""".stripMargin,
+    // q410: closed-form integer block boundaries off one min/max
+    // census; each row classifies against all k folds (k constant);
+    // all-integer output, no float surface
+    "q410_purged_folds" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms FROM events
+        |  WHERE ts IS NOT NULL),
+        |b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+        |f AS (SELECT CAST(range AS BIGINT) AS fold FROM range(5)),
+        |t AS (SELECT e.ms, b.lo,
+        |    CAST((b.hi - b.lo) // 5 + 1 AS BIGINT) AS w, f.fold
+        |  FROM e, b, f),
+        |r AS (SELECT fold,
+        |    CAST(lo + fold * w AS BIGINT) AS test_lo_ms,
+        |    CAST(lo + fold * w + w AS BIGINT) AS test_hi_ms,
+        |    CASE WHEN ms >= lo + fold * w AND ms < lo + fold * w + w
+        |        THEN 'test'
+        |      WHEN ms >= lo + fold * w - 86400000
+        |        AND ms < lo + fold * w + w + 86400000 THEN 'purged'
+        |      ELSE 'train' END AS role
+        |  FROM t)
+        |SELECT fold, test_lo_ms, test_hi_ms,
+        |  CAST(sum(CASE WHEN role = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test,
+        |  CAST(sum(CASE WHEN role = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(sum(CASE WHEN role = 'purged' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purged
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

@@ -212,4 +212,57 @@ object Splits {
       .select(col(idCol))
     df.join(broadcast(kept), Seq(idCol), "left_semi")
   }
+
+  /** Purged walk-forward folds with embargo (López de Prado 2018, the
+    * combinatorially-purged-CV building block) — the time-series
+    * upgrade of the reference's chronological holdout
+    * (`backtesting_and_research/chronological_holdout.py`, our W14):
+    * a plain k-fold on serially-correlated trades LEAKS — a training
+    * trade whose outcome window overlaps the test block teaches the
+    * model the test answer. The time axis [min ms, max ms] splits into
+    * k equal-WIDTH blocks (closed-form integer arithmetic off one
+    * broadcast min/max census — never a global ntile window); for fold
+    * i, rows inside block i are TEST, rows within `embargoMs` of the
+    * block's edges are PURGED, everything else is TRAIN.
+    *
+    * Scale shape: one bounds aggregation, then one projection that
+    * explodes each row into its k fold roles (k is a small loud-gated
+    * constant, so the blowup is a constant factor, shuffled only on
+    * the k-sized fold key for the final census). All boundaries and
+    * counts are exact integers. Output one row per fold: (fold,
+    * test_lo_ms, test_hi_ms, n_test, n_train, n_purged). */
+  def purgedFolds(df: DataFrame, tsMsCol: String, k: Int,
+      embargoMs: Long): DataFrame = {
+    require(k >= 2 && k <= 32, s"k must be in [2, 32]: $k")
+    require(embargoMs >= 0L, s"embargoMs must be >= 0: $embargoMs")
+    val ms = col(tsMsCol).cast("long")
+    val base = df.where(ms.isNotNull).select(ms.as("ms"))
+    val bounds = broadcast(base.agg(min(col("ms")).as("lo"),
+      max(col("ms")).as("hi")))
+    // equal-width blocks: width = (hi - lo) div k + 1 puts hi in the
+    // last block; block boundaries are closed-form in (lo, width)
+    val tagged = base.crossJoin(bounds)
+      .select(col("ms"), col("lo"),
+        // integer div, never a float quotient: a double (hi-lo)/k that
+        // rounds across an integer boundary would shift every block
+        expr(s"(hi - lo) div $k + 1").cast("long").as("w"))
+      .select(col("ms"), col("lo"), col("w"),
+        explode(array((0 until k).map(i => lit(i.toLong)): _*)).as("fold"))
+    val testLo = col("lo") + col("fold") * col("w")
+    val testHi = testLo + col("w") // exclusive
+    val role = when(col("ms") >= testLo && col("ms") < testHi,
+        lit("test"))
+      .when(col("ms") >= testLo - embargoMs &&
+        col("ms") < testHi + embargoMs, lit("purged"))
+      .otherwise(lit("train"))
+    tagged.select(col("fold"), testLo.as("test_lo_ms"),
+        testHi.as("test_hi_ms"), role.as("role"))
+      .groupBy(col("fold"), col("test_lo_ms"), col("test_hi_ms"))
+      .agg(sum(when(col("role") === "test", 1L).otherwise(0L))
+        .as("n_test"),
+        sum(when(col("role") === "train", 1L).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("role") === "purged", 1L).otherwise(0L))
+          .as("n_purged"))
+  }
 }

@@ -1914,4 +1914,37 @@ object TimeSeries {
       "user_id", "event_type", "cents")
       .select($"k", $"n_blocks", round($"chi2", 6).as("chi2"),
         round($"w", 6).as("w"), round($"rho_bar", 6).as("rho_bar"))
+
+  /** q409 — trade performance ratios ([[graft.operators.Portfolio
+    * .tradeStats]]): per event type, the research-desk board over a
+    * synthetic cents P&L (value·100 − 5000 — mixed-sign by
+    * construction): win rate, expectancy, profit factor, payoff,
+    * Kelly fraction, population Sharpe and Sortino. All moments exact
+    * decimal; every ratio one pinned division, Sharpe/Sortino one
+    * pinned sqrt each (the 1/n's cancel algebraically). */
+  def q409TradeStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Portfolio.tradeStats(
+      events(spark, dir).select($"event_type",
+        (round($"value" * 100).cast("long") - 5000L).as("pnl")),
+      "event_type", "pnl")
+      .select($"scope".as("event_type"), $"n", $"n_wins", $"n_losses",
+        round($"win_rate", 6).as("win_rate"),
+        round($"expectancy_cents", 6).as("expectancy_cents"),
+        round($"profit_factor", 6).as("profit_factor"),
+        round($"payoff", 6).as("payoff"),
+        round($"kelly", 6).as("kelly"),
+        round($"sharpe", 6).as("sharpe"),
+        round($"sortino", 6).as("sortino"))
+
+  /** q410 — purged walk-forward folds ([[graft.operators.Splits
+    * .purgedFolds]]): the events timeline cut into 5 equal-width test
+    * blocks with a 1-day embargo — per fold, the train/test/purged
+    * census and the block boundaries. The serial-correlation-safe CV
+    * plan the q24 chronological holdout generalizes to k folds; all
+    * boundaries closed-form integer arithmetic off one broadcast
+    * min/max census. */
+  def q410PurgedFolds(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.purgedFolds(
+      events(spark, dir).select(unix_millis($"ts").as("ms")),
+      "ms", k = 5, embargoMs = 86400000L)
 }

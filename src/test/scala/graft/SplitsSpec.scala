@@ -187,4 +187,28 @@ class SplitsSpec extends AnyFunSuite with SparkFixture {
     assert(Splits.splitLeakage(rowKeyed, "grp", "split").collect().head
       .getAs[Long]("n_straddling") > 0)
   }
+
+  test("purgedFolds: 100 unit-spaced rows, k=5, embargo=10 — hand " +
+      "census per fold; roles partition every row; edges clip") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("ms")
+    val out = graft.operators.Splits.purgedFolds(df, "ms", k = 5,
+        embargoMs = 10L)
+      .collect().map(r => r.getAs[Long]("fold") ->
+        ((r.getAs[Long]("test_lo_ms"), r.getAs[Long]("test_hi_ms"),
+          r.getAs[Long]("n_test"), r.getAs[Long]("n_train"),
+          r.getAs[Long]("n_purged")))).toMap
+    assert(out.keySet == (0L until 5L).toSet)
+    // width = 99 div 5 + 1 = 20: test blocks [20i, 20i+20)
+    assert(out(0L) == ((0L, 20L, 20L, 70L, 10L)))   // left edge clips
+    assert(out(2L) == ((40L, 60L, 20L, 60L, 20L)))  // full embargo both sides
+    assert(out(4L) == ((80L, 100L, 20L, 70L, 10L))) // right edge clips
+    // every fold's roles partition the full row set
+    assert(out.values.forall { case (_, _, t, tr, p) => t + tr + p == 100L })
+    // embargo 0 degenerates to plain walk-forward blocks
+    val plain = graft.operators.Splits.purgedFolds(df, "ms", k = 5,
+        embargoMs = 0L)
+      .collect().map(r => r.getAs[Long]("n_purged")).toSeq
+    assert(plain.forall(_ == 0L))
+  }
 }
