@@ -435,6 +435,10 @@ object SparkEntry {
     "q408_ktruss"           -> (R.q408KTruss(_, _)),
     "q409_trade_stats"      -> (T.q409TradeStats(_, _)),
     "q410_purged_folds"     -> (T.q410PurgedFolds(_, _)),
+    "q411_diebold_mariano"  -> (T.q411DieboldMariano(_, _)),
+    "q412_partial_corr"     -> (T.q412PartialCorr(_, _)),
+    "q413_logo_influence"   -> (R.q413LogoInfluence(_, _)),
+    "q414_yule_k"           -> (D.q414YuleK(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -9708,6 +9712,165 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN role = 'purged' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_purged
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
+    // q411: the exact ACF integer identity per autocovariance block;
+    // Bartlett weights are the same IEEE scalar arithmetic on both
+    // engines; DM = S·n/sqrt(n·C0 + 2w1·C1 + 2w2·C2) one fixed shape
+    "q411_diebold_mariano" ->
+      """WITH daily AS (SELECT event_type,
+        |    strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, day, c,
+        |    lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        |  FROM daily),
+        |p AS (SELECT event_type, day,
+        |    abs(c - l1) - abs(c - l7) AS d FROM lg
+        |  WHERE l7 IS NOT NULL
+        |    AND abs(c - l1) - abs(c - l7) IS NOT NULL),
+        |lgd AS (SELECT event_type, d,
+        |    lag(d, 1) OVER (PARTITION BY event_type ORDER BY day) AS dl1,
+        |    lag(d, 2) OVER (PARTITION BY event_type ORDER BY day) AS dl2
+        |  FROM p),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(d) AS HUGEINT) AS s,
+        |    sum(CAST(d AS HUGEINT) * d) AS q,
+        |    sum(CASE WHEN dl1 IS NOT NULL THEN CAST(d AS HUGEINT) * dl1
+        |      ELSE CAST(0 AS HUGEINT) END) AS x1,
+        |    sum(CASE WHEN dl1 IS NOT NULL THEN CAST(dl1 AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END) AS hd1,
+        |    sum(CASE WHEN dl1 IS NOT NULL THEN CAST(d AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END) AS tl1,
+        |    sum(CASE WHEN dl2 IS NOT NULL THEN CAST(d AS HUGEINT) * dl2
+        |      ELSE CAST(0 AS HUGEINT) END) AS x2,
+        |    sum(CASE WHEN dl2 IS NOT NULL THEN CAST(dl2 AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END) AS hd2,
+        |    sum(CASE WHEN dl2 IS NOT NULL THEN CAST(d AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END) AS tl2
+        |  FROM lgd GROUP BY 1),
+        |v AS (SELECT event_type, n, s,
+        |    CAST(n * (n * q - s * s) AS DOUBLE)
+        |    + 2.0 * (1.0 - 1.0 / 3.0) * CAST(n * n * x1
+        |      - n * s * (hd1 + tl1) + (n - 1) * s * s AS DOUBLE)
+        |    + 2.0 * (1.0 - 2.0 / 3.0) * CAST(n * n * x2
+        |      - n * s * (hd2 + tl2) + (n - 2) * s * s AS DOUBLE)
+        |      AS vt
+        |  FROM g)
+        |SELECT event_type, n,
+        |  CAST(round(CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_d,
+        |  CASE WHEN n > 3 AND vt > 0.0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(s AS DOUBLE) * CAST(n AS DOUBLE) / sqrt(vt)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS dm
+        |FROM v""".stripMargin,
+    // q412: nine HUGEINT moments; each r one pinned division under a
+    // sqrt of a product; the partial compose is a fixed float shape
+    "q412_partial_corr" ->
+      """WITH t AS (SELECT event_type AS scope,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    CAST(date_part('hour', ts) AS BIGINT) AS y,
+        |    CAST(date_part('day', ts) AS BIGINT) AS z
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT scope, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(z) AS HUGEINT) AS sz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM t GROUP BY 1),
+        |r AS (SELECT scope, n,
+        |    CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+        |      AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0 THEN
+        |      CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * syy - sy * sy AS DOUBLE)) END AS rxy,
+        |    CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+        |      AND CAST(n * szz - sz * sz AS DOUBLE) > 0.0 THEN
+        |      CAST(n * sxz - sx * sz AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * szz - sz * sz AS DOUBLE)) END AS rxz,
+        |    CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+        |      AND CAST(n * szz - sz * sz AS DOUBLE) > 0.0 THEN
+        |      CAST(n * syz - sy * sz AS DOUBLE)
+        |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+        |        * CAST(n * szz - sz * sz AS DOUBLE)) END AS ryz
+        |  FROM g)
+        |SELECT scope AS event_type, n,
+        |  CAST(round(CAST(CAST(rxy AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS r_xy,
+        |  CAST(round(CAST(CAST(rxz AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS r_xz,
+        |  CAST(round(CAST(CAST(ryz AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS r_yz,
+        |  CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0 THEN
+        |    CAST(round(CAST(CAST(
+        |      (rxy - rxz * ryz)
+        |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS pcorr
+        |FROM r""".stripMargin,
+    // q413: global moments = decimal sums OF the group census; the
+    // without-g slope is the groupedOls covN/varXN shape on subtracted
+    // moments — zero per-group rescans on either engine
+    "q413_logo_influence" ->
+      """WITH b AS (SELECT CAST(date_part('month', l_shipdate) AS BIGINT)
+        |      AS g,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS HUGEINT) AS tn,
+        |    CAST(sum(sx) AS HUGEINT) AS tsx,
+        |    CAST(sum(sy) AS HUGEINT) AS tsy,
+        |    CAST(sum(sxx) AS HUGEINT) AS tsxx,
+        |    CAST(sum(sxy) AS HUGEINT) AS tsxy FROM c),
+        |s AS (SELECT c.g, c.n,
+        |    CASE WHEN CAST(t.tn * t.tsxx - t.tsx * t.tsx AS DOUBLE) > 0.0
+        |      THEN CAST(t.tn * t.tsxy - t.tsx * t.tsy AS DOUBLE)
+        |        / CAST(t.tn * t.tsxx - t.tsx * t.tsx AS DOUBLE) END
+        |      AS sf,
+        |    CASE WHEN CAST((t.tn - c.n) * (t.tsxx - c.sxx)
+        |        - (t.tsx - c.sx) * (t.tsx - c.sx) AS DOUBLE) > 0.0
+        |      THEN CAST((t.tn - c.n) * (t.tsxy - c.sxy)
+        |          - (t.tsx - c.sx) * (t.tsy - c.sy) AS DOUBLE)
+        |        / CAST((t.tn - c.n) * (t.tsxx - c.sxx)
+        |          - (t.tsx - c.sx) * (t.tsx - c.sx) AS DOUBLE) END
+        |      AS sw
+        |  FROM c, t)
+        |SELECT g AS ship_month, n AS n_group,
+        |  CAST(round(CAST(CAST(sf AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS slope_full,
+        |  CAST(round(CAST(CAST(sw AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS slope_without,
+        |  CAST(round(CAST(CAST(sw - sf AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS delta
+        |FROM s""".stripMargin,
+    // q414: token census squares exactly like q397's tokens; K is one
+    // division of exact integers — no float fold at all
+    "q414_yule_k" ->
+      """WITH t AS (SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    sum(CAST(c AS HUGEINT) * c) AS m2
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(10000 * (m2 - n_tokens) AS DOUBLE)
+        |      / CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS yule_k
+        |FROM g""".stripMargin,
     // q254: pfx is non-decreasing in i, so MAX(i)/MAX(pfx) FILTER(fits)
     // pick the same cut row; every +1 seat provably lands on a source
     // with avail >= level+1 (else the base would have included it)

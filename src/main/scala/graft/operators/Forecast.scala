@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -287,5 +287,76 @@ object Forecast {
       .select(col(keyCol), col("n_obs"),
         col("__f.x").as("level"), col("__f.p").as("p_var"),
         col("__f.k").as("gain"))
+  }
+
+  /** Diebold–Mariano forecast-comparison test (Diebold & Mariano 1995)
+    * per key — the referee between two forecasters [[mase]] cannot be:
+    * MASE scores ONE forecast against a baseline; DM asks whether the
+    * LOSS DIFFERENTIAL d_t = L1_t − L2_t of two forecasts is centered
+    * at zero, with a Newey–West (Bartlett) variance that respects the
+    * serial correlation h-step-ahead forecast errors always carry:
+    *   DM = d̄ / √(σ̂²/n),   σ̂² = ĉ₀ + 2·Σ_{j=1}^{h−1}(1 − j/h)·ĉ_j.
+    *
+    * Exactness: losses are integer (cents / absolute-error units), so
+    * every autocovariance block rides the [[Autocorr.acf]] exact-integer
+    * identity n³·ĉ_j = n²·Σ'd_t·d_{t−j} − n·S·(H_j+T_j) + (n−j)·S²
+    * (S = Σd, H/T the head/tail partial sums) — all decimal-exact; the
+    * n's cancel algebraically so the statistic is ONE fixed float
+    * shape: DM = S·n / √(n·(C₀ + 2Σw_j·C_j)) with C_j the exact
+    * decimal blocks and w_j literal Bartlett weights, folded in j
+    * order (j ≤ h−1, a compile-time constant).
+    *
+    * Scale shape: one key-partitioned lag window (all h−1 lags share
+    * one frame), one census aggregation, broadcast-size arithmetic.
+    * Output per key: (key, n, mean_d, dm); dm null when the variance
+    * term is ≤ 0 or n ≤ h. Sign: negative DM favors forecast 1. */
+  def dieboldMariano(df: DataFrame, keyCol: String, ordCol: String,
+      loss1Col: String, loss2Col: String, h: Int): DataFrame = {
+    require(h >= 1 && h <= 8, s"h must be in [1, 8]: $h")
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val base0 = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+        (col(loss1Col).cast("long") - col(loss2Col).cast("long")).as("d"))
+      .where(col("d").isNotNull)
+    val lagged = (1 until h).foldLeft(base0) { case (acc, j) =>
+      acc.withColumn(s"dl$j", lag(col("d"), j).over(w))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum(d(col("d"))).cast(dec).as("s"),
+      sum((d(col("d")) * d(col("d"))).cast(dec)).cast(dec).as("q")) ++
+      (1 until h).flatMap { j =>
+        Seq(
+          sum(when(col(s"dl$j").isNotNull,
+            (d(col("d")) * d(col(s"dl$j"))).cast(dec))
+            .otherwise(d(lit(0L)))).cast(dec).as(s"x$j"),
+          // head: the lagged value over pairs = first n-j d's;
+          // tail: the current value over pairs = last n-j d's
+          sum(when(col(s"dl$j").isNotNull, d(col(s"dl$j")))
+            .otherwise(d(lit(0L)))).cast(dec).as(s"hd$j"),
+          sum(when(col(s"dl$j").isNotNull, d(col("d")))
+            .otherwise(d(lit(0L)))).cast(dec).as(s"tl$j"))
+      }
+    val g = lagged.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    def dd(c: Column): Column = c.cast("double")
+    val nD = d(col("n"))
+    // C_0 = n·Σd² − S²  (the j=0 block with H=T=S, n−0 pairs: the n's
+    // reduce to the familiar variance numerator)
+    val c0 = (nD * col("q") - col("s") * col("s")).cast(dec)
+    // C_j = n²Σ' − nS(H+T) + (n−j)S², each exact decimal
+    def cj(j: Int): Column =
+      ((nD * nD * col(s"x$j")).cast(dec) -
+        (nD * col("s") * (col(s"hd$j") + col(s"tl$j")).cast(dec)).cast(dec) +
+        ((nD - lit(j)) * col("s") * col("s")).cast(dec)).cast(dec)
+    // σ̂²·n⁴ = n²·C0 + 2Σ w_j·C_j... the exact algebra: ĉ0 = C0/n²,
+    // ĉ_j = C_j/n³ → σ̂² = C0/n² + 2Σw_j C_j/n³; DM = (S/n)/√(σ̂²/n)
+    //   = S·n / √(n³·σ̂²) = S·n / √(n·C0 + 2Σ w_j·C_j)
+    val varTerm = (1 until h).foldLeft(dd((nD * c0).cast(dec))) {
+      case (acc, j) =>
+        acc + lit(2.0 * (1.0 - j.toDouble / h)) * dd(cj(j))
+    }
+    g.select(col("k"), col("n"),
+      (dd(col("s")) / dd(col("n"))).as("mean_d"),
+      when(col("n") > h && varTerm > 0.0,
+        dd(col("s")) * dd(col("n")) / sqrt(varTerm)).as("dm"))
   }
 }

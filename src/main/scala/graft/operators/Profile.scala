@@ -209,6 +209,40 @@ object Profile {
         .as("effective"))
   }
 
+  /** Yule's characteristic K per group (Yule 1944) — the
+    * length-robust lexical-repetitiveness number next to
+    * [[simpsonDiversity]]: over the token-frequency spectrum V_m (how
+    * many types occur exactly m times),
+    *   K = 10⁴ · (Σ m²·V_m − N) / N²
+    * where N is the token count. K barely moves as a text grows (the
+    * property type-token ratio lacks), so it compares template-stuffed
+    * sources against prose at any document length — boilerplate and
+    * spam push K up an order of magnitude. Exact integers until ONE
+    * final division: Σm²V_m = Σ c_tok² over the type census, so no ln,
+    * no fold order, partition-free by construction.
+    *
+    * Scale shape: one (group, token) census (map-side combined), one
+    * group rollup. Whitespace tokens, lowercased — the [[distinctN]]
+    * convention. Output: (g, n_tokens, n_types, yule_k); null K when
+    * the group has no token. */
+  def yuleK(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val toks = df.select(col(groupCol).as("g"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val census = toks.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val sums = census.groupBy(col("g")).agg(
+      sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).cast(dec).as("__m2"))
+    val nD = col("n_tokens").cast(dec)
+    sums.select(col("g"), col("n_tokens"), col("n_types"),
+      when(col("n_tokens") > 0L,
+        (lit(10000L).cast(dec) * (col("__m2") - nD).cast(dec)).cast(dec)
+          .cast("double") / (nD * nD).cast(dec).cast("double"))
+        .as("yule_k"))
+  }
+
   /** Inclusion-dependency census — [[functionalDependencies]]'s
     * cross-table sibling: for each candidate (dependent column ⊆
     * referenced column), how many DISTINCT dependent values have no

@@ -100,6 +100,114 @@ object Regression {
     * zero-padded period labels (ISO dates); a numeric ord mis-orders
     * lexically, so NumericType ord columns are REFUSED at plan build
     * (format them first — the contract is executable, not prose). */
+  /** Partial correlation per scope (first-order): the correlation of x
+    * and y with z's linear effect removed from both —
+    *   ρ_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)),
+    * the "is the x–y link real or just z pulling both" screen that
+    * [[corrMatrix]] alone cannot answer (a confounder inflates every
+    * pairwise r). Inputs are cast to long (cents convention) so all
+    * nine moments are exact decimal sums; each r is one pinned
+    * division of exact integers under a sqrt, and the final compose is
+    * a fixed float shape — cross-engine by the q121 libm contract.
+    *
+    * Scale shape: ONE scope-census aggregation; everything after is
+    * broadcast-size arithmetic. Output: (scope, n, r_xy, r_xz, r_yz,
+    * pcorr); r's null when a variance is 0, pcorr null additionally
+    * when either 1−r² term is ≤ 0 (z explains x or y exactly). */
+  def partialCorr(df: DataFrame, scopeCol: String, xCol: String,
+      yCol: String, zCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def l(c: String): Column = col(c).cast("long")
+    val base = df.select(col(scopeCol).as("scope"), l(xCol).as("x"),
+        l(yCol).as("y"), l(zCol).as("z"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        col("z").isNotNull)
+    def d(c: Column): Column = c.cast(dec)
+    def m(c: Column): Column = sum(c.cast(dec)).cast(dec)
+    val agg = base.groupBy(col("scope")).agg(count(lit(1)).as("n"),
+      m(d(col("x"))).as("sx"), m(d(col("y"))).as("sy"),
+      m(d(col("z"))).as("sz"),
+      m((d(col("x")) * d(col("x"))).cast(dec)).as("sxx"),
+      m((d(col("y")) * d(col("y"))).cast(dec)).as("syy"),
+      m((d(col("z")) * d(col("z"))).cast(dec)).as("szz"),
+      m((d(col("x")) * d(col("y"))).cast(dec)).as("sxy"),
+      m((d(col("x")) * d(col("z"))).cast(dec)).as("sxz"),
+      m((d(col("y")) * d(col("z"))).cast(dec)).as("syz"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = d(col("n"))
+    def covN(sab: String, sa: String, sb: String): Column =
+      (nD * col(sab) - col(sa) * col(sb)).cast(dec)
+    def varN(saa: String, sa: String): Column =
+      (nD * col(saa) - col(sa) * col(sa)).cast(dec)
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): Column = {
+      val vA = varN(saa, sa)
+      val vB = varN(sbb, sb)
+      when(dd(vA) > 0.0 && dd(vB) > 0.0,
+        dd(covN(sab, sa, sb)) / sqrt(dd(vA) * dd(vB)))
+    }
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    val denom = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    agg.select(col("scope"), col("n"), rxy.as("r_xy"), rxz.as("r_xz"),
+      ryz.as("r_yz"),
+      when(denom > 0.0, (rxy - rxz * ryz) / sqrt(denom)).as("pcorr"))
+  }
+
+  /** Leave-one-group-out slope influence: for every group g, the OLS
+    * slope of y on x refit WITHOUT g's rows — the "which cohort is
+    * driving the fit" audit a 100 TB regression needs before anyone
+    * trusts the coefficient. The distributed trick is that OLS is a
+    * function of five additive moments, so the g-excluded fit is the
+    * GLOBAL moment vector minus g's census row — one group census, one
+    * broadcast total, zero per-group rescans (refitting per group
+    * would read the data |groups| times).
+    *
+    * Exactness: inputs cast to long; moments exact decimal; global
+    * totals are decimal sums OF the group census (order-free integer
+    * addition); each slope is the [[groupedOls]] pinned covN/varXN
+    * shape. Output per group: (group, n_group, slope_full,
+    * slope_without, delta); slope_without null when the remainder has
+    * no x-variance, delta null when either side is. */
+  def logoInfluence(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
+    val base = df.select(col(groupCol).as("g"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val census = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(d(col("x"))).cast(dec).as("sx"),
+      sum(d(col("y"))).cast(dec).as("sy"),
+      sum((d(col("x")) * d(col("x"))).cast(dec)).cast(dec).as("sxx"),
+      sum((d(col("x")) * d(col("y"))).cast(dec)).cast(dec).as("sxy"))
+    val totals = broadcast(census.agg(
+      sum(col("n")).as("tn"), sum(col("sx")).cast(dec).as("tsx"),
+      sum(col("sy")).cast(dec).as("tsy"),
+      sum(col("sxx")).cast(dec).as("tsxx"),
+      sum(col("sxy")).cast(dec).as("tsxy")))
+    def dd(c: Column): Column = c.cast("double")
+    def slope(n: Column, sx: Column, sy: Column, sxx: Column,
+        sxy: Column): Column = {
+      val covN = (d(n) * sxy - sx * sy).cast(dec)
+      val varXN = (d(n) * sxx - sx * sx).cast(dec)
+      when(dd(varXN) > 0.0, dd(covN) / dd(varXN))
+    }
+    val full = slope(col("tn"), col("tsx"), col("tsy"), col("tsxx"),
+      col("tsxy"))
+    val without = slope(col("tn") - col("n"),
+      (col("tsx") - col("sx")).cast(dec),
+      (col("tsy") - col("sy")).cast(dec),
+      (col("tsxx") - col("sxx")).cast(dec),
+      (col("tsxy") - col("sxy")).cast(dec))
+    census.crossJoin(totals)
+      .select(col("g"), col("n").as("n_group"), full.as("slope_full"),
+        without.as("slope_without"),
+        (without - full).as("delta"))
+  }
+
   def theilSen(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1220,4 +1220,23 @@ object Relational {
       .select($"u", $"v")
     graft.operators.Triangles.kTruss(edges, "u", "v", k = 3)
   }
+
+  /** q413 — leave-one-group-out slope influence ([[graft.operators
+    * .Regression.logoInfluence]]): which ship MONTH drives the
+    * quantity→price slope — per month cohort, the OLS slope refit
+    * WITHOUT that cohort's rows via global-minus-group moment
+    * subtraction (one census, zero rescans). The cohort-influence
+    * audit a fleet-wide regression needs before trusting the
+    * coefficient. */
+  def q413LogoInfluence(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.logoInfluence(
+      Tables.lineitem(spark, dir).select(
+        month($"l_shipdate").cast("long").as("ship_month"),
+        $"l_quantity".cast("long").as("qty"),
+        round($"l_extendedprice" * 100).cast("long").as("price_cents")),
+      "ship_month", "qty", "price_cents")
+      .select($"g".as("ship_month"), $"n_group",
+        round($"slope_full", 6).as("slope_full"),
+        round($"slope_without", 6).as("slope_without"),
+        round($"delta", 6).as("delta"))
 }

@@ -1947,4 +1947,43 @@ object TimeSeries {
     graft.operators.Splits.purgedFolds(
       events(spark, dir).select(unix_millis($"ts").as("ms")),
       "ms", k = 5, embargoMs = 86400000L)
+
+  /** q411 — Diebold–Mariano forecast referee ([[graft.operators
+    * .Forecast.dieboldMariano]]): per event type over the daily cents
+    * census, does the naive lag-1 forecast beat the weekly lag-7 one?
+    * Losses are absolute errors in integer cents; the loss
+    * differential's Newey–West variance (h=3 Bartlett window) rides
+    * the exact ACF integer identity — negative DM favors lag-1. */
+  def q411DieboldMariano(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val paired = daily
+      .withColumn("l1", lag($"c", 1).over(w))
+      .withColumn("l7", lag($"c", 7).over(w))
+      .where($"l7".isNotNull)
+      .select($"event_type", $"day",
+        abs($"c" - $"l1").as("loss1"), abs($"c" - $"l7").as("loss2"))
+    graft.operators.Forecast.dieboldMariano(paired, "event_type", "day",
+      "loss1", "loss2", h = 3)
+      .select($"k".as("event_type"), $"n",
+        round($"mean_d", 6).as("mean_d"), round($"dm", 6).as("dm"))
+  }
+
+  /** q412 — partial correlation ([[graft.operators.Regression
+    * .partialCorr]]): per event type, is the cents–hour link real once
+    * day-of-month is partialled out of both — the confounder screen
+    * the q61/q332 correlation reads need. Nine exact moments, three
+    * pinned r's, one fixed compose. */
+  def q412PartialCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.partialCorr(
+      events(spark, dir).select($"event_type",
+        round($"value" * 100).cast("long").as("cents"),
+        hour($"ts").cast("long").as("hr"),
+        dayofmonth($"ts").cast("long").as("dom")),
+      "event_type", "cents", "hr", "dom")
+      .select($"scope".as("event_type"), $"n",
+        round($"r_xy", 6).as("r_xy"), round($"r_xz", 6).as("r_xz"),
+        round($"r_yz", 6).as("r_yz"), round($"pcorr", 6).as("pcorr"))
 }

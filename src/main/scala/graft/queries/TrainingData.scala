@@ -3299,4 +3299,15 @@ object TrainingData {
       .groupBy($"label")
       .agg(count(lit(1)).as("n"),
         round(avg(sqrt($"sq_norm")), 4).as("avg_norm"))
+
+  /** q414 — Yule's characteristic K ([[graft.operators.Profile
+    * .yuleK]]): per source, the length-robust lexical-repetitiveness
+    * statistic over the token frequency spectrum — the
+    * boilerplate/template detector that, unlike type-token ratio,
+    * compares sources at ANY document length. Exact integers, one
+    * final division. */
+  def q414YuleK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.yuleK(docs(spark, dir), "source", "text")
+      .select($"g".as("source"), $"n_tokens", $"n_types",
+        round($"yule_k", 6).as("yule_k"))
 }

@@ -361,4 +361,24 @@ class ProfileIntegritySpec extends AnyFunSuite with SparkFixture {
     // K past the vocabulary: all 4 types, full coverage
     assert(got(9L) == ((4L, 10L, 10L, 1.0)))
   }
+
+  test("yuleK: closed-form K on hand spectra; template text scores an " +
+      "order of magnitude above diverse text") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)]) =
+      graft.operators.Profile.yuleK(rows.toDF("g", "t"), "g", "t")
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+            r.getAs[Double]("yule_k")))).toMap
+    // "a a a b b c": N=6, sum m^2 = 9+4+1 = 14, K = 1e4*(14-6)/36
+    val out = run(Seq(("h", "a a A b B c"),
+      ("tmpl", "x x x x"), ("prose", "p q r s")))
+    val (n, v, k) = out("h")
+    assert(n == 6L && v == 3L)
+    assert(math.abs(k - 10000.0 * 8.0 / 36.0) < 1e-9)
+    // pure template: K = 1e4*(16-4)/16 = 7500; all-distinct: K = 0
+    assert(out("tmpl")._3 == 7500.0)
+    assert(out("prose")._3 == 0.0)
+    assert(out("tmpl")._3 > 10 * math.max(out("prose")._3, 1.0))
+  }
 }

@@ -114,4 +114,52 @@ class RegressionSpec extends AnyFunSuite with SparkFixture {
         msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("duplicate ordCol")), msgs(ex))
   }
+
+  test("partialCorr: perfect relation survives partialling, an exact " +
+      "z-mediated link vanishes to 0, z==y nulls the denominator") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long, Long)]) =
+      graft.operators.Regression.partialCorr(
+        rows.toDF("s", "x", "y", "z"), "s", "x", "y", "z")
+        .collect().map(r => r.getString(0) -> r).toMap
+    // x == y: r_xy = 1 and partialling an imperfect z keeps pcorr = 1
+    val ident = Seq(("i", 1L, 1L, 1L), ("i", 2L, 2L, 3L), ("i", 3L, 3L, 2L))
+    val ri = run(ident)("i")
+    assert(ri.getAs[Double]("r_xy") == 1.0)
+    assert(math.abs(ri.getAs[Double]("pcorr") - 1.0) < 1e-12)
+    // x and y relate ONLY through z (residuals orthogonal by
+    // construction): r_xy = 0.5 but pcorr = 0 exactly
+    val med = Seq(("m", 2L, 2L, 1L), ("m", 0L, -2L, -1L),
+      ("m", 0L, 0L, 1L), ("m", -2L, 0L, -1L))
+    val rm = run(med)("m")
+    assert(math.abs(rm.getAs[Double]("r_xy") - 0.5) < 1e-12)
+    assert(math.abs(rm.getAs[Double]("pcorr")) < 1e-12, rm.toString)
+    // y == z: 1 - r_yz^2 = 0 -> pcorr null (r's still reported)
+    val dup = Seq(("d", 1L, 1L, 1L), ("d", 2L, 3L, 3L), ("d", 3L, 2L, 2L))
+    val rd = run(dup)("d")
+    assert(rd.getAs[Double]("r_yz") == 1.0)
+    assert(rd.isNullAt(rd.fieldIndex("pcorr")))
+  }
+
+  test("logoInfluence: hand two-group ledger; removing a cohort moves " +
+      "the slope by the closed-form delta; degenerate remainder nulls") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      graft.operators.Regression.logoInfluence(
+        rows.toDF("g", "x", "y"), "g", "x", "y")
+        .collect().map(r => r.getString(0) -> r).toMap
+    // g1 slope 1, g2 slope 4; pooled slope 2.5 (hand moments)
+    val out = run(Seq(("g1", 1L, 1L), ("g1", 2L, 2L),
+      ("g2", 1L, 3L), ("g2", 2L, 7L)))
+    assert(out("g1").getAs[Double]("slope_full") == 2.5)
+    assert(out("g1").getAs[Double]("slope_without") == 4.0)
+    assert(out("g1").getAs[Double]("delta") == 1.5)
+    assert(out("g2").getAs[Double]("slope_without") == 1.0)
+    assert(out("g2").getAs[Double]("delta") == -1.5)
+    // removing g leaves a constant-x remainder -> slope_without null
+    val deg = run(Seq(("a", 1L, 1L), ("a", 2L, 2L),
+      ("b", 5L, 5L), ("b", 5L, 6L)))
+    assert(deg("a").isNullAt(deg("a").fieldIndex("slope_without")))
+    assert(!deg("b").isNullAt(deg("b").fieldIndex("slope_without")))
+  }
 }

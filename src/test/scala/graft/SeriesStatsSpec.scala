@@ -998,4 +998,32 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     val holey = perf ++ Seq(("p", 4L, L(9), null))
     assert(run(holey)("p") == ((3L, 1L, Some(0.0))))
   }
+
+  test("dieboldMariano: hand statistic at h=1 and h=2 (Newey-West " +
+      "lag term verified against the direct autocovariance compute)") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long, Long)], h: Int) =
+      graft.operators.Forecast.dieboldMariano(
+        rows.toDF("k", "o", "l1", "l2"), "k", "o", "l1", "l2", h)
+        .collect().map(r => r.getString(0) -> r).toMap
+    // d = l1-l2 = [1,1,1,-1]: S=2, C0 = 4*4 - 4 = 12,
+    // DM = S*n/sqrt(n*C0) = 8/sqrt(48)
+    val a = (1 to 4).map(t =>
+      ("a", t.toLong, if (t < 4) 10L else 8L, 9L))
+    val ra = run(a, 1)("a")
+    assert(ra.getAs[Double]("mean_d") == 0.5)
+    assert(math.abs(ra.getAs[Double]("dm") - 8.0 / math.sqrt(48.0)) < 1e-15)
+    // equal losses: zero-variance differential -> dm null
+    val z = (1 to 4).map(t => ("z", t.toLong, 5L, 5L))
+    assert(run(z, 1)("z").isNullAt(run(z, 1)("z").fieldIndex("dm")))
+    // h=2 with d=[1,2,3,4]: c0-hat = 1.25, c1-hat = 0.3125 (direct),
+    // sigma2 = 1.25 + 2*0.5*0.3125 = 1.5625; DM = 2.5/sqrt(1.5625/4) = 4
+    val b = (1 to 4).map(t => ("b", t.toLong, t.toLong, 0L))
+    val rb = run(b, 2)("b")
+    assert(rb.getAs[Double]("mean_d") == 2.5)
+    assert(math.abs(rb.getAs[Double]("dm") - 4.0) < 1e-12, rb.toString)
+    // n <= h: not enough pairs for the lag window -> null
+    val tiny = (1 to 2).map(t => ("t", t.toLong, t.toLong, 0L))
+    assert(run(tiny, 2)("t").isNullAt(run(tiny, 2)("t").fieldIndex("dm")))
+  }
 }
