@@ -439,6 +439,7 @@ object SparkEntry {
     "q412_partial_corr"     -> (T.q412PartialCorr(_, _)),
     "q413_logo_influence"   -> (R.q413LogoInfluence(_, _)),
     "q414_yule_k"           -> (D.q414YuleK(_, _)),
+    "q415_theils_u"         -> (R.q415TheilsU(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -6700,6 +6701,46 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(list_reduce(mil.ls, (x, y) -> x + y) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS mi
         |FROM mil, hal, hbl, nn""".stripMargin,
+    // q415: the q237 replay with a raw (unrounded) stage, then the two
+    // uncertainty divisions — rounding only at the output edge
+    "q415_theils_u" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS cab FROM orders GROUP BY a, b),
+        |ma AS (SELECT a, SUM(cab) AS ca FROM cells GROUP BY a),
+        |mb AS (SELECT b, SUM(cab) AS cb FROM cells GROUP BY b),
+        |nn AS (SELECT SUM(cab) AS n FROM cells),
+        |terms AS (SELECT c.a, c.b,
+        |    (CAST(cab AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln((CAST(cab AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |       (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) AS term
+        |  FROM cells c JOIN ma USING (a) JOIN mb USING (b), nn),
+        |mil AS (SELECT list(term ORDER BY a, b) AS ls,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cells FROM terms),
+        |hal AS (SELECT list(-(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY a) AS ls
+        |  FROM ma, nn),
+        |hbl AS (SELECT list(-(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY b) AS ls
+        |  FROM mb, nn),
+        |raw AS (SELECT CAST(nn.n AS BIGINT) AS n, mil.n_cells,
+        |    list_reduce(hal.ls, (x, y) -> x + y) AS ha,
+        |    list_reduce(hbl.ls, (x, y) -> x + y) AS hb,
+        |    list_reduce(mil.ls, (x, y) -> x + y) AS mi
+        |  FROM mil, hal, hbl, nn)
+        |SELECT n, n_cells,
+        |  CAST(round(CAST(CAST(ha AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS h_a,
+        |  CAST(round(CAST(CAST(hb AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS h_b,
+        |  CAST(round(CAST(CAST(mi AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS mi,
+        |  CASE WHEN hb > 0.0 THEN
+        |    CAST(round(CAST(CAST(mi / hb AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS u_b_given_a,
+        |  CASE WHEN ha > 0.0 THEN
+        |    CAST(round(CAST(CAST(mi / ha AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS u_a_given_b
+        |FROM raw""".stripMargin,
     // q238: element-1 mapped to op(zero, e1) (0.0 + x == x in IEEE), then
     // the same four-field step; fields ordered so every acc.s reader
     // precedes the s overwrite (the q40 list_reduce aliasing defense);

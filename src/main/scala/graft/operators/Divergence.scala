@@ -475,6 +475,23 @@ object Divergence {
             (col("n").cast("double") * minrc1))).as("v"))
   }
 
+  /** Theil's uncertainty coefficient (Theil 1970) — the ASYMMETRIC
+    * association read [[cramersV]] and [[mutualInformation]] bracket:
+    * U(b|a) = MI/H(b) is the fraction of b's entropy that knowing a
+    * removes (and U(a|b) the reverse) — unlike V it tells you WHICH
+    * column predicts which, the direction a feature-selection pass
+    * actually needs. Derived from [[mutualInformation]]'s one-census
+    * frame with two extra pinned divisions of the UNROUNDED nats —
+    * the cross-engine story is exactly MI's (ln parity + in-order cell
+    * folds). Output one row: (n, n_cells, h_a, h_b, mi, u_b_given_a,
+    * u_a_given_b); a U is null when its conditioning entropy is 0 (a
+    * constant column predicts nothing and has nothing to predict). */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    mutualInformation(df, aCol, bCol)
+      .select(col("n"), col("n_cells"), col("h_a"), col("h_b"), col("mi"),
+        when(col("h_b") > 0.0, col("mi") / col("h_b")).as("u_b_given_a"),
+        when(col("h_a") > 0.0, col("mi") / col("h_a")).as("u_a_given_b"))
+
   /** Per-group total variation distance from the corpus token
     * distribution — the L1 member of the drift battery ([[ksTwoSample]]
     * is the sup-norm point, [[wasserstein1]] the transport area, PSI/KL

@@ -32,14 +32,19 @@ import org.apache.spark.sql.functions._
   * profit_factor, payoff, kelly, sharpe, sortino). */
 object Portfolio {
 
-  def tradeStats(df: DataFrame, scopeCol: String,
+  /** The nine exact sufficient moments [[tradeStatsFromCensus]] reads —
+    * a pure aggregation, so the SAME function is the batch census stage
+    * AND the streaming twin's state (see `Streams.tradeCensusStream`):
+    * per scope (n, n_wins, n_losses, Σp, Σp², Σp⁺, Σ|p⁻|, Σ(p⁻)²) —
+    * fixed-size per scope however long the ledger runs. */
+  def tradeCensus(df: DataFrame, scopeCol: String,
       pnlCentsCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val p = col(pnlCentsCol).cast("long")
     val base = df.where(p.isNotNull)
       .select(col(scopeCol).as("scope"), p.as("p"))
     def d(c: Column): Column = c.cast(dec)
-    val agg = base.groupBy(col("scope")).agg(
+    base.groupBy(col("scope")).agg(
       count(lit(1)).as("n"),
       sum(when(col("p") > 0L, 1L).otherwise(0L)).as("n_wins"),
       sum(when(col("p") < 0L, 1L).otherwise(0L)).as("n_losses"),
@@ -51,6 +56,19 @@ object Portfolio {
         .cast(dec).as("gl"),
       sum(when(col("p") < 0L, (d(col("p")) * d(col("p"))).cast(dec))
         .otherwise(d(lit(0L)))).cast(dec).as("dq"))
+  }
+
+  def tradeStats(df: DataFrame, scopeCol: String,
+      pnlCentsCol: String): DataFrame =
+    tradeStatsFromCensus(tradeCensus(df, scopeCol, pnlCentsCol))
+
+  /** The ratio board off a [[tradeCensus]] frame (batch or streamed):
+    * because the census is exact integer arithmetic, any streamed
+    * prefix yields the identical board the batch operator computes on
+    * the same rows (prefix-parity spec-asserted). */
+  def tradeStatsFromCensus(agg: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(dec)
     def dd(c: Column): Column = c.cast("double")
     val winRate = dd(col("n_wins")) / dd(col("n"))
     val payoff = (dd(col("gw")) / dd(col("n_wins"))) /

@@ -793,6 +793,20 @@ object Relational {
       .select($"n", $"r", $"c", round($"chi2", 6).as("chi2"),
         round($"v", 6).as("v"))
 
+  /** q415 — Theil's uncertainty coefficient ([[graft.operators
+    * .Divergence.theilsU]]): the DIRECTIONAL association on the q237/
+    * q295 priority×status pair — what fraction of status's entropy
+    * does knowing priority remove, and vice versa; the asymmetric read
+    * V and MI cannot give. Two pinned divisions of the unrounded
+    * nats. */
+  def q415TheilsU(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.theilsU(
+        Tables.orders(spark, dir), "o_orderpriority", "o_orderstatus")
+      .select($"n", $"n_cells", round($"h_a", 6).as("h_a"),
+        round($"h_b", 6).as("h_b"), round($"mi", 6).as("mi"),
+        round($"u_b_given_a", 6).as("u_b_given_a"),
+        round($"u_a_given_b", 6).as("u_a_given_b"))
+
   /** q233 — functional-dependency discovery
     * ([[graft.operators.Profile.functionalDependencies]]) over four
     * orders columns: which columns determine which — the profiling

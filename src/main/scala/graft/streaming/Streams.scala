@@ -524,6 +524,20 @@ object Streams {
           .otherwise(lit(0).cast(dec))).cast(dec).as("qb"))
   }
 
+  /** Streaming trade-ledger census ([[graft.operators.Portfolio
+    * .tradeStats]]'s twin, the [[experimentCensusStream]] pattern): per
+    * scope ONLY the nine exact moments (n, wins, losses, Σp, Σp², Σp⁺,
+    * Σ|p⁻|, Σ(p⁻)²) as state — fixed-size however long the ledger
+    * runs, anytime-readable. Feed any prefix to
+    * [[graft.operators.Portfolio.tradeStatsFromCensus]] and the whole
+    * ratio board (win rate, profit factor, Kelly, Sharpe, Sortino)
+    * EQUALS the batch operator on the same rows — the census is exact
+    * integer arithmetic, so there is no drift surface (prefix-parity
+    * spec-asserted in StreamingTwinCensusSpec). */
+  def tradeCensusStream(rows: DataFrame, scopeCol: String,
+      pnlCentsCol: String): DataFrame =
+    graft.operators.Portfolio.tradeCensus(rows, scopeCol, pnlCentsCol)
+
   /** Streaming Kalman-input census ([[graft.operators.Forecast
     * .kalmanLevel]]'s twin, the [[sprtCensusStream]] pattern): per
     * (key, period) only the exact integer cents total — state bounded

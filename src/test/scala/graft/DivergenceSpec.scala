@@ -337,4 +337,24 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(ro.getAs[Long]("df") == 1L)
     assert(ro.isNullAt(ro.fieldIndex("p_value")))
   }
+
+  test("theilsU: identical columns give U = 1 both ways; independence " +
+      "gives 0; a constant column nulls its own U and zeroes the other") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)]) =
+      Divergence.theilsU(rows.toDF("a", "b"), "a", "b").collect().head
+    // b == a: MI = H(a) = H(b) -> both coefficients exactly 1
+    val same = run(Seq(("x", "x"), ("y", "y"), ("x", "x"), ("z", "z")))
+    assert(math.abs(same.getAs[Double]("u_b_given_a") - 1.0) < 1e-12)
+    assert(math.abs(same.getAs[Double]("u_a_given_b") - 1.0) < 1e-12)
+    // balanced independent 2x2: MI = 0 -> both U = 0
+    val ind = run(Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
+    assert(math.abs(ind.getAs[Double]("u_b_given_a")) < 1e-12)
+    assert(math.abs(ind.getAs[Double]("u_a_given_b")) < 1e-12)
+    // constant a: H(a) = 0 -> u_a_given_b null (nothing to predict),
+    // u_b_given_a = 0 (a predicts nothing)
+    val const = run(Seq(("k", "x"), ("k", "y"), ("k", "x")))
+    assert(const.isNullAt(const.fieldIndex("u_a_given_b")))
+    assert(math.abs(const.getAs[Double]("u_b_given_a")) < 1e-12)
+  }
 }

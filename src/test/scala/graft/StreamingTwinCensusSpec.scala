@@ -109,6 +109,18 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     graft.operators.Eval.welchTFromCensus(_, "sc", "n_a", "n_b",
       "sa", "sb", "qa", "qb"))
 
+  twin[(String, Long)]("tradeCensusStream",
+    "the full ratio board equals batch tradeStats at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type",
+          (round($"value" * 100).cast("long") - lit(5000L)))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    },
+    Seq("event_type", "pnl"),
+    Streams.tradeCensusStream(_, "event_type", "pnl"),
+    graft.operators.Portfolio.tradeStatsFromCensus(_))
+
   twin[(Long, Boolean)]("ksCensusStream",
     "bucket census + derived W1 equal the batch census at every prefix",
     eventRows { df =>
@@ -178,7 +190,8 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     }
     // the known inventory can only grow — a rename/removal is loud
     val inventory = Set("sprtCensusStream", "kalmanCensusStream",
-      "experimentCensusStream", "ksCensusStream", "gapCensusStream")
+      "experimentCensusStream", "ksCensusStream", "gapCensusStream",
+      "tradeCensusStream")
     assert(inventory.subsetOf(censusShaped), censusShaped.toString)
   }
 
