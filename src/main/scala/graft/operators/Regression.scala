@@ -177,12 +177,15 @@ object Regression {
     val base = df.select(col(groupCol).as("g"),
         col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull)
+    // the census feeds BOTH the totals aggregate and the output rows:
+    // checkpoint so the row-scale base scan runs once (q170/q221 lesson)
     val census = base.groupBy(col("g")).agg(
       count(lit(1)).as("n"),
       sum(d(col("x"))).cast(dec).as("sx"),
       sum(d(col("y"))).cast(dec).as("sy"),
       sum((d(col("x")) * d(col("x"))).cast(dec)).cast(dec).as("sxx"),
       sum((d(col("x")) * d(col("y"))).cast(dec)).cast(dec).as("sxy"))
+      .localCheckpoint(false)
     val totals = broadcast(census.agg(
       sum(col("n")).as("tn"), sum(col("sx")).cast(dec).as("tsx"),
       sum(col("sy")).cast(dec).as("tsy"),

@@ -545,4 +545,53 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
     }
   }
+
+  test("round-10 census statistics plan no windows and no cartesians " +
+      "(q406/q409/q412/q414/q415) — the only single-partition stages " +
+      "are census-bounded finals") {
+    for (q <- Seq("q406_breslow_day", "q409_trade_stats",
+        "q412_partial_corr", "q414_yule_k", "q415_theils_u")) {
+      val p = physical(q)
+      assert(!p.contains("Window "), s"$q:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
+      // single-partition exchanges are allowed ONLY downstream of a
+      // partial aggregate (census-bounded rows), never on the raw scan
+      val lines = p.linesIterator.toSeq
+      val spIdx = lines.zipWithIndex
+        .filter(_._1.contains("Exchange SinglePartition")).map(_._2)
+      spIdx.foreach { i =>
+        assert(lines.drop(i).exists(l => l.contains("HashAggregate") ||
+          l.contains("ObjectHashAggregate")),
+          s"$q: single-partition exchange not fed by a partial agg:\n" +
+            lines.slice(i, i + 4).mkString("\n"))
+      }
+    }
+  }
+
+  test("q410: purged folds plan no window at all — boundaries are " +
+      "closed-form off a broadcast min/max census") {
+    val p = physical("q410_purged_folds")
+    assert(!p.contains("Window "), p.take(1200))
+    // the 1-row bounds side attaches via broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("q411: Diebold-Mariano lag windows partition by key — never a " +
+      "global frame") {
+    val p = physical("q411_diebold_mariano")
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    // two window passes: the wrapper lags by event_type, the operator
+    // lags by its internal key alias k — both keyed, neither global
+    assert(windowLines.nonEmpty && windowLines.forall(l =>
+      l.contains("event_type") || l.contains("[k#")),
+      windowLines.mkString("\n"))
+    assert("Exchange SinglePartition".r.findAllIn(p).isEmpty, p.take(1200))
+  }
+
+  test("q413: the LOGO ratio board reads ONLY the checkpointed group " +
+      "census — no second parquet scan of lineitem") {
+    val p = physical("q413_logo_influence")
+    assert(!p.contains("FileScan"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
