@@ -440,6 +440,7 @@ object SparkEntry {
     "q413_logo_influence"   -> (R.q413LogoInfluence(_, _)),
     "q414_yule_k"           -> (D.q414YuleK(_, _)),
     "q415_theils_u"         -> (R.q415TheilsU(_, _)),
+    "q416_attribution"      -> (T.q416Attribution(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -6741,6 +6742,70 @@ object SparkEntry {
         |    CAST(round(CAST(CAST(mi / ha AS VARCHAR) AS DECIMAL(38,20)), 6)
         |      AS DOUBLE) END AS u_a_given_b
         |FROM raw""".stripMargin,
+    // q416: journey stamping is one exclusive-prefix window; credits
+    // are fixed double shapes of small integers; channel folds run in
+    // (u, j) order via seedless list_reduce; min_by/max_by scalar keys
+    // are legal (only STRUCT ordering keys are the DuckDB 1.0 gap) and
+    // the o key is unique per user, matching Spark's min/max(struct)
+    "q416_attribution" ->
+      """WITH e AS (SELECT user_id AS u,
+        |    lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0') || '_' ||
+        |      lpad(CAST(event_id AS VARCHAR), 10, '0') AS o,
+        |    event_type AS ch,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cv
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |st AS (SELECT *, CAST(coalesce(sum(cv) OVER (PARTITION BY u
+        |    ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS j FROM e),
+        |tch AS (SELECT * FROM st WHERE cv = 0),
+        |cvs AS (SELECT u, j, ch AS conv_ch FROM st WHERE cv = 1),
+        |ja AS (SELECT u, j, CAST(count(*) AS BIGINT) AS n,
+        |    min_by(ch, o) AS fch, max_by(ch, o) AS lch
+        |  FROM tch GROUP BY 1, 2),
+        |closed AS (SELECT ja.* FROM ja JOIN cvs USING (u, j)),
+        |orph AS (SELECT conv_ch AS channel,
+        |    CAST(count(*) AS BIGINT) AS n_orphan
+        |  FROM cvs LEFT JOIN ja USING (u, j) WHERE ja.n IS NULL
+        |  GROUP BY 1),
+        |pjc AS (SELECT t.u, t.j, t.ch, CAST(count(*) AS BIGINT) AS t,
+        |    max(c.n) AS n,
+        |    CAST(max(CASE WHEN c.fch = t.ch THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS isf,
+        |    CAST(max(CASE WHEN c.lch = t.ch THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS isl
+        |  FROM tch t JOIN closed c ON t.u = c.u AND t.j = c.j
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT u, j, ch, t, isf, isl,
+        |    CAST(t AS DOUBLE) / CAST(n AS DOUBLE) AS lin,
+        |    CASE WHEN n = 1 THEN 1.0
+        |      WHEN n = 2 THEN CAST(t AS DOUBLE) * 0.5
+        |      ELSE CAST(isf AS DOUBLE) * 0.4 + CAST(isl AS DOUBLE) * 0.4
+        |        + CAST(t - isf - isl AS DOUBLE)
+        |          * (0.2 / (CAST(n AS DOUBLE) - 2.0)) END AS ush
+        |  FROM pjc),
+        |rl AS (SELECT ch AS channel, CAST(sum(t) AS BIGINT) AS n_touches,
+        |    CAST(count(*) AS BIGINT) AS n_journeys,
+        |    CAST(sum(isf) AS BIGINT) AS n_first,
+        |    CAST(sum(isl) AS BIGINT) AS n_last,
+        |    list(struct_pack(lin := lin, ush := ush) ORDER BY u, j) AS cl
+        |  FROM sc GROUP BY 1),
+        |rr AS (SELECT channel, n_touches, n_journeys, n_first, n_last,
+        |    list_reduce(list_transform(cl, e -> e.lin), (x, y) -> x + y)
+        |      AS credit_linear,
+        |    list_reduce(list_transform(cl, e -> e.ush), (x, y) -> x + y)
+        |      AS credit_ushape
+        |  FROM rl)
+        |SELECT channel,
+        |  coalesce(n_touches, 0) AS n_touches,
+        |  coalesce(n_journeys, 0) AS n_journeys,
+        |  coalesce(n_first, 0) AS n_first,
+        |  coalesce(n_last, 0) AS n_last,
+        |  CAST(round(CAST(CAST(coalesce(credit_linear, 0.0) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS credit_linear,
+        |  CAST(round(CAST(CAST(coalesce(credit_ushape, 0.0) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS credit_ushape,
+        |  coalesce(n_orphan, 0) AS n_orphan
+        |FROM rr FULL OUTER JOIN orph USING (channel)""".stripMargin,
     // q238: element-1 mapped to op(zero, e1) (0.0 + x == x in IEEE), then
     // the same four-field step; fields ordered so every acc.s reader
     // precedes the s overwrite (the q40 list_reduce aliasing defense);

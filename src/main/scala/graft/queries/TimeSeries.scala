@@ -1986,4 +1986,22 @@ object TimeSeries {
       .select($"scope".as("event_type"), $"n",
         round($"r_xy", 6).as("r_xy"), round($"r_xz", 6).as("r_xz"),
         round($"r_yz", 6).as("r_yz"), round($"pcorr", 6).as("pcorr"))
+
+  /** q416 — multi-touch attribution ([[graft.operators.Attribution
+    * .multiTouch]]): per event type, the credit each channel earns for
+    * the purchases it precedes — first/last-touch counts (integer),
+    * linear and U-shaped (40/20/40) fractional credit, and the orphan
+    * census for purchases with no preceding touch. The order key is a
+    * zero-padded (ms, event_id) string, a pinned total order both
+    * engines sort identically. */
+  def q416Attribution(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.multiTouch(
+      events(spark, dir).select($"user_id",
+        concat(lpad(unix_millis($"ts").cast("string"), 14, "0"),
+          lit("_"), lpad($"event_id".cast("string"), 10, "0")).as("o"),
+        $"event_type"),
+      "user_id", "o", "event_type", $"event_type" === "purchase")
+      .select($"channel", $"n_touches", $"n_journeys", $"n_first",
+        $"n_last", round($"credit_linear", 6).as("credit_linear"),
+        round($"credit_ushape", 6).as("credit_ushape"), $"n_orphan")
 }
