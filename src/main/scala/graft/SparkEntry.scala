@@ -441,6 +441,8 @@ object SparkEntry {
     "q414_yule_k"           -> (D.q414YuleK(_, _)),
     "q415_theils_u"         -> (R.q415TheilsU(_, _)),
     "q416_attribution"      -> (T.q416Attribution(_, _)),
+    "q417_rmst"             -> (T.q417Rmst(_, _)),
+    "q418_ece"              -> (T.q418Ece(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -6806,6 +6808,76 @@ object SparkEntry {
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS credit_ushape,
         |  coalesce(n_orphan, 0) AS n_orphan
         |FROM rr FULL OUTER JOIN orph USING (channel)""".stripMargin,
+    // q417: the q255 KM replay + rectangle areas lag-chained in
+    // duration order, tail segment added LAST (one + on both engines)
+    "q417_rmst" ->
+      """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+        |    MAX(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+        |h AS (SELECT MAX(ld) AS wend FROM u),
+        |s AS (SELECT date_diff('day', fd, ld) AS dur,
+        |    CASE WHEN date_diff('day', ld, wend) >= 7 THEN 1 ELSE 0 END AS ev
+        |  FROM u, h),
+        |c AS (SELECT dur AS d, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(ev) AS BIGINT) AS deaths FROM s GROUP BY 1),
+        |r AS (SELECT d, n_obs, deaths,
+        |    CAST(SUM(n_obs) OVER () - COALESCE(SUM(n_obs) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM c),
+        |l AS (SELECT list(struct_pack(d := d, deaths := deaths,
+        |    n_risk := n_risk) ORDER BY d) AS arr FROM r),
+        |x AS (SELECT unnest(range(1, len(arr) + 1)) AS i, arr FROM l),
+        |f AS (SELECT arr[i].d AS d,
+        |    list_reduce(list_transform(list_slice(arr, 1, i),
+        |      e -> 1.0 - CAST(e.deaths AS DOUBLE) / CAST(e.n_risk AS DOUBLE)),
+        |      (a, b) -> a * b) AS surv
+        |  FROM x),
+        |seg AS (SELECT d, surv,
+        |    COALESCE(lag(d) OVER (ORDER BY d), 0) AS pd,
+        |    COALESCE(lag(surv) OVER (ORDER BY d), 1.0) AS ps
+        |  FROM f),
+        |terms AS (SELECT CAST(count(*) AS BIGINT) AS n_durations,
+        |    list(ps * CAST(least(d, 14) - least(pd, 14) AS DOUBLE)
+        |      ORDER BY d) AS ts,
+        |    max_by(surv, d) AS ls, CAST(max(d) AS BIGINT) AS ld
+        |  FROM seg)
+        |SELECT CAST(14 AS BIGINT) AS tau, n_durations,
+        |  CASE WHEN n_durations > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      list_reduce(ts, (x, y) -> x + y)
+        |        + ls * CAST(14 - least(ld, 14) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS rmst
+        |FROM terms""".stripMargin,
+    // q418: the q249 bucket census rolled into one ECE; terms fold in
+    // bucket order over the <=10-element list
+    "q418_ece" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS s,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6) THEN 1
+        |      ELSE 0 END AS p
+        |  FROM events),
+        |c AS (SELECT g, s, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS np FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, s, n, np,
+        |    COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+        |    SUM(n) OVER (PARTITION BY g) AS tot FROM c),
+        |a AS (SELECT g, LEAST(9, (bef * 10) // tot) AS bucket,
+        |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(s * n) AS BIGINT) AS ss FROM w GROUP BY 1, 2),
+        |t AS (SELECT g, bucket, n,
+        |    CAST(n AS DOUBLE) * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0) AS t
+        |  FROM a),
+        |r AS (SELECT g, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_buckets,
+        |    list(t ORDER BY bucket) AS ts
+        |  FROM t GROUP BY 1)
+        |SELECT g AS event_type, n, n_buckets,
+        |  CAST(round(CAST(CAST(
+        |    list_reduce(ts, (x, y) -> x + y) / CAST(n AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS ece
+        |FROM r""".stripMargin,
     // q238: element-1 mapped to op(zero, e1) (0.0 + x == x in IEEE), then
     // the same four-field step; fields ordered so every acc.s reader
     // precedes the s overwrite (the q40 list_reduce aliasing defense);

@@ -2275,6 +2275,39 @@ object Eval {
         .as("rho_bar"))
   }
 
+  /** Expected calibration error (Naeini 2015's ECE) per group — the
+    * ONE-NUMBER rollup of [[calibrationCurve]]: over the curve's
+    * equal-population buckets, ECE = Σ_b (n_b/n)·|pos_rate_b −
+    * mean_score_b/scale| — how far the scorer's stated confidence sits
+    * from observed frequency, weighted by where the mass actually is.
+    * `scoreScale` maps the integer score units onto [0, 1] (milli
+    * scores → 1000). The deployment gate next to
+    * [[brierDecomposition]]'s reliability term (same quantity, bucket
+    * view): "can this model's probability be trusted as a probability".
+    *
+    * Exactness: buckets and counts ride [[calibrationCurve]]'s integer
+    * census; each bucket term is a fixed float shape of two one-step
+    * divisions; terms fold IN BUCKET ORDER over the ≤`buckets`-element
+    * list (the q237 contract). Output per group: (g, n, n_buckets,
+    * ece). */
+  def expectedCalibrationError(df: DataFrame, groupCol: String,
+      labelCol: String, scoreCol: String, buckets: Int,
+      scoreScale: Long): DataFrame = {
+    require(scoreScale > 0, s"scoreScale must be positive: $scoreScale")
+    val curve = calibrationCurve(df, groupCol, labelCol, scoreCol, buckets)
+      .select(col(groupCol).as("g"), col("bucket"), col("n"),
+        col("mean_score"), col("pos_rate"))
+    val term = col("n").cast("double") *
+      abs(col("pos_rate") - col("mean_score") / lit(scoreScale.toDouble))
+    curve.groupBy(col("g"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(struct(col("bucket"), term.as("t"))))
+          .as("__t"))
+      .select(col("g"), col("n"), col("n_buckets"),
+        (expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)")
+          / col("n").cast("double")).as("ece"))
+  }
+
   /** UCB1 arm selection (Auer 2002) per scope — the deterministic
     * bandit read over logged rewards: arm a scores
     *   ucb(a) = mean(a) + √(2·ln N / n_a)

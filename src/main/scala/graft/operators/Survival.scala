@@ -220,4 +220,47 @@ object Survival {
       when(se.isNotNull, least(col("r.survival") + lit(1.96) * se, lit(1.0)))
         .as("hi"))
   }
+
+  /** Restricted mean survival time (Royston & Parmar 2013's estimand,
+    * computed from [[kaplanMeier]]'s step function): RMST(τ) = ∫₀^τ
+    * S(t)dt — "expected retained days within the first τ" — the ONE
+    * number a median can't give when S never crosses 0.5 (heavy
+    * censoring) and the standard effect scale when proportional
+    * hazards fail. The KM curve is a step function, so the integral is
+    * an EXACT sum of rectangle areas: segment [d_{i−1}, d_i) carries
+    * S_{i−1} (S before the first event time is 1), clipped at τ, plus
+    * the open tail [d_max, τ) at the final S.
+    *
+    * Exactness: widths are integer min-arithmetic; each area is one
+    * pinned product; areas fold IN DURATION ORDER over the
+    * census-bounded list (the q237 contract) with the tail added last.
+    * The duration census is Guards-gated before its unpartitioned
+    * window, the [[kaplanMeier]] discipline. Output one row:
+    * (tau, n_durations, rmst); null when the cohort is empty. */
+  def rmst(df: DataFrame, durCol: String, eventCol: String,
+      tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    val km = kaplanMeier(df, durCol, eventCol)
+      .select(col(durCol).as("d"), col("survival"))
+    val gated = Guards.boundedCensus(km, "d", "Survival.rmst")
+    val w = Window.orderBy(col("d"))
+    val seg = gated
+      .withColumn("pd", coalesce(lag(col("d"), 1).over(w), lit(0L)))
+      .withColumn("ps", coalesce(lag(col("survival"), 1).over(w),
+        lit(1.0)))
+    val area = col("ps") *
+      (least(col("d"), lit(tau)) - least(col("pd"), lit(tau)))
+        .cast("double")
+    val folded = seg.select(col("d"), area.as("t"), col("survival"))
+      .agg(sort_array(collect_list(struct(col("d"), col("t")))).as("__t"),
+        max(struct(col("d"), col("survival"))).as("__last"),
+        count(lit(1)).as("n_durations"))
+    val tail = col("__last").getField("survival") *
+      (lit(tau) - least(col("__last").getField("d"), lit(tau)))
+        .cast("double")
+    folded.select(lit(tau).as("tau"), col("n_durations"),
+      when(col("n_durations") > 0L,
+        expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)")
+          + tail).as("rmst"))
+  }
 }

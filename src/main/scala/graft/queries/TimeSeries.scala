@@ -2004,4 +2004,37 @@ object TimeSeries {
       .select($"channel", $"n_touches", $"n_journeys", $"n_first",
         $"n_last", round($"credit_linear", 6).as("credit_linear"),
         round($"credit_ushape", 6).as("credit_ushape"), $"n_orphan")
+
+  /** q417 — restricted mean survival time ([[graft.operators.Survival
+    * .rmst]]): expected retained days within the first 14, from the
+    * q255 retention cohort's KM step function — exact rectangle areas
+    * folded in duration order, the one-number retention readout when
+    * heavy censoring keeps the median undefined. */
+  def q417Rmst(spark: SparkSession, dir: String): DataFrame = {
+    val spans = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("first_d"), max(to_date($"ts")).as("last_d"))
+    val horizon = spans.agg(max($"last_d").as("wend"))
+    val subjects = spans.crossJoin(broadcast(horizon))
+      .select(datediff($"last_d", $"first_d").as("dur"),
+        when(datediff($"wend", $"last_d") >= 7, 1).otherwise(0).as("ev"))
+    graft.operators.Survival.rmst(subjects, "dur", "ev", tau = 14L)
+      .select($"tau", $"n_durations", round($"rmst", 6).as("rmst"))
+  }
+
+  /** q418 — expected calibration error ([[graft.operators.Eval
+    * .expectedCalibrationError]]): the q249 calibration curve rolled
+    * into its deployment gate — population-weighted |confidence −
+    * frequency| over the ten equal-mass buckets, scores mapped to
+    * [0,1] by the 10000-cent scale. */
+  def q418Ece(spark: SparkSession, dir: String): DataFrame = {
+    val scored = events(spark, dir).select($"event_type",
+      round($"value" * 100).cast("long").as("cents"),
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1).otherwise(0).as("wkend"))
+    graft.operators.Eval.expectedCalibrationError(
+        scored, "event_type", "wkend", "cents", buckets = 10,
+        scoreScale = 10000L)
+      .select($"g".as("event_type"), $"n", $"n_buckets",
+        round($"ece", 6).as("ece"))
+  }
 }

@@ -691,6 +691,26 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(undef.isNullAt(undef.fieldIndex("chi2_bd")))
   }
 
+  test("expectedCalibrationError: hand two-bucket miscalibration = 0.1; " +
+      "a perfectly calibrated scorer lands at exactly 0") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Int, Long)], buckets: Int) =
+      Eval.expectedCalibrationError(rows.toDF("g", "y", "s"), "g", "y",
+        "s", buckets, scoreScale = 100L)
+        .collect().map(r => r.getString(0) -> r).toMap
+    // bucket 0: conf 0.10 obs 0.0; bucket 1: conf 0.90 obs 1.0 ->
+    // ECE = (2*0.1 + 2*0.1)/4 = 0.1
+    val off = Seq(("a", 0, 10L), ("a", 0, 10L), ("a", 1, 90L),
+      ("a", 1, 90L))
+    val ra = run(off, 2)("a")
+    assert(ra.getAs[Long]("n") == 4L && ra.getAs[Long]("n_buckets") == 2L)
+    assert(math.abs(ra.getAs[Double]("ece") - 0.1) < 1e-12)
+    // score 50 with half the labels positive: |0.5 - 0.5| = 0
+    val cal = Seq(("c", 1, 50L), ("c", 0, 50L), ("c", 1, 50L),
+      ("c", 0, 50L))
+    assert(run(cal, 2)("c").getAs[Double]("ece") == 0.0)
+  }
+
   test("kendallW: perfect agreement gives W = 1 and rho_bar = 1; two " +
       "opposite raters give W = 0 and rho_bar = -1") {
     import spark.implicits._

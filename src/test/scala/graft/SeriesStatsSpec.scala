@@ -1026,4 +1026,24 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     val tiny = (1 to 2).map(t => ("t", t.toLong, t.toLong, 0L))
     assert(run(tiny, 2)("t").isNullAt(run(tiny, 2)("t").fieldIndex("dm")))
   }
+
+  test("rmst: hand rectangle areas with censoring — tau clips segments, " +
+      "the tail carries the final survival, instant-death cohort = 1") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Int)], tau: Long) =
+      graft.operators.Survival.rmst(rows.toDF("dur", "ev"), "dur", "ev",
+        tau).head()
+    // durations: 2 (event), 5 (censored): S(2)=0.5, S(5)=0.5
+    val cohort = Seq((2L, 1), (5L, 0))
+    // tau=4: 1*2 + 0.5*2 + 0.5*0 = 3
+    val r4 = run(cohort, 4L)
+    assert(r4.getAs[Long]("tau") == 4L &&
+      r4.getAs[Long]("n_durations") == 2L)
+    assert(r4.getAs[Double]("rmst") == 3.0)
+    // tau=10: 1*2 + 0.5*3 + 0.5*5 = 6
+    assert(run(cohort, 10L).getAs[Double]("rmst") == 6.0)
+    // everyone dies at d=1: area 1*1, tail 0 -> RMST = 1 at any tau > 1
+    val insta = Seq((1L, 1), (1L, 1), (1L, 1))
+    assert(run(insta, 5L).getAs[Double]("rmst") == 1.0)
+  }
 }
