@@ -203,8 +203,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .flatMap { case (name, fn) =>
-        // settle the JVM between queries even within a batch
+        // settle the JVM between queries even within a batch: the gc
+        // plus a short sleep lets the async ContextCleaner finish
+        // unpersisting the PREVIOUS query's checkpointed blocks instead
+        // of storming whoever runs next (the BenchScale lesson; observed
+        // q364 8.5 s isolated vs 37.6 s after seven checkpoint-heavy
+        // graph queries in one JVM)
         System.gc()
+        Thread.sleep(200)
         // per-query untimed warm-up: planning + Janino codegen happen
         // here, so even a single timed iteration records the steady
         // state the engine would show on a long-running cluster

@@ -93,7 +93,7 @@ object Anonymity {
     val census = keyed
       .groupBy(col("__cls") +: qidCols.map(col) :+ col("__v"): _*)
       .agg(count(lit(1)).as("cgt"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val gTot = census.groupBy(col("__cls") +: qidCols.map(col): _*)
       .agg(sum(col("cgt")).as("ng"))
     val vTot = census.groupBy(col("__v")).agg(sum(col("cgt")).as("ct"))

@@ -46,11 +46,11 @@ object Association {
     val bi = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .where(col("bk").isNotNull && col("it").isNotNull)
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val okBaskets = bi.groupBy(col("bk")).agg(count(lit(1)).as("__sz"))
       .where(col("__sz") <= maxBasketSize)
       .select(col("bk"))
-    val kept = bi.join(okBaskets, "bk").localCheckpoint(false)
+    val kept = bi.join(okBaskets, "bk").localCheckpoint(true)
     val nB = broadcast(kept.select(col("bk")).distinct()
       .agg(count(lit(1)).as("n_baskets")))
     val items = kept.groupBy(col("it")).agg(count(lit(1)).as("c"))
@@ -136,11 +136,11 @@ object Association {
         col(timeCol).cast("long").as("t"))
       .where(col("u").isNotNull && col("it").isNotNull && col("t").isNotNull)
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val okActors = ev.groupBy(col("u")).agg(count(lit(1)).as("__sz"))
       .where(col("__sz") <= maxActorEvents)
       .select(col("u"))
-    val kept = ev.join(okActors, "u").localCheckpoint(false)
+    val kept = ev.join(okActors, "u").localCheckpoint(true)
     val nU = broadcast(kept.select(col("u")).distinct()
       .agg(count(lit(1)).as("n_actors")))
     val items = kept.select(col("u"), col("it")).distinct()

@@ -435,7 +435,7 @@ object Autocorr {
       col(valueCol).cast("long").as("x"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("k")).orderBy(col("o"))))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // per window size: block = (rn-1) div w; the cumulative deviation
     // is the exact long  w\u00b7prefix_i \u2212 i\u00b7total  (a relational window
     // cumsum, no float anywhere); only FULL blocks with positive

@@ -50,7 +50,7 @@ object Bpe {
       .select(col("f"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("syms"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val merges = Seq.newBuilder[DataFrame]
     for (rank <- 1 to nMerges) {
       // zip the array against its own tail — sequence(1, n-1) would
@@ -81,7 +81,7 @@ object Bpe {
             |      concat(slice(acc, 1, size(acc) - 1),
             |             array(concat(__l, __r)))
             |    ELSE concat(acc, array(s)) END)""".stripMargin).as("syms"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     merges.result().reduce(_ unionByName _)
   }

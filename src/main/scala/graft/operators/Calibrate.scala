@@ -49,7 +49,7 @@ object Calibrate {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rows = cells.select(col("sc"), col("bin"), col("n"), col("s"),
         sum(col("n")).over(wCum).as("cn"), sum(col("s")).over(wCum).as("cs"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // pair grid (k <= l): block average over bins k..l from prefix sums
     val pairs = rows.select(col("sc"), col("bin").as("k"),
         (col("cn") - col("n")).as("pn"), (col("cs") - col("s")).as("ps"))

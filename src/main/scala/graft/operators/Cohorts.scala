@@ -72,7 +72,7 @@ object Cohorts {
     val m = base.crossJoin(broadcast(horizon))
       .select(col(keyCol), datediff(col("__wend"), col("__last"))
         .cast("long").as("recency_days"), col("frequency"), col("monetary"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     def scored(metric: String, out: String, invert: Boolean): DataFrame = {
       val census = m.groupBy(col(metric)).agg(count(lit(1)).as("__c"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col(metric))

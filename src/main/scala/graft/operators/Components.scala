@@ -40,7 +40,7 @@ object Components {
       col(bCol).cast("long").as("dst"))
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
 
     // round-0 shortcut: seed every node with min(self, neighbors) — one
     // aggregation over the edge list; cliques (the common dedup shape)
@@ -49,7 +49,7 @@ object Components {
     // round costs exactly one Spark job instead of two.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(least(col("src"), col("dst"))).as("component"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
 
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
@@ -64,7 +64,7 @@ object Components {
         .select(col("dst").as("id"), col("component"))
       val merged = labels.union(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val cur = checksum(merged)
       converged = cur.compareTo(prev) == 0
       prev = cur
@@ -106,7 +106,16 @@ object Components {
     * node id; the per-node state is ONE (id, min) pair — hub nodes never
     * materialize a neighbor list (the min is a partial aggregate, the
     * re-attachment a join), so a 10^7-degree hub costs its edge rows and
-    * nothing more. Lineage is cut per round with localCheckpoint.
+    * nothing more. Lineage is cut per round with localCheckpoint —
+    * EAGER, repo-wide policy since round 10: a LAZY local checkpoint
+    * first-materialized on an AQE broadcast-exchange thread deadlocks
+    * against the DAG scheduler (Spark's global RDDCheckpointData class
+    * monitor vs the RDD state lock, observed as a JVM-level deadlock in
+    * exactly this loop: the round-bottom checkpoint's first action is
+    * next round's isEmpty, whose build side AQE broadcasts). Eager
+    * materialization runs the checkpoint job on the driver action
+    * thread at creation — same total compute, no cross-thread lock
+    * inversion window.
     *
     * Convergence is checked EXACTLY, not by checksum: the current edge
     * set is a min-rooted star forest iff re-deriving every node's min
@@ -121,7 +130,7 @@ object Components {
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
       .where(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
 
     def minIncident(e: DataFrame): DataFrame =
       e.select(col("hi").as("id"), col("lo").as("m"))
@@ -162,7 +171,7 @@ object Components {
           .where(col("n") =!= col("m"))
           .select(col("n").as("hi"), col("m").as("lo"))
           .distinct()
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         edges = small
         iter += 1
       }

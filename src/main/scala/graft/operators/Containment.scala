@@ -38,7 +38,7 @@ object Containment {
       k: Int = 5, tauNum: Int = 4, tauDen: Int = 5,
       dfCap: Int = 50): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"tau=$tauNum/$tauDen")
-    // materialize ONCE (lazy localCheckpoint, the Dedup/q170 lesson):
+    // materialize ONCE (eager localCheckpoint, the Dedup/q170 lesson):
     // sh feeds doc sizes, the shingle-df census AND both sides of the
     // intersection self-join — without the checkpoint each consumer
     // re-runs tokenize+shingle+md5+explode+distinct (measured 10.3 s →
@@ -48,7 +48,7 @@ object Containment {
       .select(col(idCol).cast("long").as("id"),
         explode(shingleCol(col(textCol), k)).as("s"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val rare = sh.join(
       sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= dfCap),

@@ -44,7 +44,7 @@ object Decontam {
     val grams = docs.select(col(sourceCol).as("s"),
       explode(Dedup.shingles(col(textCol), n)).as("g"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val sizes = grams.groupBy(col("s")).agg(count(lit(1)).as("n_types"))
     val pairs = grams.as("a")
       .join(grams.as("b"), col("a.g") === col("b.g") &&

@@ -135,7 +135,7 @@ object Divergence {
     * Output one row: (n_a, n_b, n_values, d_num, d). */
   def ksTwoSample(df: DataFrame, valueCol: String, isRight: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // materialize the census ONCE (lazy localCheckpoint, the q170/q221
+    // materialize the census ONCE (eager localCheckpoint, the q170/q221
     // lesson): it feeds the bounds row, the running sums AND the bucket
     // totals — without the checkpoint each consumer re-scans the corpus
     val census = df
@@ -143,7 +143,7 @@ object Divergence {
         when(isRight, 1L).otherwise(0L).as("__r"))
       .groupBy(col("__v"))
       .agg(sum(lit(1L) - col("__r")).as("__ca"), sum(col("__r")).as("__cb"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val bounds = census.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
       sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
       count(lit(1)).as("n_values"))
@@ -207,7 +207,7 @@ object Divergence {
         when(isRight, 1L).otherwise(0L).as("__r"))
       .groupBy(col("__v"))
       .agg(sum(lit(1L) - col("__r")).as("__ca"), sum(col("__r")).as("__cb"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val bounds = census.agg(min(col("__v")).as("__lo"),
       max(col("__v")).as("__hi"), sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"), count(lit(1)).as("n_values"))
@@ -286,7 +286,7 @@ object Divergence {
         when(isRight, 1L).otherwise(0L).as("__r"))
       .groupBy(col("__v"))
       .agg(sum(lit(1L) - col("__r")).as("__ca"), sum(col("__r")).as("__cb"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val bounds = census.agg(min(col("__v")).as("__lo"),
       max(col("__v")).as("__hi"), sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"), count(lit(1)).as("n_values"))
@@ -523,7 +523,7 @@ object Divergence {
     val dec = "decimal(38,0)"
     val cell = df.select(col(groupCol).as("g"), col(tokenCol).as("t"))
       .groupBy(col("g"), col("t")).agg(count(lit(1)).as("cgt"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val gTot = cell.groupBy(col("g"))
       .agg(sum(col("cgt")).as("ng"), count(lit(1)).as("vocab"))
     val cTok = cell.groupBy(col("t")).agg(sum(col("cgt")).as("ct"))

@@ -759,7 +759,7 @@ object Eval {
         when(col(labelCol) === 1, 1L).otherwise(0L).as("y"))
       .groupBy(col("g"), col("s"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val sD = col("s").cast(dec)
     val tot = census.groupBy(col("g")).agg(
       sum(col("n")).as("nn"), sum(col("np")).as("npos"),
@@ -841,12 +841,12 @@ object Eval {
     val cells = df.where(col(categoryCol).isNotNull)
       .groupBy(col(subjectCol).as("s"), col(categoryCol).as("cat"))
       .agg(count(lit(1)).as("nij"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val bySubj = cells.groupBy(col("s"))
       .agg(sum(col("nij")).as("__tot"),
         sum(col("nij").cast(dec) * col("nij").cast(dec)).cast(dec)
           .as("__sq"))
-    val kept = bySubj.where(col("__tot") === n.toLong).localCheckpoint(false)
+    val kept = bySubj.where(col("__tot") === n.toLong).localCheckpoint(true)
     val dropped = broadcast(bySubj.where(col("__tot") =!= n.toLong)
       .agg(count(lit(1)).as("n_dropped")))
     val keptSubj = kept.select(col("s"))
@@ -967,7 +967,7 @@ object Eval {
         when(isCalib, 1L).otherwise(0L).as("cal"))
       .groupBy(col("g"), col("r"))
       .agg(sum(col("cal")).as("nc"), sum(lit(1L) - col("cal")).as("nt"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val tot = census.groupBy(col("g"))
       .agg(sum(col("nc")).as("n_calib"), sum(col("nt")).as("n_test"))
       .withColumn("k",
@@ -1077,12 +1077,12 @@ object Eval {
     val cells = df.where(col(categoryCol).isNotNull)
       .groupBy(col(unitCol).as("u"), col(categoryCol).as("cat"))
       .agg(count(lit(1)).as("nuc"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val byU = cells.groupBy(col("u"))
       .agg(sum(col("nuc")).as("nu"),
         sum(col("nuc").cast(dec) * col("nuc").cast(dec)).cast(dec)
           .as("__s2"))
-    val kept = byU.where(col("nu") >= 2L).localCheckpoint(false)
+    val kept = byU.where(col("nu") >= 2L).localCheckpoint(true)
     val dropped = broadcast(byU.where(col("nu") < 2L)
       .agg(count(lit(1)).as("n_dropped")))
     // per n-class: A_n = Σ (S2_u − n_u), one exact division by (n−1)
@@ -1303,7 +1303,7 @@ object Eval {
         when(col(successCol).cast("long") =!= 0L, 1L).otherwise(0L)
           .as("x"))
       .groupBy(col("b"), col("tr")).agg(max(col("x")).as("x"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val colTot = cells.groupBy(col("tr")).agg(sum(col("x")).as("cj"))
     val kRow = broadcast(colTot.agg(count(lit(1)).as("k"),
       sum(col("cj").cast(dec)).cast(dec).as("__sc"),
@@ -1353,7 +1353,7 @@ object Eval {
     val cell = df.where(col(valueCol).isNotNull)
       .groupBy(col(blockCol).as("b"), col(treatmentCol).as("tr"))
       .agg(sum(col(valueCol).cast("long")).as("v"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val k = broadcast(cell.select(col("tr")).distinct()
       .agg(count(lit(1)).as("k")))
     val complete = cell.groupBy(col("b")).agg(count(lit(1)).as("__ct"))
@@ -1660,7 +1660,7 @@ object Eval {
         (lit(priorBeta) + col("n_a") - col("s_a")).as("ba"),
         (lit(priorAlpha) + col("s_b")).as("ab"),
         (lit(priorBeta) + col("n_b") - col("s_b")).as("bb"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     def lg(c: Column): Column =
       graft.functions.FastMath.lgamma(c.cast("double"))
     // exact branch: the c-term log-space sum, folded in i order

@@ -45,14 +45,14 @@ object Graph {
     * strongly-bidirectional graph like q169's has no dangling nodes).
     * `damping` must be a whole percentage (e.g. 0.85) so the damped term
     * stays in integer arithmetic. Output: (node, pr: double). Lineage is
-    * cut per round with a lazy localCheckpoint, one plan per iteration
+    * cut per round with a eager localCheckpoint, one plan per iteration
     * instead of a 2^k tree. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85): DataFrame = {
     val d100 = math.round(damping * 100).toInt
     require(d100 > 0 && d100 < 100 && math.abs(d100 / 100.0 - damping) < 1e-9,
       s"damping must be a whole percentage in (0,1), got $damping")
-    // loop invariants: materialize ONCE (lazy localCheckpoint — computed
+    // loop invariants: materialize ONCE (eager localCheckpoint — computed
     // on first use, reused every round). Without this each of the k
     // rounds re-runs the edge distinct / degree / node-union shuffles
     // from the scan. The per-round edge⋈pr join is left to AQE: pr is
@@ -60,12 +60,12 @@ object Graph {
     // never re-exchange); at web-scale node counts AQE falls back to a
     // shuffle join — the right call on both ends, not worth pinning.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nDf = broadcast(nodes.agg(count(lit(1)).as("nn")))
     var pr = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$RankScale div nn").as("prf"))
@@ -81,7 +81,7 @@ object Graph {
         .select(col("node"), expr(
           s"(${100 - d100} * $RankScale div 100) div nn" +
             s" + ($d100 * coalesce(in_mass, 0)) div 100").as("prf"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     pr.select(col("node"),
       (col("prf").cast("double") / lit(RankScale.toDouble)).as("pr"))
@@ -103,12 +103,12 @@ object Graph {
       s"damping must be a whole percentage in (0,1), got $damping")
     val e = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(weightCol).cast("long")).as("w"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val outw = e.groupBy("src").agg(sum(col("w")).as("wdeg"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nDf = broadcast(nodes.agg(count(lit(1)).as("nn")))
     var pr = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$RankScale div nn").as("prf"))
@@ -124,7 +124,7 @@ object Graph {
         .select(col("node"), expr(
           s"(${100 - d100} * $RankScale div 100) div nn" +
             s" + ($d100 * coalesce(in_mass, 0)) div 100").as("prf"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     pr.select(col("node"),
       (col("prf").cast("double") / lit(RankScale.toDouble)).as("pr"))
@@ -148,14 +148,14 @@ object Graph {
     require(d100 > 0 && d100 < 100 && math.abs(d100 / 100.0 - damping) < 1e-9,
       s"damping must be a whole percentage in (0,1), got $damping")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     val s = seeds.select(col(seedCol).as("node")).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).union(s.select(col("node")))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     val nS = broadcast(s.agg(count(lit(1)).as("ns")))
     val seeded = broadcast(s.withColumn("__isSeed", lit(1)))
     def teleport(df: DataFrame): Column =
@@ -168,7 +168,7 @@ object Graph {
       .select(col("node"), expr(
         s"IF(__isSeed IS NULL, CAST(0 AS BIGINT), $RankScale div ns)")
         .as("prf"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val summed = e.join(pr, e("src") === pr("node"))
         .join(outdeg, "src")
@@ -179,7 +179,7 @@ object Graph {
         .join(seeded, Seq("node"), "left").crossJoin(nS)
         .select(col("node"), (teleport(null) +
           expr(s"($d100 * coalesce(in_mass, 0)) div 100")).as("prf"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     pr.select(col("node"),
       (col("prf").cast("double") / lit(RankScale.toDouble)).as("ppr"))
@@ -234,14 +234,14 @@ object Graph {
     // materialization, not edge re-exchange. On a cluster-scale graph
     // the same AQE mechanism makes the same call from real sizes.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nDf = broadcast(nodes.agg(count(lit(1)).as("nn")))
     var h = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$HitsScale div nn").as("hf"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var a = h.select(col("node"), col("hf").as("af"))
     for (_ <- 1 to iterations) {
       // checkpoint the raw in-mass sums: the only row-scale job of the
@@ -256,14 +256,14 @@ object Graph {
       // plus one materialization per half-step wins.
       val aRaw = e.join(h, e("src") === h("node"))
         .groupBy(col("dst")).agg(sum(col("hf")).as("ar"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val at = broadcast(aRaw.agg(sum(col("ar")).as("t")))
       a = aRaw.crossJoin(at)
         .select(col("dst").as("node"),
           expr(s"(ar * $HitsScale) div t").as("af"))
       val hRaw = e.join(a, e("dst") === a("node"))
         .groupBy(col("src")).agg(sum(col("af")).as("hr"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val ht = broadcast(hRaw.agg(sum(col("hr")).as("t")))
       h = hRaw.crossJoin(ht)
         .select(col("src").as("node"),
@@ -314,14 +314,14 @@ object Graph {
       .where(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val a = assign.select(col(nodeCol).as("__nd"), col(commCol).as("__c"))
       .where(col("__nd").isNotNull && col("__c").isNotNull)
       .distinct()
     val tagged = e0
       .join(a.select(col("__nd").as("u"), col("__c").as("cu")), Seq("u"), "left")
       .join(a.select(col("__nd").as("v"), col("__c").as("cv")), Seq("v"), "left")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val dropped = broadcast(tagged
       .where(col("cu").isNull || col("cv").isNull)
       .agg(count(lit(1)).as("n_edges_unassigned")))
@@ -388,7 +388,7 @@ object Graph {
     val kept = e0
       .join(a.select(col("__nd").as("u"), col("__c").as("cu")), Seq("u"))
       .join(a.select(col("__nd").as("v"), col("__c").as("cv")), Seq("v"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val m = broadcast(kept.agg(count(lit(1)).as("m")))
     val b = kept.select(col("u").as("x"), col("cu").as("cx"),
         col("v").as("y"), col("cv").as("cy"))
@@ -463,7 +463,7 @@ object Graph {
       .where(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val deg = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -525,7 +525,7 @@ object Graph {
       .select(col("u"), col("v"),
         (row_number().over(wIdx) - 1).cast("long").as("idx"),
         count(lit(1)).over(wDeg).as("deg"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val frontier0 = adj.select(col("u")).distinct()
       .select(col("u").as("cur"),
         explode(array((0 until walksPerNode).map(lit(_)): _*)).as("w"))
@@ -540,7 +540,7 @@ object Graph {
       val hop = frontier.join(adj, frontier("cur") === adj("u"))
         .where(col("idx") === h % col("deg"))
         .select(col("walk"), col("v").as("cur"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       out = out.unionByName(hop.select(col("walk"),
         lit(t.toLong).as("step"), col("cur").as("node")))
       frontier = hop
@@ -597,17 +597,17 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val m = 1 << b
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val regMax = udaf(new RegMax(m))
     // dense initial sketch: the node's own (reg, rank) in a 2^b array
     var regs = Sketches.hllRegisters(nodes, Seq("node"), "node", b)
       .select(col("node"), expr(
         s"transform(sequence(0, ${m - 1}), i -> IF(i = CAST(reg AS INT), max_rank, 0L))")
         .as("arr"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // estimator on the dense array: nonempty = positive slots; the
     // 2^-rank sum is exact in IEEE at any order (hllEstimate contract),
     // so a fixed-index fold replays the row-form estimator bit-for-bit
@@ -631,7 +631,7 @@ object Graph {
       regs = regs.unionAll(viaNbrs)
         .groupBy(col("node"))
         .agg(regMax(col("arr")).as("arr"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val est = estimate(h)
       out = if (out == null) est else out.unionAll(est)
     }
@@ -668,10 +668,10 @@ object Graph {
         col("u") =!= col("v"))
       .distinct()
     val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var labels = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("node"))
       .orderBy(col("cnt").desc, col("label"))
     for (_ <- 1 to rounds) {
@@ -682,7 +682,7 @@ object Graph {
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") === 1)
         .select(col("node"), col("label"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     labels
   }

@@ -38,19 +38,19 @@ object KCore {
       .distinct()
     var ed = e0.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val low = deg.where(col("deg") < k).select(col("src").as("n"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       if (low.count() == 0L) converged = true
       else {
         ed = ed
           .join(low.withColumnRenamed("n", "src"), Seq("src"), "left_anti")
           .join(low.withColumnRenamed("n", "dst"), Seq("dst"), "left_anti")
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         iter += 1
       }
     }

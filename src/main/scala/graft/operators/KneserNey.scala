@@ -50,9 +50,9 @@ object KneserNey {
           |  (a, b) -> named_struct('a', a, 'b', b))""".stripMargin)).as("p"))
       .groupBy(col("id"), col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val bi = docPairs.groupBy(col("a"), col("b"))
-      .agg(sum(col("c")).as("c12")).localCheckpoint(false)
+      .agg(sum(col("c")).as("c12")).localCheckpoint(true)
     val uni = bi.groupBy(col("a").as("w"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
     val nprec = bi.groupBy(col("b")).agg(count(lit(1)).as("np"))

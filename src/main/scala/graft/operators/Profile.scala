@@ -455,7 +455,7 @@ object Profile {
     val cell = df.where(col(periodCol).isNotNull)
       .groupBy(col(groupCol).as("g"), col(periodCol).as("p"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val n = broadcast(cell.select(col("p")).distinct()
       .agg(count(lit(1)).as("n_periods")))
     val sums = cell.groupBy(col("g")).agg(
@@ -499,7 +499,7 @@ object Profile {
     val census = df.where(col(tokenCol).isNotNull)
       .groupBy(col(groupCol).as("g"), col(tokenCol).as("tok"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val fof = census.groupBy(col("g"), col("c").as("r"))
       .agg(count(lit(1)).as("n_r"))
     val tot = census.groupBy(col("g"))
@@ -549,7 +549,7 @@ object Profile {
     val cell = base.groupBy(col("sc"), col("g")).agg(
         count(lit(1L)).as("n_g"), sum(yD).cast(dec).as("s_g"),
         sum((yD * yD).cast(dec)).cast(dec).as("q_g"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val tot = cell.groupBy(col("sc")).agg(
       sum(col("n_g")).as("n"), sum(col("s_g")).cast(dec).as("s"),
       sum(col("q_g")).cast(dec).as("q"))

@@ -227,7 +227,7 @@ object Ranking {
       .select(col("__p.x").as("x"), col("__p.y").as("y"))
       .where(length(col("x")) > 0 && length(col("y")) > 0)
     val census = big.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val mx = census.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
     val my = census.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
     val n = broadcast(census.agg(sum(col("c_xy")).as("__n")))
@@ -290,7 +290,7 @@ object Ranking {
         col("stop"),
         sum(when(col("stop"), 1L).otherwise(0L)).over(wCut).as("pid"))
       .where(!col("stop"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val wPhrase = Window.partitionBy(col("doc"), col("pid"))
     val members = marked.select(col("doc"), col("pid"), col("pos"),
       col("w"), count(lit(1L)).over(wPhrase).as("len"))
@@ -383,7 +383,7 @@ object Ranking {
     val toks = docs.select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val lens = toks.groupBy(col("id")).agg(count(lit(1)).as("len"))
     val qdf = query.toDF("w")
     val corpus = broadcast(toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))

@@ -185,7 +185,7 @@ object Regression {
       sum(d(col("y"))).cast(dec).as("sy"),
       sum((d(col("x")) * d(col("x"))).cast(dec)).cast(dec).as("sxx"),
       sum((d(col("x")) * d(col("y"))).cast(dec)).cast(dec).as("sxy"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val totals = broadcast(census.agg(
       sum(col("n")).as("tn"), sum(col("sx")).cast(dec).as("tsx"),
       sum(col("sy")).cast(dec).as("tsy"),
@@ -224,7 +224,7 @@ object Regression {
         col(valueCol).cast("long").as("__x"))
       .withColumn("__i", row_number().over(w).cast("long"))
       .drop("__o")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val pairs = idx.select(col(keyCol), col("__i").as("i"), col("__x").as("xi"))
       .join(idx.select(col(keyCol), col("__i").as("j"), col("__x").as("xj")), keyCol)
       .where(col("i") < col("j"))

@@ -42,11 +42,11 @@ object Selection {
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .where(length(col("tok")) > 0)
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val allDocs = df.select(col(idCol).cast("long").as("doc")).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var covered = docTok.select(col("tok")).where(lit(false))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var remaining = allDocs
     var coveredN = 0L
     val out = Seq.newBuilder[DataFrame]
@@ -59,7 +59,7 @@ object Selection {
       val win = broadcast(
         gains.orderBy(col("g").desc, col("doc")).limit(1)
           .select(col("doc").as("__d"), col("g").as("__g"))
-          .localCheckpoint(false))
+          .localCheckpoint(true))
       // the winner's gain joins the running covered total driver-free:
       // covered_total rides as a literal computed from the PREVIOUS
       // round's count — one tiny action per round on the checkpointed
@@ -73,8 +73,8 @@ object Selection {
           lit(g).as("gain"), lit(coveredN).as("covered_total"))
         covered = covered
           .unionByName(docTok.where(col("doc") === d).select(col("tok")))
-          .distinct().localCheckpoint(false)
-        remaining = remaining.where(col("doc") =!= d).localCheckpoint(false)
+          .distinct().localCheckpoint(true)
+        remaining = remaining.where(col("doc") =!= d).localCheckpoint(true)
       }
     }
     out.result().reduce(_ unionByName _)

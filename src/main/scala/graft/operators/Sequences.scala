@@ -136,7 +136,7 @@ object Sequences {
       .withColumn("__sid", sum(col("__new")).over(run))
       .select(col(keyCol), col("__sid"), col(stateCol).as("__st"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // session total rides as a broadcast 1-row scalar — no driver action
     val nSessions = broadcast(items.select(col(keyCol), col("__sid"))
       .distinct().agg(count(lit(1)).as("__ns")))
@@ -172,7 +172,7 @@ object Sequences {
   def entropyRate(df: DataFrame, keyCol: String, orderCols: Seq[Column],
       stateCol: String, iterations: Int): DataFrame = {
     val trans = transitionCensus(df, keyCol, orderCols, stateCol)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val hPerState = trans
       .groupBy(col("prev"))
       .agg(sort_array(collect_list(struct(col("curr"),

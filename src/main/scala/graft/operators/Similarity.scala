@@ -490,7 +490,7 @@ object Similarity {
         round(col("__x").cast("double") * math.pow(10, scale)).cast("long").as("__q"))
       .groupBy(col("lbl"), col("dim"))
       .agg(sum(col("__q")).as("s"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val norms = census.select(col("lbl"),
         (col("s").cast("decimal(20,0)") * col("s").cast("decimal(20,0)")).as("__sq"))
       .groupBy(col("lbl")).agg(sum(col("__sq")).as("__nn"))
@@ -795,7 +795,7 @@ object Similarity {
           .cast("long").as("qx"))
     val sums = comp.groupBy(col("lab"), col("dim"))
       .agg(sum(col("qx").cast(dec)).cast(dec).as("s"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val ns = df.where(col(vecCol).isNotNull)
       .groupBy(col(labelCol).as("lab")).agg(count(lit(1L)).as("n"))
     val norms = sums.groupBy(col("lab"))
@@ -910,7 +910,7 @@ object Similarity {
            |aggregate(sequence(1, CAST(din AS INT)), 0L,
            |  (a, i) -> a + element_at(sm, j * CAST(din AS INT) + i)
            |    * element_at(v, i)))""".stripMargin).as("p"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val b = projected.select(col("id").as("idb"), col("v").as("vb"),
       col("p").as("pb"))
     val pairs = projected
@@ -956,14 +956,14 @@ object Similarity {
           (sqrt(col("ssv").cast("double")) * sqrt(col("ssq").cast("double"))))
           .as("rel"))
       .withColumn("ms", lit(0.0))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val score = (lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms"))
     var chosen: DataFrame = null
     for (rank <- 1 to k) {
       val cj = state
         .withColumn("__score", score)
         .orderBy(col("__score").desc, col("id").asc).limit(1)
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val pick = cj.select(lit(rank).as("rank"), col("id"), col("rel"),
         col("__score").as("score"))
       chosen = if (chosen == null) pick else chosen.unionAll(pick)
@@ -977,7 +977,7 @@ object Similarity {
           greatest(col("ms"), dotP.cast("double") /
             (sqrt(col("ssv").cast("double")) * sqrt(col("pss").cast("double"))))
             .as("ms"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     chosen
   }
@@ -997,16 +997,16 @@ object Similarity {
       lit(null).cast("long").as("dist2"))
     var state = pts.crossJoin(broadcast(c1.select(col("qv").as("cv"))))
       .select(col("id"), col("qv"), dist.as("mind"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     for (j <- 2 to k) {
       val cj = state.orderBy(col("mind").desc, col("id").asc).limit(1)
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       chosen = chosen.unionAll(cj.select(lit(j).as("seed_rank"), col("id"),
         col("mind").as("dist2")))
       state = state.crossJoin(broadcast(cj.select(col("qv").as("cv"))))
         .select(col("id"), col("qv"),
           least(col("mind"), dist).as("mind"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     chosen
   }
@@ -1082,7 +1082,7 @@ object Similarity {
     val tagged = base.crossJoin(bounds)
       .select(col("id"), col("v"), zShard.as("zorder"),
         hashShard.as("hash"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     def audit(layout: String): DataFrame = {
       val s = tagged.select(col(layout).as("shard"), col("id"), col("v"))
       val kept = Dedup.capBuckets(s, Seq("shard"), capPerShard)

@@ -62,12 +62,12 @@ object Triangles {
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"),
       when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // out-neighbor adjacency per node, SORTED (arrays bounded O(√(2m))
     // by the orientation; ascending order feeds the two-pointer merge)
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // per oriented edge (u,v): common out-neighbors w close triangles
     // (u→v, u→w, v→w), each triangle found exactly once at its pivot
     // edge. The codegen'd sorted merge replaces array_intersect's
@@ -82,7 +82,7 @@ object Triangles {
       .select(col("src"), col("dst"),
         graft.functions.FastHash.sortedIntersect(col("nu"), col("nv")).as("ws"))
       .where(size(col("ws")) > 0)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
   }
 
   /** Per-node triangle participation over the undirected graph given by
@@ -92,13 +92,13 @@ object Triangles {
     * Output: (node, triangles) with a row for every node that appears
     * in an edge, zero-filled. */
   def perNode(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
-    // materialize the canonical edge set ONCE (lazy localCheckpoint —
+    // materialize the canonical edge set ONCE (eager localCheckpoint —
     // the q170/q221 lesson): e0 feeds the degree census, the
     // orientation join and (via `closed`'s three union branches) the
     // whole chain again; without the checkpoint the upstream edge
     // build re-runs per consumer (measured 15.7 s → 6.9 s for q196's
     // dense co-occurrence graph at sf0.1)
-    val e0 = canonical(edges, uCol, vCol).localCheckpoint(false)
+    val e0 = canonical(edges, uCol, vCol).localCheckpoint(true)
     val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val closed = closedTriangles(e0)
@@ -136,7 +136,7 @@ object Triangles {
         greatest(col(uCol), col(vCol)).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val wedges = deg.agg(count(lit(1)).as("n_nodes"),
@@ -196,13 +196,13 @@ object Triangles {
   def kTruss(edges: DataFrame, uCol: String, vCol: String, k: Int,
       maxIter: Int = 30): DataFrame = {
     require(k >= 3, s"k must be >= 3 for a non-trivial truss: $k")
-    var e = canonical(edges, uCol, vCol).localCheckpoint(false)
+    var e = canonical(edges, uCol, vCol).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val sup = support(e)
       val kept = sup.where(col("sup") >= k - 2L)
-        .select(col("u"), col("v")).localCheckpoint(false)
+        .select(col("u"), col("v")).localCheckpoint(true)
       val (nKept, nPrev) = (kept.count(), e.count())
       if (nKept == nPrev) converged = true
       else { e = kept; iter += 1 }

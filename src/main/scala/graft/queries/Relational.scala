@@ -722,11 +722,11 @@ object Relational {
   def q220CmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select($"l_suppkey")
     // self-estimate: the SAME sketch feeds both sides of the cell join —
-    // materialize once (lazy localCheckpoint; the sketch is O(cells),
+    // materialize once (eager localCheckpoint; the sketch is O(cells),
     // the build is the row-scale explode+census worth sharing)
     val sk = graft.operators.Sketches
       .cmsBuild(li, "l_suppkey", depth = 4, width = 512)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val est = graft.operators.Sketches.cmsJoinSize(sk, sk, depth = 4)
       .select($"join_size_est".cast("long").as("join_size_est"))
     val truth = li.groupBy($"l_suppkey").agg(count(lit(1)).as("c"))

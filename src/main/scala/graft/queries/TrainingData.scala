@@ -2289,7 +2289,7 @@ object TrainingData {
     val toks = docs(spark, dir)
       .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
     val tokCounts = toks.groupBy($"tok").agg(count(lit(1)).as("true_count"))
-      .localCheckpoint(false) // vocabulary-sized; reused by sketch + exact
+      .localCheckpoint(true) // vocabulary-sized; reused by sketch + exact
     val sketch = graft.operators.Sketches.cmsBuildWeighted(
       tokCounts, "tok", "true_count", depth = 4, width = 512)
     val probes = toks.where($"doc_id" < 3).select($"tok").distinct()
