@@ -588,6 +588,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("Exchange SinglePartition".r.findAllIn(p).isEmpty, p.take(1200))
   }
 
+  test("q395: the z-order audit pair join is a shard equi-join under " +
+      "the per-shard cap — no cartesian, cap windows keyed by shard") {
+    val p = physical("q395_zorder_locality")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the capBuckets count window partitions by the shard key; the only
+    // windows in the plan are those cap counters — never global
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(_.contains("shard")),
+      windowLines.mkString("\n"))
+  }
+
   test("q413: the LOGO ratio board reads ONLY the checkpointed group " +
       "census — no second parquet scan of lineitem") {
     val p = physical("q413_logo_influence")
