@@ -443,6 +443,7 @@ object SparkEntry {
     "q416_attribution"      -> (T.q416Attribution(_, _)),
     "q417_rmst"             -> (T.q417Rmst(_, _)),
     "q418_ece"              -> (T.q418Ece(_, _)),
+    "q419_adamic_adar"      -> (R.q419AdamicAdar(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -6744,6 +6745,41 @@ object SparkEntry {
         |    CAST(round(CAST(CAST(mi / ha AS VARCHAR) AS DECIMAL(38,20)), 6)
         |      AS DOUBLE) END AS u_a_given_b
         |FROM raw""".stripMargin,
+    // q419: the q222 wedge census carrying pivot degrees; AA/RA terms
+    // fold in pivot order via seedless list_reduce; ranks compare the
+    // bit-identical pinned AA doubles, tie-broken (u, v)
+    "q419_adamic_adar" ->
+      """WITH pts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+        |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |ed AS (SELECT u AS p, v AS x FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT p AS n, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM ed GROUP BY p),
+        |pv AS (SELECT ed.p, ed.x, deg.d FROM ed JOIN deg ON ed.p = deg.n),
+        |w AS (SELECT a.x AS u, b.x AS v, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    list(struct_pack(p := a.p, deg := a.d) ORDER BY a.p) AS pl
+        |  FROM pv a JOIN pv b ON a.p = b.p AND a.x < b.x
+        |  GROUP BY a.x, b.x),
+        |cand AS (SELECT w.* FROM w LEFT JOIN e ON w.u = e.u AND w.v = e.v
+        |  WHERE e.u IS NULL),
+        |sc AS (SELECT u, v, cn,
+        |    list_reduce(list_transform(pl,
+        |      e -> 1.0 / ln(CAST(e.deg AS DOUBLE))), (x, y) -> x + y)
+        |      AS aa,
+        |    list_reduce(list_transform(pl,
+        |      e -> 1.0 / CAST(e.deg AS DOUBLE)), (x, y) -> x + y) AS ra
+        |  FROM cand),
+        |top AS (SELECT *, row_number() OVER (ORDER BY aa DESC, u, v)
+        |    AS rk
+        |  FROM sc ORDER BY aa DESC, u, v LIMIT 20)
+        |SELECT CAST(rk AS BIGINT) AS rank, u AS part_u, v AS part_v, cn,
+        |  CAST(round(CAST(CAST(aa AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS adamic_adar,
+        |  CAST(round(CAST(CAST(ra AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS resource_alloc
+        |FROM top""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

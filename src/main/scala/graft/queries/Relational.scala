@@ -793,6 +793,33 @@ object Relational {
       .select($"n", $"r", $"c", round($"chi2", 6).as("chi2"),
         round($"v", 6).as("v"))
 
+  /** q419 — Adamic–Adar link prediction ([[graft.operators.LinkPred
+    * .weightedScores]]): q222's co-purchase candidates re-ranked by
+    * degree-weighted evidence — a shared niche part certifies the pair
+    * far more than a shared bestseller (1/ln deg per pivot, plus the
+    * resource-allocation 1/deg variant). Rank order compares the
+    * bit-identical pinned AA folds, tie-broken (u, v). */
+  def q419AdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
+      .select($"p_partkey")
+    val op = Tables.lineitem(spark, dir)
+      .join(pts, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = op.select($"ok", $"pk".as("u"))
+      .join(op.select($"ok", $"pk".as("v")), "ok")
+      .where($"u" < $"v")
+      .select($"u", $"v")
+    val scored = graft.operators.LinkPred.weightedScores(edges, "u", "v")
+    // TakeOrderedAndProject bounds the sort at 20 rows; the rank window
+    // then orders those 20 only (single partition of a constant size)
+    scored.orderBy($"adamic_adar".desc, $"u", $"v").limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"adamic_adar".desc, $"u", $"v")).cast("long"))
+      .select($"rank", $"u".as("part_u"), $"v".as("part_v"), $"cn",
+        round($"adamic_adar", 6).as("adamic_adar"),
+        round($"resource_alloc", 6).as("resource_alloc"))
+  }
+
   /** q415 — Theil's uncertainty coefficient ([[graft.operators
     * .Divergence.theilsU]]): the DIRECTIONAL association on the q237/
     * q295 priority×status pair — what fraction of status's entropy

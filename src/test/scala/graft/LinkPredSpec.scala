@@ -74,4 +74,29 @@ class LinkPredSpec extends AnyFunSuite with SparkFixture {
     assert(full((1L, 3L)) === 2L && cap((1L, 3L)) === 1L) // hub pivot dropped
     cap.foreach { case (k, v) => assert(v <= full(k)) }
   }
+
+  test("weightedScores: hand Adamic-Adar/RA values; a niche pivot " +
+      "certifies more than a hub; square graph doubles the terms") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]) =
+      LinkPred.weightedScores(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getAs[Double]("adamic_adar"),
+            r.getAs[Double]("resource_alloc")))).toMap
+    // path 1-2-3: pivot 2 has degree 2 -> AA = 1/ln2, RA = 1/2
+    val path = run(Seq((1L, 2L), (2L, 3L)))
+    val (cn, aa, ra) = path((1L, 3L))
+    assert(cn == 1L && ra == 0.5)
+    assert(math.abs(aa - 1.0 / math.log(2.0)) < 1e-15)
+    // square 1-2-3-4-1: (1,3) via pivots 2 and 4 (deg 2 each)
+    val sq = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(math.abs(sq((1L, 3L))._2 - 2.0 / math.log(2.0)) < 1e-15)
+    assert(sq((1L, 3L))._3 == 1.0)
+    // hub discrimination: a degree-4 hub pivot scores its pairs BELOW
+    // a degree-2 niche pivot's pair
+    val mixed = run(Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L),
+      (5L, 7L), (6L, 7L)))
+    assert(mixed((5L, 6L))._2 > mixed((1L, 2L))._2)
+    assert(math.abs(mixed((1L, 2L))._2 - 1.0 / math.log(4.0)) < 1e-15)
+  }
 }
