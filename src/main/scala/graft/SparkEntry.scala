@@ -444,6 +444,9 @@ object SparkEntry {
     "q417_rmst"             -> (T.q417Rmst(_, _)),
     "q418_ece"              -> (T.q418Ece(_, _)),
     "q419_adamic_adar"      -> (R.q419AdamicAdar(_, _)),
+    "q420_brown_forsythe"   -> (T.q420BrownForsythe(_, _)),
+    "q421_bartlett"         -> (T.q421Bartlett(_, _)),
+    "q422_g_test"           -> (T.q422GTest(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -6780,6 +6783,131 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(ra AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS resource_alloc
         |FROM top""".stripMargin,
+    // q420: doubled-median deviations keep the census integer; the one
+    // float fold replays anovaF's group-ordered list_reduce; order-stat
+    // rows picked by rn among ties leave the selected VALUES pinned
+    "q420_brown_forsythe" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS VARCHAR) AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT sc, g, y,
+        |    row_number() OVER (PARTITION BY sc, g ORDER BY y) AS rn,
+        |    count(*) OVER (PARTITION BY sc, g) AS ng FROM e),
+        |m AS (SELECT sc, g,
+        |    CASE WHEN count(*) = 1 THEN 2 * min(y) ELSE sum(y) END AS m2
+        |  FROM r WHERE rn = (ng + 1) // 2 OR rn = (ng + 2) // 2
+        |  GROUP BY 1, 2),
+        |z AS (SELECT e.sc, e.g, abs(2 * e.y - m.m2) AS z
+        |  FROM e JOIN m ON e.sc = m.sc AND e.g = m.g),
+        |c AS (SELECT sc, g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(z) AS HUGEINT) AS sg,
+        |    sum(CAST(z AS HUGEINT) * z) AS qg FROM z GROUP BY 1, 2),
+        |p AS (SELECT sc, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS HUGEINT) AS s, CAST(sum(qg) AS HUGEINT) AS q,
+        |    list(struct_pack(sgd := CAST(sg AS DOUBLE),
+        |      ngd := CAST(ng AS DOUBLE)) ORDER BY g) AS cells
+        |  FROM c GROUP BY 1),
+        |b AS (SELECT sc, k, n, s, q,
+        |    list_reduce(list_transform(cells, x -> x.sgd * x.sgd / x.ngd),
+        |      (acc, t) -> acc + t) AS between FROM p),
+        |f AS (SELECT sc, k, n,
+        |    between - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(q AS DOUBLE) - between AS ssw FROM b)
+        |SELECT sc AS event_type, k, n,
+        |  CASE WHEN k > 1 AND n > k AND ssw <> 0 THEN
+        |    CAST(round(CAST(CAST((ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(n - k AS DOUBLE)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS w
+        |FROM f""".stripMargin,
+    // q421: exact (ng, Σy, Σy²) cells; per-cell variance one pinned
+    // division; the three group-ordered folds replay via seedless
+    // list_reduce (0.0 + x == x); ln parity per the MI precedent
+    "q421_bartlett" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS VARCHAR) AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT sc, g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(y) AS HUGEINT) AS sg,
+        |    sum(CAST(y AS HUGEINT) * y) AS qg FROM e GROUP BY 1, 2),
+        |kd AS (SELECT sc, CAST(count(*) AS BIGINT) AS k_dropped
+        |  FROM c WHERE ng < 2 GROUP BY 1),
+        |k2 AS (SELECT sc, g, ng,
+        |    CAST(ng * qg - sg * sg AS DOUBLE)
+        |      / CAST(ng * (ng - 1) AS DOUBLE) AS s2
+        |  FROM c WHERE ng >= 2),
+        |p AS (SELECT sc, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    list(struct_pack(ngd := CAST(ng AS DOUBLE), s2 := s2)
+        |      ORDER BY g) AS cells
+        |  FROM k2 GROUP BY 1),
+        |f AS (SELECT sc, k, n,
+        |    list_reduce(list_transform(cells, x -> (x.ngd - 1.0) * x.s2),
+        |      (a, t) -> a + t) AS sw,
+        |    list_reduce(list_transform(cells, x -> (x.ngd - 1.0) * ln(x.s2)),
+        |      (a, t) -> a + t) AS sl,
+        |    list_reduce(list_transform(cells, x -> 1.0 / (x.ngd - 1.0)),
+        |      (a, t) -> a + t) AS sh,
+        |    list_min(list_transform(cells, x -> x.s2)) AS mins2
+        |  FROM p),
+        |t AS (SELECT sc, k, n, mins2,
+        |    sw / CAST(n - k AS DOUBLE) AS sp2, sl, sh,
+        |    CAST(n - k AS DOUBLE) AS nk,
+        |    1.0 + (sh - 1.0 / CAST(n - k AS DOUBLE))
+        |      / (3.0 * CAST(k - 1 AS DOUBLE)) AS cc
+        |  FROM f)
+        |SELECT t.sc AS event_type, k,
+        |  coalesce(kd.k_dropped, 0) AS k_dropped, n,
+        |  CASE WHEN k >= 2 AND mins2 > 0 THEN
+        |    CAST(round(CAST(CAST(sp2 AS VARCHAR) AS DECIMAL(38,20)), 4)
+        |    AS DOUBLE) END AS sp2,
+        |  CASE WHEN k >= 2 AND mins2 > 0 THEN
+        |    CAST(round(CAST(CAST((nk * ln(sp2) - sl) / cc AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS chi2,
+        |  k - 1 AS df
+        |FROM t LEFT JOIN kd ON t.sc = kd.sc""".stripMargin,
+    // q422: observed-cell-only o·ln(o·N/e) fold in (a, b) order; the
+    // even-df survival p replays q356's prepended-seed Poisson series
+    "q422_g_test" ->
+      """WITH cells AS (SELECT event_type AS a,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS cab FROM events GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |t AS (SELECT cells.a, cells.b,
+        |    CAST(cab AS DOUBLE) * ln(CAST(cab AS DOUBLE)
+        |      * CAST((SELECT sum(cab) FROM cells) AS DOUBLE)
+        |      / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) AS term
+        |  FROM cells JOIN ma USING (a) JOIN mb USING (b)),
+        |f AS (SELECT list(term ORDER BY a, b) AS terms,
+        |    (SELECT CAST(sum(cab) AS BIGINT) FROM cells) AS n,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ma) AS r,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mb) AS c
+        |  FROM t),
+        |g AS (SELECT n, r, c, CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+        |    2.0 * list_reduce(terms, (x, y) -> x + y) AS g
+        |  FROM f),
+        |h AS (SELECT n, r, c, df, g,
+        |    greatest(g, 0.0) / 2.0 AS hh, df // 2 AS m FROM g),
+        |p AS (SELECT n, r, c, df, g,
+        |    CASE WHEN df % 2 = 0 AND df > 0 THEN
+        |      exp(-hh) * list_reduce(list_prepend(
+        |        struct_pack(s := CAST(1.0 AS DOUBLE), t := CAST(1.0 AS DOUBLE)),
+        |        list_transform(range(1, m), k -> struct_pack(
+        |          s := hh / CAST(k AS DOUBLE), t := hh / CAST(k AS DOUBLE)))),
+        |        (acc, x) -> struct_pack(
+        |          s := acc.s + acc.t * x.t, t := acc.t * x.t)).s
+        |    END AS pv
+        |  FROM h)
+        |SELECT n, r, c, df,
+        |  CAST(round(CAST(CAST(g AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS g,
+        |  CAST(round(CAST(CAST(pv AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p_value
+        |FROM p""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

@@ -846,4 +846,66 @@ object Divergence {
       .select(col("n"), col("r"), col("c"), col("df"), col("chi2"),
         (exp(-col("__h")) * col("__series")).as("p_value"))
   }
+
+  /** G-test of independence (log-likelihood ratio) — the
+    * information-theoretic twin of [[chiSquareIndependence]]:
+    *   G = 2·Σ_cells o·ln(o / e) = 2·N·MI(nats),
+    * asymptotically χ²((r−1)(c−1)) like Pearson's χ² but additive
+    * across partitions of a table (a decomposition Pearson lacks) and
+    * better behaved when o/e is far from 1. EMPTY cells contribute
+    * exactly 0 (lim x·ln x = 0), so the fold runs over the
+    * observed-cell census only — never the full r×c grid.
+    *
+    * Exactness: cell/marginal counts are exact integers; each cell
+    * term is o·ln(o·N/(rowtot·coltot)) with one ln (the
+    * [[mutualInformation]] ln-parity story); the one order-sensitive
+    * float sum folds in (a, b) cell order over the bounded sorted
+    * collect. The even-df exact survival p reuses
+    * [[chiSquareIndependence]]'s seeded Poisson-sum fold; odd df
+    * yields a null p with a loud df column.
+    *
+    * Scale shape: one (a, b) census, marginal re-aggregations,
+    * broadcast scalars; the p-fold runs on ONE row. Output one row:
+    * (n, r, c, df, g, p_value). */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("cab"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    val n = cells.agg(sum(col("cab")).as("n"))
+    val r = ma.agg(count(lit(1)).as("r"))
+    val c = mb.agg(count(lit(1)).as("c"))
+    val terms = cells.join(ma, "a").join(mb, "b").crossJoin(broadcast(n))
+      .select(col("a"), col("b"),
+        (col("cab").cast("double") *
+          log((col("cab").cast("double") * col("n").cast("double")) /
+            (col("ca").cast("double") * col("cb").cast("double"))))
+          .as("term"))
+    val folded = terms
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("term"))))
+        .as("ts"))
+      .select(aggregate(col("ts"), lit(0.0d),
+        (acc, t) => acc + t.getField("term")).as("sterm"))
+    val base = folded.crossJoin(broadcast(n)).crossJoin(broadcast(r))
+      .crossJoin(broadcast(c))
+      .select(col("n"), col("r"), col("c"),
+        ((col("r") - 1L) * (col("c") - 1L)).as("df"),
+        (lit(2.0) * col("sterm")).as("g"))
+    val half = greatest(col("g"), lit(0.0)) / lit(2.0)
+    val m = expr("df div 2")
+    val series = when(col("df") % 2L === 0L && col("df") > 0L,
+      when(col("__m") > 1L,
+        expr("""aggregate(
+          |transform(sequence(1L, __m - 1L), k -> __h / CAST(k AS DOUBLE)),
+          |named_struct('s', CAST(1.0 AS DOUBLE), 't', CAST(1.0 AS DOUBLE)),
+          |(acc, hk) -> named_struct(
+          |  's', acc.s + acc.t * hk,
+          |  't', acc.t * hk),
+          |acc -> acc.s)""".stripMargin))
+        .otherwise(lit(1.0)))
+    base.withColumn("__h", half).withColumn("__m", m)
+      .withColumn("__series", series)
+      .select(col("n"), col("r"), col("c"), col("df"), col("g"),
+        (exp(-col("__h")) * col("__series")).as("p_value"))
+  }
 }

@@ -2361,6 +2361,119 @@ object Eval {
     *
     * Scale shape: one broadcast-able forecast join, one group census.
     * Output: (g, n, qhat, over_sum, under_sum, pinball_mean). */
+  /** Brown–Forsythe homogeneity-of-variance test per scope — does the
+    * SPREAD (not the mean) of a metric differ across k groups? The
+    * robust Levene variant: score every row by its absolute deviation
+    * from the GROUP MEDIAN, then run [[anovaF]] on the deviations; a
+    * significant W says variances differ, which invalidates the
+    * equal-variance reading of [[anovaF]] itself — the test you run
+    * BEFORE trusting a pooled-variance contrast.
+    *
+    * Exactness: the group median is kept exact by DOUBLING — m2_g is
+    * the sum of the two middle order statistics (or twice the single
+    * middle one), an integer, so z = |2·y − m2_g| is an exact integer
+    * per row and the whole census stays integer until [[anovaF]]'s one
+    * float fold. Order statistics come from a (scope, group)-keyed
+    * row_number window; ties in y leave the selected VALUES (never the
+    * row identities) well-defined, so the statistic is deterministic.
+    *
+    * Scale shape: one keyed window (partitioned by (scope, group) —
+    * never global), one broadcast-able median join, then [[anovaF]]'s
+    * two census aggregations. Output: (sc, k, n, w); w null when
+    * k < 2, n ≤ k, or all deviations are identical. */
+  def brownForsythe(df: DataFrame, scopeCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"), col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("y"))
+    val w = Window.partitionBy(col("sc"), col("g")).orderBy(col("y"))
+    val sized = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ng",
+        count(lit(1)).over(Window.partitionBy(col("sc"), col("g"))))
+    val m2 = sized
+      .where(col("rn") === expr("(ng + 1) div 2") ||
+        col("rn") === expr("(ng + 2) div 2"))
+      .groupBy(col("sc"), col("g"))
+      .agg(when(count(lit(1)) === 1L, min(col("y")) * 2L)
+        .otherwise(sum(col("y"))).as("m2"))
+    val z = base.join(m2, Seq("sc", "g"))
+      .select(col("sc"), col("g"), abs(col("y") * 2L - col("m2")).as("z"))
+    anovaF(z, "sc", "g", "z")
+      .select(col("sc"), col("k"), col("n"), col("f").as("w"))
+  }
+
+  /** Bartlett's test per scope — the classical (normal-theory)
+    * homogeneity-of-variance companion to [[brownForsythe]]: more
+    * powerful when the data really are normal, famously fragile when
+    * they are not, so the two are reported as a pair. T is
+    * asymptotically χ²(k−1):
+    *   T = ((N−k)·ln S²_p − Σ_g (n_g−1)·ln S²_g) / C,
+    *   C = 1 + (Σ_g 1/(n_g−1) − 1/(N−k)) / (3(k−1)),
+    * with S²_p = Σ(n_g−1)S²_g/(N−k) the pooled variance.
+    *
+    * Contract: groups with n_g < 2 have no variance and are DROPPED
+    * loudly (k_dropped) — they leave N too, so the kept-group algebra
+    * stays internally consistent. T is null when k < 2 after drops or
+    * any kept group's variance is 0 (ln undefined).
+    *
+    * Exactness: per-(scope, group) (n, Σy, Σy²) are exact decimal
+    * sums and each S²_g is one pinned division; the three
+    * order-sensitive float folds (Σ(n_g−1)S²_g, Σ(n_g−1)·ln S²_g,
+    * Σ1/(n_g−1)) run in GROUP-KEY ORDER over a bounded sorted array
+    * (the [[anovaF]] discipline) — partition-invariant, ln-parity
+    * replayable cross-engine.
+    *
+    * Scale shape: one (scope, group) census aggregation, one scope
+    * re-aggregation; groups per scope must be census-scale. Output:
+    * (sc, k, k_dropped, n, sp2, chi2, df). */
+  def bartlettVariance(df: DataFrame, scopeCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"), col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("y"))
+    val yD = col("y").cast(dec)
+    val cell = base.groupBy(col("sc"), col("g")).agg(
+      count(lit(1)).as("ng"), sum(yD).cast(dec).as("sg"),
+      sum((yD * yD).cast(dec)).cast(dec).as("qg"))
+    val dropped = cell.where(col("ng") < 2L)
+      .groupBy(col("sc")).agg(count(lit(1)).as("k_dropped"))
+    val si2 = (col("ng").cast(dec) * col("qg") - col("sg") * col("sg"))
+      .cast(dec).cast("double") /
+      (col("ng").cast(dec) * (col("ng") - 1L).cast(dec)).cast(dec)
+        .cast("double")
+    val per = cell.where(col("ng") >= 2L)
+      .select(col("sc"), col("g"), col("ng"), si2.as("s2"))
+      .groupBy(col("sc"))
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sort_array(collect_list(struct(col("g"),
+          col("ng").cast("double").as("ngd"), col("s2")))).as("cells"))
+    // three in-order folds over the same bounded cell array (0.0-seed
+    // parity with the oracle's list_reduce)
+    val sw = aggregate(col("cells"), lit(0.0d), (a, x) =>
+      a + (x.getField("ngd") - lit(1.0)) * x.getField("s2"))
+    val sl = aggregate(col("cells"), lit(0.0d), (a, x) =>
+      a + (x.getField("ngd") - lit(1.0)) * log(x.getField("s2")))
+    val sh = aggregate(col("cells"), lit(0.0d), (a, x) =>
+      a + lit(1.0) / (x.getField("ngd") - lit(1.0)))
+    val minS2 = array_min(transform(col("cells"), x => x.getField("s2")))
+    def dd(c: Column): Column = c.cast("double")
+    val nk = dd(col("n") - col("k"))
+    val sp2 = col("__sw") / nk
+    val cc = lit(1.0) + (col("__sh") - lit(1.0) / nk) /
+      (lit(3.0) * dd(col("k") - 1L))
+    val ok = col("k") >= 2L && col("__min_s2") > 0.0
+    per.join(dropped, Seq("sc"), "left")
+      .withColumn("__sw", sw).withColumn("__sl", sl)
+      .withColumn("__sh", sh).withColumn("__min_s2", minS2)
+      .select(col("sc"), col("k"),
+        coalesce(col("k_dropped"), lit(0L)).as("k_dropped"), col("n"),
+        when(ok, sp2).as("sp2"),
+        when(ok, (nk * log(sp2) - col("__sl")) / cc).as("chi2"),
+        (col("k") - 1L).as("df"))
+  }
+
   def pinballLoss(actuals: DataFrame, forecasts: DataFrame,
       groupCol: String, valueCol: String, qhatCol: String,
       tauNum: Long, tauDen: Long): DataFrame = {

@@ -2037,4 +2037,43 @@ object TimeSeries {
       .select($"g".as("event_type"), $"n", $"n_buckets",
         round($"ece", 6).as("ece"))
   }
+
+  /** q420 — Brown–Forsythe homogeneity of variance ([[graft.operators
+    * .Eval.brownForsythe]]): per event type, does the SPREAD of value
+    * cents differ across the day-of-week groups — the robust-Levene
+    * precondition check for q336's pooled-variance ANOVA; doubled
+    * exact group medians keep the deviation census integer. */
+  def q420BrownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      dayofweek(to_date($"ts")).cast("long").as("dow"),
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Eval.brownForsythe(s, "event_type", "dow", "cents")
+      .select($"sc".as("event_type"), $"k", $"n", round($"w", 6).as("w"))
+  }
+
+  /** q421 — Bartlett's variance test ([[graft.operators.Eval
+    * .bartlettVariance]]): the normal-theory companion to q420 on the
+    * same (event type × day-of-week) design — T ~ χ²(k−1) from the
+    * pooled-vs-per-group log-variance contrast, exact moment censuses
+    * under the three group-ordered folds. */
+  def q421Bartlett(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      dayofweek(to_date($"ts")).cast("long").as("dow"),
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Eval.bartlettVariance(s, "event_type", "dow", "cents")
+      .select($"sc".as("event_type"), $"k", $"k_dropped", $"n",
+        round($"sp2", 4).as("sp2"), round($"chi2", 6).as("chi2"), $"df")
+  }
+
+  /** q422 — G-test of independence ([[graft.operators.Divergence
+    * .gTest]]): event type × day-of-week on the q356 design — the
+    * log-likelihood-ratio twin of Pearson's χ² (2·N·MI nats), with the
+    * same even-df exact Poisson-sum survival p. */
+  def q422GTest(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      dayofweek(to_date($"ts")).cast("int").as("dow"))
+    graft.operators.Divergence.gTest(s, "event_type", "dow")
+      .select($"n", $"r", $"c", $"df", round($"g", 6).as("g"),
+        round($"p_value", 6).as("p_value"))
+  }
 }

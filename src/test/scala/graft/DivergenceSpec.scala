@@ -357,4 +357,42 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(const.isNullAt(const.fieldIndex("u_a_given_b")))
     assert(math.abs(const.getAs[Double]("u_b_given_a")) < 1e-12)
   }
+
+  test("gTest: matches the local o·ln(o/e) closed form and the " +
+      "2·N·MI identity; exact independence gives G = 0, p = 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 4000).map { _ =>
+      val a = rnd.nextInt(3)
+      val b = if (rnd.nextDouble() < 0.3) a else rnd.nextInt(5)
+      ("a" + a, "b" + b)
+    }
+    val r = Divergence.gTest(rows.toDF("x", "y"), "x", "y").head()
+    assert(r.getAs[Long]("df") == 8L)
+    // local reference over the observed table
+    val cells = rows.groupBy(identity).view.mapValues(_.size).toMap
+    val ca = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val cb = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val n = rows.size.toDouble
+    val gRef = 2.0 * cells.map { case ((a, b), o) =>
+      o * math.log(o * n / (ca(a).toDouble * cb(b)))
+    }.sum
+    val g = r.getAs[Double]("g")
+    assert(math.abs(g - gRef) < 1e-9 * gRef, s"g=$g ref=$gRef")
+    // G = 2·N·MI (nats) against the MI operator
+    val mi = Divergence.mutualInformation(rows.toDF("x", "y"), "x", "y")
+      .head().getAs[Double]("mi")
+    assert(math.abs(g - 2.0 * n * mi) < 1e-6 * g)
+    // survival p from the direct series (df=8 -> m=4)
+    val h = g / 2
+    val direct = math.exp(-h) * (1 + h + h * h / 2 + h * h * h / 6)
+    assert(math.abs(r.getAs[Double]("p_value") - direct) < 1e-9)
+    // perfectly independent 2x4 product table: every o == e exactly
+    val ind = for (a <- 0 until 2; b <- 0 until 4; _ <- 0 until (a + 1))
+      yield ("a" + a, "b" + b)
+    val ri = Divergence.gTest(ind.toDF("x", "y"), "x", "y").head()
+    assert(ri.getAs[Double]("g") == 0.0)
+    assert(ri.getAs[Long]("df") == 3L) // odd df -> null p, loud df
+    assert(ri.isNullAt(ri.fieldIndex("p_value")))
+  }
 }

@@ -1097,4 +1097,90 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       loss(9L) < loss(11L),
       s"${loss(5L)} ${loss(9L)} ${loss(10L)} ${loss(11L)}")
   }
+
+  // local one-way-ANOVA-on-|2y − m2| reference for Brown–Forsythe
+  private def bfRef(groups: Seq[Seq[Long]]): Double = {
+    val z = groups.map { g =>
+      val s = g.sorted
+      val n = s.length
+      val m2 = if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+      g.map(y => math.abs(2 * y - m2).toDouble)
+    }
+    val k = z.length
+    val n = z.map(_.size).sum
+    val grand = z.flatten.sum / n
+    val ssb = z.map { g =>
+      val m = g.sum / g.size; g.size * (m - grand) * (m - grand)
+    }.sum
+    val ssw = z.map { g =>
+      val m = g.sum / g.size; g.map(x => (x - m) * (x - m)).sum
+    }.sum
+    (ssb / (k - 1)) / (ssw / (n - k))
+  }
+
+  test("brownForsythe: matches a local ANOVA-on-median-deviations " +
+    "reference on odd/even group sizes") {
+    import spark.implicits._
+    val groups = Seq(
+      Seq(1L, 2L, 3L, 4L, 100L),          // odd n, wild spread
+      Seq(10L, 11L, 12L, 13L),            // even n, tight
+      Seq(-5L, 0L, 5L, 40L, 41L, 42L))    // even n, bimodal
+    val rows = groups.zipWithIndex.flatMap { case (g, i) =>
+      g.map(y => ("s", s"g$i", y))
+    }
+    val r = Eval.brownForsythe(rows.toDF("sc", "g", "y"), "sc", "g", "y")
+      .head()
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n") == 15)
+    val w = r.getAs[Double]("w")
+    val ref = bfRef(groups)
+    assert(math.abs(w - ref) < 1e-9 * math.max(1.0, math.abs(ref)),
+      s"w=$w ref=$ref")
+    // equal spreads (shifted copies of one group) -> W == 0 exactly:
+    // every group's deviation multiset is identical
+    val eq = Seq(0L, 100L, 200L).zipWithIndex.flatMap { case (off, i) =>
+      Seq(1L, 2L, 3L, 9L).map(y => ("s", s"g$i", y + off))
+    }
+    val re = Eval.brownForsythe(eq.toDF("sc", "g", "y"), "sc", "g", "y")
+      .head()
+    assert(re.getAs[Double]("w") == 0.0)
+  }
+
+  test("bartlettVariance: matches the closed form, drops n<2 groups " +
+    "loudly, nulls on a zero-variance group") {
+    import spark.implicits._
+    val groups = Seq(
+      Seq(1L, 2L, 3L, 4L, 10L),
+      Seq(10L, 30L, 50L, 70L),
+      Seq(5L, 6L, 7L))
+    val rows = groups.zipWithIndex.flatMap { case (g, i) =>
+      g.map(y => ("s", s"g$i", y))
+    } :+ (("s", "lone", 42L))  // n=1 group: dropped, counted
+    val r = Eval.bartlettVariance(rows.toDF("sc", "g", "y"),
+      "sc", "g", "y").head()
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("k_dropped") == 1 &&
+      r.getAs[Long]("n") == 12 && r.getAs[Long]("df") == 2)
+    val k = 3; val n = 12
+    val s2 = groups.map { g =>
+      val m = g.map(_.toDouble).sum / g.size
+      g.map(x => (x - m) * (x - m)).sum / (g.size - 1)
+    }
+    val sp2 = groups.zip(s2).map { case (g, v) => (g.size - 1) * v }.sum /
+      (n - k)
+    val t = (n - k) * math.log(sp2) -
+      groups.zip(s2).map { case (g, v) => (g.size - 1) * math.log(v) }.sum
+    val c = 1.0 +
+      (groups.map(g => 1.0 / (g.size - 1)).sum - 1.0 / (n - k)) /
+        (3.0 * (k - 1))
+    val chi2 = r.getAs[Double]("chi2")
+    assert(math.abs(chi2 - t / c) < 1e-9 * math.max(1.0, math.abs(t / c)),
+      s"chi2=$chi2 ref=${t / c}")
+    assert(math.abs(r.getAs[Double]("sp2") - sp2) < 1e-9 * sp2)
+
+    // a zero-variance group -> ln undefined -> chi2/sp2 null, k intact
+    val degen = Seq(("s", "a", 1L), ("s", "a", 1L),
+      ("s", "b", 1L), ("s", "b", 2L))
+    val rd = Eval.bartlettVariance(degen.toDF("sc", "g", "y"),
+      "sc", "g", "y").head()
+    assert(rd.getAs[Long]("k") == 2 && rd.isNullAt(rd.fieldIndex("chi2")))
+  }
 }
