@@ -447,6 +447,9 @@ object SparkEntry {
     "q420_brown_forsythe"   -> (T.q420BrownForsythe(_, _)),
     "q421_bartlett"         -> (T.q421Bartlett(_, _)),
     "q422_g_test"           -> (T.q422GTest(_, _)),
+    "q423_propensity_match" -> (T.q423PropensityMatch(_, _)),
+    "q424_rdd"              -> (T.q424Rdd(_, _)),
+    "q425_iv_wald"          -> (T.q425IvWald(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -6908,6 +6911,148 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(pv AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS p_value
         |FROM p""".stripMargin,
+    // q423: per-(scope, score) exact census; nearest control score via
+    // IGNORE-NULLS frame windows (ties pinned toward the LOWER score);
+    // the one float fold runs in score order; mean control outcome at
+    // the matched score is one pinned division per cell
+    "q423_propensity_match" ->
+      """WITH b AS (SELECT event_type AS sc,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) + 1 IN (1, 7)
+        |      THEN 1 ELSE 0 END AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS s,
+        |    user_id % 1000 AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT sc, s, CAST(sum(t) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS HUGEINT) AS syt,
+        |    CAST(count(*) - sum(t) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS HUGEINT) AS syc
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT sc, s, nt, syt,
+        |    last_value(CASE WHEN nc > 0 THEN
+        |        struct_pack(cs := s, cn := nc, cy := syc) END IGNORE NULLS)
+        |      OVER (PARTITION BY sc ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS below,
+        |    first_value(CASE WHEN nc > 0 THEN
+        |        struct_pack(cs := s, cn := nc, cy := syc) END IGNORE NULLS)
+        |      OVER (PARTITION BY sc ORDER BY s
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS above
+        |  FROM c),
+        |m AS (SELECT sc, s, nt, syt,
+        |    CASE WHEN below IS NULL THEN above
+        |         WHEN above IS NULL THEN below
+        |         WHEN s - below.cs <= above.cs - s THEN below
+        |         ELSE above END AS ch
+        |  FROM w WHERE nt > 0),
+        |k AS (SELECT sc, s, nt, syt, ch,
+        |    (ch IS NOT NULL AND abs(s - ch.cs) <= 50) AS ok FROM m),
+        |p AS (SELECT sc, CAST(sum(nt) AS BIGINT) AS n_treated,
+        |    CAST(sum(CASE WHEN ok THEN nt ELSE 0 END) AS BIGINT)
+        |      AS n_matched,
+        |    CAST(sum(CASE WHEN ok THEN syt ELSE 0 END) AS HUGEINT)
+        |      AS syt_m,
+        |    list(struct_pack(ntd := CAST(nt AS DOUBLE),
+        |        ycbar := CAST(ch.cy AS DOUBLE) / CAST(ch.cn AS DOUBLE))
+        |      ORDER BY s) FILTER (WHERE ok) AS cells
+        |  FROM k GROUP BY 1),
+        |f AS (SELECT sc, n_treated, n_matched, syt_m,
+        |    list_reduce(list_transform(cells, x -> x.ntd * x.ycbar),
+        |      (a, v) -> a + v) AS sumc
+        |  FROM p)
+        |SELECT sc AS event_type, n_treated, n_matched,
+        |  n_treated - n_matched AS n_unmatched,
+        |  CASE WHEN n_matched > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(syt_m AS DOUBLE)
+        |      / CAST(n_matched AS DOUBLE) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS mean_t,
+        |  CASE WHEN n_matched > 0 THEN
+        |    CAST(round(CAST(CAST(sumc / CAST(n_matched AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END
+        |    AS mean_c_matched,
+        |  CASE WHEN n_matched > 0 THEN
+        |    CAST(round(CAST(CAST((CAST(syt_m AS DOUBLE) - sumc)
+        |      / CAST(n_matched AS DOUBLE) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS att
+        |FROM f""".stripMargin,
+    // q424: five exact HUGEINT moments per side; alpha/beta are ONE
+    // division each of exact integers — no float folds anywhere
+    "q424_rdd" ->
+      """WITH b AS (SELECT event_type AS sc,
+        |    CAST(round(value * 100) AS BIGINT) - 5000 AS u,
+        |    user_id % 1000 AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |f AS (SELECT sc, CASE WHEN u >= 0 THEN 1 ELSE 0 END AS r,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(u) AS HUGEINT) AS su,
+        |    sum(CAST(u AS HUGEINT) * u) AS suu,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(u AS HUGEINT) * y) AS suy
+        |  FROM b WHERE u BETWEEN -2000 AND 2000 GROUP BY 1, 2),
+        |s AS (SELECT sc, r, n, n * suu - su * su AS det,
+        |    sy * suu - su * suy AS anum, n * suy - su * sy AS bnum
+        |  FROM f),
+        |fit AS (SELECT sc, r, n,
+        |    CASE WHEN n >= 2 AND det <> 0 THEN
+        |      CAST(anum AS DOUBLE) / CAST(det AS DOUBLE) END AS alpha,
+        |    CASE WHEN n >= 2 AND det <> 0 THEN
+        |      CAST(bnum AS DOUBLE) / CAST(det AS DOUBLE) END AS beta
+        |  FROM s),
+        |l AS (SELECT sc, n AS n_l, alpha AS alpha_l, beta AS slope_l
+        |  FROM fit WHERE r = 0),
+        |rr AS (SELECT sc, n AS n_r, alpha AS alpha_r, beta AS slope_r
+        |  FROM fit WHERE r = 1)
+        |SELECT coalesce(l.sc, rr.sc) AS event_type,
+        |  coalesce(n_l, 0) AS n_l, coalesce(n_r, 0) AS n_r,
+        |  CAST(round(CAST(CAST(alpha_l AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS alpha_l,
+        |  CAST(round(CAST(CAST(alpha_r AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS alpha_r,
+        |  CAST(round(CAST(CAST(slope_l AS VARCHAR) AS DECIMAL(38,20)), 8)
+        |    AS DOUBLE) AS slope_l,
+        |  CAST(round(CAST(CAST(slope_r AS VARCHAR) AS DECIMAL(38,20)), 8)
+        |    AS DOUBLE) AS slope_r,
+        |  CAST(round(CAST(CAST(alpha_r - alpha_l AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS effect
+        |FROM l FULL JOIN rr ON l.sc = rr.sc""".stripMargin,
+    // q425: nine exact HUGEINT moments; every reported slope/ratio is
+    // one division of exact n·Σab − Σa·Σb forms
+    "q425_iv_wald" ->
+      """WITH b AS (SELECT event_type AS sc,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) + 1 IN (1, 7)
+        |      THEN 1 ELSE 0 END AS z,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    user_id % 1000 AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(z) AS HUGEINT) AS sz, CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(z AS HUGEINT) * x) AS szx,
+        |    sum(CAST(z AS HUGEINT) * y) AS szy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY 1),
+        |v AS (SELECT sc, n,
+        |    n * szx - sz * sx AS czx, n * szy - sz * sy AS czy,
+        |    n * sxy - sx * sy AS cxy, n * szz - sz * sz AS vz,
+        |    n * sxx - sx * sx AS vx FROM g)
+        |SELECT sc AS event_type, n,
+        |  CASE WHEN vz <> 0 THEN
+        |    CAST(round(CAST(CAST(CAST(czx AS DOUBLE) / CAST(vz AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE) END
+        |    AS first_stage,
+        |  CASE WHEN vz <> 0 THEN
+        |    CAST(round(CAST(CAST(CAST(czy AS DOUBLE) / CAST(vz AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE) END
+        |    AS reduced_form,
+        |  CASE WHEN czx <> 0 THEN
+        |    CAST(round(CAST(CAST(CAST(czy AS DOUBLE) / CAST(czx AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END
+        |    AS beta_iv,
+        |  CASE WHEN vx <> 0 THEN
+        |    CAST(round(CAST(CAST(CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE) END
+        |    AS beta_ols
+        |FROM v""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Observational causal-effect estimators beyond the stratification
+  * family ([[Eval.stratifiedAte]] / [[Eval.cuped]] /
+  * [[Eval.diffInDiff]]): score matching, discontinuity, and
+  * instrumental variables — the three classic identification
+  * strategies, each re-expressed as an exact census so the estimate is
+  * partition-invariant and oracle-replayable.
+  *
+  * Design doctrine (the q105 lesson): nothing here sorts or windows
+  * row-scale data. Matching collapses to a per-(scope, score) census
+  * first and matches SCORES, not rows; RDD and IV are pure moment
+  * censuses. */
+object Causal {
+
+  /** Nearest-score matching ATT — match every treated unit to the
+    * closest CONTROL SCORE and impute the mean control outcome at that
+    * score:
+    *   ATT = Σ_s [Σy_T(s) − n_T(s)·ȳ_C(s*)] / N_T,
+    * where s* is the control score nearest s (ties broken toward the
+    * LOWER score, a pinned rule) and matches with |s − s*| > caliper
+    * are dropped loudly (n_unmatched).
+    *
+    * This is 1-NN matching with replacement, made deterministic and
+    * scale-safe: classic row-level 1-NN picks an ARBITRARY control
+    * among equals (non-deterministic under parallelism) and needs a
+    * row-scale sort; collapsing to the score census first makes the
+    * match a window over DISTINCT scores per scope (the [[Eval.auc]]
+    * discretization story — callers discretize continuous scores for
+    * exactly this reason) and replaces "an arbitrary tied control"
+    * with "the mean control outcome at the matched score", which is
+    * the better estimator anyway.
+    *
+    * Exactness: score/outcome are integer-cast; per-score
+    * (n_T, Σy_T, n_C, Σy_C) are exact sums; ȳ_C(s*) is one pinned
+    * division; the cross-score sum folds in SCORE ORDER over a
+    * bounded sorted array. Output per scope: (sc, n_treated,
+    * n_matched, n_unmatched, mean_t, mean_c_matched, att); att null
+    * when no treated row matches. */
+  def nearestScoreMatch(df: DataFrame, scopeCol: String,
+      isTreated: Column, scoreCol: String, valueCol: String,
+      caliper: Long): DataFrame = {
+    require(caliper >= 0L, s"caliper must be >= 0, got $caliper")
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(scoreCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"),
+        when(isTreated, 1L).otherwise(0L).as("t"),
+        col(scoreCol).cast("long").as("s"),
+        col(valueCol).cast("long").as("y"))
+    val census = base.groupBy(col("sc"), col("s")).agg(
+      sum(col("t")).as("nt"),
+      sum(when(col("t") === 1L, col("y")).otherwise(0L).cast(dec))
+        .cast(dec).as("syt"),
+      sum(lit(1L) - col("t")).as("nc"),
+      sum(when(col("t") === 0L, col("y")).otherwise(0L).cast(dec))
+        .cast(dec).as("syc"))
+    val w = Window.partitionBy(col("sc")).orderBy(col("s"))
+    val ctrl = when(col("nc") > 0L,
+      struct(col("s").as("cs"), col("nc").as("cn"), col("syc").as("cy")))
+    // nearest control score at-or-below / above the current score; a
+    // score row with its own controls matches itself at distance 0
+    val below = last(ctrl, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val above = first(ctrl, ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    val scored = census
+      .withColumn("below", below).withColumn("above", above)
+      .where(col("nt") > 0L)
+    val dBelow = col("s") - col("below.cs")
+    val dAbove = col("above.cs") - col("s")
+    val chosen = when(col("below").isNull, col("above"))
+      .when(col("above").isNull, col("below"))
+      .when(dBelow <= dAbove, col("below"))
+      .otherwise(col("above"))
+    val dist = abs(col("s") - col("chosen.cs"))
+    val matched = scored.withColumn("chosen", chosen)
+      .withColumn("ok", col("chosen").isNotNull && dist <= lit(caliper))
+    val per = matched.groupBy(col("sc")).agg(
+      sum(col("nt")).as("n_treated"),
+      sum(when(col("ok"), col("nt")).otherwise(0L)).as("n_matched"),
+      sum(when(col("ok"), col("syt")).otherwise(lit(0).cast(dec)))
+        .cast(dec).as("syt_m"),
+      sort_array(collect_list(when(col("ok"),
+        struct(col("s"),
+          col("nt").cast("double").as("ntd"),
+          (col("chosen.cy").cast("double") /
+            col("chosen.cn").cast("double")).as("ycbar"))))).as("cells"))
+    // Σ_s n_T(s)·ȳ_C(s*) folded in score order (0.0-seed parity)
+    val sumC = aggregate(col("cells"), lit(0.0d),
+      (a, x) => a + x.getField("ntd") * x.getField("ycbar"))
+    def dd(c: Column): Column = c.cast("double")
+    val nm = col("n_matched")
+    per.withColumn("__sc", sumC)
+      .select(col("sc"), col("n_treated"), nm.as("n_matched"),
+        (col("n_treated") - nm).as("n_unmatched"),
+        when(nm > 0L, dd(col("syt_m")) / dd(nm)).as("mean_t"),
+        when(nm > 0L, col("__sc") / dd(nm)).as("mean_c_matched"),
+        when(nm > 0L, (dd(col("syt_m")) - col("__sc")) / dd(nm)).as("att"))
+  }
+
+  /** Sharp regression-discontinuity effect — local linear fits on each
+    * side of a cutoff within a bandwidth, effect = the jump between
+    * the two fitted intercepts AT the cutoff:
+    *   left:  c−h ≤ x < c,  right: c ≤ x ≤ c+h,  u = x − c,
+    *   α = (Σy·Σu² − Σu·Σuy) / (n·Σu² − (Σu)²),
+    *   β = (n·Σuy − Σu·Σy) / (n·Σu² − (Σu)²).
+    * The comparison a naive above-vs-below mean difference gets wrong
+    * whenever the outcome trends in x (the trend leaks into the
+    * difference; the local-linear intercepts subtract it out).
+    *
+    * Exactness: u and y are integers; all five moments per side are
+    * exact decimal sums; each of α/β is ONE division of exact
+    * decimals — no order-sensitive float fold at all. Output one row
+    * per scope: (sc, n_l, n_r, alpha_l, alpha_r, slope_l, slope_r,
+    * effect); a side with a singular design (n < 2 or constant u)
+    * nulls its fit and the effect. */
+  def regressionDiscontinuity(df: DataFrame, scopeCol: String,
+      runCol: String, valueCol: String, cutoff: Long,
+      bandwidth: Long): DataFrame = {
+    require(bandwidth > 0L, s"bandwidth must be > 0, got $bandwidth")
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(runCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"),
+        (col(runCol).cast("long") - lit(cutoff)).as("u"),
+        col(valueCol).cast("long").as("y"))
+      .where(col("u") >= -bandwidth && col("u") <= bandwidth)
+      .withColumn("r", when(col("u") >= 0L, 1L).otherwise(0L))
+    val uD = col("u").cast(dec); val yD = col("y").cast(dec)
+    val sides = base.groupBy(col("sc"), col("r")).agg(
+      count(lit(1)).as("n"), sum(uD).cast(dec).as("su"),
+      sum((uD * uD).cast(dec)).cast(dec).as("suu"),
+      sum(yD).cast(dec).as("sy"),
+      sum((uD * yD).cast(dec)).cast(dec).as("suy"))
+    def dd(c: Column): Column = c.cast("double")
+    val det = (col("n").cast(dec) * col("suu") - col("su") * col("su"))
+      .cast(dec)
+    val alpha = (col("sy") * col("suu") - col("su") * col("suy")).cast(dec)
+      .cast("double") / dd(det)
+    val beta = (col("n").cast(dec) * col("suy") - col("su") * col("sy"))
+      .cast(dec).cast("double") / dd(det)
+    val fit = sides.select(col("sc"), col("r"), col("n"),
+      when(col("n") >= 2L && det =!= lit(0).cast(dec), alpha).as("alpha"),
+      when(col("n") >= 2L && det =!= lit(0).cast(dec), beta).as("beta"))
+    val l = fit.where(col("r") === 0L).select(col("sc"),
+      col("n").as("n_l"), col("alpha").as("alpha_l"),
+      col("beta").as("slope_l"))
+    val r = fit.where(col("r") === 1L).select(col("sc"),
+      col("n").as("n_r"), col("alpha").as("alpha_r"),
+      col("beta").as("slope_r"))
+    l.join(r, Seq("sc"), "full")
+      .select(col("sc"), coalesce(col("n_l"), lit(0L)).as("n_l"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"),
+        col("alpha_l"), col("alpha_r"), col("slope_l"), col("slope_r"),
+        (col("alpha_r") - col("alpha_l")).as("effect"))
+  }
+
+  /** Instrumental-variable (Wald) estimator — when treatment x is
+    * confounded but an instrument z moves x and touches y ONLY through
+    * x, the effect is the ratio of reduced-form to first-stage
+    * covariances:
+    *   β_IV = cov(z, y) / cov(z, x),
+    * reported next to both covariance slopes so a WEAK instrument
+    * (first stage ≈ 0, where β_IV explodes) is visible, with the naive
+    * OLS slope cov(x, y)/var(x) alongside for the confounding gap.
+    *
+    * Exactness: x/y/z are integer-cast; all moments are exact decimal
+    * sums; every reported number is ONE division of exact decimals
+    * (n·Σab − Σa·Σb forms) — no float folds. Output one row per
+    * scope: (sc, n, first_stage, reduced_form, beta_iv, beta_ols);
+    * β_IV null when the first stage is exactly 0, slopes null when
+    * their denominator variance is 0. */
+  def ivWald(df: DataFrame, scopeCol: String, instrumentCol: String,
+      treatCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(instrumentCol).isNotNull && col(treatCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"),
+        col(instrumentCol).cast("long").as("z"),
+        col(treatCol).cast("long").as("x"),
+        col(valueCol).cast("long").as("y"))
+    val zD = col("z").cast(dec); val xD = col("x").cast(dec)
+    val yD = col("y").cast(dec)
+    val g = base.groupBy(col("sc")).agg(
+      count(lit(1)).as("n"), sum(zD).cast(dec).as("sz"),
+      sum(xD).cast(dec).as("sx"), sum(yD).cast(dec).as("sy"),
+      sum((zD * zD).cast(dec)).cast(dec).as("szz"),
+      sum((xD * xD).cast(dec)).cast(dec).as("sxx"),
+      sum((zD * xD).cast(dec)).cast(dec).as("szx"),
+      sum((zD * yD).cast(dec)).cast(dec).as("szy"),
+      sum((xD * yD).cast(dec)).cast(dec).as("sxy"))
+    val nD = col("n").cast(dec)
+    def cv(sab: Column, sa: Column, sb: Column): Column =
+      (nD * sab - sa * sb).cast(dec)
+    def dd(c: Column): Column = c.cast("double")
+    val czx = cv(col("szx"), col("sz"), col("sx"))
+    val czy = cv(col("szy"), col("sz"), col("sy"))
+    val cxy = cv(col("sxy"), col("sx"), col("sy"))
+    val vz = cv(col("szz"), col("sz"), col("sz"))
+    val vx = cv(col("sxx"), col("sx"), col("sx"))
+    val zero = lit(0).cast(dec)
+    g.select(col("sc"), col("n"),
+      when(vz =!= zero, dd(czx) / dd(vz)).as("first_stage"),
+      when(vz =!= zero, dd(czy) / dd(vz)).as("reduced_form"),
+      when(czx =!= zero, dd(czy) / dd(czx)).as("beta_iv"),
+      when(vx =!= zero, dd(cxy) / dd(vx)).as("beta_ols"))
+  }
+}

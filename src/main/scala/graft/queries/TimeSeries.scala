@@ -2076,4 +2076,60 @@ object TimeSeries {
       .select($"n", $"r", $"c", $"df", round($"g", 6).as("g"),
         round($"p_value", 6).as("p_value"))
   }
+
+  /** q423 — nearest-score matching ATT ([[graft.operators.Causal
+    * .nearestScoreMatch]]): per event type, weekend rows matched to
+    * the nearest weekday value-cents score (caliper 50) — 1-NN
+    * propensity matching made deterministic and census-shaped (match
+    * SCORES, impute the mean control outcome at the matched score). */
+  def q423PropensityMatch(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      dayofweek(to_date($"ts")).isin(1, 7).as("treated"),
+      round($"value" * 100).cast("long").as("score"),
+      ($"user_id" % 1000).as("y"))
+    graft.operators.Causal.nearestScoreMatch(s, "event_type",
+        $"treated", "score", "y", caliper = 50L)
+      .select($"sc".as("event_type"), $"n_treated", $"n_matched",
+        $"n_unmatched", round($"mean_t", 6).as("mean_t"),
+        round($"mean_c_matched", 6).as("mean_c_matched"),
+        round($"att", 6).as("att"))
+  }
+
+  /** q424 — sharp regression discontinuity ([[graft.operators.Causal
+    * .regressionDiscontinuity]]): per event type, the outcome jump at
+    * the 5000-cent cutoff from local linear fits over a ±2000-cent
+    * bandwidth — two all-exact-decimal OLS fits, effect = the
+    * intercept gap at the cutoff. */
+  def q424Rdd(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      round($"value" * 100).cast("long").as("score"),
+      ($"user_id" % 1000).as("y"))
+    graft.operators.Causal.regressionDiscontinuity(s, "event_type",
+        "score", "y", cutoff = 5000L, bandwidth = 2000L)
+      .select($"sc".as("event_type"), $"n_l", $"n_r",
+        round($"alpha_l", 6).as("alpha_l"),
+        round($"alpha_r", 6).as("alpha_r"),
+        round($"slope_l", 8).as("slope_l"),
+        round($"slope_r", 8).as("slope_r"),
+        round($"effect", 6).as("effect"))
+  }
+
+  /** q425 — instrumental-variable Wald estimator ([[graft.operators
+    * .Causal.ivWald]]): per event type, the weekend instrument's
+    * reduced-form/first-stage covariance ratio on (cents → outcome),
+    * next to the naive OLS slope so the confounding gap is visible —
+    * every number one exact-decimal division. */
+  def q425IvWald(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1L).otherwise(0L)
+        .as("z"),
+      round($"value" * 100).cast("long").as("x"),
+      ($"user_id" % 1000).as("y"))
+    graft.operators.Causal.ivWald(s, "event_type", "z", "x", "y")
+      .select($"sc".as("event_type"), $"n",
+        round($"first_stage", 8).as("first_stage"),
+        round($"reduced_form", 8).as("reduced_form"),
+        round($"beta_iv", 6).as("beta_iv"),
+        round($"beta_ols", 8).as("beta_ols"))
+  }
 }
