@@ -450,6 +450,9 @@ object SparkEntry {
     "q423_propensity_match" -> (T.q423PropensityMatch(_, _)),
     "q424_rdd"              -> (T.q424Rdd(_, _)),
     "q425_iv_wald"          -> (T.q425IvWald(_, _)),
+    "q426_kpss"             -> (T.q426Kpss(_, _)),
+    "q427_perm_entropy"     -> (T.q427PermEntropy(_, _)),
+    "q428_granger"          -> (T.q428Granger(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7053,6 +7056,127 @@ object SparkEntry {
         |      AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE) END
         |    AS beta_ols
         |FROM v""".stripMargin,
+    // q426: n-scaled demeaning keeps every moment an exact HUGEINT;
+    // Bartlett weights written as (1 - j/5.0) so both engines compute
+    // the SAME doubles (1.0 - 0.8 != literal 0.2 in IEEE); one pinned
+    // final division
+    "q426_kpss" ->
+      """WITH dly AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS o,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, o, x,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS nn,
+        |    CAST(sum(x) OVER (PARTITION BY k) AS HUGEINT) AS sx FROM dly),
+        |d AS (SELECT k, o, nn, CAST(nn AS HUGEINT) * x - sx AS d FROM b),
+        |c AS (SELECT k, nn, d,
+        |    CAST(sum(d) OVER (PARTITION BY k ORDER BY o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+        |      AS cumd,
+        |    lag(d, 1) OVER (PARTITION BY k ORDER BY o) AS dl1,
+        |    lag(d, 2) OVER (PARTITION BY k ORDER BY o) AS dl2,
+        |    lag(d, 3) OVER (PARTITION BY k ORDER BY o) AS dl3,
+        |    lag(d, 4) OVER (PARTITION BY k ORDER BY o) AS dl4
+        |  FROM d),
+        |p AS (SELECT k, CAST(max(nn) AS BIGINT) AS n_obs,
+        |    sum(cumd * cumd) AS cumd2, sum(d * d) AS g0,
+        |    sum(CASE WHEN dl1 IS NOT NULL THEN d * dl1 ELSE 0 END) AS g1,
+        |    sum(CASE WHEN dl2 IS NOT NULL THEN d * dl2 ELSE 0 END) AS g2,
+        |    sum(CASE WHEN dl3 IS NOT NULL THEN d * dl3 ELSE 0 END) AS g3,
+        |    sum(CASE WHEN dl4 IS NOT NULL THEN d * dl4 ELSE 0 END) AS g4
+        |  FROM c GROUP BY 1),
+        |f AS (SELECT k, n_obs, CAST(cumd2 AS DOUBLE) AS cumd2,
+        |    CAST(g0 AS DOUBLE)
+        |      + 2.0 * ((1.0 - 1.0/5.0) * CAST(g1 AS DOUBLE)
+        |             + (1.0 - 2.0/5.0) * CAST(g2 AS DOUBLE)
+        |             + (1.0 - 3.0/5.0) * CAST(g3 AS DOUBLE)
+        |             + (1.0 - 4.0/5.0) * CAST(g4 AS DOUBLE)) AS lrv
+        |  FROM p)
+        |SELECT k AS event_type, n_obs,
+        |  CASE WHEN n_obs > 4 AND lrv <> 0 THEN
+        |    CAST(round(CAST(CAST(cumd2 / (CAST(n_obs AS DOUBLE) * lrv)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS kpss
+        |FROM f""".stripMargin,
+    // q427: ordinal codes are exact integers (earlier-index tie pin);
+    // the entropy fold runs in code order over <= 6 cells
+    "q427_perm_entropy" ->
+      """WITH dly AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS o,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS a
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT k, a,
+        |    lead(a, 1) OVER (PARTITION BY k ORDER BY o) AS b,
+        |    lead(a, 2) OVER (PARTITION BY k ORDER BY o) AS c FROM dly),
+        |t AS (SELECT k,
+        |    (CASE WHEN b < a THEN 1 ELSE 0 END
+        |      + CASE WHEN c < a THEN 1 ELSE 0 END) * 100 +
+        |    (CASE WHEN a <= b THEN 1 ELSE 0 END
+        |      + CASE WHEN c < b THEN 1 ELSE 0 END) * 10 +
+        |    (CASE WHEN a <= c THEN 1 ELSE 0 END
+        |      + CASE WHEN b <= c THEN 1 ELSE 0 END) AS code
+        |  FROM w WHERE b IS NOT NULL AND c IS NOT NULL),
+        |cn AS (SELECT k, code, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t GROUP BY 1, 2),
+        |p AS (SELECT k, CAST(sum(cnt) AS BIGINT) AS n_windows,
+        |    CAST(count(*) AS BIGINT) AS n_patterns,
+        |    list(CAST(cnt AS DOUBLE) ORDER BY code) AS cells
+        |  FROM cn GROUP BY 1),
+        |h AS (SELECT k, n_windows, n_patterns,
+        |    -list_reduce(list_transform(cells,
+        |      x -> (x / CAST(n_windows AS DOUBLE))
+        |        * ln(x / CAST(n_windows AS DOUBLE))),
+        |      (u, v) -> u + v) AS h
+        |  FROM p)
+        |SELECT k AS event_type, n_windows, n_patterns,
+        |  CAST(round(CAST(CAST(h AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS h,
+        |  CAST(round(CAST(CAST(h / ln(6.0) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS h_norm
+        |FROM h""".stripMargin,
+    // q428: nine exact HUGEINT moments from one lag pass; centered
+    // moments exact; the Cramer 2-regressor algebra is one fixed
+    // double shape both engines replay
+    "q428_granger" ->
+      """WITH dly AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS o,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS y,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT k, y,
+        |    lag(y, 1) OVER (PARTITION BY k ORDER BY o) AS a,
+        |    lag(x, 1) OVER (PARTITION BY k ORDER BY o) AS b FROM dly),
+        |f AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS HUGEINT) AS sa, CAST(sum(b) AS HUGEINT) AS sb,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(a AS HUGEINT) * a) AS saa,
+        |    sum(CAST(b AS HUGEINT) * b) AS sbb,
+        |    sum(CAST(a AS HUGEINT) * b) AS sab,
+        |    sum(CAST(a AS HUGEINT) * y) AS say,
+        |    sum(CAST(b AS HUGEINT) * y) AS sby,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM l WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1),
+        |c AS (SELECT k, n,
+        |    CAST(n * saa - sa * sa AS DOUBLE) AS caa,
+        |    CAST(n * sbb - sb * sb AS DOUBLE) AS cbb,
+        |    CAST(n * sab - sa * sb AS DOUBLE) AS cab,
+        |    CAST(n * say - sa * sy AS DOUBLE) AS cay,
+        |    CAST(n * sby - sb * sy AS DOUBLE) AS cby,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+        |  FROM f),
+        |g AS (SELECT k, n, caa, cbb, cab, cay, cby, cyy,
+        |    caa * cbb - cab * cab AS det FROM c),
+        |r AS (SELECT k, n, det, caa, cay, cby, cyy,
+        |    cyy - cay * cay / caa AS rssr,
+        |    (cay * cbb - cby * cab) / det AS beta_a,
+        |    (cby * caa - cay * cab) / det AS beta_b FROM g),
+        |e AS (SELECT k, n, det, caa, rssr, beta_b,
+        |    cyy - (beta_a * cay + beta_b * cby) AS rssf FROM r)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN n > 3 AND caa <> 0 AND det <> 0 AND rssf > 0 THEN
+        |    CAST(round(CAST(CAST(beta_b AS VARCHAR) AS DECIMAL(38,20)), 8)
+        |    AS DOUBLE) END AS beta_x,
+        |  CASE WHEN n > 3 AND caa <> 0 AND det <> 0 AND rssf > 0 THEN
+        |    CAST(round(CAST(CAST((rssr - rssf)
+        |      / (rssf / CAST(n - 3 AS DOUBLE)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS f
+        |FROM e""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

@@ -496,4 +496,166 @@ object Autocorr {
       .select(col("k").as(keyCol), col("w"), col("n_blocks"), col("avg_rs"),
         col("hurst"))
   }
+
+  /** KPSS level-stationarity statistic (Kwiatkowski–Phillips–Schmidt–
+    * Shin 1992) per key — the null-reversed complement of the unit-root
+    * family: [[ljungBox]] asks "is there ANY serial structure",
+    * [[hurstRs]] asks "does it persist", KPSS asks the deployment
+    * question directly: is the LEVEL stable enough that a fixed
+    * baseline is valid? Large values reject stationarity (1% critical
+    * value 0.739 for the level test).
+    *
+    *   η = n⁻² Σ_t S_t²  over partial sums S_t of demeaned values,
+    *   s²(l) = γ̂₀ + 2 Σ_{j≤l} (1 − j/(l+1)) γ̂_j  (Bartlett window),
+    *   KPSS = η / s²(l).
+    *
+    * Exactness: demeaning is kept exact by n-SCALING — d_t = n·x_t −
+    * Σx is an exact integer, so S_t = cumsum(d)/n and every γ̂_j
+    * numerator Σ d_t d_{t−j} stay exact decimals; the n powers cancel
+    * into KPSS = Σcumd² / (n · (g₀ + 2Σw_j g_j)), ONE pinned double
+    * expression with the Bartlett weights folded in fixed j order.
+    *
+    * Scale shape: input is a (key, period, value) census (row-scale
+    * aggregation upstream); one keyed window pass makes cumsum + all
+    * lags, one census aggregation per key. Output: (key, n_obs,
+    * kpss); null when n ≤ lags or the long-run variance is 0. */
+  def kpssLevel(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, lags: Int = 4): DataFrame = {
+    require(lags >= 1, s"lags must be >= 1, got $lags")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val tot = Window.partitionBy(col("k"))
+    val base = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      col(valueCol).cast("long").as("x"))
+      .withColumn("nn", count(lit(1)).over(tot))
+      .withColumn("sx", sum(col("x")).over(tot))
+      .withColumn("d", (col("nn").cast(dec) * col("x").cast(dec) -
+        col("sx").cast(dec)).cast(dec))
+      .withColumn("cumd", sum(col("d")).over(
+        Window.partitionBy(col("k")).orderBy(col("o"))
+          .rowsBetween(Window.unboundedPreceding, 0)).cast(dec))
+    val lagged = (1 to lags).foldLeft(base) { case (d0, j) =>
+      d0.withColumn(s"dl$j", lag(col("d"), j).over(w))
+    }
+    val aggs = Seq(
+      max(col("nn")).as("n_obs"),
+      sum((col("cumd") * col("cumd")).cast(dec)).cast(dec).as("cumd2"),
+      sum((col("d") * col("d")).cast(dec)).cast(dec).as("g0")) ++
+      (1 to lags).map(j =>
+        sum(when(col(s"dl$j").isNotNull, (col("d") * col(s"dl$j")).cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(dec).as(s"g$j"))
+    val per = lagged.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    def dd(c: Column): Column = c.cast("double")
+    // Bartlett-weighted long-run variance numerator, fixed j order
+    val wsum = (1 to lags).map { j =>
+      lit(1.0 - j.toDouble / (lags + 1)) * dd(col(s"g$j"))
+    }.reduceLeft(_ + _)
+    val lrv = dd(col("g0")) + lit(2.0) * wsum
+    per.select(col("k").as(keyCol), col("n_obs"),
+      when(col("n_obs") > lags && lrv =!= lit(0.0),
+        dd(col("cumd2")) / (dd(col("n_obs")) * lrv)).as("kpss"))
+  }
+
+  /** Permutation entropy (Bandt–Pompe 2002), order 3, per key — the
+    * model-free complexity readout: how uniformly are the six ordinal
+    * patterns of consecutive value triples used? 1.0 = the series'
+    * local ups-and-downs are indistinguishable from noise; near 0 =
+    * one motif dominates (monotone drift, strict alternation). The
+    * complexity companion to [[acf]]: ACF sees linear structure,
+    * ordinal patterns see any monotone-invariant structure.
+    *
+    * Ties break toward the EARLIER index (the standard stable-argsort
+    * convention), so the pattern code is deterministic on integer
+    * censuses. Pattern code = 100·rank(x_t) + 10·rank(x_{t+1}) +
+    * rank(x_{t+2}) — six observable values.
+    *
+    * Scale shape: one keyed window pass (two leads), one ≤6-cell
+    * census per key; the entropy fold runs in pattern-code order.
+    * Output: (key, n_windows, n_patterns, h, h_norm). */
+  def permutationEntropy(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val base = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      col(valueCol).cast("long").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .withColumn("c", lead(col("a"), 2).over(w))
+      .where(col("c").isNotNull && col("b").isNotNull)
+    def i(c: Column): Column = c.cast("long")
+    val ra = i(col("b") < col("a")) + i(col("c") < col("a"))
+    val rb = i(col("a") <= col("b")) + i(col("c") < col("b"))
+    val rc = i(col("a") <= col("c")) + i(col("b") <= col("c"))
+    val census = base
+      .withColumn("code", ra * 100L + rb * 10L + rc)
+      .groupBy(col("k"), col("code")).agg(count(lit(1)).as("cnt"))
+    val per = census.groupBy(col("k")).agg(
+      sum(col("cnt")).as("n_windows"), count(lit(1)).as("n_patterns"),
+      sort_array(collect_list(struct(col("code"),
+        col("cnt").cast("double").as("cd")))).as("cells"))
+    val nD = col("n_windows").cast("double")
+    val h = negate(aggregate(col("cells"), lit(0.0d), (acc, x) =>
+      acc + (x.getField("cd") / nD) * log(x.getField("cd") / nD)))
+    per.select(col("k").as(keyCol), col("n_windows"), col("n_patterns"),
+      h.as("h"), (h / log(lit(6.0))).as("h_norm"))
+  }
+
+  /** Granger causality, lag 1, per key — does x's PAST improve the
+    * one-step forecast of y beyond y's own past? F compares the
+    * restricted regression y_t ~ (1, y_{t−1}) against the full
+    * y_t ~ (1, y_{t−1}, x_{t−1}):
+    *   F = (RSS_r − RSS_f) / (RSS_f / (n − 3)),  df = (1, n−3),
+    * with β_x (the full model's x coefficient) reported so the SIGN
+    * of the predictive contribution is visible. This is predictive
+    * precedence, not mechanism — the standard caveat.
+    *
+    * Exactness: both lag columns come from one keyed window pass;
+    * the nine raw moments are exact decimal sums; centered moments
+    * (n·Σab − Σa·Σb) stay exact decimal; the closed-form 2-regressor
+    * algebra (Cramer on the 2×2 normal equations) is a fixed-shape
+    * double expression — no iteration, no float folds.
+    *
+    * Scale shape: input is a (key, period) census; one window pass +
+    * one aggregation per key. Output: (key, n, beta_x, f); null when
+    * n ≤ 3, the design is singular, or RSS_f = 0. */
+  def grangerLag1(df: DataFrame, keyCol: String, ordCol: String,
+      yCol: String, xCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val base = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      col(yCol).cast("long").as("y"), col(xCol).cast("long").as("x"))
+      .withColumn("a", lag(col("y"), 1).over(w))
+      .withColumn("b", lag(col("x"), 1).over(w))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    def D(c: Column): Column = c.cast(dec)
+    val g = base.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(D(col("a"))).cast(dec).as("sa"),
+      sum(D(col("b"))).cast(dec).as("sb"),
+      sum(D(col("y"))).cast(dec).as("sy"),
+      sum((D(col("a")) * D(col("a"))).cast(dec)).cast(dec).as("saa"),
+      sum((D(col("b")) * D(col("b"))).cast(dec)).cast(dec).as("sbb"),
+      sum((D(col("a")) * D(col("b"))).cast(dec)).cast(dec).as("sab"),
+      sum((D(col("a")) * D(col("y"))).cast(dec)).cast(dec).as("say"),
+      sum((D(col("b")) * D(col("y"))).cast(dec)).cast(dec).as("sby"),
+      sum((D(col("y")) * D(col("y"))).cast(dec)).cast(dec).as("syy"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = col("n").cast(dec)
+    def ctr(sab: Column, sa: Column, sb: Column): Column =
+      dd((nD * sab - sa * sb).cast(dec))
+    val caa = ctr(col("saa"), col("sa"), col("sa"))
+    val cbb = ctr(col("sbb"), col("sb"), col("sb"))
+    val cab = ctr(col("sab"), col("sa"), col("sb"))
+    val cay = ctr(col("say"), col("sa"), col("sy"))
+    val cby = ctr(col("sby"), col("sb"), col("sy"))
+    val cyy = ctr(col("syy"), col("sy"), col("sy"))
+    val det = caa * cbb - cab * cab
+    val rssR = cyy - cay * cay / caa
+    val betaA = (cay * cbb - cby * cab) / det
+    val betaB = (cby * caa - cay * cab) / det
+    val rssF = cyy - (betaA * cay + betaB * cby)
+    val ok = col("n") > 3L && caa =!= lit(0.0) && det =!= lit(0.0) &&
+      rssF > lit(0.0)
+    g.select(col("k").as(keyCol), col("n"),
+      when(ok, betaB).as("beta_x"),
+      when(ok, (rssR - rssF) / (rssF / dd(col("n") - 3L))).as("f"))
+  }
 }

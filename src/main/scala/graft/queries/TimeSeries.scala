@@ -2132,4 +2132,42 @@ object TimeSeries {
         round($"beta_iv", 6).as("beta_iv"),
         round($"beta_ols", 8).as("beta_ols"))
   }
+
+  /** Shared q426–q428 daily census: per (event type, day) the exact
+    * cents total and row count — the q394 grain. */
+  private def dailyCents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cents").as("tot"), count(lit(1)).as("cnt"))
+
+  /** q426 — KPSS level stationarity ([[graft.operators.Autocorr
+    * .kpssLevel]]): is each event type's daily cents level stable
+    * enough for a fixed baseline — n-scaled exact demeaning, Bartlett
+    * long-run variance at 4 lags, one pinned double expression. */
+  def q426Kpss(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Autocorr.kpssLevel(dailyCents(spark, dir),
+        "event_type", "day", "tot", lags = 4)
+      .select($"event_type", $"n_obs", round($"kpss", 6).as("kpss"))
+
+  /** q427 — permutation entropy ([[graft.operators.Autocorr
+    * .permutationEntropy]]): how noise-like are each event type's
+    * daily-total ups and downs — the order-3 Bandt–Pompe ordinal
+    * census with earlier-index tie pinning. */
+  def q427PermEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Autocorr.permutationEntropy(dailyCents(spark, dir),
+        "event_type", "day", "tot")
+      .select($"event_type", $"n_windows", $"n_patterns",
+        round($"h", 6).as("h"), round($"h_norm", 6).as("h_norm"))
+
+  /** q428 — Granger causality lag-1 ([[graft.operators.Autocorr
+    * .grangerLag1]]): does yesterday's event COUNT improve today's
+    * cents-total forecast beyond yesterday's total — closed-form
+    * 2-regressor F from exact decimal moments. */
+  def q428Granger(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Autocorr.grangerLag1(dailyCents(spark, dir),
+        "event_type", "day", "tot", "cnt")
+      .select($"event_type", $"n", round($"beta_x", 8).as("beta_x"),
+        round($"f", 6).as("f"))
 }

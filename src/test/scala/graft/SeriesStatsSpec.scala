@@ -1046,4 +1046,88 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     val insta = Seq((1L, 1), (1L, 1), (1L, 1))
     assert(run(insta, 5L).getAs[Double]("rmst") == 1.0)
   }
+
+  // local reference in the operator's exact n-scaled framing
+  private def kpssRef(xs: Seq[Long], lags: Int = 4): Double = {
+    val n = xs.length
+    val s = xs.sum
+    val d = xs.map(x => n.toLong * x - s)
+    val cum = d.scanLeft(0L)(_ + _).tail
+    val cumd2 = cum.map(c => c.toDouble * c).sum
+    val g = (0 to lags).map(j =>
+      d.drop(j).zip(d.dropRight(j)).map { case (a, b) => a.toDouble * b }.sum)
+    val lrv = g(0) + 2.0 *
+      (1 to lags).map(j => (1.0 - j.toDouble / (lags + 1)) * g(j)).sum
+    cumd2 / (n * lrv)
+  }
+
+  test("kpssLevel: matches the local reference; a drifting random walk " +
+      "scores far above an oscillating level") {
+    import spark.implicits._
+    def run(xs: Seq[Long]) = {
+      val rows = xs.zipWithIndex.map { case (x, i) => ("k", f"$i%03d", x) }
+      graft.operators.Autocorr.kpssLevel(rows.toDF("k", "o", "x"),
+        "k", "o", "x").head()
+    }
+    val osc = Seq(10L, 12, 9, 11, 10, 13, 9, 12, 10, 11, 12, 9,
+      10, 13, 11, 9, 12, 10, 11, 10)
+    val rOsc = run(osc)
+    assert(rOsc.getAs[Long]("n_obs") == 20)
+    val ref = kpssRef(osc)
+    val got = rOsc.getAs[Double]("kpss")
+    assert(math.abs(got - ref) < 1e-9 * math.max(1.0, ref),
+      s"kpss=$got ref=$ref")
+    // random walk: cumulative sums of the same increments drift
+    val walk = osc.scanLeft(100L)(_ + _ - 10).tail
+    val rWalk = run(walk).getAs[Double]("kpss")
+    assert(rWalk > 3 * got, s"walk=$rWalk osc=$got")
+    // series shorter than lags+1 -> null
+    val tiny = run(Seq(1L, 2L, 3L))
+    assert(tiny.isNullAt(tiny.fieldIndex("kpss")))
+  }
+
+  test("permutationEntropy: monotone = one pattern (h 0), alternation " +
+      "= two equal patterns (h ln 2), tie codes pinned to earlier index") {
+    import spark.implicits._
+    def run(xs: Seq[Long]) = {
+      val rows = xs.zipWithIndex.map { case (x, i) => ("k", f"$i%03d", x) }
+      graft.operators.Autocorr.permutationEntropy(
+        rows.toDF("k", "o", "x"), "k", "o", "x").head()
+    }
+    val mono = run(Seq(1L, 2, 3, 4, 5, 6))
+    assert(mono.getAs[Long]("n_windows") == 4 &&
+      mono.getAs[Long]("n_patterns") == 1)
+    assert(math.abs(mono.getAs[Double]("h")) == 0.0)
+    val alt = run(Seq(1L, 2, 1, 2, 1, 2, 1, 2, 1, 2))
+    assert(alt.getAs[Long]("n_patterns") == 2)
+    assert(math.abs(alt.getAs[Double]("h") - math.log(2)) < 1e-12)
+    assert(math.abs(alt.getAs[Double]("h_norm") -
+      math.log(2) / math.log(6)) < 1e-12)
+    // all-constant: ties rank by index -> the single 012 pattern
+    val const = run(Seq(5L, 5, 5, 5, 5))
+    assert(const.getAs[Long]("n_patterns") == 1)
+  }
+
+  test("grangerLag1: x's lag driving y yields a large F with the right " +
+      "beta; a constant x-series nulls out (singular design)") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String, Long, Long)]) =
+      graft.operators.Autocorr.grangerLag1(
+        rows.toDF("k", "o", "y", "x"), "k", "o", "y", "x").head()
+    // y_t = 2·x_{t−1} + small residual the restricted model can't see
+    val xs = Seq(5L, 9, 3, 8, 2, 7, 4, 9, 1, 6, 8, 3, 7, 5, 9, 2)
+    val noise = Seq(1L, 0, -1, 1, 0, -1, 1, 0, -1, 1, 0, -1, 1, 0, -1, 1)
+    val ys = xs.indices.map(t =>
+      if (t == 0) 10L else 2 * xs(t - 1) + noise(t))
+    val rows = xs.indices.map(t => ("k", f"$t%03d", ys(t), xs(t)))
+    val r = run(rows)
+    assert(r.getAs[Long]("n") == 15)
+    val f = r.getAs[Double]("f")
+    assert(f > 20.0, s"f=$f")
+    assert(math.abs(r.getAs[Double]("beta_x") - 2.0) < 0.2)
+    // constant x: cbb = 0 -> singular full design -> nulls
+    val const = xs.indices.map(t => ("k", f"$t%03d", ys(t), 7L))
+    val rc = run(const)
+    assert(rc.isNullAt(rc.fieldIndex("f")))
+  }
 }
