@@ -453,6 +453,9 @@ object SparkEntry {
     "q426_kpss"             -> (T.q426Kpss(_, _)),
     "q427_perm_entropy"     -> (T.q427PermEntropy(_, _)),
     "q428_granger"          -> (T.q428Granger(_, _)),
+    "q429_cronbach"         -> (T.q429Cronbach(_, _)),
+    "q430_icc"              -> (T.q430Icc(_, _)),
+    "q431_bland_altman"     -> (T.q431BlandAltman(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7177,6 +7180,117 @@ object SparkEntry {
         |      / (rssf / CAST(n - 3 AS DOUBLE)) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS f
         |FROM e""".stripMargin,
+    // q429: complete-block contract (ni = k) with loud drops; exact
+    // item/total moments; the one float fold runs in item order
+    "q429_cronbach" ->
+      """WITH cell AS (SELECT user_id AS b, event_type AS i,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS k FROM cell),
+        |pb AS (SELECT b, CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(v) AS HUGEINT) AS t FROM cell GROUP BY 1),
+        |kept AS (SELECT b, t FROM pb CROSS JOIN kk WHERE ni = kk.k),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks_dropped
+        |  FROM pb CROSS JOIN kk WHERE ni <> kk.k),
+        |kc AS (SELECT cell.i, cell.v FROM cell JOIN kept USING (b)),
+        |item AS (SELECT i, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(v) AS HUGEINT) AS si, CAST(sum(v * v) AS HUGEINT)
+        |      AS qi FROM kc GROUP BY 1),
+        |it2 AS (SELECT i, CAST(nb * qi - si * si AS DOUBLE)
+        |    / CAST(nb * (nb - 1) AS DOUBLE) AS s2
+        |  FROM item WHERE nb >= 2),
+        |fold AS (SELECT coalesce(list_reduce(list_transform(
+        |    list(struct_pack(i := i, s2 := s2) ORDER BY i), x -> x.s2),
+        |    (a, v) -> a + v), 0.0) AS sum_si2 FROM it2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(t) AS HUGEINT) AS st,
+        |    CAST(sum(t * t) AS HUGEINT) AS qt FROM kept),
+        |st2 AS (SELECT n_blocks, st, qt,
+        |    CAST(n_blocks * qt - st * st AS DOUBLE)
+        |      / CAST(n_blocks * (n_blocks - 1) AS DOUBLE) AS s_t2
+        |  FROM tot)
+        |SELECT n_blocks, n_blocks_dropped, kk.k AS k,
+        |  CASE WHEN kk.k >= 2 AND n_blocks >= 2 AND s_t2 <> 0 THEN
+        |    CAST(round(CAST(CAST((CAST(kk.k AS DOUBLE)
+        |      / CAST(kk.k - 1 AS DOUBLE)) * (1.0 - sum_si2 / s_t2)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS alpha
+        |FROM st2 CROSS JOIN kk CROSS JOIN fold CROSS JOIN drp""".stripMargin,
+    // q430: the q336 census plus one exact moment (sum ng^2); Searle's
+    // k0 and the ICC ratio are pinned double shapes
+    "q430_icc" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CAST(user_id % 50 AS VARCHAR) AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT sc, g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(y) AS HUGEINT) AS sg,
+        |    sum(CAST(y AS HUGEINT) * y) AS qg FROM e GROUP BY 1, 2),
+        |p AS (SELECT sc, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS HUGEINT) AS s, CAST(sum(qg) AS HUGEINT) AS q,
+        |    sum(CAST(ng AS HUGEINT) * ng) AS sn2,
+        |    list(struct_pack(sgd := CAST(sg AS DOUBLE),
+        |      ngd := CAST(ng AS DOUBLE)) ORDER BY g) AS cells
+        |  FROM c GROUP BY 1),
+        |b AS (SELECT sc, k, n, s, q, sn2,
+        |    list_reduce(list_transform(cells, x -> x.sgd * x.sgd / x.ngd),
+        |      (acc, t) -> acc + t) AS between FROM p),
+        |f AS (SELECT sc, k, n,
+        |    (between - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE) AS msb,
+        |    (CAST(q AS DOUBLE) - between) / CAST(n - k AS DOUBLE) AS msw,
+        |    (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(k - 1 AS DOUBLE) AS k0
+        |  FROM b)
+        |SELECT sc AS event_type, k, n,
+        |  CASE WHEN k > 1 THEN CAST(round(CAST(CAST(msb AS VARCHAR)
+        |    AS DECIMAL(38,20)), 4) AS DOUBLE) END AS msb,
+        |  CASE WHEN n > k THEN CAST(round(CAST(CAST(msw AS VARCHAR)
+        |    AS DECIMAL(38,20)), 4) AS DOUBLE) END AS msw,
+        |  CASE WHEN k > 1 THEN CAST(round(CAST(CAST(k0 AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS k0,
+        |  CASE WHEN k > 1 AND n > k
+        |      AND msb + (k0 - 1.0) * msw <> 0 THEN
+        |    CAST(round(CAST(CAST((msb - msw) / (msb + (k0 - 1.0) * msw)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS icc
+        |FROM f""".stripMargin,
+    // q431: d and the doubled mean stay exact integers; bias/SD/slope
+    // are pinned double shapes (sqrt is correctly rounded both sides)
+    "q431_bland_altman" ->
+      """WITH dly AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS a,
+        |    sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS b
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |m AS (SELECT a - b AS d, a + b AS m FROM dly
+        |  WHERE a IS NOT NULL AND b IS NOT NULL),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(d) AS HUGEINT) AS sd1,
+        |    sum(CAST(d AS HUGEINT) * d) AS sdd,
+        |    CAST(sum(m) AS HUGEINT) AS sm,
+        |    sum(CAST(m AS HUGEINT) * m) AS smm,
+        |    sum(CAST(d AS HUGEINT) * m) AS sdm FROM m),
+        |v AS (SELECT n,
+        |    CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) AS bias,
+        |    sqrt(CAST(n * sdd - sd1 * sd1 AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE)) AS sd_d,
+        |    n * smm - sm * sm AS varm,
+        |    n * sdm - sd1 * sm AS covdm FROM g)
+        |SELECT n,
+        |  CASE WHEN n > 0 THEN CAST(round(CAST(CAST(bias AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS bias,
+        |  CASE WHEN n > 1 THEN CAST(round(CAST(CAST(sd_d AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS sd_d,
+        |  CASE WHEN n > 1 THEN CAST(round(CAST(CAST(bias - 1.96 * sd_d
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS loa_lo,
+        |  CASE WHEN n > 1 THEN CAST(round(CAST(CAST(bias + 1.96 * sd_d
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS loa_hi,
+        |  CASE WHEN varm <> 0 THEN
+        |    CAST(round(CAST(CAST(2.0 * CAST(covdm AS DOUBLE)
+        |      / CAST(varm AS DOUBLE) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 8) AS DOUBLE) END AS slope_vs_mean
+        |FROM v""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

@@ -2474,6 +2474,164 @@ object Eval {
         (col("k") - 1L).as("df"))
   }
 
+  /** Cronbach's alpha — internal-consistency reliability of a k-item
+    * instrument: do the k per-block item scores move together enough
+    * to justify summing them into one scale?
+    *   α = k/(k−1) · (1 − Σ_i s²_i / s²_T),
+    * with s²_i the item variances and s²_T the variance of the block
+    * total. The "is this composite score coherent" gate for any
+    * multi-signal index (quality rubric items, rater checklists).
+    *
+    * Contract: alpha needs COMPLETE blocks (every item present); the
+    * [[pageTrend]] discipline — incomplete blocks are EXCLUDED and
+    * counted loudly (n_blocks_dropped). Item cell values are exact
+    * integer sums per (block, item).
+    *
+    * Exactness: item and total moments are exact decimal sums; each
+    * variance is one pinned division; the one order-sensitive float
+    * fold (Σ_i s²_i) runs in ITEM ORDER over a k-bounded sorted
+    * array. Output one row: (n_blocks, n_blocks_dropped, k, alpha);
+    * null when k < 2, kept blocks < 2, or s²_T = 0. */
+  def cronbachAlpha(df: DataFrame, blockCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cell = df.where(col(valueCol).isNotNull)
+      .select(col(blockCol).as("b"), col(itemCol).cast("string").as("i"),
+        col(valueCol).cast("long").as("y"))
+      .groupBy(col("b"), col("i"))
+      .agg(sum(col("y").cast(dec)).cast(dec).as("v"))
+    val k = cell.agg(countDistinct(col("i")).as("k"))
+    val perBlock = cell.groupBy(col("b"))
+      .agg(count(lit(1)).as("ni"), sum(col("v")).cast(dec).as("t"))
+      .crossJoin(broadcast(k))
+    val kept = perBlock.where(col("ni") === col("k"))
+      .select(col("b"), col("t"))
+    val nDropped = perBlock.where(col("ni") =!= col("k"))
+      .agg(count(lit(1)).as("n_blocks_dropped"))
+    val keptCells = cell.join(kept.select(col("b")), Seq("b"))
+    // per-item sample variance from exact moments
+    val item = keptCells.groupBy(col("i")).agg(
+      count(lit(1)).as("nb"), sum(col("v")).cast(dec).as("si"),
+      sum((col("v") * col("v")).cast(dec)).cast(dec).as("qi"))
+    val si2 = (col("nb").cast(dec) * col("qi") - col("si") * col("si"))
+      .cast(dec).cast("double") /
+      (col("nb").cast(dec) * (col("nb") - 1L).cast(dec)).cast(dec)
+        .cast("double")
+    val items = item.where(col("nb") >= 2L)
+      .select(col("i"), si2.as("s2"))
+      .agg(sort_array(collect_list(struct(col("i"), col("s2"))))
+        .as("cells"))
+      .select(aggregate(col("cells"), lit(0.0d),
+        (a, x) => a + x.getField("s2")).as("sum_si2"))
+    val totals = kept.agg(count(lit(1)).as("n_blocks"),
+      sum(col("t")).cast(dec).as("st"),
+      sum((col("t") * col("t")).cast(dec)).cast(dec).as("qt"))
+    def dd(c: Column): Column = c.cast("double")
+    val sT2 = dd((col("n_blocks").cast(dec) * col("qt") -
+      col("st") * col("st")).cast(dec)) /
+      dd((col("n_blocks").cast(dec) * (col("n_blocks") - 1L).cast(dec))
+        .cast(dec))
+    val ok = col("k") >= 2L && col("n_blocks") >= 2L && sT2 =!= lit(0.0)
+    totals.crossJoin(broadcast(k)).crossJoin(broadcast(items))
+      .crossJoin(broadcast(nDropped))
+      .select(col("n_blocks"), col("n_blocks_dropped"), col("k"),
+        when(ok, (dd(col("k")) / dd(col("k") - 1L)) *
+          (lit(1.0) - col("sum_si2") / sT2)).as("alpha"))
+  }
+
+  /** ICC(1,1) — one-way random-effects intraclass correlation per
+    * scope: what share of total variance is BETWEEN groups? The
+    * continuous-outcome agreement coefficient next to the categorical
+    * family ([[fleissKappa]] and friends), and the design-effect
+    * input for clustered sampling. Unbalanced groups use Searle's
+    *   k₀ = (N − Σn_g²/N) / (k − 1),
+    *   ICC = (MSB − MSW) / (MSB + (k₀ − 1)·MSW).
+    *
+    * Exactness: the [[anovaF]] census with one extra exact moment
+    * (Σn_g²); the between fold runs in group-key order over the
+    * bounded cell array; MSB/MSW/k₀ are pinned double shapes.
+    * Output: (sc, k, n, msb, msw, k0, icc); null when k < 2, N ≤ k,
+    * or the denominator is 0. */
+  def iccOneWay(df: DataFrame, scopeCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"), col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("y"))
+    val yD = col("y").cast(dec)
+    val cell = base.groupBy(col("sc"), col("g")).agg(
+      count(lit(1)).as("ng"), sum(yD).cast(dec).as("sg"),
+      sum((yD * yD).cast(dec)).cast(dec).as("qg"))
+    val per = cell.groupBy(col("sc")).agg(
+      count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).cast(dec).as("s"), sum(col("qg")).cast(dec).as("q"),
+      sum((col("ng").cast(dec) * col("ng").cast(dec)).cast(dec)).cast(dec)
+        .as("sn2"),
+      sort_array(collect_list(struct(col("g"),
+        col("sg").cast("double").as("sgd"),
+        col("ng").cast("double").as("ngd")))).as("cells"))
+    def dd(c: Column): Column = c.cast("double")
+    val between = aggregate(col("cells"), lit(0.0d),
+      (acc, x) => acc + x.getField("sgd") * x.getField("sgd") /
+        x.getField("ngd"))
+    val ssb = between - dd(col("s")) * dd(col("s")) / dd(col("n"))
+    val ssw = dd(col("q")) - between
+    val msb = ssb / dd(col("k") - 1L)
+    val msw = ssw / dd(col("n") - col("k"))
+    val k0 = (dd(col("n")) - dd(col("sn2")) / dd(col("n"))) /
+      dd(col("k") - 1L)
+    val den = msb + (k0 - lit(1.0)) * msw
+    val ok = col("k") > 1L && col("n") > col("k") && den =!= lit(0.0)
+    per.select(col("sc"), col("k"), col("n"),
+      when(col("k") > 1L, msb).as("msb"),
+      when(col("n") > col("k"), msw).as("msw"),
+      when(col("k") > 1L, k0).as("k0"),
+      when(ok, (msb - msw) / den).as("icc"))
+  }
+
+  /** Bland–Altman agreement between two paired measurement methods —
+    * the readout correlation famously gets wrong (two methods can
+    * correlate at 0.99 and still disagree by a constant 20%): the
+    * mean difference (bias), its ±1.96·SD limits of agreement, and
+    * the difference-vs-mean slope that flags PROPORTIONAL bias
+    * (disagreement growing with magnitude).
+    *
+    * Exactness: d = a − b and the doubled mean m = a + b are exact
+    * integers; all moments exact decimal; bias/SD are pinned double
+    * shapes and the slope is 2·(nΣdm − ΣdΣm)/(nΣmm − (Σm)²) — the
+    * doubling maps the m-slope back to the true (a+b)/2 mean. Output
+    * one row: (n, bias, sd_d, loa_lo, loa_hi, slope_vs_mean); SD and
+    * limits null when n < 2, slope null when var(m) = 0. */
+  def blandAltman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select((col(aCol).cast("long") - col(bCol).cast("long")).as("d"),
+        (col(aCol).cast("long") + col(bCol).cast("long")).as("m"))
+    val dD = col("d").cast(dec); val mD = col("m").cast(dec)
+    val g = base.agg(count(lit(1)).as("n"),
+      sum(dD).cast(dec).as("sd1"),
+      sum((dD * dD).cast(dec)).cast(dec).as("sdd"),
+      sum(mD).cast(dec).as("sm"),
+      sum((mD * mD).cast(dec)).cast(dec).as("smm"),
+      sum((dD * mD).cast(dec)).cast(dec).as("sdm"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = col("n").cast(dec)
+    val bias = dd(col("sd1")) / dd(col("n"))
+    val varD = dd((nD * col("sdd") - col("sd1") * col("sd1")).cast(dec)) /
+      dd((nD * (nD - lit(1).cast(dec)).cast(dec)).cast(dec))
+    val sdD = sqrt(varD)
+    val varM = (nD * col("smm") - col("sm") * col("sm")).cast(dec)
+    val covDM = (nD * col("sdm") - col("sd1") * col("sm")).cast(dec)
+    val zero = lit(0).cast(dec)
+    g.select(col("n"),
+      when(col("n") > 0L, bias).as("bias"),
+      when(col("n") > 1L, sdD).as("sd_d"),
+      when(col("n") > 1L, bias - lit(1.96) * sdD).as("loa_lo"),
+      when(col("n") > 1L, bias + lit(1.96) * sdD).as("loa_hi"),
+      when(varM =!= zero, lit(2.0) * dd(covDM) / dd(varM))
+        .as("slope_vs_mean"))
+  }
+
   def pinballLoss(actuals: DataFrame, forecasts: DataFrame,
       groupCol: String, valueCol: String, qhatCol: String,
       tauNum: Long, tauDen: Long): DataFrame = {

@@ -2170,4 +2170,50 @@ object TimeSeries {
         "event_type", "day", "tot", "cnt")
       .select($"event_type", $"n", round($"beta_x", 8).as("beta_x"),
         round($"f", 6).as("f"))
+
+  /** q429 — Cronbach's alpha ([[graft.operators.Eval.cronbachAlpha]]):
+    * treating each user's five per-event-type cents totals as a 5-item
+    * instrument, is the composite "activity score" internally
+    * consistent — complete-block contract with loud drops, item
+    * variances folded in item order. */
+  def q429Cronbach(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"user_id", $"event_type",
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Eval.cronbachAlpha(s, "user_id", "event_type", "cents")
+      .select($"n_blocks", $"n_blocks_dropped", $"k",
+        round($"alpha", 6).as("alpha"))
+  }
+
+  /** q430 — ICC(1,1) ([[graft.operators.Eval.iccOneWay]]): per event
+    * type, what share of cents variance sits BETWEEN the 50 user
+    * cohorts — Searle's unbalanced one-way random-effects form with
+    * the k0 group-size correction. */
+  def q430Icc(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      ($"user_id" % 50).as("cohort"),
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Eval.iccOneWay(s, "event_type", "cohort", "cents")
+      .select($"sc".as("event_type"), $"k", $"n",
+        round($"msb", 4).as("msb"), round($"msw", 4).as("msw"),
+        round($"k0", 6).as("k0"), round($"icc", 6).as("icc"))
+  }
+
+  /** q431 — Bland–Altman agreement ([[graft.operators.Eval
+    * .blandAltman]]): do daily click and view cents totals agree as
+    * measurements of the same daily activity — bias, ±1.96·SD limits,
+    * and the proportional-bias slope correlation alone would hide. */
+  def q431BlandAltman(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .where($"event_type".isin("click", "view"))
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", $"cents")).as("a"),
+        sum(when($"event_type" === "view", $"cents")).as("b"))
+    graft.operators.Eval.blandAltman(daily, "a", "b")
+      .select($"n", round($"bias", 6).as("bias"),
+        round($"sd_d", 6).as("sd_d"), round($"loa_lo", 6).as("loa_lo"),
+        round($"loa_hi", 6).as("loa_hi"),
+        round($"slope_vs_mean", 8).as("slope_vs_mean"))
+  }
 }

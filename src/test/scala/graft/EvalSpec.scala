@@ -1183,4 +1183,94 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       "sc", "g", "y").head()
     assert(rd.getAs[Long]("k") == 2 && rd.isNullAt(rd.fieldIndex("chi2")))
   }
+
+  test("cronbachAlpha: duplicated item gives alpha = 1 exactly, the " +
+    "2-item closed form matches, incomplete blocks drop loudly") {
+    import spark.implicits._
+    // two identical items: s1 = s2 = s, sT^2 = 4s^2 -> alpha = 1
+    val twin = Seq(1L, 5L, 3L, 9L, 7L).zipWithIndex.flatMap {
+      case (v, b) => Seq((b.toLong, "i1", v), (b.toLong, "i2", v))
+    }
+    val rt = Eval.cronbachAlpha(twin.toDF("b", "i", "y"), "b", "i", "y")
+      .head()
+    assert(rt.getAs[Long]("k") == 2 && rt.getAs[Long]("n_blocks") == 5)
+    assert(rt.getAs[Double]("alpha") == 1.0)
+    // hand fixture with one incomplete block
+    val vals1 = Seq(2L, 4L, 6L, 8L)
+    val vals2 = Seq(3L, 1L, 7L, 5L)
+    val rows = vals1.indices.flatMap(b =>
+      Seq((b.toLong, "i1", vals1(b)), (b.toLong, "i2", vals2(b)))) :+
+      ((99L, "i1", 42L)) // missing i2 -> dropped
+    val r = Eval.cronbachAlpha(rows.toDF("b", "i", "y"), "b", "i", "y")
+      .head()
+    assert(r.getAs[Long]("n_blocks") == 4 &&
+      r.getAs[Long]("n_blocks_dropped") == 1)
+    def svar(xs: Seq[Long]): Double = {
+      val m = xs.map(_.toDouble).sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val tot = vals1.zip(vals2).map { case (a, b) => a + b }
+    val ref = 2.0 * (1.0 - (svar(vals1) + svar(vals2)) / svar(tot))
+    assert(math.abs(r.getAs[Double]("alpha") - ref) < 1e-12,
+      s"alpha=${r.getAs[Double]("alpha")} ref=$ref")
+  }
+
+  test("iccOneWay: perfect group separation gives ICC = 1; matches the " +
+    "unbalanced Searle reference; all-identical data nulls out") {
+    import spark.implicits._
+    // groups internally constant, levels differ -> msw = 0 -> icc = 1
+    val sep = Seq(("s", "a", 10L), ("s", "a", 10L),
+      ("s", "b", 20L), ("s", "b", 20L), ("s", "c", 30L), ("s", "c", 30L))
+    val rs = Eval.iccOneWay(sep.toDF("sc", "g", "y"), "sc", "g", "y")
+      .head()
+    assert(rs.getAs[Double]("icc") == 1.0)
+    // unbalanced reference
+    val groups = Map("a" -> Seq(1L, 2L, 3L), "b" -> Seq(7L, 9L),
+      "c" -> Seq(4L, 4L, 5L, 6L))
+    val rows = groups.toSeq.flatMap { case (g, vs) => vs.map(("s", g, _)) }
+    val r = Eval.iccOneWay(rows.toDF("sc", "g", "y"), "sc", "g", "y")
+      .head()
+    val n = 9.0; val k = 3.0
+    val grand = groups.values.flatten.map(_.toDouble).sum
+    val between = groups.values.map(vs =>
+      vs.sum.toDouble * vs.sum / vs.size).sum
+    val q = groups.values.flatten.map(v => v.toDouble * v).sum
+    val ssb = between - grand * grand / n
+    val ssw = q - between
+    val msb = ssb / (k - 1); val msw = ssw / (n - k)
+    val sn2 = groups.values.map(vs => vs.size.toDouble * vs.size).sum
+    val k0 = (n - sn2 / n) / (k - 1)
+    val icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert(math.abs(r.getAs[Double]("icc") - icc) < 1e-12,
+      s"icc=${r.getAs[Double]("icc")} ref=$icc")
+    assert(math.abs(r.getAs[Double]("k0") - k0) < 1e-12)
+    // zero total variance -> 0/0 -> null
+    val flat = Seq(("s", "a", 5L), ("s", "a", 5L), ("s", "b", 5L))
+    val rf = Eval.iccOneWay(flat.toDF("sc", "g", "y"), "sc", "g", "y")
+      .head()
+    assert(rf.isNullAt(rf.fieldIndex("icc")))
+  }
+
+  test("blandAltman: constant offset -> zero-width limits at the bias; " +
+    "proportional disagreement -> the -2/3 slope; correlation blind") {
+    import spark.implicits._
+    val as = Seq(10L, 20L, 30L, 40L, 50L)
+    // b = a + 10: d = -10 constant
+    val off = as.map(a => (a, a + 10L)).toDF("a", "b")
+    val ro = Eval.blandAltman(off, "a", "b").head()
+    assert(ro.getAs[Double]("bias") == -10.0 &&
+      ro.getAs[Double]("sd_d") == 0.0)
+    assert(ro.getAs[Double]("loa_lo") == -10.0 &&
+      ro.getAs[Double]("loa_hi") == -10.0)
+    assert(ro.getAs[Double]("slope_vs_mean") == 0.0)
+    // b = 2a: d = -a, m = 3a -> slope = 2·cov(-a,3a)/var(3a) = -2/3
+    val prop = as.map(a => (a, 2 * a)).toDF("a", "b")
+    val rp = Eval.blandAltman(prop, "a", "b").head()
+    assert(math.abs(rp.getAs[Double]("slope_vs_mean") + 2.0 / 3.0) < 1e-12)
+    // single pair: bias defined, SD/limits null
+    val one = Seq((5L, 9L)).toDF("a", "b")
+    val r1 = Eval.blandAltman(one, "a", "b").head()
+    assert(r1.getAs[Double]("bias") == -4.0 &&
+      r1.isNullAt(r1.fieldIndex("sd_d")))
+  }
 }
