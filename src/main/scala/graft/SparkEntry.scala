@@ -456,6 +456,9 @@ object SparkEntry {
     "q429_cronbach"         -> (T.q429Cronbach(_, _)),
     "q430_icc"              -> (T.q430Icc(_, _)),
     "q431_bland_altman"     -> (T.q431BlandAltman(_, _)),
+    "q432_fisher_exact"     -> (T.q432FisherExact(_, _)),
+    "q433_hosmer_lemeshow"  -> (T.q433HosmerLemeshow(_, _)),
+    "q434_mcc"              -> (T.q434Mcc(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7291,6 +7294,155 @@ object SparkEntry {
         |      / CAST(varm AS DOUBLE) AS VARCHAR)
         |    AS DECIMAL(38,20)), 8) AS DOUBLE) END AS slope_vs_mean
         |FROM v""".stripMargin,
+    // q432: factorial-free hypergeometric via the ratio recurrence;
+    // each u(av) is a 1.0-seeded prefix product in j order; the three
+    // support sums fold in av order with ELSE-0.0 masking
+    "q432_fisher_exact" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN value > 90.0 THEN 1 ELSE 0 END AS bb
+        |  FROM events WHERE user_id < 20),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = 1 AND bb = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a = 1 AND bb = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN a = 0 AND bb = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN a = 0 AND bb = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00 FROM b),
+        |m AS (SELECT *, n11 + n10 AS r1, n01 + n00 AS r2,
+        |    n11 + n01 AS c1 FROM c),
+        |s AS (SELECT *, greatest(0, c1 - r2) AS amin,
+        |    least(r1, c1) AS amax FROM m),
+        |rws AS (SELECT s.*, unnest(range(amin, amax + 1)) AS av FROM s),
+        |u AS (SELECT n, n11, n10, n01, n00, av,
+        |    CASE WHEN av = amin THEN 1.0
+        |    ELSE list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |      list_transform(range(amin, av), j ->
+        |        CAST((r1 - j) * (c1 - j) AS DOUBLE)
+        |          / CAST((j + 1) * (r2 - c1 + j + 1) AS DOUBLE))),
+        |      (acc, x) -> acc * x) END AS u
+        |  FROM rws),
+        |p AS (SELECT n, n11, n10, n01, n00,
+        |    list(struct_pack(av := av, u := u) ORDER BY av) AS cells
+        |  FROM u GROUP BY 1, 2, 3, 4, 5),
+        |f AS (SELECT n, n11, n10, n01, n00, cells,
+        |    list_reduce(list_transform(cells, x -> x.u),
+        |      (acc, v) -> acc + v) AS tot,
+        |    list_filter(cells, x -> x.av = n11)[1].u AS uobs FROM p)
+        |SELECT n, n11, n10, n01, n00,
+        |  CAST(round(CAST(CAST(list_reduce(list_transform(cells,
+        |    x -> CASE WHEN x.u <= uobs * (1.0 + 1e-7) THEN x.u
+        |      ELSE 0.0 END), (acc, v) -> acc + v) / tot AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS p_two,
+        |  CAST(round(CAST(CAST(list_reduce(list_transform(cells,
+        |    x -> CASE WHEN x.av <= n11 THEN x.u ELSE 0.0 END),
+        |    (acc, v) -> acc + v) / tot AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS p_left,
+        |  CAST(round(CAST(CAST(list_reduce(list_transform(cells,
+        |    x -> CASE WHEN x.av >= n11 THEN x.u ELSE 0.0 END),
+        |    (acc, v) -> acc + v) / tot AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS p_right
+        |FROM f""".stripMargin,
+    // q433: the q249 deterministic tie-run deciles; per-bucket terms
+    // are pinned double shapes, folded in bucket order with loud
+    // degenerate-bucket drops; q356's prepended-seed survival series
+    "q433_hosmer_lemeshow" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS s,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |      THEN 1 ELSE 0 END AS p
+        |  FROM events),
+        |c AS (SELECT g, s, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS np FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, s, n, np,
+        |    COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+        |    SUM(n) OVER (PARTITION BY g) AS tot FROM c),
+        |a AS (SELECT g, LEAST(9, (bef * 10) // tot) AS bucket,
+        |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(s * n) AS BIGINT) AS ss FROM w GROUP BY 1, 2),
+        |t AS (SELECT g, bucket, n, n_pos,
+        |    (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0 AS pbar
+        |  FROM a),
+        |t2 AS (SELECT g, bucket, n, n_pos, pbar,
+        |    (pbar > 0 AND pbar < 1) AS ok,
+        |    (CAST(n_pos AS DOUBLE) - CAST(n AS DOUBLE) * pbar)
+        |      * (CAST(n_pos AS DOUBLE) - CAST(n AS DOUBLE) * pbar)
+        |      / (CAST(n AS DOUBLE) * pbar * (1.0 - pbar)) AS term
+        |  FROM t),
+        |per AS (SELECT g, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_buckets,
+        |    CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_buckets_dropped,
+        |    coalesce(list_reduce(list_transform(
+        |      list(struct_pack(bucket := bucket, t := term)
+        |        ORDER BY bucket) FILTER (WHERE ok), x -> x.t),
+        |      (acc, v) -> acc + v), 0.0) AS hl_raw
+        |  FROM t2 GROUP BY 1),
+        |h AS (SELECT g, n, n_buckets, n_buckets_dropped,
+        |    CASE WHEN n_buckets > 2 THEN hl_raw END AS hl,
+        |    n_buckets - 2 AS df,
+        |    greatest(hl_raw, 0.0) / 2.0 AS hh,
+        |    (n_buckets - 2) // 2 AS m FROM per),
+        |pp AS (SELECT g, n, n_buckets, n_buckets_dropped, hl, df,
+        |    CASE WHEN df % 2 = 0 AND df > 0 THEN
+        |      exp(-hh) * CASE WHEN m > 1 THEN
+        |        list_reduce(list_prepend(
+        |          struct_pack(s := CAST(1.0 AS DOUBLE),
+        |            t := CAST(1.0 AS DOUBLE)),
+        |          list_transform(range(1, m), k -> struct_pack(
+        |            s := hh / CAST(k AS DOUBLE),
+        |            t := hh / CAST(k AS DOUBLE)))),
+        |          (acc, x) -> struct_pack(
+        |            s := acc.s + acc.t * x.t, t := acc.t * x.t)).s
+        |      ELSE 1.0 END
+        |    END AS pv
+        |  FROM h)
+        |SELECT g AS event_type, n, n_buckets, n_buckets_dropped,
+        |  CAST(round(CAST(CAST(hl AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS hl,
+        |  df,
+        |  CAST(round(CAST(CAST(pv AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS p_value
+        |FROM pp""".stripMargin,
+    // q434: four exact cells; MCC numerator/margins exact HUGEINT,
+    // one sqrt + one division; F1/accuracy single divisions
+    "q434_mcc" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS p,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM b GROUP BY 1)
+        |SELECT g AS event_type, n, tp, fp, fn, tn,
+        |  CAST(round(CAST(CAST(CAST(tp + tn AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS acc,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(2 * tp AS DOUBLE)
+        |      / CAST(2 * tp + fp + fn AS DOUBLE) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS f1,
+        |  CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp)
+        |      * (tn + fn) <> 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+        |        AS DOUBLE)
+        |      / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+        |        * (tn + fp) * (tn + fn) AS DOUBLE)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS mcc
+        |FROM c""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

@@ -908,4 +908,88 @@ object Divergence {
       .select(col("n"), col("r"), col("c"), col("df"), col("g"),
         (exp(-col("__h")) * col("__series")).as("p_value"))
   }
+
+  /** Fisher's exact test on a 2×2 — the small-table companion
+    * [[chiSquareIndependence]] and [[gTest]] defer to when expected
+    * cells are tiny and the χ² asymptotics lie. The hypergeometric
+    * support probabilities are built WITHOUT factorials via the
+    * ratio recurrence
+    *   p(a+1)/p(a) = (r₁−a)(c₁−a) / ((a+1)(r₂−c₁+a+1)),
+    * cumulated multiplicatively from the support minimum and
+    * normalized by the support total — no lgamma (whose last-ulp
+    * behavior differs across engines), only +,·,/ in a pinned order.
+    * Two-sided p sums every table whose probability is ≤ the observed
+    * one times (1 + 1e-7) — R fisher.test's tie tolerance.
+    *
+    * Fisher's exact is a SMALL-TABLE statistic by definition: the
+    * support size (≤ min(r₁, c₁) + 1) is gated loudly at
+    * `maxSupport` (the [[Guards.boundedCensus]] discipline) because
+    * each support row folds over its prefix — O(S²) total, fine at
+    * the hundreds, wrong at row scale where the χ² is correct anyway.
+    *
+    * Exactness: cells/margins exact; every u(a) is a fixed-order
+    * product of single-division ratios; the three cross-support sums
+    * fold in support order. Output one row: (n, n11, n10, n01, n00,
+    * p_two, p_left, p_right). */
+  def fisherExact(df: DataFrame, rowFlag: Column, colFlag: Column,
+      maxSupport: Int = 100000): DataFrame = {
+    require(maxSupport > 0, s"maxSupport must be positive: $maxSupport")
+    val base = df.select(
+      when(rowFlag, 1L).otherwise(0L).as("a"),
+      when(colFlag, 1L).otherwise(0L).as("b"))
+    val cells = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+        .as("n11"),
+      sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L))
+        .as("n10"),
+      sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L))
+        .as("n01"),
+      sum(when(col("a") === 0L && col("b") === 0L, 1L).otherwise(0L))
+        .as("n00"))
+      .withColumn("r1", col("n11") + col("n10"))
+      .withColumn("r2", col("n01") + col("n00"))
+      .withColumn("c1", col("n11") + col("n01"))
+      .withColumn("amin", greatest(lit(0L), col("c1") - col("r2")))
+      .withColumn("amax", least(col("r1"), col("c1")))
+    val sup = col("amax") - col("amin") + 1L
+    val gated = cells.withColumn("amin",
+      when(sup <= lit(maxSupport.toLong), col("amin"))
+        .otherwise(raise_error(concat(
+          lit("fisherExact: support size "), sup.cast("string"),
+          lit(s" exceeds the cap $maxSupport — a table this large " +
+            "belongs to chiSquareIndependence/gTest, not an exact " +
+            "test"))).cast("long")))
+    // unnormalized hypergeometric mass via the prefix product; the
+    // per-row fold is over [amin, av) — empty at the support minimum
+    val rows = gated.withColumn("av",
+      explode(sequence(col("amin"), col("amax"))))
+    val u = when(col("av") === col("amin"), lit(1.0))
+      .otherwise(aggregate(sequence(col("amin"), col("av") - 1L),
+        lit(1.0d), (acc, j) => acc *
+          (((col("r1") - j) * (col("c1") - j)).cast("double") /
+            ((j + lit(1L)) * (col("r2") - col("c1") + j + lit(1L)))
+              .cast("double"))))
+    val scored = rows.withColumn("u", u)
+    val per = scored.groupBy(col("n"), col("n11"), col("n10"),
+        col("n01"), col("n00"))
+      .agg(sort_array(collect_list(struct(col("av"), col("u"))))
+        .as("cells"))
+    val tot = aggregate(col("cells"), lit(0.0d),
+      (a, x) => a + x.getField("u"))
+    val uObs = element_at(
+      filter(col("cells"), x => x.getField("av") === col("n11")), 1)
+      .getField("u")
+    def condSum(cond: Column => Column): Column =
+      aggregate(col("cells"), lit(0.0d),
+        (a, x) => a + when(cond(x), x.getField("u")).otherwise(lit(0.0)))
+    per.withColumn("__tot", tot).withColumn("__uobs", uObs)
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        (condSum(x => x.getField("u") <=
+          col("__uobs") * lit(1.0 + 1e-7)) / col("__tot")).as("p_two"),
+        (condSum(x => x.getField("av") <= col("n11")) / col("__tot"))
+          .as("p_left"),
+        (condSum(x => x.getField("av") >= col("n11")) / col("__tot"))
+          .as("p_right"))
+  }
 }

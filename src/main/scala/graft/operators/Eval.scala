@@ -2589,6 +2589,113 @@ object Eval {
       when(ok, (msb - msw) / den).as("icc"))
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit per group — the significance
+    * companion to [[expectedCalibrationError]]: over the same
+    * equal-mass score buckets ([[calibrationCurve]]'s deterministic
+    * tie-run deciles),
+    *   HL = Σ_g (O_g − E_g)² / (E_g·(1 − p̄_g)),  df = G − 2,
+    * with E_g = n_g·p̄_g and p̄_g the bucket's mean predicted
+    * probability (mean_score/scoreScale). ECE says HOW miscalibrated;
+    * HL says whether the miscalibration is distinguishable from
+    * binomial noise. Buckets with p̄ at exactly 0 or 1 have no
+    * binomial variance and are dropped LOUDLY (n_buckets_dropped).
+    *
+    * Exactness: the bucket census is exact (O, n integers; p̄ one
+    * pinned division); each term is a fixed double shape; the fold
+    * runs in bucket order over ≤G cells. The even-df survival p
+    * reuses [[graft.operators.Divergence.chiSquareIndependence]]'s
+    * Poisson-sum fold (G = 10 → df = 8, even). Output: (g, n,
+    * n_buckets, n_buckets_dropped, hl, df, p_value). */
+  def hosmerLemeshow(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, buckets: Int, scoreScale: Long): DataFrame = {
+    require(scoreScale > 0, s"scoreScale must be positive: $scoreScale")
+    val curve = calibrationCurve(df, groupCol, labelCol, scoreCol, buckets)
+      .select(col(groupCol).as("g"), col("bucket"), col("n"),
+        col("n_pos"), col("mean_score"))
+    val pbar = col("mean_score") / lit(scoreScale.toDouble)
+    val e = col("n").cast("double") * pbar
+    val o = col("n_pos").cast("double")
+    val okB = pbar > 0.0 && pbar < 1.0
+    val term = (o - e) * (o - e) / (e * (lit(1.0) - pbar))
+    val per = curve
+      .withColumn("__ok", okB)
+      .withColumn("__term", when(okB, term))
+      .groupBy(col("g"))
+      .agg(sum(col("n")).as("n"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_buckets"),
+        sum(when(col("__ok"), 0L).otherwise(1L)).as("n_buckets_dropped"),
+        sort_array(collect_list(when(col("__ok"),
+          struct(col("bucket"), col("__term").as("t"))))).as("cells"))
+    val hl = aggregate(col("cells"), lit(0.0d),
+      (a, x) => a + x.getField("t"))
+    val dfree = col("n_buckets") - 2L
+    val half = greatest(col("hl"), lit(0.0)) / lit(2.0)
+    val series = when(col("__df") % 2L === 0L && col("__df") > 0L,
+      when(col("__m") > 1L,
+        expr("""aggregate(
+          |transform(sequence(1L, __m - 1L), k -> __h / CAST(k AS DOUBLE)),
+          |named_struct('s', CAST(1.0 AS DOUBLE), 't', CAST(1.0 AS DOUBLE)),
+          |(acc, hk) -> named_struct(
+          |  's', acc.s + acc.t * hk,
+          |  't', acc.t * hk),
+          |acc -> acc.s)""".stripMargin))
+        .otherwise(lit(1.0)))
+    per.withColumn("hl", when(col("n_buckets") > 2L, hl))
+      .withColumn("__df", dfree)
+      .withColumn("__h", half)
+      .withColumn("__m", expr("__df div 2"))
+      .withColumn("__series", series)
+      .select(col("g"), col("n"), col("n_buckets"),
+        col("n_buckets_dropped"), col("hl"), col("__df").as("df"),
+        (exp(-col("__h")) * col("__series")).as("p_value"))
+  }
+
+  /** Binary-confusion statistics per group — TP/FP/FN/TN with the
+    * three readouts that disagree exactly when class balance makes
+    * accuracy lie: Matthews correlation (the chance-corrected number
+    * that needs ALL four cells), F1 (which never sees TN), and raw
+    * accuracy. MCC is [[cohenKappa]]'s continuous-geometry sibling on
+    * a 2×2:
+    *   MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)).
+    *
+    * Exactness: four exact cells; the MCC numerator and every margin
+    * product stay exact decimal; one √ and one division. F1 and
+    * accuracy are single divisions. MCC null when any margin is 0
+    * (a degenerate predictor or degenerate truth — the cases where
+    * accuracy quietly reads 0.99); F1 null when TP+FP+FN = 0. Output:
+    * (g, n, tp, fp, fn, tn, acc, f1, mcc). */
+  def confusionStats(df: DataFrame, groupCol: String, predCol: Column,
+      actualCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(groupCol).as("g"),
+      when(predCol, 1L).otherwise(0L).as("p"),
+      when(actualCol, 1L).otherwise(0L).as("y"))
+    val g = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("p") === 1L && col("y") === 1L, 1L).otherwise(0L))
+        .as("tp"),
+      sum(when(col("p") === 1L && col("y") === 0L, 1L).otherwise(0L))
+        .as("fp"),
+      sum(when(col("p") === 0L && col("y") === 1L, 1L).otherwise(0L))
+        .as("fn"),
+      sum(when(col("p") === 0L && col("y") === 0L, 1L).otherwise(0L))
+        .as("tn"))
+    def D(c: Column): Column = c.cast(dec)
+    val num = (D(col("tp")) * D(col("tn")) - D(col("fp")) * D(col("fn")))
+      .cast(dec)
+    val den = (D(col("tp") + col("fp")) * D(col("tp") + col("fn")) *
+      D(col("tn") + col("fp")) * D(col("tn") + col("fn"))).cast(dec)
+    def dd(c: Column): Column = c.cast("double")
+    val zero = lit(0).cast(dec)
+    g.select(col("g"), col("n"), col("tp"), col("fp"), col("fn"),
+      col("tn"),
+      (dd(col("tp") + col("tn")) / dd(col("n"))).as("acc"),
+      when(col("tp") + col("fp") + col("fn") > 0L,
+        dd(lit(2L) * col("tp")) /
+          dd(lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"),
+      when(den =!= zero, dd(num) / sqrt(dd(den))).as("mcc"))
+  }
+
   /** Bland–Altman agreement between two paired measurement methods —
     * the readout correlation famously gets wrong (two methods can
     * correlate at 0.99 and still disagree by a constant 20%): the

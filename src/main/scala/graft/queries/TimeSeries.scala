@@ -2216,4 +2216,49 @@ object TimeSeries {
         round($"loa_hi", 6).as("loa_hi"),
         round($"slope_vs_mean", 8).as("slope_vs_mean"))
   }
+
+  /** q432 — Fisher's exact test ([[graft.operators.Divergence
+    * .fisherExact]]): on the small user_id < 20 cohort, is the error
+    * event type associated with top-decile values — hypergeometric
+    * support built factorial-free via the ratio recurrence, loud
+    * support cap, R-convention two-sided tie rule. */
+  def q432FisherExact(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).where($"user_id" < 20)
+    graft.operators.Divergence.fisherExact(s,
+        $"event_type" === "error", $"value" > 90.0)
+      .select($"n", $"n11", $"n10", $"n01", $"n00",
+        round($"p_two", 6).as("p_two"), round($"p_left", 6).as("p_left"),
+        round($"p_right", 6).as("p_right"))
+  }
+
+  /** q433 — Hosmer–Lemeshow ([[graft.operators.Eval.hosmerLemeshow]]):
+    * the q418 calibration design promoted to a significance test —
+    * over the same deterministic equal-mass deciles, is the
+    * weekend-rate miscalibration of the cents score distinguishable
+    * from binomial noise (df = 8, exact Poisson-sum survival p). */
+  def q433HosmerLemeshow(spark: SparkSession, dir: String): DataFrame = {
+    val scored = events(spark, dir).select($"event_type",
+      round($"value" * 100).cast("long").as("cents"),
+      when(dayofweek(to_date($"ts")).isin(1, 7), 1).otherwise(0)
+        .as("wkend"))
+    graft.operators.Eval.hosmerLemeshow(scored, "event_type", "wkend",
+        "cents", buckets = 10, scoreScale = 10000L)
+      .select($"g".as("event_type"), $"n", $"n_buckets",
+        $"n_buckets_dropped", round($"hl", 6).as("hl"), $"df",
+        round($"p_value", 6).as("p_value"))
+  }
+
+  /** q434 — confusion statistics ([[graft.operators.Eval
+    * .confusionStats]]): per event type, "value > 50 predicts
+    * weekend" scored with MCC / F1 / accuracy side by side — the
+    * class-imbalance disagreement the three readouts exist to
+    * expose. */
+  def q434Mcc(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.confusionStats(
+        events(spark, dir).select($"event_type", $"value", $"ts"),
+        "event_type", $"value" > 50.0,
+        dayofweek(to_date($"ts")).isin(1, 7))
+      .select($"g".as("event_type"), $"n", $"tp", $"fp", $"fn", $"tn",
+        round($"acc", 6).as("acc"), round($"f1", 6).as("f1"),
+        round($"mcc", 6).as("mcc"))
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Divergence
 
@@ -394,5 +395,33 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(ri.getAs[Double]("g") == 0.0)
     assert(ri.getAs[Long]("df") == 3L) // odd df -> null p, loud df
     assert(ri.isNullAt(ri.fieldIndex("p_value")))
+  }
+
+  test("fisherExact: Fisher's tea-tasting table hits the exact " +
+      "rational p-values; the support cap raises loudly") {
+    import spark.implicits._
+    // [[3,1],[1,3]]: support p = {1,16,36,16,1}/70, observed a = 3
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.toDF("r", "c")
+    val f = Divergence.fisherExact(df, col("r"), col("c")).head()
+    assert(f.getAs[Long]("n11") == 3 && f.getAs[Long]("n00") == 3)
+    assert(math.abs(f.getAs[Double]("p_two") - 34.0 / 70.0) < 1e-12)
+    assert(math.abs(f.getAs[Double]("p_right") - 17.0 / 70.0) < 1e-12)
+    assert(math.abs(f.getAs[Double]("p_left") - 69.0 / 70.0) < 1e-12)
+    // independence-ish big effect: strong association -> tiny p
+    val strong = Seq.fill(20)((true, true)) ++
+      Seq.fill(20)((false, false)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(2)((false, true))
+    val fs = Divergence.fisherExact(strong.toDF("r", "c"),
+      col("r"), col("c")).head()
+    assert(fs.getAs[Double]("p_two") < 1e-6)
+    // loud cap: support 21 > 4
+    val err = intercept[Exception] {
+      Divergence.fisherExact(strong.toDF("r", "c"), col("r"), col("c"),
+        maxSupport = 4).collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("fisherExact"), err.getMessage)
   }
 }

@@ -1273,4 +1273,55 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(r1.getAs[Double]("bias") == -4.0 &&
       r1.isNullAt(r1.fieldIndex("sd_d")))
   }
+
+  test("hosmerLemeshow: perfectly-calibrated buckets give HL = 0 and " +
+    "p = 1; miscalibration raises HL and sinks p; p=0/1 buckets drop") {
+    import spark.implicits._
+    // 10 score runs at 500, 1500, ..., 9500 (scale 10000); each run of
+    // 20 rows carries exactly n*pbar positives -> O = E in every bucket
+    def rows(flip: Boolean): Seq[(String, Int, Long)] =
+      (0 until 10).flatMap { b =>
+        val s = 500L + 1000L * b
+        val pos = (s / 500).toInt // 20 * (s/10000)
+        val posAdj = if (flip && b == 0) pos + 10 else pos
+        (0 until 20).map(i => ("g", if (i < posAdj) 1 else 0, s))
+      }
+    val perfect = Eval.hosmerLemeshow(rows(flip = false)
+      .toDF("g", "y", "s"), "g", "y", "s", 10, 10000L).head()
+    assert(perfect.getAs[Long]("n_buckets") == 10 &&
+      perfect.getAs[Long]("n_buckets_dropped") == 0)
+    assert(perfect.getAs[Double]("hl") == 0.0)
+    assert(perfect.getAs[Long]("df") == 8)
+    assert(perfect.getAs[Double]("p_value") == 1.0)
+    val bad = Eval.hosmerLemeshow(rows(flip = true)
+      .toDF("g", "y", "s"), "g", "y", "s", 10, 10000L).head()
+    assert(bad.getAs[Double]("hl") > 20.0)
+    assert(bad.getAs[Double]("p_value") < 0.01)
+    // a pbar = 0 bucket is dropped loudly
+    val withZero = rows(flip = false) ++
+      (0 until 20).map(i => ("g", 0, 10500L))
+    val rz = Eval.hosmerLemeshow(withZero.toDF("g", "y", "s"),
+      "g", "y", "s", 11, 10000L).head()
+    assert(rz.getAs[Long]("n_buckets_dropped") == 1)
+  }
+
+  test("confusionStats: hand 2x2 hits MCC/F1/accuracy; degenerate " +
+    "all-positive predictor nulls MCC but keeps accuracy") {
+    import spark.implicits._
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.map { case (p, y) => ("g", p, y) }.toDF("g", "p", "y")
+    val r = Eval.confusionStats(df, "g", col("p"), col("y")).head()
+    assert(r.getAs[Long]("tp") == 4 && r.getAs[Long]("fp") == 1 &&
+      r.getAs[Long]("fn") == 2 && r.getAs[Long]("tn") == 3)
+    assert(r.getAs[Double]("acc") == 0.7)
+    assert(math.abs(r.getAs[Double]("f1") - 8.0 / 11.0) < 1e-15)
+    assert(math.abs(r.getAs[Double]("mcc") - 10.0 / math.sqrt(600.0))
+      < 1e-15)
+    val degen = Seq(("g", true, true), ("g", true, false))
+      .toDF("g", "p", "y")
+    val rd = Eval.confusionStats(degen, "g", col("p"), col("y")).head()
+    assert(rd.isNullAt(rd.fieldIndex("mcc")) &&
+      rd.getAs[Double]("acc") == 0.5)
+  }
 }
