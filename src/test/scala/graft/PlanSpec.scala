@@ -605,4 +605,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("FileScan"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("round-10 session-2 stats family (q420-q434): no cartesians, " +
+      "every window keyed, single-partition exchanges only downstream " +
+      "of partial aggregates") {
+    val qs = Seq("q420_brown_forsythe", "q421_bartlett", "q422_g_test",
+      "q423_propensity_match", "q424_rdd", "q425_iv_wald", "q426_kpss",
+      "q427_perm_entropy", "q428_granger", "q429_cronbach", "q430_icc",
+      "q431_bland_altman", "q432_fisher_exact", "q433_hosmer_lemeshow",
+      "q434_mcc")
+    for (q <- qs) {
+      val p = physical(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
+      val lines = p.linesIterator.toSeq
+      // windows must partition by a key (scope/group/series key) — a
+      // global window over row-scale data would melt one executor
+      lines.filter(_.contains("Window ")).foreach { l =>
+        assert(l.contains("sc#") || l.contains("[k#") ||
+          l.contains("g#") || l.contains("event_type"),
+          s"$q window not keyed:\n$l")
+      }
+      val spIdx = lines.zipWithIndex
+        .filter(_._1.contains("Exchange SinglePartition")).map(_._2)
+      spIdx.foreach { i =>
+        assert(lines.drop(i).exists(l => l.contains("HashAggregate") ||
+          l.contains("ObjectHashAggregate")),
+          s"$q: single-partition exchange not fed by a partial agg:\n" +
+            lines.slice(i, i + 4).mkString("\n"))
+      }
+    }
+  }
 }
