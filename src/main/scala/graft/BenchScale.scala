@@ -281,6 +281,35 @@ object BenchScale {
         "vec_id", "v", dims = 2, bitsPerDim = 4, shardBits = 5,
         tauMilli = 700L, capPerShard = 256)
 
+    // q423 shape: nearest-score matching at Nx events with EXACT
+    // duplicate copies: the (scope, score) census CELL SET is unchanged
+    // at any N (same score values), so the nearest-control window sees
+    // a constant row count — only the scan and the census aggregation
+    // grow (the qnorm flat-window claim applied to matching).
+    def matchAt(n: Int): DataFrame = {
+      val e = (0 until n).map(_ => ev0).reduce(_ unionByName _)
+      val s = e.select(col("event_type"),
+        (expr("(ms div 86400000) % 7")).isin(0L, 6L).as("treated"),
+        (col("user_id") % 10000).as("score"),
+        (col("user_id") % 1000).as("y"))
+      graft.operators.Causal.nearestScoreMatch(s, "event_type",
+        col("treated"), "score", "y", caliper = 50L)
+    }
+
+    // q426 shape: KPSS at Nx series keys (copy-suffixed event types):
+    // per-key series length is constant, the key count scales Nx — the
+    // keyed-window claim (work linear in keys, no global sort).
+    def kpssAt(n: Int): DataFrame = {
+      val e = (0 until n).map(i => ev0.select(
+        concat(col("event_type"), lit("_" + i)).as("k"),
+        (col("ms") / 86400000L).cast("long").as("o"),
+        (col("user_id") % 1000).as("x")))
+        .reduce(_ unionByName _)
+      val daily = e.groupBy(col("k"), col("o"))
+        .agg(sum(col("x")).as("tot"))
+      graft.operators.Autocorr.kpssLevel(daily, "k", "o", "tot", lags = 4)
+    }
+
     val shapes: Seq[(String, Int => DataFrame)] = Seq(
       "minhash" -> (n => minhash(corpusAt(n))),
       "incremental" -> (n => incremental(corpusAt(n))),
@@ -298,7 +327,9 @@ object BenchScale {
       "qnorm" -> (qnorm(_)),
       "kneserney" -> (kneserney(_)),
       "distinctn" -> (distinctn(_)),
-      "zorder_audit" -> (zorderAudit(_)))
+      "zorder_audit" -> (zorderAudit(_)),
+      "match" -> (matchAt(_)),
+      "kpss" -> (kpssAt(_)))
     val out = shapes.flatMap { case (name, fn) =>
       val (t1, n1) = timed(fn(1))
       val (tN, nN) = timed(fn(copies))

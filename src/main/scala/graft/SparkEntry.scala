@@ -459,6 +459,9 @@ object SparkEntry {
     "q432_fisher_exact"     -> (T.q432FisherExact(_, _)),
     "q433_hosmer_lemeshow"  -> (T.q433HosmerLemeshow(_, _)),
     "q434_mcc"              -> (T.q434Mcc(_, _)),
+    "q435_brunner_munzel"   -> (T.q435BrunnerMunzel(_, _)),
+    "q436_distance_corr"    -> (T.q436DistanceCorr(_, _)),
+    "q437_grubbs"           -> (T.q437Grubbs(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -6795,12 +6798,13 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(ra AS VARCHAR) AS DECIMAL(38,20)), 6)
         |    AS DOUBLE) AS resource_alloc
         |FROM top""".stripMargin,
-    // q420: doubled-median deviations keep the census integer; the one
-    // float fold replays anovaF's group-ordered list_reduce; order-stat
-    // rows picked by rn among ties leave the selected VALUES pinned
+    // q420: replays Robust.brownForsythe's exact shapes — doubled
+    // order-stat medians keep z integer; sterm folds
+    // double(si²)/double(ni) in group order (si² squared in HUGEINT
+    // BEFORE the double cast); F = (n−k)·between / ((k−1)·within)
     "q420_brown_forsythe" ->
       """WITH e AS (SELECT event_type AS sc,
-        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS VARCHAR) AS g,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS g,
         |    CAST(round(value * 100) AS BIGINT) AS y
         |  FROM events WHERE value IS NOT NULL),
         |r AS (SELECT sc, g, y,
@@ -6817,21 +6821,21 @@ object SparkEntry {
         |    sum(CAST(z AS HUGEINT) * z) AS qg FROM z GROUP BY 1, 2),
         |p AS (SELECT sc, CAST(count(*) AS BIGINT) AS k,
         |    CAST(sum(ng) AS BIGINT) AS n,
-        |    CAST(sum(sg) AS HUGEINT) AS s, CAST(sum(qg) AS HUGEINT) AS q,
-        |    list(struct_pack(sgd := CAST(sg AS DOUBLE),
-        |      ngd := CAST(ng AS DOUBLE)) ORDER BY g) AS cells
+        |    CAST(sum(sg) AS HUGEINT) AS ss, CAST(sum(qg) AS HUGEINT) AS qq,
+        |    list(struct_pack(s2 := sg * sg, ni := ng) ORDER BY g) AS cells
         |  FROM c GROUP BY 1),
-        |b AS (SELECT sc, k, n, s, q,
-        |    list_reduce(list_transform(cells, x -> x.sgd * x.sgd / x.ngd),
-        |      (acc, t) -> acc + t) AS between FROM p),
+        |b AS (SELECT sc, k, n, ss, qq,
+        |    list_reduce(list_transform(cells,
+        |      x -> CAST(x.s2 AS DOUBLE) / CAST(x.ni AS DOUBLE)),
+        |      (acc, t) -> acc + t) AS sterm FROM p),
         |f AS (SELECT sc, k, n,
-        |    between - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-        |      / CAST(n AS DOUBLE) AS ssb,
-        |    CAST(q AS DOUBLE) - between AS ssw FROM b)
+        |    sterm - CAST(ss * ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS between,
+        |    CAST(qq AS DOUBLE) - sterm AS within FROM b)
         |SELECT sc AS event_type, k, n,
-        |  CASE WHEN k > 1 AND n > k AND ssw <> 0 THEN
-        |    CAST(round(CAST(CAST((ssb / CAST(k - 1 AS DOUBLE))
-        |      / (ssw / CAST(n - k AS DOUBLE)) AS VARCHAR)
+        |  CASE WHEN k > 1 AND within > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(n - k AS DOUBLE) * between
+        |      / (CAST(k - 1 AS DOUBLE) * within) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS w
         |FROM f""".stripMargin,
     // q421: exact (ng, Σy, Σy²) cells; per-cell variance one pinned
@@ -7443,6 +7447,152 @@ object SparkEntry {
         |        * (tn + fp) * (tn + fn) AS DOUBLE)) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS mcc
         |FROM c""".stripMargin,
+    // q435: doubled midranks keep combined AND within-group ranks
+    // integer (the q283 census convention); all moments HUGEINT; the
+    // W/df/p-hat shapes replay literally
+    "q435_brunner_munzel" ->
+      """WITH e AS (SELECT event_type AS sc,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) + 1 IN (1, 7)
+        |      THEN 1 ELSE 0 END AS is2,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT sc, v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(is2) AS BIGINT) AS t2 FROM e GROUP BY 1, 2),
+        |c2 AS (SELECT sc, v, t, t2, t - t2 AS t1 FROM c),
+        |r AS (SELECT sc, v, t, t1, t2,
+        |    2 * coalesce(sum(t) OVER w, 0) + t + 1 AS r2,
+        |    2 * coalesce(sum(t1) OVER w, 0) + t1 + 1 AS r21,
+        |    2 * coalesce(sum(t2) OVER w, 0) + t2 + 1 AS r22
+        |  FROM c2 WINDOW w AS (PARTITION BY sc ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |d AS (SELECT sc, t1, t2, r2, r2 - r21 AS d1, r2 - r22 AS d2
+        |  FROM r),
+        |g AS (SELECT sc, CAST(sum(t1) AS BIGINT) AS n1,
+        |    CAST(sum(t2) AS BIGINT) AS n2,
+        |    sum(CAST(t1 AS HUGEINT) * r2) AS sr1,
+        |    sum(CAST(t2 AS HUGEINT) * r2) AS sr2,
+        |    sum(CAST(t1 AS HUGEINT) * d1) AS sd1,
+        |    sum(CAST(t1 AS HUGEINT) * d1 * d1) AS sq1,
+        |    sum(CAST(t2 AS HUGEINT) * d2) AS sd2,
+        |    sum(CAST(t2 AS HUGEINT) * d2 * d2) AS sq2
+        |  FROM d GROUP BY 1),
+        |s AS (SELECT sc, n1, n2,
+        |    CAST(n1 * sq1 - sd1 * sd1 AS DOUBLE)
+        |      / CAST(4 * CAST(n1 AS HUGEINT) * (n1 - 1) AS DOUBLE) AS s1,
+        |    CAST(n2 * sq2 - sd2 * sd2 AS DOUBLE)
+        |      / CAST(4 * CAST(n2 AS HUGEINT) * (n2 - 1) AS DOUBLE) AS s2,
+        |    CAST(sr1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS rbar1,
+        |    CAST(sr2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)) AS rbar2
+        |  FROM g),
+        |vv AS (SELECT sc, n1, n2, rbar1, rbar2,
+        |    CAST(n1 AS DOUBLE) * s1 AS v1, CAST(n2 AS DOUBLE) * s2 AS v2
+        |  FROM s)
+        |SELECT sc AS event_type, n1, n2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CAST(round(CAST(CAST((rbar2 - (CAST(n2 AS DOUBLE) + 1.0)
+        |      / 2.0) / CAST(n1 AS DOUBLE) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS p_hat,
+        |  CASE WHEN n1 > 1 AND n2 > 1 AND v1 + v2 > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (rbar2 - rbar1) / ((CAST(n1 AS DOUBLE)
+        |      + CAST(n2 AS DOUBLE)) * sqrt(v1 + v2)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS w,
+        |  CASE WHEN n1 > 1 AND n2 > 1 AND v1 + v2 > 0 THEN
+        |    CAST(round(CAST(CAST((v1 + v2) * (v1 + v2)
+        |      / (v1 * v1 / CAST(n1 - 1 AS DOUBLE)
+        |        + v2 * v2 / CAST(n2 - 1 AS DOUBLE)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 4) AS DOUBLE) END AS df_w
+        |FROM vv""".stripMargin,
+    // q436: n4-scaled all-integer double-centering — every centered
+    // factor and the three pair sums are exact HUGEINTs; only the
+    // final divisions and sqrts are float, in one pinned shape
+    "q436_distance_corr" ->
+      """WITH dly AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS a,
+        |    sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS b
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |pts AS (SELECT a AS x, b AS y FROM dly
+        |  WHERE a IS NOT NULL AND b IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM pts GROUP BY 1, 2),
+        |rs AS (SELECT p.x, p.y, p.c,
+        |    CAST(sum(q.c * CAST(abs(p.x - q.x) AS HUGEINT)) AS HUGEINT)
+        |      AS rx,
+        |    CAST(sum(q.c * CAST(abs(p.y - q.y) AS HUGEINT)) AS HUGEINT)
+        |      AS ry
+        |  FROM cells p CROSS JOIN cells q GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(c * rx) AS HUGEINT) AS tx,
+        |    CAST(sum(c * ry) AS HUGEINT) AS ty FROM rs),
+        |pr AS (SELECT p.c AS cp, q.c AS cq,
+        |    CAST(n AS HUGEINT) * n * abs(p.x - q.x)
+        |      - CAST(n AS HUGEINT) * p.rx - CAST(n AS HUGEINT) * q.rx
+        |      + tx AS ax,
+        |    CAST(n AS HUGEINT) * n * abs(p.y - q.y)
+        |      - CAST(n AS HUGEINT) * p.ry - CAST(n AS HUGEINT) * q.ry
+        |      + ty AS by
+        |  FROM rs p CROSS JOIN rs q CROSS JOIN tot),
+        |sums AS (SELECT
+        |    sum(CAST(cp AS HUGEINT) * cq * ax * by) AS sab,
+        |    sum(CAST(cp AS HUGEINT) * cq * ax * ax) AS saa,
+        |    sum(CAST(cp AS HUGEINT) * cq * by * by) AS sbb FROM pr),
+        |f AS (SELECT n, n_cells,
+        |    CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE)) AS dcov2,
+        |    CAST(saa AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE)) AS dvx,
+        |    CAST(sbb AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE)) AS dvy
+        |  FROM sums CROSS JOIN tot)
+        |SELECT n, n_cells,
+        |  CAST(round(CAST(CAST(dcov2 AS VARCHAR) AS DECIMAL(38,20)), 4)
+        |    AS DOUBLE) AS dcov2,
+        |  CAST(round(CAST(CAST(dvx AS VARCHAR) AS DECIMAL(38,20)), 4)
+        |    AS DOUBLE) AS dvar_x,
+        |  CAST(round(CAST(CAST(dvy AS VARCHAR) AS DECIMAL(38,20)), 4)
+        |    AS DOUBLE) AS dvar_y,
+        |  CASE WHEN dvx > 0 AND dvy > 0 THEN
+        |    CAST(round(CAST(CAST(sqrt(dcov2 / sqrt(dvx * dvy))
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS dcor
+        |FROM f""".stripMargin,
+    // q437: the argmax key |n*x - sum| is an exact integer with the
+    // (dev desc, id asc) pinned order; g/mean/sd pinned double shapes
+    "q437_grubbs" ->
+      """WITH e AS (SELECT event_type AS g, event_id AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS s,
+        |    sum(CAST(x AS HUGEINT) * x) AS q FROM e GROUP BY 1),
+        |j AS (SELECT e.g, e.id, e.x,
+        |    abs(CAST(t.n AS HUGEINT) * e.x - t.s) AS dev,
+        |    t.n, t.s, t.q,
+        |    row_number() OVER (PARTITION BY e.g
+        |      ORDER BY abs(CAST(t.n AS HUGEINT) * e.x - t.s) DESC, e.id)
+        |      AS rn
+        |  FROM e JOIN t ON e.g = t.g),
+        |top AS (SELECT g, n, s, q, id, x, dev FROM j WHERE rn = 1),
+        |v AS (SELECT g, n, s, id, x, dev,
+        |    CAST(n * q - s * s AS DOUBLE)
+        |      / CAST(n * (CAST(n AS HUGEINT) - 1) AS DOUBLE) AS vr
+        |  FROM top)
+        |SELECT g AS event_type, n, id AS outlier_id, x AS outlier_value,
+        |  CASE WHEN n > 1 AND vr > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(dev AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * sqrt(vr)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS g_stat,
+        |  CAST(round(CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS mean,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(round(CAST(CAST(sqrt(vr) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 4) AS DOUBLE) END AS sd
+        |FROM v""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

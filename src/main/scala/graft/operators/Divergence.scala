@@ -931,6 +931,95 @@ object Divergence {
     * product of single-division ratios; the three cross-support sums
     * fold in support order. Output one row: (n, n11, n10, n01, n00,
     * p_two, p_left, p_right). */
+  /** Distance correlation (Székely–Rizzo 2007) — the dependence
+    * measure that is ZERO only under true independence: Pearson sees
+    * lines, Spearman sees monotone curves, dCor sees everything
+    * (U-shapes, circles). Over paired observations (x, y):
+    *   A_jk = a_jk − ā_j· − ā_·k + ā_··  (double-centered |x_j − x_k|),
+    *   dCov² = n⁻² Σ A_jk B_jk,  dCor² = dCov² / √(dVarₓ·dVar_y).
+    *
+    * EXACT by n⁴-scaling: every centered factor n²a_jk − n·Rx_j −
+    * n·Rx_k + Tx is an exact integer (row sums Rx and the total Tx
+    * are integer sums), so Σ(A·B)·n⁶ is ONE exact decimal sum over
+    * the pair grid and dCov²/dVar are single divisions — no float
+    * folds over pairs at all, which is what makes the all-pairs sum
+    * partition-invariant.
+    *
+    * Scale contract: dCor is quadratic in the CENSUS (distinct (x, y)
+    * cells with multiplicity); the cell census is gated loudly at
+    * `maxCells` ([[Guards.boundedCensus]]) and the pair grid is built
+    * by broadcast — bounded-census² work, never row-scale². Callers
+    * aggregate to period grain first (the [[graft.operators.Autocorr]]
+    * input contract). The observation count is ALSO gated (`maxN`):
+    * the n⁴-scaled integers grow as n⁴·Δ², and past ~10⁴ observations
+    * they would silently overflow decimal(38) into nulls — the gate
+    * turns that cliff into a loud error. Output one row: (n, n_cells,
+    * dcov2, dvar_x, dvar_y, dcor); dcor null when either marginal is
+    * constant. */
+  def distanceCorrelation(df: DataFrame, xCol: String, yCol: String,
+      maxCells: Long = 4000L, maxN: Long = 10000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells0 = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val cells = Guards.boundedCensus(cells0, "x", "distanceCorrelation",
+      maxCells)
+    val right = broadcast(cells.select(col("x").as("xq"),
+      col("y").as("yq"), col("c").as("cq")))
+    def D(c: Column): Column = c.cast(dec)
+    // per-cell row sums over ALL observations (diagonal included at 0)
+    val rows = cells.join(right,
+        lit(true), "inner")
+      .groupBy(col("x"), col("y"), col("c"))
+      .agg(sum((D(col("cq")) * D(abs(col("x") - col("xq")))).cast(dec))
+        .cast(dec).as("rx"),
+        sum((D(col("cq")) * D(abs(col("y") - col("yq")))).cast(dec))
+          .cast(dec).as("ry"))
+    val tot = rows.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_cells"),
+      sum((D(col("c")) * col("rx")).cast(dec)).cast(dec).as("tx"),
+      sum((D(col("c")) * col("ry")).cast(dec)).cast(dec).as("ty"))
+      .withColumn("n", when(col("n") <= lit(maxN), col("n"))
+        .otherwise(raise_error(concat(
+          lit("distanceCorrelation: n = "), col("n").cast("string"),
+          lit(s" exceeds the exactness cap $maxN — the n^4-scaled " +
+            "integers would overflow decimal(38); aggregate to a " +
+            "coarser grain first"))).cast("long")))
+    val left2 = rows.select(col("x").as("xp"), col("y").as("yp"),
+      col("c").as("cp"), col("rx").as("rxp"), col("ry").as("ryp"))
+    val right2 = broadcast(rows.select(col("x").as("xq"),
+      col("y").as("yq"), col("c").as("cq"), col("rx").as("rxq"),
+      col("ry").as("ryq")))
+    val paired = left2.join(right2, lit(true), "inner")
+      .crossJoin(broadcast(tot))
+    val nD = D(col("n"))
+    def fa(dcol: Column, rp: Column, rq: Column, t: Column): Column =
+      (nD * nD * D(dcol) - nD * rp - nD * rq + t).cast(dec)
+    val ax = fa(abs(col("xp") - col("xq")), col("rxp"), col("rxq"),
+      col("tx"))
+    val by = fa(abs(col("yp") - col("yq")), col("ryp"), col("ryq"),
+      col("ty"))
+    val sums = paired.groupBy(col("n"), col("n_cells")).agg(
+      sum((D(col("cp")) * D(col("cq")) * (ax * by).cast(dec)).cast(dec))
+        .cast(dec).as("sab"),
+      sum((D(col("cp")) * D(col("cq")) * (ax * ax).cast(dec)).cast(dec))
+        .cast(dec).as("saa"),
+      sum((D(col("cp")) * D(col("cq")) * (by * by).cast(dec)).cast(dec))
+        .cast(dec).as("sbb"))
+    def dd(c: Column): Column = c.cast("double")
+    val n6 = {
+      val d = dd(col("n"))
+      d * d * d * d * d * d
+    }
+    val dcov2 = dd(col("sab")) / n6
+    val dvx = dd(col("saa")) / n6
+    val dvy = dd(col("sbb")) / n6
+    sums.select(col("n"), col("n_cells"), dcov2.as("dcov2"),
+      dvx.as("dvar_x"), dvy.as("dvar_y"),
+      when(dvx > 0.0 && dvy > 0.0,
+        sqrt(dcov2 / sqrt(dvx * dvy))).as("dcor"))
+  }
+
   def fisherExact(df: DataFrame, rowFlag: Column, colFlag: Column,
       maxSupport: Int = 100000): DataFrame = {
     require(maxSupport > 0, s"maxSupport must be positive: $maxSupport")

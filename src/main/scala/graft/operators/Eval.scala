@@ -2361,48 +2361,6 @@ object Eval {
     *
     * Scale shape: one broadcast-able forecast join, one group census.
     * Output: (g, n, qhat, over_sum, under_sum, pinball_mean). */
-  /** Brown–Forsythe homogeneity-of-variance test per scope — does the
-    * SPREAD (not the mean) of a metric differ across k groups? The
-    * robust Levene variant: score every row by its absolute deviation
-    * from the GROUP MEDIAN, then run [[anovaF]] on the deviations; a
-    * significant W says variances differ, which invalidates the
-    * equal-variance reading of [[anovaF]] itself — the test you run
-    * BEFORE trusting a pooled-variance contrast.
-    *
-    * Exactness: the group median is kept exact by DOUBLING — m2_g is
-    * the sum of the two middle order statistics (or twice the single
-    * middle one), an integer, so z = |2·y − m2_g| is an exact integer
-    * per row and the whole census stays integer until [[anovaF]]'s one
-    * float fold. Order statistics come from a (scope, group)-keyed
-    * row_number window; ties in y leave the selected VALUES (never the
-    * row identities) well-defined, so the statistic is deterministic.
-    *
-    * Scale shape: one keyed window (partitioned by (scope, group) —
-    * never global), one broadcast-able median join, then [[anovaF]]'s
-    * two census aggregations. Output: (sc, k, n, w); w null when
-    * k < 2, n ≤ k, or all deviations are identical. */
-  def brownForsythe(df: DataFrame, scopeCol: String, groupCol: String,
-      valueCol: String): DataFrame = {
-    val base = df.where(col(valueCol).isNotNull)
-      .select(col(scopeCol).as("sc"), col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("long").as("y"))
-    val w = Window.partitionBy(col("sc"), col("g")).orderBy(col("y"))
-    val sized = base
-      .withColumn("rn", row_number().over(w))
-      .withColumn("ng",
-        count(lit(1)).over(Window.partitionBy(col("sc"), col("g"))))
-    val m2 = sized
-      .where(col("rn") === expr("(ng + 1) div 2") ||
-        col("rn") === expr("(ng + 2) div 2"))
-      .groupBy(col("sc"), col("g"))
-      .agg(when(count(lit(1)) === 1L, min(col("y")) * 2L)
-        .otherwise(sum(col("y"))).as("m2"))
-    val z = base.join(m2, Seq("sc", "g"))
-      .select(col("sc"), col("g"), abs(col("y") * 2L - col("m2")).as("z"))
-    anovaF(z, "sc", "g", "z")
-      .select(col("sc"), col("k"), col("n"), col("f").as("w"))
-  }
-
   /** Bartlett's test per scope — the classical (normal-theory)
     * homogeneity-of-variance companion to [[brownForsythe]]: more
     * powerful when the data really are normal, famously fragile when
@@ -2587,6 +2545,87 @@ object Eval {
       when(col("n") > col("k"), msw).as("msw"),
       when(col("k") > 1L, k0).as("k0"),
       when(ok, (msb - msw) / den).as("icc"))
+  }
+
+  /** Brunner–Munzel test per scope (Brunner & Munzel 2000) — the
+    * two-sample rank test [[mannWhitneyU]] graduates to when the two
+    * groups may have UNEQUAL variances/shapes: Mann–Whitney's variance
+    * assumes exchangeability under H₀; Brunner–Munzel studentizes the
+    * relative effect p̂ = P(X₁ < X₂) + ½P(X₁ = X₂) with per-group rank
+    * variances and a Welch-type df (the lawstat formulation):
+    *   W  = n₁n₂·(R̄₂ − R̄₁) / (N·√(n₁S₁² + n₂S₂²)),
+    *   S_k² = Var(R_ki − R⁽ᵏ⁾_ki),  df Welch-style from n_kS_k².
+    * p̂ itself equals the two-sample AUC — [[auc]] is the spec-level
+    * cross-check.
+    *
+    * Exactness: DOUBLED midranks (the [[mannWhitneyU]] census
+    * convention) keep combined and within-group ranks integer; the
+    * per-cell D = R − R⁽ᵏ⁾ is integer with multiplicity, so all
+    * moments are exact decimals; W/df/p̂ are pinned double shapes.
+    *
+    * Scale shape: one (scope, value) census, three cumulative windows
+    * over the value census per scope (bounded by distinct values —
+    * callers discretize, the [[auc]] contract), one scope
+    * aggregation. Output: (sc, n1, n2, p_hat, w, df_w); W/df null
+    * when either group has n < 2 or all ranks are degenerate. */
+  def brunnerMunzel(df: DataFrame, scopeCol: String, isSample2: Column,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = df.where(col(valueCol).isNotNull)
+      .select(col(scopeCol).as("sc"), col(valueCol).cast("long").as("v"),
+        when(isSample2, 1L).otherwise(0L).as("is2"))
+      .groupBy(col("sc"), col("v"))
+      .agg(count(lit(1)).as("t"), sum(col("is2")).as("t2"))
+      .withColumn("t1", col("t") - col("t2"))
+    val w = Window.partitionBy(col("sc")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = census
+      .withColumn("r2",
+        lit(2L) * coalesce(sum(col("t")).over(w), lit(0L)) +
+          col("t") + 1L)
+      .withColumn("r21",
+        lit(2L) * coalesce(sum(col("t1")).over(w), lit(0L)) +
+          col("t1") + 1L)
+      .withColumn("r22",
+        lit(2L) * coalesce(sum(col("t2")).over(w), lit(0L)) +
+          col("t2") + 1L)
+      .withColumn("d1", col("r2") - col("r21"))
+      .withColumn("d2", col("r2") - col("r22"))
+    def D(c: Column): Column = c.cast(dec)
+    val g = ranked.groupBy(col("sc")).agg(
+      sum(col("t1")).as("n1"), sum(col("t2")).as("n2"),
+      sum((D(col("t1")) * D(col("r2"))).cast(dec)).cast(dec).as("sr1"),
+      sum((D(col("t2")) * D(col("r2"))).cast(dec)).cast(dec).as("sr2"),
+      sum((D(col("t1")) * D(col("d1"))).cast(dec)).cast(dec).as("sd1"),
+      sum((D(col("t1")) * D(col("d1")) * D(col("d1"))).cast(dec))
+        .cast(dec).as("sq1"),
+      sum((D(col("t2")) * D(col("d2"))).cast(dec)).cast(dec).as("sd2"),
+      sum((D(col("t2")) * D(col("d2")) * D(col("d2"))).cast(dec))
+        .cast(dec).as("sq2"))
+    def dd(c: Column): Column = c.cast("double")
+    val n1D = col("n1").cast(dec); val n2D = col("n2").cast(dec)
+    // sample variances of D from doubled-rank moments (the /4)
+    val s1 = dd((n1D * col("sq1") - col("sd1") * col("sd1")).cast(dec)) /
+      dd((lit(4).cast(dec) * n1D * (n1D - 1).cast(dec)).cast(dec))
+    val s2 = dd((n2D * col("sq2") - col("sd2") * col("sd2")).cast(dec)) /
+      dd((lit(4).cast(dec) * n2D * (n2D - 1).cast(dec)).cast(dec))
+    val rbar1 = dd(col("sr1")) / (lit(2.0) * dd(col("n1")))
+    val rbar2 = dd(col("sr2")) / (lit(2.0) * dd(col("n2")))
+    val v1 = dd(col("n1")) * s1
+    val v2 = dd(col("n2")) * s2
+    val sumv = v1 + v2
+    val phat = (rbar2 - (dd(col("n2")) + lit(1.0)) / lit(2.0)) /
+      dd(col("n1"))
+    val wStat = dd(col("n1")) * dd(col("n2")) * (rbar2 - rbar1) /
+      ((dd(col("n1")) + dd(col("n2"))) * sqrt(sumv))
+    val dfW = (sumv * sumv) /
+      (v1 * v1 / dd(col("n1") - 1L) + v2 * v2 / dd(col("n2") - 1L))
+    val both = col("n1") > 0L && col("n2") > 0L
+    val ok = col("n1") > 1L && col("n2") > 1L && sumv > lit(0.0)
+    g.select(col("sc"), col("n1"), col("n2"),
+      when(both, phat).as("p_hat"),
+      when(ok, wStat).as("w"),
+      when(ok, dfW).as("df_w"))
   }
 
   /** Hosmer–Lemeshow goodness-of-fit per group — the significance

@@ -216,4 +216,49 @@ object Robust {
           col("__s").cast("double") / col("n_kept").cast("double"))
           .as("trimmed_mean"))
   }
+
+  /** Grubbs outlier statistic per group — G = max|x − x̄|/s, the
+    * single-most-extreme-point readout [[madOutliers]]'s per-row flags
+    * roll up to: WHICH observation is the group's worst offender and
+    * how many sigmas out is it. Reported with the offending id so the
+    * alert is actionable (compare against the Grubbs critical value
+    * for the caller's n and α off-line; the statistic itself is the
+    * deterministic part).
+    *
+    * Exactness: the argmax key is the INTEGER |n·x − Σx| (maximizing
+    * |x − x̄| without ever forming the float mean), tie-broken by
+    * smallest id — a pinned total order; G and the mean/sd readouts
+    * are pinned double shapes from exact (n, Σx, Σx²). Output:
+    * (g, n, outlier_id, outlier_value, g_stat, mean, sd); null stat
+    * when n < 2 or sd = 0. */
+  def grubbs(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).cast("long").as("id"),
+        col(valueCol).cast("long").as("x"))
+    val xD = col("x").cast(dec)
+    val tot = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n"), sum(xD).cast(dec).as("s"),
+      sum((xD * xD).cast(dec)).cast(dec).as("q"))
+    val joined = base.join(tot, Seq("g"))
+      .withColumn("dev",
+        abs((col("n").cast(dec) * xD - col("s")).cast(dec)))
+    val top = joined.groupBy(col("g")).agg(
+      max(struct(col("dev"), negate(col("id")).as("nid"), col("x")))
+        .as("m"))
+      .select(col("g"), (-col("m.nid")).as("outlier_id"),
+        col("m.x").as("outlier_value"), col("m.dev").as("dev"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = col("n").cast(dec)
+    val varS = dd((nD * col("q") - col("s") * col("s")).cast(dec)) /
+      dd((nD * (nD - 1).cast(dec)).cast(dec))
+    val sd = sqrt(varS)
+    val ok = col("n") > 1L && varS > lit(0.0)
+    top.join(tot, Seq("g"))
+      .select(col("g"), col("n"), col("outlier_id"), col("outlier_value"),
+        when(ok, dd(col("dev")) / (dd(col("n")) * sd)).as("g_stat"),
+        (dd(col("s")) / dd(col("n"))).as("mean"),
+        when(col("n") > 1L, sd).as("sd"))
+  }
 }

@@ -2038,17 +2038,18 @@ object TimeSeries {
         round($"ece", 6).as("ece"))
   }
 
-  /** q420 — Brown–Forsythe homogeneity of variance ([[graft.operators
-    * .Eval.brownForsythe]]): per event type, does the SPREAD of value
-    * cents differ across the day-of-week groups — the robust-Levene
-    * precondition check for q336's pooled-variance ANOVA; doubled
-    * exact group medians keep the deviation census integer. */
+  /** q420 — Brown–Forsythe on the q421 design ([[graft.operators
+    * .Robust.brownForsythe]], the q294 operator transposed): per
+    * event type, does value-cents SPREAD differ across day-of-week —
+    * the robust companion q421's fragile-under-non-normality Bartlett
+    * needs ON THE SAME DESIGN to be readable as a pair (q294 runs the
+    * dow-scoped transpose). */
   def q420BrownForsythe(spark: SparkSession, dir: String): DataFrame = {
     val s = events(spark, dir).select($"event_type",
       dayofweek(to_date($"ts")).cast("long").as("dow"),
       round($"value" * 100).cast("long").as("cents"))
-    graft.operators.Eval.brownForsythe(s, "event_type", "dow", "cents")
-      .select($"sc".as("event_type"), $"k", $"n", round($"w", 6).as("w"))
+    graft.operators.Robust.brownForsythe(s, "event_type", "dow", "cents")
+      .select($"s".as("event_type"), $"k", $"n", round($"f", 6).as("w"))
   }
 
   /** q421 — Bartlett's variance test ([[graft.operators.Eval
@@ -2261,4 +2262,51 @@ object TimeSeries {
       .select($"g".as("event_type"), $"n", $"tp", $"fp", $"fn", $"tn",
         round($"acc", 6).as("acc"), round($"f1", 6).as("f1"),
         round($"mcc", 6).as("mcc"))
+
+  /** q435 — Brunner–Munzel ([[graft.operators.Eval.brunnerMunzel]]):
+    * weekend vs weekday cents per event type under UNEQUAL-variance
+    * rank inference — the studentized relative effect p̂ (== the
+    * two-sample AUC) with the Welch-type df q283's Mann–Whitney
+    * assumes away. */
+  def q435BrunnerMunzel(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type",
+      dayofweek(to_date($"ts")).isin(1, 7).as("wkend"),
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Eval.brunnerMunzel(s, "event_type", $"wkend", "cents")
+      .select($"sc".as("event_type"), $"n1", $"n2",
+        round($"p_hat", 6).as("p_hat"), round($"w", 6).as("w"),
+        round($"df_w", 4).as("df_w"))
+  }
+
+  /** q436 — distance correlation ([[graft.operators.Divergence
+    * .distanceCorrelation]]): ANY dependence between daily click and
+    * view cents totals, linear or not — the n⁴-scaled all-integer
+    * double-centering keeps the pair fold exact, with loud census and
+    * observation caps. */
+  def q436DistanceCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .where($"event_type".isin("click", "view"))
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", $"cents")).as("a"),
+        sum(when($"event_type" === "view", $"cents")).as("b"))
+    graft.operators.Divergence.distanceCorrelation(daily, "a", "b")
+      .select($"n", $"n_cells", round($"dcov2", 4).as("dcov2"),
+        round($"dvar_x", 4).as("dvar_x"), round($"dvar_y", 4).as("dvar_y"),
+        round($"dcor", 6).as("dcor"))
+  }
+
+  /** q437 — Grubbs outlier statistic ([[graft.operators.Robust
+    * .grubbs]]): each event type's single worst value-cents offender,
+    * by id — the integer |n·x − Σx| argmax with pinned id tie-break,
+    * sigmas-out as the one float readout. */
+  def q437Grubbs(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select($"event_type", $"event_id",
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.Robust.grubbs(s, "event_type", "event_id", "cents")
+      .select($"g".as("event_type"), $"n", $"outlier_id",
+        $"outlier_value", round($"g_stat", 6).as("g_stat"),
+        round($"mean", 4).as("mean"), round($"sd", 4).as("sd"))
+  }
 }

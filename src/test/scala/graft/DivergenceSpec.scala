@@ -424,4 +424,50 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage != null &&
       err.getMessage.contains("fisherExact"), err.getMessage)
   }
+
+  test("distanceCorrelation: exactly 1 on a line, sees the U-shape " +
+      "Pearson misses, nulls on a constant marginal, loud n cap") {
+    import spark.implicits._
+    // perfect linear dependence: b = 2a -> dCor = 1
+    val line = Seq(1L, 3L, 4L, 7L, 9L, 12L).map(x => (x, 2 * x + 3))
+    val rl = Divergence.distanceCorrelation(line.toDF("x", "y"),
+      "x", "y").head()
+    assert(math.abs(rl.getAs[Double]("dcor") - 1.0) < 1e-9,
+      rl.toString)
+    // U-shape: y = (x-3)^2 — zero linear correlation by symmetry,
+    // strong distance correlation
+    val u = (0L to 6L).map(x => (x, (x - 3) * (x - 3)))
+    val ru = Divergence.distanceCorrelation(u.toDF("x", "y"),
+      "x", "y").head()
+    assert(ru.getAs[Double]("dcor") > 0.3, ru.toString)
+    // local double reference on the same 7 points
+    val xs = u.map(_._1.toDouble); val ys = u.map(_._2.toDouble)
+    val n = xs.size
+    def centered(v: Seq[Double]): IndexedSeq[IndexedSeq[Double]] = {
+      val a = IndexedSeq.tabulate(n, n)((j, k) => math.abs(v(j) - v(k)))
+      val rm = a.map(_.sum / n)
+      val t = rm.sum / n
+      IndexedSeq.tabulate(n, n)((j, k) => a(j)(k) - rm(j) - rm(k) + t)
+    }
+    val ac = centered(xs); val bc = centered(ys)
+    def m(p: IndexedSeq[IndexedSeq[Double]],
+        q: IndexedSeq[IndexedSeq[Double]]): Double =
+      (for (j <- 0 until n; k <- 0 until n) yield p(j)(k) * q(j)(k))
+        .sum / (n * n)
+    val ref = math.sqrt(m(ac, bc) / math.sqrt(m(ac, ac) * m(bc, bc)))
+    assert(math.abs(ru.getAs[Double]("dcor") - ref) < 1e-9,
+      s"dcor=${ru.getAs[Double]("dcor")} ref=$ref")
+    // constant y: dvar_y = 0 -> null dcor
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L))
+    val rc = Divergence.distanceCorrelation(const.toDF("x", "y"),
+      "x", "y").head()
+    assert(rc.isNullAt(rc.fieldIndex("dcor")))
+    // observation cap raises loudly
+    val err = intercept[Exception] {
+      Divergence.distanceCorrelation(line.toDF("x", "y"), "x", "y",
+        maxN = 3L).collect()
+    }
+    assert(err.getMessage.contains("distanceCorrelation"),
+      err.getMessage)
+  }
 }

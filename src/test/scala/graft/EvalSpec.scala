@@ -1098,53 +1098,6 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       s"${loss(5L)} ${loss(9L)} ${loss(10L)} ${loss(11L)}")
   }
 
-  // local one-way-ANOVA-on-|2y − m2| reference for Brown–Forsythe
-  private def bfRef(groups: Seq[Seq[Long]]): Double = {
-    val z = groups.map { g =>
-      val s = g.sorted
-      val n = s.length
-      val m2 = if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
-      g.map(y => math.abs(2 * y - m2).toDouble)
-    }
-    val k = z.length
-    val n = z.map(_.size).sum
-    val grand = z.flatten.sum / n
-    val ssb = z.map { g =>
-      val m = g.sum / g.size; g.size * (m - grand) * (m - grand)
-    }.sum
-    val ssw = z.map { g =>
-      val m = g.sum / g.size; g.map(x => (x - m) * (x - m)).sum
-    }.sum
-    (ssb / (k - 1)) / (ssw / (n - k))
-  }
-
-  test("brownForsythe: matches a local ANOVA-on-median-deviations " +
-    "reference on odd/even group sizes") {
-    import spark.implicits._
-    val groups = Seq(
-      Seq(1L, 2L, 3L, 4L, 100L),          // odd n, wild spread
-      Seq(10L, 11L, 12L, 13L),            // even n, tight
-      Seq(-5L, 0L, 5L, 40L, 41L, 42L))    // even n, bimodal
-    val rows = groups.zipWithIndex.flatMap { case (g, i) =>
-      g.map(y => ("s", s"g$i", y))
-    }
-    val r = Eval.brownForsythe(rows.toDF("sc", "g", "y"), "sc", "g", "y")
-      .head()
-    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n") == 15)
-    val w = r.getAs[Double]("w")
-    val ref = bfRef(groups)
-    assert(math.abs(w - ref) < 1e-9 * math.max(1.0, math.abs(ref)),
-      s"w=$w ref=$ref")
-    // equal spreads (shifted copies of one group) -> W == 0 exactly:
-    // every group's deviation multiset is identical
-    val eq = Seq(0L, 100L, 200L).zipWithIndex.flatMap { case (off, i) =>
-      Seq(1L, 2L, 3L, 9L).map(y => ("s", s"g$i", y + off))
-    }
-    val re = Eval.brownForsythe(eq.toDF("sc", "g", "y"), "sc", "g", "y")
-      .head()
-    assert(re.getAs[Double]("w") == 0.0)
-  }
-
   test("bartlettVariance: matches the closed form, drops n<2 groups " +
     "loudly, nulls on a zero-variance group") {
     import spark.implicits._
@@ -1323,5 +1276,35 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     val rd = Eval.confusionStats(degen, "g", col("p"), col("y")).head()
     assert(rd.isNullAt(rd.fieldIndex("mcc")) &&
       rd.getAs[Double]("acc") == 0.5)
+  }
+
+  test("brunnerMunzel: p-hat equals the two-sample AUC; identical " +
+    "samples give W = 0; swapping groups negates W and reflects p-hat") {
+    import spark.implicits._
+    val s1 = Seq(10L, 12, 15, 15, 20, 22, 30, 31)
+    val s2 = Seq(14L, 15, 18, 25, 26, 40)
+    val rows = s1.map(("g", false, _)) ++ s2.map(("g", true, _))
+    val df = rows.toDF("sc", "is2", "v")
+    val r = Eval.brunnerMunzel(df, "sc", col("is2"), "v").head()
+    assert(r.getAs[Long]("n1") == 8 && r.getAs[Long]("n2") == 6)
+    // the relative effect IS the AUC with sample-2 as positives
+    val aucDf = rows.map { case (g, is2, v) =>
+      (g, if (is2) 1 else 0, v.toDouble) }.toDF("g", "y", "s")
+    val auc = Eval.auc(aucDf, "g", "y", "s").head().getAs[Double]("auc")
+    assert(math.abs(r.getAs[Double]("p_hat") - auc) < 1e-12,
+      s"p_hat=${r.getAs[Double]("p_hat")} auc=$auc")
+    assert(r.getAs[Double]("w") > 0.0) // sample 2 stochastically larger
+    // swapped roles: W negates, p-hat reflects
+    val rsw = Eval.brunnerMunzel(df, "sc", !col("is2"), "v").head()
+    assert(math.abs(rsw.getAs[Double]("w") + r.getAs[Double]("w"))
+      < 1e-12)
+    assert(math.abs(rsw.getAs[Double]("p_hat") +
+      r.getAs[Double]("p_hat") - 1.0) < 1e-12)
+    // identical multisets: mean ranks equal -> W = 0 exactly
+    val same = (s1.map(("g", false, _)) ++ s1.map(("g", true, _)))
+      .toDF("sc", "is2", "v")
+    val rs = Eval.brunnerMunzel(same, "sc", col("is2"), "v").head()
+    assert(rs.getAs[Double]("w") == 0.0 &&
+      rs.getAs[Double]("p_hat") == 0.5)
   }
 }

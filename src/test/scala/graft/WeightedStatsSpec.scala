@@ -183,4 +183,31 @@ class WeightedStatsSpec extends AnyFunSuite with SparkFixture {
       Seq(("z", 5L)).toDF("g", "v"), "g", "v", 49L, 100L).head()
     assert(rz.getAs[Double]("trimmed_mean") === 5.0) // t=0 at n=1
   }
+
+  test("grubbs: hand statistic on a planted outlier, smallest-id tie " +
+      "pin, degenerate nulls") {
+    import spark.implicits._
+    val rows = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 100L))
+      .map { case (id, v) => ("g", id, v) }
+    val r = graft.operators.Robust.grubbs(rows.toDF("g", "id", "v"), "g", "id", "v")
+      .head()
+    assert(r.getAs[Long]("outlier_id") == 5 &&
+      r.getAs[Long]("outlier_value") == 100)
+    // mean 22, var = 7610/4 = 1902.5, G = 78/sqrt(1902.5)
+    assert(r.getAs[Double]("mean") == 22.0)
+    val refG = 78.0 / math.sqrt(1902.5)
+    assert(math.abs(r.getAs[Double]("g_stat") - refG) < 1e-12,
+      s"g=${r.getAs[Double]("g_stat")} ref=$refG")
+    // symmetric extremes tie on |dev|: the smaller id wins
+    val sym = Seq((7L, -10L), (3L, 10L), (9L, 0L))
+      .map { case (id, v) => ("g", id, v) }
+    val rs = graft.operators.Robust.grubbs(sym.toDF("g", "id", "v"), "g", "id", "v")
+      .head()
+    assert(rs.getAs[Long]("outlier_id") == 3)
+    // constant group: sd = 0 -> null statistic, outlier row still named
+    val const = Seq(("g", 1L, 5L), ("g", 2L, 5L)).toDF("g", "id", "v")
+    val rc = graft.operators.Robust.grubbs(const, "g", "id", "v").head()
+    assert(rc.isNullAt(rc.fieldIndex("g_stat")) &&
+      rc.getAs[Double]("sd") == 0.0)
+  }
 }
