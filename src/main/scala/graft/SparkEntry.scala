@@ -462,6 +462,9 @@ object SparkEntry {
     "q435_brunner_munzel"   -> (T.q435BrunnerMunzel(_, _)),
     "q436_distance_corr"    -> (T.q436DistanceCorr(_, _)),
     "q437_grubbs"           -> (T.q437Grubbs(_, _)),
+    "q438_burrows_delta"    -> (D.q438BurrowsDelta(_, _)),
+    "q439_damerau"          -> (R.q439Damerau(_, _)),
+    "q440_token_sort_ratio" -> (D.q440TokenSortRatio(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7593,6 +7596,100 @@ object SparkEntry {
         |    CAST(round(CAST(CAST(sqrt(vr) AS VARCHAR)
         |    AS DECIMAL(38,20)), 4) AS DOUBLE) END AS sd
         |FROM v""".stripMargin,
+    // q438: q271 tokenization; top-30 pinned (count desc, word asc);
+    // full source x word grid so zero cells weigh into mu/sigma; every
+    // fold ordered (source order for mu/sigma, word order for delta)
+    "q438_burrows_delta" ->
+      """WITH t AS (SELECT lang AS s, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS w
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |top AS (SELECT w FROM (SELECT w, count(*) AS cw FROM t GROUP BY 1
+        |  ORDER BY cw DESC, w LIMIT 30)),
+        |tot AS (SELECT s, CAST(count(*) AS BIGINT) AS nt FROM t
+        |  GROUP BY 1),
+        |cell AS (SELECT t.s, t.w, CAST(count(*) AS BIGINT) AS c
+        |  FROM t JOIN top USING (w) GROUP BY 1, 2),
+        |grid AS (SELECT tot.s, top.w,
+        |    CAST(coalesce(cell.c, 0) AS DOUBLE) / CAST(tot.nt AS DOUBLE)
+        |      AS f
+        |  FROM tot CROSS JOIN top
+        |  LEFT JOIN cell ON cell.s = tot.s AND cell.w = top.w),
+        |st AS (SELECT w, CAST(count(*) AS BIGINT) AS ns,
+        |    list(struct_pack(s := s, f := f) ORDER BY s, f) AS cells
+        |  FROM grid GROUP BY 1),
+        |ms AS (SELECT w, ns,
+        |    coalesce(list_reduce(list_transform(cells, x -> x.f),
+        |      (a, v) -> a + v), 0.0) AS sf,
+        |    coalesce(list_reduce(list_transform(cells, x -> x.f * x.f),
+        |      (a, v) -> a + v), 0.0) AS sq
+        |  FROM st),
+        |ws AS (SELECT w,
+        |    sf / CAST(ns AS DOUBLE) AS mu,
+        |    sqrt(greatest(sq / CAST(ns AS DOUBLE)
+        |      - (sf / CAST(ns AS DOUBLE)) * (sf / CAST(ns AS DOUBLE)),
+        |      0.0)) AS sigma
+        |  FROM ms),
+        |z AS (SELECT grid.s, grid.w, ws.sigma,
+        |    CASE WHEN ws.sigma > 0 THEN (grid.f - ws.mu) / ws.sigma END
+        |      AS z
+        |  FROM grid JOIN ws USING (w)),
+        |p AS (SELECT a.s AS src_a, b.s AS src_b, a.w, a.sigma,
+        |    abs(a.z - b.z) AS dz
+        |  FROM z a JOIN z b ON a.w = b.w AND a.s < b.s),
+        |agg AS (SELECT src_a, src_b,
+        |    CAST(sum(CASE WHEN sigma > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_words,
+        |    CAST(sum(CASE WHEN sigma > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_words_dropped,
+        |    coalesce(list_reduce(list_transform(
+        |      list(struct_pack(w := w, dz := dz) ORDER BY w, dz)
+        |        FILTER (WHERE sigma > 0), x -> x.dz),
+        |      (a, v) -> a + v), 0.0) AS sdz
+        |  FROM p GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_words, n_words_dropped,
+        |  CASE WHEN n_words > 0 THEN
+        |    CAST(round(CAST(CAST(sdz / CAST(n_words AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS delta
+        |FROM agg""".stripMargin,
+    // q439: DuckDB's damerau_levenshtein IS the byte-level
+    // Lowrance-Wagner kernel the codegen expression pins to
+    // (probe-verified: dl('CA','ABC')=2, bytes not codepoints)
+    "q439_damerau" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |p AS (SELECT id, substring(name, 1, 16) || substring(name, 18, 1)
+        |    || substring(name, 17, 1) AS typo
+        |  FROM c WHERE id % 7 = 0)
+        |SELECT c.id, CAST(damerau_levenshtein(c.name, p.typo) AS BIGINT)
+        |    AS dl,
+        |  CAST(levenshtein(c.name, p.typo) AS BIGINT) AS lev
+        |FROM c JOIN p ON c.id = p.id""".stripMargin,
+    // q440: rapidfuzz's token_sort trick declaratively; ASCII English
+    // docs keep Spark codepoint and DuckDB byte levenshtein identical
+    "q440_token_sort_ratio" ->
+      """WITH b AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents WHERE lang = 'en' AND doc_id < 120),
+        |k AS (SELECT doc_id, toks FROM b WHERE len(toks) >= 2),
+        |p AS (SELECT doc_id,
+        |    array_to_string(toks, ' ') AS a,
+        |    array_to_string(list_concat(['zzz'],
+        |      list_slice(list_reverse(toks), 2, 1000000)), ' ') AS bb,
+        |    array_to_string(list_sort(toks), ' ') AS sa,
+        |    array_to_string(list_sort(list_concat(['zzz'],
+        |      list_slice(list_reverse(toks), 2, 1000000))), ' ') AS sb
+        |  FROM k)
+        |SELECT doc_id,
+        |  CAST(levenshtein(a, bb) AS BIGINT) AS lev_raw,
+        |  CAST(levenshtein(sa, sb) AS BIGINT) AS lev_sorted,
+        |  CAST(round(CAST(CAST(1.0 - CAST(levenshtein(a, bb) AS DOUBLE)
+        |    / CAST(greatest(length(a), length(bb)) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS ratio_raw,
+        |  CAST(round(CAST(CAST(1.0 - CAST(levenshtein(sa, sb) AS DOUBLE)
+        |    / CAST(greatest(length(sa), length(sb)) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS ratio_sorted
+        |FROM p""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

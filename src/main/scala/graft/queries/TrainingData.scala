@@ -3310,4 +3310,48 @@ object TrainingData {
     graft.operators.Profile.yuleK(docs(spark, dir), "source", "text")
       .select($"g".as("source"), $"n_tokens", $"n_types",
         round($"yule_k", 6).as("yule_k"))
+
+  /** q438 — Burrows' Delta ([[graft.operators.Stylometry
+    * .burrowsDelta]]): pairwise register distance between the five
+    * language cohorts over the corpus's 30 commonest words — the
+    * topic-blind stylometric clustering readout (z-scored
+    * common-word rates, constant words dropped loudly). */
+  def q438BurrowsDelta(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stylometry.burrowsDelta(
+        docs(spark, dir).select($"lang", $"text"), "lang", "text",
+        topK = 30)
+      .select($"src_a", $"src_b", $"n_words", $"n_words_dropped",
+        round($"delta", 6).as("delta"))
+
+  /** q440 — token-sort similarity ([[graft.functions.FastStringSim]]
+    * family, rapidfuzz's token_sort trick declaratively): English docs
+    * vs their token-reversed + first-token-mutated copies — raw
+    * Levenshtein collapses under reordering while the sorted-token
+    * distance isolates the one real edit. */
+  def q440TokenSortRatio(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .where($"lang" === "en" && $"doc_id" < 120)
+      .select($"doc_id",
+        filter(split(lower(trim($"text")), "\\s+"), t => t =!= "")
+          .as("toks"))
+      .where(size($"toks") >= 2)
+    val pairs = base.select($"doc_id",
+      concat_ws(" ", $"toks").as("a"),
+      concat_ws(" ",
+        concat(array(lit("zzz")), slice(reverse($"toks"), 2, 1000000)))
+        .as("b"),
+      concat_ws(" ", array_sort($"toks")).as("sa"),
+      concat_ws(" ", array_sort(
+        concat(array(lit("zzz")), slice(reverse($"toks"), 2, 1000000))))
+        .as("sb"))
+    pairs.select($"doc_id",
+      levenshtein($"a", $"b").cast("long").as("lev_raw"),
+      levenshtein($"sa", $"sb").cast("long").as("lev_sorted"),
+      round(lit(1.0) - levenshtein($"a", $"b").cast("double") /
+        greatest(length($"a"), length($"b")).cast("double"), 6)
+        .as("ratio_raw"),
+      round(lit(1.0) - levenshtein($"sa", $"sb").cast("double") /
+        greatest(length($"sa"), length($"sb")).cast("double"), 6)
+        .as("ratio_sorted"))
+  }
 }

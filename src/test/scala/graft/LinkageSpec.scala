@@ -79,6 +79,41 @@ class LinkageSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("damerauLevenshtein kernel: DuckDB-probed goldens (true DL, " +
+    "bytes) exact-match; transposition beats the levenshtein cost") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // values captured from duckdb damerau_levenshtein — true
+    // Lowrance-Wagner (CA->ABC = 2, not OSA's 3), byte-level
+    // (héllo/hello = 2: é is two UTF-8 bytes)
+    val cases = Seq(
+      ("CA", "ABC", 2L), ("ABC", "CA", 2L), ("ab", "ba", 1L),
+      ("kitten", "sitting", 3L), ("", "abc", 3L), ("", "", 0L),
+      ("same", "same", 0L), ("abcdef", "abcfed", 2L),
+      ("aXbYc", "abc", 2L), ("transpose", "transpsoe", 1L),
+      ("héllo", "hello", 2L), ("banana", "ananas", 2L),
+      ("aaa", "aaaa", 1L), ("xy", "yx", 1L), ("abcd", "dcba", 3L),
+      ("Customer#0012", "Customer#0021", 1L))
+    cases.foreach { case (a, b, v) =>
+      val got = graft.functions.FastStringSim.damerauLevenshteinValue(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(got == v, s"'$a'/'$b': $got != $v")
+    }
+    // symmetry + triangle-ish sanity on a random byte fixture
+    val rnd = new scala.util.Random(5)
+    val strs = (1 to 30).map(_ =>
+      (1 to rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString)
+    for (a <- strs; b <- strs) {
+      val ab = graft.functions.FastStringSim.damerauLevenshteinValue(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val ba = graft.functions.FastStringSim.damerauLevenshteinValue(
+        UTF8String.fromString(b), UTF8String.fromString(a))
+      assert(ab == ba, s"asymmetric: '$a'/'$b'")
+      assert(ab <= math.max(a.length, b.length))
+      if (a == b) assert(ab == 0L)
+    }
+  }
+
   test("fuzzyBestMatch: picks the closest name per record; threshold " +
       "filters; equal scores break by id") {
     import spark.implicits._
