@@ -465,6 +465,8 @@ object SparkEntry {
     "q438_burrows_delta"    -> (D.q438BurrowsDelta(_, _)),
     "q439_damerau"          -> (R.q439Damerau(_, _)),
     "q440_token_sort_ratio" -> (D.q440TokenSortRatio(_, _)),
+    "q441_calinski_harabasz" -> (D.q441CalinskiHarabasz(_, _)),
+    "q442_davies_bouldin"   -> (D.q442DaviesBouldin(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7690,6 +7692,93 @@ object SparkEntry {
         |    / CAST(greatest(length(sa), length(sb)) AS DOUBLE)
         |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS ratio_sorted
         |FROM p""".stripMargin,
+    // q441: the q292 quantization; per-label W/B numerators exact
+    // HUGEINT; SSW/SSB fold per-label pinned ratios in label order;
+    // CH computed on the QUANTIZED sums (scale^2 cancels)
+    "q441_calinski_harabasz" ->
+      """WITH e AS (SELECT label AS lab, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |cd AS (SELECT lab, t.dim, CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(sum(xq[t.dim]) AS HUGEINT) AS s,
+        |    sum(CAST(xq[t.dim] AS HUGEINT) * xq[t.dim]) AS q
+        |  FROM e, generate_series(1, 64) t(dim) GROUP BY 1, 2),
+        |g AS (SELECT dim, CAST(sum(s) AS HUGEINT) AS gd,
+        |    CAST(sum(nc) AS BIGINT) AS n FROM cd GROUP BY 1),
+        |j AS (SELECT cd.lab, cd.nc, g.n, nc * q - s * s AS wterm,
+        |    CAST(g.n AS HUGEINT) * s - CAST(nc AS HUGEINT) * gd AS bb
+        |  FROM cd JOIN g USING (dim)),
+        |pl AS (SELECT lab, max(nc) AS nc, max(n) AS n,
+        |    CAST(sum(wterm) AS HUGEINT) AS wc,
+        |    CAST(sum(bb * bb) AS HUGEINT) AS bc FROM j GROUP BY 1),
+        |f AS (SELECT n, CAST(count(*) AS BIGINT) AS k,
+        |    list(struct_pack(lab := lab,
+        |      wt := CAST(wc AS DOUBLE) / CAST(nc AS DOUBLE),
+        |      bt := CAST(bc AS DOUBLE)
+        |        / CAST(CAST(nc AS HUGEINT) * n * n AS DOUBLE))
+        |      ORDER BY lab) AS cells
+        |  FROM pl GROUP BY 1),
+        |s2 AS (SELECT n, k,
+        |    list_reduce(list_transform(cells, x -> x.wt),
+        |      (a, v) -> a + v) AS ssw,
+        |    list_reduce(list_transform(cells, x -> x.bt),
+        |      (a, v) -> a + v) AS ssb
+        |  FROM f)
+        |SELECT n, k, CAST(64 AS BIGINT) AS dims,
+        |  CAST(round(CAST(CAST(ssb / 1000000000000.0 AS VARCHAR)
+        |    AS DECIMAL(38,20)), 4) AS DOUBLE) AS ssb,
+        |  CAST(round(CAST(CAST(ssw / 1000000000000.0 AS VARCHAR)
+        |    AS DECIMAL(38,20)), 4) AS DOUBLE) AS ssw,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+        |    CAST(round(CAST(CAST((ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(n - k AS DOUBLE)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS ch
+        |FROM s2""".stripMargin,
+    // q442: q292's exact own-centroid numerators + round-12 decimal
+    // distance means; centroid-pair numerators exact; max-rival and
+    // the final fold in label order
+    "q442_davies_bouldin" ->
+      """WITH e AS (SELECT label AS lab, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |cd AS (SELECT lab, t.dim, CAST(sum(xq[t.dim]) AS BIGINT) AS s
+        |  FROM e, generate_series(1, 64) t(dim) GROUP BY 1, 2),
+        |cent AS (SELECT lab, list(s ORDER BY dim) AS cs FROM cd
+        |  GROUP BY 1),
+        |nn AS (SELECT lab, CAST(count(*) AS BIGINT) AS n FROM e
+        |  GROUP BY 1),
+        |c2 AS (SELECT cent.lab, cs, n FROM cent JOIN nn USING (lab)),
+        |dpt AS (SELECT e.lab,
+        |    sqrt(CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(c.n * e.xq[i] - c.cs[i] AS HUGEINT)
+        |      * CAST(c.n * e.xq[i] - c.cs[i] AS HUGEINT))) AS DOUBLE))
+        |    / CAST(c.n AS DOUBLE) AS d
+        |  FROM e JOIN c2 c ON e.lab = c.lab),
+        |sp AS (SELECT lab, CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(sum(round(CAST(CAST(d AS VARCHAR) AS DECIMAL(38,20)),
+        |      12)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sc
+        |  FROM dpt GROUP BY 1),
+        |pr AS (SELECT a.lab AS la, b.lab AS lb,
+        |    sqrt(CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CAST(b.n * a.cs[i] - a.n * b.cs[i] AS HUGEINT)
+        |      * CAST(b.n * a.cs[i] - a.n * b.cs[i] AS HUGEINT)))
+        |      AS DOUBLE))
+        |    / CAST(CAST(a.n AS HUGEINT) * b.n AS DOUBLE) AS dc
+        |  FROM c2 a JOIN c2 b ON a.lab <> b.lab),
+        |rr AS (SELECT pr.la,
+        |    max((spa.sc + spb.sc) / pr.dc) AS rmax
+        |  FROM pr JOIN sp spa ON spa.lab = pr.la
+        |  JOIN sp spb ON spb.lab = pr.lb GROUP BY 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    list(struct_pack(la := la, rmax := rmax) ORDER BY la)
+        |      AS cells FROM rr),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+        |SELECT n, k,
+        |  CASE WHEN k > 1 THEN
+        |    CAST(round(CAST(CAST(list_reduce(list_transform(cells,
+        |      x -> x.rmax), (a, v) -> a + v) / CAST(k AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS db
+        |FROM f CROSS JOIN n2""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

@@ -764,6 +764,144 @@ object Similarity {
           .as("mean_silhouette"))
   }
 
+  /** Calinski–Harabasz index — the variance-ratio clustering score
+    * next to [[silhouetteByLabel]]'s per-point read: between-centroid
+    * dispersion over within-cluster dispersion,
+    *   CH = (SSB/(k−1)) / (SSW/(N−k)),
+    * the k-selection criterion (maximize over candidate k) that costs
+    * one census instead of silhouette's point×centroid pass.
+    *
+    * Exactness ([[silhouetteByLabel]] quantization discipline):
+    * vectors quantize to integers; per-(label, dim) (n_c, S, Q) are
+    * exact decimal sums, so the per-label numerators
+    *   W_c = Σ_d (n_c·Q_cd − S_cd²),
+    *   B_c = Σ_d (N·S_cd − n_c·G_d)²   (G = global sum vector)
+    * are EXACT; SSW = ΣW_c/n_c and SSB = ΣB_c/(n_c·N²) fold per-label
+    * pinned doubles in label order over the k-bounded array. Reported
+    * SSB/SSW are de-quantized by scale². Scale shape: one posexplode
+    * census, k-bounded everything after. Output one row: (n, k, dims,
+    * ssb, ssw, ch); ch null when k < 2, N ≤ k, or SSW = 0. */
+  def calinskiHarabasz(df: DataFrame, labelCol: String, vecCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.select(col(labelCol).as("lab"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+        .as("xq"))
+    val cd = pts.select(col("lab"), posexplode(col("xq")).as(Seq("dim", "v")))
+      .groupBy(col("lab"), col("dim"))
+      .agg(count(lit(1)).as("nc"), sum(col("v").cast(dec)).cast(dec).as("s"),
+        sum((col("v").cast(dec) * col("v").cast(dec)).cast(dec)).cast(dec)
+          .as("q"))
+    val dims = cd.groupBy(col("lab")).agg(count(lit(1)).as("dims"))
+    val g = cd.groupBy(col("dim")).agg(sum(col("s")).cast(dec).as("gd"),
+      sum(col("nc")).as("n"))
+    val joined = cd.join(broadcast(g), Seq("dim"))
+    val wTerm = (col("nc").cast(dec) * col("q") - col("s") * col("s"))
+      .cast(dec)
+    val bTermBase = (col("n").cast(dec) * col("s") -
+      col("nc").cast(dec) * col("gd")).cast(dec)
+    val perLab = joined.groupBy(col("lab")).agg(
+      max(col("nc")).as("nc"), max(col("n")).as("n"),
+      sum(wTerm).cast(dec).as("wc"),
+      sum((bTermBase * bTermBase).cast(dec)).cast(dec).as("bc"))
+    def dd(c: Column): Column = c.cast("double")
+    val folded = perLab
+      .select(col("lab"), col("nc"), col("n"),
+        (dd(col("wc")) / dd(col("nc"))).as("wt"),
+        (dd(col("bc")) /
+          dd((col("nc").cast(dec) * col("n").cast(dec) *
+            col("n").cast(dec)).cast(dec))).as("bt"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("lab"), col("wt"), col("bt"))))
+          .as("cells"))
+    val ssw = aggregate(col("cells"), lit(0.0d),
+      (a, x) => a + x.getField("wt"))
+    val ssb = aggregate(col("cells"), lit(0.0d),
+      (a, x) => a + x.getField("bt"))
+    val s2 = (scale.toDouble * scale.toDouble)
+    val ok = col("k") > 1L && col("n") > col("k") && col("__ssw") > 0.0
+    folded.crossJoin(broadcast(dims.agg(max(col("dims")).as("dims"))))
+      .withColumn("__ssw", ssw).withColumn("__ssb", ssb)
+      .select(col("n"), col("k"), col("dims"),
+        (col("__ssb") / lit(s2)).as("ssb"),
+        (col("__ssw") / lit(s2)).as("ssw"),
+        when(ok, (col("__ssb") / dd(col("k") - 1L)) /
+          (col("__ssw") / dd(col("n") - col("k")))).as("ch"))
+  }
+
+  /** Davies–Bouldin index — the worst-neighbor clustering score: per
+    * cluster, how confusable is it with its MOST confusable rival,
+    *   DB = (1/k) Σ_c max_{c'≠c} (s_c + s_{c'}) / d(µ_c, µ_{c'}),
+    * with s_c the mean point-to-own-centroid distance. Lower is
+    * better; unlike [[calinskiHarabasz]] it names each cluster's
+    * worst rival — the merge-candidate readout.
+    *
+    * Exactness: quantized integers make every per-point squared
+    * distance and every centroid-pair squared distance an exact
+    * integer over an exact denominator; the per-point √ is float, so
+    * per-label means use the [[silhouetteByLabel]] round-12 decimal
+    * sum (order-insensitive); the k² pair grid and the final fold are
+    * label-ordered. Scale shape: one broadcast own-centroid pass over
+    * points, then everything k- or k²-bounded. Output one row:
+    * (n, k, db); db null when k < 2. */
+  def daviesBouldin(df: DataFrame, labelCol: String, vecCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.select(col(labelCol).as("lab"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+        .as("xq"))
+    val cent = pts.select(col("lab"), posexplode(col("xq")).as(Seq("dim", "v")))
+      .groupBy(col("lab"), col("dim")).agg(sum(col("v")).as("s"))
+      .groupBy(col("lab"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, s))), p -> p.s)")
+        .as("cs"))
+      .join(pts.groupBy(col("lab")).agg(count(lit(1)).as("n")), "lab")
+    // per-point distance to OWN centroid: exact integer numerator
+    val num = expr(
+      s"""aggregate(zip_with(xq, cs, (xi, si) -> CAST(n * xi - si AS $dec)),
+         |  CAST(0 AS $dec), (a, d) -> a + d * d)""".stripMargin)
+    val dist = sqrt(num.cast("double")) / col("n").cast("double")
+    val sPer = pts.join(broadcast(cent), Seq("lab"))
+      .withColumn("__d", dist)
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("nc"),
+        sum(round(col("__d"), 12).cast("decimal(30,12)")).as("__dsum"))
+      .select(col("lab"), col("nc"),
+        (col("__dsum").cast("double") / col("nc").cast("double"))
+          .as("sc"))
+    // centroid pair distances: exact numerator over (n_c n_c')
+    val a = cent.select(col("lab").as("la"), col("cs").as("ca"),
+      col("n").as("na"))
+    val b = cent.select(col("lab").as("lb"), col("cs").as("cb"),
+      col("n").as("nb"))
+    val pnum = expr(
+      s"""aggregate(zip_with(ca, cb, (sa, sb) -> CAST(nb * sa - na * sb AS $dec)),
+         |  CAST(0 AS $dec), (acc, d) -> acc + d * d)""".stripMargin)
+    val dC = sqrt(pnum.cast("double")) /
+      (col("na").cast(dec) * col("nb").cast(dec)).cast(dec).cast("double")
+    val pairs = a.join(broadcast(b), col("la") =!= col("lb"))
+      .withColumn("__dc", dC)
+      .join(broadcast(sPer.select(col("lab").as("la"),
+        col("sc").as("sa"))), Seq("la"))
+      .join(broadcast(sPer.select(col("lab").as("lb"),
+        col("sc").as("sb"))), Seq("lb"))
+      .select(col("la"),
+        ((col("sa") + col("sb")) / col("__dc")).as("r"))
+    val worst = pairs.groupBy(col("la")).agg(max(col("r")).as("rmax"))
+    val n = pts.agg(count(lit(1)).as("n"))
+    worst
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("la"), col("rmax"))))
+          .as("cells"))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("k"),
+        when(col("k") > 1L,
+          aggregate(col("cells"), lit(0.0d),
+            (acc, x) => acc + x.getField("rmax")) /
+            col("k").cast("double")).as("db"))
+  }
+
   /** Pairwise cosine between group CENTROIDS — the embedding-drift
     * census: when two sources/labels/snapshots drift together or
     * apart, their mean vectors say so in labels² numbers instead of

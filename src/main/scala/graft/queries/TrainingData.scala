@@ -3354,4 +3354,24 @@ object TrainingData {
         greatest(length($"sa"), length($"sb")).cast("double"), 6)
         .as("ratio_sorted"))
   }
+
+  /** q441 — Calinski–Harabasz index ([[graft.operators.Similarity
+    * .calinskiHarabasz]]): the variance-ratio quality of the embedding
+    * table's label partition — exact quantized censuses, per-label
+    * pinned ratios folded in label order; the k-selection criterion
+    * next to q292's silhouette. */
+  def q441CalinskiHarabasz(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.calinskiHarabasz(
+        Tables.embeddings(spark, dir), "label", "embedding")
+      .select($"n", $"k", $"dims", round($"ssb", 4).as("ssb"),
+        round($"ssw", 4).as("ssw"), round($"ch", 6).as("ch"))
+
+  /** q442 — Davies–Bouldin index ([[graft.operators.Similarity
+    * .daviesBouldin]]): each label cluster scored against its MOST
+    * confusable rival — round-12 decimal point-distance means, exact
+    * centroid-pair numerators, k²-bounded grid. */
+  def q442DaviesBouldin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.daviesBouldin(
+        Tables.embeddings(spark, dir), "label", "embedding")
+      .select($"n", $"k", round($"db", 6).as("db"))
 }

@@ -495,4 +495,62 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .orderBy("seed_rank").collect()
     assert(t(1).getAs[Long]("id") == 2L)
   }
+
+  test("calinskiHarabasz: matches the ANOVA-identity local reference; " +
+    "tighter separation raises CH; single label nulls") {
+    import spark.implicits._
+    def run(rows: Seq[(Int, Seq[Float])]) =
+      graft.operators.Similarity.calinskiHarabasz(
+        rows.toDF("label", "embedding"), "label", "embedding").head()
+    val rows = Seq(
+      (0, Seq(1.0f, 1.0f)), (0, Seq(1.0f, 3.0f)),
+      (1, Seq(9.0f, 9.0f)), (1, Seq(9.0f, 11.0f)))
+    val r = run(rows)
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("k") == 2 &&
+      r.getAs[Long]("dims") == 2)
+    // local double reference
+    val pts = rows.map { case (l, v) => (l, v.map(_.toDouble)) }
+    val byL = pts.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cents = byL.view.mapValues(vs =>
+      vs.transpose.map(c => c.sum / vs.size).toSeq).toMap
+    val grand = pts.map(_._2).transpose.map(c => c.sum / pts.size).toSeq
+    val ssw = pts.map { case (l, v) =>
+      v.zip(cents(l)).map { case (x, m) => (x - m) * (x - m) }.sum }.sum
+    val ssb = byL.map { case (l, vs) =>
+      vs.size * cents(l).zip(grand)
+        .map { case (m, g) => (m - g) * (m - g) }.sum }.sum
+    val ch = (ssb / 1.0) / (ssw / 2.0)
+    assert(math.abs(r.getAs[Double]("ssw") - ssw) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ssb") - ssb) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ch") - ch) < 1e-6 * ch,
+      s"ch=${r.getAs[Double]("ch")} ref=$ch")
+    // closer clusters -> smaller CH
+    val closer = rows.map { case (l, v) =>
+      (l, if (l == 1) v.map(_ - 6.0f) else v) }
+    assert(run(closer).getAs[Double]("ch") < r.getAs[Double]("ch"))
+    // one label: k = 1 -> null
+    val one = run(rows.map { case (_, v) => (7, v) })
+    assert(one.isNullAt(one.fieldIndex("ch")))
+  }
+
+  test("daviesBouldin: symmetric two-cluster hand value; merging " +
+    "clusters raises DB; single label nulls") {
+    import spark.implicits._
+    def run(rows: Seq[(Int, Seq[Float])]) =
+      graft.operators.Similarity.daviesBouldin(
+        rows.toDF("label", "embedding"), "label", "embedding").head()
+    val rows = Seq(
+      (0, Seq(1.0f, 1.0f)), (0, Seq(1.0f, 3.0f)),
+      (1, Seq(9.0f, 9.0f)), (1, Seq(9.0f, 11.0f)))
+    val r = run(rows)
+    // s_0 = s_1 = 1 (points 1 away from centroid); d = sqrt(128)
+    val ref = (1.0 + 1.0) / math.sqrt(128.0)
+    assert(math.abs(r.getAs[Double]("db") - ref) < 1e-9,
+      s"db=${r.getAs[Double]("db")} ref=$ref")
+    val closer = rows.map { case (l, v) =>
+      (l, if (l == 1) v.map(_ - 6.0f) else v) }
+    assert(run(closer).getAs[Double]("db") > r.getAs[Double]("db"))
+    val one = run(rows.map { case (_, v) => (7, v) })
+    assert(one.isNullAt(one.fieldIndex("db")))
+  }
 }
