@@ -467,6 +467,9 @@ object SparkEntry {
     "q440_token_sort_ratio" -> (D.q440TokenSortRatio(_, _)),
     "q441_calinski_harabasz" -> (D.q441CalinskiHarabasz(_, _)),
     "q442_davies_bouldin"   -> (D.q442DaviesBouldin(_, _)),
+    "q443_katz"             -> (R.q443Katz(_, _)),
+    "q444_reciprocity"      -> (R.q444Reciprocity(_, _)),
+    "q445_rich_club"        -> (R.q445RichClub(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7779,6 +7782,89 @@ object SparkEntry {
         |      x -> x.rmax), (a, v) -> a + v) / CAST(k AS DOUBLE)
         |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS db
         |FROM f CROSS JOIN n2""".stripMargin,
+    // q443: 4 unrolled Katz rounds; every walk mass an exact floored
+    // integral (the q169/q245 discipline); accumulation exact HUGEINT
+    "q443_katz" -> {
+      val base =
+        """WITH pts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+          |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+          |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+          |ed AS (SELECT u AS src, v AS dst FROM e0
+          |  UNION ALL SELECT v, u FROM e0),
+          |nodes AS (SELECT DISTINCT src AS node FROM ed
+          |  UNION SELECT dst FROM ed),
+          |s0 AS (SELECT node, CAST(1000000000 AS HUGEINT) AS m,
+          |  CAST(0 AS HUGEINT) AS kz FROM nodes)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s"""mi$i AS (SELECT ed.dst AS node,
+           |    CAST(sum(s${i - 1}.m // 5) AS HUGEINT) AS mi
+           |  FROM ed JOIN s${i - 1} ON ed.src = s${i - 1}.node
+           |  GROUP BY 1),
+           |s$i AS (SELECT p.node,
+           |    CAST(coalesce(mi$i.mi, 0) AS HUGEINT) AS m,
+           |    CAST(p.kz + coalesce(mi$i.mi, 0) AS HUGEINT) AS kz
+           |  FROM s${i - 1} p LEFT JOIN mi$i ON p.node = mi$i.node)"""
+          .stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        """,
+          |fin AS (SELECT node,
+          |    CAST(kz AS DOUBLE) / 1000000000.0 AS katz FROM s4),
+          |top AS (SELECT node, katz,
+          |    row_number() OVER (ORDER BY katz DESC, node) AS rank
+          |  FROM fin ORDER BY katz DESC, node LIMIT 20)
+          |SELECT CAST(rank AS BIGINT) AS rank, node AS part,
+          |  CAST(round(CAST(CAST(katz AS VARCHAR) AS DECIMAL(38,20)), 6)
+          |    AS DOUBLE) AS katz
+          |FROM top""".stripMargin
+    },
+    // q444: reversed-key equi self-join on the distinct directed pair
+    // set (semi == inner on a distinct set); one pinned ratio
+    "q444_reciprocity" ->
+      """WITH pts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+        |li AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+        |    l_linenumber AS ln
+        |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.ln < b.ln
+        |    AND a.pk <> b.pk),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+        |  FROM e JOIN e e2 ON e.a = e2.b AND e.b = e2.a),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_edges, n_reciprocal,
+        |  CAST(round(CAST(CAST(CAST(n_reciprocal AS DOUBLE)
+        |    / CAST(n_edges AS DOUBLE) AS VARCHAR)
+        |  AS DECIMAL(38,20)), 6) AS DOUBLE) AS reciprocity
+        |FROM n CROSS JOIN r""".stripMargin,
+    // q445: degrees broadcast, thresholds exploded; phi one pinned
+    // double shape per threshold
+    "q445_rich_club" ->
+      """WITH pts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+        |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([2, 4, 8, 16, 32]) AS BIGINT) AS k),
+        |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM ks JOIN deg ON d > k GROUP BY 1),
+        |ex AS (SELECT e.u, e.v, du.d AS du, dv.d AS dv
+        |  FROM e JOIN deg du ON e.u = du.node
+        |  JOIN deg dv ON e.v = dv.node),
+        |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges_rich
+        |  FROM ks JOIN ex ON ex.du > k AND ex.dv > k GROUP BY 1)
+        |SELECT nk.k, n_nodes,
+        |  coalesce(n_edges_rich, 0) AS n_edges_rich,
+        |  CASE WHEN n_nodes > 1 THEN
+        |    CAST(round(CAST(CAST(2.0 * CAST(coalesce(n_edges_rich, 0)
+        |      AS DOUBLE) / (CAST(n_nodes AS DOUBLE)
+        |      * CAST(n_nodes - 1 AS DOUBLE)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS phi
+        |FROM nk LEFT JOIN ek ON nk.k = ek.k""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

@@ -686,4 +686,58 @@ object Graph {
     }
     labels
   }
+
+  /** Truncated Katz centrality — attenuated walk-count influence:
+    *   katz(v) = Σ_{k=1..K} α^k · (#walks of length k ending at v),
+    * the centrality between degree (K = 1) and eigenvector/PageRank
+    * (K → ∞): unlike [[pageRank]] it does NOT normalize by out-degree,
+    * so a node is rewarded for being reachable from prolific hubs, and
+    * unlike HITS it needs no mutual reinforcement — the standard
+    * "influence with decay" score.
+    *
+    * Integer discipline (the [[pageRank]] fixed-point contract):
+    * α = 1/alphaDen rides as a floored integral divide of the
+    * 10⁹-scaled walk mass, every per-round in-mass is an exact integer
+    * sum, and the K-round truncation replaces the spectral-radius
+    * convergence condition (exact, deterministic, replayable — the
+    * finite formulation an oracle can unroll). Masses GROW when mean
+    * in-degree exceeds alphaDen; sums ride decimal(38,0) so the bound
+    * is the documented 10⁹·(deg/alphaDen)^K per node, not a silent
+    * long overflow.
+    *
+    * Scale shape: per round one (dst ← src) integer exchange linear in
+    * edges, invariants localCheckpointed once. Output: (node, katz)
+    * with katz de-scaled to double. */
+  def katz(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, alphaDen: Long = 5L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(alphaDen >= 2, s"alphaDen must be >= 2: $alphaDen")
+    val dec = "decimal(38,0)"
+    val scale = 1000000000L
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var state = nodes.select(col("node"),
+      lit(scale).cast(dec).as("m"), lit(0L).cast(dec).as("kz"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val summed = e.join(state.select(col("node"), col("m")),
+          e("src") === col("node"))
+        .select(col("dst"), expr(s"CAST(m div $alphaDen AS $dec)").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).cast(dec).as("mi"))
+      state = state.join(summed, state("node") === summed("dst"), "left")
+        .select(state("node"),
+          coalesce(col("mi"), lit(0L).cast(dec)).cast(dec).as("m"),
+          (state("kz") + coalesce(col("mi"), lit(0L).cast(dec)))
+            .cast(dec).as("kz"))
+        .localCheckpoint(true)
+    }
+    state.select(col("node"),
+      (col("kz").cast("double") / lit(scale.toDouble)).as("katz"))
+  }
 }

@@ -1299,4 +1299,87 @@ object Relational {
           .as("dl"),
         levenshtein($"name", $"typo").cast("long").as("lev"))
   }
+
+  /** Shared q443/q445 edge base: the q419 Brand#11 co-purchase pairs
+    * (u < v, distinct). */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
+      .select($"p_partkey")
+    val op = Tables.lineitem(spark, dir)
+      .join(pts, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    op.select($"ok", $"pk".as("u"))
+      .join(op.select($"ok", $"pk".as("v")), "ok")
+      .where($"u" < $"v")
+      .select($"u", $"v").distinct()
+  }
+
+  /** q443 — truncated Katz centrality ([[graft.operators.Graph
+    * .katz]]): 4-hop attenuated walk counts (α = 1/5) into each
+    * Brand#11 part over the symmetric co-purchase graph — the
+    * hub-rewarding influence score between degree and PageRank, on
+    * the q169 integer-mass discipline. */
+  def q443Katz(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, dir)
+    val both = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+    val scored = graft.operators.Graph.katz(both, "u", "v",
+      iterations = 4, alphaDen = 5L)
+    scored.orderBy($"katz".desc, $"node").limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"katz".desc, $"node")).cast("long"))
+      .select($"rank", $"node".as("part"), round($"katz", 6).as("katz"))
+  }
+
+  /** q444 — edge reciprocity: of the DIRECTED "part a precedes part b
+    * within an order" relations (linenumber order), what share also
+    * occur reversed in some other order — the mutual-relation rate,
+    * one reversed-key equi self-join (never a cross product). */
+  def q444Reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
+      .select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(pts, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"),
+        $"l_linenumber".as("ln"))
+    val e = li.select($"ok", $"pk".as("a"), $"ln".as("la"))
+      .join(li.select($"ok", $"pk".as("b"), $"ln".as("lb")), "ok")
+      .where($"la" < $"lb" && $"a" =!= $"b")
+      .select($"a", $"b").distinct()
+    val rec = e.join(e.select($"b".as("a"), $"a".as("b")), Seq("a", "b"),
+      "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
+      .select($"n_edges", $"n_reciprocal",
+        round($"n_reciprocal".cast("double") /
+          $"n_edges".cast("double"), 6).as("reciprocity"))
+  }
+
+  /** q445 — rich-club coefficient: at each degree threshold k, how
+    * densely do the over-k-degree parts of the co-purchase graph link
+    * among THEMSELVES — φ(k) = 2·E_k/(N_k(N_k−1)), the hub-cartel
+    * detector; degrees broadcast, thresholds exploded, all census. */
+  def q445RichClub(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, dir)
+    val deg = e.select($"u".as("node"))
+      .unionByName(e.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val ks = array(Seq(2L, 4L, 8L, 16L, 32L).map(lit): _*)
+    val nodeK = deg.select(explode(ks).as("k"), $"d")
+      .where($"d" > $"k")
+      .groupBy($"k").agg(count(lit(1)).as("n_nodes"))
+    val edgeK = e
+      .join(broadcast(deg.select($"node".as("u"), $"d".as("du"))), "u")
+      .join(broadcast(deg.select($"node".as("v"), $"d".as("dv"))), "v")
+      .select(explode(ks).as("k"), $"du", $"dv")
+      .where($"du" > $"k" && $"dv" > $"k")
+      .groupBy($"k").agg(count(lit(1)).as("n_edges_rich"))
+    nodeK.join(edgeK, Seq("k"), "left")
+      .select($"k", $"n_nodes",
+        coalesce($"n_edges_rich", lit(0L)).as("n_edges_rich"),
+        when($"n_nodes" > 1L,
+          round(lit(2.0) * coalesce($"n_edges_rich", lit(0L))
+            .cast("double") /
+            ($"n_nodes".cast("double") * ($"n_nodes" - 1L)
+              .cast("double")), 6)).as("phi"))
+  }
 }

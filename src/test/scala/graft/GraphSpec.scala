@@ -250,4 +250,32 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     // ranks are a probability-ish vector: positive, hub dominates
     assert(out.head.getAs[Double]("pr") > out.last.getAs[Double]("pr"))
   }
+
+  test("katz: hand-walked path graph; star center collects its " +
+      "spokes' attenuated mass; truncation depth visible") {
+    import spark.implicits._
+    // directed path a(1) -> b(2) -> c(3), alpha = 1/5, 2 rounds:
+    // round 1: m(b)=2e8, m(c)=2e8; round 2: m(b)=0, m(c)=4e7
+    // katz: a=0, b=0.2, c=0.24
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val out = graft.operators.Graph.katz(path, "s", "d",
+        iterations = 2, alphaDen = 5L)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Double]("katz")).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.2 && out(3L) == 0.24,
+      out.toString)
+    // 1 round stops the 2-hop term: c gets only 0.2
+    val one = graft.operators.Graph.katz(path, "s", "d",
+        iterations = 1, alphaDen = 5L)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Double]("katz")).toMap
+    assert(one(3L) == 0.2)
+    // star: 4 spokes -> center; center katz = 4/5 after 1 round
+    val star = (1L to 4L).map(i => (i + 10L, 1L)).toDF("s", "d")
+    val cs = graft.operators.Graph.katz(star, "s", "d",
+        iterations = 3, alphaDen = 5L)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Double]("katz")).toMap
+    assert(cs(1L) == 0.8 && cs(11L) == 0.0)
+  }
 }
