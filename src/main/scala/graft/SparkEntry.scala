@@ -470,6 +470,7 @@ object SparkEntry {
     "q443_katz"             -> (R.q443Katz(_, _)),
     "q444_reciprocity"      -> (R.q444Reciprocity(_, _)),
     "q445_rich_club"        -> (R.q445RichClub(_, _)),
+    "q446_seasonal_mk"      -> (T.q446SeasonalMk(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7865,6 +7866,50 @@ object SparkEntry {
         |      * CAST(n_nodes - 1 AS DOUBLE)) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS phi
         |FROM nk LEFT JOIN ek ON nk.k = ek.k""".stripMargin,
+    // q446: per-(key, season) exact q366 censuses; S sums exactly and
+    // the per-season /18 variances fold in season order; same +/-1
+    // continuity z
+    "q446_seasonal_mk" ->
+      """WITH d AS (SELECT event_type AS g,
+        |    CAST(month(CAST(ts AS DATE)) AS BIGINT) AS m,
+        |    strftime(ts, '%Y-%m-%d') AS o, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |p AS (SELECT a.g, a.m,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS sm
+        |  FROM d a JOIN d b ON a.g = b.g AND a.m = b.m AND a.o < b.o
+        |  GROUP BY 1, 2),
+        |ties AS (SELECT g, m,
+        |    CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+        |      AS HUGEINT) AS tie
+        |  FROM (SELECT g, m, y, CAST(count(*) AS BIGINT) AS t FROM d
+        |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |ns AS (SELECT g, m, CAST(count(*) AS BIGINT) AS nm FROM d
+        |  GROUP BY 1, 2),
+        |per AS (SELECT ns.g, ns.m, nm, sm,
+        |    CAST(CAST(nm AS HUGEINT) * (nm - 1)
+        |      * (2 * CAST(nm AS HUGEINT) + 5) - tie AS DOUBLE) / 18.0
+        |      AS vm
+        |  FROM ns JOIN p USING (g, m) JOIN ties USING (g, m)),
+        |gg AS (SELECT g, CAST(sum(nm) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_seasons,
+        |    CAST(sum(sm) AS BIGINT) AS s,
+        |    list_reduce(list_transform(
+        |      list(struct_pack(m := m, vm := vm) ORDER BY m),
+        |      x -> x.vm), (a, v) -> a + v) AS var_s
+        |  FROM per GROUP BY 1)
+        |SELECT g AS event_type, n, n_seasons, s,
+        |  CAST(round(CAST(CAST(var_s AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS var_s,
+        |  CASE WHEN n < 2 OR var_s <= 0.0 THEN NULL
+        |    WHEN s > 0 THEN CAST(round(CAST(CAST(
+        |      CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |    WHEN s < 0 THEN CAST(round(CAST(CAST(
+        |      CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+        |    ELSE 0.0 END AS z
+        |FROM gg""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

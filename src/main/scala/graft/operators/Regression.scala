@@ -420,4 +420,72 @@ object Regression {
             (col("s") + 1L).cast("double") / sqrt(col("var_s")))
           .otherwise(lit(0.0)).as("z"))
   }
+
+  /** Seasonal Mann–Kendall (Hirsch & Slack 1984) per key — the trend
+    * test for SEASONAL series [[mannKendall]] alarms falsely on:
+    * comparisons run only WITHIN each season (each month against its
+    * own history), so the annual cycle never masquerades as trend:
+    *   S = Σ_seasons S_m,  Var = Σ_seasons Var_m,
+    * z with the same ±1 continuity correction. The deployment
+    * monotone-drift gate for weekly/monthly-patterned volume.
+    *
+    * Exactness: each season's S and tie census are the exact-integer
+    * [[mannKendall]] censuses; S sums exactly; the one float sum
+    * (ΣVar_m, each a /18 double) folds in SEASON ORDER over the
+    * season-bounded array. The duplicate-ord guard runs per
+    * (key, season) — same loud raise.
+    *
+    * Scale shape: the pair join is per-(key, season) — seasons CUT
+    * the quadratic term k² → Σ_m k_m² (a 12-way seasonal split is
+    * ~12× cheaper than the unsplit test); everything after is
+    * census-grain. Output: (g, n, n_seasons, s, var_s, z). */
+  def seasonalMannKendall(df: DataFrame, groupCol: String,
+      seasonCol: String, ordCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(seasonCol).cast("long").as("m"),
+        col(ordCol).as("o"), col(valueCol).cast("long").as("y"))
+    val a = base.select(col("g"), col("m"), col("o").as("oa"),
+      col("y").as("ya"))
+    val b = base.select(col("g"), col("m"), col("o").as("ob"),
+      col("y").as("yb"))
+    val s = a.join(b, Seq("g", "m")).where(col("oa") < col("ob"))
+      .groupBy(col("g"), col("m"))
+      .agg(sum(when(col("yb") > col("ya"), 1L)
+        .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("sm"))
+    val ties = base.groupBy(col("g"), col("m"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("g"), col("m"))
+      .agg(sum((col("t").cast(dec) * (col("t") - 1L).cast(dec) *
+        (lit(2L).cast(dec) * col("t").cast(dec) + 5L)).cast(dec))
+        .cast(dec).as("__tie"))
+    val ns = base.groupBy(col("g"), col("m"))
+      .agg(count(lit(1)).as("nm"), countDistinct(col("o")).as("__n_ord"))
+    val nD = col("nm").cast(dec)
+    val varM = ((nD * (nD - 1) * (lit(2L).cast(dec) * nD + 5L)).cast(dec) -
+      col("__tie")).cast(dec).cast("double") / lit(18.0)
+    val per = ns.join(s, Seq("g", "m")).join(ties, Seq("g", "m"))
+      .select(col("g"), col("m"),
+        when(col("nm") === col("__n_ord"), col("nm"))
+          .otherwise(raise_error(concat(
+            lit("seasonalMannKendall: duplicate ordCol values for key "),
+            col("g").cast("string"), lit(" season "),
+            col("m").cast("string"))).cast("long")).as("nm"),
+        col("sm"), varM.as("vm"))
+    val g = per.groupBy(col("g")).agg(
+      sum(col("nm")).as("n"), count(lit(1)).as("n_seasons"),
+      sum(col("sm")).as("s"),
+      sort_array(collect_list(struct(col("m"), col("vm")))).as("cells"))
+    val varS = aggregate(col("cells"), lit(0.0d),
+      (acc, x) => acc + x.getField("vm"))
+    g.withColumn("var_s", varS)
+      .select(col("g"), col("n"), col("n_seasons"), col("s"),
+        col("var_s"),
+        when(col("n") < 2L || col("var_s") <= 0.0, null)
+          .when(col("s") > 0L,
+            (col("s") - 1L).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0L,
+            (col("s") + 1L).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)).as("z"))
+  }
 }

@@ -2309,4 +2309,22 @@ object TimeSeries {
         $"outlier_value", round($"g_stat", 6).as("g_stat"),
         round($"mean", 4).as("mean"), round($"sd", 4).as("sd"))
   }
+
+  /** q446 — seasonal Mann–Kendall ([[graft.operators.Regression
+    * .seasonalMannKendall]]): per event type, monotone drift in daily
+    * volume with each calendar MONTH compared only against itself —
+    * the Hirsch–Slack upgrade of q366 that a weekly/annual cycle
+    * cannot fool; per-season exact censuses, season-ordered variance
+    * fold. */
+  def q446SeasonalMk(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir)
+      .groupBy($"event_type",
+        month(to_date($"ts")).cast("long").as("mon"),
+        date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Regression.seasonalMannKendall(d, "event_type",
+        "mon", "day", "x")
+      .select($"g".as("event_type"), $"n", $"n_seasons", $"s",
+        round($"var_s", 6).as("var_s"), round($"z", 6).as("z"))
+  }
 }

@@ -70,6 +70,13 @@ class ExtensionsSkewSpec extends AnyFunSuite with SparkFixture {
       """SELECT graft_sorted_intersect(array(1L, 3L, 5L, 7L),
         |array(3L, 4L, 7L, 9L)) AS ws""".stripMargin).head()
     assert(r3.getSeq[Long](r3.fieldIndex("ws")).toList == List(3L, 7L))
+    // round-10: the record-linkage string kernels (q341 / q439)
+    val r4 = spark2.sql(
+      """SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw,
+        |graft_damerau('CA', 'ABC') AS dl,
+        |graft_damerau('ab', 'ba') AS sw""".stripMargin).head()
+    assert(r4.getAs[Double]("jw") == 0.9611111111111111)
+    assert(r4.getAs[Long]("dl") == 2L && r4.getAs[Long]("sw") == 1L)
   }
 
   test("CollapseRedundantRound removes equal-scale nested rounds from the plan") {

@@ -162,4 +162,40 @@ class RegressionSpec extends AnyFunSuite with SparkFixture {
     assert(deg("a").isNullAt(deg("a").fieldIndex("slope_without")))
     assert(!deg("b").isNullAt(deg("b").fieldIndex("slope_without")))
   }
+
+  test("seasonalMannKendall: season-split S/Var sum the per-season " +
+    "censuses; a pure annual cycle reads as NO trend where plain MK " +
+    "sees one; duplicate ord raises per season") {
+    import spark.implicits._
+    import graft.operators.Regression
+    // two seasons, both rising monotonically: per-season S = 3 each
+    // (n=3: 3 pairs all concordant), Var_m = 3*2*11/18 each
+    val rising = Seq(
+      ("g", 1L, "d1", 1L), ("g", 1L, "d2", 2L), ("g", 1L, "d3", 3L),
+      ("g", 2L, "d1", 5L), ("g", 2L, "d2", 6L), ("g", 2L, "d3", 7L))
+    val r = Regression.seasonalMannKendall(
+      rising.toDF("g", "m", "o", "y"), "g", "m", "o", "y").head()
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("n_seasons") == 2)
+    assert(r.getAs[Long]("s") == 6)
+    val vm = 3.0 * 2.0 * 11.0 / 18.0
+    assert(math.abs(r.getAs[Double]("var_s") - 2 * vm) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 5.0 / math.sqrt(2 * vm))
+      < 1e-12)
+    // a sawtooth that repeats identically within each season: every
+    // within-season series is constant -> S = 0, no trend
+    val cycle = (0 until 3).flatMap(rep => Seq(
+      ("g", 1L, s"d$rep", 10L), ("g", 2L, s"d$rep", 99L)))
+    val rc = Regression.seasonalMannKendall(
+      cycle.toDF("g", "m", "o", "y"), "g", "m", "o", "y").head()
+    assert(rc.getAs[Long]("s") == 0 && rc.getAs[Double]("z") == 0.0)
+    // duplicate ord inside one season raises loudly
+    val dup = Seq(("g", 1L, "d1", 1L), ("g", 1L, "d1", 2L),
+      ("g", 1L, "d2", 3L))
+    val err = intercept[Exception] {
+      Regression.seasonalMannKendall(
+        dup.toDF("g", "m", "o", "y"), "g", "m", "o", "y").collect()
+    }
+    assert(err.getMessage.contains("seasonalMannKendall"),
+      err.getMessage)
+  }
 }
