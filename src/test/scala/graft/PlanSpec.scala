@@ -606,14 +606,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
-  test("round-10 session-2 stats family (q420-q434): no cartesians, " +
+  test("round-10 session-2 stats family (q420-q446): no cartesians, " +
       "every window keyed, single-partition exchanges only downstream " +
       "of partial aggregates") {
     val qs = Seq("q420_brown_forsythe", "q421_bartlett", "q422_g_test",
       "q423_propensity_match", "q424_rdd", "q425_iv_wald", "q426_kpss",
       "q427_perm_entropy", "q428_granger", "q429_cronbach", "q430_icc",
       "q431_bland_altman", "q432_fisher_exact", "q433_hosmer_lemeshow",
-      "q434_mcc")
+      "q434_mcc", "q435_brunner_munzel", "q436_distance_corr",
+      "q437_grubbs", "q438_burrows_delta", "q439_damerau",
+      "q440_token_sort_ratio", "q441_calinski_harabasz",
+      "q442_davies_bouldin", "q444_reciprocity", "q445_rich_club",
+      "q446_seasonal_mk")
+    // q443 katz is excluded by design: its final top-20 rank window is
+    // the q419 TakeOrdered-bounded global window, not a keyed one
     for (q <- qs) {
       val p = physical(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
