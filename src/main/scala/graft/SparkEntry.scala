@@ -471,6 +471,9 @@ object SparkEntry {
     "q444_reciprocity"      -> (R.q444Reciprocity(_, _)),
     "q445_rich_club"        -> (R.q445RichClub(_, _)),
     "q446_seasonal_mk"      -> (T.q446SeasonalMk(_, _)),
+    "q447_conductance"      -> (R.q447Conductance(_, _)),
+    "q448_turning_points"   -> (T.q448TurningPoints(_, _)),
+    "q449_hellinger"        -> (T.q449Hellinger(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -7910,6 +7913,97 @@ object SparkEntry {
         |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
         |    ELSE 0.0 END AS z
         |FROM gg""".stripMargin,
+    // q447: the q313 discipline — unassigned edges censused loudly;
+    // vol/internal exact counts; phi one division per community
+    "q447_conductance" ->
+      """WITH raw AS (SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e0 AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |  FROM raw WHERE u <> v AND u IS NOT NULL AND v IS NOT NULL),
+        |a2 AS (SELECT DISTINCT nd, c FROM (
+        |  SELECT c_custkey AS nd, c_nationkey AS c FROM customer
+        |  UNION ALL SELECT s_suppkey + 1000000, s_nationkey
+        |  FROM supplier)),
+        |t AS (SELECT e0.u, e0.v, au.c AS cu, av.c AS cv
+        |  FROM e0 LEFT JOIN a2 au ON e0.u = au.nd
+        |  LEFT JOIN a2 av ON e0.v = av.nd),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_unassigned
+        |  FROM t WHERE cu IS NULL OR cv IS NULL),
+        |k AS (SELECT * FROM t WHERE cu IS NOT NULL AND cv IS NOT NULL),
+        |m2 AS (SELECT CAST(count(*) * 2 AS BIGINT) AS vol_total FROM k),
+        |vol AS (SELECT c, CAST(count(*) AS BIGINT) AS vol
+        |  FROM (SELECT unnest([cu, cv]) AS c FROM k) GROUP BY 1),
+        |itl AS (SELECT cu AS c, CAST(count(*) AS BIGINT) AS n_internal
+        |  FROM k WHERE cu = cv GROUP BY 1)
+        |SELECT vol.c AS community, vol,
+        |  coalesce(n_internal, 0) AS n_internal,
+        |  vol - 2 * coalesce(n_internal, 0) AS cut,
+        |  CASE WHEN least(vol, vol_total - vol) > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      CAST(vol - 2 * coalesce(n_internal, 0) AS DOUBLE)
+        |      / CAST(least(vol, vol_total - vol) AS DOUBLE) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS conductance,
+        |  n_edges_unassigned
+        |FROM vol LEFT JOIN itl ON vol.c = itl.c
+        |CROSS JOIN m2 CROSS JOIN drp""".stripMargin,
+    // q448: strict-extrema count (plateau pinned as non-turn); E/Var/z
+    // pinned closed-form double shapes
+    "q448_turning_points" ->
+      """WITH dly AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS o,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT k, x,
+        |    lag(x) OVER (PARTITION BY k ORDER BY o) AS p,
+        |    lead(x) OVER (PARTITION BY k ORDER BY o) AS q FROM dly),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN p IS NOT NULL AND q IS NOT NULL
+        |      AND ((p < x AND q < x) OR (p > x AND q > x))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t_turns
+        |  FROM w GROUP BY 1)
+        |SELECT k AS event_type, n, t_turns,
+        |  CASE WHEN n >= 3 THEN
+        |    CAST(round(CAST(CAST(2.0 * CAST(n - 2 AS DOUBLE) / 3.0
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS e_t,
+        |  CASE WHEN n >= 3 THEN
+        |    CAST(round(CAST(CAST(CAST(16 * n - 29 AS DOUBLE) / 90.0
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS var_t,
+        |  CASE WHEN n >= 3 AND CAST(16 * n - 29 AS DOUBLE) / 90.0 > 0
+        |    THEN CAST(round(CAST(CAST(
+        |      (CAST(t_turns AS DOUBLE) - 2.0 * CAST(n - 2 AS DOUBLE)
+        |        / 3.0) / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS z
+        |FROM g""".stripMargin,
+    // q449: union-of-observed-cells fold in bucket order; each term
+    // one sqrt of two pinned divisions; 1 - BC clamped before the sqrt
+    "q449_hellinger" ->
+      """WITH s AS (SELECT
+        |    CAST(round(value * 100) AS BIGINT) // 1000 AS cc,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) + 1 IN (1, 7)
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM events),
+        |c AS (SELECT cc, CAST(sum(1 - b) AS BIGINT) AS ca,
+        |    CAST(sum(b) AS BIGINT) AS cb FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS n_cells FROM c),
+        |f AS (SELECT n_a, n_b, n_cells,
+        |    list(struct_pack(cc := cc,
+        |      t := sqrt((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        * (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))))
+        |      ORDER BY cc) AS cells
+        |  FROM c CROSS JOIN t GROUP BY 1, 2, 3),
+        |g AS (SELECT n_a, n_b, n_cells,
+        |    list_reduce(list_transform(cells, x -> x.t),
+        |      (a, v) -> a + v) AS bc FROM f)
+        |SELECT n_a, n_b, n_cells,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(round(CAST(CAST(bc AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) END AS bc,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(round(CAST(CAST(sqrt(greatest(1.0 - bc, 0.0))
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END
+        |    AS hellinger
+        |FROM g""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

@@ -598,6 +598,45 @@ object Autocorr {
       h.as("h"), (h / log(lit(6.0))).as("h_norm"))
   }
 
+  /** Turning-points randomness test per key — count the local extrema
+    * (strict peaks and troughs) of the ordered series; under pure
+    * randomness E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, so
+    * z = (T − E)/√Var reads: z ≪ 0 too FEW turns (trend/momentum),
+    * z ≫ 0 too many (over-alternation, negative autocorrelation). The
+    * third member of the randomness battery next to the runs test
+    * (signs) and [[permutationEntropy]] (ordinal patterns) — this one
+    * is the classical closed-form z.
+    *
+    * Ties: a plateau is NOT a strict turn (the test assumes continuous
+    * data; integer censuses make ties real, so the strict convention
+    * is pinned and documented — deterministic both engines). Exactness:
+    * T is an exact count; E/Var/z are pinned double shapes.
+    *
+    * Scale shape: one keyed window pass (two lags), one census
+    * aggregation. Output: (key, n, t_turns, e_t, var_t, z); null z
+    * when n < 3. */
+  def turningPoints(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val base = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      col(valueCol).cast("long").as("x"))
+      .withColumn("p", lag(col("x"), 1).over(w))
+      .withColumn("q", lead(col("x"), 1).over(w))
+    val turn = when(col("p").isNotNull && col("q").isNotNull &&
+      ((col("p") < col("x") && col("q") < col("x")) ||
+        (col("p") > col("x") && col("q") > col("x"))), 1L).otherwise(0L)
+    def dd(c: Column): Column = c.cast("double")
+    val g = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(turn).as("t_turns"))
+    val e = lit(2.0) * dd(col("n") - 2L) / lit(3.0)
+    val v = dd(lit(16L) * col("n") - 29L) / lit(90.0)
+    g.select(col("k").as(keyCol), col("n"), col("t_turns"),
+      when(col("n") >= 3L, e).as("e_t"),
+      when(col("n") >= 3L, v).as("var_t"),
+      when(col("n") >= 3L && v > lit(0.0),
+        (dd(col("t_turns")) - e) / sqrt(v)).as("z"))
+  }
+
   /** Granger causality, lag 1, per key — does x's PAST improve the
     * one-step forecast of y beyond y's own past? F compares the
     * restricted regression y_t ~ (1, y_{t−1}) against the full

@@ -909,6 +909,51 @@ object Divergence {
         (exp(-col("__h")) * col("__series")).as("p_value"))
   }
 
+  /** Hellinger distance + Bhattacharyya coefficient between two
+    * categorical distributions — the bounded-metric member of the
+    * divergence family: KL explodes on disjoint support and isn't a
+    * metric, total variation ignores mass geometry; Hellinger
+    *   H = √(1 − BC),  BC = Σ_i √(p_i·q_i)
+    * is a true metric in [0, 1], and BC is the overlap readout
+    * (kernel/affinity) by itself. The drift-monitor distance to quote
+    * when two corpora must be COMPARABLE across category sets.
+    *
+    * Exactness: both censuses are exact counts; p_i/q_i are single
+    * divisions; each cell term is one √ of one product; the one
+    * order-sensitive fold runs in CATEGORY ORDER over the
+    * union-of-observed-cells array (a category missing on one side
+    * contributes exactly 0 — full-outer cells kept so both engines
+    * fold the same set). H clamps 1 − BC at 0 before the √
+    * (independence can land an ulp under).
+    *
+    * Scale shape: one (category, side) census, one bounded fold.
+    * Output one row: (n_a, n_b, n_cells, bc, hellinger). */
+  def hellinger(df: DataFrame, catCol: String, isB: Column): DataFrame = {
+    val census = df.select(col(catCol).as("c"),
+        when(isB, 1L).otherwise(0L).as("b"))
+      .groupBy(col("c"))
+      .agg(sum(lit(1L) - col("b")).as("ca"), sum(col("b")).as("cb"))
+    val tot = broadcast(census.agg(sum(col("ca")).as("n_a"),
+      sum(col("cb")).as("n_b"), count(lit(1)).as("n_cells")))
+    def dd(c: Column): Column = c.cast("double")
+    val term = sqrt((dd(col("ca")) / dd(col("n_a"))) *
+      (dd(col("cb")) / dd(col("n_b"))))
+    val folded = census.crossJoin(tot)
+      .select(col("n_a"), col("n_b"), col("n_cells"), col("c"),
+        term.as("t"))
+      .groupBy(col("n_a"), col("n_b"), col("n_cells"))
+      .agg(sort_array(collect_list(struct(col("c"), col("t"))))
+        .as("cells"))
+    val bc = aggregate(col("cells"), lit(0.0d),
+      (a, x) => a + x.getField("t"))
+    val ok = col("n_a") > 0L && col("n_b") > 0L
+    folded.withColumn("__bc", bc)
+      .select(col("n_a"), col("n_b"), col("n_cells"),
+        when(ok, col("__bc")).as("bc"),
+        when(ok, sqrt(greatest(lit(1.0) - col("__bc"), lit(0.0))))
+          .as("hellinger"))
+  }
+
   /** Fisher's exact test on a 2×2 — the small-table companion
     * [[chiSquareIndependence]] and [[gTest]] defer to when expected
     * cells are tiny and the χ² asymptotics lie. The hypergeometric

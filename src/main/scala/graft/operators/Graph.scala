@@ -687,6 +687,68 @@ object Graph {
     labels
   }
 
+  /** Per-community conductance — the CUT quality read [[modularity]]'s
+    * one global number hides: for each community c,
+    *   φ(c) = cut(c) / min(vol(c), 2m − vol(c)),
+    * cut = edges leaving c, vol = degree mass inside c. Low φ = a real
+    * cluster; φ near 1 = a label that slices through dense structure.
+    * The per-community readout that tells you WHICH communities are
+    * sound (modularity says only whether the whole partition beats
+    * chance).
+    *
+    * Contract: the [[modularity]] discipline exactly — undirected
+    * de-duplicated edges, nodes missing an assignment drop their edges
+    * LOUDLY (n_edges_unassigned, one global census row carried on
+    * every output row). All counts exact integers; φ is one division.
+    *
+    * Scale shape: two assignment joins (broadcast-able dimension),
+    * per-community censuses; no windows. Output per community:
+    * (community, vol, n_internal, cut, conductance,
+    * n_edges_unassigned); φ null when min(vol, 2m − vol) = 0 (a
+    * community owning every edge end has no outside to leak to). */
+  def conductance(edges: DataFrame, srcCol: String, dstCol: String,
+      assign: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val a = assign.select(col(nodeCol).as("__nd"), col(commCol).as("__c"))
+      .where(col("__nd").isNotNull && col("__c").isNotNull)
+      .distinct()
+    val tagged = e0
+      .join(a.select(col("__nd").as("u"), col("__c").as("cu")),
+        Seq("u"), "left")
+      .join(a.select(col("__nd").as("v"), col("__c").as("cv")),
+        Seq("v"), "left")
+      .localCheckpoint(true)
+    val dropped = broadcast(tagged
+      .where(col("cu").isNull || col("cv").isNull)
+      .agg(count(lit(1)).as("n_edges_unassigned")))
+    val kept = tagged.where(col("cu").isNotNull && col("cv").isNotNull)
+    val m2 = broadcast(kept.agg((count(lit(1)) * 2L).as("vol_total")))
+    // vol(c) = Σ degree of c's nodes = internal·2 + cut; census it as
+    // one endpoint explode
+    val vol = kept.select(explode(array(col("cu"), col("cv"))).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("vol"))
+    val internal = kept.where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("n_internal"))
+    vol.join(internal, Seq("c"), "left").crossJoin(m2)
+      .crossJoin(dropped)
+      .select(col("c").as("community"), col("vol"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        (col("vol") - lit(2L) * coalesce(col("n_internal"), lit(0L)))
+          .as("cut"),
+        when(least(col("vol"), col("vol_total") - col("vol")) > 0L,
+          (col("vol") - lit(2L) * coalesce(col("n_internal"), lit(0L)))
+            .cast("double") /
+            least(col("vol"), col("vol_total") - col("vol"))
+              .cast("double")).as("conductance"),
+        col("n_edges_unassigned"))
+  }
+
   /** Truncated Katz centrality — attenuated walk-count influence:
     *   katz(v) = Σ_{k=1..K} α^k · (#walks of length k ending at v),
     * the centrality between degree (K = 1) and eigenvector/PageRank

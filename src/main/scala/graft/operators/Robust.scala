@@ -232,32 +232,59 @@ object Robust {
     * (g, n, outlier_id, outlier_value, g_stat, mean, sd); null stat
     * when n < 2 or sd = 0. */
   def grubbs(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame =
+    grubbsFromCensus(grubbsCensus(df, groupCol, idCol, valueCol))
+
+  /** The [[grubbs]] census — the streaming-twin seam (the
+    * [[graft.operators.Eval.welchTFromCensus]] pattern): per group the
+    * exact moments (n, Σx, Σx²) plus BOTH extreme candidates with
+    * pinned smallest-id tie-breaks. The argmax of |x − x̄| always sits
+    * at the group min or max, so these seven exact values are the
+    * complete prefix-aggregable state — every field is a sum/min/max,
+    * legal in a complete-mode streaming aggregation
+    * ([[graft.streaming.Streams.grubbsCensusStream]]). */
+  def grubbsCensus(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val base = df.where(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(idCol).cast("long").as("id"),
         col(valueCol).cast("long").as("x"))
     val xD = col("x").cast(dec)
-    val tot = base.groupBy(col("g")).agg(
+    base.groupBy(col("g")).agg(
       count(lit(1)).as("n"), sum(xD).cast(dec).as("s"),
-      sum((xD * xD).cast(dec)).cast(dec).as("q"))
-    val joined = base.join(tot, Seq("g"))
-      .withColumn("dev",
-        abs((col("n").cast(dec) * xD - col("s")).cast(dec)))
-    val top = joined.groupBy(col("g")).agg(
-      max(struct(col("dev"), negate(col("id")).as("nid"), col("x")))
-        .as("m"))
-      .select(col("g"), (-col("m.nid")).as("outlier_id"),
-        col("m.x").as("outlier_value"), col("m.dev").as("dev"))
+      sum((xD * xD).cast(dec)).cast(dec).as("q"),
+      min(struct(col("x"), col("id"))).as("__lo"),
+      max(struct(col("x"), negate(col("id")).as("nid"))).as("__hi"))
+      .select(col("g"), col("n"), col("s"), col("q"),
+        col("__lo.x").as("x_min"), col("__lo.id").as("id_min"),
+        col("__hi.x").as("x_max"), (-col("__hi.nid")).as("id_max"))
+  }
+
+  /** [[grubbs]] from a [[grubbsCensus]] (streamed or batch): the
+    * winner is whichever extreme has the larger exact integer
+    * deviation |n·x − Σx|, ties to the smaller id — identical to the
+    * row-level argmax (only the two extremes, or a value and its
+    * mirror 2Σx/n − x, can tie on deviation). */
+  def grubbsFromCensus(census: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     def dd(c: Column): Column = c.cast("double")
     val nD = col("n").cast(dec)
+    val devLo = abs((nD * col("x_min").cast(dec) - col("s")).cast(dec))
+    val devHi = abs((nD * col("x_max").cast(dec) - col("s")).cast(dec))
+    val pickLo = devLo > devHi ||
+      (devLo === devHi && col("id_min") <= col("id_max"))
     val varS = dd((nD * col("q") - col("s") * col("s")).cast(dec)) /
       dd((nD * (nD - 1).cast(dec)).cast(dec))
     val sd = sqrt(varS)
     val ok = col("n") > 1L && varS > lit(0.0)
-    top.join(tot, Seq("g"))
-      .select(col("g"), col("n"), col("outlier_id"), col("outlier_value"),
-        when(ok, dd(col("dev")) / (dd(col("n")) * sd)).as("g_stat"),
+    census
+      .withColumn("__dev", when(pickLo, devLo).otherwise(devHi))
+      .select(col("g"), col("n"),
+        when(pickLo, col("id_min")).otherwise(col("id_max"))
+          .as("outlier_id"),
+        when(pickLo, col("x_min")).otherwise(col("x_max"))
+          .as("outlier_value"),
+        when(ok, dd(col("__dev")) / (dd(col("n")) * sd)).as("g_stat"),
         (dd(col("s")) / dd(col("n"))).as("mean"),
         when(col("n") > 1L, sd).as("sd"))
   }

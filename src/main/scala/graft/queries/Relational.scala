@@ -1354,6 +1354,28 @@ object Relational {
           $"n_edges".cast("double"), 6).as("reciprocity"))
   }
 
+  /** q447 — per-community conductance ([[graft.operators.Graph
+    * .conductance]]): the q313 nation partition scored community BY
+    * community — which nations are real trade clusters (low cut
+    * share) and which labels slice through dense structure; exact
+    * counts, one division per community. */
+  def q447Conductance(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val assign = Tables.customer(spark, dir)
+      .select($"c_custkey".as("node"), $"c_nationkey".as("comm"))
+      .unionByName(Tables.supplier(spark, dir)
+        .select(($"s_suppkey" + 1000000L).as("node"),
+          $"s_nationkey".as("comm")))
+    graft.operators.Graph.conductance(pairs, "u", "v", assign,
+        "node", "comm")
+      .select($"community", $"vol", $"n_internal", $"cut",
+        round($"conductance", 6).as("conductance"),
+        $"n_edges_unassigned")
+  }
+
   /** q445 — rich-club coefficient: at each degree threshold k, how
     * densely do the over-k-degree parts of the co-purchase graph link
     * among THEMSELVES — φ(k) = 2·E_k/(N_k(N_k−1)), the hub-cartel

@@ -2327,4 +2327,29 @@ object TimeSeries {
       .select($"g".as("event_type"), $"n", $"n_seasons", $"s",
         round($"var_s", 6).as("var_s"), round($"z", 6).as("z"))
   }
+
+  /** q448 — turning-points randomness test ([[graft.operators.Autocorr
+    * .turningPoints]]): does each event type's daily cents series turn
+    * as often as noise should — the classical closed-form z over
+    * strict local extrema, completing the randomness battery next to
+    * q375's runs test and q427's ordinal patterns. */
+  def q448TurningPoints(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Autocorr.turningPoints(dailyCents(spark, dir),
+        "event_type", "day", "tot")
+      .select($"event_type", $"n", $"t_turns", round($"e_t", 6).as("e_t"),
+        round($"var_t", 6).as("var_t"), round($"z", 6).as("z"))
+
+  /** q449 — Hellinger distance ([[graft.operators.Divergence
+    * .hellinger]]): weekend vs weekday value-bucket distributions on
+    * the bounded [0,1] metric — the comparable-across-category-sets
+    * drift number next to q318's JS and q305's total variation. */
+  def q449Hellinger(spark: SparkSession, dir: String): DataFrame = {
+    val s = events(spark, dir).select(
+      (round($"value" * 100).cast("long") / lit(1000)).cast("long")
+        .as("bucket"),
+      dayofweek(to_date($"ts")).isin(1, 7).as("wknd"))
+    graft.operators.Divergence.hellinger(s, "bucket", $"wknd")
+      .select($"n_a", $"n_b", $"n_cells", round($"bc", 6).as("bc"),
+        round($"hellinger", 6).as("hellinger"))
+  }
 }

@@ -553,6 +553,18 @@ object Streams {
       .groupBy(col("k"), col("p"))
       .agg(sum(col("__c")).as("cents"))
 
+  /** Streaming Grubbs census ([[graft.operators.Robust.grubbs]]'s
+    * twin): per group the exact (n, Σx, Σx²) moments plus both
+    * extreme candidates with pinned id tie-breaks — seven
+    * prefix-aggregable values (the outlier argmax always sits at a
+    * group extreme), all complete-mode-legal sums/mins/maxes. Feed
+    * any prefix to [[graft.operators.Robust.grubbsFromCensus]] and
+    * the named offender and statistic EQUAL the batch operator on the
+    * same rows (parity spec-asserted). */
+  def grubbsCensusStream(rows: DataFrame, groupCol: String,
+      idCol: String, valueCol: String): DataFrame =
+    graft.operators.Robust.grubbsCensus(rows, groupCol, idCol, valueCol)
+
   case class BurstState(times: List[Long], peak: Long, n: Long)
   case class BurstOut(user_id: Long, n_events: Long, peak_rate: Long)
 

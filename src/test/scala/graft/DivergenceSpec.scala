@@ -470,4 +470,33 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("distanceCorrelation"),
       err.getMessage)
   }
+
+  test("hellinger: identical distributions give H = 0 (BC = 1), " +
+      "disjoint support gives H = 1 (BC = 0), hand 2-cell value") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Boolean)]) =
+      Divergence.hellinger(rows.toDF("c", "b"), "c", col("b")).head()
+    // identical: each side 2x cat1, 1x cat2
+    val same = Seq((1L, false), (1L, false), (2L, false),
+      (1L, true), (1L, true), (2L, true))
+    val rs = run(same)
+    // sqrt(p*p) can land an ulp under p, so BC ~ 1 within rounding
+    // and H = sqrt(1 - BC) amplifies that ulp to ~1e-8
+    assert(math.abs(rs.getAs[Double]("bc") - 1.0) < 1e-12)
+    assert(rs.getAs[Double]("hellinger") < 1e-6)
+    // disjoint: A only cat1, B only cat2
+    val disj = Seq((1L, false), (1L, false), (2L, true))
+    val rd = run(disj)
+    assert(rd.getAs[Double]("bc") == 0.0 &&
+      rd.getAs[Double]("hellinger") == 1.0)
+    // hand: p = (3/4, 1/4), q = (1/4, 3/4):
+    // BC = 2*sqrt(3)/4, H = sqrt(1 - BC)
+    val hand = Seq.fill(3)((1L, false)) ++ Seq((2L, false)) ++
+      Seq((1L, true)) ++ Seq.fill(3)((2L, true))
+    val rh = run(hand)
+    val bcRef = 2.0 * math.sqrt(3.0) / 4.0
+    assert(math.abs(rh.getAs[Double]("bc") - bcRef) < 1e-12)
+    assert(math.abs(rh.getAs[Double]("hellinger") -
+      math.sqrt(1.0 - bcRef)) < 1e-12)
+  }
 }

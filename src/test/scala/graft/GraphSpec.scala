@@ -278,4 +278,34 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
         r.getAs[Double]("katz")).toMap
     assert(cs(1L) == 0.8 && cs(11L) == 0.0)
   }
+
+  test("conductance: two triangles + one bridge = 1/7 each; an " +
+      "unassigned endpoint drops its edge loudly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle A
+      (4L, 5L), (5L, 6L), (4L, 6L),               // triangle B
+      (3L, 4L))                                   // bridge
+    val assign = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B"))
+    val out = graft.operators.Graph.conductance(
+        edges.toDF("u", "v"), "u", "v",
+        assign.toDF("node", "comm"), "node", "comm")
+      .collect().map(r => r.getAs[String]("community") -> r).toMap
+    // vol = 2*3 internal ends + 1 bridge end = 7; cut = 1
+    for (c <- Seq("A", "B")) {
+      assert(out(c).getAs[Long]("vol") == 7 &&
+        out(c).getAs[Long]("cut") == 1)
+      assert(math.abs(out(c).getAs[Double]("conductance") - 1.0 / 7.0)
+        < 1e-15)
+      assert(out(c).getAs[Long]("n_edges_unassigned") == 0)
+    }
+    // drop node 6's assignment: its two edges leave loudly
+    val partial = assign.filterNot(_._1 == 6L)
+    val o2 = graft.operators.Graph.conductance(
+        edges.toDF("u", "v"), "u", "v",
+        partial.toDF("node", "comm"), "node", "comm")
+      .collect().map(r => r.getAs[String]("community") -> r).toMap
+    assert(o2("A").getAs[Long]("n_edges_unassigned") == 2)
+    assert(o2("B").getAs[Long]("vol") == 3) // 4-5, 5-4 ends + bridge end
+  }
 }

@@ -1130,4 +1130,27 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     val rc = run(const)
     assert(rc.isNullAt(rc.fieldIndex("f")))
   }
+
+  test("turningPoints: alternation turns at every interior point, " +
+      "monotone never, plateaus pinned as non-turns") {
+    import spark.implicits._
+    def run(xs: Seq[Long]) = {
+      val rows = xs.zipWithIndex.map { case (x, i) => ("k", f"$i%03d", x) }
+      graft.operators.Autocorr.turningPoints(rows.toDF("k", "o", "x"),
+        "k", "o", "x").head()
+    }
+    val alt = run(Seq(1L, 5, 1, 5, 1, 5, 1, 5, 1, 5))
+    assert(alt.getAs[Long]("t_turns") == 8) // every interior point
+    assert(alt.getAs[Double]("e_t") == 2.0 * 8 / 3.0)
+    assert(alt.getAs[Double]("z") > 2.0) // (8 - 16/3)/1.2066 = 2.21
+    val mono = run(Seq(1L, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+    assert(mono.getAs[Long]("t_turns") == 0 &&
+      mono.getAs[Double]("z") < -3.0)
+    // plateau: 1,5,5,1 — no STRICT extremum anywhere
+    val plat = run(Seq(1L, 5, 5, 1))
+    assert(plat.getAs[Long]("t_turns") == 0)
+    // n = 2: no interior point, null z
+    val tiny = run(Seq(1L, 2))
+    assert(tiny.isNullAt(tiny.fieldIndex("z")))
+  }
 }

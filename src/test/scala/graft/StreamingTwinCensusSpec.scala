@@ -134,6 +134,20 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     graft.operators.Divergence.wassersteinFromCensus(_, "b", "ca", "cb",
       width = (49000L - 0L) / 64 + 1))
 
+  twin[(String, Long, Long)]("grubbsCensusStream",
+    "the named offender and G statistic equal batch grubbs at every " +
+      "prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type", $"event_id",
+          round($"value" * 100).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    },
+    Seq("event_type", "event_id", "cents"),
+    Streams.grubbsCensusStream(_, "event_type", "event_id", "cents"),
+    graft.operators.Robust.grubbsFromCensus(_))
+
   // ---- io source: exercised here so the enumeration has no exemptions
 
   test("signalsFileStream reads a parquet directory incrementally") {
@@ -191,7 +205,7 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     // the known inventory can only grow — a rename/removal is loud
     val inventory = Set("sprtCensusStream", "kalmanCensusStream",
       "experimentCensusStream", "ksCensusStream", "gapCensusStream",
-      "tradeCensusStream")
+      "tradeCensusStream", "grubbsCensusStream")
     assert(inventory.subsetOf(censusShaped), censusShaped.toString)
   }
 
