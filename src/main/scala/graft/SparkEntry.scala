@@ -474,6 +474,8 @@ object SparkEntry {
     "q447_conductance"      -> (R.q447Conductance(_, _)),
     "q448_turning_points"   -> (T.q448TurningPoints(_, _)),
     "q449_hellinger"        -> (T.q449Hellinger(_, _)),
+    "q450_cum_incidence"    -> (T.q450CumIncidence(_, _)),
+    "q451_herfindahl"       -> (R.q451Herfindahl(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8004,6 +8006,85 @@ object SparkEntry {
         |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END
         |    AS hellinger
         |FROM g""".stripMargin,
+    // q450: the q351 census + prepended-seed struct fold (cif fields
+    // FIRST, survival last — the q40 field-order discipline); every
+    // per-step term one double division of exact integers
+    "q450_cum_incidence" ->
+      """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+        |    MAX(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+        |h AS (SELECT MAX(ld) AS wend FROM u),
+        |s AS (SELECT date_diff('day', fd, ld) AS d,
+        |    CASE WHEN date_diff('day', ld, wend) < 7 THEN 0
+        |      WHEN user_id % 2 = 0 THEN 1 ELSE 2 END AS c
+        |  FROM u, h),
+        |cns AS (SELECT d, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT d, n_obs, d1, d2,
+        |    CAST(SUM(n_obs) OVER () - COALESCE(SUM(n_obs) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM cns),
+        |l AS (SELECT list(struct_pack(d := d, n_risk := n_risk,
+        |    d1 := d1, d2 := d2) ORDER BY d) AS arr FROM r),
+        |x AS (SELECT unnest(range(1, len(arr) + 1)) AS i, arr FROM l),
+        |f AS (SELECT arr[i].d AS d, arr[i].n_risk AS n_risk,
+        |    arr[i].d1 AS d1, arr[i].d2 AS d2,
+        |    list_reduce(list_prepend(
+        |      struct_pack(c1 := CAST(0.0 AS DOUBLE),
+        |        c2 := CAST(0.0 AS DOUBLE), s := CAST(1.0 AS DOUBLE)),
+        |      list_transform(list_slice(arr, 1, i), e -> struct_pack(
+        |        c1 := CAST(e.d1 AS DOUBLE) / CAST(e.n_risk AS DOUBLE),
+        |        c2 := CAST(e.d2 AS DOUBLE) / CAST(e.n_risk AS DOUBLE),
+        |        s := 1.0 - CAST(e.d1 + e.d2 AS DOUBLE)
+        |          / CAST(e.n_risk AS DOUBLE)))),
+        |      (acc, x2) -> struct_pack(
+        |        c1 := acc.c1 + acc.s * x2.c1,
+        |        c2 := acc.c2 + acc.s * x2.c2,
+        |        s := acc.s * x2.s)) AS st
+        |  FROM x)
+        |SELECT CAST(d AS BIGINT) AS duration, n_risk,
+        |  d1 AS d_cause1, d2 AS d_cause2,
+        |  CAST(round(CAST(CAST(st.c1 AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS cif_1,
+        |  CAST(round(CAST(CAST(st.c2 AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS cif_2,
+        |  CAST(round(CAST(CAST(st.s AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS survival
+        |FROM f""".stripMargin,
+    // q451: exact unit masses; HHI = one division of exact HUGEINTs;
+    // non-positive units dropped loudly
+    "q451_herfindahl" ->
+      """WITH rev AS (SELECT s_nationkey AS sc, l_suppkey AS u,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS m
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE l_extendedprice IS NOT NULL),
+        |un AS (SELECT sc, u, CAST(sum(m) AS HUGEINT) AS mi
+        |  FROM rev GROUP BY 1, 2),
+        |per AS (SELECT sc,
+        |    CAST(sum(CASE WHEN mi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k_units,
+        |    CAST(sum(CASE WHEN mi > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS k_dropped,
+        |    CAST(sum(CASE WHEN mi > 0 THEN mi ELSE 0 END) AS HUGEINT)
+        |      AS t,
+        |    CAST(sum(CASE WHEN mi > 0 THEN mi * mi ELSE 0 END)
+        |      AS HUGEINT) AS sm2
+        |  FROM un GROUP BY 1)
+        |SELECT sc AS nation, k_units, k_dropped,
+        |  CAST(t AS BIGINT) AS total,
+        |  CASE WHEN k_units > 0 THEN
+        |    CAST(round(CAST(CAST(CAST(sm2 AS DOUBLE)
+        |      / CAST(t * t AS DOUBLE) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS hhi,
+        |  CASE WHEN k_units > 1 THEN
+        |    CAST(round(CAST(CAST(
+        |      (CAST(sm2 AS DOUBLE) / CAST(t * t AS DOUBLE)
+        |        - 1.0 / CAST(k_units AS DOUBLE))
+        |      / (1.0 - 1.0 / CAST(k_units AS DOUBLE)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS hhi_norm
+        |FROM per""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

@@ -263,4 +263,70 @@ object Survival {
         expr("aggregate(__t, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)")
           + tail).as("rmst"))
   }
+
+  /** Aalen–Johansen cumulative incidence for TWO competing risks —
+    * the estimator [[kaplanMeier]] gets WRONG under competing events:
+    * 1 − KM(cause k alone) treats the other cause's failures as
+    * censoring and overstates incidence (the classic competing-risks
+    * bias); the CIF distributes each instant's risk by cause against
+    * the overall survival:
+    *   CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ₋) · d_{k,i}/nᵢ,
+    * with S the ALL-cause KM. CIF₁ + CIF₂ + S(t) = 1 at every t — the
+    * identity the spec asserts.
+    *
+    * Cause coding: 0 = censored, 1 and 2 = the competing events; any
+    * other value raises LOUDLY (silently folding a third cause into
+    * censoring is the bias this operator exists to avoid).
+    *
+    * Same scale/exactness contract as [[kaplanMeier]]: duration-keyed
+    * census (Guards-bounded), suffix-sum at-risk counts, and ONE
+    * seeded struct fold per duration row (cif fields first, survival
+    * last — the q40 field-order discipline) where every per-step term
+    * is a single double division of exact integers. Output:
+    * (duration, n_risk, d_cause1, d_cause2, cif_1, cif_2,
+    * survival). */
+  def cumulativeIncidence(df: DataFrame, durCol: String,
+      causeCol: String): DataFrame = {
+    val base = df.select(col(durCol).cast("long").as("d"),
+      when(col(causeCol).cast("long").isin(0L, 1L, 2L),
+        col(causeCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("cumulativeIncidence: cause must be 0 (censored), 1 or 2"),
+          lit(" — got "), col(causeCol).cast("string"))).cast("long"))
+        .as("c"))
+    val census = base.groupBy(col("d")).agg(
+      count(lit(1)).as("n_obs"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("d1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("d2"))
+    val wOrd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val risked = Guards.boundedCensus(census, "d",
+        "Survival.cumulativeIncidence")
+      .withColumn("n_risk",
+        sum(col("n_obs")).over(wAll) -
+          coalesce(sum(col("n_obs")).over(wOrd), lit(0L)))
+    val folded = risked
+      .agg(sort_array(collect_list(struct(col("d"), col("n_risk"),
+        col("d1"), col("d2")))).as("__arr"))
+      .select(expr(
+        """explode(transform(__arr, (e, i) -> struct(
+          |  e.d AS d, e.n_risk AS n_risk, e.d1 AS d1, e.d2 AS d2,
+          |  aggregate(slice(__arr, 1, i + 1),
+          |    named_struct('c1', CAST(0.0 AS DOUBLE),
+          |      'c2', CAST(0.0 AS DOUBLE), 's', CAST(1.0 AS DOUBLE)),
+          |    (acc, x) -> named_struct(
+          |      'c1', acc.c1 + acc.s
+          |        * (CAST(x.d1 AS DOUBLE) / CAST(x.n_risk AS DOUBLE)),
+          |      'c2', acc.c2 + acc.s
+          |        * (CAST(x.d2 AS DOUBLE) / CAST(x.n_risk AS DOUBLE)),
+          |      's', acc.s * (CAST(1.0 AS DOUBLE)
+          |        - CAST(x.d1 + x.d2 AS DOUBLE)
+          |          / CAST(x.n_risk AS DOUBLE)))) AS st)))""".stripMargin)
+        .as("r"))
+    folded.select(col("r.d").as("duration"), col("r.n_risk"),
+      col("r.d1").as("d_cause1"), col("r.d2").as("d_cause2"),
+      col("r.st.c1").as("cif_1"), col("r.st.c2").as("cif_2"),
+      col("r.st.s").as("survival"))
+  }
 }

@@ -188,4 +188,45 @@ object WeightedStats {
           aggregate(col("ts"), lit(0.0d), (acc, e) => acc + e.getField("t")))
           .as("theil_between"))
   }
+
+  /** Herfindahl–Hirschman concentration index per scope — the
+    * market-share concentration number next to [[theilBetween]]'s
+    * entropy read and the q241 Gini: HHI = Σ_i s_i² over unit shares
+    * of mass, 1/k (perfect spread) to 1 (monopoly), with the
+    * k-corrected normalization (HHI − 1/k)/(1 − 1/k) ∈ [0, 1] so
+    * scopes with different unit counts compare. In a corpus pipeline
+    * this is "how concentrated is the data on a few sources/domains"
+    * — the diversity gate's scalar.
+    *
+    * Units with non-positive total mass are EXCLUDED loudly
+    * (k_dropped — a zero-mass unit holds no share; negative mass has
+    * no share semantics at all). Exactness: unit masses and Σm_i² are
+    * exact decimals; HHI is ONE division (Σm²/T²); the normalization
+    * is a pinned double shape. Scale shape: one (scope, unit) census,
+    * one scope rollup — no folds at all. Output: (sc, k_units,
+    * k_dropped, total, hhi, hhi_norm); norm null when k < 2. */
+  def herfindahl(df: DataFrame, scopeCol: String, unitCol: String,
+      massCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val unit = df.where(col(massCol).isNotNull)
+      .select(col(scopeCol).as("sc"), col(unitCol).as("u"),
+        col(massCol).cast("long").as("m"))
+      .groupBy(col("sc"), col("u"))
+      .agg(sum(col("m").cast(dec)).cast(dec).as("mi"))
+    val per = unit.groupBy(col("sc")).agg(
+      sum(when(col("mi") > 0, 1L).otherwise(0L)).as("k_units"),
+      sum(when(col("mi") > 0, 0L).otherwise(1L)).as("k_dropped"),
+      sum(when(col("mi") > 0, col("mi")).otherwise(lit(0).cast(dec)))
+        .cast(dec).as("t"),
+      sum(when(col("mi") > 0, (col("mi") * col("mi")).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("sm2"))
+    def dd(c: Column): Column = c.cast("double")
+    val hhi = dd(col("sm2")) / dd((col("t") * col("t")).cast(dec))
+    val kD = dd(col("k_units"))
+    val norm = (hhi - lit(1.0) / kD) / (lit(1.0) - lit(1.0) / kD)
+    per.select(col("sc"), col("k_units"), col("k_dropped"),
+      col("t").cast("long").as("total"),
+      when(col("k_units") > 0L, hhi).as("hhi"),
+      when(col("k_units") > 1L, norm).as("hhi_norm"))
+  }
 }

@@ -1376,6 +1376,22 @@ object Relational {
         $"n_edges_unassigned")
   }
 
+  /** q451 — Herfindahl concentration ([[graft.operators.WeightedStats
+    * .herfindahl]]): per supplier nation, how concentrated is revenue
+    * across that nation's suppliers — HHI with the k-corrected
+    * normalization, exact share arithmetic (one division). */
+  def q451Herfindahl(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_nationkey".as("nation"), $"l_suppkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+    graft.operators.WeightedStats.herfindahl(rev, "nation",
+        "l_suppkey", "cents")
+      .select($"sc".as("nation"), $"k_units", $"k_dropped", $"total",
+        round($"hhi", 6).as("hhi"), round($"hhi_norm", 6).as("hhi_norm"))
+  }
+
   /** q445 — rich-club coefficient: at each degree threshold k, how
     * densely do the over-k-degree parts of the co-purchase graph link
     * among THEMSELVES — φ(k) = 2·E_k/(N_k(N_k−1)), the hub-cartel

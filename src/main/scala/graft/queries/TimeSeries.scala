@@ -2339,6 +2339,27 @@ object TimeSeries {
       .select($"event_type", $"n", $"t_turns", round($"e_t", 6).as("e_t"),
         round($"var_t", 6).as("var_t"), round($"z", 6).as("z"))
 
+  /** q450 — cumulative incidence under competing risks ([[graft
+    * .operators.Survival.cumulativeIncidence]]): the q417 retention
+    * cohort with churn split into two competing causes (user-id
+    * parity as the deterministic cause code, window-tail censoring) —
+    * Aalen–Johansen CIFs whose sum with all-cause survival is 1 at
+    * every duration, the estimator naive per-cause KM overstates. */
+  def q450CumIncidence(spark: SparkSession, dir: String): DataFrame = {
+    val spans = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("fd"), max(to_date($"ts")).as("ld"))
+    val horizon = spans.agg(max($"ld").as("wend"))
+    val subjects = spans.crossJoin(broadcast(horizon))
+      .select(datediff($"ld", $"fd").as("dur"),
+        when(datediff($"wend", $"ld") < 7, 0L)
+          .when($"user_id" % 2 === 0, 1L).otherwise(2L).as("cause"))
+    graft.operators.Survival.cumulativeIncidence(subjects, "dur", "cause")
+      .select($"duration", $"n_risk", $"d_cause1", $"d_cause2",
+        round($"cif_1", 6).as("cif_1"), round($"cif_2", 6).as("cif_2"),
+        round($"survival", 6).as("survival"))
+  }
+
   /** q449 — Hellinger distance ([[graft.operators.Divergence
     * .hellinger]]): weekend vs weekday value-bucket distributions on
     * the bounded [0,1] metric — the comparable-across-category-sets

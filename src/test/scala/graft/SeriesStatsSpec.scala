@@ -1153,4 +1153,65 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     val tiny = run(Seq(1L, 2))
     assert(tiny.isNullAt(tiny.fieldIndex("z")))
   }
+
+  test("cumulativeIncidence: hand Aalen-Johansen walk; CIF1 + CIF2 + S " +
+      "= 1 at every duration; a third cause raises loudly") {
+    import spark.implicits._
+    // durations: t=1 cause1, t=2 cause2, t=3 censored, t=4 cause1
+    val rows = Seq((1L, 1L), (2L, 2L), (3L, 0L), (4L, 1L))
+    val out = graft.operators.Survival.cumulativeIncidence(
+        rows.toDF("dur", "cause"), "dur", "cause")
+      .collect().map(r => r.getAs[Long]("duration") -> r).toMap
+    // t=1: n=4, d1=1: cif1 = 1/4, S = 3/4
+    assert(out(1L).getAs[Double]("cif_1") == 0.25 &&
+      out(1L).getAs[Double]("survival") == 0.75)
+    // t=2: n=3, d2=1: cif2 = (3/4)(1/3) = 1/4, S = 3/4 * 2/3 = 1/2
+    assert(out(2L).getAs[Double]("cif_2") == 0.25 &&
+      out(2L).getAs[Double]("survival") == 0.5)
+    // t=3: censored only — CIFs unchanged, S unchanged (d_any = 0)
+    assert(out(3L).getAs[Double]("cif_1") == 0.25 &&
+      out(3L).getAs[Double]("survival") == 0.5)
+    // t=4: n=1, d1=1: cif1 = 1/4 + 1/2 = 3/4, S = 0
+    assert(out(4L).getAs[Double]("cif_1") == 0.75 &&
+      out(4L).getAs[Double]("survival") == 0.0)
+    // identity at every row
+    out.values.foreach { r =>
+      val s = r.getAs[Double]("cif_1") + r.getAs[Double]("cif_2") +
+        r.getAs[Double]("survival")
+      assert(math.abs(s - 1.0) < 1e-12, r.toString)
+    }
+    // a cause code outside {0,1,2} is loud, never silent censoring
+    val bad = Seq((1L, 3L)).toDF("dur", "cause")
+    val err = intercept[Exception] {
+      graft.operators.Survival.cumulativeIncidence(bad, "dur", "cause")
+        .collect()
+    }
+    assert(err.getMessage.contains("cumulativeIncidence"),
+      err.getMessage)
+  }
+
+  test("herfindahl: monopoly = 1, even split = 1/k with norm 0, " +
+      "zero-mass units drop loudly") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String, Long)]) =
+      graft.operators.WeightedStats.herfindahl(
+        rows.toDF("sc", "u", "m"), "sc", "u", "m")
+        .collect().map(r => r.getAs[String]("sc") -> r).toMap
+    val out = run(Seq(
+      ("mono", "a", 10L), ("mono", "a", 5L),             // one unit
+      ("even", "a", 5L), ("even", "b", 5L),
+      ("even", "c", 5L), ("even", "d", 5L),              // 4 equal
+      ("skew", "a", 9L), ("skew", "b", 1L),
+      ("skew", "z", 0L)))                                // zero unit
+    assert(out("mono").getAs[Double]("hhi") == 1.0 &&
+      out("mono").isNullAt(out("mono").fieldIndex("hhi_norm")))
+    assert(out("even").getAs[Double]("hhi") == 0.25 &&
+      out("even").getAs[Double]("hhi_norm") == 0.0)
+    // skew: (81 + 1)/100 = 0.82; norm = (0.82 - 0.5)/0.5 = 0.64
+    val sk = out("skew")
+    assert(sk.getAs[Long]("k_units") == 2 &&
+      sk.getAs[Long]("k_dropped") == 1)
+    assert(sk.getAs[Double]("hhi") == 0.82)
+    assert(math.abs(sk.getAs[Double]("hhi_norm") - 0.64) < 1e-12)
+  }
 }
