@@ -476,6 +476,7 @@ object SparkEntry {
     "q449_hellinger"        -> (T.q449Hellinger(_, _)),
     "q450_cum_incidence"    -> (T.q450CumIncidence(_, _)),
     "q451_herfindahl"       -> (R.q451Herfindahl(_, _)),
+    "q452_newey_west"       -> (T.q452NeweyWest(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8085,6 +8086,83 @@ object SparkEntry {
         |      / (1.0 - 1.0 / CAST(k_units AS DOUBLE)) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS hhi_norm
         |FROM per""".stripMargin,
+    // q452: rank-clock OLS from exact moments; e_t one pinned shape
+    // per row; squared residuals summed as round-10 decimals
+    // (order-free); the gamma folds run in ord order with 1 - l/5.0
+    // Bartlett weights (the q426 IEEE discipline)
+    "q452_newey_west" ->
+      """WITH dly AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS o,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT k, o, y,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY o) - 1
+        |      AS BIGINT) AS x FROM dly),
+        |mm AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy FROM rk GROUP BY 1),
+        |bb AS (SELECT k, n, sx, sy, n * sxx - sx * sx AS ss,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+        |  FROM mm),
+        |aa AS (SELECT k, n, sx, ss, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS a FROM bb),
+        |sc AS (SELECT rk.k, rk.o, aa.n, aa.ss, aa.b,
+        |    CAST(rk.y AS DOUBLE) - aa.a - aa.b * CAST(rk.x AS DOUBLE)
+        |      AS e,
+        |    CAST(aa.n * rk.x - aa.sx AS DOUBLE)
+        |      * (CAST(rk.y AS DOUBLE) - aa.a
+        |        - aa.b * CAST(rk.x AS DOUBLE)) AS v
+        |  FROM rk JOIN aa ON rk.k = aa.k),
+        |per AS (SELECT k, max(n) AS n, max(b) AS slope,
+        |    max(CAST(ss AS DOUBLE)) AS ssd,
+        |    sum(round(CAST(CAST(e AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      * round(CAST(CAST(e AS VARCHAR) AS DECIMAL(38,20)), 6))
+        |      AS see,
+        |    list(v ORDER BY o) AS vs FROM sc GROUP BY 1),
+        |gg AS (SELECT k, n, slope, ssd, see,
+        |    CASE WHEN n >= 1 THEN coalesce(list_reduce(list_transform(
+        |      range(1, n + 1), i -> vs[CAST(i AS INT)]
+        |        * vs[CAST(i AS INT)]), (acc, t) -> acc + t), 0.0)
+        |      ELSE 0.0 END AS g0,
+        |    CASE WHEN n >= 2 THEN coalesce(list_reduce(list_transform(
+        |      range(2, n + 1), i -> vs[CAST(i AS INT)]
+        |        * vs[CAST(i - 1 AS INT)]), (acc, t) -> acc + t), 0.0)
+        |      ELSE 0.0 END AS g1,
+        |    CASE WHEN n >= 3 THEN coalesce(list_reduce(list_transform(
+        |      range(3, n + 1), i -> vs[CAST(i AS INT)]
+        |        * vs[CAST(i - 2 AS INT)]), (acc, t) -> acc + t), 0.0)
+        |      ELSE 0.0 END AS g2,
+        |    CASE WHEN n >= 4 THEN coalesce(list_reduce(list_transform(
+        |      range(4, n + 1), i -> vs[CAST(i AS INT)]
+        |        * vs[CAST(i - 3 AS INT)]), (acc, t) -> acc + t), 0.0)
+        |      ELSE 0.0 END AS g3,
+        |    CASE WHEN n >= 5 THEN coalesce(list_reduce(list_transform(
+        |      range(5, n + 1), i -> vs[CAST(i AS INT)]
+        |        * vs[CAST(i - 4 AS INT)]), (acc, t) -> acc + t), 0.0)
+        |      ELSE 0.0 END AS g4
+        |  FROM per),
+        |vv AS (SELECT k, n, slope, ssd, see,
+        |    g0 + 2.0 * ((1.0 - 1.0/5.0) * g1 + (1.0 - 2.0/5.0) * g2
+        |      + (1.0 - 3.0/5.0) * g3 + (1.0 - 4.0/5.0) * g4) AS stilde
+        |  FROM gg),
+        |ff AS (SELECT k, n, slope,
+        |    stilde / (ssd * ssd) AS var_nw,
+        |    CAST(n AS DOUBLE) * CAST(see AS DOUBLE)
+        |      / CAST(n - 2 AS DOUBLE) / ssd AS var_iid
+        |  FROM vv)
+        |SELECT k AS event_type, n,
+        |  CAST(round(CAST(CAST(slope AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |    AS DOUBLE) AS slope,
+        |  CASE WHEN n > 6 AND var_iid > 0 THEN
+        |    CAST(round(CAST(CAST(slope / sqrt(var_iid) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS t_iid,
+        |  CASE WHEN n > 6 AND var_nw > 0 THEN
+        |    CAST(round(CAST(CAST(slope / sqrt(var_nw) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS t_nw
+        |FROM ff""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

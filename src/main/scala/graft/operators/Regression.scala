@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grouped ordinary-least-squares via sufficient statistics — the
@@ -487,5 +488,91 @@ object Regression {
           .when(col("s") < 0L,
             (col("s") + 1L).cast("double") / sqrt(col("var_s")))
           .otherwise(lit(0.0)).as("z"))
+  }
+
+  /** Newey–West (HAC) robust trend test per key — the OLS time-trend
+    * slope with an autocorrelation-consistent standard error: the IID
+    * SE a serially-correlated series makes a LIE (positive
+    * autocorrelation deflates it and the trend "significance" is
+    * manufactured). Slope over the rank clock x = 0..n−1:
+    *   Var_NW(b) = S̃ / SS²,  S̃ = Γ̃₀ + 2 Σ_l (1 − l/(L+1)) Γ̃_l,
+    * with Γ̃_l = Σ_t v_t v_{t−l}, v_t = (n·x_t − Σx)·e_t the n-scaled
+    * centered-regressor scores and SS = nΣx² − (Σx)² exact. Reported
+    * NEXT TO the IID t so the autocorrelation haircut is visible —
+    * the honest version of q366's Mann–Kendall for when you want the
+    * SLOPE, not just the direction.
+    *
+    * Exactness: x is the per-key rank (integer), all OLS moments
+    * exact decimals, b/a pinned-ratio doubles, e_t one pinned shape
+    * per row; the Γ̃ folds run in ORD ORDER over the key-bounded
+    * collected array with Bartlett weights written as 1 − l/(L+1)
+    * (the q426 IEEE-identity discipline). Scale shape: one keyed
+    * window pass (rank + moments), one per-key array fold — input is
+    * a period census. Output: (k, n, slope, t_iid, t_nw); null when
+    * n ≤ lags + 2 or a variance is non-positive. */
+  def neweyWestTrend(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, lags: Int = 4): DataFrame = {
+    require(lags >= 1, s"lags must be >= 1: $lags")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val wAll = Window.partitionBy(col("k"))
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), col(ordCol).as("o"),
+        col(valueCol).cast("long").as("y"))
+      .withColumn("x", row_number().over(w).cast("long") - 1L)
+    def D(c: Column): Column = c.cast(dec)
+    val m = base
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("x")).over(wAll))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wAll))
+      .withColumn("sy", sum(D(col("y"))).over(wAll).cast(dec))
+      .withColumn("sxy",
+        sum((D(col("x")) * D(col("y"))).cast(dec)).over(wAll).cast(dec))
+    def dd(c: Column): Column = c.cast("double")
+    val ss = (D(col("n")) * D(col("sxx")) -
+      D(col("sx")) * D(col("sx"))).cast(dec)
+    val b = dd((D(col("n")) * col("sxy") -
+      D(col("sx")) * col("sy")).cast(dec)) / dd(ss)
+    val a = (dd(col("sy")) - col("__b") * dd(col("sx"))) / dd(col("n"))
+    val e = dd(col("y")) - col("__a") - col("__b") * dd(col("x"))
+    val v = dd(col("n") * col("x") - col("sx")) * col("__e")
+    val scored = m.withColumn("__ss", ss).withColumn("__b", b)
+      .withColumn("__a", a).withColumn("__e", e).withColumn("__v", v)
+    // residuals quantize to 1e-6 BEFORE the square (a rounded e is
+    // ~13 significant digits — double→decimal round-trips exactly —
+    // where a rounded e² at 1e12 magnitude would not); the squared
+    // decimals then sum exactly at any partitioning
+    val e6 = round(col("__e"), 6).cast("decimal(20,6)")
+    val per = scored.groupBy(col("k")).agg(
+      max(col("n")).as("n"), max(col("__b")).as("slope"),
+      max(dd(col("__ss"))).as("ssd"),
+      sum(e6 * e6).as("see"),
+      sort_array(collect_list(struct(col("o"), col("__v")))).as("cells"))
+      .withColumn("vs", expr("transform(cells, c -> c.__v)"))
+    // Γ̃_l folds in ord order; Bartlett weights 1 − l/(L+1); series
+    // shorter than the lag contribute 0 (and are null-guarded anyway —
+    // Spark's sequence() runs DESCENDING on inverted bounds, so the
+    // when() is a correctness guard, not just tidiness)
+    val gammas = (0 to lags).map { l =>
+      when(col("n") >= lit(l + 1L), expr(
+        s"""aggregate(transform(sequence(${l + 1}L, CAST(n AS LONG)),
+           |  i -> element_at(vs, CAST(i AS INT))
+           |    * element_at(vs, CAST(i - $l AS INT))),
+           |  CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin))
+        .otherwise(lit(0.0)).as(s"g$l")
+    }
+    val withG = per.select(
+      (Seq(col("k"), col("n"), col("slope"), col("ssd"), col("see")) ++
+        gammas): _*)
+    val sTilde = col("g0") + lit(2.0) * (1 to lags).map { l =>
+      lit(1.0 - l.toDouble / (lags + 1)) * col(s"g$l")
+    }.reduceLeft(_ + _)
+    val varNw = sTilde / (col("ssd") * col("ssd"))
+    val varIid = (dd(col("n")) * col("see").cast("double") /
+      dd(col("n") - 2L)) / col("ssd")
+    val ok = col("n") > lit(lags.toLong + 2L)
+    withG.select(col("k").as(keyCol), col("n"), col("slope"),
+      when(ok && varIid > 0.0, col("slope") / sqrt(varIid)).as("t_iid"),
+      when(ok && varNw > 0.0, col("slope") / sqrt(varNw)).as("t_nw"))
   }
 }

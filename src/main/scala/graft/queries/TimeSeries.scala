@@ -2339,6 +2339,18 @@ object TimeSeries {
       .select($"event_type", $"n", $"t_turns", round($"e_t", 6).as("e_t"),
         round($"var_t", 6).as("var_t"), round($"z", 6).as("z"))
 
+  /** q452 — Newey–West robust trend ([[graft.operators.Regression
+    * .neweyWestTrend]]): each event type's daily cents slope with the
+    * HAC standard error next to the IID one — the autocorrelation
+    * haircut that separates real drift from serially-correlated
+    * noise; q366's direction test upgraded to a slope with honest
+    * error bars. */
+  def q452NeweyWest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.neweyWestTrend(dailyCents(spark, dir),
+        "event_type", "day", "tot", lags = 4)
+      .select($"event_type", $"n", round($"slope", 6).as("slope"),
+        round($"t_iid", 6).as("t_iid"), round($"t_nw", 6).as("t_nw"))
+
   /** q450 — cumulative incidence under competing risks ([[graft
     * .operators.Survival.cumulativeIncidence]]): the q417 retention
     * cohort with churn split into two competing causes (user-id

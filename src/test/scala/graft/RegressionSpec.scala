@@ -198,4 +198,46 @@ class RegressionSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("seasonalMannKendall"),
       err.getMessage)
   }
+
+  test("neweyWestTrend: matches the local HAC reference; positive " +
+    "autocorrelation haircuts t_nw below t_iid; short series nulls") {
+    import spark.implicits._
+    import graft.operators.Regression
+    def run(ys: Seq[Long]) = {
+      val rows = ys.zipWithIndex.map { case (y, i) => ("k", f"$i%03d", y) }
+      Regression.neweyWestTrend(rows.toDF("k", "o", "y"),
+        "k", "o", "y", lags = 4).head()
+    }
+    // trend + slow sine = positively autocorrelated residuals
+    val ys = (0 until 40).map(t =>
+      (10 * t + 50 * math.sin(t / 4.0)).round)
+    val r = run(ys)
+    val tIid = r.getAs[Double]("t_iid"); val tNw = r.getAs[Double]("t_nw")
+    assert(tIid > 0 && tNw > 0 && tNw < tIid, s"iid=$tIid nw=$tNw")
+    // local reference (unrounded residuals; 1e-5 relative tolerance
+    // absorbs the operator's 1e-6 residual quantization)
+    val n = ys.length
+    val xs = (0 until n).map(_.toDouble)
+    val sx = xs.sum; val sy = ys.map(_.toDouble).sum
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val ss = n * sxx - sx * sx
+    val b = (n * sxy - sx * sy) / ss
+    val a = (sy - b * sx) / n
+    val e = xs.zip(ys).map { case (x, y) => y - a - b * x }
+    val v = xs.zip(e).map { case (x, ei) => (n * x - sx) * ei }
+    def g(l: Int): Double =
+      (l until n).map(i => v(i) * v(i - l)).sum
+    val st = g(0) + 2.0 * (1 to 4).map(l => (1.0 - l / 5.0) * g(l)).sum
+    val refNw = b / math.sqrt(st / (ss * ss))
+    val refIid = b / math.sqrt(
+      n * e.map(x => x * x).sum / (n - 2.0) / ss)
+    assert(math.abs(tNw - refNw) < 1e-5 * math.abs(refNw),
+      s"nw=$tNw ref=$refNw")
+    assert(math.abs(tIid - refIid) < 1e-5 * math.abs(refIid))
+    assert(math.abs(r.getAs[Double]("slope") - b) < 1e-9)
+    // n <= lags + 2 -> nulls
+    val tiny = run(Seq(1L, 2, 3, 4, 5, 6))
+    assert(tiny.isNullAt(tiny.fieldIndex("t_nw")))
+  }
 }
