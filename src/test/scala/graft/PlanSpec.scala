@@ -617,7 +617,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q437_grubbs", "q438_burrows_delta", "q439_damerau",
       "q440_token_sort_ratio", "q441_calinski_harabasz",
       "q442_davies_bouldin", "q444_reciprocity", "q445_rich_club",
-      "q446_seasonal_mk")
+      "q446_seasonal_mk", "q448_turning_points", "q449_hellinger",
+      "q451_herfindahl", "q452_newey_west")
     // q443 katz is excluded by design: its final top-20 rank window is
     // the q419 TakeOrdered-bounded global window, not a keyed one
     for (q <- qs) {
