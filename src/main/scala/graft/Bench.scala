@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query wall seconds. Results are fully
@@ -28,9 +29,14 @@ object Bench {
     * fresh single-query JVMs (covers the 2x-gate band with margin). */
   private val IsolateK = 12
 
-  /** Any query whose batched time exceeds this factor times its prior
-    * recorded value (bench_out.json) is also isolated — mid-pack
-    * regressions must carry an isolation receipt, not batched noise. */
+  /** Any query whose batched time exceeds this factor times its
+    * BEST-EVER recorded value (min across every committed BENCH_r*.json
+    * plus the working bench_out.json) is also isolated. Best-ever, not
+    * previous-round (the r10 VERDICT's blind-band finding): a query
+    * drifting 1.4x per round never trips a previous-round trigger, but
+    * its cumulative drift vs the best recorded value does — so sub-1.5x
+    * creep earns an isolation receipt the round it accumulates past
+    * 1.5x of the best number this plan has ever posted. */
   private val RegressFactor = 1.5
 
   def main(args: Array[String]): Unit = {
@@ -145,14 +151,27 @@ object Bench {
     // batched noise because only the slowest K were isolated):
     //   (a) the slowest IsolateK queries, and
     //   (b) ANY query whose batched time exceeds RegressFactor x its
-    //       previously recorded value (prior bench_out.json), so a
-    //       mid-pack regression always gets an isolation receipt.
-    // Queries whose recorded number came from the isolated JVM are
-    // tagged in the emitted "isolated" list; everything else is batched.
-    val prior: Map[String, Double] =
-      try parseQueries(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench_out.json")), "UTF-8"))
-      catch { case _: Throwable => Map.empty }
+    //       BEST-EVER recorded value (min over all BENCH_r*.json in the
+    //       repo root plus the prior bench_out.json), so cumulative
+    //       sub-1.5x-per-round drift still earns a receipt.
+    // Queries whose recorded number came from the isolated JVM carry
+    // "isolated" in the emitted per-query "source" map; the rest carry
+    // "batched". The legacy "isolated" list is kept for old parsers.
+    val prior: Map[String, Double] = {
+      val files = try {
+        val dir = java.nio.file.Paths.get(".")
+        val rs = java.nio.file.Files.list(dir).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.matches("BENCH_r\\d+\\.json"))
+          .toSeq
+        rs :+ "bench_out.json"
+      } catch { case _: Throwable => Seq("bench_out.json") }
+      files.flatMap { f =>
+        try parseQueries(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8")).toSeq
+        catch { case _: Throwable => Seq.empty }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    }
     val movers = times.filter { case (p, t) =>
       prior.get(p).exists(old => t > old * RegressFactor) }.keySet
     val heavy = times.toSeq.sortBy(-_._2).take(IsolateK).map(_._1).toSet
@@ -254,11 +273,16 @@ object Bench {
     val errJson = errPrefixes.map(k => "\"" + k + "\"")
       .mkString("[", ",", "]")
     // which recorded values came from the single-query isolation JVM
-    // (everything else is batched) — the per-value source tag
+    // (everything else is batched) — kept as a list for old parsers,
+    // AND written per-query in the "source" map so regression triage is
+    // one-file-self-contained (BASELINE.md pins this schema)
     val isoJson = isolated.toSeq.sorted.map(k => "\"" + k + "\"")
       .mkString("[", ",", "]")
+    val srcJson = results.map { case (k, _) =>
+      "\"" + k + "\":\"" + (if (isolated(k)) "isolated" else "batched") + "\""
+    }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":true,"errs":$errJson,"isolated":$isoJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":true,"errs":$errJson,"isolated":$isoJson,"source":$srcJson}"""
     val sorted = results.sortBy(-_._2)
     val head =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","iters":$iters,"warmup":true,"errs":$errJson,"isolated":$isoJson,"full":"bench_out.json","""

@@ -7892,11 +7892,12 @@ object SparkEntry {
         |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
         |ns AS (SELECT g, m, CAST(count(*) AS BIGINT) AS nm FROM d
         |  GROUP BY 1, 2),
-        |per AS (SELECT ns.g, ns.m, nm, sm,
+        |per AS (SELECT ns.g, ns.m, nm, coalesce(sm, 0) AS sm,
         |    CAST(CAST(nm AS HUGEINT) * (nm - 1)
-        |      * (2 * CAST(nm AS HUGEINT) + 5) - tie AS DOUBLE) / 18.0
-        |      AS vm
-        |  FROM ns JOIN p USING (g, m) JOIN ties USING (g, m)),
+        |      * (2 * CAST(nm AS HUGEINT) + 5) - coalesce(tie, 0)
+        |      AS DOUBLE) / 18.0 AS vm
+        |  FROM ns LEFT JOIN p USING (g, m)
+        |  LEFT JOIN ties USING (g, m)),
         |gg AS (SELECT g, CAST(sum(nm) AS BIGINT) AS n,
         |    CAST(count(*) AS BIGINT) AS n_seasons,
         |    CAST(sum(sm) AS BIGINT) AS s,
@@ -8087,8 +8088,9 @@ object SparkEntry {
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS hhi_norm
         |FROM per""".stripMargin,
     // q452: rank-clock OLS from exact moments; e_t one pinned shape
-    // per row; squared residuals summed as round-10 decimals
-    // (order-free); the gamma folds run in ord order with 1 - l/5.0
+    // per row; squared residuals summed as round-6 decimals
+    // (round(e, 6) both engines, order-free); the gamma folds run in
+    // ord order with 1 - l/5.0
     // Bartlett weights (the q426 IEEE discipline)
     "q452_newey_west" ->
       """WITH dly AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS o,

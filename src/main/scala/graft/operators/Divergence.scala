@@ -954,28 +954,6 @@ object Divergence {
           .as("hellinger"))
   }
 
-  /** Fisher's exact test on a 2×2 — the small-table companion
-    * [[chiSquareIndependence]] and [[gTest]] defer to when expected
-    * cells are tiny and the χ² asymptotics lie. The hypergeometric
-    * support probabilities are built WITHOUT factorials via the
-    * ratio recurrence
-    *   p(a+1)/p(a) = (r₁−a)(c₁−a) / ((a+1)(r₂−c₁+a+1)),
-    * cumulated multiplicatively from the support minimum and
-    * normalized by the support total — no lgamma (whose last-ulp
-    * behavior differs across engines), only +,·,/ in a pinned order.
-    * Two-sided p sums every table whose probability is ≤ the observed
-    * one times (1 + 1e-7) — R fisher.test's tie tolerance.
-    *
-    * Fisher's exact is a SMALL-TABLE statistic by definition: the
-    * support size (≤ min(r₁, c₁) + 1) is gated loudly at
-    * `maxSupport` (the [[Guards.boundedCensus]] discipline) because
-    * each support row folds over its prefix — O(S²) total, fine at
-    * the hundreds, wrong at row scale where the χ² is correct anyway.
-    *
-    * Exactness: cells/margins exact; every u(a) is a fixed-order
-    * product of single-division ratios; the three cross-support sums
-    * fold in support order. Output one row: (n, n11, n10, n01, n00,
-    * p_two, p_left, p_right). */
   /** Distance correlation (Székely–Rizzo 2007) — the dependence
     * measure that is ZERO only under true independence: Pearson sees
     * lines, Spearman sees monotone curves, dCor sees everything
@@ -1065,8 +1043,32 @@ object Divergence {
         sqrt(dcov2 / sqrt(dvx * dvy))).as("dcor"))
   }
 
+  /** Fisher's exact test on a 2×2 — the small-table companion
+    * [[chiSquareIndependence]] and [[gTest]] defer to when expected
+    * cells are tiny and the χ² asymptotics lie. The hypergeometric
+    * support probabilities are built WITHOUT factorials via the
+    * ratio recurrence
+    *   p(a+1)/p(a) = (r₁−a)(c₁−a) / ((a+1)(r₂−c₁+a+1)),
+    * cumulated multiplicatively from the support minimum and
+    * normalized by the support total — no lgamma (whose last-ulp
+    * behavior differs across engines), only +,·,/ in a pinned order.
+    * Two-sided p sums every table whose probability is ≤ the observed
+    * one times (1 + 1e-7) — R fisher.test's tie tolerance.
+    *
+    * Fisher's exact is a SMALL-TABLE statistic by definition: the
+    * support size (≤ min(r₁, c₁) + 1) is gated loudly at
+    * `maxSupport` because each support row folds over its prefix —
+    * O(S²) total work, so the default cap is 1000 (≤ ~5·10⁵ fold
+    * steps): fine at the hundreds where the exact test matters,
+    * refused at row scale where the χ² is correct anyway. Callers
+    * who raise the cap buy S² work knowingly.
+    *
+    * Exactness: cells/margins exact; every u(a) is a fixed-order
+    * product of single-division ratios; the three cross-support sums
+    * fold in support order. Output one row: (n, n11, n10, n01, n00,
+    * p_two, p_left, p_right). */
   def fisherExact(df: DataFrame, rowFlag: Column, colFlag: Column,
-      maxSupport: Int = 100000): DataFrame = {
+      maxSupport: Int = 1000): DataFrame = {
     require(maxSupport > 0, s"maxSupport must be positive: $maxSupport")
     val base = df.select(
       when(rowFlag, 1L).otherwise(0L).as("a"),

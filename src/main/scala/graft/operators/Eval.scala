@@ -2641,10 +2641,15 @@ object Eval {
     *
     * Exactness: the bucket census is exact (O, n integers; p̄ one
     * pinned division); each term is a fixed double shape; the fold
-    * runs in bucket order over ≤G cells. The even-df survival p
-    * reuses [[graft.operators.Divergence.chiSquareIndependence]]'s
-    * Poisson-sum fold (G = 10 → df = 8, even). Output: (g, n,
-    * n_buckets, n_buckets_dropped, hl, df, p_value). */
+    * runs in bucket order over ≤G cells. The survival p implements
+    * ONLY the even-df Poisson-sum fold of
+    * [[graft.operators.Divergence.chiSquareIndependence]] (the
+    * default G = 10 → df = 8, even); when degenerate-bucket drops
+    * leave df ODD (or ≤ 0), p_value is NULL by design — the df
+    * column stays populated so the caller sees exactly which parity
+    * was hit and can re-bucket (the erfc half-integer series is a
+    * different closed form we deliberately don't mix in). Output:
+    * (g, n, n_buckets, n_buckets_dropped, hl, df, p_value). */
   def hosmerLemeshow(df: DataFrame, groupCol: String, labelCol: String,
       scoreCol: String, buckets: Int, scoreScale: Long): DataFrame = {
     require(scoreScale > 0, s"scoreScale must be positive: $scoreScale")

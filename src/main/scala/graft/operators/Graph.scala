@@ -555,34 +555,54 @@ object Graph {
     * web scale (N² reachability state collapses to m registers per
     * node). The fixed point of
     *   sketch_h(v) = sketch_{h−1}(v) ∪ ⋃_{v→u} sketch_{h−1}(u)
-    * runs entirely on [[Sketches.hllRegisters]]'s register-as-rows
-    * representation, so the union is a plain (node, reg) group-max —
-    * associative, exact, map-side combined — and
-    * [[Sketches.hllEstimate]]'s IEEE-exact estimator scores each hop
-    * with no fold-order hazard. Fully md5-derived, replayable
-    * cross-engine register-for-register.
+    * runs on [[Sketches.hllRegisters]]-derived registers BIT-PACKED
+    * ten-per-long (6-bit fields — ranks cap at 40), so the union is a
+    * field-wise group-max over ceil(2^b/10) longs — associative,
+    * exact, map-side combined — and [[Sketches.hllEstimate]]'s
+    * IEEE-exact estimator scores each hop with no fold-order hazard
+    * (every 2^-rank term is a power of two; the packed fold replays
+    * the row-form estimator bit-for-bit). Fully md5-derived,
+    * replayable cross-engine register-for-register.
     *
-    * Scale shape: per hop ONE edge⋈registers join (each node carries
-    * ≤ 2^b register rows) and one group-max; loop state checkpoints
-    * per hop. Directed reachability along src→dst; symmetrize edges
-    * upstream for the undirected ball. Output: (node, hop, nonempty,
-    * est) for h = 1..maxHops. */
-  /** Element-wise max over fixed-width register arrays — the HyperANF
-    * union as a typed Aggregator: bounded 2^b-long buffer, associative
-    * and commutative, map-side combined. The dense packing is the
-    * point: one array row per edge crosses the shuffle instead of 2^b
-    * register rows (measured 64x volume cut at b=6). */
-  class RegMax(m: Int)
+    * Scale shape: per hop ONE edge⋈registers join whose payload is the
+    * packed array (7 longs at b=6, ~9x fewer shuffle bytes than the
+    * prior 64-long dense row) and one group-max; loop state
+    * checkpoints per hop. Directed reachability along src→dst;
+    * symmetrize edges upstream for the undirected ball. Output:
+    * (node, hop, nonempty, est) for h = 1..maxHops. */
+  /** Field-wise max over BIT-PACKED register arrays — the HyperANF
+    * union as a typed Aggregator. Registers are 6-bit fields (ranks
+    * cap at 40 < 2^6 by the [[Sketches.hllRegisters]] contract), TEN
+    * per long (60 bits used, sign bit never touched), so the 2^b=64
+    * registers of b=6 ride in SEVEN longs instead of 64 — the per-hop
+    * edge-grain shuffle ships ~9x fewer payload bytes (56 B vs 512 B
+    * per row before array headers). Merge is a masked per-field
+    * unsigned compare: associative, commutative, map-side combined,
+    * and bit-identical to the unpacked element-wise max (each field is
+    * non-negative and compared in place). */
+  class RegMax(words: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
-    def zero: Array[Long] = new Array[Long](m)
+    private def fieldMax(a: Long, b: Long): Long = {
+      var r = 0L
+      var f = 0
+      while (f < 10) {
+        val sh = 6 * f
+        val av = (a >>> sh) & 63L
+        val bv = (b >>> sh) & 63L
+        r |= (if (av >= bv) av else bv) << sh
+        f += 1
+      }
+      r
+    }
+    def zero: Array[Long] = new Array[Long](words)
     def reduce(b: Array[Long], r: Seq[Long]): Array[Long] = {
       var i = 0
-      while (i < m) { if (r(i) > b(i)) b(i) = r(i); i += 1 }
+      while (i < words) { b(i) = fieldMax(b(i), r(i)); i += 1 }
       b
     }
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      while (i < words) { a(i) = fieldMax(a(i), b(i)); i += 1 }
       a
     }
     def finish(r: Array[Long]): Seq[Long] = r.toSeq
@@ -596,28 +616,44 @@ object Graph {
       maxHops: Int, b: Int = 6): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val m = 1 << b
+    // 6-bit fields, 10 per long: field width is pinned by the rank cap
+    // (40), NOT by b — any 4 <= b <= 14 packs into ceil(2^b / 10) longs
+    val words = (m + 9) / 10
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    val regMax = udaf(new RegMax(m))
-    // dense initial sketch: the node's own (reg, rank) in a 2^b array
+    val regMax = udaf(new RegMax(words))
+    // packed initial sketch: the node's own rank shifted into the 6-bit
+    // slot of its register's word; every other field zero
     var regs = Sketches.hllRegisters(nodes, Seq("node"), "node", b)
       .select(col("node"), expr(
-        s"transform(sequence(0, ${m - 1}), i -> IF(i = CAST(reg AS INT), max_rank, 0L))")
+        s"""transform(sequence(0, ${words - 1}),
+           |  w -> IF(CAST(reg AS INT) div 10 = w,
+           |    shiftleft(max_rank, 6 * (CAST(reg AS INT) % 10)), 0L))"""
+          .stripMargin)
         .as("arr"))
       .localCheckpoint(true)
-    // estimator on the dense array: nonempty = positive slots; the
-    // 2^-rank sum is exact in IEEE at any order (hllEstimate contract),
-    // so a fixed-index fold replays the row-form estimator bit-for-bit
+    // estimator on the packed array: unpack each word's 10 fields in
+    // slot order; every 2^-rank term is a power of two >= 2^-40 and
+    // there are <= 2^b <= 2^14 of them, so the sum is exact in IEEE at
+    // ANY order (hllEstimate contract) — the packed fold replays the
+    // row-form estimator bit-for-bit
     def estimate(h: Int): DataFrame = regs.select(col("node"),
       lit(h).as("hop"),
-      expr("size(filter(arr, r -> r > 0L))").cast("long").as("nonempty"),
       expr(
-        """aggregate(filter(arr, r -> r > 0L), CAST(0.0 AS DOUBLE),
-          |  (acc, r) -> acc + CAST(1.0 AS DOUBLE) /
-          |    CAST(shiftleft(CAST(1 AS BIGINT), CAST(r AS INT)) AS DOUBLE))"""
+        """aggregate(arr, CAST(0 AS BIGINT), (acc, w) ->
+          |  acc + aggregate(sequence(0, 9), CAST(0 AS BIGINT),
+          |    (a, f) -> a + IF((shiftright(w, 6 * f) & 63L) > 0L, 1L, 0L)))"""
+          .stripMargin).as("nonempty"),
+      expr(
+        """aggregate(arr, CAST(0.0 AS DOUBLE), (acc, w) ->
+          |  acc + aggregate(sequence(0, 9), CAST(0.0 AS DOUBLE),
+          |    (a, f) -> a + IF((shiftright(w, 6 * f) & 63L) > 0L,
+          |      CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT),
+          |        CAST(shiftright(w, 6 * f) & 63L AS INT)) AS DOUBLE),
+          |      CAST(0.0 AS DOUBLE))))"""
           .stripMargin).as("__sp"))
       .select(col("node"), col("hop"), col("nonempty"),
         ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *

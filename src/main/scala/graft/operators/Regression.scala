@@ -464,15 +464,21 @@ object Regression {
       .agg(count(lit(1)).as("nm"), countDistinct(col("o")).as("__n_ord"))
     val nD = col("nm").cast(dec)
     val varM = ((nD * (nD - 1) * (lit(2L).cast(dec) * nD + 5L)).cast(dec) -
-      col("__tie")).cast(dec).cast("double") / lit(18.0)
-    val per = ns.join(s, Seq("g", "m")).join(ties, Seq("g", "m"))
+      coalesce(col("__tie"), lit(0L).cast(dec))).cast(dec)
+      .cast("double") / lit(18.0)
+    // LEFT join: a (key, season) cell with a single observation has no
+    // oa<ob pair, so `s` has no row for it — an inner join would drop
+    // it from n and n_seasons silently (z is unaffected: S_m=0,
+    // Var_m=0). coalesce pins the 1-obs cell to its exact zeros.
+    val per = ns.join(s, Seq("g", "m"), "left")
+      .join(ties, Seq("g", "m"), "left")
       .select(col("g"), col("m"),
         when(col("nm") === col("__n_ord"), col("nm"))
           .otherwise(raise_error(concat(
             lit("seasonalMannKendall: duplicate ordCol values for key "),
             col("g").cast("string"), lit(" season "),
             col("m").cast("string"))).cast("long")).as("nm"),
-        col("sm"), varM.as("vm"))
+        coalesce(col("sm"), lit(0L)).as("sm"), varM.as("vm"))
     val g = per.groupBy(col("g")).agg(
       sum(col("nm")).as("n"), count(lit(1)).as("n_seasons"),
       sum(col("sm")).as("s"),

@@ -206,6 +206,26 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(out((1L, 2))._2 == direct.getAs[Double]("hll_estimate"))
   }
 
+  test("hyperAnf: packed registers replay the row-form HLL on a hub " +
+      "whose ball populates fields across every packed word") {
+    import spark.implicits._
+    // star: 0 -> 1..80, so ball(0, 1) = {0..80} — 81 md5-scattered
+    // keys drive register indices across all 7 packed words (and force
+    // in-field max collisions), the case a word-boundary or shift bug
+    // in the 6-bit packing would break
+    val spokes = (1L to 80L).map(i => (0L, i))
+    val edges = spokes.toDF("s", "d")
+    val got = Graph.hyperAnf(edges, "s", "d", maxHops = 1, b = 6)
+      .where($"node" === 0L).head()
+    val direct = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(
+        (0L to 80L).toDF("k").withColumn("g",
+          org.apache.spark.sql.functions.lit("b")),
+        Seq("g"), "k", 6), Seq("g"), 6).head()
+    assert(got.getAs[Long]("nonempty") == direct.getAs[Long]("nonempty"))
+    assert(got.getAs[Double]("est") == direct.getAs[Double]("hll_estimate"))
+  }
+
   test("personalizedPageRank: mass stays near the seeds, uniform " +
       "seeding over all nodes reproduces plain pageRank, linkless " +
       "seeds still anchor") {
