@@ -477,6 +477,7 @@ object SparkEntry {
     "q450_cum_incidence"    -> (T.q450CumIncidence(_, _)),
     "q451_herfindahl"       -> (R.q451Herfindahl(_, _)),
     "q452_newey_west"       -> (T.q452NeweyWest(_, _)),
+    "q453_mp4_probe"        -> (D.q453Mp4Probe(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8165,6 +8166,36 @@ object SparkEntry {
         |    CAST(round(CAST(CAST(slope / sqrt(var_nw) AS VARCHAR)
         |    AS DECIMAL(38,20)), 6) AS DOUBLE) END AS t_nw
         |FROM ff""".stripMargin,
+    // q453: the q117 closed-form-replay contract lifted to containers —
+    // every mp4Probe field is arithmetic in doc_id (syntheticMp4's
+    // derivations); two corruption modes (wrong magic %9, truncated box
+    // %7==3) both null out. duration_ms is integer division both sides.
+    "q453_mp4_probe" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |f AS (SELECT doc_id,
+        |    (doc_id % 9 = 0 OR doc_id % 7 = 3) AS bad,
+        |    doc_id % 3 AS m3,
+        |    CAST(600 * (1 + doc_id % 3) AS INT) AS ts,
+        |    CAST(1000 + (doc_id * 37) % 100000 AS BIGINT) AS du,
+        |    CASE WHEN (doc_id + 1) % 2 = 0 THEN 'mp4a' ELSE 'opus' END
+        |      AS a1,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE 'opus' END AS a2
+        |  FROM ids)
+        |SELECT doc_id,
+        |  CASE WHEN bad THEN NULL
+        |    WHEN m3 = 0 THEN 'isom' WHEN m3 = 1 THEN 'mp42'
+        |    ELSE 'dash' END AS major_brand,
+        |  CASE WHEN bad THEN NULL ELSE ts END AS timescale,
+        |  CASE WHEN bad THEN NULL ELSE du END AS duration_units,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST((du * 1000) // ts AS BIGINT) END AS duration_ms,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(1 + m3 AS INT) END AS n_tracks,
+        |  CASE WHEN bad THEN NULL
+        |    WHEN m3 = 0 THEN 'avc1'
+        |    WHEN m3 = 1 THEN 'hev1' || ',' || a1
+        |    ELSE 'vp09' || ',' || a1 || ',' || a2 END AS codecs
+        |FROM f""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

@@ -928,11 +928,22 @@ object Divergence {
     *
     * Scale shape: one (category, side) census, one bounded fold.
     * Output one row: (n_a, n_b, n_cells, bc, hellinger). */
-  def hellinger(df: DataFrame, catCol: String, isB: Column): DataFrame = {
-    val census = df.select(col(catCol).as("c"),
+  def hellinger(df: DataFrame, catCol: String, isB: Column): DataFrame =
+    hellingerFromCensus(hellingerCensus(df, catCol, isB))
+
+  /** The (category, side) census [[hellingerFromCensus]] reads — ONE
+    * aggregation, so it runs unchanged as a complete-mode streaming
+    * query (the grubbsCensus split pattern). Output: (c, ca, cb). */
+  def hellingerCensus(df: DataFrame, catCol: String, isB: Column): DataFrame =
+    df.select(col(catCol).as("c"),
         when(isB, 1L).otherwise(0L).as("b"))
       .groupBy(col("c"))
       .agg(sum(lit(1L) - col("b")).as("ca"), sum(col("b")).as("cb"))
+
+  /** BC + Hellinger from a [[hellingerCensus]] table — the bounded
+    * category-order fold, shared by the batch operator and the
+    * streaming twin's downstream read. */
+  def hellingerFromCensus(census: DataFrame): DataFrame = {
     val tot = broadcast(census.agg(sum(col("ca")).as("n_a"),
       sum(col("cb")).as("n_b"), count(lit(1)).as("n_cells")))
     def dd(c: Column): Column = c.cast("double")

@@ -28,6 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** The cell-count scaling rule, made executable so callers don't pin
+    * a fixed nCells and ride the quadratic: k = clamp(n/1000, 16, 2^20).
+    * Rationale — within-cell pair work is Σc_i² ≈ n²/k, so holding k
+    * FIXED while the corpus grows is quadratic in n; growing k ∝ n
+    * (1000-member target cells, the SemDeDup paper's order) keeps the
+    * pair stage linear at ~1000·n cosine evaluations. The cost that
+    * grows instead is ASSIGNMENT: Θ(n·k) flat, Θ(n·√k) two-level — so
+    * with k ∝ n the end-to-end bound is Θ(n^1.5) on the hierarchical
+    * path (documented in BASELINE.md §D with the 10× receipts; a
+    * log-depth centroid tree would reach n·log n but compounds the
+    * boundary approximation per level). The 2^20 clamp is the point
+    * where a centroid BROADCAST (k·dim doubles) stops being small —
+    * past it, shard the corpus and semDedup per shard. */
+  def recommendedCells(corpusSize: Long): Int =
+    math.min(math.max(corpusSize / 1000L, 16L), 1L << 20).toInt
+
   /** Deterministic, cross-engine-replayable centroid seeds: the `nCells`
     * corpus vectors with the SMALLEST ids, cell id = seed's vector id.
     * (The production path feeds [[Similarity.kmeansRefine]] output — or
@@ -115,7 +131,7 @@ object SemDedup {
     * construction), run once and reused for the branch factor. */
   def semDedupWith(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double,
-      maxCellSize: Int = 100000, flatCellCap: Int = FlatCellCap): DataFrame = {
+      maxCellSize: Int = 10000, flatCellCap: Int = FlatCellCap): DataFrame = {
     val k = if (flatCellCap == Int.MaxValue) -1L else centroids.count()
     if (k <= flatCellCap) {
       if (flatCellCap != Int.MaxValue) log.warn(
@@ -187,16 +203,26 @@ object SemDedup {
     * scale path. */
   def semDedupHierarchical(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, branch: Int, threshold: Double,
-      maxCellSize: Int = 100000): DataFrame =
+      maxCellSize: Int = 10000): DataFrame =
     semDedupAssigned(
       assignCellsHierarchical(corpus, idCol, vecCol, centroids, branch),
       threshold, maxCellSize)
 
   /** The pair stage of [[semDedupWith]] over a pre-assigned
     * (id, v, cell) table — shared by the flat and hierarchical
-    * assignment paths. */
-  def semDedupAssigned(assigned: DataFrame, threshold: Double,
-      maxCellSize: Int = 100000): DataFrame = {
+    * assignment paths.
+    *
+    * The input is EAGER-checkpointed first: it appears three times
+    * downstream (both sides of the cell-keyed self-join plus the final
+    * kept-join), and without the cut each appearance re-runs the full
+    * rows × cells assignment fold — the dominant term once cell counts
+    * grow with the corpus (the r10 scale receipts' superlinearity was
+    * mostly this 3× re-fold, not pair work). Eager because the
+    * assignment subtree carries a broadcast (the centroid row) — the
+    * lazy-checkpoint/broadcast deadlock class. */
+  def semDedupAssigned(assigned0: DataFrame, threshold: Double,
+      maxCellSize: Int = 10000): DataFrame = {
+    val assigned = assigned0.localCheckpoint(true)
     val inCap =
       if (maxCellSize <= 0) assigned
       else {
@@ -216,7 +242,7 @@ object SemDedup {
 
   /** SemDeDup with the replayable smallest-id seed clustering. */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, threshold: Double, maxCellSize: Int = 100000): DataFrame =
+      nCells: Int, threshold: Double, maxCellSize: Int = 10000): DataFrame =
     semDedupWith(corpus, idCol, vecCol,
       smallestIdCentroids(corpus, idCol, vecCol, nCells), threshold, maxCellSize)
 }

@@ -286,6 +286,14 @@ object Survival {
     * (duration, n_risk, d_cause1, d_cause2, cif_1, cif_2,
     * survival). */
   def cumulativeIncidence(df: DataFrame, durCol: String,
+      causeCol: String): DataFrame =
+    cumulativeIncidenceFromCensus(cifCensus(df, durCol, causeCol))
+
+  /** The duration-keyed cause census [[cumulativeIncidenceFromCensus]]
+    * reads — ONE aggregation over the loud cause-code guard, so it
+    * runs unchanged as a complete-mode streaming query (the
+    * grubbsCensus split pattern). Output: (d, n_obs, d1, d2). */
+  def cifCensus(df: DataFrame, durCol: String,
       causeCol: String): DataFrame = {
     val base = df.select(col(durCol).cast("long").as("d"),
       when(col(causeCol).cast("long").isin(0L, 1L, 2L),
@@ -294,10 +302,16 @@ object Survival {
           lit("cumulativeIncidence: cause must be 0 (censored), 1 or 2"),
           lit(" — got "), col(causeCol).cast("string"))).cast("long"))
         .as("c"))
-    val census = base.groupBy(col("d")).agg(
+    base.groupBy(col("d")).agg(
       count(lit(1)).as("n_obs"),
       sum(when(col("c") === 1L, 1L).otherwise(0L)).as("d1"),
       sum(when(col("c") === 2L, 1L).otherwise(0L)).as("d2"))
+  }
+
+  /** Aalen–Johansen CIF board from a [[cifCensus]] table — the
+    * at-risk suffix sums and the one seeded struct fold, shared by
+    * the batch operator and the streaming twin's downstream read. */
+  def cumulativeIncidenceFromCensus(census: DataFrame): DataFrame = {
     val wOrd = Window.orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()

@@ -206,13 +206,29 @@ object WeightedStats {
     * one scope rollup — no folds at all. Output: (sc, k_units,
     * k_dropped, total, hhi, hhi_norm); norm null when k < 2. */
   def herfindahl(df: DataFrame, scopeCol: String, unitCol: String,
+      massCol: String): DataFrame =
+    herfindahlFromCensus(herfindahlCensus(df, scopeCol, unitCol, massCol))
+
+  /** The (scope, unit) mass census [[herfindahlFromCensus]] reads —
+    * ONE aggregation, so it runs unchanged as a complete-mode
+    * streaming query (the grubbsCensus split pattern): per (sc, u)
+    * the exact-decimal mass total is the whole state. Output:
+    * (sc, u, mi). */
+  def herfindahlCensus(df: DataFrame, scopeCol: String, unitCol: String,
       massCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val unit = df.where(col(massCol).isNotNull)
+    df.where(col(massCol).isNotNull)
       .select(col(scopeCol).as("sc"), col(unitCol).as("u"),
         col(massCol).cast("long").as("m"))
       .groupBy(col("sc"), col("u"))
       .agg(sum(col("m").cast(dec)).cast(dec).as("mi"))
+  }
+
+  /** HHI board from a [[herfindahlCensus]] table — the scope rollup
+    * and the pinned-shape readouts, shared by the batch operator and
+    * the streaming twin's downstream read. */
+  def herfindahlFromCensus(unit: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val per = unit.groupBy(col("sc")).agg(
       sum(when(col("mi") > 0, 1L).otherwise(0L)).as("k_units"),
       sum(when(col("mi") > 0, 0L).otherwise(1L)).as("k_dropped"),

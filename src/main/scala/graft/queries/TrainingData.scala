@@ -1233,6 +1233,42 @@ object TrainingData {
         ($"sum_b" / px).as("mean_b"))
   }
 
+  /** q453 — MP4/ISO-BMFF container metadata probe ([[Multimodal
+    * .mp4Probe]]): the box walk (ftyp brand → moov → mvhd
+    * timescale/duration, v0 and v1 layouts → trak count → per-trak
+    * stsd codec fourccs) over deterministic [[Multimodal.syntheticMp4]]
+    * fixtures — every probed field is closed-form in doc_id, so DuckDB
+    * replays the whole walk as arithmetic (the q117 codec-round-trip
+    * contract lifted to containers). TWO corruption modes pin the
+    * null-safety contract: every 9th payload is raw text bytes (wrong
+    * magic) and every 7th≡3 is the fixture TRUNCATED at half length (a
+    * box size running past the buffer — the bounds check, not the
+    * magic check) — stats null, row kept, both modes. */
+  def q453Mp4Probe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = docs(spark, dir).where($"doc_id" < 40).select($"doc_id", $"text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val withMp4 = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 9 == 0) r.getString(1).getBytes("UTF-8") // wrong magic
+          else {
+            val full = graft.multimodal.Multimodal.syntheticMp4(id)
+            if (id % 7 == 3) full.take(full.length / 2) // truncated box
+            else full
+          }
+        Row(id, payload)
+      }
+    }(enc)
+    graft.multimodal.Multimodal.mp4Probe(withMp4, "payload")
+      .select($"doc_id", $"major_brand", $"timescale", $"duration_units",
+        $"duration_ms", $"n_tracks", $"codecs")
+  }
+
   /** Planted cross-doc span fixture shared by q118/q119: a 25-token span
     * appended to every %10==3 doc and PREPENDED to every %20==5 doc (span
     * at token 1 exercises the island left edge), an 18-token span appended

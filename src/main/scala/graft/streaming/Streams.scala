@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -564,6 +564,46 @@ object Streams {
   def grubbsCensusStream(rows: DataFrame, groupCol: String,
       idCol: String, valueCol: String): DataFrame =
     graft.operators.Robust.grubbsCensus(rows, groupCol, idCol, valueCol)
+
+  /** Streaming (key, period) sum census — the shared front half of
+    * every period-census statistic whose batch operator CONSUMES a
+    * census table ([[graft.operators.Autocorr.turningPoints]],
+    * [[graft.operators.Regression.neweyWestTrend]] — both take
+    * (key, ord, value) at period grain): stream the census in complete
+    * mode, run the batch operator on the sink table. Per (key, ord)
+    * the exact long sum is the whole state. */
+  def periodCensusStream(rows: DataFrame, keyCol: String,
+      ordCol: String, valueCol: String): DataFrame =
+    rows.groupBy(col(keyCol).as("k"), col(ordCol).as("o"))
+      .agg(sum(col(valueCol).cast("long")).as("x"))
+
+  /** Streaming Herfindahl unit census ([[graft.operators.WeightedStats
+    * .herfindahl]]'s twin, the grubbsCensusStream pattern): per
+    * (scope, unit) the exact-decimal mass total is the whole state;
+    * [[graft.operators.WeightedStats.herfindahlFromCensus]] reads the
+    * sink for the HHI board. */
+  def herfindahlCensusStream(rows: DataFrame, scopeCol: String,
+      unitCol: String, massCol: String): DataFrame =
+    graft.operators.WeightedStats.herfindahlCensus(rows, scopeCol,
+      unitCol, massCol)
+
+  /** Streaming Hellinger category census ([[graft.operators.Divergence
+    * .hellinger]]'s twin): per category the two side counts are the
+    * whole state; [[graft.operators.Divergence.hellingerFromCensus]]
+    * reads the sink for BC + H. */
+  def hellingerCensusStream(rows: DataFrame, catCol: String,
+      isB: Column): DataFrame =
+    graft.operators.Divergence.hellingerCensus(rows, catCol, isB)
+
+  /** Streaming competing-risks duration census ([[graft.operators
+    * .Survival.cumulativeIncidence]]'s twin): per duration the
+    * (n_obs, d1, d2) cause counts are the whole state — the loud
+    * 0/1/2 cause-code guard runs in the streaming projection too;
+    * [[graft.operators.Survival.cumulativeIncidenceFromCensus]] reads
+    * the sink for the Aalen–Johansen board. */
+  def cifCensusStream(rows: DataFrame, durCol: String,
+      causeCol: String): DataFrame =
+    graft.operators.Survival.cifCensus(rows, durCol, causeCol)
 
   case class BurstState(times: List[Long], peak: Long, n: Long)
   case class BurstOut(user_id: Long, n_events: Long, peak_rate: Long)

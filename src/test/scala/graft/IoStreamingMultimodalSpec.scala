@@ -618,6 +618,40 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(rows(3).isNullAt(rows(3).fieldIndex("frame_idx"))) // corrupt kept
   }
 
+  test("multimodal: MP4 box walk recovers brand/duration/tracks/codecs " +
+      "closed-form; both mvhd versions; corrupt and truncated kept null") {
+    import spark.implicits._
+    // seed 4: v1 mvhd (4%4==0), 2 tracks (1+4%3), brand mp42, avc1?
+    // no — 4%3=1 -> hev1 video + (4+1)%2=1 -> opus audio
+    // seed 5: v0 mvhd, 3 tracks, 5%3=2 -> dash brand, vp09 + mp4a + opus
+    val full5 = Multimodal.syntheticMp4(5L)
+    val df = Seq(
+      (4L, Multimodal.syntheticMp4(4L)),
+      (5L, full5),
+      (6L, "not an mp4 at all........".getBytes("UTF-8")),
+      (7L, full5.take(full5.length / 2)))
+      .toDF("id", "payload")
+    val rows = Multimodal.mp4Probe(df, "payload").orderBy("id").collect()
+    val r4 = rows(0)
+    assert(r4.getAs[String]("major_brand") == "mp42")
+    assert(r4.getAs[Int]("timescale") == 600 * (1 + 4 % 3))
+    assert(r4.getAs[Long]("duration_units") == 1000L + (4L * 37) % 100000)
+    assert(r4.getAs[Long]("duration_ms") ==
+      r4.getAs[Long]("duration_units") * 1000 / r4.getAs[Int]("timescale"))
+    assert(r4.getAs[Int]("n_tracks") == 2)
+    assert(r4.getAs[String]("codecs") == "hev1,opus")
+    val r5 = rows(1)
+    assert(r5.getAs[String]("major_brand") == "dash")
+    assert(r5.getAs[Int]("n_tracks") == 3)
+    assert(r5.getAs[String]("codecs") == "vp09,mp4a,opus")
+    // corrupt modes: wrong magic AND truncated-box, both null, rows kept
+    Seq(rows(2), rows(3)).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("major_brand")))
+      assert(r.isNullAt(r.fieldIndex("n_tracks")))
+    }
+    assert(rows.length == 4)
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     import spark.implicits._
     val df = Seq((1L, "0123456789abcdef".getBytes("UTF-8"))).toDF("id", "payload")

