@@ -478,6 +478,11 @@ object SparkEntry {
     "q451_herfindahl"       -> (R.q451Herfindahl(_, _)),
     "q452_newey_west"       -> (T.q452NeweyWest(_, _)),
     "q453_mp4_probe"        -> (D.q453Mp4Probe(_, _)),
+    "q454_pettitt"          -> (T.q454Pettitt(_, _)),
+    "q455_adf"              -> (T.q455Adf(_, _)),
+    "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
+    "q457_harmonic"         -> (R.q457Harmonic(_, _)),
+    "q458_mood_median"      -> (T.q458MoodMedian(_, _)),
   )
 
   /** Exhaustive exact 3-gram-Jaccard pair set over the q75/q85 planted
@@ -8196,6 +8201,242 @@ object SparkEntry {
         |    WHEN m3 = 1 THEN 'hev1' || ',' || a1
         |    ELSE 'vp09' || ',' || a1 || ',' || a2 END AS codecs
         |FROM f""".stripMargin,
+    // q454: Pettitt via the rank-census identity — V from one value
+    // census, U as an ord-ordered running sum (all exact integers),
+    // argmax by (|U| desc, t asc) as a window; the one closed-form p
+    // is a pinned double shape rounded via the VARCHAR round-trip
+    "q454_pettitt" ->
+      """WITH d AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS o,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |vc AS (SELECT k, x, CAST(count(*) AS BIGINT) AS c FROM d
+        |  GROUP BY 1, 2),
+        |vt AS (SELECT k, x, (le - c) - (n - le) AS v FROM (
+        |  SELECT k, x, c,
+        |      SUM(c) OVER (PARTITION BY k ORDER BY x) AS le,
+        |      SUM(c) OVER (PARTITION BY k) AS n FROM vc)),
+        |s AS (SELECT d.k, d.o,
+        |    row_number() OVER (PARTITION BY d.k ORDER BY d.o) AS i,
+        |    COUNT(*) OVER (PARTITION BY d.k) AS nn,
+        |    SUM(v) OVER (PARTITION BY d.k ORDER BY d.o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+        |  FROM d JOIN vt ON d.k = vt.k AND d.x = vt.x),
+        |f AS (SELECT k, o, i, nn, u, abs(u) AS a FROM s WHERE i < nn),
+        |r AS (SELECT k, o, nn, u, a, row_number() OVER (PARTITION BY k
+        |    ORDER BY a DESC, i ASC) AS rn FROM f)
+        |SELECT k AS event_type, CAST(nn AS BIGINT) AS n,
+        |  CAST(a AS BIGINT) AS k_stat, CAST(u AS BIGINT) AS u_at_cp,
+        |  o AS cp_ord,
+        |  CAST(round(CAST(CAST(
+        |    least(CAST(1.0 AS DOUBLE), 2.0 * exp(
+        |      ((-6.0 * CAST(a AS DOUBLE)) * CAST(a AS DOUBLE)) /
+        |      ((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+        |         * CAST(nn AS DOUBLE)
+        |       + CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS p_value
+        |FROM r WHERE rn = 1""".stripMargin,
+    // q455: ADF moments as exact HUGEINT sums; the centered-Cramer
+    // algebra replayed as the identical left-associated double shapes
+    "q455_adf" ->
+      """WITH d AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS o,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT k, y,
+        |    lag(y) OVER (PARTITION BY k ORDER BY o) AS yl,
+        |    lag(y, 2) OVER (PARTITION BY k ORDER BY o) AS yl2 FROM d),
+        |b AS (SELECT k, y - yl AS z, yl AS a, yl - yl2 AS b2 FROM l
+        |  WHERE yl IS NOT NULL AND yl2 IS NOT NULL),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b2 AS HUGEINT)) AS sb,
+        |    sum(CAST(z AS HUGEINT)) AS sz,
+        |    sum(CAST(a AS HUGEINT) * a) AS saa,
+        |    sum(CAST(b2 AS HUGEINT) * b2) AS sbb,
+        |    sum(CAST(a AS HUGEINT) * b2) AS sab,
+        |    sum(CAST(a AS HUGEINT) * z) AS saz,
+        |    sum(CAST(b2 AS HUGEINT) * z) AS sbz,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT k, n,
+        |    CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS caa,
+        |    CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS cbb,
+        |    CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cab,
+        |    CAST(n AS DOUBLE) * CAST(saz AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sz AS DOUBLE) AS caz,
+        |    CAST(n AS DOUBLE) * CAST(sbz AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) * CAST(sz AS DOUBLE) AS cbz,
+        |    CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS czz
+        |  FROM m),
+        |g AS (SELECT k, n, caa, cbb, cab, caz, cbz, czz,
+        |    caa * cbb - cab * cab AS det FROM c),
+        |h AS (SELECT k, n, det, czz, caz, cbz,
+        |    (caz * cbb - cbz * cab) / det AS beta,
+        |    (cbz * caa - caz * cab) / det AS phi,
+        |    caa, cbb FROM g),
+        |f AS (SELECT k, n, det, beta, phi,
+        |    (czz - beta * caz - phi * cbz) / CAST(n AS DOUBLE) AS rss,
+        |    cbb FROM h),
+        |ff AS (SELECT k, n, det, beta, phi, rss,
+        |    rss / (CAST(n AS DOUBLE) - 3.0) * CAST(n AS DOUBLE) * cbb
+        |      / det AS varb FROM f)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN n > 4 AND det > 0.0 AND rss > 0.0 THEN
+        |    CAST(round(CAST(CAST(beta AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS beta,
+        |  CASE WHEN n > 4 AND det > 0.0 AND rss > 0.0 THEN
+        |    CAST(round(CAST(CAST(phi AS VARCHAR) AS DECIMAL(38,20)), 6)
+        |      AS DOUBLE) END AS phi,
+        |  CASE WHEN n > 4 AND det > 0.0 AND rss > 0.0 THEN
+        |    CAST(round(CAST(CAST(beta / sqrt(varb) AS VARCHAR)
+        |      AS DECIMAL(38,20)), 6) AS DOUBLE) END AS t_adf
+        |FROM ff""".stripMargin,
+    // q456: n-scaled exact integer deviations at edge grain; both
+    // statistics are single pinned double shapes over HUGEINT sums
+    "q456_moran_geary" ->
+      """WITH raw AS (SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e0 AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |  FROM raw WHERE u <> v AND u IS NOT NULL AND v IS NOT NULL),
+        |nodes AS (SELECT DISTINCT nd FROM (
+        |  SELECT u AS nd FROM e0 UNION ALL SELECT v FROM e0)),
+        |a2 AS (SELECT DISTINCT nd, x FROM (
+        |  SELECT c_custkey AS nd, CAST(c_nationkey AS BIGINT) AS x
+        |    FROM customer
+        |  UNION ALL SELECT s_suppkey + 1000000,
+        |    CAST(s_nationkey AS BIGINT) FROM supplier)),
+        |units AS (SELECT nodes.nd, x FROM nodes JOIN a2 USING (nd)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM units),
+        |dt AS (SELECT nd, CAST(n AS HUGEINT) * x - sx AS dd, n
+        |  FROM units CROSS JOIN tot),
+        |den AS (SELECT max(n) AS n, sum(dd * dd) AS den FROM dt),
+        |tg AS (SELECT e0.u, e0.v, du.dd AS du, dv.dd AS dv
+        |  FROM e0 LEFT JOIN dt du ON e0.u = du.nd
+        |  LEFT JOIN dt dv ON e0.v = dv.nd),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS m_total,
+        |    CAST(sum(CASE WHEN du IS NOT NULL AND dv IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |    sum(CASE WHEN du IS NOT NULL AND dv IS NOT NULL
+        |      THEN du * dv ELSE 0 END) AS num_i,
+        |    sum(CASE WHEN du IS NOT NULL AND dv IS NOT NULL
+        |      THEN (du - dv) * (du - dv) ELSE 0 END) AS num_c
+        |  FROM tg)
+        |SELECT n AS n_nodes, m AS n_edges, 2 * m AS w,
+        |  m_total - m AS n_edges_dropped,
+        |  CASE WHEN m > 0 AND den > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      (CAST(n AS DOUBLE) * (2.0 * CAST(num_i AS DOUBLE)))
+        |        / ((2.0 * CAST(m AS DOUBLE)) * CAST(den AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END
+        |    AS moran_i,
+        |  CASE WHEN m > 0 AND den > 0 THEN
+        |    CAST(round(CAST(CAST(
+        |      ((CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(num_c AS DOUBLE)))
+        |        / (2.0 * (2.0 * CAST(m AS DOUBLE)) * CAST(den AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END
+        |    AS geary_c,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(round(CAST(CAST(-1.0 / (CAST(n AS DOUBLE) - 1.0)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS e_i
+        |FROM sums CROSS JOIN den""".stripMargin,
+    // q457: q364's register/estimator CTEs verbatim, then the harmonic
+    // fold written OUT as the explicit left-associated 4-hop sum —
+    // identical association to the Spark hop-order fold, so the
+    // estimate-exact doubles carry through to the rounded readout
+    "q457_harmonic" -> {
+      val est = (src: String, hop: Int) =>
+        s"""e$hop AS (SELECT node,
+           |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+           |     + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+           |   * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE) /
+           |   ((CAST(64.0 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) +
+           |    SUM(CAST(1.0 AS DOUBLE)
+           |      / CAST((CAST(1 AS BIGINT) << CAST(mr AS INT)) AS DOUBLE)))
+           |   AS est
+           |FROM $src GROUP BY 1)""".stripMargin
+      val base =
+        """WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          |edges AS (SELECT c AS src, 1000000 + s AS dst FROM pairs
+          |UNION ALL SELECT 1000000 + s, c FROM pairs),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |h0 AS (SELECT node,
+          |  CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || ':r'), 1, 4))
+          |    AS BIGINT) % 64 AS reg,
+          |  LEAST(4 * length(regexp_extract(
+          |      substr(md5(CAST(node AS VARCHAR) || ':q'), 1, 12), '^0*')) +
+          |    CASE substr(substr(md5(CAST(node AS VARCHAR) || ':q'), 1, 12),
+          |        length(regexp_extract(
+          |          substr(md5(CAST(node AS VARCHAR) || ':q'), 1, 12), '^0*'))
+          |          + 1, 1)
+          |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+          |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+          |      ELSE 0 END + 1, 40) AS mr
+          |FROM nodes)""".stripMargin
+      val hops = (1 to 4).map { h =>
+        s"""h$h AS (SELECT node, reg, MAX(mr) AS mr FROM (
+           |  SELECT e.src AS node, r.reg, r.mr
+           |    FROM edges e JOIN h${h - 1} r ON e.dst = r.node
+           |  UNION ALL SELECT node, reg, mr FROM h${h - 1}) GROUP BY 1, 2),
+           |""".stripMargin + est(s"h$h", h)
+      }.mkString(",\n", ",\n", "")
+      base + hops +
+        """
+          |SELECT e1.node,
+          |  CAST(round(CAST(CAST(
+          |    (e1.est - CAST(1.0 AS DOUBLE)) / CAST(1.0 AS DOUBLE)
+          |    + (e2.est - e1.est) / CAST(2.0 AS DOUBLE)
+          |    + (e3.est - e2.est) / CAST(3.0 AS DOUBLE)
+          |    + (e4.est - e3.est) / CAST(4.0 AS DOUBLE)
+          |    AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS harmonic
+          |FROM e1 JOIN e2 USING (node) JOIN e3 USING (node)
+          |JOIN e4 USING (node)""".stripMargin
+    },
+    // q458: the pooled lower median is a pinned row_number pick; the
+    // k x 2 census chi2 folds per-cell terms in group order via the
+    // transform-then-reduce replay of the Spark acc + (t1 + t2) shape
+    "q458_mood_median" ->
+      """WITH b AS (SELECT event_type AS sc,
+        |    CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |      THEN 'wkend' ELSE 'wkday' END AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |med AS (SELECT sc, x AS med FROM (
+        |  SELECT sc, x, row_number() OVER (PARTITION BY sc ORDER BY x)
+        |      AS i, COUNT(*) OVER (PARTITION BY sc) AS n FROM b)
+        |  WHERE i = (n + 1) // 2),
+        |cells AS (SELECT sc, g, CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(CASE WHEN x > med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ai, max(med) AS med
+        |  FROM b JOIN med USING (sc) GROUP BY 1, 2),
+        |per AS (SELECT sc, max(med) AS pooled_med,
+        |    CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k_groups,
+        |    CAST(sum(ai) AS BIGINT) AS n_above,
+        |    list(struct_pack(g := g, nd := CAST(ni AS DOUBLE),
+        |      ad := CAST(ai AS DOUBLE)) ORDER BY g) AS cl
+        |  FROM cells GROUP BY 1)
+        |SELECT sc AS event_type, n, k_groups, pooled_med, n_above,
+        |  CASE WHEN k_groups > 1 AND n_above > 0 AND n_above < n THEN
+        |    CAST(round(CAST(CAST(
+        |      list_reduce(list_transform(cl, e ->
+        |        (e.ad - e.nd * CAST(n_above AS DOUBLE)
+        |           / CAST(n AS DOUBLE))
+        |        * (e.ad - e.nd * CAST(n_above AS DOUBLE)
+        |           / CAST(n AS DOUBLE))
+        |        / (e.nd * CAST(n_above AS DOUBLE) / CAST(n AS DOUBLE))
+        |        + ((e.nd - e.ad) - e.nd * (CAST(n AS DOUBLE)
+        |             - CAST(n_above AS DOUBLE)) / CAST(n AS DOUBLE))
+        |          * ((e.nd - e.ad) - e.nd * (CAST(n AS DOUBLE)
+        |             - CAST(n_above AS DOUBLE)) / CAST(n AS DOUBLE))
+        |          / (e.nd * (CAST(n AS DOUBLE)
+        |             - CAST(n_above AS DOUBLE)) / CAST(n AS DOUBLE))),
+        |        (a, v) -> a + v)
+        |      AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) END AS chi2,
+        |  CASE WHEN k_groups > 1 THEN k_groups - 1 END AS df
+        |FROM per""".stripMargin,
     // q416: journey stamping is one exclusive-prefix window; credits
     // are fixed double shapes of small integers; channel folds run in
     // (u, j) order via seedless list_reduce; min_by/max_by scalar keys

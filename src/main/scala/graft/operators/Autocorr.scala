@@ -556,6 +556,76 @@ object Autocorr {
         dd(col("cumd2")) / (dd(col("n_obs")) * lrv)).as("kpss"))
   }
 
+  /** Augmented Dickey–Fuller regression (one augmentation lag,
+    * constant included) per key — [[kpssLevel]]'s OPPOSITE-NULL
+    * companion: KPSS's null is stationarity, ADF's null is a unit
+    * root, and quoting both is the standard confirmatory read (both
+    * reject → structural break territory; see
+    * [[graft.operators.ChangePoint.pettitt]]). Fits
+    *   Δy_t = α + β·y_{t−1} + φ·Δy_{t−1} + ε_t
+    * and reports the Dickey–Fuller t = β̂/se(β̂) — compare against the
+    * DF distribution's critical values (−3.43 at 1%, −2.86 at 5% for
+    * the constant-only test), NOT the normal: the statistic is
+    * reported, the table lookup is the caller's (the repo-wide
+    * no-interpolated-special-functions rule).
+    *
+    * Exactness: both regressors and the response come from one keyed
+    * window pass (integer y, Δy); the nine raw moments are exact
+    * decimal sums; the centered Cramer algebra on the 2×2 normal
+    * equations is a fixed-shape double expression (the
+    * [[grangerLag1]] contract).
+    *
+    * Scale shape: input is a (key, period) census; one window pass +
+    * one aggregation per key. Output: (key, n, beta, phi, t_adf);
+    * null when n ≤ 4, the design is singular, or RSS ≤ 0. */
+  def adfTest(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val base = df.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      col(valueCol).cast("long").as("y"))
+      .withColumn("yl", lag(col("y"), 1).over(w))
+      .withColumn("yl2", lag(col("y"), 2).over(w))
+      .withColumn("z", col("y") - col("yl"))       // Δy_t
+      .withColumn("a", col("yl"))                  // y_{t-1}
+      .withColumn("b", col("yl") - col("yl2"))     // Δy_{t-1}
+      .where(col("yl").isNotNull && col("yl2").isNotNull)
+    def D(c: Column): Column = c.cast(dec)
+    val g = base.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(D(col("a"))).cast(dec).as("sa"),
+      sum(D(col("b"))).cast(dec).as("sb"),
+      sum(D(col("z"))).cast(dec).as("sz"),
+      sum((D(col("a")) * D(col("a"))).cast(dec)).cast(dec).as("saa"),
+      sum((D(col("b")) * D(col("b"))).cast(dec)).cast(dec).as("sbb"),
+      sum((D(col("a")) * D(col("b"))).cast(dec)).cast(dec).as("sab"),
+      sum((D(col("a")) * D(col("z"))).cast(dec)).cast(dec).as("saz"),
+      sum((D(col("b")) * D(col("z"))).cast(dec)).cast(dec).as("sbz"),
+      sum((D(col("z")) * D(col("z"))).cast(dec)).cast(dec).as("szz"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = dd(col("n"))
+    // m-scaled centered moments, each ONE pinned double shape
+    val cAA = nD * dd(col("saa")) - dd(col("sa")) * dd(col("sa"))
+    val cBB = nD * dd(col("sbb")) - dd(col("sb")) * dd(col("sb"))
+    val cAB = nD * dd(col("sab")) - dd(col("sa")) * dd(col("sb"))
+    val cAZ = nD * dd(col("saz")) - dd(col("sa")) * dd(col("sz"))
+    val cBZ = nD * dd(col("sbz")) - dd(col("sb")) * dd(col("sz"))
+    val cZZ = nD * dd(col("szz")) - dd(col("sz")) * dd(col("sz"))
+    val det = cAA * cBB - cAB * cAB
+    val beta = (cAZ * cBB - cBZ * cAB) / det
+    val phi = (cBZ * cAA - cAZ * cAB) / det
+    // RSS = (cZZ - β·cAZ - φ·cBZ)/n in UNSCALED units; σ² = RSS/(n−3);
+    // Var(β) = σ²·n·cBB/det — the n powers written out, not cancelled,
+    // so both engines evaluate the same shapes
+    val rss = (cZZ - beta * cAZ - phi * cBZ) / nD
+    val sig2 = rss / (nD - lit(3.0))
+    val varB = sig2 * nD * cBB / det
+    val ok = col("n") > 4L && det > lit(0.0) && rss > lit(0.0)
+    g.select(col("k").as(keyCol), col("n"),
+      when(ok, beta).as("beta"), when(ok, phi).as("phi"),
+      when(ok, beta / sqrt(varB)).as("t_adf"))
+  }
+
   /** Permutation entropy (Bandt–Pompe 2002), order 3, per key — the
     * model-free complexity readout: how uniformly are the six ordinal
     * patterns of consecutive value triples used? 1.0 = the series'

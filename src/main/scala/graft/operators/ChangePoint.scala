@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CUSUM change-point detection — the sequential drift monitor (Page
@@ -231,5 +231,72 @@ object ChangePoint {
         (col("__f.mu0") - col("__f.hwv")).as("lcl"))
     trace.withColumn("breach",
       when(col("ucl").isNotNull, col("z") > col("ucl") || col("z") < col("lcl")))
+  }
+
+  /** Pettitt (1979) single change-point test per key — the
+    * NONPARAMETRIC member of the family: [[binarySegment]] localizes a
+    * MEAN shift (and a heavy tail can fake one); Pettitt ranks instead:
+    *   U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j),  K = max_t |U_t|,
+    *   p ≈ 2·exp(−6K² / (n³ + n²))  (capped at 1),
+    * change-point = the t of the max (earliest on ties). The rank
+    * test's argmax is where the series most looks like "everything
+    * before beats everything after" (or vice versa — the sign of U at
+    * the argmax says which way).
+    *
+    * NOT the naive quadratic: U_t = Σ_{s≤t} V_s with
+    * V_s = #{j: x_j < x_s} − #{j: x_j > x_s} (sgn(0) = 0 drops the
+    * j = s term for free), so one per-key VALUE census gives every
+    * row's V exactly and one ord-ordered running sum gives every U_t —
+    * keys × periods work, all integers until the one closed-form p.
+    *
+    * Ordering contract: ord compares AS STRINGS (zero-padded ISO
+    * labels — the [[binarySegment]] refusal applies). Input is a
+    * (key, ord, value) period census. Output: (key, n, k_stat,
+    * u_at_cp, cp_ord, p_value); single-period keys are ABSENT (no
+    * split exists — the [[binarySegment]] convention). */
+  def pettitt(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.schema(ordCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"pettitt: ordCol '$ordCol' is ${df.schema(ordCol).dataType} — " +
+        "ord values compare AS STRINGS; format to ISO period labels first")
+    val base = df.select(col(keyCol).as("k"),
+      col(ordCol).cast("string").as("o"), col(valueCol).cast("long").as("x"))
+    // per-key value census -> V(x) = #less - #greater, broadcast back
+    // by an equi-join on (k, x): census grain, never row^2
+    val vc = base.groupBy(col("k"), col("x")).agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("k")).orderBy(col("x"))
+    val wk = Window.partitionBy(col("k"))
+    val vTab = vc
+      .withColumn("__le", sum(col("c")).over(
+        wv.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("c")).over(wk))
+      .select(col("k"), col("x"),
+        ((col("__le") - col("c")) - (col("__n") - col("__le"))).as("v"))
+    val wo = Window.partitionBy(col("k")).orderBy(col("o"))
+    val scored = base.join(vTab, Seq("k", "x"))
+      .withColumn("u", sum(col("v")).over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__i", row_number().over(wo))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .where(col("__i") < col("__n")) // U_n = 0 by construction: not a split
+    // argmax |U| with earliest-ord tie-break via one max(struct)
+    val g = scored.groupBy(col("k")).agg(
+      max(col("__n").cast("long")).as("n"),
+      max(struct(abs(col("u")).as("a"),
+        negate(col("__i")).cast("long").as("ni"), col("u").as("u"),
+        col("o").as("o"))).as("__best"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = dd(col("n"))
+    val k = col("__best").getField("a")
+    val p = least(lit(1.0),
+      lit(2.0) * exp(lit(-6.0) * dd(k) * dd(k) /
+        (nD * nD * nD + nD * nD)))
+    g.select(col("k").as(keyCol), col("n"),
+      when(col("n") >= 2L, k).as("k_stat"),
+      when(col("n") >= 2L, col("__best").getField("u")).as("u_at_cp"),
+      when(col("n") >= 2L, col("__best").getField("o")).as("cp_ord"),
+      when(col("n") >= 2L, p).as("p_value"))
   }
 }

@@ -2809,4 +2809,67 @@ object Eval {
           (lit(tauDen).cast(dec) * col("n").cast(dec)).cast(dec)
             .cast("double")).as("pinball_mean"))
   }
+
+  /** Mood's median test per scope — the k-sample location gate that
+    * survives what breaks the rank family: [[kruskalWallis]] needs
+    * comparable SHAPES across groups and its rank sums feel every
+    * outlier's magnitude; Mood reduces each observation to one bit
+    * (above the POOLED median or not) and runs the χ² on the k×2
+    * census — maximally robust, minimally powerful, the right gate
+    * when a feed's tails are untrusted. χ² = Σ_cells (O−E)²/E over
+    * groups × {above, ≤}, df = k−1.
+    *
+    * The pooled median is pinned DETERMINISTIC: the value at sorted
+    * position ceil(N/2) (lower median — no averaging, no
+    * interpolation, identical cross-engine). Exactness: the census is
+    * exact integers; E = n_i·A/N one division per cell; each term a
+    * fixed double shape folded in group order.
+    *
+    * Scale shape: one scope-keyed sort for the median row, one k×2
+    * census, one bounded fold. Output: (sc, n, k_groups, pooled_med,
+    * n_above, chi2, df); chi2 null when any margin is empty (A = 0 or
+    * A = N) or k < 2. */
+  def moodMedian(df: DataFrame, scopeCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(scopeCol).as("sc"), col(groupCol).as("g"),
+        col(valueCol).cast("long").as("x"))
+      .where(col("x").isNotNull && col("g").isNotNull)
+    val wS = Window.partitionBy(col("sc"))
+    val wOrd = Window.partitionBy(col("sc")).orderBy(col("x"))
+    val med = base
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wS))
+      .where(col("__i") === expr("(__n + 1) div 2")) // ceil(N/2), integer div
+      .select(col("sc"), col("x").as("med"))
+    val cells = base.join(med, Seq("sc"))
+      .groupBy(col("sc"), col("g"))
+      .agg(max(col("med")).as("med"), count(lit(1)).as("ni"),
+        sum(when(col("x") > col("med"), 1L).otherwise(0L)).as("ai"))
+    def dd(c: Column): Column = c.cast("double")
+    val per = cells.groupBy(col("sc")).agg(
+      max(col("med")).as("pooled_med"),
+      sum(col("ni")).as("n"), count(lit(1)).as("k_groups"),
+      sum(col("ai")).as("n_above"),
+      sort_array(collect_list(struct(col("g"), col("ni").cast("double")
+        .as("nd"), col("ai").cast("double").as("ad")))).as("__cells"))
+    val nD = dd(col("n")); val aD = dd(col("n_above"))
+    // per-cell term built as ONE sum, then acc + term — the association
+    // the oracle's transform-then-reduce replays bit-for-bit
+    val chi2 = aggregate(col("__cells"), lit(0.0d), (acc, e) => {
+      val ea = e.getField("nd") * aD / nD
+      val el = e.getField("nd") * (nD - aD) / nD
+      val t1 = (e.getField("ad") - ea) * (e.getField("ad") - ea) / ea
+      val t2 = ((e.getField("nd") - e.getField("ad")) - el) *
+        ((e.getField("nd") - e.getField("ad")) - el) / el
+      acc + (t1 + t2)
+    })
+    val ok = col("k_groups") > 1L && col("n_above") > 0L &&
+      col("n_above") < col("n")
+    per.select(col("sc").as(scopeCol), col("n"), col("k_groups"),
+      col("pooled_med"), col("n_above"),
+      when(ok, chi2).as("chi2"),
+      when(col("k_groups") > 1L, col("k_groups") - 1L).as("df"))
+  }
+
 }

@@ -838,4 +838,119 @@ object Graph {
     state.select(col("node"),
       (col("kz").cast("double") / lit(scale.toDouble)).as("katz"))
   }
+
+  /** Moran's I + Geary's C — autocorrelation of a NODE VALUE over the
+    * graph (binary weights, symmetrized): does a node's value resemble
+    * its neighbors' (I > E[I] = −1/(n−1), C < 1) or repel them
+    * (checkerboard: I < E[I], C > 1)? The graph-native drift probe:
+    * [[assortativity]] correlates DEGREES at edge ends; this
+    * correlates an ARBITRARY metric (quality score, spam flag, count)
+    * — "is badness clustered in the link graph" as one number, the
+    * question a crawl-quality gate asks before any per-community read.
+    *   I = (n/W)·Σ_{ij} w_ij(x_i−x̄)(x_j−x̄) / Σ_i(x_i−x̄)²,
+    *   C = ((n−1)/(2W))·Σ_{ij} w_ij(x_i−x_j)² / Σ_i(x_i−x̄)².
+    *
+    * Exactness by n-scaling (the [[graft.operators.Autocorr.kpssLevel]]
+    * move): d_i = n·x_i − Σx is an exact integer, every cross/square
+    * term an exact decimal, and the n² scale factors cancel between
+    * numerator and denominator — each statistic is ONE pinned double
+    * shape over exact sums. Units = edge-list endpoints that carry a
+    * value (one value per node — the assignment-table contract);
+    * edges with a valueless endpoint are DROPPED with a loud census
+    * (the [[conductance]] discipline), while valued nodes whose every
+    * edge dropped still count in n/x̄/denominator (zero-weight units,
+    * the spatial-stats convention).
+    *
+    * Scale shape: edge-grain joins + sums, node-grain census — fully
+    * linear, no windows, no folds. Output one row: (n_nodes, n_edges,
+    * w, n_edges_dropped, moran_i, geary_c, e_i); null statistics when
+    * the value is constant (denominator 0) or no edges survive. */
+  def moranGeary(edges: DataFrame, srcCol: String, dstCol: String,
+      values: DataFrame, nodeCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e0.select(col("u").as("nd"))
+      .union(e0.select(col("v").as("nd"))).distinct()
+    val vals = values.select(col(nodeCol).as("nd"),
+        col(valueCol).cast("long").as("x"))
+      .where(col("nd").isNotNull && col("x").isNotNull).distinct()
+    val units = nodes.join(vals, Seq("nd")).localCheckpoint(true)
+    def D(c: Column): Column = c.cast(dec)
+    val tot = broadcast(units.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx")))
+    val dTab = units.crossJoin(tot)
+      .select(col("nd"),
+        (D(col("n")) * D(col("x")) - D(col("sx"))).cast(dec).as("d"),
+        col("n"))
+    val den = dTab.groupBy(col("n")).agg(
+      sum((col("d") * col("d")).cast(dec)).cast(dec).as("den"))
+    val tagged = e0
+      .join(dTab.select(col("nd").as("u"), col("d").as("du")),
+        Seq("u"), "left")
+      .join(dTab.select(col("nd").as("v"), col("d").as("dv")),
+        Seq("v"), "left")
+    val sums = tagged.agg(
+      count(lit(1)).as("m_total"),
+      sum(when(col("du").isNotNull && col("dv").isNotNull, 1L)
+        .otherwise(0L)).as("m"),
+      sum(when(col("du").isNotNull && col("dv").isNotNull,
+        (col("du") * col("dv")).cast(dec)).otherwise(lit(0).cast(dec)))
+        .cast(dec).as("num_i"),
+      sum(when(col("du").isNotNull && col("dv").isNotNull,
+        ((col("du") - col("dv")) * (col("du") - col("dv"))).cast(dec))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("num_c"))
+    def dd(c: Column): Column = c.cast("double")
+    val nD = dd(col("n"))
+    // W = 2m (each undirected edge counts both directions); the
+    // undirected sums double identically, so the 2s are written INTO
+    // the shapes below rather than pre-multiplied
+    val wD = lit(2.0) * dd(col("m"))
+    val moran = (nD * (lit(2.0) * dd(col("num_i")))) / (wD * dd(col("den")))
+    val geary = ((nD - lit(1.0)) * (lit(2.0) * dd(col("num_c")))) /
+      (lit(2.0) * wD * dd(col("den")))
+    val ok = col("m") > 0L && col("den") > 0
+    sums.crossJoin(broadcast(den))
+      .select(col("n").as("n_nodes"), col("m").as("n_edges"),
+        (lit(2L) * col("m")).as("w"),
+        (col("m_total") - col("m")).as("n_edges_dropped"),
+        when(ok, moran).as("moran_i"),
+        when(ok, geary).as("geary_c"),
+        when(col("n") > 1L, lit(-1.0) / (nD - lit(1.0))).as("e_i"))
+  }
+
+  /** Harmonic-centrality estimate from a [[hyperAnf]] run — the
+    * Boldi–Vigna payoff: exact closeness needs all-pairs BFS (dead at
+    * web scale), but harmonic centrality
+    *   H(v) = Σ_{u≠v} 1/d(u, v) ≈ Σ_h (N_h(v) − N_{h−1}(v)) / h
+    * reads straight off the neighborhood function the sketches
+    * already computed — nodes at distance h contribute 1/h via the
+    * ball-size increments. ESTIMATES, not counts: each N_h is the
+    * HLL estimate (registers are monotone across hops, so increments
+    * are ≥ 0 up to the estimator's own monotonicity, which the
+    * register max guarantees); N_0 is pinned at 1.0 (the exact self
+    * ball). Truncation at maxHops is the documented horizon — nodes
+    * farther than that contribute nothing (a lower bound, like
+    * [[katz]]'s depth).
+    *
+    * Scale shape: one node-keyed sort + bounded fold over ≤ maxHops
+    * cells, in HOP ORDER (pinned cross-engine). Input: [[hyperAnf]]
+    * output (node, hop, nonempty, est). Output: (node, harmonic). */
+  def harmonicFromAnf(anf: DataFrame): DataFrame =
+    anf.groupBy(col("node"))
+      .agg(sort_array(collect_list(struct(col("hop"), col("est"))))
+        .as("__cells"))
+      .select(col("node"), expr(
+        """aggregate(__cells,
+          |  named_struct('s', CAST(0.0 AS DOUBLE),
+          |               'prev', CAST(1.0 AS DOUBLE)),
+          |  (acc, e) -> named_struct(
+          |    's', acc.s + (e.est - acc.prev) / CAST(e.hop AS DOUBLE),
+          |    'prev', e.est),
+          |  acc -> acc.s)""".stripMargin).as("harmonic"))
 }

@@ -1420,4 +1420,45 @@ object Relational {
             ($"n_nodes".cast("double") * ($"n_nodes" - 1L)
               .cast("double")), 6)).as("phi"))
   }
+
+  /** q456 — Moran's I + Geary's C ([[graft.operators.Graph
+    * .moranGeary]]): is NATION clustered in the q169 customer–supplier
+    * transaction graph — do trading partners share a nationkey more
+    * than chance? The graph-value autocorrelation read next to q447's
+    * per-community conductance; exact n-scaled integer arithmetic,
+    * one pinned double shape per statistic. */
+  def q456MoranGeary(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val vals = Tables.customer(spark, dir)
+      .select($"c_custkey".as("node"), $"c_nationkey".as("x"))
+      .unionByName(Tables.supplier(spark, dir)
+        .select(($"s_suppkey" + 1000000L).as("node"),
+          $"s_nationkey".as("x")))
+    graft.operators.Graph.moranGeary(pairs, "u", "v", vals, "node", "x")
+      .select($"n_nodes", $"n_edges", $"w", $"n_edges_dropped",
+        round($"moran_i", 6).as("moran_i"),
+        round($"geary_c", 6).as("geary_c"), round($"e_i", 6).as("e_i"))
+  }
+
+  /** q457 — harmonic centrality from HyperANF ([[graft.operators
+    * .Graph.harmonicFromAnf]]): the Boldi–Vigna payoff on q364's
+    * sketches — Σ ball-increments/h reads centrality off the
+    * neighborhood function with no all-pairs BFS; estimates fold in
+    * hop order from the IEEE-exact ball estimates, truncated at the
+    * 4-hop horizon. */
+  def q457Harmonic(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+    val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
+      .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
+    graft.operators.Graph.harmonicFromAnf(
+        graft.operators.Graph.hyperAnf(edges, "src", "dst",
+          maxHops = 4, b = 6))
+      .select($"node", round($"harmonic", 4).as("harmonic"))
+  }
 }

@@ -2385,4 +2385,42 @@ object TimeSeries {
       .select($"n_a", $"n_b", $"n_cells", round($"bc", 6).as("bc"),
         round($"hellinger", 6).as("hellinger"))
   }
+
+  /** q454 — Pettitt change-point test ([[graft.operators.ChangePoint
+    * .pettitt]]): where does each event type's daily cents series
+    * most look like "before beats after"? The rank-based companion to
+    * q238's CUSUM and q296's binary segmentation — immune to the
+    * magnitude of any single day. Rank-census linear formulation:
+    * exact integer U walk, one closed-form p. */
+  def q454Pettitt(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ChangePoint.pettitt(dailyCents(spark, dir),
+        "event_type", "day", "tot")
+      .select($"event_type", $"n", $"k_stat", $"u_at_cp", $"cp_ord",
+        round($"p_value", 6).as("p_value"))
+
+  /** q455 — Augmented Dickey–Fuller ([[graft.operators.Autocorr
+    * .adfTest]]): the unit-root t for each event type's daily cents —
+    * q426's KPSS with the null reversed; quoting both is the standard
+    * stationarity read. Centered-Cramer fixed double shapes over
+    * exact decimal moments. */
+  def q455Adf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Autocorr.adfTest(dailyCents(spark, dir),
+        "event_type", "day", "tot")
+      .select($"event_type", $"n", round($"beta", 6).as("beta"),
+        round($"phi", 6).as("phi"), round($"t_adf", 6).as("t_adf"))
+
+  /** q458 — Mood's median test ([[graft.operators.Eval.moodMedian]]):
+    * do weekend and weekday event values sit on the same side of the
+    * pooled median, per event type? The maximally-robust location
+    * gate — one bit per row, outlier magnitudes invisible; the
+    * deterministic lower-median pin replays cross-engine. */
+  def q458MoodMedian(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.moodMedian(
+        events(spark, dir).select($"event_type",
+          when(dayofweek(to_date($"ts")).isin(1, 7), "wkend")
+            .otherwise("wkday").as("arm"),
+          round($"value" * 100).cast("long").as("cents")),
+        "event_type", "arm", "cents")
+      .select($"event_type", $"n", $"k_groups", $"pooled_med",
+        $"n_above", round($"chi2", 6).as("chi2"), $"df")
 }

@@ -102,4 +102,41 @@ class ChangePointSpec extends AnyFunSuite with SparkFixture {
     assert(one.isNullAt(one.fieldIndex("ucl")))
     assert(one.isNullAt(one.fieldIndex("breach")))
   }
+
+  test("pettitt: rank-census U equals the naive quadratic definition, " +
+      "locates a clean shift, ties break earliest, p closed-form") {
+    import spark.implicits._
+    // clean level shift after t=4 plus a noisy key with ties
+    val shift = Seq(1L, 2L, 1L, 2L, 1L, 2L, 9L, 10L, 9L, 10L, 9L, 10L)
+    val noisy = Seq(5L, 3L, 5L, 7L, 3L, 5L, 7L, 5L, 3L)
+    def rows(k: String, xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (k, f"d${i + 1}%02d", x) }
+    val df = (rows("a", shift) ++ rows("b", noisy)).toDF("k", "o", "x")
+    val out = ChangePoint.pettitt(df, "k", "o", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // independent naive O(n^2): U_t = sum_{i<=t} sum_{j>t} sgn(x_i-x_j)
+    def naive(xs: Seq[Long]): (Long, Long, Int) = {
+      val n = xs.length
+      val us = (1 until n).map { t =>
+        (for (i <- 0 until t; j <- t until n)
+          yield java.lang.Long.signum(xs(i) - xs(j)).toLong).sum
+      }
+      val k = us.map(math.abs).max
+      val at = us.indexWhere(u => math.abs(u) == k) // earliest
+      (k, us(at), at + 1)
+    }
+    for ((key, xs) <- Seq("a" -> shift, "b" -> noisy)) {
+      val (k, u, t) = naive(xs)
+      val r = out(key)
+      assert(r.getAs[Long]("k_stat") == k, s"$key k")
+      assert(r.getAs[Long]("u_at_cp") == u, s"$key u")
+      assert(r.getAs[String]("cp_ord") == f"d$t%02d", s"$key cp")
+      val n = xs.length.toDouble
+      val exp = math.min(1.0, 2.0 * math.exp(-6.0 * k * k / (n * n * n + n * n)))
+      assert(r.getAs[Double]("p_value") == exp, s"$key p")
+    }
+    // the clean shift localizes at the boundary with a tiny p
+    assert(out("a").getAs[String]("cp_ord") == "d06")
+    assert(out("a").getAs[Double]("p_value") < 0.05)
+  }
 }

@@ -1307,4 +1307,30 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(rs.getAs[Double]("w") == 0.0 &&
       rs.getAs[Double]("p_hat") == 0.5)
   }
+
+  test("moodMedian: hand-computed 2x2 census chi2; lower-median pin; " +
+      "outlier magnitude is invisible; empty margin nulls") {
+    import spark.implicits._
+    // g1 = {1..4}, g2 = {5..8}: pooled lower median = value at
+    // ceil(8/2)=4th -> 4; above = all of g2 -> chi2 = 4*(2^2/2) = 8
+    val df = ((1L to 4L).map(("s", "g1", _)) ++
+      (5L to 8L).map(("s", "g2", _))).toDF("sc", "g", "x")
+    val r = Eval.moodMedian(df, "sc", "g", "x").head()
+    assert(r.getAs[Long]("pooled_med") == 4L)
+    assert(r.getAs[Long]("n_above") == 4L)
+    assert(r.getAs[Double]("chi2") == 8.0)
+    assert(r.getAs[Long]("df") == 1L)
+    // replacing g2's top value with 10^9 changes NOTHING (robustness)
+    val out = ((1L to 4L).map(("s", "g1", _)) ++
+      Seq(5L, 6L, 7L, 1000000000L).map(("s", "g2", _))).toDF("sc", "g", "x")
+    assert(Eval.moodMedian(out, "sc", "g", "x").head()
+      .getAs[Double]("chi2") == 8.0)
+    // all values equal: nothing above the median -> chi2 null, census kept
+    val const = Seq(("s", "g1", 5L), ("s", "g2", 5L), ("s", "g1", 5L),
+      ("s", "g2", 5L)).toDF("sc", "g", "x")
+    val rc = Eval.moodMedian(const, "sc", "g", "x").head()
+    assert(rc.isNullAt(rc.fieldIndex("chi2")))
+    assert(rc.getAs[Long]("k_groups") == 2L)
+  }
+
 }

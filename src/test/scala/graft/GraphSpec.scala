@@ -328,4 +328,73 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(o2("A").getAs[Long]("n_edges_unassigned") == 2)
     assert(o2("B").getAs[Long]("vol") == 3) // 4-5, 5-4 ends + bridge end
   }
+
+  test("moranGeary: matches the naive spatial formula on a path graph; " +
+      "clustered values attract, alternating repel; constant is null; " +
+      "valueless endpoints drop their edges loudly") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], vals: Seq[(Long, Long)]) =
+      Graph.moranGeary(edges.toDF("s", "d"), "s", "d",
+        vals.toDF("nd", "x"), "nd", "x").head()
+    // independent naive formula over the symmetric adjacency
+    def naive(edges: Seq[(Long, Long)], vals: Map[Long, Long]) = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .filter(vals.contains)
+      val n = nodes.length
+      val xbar = nodes.map(vals).sum.toDouble / n
+      val kept = edges.filter(e => vals.contains(e._1) && vals.contains(e._2))
+      val dirs = kept.flatMap(e => Seq(e, (e._2, e._1)))
+      val w = dirs.length.toDouble
+      val den = nodes.map(u => math.pow(vals(u) - xbar, 2)).sum
+      val i = (n / w) * dirs.map { case (u, v) =>
+        (vals(u) - xbar) * (vals(v) - xbar) }.sum / den
+      val c = ((n - 1) / (2 * w)) * dirs.map { case (u, v) =>
+        math.pow(vals(u).toDouble - vals(v), 2) }.sum / den
+      (i, c)
+    }
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val smooth = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+    val r1 = run(path, smooth)
+    val (i1, c1) = naive(path, smooth.toMap)
+    assert(math.abs(r1.getAs[Double]("moran_i") - i1) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("geary_c") - c1) < 1e-12)
+    assert(r1.getAs[Double]("moran_i") > r1.getAs[Double]("e_i")) // attract
+    assert(r1.getAs[Double]("geary_c") < 1.0)
+    // alternating values on a cycle: perfect repulsion
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val alt = Seq((1L, 0L), (2L, 10L), (3L, 0L), (4L, 10L))
+    val r2 = run(cyc, alt)
+    val (i2, c2) = naive(cyc, alt.toMap)
+    assert(math.abs(r2.getAs[Double]("moran_i") - i2) < 1e-12)
+    assert(r2.getAs[Double]("moran_i") < r2.getAs[Double]("e_i"))
+    assert(math.abs(r2.getAs[Double]("geary_c") - c2) < 1e-12)
+    assert(r2.getAs[Double]("geary_c") > 1.0)
+    // constant value: zero denominator -> null stats, censuses intact
+    val rc = run(path, Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)))
+    assert(rc.isNullAt(rc.fieldIndex("moran_i")))
+    assert(rc.getAs[Long]("n_nodes") == 4)
+    // node 4 valueless: edge 3-4 dropped loudly, units still count 3
+    val rd = run(path, Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(rd.getAs[Long]("n_edges_dropped") == 1)
+    assert(rd.getAs[Long]("n_edges") == 2)
+    assert(rd.getAs[Long]("n_nodes") == 3)
+  }
+
+  test("harmonicFromAnf: hop fold is exact arithmetic on the estimates; " +
+      "a star center out-scores its leaves end-to-end") {
+    import spark.implicits._
+    // hand-built anf rows: node 1 balls (3.0, 5.0) -> (3-1)/1 + (5-3)/2
+    val anf = Seq((1L, 1, 2L, 3.0), (1L, 2, 4L, 5.0))
+      .toDF("node", "hop", "nonempty", "est")
+    val h = Graph.harmonicFromAnf(anf).head()
+    assert(h.getAs[Double]("harmonic") == (3.0 - 1.0) / 1.0 + (5.0 - 3.0) / 2.0)
+    // end-to-end: directed star center reaches everyone at hop 1
+    val edges = (1L to 12L).map(i => (0L, i)).toDF("s", "d")
+    val hc = Graph.harmonicFromAnf(
+        Graph.hyperAnf(edges, "s", "d", maxHops = 2))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("harmonic"))
+      .toMap
+    assert(hc(0L) > hc(1L)) // leaves reach nobody (directed out)
+    assert(hc(0L) > 5.0)    // ~12 neighbors at distance 1, HLL-estimated
+  }
 }

@@ -1214,4 +1214,76 @@ class SeriesStatsSpec extends AnyFunSuite with SparkFixture {
     assert(sk.getAs[Double]("hhi") == 0.82)
     assert(math.abs(sk.getAs[Double]("hhi_norm") - 0.64) < 1e-12)
   }
+
+  /** Independent dense-OLS reference for the ADF regression: solves the
+    * 3x3 normal equations on RAW (1, a, b) regressors by Gaussian
+    * elimination — a different algebra path than the operator's
+    * centered-Cramer shapes, so agreement is a real check. */
+  private def adfRef(ys: Seq[Long]): (Double, Double, Double) = {
+    val rows = (2 until ys.length).map { t =>
+      (1.0, ys(t - 1).toDouble, (ys(t - 1) - ys(t - 2)).toDouble,
+        (ys(t) - ys(t - 1)).toDouble)
+    }
+    val m = rows.length
+    // X'X (3x3) and X'z
+    val xtx = Array.ofDim[Double](3, 4)
+    def x(r: (Double, Double, Double, Double), i: Int) =
+      i match { case 0 => r._1; case 1 => r._2; case _ => r._3 }
+    for (i <- 0 until 3; j <- 0 until 3)
+      xtx(i)(j) = rows.map(r => x(r, i) * x(r, j)).sum
+    for (i <- 0 until 3) xtx(i)(3) = rows.map(r => x(r, i) * r._4).sum
+    // Gaussian elimination with the inverse's (1,1) entry via adjugate
+    val a = xtx.map(_.clone())
+    for (p <- 0 until 3; r <- p + 1 until 3) {
+      val f = a(r)(p) / a(p)(p)
+      for (c <- p until 4) a(r)(c) -= f * a(p)(c)
+    }
+    val coef = new Array[Double](3)
+    for (r <- 2 to 0 by -1)
+      coef(r) = (a(r)(3) - (r + 1 until 3).map(c => a(r)(c) * coef(c)).sum) / a(r)(r)
+    val rss = rows.map { r =>
+      val e = r._4 - coef(0) - coef(1) * r._2 - coef(2) * r._3; e * e }.sum
+    val sig2 = rss / (m - 3)
+    // [X'X^-1]_bb via cofactor: inv(1,1) = (A00*A22 - A02*A20)/det
+    def det3(mm: Array[Array[Double]]): Double =
+      mm(0)(0) * (mm(1)(1) * mm(2)(2) - mm(1)(2) * mm(2)(1)) -
+        mm(0)(1) * (mm(1)(0) * mm(2)(2) - mm(1)(2) * mm(2)(0)) +
+        mm(0)(2) * (mm(1)(0) * mm(2)(1) - mm(1)(1) * mm(2)(0))
+    val full = Array.tabulate(3, 3)((i, j) => xtx(i)(j))
+    val det = det3(full)
+    val cof11 = full(0)(0) * full(2)(2) - full(0)(2) * full(2)(0)
+    val varB = sig2 * cof11 / det
+    (coef(1), coef(2), coef(1) / math.sqrt(varB))
+  }
+
+  test("adfTest: centered-Cramer shapes agree with an independent " +
+      "dense-OLS solve; mean-reversion rejects harder than a walk") {
+    import spark.implicits._
+    // mean-reverting: strong pull to 50; "walk": deterministic cumsum
+    // of a pseudo-random +-step (md5-free: i*i mod 7 - 3)
+    val revert = (0 until 40).map(i => 50L + (if (i % 2 == 0) 7L else -7L) +
+      (i % 3) - 1L)
+    val walk = (0 until 40).scanLeft(100L)((acc, i) =>
+      acc + ((i * i) % 7) - 3L).drop(1)
+    def run(xs: Seq[Long], k: String) =
+      graft.operators.Autocorr.adfTest(
+        xs.zipWithIndex.map { case (x, i) => (k, f"d${i + 1}%02d", x) }
+          .toDF("k", "o", "x"), "k", "o", "x").collect()
+        .map(r => r.getString(0) -> r).head._2
+    for ((k, xs) <- Seq("r" -> revert, "w" -> walk)) {
+      val r = run(xs, k)
+      val (b, p, t) = adfRef(xs)
+      assert(math.abs(r.getAs[Double]("beta") - b) < 1e-9 * math.abs(b),
+        s"$k beta ${r.getAs[Double]("beta")} vs $b")
+      assert(math.abs(r.getAs[Double]("phi") - p) < 1e-8 + 1e-9 * math.abs(p))
+      assert(math.abs(r.getAs[Double]("t_adf") - t) < 1e-9 * math.abs(t))
+    }
+    assert(run(revert, "r").getAs[Double]("t_adf") < -4.0) // strong reject
+    assert(run(walk, "w").getAs[Double]("t_adf") >
+      run(revert, "r").getAs[Double]("t_adf"))
+    // degenerate: too short -> null
+    val short = run(Seq(1L, 2L, 3L, 4L, 5L, 6L), "s")
+    assert(short.getAs[Long]("n") == 4L)
+    assert(short.isNullAt(short.fieldIndex("t_adf")))
+  }
 }
