@@ -216,6 +216,23 @@ object BenchScale {
         "node", "comm")
     }
 
+    // q364 shape: HyperANF at Nx disjoint trade graphs (2 hops keeps
+    // the shape affordable in the harness). Copies offset node ids so
+    // each copy's balls stay inside its copy — per-hop work is the
+    // edge⋈packed-registers join + field-wise group-max, both linear
+    // in edges; the ratio receipts the bit-packed (7-long) shuffle
+    // payload introduced in round 11.
+    def hyperanfAt(n: Int): DataFrame = {
+      val off = 100000000L
+      val edges0 = pairs0.unionByName(
+        pairs0.select(col("v").as("u"), col("u").as("v")))
+      val edges = (0 until n).map(i => edges0.select(
+        (col("u") + lit(i * off)).as("u"), (col("v") + lit(i * off)).as("v")))
+        .reduce(_ unionByName _)
+      graft.operators.Graph.hyperAnf(edges, "u", "v", maxHops = 2)
+        .where(col("hop") === 2 && col("nonempty") > 30)
+    }
+
     // q337 shape: sequential rules at Nx actors. Copies offset user ids,
     // so actor count scales N x while per-actor history stays fixed —
     // the within-actor time self-join (the quadratic-in-history term) is
@@ -323,6 +340,7 @@ object BenchScale {
       "cdc" -> (n => cdc(corpusAt(n))),
       "assoc" -> (assoc(_)),
       "modularity" -> (modularityAt(_)),
+      "hyperanf" -> (hyperanfAt(_)),
       "seqrules" -> (seqrules(_)),
       "qnorm" -> (qnorm(_)),
       "kneserney" -> (kneserney(_)),

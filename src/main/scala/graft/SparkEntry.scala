@@ -479,6 +479,7 @@ object SparkEntry {
     "q452_newey_west"       -> (T.q452NeweyWest(_, _)),
     "q453_mp4_probe"        -> (D.q453Mp4Probe(_, _)),
     "q454_pettitt"          -> (T.q454Pettitt(_, _)),
+    "q459_eff_diameter"     -> (R.q459EffDiameter(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8394,6 +8395,77 @@ object SparkEntry {
           |    AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS harmonic
           |FROM e1 JOIN e2 USING (node) JOIN e3 USING (node)
           |JOIN e4 USING (node)""".stripMargin
+    },
+    // q459: q364's CTEs again; per-hop P sums quantize est to 1e-4
+    // decimals (exact, order-free), the crossing CASE mirrors the
+    // Spark fold's CAST(h-1)+ratio shapes hop for hop
+    "q459_eff_diameter" -> {
+      val est = (src: String, hop: Int) =>
+        s"""e$hop AS (SELECT node,
+           |  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+           |     + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+           |   * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE) /
+           |   ((CAST(64.0 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) +
+           |    SUM(CAST(1.0 AS DOUBLE)
+           |      / CAST((CAST(1 AS BIGINT) << CAST(mr AS INT)) AS DOUBLE)))
+           |   AS est
+           |FROM $src GROUP BY 1)""".stripMargin
+      val base =
+        """WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          |edges AS (SELECT c AS src, 1000000 + s AS dst FROM pairs
+          |UNION ALL SELECT 1000000 + s, c FROM pairs),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |h0 AS (SELECT node,
+          |  CAST(('0x' || substr(md5(CAST(node AS VARCHAR) || ':r'), 1, 4))
+          |    AS BIGINT) % 64 AS reg,
+          |  LEAST(4 * length(regexp_extract(
+          |      substr(md5(CAST(node AS VARCHAR) || ':q'), 1, 12), '^0*')) +
+          |    CASE substr(substr(md5(CAST(node AS VARCHAR) || ':q'), 1, 12),
+          |        length(regexp_extract(
+          |          substr(md5(CAST(node AS VARCHAR) || ':q'), 1, 12), '^0*'))
+          |          + 1, 1)
+          |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+          |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+          |      ELSE 0 END + 1, 40) AS mr
+          |FROM nodes)""".stripMargin
+      val hops = (1 to 4).map { h =>
+        s"""h$h AS (SELECT node, reg, MAX(mr) AS mr FROM (
+           |  SELECT e.src AS node, r.reg, r.mr
+           |    FROM edges e JOIN h${h - 1} r ON e.dst = r.node
+           |  UNION ALL SELECT node, reg, mr FROM h${h - 1}) GROUP BY 1, 2),
+           |""".stripMargin + est(s"h$h", h)
+      }.mkString(",\n", ",\n", "")
+      val pHop = (1 to 4).map { h =>
+        s"""p$h AS (SELECT sum(round(CAST(CAST(est AS VARCHAR)
+           |  AS DECIMAL(38,20)), 4)) AS p FROM e$h)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + hops + pHop +
+        """,
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+          |f AS (SELECT n_nodes,
+          |    CAST(n_nodes AS DOUBLE) AS p0d,
+          |    CAST(p1.p AS DOUBLE) AS p1d, CAST(p2.p AS DOUBLE) AS p2d,
+          |    CAST(p3.p AS DOUBLE) AS p3d, CAST(p4.p AS DOUBLE) AS p4d
+          |  FROM nn CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN p3
+          |  CROSS JOIN p4),
+          |g AS (SELECT n_nodes, p4d, p0d, p1d, p2d, p3d,
+          |    CAST(0.9 AS DOUBLE) * p4d AS t FROM f)
+          |SELECT n_nodes,
+          |  CAST(round(CAST(CAST(p4d AS VARCHAR) AS DECIMAL(38,20)), 4)
+          |    AS DOUBLE) AS p_final,
+          |  CAST(round(CAST(CAST(
+          |    CASE WHEN p0d >= t THEN CAST(0.0 AS DOUBLE)
+          |      WHEN p1d >= t THEN CAST(1 - 1 AS DOUBLE)
+          |        + (t - p0d) / (p1d - p0d)
+          |      WHEN p2d >= t THEN CAST(2 - 1 AS DOUBLE)
+          |        + (t - p1d) / (p2d - p1d)
+          |      WHEN p3d >= t THEN CAST(3 - 1 AS DOUBLE)
+          |        + (t - p2d) / (p3d - p2d)
+          |      ELSE CAST(4 - 1 AS DOUBLE) + (t - p3d) / (p4d - p3d)
+          |    END AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+          |    AS eff_diameter
+          |FROM g""".stripMargin
     },
     // q458: the pooled lower median is a pinned row_number pick; the
     // k x 2 census chi2 folds per-cell terms in group order via the

@@ -941,6 +941,51 @@ object Graph {
     * Scale shape: one node-keyed sort + bounded fold over ≤ maxHops
     * cells, in HOP ORDER (pinned cross-engine). Input: [[hyperAnf]]
     * output (node, hop, nonempty, est). Output: (node, harmonic). */
+  /** Effective-diameter estimate from a [[hyperAnf]] run — the other
+    * Boldi–Vigna readout: the smallest hop distance covering
+    * `quantile` of all reachable pairs, linearly interpolated. With
+    * P(h) = Σ_v N_h(v) (the neighborhood function) and P(0) = n (the
+    * self balls), eff-diam = (h−1) + (q·P(H) − P(h−1)) / (P(h) −
+    * P(h−1)) at the first h where P(h) ≥ q·P(H). Truncation at the
+    * run's maxHops is the documented horizon ([[harmonicFromAnf]]).
+    *
+    * Exactness: per-node estimates are rounded to 1e-4 and cast to
+    * decimal BEFORE the node sum (the q452 quantize-then-sum
+    * discipline) — so each P(h) is an EXACT decimal at any
+    * partitioning and node order, and the one interpolation is a
+    * pinned double shape. Scale shape: one hop-keyed aggregation
+    * (maxHops cells), one bounded fold. Output one row: (n_nodes,
+    * p_final, eff_diameter). */
+  def effectiveDiameterFromAnf(anf: DataFrame,
+      quantile: Double = 0.9): DataFrame = {
+    require(quantile > 0.0 && quantile < 1.0,
+      s"quantile must be in (0,1): $quantile")
+    val byHop = anf.groupBy(col("hop")).agg(
+      count(lit(1)).as("n"),
+      sum(round(col("est"), 4).cast("decimal(20,4)")).as("p"))
+    val g = byHop.agg(max(col("n")).as("n_nodes"),
+      sort_array(collect_list(struct(col("hop"), col("p")))).as("cells"))
+    val pFinal = expr("CAST(element_at(cells, -1).p AS DOUBLE)")
+    val target = lit(quantile) * pFinal
+    val p0 = col("n_nodes").cast("double")
+    val fold = expr(
+      s"""aggregate(cells,
+         |  named_struct('d', CAST(NULL AS DOUBLE), 'prev', __p0),
+         |  (acc, e) -> named_struct(
+         |    'd', CASE WHEN acc.d IS NOT NULL THEN acc.d
+         |      WHEN CAST(e.p AS DOUBLE) >= __target THEN
+         |        CAST(e.hop - 1 AS DOUBLE)
+         |          + (__target - acc.prev)
+         |            / (CAST(e.p AS DOUBLE) - acc.prev)
+         |      ELSE CAST(NULL AS DOUBLE) END,
+         |    'prev', CAST(e.p AS DOUBLE)),
+         |  acc -> acc.d)""".stripMargin)
+    g.withColumn("__p0", p0).withColumn("__target", target)
+      .select(col("n_nodes"), pFinal.as("p_final"),
+        when(col("__p0") >= col("__target"), lit(0.0))
+          .otherwise(fold).as("eff_diameter"))
+  }
+
   def harmonicFromAnf(anf: DataFrame): DataFrame =
     anf.groupBy(col("node"))
       .agg(sort_array(collect_list(struct(col("hop"), col("est"))))

@@ -82,25 +82,6 @@ object Regression {
     }.reduce(_ unionByName _)
   }
 
-  /** Per-group Theil–Sen robust trend — the median of all pairwise
-    * slopes over the key's ordered period series, with intercept
-    * median(xᵢ − m·i): a single wild day moves an OLS slope
-    * ([[groupedOls]]) arbitrarily but shifts a median slope by one
-    * rank — the trend number to put on noisy volume series.
-    *
-    * Scale shape: the input is a period census, so the pairwise slope
-    * table is periods²-bounded PER KEY (435 pairs for a month of
-    * days) — never row scale; both medians are rank-picks over
-    * key-partitioned windows on that bounded table. Determinism:
-    * each slope is ONE double division of exact integers (identical
-    * cross-engine), medians are the LOWER median under the total
-    * order (slope, i, j) / (value, i). Output: (key, n_obs, n_pairs,
-    * slope, intercept); keys with < 2 periods are absent.
-    *
-    * Ordering contract: `ordCol` values compare AS STRINGS — pass
-    * zero-padded period labels (ISO dates); a numeric ord mis-orders
-    * lexically, so NumericType ord columns are REFUSED at plan build
-    * (format them first — the contract is executable, not prose). */
   /** Partial correlation per scope (first-order): the correlation of x
     * and y with z's linear effect removed from both —
     *   ρ_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)),
@@ -212,6 +193,25 @@ object Regression {
         (without - full).as("delta"))
   }
 
+  /** Per-group Theil–Sen robust trend — the median of all pairwise
+    * slopes over the key's ordered period series, with intercept
+    * median(xᵢ − m·i): a single wild day moves an OLS slope
+    * ([[groupedOls]]) arbitrarily but shifts a median slope by one
+    * rank — the trend number to put on noisy volume series.
+    *
+    * Scale shape: the input is a period census, so the pairwise slope
+    * table is periods²-bounded PER KEY (435 pairs for a month of
+    * days) — never row scale; both medians are rank-picks over
+    * key-partitioned windows on that bounded table. Determinism:
+    * each slope is ONE double division of exact integers (identical
+    * cross-engine), medians are the LOWER median under the total
+    * order (slope, i, j) / (value, i). Output: (key, n_obs, n_pairs,
+    * slope, intercept); keys with < 2 periods are absent.
+    *
+    * Ordering contract: `ordCol` values compare AS STRINGS — pass
+    * zero-padded period labels (ISO dates); a numeric ord mis-orders
+    * lexically, so NumericType ord columns are REFUSED at plan build
+    * (format them first — the contract is executable, not prose). */
   def theilSen(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -581,4 +581,5 @@ object Regression {
       when(ok && varIid > 0.0, col("slope") / sqrt(varIid)).as("t_iid"),
       when(ok && varNw > 0.0, col("slope") / sqrt(varNw)).as("t_nw"))
   }
+
 }

@@ -1461,4 +1461,24 @@ object Relational {
           maxHops = 4, b = 6))
       .select($"node", round($"harmonic", 4).as("harmonic"))
   }
+
+  /** q459 — effective diameter from HyperANF ([[graft.operators.Graph
+    * .effectiveDiameterFromAnf]]): the interpolated hop distance
+    * covering 90% of reachable pairs on q364's graph — the one-number
+    * "how small is this world" read; per-node estimates quantize to
+    * 1e-4 decimals before the node sum, so every P(h) is exact at any
+    * partitioning. */
+  def q459EffDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+    val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
+      .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
+    graft.operators.Graph.effectiveDiameterFromAnf(
+        graft.operators.Graph.hyperAnf(edges, "src", "dst",
+          maxHops = 4, b = 6), quantile = 0.9)
+      .select($"n_nodes", round($"p_final", 4).as("p_final"),
+        round($"eff_diameter", 6).as("eff_diameter"))
+  }
 }

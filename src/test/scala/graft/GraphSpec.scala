@@ -397,4 +397,33 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(hc(0L) > hc(1L)) // leaves reach nobody (directed out)
     assert(hc(0L) > 5.0)    // ~12 neighbors at distance 1, HLL-estimated
   }
+
+  test("effectiveDiameterFromAnf: hand interpolation on synthetic P(h); " +
+      "already-covered-at-zero clamps; a path graph needs more hops " +
+      "than a star") {
+    import spark.implicits._
+    // two nodes, hand P: P(0)=2, P(1)=6.0, P(2)=10.0; q=0.9 ->
+    // target=9.0, crossed at h=2: eff = 1 + (9-6)/(10-6) = 1.75
+    val anf = Seq((1L, 1, 2L, 3.0), (1L, 2, 4L, 6.0),
+      (2L, 1, 2L, 3.0), (2L, 2, 4L, 4.0))
+      .toDF("node", "hop", "nonempty", "est")
+    val r = Graph.effectiveDiameterFromAnf(anf, 0.9).head()
+    assert(r.getAs[Long]("n_nodes") == 2L)
+    assert(r.getAs[Double]("p_final") == 10.0)
+    assert(r.getAs[Double]("eff_diameter") == 1.75)
+    // target below P(0): diameter 0 (everyone already covers the mass)
+    val r0 = Graph.effectiveDiameterFromAnf(anf, 0.1).head()
+    assert(r0.getAs[Double]("eff_diameter") == 0.0)
+    // structural (q=0.999 reads SATURATION, which survives the raw
+    // HLL small-range bias the estimator documents): a star's P(h)
+    // saturates at hop 2, a 7-edge path keeps growing through hop 4
+    def und(e: Seq[(Long, Long)]) =
+      (e ++ e.map(p => (p._2, p._1))).toDF("s", "d")
+    val star = Graph.effectiveDiameterFromAnf(Graph.hyperAnf(
+      und((1L to 8L).map((0L, _))), "s", "d", 4), 0.999).head()
+    val path = Graph.effectiveDiameterFromAnf(Graph.hyperAnf(
+      und((0L to 6L).map(i => (i, i + 1))), "s", "d", 4), 0.999).head()
+    assert(star.getAs[Double]("eff_diameter") <= 2.0, star.toString)
+    assert(path.getAs[Double]("eff_diameter") > 3.0, path.toString)
+  }
 }

@@ -642,4 +642,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("round-11 family (q453-q458): no cartesians; q454/q455/q458 " +
+      "windows keyed; q456 stays edge-grain linear (no window at all)") {
+    for (q <- Seq("q453_mp4_probe", "q454_pettitt", "q455_adf",
+        "q456_moran_geary", "q458_mood_median")) {
+      val p = physical(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
+      val lines = p.linesIterator.toSeq
+      if (q != "q456_moran_geary")
+        lines.filter(_.contains("Window ")).foreach { l =>
+          assert(l.contains("[k#") || l.contains("sc#") ||
+            l.contains("event_type"), s"$q window not keyed:\n$l")
+        }
+      else // the whole point of the n-scaled design: no window pass
+        assert(!lines.exists(_.contains("Window ")), s"$q grew a window")
+    }
+    // q457 inherits q364's per-hop plan (checkpointed loop) — gate the
+    // derived fold only: no cartesian, the one added agg keyed on node
+    val p457 = physical("q457_harmonic")
+    assert(!p457.contains("CartesianProduct"), p457.take(1200))
+  }
 }
