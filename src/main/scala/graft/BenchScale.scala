@@ -146,6 +146,14 @@ object BenchScale {
           branch = math.max(4, math.sqrt(64.0 * n).round.toInt),
           threshold = 0.9)
         .where(!col("kept"))
+    // the round-11 log-depth ladder at the same growing cell count:
+    // per-row cost fanout*log_f(k) vs khier's sqrt(k) — the ratio
+    // between the two receipts the asymptotic gap as k grows with n
+    def semdedupKtree(n: Int): DataFrame =
+      graft.operators.SemDedup.semDedupTree(
+          embCorpusAt(n), "vec_id", "v", semCents(n, 64),
+          fanout = 8, threshold = 0.9)
+        .where(!col("kept"))
 
     // q138 shape: winnowing shared-fingerprint census. The char
     // permutation is a bijection on grams but NOT on their md5s, so the
@@ -335,6 +343,7 @@ object BenchScale {
       "semdedup" -> (semdedup(_)),
       "semdedup_kflat" -> (semdedupKflat(_)),
       "semdedup_khier" -> (semdedupKhier(_)),
+      "semdedup_ktree" -> (semdedupKtree(_)),
       "semdedup_kdefault" -> (semdedupKdefault(_)),
       "winnow" -> (n => winnow(corpusAt(n))),
       "cdc" -> (n => cdc(corpusAt(n))),

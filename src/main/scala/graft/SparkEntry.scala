@@ -480,6 +480,8 @@ object SparkEntry {
     "q453_mp4_probe"        -> (D.q453Mp4Probe(_, _)),
     "q454_pettitt"          -> (T.q454Pettitt(_, _)),
     "q459_eff_diameter"     -> (R.q459EffDiameter(_, _)),
+    "q460_exif_probe"       -> (D.q460ExifProbe(_, _)),
+    "q461_semdedup_tree"    -> (D.q461SemDedupTree(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8396,6 +8398,62 @@ object SparkEntry {
           |FROM e1 JOIN e2 USING (node) JOIN e3 USING (node)
           |JOIN e4 USING (node)""".stripMargin
     },
+    // q461: the q130 replay with the tree ladder unrolled — leaf
+    // centroids route to seeds, rows route to seeds then to the
+    // chosen seed's children; every pick is the q130 (cos DESC, cell)
+    // row_number, cosines the q127 list_aggregate formulation
+    "q461_semdedup_tree" ->
+      """WITH e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pl AS (SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * CAST(1.01 AS DOUBLE) + CAST(0.001 AS DOUBLE)) AS v FROM e0 WHERE vec_id % 15 = 0),
+        |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM pl),
+        |cent AS (SELECT vec_id AS cell, v AS centroid FROM e ORDER BY vec_id LIMIT 40),
+        |seeds AS (SELECT cell AS p, centroid AS pv FROM cent ORDER BY cell LIMIT 5),
+        |rsims AS (SELECT c.cell, s.p,
+        |list_aggregate(list_transform(list_zip(c.centroid, s.pv), z -> z[1]*z[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(c.centroid, z -> z*z), 'sum')) * sqrt(list_aggregate(list_transform(s.pv, z -> z*z), 'sum'))) AS cos
+        |FROM cent c, seeds s),
+        |rpick AS (SELECT cell, p FROM (SELECT cell, p, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cos DESC, p) AS rn FROM rsims WHERE NOT isnan(cos)) WHERE rn = 1),
+        |tsims AS (SELECT e.vec_id, s.p,
+        |list_aggregate(list_transform(list_zip(e.v, s.pv), z -> z[1]*z[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(e.v, z -> z*z), 'sum')) * sqrt(list_aggregate(list_transform(s.pv, z -> z*z), 'sum'))) AS cos
+        |FROM e, seeds s),
+        |tpick AS (SELECT vec_id, p FROM (SELECT vec_id, p, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, p) AS rn FROM tsims WHERE NOT isnan(cos)) WHERE rn = 1),
+        |csims AS (SELECT e.vec_id, c.cell,
+        |list_aggregate(list_transform(list_zip(e.v, c.centroid), z -> z[1]*z[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(e.v, z -> z*z), 'sum')) * sqrt(list_aggregate(list_transform(c.centroid, z -> z*z), 'sum'))) AS cos
+        |FROM e JOIN tpick t USING (vec_id)
+        |JOIN rpick r ON r.p = t.p JOIN cent c ON c.cell = r.cell),
+        |cpick AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn FROM csims WHERE NOT isnan(cos)) WHERE rn = 1),
+        |a AS (SELECT e.vec_id, cp.cell, e.v FROM e LEFT JOIN cpick cp USING (vec_id)),
+        |pr AS (SELECT y.vec_id AS ib,
+        |list_aggregate(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]), 'sum') /
+        |(sqrt(list_aggregate(list_transform(x.v, z -> z*z), 'sum')) * sqrt(list_aggregate(list_transform(y.v, z -> z*z), 'sum'))) AS cos
+        |FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |dr AS (SELECT DISTINCT ib FROM pr WHERE NOT isnan(cos) AND cos >= 0.9)
+        |SELECT a.vec_id, a.cell, (dr.ib IS NULL) AS kept
+        |FROM a LEFT JOIN dr ON a.vec_id = dr.ib""".stripMargin,
+    // q460: the q453 closed-form container replay for JPEG/EXIF —
+    // every probed field is arithmetic in doc_id; byte order (II/MM)
+    // never reaches the values, only the byte_order column
+    "q460_exif_probe" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |f AS (SELECT doc_id,
+        |    (doc_id % 8 = 1 OR doc_id % 11 = 5) AS bad,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS bo
+        |  FROM ids)
+        |SELECT doc_id,
+        |  CASE WHEN bad THEN NULL ELSE bo END AS byte_order,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE 'CAM' || CAST(doc_id % 7 AS VARCHAR) END AS make,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(640 + (doc_id * 13) % 1024 AS BIGINT) END
+        |    AS exif_width,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(480 + (doc_id * 17) % 768 AS BIGINT) END
+        |    AS exif_height
+        |FROM f""".stripMargin,
     // q459: q364's CTEs again; per-hop P sums quantize est to 1e-4
     // decimals (exact, order-free), the crossing CASE mirrors the
     // Spark fold's CAST(h-1)+ratio shapes hop for hop

@@ -688,6 +688,162 @@ object Multimodal {
     ftyp ++ moov
   }
 
+  // --------------------------------------------------------------- EXIF
+
+  /** JPEG/EXIF metadata probe — [[mp4Probe]]'s still-image sibling:
+    * walk the JPEG marker stream to APP1, then the TIFF structure
+    * inside it (BOTH byte orders — "II" little and "MM" big — are
+    * real files), and read IFD0's camera make (ASCII tag 0x010F),
+    * orientation (0x0112), pixel width/height (0x0100/0x0101). This
+    * is what a crawl manifest wants BEFORE any decode: orientation
+    * decides rotation, make/dimensions drive dedup and routing, and
+    * none of it needs the entropy-coded scan data.
+    *
+    * Corrupt payloads — wrong SOI, a marker length past the buffer,
+    * no APP1/Exif, bad TIFF magic, an entry offset out of bounds —
+    * yield ALL-NULL stats with the row KEPT (the [[imageStats]]
+    * contract). Missing individual tags are null FIELDS with the rest
+    * populated (tag presence is optional in real EXIF). Batched per
+    * partition, zero shuffle. Output: input columns + (byte_order,
+    * make, orientation, exif_width, exif_height). */
+  def exifProbe(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add("byte_order", StringType)
+      .add("make", StringType)
+      .add("orientation", IntegerType)
+      .add("exif_width", LongType)
+      .add("exif_height", LongType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        exifWalk(payload) match {
+          case Some((bo, make, ori, w, h)) =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](bo, make.orNull,
+              ori.map(Int.box).orNull, w.map(Long.box).orNull,
+              h.map(Long.box).orNull))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** The marker + TIFF walk: None on ANY structural violation;
+    * individual missing tags are None fields. */
+  private[multimodal] def exifWalk(p: Array[Byte])
+      : Option[(String, Option[String], Option[Int], Option[Long], Option[Long])] = {
+    if (p == null || p.length < 4) return None
+    def u8(i: Int): Int = p(i) & 0xff
+    if (u8(0) != 0xff || u8(1) != 0xd8) return None // SOI
+    // find APP1 with the Exif header
+    var off = 2
+    var tiff = -1
+    while (tiff < 0) {
+      if (off + 4 > p.length) return None
+      if (u8(off) != 0xff) return None
+      val marker = u8(off + 1)
+      if (marker == 0xd9 || marker == 0xda) return None // hit EOI/SOS first
+      val len = (u8(off + 2) << 8) | u8(off + 3) // big-endian, incl. itself
+      if (len < 2 || off + 2 + len > p.length) return None
+      if (marker == 0xe1 && len >= 8 &&
+          new String(p, off + 4, 6, "ISO-8859-1") == "Exif  ")
+        tiff = off + 10
+      else off += 2 + len
+    }
+    if (tiff + 8 > p.length) return None
+    val boStr = new String(p, tiff, 2, "ISO-8859-1")
+    val little = boStr match {
+      case "II" => true
+      case "MM" => false
+      case _ => return None
+    }
+    def u16(i: Int): Int =
+      if (i + 2 > p.length) -1
+      else if (little) u8(i) | (u8(i + 1) << 8)
+      else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (i + 4 > p.length) -1L
+      else if (little) u8(i) | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3)
+    if (u16(tiff + 2) != 42) return None
+    val ifd0 = u32(tiff + 4)
+    if (ifd0 < 0 || tiff + ifd0 + 2 > p.length) return None
+    val base = tiff + ifd0.toInt
+    val n = u16(base)
+    if (n < 0 || base + 2 + n * 12 > p.length) return None
+    var make: Option[String] = None
+    var ori: Option[Int] = None
+    var w: Option[Long] = None
+    var h: Option[Long] = None
+    var i = 0
+    while (i < n) {
+      val e = base + 2 + i * 12
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      tag match {
+        case 0x010f if typ == 2 && cnt >= 1 => // Make, ASCII at offset
+          val vo = tiff + u32(e + 8)
+          if (cnt > 4 && vo >= 0 && vo + cnt <= p.length) {
+            val raw = new String(p, vo.toInt, cnt.toInt, "ISO-8859-1")
+            make = Some(raw.takeWhile(_ != ' '))
+          }
+        case 0x0112 if typ == 3 && cnt == 1 =>
+          ori = Some(u16(e + 8)) // SHORT rides the value field's head
+        case 0x0100 if (typ == 3 || typ == 4) && cnt == 1 =>
+          w = Some(if (typ == 3) u16(e + 8).toLong else u32(e + 8))
+        case 0x0101 if (typ == 3 || typ == 4) && cnt == 1 =>
+          h = Some(if (typ == 3) u16(e + 8).toLong else u32(e + 8))
+        case _ => ()
+      }
+      i += 1
+    }
+    Some((boStr, make, ori, w, h))
+  }
+
+  /** Deterministic minimal JPEG-with-EXIF fixture: SOI + APP1(Exif →
+    * TIFF, byte order II when seed is even / MM when odd — both real
+    * layouts exercised) + EOI. IFD0 carries Make (ASCII, data area),
+    * Orientation (SHORT), ImageWidth/ImageLength (LONG), all
+    * closed-form in the seed, so the oracle replays [[exifProbe]] as
+    * arithmetic (the [[syntheticMp4]] contract). Not a decodable
+    * image (no scan data): the fixture pins the WALK. */
+  def syntheticJpegExif(seed: Long): Array[Byte] = {
+    val little = seed % 2 == 0
+    def w16(v: Int): Array[Byte] =
+      if (little) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def w32(v: Long): Array[Byte] =
+      if (little) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      else Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val make = s"CAM${seed % 7} ".getBytes("ISO-8859-1")
+    val nEntries = 4
+    // TIFF layout: header(8) + count(2) + 4*12 entries + next(4) + data
+    val dataOff = 8 + 2 + nEntries * 12 + 4
+    def entry(tag: Int, typ: Int, cnt: Long, value: Array[Byte]): Array[Byte] =
+      w16(tag) ++ w16(typ) ++ w32(cnt) ++ value.padTo(4, 0.toByte)
+    val entries =
+      entry(0x0100, 4, 1L, w32(640L + (seed * 13) % 1024)) ++
+      entry(0x0101, 4, 1L, w32(480L + (seed * 17) % 768)) ++
+      entry(0x010f, 2, make.length.toLong, w32(dataOff.toLong)) ++
+      entry(0x0112, 3, 1L, w16((1L + seed % 8).toInt) ++ Array[Byte](0, 0))
+    val tiffHdr = (if (little) "II" else "MM").getBytes("ISO-8859-1") ++
+      w16(42) ++ w32(8L)
+    val tiffBody = tiffHdr ++ w16(nEntries) ++ entries ++ w32(0L) ++ make
+    val exif = "Exif  ".getBytes("ISO-8859-1") ++ tiffBody
+    val app1Len = exif.length + 2 // includes the length field itself
+    Array(0xff.toByte, 0xd8.toByte, // SOI
+      0xff.toByte, 0xe1.toByte,     // APP1 (length is ALWAYS big-endian)
+      ((app1Len >> 8) & 0xff).toByte, (app1Len & 0xff).toByte) ++
+      exif ++ Array(0xff.toByte, 0xd9.toByte) // EOI
+  }
+
   /** Typed metadata projection for mixed-media tables: route rows by mime
     * family; downstream stages filter on `media_kind` so each modality's
     * decode runs over a pruned scan. */

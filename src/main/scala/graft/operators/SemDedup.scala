@@ -199,6 +199,73 @@ object SemDedup {
       .select(col("id"), col("v"), (-col("_best.nc")).as("cell"))
   }
 
+  /** LOG-DEPTH centroid-tree assignment — the Θ(n·f·log_f k) path the
+    * two-level [[assignCellsHierarchical]] (Θ(n·√k)) gives up past
+    * ~10⁶ cells: the centroid table is coarsened into a ladder of
+    * smallest-id seed levels (each level ceil(prev/fanout) seeds, so
+    * depth = ceil(log_f k)), every level's members route to their
+    * argmax parent, and corpus rows DESCEND the ladder folding over
+    * one ≤corpus/seeds-bounded child group per level — per-row cost
+    * fanout·depth instead of √k. With k ∝ n (the
+    * [[recommendedCells]] rule) end-to-end SemDeDup becomes
+    * Θ(n log n); BASELINE.md §D carries the receipts.
+    *
+    * Semantics: the [[assignCellsHierarchical]] approximation
+    * COMPOUNDED once per level (a boundary row can fall into a
+    * neighboring subtree at each routing) — same within-cell dedup
+    * guarantees, slightly different cell boundaries; exact duplicates
+    * still co-assign (identical folds, identical smallest-tie rule at
+    * every level), and fanout >= k degenerates to the EXACT flat
+    * argmax (one level, no descent — the spec pins the identity).
+    * Zero-norm rows keep the null-cell contract through every level.
+    *
+    * Model-state discipline: the ladder is centroid-grain (k rows
+    * total across levels, log_f k bounded driver actions to size it);
+    * per-level child groups broadcast. */
+  def assignCellsTree(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, fanout: Int = 16): DataFrame = {
+    require(fanout >= 2, s"fanout must be >= 2: $fanout")
+    var levels = List(centroids
+      .select(col("cell"), col("centroid")).localCheckpoint(true))
+    var size = levels.head.count()
+    while (size > fanout) {
+      val nSeeds = math.ceil(size.toDouble / fanout).toInt
+      val seeds = levels.head.orderBy(col("cell")).limit(nSeeds)
+        .localCheckpoint(true)
+      levels = seeds :: levels
+      size = nSeeds.toLong
+    }
+    var cur = assignCells(corpus, idCol, vecCol, levels.head)
+      .select(col("id"), col("v"), col("cell").as("__p"))
+    for ((upper, lower) <- levels.zip(levels.tail)) {
+      val routed = assignCells(
+          lower.select(col("cell").as("id"), col("centroid").as("v")),
+          "id", "v", upper)
+        .select(col("cell").as("__p"), col("id").as("cell"),
+          col("v").as("centroid"))
+      val groups = routed.groupBy(col("__p"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
+          .as("cents"))
+      cur = cur.join(broadcast(groups), Seq("__p"), "left")
+        .withColumn("_scored", transform(col("cents"), c =>
+          struct(cosine(col("v"), c.getField("centroid")).as("cos"),
+            (-c.getField("cell")).as("nc"))))
+        .withColumn("_best", array_max(filter(col("_scored"),
+          s => s.getField("cos").isNotNull && !isnan(s.getField("cos")))))
+        .select(col("id"), col("v"), (-col("_best.nc")).as("__p"))
+    }
+    cur.select(col("id"), col("v"), col("__p").as("cell"))
+  }
+
+  /** [[semDedupWith]] on the log-depth tree assignment — the
+    * million-cell scale path. */
+  def semDedupTree(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, fanout: Int, threshold: Double,
+      maxCellSize: Int = 10000): DataFrame =
+    semDedupAssigned(
+      assignCellsTree(corpus, idCol, vecCol, centroids, fanout),
+      threshold, maxCellSize)
+
   /** [[semDedupWith]] on the two-level assignment — the large-cell-count
     * scale path. */
   def semDedupHierarchical(corpus: DataFrame, idCol: String, vecCol: String,

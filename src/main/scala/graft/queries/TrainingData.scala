@@ -1269,6 +1269,37 @@ object TrainingData {
         $"duration_ms", $"n_tracks", $"codecs")
   }
 
+  /** q460 — JPEG/EXIF metadata probe ([[Multimodal.exifProbe]]): the
+    * q453 container-walk contract for still images — marker stream to
+    * APP1, TIFF IFD0 in BOTH byte orders (even doc_id → II, odd → MM),
+    * make/orientation/width/height all closed-form in doc_id so the
+    * oracle replays the walk as arithmetic. Corrupt modes: every 8th≡1
+    * raw text (wrong SOI), every 11th≡5 truncated at half (marker
+    * length past the buffer); stats null, row kept. */
+  def q460ExifProbe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = docs(spark, dir).where($"doc_id" < 40).select($"doc_id", $"text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val withJpg = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 8 == 1) r.getString(1).getBytes("UTF-8")
+          else {
+            val full = graft.multimodal.Multimodal.syntheticJpegExif(id)
+            if (id % 11 == 5) full.take(full.length / 2) else full
+          }
+        Row(id, payload)
+      }
+    }(enc)
+    graft.multimodal.Multimodal.exifProbe(withJpg, "payload")
+      .select($"doc_id", $"byte_order", $"make", $"orientation",
+        $"exif_width", $"exif_height")
+  }
+
   /** Planted cross-doc span fixture shared by q118/q119: a 25-token span
     * appended to every %10==3 doc and PREPENDED to every %20==5 doc (span
     * at token 1 exercises the island left edge), an 18-token span appended
@@ -1544,6 +1575,28 @@ object TrainingData {
         expr("transform(v, x -> x * cast(1.01 as double) + cast(0.001 as double))").as("v"))
     graft.operators.SemDedup.semDedup(base.unionByName(planted), "vec_id", "v",
       nCells = 8, threshold = 0.9)
+      .select($"id".as("vec_id"), $"cell", $"kept")
+  }
+
+  /** q461 — SemDeDup on the LOG-DEPTH centroid tree ([[graft.operators
+    * .SemDedup.assignCellsTree]]): q130's planted corpus assigned down
+    * a 40 → 5 seed ladder (fanout 8, one descent level) instead of one
+    * flat fold — the Θ(n·f·log_f k) assignment the million-cell regime
+    * needs; every routing is the same argmax-cosine/smallest-tie fold,
+    * so the oracle replays the ladder stage for stage and the planted
+    * near-dups must still drop. */
+  def q461SemDedupTree(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val planted = base.where($"vec_id" % 15 === 0)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        expr("transform(v, x -> x * cast(1.01 as double) + cast(0.001 as double))").as("v"))
+    val corpus = base.unionByName(planted)
+    val cents = graft.operators.SemDedup.smallestIdCentroids(
+      corpus, "vec_id", "v", 40)
+    graft.operators.SemDedup.semDedupTree(corpus, "vec_id", "v", cents,
+        fanout = 8, threshold = 0.9)
       .select($"id".as("vec_id"), $"cell", $"kept")
   }
 

@@ -652,6 +652,35 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length == 4)
   }
 
+  test("multimodal: EXIF walk reads make/orientation/dims in BOTH byte " +
+      "orders; corrupt and truncated kept null") {
+    import spark.implicits._
+    val full3 = Multimodal.syntheticJpegExif(3L) // odd seed -> MM
+    val df = Seq(
+      (2L, Multimodal.syntheticJpegExif(2L)),    // even seed -> II
+      (3L, full3),
+      (4L, "not a jpeg".getBytes("UTF-8")),
+      (5L, full3.take(full3.length / 2)))
+      .toDF("id", "payload")
+    val rows = Multimodal.exifProbe(df, "payload").orderBy("id").collect()
+    val r2 = rows(0)
+    assert(r2.getAs[String]("byte_order") == "II")
+    assert(r2.getAs[String]("make") == "CAM2")
+    assert(r2.getAs[Int]("orientation") == (1 + 2 % 8))
+    assert(r2.getAs[Long]("exif_width") == 640L + (2 * 13) % 1024)
+    assert(r2.getAs[Long]("exif_height") == 480L + (2 * 17) % 768)
+    val r3 = rows(1)
+    assert(r3.getAs[String]("byte_order") == "MM")
+    assert(r3.getAs[String]("make") == "CAM3")
+    assert(r3.getAs[Int]("orientation") == (1 + 3 % 8))
+    assert(r3.getAs[Long]("exif_width") == 640L + (3 * 13) % 1024)
+    Seq(rows(2), rows(3)).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("byte_order")))
+      assert(r.isNullAt(r.fieldIndex("make")))
+    }
+    assert(rows.length == 4)
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     import spark.implicits._
     val df = Seq((1L, "0123456789abcdef".getBytes("UTF-8"))).toDF("id", "payload")

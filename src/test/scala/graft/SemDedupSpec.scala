@@ -195,6 +195,40 @@ class SemDedupSpec extends AnyFunSuite with SparkFixture {
     hier.foreach(r => assert(centIds.contains(r.getLong(2))))
   }
 
+  test("assignCellsTree: fanout >= k degenerates to the EXACT flat " +
+      "argmax; deep ladders land on real centroid ids; exact dups " +
+      "co-assign at depth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val base = IndexedSeq.tabulate(120)(i => (i.toLong,
+      Array.fill(6)(rnd.nextGaussian()).toSeq))
+    // plant exact duplicates of every 10th vector at shifted ids
+    val data = (base ++ base.filter(_._1 % 10 == 0)
+      .map { case (i, v) => (i + 1000L, v) }).toDF("vec_id", "v")
+    val cents = SemDedup.smallestIdCentroids(data, "vec_id", "v", 24)
+    val centIds = cents.collect().map(_.getLong(0)).toSet
+    // identity: one level (fanout >= k) IS assignCells
+    val flat = SemDedup.assignCells(data, "vec_id", "v", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val one = SemDedup.assignCellsTree(data, "vec_id", "v", cents,
+      fanout = 24).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one === flat)
+    // deep ladder (24 -> 8 -> 3): real cells, full coverage, dup co-assign
+    val deep = SemDedup.assignCellsTree(data, "vec_id", "v", cents,
+      fanout = 3).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(deep.size === data.count())
+    deep.values.foreach(c => assert(centIds.contains(c)))
+    base.filter(_._1 % 10 == 0).foreach { case (i, _) =>
+      assert(deep(i) === deep(i + 1000L), s"dup pair $i split cells")
+    }
+    // the dedup wrapper drops the planted dups whatever the boundaries
+    val out = SemDedup.semDedupTree(data, "vec_id", "v", cents,
+      fanout = 3, threshold = 0.999999)
+      .where(!col("kept")).collect().map(_.getLong(0)).toSet
+    assert(base.filter(_._1 % 10 == 0).map(_._1 + 1000L).toSet
+      .subsetOf(out))
+  }
+
   test("recommendedCells: 1000-member target cells, clamped both ends") {
     // k ∝ n keeps the n²/k pair stage linear; the floor keeps tiny
     // corpora from degenerating to one cell, the 2^20 ceiling bounds
