@@ -482,6 +482,7 @@ object SparkEntry {
     "q459_eff_diameter"     -> (R.q459EffDiameter(_, _)),
     "q460_exif_probe"       -> (D.q460ExifProbe(_, _)),
     "q461_semdedup_tree"    -> (D.q461SemDedupTree(_, _)),
+    "q462_smith_waterman"   -> (R.q462SmithWaterman(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8398,6 +8399,47 @@ object SparkEntry {
           |FROM e1 JOIN e2 USING (node) JOIN e3 USING (node)
           |JOIN e4 USING (node)""".stripMargin
     },
+    // q462: Smith-Waterman replayed by ANTI-DIAGONALS as a recursive
+    // CTE — diagonal d depends only on d-1/d-2 elementwise, so each
+    // recursion step advances one diagonal with a per-id lag window
+    // for the i-1 cells. (A nested list-fold formulation is cell-
+    // equivalent but DuckDB 1.0 mis-evaluates correlated nested
+    // lambdas past ~dozens of rows — probed; the recursive form is
+    // row-count-stable.) Scores pinned (+2/-1/-1); integer cells.
+    "q462_smith_waterman" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS name
+        |  FROM customer),
+        |p AS (SELECT id, 'xx#' || substring(name, 1, 16)
+        |    || substring(name, 18, 1) || substring(name, 17, 1)
+        |    || '#zz' AS hay
+        |  FROM c WHERE id % 7 = 0),
+        |j AS (SELECT c.id, c.name AS a, p.hay AS b
+        |  FROM c JOIN p ON c.id = p.id),
+        |dp AS (
+        |  SELECT id, a, b, i, 0 AS cur, 0 AS prev, 1 AS d
+        |  FROM j CROSS JOIN range(0, 64) t(i) WHERE i <= length(a)
+        |  UNION ALL
+        |  SELECT id, a, b, i,
+        |    CASE WHEN i >= 1 AND d + 1 - i >= 1
+        |        AND d + 1 - i <= length(b) THEN
+        |      greatest(0,
+        |        coalesce(lag(prev) OVER (PARTITION BY id ORDER BY i), 0)
+        |          + CASE WHEN substr(a, CAST(i AS INT), 1)
+        |            = substr(b, CAST(d + 1 - i AS INT), 1)
+        |            THEN 2 ELSE -1 END,
+        |        coalesce(lag(cur) OVER (PARTITION BY id ORDER BY i), 0)
+        |          - 1,
+        |        cur - 1)
+        |    ELSE 0 END AS cur,
+        |    cur AS prev,
+        |    d + 1 AS d
+        |  FROM dp WHERE d < length(a) + length(b)
+        |)
+        |SELECT id, CAST(max(cur) AS BIGINT) AS sw,
+        |  CAST(max(lv) AS BIGINT) AS lev
+        |FROM (SELECT id, cur, 0 AS lv FROM dp
+        |  UNION ALL SELECT id, 0, levenshtein(a, b) FROM j)
+        |GROUP BY id""".stripMargin,
     // q461: the q130 replay with the tree ladder unrolled — leaf
     // centroids route to seeds, rows route to seeds then to the
     // chosen seed's children; every pick is the q130 (cos DESC, cell)

@@ -79,6 +79,55 @@ object FastStringSim {
     GraftShim.column(JaroWinklerExpr(
       GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** Smith–Waterman LOCAL alignment score (Smith & Waterman 1981) —
+    * the edit-distance family's containment member: Levenshtein/
+    * Damerau charge for EVERYTHING that differs, so a short string
+    * buried in a long one scores terribly; local alignment finds the
+    * best-scoring common REGION (match +2, mismatch −1, linear gap
+    * −1 — pinned literals, replayed by the oracle's anti-diagonal
+    * fold) and ignores the flanks. The fuzzy-substring primitive for
+    * record linkage ("does this name appear, misspelled, inside that
+    * field") between exact `contains` and whole-string Jaro.
+    *
+    * Classic O(l1·l2) two-row DP here; the DuckDB replay runs the
+    * SAME recurrence by anti-diagonals (list folds can't carry a
+    * within-row left dependency there — the diagonal form has none;
+    * verified cell-equivalent). Operates on code points; ASCII
+    * inputs make that identical to DuckDB's character walk (the
+    * [[jaroWinklerValue]] convention). */
+  def smithWatermanValue(s1: UTF8String, s2: UTF8String): Long = {
+    val a = s1.toString.codePoints().toArray
+    val b = s2.toString.codePoints().toArray
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0L
+    var prev = new Array[Int](l2 + 1)
+    var cur = new Array[Int](l2 + 1)
+    var best = 0
+    var i = 1
+    while (i <= l1) {
+      var j = 1
+      while (j <= l2) {
+        val s = if (a(i - 1) == b(j - 1)) 2 else -1
+        var h = prev(j - 1) + s
+        if (prev(j) - 1 > h) h = prev(j) - 1
+        if (cur(j - 1) - 1 > h) h = cur(j - 1) - 1
+        if (h < 0) h = 0
+        cur(j) = h
+        if (h > best) best = h
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    best.toLong
+  }
+
+  def smithWaterman(a: Column, b: Column): Column =
+    GraftShim.column(SmithWatermanExpr(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
   /** TRUE (unrestricted) Damerau–Levenshtein distance — the
     * Lowrance–Wagner dynamic program with the last-occurrence
     * dictionary, so a transposed block can be edited THROUGH
@@ -182,5 +231,25 @@ case class DamerauLevenshteinExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DamerauLevenshteinExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (string, string) -> Smith–Waterman local alignment score
+  * (match +2 / mismatch −1 / gap −1, code points). */
+case class SmithWatermanExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_smith_waterman"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    FastStringSim.smithWatermanValue(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.FastStringSim.smithWatermanValue($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SmithWatermanExpr =
     copy(left = newLeft, right = newRight)
 }

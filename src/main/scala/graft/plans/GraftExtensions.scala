@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Round}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{CdcChunksExpr, CosineExpr, DamerauLevenshteinExpr, DeflateRatioExpr, ErfcExpr, IntDotExpr, JaroWinklerExpr, LgammaExpr, MaskRepeatedExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SortedIntersectExpr, SortedLookupExpr, SrpBucketExpr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CosineExpr, DamerauLevenshteinExpr, DeflateRatioExpr, ErfcExpr, IntDotExpr, JaroWinklerExpr, LgammaExpr, MaskRepeatedExpr, MinHashSigExpr, RepetitionExpr, ShinglesExpr, SimHash64Expr, SmithWatermanExpr, SortedIntersectExpr, SortedLookupExpr, SrpBucketExpr, WinnowFpsExpr}
 
 /** Catalyst integration (SURVEY §4 custom work item 2): the engine's
   * codegen'd expressions registered as SQL functions, plus a small
@@ -98,6 +98,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DamerauLevenshteinExpr].getName,
         "graft_damerau"),
       (args: Seq[Expression]) => DamerauLevenshteinExpr(args.head,
+        args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_smith_waterman"),
+      new ExpressionInfo(classOf[SmithWatermanExpr].getName,
+        "graft_smith_waterman"),
+      (args: Seq[Expression]) => SmithWatermanExpr(args.head,
         args(1))))
     ext.injectOptimizerRule(_ => CollapseRedundantRound)
   }

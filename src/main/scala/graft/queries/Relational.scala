@@ -1462,6 +1462,29 @@ object Relational {
       .select($"node", round($"harmonic", 4).as("harmonic"))
   }
 
+  /** q462 — Smith–Waterman local alignment ([[graft.functions
+    * .FastStringSim.smithWatermanValue]], codegen Expression): each
+    * planted record's ORIGINAL name scored against a typo'd copy
+    * buried in flanking junk — the fuzzy-containment read where
+    * Levenshtein (quoted next to it) charges for every flank char.
+    * Match +2 / mismatch −1 / gap −1 pinned; the oracle replays the
+    * SAME recurrence by anti-diagonals (no within-row dependency, the
+    * DuckDB list-fold constraint). */
+  def q462SmithWaterman(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey".as("id"), $"c_name".as("name"))
+    val p = c.where($"id" % 7 === 0)
+      .select($"id", concat(lit("xx#"),
+        concat(substring($"name", 1, 16), substring($"name", 18, 1),
+          substring($"name", 17, 1)),
+        lit("#zz")).as("hay"))
+    c.join(p, Seq("id"))
+      .select($"id",
+        graft.functions.FastStringSim.smithWaterman($"name", $"hay")
+          .as("sw"),
+        levenshtein($"name", $"hay").cast("long").as("lev"))
+  }
+
   /** q459 — effective diameter from HyperANF ([[graft.operators.Graph
     * .effectiveDiameterFromAnf]]): the interpolated hop distance
     * covering 90% of reachable pairs on q364's graph — the one-number

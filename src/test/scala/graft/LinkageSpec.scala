@@ -114,6 +114,41 @@ class LinkageSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("smithWaterman kernel: hand-scored goldens; equals a full-matrix " +
+      "reference; containment scores where Levenshtein punishes flanks") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sw(a: String, b: String): Long =
+      graft.functions.FastStringSim.smithWatermanValue(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // hand-scored (match +2, mismatch -1, gap -1); duckdb prototype
+    // of the anti-diagonal oracle fold reproduced these exactly
+    assert(sw("HEARTBEAT", "HEARTBURN") == 12L) // HEARTB run
+    assert(sw("ABCDEF", "XXABCXDEF") == 11L)    // ABC -gap- DEF
+    assert(sw("AAAA", "BBBB") == 0L)
+    assert(sw("SAME", "SAME") == 8L)
+    assert(sw("", "abc") == 0L && sw("", "") == 0L)
+    // independent full-matrix reference
+    def ref(a: String, b: String): Long = {
+      val h = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length) {
+        val s = if (a(i - 1) == b(j - 1)) 2 else -1
+        h(i)(j) = math.max(0, math.max(h(i - 1)(j - 1) + s,
+          math.max(h(i - 1)(j) - 1, h(i)(j - 1) - 1)))
+        best = math.max(best, h(i)(j))
+      }
+      best.toLong
+    }
+    val rnd = new scala.util.Random(11)
+    val strs = (1 to 25).map(_ =>
+      (1 to rnd.nextInt(14)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString)
+    for (a <- strs; b <- strs) assert(sw(a, b) == ref(a, b), s"'$a'/'$b'")
+    // the containment property: a needle inside a long haystack keeps
+    // its full score while levenshtein-style distance grows with flanks
+    assert(sw("needle", "xxxxxxxxneedleyyyyyyyy") == 12L)
+  }
+
   test("fuzzyBestMatch: picks the closest name per record; threshold " +
       "filters; equal scores break by id") {
     import spark.implicits._

@@ -663,4 +663,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p457 = physical("q457_harmonic")
     assert(!p457.contains("CartesianProduct"), p457.take(1200))
   }
+
+  test("q460/q461: exif probe stays scan-grain (no shuffle before the " +
+      "walk); the semdedup tree's descent joins are all broadcast") {
+    val p460 = physical("q460_exif_probe")
+    assert(!p460.contains("CartesianProduct"), p460.take(1200))
+    val p461 = physical("q461_semdedup_tree")
+    assert(!p461.contains("CartesianProduct"), p461.take(1200))
+    // every per-level child-group join broadcasts (bounded model state)
+    // and the only sort-merge surface is the cell-keyed pair join
+    val smj = "SortMergeJoin".r.findAllIn(p461).size
+    assert(smj <= 2, s"q461 grew $smj sort-merge joins:\n${p461.take(1500)}")
+  }
 }
