@@ -483,6 +483,7 @@ object SparkEntry {
     "q460_exif_probe"       -> (D.q460ExifProbe(_, _)),
     "q461_semdedup_tree"    -> (D.q461SemDedupTree(_, _)),
     "q462_smith_waterman"   -> (R.q462SmithWaterman(_, _)),
+    "q463_ktruss"           -> (R.q463KTruss(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8398,6 +8399,41 @@ object SparkEntry {
           |    AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS harmonic
           |FROM e1 JOIN e2 USING (node) JOIN e3 USING (node)
           |JOIN e4 USING (node)""".stripMargin
+    },
+    // q463: two truss peels unrolled CTE-for-CTE — per round the
+    // id-oriented wedge join enumerates each a<b<c triangle once,
+    // the 3-way edge explode censuses support, and the inner join
+    // drops support-short edges (absent-from-census = support 0);
+    // final support recomputed on the survivors, coalesce 0
+    "q463_ktruss" -> {
+      def round(src: String, dst: String): String =
+        s"""t$dst AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |  FROM $src e1 JOIN $src e2 ON e1.v = e2.u
+           |  JOIN $src e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |s$dst AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT a AS u, b AS v FROM t$dst
+           |    UNION ALL SELECT b, c FROM t$dst
+           |    UNION ALL SELECT a, c FROM t$dst) GROUP BY 1, 2),
+           |$dst AS (SELECT e.u, e.v FROM $src e
+           |  JOIN s$dst s ON e.u = s.u AND e.v = s.v
+           |  WHERE s.cnt >= 1)""".stripMargin
+      """WITH pts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+        |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+        |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |""".stripMargin +
+        round("e0", "e1") + ",\n" + round("e1", "e2") + ",\n" +
+        """tf AS (SELECT e1.u AS a, e1.v AS b, e2x.v AS c
+          |  FROM e2 e1 JOIN e2 e2x ON e1.v = e2x.u
+          |  JOIN e2 e3 ON e3.u = e1.u AND e3.v = e2x.v),
+          |sf AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM (SELECT a AS u, b AS v FROM tf
+          |    UNION ALL SELECT b, c FROM tf
+          |    UNION ALL SELECT a, c FROM tf) GROUP BY 1, 2)
+          |SELECT e.u, e.v, coalesce(sf.cnt, 0) AS sup
+          |FROM e2 e LEFT JOIN sf ON e.u = sf.u AND e.v = sf.v"""
+          .stripMargin
     },
     // q462: Smith-Waterman replayed by ANTI-DIAGONALS as a recursive
     // CTE — diagonal d depends only on d-1/d-2 elementwise, so each

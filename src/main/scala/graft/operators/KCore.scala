@@ -60,4 +60,89 @@ object KCore {
           "(peeling depth exceeds maxIter — raise it)")
     ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
+
+  /** Canonicalize to u < v undirected edges. */
+  private def canon(edges: DataFrame, uCol: String, vCol: String): DataFrame =
+    edges.select(least(col(uCol), col(vCol)).cast("long").as("u"),
+        greatest(col(uCol), col(vCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+
+  /** Per-edge triangle support on a canonical (u < v) edge set: each
+    * triangle a < b < c is enumerated ONCE by pivoting at its middle
+    * id (wedge (a,b)+(b,c) closed by (a,c)) and credits all three of
+    * its edges. Id-ordering is the orientation trick that keeps the
+    * wedge join away from undirected hub blowup (each wedge counted
+    * one way); integer counts throughout. */
+  private def support(e: DataFrame): DataFrame = {
+    val tri = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    tri.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+      .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+  }
+
+  /** One truss peel: drop every edge in fewer than k−2 triangles of
+    * the CURRENT subgraph (edges in none are absent from the support
+    * census — the inner join drops them, which is exactly the k ≥ 3
+    * semantics). */
+  private def peelOnce(e: DataFrame, k: Int): DataFrame =
+    e.join(support(e), Seq("u", "v"))
+      .where(col("sup") >= (k - 2).toLong)
+      .select(col("u"), col("v"))
+
+  /** k-truss by iterative support peeling — [[kCore]]'s TRIANGLE
+    * sibling (Cohen 2008): the maximal subgraph where every edge sits
+    * in >= k−2 triangles. Degree is gameable (a spam hub buys
+    * followers); co-triangle membership is not — the k-truss is the
+    * standard "socially corroborated" cut, strictly inside the
+    * (k−1)-core. Batch removal per round is exact (removal order
+    * cannot change the fixpoint, the [[kCore]] argument lifted to
+    * edges).
+    *
+    * Scale shape per round: one id-oriented wedge join (each triangle
+    * enumerated once) + an edge-keyed census + one semi filter —
+    * nothing quadratic in nodes; round count is the truss peeling
+    * depth, `maxIter` fails LOUDLY on overrun. Output: surviving
+    * canonical edges with their FINAL-subgraph support: (u, v, sup).
+    * Empty output = no k-truss. */
+  def kTruss(edges: DataFrame, uCol: String, vCol: String, k: Int,
+      maxIter: Int = 30): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k-2 triangles per edge): $k")
+    var e = canon(edges, uCol, vCol).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = peelOnce(e, k).localCheckpoint(true)
+      if (next.count() == e.count()) converged = true
+      e = next
+      iter += 1
+      if (e.isEmpty) converged = true
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kTruss(k=$k) did not converge in $maxIter peel rounds " +
+          "(truss peeling depth exceeds maxIter — raise it)")
+    e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"))
+  }
+
+  /** Exactly `rounds` truss peels, NO convergence check — the
+    * deterministic-round variant a cross-engine oracle unrolls
+    * CTE-for-CTE ([[kTruss]] is the fixpoint API; this is the
+    * replayable one — same per-round function). Support in the output
+    * is recomputed on the FINAL subgraph. */
+  def kTrussPeel(edges: DataFrame, uCol: String, vCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var e = canon(edges, uCol, vCol).localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      e = peelOnce(e, k).localCheckpoint(true)
+    e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"))
+  }
 }

@@ -1462,6 +1462,26 @@ object Relational {
       .select($"node", round($"harmonic", 4).as("harmonic"))
   }
 
+  /** q463 — k-truss peel ([[graft.operators.KCore.kTrussPeel]]): two
+    * support-peel rounds at k=3 over the Brand#11 co-purchase graph
+    * (q314's edges) — every surviving edge sits in a triangle of the
+    * peeled subgraph, the "socially corroborated" cut a degree filter
+    * (k-core) can't express. Fixed rounds so the oracle unrolls the
+    * peel CTE-for-CTE; final support recomputed on the survivors. */
+  def q463KTruss(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
+      .select($"p_partkey")
+    val op = Tables.lineitem(spark, dir)
+      .join(pts, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = op.select($"ok", $"pk".as("u"))
+      .join(op.select($"ok", $"pk".as("v")), "ok")
+      .where($"u" < $"v")
+      .select($"u", $"v")
+    graft.operators.KCore.kTrussPeel(edges, "u", "v", k = 3, rounds = 2)
+      .select($"u", $"v", $"sup")
+  }
+
   /** q462 — Smith–Waterman local alignment ([[graft.functions
     * .FastStringSim.smithWatermanValue]], codegen Expression): each
     * planted record's ORIGINAL name scored against a typo'd copy

@@ -53,4 +53,38 @@ class KCoreSpec extends AnyFunSuite with SparkFixture {
     val ex = intercept[IllegalStateException](core(path, 2, maxIter = 3))
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  test("kTruss: K4 is a 4-truss with support 2 everywhere; an attached " +
+      "triangle survives k=3 but peels at k=4; pendant edges never " +
+      "survive; the cascade re-peels edges whose triangles died") {
+    import spark.implicits._
+    def truss(edges: Seq[(Long, Long)], k: Int) =
+      KCore.kTruss(edges.toDF("a", "b"), "a", "b", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    // K4 on 1-4, triangle (4,5,6), pendant (6,7)
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val t3 = truss(g, 3)
+    assert(t3.size == 9) // all but the pendant
+    assert(!t3.contains((6L, 7L)))
+    assert(t3((4L, 5L)) == 1L && t3((1L, 2L)) == 2L)
+    val t4 = truss(g, 4)
+    assert(t4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(t4.values.forall(_ == 2L))
+    // nothing at k=5
+    assert(truss(g, 5).isEmpty)
+    // cascade: two triangles sharing edge (1,2) — (1,2) has support 2
+    // but its mates have 1; at k=4 the mates die in round 1, which
+    // starves (1,2) in round 2 -> empty, only via the ITERATION
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(truss(twoTri, 4).isEmpty)
+    // kTrussPeel with rounds=1 shows the intermediate state the
+    // fixpoint erases: (1,2) alive after one peel, support now 0
+    val one = KCore.kTrussPeel(twoTri.toDF("a", "b"), "a", "b", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(one.keySet == Set((1L, 2L)) && one((1L, 2L)) == 0L)
+  }
 }
