@@ -7324,9 +7324,12 @@ object SparkEntry {
         |      / CAST(varm AS DOUBLE) AS VARCHAR)
         |    AS DECIMAL(38,20)), 8) AS DOUBLE) END AS slope_vs_mean
         |FROM v""".stripMargin,
-    // q432: factorial-free hypergeometric via the ratio recurrence;
-    // each u(av) is a 1.0-seeded prefix product in j order; the three
-    // support sums fold in av order with ELSE-0.0 masking
+    // q432: factorial-free hypergeometric via the MODE-anchored ratio
+    // recurrence (r12: anchor moved amin -> mode so unimodality bounds
+    // every mass ≤ 1 — an amin-anchored product overflows past support
+    // ~10³); each u(av) is a 1.0-seeded prefix product in ascending j
+    // order on the matching side of the mode; support sums fold in av
+    // order with ELSE-0.0 masking
     "q432_fisher_exact" ->
       """WITH b AS (SELECT
         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS a,
@@ -7345,13 +7348,20 @@ object SparkEntry {
         |    n11 + n01 AS c1 FROM c),
         |s AS (SELECT *, greatest(0, c1 - r2) AS amin,
         |    least(r1, c1) AS amax FROM m),
-        |rws AS (SELECT s.*, unnest(range(amin, amax + 1)) AS av FROM s),
+        |s2 AS (SELECT *, least(greatest(
+        |    (r1 + 1) * (c1 + 1) // (n + 2), amin), amax) AS am FROM s),
+        |rws AS (SELECT s2.*, unnest(range(amin, amax + 1)) AS av FROM s2),
         |u AS (SELECT n, n11, n10, n01, n00, av,
-        |    CASE WHEN av = amin THEN 1.0
-        |    ELSE list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
-        |      list_transform(range(amin, av), j ->
+        |    CASE WHEN av = am THEN 1.0
+        |    WHEN av > am THEN list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |      list_transform(range(am, av), j ->
         |        CAST((r1 - j) * (c1 - j) AS DOUBLE)
         |          / CAST((j + 1) * (r2 - c1 + j + 1) AS DOUBLE))),
+        |      (acc, x) -> acc * x)
+        |    ELSE list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |      list_transform(range(av, am), j ->
+        |        CAST((j + 1) * (r2 - c1 + j + 1) AS DOUBLE)
+        |          / CAST((r1 - j) * (c1 - j) AS DOUBLE))),
         |      (acc, x) -> acc * x) END AS u
         |  FROM rws),
         |p AS (SELECT n, n11, n10, n01, n00,

@@ -552,8 +552,13 @@ object Multimodal {
         val st = mp4Walk(payload)
         st match {
           case Some((brand, ts, du, nt, codecs)) =>
-            Row.fromSeq(r.toSeq ++ Seq[Any](brand, ts, du,
-              du * 1000L / ts, nt, codecs))
+            // ts >= 1 is guaranteed by the walk's structural guard; the
+            // ms scale-up is only computed where du*1000 cannot overflow
+            // (du past ~292 Myr of units is representable metadata but
+            // its ms form is not — null duration_ms, row kept)
+            val dms: Any =
+              if (du <= Long.MaxValue / 1000L) du * 1000L / ts else null
+            Row.fromSeq(r.toSeq ++ Seq[Any](brand, ts, du, dms, nt, codecs))
           case None =>
             Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null))
         }
@@ -631,6 +636,12 @@ object Multimodal {
         }
         if (cs.exists(_.isEmpty)) None else Some(cs.flatten.mkString(","))
       }
+      // timescale is a u32 "number of units per second" — zero (division
+      // by zero downstream) or > Int.MaxValue (wraps negative through
+      // .toInt) are structural violations, not representable metadata;
+      // a negative u64 duration (sign bit set) is likewise malformed
+      _ <- if (tsdu._1 >= 1L && tsdu._1 <= Int.MaxValue.toLong &&
+        tsdu._2 >= 0L) Some(()) else None
     } yield (brand, tsdu._1.toInt, tsdu._2, traks.size, codecs)
   }
 

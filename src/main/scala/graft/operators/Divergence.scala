@@ -1060,26 +1060,38 @@ object Divergence {
     * support probabilities are built WITHOUT factorials via the
     * ratio recurrence
     *   p(a+1)/p(a) = (r₁−a)(c₁−a) / ((a+1)(r₂−c₁+a+1)),
-    * cumulated multiplicatively from the support minimum and
-    * normalized by the support total — no lgamma (whose last-ulp
-    * behavior differs across engines), only +,·,/ in a pinned order.
+    * cumulated multiplicatively FROM THE MODE (the closed-form
+    * integer ⌊(r₁+1)(c₁+1)/(n+2)⌋ clamped into the support) outward
+    * in both directions and normalized by the support total — no
+    * lgamma (whose last-ulp behavior differs across engines), only
+    * +,·,/ in a pinned order. The mode anchor is load-bearing, not
+    * style: unimodality keeps every unnormalized mass ≤ 1, so a large
+    * balanced table (support ~10³ already puts p(mode)/p(amin) past
+    * 2^1024) can never overflow the fold to Inf/NaN the way an
+    * amin-anchored prefix product does; far tails underflow to 0.0,
+    * their correct double-precision contribution.
     * Two-sided p sums every table whose probability is ≤ the observed
     * one times (1 + 1e-7) — R fisher.test's tie tolerance.
     *
     * Fisher's exact is a SMALL-TABLE statistic by definition: the
     * support size (≤ min(r₁, c₁) + 1) is gated loudly at
     * `maxSupport` because each support row folds over its prefix —
-    * O(S²) total work, so the default cap is 1000 (≤ ~5·10⁵ fold
-    * steps): fine at the hundreds where the exact test matters,
-    * refused at row scale where the χ² is correct anyway. Callers
-    * who raise the cap buy S² work knowingly.
+    * O(S²) total work. The DEFAULT cap stays at the original 100000
+    * (the public-API stability contract: a default-arg call that
+    * computed yesterday must not throw today — the r11 advisor's
+    * finding on the brief 1000 tightening); the RECOMMENDED cap is
+    * ~1000 (≤ ~5·10⁵ fold steps — the hundreds-scale regime where the
+    * exact test actually beats the χ² asymptotics). Past that, pass a
+    * tight cap or use [[chiSquareIndependence]]/[[gTest]], which are
+    * correct at row scale anyway; callers who ride the default at
+    * S ~ 10⁵ buy ~10¹⁰ fold steps knowingly.
     *
     * Exactness: cells/margins exact; every u(a) is a fixed-order
     * product of single-division ratios; the three cross-support sums
     * fold in support order. Output one row: (n, n11, n10, n01, n00,
     * p_two, p_left, p_right). */
   def fisherExact(df: DataFrame, rowFlag: Column, colFlag: Column,
-      maxSupport: Int = 1000): DataFrame = {
+      maxSupport: Int = 100000): DataFrame = {
     require(maxSupport > 0, s"maxSupport must be positive: $maxSupport")
     val base = df.select(
       when(rowFlag, 1L).otherwise(0L).as("a"),
@@ -1107,16 +1119,31 @@ object Divergence {
           lit(s" exceeds the cap $maxSupport — a table this large " +
             "belongs to chiSquareIndependence/gTest, not an exact " +
             "test"))).cast("long")))
-    // unnormalized hypergeometric mass via the prefix product; the
-    // per-row fold is over [amin, av) — empty at the support minimum
-    val rows = gated.withColumn("av",
-      explode(sequence(col("amin"), col("amax"))))
-    val u = when(col("av") === col("amin"), lit(1.0))
-      .otherwise(aggregate(sequence(col("amin"), col("av") - 1L),
-        lit(1.0d), (acc, j) => acc *
-          (((col("r1") - j) * (col("c1") - j)).cast("double") /
-            ((j + lit(1L)) * (col("r2") - col("c1") + j + lit(1L)))
-              .cast("double"))))
+    // unnormalized hypergeometric mass via the MODE-anchored prefix
+    // product: u(mode) = 1, upward cells multiply the forward ratio
+    // over [mode, av), downward cells the inverse ratio over [av, mode)
+    // — every factor ≤ 1 by unimodality, so no overflow at any support
+    val rows = gated
+      .withColumn("am", least(greatest(
+        expr("(r1 + 1L) * (c1 + 1L) div (n + 2L)"),
+        col("amin")), col("amax")))
+      .withColumn("av", explode(sequence(col("amin"), col("amax"))))
+    // ratio denominators never hit zero inside the support: j < amax
+    // ≤ min(r1,c1) keeps (r1−j)(c1−j) ≥ 1, and j ≥ amin ≥ c1−r2 keeps
+    // (r2−c1+j+1) ≥ 1
+    val u = when(col("av") === col("am"), lit(1.0))
+      .when(col("av") > col("am"),
+        aggregate(sequence(col("am"), col("av") - 1L),
+          lit(1.0d), (acc, j) => acc *
+            (((col("r1") - j) * (col("c1") - j)).cast("double") /
+              ((j + lit(1L)) * (col("r2") - col("c1") + j + lit(1L)))
+                .cast("double"))))
+      .otherwise(
+        aggregate(sequence(col("av"), col("am") - 1L),
+          lit(1.0d), (acc, j) => acc *
+            (((j + lit(1L)) * (col("r2") - col("c1") + j + lit(1L)))
+              .cast("double") /
+              ((col("r1") - j) * (col("c1") - j)).cast("double"))))
     val scored = rows.withColumn("u", u)
     val per = scored.groupBy(col("n"), col("n11"), col("n10"),
         col("n01"), col("n00"))

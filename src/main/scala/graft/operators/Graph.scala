@@ -886,9 +886,12 @@ object Graph {
       sum(col("x")).as("sx")))
     val dTab = units.crossJoin(tot)
       .select(col("nd"),
-        (D(col("n")) * D(col("x")) - D(col("sx"))).cast(dec).as("d"),
-        col("n"))
-    val den = dTab.groupBy(col("n")).agg(
+        (D(col("n")) * D(col("x")) - D(col("sx"))).cast(dec).as("d"))
+    // global agg, NOT a groupBy: a groupBy over zero valued units emits
+    // zero rows and empties the final crossJoin — the degenerate-input
+    // shape must still be the documented one all-null-stats row (the
+    // r11 advisor's finding). `n` rides in from `tot` (always one row).
+    val den = dTab.agg(
       sum((col("d") * col("d")).cast(dec)).cast(dec).as("den"))
     val tagged = e0
       .join(dTab.select(col("nd").as("u"), col("d").as("du")),
@@ -915,7 +918,7 @@ object Graph {
     val geary = ((nD - lit(1.0)) * (lit(2.0) * dd(col("num_c")))) /
       (lit(2.0) * wD * dd(col("den")))
     val ok = col("m") > 0L && col("den") > 0
-    sums.crossJoin(broadcast(den))
+    sums.crossJoin(tot).crossJoin(broadcast(den))
       .select(col("n").as("n_nodes"), col("m").as("n_edges"),
         (lit(2L) * col("m")).as("w"),
         (col("m_total") - col("m")).as("n_edges_dropped"),

@@ -293,6 +293,26 @@ object SemDedup {
     val inCap =
       if (maxCellSize <= 0) assigned
       else {
+        // LOUD cap census (the no-silent-caps discipline, cf.
+        // [[Dedup.capBuckets]]): an over-cap cell skips the pair stage
+        // entirely — every member comes back kept=true — so the skip
+        // must be visible at run time, not only via an [[oversizedCells]]
+        // query nobody issued. One cheap aggregation over the already-
+        // checkpointed assignment (cell-keyed count, decimal row count
+        // vs pair work). NOTE the r11 default change 100000 -> 10000:
+        // default-arg callers with 10k-100k-member cells now skip those
+        // cells — this census is where that shows up.
+        val over = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") > maxCellSize)
+          .agg(count(lit(1)).as("cells"), sum(col("n")).as("members"))
+          .head()
+        if (!over.isNullAt(1) && over.getLong(1) > 0L)
+          System.err.println(s"[semdedup] CAP CENSUS: ${over.getLong(0)} " +
+            s"cell(s) over maxCellSize=$maxCellSize totalling " +
+            s"${over.getLong(1)} members SKIP pair generation " +
+            "(all their members kept) — raise maxCellSize or pre-split " +
+            "with an exact-dedup pass")
         val w = Window.partitionBy(col("cell"))
         assigned.withColumn("_cn", count(lit(1)).over(w))
           .where(col("_cn") <= maxCellSize).drop("_cn")

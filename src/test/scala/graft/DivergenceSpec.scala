@@ -423,6 +423,15 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     }
     assert(err.getMessage != null &&
       err.getMessage.contains("fisherExact"), err.getMessage)
+    // default-cap stability (r11 advisor): support in (1000, 100000]
+    // must COMPUTE under the default arg — the brief 1000 default was a
+    // breaking change to a public signature. 1100+1100 of 2200 gives
+    // support 1101; p_two = 1 by symmetry of the balanced null table.
+    val mid = Seq.fill(550)((true, true)) ++ Seq.fill(550)((true, false)) ++
+      Seq.fill(550)((false, true)) ++ Seq.fill(550)((false, false))
+    val fm = Divergence.fisherExact(mid.toDF("r", "c"),
+      col("r"), col("c")).head()
+    assert(math.abs(fm.getAs[Double]("p_two") - 1.0) < 1e-9)
   }
 
   test("distanceCorrelation: exactly 1 on a line, sees the U-shape " +

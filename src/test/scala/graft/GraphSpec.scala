@@ -378,6 +378,16 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rd.getAs[Long]("n_edges_dropped") == 1)
     assert(rd.getAs[Long]("n_edges") == 2)
     assert(rd.getAs[Long]("n_nodes") == 3)
+    // ZERO valued units (r11 advisor): the shape contract is still ONE
+    // all-null-stats row — a groupBy-built denominator would emit zero
+    // rows and silently change the output grain on degenerate input
+    val rows0 = Graph.moranGeary(path.toDF("s", "d"), "s", "d",
+      Seq.empty[(Long, Long)].toDF("nd", "x"), "nd", "x").collect()
+    assert(rows0.length == 1)
+    val r0 = rows0.head
+    assert(r0.getAs[Long]("n_nodes") == 0)
+    assert(r0.isNullAt(r0.fieldIndex("moran_i")))
+    assert(r0.isNullAt(r0.fieldIndex("geary_c")))
   }
 
   test("harmonicFromAnf: hop fold is exact arithmetic on the estimates; " +

@@ -652,6 +652,38 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length == 4)
   }
 
+  test("multimodal: MP4 mvhd timescale 0 (and >2^31) is a structural " +
+      "violation — all-null row KEPT, never a divide-by-zero crash") {
+    import spark.implicits._
+    // minimal box-grammar-correct file with a pathological mvhd
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      val size = body.length + 8
+      Array(((size >> 24) & 0xff).toByte, ((size >> 16) & 0xff).toByte,
+        ((size >> 8) & 0xff).toByte, (size & 0xff).toByte) ++
+        t.getBytes("ISO-8859-1") ++ body
+    }
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def file(timescale: Long): Array[Byte] =
+      box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(512L) ++
+        "isom".getBytes("ISO-8859-1")) ++
+        box("moov", box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++
+          be32(0L) ++ be32(timescale) ++ be32(1000L)))
+    val df = Seq(
+      (1L, file(0L)),              // ts = 0: would divide by zero
+      (2L, file(0x80000000L)),     // ts = 2^31: wraps negative via toInt
+      (3L, file(600L)))            // control: valid
+      .toDF("id", "payload")
+    val rows = Multimodal.mp4Probe(df, "payload").orderBy("id").collect()
+    assert(rows.length == 3)
+    Seq(rows(0), rows(1)).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("timescale")))
+      assert(r.isNullAt(r.fieldIndex("duration_ms")))
+    }
+    assert(rows(2).getAs[Int]("timescale") == 600)
+    assert(rows(2).getAs[Long]("duration_ms") == 1000L * 1000L / 600L)
+  }
+
   test("multimodal: EXIF walk reads make/orientation/dims in BOTH byte " +
       "orders; corrupt and truncated kept null") {
     import spark.implicits._
