@@ -69,29 +69,22 @@ object KCore {
         col("v").isNotNull)
       .distinct()
 
-  /** Per-edge triangle support on a canonical (u < v) edge set: each
-    * triangle a < b < c is enumerated ONCE by pivoting at its middle
-    * id (wedge (a,b)+(b,c) closed by (a,c)) and credits all three of
-    * its edges. Id-ordering is the orientation trick that keeps the
-    * wedge join away from undirected hub blowup (each wedge counted
-    * one way); integer counts throughout. */
-  private def support(e: DataFrame): DataFrame = {
-    val tri = e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
-      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
-    tri.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
-      .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
-  }
+  /** Per-edge triangle support — DELEGATES to [[Triangles.support]]
+    * (degree-ordered orientation + sorted-adjacency intersection, the
+    * O(√2m)-wedge-capped kernel; zero-filled over the full edge set).
+    * One support census serves both the truss peel here and
+    * [[Triangles.perNode]] — the r12 consolidation of what were two
+    * independent k-truss codebases (the id-ordered wedge self-join
+    * that used to live here materialized Σ outdeg² wedge rows per
+    * round; the shared kernel never does). Input must be canonical
+    * AND checkpointed (consumed several times downstream). */
+  private def support(e: DataFrame): DataFrame = Triangles.support(e)
 
   /** One truss peel: drop every edge in fewer than k−2 triangles of
-    * the CURRENT subgraph (edges in none are absent from the support
-    * census — the inner join drops them, which is exactly the k ≥ 3
-    * semantics). */
+    * the CURRENT subgraph (support is zero-filled, so triangle-free
+    * edges carry sup = 0 and fall to the k ≥ 3 bound). */
   private def peelOnce(e: DataFrame, k: Int): DataFrame =
-    e.join(support(e), Seq("u", "v"))
-      .where(col("sup") >= (k - 2).toLong)
+    support(e).where(col("sup") >= (k - 2).toLong)
       .select(col("u"), col("v"))
 
   /** k-truss by iterative support peeling — [[kCore]]'s TRIANGLE
@@ -103,8 +96,10 @@ object KCore {
     * cannot change the fixpoint, the [[kCore]] argument lifted to
     * edges).
     *
-    * Scale shape per round: one id-oriented wedge join (each triangle
-    * enumerated once) + an edge-keyed census + one semi filter —
+    * Scale shape per round: one degree-ordered orientation +
+    * sorted-adjacency intersection (each triangle enumerated once at
+    * its order-minimal pivot, every out-degree O(√2m)-capped — the
+    * [[Triangles]] kernel) + an edge-keyed census + one filter —
     * nothing quadratic in nodes; round count is the truss peeling
     * depth, `maxIter` fails LOUDLY on overrun. Output: surviving
     * canonical edges with their FINAL-subgraph support: (u, v, sup).
@@ -126,8 +121,7 @@ object KCore {
       throw new IllegalStateException(
         s"kTruss(k=$k) did not converge in $maxIter peel rounds " +
           "(truss peeling depth exceeds maxIter — raise it)")
-    e.join(support(e), Seq("u", "v"), "left")
-      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"))
+    support(e) // already zero-filled over the surviving edge set
   }
 
   /** Exactly `rounds` truss peels, NO convergence check — the
@@ -142,7 +136,6 @@ object KCore {
     var e = canon(edges, uCol, vCol).localCheckpoint(true)
     for (_ <- 1 to rounds)
       e = peelOnce(e, k).localCheckpoint(true)
-    e.join(support(e), Seq("u", "v"), "left")
-      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"))
+    support(e) // zero-filled: post-peel support CAN be < k−2 here
   }
 }

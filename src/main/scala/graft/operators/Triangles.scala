@@ -157,8 +157,10 @@ object Triangles {
   /** Per-edge triangle support over a canonical checkpointed edge set:
     * each [[closedTriangles]] pivot row (src, dst, ws) certifies |ws|
     * triangles on edge (src,dst) and one each on (src,w) and (dst,w) —
-    * re-canonicalized, summed, zero-filled over the full edge set. */
-  private def support(e0: DataFrame): DataFrame = {
+    * re-canonicalized, summed, zero-filled over the full edge set.
+    * Shared with [[KCore.kTruss]]/[[KCore.kTrussPeel]] (the ONE truss
+    * peel kernel in the engine — consolidated r12). */
+  private[operators] def support(e0: DataFrame): DataFrame = {
     val closed = closedTriangles(e0)
     val pivot = closed.select(col("src").as("a"), col("dst").as("b"),
       size(col("ws")).cast("long").as("n"))
@@ -174,45 +176,4 @@ object Triangles {
       .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"))
   }
 
-  /** k-truss of the undirected graph (Cohen 2008) — the EDGE-cohesion
-    * cut next to [[KCore.kCore]]'s node cut: the maximal subgraph whose
-    * every edge sits in ≥ k−2 triangles OF THAT SUBGRAPH. A k-core
-    * keeps a node for having k neighbors anywhere; a k-truss demands
-    * the neighbors interlock — the standard community-scaffold filter
-    * one notch stricter than the core (every k-truss is inside the
-    * (k−1)-core). Each round computes per-edge support on the survivor
-    * subgraph via [[closedTriangles]] (degree-ordered orientation —
-    * the O(√2m) wedge cap holds every round) and batch-peels every
-    * edge under k−2; removal order cannot change the fixpoint, so the
-    * batch peel is exact.
-    *
-    * Scale shape: per round, one orientation + sorted-adjacency
-    * intersection (never a wedge-row materialization) and one
-    * anti-join; round count is the truss peeling depth — `maxIter`
-    * overrun fails LOUDLY ([[KCore.kCore]] contract). All counts
-    * integer — bit-stable at any parallelism. Output: the surviving
-    * canonical edges with their within-truss support (u, v, sup);
-    * empty output = the graph has no k-truss. */
-  def kTruss(edges: DataFrame, uCol: String, vCol: String, k: Int,
-      maxIter: Int = 30): DataFrame = {
-    require(k >= 3, s"k must be >= 3 for a non-trivial truss: $k")
-    var e = canonical(edges, uCol, vCol).localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val sup = support(e)
-      val kept = sup.where(col("sup") >= k - 2L)
-        .select(col("u"), col("v")).localCheckpoint(true)
-      val (nKept, nPrev) = (kept.count(), e.count())
-      if (nKept == nPrev) converged = true
-      else { e = kept; iter += 1 }
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"kTruss(k=$k) did not converge in $maxIter peel rounds " +
-          "(peeling depth exceeds maxIter — raise it)")
-    // at the fixpoint every surviving edge already satisfies the bound;
-    // one final support pass attaches the within-truss count
-    support(e)
-  }
 }

@@ -1237,7 +1237,7 @@ object Relational {
         round($"jw", 6).as("jw"))
   }
 
-  /** q408 — k-truss edges ([[graft.operators.Triangles.kTruss]]) of the
+  /** q408 — k-truss edges ([[graft.operators.KCore.kTruss]]) of the
     * q227 Brand#11 co-purchase graph at k=3: the surviving edges each
     * sit in ≥ 1 triangle of the survivor subgraph — the edge-cohesion
     * cut stricter than q227's node k-core (every k-truss edge lives
@@ -1259,7 +1259,7 @@ object Relational {
       .join(op.select($"ok", $"pk".as("v")), "ok")
       .where($"u" < $"v")
       .select($"u", $"v")
-    graft.operators.Triangles.kTruss(edges, "u", "v", k = 3)
+    graft.operators.KCore.kTruss(edges, "u", "v", k = 3)
   }
 
   /** q413 — leave-one-group-out slope influence ([[graft.operators

@@ -36,14 +36,14 @@ class IntervalsTrianglesSpec extends AnyFunSuite with SparkFixture {
     assert(tri == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
-  test("kTruss: K4 + hanging triangle + pendant — the 4-truss is " +
+  test("kTruss (consolidated KCore impl): K4 + hanging triangle + pendant — the 4-truss is " +
       "exactly K4; the 3-truss keeps both triangle blocks") {
     import spark.implicits._
     // K4 on {1,2,3,4}; triangle {4,5,6} hangs off node 4; (6,7) pendant
     val k4 = for { u <- 1L to 4L; v <- 1L to 4L if u < v } yield (u, v)
     val g = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
       .toDF("u", "v")
-    def run(k: Int) = Triangles.kTruss(g, "u", "v", k)
+    def run(k: Int) = graft.operators.KCore.kTruss(g, "u", "v", k)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     // k=4 (support >= 2): triangle edges have support 1 -> peeled;
@@ -65,7 +65,7 @@ class IntervalsTrianglesSpec extends AnyFunSuite with SparkFixture {
     // with support 0 -> peeled round 2 -> empty fixpoint
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("u", "v")
-    val t = Triangles.kTruss(g, "u", "v", k = 4)
+    val t = graft.operators.KCore.kTruss(g, "u", "v", k = 4)
     assert(t.count() == 0L)
     assert(t.columns.toSeq == Seq("u", "v", "sup"))
   }
