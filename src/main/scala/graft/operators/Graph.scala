@@ -989,6 +989,32 @@ object Graph {
           .otherwise(fold).as("eff_diameter"))
   }
 
+  /** Session-scoped MATERIALIZED sketch stage over [[hyperAnf]] — the
+    * r11 VERDICT's shared-sketch ask: q364 (the neighborhood function
+    * itself), harmonic centrality and effective diameter all consume
+    * the SAME deterministic sketch, and on a cluster the ANF table is
+    * written once per graph snapshot and read by every centrality
+    * readout — recomputing the 4-hop register loop per reader triples
+    * the dominant cost. This memo is that table's single-JVM form: the
+    * first caller per (application, key, maxHops, b) runs the hop loop
+    * and eager-localCheckpoints the (node, hop, nonempty, est) rows
+    * (~n·maxHops rows — node-grain, tiny next to the edge-grain loop);
+    * later callers read the materialized blocks. Keyed by
+    * applicationId so a new SparkSession can never see another
+    * session's (dead) checkpoint blocks. The sketch is bit-identical
+    * to a fresh [[hyperAnf]] run (md5-derived registers, IEEE-exact
+    * estimator), so readers' oracles stay independent replays. */
+  object AnfStage {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    def sketch(spark: org.apache.spark.sql.SparkSession, key: String,
+        maxHops: Int, b: Int)(edges: => DataFrame): DataFrame =
+      cache.computeIfAbsent(
+        s"${spark.sparkContext.applicationId}|$key|$maxHops|$b",
+        _ => hyperAnf(edges, "src", "dst", maxHops, b)
+          .localCheckpoint(true))
+  }
+
   def harmonicFromAnf(anf: DataFrame): DataFrame =
     anf.groupBy(col("node"))
       .agg(sort_array(collect_list(struct(col("hop"), col("est"))))
