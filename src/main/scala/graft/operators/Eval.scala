@@ -2830,22 +2830,52 @@ object Eval {
     * n_above, chi2, df); chi2 null when any margin is empty (A = 0 or
     * A = N) or k < 2. */
   def moodMedian(df: DataFrame, scopeCol: String, groupCol: String,
-      valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(scopeCol).as("sc"), col(groupCol).as("g"),
+      valueCol: String): DataFrame =
+    moodMedianFromCensus(moodCensus(df, scopeCol, groupCol, valueCol))
+      .withColumnRenamed("sc", scopeCol)
+
+  /** The (scope, group, value) count census [[moodMedian]] reduces to —
+    * a PURE aggregation, so the same function is the streaming twin's
+    * state ([[graft.streaming.Streams.moodCensusStream]]): per cell one
+    * long count, state bounded by distinct (scope, group, value)
+    * triples, never row count. Output: (sc, g, x, c). */
+  def moodCensus(df: DataFrame, scopeCol: String, groupCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(scopeCol).as("sc"), col(groupCol).as("g"),
         col(valueCol).cast("long").as("x"))
       .where(col("x").isNotNull && col("g").isNotNull)
+      .groupBy(col("sc"), col("g"), col("x"))
+      .agg(count(lit(1)).as("c"))
+
+  /** [[moodMedian]]'s statistic half over a (sc, g, x, c) census —
+    * the FromCensus contract ([[sprtFromCensus]] family): everything
+    * (pooled lower median via cumulative value counts, the k×2 table,
+    * the χ² fold) derives from the census alone, so a streamed census
+    * sink feeds it identically to the batch path. The lower median at
+    * sorted position ceil(N/2) is the SMALLEST value whose cumulative
+    * count reaches ceil(N/2) — the value-grain form of the row-grain
+    * row_number rule, bit-identical. */
+  def moodMedianFromCensus(census: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = census.select(col("sc"), col("g"), col("x"), col("c"))
     val wS = Window.partitionBy(col("sc"))
     val wOrd = Window.partitionBy(col("sc")).orderBy(col("x"))
-    val med = base
-      .withColumn("__i", row_number().over(wOrd).cast("long"))
-      .withColumn("__n", count(lit(1)).over(wS))
-      .where(col("__i") === expr("(__n + 1) div 2")) // ceil(N/2), integer div
-      .select(col("sc"), col("x").as("med"))
-    val cells = base.join(med, Seq("sc"))
+    val byVal = base.groupBy(col("sc"), col("x"))
+      .agg(sum(col("c")).as("cv"))
+    val med = byVal
+      .withColumn("__cum", sum(col("cv")).over(wOrd))
+      .withColumn("__n", sum(col("cv")).over(wS))
+      .where(col("__cum") >= expr("(__n + 1) div 2")) // ceil(N/2)
+      .groupBy(col("sc")).agg(min(col("x")).as("med"))
+      // fresh output attributes: med derives from `base`, and a
+      // memory-sink view feeding both join sides otherwise trips
+      // "conflicting references" (both outputs carry sc's exprId)
+      .select(col("sc").as("__msc"), col("med"))
+    val cells = base
+      .join(med, base("sc") === med("__msc")).drop("__msc")
       .groupBy(col("sc"), col("g"))
-      .agg(max(col("med")).as("med"), count(lit(1)).as("ni"),
-        sum(when(col("x") > col("med"), 1L).otherwise(0L)).as("ai"))
+      .agg(max(col("med")).as("med"), sum(col("c")).as("ni"),
+        sum(when(col("x") > col("med"), col("c")).otherwise(0L)).as("ai"))
     def dd(c: Column): Column = c.cast("double")
     val per = cells.groupBy(col("sc")).agg(
       max(col("med")).as("pooled_med"),
@@ -2866,7 +2896,7 @@ object Eval {
     })
     val ok = col("k_groups") > 1L && col("n_above") > 0L &&
       col("n_above") < col("n")
-    per.select(col("sc").as(scopeCol), col("n"), col("k_groups"),
+    per.select(col("sc"), col("n"), col("k_groups"),
       col("pooled_med"), col("n_above"),
       when(ok, chi2).as("chi2"),
       when(col("k_groups") > 1L, col("k_groups") - 1L).as("df"))

@@ -605,6 +605,15 @@ object Streams {
       causeCol: String): DataFrame =
     graft.operators.Survival.cifCensus(rows, durCol, causeCol)
 
+  /** Streaming Mood's-median value census ([[graft.operators.Eval
+    * .moodMedian]]'s twin, r12): per (scope, group, value) one long
+    * count is the whole state — bounded by distinct value triples,
+    * never stream length; [[graft.operators.Eval.moodMedianFromCensus]]
+    * reads the sink for the pooled median + k×2 χ² board. */
+  def moodCensusStream(rows: DataFrame, scopeCol: String,
+      groupCol: String, valueCol: String): DataFrame =
+    graft.operators.Eval.moodCensus(rows, scopeCol, groupCol, valueCol)
+
   case class BurstState(times: List[Long], peak: Long, n: Long)
   case class BurstOut(user_id: Long, n_events: Long, peak_rate: Long)
 

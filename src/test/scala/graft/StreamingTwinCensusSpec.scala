@@ -205,6 +205,20 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     Streams.hellingerCensusStream(_, "cat", col("r")),
     graft.operators.Divergence.hellingerFromCensus(_))
 
+  twin[(String, String, Long)]("moodCensusStream",
+    "pooled median + k×2 χ² board from the streamed value census " +
+      "equals batch moodMedian at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type", date_format($"ts", "EEEE"),
+          round($"value" * 100).cast("long"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    },
+    Seq("event_type", "dow", "cents"),
+    Streams.moodCensusStream(_, "event_type", "dow", "cents"),
+    graft.operators.Eval.moodMedianFromCensus(_))
+
   twin[(Long, Long)]("cifCensusStream",
     "Aalen-Johansen board from the streamed duration census equals " +
       "batch cumulativeIncidence at every prefix",
@@ -277,7 +291,7 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
       "experimentCensusStream", "ksCensusStream", "gapCensusStream",
       "tradeCensusStream", "grubbsCensusStream", "periodCensusStream",
       "herfindahlCensusStream", "hellingerCensusStream",
-      "cifCensusStream")
+      "cifCensusStream", "moodCensusStream")
     assert(inventory.subsetOf(censusShaped), censusShaped.toString)
   }
 
@@ -299,6 +313,7 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     "WeightedStats.herfindahlFromCensus" -> Right("herfindahlCensusStream"),
     "Divergence.hellingerFromCensus" -> Right("hellingerCensusStream"),
     "Survival.cumulativeIncidenceFromCensus" -> Right("cifCensusStream"),
+    "Eval.moodMedianFromCensus" -> Right("moodCensusStream"),
     // conductance needs DISTINCT canonical edges BEFORE the community
     // census — dedup state plus an aggregation is two stateful ops, not
     // one complete-mode aggregation, so the shared harness cannot
