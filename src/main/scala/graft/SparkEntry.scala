@@ -484,6 +484,7 @@ object SparkEntry {
     "q461_semdedup_tree"    -> (D.q461SemDedupTree(_, _)),
     "q462_smith_waterman"   -> (R.q462SmithWaterman(_, _)),
     "q463_ktruss"           -> (R.q463KTruss(_, _)),
+    "q464_pelt"             -> (T.q464Pelt(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8444,6 +8445,78 @@ object SparkEntry {
           |SELECT e.u, e.v, coalesce(sf.cnt, 0) AS sup
           |FROM e2 e LEFT JOIN sf ON e.u = sf.u AND e.v = sf.v"""
           .stripMargin
+    },
+    // q464: the PELT-objective DP replayed list-for-list — exact long
+    // prefix sums via windows, the F fold as a list_reduce whose acc
+    // is the growing DOUBLE[] (elements lifted to singleton lists so
+    // the reduce types unify), back-pointers recomputed from the FINAL
+    // F array (no multi-field-struct fold — the documented DuckDB
+    // lambda hazard), backtrack as an INT[]-acc chain walk. Candidate
+    // cost shape textually pinned to the Spark fold's.
+    "q464_pelt" -> {
+      val cand =
+        """acc[s + 1]
+          |          + (CAST(s2[CAST(xx[1] AS INT) + 1] - s2[s + 1] AS DOUBLE)
+          |             - CAST(s1[CAST(xx[1] AS INT) + 1] - s1[s + 1] AS DOUBLE)
+          |               * CAST(s1[CAST(xx[1] AS INT) + 1] - s1[s + 1] AS DOUBLE)
+          |               / CAST(CAST(xx[1] AS INT) - s AS DOUBLE))
+          |          + CAST(400.0 AS DOUBLE)""".stripMargin
+      val candF =
+        """fs[s + 1]
+          |          + (CAST(s2[CAST(t AS INT) + 1] - s2[s + 1] AS DOUBLE)
+          |             - CAST(s1[CAST(t AS INT) + 1] - s1[s + 1] AS DOUBLE)
+          |               * CAST(s1[CAST(t AS INT) + 1] - s1[s + 1] AS DOUBLE)
+          |               / CAST(CAST(t AS INT) - s AS DOUBLE))
+          |          + CAST(400.0 AS DOUBLE)""".stripMargin
+      s"""WITH d AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS o,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+         |  FROM events GROUP BY 1, 2),
+         |pl AS (SELECT k, o, CASE WHEN substring(o, 9, 2) >= '16'
+         |    THEN tot * 3 ELSE tot END AS b FROM d),
+         |q AS (SELECT k, o,
+         |    b * 1000 // SUM(b) OVER (PARTITION BY k) AS pm FROM pl),
+         |w AS (SELECT k, o, pm,
+         |    SUM(pm) OVER (PARTITION BY k ORDER BY o
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         |    SUM(pm * pm) OVER (PARTITION BY k ORDER BY o
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+         |  FROM q),
+         |g AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         |    list_prepend(CAST(0 AS BIGINT), list(c1 ORDER BY o)) AS s1,
+         |    list_prepend(CAST(0 AS BIGINT), list(c2 ORDER BY o)) AS s2,
+         |    list(o ORDER BY o) AS os
+         |  FROM w GROUP BY k HAVING COUNT(*) >= 2),
+         |fdp AS (SELECT *, list_reduce(
+         |    list_prepend([CAST(-400.0 AS DOUBLE)],
+         |      list_transform(range(1, CAST(n AS INT) + 1),
+         |        t -> [CAST(t AS DOUBLE)])),
+         |    (acc, xx) -> list_append(acc,
+         |      list_min(list_transform(range(0, CAST(xx[1] AS INT)), s ->
+         |        $cand)))) AS fs
+         |  FROM g),
+         |cp AS (SELECT *, list_transform(range(1, CAST(n AS INT) + 1),
+         |    t -> CAST(list_min(list_transform(range(0, CAST(t AS INT)),
+         |      s -> CASE WHEN $candF = fs[CAST(t AS INT) + 1]
+         |        THEN CAST(s AS INT) ELSE 2147483647 END)) AS INT)) AS cps
+         |  FROM fdp),
+         |bt AS (SELECT *, list_sort(list_reduce(
+         |    list_prepend([CAST(n AS INT)],
+         |      list_transform(range(1, CAST(n AS INT) + 1),
+         |        i -> [CAST(0 AS INT)])),
+         |    (acc, xx) -> CASE WHEN acc[1] > 0 THEN
+         |        list_concat([cps[acc[1]]],
+         |          CASE WHEN cps[acc[1]] > 0
+         |            THEN list_append(acc[2:], cps[acc[1]])
+         |            ELSE acc[2:] END)
+         |      ELSE acc END)[2:]) AS cuts
+         |  FROM cp)
+         |SELECT k AS event_type, n,
+         |  CAST(len(cuts) AS BIGINT) AS n_changepoints,
+         |  array_to_string(list_transform(cuts, c -> os[c + 1]), ',')
+         |    AS cp_ords,
+         |  CAST(round(CAST(CAST(fs[CAST(n AS INT) + 1] AS VARCHAR)
+         |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS total_cost
+         |FROM bt""".stripMargin
     },
     // q462: Smith-Waterman replayed by ANTI-DIAGONALS as a recursive
     // CTE — diagonal d depends only on d-1/d-2 elementwise, so each

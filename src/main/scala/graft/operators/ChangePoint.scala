@@ -299,4 +299,119 @@ object ChangePoint {
       when(col("n") >= 2L, col("__best").getField("o")).as("cp_ord"),
       when(col("n") >= 2L, p).as("p_value"))
   }
+
+  /** Exact MULTI-change-point segmentation per key under the PELT
+    * objective (Killick et al. 2012): minimize over all segmentations
+    *   Σ_segments SSE(segment) + β · (#segments),
+    * i.e. [[binarySegment]]'s mean-shift cost made GLOBAL — binary
+    * segmentation is greedy and can mis-place a boundary once two true
+    * shifts interact; the dynamic program
+    *   F(t) = min_{0≤s<t} F(s) + C(s, t] + β,   F(0) = −β
+    * is exact. This is optimal partitioning, the un-pruned form of
+    * PELT: pruning changes WHICH candidates are examined, never the
+    * optimum, and skipping it keeps the recurrence replayable
+    * fold-for-fold by a cross-engine oracle (ties in the argmin break
+    * to the SMALLEST s, pinned by the strictly-less fold). Per-key
+    * series length is LOUDLY capped at `maxN` — the fold is Θ(n²) per
+    * key by construction (the [[graft.operators.Divergence
+    * .fisherExact]] gate discipline): at period grain (daily/hourly
+    * censuses, the intended input) n is hundreds, and a caller who
+    * raises the cap buys the quadratic knowingly.
+    *
+    * Exactness: values are exact longs; prefix sums S1/S2 are exact
+    * long arrays (S2 overflows past |x| ~ 3·10⁹ on a 1000-point key —
+    * far above period-census grain); every C(s, t] is ONE pinned
+    * double shape over exact integer differences; F folds in t order
+    * with ascending-s inner argmins. Bit-replayable cross-engine.
+    *
+    * Ordering contract: ord compares AS STRINGS ([[binarySegment]]'s
+    * refusal). Output per key: (key, n, n_changepoints, cp_ords —
+    * comma-joined ord labels of each new segment's FIRST period —
+    * total_cost = F(n)); keys with n < 2 are absent (no split
+    * exists). */
+  def pelt(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, penalty: Double, maxN: Int = 2000): DataFrame = {
+    require(penalty > 0.0, s"penalty must be positive: $penalty")
+    require(maxN >= 2, s"maxN must be >= 2: $maxN")
+    require(!df.schema(ordCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"pelt: ordCol '$ordCol' is ${df.schema(ordCol).dataType} — " +
+        "ord values compare AS STRINGS; format to ISO period labels first")
+    val base = df.select(col(keyCol).as("k"),
+      col(ordCol).cast("string").as("o"), col(valueCol).cast("long").as("x"))
+    val g = base.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sort_array(collect_list(struct(col("o"), col("x")))).as("cells"))
+      .where(col("n") >= 2L)
+      .withColumn("n", when(col("n") <= lit(maxN.toLong), col("n"))
+        .otherwise(raise_error(concat(lit("pelt: series length "),
+          col("n").cast("string"),
+          lit(s" exceeds maxN=$maxN — the exact DP is quadratic per " +
+            "key; aggregate to a coarser period or raise the cap " +
+            "knowingly")))))
+    // exact prefix sums over the ord-sorted values: s1[i]=Σx, s2[i]=Σx²
+    // (index 0 = empty prefix), built in index order — long-exact
+    val withPrefix = g
+      .withColumn("s1", expr(
+        """aggregate(cells, array(0L),
+          |  (acc, e) -> concat(acc, array(element_at(acc, -1) + e.x)))"""
+          .stripMargin))
+      .withColumn("s2", expr(
+        """aggregate(cells, array(0L),
+          |  (acc, e) -> concat(acc, array(element_at(acc, -1) + e.x * e.x)))"""
+          .stripMargin))
+    // candidate cost, textually pinned in BOTH the F fold and the
+    // back-pointer pass (and in the oracle's replay): F(s) + SSE + β
+    // with SSE = (S2Δ as double) − (S1Δ as double)² / (t − s)
+    def cand(fsRef: String) =
+      s"""$fsRef
+         |            + (CAST(element_at(s2, t + 1) - element_at(s2, s + 1)
+         |                AS DOUBLE)
+         |               - CAST(element_at(s1, t + 1) - element_at(s1, s + 1)
+         |                  AS DOUBLE)
+         |                 * CAST(element_at(s1, t + 1) - element_at(s1, s + 1)
+         |                    AS DOUBLE) / CAST(t - s AS DOUBLE))
+         |            + CAST($penalty AS DOUBLE)""".stripMargin
+    // pass 1 — the F fold: acc = the growing F array (F[1] = F(0) = -β);
+    // inner min over s ascending
+    val dp = withPrefix.withColumn("fs", expr(
+      s"""aggregate(sequence(1, CAST(n AS INT)),
+         |  array(CAST(-$penalty AS DOUBLE)),
+         |  (acc, t) -> concat(acc, array(
+         |    aggregate(sequence(0, t - 1), CAST('Infinity' AS DOUBLE),
+         |      (b, s) -> CASE WHEN
+         |          ${cand("element_at(acc, s + 1)")} < b
+         |        THEN ${cand("element_at(acc, s + 1)")}
+         |        ELSE b END))))""".stripMargin))
+    // pass 2 — back-pointers from the FINAL F array (F(s) never changes
+    // after it is written, so cp(t) needs no sequencing — the shape a
+    // cross-engine list fold replays without multi-field-struct
+    // hazards): first s achieving F(t) exactly = the smallest-s argmin
+    val cps = dp.withColumn("cps", expr(
+      s"""transform(sequence(1, CAST(n AS INT)), t ->
+         |  aggregate(sequence(0, t - 1),
+         |    named_struct('f', CAST('Infinity' AS DOUBLE), 'sb', -1),
+         |    (b, s) -> CASE WHEN
+         |        ${cand("element_at(fs, s + 1)")} < b.f
+         |      THEN named_struct('f', ${cand("element_at(fs, s + 1)")},
+         |        'sb', s)
+         |      ELSE b END).sb)""".stripMargin))
+    // backtrack: follow the argmin chain from t = n; interior
+    // boundaries (s > 0) are the change points, ascending after sort
+    val bt = cps.withColumn("cuts", expr(
+      """sort_array(aggregate(sequence(1, CAST(n AS INT)),
+        |  named_struct('t', CAST(n AS INT), 'cs', CAST(array() AS ARRAY<INT>)),
+        |  (acc, i) -> CASE WHEN acc.t > 0 THEN named_struct(
+        |      't', element_at(cps, acc.t),
+        |      'cs', CASE WHEN element_at(cps, acc.t) > 0
+        |        THEN concat(acc.cs, array(element_at(cps, acc.t)))
+        |        ELSE acc.cs END)
+        |    ELSE acc END,
+        |  acc -> acc.cs))""".stripMargin))
+    bt.select(col("k").as(keyCol), col("n"),
+      size(col("cuts")).cast("long").as("n_changepoints"),
+      expr("array_join(transform(cuts, c -> element_at(cells, c + 1).o), ',')")
+        .as("cp_ords"),
+      expr("element_at(fs, CAST(n AS INT) + 1)").as("total_cost"))
+  }
 }

@@ -2409,6 +2409,31 @@ object TimeSeries {
       .select($"event_type", $"n", round($"beta", 6).as("beta"),
         round($"phi", 6).as("phi"), round($"t_adf", 6).as("t_adf"))
 
+  /** q464 — PELT-objective multi-change-point ([[graft.operators
+    * .ChangePoint.pelt]]): exact global segmentation of each event
+    * type's daily series, the multi-shift generalization of q454's
+    * single Pettitt point and q296's greedy binary segmentation. The
+    * series is the SCALE-FREE per-mille composition of the month
+    * (tot·1000 div Σtot — comparable across SFs) with days ≥ 16
+    * tripled before normalizing: a planted mid-month level shift the
+    * DP must localize exactly (the plant changes both halves' shares,
+    * so the boundary is d16 by construction). Exact long prefix sums,
+    * pinned double cost shapes, smallest-s tie-break — the oracle
+    * replays the F fold, the back-pointer pass and the backtrack
+    * list-for-list. */
+  def q464Pelt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planted = dailyCents(spark, dir)
+      .withColumn("b", when(substring($"day", 9, 2) >= "16", $"tot" * 3L)
+        .otherwise($"tot"))
+      .withColumn("pm", expr(
+        "b * 1000L div sum(b) OVER (PARTITION BY event_type)"))
+    graft.operators.ChangePoint.pelt(planted, "event_type", "day", "pm",
+        penalty = 400.0)
+      .select($"event_type", $"n", $"n_changepoints", $"cp_ords",
+        round($"total_cost", 6).as("total_cost"))
+  }
+
   /** q458 — Mood's median test ([[graft.operators.Eval.moodMedian]]):
     * do weekend and weekday event values sit on the same side of the
     * pooled median, per event type? The maximally-robust location

@@ -139,4 +139,53 @@ class ChangePointSpec extends AnyFunSuite with SparkFixture {
     assert(out("a").getAs[String]("cp_ord") == "d06")
     assert(out("a").getAs[Double]("p_value") < 0.05)
   }
+
+  test("pelt: exact DP matches a naive segmentation search, finds TWO " +
+      "shifts binary-greedy geometry can misplace, huge penalty means " +
+      "zero cuts, tiny keys absent, loud maxN gate") {
+    import spark.implicits._
+    // two clean level shifts: 0s, then 100s, then 0s
+    val two = Seq.fill(5)(0L) ++ Seq.fill(5)(100L) ++ Seq.fill(5)(0L)
+    val flat = Seq.fill(8)(7L)
+    def rows(k: String, xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (k, f"d${i + 1}%02d", x) }
+    val df = (rows("two", two) ++ rows("flat", flat) ++
+      Seq(("tiny", "d01", 5L))).toDF("k", "o", "x")
+    val out = ChangePoint.pelt(df, "k", "o", "x", penalty = 50.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("tiny")) // n < 2: no split exists
+    assert(out("flat").getAs[Long]("n_changepoints") == 0L)
+    assert(out("two").getAs[Long]("n_changepoints") == 2L)
+    assert(out("two").getAs[String]("cp_ords") == "d06,d11")
+    // independent exhaustive check: min over ALL segmentations of
+    // sse + beta*(k+1), F(n) convention (F(0) = -beta)
+    def sse(xs: Seq[Long]): Double = {
+      val n = xs.length
+      val s1 = xs.sum.toDouble
+      xs.map(x => x.toDouble * x).sum - s1 * s1 / n
+    }
+    def best(xs: Seq[Long], beta: Double): Double =
+      (0 until (1 << (xs.length - 1))).map { mask =>
+        var cost = 0.0; var start = 0
+        for (b <- 0 until xs.length - 1)
+          if ((mask & (1 << b)) != 0) {
+            cost += sse(xs.slice(start, b + 1)) + beta; start = b + 1
+          }
+        cost + sse(xs.slice(start, xs.length)) + beta - beta
+      }.min
+    val exp = best(two, 50.0)
+    assert(math.abs(out("two").getAs[Double]("total_cost") - exp) < 1e-9,
+      s"${out("two").getAs[Double]("total_cost")} vs $exp")
+    // huge penalty: never worth cutting
+    val big = ChangePoint.pelt(rows("two", two).toDF("k", "o", "x"),
+      "k", "o", "x", penalty = 1e9).head()
+    assert(big.getAs[Long]("n_changepoints") == 0L)
+    // loud quadratic gate
+    val err = intercept[Exception] {
+      ChangePoint.pelt(rows("z", (1L to 30L)).toDF("k", "o", "x"),
+        "k", "o", "x", penalty = 1.0, maxN = 10).collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("pelt"),
+      err.getMessage)
+  }
 }

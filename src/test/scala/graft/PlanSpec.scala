@@ -675,4 +675,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val smj = "SortMergeJoin".r.findAllIn(p461).size
     assert(smj <= 2, s"q461 grew $smj sort-merge joins:\n${p461.take(1500)}")
   }
+
+  test("q464 pelt: no cartesians; every window keyed on event_type " +
+      "(the DP itself is a per-key bounded fold, never a shuffle)") {
+    val p = physical("q464_pelt")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("event_type") || l.contains("[k#"),
+        s"q464 window not keyed:\n$l")
+    }
+  }
 }
