@@ -485,6 +485,7 @@ object SparkEntry {
     "q462_smith_waterman"   -> (R.q462SmithWaterman(_, _)),
     "q463_ktruss"           -> (R.q463KTruss(_, _)),
     "q464_pelt"             -> (T.q464Pelt(_, _)),
+    "q465_aho_corasick"     -> (D.q465AhoCorasick(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8517,6 +8518,31 @@ object SparkEntry {
          |  CAST(round(CAST(CAST(fs[CAST(n AS INT) + 1] AS VARCHAR)
          |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS total_cost
          |FROM bt""".stripMargin
+    },
+    // q465: each AC count replayed as a brute positional scan — the
+    // positions i where substring(text, i, len(p)) = p, which is the
+    // all-occurrences (overlapping) definition the automaton computes
+    "q465_aho_corasick" -> {
+      val pats = Seq("table", "tab", "an", "scan", "spark", "park", "row")
+      val cnts = pats.map { p =>
+        val L = p.length
+        s"""COALESCE(CAST(list_sum(list_transform(
+           |      range(1, greatest(len(text) - $L + 2, 1)),
+           |      i -> CASE WHEN substring(text, CAST(i AS INT), $L) = '$p'
+           |        THEN 1 ELSE 0 END)) AS BIGINT), 0) AS n_$p"""
+          .stripMargin
+      }.mkString(",\n    ")
+      s"""WITH c AS (SELECT doc_id,
+         |    $cnts
+         |  FROM documents),
+         |t AS (SELECT *,
+         |    ${pats.map("n_" + _).mkString(" + ")} AS n_total,
+         |    ${pats.map(p => s"CASE WHEN n_$p > 0 THEN 1 ELSE 0 END")
+               .mkString(" + ")} AS nph
+         |  FROM c)
+         |SELECT doc_id, ${pats.map("n_" + _).mkString(", ")}, n_total,
+         |  CAST(nph AS BIGINT) AS n_patterns_hit
+         |FROM t WHERE n_total > 0""".stripMargin
     },
     // q462: Smith-Waterman replayed by ANTI-DIAGONALS as a recursive
     // CTE — diagonal d depends only on d-1/d-2 elementwise, so each

@@ -3463,4 +3463,27 @@ object TrainingData {
     graft.operators.Similarity.daviesBouldin(
         Tables.embeddings(spark, dir), "label", "embedding")
       .select($"n", $"k", round($"db", 6).as("db"))
+
+  /** q465 — Aho–Corasick multi-pattern scan ([[graft.functions
+    * .AhoCorasick.counts]], codegen Expression): every document
+    * checked against a FIXED marker set in one automaton pass —
+    * the k-needle generalization of q462's single fuzzy needle and
+    * the exact-scan companion to q89's n-gram decontamination. The
+    * pattern set is deliberately NESTED/overlapping ("tab" inside
+    * "table", "an" inside "scan") to pin the all-occurrences AC
+    * semantics an engine cannot fake with k non-overlapping substring
+    * counts. Per doc: the per-pattern counts, their total, and how
+    * many distinct patterns hit — the contamination board a blocklist
+    * gate ranks on. */
+  def q465AhoCorasick(spark: SparkSession, dir: String): DataFrame = {
+    val pats = Seq("table", "tab", "an", "scan", "spark", "park", "row")
+    val d = docs(spark, dir).select($"doc_id", $"text")
+      .withColumn("c", graft.functions.AhoCorasick.counts($"text", pats))
+    d.select(($"doc_id" :: pats.zipWithIndex.map { case (p, i) =>
+        element_at($"c", i + 1).as(s"n_$p") }.toList ::: List(
+        expr("aggregate(c, 0L, (a, x) -> a + x)").as("n_total"),
+        expr("aggregate(c, 0L, (a, x) -> a + IF(x > 0, 1L, 0L))")
+          .as("n_patterns_hit"))): _*)
+      .where($"n_total" > 0)
+  }
 }

@@ -173,4 +173,35 @@ class LinkageSpec extends AnyFunSuite with SparkFixture {
       .toMap
     assert(t(1L) == 2L && t(2L) == 3L)
   }
+
+  test("ahoCorasick: all-occurrences semantics (overlapping + nested), " +
+      "counts match a naive positional scan, null text stays null, " +
+      "empty pattern refused") {
+    import spark.implicits._
+    import graft.functions.AhoCorasick
+    // nested ("tab" in "table") and self-overlapping ("aa" in "aaaa")
+    val pats = Seq("aa", "tab", "table", "ab")
+    val texts = Seq(
+      (1L, "aaaa"),                      // "aa" x3 overlapping
+      (2L, "a table on a tab"),
+      (3L, "zzz"),                       // no hits
+      (4L, null.asInstanceOf[String]))
+    val rows = texts.toDF("id", "t")
+      .withColumn("c", AhoCorasick.counts($"t", pats))
+      .orderBy("id").collect()
+    def naive(text: String, p: String): Long =
+      (1 to text.length - p.length + 1)
+        .count(i => text.substring(i - 1, i - 1 + p.length) == p).toLong
+    for ((id, tx) <- texts.take(3); r = rows(id.toInt - 1)) {
+      val got = r.getSeq[Long](r.fieldIndex("c"))
+      assert(got == pats.map(naive(tx, _)), s"doc $id: $got")
+    }
+    assert(rows(0).getSeq[Long](2) == Seq(3L, 0L, 0L, 0L))
+    assert(rows(1).getSeq[Long](2) == Seq(0L, 2L, 1L, 2L))
+    assert(rows(3).isNullAt(2)) // null text -> null, row kept
+    intercept[Exception] {
+      texts.take(1).toDF("id", "t")
+        .select(AhoCorasick.counts($"t", Seq("ok", ""))).collect()
+    }
+  }
 }
