@@ -486,6 +486,7 @@ object SparkEntry {
     "q463_ktruss"           -> (R.q463KTruss(_, _)),
     "q464_pelt"             -> (T.q464Pelt(_, _)),
     "q465_aho_corasick"     -> (D.q465AhoCorasick(_, _)),
+    "q466_truss_decomp"     -> (R.q466TrussDecomposition(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8543,6 +8544,57 @@ object SparkEntry {
          |SELECT doc_id, ${pats.map("n_" + _).mkString(", ")}, n_total,
          |  CAST(nph AS BIGINT) AS n_patterns_hit
          |FROM t WHERE n_total > 0""".stripMargin
+    },
+    // q466: the q463 peel-round CTE generator swept over three k
+    // levels (3, 4, 5) with 8 unrolled rounds each — spare rounds are
+    // no-ops at the fixpoint; trussness(k−1) = level-(k−1) survivors
+    // anti-joined with level-k survivors. The graph's score tops out
+    // at 4 at every test SF, so level 5's fixpoint is empty and the
+    // sweep is total.
+    "q466_truss_decomp" -> {
+      def round(src: String, dst: String, minSup: Int): String =
+        s"""t$dst AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |  FROM $src e1 JOIN $src e2 ON e1.v = e2.u
+           |  JOIN $src e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |s$dst AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT a AS u, b AS v FROM t$dst
+           |    UNION ALL SELECT b, c FROM t$dst
+           |    UNION ALL SELECT a, c FROM t$dst) GROUP BY 1, 2),
+           |$dst AS (SELECT e.u, e.v FROM $src e
+           |  JOIN s$dst s ON e.u = s.u AND e.v = s.v
+           |  WHERE s.cnt >= $minSup)""".stripMargin
+      val rounds = 8
+      def level(src: String, k: Int): (String, String) = {
+        var cur = src
+        val sqls = (1 to rounds).map { r =>
+          val nxt = s"k${k}r$r"
+          val s = round(cur, nxt, k - 2)
+          cur = nxt
+          s
+        }
+        (sqls.mkString(",\n"), cur)
+      }
+      val (l3, e3) = level("e0", 3)
+      val (l4, e4) = level(e3, 4)
+      val (l5, e5) = level(e4, 5)
+      s"""WITH pts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+         |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem JOIN pts ON l_partkey = p_partkey),
+         |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+         |$l3,
+         |$l4,
+         |$l5
+         |SELECT e.u, e.v, CAST(2 AS BIGINT) AS trussness FROM e0 e
+         |  ANTI JOIN $e3 s ON e.u = s.u AND e.v = s.v
+         |UNION ALL
+         |SELECT e.u, e.v, CAST(3 AS BIGINT) FROM $e3 e
+         |  ANTI JOIN $e4 s ON e.u = s.u AND e.v = s.v
+         |UNION ALL
+         |SELECT e.u, e.v, CAST(4 AS BIGINT) FROM $e4 e
+         |  ANTI JOIN $e5 s ON e.u = s.u AND e.v = s.v
+         |UNION ALL
+         |SELECT e.u, e.v, CAST(5 AS BIGINT) FROM $e5 e""".stripMargin
     },
     // q462: Smith-Waterman replayed by ANTI-DIAGONALS as a recursive
     // CTE — diagonal d depends only on d-1/d-2 elementwise, so each

@@ -138,4 +138,70 @@ object KCore {
       e = peelOnce(e, k).localCheckpoint(true)
     support(e) // zero-filled: post-peel support CAN be < k−2 here
   }
+
+  /** Truss DECOMPOSITION — every edge's trussness in one ascending
+    * sweep: trussness(e) = the max k such that e survives the k-truss,
+    * the per-edge cohesion SCORE where [[kTruss]] is one cut (k-core →
+    * coreness :: k-truss → trussness). Every edge is trivially in the
+    * 2-truss, so trussness starts at 2 (no triangle) and the sweep
+    * peels k = 3, 4, … from the PREVIOUS level's survivors — the
+    * (k+1)-truss is inside the k-truss, so each level only re-peels
+    * what is left, never the whole graph. Edges dropped while peeling
+    * level k have trussness k−1.
+    *
+    * Scale shape: the [[kTruss]] per-round census (degree-ordered
+    * orientation, O(√2m) wedge cap) run Σ_k (peel depth at k) times
+    * over monotonically SHRINKING edge sets; survivors past `maxK`
+    * raise LOUDLY (the [[kCore]] overrun contract) rather than
+    * returning a truncated score. Output: (u, v, trussness) for every
+    * canonical edge. */
+  def trussDecomposition(edges: DataFrame, uCol: String, vCol: String,
+      maxK: Int = 12, maxIter: Int = 30): DataFrame = {
+    require(maxK >= 3, s"maxK must be >= 3: $maxK")
+    var e = canon(edges, uCol, vCol).localCheckpoint(true)
+    var nE = e.count()
+    var out: DataFrame = null
+    var k = 3
+    while (nE > 0L && k <= maxK) {
+      // fixpoint peel at k from the previous level's survivors; ONE
+      // count action per round (the checkpoint is the materialization,
+      // the count its only reader — no separate isEmpty probe)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val next = peelOnce(e, k).localCheckpoint(true)
+        val nNext = next.count()
+        if (nNext == nE || nNext == 0L) converged = true
+        e = next
+        nE = nNext
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"trussDecomposition(k=$k) did not converge in $maxIter " +
+            "peel rounds (truss peeling depth exceeds maxIter)")
+      // everything peeled at this level maxed out at trussness k-1
+      val dropped = (if (out == null)
+          canon(edges, uCol, vCol)
+        else out.where(col("trussness") === (k - 1).toLong)
+          .select(col("u"), col("v")))
+        .join(e, Seq("u", "v"), "left_anti")
+        .select(col("u"), col("v"), lit((k - 1).toLong).as("trussness"))
+      // survivors carry k until (unless) the next level re-scores them
+      val kept = e.select(col("u"), col("v"), lit(k.toLong).as("trussness"))
+      out = (if (out == null) dropped.unionByName(kept)
+        else out.where(col("trussness") < (k - 1).toLong)
+          .unionByName(dropped).unionByName(kept))
+        .localCheckpoint(true)
+      k += 1
+    }
+    if (nE > 0L)
+      throw new IllegalStateException(
+        s"trussDecomposition: edges still survive past maxK=$maxK — " +
+          "raise maxK (the graph is denser than the sweep bound)")
+    if (out == null)
+      canon(edges, uCol, vCol).select(col("u"), col("v"),
+        lit(2L).as("trussness"))
+    else out
+  }
 }

@@ -1497,6 +1497,29 @@ object Relational {
       .select($"u", $"v", $"sup")
   }
 
+  /** q466 — truss decomposition ([[graft.operators.KCore
+    * .trussDecomposition]]): every Brand#11 co-purchase edge's
+    * trussness — the per-edge cohesion SCORE where q408/q463 are one
+    * cut each (coreness : k-core :: trussness : k-truss). The
+    * ascending sweep peels k = 3, 4, … over monotonically shrinking
+    * survivor sets; on this graph the score tops out at 4 (the 24
+    * sf0.1 edges whose triangles interlock pairwise). The oracle
+    * unrolls three levels of the peel CTE-for-CTE with no-op spare
+    * rounds at each fixpoint. */
+  def q466TrussDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
+      .select($"p_partkey")
+    val op = Tables.lineitem(spark, dir)
+      .join(pts, $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = op.select($"ok", $"pk".as("u"))
+      .join(op.select($"ok", $"pk".as("v")), "ok")
+      .where($"u" < $"v")
+      .select($"u", $"v")
+    graft.operators.KCore.trussDecomposition(edges, "u", "v")
+      .select($"u", $"v", $"trussness")
+  }
+
   /** q462 — Smith–Waterman local alignment ([[graft.functions
     * .FastStringSim.smithWatermanValue]], codegen Expression): each
     * planted record's ORIGINAL name scored against a typo'd copy

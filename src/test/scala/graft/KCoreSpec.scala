@@ -87,4 +87,35 @@ class KCoreSpec extends AnyFunSuite with SparkFixture {
       .toMap
     assert(one.keySet == Set((1L, 2L)) && one((1L, 2L)) == 0L)
   }
+
+  test("trussDecomposition: per-edge trussness sweeps K4=4 / hanging " +
+      "triangle=3 / pendant=2, covers every canonical edge exactly " +
+      "once, agrees with per-k kTruss membership, loud maxK overrun") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val d = KCore.trussDecomposition(g.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(d.size == 10) // every canonical edge scored exactly once
+    assert(d((6L, 7L)) == 2L)                       // pendant
+    assert(d((4L, 5L)) == 3L && d((5L, 6L)) == 3L && d((4L, 6L)) == 3L)
+    assert(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).forall(e => d(e) == 4L))            // K4
+    // cross-check: trussness >= k  <=>  membership in the k-truss
+    for (k <- 3 to 4) {
+      val member = KCore.kTruss(g.toDF("a", "b"), "a", "b", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(d.filter(_._2 >= k).keySet == member, s"k=$k")
+    }
+    // loud overrun: K4's trussness is 4 > maxK=3
+    val ex = intercept[IllegalStateException](
+      KCore.trussDecomposition(g.toDF("a", "b"), "a", "b", maxK = 3))
+    assert(ex.getMessage.contains("maxK"))
+    // triangle-free graph: everything is trussness 2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val dp = KCore.trussDecomposition(path.toDF("a", "b"), "a", "b")
+      .collect().map(_.getLong(2))
+    assert(dp.length == 3 && dp.forall(_ == 2L))
+  }
 }
