@@ -154,6 +154,22 @@ object BenchScale {
           embCorpusAt(n), "vec_id", "v", semCents(n, 64),
           fanout = 8, threshold = 0.9)
         .where(!col("kept"))
+    // r12 high-k receipts (the r11 VERDICT ask #3): 1000 cells per
+    // copy, so k = 10,000 at 10x — the regime where BASELINE.md §r11
+    // predicted the tree's f·log_f k per-row fold crosses under the
+    // two-level √k. Same growing-k discipline as khier/ktree; the
+    // receipt is ktree_hik's absolute seconds UNDER khier_hik's at 10x.
+    def semdedupKhierHik(n: Int): DataFrame =
+      graft.operators.SemDedup.semDedupHierarchical(
+          embCorpusAt(n), "vec_id", "v", semCents(n, 1000),
+          branch = math.max(4, math.sqrt(1000.0 * n).round.toInt),
+          threshold = 0.9)
+        .where(!col("kept"))
+    def semdedupKtreeHik(n: Int): DataFrame =
+      graft.operators.SemDedup.semDedupTree(
+          embCorpusAt(n), "vec_id", "v", semCents(n, 1000),
+          fanout = 16, threshold = 0.9)
+        .where(!col("kept"))
 
     // q138 shape: winnowing shared-fingerprint census. The char
     // permutation is a bijection on grams but NOT on their md5s, so the
@@ -345,6 +361,8 @@ object BenchScale {
       "semdedup_khier" -> (semdedupKhier(_)),
       "semdedup_ktree" -> (semdedupKtree(_)),
       "semdedup_kdefault" -> (semdedupKdefault(_)),
+      "semdedup_khier_hik" -> (semdedupKhierHik(_)),
+      "semdedup_ktree_hik" -> (semdedupKtreeHik(_)),
       "winnow" -> (n => winnow(corpusAt(n))),
       "cdc" -> (n => cdc(corpusAt(n))),
       "assoc" -> (assoc(_)),
@@ -357,7 +375,12 @@ object BenchScale {
       "zorder_audit" -> (zorderAudit(_)),
       "match" -> (matchAt(_)),
       "kpss" -> (kpssAt(_)))
-    val out = shapes.flatMap { case (name, fn) =>
+    // optional shape-name args: run only the named shapes (local
+    // iteration / targeted receipts); no args = the full board
+    val only = args.toSet
+    val out = shapes
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
       val (t1, n1) = timed(fn(1))
       val (tN, nN) = timed(fn(copies))
       System.err.println(f"[scale] $name 1x ${t1}%.2fs ($n1 rows) -> ${copies}x ${tN}%.2fs ($nN rows)")

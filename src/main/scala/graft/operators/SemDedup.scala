@@ -235,25 +235,42 @@ object SemDedup {
       levels = seeds :: levels
       size = nSeeds.toLong
     }
-    var cur = assignCells(corpus, idCol, vecCol, levels.head)
-      .select(col("id"), col("v"), col("cell").as("__p"))
-    for ((upper, lower) <- levels.zip(levels.tail)) {
-      val routed = assignCells(
-          lower.select(col("cell").as("id"), col("centroid").as("v")),
-          "id", "v", upper)
-        .select(col("cell").as("__p"), col("id").as("cell"),
-          col("v").as("centroid"))
-      val groups = routed.groupBy(col("__p"))
-        .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
-          .as("cents"))
-      cur = cur.join(broadcast(groups), Seq("__p"), "left")
+    // one descent step: (id, v, __p) rows fold over their __p parent's
+    // child group — shared by the ladder build and the corpus descent
+    def step(cur: DataFrame, groups: DataFrame): DataFrame =
+      cur.join(broadcast(groups), Seq("__p"), "left")
         .withColumn("_scored", transform(col("cents"), c =>
           struct(cosine(col("v"), c.getField("centroid")).as("cos"),
             (-c.getField("cell")).as("nc"))))
         .withColumn("_best", array_max(filter(col("_scored"),
           s => s.getField("cos").isNotNull && !isnan(s.getField("cos")))))
         .select(col("id"), col("v"), (-col("_best.nc")).as("__p"))
+    val root = levels.head
+    // build each transition's parent→children group table by routing
+    // the lower level's members DOWN the ladder prefix built so far —
+    // NOT flat against the full upper level: flat routing is
+    // Σ m_i·m_{i-1} = Θ(k²/f) cosines (at k = 3·10⁴ it was 5.6·10⁷
+    // evals and the reason the r11 tree LOST to two-level at high k);
+    // descent is Σ m_i·f·depth_i = Θ(k·f·log_f k). Depth-2 ladders
+    // (one transition) are unchanged — the prefix is just the root.
+    var groupTables = List.empty[DataFrame] // deepest-first
+    for (lower <- levels.tail) {
+      var c = assignCells(
+          lower.select(col("cell").as("id"), col("centroid").as("v")),
+          "id", "v", root)
+        .select(col("id"), col("v"), col("cell").as("__p"))
+      groupTables.reverse.foreach { g => c = step(c, g) }
+      val groups = c
+        .select(col("__p"), col("id").as("cell"), col("v").as("centroid"))
+        .groupBy(col("__p"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
+          .as("cents"))
+        .localCheckpoint(true) // read by every deeper build + the corpus
+      groupTables = groups :: groupTables
     }
+    var cur = assignCells(corpus, idCol, vecCol, root)
+      .select(col("id"), col("v"), col("cell").as("__p"))
+    groupTables.reverse.foreach { g => cur = step(cur, g) }
     cur.select(col("id"), col("v"), col("__p").as("cell"))
   }
 
