@@ -487,6 +487,7 @@ object SparkEntry {
     "q464_pelt"             -> (T.q464Pelt(_, _)),
     "q465_aho_corasick"     -> (D.q465AhoCorasick(_, _)),
     "q466_truss_decomp"     -> (R.q466TrussDecomposition(_, _)),
+    "q467_betweenness"      -> (R.q467Betweenness(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8447,6 +8448,75 @@ object SparkEntry {
           |SELECT e.u, e.v, coalesce(sf.cnt, 0) AS sup
           |FROM e2 e LEFT JOIN sf ON e.u = sf.u AND e.v = sf.v"""
           .stripMargin
+    },
+    // q467: quantized Brandes replayed hop-for-hop — forward BFS as 4
+    // unrolled frontier CTEs (HUGEINT sigma sums, anti-join vs the
+    // visited prefix), backward dependency walk as 4 levels whose
+    // per-edge contribution mirrors the Spark shape exactly:
+    // round(sigma_v/sigma_w * (1 + delta_w), 12) via the VARCHAR-
+    // decimal HALF_UP trick, summed as DECIMAL(38,12)
+    "q467_betweenness" -> {
+      def fwd(d: Int): String = {
+        val prev = s"b${d - 1}"
+        val vis = if (d == 1) "b0" else s"vis${d - 1}"
+        s"""f$d AS (SELECT b.s, e.dst AS node,
+           |    CAST(SUM(b.sigma) AS HUGEINT) AS sigma
+           |  FROM $prev b JOIN e ON b.node = e.src GROUP BY 1, 2),
+           |b$d AS (SELECT f.s, f.node, $d AS dist, f.sigma FROM f$d f
+           |  ANTI JOIN $vis v ON v.s = f.s AND v.node = f.node),
+           |vis$d AS (SELECT s, node, dist, sigma FROM $vis
+           |  UNION ALL SELECT s, node, dist, sigma FROM b$d)"""
+          .stripMargin
+      }
+      def bwd(d: Int): String = {
+        val wsrc =
+          s"""w${d + 1} AS (SELECT b.s, b.node, b.sigma, d.delta
+             |  FROM b${d + 1} b JOIN d${d + 1} d
+             |  ON d.s = b.s AND d.node = b.node)""".stripMargin
+        s"""$wsrc,
+           |c$d AS (SELECT v.s, v.node,
+           |    SUM(CAST(round(CAST(CAST(
+           |      CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+           |        * (CAST(1.0 AS DOUBLE) + CAST(w.delta AS DOUBLE))
+           |      AS VARCHAR) AS DECIMAL(38,20)), 12)
+           |      AS DECIMAL(38,12))) AS delta
+           |  FROM b$d v JOIN e ON e.src = v.node
+           |  JOIN w${d + 1} w ON w.s = v.s AND w.node = e.dst
+           |  GROUP BY 1, 2),
+           |d$d AS (SELECT v.s, v.node,
+           |    COALESCE(c.delta, CAST(0 AS DECIMAL(38,12))) AS delta
+           |  FROM b$d v LEFT JOIN c$d c
+           |  ON c.s = v.s AND c.node = v.node)""".stripMargin
+      }
+      s"""WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS su
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT c AS src, 1000000 + su AS dst FROM pairs
+         |  UNION ALL SELECT 1000000 + su, c FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |srcs AS (SELECT node AS s FROM nodes ORDER BY node LIMIT 4),
+         |b0 AS (SELECT s, s AS node, 0 AS dist,
+         |    CAST(1 AS HUGEINT) AS sigma FROM srcs),
+         |${fwd(1)},
+         |${fwd(2)},
+         |${fwd(3)},
+         |d3 AS (SELECT s, node, CAST(0 AS DECIMAL(38,12)) AS delta
+         |  FROM b3),
+         |${bwd(2)},
+         |${bwd(1)},
+         |${bwd(0)},
+         |alld AS (SELECT s, node, delta FROM d0
+         |  UNION ALL SELECT s, node, delta FROM d1
+         |  UNION ALL SELECT s, node, delta FROM d2
+         |  UNION ALL SELECT s, node, delta FROM d3),
+         |bt AS (SELECT node, CAST(SUM(delta) AS DOUBLE) AS b
+         |  FROM alld WHERE s <> node GROUP BY 1)
+         |SELECT node,
+         |  CASE WHEN node >= 1000000 THEN 'supplier'
+         |    ELSE 'customer' END AS kind,
+         |  CAST(round(CAST(CAST(b AS VARCHAR) AS DECIMAL(38,20)), 4)
+         |    AS DOUBLE) AS betweenness,
+         |  CAST(4 AS BIGINT) AS n_sources
+         |FROM bt WHERE b > 0.0""".stripMargin
     },
     // q464: the PELT-objective DP replayed list-for-list — exact long
     // prefix sums via windows, the F fold as a list_reduce whose acc

@@ -989,6 +989,126 @@ object Graph {
           .otherwise(fold).as("eff_diameter"))
   }
 
+  /** k-source truncated betweenness centrality (Brandes 2001, the
+    * pivot-sampled form of Bader et al. 2007) — the "who sits on the
+    * shortest paths" score [[pageRank]] (flow without paths) and
+    * [[katz]] (walks, not geodesics) cannot express: brokers score
+    * high even with low degree. Exact all-pairs Brandes is Θ(nm) —
+    * dead at web scale — so the standard estimator runs the
+    * source-side pass from `nSources` pivots (deterministic: the
+    * smallest node ids, the [[graft.operators.SemDedup
+    * .smallestIdCentroids]] replayability convention) and truncates
+    * the BFS at `maxDepth` hops (the [[hyperAnf]]/[[katz]] horizon
+    * discipline: paths longer than the horizon contribute nothing —
+    * a lower bound, documented, not hidden).
+    *
+    * Per pivot set, the forward pass is a synchronized multi-source
+    * BFS carried as ONE (s, node) keyed frame: per hop one edge join,
+    * one integer σ (path-count) sum, one anti-join against the
+    * visited set — σ rides decimal(38,0) so dense DAGs cannot
+    * silently overflow a long. The backward pass walks depths
+    * D−1 … 0; each level's dependency
+    *   δ(v) = Σ_{w ∈ succ(v), d(w)=d(v)+1} σ_v/σ_w · (1 + δ_w)
+    * is QUANTIZED per contribution (round to 12 decimals, exact
+    * decimal sum — the q452/q459 quantize-then-sum discipline) so the
+    * float surface is one pinned shape per edge and the sums are
+    * bit-stable at any partitioning; a cross-engine oracle replays
+    * hop-for-hop, level-for-level. Directed along src→dst;
+    * symmetrize upstream for the undirected score.
+    *
+    * Scale shape: every join/agg is keyed on (source, node) at
+    * frontier grain — 2·maxDepth rounds of edge-linear work per pivot
+    * batch, loop state checkpointed per hop; nothing quadratic in
+    * nodes, no windows. Output: (node, betweenness, n_sources) for
+    * every node reached by any pivot (pivots score their own paths'
+    * interior only — δ_s(s) is never added, the Brandes convention).
+    */
+  def betweennessSampled(edges: DataFrame, srcCol: String, dstCol: String,
+      nSources: Int, maxDepth: Int): DataFrame = {
+    require(nSources >= 1, s"nSources must be >= 1: $nSources")
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val dec = "decimal(38,0)"
+    val dq = "decimal(38,12)"
+    // the edge table is joined on src by EVERY hop of both passes
+    // (2·maxDepth + backward re-reads): hash-partition it on src ONCE
+    // before the checkpoint — LogicalRDD preserves the partitioning,
+    // so all subsequent src-keyed joins reuse the layout instead of
+    // re-exchanging the (edge-grain, dominant) side per hop
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    // sources/frontier0 stay LAZY — they derive from the checkpointed
+    // edge table by one cheap limit, and every eager checkpoint here
+    // is a whole job whose fixed latency dominates this operator's
+    // wall time at bench scale (measured: trimming the derivable
+    // materializations cut ~25%)
+    val sources = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .orderBy(col("node")).limit(nSources)
+      .select(col("node").as("s"))
+    // forward: one frontier level per hop (s, node, sigma); the
+    // visited set is the LAZY union of the checkpointed levels' keys
+    // (no recompute risk, no extra materialization job per hop)
+    // fresh output attributes for the join side: sources/frontier
+    // derive from e lazily, so joining raw e against them is a
+    // self-join with shared exprIds (ambiguous-column analysis error)
+    val ej = e.select(col("src").as("__jsrc"), col("dst").as("__jdst"))
+    var frontier = sources.select(col("s"), col("s").as("node"),
+      lit(1L).cast(dec).as("sigma"))
+    var visited = frontier.select(col("s"), col("node"))
+    var fwdLevels = Vector(frontier)
+    for (_ <- 1 to maxDepth) {
+      val next = frontier
+        .join(ej, frontier("node") === ej("__jsrc"))
+        .groupBy(col("s"), col("__jdst").as("node"))
+        .agg(sum(col("sigma")).cast(dec).as("sigma"))
+        .join(visited, Seq("s", "node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(next.select(col("s"), col("node")))
+      fwdLevels :+= next
+      frontier = next
+    }
+    // backward: deltas finalized depth by depth, deepest first (the
+    // truncation horizon's nodes keep delta = 0); each level joins the
+    // PREVIOUS level's deltas only — never the accumulated union
+    var prev = fwdLevels(maxDepth)
+      .select(col("s"), col("node"), lit(0L).cast(dq).as("delta"))
+    var deltaLevels = List(prev)
+    for (d <- (maxDepth - 1) to 0 by -1) {
+      val vs = fwdLevels(d)
+      val ws = fwdLevels(d + 1).join(prev, Seq("s", "node"))
+        .select(col("s"), col("node").as("w"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val contrib = vs
+        .join(ej, vs("node") === ej("__jsrc"))
+        .join(ws, ws("s") === vs("s") && ws("w") === ej("__jdst"))
+        .groupBy(vs("s").as("s"), vs("node").as("node"))
+        .agg(sum(round(
+          col("sigma").cast("double") / col("sigma_w").cast("double") *
+            (lit(1.0) + col("delta_w").cast("double")), 12).cast(dq))
+          .cast(dq).as("delta"))
+      val level = vs.select(col("s"), col("node"))
+        .join(contrib, Seq("s", "node"), "left")
+        .select(col("s"), col("node"),
+          coalesce(col("delta"), lit(0L).cast(dq)).as("delta"))
+        .localCheckpoint(true)
+      deltaLevels ::= level
+      prev = level
+    }
+    val nsrc = broadcast(sources.agg(count(lit(1)).as("n_sources")))
+    deltaLevels.reduce(_ unionByName _)
+      .where(col("s") =!= col("node")) // δ_s(s) never scores (Brandes)
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).cast(dq).as("bt"))
+      .crossJoin(nsrc)
+      .select(col("node"), col("bt").cast("double").as("betweenness"),
+        col("n_sources"))
+  }
+
   /** Session-scoped MATERIALIZED sketch stage over [[hyperAnf]] — the
     * r11 VERDICT's shared-sketch ask: q364 (the neighborhood function
     * itself), harmonic centrality and effective diameter all consume

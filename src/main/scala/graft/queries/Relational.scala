@@ -1497,6 +1497,30 @@ object Relational {
       .select($"u", $"v", $"sup")
   }
 
+  /** q467 — sampled truncated betweenness ([[graft.operators.Graph
+    * .betweennessSampled]]): who BROKERS the q169 customer–supplier
+    * trade graph — 4 smallest-id pivots, 3-hop horizon, quantized
+    * Brandes dependencies (round-to-12-decimals per contribution,
+    * exact decimal sums — bit-stable at any partitioning). PageRank
+    * scores flow, Katz scores walks; this scores geodesic brokerage,
+    * the third centrality lens and the one degree can't fake. The
+    * oracle replays the BFS hop-for-hop and the dependency walk
+    * level-for-level. */
+  def q467Betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+    val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
+      .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
+    graft.operators.Graph.betweennessSampled(edges, "src", "dst",
+        nSources = 4, maxDepth = 3)
+      .where($"betweenness" > 0.0)
+      .select($"node",
+        when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
+        round($"betweenness", 4).as("betweenness"), $"n_sources")
+  }
+
   /** q466 — truss decomposition ([[graft.operators.KCore
     * .trussDecomposition]]): every Brand#11 co-purchase edge's
     * trussness — the per-edge cohesion SCORE where q408/q463 are one

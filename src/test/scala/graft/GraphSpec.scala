@@ -390,6 +390,40 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(r0.isNullAt(r0.fieldIndex("geary_c")))
   }
 
+  test("betweennessSampled: path/diamond/star hand values with all " +
+      "sources; sigma splits across equal-length paths; truncation " +
+      "zeroes the horizon; pivots never self-score") {
+    import spark.implicits._
+    def sym(edges: Seq[(Long, Long)]) =
+      (edges ++ edges.map(e => (e._2, e._1))).toDF("a", "b")
+    def run(edges: Seq[(Long, Long)], k: Int, depth: Int) =
+      Graph.betweennessSampled(sym(edges), "a", "b", k, depth)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // path 1-2-3-4-5, all 5 pivots: bt = #ordered pairs routed through
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val bp = run(path, 5, 4)
+    assert(bp(1L) == 0.0 && bp(5L) == 0.0)
+    assert(bp(2L) == 6.0 && bp(4L) == 6.0) // s=1,t in {3,4,5}, x2
+    assert(bp(3L) == 8.0)                  // {1,2} x {4,5} x2
+    // diamond 1-2-4 / 1-3-4: two equal geodesics split sigma 50/50
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val bd = run(dia, 4, 3)
+    assert(math.abs(bd(2L) - 1.0) < 1e-9, bd.toString) // (1,4)+(4,1) halves
+    assert(math.abs(bd(3L) - 1.0) < 1e-9)
+    // symmetry: 2<->3 likewise splits across 1 and 4 — every corner
+    // sits on exactly one half-weighted ordered pair each way
+    assert(math.abs(bd(1L) - 1.0) < 1e-9 && math.abs(bd(4L) - 1.0) < 1e-9)
+    // star: the hub carries every leaf pair (3 leaves -> 6 ordered)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    assert(run(star, 4, 2)(1L) == 6.0)
+    // truncation: depth 1 sees no interior vertices at all
+    assert(run(path, 5, 1).values.forall(_ == 0.0))
+    // sampling: pivots = smallest ids; with only s=1 on the path,
+    // bt(4) counts just the 1->5 geodesic
+    val b1 = run(path, 1, 4)
+    assert(b1(4L) == 1.0 && b1(2L) == 3.0)
+  }
+
   test("harmonicFromAnf: hop fold is exact arithmetic on the estimates; " +
       "a star center out-scores its leaves end-to-end") {
     import spark.implicits._
