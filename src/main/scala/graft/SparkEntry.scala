@@ -488,6 +488,7 @@ object SparkEntry {
     "q465_aho_corasick"     -> (D.q465AhoCorasick(_, _)),
     "q466_truss_decomp"     -> (R.q466TrussDecomposition(_, _)),
     "q467_betweenness"      -> (R.q467Betweenness(_, _)),
+    "q468_product_quantize" -> (D.q468ProductQuantize(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8590,6 +8591,41 @@ object SparkEntry {
          |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS total_cost
          |FROM bt""".stripMargin
     },
+    // q468: PQ replayed on an exploded (row, subspace, code) grid —
+    // per-cell distance as an ordered list fold over the subspace
+    // dims (the pinned left-assoc shape the Spark fold uses), argmin
+    // via (dist, code) row_number so ties break small, and the per-row
+    // error as list_sum over the m-ORDERED min distances (an unordered
+    // SUM() would float-drift vs Spark's ascending-m fold)
+    "q468_product_quantize" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cbr AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16),
+        |cb AS (SELECT list_transform(
+        |    list(struct_pack(i := vec_id, v := v) ORDER BY vec_id),
+        |    s -> s.v) AS cb FROM cbr),
+        |g AS (SELECT e.vec_id, e.v, cb.cb,
+        |    CAST(len(e.v) // 8 AS INT) AS d FROM e, cb),
+        |grid AS (SELECT vec_id, v, cb, d, tm.m, tj.j
+        |  FROM g, range(0, 8) tm(m), range(0, 16) tj(j)),
+        |dist AS (SELECT vec_id, CAST(m AS INT) AS m, CAST(j AS INT) AS j,
+        |    list_sum(list_transform(range(0, d), i ->
+        |      (v[CAST(m * d + i + 1 AS INT)]
+        |        - cb[CAST(j + 1 AS INT)][CAST(m * d + i + 1 AS INT)])
+        |      * (v[CAST(m * d + i + 1 AS INT)]
+        |        - cb[CAST(j + 1 AS INT)][CAST(m * d + i + 1 AS INT)])))
+        |      AS dd
+        |  FROM grid),
+        |best AS (SELECT vec_id, m, j, dd FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dd, j)
+        |      AS rn FROM dist) WHERE rn = 1)
+        |SELECT vec_id,
+        |  array_to_string(list(j ORDER BY m), ',') AS codes,
+        |  CAST(round(CAST(CAST(
+        |    list_sum(list(dd ORDER BY m)) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS err
+        |FROM best GROUP BY vec_id""".stripMargin,
     // q465: each AC count replayed as a brute positional scan — the
     // positions i where substring(text, i, len(p)) = p, which is the
     // all-occurrences (overlapping) definition the automaton computes

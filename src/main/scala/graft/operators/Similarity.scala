@@ -281,6 +281,75 @@ object Similarity {
       .drop("rng")
   }
 
+  /** Product quantization (Jégou et al. 2011) — the embedding
+    * COMPRESSION primitive between [[quantizeInt8]] (per-dimension, no
+    * structure) and a learned index: the vector splits into `nSub`
+    * contiguous subspaces, each subspace gets a `nCodes`-entry
+    * codebook, and every vector stores one code per subspace — 64
+    * floats become `nSub` small ints (with 8×16 that is 256 B → 8 B,
+    * the 32× shrink that lets a 100 TB embedding table's candidate
+    * scan live in memory; exact re-rank reads the full vectors for
+    * finalists only, the [[ivfTopK]] pattern).
+    *
+    * Codebooks are DETERMINISTIC for cross-engine replay: codeword j
+    * of every subspace is the sub-vector of the j-th SMALLEST-id
+    * corpus vector (the [[SemDedup.smallestIdCentroids]] convention;
+    * the production path swaps in k-means codebooks via the same
+    * table shape — [[kmeansRefine]] per subspace). Encoding is a PURE
+    * projection: the codebook rides as ONE broadcast row, each vector
+    * folds per subspace over its codewords (argmin L2², strictly-less
+    * fold = ties to the smallest code) — the corpus is never shuffled.
+    *
+    * Output: (id, codes array<int> in subspace order, err — the total
+    * squared reconstruction error Σ_m min_j ‖v_m − c_{m,j}‖², each
+    * subspace distance a pinned left-fold double an oracle replays).
+    * Requires dim % nSub == 0 (refused loudly). */
+  def productQuantize(corpus: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, nCodes: Int): DataFrame = {
+    require(nSub >= 1, s"nSub must be >= 1: $nSub")
+    require(nCodes >= 1, s"nCodes must be >= 1: $nCodes")
+    val base = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val cb = base.orderBy(col("id")).limit(nCodes)
+      .agg(expr("transform(array_sort(collect_list(struct(id, v))), s -> s.v)")
+        .as("cb"))
+    val dimsChk = base
+      .crossJoin(broadcast(cb))
+      .withColumn("__d", expr(s"""CASE WHEN size(v) % $nSub = 0
+        |THEN CAST(size(v) div $nSub AS INT)
+        |ELSE CAST(raise_error(concat('productQuantize: dim ',
+        |  CAST(size(v) AS STRING),
+        |  ' not divisible by nSub=$nSub')) AS INT) END""".stripMargin))
+    // per subspace m: argmin_j Σ_i (v[m·d+i] − cb[j][m·d+i])² — the
+    // distance folds dims in ascending order (one pinned double shape),
+    // the argmin folds codes ascending with a STRICT improvement test
+    val scored = dimsChk.withColumn("__best", expr(
+      s"""transform(sequence(0, $nSub - 1), m ->
+         |  aggregate(sequence(0, ${nCodes - 1}),
+         |    named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),
+         |    (b, j) -> CASE WHEN
+         |        aggregate(sequence(0, __d - 1), CAST(0.0 AS DOUBLE),
+         |          (a, i) -> a +
+         |            (element_at(v, m * __d + i + 1)
+         |              - element_at(element_at(cb, j + 1), m * __d + i + 1))
+         |            * (element_at(v, m * __d + i + 1)
+         |              - element_at(element_at(cb, j + 1), m * __d + i + 1)))
+         |        < b.d
+         |      THEN named_struct('d',
+         |        aggregate(sequence(0, __d - 1), CAST(0.0 AS DOUBLE),
+         |          (a, i) -> a +
+         |            (element_at(v, m * __d + i + 1)
+         |              - element_at(element_at(cb, j + 1), m * __d + i + 1))
+         |            * (element_at(v, m * __d + i + 1)
+         |              - element_at(element_at(cb, j + 1), m * __d + i + 1))),
+         |        'c', j)
+         |      ELSE b END))""".stripMargin))
+    scored.select(col("id"),
+      expr("transform(__best, b -> b.c)").as("codes"),
+      expr("""aggregate(__best, CAST(0.0 AS DOUBLE), (a, b) -> a + b.d)""")
+        .as("err"))
+  }
+
   /** LSH-bucketed ANN: candidates collide in >= 1 of `tables` SRP hash
     * tables, then exact cosine re-rank to top-k per probe. Recall grows
     * with `tables`, selectivity with `planes`.

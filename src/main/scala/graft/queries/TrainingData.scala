@@ -3464,6 +3464,24 @@ object TrainingData {
         Tables.embeddings(spark, dir), "label", "embedding")
       .select($"n", $"k", round($"db", 6).as("db"))
 
+  /** q468 — product quantization ([[graft.operators.Similarity
+    * .productQuantize]]): the embedding table PQ-encoded into 8
+    * subspaces × 16 codewords — 64 floats per row become 8 nibbles,
+    * the 32× compression that keeps a web-scale candidate scan in
+    * memory (q292's int8 is the per-dimension sibling; PQ exploits
+    * cross-dimension structure). Deterministic smallest-id codebooks,
+    * strictly-less argmin folds (ties to the smaller code), and a
+    * per-row total reconstruction error whose subspace distances fold
+    * in pinned order — the oracle replays codebook, grid argmin and
+    * ordered error sum exactly. */
+  def q468ProductQuantize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.productQuantize(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        nSub = 8, nCodes = 16)
+      .select($"id".as("vec_id"),
+        array_join($"codes", ",").as("codes"),
+        round($"err", 6).as("err"))
+
   /** q465 — Aho–Corasick multi-pattern scan ([[graft.functions
     * .AhoCorasick.counts]], codegen Expression): every document
     * checked against a FIXED marker set in one automaton pass —

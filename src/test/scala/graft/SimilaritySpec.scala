@@ -553,4 +553,43 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val one = run(rows.map { case (_, v) => (7, v) })
     assert(one.isNullAt(one.fieldIndex("db")))
   }
+
+  test("productQuantize: codebook rows encode to their own rank with " +
+      "zero error; codes bounded; err equals a naive reference; " +
+      "indivisible dims refused loudly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble() * 10 - 5)))
+    val df = rows.toDF("id", "v")
+    val out = Similarity.productQuantize(df, "id", "v", nSub = 4, nCodes = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    // naive reference: codebook = 6 smallest ids' subvectors
+    val cb = rows.sortBy(_._1).take(6).map(_._2)
+    def dist(v: Array[Double], c: Array[Double], m: Int): Double =
+      (0 until 2).map(i => math.pow(v(m * 2 + i) - c(m * 2 + i), 2)).sum
+    for ((id, v) <- rows) {
+      val (codes, err) = out(id)
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 6))
+      val refCodes = (0 until 4).map(m =>
+        (0 until 6).minBy(j => dist(v, cb(j), m)))
+      assert(codes == refCodes, s"id $id: $codes vs $refCodes")
+      val refErr = (0 until 4).map(m => dist(v, cb(codes(m)), m)).sum
+      assert(math.abs(err - refErr) < 1e-9)
+    }
+    // codebook members reconstruct exactly: code = own rank, err = 0
+    for (j <- 0 until 6) {
+      val (codes, err) = out(j.toLong)
+      assert(codes.forall(_ == j), s"cb row $j: $codes")
+      assert(err == 0.0)
+    }
+    // dim 8 with nSub = 3 is refused
+    val ex = intercept[Exception] {
+      Similarity.productQuantize(df, "id", "v", nSub = 3, nCodes = 4)
+        .collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("productQuantize"), ex.getMessage)
+  }
 }
