@@ -489,6 +489,7 @@ object SparkEntry {
     "q466_truss_decomp"     -> (R.q466TrussDecomposition(_, _)),
     "q467_betweenness"      -> (R.q467Betweenness(_, _)),
     "q468_product_quantize" -> (D.q468ProductQuantize(_, _)),
+    "q469_warc_walk"        -> (D.q469WarcWalk(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8591,6 +8592,34 @@ object SparkEntry {
          |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS total_cost
          |FROM bt""".stripMargin
     },
+    // q469: the WARC walk replayed as closed-form arithmetic in
+    // doc_id (the q453 container contract): record grid exploded via
+    // a bounded range join, block_sum as an ordered range fold over
+    // the synthetic byte formula; corrupt ids emit one all-null row
+    "q469_warc_walk" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |f AS (SELECT doc_id,
+        |    (doc_id % 11 = 6 OR doc_id % 9 = 4) AS bad,
+        |    CAST(1 + doc_id % 4 AS INT) AS n FROM ids),
+        |good AS (SELECT doc_id, CAST(t.i AS INT) AS rec_idx,
+        |    CASE CAST((doc_id + t.i) % 3 AS INT)
+        |      WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |      ELSE 'metadata' END AS warc_type,
+        |    'http://ex.test/' || CAST(doc_id AS VARCHAR) || '/'
+        |      || CAST(t.i AS VARCHAR) AS target_uri,
+        |    CAST(10 + (doc_id * 7 + t.i * 13) % 50 AS BIGINT)
+        |      AS content_length,
+        |    CAST(list_sum(list_transform(
+        |      range(0, 10 + (doc_id * 7 + t.i * 13) % 50),
+        |      p -> (doc_id * 31 + t.i * 17 + p * 7) % 256)) AS BIGINT)
+        |      AS block_sum
+        |  FROM f, range(0, 4) t(i) WHERE t.i < n AND NOT bad)
+        |SELECT doc_id, rec_idx, warc_type, target_uri, content_length,
+        |  block_sum FROM good
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT) FROM f WHERE bad""".stripMargin,
     // q468: PQ replayed on an exploded (row, subspace, code) grid —
     // per-cell distance as an ordered list fold over the subspace
     // dims (the pinned left-assoc shape the Spark fold uses), argmin

@@ -864,4 +864,141 @@ object Multimodal {
         .when(col(mimeCol).startsWith("audio/"), "audio")
         .when(col(mimeCol).startsWith("video/"), "video")
         .otherwise("other"))
+
+  // ---------------------------------------------------------------- WARC
+
+  /** WARC (ISO 28500) record walk — the CRAWL-NATIVE container probe:
+    * web-scale corpora arrive as concatenated WARC records (version
+    * line, CRLF header block, Content-Length-delimited payload,
+    * CRLF CRLF separator), and the FIRST pipeline stage over 100 TB of
+    * crawl is exactly this split — record boundaries, types, target
+    * URIs and payload stats — before any text extraction runs. Pure
+    * byte arithmetic (the [[mp4Probe]] contract: no codec libs, real
+    * structure), batched per partition, zero shuffle; EXPLODES one
+    * output row per record.
+    *
+    * Structural violations — bad magic, a header block without CRLFCRLF
+    * termination, a missing/unparsable Content-Length, a payload
+    * running past the buffer — yield ONE all-null row with the input
+    * KEPT (a crawl always carries truncated blobs; silent drops skew
+    * joins). Records after the violation are unreachable by definition
+    * (lengths chain), so the walk refuses the WHOLE payload rather
+    * than emit a suffix it cannot trust. Output: input columns +
+    * (rec_idx, warc_type, target_uri, content_length, block_sum —
+    * the payload bytes' unsigned sum, the cheap integrity census). */
+  def warcProbe(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = df.schema
+      .add("rec_idx", IntegerType)
+      .add("warc_type", StringType)
+      .add("target_uri", StringType)
+      .add("content_length", LongType)
+      .add("block_sum", LongType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        warcWalk(payload) match {
+          case Some(recs) => recs.zipWithIndex.map { case (rec, i) =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](i, rec._1, rec._2, rec._3,
+              rec._4))
+          }
+          case None =>
+            Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null)))
+        }
+      }
+    }(enc)
+  }
+
+  /** The walk itself: None on ANY structural violation. Per record:
+    * (warc_type, target_uri, content_length, block_sum) — type/uri
+    * null when the header omits them (legal WARC), length mandatory. */
+  private[multimodal] def warcWalk(payload: Array[Byte])
+      : Option[List[(String, String, Long, Long)]] = {
+    if (payload == null || payload.length < 10) return None
+    val out = List.newBuilder[(String, String, Long, Long)]
+    var off = 0
+    while (off < payload.length) {
+      // version line must open every record
+      val magic = "WARC/1.0\r\n".getBytes("ISO-8859-1")
+      if (off + magic.length > payload.length) return None
+      var k = 0
+      while (k < magic.length) {
+        if (payload(off + k) != magic(k)) return None
+        k += 1
+      }
+      // header block ends at the first CRLFCRLF
+      var he = off + magic.length
+      var found = false
+      while (!found && he + 3 < payload.length) {
+        if (payload(he) == '\r' && payload(he + 1) == '\n' &&
+          payload(he + 2) == '\r' && payload(he + 3) == '\n') found = true
+        else he += 1
+      }
+      if (!found) return None
+      val header = new String(payload, off + magic.length,
+        he - off - magic.length, "ISO-8859-1")
+      var cl = -1L
+      var wtype: String = null
+      var uri: String = null
+      header.split("\r\n").foreach { line =>
+        val c = line.indexOf(':')
+        if (c > 0) {
+          val name = line.substring(0, c).trim.toLowerCase
+          val value = line.substring(c + 1).trim
+          name match {
+            case "content-length" =>
+              cl = try value.toLong catch { case _: Throwable => -1L }
+            case "warc-type" => wtype = value
+            case "warc-target-uri" => uri = value
+            case _ => ()
+          }
+        }
+      }
+      if (cl < 0L) return None
+      val bs = he + 4
+      if (bs + cl + 2 + 2 > payload.length.toLong) return None
+      var sum = 0L
+      var p = 0
+      while (p < cl) { sum += payload(bs + p) & 0xff; p += 1 }
+      // the two CRLF record separators are mandatory
+      val se = bs + cl.toInt
+      if (payload(se) != '\r' || payload(se + 1) != '\n' ||
+        payload(se + 2) != '\r' || payload(se + 3) != '\n') return None
+      out += ((wtype, uri, cl, sum))
+      off = se + 4
+    }
+    val recs = out.result()
+    if (recs.isEmpty) None else Some(recs)
+  }
+
+  /** Deterministic WARC fixture: 1 + seed%4 records; record i carries
+    * type (seed+i)%3 -> response/request/metadata, target URI
+    * "http://ex.test/{seed}/{i}", and a payload of
+    * 10 + (seed*7 + i*13)%50 bytes whose byte p is
+    * (seed*31 + i*17 + p*7) mod 256 — every probe-visible field (and
+    * block_sum) a closed form of (seed, i), the [[syntheticMp4]]
+    * oracle-replayability contract. */
+  def syntheticWarc(seed: Long): Array[Byte] = {
+    val n = (1L + java.lang.Math.floorMod(seed, 4L)).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until n) {
+      val typ = java.lang.Math.floorMod(seed + i, 3L) match {
+        case 0L => "response"; case 1L => "request"; case _ => "metadata"
+      }
+      val len = 10L + java.lang.Math.floorMod(seed * 7L + i * 13L, 50L)
+      val hdr = s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+        s"WARC-Target-URI: http://ex.test/$seed/$i\r\n" +
+        s"Content-Length: $len\r\n\r\n"
+      bos.write(hdr.getBytes("ISO-8859-1"))
+      var p = 0L
+      while (p < len) {
+        bos.write(java.lang.Math.floorMod(
+          seed * 31L + i * 17L + p * 7L, 256L).toInt)
+        p += 1L
+      }
+      bos.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    bos.toByteArray
+  }
 }

@@ -1269,6 +1269,45 @@ object TrainingData {
         $"duration_ms", $"n_tracks", $"codecs")
   }
 
+  /** q469 — WARC record walk ([[Multimodal.warcProbe]]): the q453
+    * container contract for the CRAWL container itself — web-scale
+    * corpora arrive as concatenated WARC records, and splitting them
+    * (boundaries, types, target URIs, Content-Length payloads, a
+    * byte-sum integrity census) is the first stage over 100 TB of
+    * crawl. Fixtures are [[Multimodal.syntheticWarc]] — every record
+    * count/type/URI/length/block_sum a closed form of doc_id — with
+    * two planted corruption modes: every 9th≡4 payload loses its final
+    * separator bytes (Content-Length chain runs past the buffer — a
+    * guaranteed violation, unlike a half-cut that could land on a
+    * record boundary) and every 11th≡6 raw text (wrong magic); both
+    * yield one all-null record row KEPT, and a violation ANYWHERE
+    * refuses the whole payload (lengths chain — a suffix after a bad
+    * record is untrustworthy). */
+  def q469WarcWalk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = docs(spark, dir).where($"doc_id" < 40).select($"doc_id", $"text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val withWarc = base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 11 == 6) r.getString(1).getBytes("UTF-8") // wrong magic
+          else {
+            val full = graft.multimodal.Multimodal.syntheticWarc(id)
+            if (id % 9 == 4) full.take(full.length - 3) // separator cut
+            else full
+          }
+        Row(id, payload)
+      }
+    }(enc)
+    graft.multimodal.Multimodal.warcProbe(withWarc, "payload")
+      .select($"doc_id", $"rec_idx", $"warc_type", $"target_uri",
+        $"content_length", $"block_sum")
+  }
+
   /** q460 — JPEG/EXIF metadata probe ([[Multimodal.exifProbe]]): the
     * q453 container-walk contract for still images — marker stream to
     * APP1, TIFF IFD0 in BOTH byte orders (even doc_id → II, odd → MM),

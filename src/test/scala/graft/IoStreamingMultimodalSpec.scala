@@ -684,6 +684,54 @@ class IoStreamingMultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2).getAs[Long]("duration_ms") == 1000L * 1000L / 600L)
   }
 
+  test("multimodal: WARC walk splits concatenated records with exact " +
+      "lengths and byte sums; optional headers go null with the record " +
+      "kept; any violation refuses the whole payload as one null row") {
+    import spark.implicits._
+    val full = Multimodal.syntheticWarc(7L) // 4 records (1 + 7%4)
+    // hand-built: a record WITHOUT type/uri headers (legal WARC)
+    val bare = ("WARC/1.0\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    // violations: no Content-Length; separator truncated
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\nxy\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val df = Seq(
+      (1L, full),
+      (2L, bare),
+      (3L, noLen),
+      (4L, full.take(full.length - 3)),
+      (5L, "not a warc at all.......".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val rows = Multimodal.warcProbe(df, "payload")
+      .orderBy("id", "rec_idx").collect()
+    val r1 = rows.filter(_.getLong(0) == 1L)
+    assert(r1.length == 4)
+    r1.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("rec_idx") == i)
+      val expType = java.lang.Math.floorMod(7L + i, 3L) match {
+        case 0L => "response"; case 1L => "request"; case _ => "metadata"
+      }
+      assert(r.getAs[String]("warc_type") == expType)
+      assert(r.getAs[String]("target_uri") == s"http://ex.test/7/$i")
+      val len = 10L + (7L * 7 + i * 13) % 50
+      assert(r.getAs[Long]("content_length") == len)
+      val sum = (0L until len)
+        .map(p => java.lang.Math.floorMod(7L * 31 + i * 17 + p * 7, 256L))
+        .sum
+      assert(r.getAs[Long]("block_sum") == sum)
+    }
+    val r2 = rows.filter(_.getLong(0) == 2L)
+    assert(r2.length == 1 && r2.head.getAs[Long]("content_length") == 3L)
+    assert(r2.head.isNullAt(r2.head.fieldIndex("warc_type"))) // optional
+    assert(r2.head.getAs[Long]("block_sum") == 'a' + 'b' + 'c')
+    Seq(3L, 4L, 5L).foreach { id =>
+      val r = rows.filter(_.getLong(0) == id)
+      assert(r.length == 1, s"id $id")
+      assert(r.head.isNullAt(r.head.fieldIndex("rec_idx")), s"id $id")
+      assert(r.head.isNullAt(r.head.fieldIndex("content_length")))
+    }
+  }
+
   test("multimodal: EXIF walk reads make/orientation/dims in BOTH byte " +
       "orders; corrupt and truncated kept null") {
     import spark.implicits._
