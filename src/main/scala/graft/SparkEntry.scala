@@ -490,6 +490,7 @@ object SparkEntry {
     "q467_betweenness"      -> (R.q467Betweenness(_, _)),
     "q468_product_quantize" -> (D.q468ProductQuantize(_, _)),
     "q469_warc_walk"        -> (D.q469WarcWalk(_, _)),
+    "q470_shortest_paths"   -> (R.q470ShortestPaths(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8591,6 +8592,36 @@ object SparkEntry {
          |  CAST(round(CAST(CAST(fs[CAST(n AS INT) + 1] AS VARCHAR)
          |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS total_cost
          |FROM bt""".stripMargin
+    },
+    // q470: Bellman–Ford unrolled — 12 relax-round CTEs (spare rounds
+    // are no-ops at the fixpoint), each one edge join + a (seed, node)
+    // integer MIN; seeds = the 4 smallest customers
+    "q470_shortest_paths" -> {
+      def relax(src: String, dst: String): String =
+        s"""$dst AS (SELECT s, node, CAST(MIN(dist) AS BIGINT) AS dist
+           |  FROM (SELECT d.s, e.dst AS node, d.dist + e.w AS dist
+           |      FROM $src d JOIN e ON d.node = e.src
+           |    UNION ALL SELECT s, node, dist FROM $src)
+           |  GROUP BY 1, 2)""".stripMargin
+      val rounds = (1 to 12).map(i =>
+        relax(s"d${i - 1}", s"d$i")).mkString(",\n")
+      s"""WITH cnts AS (SELECT o.o_custkey AS c, l.l_suppkey AS su,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2),
+         |p AS (SELECT c, su, 1 + cnt % 7 AS w FROM cnts),
+         |e AS (SELECT c AS src, 1000000 + su AS dst, w FROM p
+         |  UNION ALL SELECT 1000000 + su, c, w FROM p),
+         |seeds AS (SELECT c_custkey AS s FROM customer
+         |  ORDER BY c_custkey LIMIT 4),
+         |d0 AS (SELECT s, s AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM seeds),
+         |$rounds
+         |SELECT s AS seed, node,
+         |  CASE WHEN node >= 1000000 THEN 'supplier'
+         |    ELSE 'customer' END AS kind,
+         |  dist
+         |FROM d12""".stripMargin
     },
     // q469: the WARC walk replayed as closed-form arithmetic in
     // doc_id (the q453 container contract): record grid exploded via

@@ -989,6 +989,82 @@ object Graph {
           .otherwise(fold).as("eff_diameter"))
   }
 
+  /** Multi-source WEIGHTED shortest paths by synchronized Bellman–Ford
+    * relaxation — the missing distance primitive next to [[hyperAnf]]
+    * (ball SIZES, not distances) and [[betweennessSampled]] (unweighted
+    * hops): cheapest-cost reachability from a seed set over non-negative
+    * integer edge weights. Dijkstra's priority queue is inherently
+    * sequential; the synchronized relax round
+    *   dist'(v) = min(dist(v), min_{(u,v) ∈ E} dist(u) + w(u,v))
+    * is one edge-grain join + one (seed, node)-keyed integer min per
+    * round — associative, exact, bit-stable — and converges in at most
+    * the weighted-path hop diameter rounds. Fixpoint detection is the
+    * exact integer pair (reached-count, Σdist): distances only ever
+    * decrease and the reach only grows, so the pair is unchanged iff
+    * the relax was a no-op; `maxRounds` overrun raises LOUDLY
+    * ([[graft.operators.KCore.kCore]] contract). Negative weights are
+    * refused up front (Bellman–Ford detects negative cycles only with
+    * n rounds — out of scope for cost graphs).
+    *
+    * Scale shape: per round one dist⋈edges hash join (edge side
+    * hash-partitioned once before its checkpoint — the
+    * [[betweennessSampled]] layout-reuse move) and one keyed min with
+    * map-side combine; loop state checkpoints per round. Output:
+    * (s, node, dist) for every (seed, reachable node) pair, dist 0 at
+    * the seed. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, seedCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val dec = "decimal(38,0)"
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .withColumn("w", when(col("w") >= 0L, col("w"))
+        .otherwise(raise_error(lit(
+          "shortestPaths: negative edge weight — Bellman–Ford here " +
+            "assumes non-negative costs"))))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var dist = sources.select(col(seedCol).cast("long").as("s"))
+      .distinct()
+      .select(col("s"), col("s").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    def sig(d: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(sum(col("dist")).cast(dec), lit(0L).cast(dec))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var cur = sig(dist)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val relaxed = dist
+        .join(e, dist("node") === e("src"))
+        .select(col("s"), col("dst").as("node"),
+          (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("s"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      val next = sig(relaxed)
+      // value comparison (BigDecimal.equals is scale-sensitive)
+      if (next._1 == cur._1 && next._2.compareTo(cur._2) == 0)
+        converged = true
+      dist = relaxed
+      cur = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"shortestPaths did not converge in $maxRounds relax rounds " +
+          "(weighted hop diameter exceeds maxRounds — raise it)")
+    dist
+  }
+
   /** k-source truncated betweenness centrality (Brandes 2001, the
     * pivot-sampled form of Bader et al. 2007) — the "who sits on the
     * shortest paths" score [[pageRank]] (flow without paths) and

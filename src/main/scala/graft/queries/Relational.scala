@@ -1521,6 +1521,33 @@ object Relational {
         round($"betweenness", 4).as("betweenness"), $"n_sources")
   }
 
+  /** q470 — multi-source weighted shortest paths ([[graft.operators
+    * .Graph.shortestPaths]]): cheapest-cost reach from the 4
+    * smallest-id customers over the trade graph, edge cost
+    * 1 + co-order-count mod 7 (a frequent pair is NOT automatically
+    * the cheapest hop — the mod keeps costs non-monotone in volume,
+    * so multi-hop routes genuinely beat direct edges). Synchronized
+    * Bellman–Ford: exact integer relax rounds the oracle unrolls
+    * CTE-for-CTE with spare no-op rounds at the fixpoint. */
+  def q470ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey".as("c"), $"l_suppkey".as("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"c", $"s", (lit(1L) + $"cnt" % 7L).as("w"))
+    val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"), $"w")
+      .unionByName(pairs.select(($"s" + 1000000L).as("src"),
+        $"c".as("dst"), $"w"))
+    val seeds = Tables.customer(spark, dir)
+      .orderBy($"c_custkey").limit(4).select($"c_custkey".as("seed"))
+    graft.operators.Graph.shortestPaths(edges, "src", "dst", "w",
+        seeds, "seed", maxRounds = 12)
+      .select($"s".as("seed"), $"node",
+        when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
+        $"dist")
+  }
+
   /** q466 — truss decomposition ([[graft.operators.KCore
     * .trussDecomposition]]): every Brand#11 co-purchase edge's
     * trussness — the per-edge cohesion SCORE where q408/q463 are one

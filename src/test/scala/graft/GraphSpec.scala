@@ -390,6 +390,43 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(r0.isNullAt(r0.fieldIndex("geary_c")))
   }
 
+  test("shortestPaths: a cheap 2-hop route beats an expensive direct " +
+      "edge; multi-seed frames; unreachable absent; duplicate edges " +
+      "keep the min weight; loud negative-weight and overrun gates") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 4L, 10L), (1L, 2L, 2L), (2L, 4L, 3L),  // 1->4 via 2 costs 5
+      (4L, 5L, 0L),                                // zero weight legal
+      (1L, 2L, 7L),                                // dup edge: min wins
+      (3L, 1L, 1L), (9L, 9L, 1L))
+    val seeds = Seq(1L, 3L).toDF("seed")
+    val out = graft.operators.Graph.shortestPaths(
+        edges.toDF("u", "v", "w"), "u", "v", "w", seeds, "seed")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out((1L, 1L)) == 0L && out((1L, 2L)) == 2L)
+    assert(out((1L, 4L)) == 5L)           // relax found the 2-hop route
+    assert(out((1L, 5L)) == 5L)           // zero-weight hop
+    assert(out((3L, 4L)) == 6L)           // 3->1->2->4
+    assert(!out.contains((1L, 3L)))       // 3 unreachable from 1
+    assert(!out.contains((1L, 9L)))       // disconnected self-loop
+    // negative weight refused loudly
+    val neg = intercept[Exception] {
+      graft.operators.Graph.shortestPaths(
+        Seq((1L, 2L, -1L)).toDF("u", "v", "w"), "u", "v", "w",
+        Seq(1L).toDF("seed"), "seed").collect()
+    }
+    assert(neg.getMessage != null && neg.getMessage.contains("negative"),
+      neg.getMessage)
+    // overrun: a 6-hop chain cannot converge in 2 rounds
+    val chain = (1L to 6L).map(i => (i, i + 1, 1L))
+    val ex = intercept[IllegalStateException] {
+      graft.operators.Graph.shortestPaths(chain.toDF("u", "v", "w"),
+        "u", "v", "w", Seq(1L).toDF("seed"), "seed", maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
   test("betweennessSampled: path/diamond/star hand values with all " +
       "sources; sigma splits across equal-length paths; truncation " +
       "zeroes the horizon; pivots never self-score") {
