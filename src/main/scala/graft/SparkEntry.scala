@@ -491,6 +491,7 @@ object SparkEntry {
     "q468_product_quantize" -> (D.q468ProductQuantize(_, _)),
     "q469_warc_walk"        -> (D.q469WarcWalk(_, _)),
     "q470_shortest_paths"   -> (R.q470ShortestPaths(_, _)),
+    "q471_matrix_profile"   -> (T.q471MatrixProfile(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -8593,6 +8594,58 @@ object SparkEntry {
          |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS total_cost
          |FROM bt""".stripMargin
     },
+    // q471: the matrix profile replayed grid-for-grid — per-window
+    // moments from exact BIGINT prefix windows in the Spark shapes
+    // (S1Δ/m, S2Δ/m − μ²), pair z-distances as ordered m-folds over
+    // the var-guarded |i−j| ≥ m grid, argmin via (d2, j) row_number,
+    // null-windows restored by a left join
+    "q471_matrix_profile" ->
+      """WITH d AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS o,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT k, o, x,
+        |    SUM(x) OVER (PARTITION BY k ORDER BY o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+        |    SUM(x * x) OVER (PARTITION BY k ORDER BY o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+        |  FROM d),
+        |g AS (SELECT k, CAST(COUNT(*) AS INT) AS n,
+        |    list(o ORDER BY o) AS os, list(x ORDER BY o) AS xs,
+        |    list_prepend(CAST(0 AS BIGINT), list(c1 ORDER BY o)) AS s1,
+        |    list_prepend(CAST(0 AS BIGINT), list(c2 ORDER BY o)) AS s2
+        |  FROM w GROUP BY k HAVING COUNT(*) >= 8),
+        |win AS (SELECT k, os, xs, n - 7 + 1 AS kw, CAST(ti.i AS INT) AS i,
+        |    CAST(s1[CAST(ti.i AS INT) + 7] - s1[CAST(ti.i AS INT)]
+        |      AS DOUBLE) / CAST(7 AS DOUBLE) AS mu,
+        |    CAST(s2[CAST(ti.i AS INT) + 7] - s2[CAST(ti.i AS INT)]
+        |      AS DOUBLE) / CAST(7 AS DOUBLE)
+        |      - (CAST(s1[CAST(ti.i AS INT) + 7] - s1[CAST(ti.i AS INT)]
+        |          AS DOUBLE) / CAST(7 AS DOUBLE))
+        |        * (CAST(s1[CAST(ti.i AS INT) + 7] - s1[CAST(ti.i AS INT)]
+        |          AS DOUBLE) / CAST(7 AS DOUBLE)) AS var
+        |  FROM g, range(1, 121) ti(i) WHERE ti.i <= n - 7 + 1),
+        |pairs AS (SELECT a.k, a.i, b.i AS j,
+        |    list_sum(list_transform(range(0, 7), t ->
+        |      ((CAST(a.xs[a.i + CAST(t AS INT)] AS DOUBLE) - a.mu)
+        |         / sqrt(a.var)
+        |       - (CAST(b.xs[b.i + CAST(t AS INT)] AS DOUBLE) - b.mu)
+        |         / sqrt(b.var))
+        |      * ((CAST(a.xs[a.i + CAST(t AS INT)] AS DOUBLE) - a.mu)
+        |         / sqrt(a.var)
+        |       - (CAST(b.xs[b.i + CAST(t AS INT)] AS DOUBLE) - b.mu)
+        |         / sqrt(b.var)))) AS d2
+        |  FROM win a JOIN win b ON a.k = b.k AND abs(b.i - a.i) >= 7
+        |  WHERE a.var > CAST(0.0 AS DOUBLE)
+        |    AND b.var > CAST(0.0 AS DOUBLE)),
+        |best AS (SELECT k, i, j, d2 FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY k, i ORDER BY d2, j) AS rn
+        |  FROM pairs) WHERE rn = 1)
+        |SELECT w.k AS event_type, w.i AS idx, w.os[w.i] AS ord,
+        |  CAST(round(CAST(CAST(sqrt(b.d2) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 6) AS DOUBLE) AS mp,
+        |  b.j AS mp_idx
+        |FROM win w LEFT JOIN best b ON b.k = w.k AND b.i = w.i"""
+        .stripMargin,
     // q470: Bellman–Ford unrolled — 12 relax-round CTEs (spare rounds
     // are no-ops at the fixpoint), each one edge join + a (seed, node)
     // integer MIN; seeds = the 4 smallest customers

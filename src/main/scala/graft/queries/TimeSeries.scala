@@ -2434,6 +2434,20 @@ object TimeSeries {
         round($"total_cost", 6).as("total_cost"))
   }
 
+  /** q471 — exact matrix profile ([[graft.operators.MatrixProfile
+    * .matrixProfile]]): every 7-day window of each event type's daily
+    * cents scored by z-distance to its nearest non-trivial neighbor —
+    * minima are the month's repeated shapes (motifs), maxima its
+    * discords, the anomaly localization a global σ-test can't give
+    * and q437's SAX census blurs. Exact long prefix moments, pinned
+    * double z-shapes, ascending-j strict argmin, |i−j| ≥ m exclusion;
+    * the oracle replays windows, folds and argmins grid-for-grid. */
+  def q471MatrixProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MatrixProfile.matrixProfile(dailyCents(spark, dir),
+        "event_type", "day", "tot", m = 7)
+      .select($"event_type", $"idx", $"ord",
+        round($"mp", 6).as("mp"), $"mp_idx")
+
   /** q458 — Mood's median test ([[graft.operators.Eval.moodMedian]]):
     * do weekend and weekday event values sit on the same side of the
     * pooled median, per event type? The maximally-robust location
