@@ -685,4 +685,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         s"q464 window not keyed:\n$l")
     }
   }
+
+  test("q465/q468/q469 stay scan-grain projections: the AC automaton " +
+      "and the WARC walk never shuffle; PQ's only join is the one " +
+      "broadcast codebook row") {
+    for (q <- Seq("q465_aho_corasick", "q469_warc_walk")) {
+      val p = physical(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+    }
+    val p468 = physical("q468_product_quantize")
+    assert(!p468.contains("SortMergeJoin") &&
+      !p468.contains("CartesianProduct"), p468.take(1500))
+    assert(p468.contains("BroadcastNestedLoopJoin") ||
+      p468.contains("BroadcastExchange"), p468.take(1500))
+  }
+
+  test("q467/q470/q471: iterative graph passes and the profile grid " +
+      "plan no cartesians and no unkeyed windows") {
+    for (q <- Seq("q467_betweenness", "q470_shortest_paths",
+        "q471_matrix_profile")) {
+      val p = physical(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
+      p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+        assert(l.contains("event_type") || l.contains("[k#") ||
+          l.contains("[s#"), s"$q window not keyed:\n$l")
+      }
+    }
+  }
 }
