@@ -257,6 +257,31 @@ object BenchScale {
         .where(col("hop") === 2 && col("nonempty") > 30)
     }
 
+    // r12 shapes: the two new iterative graph passes at Nx EDGES on a
+    // SHARED node space (copy i rewires the supplier end, so the graph
+    // DENSIFIES instead of splitting into disjoint components — the
+    // pivots/seeds stay the same smallest ids and their frontiers must
+    // chew N x the edges). The linear-in-edges claim is exactly what
+    // the ratio receipts.
+    def denseTrade(n: Int): DataFrame = {
+      val e0 = (0 until n).map(i => pairs0.select(col("u"),
+        (lit(1000000L) + pmod(col("v") - 1000000L + lit(i * 131L),
+          lit(20000L))).as("v")))
+        .reduce(_ unionByName _)
+      e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    }
+    def betweennessAt(n: Int): DataFrame =
+      graft.operators.Graph.betweennessSampled(denseTrade(n), "u", "v",
+        nSources = 4, maxDepth = 3)
+        .where(col("betweenness") > 0.0)
+    def ssspAt(n: Int): DataFrame =
+      graft.operators.Graph.shortestPaths(
+        denseTrade(n).withColumn("w", lit(1L) + pmod(col("u") + col("v"),
+          lit(7L))),
+        "u", "v", "w",
+        pairs0.select(col("u").as("seed")).orderBy(col("seed")).limit(4),
+        "seed", maxRounds = 12)
+
     // q337 shape: sequential rules at Nx actors. Copies offset user ids,
     // so actor count scales N x while per-actor history stays fixed —
     // the within-actor time self-join (the quadratic-in-history term) is
@@ -368,6 +393,8 @@ object BenchScale {
       "assoc" -> (assoc(_)),
       "modularity" -> (modularityAt(_)),
       "hyperanf" -> (hyperanfAt(_)),
+      "betweenness" -> (betweennessAt(_)),
+      "sssp" -> (ssspAt(_)),
       "seqrules" -> (seqrules(_)),
       "qnorm" -> (qnorm(_)),
       "kneserney" -> (kneserney(_)),
