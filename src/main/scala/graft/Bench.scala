@@ -40,6 +40,16 @@ object Bench {
     * best number this plan has ever posted. */
   private val RegressFactor = 1.5
 
+  /** Absolute slack under the ratio trigger (r12): the registry's
+    * all-time minimums include light-query numbers from the 30-query
+    * era's lighter batches, so a PURE ratio trigger fired for ~130
+    * sub-second queries in the first full r12 run (0.1 s-scale batch
+    * jitter, not drift) and tripled bench wall time on isolation
+    * re-runs. A regression must clear BOTH gates: 1.5x the best-ever
+    * AND half a second over it — q108's 0.42→0.98 class still
+    * triggers, 0.08→0.3 jitter does not. */
+  private val RegressSlackSec = 0.5
+
   /** Committed FULL per-query best-ever registry (r12, the r11
     * VERDICT's q108 blind spot: driver-emitted BENCH_r*.json lines
     * persist only the top-~120 queries, so sub-top-120 best-evers
@@ -224,7 +234,8 @@ object Bench {
     // "batched". The legacy "isolated" list is kept for old parsers.
     val prior: Map[String, Double] = bestEver()
     val movers = times.filter { case (p, t) =>
-      prior.get(p).exists(old => t > old * RegressFactor) }.keySet
+      prior.get(p).exists(old =>
+        t > old * RegressFactor && t - old > RegressSlackSec) }.keySet
     val heavy = times.toSeq.sortBy(-_._2).take(IsolateK).map(_._1).toSet
     if (movers.diff(heavy).nonEmpty)
       System.err.println(s"[bench] regression-triggered isolation: " +
