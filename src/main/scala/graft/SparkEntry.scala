@@ -492,6 +492,7 @@ object SparkEntry {
     "q469_warc_walk"        -> (D.q469WarcWalk(_, _)),
     "q470_shortest_paths"   -> (R.q470ShortestPaths(_, _)),
     "q471_matrix_profile"   -> (T.q471MatrixProfile(_, _)),
+    "q472_hilbert_layout"   -> (R.q472HilbertLayout(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -6285,6 +6286,44 @@ object SparkEntry {
         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
         |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
         |FROM z GROUP BY bucket""".stripMargin,
+    // q472: q212's quantization CTEs, then the Hilbert xy→d walk as a
+    // 16-round integer list fold with a BIGINT[3] accumulator
+    // [x, y, d] (array acc, not a multi-field struct — the documented
+    // DuckDB struct-fold hazard): per scale s the quadrant digit
+    // (3·rx)⊕ry weights s², the ry=0 branch reflects (rx=1) and
+    // transposes — the Spark kernel's loop round-for-round
+    "q472_hilbert_layout" -> {
+      val sList = (15 to 0 by -1).map(i => s"CAST(${1L << i} AS BIGINT)")
+        .mkString("[", ", ", "]")
+      """WITH dom AS (SELECT min(l_orderkey) AS a_lo, max(l_orderkey) AS a_hi,
+        |  min(l_suppkey) AS b_lo, max(l_suppkey) AS b_hi FROM lineitem),
+        |q AS (SELECT l_orderkey AS a, l_suppkey AS b,
+        |  CASE WHEN a_hi = a_lo THEN 0
+        |    ELSE ((l_orderkey - a_lo) * 65535) // (a_hi - a_lo) END AS qa,
+        |  CASE WHEN b_hi = b_lo THEN 0
+        |    ELSE ((l_suppkey - b_lo) * 65535) // (b_hi - b_lo) END AS qb
+        |  FROM lineitem CROSS JOIN dom),
+        |h AS (SELECT a, b, list_reduce(
+        |    list_prepend([CAST(qa AS BIGINT), CAST(qb AS BIGINT),
+        |        CAST(0 AS BIGINT)],
+        |      list_transform(""".stripMargin + sList +
+        """, s -> [s])),
+        |    (acc, sv) -> [
+        |      CASE WHEN (acc[2] & sv[1]) > 0 THEN acc[1]
+        |        WHEN (acc[1] & sv[1]) > 0 THEN sv[1] - 1 - acc[2]
+        |        ELSE acc[2] END,
+        |      CASE WHEN (acc[2] & sv[1]) > 0 THEN acc[2]
+        |        WHEN (acc[1] & sv[1]) > 0 THEN sv[1] - 1 - acc[1]
+        |        ELSE acc[1] END,
+        |      acc[3] + sv[1] * sv[1] * xor(
+        |        3 * (CASE WHEN (acc[1] & sv[1]) > 0 THEN 1 ELSE 0 END),
+        |        CASE WHEN (acc[2] & sv[1]) > 0 THEN 1 ELSE 0 END)])
+        |  AS hd FROM q),
+        |z AS (SELECT a, b, hd[3] >> 26 AS bucket FROM h)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
+        |FROM z GROUP BY bucket""".stripMargin
+    },
     // q213: the chain+weld fixture's transitive closure is closed-form —
     // runs of 50 welded in even/odd pairs, so component = 100*floor(id/100)
     // and every component has exactly 100 members. No recursive CTE needed;

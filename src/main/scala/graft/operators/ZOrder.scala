@@ -84,4 +84,31 @@ object ZOrder {
         min(col("a")).as("a_min"), max(col("a")).as("a_max"),
         min(col("b")).as("b_min"), max(col("b")).as("b_max"))
   }
+
+  /** [[layoutAudit]] on the HILBERT index ([[graft.functions.Hilbert]])
+    * instead of the Morton interleave — the locality upgrade: the Z
+    * curve jumps a long diagonal every time a high bit flips, so
+    * adjacent z buckets can span half the domain on one axis; the
+    * Hilbert curve moves one cell per step, so equal-index ranges have
+    * provably tighter bounding boxes (Moon et al. 2001) and min/max
+    * file statistics prune more files for the same bucket count. Same
+    * shape: one broadcast domain row, one shuffle on the bucket. */
+  def hilbertAudit(df: DataFrame, aCol: String, bCol: String,
+      log2Buckets: Int): DataFrame = {
+    require(log2Buckets >= 1 && log2Buckets <= 16, s"log2Buckets=$log2Buckets")
+    val dom = df.agg(
+      min(col(aCol).cast("long")).as("a_lo"), max(col(aCol).cast("long")).as("a_hi"),
+      min(col(bCol).cast("long")).as("b_lo"), max(col(bCol).cast("long")).as("b_hi"))
+    df.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .crossJoin(broadcast(dom))
+      .select(col("a"), col("b"),
+        shiftright(graft.functions.Hilbert.hilbertValue(
+          quantize16(col("a"), col("a_lo"), col("a_hi")),
+          quantize16(col("b"), col("b_lo"), col("b_hi"))),
+          32 - log2Buckets).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+        min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+  }
 }

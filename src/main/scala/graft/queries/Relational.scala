@@ -712,6 +712,21 @@ object Relational {
       Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
       "l_orderkey", "l_suppkey", log2Buckets = 6)
 
+  /** q472 — Hilbert-curve layout audit ([[graft.operators.ZOrder
+    * .hilbertAudit]], [[graft.functions.Hilbert]] codegen index):
+    * q212's Morton audit upgraded to the CONTINUOUS curve — the Z
+    * interleave jumps a long diagonal at every high-bit flip, so
+    * adjacent z buckets can span half the domain on one axis, while
+    * Hilbert moves one cell per step and equal-index ranges carry
+    * provably tighter bounding boxes (Moon et al. 2001) — the min/max
+    * file-statistics pruning upgrade at identical write cost (the
+    * index is still just a range-partition sort key). The oracle
+    * replays the 16-round quadrant/rotation walk as an integer fold. */
+  def q472HilbertLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ZOrder.hilbertAudit(
+      Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+      "l_orderkey", "l_suppkey", log2Buckets = 6)
+
   /** q220 — sketch-estimated join size
     * ([[graft.operators.Sketches.cmsJoinSize]]): the self-join size of
     * lineitem on l_suppkey (Σ c²) estimated from the 4×512 Count-Min
