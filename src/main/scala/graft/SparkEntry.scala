@@ -8648,7 +8648,13 @@ object SparkEntry {
         |    SUM(x * x) OVER (PARTITION BY k ORDER BY o
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
         |  FROM d),
-        |g AS (SELECT k, CAST(COUNT(*) AS INT) AS n,
+        |g AS (SELECT k,
+        |    CASE WHEN COUNT(*) - 7 + 1 > 120
+        |      THEN CAST(error('q471 oracle: window count '
+        |        || (COUNT(*) - 7 + 1)
+        |        || ' exceeds the unrolled 120 grid - widen range(1, N)')
+        |        AS INT)
+        |      ELSE CAST(COUNT(*) AS INT) END AS n,
         |    list(o ORDER BY o) AS os, list(x ORDER BY o) AS xs,
         |    list_prepend(CAST(0 AS BIGINT), list(c1 ORDER BY o)) AS s1,
         |    list_prepend(CAST(0 AS BIGINT), list(c2 ORDER BY o)) AS s2
@@ -8808,7 +8814,11 @@ object SparkEntry {
     // no-ops at the fixpoint; trussness(k−1) = level-(k−1) survivors
     // anti-joined with level-k survivors. The graph's score tops out
     // at 4 at every test SF, so level 5's fixpoint is empty and the
-    // sweep is total.
+    // sweep is total. GUARD: the engine sweeps to maxK=12 while this
+    // unroll hard-stops at k=5, so the final branch fails loudly
+    // (error()) if any level-5 survivor still carries >=4-support
+    // triangles — the precondition for a 6-truss; a future SF growing
+    // one would otherwise silently under-report trussness as 5.
     "q466_truss_decomp" -> {
       def round(src: String, dst: String, minSup: Int): String =
         s"""t$dst AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -8842,7 +8852,15 @@ object SparkEntry {
          |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
          |$l3,
          |$l4,
-         |$l5
+         |$l5,
+         |tg6 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM $e5 e1 JOIN $e5 e2 ON e1.v = e2.u
+         |  JOIN $e5 e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |sg6 AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT a AS u, b AS v FROM tg6
+         |    UNION ALL SELECT b, c FROM tg6
+         |    UNION ALL SELECT a, c FROM tg6) GROUP BY 1, 2),
+         |g6 AS (SELECT count(*) AS n FROM sg6 WHERE cnt >= 4)
          |SELECT e.u, e.v, CAST(2 AS BIGINT) AS trussness FROM e0 e
          |  ANTI JOIN $e3 s ON e.u = s.u AND e.v = s.v
          |UNION ALL
@@ -8852,7 +8870,13 @@ object SparkEntry {
          |SELECT e.u, e.v, CAST(4 AS BIGINT) FROM $e4 e
          |  ANTI JOIN $e5 s ON e.u = s.u AND e.v = s.v
          |UNION ALL
-         |SELECT e.u, e.v, CAST(5 AS BIGINT) FROM $e5 e""".stripMargin
+         |SELECT e.u, e.v,
+         |  CASE WHEN (SELECT n FROM g6) > 0
+         |    THEN CAST(error('q466 oracle: level-5 survivors carry '
+         |      || '>=4-support triangles - a 6-truss may exist; '
+         |      || 'widen the unrolled k sweep') AS BIGINT)
+         |    ELSE CAST(5 AS BIGINT) END
+         |FROM $e5 e""".stripMargin
     },
     // q462: Smith-Waterman replayed by ANTI-DIAGONALS as a recursive
     // CTE — diagonal d depends only on d-1/d-2 elementwise, so each

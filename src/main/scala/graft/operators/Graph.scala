@@ -1196,19 +1196,41 @@ object Graph {
     * and eager-localCheckpoints the (node, hop, nonempty, est) rows
     * (~n·maxHops rows — node-grain, tiny next to the edge-grain loop);
     * later callers read the materialized blocks. Keyed by
-    * applicationId so a new SparkSession can never see another
-    * session's (dead) checkpoint blocks. The sketch is bit-identical
-    * to a fresh [[hyperAnf]] run (md5-derived registers, IEEE-exact
-    * estimator), so readers' oracles stay independent replays. */
+    * applicationId AND session identity: a new SparkSession can never
+    * see another session's (dead) checkpoint blocks, and two live
+    * sessions sharing one SparkContext never replay each other's
+    * frame (a cached DataFrame is bound to the session that built
+    * it). The sketch is bit-identical to a fresh [[hyperAnf]] run
+    * (md5-derived registers, IEEE-exact estimator), so readers'
+    * oracles stay independent replays.
+    *
+    * Lifetime contract: entries are NEVER auto-evicted — the intended
+    * host is a batch driver where the handful of (graph, hops, b)
+    * sketches live exactly as long as the job. A long-lived JVM
+    * serving many keys/dirs accumulates pinned localCheckpoint
+    * storage and MUST call [[AnfStage.clear]] between units of work
+    * (it unpersists every memoized block and empties the memo). */
   object AnfStage {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
     def sketch(spark: org.apache.spark.sql.SparkSession, key: String,
         maxHops: Int, b: Int)(edges: => DataFrame): DataFrame =
       cache.computeIfAbsent(
-        s"${spark.sparkContext.applicationId}|$key|$maxHops|$b",
+        s"${spark.sparkContext.applicationId}|" +
+          s"${System.identityHashCode(spark)}|$key|$maxHops|$b",
         _ => hyperAnf(edges, "src", "dst", maxHops, b)
           .localCheckpoint(true))
+    /** Unpersist every memoized sketch's checkpoint blocks and empty
+      * the memo — the eviction hook for long-lived drivers. */
+    def clear(): Unit = {
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        try e.getValue.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        it.remove()
+      }
+    }
   }
 
   def harmonicFromAnf(anf: DataFrame): DataFrame =

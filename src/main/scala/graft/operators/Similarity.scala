@@ -299,6 +299,11 @@ object Similarity {
     * projection: the codebook rides as ONE broadcast row, each vector
     * folds per subspace over its codewords (argmin L2², strictly-less
     * fold = ties to the smallest code) — the corpus is never shuffled.
+    * The argmin bounds by the REALIZED codebook size (size(cb), not
+    * the nCodes constant): a corpus smaller than nCodes yields a short
+    * codebook and the fold must never element_at past it — with
+    * spark.sql.ansi.enabled=true an out-of-range probe throws
+    * INVALID_ARRAY_INDEX instead of returning null.
     *
     * Output: (id, codes array<int> in subspace order, err — the total
     * squared reconstruction error Σ_m min_j ‖v_m − c_{m,j}‖², each
@@ -325,7 +330,7 @@ object Similarity {
     // the argmin folds codes ascending with a STRICT improvement test
     val scored = dimsChk.withColumn("__best", expr(
       s"""transform(sequence(0, $nSub - 1), m ->
-         |  aggregate(sequence(0, ${nCodes - 1}),
+         |  aggregate(sequence(0, size(cb) - 1),
          |    named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),
          |    (b, j) -> CASE WHEN
          |        aggregate(sequence(0, __d - 1), CAST(0.0 AS DOUBLE),

@@ -1543,7 +1543,11 @@ object Relational {
     * the cheapest hop — the mod keeps costs non-monotone in volume,
     * so multi-hop routes genuinely beat direct edges). Synchronized
     * Bellman–Ford: exact integer relax rounds the oracle unrolls
-    * CTE-for-CTE with spare no-op rounds at the fixpoint. */
+    * CTE-for-CTE with spare no-op rounds at the fixpoint. The engine
+    * runs maxRounds = oracle rounds + 1 (13 vs 12): shortestPaths
+    * needs one extra no-op round to OBSERVE convergence, so 12 would
+    * silently tolerate only 11 productive rounds — a diameter-12
+    * graph would pass the oracle yet throw in the engine. */
   def q470ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
@@ -1557,7 +1561,7 @@ object Relational {
     val seeds = Tables.customer(spark, dir)
       .orderBy($"c_custkey").limit(4).select($"c_custkey".as("seed"))
     graft.operators.Graph.shortestPaths(edges, "src", "dst", "w",
-        seeds, "seed", maxRounds = 12)
+        seeds, "seed", maxRounds = 13)
       .select($"s".as("seed"), $"node",
         when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
         $"dist")
