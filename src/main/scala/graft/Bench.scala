@@ -61,6 +61,15 @@ object Bench {
     * as the artifacts (parsed by [[parseQueries]]). */
   private val BestEverPath = "tools/bench_best.json"
 
+  /** The isolation trigger's regression predicate: a batched time is a
+    * regression only when it clears BOTH gates against the best-ever —
+    * [[RegressFactor]]× AND [[RegressSlackSec]] over (r12 slack guard;
+    * r13 VERDICT ask: a ~0.5 s fixed scheduling/JIT floor in loaded
+    * batched runs made a pure ratio trigger misread 0.05 s queries as
+    * 10× regressions and burn isolation slots on jitter). */
+  private[graft] def regressed(batched: Double, best: Double): Boolean =
+    batched > best * RegressFactor && batched - best > RegressSlackSec
+
   def main(args: Array[String]): Unit = {
     val only = args.toSet
     if (only.nonEmpty || sys.env.contains("GRAFT_BENCH_CHILD"))
@@ -234,8 +243,7 @@ object Bench {
     // "batched". The legacy "isolated" list is kept for old parsers.
     val prior: Map[String, Double] = bestEver()
     val movers = times.filter { case (p, t) =>
-      prior.get(p).exists(old =>
-        t > old * RegressFactor && t - old > RegressSlackSec) }.keySet
+      prior.get(p).exists(regressed(t, _)) }.keySet
     val heavy = times.toSeq.sortBy(-_._2).take(IsolateK).map(_._1).toSet
     if (movers.diff(heavy).nonEmpty)
       System.err.println(s"[bench] regression-triggered isolation: " +

@@ -564,6 +564,97 @@ object FastHash {
     new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
 
+  /** Delta-varint pack of a STRICTLY-INCREASING sorted long array: the
+    * first value zigzag-varint'd (ids may be negative), every
+    * subsequent value as varint(delta) with delta >= 1. Dense
+    * neighbor lists (graph adjacency) shrink ~4-6x vs 8 bytes/elem —
+    * and a binary column rides joins as one memcpy'd blob, so the
+    * per-edge adjacency traffic in [[graft.operators.Triangles]] stops
+    * being the memory-bandwidth hog that GC-amplifies under load. */
+  def packSortedLongs(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val buf = new Array[Byte](10 * n + 1)
+    var pos = 0
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      var v = if (i == 0) (x << 1) ^ (x >> 63) else x - prev
+      while ((v & ~0x7fL) != 0L) {
+        buf(pos) = ((v & 0x7fL) | 0x80L).toByte; pos += 1; v >>>= 7
+      }
+      buf(pos) = v.toByte; pos += 1
+      prev = x
+      i += 1
+    }
+    java.util.Arrays.copyOf(buf, pos)
+  }
+
+  /** Streaming decoder over [[packSortedLongs]] output. */
+  private final class VarCursor(buf: Array[Byte]) {
+    private var pos = 0
+    private var cur = 0L
+    private var first = true
+    def hasNext: Boolean = pos < buf.length
+    def next(): Long = {
+      var shift = 0
+      var v = 0L
+      var b = 0L
+      do {
+        b = buf(pos) & 0xffL; pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80L) != 0L)
+      if (first) { first = false; cur = (v >>> 1) ^ -(v & 1L) }
+      else cur += v
+      cur
+    }
+  }
+
+  /** Merge-intersection of two [[packSortedLongs]] streams, decoded on
+    * the fly — no intermediate arrays, no hash set; output sized to
+    * the (small) witness count and emitted as UnsafeArrayData (a
+    * primitive-long blob — no per-element boxing even when a dense
+    * graph yields 10^8 witnesses in aggregate). */
+  def packedIntersectLongs(ab: Array[Byte], bb: Array[Byte]): ArrayData = {
+    val ca = new VarCursor(ab)
+    val cb = new VarCursor(bb)
+    var out = new Array[Long](16)
+    var k = 0
+    if (ca.hasNext && cb.hasNext) {
+      var x = ca.next()
+      var y = cb.next()
+      var done = false
+      while (!done) {
+        if (x == y) {
+          if (k == out.length) out = java.util.Arrays.copyOf(out, k * 2)
+          out(k) = x; k += 1
+          if (ca.hasNext && cb.hasNext) { x = ca.next(); y = cb.next() }
+          else done = true
+        } else if (x < y) {
+          if (ca.hasNext) x = ca.next() else done = true
+        } else {
+          if (cb.hasNext) y = cb.next() else done = true
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
+  /** Unpack a [[packSortedLongs]] blob back to the long array (spec
+    * cross-check + any consumer needing the raw list). */
+  def unpackSortedLongs(ab: Array[Byte]): ArrayData = {
+    val c = new VarCursor(ab)
+    var out = new Array[Long](16)
+    var k = 0
+    while (c.hasNext) {
+      if (k == out.length) out = java.util.Arrays.copyOf(out, k * 2)
+      out(k) = c.next(); k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
   /** Column API. */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashSigExpr(GraftShim.expression(text), n, k))
@@ -614,6 +705,16 @@ object FastHash {
 
   def sortedIntersect(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectExpr(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def packSorted(a: Column): Column =
+    GraftShim.column(PackSortedExpr(GraftShim.expression(a)))
+
+  def packedIntersect(a: Column, b: Column): Column =
+    GraftShim.column(PackedIntersectExpr(GraftShim.expression(a),
+      GraftShim.expression(b)))
+
+  def unpackSorted(a: Column): Column =
+    GraftShim.column(UnpackSortedExpr(GraftShim.expression(a)))
 
   def pqCodes(v: Column, cbFlat: Column, m: Int, ksub: Int): Column =
     GraftShim.column(PqCodesExpr(GraftShim.expression(v),
@@ -667,6 +768,65 @@ case class SortedIntersectExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** (strictly-increasing sorted array<bigint>) -> delta-varint binary
+  * ([[FastHash.packSortedLongs]]): the compact adjacency form — joins
+  * ship one blob memcpy instead of 8 bytes/neighbor. */
+case class PackSortedExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_pack_sorted"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.packSortedLongs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.FastHash.packSortedLongs($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PackSortedExpr = copy(child = newChild)
+}
+
+/** (packed binary, packed binary) -> sorted array<bigint> intersection,
+  * decoded on the fly ([[FastHash.packedIntersectLongs]]) — no
+  * intermediate array materialization. */
+case class PackedIntersectExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_packed_intersect"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FastHash.packedIntersectLongs(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.FastHash.packedIntersectLongs($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackedIntersectExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (packed binary) -> sorted array<bigint> round-trip
+  * ([[FastHash.unpackSortedLongs]]). */
+case class UnpackSortedExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_unpack_sorted"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FastHash.unpackSortedLongs(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.FastHash.unpackSortedLongs($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnpackSortedExpr = copy(child = newChild)
 }
 
 /** text -> array<bigint> of k minhashes (null when < n tokens). */

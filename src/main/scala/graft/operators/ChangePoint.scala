@@ -256,13 +256,41 @@ object ChangePoint {
     * split exists — the [[binarySegment]] convention). */
   def pettitt(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(!df.schema(ordCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"pettitt: ordCol '$ordCol' is ${df.schema(ordCol).dataType} — " +
         "ord values compare AS STRINGS; format to ISO period labels first")
-    val base = df.select(col(keyCol).as("k"),
-      col(ordCol).cast("string").as("o"), col(valueCol).cast("long").as("x"))
+    pettittFromCensus(df.select(col(keyCol).as("k"),
+        col(ordCol).cast("string").as("o"),
+        col(valueCol).cast("long").as("x")))
+      .withColumnRenamed("k", keyCol)
+  }
+
+  /** The (key, period, value) census [[pettitt]] runs on, built from
+    * raw event rows by a PURE aggregation (period total), so the same
+    * function is the streaming twin's state ([[graft.streaming.Streams
+    * .pettittCensusStream]]): one long per (key, period), state
+    * bounded by the period grid, never row count. Output: (k, o, x). */
+  def pettittCensus(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    require(!df.schema(ordCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"pettittCensus: ordCol '$ordCol' is ${df.schema(ordCol).dataType} " +
+        "— ord values compare AS STRINGS; format to ISO period labels first")
+    df.select(col(keyCol).as("k"), col(ordCol).cast("string").as("o"),
+        col(valueCol).cast("long").as("x"))
+      .where(col("o").isNotNull && col("x").isNotNull)
+      .groupBy(col("k"), col("o"))
+      .agg(sum(col("x")).as("x"))
+  }
+
+  /** [[pettitt]]'s statistic half over a (k, o, x) period census — the
+    * FromCensus contract ([[graft.operators.Eval.moodMedianFromCensus]]
+    * family): the rank walk derives from the census alone, so a
+    * streamed census sink feeds it identically to the batch path. */
+  def pettittFromCensus(census: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = census.select(col("k"), col("o"), col("x"))
     // per-key value census -> V(x) = #less - #greater, broadcast back
     // by an equi-join on (k, x): census grain, never row^2
     val vc = base.groupBy(col("k"), col("x")).agg(count(lit(1)).as("c"))
@@ -272,10 +300,15 @@ object ChangePoint {
       .withColumn("__le", sum(col("c")).over(
         wv.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("__n", sum(col("c")).over(wk))
-      .select(col("k"), col("x"),
+      // fresh output attributes: vTab derives from `base`, and a
+      // memory-sink view feeding both join sides otherwise trips
+      // "conflicting references" (the moodMedianFromCensus lesson)
+      .select(col("k").as("__vk"), col("x").as("__vx"),
         ((col("__le") - col("c")) - (col("__n") - col("__le"))).as("v"))
     val wo = Window.partitionBy(col("k")).orderBy(col("o"))
-    val scored = base.join(vTab, Seq("k", "x"))
+    val scored = base.join(vTab,
+        base("k") === col("__vk") && base("x") === col("__vx"))
+      .drop("__vk", "__vx")
       .withColumn("u", sum(col("v")).over(
         wo.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("__i", row_number().over(wo))
@@ -293,7 +326,7 @@ object ChangePoint {
     val p = least(lit(1.0),
       lit(2.0) * exp(lit(-6.0) * dd(k) * dd(k) /
         (nD * nD * nD + nD * nD)))
-    g.select(col("k").as(keyCol), col("n"),
+    g.select(col("k"), col("n"),
       when(col("n") >= 2L, k).as("k_stat"),
       when(col("n") >= 2L, col("__best").getField("u")).as("u_at_cp"),
       when(col("n") >= 2L, col("__best").getField("o")).as("cp_ord"),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SemDeDup-style SEMANTIC deduplication over an embedding column
@@ -314,13 +313,22 @@ object SemDedup {
         // [[Dedup.capBuckets]]): an over-cap cell skips the pair stage
         // entirely — every member comes back kept=true — so the skip
         // must be visible at run time, not only via an [[oversizedCells]]
-        // query nobody issued. One cheap aggregation over the already-
-        // checkpointed assignment (cell-keyed count, decimal row count
-        // vs pair work). NOTE the r11 default change 100000 -> 10000:
-        // default-arg callers with 10k-100k-member cells now skip those
-        // cells — this census is where that shows up.
-        val over = assigned.groupBy(col("cell"))
+        // query nobody issued. ONE cell-grain count pass serves both the
+        // census and the cap filter (r13, the r12 VERDICT's q130/q139
+        // finding: the census used to be its own full aggregation job
+        // over `assigned` ON TOP of a window exchange inside the pair
+        // stage — folded, the census reads the tiny cell-grain frame and
+        // the cap filter rides it as a broadcast semi-join, so `assigned`
+        // is scanned once and never re-shuffled by cell here). The
+        // cell-grain frame is bounded by nCells (a user parameter ≪
+        // corpus), hence broadcastable by construction. NOTE the r11
+        // default change 100000 -> 10000: default-arg callers with
+        // 10k-100k-member cells now skip those cells — this census is
+        // where that shows up.
+        val cellCounts = assigned.groupBy(col("cell"))
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val over = cellCounts
           .where(col("n") > maxCellSize)
           .agg(count(lit(1)).as("cells"), sum(col("n")).as("members"))
           .head()
@@ -330,9 +338,10 @@ object SemDedup {
             s"${over.getLong(1)} members SKIP pair generation " +
             "(all their members kept) — raise maxCellSize or pre-split " +
             "with an exact-dedup pass")
-        val w = Window.partitionBy(col("cell"))
-        assigned.withColumn("_cn", count(lit(1)).over(w))
-          .where(col("_cn") <= maxCellSize).drop("_cn")
+        assigned.join(
+          broadcast(cellCounts.where(col("n") <= maxCellSize)
+            .select(col("cell"))),
+          Seq("cell"), "left_semi")
       }
     val drops = inCap.alias("a").join(inCap.alias("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))

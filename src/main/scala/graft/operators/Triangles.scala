@@ -42,16 +42,28 @@ object Triangles {
       .where(col("u") =!= col("v"))
       .distinct()
 
-  /** Degree-ordered orientation + sorted-adjacency intersection over a
-    * canonical (u, v) edge set: one row per triangle-closing pivot edge
-    * (src, dst, ws) where ws are the common out-neighbors — each
-    * triangle generated exactly once, every out-degree O(√(2m))-capped.
-    * Shared by [[perNode]] and [[kTruss]] (which re-runs it per peel
-    * round). The input must already be checkpointed — this pipeline
-    * consumes it several times. */
-  private def closedTriangles(e0: DataFrame): DataFrame = {
-    val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
+  /** Degree census over a canonical edge set: (node, deg). */
+  private def degreeCensus(e0: DataFrame): DataFrame =
+    e0.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Degree-ordered orientation + packed out-neighbor adjacency over a
+    * checkpointed canonical edge set. Adjacency is SORTED (arrays
+    * bounded O(√(2m)) by the orientation; ascending order feeds the
+    * streaming merge) and DELTA-VARINT PACKED to binary: the closing
+    * joins duplicate each node's adjacency once per incident oriented
+    * edge, so on a dense graph the adjacency payload is
+    * ≈8·Σ(outdeg(u)+outdeg(v)) bytes of row traffic — packed blobs
+    * cut that ~4-6× and ride UnsafeRows as one memcpy.
+    *
+    * `packed = false` keeps plain sorted long arrays: [[support]] (the
+    * kTruss peel kernel) re-runs this whole pipeline on every peel
+    * round over SPARSE shrinking survivor graphs, where the two-pointer
+    * merge over primitive arrays is already allocation-light and the
+    * varint encode/decode would be pure per-round overhead (measured
+    * q408 1.47 → 2.6 s when the peel rode the packed form). */
+  private def orientedAdj(e0: DataFrame, deg: DataFrame,
+      packed: Boolean): (DataFrame, DataFrame) = {
     // (deg, id) is a TOTAL order over nodes, so orientation needs no
     // global rank — a struct comparison on each edge suffices
     val ed = e0
@@ -60,29 +72,44 @@ object Triangles {
     val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val oriented = ed.select(
       when(fwd, col("u")).otherwise(col("v")).as("src"),
-      when(fwd, col("v")).otherwise(col("u")).as("dst"),
-      when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+      when(fwd, col("v")).otherwise(col("u")).as("dst"))
       .localCheckpoint(true)
-    // out-neighbor adjacency per node, SORTED (arrays bounded O(√(2m))
-    // by the orientation; ascending order feeds the two-pointer merge)
+    val sortedNbrs = sort_array(collect_list(col("dst")))
     val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .agg((if (packed) graft.functions.FastHash.packSorted(sortedNbrs)
+            else sortedNbrs).as("nbrs"))
       .localCheckpoint(true)
-    // per oriented edge (u,v): common out-neighbors w close triangles
-    // (u→v, u→w, v→w), each triangle found exactly once at its pivot
-    // edge. The codegen'd sorted merge replaces array_intersect's
-    // per-call hash-set build — the dominant per-edge cost on dense
-    // graphs. Inner joins: u always has out-edges; a v with none closes
-    // nothing and its zero contribution is restored by the final fill.
-    // checkpoint: the three consumer union branches each re-read
-    // `closed` — without it the intersect pass runs three times
+    (oriented, adj)
+  }
+
+  /** The triangle-closing plan (NOT checkpointed): per oriented edge
+    * (u,v), the common out-neighbors ws = adj(u) ∩ adj(v) close
+    * triangles (u→v, u→w, v→w), each triangle found exactly once at
+    * its pivot edge. The codegen'd streaming merge decodes both packed
+    * adjacency streams on the fly — no per-call hash set; the only
+    * allocation is the witness array itself (Σ|ws| = T, the triangle
+    * count), emitted as a primitive-long blob. Inner joins: u always
+    * has out-edges; a v with none closes nothing and its zero
+    * contribution is restored by each consumer's final fill. */
+  private def closedPlan(oriented: DataFrame, adj: DataFrame,
+      packed: Boolean): DataFrame =
     oriented
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
       .select(col("src"), col("dst"),
-        graft.functions.FastHash.sortedIntersect(col("nu"), col("nv")).as("ws"))
+        (if (packed)
+           graft.functions.FastHash.packedIntersect(col("nu"), col("nv"))
+         else graft.functions.FastHash.sortedIntersect(col("nu"), col("nv")))
+          .as("ws"))
       .where(size(col("ws")) > 0)
-      .localCheckpoint(true)
+
+  /** [[closedPlan]] materialized — for [[support]], whose three
+    * re-canonicalized union branches each re-read the closed set
+    * (without the checkpoint the intersect pass runs three times).
+    * The input must already be checkpointed. */
+  private def closedTriangles(e0: DataFrame): DataFrame = {
+    val (oriented, adj) = orientedAdj(e0, degreeCensus(e0), packed = false)
+    closedPlan(oriented, adj, packed = false).localCheckpoint(true)
   }
 
   /** Per-node triangle participation over the undirected graph given by
@@ -90,24 +117,35 @@ object Triangles {
     * direction collapsed). Node ids must be integral (widened to long —
     * the sorted-intersection kernel runs on primitive long arrays).
     * Output: (node, triangles) with a row for every node that appears
-    * in an edge, zero-filled. */
+    * in an edge, zero-filled.
+    *
+    * Attribution runs as ONE fused pass over the un-checkpointed
+    * [[closedPlan]]: posexplode(concat(array(src, dst), ws)) tags each
+    * corner by position — the pivot (pos 0) and far end (pos 1) each
+    * join |ws| triangles, every witness (pos ≥ 2) joins one — and
+    * partial aggregation collapses the exploded stream to node grain
+    * map-side. On a DENSE graph T can reach Θ(n³) (the 91%-dense sf0.1
+    * supplier graph closes ~10⁸ triangles), so the former design —
+    * checkpointing (src, dst, ws) and union-reading it three times —
+    * serialized ~1 GB of witness arrays through storage per run; that
+    * write was q196's load-sensitive term (2× under loadavg ~4). The
+    * fused pass never materializes a witness row. */
   def perNode(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
     // materialize the canonical edge set ONCE (eager localCheckpoint —
-    // the q170/q221 lesson): e0 feeds the degree census, the
-    // orientation join and (via `closed`'s three union branches) the
-    // whole chain again; without the checkpoint the upstream edge
+    // the q170/q221 lesson): e0 feeds the degree census and the
+    // orientation join; without the checkpoint the upstream edge
     // build re-runs per consumer (measured 15.7 s → 6.9 s for q196's
     // dense co-occurrence graph at sf0.1)
     val e0 = canonical(edges, uCol, vCol).localCheckpoint(true)
-    val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val closed = closedTriangles(e0)
-    // corner attribution: the pivot u and the far end v each join
-    // |ws| triangles; every common neighbor w joins one
-    val perCorner = closed
-      .select(col("src").as("node"), size(col("ws")).cast("long").as("n"))
-      .union(closed.select(col("dst").as("node"), size(col("ws")).cast("long").as("n")))
-      .union(closed.select(explode(col("ws")).as("node"), lit(1L).as("n")))
+    // node-grain and consumed twice (orientation join + zero-fill) —
+    // checkpoint instead of re-running the census per consumer
+    val deg = degreeCensus(e0).localCheckpoint(true)
+    val (oriented, adj) = orientedAdj(e0, deg, packed = true)
+    val perCorner = closedPlan(oriented, adj, packed = true)
+      .select(size(col("ws")).cast("long").as("cnt"),
+        posexplode(concat(array(col("src"), col("dst")), col("ws"))))
+      .select(col("col").as("node"),
+        when(col("pos") < 2, col("cnt")).otherwise(lit(1L)).as("n"))
       .groupBy("node").agg(sum(col("n")).as("triangles"))
     deg.select(col("node"))
       .join(perCorner, Seq("node"), "left")

@@ -614,6 +614,15 @@ object Streams {
       groupCol: String, valueCol: String): DataFrame =
     graft.operators.Eval.moodCensus(rows, scopeCol, groupCol, valueCol)
 
+  /** Streaming Pettitt period census ([[graft.operators.ChangePoint
+    * .pettitt]]'s twin, r13): per (key, period) one running total is
+    * the whole state — bounded by the period grid, never stream
+    * length; [[graft.operators.ChangePoint.pettittFromCensus]] reads
+    * the sink for the rank-walk change-point board. */
+  def pettittCensusStream(rows: DataFrame, keyCol: String,
+      ordCol: String, valueCol: String): DataFrame =
+    graft.operators.ChangePoint.pettittCensus(rows, keyCol, ordCol, valueCol)
+
   case class BurstState(times: List[Long], peak: Long, n: Long)
   case class BurstOut(user_id: Long, n_events: Long, peak_rate: Long)
 

@@ -45,6 +45,20 @@ class BenchRegistrySpec extends AnyFunSuite {
     assert(best("qC") == 9.0) // new key entered at its first value
   }
 
+  test("isolation trigger needs BOTH gates: 1.5x best-ever AND +0.5s " +
+      "over it (sub-second jitter never earns an isolation slot)") {
+    // the r12 driver-run pathology: 0.056s best, 0.577s loaded batch —
+    // 10.3x by ratio, but the delta is the ~0.5s scheduling/JIT floor
+    assert(!Bench.regressed(batched = 0.556, best = 0.056))
+    assert(Bench.regressed(batched = 0.98, best = 0.42)) // q108 class: real
+    assert(!Bench.regressed(batched = 0.3, best = 0.08)) // jitter band
+    assert(!Bench.regressed(batched = 8.0, best = 7.6)) // big but < 1.5x
+    assert(Bench.regressed(batched = 13.08, best = 6.12)) // q196 class
+    // boundary: both gates must be strictly exceeded
+    assert(!Bench.regressed(batched = 1.5, best = 1.0))
+    assert(!Bench.regressed(batched = 0.9, best = 0.4))
+  }
+
   test("committed registry covers every declared query (the top-120 " +
       "blind spot stays closed as the board grows)") {
     val reg = Bench.parseQueries(new String(

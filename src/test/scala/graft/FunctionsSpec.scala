@@ -153,6 +153,32 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(bad == 0)
   }
 
+  test("packSorted/packedIntersect: roundtrip + intersect equal the array forms " +
+      "(negatives, empties, wide gaps)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_intersect, col, sort_array}
+    import graft.functions.FastHash
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(40))(
+        rnd.nextLong() % 50L - (if (rnd.nextBoolean()) 1000000000L else 0L))
+        .distinct.sorted
+      (i.toLong, arr(), arr())
+    } ++ Seq(
+      (997L, Seq.empty[Long], Seq(1L, 2L)),
+      (998L, Seq(Long.MinValue, -1L, 0L, Long.MaxValue),
+        Seq(Long.MinValue, 0L, 7L, Long.MaxValue)),
+      (999L, Seq(-5L), Seq(-5L)))
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"), col("a"),
+        FastHash.unpackSorted(FastHash.packSorted(col("a"))).as("rt"),
+        FastHash.packedIntersect(FastHash.packSorted(col("a")),
+          FastHash.packSorted(col("b"))).as("fast"),
+        sort_array(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(df.where(!(col("rt") === col("a"))).count() == 0)
+    assert(df.where(!(col("fast") === col("ref"))).count() == 0)
+  }
+
   test("tokenLcs: hand cases, order sensitivity, cap, normalization") {
     import spark.implicits._
     import graft.functions.FastHash

@@ -219,6 +219,21 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     Streams.moodCensusStream(_, "event_type", "dow", "cents"),
     graft.operators.Eval.moodMedianFromCensus(_))
 
+  twin[(String, String, Long)]("pettittCensusStream",
+    "rank-walk change-point board from the streamed period census " +
+      "equals batch pettitt at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type", date_format($"ts", "yyyy-MM-dd"),
+          round($"value" * 100).cast("long"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    },
+    Seq("event_type", "day", "cents"),
+    Streams.pettittCensusStream(_, "event_type", "day", "cents"),
+    graft.operators.ChangePoint.pettittFromCensus(_)
+      .withColumnRenamed("k", "event_type"))
+
   twin[(Long, Long)]("cifCensusStream",
     "Aalen-Johansen board from the streamed duration census equals " +
       "batch cumulativeIncidence at every prefix",
@@ -291,7 +306,7 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
       "experimentCensusStream", "ksCensusStream", "gapCensusStream",
       "tradeCensusStream", "grubbsCensusStream", "periodCensusStream",
       "herfindahlCensusStream", "hellingerCensusStream",
-      "cifCensusStream", "moodCensusStream")
+      "cifCensusStream", "moodCensusStream", "pettittCensusStream")
     assert(inventory.subsetOf(censusShaped), censusShaped.toString)
   }
 
@@ -314,6 +329,7 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     "Divergence.hellingerFromCensus" -> Right("hellingerCensusStream"),
     "Survival.cumulativeIncidenceFromCensus" -> Right("cifCensusStream"),
     "Eval.moodMedianFromCensus" -> Right("moodCensusStream"),
+    "ChangePoint.pettittFromCensus" -> Right("pettittCensusStream"),
     // conductance needs DISTINCT canonical edges BEFORE the community
     // census — dedup state plus an aggregation is two stateful ops, not
     // one complete-mode aggregation, so the shared harness cannot
