@@ -1105,17 +1105,19 @@ object Graph {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
     val dec = "decimal(38,0)"
     val dq = "decimal(38,12)"
-    // the edge table is joined on src by EVERY hop of both passes
-    // (2·maxDepth + backward re-reads): hash-partition it on src ONCE
-    // before the checkpoint — LogicalRDD preserves the partitioning,
-    // so all subsequent src-keyed joins reuse the layout instead of
-    // re-exchanging the (edge-grain, dominant) side per hop
+    // ONE dedup exchange, then checkpoint (r13): an explicit
+    // repartition(src) before the checkpoint was verified NOT to help
+    // downstream — under AQE the checkpoint's LogicalRDD reports
+    // UnknownPartitioning, so Catalyst re-plans every per-hop join's
+    // exchanges regardless of the RDD's physical layout, and the
+    // extra edge-grain shuffle was pure cost. (The checkpoint itself
+    // stays: the edge table is consumed by 2·maxDepth join passes and
+    // must not recompute per consumer.)
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .distinct()
-      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint(true)
     // sources/frontier0 stay LAZY — they derive from the checkpointed
     // edge table by one cheap limit, and every eager checkpoint here
@@ -1133,6 +1135,10 @@ object Graph {
     // derive from e lazily, so joining raw e against them is a
     // self-join with shared exprIds (ambiguous-column analysis error)
     val ej = e.select(col("src").as("__jsrc"), col("dst").as("__jdst"))
+    // NOTE (r13, measured): explicit broadcast hints on the level side
+    // (plus the count jobs to gate them) ran ~1 s SLOWER here than
+    // letting AQE convert small shuffle sides at runtime — the hints
+    // were reverted; don't re-add them without a receipt.
     var frontier = sources.select(col("s"), col("s").as("node"),
       lit(1L).cast(dec).as("sigma"))
     var visited = frontier.select(col("s"), col("node"))

@@ -1526,6 +1526,11 @@ object Relational {
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+      // dedup at pair grain BEFORE mirroring: the operator's canonical
+      // pass then dedups an already-distinct half-size stream (the
+      // mirror of a distinct set is distinct — the id offset keeps the
+      // two directions' key spaces disjoint)
+      .distinct()
     val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
       .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
     graft.operators.Graph.betweennessSampled(edges, "src", "dst",
