@@ -493,6 +493,7 @@ object SparkEntry {
     "q470_shortest_paths"   -> (R.q470ShortestPaths(_, _)),
     "q471_matrix_profile"   -> (T.q471MatrixProfile(_, _)),
     "q472_hilbert_layout"   -> (R.q472HilbertLayout(_, _)),
+    "q475_dbscan"           -> (D.q475Dbscan(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
     "q457_harmonic"         -> (R.q457Harmonic(_, _)),
@@ -4571,6 +4572,60 @@ object SparkEntry {
         |dr AS (SELECT DISTINCT ib FROM pr WHERE NOT isnan(cos) AND cos >= 0.9)
         |SELECT a.vec_id, a.cell, (dr.ib IS NULL) AS kept
         |FROM a LEFT JOIN dr ON a.vec_id = dr.ib""".stripMargin,
+    // q475: cell-blocked DBSCAN replay — q130's assignment + pair-stage
+    // idioms, then core flags from the (self-counting) neighbor census
+    // and a 7-round min-label unroll over core-core edges (diameter is
+    // bounded by the planted 6-point blend chains — organic cosines top
+    // out ~0.51, far under simMin 0.95) with a LOUD fixpoint guard:
+    // labels must be identical in rounds 6 and 7 or the oracle error()s
+    // instead of under-merging. Border rows take the MIN cluster among
+    // core neighbors; noise stays null.
+    "q475_dbscan" -> {
+      val base =
+        """WITH e0 AS (SELECT CAST(vec_id AS BIGINT) vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |chain AS (SELECT e0.vec_id + 10000*r.k AS vec_id,
+          |list_transform(list_zip(v, list_reverse(v)),
+          |  z -> (1.0 - r.k/10.0) * z[1] + (r.k/10.0) * z[2]) AS v
+          |FROM e0, range(1,6) r(k) WHERE e0.vec_id % 25 = 0),
+          |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM chain),
+          |cent AS (SELECT vec_id AS cell, v AS centroid FROM e ORDER BY vec_id LIMIT 8),
+          |sims AS (SELECT e.vec_id, c.cell,
+          |list_aggregate(list_transform(list_zip(e.v, c.centroid), z -> z[1]*z[2]), 'sum') /
+          |(sqrt(list_aggregate(list_transform(e.v, z -> z*z), 'sum')) * sqrt(list_aggregate(list_transform(c.centroid, z -> z*z), 'sum'))) AS cos
+          |FROM e, cent c),
+          |pick AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn FROM sims WHERE NOT isnan(cos)),
+          |a AS (SELECT e.vec_id AS id, p.cell, e.v FROM e LEFT JOIN (SELECT vec_id, cell FROM pick WHERE rn = 1) p USING (vec_id)),
+          |pr AS (SELECT x.id AS ia, y.id AS ib,
+          |list_aggregate(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]), 'sum') /
+          |(sqrt(list_aggregate(list_transform(x.v, z -> z*z), 'sum')) * sqrt(list_aggregate(list_transform(y.v, z -> z*z), 'sum'))) AS cos
+          |FROM a x JOIN a y ON x.cell = y.cell AND x.id < y.id),
+          |pg AS (SELECT ia, ib FROM pr WHERE NOT isnan(cos) AND cos >= 0.95),
+          |und AS (SELECT ia AS id, ib AS nb FROM pg UNION ALL SELECT ib, ia FROM pg),
+          |fl AS (SELECT a.id, a.cell, COALESCE(n.c, 0) + 1 AS n_nbrs FROM a
+          |LEFT JOIN (SELECT id, COUNT(*) AS c FROM und GROUP BY id) n USING (id)),
+          |core AS (SELECT id FROM fl WHERE n_nbrs >= 4),
+          |ce AS (SELECT pg.ia, pg.ib FROM pg JOIN core ca ON pg.ia = ca.id JOIN core cb ON pg.ib = cb.id),
+          |edges AS (SELECT ia AS s, ib AS d FROM ce UNION SELECT ib, ia FROM ce),
+          |l0 AS (SELECT DISTINCT s AS id, s AS component FROM edges)""".stripMargin
+      val rounds = (1 to 7).map { i =>
+        s"""l$i AS (SELECT n.id, LEAST(n.component, COALESCE(m.mn, n.component)) AS component
+           |FROM l${i - 1} n LEFT JOIN (SELECT ed.d AS id, MIN(l${i - 1}.component) AS mn
+           |FROM edges ed JOIN l${i - 1} ON ed.s = l${i - 1}.id GROUP BY ed.d) m USING (id))""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        """,
+          |chk AS (SELECT COUNT(*) AS bad FROM l7 JOIN l6 USING (id)
+          |WHERE l7.component <> l6.component),
+          |clab AS (SELECT c.id, COALESCE(l7.component, c.id) AS cluster
+          |FROM core c LEFT JOIN l7 USING (id)),
+          |blab AS (SELECT u.id, MIN(cl.cluster) AS bcluster FROM und u JOIN clab cl ON u.nb = cl.id GROUP BY u.id)
+          |SELECT fl.id AS vec_id, fl.cell, CAST(fl.n_nbrs AS BIGINT) AS n_nbrs,
+          |(cl.id IS NOT NULL) AS is_core,
+          |CASE WHEN (SELECT bad FROM chk) > 0
+          |  THEN CAST(error('q475 oracle: min-label not converged in 7 rounds - widen the unroll') AS BIGINT)
+          |  WHEN cl.id IS NOT NULL THEN cl.cluster ELSE bl.bcluster END AS cluster
+          |FROM fl LEFT JOIN clab cl ON fl.id = cl.id LEFT JOIN blab bl ON fl.id = bl.id""".stripMargin
+    },
     // q131: Gopher rule-suite replay over the planted corpus. All output
     // columns are counts; the double ratios exist only inside the rule
     // comparisons, computed in the same fixed expression order.

@@ -1318,4 +1318,94 @@ object Similarity {
     }
     audit("zorder").unionByName(audit("hash"))
   }
+
+  /** Cell-blocked DBSCAN (Ester et al. 1996) over an IVF cell
+    * assignment — the embedding-cleanup primitive [[SemDedup]] stops
+    * short of: SemDeDup drops near-duplicates; DBSCAN labels DENSITY
+    * structure (clusters, their borders, and noise), which is what a
+    * curation pipeline thresholds to drop boilerplate clusters or keep
+    * only organic neighborhoods.
+    *
+    * Semantics (all pinned deterministic):
+    *   - neighbor: cos(a, b) >= simMin, NaN excluded, SAME CELL ONLY —
+    *     this is the grid/LSH-blocked DBSCAN approximation: cross-cell
+    *     eps-neighbors are not seen, exactly like the [[SemDedup]] pair
+    *     stage. Cells are the recall/scale dial, not a hidden cap.
+    *   - core: |N(p)| >= minPts, where the neighborhood COUNTS THE
+    *     POINT ITSELF (the textbook convention).
+    *   - cluster id: min node id reachable through core-core neighbor
+    *     edges ([[Components.connectedComponents]] min-label fixpoint);
+    *     an isolated core is its own cluster.
+    *   - border: non-core with >= 1 core neighbor — attaches to the MIN
+    *     cluster id among its core neighbors (a pinned choice where the
+    *     textbook says "any").
+    *   - noise: everything else (cluster null, row kept).
+    *
+    * Scale shape: one broadcast-fold assignment (zero corpus shuffle),
+    * cell-keyed pair self-join with the [[SemDedup.semDedupAssigned]]
+    * cap discipline (over-cap cells LOUDLY skip pair generation — their
+    * members read as noise), edge-linear min-label propagation. Never
+    * all-pairs across cells. Output: (id, cell, n_nbrs, is_core,
+    * cluster). */
+  def dbscanCells(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, simMin: Double, minPts: Int,
+      maxCellSize: Int = 10000): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val assigned = SemDedup.assignCells(corpus, idCol, vecCol, centroids)
+      .localCheckpoint(true)
+    val inCap =
+      if (maxCellSize <= 0) assigned
+      else {
+        val cellCounts = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val over = cellCounts.where(col("n") > maxCellSize)
+          .agg(count(lit(1)).as("cells"), sum(col("n")).as("members"))
+          .head()
+        if (!over.isNullAt(1) && over.getLong(1) > 0L)
+          System.err.println(s"[dbscan] CAP CENSUS: ${over.getLong(0)} " +
+            s"cell(s) over maxCellSize=$maxCellSize totalling " +
+            s"${over.getLong(1)} members SKIP pair generation (their " +
+            "members come back as noise) — raise maxCellSize or use " +
+            "more cells")
+        assigned.join(
+          broadcast(cellCounts.where(col("n") <= maxCellSize)
+            .select(col("cell"))),
+          Seq("cell"), "left_semi")
+      }
+    // eps-neighbor pairs within cell; consumed by the degree census,
+    // the core-edge filter AND the border attach — checkpoint once
+    val pairs = inCap.alias("a").join(inCap.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("_cos", cosine(col("a.v"), col("b.v")))
+      .where(!isnan(col("_cos")) && col("_cos") >= simMin)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .localCheckpoint(true)
+    val und = pairs.select(col("ia").as("id"), col("ib").as("nb"))
+      .unionByName(pairs.select(col("ib").as("id"), col("ia").as("nb")))
+    val flags = assigned.select(col("id"), col("cell"))
+      .join(und.groupBy("id").agg(count(lit(1)).as("nnb")), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        (coalesce(col("nnb"), lit(0L)) + 1L).as("n_nbrs"))
+      .withColumn("is_core", col("n_nbrs") >= minPts)
+      .localCheckpoint(true)
+    val coreIds = flags.where(col("is_core")).select(col("id"))
+    val coreEdges = pairs
+      .join(coreIds.select(col("id").as("ia")), Seq("ia"), "left_semi")
+      .join(coreIds.select(col("id").as("ib")), Seq("ib"), "left_semi")
+    val coreLab = coreIds
+      .join(Components.connectedComponents(coreEdges, "ia", "ib"),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+      .localCheckpoint(true)
+    val borderLab = und
+      .join(coreLab.select(col("id").as("nb"), col("cluster")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("cluster")).as("bcluster"))
+    flags
+      .join(coreLab.select(col("id"), col("cluster").as("ccl")), Seq("id"), "left")
+      .join(borderLab, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("n_nbrs"), col("is_core"),
+        when(col("is_core"), col("ccl")).otherwise(col("bcluster"))
+          .as("cluster"))
+  }
 }

@@ -1639,6 +1639,34 @@ object TrainingData {
       .select($"id".as("vec_id"), $"cell", $"kept")
   }
 
+  /** q475 — cell-blocked DBSCAN ([[graft.operators.Similarity
+    * .dbscanCells]]): density labels (core / border / noise + min-id
+    * cluster) over the embedding corpus. Random 64-dim vectors never
+    * cross simMin = 0.95 (measured organic max ~0.51), so every 25th
+    * vector grows a planted BLEND CHAIN toward its own reversal —
+    * v_k = (1 − k/10)·v + (k/10)·reverse(v), k = 1..5 — along which
+    * cosine degrades gradually: chain interiors clear minPts = 4 and
+    * go core, the far ends neighbor only one core (border) or none
+    * (noise). Assignment is the 8-smallest-id-centroid broadcast fold;
+    * the oracle replays assignment, the cell-keyed pair stage, and a
+    * 7-round min-label unroll with a loud fixpoint guard. */
+  def q475Dbscan(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val chain = base.where($"vec_id" % 25 === 0)
+      .crossJoin(spark.range(1, 6).select($"id".as("k")))
+      .select(($"vec_id" + $"k" * 10000L).as("vec_id"),
+        expr("zip_with(v, reverse(v), " +
+          "(x, y) -> (1.0d - k/10.0d) * x + (k/10.0d) * y)").as("v"))
+    val corpus = base.unionByName(chain)
+    val cents = graft.operators.SemDedup.smallestIdCentroids(
+      corpus, "vec_id", "v", 8)
+    graft.operators.Similarity.dbscanCells(corpus, "vec_id", "v", cents,
+        simMin = 0.95, minPts = 4)
+      .select($"id".as("vec_id"), $"cell", $"n_nbrs", $"is_core", $"cluster")
+  }
+
   /** q131 — full Gopher rule census ([[graft.operators.Gopher]]): docs
     * re-lined into 12-token rows, then deterministic rule-breakers
     * planted on disjoint-enough id grids — %13 truncated to 10 words

@@ -713,4 +713,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("q475: DBSCAN pair stage is cell-keyed, never all-pairs; no " +
+      "global window") {
+    val p = physical("q475_dbscan")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("Window "), p.take(1200))
+  }
 }

@@ -592,4 +592,51 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage != null &&
       ex.getMessage.contains("productQuantize"), ex.getMessage)
   }
+
+  test("dbscanCells: cores/borders/noise on a planted two-cluster " +
+      "fixture; border attaches to min core-neighbor cluster; cap " +
+      "skips a cell loudly into noise; minPts=1 makes singleton cores") {
+    import spark.implicits._
+    val pts = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.99, 0.14)), (12L, Seq(0.99, -0.14)),
+      (20L, Seq(0.87, 0.493)), // border: only core neighbor is 11
+      (30L, Seq(-1.0, 0.0)), (31L, Seq(-0.99, 0.14)), (32L, Seq(-0.99, -0.14)),
+      (40L, Seq(0.0, 1.0))) // noise
+      .toDF("vid", "vec")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(-1.0, 0.0)))
+      .toDF("cell", "centroid")
+    val out = Similarity.dbscanCells(pts, "vid", "vec", cents,
+        simMin = 0.9, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out.size == 8)
+    // cluster A: three mutual cores labeled by the min id
+    assert(out(10L) == (0L, 3L, true, 10L))
+    assert(out(11L) == (0L, 4L, true, 10L)) // 11 also neighbors the border
+    assert(out(12L) == (0L, 3L, true, 10L))
+    // border 20: one core neighbor (11), not core itself, joins A
+    assert(out(20L) == (0L, 2L, false, 10L))
+    // cluster C mirrors A in cell 1
+    assert(out(30L) == (1L, 3L, true, 30L))
+    assert(out(31L) == (1L, 3L, true, 30L))
+    assert(out(32L) == (1L, 3L, true, 30L))
+    // noise: no neighbors at simMin=0.9, tie-broken into cell 0
+    assert(out(40L) == (0L, 1L, false, -1L))
+    // cap: cell 0 has 5 members > 4 -> pair stage skipped there, all
+    // its members degrade to noise; cell 1 is untouched
+    val capped = Similarity.dbscanCells(pts, "vid", "vec", cents,
+        simMin = 0.9, minPts = 3, maxCellSize = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    Seq(10L, 11L, 12L, 20L, 40L).foreach(id =>
+      assert(capped(id) == (1L, -1L), s"id $id"))
+    assert(capped(30L) == (3L, 30L))
+    // minPts=1: every point is core; the isolated one is its own cluster
+    val solo = Similarity.dbscanCells(pts, "vid", "vec", cents,
+        simMin = 0.9, minPts = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(solo(40L) == 40L)
+    assert(solo(20L) == 10L) // now core, joins A through its 11 edge
+  }
 }
