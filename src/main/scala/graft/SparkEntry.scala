@@ -493,6 +493,7 @@ object SparkEntry {
     "q470_shortest_paths"   -> (R.q470ShortestPaths(_, _)),
     "q471_matrix_profile"   -> (T.q471MatrixProfile(_, _)),
     "q472_hilbert_layout"   -> (R.q472HilbertLayout(_, _)),
+    "q474_tdigest"          -> (T.q474Tdigest(_, _)),
     "q475_dbscan"           -> (D.q475Dbscan(_, _)),
     "q455_adf"              -> (T.q455Adf(_, _)),
     "q456_moran_geary"      -> (R.q456MoranGeary(_, _)),
@@ -4580,6 +4581,28 @@ object SparkEntry {
     // labels must be identical in rounds 6 and 7 or the oracle error()s
     // instead of under-merging. Border rows take the MIN cluster among
     // core neighbors; noise stays null.
+    // q474: rank-binned t-digest replay — the same census cumsum, the
+    // same δ²-bounded integer capacity-ladder lookup per value run
+    // (ceil division spelled as (+W-1)//W), centroid-grain sums, and
+    // the two pinned double divisions with Spark round parity (the
+    // VARCHAR->DECIMAL cast mirrors Java's BigDecimal.valueOf rounding).
+    "q474_tdigest" ->
+      """WITH b AS (SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS x FROM events WHERE value IS NOT NULL),
+        |cen AS (SELECT k, x, COUNT(*) AS c FROM b GROUP BY k, x),
+        |r AS (SELECT k, x, c,
+        |SUM(c) OVER (PARTITION BY k ORDER BY x) AS cum,
+        |SUM(c) OVER (PARTITION BY k) AS n FROM cen),
+        |t AS (SELECT k, n, c,
+        |CAST(len(list_filter(range(0, 16), j ->
+        |  list_aggregate(list_transform(range(0, j + 1),
+        |    i -> (n * least(i + 1, 16 - i) + 71) // 72), 'sum') <= cum - c)) AS BIGINT) AS ci,
+        |CAST(x AS DECIMAL(38,0)) * c AS xc FROM r),
+        |g AS (SELECT k, ci, MAX(n) AS n, SUM(c) AS w, CAST(SUM(xc) AS DECIMAL(38,0)) AS s FROM t GROUP BY k, ci),
+        |v AS (SELECT k, n, ci, w, s, SUM(w) OVER (PARTITION BY k ORDER BY ci) AS cum FROM g)
+        |SELECT k AS event_type, CAST(n AS BIGINT) AS n, ci, CAST(w AS BIGINT) AS w,
+        |CAST(round(CAST(CAST(CAST(s AS DOUBLE) / CAST(w AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean,
+        |CAST(round(CAST(CAST(CAST(2*cum - w AS DOUBLE) / CAST(2*n AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS q_mid
+        |FROM v""".stripMargin,
     "q475_dbscan" -> {
       val base =
         """WITH e0 AS (SELECT CAST(vec_id AS BIGINT) vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -135,4 +135,84 @@ object Quantiles {
       .groupBy((g :+ col("p")): _*)
       .agg(min(col(valueCol)).as("value"))
   }
+
+  /** The (key, value, count) census [[tdigest]] reduces to — a PURE
+    * aggregation, so the same function is the streaming twin's state
+    * ([[graft.streaming.Streams.tdigestCensusStream]]): one long count
+    * per distinct (key, value), state bounded by the value domain,
+    * never row count. Output: (k, x, c). */
+  def tdigestCensus(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(keyCol).as("k"), col(valueCol).cast("long").as("x"))
+      .where(col("x").isNotNull)
+      .groupBy(col("k"), col("x"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Deterministic t-digest-style quantile sketch (Dunning's merging
+    * digest made integer-exact, fold-free and replayable): per key each
+    * VALUE RUN of the census is binned by its starting rank into a
+    * tail-tapered capacity ladder — centroid i holds
+    * cap_i = ceil(n · min(i+1, δ−i) / W) ranks, W = Σ_{i<δ} min(i+1,
+    * δ−i) — so both distribution ends get small, high-resolution
+    * centroids and the middle gets wide ones, the shape t-digest's asin
+    * scale approximates; the linear taper keeps every capacity an exact
+    * integer (no libm anywhere, so a cross-engine oracle replays it
+    * bit-for-bit). A run binds WHOLLY to the centroid its first rank
+    * lands in (runs never split — the classic repeated-value behavior;
+    * a giant run simply overflows its bin and later runs skip ahead on
+    * the ladder), and Σ cap_i ≥ n by the per-term ceil, so the bin
+    * index needs no clamp. Per centroid the weight is an exact long and
+    * the value sum an exact decimal(38,0); mean and the midpoint
+    * quantile position q_mid = (2·cum − w) / 2n are the ONLY doubles,
+    * one pinned division each.
+    *
+    * Scale shape: FULLY distributed — one census shuffle, one keyed
+    * cumulative window at census grain, a δ²-bounded ladder lookup per
+    * row (codegen HOFs, δ is a small constant), one keyed aggregation
+    * to centroid grain. No collect_list, no sequential fold: the
+    * rank-binning rule makes every row's centroid independently
+    * computable from its prefix rank, which is what lets the sketch
+    * build scale to any key size. Output: (k, n, ci, w, mean, q_mid) —
+    * ≤ δ rows per key, the persistable sketch a 100 TB pipeline writes
+    * once and queries for any quantile. */
+  def tdigestFromCensus(census: DataFrame, delta: Int): DataFrame = {
+    require(delta >= 4, s"delta must be >= 4: $delta")
+    val W = (0 until delta).map(i => math.min(i + 1, delta - i).toLong).sum
+    val wv = Window.partitionBy(col("k")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wk = Window.partitionBy(col("k"))
+    val ranked = census
+      .withColumn("cum", sum(col("c")).over(wv))
+      .withColumn("n", sum(col("c")).over(wk))
+    // ci = #{j : P_j <= start}, P_j = Σ_{i<=j} cap_i — the ladder
+    // prefix is re-summed per probe (δ² ops, δ a small constant)
+    val capSql = s"(n * least(CAST(i + 1 AS BIGINT), " +
+      s"CAST($delta - i AS BIGINT)) + ${W - 1}) div $W"
+    val ciExpr =
+      s"""size(filter(sequence(0, ${delta - 1}), j ->
+         |  aggregate(sequence(0, j), 0L, (s, i) -> s + ($capSql))
+         |    <= cum - c))""".stripMargin
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("ci"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked
+      .select(col("k"), col("n"), col("c"),
+        expr(ciExpr).cast("long").as("ci"),
+        (col("x").cast("decimal(38,0)") * col("c"))
+          .cast("decimal(38,0)").as("xc"))
+      .groupBy(col("k"), col("ci"))
+      .agg(max(col("n")).as("n"), sum(col("c")).as("w"),
+        sum(col("xc")).cast("decimal(38,0)").as("s"))
+      .withColumn("cum", sum(col("w")).over(wOrd))
+      .select(col("k"), col("n"), col("ci"), col("w"),
+        round(col("s").cast("double") / col("w").cast("double"), 6)
+          .as("mean"),
+        round((lit(2L) * col("cum") - col("w")).cast("double") /
+          (lit(2L) * col("n")).cast("double"), 6).as("q_mid"))
+  }
+
+  /** [[tdigestFromCensus]] over raw rows. */
+  def tdigest(df: DataFrame, keyCol: String, valueCol: String,
+      delta: Int): DataFrame =
+    tdigestFromCensus(tdigestCensus(df, keyCol, valueCol), delta)
+      .withColumnRenamed("k", keyCol)
 }

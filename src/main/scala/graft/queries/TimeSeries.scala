@@ -2462,4 +2462,19 @@ object TimeSeries {
         "event_type", "arm", "cents")
       .select($"event_type", $"n", $"k_groups", $"pooled_med",
         $"n_above", round($"chi2", 6).as("chi2"), $"df")
+
+  /** q474 — deterministic merging t-digest ([[graft.operators.Quantiles
+    * .tdigestFromCensus]]): the per-event-type value distribution
+    * compressed to δ = 16 tail-tapered centroids — exact integer
+    * capacities (triangle scale, ceil division), exact decimal sums,
+    * the persistable quantile sketch whose fold a DuckDB list_reduce
+    * replays element for element. Complements q215's exact bisection:
+    * bisection answers one rank exactly, the digest answers every
+    * quantile approximately from δ rows. */
+  def q474Tdigest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.tdigest(
+        events(spark, dir).select($"event_type",
+          round($"value" * 100).cast("long").as("cents")),
+        "event_type", "cents", delta = 16)
+      .select($"event_type", $"n", $"ci", $"w", $"mean", $"q_mid")
 }

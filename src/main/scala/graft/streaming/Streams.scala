@@ -623,6 +623,15 @@ object Streams {
       ordCol: String, valueCol: String): DataFrame =
     graft.operators.ChangePoint.pettittCensus(rows, keyCol, ordCol, valueCol)
 
+  /** Streaming t-digest value census ([[graft.operators.Quantiles
+    * .tdigest]]'s twin, r13): per (key, value) one long count is the
+    * whole state — bounded by the value domain, never stream length;
+    * [[graft.operators.Quantiles.tdigestFromCensus]] reads the sink
+    * for the tapered centroid sketch. */
+  def tdigestCensusStream(rows: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    graft.operators.Quantiles.tdigestCensus(rows, keyCol, valueCol)
+
   case class BurstState(times: List[Long], peak: Long, n: Long)
   case class BurstOut(user_id: Long, n_events: Long, peak_rate: Long)
 

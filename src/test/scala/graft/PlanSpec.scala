@@ -714,6 +714,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q474: t-digest windows are key-partitioned, no collect fold, " +
+      "no cartesian") {
+    val p = physical("q474_tdigest")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("collect_list"), p.take(1200))
+    p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("[k#"), s"window not keyed:\n$l")
+    }
+  }
+
   test("q475: DBSCAN pair stage is cell-keyed, never all-pairs; no " +
       "global window") {
     val p = physical("q475_dbscan")

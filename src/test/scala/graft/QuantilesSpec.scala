@@ -80,4 +80,35 @@ class QuantilesSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(got === Map("a" -> 1L, "b" -> 10L)) // ceil(0.5*2)=1 -> 1st
   }
+
+  test("tdigest: triangle taper on uniform data, exact means, weights " +
+      "sum to n, q_mid monotone, oversized run stays one centroid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 100).map(i => ("a", i.toLong)) ++
+      Seq.fill(50)(("b", 7L)) ++ Seq(("c", -3L), ("c", 5L))
+    val out = Quantiles.tdigest(rows.toDF("k", "v"), "k", "v", delta = 8)
+      .orderBy(col("k"), col("ci")).collect()
+    val a = out.filter(_.getString(0) == "a")
+    // caps = ceil(100 * min(i+1, 8-i) / 20): 5,10,15,20,20,15,10,5 and
+    // uniform distinct values fill each exactly
+    assert(a.map(_.getLong(3)).toSeq == Seq(5L, 10L, 15L, 20L, 20L, 15L, 10L, 5L))
+    assert(a.map(_.getLong(3)).sum == 100L)
+    // exact mean of 1..5 = 3.0; of 6..15 = 10.5; ends tapered
+    assert(a(0).getDouble(4) == 3.0 && a(1).getDouble(4) == 10.5)
+    assert(a.map(_.getDouble(5)).toSeq == a.map(_.getDouble(5)).toSeq.sorted)
+    // one giant equal-value run: a single oversized centroid at q_mid 0.5
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.length == 1 && b(0).getLong(3) == 50L &&
+      b(0).getDouble(4) == 7.0 && b(0).getDouble(5) == 0.5)
+    // two values, tiny n: caps of 1 split them; negatives sort first
+    val c = out.filter(_.getString(0) == "c")
+    assert(c.length == 2 && c(0).getDouble(4) == -3.0 &&
+      c(1).getDouble(4) == 5.0)
+    // FromCensus over a pre-aggregated census equals the row path
+    val census = Quantiles.tdigestCensus(rows.toDF("k", "v"), "k", "v")
+    val viaCensus = Quantiles.tdigestFromCensus(census, 8)
+      .orderBy(col("k"), col("ci")).collect().map(_.toString).toSeq
+    assert(viaCensus == out.map(_.toString).toSeq)
+  }
 }

@@ -234,6 +234,18 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     graft.operators.ChangePoint.pettittFromCensus(_)
       .withColumnRenamed("k", "event_type"))
 
+  twin[(String, Long)]("tdigestCensusStream",
+    "tapered centroid sketch from the streamed value census equals " +
+      "batch tdigest at every prefix",
+    eventRows { df =>
+      import spark.implicits._
+      df.select($"event_type", round($"value" * 100).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    },
+    Seq("event_type", "cents"),
+    Streams.tdigestCensusStream(_, "event_type", "cents"),
+    graft.operators.Quantiles.tdigestFromCensus(_, delta = 8))
+
   twin[(Long, Long)]("cifCensusStream",
     "Aalen-Johansen board from the streamed duration census equals " +
       "batch cumulativeIncidence at every prefix",
@@ -306,7 +318,8 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
       "experimentCensusStream", "ksCensusStream", "gapCensusStream",
       "tradeCensusStream", "grubbsCensusStream", "periodCensusStream",
       "herfindahlCensusStream", "hellingerCensusStream",
-      "cifCensusStream", "moodCensusStream", "pettittCensusStream")
+      "cifCensusStream", "moodCensusStream", "pettittCensusStream",
+      "tdigestCensusStream")
     assert(inventory.subsetOf(censusShaped), censusShaped.toString)
   }
 
@@ -330,6 +343,7 @@ class StreamingTwinCensusSpec extends AnyFunSuite with SparkFixture {
     "Survival.cumulativeIncidenceFromCensus" -> Right("cifCensusStream"),
     "Eval.moodMedianFromCensus" -> Right("moodCensusStream"),
     "ChangePoint.pettittFromCensus" -> Right("pettittCensusStream"),
+    "Quantiles.tdigestFromCensus" -> Right("tdigestCensusStream"),
     // conductance needs DISTINCT canonical edges BEFORE the community
     // census — dedup state plus an aggregation is two stateful ops, not
     // one complete-mode aggregation, so the shared harness cannot
