@@ -305,6 +305,27 @@ object BenchScale {
     // stage sees identical row counts at any N — only the first scan
     // and census aggregation grow. The flattest ratio on the board is
     // the design claim ("windows at census scale, never row scale").
+    // q474 shape: t-digest at Nx keys — copies suffix the key, so the
+    // key count scales N x while each key's value census stays fixed;
+    // the keyed cumsum window and the δ²-bounded ladder projection are
+    // both linear in census rows (no collect, no fold).
+    def tdigestAt(n: Int): DataFrame = {
+      val ev = (0 until n).map(i => ev0.select(
+        concat(col("event_type"), lit("_" + i)).as("k"),
+        (col("ms") % 100000L).as("v"))).reduce(_ unionByName _)
+      graft.operators.Quantiles.tdigest(ev, "k", "v", delta = 16)
+    }
+    // q475 shape: cell-blocked DBSCAN at Nx embeddings — each copy is a
+    // coordinate rotation with its own 8 cells (semCents grows with the
+    // corpus), so per-cell pair work stays fixed and candidate pairs,
+    // the degree census and the min-label closure are all linear in
+    // copies; the planted 1.01x near-dup per 15th vector gives every
+    // copy the same core/border mix.
+    def dbscanAt(n: Int): DataFrame =
+      graft.operators.Similarity.dbscanCells(
+        embCorpusAt(n), "vec_id", "v", semCents(n, 8),
+        simMin = 0.95, minPts = 3)
+
     def qnorm(n: Int): DataFrame = {
       val e = (0 until n).map(_ => ev0).reduce(_ unionByName _)
         .select(((col("ms") / 86400000L) % 7).cast("int").as("dow"),
@@ -401,7 +422,9 @@ object BenchScale {
       "distinctn" -> (distinctn(_)),
       "zorder_audit" -> (zorderAudit(_)),
       "match" -> (matchAt(_)),
-      "kpss" -> (kpssAt(_)))
+      "kpss" -> (kpssAt(_)),
+      "tdigest" -> (tdigestAt(_)),
+      "dbscan" -> (dbscanAt(_)))
     // optional shape-name args: run only the named shapes (local
     // iteration / targeted receipts); no args = the full board
     val only = args.toSet
