@@ -385,10 +385,7 @@ object Relational {
     // the supplier-offset keeps the two union branches disjoint, so one
     // distinct over the union replaces two (measured 7.4 s -> 1.4 s for
     // the edge build at sf0.1 — the pair table is the big shuffle)
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+    val pairs = GraphStages.tradePairs(spark, dir)
     val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
       .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
     graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 8)
@@ -402,10 +399,7 @@ object Relational {
     * set over the q169 trade graph — teleport lands only on seeds;
     * same unrolled integer fixed point. */
   def q380PersonalizedPr(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+    val pairs = GraphStages.tradePairs(spark, dir)
     val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
       .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
     val seeds = Tables.customer(spark, dir)
@@ -422,10 +416,7 @@ object Relational {
     * customer–supplier graph — the effective-diameter primitive;
     * md5-replayable registers, IEEE-exact estimator. */
   def q364HyperAnf(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+    val pairs = GraphStages.tradePairs(spark, dir)
     val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
       .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
     graft.operators.Graph.hyperAnf(edges, "src", "dst", maxHops = 4, b = 6)
@@ -440,10 +431,8 @@ object Relational {
     * in/out-mass an exact integer sum; the oracle unrolls the rounds
     * as CTEs with the identical `//` floors. */
   def q245Hits(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+    val pairs = GraphStages.tradePairs(spark, dir)
+      .select($"c".as("src"), ($"s" + 1000000L).as("dst"))
     graft.operators.Graph.hits(pairs, "src", "dst", iterations = 4)
       .select($"node",
         when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
@@ -815,15 +804,7 @@ object Relational {
     * resource-allocation 1/deg variant). Rank order compares the
     * bit-identical pinned AA folds, tie-broken (u, v). */
   def q419AdamicAdar(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
-      .select($"p_partkey")
-    val op = Tables.lineitem(spark, dir)
-      .join(pts, $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val edges = op.select($"ok", $"pk".as("u"))
-      .join(op.select($"ok", $"pk".as("v")), "ok")
-      .where($"u" < $"v")
-      .select($"u", $"v")
+    val edges = GraphStages.partCoEdges(spark, dir)
     val scored = graft.operators.LinkPred.weightedScores(edges, "u", "v")
     // TakeOrderedAndProject bounds the sort at 20 rows; the rank window
     // then orders those 20 only (single partition of a constant size)
@@ -956,15 +937,7 @@ object Relational {
     * the fixpoint, so generous slack costs nothing. All counts are
     * integers; membership is order-free by the k-core's uniqueness. */
   def q227KCore(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
-      .select($"p_partkey")
-    val op = Tables.lineitem(spark, dir)
-      .join(pts, $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val edges = op.select($"ok", $"pk".as("u"))
-      .join(op.select($"ok", $"pk".as("v")), "ok")
-      .where($"u" < $"v")
-      .select($"u", $"v")
+    val edges = GraphStages.partCoEdges(spark, dir)
     graft.operators.KCore.kCore(edges, "u", "v", k = 3)
       .select($"node".as("part_key"), $"core_deg")
   }
@@ -982,15 +955,7 @@ object Relational {
     * engine-stable; the one double (Jaccard) is a single division of
     * exact integers, rounded 6dp as a hash belt. */
   def q222LinkPred(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
-      .select($"p_partkey")
-    val op = Tables.lineitem(spark, dir)
-      .join(pts, $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val edges = op.select($"ok", $"pk".as("u"))
-      .join(op.select($"ok", $"pk".as("v")), "ok")
-      .where($"u" < $"v")
-      .select($"u", $"v")
+    val edges = GraphStages.partCoEdges(spark, dir)
     val scored = graft.operators.LinkPred.commonNeighbors(edges, "u", "v")
     // TakeOrderedAndProject bounds the sort at 20 rows; the rank window
     // then orders those 20 only (single partition of a constant size)
@@ -1006,15 +971,7 @@ object Relational {
     * q222/q227 edge build): do high-degree parts co-occur with other
     * high-degree parts? One number from five exact integer moments. */
   def q307Assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
-      .select($"p_partkey")
-    val op = Tables.lineitem(spark, dir)
-      .join(pts, $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val edges = op.select($"ok", $"pk".as("u"))
-      .join(op.select($"ok", $"pk".as("v")), "ok")
-      .where($"u" < $"v")
-      .select($"u", $"v")
+    val edges = GraphStages.partCoEdges(spark, dir)
     graft.operators.Graph.assortativity(edges, "u", "v")
       .select($"n_nodes", $"n_edges", round($"r_assort", 6).as("r_assort"))
   }
@@ -1024,10 +981,8 @@ object Relational {
     * trade links stay inside nations more than a degree-preserving
     * rewiring would? All-integer Q numerator, one division. */
   def q313Modularity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val pairs = GraphStages.tradePairs(spark, dir)
+      .select($"c".as("u"), ($"s" + 1000000L).as("v"))
     val assign = Tables.customer(spark, dir)
       .select($"c_custkey".as("node"), $"c_nationkey".as("comm"))
       .unionByName(Tables.supplier(spark, dir)
@@ -1044,10 +999,8 @@ object Relational {
     * the sampled "sentences" are identical on any cluster and the
     * oracle replays every hop. */
   def q342RandomWalks(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val pairs = GraphStages.tradePairs(spark, dir)
+      .select($"c".as("u"), ($"s" + 1000000L).as("v"))
     val both = pairs.unionByName(pairs.select($"v".as("u"), $"u".as("v")))
     graft.operators.Graph.randomWalks(both, "u", "v",
         steps = 3, seed = "graft8")
@@ -1069,19 +1022,15 @@ object Relational {
     * q346's modularity pass; all-integer censuses + argmax, no float
     * surface. */
   def q396LabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val pairs = GraphStages.tradePairs(spark, dir)
+      .select($"c".as("u"), ($"s" + 1000000L).as("v"))
     graft.operators.Graph.labelPropagation(pairs, "u", "v", rounds = 2)
       .groupBy($"label").agg(count(lit(1)).as("n_members"))
   }
 
   def q346LouvainPass(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val pairs = GraphStages.tradePairs(spark, dir)
+      .select($"c".as("u"), ($"s" + 1000000L).as("v"))
     val assign = Tables.customer(spark, dir)
       .select($"c_custkey".as("node"), $"c_nationkey".as("comm"))
       .unionByName(Tables.supplier(spark, dir)
@@ -1097,15 +1046,7 @@ object Relational {
     * of open part-pair wedges that close into triangles — 3T/W as one
     * exact division. */
   def q314Transitivity(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
-      .select($"p_partkey")
-    val op = Tables.lineitem(spark, dir)
-      .join(pts, $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val edges = op.select($"ok", $"pk".as("u"))
-      .join(op.select($"ok", $"pk".as("v")), "ok")
-      .where($"u" < $"v")
-      .select($"u", $"v")
+    val edges = GraphStages.partCoEdges(spark, dir)
     graft.operators.Triangles.transitivity(edges, "u", "v")
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
         round($"transitivity", 6).as("transitivity"))
@@ -1265,15 +1206,7 @@ object Relational {
     * wedge-join replay — extra rounds are no-ops at the fixpoint.
     * All-integer output: (u, v, sup). */
   def q408KTruss(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
-      .select($"p_partkey")
-    val op = Tables.lineitem(spark, dir)
-      .join(pts, $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val edges = op.select($"ok", $"pk".as("u"))
-      .join(op.select($"ok", $"pk".as("v")), "ok")
-      .where($"u" < $"v")
-      .select($"u", $"v")
+    val edges = GraphStages.partCoEdges(spark, dir)
     graft.operators.KCore.kTruss(edges, "u", "v", k = 3)
   }
 
@@ -1375,10 +1308,8 @@ object Relational {
     * share) and which labels slice through dense structure; exact
     * counts, one division per community. */
   def q447Conductance(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val pairs = GraphStages.tradePairs(spark, dir)
+      .select($"c".as("u"), ($"s" + 1000000L).as("v"))
     val assign = Tables.customer(spark, dir)
       .select($"c_custkey".as("node"), $"c_nationkey".as("comm"))
       .unionByName(Tables.supplier(spark, dir)
@@ -1443,10 +1374,8 @@ object Relational {
     * per-community conductance; exact n-scaled integer arithmetic,
     * one pinned double shape per statistic. */
   def q456MoranGeary(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("u"), ($"l_suppkey" + 1000000L).as("v"))
+    val pairs = GraphStages.tradePairs(spark, dir)
+      .select($"c".as("u"), ($"s" + 1000000L).as("v"))
     val vals = Tables.customer(spark, dir)
       .select($"c_custkey".as("node"), $"c_nationkey".as("x"))
       .unionByName(Tables.supplier(spark, dir)
@@ -1482,11 +1411,7 @@ object Relational {
   private def tradeAnfSketch(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.AnfStage.sketch(spark, s"trade|$dir",
       maxHops = 4, b = 6) {
-      val pairs = Tables.orders(spark, dir)
-        .select($"o_orderkey", $"o_custkey")
-        .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-          $"o_orderkey" === $"l_orderkey")
-        .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+      val pairs = GraphStages.tradePairs(spark, dir)
       pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
         .unionByName(pairs.select(($"s" + 1000000L).as("src"),
           $"c".as("dst")))
@@ -1499,15 +1424,7 @@ object Relational {
     * (k-core) can't express. Fixed rounds so the oracle unrolls the
     * peel CTE-for-CTE; final support recomputed on the survivors. */
   def q463KTruss(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
-      .select($"p_partkey")
-    val op = Tables.lineitem(spark, dir)
-      .join(pts, $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val edges = op.select($"ok", $"pk".as("u"))
-      .join(op.select($"ok", $"pk".as("v")), "ok")
-      .where($"u" < $"v")
-      .select($"u", $"v")
+    val edges = GraphStages.partCoEdges(spark, dir)
     graft.operators.KCore.kTrussPeel(edges, "u", "v", k = 3, rounds = 2)
       .select($"u", $"v", $"sup")
   }
@@ -1522,15 +1439,7 @@ object Relational {
     * oracle replays the BFS hop-for-hop and the dependency walk
     * level-for-level. */
   def q467Betweenness(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
-      // dedup at pair grain BEFORE mirroring: the operator's canonical
-      // pass then dedups an already-distinct half-size stream (the
-      // mirror of a distinct set is distinct — the id offset keeps the
-      // two directions' key spaces disjoint)
-      .distinct()
+    val pairs = GraphStages.tradePairs(spark, dir)
     val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
       .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
     graft.operators.Graph.betweennessSampled(edges, "src", "dst",
@@ -1554,11 +1463,7 @@ object Relational {
     * silently tolerate only 11 productive rounds — a diameter-12
     * graph would pass the oracle yet throw in the engine. */
   def q470ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .groupBy($"o_custkey".as("c"), $"l_suppkey".as("s"))
-      .agg(count(lit(1)).as("cnt"))
+    val pairs = GraphStages.tradeCounts(spark, dir)
       .select($"c", $"s", (lit(1L) + $"cnt" % 7L).as("w"))
     val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"), $"w")
       .unionByName(pairs.select(($"s" + 1000000L).as("src"),
@@ -1582,15 +1487,7 @@ object Relational {
     * unrolls three levels of the peel CTE-for-CTE with no-op spare
     * rounds at each fixpoint. */
   def q466TrussDecomposition(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.part(spark, dir).where($"p_brand" === "Brand#11")
-      .select($"p_partkey")
-    val op = Tables.lineitem(spark, dir)
-      .join(pts, $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val edges = op.select($"ok", $"pk".as("u"))
-      .join(op.select($"ok", $"pk".as("v")), "ok")
-      .where($"u" < $"v")
-      .select($"u", $"v")
+    val edges = GraphStages.partCoEdges(spark, dir)
     graft.operators.KCore.trussDecomposition(edges, "u", "v")
       .select($"u", $"v", $"trussness")
   }
