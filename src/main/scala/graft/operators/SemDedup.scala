@@ -338,9 +338,15 @@ object SemDedup {
             s"${over.getLong(1)} members SKIP pair generation " +
             "(all their members kept) — raise maxCellSize or pre-split " +
             "with an exact-dedup pass")
+        // the cell-grain frame is bounded by nCells (a user parameter)
+        // — but guard the broadcast against a pathological realized
+        // count anyway: past the cap the semi-join falls back to a
+        // shuffle, never a driver OOM (the checkpointed frame makes
+        // the count a cheap scan)
+        val keep = cellCounts.where(col("n") <= maxCellSize)
+          .select(col("cell"))
         assigned.join(
-          broadcast(cellCounts.where(col("n") <= maxCellSize)
-            .select(col("cell"))),
+          if (cellCounts.count() <= 5000000L) broadcast(keep) else keep,
           Seq("cell"), "left_semi")
       }
     val drops = inCap.alias("a").join(inCap.alias("b"),

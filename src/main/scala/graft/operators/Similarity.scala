@@ -1368,9 +1368,13 @@ object Similarity {
             s"${over.getLong(1)} members SKIP pair generation (their " +
             "members come back as noise) — raise maxCellSize or use " +
             "more cells")
+        // cells are bounded by the centroid table, but guard the
+        // broadcast against a pathological realized count anyway
+        // (shuffle fallback, never a driver OOM)
+        val keep = cellCounts.where(col("n") <= maxCellSize)
+          .select(col("cell"))
         assigned.join(
-          broadcast(cellCounts.where(col("n") <= maxCellSize)
-            .select(col("cell"))),
+          if (cellCounts.count() <= 5000000L) broadcast(keep) else keep,
           Seq("cell"), "left_semi")
       }
     // eps-neighbor pairs within cell; consumed by the degree census,
