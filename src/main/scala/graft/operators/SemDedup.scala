@@ -328,25 +328,28 @@ object SemDedup {
         val cellCounts = assigned.groupBy(col("cell"))
           .agg(count(lit(1)).as("n"))
           .localCheckpoint(true)
-        val over = cellCounts
-          .where(col("n") > maxCellSize)
-          .agg(count(lit(1)).as("cells"), sum(col("n")).as("members"))
+        // ONE scalar readout over the tiny cell frame serves the loud
+        // census AND the broadcast-safety guard (every extra driver
+        // action is a whole fixed-latency job — the q130-class cost)
+        val stats = cellCounts.agg(count(lit(1)).as("cells_total"),
+          sum(when(col("n") > maxCellSize, 1L).otherwise(0L)).as("cells"),
+          sum(when(col("n") > maxCellSize, col("n")).otherwise(0L))
+            .as("members"))
           .head()
-        if (!over.isNullAt(1) && over.getLong(1) > 0L)
-          System.err.println(s"[semdedup] CAP CENSUS: ${over.getLong(0)} " +
+        if (!stats.isNullAt(2) && stats.getLong(2) > 0L)
+          System.err.println(s"[semdedup] CAP CENSUS: ${stats.getLong(1)} " +
             s"cell(s) over maxCellSize=$maxCellSize totalling " +
-            s"${over.getLong(1)} members SKIP pair generation " +
+            s"${stats.getLong(2)} members SKIP pair generation " +
             "(all their members kept) — raise maxCellSize or pre-split " +
             "with an exact-dedup pass")
-        // the cell-grain frame is bounded by nCells (a user parameter)
-        // — but guard the broadcast against a pathological realized
-        // count anyway: past the cap the semi-join falls back to a
-        // shuffle, never a driver OOM (the checkpointed frame makes
-        // the count a cheap scan)
+        // cells are bounded by nCells (a user parameter), but guard
+        // the broadcast against a pathological realized count anyway:
+        // past the cap the semi-join falls back to a shuffle, never a
+        // driver OOM
         val keep = cellCounts.where(col("n") <= maxCellSize)
           .select(col("cell"))
         assigned.join(
-          if (cellCounts.count() <= 5000000L) broadcast(keep) else keep,
+          if (stats.getLong(0) <= 5000000L) broadcast(keep) else keep,
           Seq("cell"), "left_semi")
       }
     val drops = inCap.alias("a").join(inCap.alias("b"),

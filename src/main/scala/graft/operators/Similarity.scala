@@ -1359,22 +1359,23 @@ object Similarity {
         val cellCounts = assigned.groupBy(col("cell"))
           .agg(count(lit(1)).as("n"))
           .localCheckpoint(true)
-        val over = cellCounts.where(col("n") > maxCellSize)
-          .agg(count(lit(1)).as("cells"), sum(col("n")).as("members"))
+        // ONE scalar readout serves the loud census and the
+        // broadcast-safety guard (the [[SemDedup]] single-job form)
+        val stats = cellCounts.agg(count(lit(1)).as("cells_total"),
+          sum(when(col("n") > maxCellSize, 1L).otherwise(0L)).as("cells"),
+          sum(when(col("n") > maxCellSize, col("n")).otherwise(0L))
+            .as("members"))
           .head()
-        if (!over.isNullAt(1) && over.getLong(1) > 0L)
-          System.err.println(s"[dbscan] CAP CENSUS: ${over.getLong(0)} " +
+        if (!stats.isNullAt(2) && stats.getLong(2) > 0L)
+          System.err.println(s"[dbscan] CAP CENSUS: ${stats.getLong(1)} " +
             s"cell(s) over maxCellSize=$maxCellSize totalling " +
-            s"${over.getLong(1)} members SKIP pair generation (their " +
+            s"${stats.getLong(2)} members SKIP pair generation (their " +
             "members come back as noise) — raise maxCellSize or use " +
             "more cells")
-        // cells are bounded by the centroid table, but guard the
-        // broadcast against a pathological realized count anyway
-        // (shuffle fallback, never a driver OOM)
         val keep = cellCounts.where(col("n") <= maxCellSize)
           .select(col("cell"))
         assigned.join(
-          if (cellCounts.count() <= 5000000L) broadcast(keep) else keep,
+          if (stats.getLong(0) <= 5000000L) broadcast(keep) else keep,
           Seq("cell"), "left_semi")
       }
     // eps-neighbor pairs within cell; consumed by the degree census,
