@@ -243,6 +243,46 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got(950L) == ((0L, 0L, 10L)))
   }
 
+  test("containment posting-list expansion == shingle self-join reference " +
+      "(r13 rewrite)") {
+    import spark.implicits._
+    // overlapping docs with shared runs so multiple shingles co-fire,
+    // plus one near-boilerplate shingle right AT the cap boundary
+    val base = (1 to 12).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, base + " x1 x2 x3 x4 x5"),
+      (2L, base + " y1 y2 y3 y4 y5"),
+      (3L, "pre1 pre2 " + base),
+      (4L, (20 to 40).map(i => s"q$i").mkString(" ")),
+      (5L, base)).toDF("id", "t")
+    val got = graft.operators.Containment
+      .containmentPairs(df, "id", "t", k = 5, tauNum = 1, tauDen = 3, dfCap = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Double]("containment"))).toMap
+    // reference: the pre-r13 shingle-keyed SELF-JOIN over the identical
+    // distinct (id, shingle) set with the same df cap
+    def sh(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").sliding(5).map(_.mkString(" ")).toSeq
+    val docs = Seq(1L -> (base + " x1 x2 x3 x4 x5"), 2L -> (base + " y1 y2 y3 y4 y5"),
+      3L -> ("pre1 pre2 " + base), 4L -> (20 to 40).map(i => s"q$i").mkString(" "),
+      5L -> base)
+    val pairsRef = {
+      val byDoc = docs.map { case (id, t) => id -> sh(t).distinct }
+      val sizes = byDoc.map { case (id, s) => id -> s.size }.toMap
+      val dfCount = byDoc.flatMap(_._2).groupBy(identity).map { case (s, xs) => s -> xs.size }
+      val rare = byDoc.map { case (id, s) => id -> s.filter(dfCount(_) <= 4) }
+      val inter = for {
+        (a, sa) <- rare; (b, sb) <- rare; if a != b
+        n = sa.toSet.intersect(sb.toSet).size; if n > 0
+      } yield (a, b) -> n
+      inter.filter { case ((a, _), n) => n * 3 >= 1 * sizes(a) }
+        .map { case ((a, b), n) => (a, b) -> ((n.toLong, n.toDouble / sizes(a))) }
+        .toMap
+    }
+    assert(got == pairsRef, s"got $got\nwant $pairsRef")
+  }
+
   test("containment: dfCap excludes boilerplate shingles from evidence") {
     import spark.implicits._
     // one shared boilerplate line across many docs; with dfCap below the

@@ -51,6 +51,37 @@ class WeightedStatsSpec extends AnyFunSuite with SparkFixture {
     assert(c.getAs[Double]("mad") == 0.0 && c.getAs[Long]("n_outliers") == 2L)
   }
 
+  test("madOutliers census form == row-grain reference (r13 rewrite)") {
+    import spark.implicits._
+    // duplicate-heavy, multi-group fixture: value runs exercise the
+    // census multiplicity collapse, and values symmetric around the
+    // median make distinct values COLLIDE after abs() — the re-aggregate
+    // seam of the census rewrite
+    val rows = Seq.tabulate(200) { i =>
+      (s"g${i % 3}", ((i * 7) % 13 - 6).toDouble, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id")
+    val got = graft.operators.Robust.madOutliers(df, "k", "v", Seq("id"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    // row-grain reference: per group, sort, lower median by crossing,
+    // dev census, lower median of devs, fence count
+    def lowerMedian(vs: Seq[Double]): Double = {
+      val s = vs.sorted; s((s.size + 1) / 2 - 1)
+    }
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val vs = rs.map(_._2)
+      val med = lowerMedian(vs)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = lowerMedian(devs)
+      val fence = 3.0 * 1.4826 * mad
+      val nOut = devs.count(_ > fence).toLong
+      val (n, m, md, no) = got(g)
+      assert(n == vs.size.toLong && m == med && md == mad && no == nOut,
+        s"group $g: got ${got(g)}, want (${vs.size}, $med, $mad, $nOut)")
+    }
+  }
+
   test("winsorizedCensus: exact discrete bounds, clip counts, clipped mean") {
     import spark.implicits._
     // group a: 1..20 -> P10 = ceil(0.10*20)=2nd = 2, P90 = 18th = 18
