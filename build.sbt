@@ -21,6 +21,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // suites share one SparkSession fixture; run them sequentially so
 // session-global state (extensions session, memory-sink names) is stable
 Test / parallelExecution := false
+// -oD: per-test durations in the report — the r13 driver test run timed
+// out with no way to tell which suites own the wall time
+Test / testOptions += Tests.Argument("-oD")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

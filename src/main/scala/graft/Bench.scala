@@ -50,6 +50,16 @@ object Bench {
     * triggers, 0.08→0.3 jitter does not. */
   private val RegressSlackSec = 0.5
 
+  /** Cap on regression-TRIGGERED isolation re-runs per full bench (r14,
+    * the r13 VERDICT wall-budget ask: each isolation is a fresh JVM +
+    * Spark init + warmup + iters ≈ 15-25 s, and a loaded driver session
+    * can fire the 1.5× trigger on dozens of queries at once — r13's
+    * driver run died at rc=124 partly under that tax). The IsolateK
+    * slowest are always isolated; past that, only the [[MoverCap]]
+    * worst offenders by batched/best ratio get receipts — the rest are
+    * reported on stderr and keep their batched numbers. */
+  private val MoverCap = 8
+
   /** Committed FULL per-query best-ever registry (r12, the r11
     * VERDICT's q108 blind spot: driver-emitted BENCH_r*.json lines
     * persist only the top-~120 queries, so sub-top-120 best-evers
@@ -242,12 +252,22 @@ object Bench {
     // "isolated" in the emitted per-query "source" map; the rest carry
     // "batched". The legacy "isolated" list is kept for old parsers.
     val prior: Map[String, Double] = bestEver()
-    val movers = times.filter { case (p, t) =>
+    val allMovers = times.filter { case (p, t) =>
       prior.get(p).exists(regressed(t, _)) }.keySet
     val heavy = times.toSeq.sortBy(-_._2).take(IsolateK).map(_._1).toSet
-    if (movers.diff(heavy).nonEmpty)
+    // r14: cap the trigger-driven extras at MoverCap, worst first by
+    // batched/best ratio (see MoverCap scaladoc); over-cap movers are
+    // named on stderr so drift is still visible even without a receipt
+    val movers = allMovers.diff(heavy).toSeq
+      .sortBy(p => -(times(p) / prior(p))).take(MoverCap).toSet
+    if (movers.nonEmpty)
       System.err.println(s"[bench] regression-triggered isolation: " +
-        movers.diff(heavy).toSeq.sorted.mkString(","))
+        movers.toSeq.sorted.mkString(","))
+    val overCap = allMovers.diff(heavy).diff(movers)
+    if (overCap.nonEmpty)
+      System.err.println(s"[bench] regression trigger OVER MoverCap=" +
+        s"$MoverCap (batched numbers kept): " +
+        overCap.toSeq.sorted.mkString(","))
     var isolatedTag = Set.empty[String]
     var isoLoad = Map.empty[String, Double]
     (heavy ++ movers).toSeq.sorted.foreach { prefix =>
@@ -313,6 +333,18 @@ object Bench {
     // exclude it from queries/total so regressions are visible in the
     // bench artifact itself.
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Session-memoized materialized stages (GraphStages, Graph.AnfStage)
+    // exist for cluster composition, where one written snapshot feeds
+    // many readers. In a per-query benchmark they would launder the
+    // shared input-build cost out of every timed region (the r13 VERDICT
+    // gaming flag), so the memos are evicted before the warm-up AND
+    // before EVERY timed iteration: each timed execution pays its own
+    // full input build from the parquet scans, exactly like a
+    // non-memoized query.
+    def clearMemos(): Unit = {
+      graft.queries.GraphStages.clear()
+      graft.operators.Graph.AnfStage.clear()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .flatMap { case (name, fn) =>
@@ -321,15 +353,20 @@ object Bench {
         // unpersisting the PREVIOUS query's checkpointed blocks instead
         // of storming whoever runs next (the BenchScale lesson; observed
         // q364 8.5 s isolated vs 37.6 s after seven checkpoint-heavy
-        // graph queries in one JVM)
+        // graph queries in one JVM). r14: sleep trimmed 200 -> 50 ms
+        // (the r13 VERDICT wall-budget ask; 465 queries paid ~93 s of
+        // pure sleep — the gc itself is the part that settles the
+        // cleaner, the sleep only needs to yield the queues).
         System.gc()
-        Thread.sleep(200)
+        Thread.sleep(50)
+        clearMemos()
         // per-query untimed warm-up: planning + Janino codegen happen
         // here, so even a single timed iteration records the steady
         // state the engine would show on a long-running cluster
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val times = (1 to iters).map { _ =>
+            clearMemos() // timed region includes any memoized build
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9

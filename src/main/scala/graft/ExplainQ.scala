@@ -10,6 +10,11 @@ import java.nio.file.{Files, Paths}
   * every declared query). Session config mirrors Bench's. */
 object ExplainQ {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: runMain graft.ExplainQ <sfDir> <outDir> <q...>")
+      sys.exit(2)
+    }
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -53,17 +53,8 @@ object Containment {
     val rare = sh.join(
       sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= dfCap),
       Seq("s"), "left_semi")
-    // r13: pair generation is an in-partition expansion over the
-    // per-shingle posting list, not a shingle-keyed self-join — the
-    // semi-join output is already partitioned by s, so the posting
-    // collect reuses that layout (no exchange), lists are <= dfCap rows
-    // by the cap above (bounded memory by construction), and the old
-    // second self-join exchange + sort-merge of `rare` disappears. Pair
-    // multiset is identical: each capped shingle contributes every
-    // ordered (a, b), a != b, exactly as the equi-join did.
-    val inter = rare.groupBy("s").agg(collect_list(col("id")).as("ids"))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+    val inter = rare.select(col("id").as("id_a"), col("s"))
+      .join(rare.select(col("id").as("id_b"), col("s")), Seq("s"))
       .where(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter

@@ -59,23 +59,19 @@ object Graph {
     // one row per node, so at sane node counts it broadcasts (edges
     // never re-exchange); at web-scale node counts AQE falls back to a
     // shuffle join — the right call on both ends, not worth pinning.
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
-    // r13: out-degree rides ON the edge table (joined once at prep,
-    // inside the same checkpoint) instead of re-joining a degree frame
-    // every round — k iterations pay k fewer joins for one extra int
-    // column on the materialized edges
-    val e = e0.join(
-        e0.groupBy("src").agg(count(lit(1)).as("od")), "src")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
       .localCheckpoint(true)
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val nDf = broadcast(nodes.agg(count(lit(1)).as("nn")))
     var pr = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$RankScale div nn").as("prf"))
     for (_ <- 1 to iterations) {
       val summed = e.join(pr, e("src") === pr("node"))
+        .join(outdeg, "src")
         .select(col("dst"), expr("prf div od").as("contrib"))
         .groupBy(col("dst"))
         // exact integer sum: associative, partial-aggregates map-side
@@ -105,22 +101,20 @@ object Graph {
     val d100 = math.round(damping * 100).toInt
     require(d100 > 0 && d100 < 100 && math.abs(d100 / 100.0 - damping) < 1e-9,
       s"damping must be a whole percentage in (0,1), got $damping")
-    val e0 = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(weightCol).cast("long")).as("w"))
       .localCheckpoint(true)
-    // r13: weighted degree rides ON the edge table (one prep join
-    // inside the checkpoint) — k iterations pay k fewer joins
-    val e = e0.join(
-        e0.groupBy("src").agg(sum(col("w")).as("wdeg")), "src")
+    val outw = e.groupBy("src").agg(sum(col("w")).as("wdeg"))
       .localCheckpoint(true)
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val nDf = broadcast(nodes.agg(count(lit(1)).as("nn")))
     var pr = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$RankScale div nn").as("prf"))
     for (_ <- 1 to iterations) {
       val summed = e.join(pr, e("src") === pr("node"))
+        .join(outw, "src")
         .select(col("dst"),
           expr("(CAST(prf AS DECIMAL(38,0)) * w) div wdeg").as("contrib"))
         .groupBy(col("dst"))
@@ -153,17 +147,14 @@ object Graph {
     val d100 = math.round(damping * 100).toInt
     require(d100 > 0 && d100 < 100 && math.abs(d100 / 100.0 - damping) < 1e-9,
       s"damping must be a whole percentage in (0,1), got $damping")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
     val s = seeds.select(col(seedCol).as("node")).distinct()
       .localCheckpoint(true)
-    // r13: out-degree rides ON the edge table (see [[pageRank]]) —
-    // k iterations pay k fewer joins
-    val e = e0.join(
-        e0.groupBy("src").agg(count(lit(1)).as("od")), "src")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
       .localCheckpoint(true)
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).union(s.select(col("node")))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).union(s.select(col("node")))
       .distinct().localCheckpoint(true)
     val nS = broadcast(s.agg(count(lit(1)).as("ns")))
     val seeded = broadcast(s.withColumn("__isSeed", lit(1)))
@@ -180,6 +171,7 @@ object Graph {
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val summed = e.join(pr, e("src") === pr("node"))
+        .join(outdeg, "src")
         .select(col("dst"), expr("prf div od").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))

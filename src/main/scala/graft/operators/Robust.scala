@@ -19,54 +19,36 @@ import org.apache.spark.sql.functions._
   * engines; |x - med| is one exact subtraction, and the fence is a
   * fixed literal shape. Everything replays bit-for-bit in SQL.
   *
-  * Scale (r13): everything derives from ONE corpus aggregation — the
-  * (group, DISTINCT value) census (the [[winsorizedCensus]] /
-  * q191-discretized-score move). A lower median is a value-count
-  * crossing, and |x - med| collapses value runs unchanged, so both
-  * median passes and the fence census walk census rows (a billion rows
-  * with 50k distinct prices windows 50k rows per group, never the
-  * corpus), replacing two corpus-grain sorts + two corpus-grain joins
-  * with one map-side-combinable groupBy. Row-grain tie columns are
-  * unnecessary by construction: a lower median is a VALUE picked by
-  * counts, so any within-value order yields the same value (the old
-  * row-grain form used them only to make the window sort
-  * deterministic; the census has no row-grain sort at all). At 100 TB
+  * Scale: two per-group sorts of the narrow (group, value) projection —
+  * the exact-path cost (q10 family, parallel across groups). At 100 TB
   * the GK sketch ([[Sketches.approxQuantiles]]) stands in for both
   * medians at the same fence formula. */
 object Robust {
 
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       tieCols: Seq[String], k: Double = 3.0): DataFrame = {
-    val g = col(groupCol)
-    // the single corpus pass: per-(group, value) multiplicities
-    val census = df.groupBy(g, col(valueCol).as("v"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    val narrow = df.select((Seq(groupCol, valueCol) ++ tieCols).distinct.map(col): _*)
     def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
-      val wOrd = Window.partitionBy(g).orderBy(col(vCol))
-      val wAll = Window.partitionBy(g)
-      in.withColumn("cum", sum(col("c")).over(wOrd))
-        .withColumn("tot", sum(col("c")).over(wAll))
+      val order: Seq[Column] = col(vCol) +: tieCols.map(col)
+      val wOrd = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+      val wAll = Window.partitionBy(col(groupCol))
+      in.withColumn("cum", sum(lit(1L)).over(wOrd))
+        .withColumn("tot", sum(lit(1L)).over(wAll))
         .where(col("cum") * 2 >= col("tot"))
-        .groupBy(g)
+        .groupBy(col(groupCol))
         .agg(min(col(vCol)).as(out))
     }
-    val med = lowerMedian(census, "v", "median")
-    // |x - med| collapses each value run unchanged (c rows of v are c
-    // rows of dev) — the dev census is a re-key of the value census,
-    // re-aggregated because distinct values can collide after abs()
-    val devCensus = census.join(med, groupCol)
-      .groupBy(g, abs(col("v").cast("double") - col("median")).as("dev"))
-      .agg(sum(col("c")).as("c"), min(col("median")).as("median"))
-    val mad = lowerMedian(devCensus, "dev", "mad")
-    devCensus.join(mad, groupCol)
+    val med = lowerMedian(narrow, valueCol, "median")
+    val withDev = narrow.join(med, groupCol)
+      .withColumn("dev", abs(col(valueCol).cast("double") - col("median")))
+    val mad = lowerMedian(withDev, "dev", "mad")
+    withDev.join(mad, groupCol)
       .withColumn("fence", lit(k) * lit(1.4826) * col("mad"))
-      .groupBy(g)
-      .agg(sum(col("c")).as("n"),
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
         min(col("median")).as("median"),
         min(col("mad")).as("mad"),
-        sum(when(col("dev") > col("fence"), col("c")).otherwise(0L))
-          .as("n_outliers"))
+        sum(when(col("dev") > col("fence"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
   /** Winsorized per-group census — the robust-scaling cousin of
