@@ -2200,35 +2200,62 @@ object Eval {
       .select(col("n_strata"),
         when(col("__den") > 0.0, col("__num") / col("__den")).as("psi"))
     def dd(c: Column): Column = c.cast("double")
-    val n1 = dd(col("a") + col("b"))
-    val n2 = dd(col("c") + col("d"))
-    val m1 = dd(col("a") + col("c"))
-    val m2 = dd(col("b") + col("d"))
-    val nn = n1 + n2
-    val informative = n1 > 0.0 && n2 > 0.0 && m1 > 0.0 && m2 > 0.0
+    // The per-stratum quadratic is FACTORED through named columns in
+    // staged projections (r14): inlining aTilde into t_chi/t_dev/t_var
+    // duplicated the root tree ~6x (and each copy re-inlined the
+    // discriminant tree), and with the whole stage fused into the
+    // census aggregate's output function the generated method tripped
+    // Janino's 64 KB method cap — Spark fell back to interpreted eval
+    // and re-attempted (and re-failed) the compile on every execution.
+    // Each alias below is referenced more than once by a non-cheap
+    // consumer, so CollapseProject keeps the stages separate and every
+    // subtree is generated exactly once. Arithmetic is unchanged
+    // op-for-op — same double shapes, bit-identical output.
     val psi = col("psi")
-    // quadratic root for the expected a-cell under the pooled psi
-    val qa = psi - lit(1.0)
-    val qb = -(psi * (n1 + m1) + (n2 - m1))
-    val qc = psi * n1 * m1
-    val disc = sqrt(greatest(qb * qb - lit(4.0) * qa * qc, lit(0.0)))
-    val r1 = (-qb + disc) / (lit(2.0) * qa)
-    val r2 = (-qb - disc) / (lit(2.0) * qa)
+    val margins = census.crossJoin(broadcast(psiDf))
+      .select(col("s"), col("n_strata"), col("psi"), col("a"),
+        dd(col("a") + col("b")).as("n1"),
+        dd(col("c") + col("d")).as("n2"),
+        dd(col("a") + col("c")).as("m1"),
+        dd(col("b") + col("d")).as("m2"))
+    val n1 = col("n1"); val n2 = col("n2")
+    val m1 = col("m1"); val m2 = col("m2")
+    val quad = margins.select(col("s"), col("n_strata"), col("psi"),
+      col("a"), col("n1"), col("n2"), col("m1"),
+      (n1 > 0.0 && n2 > 0.0 && m1 > 0.0 && m2 > 0.0).as("informative"),
+      // quadratic coefficients for the expected a-cell under pooled psi
+      (psi - lit(1.0)).as("qa"),
+      (-(psi * (n1 + m1) + (n2 - m1))).as("qb"),
+      (psi * n1 * m1).as("qc"))
+    val disc = sqrt(greatest(col("qb") * col("qb") -
+      lit(4.0) * col("qa") * col("qc"), lit(0.0)))
+    val roots = quad.select(col("s"), col("n_strata"), col("psi"),
+      col("a"), col("n1"), col("n2"), col("m1"), col("informative"),
+      col("qa"), col("qb"), disc.as("disc"))
+    val r1 = (-col("qb") + col("disc")) / (lit(2.0) * col("qa"))
+    val r2 = (-col("qb") - col("disc")) / (lit(2.0) * col("qa"))
     val lo = greatest(lit(0.0), m1 - n2)
     val hi = least(n1, m1)
-    val aTilde = when(abs(psi - 1.0) < 1e-12, n1 * m1 / nn)
+    val aTilde = when(abs(psi - 1.0) < 1e-12, n1 * m1 / (n1 + n2))
       .otherwise(when(r2 >= lo - 1e-9 && r2 <= hi + 1e-9, r2).otherwise(r1))
-    val varA = lit(1.0) / (lit(1.0) / aTilde + lit(1.0) / (n1 - aTilde) +
-      lit(1.0) / (m1 - aTilde) + lit(1.0) / (n2 - m1 + aTilde))
-    val terms = census.crossJoin(broadcast(psiDf))
+    val withA = roots.select(col("s"), col("n_strata"), col("psi"),
+      col("a"), col("n1"), col("n2"), col("m1"), col("informative"),
+      aTilde.as("a_tilde"))
+    val aT = col("a_tilde")
+    val varA = lit(1.0) / (lit(1.0) / aT + lit(1.0) / (n1 - aT) +
+      lit(1.0) / (m1 - aT) + lit(1.0) / (n2 - m1 + aT))
+    val withVar = withA.select(col("s"), col("n_strata"), col("psi"),
+      col("a"), col("informative"), col("a_tilde"), varA.as("var_a"))
+    val informative = col("informative")
+    val terms = withVar
       .select(col("s"), col("n_strata"), col("psi"),
         when(informative, lit(1L)).otherwise(0L).as("inf"),
         when(informative && psi.isNotNull,
-          (dd(col("a")) - aTilde) * (dd(col("a")) - aTilde) / varA)
+          (dd(col("a")) - aT) * (dd(col("a")) - aT) / col("var_a"))
           .otherwise(lit(0.0)).as("t_chi"),
-        when(informative && psi.isNotNull, dd(col("a")) - aTilde)
+        when(informative && psi.isNotNull, dd(col("a")) - aT)
           .otherwise(lit(0.0)).as("t_dev"),
-        when(informative && psi.isNotNull, varA).otherwise(lit(0.0))
+        when(informative && psi.isNotNull, col("var_a")).otherwise(lit(0.0))
           .as("t_var"))
     val folded = terms
       .groupBy(col("n_strata"), col("psi"))

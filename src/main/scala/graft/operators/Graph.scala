@@ -46,9 +46,17 @@ object Graph {
     * `damping` must be a whole percentage (e.g. 0.85) so the damped term
     * stays in integer arithmetic. Output: (node, pr: double). Lineage is
     * cut per round with a eager localCheckpoint, one plan per iteration
-    * instead of a 2^k tree. */
+    * instead of a 2^k tree.
+    *
+    * `edgesCanonical` (r14): the caller certifies (srcCol, dstCol) is
+    * already duplicate-free AND cheap to re-consume (a projection of a
+    * materialized snapshot, e.g. [[graft.queries.GraphStages]]) — the
+    * defensive re-distinct exchange and its checkpoint are skipped.
+    * Result-identical on such input (distinct of a duplicate-free set
+    * is the identity); default false keeps the defensive prep. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
+      iterations: Int, damping: Double = 0.85,
+      edgesCanonical: Boolean = false): DataFrame = {
     val d100 = math.round(damping * 100).toInt
     require(d100 > 0 && d100 < 100 && math.abs(d100 / 100.0 - damping) < 1e-9,
       s"damping must be a whole percentage in (0,1), got $damping")
@@ -59,8 +67,8 @@ object Graph {
     // one row per node, so at sane node counts it broadcasts (edges
     // never re-exchange); at web-scale node counts AQE falls back to a
     // shuffle join — the right call on both ends, not worth pinning.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (edgesCanonical) e0 else e0.distinct().localCheckpoint(true)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
@@ -143,12 +151,13 @@ object Graph {
     * (node, ppr: double). */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, iterations: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, edgesCanonical: Boolean = false): DataFrame = {
     val d100 = math.round(damping * 100).toInt
     require(d100 > 0 && d100 < 100 && math.abs(d100 / 100.0 - damping) < 1e-9,
       s"damping must be a whole percentage in (0,1), got $damping")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+    // edgesCanonical: see [[pageRank]] — skips the defensive re-distinct
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (edgesCanonical) e0 else e0.distinct().localCheckpoint(true)
     val s = seeds.select(col(seedCol).as("node")).distinct()
       .localCheckpoint(true)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
@@ -225,7 +234,7 @@ object Graph {
     * recurrence itself demands). Output: (node, hub, auth) doubles at
     * scale 1e-9, one row per node including zero-mass nodes. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int, edgesCanonical: Boolean = false): DataFrame = {
     // One checkpointed edge copy; AQE re-plans each round's join at
     // runtime (vector side is node-scale, so it broadcasts or shuffles
     // cheaply). Measured against pre-partitioned dual edge copies and
@@ -233,8 +242,9 @@ object Graph {
     // both (3.8 s vs 5.2 / 4.3): the iterate's cost here is per-round
     // materialization, not edge re-exchange. On a cluster-scale graph
     // the same AQE mechanism makes the same call from real sizes.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+    // edgesCanonical: see [[pageRank]] — skips the defensive re-distinct
+    val ep = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (edgesCanonical) ep else ep.distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -374,14 +384,19 @@ object Graph {
     * assignments are excluded. Output: (node, old_comm, new_comm,
     * moved, gain_num). */
   def modularityGainPass(edges: DataFrame, srcCol: String, dstCol: String,
-      assign: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+      assign: DataFrame, nodeCol: String, commCol: String,
+      edgesCanonical: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
-    val e0 = edges
+    // edgesCanonical: see [[pageRank]] — caller certifies the edge list
+    // is duplicate-free UNDER the (least, greatest) canonicalization
+    // too (i.e. no {u,v} appears in both orientations); skips the
+    // re-distinct exchange, keeps the exchange-free canonicalization
+    val e1 = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
-      .distinct()
+    val e0 = if (edgesCanonical) e1 else e1.distinct()
     val a = assign.select(col(nodeCol).as("__nd"), col(commCol).as("__c"))
       .where(col("__nd").isNotNull && col("__c").isNotNull)
       .distinct()
@@ -455,15 +470,17 @@ object Graph {
     * aggregation — no window, no iteration. Output one row:
     * (n_nodes, n_edges, r_assort). */
   def assortativity(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, edgesCanonical: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
-    val e = edges
+    // edgesCanonical: see [[modularityGainPass]] — duplicate-free under
+    // the (least, greatest) canonicalization AND cheap to re-consume;
+    // skips the dedup exchange and the then-pointless checkpoint
+    val e1 = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
+    val e = if (edgesCanonical) e1 else e1.distinct().localCheckpoint(true)
     val deg = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -511,7 +528,8 @@ object Graph {
     * is a full frontier exchange: long walks belong to repeated short
     * walks, not deep ones (the DeepWalk configuration itself). */
   def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
-      steps: Int, seed: String, walksPerNode: Int = 1): DataFrame = {
+      steps: Int, seed: String, walksPerNode: Int = 1,
+      edgesCanonical: Boolean = false): DataFrame = {
     require(steps >= 1 && steps <= 16,
       s"steps must be in [1,16], got $steps")
     require(walksPerNode >= 1 && walksPerNode <= 64,
@@ -520,8 +538,11 @@ object Graph {
       .partitionBy(col("u")).orderBy(col("v"))
     val wDeg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u"))
-    val adj = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .where(col("u").isNotNull && col("v").isNotNull).distinct()
+    // edgesCanonical: see [[pageRank]] — skips the re-distinct exchange
+    // (the index/degree windows and their adjacency checkpoint stay)
+    val adj0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+    val adj = (if (edgesCanonical) adj0 else adj0.distinct())
       .select(col("u"), col("v"),
         (row_number().over(wIdx) - 1).cast("long").as("idx"),
         count(lit(1)).over(wDeg).as("deg"))
@@ -613,14 +634,15 @@ object Graph {
   }
 
   def hyperAnf(edges: DataFrame, srcCol: String, dstCol: String,
-      maxHops: Int, b: Int = 6): DataFrame = {
+      maxHops: Int, b: Int = 6, edgesCanonical: Boolean = false): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val m = 1 << b
     // 6-bit fields, 10 per long: field width is pinned by the rank cap
     // (40), NOT by b — any 4 <= b <= 14 packs into ceil(2^b / 10) longs
     val words = (m + 9) / 10
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+    // edgesCanonical: see [[pageRank]] — skips the defensive re-distinct
+    val ep = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (edgesCanonical) ep else ep.distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -695,14 +717,16 @@ object Graph {
     * (nodes are defined BY the edge list).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, edgesCanonical: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     import org.apache.spark.sql.expressions.Window
-    val e = edges.select(col(srcCol).cast("long").as("u"),
+    // edgesCanonical: see [[pageRank]] — skips the defensive re-distinct
+    // (the null/self-loop filters stay: they are exchange-free)
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
-      .distinct()
+    val e = if (edgesCanonical) e0 else e0.distinct()
     val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     var labels = und.select(col("u").as("node")).distinct()
@@ -743,14 +767,17 @@ object Graph {
     * n_edges_unassigned); φ null when min(vol, 2m − vol) = 0 (a
     * community owning every edge end has no outside to leak to). */
   def conductance(edges: DataFrame, srcCol: String, dstCol: String,
-      assign: DataFrame, nodeCol: String, commCol: String): DataFrame = {
-    val e0 = edges
+      assign: DataFrame, nodeCol: String, commCol: String,
+      edgesCanonical: Boolean = false): DataFrame = {
+    // edgesCanonical: see [[modularityGainPass]] — skips the dedup
+    // exchange + its checkpoint (the tagged frame below checkpoints
+    // either way: it is the frame both readouts consume)
+    val e1 = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
+    val e0 = if (edgesCanonical) e1 else e1.distinct().localCheckpoint(true)
     val a = assign.select(col(nodeCol).as("__nd"), col(commCol).as("__c"))
       .where(col("__nd").isNotNull && col("__c").isNotNull)
       .distinct()
@@ -866,15 +893,16 @@ object Graph {
     * w, n_edges_dropped, moran_i, geary_c, e_i); null statistics when
     * the value is constant (denominator 0) or no edges survive. */
   def moranGeary(edges: DataFrame, srcCol: String, dstCol: String,
-      values: DataFrame, nodeCol: String, valueCol: String): DataFrame = {
+      values: DataFrame, nodeCol: String, valueCol: String,
+      edgesCanonical: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
-    val e0 = edges
+    // edgesCanonical: see [[modularityGainPass]]
+    val e1 = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
+    val e0 = if (edgesCanonical) e1 else e1.distinct().localCheckpoint(true)
     val nodes = e0.select(col("u").as("nd"))
       .union(e0.select(col("v").as("nd"))).distinct()
     val vals = values.select(col(nodeCol).as("nd"),
@@ -1014,20 +1042,28 @@ object Graph {
     * the seed. */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, sources: DataFrame, seedCol: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, edgesCanonical: Boolean = false): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     val dec = "decimal(38,0)"
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // edgesCanonical: see [[pageRank]] — caller certifies ONE row per
+    // (src, dst), so the min-weight collapse exchange is skipped (the
+    // null filters and the negative-weight guard stay — exchange-free).
+    // r14: the repartition(src) that used to precede the checkpoint is
+    // GONE on both paths — the r13 q467 receipt verified that a
+    // repartition before localCheckpoint never delivers layout reuse
+    // (AQE reports UnknownPartitioning on the LogicalRDD), so it was a
+    // pure extra exchange.
+    val e1 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull)
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    val e = (if (edgesCanonical) e1
+      else e1.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
       .withColumn("w", when(col("w") >= 0L, col("w"))
         .otherwise(raise_error(lit(
           "shortestPaths: negative edge weight — Bellman–Ford here " +
             "assumes non-negative costs"))))
-      .repartition(col("src"))
       .localCheckpoint(true)
     var dist = sources.select(col(seedCol).cast("long").as("s"))
       .distinct()
@@ -1228,19 +1264,23 @@ object Graph {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
     def sketch(spark: org.apache.spark.sql.SparkSession, key: String,
-        maxHops: Int, b: Int)(edges: => DataFrame): DataFrame =
+        maxHops: Int, b: Int, edgesCanonical: Boolean = false)(
+        edges: => DataFrame): DataFrame =
       cache.computeIfAbsent(
         s"${spark.sparkContext.applicationId}|" +
           s"${System.identityHashCode(spark)}|$key|$maxHops|$b",
-        _ => hyperAnf(edges, "src", "dst", maxHops, b)
+        _ => hyperAnf(edges, "src", "dst", maxHops, b, edgesCanonical)
           .localCheckpoint(true))
     /** Unpersist every memoized sketch's checkpoint blocks and empty
-      * the memo — the eviction hook for long-lived drivers. */
+      * the memo — the eviction hook for long-lived drivers. Blocking
+      * for the same reason as [[graft.queries.GraphStages.clear]]:
+      * eviction cost must land at the eviction point, not inside the
+      * next timed region. */
     def clear(): Unit = {
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        try e.getValue.unpersist(blocking = false)
+        try e.getValue.unpersist(blocking = true)
         catch { case scala.util.control.NonFatal(_) => () }
         it.remove()
       }

@@ -29,13 +29,16 @@ object KCore {
     * long — with their within-core degree. Empty output = the graph has
     * no k-core. */
   def kCore(edges: DataFrame, uCol: String, vCol: String, k: Int,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, edgesCanonical: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val e0 = edges
+    // edgesCanonical: see [[canon]] — skips the dedup exchange (the
+    // doubled-orientation union below checkpoints either way: it is
+    // the loop invariant every peel round re-reads)
+    val e1 = edges
       .select(least(col(uCol), col(vCol)).cast("long").as("u"),
         greatest(col(uCol), col(vCol)).cast("long").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
+    val e0 = if (edgesCanonical) e1 else e1.distinct()
     var ed = e0.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(true)
@@ -62,12 +65,20 @@ object KCore {
   }
 
   /** Canonicalize to u < v undirected edges. */
-  private def canon(edges: DataFrame, uCol: String, vCol: String): DataFrame =
-    edges.select(least(col(uCol), col(vCol)).cast("long").as("u"),
+  /** `canonical = true` (r14): the caller certifies the edge list is
+    * already duplicate-free under the (least, greatest)
+    * canonicalization and materialized upstream (e.g. a
+    * [[graft.queries.GraphStages]] snapshot) — the dedup exchange is
+    * skipped; the exchange-free canonicalization and null/self-loop
+    * filters always run. */
+  private def canon(edges: DataFrame, uCol: String, vCol: String,
+      canonical: Boolean = false): DataFrame = {
+    val e = edges.select(least(col(uCol), col(vCol)).cast("long").as("u"),
         greatest(col(uCol), col(vCol)).cast("long").as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
-      .distinct()
+    if (canonical) e else e.distinct()
+  }
 
   /** Per-edge triangle support — DELEGATES to [[Triangles.support]]
     * (degree-ordered orientation + sorted-adjacency intersection, the
@@ -105,17 +116,24 @@ object KCore {
     * canonical edges with their FINAL-subgraph support: (u, v, sup).
     * Empty output = no k-truss. */
   def kTruss(edges: DataFrame, uCol: String, vCol: String, k: Int,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, edgesCanonical: Boolean = false): DataFrame = {
     require(k >= 3, s"k must be >= 3 (k-2 triangles per edge): $k")
-    var e = canon(edges, uCol, vCol).localCheckpoint(true)
+    // edgesCanonical: see [[canon]]. Convergence bookkeeping carries the
+    // PREVIOUS round's count in a driver var (r14): the old shape ran
+    // three actions per round (next.count, e.count re-read, isEmpty) —
+    // the trussDecomposition one-count discipline applied here.
+    var e = if (edgesCanonical) canon(edges, uCol, vCol, canonical = true)
+      else canon(edges, uCol, vCol).localCheckpoint(true)
+    var nE = e.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = peelOnce(e, k).localCheckpoint(true)
-      if (next.count() == e.count()) converged = true
+      val nNext = next.count()
+      if (nNext == nE || nNext == 0L) converged = true
       e = next
+      nE = nNext
       iter += 1
-      if (e.isEmpty) converged = true
     }
     if (!converged)
       throw new IllegalStateException(
@@ -130,10 +148,13 @@ object KCore {
     * replayable one — same per-round function). Support in the output
     * is recomputed on the FINAL subgraph. */
   def kTrussPeel(edges: DataFrame, uCol: String, vCol: String, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int, edgesCanonical: Boolean = false): DataFrame = {
     require(k >= 3, s"k must be >= 3: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    var e = canon(edges, uCol, vCol).localCheckpoint(true)
+    // edgesCanonical: see [[canon]] — skips the dedup exchange and the
+    // then-redundant initial checkpoint (input already materialized)
+    var e = if (edgesCanonical) canon(edges, uCol, vCol, canonical = true)
+      else canon(edges, uCol, vCol).localCheckpoint(true)
     for (_ <- 1 to rounds)
       e = peelOnce(e, k).localCheckpoint(true)
     support(e) // zero-filled: post-peel support CAN be < k−2 here
@@ -156,9 +177,12 @@ object KCore {
     * returning a truncated score. Output: (u, v, trussness) for every
     * canonical edge. */
   def trussDecomposition(edges: DataFrame, uCol: String, vCol: String,
-      maxK: Int = 12, maxIter: Int = 30): DataFrame = {
+      maxK: Int = 12, maxIter: Int = 30,
+      edgesCanonical: Boolean = false): DataFrame = {
     require(maxK >= 3, s"maxK must be >= 3: $maxK")
-    var e = canon(edges, uCol, vCol).localCheckpoint(true)
+    // edgesCanonical: see [[canon]]
+    var e = if (edgesCanonical) canon(edges, uCol, vCol, canonical = true)
+      else canon(edges, uCol, vCol).localCheckpoint(true)
     var nE = e.count()
     var out: DataFrame = null
     var k = 3
@@ -182,7 +206,7 @@ object KCore {
             "peel rounds (truss peeling depth exceeds maxIter)")
       // everything peeled at this level maxed out at trussness k-1
       val dropped = (if (out == null)
-          canon(edges, uCol, vCol)
+          canon(edges, uCol, vCol, canonical = edgesCanonical)
         else out.where(col("trussness") === (k - 1).toLong)
           .select(col("u"), col("v")))
         .join(e, Seq("u", "v"), "left_anti")

@@ -167,14 +167,16 @@ object Triangles {
     * degree census, two scalar aggregations. Output one row:
     * (n_nodes, n_edges, n_wedges, n_triangles, transitivity); null
     * when the graph has no wedge (no node of degree ≥ 2). */
-  def transitivity(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+  def transitivity(edges: DataFrame, uCol: String, vCol: String,
+      edgesCanonical: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
-    val e0 = edges
+    // edgesCanonical (r14): duplicate-free under (least, greatest) and
+    // materialized upstream — skips the dedup exchange + checkpoint
+    val e1 = edges
       .select(least(col(uCol), col(vCol)).cast("long").as("u"),
         greatest(col(uCol), col(vCol)).cast("long").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+    val e0 = if (edgesCanonical) e1 else e1.distinct().localCheckpoint(true)
     val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val wedges = deg.agg(count(lit(1)).as("n_nodes"),

@@ -359,9 +359,18 @@ object DomainOps {
     val metadata = t.select($"ticker",
       concat(lit("SEC"), ($"key" % 3).cast("string")).as("sector"),
       concat(lit("IND"), ($"key" % 2).cast("string")).as("industry"))
+    // r14: the three pipeline stages compose into one ~2200-line plan
+    // (118 Exchanges, the 25-row nation scan repeated 74x) because every
+    // cross-stage reference re-expands the upstream subtree — guide
+    // §3.3's "very wide plans: planning time itself becomes the
+    // bottleneck". Eager localCheckpoints at the STAGE SEAMS (the same
+    // boundaries the reference crosses via BigQuery tables) truncate
+    // the lineage: each stage plans and runs once over ~25-row frames.
+    // Physical-only change — the ledger values are oracle-pinned.
     val signals = graft.pipelines.Scanner.run(
       snapshots, chain, universe, metadata,
       asOf = scanDate, scanDate = scanDate)
+      .localCheckpoint(true)
     val dailyBars = t.select($"ticker", $"key",
         explode(sequence(lit(1), lit(30))).as("i"))
       .select($"ticker",
@@ -383,6 +392,7 @@ object DomainOps {
         .as("reversal_probability"),
       lit("thesis").as("thesis"), lit("summary").as("summary"))
     val enriched = graft.pipelines.Enrich.run(signals, dailyBars, news)
+      .localCheckpoint(true)
     val entryTs = 1000000000L
     val minuteBars = t.select($"ticker", $"key",
         explode(sequence(lit(0), lit(39))).as("m"))

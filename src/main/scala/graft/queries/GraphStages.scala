@@ -75,12 +75,19 @@ object GraphStages {
     }
 
   /** Unpersist every memoized snapshot's checkpoint blocks and empty
-    * the memo — the eviction hook for long-lived drivers. */
+    * the memo — the eviction hook for long-lived drivers. BLOCKING
+    * (r14): the bench evicts between timed regions, and an async
+    * unpersist queues block-removal work that then lands inside
+    * whatever runs next (the r8 adjacency-contamination class — q196
+    * measured 72 s batched vs 5.9 s isolated in the r14 baseline run
+    * with async eviction churning); blocking completes the removal at
+    * the eviction point, which is exactly where the caller wants the
+    * cost. */
   def clear(): Unit = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      try e.getValue.unpersist(blocking = false)
+      try e.getValue.unpersist(blocking = true)
       catch { case scala.util.control.NonFatal(_) => () }
       it.remove()
     }

@@ -388,7 +388,8 @@ object Relational {
     val pairs = GraphStages.tradePairs(spark, dir)
     val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
       .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
-    graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 8)
+    graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 8,
+        edgesCanonical = true)
       .select($"node",
         when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
         round($"pr", 10).as("pagerank"))
@@ -405,7 +406,7 @@ object Relational {
     val seeds = Tables.customer(spark, dir)
       .where($"c_custkey" % 100 === 0).select($"c_custkey".as("seed"))
     graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
-        seeds, "seed", iterations = 8)
+        seeds, "seed", iterations = 8, edgesCanonical = true)
       .select($"node",
         when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
         round($"ppr", 10).as("ppr"))
@@ -419,7 +420,8 @@ object Relational {
     val pairs = GraphStages.tradePairs(spark, dir)
     val edges = pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
       .unionByName(pairs.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
-    graft.operators.Graph.hyperAnf(edges, "src", "dst", maxHops = 4, b = 6)
+    graft.operators.Graph.hyperAnf(edges, "src", "dst", maxHops = 4, b = 6,
+        edgesCanonical = true)
       .select($"node", $"hop", $"nonempty", round($"est", 4).as("est"))
   }
 
@@ -433,7 +435,8 @@ object Relational {
   def q245Hits(spark: SparkSession, dir: String): DataFrame = {
     val pairs = GraphStages.tradePairs(spark, dir)
       .select($"c".as("src"), ($"s" + 1000000L).as("dst"))
-    graft.operators.Graph.hits(pairs, "src", "dst", iterations = 4)
+    graft.operators.Graph.hits(pairs, "src", "dst", iterations = 4,
+        edgesCanonical = true)
       .select($"node",
         when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
         round($"hub", 9).as("hub"), round($"auth", 9).as("auth"))
@@ -805,7 +808,8 @@ object Relational {
     * bit-identical pinned AA folds, tie-broken (u, v). */
   def q419AdamicAdar(spark: SparkSession, dir: String): DataFrame = {
     val edges = GraphStages.partCoEdges(spark, dir)
-    val scored = graft.operators.LinkPred.weightedScores(edges, "u", "v")
+    val scored = graft.operators.LinkPred.weightedScores(edges, "u", "v",
+      edgesCanonical = true)
     // TakeOrderedAndProject bounds the sort at 20 rows; the rank window
     // then orders those 20 only (single partition of a constant size)
     scored.orderBy($"adamic_adar".desc, $"u", $"v").limit(20)
@@ -938,7 +942,8 @@ object Relational {
     * integers; membership is order-free by the k-core's uniqueness. */
   def q227KCore(spark: SparkSession, dir: String): DataFrame = {
     val edges = GraphStages.partCoEdges(spark, dir)
-    graft.operators.KCore.kCore(edges, "u", "v", k = 3)
+    graft.operators.KCore.kCore(edges, "u", "v", k = 3,
+      edgesCanonical = true)
       .select($"node".as("part_key"), $"core_deg")
   }
 
@@ -956,7 +961,8 @@ object Relational {
     * exact integers, rounded 6dp as a hash belt. */
   def q222LinkPred(spark: SparkSession, dir: String): DataFrame = {
     val edges = GraphStages.partCoEdges(spark, dir)
-    val scored = graft.operators.LinkPred.commonNeighbors(edges, "u", "v")
+    val scored = graft.operators.LinkPred.commonNeighbors(edges, "u", "v",
+      edgesCanonical = true)
     // TakeOrderedAndProject bounds the sort at 20 rows; the rank window
     // then orders those 20 only (single partition of a constant size)
     scored.orderBy($"cn".desc, $"degsum".asc, $"u", $"v").limit(20)
@@ -972,7 +978,8 @@ object Relational {
     * high-degree parts? One number from five exact integer moments. */
   def q307Assortativity(spark: SparkSession, dir: String): DataFrame = {
     val edges = GraphStages.partCoEdges(spark, dir)
-    graft.operators.Graph.assortativity(edges, "u", "v")
+    graft.operators.Graph.assortativity(edges, "u", "v",
+        edgesCanonical = true)
       .select($"n_nodes", $"n_edges", round($"r_assort", 6).as("r_assort"))
   }
 
@@ -1003,7 +1010,7 @@ object Relational {
       .select($"c".as("u"), ($"s" + 1000000L).as("v"))
     val both = pairs.unionByName(pairs.select($"v".as("u"), $"u".as("v")))
     graft.operators.Graph.randomWalks(both, "u", "v",
-        steps = 3, seed = "graft8")
+        steps = 3, seed = "graft8", edgesCanonical = true)
       .select($"walk", $"step", $"node")
   }
 
@@ -1024,7 +1031,8 @@ object Relational {
   def q396LabelProp(spark: SparkSession, dir: String): DataFrame = {
     val pairs = GraphStages.tradePairs(spark, dir)
       .select($"c".as("u"), ($"s" + 1000000L).as("v"))
-    graft.operators.Graph.labelPropagation(pairs, "u", "v", rounds = 2)
+    graft.operators.Graph.labelPropagation(pairs, "u", "v", rounds = 2,
+        edgesCanonical = true)
       .groupBy($"label").agg(count(lit(1)).as("n_members"))
   }
 
@@ -1037,7 +1045,7 @@ object Relational {
         .select(($"s_suppkey" + 1000000L).as("node"),
           $"s_nationkey".as("comm")))
     graft.operators.Graph.modularityGainPass(pairs, "u", "v", assign,
-        "node", "comm")
+        "node", "comm", edgesCanonical = true)
       .select($"node", $"old_comm", $"new_comm", $"moved", $"gain_num")
   }
 
@@ -1047,7 +1055,8 @@ object Relational {
     * exact division. */
   def q314Transitivity(spark: SparkSession, dir: String): DataFrame = {
     val edges = GraphStages.partCoEdges(spark, dir)
-    graft.operators.Triangles.transitivity(edges, "u", "v")
+    graft.operators.Triangles.transitivity(edges, "u", "v",
+      edgesCanonical = true)
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
         round($"transitivity", 6).as("transitivity"))
   }
@@ -1207,7 +1216,8 @@ object Relational {
     * All-integer output: (u, v, sup). */
   def q408KTruss(spark: SparkSession, dir: String): DataFrame = {
     val edges = GraphStages.partCoEdges(spark, dir)
-    graft.operators.KCore.kTruss(edges, "u", "v", k = 3)
+    graft.operators.KCore.kTruss(edges, "u", "v", k = 3,
+      edgesCanonical = true)
   }
 
   /** q413 — leave-one-group-out slope influence ([[graft.operators
@@ -1316,7 +1326,7 @@ object Relational {
         .select(($"s_suppkey" + 1000000L).as("node"),
           $"s_nationkey".as("comm")))
     graft.operators.Graph.conductance(pairs, "u", "v", assign,
-        "node", "comm")
+        "node", "comm", edgesCanonical = true)
       .select($"community", $"vol", $"n_internal", $"cut",
         round($"conductance", 6).as("conductance"),
         $"n_edges_unassigned")
@@ -1381,7 +1391,8 @@ object Relational {
       .unionByName(Tables.supplier(spark, dir)
         .select(($"s_suppkey" + 1000000L).as("node"),
           $"s_nationkey".as("x")))
-    graft.operators.Graph.moranGeary(pairs, "u", "v", vals, "node", "x")
+    graft.operators.Graph.moranGeary(pairs, "u", "v", vals, "node", "x",
+        edgesCanonical = true)
       .select($"n_nodes", $"n_edges", $"w", $"n_edges_dropped",
         round($"moran_i", 6).as("moran_i"),
         round($"geary_c", 6).as("geary_c"), round($"e_i", 6).as("e_i"))
@@ -1410,7 +1421,7 @@ object Relational {
     * build cost rather than reading a warm memo. */
   private def tradeAnfSketch(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.AnfStage.sketch(spark, s"trade|$dir",
-      maxHops = 4, b = 6) {
+      maxHops = 4, b = 6, edgesCanonical = true) {
       val pairs = GraphStages.tradePairs(spark, dir)
       pairs.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
         .unionByName(pairs.select(($"s" + 1000000L).as("src"),
@@ -1425,7 +1436,8 @@ object Relational {
     * peel CTE-for-CTE; final support recomputed on the survivors. */
   def q463KTruss(spark: SparkSession, dir: String): DataFrame = {
     val edges = GraphStages.partCoEdges(spark, dir)
-    graft.operators.KCore.kTrussPeel(edges, "u", "v", k = 3, rounds = 2)
+    graft.operators.KCore.kTrussPeel(edges, "u", "v", k = 3, rounds = 2,
+      edgesCanonical = true)
       .select($"u", $"v", $"sup")
   }
 
@@ -1471,7 +1483,7 @@ object Relational {
     val seeds = Tables.customer(spark, dir)
       .orderBy($"c_custkey").limit(4).select($"c_custkey".as("seed"))
     graft.operators.Graph.shortestPaths(edges, "src", "dst", "w",
-        seeds, "seed", maxRounds = 13)
+        seeds, "seed", maxRounds = 13, edgesCanonical = true)
       .select($"s".as("seed"), $"node",
         when($"node" >= 1000000L, "supplier").otherwise("customer").as("kind"),
         $"dist")
@@ -1488,7 +1500,8 @@ object Relational {
     * rounds at each fixpoint. */
   def q466TrussDecomposition(spark: SparkSession, dir: String): DataFrame = {
     val edges = GraphStages.partCoEdges(spark, dir)
-    graft.operators.KCore.trussDecomposition(edges, "u", "v")
+    graft.operators.KCore.trussDecomposition(edges, "u", "v",
+      edgesCanonical = true)
       .select($"u", $"v", $"trussness")
   }
 
