@@ -641,6 +641,24 @@ object FastHash {
       .fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
   }
 
+  /** Field-wise max of two packed HLL register words — ten 6-bit
+    * fields per long, the [[graft.operators.Graph.hyperAnf]] union
+    * kernel. Each field is compared in place (values are non-negative
+    * ranks ≤ 40 < 2^6), so the result is bit-identical to the unpacked
+    * element-wise max. */
+  def fieldMax6(a: Long, b: Long): Long = {
+    var r = 0L
+    var f = 0
+    while (f < 10) {
+      val sh = 6 * f
+      val av = (a >>> sh) & 63L
+      val bv = (b >>> sh) & 63L
+      r |= (if (av >= bv) av else bv) << sh
+      f += 1
+    }
+    r
+  }
+
   /** Unpack a [[packSortedLongs]] blob back to the long array (spec
     * cross-check + any consumer needing the raw list). */
   def unpackSortedLongs(ab: Array[Byte]): ArrayData = {
@@ -727,6 +745,62 @@ object FastHash {
   def tokenLcs(a: Column, b: Column, cap: Int): Column =
     GraftShim.column(TokenLcsExpr(GraftShim.expression(a),
       GraftShim.expression(b), cap))
+
+  def fieldMax6Agg(w: Column): Column =
+    GraftShim.column(FieldMax6Agg(GraftShim.expression(w))
+      .toAggregateExpression())
+}
+
+/** (packed word, packed word) -> field-wise max ([[FastHash.fieldMax6]]).
+  * The scalar kernel [[FieldMax6Agg]] folds with. */
+case class FieldMax6Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_field_max6_word"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FastHash.fieldMax6(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.FastHash.fieldMax6($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FieldMax6Expr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-group field-wise max over ONE packed 6-bit×10 register word —
+  * the HyperANF union as a DECLARATIVE aggregate on a single LONG
+  * buffer slot: the planner keeps whole-stage-codegen HashAggregate
+  * with map-side partial aggregation. The typed-Aggregator form this
+  * replaces (r13's `RegMax` over the whole array) forced
+  * ObjectHashAggregate through a Seq[Long] encoder that boxed every
+  * word of every edge-grain row on both the update and merge paths.
+  * A null input word is a no-op (zero = the empty register word). */
+case class FieldMax6Agg(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, If, IsNull, Literal}
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_field_max6"
+
+  private lazy val fmax =
+    AttributeReference("fmax6", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(fmax)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L))
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(If(IsNull(child), fmax, FieldMax6Expr(fmax, child)))
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(FieldMax6Expr(fmax.left, fmax.right))
+  override lazy val evaluateExpression: Expression = fmax
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FieldMax6Agg = copy(child = newChild)
 }
 
 /** (text, text) -> token-LCS length, both sides capped at `cap` tokens

@@ -591,48 +591,22 @@ object Graph {
     * checkpoints per hop. Directed reachability along src→dst;
     * symmetrize edges upstream for the undirected ball. Output:
     * (node, hop, nonempty, est) for h = 1..maxHops. */
-  /** Field-wise max over BIT-PACKED register arrays — the HyperANF
-    * union as a typed Aggregator. Registers are 6-bit fields (ranks
-    * cap at 40 < 2^6 by the [[Sketches.hllRegisters]] contract), TEN
-    * per long (60 bits used, sign bit never touched), so the 2^b=64
-    * registers of b=6 ride in SEVEN longs instead of 64 — the per-hop
-    * edge-grain shuffle ships ~9x fewer payload bytes (56 B vs 512 B
-    * per row before array headers). Merge is a masked per-field
-    * unsigned compare: associative, commutative, map-side combined,
-    * and bit-identical to the unpacked element-wise max (each field is
-    * non-negative and compared in place). */
-  class RegMax(words: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
-    private def fieldMax(a: Long, b: Long): Long = {
-      var r = 0L
-      var f = 0
-      while (f < 10) {
-        val sh = 6 * f
-        val av = (a >>> sh) & 63L
-        val bv = (b >>> sh) & 63L
-        r |= (if (av >= bv) av else bv) << sh
-        f += 1
-      }
-      r
-    }
-    def zero: Array[Long] = new Array[Long](words)
-    def reduce(b: Array[Long], r: Seq[Long]): Array[Long] = {
-      var i = 0
-      while (i < words) { b(i) = fieldMax(b(i), r(i)); i += 1 }
-      b
-    }
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < words) { a(i) = fieldMax(a(i), b(i)); i += 1 }
-      a
-    }
-    def finish(r: Array[Long]): Seq[Long] = r.toSeq
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-  }
-
+  /** Registers are 6-bit fields (ranks cap at 40 < 2^6 by the
+    * [[Sketches.hllRegisters]] contract), TEN per long (60 bits used,
+    * sign bit never touched), so the 2^b=64 registers of b=6 ride in
+    * SEVEN longs instead of 64 — the per-hop edge-grain shuffle ships
+    * ~9x fewer payload bytes than the dense row form. The per-hop
+    * union is a field-wise group-max per word
+    * ([[graft.functions.FieldMax6Agg]]): associative, commutative,
+    * map-side combined, bit-identical to the unpacked element-wise max
+    * (each field is non-negative and compared in place). r14: the
+    * words ride as ONE LONG COLUMN EACH (not an array), and the union
+    * aggregate is DECLARATIVE on a long buffer slot per word — the
+    * planner keeps whole-stage-codegen HashAggregate with map-side
+    * partials, where the prior typed-Aggregator-over-Seq[Long] form
+    * forced ObjectHashAggregate through an encoder that boxed every
+    * word of every edge-grain row (measured: the trio of ANF readers
+    * spent most of their per-hop agg time in that boundary). */
   def hyperAnf(edges: DataFrame, srcCol: String, dstCol: String,
       maxHops: Int, b: Int = 6, edgesCanonical: Boolean = false): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
@@ -640,29 +614,30 @@ object Graph {
     // 6-bit fields, 10 per long: field width is pinned by the rank cap
     // (40), NOT by b — any 4 <= b <= 14 packs into ceil(2^b / 10) longs
     val words = (m + 9) / 10
+    val wcols = (0 until words).map(i => s"__w$i")
     // edgesCanonical: see [[pageRank]] — skips the defensive re-distinct
     val ep = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = if (edgesCanonical) ep else ep.distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    val regMax = udaf(new RegMax(words))
     // packed initial sketch: the node's own rank shifted into the 6-bit
     // slot of its register's word; every other field zero
     var regs = Sketches.hllRegisters(nodes, Seq("node"), "node", b)
-      .select(col("node"), expr(
-        s"""transform(sequence(0, ${words - 1}),
-           |  w -> IF(CAST(reg AS INT) div 10 = w,
-           |    shiftleft(max_rank, 6 * (CAST(reg AS INT) % 10)), 0L))"""
-          .stripMargin)
-        .as("arr"))
+      .select(col("node") +: wcols.zipWithIndex.map { case (w, i) =>
+        expr(s"IF(CAST(reg AS INT) div 10 = $i, " +
+          s"shiftleft(max_rank, 6 * (CAST(reg AS INT) % 10)), 0L)").as(w)
+      }: _*)
       .localCheckpoint(true)
-    // estimator on the packed array: unpack each word's 10 fields in
-    // slot order; every 2^-rank term is a power of two >= 2^-40 and
-    // there are <= 2^b <= 2^14 of them, so the sum is exact in IEEE at
-    // ANY order (hllEstimate contract) — the packed fold replays the
+    // estimator on the packed words (re-assembled into hop order via a
+    // cheap array() projection): unpack each word's 10 fields in slot
+    // order; every 2^-rank term is a power of two >= 2^-40 and there
+    // are <= 2^b <= 2^14 of them, so the sum is exact in IEEE at ANY
+    // order (hllEstimate contract) — the packed fold replays the
     // row-form estimator bit-for-bit
-    def estimate(h: Int): DataFrame = regs.select(col("node"),
+    def estimate(h: Int): DataFrame = regs
+      .select(col("node"), array(wcols.map(col): _*).as("arr"))
+      .select(col("node"),
       lit(h).as("hop"),
       expr(
         """aggregate(arr, CAST(0 AS BIGINT), (acc, w) ->
@@ -685,11 +660,17 @@ object Graph {
     var out: DataFrame = null
     for (h <- 1 to maxHops) {
       val viaNbrs = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src").as("node"), col("arr"))
-      regs = regs.unionAll(viaNbrs)
+        .select(col("src").as("node") +: wcols.map(col): _*)
+      val fm = graft.functions.FastHash.fieldMax6Agg _
+      val merged = regs.unionAll(viaNbrs)
         .groupBy(col("node"))
-        .agg(regMax(col("arr")).as("arr"))
-        .localCheckpoint(true)
+        .agg(fm(col(wcols.head)).as(wcols.head),
+          wcols.tail.map(w => fm(col(w)).as(w)): _*)
+      // the final hop's registers have exactly ONE consumer (their own
+      // estimate rows in the output union), so their eager checkpoint
+      // was a pure extra full-job latency — skipped (the
+      // [[betweennessSampled]] depth-0 discipline)
+      regs = if (h == maxHops) merged else merged.localCheckpoint(true)
       val est = estimate(h)
       out = if (out == null) est else out.unionAll(est)
     }

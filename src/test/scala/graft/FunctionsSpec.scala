@@ -337,4 +337,35 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
       graft.functions.FastHash.intDot($"a", $"b").as("k")).collect()
     assert(rg(0).getLong(0) == 2L * 10 + 3 * 20 && rg(1).getLong(0) == 0L)
   }
+
+  test("fieldMax6Agg: per-field max over packed 6-bit words equals the " +
+      "unpacked reference across partitions, nulls are no-ops, and the " +
+      "plan keeps codegen HashAggregate") {
+    import spark.implicits._
+    def pack(fields: Seq[Int]): Long =
+      fields.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        acc | (v.toLong << (6 * i)) }
+    def unpack(w: Long): Seq[Int] =
+      (0 until 10).map(f => ((w >>> (6 * f)) & 63L).toInt)
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Int, java.lang.Long)] = (1 to 500).map { i =>
+      (i % 7, java.lang.Long.valueOf(pack(Seq.fill(10)(rnd.nextInt(41)))))
+    } ++ Seq((3, null: java.lang.Long)) // null word must not zero the max
+    val df = rows.toDF("g", "w").repartition(8)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.FastHash.fieldMax6Agg($"w").as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = rows.filter(_._2 != null).groupBy(_._1).map { case (g, rs) =>
+      g -> pack((0 until 10).map(f =>
+        rs.map(r => unpack(r._2.longValue())(f)).max))
+    }
+    assert(got == want)
+    // declared shape: whole-stage-codegen HashAggregate, never
+    // ObjectHashAggregate (the encoder-bound form this replaced)
+    val plan = df.groupBy($"g")
+      .agg(graft.functions.FastHash.fieldMax6Agg($"w"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") &&
+      !plan.contains("ObjectHashAggregate"), plan)
+  }
 }
