@@ -77,19 +77,24 @@ object Graph {
     val nDf = broadcast(nodes.agg(count(lit(1)).as("nn")))
     var pr = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$RankScale div nn").as("prf"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val summed = e.join(pr, e("src") === pr("node"))
         .join(outdeg, "src")
         .select(col("dst"), expr("prf div od").as("contrib"))
         .groupBy(col("dst"))
         // exact integer sum: associative, partial-aggregates map-side
         .agg(sum(col("contrib")).as("in_mass"))
-      pr = nodes.join(summed, nodes("node") === summed("dst"), "left")
+      val next = nodes.join(summed, nodes("node") === summed("dst"), "left")
         .crossJoin(nDf)
         .select(col("node"), expr(
           s"(${100 - d100} * $RankScale div 100) div nn" +
             s" + ($d100 * coalesce(in_mass, 0)) div 100").as("prf"))
-        .localCheckpoint(true)
+      // pr is referenced ONCE per round and the final vector ONCE by
+      // the output projection, so the last round's eager checkpoint was
+      // a pure extra full-job latency (the betweennessSampled depth-0
+      // discipline) — the final round stays lazy and computes inside
+      // the consumer's job
+      pr = if (i == iterations) next else next.localCheckpoint(true)
     }
     pr.select(col("node"),
       (col("prf").cast("double") / lit(RankScale.toDouble)).as("pr"))
@@ -120,19 +125,20 @@ object Graph {
     val nDf = broadcast(nodes.agg(count(lit(1)).as("nn")))
     var pr = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$RankScale div nn").as("prf"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val summed = e.join(pr, e("src") === pr("node"))
         .join(outw, "src")
         .select(col("dst"),
           expr("(CAST(prf AS DECIMAL(38,0)) * w) div wdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
-      pr = nodes.join(summed, nodes("node") === summed("dst"), "left")
+      val next = nodes.join(summed, nodes("node") === summed("dst"), "left")
         .crossJoin(nDf)
         .select(col("node"), expr(
           s"(${100 - d100} * $RankScale div 100) div nn" +
             s" + ($d100 * coalesce(in_mass, 0)) div 100").as("prf"))
-        .localCheckpoint(true)
+      // final-round checkpoint skipped: see [[pageRank]]
+      pr = if (i == iterations) next else next.localCheckpoint(true)
     }
     pr.select(col("node"),
       (col("prf").cast("double") / lit(RankScale.toDouble)).as("pr"))
@@ -178,17 +184,18 @@ object Graph {
         s"IF(__isSeed IS NULL, CAST(0 AS BIGINT), $RankScale div ns)")
         .as("prf"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val summed = e.join(pr, e("src") === pr("node"))
         .join(outdeg, "src")
         .select(col("dst"), expr("prf div od").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
-      pr = nodes.join(summed, nodes("node") === summed("dst"), "left")
+      val next = nodes.join(summed, nodes("node") === summed("dst"), "left")
         .join(seeded, Seq("node"), "left").crossJoin(nS)
         .select(col("node"), (teleport(null) +
           expr(s"($d100 * coalesce(in_mass, 0)) div 100")).as("prf"))
-        .localCheckpoint(true)
+      // final-round checkpoint skipped: see [[pageRank]]
+      pr = if (i == iterations) next else next.localCheckpoint(true)
     }
     pr.select(col("node"),
       (col("prf").cast("double") / lit(RankScale.toDouble)).as("ppr"))
@@ -430,6 +437,12 @@ object Graph {
       .select(col("x"), col("c"), col("own"), col("kuc"),
         score.cast(dec).as("s"),
         when(col("c") === col("own"), 1).otherwise(0).as("stay"))
+    // NOTE (r14, measured): folding this argmax into a
+    // min(struct(-s, -stay, c, …)) aggregate was TRIED and reverted —
+    // a struct aggregation buffer is not UnsafeRow-mutable, so the
+    // planner falls back to partial+final SortAggregate (two sorts, no
+    // codegen fast map) and q346 ran 3.8 -> 5.2 s; the single-exchange
+    // two-window pass below is the faster shape for this grain.
     val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
     val wPick = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
       .orderBy(col("s").desc, col("stay").desc, col("c"))
@@ -558,10 +571,14 @@ object Graph {
     for (t <- 1 to steps) {
       val h = conv(substring(md5(concat(lit(seed), lit(":"), col("walk"),
         lit(":"), lit(t.toString))), 1, 12), 16, 10).cast("long")
-      val hop = frontier.join(adj, frontier("cur") === adj("u"))
+      val hop0 = frontier.join(adj, frontier("cur") === adj("u"))
         .where(col("idx") === h % col("deg"))
         .select(col("walk"), col("v").as("cur"))
-        .localCheckpoint(true)
+      // intermediate hops are consumed TWICE (output union + next
+      // frontier) and must materialize; the FINAL hop has one consumer
+      // — its checkpoint was a pure extra full-job latency (the
+      // betweennessSampled depth-0 discipline)
+      val hop = if (t == steps) hop0 else hop0.localCheckpoint(true)
       out = out.unionByName(hop.select(col("walk"),
         lit(t.toLong).as("step"), col("cur").as("node")))
       frontier = hop
@@ -700,7 +717,6 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, edgesCanonical: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    import org.apache.spark.sql.expressions.Window
     // edgesCanonical: see [[pageRank]] — skips the defensive re-distinct
     // (the null/self-loop filters stay: they are exchange-free)
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
@@ -713,17 +729,18 @@ object Graph {
     var labels = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
-    val w = Window.partitionBy(col("node"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
       .orderBy(col("cnt").desc, col("label"))
-    for (_ <- 1 to rounds) {
-      labels = und
+    for (r <- 1 to rounds) {
+      val next = und
         .join(labels.withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") === 1)
         .select(col("node"), col("label"))
-        .localCheckpoint(true)
+      // final-round checkpoint skipped (one consumer): see [[pageRank]]
+      labels = if (r == rounds) next else next.localCheckpoint(true)
     }
     labels
   }
@@ -830,18 +847,21 @@ object Graph {
     var state = nodes.select(col("node"),
       lit(scale).cast(dec).as("m"), lit(0L).cast(dec).as("kz"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val summed = e.join(state.select(col("node"), col("m")),
           e("src") === col("node"))
         .select(col("dst"), expr(s"CAST(m div $alphaDen AS $dec)").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).cast(dec).as("mi"))
-      state = state.join(summed, state("node") === summed("dst"), "left")
+      val next = state.join(summed, state("node") === summed("dst"), "left")
         .select(state("node"),
           coalesce(col("mi"), lit(0L).cast(dec)).cast(dec).as("m"),
           (state("kz") + coalesce(col("mi"), lit(0L).cast(dec)))
             .cast(dec).as("kz"))
-        .localCheckpoint(true)
+      // final-round checkpoint skipped (single consumer — the output
+      // projection; the round-k plan reads round k-1's CHECKPOINT
+      // twice, so no recompute): see [[pageRank]]
+      state = if (i == iterations) next else next.localCheckpoint(true)
     }
     state.select(col("node"),
       (col("kz").cast("double") / lit(scale.toDouble)).as("katz"))
