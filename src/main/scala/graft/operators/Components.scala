@@ -182,11 +182,16 @@ object Components {
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mins = und.groupBy("u")
         .agg(least(col("u"), min(col("v"))).as("m"))
+      // NO distinct here (r14, guide §2.4): the join is 1:1 on u (mins
+      // is one row per u), so `large` is exactly edge-grain — its
+      // duplicates (two centers re-attaching the same v to the same m)
+      // are harmless to every consumer: sMins takes a min, and the
+      // round's output set is pinned by `small`'s distinct. The old
+      // dedup exchange here bought nothing but its own shuffle.
       val large = und.where(col("v") > col("u"))
         .join(mins, "u")
         .select(col("v").as("hi"), col("m").as("lo"))
         .where(col("hi") =!= col("lo"))
-        .distinct()
       // small-star on the hi→lo orientation: center hi, m = min of its
       // smaller neighbors; every smaller neighbor AND the center hook
       // onto m.

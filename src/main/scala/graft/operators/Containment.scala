@@ -53,12 +53,29 @@ object Containment {
     val rare = sh.join(
       sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= dfCap),
       Seq("s"), "left_semi")
-    val inter = rare.select(col("id").as("id_a"), col("s"))
+    // the intersection count is SYMMETRIC (|S(A)∩S(B)| = |S(B)∩S(A)|),
+    // so the self-join enumerates each unordered pair ONCE (id_a <
+    // id_b — half the rows through the per-pair census; r14, guide
+    // §2.3). Both docs' sizes join onto the ONE unordered row and the
+    // two directional scorings explode out of it afterwards — a union
+    // of two references to the half census would re-plan (and re-run)
+    // the whole self-join subtree twice. Directional semantics are
+    // untouched: each orientation still thresholds against its own
+    // |S(A)|.
+    val interHalf = rare.select(col("id").as("id_a"), col("s"))
       .join(rare.select(col("id").as("id_b"), col("s")), Seq("s"))
-      .where(col("id_a") =!= col("id_b"))
+      .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
+    interHalf
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(explode(array(
+        struct(col("id_a"), col("id_b"), col("inter"),
+          col("n_a").as("n")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
+          col("inter"), col("n_b").as("n")))).as("__d"))
+      .select(col("__d.id_a").as("id_a"), col("__d.id_b").as("id_b"),
+        col("__d.inter").as("inter"), col("__d.n").as("n_a"))
       .where(col("inter") * tauDen >= lit(tauNum) * col("n_a"))
       .withColumn("containment",
         col("inter").cast("double") / col("n_a").cast("double"))
